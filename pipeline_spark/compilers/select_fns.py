@@ -1,0 +1,330 @@
+"""Select-function list → ordered Column list compiler.
+
+The reference's projection engine is an ordered list of select functions;
+each function's output is visible to later functions (sequential name
+binding) and the output schema is exactly the list of non-ignored function
+outputs (reference: util/pipeline/select/SelectFunction.java:64-87 binding,
+165-193 schema, 213-234 apply; docs/config/module/common/select.md).
+
+Func inference when ``func`` is omitted mirrors
+SelectFunction.java:96-127: only {name} → pass; field+type → cast;
+field → rename; value+type → constant; type → cast; expression / text /
+fields → those funcs.
+
+Each function compiles to a Column expression; stateful variants (range
+aggregates, lag) compile to Window functions — see stateful.py.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipeline_spark.compilers.expression import compile_expression, schema_resolver
+
+# config type vocabulary → Spark types (reference: Schema.java:1107-1160,
+# SURVEY §1.2 type lattice)
+TYPE_MAP: dict[str, T.DataType] = {
+    "bool": T.BooleanType(), "boolean": T.BooleanType(),
+    "string": T.StringType(), "char": T.StringType(), "json": T.StringType(),
+    "bytes": T.BinaryType(), "blob": T.BinaryType(),
+    "int8": T.ByteType(), "byte": T.ByteType(),
+    "int16": T.ShortType(), "short": T.ShortType(),
+    "int32": T.IntegerType(), "int": T.IntegerType(), "integer": T.IntegerType(),
+    "int64": T.LongType(), "long": T.LongType(),
+    "float8": T.FloatType(), "float16": T.FloatType(),
+    "float32": T.FloatType(), "float": T.FloatType(),
+    "float64": T.DoubleType(), "double": T.DoubleType(),
+    "decimal": T.DecimalType(38, 9), "numeric": T.DecimalType(38, 9),
+    "date": T.DateType(),
+    "time": T.LongType(),  # micros-of-day convention (Schema.java:1171)
+    "datetime": T.TimestampType(), "timestamp": T.TimestampType(),
+    "geography": T.StringType(),
+}
+
+
+def spark_type(name: str) -> T.DataType:
+    key = name.strip().lower()
+    if key not in TYPE_MAP:
+        raise ValueError(f"unknown type '{name}'")
+    return TYPE_MAP[key]
+
+
+def infer_func(sf: dict[str, Any]) -> str:
+    if "func" in sf:
+        return str(sf["func"])
+    if "op" in sf:
+        return str(sf["op"])
+    keys = set(sf) - {"ignore", "name"}
+    if not keys:
+        return "pass"
+    if "field" in sf:
+        return "cast" if "type" in sf else "rename"
+    if "value" in sf:
+        if "type" not in sf:
+            raise ValueError("selectField value requires type parameter")
+        return "constant"
+    if keys == {"type"}:
+        return "cast"
+    if "expression" in sf:
+        return "expression"
+    if "text" in sf:
+        return "text"
+    if "fields" in sf:
+        return "struct"
+    raise ValueError(f"selectField requires func parameter: {sf}")
+
+
+STATEFUL_FUNCS = {
+    "lag", "count", "sum", "max", "min", "avg", "std", "first", "last",
+    "argmax", "argmin", "array_agg", "simple_regression", "regression",
+}
+NAVIGATION_FUNCS = {"row_number", "rank", "dense_rank", "lead"}
+
+
+def is_stateful(sf: dict[str, Any]) -> bool:
+    f = infer_func(sf)
+    return f in STATEFUL_FUNCS or f in NAVIGATION_FUNCS
+
+
+def compile_selects(
+    selects: list[dict[str, Any]],
+    df: DataFrame,
+    event_time_col: str | None = None,
+) -> list[tuple[str, Column]]:
+    """Compile stateless select functions to ``(name, Column)`` pairs.
+
+    Sequential binding: each compiled output is added to the visible
+    namespace for subsequent functions.
+    """
+    bound: dict[str, Column] = {}
+    out: list[tuple[str, Column]] = []
+    for sf in selects:
+        if sf.get("ignore"):
+            continue
+        name = sf["name"]
+        col = _compile_one(sf, df, bound, event_time_col)
+        bound[name] = col
+        out.append((name, col))
+    return out
+
+
+def apply_select(
+    df: DataFrame,
+    selects: list[dict[str, Any]],
+    event_time_col: str | None = None,
+    group_fields: list[str] | None = None,
+) -> DataFrame:
+    """Project ``df`` through a select list (stateless + stateful mix)."""
+    stateful = [sf for sf in selects if not sf.get("ignore") and is_stateful(sf)]
+    if stateful:
+        from pipeline_spark.compilers.stateful import apply_stateful_select
+
+        return apply_stateful_select(df, selects, event_time_col, group_fields)
+    pairs = compile_selects(selects, df, event_time_col)
+    return df.select(*[c.alias(n) for n, c in pairs])
+
+
+def _ref(name: str, df: DataFrame, bound: dict[str, Column]) -> Column:
+    if name in bound:
+        return bound[name]
+    # dotted paths reach into structs (ElementSchemaUtil.getInputFieldType)
+    return F.col(name)
+
+
+def _compile_one(
+    sf: dict[str, Any],
+    df: DataFrame,
+    bound: dict[str, Column],
+    event_time_col: str | None,
+) -> Column:
+    func = infer_func(sf)
+    name = sf["name"]
+
+    if func == "pass":
+        return _ref(name, df, bound)
+    if func == "rename":
+        return _ref(sf["field"], df, bound)
+    if func == "cast":
+        src = _ref(sf.get("field", name), df, bound)
+        dt = spark_type(sf["type"])
+        if isinstance(dt, T.TimestampType):
+            # string → timestamp must accept ISO strings like the
+            # reference's DateTimeUtil parser
+            return src.cast(dt)
+        return src.cast(dt)
+    if func == "constant":
+        dt = spark_type(sf["type"])
+        v = sf["value"]
+        if isinstance(dt, (T.DateType, T.TimestampType)):
+            return F.lit(str(v)).cast(dt)
+        return F.lit(v).cast(dt)
+    if func == "expression":
+        return compile_expression(str(sf["expression"]), schema_resolver(df, extra=bound))
+    if func == "text":
+        return _compile_text(str(sf["text"]), df, bound)
+    if func == "concat":
+        cols = [_ref(f, df, bound).cast("string") for f in sf["fields"]]
+        delim = sf.get("delimiter", "")
+        return F.concat_ws(delim, *cols)
+    if func == "nullif":
+        from pipeline_spark.compilers.filter_dsl import compile_filter
+
+        cond = compile_filter(sf.get("condition"), df)
+        src = _ref(sf.get("field", name), df, bound)
+        return F.when(cond, F.lit(None)).otherwise(src)
+    if func == "uuid":
+        return F.expr("uuid()")
+    if func == "hash":
+        return _compile_hash(sf, df, bound)
+    if func == "event_timestamp":
+        if event_time_col and event_time_col in df.columns:
+            return F.col(event_time_col)
+        return F.current_timestamp()
+    if func == "current_timestamp":
+        return F.current_timestamp()
+    if func == "struct":
+        inner = compile_selects(sf["fields"], df)
+        return F.struct(*[c.alias(n) for n, c in inner])
+    if func in ("json", "jsons"):
+        inner = compile_selects(sf["fields"], df)
+        return F.to_json(F.struct(*[c.alias(n) for n, c in inner]))
+    if func == "json_path":
+        path = sf["path"]
+        if not path.startswith("$"):
+            path = "$." + path
+        return F.get_json_object(_ref(sf["field"], df, bound).cast("string"), path)
+    if func in ("map", "maps"):
+        inner = compile_selects(sf["fields"], df)
+        kvs: list[Column] = []
+        for n, c in inner:
+            kvs.extend([F.lit(n), c])
+        return F.create_map(*kvs)
+    if func == "switch":
+        return _compile_switch(sf, df, bound)
+    if func == "base64_encode":
+        return F.base64(_ref(sf["field"], df, bound).cast("binary")).cast("binary")
+    if func == "base64_decode":
+        return F.unbase64(_ref(sf["field"], df, bound).cast("string"))
+    if func == "bytes_encode":
+        # HBase Bytes.toBytes big-endian encoding — JVM-side via expr
+        src = _ref(sf["field"], df, bound)
+        return _hbase_encode(src, df, sf)
+    if func == "bytes_decode":
+        src = _ref(sf["field"], df, bound)
+        return _hbase_decode(src, sf["type"])
+    if func == "panic":
+        from pipeline_spark.compilers.filter_dsl import compile_filter
+
+        cond = compile_filter(sf.get("condition"), df)
+        msg = sf.get("message", f"panic: {name}")
+        return F.when(F.coalesce(cond, F.lit(False)), F.raise_error(F.lit(msg))).otherwise(
+            F.lit(None).cast("string")
+        )
+    if func == "generate":
+        return _compile_generate(sf)
+    raise ValueError(f"unknown select func '{func}'")
+
+
+def _compile_text(template: str, df: DataFrame, bound: dict[str, Column]) -> Column:
+    """FreeMarker-lite ``${field}`` templating → concat of casts.
+
+    The reference renders a full FreeMarker template per row
+    (select/Text.java:94-100); the overwhelmingly common usage is plain
+    ``${field}`` interpolation, which we compile to JVM-side concat.
+    """
+    import re
+
+    parts: list[Column] = []
+    pos = 0
+    for m in re.finditer(r"\$\{([^}]+)\}", template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos : m.start()]))
+        expr = m.group(1).strip()
+        parts.append(_ref(expr, df, bound).cast("string"))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    if not parts:
+        return F.lit("")
+    return F.concat(*parts)
+
+
+def _compile_hash(sf: dict[str, Any], df: DataFrame, bound: dict[str, Column]) -> Column:
+    """sha256 (default) / md5 / sha512 / hmac over fields or text template
+    (reference: select/Hash.java:103-130, default ALGORITHM_SHA256)."""
+    algorithm = str(sf.get("algorithm", "sha256")).lower()
+    if sf.get("text"):
+        src = _compile_text(str(sf["text"]), df, bound)
+    else:
+        fields = sf.get("fields") or [sf.get("field")]
+        cols = [_ref(f, df, bound).cast("string") for f in fields]
+        src = F.concat_ws("", *cols) if len(cols) > 1 else cols[0]
+    secret = sf.get("secret")
+    if secret:  # HMAC via expr (Spark has no builtin HMAC; use sha2 of key||msg fallback)
+        src = F.concat(F.lit(str(secret)), src)
+    if algorithm == "md5":
+        out = F.md5(src)
+    elif algorithm in ("sha512", "sha-512"):
+        out = F.sha2(src, 512)
+    elif algorithm in ("sha1", "sha-1"):
+        out = F.sha1(src)
+    else:
+        out = F.sha2(src, 256)
+    size = sf.get("size")
+    if size:
+        out = F.substring(out, 1, int(size))
+    return out
+
+
+def _compile_switch(sf: dict[str, Any], df: DataFrame, bound: dict[str, Column]) -> Column:
+    from pipeline_spark.compilers.filter_dsl import compile_filter
+
+    cases = sf.get("cases", [])
+    col = None
+    for case in cases:
+        cond = compile_filter(case.get("when") or case.get("condition"), df)
+        val = F.lit(case.get("then") if "then" in case else case.get("value"))
+        col = F.when(cond, val) if col is None else col.when(cond, val)
+    default = sf.get("default")
+    if col is None:
+        return F.lit(default)
+    return col.otherwise(F.lit(default))
+
+
+def _hbase_encode(src: Column, df: DataFrame, sf: dict[str, Any]) -> Column:
+    """Big-endian byte encoding like HBase Bytes.toBytes
+    (reference: select/Bytes.java)."""
+    dtypes = dict(df.dtypes)
+    fname = sf["field"]
+    dt = dtypes.get(fname, "string")
+    if dt in ("int", "bigint", "smallint", "tinyint"):
+        width = {"tinyint": 1, "smallint": 2, "int": 4, "bigint": 8}[dt]
+        hexw = width * 2
+        return F.unhex(F.lpad(F.hex(src.cast("bigint")), hexw, "0"))
+    return src.cast("string").cast("binary")
+
+
+def _hbase_decode(src: Column, type_name: str) -> Column:
+    dt = spark_type(type_name)
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return F.conv(F.hex(src), 16, 10).cast(dt)
+    if isinstance(dt, T.StringType):
+        return src.cast("string")
+    raise ValueError(f"bytes_decode: unsupported type {type_name}")
+
+
+def _compile_generate(sf: dict[str, Any]) -> Column:
+    """Typed sequence/id generation (reference: select/Generate.java:19-212)."""
+    gen_type = str(sf.get("type", "long")).lower()
+    if gen_type in ("long", "int64", "id"):
+        return F.monotonically_increasing_id()
+    if gen_type in ("uuid", "string"):
+        return F.expr("uuid()")
+    if gen_type == "timestamp":
+        return F.current_timestamp()
+    raise ValueError(f"generate: unsupported type {gen_type}")

@@ -1,0 +1,113 @@
+"""Config loading: YAML/JSON text → templating → typed config model.
+
+The reference loads a YAML/JSON config, renders it with FreeMarker using
+CLI ``args.*`` parameters, then deserializes into source/transform/sink
+config lists (reference: config/Config.java:294-360,461-486;
+docs/config/README.md:120-167).  We use Jinja2 (public, idiomatic Python
+substitute) with the same ``args.*`` namespace.
+
+Module common attributes carried over verbatim (reference:
+docs/config/README.md:44-96, config/ModuleConfig.java):
+``name, module, parameters, inputs, sideInputs, waits, strategy, failFast,
+ignore, schema, timestampAttribute, tags, loggings``.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+
+@dataclass
+class ModuleConfig:
+    name: str
+    module: str
+    kind: str  # source | transform | sink
+    parameters: dict[str, Any] = field(default_factory=dict)
+    inputs: list[str] = field(default_factory=list)
+    side_inputs: list[str] = field(default_factory=list)
+    waits: list[str] = field(default_factory=list)
+    strategy: dict[str, Any] | None = None
+    schema: dict[str, Any] | list[dict[str, Any]] | None = None
+    timestamp_attribute: str | None = None
+    ignore: bool = False
+    fail_fast: bool = True
+    raw: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def parse(cls, d: dict[str, Any], kind: str) -> "ModuleConfig":
+        return cls(
+            name=d["name"],
+            module=d["module"],
+            kind=kind,
+            parameters=d.get("parameters", {}) or {},
+            inputs=_as_list(d.get("inputs") or d.get("input")),
+            side_inputs=_as_list(d.get("sideInputs")),
+            waits=_as_list(d.get("waits")),
+            strategy=d.get("strategy"),
+            schema=d.get("schema"),
+            timestamp_attribute=d.get("timestampAttribute"),
+            ignore=bool(d.get("ignore", False)),
+            fail_fast=bool(d.get("failFast", True)),
+            raw=d,
+        )
+
+
+def _as_list(v: Any) -> list[str]:
+    if v is None:
+        return []
+    if isinstance(v, str):
+        return [v]
+    return list(v)
+
+
+@dataclass
+class Config:
+    sources: list[ModuleConfig] = field(default_factory=list)
+    transforms: list[ModuleConfig] = field(default_factory=list)
+    sinks: list[ModuleConfig] = field(default_factory=list)
+    failures: list[ModuleConfig] = field(default_factory=list)
+    settings: dict[str, Any] = field(default_factory=dict)
+
+    def modules(self) -> list[ModuleConfig]:
+        return [m for m in (*self.sources, *self.transforms, *self.sinks) if not m.ignore]
+
+
+def render_template(text: str, args: dict[str, Any] | None = None) -> str:
+    """Render config text with Jinja2 using an ``args.*`` namespace.
+
+    Mirrors the reference's FreeMarker templating of the whole config with
+    ``args.*`` CLI parameters (reference: config/Config.java:294-360).
+    """
+    if "{{" not in text and "{%" not in text:
+        return text
+    import jinja2
+
+    env = jinja2.Environment(undefined=jinja2.StrictUndefined)
+    return env.from_string(text).render(args=args or {})
+
+
+def parse_config(text: str, args: dict[str, Any] | None = None) -> Config:
+    rendered = render_template(text, args)
+    stripped = rendered.lstrip()
+    if stripped.startswith("{"):
+        doc = json.loads(rendered)
+    else:
+        doc = yaml.safe_load(rendered)
+    if not isinstance(doc, dict):
+        raise ValueError("config root must be a mapping with sources/transforms/sinks")
+    return Config(
+        sources=[ModuleConfig.parse(d, "source") for d in doc.get("sources", [])],
+        transforms=[ModuleConfig.parse(d, "transform") for d in doc.get("transforms", [])],
+        sinks=[ModuleConfig.parse(d, "sink") for d in doc.get("sinks", [])],
+        failures=[ModuleConfig.parse(d, "failure") for d in doc.get("failures", [])],
+        settings=doc.get("settings", {}) or {},
+    )
+
+
+def load_config(path: str | Path, args: dict[str, Any] | None = None) -> Config:
+    return parse_config(Path(path).read_text(), args)

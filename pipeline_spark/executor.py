@@ -1,0 +1,105 @@
+"""DAG executor: topologically apply modules, building a name → DataFrame map.
+
+Mirrors the reference's fixed-point planning loop: execute any module whose
+``inputs``/``waits``/``sideInputs`` are all materialized; error if an
+iteration makes no progress (cycle / missing input)
+(reference: MPipeline.java:109-133,135-237).
+
+Because DataFrames are lazy Catalyst plans, "executing" a source/transform
+here only *declares* the plan — Spark optimizes across all module boundaries
+(filter pushdown, column pruning reach the scans).  Only sinks trigger
+actions; ``waits`` order those actions.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pipeline_spark.config import Config, ModuleConfig
+from pipeline_spark.registry import ModuleContext, get_module
+
+# Import module packages for registration side effects.
+from pipeline_spark import sources as _sources  # noqa: F401
+from pipeline_spark import operators as _operators  # noqa: F401
+from pipeline_spark import sinks as _sinks  # noqa: F401
+
+
+class PipelineExecutor:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.outputs: dict[str, DataFrame] = {}
+        self.completed: set[str] = set()
+
+    def run(self, config: Config, inputs: dict[str, DataFrame] | None = None) -> dict[str, DataFrame]:
+        """Apply all modules; returns the full name → DataFrame registry.
+
+        ``inputs`` seeds pre-built DataFrames (useful for tests / embedding).
+        """
+        if inputs:
+            for k, v in inputs.items():
+                self.outputs[k] = v
+                self.completed.add(k)
+
+        pending = list(config.modules())
+        while pending:
+            progressed = []
+            for mc in pending:
+                if self._ready(mc):
+                    self._apply(mc)
+                    progressed.append(mc)
+            if not progressed:
+                missing = {
+                    mc.name: [d for d in (*mc.inputs, *mc.waits, *mc.side_inputs) if not self._have(d)]
+                    for mc in pending
+                }
+                raise ValueError(f"pipeline stuck (cycle or missing inputs): {missing}")
+            pending = [m for m in pending if m not in progressed]
+        return self.outputs
+
+    def _have(self, name: str) -> bool:
+        return name in self.outputs or name in self.completed
+
+    def _ready(self, mc: ModuleConfig) -> bool:
+        deps = [*mc.inputs, *mc.waits, *mc.side_inputs]
+        return all(self._have(d) for d in deps)
+
+    def _resolve(self, name: str) -> DataFrame:
+        if name not in self.outputs:
+            raise KeyError(f"unknown input '{name}'")
+        return self.outputs[name]
+
+    def _apply(self, mc: ModuleConfig) -> None:
+        spec = get_module(mc.module, mc.kind)
+        ctx = ModuleContext(
+            spark=self.spark,
+            name=mc.name,
+            params=mc.parameters,
+            inputs=[self._resolve(n) for n in mc.inputs],
+            input_names=list(mc.inputs),
+            side_inputs={n: self._resolve(n) for n in mc.side_inputs},
+            config={
+                "strategy": mc.strategy,
+                "schema": mc.schema,
+                "timestampAttribute": mc.timestamp_attribute,
+                "failFast": mc.fail_fast,
+            },
+        )
+        outs = spec.fn(ctx) or {}
+        for out_name, df in outs.items():
+            key = mc.name if out_name == "" else f"{mc.name}.{out_name}"
+            self.outputs[key] = df
+        # the default output is addressable by the bare module name
+        if "" not in outs and len(outs) == 1:
+            only = next(iter(outs.values()))
+            self.outputs.setdefault(mc.name, only)
+        self.completed.add(mc.name)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    config: Config,
+    inputs: dict[str, DataFrame] | None = None,
+) -> dict[str, DataFrame]:
+    return PipelineExecutor(spark).run(config, inputs=inputs)

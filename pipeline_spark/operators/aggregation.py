@@ -1,0 +1,107 @@
+"""`aggregation` transform: group-by + multi-input aggregates.
+
+Reference: module/transform/AggregationTransform.java:20-255 — keys =
+``groupFields`` (must exist in every input, 54-62); each input gets its own
+aggregator list dispatched on MElement.index
+(util/pipeline/Aggregation.java:159-164); optional post ``filter``, post
+``select``, per-key ``limit``; ``fanout`` hot-key mitigation.
+
+Spark strategy:
+  * single input  → ``df.groupBy(keys).agg(*exprs)`` — Catalyst's
+    HashAggregate does partial (map-side) + final combine, which subsumes
+    both Beam's CombineFn lifting AND the ``fanout`` knob.  Group keys are
+    native columns, never stringified (BASELINE.md commitment #2).
+  * multi input   → aggregate each input separately, then full-outer join
+    on the group keys (null-fill), matching the reference's merged
+    accumulator output (SURVEY §2.2).
+  * strategy window → grouping keys gain F.window(ts, size[, period]) /
+    session_window (batch + streaming identical code).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipeline_spark.compilers.aggregation import compile_aggs
+from pipeline_spark.compilers.filter_dsl import compile_filter
+from pipeline_spark.compilers.select_fns import apply_select
+from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
+
+
+def _window_key(strategy: dict[str, Any] | None, ts_col: str):
+    """strategy.window → extra grouping column (reference: Strategy.java:185-215)."""
+    if not strategy or not strategy.get("window"):
+        return None
+    w = strategy["window"]
+    wtype = str(w.get("type", "global")).lower()
+    unit = str(w.get("unit", "second")).lower()
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
+
+    def dur(key: str, default: int = 0) -> str:
+        return f"{int(w.get(key, default)) * mult} seconds"
+
+    if wtype in ("fixed", "tumbling"):
+        return F.window(F.col(ts_col), dur("size"))
+    if wtype == "sliding":
+        return F.window(F.col(ts_col), dur("size"), dur("period"))
+    if wtype == "session":
+        return F.session_window(F.col(ts_col), dur("gap"))
+    if wtype == "calendar":
+        cal_unit = str(w.get("unit", "day")).lower()
+        trunc = {"day": "DAY", "week": "WEEK", "month": "MONTH", "year": "YEAR"}[cal_unit]
+        return F.date_trunc(trunc, F.col(ts_col))
+    if wtype == "global":
+        return None
+    raise ValueError(f"unknown window type '{wtype}'")
+
+
+@module("aggregation", kind=KIND_TRANSFORM)
+def aggregation_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
+    p = ctx.params
+    group_fields: list[str] = p.get("groupFields") or []
+    if p.get("groupField"):
+        group_fields = [p["groupField"], *group_fields]
+    ts_attr = ctx.config.get("timestampAttribute")
+
+    agg_specs = p.get("aggregations") or []
+    # aggregations may be flat (single input) or per-input: [{input, fields:[...]}]
+    per_input: list[list[dict[str, Any]]]
+    if agg_specs and "fields" in agg_specs[0]:
+        by_input = {a.get("input"): a["fields"] for a in agg_specs}
+        per_input = [
+            by_input.get(name, by_input.get(None, []))
+            for name in (ctx.input_names or [None])
+        ]
+    else:
+        per_input = [agg_specs]
+
+    results: list[DataFrame] = []
+    for df, aggs in zip(ctx.inputs, per_input):
+        if not aggs:
+            continue
+        keys = [F.col(g) for g in group_fields]
+        wkey = _window_key(ctx.config.get("strategy"), ts_attr) if ts_attr else None
+        if wkey is not None:
+            keys = [wkey.alias("window"), *keys]
+        exprs = compile_aggs(aggs, df, ts_attr)
+        results.append(df.groupBy(*keys).agg(*exprs))
+
+    if not results:
+        raise ValueError("aggregation requires aggregations")
+    out = results[0]
+    join_keys = group_fields if not (ctx.config.get("strategy") or {}).get("window") else ["window", *group_fields]
+    for other in results[1:]:
+        out = out.join(other, on=[k for k in join_keys if k in out.columns and k in other.columns], how="full_outer")
+
+    if p.get("filter"):
+        out = out.filter(compile_filter(p["filter"], out))
+    if p.get("select"):
+        out = apply_select(out, p["select"])
+    if p.get("limit"):
+        from pipeline_spark.operators.limit import apply_limit
+
+        out = apply_limit(out, p["limit"], group_fields, ts_attr)
+    return {"": out}

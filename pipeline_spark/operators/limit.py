@@ -1,0 +1,66 @@
+"""`limit` transform: per-key output cap + output-start gate.
+
+Reference: util/pipeline/Limit.java:38-67 params, 97-185 batch — per-key
+``count`` cap keeps the OLDEST rows first (batch requires time-sorted
+input), and ``outputStartAt`` suppresses output before a timestamp.
+
+Spark: row_number over Window.partitionBy(keys).orderBy(event_time) —
+a single shuffle on the keys; the filter on row_number cannot be pushed
+past the window but Spark's WindowExec with partial TopK (rank limit
+pushdown in AQE) keeps it linear.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
+
+_ROWNUM = "__limit_rn__"
+
+
+def apply_limit(
+    df: DataFrame,
+    limit_spec: dict[str, Any] | int,
+    group_fields: list[str],
+    ts_attr: str | None,
+    descending: bool = False,
+) -> DataFrame:
+    if isinstance(limit_spec, int):
+        limit_spec = {"count": limit_spec}
+    count = limit_spec.get("count")
+    start_at = limit_spec.get("outputStartAt")
+
+    out = df
+    if start_at is not None and ts_attr:
+        out = out.filter(F.col(ts_attr) >= F.to_timestamp(F.lit(str(start_at))))
+    if count is not None:
+        keys = limit_spec.get("fields") or group_fields or []
+        if ts_attr and ts_attr in df.columns:
+            order = F.col(ts_attr).desc() if descending else F.col(ts_attr).asc()
+        else:
+            order = F.monotonically_increasing_id().asc()
+        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(order)
+        out = (
+            out.withColumn(_ROWNUM, F.row_number().over(w))
+            .filter(F.col(_ROWNUM) <= int(count))
+            .drop(_ROWNUM)
+        )
+    return out
+
+
+@module("limit", kind=KIND_TRANSFORM)
+def limit_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
+    p = ctx.params
+    return {
+        "": apply_limit(
+            ctx.input,
+            {k: v for k, v in p.items() if k in ("count", "outputStartAt", "fields")},
+            p.get("groupFields") or [],
+            ctx.config.get("timestampAttribute"),
+            descending=bool(p.get("descending", False)),
+        )
+    }

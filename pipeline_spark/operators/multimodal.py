@@ -1,0 +1,118 @@
+"""`multimodal` transform: image/audio/video columns as opaque binary.
+
+Training-data-pipeline extension.  The data model is a ``binary`` payload
+column plus typed metadata (mime, width/height/duration…), processed with
+Arrow-batched ``mapInPandas`` — the Spark-side plumbing (schema,
+partitioning, batch shape) is real and tested; the actual codec calls are
+STUBBED because image/audio libraries are not in this container:
+``decode`` raises NotImplementedError unless ``fake: true`` requests the
+deterministic fake (hash-derived pseudo-features), which exercises the
+identical execution path.
+
+Ops:
+  extract_meta   mime sniff from magic bytes + payload size (pure Column)
+  decode         stub → deterministic fake features via mapInPandas
+  frame_sample   plumbing for video frame sampling (stub, same shape)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
+
+_MAGIC = [
+    ("ffd8ff", "image/jpeg"),
+    ("89504e47", "image/png"),
+    ("47494638", "image/gif"),
+    ("52494646", "audio/wav"),  # RIFF (also webp/avi; refined by later bytes)
+    ("494433", "audio/mpeg"),
+    ("664c6143", "audio/flac"),
+    ("000000", "video/mp4"),
+]
+
+FEATURE_DIM = 8
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("mm_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def sniff_mime(col):
+    hexhead = F.lower(F.hex(F.substring(col, 1, 4)))
+    out = F.lit("application/octet-stream")
+    for magic, mime in reversed(_MAGIC):
+        out = F.when(hexhead.startswith(magic), F.lit(mime)).otherwise(out)
+    return out
+
+
+def _fake_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake decoder: features derived from payload bytes.
+
+    Real implementation would call PIL/librosa/ffmpeg here; the batch
+    shape, Arrow transfer, and output schema are identical.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        ids = pdf["mm_id"].to_numpy()
+        feats = []
+        widths = []
+        heights = []
+        for payload in pdf["payload"]:
+            b = bytes(payload or b"")
+            h = int.from_bytes(__import__("hashlib").md5(b).digest()[:8], "big")
+            rng = np.random.default_rng(h % (2**63))
+            feats.append(rng.standard_normal(FEATURE_DIM).astype("float32"))
+            widths.append(int(h % 1920) + 1)
+            heights.append(int((h >> 16) % 1080) + 1)
+        yield pd.DataFrame(
+            {"mm_id": ids, "features": feats, "width": widths, "height": heights}
+        )
+
+
+@module("multimodal", kind=KIND_TRANSFORM)
+def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
+    p: dict[str, Any] = ctx.params
+    df = ctx.input
+    op = str(p.get("op", "extract_meta")).lower()
+    payload_field = p.get("field", "payload")
+    id_field = p.get("idField", "mm_id")
+
+    if op == "extract_meta":
+        out = df.withColumn("mime", sniff_mime(F.col(payload_field))).withColumn(
+            "payload_size", F.length(F.col(payload_field))
+        )
+        return {"": out}
+
+    if op in ("decode", "feature_extract"):
+        if not p.get("fake", False):
+            raise NotImplementedError(
+                "multimodal decode requires image/audio codecs not present in "
+                "this container; pass fake: true for the deterministic stub"
+            )
+        narrowed = df.select(
+            F.col(id_field).cast("long").alias("mm_id"),
+            F.col(payload_field).alias("payload"),
+        )
+        decoded = narrowed.mapInPandas(_fake_decode_batches, schema=_DECODE_SCHEMA)
+        return {"": df.join(decoded, df[id_field] == decoded["mm_id"], "left").drop("mm_id")}
+
+    if op == "frame_sample":
+        raise NotImplementedError(
+            "video frame sampling requires ffmpeg (not in container); "
+            "the decode path above demonstrates the identical plumbing"
+        )
+
+    raise ValueError(f"multimodal: unknown op '{op}'")

@@ -1,0 +1,158 @@
+"""`similarity` transform: nearest-neighbor search over embedding columns.
+
+Training-data-pipeline extension (BASELINE.json north star).  Two paths:
+
+  brute_force  exact cosine top-k: broadcast the (small) query set against
+               the corpus — one map-side pass over the corpus, then a
+               per-query top-k window.  Correctness baseline; O(N·Q).
+  lsh          sign-random-projection buckets: map each vector to a
+               `bits`-bit signature from deterministic hyperplanes
+               (seeded, generated driver-side, inlined as literals so the
+               comparison is pure codegen).  Same-bucket candidates then
+               re-ranked exactly.  This is the 100 TB path: the bucket
+               join shuffles on a small int key and candidate count is
+               ~N·Q/2^bits.
+
+Reference parity note: the reference has no ANN operator (its
+matchingengine sink pushes to Vertex Vector Search,
+module/sink/MatchingEngineSink.java) — this module makes similarity a
+first-class relational op instead.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pipeline_spark.functions.vector import cosine
+from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection signature as a long (≤64 planes)."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_field: str = "embedding",
+    id_field: str = "vec_id",
+    query_id_field: str = "query_id",
+    query_vec_field: str = "query_vec",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query via broadcast cross join."""
+    q = queries.select(
+        F.col(query_id_field).alias("query_id"), F.col(query_vec_field).alias("qv")
+    )
+    c = corpus.select(F.col(id_field).alias("neighbor_id"), F.col(vec_field).alias("cv"))
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_field: str = "embedding",
+    id_field: str = "vec_id",
+    query_id_field: str = "query_id",
+    query_vec_field: str = "query_vec",
+    k: int = 10,
+    bits: int = 16,
+    tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: multi-table SRP bucketing, exact re-rank of candidates.
+
+    ``tables`` independent hash tables (different seeds) raise recall; a
+    candidate appears if it collides with the query in ANY table.
+    """
+    c = corpus.select(F.col(id_field).alias("neighbor_id"), F.col(vec_field).alias("cv"))
+    q = queries.select(
+        F.col(query_id_field).alias("query_id"), F.col(query_vec_field).alias("qv")
+    )
+    cand = None
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, seed=seed + t)
+        ct = c.select("neighbor_id", "cv", srp_signature(F.col("cv"), planes).alias("sig"))
+        qt = q.select("query_id", "qv", srp_signature(F.col("qv"), planes).alias("sig"))
+        hit = ct.join(F.broadcast(qt), "sig").select("query_id", "neighbor_id", "qv", "cv")
+        cand = hit if cand is None else cand.unionByName(hit)
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@module("similarity", kind=KIND_TRANSFORM)
+def similarity_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
+    p = ctx.params
+    corpus = ctx.input
+    if ctx.side_inputs:
+        queries = next(iter(ctx.side_inputs.values()))
+    elif len(ctx.inputs) > 1:
+        queries = ctx.inputs[1]
+    else:
+        raise ValueError("similarity requires a query side input")
+    method = str(p.get("method", "brute_force")).lower()
+    kwargs = dict(
+        vec_field=p.get("vectorField", "embedding"),
+        id_field=p.get("idField", "vec_id"),
+        query_id_field=p.get("queryIdField", "query_id"),
+        query_vec_field=p.get("queryVectorField", "query_vec"),
+        k=int(p.get("k", 10)),
+    )
+    if method in ("brute_force", "exact"):
+        return {"": brute_force_topk(corpus, queries, **kwargs)}
+    if method in ("lsh", "ivf", "ann"):
+        return {
+            "": lsh_topk(
+                corpus,
+                queries,
+                bits=int(p.get("bits", 16)),
+                tables=int(p.get("tables", 4)),
+                dim=int(p.get("dim", 64)),
+                seed=int(p.get("seed", 42)),
+                **kwargs,
+            )
+        }
+    raise ValueError(f"similarity: unknown method '{method}'")

@@ -1,0 +1,108 @@
+"""`textstats` transform: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+Training-data-pipeline extension (BASELINE.json north star).  All four ops
+are pure Column expressions — a 100 TB corpus pass stays in whole-stage
+codegen with zero Python.
+
+  lang_id      n-gram/stopword-overlap heuristic: score each candidate
+               language by fraction of tokens in its stopword list,
+               argmax wins (ties → 'und').
+  quality      length, punctuation ratio, stopword ratio, mean word
+               length, digit ratio → composite [0,1] score.
+  token_count  whitespace tokens + a BPE-ish subword estimate
+               (chars/3.2 heuristic consistent with common tokenizers).
+  fingerprint  md5 of whitespace-normalized lowercase text (deterministic,
+               engine-portable — DuckDB md5 matches bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
+
+# tiny embedded stopword lists for the heuristic language scorer
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "im"],
+    "pt": ["o", "a", "de", "que", "e", "do", "da", "em", "um", "os"],
+    "it": ["il", "di", "che", "la", "e", "un", "per", "in", "una", "del"],
+}
+
+
+def _toks(col: Column) -> Column:
+    return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax stopword-overlap language; 'und' when nothing matches."""
+    toks = _toks(col)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang, words in LANG_STOPWORDS.items():
+        wl = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.filter(toks, lambda t, wl=wl: F.array_contains(wl, t))).cast("double") / n
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality: favors moderate length, low punctuation
+    and digit density, and a natural mean word length."""
+    text = F.coalesce(col, F.lit(""))
+    n_chars = F.length(text).cast("double")
+    toks = _toks(text)
+    n_words = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", "")).cast("double")
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", "")).cast("double")
+    mean_word = n_chars / n_words
+    len_score = F.least(n_chars / F.lit(200.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct / F.greatest(n_chars, F.lit(1.0)) * 5, F.lit(1.0))
+    digit_score = F.lit(1.0) - F.least(digits / F.greatest(n_chars, F.lit(1.0)) * 5, F.lit(1.0))
+    word_len_score = F.when((mean_word >= 3) & (mean_word <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_score + punct_score + digit_score + word_len_score) / 4, 6)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(_toks(F.coalesce(col, F.lit(""))))
+
+
+def subword_estimate(col: Column) -> Column:
+    """BPE-ish token estimate: ceil(chars / 3.2) — the standard rule of
+    thumb for byte-pair tokenizers on natural text."""
+    return F.ceil(F.length(F.coalesce(col, F.lit(""))).cast("double") / F.lit(3.2)).cast("long")
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint (md5 of normalized text)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " ")))
+
+
+@module("textstats", kind=KIND_TRANSFORM)
+def textstats_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
+    p = ctx.params
+    df = ctx.input
+    field = p.get("field", "text")
+    col = F.col(field).cast("string")
+    ops = p.get("ops") or ["lang_id", "quality", "token_count", "fingerprint"]
+    for op in ops:
+        if op == "lang_id":
+            df = df.withColumn(p.get("langField", "lang_pred"), lang_id(col))
+        elif op == "quality":
+            df = df.withColumn(p.get("qualityField", "quality"), quality_score(col))
+        elif op == "token_count":
+            df = df.withColumn(p.get("tokenCountField", "n_tokens"), token_count(col))
+        elif op == "subword_count":
+            df = df.withColumn(p.get("subwordField", "n_subwords"), subword_estimate(col))
+        elif op == "fingerprint":
+            df = df.withColumn(p.get("fingerprintField", "fingerprint"), fingerprint(col))
+        else:
+            raise ValueError(f"textstats: unknown op '{op}'")
+    return {"": df}

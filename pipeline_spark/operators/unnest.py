@@ -1,0 +1,37 @@
+"""`unnest` / `flattenField`: explode one array field in place.
+
+Reference: util/pipeline/Unnest.java:25-77 and legacy
+module/transform/UnnestTransform.java:26-202 — explode keeps sibling
+fields; an empty/null array keeps the row with a null element
+(→ ``explode_outer``).  Struct elements are flattened into top-level
+fields when the array element is a struct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
+
+
+def flatten_field(df: DataFrame, field: str, flatten_struct: bool = True) -> DataFrame:
+    dtype = df.schema[field].dataType
+    if not isinstance(dtype, T.ArrayType):
+        raise ValueError(f"flattenField '{field}' is not an array")
+    others = [c for c in df.columns if c != field]
+    out = df.select(*others, F.explode_outer(F.col(field)).alias(field))
+    if flatten_struct and isinstance(dtype.elementType, T.StructType):
+        inner = [f"{field}.{sub.name}" for sub in dtype.elementType.fields]
+        out = out.select(*others, *inner)
+    return out
+
+
+@module("unnest", kind=KIND_TRANSFORM)
+def unnest_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
+    p = ctx.params
+    field = p.get("flattenField") or p.get("field")
+    if not field:
+        raise ValueError("unnest requires flattenField")
+    return {"": flatten_field(ctx.input, field, flatten_struct=bool(p.get("flattenStruct", True)))}

@@ -1,0 +1,60 @@
+"""`storage` sink: write parquet/avro/csv/json with compression + sharding.
+
+Reference: module/sink/StorageSink.java:30-439 — formats (93-115), codecs
+SNAPPY/ZSTD/GZIP, ``numShards``, optional pre-write ``select`` (144-160),
+dynamic destination templating over row fields (133-142).
+
+Spark: ``df.write.{format}`` + compression option.  Dynamic destinations
+map to ``partitionBy`` (hive-style layout — the scalable equivalent of
+per-key file naming); ``numShards`` → repartition(n) before write.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from pipeline_spark.compilers.select_fns import apply_select
+from pipeline_spark.registry import KIND_SINK, ModuleContext, module
+
+
+@module("storage", kind=KIND_SINK)
+def storage_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
+    p = ctx.params
+    df = ctx.input
+    if p.get("select"):
+        df = apply_select(df, p["select"], ctx.config.get("timestampAttribute"))
+
+    fmt = str(p.get("format", "parquet")).lower()
+    path = p.get("output") or p.get("path")
+    if not path:
+        raise ValueError("storage sink requires output path")
+
+    # dynamic destination template ${field} → partitionBy(field)
+    partition_cols = re.findall(r"\$\{([A-Za-z0-9_]+)\}", path)
+    if partition_cols:
+        path = re.sub(r"/?\$\{[A-Za-z0-9_]+\}", "", path)
+
+    num_shards = p.get("numShards")
+    if num_shards:
+        df = df.repartition(int(num_shards))
+
+    writer = df.write.mode(p.get("mode", "overwrite"))
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    codec = p.get("compression") or p.get("codec")
+
+    if fmt == "parquet":
+        if codec:
+            writer = writer.option("compression", codec.lower())
+        writer.parquet(path)
+    elif fmt == "avro":
+        writer.format("avro").save(path)
+    elif fmt == "csv":
+        writer.option("header", str(bool(p.get("header", True))).lower()).csv(path)
+    elif fmt in ("json", "jsonl"):
+        writer.json(path)
+    else:
+        raise ValueError(f"storage sink: unsupported format '{fmt}'")
+    return {"": df}

@@ -1,0 +1,62 @@
+"""`storage` source: files in parquet/avro/csv/json (+ `files` metadata).
+
+Reference: module/source/StorageSource.java:31-420 — formats avro, parquet,
+csv, json (88-93); multi-path globs; parquet column projection ``fields``
+(132-137); csv ``skipHeaderLines``/``delimiter``/``filterPrefix``; explicit
+schema for csv/json.
+
+Spark mapping: ``spark.read.{parquet,avro,csv,json}``.  Column projection
+becomes ``.select`` (and Catalyst prunes the scan); filters declared
+downstream push into the scan automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipeline_spark.registry import KIND_SOURCE, ModuleContext, module
+from pipeline_spark.sources.create import build_schema
+
+
+@module("storage", kind=KIND_SOURCE)
+def storage_source(ctx: ModuleContext) -> dict[str, DataFrame]:
+    p = ctx.params
+    fmt = str(p.get("format", "parquet")).lower()
+    paths = p.get("input") or p.get("inputs") or p.get("path")
+    if isinstance(paths, str):
+        paths = [paths]
+    if not paths:
+        raise ValueError("storage source requires input path(s)")
+
+    reader = ctx.spark.read
+    schema_cfg = ctx.config.get("schema") or p.get("schema")
+    if schema_cfg:
+        fields = schema_cfg.get("fields") if isinstance(schema_cfg, dict) else schema_cfg
+        reader = reader.schema(build_schema(fields))
+
+    if fmt == "parquet":
+        df = reader.parquet(*paths)
+    elif fmt == "avro":
+        df = reader.format("avro").load(paths)
+    elif fmt == "csv":
+        opts = {
+            "header": "false" if p.get("skipHeaderLines") in (None, 0) else "true",
+            "delimiter": p.get("delimiter", ","),
+        }
+        if schema_cfg is None:
+            opts["inferSchema"] = "true"
+        df = reader.options(**opts).csv(paths)
+    elif fmt in ("json", "jsonl"):
+        df = reader.json(paths)
+    else:
+        raise ValueError(f"storage source: unsupported format '{fmt}'")
+
+    # parquet column projection param (StorageSource.java:132-137)
+    if p.get("fields"):
+        df = df.select(*[F.col(c) for c in p["fields"]])
+
+    ts_attr = ctx.config.get("timestampAttribute")
+    if ts_attr and ts_attr in df.columns:
+        pass  # event time is just a named column in our model
+    return {"": df}

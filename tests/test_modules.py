@@ -1,0 +1,279 @@
+"""Config-driven e2e module tests, mirroring the reference's test strategy
+(SURVEY §5): create-source inline elements → pipeline → assert values.
+Reference model: AggregationTransformTest.java:14-150 etc."""
+
+import pytest
+
+from pipeline_spark.config import parse_config
+from pipeline_spark.executor import run_pipeline
+
+BASE = """
+sources:
+  - name: create1
+    module: create
+    timestampAttribute: timestampField
+    parameters:
+      elements:
+        - {stringField: a, intField: 1, floatField: 1.5,  boolField: true,  timestampField: "2024-10-10T00:00:00Z"}
+        - {stringField: a, intField: 2, floatField: -2.5, boolField: false, timestampField: "2024-10-11T00:00:00Z"}
+        - {stringField: a, intField: 3, floatField: 0.0,  boolField: true,  timestampField: "2024-10-12T00:00:00Z"}
+        - {stringField: b, intField: 4, floatField: 4.25, boolField: false, timestampField: "2024-10-13T00:00:00Z"}
+        - {stringField: b, intField: 5, floatField: null, boolField: true,  timestampField: "2024-10-14T00:00:00Z"}
+        - {stringField: c, intField: 6, floatField: 4.25, boolField: false, timestampField: "2024-10-15T00:00:00Z"}
+    schema:
+      fields:
+        - {name: stringField, type: string, mode: required}
+        - {name: intField, type: int32, mode: required}
+        - {name: floatField, type: float64}
+        - {name: boolField, type: bool, mode: required}
+        - {name: timestampField, type: timestamp, mode: required}
+"""
+
+
+def run(spark, yaml_text):
+    return run_pipeline(spark, parse_config(yaml_text))
+
+
+def test_aggregation_ops(spark):
+    out = run(
+        spark,
+        BASE
+        + """
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [create1]
+    timestampAttribute: timestampField
+    parameters:
+      groupFields: [stringField]
+      aggregations:
+        - {name: cnt, op: count}
+        - {name: sum_i, op: sum, field: intField}
+        - {name: max_f, op: max, field: floatField}
+        - {name: min_f, op: min, field: floatField}
+        - {name: first_i, op: first, field: intField}
+        - {name: last_i, op: last, field: intField}
+        - {name: am, op: argmax, field: intField, comparingField: floatField}
+        - {name: avg_i, op: avg, field: intField}
+        - {name: std_i, op: std, field: intField}
+        - {name: arr, op: array_agg, field: intField}
+        - {name: cond_cnt, op: count, condition: {key: boolField, op: "=", value: true}}
+""",
+    )["agg"]
+    rows = {r["stringField"]: r for r in out.collect()}
+    a, b, c = rows["a"], rows["b"], rows["c"]
+    assert a["cnt"] == 3 and a["sum_i"] == 6
+    assert a["max_f"] == 1.5 and a["min_f"] == -2.5
+    assert a["first_i"] == 1 and a["last_i"] == 3
+    assert a["am"] == 1  # argmax floatField=1.5 → intField 1
+    assert abs(a["avg_i"] - 2.0) < 1e-9
+    assert abs(a["std_i"] - 1.0) < 1e-9
+    assert sorted(a["arr"]) == [1, 2, 3]
+    assert a["cond_cnt"] == 2
+    assert b["cnt"] == 2 and b["max_f"] == 4.25
+    assert c["cnt"] == 1
+
+
+def test_partition(spark):
+    outs = run(
+        spark,
+        BASE
+        + """
+transforms:
+  - name: parts
+    module: partition
+    inputs: [create1]
+    parameters:
+      exclusive: true
+      partitions:
+        - {name: small, filters: [{key: intField, op: "<=", value: 2}]}
+        - {name: mid, filters: [{key: intField, op: "<=", value: 4}]}
+""",
+    )
+    assert sorted(r["intField"] for r in outs["parts.small"].collect()) == [1, 2]
+    assert sorted(r["intField"] for r in outs["parts.mid"].collect()) == [3, 4]
+    assert sorted(r["intField"] for r in outs["parts.excluded"].collect()) == [5, 6]
+
+
+def test_union_null_padding(spark):
+    outs = run(
+        spark,
+        BASE
+        + """
+  - name: create2
+    module: create
+    kind: source
+    parameters:
+      elements:
+        - {stringField: z, longField: 100}
+    schema:
+      fields:
+        - {name: stringField, type: string}
+        - {name: longField, type: int64}
+transforms:
+  - name: u
+    module: union
+    inputs: [create1, create2]
+    parameters: {}
+""".replace("sources:\n", "sources:\n", 1),
+    )
+    df = outs["u"]
+    assert df.count() == 7
+    assert "longField" in df.columns and "intField" in df.columns
+
+
+def test_sql_join(spark):
+    outs = run(
+        spark,
+        BASE
+        + """
+transforms:
+  - name: q
+    module: sql
+    inputs: [create1]
+    parameters:
+      sql: |
+        SELECT stringField, count(*) AS cnt, sum(intField) AS s
+        FROM create1 WHERE boolField GROUP BY stringField ORDER BY stringField
+""",
+    )
+    rows = outs["q"].collect()
+    assert [(r["stringField"], r["cnt"], r["s"]) for r in rows] == [("a", 2, 4), ("b", 1, 5)]
+
+
+def test_lookup_broadcast(spark):
+    outs = run(
+        spark,
+        BASE
+        + """
+  - name: dim
+    module: create
+    parameters:
+      elements:
+        - {stringField: a, label: alpha}
+        - {stringField: b, label: beta}
+    schema:
+      fields:
+        - {name: stringField, type: string}
+        - {name: label, type: string}
+transforms:
+  - name: enriched
+    module: lookup
+    inputs: [create1]
+    sideInputs: [dim]
+    parameters:
+      keyFields: [stringField]
+""",
+    )
+    rows = outs["enriched"].collect()
+    labels = {r["intField"]: r["label"] for r in rows}
+    assert labels[1] == "alpha" and labels[4] == "beta" and labels[6] is None
+
+
+def test_limit_per_key(spark):
+    outs = run(
+        spark,
+        BASE
+        + """
+transforms:
+  - name: lim
+    module: limit
+    inputs: [create1]
+    timestampAttribute: timestampField
+    parameters:
+      count: 1
+      groupFields: [stringField]
+""",
+    )
+    assert sorted(r["intField"] for r in outs["lim"].collect()) == [1, 4, 6]
+
+
+def test_stateful_select_running_agg(spark):
+    outs = run(
+        spark,
+        BASE
+        + """
+transforms:
+  - name: st
+    module: select
+    inputs: [create1]
+    timestampAttribute: timestampField
+    parameters:
+      groupFields: [stringField]
+      select:
+        - {name: stringField}
+        - {name: intField}
+        - {name: run_sum, func: sum, field: intField, range: {count: 2}}
+        - {name: prev, func: lag, expression: "intField[1]"}
+        - {name: rn, func: row_number}
+""",
+    )
+    rows = {r["intField"]: r for r in outs["st"].collect()}
+    assert rows[1]["run_sum"] == 1 and rows[2]["run_sum"] == 3 and rows[3]["run_sum"] == 5
+    assert rows[2]["prev"] == 1.0 and rows[1]["prev"] is None
+    assert rows[3]["rn"] == 3 and rows[4]["rn"] == 1
+
+
+def test_compare(spark):
+    outs = run(
+        spark,
+        BASE
+        + """
+  - name: other
+    module: create
+    parameters:
+      elements:
+        - {stringField: a, intField: 1}
+        - {stringField: b, intField: 99}
+    schema:
+      fields:
+        - {name: stringField, type: string}
+        - {name: intField, type: int32}
+transforms:
+  - name: fa
+    module: filter
+    inputs: [create1]
+    parameters:
+      filters: [{key: intField, op: in, value: [1, 4]}]
+  - name: sel
+    module: select
+    inputs: [fa]
+    parameters:
+      select: [{name: stringField}, {name: intField}]
+  - name: cmp
+    module: compare
+    inputs: [sel, other]
+    parameters:
+      primaryKeyFields: [stringField]
+""",
+    )
+    rows = {r["stringField"]: r["status"] for r in outs["cmp"].collect()}
+    assert rows["b"] == "mismatch"
+    assert "a" not in rows  # identical
+
+
+def test_unnest(spark):
+    outs = run(
+        spark,
+        """
+sources:
+  - name: nested
+    module: create
+    parameters:
+      elements:
+        - {k: a, arr: [1, 2]}
+        - {k: b, arr: []}
+    schema:
+      fields:
+        - {name: k, type: string}
+        - {name: arr, type: int64, mode: repeated}
+transforms:
+  - name: flat
+    module: unnest
+    inputs: [nested]
+    parameters:
+      flattenField: arr
+""",
+    )
+    rows = [(r["k"], r["arr"]) for r in outs["flat"].collect()]
+    assert sorted(rows, key=str) == [("a", 1), ("a", 2), ("b", None)]
