@@ -38,9 +38,9 @@ def _window_key(strategy: dict[str, Any] | None, ts_col: str):
     w = strategy["window"]
     wtype = str(w.get("type", "global")).lower()
     unit = str(w.get("unit", "second")).lower()
-    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
 
     def dur(key: str, default: int = 0) -> str:
+        mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
         return f"{int(w.get(key, default)) * mult} seconds"
 
     if wtype in ("fixed", "tumbling"):

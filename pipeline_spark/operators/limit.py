@@ -39,11 +39,14 @@ def apply_limit(
         out = out.filter(F.col(ts_attr) >= F.to_timestamp(F.lit(str(start_at))))
     if count is not None:
         keys = limit_spec.get("fields") or group_fields or []
-        if ts_attr and ts_attr in df.columns:
-            order = F.col(ts_attr).desc() if descending else F.col(ts_attr).asc()
+        order_fields = limit_spec.get("orderFields") or ([ts_attr] if ts_attr and ts_attr in df.columns else [])
+        if order_fields:
+            order = [
+                F.col(f).desc() if descending else F.col(f).asc() for f in order_fields
+            ]
         else:
-            order = F.monotonically_increasing_id().asc()
-        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(order)
+            order = [F.monotonically_increasing_id().asc()]
+        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
         out = (
             out.withColumn(_ROWNUM, F.row_number().over(w))
             .filter(F.col(_ROWNUM) <= int(count))
@@ -58,7 +61,7 @@ def limit_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     return {
         "": apply_limit(
             ctx.input,
-            {k: v for k, v in p.items() if k in ("count", "outputStartAt", "fields")},
+            {k: v for k, v in p.items() if k in ("count", "outputStartAt", "fields", "orderFields")},
             p.get("groupFields") or [],
             ctx.config.get("timestampAttribute"),
             descending=bool(p.get("descending", False)),

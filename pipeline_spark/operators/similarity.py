@@ -64,14 +64,25 @@ def brute_force_topk(
     k: int = 10,
 ) -> DataFrame:
     """Exact cosine top-k per query via broadcast cross join."""
+    from pipeline_spark.functions.partitioning import spread
+    from pipeline_spark.functions.vector import dot, norm
+
     q = queries.select(
-        F.col(query_id_field).alias("query_id"), F.col(query_vec_field).alias("qv")
+        F.col(query_id_field).alias("query_id"),
+        F.col(query_vec_field).alias("qv"),
+        norm(F.col(query_vec_field)).alias("qn"),
     )
-    c = corpus.select(F.col(id_field).alias("neighbor_id"), F.col(vec_field).alias("cv"))
+    # norms precomputed per row; recomputing inside the cross join would
+    # redo the fold once per (query, vector) pair
+    c = spread(corpus).select(
+        F.col(id_field).alias("neighbor_id"),
+        F.col(vec_field).alias("cv"),
+        norm(F.col(vec_field)).alias("cn"),
+    )
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

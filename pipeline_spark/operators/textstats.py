@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pipeline_spark.functions.partitioning import spread
 from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
 
 # tiny embedded stopword lists for the heuristic language scorer
@@ -44,9 +45,12 @@ def lang_id(col: Column) -> Column:
     n = F.greatest(F.size(toks), F.lit(1)).cast("double")
     best_lang = F.lit("und")
     best_score = F.lit(0.0)
+    def in_list(wl: Column):
+        return lambda t: F.array_contains(wl, t)
+
     for lang, words in LANG_STOPWORDS.items():
         wl = F.array(*[F.lit(w) for w in words])
-        score = F.size(F.filter(toks, lambda t, wl=wl: F.array_contains(wl, t))).cast("double") / n
+        score = F.size(F.filter(toks, in_list(wl))).cast("double") / n
         better = score > best_score
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(better, score).otherwise(best_score)
@@ -88,7 +92,7 @@ def fingerprint(col: Column) -> Column:
 @module("textstats", kind=KIND_TRANSFORM)
 def textstats_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
-    df = ctx.input
+    df = spread(ctx.input)
     field = p.get("field", "text")
     col = F.col(field).cast("string")
     ops = p.get("ops") or ["lang_id", "quality", "token_count", "fingerprint"]

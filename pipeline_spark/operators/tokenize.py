@@ -25,6 +25,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pipeline_spark.functions.partitioning import spread
 from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
 
 
@@ -115,7 +116,7 @@ _ENGLISH_STOP = [
 @module("tokenize", kind=KIND_TRANSFORM)
 def tokenize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
-    df = ctx.input
+    df = spread(ctx.input)
     fields = p.get("fields") or []
     for spec in fields:
         name = spec.get("name") or f"{spec['field']}_tokens"

@@ -19,6 +19,32 @@ from pipeline_spark.registry import KIND_SOURCE, ModuleContext, module
 from pipeline_spark.sources.create import build_schema
 
 
+def _nanos_timestamp_cols(paths: list[str]) -> list[str]:
+    """Columns stored as parquet timestamp[ns] (Spark can't scan those
+    natively).  Inspected driver-side with pyarrow; non-local/unreadable
+    paths skip the probe (no nanos workaround applied)."""
+    try:
+        import glob
+        import pyarrow.parquet as pq
+
+        probe = paths[0]
+        if "://" in probe:
+            return []
+        import os
+
+        matches = sorted(glob.glob(probe)) or [probe]
+        target = matches[0]
+        if os.path.isdir(target):
+            inner = sorted(glob.glob(os.path.join(target, "*.parquet")))
+            if not inner:
+                return []
+            target = inner[0]
+        schema = pq.read_schema(target)
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
 @module("storage", kind=KIND_SOURCE)
 def storage_source(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
@@ -36,7 +62,14 @@ def storage_source(ctx: ModuleContext) -> dict[str, DataFrame]:
         reader = reader.schema(build_schema(fields))
 
     if fmt == "parquet":
+        nanos_cols = _nanos_timestamp_cols(paths)
+        if nanos_cols:
+            # Spark cannot scan parquet TIMESTAMP(NANOS); read them as
+            # long (session conf) and convert to micros timestamps.
+            ctx.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = reader.parquet(*paths)
+        for c in nanos_cols:
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
     elif fmt == "avro":
         df = reader.format("avro").load(paths)
     elif fmt == "csv":
