@@ -74,7 +74,13 @@ class Config:
     settings: dict[str, Any] = field(default_factory=dict)
 
     def modules(self) -> list[ModuleConfig]:
-        return [m for m in (*self.sources, *self.transforms, *self.sinks) if not m.ignore]
+        # `failures` are dead-letter sinks (reference: module/FailureSink.java)
+        # consuming a module's `.failures` output; they execute as sinks
+        return [
+            m
+            for m in (*self.sources, *self.transforms, *self.sinks, *self.failures)
+            if not m.ignore
+        ]
 
 
 def render_template(text: str, args: dict[str, Any] | None = None) -> str:

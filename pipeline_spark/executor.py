@@ -71,7 +71,8 @@ class PipelineExecutor:
         return self.outputs[name]
 
     def _apply(self, mc: ModuleConfig) -> None:
-        spec = get_module(mc.module, mc.kind)
+        kind = "sink" if mc.kind == "failure" else mc.kind
+        spec = get_module(mc.module, kind)
         ctx = ModuleContext(
             spark=self.spark,
             name=mc.name,

@@ -18,4 +18,6 @@ from pipeline_spark.operators import (  # noqa: F401
     similarity as _similarity,
     textstats as _textstats,
     multimodal as _multimodal,
+    http as _http,
+    crypto as _crypto,
 )

@@ -78,12 +78,21 @@ def aggregation_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     else:
         per_input = [agg_specs]
 
+    strategy = ctx.config.get("strategy") or {}
     results: list[DataFrame] = []
     for df, aggs in zip(ctx.inputs, per_input):
         if not aggs:
             continue
+        if df.isStreaming and ts_attr:
+            # allowedLateness → watermark delay (Strategy.java:69-71).
+            # Divergence from Beam documented in streaming/__init__.py:
+            # post-watermark rows are dropped, not re-fired.
+            lateness = strategy.get("allowedLateness", "10 seconds")
+            if isinstance(lateness, (int, float)):
+                lateness = f"{int(lateness)} seconds"
+            df = df.withWatermark(ts_attr, lateness)
         keys = [F.col(g) for g in group_fields]
-        wkey = _window_key(ctx.config.get("strategy"), ts_attr) if ts_attr else None
+        wkey = _window_key(strategy, ts_attr) if ts_attr else None
         if wkey is not None:
             keys = [wkey.alias("window"), *keys]
         exprs = compile_aggs(aggs, df, ts_attr)

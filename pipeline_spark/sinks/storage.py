@@ -40,6 +40,30 @@ def storage_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
     if num_shards:
         df = df.repartition(int(num_shards))
 
+    if df.isStreaming:
+        # streaming file sink: append-mode with checkpointing; trigger
+        # availableNow processes the backlog then stops (the batch-parity
+        # path used by tests and micro-batch style jobs)
+        writer = (
+            df.writeStream.format(fmt)
+            .option("path", path)
+            .option(
+                "checkpointLocation",
+                p.get("checkpointLocation", path.rstrip("/") + "_checkpoint"),
+            )
+            .outputMode(p.get("outputMode", "append"))
+        )
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        if p.get("availableNow", True):
+            query = writer.trigger(availableNow=True).start()
+        else:
+            interval = p.get("processingTime", "10 seconds")
+            query = writer.trigger(processingTime=interval).start()
+        if p.get("await", True):
+            query.awaitTermination()
+        return {"": df}
+
     writer = df.write.mode(p.get("mode", "overwrite"))
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)

@@ -55,11 +55,43 @@ def storage_source(ctx: ModuleContext) -> dict[str, DataFrame]:
     if not paths:
         raise ValueError("storage source requires input path(s)")
 
-    reader = ctx.spark.read
+    mode = str(p.get("mode", "batch")).lower()
+    streaming = mode in ("streaming", "microbatch")
+
     schema_cfg = ctx.config.get("schema") or p.get("schema")
+    explicit_schema = None
     if schema_cfg:
         fields = schema_cfg.get("fields") if isinstance(schema_cfg, dict) else schema_cfg
-        reader = reader.schema(build_schema(fields))
+        explicit_schema = build_schema(fields)
+
+    if streaming:
+        # file-stream source (reference mode=streaming,
+        # module/Source.java:34-40): new files under the glob are consumed
+        # incrementally; schema comes from config or a one-time batch probe
+        reader = ctx.spark.readStream
+        if explicit_schema is None:
+            probe = ctx.spark.read
+            explicit_schema = (
+                probe.parquet(*paths) if fmt == "parquet" else probe.format(fmt).load(paths)
+            ).schema
+        reader = reader.schema(explicit_schema)
+        if p.get("maxFilesPerTrigger"):
+            reader = reader.option("maxFilesPerTrigger", int(p["maxFilesPerTrigger"]))
+        if fmt == "parquet":
+            df = reader.parquet(paths[0])
+        elif fmt == "csv":
+            df = reader.option("header", "true").csv(paths[0])
+        elif fmt in ("json", "jsonl"):
+            df = reader.json(paths[0])
+        else:
+            raise ValueError(f"storage streaming: unsupported format '{fmt}'")
+        if p.get("fields"):
+            df = df.select(*[F.col(c) for c in p["fields"]])
+        return {"": df}
+
+    reader = ctx.spark.read
+    if explicit_schema is not None:
+        reader = reader.schema(explicit_schema)
 
     if fmt == "parquet":
         nanos_cols = _nanos_timestamp_cols(paths)

@@ -1,0 +1,169 @@
+"""Tests for the training-data-pipeline operators: dedup variants,
+similarity search, textstats, multimodal plumbing, http dead-letter,
+crypto roundtrip."""
+
+import base64
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pipeline_spark.registry import ModuleContext
+from pipeline_spark.operators.dedup import dedup_transform
+from pipeline_spark.operators.similarity import similarity_transform
+from pipeline_spark.operators.textstats import textstats_transform
+from pipeline_spark.operators.multimodal import multimodal_transform
+from pipeline_spark.operators.crypto import crypto_transform
+
+
+def ctx(spark, params, inputs, side=None):
+    return ModuleContext(
+        spark=spark,
+        name="t",
+        params=params,
+        inputs=inputs,
+        input_names=["in"] * len(inputs),
+        side_inputs=side or {},
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),  # exact dup
+        Row(doc_id=2, text="the quick brown fox leaps over the lazy dog"),  # near dup
+        Row(doc_id=3, text="completely different content about spark engines"),
+        Row(doc_id=4, text=""),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup_transform(ctx(spark, {"method": "exact", "idField": "doc_id", "fields": ["text"]}, [docs]))[""]
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [0, 2, 3, 4]  # doc 1 removed (dup of 0, larger id)
+
+
+def test_minhash_near_dup(spark, docs):
+    out = dedup_transform(
+        ctx(
+            spark,
+            {
+                "method": "minhash_lsh",
+                "idField": "doc_id",
+                "field": "text",
+                "threshold": 0.3,
+                "outputPairs": True,
+            },
+            [docs],
+        )
+    )[""]
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert (0, 1) in pairs  # exact dup must collide with est_jaccard 1.0
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in out.collect()}
+    assert est[(0, 1)] == 1.0
+
+
+def test_simhash_identical_signatures(spark, docs):
+    out = dedup_transform(
+        ctx(spark, {"method": "simhash", "idField": "doc_id", "field": "text", "outputSignatures": True}, [docs])
+    )[""]
+    sig = {r["doc_id"]: r["simhash"] for r in out.collect()}
+    assert sig[0] == sig[1]
+    assert sig[0] != sig[3]
+
+
+def test_ngram_jaccard_exact_value(spark, docs):
+    out = dedup_transform(
+        ctx(spark, {"method": "ngram_jaccard", "idField": "doc_id", "field": "text", "threshold": 0.2}, [docs])
+    )[""]
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    assert jac[(0, 1)] == 1.0
+    # 9 tokens → 7 trigrams; "jumps"→"leaps" changes trigrams 2..4 →
+    # overlap 4, union 10 → 0.4
+    assert abs(jac[(0, 2)] - 0.4) < 1e-9
+
+
+def test_similarity_bruteforce_self_top1(spark):
+    vecs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i == j) for j in range(4)]) for i in range(4)]
+    )
+    queries = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity_transform(
+        ctx(spark, {"method": "brute_force", "k": 2}, [vecs], side={"q": queries})
+    )[""]
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows[0]["neighbor_id"] == 0 and abs(rows[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_textstats_ops(spark, docs):
+    out = textstats_transform(
+        ctx(spark, {"field": "text", "ops": ["lang_id", "quality", "token_count", "fingerprint"]}, [docs])
+    )[""]
+    r = {x["doc_id"]: x for x in out.collect()}
+    assert r[0]["lang_pred"] == "en"
+    assert r[0]["n_tokens"] == 9
+    assert r[0]["fingerprint"] == r[1]["fingerprint"]
+    assert 0.0 <= r[0]["quality"] <= 1.0
+
+
+def test_multimodal_meta_and_fake_decode(spark):
+    rows = [
+        Row(mm_id=1, payload=bytes.fromhex("ffd8ff") + b"rest"),
+        Row(mm_id=2, payload=b"\x89PNG\r\n"),
+        Row(mm_id=3, payload=b"plain bytes"),
+    ]
+    df = spark.createDataFrame(rows)
+    meta = multimodal_transform(ctx(spark, {"op": "extract_meta", "field": "payload", "idField": "mm_id"}, [df]))[""]
+    mimes = {r["mm_id"]: r["mime"] for r in meta.collect()}
+    assert mimes[1] == "image/jpeg" and mimes[2] == "image/png"
+    assert mimes[3] == "application/octet-stream"
+
+    dec = multimodal_transform(
+        ctx(spark, {"op": "decode", "field": "payload", "idField": "mm_id", "fake": True}, [df])
+    )[""]
+    feats = {r["mm_id"]: r["features"] for r in dec.collect()}
+    assert len(feats[1]) == 8
+    # deterministic fake: same payload → same features
+    dec2 = multimodal_transform(
+        ctx(spark, {"op": "decode", "field": "payload", "idField": "mm_id", "fake": True}, [df])
+    )[""]
+    feats2 = {r["mm_id"]: r["features"] for r in dec2.collect()}
+    assert feats[1] == feats2[1]
+
+    with pytest.raises(NotImplementedError):
+        multimodal_transform(ctx(spark, {"op": "decode", "field": "payload"}, [df]))
+
+
+def test_crypto_roundtrip(spark):
+    df = spark.createDataFrame([Row(id=1, secret="hello world")])
+    key = base64.b64encode(b"0123456789abcdef").decode()
+    enc = crypto_transform(ctx(spark, {"mode": "encrypt", "fields": ["secret"], "key": key}, [df]))[""]
+    enc_val = enc.collect()[0]["secret"]
+    assert enc_val != "hello world"
+    dec = crypto_transform(ctx(spark, {"mode": "decrypt", "fields": ["secret"], "key": key}, [enc]))[""]
+    assert dec.collect()[0]["secret"] == "hello world"
+
+
+def test_http_transform_dead_letter(spark):
+    # unreachable host → every row lands in the failures output
+    from pipeline_spark.operators.http import http_transform
+
+    df = spark.createDataFrame([Row(id=1), Row(id=2)])
+    outs = http_transform(
+        ctx(
+            spark,
+            {
+                "request": {"url": "http://127.0.0.1:1/nope?id=${id}"},
+                "retryCount": 0,
+                "timeout": 2,
+            },
+            [df],
+        )
+    )
+    assert outs[""].count() == 0
+    fails = outs["failures"].collect()
+    assert len(fails) == 2 and all(r["__error__"] for r in fails)
