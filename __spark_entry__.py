@@ -793,6 +793,124 @@ FROM documents
 """
 
 
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregation: std, count_distinct, median, weighted avg, regression."""
+    df = _pipeline(spark, sf_dir, ["lineitem"], """
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [lineitem]
+    parameters:
+      groupFields: [l_returnflag]
+      aggregations:
+        - {name: std_price, op: std, field: l_extendedprice}
+        - {name: n_parts, op: count_distinct, field: l_partkey}
+        - {name: med_qty, op: median, field: l_quantity}
+        - {name: wavg_disc, op: avg, field: l_discount, weightField: l_quantity}
+        - {name: reg, op: simple_regression, field: l_extendedprice, xField: l_quantity}
+""", "agg")
+    return df.select(
+        "l_returnflag",
+        F.round("std_price", 4).alias("std_price"),
+        "n_parts",
+        F.round("med_qty", 4).alias("med_qty"),
+        F.round("wavg_disc", 6).alias("wavg_disc"),
+        F.round(F.col("reg.Slope"), 4).alias("slope"),
+        F.round(F.col("reg.Intercept"), 4).alias("intercept"),
+    )
+
+
+Q_AGG_STATS_SQL = """
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) AS std_price,
+       count(DISTINCT l_partkey) AS n_parts,
+       round(median(l_quantity), 4) AS med_qty,
+       round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_disc,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_multi_input_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi-input aggregation: per-input aggregator lists joined on the
+    group key (reference: AggregationTransform multi-input semantics,
+    SURVEY §2.2)."""
+    df = _pipeline(spark, sf_dir, ["orders", "lineitem"], """
+transforms:
+  - name: keyed_orders
+    module: select
+    inputs: [orders]
+    parameters:
+      select:
+        - {name: k, field: o_orderkey}
+        - {name: o_totalprice}
+  - name: keyed_items
+    module: select
+    inputs: [lineitem]
+    parameters:
+      select:
+        - {name: k, field: l_orderkey}
+        - {name: l_quantity}
+  - name: agg
+    module: aggregation
+    inputs: [keyed_orders, keyed_items]
+    parameters:
+      groupFields: [k]
+      aggregations:
+        - input: keyed_orders
+          fields:
+            - {name: total, op: sum, field: o_totalprice}
+        - input: keyed_items
+          fields:
+            - {name: qty, op: sum, field: l_quantity}
+            - {name: n_items, op: count}
+""", "agg")
+    return df.select(
+        "k",
+        F.round("total", 2).alias("total"),
+        F.round("qty", 2).alias("qty"),
+        "n_items",
+    )
+
+
+Q_MULTI_AGG_SQL = """
+SELECT coalesce(a.k, b.k) AS k, a.total, b.qty, b.n_items
+FROM (SELECT o_orderkey AS k, round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1) a
+FULL OUTER JOIN (SELECT l_orderkey AS k, round(sum(l_quantity), 2) AS qty, count(*) AS n_items
+                 FROM lineitem GROUP BY 1) b
+ON a.k = b.k
+"""
+
+
+def q_sql_mdt_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """beamsql module with MDT_* compatibility functions
+    (reference: BeamSQLTransform.java:168-186, beamsqludf.md)."""
+    return _pipeline(spark, sf_dir, ["orders"], """
+transforms:
+  - name: q
+    module: beamsql
+    inputs: [orders]
+    parameters:
+      sql: |
+        SELECT o_orderkey,
+               MDT_GREATEST_INT64(o_orderkey % 7, o_custkey % 7) AS g,
+               MDT_LEAST_INT64(o_orderkey % 7, o_custkey % 7) AS l,
+               MDT_CONTAINS_ALL_INT64(array(1L, 2L, 3L), array(o_orderkey % 3 + 1)) AS c
+        FROM orders
+""", "q")
+
+
+Q_MDT_SQL = """
+SELECT o_orderkey,
+       greatest(o_orderkey % 7, o_custkey % 7) AS g,
+       least(o_orderkey % 7, o_custkey % 7) AS l,
+       list_has_all([1, 2, 3], [o_orderkey % 3 + 1]) AS c
+FROM orders
+"""
+
+
 # ---- rows-only (no SQL equivalent: engine-specific hash signatures) ----
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -893,6 +1011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expression_math": q_expression_math,
         "select_text_hash": q_select_text_hash,
         "compare_diff": q_compare_diff,
+        "agg_stats": q_agg_stats,
+        "multi_input_agg": q_multi_input_agg,
+        "sql_mdt_udfs": q_sql_mdt_udfs,
         "tokenize_unnest": q_tokenize_unnest,
         "dedup_exact": q_dedup_exact,
         "textstats": q_textstats,
@@ -924,6 +1045,9 @@ def oracle_sql() -> dict[str, str]:
         "expression_math": Q_EXPR_SQL,
         "select_text_hash": Q_TEXT_SQL,
         "compare_diff": Q_COMPARE_SQL,
+        "agg_stats": Q_AGG_STATS_SQL,
+        "multi_input_agg": Q_MULTI_AGG_SQL,
+        "sql_mdt_udfs": Q_MDT_SQL,
         "tokenize_unnest": Q_TOKENIZE_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "textstats": Q_TEXTSTATS_SQL,

@@ -22,6 +22,9 @@ import __spark_entry__ as entrymod
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "agg_stats",
+    "multi_input_agg",
+    "sql_mdt_udfs",
     "agg_argminmax",
     "agg_firstlast",
     "partition_route",

@@ -176,8 +176,13 @@ def compile_agg(
     if op == "approx_count_distinct":
         return F.approx_count_distinct(_input_col(agg, df)).alias(name)
 
-    if op in ("median", "percentile"):
+    if op == "median":
+        return F.median(_guard(_input_col(agg, df), agg, df)).alias(name)
+
+    if op == "percentile":
         pct = float(agg.get("percentile", 0.5))
+        if agg.get("exact", False):
+            return F.percentile(_guard(_input_col(agg, df), agg, df), F.lit(pct)).alias(name)
         return F.percentile_approx(_guard(_input_col(agg, df), agg, df), pct).alias(name)
 
     raise ValueError(f"unknown aggregation op '{op}'")

@@ -227,7 +227,49 @@ def _compile_one(
         )
     if func == "generate":
         return _compile_generate(sf)
+    if func == "reshape":
+        return _compile_reshape(sf, df, bound)
+    if func == "scrape":
+        return _compile_scrape(sf, df, bound)
+    if func == "http":
+        raise ValueError(
+            "per-row http enrichment is the `http` transform module "
+            "(batched mapInPandas), not a select function in this engine"
+        )
     raise ValueError(f"unknown select func '{func}'")
+
+
+def _compile_reshape(sf: dict[str, Any], df: DataFrame, bound: dict[str, Column]) -> Column:
+    """Treat a flat array as a tensor of ``shape``; slice by fixed leading
+    ``indices`` (strided window into the flat array) — reference:
+    select/Reshape.java:13-264."""
+    src = _ref(sf["field"], df, bound)
+    shape = [int(x) for x in sf["shape"]]
+    indices = [int(x) for x in sf.get("indices", [])]
+    if len(indices) > len(shape):
+        raise ValueError("reshape: more indices than dimensions")
+    strides = []
+    acc = 1
+    for dim in reversed(shape):
+        strides.append(acc)
+        acc *= dim
+    strides = list(reversed(strides))
+    offset = sum(i * s for i, s in zip(indices, strides))
+    length = strides[len(indices) - 1] if indices else acc
+    return F.slice(src, offset + 1, length)
+
+
+def _compile_scrape(sf: dict[str, Any], df: DataFrame, bound: dict[str, Column]) -> Column:
+    """HTML extraction (reference: select/Scrape.java:1-304 uses css
+    selectors via jsoup).  CSS selectors need bs4 (not in container);
+    the regex `pattern` form is pure-Column (`regexp_extract`)."""
+    src = _ref(sf["field"], df, bound).cast("string")
+    if sf.get("pattern"):
+        return F.regexp_extract(src, sf["pattern"], int(sf.get("group", 1)))
+    raise NotImplementedError(
+        "scrape with css selectors requires bs4/lxml (not in container); "
+        "use the regex `pattern` parameter"
+    )
 
 
 def _compile_text(template: str, df: DataFrame, bound: dict[str, Column]) -> Column:

@@ -20,4 +20,5 @@ from pipeline_spark.operators import (  # noqa: F401
     multimodal as _multimodal,
     http as _http,
     crypto as _crypto,
+    ml as _ml,
 )
