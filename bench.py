@@ -72,6 +72,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entrymod.queries()
+
+    # warm up the JVM (parquet reader, codegen, python worker pool) so
+    # per-query timings measure the queries, not session startup
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.createDataFrame([(1,)], "x long").selectExpr("x").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]

@@ -21,11 +21,24 @@ from pipeline_spark.functions.mdt_udfs import register_mdt_functions, rewrite_md
 from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
 
 
+def _resolve_sql(ctx: ModuleContext) -> str:
+    """The reference resolves sql from inline text, base64, or a file
+    (BeamSQLTransform.java:54-86); same surface here."""
+    p = ctx.params
+    if p.get("sql"):
+        return str(p["sql"])
+    if p.get("sqlBase64"):
+        import base64
+
+        return base64.b64decode(p["sqlBase64"]).decode()
+    if p.get("sqlFile"):
+        with open(p["sqlFile"]) as f:
+            return f.read()
+    raise ValueError("sql transform requires sql, sqlBase64, or sqlFile")
+
+
 def _run_sql(ctx: ModuleContext) -> dict[str, DataFrame]:
-    sql = ctx.params.get("sql")
-    if not sql:
-        raise ValueError("sql transform requires sql parameter")
-    sql = rewrite_mdt_udafs(sql)
+    sql = rewrite_mdt_udafs(_resolve_sql(ctx))
     register_mdt_functions(ctx.spark)
     for df, name in zip(ctx.inputs, ctx.input_names):
         # inputs may be addressed as `module` or `module.output`

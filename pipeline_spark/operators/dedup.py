@@ -93,21 +93,32 @@ def minhash_signature_udf(k: int, shingle_size: int):
     def sig(text: pd.Series) -> pd.Series:
         ii = np.arange(k, dtype=np.uint64)
         empty = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
-        out = []
+        # one flat shingle array for the whole Arrow batch → a single
+        # vectorized hash pass + segmented min (reduceat), no per-row
+        # hash_array call overhead
+        all_shingles: list[str] = []
+        bounds: list[tuple[int, int]] = []
         for t in text:
             toks = (t or "").lower().split()
             n = len(toks) - shingle_size + 1
-            if n <= 0:
+            start = len(all_shingles)
+            if n > 0:
+                all_shingles.extend(
+                    " ".join(toks[i : i + shingle_size]) for i in range(n)
+                )
+            bounds.append((start, len(all_shingles)))
+        if not all_shingles:
+            return pd.Series([empty] * len(text))
+        flat = np.array(all_shingles, dtype=object)
+        h1 = pd.util.hash_array(flat, hash_key=_HASH_KEY_1)
+        h2 = pd.util.hash_array(flat, hash_key=_HASH_KEY_2)
+        combined = h1[None, :] + ii[:, None] * h2[None, :]  # k × N, uint64 wrap
+        out = []
+        for start, end in bounds:
+            if end == start:
                 out.append(empty)
-                continue
-            shingles = np.array(
-                [" ".join(toks[i : i + shingle_size]) for i in range(n)], dtype=object
-            )
-            h1 = pd.util.hash_array(shingles, hash_key=_HASH_KEY_1)
-            h2 = pd.util.hash_array(shingles, hash_key=_HASH_KEY_2)
-            # uint64 wrap-around arithmetic; view as int64 for Spark LongType
-            combined = h1[None, :] + ii[:, None] * h2[None, :]
-            out.append(combined.min(axis=1).view(np.int64))
+            else:
+                out.append(combined[:, start:end].min(axis=1).view(np.int64))
         return pd.Series(out)
 
     return sig
@@ -153,13 +164,18 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sig_udf = minhash_signature_udf(num_hashes, shingle_size)
+    # persisted: both the banding pass and the signature join below read
+    # it — without persist the UDF pipeline would re-execute per consumer.
+    # Size: rows × (8B id + 8B×num_hashes) ≈ 0.5 KB/doc.
     with_sig = spread(df).select(
         F.col(id_field).alias("doc"), sig_udf(F.col(text_field)).alias("sig")
-    )
+    ).persist()
 
+    # candidate generation shuffles ONLY (doc, band, bhash) ints — never
+    # the 64-long signature arrays (shuffling + sorting those measured 8×
+    # slower); pairs are enumerated bucket-locally, no self-join.
     banded = with_sig.select(
         "doc",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -171,36 +187,34 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc", "sig", "bk.band", "bk.bhash")
+    ).select("doc", "bk.band", "bk.bhash")
 
-    # bucket-local pair generation: ONE shuffle on (band, bhash), pairs
-    # enumerated inside each bucket.  A self-join would re-execute the
-    # signature pipeline per branch; this shape runs it exactly once and
-    # never builds a join's full candidate cross product.
     buckets = (
         banded.groupBy("band", "bhash")
-        .agg(F.sort_array(F.collect_list(F.struct("doc", "sig"))).alias("ds"))
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
-    pair_arrays = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ds"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ds"), i + F.lit(2), F.size("ds")),
-                        lambda y: F.struct(
-                            x["doc"].alias("doc_a"),
-                            y["doc"].alias("doc_b"),
-                            x["sig"].alias("sig_a"),
-                            y["sig"].alias("sig_b"),
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + F.lit(2), F.size("ds")),
+                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
                         ),
-                    ),
+                    )
                 )
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
-    cand = pair_arrays.dropDuplicates(["doc_a", "doc_b"])
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    sa = with_sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = with_sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    cand = pairs.join(sa, "doc_a").join(sb, "doc_b")
 
     est = (
         F.size(

@@ -52,7 +52,16 @@ def deserialize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         raise ValueError(f"deserialize: unsupported format '{fmt}'")
 
     out = df.withColumn(out_field, parsed)
+    outputs: dict[str, DataFrame] = {}
+    if not ctx.config.get("failFast", True) and fmt == "json":
+        # dead-letter: unparseable payloads (from_json → null for non-null
+        # input) route to the failures output (reference: failFast default
+        # true batch / false streaming, module/Module.java:135-141)
+        bad = out.filter(F.col(out_field).isNull() & F.col(field).isNotNull())
+        outputs["failures"] = bad.drop(out_field)
+        out = out.filter(F.col(out_field).isNotNull() | F.col(field).isNull())
     if flatten:
         others = [c for c in df.columns if c != field]
         out = out.select(*others, f"{out_field}.*")
-    return {"": out}
+    outputs[""] = out
+    return outputs
