@@ -435,6 +435,95 @@ GROUP BY 1, 2
 """
 
 
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregation with sliding window strategy (1h size / 30m period)."""
+    return _pipeline(spark, sf_dir, ["events"], """
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [events]
+    timestampAttribute: ts
+    strategy:
+      window: {type: sliding, size: 3600, period: 1800, unit: second}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - {name: n, op: count}
+  - name: shaped
+    module: select
+    inputs: [agg]
+    parameters:
+      select:
+        - {name: wstart, field: window.start}
+        - {name: event_type}
+        - {name: n}
+""", "shaped")
+
+
+Q_SLIDING_SQL = """
+WITH windows AS (
+  SELECT event_type, ts,
+         unnest([
+           CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP),
+           CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP)
+         ]) AS wstart
+  FROM events
+)
+SELECT wstart, event_type, count(*) AS n
+FROM windows
+GROUP BY wstart, event_type
+"""
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregation with session window strategy (30 min gap per user)."""
+    return _pipeline(spark, sf_dir, ["events"], """
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [events]
+    timestampAttribute: ts
+    strategy:
+      window: {type: session, gap: 1800, unit: second}
+    parameters:
+      groupFields: [user_id]
+      aggregations:
+        - {name: n, op: count}
+  - name: shaped
+    module: select
+    inputs: [agg]
+    parameters:
+      select:
+        - {name: user_id}
+        - {name: session_start, field: window.start}
+        - {name: session_end, field: window.end}
+        - {name: n}
+""", "shaped")
+
+
+Q_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 1800 SECOND
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 1800 SECOND AS session_end,
+       count(*) AS n
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
 def q_expression_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """select module exp4j expressions: if/comparison/sqrt/log/power."""
     df = _pipeline(spark, sf_dir, ["part"], """
@@ -1008,6 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_time_range": q_window_time_range,
         "calendar_window": q_calendar_window,
         "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "session_window": q_session_window,
         "expression_math": q_expression_math,
         "select_text_hash": q_select_text_hash,
         "compare_diff": q_compare_diff,
@@ -1042,6 +1133,8 @@ def oracle_sql() -> dict[str, str]:
         "window_time_range": Q_TIMERANGE_SQL,
         "calendar_window": Q_CALENDAR_SQL,
         "tumbling_window": Q_TUMBLING_SQL,
+        "sliding_window": Q_SLIDING_SQL,
+        "session_window": Q_SESSION_SQL,
         "expression_math": Q_EXPR_SQL,
         "select_text_hash": Q_TEXT_SQL,
         "compare_diff": Q_COMPARE_SQL,

@@ -74,7 +74,16 @@ def storage_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
             writer = writer.option("compression", codec.lower())
         writer.parquet(path)
     elif fmt == "avro":
-        writer.format("avro").save(path)
+        try:
+            writer.format("avro").save(path)
+        except Exception as e:
+            if "Failed to find data source: avro" in str(e):
+                raise RuntimeError(
+                    "avro needs the spark-avro jar (external module, not in "
+                    "this container): add org.apache.spark:spark-avro via "
+                    "spark.jars.packages"
+                ) from None
+            raise
     elif fmt == "csv":
         writer.option("header", str(bool(p.get("header", True))).lower()).csv(path)
     elif fmt in ("json", "jsonl"):

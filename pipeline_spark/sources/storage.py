@@ -20,18 +20,20 @@ from pipeline_spark.sources.create import build_schema
 
 
 def _nanos_timestamp_cols(paths: list[str]) -> list[str]:
-    """Columns stored as parquet timestamp[ns] (Spark can't scan those
-    natively).  Inspected driver-side with pyarrow; non-local/unreadable
-    paths skip the probe (no nanos workaround applied)."""
+    """Columns stored as parquet INT64 TIMESTAMP(NANOS) — Spark can't scan
+    those natively.  Physical type matters: INT96 timestamps also surface
+    as arrow timestamp[ns] but Spark reads them fine, so only INT64
+    nanos-logical columns qualify.  Probed driver-side with pyarrow;
+    non-local/unreadable paths skip (no workaround applied)."""
     try:
         import glob
+        import os
+
         import pyarrow.parquet as pq
 
         probe = paths[0]
         if "://" in probe:
             return []
-        import os
-
         matches = sorted(glob.glob(probe)) or [probe]
         target = matches[0]
         if os.path.isdir(target):
@@ -39,8 +41,15 @@ def _nanos_timestamp_cols(paths: list[str]) -> list[str]:
             if not inner:
                 return []
             target = inner[0]
-        schema = pq.read_schema(target)
-        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+        pf = pq.ParquetFile(target)
+        arrow_ns = {f.name for f in pf.schema_arrow if str(f.type) == "timestamp[ns]"}
+        out = []
+        pqs = pf.schema
+        for i in range(len(pqs)):
+            col = pqs.column(i)
+            if col.name in arrow_ns and col.physical_type == "INT64":
+                out.append(col.name)
+        return out
     except Exception:
         return []
 
@@ -68,6 +77,9 @@ def storage_source(ctx: ModuleContext) -> dict[str, DataFrame]:
         # file-stream source (reference mode=streaming,
         # module/Source.java:34-40): new files under the glob are consumed
         # incrementally; schema comes from config or a one-time batch probe
+        nanos_cols = _nanos_timestamp_cols(paths) if fmt == "parquet" else []
+        if nanos_cols:
+            ctx.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         reader = ctx.spark.readStream
         if explicit_schema is None:
             probe = ctx.spark.read
@@ -85,6 +97,8 @@ def storage_source(ctx: ModuleContext) -> dict[str, DataFrame]:
             df = reader.json(paths[0])
         else:
             raise ValueError(f"storage streaming: unsupported format '{fmt}'")
+        for c in nanos_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         if p.get("fields"):
             df = df.select(*[F.col(c) for c in p["fields"]])
         return {"": df}
@@ -101,9 +115,20 @@ def storage_source(ctx: ModuleContext) -> dict[str, DataFrame]:
             ctx.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = reader.parquet(*paths)
         for c in nanos_cols:
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # integer div: epoch-nanos exceed double's 53-bit mantissa, so
+            # `/ 1000` through float would be off by hundreds of nanos
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     elif fmt == "avro":
-        df = reader.format("avro").load(paths)
+        try:
+            df = reader.format("avro").load(paths)
+        except Exception as e:
+            if "Failed to find data source: avro" in str(e):
+                raise RuntimeError(
+                    "avro needs the spark-avro jar (external module, not in "
+                    "this container): add org.apache.spark:spark-avro via "
+                    "spark.jars.packages"
+                ) from None
+            raise
     elif fmt == "csv":
         opts = {
             "header": "false" if p.get("skipHeaderLines") in (None, 0) else "true",

@@ -1,0 +1,30 @@
+"""Every example config must run end-to-end on sf0.001 (living docs,
+mirroring the reference's examples/ directory role)."""
+
+import glob
+import os
+
+import pytest
+
+from pipeline_spark.config import load_config
+from pipeline_spark.executor import run_pipeline
+
+EXAMPLES = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "examples", "*.yaml")))
+
+
+@pytest.fixture(scope="module", autouse=True)
+def stage_stream_inputs():
+    # the streaming example consumes a directory (file-stream contract)
+    import shutil
+
+    os.makedirs("/tmp/pipeline_in/events", exist_ok=True)
+    shutil.copyfile(
+        "/root/testdata/sf0.001/events.parquet",
+        "/tmp/pipeline_in/events/events.parquet",
+    )
+
+
+@pytest.mark.parametrize("path", EXAMPLES, ids=[os.path.basename(p) for p in EXAMPLES])
+def test_example_runs(spark, path):
+    outputs = run_pipeline(spark, load_config(path))
+    assert outputs
