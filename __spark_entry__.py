@@ -590,6 +590,99 @@ FROM customer
 """
 
 
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg (+distinct) — sorted for deterministic comparison."""
+    df = _pipeline(spark, sf_dir, ["lineitem"], """
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [lineitem]
+    parameters:
+      groupFields: [l_returnflag]
+      aggregations:
+        - {name: statuses, op: array_agg, field: l_linestatus, distinct: true}
+        - {name: n, op: count}
+""", "agg")
+    return df.select(
+        "l_returnflag", F.sort_array("statuses").alias("statuses"), "n"
+    )
+
+
+Q_AGG_COLLECT_SQL = """
+SELECT l_returnflag,
+       list_sort(list_distinct(list(l_linestatus))) AS statuses,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_select_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nullif / switch / base64 encode+decode / cast select functions."""
+    return _pipeline(spark, sf_dir, ["part"], """
+transforms:
+  - name: sel
+    module: select
+    inputs: [part]
+    parameters:
+      select:
+        - {name: p_partkey}
+        - {name: size_nz, func: nullif, field: p_size, condition: {key: p_size, op: "=", value: 25}}
+        - name: brand_class
+          func: switch
+          cases:
+            - {when: {key: p_brand, op: "=", value: "Brand#11"}, then: premium}
+            - {when: {key: p_brand, op: match, value: "^Brand#1"}, then: standard}
+          default: other
+        - {name: name_b64, func: base64_encode, field: p_name}
+        - {name: size_str, func: cast, field: p_size, type: string}
+""", "sel").withColumn("name_b64", F.col("name_b64").cast("string"))
+
+
+Q_SELECT_MISC_SQL = """
+SELECT p_partkey,
+       CASE WHEN p_size = 25 THEN NULL ELSE p_size END AS size_nz,
+       CASE WHEN p_brand = 'Brand#11' THEN 'premium'
+            WHEN regexp_matches(p_brand, '^Brand#1') THEN 'standard'
+            ELSE 'other' END AS brand_class,
+       to_base64(encode(p_name)) AS name_b64,
+       CAST(p_size AS VARCHAR) AS size_str
+FROM part
+"""
+
+
+def q_create_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create source: typed sequence generation + select post-processing."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cfg = parse_config("""
+sources:
+  - name: seq
+    module: create
+    parameters:
+      from: 1
+      to: 1000
+      type: long
+transforms:
+  - name: shaped
+    module: select
+    inputs: [seq]
+    parameters:
+      select:
+        - {name: value}
+        - {name: squared, expression: "value ^ 2"}
+        - {name: bucket, expression: "value % 7"}
+""")
+    return run_pipeline(spark, cfg)["shaped"]
+
+
+Q_CREATE_SEQ_SQL = """
+SELECT r AS value,
+       CAST(r AS DOUBLE) * r AS squared,
+       CAST(r % 7 AS DOUBLE) AS bucket
+FROM range(1, 1001) t(r)
+"""
+
+
 def q_compare_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """compare module: detect injected per-key mismatches."""
     return _pipeline(spark, sf_dir, ["orders"], """
@@ -1102,6 +1195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expression_math": q_expression_math,
         "select_text_hash": q_select_text_hash,
         "compare_diff": q_compare_diff,
+        "agg_collect": q_agg_collect,
+        "select_misc": q_select_misc,
+        "create_sequence": q_create_sequence,
         "agg_stats": q_agg_stats,
         "multi_input_agg": q_multi_input_agg,
         "sql_mdt_udfs": q_sql_mdt_udfs,
@@ -1138,6 +1234,9 @@ def oracle_sql() -> dict[str, str]:
         "expression_math": Q_EXPR_SQL,
         "select_text_hash": Q_TEXT_SQL,
         "compare_diff": Q_COMPARE_SQL,
+        "agg_collect": Q_AGG_COLLECT_SQL,
+        "select_misc": Q_SELECT_MISC_SQL,
+        "create_sequence": Q_CREATE_SEQ_SQL,
         "agg_stats": Q_AGG_STATS_SQL,
         "multi_input_agg": Q_MULTI_AGG_SQL,
         "sql_mdt_udfs": Q_MDT_SQL,
