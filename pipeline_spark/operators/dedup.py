@@ -89,37 +89,59 @@ def minhash_signature_udf(k: int, shingle_size: int):
     across runs and machines.  Scale posture: map-only, Arrow-batched,
     no shuffle.
     """
+    # odd multipliers for the rolling shingle-hash combinations
+    _C = np.array(
+        [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+         0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0x2545F4914F6CDD1D],
+        dtype=np.uint64,
+    )
+
     @F.pandas_udf("array<long>")
     def sig(text: pd.Series) -> pd.Series:
-        ii = np.arange(k, dtype=np.uint64)
         empty = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
-        # one flat shingle array for the whole Arrow batch → a single
-        # vectorized hash pass + segmented min (reduceat), no per-row
-        # hash_array call overhead
-        all_shingles: list[str] = []
-        bounds: list[tuple[int, int]] = []
-        for t in text:
-            toks = (t or "").lower().split()
-            n = len(toks) - shingle_size + 1
-            start = len(all_shingles)
-            if n > 0:
-                all_shingles.extend(
-                    " ".join(toks[i : i + shingle_size]) for i in range(n)
-                )
-            bounds.append((start, len(all_shingles)))
-        if not all_shingles:
+        # fully vectorized per Arrow batch: tokenize via pandas C paths,
+        # hash ALL tokens once, derive shingle hashes as rolling linear
+        # combinations of consecutive token hashes (never building shingle
+        # strings), then segmented min per document via reduceat.
+        toks = text.fillna("").str.lower().str.split()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        n_shingles = np.maximum(lens - shingle_size + 1, 0)
+        total = int(n_shingles.sum())
+        if total == 0:
             return pd.Series([empty] * len(text))
-        flat = np.array(all_shingles, dtype=object)
-        h1 = pd.util.hash_array(flat, hash_key=_HASH_KEY_1)
-        h2 = pd.util.hash_array(flat, hash_key=_HASH_KEY_2)
-        combined = h1[None, :] + ii[:, None] * h2[None, :]  # k × N, uint64 wrap
-        out = []
-        for start, end in bounds:
-            if end == start:
-                out.append(empty)
-            else:
-                out.append(combined[:, start:end].min(axis=1).view(np.int64))
-        return pd.Series(out)
+        flat_tokens = np.array(
+            [t for row in toks for t in row], dtype=object
+        )
+        ht1 = pd.util.hash_array(flat_tokens, hash_key=_HASH_KEY_1)
+        ht2 = pd.util.hash_array(flat_tokens, hash_key=_HASH_KEY_2)
+
+        # shingle hash = sum_j C[j] * token_hash[i+j], masked to stay
+        # inside each document's token span
+        tok_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        sh_rows = np.repeat(np.arange(len(text)), n_shingles)
+        sh_local = np.concatenate([np.arange(n) for n in n_shingles if n > 0])
+        sh_flat = tok_starts[sh_rows] + sh_local  # index of shingle's first token
+        h1 = np.zeros(total, dtype=np.uint64)
+        h2 = np.zeros(total, dtype=np.uint64)
+        for j in range(shingle_size):
+            h1 += _C[j % len(_C)] * ht1[sh_flat + j]
+            h2 += _C[(j + 1) % len(_C)] * ht2[sh_flat + j]
+
+        starts = np.concatenate(([0], np.cumsum(n_shingles)))[:-1]
+        nonempty = n_shingles > 0
+        seg_starts = starts[nonempty]
+        # row-wise with preallocated buffers: numpy's 2D uint64 broadcast
+        # (h1[None,:] + ii[:,None]*h2[None,:]) hits a ~1000x slower
+        # iterator path — measured 33s vs 0.03s for the same op count
+        mins = np.empty((k, len(seg_starts)), dtype=np.uint64)
+        tmp = np.empty(total, dtype=np.uint64)
+        for i in range(k):
+            np.multiply(h2, np.uint64(i), out=tmp)
+            np.add(tmp, h1, out=tmp)
+            mins[i] = np.minimum.reduceat(tmp, seg_starts)
+        out_arr = np.full((len(text), k), np.iinfo(np.int64).max, dtype=np.int64)
+        out_arr[nonempty] = mins.T.view(np.int64)
+        return pd.Series(list(out_arr))
 
     return sig
 
@@ -130,15 +152,27 @@ def simhash_signature_udf():
 
     @F.pandas_udf("long")
     def sig(text: pd.Series) -> pd.Series:
+        toks = text.fillna("").str.lower().str.split()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
         out = np.zeros(len(text), dtype=np.int64)
-        for j, t in enumerate(text):
-            toks = (t or "").lower().split()
-            if not toks:
-                continue
-            h = pd.util.hash_array(np.array(toks, dtype=object), hash_key=_HASH_KEY_1)
-            ones = ((h[:, None] >> bits[None, :]) & np.uint64(1)).sum(axis=0)
-            majority = (ones * 2 > len(toks)).astype(np.uint64)
-            out[j] = (majority << bits).sum(dtype=np.uint64).astype(np.int64)
+        if lens.sum() == 0:
+            return pd.Series(out)
+        flat = np.array([t for row in toks for t in row], dtype=object)
+        h = pd.util.hash_array(flat, hash_key=_HASH_KEY_1)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        nonempty = lens > 0
+        seg_starts = starts[nonempty]
+        seg_lens = lens[nonempty]
+        # per-bit loop with buffers — 2D uint64 broadcasting is ~1000x
+        # slower in numpy (see minhash note above)
+        packed = np.zeros(len(seg_starts), dtype=np.uint64)
+        tmp = np.empty(len(h), dtype=np.uint64)
+        for b in range(64):
+            np.right_shift(h, np.uint64(b), out=tmp)
+            np.bitwise_and(tmp, np.uint64(1), out=tmp)
+            ones = np.add.reduceat(tmp, seg_starts)
+            packed |= (ones * 2 > seg_lens).astype(np.uint64) << np.uint64(b)
+        out[nonempty] = packed.astype(np.int64)
         return pd.Series(out)
 
     return sig
