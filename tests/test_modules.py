@@ -277,3 +277,68 @@ transforms:
     )
     rows = [(r["k"], r["arr"]) for r in outs["flat"].collect()]
     assert sorted(rows, key=str) == [("a", 1), ("a", 2), ("b", None)]
+
+
+def test_waits_ordering(spark, tmp_path):
+    # `waits` gates module execution on completion of another module
+    # (reference: MPipeline.java:160-168)
+    out_a = str(tmp_path / "a")
+    outs = run(
+        spark,
+        BASE
+        + f"""
+transforms:
+  - name: gated
+    module: select
+    inputs: [create1]
+    waits: [writer_a]
+    parameters:
+      select: [{{name: stringField}}]
+sinks:
+  - name: writer_a
+    module: storage
+    inputs: [create1]
+    parameters: {{format: parquet, output: {out_a}}}
+""",
+    )
+    import os
+
+    assert os.path.isdir(out_a)
+    assert outs["gated"].count() == 6
+
+
+def test_multi_input_aggregation(spark):
+    outs = run(
+        spark,
+        BASE
+        + """
+  - name: create2
+    module: create
+    parameters:
+      elements:
+        - {stringField: a, longField: 100}
+        - {stringField: z, longField: 5}
+    schema:
+      fields:
+        - {name: stringField, type: string}
+        - {name: longField, type: int64}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [create1, create2]
+    parameters:
+      groupFields: [stringField]
+      aggregations:
+        - input: create1
+          fields:
+            - {name: sum_i, op: sum, field: intField}
+        - input: create2
+          fields:
+            - {name: sum_l, op: sum, field: longField}
+""",
+    )
+    rows = {r["stringField"]: (r["sum_i"], r["sum_l"]) for r in outs["agg"].collect()}
+    # outer-join semantics: keys present in either input, null-fill
+    assert rows["a"] == (6, 100)
+    assert rows["b"] == (9, None)
+    assert rows["z"] == (None, 5)
