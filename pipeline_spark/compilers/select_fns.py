@@ -129,6 +129,17 @@ def apply_select(
     return df.select(*[c.alias(n) for n, c in pairs])
 
 
+def _element_field_names(df: DataFrame, array_field: str) -> set[str]:
+    """Field names of an array-of-struct column's element type."""
+    try:
+        dtype = df.schema[array_field].dataType
+        if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):
+            return {f.name for f in dtype.elementType.fields}
+    except Exception:
+        pass
+    return set()
+
+
 def _ref(name: str, df: DataFrame, bound: dict[str, Column]) -> Column:
     if name in bound:
         return bound[name]
@@ -188,8 +199,40 @@ def _compile_one(
     if func == "current_timestamp":
         return F.current_timestamp()
     if func == "struct":
+        each = sf.get("each")
+        if each:
+            # iterate an array field: sub-fields evaluate per element
+            # (reference: select/Struct.java:55-86 eachField handling)
+            arr = _ref(each, df, bound)
+            elem_fields = _element_field_names(df, each)
+
+            def per_elem(elem: Column) -> Column:
+                cols = []
+                for sub in sf["fields"]:
+                    if sub.get("ignore"):
+                        continue
+                    sub_name = sub["name"]
+                    sub_func = infer_func(sub)
+                    src_name = sub.get("field", sub_name)
+                    if sub_func in ("pass", "rename", "cast"):
+                        src = elem[src_name] if src_name in elem_fields else _ref(src_name, df, bound)
+                        if sub_func == "cast" or "type" in sub:
+                            src = src.cast(spark_type(sub["type"]))
+                        cols.append(src.alias(sub_name))
+                    elif sub_func == "constant":
+                        cols.append(F.lit(sub["value"]).cast(spark_type(sub["type"])).alias(sub_name))
+                    else:
+                        raise ValueError(
+                            f"struct each: sub-func '{sub_func}' not supported inside iteration"
+                        )
+                return F.struct(*cols)
+
+            return F.transform(arr, per_elem)
         inner = compile_selects(sf["fields"], df)
-        return F.struct(*[c.alias(n) for n, c in inner])
+        out = F.struct(*[c.alias(n) for n, c in inner])
+        if str(sf.get("mode", "")).lower() == "repeated":
+            return F.array(out)
+        return out
     if func in ("json", "jsons"):
         inner = compile_selects(sf["fields"], df)
         return F.to_json(F.struct(*[c.alias(n) for n, c in inner]))

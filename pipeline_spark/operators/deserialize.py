@@ -28,10 +28,29 @@ def deserialize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
 
     if fmt == "json":
         schema_cfg = ctx.config.get("schema") or p.get("schema")
-        if not schema_cfg:
-            raise ValueError("deserialize json requires schema")
-        fields = schema_cfg.get("fields") if isinstance(schema_cfg, dict) else schema_cfg
-        schema = build_schema(fields)
+        if schema_cfg:
+            fields = schema_cfg.get("fields") if isinstance(schema_cfg, dict) else schema_cfg
+            schema = build_schema(fields)
+        else:
+            # no declared schema: infer from a sample of payloads
+            # (driver-side, bounded) — explicit schema is still the
+            # recommended path for production stability
+            sample = [
+                r[0]
+                for r in df.select(F.col(field).cast("string"))
+                .filter(F.col(field).isNotNull())
+                .limit(int(p.get("inferSampleSize", 100)))
+                .collect()
+            ]
+            if not sample:
+                raise ValueError("deserialize json: no schema given and no rows to infer from")
+            inferred = ctx.spark.read.json(ctx.spark.sparkContext.parallelize(sample)).schema
+            corrupt = ctx.spark.conf.get(
+                "spark.sql.columnNameOfCorruptRecord", "_corrupt_record"
+            )
+            from pyspark.sql import types as T
+
+            schema = T.StructType([f for f in inferred.fields if f.name != corrupt])
         parsed = F.from_json(F.col(field).cast("string"), schema)
     elif fmt == "avro":
         from pyspark.sql.avro.functions import from_avro
@@ -54,12 +73,18 @@ def deserialize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     out = df.withColumn(out_field, parsed)
     outputs: dict[str, DataFrame] = {}
     if not ctx.config.get("failFast", True) and fmt == "json":
-        # dead-letter: unparseable payloads (from_json → null for non-null
-        # input) route to the failures output (reference: failFast default
-        # true batch / false streaming, module/Module.java:135-141)
-        bad = out.filter(F.col(out_field).isNull() & F.col(field).isNotNull())
-        outputs["failures"] = bad.drop(out_field)
-        out = out.filter(F.col(out_field).isNotNull() | F.col(field).isNull())
+        # dead-letter: unparseable payloads route to the failures output
+        # (reference: failFast default true batch / false streaming,
+        # module/Module.java:135-141).  Spark's PERMISSIVE from_json yields
+        # an ALL-NULL struct (not NULL) for malformed input, so failure =
+        # null struct OR every top-level field null, with non-null input.
+        parsed_col = F.col(out_field)
+        all_null = F.lit(True)
+        for fld in schema.fieldNames():
+            all_null = all_null & parsed_col[fld].isNull()
+        failed = (parsed_col.isNull() | all_null) & F.col(field).isNotNull()
+        outputs["failures"] = out.filter(failed).drop(out_field)
+        out = out.filter(~F.coalesce(failed, F.lit(False)))
     if flatten:
         others = [c for c in df.columns if c != field]
         out = out.select(*others, f"{out_field}.*")

@@ -342,3 +342,78 @@ transforms:
     assert rows["a"] == (6, 100)
     assert rows["b"] == (9, None)
     assert rows["z"] == (None, 5)
+
+
+def test_struct_each_and_repeated(spark):
+    outs = run(
+        spark,
+        """
+sources:
+  - name: nested
+    module: create
+    parameters:
+      elements:
+        - {k: a, items: [{v: 1, w: x}, {v: 2, w: y}]}
+    schema:
+      fields:
+        - {name: k, type: string}
+        - name: items
+          type: element
+          mode: repeated
+          fields:
+            - {name: v, type: int64}
+            - {name: w, type: string}
+transforms:
+  - name: sel
+    module: select
+    inputs: [nested]
+    parameters:
+      select:
+        - {name: k}
+        - name: shaped
+          func: struct
+          each: items
+          fields:
+            - {name: v}
+            - {name: tag, field: w}
+        - name: single
+          func: struct
+          mode: repeated
+          fields:
+            - {name: k}
+""",
+    )
+    row = outs["sel"].collect()[0]
+    assert [(e["v"], e["tag"]) for e in row["shaped"]] == [(1, "x"), (2, "y")]
+    assert row["single"][0]["k"] == "a"
+
+
+def test_deserialize_json_inference_and_dead_letter(spark):
+    outs = run(
+        spark,
+        """
+sources:
+  - name: raw
+    module: create
+    parameters:
+      elements:
+        - {id: 1, payload: '{"a": 5, "b": "ok"}'}
+        - {id: 2, payload: '{"a": 7, "b": "fine"}'}
+        - {id: 3, payload: 'not json at all'}
+    schema:
+      fields:
+        - {name: id, type: int64}
+        - {name: payload, type: string}
+transforms:
+  - name: parsed
+    module: deserialize
+    inputs: [raw]
+    failFast: false
+    parameters:
+      field: payload
+""",
+    )
+    ok = outs["parsed"].collect()
+    assert sorted((r["a"], r["b"]) for r in ok) == [(5, "ok"), (7, "fine")]
+    fails = outs["parsed.failures"].collect()
+    assert len(fails) == 1 and fails[0]["id"] == 3
