@@ -35,9 +35,15 @@ BENCH_QUERIES = [
     "window_time_range",
     "calendar_window",
     "tumbling_window",
+    "sliding_window",
+    "session_window",
     "expression_math",
     "select_text_hash",
+    "select_misc",
+    "agg_collect",
+    "create_sequence",
     "tokenize_unnest",
+    "ngram_jaccard",
     "dedup_exact",
     "textstats",
     "minhash_pairs",

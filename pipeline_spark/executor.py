@@ -43,6 +43,10 @@ class PipelineExecutor:
                 self.completed.add(k)
 
         pending = list(config.modules())
+        names = [m.name for m in pending]
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            raise ValueError(f"duplicate module names: {sorted(dupes)}")
         while pending:
             progressed = []
             for mc in pending:
