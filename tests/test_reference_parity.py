@@ -1,0 +1,237 @@
+"""Ports of the reference's own unit-test cases
+(reference: util/pipeline/FilterTest.java, select/SelectFunctionTest.java)
+run through our Column compilers — the parity evidence that config
+semantics survive the re-architecture.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipeline_spark.compilers.filter_dsl import compile_filter
+from pipeline_spark.compilers.select_fns import apply_select
+
+
+def leaf_is(spark, value, dtype, op, literal):
+    """Replicates FilterTest.testLeafCompare: does `value op literal` hold?"""
+    schema = T.StructType([T.StructField("f", dtype, True)])
+    df = spark.createDataFrame([(value,)], schema)
+    cond = compile_filter({"key": "f", "op": op, "value": literal}, df)
+    return df.filter(cond).count() == 1
+
+
+def test_filter_config_and(spark):
+    # FilterTest.testFilter:23-61
+    df = spark.createDataFrame(
+        [
+            Row(stringField="stringValue", longField=100),
+            Row(stringField="stringValue", longField=99),
+            Row(stringField="stringValue_", longField=99),
+            Row(stringField="stringValue_", longField=100),
+        ]
+    )
+    cond = compile_filter(
+        [
+            {"key": "stringField", "op": "=", "value": "stringValue"},
+            {"key": "longField", "op": ">=", "value": 100},
+        ],
+        df,
+    )
+    rows = df.filter(cond).collect()
+    assert len(rows) == 1 and rows[0]["longField"] == 100
+
+
+NUM = T.LongType()
+DBL = T.DoubleType()
+STR = T.StringType()
+
+
+@pytest.mark.parametrize(
+    "value,dtype,op,literal,expected",
+    [
+        # FilterTest.testLeafCompare number block (65-106)
+        (1, NUM, "=", 1, True),
+        (1, NUM, "!=", 1, False),
+        (None, NUM, "!=", 1, False),
+        (1, NUM, ">", 1, False),
+        (1, NUM, ">=", 1, True),
+        (10, NUM, ">", 1, True),
+        (12.312, DBL, ">", 1, True),
+        (2212310.12221, DBL, ">=", 1, True),
+        (-10, NUM, ">", 1, False),
+        (-10, NUM, ">=", 1, False),
+        (1, NUM, "<", 1, False),
+        (1, NUM, "<=", 1, True),
+        (10, NUM, "<", 1, False),
+        (10, NUM, "<=", 1, False),
+        (-10, NUM, "<", 1, True),
+        (-10, NUM, "<=", 1, True),
+        # number in / not in (108-125)
+        (1, NUM, "in", [1, 2, 3], True),
+        (2, NUM, "in", [1, 2, 3], True),
+        (3, NUM, "in", [1, 2, 3], True),
+        (4, NUM, "in", [1, 2, 3], False),
+        (-3, NUM, "in", [1, 2, 3], False),
+        (-4.12, DBL, "in", [1, 2, 3], False),
+        (1, NUM, "not in", [1, 2, 3], False),
+        (-100, NUM, "not in", [1, 2, 3], True),
+        # string block (127-149)
+        ("a", STR, "=", "a", True),
+        ("b", STR, "=", "a", False),
+        ("a", STR, "!=", "a", False),
+        ("b", STR, "!=", "a", True),
+        ("a", STR, ">", "a", False),
+        ("b", STR, ">", "a", True),
+        ("a", STR, ">=", "a", True),
+        ("b", STR, ">=", "a", True),
+        ("a", STR, "<", "a", False),
+        ("b", STR, "<", "a", False),
+        ("a", STR, "<=", "a", True),
+        ("b", STR, "<=", "a", False),
+        # string in / not in (151-168)
+        ("a", STR, "in", ["a", "b", "c"], True),
+        ("d", STR, "in", ["a", "b", "c"], False),
+        ("A", STR, "in", ["a", "b", "c"], False),
+        ("a", STR, "not in", ["a", "b", "c"], False),
+        ("dfa", STR, "not in", ["a", "b", "c"], True),
+        # null block (170-177)
+        (None, STR, "=", None, True),
+        ("b", STR, "=", None, False),
+        (None, STR, "!=", None, False),
+        ("b", STR, "!=", None, True),
+    ],
+)
+def test_leaf_compare(spark, value, dtype, op, literal, expected):
+    assert leaf_is(spark, value, dtype, op, literal) is expected
+
+
+@pytest.mark.parametrize(
+    "value,op,literal,expected",
+    [
+        # FilterTest date block (179-205)
+        (dt.date(2021, 8, 21), "=", "2021-08-21", True),
+        (dt.date(2021, 8, 20), "=", "2021-08-21", False),
+        (dt.date(2021, 8, 22), ">", "2021-08-21", True),
+        (dt.date(2021, 8, 21), ">", "2021-08-21", False),
+        (dt.date(2021, 8, 20), "<", "2021-08-21", True),
+        (dt.date(2021, 8, 22), "<=", "2021-08-21", False),
+        (dt.date(2021, 8, 21), ">=", "2021-08-21", True),
+    ],
+)
+def test_leaf_compare_dates(spark, value, op, literal, expected):
+    assert leaf_is(spark, value, T.DateType(), op, literal) is expected
+
+
+@pytest.mark.parametrize(
+    "value,op,literal,expected",
+    [
+        # FilterTest timestamp block (212-240)
+        (dt.datetime(2021, 8, 21, 10, 30, 45), "=", "2021-08-21T10:30:45", True),
+        (dt.datetime(2021, 8, 20, 10, 30, 45), "=", "2021-08-21T10:30:45", False),
+        (dt.datetime(2021, 8, 22, 10, 30, 45), ">", "2021-08-21T10:30:45", True),
+        (dt.datetime(2021, 8, 21, 10, 30, 45), ">=", "2021-08-21T10:30:45", True),
+        (dt.datetime(2021, 8, 20, 10, 30, 45), "<", "2021-08-21T10:30:45", True),
+        (dt.datetime(2021, 8, 22, 10, 30, 45), "<=", "2021-08-21T10:30:45", False),
+    ],
+)
+def test_leaf_compare_timestamps(spark, value, op, literal, expected):
+    assert leaf_is(spark, value, T.TimestampNTZType(), op, literal) is expected
+
+
+def test_match_regex_with_slashes(spark):
+    # FilterTest:760-778 — slashes are literal pattern characters; both
+    # patterns must find() within the path string
+    df = spark.createDataFrame([Row(field1="gs://mybucket/2024-11-11/myfile.pdf")])
+    cond = compile_filter(
+        [
+            {"key": "field1", "op": "match", "value": "/2024-11-(0[1-9]|[12][0-9]|3[01])/"},
+            {"key": "field1", "op": "match", "value": r"\.pdf$"},
+        ],
+        df,
+    )
+    assert df.filter(cond).count() == 1
+
+
+def test_expression_filters(spark):
+    # FilterTest:585-700 expression-leaf blocks
+    df = spark.createDataFrame([Row(field1=10.0, field2=5.0, field3=1.0)])
+    c1 = compile_filter({"expression": "(field1 / field2) - field3", "op": ">", "value": 0}, df)
+    assert df.filter(c1).count() == 1
+    c2 = compile_filter({"expression": "field1 - field2", "op": ">", "value": 0}, df)
+    assert df.filter(c2).count() == 1
+
+    ts = spark.createDataFrame(
+        [
+            Row(
+                field1=dt.datetime(2024, 1, 1, 10, 0, 0),
+                field2=dt.datetime(2024, 1, 1, 0, 0, 0),
+            )
+        ]
+    )
+    c3 = compile_filter(
+        {"expression": "timestamp_diff_hour(field1, field2)", "op": "<", "value": 24}, ts
+    )
+    assert ts.filter(c3).count() == 1
+
+    yr = spark.createDataFrame(
+        [
+            Row(
+                field1=dt.datetime(2024, 12, 31, 0, 0, 0),
+                field2=dt.datetime(2024, 1, 1, 0, 0, 0),
+            )
+        ]
+    )
+    c4 = compile_filter(
+        {"expression": "timestamp_diff_day(field1, field2)", "op": "=", "value": 365}, yr
+    )
+    assert yr.filter(c4).count() == 1
+
+
+def test_select_function_config(spark):
+    """Trimmed port of SelectFunctionTest.test: the big select list with
+    sequential binding, nested-field refs, struct/json nesting."""
+    df = spark.createDataFrame(
+        [
+            Row(
+                stringField="str",
+                intField=32,
+                longField=64,
+                doubleField=0.64,
+                nestedField=Row(stringField="123"),
+            )
+        ]
+    )
+    out = apply_select(
+        df,
+        [
+            {"name": "longField"},
+            {"name": "renameIntField", "field": "intField"},
+            {"name": "constantStringField", "type": "string", "value": "constantStringValue"},
+            {"name": "expressionField", "expression": "doubleField * intField / longField"},
+            {"name": "hashField", "func": "hash", "field": "stringField"},
+            {"name": "concatField", "func": "concat", "delimiter": " ",
+             "fields": ["stringField", "intField", "longField"]},
+            {"name": "intFieldFromNested", "field": "nestedField.stringField", "type": "int32"},
+            {"name": "structField", "func": "struct", "fields": [
+                {"name": "stringFieldA", "field": "stringField"},
+                {"name": "innerStruct", "func": "struct", "fields": [
+                    {"name": "intFieldA", "field": "intField"},
+                ]},
+            ]},
+        ],
+    )
+    row = out.collect()[0]
+    assert row["longField"] == 64
+    assert row["renameIntField"] == 32
+    assert row["constantStringField"] == "constantStringValue"
+    assert abs(row["expressionField"] - 0.64 * 32 / 64) < 1e-12
+    import hashlib
+
+    assert row["hashField"] == hashlib.sha256(b"str").hexdigest()
+    assert row["concatField"] == "str 32 64"
+    assert row["intFieldFromNested"] == 123
+    assert row["structField"]["stringFieldA"] == "str"
+    assert row["structField"]["innerStruct"]["intFieldA"] == 32
