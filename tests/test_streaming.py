@@ -128,3 +128,47 @@ sinks:
     rows = spark.table("snap_table").collect()
     assert len(rows) == 5
     assert all(len(r["upper_k"]) == 6 for r in rows)
+
+
+def test_microbatch_incremental_with_checkpoint(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt.json")
+    cfg_tpl = """
+sources:
+  - name: mb
+    module: microbatch
+    parameters:
+      input: /root/testdata/sf0.001/events.parquet
+      table: ev
+      query: |
+        SELECT event_id, ts, value FROM ev
+        WHERE ts >= TIMESTAMP '__timestamp_from__' AND ts < TIMESTAMP '__timestamp_to__'
+      startDatetime: "2024-01-01T00:00:00"
+      endDatetime: "{end}"
+      intervalSeconds: 3600
+      checkpointFile: {ckpt}
+"""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    outs = run_pipeline(
+        spark, parse_config(cfg_tpl.format(end="2024-01-01T06:00:00", ckpt=ckpt))
+    )
+    import duckdb
+
+    con = duckdb.connect()
+
+    def expected(lo, hi):
+        return con.execute(
+            "SELECT count(*) FROM '/root/testdata/sf0.001/events.parquet' "
+            f"WHERE ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}'"
+        ).fetchone()[0]
+
+    n1 = outs["mb"].count()
+    assert n1 == expected("2024-01-01", "2024-01-01 06:00:00") and n1 > 0
+
+    # second run resumes from the checkpoint watermark (06:00)
+    outs2 = run_pipeline(
+        spark, parse_config(cfg_tpl.format(end="2024-01-01T12:00:00", ckpt=ckpt))
+    )
+    n2 = outs2["mb"].count()
+    assert n2 == expected("2024-01-01 06:00:00", "2024-01-01 12:00:00") and n2 > 0
