@@ -87,19 +87,29 @@ def main() -> None:
     ).format("noop").save()
 
     # min of 2 runs per query: this host is multi-tenant and CPU-steal
-    # spikes inflate single runs 3-10x; the min reflects the engine
+    # spikes inflate single runs 3-10x; the min reflects the engine.
+    # A soft wall-clock budget degrades to single runs (and then to
+    # recording what we have) so the JSON line always lands.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    bench_start = time.time()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
         best = None
-        for _ in range(runs):
+        for attempt in range(runs):
+            if attempt > 0 and (time.time() - bench_start) > budget * 0.6:
+                break  # skip re-runs when the budget is running out
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
+            if elapsed < 0.5:
+                break  # fast enough; a re-run can't change the story
         timings[name] = round(best, 3)
+        if (time.time() - bench_start) > budget:
+            break  # record what we have rather than losing the line
 
     total = round(sum(timings.values()), 3)
     print(
