@@ -286,7 +286,11 @@ def ngram_jaccard_pairs(
         F.size("grams") > 0
     )
     sizes = base.select("doc", F.size("grams").alias("n"))
-    exploded = base.select("doc", F.explode("grams").alias("g"))
+    # join on the 8-byte gram hash, not the gram string — the self-join
+    # shuffle carries ints (collision odds ~n²/2⁶⁴, immaterial for dedup)
+    exploded = base.select(
+        "doc", F.explode(F.transform("grams", lambda g: F.xxhash64(g))).alias("g")
+    )
 
     a = exploded.alias("a")
     b = exploded.alias("b")
