@@ -604,13 +604,15 @@ transforms:
         - {name: n, op: count}
 """, "agg")
     return df.select(
-        "l_returnflag", F.sort_array("statuses").alias("statuses"), "n"
+        "l_returnflag",
+        F.array_join(F.sort_array("statuses"), ",").alias("statuses"),
+        "n",
     )
 
 
 Q_AGG_COLLECT_SQL = """
 SELECT l_returnflag,
-       list_sort(list_distinct(list(l_linestatus))) AS statuses,
+       array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
        count(*) AS n
 FROM lineitem
 GROUP BY l_returnflag

@@ -390,14 +390,25 @@ def _hbase_encode(src: Column, df: DataFrame, sf: dict[str, Any]) -> Column:
     if dt in ("int", "bigint", "smallint", "tinyint"):
         width = {"tinyint": 1, "smallint": 2, "int": 4, "bigint": 8}[dt]
         hexw = width * 2
-        return F.unhex(F.lpad(F.hex(src.cast("bigint")), hexw, "0"))
+        # hex(bigint) of a negative is 16 two's-complement chars; lpad keeps
+        # the LEFTMOST chars so it would collapse every negative to all-FF
+        # sign bytes — pad to full bigint width first, then take the
+        # rightmost hexw chars (correct two's-complement truncation)
+        return F.unhex(F.substring(F.lpad(F.hex(src.cast("bigint")), 16, "0"), -hexw, hexw))
     return src.cast("string").cast("binary")
 
 
 def _hbase_decode(src: Column, type_name: str) -> Column:
     dt = spark_type(type_name)
-    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        return F.conv(F.hex(src), 16, 10).cast(dt)
+    widths = {T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4, T.LongType: 8}
+    if type(dt) in widths:
+        w = widths[type(dt)]
+        # conv() yields the UNSIGNED value; re-apply two's complement via
+        # decimal(38,0) (2^64 fits) so negative encodings round-trip
+        unsigned = F.conv(F.hex(src), 16, 10).cast(T.DecimalType(38, 0))
+        half, full = F.lit(2 ** (8 * w - 1)), F.lit(2 ** (8 * w))
+        signed = F.when(unsigned >= half, unsigned - full).otherwise(unsigned)
+        return signed.cast(dt)
     if isinstance(dt, T.StringType):
         return src.cast("string")
     raise ValueError(f"bytes_decode: unsupported type {type_name}")

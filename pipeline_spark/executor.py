@@ -31,6 +31,7 @@ class PipelineExecutor:
         self.spark = spark
         self.outputs: dict[str, DataFrame] = {}
         self.completed: set[str] = set()
+        self._post_commit: list = []
 
     def run(self, config: Config, inputs: dict[str, DataFrame] | None = None) -> dict[str, DataFrame]:
         """Apply all modules; returns the full name → DataFrame registry.
@@ -60,6 +61,13 @@ class PipelineExecutor:
                 }
                 raise ValueError(f"pipeline stuck (cycle or missing inputs): {missing}")
             pending = [m for m in pending if m not in progressed]
+        # Sinks materialize during _apply; reaching here means every sink
+        # action succeeded — only now run deferred source commits (e.g. the
+        # microbatch checkpoint write), so a failed sink never advances a
+        # watermark past data it didn't persist.
+        for cb in self._post_commit:
+            cb()
+        self._post_commit.clear()
         return self.outputs
 
     def _have(self, name: str) -> bool:
@@ -92,6 +100,7 @@ class PipelineExecutor:
             },
         )
         outs = spec.fn(ctx) or {}
+        self._post_commit.extend(ctx.post_commit)
         for out_name, df in outs.items():
             key = mc.name if out_name == "" else f"{mc.name}.{out_name}"
             self.outputs[key] = df

@@ -26,6 +26,15 @@ def _load_key(p: dict) -> bytes:
     raise ValueError("crypto requires key (base64) or keyFile")
 
 
+def _redact_in_plans(spark, key: bytes) -> None:
+    import re as _re
+
+    pats = [f"(?i){key.hex()}", _re.escape(base64.b64encode(key).decode())]
+    existing = spark.conf.get("spark.sql.redaction.string.regex", None)
+    merged = "|".join(([existing] if existing else []) + pats)
+    spark.conf.set("spark.sql.redaction.string.regex", merged)
+
+
 @module("crypto", kind=KIND_TRANSFORM)
 def crypto_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
@@ -35,18 +44,20 @@ def crypto_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     aes_mode = str(p.get("aesMode", "GCM")).upper()
     key = _load_key(p)
 
+    # key passed as a bound Column (F.col handles names needing backticks),
+    # and its literal renderings (hex / base64) are registered with Spark's
+    # string redaction so the key never appears in explain plans, the Spark
+    # UI SQL tab, or event logs — any literal (string or binary) would
+    # otherwise print there verbatim
+    _redact_in_plans(ctx.spark, key)
+    key_col = F.lit(key)
     for field in fields:
         col = F.col(field)
         if mode == "encrypt":
-            enc = F.expr(
-                f"aes_encrypt(cast({field} as string), "
-                f"unhex('{key.hex()}'), '{aes_mode}')"
-            )
+            enc = F.aes_encrypt(col.cast("string"), key_col, F.lit(aes_mode))
             df = df.withColumn(field, F.base64(enc))
         elif mode == "decrypt":
-            dec = F.expr(
-                f"aes_decrypt(unbase64({field}), unhex('{key.hex()}'), '{aes_mode}')"
-            )
+            dec = F.aes_decrypt(F.unbase64(col), key_col, F.lit(aes_mode))
             df = df.withColumn(field, dec.cast("string"))
         else:
             raise ValueError(f"crypto: unknown mode '{mode}'")

@@ -100,7 +100,12 @@ def http_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             out["__error__"] = errors
             yield out
 
-    enriched = df.mapInPandas(fetch, schema=out_schema)
+    # persist before splitting: ok and failures are two consumers of the
+    # same mapInPandas plan — without a cache each consumer re-executes every
+    # HTTP request (duplicate external side effects) and a transient error
+    # could route a row into both/neither output inconsistently
+    enriched = df.mapInPandas(fetch, schema=out_schema).persist()
+    ctx.on_commit(lambda: enriched.unpersist())
     ok = enriched.filter(F.col("__error__").isNull()).drop("__error__")
     failures = enriched.filter(F.col("__error__").isNotNull())
     return {"": ok, "failures": failures}

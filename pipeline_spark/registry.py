@@ -43,6 +43,14 @@ class ModuleContext:
     side_inputs: dict[str, DataFrame] = field(default_factory=dict)
     # raw module config (timestampAttribute, strategy, ...)
     config: dict[str, Any] = field(default_factory=dict)
+    # callbacks the executor runs only after ALL sinks have materialized
+    # successfully (reference: MicroBatch.java CheckpointSaveDoFn persists the
+    # checkpoint after query results are emitted, not at plan time)
+    post_commit: list[Callable[[], None]] = field(default_factory=list)
+
+    def on_commit(self, fn: Callable[[], None]) -> None:
+        """Defer ``fn`` until the whole pipeline run has succeeded."""
+        self.post_commit.append(fn)
 
     @property
     def input(self) -> DataFrame:

@@ -61,7 +61,9 @@ def microbatch_source(ctx: ModuleContext) -> dict[str, DataFrame]:
 
     checkpoint_file = p.get("checkpointFile")
     start = None
-    if checkpoint_file and p.get("useCheckpointAsStartDatetime", True) and os.path.exists(checkpoint_file):
+    # default False matches the reference (MicroBatch.java:63-64): configs
+    # that set checkpointFile without the flag resume from startDatetime
+    if checkpoint_file and p.get("useCheckpointAsStartDatetime", False) and os.path.exists(checkpoint_file):
         with open(checkpoint_file) as f:
             start = _parse_ts(json.load(f)["watermark"])
     if start is None:
@@ -91,7 +93,16 @@ def microbatch_source(ctx: ModuleContext) -> dict[str, DataFrame]:
         raise ValueError("microbatch: empty interval range (start >= end)")
 
     if checkpoint_file:
-        os.makedirs(os.path.dirname(checkpoint_file) or ".", exist_ok=True)
-        with open(checkpoint_file, "w") as f:
-            json.dump({"watermark": cur.isoformat()}, f)
+        # Deferred to post-commit: the reference persists the checkpoint only
+        # after query results are emitted (MicroBatch.java CheckpointSaveDoFn);
+        # writing at plan time would advance the watermark even when a
+        # downstream sink fails, silently skipping that interval on resume.
+        watermark = cur.isoformat()
+
+        def _write_checkpoint() -> None:
+            os.makedirs(os.path.dirname(checkpoint_file) or ".", exist_ok=True)
+            with open(checkpoint_file, "w") as f:
+                json.dump({"watermark": watermark}, f)
+
+        ctx.on_commit(_write_checkpoint)
     return {"": out}

@@ -417,3 +417,95 @@ transforms:
     assert sorted((r["a"], r["b"]) for r in ok) == [(5, "ok"), (7, "fine")]
     fails = outs["parsed.failures"].collect()
     assert len(fails) == 1 and fails[0]["id"] == 3
+
+
+def test_bytes_encode_decode_negative_roundtrip(spark):
+    """HBase-style big-endian encode must preserve negatives (two's
+    complement truncation, not lpad sign-byte collapse); decode must
+    re-sign-extend. Reference: select/Bytes.java."""
+    outs = run(
+        spark,
+        """
+sources:
+  - name: nums
+    module: create
+    parameters:
+      elements:
+        - {i: -123, j: -1}
+        - {i: -124, j: 2147483647}
+        - {i: 123, j: -2147483648}
+        - {i: 0, j: 0}
+    schema:
+      fields:
+        - {name: i, type: int32, mode: required}
+        - {name: j, type: int32, mode: required}
+transforms:
+  - name: enc
+    module: select
+    inputs: [nums]
+    parameters:
+      select:
+        - {name: i}
+        - {name: j}
+        - {name: ib, func: bytes_encode, field: i}
+        - {name: jb, func: bytes_encode, field: j}
+  - name: dec
+    module: select
+    inputs: [enc]
+    parameters:
+      select:
+        - {name: i}
+        - {name: j}
+        - {name: ib}
+        - {name: i2, func: bytes_decode, field: ib, type: int32}
+        - {name: j2, func: bytes_decode, field: jb, type: int32}
+""",
+    )
+    rows = outs["dec"].collect()
+    encs = {r["i"]: bytes(r["ib"]) for r in rows}
+    # int32 big-endian two's complement — distinct negatives stay distinct
+    assert encs[-123] == (-123).to_bytes(4, "big", signed=True)
+    assert encs[-124] == (-124).to_bytes(4, "big", signed=True)
+    assert encs[123] == (123).to_bytes(4, "big", signed=True)
+    for r in rows:
+        assert r["i2"] == r["i"] and r["j2"] == r["j"]
+
+
+def test_crypto_key_not_in_plan(spark):
+    """AES key must be a bound literal, not interpolated into the SQL expr
+    (it would leak via explain plans / Spark UI)."""
+    import base64
+
+    key = b"0123456789abcdef"
+    outs = run(
+        spark,
+        f"""
+sources:
+  - name: s
+    module: create
+    parameters:
+      elements:
+        - {{v: secret-value}}
+    schema:
+      fields:
+        - {{name: v, type: string, mode: required}}
+transforms:
+  - name: enc
+    module: crypto
+    inputs: [s]
+    parameters:
+      mode: encrypt
+      fields: [v]
+      key: {base64.b64encode(key).decode()}
+  - name: dec
+    module: crypto
+    inputs: [enc]
+    parameters:
+      mode: decrypt
+      fields: [v]
+      key: {base64.b64encode(key).decode()}
+""",
+    )
+    assert outs["dec"].collect()[0]["v"] == "secret-value"
+    plan = outs["enc"]._jdf.queryExecution().toString()
+    assert key.hex() not in plan.lower()

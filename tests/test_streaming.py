@@ -146,6 +146,7 @@ sources:
       endDatetime: "{end}"
       intervalSeconds: 3600
       checkpointFile: {ckpt}
+      useCheckpointAsStartDatetime: true
 """
     from pipeline_spark.config import parse_config
     from pipeline_spark.executor import run_pipeline
@@ -172,3 +173,51 @@ sources:
     )
     n2 = outs2["mb"].count()
     assert n2 == expected("2024-01-01 06:00:00", "2024-01-01 12:00:00") and n2 > 0
+
+
+def test_microbatch_checkpoint_not_advanced_on_sink_failure(spark, tmp_path):
+    """Checkpoint persists post-commit only: a failing sink must leave the
+    watermark untouched so the next run replays the interval
+    (reference: MicroBatch.java CheckpointSaveDoFn)."""
+    import json
+    import os
+
+    import pytest
+
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    ckpt = str(tmp_path / "ckpt.json")
+    # a FILE as the output's parent dir makes the sink action fail reliably
+    blocker = tmp_path / "blocker"
+    blocker.write_text("not a directory")
+    bad_out = str(blocker / "out.parquet")
+    cfg = f"""
+sources:
+  - name: mb
+    module: microbatch
+    parameters:
+      input: /root/testdata/sf0.001/events.parquet
+      table: ev
+      query: |
+        SELECT event_id, ts FROM ev
+        WHERE ts >= TIMESTAMP '__timestamp_from__' AND ts < TIMESTAMP '__timestamp_to__'
+      startDatetime: "2024-01-01T00:00:00"
+      endDatetime: "2024-01-01T02:00:00"
+      intervalSeconds: 3600
+      checkpointFile: {ckpt}
+sinks:
+  - name: bad
+    module: storage
+    inputs: [mb]
+    parameters:
+      output: {bad_out}
+      format: parquet
+"""
+    with pytest.raises(Exception):
+        run_pipeline(spark, parse_config(cfg))
+    assert not os.path.exists(ckpt), "sink failed but checkpoint was written"
+
+    ok_cfg = cfg.replace(bad_out, str(tmp_path / "out.parquet"))
+    run_pipeline(spark, parse_config(ok_cfg))
+    assert json.load(open(ckpt))["watermark"].startswith("2024-01-01T02:00:00")
