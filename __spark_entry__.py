@@ -923,7 +923,28 @@ QUALIFY rank <= 5
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup module, embedding-cosine near-dup pairs."""
+    """dedup module, embedding-cosine near-dup pairs (exact all-pairs,
+    the validation oracle; guarded by maxExactRows in the module)."""
+    return _pipeline(spark, sf_dir, ["embeddings"], """
+transforms:
+  - name: nd
+    module: dedup
+    inputs: [embeddings]
+    parameters:
+      method: embedding
+      strategy: exact
+      idField: vec_id
+      vectorField: embedding
+      threshold: 0.5
+""", "nd").withColumn("cosine", F.round("cosine", 6))
+
+
+def q_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup module, SRP-bucketed embedding near-dup — the 100 TB path
+    (no driver collect, no corpus broadcast).  Low bits / many tables so
+    recall reaches 1 on the test corpus even for a cos≈0.51 pair; at a
+    0.95-threshold production run, bits=8/tables=8 gives the same recall
+    with far smaller buckets."""
     return _pipeline(spark, sf_dir, ["embeddings"], """
 transforms:
   - name: nd
@@ -934,6 +955,8 @@ transforms:
       idField: vec_id
       vectorField: embedding
       threshold: 0.5
+      bits: 2
+      tables: 16
 """, "nd").withColumn("cosine", F.round("cosine", 6))
 
 
@@ -1209,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "similarity_bruteforce": q_similarity_bruteforce,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
         "multimodal_meta": q_multimodal_meta,
         "minhash_pairs": q_minhash_pairs,
         "simhash_signatures": q_simhash_signatures,
@@ -1248,6 +1272,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": Q_JACCARD_SQL,
         "similarity_bruteforce": Q_SIM_SQL,
         "embedding_neardup": Q_NEARDUP_SQL,
+        # the bucketed path is deterministic (seeded hyperplanes) and at
+        # full recall on this corpus — held to the same exact-pair oracle
+        "embedding_neardup_bucketed": Q_NEARDUP_SQL,
         "multimodal_meta": Q_MULTIMODAL_SQL,
         # minhash_pairs / simhash_signatures / lsh_topk / lang_id:
         # engine-specific hash signatures — rows-only check by design

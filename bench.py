@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "similarity_bruteforce",
     "lsh_topk",
     "embedding_neardup",
+    "embedding_neardup_bucketed",
     "multimodal_meta",
 ]
 

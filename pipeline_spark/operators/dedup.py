@@ -273,6 +273,7 @@ def ngram_jaccard_pairs(
     *,
     ngram: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact word n-gram Jaccard similarity for pairs sharing ≥1 n-gram.
 
@@ -280,6 +281,14 @@ def ngram_jaccard_pairs(
     counts → |A∩B| / (|A|+|B|-|A∩B|).  Exact (the oracle for LSH) but the
     join fans out quadratically inside hot n-grams — at 100 TB use
     minhash_lsh and keep this for validation samples.
+
+    ``max_doc_freq`` is the hot-gram guard: grams shared by more than that
+    many documents are dropped before the self-join (standard stop-gram
+    practice).  A gram in 1 % of a 100 TB corpus would otherwise fan out
+    to ~10¹⁴ join rows; a df-capped gram contributes ≤ max_doc_freq² and
+    carries ~zero Jaccard signal for near-dup pairs anyway.  Pair overlap
+    counts stay exact for the surviving grams; set ``None`` to disable
+    (true exactness on validation samples).
     """
     grams = F.array_distinct(word_shingles(tokens(F.col(text_field)), ngram))
     base = spread(df).select(F.col(id_field).alias("doc"), grams.alias("grams")).filter(
@@ -291,6 +300,20 @@ def ngram_jaccard_pairs(
     exploded = base.select(
         "doc", F.explode(F.transform("grams", lambda g: F.xxhash64(g))).alias("g")
     )
+    if max_doc_freq is not None:
+        # groupBy (NOT a window over g — that would funnel each hot gram
+        # through a single task, the very skew being guarded against):
+        # map-side partial counts absorb the skew, and the resulting hot
+        # set is small by construction (≤ total_gram_rows / max_doc_freq
+        # distinct grams), so it broadcast-anti-joins without a shuffle
+        # of the exploded side.
+        hot = (
+            exploded.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__df__"))
+            .filter(F.col("__df__") > max_doc_freq)
+            .select("g")
+        )
+        exploded = exploded.join(F.broadcast(hot), "g", "left_anti")
 
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -317,6 +340,80 @@ def ngram_jaccard_pairs(
     return out
 
 
+def embedding_neardup_pairs_bucketed(
+    df: DataFrame,
+    vec_field: str,
+    id_field: str,
+    *,
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the 100 TB path.
+
+    SRP-bucket first, all-pairs matmul only WITHIN buckets: each vector is
+    hashed to ``tables`` independent sign-random-projection signatures
+    (one vectorized matmul pass, map-only), exploded to (table, sig) rows,
+    and grouped — the only shuffle, on a small int key pair.  Candidate
+    work is Σ bucket² ≈ N²·tables/2^bits instead of N², with no driver
+    materialization and no broadcast of the corpus.  Near-identical
+    vectors (cos ≥ t) agree on each hyperplane with prob 1-θ/π, so
+    ``tables`` independent tables push recall → 1 (deterministic given
+    ``seed``).  Within a bucket the cosine matrix is computed in blocked
+    BLAS, rows sorted by id so emitted pairs satisfy doc_a < doc_b.
+    """
+    import pyspark.sql.types as T
+
+    from pipeline_spark.operators.similarity import srp_signatures_udf
+
+    sig_udf = srp_signatures_udf(None, bits, tables, seed)
+    base = spread(df).select(
+        F.col(id_field).alias("id"),
+        F.col(vec_field).alias("v"),
+        F.posexplode(sig_udf(F.col(vec_field))).alias("table", "sig"),
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_a", T.LongType()),
+            T.StructField("doc_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []}).astype(
+                {"doc_a": np.int64, "doc_b": np.int64, "cosine": np.float64}
+            )
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        outs = []
+        # blocked matmul bounds peak memory to block×bucket doubles even
+        # in a skewed bucket
+        block = 2048
+        for s in range(0, len(ids), block):
+            e = min(s + block, len(ids))
+            cos = (mat[s:e] @ mat.T) / (norms[s:e, None] * norms[None, :])
+            keep = (cos >= threshold) & (ids[s:e, None] < ids[None, :])
+            ai, bi = np.nonzero(keep)
+            outs.append(
+                pd.DataFrame(
+                    {"doc_a": ids[s + ai], "doc_b": ids[bi], "cosine": cos[ai, bi]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        base.groupBy("table", "sig")
+        .applyInPandas(bucket_pairs, schema=schema)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_field: str,
@@ -325,11 +422,11 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     bands: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs above threshold.
+    """Embedding-cosine near-dup pairs above threshold — exact all-pairs.
 
-    Scale path: LSH-bucket by sign-random-projection first (see
-    similarity.py); this entry point is the exact all-pairs variant used at
-    validation scale.
+    Validation-scale oracle for ``embedding_neardup_pairs_bucketed`` (the
+    default scale path): broadcasts the whole corpus, so it is gated by the
+    dedup module behind ``maxExactRows`` and refuses to run beyond it.
     """
     import pyspark.sql.types as T
 
@@ -410,6 +507,7 @@ def dedup_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             return {"": with_sig}
         return {"": exact_dedup(with_sig, ["simhash"], id_field).drop("simhash")}
     if method in ("ngram_jaccard", "jaccard"):
+        mdf = p.get("maxDocFreq", 1000)
         return {
             "": ngram_jaccard_pairs(
                 df,
@@ -417,15 +515,35 @@ def dedup_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                 id_field,
                 ngram=int(p.get("ngram", 3)),
                 threshold=float(p.get("threshold", 0.5)),
+                max_doc_freq=None if mdf in (None, "none", 0) else int(mdf),
             )
         }
     if method in ("embedding", "cosine"):
+        vec_field = p.get("vectorField", "embedding")
+        thr = float(p.get("threshold", 0.95))
+        strategy = str(p.get("strategy", "bucketed")).lower()
+        if strategy == "exact":
+            # the exact path broadcasts the corpus to every executor —
+            # guard it with a bounded probe so a config typo can't pull
+            # 100 TB through the driver (limit-probe stops scanning early)
+            max_rows = int(p.get("maxExactRows", 1_000_000))
+            if df.limit(max_rows + 1).count() > max_rows:
+                raise ValueError(
+                    f"dedup embedding strategy=exact exceeds maxExactRows="
+                    f"{max_rows}; use the default bucketed strategy at scale"
+                )
+            return {
+                "": embedding_neardup_pairs(df, vec_field, id_field, threshold=thr)
+            }
         return {
-            "": embedding_neardup_pairs(
+            "": embedding_neardup_pairs_bucketed(
                 df,
-                p.get("vectorField", "embedding"),
+                vec_field,
                 id_field,
-                threshold=float(p.get("threshold", 0.95)),
+                threshold=thr,
+                bits=int(p.get("bits", 8)),
+                tables=int(p.get("tables", 8)),
+                seed=int(p.get("seed", 42)),
             )
         }
     raise ValueError(f"dedup: unknown method '{method}'")

@@ -46,6 +46,13 @@ def apply_limit(
             ]
         else:
             order = [F.monotonically_increasing_id().asc()]
+        if not keys:
+            # a keyless Window.partitionBy() funnels the WHOLE dataset
+            # through one WindowExec partition — global top-k must go
+            # through orderBy().limit(), which Spark executes as
+            # TakeOrderedAndProject (per-partition top-k, tiny merge on
+            # the driver side of the shuffle)
+            return out.orderBy(*order).limit(int(count))
         w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
         out = (
             out.withColumn(_ROWNUM, F.row_number().over(w))

@@ -95,18 +95,33 @@ def brute_force_topk(
     )
 
 
-def srp_signatures_udf(dim: int, bits: int, tables: int, seed: int):
+def srp_signatures_udf(dim: int | None, bits: int, tables: int, seed: int):
     """All hash-table signatures in one vectorized pass: sign bits of
     V @ P.T packed per table.  One Arrow batch → one matmul — the
     per-table Column-HOF version interprets bits×tables lambda folds per
-    row and was measured ~10× slower."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((tables * bits, dim))
+    row and was measured ~10× slower.
+
+    ``dim=None`` infers the dimension from the first Arrow batch; planes
+    are regenerated deterministically from ``seed`` on every executor, so
+    signatures agree across partitions and runs."""
     weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+    plane_cache: dict[int, np.ndarray] = {}
+
+    def planes_for(d: int) -> np.ndarray:
+        if d not in plane_cache:
+            rng = np.random.default_rng(seed)
+            plane_cache[d] = rng.standard_normal((tables * bits, d))
+        return plane_cache[d]
+
+    if dim is not None:
+        planes_for(dim)
 
     @F.pandas_udf("array<long>")
     def sigs(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
         mat = np.array(list(vecs), dtype=np.float64)
+        planes = planes_for(mat.shape[1])
         proj = mat @ planes.T > 0  # n × (tables*bits)
         per_table = proj.reshape(len(mat), tables, bits).astype(np.uint64)
         packed = (per_table * weights[None, None, :]).sum(axis=2).view(np.int64)

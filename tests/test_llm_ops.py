@@ -167,3 +167,81 @@ def test_http_transform_dead_letter(spark):
     assert outs[""].count() == 0
     fails = outs["failures"].collect()
     assert len(fails) == 2 and all(r["__error__"] for r in fails)
+
+
+def test_embedding_neardup_bucketed_matches_exact(spark):
+    """The SRP-bucketed scale path must find the same pairs as the exact
+    all-pairs oracle on a corpus with planted near-dups (no driver collect,
+    no corpus broadcast)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16))
+    vecs = list(base)
+    # planted near-dups: tiny perturbations of rows 0..4
+    for i in range(5):
+        vecs.append(base[i] + rng.standard_normal(16) * 0.01)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows)
+
+    exact = dedup_transform(
+        ctx(spark, {"method": "embedding", "strategy": "exact", "idField": "vec_id",
+                    "vectorField": "embedding", "threshold": 0.95}, [df])
+    )[""]
+    bucketed = dedup_transform(
+        ctx(spark, {"method": "embedding", "idField": "vec_id",
+                    "vectorField": "embedding", "threshold": 0.95,
+                    "bits": 4, "tables": 8}, [df])
+    )[""]
+    e = {(r["doc_a"], r["doc_b"]) for r in exact.collect()}
+    b = {(r["doc_a"], r["doc_b"]) for r in bucketed.collect()}
+    assert e == {(i, 40 + i) for i in range(5)}
+    assert b == e
+
+
+def test_embedding_exact_guard_refuses_large_input(spark):
+    rows = [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(30)]
+    df = spark.createDataFrame(rows)
+    with pytest.raises(ValueError, match="maxExactRows"):
+        dedup_transform(
+            ctx(spark, {"method": "embedding", "strategy": "exact",
+                        "maxExactRows": 10, "idField": "vec_id",
+                        "vectorField": "embedding"}, [df])
+        )
+
+
+def test_ngram_jaccard_hot_gram_guard(spark):
+    """Grams above the document-frequency cap are dropped before the
+    self-join; pairs only linked by hot grams disappear, pairs with
+    rarer shared grams keep exact Jaccard over surviving grams."""
+    common = "alpha beta gamma"  # one shared trigram across ALL docs
+    rows = [Row(doc_id=i, text=f"{common} unique{i} filler{i} tail{i}") for i in range(6)]
+    rows += [
+        Row(doc_id=100, text="rare shared trigram one two three"),
+        Row(doc_id=101, text="rare shared trigram four five six"),
+    ]
+    df = spark.createDataFrame(rows)
+    params = {"method": "ngram_jaccard", "idField": "doc_id", "field": "text",
+              "ngram": 3, "threshold": 0.05}
+    uncapped = dedup_transform(ctx(spark, {**params, "maxDocFreq": None}, [df]))[""]
+    capped = dedup_transform(ctx(spark, {**params, "maxDocFreq": 3}, [df]))[""]
+    u = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    c = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # the 6 'common' docs pair up only via the hot trigram → gone when capped
+    assert any(a < 6 and b < 6 for a, b in u)
+    assert not any(a < 6 and b < 6 for a, b in c)
+    # the rare-gram pair survives with its exact score
+    assert (100, 101) in c
+
+
+def test_keyless_limit_is_take_ordered(spark):
+    """Global (keyless) top-k must compile to TakeOrderedAndProject, not a
+    single-partition WindowExec funneling the whole dataset."""
+    from pipeline_spark.operators.limit import apply_limit
+
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 3 % 7)
+    out = apply_limit(df, {"count": 5, "orderFields": ["v"]}, [], None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert out.count() == 5
