@@ -1118,10 +1118,14 @@ FROM orders
 """
 
 
-# ---- rows-only (no SQL equivalent: engine-specific hash signatures) ----
-
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup module, MinHash-LSH candidate pairs (xxhash64 signatures)."""
+    """dedup module, MinHash-LSH candidates + exact-Jaccard verification.
+
+    The banding stage is the approximate candidate generator (recall ≈ 1
+    for pairs at j ≥ threshold: miss prob (1-j^4)^16 < 1e-7 at j=0.9);
+    the exact verify makes the OUTPUT the exact pair set, so the DuckDB
+    oracle recomputes it from scratch — a full end-to-end check of the
+    signature/banding path (a broken signature drops candidates → red)."""
     return _pipeline(spark, sf_dir, ["documents"], """
 transforms:
   - name: mh
@@ -1133,13 +1137,16 @@ transforms:
       field: text
       numHashes: 64
       bands: 16
-      threshold: 0.4
+      threshold: 0.2
+      exactVerify: true
       outputPairs: true
-""", "mh")
+""", "mh").withColumn("jaccard", F.round("jaccard", 6))
 
 
-def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup module, SimHash 64-bit signatures."""
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup module, SimHash pigeonhole candidates (hamming ≤ 6) + exact
+    verification — same oracle-equality contract as minhash_pairs; checks
+    the simhash signature + multi-index block join end-to-end."""
     return _pipeline(spark, sf_dir, ["documents"], """
 transforms:
   - name: sh
@@ -1149,12 +1156,25 @@ transforms:
       method: simhash
       idField: doc_id
       field: text
-      outputSignatures: true
-""", "sh").select("doc_id", "simhash")
+      outputPairs: true
+      maxHamming: 6
+      exactVerify: true
+      ngram: 3
+      threshold: 0.2
+""", "sh").withColumn("jaccard", F.round("jaccard", 6))
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """similarity module, SRP-LSH approximate top-k."""
+    """similarity module, SRP-LSH approximate top-k.
+
+    Held to the exact brute-force oracle.  This corpus is random vectors
+    (the only close neighbor is the query itself, rank-2+ sit at
+    cos≈0.26), so recall-1 needs low bits / many tables: per-neighbor
+    miss prob (1-0.58²)⁶⁴ ≈ 3e-12, and the seeded hyperplanes make the
+    result deterministic.  On a real corpus where neighbors are actually
+    near (cos ≥ 0.8), bits=8-16 gives the same recall with candidate
+    counts ≈ N·Q/2^bits — the knob trades scan fraction for how far down
+    the similarity range recall must hold."""
     src_yaml = """
 transforms:
   - name: queries
@@ -1172,13 +1192,15 @@ transforms:
     parameters:
       method: lsh
       k: 5
-      bits: 8
-      tables: 4
+      bits: 2
+      tables: 64
       dim: 64
       vectorField: embedding
       idField: vec_id
 """
-    return _pipeline(spark, sf_dir, ["embeddings"], src_yaml, "knn")
+    return _pipeline(spark, sf_dir, ["embeddings"], src_yaml, "knn").select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1192,6 +1214,36 @@ transforms:
       field: text
       ops: [lang_id]
 """, "st").select("doc_id", "lang_pred")
+
+
+def _lang_id_oracle_sql() -> str:
+    """DuckDB replica of textstats.lang_id: per-language stopword-overlap
+    score, strict-> argmax so the FIRST language reaching the max wins
+    ties, 'und' when every score is zero."""
+    from pipeline_spark.operators.textstats import LANG_STOPWORDS
+
+    score_cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(t, x -> list_contains([{wl}], x))) * 1.0"
+            f" / greatest(len(t), 1) AS s_{lang}"
+        )
+    langs = list(LANG_STOPWORDS)
+    g = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + g + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {g} THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), scores AS (
+  SELECT doc_id, {', '.join(score_cols)} FROM toks
+)
+SELECT doc_id, {case} AS lang_pred FROM scores
+"""
 
 
 # ---------------------------------------------------------------- contract
@@ -1235,7 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
         "multimodal_meta": q_multimodal_meta,
         "minhash_pairs": q_minhash_pairs,
-        "simhash_signatures": q_simhash_signatures,
+        "simhash_neardup": q_simhash_neardup,
         "lsh_topk": q_lsh_topk,
         "lang_id": q_lang_id,
     }
@@ -1276,6 +1328,12 @@ def oracle_sql() -> dict[str, str]:
         # full recall on this corpus — held to the same exact-pair oracle
         "embedding_neardup_bucketed": Q_NEARDUP_SQL,
         "multimodal_meta": Q_MULTIMODAL_SQL,
-        # minhash_pairs / simhash_signatures / lsh_topk / lang_id:
-        # engine-specific hash signatures — rows-only check by design
+        # LSH candidate generators + exact verify: output IS the exact
+        # near-dup pair set, so all three share the from-scratch oracle
+        "minhash_pairs": Q_JACCARD_SQL,
+        "simhash_neardup": Q_JACCARD_SQL,
+        # seeded SRP-LSH at these params reaches recall 1 on this corpus →
+        # held to the same exact brute-force top-k oracle
+        "lsh_topk": Q_SIM_SQL,
+        "lang_id": _lang_id_oracle_sql(),
     }

@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "textstats",
     "minhash_pairs",
-    "simhash_signatures",
+    "simhash_neardup",
     "similarity_bruteforce",
     "lsh_topk",
     "embedding_neardup",

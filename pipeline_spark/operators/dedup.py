@@ -266,6 +266,118 @@ def minhash_lsh_pairs(
 
 
 
+def exact_jaccard_on_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_field: str,
+    id_field: str,
+    *,
+    ngram: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact n-gram Jaccard for an already-small candidate pair set.
+
+    The LSH stages (minhash banding / simhash pigeonhole) bound the
+    candidate count by true-duplicate density, so joining the full gram
+    arrays back is proportional to duplicates, not corpus size.  This
+    turns an approximate candidate generator into an exact near-dup
+    detector whose output is SQL-reproducible (the correctness oracle
+    recomputes the same pair set from scratch).
+    """
+    grams = F.array_distinct(word_shingles(tokens(F.col(text_field)), ngram))
+    g = df.select(F.col(id_field).alias("doc"), grams.alias("grams"))
+    ga = g.select(F.col("doc").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = g.select(F.col("doc").alias("doc_b"), F.col("grams").alias("gb"))
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ga", "gb")).cast("double")
+            / F.size(F.array_union("ga", "gb")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_field: str,
+    id_field: str,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash hamming distance ≤ max_hamming.
+
+    Multi-index pigeonhole (the standard simhash search trick): split the
+    64-bit signature into ``max_hamming+1`` blocks — any pair within
+    hamming K must agree EXACTLY on at least one block — bucket-join on
+    (block, value) ints, then filter bucket-local candidates by true
+    hamming (``bit_count(a^b)``).  Signature pass is map-only; the only
+    shuffle carries (doc, block, value) ints; candidate count scales with
+    near-dup density (plus 2^-w random block collisions), never N².
+    """
+    sig_udf = simhash_signature_udf()
+    with_sig = spread(df).select(
+        F.col(id_field).alias("doc"), sig_udf(F.col(text_field)).alias("sig")
+    ).persist()
+
+    nblocks = min(max_hamming + 1, 16)
+    base_w, extra = divmod(64, nblocks)
+    blocks, shift = [], 0
+    for i in range(nblocks):
+        w = base_w + (1 if i < extra else 0)
+        mask = (1 << w) - 1
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.expr(f"shiftrightunsigned(sig, {shift})").bitwiseAND(
+                    F.lit(mask)
+                ).alias("val"),
+            )
+        )
+        shift += w
+
+    banded = with_sig.select(
+        "doc", F.explode(F.array(*blocks)).alias("b")
+    ).select("doc", "b.blk", "b.val")
+    buckets = (
+        banded.groupBy("blk", "val")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + F.lit(2), F.size("ds")),
+                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = with_sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = with_sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_field: str,
@@ -486,21 +598,49 @@ def dedup_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         fields = p.get("fields") or [text_field]
         return {"": exact_dedup(df, fields, id_field)}
     if method in ("minhash", "minhash_lsh"):
-        pairs = minhash_lsh_pairs(
-            df,
-            text_field,
-            id_field,
-            shingle_size=int(p.get("shingleSize", 3)),
-            num_hashes=int(p.get("numHashes", 64)),
-            bands=int(p.get("bands", 16)),
-            threshold=float(p.get("threshold", 0.5)),
-        )
+        shingle = int(p.get("shingleSize", 3))
+        thr = float(p.get("threshold", 0.5))
+        if p.get("exactVerify", False):
+            # LSH as candidate generator only; exact Jaccard on the (small)
+            # candidate set decides — output is exact, SQL-reproducible
+            cand = minhash_lsh_pairs(
+                df, text_field, id_field,
+                shingle_size=shingle,
+                num_hashes=int(p.get("numHashes", 64)),
+                bands=int(p.get("bands", 16)),
+                threshold=0.0,
+            )
+            pairs = exact_jaccard_on_pairs(
+                cand, df, text_field, id_field, ngram=shingle, threshold=thr
+            )
+        else:
+            pairs = minhash_lsh_pairs(
+                df, text_field, id_field,
+                shingle_size=shingle,
+                num_hashes=int(p.get("numHashes", 64)),
+                bands=int(p.get("bands", 16)),
+                threshold=thr,
+            )
         if p.get("outputPairs", False):
             return {"": pairs}
         # drop the larger id of each near-dup pair
         dupes = pairs.select(F.col("doc_b").alias(id_field)).distinct()
         return {"": df.join(dupes, id_field, "left_anti")}
     if method == "simhash":
+        if p.get("outputPairs", False):
+            cand = simhash_candidate_pairs(
+                df, text_field, id_field,
+                max_hamming=int(p.get("maxHamming", 3)),
+            )
+            if p.get("exactVerify", False):
+                return {
+                    "": exact_jaccard_on_pairs(
+                        cand, df, text_field, id_field,
+                        ngram=int(p.get("ngram", 3)),
+                        threshold=float(p.get("threshold", 0.5)),
+                    )
+                }
+            return {"": cand}
         sig_udf = simhash_signature_udf()
         with_sig = spread(df).withColumn("simhash", sig_udf(F.col(text_field)))
         if p.get("outputSignatures", False):
