@@ -62,25 +62,235 @@ def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
     return {"": ctx.input}
 
 
-def _client_sink(name: str, sdk_module: str):
+def _write_with_client(
+    df: DataFrame,
+    *,
+    factory_path: str,
+    params: dict,
+    target: str,
+    op_field: str,
+    default_op: str,
+    batch_size: int,
+) -> None:
+    """Executor-side mutation writes: every partition builds its own
+    client from the dotted factory path and streams mutation batches —
+    no driver materialization, parallelism = partition count (the
+    reference's per-bundle client in SpannerSink.java WriteMutationDoFn).
+
+    Mutation shape (SURVEY §2.10 UnifiedMutation): ``{"op", "table",
+    "row"}`` with op from the ``__op__`` column (falls back to
+    ``default_op``); the op column is stripped from the written row.
+    """
+
+    def write_partition(rows) -> None:
+        from pipeline_spark.operators.ml import resolve_factory
+
+        client = resolve_factory(factory_path)(params)
+        buf: list[dict] = []
+        for row in rows:
+            d = row.asDict(recursive=True)
+            op = d.pop(op_field, None) or default_op
+            buf.append({"op": str(op).upper(), "table": target, "row": d})
+            if len(buf) >= batch_size:
+                client.write(buf)
+                buf = []
+        if buf:
+            client.write(buf)
+
+    if df.isStreaming:
+        (
+            df.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _bid: bdf.foreachPartition(write_partition))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    else:
+        df.foreachPartition(write_partition)
+
+
+def _client_sink(name: str, default_factory: str, target_keys: tuple[str, ...]):
     @module(name, kind=KIND_SINK)
     def sink(ctx: ModuleContext) -> dict[str, DataFrame]:
-        try:
-            __import__(sdk_module)
-        except ImportError:
-            raise RuntimeError(
-                f"{name} sink requires the '{sdk_module}' SDK (not installed in "
-                f"this environment); the module's config surface matches the "
-                f"reference — install the SDK to activate foreachBatch writes"
-            ) from None
-        raise NotImplementedError(f"{name} foreachBatch writer: SDK present but wiring TBD")
+        p = ctx.params
+        target = next((p[k] for k in target_keys if p.get(k)), None)
+        if target is None:
+            raise ValueError(f"{name} sink requires one of {target_keys}")
+        _write_with_client(
+            ctx.input,
+            factory_path=p.get("clientFactory", default_factory),
+            params=dict(p),
+            target=str(target),
+            op_field=p.get("mutationOpField", "__op__"),
+            default_op=str(p.get("mutationOp", "UPSERT")).upper(),
+            batch_size=int(p.get("batchSize", 500)),
+        )
+        return {"": ctx.input}
 
     sink.__name__ = f"{name}_sink"
     return sink
 
 
-spanner_sink = _client_sink("spanner", "google.cloud.spanner")
-firestore_sink = _client_sink("firestore", "google.cloud.firestore")
-datastore_sink = _client_sink("datastore", "google.cloud.datastore")
-bigtable_sink = _client_sink("bigtable", "google.cloud.bigtable")
-pubsub_sink = _client_sink("pubsub", "google.cloud.pubsub_v1")
+# target_keys mirror each reference sink's addressing parameter
+# (SpannerSink: table; FirestoreSink: collection; DatastoreSink: kind;
+# BigtableSink: tableId; PubSubSink: topic)
+spanner_sink = _client_sink(
+    "spanner", "pipeline_spark.sinks.connectors:default_spanner_client", ("table",)
+)
+firestore_sink = _client_sink(
+    "firestore",
+    "pipeline_spark.sinks.connectors:default_firestore_client",
+    ("collection", "table"),
+)
+datastore_sink = _client_sink(
+    "datastore",
+    "pipeline_spark.sinks.connectors:default_datastore_client",
+    ("kind", "table"),
+)
+bigtable_sink = _client_sink(
+    "bigtable",
+    "pipeline_spark.sinks.connectors:default_bigtable_write_client",
+    ("tableId", "table"),
+)
+pubsub_sink = _client_sink(
+    "pubsub", "pipeline_spark.sinks.connectors:default_pubsub_client", ("topic",)
+)
+
+
+def _sdk_gate(sdk_module: str, name: str):
+    try:
+        return __import__(sdk_module, fromlist=["_"])
+    except ImportError:
+        raise RuntimeError(
+            f"{name} sink requires the '{sdk_module}' SDK (not installed in "
+            f"this environment); pass clientFactory to inject another client"
+        ) from None
+
+
+def default_spanner_client(params: dict):
+    """Mutation batches via the Spanner SDK (SpannerSink.java:32-1066):
+    op→mutation kind, key columns from the table's primary key."""
+    spanner = _sdk_gate("google.cloud.spanner", "spanner")
+    db = (
+        spanner.Client(project=params.get("projectId"))
+        .instance(params["instanceId"])
+        .database(params["databaseId"])
+    )
+
+    class _Client:
+        def write(self, mutations):
+            with db.batch() as batch:
+                for m in mutations:
+                    cols = list(m["row"])
+                    vals = [m["row"][c] for c in cols]
+                    op = m["op"]
+                    if op == "INSERT":
+                        batch.insert(m["table"], columns=cols, values=[vals])
+                    elif op == "UPDATE":
+                        batch.update(m["table"], columns=cols, values=[vals])
+                    elif op == "REPLACE":
+                        batch.replace(m["table"], columns=cols, values=[vals])
+                    elif op == "DELETE":
+                        keys = params.get("keyFields") or cols[:1]
+                        batch.delete(
+                            m["table"],
+                            spanner.KeySet(keys=[[m["row"][k] for k in keys]]),
+                        )
+                    else:  # UPSERT
+                        batch.insert_or_update(m["table"], columns=cols, values=[vals])
+
+    return _Client()
+
+
+def default_firestore_client(params: dict):
+    firestore = _sdk_gate("google.cloud.firestore", "firestore")
+    client = firestore.Client(project=params.get("projectId"))
+    key_field = params.get("keyField", "id")
+
+    class _Client:
+        def write(self, mutations):
+            batch = client.batch()
+            for m in mutations:
+                doc_id = str(m["row"].get(key_field))
+                ref = client.collection(m["table"]).document(doc_id)
+                if m["op"] == "DELETE":
+                    batch.delete(ref)
+                else:
+                    batch.set(ref, m["row"], merge=(m["op"] in ("UPDATE", "UPSERT")))
+            batch.commit()
+
+    return _Client()
+
+
+def default_datastore_client(params: dict):
+    datastore = _sdk_gate("google.cloud.datastore", "datastore")
+    client = datastore.Client(project=params.get("projectId"))
+    key_field = params.get("keyField", "id")
+
+    class _Client:
+        def write(self, mutations):
+            puts, deletes = [], []
+            for m in mutations:
+                key = client.key(m["table"], m["row"].get(key_field))
+                if m["op"] == "DELETE":
+                    deletes.append(key)
+                else:
+                    entity = datastore.Entity(key=key)
+                    entity.update(m["row"])
+                    puts.append(entity)
+            if puts:
+                client.put_multi(puts)
+            if deletes:
+                client.delete_multi(deletes)
+
+    return _Client()
+
+
+def default_bigtable_write_client(params: dict):
+    bigtable = _sdk_gate("google.cloud.bigtable", "bigtable")
+    table = (
+        bigtable.Client(project=params.get("projectId"), admin=False)
+        .instance(params["instanceId"])
+        .table(params.get("tableId") or params.get("table"))
+    )
+    key_field = params.get("keyField", "key")
+    family = params.get("columnFamily", "cf")
+
+    class _Client:
+        def write(self, mutations):
+            rows = []
+            for m in mutations:
+                row_key = str(m["row"].get(key_field)).encode()
+                drow = table.direct_row(row_key)
+                if m["op"] == "DELETE":
+                    drow.delete()
+                else:
+                    for col, val in m["row"].items():
+                        if col == key_field:
+                            continue
+                        drow.set_cell(family, col.encode(), str(val).encode())
+                rows.append(drow)
+            table.mutate_rows(rows)
+
+    return _Client()
+
+
+def default_pubsub_client(params: dict):
+    pubsub_v1 = _sdk_gate("google.cloud.pubsub_v1", "pubsub")
+    publisher = pubsub_v1.PublisherClient()
+    topic = params["topic"]
+
+    class _Client:
+        def write(self, mutations):
+            import json
+
+            futures = [
+                publisher.publish(
+                    topic, json.dumps(m["row"], default=str).encode()
+                )
+                for m in mutations
+            ]
+            for f in futures:
+                f.result()
+
+    return _Client()

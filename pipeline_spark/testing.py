@@ -1,0 +1,106 @@
+"""Fake injectable clients for connector-backed modules.
+
+These document (and exercise) the client contracts that production
+factories implement with real SDKs:
+
+  vertexai.gemini  factory(params) -> obj with
+                   ``generate(model, request_json) -> {"text", "raw"}``
+  bigtable         factory(params) -> obj with
+                   ``read_rows(table_id, *, exact/prefix/start/end)
+                   -> [{"key", "cells": {family: {qualifier: bytes}}}]``
+  sink writers     factory(params) -> obj with ``write(mutations: list)``
+                   (see sinks/connectors.py for the per-sink row shape)
+
+They are deterministic, dependency-free, and importable from executor
+workers (tests pass them as ``pipeline_spark.testing:fake_...`` dotted
+paths through the same ``clientFactory`` mechanism production uses).
+"""
+
+from __future__ import annotations
+
+
+def fake_gemini_client(params: dict):
+    """Echo-style LLM fake: deterministic 'text' derived from the request;
+    raises for prompts containing 'FAIL' (dead-letter path testing)."""
+
+    class _Fake:
+        def generate(self, model: str, request_json: str) -> dict:
+            if "FAIL" in request_json:
+                raise RuntimeError("fake gemini refused request")
+            return {
+                "text": f"echo({model}): {request_json}",
+                "raw": {"model": model, "request": request_json},
+            }
+
+    return _Fake()
+
+
+def fake_bigtable_client(params: dict):
+    """In-memory Bigtable fake: key 'user#<n>' has profile cells; keys
+    containing 'BOOM' raise (dead-letter path testing)."""
+
+    class _Fake:
+        def read_rows(self, table_id, *, exact=None, prefix=None, start=None, end=None):
+            key = exact or prefix or start or ""
+            if "BOOM" in key:
+                raise RuntimeError("fake bigtable unavailable")
+            if not key.startswith("user#"):
+                return []
+            n = key.split("#", 1)[1]
+            if not n.isdigit():
+                return []
+            return [
+                {
+                    "key": key,
+                    "cells": {
+                        "profile": {
+                            "name": f"name-{n}".encode(),
+                            "score": int(n).to_bytes(8, "big", signed=True),
+                        }
+                    },
+                }
+            ]
+
+    return _Fake()
+
+
+def fake_writer_client(params: dict):
+    """Writer fake for connector sinks: spools every mutation batch as
+    JSON lines under ``params["spoolDir"]`` (one file per write call, so
+    it works from executor processes); rows whose serialized form
+    contains 'BOOM' raise, exercising the sink's failure path.
+
+    Read back with ``read_spool(spool_dir)``."""
+    import json
+    import os
+    import uuid
+
+    spool = params["spoolDir"]
+
+    class _Fake:
+        def write(self, mutations: list) -> None:
+            if any("BOOM" in str(m) for m in mutations):
+                raise RuntimeError("fake writer rejected batch")
+            if not mutations:
+                return
+            os.makedirs(spool, exist_ok=True)
+            path = os.path.join(spool, f"{uuid.uuid4().hex}.jsonl")
+            with open(path, "w") as f:
+                for m in mutations:
+                    f.write(json.dumps(m, default=str) + "\n")
+
+    return _Fake()
+
+
+def read_spool(spool_dir: str) -> list:
+    """Collect every mutation spooled by ``fake_writer_client``."""
+    import json
+    import os
+
+    out = []
+    if not os.path.isdir(spool_dir):
+        return out
+    for name in sorted(os.listdir(spool_dir)):
+        with open(os.path.join(spool_dir, name)) as f:
+            out.extend(json.loads(line) for line in f if line.strip())
+    return out

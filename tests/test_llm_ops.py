@@ -245,3 +245,108 @@ def test_keyless_limit_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert out.count() == 5
+
+
+def test_gemini_predict_with_fake_client(spark):
+    """vertexai.gemini predict mode: per-row templated request, response
+    struct on success, dead-letter on client error (fake SDK client via
+    clientFactory). Reference: GeminiTransform.java:25-305."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    outs = run_pipeline(spark, parse_config("""
+sources:
+  - name: prompts
+    module: create
+    parameters:
+      elements:
+        - {id: 1, prompt: "summarize spark"}
+        - {id: 2, prompt: "please FAIL loudly"}
+    schema:
+      fields:
+        - {name: id, type: int64, mode: required}
+        - {name: prompt, type: string, mode: required}
+transforms:
+  - name: llm
+    module: vertexai.gemini
+    inputs: [prompts]
+    failFast: false
+    parameters:
+      mode: predict
+      clientFactory: "pipeline_spark.testing:fake_gemini_client"
+      model: {model: gemini-test}
+      request: '{"contents": [{"parts": [{"text": "${prompt}"}]}]}'
+"""))
+    ok = outs["llm"].collect()
+    assert len(ok) == 1 and ok[0]["id"] == 1
+    assert "summarize spark" in ok[0]["response"]["text"]
+    assert "gemini-test" in ok[0]["response"]["text"]
+    fails = outs["llm.failures"].collect()
+    assert len(fails) == 1 and fails[0]["id"] == 2
+    assert "refused" in fails[0]["__error__"]
+
+
+def test_gemini_batch_json_mode(spark):
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    outs = run_pipeline(spark, parse_config("""
+sources:
+  - name: prompts
+    module: create
+    parameters:
+      elements:
+        - {id: 1, prompt: hello}
+    schema:
+      fields:
+        - {name: id, type: int64, mode: required}
+        - {name: prompt, type: string, mode: required}
+transforms:
+  - name: fmt
+    module: vertexai.gemini
+    inputs: [prompts]
+    parameters:
+      mode: batch_json
+      request: '{"contents": [{"parts": [{"text": "${prompt}"}]}]}'
+"""))
+    row = outs["fmt"].collect()[0]
+    assert '"text": "hello"' in row["request"]
+
+
+def test_bigtable_transform_with_fake_client(spark):
+    """bigtable enrichment read: templated exact key per row, typed cell
+    decode, dead-letter on read error. Reference: BigtableTransform.java."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    outs = run_pipeline(spark, parse_config("""
+sources:
+  - name: users
+    module: create
+    parameters:
+      elements:
+        - {uid: "7"}
+        - {uid: "12"}
+        - {uid: "BOOM"}
+    schema:
+      fields:
+        - {name: uid, type: string, mode: required}
+transforms:
+  - name: enrich
+    module: bigtable
+    inputs: [users]
+    failFast: false
+    parameters:
+      tableId: profiles
+      clientFactory: "pipeline_spark.testing:fake_bigtable_client"
+      keyRange: {exact: "user#${uid}"}
+      columns:
+        - family: profile
+          qualifiers:
+            - {name: name, type: string}
+            - {name: score, type: int64}
+"""))
+    ok = {r["uid"]: (r["name"], r["score"]) for r in outs["enrich"].collect()}
+    assert ok == {"7": ("name-7", 7), "12": ("name-12", 12)}
+    fails = outs["enrich.failures"].collect()
+    assert len(fails) == 1 and fails[0]["uid"] == "BOOM"
