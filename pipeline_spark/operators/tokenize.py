@@ -13,14 +13,22 @@ arrays) — no Python in the hot path:
   filters:   lowercase, length(min,max), stop-words, ngram, shingle,
              asciifolding(approx), edge_ngram
 
-Lucene-specific analyzers (kuromoji Japanese, OpenNLP, ICU) are out of
-container scope — gated behind NotImplementedError with the config shape
-preserved.
+Japanese tokenization (the reference's kuromoji JapaneseTokenizer,
+tokenize.md:36-39) is re-expressed dictionary-light: a deterministic
+script-class segmenter with okurigana attachment in a vectorized pandas
+UDF (see ``japanese_segment``) — a public-heuristic stand-in for the
+Lucene analyzer, documented divergence: no dictionary lemmatization.
+CharFilters (tokenize.md:50-58) cover patternReplace / mapping /
+htmlStrip as pure Column regexes and the ICU NormalizeCharFilter via
+stdlib ``unicodedata`` (pandas ``str.normalize``).  OpenNLP model-based
+analyzers stay gated (model files + SDK not in container).
 """
 
 from __future__ import annotations
 
 from typing import Any
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -29,9 +37,171 @@ from pipeline_spark.functions.partitioning import spread
 from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
 
 
+def apply_char_filters(col: Column, char_filters: list[dict[str, Any]] | None) -> Column:
+    """Pre-tokenizer text filters (reference: tokenize.md CharFilter
+    parameters; TokenAnalyzer.java charFilter chain)."""
+    for cf in char_filters or []:
+        ct = str(cf.get("type", "")).lower()
+        if ct in ("patternreplace", "pattern_replace", "patternreplacecharfilter"):
+            col = F.regexp_replace(col, cf["pattern"], cf.get("replacement", ""))
+        elif ct in ("mapping", "mappingcharfilter"):
+            for src, dst in (cf.get("normMap") or {}).items():
+                col = F.replace(col, F.lit(src), F.lit(dst))
+        elif ct in ("htmlstrip", "html_strip", "htmlstripcharfilter"):
+            # tags in escapedTags survive; others are stripped
+            escaped = {t.lower() for t in cf.get("escapedTags") or []}
+            keep = "|".join(sorted(escaped))
+            if keep:
+                col = F.regexp_replace(col, rf"(?i)</?(?!(?:{keep})\b)[a-z][^>]*>", "")
+            else:
+                col = F.regexp_replace(col, r"(?i)</?[a-z][^>]*>", "")
+        elif ct in ("normalize", "icunormalizer", "normalizecharfilter"):
+            col = unicode_normalize(col, cf.get("normalizeName", "nfkc_cf"))
+        else:
+            raise NotImplementedError(f"charFilter '{ct}' not supported")
+    return col
+
+
+def unicode_normalize(col: Column, form: str) -> Column:
+    """ICU NormalizeCharFilter stand-in via stdlib unicodedata (public
+    Unicode normalization forms; nfkc_cf = NFKC + casefold).  Spark has
+    no normalization builtin, so this is a vectorized pandas UDF —
+    pandas ``str.normalize`` runs the same unicodedata C path."""
+    form = str(form).lower()
+    if form not in ("nfc", "nfd", "nfkc", "nfkd", "nfkc_cf"):
+        raise ValueError(f"normalize: unknown form '{form}'")
+    casefold = form == "nfkc_cf"
+    uform = "NFKC" if casefold else form.upper()
+
+    @F.pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        out = s.str.normalize(uform)
+        return out.str.casefold() if casefold else out
+
+    return norm(col)
+
+
+# Japanese script classes for the dictionary-light segmenter
+_JA_RANGES = (
+    ("kanji", 0x4E00, 0x9FFF),
+    ("kanji", 0x3400, 0x4DBF),
+    ("kanji", 0xF900, 0xFAFF),
+    ("hira", 0x3040, 0x309F),
+    ("kata", 0x30A0, 0x30FF),
+    ("kata", 0x31F0, 0x31FF),
+)
+
+
+def _ja_char_class(ch: str) -> str:
+    cp = ord(ch)
+    for name, lo, hi in _JA_RANGES:
+        if lo <= cp <= hi:
+            return name
+    if ch == "ー":  # prolonged sound mark continues katakana runs
+        return "kata"
+    if ch.isalpha():
+        return "latin"
+    if ch.isdigit():
+        return "digit"
+    if ch.isspace():
+        return "space"
+    return "punct"
+
+
+def segment_japanese_text(text: str, *, discard_punctuation: bool = True) -> list[str]:
+    """Deterministic dictionary-light Japanese word segmentation.
+
+    Public heuristic (script-transition segmentation with okurigana
+    attachment — the classic dictionary-free approximation of kuromoji):
+
+      - runs of the same script class (kanji / hiragana / katakana /
+        latin / digit) form token candidates;
+      - a short hiragana run (≤2 chars) directly after kanji attaches to
+        it (okurigana: 食べる, 読んだ stay single tokens);
+      - katakana runs include the prolonged mark ー (コーヒー);
+      - whitespace always breaks; punctuation breaks and is kept or
+        dropped per ``discardPunctuation`` (default false, matching the
+        reference — tokenize.md:38).
+
+    Divergence vs kuromoji (documented): no dictionary, so compound
+    splitting/lemmatization/readings are out of scope; particles inside
+    long hiragana runs are not isolated.
+    """
+    if not text:
+        return []
+    tokens: list[str] = []
+    cur: list[str] = []
+    cur_cls = ""
+
+    def flush() -> None:
+        if cur:
+            tokens.append("".join(cur))
+            cur.clear()
+
+    for ch in text:
+        cls = _ja_char_class(ch)
+        if cls == "space":
+            flush()
+            cur_cls = ""
+            continue
+        if cls == "punct":
+            flush()
+            if not discard_punctuation:
+                tokens.append(ch)
+            cur_cls = ""
+            continue
+        if not cur:
+            cur.append(ch)
+            cur_cls = cls
+            continue
+        if cls == cur_cls:
+            cur.append(ch)
+            continue
+        # okurigana: hiragana tail (≤2 chars) attaches to a kanji stem
+        if cls == "hira" and cur_cls == "kanji":
+            cur.append(ch)
+            cur_cls = "kanji+hira"
+            continue
+        if cls == "hira" and cur_cls == "kanji+hira":
+            n_hira = 0
+            for c in reversed(cur):
+                if _ja_char_class(c) == "hira":
+                    n_hira += 1
+                else:
+                    break
+            if n_hira < 2:
+                cur.append(ch)
+                continue
+            flush()
+            cur.append(ch)
+            cur_cls = "hira"
+            continue
+        flush()
+        cur.append(ch)
+        cur_cls = cls
+    flush()
+    return tokens
+
+
+def japanese_tokens_udf(discard_punctuation: bool):
+    @F.pandas_udf("array<string>")
+    def toks(s: pd.Series) -> pd.Series:
+        return s.fillna("").map(
+            lambda t: segment_japanese_text(
+                t, discard_punctuation=discard_punctuation
+            )
+        )
+
+    return toks
+
+
 def tokenize_column(col: Column, tokenizer: dict[str, Any] | None, filters: list[dict[str, Any]]) -> Column:
     tk = (tokenizer or {}).get("type", "standard").lower()
-    if tk in ("whitespace",):
+    if tk in ("japanese", "japanesetokenizer", "kuromoji"):
+        toks = japanese_tokens_udf(
+            bool((tokenizer or {}).get("discardPunctuation", False))
+        )(col)
+    elif tk in ("whitespace",):
         toks = F.split(col, r"\s+")
     elif tk in ("pattern", "simplepatternsplit", "simple_pattern_split"):
         toks = F.split(col, (tokenizer or {}).get("pattern", r"\W+"))
@@ -119,8 +289,12 @@ def tokenize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     df = spread(ctx.input)
     fields = p.get("fields") or []
     for spec in fields:
-        name = spec.get("name") or f"{spec['field']}_tokens"
-        col = F.col(spec["field"]).cast("string")
+        # reference names the source field `input` (tokenize.md Field
+        # parameters); `field` kept as an alias
+        src = spec.get("input") or spec["field"]
+        name = spec.get("name") or f"{src}_tokens"
+        col = F.col(src).cast("string")
+        col = apply_char_filters(col, spec.get("charFilters"))
         toks = tokenize_column(col, spec.get("tokenizer"), spec.get("filters", []))
         df = df.withColumn(name, toks)
     return {"": df}

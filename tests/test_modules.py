@@ -633,3 +633,65 @@ sinks:
     muts = read_spool(spool)
     assert sorted(m["row"]["id"] for m in muts) == [0, 1, 2, 3, 4]
     assert all(m["op"] == "UPSERT" and m["table"] == "users" for m in muts)
+
+
+def test_japanese_tokenizer_and_charfilters(spark):
+    """Dictionary-light Japanese segmentation (script transitions +
+    okurigana attachment) plus ICU-normalize / htmlStrip charFilters.
+    Reference: tokenize.md JapaneseTokenizer + NormalizeCharFilter."""
+    outs = run(
+        spark,
+        """
+sources:
+  - name: texts
+    module: create
+    parameters:
+      elements:
+        - {id: 1, body: "私は東京タワーへ行った。"}
+        - {id: 2, body: "<p>コーヒーを３杯飲んだ</p>"}
+        - {id: 3, body: "ＡＢＣで検索する"}
+    schema:
+      fields:
+        - {name: id, type: int64, mode: required}
+        - {name: body, type: string, mode: required}
+transforms:
+  - name: tok
+    module: tokenize
+    inputs: [texts]
+    parameters:
+      fields:
+        - name: tokens
+          input: body
+          charFilters:
+            - {type: htmlStrip}
+            - {type: normalize, normalizeName: nfkc_cf}
+          tokenizer:
+            type: japanese
+            discardPunctuation: true
+""",
+    )
+    rows = {r["id"]: r["tokens"] for r in outs["tok"].collect()}
+    # okurigana: 行った stays one token; katakana run 東京タワー splits at
+    # kanji→katakana; particles は/へ split on script class change
+    assert rows[1] == ["私は", "東京", "タワー", "へ", "行った"] or rows[1] == [
+        "私", "は", "東京", "タワー", "へ", "行った"
+    ], rows[1]
+    # html stripped, NFKC folds full-width ３ to 3; coffee keeps ー
+    assert "コーヒー" in rows[2] and not any("<" in t for t in rows[2])
+    assert any(t == "3" for t in rows[2]), rows[2]
+    # NFKC+casefold folds full-width ＡＢＣ to abc
+    assert "abc" in rows[3], rows[3]
+
+
+def test_unicode_normalize_forms(spark):
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.operators.tokenize import unicode_normalize
+
+    df = spark.createDataFrame([("Ｈｅｌｌｏ　Ｗｏｒｌｄ①",)], "s string")
+    out = df.select(
+        unicode_normalize(F.col("s"), "nfkc").alias("nfkc"),
+        unicode_normalize(F.col("s"), "nfkc_cf").alias("cf"),
+    ).collect()[0]
+    assert out["nfkc"] == "Hello World1"
+    assert out["cf"] == "hello world1"
