@@ -20,6 +20,8 @@ from __future__ import annotations
 import json
 from typing import Any
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -315,28 +317,170 @@ def _compile_scrape(sf: dict[str, Any], df: DataFrame, bound: dict[str, Column])
     )
 
 
+_SIMPLE_FIELD_RE = r"\$\{([A-Za-z_][A-Za-z0-9_.]*)\}"
+
+
 def _compile_text(template: str, df: DataFrame, bound: dict[str, Column]) -> Column:
-    """FreeMarker-lite ``${field}`` templating → concat of casts.
+    """Row templating with a two-tier compile.
 
     The reference renders a full FreeMarker template per row
-    (select/Text.java:94-100); the overwhelmingly common usage is plain
-    ``${field}`` interpolation, which we compile to JVM-side concat.
+    (select/Text.java:94-100, util/TemplateUtil.java).  Tiering:
+
+      1. plain ``${field}`` interpolation (the overwhelmingly common
+         case) compiles to JVM-side ``concat`` — whole-stage codegen,
+         zero Python;
+      2. anything else — FreeMarker directives (``<#if>``, ``<#list>``),
+         builtins (``?string(fmt)``, ``?upper_case``, …) or richer
+         ``${expr}`` forms — is translated to Jinja2 (the engine's
+         public substitute for FreeMarker, SURVEY §2.11) and rendered
+         per row in an Arrow-batched pandas UDF.  FreeMarker syntax is
+         deliberate: it passes through the config loader's own Jinja
+         pass untouched, so reference configs run verbatim.  Raw Jinja
+         (``{{ }}``/``{% %}``) also works when escaped with
+         ``{% raw %}`` at the config level.
     """
     import re
 
-    parts: list[Column] = []
-    pos = 0
-    for m in re.finditer(r"\$\{([^}]+)\}", template):
-        if m.start() > pos:
-            parts.append(F.lit(template[pos : m.start()]))
-        expr = m.group(1).strip()
-        parts.append(_ref(expr, df, bound).cast("string"))
-        pos = m.end()
-    if pos < len(template):
-        parts.append(F.lit(template[pos:]))
-    if not parts:
-        return F.lit("")
-    return F.concat(*parts)
+    exprs = re.findall(r"\$\{([^}]+)\}", template)
+    only_simple = all(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", e.strip()) for e in exprs)
+    if (
+        only_simple
+        and "{{" not in template
+        and "{%" not in template
+        and "<#" not in template
+    ):
+        parts: list[Column] = []
+        pos = 0
+        for m in re.finditer(_SIMPLE_FIELD_RE, template):
+            if m.start() > pos:
+                parts.append(F.lit(template[pos : m.start()]))
+            parts.append(_ref(m.group(1).strip(), df, bound).cast("string"))
+            pos = m.end()
+        if pos < len(template):
+            parts.append(F.lit(template[pos:]))
+        if not parts:
+            return F.lit("")
+        return F.concat(*parts)
+    return _jinja_template_column(template, df)
+
+
+def _java_datefmt_to_strftime(fmt: str) -> str:
+    """Common SimpleDateFormat pattern letters → strftime (FreeMarker's
+    ?string(fmt) takes Java patterns)."""
+    out = fmt
+    for java, strf in (
+        ("yyyy", "%Y"), ("yy", "%y"), ("MM", "%m"), ("dd", "%d"),
+        ("HH", "%H"), ("mm", "%M"), ("ss", "%S"), ("SSS", "%f"),
+    ):
+        out = out.replace(java, strf)
+    return out
+
+
+def _fm_string_filter(value, fmt=None):
+    """FreeMarker ``?string`` / ``?string(fmt)``: dates format via the
+    translated Java pattern; numbers via str()."""
+    import datetime as dt
+
+    if fmt is not None and hasattr(value, "strftime"):
+        return value.strftime(_java_datefmt_to_strftime(str(fmt)))
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if fmt is not None and isinstance(value, (int, float)):
+        return format(value, str(fmt)) if "%" not in str(fmt) else str(fmt) % value
+    return str(value)
+
+
+_FM_FILTERS = {
+    "fm_string": _fm_string_filter,
+    "fm_upper_case": lambda v: str(v).upper(),
+    "fm_lower_case": lambda v: str(v).lower(),
+    "fm_cap_first": lambda v: str(v)[:1].upper() + str(v)[1:],
+    "fm_length": lambda v: len(v),
+    "fm_trim": lambda v: str(v).strip(),
+    "fm_c": lambda v: repr(v).lower() if isinstance(v, bool) else str(v),
+    "fm_has_content": lambda v: v is not None and len(str(v)) > 0,
+}
+
+
+def _fm_cond_to_jinja(cond: str) -> str:
+    """FreeMarker comparison/logic keywords → Jinja/Python operators."""
+    import re
+
+    s = cond
+    s = re.sub(r"\bgte\b", ">=", s)
+    s = re.sub(r"\blte\b", "<=", s)
+    s = re.sub(r"\bgt\b", ">", s)
+    s = re.sub(r"\blt\b", "<", s)
+    s = s.replace("&&", " and ").replace("||", " or ")
+    s = re.sub(r"!(?=[A-Za-z_(])", "not ", s)
+    return _fm_expr_to_jinja(s)
+
+
+def _fm_expr_to_jinja(expr: str) -> str:
+    """``a?builtin(args)`` chains → ``a | fm_builtin(args)`` filters."""
+    import re
+
+    def repl(m):
+        builtin, args = m.group(1), m.group(3)
+        return f" | fm_{builtin}({args})" if args is not None else f" | fm_{builtin}"
+
+    return re.sub(r"\?([a-z_]+)(\(([^()]*)\))?", repl, expr)
+
+
+def freemarker_to_jinja(template: str) -> str:
+    """Translate the supported FreeMarker subset to Jinja2 source:
+    ``<#if/<#elseif/<#else/</#if>``, ``<#list x as y>``, ``${expr}``
+    interpolations with ``?builtin`` chains."""
+    import re
+
+    s = template
+    s = re.sub(r"<#if\s+(.+?)>", lambda m: "{% if " + _fm_cond_to_jinja(m.group(1)) + " %}", s)
+    s = re.sub(r"<#elseif\s+(.+?)>", lambda m: "{% elif " + _fm_cond_to_jinja(m.group(1)) + " %}", s)
+    s = s.replace("<#else>", "{% else %}").replace("</#if>", "{% endif %}")
+    s = re.sub(r"<#list\s+([\w.]+)\s+as\s+(\w+)\s*>", r"{% for \2 in \1 %}", s)
+    s = s.replace("</#list>", "{% endfor %}")
+    s = re.sub(
+        r"\$\{([^}]+)\}", lambda m: "{{ " + _fm_expr_to_jinja(m.group(1)) + " }}", s
+    )
+    return s
+
+
+def render_row_template(template: str):
+    """Plan-time compile of a row template (FreeMarker subset or raw
+    Jinja); returns ``render(row_dict) -> str``.  Shared by the text
+    select fn and any module needing per-row templating."""
+    import jinja2
+
+    jinja_src = freemarker_to_jinja(template)
+    env = jinja2.Environment(undefined=jinja2.ChainableUndefined)
+    env.filters.update(_FM_FILTERS)
+    tpl = env.from_string(jinja_src)
+    return tpl.render
+
+
+def _jinja_template_column(template: str, df: DataFrame) -> Column:
+    """Render a row template per row (slow path — only taken when the
+    template needs more than field interpolation).  The whole row binds
+    as template variables; Arrow-batched so render cost is per row, not
+    per ser/de."""
+    # validate at plan time: template errors should fail the plan, not
+    # every executor task
+    render_row_template(template)
+    jinja_src = freemarker_to_jinja(template)
+    cols = list(df.columns)
+
+    @F.pandas_udf("string")
+    def render(rows: pd.DataFrame) -> pd.Series:
+        import jinja2 as _j
+
+        env = _j.Environment(undefined=_j.ChainableUndefined)
+        env.filters.update(_FM_FILTERS)
+        tpl = env.from_string(jinja_src)
+        return pd.Series(
+            [tpl.render(rec) for rec in rows.to_dict(orient="records")]
+        )
+
+    return render(F.struct(*[F.col(c) for c in cols]))
 
 
 def _compile_hash(sf: dict[str, Any], df: DataFrame, bound: dict[str, Column]) -> Column:

@@ -33,6 +33,23 @@ def _render(template: str, row: pd.Series) -> str:
     )
 
 
+def _make_renderer(template: str | None):
+    """Per-partition compile of the FreeMarker-subset row template
+    (compilers/select_fns.render_row_template); falls back to plain
+    ``${field}`` regex for templates with no directives, which avoids
+    the jinja env spin-up on the common path."""
+    if template is None:
+        return None
+    # FreeMarker markers: directives, or a ?builtin INSIDE an interpolation
+    # (a bare '?' outside ${} is a URL query string, not a builtin)
+    if "<#" not in template and not re.search(r"\$\{[^}]*\?[^}]*\}", template):
+        return lambda row: _render(template, row)
+    from pipeline_spark.compilers.select_fns import render_row_template
+
+    render = render_row_template(template)
+    return lambda row: render(dict(row))
+
+
 @module("http", kind=KIND_TRANSFORM)
 def http_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
@@ -68,11 +85,13 @@ def http_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         import urllib.error
         import urllib.request
 
+        render_url = _make_renderer(url_template)
+        render_body = _make_renderer(body_template)
         for pdf in batches:
             statuses, bodies, errors = [], [], []
             for _, row in pdf.iterrows():
-                url = _render(url_template, row)
-                data = _render(body_template, row).encode() if body_template else None
+                url = render_url(row)
+                data = render_body(row).encode() if render_body else None
                 err, status, body = None, None, None
                 for attempt in range(retries + 1):
                     try:

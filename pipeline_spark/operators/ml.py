@@ -131,14 +131,20 @@ def resolve_factory(path: str):
 
 
 def _render_template(template: str, row: pd.Series) -> str:
-    """``${field}`` interpolation matching the engine's text/http modules."""
+    """Row templating matching the engine's text/http modules: plain
+    ``${field}`` interpolation fast path, FreeMarker-subset (directives /
+    ``?builtin`` chains) via the shared renderer."""
     import re
 
-    return re.sub(
-        r"\$\{([A-Za-z0-9_.]+)\}",
-        lambda m: str(row.get(m.group(1), "")),
-        template,
-    )
+    if "<#" not in template and not re.search(r"\$\{[^}]*\?[^}]*\}", template):
+        return re.sub(
+            r"\$\{([A-Za-z0-9_.]+)\}",
+            lambda m: str(row.get(m.group(1), "")),
+            template,
+        )
+    from pipeline_spark.compilers.select_fns import render_row_template
+
+    return render_row_template(template)(dict(row))
 
 
 @module("vertexai.gemini", kind=KIND_TRANSFORM)

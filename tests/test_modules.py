@@ -695,3 +695,74 @@ def test_unicode_normalize_forms(spark):
     ).collect()[0]
     assert out["nfkc"] == "Hello World1"
     assert out["cf"] == "hello world1"
+
+
+def test_text_template_jinja_tier(spark):
+    """text select fn: plain ${field} compiles to JVM concat; templates
+    with conditionals / formatting fall back to a per-row Jinja2 render
+    (the engine's FreeMarker substitute, SURVEY §2.11).
+    Reference: select/Text.java:94-100 + util/TemplateUtil.java."""
+    outs = run(
+        spark,
+        """
+sources:
+  - name: ev
+    module: create
+    timestampAttribute: ts
+    parameters:
+      elements:
+        - {id: 1, status: gold, amount: 150, ts: "2024-03-05T10:20:30Z"}
+        - {id: 2, status: basic, amount: 20, ts: "2024-11-30T01:02:03Z"}
+    schema:
+      fields:
+        - {name: id, type: int64, mode: required}
+        - {name: status, type: string, mode: required}
+        - {name: amount, type: int64, mode: required}
+        - {name: ts, type: timestamp, mode: required}
+transforms:
+  - name: sel
+    module: select
+    inputs: [ev]
+    parameters:
+      select:
+        - {name: id}
+        - {name: simple, func: text, text: "user-${id}:${status}"}
+        - name: tier
+          func: text
+          text: "<#if amount gt 100>vip-${status?upper_case}<#else>std</#if>"
+        - name: day
+          func: text
+          text: "${ts?string('yyyy-MM-dd')}"
+""",
+    )
+    rows = {r["id"]: r for r in outs["sel"].collect()}
+    assert rows[1]["simple"] == "user-1:gold"
+    assert rows[2]["simple"] == "user-2:basic"
+    assert rows[1]["tier"] == "vip-GOLD" and rows[2]["tier"] == "std"
+    assert rows[1]["day"] == "2024-03-05" and rows[2]["day"] == "2024-11-30"
+    # the simple tier must stay JVM-side (no python eval in the plan)
+    import re as _re
+
+    simple_only = run(
+        spark,
+        """
+sources:
+  - name: s
+    module: create
+    parameters:
+      elements: [{a: x, b: y}]
+    schema:
+      fields:
+        - {name: a, type: string, mode: required}
+        - {name: b, type: string, mode: required}
+transforms:
+  - name: sel
+    module: select
+    inputs: [s]
+    parameters:
+      select:
+        - {name: joined, func: text, text: "${a}-${b}"}
+""",
+    )["sel"]
+    plan = simple_only._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
