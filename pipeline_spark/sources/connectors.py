@@ -89,25 +89,249 @@ def kafka_source(ctx: ModuleContext) -> dict[str, DataFrame]:
     return {"": df}
 
 
-def _sdk_source(name: str, sdk_module: str):
+def _read_with_client(ctx: ModuleContext, factory_path: str) -> DataFrame:
+    """Distributed SDK read through an injectable client.
+
+    Client contract (factory is a ``pkg.mod:fn`` dotted path called with
+    the module params, mirroring the sink/transform pattern):
+
+      plan_partitions() -> list        picklable partition descriptors,
+                                       planned driver-side (Spanner
+                                       partitionQuery, Bigtable key-range
+                                       splits, …); ``[None]`` = single
+      read_partition(desc) -> [dict]   executed EXECUTOR-side, one task
+                                       per descriptor
+
+    Rows land as an RDD of dicts, one partition per descriptor — the
+    read scales with partition count, the driver never holds row data.
+    With a config ``schema`` rows bind typed; otherwise rows round-trip
+    through JSON inference (convenient, but declare a schema for stable
+    contracts).
+    """
+    from pipeline_spark.operators.ml import resolve_factory
+
+    p = dict(ctx.params)
+    client = resolve_factory(factory_path)(p)
+    descs = list(client.plan_partitions()) or [None]
+
+    sc = ctx.spark.sparkContext
+
+    def read_part(desc):
+        part_client = resolve_factory(factory_path)(p)
+        return part_client.read_partition(desc)
+
+    rdd = sc.parallelize(descs, len(descs)).flatMap(read_part)
+
+    schema_cfg = ctx.config.get("schema")
+    fields = (schema_cfg or {}).get("fields") if isinstance(schema_cfg, dict) else schema_cfg
+    if fields:
+        from pipeline_spark.sources.create import build_schema
+
+        schema = build_schema(fields)
+        names = [f.name for f in schema.fields]
+        typed = rdd.map(lambda d: tuple(d.get(n) for n in names))
+        return ctx.spark.createDataFrame(typed, schema=schema)
+    import json
+
+    return ctx.spark.read.json(rdd.map(lambda d: json.dumps(d, default=str)))
+
+
+def _sdk_source(name: str, default_factory: str):
     @module(name, kind=KIND_SOURCE)
     def source(ctx: ModuleContext) -> dict[str, DataFrame]:
-        try:
-            __import__(sdk_module)
-        except ImportError:
-            raise RuntimeError(
-                f"{name} source requires the '{sdk_module}' SDK (not installed "
-                f"in this environment); config surface matches the reference"
-            ) from None
-        raise NotImplementedError(f"{name} SDK read: SDK present but wiring TBD")
+        factory = ctx.params.get("clientFactory", default_factory)
+        return {"": _read_with_client(ctx, factory)}
 
     source.__name__ = f"{name}_source"
     return source
 
 
-spanner_source = _sdk_source("spanner", "google.cloud.spanner")
-firestore_source = _sdk_source("firestore", "google.cloud.firestore")
-datastore_source = _sdk_source("datastore", "google.cloud.datastore")
-bigtable_source = _sdk_source("bigtable", "google.cloud.bigtable")
-pubsub_source = _sdk_source("pubsub", "google.cloud.pubsub_v1")
-drivefile_source = _sdk_source("drivefile", "googleapiclient")
+_HERE = "pipeline_spark.sources.connectors"
+spanner_source = _sdk_source("spanner", f"{_HERE}:default_spanner_read_client")
+firestore_source = _sdk_source("firestore", f"{_HERE}:default_firestore_read_client")
+datastore_source = _sdk_source("datastore", f"{_HERE}:default_datastore_read_client")
+bigtable_source = _sdk_source("bigtable", f"{_HERE}:default_bigtable_read_client")
+pubsub_source = _sdk_source("pubsub", f"{_HERE}:default_pubsub_read_client")
+drivefile_source = _sdk_source("drivefile", f"{_HERE}:default_drivefile_read_client")
+
+
+def _sdk_gate(sdk_module: str, name: str):
+    try:
+        return __import__(sdk_module, fromlist=["_"])
+    except ImportError:
+        raise RuntimeError(
+            f"{name} source requires the '{sdk_module}' SDK (not installed in "
+            f"this environment); pass clientFactory to inject another client"
+        ) from None
+
+
+def default_spanner_read_client(params: dict):
+    """Partitioned Spanner query (reference: SpannerSource.java uses
+    BatchClient partitionQuery): partition tokens plan driver-side, each
+    executor task reads its own partition."""
+    spanner = _sdk_gate("google.cloud.spanner", "spanner")
+    client = spanner.Client(project=params.get("projectId"))
+    instance = client.instance(params["instanceId"])
+    db = instance.database(params["databaseId"])
+    sql = params.get("query") or f"SELECT * FROM {params['table']}"
+
+    class _Client:
+        def plan_partitions(self):
+            snapshot = db.batch_snapshot()
+            return list(snapshot.generate_query_batches(sql))
+
+        def read_partition(self, batch):
+            snapshot = db.batch_snapshot()
+            rows = snapshot.process_query_batch(batch)
+            cols = [f.name for f in rows.fields]
+            return [dict(zip(cols, r)) for r in rows]
+
+    return _Client()
+
+
+def default_firestore_read_client(params: dict):
+    firestore = _sdk_gate("google.cloud.firestore", "firestore")
+    client = firestore.Client(project=params.get("projectId"))
+    collection = params.get("collection") or params["table"]
+
+    class _Client:
+        def plan_partitions(self):
+            # Firestore partition API exists for collection groups only;
+            # plain collections read as one partition
+            return [None]
+
+        def read_partition(self, _desc):
+            return [
+                {**doc.to_dict(), "__id__": doc.id}
+                for doc in client.collection(collection).stream()
+            ]
+
+    return _Client()
+
+
+def default_datastore_read_client(params: dict):
+    datastore = _sdk_gate("google.cloud.datastore", "datastore")
+    client = datastore.Client(project=params.get("projectId"))
+    kind = params.get("kind") or params["table"]
+
+    class _Client:
+        def plan_partitions(self):
+            return [None]
+
+        def read_partition(self, _desc):
+            q = client.query(kind=kind)
+            if params.get("gql"):
+                raise ValueError("datastore source: use 'kind' (+filters); raw GQL needs the REST API")
+            for f in params.get("filters") or []:
+                q.add_filter(f["key"], f.get("op", "="), f["value"])
+            return [{**dict(e), "__key__": e.key.id_or_name} for e in q.fetch()]
+
+    return _Client()
+
+
+def default_bigtable_read_client(params: dict):
+    bigtable = _sdk_gate("google.cloud.bigtable", "bigtable")
+    table = (
+        bigtable.Client(project=params.get("projectId"), admin=False)
+        .instance(params["instanceId"])
+        .table(params.get("tableId") or params["table"])
+    )
+
+    class _Client:
+        def plan_partitions(self):
+            # sample_row_keys gives natural tablet split points
+            keys = [s.row_key for s in table.sample_row_keys()]
+            bounds = [None, *keys, None]
+            return list(zip(bounds[:-1], bounds[1:])) or [None]
+
+        def read_partition(self, desc):
+            start, end = desc if desc else (None, None)
+            out = []
+            for row in table.read_rows(start_key=start, end_key=end):
+                cells = {
+                    f"{fam}:{q.decode('utf-8', 'replace')}": cs[0].value.decode("utf-8", "replace")
+                    for fam, quals in row.cells.items()
+                    for q, cs in quals.items()
+                }
+                out.append({"key": row.row_key.decode("utf-8", "replace"), **cells})
+            return out
+
+    return _Client()
+
+
+def default_pubsub_read_client(params: dict):
+    """Bounded catch-up pull (maxMessages, default 1000) — the batch-mode
+    analogue of the reference's streaming PubSubSource; true streaming
+    needs the Pub/Sub Lite connector (documented divergence)."""
+    pubsub_v1 = _sdk_gate("google.cloud.pubsub_v1", "pubsub")
+    subscriber = pubsub_v1.SubscriberClient()
+    subscription = params["subscription"]
+    max_messages = int(params.get("maxMessages", 1000))
+
+    class _Client:
+        def plan_partitions(self):
+            return [None]
+
+        def read_partition(self, _desc):
+            import json
+
+            resp = subscriber.pull(
+                request={"subscription": subscription, "max_messages": max_messages}
+            )
+            out, ack_ids = [], []
+            for m in resp.received_messages:
+                ack_ids.append(m.ack_id)
+                data = m.message.data.decode("utf-8", "replace")
+                try:
+                    payload = json.loads(data)
+                except ValueError:
+                    payload = {"data": data}
+                out.append(
+                    {**payload, "__message_id__": m.message.message_id}
+                )
+            if ack_ids:
+                subscriber.acknowledge(
+                    request={"subscription": subscription, "ack_ids": ack_ids}
+                )
+            return out
+
+    return _Client()
+
+
+def default_drivefile_read_client(params: dict):
+    """Drive file listing+download (reference: DriveFileSource.java)."""
+    _sdk_gate("googleapiclient", "drivefile")
+    from googleapiclient.discovery import build as g_build
+
+    service = g_build("drive", "v3")
+    query = params.get("query") or f"'{params.get('folderId', 'root')}' in parents"
+
+    class _Client:
+        def plan_partitions(self):
+            files, token = [], None
+            while True:
+                resp = (
+                    service.files()
+                    .list(q=query, pageToken=token, fields="nextPageToken, files(id, name, mimeType, size)")
+                    .execute()
+                )
+                files.extend(resp.get("files", []))
+                token = resp.get("nextPageToken")
+                if not token:
+                    return files
+
+        def read_partition(self, f):
+            content = service.files().get_media(fileId=f["id"]).execute()
+            return [
+                {
+                    "file_id": f["id"],
+                    "name": f["name"],
+                    "mime_type": f.get("mimeType"),
+                    "size": int(f.get("size") or 0),
+                    "content": content.decode("utf-8", "replace")
+                    if isinstance(content, bytes)
+                    else str(content),
+                }
+            ]
+
+    return _Client()

@@ -64,6 +64,28 @@ def fake_bigtable_client(params: dict):
     return _Fake()
 
 
+def fake_read_client(params: dict):
+    """Partitioned-read fake for connector sources: serves
+    ``params["rows"]`` (a list of dicts) split into
+    ``params["partitions"]`` (default 3) descriptor-addressed slices —
+    exercises plan_partitions/read_partition distribution exactly like a
+    Spanner partitionQuery would."""
+
+    rows = params.get("rows") or [
+        {"id": i, "name": f"row-{i}", "score": i * 10} for i in range(10)
+    ]
+    n_parts = int(params.get("partitions", 3))
+
+    class _Fake:
+        def plan_partitions(self):
+            return list(range(n_parts))
+
+        def read_partition(self, desc):
+            return [r for i, r in enumerate(rows) if i % n_parts == desc]
+
+    return _Fake()
+
+
 def fake_writer_client(params: dict):
     """Writer fake for connector sinks: spools every mutation batch as
     JSON lines under ``params["spoolDir"]`` (one file per write call, so

@@ -766,3 +766,60 @@ transforms:
     )["sel"]
     plan = simple_only._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_connector_source_partitioned_read(spark):
+    """SDK-backed sources read through plan_partitions/read_partition —
+    distributed (one task per descriptor), schema-typed when declared.
+    Reference: SpannerSource.java partitionQuery model."""
+    outs = run(
+        spark,
+        """
+sources:
+  - name: sp
+    module: spanner
+    parameters:
+      clientFactory: "pipeline_spark.testing:fake_read_client"
+      instanceId: i
+      databaseId: d
+      table: t
+      partitions: 3
+    schema:
+      fields:
+        - {name: id, type: int64}
+        - {name: name, type: string}
+        - {name: score, type: int64}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [sp]
+    parameters:
+      aggregations:
+        - {name: n, op: count}
+        - {name: total, op: sum, field: score}
+""",
+    )
+    src = outs["sp"]
+    assert src.rdd.getNumPartitions() == 3
+    assert src.schema["score"].dataType.typeName() == "long"
+    row = outs["agg"].collect()[0]
+    assert row["n"] == 10 and row["total"] == 450
+
+
+def test_connector_source_schema_inference(spark):
+    """Without a declared schema, rows JSON-infer (convenience path)."""
+    outs = run(
+        spark,
+        """
+sources:
+  - name: fs
+    module: firestore
+    parameters:
+      clientFactory: "pipeline_spark.testing:fake_read_client"
+      collection: users
+      partitions: 2
+""",
+    )
+    rows = outs["fs"].collect()
+    assert len(rows) == 10
+    assert {r["name"] for r in rows} == {f"row-{i}" for i in range(10)}
