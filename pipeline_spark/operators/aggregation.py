@@ -105,6 +105,43 @@ def aggregation_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     for other in results[1:]:
         out = out.join(other, on=[k for k in join_keys if k in out.columns and k in other.columns], how="full_outer")
 
+    if p.get("outputPaneInfo"):
+        # Beam pane accounting (reference: AggregationTransform.java:36 —
+        # declared there but dead upstream; semantics from Beam's
+        # PaneInfo).  Batch = exactly one ON_TIME pane (exact parity).
+        # Streaming: firing_time is the micro-batch timestamp
+        # (current_timestamp resolves per batch) and timing classifies
+        # against the window end; Beam's per-key firing index has no
+        # stateless Spark equivalent — emitted null (documented
+        # divergence, streaming/__init__.py).
+        is_streaming = any(df.isStreaming for df in ctx.inputs)
+        if not is_streaming:
+            timing = F.lit("ON_TIME")
+            index: Any = F.lit(0).cast("long")
+            is_first = F.lit(True)
+            is_last = F.lit(True)
+        else:
+            has_window = "window" in out.columns
+            timing = (
+                F.when(F.col("window.end") <= F.current_timestamp(), F.lit("ON_TIME"))
+                .otherwise(F.lit("EARLY"))
+                if has_window
+                else F.lit("EARLY")
+            )
+            index = F.lit(None).cast("long")
+            is_first = F.lit(None).cast("boolean")
+            is_last = F.lit(None).cast("boolean")
+        out = out.withColumn(
+            "pane",
+            F.struct(
+                F.current_timestamp().alias("firing_time"),
+                timing.alias("timing"),
+                index.alias("index"),
+                is_first.alias("is_first"),
+                is_last.alias("is_last"),
+            ),
+        )
+
     if p.get("filter"):
         out = out.filter(compile_filter(p["filter"], out))
     if p.get("select"):

@@ -15,6 +15,12 @@ Spark mapping (documented divergences included):
     (Strategy.java:69-71).
   * stateful buffers (OrderedListState + timers) →
     ``applyInPandasWithState`` (see state.py).
+  * outputPaneInfo → a ``pane`` struct on aggregation output
+    (firing_time, timing, index, is_first, is_last).  Batch matches Beam
+    exactly (single ON_TIME pane, index 0).  Streaming approximates:
+    firing_time = micro-batch timestamp, timing EARLY/ON_TIME by window
+    end vs batch time; Beam's per-key firing INDEX needs pane state Spark
+    doesn't expose — emitted null.
 """
 
 from pipeline_spark.streaming import state  # noqa: F401

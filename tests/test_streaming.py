@@ -221,3 +221,41 @@ sinks:
     ok_cfg = cfg.replace(bad_out, str(tmp_path / "out.parquet"))
     run_pipeline(spark, parse_config(ok_cfg))
     assert json.load(open(ckpt))["watermark"].startswith("2024-01-01T02:00:00")
+
+
+def test_output_pane_info_batch_semantics(spark):
+    """outputPaneInfo in batch = Beam's single ON_TIME pane, index 0
+    (reference: AggregationTransform.java:36 + Beam PaneInfo)."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    outs = run_pipeline(spark, parse_config("""
+sources:
+  - name: ev
+    module: create
+    parameters:
+      elements:
+        - {k: a, v: 1}
+        - {k: a, v: 2}
+        - {k: b, v: 5}
+    schema:
+      fields:
+        - {name: k, type: string, mode: required}
+        - {name: v, type: int64, mode: required}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [ev]
+    parameters:
+      groupFields: [k]
+      outputPaneInfo: true
+      aggregations:
+        - {name: total, op: sum, field: v}
+"""))
+    rows = {r["k"]: r for r in outs["agg"].collect()}
+    assert rows["a"]["total"] == 3
+    for r in rows.values():
+        pane = r["pane"]
+        assert pane["timing"] == "ON_TIME"
+        assert pane["index"] == 0 and pane["is_first"] and pane["is_last"]
+        assert pane["firing_time"] is not None
