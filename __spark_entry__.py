@@ -1203,6 +1203,41 @@ transforms:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity module, IVF (k-means inverted cells) approximate top-k.
+
+    Probing ALL cells (nprobe=cells) makes IVF exhaustive — recall 1 by
+    construction, so the exact brute-force oracle applies while the full
+    train/assign/probe/join/re-rank machinery is exercised.  Production
+    tuning is nprobe << cells (candidate fraction ≈ nprobe/cells)."""
+    src_yaml = """
+transforms:
+  - name: queries
+    module: filter
+    inputs: [embeddings]
+    parameters:
+      filters: [{key: vec_id, op: "<", value: 3}]
+      select:
+        - {name: query_id, field: vec_id}
+        - {name: query_vec, field: embedding}
+  - name: knn
+    module: similarity
+    inputs: [embeddings]
+    sideInputs: [queries]
+    parameters:
+      method: ivf
+      k: 5
+      cells: 16
+      nprobe: 16
+      kmeansIters: 3
+      vectorField: embedding
+      idField: vec_id
+"""
+    return _pipeline(spark, sf_dir, ["embeddings"], src_yaml, "knn").select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """textstats lang_id heuristic (argmax stopword overlap)."""
     return _pipeline(spark, sf_dir, ["documents"], """
@@ -1289,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_neardup": q_simhash_neardup,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "lang_id": q_lang_id,
     }
 
@@ -1335,5 +1371,7 @@ def oracle_sql() -> dict[str, str]:
         # seeded SRP-LSH at these params reaches recall 1 on this corpus →
         # held to the same exact brute-force top-k oracle
         "lsh_topk": Q_SIM_SQL,
+        # nprobe=cells → exhaustive IVF, exact oracle applies
+        "ivf_topk": Q_SIM_SQL,
         "lang_id": _lang_id_oracle_sql(),
     }

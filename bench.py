@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "simhash_neardup",
     "similarity_bruteforce",
     "lsh_topk",
+    "ivf_topk",
     "embedding_neardup",
     "embedding_neardup_bucketed",
     "multimodal_meta",

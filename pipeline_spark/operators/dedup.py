@@ -389,49 +389,58 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word n-gram Jaccard similarity for pairs sharing ≥1 n-gram.
 
-    explode(distinct ngrams) → self-join on the ngram hash → pair overlap
-    counts → |A∩B| / (|A|+|B|-|A∩B|).  Exact (the oracle for LSH) but the
-    join fans out quadratically inside hot n-grams — at 100 TB use
-    minhash_lsh and keep this for validation samples.
+    explode(distinct ngrams) → bucket docs per gram hash (one shuffle) →
+    bucket-local pair enumeration → pair overlap counts →
+    |A∩B| / (|A|+|B|-|A∩B|).  Exact (the oracle for LSH) but pair fan-out
+    is quadratic inside hot n-grams — at 100 TB use minhash_lsh and keep
+    this for validation samples.
 
-    ``max_doc_freq`` is the hot-gram guard: grams shared by more than that
-    many documents are dropped before the self-join (standard stop-gram
-    practice).  A gram in 1 % of a 100 TB corpus would otherwise fan out
-    to ~10¹⁴ join rows; a df-capped gram contributes ≤ max_doc_freq² and
-    carries ~zero Jaccard signal for near-dup pairs anyway.  Pair overlap
-    counts stay exact for the surviving grams; set ``None`` to disable
-    (true exactness on validation samples).
+    ``max_doc_freq`` is the hot-gram guard: grams shared by more than
+    that many documents are dropped (a per-bucket size filter — standard
+    stop-gram practice).  A gram in 1 % of a 100 TB corpus would
+    otherwise fan out to ~10¹⁴ pair rows; a df-capped gram contributes
+    ≤ max_doc_freq² and carries ~zero Jaccard signal for near-dup pairs
+    anyway.  Overlap counts stay exact for surviving grams; set ``None``
+    to disable (true exactness on validation samples).
     """
     grams = F.array_distinct(word_shingles(tokens(F.col(text_field)), ngram))
     base = spread(df).select(F.col(id_field).alias("doc"), grams.alias("grams")).filter(
         F.size("grams") > 0
     )
     sizes = base.select("doc", F.size("grams").alias("n"))
-    # join on the 8-byte gram hash, not the gram string — the self-join
-    # shuffle carries ints (collision odds ~n²/2⁶⁴, immaterial for dedup)
+    # group on the 8-byte gram hash, not the gram string — the shuffle
+    # carries ints (collision odds ~n²/2⁶⁴, immaterial for dedup)
     exploded = base.select(
         "doc", F.explode(F.transform("grams", lambda g: F.xxhash64(g))).alias("g")
     )
+    # ONE shuffle: bucket docs per gram, then enumerate co-occurrence
+    # pairs bucket-locally (same shape as minhash banding — measured
+    # faster than a self-join on g, which shuffles the exploded grams
+    # twice and re-executes the tokenize pipeline per join side).  The
+    # hot-gram cap is a per-bucket size filter, free at this point;
+    # map-side partial aggregation absorbs the skew of hot grams.
+    buckets = (
+        exploded.groupBy("g")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
     if max_doc_freq is not None:
-        # groupBy (NOT a window over g — that would funnel each hot gram
-        # through a single task, the very skew being guarded against):
-        # map-side partial counts absorb the skew, and the resulting hot
-        # set is small by construction (≤ total_gram_rows / max_doc_freq
-        # distinct grams), so it broadcast-anti-joins without a shuffle
-        # of the exploded side.
-        hot = (
-            exploded.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("__df__"))
-            .filter(F.col("__df__") > max_doc_freq)
-            .select("g")
-        )
-        exploded = exploded.join(F.broadcast(hot), "g", "left_anti")
-
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+        buckets = buckets.filter(F.size("ds") <= max_doc_freq)
     overlap = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + F.lit(2), F.size("ds")),
+                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
     sa = sizes.alias("sa")

@@ -1,6 +1,10 @@
 """`similarity` transform: nearest-neighbor search over embedding columns.
 
-Training-data-pipeline extension (BASELINE.json north star).  Two paths:
+Training-data-pipeline extension (BASELINE.json north star).  Three paths:
+
+  ivf          k-means coarse quantizer (trained on a bounded sample),
+               corpus vectors in inverted cells, queries probe nprobe
+               cells, exact re-rank — candidate fraction ≈ nprobe/cells.
 
   brute_force  exact cosine top-k: broadcast the (small) query set against
                the corpus — one map-side pass over the corpus, then a
@@ -184,6 +188,107 @@ def lsh_topk(
     )
 
 
+def _train_centroids(
+    corpus: DataFrame, vec_field: str, *, n_cells: int, sample_size: int, iters: int, seed: int
+):
+    """Coarse quantizer training: k-means on a bounded driver-side sample
+    (standard IVF practice — FAISS trains on a sample too).  The sample
+    is capped (``sample_size`` rows × dim floats, ~a few MB), the full
+    corpus never leaves executors."""
+    rows = (
+        corpus.select(vec_field).limit(sample_size).toPandas()[vec_field].tolist()
+    )
+    mat = np.array(rows, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(iters):
+        # cosine assignment: normalize then dot
+        cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        assign = (mn @ cn.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _cell_assign_udf(centroids: np.ndarray, nprobe: int):
+    """Nearest-``nprobe`` centroid ids per vector, one matmul per Arrow
+    batch; centroids ship in the UDF closure (small: cells × dim)."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("array<int>")
+    def cells(vecs: pd.Series) -> pd.Series:
+        mat = np.array(list(vecs), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cn.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_field: str = "embedding",
+    id_field: str = "vec_id",
+    query_id_field: str = "query_id",
+    query_vec_field: str = "query_vec",
+    k: int = 10,
+    n_cells: int = 64,
+    nprobe: int = 8,
+    sample_size: int = 100_000,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer, inverted cells.
+
+    Plan: train centroids on a bounded sample (driver, standard IVF);
+    corpus vectors assign to their 1 nearest cell (map-only matmul UDF);
+    queries probe their ``nprobe`` nearest cells; ONE broadcast join on
+    the int cell id; exact cosine re-rank of candidates.  Candidate
+    fraction ≈ nprobe/n_cells of the corpus — the classic recall/scan
+    knob.  ``nprobe >= n_cells`` degenerates to exact search (useful as
+    its own oracle)."""
+    from pipeline_spark.functions.partitioning import spread
+    from pipeline_spark.functions.vector import dot, norm
+
+    centroids = _train_centroids(
+        corpus, vec_field, n_cells=n_cells, sample_size=sample_size,
+        iters=kmeans_iters, seed=seed,
+    )
+    corpus_cells = _cell_assign_udf(centroids, 1)
+    query_cells = _cell_assign_udf(centroids, min(nprobe, len(centroids)))
+
+    c = spread(corpus).select(
+        F.col(id_field).alias("neighbor_id"),
+        F.col(vec_field).alias("cv"),
+        norm(F.col(vec_field)).alias("cn"),
+        F.explode(corpus_cells(F.col(vec_field))).alias("cell"),
+    )
+    q = queries.select(
+        F.col(query_id_field).alias("query_id"),
+        F.col(query_vec_field).alias("qv"),
+        norm(F.col(query_vec_field)).alias("qn"),
+        F.explode(query_cells(F.col(query_vec_field))).alias("cell"),
+    )
+    cand = c.join(F.broadcast(q), "cell").dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 @module("similarity", kind=KIND_TRANSFORM)
 def similarity_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
@@ -204,7 +309,7 @@ def similarity_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     )
     if method in ("brute_force", "exact"):
         return {"": brute_force_topk(corpus, queries, **kwargs)}
-    if method in ("lsh", "ivf", "ann"):
+    if method in ("lsh", "ann"):
         return {
             "": lsh_topk(
                 corpus,
@@ -212,6 +317,19 @@ def similarity_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                 bits=int(p.get("bits", 16)),
                 tables=int(p.get("tables", 4)),
                 dim=int(p.get("dim", 64)),
+                seed=int(p.get("seed", 42)),
+                **kwargs,
+            )
+        }
+    if method == "ivf":
+        return {
+            "": ivf_topk(
+                corpus,
+                queries,
+                n_cells=int(p.get("cells", p.get("nCells", 64))),
+                nprobe=int(p.get("nprobe", 8)),
+                sample_size=int(p.get("sampleSize", 100_000)),
+                kmeans_iters=int(p.get("kmeansIters", 5)),
                 seed=int(p.get("seed", 42)),
                 **kwargs,
             )

@@ -350,3 +350,38 @@ transforms:
     assert ok == {"7": ("name-7", 7), "12": ("name-12", 12)}
     fails = outs["enrich.failures"].collect()
     assert len(fails) == 1 and fails[0]["uid"] == "BOOM"
+
+
+def test_ivf_topk_matches_bruteforce_on_clustered_data(spark):
+    """IVF with nprobe < cells: planted clusters mean true neighbors live
+    in the probed cell, so top-k matches brute force while scanning only
+    a candidate subset. Exhaustive probing (nprobe=cells) must always
+    match brute force."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 16)) * 10
+    vecs, rows = [], []
+    for i in range(80):
+        v = centers[i % 4] + rng.standard_normal(16) * 0.5
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    corpus = spark.createDataFrame(rows)
+    queries = corpus.filter("vec_id < 2").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+
+    def run_sim(method, **extra):
+        params = {"method": method, "k": 4, "idField": "vec_id",
+                  "vectorField": "embedding", **extra}
+        return {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in similarity_transform(
+                ctx(spark, params, [corpus], side={"q": queries})
+            )[""].collect()
+        }
+
+    exact = run_sim("brute_force")
+    ivf_partial = run_sim("ivf", cells=4, nprobe=1, sampleSize=80, kmeansIters=4)
+    ivf_full = run_sim("ivf", cells=4, nprobe=4, sampleSize=80, kmeansIters=4)
+    assert ivf_full == exact
+    assert ivf_partial == exact  # clustered data: 1 probe finds the cluster
