@@ -12,7 +12,9 @@ identical execution path.
 Ops:
   extract_meta   mime sniff from magic bytes + payload size (pure Column)
   decode         stub → deterministic fake features via mapInPandas
-  frame_sample   plumbing for video frame sampling (stub, same shape)
+  resize         image resize plumbing (1:1 rows, stamped dims; PIL stub)
+  frame_sample   video → N frame rows per input (exploding mapInPandas;
+                 ffmpeg stub with deterministic fake frames)
 """
 
 from __future__ import annotations
@@ -113,10 +115,81 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         ).drop("__decoded_id__")
         return {"": joined}
 
-    if op == "frame_sample":
-        raise NotImplementedError(
-            "video frame sampling requires ffmpeg (not in container); "
-            "the decode path above demonstrates the identical plumbing"
+    if op == "resize":
+        # image resize: payload in → payload out + new dims.  Real codec
+        # (PIL) absent; ``fake: true`` passes bytes through with the
+        # target dims stamped — identical schema/batch shape.
+        width = int(p.get("width", 224))
+        height = int(p.get("height", 224))
+        if not p.get("fake", False):
+            raise NotImplementedError(
+                "multimodal resize requires PIL (not in container); "
+                "pass fake: true for the pass-through stub"
+            )
+        schema = T.StructType(
+            [
+                *df.schema.fields,
+                T.StructField("resized", T.BinaryType()),
+                T.StructField("width", T.IntegerType()),
+                T.StructField("height", T.IntegerType()),
+            ]
         )
+
+        def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = pdf.copy()
+                # real impl: PIL.Image.open(io.BytesIO(b)).resize((w, h))
+                out["resized"] = [bytes(b or b"") for b in pdf[payload_field]]
+                out["width"] = width
+                out["height"] = height
+                yield out
+
+        return {"": df.mapInPandas(resize, schema=schema)}
+
+    if op == "frame_sample":
+        # video frame sampling: ONE input row → N output rows
+        # (mm_id, frame_idx, frame payload, ts_sec).  Real decoder
+        # (ffmpeg/pyav) absent; ``fake: true`` emits deterministic
+        # hash-derived frames through the identical exploding
+        # mapInPandas shape — the part Spark cares about (row
+        # multiplication, schema, batch sizing) is fully real.
+        n_frames = int(p.get("frames", 8))
+        if not p.get("fake", False):
+            raise NotImplementedError(
+                "video frame sampling requires ffmpeg (not in container); "
+                "pass fake: true for the deterministic stub"
+            )
+        frame_schema = T.StructType(
+            [
+                T.StructField("mm_id", T.LongType()),
+                T.StructField("frame_idx", T.IntegerType()),
+                T.StructField("ts_sec", T.FloatType()),
+                T.StructField("frame", T.BinaryType()),
+            ]
+        )
+        narrowed = df.select(
+            F.col(id_field).cast("long").alias("mm_id"),
+            F.col(payload_field).alias("payload"),
+        )
+
+        def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import hashlib
+
+            for pdf in batches:
+                ids, idxs, tss, frames = [], [], [], []
+                for mm_id, payload in zip(pdf["mm_id"], pdf["payload"]):
+                    b = bytes(payload or b"")
+                    digest = hashlib.md5(b).digest()
+                    for i in range(n_frames):
+                        ids.append(mm_id)
+                        idxs.append(i)
+                        tss.append(float(i))
+                        # real impl: container.decode(video=0) keyframes
+                        frames.append(digest + i.to_bytes(4, "big"))
+                yield pd.DataFrame(
+                    {"mm_id": ids, "frame_idx": idxs, "ts_sec": tss, "frame": frames}
+                )
+
+        return {"": narrowed.mapInPandas(sample, schema=frame_schema)}
 
     raise ValueError(f"multimodal: unknown op '{op}'")

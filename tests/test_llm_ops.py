@@ -385,3 +385,38 @@ def test_ivf_topk_matches_bruteforce_on_clustered_data(spark):
     ivf_full = run_sim("ivf", cells=4, nprobe=4, sampleSize=80, kmeansIters=4)
     assert ivf_full == exact
     assert ivf_partial == exact  # clustered data: 1 probe finds the cluster
+
+
+def test_multimodal_resize_and_frame_sample_plumbing(spark):
+    """resize keeps 1:1 rows with stamped dims; frame_sample explodes one
+    row into N deterministic frames — the Spark-side row-multiplication
+    plumbing is real even with the fake codec."""
+    rows = [Row(mm_id=1, payload=b"video-bytes-a"), Row(mm_id=2, payload=b"video-b")]
+    df = spark.createDataFrame(rows)
+
+    resized = multimodal_transform(
+        ctx(spark, {"op": "resize", "field": "payload", "width": 64,
+                    "height": 48, "fake": True}, [df])
+    )[""]
+    r = {x["mm_id"]: x for x in resized.collect()}
+    assert len(r) == 2 and r[1]["width"] == 64 and r[1]["height"] == 48
+    assert bytes(r[1]["resized"]) == b"video-bytes-a"
+
+    frames = multimodal_transform(
+        ctx(spark, {"op": "frame_sample", "field": "payload", "idField": "mm_id",
+                    "frames": 4, "fake": True}, [df])
+    )[""].collect()
+    assert len(frames) == 8
+    by_id = {}
+    for f in frames:
+        by_id.setdefault(f["mm_id"], []).append(f)
+    assert sorted(x["frame_idx"] for x in by_id[1]) == [0, 1, 2, 3]
+    # deterministic: same payload → same frame bytes
+    again = multimodal_transform(
+        ctx(spark, {"op": "frame_sample", "field": "payload", "idField": "mm_id",
+                    "frames": 4, "fake": True}, [df])
+    )[""].collect()
+    assert {bytes(f["frame"]) for f in frames} == {bytes(f["frame"]) for f in again}
+
+    with pytest.raises(NotImplementedError):
+        multimodal_transform(ctx(spark, {"op": "frame_sample", "field": "payload"}, [df]))
