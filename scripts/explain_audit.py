@@ -4,6 +4,11 @@ Checks (against sf0.01):
   * q1: filter pushed into the parquet scan + pruned ReadSchema
   * lookup: BroadcastHashJoin (never a shuffle join for view-sized sides)
   * q3: joins broadcast under threshold, filters pushed to all three scans
+  * textstats: zero Python in the plan (pure Column, codegen)
+  * keyless limit: TakeOrderedAndProject, no single-partition WindowExec
+  * exact dedup: partial/final HashAggregate (map-side combine), no window
+  * minhash: exactly the planned shuffles, no cartesian/BNL join
+  * ngram jaccard: bucket-local pairs — no SortMergeJoin of exploded grams
 
 Run: python scripts/explain_audit.py
 """
@@ -54,6 +59,47 @@ def main() -> int:
         failures.append("q3: expected 2 broadcast joins at this scale")
     if "EqualTo(c_mktsegment,BUILDING)" not in p3:
         failures.append("q3: segment filter not pushed through the join")
+
+    p4 = plan_of(entrymod.q_textstats(spark, sf))
+    if "EvalPython" in p4 or "MapInPandas" in p4:
+        # (codegen span markers are hidden under AdaptiveSparkPlan until
+        # execution, so no-Python is the assertable property here)
+        failures.append("textstats: Python in the plan — must stay pure Column")
+
+    from pipeline_spark.operators.limit import apply_limit
+    from pyspark.sql import functions as F
+
+    lim = apply_limit(
+        spark.read.parquet(f"{sf}/orders.parquet"),
+        {"count": 7, "orderFields": ["o_totalprice"]},
+        [],
+        None,
+        descending=True,
+    )
+    p5 = plan_of(lim)
+    if "TakeOrderedAndProject" not in p5:
+        failures.append("keyless limit: expected TakeOrderedAndProject")
+    if "Window" in p5:
+        failures.append("keyless limit: single-partition WindowExec present")
+
+    p6 = plan_of(entrymod.q_dedup_exact(spark, sf))
+    if "Window" in p6:
+        failures.append("exact dedup: window present — should be min_by partial agg")
+    if p6.count("HashAggregate") < 2:
+        failures.append("exact dedup: expected partial+final HashAggregate")
+
+    p7 = plan_of(entrymod.q_minhash_pairs(spark, sf))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if bad in p7:
+            failures.append(f"minhash: {bad} in plan — candidate gen must be bucket-local")
+
+    p8 = plan_of(entrymod.q_ngram_jaccard(spark, sf))
+    if "SortMergeJoin" in p8 and "ds" in p8:
+        # the pair path must come from bucket-local enumeration, not an
+        # exploded-grams self-join; SMJs here only join tiny sizes tables
+        smj_section = p8.split("SortMergeJoin", 1)[1][:400]
+        if "g#" in smj_section:
+            failures.append("ngram: self-join on gram hash — use bucket-local pairs")
 
     for f in failures:
         print("FAIL", f)
