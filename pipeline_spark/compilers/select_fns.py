@@ -306,15 +306,33 @@ def _compile_reshape(sf: dict[str, Any], df: DataFrame, bound: dict[str, Column]
 
 def _compile_scrape(sf: dict[str, Any], df: DataFrame, bound: dict[str, Column]) -> Column:
     """HTML extraction (reference: select/Scrape.java:1-304 uses css
-    selectors via jsoup).  CSS selectors need bs4 (not in container);
-    the regex `pattern` form is pure-Column (`regexp_extract`)."""
+    selectors via jsoup).  The regex ``pattern`` form is pure-Column
+    (``regexp_extract``); the css ``selector`` form runs the stdlib
+    selector engine (functions/htmlselect.py — tag/#id/.class/[attr]/
+    descendant/child/groups subset, unsupported syntax fails at plan
+    time) in a vectorized pandas UDF."""
     src = _ref(sf["field"], df, bound).cast("string")
     if sf.get("pattern"):
         return F.regexp_extract(src, sf["pattern"], int(sf.get("group", 1)))
-    raise NotImplementedError(
-        "scrape with css selectors requires bs4/lxml (not in container); "
-        "use the regex `pattern` parameter"
-    )
+    selector = sf.get("selector") or sf.get("css")
+    if selector:
+        from pipeline_spark.functions.htmlselect import _compile_path, select_text
+
+        # validate selector at plan time
+        for group in str(selector).split(","):
+            _compile_path(group)
+        attr = sf.get("attribute") or sf.get("attr")
+        all_matches = bool(sf.get("all", False))
+        ret_type = "array<string>" if all_matches else "string"
+
+        @F.pandas_udf(ret_type)
+        def scrape(html: pd.Series) -> pd.Series:
+            return html.fillna("").map(
+                lambda h: select_text(h, str(selector), attr=attr, all_matches=all_matches)
+            )
+
+        return scrape(src)
+    raise ValueError("scrape requires a `pattern` (regex) or `selector` (css)")
 
 
 _SIMPLE_FIELD_RE = r"\$\{([A-Za-z_][A-Za-z0-9_.]*)\}"

@@ -823,3 +823,78 @@ sources:
     rows = outs["fs"].collect()
     assert len(rows) == 10
     assert {r["name"] for r in rows} == {f"row-{i}" for i in range(10)}
+
+
+def test_scrape_css_selector(spark):
+    """scrape css form on the stdlib selector engine: tag/.class/#id/
+    [attr]/descendant/child/group selectors, text and attribute
+    extraction, all-matches mode. Reference: select/Scrape.java (jsoup)."""
+    html = (
+        "<html><body>"
+        "<div id='main'><h1 class='title big'>Hello <b>World</b></h1>"
+        "<ul><li>one</li><li class='sel'>two</li></ul>"
+        "<a href='/x' rel='nofollow'>link-x</a>"
+        "<a href='/y'>link-y</a></div>"
+        "<div class='footer'><p>bye</p></div>"
+        "</body></html>"
+    )
+    esc = html.replace('"', '\\"')
+    outs = run(
+        spark,
+        f"""
+sources:
+  - name: pages
+    module: create
+    parameters:
+      elements:
+        - {{id: 1, html: "{esc}"}}
+    schema:
+      fields:
+        - {{name: id, type: int64, mode: required}}
+        - {{name: html, type: string, mode: required}}
+transforms:
+  - name: sel
+    module: select
+    inputs: [pages]
+    parameters:
+      select:
+        - {{name: id}}
+        - {{name: title, func: scrape, field: html, selector: "#main h1.title"}}
+        - {{name: second_li, func: scrape, field: html, selector: "ul > li.sel"}}
+        - {{name: nofollow_href, func: scrape, field: html, selector: "a[rel=nofollow]", attribute: href}}
+        - {{name: all_links, func: scrape, field: html, selector: "a", attribute: href, all: true}}
+        - {{name: grouped, func: scrape, field: html, selector: "h1, p"}}
+        - {{name: regex_b, func: scrape, field: html, pattern: "<b>([^<]+)</b>"}}
+""",
+    )
+    r = outs["sel"].collect()[0]
+    assert r["title"] == "Hello World"
+    assert r["second_li"] == "two"
+    assert r["nofollow_href"] == "/x"
+    assert list(r["all_links"]) == ["/x", "/y"]
+    assert r["grouped"] == "Hello World"
+    assert r["regex_b"] == "World"
+
+
+def test_scrape_bad_selector_fails_at_plan_time(spark):
+    with pytest.raises(Exception, match="unsupported CSS"):
+        run(
+            spark,
+            """
+sources:
+  - name: pages
+    module: create
+    parameters:
+      elements: [{html: "<p>x</p>"}]
+    schema:
+      fields:
+        - {name: html, type: string, mode: required}
+transforms:
+  - name: sel
+    module: select
+    inputs: [pages]
+    parameters:
+      select:
+        - {name: t, func: scrape, field: html, selector: "p:nth-child(2)"}
+""",
+        )
