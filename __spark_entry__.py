@@ -37,6 +37,18 @@ def _pipeline(spark: SparkSession, sf_dir: str, tables: list[str], body: str, ou
     return run_pipeline(spark, parse_config(src + body))[out]
 
 
+def _pipeline_multi(spark: SparkSession, sf_dir: str, tables: list[str], body: str):
+    """Like _pipeline but returns the full output registry (for
+    multi-output modules like partition/sample)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = "sources:\n" + "".join(
+        f"  - name: {t}\n    module: storage\n"
+        f"    parameters: {{format: parquet, input: {sf_dir}/{t}.parquet}}\n"
+        for t in tables
+    )
+    return run_pipeline(spark, parse_config(src + body))
+
+
 # ---------------------------------------------------------------- queries
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1203,6 +1215,91 @@ transforms:
     )
 
 
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample module: deterministic md5-prefix train/val/test split —
+    per-split counts (disjoint + exhaustive by construction; the oracle
+    recomputes the same md5 bucketing)."""
+    outs = _pipeline_multi(spark, sf_dir, ["documents"], """
+transforms:
+  - name: sp
+    module: sample
+    inputs: [documents]
+    parameters:
+      method: split
+      keyField: doc_id
+      splits: {train: 0.8, val: 0.1, test: 0.1}
+""")
+    parts = []
+    for name in ("train", "val", "test"):
+        parts.append(
+            outs[f"sp.{name}"].groupBy().agg(
+                F.lit(name).alias("split"), F.count(F.lit(1)).alias("n")
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+Q_SAMPLE_SQL = """
+WITH h AS (
+  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS p FROM documents
+)
+SELECT 'train' AS split, count(*) AS n FROM h WHERE p < 'cccccccd'
+UNION ALL
+SELECT 'val' AS split, count(*) AS n FROM h WHERE p >= 'cccccccd' AND p < 'e6666666'
+UNION ALL
+SELECT 'test' AS split, count(*) AS n FROM h WHERE p >= 'e6666666'
+"""
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scrub module: PII redaction — emails/urls/ssn/cc/ip/phone masked
+    with engine-portable regexes (same redaction in the DuckDB oracle)."""
+    return _pipeline(spark, sf_dir, ["customer"], """
+transforms:
+  - name: seeded
+    module: select
+    inputs: [customer]
+    parameters:
+      select:
+        - {name: c_custkey}
+        - name: contact
+          func: text
+          text: "reach ${c_name} at user${c_custkey}@example.com or +1 (555) 010-${c_custkey} re 10.0.0.${c_custkey}"
+  - name: clean
+    module: scrub
+    inputs: [seeded]
+    parameters:
+      fields: [contact]
+""", "clean")
+
+
+Q_SCRUB_SQL = r"""
+WITH seeded AS (
+  SELECT c_custkey,
+         'reach ' || c_name || ' at user' || c_custkey ||
+         '@example.com or +1 (555) 010-' || c_custkey ||
+         ' re 10.0.0.' || c_custkey AS contact
+  FROM customer
+)
+SELECT c_custkey,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            'https?://[^\s<>"]+', '<URL>', 'g'),
+          '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        '\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{1,4}\b', '<CC>', 'g'),
+      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS contact
+FROM seeded
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity module, IVF (k-means inverted cells) approximate top-k.
 
@@ -1326,6 +1423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "lang_id": q_lang_id,
+        "sample_split": q_sample_split,
+        "scrub_pii": q_scrub_pii,
     }
 
 
@@ -1374,4 +1473,6 @@ def oracle_sql() -> dict[str, str]:
         # nprobe=cells → exhaustive IVF, exact oracle applies
         "ivf_topk": Q_SIM_SQL,
         "lang_id": _lang_id_oracle_sql(),
+        "sample_split": Q_SAMPLE_SQL,
+        "scrub_pii": Q_SCRUB_SQL,
     }

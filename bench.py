@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "embedding_neardup_bucketed",
     "multimodal_meta",
+    "sample_split",
+    "scrub_pii",
 ]
 
 

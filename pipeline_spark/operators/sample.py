@@ -1,0 +1,125 @@
+"""`sample` transform: deterministic sampling and dataset splitting.
+
+Training-data-pipeline extension (BASELINE.json north star): every
+large-scale corpus needs reproducible train/val/test splits and
+subsampling that are stable across runs, engines, and partitionings —
+which rules out ``df.sample`` (seed + partitioning dependent).
+
+Everything here keys on ``md5(key)`` hex prefixes: a row's bucket is a
+pure function of its key, so splits are deterministic, disjoint,
+exhaustive, and reproducible ANYWHERE md5 exists (the DuckDB correctness
+oracle recomputes them bit-for-bit).  Comparing the first 8 hex chars
+lexicographically partitions the uniform hash space without any bigint
+conversion — portable string compares that reach whole-stage codegen.
+
+Methods:
+  split       ``splits: {train: 0.9, val: 0.05, test: 0.05}`` → one
+              output per split name (multi-output module)
+  fraction    keep ``fraction`` of rows
+  stratified  per-stratum fractions: ``fractions: {A: 0.5, B: 0.1}``
+              on ``stratifyField`` (default fraction for absent keys)
+
+Scale: map-only (a hash + string compare per row), no shuffle, no state.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
+
+_HEX_SPACE = 16**8  # first 8 md5 hex chars
+
+
+def _hex_boundary(fraction: float) -> str:
+    """Hex string h such that P[md5_prefix < h] == fraction."""
+    n = min(max(int(round(fraction * _HEX_SPACE)), 0), _HEX_SPACE)
+    if n >= _HEX_SPACE:
+        return "g"  # sorts after every hex char → matches all rows
+    return format(n, "08x")
+
+
+def _hash_prefix(key: Column) -> Column:
+    return F.substring(F.md5(key.cast("string")), 1, 8)
+
+
+def sample_fraction(df: DataFrame, key_field: str, fraction: float, salt: str = "") -> DataFrame:
+    key = F.concat(F.lit(salt), F.col(key_field).cast("string"))
+    return df.filter(_hash_prefix(key) < _hex_boundary(fraction))
+
+
+def split_dataset(
+    df: DataFrame, key_field: str, splits: dict[str, float], salt: str = ""
+) -> dict[str, DataFrame]:
+    """Disjoint, exhaustive named splits by cumulative hash boundaries."""
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"sample split fractions must sum to 1 (got {total})")
+    key = F.concat(F.lit(salt), F.col(key_field).cast("string"))
+    h = _hash_prefix(key)
+    out: dict[str, DataFrame] = {}
+    cum = 0.0
+    lo = _hex_boundary(0.0)
+    names = list(splits)
+    for i, name in enumerate(names):
+        cum += splits[name]
+        # the last split takes everything remaining, so rounding in the
+        # boundary arithmetic can never drop rows
+        hi = _hex_boundary(1.0) if i == len(names) - 1 else _hex_boundary(cum)
+        out[name] = df.filter((h >= lo) & (h < hi))
+        lo = hi
+    return out
+
+
+def stratified_fraction(
+    df: DataFrame,
+    key_field: str,
+    stratify_field: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    key = F.concat(F.lit(salt), F.col(key_field).cast("string"))
+    h = _hash_prefix(key)
+    bound: Column = F.lit(_hex_boundary(default))
+    for stratum, frac in fractions.items():
+        bound = F.when(
+            F.col(stratify_field).cast("string") == str(stratum),
+            F.lit(_hex_boundary(frac)),
+        ).otherwise(bound)
+    return df.filter(h < bound)
+
+
+@module("sample", kind=KIND_TRANSFORM)
+def sample_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
+    p: dict[str, Any] = ctx.params
+    df = ctx.input
+    key_field = p.get("keyField") or p.get("idField", "id")
+    salt = str(p.get("salt", ""))
+    method = str(p.get("method", "split" if p.get("splits") else "fraction")).lower()
+
+    if method == "split":
+        splits = p.get("splits")
+        if not splits:
+            raise ValueError("sample split requires splits: {name: fraction}")
+        return {
+            name: part
+            for name, part in split_dataset(df, key_field, splits, salt).items()
+        }
+    if method == "fraction":
+        return {"": sample_fraction(df, key_field, float(p["fraction"]), salt)}
+    if method == "stratified":
+        return {
+            "": stratified_fraction(
+                df,
+                key_field,
+                p.get("stratifyField") or p["field"],
+                {str(k): float(v) for k, v in (p.get("fractions") or {}).items()},
+                default=float(p.get("defaultFraction", 0.0)),
+                salt=salt,
+            )
+        }
+    raise ValueError(f"sample: unknown method '{method}'")

@@ -420,3 +420,72 @@ def test_multimodal_resize_and_frame_sample_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         multimodal_transform(ctx(spark, {"op": "frame_sample", "field": "payload"}, [df]))
+
+
+def test_sample_split_disjoint_exhaustive_deterministic(spark):
+    from pipeline_spark.operators.sample import sample_transform
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    outs = sample_transform(
+        ctx(spark, {"method": "split", "keyField": "doc_id",
+                    "splits": {"train": 0.8, "val": 0.1, "test": 0.1}}, [df])
+    )
+    parts = {k: {r["doc_id"] for r in v.collect()} for k, v in outs.items()}
+    all_ids = set().union(*parts.values())
+    assert all_ids == set(range(2000))  # exhaustive
+    assert sum(len(s) for s in parts.values()) == 2000  # disjoint
+    assert 1500 < len(parts["train"]) < 1700  # ~80%
+    # deterministic: second run = identical membership
+    outs2 = sample_transform(
+        ctx(spark, {"method": "split", "keyField": "doc_id",
+                    "splits": {"train": 0.8, "val": 0.1, "test": 0.1}}, [df])
+    )
+    assert {r["doc_id"] for r in outs2["train"].collect()} == parts["train"]
+    # salt changes membership
+    salted = sample_transform(
+        ctx(spark, {"method": "split", "keyField": "doc_id", "salt": "v2",
+                    "splits": {"train": 0.8, "val": 0.1, "test": 0.1}}, [df])
+    )
+    assert {r["doc_id"] for r in salted["train"].collect()} != parts["train"]
+
+
+def test_sample_stratified(spark):
+    from pyspark.sql import functions as SF
+
+    from pipeline_spark.operators.sample import sample_transform
+
+    df = spark.range(0, 3000).select(
+        SF.col("id").alias("doc_id"),
+        SF.when(SF.col("id") % 2 == 0, "a").otherwise("b").alias("grp"),
+    )
+    out = sample_transform(
+        ctx(spark, {"method": "stratified", "keyField": "doc_id",
+                    "stratifyField": "grp",
+                    "fractions": {"a": 0.5, "b": 0.05}}, [df])
+    )[""]
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(SF.count("*").alias("n")).collect()}
+    assert 650 < counts["a"] < 850        # ~50% of 1500
+    assert 30 < counts.get("b", 0) < 140  # ~5% of 1500
+
+
+def test_scrub_pii_patterns(spark):
+    from pipeline_spark.operators.scrub import scrub_transform
+
+    rows = [Row(id=1, text=(
+        "mail a.b+c@x-mail.co.uk visit https://ex.com/p?q=1 "
+        "ssn 123-45-6789 card 4111 1111 1111 1111 ip 192.168.0.1 "
+        "call +81 (90) 1234-5678 done"
+    ))]
+    df = spark.createDataFrame(rows)
+    out = scrub_transform(ctx(spark, {"fields": ["text"]}, [df]))[""]
+    t = out.collect()[0]["text"]
+    for token in ("<EMAIL>", "<URL>", "<SSN>", "<CC>", "<IP>", "<PHONE>"):
+        assert token in t, (token, t)
+    assert "@" not in t and "192.168" not in t and "4111" not in t
+    # custom rule + kind subset
+    out2 = scrub_transform(
+        ctx(spark, {"fields": ["text"], "kinds": ["email"],
+                    "rules": [{"pattern": "done", "replacement": "<END>"}]}, [df])
+    )[""]
+    t2 = out2.collect()[0]["text"]
+    assert "<EMAIL>" in t2 and "<END>" in t2 and "192.168.0.1" in t2
