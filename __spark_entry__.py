@@ -1300,6 +1300,43 @@ FROM seeded
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack module: offset sequence packing into a 2048-token budget —
+    per-(bucket, pack) doc counts and token sums; oracle reproduces the
+    same hash-bucket + windowed-cumsum assignment."""
+    df = _pipeline(spark, sf_dir, ["documents"], """
+transforms:
+  - name: packed
+    module: pack
+    inputs: [documents]
+    parameters:
+      keyField: doc_id
+      tokenBudget: 2048
+      buckets: 8
+""", "packed")
+    return (
+        df.groupBy("bucket", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tokens"))
+    )
+
+
+Q_PACK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tokens,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8) AS bucket
+  FROM documents
+), placed AS (
+  SELECT bucket, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM toks
+)
+SELECT bucket, (start // 2048) AS pack_id, count(*) AS n_docs, sum(n_tokens) AS tokens
+FROM placed GROUP BY 1, 2
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity module, IVF (k-means inverted cells) approximate top-k.
 
@@ -1425,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "sample_split": q_sample_split,
         "scrub_pii": q_scrub_pii,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1475,4 +1513,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle_sql(),
         "sample_split": Q_SAMPLE_SQL,
         "scrub_pii": Q_SCRUB_SQL,
+        "pack_sequences": Q_PACK_SQL,
     }

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "multimodal_meta",
     "sample_split",
     "scrub_pii",
+    "pack_sequences",
 ]
 
 

@@ -489,3 +489,31 @@ def test_scrub_pii_patterns(spark):
     )[""]
     t2 = out2.collect()[0]["text"]
     assert "<EMAIL>" in t2 and "<END>" in t2 and "192.168.0.1" in t2
+
+
+def test_pack_sequences_budget_semantics(spark):
+    """Offset packing: docs fill packs in key order per bucket; every doc
+    starts at offset = cumulative tokens before it, pack overflows by
+    less than one doc, assignment is deterministic and repartition-proof."""
+    from pipeline_spark.operators.pack import pack_transform
+
+    rows = [Row(doc_id=i, text=" ".join(["w"] * (10 + i % 7))) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    params = {"keyField": "doc_id", "tokenBudget": 50, "buckets": 4}
+    out = pack_transform(ctx(spark, params, [df]))[""].collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) == {0, 1, 2, 3}
+    for bucket_rows in by_bucket.values():
+        bucket_rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in bucket_rows:
+            assert r["pack_id"] == cum // 50
+            assert r["pack_offset"] == cum % 50
+            cum += r["n_tokens"]
+    # deterministic under repartition
+    out2 = pack_transform(ctx(spark, params, [df.repartition(13)]))[""].collect()
+    assert {(r["doc_id"], r["pack_id"]) for r in out} == {
+        (r["doc_id"], r["pack_id"]) for r in out2
+    }
