@@ -898,3 +898,61 @@ transforms:
         - {name: t, func: scrape, field: html, selector: "p:nth-child(2)"}
 """,
         )
+
+
+def test_reshuffle_partition_count_and_content(spark):
+    """reshuffle: explicit repartition to numShards (optionally keyed)
+    preserves rows. Reference: ReshuffleTransform.java:8-29."""
+    outs = run(
+        spark,
+        BASE
+        + """
+transforms:
+  - name: rs
+    module: reshuffle
+    inputs: [create1]
+    parameters:
+      numShards: 5
+  - name: rsk
+    module: reshuffle
+    inputs: [create1]
+    parameters:
+      numShards: 3
+      fields: [stringField]
+""",
+    )
+    assert outs["rs"].rdd.getNumPartitions() == 5
+    assert sorted(r["intField"] for r in outs["rs"].collect()) == [1, 2, 3, 4, 5, 6]
+    assert outs["rsk"].rdd.getNumPartitions() == 3
+    # keyed repartition co-locates each key in one partition
+    per_part = outs["rsk"].rdd.mapPartitions(
+        lambda rows: [set(r["stringField"] for r in rows)]
+    ).collect()
+    seen = {}
+    for i, keys in enumerate(per_part):
+        for k in keys:
+            assert k not in seen, f"key {k} split across partitions"
+            seen[k] = i
+
+
+def test_aggregation_any_op(spark):
+    """any → any_value: one of the group's values (deterministic check:
+    value must belong to the group)."""
+    outs = run(
+        spark,
+        BASE
+        + """
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [create1]
+    parameters:
+      groupFields: [stringField]
+      aggregations:
+        - {name: any_i, op: any, field: intField}
+        - {name: cnt, op: count}
+""",
+    )
+    groups = {"a": {1, 2, 3}, "b": {4, 5}, "c": {6}}
+    for r in outs["agg"].collect():
+        assert r["any_i"] in groups[r["stringField"]]
