@@ -278,18 +278,31 @@ def exact_jaccard_on_pairs(
     """Exact n-gram Jaccard for an already-small candidate pair set.
 
     The LSH stages (minhash banding / simhash pigeonhole) bound the
-    candidate count by true-duplicate density, so joining the full gram
-    arrays back is proportional to duplicates, not corpus size.  This
-    turns an approximate candidate generator into an exact near-dup
-    detector whose output is SQL-reproducible (the correctness oracle
-    recomputes the same pair set from scratch).
+    candidate count by true-duplicate density, so verification cost is
+    proportional to duplicates, not corpus size: the corpus is semi-joined
+    down to docs that appear in ANY candidate pair BEFORE the (expensive)
+    gram arrays are computed — tokenization runs once over the candidate
+    doc set, never over the full corpus.  This turns an approximate
+    candidate generator into an exact near-dup detector whose output is
+    SQL-reproducible (the correctness oracle recomputes the same pair set
+    from scratch).
     """
+    pairs = pairs.select("doc_a", "doc_b").persist()
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
     grams = F.array_distinct(word_shingles(tokens(F.col(text_field)), ngram))
-    g = df.select(F.col(id_field).alias("doc"), grams.alias("grams"))
+    g = (
+        df.join(cand_docs, df[id_field] == cand_docs["doc"], "left_semi")
+        .select(F.col(id_field).alias("doc"), grams.alias("grams"))
+        .persist()
+    )
     ga = g.select(F.col("doc").alias("doc_a"), F.col("grams").alias("ga"))
     gb = g.select(F.col("doc").alias("doc_b"), F.col("grams").alias("gb"))
     return (
-        pairs.select("doc_a", "doc_b")
+        pairs
         .join(ga, "doc_a")
         .join(gb, "doc_b")
         .withColumn(
