@@ -420,12 +420,17 @@ def ngram_jaccard_pairs(
     base = spread(df).select(F.col(id_field).alias("doc"), grams.alias("grams")).filter(
         F.size("grams") > 0
     )
-    sizes = base.select("doc", F.size("grams").alias("n"))
     # group on the 8-byte gram hash, not the gram string — the shuffle
-    # carries ints (collision odds ~n²/2⁶⁴, immaterial for dedup)
+    # carries ints (collision odds ~n²/2⁶⁴, immaterial for dedup).
+    # Persisted because BOTH the bucket pass and the per-doc size agg
+    # consume it — without the cache the tokenize pipeline runs twice
+    # (two shuffles on different keys can't reuse one exchange).  16 B/gram
+    # of ints, MEMORY_AND_DISK by default.
     exploded = base.select(
         "doc", F.explode(F.transform("grams", lambda g: F.xxhash64(g))).alias("g")
-    )
+    ).persist()
+    # |distinct grams| per doc, from the cached ints — not a re-tokenize
+    sizes = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     # ONE shuffle: bucket docs per gram, then enumerate co-occurrence
     # pairs bucket-locally (same shape as minhash banding — measured
     # faster than a self-join on g, which shuffles the exploded grams
