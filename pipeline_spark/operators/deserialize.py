@@ -10,6 +10,8 @@ schema comes from the config schema block.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -53,12 +55,47 @@ def deserialize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             schema = T.StructType([f for f in inferred.fields if f.name != corrupt])
         parsed = F.from_json(F.col(field).cast("string"), schema)
     elif fmt == "avro":
-        from pyspark.sql.avro.functions import from_avro
-
         avro_schema = p.get("avroSchema")
         if not avro_schema:
             raise ValueError("deserialize avro requires avroSchema (json string)")
-        parsed = from_avro(F.col(field).cast("binary"), avro_schema)
+        import json as _json
+
+        if isinstance(avro_schema, dict):
+            avro_schema = _json.dumps(avro_schema)
+        # prefer the JVM-side spark-avro expression when the jar is on the
+        # classpath; otherwise the stdlib binary decoder
+        # (functions/avrodec.py) runs in a vectorized pandas UDF — the
+        # common Kafka-payload path needs no extra jar
+        try:
+            ctx.spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+                "org.apache.spark.sql.avro.AvroDataToCatalyst"
+            )
+            from pyspark.sql.avro.functions import from_avro
+
+            parsed = from_avro(F.col(field).cast("binary"), avro_schema)
+        except Exception:
+            from pipeline_spark.functions.avrodec import (
+                avro_to_spark_type,
+                decode_record,
+                parse_schema,
+            )
+
+            schema_obj, reg = parse_schema(avro_schema)
+            spark_type = avro_to_spark_type(avro_schema)
+
+            names = [f.name for f in spark_type.fields]
+
+            @F.pandas_udf(spark_type)
+            def avro_decode(payloads: pd.Series) -> pd.DataFrame:
+                recs = [
+                    {n: None for n in names}
+                    if b is None
+                    else decode_record(bytes(b), schema_obj, reg)
+                    for b in payloads
+                ]
+                return pd.DataFrame(recs, columns=names)
+
+            parsed = avro_decode(F.col(field).cast("binary"))
     elif fmt in ("protobuf", "proto"):
         from pyspark.sql.protobuf.functions import from_protobuf
 

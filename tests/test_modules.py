@@ -956,3 +956,89 @@ transforms:
     groups = {"a": {1, 2, 3}, "b": {4, 5}, "c": {6}}
     for r in outs["agg"].collect():
         assert r["any_i"] in groups[r["stringField"]]
+
+
+def _zz(n: int) -> bytes:
+    """Avro zigzag varint, written out per the spec for test fixtures."""
+    u = (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def test_deserialize_avro_pure_python_fallback(spark):
+    """Avro binary decode without the spark-avro jar: hand-crafted datum
+    per the public spec (zigzag ints, len-prefixed strings, LE doubles,
+    block arrays, union index, enum index) decodes into a typed struct.
+    Spec vectors sanity-check the fixture encoder itself."""
+    import struct
+
+    from pyspark.sql import Row
+
+    # spec examples: 1 → 0x02, -1 → 0x01, 64 → 0x80 0x01
+    assert _zz(1) == b"\x02" and _zz(-1) == b"\x01" and _zz(64) == b"\x80\x01"
+
+    schema = {
+        "type": "record", "name": "Ev", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "note", "type": ["null", "string"]},
+            {"name": "kind", "type": {"type": "enum", "name": "K", "symbols": ["A", "B"]}},
+        ],
+    }
+
+    def datum(id_, name, score, tags, note, kind_idx):
+        b = _zz(id_)
+        b += _zz(len(name)) + name.encode()
+        b += struct.pack("<d", score)
+        if tags:
+            b += _zz(len(tags))
+            for t in tags:
+                b += _zz(len(t)) + t.encode()
+        b += _zz(0)  # array end block
+        if note is None:
+            b += _zz(0)
+        else:
+            b += _zz(1) + _zz(len(note)) + note.encode()
+        b += _zz(kind_idx)
+        return b
+
+    rows = [
+        Row(k=1, payload=bytearray(datum(3, "ab", 1.5, ["x", "yz"], None, 0))),
+        Row(k=2, payload=bytearray(datum(-7, "", 0.25, [], "hi", 1))),
+        Row(k=3, payload=bytearray(b"\x00\x00\x00\x00\x2a" + datum(64, "c", 2.0, ["q"], None, 1))),  # confluent-framed
+    ]
+    import json as _json
+
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    df = spark.createDataFrame(rows, "k long, payload binary")
+    outs = run_pipeline(
+        spark,
+        parse_config(f"""
+transforms:
+  - name: parsed
+    module: deserialize
+    inputs: [raw]
+    parameters:
+      field: payload
+      format: avro
+      avroSchema: '{_json.dumps(schema)}'
+"""),
+        inputs={"raw": df},
+    )
+    got = {r["id"]: r for r in outs["parsed"].collect()}
+    assert got[3]["name"] == "ab" and got[3]["score"] == 1.5
+    assert list(got[3]["tags"]) == ["x", "yz"] and got[3]["note"] is None
+    assert got[3]["kind"] == "A"
+    assert got[-7]["name"] == "" and got[-7]["note"] == "hi" and got[-7]["kind"] == "B"
+    assert got[64]["name"] == "c" and list(got[64]["tags"]) == ["q"]  # framed payload
