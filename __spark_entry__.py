@@ -1176,6 +1176,69 @@ transforms:
 """, "sh").withColumn("jaccard", F.round("jaccard", 6))
 
 
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs → distributed connected components → cluster labels.
+
+    Exercises the large-star/small-star CC loop (functions/graph.py) end
+    to end: the exact-verified pair set becomes an edge list, every doc in
+    a near-dup cluster gets the component-minimum doc_id as its cluster
+    id.  The oracle recomputes the transitive closure from scratch with a
+    DuckDB recursive CTE — a disagreement in ANY iteration of the star
+    algorithm (a dropped edge, a wrong min) flips at least one label."""
+    return _pipeline(spark, sf_dir, ["documents"], """
+transforms:
+  - name: cl
+    module: dedup
+    inputs: [documents]
+    parameters:
+      method: minhash_lsh
+      idField: doc_id
+      field: text
+      numHashes: 64
+      bands: 16
+      threshold: 0.2
+      exactVerify: true
+      outputClusters: true
+""", "cl")
+
+
+Q_CLUSTER_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(t) - 2, 0)),
+           i -> array_to_string(t[i:i+2], ' ')))) AS g
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), overlap AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS o
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM overlap
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE o * 1.0 / (sa.n + sb.n - o) >= 0.2
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+)
+SELECT node AS doc_id, min(r) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity module, SRP-LSH approximate top-k.
 
@@ -1457,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "minhash_pairs": q_minhash_pairs,
         "simhash_neardup": q_simhash_neardup,
+        "dedup_cluster": q_dedup_cluster,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "lang_id": q_lang_id,
@@ -1505,6 +1569,9 @@ def oracle_sql() -> dict[str, str]:
         # near-dup pair set, so all three share the from-scratch oracle
         "minhash_pairs": Q_JACCARD_SQL,
         "simhash_neardup": Q_JACCARD_SQL,
+        # transitive closure of the same exact pair set, recomputed with a
+        # recursive CTE — checks the distributed CC loop label-for-label
+        "dedup_cluster": Q_CLUSTER_SQL,
         # seeded SRP-LSH at these params reaches recall 1 on this corpus →
         # held to the same exact brute-force top-k oracle
         "lsh_topk": Q_SIM_SQL,

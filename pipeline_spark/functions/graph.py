@@ -1,0 +1,116 @@
+"""Distributed connected components over an edge DataFrame.
+
+Dedup pair sets (minhash / simhash / ngram / embedding near-dup pairs)
+are EDGES, not clusters: dropping ``doc_b`` of every pair under-merges
+whenever the component's minimum is only transitively connected (pairs
+(b,c),(a,c) with a<b<c keep b even though {a,b,c} is one duplicate
+group).  Correct resolution needs the transitive closure — this module
+computes it with the alternating large-star / small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+ACM SoCC 2014), which converges in O(log n) rounds on ANY graph shape
+(min-label propagation needs O(diameter) rounds — a pathological chain
+of near-dups would need thousands).
+
+Scale posture per round: two shuffles (a groupBy-min per star step plus
+the join back), all on 8-byte node ids; the edge set only ever shrinks
+toward one star edge per non-root node, so round cost is bounded by the
+input edge count.  Lineage is truncated every round with an eager
+``localCheckpoint`` — without it the iterated plan doubles per round and
+the driver dies re-optimizing it (the same pattern GraphFrames uses).
+On a real cluster prefer ``spark.cleaner.referenceTracking`` defaults +
+checkpointing to reliable storage for fault tolerance; localCheckpoint
+keeps blocks on executors, which is the right trade for iterative
+convergence loops.
+
+Beyond the reference's surface (training-data pipeline requirement);
+closest reference analogue is none — its dedup story stops at exact
+keys.  Cited in SURVEY §2 LLM-extension table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Label every node with its component's minimum node id.
+
+    ``edges`` is undirected (long-castable endpoints); returns a DataFrame
+    ``(node, component)`` covering every node appearing in any edge.
+    Deterministic: the label is the component min, not an arbitrary root.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    nodes.count()  # materialize before e is iteratively replaced
+
+    prev_sig: tuple | None = None
+    prev_cp: DataFrame | None = None
+    for _ in range(max_iterations):
+        # -- large-star: every neighbor LARGER than u links to
+        #    m = min(N(u) ∪ {u}).  Neighborhoods are the symmetrized edges.
+        nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: orient each edge toward the larger endpoint, then
+        #    link every smaller neighbor (and u itself) to the minimum.
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        cp = small.localCheckpoint(eager=True)
+        # xor-fold of edge hashes: order-independent set checksum that
+        # cannot overflow under ANSI mode (edges are distinct, so xor
+        # cancellation of repeated rows is not a concern)
+        sig_row = cp.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["c"], sig_row["h"])
+        e = cp
+        if prev_cp is not None:
+            prev_cp.unpersist()
+        prev_cp = cp
+        if sig == prev_sig:
+            break  # star-shaped fixed point: every edge is (node, root)
+        prev_sig = sig
+
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    out = (
+        nodes.join(labels, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+        )
+    )
+    nodes.unpersist()
+    return out

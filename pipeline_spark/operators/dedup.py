@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pipeline_spark.functions.graph import connected_components
 from pipeline_spark.functions.partitioning import spread
 from pipeline_spark.functions.vector import cosine
 from pipeline_spark.operators.tokenize import word_shingles
@@ -613,6 +614,36 @@ def embedding_neardup_pairs(
     return narrowed.mapInPandas(block_pairs, schema=schema)
 
 
+def cluster_labels(pairs: DataFrame, id_alias: str = "doc_id") -> DataFrame:
+    """Near-dup pairs → ``(id, cluster_id)`` via connected components.
+
+    The cluster id is the component's minimum doc id (deterministic).
+    Only docs appearing in at least one pair are emitted — unpaired docs
+    are trivially their own cluster and joining them in would just
+    re-emit the corpus.
+    """
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(
+        F.col("node").alias(id_alias), F.col("component").alias("cluster_id")
+    )
+
+
+def drop_cluster_dupes(df: DataFrame, pairs: DataFrame, id_field: str) -> DataFrame:
+    """Keep one doc per near-dup cluster (the component-minimum id).
+
+    Pair-local dropping (remove every ``doc_b``) under-merges on
+    transitive duplicates — e.g. pairs (b,c),(a,c) with a<b<c keep b even
+    though {a,b,c} is one group.  The transitive closure is the correct
+    semantics; anti-join out every node that is not its component min.
+    """
+    dupes = (
+        connected_components(pairs, "doc_a", "doc_b")
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_field))
+    )
+    return df.join(dupes, id_field, "left_anti")
+
+
 @module("dedup", kind=KIND_TRANSFORM)
 def dedup_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     p: dict[str, Any] = ctx.params
@@ -648,25 +679,27 @@ def dedup_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                 bands=int(p.get("bands", 16)),
                 threshold=thr,
             )
+        if p.get("outputClusters", False):
+            return {"": cluster_labels(pairs, id_field)}
         if p.get("outputPairs", False):
             return {"": pairs}
-        # drop the larger id of each near-dup pair
-        dupes = pairs.select(F.col("doc_b").alias(id_field)).distinct()
-        return {"": df.join(dupes, id_field, "left_anti")}
+        # keep one doc per duplicate CLUSTER (transitive closure) — see
+        # drop_cluster_dupes for why pair-local dropping is wrong
+        return {"": drop_cluster_dupes(df, pairs, id_field)}
     if method == "simhash":
-        if p.get("outputPairs", False):
+        if p.get("outputPairs", False) or p.get("outputClusters", False):
             cand = simhash_candidate_pairs(
                 df, text_field, id_field,
                 max_hamming=int(p.get("maxHamming", 3)),
             )
             if p.get("exactVerify", False):
-                return {
-                    "": exact_jaccard_on_pairs(
-                        cand, df, text_field, id_field,
-                        ngram=int(p.get("ngram", 3)),
-                        threshold=float(p.get("threshold", 0.5)),
-                    )
-                }
+                cand = exact_jaccard_on_pairs(
+                    cand, df, text_field, id_field,
+                    ngram=int(p.get("ngram", 3)),
+                    threshold=float(p.get("threshold", 0.5)),
+                )
+            if p.get("outputClusters", False):
+                return {"": cluster_labels(cand, id_field)}
             return {"": cand}
         sig_udf = simhash_signature_udf()
         with_sig = spread(df).withColumn("simhash", sig_udf(F.col(text_field)))
@@ -675,16 +708,17 @@ def dedup_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         return {"": exact_dedup(with_sig, ["simhash"], id_field).drop("simhash")}
     if method in ("ngram_jaccard", "jaccard"):
         mdf = p.get("maxDocFreq", 1000)
-        return {
-            "": ngram_jaccard_pairs(
-                df,
-                text_field,
-                id_field,
-                ngram=int(p.get("ngram", 3)),
-                threshold=float(p.get("threshold", 0.5)),
-                max_doc_freq=None if mdf in (None, "none", 0) else int(mdf),
-            )
-        }
+        pairs = ngram_jaccard_pairs(
+            df,
+            text_field,
+            id_field,
+            ngram=int(p.get("ngram", 3)),
+            threshold=float(p.get("threshold", 0.5)),
+            max_doc_freq=None if mdf in (None, "none", 0) else int(mdf),
+        )
+        if p.get("outputClusters", False):
+            return {"": cluster_labels(pairs, id_field)}
+        return {"": pairs}
     if method in ("embedding", "cosine"):
         vec_field = p.get("vectorField", "embedding")
         thr = float(p.get("threshold", 0.95))
@@ -699,11 +733,9 @@ def dedup_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                     f"dedup embedding strategy=exact exceeds maxExactRows="
                     f"{max_rows}; use the default bucketed strategy at scale"
                 )
-            return {
-                "": embedding_neardup_pairs(df, vec_field, id_field, threshold=thr)
-            }
-        return {
-            "": embedding_neardup_pairs_bucketed(
+            pairs = embedding_neardup_pairs(df, vec_field, id_field, threshold=thr)
+        else:
+            pairs = embedding_neardup_pairs_bucketed(
                 df,
                 vec_field,
                 id_field,
@@ -712,5 +744,7 @@ def dedup_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                 tables=int(p.get("tables", 8)),
                 seed=int(p.get("seed", 42)),
             )
-        }
+        if p.get("outputClusters", False):
+            return {"": cluster_labels(pairs, id_field)}
+        return {"": pairs}
     raise ValueError(f"dedup: unknown method '{method}'")
