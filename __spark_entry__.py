@@ -1239,6 +1239,63 @@ FROM reach GROUP BY node
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap decontamination report.
+
+    Benchmark side = every 25th document (deterministic slice via SQL);
+    the module counts each doc's distinct 8-gram hashes hitting the
+    broadcast benchmark gram set.  Benchmark members self-match at
+    overlap 1.0, their near-dups partially — the oracle recomputes the
+    same join from raw text."""
+    return _pipeline(spark, sf_dir, ["documents"], """
+transforms:
+  - name: bench
+    module: beamsql
+    inputs: [documents]
+    parameters:
+      sql: "SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0"
+  - name: decon
+    module: decontaminate
+    inputs: [documents]
+    sideInputs: [bench]
+    parameters:
+      idField: doc_id
+      field: text
+      ngram: 8
+""", "decon").withColumn("overlap", F.round("overlap", 6))
+
+
+Q_DECON_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), glist AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(t) - 7, 0)),
+           i -> array_to_string(t[i:i+7], ' '))) AS gs
+  FROM toks
+), sizes AS (
+  SELECT doc_id, length(gs) AS n_grams FROM glist
+), grams AS (
+  SELECT doc_id, unnest(gs) AS g FROM glist
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0
+), matched AS (
+  SELECT grams.doc_id, count(*) AS matched
+  FROM grams JOIN bench USING (g)
+  GROUP BY 1
+)
+SELECT s.doc_id, s.n_grams,
+       coalesce(m.matched, 0) AS matched,
+       CASE WHEN s.n_grams > 0
+            THEN round(coalesce(m.matched, 0) * 1.0 / s.n_grams, 6)
+            ELSE 0.0 END AS overlap
+FROM sizes s LEFT JOIN matched m ON m.doc_id = s.doc_id
+"""
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity module, SRP-LSH approximate top-k.
 
@@ -1521,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_neardup": q_simhash_neardup,
         "dedup_cluster": q_dedup_cluster,
+        "decontaminate": q_decontaminate,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "lang_id": q_lang_id,
@@ -1572,6 +1630,7 @@ def oracle_sql() -> dict[str, str]:
         # transitive closure of the same exact pair set, recomputed with a
         # recursive CTE — checks the distributed CC loop label-for-label
         "dedup_cluster": Q_CLUSTER_SQL,
+        "decontaminate": Q_DECON_SQL,
         # seeded SRP-LSH at these params reaches recall 1 on this corpus →
         # held to the same exact brute-force top-k oracle
         "lsh_topk": Q_SIM_SQL,

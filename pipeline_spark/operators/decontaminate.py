@@ -1,0 +1,142 @@
+"""`decontaminate` transform: benchmark-overlap detection for training data.
+
+Training-data-pipeline extension (BASELINE.json north star; the reference
+has no analogue — its pipeline stops at warehouse ETL).  Standard
+decontamination practice for LLM corpora (as published for GPT-3 /
+PaLM-class training runs): a training document is contaminated if it
+shares word n-grams with an evaluation/benchmark set; matched documents
+are flagged or dropped before training.
+
+Plan shape, designed for a 100 TB corpus vs a small benchmark side:
+
+  1. benchmark side → distinct n-gram hashes (8-byte ints).  Benchmarks
+     are MBs, not TBs — the gram-hash set is broadcast (contract-guarded:
+     counts the gram set and refuses silent giant broadcasts).
+  2. corpus side → per-doc distinct gram hashes, exploded map-side; the
+     broadcast hash join marks matches WITHOUT shuffling corpus grams.
+  3. one shuffle: partial-agg count of matched grams per doc (ints), then
+     join back per-doc gram totals for the overlap fraction.
+
+Corpus text bytes never shuffle; the only wide exchange carries
+(doc_id, count) pairs.  Output modes: ``report`` (per-doc match stats),
+``clean`` (drop contaminated docs), ``flag`` (corpus + boolean column).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipeline_spark.functions.partitioning import spread
+from pipeline_spark.operators.dedup import normalize_text, tokens
+from pipeline_spark.operators.tokenize import word_shingles
+from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
+
+
+def _gram_hashes(df: DataFrame, text_field: str, n: int) -> DataFrame:
+    """Distinct benchmark n-gram hashes (one 8-byte int per gram)."""
+    grams = F.array_distinct(word_shingles(tokens(F.col(text_field)), n))
+    return (
+        df.select(F.explode(grams).alias("gram"))
+        .select(F.xxhash64("gram").alias("g"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_field: str = "text",
+    id_field: str = "doc_id",
+    bench_text_field: str | None = None,
+    ngram: int = 13,
+    max_benchmark_grams: int = 50_000_000,
+) -> DataFrame:
+    """Per-document benchmark overlap: (id, n_grams, matched, overlap).
+
+    ``matched`` counts the doc's distinct n-grams that appear anywhere in
+    the benchmark set; ``overlap`` = matched / n_grams (0.0 when the doc
+    is shorter than one n-gram).  Docs with zero grams are reported, not
+    dropped — deciding their fate is the caller's policy.
+    """
+    bench = _gram_hashes(
+        benchmark, bench_text_field or text_field, ngram
+    )
+    # broadcast guard: the benchmark contract is "small"; a config mixup
+    # (corpus wired into the benchmark port) would OOM every executor.
+    # The limit-probe stops scanning once the cap is disproven.
+    if bench.limit(max_benchmark_grams + 1).count() > max_benchmark_grams:
+        raise ValueError(
+            f"decontaminate: benchmark side exceeds {max_benchmark_grams} "
+            "distinct n-grams — too large to broadcast; lower ngram or "
+            "raise maxBenchmarkGrams deliberately"
+        )
+
+    grams = F.array_distinct(word_shingles(tokens(F.col(text_field)), ngram))
+    base = spread(corpus).select(
+        F.col(id_field).alias("__id__"), grams.alias("__grams__")
+    )
+    sizes = base.select(
+        F.col("__id__"), F.size("__grams__").alias("n_grams")
+    )
+    exploded = base.select(
+        "__id__", F.explode("__grams__").alias("gram")
+    ).select("__id__", F.xxhash64("gram").alias("g"))
+    matched = (
+        exploded.join(F.broadcast(bench), "g")
+        .groupBy("__id__")
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    return (
+        sizes.join(matched, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_field),
+            F.col("n_grams"),
+            F.coalesce(F.col("matched"), F.lit(0)).cast("long").alias("matched"),
+            F.when(F.col("n_grams") > 0,
+                   F.coalesce(F.col("matched"), F.lit(0)) / F.col("n_grams"))
+            .otherwise(F.lit(0.0))
+            .alias("overlap"),
+        )
+    )
+
+
+@module("decontaminate", kind=KIND_TRANSFORM)
+def decontaminate_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
+    """Corpus = main input; benchmark = side input (required)."""
+    p: dict[str, Any] = ctx.params
+    if not ctx.side_inputs:
+        raise ValueError("decontaminate: requires the benchmark as a sideInput")
+    corpus = ctx.input
+    benchmark = next(iter(ctx.side_inputs.values()))
+    id_field = p.get("idField", "doc_id")
+    report = contamination_report(
+        corpus,
+        benchmark,
+        text_field=p.get("field") or p.get("textField", "text"),
+        id_field=id_field,
+        bench_text_field=p.get("benchmarkField"),
+        ngram=int(p.get("ngram", 13)),
+        max_benchmark_grams=int(p.get("maxBenchmarkGrams", 50_000_000)),
+    )
+    mode = str(p.get("output", "report")).lower()
+    if mode == "report":
+        return {"": report}
+    # contamination policy: ≥ minMatches matched grams OR overlap ≥ maxOverlap
+    min_matches = int(p.get("minMatches", 1))
+    max_overlap = p.get("maxOverlap")
+    contaminated = F.col("matched") >= F.lit(min_matches)
+    if max_overlap is not None:
+        contaminated = contaminated | (F.col("overlap") >= F.lit(float(max_overlap)))
+    flags = report.select(id_field, contaminated.alias("contaminated"))
+    if mode == "flag":
+        return {"": ctx.input.join(flags, id_field, "left").fillna(
+            {"contaminated": False}
+        )}
+    if mode == "clean":
+        dirty = flags.filter(F.col("contaminated")).select(id_field)
+        return {"": ctx.input.join(dirty, id_field, "left_anti")}
+    raise ValueError(f"decontaminate: unknown output mode '{mode}'")
