@@ -1296,6 +1296,63 @@ FROM sizes s LEFT JOIN matched m ON m.doc_id = s.doc_id
 """
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span analysis (Lee-et-al exact-substring-dedup shape):
+    per doc, distinct 5-gram count, how many occur in ≥2 docs, and the
+    internal repetition ratio.  Oracle recomputes document frequencies
+    from raw text."""
+    return _pipeline(spark, sf_dir, ["documents"], """
+transforms:
+  - name: rep
+    module: repetition
+    inputs: [documents]
+    parameters:
+      mode: spans
+      idField: doc_id
+      field: text
+      ngram: 5
+      minFreq: 2
+""", "rep").select(
+        "doc_id", "n_spans", "dup_spans",
+        F.round("dup_fraction", 6).alias("dup_fraction"),
+        F.round("internal_repetition", 6).alias("internal_repetition"),
+    )
+
+
+Q_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), glist AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(length(t) - 4, 0)),
+           i -> array_to_string(t[i:i+4], ' ')) AS gall
+  FROM toks
+), gd AS (
+  SELECT doc_id, list_distinct(gall) AS gs, length(gall) AS total FROM glist
+), grams AS (
+  SELECT doc_id, unnest(gs) AS g FROM gd
+), dfreq AS (
+  SELECT g, count(*) AS df FROM grams GROUP BY g
+), dup AS (
+  SELECT doc_id, count(*) AS dup_spans
+  FROM grams JOIN dfreq USING (g) WHERE df >= 2 GROUP BY 1
+)
+SELECT gd.doc_id,
+       length(gs) AS n_spans,
+       coalesce(dup.dup_spans, 0) AS dup_spans,
+       CASE WHEN length(gs) > 0
+            THEN round(coalesce(dup.dup_spans, 0) * 1.0 / length(gs), 6)
+            ELSE 0.0 END AS dup_fraction,
+       CASE WHEN total > 0
+            THEN round(1.0 - length(gs) * 1.0 / total, 6)
+            ELSE 0.0 END AS internal_repetition
+FROM gd LEFT JOIN dup USING (doc_id)
+"""
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity module, SRP-LSH approximate top-k.
 
@@ -1579,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "dedup_cluster": q_dedup_cluster,
         "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "lang_id": q_lang_id,
@@ -1631,6 +1689,7 @@ def oracle_sql() -> dict[str, str]:
         # recursive CTE — checks the distributed CC loop label-for-label
         "dedup_cluster": Q_CLUSTER_SQL,
         "decontaminate": Q_DECON_SQL,
+        "repetition": Q_REPETITION_SQL,
         # seeded SRP-LSH at these params reaches recall 1 on this corpus →
         # held to the same exact brute-force top-k oracle
         "lsh_topk": Q_SIM_SQL,

@@ -1,0 +1,201 @@
+"""`repetition` transform: repeated-span / repeated-line analysis & removal.
+
+Training-data-pipeline extension (no reference analogue).  Two public
+practices folded into one module:
+
+  spans   exact substring duplication at token-k-gram granularity (the
+          Lee et al., "Deduplicating Training Data Makes Language Models
+          Better", ACL 2022 shape): per doc, the fraction of its distinct
+          token k-grams that occur in ≥ ``minFreq`` documents corpus-wide,
+          plus the doc's INTERNAL repetition (1 - distinct/total k-grams —
+          boilerplate and looping generations score high).
+  lines   C4-style line-level dedup: global frequency of each normalized
+          line; report per-doc duplicate-line fraction, or CLEAN the text
+          by dropping lines that occur in more than ``minFreq`` docs
+          (keeping document order).
+
+Scale posture: span/line identity shuffles as an 8-byte xxhash64 — raw
+text never rides a duplicate-detection exchange.  ``spans`` report is two
+int-key shuffles (df counts, per-doc match counts).  ``lines`` clean mode
+adds the doc-rebuild shuffle, which carries surviving line text once —
+that exchange IS the output.  Internal repetition is a pure Column
+expression (zero shuffle).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipeline_spark.functions.partitioning import spread
+from pipeline_spark.operators.dedup import tokens
+from pipeline_spark.operators.tokenize import word_shingles
+from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
+
+
+def span_repetition_report(
+    df: DataFrame,
+    *,
+    text_field: str = "text",
+    id_field: str = "doc_id",
+    ngram: int = 10,
+    min_freq: int = 2,
+) -> DataFrame:
+    """(id, n_spans, dup_spans, dup_fraction, internal_repetition).
+
+    ``dup_spans`` counts the doc's distinct k-grams whose document
+    frequency (distinct docs containing the gram) reaches ``min_freq``;
+    ``internal_repetition`` = 1 - distinct/total grams within the doc.
+    """
+    all_grams = word_shingles(tokens(F.col(text_field)), ngram)
+    base = spread(df).select(
+        F.col(id_field).alias("__id__"),
+        F.size(all_grams).alias("total"),
+        F.array_distinct(all_grams).alias("__grams__"),
+    )
+    stats = base.select(
+        "__id__",
+        F.size("__grams__").alias("n_spans"),
+        F.when(
+            F.col("total") > 0,
+            1.0 - F.size("__grams__") / F.col("total"),
+        ).otherwise(F.lit(0.0)).alias("internal_repetition"),
+    )
+    exploded = base.select(
+        "__id__", F.explode("__grams__").alias("gram")
+    ).select("__id__", F.xxhash64("gram").alias("h"))
+    # document frequency per gram: rows are (doc, gram) distinct already
+    dfreq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    dup = (
+        exploded.join(dfreq.filter(F.col("df") >= min_freq), "h")
+        .groupBy("__id__")
+        .agg(F.count(F.lit(1)).alias("dup_spans"))
+    )
+    return (
+        stats.join(dup, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_field),
+            "n_spans",
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long").alias("dup_spans"),
+            F.when(
+                F.col("n_spans") > 0,
+                F.coalesce(F.col("dup_spans"), F.lit(0)) / F.col("n_spans"),
+            ).otherwise(F.lit(0.0)).alias("dup_fraction"),
+            F.col("internal_repetition"),
+        )
+    )
+
+
+def _line_base(
+    df: DataFrame, text_field: str, id_field: str, sep: str, min_line_len: int
+) -> DataFrame:
+    """(id, pos, line, h): h is null for lines too short to dedup."""
+    lines = F.split(F.col(text_field), sep)
+    return spread(df).select(
+        F.col(id_field).alias("__id__"),
+        F.posexplode(lines).alias("pos", "line"),
+    ).withColumn(
+        "h",
+        F.when(
+            F.length(F.trim(F.col("line"))) >= min_line_len,
+            F.xxhash64(F.trim(F.col("line"))),
+        ),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    *,
+    text_field: str = "text",
+    id_field: str = "doc_id",
+    separator: str = "\n",
+    min_freq: int = 2,
+    min_line_len: int = 1,
+    clean: bool = False,
+) -> DataFrame:
+    """Line-frequency report, or the corpus with over-frequent lines removed.
+
+    Frequency counts DOCUMENTS containing the normalized line (so a line
+    repeated within one doc doesn't self-promote to "duplicate").  Clean
+    mode preserves original line order and keeps short/blank lines.
+    """
+    base = _line_base(df, text_field, id_field, separator, min_line_len)
+    per_doc_line = base.filter(F.col("h").isNotNull()).select("__id__", "h").distinct()
+    freq = per_doc_line.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    if not clean:
+        joined = base.join(freq, "h", "left")
+        return (
+            joined.groupBy("__id__")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.count(F.when(F.col("df") >= min_freq, 1)).alias("dup_lines"),
+            )
+            .select(
+                F.col("__id__").alias(id_field),
+                "n_lines",
+                "dup_lines",
+                (F.col("dup_lines") / F.col("n_lines")).alias("dup_line_fraction"),
+            )
+        )
+    hot = freq.filter(F.col("df") >= min_freq)
+    kept = base.join(hot, "h", "left_anti")
+    rebuilt = (
+        kept.groupBy("__id__")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                separator,
+            ).alias("__text__")
+        )
+    )
+    out = df.join(
+        rebuilt, df[id_field] == rebuilt["__id__"], "left"
+    )
+    # a doc whose every line was dropped rebuilds to the empty string
+    return out.withColumn(
+        text_field, F.coalesce(F.col("__text__"), F.lit(""))
+    ).drop("__id__", "__text__")
+
+
+@module("repetition", kind=KIND_TRANSFORM)
+def repetition_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
+    p: dict[str, Any] = ctx.params
+    df = ctx.input
+    mode = str(p.get("mode", "spans")).lower()
+    text_field = p.get("field") or p.get("textField", "text")
+    id_field = p.get("idField", "doc_id")
+    min_freq = int(p.get("minFreq", 2))
+    if mode == "spans":
+        report = span_repetition_report(
+            df,
+            text_field=text_field,
+            id_field=id_field,
+            ngram=int(p.get("ngram", 10)),
+            min_freq=min_freq,
+        )
+        max_frac = p.get("maxDupFraction")
+        if max_frac is None:
+            return {"": report}
+        # filter mode: keep docs under the duplicate-span budget
+        keep = report.filter(
+            F.col("dup_fraction") <= F.lit(float(max_frac))
+        ).select(id_field)
+        return {"": df.join(keep, id_field, "left_semi")}
+    if mode == "lines":
+        return {
+            "": line_dedup(
+                df,
+                text_field=text_field,
+                id_field=id_field,
+                separator=str(p.get("separator", "\n")),
+                min_freq=min_freq,
+                min_line_len=int(p.get("minLineLength", 1)),
+                clean=bool(p.get("clean", False)),
+            )
+        }
+    raise ValueError(f"repetition: unknown mode '{mode}'")
