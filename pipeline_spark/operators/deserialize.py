@@ -97,13 +97,51 @@ def deserialize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
 
             parsed = avro_decode(F.col(field).cast("binary"))
     elif fmt in ("protobuf", "proto"):
-        from pyspark.sql.protobuf.functions import from_protobuf
+        if not p.get("descriptorFile"):
+            raise ValueError(
+                "deserialize protobuf requires descriptorFile "
+                "(a compiled FileDescriptorSet, e.g. protoc --descriptor_set_out)"
+            )
+        # prefer the JVM-side spark-protobuf expression when the jar is on
+        # the classpath; otherwise the stdlib wire-format decoder
+        # (functions/protodec.py) runs in a vectorized pandas UDF — the
+        # common "Kafka protobuf payload + descriptor file" path needs no
+        # extra jar, mirroring the avro fallback above
+        try:
+            ctx.spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+                "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"
+            )
+            from pyspark.sql.protobuf.functions import from_protobuf
 
-        parsed = from_protobuf(
-            F.col(field).cast("binary"),
-            p["messageName"],
-            descFilePath=p.get("descriptorFile"),
-        )
+            parsed = from_protobuf(
+                F.col(field).cast("binary"),
+                p["messageName"],
+                descFilePath=p["descriptorFile"],
+            )
+        except Exception:
+            from pipeline_spark.functions.protodec import (
+                DescriptorPool,
+                decode_message,
+                message_to_spark_type,
+            )
+
+            with open(p["descriptorFile"], "rb") as fh:
+                pool = DescriptorPool(fh.read())
+            desc = pool.message(p["messageName"])
+            spark_type = message_to_spark_type(desc, pool)
+            names = [f.name for f in spark_type.fields]
+
+            @F.pandas_udf(spark_type)
+            def proto_decode(payloads: pd.Series) -> pd.DataFrame:
+                recs = [
+                    {n: None for n in names}
+                    if b is None
+                    else decode_message(bytes(b), desc, pool)
+                    for b in payloads
+                ]
+                return pd.DataFrame(recs, columns=names)
+
+            parsed = proto_decode(F.col(field).cast("binary"))
     else:
         raise ValueError(f"deserialize: unsupported format '{fmt}'")
 
