@@ -126,3 +126,15 @@ def read_spool(spool_dir: str) -> list:
         with open(os.path.join(spool_dir, name)) as f:
             out.extend(json.loads(line) for line in f if line.strip())
     return out
+
+
+def sqlite_connection(params: dict):
+    """DB-API connection factory for the jdbc source/sink DB-API path.
+
+    ``params["database"]`` is the sqlite file path.  The generous timeout
+    matters: executor tasks write concurrently and sqlite serializes
+    writers with a whole-file lock.
+    """
+    import sqlite3
+
+    return sqlite3.connect(params["database"], timeout=30)
