@@ -1296,6 +1296,29 @@ FROM sizes s LEFT JOIN matched m ON m.doc_id = s.doc_id
 """
 
 
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: md5(salt||id) ordering key.
+
+    The permutation key is engine-reproducible — the oracle recomputes
+    it; order itself is asserted in tests (the driver compare is
+    order-insensitive by design)."""
+    return _pipeline(spark, sf_dir, ["documents"], """
+transforms:
+  - name: sh
+    module: sample
+    inputs: [documents]
+    parameters:
+      method: shuffle
+      keyField: doc_id
+      salt: ep1
+""", "sh").select("doc_id", "shuffle_key")
+
+
+Q_SHUFFLE_SQL = """
+SELECT doc_id, md5('ep1' || doc_id) AS shuffle_key FROM documents
+"""
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span analysis (Lee-et-al exact-substring-dedup shape):
     per doc, distinct 5-gram count, how many occur in ≥2 docs, and the
@@ -1637,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
+        "shuffle_order": q_shuffle_order,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "lang_id": q_lang_id,
@@ -1690,6 +1714,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster": Q_CLUSTER_SQL,
         "decontaminate": Q_DECON_SQL,
         "repetition": Q_REPETITION_SQL,
+        "shuffle_order": Q_SHUFFLE_SQL,
         # seeded SRP-LSH at these params reaches recall 1 on this corpus →
         # held to the same exact brute-force top-k oracle
         "lsh_topk": Q_SIM_SQL,

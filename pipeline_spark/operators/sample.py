@@ -93,6 +93,35 @@ def stratified_fraction(
     return df.filter(h < bound)
 
 
+def shuffle_dataset(
+    df: DataFrame,
+    key_field: str,
+    salt: str = "",
+    partitions: int | None = None,
+    key_column: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic global shuffle for training order.
+
+    Orders the corpus by ``md5(salt || key)`` — a reproducible permutation
+    that any engine can recompute (the oracle re-derives the key); a new
+    ``salt`` is a fresh epoch permutation with zero data movement logic
+    changes.  Implemented as repartitionByRange + sortWithinPartitions on
+    the hash: the range exchange samples the (uniform) md5 space, so
+    partitions balance by construction and no global single-task sort or
+    keyless window appears anywhere.  Writing the partitions in index
+    order yields the corpus in shuffled order.
+    """
+    out = df.withColumn(
+        key_column,
+        F.md5(F.concat(F.lit(salt), F.col(key_field).cast("string"))),
+    )
+    if partitions:
+        part = out.repartitionByRange(int(partitions), F.col(key_column))
+    else:  # default parallelism-sized range exchange
+        part = out.repartitionByRange(F.col(key_column))
+    return part.sortWithinPartitions(key_column)
+
+
 @module("sample", kind=KIND_TRANSFORM)
 def sample_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     p: dict[str, Any] = ctx.params
@@ -120,6 +149,16 @@ def sample_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                 {str(k): float(v) for k, v in (p.get("fractions") or {}).items()},
                 default=float(p.get("defaultFraction", 0.0)),
                 salt=salt,
+            )
+        }
+    if method == "shuffle":
+        return {
+            "": shuffle_dataset(
+                df,
+                key_field,
+                salt=salt,
+                partitions=p.get("partitions"),
+                key_column=p.get("keyColumn", "shuffle_key"),
             )
         }
     raise ValueError(f"sample: unknown method '{method}'")

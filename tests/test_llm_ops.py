@@ -517,3 +517,27 @@ def test_pack_sequences_budget_semantics(spark):
     assert {(r["doc_id"], r["pack_id"]) for r in out} == {
         (r["doc_id"], r["pack_id"]) for r in out2
     }
+
+
+def test_shuffle_deterministic_order(spark):
+    from pipeline_spark.operators.sample import sample_transform
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id: long, text: string"
+    )
+    params = {"method": "shuffle", "keyField": "doc_id", "salt": "s1",
+              "partitions": 4}
+    out = sample_transform(ctx(spark, params, [df]))[""]
+    # order across partitions-in-index-order must equal global hash order
+    collected = out.collect()
+    keys = [r["shuffle_key"] for r in collected]
+    assert keys == sorted(keys)
+    assert sorted(r["doc_id"] for r in collected) == list(range(200))
+    # same salt → identical permutation even from a different partitioning
+    again = sample_transform(ctx(spark, params, [df.repartition(13)]))[""]
+    assert [r["doc_id"] for r in again.collect()] == [r["doc_id"] for r in collected]
+    # different salt → different permutation
+    other = sample_transform(
+        ctx(spark, {**params, "salt": "s2"}, [df])
+    )[""]
+    assert [r["doc_id"] for r in other.collect()] != [r["doc_id"] for r in collected]
