@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "sample_split",
     "scrub_pii",
     "pack_sequences",
+    "dedup_cluster",
+    "decontaminate",
+    "repetition",
+    "shuffle_order",
 ]
 
 

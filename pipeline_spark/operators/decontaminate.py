@@ -62,9 +62,10 @@ def contamination_report(
     is shorter than one n-gram).  Docs with zero grams are reported, not
     dropped — deciding their fate is the caller's policy.
     """
-    bench = _gram_hashes(
-        benchmark, bench_text_field or text_field, ngram
-    )
+    # persisted: the guard count AND the broadcast join both consume the
+    # benchmark gram set; without the cache its tokenize pipeline runs
+    # twice.  Small by contract (8 B/gram ints).
+    bench = _gram_hashes(benchmark, bench_text_field or text_field, ngram).persist()
     # broadcast guard: the benchmark contract is "small"; a config mixup
     # (corpus wired into the benchmark port) would OOM every executor.
     # The limit-probe stops scanning once the cap is disproven.
@@ -76,27 +77,32 @@ def contamination_report(
         )
 
     grams = F.array_distinct(word_shingles(tokens(F.col(text_field)), ngram))
-    base = spread(corpus).select(
-        F.col(id_field).alias("__id__"), grams.alias("__grams__")
+    # ONE corpus tokenize pass: exploded distinct-gram hashes are cached
+    # as (doc, hash) ints and reused by both the per-doc size aggregate
+    # and the broadcast match join.
+    exploded = (
+        spread(corpus)
+        .select(F.col(id_field).alias("__id__"), F.explode(grams).alias("gram"))
+        .select("__id__", F.xxhash64("gram").alias("g"))
+        .persist()
     )
-    sizes = base.select(
-        F.col("__id__"), F.size("__grams__").alias("n_grams")
-    )
-    exploded = base.select(
-        "__id__", F.explode("__grams__").alias("gram")
-    ).select("__id__", F.xxhash64("gram").alias("g"))
+    sizes = exploded.groupBy("__id__").agg(F.count(F.lit(1)).alias("n_grams"))
     matched = (
         exploded.join(F.broadcast(bench), "g")
         .groupBy("__id__")
         .agg(F.count(F.lit(1)).alias("matched"))
     )
+    # zero-gram docs vanish from the explode — restore from a slim
+    # id-column scan (columnar projection, no re-tokenize)
+    ids = corpus.select(F.col(id_field).alias("__id__"))
     return (
-        sizes.join(matched, "__id__", "left")
+        ids.join(sizes, "__id__", "left")
+        .join(matched, "__id__", "left")
         .select(
             F.col("__id__").alias(id_field),
-            F.col("n_grams"),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("int").alias("n_grams"),
             F.coalesce(F.col("matched"), F.lit(0)).cast("long").alias("matched"),
-            F.when(F.col("n_grams") > 0,
+            F.when(F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
                    F.coalesce(F.col("matched"), F.lit(0)) / F.col("n_grams"))
             .otherwise(F.lit(0.0))
             .alias("overlap"),

@@ -50,22 +50,24 @@ def span_repetition_report(
     ``internal_repetition`` = 1 - distinct/total grams within the doc.
     """
     all_grams = word_shingles(tokens(F.col(text_field)), ngram)
-    base = spread(df).select(
-        F.col(id_field).alias("__id__"),
-        F.size(all_grams).alias("total"),
-        F.array_distinct(all_grams).alias("__grams__"),
+    # ONE tokenize pass: carry the doc's total gram count onto every
+    # exploded distinct-gram row (one duplicated int) so per-doc stats
+    # recover from the cached int rows instead of a second tokenize.
+    # Persisted because THREE consumers read it (per-doc stats, the df
+    # counts, the dup-count join) — 24 B/row of ints, MEMORY_AND_DISK.
+    exploded = (
+        spread(df)
+        .select(
+            F.col(id_field).alias("__id__"),
+            F.size(all_grams).alias("total"),
+            F.explode(F.array_distinct(all_grams)).alias("gram"),
+        )
+        .select("__id__", "total", F.xxhash64("gram").alias("h"))
+        .persist()
     )
-    stats = base.select(
-        "__id__",
-        F.size("__grams__").alias("n_spans"),
-        F.when(
-            F.col("total") > 0,
-            1.0 - F.size("__grams__") / F.col("total"),
-        ).otherwise(F.lit(0.0)).alias("internal_repetition"),
+    stats = exploded.groupBy("__id__").agg(
+        F.count(F.lit(1)).alias("n_spans"), F.first("total").alias("total")
     )
-    exploded = base.select(
-        "__id__", F.explode("__grams__").alias("gram")
-    ).select("__id__", F.xxhash64("gram").alias("h"))
     # document frequency per gram: rows are (doc, gram) distinct already
     dfreq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     dup = (
@@ -73,17 +75,24 @@ def span_repetition_report(
         .groupBy("__id__")
         .agg(F.count(F.lit(1)).alias("dup_spans"))
     )
+    # zero-gram docs vanish from the explode — restore them from a slim
+    # id-column scan (columnar projection, no re-tokenize)
+    ids = df.select(F.col(id_field).alias("__id__"))
     return (
-        stats.join(dup, "__id__", "left")
+        ids.join(stats, "__id__", "left")
+        .join(dup, "__id__", "left")
         .select(
             F.col("__id__").alias(id_field),
-            "n_spans",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("int").alias("n_spans"),
             F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long").alias("dup_spans"),
             F.when(
-                F.col("n_spans") > 0,
+                F.coalesce(F.col("n_spans"), F.lit(0)) > 0,
                 F.coalesce(F.col("dup_spans"), F.lit(0)) / F.col("n_spans"),
             ).otherwise(F.lit(0.0)).alias("dup_fraction"),
-            F.col("internal_repetition"),
+            F.when(
+                F.coalesce(F.col("total"), F.lit(0)) > 0,
+                1.0 - F.coalesce(F.col("n_spans"), F.lit(0)) / F.col("total"),
+            ).otherwise(F.lit(0.0)).alias("internal_repetition"),
         )
     )
 
