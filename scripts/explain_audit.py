@@ -101,6 +101,26 @@ def main() -> int:
         if "g#" in smj_section:
             failures.append("ngram: self-join on gram hash — use bucket-local pairs")
 
+    p9 = plan_of(entrymod.q_decontaminate(spark, sf))
+    if "BroadcastHashJoin" not in p9:
+        failures.append("decontaminate: benchmark gram join must broadcast")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if bad in p9:
+            failures.append(f"decontaminate: {bad} in plan")
+
+    p10 = plan_of(entrymod.q_repetition(spark, sf))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if bad in p10:
+            failures.append(f"repetition: {bad} in plan")
+    if "InMemoryTableScan" not in p10:
+        failures.append("repetition: exploded gram cache missing — tokenize re-runs per consumer")
+
+    p11 = plan_of(entrymod.q_shuffle_order(spark, sf))
+    if "rangepartitioning" not in p11.lower():
+        failures.append("shuffle: expected a range exchange on the hash key")
+    if "GlobalLimit" in p11 or "CollectLimit" in p11:
+        failures.append("shuffle: unexpected limit/collect in plan")
+
     for f in failures:
         print("FAIL", f)
     print("PLAN AUDIT:", "FAILED" if failures else "ALL OK")
