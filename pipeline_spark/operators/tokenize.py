@@ -195,6 +195,84 @@ def japanese_tokens_udf(discard_punctuation: bool):
     return toks
 
 
+def bpe_ranks(tokenizer: dict[str, Any]) -> dict[tuple[str, str], int]:
+    """Merge table from config ``merges: ["a b", ...]`` or ``mergesFile``
+    (one merge per line, ``#version`` headers skipped — the public
+    GPT-2/Sennrich merges.txt layout)."""
+    merges = tokenizer.get("merges")
+    if not merges and tokenizer.get("mergesFile"):
+        with open(tokenizer["mergesFile"], encoding="utf-8") as fh:
+            merges = [
+                ln.strip()
+                for ln in fh
+                if ln.strip() and not ln.startswith("#")
+            ]
+    if not merges:
+        raise ValueError("bpe tokenizer requires merges or mergesFile")
+    ranks: dict[tuple[str, str], int] = {}
+    for i, m in enumerate(merges):
+        parts = tuple(m.split())
+        if len(parts) != 2:
+            raise ValueError(f"bpe merge must be 'left right': {m!r}")
+        ranks[parts] = i
+    return ranks
+
+
+def bpe_tokens_udf(ranks: dict[tuple[str, str], int], end_of_word: str):
+    """Byte-pair encoding with a fixed merge table (Sennrich et al. 2016 /
+    GPT-2 algorithm, public): each whitespace word starts as characters
+    (last one suffixed with the end-of-word marker when configured) and
+    the lowest-rank adjacent pair merges repeatedly until no merge
+    applies.  Deterministic given the merge list.
+
+    Vectorized pandas UDF with a per-batch word memo (natural-language
+    batches repeat words heavily); the ranks dict ships once per executor
+    in the UDF closure — fine for real merge tables (50k merges ≈ 1 MB).
+    Map-only: no shuffle, text bytes stay in place.
+    """
+    inf = float("inf")
+
+    @F.pandas_udf("array<string>")
+    def toks(s: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def encode_word(w: str) -> list[str]:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            if end_of_word and len(w) > 0:
+                syms = list(w[:-1]) + [w[-1] + end_of_word]
+            else:
+                syms = list(w)
+            while len(syms) > 1:
+                best = None
+                best_rank = inf
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]), inf)
+                    if r < best_rank:
+                        best_rank, best = r, (syms[i], syms[i + 1])
+                if best is None or best_rank == inf:
+                    break
+                out = []
+                i = 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = syms
+            return syms
+
+        return s.fillna("").map(
+            lambda t: [tok for w in t.split() for tok in encode_word(w)]
+        )
+
+    return toks
+
+
 def tokenize_column(col: Column, tokenizer: dict[str, Any] | None, filters: list[dict[str, Any]]) -> Column:
     tk = (tokenizer or {}).get("type", "standard").lower()
     if tk in ("japanese", "japanesetokenizer", "kuromoji"):
@@ -213,6 +291,11 @@ def tokenize_column(col: Column, tokenizer: dict[str, Any] | None, filters: list
     elif tk in ("ngram",):
         n = int((tokenizer or {}).get("minGram", (tokenizer or {}).get("n", 3)))
         toks = character_ngrams(col, n)
+    elif tk in ("bpe", "subword"):
+        toks = bpe_tokens_udf(
+            bpe_ranks(tokenizer or {}),
+            str((tokenizer or {}).get("endOfWord", "")),
+        )(col)
     else:
         raise NotImplementedError(f"tokenizer '{tk}' requires Lucene/ICU (not in container)")
 

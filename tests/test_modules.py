@@ -1042,3 +1042,60 @@ transforms:
     assert got[3]["kind"] == "A"
     assert got[-7]["name"] == "" and got[-7]["note"] == "hi" and got[-7]["kind"] == "B"
     assert got[64]["name"] == "c" and list(got[64]["tags"]) == ["q"]  # framed payload
+
+
+def test_bpe_tokenizer_merge_order_and_eow(spark):
+    from pipeline_spark.operators.tokenize import bpe_ranks, bpe_tokens_udf
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("lower lowest",), ("abc",), ("",)], "text: string"
+    )
+    # classic Sennrich example: learn "lo", "low", "er</w>"
+    ranks = bpe_ranks(
+        {"merges": ["l o", "lo w", "e r</w>", "b c"]}
+    )
+    out = df.select(bpe_tokens_udf(ranks, "</w>")(F.col("text")).alias("t")).collect()
+    assert out[0]["t"] == ["low", "er</w>", "low", "e", "s", "t</w>"]
+    # merge priority: "b c" ranks below nothing else for 'abc' with eow
+    # on c; pair (b, c</w>) is NOT the learned ("b","c") merge → no merge
+    assert out[1]["t"] == ["a", "b", "c</w>"]
+    assert out[2]["t"] == []
+
+    # without end-of-word marker the plain ("b","c") merge applies, and
+    # rank order decides between overlapping candidates
+    ranks2 = bpe_ranks({"merges": ["b c", "a b"]})
+    out2 = df.select(bpe_tokens_udf(ranks2, "")(F.col("text")).alias("t")).collect()
+    assert out2[1]["t"] == ["a", "bc"]  # bc ranks first, ab never applies
+
+
+def test_bpe_through_tokenize_module(spark, tmp_path):
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    merges = tmp_path / "merges.txt"
+    merges.write_text("#version: 0.2\nt h\nth e\n")
+    cfg = parse_config(f"""
+sources:
+  - name: docs
+    module: create
+    parameters:
+      elements:
+        - {{id: 1, text: "the theme"}}
+    schema:
+      fields:
+        - {{name: id, type: int64}}
+        - {{name: text, type: string}}
+transforms:
+  - name: tok
+    module: tokenize
+    inputs: [docs]
+    parameters:
+      fields:
+        - field: text
+          name: toks
+          tokenizer: {{type: bpe, mergesFile: {merges}}}
+""")
+    out = run_pipeline(spark, cfg)["tok"]
+    row = out.collect()[0]
+    assert row["toks"] == ["the", "the", "m", "e"]
