@@ -1319,6 +1319,50 @@ SELECT doc_id, md5('ep1' || doc_id) AS shuffle_key FROM documents
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier (fasttext-style) over documents.
+
+    The 256-bucket weight table is generated from a fixed integer
+    recurrence on BOTH sides, so the oracle rebuilds the exact model and
+    recomputes every score from raw text — md5 feature hashing, weight
+    lookup, mean, sigmoid, bit-for-bit."""
+    weights = [((i + 1) * 2654435761 % 1000) / 1000.0 - 0.5 for i in range(256)]
+    wlist = ", ".join(repr(w) for w in weights)
+    return _pipeline(spark, sf_dir, ["documents"], f"""
+transforms:
+  - name: clf
+    module: textstats
+    inputs: [documents]
+    parameters:
+      field: text
+      ops: [classifier]
+      weights: [{wlist}]
+      bias: 0.1
+""", "clf").select("doc_id", "clf_score")
+
+
+Q_CLASSIFIER_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), w AS (
+  SELECT list_transform(
+           generate_series(0, 255),
+           i -> ((i + 1) * 2654435761) % 1000 / 1000.0 - 0.5) AS wl
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(0.1 +
+         list_sum(list_transform(t, tok ->
+           wl[(ascii(substr(md5(tok), 1, 1))
+               - CASE WHEN ascii(substr(md5(tok), 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16
+              + (ascii(substr(md5(tok), 2, 1))
+               - CASE WHEN ascii(substr(md5(tok), 2, 1)) >= 97 THEN 87 ELSE 48 END) + 1]))
+         / greatest(length(t), 1)))), 6) AS clf_score
+FROM toks, w
+"""
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span analysis (Lee-et-al exact-substring-dedup shape):
     per doc, distinct 5-gram count, how many occur in ≥2 docs, and the
@@ -1661,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
         "shuffle_order": q_shuffle_order,
+        "quality_classifier": q_quality_classifier,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "lang_id": q_lang_id,
@@ -1715,6 +1760,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": Q_DECON_SQL,
         "repetition": Q_REPETITION_SQL,
         "shuffle_order": Q_SHUFFLE_SQL,
+        "quality_classifier": Q_CLASSIFIER_SQL,
         # seeded SRP-LSH at these params reaches recall 1 on this corpus →
         # held to the same exact brute-force top-k oracle
         "lsh_topk": Q_SIM_SQL,

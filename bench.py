@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "repetition",
     "shuffle_order",
+    "quality_classifier",
 ]
 
 

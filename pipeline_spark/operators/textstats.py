@@ -84,6 +84,50 @@ def subword_estimate(col: Column) -> Column:
     return F.ceil(F.length(F.coalesce(col, F.lit(""))).cast("double") / F.lit(3.2)).cast("long")
 
 
+def _hex_char_val(c: Column) -> Column:
+    """'0'-'9','a'-'f' → 0..15 via ascii arithmetic (portable: the oracle
+    reproduces it with ascii()/CASE in SQL)."""
+    a = F.ascii(c)
+    return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
+
+def classifier_score(
+    col: Column, weights: list[float], bias: float = 0.0
+) -> Column:
+    """fasttext-style linear text classifier over hashed token features.
+
+    Public technique (Joulin et al. 2016, feature hashing per Weinberger
+    et al. 2009): feature(token) = first two hex chars of md5(token) →
+    a 256-bucket index; score = sigmoid(bias + mean(weights[feature])).
+    The hash, lookup, and sigmoid are plain string/array expressions, so
+    ANY engine reproduces scores bit-for-bit given the same weight table
+    — which is what makes a quality-classifier decision auditable.
+
+    Scale: one Column pass, zero shuffle, no Python.  The weight table is
+    a 256-double literal array in the plan; real vocab-sized models
+    (2^20 buckets) belong in a broadcast + pandas UDF — this is the
+    engine-portable formulation for modest tables.
+    """
+    if len(weights) != 256:
+        raise ValueError("classifier weights must have exactly 256 entries")
+    toks = _toks(F.coalesce(col, F.lit("")))
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+
+    def tok_weight(t: Column) -> Column:
+        h = F.md5(t)
+        idx = _hex_char_val(F.substring(h, 1, 1)) * 16 + _hex_char_val(
+            F.substring(h, 2, 1)
+        )
+        return F.element_at(warr, (idx + 1).cast("int"))
+
+    wsum = F.aggregate(
+        F.transform(toks, tok_weight), F.lit(0.0), lambda a, x: a + x
+    )
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    z = F.lit(float(bias)) + wsum / n
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint (md5 of normalized text)."""
     return F.md5(F.trim(F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " ")))
@@ -107,6 +151,15 @@ def textstats_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             df = df.withColumn(p.get("subwordField", "n_subwords"), subword_estimate(col))
         elif op == "fingerprint":
             df = df.withColumn(p.get("fingerprintField", "fingerprint"), fingerprint(col))
+        elif op == "classifier":
+            df = df.withColumn(
+                p.get("scoreField", "clf_score"),
+                classifier_score(
+                    col,
+                    [float(w) for w in p["weights"]],
+                    float(p.get("bias", 0.0)),
+                ),
+            )
         else:
             raise ValueError(f"textstats: unknown op '{op}'")
     return {"": df}

@@ -541,3 +541,38 @@ def test_shuffle_deterministic_order(spark):
         ctx(spark, {**params, "salt": "s2"}, [df])
     )[""]
     assert [r["doc_id"] for r in other.collect()] != [r["doc_id"] for r in collected]
+
+
+def test_classifier_score_matches_reference_math(spark):
+    import hashlib
+    import math
+
+    from pipeline_spark.operators.textstats import textstats_transform
+
+    weights = [((i + 1) * 7919 % 100) / 100.0 - 0.5 for i in range(256)]
+    df = spark.createDataFrame([("alpha",), ("alpha beta",), (None,)], "text: string")
+    out = textstats_transform(
+        ctx(
+            spark,
+            {"field": "text", "ops": ["classifier"], "weights": weights, "bias": 0.25},
+            [df],
+        )
+    )[""]
+    got = [r["clf_score"] for r in out.collect()]
+
+    def feat(tok):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return int(h[0], 16) * 16 + int(h[1], 16)
+
+    def score(toks):
+        m = sum(weights[feat(t)] for t in toks) / max(len(toks), 1)
+        return round(1.0 / (1.0 + math.exp(-(0.25 + m))), 6)
+
+    assert got[0] == score(["alpha"])
+    assert got[1] == score(["alpha", "beta"])
+    assert got[2] == score([""])  # null text → one empty token, like split('')
+
+    with pytest.raises(ValueError, match="256"):
+        textstats_transform(
+            ctx(spark, {"ops": ["classifier"], "weights": [0.1]}, [df])
+        )[""]
