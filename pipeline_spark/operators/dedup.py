@@ -654,6 +654,29 @@ def dedup_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
 
     if method == "exact":
         fields = p.get("fields") or [text_field]
+        if df.isStreaming:
+            # streaming-native semantics: FIRST arrival wins (batch mode
+            # keeps the min id — a documented divergence; "first" is the
+            # only meaningful winner in an unbounded stream).  State is
+            # bounded by the watermark: dropDuplicatesWithinWatermark
+            # expires a content hash once the event-time watermark passes
+            # it.  Without a timestampField the state grows unboundedly —
+            # allowed, but the config owner opted into it explicitly.
+            keyed = df.withColumn("__h__", F.xxhash64(*[F.col(f) for f in fields]))
+            ts = p.get("timestampField")
+            if ts:
+                keyed = keyed.withWatermark(
+                    ts, str(p.get("watermarkDelay", "10 minutes"))
+                )
+                out = keyed.dropDuplicatesWithinWatermark(["__h__"])
+            elif p.get("allowUnboundedState", False):
+                out = keyed.dropDuplicates(["__h__"])
+            else:
+                raise ValueError(
+                    "streaming exact dedup requires timestampField (watermark-"
+                    "bounded state) or allowUnboundedState: true"
+                )
+            return {"": out.drop("__h__")}
         return {"": exact_dedup(df, fields, id_field)}
     if method in ("minhash", "minhash_lsh"):
         shingle = int(p.get("shingleSize", 3))

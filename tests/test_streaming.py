@@ -259,3 +259,74 @@ transforms:
         assert pane["timing"] == "ON_TIME"
         assert pane["index"] == 0 and pane["is_first"] and pane["is_last"]
         assert pane["firing_time"] is not None
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        (1, "same content", dt.datetime(2024, 1, 1, 0, 0, 5)),
+        (2, "same content", dt.datetime(2024, 1, 1, 0, 0, 15)),   # dup
+        (3, "other content", dt.datetime(2024, 1, 1, 0, 0, 25)),
+        (4, "same content", dt.datetime(2024, 1, 1, 0, 1, 5)),    # dup
+        (5, "third thing", dt.datetime(2024, 1, 1, 0, 1, 15)),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, ts timestamp")
+    in_dir = str(tmp_path / "dedup_in")
+    df.coalesce(1).write.parquet(in_dir)
+    out_dir = str(tmp_path / "dedup_out")
+    cfg = parse_config(f"""
+sources:
+  - name: docs
+    module: storage
+    parameters:
+      format: parquet
+      input: {in_dir}
+      mode: streaming
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [docs]
+    parameters:
+      method: exact
+      fields: [text]
+      idField: id
+      timestampField: ts
+      watermarkDelay: 10 minutes
+sinks:
+  - name: out
+    module: storage
+    inputs: [dd]
+    parameters:
+      format: parquet
+      output: {out_dir}
+      availableNow: true
+""")
+    outs = run_pipeline(spark, cfg)
+    assert outs["dd"].isStreaming
+    got = spark.read.parquet(out_dir)
+    texts = sorted(r["text"] for r in got.collect())
+    assert texts == ["other content", "same content", "third thing"]
+
+
+def test_streaming_exact_dedup_requires_watermark_or_optin(spark, tmp_path):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, "x", dt.datetime(2024, 1, 1))], "id long, text string, ts timestamp"
+    )
+    in_dir = str(tmp_path / "nb_in")
+    df.write.parquet(in_dir)
+    cfg = parse_config(f"""
+sources:
+  - name: docs
+    module: storage
+    parameters: {{format: parquet, input: {in_dir}, mode: streaming}}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [docs]
+    parameters: {{method: exact, fields: [text]}}
+""")
+    with pytest.raises(ValueError, match="timestampField"):
+        run_pipeline(spark, cfg)
