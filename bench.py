@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "sample_split",
     "scrub_pii",
     "pack_sequences",
+    "compare_diff",
+    "lang_id",
     "dedup_cluster",
     "decontaminate",
     "repetition",

@@ -52,6 +52,12 @@ def connected_components(
         )
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
         .distinct()
+        # truncate the upstream lineage BEFORE iterating: the star steps
+        # reference e several times per round, and without this the
+        # round-1 plan embeds the (possibly enormous) edge-producing
+        # pipeline ~12× — measured as a driver OOM just PRINTING the tree
+        # when pairs come from a multi-stage curation chain
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("u").alias("node"))
