@@ -85,14 +85,22 @@ def deserialize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
 
             names = [f.name for f in spark_type.fields]
 
+            fail_fast = bool(ctx.config.get("failFast", True))
+
             @F.pandas_udf(spark_type)
             def avro_decode(payloads: pd.Series) -> pd.DataFrame:
-                recs = [
-                    {n: None for n in names}
-                    if b is None
-                    else decode_record(bytes(b), schema_obj, reg)
-                    for b in payloads
-                ]
+                recs = []
+                for b in payloads:
+                    if b is None:
+                        recs.append({n: None for n in names})
+                        continue
+                    try:
+                        recs.append(decode_record(bytes(b), schema_obj, reg))
+                    except Exception:
+                        if fail_fast:
+                            raise
+                        # dead-letter: all-null record routes to failures
+                        recs.append({n: None for n in names})
                 return pd.DataFrame(recs, columns=names)
 
             parsed = avro_decode(F.col(field).cast("binary"))
@@ -131,14 +139,22 @@ def deserialize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             spark_type = message_to_spark_type(desc, pool)
             names = [f.name for f in spark_type.fields]
 
+            fail_fast = bool(ctx.config.get("failFast", True))
+
             @F.pandas_udf(spark_type)
             def proto_decode(payloads: pd.Series) -> pd.DataFrame:
-                recs = [
-                    {n: None for n in names}
-                    if b is None
-                    else decode_message(bytes(b), desc, pool)
-                    for b in payloads
-                ]
+                recs = []
+                for b in payloads:
+                    if b is None:
+                        recs.append({n: None for n in names})
+                        continue
+                    try:
+                        recs.append(decode_message(bytes(b), desc, pool))
+                    except Exception:
+                        if fail_fast:
+                            raise
+                        # dead-letter: all-null record routes to failures
+                        recs.append({n: None for n in names})
                 return pd.DataFrame(recs, columns=names)
 
             parsed = proto_decode(F.col(field).cast("binary"))
@@ -147,15 +163,16 @@ def deserialize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
 
     out = df.withColumn(out_field, parsed)
     outputs: dict[str, DataFrame] = {}
-    if not ctx.config.get("failFast", True) and fmt == "json":
+    if not ctx.config.get("failFast", True) and fmt in ("json", "avro", "protobuf", "proto"):
         # dead-letter: unparseable payloads route to the failures output
         # (reference: failFast default true batch / false streaming,
-        # module/Module.java:135-141).  Spark's PERMISSIVE from_json yields
-        # an ALL-NULL struct (not NULL) for malformed input, so failure =
-        # null struct OR every top-level field null, with non-null input.
+        # module/Module.java:135-141).  PERMISSIVE from_json and the
+        # stdlib avro/protobuf fallbacks all yield an ALL-NULL struct for
+        # malformed input, so failure = null struct OR every top-level
+        # field null, with non-null input.
         parsed_col = F.col(out_field)
         all_null = F.lit(True)
-        for fld in schema.fieldNames():
+        for fld in out.schema[out_field].dataType.fieldNames():
             all_null = all_null & parsed_col[fld].isNull()
         failed = (parsed_col.isNull() | all_null) & F.col(field).isNotNull()
         outputs["failures"] = out.filter(failed).drop(out_field)

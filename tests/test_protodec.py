@@ -262,3 +262,53 @@ def test_deserialize_module_protobuf_fallback(spark, pool, payload, tmp_path):
     assert got[1]["status"] == "ACTIVE"
     assert got[1]["counts"] == {"z": 9}
     assert got[2]["id"] == 8 and got[2]["name"] == "" and got[2]["inner"] is None
+
+
+def test_protobuf_dead_letter_on_truncated_payload(spark, tmp_path):
+    event = message_desc("Event", [field_desc("id", 1, 3), field_desc("name", 2, 9)])
+    file_pb = ld(1, b"t.proto") + ld(2, b"t") + ld(4, event)
+    desc_file = tmp_path / "e.desc"
+    desc_file.write_bytes(ld(1, file_pb))
+
+    good = vi(1, 5) + ld(2, b"ok")
+    truncated = tag(2, 2) + varint(99)  # claims 99 bytes, has none
+    df = spark.createDataFrame(
+        [Row(k=1, payload=bytearray(good)), Row(k=2, payload=bytearray(truncated))]
+    )
+    outs = deserialize_transform(
+        ModuleContext(
+            spark=spark,
+            name="d",
+            params={
+                "format": "protobuf",
+                "field": "payload",
+                "messageName": "Event",
+                "descriptorFile": str(desc_file),
+            },
+            inputs=[df],
+            input_names=["in"],
+            side_inputs={},
+            config={"failFast": False},
+        )
+    )
+    ok = {r["k"] for r in outs[""].collect()}
+    failed = {r["k"] for r in outs["failures"].collect()}
+    assert ok == {1} and failed == {2}
+
+    # failFast (default) raises instead of silently nulling
+    with pytest.raises(Exception):
+        deserialize_transform(
+            ModuleContext(
+                spark=spark,
+                name="d",
+                params={
+                    "format": "protobuf",
+                    "field": "payload",
+                    "messageName": "Event",
+                    "descriptorFile": str(desc_file),
+                },
+                inputs=[df],
+                input_names=["in"],
+                side_inputs={},
+            )
+        )[""].collect()
