@@ -72,14 +72,16 @@ def onnx_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
 @module("pdfextract", kind=KIND_TRANSFORM)
 def pdfextract_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     """PDF text+metadata extraction (reference: PDFExtractTransform.java
-    uses PDFBox; we use pypdf when available)."""
+    uses PDFBox; pypdf when available, else the stdlib extractor in
+    functions/pdftext.py — classic-layout PDFs with FlateDecode streams,
+    same zero-dependency fallback story as the avro/protobuf decoders)."""
     p = ctx.params
     try:
         import pypdf  # noqa: F401
+
+        have_pypdf = True
     except ImportError:
-        raise RuntimeError(
-            "pdfextract requires pypdf (not installed in this container)"
-        ) from None
+        have_pypdf = False
     field = p.get("field", "content")
     df = ctx.input
     out_schema = T.StructType(
@@ -93,15 +95,25 @@ def pdfextract_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        from pypdf import PdfReader
+        if have_pypdf:
+            from pypdf import PdfReader
+
+            def one(payload):
+                reader = PdfReader(io.BytesIO(payload))
+                return (
+                    "\n".join(pg.extract_text() or "" for pg in reader.pages),
+                    len(reader.pages),
+                )
+        else:
+            from pipeline_spark.functions.pdftext import extract_pdf_text as one
 
         for pdf in batches:
             texts, pages = [], []
             for payload in pdf[field]:
                 try:
-                    reader = PdfReader(io.BytesIO(payload))
-                    texts.append("\n".join(pg.extract_text() or "" for pg in reader.pages))
-                    pages.append(len(reader.pages))
+                    text, n_pages = one(bytes(payload))
+                    texts.append(text)
+                    pages.append(n_pages)
                 except Exception:  # noqa: BLE001 — dead-letter contract
                     texts.append(None)
                     pages.append(None)
