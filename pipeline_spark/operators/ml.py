@@ -29,15 +29,16 @@ from pipeline_spark.compilers.select_fns import spark_type
 @module("onnx", kind=KIND_TRANSFORM)
 def onnx_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     """ONNX Runtime inference: model broadcast to executors, tensor<->field
-    mappings from config (reference: ONNXTransform.java, docs onnx.md)."""
+    mappings from config (reference: ONNXTransform.java, docs onnx.md).
+    Without onnxruntime, MLP-class models (MatMul/Gemm/activations) run on
+    the numpy executor in functions/onnxexec.py instead."""
     p = ctx.params
     try:
         import onnxruntime  # noqa: F401
+
+        have_ort = True
     except ImportError:
-        raise RuntimeError(
-            "onnx transform requires onnxruntime (not installed in this "
-            "container); the mapInPandas plumbing below activates once present"
-        ) from None
+        have_ort = False
 
     model_path = p["model"]
     input_map: dict[str, str] = p.get("inputs") or {}
@@ -52,9 +53,15 @@ def onnx_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
-        import onnxruntime as ort
 
-        sess = ort.InferenceSession(model_bytes.value)
+        if have_ort:
+            import onnxruntime as ort
+
+            sess = ort.InferenceSession(model_bytes.value)
+        else:
+            from pipeline_spark.functions.onnxexec import NumpyInferenceSession
+
+            sess = NumpyInferenceSession(model_bytes.value)
         for pdf in batches:
             feeds = {
                 tensor: np.stack(pdf[field].to_numpy())
@@ -62,7 +69,13 @@ def onnx_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             }
             results = sess.run([o["name"] for o in outputs_cfg], feeds)
             out = pdf.copy()
-            for o, r in zip(outputs_cfg, results):
+            for o, fld, r in zip(outputs_cfg, out_fields, results):
+                r = np.asarray(r)
+                # scalar-typed output column + (batch, 1) tensor → squeeze
+                # the trailing unit axis so Arrow sees scalars, not lists
+                if not isinstance(fld.dataType, T.ArrayType):
+                    while r.ndim > 1 and r.shape[-1] == 1:
+                        r = r[..., 0]
                 out[o["name"]] = list(r)
             yield out
 
