@@ -32,6 +32,11 @@ class PipelineExecutor:
         self.outputs: dict[str, DataFrame] = {}
         self.completed: set[str] = set()
         self._post_commit: list = []
+        # effective timestampAttribute per module: the reference assigns
+        # event time where the source declares it and every downstream
+        # module inherits it implicitly (Beam element timestamps); here
+        # the attribute name flows through the DAG instead
+        self._ts_attrs: dict[str, str | None] = {}
 
     def run(self, config: Config, inputs: dict[str, DataFrame] | None = None) -> dict[str, DataFrame]:
         """Apply all modules; returns the full name → DataFrame registry.
@@ -85,6 +90,14 @@ class PipelineExecutor:
     def _apply(self, mc: ModuleConfig) -> None:
         kind = "sink" if mc.kind == "failure" else mc.kind
         spec = get_module(mc.module, kind)
+        ts_attr = mc.timestamp_attribute
+        if not ts_attr:
+            for dep in mc.inputs:
+                inherited = self._ts_attrs.get(dep.split(".")[0])
+                if inherited:
+                    ts_attr = inherited
+                    break
+        self._ts_attrs[mc.name] = ts_attr
         ctx = ModuleContext(
             spark=self.spark,
             name=mc.name,
@@ -95,7 +108,7 @@ class PipelineExecutor:
             config={
                 "strategy": mc.strategy,
                 "schema": mc.schema,
-                "timestampAttribute": mc.timestamp_attribute,
+                "timestampAttribute": ts_attr,
                 "failFast": mc.fail_fast,
             },
         )

@@ -235,3 +235,113 @@ def test_select_function_config(spark):
     assert row["intFieldFromNested"] == 123
     assert row["structField"]["stringFieldA"] == "str"
     assert row["structField"]["innerStruct"]["intFieldA"] == 32
+
+
+def test_aggregation_transform_parity(spark):
+    """Port of AggregationTransformTest.testAggregateGroupFields (the
+    reference's own elements and aggregation configs; its assertions are
+    commented out upstream, so expectations here are the hand-computed
+    values the printed rows show).  Covers: global-group aggregation with
+    multi-field first/argmin/array_agg, and the two-input grouped merge.
+    Reference: module/transform/AggregationTransformTest.java:20-177."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    cfg = parse_config("""
+sources:
+  - name: create1
+    module: create
+    parameters:
+      elements:
+        - { stringField: a, intField: 1,  floatField: 0.15,  boolField: true,  timestampField: "2024-10-10T00:00:00Z" }
+        - { stringField: b, intField: 2,  floatField: 1.15,  boolField: false, timestampField: "2024-10-20T00:00:00Z" }
+        - { stringField: c, intField: 3,  floatField: 2.15,  boolField: true,  timestampField: "2024-10-30T00:00:00Z" }
+        - { stringField: d, intField: 4,  floatField: 2.15,  boolField: false, timestampField: "2024-10-30T00:00:00Z" }
+        - { stringField: e, intField: 5,  floatField: 4.15,  boolField: true,  timestampField: "2024-10-30T00:00:00Z" }
+        - { stringField: f, intField: 6,  floatField: -5.15, boolField: false, timestampField: "2024-10-30T00:00:00Z" }
+        - { stringField: g, intField: 7,  floatField: -6.15, boolField: true,  timestampField: "2024-10-30T00:00:00Z" }
+        - { stringField: h, intField: 8,  floatField: -7.15, boolField: false, timestampField: "2024-10-30T00:00:00Z" }
+        - { stringField: i, intField: 9,  floatField: -8.15, boolField: true,  timestampField: "2024-10-30T00:00:00Z" }
+        - { stringField: j, intField: 10, floatField: 0.0,   boolField: false, timestampField: "2024-10-30T00:00:00Z" }
+      schema:
+        fields:
+          - {name: stringField, type: string}
+          - {name: intField, type: int64}
+          - {name: floatField, type: float64}
+          - {name: boolField, type: boolean}
+          - {name: timestampField, type: timestamp}
+    timestampAttribute: timestampField
+  - name: create2
+    module: create
+    parameters:
+      elements:
+        - { stringField: a, longField: 1, doubleField: 0.15, timestampField: "2024-10-10T00:00:00Z" }
+        - { stringField: b, longField: 2, doubleField: 1.15, timestampField: "2024-10-20T00:00:00Z" }
+        - { stringField: c, longField: 3, doubleField: 2.15, timestampField: "2024-10-30T00:00:00Z" }
+      schema:
+        fields:
+          - {name: stringField, type: string}
+          - {name: longField, type: int64}
+          - {name: doubleField, type: float64}
+          - {name: timestampField, type: timestamp}
+    timestampAttribute: timestampField
+transforms:
+  - name: aggregation1
+    module: aggregation
+    inputs: [create1]
+    parameters:
+      groupFields: []
+      aggregations:
+        - input: create1
+          fields:
+            - {name: count, op: count}
+            - {name: sumInt, op: sum, field: intField}
+            - {name: maxFloat, op: max, field: floatField}
+            - {name: minFloat, op: min, field: floatField}
+            - {name: firsts, op: first, fields: [stringField, intField, floatField]}
+            - {name: argmaxString, op: argmax, field: stringField, comparingField: floatField}
+            - {name: argminString, op: argmin, fields: [stringField, intField, boolField], comparingField: floatField}
+            - {name: arrayAggSingle, op: array_agg, field: intField}
+  - name: aggregation2
+    module: aggregation
+    inputs: [create1, create2]
+    parameters:
+      groupFields: [stringField]
+      aggregations:
+        - input: create1
+          fields:
+            - {name: count1, op: count}
+            - {name: sum1, op: sum, field: floatField}
+            - {name: max1, op: max, field: intField}
+        - input: create2
+          fields:
+            - {name: count2, op: count}
+            - {name: sum2, op: sum, field: doubleField}
+            - {name: max2, op: max, field: longField}
+""")
+    outs = run_pipeline(spark, cfg)
+
+    row = outs["aggregation1"].collect()[0]
+    assert row["count"] == 10
+    assert row["sumInt"] == 55
+    assert abs(row["maxFloat"] - 4.15) < 1e-12
+    assert abs(row["minFloat"] - (-8.15)) < 1e-12
+    # first by event time: 2024-10-10 is unique → row 'a'
+    assert row["firsts"]["stringField"] == "a"
+    assert row["firsts"]["intField"] == 1
+    # argmax/argmin on floatField: unique extremes 4.15 ('e') and -8.15 ('i')
+    assert row["argmaxString"] == "e"
+    assert row["argminString"]["stringField"] == "i"
+    assert row["argminString"]["intField"] == 9
+    assert row["argminString"]["boolField"] is True
+    assert sorted(row["arrayAggSingle"]) == list(range(1, 11))
+
+    rows2 = {r["stringField"]: r for r in outs["aggregation2"].collect()}
+    assert len(rows2) == 10  # groups from BOTH inputs, name-union merged
+    for k, long_v, double_v in (("a", 1, 0.15), ("b", 2, 1.15), ("c", 3, 2.15)):
+        assert rows2[k]["count1"] == 1 and rows2[k]["count2"] == 1
+        assert abs(rows2[k]["sum2"] - double_v) < 1e-12
+        assert rows2[k]["max2"] == long_v
+    # groups present only in create1: create2-side aggregates are empty
+    assert rows2["d"]["count1"] == 1 and rows2["d"]["max1"] == 4
+    assert rows2["d"]["max2"] is None
