@@ -149,6 +149,13 @@ def _windowable_agg(sf: dict[str, Any], func: str, df: DataFrame) -> Column:
     def input_col() -> Column:
         if sf.get("expression"):
             return compile_expression(str(sf["expression"]), schema_resolver(df))
+        fields = sf.get("fields")
+        if fields and len(fields) > 1:
+            # multi-field form (reference SelectTransformTest array_agg
+            # over [field_long, field_string]) → one struct per row
+            return F.struct(*[F.col(f) for f in fields])
+        if fields:
+            return F.col(fields[0])
         return F.col(sf["field"])
 
     def guard(c: Column) -> Column:

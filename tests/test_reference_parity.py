@@ -345,3 +345,90 @@ transforms:
     # groups present only in create1: create2-side aggregates are empty
     assert rows2["d"]["count1"] == 1 and rows2["d"]["max1"] == 4
     assert rows2["d"]["max2"] is None
+
+
+def test_select_transform_stateful_parity(spark):
+    """Port of SelectTransformTest.testStatefulSelect (the reference's own
+    config verbatim; its assertions are commented out upstream, so the
+    expectations are hand-computed from the documented range semantics:
+    count N → previous N rows inclusive, duration D → (ts-D, ts]).
+    Covers: running sum/avg/min, duration ranges, windowed argmin,
+    single- and multi-field array_agg, nested field paths, expressions
+    over previously bound stateful outputs, and lag `field[k]` syntax.
+    Reference: module/transform/SelectTransformTest.java:85-215."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    cfg = parse_config("""
+sources:
+  - name: create
+    module: create
+    timestampAttribute: field_ts
+    parameters:
+      type: element
+      elements:
+        - { field_string: string_value1, field_long: 10, field_ts: "2025-01-01T00:00:00Z",
+            field_nested: { field_string: nested_string_value1, field_long: -10 } }
+        - { field_string: string_value2, field_long: 20, field_ts: "2025-01-01T00:00:01Z",
+            field_nested: { field_string: nested_string_value2, field_long: -20 } }
+        - { field_string: string_value3, field_long: 30, field_ts: "2025-01-01T00:00:02Z",
+            field_nested: { field_string: nested_string_value3, field_long: -30 } }
+        - { field_string: string_value4, field_long: 40, field_ts: "2025-01-01T00:00:03Z",
+            field_nested: { field_string: nested_string_value4, field_long: -40 } }
+        - { field_string: string_value5, field_long: 50, field_ts: "2025-01-01T00:00:04Z",
+            field_nested: { field_string: nested_string_value5, field_long: -50 } }
+      schema:
+        fields:
+          - {name: field_string, type: string}
+          - {name: field_long, type: int64}
+          - {name: field_ts, type: timestamp}
+          - name: field_nested
+            type: record
+            fields:
+              - {name: field_string, type: string}
+              - {name: field_long, type: int64}
+transforms:
+  - name: select
+    module: select
+    inputs: [create]
+    parameters:
+      select:
+        - {name: field_long_sum_count3, func: sum, field: field_long, range: {count: 3}}
+        - {name: field_long_sum_duration3, func: sum, field: field_long, range: {duration: 2}}
+        - {name: field_long_avg_count3, func: avg, field: field_long, range: {count: 3}}
+        - {name: field_long_min_count3, func: min, field: field_long, range: {count: 3}}
+        - {name: field_long_argmin_count3, func: argmin, field: field_string,
+           comparingField: field_long, range: {count: 3}}
+        - {name: field_long_string_array_agg_count3, func: array_agg,
+           fields: [field_long, field_string], range: {count: 3}}
+        - {name: field_nested_long_sum_count3, func: sum, field: field_nested.field_long,
+           range: {count: 3}}
+        - {name: field_sum_long_sum_count3, expression: "field_long_sum_count3 * 2"}
+        - {name: lag_long, func: lag, expression: "(field_long[2] - field_long[0]) / (2 * field_long[0])"}
+        - {name: field_long_array_agg_count3, func: array_agg, field: field_long, range: {count: 3}}
+""")
+    outs = run_pipeline(spark, cfg)
+    rows = sorted(outs["select"].collect(), key=lambda r: r["field_long_sum_count3"])
+    assert len(rows) == 5
+
+    assert [r["field_long_sum_count3"] for r in rows] == [10, 30, 60, 90, 120]
+    assert [r["field_long_sum_duration3"] for r in rows] == [10, 30, 50, 70, 90]
+    assert [r["field_long_avg_count3"] for r in rows] == [10.0, 15.0, 20.0, 30.0, 40.0]
+    assert [r["field_long_min_count3"] for r in rows] == [10, 10, 10, 20, 30]
+    assert [r["field_long_argmin_count3"] for r in rows] == [
+        "string_value1", "string_value1", "string_value1", "string_value2", "string_value3",
+    ]
+    assert [r["field_nested_long_sum_count3"] for r in rows] == [-10, -30, -60, -90, -120]
+    assert [r["field_sum_long_sum_count3"] for r in rows] == [20, 60, 120, 180, 240]
+    lag = [r["lag_long"] for r in rows]
+    assert lag[0] is None and lag[1] is None
+    assert abs(lag[2] - (10 - 30) / 60) < 1e-12
+    assert abs(lag[3] - (20 - 40) / 80) < 1e-12
+    assert abs(lag[4] - (30 - 50) / 100) < 1e-12
+    assert [r["field_long_array_agg_count3"] for r in rows] == [
+        [10], [10, 20], [10, 20, 30], [20, 30, 40], [30, 40, 50],
+    ]
+    last_structs = rows[-1]["field_long_string_array_agg_count3"]
+    assert [(s["field_long"], s["field_string"]) for s in last_structs] == [
+        (30, "string_value3"), (40, "string_value4"), (50, "string_value5"),
+    ]
