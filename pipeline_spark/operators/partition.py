@@ -28,6 +28,12 @@ from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
 def partition_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
     df = ctx.input
+    # multiple inputs are flattened before routing (reference
+    # PartitionTransform.java applies the partitioner to the union of its
+    # inputs — PartitionTransformTest.test1 expects rows from both creates
+    # in one output); name-union with null padding matches union semantics
+    for extra in ctx.inputs[1:]:
+        df = df.unionByName(extra, allowMissingColumns=True)
     partitions = p.get("partitions") or []
     exclusive = bool(p.get("exclusive", True))
     ts_attr = ctx.config.get("timestampAttribute")

@@ -80,7 +80,26 @@ def create_source(ctx: ModuleContext) -> dict[str, DataFrame]:
     elements = p.get("elements")
 
     if elements is not None:
-        if schema_cfg:
+        if elements and not isinstance(elements[0], dict):
+            # scalar element list: the reference wraps each value in a
+            # (sequence, timestamp, value) row with `value` typed by the
+            # ``type`` parameter (CreateSource.java:494-503 element schema,
+            # 570-596 parsing); timestamp is the Beam element timestamp,
+            # which Create.of leaves at the epoch minimum — epoch 0 here.
+            vtype = spark_type(str(p.get("type", "string")).lower())
+            schema = T.StructType(
+                [
+                    T.StructField("sequence", T.LongType(), False),
+                    T.StructField("timestamp", T.TimestampType(), False),
+                    T.StructField("value", vtype, True),
+                ]
+            )
+            epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+            rows = [
+                (i, epoch, _coerce(v, vtype)) for i, v in enumerate(elements)
+            ]
+            df = ctx.spark.createDataFrame(rows, schema)
+        elif schema_cfg:
             fields = schema_cfg.get("fields") if isinstance(schema_cfg, dict) else schema_cfg
             schema = build_schema(fields)
             rows = [

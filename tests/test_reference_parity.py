@@ -432,3 +432,46 @@ transforms:
     assert [(s["field_long"], s["field_string"]) for s in last_structs] == [
         (30, "string_value3"), (40, "string_value4"), (50, "string_value5"),
     ]
+
+
+def test_partition_transform_parity(spark):
+    """Port of PartitionTransformTest.test1 (the reference's own config and
+    assertions, which are active upstream): scalar-typed create elements
+    become (sequence, timestamp, value) rows, two sources flatten into one
+    partition input, and exclusive routing sends each row to its first
+    matching partition.  Reference:
+    module/transform/PartitionTransformTest.java:23-101."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    cfg = parse_config("""
+sources:
+  - name: create1
+    module: create
+    parameters: {type: int64, elements: [3, 0, 2, 1]}
+    timestampAttribute: sequence
+  - name: create2
+    module: create
+    parameters: {type: int64, elements: [5, 1, 4, 3]}
+    timestampAttribute: sequence
+transforms:
+  - name: partition
+    module: partition
+    inputs: [create1, create2]
+    parameters:
+      exclusive: true
+      partitions:
+        - name: output1
+          filter:
+            - {key: value, op: in, value: [1, 2, 3]}
+        - name: output2
+          filter:
+            - {key: value, op: in, value: [4, 5, 6]}
+""")
+    outs = run_pipeline(spark, cfg)
+
+    vals1 = [r["value"] for r in outs["partition.output1"].collect()]
+    assert len(vals1) == 5 and all(0 < v < 4 for v in vals1)
+    vals2 = [r["value"] for r in outs["partition.output2"].collect()]
+    assert len(vals2) == 2 and all(3 < v < 7 for v in vals2)
+    assert [r["value"] for r in outs["partition.excluded"].collect()] == [0]
