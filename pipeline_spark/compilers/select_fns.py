@@ -204,9 +204,20 @@ def _compile_one(
         each = sf.get("each")
         if each:
             # iterate an array field: sub-fields evaluate per element
-            # (reference: select/Struct.java:55-86 eachField handling)
+            # (reference: select/Struct.java:55-86 eachField handling).
+            # A string-typed each-field holds a JSON array (reference
+            # FilterTransformTest: json select output iterated with
+            # jsonpath sub-fields); from_json to array<string> keeps each
+            # element's raw JSON for get_json_object.
             arr = _ref(each, df, bound)
             elem_fields = _element_field_names(df, each)
+            json_each = False
+            try:
+                json_each = isinstance(df.schema[each].dataType, T.StringType)
+            except Exception:
+                pass
+            if json_each:
+                arr = F.from_json(arr, "array<string>")
 
             def per_elem(elem: Column) -> Column:
                 cols = []
@@ -223,6 +234,12 @@ def _compile_one(
                         cols.append(src.alias(sub_name))
                     elif sub_func == "constant":
                         cols.append(F.lit(sub["value"]).cast(spark_type(sub["type"])).alias(sub_name))
+                    elif sub_func in ("json_path", "jsonpath"):
+                        path = sub["path"]
+                        if not path.startswith("$"):
+                            path = "$." + path
+                        src = elem if sub.get("field", each) == each else _ref(sub["field"], df, bound)
+                        cols.append(F.get_json_object(src.cast("string"), path).alias(sub_name))
                     else:
                         raise ValueError(
                             f"struct each: sub-func '{sub_func}' not supported inside iteration"
@@ -238,7 +255,7 @@ def _compile_one(
     if func in ("json", "jsons"):
         inner = compile_selects(sf["fields"], df)
         return F.to_json(F.struct(*[c.alias(n) for n, c in inner]))
-    if func == "json_path":
+    if func in ("json_path", "jsonpath"):
         path = sf["path"]
         if not path.startswith("$"):
             path = "$." + path

@@ -16,7 +16,12 @@ from pyspark.sql import types as T
 from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
 
 
-def flatten_field(df: DataFrame, field: str, flatten_struct: bool = True) -> DataFrame:
+def flatten_field(df: DataFrame, field: str, flatten_struct: bool = False) -> DataFrame:
+    """Explode an array field; the element keeps the field's name
+    (reference: select/SelectFunction.java:263-276 createFlattenSchema and
+    util/pipeline/Unnest.java:57-75 both map array<X> -> X under the same
+    name).  ``flatten_struct=True`` additionally expands struct elements to
+    top-level columns - an extension, not reference behavior."""
     dtype = df.schema[field].dataType
     if not isinstance(dtype, T.ArrayType):
         raise ValueError(f"flattenField '{field}' is not an array")
@@ -34,4 +39,4 @@ def unnest_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     field = p.get("flattenField") or p.get("field")
     if not field:
         raise ValueError("unnest requires flattenField")
-    return {"": flatten_field(ctx.input, field, flatten_struct=bool(p.get("flattenStruct", True)))}
+    return {"": flatten_field(ctx.input, field, flatten_struct=bool(p.get("flattenStruct", False)))}

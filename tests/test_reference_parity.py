@@ -475,3 +475,89 @@ transforms:
     vals2 = [r["value"] for r in outs["partition.output2"].collect()]
     assert len(vals2) == 2 and all(3 < v < 7 for v in vals2)
     assert [r["value"] for r in outs["partition.excluded"].collect()] == [0]
+
+
+def test_filter_transform_parity(spark):
+    """Port of FilterTransformTest.test (the reference's own config; its
+    assertions are commented out upstream, so expectations follow the
+    documented semantics): a json constant column iterated with
+    struct-each + jsonpath sub-fields, flattened, then re-selected into
+    nested constant/hash/struct shapes.  Reference:
+    module/transform/FilterTransformTest.java:22-106."""
+    import hashlib
+
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    cfg = parse_config("""
+sources:
+  - name: create
+    module: create
+    timestampAttribute: sequence
+    parameters:
+      type: int64
+      elements: [0, 1, 2, 3]
+      select:
+        - {name: sequence}
+        - {name: data, type: json,
+           value: '[{ "fieldA": "value1", "fieldB": "value2" },{ "fieldA": "value3", "fieldB": "value4" }]'}
+        - name: message
+          func: struct
+          mode: repeated
+          fields:
+            - {name: field1, type: string, value: str1}
+            - {name: field2, type: string, value: str2}
+transforms:
+  - name: filter
+    module: filter
+    inputs: [create]
+    parameters:
+      select:
+        - name: events
+          func: struct
+          mode: repeated
+          each: data
+          fields:
+            - {name: id, func: jsonpath, field: data, path: "$.fieldA"}
+            - {name: description, func: jsonpath, field: data, path: "$.fieldB"}
+      flattenField: events
+  - name: filter2
+    module: filter
+    inputs: [filter]
+    parameters:
+      select:
+        - {name: constantValue, type: string, value: "1234567890"}
+        - {name: id, type: string, field: events.id}
+        - name: events
+          func: struct
+          mode: repeated
+          fields:
+            - {name: name, type: string, value: events.description}
+            - {name: uid, func: hash, text: "myevent#"}
+            - name: properties
+              func: struct
+              fields:
+                - name: key1
+                  func: struct
+                  fields:
+                    - {name: name, field: events.id}
+                - name: key2
+                  func: struct
+                  fields:
+                    - {name: description, field: events.description}
+""")
+    outs = run_pipeline(spark, cfg)
+    rows = outs["filter2"].collect()
+    # 4 create elements × 2 json array entries
+    assert len(rows) == 8
+    uid = hashlib.sha256(b"myevent#").hexdigest()
+    by_id = {}
+    for r in rows:
+        assert r["constantValue"] == "1234567890"
+        assert len(r["events"]) == 1
+        ev = r["events"][0]
+        assert ev["name"] == "events.description"  # constant literal, not a ref
+        assert ev["uid"] == uid
+        assert ev["properties"]["key1"]["name"] == r["id"]
+        by_id.setdefault(r["id"], ev["properties"]["key2"]["description"])
+    assert by_id == {"value1": "value2", "value3": "value4"}
