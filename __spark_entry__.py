@@ -1544,6 +1544,47 @@ FROM seeded
 """
 
 
+def q_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """matchRecognize module: per-user row patterns — an error event
+    followed by two consecutively rising values.  AFTER MATCH SKIP TO NEXT
+    ROW emits every anchored match, which a LEAD-window oracle reproduces
+    exactly (skip-past-last-row suppression is not SQL-expressible without
+    recursion).  Reference: BeamSQLTransformTest.java:166-279 runs the
+    same clause shape through Calcite."""
+    return _pipeline(spark, sf_dir, ["events"], """
+transforms:
+  - name: matched
+    module: matchRecognize
+    inputs: [events]
+    parameters:
+      partitionBy: [user_id]
+      orderBy: [ts, event_id]
+      pattern: "A R{2}"
+      define:
+        A: "event_type = 'error'"
+        R: "value > PREV(value, 1)"
+      afterMatch: skip to next row
+      measures:
+        - {name: start_id, expression: "A.event_id"}
+        - {name: v_a, expression: "A.value"}
+        - {name: v_b, expression: "FIRST(R.value)"}
+        - {name: v_c, expression: "LAST(R.value)"}
+""", "matched")
+
+
+Q_MATCHREC_SQL = """
+SELECT user_id, event_id AS start_id, value AS v_a, v2 AS v_b, v3 AS v_c
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         lead(value, 1) OVER w AS v2,
+         lead(value, 2) OVER w AS v3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE event_type = 'error' AND v2 > value AND v3 > v2
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pack module: offset sequence packing into a 2048-token budget —
     per-(bucket, pack) doc counts and token sums; oracle reproduces the
@@ -1712,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "scrub_pii": q_scrub_pii,
         "pack_sequences": q_pack_sequences,
+        "match_recognize": q_match_recognize,
     }
 
 
@@ -1770,4 +1812,5 @@ def oracle_sql() -> dict[str, str]:
         "sample_split": Q_SAMPLE_SQL,
         "scrub_pii": Q_SCRUB_SQL,
         "pack_sequences": Q_PACK_SQL,
+        "match_recognize": Q_MATCHREC_SQL,
     }

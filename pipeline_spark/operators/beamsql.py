@@ -46,7 +46,43 @@ def _run_sql(ctx: ModuleContext) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(view)
         if "." in name and name.split(".", 1)[0] not in ctx.input_names:
             df.createOrReplaceTempView(name.split(".", 1)[-1])
+    sql = _rewrite_match_recognize(ctx, sql)
     return {"": ctx.spark.sql(sql)}
+
+
+def _rewrite_match_recognize(ctx: ModuleContext, sql: str) -> str:
+    """Spark SQL has no MATCH_RECOGNIZE (the reference runs it through
+    Calcite — BeamSQLTransformTest.testMatchRecognize); execute the clause
+    with operators/matchrec.py and splice the result back in as a view."""
+    from pipeline_spark.operators.matchrec import (
+        match_recognize,
+        parse_clause,
+        split_match_recognize,
+    )
+
+    found = split_match_recognize(sql)
+    if found is None:
+        return sql
+    prefix, table, body, alias, suffix = found
+    # the FROM target may be a CTE from this statement's WITH clause — let
+    # spark.sql resolve it in that scope
+    with_m = __import__("re").match(r"\s*WITH\s", prefix, 2)  # re.IGNORECASE
+    if with_m:
+        # prefix = "WITH cte AS (...) SELECT ... FROM" — everything before
+        # the final SELECT is the CTE scope
+        last_select = prefix.upper().rfind("SELECT")
+        cte_scope = prefix[:last_select]
+        input_df = ctx.spark.sql(f"{cte_scope} SELECT * FROM `{table}`")
+        outer = prefix[last_select:]
+    else:
+        input_df = ctx.spark.table(table)
+        outer = prefix
+    kwargs = parse_clause(body)
+    result = match_recognize(input_df, allow_global=True, **kwargs)
+    view = f"__mr_{ctx.name}_{alias or 'm'}"
+    result.createOrReplaceTempView(view)
+    as_alias = f" AS {alias}" if alias else ""
+    return f"{outer} FROM {view}{as_alias} {suffix}"
 
 
 @module("beamsql", kind=KIND_TRANSFORM)

@@ -1,0 +1,934 @@
+"""``matchRecognize`` transform: SQL row-pattern matching (MATCH_RECOGNIZE).
+
+The reference exposes MATCH_RECOGNIZE through Calcite in its beamsql module
+(module/transform/BeamSQLTransformTest.java:166-279 testMatchRecognize:
+PARTITION BY / ORDER BY / MEASURES with FIRST and PREV / PATTERN with
+alternation / SUBSET / DEFINE).  Spark SQL has no MATCH_RECOGNIZE, so this
+is a from-scratch implementation of the SQL:2016 row-pattern subset the
+reference exercises:
+
+  * PATTERN: concatenation, alternation ``|``, grouping, quantifiers
+    ``* + ? {m} {m,} {m,n}`` (greedy), anchors ``^ $`` not supported
+  * DEFINE: boolean expressions over the current row; ``PREV``/``NEXT``
+    physical offsets; ``FIRST``/``LAST`` logical (per-variable) offsets;
+    unqualified fields and ``VAR.field`` both read the current row while a
+    variable is being defined, the last-mapped row of VAR otherwise
+  * MEASURES: variable-qualified fields, FIRST/LAST/PREV/NEXT,
+    CLASSIFIER(), MATCH_NUMBER(), and SUM/AVG/MIN/MAX/COUNT over a
+    variable's mapped rows; SUBSET unions
+  * ONE ROW PER MATCH (default) / ALL ROWS PER MATCH
+  * AFTER MATCH SKIP PAST LAST ROW (default) / SKIP TO NEXT ROW
+
+Scale posture: one shuffle on the partition keys, then each key's rows are
+matched independently inside ``applyInPandas`` (sorted per group).  The
+matcher is linear in rows for patterns without overlapping backtracking —
+the same execution profile as Flink's CEP operator.  An un-partitioned
+pattern funnels everything through one task, so partitionBy is required
+unless ``allowGlobal: true``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
+
+# ---------------------------------------------------------------------------
+# expression language (DEFINE / MEASURES)
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<num>\d+\.\d*|\.\d+|\d+)
+      | (?P<str>'(?:[^']|'')*')
+      | (?P<ident>`[^`]+`|[A-Za-z_][A-Za-z_0-9]*)
+      | (?P<op><>|!=|>=|<=|=|>|<|\+|-|\*|/|\(|\)|,|\.)
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"AND", "OR", "NOT", "NULL", "TRUE", "FALSE", "IS", "IN", "BETWEEN"}
+_FUNCS = {"PREV", "NEXT", "FIRST", "LAST", "CLASSIFIER", "MATCH_NUMBER",
+          "SUM", "AVG", "MIN", "MAX", "COUNT", "ABS", "CAST"}
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            if text[pos:].strip() == "":
+                break
+            raise ValueError(f"match_recognize: cannot tokenize at: {text[pos:pos+20]!r}")
+        pos = m.end()
+        if m.lastgroup == "num":
+            out.append(("num", m.group("num")))
+        elif m.lastgroup == "str":
+            out.append(("str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.lastgroup == "ident":
+            ident = m.group("ident").strip("`")
+            up = ident.upper()
+            if up in _KEYWORDS or up in _FUNCS:
+                out.append(("kw", up))
+            else:
+                out.append(("id", ident))
+        else:
+            out.append(("op", m.group("op")))
+    return out
+
+
+class _Ctx:
+    """Evaluation context for one candidate row inside one partition.
+
+    ``rows`` is the partition as a list of dicts; ``assign`` maps row index →
+    variable name for rows matched so far; ``idx`` is the current row (None
+    when evaluating MEASURES over a finished match); ``defining`` is the
+    variable currently being tested (DEFINE scope)."""
+
+    __slots__ = ("rows", "assign", "idx", "defining", "subsets", "match_no")
+
+    def __init__(self, rows, assign, idx, defining, subsets, match_no=0):
+        self.rows = rows
+        self.assign = assign
+        self.idx = idx
+        self.defining = defining
+        self.subsets = subsets
+        self.match_no = match_no
+
+    def var_rows(self, var: str) -> list[int]:
+        names = self.subsets.get(var, [var])
+        return [i for i in sorted(self.assign) if self.assign[i] in names]
+
+    def field(self, field: str):
+        if self.idx is None:
+            raise ValueError(f"unqualified field '{field}' needs a current row")
+        return self.rows[self.idx].get(field)
+
+    def var_field(self, var: str, field: str):
+        # while defining VAR, VAR.field (and any subset containing it)
+        # reads the current row; otherwise the last mapped row of VAR
+        if self.defining is not None and self.idx is not None and (
+            var == self.defining or self.defining in self.subsets.get(var, ())
+        ):
+            return self.rows[self.idx].get(field)
+        vr = self.var_rows(var)
+        if not vr:
+            return None
+        return self.rows[vr[-1]].get(field)
+
+    def prev(self, value_fn, n: int):
+        if self.idx is None:
+            raise ValueError("PREV needs a current row")
+        j = self.idx - n
+        if j < 0:
+            return None
+        return _Ctx(self.rows, self.assign, j, self.defining, self.subsets).run(value_fn)
+
+    def next(self, value_fn, n: int):
+        if self.idx is None:
+            raise ValueError("NEXT needs a current row")
+        j = self.idx + n
+        if j >= len(self.rows):
+            return None
+        return _Ctx(self.rows, self.assign, j, self.defining, self.subsets).run(value_fn)
+
+    def nav(self, kind: str, value_fn, var: str | None, n: int):
+        """FIRST/LAST over a variable's mapped rows (logical navigation)."""
+        vr = self.var_rows(var) if var else sorted(self.assign)
+        if not vr:
+            return None
+        pos = n if kind == "first" else len(vr) - 1 - n
+        if pos < 0 or pos >= len(vr):
+            return None
+        # defining=var so the qualified reference (e.g. FIRST(R.value))
+        # reads the navigated row, not the variable's last mapped row
+        return _Ctx(self.rows, self.assign, vr[pos], var, self.subsets).run(value_fn)
+
+    def agg(self, op: str, value_fn, var: str | None):
+        vr = self.var_rows(var) if var else sorted(self.assign)
+        vals = [
+            _Ctx(self.rows, self.assign, i, var, self.subsets).run(value_fn)
+            for i in vr
+        ]
+        vals = [v for v in vals if v is not None]
+        if op == "count":
+            return len(vals)
+        if not vals:
+            return None
+        if op == "sum":
+            return sum(vals)
+        if op == "avg":
+            return sum(vals) / len(vals)
+        if op == "min":
+            return min(vals)
+        if op == "max":
+            return max(vals)
+        raise ValueError(op)
+
+    def classifier(self):
+        if self.idx is None:
+            vr = sorted(self.assign)
+            return self.assign[vr[-1]] if vr else None
+        return self.assign.get(self.idx)
+
+    def run(self, fn):
+        return fn(self)
+
+
+class _ExprParser:
+    """Recursive-descent parser → Callable[[_Ctx], Any].
+
+    SQL three-valued logic is collapsed to two: a NULL comparison result is
+    False (matching WHERE/DEFINE semantics where unknown rows don't match).
+    """
+
+    def __init__(self, tokens: list[tuple[str, str]], variables: set[str]):
+        self.toks = tokens
+        self.pos = 0
+        self.vars = variables
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else (None, None)
+
+    def eat(self, kind=None, value=None):
+        t = self.peek()
+        if kind and t[0] != kind:
+            raise ValueError(f"expected {kind}, got {t}")
+        if value and t[1] != value:
+            raise ValueError(f"expected {value}, got {t}")
+        self.pos += 1
+        return t
+
+    def parse(self) -> Callable[[_Ctx], Any]:
+        fn = self.or_expr()
+        if self.pos != len(self.toks):
+            raise ValueError(f"trailing tokens: {self.toks[self.pos:]}")
+        return fn
+
+    def or_expr(self):
+        left = self.and_expr()
+        while self.peek() == ("kw", "OR"):
+            self.eat()
+            right = self.and_expr()
+            left = (lambda l, r: lambda c: bool(l(c)) or bool(r(c)))(left, right)
+        return left
+
+    def and_expr(self):
+        left = self.not_expr()
+        while self.peek() == ("kw", "AND"):
+            self.eat()
+            right = self.not_expr()
+            left = (lambda l, r: lambda c: bool(l(c)) and bool(r(c)))(left, right)
+        return left
+
+    def not_expr(self):
+        if self.peek() == ("kw", "NOT"):
+            self.eat()
+            inner = self.not_expr()
+            return lambda c: not bool(inner(c))
+        return self.cmp_expr()
+
+    def cmp_expr(self):
+        left = self.add_expr()
+        kind, val = self.peek()
+        if kind == "op" and val in ("=", "<>", "!=", ">", ">=", "<", "<="):
+            self.eat()
+            right = self.add_expr()
+
+            def cmp(c, l=left, r=right, op=val):
+                a, b = l(c), r(c)
+                if a is None or b is None:
+                    return False
+                if op == "=":
+                    return a == b
+                if op in ("<>", "!="):
+                    return a != b
+                if op == ">":
+                    return a > b
+                if op == ">=":
+                    return a >= b
+                if op == "<":
+                    return a < b
+                return a <= b
+
+            return cmp
+        if kind == "kw" and val == "IS":
+            self.eat()
+            negate = False
+            if self.peek() == ("kw", "NOT"):
+                self.eat()
+                negate = True
+            self.eat("kw", "NULL")
+            return (lambda l, neg: lambda c: (l(c) is None) != neg)(left, negate)
+        if kind == "kw" and val == "IN":
+            self.eat()
+            self.eat("op", "(")
+            items = [self.add_expr()]
+            while self.peek() == ("op", ","):
+                self.eat()
+                items.append(self.add_expr())
+            self.eat("op", ")")
+
+            def in_fn(c, l=left, items=items):
+                v = l(c)
+                return v is not None and v in [i(c) for i in items]
+
+            return in_fn
+        return left
+
+    def add_expr(self):
+        left = self.mul_expr()
+        while True:
+            kind, val = self.peek()
+            if kind == "op" and val in ("+", "-"):
+                self.eat()
+                right = self.mul_expr()
+
+                def arith(c, l=left, r=right, op=val):
+                    a, b = l(c), r(c)
+                    if a is None or b is None:
+                        return None
+                    return a + b if op == "+" else a - b
+
+                left = arith
+            else:
+                return left
+
+    def mul_expr(self):
+        left = self.unary()
+        while True:
+            kind, val = self.peek()
+            if kind == "op" and val in ("*", "/"):
+                self.eat()
+                right = self.unary()
+
+                def arith(c, l=left, r=right, op=val):
+                    a, b = l(c), r(c)
+                    if a is None or b is None:
+                        return None
+                    return a * b if op == "*" else a / b
+
+                left = arith
+            else:
+                return left
+
+    def unary(self):
+        kind, val = self.peek()
+        if kind == "op" and val == "-":
+            self.eat()
+            inner = self.unary()
+            return lambda c: None if inner(c) is None else -inner(c)
+        return self.primary()
+
+    def _nav_args(self):
+        """Parse `(value_expr [, n])` for PREV/NEXT/FIRST/LAST."""
+        self.eat("op", "(")
+        value = self.add_expr()
+        n = 1
+        if self.peek() == ("op", ","):
+            self.eat()
+            n = int(self.eat("num")[1])
+        self.eat("op", ")")
+        return value, n
+
+    def primary(self):
+        kind, val = self.peek()
+        if kind == "num":
+            self.eat()
+            v = float(val) if "." in val else int(val)
+            return lambda c: v
+        if kind == "str":
+            self.eat()
+            return lambda c, v=val: v
+        if kind == "kw" and val in ("TRUE", "FALSE"):
+            self.eat()
+            return (lambda c: True) if val == "TRUE" else (lambda c: False)
+        if kind == "kw" and val == "NULL":
+            self.eat()
+            return lambda c: None
+        if kind == "kw" and val == "CAST":
+            self.eat()
+            self.eat("op", "(")
+            inner = self.add_expr()
+            # `AS type` — the matcher is dynamically typed; numeric casts
+            # coerce, everything else passes through
+            if self.peek() == ("kw", None) or self.peek()[1] == "AS" or True:
+                toks = []
+                depth = 0
+                while self.peek() != ("op", ")") or depth:
+                    t = self.eat()
+                    if t == ("op", "("):
+                        depth += 1
+                    elif t == ("op", ")"):
+                        depth -= 1
+                    toks.append(t)
+            self.eat("op", ")")
+            target = toks[-1][1].upper() if toks else ""
+            if target in ("DOUBLE", "FLOAT", "DECIMAL", "REAL"):
+                return lambda c: None if inner(c) is None else float(inner(c))
+            if target in ("BIGINT", "INT", "INTEGER", "SMALLINT"):
+                return lambda c: None if inner(c) is None else int(inner(c))
+            return inner
+        if kind == "kw" and val in ("PREV", "NEXT"):
+            self.eat()
+            value, n = self._nav_args()
+            if val == "PREV":
+                return lambda c, v=value, n=n: c.prev(v, n)
+            return lambda c, v=value, n=n: c.next(v, n)
+        if kind == "kw" and val in ("FIRST", "LAST"):
+            self.eat()
+            self.eat("op", "(")
+            # peek for VAR.field inside to learn the variable
+            var = None
+            if (
+                self.peek()[0] == "id"
+                and self.peek()[1] in self.vars
+                and self.toks[self.pos + 1 : self.pos + 2] == [("op", ".")]
+            ):
+                var = self.peek()[1]
+            value = self.add_expr()
+            n = 0
+            if self.peek() == ("op", ","):
+                self.eat()
+                n = int(self.eat("num")[1])
+            self.eat("op", ")")
+            return lambda c, v=value, var=var, n=n, k=val.lower(): c.nav(k, v, var, n)
+        if kind == "kw" and val in ("SUM", "AVG", "MIN", "MAX", "COUNT"):
+            self.eat()
+            self.eat("op", "(")
+            var = None
+            if (
+                self.peek()[0] == "id"
+                and self.peek()[1] in self.vars
+                and self.toks[self.pos + 1 : self.pos + 2] == [("op", ".")]
+            ):
+                var = self.peek()[1]
+            if self.peek() == ("op", "*"):
+                self.eat()
+                value = lambda c: 1
+            else:
+                value = self.add_expr()
+            self.eat("op", ")")
+            return lambda c, op=val.lower(), v=value, var=var: c.agg(op, v, var)
+        if kind == "kw" and val == "CLASSIFIER":
+            self.eat()
+            self.eat("op", "(")
+            self.eat("op", ")")
+            return lambda c: c.classifier()
+        if kind == "kw" and val == "MATCH_NUMBER":
+            self.eat()
+            self.eat("op", "(")
+            self.eat("op", ")")
+            return lambda c: c.match_no
+        if kind == "kw" and val == "ABS":
+            self.eat()
+            self.eat("op", "(")
+            inner = self.add_expr()
+            self.eat("op", ")")
+            return lambda c: None if inner(c) is None else abs(inner(c))
+        if kind == "id":
+            name = self.eat()[1]
+            if self.peek() == ("op", "."):
+                self.eat()
+                field = self.eat("id")[1]
+                if name not in self.vars:
+                    raise ValueError(f"unknown pattern variable '{name}'")
+                return lambda c, v=name, f=field: c.var_field(v, f)
+            return lambda c, f=name: c.field(f)
+        if kind == "op" and val == "(":
+            self.eat()
+            inner = self.or_expr()
+            self.eat("op", ")")
+            return inner
+        raise ValueError(f"match_recognize: unexpected token {self.peek()}")
+
+
+def compile_expr(text: str, variables: set[str]) -> Callable[[_Ctx], Any]:
+    return _ExprParser(_tokenize(text), variables).parse()
+
+
+# ---------------------------------------------------------------------------
+# pattern language
+
+class _PatNode:
+    pass
+
+
+class _PatVar(_PatNode):
+    def __init__(self, name):
+        self.name = name
+
+
+class _PatSeq(_PatNode):
+    def __init__(self, items):
+        self.items = items
+
+
+class _PatAlt(_PatNode):
+    def __init__(self, options):
+        self.options = options
+
+
+class _PatQuant(_PatNode):
+    def __init__(self, inner, lo, hi, greedy=True):
+        self.inner, self.lo, self.hi, self.greedy = inner, lo, hi, greedy
+
+
+def parse_pattern(text: str) -> tuple[_PatNode, list[str]]:
+    """Parse `A B (D|C)+ E{1,3}` etc. → AST + variable list."""
+    toks = re.findall(r"[A-Za-z_][A-Za-z_0-9]*|\{\d*,?\d*\}|[()|*+?]", text)
+    pos = [0]
+    variables: list[str] = []
+
+    def alt():
+        opts = [seq()]
+        while pos[0] < len(toks) and toks[pos[0]] == "|":
+            pos[0] += 1
+            opts.append(seq())
+        return opts[0] if len(opts) == 1 else _PatAlt(opts)
+
+    def seq():
+        items = []
+        while pos[0] < len(toks) and toks[pos[0]] not in ("|", ")"):
+            items.append(quant())
+        return items[0] if len(items) == 1 else _PatSeq(items)
+
+    def quant():
+        node = primary()
+        while pos[0] < len(toks) and (
+            toks[pos[0]] in ("*", "+", "?") or toks[pos[0]].startswith("{")
+        ):
+            t = toks[pos[0]]
+            pos[0] += 1
+            if t == "*":
+                node = _PatQuant(node, 0, None)
+            elif t == "+":
+                node = _PatQuant(node, 1, None)
+            elif t == "?":
+                if isinstance(node, _PatQuant):
+                    node.greedy = False  # reluctant quantifier
+                else:
+                    node = _PatQuant(node, 0, 1)
+            else:
+                m = re.match(r"\{(\d*),?(\d*)\}", t)
+                lo = int(m.group(1)) if m.group(1) else 0
+                body = t[1:-1]
+                if "," in body:
+                    hi = int(m.group(2)) if m.group(2) else None
+                else:
+                    hi = lo
+                node = _PatQuant(node, lo, hi)
+        return node
+
+    def primary():
+        t = toks[pos[0]]
+        if t == "(":
+            pos[0] += 1
+            node = alt()
+            assert toks[pos[0]] == ")", "unbalanced pattern parens"
+            pos[0] += 1
+            return node
+        pos[0] += 1
+        if not re.match(r"[A-Za-z_]", t):
+            raise ValueError(f"unexpected pattern token {t!r}")
+        if t not in variables:
+            variables.append(t)
+        return _PatVar(t)
+
+    node = alt()
+    if pos[0] != len(toks):
+        raise ValueError(f"trailing pattern tokens: {toks[pos[0]:]}")
+    return node, variables
+
+
+# ---------------------------------------------------------------------------
+# matcher
+
+def _match_at(
+    rows: list[dict],
+    start: int,
+    pattern: _PatNode,
+    defines: dict[str, Callable[[_Ctx], Any]],
+    subsets: dict[str, list[str]],
+) -> dict[int, str] | None:
+    """Backtracking NFA walk anchored at ``start``; returns row→var map of
+    the leftmost-greedy match, or None."""
+
+    def walk(node, idx, assign):
+        """Yield candidate end indexes (row after last consumed), mutating a
+        copied assign per branch; generator order = greedy preference."""
+        if isinstance(node, _PatVar):
+            if idx >= len(rows):
+                return
+            pred = defines.get(node.name)
+            if pred is not None:
+                ctx = _Ctx(rows, assign, idx, node.name, subsets)
+                if not bool(pred(ctx)):
+                    return
+            assign2 = dict(assign)
+            assign2[idx] = node.name
+            yield idx + 1, assign2
+        elif isinstance(node, _PatSeq):
+            def seq_walk(items, idx, assign):
+                if not items:
+                    yield idx, assign
+                    return
+                for nxt, a2 in walk(items[0], idx, assign):
+                    yield from seq_walk(items[1:], nxt, a2)
+
+            yield from seq_walk(node.items, idx, assign)
+        elif isinstance(node, _PatAlt):
+            for opt in node.options:
+                yield from walk(opt, idx, assign)
+        elif isinstance(node, _PatQuant):
+            def rep(k, idx, assign):
+                # k = repetitions taken so far
+                hi_ok = node.hi is None or k < node.hi
+                if node.greedy:
+                    if hi_ok:
+                        for nxt, a2 in walk(node.inner, idx, assign):
+                            if nxt == idx and k >= node.lo:
+                                break  # zero-width progress guard
+                            yield from rep(k + 1, nxt, a2)
+                    if k >= node.lo:
+                        yield idx, assign
+                else:
+                    if k >= node.lo:
+                        yield idx, assign
+                    if hi_ok:
+                        for nxt, a2 in walk(node.inner, idx, assign):
+                            if nxt == idx and k >= node.lo:
+                                break
+                            yield from rep(k + 1, nxt, a2)
+
+            yield from rep(0, idx, assign)
+        else:
+            raise TypeError(node)
+
+    for _end, assign in walk(pattern, start, {}):
+        if assign:
+            return assign
+    return None
+
+
+def _partition_matches(rows, pattern, defines, subsets, skip_to_next):
+    """All matches in one ordered partition, honoring AFTER MATCH SKIP."""
+    out = []
+    start, match_no = 0, 0
+    while start < len(rows):
+        assign = _match_at(rows, start, pattern, defines, subsets)
+        if assign is None:
+            start += 1
+            continue
+        match_no += 1
+        out.append((match_no, assign))
+        last = max(assign)
+        start = start + 1 if skip_to_next else last + 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+
+_AGG_FUNCS = ("SUM(", "AVG(", "COUNT(", "MIN(", "MAX(")
+
+
+def _measure_dtype(expr: str, schema: T.StructType, variables: set[str]) -> T.DataType:
+    """Best-effort static type for a measure expression."""
+    up = expr.upper().replace(" ", "")
+    fields = {f.name: f.dataType for f in schema.fields}
+    m = re.match(
+        r"^(?:FIRST|LAST|PREV|NEXT)?\(?`?([A-Za-z_][\w]*)`?(?:\.`?([\w]+)`?)?[,)]?",
+        expr.replace(" ", ""),
+    )
+    if up.startswith("COUNT(") or up.startswith("MATCH_NUMBER("):
+        return T.LongType()
+    if up.startswith("CLASSIFIER("):
+        return T.StringType()
+    if up.startswith(("AVG(",)):
+        return T.DoubleType()
+    if up.startswith(("SUM(", "MIN(", "MAX(")):
+        inner = re.match(r"^\w+\((.*)\)$", expr.strip(), re.DOTALL)
+        if inner:
+            return _measure_dtype(inner.group(1), schema, variables)
+        return T.DoubleType()
+    if up.startswith(("FIRST(", "LAST(", "PREV(", "NEXT(")):
+        inner = re.match(r"^\w+\((.*?)(?:,\s*\d+)?\)$", expr.strip(), re.DOTALL)
+        if inner:
+            return _measure_dtype(inner.group(1), schema, variables)
+    m = re.match(r"^`?([A-Za-z_]\w*)`?(?:\.`?(\w+)`?)?$", expr.strip())
+    if m:
+        base, sub = m.group(1), m.group(2)
+        if sub and base in variables:
+            if sub in fields:
+                return fields[sub]
+        elif not sub and base in fields:
+            return fields[base]
+    if re.match(r"^\d+$", expr.strip()):
+        return T.LongType()
+    if re.match(r"^'.*'$", expr.strip()):
+        return T.StringType()
+    return T.DoubleType()
+
+
+def match_recognize(
+    df: DataFrame,
+    *,
+    partition_by: list[str],
+    order_by: list[str],
+    measures: list[tuple[str, str]],
+    pattern: str,
+    define: dict[str, str],
+    subset: dict[str, list[str]] | None = None,
+    after_match: str = "skip past last row",
+    all_rows: bool = False,
+    allow_global: bool = False,
+) -> DataFrame:
+    """Run row-pattern matching; see module docstring for the subset."""
+    if not partition_by and not allow_global:
+        raise ValueError(
+            "match_recognize without partitionBy funnels all rows through one "
+            "task; set allowGlobal: true to accept that"
+        )
+    pat_ast, variables = parse_pattern(pattern)
+    var_set = set(variables) | set(define) | set(subset or {})
+    defines = {k: compile_expr(v, var_set) for k, v in define.items()}
+    subsets = dict(subset or {})
+    measure_fns = [(name, compile_expr(expr, var_set)) for expr, name in measures]
+    skip_to_next = "next row" in after_match.lower()
+
+    in_schema = df.schema
+    part_fields = [in_schema[c] for c in partition_by]
+    measure_fields = [
+        T.StructField(name, _measure_dtype(expr, in_schema, var_set), True)
+        for expr, name in measures
+    ]
+    if all_rows:
+        out_schema = T.StructType(
+            list(in_schema.fields)
+            + [T.StructField("__match_number__", T.LongType(), True),
+               T.StructField("__classifier__", T.StringType(), True)]
+            + measure_fields
+        )
+    else:
+        out_schema = T.StructType(part_fields + measure_fields)
+
+    order_cols = [c.strip("`") for c in order_by]
+    timestamp_cols = {
+        f.name for f in in_schema.fields
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType))
+    }
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        recs = pdf.to_dict("records")
+        # pandas Timestamps/NaN → python-friendly values for the evaluator
+        for r in recs:
+            for k, v in r.items():
+                if v is None or (isinstance(v, float) and np.isnan(v)):
+                    r[k] = None
+                elif isinstance(v, np.generic):
+                    r[k] = v.item()
+        matches = _partition_matches(recs, pat_ast, defines, subsets, skip_to_next)
+        out_rows = []
+        for match_no, assign in matches:
+            ctx = _Ctx(recs, assign, None, None, subsets, match_no)
+            mvals = {}
+            for name, fn in measure_fns:
+                try:
+                    mvals[name] = fn(ctx)
+                except ValueError:
+                    # measures needing a current row (unqualified fields)
+                    # evaluate at the match's last row
+                    last = max(assign)
+                    mvals[name] = _Ctx(recs, assign, last, None, subsets, match_no).run(fn)
+            if all_rows:
+                for i in sorted(assign):
+                    row = dict(recs[i])
+                    row["__match_number__"] = match_no
+                    row["__classifier__"] = assign[i]
+                    row.update(mvals)
+                    out_rows.append(row)
+            else:
+                row = {c: recs[min(assign)][c] for c in partition_by}
+                row.update(mvals)
+                out_rows.append(row)
+        if not out_rows:
+            return pd.DataFrame({f.name: pd.Series(dtype=object) for f in out_schema.fields})
+        out = pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
+        return out
+
+    if partition_by:
+        return df.groupBy(*partition_by).applyInPandas(run_group, schema=out_schema)
+    return df.groupBy(F.lit(1).alias("__g__")).applyInPandas(
+        lambda pdf: run_group(pdf.drop(columns="__g__", errors="ignore")), schema=out_schema
+    )
+
+
+@module("matchRecognize", kind=KIND_TRANSFORM)
+def match_recognize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
+    p: dict[str, Any] = ctx.params
+    measures_cfg = p.get("measures") or []
+    measures = [
+        (m["expression"], m["name"]) if isinstance(m, dict) else tuple(m)
+        for m in measures_cfg
+    ]
+    out = match_recognize(
+        ctx.input,
+        partition_by=p.get("partitionBy") or [],
+        order_by=p.get("orderBy") or [],
+        measures=measures,
+        pattern=p["pattern"],
+        define=p.get("define") or {},
+        subset=p.get("subset"),
+        after_match=p.get("afterMatch", "skip past last row"),
+        all_rows=bool(p.get("allRowsPerMatch", False)),
+        allow_global=bool(p.get("allowGlobal", False)),
+    )
+    return {"": out}
+
+
+# ---------------------------------------------------------------------------
+# SQL-clause front end (used by beamsql)
+
+_MR_RE = re.compile(r"MATCH_RECOGNIZE\s*\(", re.IGNORECASE)
+
+
+def split_match_recognize(sql: str):
+    """Locate `FROM <tbl> MATCH_RECOGNIZE(...) [AS alias]` in a statement.
+
+    Returns (prefix_sql, table_name, clause_body, alias, suffix_sql) or None
+    if the statement has no MATCH_RECOGNIZE."""
+    m = _MR_RE.search(sql)
+    if not m:
+        return None
+    # balanced-paren scan for the clause body
+    depth, i = 1, m.end()
+    in_str = False
+    while i < len(sql) and depth:
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    body = sql[m.end() : i - 1]
+    before = sql[: m.start()]
+    after = sql[i:]
+    tbl_m = re.search(r"FROM\s+`?([\w.]+)`?\s*$", before, re.IGNORECASE | re.DOTALL)
+    if not tbl_m:
+        raise ValueError("MATCH_RECOGNIZE must directly follow FROM <table>")
+    alias_m = re.match(r"\s*(?:AS\s+)?`?(\w+)`?", after)
+    alias = alias_m.group(1) if alias_m else None
+    suffix = after[alias_m.end() :] if alias_m else after
+    prefix = before[: tbl_m.start()]
+    return prefix, tbl_m.group(1), body, alias, suffix
+
+
+def parse_clause(body: str) -> dict[str, Any]:
+    """Parse the MATCH_RECOGNIZE clause body into match_recognize kwargs."""
+    sections = {
+        "PARTITION BY": r"PARTITION\s+BY",
+        "ORDER BY": r"ORDER\s+BY",
+        "MEASURES": r"MEASURES",
+        "ONE ROW PER MATCH": r"ONE\s+ROW\s+PER\s+MATCH",
+        "ALL ROWS PER MATCH": r"ALL\s+ROWS\s+PER\s+MATCH",
+        "AFTER MATCH": r"AFTER\s+MATCH",
+        "PATTERN": r"PATTERN",
+        "SUBSET": r"SUBSET",
+        "DEFINE": r"DEFINE",
+    }
+    marks = []
+    for name, pat in sections.items():
+        for m in re.finditer(pat, body, re.IGNORECASE):
+            marks.append((m.start(), m.end(), name))
+    marks.sort()
+    parts: dict[str, str] = {}
+    for j, (s, e, name) in enumerate(marks):
+        end = marks[j + 1][0] if j + 1 < len(marks) else len(body)
+        parts[name] = body[e:end].strip().rstrip(",")
+
+    def split_top(text):
+        out, depth, cur, in_str = [], 0, "", False
+        for ch in text:
+            if in_str:
+                cur += ch
+                if ch == "'":
+                    in_str = False
+                continue
+            if ch == "'":
+                in_str = True
+                cur += ch
+            elif ch == "(":
+                depth += 1
+                cur += ch
+            elif ch == ")":
+                depth -= 1
+                cur += ch
+            elif ch == "," and depth == 0:
+                out.append(cur.strip())
+                cur = ""
+            else:
+                cur += ch
+        if cur.strip():
+            out.append(cur.strip())
+        return out
+
+    kwargs: dict[str, Any] = {
+        "partition_by": [], "order_by": [], "measures": [],
+        "define": {}, "subset": {}, "after_match": "skip past last row",
+        "all_rows": False,
+    }
+    if "PARTITION BY" in parts:
+        kwargs["partition_by"] = [c.strip().strip("`") for c in parts["PARTITION BY"].split(",")]
+    if "ORDER BY" in parts:
+        kwargs["order_by"] = [
+            re.sub(r"\s+(ASC|DESC)$", "", c.strip(), flags=re.IGNORECASE).strip("`")
+            for c in parts["ORDER BY"].split(",")
+        ]
+    if "MEASURES" in parts:
+        for item in split_top(parts["MEASURES"]):
+            mm = re.match(r"(.*)\s+AS\s+`?(\w+)`?\s*$", item, re.IGNORECASE | re.DOTALL)
+            if not mm:
+                raise ValueError(f"measure needs AS alias: {item!r}")
+            kwargs["measures"].append((mm.group(1).strip(), mm.group(2)))
+    if "ALL ROWS PER MATCH" in parts:
+        kwargs["all_rows"] = True
+    if "AFTER MATCH" in parts:
+        kwargs["after_match"] = parts["AFTER MATCH"]
+    if "PATTERN" in parts:
+        pat = parts["PATTERN"].strip()
+        if pat.startswith("("):
+            # strip ONE balanced outer paren pair
+            depth = 0
+            for i, ch in enumerate(pat):
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth == 0:
+                    pat = pat[1:i]
+                    break
+        kwargs["pattern"] = pat
+    if "SUBSET" in parts:
+        for item in split_top(parts["SUBSET"]):
+            mm = re.match(r"(\w+)\s*=\s*\((.*)\)", item, re.DOTALL)
+            if mm:
+                kwargs["subset"][mm.group(1)] = [v.strip() for v in mm.group(2).split(",")]
+    if "DEFINE" in parts:
+        for item in split_top(parts["DEFINE"]):
+            mm = re.match(r"(\w+)\s+AS\s+(.*)$", item, re.IGNORECASE | re.DOTALL)
+            if not mm:
+                raise ValueError(f"bad DEFINE item: {item!r}")
+            kwargs["define"][mm.group(1)] = mm.group(2).strip()
+    return kwargs

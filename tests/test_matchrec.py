@@ -1,0 +1,253 @@
+"""MATCH_RECOGNIZE operator tests, including the port of the reference's
+BeamSQLTransformTest.testMatchRecognize (its assertions are commented out
+upstream; expectations here are hand-derived from SQL:2016 semantics)."""
+
+import pytest
+
+from pipeline_spark.operators.matchrec import (
+    _partition_matches,
+    compile_expr,
+    match_recognize,
+    parse_clause,
+    parse_pattern,
+    split_match_recognize,
+)
+
+
+def _rows(*vals):
+    return [{"v": v, "i": i} for i, v in enumerate(vals)]
+
+
+def _run(rows, pattern, define, skip_to_next=False, subset=None):
+    ast, variables = parse_pattern(pattern)
+    var_set = set(variables) | set(define)
+    defines = {k: compile_expr(v, var_set) for k, v in define.items()}
+    return _partition_matches(rows, ast, defines, subset or {}, skip_to_next)
+
+
+class TestPatternEngine:
+    def test_simple_seq(self):
+        ms = _run(_rows(1, 2, 3), "A B", {"A": "v = 1", "B": "v = 2"})
+        assert len(ms) == 1
+        assert ms[0][1] == {0: "A", 1: "B"}
+
+    def test_alternation_prefers_left(self):
+        # both alternatives match row 1; D is listed first
+        ms = _run(_rows(1, 2), "A (D|C)", {"A": "v = 1", "D": "v = 2", "C": "v = 2"})
+        assert ms[0][1][1] == "D"
+
+    def test_star_greedy(self):
+        ms = _run(_rows(2, 2, 2, 9), "A* B", {"A": "v = 2", "B": "v = 9"})
+        assert ms[0][1] == {0: "A", 1: "A", 2: "A", 3: "B"}
+
+    def test_plus_requires_one(self):
+        assert _run(_rows(9), "A+ B", {"A": "v = 2", "B": "v = 9"}) == []
+
+    def test_bounded_quantifier(self):
+        ms = _run(_rows(2, 2, 2, 2, 9), "A{2,3} B", {"A": "v = 2", "B": "v = 9"})
+        # greedy takes 3 As then backtracking is unneeded: rows 1-3 A, row 4 B
+        assert sorted(ms[0][1]) == [1, 2, 3, 4]
+
+    def test_backtracking(self):
+        # greedy A* would eat the 9, then must give it back for B
+        ms = _run(_rows(2, 9), "A* B", {"A": "v > 0", "B": "v = 9"})
+        assert ms[0][1] == {0: "A", 1: "B"}
+
+    def test_skip_past_last_row_non_overlapping(self):
+        ms = _run(_rows(1, 2, 1, 2), "A B", {"A": "v = 1", "B": "v = 2"})
+        assert [m[1] for m in ms] == [{0: "A", 1: "B"}, {2: "A", 3: "B"}]
+
+    def test_skip_to_next_row_overlapping(self):
+        ms = _run(_rows(1, 2, 2), "A B", {"B": "v = 2", "A": "TRUE"}, skip_to_next=True)
+        assert len(ms) == 2
+        # same input without skip-to-next: the second A-row is consumed
+        assert len(_run(_rows(1, 2, 2), "A B", {"B": "v = 2", "A": "TRUE"})) == 1
+
+    def test_prev_offset(self):
+        ms = _run(_rows(5, 7, 9), "A B", {"A": "TRUE", "B": "v > PREV(v, 1)"})
+        assert ms[0][1] == {0: "A", 1: "B"}
+
+    def test_prev_before_partition_is_null(self):
+        # PREV at row 0 → NULL → comparison false
+        assert _run(_rows(5, 4), "A B", {"A": "v > PREV(v, 1)", "B": "TRUE"}) == []
+
+    def test_cross_variable_reference(self):
+        # B sees the last row mapped to A
+        ms = _run(_rows(10, 3), "A B", {"A": "v = 10", "B": "v < A.v"})
+        assert len(ms) == 1
+
+    def test_subset(self):
+        ms = _run(
+            _rows(1, 2, 3),
+            "A B C",
+            {"A": "v = 1", "B": "v = 2", "C": "v = 3"},
+        )
+        assert len(ms) == 1
+
+
+class TestExpr:
+    def test_null_comparison_false(self):
+        rows = [{"v": None}]
+        fn = compile_expr("v > 1", set())
+        ms = _run(rows, "A", {"A": "v > 1"})
+        assert ms == []
+        del fn
+
+    def test_arith_and_bool(self):
+        ms = _run(_rows(4), "A", {"A": "v * 2 + 1 = 9 AND NOT v < 0"})
+        assert len(ms) == 1
+
+    def test_in_and_is_null(self):
+        ms = _run(
+            [{"v": 2, "w": None}],
+            "A",
+            {"A": "v IN (1, 2) AND w IS NULL"},
+        )
+        assert len(ms) == 1
+
+
+class TestClauseParser:
+    CLAUSE = """
+      PARTITION BY user_id
+      ORDER BY `timestamp`
+      MEASURES
+        A.`timestamp` AS `timestamp`,
+        A.category AS category_a,
+        FIRST(D.category) AS category_d,
+        COUNT(*) AS n
+      PATTERN (A B (D|C))
+      SUBSET E = (A, B, C, D)
+      DEFINE
+        B AS category = 'B',
+        D AS amount > PREV(D.amount, 1),
+        C AS category = 'C'
+    """
+
+    def test_parse_clause(self):
+        kw = parse_clause(self.CLAUSE)
+        assert kw["partition_by"] == ["user_id"]
+        assert kw["order_by"] == ["timestamp"]
+        assert [m[1] for m in kw["measures"]] == ["timestamp", "category_a", "category_d", "n"]
+        assert kw["pattern"] == "A B (D|C)"
+        assert kw["subset"] == {"E": ["A", "B", "C", "D"]}
+        assert set(kw["define"]) == {"B", "D", "C"}
+
+    def test_split_statement(self):
+        sql = "SELECT x FROM t MATCH_RECOGNIZE( PARTITION BY k PATTERN (A) DEFINE A AS x > 0 ) AS M"
+        prefix, table, body, alias, suffix = split_match_recognize(sql)
+        assert table == "t" and alias == "M"
+        assert "PATTERN" in body
+        assert prefix.strip() == "SELECT x"
+
+    def test_no_match_recognize(self):
+        assert split_match_recognize("SELECT 1") is None
+
+
+@pytest.fixture(scope="module")
+def mr_input(spark):
+    rows = []
+    for uid in ("a", "b"):
+        for i, cat in enumerate("ABCDEFGHIJ"):
+            rows.append((uid, (i + 1) * 100, cat, f"2025-01-01 00:00:{i+1:02d}"))
+    df = spark.createDataFrame(rows, "user_id string, amount long, category string, ts string")
+    return df.withColumn("ts", df.ts.cast("timestamp"))
+
+
+class TestSparkIntegration:
+    def test_reference_match_recognize(self, mr_input, spark):
+        """Port of BeamSQLTransformTest.testMatchRecognize: PATTERN
+        (A B (D|C)), B: category='B', D: amount rising, C: category='C'.
+        Rows A(100) B(200) C(300): D's define holds at row3 (300 > 200) and
+        D is the left alternative, so the C slot binds variable D even
+        though the row's category is 'C'.  One match per user.
+        Reference: module/transform/BeamSQLTransformTest.java:166-279."""
+        out = match_recognize(
+            mr_input,
+            partition_by=["user_id"],
+            order_by=["ts"],
+            measures=[
+                ("A.ts", "ts"),
+                ("A.category", "category_a"),
+                ("B.category", "category_b"),
+                ("C.category", "category_c"),
+                ("FIRST(D.category)", "category_d"),
+                ("A.amount", "amount_a"),
+                ("B.amount", "amount_b"),
+                ("C.amount", "amount_c"),
+                ("D.amount", "amount_d"),
+            ],
+            pattern="A B (D|C)",
+            subset={"E": ["A", "B", "C", "D"]},
+            define={
+                "B": "category = 'B'",
+                "D": "amount > PREV(D.amount, 1)",
+                "C": "category = 'C'",
+            },
+        )
+        rows = {r["user_id"]: r for r in out.collect()}
+        assert set(rows) == {"a", "b"}
+        for r in rows.values():
+            assert r["category_a"] == "A"
+            assert r["category_b"] == "B"
+            assert r["category_c"] is None  # D alternative won
+            assert r["category_d"] == "C"  # row 3's category, bound as D
+            assert (r["amount_a"], r["amount_b"], r["amount_d"]) == (100, 200, 300)
+            assert r["amount_c"] is None
+            assert r["ts"].second == 1
+
+    def test_beamsql_clause_rewrite(self, mr_input, spark):
+        from pipeline_spark.config import parse_config
+        from pipeline_spark.executor import run_pipeline
+
+        mr_input.createOrReplaceTempView("__mr_src")
+        cfg = parse_config("""
+sources:
+  - name: evsrc
+    module: create
+    parameters: {type: int64, elements: [0]}
+transforms:
+  - name: beamsql1
+    module: beamsql
+    inputs: [evsrc]
+    parameters:
+      sql: >
+        SELECT user_id, category_a, n_rising FROM __mr_src
+        MATCH_RECOGNIZE(
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.category AS category_a, COUNT(R.amount) AS n_rising
+          PATTERN (A R+)
+          DEFINE R AS amount > PREV(amount, 1)
+        ) AS M
+""")
+        outs = run_pipeline(spark, cfg)
+        rows = {r["user_id"]: r for r in outs["beamsql1"].collect()}
+        # all 10 rows rise monotonically: A=row1, R=rows2-10
+        assert rows["a"]["n_rising"] == 9 and rows["b"]["n_rising"] == 9
+        assert rows["a"]["category_a"] == "A"
+
+    def test_all_rows_per_match(self, mr_input):
+        out = match_recognize(
+            mr_input,
+            partition_by=["user_id"],
+            order_by=["ts"],
+            measures=[("MATCH_NUMBER()", "mn")],
+            pattern="A B",
+            define={"A": "category = 'C'", "B": "category = 'D'"},
+            all_rows=True,
+        )
+        rows = out.filter("user_id = 'a'").orderBy("ts").collect()
+        assert [r["__classifier__"] for r in rows] == ["A", "B"]
+        assert [r["category"] for r in rows] == ["C", "D"]
+        assert all(r["mn"] == 1 for r in rows)
+
+    def test_global_requires_opt_in(self, mr_input):
+        with pytest.raises(ValueError, match="allowGlobal"):
+            match_recognize(
+                mr_input,
+                partition_by=[],
+                order_by=["ts"],
+                measures=[("COUNT(*)", "n")],
+                pattern="A",
+                define={"A": "TRUE"},
+            )

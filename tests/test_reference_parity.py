@@ -561,3 +561,94 @@ transforms:
         assert ev["properties"]["key1"]["name"] == r["id"]
         by_id.setdefault(r["id"], ev["properties"]["key2"]["description"])
     assert by_id == {"value1": "value2", "value3": "value4"}
+
+
+def test_beamsql_match_recognize_parity(spark):
+    """Port of BeamSQLTransformTest.testMatchRecognize with the reference's
+    SQL verbatim (WITH-CTE input, MEASURES with FIRST/PREV, alternation
+    pattern, SUBSET).  Upstream assertions are commented out; expectations
+    are hand-derived: per user the only match is rows 1-3 (A=cat A,
+    B=cat B, then the D alternative wins because 300 > 200), so category_c
+    and amount_c are NULL and category_d is row 3's 'C'.
+    Reference: module/transform/BeamSQLTransformTest.java:166-279."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    elements = []
+    for uid in ("a", "b"):
+        for i, cat in enumerate("ABCDEFGHIJ"):
+            elements.append(
+                f'          - {{ user_id: {uid}, amount: {(i + 1) * 100}, '
+                f'category: {cat}, timestamp: "2025-01-01T00:00:{i+1:02d}Z" }}'
+            )
+    cfg = parse_config("""
+sources:
+  - name: create
+    module: create
+    timestampAttribute: timestamp
+    parameters:
+      type: element
+      elements:
+""" + "\n".join(elements) + """
+      schema:
+        fields:
+          - {name: user_id, type: string}
+          - {name: amount, type: int64}
+          - {name: category, type: string}
+          - {name: timestamp, type: timestamp}
+transforms:
+  - name: beamsql1
+    module: beamsql
+    inputs: [create]
+    parameters:
+      sql: |
+        WITH `Table` AS (
+          SELECT
+            user_id,
+            CAST(amount AS DECIMAL) AS amount,
+            category,
+            `timestamp`
+          FROM `create`
+        )
+        SELECT
+          user_id,
+          category_a,
+          category_b,
+          category_c,
+          category_d,
+          amount_a,
+          amount_b,
+          amount_c,
+          amount_d,
+          `timestamp`
+        FROM
+          `Table`
+        MATCH_RECOGNIZE(
+          PARTITION BY user_id
+          ORDER BY `timestamp`
+          MEASURES
+            A.`timestamp` AS `timestamp`,
+            A.category AS category_a,
+            B.category AS category_b,
+            C.category AS category_c,
+            FIRST(D.category) AS category_d,
+            A.amount AS amount_a,
+            B.amount AS amount_b,
+            C.amount AS amount_c,
+            D.amount AS amount_d
+          PATTERN (A B (D|C))
+          SUBSET E = (A, B, C, D)
+          DEFINE
+            B AS category = 'B',
+            D AS amount > PREV(D.amount, 1),
+            C AS category = 'C'
+        ) AS M
+""")
+    outs = run_pipeline(spark, cfg)
+    rows = {r["user_id"]: r for r in outs["beamsql1"].collect()}
+    assert set(rows) == {"a", "b"}
+    for r in rows.values():
+        assert (r["category_a"], r["category_b"], r["category_d"]) == ("A", "B", "C")
+        assert r["category_c"] is None and r["amount_c"] is None
+        assert (int(r["amount_a"]), int(r["amount_b"]), int(r["amount_d"])) == (100, 200, 300)
+        assert r["timestamp"].second == 1
