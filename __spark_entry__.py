@@ -1544,6 +1544,49 @@ FROM seeded
 """
 
 
+def q_processing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processing module (legacy staged time-series processor): history
+    expression, windowed sum over a count range, offset range, and lag —
+    all one exchange on user_id.  Reference:
+    module/transform/ProcessingTransform.java:39-1150."""
+    df = _pipeline(spark, sf_dir, ["events"], """
+transforms:
+  - name: proc
+    module: processing
+    inputs: [events]
+    timestampAttribute: ts
+    parameters:
+      stages:
+        - name: stage1
+          type: timeseries
+          groupFields: [user_id]
+          remainFields: [event_id]
+          steps:
+            - {name: delta, op: expression, expression: "value_0 - value_1"}
+            - {name: sum5, op: sum, field: value, range: 5}
+            - {name: prevsum, op: sum, field: value, ranges: [[1, 4]]}
+            - {name: lagv, op: lag, field: value, lags: [2]}
+""", "proc")
+    return df.select(
+        "user_id", "event_id",
+        F.round("delta", 4).alias("delta"),
+        F.round("sum5", 4).alias("sum5"),
+        F.round("prevsum", 4).alias("prevsum"),
+        F.round("lagv", 4).alias("lagv"),
+    )
+
+
+Q_PROCESSING_SQL = """
+SELECT user_id, event_id,
+       round(value - lag(value, 1) OVER w, 4) AS delta,
+       round(sum(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS sum5,
+       round(sum(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS prevsum,
+       round(lag(value, 2) OVER w, 4) AS lagv
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+"""
+
+
 def q_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """matchRecognize module: per-user row patterns — an error event
     followed by two consecutively rising values.  AFTER MATCH SKIP TO NEXT
@@ -1754,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "pack_sequences": q_pack_sequences,
         "match_recognize": q_match_recognize,
+        "processing_timeseries": q_processing,
     }
 
 
@@ -1813,4 +1857,5 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii": Q_SCRUB_SQL,
         "pack_sequences": Q_PACK_SQL,
         "match_recognize": Q_MATCHREC_SQL,
+        "processing_timeseries": Q_PROCESSING_SQL,
     }

@@ -51,7 +51,10 @@ def _frame(w: WindowSpec, range_spec: dict[str, Any] | None, is_duration_order: 
         return w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     if "count" in range_spec:
         n = int(range_spec["count"])
-        return w.rowsBetween(-(n - 1), 0)
+        # optional row offset: the processing module's range [a, b] maps to
+        # the b-a most recent rows ending a rows back
+        off = int(range_spec.get("offset", 0))
+        return w.rowsBetween(-(off + n - 1), -off)
     dur = int(range_spec["duration"])
     unit = str(range_spec.get("unit", "second")).lower()
     secs = dur * _UNIT_SECONDS[unit]

@@ -1,0 +1,124 @@
+"""`processing` module tests — the staged time-series processor mapped onto
+Window frames.  Covers the op set the reference's (upstream-commented)
+ProcessingTransformTest exercises: expression with `field_k` history
+suffixes, window sum over count and [a,b] ranges, lag, binning, hash,
+current_timestamp, remainFields/outputRenameFields, and per-key isolation.
+Reference: module/transform/ProcessingTransform.java:39-1150,
+util/pipeline/processing/processor/*."""
+
+import pytest
+
+from pipeline_spark.config import parse_config
+from pipeline_spark.executor import run_pipeline
+
+CFG = """
+sources:
+  - name: rows
+    module: create
+    timestampAttribute: timestamp
+    parameters:
+      elements:
+{elements}
+      schema:
+        fields:
+          - {{name: userId, type: string}}
+          - {{name: long, type: int64}}
+          - {{name: double, type: float64}}
+          - {{name: string, type: string}}
+          - {{name: timestamp, type: timestamp}}
+transforms:
+  - name: processing
+    module: processing
+    inputs: [rows]
+    parameters:
+      stages:
+        - name: stage1
+          type: timeseries
+          groupFields: [userId]
+          remainFields: [long, string]
+          outputRenameFields: {{timestamp: t}}
+          steps:
+            - {{name: expr1, op: expression, expression: "(double_0 + double_1) / max(long, long_0)"}}
+            - {{name: sum3, op: sum, field: long, range: 3}}
+            - {{name: sumoff, op: sum, field: long, ranges: [[1, 3]]}}
+            - {{name: lag1, op: lag, field: long, lags: [1]}}
+            - {{name: bin, op: binning, field: double, bins: [2.0, 4.0]}}
+            - {{name: hashed, op: hash, algorithm: HmacSHA256, secret: "My Secret Key", size: 16, field: string}}
+            - {{name: now, op: current_timestamp}}
+"""
+
+
+def _elements():
+    lines = []
+    for uid in ("u1", "u2"):
+        for i in range(1, 6):
+            lines.append(
+                f'        - {{ userId: {uid}, long: {i}, double: {i - 0.5}, '
+                f'string: "{chr(64 + i)}", timestamp: "2025-01-01T00:00:0{i}Z" }}'
+            )
+    return "\n".join(lines)
+
+
+@pytest.fixture(scope="module")
+def outs(spark):
+    cfg = parse_config(CFG.format(elements=_elements()))
+    return run_pipeline(spark, cfg)
+
+
+def _user_rows(outs, uid):
+    return sorted(
+        (r for r in outs["processing"].collect() if r["userId"] == uid),
+        key=lambda r: r["t"],
+    )
+
+
+def test_expression_history_suffix(outs):
+    rows = _user_rows(outs, "u1")
+    # (double + prev_double) / long; row 1 has no prev → null
+    assert rows[0]["expr1"] is None
+    assert abs(rows[2]["expr1"] - (2.5 + 1.5) / 3) < 1e-12
+    assert abs(rows[4]["expr1"] - (4.5 + 3.5) / 5) < 1e-12
+
+
+def test_window_sum_count_range(outs):
+    assert [r["sum3"] for r in _user_rows(outs, "u1")] == [1, 3, 6, 9, 12]
+
+
+def test_window_sum_offset_range(outs):
+    # range [1, 3] = the 2 rows ending 1 back
+    assert [r["sumoff"] for r in _user_rows(outs, "u1")] == [None, 1, 3, 5, 7]
+
+
+def test_lag_step(outs):
+    assert [r["lag1"] for r in _user_rows(outs, "u1")] == [None, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_binning(outs):
+    assert [r["bin"] for r in _user_rows(outs, "u1")] == [0, 0, 1, 1, 2]
+
+
+def test_hash_and_timestamp(outs):
+    rows = _user_rows(outs, "u1")
+    assert all(len(r["hashed"]) == 16 for r in rows)
+    assert rows[0]["hashed"] != rows[1]["hashed"]  # different strings
+    assert all(r["now"] is not None for r in rows)
+
+
+def test_remain_and_rename(outs):
+    rows = _user_rows(outs, "u1")
+    assert rows[0]["long"] == 1 and rows[0]["string"] == "A"
+    assert "t" in rows[0].asDict() and "timestamp" not in rows[0].asDict()
+
+
+def test_per_key_isolation(outs):
+    # u2 has identical values → identical window outputs
+    assert [r["sum3"] for r in _user_rows(outs, "u2")] == [1, 3, 6, 9, 12]
+
+
+def test_recursive_reference_rejected(spark):
+    cfg = parse_config(CFG.format(elements=_elements()).replace(
+        '{name: expr1, op: expression, expression: "(double_0 + double_1) / max(long, long_0)"}',
+        '{name: ema, op: expression, expression: "long * 0.8 + ema_1 * 0.2"}',
+    ))
+    with pytest.raises(Exception, match="recursive"):
+        run_pipeline(spark, cfg)["processing"].collect()
