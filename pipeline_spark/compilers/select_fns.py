@@ -486,9 +486,12 @@ def render_row_template(template: str):
     select fn and any module needing per-row templating."""
     import jinja2
 
+    from pipeline_spark.functions.template_utils import UTILS
+
     jinja_src = freemarker_to_jinja(template)
     env = jinja2.Environment(undefined=jinja2.ChainableUndefined)
     env.filters.update(_FM_FILTERS)
+    env.globals["utils"] = UTILS
     tpl = env.from_string(jinja_src)
     return tpl.render
 
@@ -508,8 +511,11 @@ def _jinja_template_column(template: str, df: DataFrame) -> Column:
     def render(rows: pd.DataFrame) -> pd.Series:
         import jinja2 as _j
 
+        from pipeline_spark.functions.template_utils import UTILS
+
         env = _j.Environment(undefined=_j.ChainableUndefined)
         env.filters.update(_FM_FILTERS)
+        env.globals["utils"] = UTILS
         tpl = env.from_string(jinja_src)
         return pd.Series(
             [tpl.render(rec) for rec in rows.to_dict(orient="records")]

@@ -93,8 +93,10 @@ def render_template(text: str, args: dict[str, Any] | None = None) -> str:
         return text
     import jinja2
 
+    from pipeline_spark.functions.template_utils import UTILS
+
     env = jinja2.Environment(undefined=jinja2.StrictUndefined)
-    return env.from_string(text).render(args=args or {})
+    return env.from_string(text).render(args=args or {}, utils=UTILS)
 
 
 def parse_config(text: str, args: dict[str, Any] | None = None) -> Config:

@@ -652,3 +652,40 @@ transforms:
         assert r["category_c"] is None and r["amount_c"] is None
         assert (int(r["amount_a"]), int(r["amount_b"]), int(r["amount_d"])) == (100, 200, 300)
         assert r["timestamp"].second == 1
+
+
+def test_template_utils_datetime_parity():
+    """Port of TemplateUtilTest.testUtilsDatetime: the ``utils.datetime``
+    template namespace — currentTimestamp with plus-amount, unit, and
+    truncate-unit overloads, rendered through the FreeMarker-surface row
+    templating.  Reference: util/TemplateUtil.java:24-313,
+    util/TemplateUtilTest.java:13-32."""
+    import datetime as dt
+
+    from pipeline_spark.compilers.select_fns import render_row_template
+
+    def micros(s):
+        return dt.datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp() * 1e6
+
+    now_micros = dt.datetime.now(dt.timezone.utc).timestamp() * 1e6
+
+    out1 = render_row_template("${utils.datetime.currentTimestamp()}")({})
+    assert abs(micros(out1) - now_micros) < 10_000_000
+
+    out2 = render_row_template("${utils.datetime.currentTimestamp(1)}")({})
+    assert 0 < micros(out2) - now_micros < 10_000_000 + 1_000_000
+
+    out3 = render_row_template("${utils.datetime.currentTimestamp(1, 'DAYS')}")({})
+    assert 0 < micros(out3) - now_micros < 10_000_000 + 1_000_000 * 86400
+
+    out4 = render_row_template("${utils.datetime.currentTimestamp(1, 'DAYS', 'HOURS')}")({})
+    parsed4 = dt.datetime.fromisoformat(out4.replace("Z", "+00:00"))
+    assert parsed4.minute == 0 and parsed4.second == 0 and parsed4.microsecond == 0
+
+    # formatTimestamp + bigtable reverse keys, same namespace
+    out5 = render_row_template(
+        "${utils.datetime.formatTimestamp(ts, 'yyyy-MM-dd')}"
+    )({"ts": "2024-03-05T10:00:00Z"})
+    assert out5 == "2024-03-05"
+    out6 = render_row_template("${utils.bigtable.reverseTimestampMicros(0)}")({})
+    assert out6 == str((1 << 63) - 1)
