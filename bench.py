@@ -22,9 +22,6 @@ import __spark_entry__ as entrymod
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "agg_stats",
-    "multi_input_agg",
-    "sql_mdt_udfs",
     "agg_argminmax",
     "agg_firstlast",
     "partition_route",
@@ -39,31 +36,36 @@ BENCH_QUERIES = [
     "session_window",
     "expression_math",
     "select_text_hash",
-    "select_misc",
+    "compare_diff",
     "agg_collect",
+    "select_misc",
     "create_sequence",
+    "agg_stats",
+    "multi_input_agg",
+    "sql_mdt_udfs",
     "tokenize_unnest",
-    "ngram_jaccard",
     "dedup_exact",
     "textstats",
-    "minhash_pairs",
-    "simhash_neardup",
+    "ngram_jaccard",
     "similarity_bruteforce",
-    "lsh_topk",
-    "ivf_topk",
     "embedding_neardup",
     "embedding_neardup_bucketed",
     "multimodal_meta",
-    "sample_split",
-    "scrub_pii",
-    "pack_sequences",
-    "compare_diff",
-    "lang_id",
+    "minhash_pairs",
+    "simhash_neardup",
     "dedup_cluster",
     "decontaminate",
     "repetition",
     "shuffle_order",
     "quality_classifier",
+    "lsh_topk",
+    "ivf_topk",
+    "lang_id",
+    "sample_split",
+    "scrub_pii",
+    "pack_sequences",
+    "match_recognize",
+    "processing_timeseries",
 ]
 
 
