@@ -689,3 +689,43 @@ def test_template_utils_datetime_parity():
     assert out5 == "2024-03-05"
     out6 = render_row_template("${utils.bigtable.reverseTimestampMicros(0)}")({})
     assert out6 == str((1 << 63) - 1)
+
+
+def test_expression_util_parity(spark):
+    """Port of ExpressionUtilTest.testTimestampToDate / testTimestampDiff:
+    timezone-offset day boundaries (JST 15:00 UTC rollover) and signed
+    truncating diffs, evaluated through the Column expression compiler.
+    Reference: util/ExpressionUtilTest.java:61-130."""
+    import datetime as dt
+
+    from pipeline_spark.compilers.expression import compile_expression, schema_resolver
+
+    def micros(iso):
+        return dt.datetime.fromisoformat(iso.replace("Z", "+00:00")).timestamp() * 1e6
+
+    def ev(expr, **cols):
+        df = spark.createDataFrame(
+            [tuple(float(v) for v in cols.values())],
+            ", ".join(f"{k} double" for k in cols),
+        )
+        out = df.select(
+            compile_expression(expr, schema_resolver(df)).alias("r")
+        ).collect()[0]["r"]
+        return out
+
+    epoch_day = dt.date(2023, 1, 15).toordinal() - dt.date(1970, 1, 1).toordinal()
+    # 14:59:59.999Z at UTC+9 is still Jan 15 local
+    assert ev("timestamp_to_date(a, b)", a=micros("2023-01-15T14:59:59.999Z"), b=9) == epoch_day
+    # 15:00:00Z at UTC+9 rolls to Jan 16 local
+    assert ev("timestamp_to_date(a, b)", a=micros("2023-01-15T15:00:00.000Z"), b=9) == epoch_day + 1
+
+    assert ev(
+        "timestamp_to_date(a, b) - timestamp_to_date(c, d)",
+        a=micros("2023-01-15T15:00:00.000Z"), b=9,
+        c=micros("2023-01-14T14:59:59.999Z"), d=9,
+    ) == 2
+
+    a = micros("2023-01-15T00:00:00.000Z")
+    b = micros("2023-01-17T12:32:12.543Z")
+    assert ev("timestamp_diff_millisecond(a,b)", a=a, b=b) == (a - b) / 1000
+    assert ev("timestamp_diff_second(a,b)", a=a, b=b) == int((a - b) / 1e6)
