@@ -34,6 +34,7 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--master", default=None, help="spark master (default: existing/local)")
     parser.add_argument("--shuffle-partitions", type=int, default=None)
     parser.add_argument("--show", action="store_true", help="show each transform output head")
+    parser.add_argument("--context", default=None, help="run only modules tagged with this context")
     args, unknown = parser.parse_known_args(argv)
 
     template_args: dict[str, str] = {}
@@ -45,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
             parser.error(f"unknown argument: {tok}")
 
     spark = build_session(args.master, args.shuffle_partitions)
-    config = load_config(args.config, template_args)
+    config = load_config(args.config, template_args, context=args.context)
     outputs = run_pipeline(spark, config)
     if args.show:
         for name, df in outputs.items():

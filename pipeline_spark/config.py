@@ -34,6 +34,7 @@ class ModuleConfig:
     strategy: dict[str, Any] | None = None
     schema: dict[str, Any] | list[dict[str, Any]] | None = None
     timestamp_attribute: str | None = None
+    tags: list[str] = field(default_factory=list)
     ignore: bool = False
     fail_fast: bool = True
     raw: dict[str, Any] = field(default_factory=dict)
@@ -51,6 +52,7 @@ class ModuleConfig:
             strategy=d.get("strategy"),
             schema=d.get("schema"),
             timestamp_attribute=d.get("timestampAttribute"),
+            tags=_as_list(d.get("tags")),
             ignore=bool(d.get("ignore", False)),
             fail_fast=bool(d.get("failFast", True)),
             raw=d,
@@ -99,8 +101,54 @@ def render_template(text: str, args: dict[str, Any] | None = None) -> str:
     return env.from_string(text).render(args=args or {}, utils=UTILS)
 
 
-def parse_config(text: str, args: dict[str, Any] | None = None) -> Config:
-    rendered = render_template(text, args)
+_ARGS_REF_RE = None
+
+
+def _substitute_args_refs(text: str, args: dict[str, Any]) -> str:
+    """Replace FreeMarker-style ``${args.name}`` references.
+
+    The reference renders the whole config with FreeMarker and its
+    exception handler re-emits unknown variables verbatim
+    (TemplateUtil.java:383-420 ImputeSameVariablesTemplateExceptionHandler),
+    so row templates like ``${field}`` survive config loading.  Mirrored
+    here: only ``args.``-prefixed references substitute; anything else —
+    including unknown args — passes through untouched.
+    """
+    import re as _re
+
+    def repl(m):
+        cur: Any = args
+        for part in m.group(1).split("."):
+            if isinstance(cur, dict) and part in cur:
+                cur = cur[part]
+            else:
+                return m.group(0)
+        return str(cur)
+
+    return _re.sub(r"\$\{\s*args\.([\w.]+)\s*\}", repl, text)
+
+
+def _config_args_block(text: str) -> dict[str, Any]:
+    """Extract the top-level ``args:`` defaults block (ConfigTest.testYaml:
+    config-declared defaults that CLI args override)."""
+    try:
+        stripped = text.lstrip()
+        doc = json.loads(text) if stripped.startswith("{") else yaml.safe_load(text)
+        if isinstance(doc, dict) and isinstance(doc.get("args"), dict):
+            return doc["args"]
+    except Exception:
+        pass
+    return {}
+
+
+def parse_config(
+    text: str,
+    args: dict[str, Any] | None = None,
+    context: str | None = None,
+) -> Config:
+    merged_args = {**_config_args_block(text), **(args or {})}
+    text = _substitute_args_refs(text, merged_args)
+    rendered = render_template(text, merged_args)
     stripped = rendered.lstrip()
     if stripped.startswith("{"):
         doc = json.loads(rendered)
@@ -108,14 +156,26 @@ def parse_config(text: str, args: dict[str, Any] | None = None) -> Config:
         doc = yaml.safe_load(rendered)
     if not isinstance(doc, dict):
         raise ValueError("config root must be a mapping with sources/transforms/sinks")
-    return Config(
+    cfg = Config(
         sources=[ModuleConfig.parse(d, "source") for d in doc.get("sources", [])],
         transforms=[ModuleConfig.parse(d, "transform") for d in doc.get("transforms", [])],
         sinks=[ModuleConfig.parse(d, "sink") for d in doc.get("sinks", [])],
         failures=[ModuleConfig.parse(d, "failure") for d in doc.get("failures", [])],
         settings=doc.get("settings", {}) or {},
     )
+    if context:
+        # tag-scoped runs: only modules carrying the active context tag
+        # execute (reference: config/Config.java context handling,
+        # ConfigTest.testTags — untagged modules are ignored too)
+        for m in (*cfg.sources, *cfg.transforms, *cfg.sinks, *cfg.failures):
+            if not m.ignore:
+                m.ignore = context not in m.tags
+    return cfg
 
 
-def load_config(path: str | Path, args: dict[str, Any] | None = None) -> Config:
-    return parse_config(Path(path).read_text(), args)
+def load_config(
+    path: str | Path,
+    args: dict[str, Any] | None = None,
+    context: str | None = None,
+) -> Config:
+    return parse_config(Path(path).read_text(), args, context=context)

@@ -729,3 +729,94 @@ def test_expression_util_parity(spark):
     b = micros("2023-01-17T12:32:12.543Z")
     assert ev("timestamp_diff_millisecond(a,b)", a=a, b=b) == (a - b) / 1000
     assert ev("timestamp_diff_second(a,b)", a=a, b=b) == int((a - b) / 1e6)
+
+
+def test_config_yaml_args_parity():
+    """Port of ConfigTest.testYaml: a top-level ``args:`` block provides
+    templating defaults, ``${args.*}`` references substitute (CLI args
+    would override), and non-args ``${...}`` text passes through for
+    row-level templates.  Reference: config/ConfigTest.java:12-62."""
+    from pipeline_spark.config import parse_config
+
+    cfg = parse_config("""
+args:
+  writeDisposition: WRITE_APPEND
+  startTimestamp: "2025-01-01T00:00:00Z"
+sources:
+  - name: BigQueryInput
+    module: bigquery
+    parameters:
+      query: |-
+        SELECT
+          *
+        FROM
+          `myproject:mydataset.mytable`
+        WHERE
+          timestamp > TIMESTAMP("${args.startTimestamp}")
+      queryLocation: asia-northeast1
+sinks:
+  - name: BigQueryOutput
+    module: bigquery
+    inputs:
+      - BigQueryInput
+    parameters:
+      table: "yourproject:yourrdataset.yourtable"
+      writeDisposition: ${args.writeDisposition}
+      createDisposition: CREATE_IF_NEEDED
+      method: FILE_LOADS
+      customGcsTempLocation: gs://mybucket/myobject
+""")
+    src, sink = cfg.sources[0], cfg.sinks[0]
+    assert (src.name, src.module) == ("BigQueryInput", "bigquery")
+    assert src.parameters["query"] == (
+        "SELECT\n  *\nFROM\n  `myproject:mydataset.mytable`\n"
+        'WHERE\n  timestamp > TIMESTAMP("2025-01-01T00:00:00Z")'
+    )
+    assert src.parameters["queryLocation"] == "asia-northeast1"
+    assert (sink.name, sink.module) == ("BigQueryOutput", "bigquery")
+    assert sink.parameters["writeDisposition"] == "WRITE_APPEND"
+    assert sink.parameters["customGcsTempLocation"] == "gs://mybucket/myobject"
+
+    # CLI args override the config block; unknown refs pass through
+    cfg2 = parse_config(
+        "sources:\n  - name: s\n    module: create\n"
+        "    parameters: {v: '${args.mode}', keep: '${field}'}\n",
+        args={"mode": "X"},
+    )
+    assert cfg2.sources[0].parameters["v"] == "X"
+    assert cfg2.sources[0].parameters["keep"] == "${field}"
+
+
+def test_config_tags_context_parity():
+    """Port of ConfigTest.testTags: without a context nothing is ignored;
+    with a context only matching-tagged modules run (untagged modules are
+    ignored too).  Reference: config/ConfigTest.java:64-140."""
+    from pipeline_spark.config import parse_config
+
+    text = """
+sources:
+  - name: create
+    module: create
+    tags: [tag1]
+    parameters: {from: 1, to: 10, type: int64}
+transforms:
+  - name: select
+    module: select
+    inputs: [create]
+    tags: [tag2]
+    parameters:
+      select: [{name: value}]
+sinks:
+  - name: debug
+    module: debug
+    inputs: [select]
+    parameters: {}
+"""
+    cfg = parse_config(text)
+    assert [m.ignore for m in (*cfg.sources, *cfg.transforms, *cfg.sinks)] == [False] * 3
+
+    cfg1 = parse_config(text, context="tag1")
+    assert [m.ignore for m in (*cfg1.sources, *cfg1.transforms, *cfg1.sinks)] == [False, True, True]
+
+    cfg2 = parse_config(text, context="tag2")
+    assert [m.ignore for m in (*cfg2.sources, *cfg2.transforms, *cfg2.sinks)] == [True, False, True]
