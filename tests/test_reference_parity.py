@@ -820,3 +820,62 @@ sinks:
 
     cfg2 = parse_config(text, context="tag2")
     assert [m.ignore for m in (*cfg2.sources, *cfg2.transforms, *cfg2.sinks)] == [True, False, True]
+
+
+def test_create_source_parity(spark):
+    """Port of CreateSourceTest.testCreateRange + testCreateElements:
+    int64 range with select (rename/expression/hash — sequential binding
+    over the generated `value` column), and typed element rows.
+    Reference: module/source/CreateSourceTest.java:22-160."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    outs = run_pipeline(spark, parse_config("""
+sources:
+  - name: create
+    module: create
+    parameters:
+      type: int64
+      from: 1
+      to: 100
+      select:
+        - {name: a, field: value}
+        - {name: b, expression: "value % 10", type: int64}
+        - {name: c, func: hash, field: b}
+"""))
+    rows = outs["create"].collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert r["b"] == r["a"] % 10
+        assert isinstance(r["c"], str) and len(r["c"]) == 64  # sha256 hex
+
+    outs2 = run_pipeline(spark, parse_config("""
+sources:
+  - name: create
+    module: create
+    timestampAttribute: timestampField
+    parameters:
+      type: element
+      elements:
+        - {stringField: a, intField: 1, floatField: 0.15, boolField: true,  timestampField: "2024-10-10T00:00:00Z"}
+        - {stringField: b, intField: 2, floatField: 1.15, boolField: false, timestampField: "2024-10-20T00:00:00Z"}
+        - {stringField: c, intField: 3, floatField: 2.15, boolField: true,  timestampField: "2024-10-30T00:00:00Z"}
+      schema:
+        fields:
+          - {name: stringField, type: string}
+          - {name: intField, type: int}
+          - {name: floatField, type: float}
+          - {name: boolField, type: boolean}
+          - {name: timestampField, type: timestamp}
+"""))
+    df = outs2["create"]
+    dtypes = dict(df.dtypes)
+    assert dtypes == {
+        "stringField": "string", "intField": "int", "floatField": "float",
+        "boolField": "boolean", "timestampField": "timestamp",
+    }
+    rows2 = {r["stringField"]: r for r in df.collect()}
+    assert rows2["a"]["boolField"] is True and rows2["b"]["boolField"] is False
+    assert rows2["c"]["intField"] == 3
+    assert abs(rows2["b"]["floatField"] - 1.15) < 1e-6
+    assert rows2["a"]["timestampField"].strftime("%Y-%m-%d") == "2024-10-10"
