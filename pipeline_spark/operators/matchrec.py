@@ -454,6 +454,184 @@ def compile_expr(text: str, variables: set[str]) -> Callable[[_Ctx], Any]:
     return _ExprParser(_tokenize(text), variables).parse()
 
 
+class _ColumnBackend:
+    """Translate a row-local DEFINE expression to a Spark Column so the
+    per-row predicate evaluates inside whole-stage codegen (PREV/NEXT →
+    lag/lead over the partition window) instead of per-row Python.  Only
+    the row-local subset is translatable; the caller falls back to the
+    Python evaluator for anything this raises on."""
+
+    def __init__(self, tokens, variables, defined_var, window):
+        self.toks = tokens
+        self.pos = 0
+        self.vars = variables
+        self.defined = defined_var
+        self.w = window
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else (None, None)
+
+    def eat(self, kind=None, value=None):
+        t = self.peek()
+        if (kind and t[0] != kind) or (value and t[1] != value):
+            raise ValueError(f"column backend: unexpected {t}")
+        self.pos += 1
+        return t
+
+    def parse(self):
+        c = self.or_expr()
+        if self.pos != len(self.toks):
+            raise ValueError("column backend: trailing tokens")
+        return c
+
+    def or_expr(self):
+        left = self.and_expr()
+        while self.peek() == ("kw", "OR"):
+            self.eat()
+            left = left | self.and_expr()
+        return left
+
+    def and_expr(self):
+        left = self.not_expr()
+        while self.peek() == ("kw", "AND"):
+            self.eat()
+            left = left & self.not_expr()
+        return left
+
+    def not_expr(self):
+        if self.peek() == ("kw", "NOT"):
+            self.eat()
+            return ~self.not_expr()
+        return self.cmp_expr()
+
+    def cmp_expr(self):
+        left = self.add_expr()
+        kind, val = self.peek()
+        if kind == "op" and val in ("=", "<>", "!=", ">", ">=", "<", "<="):
+            self.eat()
+            right = self.add_expr()
+            cmp = {
+                "=": left == right, "<>": left != right, "!=": left != right,
+                ">": left > right, ">=": left >= right,
+                "<": left < right, "<=": left <= right,
+            }[val]
+            # NULL comparison → unknown → False, matching the Python
+            # evaluator's two-valued collapse
+            return F.coalesce(cmp, F.lit(False))
+        if kind == "kw" and val == "IS":
+            self.eat()
+            negate = self.peek() == ("kw", "NOT")
+            if negate:
+                self.eat()
+            self.eat("kw", "NULL")
+            return ~left.isNull() if negate else left.isNull()
+        if kind == "kw" and val == "IN":
+            self.eat()
+            self.eat("op", "(")
+            items = [self.add_expr()]
+            while self.peek() == ("op", ","):
+                self.eat()
+                items.append(self.add_expr())
+            self.eat("op", ")")
+            return F.coalesce(left.isin(*items), F.lit(False))
+        return left
+
+    def add_expr(self):
+        left = self.mul_expr()
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+            op = self.eat()[1]
+            right = self.mul_expr()
+            left = left + right if op == "+" else left - right
+        return left
+
+    def mul_expr(self):
+        left = self.unary()
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/"):
+            op = self.eat()[1]
+            right = self.unary()
+            left = left * right if op == "*" else left / right
+        return left
+
+    def unary(self):
+        if self.peek() == ("op", "-"):
+            self.eat()
+            return -self.unary()
+        return self.primary()
+
+    def primary(self):
+        kind, val = self.peek()
+        if kind == "num":
+            self.eat()
+            return F.lit(float(val) if "." in val else int(val))
+        if kind == "str":
+            self.eat()
+            return F.lit(val)
+        if kind == "kw" and val in ("TRUE", "FALSE"):
+            self.eat()
+            return F.lit(val == "TRUE")
+        if kind == "kw" and val == "NULL":
+            self.eat()
+            return F.lit(None)
+        if kind == "kw" and val == "ABS":
+            self.eat()
+            self.eat("op", "(")
+            inner = self.or_expr()
+            self.eat("op", ")")
+            return F.abs(inner)
+        if kind == "kw" and val in ("PREV", "NEXT"):
+            self.eat()
+            self.eat("op", "(")
+            inner = self.add_expr()
+            n = 1
+            if self.peek() == ("op", ","):
+                self.eat()
+                n = int(self.eat("num")[1])
+            self.eat("op", ")")
+            fn = F.lag if val == "PREV" else F.lead
+            return fn(inner, n).over(self.w)
+        if kind == "id":
+            name = self.eat()[1]
+            if self.peek() == ("op", "."):
+                self.eat()
+                field = self.eat("id")[1]
+                if name != self.defined:
+                    raise ValueError("column backend: cross-variable ref")
+                return F.col(field)
+            return F.col(name)
+        if kind == "op" and val == "(":
+            self.eat()
+            inner = self.or_expr()
+            self.eat("op", ")")
+            return inner
+        raise ValueError(f"column backend: cannot translate {self.peek()}")
+
+
+def compile_expr_to_column(text, variables, defined_var, window):
+    return _ColumnBackend(_tokenize(text), variables, defined_var, window).parse()
+
+
+def expr_is_row_local(text: str, variables: set[str], defined_var: str) -> bool:
+    """True when a DEFINE expression depends only on the current row and
+    physical PREV/NEXT offsets — i.e. its value per row is the same for
+    every match attempt, so it can be evaluated once per partition instead
+    of on every NFA branch.  Cross-variable references, logical
+    navigation, and aggregates are match-state-dependent."""
+    toks = _tokenize(text)
+    for i, (kind, val) in enumerate(toks):
+        if kind == "kw" and val in ("FIRST", "LAST", "CLASSIFIER",
+                                    "MATCH_NUMBER", "SUM", "AVG", "MIN",
+                                    "MAX", "COUNT"):
+            return False
+        if (
+            kind == "id"
+            and val in variables
+            and val != defined_var
+            and toks[i + 1 : i + 2] == [("op", ".")]
+        ):
+            return False
+    return True
+
+
 # ---------------------------------------------------------------------------
 # pattern language
 
@@ -557,9 +735,12 @@ def _match_at(
     pattern: _PatNode,
     defines: dict[str, Callable[[_Ctx], Any]],
     subsets: dict[str, list[str]],
+    masks: dict[str, list[bool]] | None = None,
 ) -> dict[int, str] | None:
     """Backtracking NFA walk anchored at ``start``; returns row→var map of
-    the leftmost-greedy match, or None."""
+    the leftmost-greedy match, or None.  ``masks`` holds per-row predicate
+    results for row-local defines (precomputed once per partition)."""
+    masks = masks or {}
 
     def walk(node, idx, assign):
         """Yield candidate end indexes (row after last consumed), mutating a
@@ -567,8 +748,11 @@ def _match_at(
         if isinstance(node, _PatVar):
             if idx >= len(rows):
                 return
-            pred = defines.get(node.name)
-            if pred is not None:
+            mask = masks.get(node.name)
+            if mask is not None:
+                if not mask[idx]:
+                    return
+            elif (pred := defines.get(node.name)) is not None:
                 ctx = _Ctx(rows, assign, idx, node.name, subsets)
                 if not bool(pred(ctx)):
                     return
@@ -618,12 +802,28 @@ def _match_at(
     return None
 
 
-def _partition_matches(rows, pattern, defines, subsets, skip_to_next):
-    """All matches in one ordered partition, honoring AFTER MATCH SKIP."""
+def _partition_matches(rows, pattern, defines, subsets, skip_to_next,
+                       row_local: set[str] | None = None,
+                       masks: dict[str, list[bool]] | None = None):
+    """All matches in one ordered partition, honoring AFTER MATCH SKIP.
+
+    Defines named in ``row_local`` are evaluated once per row up front
+    (empty assignment, the variable as defining scope) — correct because
+    their value cannot depend on match state, and it turns the NFA's
+    per-branch predicate calls into list lookups.  ``masks`` carries
+    predicate vectors already computed JVM-side."""
+    masks = dict(masks or {})
+    for var in row_local or ():
+        if var in masks:
+            continue
+        pred = defines[var]
+        masks[var] = [
+            bool(pred(_Ctx(rows, {}, i, var, subsets))) for i in range(len(rows))
+        ]
     out = []
     start, match_no = 0, 0
     while start < len(rows):
-        assign = _match_at(rows, start, pattern, defines, subsets)
+        assign = _match_at(rows, start, pattern, defines, subsets, masks)
         if assign is None:
             start += 1
             continue
@@ -697,14 +897,41 @@ def match_recognize(
             "match_recognize without partitionBy funnels all rows through one "
             "task; set allowGlobal: true to accept that"
         )
+    from pyspark.sql import Window
+
     pat_ast, variables = parse_pattern(pattern)
     var_set = set(variables) | set(define) | set(subset or {})
     defines = {k: compile_expr(v, var_set) for k, v in define.items()}
+    row_local = {k for k, v in define.items() if expr_is_row_local(v, var_set, k)}
     subsets = dict(subset or {})
+    in_schema = df.schema  # before mask columns — they are matcher-internal
+
+    # push row-local defines into whole-stage codegen: the predicate
+    # becomes a boolean column (PREV/NEXT → lag/lead over the partition
+    # window) and the Python side only walks the NFA over bitmaps.
+    # Translation failures fall back to the per-row Python evaluator.
+    order_exprs = [F.col(c.strip("`")) for c in order_by]
+    jvm_masks: dict[str, str] = {}
+    if order_exprs:
+        wspec = (
+            Window.partitionBy(*partition_by).orderBy(*order_exprs)
+            if partition_by
+            else Window.partitionBy().orderBy(*order_exprs)
+        )
+        for var in sorted(row_local):
+            try:
+                col = compile_expr_to_column(define[var], var_set, var, wspec)
+            except ValueError:
+                continue
+            mask_name = f"__mr_mask_{var}__"
+            df = df.withColumn(
+                mask_name, F.coalesce(col.cast("boolean"), F.lit(False))
+            )
+            jvm_masks[var] = mask_name
+            row_local.discard(var)
     measure_fns = [(name, compile_expr(expr, var_set)) for expr, name in measures]
     skip_to_next = "next row" in after_match.lower()
 
-    in_schema = df.schema
     part_fields = [in_schema[c] for c in partition_by]
     measure_fields = [
         T.StructField(name, _measure_dtype(expr, in_schema, var_set), True)
@@ -728,15 +955,19 @@ def match_recognize(
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort")
+        premasks = {
+            var: pdf[col].tolist() for var, col in jvm_masks.items()
+        }
+        pdf = pdf.drop(columns=list(jvm_masks.values()))
+        # NaN/NaT → None in one vectorized pass (a per-value Python loop
+        # here measured 2× the cost of the actual pattern matching);
+        # numpy scalars are left as-is — the evaluator's comparisons and
+        # aggregates handle them natively
+        pdf = pdf.astype(object).where(pd.notnull(pdf), None)
         recs = pdf.to_dict("records")
-        # pandas Timestamps/NaN → python-friendly values for the evaluator
-        for r in recs:
-            for k, v in r.items():
-                if v is None or (isinstance(v, float) and np.isnan(v)):
-                    r[k] = None
-                elif isinstance(v, np.generic):
-                    r[k] = v.item()
-        matches = _partition_matches(recs, pat_ast, defines, subsets, skip_to_next)
+        matches = _partition_matches(
+            recs, pat_ast, defines, subsets, skip_to_next, row_local, premasks
+        )
         out_rows = []
         for match_no, assign in matches:
             ctx = _Ctx(recs, assign, None, None, subsets, match_no)
