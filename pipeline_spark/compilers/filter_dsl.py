@@ -164,7 +164,9 @@ def _coerce_literal(value: Any, dtype: T.DataType) -> Column:
     """Literal coercion mirroring the reference's per-type getAs* parsing
     (Filter.java:513-534): timestamps/dates parse string literals."""
     if isinstance(dtype, T.TimestampType):
-        return F.to_timestamp(F.lit(str(value)))
+        from pipeline_spark.compilers.select_fns import parse_timestamp
+
+        return parse_timestamp(F.lit(str(value)))
     if isinstance(dtype, T.DateType):
         return F.to_date(F.lit(str(value)))
     if isinstance(dtype, (T.FloatType, T.DoubleType)) and isinstance(value, str):

@@ -142,6 +142,29 @@ def _element_field_names(df: DataFrame, array_field: str) -> set[str]:
     return set()
 
 
+def parse_timestamp(src: Column, df: DataFrame | None = None, field: str | None = None) -> Column:
+    """String → timestamp accepting the reference's DateTimeUtil formats
+    (DateTimeUtilTest.java:134-148: ISO with/without Z or fraction,
+    space-separated, date-only, ``yyyyMMdd``, ``yyyy/MM/dd``, and
+    ``+0900``-style offsets).  Spark's plain try_to_timestamp covers all
+    but the basic and slash date forms — coalesce picks the first parse.
+    Non-string inputs keep the plain cast (no-op for timestamps,
+    epoch-seconds for numerics)."""
+    if df is not None and field is not None:
+        try:
+            if not isinstance(df.schema[field].dataType, T.StringType):
+                return src.cast(T.TimestampType())
+        except Exception:
+            pass
+    s = src.cast("string")
+    return F.coalesce(
+        F.try_to_timestamp(s),
+        F.try_to_timestamp(s, F.lit("yyyyMMdd")),
+        F.try_to_timestamp(s, F.lit("yyyy/MM/dd HH:mm:ss")),
+        F.try_to_timestamp(s, F.lit("yyyy/MM/dd")),
+    )
+
+
 def _ref(name: str, df: DataFrame, bound: dict[str, Column]) -> Column:
     if name in bound:
         return bound[name]
@@ -166,14 +189,14 @@ def _compile_one(
         src = _ref(sf.get("field", name), df, bound)
         dt = spark_type(sf["type"])
         if isinstance(dt, T.TimestampType):
-            # string → timestamp must accept ISO strings like the
-            # reference's DateTimeUtil parser
-            return src.cast(dt)
+            return parse_timestamp(src, df, sf.get("field", name))
         return src.cast(dt)
     if func == "constant":
         dt = spark_type(sf["type"])
         v = sf["value"]
-        if isinstance(dt, (T.DateType, T.TimestampType)):
+        if isinstance(dt, T.TimestampType):
+            return parse_timestamp(F.lit(str(v)))
+        if isinstance(dt, T.DateType):
             return F.lit(str(v)).cast(dt)
         return F.lit(v).cast(dt)
     if func == "expression":

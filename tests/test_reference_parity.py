@@ -879,3 +879,32 @@ sources:
     assert rows2["c"]["intField"] == 3
     assert abs(rows2["b"]["floatField"] - 1.15) < 1e-6
     assert rows2["a"]["timestampField"].strftime("%Y-%m-%d") == "2024-10-10"
+
+
+def test_datetime_util_to_instant_parity(spark):
+    """Port of DateTimeUtilTest.testToInstant: the timestamp string formats
+    the reference's parser accepts, through the cast select function.
+    Reference: util/DateTimeUtilTest.java:134-148."""
+    from pipeline_spark.compilers.select_fns import apply_select
+
+    vals = [
+        ("1970-01-01T00:00:00.000Z", 0),
+        ("1970-01-01 00:00:00", 0),
+        ("19700101", 0),
+        ("1970-01-01", 0),
+        ("1970/01/01", 0),
+        ("1970-01-01T00:00:00+0900", -3600_000 * 9),
+        ("1970-01-01T00:00:00-0900", 3600_000 * 9),
+        ("1970-01-01T00:00:00.000000+0900", -3600_000 * 9),
+        ("1970-01-01T00:00:00.123000+0900", -3600_000 * 9 + 123),
+    ]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame([(s,) for s, _ in vals], "s string")
+    out = apply_select(df, [{"name": "ts", "field": "s", "type": "timestamp"},
+                            {"name": "s"}], None)
+    got = {r["s"]: r["ts"] for r in out.collect()}
+    import datetime as dt
+
+    for s, expected_millis in vals:
+        ts = got[s].replace(tzinfo=dt.timezone.utc)
+        assert ts.timestamp() * 1000 == expected_millis, (s, ts)
