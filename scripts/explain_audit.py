@@ -121,6 +121,18 @@ def main() -> int:
     if "GlobalLimit" in p11 or "CollectLimit" in p11:
         failures.append("shuffle: unexpected limit/collect in plan")
 
+    p12 = plan_of(entrymod.q_match_recognize(spark, sf))
+    if "__mr_mask_" not in p12 or "Window" not in p12:
+        failures.append("matchRecognize: row-local DEFINE masks not computed JVM-side")
+    if p12.count("Exchange") > 2:
+        failures.append("matchRecognize: more than window+group exchanges in plan")
+
+    p13 = plan_of(entrymod.q_processing(spark, sf))
+    if "EvalPython" in p13 or "MapInPandas" in p13 or "FlatMapGroupsInPandas" in p13:
+        failures.append("processing: Python in the plan — stages must stay Window exprs")
+    if "Window" not in p13:
+        failures.append("processing: expected WindowExec for history steps")
+
     for f in failures:
         print("FAIL", f)
     print("PLAN AUDIT:", "FAILED" if failures else "ALL OK")
