@@ -251,3 +251,30 @@ transforms:
                 pattern="A",
                 define={"A": "TRUE"},
             )
+
+
+class TestQuantifierEdges:
+    def test_reluctant_star(self):
+        # A*? B: reluctant takes as few A rows as possible
+        ms = _run(_rows(9, 2, 9), "A*? B", {"A": "v = 2", "B": "v = 9"})
+        assert ms[0][1] == {0: "B"}
+
+    def test_unbounded_min(self):
+        ms = _run(_rows(2, 2, 2, 2, 9), "A{3,} B", {"A": "v = 2", "B": "v = 9"})
+        assert sorted(ms[0][1]) == [0, 1, 2, 3, 4]
+        assert _run(_rows(2, 2, 9), "A{3,} B", {"A": "v = 2", "B": "v = 9"}) == []
+
+    def test_exact_repetition(self):
+        ms = _run(_rows(2, 2, 2), "A{2}", {"A": "v = 2"})
+        # skip past last row: rows 0-1 then row 2 alone can't complete {2}
+        assert [sorted(m[1]) for m in ms] == [[0, 1]]
+
+    def test_nested_group_quantifier(self):
+        # (A B){2}: alternating pairs
+        ms = _run(_rows(1, 2, 1, 2), "(A B){2}", {"A": "v = 1", "B": "v = 2"})
+        assert sorted(ms[0][1].items()) == [(0, "A"), (1, "B"), (2, "A"), (3, "B")]
+
+    def test_empty_match_never_emitted(self):
+        # A* alone could match zero rows everywhere; engine must not loop
+        ms = _run(_rows(9, 9), "A*", {"A": "v = 2"})
+        assert ms == []
