@@ -1660,7 +1660,8 @@ WITH toks AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
   FROM toks
 )
-SELECT bucket, (start // 2048) AS pack_id, count(*) AS n_docs, sum(n_tokens) AS tokens
+SELECT bucket, CAST(start // 2048 AS BIGINT) AS pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens
 FROM placed GROUP BY 1, 2
 """
 
