@@ -27,8 +27,12 @@ from pipeline_spark import sinks as _sinks  # noqa: F401
 
 
 class PipelineExecutor:
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, dry_run: bool = False):
         self.spark = spark
+        # dry-run plans sources/transforms (schemas resolve) but skips sink
+        # actions and post-commit hooks (reference: PipelineService.java
+        # run(dryRun=true) builds the graph without pipeline.run())
+        self.dry_run = dry_run
         self.outputs: dict[str, DataFrame] = {}
         self.completed: set[str] = set()
         self._post_commit: list = []
@@ -70,8 +74,9 @@ class PipelineExecutor:
         # action succeeded — only now run deferred source commits (e.g. the
         # microbatch checkpoint write), so a failed sink never advances a
         # watermark past data it didn't persist.
-        for cb in self._post_commit:
-            cb()
+        if not self.dry_run:
+            for cb in self._post_commit:
+                cb()
         self._post_commit.clear()
         return self.outputs
 
@@ -90,6 +95,13 @@ class PipelineExecutor:
     def _apply(self, mc: ModuleConfig) -> None:
         kind = "sink" if mc.kind == "failure" else mc.kind
         spec = get_module(mc.module, kind)
+        if self.dry_run and kind == "sink":
+            # every sink passes its input through as its output; skipping the
+            # write action preserves downstream schemas exactly
+            if mc.inputs:
+                self.outputs[mc.name] = self._resolve(mc.inputs[0])
+            self.completed.add(mc.name)
+            return
         ts_attr = mc.timestamp_attribute
         if not ts_attr:
             for dep in mc.inputs:
@@ -128,5 +140,6 @@ def run_pipeline(
     spark: SparkSession,
     config: Config,
     inputs: dict[str, DataFrame] | None = None,
+    dry_run: bool = False,
 ) -> dict[str, DataFrame]:
-    return PipelineExecutor(spark).run(config, inputs=inputs)
+    return PipelineExecutor(spark, dry_run=dry_run).run(config, inputs=inputs)

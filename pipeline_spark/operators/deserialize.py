@@ -18,6 +18,12 @@ from pyspark.sql import functions as F
 from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
 from pipeline_spark.sources.create import build_schema
 
+#: extra struct field the stdlib avro/proto fallback decoders emit: null on
+#: success, the decode error message on failure.  An explicit signal — a
+#: legitimately all-null record (every [null,T] union branch absent) must
+#: NOT route to the dead letter.
+ERR_FIELD = "__deserialize_error__"
+
 
 @module("deserialize", kind=KIND_TRANSFORM)
 def deserialize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
@@ -84,24 +90,26 @@ def deserialize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             spark_type = avro_to_spark_type(avro_schema)
 
             names = [f.name for f in spark_type.fields]
+            udf_type, out_names = _with_error_field(spark_type, names)
 
             fail_fast = bool(ctx.config.get("failFast", True))
 
-            @F.pandas_udf(spark_type)
+            @F.pandas_udf(udf_type)
             def avro_decode(payloads: pd.Series) -> pd.DataFrame:
                 recs = []
                 for b in payloads:
                     if b is None:
-                        recs.append({n: None for n in names})
+                        recs.append(dict.fromkeys(out_names))
                         continue
                     try:
-                        recs.append(decode_record(bytes(b), schema_obj, reg))
-                    except Exception:
+                        recs.append({**decode_record(bytes(b), schema_obj, reg), ERR_FIELD: None})
+                    except Exception as e:
                         if fail_fast:
                             raise
-                        # dead-letter: all-null record routes to failures
-                        recs.append({n: None for n in names})
-                return pd.DataFrame(recs, columns=names)
+                        rec = dict.fromkeys(out_names)
+                        rec[ERR_FIELD] = f"{type(e).__name__}: {e}"
+                        recs.append(rec)
+                return pd.DataFrame(recs, columns=out_names)
 
             parsed = avro_decode(F.col(field).cast("binary"))
     elif fmt in ("protobuf", "proto"):
@@ -138,47 +146,77 @@ def deserialize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             desc = pool.message(p["messageName"])
             spark_type = message_to_spark_type(desc, pool)
             names = [f.name for f in spark_type.fields]
+            udf_type, out_names = _with_error_field(spark_type, names)
 
             fail_fast = bool(ctx.config.get("failFast", True))
 
-            @F.pandas_udf(spark_type)
+            @F.pandas_udf(udf_type)
             def proto_decode(payloads: pd.Series) -> pd.DataFrame:
                 recs = []
                 for b in payloads:
                     if b is None:
-                        recs.append({n: None for n in names})
+                        recs.append(dict.fromkeys(out_names))
                         continue
                     try:
-                        recs.append(decode_message(bytes(b), desc, pool))
-                    except Exception:
+                        recs.append({**decode_message(bytes(b), desc, pool), ERR_FIELD: None})
+                    except Exception as e:
                         if fail_fast:
                             raise
-                        # dead-letter: all-null record routes to failures
-                        recs.append({n: None for n in names})
-                return pd.DataFrame(recs, columns=names)
+                        rec = dict.fromkeys(out_names)
+                        rec[ERR_FIELD] = f"{type(e).__name__}: {e}"
+                        recs.append(rec)
+                return pd.DataFrame(recs, columns=out_names)
 
             parsed = proto_decode(F.col(field).cast("binary"))
     else:
         raise ValueError(f"deserialize: unsupported format '{fmt}'")
 
     out = df.withColumn(out_field, parsed)
+    parsed_col = F.col(out_field)
+    struct_fields = out.schema[out_field].dataType.fieldNames()
+    has_err = ERR_FIELD in struct_fields
     outputs: dict[str, DataFrame] = {}
     if not ctx.config.get("failFast", True) and fmt in ("json", "avro", "protobuf", "proto"):
         # dead-letter: unparseable payloads route to the failures output
         # (reference: failFast default true batch / false streaming,
-        # module/Module.java:135-141).  PERMISSIVE from_json and the
-        # stdlib avro/protobuf fallbacks all yield an ALL-NULL struct for
-        # malformed input, so failure = null struct OR every top-level
-        # field null, with non-null input.
-        parsed_col = F.col(out_field)
-        all_null = F.lit(True)
-        for fld in out.schema[out_field].dataType.fieldNames():
-            all_null = all_null & parsed_col[fld].isNull()
-        failed = (parsed_col.isNull() | all_null) & F.col(field).isNotNull()
-        outputs["failures"] = out.filter(failed).drop(out_field)
+        # module/Module.java:135-141).
+        if has_err:
+            # the fallback decoders emit an explicit error field — a
+            # legitimately all-null record stays on the main output
+            failed = parsed_col[ERR_FIELD].isNotNull()
+            outputs["failures"] = (
+                out.filter(failed)
+                .withColumn("error", parsed_col[ERR_FIELD])
+                .drop(out_field)
+            )
+        else:
+            # PERMISSIVE from_json yields an ALL-NULL struct for malformed
+            # input, so failure = null struct OR every top-level field
+            # null, with non-null input
+            all_null = F.lit(True)
+            for fld in struct_fields:
+                all_null = all_null & parsed_col[fld].isNull()
+            failed = (parsed_col.isNull() | all_null) & F.col(field).isNotNull()
+            outputs["failures"] = out.filter(failed).drop(out_field)
         out = out.filter(~F.coalesce(failed, F.lit(False)))
+    if has_err:
+        # the error signal is internal: strip it from the main output
+        keep = [f for f in struct_fields if f != ERR_FIELD]
+        out = out.withColumn(out_field, F.struct(*[parsed_col[f].alias(f) for f in keep]))
     if flatten:
         others = [c for c in df.columns if c != field]
         out = out.select(*others, f"{out_field}.*")
     outputs[""] = out
     return outputs
+
+
+def _with_error_field(spark_type, names):
+    """Append ERR_FIELD to a decoder's struct type (skipped on the
+    vanishingly unlikely name collision — routing then falls back to the
+    all-null heuristic)."""
+    from pyspark.sql import types as T
+
+    if ERR_FIELD in names:
+        return spark_type, list(names)
+    udf_type = T.StructType([*spark_type.fields, T.StructField(ERR_FIELD, T.StringType())])
+    return udf_type, [*names, ERR_FIELD]

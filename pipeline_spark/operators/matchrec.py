@@ -1061,25 +1061,43 @@ def split_match_recognize(sql: str):
     tbl_m = re.search(r"FROM\s+`?([\w.]+)`?\s*$", before, re.IGNORECASE | re.DOTALL)
     if not tbl_m:
         raise ValueError("MATCH_RECOGNIZE must directly follow FROM <table>")
-    alias_m = re.match(r"\s*(?:AS\s+)?`?(\w+)`?", after)
-    alias = alias_m.group(1) if alias_m else None
-    suffix = after[alias_m.end() :] if alias_m else after
+    # Alias: `AS name`, backticked name, or a bare word that is NOT a SQL
+    # reserved word (otherwise `... ) WHERE x > 1` would swallow WHERE).
+    alias, suffix = None, after
+    am = re.match(r"\s*AS\s+`?(\w+)`?", after, re.IGNORECASE)
+    if am is None:
+        am = re.match(r"\s*`(\w+)`", after)
+    if am is None:
+        am = re.match(r"\s*(\w+)", after)
+        if am and am.group(1).upper() in _SQL_RESERVED:
+            am = None
+    if am:
+        alias = am.group(1)
+        suffix = after[am.end() :]
     prefix = before[: tbl_m.start()]
     return prefix, tbl_m.group(1), body, alias, suffix
+
+
+_SQL_RESERVED = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "EXCEPT",
+    "INTERSECT", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+    "NATURAL", "ON", "USING", "AND", "OR", "OFFSET", "FETCH", "WINDOW",
+    "QUALIFY", "AS",
+}
 
 
 def parse_clause(body: str) -> dict[str, Any]:
     """Parse the MATCH_RECOGNIZE clause body into match_recognize kwargs."""
     sections = {
-        "PARTITION BY": r"PARTITION\s+BY",
-        "ORDER BY": r"ORDER\s+BY",
-        "MEASURES": r"MEASURES",
-        "ONE ROW PER MATCH": r"ONE\s+ROW\s+PER\s+MATCH",
-        "ALL ROWS PER MATCH": r"ALL\s+ROWS\s+PER\s+MATCH",
-        "AFTER MATCH": r"AFTER\s+MATCH",
-        "PATTERN": r"PATTERN",
-        "SUBSET": r"SUBSET",
-        "DEFINE": r"DEFINE",
+        "PARTITION BY": r"\bPARTITION\s+BY\b",
+        "ORDER BY": r"\bORDER\s+BY\b",
+        "MEASURES": r"\bMEASURES\b",
+        "ONE ROW PER MATCH": r"\bONE\s+ROW\s+PER\s+MATCH\b",
+        "ALL ROWS PER MATCH": r"\bALL\s+ROWS\s+PER\s+MATCH\b",
+        "AFTER MATCH": r"\bAFTER\s+MATCH\b",
+        "PATTERN": r"\bPATTERN\b\s*(?=\()",
+        "SUBSET": r"\bSUBSET\b",
+        "DEFINE": r"\bDEFINE\b",
     }
     marks = []
     for name, pat in sections.items():

@@ -81,12 +81,77 @@ def validate_config(config: Config) -> list[str]:
     return errors
 
 
+#: dotted-path prefixes a server-submitted config may name as a client
+#: factory; anything else is rejected before planning (a factory path is
+#: imported and called, so an open prefix would be remote code execution)
+DEFAULT_FACTORY_ALLOW = ("pipeline_spark.",)
+
+
+def check_factories(config: Config, allow: tuple[str, ...]) -> list[str]:
+    """Reject ``*Factory`` dotted paths outside the allowlist in
+    server-submitted configs (resolve_factory imports arbitrary modules)."""
+    errors: list[str] = []
+
+    def walk(obj, where):
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                if (
+                    isinstance(k, str)
+                    and k.endswith("Factory")
+                    and isinstance(v, str)
+                    and not any(v.startswith(p) for p in allow)
+                ):
+                    errors.append(
+                        f"module '{where}': factory '{v}' not under an allowed "
+                        f"prefix {sorted(allow)}"
+                    )
+                walk(v, where)
+        elif isinstance(obj, list):
+            for v in obj:
+                walk(v, where)
+
+    for m in config.modules():
+        walk(m.parameters, m.name)
+    return errors
+
+
+def schema_report(outputs: dict[str, Any]) -> list[dict[str, Any]]:
+    """Per-output name + schema, the MCollection.toJsonObject analogue
+    (reference: MCollection.java:58-66, PipelineService.java dryrun)."""
+    report = []
+    for name, df in sorted(outputs.items()):
+        report.append(
+            {
+                "name": name,
+                "schema": {
+                    "fields": [
+                        {"name": f.name, "type": f.dataType.simpleString(),
+                         "nullable": f.nullable}
+                        for f in df.schema.fields
+                    ]
+                },
+            }
+        )
+    return report
+
+
 class PipelineServer:
     """Embeddable server; tests construct with an existing SparkSession
     and port 0 (ephemeral)."""
 
-    def __init__(self, spark=None, host: str = "127.0.0.1", port: int = 8466):
+    def __init__(
+        self,
+        spark=None,
+        host: str = "127.0.0.1",
+        port: int = 8466,
+        allow_run: bool = False,
+        token: str | None = None,
+        factory_allow: tuple[str, ...] = DEFAULT_FACTORY_ALLOW,
+    ):
         self._spark = spark
+        self.allow_run = allow_run
+        self.token = token
+        self.factory_allow = tuple(factory_allow)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -134,24 +199,48 @@ class PipelineServer:
                 if errors:
                     self._reply(400, {"status": "error", "errors": errors})
                     return
-                if action in ("validate", "dryrun"):
+                if action == "validate":
                     self._reply(
                         200,
                         {"status": "ok", "action": action,
                          "modules": [m.name for m in config.modules()]},
                     )
                     return
-                if action != "run":
+                if action not in ("run", "dryrun"):
                     self._reply(400, {"status": "error", "errors": [f"unknown action '{action}'"]})
                     return
+                # dryrun plans on Spark and run executes — both import and
+                # call factory paths from the submitted config, so both are
+                # gated on the allowlist; run additionally needs the opt-in
+                # flag and, when configured, the bearer token.
+                factory_errors = check_factories(config, outer.factory_allow)
+                if factory_errors:
+                    self._reply(403, {"status": "error", "errors": factory_errors})
+                    return
+                if action == "run" and not outer.allow_run:
+                    self._reply(
+                        403,
+                        {"status": "error", "errors": [
+                            "action=run is disabled; start the server with "
+                            "--allow-run to enable execution"]},
+                    )
+                    return
+                if outer.token:
+                    auth = self.headers.get("Authorization", "")
+                    if auth != f"Bearer {outer.token}":
+                        self._reply(401, {"status": "error",
+                                          "errors": ["missing or invalid bearer token"]})
+                        return
                 try:
                     from pipeline_spark.executor import run_pipeline
 
-                    outputs = run_pipeline(outer.spark(), config)
+                    outputs = run_pipeline(
+                        outer.spark(), config, dry_run=(action == "dryrun")
+                    )
                     self._reply(
                         200,
-                        {"status": "ok", "action": "run",
-                         "outputs": sorted(outputs.keys())},
+                        {"status": "ok", "action": action,
+                         "outputs": schema_report(outputs)},
                     )
                 except Exception as e:  # noqa: BLE001 — user input boundary
                     self._reply(500, {"status": "error", "errors": [str(e)]})
@@ -181,10 +270,23 @@ def main(argv: list[str] | None = None) -> int:
     import argparse
 
     p = argparse.ArgumentParser(prog="pipeline_spark.server")
-    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address (default loopback; binding wider than "
+                        "loopback without --token exposes config execution)")
     p.add_argument("--port", type=int, default=8466)
+    p.add_argument("--allow-run", action="store_true",
+                   help="enable action=run (execute submitted configs)")
+    p.add_argument("--token", default=None,
+                   help="require 'Authorization: Bearer <token>' on run/dryrun")
+    p.add_argument("--factory-allow", action="append", default=None,
+                   help="additional allowed *Factory dotted-path prefix "
+                        "(repeatable); default allows only pipeline_spark.*")
     args = p.parse_args(argv)
-    server = PipelineServer(host=args.host, port=args.port)
+    allow = DEFAULT_FACTORY_ALLOW + tuple(args.factory_allow or ())
+    server = PipelineServer(
+        host=args.host, port=args.port, allow_run=args.allow_run,
+        token=args.token, factory_allow=allow,
+    )
     print(f"pipeline_spark server on {args.host}:{server.port}")
     server.serve_forever()
     return 0

@@ -113,6 +113,11 @@ def _read_with_client(ctx: ModuleContext, factory_path: str) -> DataFrame:
     p = dict(ctx.params)
     client = resolve_factory(factory_path)(p)
     descs = list(client.plan_partitions()) or [None]
+    # Non-replayable sources (pubsub) pull driver-side in plan_partitions
+    # and defer destructive acknowledgements until every sink succeeded —
+    # executor tasks may re-run, so read_partition must stay idempotent.
+    if callable(getattr(client, "on_commit", None)):
+        ctx.on_commit(client.on_commit)
 
     sc = ctx.spark.sparkContext
 
@@ -262,38 +267,53 @@ def default_bigtable_read_client(params: dict):
 def default_pubsub_read_client(params: dict):
     """Bounded catch-up pull (maxMessages, default 1000) — the batch-mode
     analogue of the reference's streaming PubSubSource; true streaming
-    needs the Pub/Sub Lite connector (documented divergence)."""
+    needs the Pub/Sub Lite connector (documented divergence).
+
+    Pub/Sub pull is destructive once acked, and Spark may re-execute a
+    partition (schema inference pass, retry, second action), so the pull
+    happens ONCE driver-side in plan_partitions; read_partition replays
+    the pulled batch verbatim, and the acknowledge is deferred to
+    on_commit, which the executor runs only after every sink succeeded."""
     pubsub_v1 = _sdk_gate("google.cloud.pubsub_v1", "pubsub")
     subscriber = pubsub_v1.SubscriberClient()
     subscription = params["subscription"]
     max_messages = int(params.get("maxMessages", 1000))
 
     class _Client:
-        def plan_partitions(self):
-            return [None]
+        def __init__(self):
+            self._ack_ids: list = []
 
-        def read_partition(self, _desc):
+        def plan_partitions(self):
             import json
 
             resp = subscriber.pull(
                 request={"subscription": subscription, "max_messages": max_messages}
             )
-            out, ack_ids = [], []
+            rows = []
             for m in resp.received_messages:
-                ack_ids.append(m.ack_id)
+                self._ack_ids.append(m.ack_id)
                 data = m.message.data.decode("utf-8", "replace")
                 try:
                     payload = json.loads(data)
                 except ValueError:
                     payload = {"data": data}
-                out.append(
-                    {**payload, "__message_id__": m.message.message_id}
-                )
-            if ack_ids:
+                rows.append({**payload, "__message_id__": m.message.message_id})
+            # one descriptor carrying the payload batch; rows are small
+            # (bounded by maxMessages) and picklable
+            return [rows]
+
+        def read_partition(self, rows):
+            return rows or []
+
+        def on_commit(self):
+            for i in range(0, len(self._ack_ids), 1000):
                 subscriber.acknowledge(
-                    request={"subscription": subscription, "ack_ids": ack_ids}
+                    request={
+                        "subscription": subscription,
+                        "ack_ids": self._ack_ids[i : i + 1000],
+                    }
                 )
-            return out
+            self._ack_ids = []
 
     return _Client()
 

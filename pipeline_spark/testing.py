@@ -86,6 +86,39 @@ def fake_read_client(params: dict):
     return _Fake()
 
 
+def fake_pull_client(params: dict):
+    """Pull-style fake mirroring the pubsub client contract: a destructive
+    pull served ONCE driver-side in plan_partitions, replayed verbatim by
+    read_partition, with the acknowledge deferred to on_commit.  Pulls and
+    acks spool to ``params["spool"]`` so tests can assert the pull is not
+    re-executed on recomputation and the ack lands only post-commit."""
+    import json
+    import os
+
+    spool = params["spool"]
+    rows = params.get("rows") or [{"id": i, "msg": f"m-{i}"} for i in range(5)]
+
+    class _Fake:
+        def __init__(self):
+            self._acks: list = []
+
+        def plan_partitions(self):
+            with open(os.path.join(spool, "pulls.jsonl"), "a") as f:
+                f.write(json.dumps({"n": len(rows)}) + "\n")
+            self._acks = [f"ack-{r['id']}" for r in rows]
+            return [rows]
+
+        def read_partition(self, batch):
+            return batch or []
+
+        def on_commit(self):
+            with open(os.path.join(spool, "acks.jsonl"), "a") as f:
+                for a in self._acks:
+                    f.write(json.dumps({"ack": a}) + "\n")
+
+    return _Fake()
+
+
 def fake_writer_client(params: dict):
     """Writer fake for connector sinks: spools every mutation batch as
     JSON lines under ``params["spoolDir"]`` (one file per write call, so

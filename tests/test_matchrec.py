@@ -142,6 +142,33 @@ class TestClauseParser:
     def test_no_match_recognize(self):
         assert split_match_recognize("SELECT 1") is None
 
+    def test_no_alias_before_keyword(self):
+        # A trailing keyword must not be swallowed as the table alias.
+        for kw in ("WHERE x > 1", "GROUP BY x", "ORDER BY x", "LIMIT 5"):
+            sql = f"SELECT x FROM t MATCH_RECOGNIZE( PATTERN (A) DEFINE A AS x > 0 ) {kw}"
+            prefix, table, body, alias, suffix = split_match_recognize(sql)
+            assert alias is None
+            assert suffix.strip() == kw
+
+    def test_explicit_alias_then_keyword(self):
+        sql = "SELECT x FROM t MATCH_RECOGNIZE( PATTERN (A) DEFINE A AS x > 0 ) AS m WHERE x > 1"
+        _, _, _, alias, suffix = split_match_recognize(sql)
+        assert alias == "m" and suffix.strip() == "WHERE x > 1"
+
+    def test_section_words_inside_identifiers(self):
+        # Aliases containing section keywords ("undefined", "pattern_ts")
+        # must not create spurious section marks.
+        kw = parse_clause(
+            """
+            ORDER BY ts
+            MEASURES LAST(A.x) AS undefined, FIRST(A.ts) AS pattern_ts
+            PATTERN (A+)
+            DEFINE A AS x > 0
+            """
+        )
+        assert [m[1] for m in kw["measures"]] == ["undefined", "pattern_ts"]
+        assert kw["pattern"] == "A+"
+
 
 @pytest.fixture(scope="module")
 def mr_input(spark):

@@ -825,6 +825,35 @@ sources:
     assert {r["name"] for r in rows} == {f"row-{i}" for i in range(10)}
 
 
+def test_connector_source_pull_once_ack_post_commit(spark, tmp_path):
+    """Destructive pull sources (pubsub): the pull happens once driver-side
+    even though Spark re-executes partitions (json schema inference +
+    collect = at least two passes), and the ack is deferred until the run
+    committed. Reference: PubSubSource.java ack-after-output semantics."""
+    import json
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    outs = run(
+        spark,
+        f"""
+sources:
+  - name: ps
+    module: pubsub
+    parameters:
+      clientFactory: "pipeline_spark.testing:fake_pull_client"
+      subscription: projects/p/subscriptions/s
+      spool: "{spool}"
+""",
+    )
+    rows = outs["ps"].collect()
+    assert {r["msg"] for r in rows} == {f"m-{i}" for i in range(5)}
+    pulls = [json.loads(l) for l in (spool / "pulls.jsonl").read_text().splitlines()]
+    assert len(pulls) == 1  # recomputation must not re-pull
+    acks = [json.loads(l) for l in (spool / "acks.jsonl").read_text().splitlines()]
+    assert {a["ack"] for a in acks} == {f"ack-{i}" for i in range(5)}
+
+
 def test_scrape_css_selector(spark):
     """scrape css form on the stdlib selector engine: tag/.class/#id/
     [attr]/descendant/child/group selectors, text and attribute
@@ -1042,6 +1071,56 @@ transforms:
     assert got[3]["kind"] == "A"
     assert got[-7]["name"] == "" and got[-7]["note"] == "hi" and got[-7]["kind"] == "B"
     assert got[64]["name"] == "c" and list(got[64]["tags"]) == ["q"]  # framed payload
+
+
+def test_deserialize_avro_all_null_record_not_dead_lettered(spark):
+    """A legitimately all-null record (every [null,T] union branch absent)
+    must stay on the main output; only actual decode failures route to the
+    dead letter, carried with an explicit error message."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    schema = {
+        "type": "record", "name": "N", "fields": [
+            {"name": "a", "type": ["null", "string"]},
+            {"name": "b", "type": ["null", "long"]},
+        ],
+    }
+    all_null = _zz(0) + _zz(0)  # both union branches -> null
+    good = _zz(1) + _zz(2) + b"hi" + _zz(1) + _zz(5)
+    bad = _zz(1) + _zz(99)  # claims 99-byte string, truncated
+    df = spark.createDataFrame(
+        [Row(k=1, payload=bytearray(all_null)),
+         Row(k=2, payload=bytearray(good)),
+         Row(k=3, payload=bytearray(bad))],
+        "k long, payload binary",
+    )
+    outs = run_pipeline(
+        spark,
+        parse_config(f"""
+transforms:
+  - name: parsed
+    module: deserialize
+    inputs: [raw]
+    failFast: false
+    parameters:
+      field: payload
+      format: avro
+      avroSchema: '{_json.dumps(schema)}'
+"""),
+        inputs={"raw": df},
+    )
+    main = {r["k"]: r for r in outs["parsed"].collect()}
+    assert set(main) == {1, 2}
+    assert main[1]["a"] is None and main[1]["b"] is None
+    assert main[2]["a"] == "hi" and main[2]["b"] == 5
+    assert "__deserialize_error__" not in outs["parsed"].columns
+    failures = outs["parsed.failures"].collect()
+    assert [r["k"] for r in failures] == [3] and failures[0]["error"]
 
 
 def test_bpe_tokenizer_merge_order_and_eow(spark):

@@ -12,7 +12,17 @@ from pipeline_spark.server import PipelineServer
 
 @pytest.fixture(scope="module")
 def server(spark):
-    srv = PipelineServer(spark=spark, port=0)
+    srv = PipelineServer(spark=spark, port=0, allow_run=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def locked_server(spark):
+    """Default-posture server: run disabled, bearer token required."""
+    srv = PipelineServer(spark=spark, port=0, token="s3cret")
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield srv
@@ -111,11 +121,64 @@ def test_validate_bad_configs(server):
 def test_run_action(server, spark):
     status, body = _post(server, "/api/pipeline?action=run", GOOD)
     assert status == 200 and body["status"] == "ok"
-    assert "doubled" in body["outputs"]
+    assert "doubled" in {o["name"] for o in body["outputs"]}
     rows = sorted(
         (r["a"], r["b"]) for r in spark.table("server_run_out").collect()
     )
     assert rows == [(1, 2), (2, 4)]
+
+
+def test_dryrun_schema_report(server, spark):
+    """dryrun plans the pipeline and reports per-output schemas without
+    executing any sink action (reference: PipelineService.java dryrun +
+    MCollection.toJsonObject)."""
+    cfg = GOOD.replace("table: server_run_out", "table: server_dryrun_out")
+    status, body = _post(server, "/api/pipeline?action=dryrun", cfg)
+    assert status == 200 and body["status"] == "ok" and body["action"] == "dryrun"
+    by_name = {o["name"]: o["schema"] for o in body["outputs"]}
+    assert [f["name"] for f in by_name["doubled"]["fields"]] == ["a", "b"]
+    types = {f["name"]: f["type"] for f in by_name["doubled"]["fields"]}
+    assert types["a"] == "bigint" and types["b"] in ("bigint", "double")
+    # the memory sink must NOT have materialized
+    assert "server_dryrun_out" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_run_disabled_by_default(locked_server):
+    status, body = _post(locked_server, "/api/pipeline?action=run", GOOD)
+    assert status == 403
+    assert any("--allow-run" in e for e in body["errors"])
+
+
+def test_dryrun_requires_token(locked_server):
+    status, body = _post(locked_server, "/api/pipeline?action=dryrun", GOOD)
+    assert status == 401
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{locked_server.port}/api/pipeline?action=dryrun",
+        data=GOOD.encode(), method="POST",
+        headers={"Authorization": "Bearer s3cret"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+
+
+def test_factory_allowlist(server):
+    """A *Factory dotted path outside pipeline_spark.* is rejected before
+    planning — resolve_factory would import and call it."""
+    cfg = """
+sources:
+  - name: sp
+    module: spanner
+    parameters:
+      clientFactory: "os.path:join"
+      instanceId: i
+      databaseId: d
+"""
+    status, body = _post(server, "/api/pipeline?action=dryrun", cfg)
+    assert status == 403
+    assert any("os.path:join" in e for e in body["errors"])
+    # validate (static, no execution) still answers
+    status, _ = _post(server, "/api/pipeline?action=validate", cfg)
+    assert status == 200
 
 
 def test_run_with_template_args(server, spark):
