@@ -729,13 +729,65 @@ def parse_pattern(text: str) -> tuple[_PatNode, list[str]]:
 # ---------------------------------------------------------------------------
 # matcher
 
+
+def pattern_max_rows(node: _PatNode) -> int | None:
+    """Max rows one match can span, or None for unbounded quantifiers."""
+    if isinstance(node, _PatVar):
+        return 1
+    if isinstance(node, _PatSeq):
+        total = 0
+        for it in node.items:
+            m = pattern_max_rows(it)
+            if m is None:
+                return None
+            total += m
+        return total
+    if isinstance(node, _PatAlt):
+        best = 0
+        for opt in node.options:
+            m = pattern_max_rows(opt)
+            if m is None:
+                return None
+            best = max(best, m)
+        return best
+    if isinstance(node, _PatQuant):
+        if node.hi is None:
+            return None
+        inner = pattern_max_rows(node.inner)
+        return None if inner is None else inner * node.hi
+    raise TypeError(node)
+
+
+class _StepBudget:
+    """Caps NFA walk steps per match anchor — nested quantifiers over
+    alternations can backtrack exponentially, and a runaway pattern must
+    fail with an actionable error, not hang an executor task."""
+
+    __slots__ = ("limit", "steps")
+
+    def __init__(self, limit: int):
+        self.limit = limit
+        self.steps = 0
+
+    def tick(self):
+        self.steps += 1
+        if self.steps > self.limit:
+            raise RuntimeError(
+                f"matchRecognize exceeded maxSteps={self.limit} backtracking "
+                "steps at one anchor row; the pattern is pathological for "
+                "this data (nested quantifiers + alternation) — simplify it "
+                "or raise maxSteps"
+            )
+
+
 def _match_at(
-    rows: list[dict],
+    rows,
     start: int,
     pattern: _PatNode,
     defines: dict[str, Callable[[_Ctx], Any]],
     subsets: dict[str, list[str]],
     masks: dict[str, list[bool]] | None = None,
+    budget: _StepBudget | None = None,
 ) -> dict[int, str] | None:
     """Backtracking NFA walk anchored at ``start``; returns row→var map of
     the leftmost-greedy match, or None.  ``masks`` holds per-row predicate
@@ -743,6 +795,8 @@ def _match_at(
     masks = masks or {}
 
     def walk(node, idx, assign):
+        if budget is not None:
+            budget.tick()
         """Yield candidate end indexes (row after last consumed), mutating a
         copied assign per branch; generator order = greedy preference."""
         if isinstance(node, _PatVar):
