@@ -24,7 +24,12 @@ matched independently inside ``applyInPandas`` (sorted per group).  The
 matcher is linear in rows for patterns without overlapping backtracking —
 the same execution profile as Flink's CEP operator.  An un-partitioned
 pattern funnels everything through one task, so partitionBy is required
-unless ``allowGlobal: true``.
+unless ``allowGlobal: true``.  Hot-key guards: rows stay in the compact
+columnar frame and are materialized as Python dicts lazily in bounded LRU
+blocks (``_RowWindow``); ``maxRowsPerKey`` (default 20M) fails fast with
+a partitioning hint instead of OOMing a task; ``maxSteps`` (default 2M
+per anchor row) turns pathological backtracking (nested quantifiers over
+alternation) into an actionable error instead of a hung executor.
 """
 
 from __future__ import annotations
@@ -780,6 +785,50 @@ class _StepBudget:
             )
 
 
+class _RowWindow:
+    """List-of-dicts view over a pandas frame, materialized lazily.
+
+    ``applyInPandas`` hands the matcher one key's entire history as a
+    pandas frame; converting it wholesale with ``to_dict("records")``
+    costs ~10× the Arrow batch in Python-object memory, which is what
+    made a hot key a scale-killer.  This view keeps the frame in its
+    compact columnar form and converts rows to dicts on demand in
+    fixed-size blocks held in a bounded LRU cache — the matcher scans
+    mostly forward, so the working set is a handful of blocks no matter
+    how many rows the key has.  Semantics are identical to the plain
+    list (global indices, PREV/NEXT beyond any chunk boundary work)."""
+
+    __slots__ = ("_pdf", "_n", "_block", "_cache", "_max_blocks")
+
+    def __init__(self, pdf: pd.DataFrame, block: int = 8192, max_blocks: int = 64):
+        self._pdf = pdf
+        self._n = len(pdf)
+        self._block = block
+        self._max_blocks = max_blocks
+        self._cache: dict[int, list[dict]] = {}
+
+    def __len__(self) -> int:
+        return self._n
+
+    def _load(self, b: int) -> list[dict]:
+        blk = self._cache.get(b)
+        if blk is None:
+            lo = b * self._block
+            chunk = self._pdf.iloc[lo : lo + self._block]
+            chunk = chunk.astype(object).where(pd.notnull(chunk), None)
+            blk = chunk.to_dict("records")
+            if len(self._cache) >= self._max_blocks:
+                # evict oldest insertion (dict preserves order)
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[b] = blk
+        return blk
+
+    def __getitem__(self, i: int) -> dict:
+        if i < 0 or i >= self._n:
+            raise IndexError(i)
+        return self._load(i // self._block)[i % self._block]
+
+
 def _match_at(
     rows,
     start: int,
@@ -858,26 +907,29 @@ def _match_at(
 
 def _partition_matches(rows, pattern, defines, subsets, skip_to_next,
                        row_local: set[str] | None = None,
-                       masks: dict[str, list[bool]] | None = None):
+                       masks: dict[str, list[bool]] | None = None,
+                       max_steps: int | None = None):
     """All matches in one ordered partition, honoring AFTER MATCH SKIP.
 
     Defines named in ``row_local`` are evaluated once per row up front
     (empty assignment, the variable as defining scope) — correct because
     their value cannot depend on match state, and it turns the NFA's
     per-branch predicate calls into list lookups.  ``masks`` carries
-    predicate vectors already computed JVM-side."""
+    predicate vectors already computed JVM-side.  ``max_steps`` bounds
+    the NFA walk per anchor row (pathological backtracking guard)."""
     masks = dict(masks or {})
     for var in row_local or ():
         if var in masks:
             continue
         pred = defines[var]
-        masks[var] = [
+        masks[var] = bytearray(
             bool(pred(_Ctx(rows, {}, i, var, subsets))) for i in range(len(rows))
-        ]
+        )
     out = []
     start, match_no = 0, 0
     while start < len(rows):
-        assign = _match_at(rows, start, pattern, defines, subsets, masks)
+        budget = _StepBudget(max_steps) if max_steps else None
+        assign = _match_at(rows, start, pattern, defines, subsets, masks, budget)
         if assign is None:
             start += 1
             continue
@@ -944,8 +996,15 @@ def match_recognize(
     after_match: str = "skip past last row",
     all_rows: bool = False,
     allow_global: bool = False,
+    max_steps: int = 2_000_000,
+    max_rows_per_key: int | None = 20_000_000,
 ) -> DataFrame:
-    """Run row-pattern matching; see module docstring for the subset."""
+    """Run row-pattern matching; see module docstring for the subset.
+
+    ``max_steps`` caps NFA backtracking per anchor row; ``max_rows_per_key``
+    fails fast on a hot key whose full history one task would have to
+    buffer (applyInPandas materializes the group's Arrow batch regardless,
+    so past this bound the fix is a finer partitionBy, not more memory)."""
     if not partition_by and not allow_global:
         raise ValueError(
             "match_recognize without partitionBy funnels all rows through one "
@@ -1008,19 +1067,33 @@ def match_recognize(
     }
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_rows_per_key is not None and len(pdf) > max_rows_per_key:
+            keyvals = {c: pdf[c].iloc[0] for c in partition_by} if partition_by else {}
+            raise RuntimeError(
+                f"matchRecognize key {keyvals!r} has {len(pdf)} rows > "
+                f"maxRowsPerKey={max_rows_per_key}; one task must buffer the "
+                "whole key history — use a finer partitionBy (e.g. add a date "
+                "bucket) or raise maxRowsPerKey"
+            )
         pdf = pdf.sort_values(order_cols, kind="mergesort")
         premasks = {
-            var: pdf[col].tolist() for var, col in jvm_masks.items()
+            var: bytearray(pdf[col].to_numpy(dtype=np.uint8))
+            for var, col in jvm_masks.items()
         }
         pdf = pdf.drop(columns=list(jvm_masks.values()))
-        # NaN/NaT → None in one vectorized pass (a per-value Python loop
-        # here measured 2× the cost of the actual pattern matching);
-        # numpy scalars are left as-is — the evaluator's comparisons and
-        # aggregates handle them natively
-        pdf = pdf.astype(object).where(pd.notnull(pdf), None)
-        recs = pdf.to_dict("records")
+        if len(pdf) <= 32768:
+            # NaN/NaT → None in one vectorized pass (a per-value Python
+            # loop here measured 2× the cost of the actual matching);
+            # numpy scalars are left as-is — the evaluator's comparisons
+            # and aggregates handle them natively
+            recs = pdf.astype(object).where(pd.notnull(pdf), None).to_dict("records")
+        else:
+            # large keys: keep the frame columnar, materialize dict rows
+            # lazily in LRU blocks — bounds Python-object memory on hot keys
+            recs = _RowWindow(pdf)
         matches = _partition_matches(
-            recs, pat_ast, defines, subsets, skip_to_next, row_local, premasks
+            recs, pat_ast, defines, subsets, skip_to_next, row_local, premasks,
+            max_steps,
         )
         out_rows = []
         for match_no, assign in matches:
@@ -1076,6 +1149,10 @@ def match_recognize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         after_match=p.get("afterMatch", "skip past last row"),
         all_rows=bool(p.get("allRowsPerMatch", False)),
         allow_global=bool(p.get("allowGlobal", False)),
+        max_steps=int(p.get("maxSteps", 2_000_000)),
+        max_rows_per_key=(
+            int(p["maxRowsPerKey"]) if p.get("maxRowsPerKey") is not None else 20_000_000
+        ),
     )
     return {"": out}
 
