@@ -29,6 +29,7 @@ from pipeline_spark.compilers.aggregation import compile_aggs
 from pipeline_spark.compilers.filter_dsl import compile_filter
 from pipeline_spark.compilers.select_fns import apply_select
 from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
+from pipeline_spark.streaming import ensure_event_time
 
 
 def _window_key(strategy: dict[str, Any] | None, ts_col: str):
@@ -90,6 +91,7 @@ def aggregation_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             lateness = strategy.get("allowedLateness", "10 seconds")
             if isinstance(lateness, (int, float)):
                 lateness = f"{int(lateness)} seconds"
+            df = ensure_event_time(df, ts_attr)
             df = df.withWatermark(ts_attr, lateness)
         keys = [F.col(g) for g in group_fields]
         wkey = _window_key(strategy, ts_attr) if ts_attr else None

@@ -665,6 +665,9 @@ def dedup_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             keyed = df.withColumn("__h__", F.xxhash64(*[F.col(f) for f in fields]))
             ts = p.get("timestampField")
             if ts:
+                from pipeline_spark.streaming import ensure_event_time
+
+                keyed = ensure_event_time(keyed, ts)
                 keyed = keyed.withWatermark(
                     ts, str(p.get("watermarkDelay", "10 minutes"))
                 )

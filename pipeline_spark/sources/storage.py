@@ -101,6 +101,14 @@ def storage_source(ctx: ModuleContext) -> dict[str, DataFrame]:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         if p.get("fields"):
             df = df.select(*[F.col(c) for c in p["fields"]])
+        # Parquet written without UTC adjustment surfaces as TIMESTAMP_NTZ
+        # in Spark 4; downstream withWatermark rejects NTZ event time, so
+        # normalize the declared timestampAttribute at the source.
+        ts_attr = ctx.config.get("timestampAttribute")
+        if ts_attr:
+            from pipeline_spark.streaming import ensure_event_time
+
+            df = ensure_event_time(df, ts_attr)
         return {"": df}
 
     reader = ctx.spark.read

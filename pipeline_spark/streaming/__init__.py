@@ -23,4 +23,35 @@ Spark mapping (documented divergences included):
     doesn't expose — emitted null.
 """
 
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
 from pipeline_spark.streaming import state  # noqa: F401
+
+
+def ensure_event_time(df: DataFrame, ts_attr: str) -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP (session-TZ).
+
+    Parquet writers commonly store timestamps with isAdjustedToUTC=false,
+    which Spark 4 reads as TIMESTAMP_NTZ — and ``withWatermark`` rejects
+    that type outright (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).  The
+    reference treats timestampAttribute as "just a field"
+    (module/Source.java:46-48), tolerating either encoding, so we cast
+    NTZ (and DATE / ISO-string) event time to TIMESTAMP here, at the
+    boundary where it becomes event time.  No-op when already TIMESTAMP
+    or when the column is absent (e.g. resolves later in the plan).
+    """
+    if not ts_attr or ts_attr not in df.columns:
+        return df
+    dtype = df.schema[ts_attr].dataType
+    if isinstance(dtype, T.TimestampType):
+        return df
+    if isinstance(dtype, (T.TimestampNTZType, T.DateType)):
+        return df.withColumn(ts_attr, F.col(ts_attr).cast("timestamp"))
+    if isinstance(dtype, T.StringType):
+        return df.withColumn(ts_attr, F.to_timestamp(ts_attr))
+    if isinstance(dtype, (T.LongType, T.IntegerType)):
+        # epoch seconds — the reference's integer timestampAttribute case
+        return df.withColumn(ts_attr, F.timestamp_seconds(F.col(ts_attr)))
+    return df

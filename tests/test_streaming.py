@@ -330,3 +330,71 @@ transforms:
 """)
     with pytest.raises(ValueError, match="timestampField"):
         run_pipeline(spark, cfg)
+
+
+def test_streaming_watermark_on_ntz_parquet(spark, tmp_path):
+    """Parquet written with isAdjustedToUTC=false (pyarrow default) is read
+    back by Spark 4 as TIMESTAMP_NTZ, which withWatermark rejects — the
+    engine must normalize event time at the boundary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": pa.array(["a", "a", "b", "a"]),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0]),
+        # timestamp[us] with no timezone → NTZ in Spark 4
+        "ts": pa.array(
+            [
+                dt.datetime(2024, 1, 1, 0, 0, 5),
+                dt.datetime(2024, 1, 1, 0, 0, 15),
+                dt.datetime(2024, 1, 1, 0, 0, 25),
+                dt.datetime(2024, 1, 1, 0, 1, 5),
+            ],
+            pa.timestamp("us"),
+        ),
+    })
+    in_dir = tmp_path / "ntz_in"
+    in_dir.mkdir()
+    pq.write_table(tbl, str(in_dir / "part-0.parquet"))
+    # precondition: Spark really does see NTZ, else this test is vacuous
+    assert (
+        spark.read.parquet(str(in_dir)).schema["ts"].dataType.typeName()
+        == "timestamp_ntz"
+    )
+    out_dir = str(tmp_path / "ntz_out")
+    cfg = parse_config(f"""
+sources:
+  - name: events
+    module: storage
+    parameters:
+      format: parquet
+      input: {in_dir}
+      mode: streaming
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [events]
+    timestampAttribute: ts
+    strategy:
+      window: {{type: fixed, size: 1, unit: minute}}
+      allowedLateness: 5
+    parameters:
+      groupFields: [k]
+      aggregations:
+        - {{name: n, op: count}}
+        - {{name: total, op: sum, field: v}}
+sinks:
+  - name: out
+    module: storage
+    inputs: [agg]
+    parameters:
+      format: parquet
+      output: {out_dir}
+      availableNow: true
+""")
+    run_pipeline(spark, cfg)
+    result = spark.read.parquet(out_dir)
+    rows = {(r["k"], r["window"]["start"].minute): (r["n"], r["total"]) for r in result.collect()}
+    assert rows[("a", 0)] == (2, 3.0)
+    assert rows[("b", 0)] == (1, 3.0)
