@@ -812,15 +812,20 @@ class _RowWindow:
 
     def _load(self, b: int) -> list[dict]:
         blk = self._cache.get(b)
-        if blk is None:
-            lo = b * self._block
-            chunk = self._pdf.iloc[lo : lo + self._block]
-            chunk = chunk.astype(object).where(pd.notnull(chunk), None)
-            blk = chunk.to_dict("records")
-            if len(self._cache) >= self._max_blocks:
-                # evict oldest insertion (dict preserves order)
-                self._cache.pop(next(iter(self._cache)))
+        if blk is not None:
+            # true LRU: refresh recency on hit (dict preserves order, so
+            # re-insertion moves the block to the back of the evict queue)
+            self._cache.pop(b)
             self._cache[b] = blk
+            return blk
+        lo = b * self._block
+        chunk = self._pdf.iloc[lo : lo + self._block]
+        chunk = chunk.astype(object).where(pd.notnull(chunk), None)
+        blk = chunk.to_dict("records")
+        if len(self._cache) >= self._max_blocks:
+            # evict least-recently-used (front of insertion order)
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[b] = blk
         return blk
 
     def __getitem__(self, i: int) -> dict:
@@ -844,10 +849,10 @@ def _match_at(
     masks = masks or {}
 
     def walk(node, idx, assign):
-        if budget is not None:
-            budget.tick()
         """Yield candidate end indexes (row after last consumed), mutating a
         copied assign per branch; generator order = greedy preference."""
+        if budget is not None:
+            budget.tick()
         if isinstance(node, _PatVar):
             if idx >= len(rows):
                 return
@@ -928,7 +933,7 @@ def _partition_matches(rows, pattern, defines, subsets, skip_to_next,
     out = []
     start, match_no = 0, 0
     while start < len(rows):
-        budget = _StepBudget(max_steps) if max_steps else None
+        budget = _StepBudget(max_steps) if max_steps is not None else None
         assign = _match_at(rows, start, pattern, defines, subsets, masks, budget)
         if assign is None:
             start += 1
@@ -996,7 +1001,7 @@ def match_recognize(
     after_match: str = "skip past last row",
     all_rows: bool = False,
     allow_global: bool = False,
-    max_steps: int = 2_000_000,
+    max_steps: int | None = 2_000_000,
     max_rows_per_key: int | None = 20_000_000,
 ) -> DataFrame:
     """Run row-pattern matching; see module docstring for the subset.
@@ -1004,7 +1009,15 @@ def match_recognize(
     ``max_steps`` caps NFA backtracking per anchor row; ``max_rows_per_key``
     fails fast on a hot key whose full history one task would have to
     buffer (applyInPandas materializes the group's Arrow batch regardless,
-    so past this bound the fix is a finer partitionBy, not more memory)."""
+    so past this bound the fix is a finer partitionBy, not more memory).
+    ``None`` disables either guard explicitly; zero/negative values are
+    rejected so a typo can't silently turn a guard off."""
+    if max_steps is not None and max_steps <= 0:
+        raise ValueError("max_steps must be > 0, or None to disable the guard")
+    if max_rows_per_key is not None and max_rows_per_key <= 0:
+        raise ValueError(
+            "max_rows_per_key must be > 0, or None to disable the guard"
+        )
     if not partition_by and not allow_global:
         raise ValueError(
             "match_recognize without partitionBy funnels all rows through one "
@@ -1130,6 +1143,18 @@ def match_recognize(
     )
 
 
+def _guard_limit(p: dict, key: str, default: int) -> int | None:
+    """Config surface for the safety guards: absent → default; explicit
+    null / 0 / negative → None (guard disabled — mirrors the Python API's
+    ``max_*=None``); positive int → that limit."""
+    if key not in p:
+        return default
+    val = p[key]
+    if val is None or int(val) <= 0:
+        return None
+    return int(val)
+
+
 @module("matchRecognize", kind=KIND_TRANSFORM)
 def match_recognize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     p: dict[str, Any] = ctx.params
@@ -1149,10 +1174,8 @@ def match_recognize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         after_match=p.get("afterMatch", "skip past last row"),
         all_rows=bool(p.get("allRowsPerMatch", False)),
         allow_global=bool(p.get("allowGlobal", False)),
-        max_steps=int(p.get("maxSteps", 2_000_000)),
-        max_rows_per_key=(
-            int(p["maxRowsPerKey"]) if p.get("maxRowsPerKey") is not None else 20_000_000
-        ),
+        max_steps=_guard_limit(p, "maxSteps", 2_000_000),
+        max_rows_per_key=_guard_limit(p, "maxRowsPerKey", 20_000_000),
     )
     return {"": out}
 

@@ -386,3 +386,58 @@ class TestScaleGuards:
             define={"A": "v = 0", "B": "v = 1"},
         )
         assert out.count() == 20_000
+
+
+class TestGuardConfig:
+    """Guard knobs: None disables, 0/negative rejected in the API but act
+    as the disable sentinel on the YAML surface (ADVICE r3)."""
+
+    def test_zero_max_steps_rejected(self, spark):
+        df = spark.range(3).selectExpr("'k' AS k", "id AS v", "CAST(id AS timestamp) AS ts")
+        with pytest.raises(ValueError, match="max_steps"):
+            match_recognize(
+                df, partition_by=["k"], order_by=["ts"],
+                measures=[("COUNT(A.v)", "n")], pattern="A+",
+                define={"A": "v >= 0"}, max_steps=0,
+            )
+
+    def test_zero_max_rows_per_key_rejected(self, spark):
+        df = spark.range(3).selectExpr("'k' AS k", "id AS v", "CAST(id AS timestamp) AS ts")
+        with pytest.raises(ValueError, match="max_rows_per_key"):
+            match_recognize(
+                df, partition_by=["k"], order_by=["ts"],
+                measures=[("COUNT(A.v)", "n")], pattern="A+",
+                define={"A": "v >= 0"}, max_rows_per_key=-1,
+            )
+
+    def test_none_disables_guards(self, spark):
+        df = spark.range(6).selectExpr("'k' AS k", "CAST(id % 2 AS long) AS v",
+                                       "CAST(id AS timestamp) AS ts")
+        out = match_recognize(
+            df, partition_by=["k"], order_by=["ts"],
+            measures=[("COUNT(A.v)", "n_a")], pattern="A B",
+            define={"A": "v = 0", "B": "v = 1"},
+            max_steps=None, max_rows_per_key=None,
+        )
+        assert out.count() == 3
+
+    def test_yaml_guard_sentinels(self):
+        from pipeline_spark.operators.matchrec import _guard_limit
+
+        assert _guard_limit({}, "maxRowsPerKey", 20) == 20
+        assert _guard_limit({"maxRowsPerKey": None}, "maxRowsPerKey", 20) is None
+        assert _guard_limit({"maxRowsPerKey": 0}, "maxRowsPerKey", 20) is None
+        assert _guard_limit({"maxRowsPerKey": -1}, "maxRowsPerKey", 20) is None
+        assert _guard_limit({"maxRowsPerKey": 7}, "maxRowsPerKey", 20) == 7
+
+    def test_row_window_lru_refresh(self):
+        import pandas as pd
+        from pipeline_spark.operators.matchrec import _RowWindow
+
+        pdf = pd.DataFrame({"v": range(40)})
+        win = _RowWindow(pdf, block=10, max_blocks=2)
+        win[0]; win[10]          # cache = {0, 1}
+        win[0]                   # hit refreshes block 0's recency
+        win[20]                  # evicts block 1 (LRU), not block 0
+        assert set(win._cache) == {0, 2}
+        assert win[5]["v"] == 5  # block 0 still cached (no reload needed)
