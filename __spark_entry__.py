@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1744,6 +1745,173 @@ SELECT doc_id, {case} AS lang_pred FROM scores
 """
 
 
+def _avro_zz(v: int) -> bytes:
+    """Avro varint of zigzag(v) — spec-based, independent of the engine's
+    decoder (functions/avrodec.py) so encode/decode bugs can't cancel."""
+    u = (v << 1) ^ (v >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def q_deserialize_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deserialize module, avro format: orders rows are encoded to avro
+    binary datums per the public spec in-query, decoded back by the
+    module's stdlib fallback decoder, and oracled against the plain table
+    (DeserializeTransform.java:117-121)."""
+    import json as _json
+    import struct
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sub = orders.filter(F.col("o_orderkey") % 97 == 0)
+
+    @F.pandas_udf("binary")
+    def enc(ids: pd.Series, sts: pd.Series, prs: pd.Series, prios: pd.Series) -> pd.Series:
+        out = []
+        for i, s, p, pr in zip(ids, sts, prs, prios):
+            b = _avro_zz(int(i))
+            b += _avro_zz(len(s.encode())) + s.encode()
+            b += struct.pack("<d", float(p))
+            b += _avro_zz(len(pr.encode())) + pr.encode()
+            out.append(b)
+        return pd.Series(out)
+
+    raw = sub.select(
+        enc("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority").alias("payload")
+    )
+    schema = {
+        "type": "record", "name": "Order", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "status", "type": "string"},
+            {"name": "price", "type": "double"},
+            {"name": "priority", "type": "string"},
+        ],
+    }
+    outs = run_pipeline(spark, parse_config(f"""
+transforms:
+  - name: parsed
+    module: deserialize
+    inputs: [raw]
+    parameters:
+      field: payload
+      format: avro
+      avroSchema: '{_json.dumps(schema)}'
+"""), inputs={"raw": raw})
+    return outs["parsed"].select(
+        "id", "status", F.round("price", 2).alias("price"), "priority"
+    )
+
+
+Q_DESER_AVRO_SQL = """
+SELECT o_orderkey AS id, o_orderstatus AS status,
+       round(o_totalprice, 2) AS price, o_orderpriority AS priority
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+def _proto_varint(v: int) -> bytes:
+    if v < 0:
+        v &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _proto_ld(fno: int, payload: bytes) -> bytes:
+    return _proto_varint((fno << 3) | 2) + _proto_varint(len(payload)) + payload
+
+
+def _proto_vi(fno: int, v: int) -> bytes:
+    return _proto_varint(fno << 3) + _proto_varint(v)
+
+
+def _order_descriptor_set() -> bytes:
+    """Serialized FileDescriptorSet for `message Order {int64 id=1; string
+    status=2; double price=3; string priority=4;}` — built byte-by-byte
+    from the public descriptor.proto wire format (same technique as
+    tests/test_protodec.py), independent of the engine's decoder."""
+    def field(name: str, number: int, ftype: int) -> bytes:
+        return (_proto_ld(1, name.encode()) + _proto_vi(3, number)
+                + _proto_vi(4, 1) + _proto_vi(5, ftype))
+
+    order = _proto_ld(1, b"Order") + b"".join(
+        _proto_ld(2, f) for f in [
+            field("id", 1, 3),        # TYPE_INT64
+            field("status", 2, 9),    # TYPE_STRING
+            field("price", 3, 1),     # TYPE_DOUBLE
+            field("priority", 4, 9),  # TYPE_STRING
+        ]
+    )
+    file_pb = _proto_ld(1, b"order.proto") + _proto_ld(2, b"bench") + _proto_ld(4, order)
+    return _proto_ld(1, file_pb)
+
+
+def q_deserialize_proto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deserialize module, protobuf format: orders rows wire-encoded
+    in-query, decoded by the module's stdlib fallback against a
+    hand-built FileDescriptorSet, oracled against the plain table."""
+    import os
+    import struct
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    desc_path = os.path.join(tempfile.gettempdir(), "pipeline_spark_order_fds.bin")
+    with open(desc_path, "wb") as fh:
+        fh.write(_order_descriptor_set())
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sub = orders.filter(F.col("o_orderkey") % 89 == 0)
+
+    @F.pandas_udf("binary")
+    def enc(ids: pd.Series, sts: pd.Series, prs: pd.Series, prios: pd.Series) -> pd.Series:
+        out = []
+        for i, s, p, pr in zip(ids, sts, prs, prios):
+            b = _proto_vi(1, int(i))
+            b += _proto_ld(2, s.encode())
+            b += _proto_varint((3 << 3) | 1) + struct.pack("<d", float(p))
+            b += _proto_ld(4, pr.encode())
+            out.append(b)
+        return pd.Series(out)
+
+    raw = sub.select(
+        enc("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority").alias("payload")
+    )
+    outs = run_pipeline(spark, parse_config(f"""
+transforms:
+  - name: parsed
+    module: deserialize
+    inputs: [raw]
+    parameters:
+      field: payload
+      format: protobuf
+      descriptorFile: {desc_path}
+      messageName: bench.Order
+"""), inputs={"raw": raw})
+    return outs["parsed"].select(
+        "id", "status", F.round("price", 2).alias("price"), "priority"
+    )
+
+
+Q_DESER_PROTO_SQL = """
+SELECT o_orderkey AS id, o_orderstatus AS status,
+       round(o_totalprice, 2) AS price, o_orderpriority AS priority
+FROM orders WHERE o_orderkey % 89 = 0
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1799,6 +1967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "match_recognize": q_match_recognize,
         "processing_timeseries": q_processing,
+        "deserialize_avro": q_deserialize_avro,
+        "deserialize_proto": q_deserialize_proto,
     }
 
 
@@ -1859,4 +2029,6 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": Q_PACK_SQL,
         "match_recognize": Q_MATCHREC_SQL,
         "processing_timeseries": Q_PROCESSING_SQL,
+        "deserialize_avro": Q_DESER_AVRO_SQL,
+        "deserialize_proto": Q_DESER_PROTO_SQL,
     }
