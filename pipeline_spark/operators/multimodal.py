@@ -2,17 +2,23 @@
 
 Training-data-pipeline extension.  The data model is a ``binary`` payload
 column plus typed metadata (mime, width/height/duration…), processed with
-Arrow-batched ``mapInPandas`` — the Spark-side plumbing (schema,
-partitioning, batch shape) is real and tested; the actual codec calls are
-STUBBED because image/audio libraries are not in this container:
-``decode`` raises NotImplementedError unless ``fake: true`` requests the
-deterministic fake (hash-derived pseudo-features), which exercises the
-identical execution path.
+Arrow-batched ``mapInPandas``.
+
+``decode`` and ``resize`` are REAL for images: PNG and uncompressed BMP
+decode with the stdlib codec (functions/imagecodec.py — zlib inflate +
+unfilter per the public PNG spec), other formats (JPEG, GIF, WebP…)
+dispatch to Pillow when importable and fail with an actionable
+NotImplementedError otherwise.  ``fake: true`` still selects the
+deterministic hash-derived stub (identical execution path/schema) for
+corpora whose payloads aren't real images, and ``onError: null`` routes
+undecodable payloads to null columns instead of failing the task.
+``frame_sample`` remains stubbed: video decode needs ffmpeg/pyav, which
+no stdlib fallback can replace.
 
 Ops:
   extract_meta   mime sniff from magic bytes + payload size (pure Column)
-  decode         stub → deterministic fake features via mapInPandas
-  resize         image resize plumbing (1:1 rows, stamped dims; PIL stub)
+  decode         image → features/width/height via mapInPandas
+  resize         image resize → re-encoded PNG payload + new dims
   frame_sample   video → N frame rows per input (exploding mapInPandas;
                  ffmpeg stub with deterministic fake frames)
 """
@@ -99,16 +105,45 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         return {"": out}
 
     if op in ("decode", "feature_extract"):
-        if not p.get("fake", False):
-            raise NotImplementedError(
-                "multimodal decode requires image/audio codecs not present in "
-                "this container; pass fake: true for the deterministic stub"
-            )
         narrowed = df.select(
             F.col(id_field).cast("long").alias("mm_id"),
             F.col(payload_field).alias("payload"),
         )
-        decoded = narrowed.mapInPandas(_fake_decode_batches, schema=_DECODE_SCHEMA)
+        if p.get("fake", False):
+            decode_fn = _fake_decode_batches
+        else:
+            null_on_error = str(p.get("onError", "fail")).lower() == "null"
+
+            def real_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                from pipeline_spark.functions.imagecodec import (
+                    decode_image,
+                    image_features,
+                )
+
+                for pdf in batches:
+                    recs = []
+                    for mm_id, payload in zip(pdf["mm_id"], pdf["payload"]):
+                        try:
+                            arr = decode_image(bytes(payload or b""))
+                            recs.append(
+                                {
+                                    "mm_id": mm_id,
+                                    "features": image_features(arr, FEATURE_DIM),
+                                    "width": int(arr.shape[1]),
+                                    "height": int(arr.shape[0]),
+                                }
+                            )
+                        except Exception:
+                            if not null_on_error:
+                                raise
+                            recs.append(
+                                {"mm_id": mm_id, "features": None,
+                                 "width": None, "height": None}
+                            )
+                    yield pd.DataFrame(recs, columns=["mm_id", "features", "width", "height"])
+
+            decode_fn = real_decode
+        decoded = narrowed.mapInPandas(decode_fn, schema=_DECODE_SCHEMA)
         decoded = decoded.withColumnRenamed("mm_id", "__decoded_id__")
         joined = df.join(
             decoded, df[id_field] == decoded["__decoded_id__"], "left"
@@ -116,16 +151,12 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         return {"": joined}
 
     if op == "resize":
-        # image resize: payload in → payload out + new dims.  Real codec
-        # (PIL) absent; ``fake: true`` passes bytes through with the
+        # image resize: payload in → payload out + new dims.  Real path:
+        # decode (stdlib PNG/BMP, else Pillow) → bilinear resample →
+        # re-encode PNG.  ``fake: true`` passes bytes through with the
         # target dims stamped — identical schema/batch shape.
         width = int(p.get("width", 224))
         height = int(p.get("height", 224))
-        if not p.get("fake", False):
-            raise NotImplementedError(
-                "multimodal resize requires PIL (not in container); "
-                "pass fake: true for the pass-through stub"
-            )
         schema = T.StructType(
             [
                 *df.schema.fields,
@@ -135,14 +166,47 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             ]
         )
 
-        def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out = pdf.copy()
-                # real impl: PIL.Image.open(io.BytesIO(b)).resize((w, h))
-                out["resized"] = [bytes(b or b"") for b in pdf[payload_field]]
-                out["width"] = width
-                out["height"] = height
-                yield out
+        if p.get("fake", False):
+
+            def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    out = pdf.copy()
+                    out["resized"] = [bytes(b or b"") for b in pdf[payload_field]]
+                    out["width"] = width
+                    out["height"] = height
+                    yield out
+
+        else:
+            null_on_error = str(p.get("onError", "fail")).lower() == "null"
+
+            def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                from pipeline_spark.functions.imagecodec import (
+                    decode_image,
+                    encode_png,
+                    resize_bilinear,
+                )
+
+                for pdf in batches:
+                    out = pdf.copy()
+                    resized, ws, hs = [], [], []
+                    for b in pdf[payload_field]:
+                        try:
+                            arr = resize_bilinear(
+                                decode_image(bytes(b or b"")), width, height
+                            )
+                            resized.append(encode_png(arr))
+                            ws.append(width)
+                            hs.append(height)
+                        except Exception:
+                            if not null_on_error:
+                                raise
+                            resized.append(None)
+                            ws.append(None)
+                            hs.append(None)
+                    out["resized"] = resized
+                    out["width"] = ws
+                    out["height"] = hs
+                    yield out
 
         return {"": df.mapInPandas(resize, schema=schema)}
 

@@ -134,8 +134,17 @@ def test_multimodal_meta_and_fake_decode(spark):
     feats2 = {r["mm_id"]: r["features"] for r in dec2.collect()}
     assert feats[1] == feats2[1]
 
-    with pytest.raises(NotImplementedError):
-        multimodal_transform(ctx(spark, {"op": "decode", "field": "payload"}, [df]))
+    # real decode on undecodable payloads: onError null keeps the rows
+    # with null features, default (fail) raises at execution
+    dec3 = multimodal_transform(
+        ctx(spark, {"op": "decode", "field": "payload", "idField": "mm_id",
+                    "onError": "null"}, [df])
+    )[""]
+    assert all(r["features"] is None for r in dec3.collect())
+    with pytest.raises(Exception, match="NotImplementedError|ValueError"):
+        multimodal_transform(
+            ctx(spark, {"op": "decode", "field": "payload", "idField": "mm_id"}, [df])
+        )[""].collect()
 
 
 def test_crypto_roundtrip(spark):
