@@ -108,7 +108,60 @@ def _ja_char_class(ch: str) -> str:
     return "punct"
 
 
-def segment_japanese_text(text: str, *, discard_punctuation: bool = True) -> list[str]:
+class JaUserDict:
+    """User dictionary for the Japanese segmenter (tokenize.md:36 —
+    kuromoji ``userDictionary``).  Entries follow the public kuromoji
+    user-dictionary CSV layout ``surface,segmentation,readings,pos``
+    (segmentation space-separated; a bare surface line means "keep as
+    one token").  During segmentation, the longest surface matching at
+    the scan position wins over the script-run heuristic and emits its
+    segmentation tokens — the same precedence kuromoji gives user
+    entries."""
+
+    __slots__ = ("_by_first", "max_len")
+
+    def __init__(self, entries: dict[str, list[str]]):
+        self._by_first: dict[str, list[tuple[str, list[str]]]] = {}
+        self.max_len = 0
+        for surface, toks in entries.items():
+            if not surface:
+                continue
+            self._by_first.setdefault(surface[0], []).append((surface, toks))
+            self.max_len = max(self.max_len, len(surface))
+        for lst in self._by_first.values():
+            lst.sort(key=lambda e: -len(e[0]))  # longest match first
+
+    @classmethod
+    def parse(cls, lines) -> "JaUserDict":
+        entries: dict[str, list[str]] = {}
+        for ln in lines:
+            ln = ln.strip()
+            if not ln or ln.startswith("#"):
+                continue
+            parts = [p.strip() for p in ln.split(",")]
+            surface = parts[0]
+            seg = parts[1].split() if len(parts) > 1 and parts[1] else [surface]
+            entries[surface] = seg
+        return cls(entries)
+
+    @classmethod
+    def load(cls, path: str) -> "JaUserDict":
+        with open(path, encoding="utf-8") as fh:
+            return cls.parse(fh)
+
+    def match(self, text: str, i: int) -> tuple[int, list[str]] | None:
+        for surface, toks in self._by_first.get(text[i], ()):
+            if text.startswith(surface, i):
+                return len(surface), toks
+        return None
+
+
+def segment_japanese_text(
+    text: str,
+    *,
+    discard_punctuation: bool = True,
+    user_dict: JaUserDict | None = None,
+) -> list[str]:
     """Deterministic dictionary-light Japanese word segmentation.
 
     Public heuristic (script-transition segmentation with okurigana
@@ -123,9 +176,12 @@ def segment_japanese_text(text: str, *, discard_punctuation: bool = True) -> lis
         dropped per ``discardPunctuation`` (default false, matching the
         reference — tokenize.md:38).
 
-    Divergence vs kuromoji (documented): no dictionary, so compound
-    splitting/lemmatization/readings are out of scope; particles inside
-    long hiragana runs are not isolated.
+    Divergence vs kuromoji (documented): no bundled system dictionary, so
+    lemmatization/readings are out of scope and particles inside long
+    hiragana runs are not isolated.  A ``userDictionary`` (kuromoji CSV)
+    narrows the gap: matched surfaces segment per their dictionary entry,
+    taking precedence over the heuristic exactly like kuromoji user
+    entries.
     """
     if not text:
         return []
@@ -138,7 +194,21 @@ def segment_japanese_text(text: str, *, discard_punctuation: bool = True) -> lis
             tokens.append("".join(cur))
             cur.clear()
 
-    for ch in text:
+    i, n = 0, len(text)
+    while i < n:
+        # user-dictionary longest match takes precedence over the
+        # script-run heuristic (kuromoji user-entry semantics)
+        if user_dict is not None:
+            hit = user_dict.match(text, i)
+            if hit is not None:
+                length, toks = hit
+                flush()
+                cur_cls = ""
+                tokens.extend(toks)
+                i += length
+                continue
+        ch = text[i]
+        i += 1
         cls = _ja_char_class(ch)
         if cls == "space":
             flush()
@@ -183,12 +253,14 @@ def segment_japanese_text(text: str, *, discard_punctuation: bool = True) -> lis
     return tokens
 
 
-def japanese_tokens_udf(discard_punctuation: bool):
+def japanese_tokens_udf(discard_punctuation: bool, user_dict: JaUserDict | None = None):
+    # the parsed dictionary ships once per executor in the UDF closure —
+    # user dictionaries are small (thousands of entries) by construction
     @F.pandas_udf("array<string>")
     def toks(s: pd.Series) -> pd.Series:
         return s.fillna("").map(
             lambda t: segment_japanese_text(
-                t, discard_punctuation=discard_punctuation
+                t, discard_punctuation=discard_punctuation, user_dict=user_dict
             )
         )
 
@@ -276,8 +348,14 @@ def bpe_tokens_udf(ranks: dict[tuple[str, str], int], end_of_word: str):
 def tokenize_column(col: Column, tokenizer: dict[str, Any] | None, filters: list[dict[str, Any]]) -> Column:
     tk = (tokenizer or {}).get("type", "standard").lower()
     if tk in ("japanese", "japanesetokenizer", "kuromoji"):
+        tkz = tokenizer or {}
+        user_dict = None
+        if tkz.get("userDictionary"):
+            user_dict = JaUserDict.load(str(tkz["userDictionary"]))
+        elif tkz.get("userDictionaryEntries"):
+            user_dict = JaUserDict.parse(tkz["userDictionaryEntries"])
         toks = japanese_tokens_udf(
-            bool((tokenizer or {}).get("discardPunctuation", False))
+            bool(tkz.get("discardPunctuation", False)), user_dict
         )(col)
     elif tk in ("whitespace",):
         toks = F.split(col, r"\s+")

@@ -1178,3 +1178,64 @@ transforms:
     out = run_pipeline(spark, cfg)["tok"]
     row = out.collect()[0]
     assert row["toks"] == ["the", "the", "m", "e"]
+
+
+def test_japanese_user_dictionary(spark, tmp_path):
+    """userDictionary hook (tokenize.md:36, kuromoji user-dict CSV):
+    compound words segment per the dictionary entry — results only
+    achievable with the dictionary loaded."""
+    from pipeline_spark.operators.tokenize import JaUserDict, segment_japanese_text
+
+    # without a dictionary: one kanji run / split at script boundary
+    assert segment_japanese_text("関西国際空港") == ["関西国際空港"]
+    assert segment_japanese_text("スパークSQLを使う") == ["スパーク", "SQL", "を", "使う"]
+
+    ud = JaUserDict.parse([
+        "関西国際空港,関西 国際 空港,カンサイ コクサイ クウコウ,カスタム名詞",
+        "スパークSQL",  # bare surface: keep as one token
+        "# comment line ignored",
+    ])
+    # dictionary entry splits the compound per its segmentation field
+    assert segment_japanese_text("関西国際空港", user_dict=ud) == ["関西", "国際", "空港"]
+    # bare-surface entry overrides the script-boundary split
+    assert segment_japanese_text("スパークSQLを使う", user_dict=ud) == [
+        "スパークSQL", "を", "使う"
+    ]
+    # longest match wins over a shorter overlapping entry
+    ud2 = JaUserDict.parse(["東京", "東京タワー,東京 タワー"])
+    assert segment_japanese_text("東京タワーに登る", user_dict=ud2) == [
+        "東京", "タワー", "に", "登る"
+    ]
+
+    # module surface: userDictionary file via YAML config
+    dict_file = tmp_path / "user.dic"
+    dict_file.write_text("関西国際空港,関西 国際 空港,,名詞\n", encoding="utf-8")
+    outs = run(
+        spark,
+        f"""
+sources:
+  - name: texts
+    module: create
+    parameters:
+      elements:
+        - {{id: 1, body: "関西国際空港へ行く"}}
+    schema:
+      fields:
+        - {{name: id, type: int64, mode: required}}
+        - {{name: body, type: string, mode: required}}
+transforms:
+  - name: tok
+    module: tokenize
+    inputs: [texts]
+    parameters:
+      fields:
+        - name: tokens
+          input: body
+          tokenizer:
+            type: japanese
+            discardPunctuation: true
+            userDictionary: {dict_file}
+""",
+    )
+    rows = outs["tok"].collect()
+    assert rows[0]["tokens"][:3] == ["関西", "国際", "空港"], rows[0]["tokens"]
