@@ -51,6 +51,8 @@ TYPE_MAP: dict[str, T.DataType] = {
 
 def spark_type(name: str) -> T.DataType:
     key = name.strip().lower()
+    if key.startswith("array<") and key.endswith(">"):
+        return T.ArrayType(spark_type(key[6:-1]))
     if key not in TYPE_MAP:
         raise ValueError(f"unknown type '{name}'")
     return TYPE_MAP[key]

@@ -9,10 +9,12 @@ numbers (https://github.com/onnx/onnx/blob/main/onnx/onnx.proto), no
 descriptor needed.
 
 Supported ops: MatMul, Gemm, Add, Sub, Mul, Div, Relu, Sigmoid, Tanh,
-Softmax, Identity, Flatten, Constant.  That covers linear/MLP scoring
-heads — embedding projections, quality classifiers, rerankers.  Anything
-else raises a clear error naming the op; real models with conv/attention
-belong to onnxruntime when it is installed.
+Softmax, Identity, Flatten, Constant, Conv (2D, groups/dilations/pads),
+MaxPool, AveragePool, GlobalAveragePool, BatchNormalization (inference),
+Reshape, Transpose, Concat.  That covers linear/MLP scoring heads AND
+small CNN-class models (LeNet/VGG-style feature extractors).  Anything
+else — attention stacks, recurrent cells, quantized ops — raises a clear
+error naming the op; those belong to onnxruntime when it is installed.
 
 Nodes execute in graph order (ONNX requires topological ordering).
 """
@@ -117,6 +119,57 @@ def _parse_attrs(bufs: list[bytes]) -> dict[str, Any]:
     return out
 
 
+def _pool_window(X: np.ndarray, kernel: list[int], strides: list[int],
+                 pads: list[int], dilations: list[int] | None = None,
+                 pad_value: float = 0.0) -> np.ndarray:
+    """NCHW → (N, C, oh, ow, kH, kW) strided window view (copy-free until
+    the reduction).  ``pads`` is the ONNX order [top, left, bottom, right]."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    dh, dw = dilations or [1, 1]
+    kh, kw = kernel
+    sh, sw = strides
+    kh_eff, kw_eff = (kh - 1) * dh + 1, (kw - 1) * dw + 1
+    pt, pl, pb, pr = pads
+    if any(pads):
+        X = np.pad(X, ((0, 0), (0, 0), (pt, pb), (pl, pr)),
+                   constant_values=pad_value)
+    win = sliding_window_view(X, (kh_eff, kw_eff), axis=(2, 3))
+    return win[:, :, ::sh, ::sw, ::dh, ::dw]
+
+
+def _conv2d(X: np.ndarray, W: np.ndarray, B: np.ndarray | None,
+            attrs: dict[str, Any]) -> np.ndarray:
+    """ONNX Conv (2D, NCHW) via strided im2col + einsum — one BLAS-backed
+    contraction per group instead of a Python loop over output pixels."""
+    if X.ndim != 4 or W.ndim != 4:
+        raise ProtoError("onnx Conv: only 2D (NCHW) convolutions supported")
+    kh, kw = [int(v) for v in attrs.get("kernel_shape", W.shape[2:])]
+    strides = [int(v) for v in attrs.get("strides", [1, 1])]
+    dilations = [int(v) for v in attrs.get("dilations", [1, 1])]
+    pads = [int(v) for v in attrs.get("pads", [0, 0, 0, 0])]
+    group = int(attrs.get("group", 1))
+    if attrs.get("auto_pad", b"NOTSET") not in (b"NOTSET", "NOTSET"):
+        raise ProtoError("onnx Conv: auto_pad not supported (use explicit pads)")
+    win = _pool_window(X, [kh, kw], strides, pads, dilations)
+    n, c, oh, ow = win.shape[:4]
+    m = W.shape[0]
+    if group == 1:
+        out = np.einsum("nchwij,mcij->nmhw", win, W, optimize=True)
+    else:
+        cg, mg = c // group, m // group
+        parts = [
+            np.einsum("nchwij,mcij->nmhw",
+                      win[:, g * cg : (g + 1) * cg],
+                      W[g * mg : (g + 1) * mg], optimize=True)
+            for g in range(group)
+        ]
+        out = np.concatenate(parts, axis=1)
+    if B is not None:
+        out = out + B.reshape(1, -1, 1, 1)
+    return out.astype(X.dtype, copy=False)
+
+
 class OnnxGraph:
     def __init__(self, model_bytes: bytes):
         model = _fields_map(model_bytes)
@@ -186,13 +239,60 @@ class OnnxGraph:
                 r = a.get("value")
                 if r is None:
                     raise ProtoError("Constant node without value tensor")
+            elif op == "Conv":
+                r = _conv2d(x[0], x[1], x[2] if len(x) > 2 else None, a)
+            elif op == "MaxPool":
+                kernel = [int(v) for v in a["kernel_shape"]]
+                strides = [int(v) for v in a.get("strides", [1, 1])]
+                pads = [int(v) for v in a.get("pads", [0, 0, 0, 0])]
+                win = _pool_window(x[0], kernel, strides, pads,
+                                   pad_value=-np.inf)
+                r = win.max(axis=(4, 5)).astype(x[0].dtype, copy=False)
+            elif op == "AveragePool":
+                kernel = [int(v) for v in a["kernel_shape"]]
+                strides = [int(v) for v in a.get("strides", [1, 1])]
+                pads = [int(v) for v in a.get("pads", [0, 0, 0, 0])]
+                win = _pool_window(x[0], kernel, strides, pads)
+                if a.get("count_include_pad") or not any(pads):
+                    r = win.mean(axis=(4, 5))
+                else:
+                    # divisor = count of non-pad cells under each window
+                    ones = np.ones((1, 1, *x[0].shape[2:]), dtype=x[0].dtype)
+                    cnt = _pool_window(ones, kernel, strides, pads).sum(axis=(4, 5))
+                    r = win.sum(axis=(4, 5)) / cnt
+                r = r.astype(x[0].dtype, copy=False)
+            elif op == "GlobalAveragePool":
+                r = x[0].mean(axis=tuple(range(2, x[0].ndim)), keepdims=True)
+            elif op == "BatchNormalization":
+                # inference form: scale, B, input_mean, input_var
+                scale, bias, mean, var = x[1], x[2], x[3], x[4]
+                eps = a.get("epsilon", 1e-5)
+                shape = (1, -1) + (1,) * (x[0].ndim - 2)
+                r = (x[0] - mean.reshape(shape)) / np.sqrt(
+                    var.reshape(shape) + eps
+                ) * scale.reshape(shape) + bias.reshape(shape)
+            elif op == "Reshape":
+                shape = [int(v) for v in x[1]]
+                # ONNX: 0 = copy input dim, -1 = infer
+                shape = [
+                    x[0].shape[i] if v == 0 else v for i, v in enumerate(shape)
+                ]
+                r = x[0].reshape(shape)
+            elif op == "Transpose":
+                perm = [int(v) for v in a.get("perm", [])] or None
+                r = np.transpose(x[0], perm)
+            elif op == "Concat":
+                r = np.concatenate(x, axis=int(a.get("axis", 0)))
             else:
                 raise ProtoError(
                     f"onnx op '{op}' not supported by the numpy fallback "
                     "(install onnxruntime for full coverage)"
                 )
             outs = node["outputs"]
-            if len(outs) == 1:
+            if len(outs) == 1 or not isinstance(r, (tuple, list)):
+                # single array result: bind to the first output only (e.g.
+                # MaxPool may declare an optional Indices output we don't
+                # produce — binding rows of the array to it would corrupt)
                 vals[outs[0]] = np.asarray(r)
             else:
                 for nm, rv in zip(outs, r):

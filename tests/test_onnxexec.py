@@ -92,8 +92,8 @@ def test_softmax_flatten_and_elementwise():
 
 
 def test_unsupported_op_names_the_op():
-    model = ld(7, ld(1, node("Conv", ["x"], ["y"])))
-    with pytest.raises(Exception, match="Conv"):
+    model = ld(7, ld(1, node("LSTM", ["x"], ["y"])))
+    with pytest.raises(Exception, match="LSTM"):
         OnnxGraph(model).run({"x": np.zeros((1, 1))})
 
 
@@ -126,3 +126,150 @@ def test_onnx_transform_e2e(spark, tmp_path):
     exp = expected(x, W, b, W2)
     np.testing.assert_allclose(rows[1], exp[0], rtol=1e-5)
     np.testing.assert_allclose(rows[2], exp[1], rtol=1e-5)
+
+
+# ------------------------------------------------- conv / pooling ops
+
+def ints_attr(name: str, values) -> bytes:
+    body = ld(1, name.encode()) + b"".join(vi(8, int(v)) for v in values)
+    return ld(5, body)
+
+
+def int_attr(name: str, value: int) -> bytes:
+    return ld(5, ld(1, name.encode()) + vi(3, int(value)))
+
+
+def naive_conv2d(X, W, B, strides=(1, 1), pads=(0, 0, 0, 0), dilations=(1, 1), group=1):
+    """Direct-loop reference conv, independent of the executor."""
+    N, C, H, Wd = X.shape
+    M, Cg, kH, kW = W.shape
+    sh, sw = strides
+    dh, dw = dilations
+    pt, pl, pb, pr = pads
+    Xp = np.pad(X, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
+    oh = (H + pt + pb - ((kH - 1) * dh + 1)) // sh + 1
+    ow = (Wd + pl + pr - ((kW - 1) * dw + 1)) // sw + 1
+    out = np.zeros((N, M, oh, ow), dtype=np.float64)
+    mg = M // group
+    for n in range(N):
+        for m in range(M):
+            g = m // mg
+            for y in range(oh):
+                for x_ in range(ow):
+                    acc = 0.0
+                    for c in range(Cg):
+                        for i in range(kH):
+                            for j in range(kW):
+                                acc += (Xp[n, g * Cg + c, y * sh + i * dh, x_ * sw + j * dw]
+                                        * W[m, c, i, j])
+                    out[n, m, y, x_] = acc + (B[m] if B is not None else 0.0)
+    return out.astype(np.float32)
+
+
+def test_conv2d_matches_naive_loop():
+    rng = np.random.RandomState(7)
+    X = rng.randn(2, 4, 9, 8).astype(np.float32)
+    W = rng.randn(6, 4, 3, 3).astype(np.float32)
+    B = rng.randn(6).astype(np.float32)
+    attrs = (ints_attr("kernel_shape", [3, 3]) + ints_attr("strides", [2, 1])
+             + ints_attr("pads", [1, 0, 1, 0]) + ints_attr("dilations", [1, 2]))
+    graph = (
+        ld(1, node("Conv", ["x", "W", "B"], ["y"], attrs))
+        + ld(2, b"conv")
+        + ld(5, tensor("W", W.shape, W)) + ld(5, tensor("B", B.shape, B))
+        + ld(11, value_info("x")) + ld(12, value_info("y"))
+    )
+    model = vi(1, 8) + ld(7, graph)
+    (y,) = OnnxGraph(model).run({"x": X})
+    np.testing.assert_allclose(
+        y, naive_conv2d(X, W, B, (2, 1), (1, 0, 1, 0), (1, 2)), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_grouped_conv():
+    rng = np.random.RandomState(11)
+    X = rng.randn(1, 4, 5, 5).astype(np.float32)
+    W = rng.randn(8, 2, 3, 3).astype(np.float32)  # group=2: 4 in → 8 out
+    attrs = ints_attr("kernel_shape", [3, 3]) + int_attr("group", 2)
+    graph = (
+        ld(1, node("Conv", ["x", "W"], ["y"], attrs))
+        + ld(2, b"gconv") + ld(5, tensor("W", W.shape, W))
+        + ld(11, value_info("x")) + ld(12, value_info("y"))
+    )
+    model = vi(1, 8) + ld(7, graph)
+    (y,) = OnnxGraph(model).run({"x": X})
+    np.testing.assert_allclose(
+        y, naive_conv2d(X, W, None, group=2), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_pool_bn_reshape_cnn_head():
+    """A LeNet-ish chain: Conv → BN → Relu → MaxPool → AveragePool(pad) →
+    GlobalAveragePool → Reshape → Gemm, all checked against plain numpy."""
+    rng = np.random.RandomState(5)
+    X = rng.randn(2, 3, 8, 8).astype(np.float32)
+    W = rng.randn(4, 3, 3, 3).astype(np.float32)
+    scale = rng.rand(4).astype(np.float32) + 0.5
+    bias = rng.randn(4).astype(np.float32)
+    mean = rng.randn(4).astype(np.float32)
+    var = rng.rand(4).astype(np.float32) + 0.5
+    Wfc = rng.randn(4, 2).astype(np.float32)
+    graph = (
+        ld(1, node("Conv", ["x", "W"], ["c"], ints_attr("kernel_shape", [3, 3])))
+        + ld(1, node("BatchNormalization",
+                     ["c", "scale", "bias", "mean", "var"], ["bn"]))
+        + ld(1, node("Relu", ["bn"], ["r"]))
+        + ld(1, node("MaxPool", ["r"], ["mp"],
+                     ints_attr("kernel_shape", [2, 2]) + ints_attr("strides", [2, 2])))
+        + ld(1, node("AveragePool", ["mp"], ["ap"],
+                     ints_attr("kernel_shape", [2, 2]) + ints_attr("pads", [1, 1, 0, 0])))
+        + ld(1, node("GlobalAveragePool", ["ap"], ["gap"]))
+        + ld(1, node("Reshape", ["gap", "shape"], ["flat"]))
+        + ld(1, node("MatMul", ["flat", "Wfc"], ["y"]))
+        + ld(2, b"cnn")
+        + ld(5, tensor("W", W.shape, W))
+        + ld(5, tensor("scale", scale.shape, scale))
+        + ld(5, tensor("bias", bias.shape, bias))
+        + ld(5, tensor("mean", mean.shape, mean))
+        + ld(5, tensor("var", var.shape, var))
+        + ld(5, tensor("shape", [2], [0, -1], dtype="i8"))
+        + ld(5, tensor("Wfc", Wfc.shape, Wfc))
+        + ld(11, value_info("x")) + ld(12, value_info("y"))
+    )
+    model = vi(1, 8) + ld(7, graph)
+    (y,) = OnnxGraph(model).run({"x": X})
+
+    # plain-numpy expectation
+    c = naive_conv2d(X, W, None)
+    bn = (c - mean.reshape(1, -1, 1, 1)) / np.sqrt(var.reshape(1, -1, 1, 1) + 1e-5) \
+        * scale.reshape(1, -1, 1, 1) + bias.reshape(1, -1, 1, 1)
+    r = np.maximum(bn, 0)
+    mp = r.reshape(2, 4, 3, 2, 3, 2).max(axis=(3, 5))
+    # avg pool k=2 s=1 pads [top=1,left=1,bottom=0,right=0], exclude pad
+    ap = np.zeros((2, 4, 3, 3), dtype=np.float64)
+    padded = np.pad(mp, ((0, 0), (0, 0), (1, 0), (1, 0)))
+    counts = np.pad(np.ones_like(mp[0, 0]), ((1, 0), (1, 0)))
+    for y_ in range(3):
+        for x_ in range(3):
+            ap[:, :, y_, x_] = (
+                padded[:, :, y_ : y_ + 2, x_ : x_ + 2].sum(axis=(2, 3))
+                / counts[y_ : y_ + 2, x_ : x_ + 2].sum()
+            )
+    gap = ap.mean(axis=(2, 3), keepdims=True)
+    expected_y = gap.reshape(2, -1) @ Wfc
+    np.testing.assert_allclose(y, expected_y, rtol=1e-4, atol=1e-5)
+
+
+def test_transpose_concat():
+    rng = np.random.RandomState(2)
+    A = rng.randn(2, 3, 4).astype(np.float32)
+    graph = (
+        ld(1, node("Transpose", ["x"], ["t"], ints_attr("perm", [0, 2, 1])))
+        + ld(1, node("Concat", ["t", "t"], ["y"], int_attr("axis", 2)))
+        + ld(2, b"tc")
+        + ld(11, value_info("x")) + ld(12, value_info("y"))
+    )
+    model = vi(1, 8) + ld(7, graph)
+    (y,) = OnnxGraph(model).run({"x": A})
+    t = np.transpose(A, (0, 2, 1))
+    np.testing.assert_allclose(y, np.concatenate([t, t], axis=2))
