@@ -41,6 +41,11 @@ class PipelineExecutor:
         # module inherits it implicitly (Beam element timestamps); here
         # the attribute name flows through the DAG instead
         self._ts_attrs: dict[str, str | None] = {}
+        # effective strategy per module: sinks inherit the producing
+        # transform's strategy (window/trigger/accumulationMode) so
+        # trigger emulation can happen where Spark applies triggers —
+        # at the writeStream
+        self._strategies: dict[str, dict | None] = {}
 
     def run(self, config: Config, inputs: dict[str, DataFrame] | None = None) -> dict[str, DataFrame]:
         """Apply all modules; returns the full name → DataFrame registry.
@@ -110,6 +115,16 @@ class PipelineExecutor:
                     ts_attr = inherited
                     break
         self._ts_attrs[mc.name] = ts_attr
+        strategy = mc.strategy
+        if not strategy and kind == "sink":
+            # only sinks inherit (trigger emulation happens at writeStream);
+            # transforms keep per-module strategy like the reference
+            for dep in mc.inputs:
+                inherited_strategy = self._strategies.get(dep.split(".")[0])
+                if inherited_strategy:
+                    strategy = inherited_strategy
+                    break
+        self._strategies[mc.name] = strategy
         ctx = ModuleContext(
             spark=self.spark,
             name=mc.name,
@@ -118,7 +133,7 @@ class PipelineExecutor:
             input_names=list(mc.inputs),
             side_inputs={n: self._resolve(n) for n in mc.side_inputs},
             config={
-                "strategy": mc.strategy,
+                "strategy": strategy,
                 "schema": mc.schema,
                 "timestampAttribute": ts_attr,
                 "failFast": mc.fail_fast,

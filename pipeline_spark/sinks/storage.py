@@ -41,6 +41,34 @@ def storage_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
         df = df.repartition(int(num_shards))
 
     if df.isStreaming:
+        from pipeline_spark.streaming.triggers import (
+            parse_trigger,
+            stream_with_early_firing,
+        )
+
+        strategy = ctx.config.get("strategy") or {}
+        if parse_trigger(strategy) is not None:
+            # early-firing trigger (Strategy.java:232-343): update-mode
+            # panes via foreachBatch, each batch appended to the path
+            def write_pane(bdf: DataFrame, _bid: int) -> None:
+                w = bdf.write.mode("append").format(fmt)
+                if partition_cols:
+                    w = w.partitionBy(*partition_cols)
+                w.save(path)
+
+            query = stream_with_early_firing(
+                df,
+                strategy,
+                write_pane,
+                checkpoint=p.get(
+                    "checkpointLocation", path.rstrip("/") + "_checkpoint"
+                ),
+                available_now=bool(p.get("availableNow", True)),
+            )
+            if p.get("await", True):
+                query.awaitTermination()
+            return {"": df}
+
         # streaming file sink: append-mode with checkpointing; trigger
         # availableNow processes the backlog then stops (the batch-parity
         # path used by tests and micro-batch style jobs)

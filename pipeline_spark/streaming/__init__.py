@@ -6,10 +6,13 @@ sources declare mode batch/streaming/microBatch (module/Source.java:34-40).
 
 Spark mapping (documented divergences included):
   * window/trigger → ``F.window``/``session_window`` group keys +
-    ``withWatermark``; Beam's pane-accounting triggers (afterPane counts,
-    early/late firings) have no Spark equivalent — accumulationMode maps to
-    outputMode (discarding→append, accumulating→update) and
-    processing-time triggers map to Trigger.ProcessingTime.
+    ``withWatermark``.  Processing-time EARLY FIRINGS (afterWatermark +
+    earlyFiringTrigger afterProcessingTime, or bare afterProcessingTime)
+    are emulated in triggers.py: update outputMode + ProcessingTime
+    trigger + a foreachBatch pane ledger that stamps pane index/timing
+    and produces per-pane deltas for discarding mode.  Beam's
+    pane-COUNT triggers (afterPane, afterEach/afterFirst/afterAll
+    composites) have no Spark equivalent and raise.
   * allowedLateness → watermark delay.  Beam re-fires late panes; Spark
     drops post-watermark rows — a documented divergence
     (Strategy.java:69-71).

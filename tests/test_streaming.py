@@ -398,3 +398,130 @@ sinks:
     rows = {(r["k"], r["window"]["start"].minute): (r["n"], r["total"]) for r in result.collect()}
     assert rows[("a", 0)] == (2, 3.0)
     assert rows[("b", 0)] == (1, 3.0)
+
+
+def _write_stream_files(tmp_path, name, batches):
+    """Write one parquet file per batch with staggered mtimes so the file
+    stream (maxFilesPerTrigger=1) processes them in order."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_dir = tmp_path / name
+    in_dir.mkdir()
+    for i, rows in enumerate(batches):
+        tbl = pa.table({
+            "k": pa.array([r[0] for r in rows]),
+            "v": pa.array([float(r[1]) for r in rows]),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        })
+        f = in_dir / f"b{i}.parquet"
+        pq.write_table(tbl, str(f))
+        mt = time.time() - 100 + i * 10
+        os.utime(f, (mt, mt))
+    return str(in_dir)
+
+
+def _early_firing_cfg(in_dir, out_dir, accumulation_mode):
+    return f"""
+sources:
+  - name: events
+    module: storage
+    parameters:
+      format: parquet
+      input: {in_dir}
+      mode: streaming
+      maxFilesPerTrigger: 1
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [events]
+    timestampAttribute: ts
+    strategy:
+      window: {{type: fixed, size: 1, unit: minute}}
+      allowedLateness: 5
+      trigger:
+        type: afterWatermark
+        earlyFiringTrigger: {{type: afterProcessingTime, pastFirstElementDelay: 1}}
+      accumulationMode: {accumulation_mode}
+      outputPaneInfo: true
+    parameters:
+      groupFields: [k]
+      aggregations:
+        - {{name: n, op: count}}
+        - {{name: total, op: sum, field: v}}
+sinks:
+  - name: out
+    module: storage
+    inputs: [agg]
+    parameters:
+      format: parquet
+      output: {out_dir}
+      availableNow: true
+"""
+
+
+def test_early_firing_accumulating_panes(spark, tmp_path):
+    """afterProcessingTime early firings (Strategy.java:232-343): each
+    micro-batch emits an updated pane; accumulating panes carry the
+    running aggregate and pane indexes increase per firing."""
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    in_dir = _write_stream_files(tmp_path, "ef_in", [
+        [("a", 1.0, base.replace(second=5)), ("a", 2.0, base.replace(second=15))],
+        [("a", 4.0, base.replace(second=25))],
+        [("a", 8.0, base.replace(second=35)),
+         ("b", 1.0, dt.datetime(2100, 1, 1, 0, 0, 5))],
+    ])
+    out_dir = str(tmp_path / "ef_out")
+    run_pipeline(spark, parse_config(_early_firing_cfg(in_dir, out_dir, "accumulating")))
+    rows = spark.read.parquet(out_dir).collect()
+    a_panes = sorted(
+        (r for r in rows if r["k"] == "a"), key=lambda r: r["__pane__"]["index"]
+    )
+    assert [p["__pane__"]["index"] for p in a_panes] == [0, 1, 2]
+    assert a_panes[0]["__pane__"]["is_first"] is True
+    # accumulating: each pane is the full running aggregate
+    assert [(p["n"], p["total"]) for p in a_panes] == [(2, 3.0), (3, 7.0), (4, 15.0)]
+    # Beam timing: EARLY until the (proxy) watermark passes the window end —
+    # the first two firings happen while a's window could still change; the
+    # third fires after the 2100 event pushed the mark far past it
+    assert [p["__pane__"]["timing"] for p in a_panes] == ["EARLY", "EARLY", "ON_TIME"]
+    b_panes = [r for r in rows if r["k"] == "b"]
+    assert b_panes and all(p["__pane__"]["timing"] == "EARLY" for p in b_panes)
+
+
+def test_early_firing_discarding_panes(spark, tmp_path):
+    """Discarding panes: each firing carries only the delta since the
+    previous pane; deltas sum to the final accumulated aggregate."""
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    in_dir = _write_stream_files(tmp_path, "efd_in", [
+        [("a", 1.0, base.replace(second=5)), ("a", 2.0, base.replace(second=15))],
+        [("a", 4.0, base.replace(second=25))],
+        [("a", 8.0, base.replace(second=35))],
+    ])
+    out_dir = str(tmp_path / "efd_out")
+    run_pipeline(spark, parse_config(_early_firing_cfg(in_dir, out_dir, "discarding")))
+    rows = spark.read.parquet(out_dir).collect()
+    panes = sorted(rows, key=lambda r: r["__pane__"]["index"])
+    assert [(p["n"], p["total"]) for p in panes] == [(2, 3.0), (1, 4.0), (1, 8.0)]
+    assert sum(p["n"] for p in panes) == 4
+    assert sum(p["total"] for p in panes) == 15.0
+
+
+def test_trigger_parse_rejects_non_emulatable():
+    from pipeline_spark.streaming.triggers import parse_trigger
+
+    assert parse_trigger({}) is None
+    assert parse_trigger({"trigger": {"type": "afterWatermark"}}) is None
+    cfg = parse_trigger({"trigger": {
+        "type": "afterWatermark",
+        "earlyFiringTrigger": {"type": "afterProcessingTime",
+                               "pastFirstElementDelay": 30},
+    }})
+    assert cfg == {"early_delay_sec": 30.0}
+    with pytest.raises(NotImplementedError, match="afterPane|pane"):
+        parse_trigger({"trigger": {"type": "afterPane", "elementCountAtLeast": 2}})
+    with pytest.raises(NotImplementedError, match="afterFirst"):
+        parse_trigger({"trigger": {"type": "afterFirst"}})
