@@ -1003,6 +1003,8 @@ def match_recognize(
     allow_global: bool = False,
     max_steps: int | None = 2_000_000,
     max_rows_per_key: int | None = 20_000_000,
+    hot_key_mode: str = "fail",
+    hot_key_chunk_size: int = 1_000_000,
 ) -> DataFrame:
     """Run row-pattern matching; see module docstring for the subset.
 
@@ -1011,13 +1013,38 @@ def match_recognize(
     buffer (applyInPandas materializes the group's Arrow batch regardless,
     so past this bound the fix is a finer partitionBy, not more memory).
     ``None`` disables either guard explicitly; zero/negative values are
-    rejected so a typo can't silently turn a guard off."""
+    rejected so a typo can't silently turn a guard off.
+
+    ``hot_key_mode="chunked"`` removes the one-task-per-key buffering
+    limit entirely: each key's ordered history is split into
+    ``hot_key_chunk_size``-row chunks processed as independent tasks,
+    with the following chunk's first ``pattern_max_rows - 1`` rows
+    duplicated as a carry-over window so boundary-spanning matches are
+    found, and matches attributed to the chunk containing their start
+    row.  Exactness requires (validated, with actionable errors):
+
+      * a BOUNDED pattern (no unbounded quantifier) — otherwise no finite
+        carry-over covers a match;
+      * AFTER MATCH SKIP TO NEXT ROW — anchors are then independent, so
+        chunk-parallel scanning reproduces the sequential result exactly
+        (with skip-past-last-row, each match start depends on the full
+        preceding match history, which chunking cannot preserve);
+      * defines either row-local or compiled to JVM mask columns (masks
+        are computed over the full partition window BEFORE chunking, so
+        PREV/NEXT see true neighbours across chunk edges);
+      * no MATCH_NUMBER() inside measures (per-chunk numbering would
+        lie); the ALL ROWS __match_number__ column is renumbered
+        globally after the fact instead."""
     if max_steps is not None and max_steps <= 0:
         raise ValueError("max_steps must be > 0, or None to disable the guard")
     if max_rows_per_key is not None and max_rows_per_key <= 0:
         raise ValueError(
             "max_rows_per_key must be > 0, or None to disable the guard"
         )
+    if hot_key_mode not in ("fail", "chunked"):
+        raise ValueError(f"hot_key_mode must be 'fail' or 'chunked', got {hot_key_mode!r}")
+    if hot_key_chunk_size <= 1:
+        raise ValueError("hot_key_chunk_size must be > 1")
     if not partition_by and not allow_global:
         raise ValueError(
             "match_recognize without partitionBy funnels all rows through one "
@@ -1058,6 +1085,42 @@ def match_recognize(
     measure_fns = [(name, compile_expr(expr, var_set)) for expr, name in measures]
     skip_to_next = "next row" in after_match.lower()
 
+    chunked = hot_key_mode == "chunked"
+    max_pat_rows = pattern_max_rows(pat_ast)
+    if chunked:
+        if max_pat_rows is None:
+            raise ValueError(
+                "hotKeyMode=chunked needs a bounded pattern (no unbounded "
+                "quantifier like A+ or A*): no finite carry-over window can "
+                "cover a match of unbounded length"
+            )
+        if not skip_to_next:
+            raise ValueError(
+                "hotKeyMode=chunked requires afterMatch 'skip to next row': "
+                "with skip-past-last-row each match start depends on every "
+                "preceding match, which chunk-parallel scanning cannot "
+                "preserve — use a finer partitionBy instead"
+            )
+        unsafe = {
+            v for v in define
+            if v not in jvm_masks and not expr_is_row_local(define[v], var_set, v)
+        }
+        if unsafe:
+            raise ValueError(
+                f"hotKeyMode=chunked: defines {sorted(unsafe)} use navigation "
+                "(PREV/NEXT/FIRST/LAST) but could not be compiled to "
+                "partition-window mask columns; at a chunk edge they would "
+                "see truncated history"
+            )
+        if any("MATCH_NUMBER" in expr.upper() for expr, _ in measures):
+            raise ValueError(
+                "hotKeyMode=chunked cannot evaluate MATCH_NUMBER() in "
+                "measures (numbering is per-chunk); drop the measure or use "
+                "hotKeyMode=fail"
+            )
+        if not order_exprs:
+            raise ValueError("hotKeyMode=chunked requires orderBy")
+
     part_fields = [in_schema[c] for c in partition_by]
     measure_fields = [
         T.StructField(name, _measure_dtype(expr, in_schema, var_set), True)
@@ -1072,6 +1135,11 @@ def match_recognize(
         )
     else:
         out_schema = T.StructType(part_fields + measure_fields)
+    if chunked:
+        # start-row sequence carried out for global match renumbering
+        out_schema = T.StructType(
+            [*out_schema.fields, T.StructField("__start_seq__", T.LongType(), True)]
+        )
 
     order_cols = [c.strip("`") for c in order_by]
     timestamp_cols = {
@@ -1080,15 +1148,25 @@ def match_recognize(
     }
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        if max_rows_per_key is not None and len(pdf) > max_rows_per_key:
+        if not chunked and max_rows_per_key is not None and len(pdf) > max_rows_per_key:
             keyvals = {c: pdf[c].iloc[0] for c in partition_by} if partition_by else {}
             raise RuntimeError(
                 f"matchRecognize key {keyvals!r} has {len(pdf)} rows > "
                 f"maxRowsPerKey={max_rows_per_key}; one task must buffer the "
                 "whole key history — use a finer partitionBy (e.g. add a date "
-                "bucket) or raise maxRowsPerKey"
+                "bucket), raise maxRowsPerKey, or set hotKeyMode: chunked "
+                "(bounded patterns with afterMatch 'skip to next row')"
             )
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        core_lo = core_hi = None
+        if chunked:
+            # sequence order is authoritative (order_cols may tie); core =
+            # the chunk's own seq range, the tail rows are the carry-over
+            pdf = pdf.sort_values("__seq__", kind="mergesort")
+            chunk_idx = int(pdf["__chunk__"].iloc[0])
+            core_lo = chunk_idx * hot_key_chunk_size + 1
+            core_hi = (chunk_idx + 1) * hot_key_chunk_size
+        else:
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
         premasks = {
             var: bytearray(pdf[col].to_numpy(dtype=np.uint8))
             for var, col in jvm_masks.items()
@@ -1110,6 +1188,11 @@ def match_recognize(
         )
         out_rows = []
         for match_no, assign in matches:
+            start_idx = min(assign)
+            if chunked:
+                start_seq = recs[start_idx]["__seq__"]
+                if not (core_lo <= start_seq <= core_hi):
+                    continue  # carry-over row: the owning chunk reports it
             ctx = _Ctx(recs, assign, None, None, subsets, match_no)
             mvals = {}
             for name, fn in measure_fns:
@@ -1120,6 +1203,8 @@ def match_recognize(
                     # evaluate at the match's last row
                     last = max(assign)
                     mvals[name] = _Ctx(recs, assign, last, None, subsets, match_no).run(fn)
+            if chunked:
+                mvals["__start_seq__"] = start_seq
             if all_rows:
                 for i in sorted(assign):
                     row = dict(recs[i])
@@ -1128,13 +1213,56 @@ def match_recognize(
                     row.update(mvals)
                     out_rows.append(row)
             else:
-                row = {c: recs[min(assign)][c] for c in partition_by}
+                row = {c: recs[start_idx][c] for c in partition_by}
                 row.update(mvals)
                 out_rows.append(row)
         if not out_rows:
             return pd.DataFrame({f.name: pd.Series(dtype=object) for f in out_schema.fields})
         out = pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
         return out
+
+    if chunked:
+        # ordered sequence per key (spillable JVM window sort — unlike the
+        # applyInPandas Arrow batch, this never holds the key in memory),
+        # chunk assignment, and a forward carry-over of pattern_max_rows-1
+        # rows duplicated into the previous chunk
+        wspec_seq = (
+            Window.partitionBy(*partition_by).orderBy(*order_exprs)
+            if partition_by
+            else Window.partitionBy().orderBy(*order_exprs)
+        )
+        overlap = max_pat_rows - 1
+        if overlap >= hot_key_chunk_size:
+            raise ValueError(
+                f"hot_key_chunk_size={hot_key_chunk_size} must exceed the "
+                f"pattern's max length {max_pat_rows}"
+            )
+        seqed = df.withColumn("__seq__", F.row_number().over(wspec_seq))
+        core = seqed.withColumn(
+            "__chunk__", F.expr(f"(__seq__ - 1) div {hot_key_chunk_size}")
+        )
+        parts = [core]
+        if overlap > 0:
+            parts.append(
+                core.filter(
+                    (F.col("__chunk__") > 0)
+                    & (((F.col("__seq__") - 1) % hot_key_chunk_size) < overlap)
+                ).withColumn("__chunk__", F.col("__chunk__") - F.lit(1))
+            )
+        chunked_df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        group_cols = [*partition_by, "__chunk__"]
+        out = chunked_df.groupBy(*group_cols).applyInPandas(run_group, schema=out_schema)
+        if all_rows:
+            # renumber matches globally per key by start position
+            wnum = (
+                Window.partitionBy(*partition_by).orderBy("__start_seq__")
+                if partition_by
+                else Window.partitionBy().orderBy("__start_seq__")
+            )
+            out = out.withColumn(
+                "__match_number__", F.dense_rank().over(wnum).cast("long")
+            )
+        return out.drop("__start_seq__")
 
     if partition_by:
         return df.groupBy(*partition_by).applyInPandas(run_group, schema=out_schema)
@@ -1176,6 +1304,8 @@ def match_recognize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         allow_global=bool(p.get("allowGlobal", False)),
         max_steps=_guard_limit(p, "maxSteps", 2_000_000),
         max_rows_per_key=_guard_limit(p, "maxRowsPerKey", 20_000_000),
+        hot_key_mode=str(p.get("hotKeyMode", "fail")),
+        hot_key_chunk_size=int(p.get("hotKeyChunkSize", 1_000_000)),
     )
     return {"": out}
 

@@ -441,3 +441,83 @@ class TestGuardConfig:
         win[20]                  # evicts block 1 (LRU), not block 0
         assert set(win._cache) == {0, 2}
         assert win[5]["v"] == 5  # block 0 still cached (no reload needed)
+
+
+class TestChunkedHotKey:
+    """hotKeyMode=chunked: a hot key is processed in bounded chunks with a
+    carry-over window; results must equal the single-task path exactly."""
+
+    def _hot_df(self, spark, n=20_000):
+        return spark.range(n).selectExpr(
+            "'hot' AS user_id",
+            "CAST(id % 2 AS long) AS v",
+            "CAST(id AS timestamp) AS ts",
+        )
+
+    def test_chunked_equals_single_task(self, spark):
+        df = self._hot_df(spark)
+        kwargs = dict(
+            partition_by=["user_id"], order_by=["ts"],
+            measures=[("SUM(A.v) + SUM(B.v)", "s"), ("COUNT(B.v)", "nb")],
+            pattern="A B", define={"A": "v = 0", "B": "v = 1"},
+            after_match="skip to next row",
+        )
+        single = match_recognize(df, **kwargs).collect()
+        chunked = match_recognize(
+            df, **kwargs, hot_key_mode="chunked", hot_key_chunk_size=4096,
+            max_rows_per_key=10_000,  # chunked path ignores the cap
+        ).collect()
+        assert len(chunked) == len(single) == 10_000
+        assert sorted(map(tuple, chunked)) == sorted(map(tuple, single))
+
+    def test_boundary_spanning_match(self, spark):
+        # with chunk size 100, a "A B B" match anchored at seq 100 spans
+        # rows 100-102 across the chunk edge; carry-over must cover it
+        rows = [(i, 0 if i % 3 == 1 else 1) for i in range(1, 301)]
+        df = spark.createDataFrame(
+            [("k", v, float(i)) for i, v in rows], "k string, v long, o double"
+        )
+        kwargs = dict(
+            partition_by=["k"], order_by=["o"],
+            measures=[("FIRST(A.o)", "start_o"), ("LAST(B.o)", "end_o")],
+            pattern="A B B", define={"A": "v = 0", "B": "v = 1"},
+            after_match="skip to next row",
+        )
+        single = match_recognize(df, **kwargs).collect()
+        chunked = match_recognize(
+            df, **kwargs, hot_key_mode="chunked", hot_key_chunk_size=100
+        ).collect()
+        assert sorted(map(tuple, chunked)) == sorted(map(tuple, single))
+        assert any(r["start_o"] == 100.0 for r in chunked)  # spans 100|101
+
+    def test_all_rows_renumbered(self, spark):
+        df = self._hot_df(spark, 400)
+        kwargs = dict(
+            partition_by=["user_id"], order_by=["ts"],
+            measures=[], pattern="A B",
+            define={"A": "v = 0", "B": "v = 1"},
+            after_match="skip to next row", all_rows=True,
+        )
+        single = match_recognize(df, **kwargs).collect()
+        chunked = match_recognize(
+            df, **kwargs, hot_key_mode="chunked", hot_key_chunk_size=64
+        ).collect()
+        key = lambda r: (r["ts"], r["__match_number__"], r["__classifier__"])
+        assert sorted(map(key, chunked)) == sorted(map(key, single))
+
+    def test_chunked_validation_errors(self, spark):
+        df = self._hot_df(spark, 10)
+        base = dict(partition_by=["user_id"], order_by=["ts"],
+                    measures=[("COUNT(A.v)", "n")], define={"A": "v >= 0"})
+        with pytest.raises(ValueError, match="bounded pattern"):
+            match_recognize(df, pattern="A+", after_match="skip to next row",
+                            hot_key_mode="chunked", **base)
+        with pytest.raises(ValueError, match="skip to next row"):
+            match_recognize(df, pattern="A A", hot_key_mode="chunked", **base)
+        with pytest.raises(ValueError, match="MATCH_NUMBER"):
+            match_recognize(
+                df, pattern="A A", after_match="skip to next row",
+                hot_key_mode="chunked", partition_by=["user_id"],
+                order_by=["ts"], define={"A": "v >= 0"},
+                measures=[("MATCH_NUMBER()", "mn")],
+            )
