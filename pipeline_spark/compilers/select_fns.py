@@ -126,6 +126,15 @@ def apply_select(
     """Project ``df`` through a select list (stateless + stateful mix)."""
     stateful = [sf for sf in selects if not sf.get("ignore") and is_stateful(sf)]
     if stateful:
+        if df.isStreaming:
+            # batch compiles to Window frames, which Spark rejects on
+            # streams; the bounded count-range subset runs on
+            # applyInPandasWithState instead (parity-tested)
+            from pipeline_spark.streaming.state import streaming_stateful_select
+
+            return streaming_stateful_select(
+                df, selects, event_time_col, group_fields or []
+            )
         from pipeline_spark.compilers.stateful import apply_stateful_select
 
         return apply_stateful_select(df, selects, event_time_col, group_fields)

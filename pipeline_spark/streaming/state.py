@@ -124,3 +124,143 @@ def streaming_running_agg(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_RANGE_OPS = {"count", "sum", "min", "max", "avg"}
+
+
+def streaming_count_range_select(
+    df: DataFrame,
+    group_fields: list[str],
+    value_field: str,
+    n: int,
+    order_field: str,
+    passthrough: list[str],
+    aggs: list[tuple[str, str]],
+) -> DataFrame:
+    """Per-ROW trailing count-range aggregates on a stream — the streaming
+    twin of the batch Window compiler's ``rowsBetween(-(N-1), 0)`` frame
+    (compilers/stateful.py:14).  Every input row is emitted once with the
+    requested ``aggs`` (list of (output name, op) with op in count/sum/
+    min/max/avg) over the last ``n`` rows of its key; state = the
+    previous ``n-1`` values, a bounded array — the same frame the batch
+    window holds.  ``passthrough`` columns are carried as-is.
+
+    Contract pinned by the batch-parity test: rows must reach the stream
+    in per-key ``order_field`` order (micro-batch sequence × an in-batch
+    sort here).  Under out-of-order delivery the batch path re-sorts
+    globally while a stream cannot — the same contract Beam's
+    @RequiresTimeSortedInput imposes on the reference's stateful select
+    (SelectTransform.java:391-467).
+    """
+    bad = [op for _, op in aggs if op not in _RANGE_OPS]
+    if bad:
+        raise ValueError(f"streaming count-range: unsupported ops {bad}")
+    carry = list(dict.fromkeys([*group_fields, order_field, *passthrough]))
+    out_schema = T.StructType(
+        [df.schema[c] for c in carry]
+        + [
+            T.StructField(
+                name, T.LongType() if op == "count" else T.DoubleType()
+            )
+            for name, op in aggs
+        ]
+    )
+    state_schema = T.StructType([T.StructField("tail", T.ArrayType(T.DoubleType()))])
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        tail: list[float] = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_field, kind="mergesort")
+            vals = pd.to_numeric(pdf[value_field], errors="coerce").astype(float)
+            full = pd.concat(
+                [pd.Series(tail, dtype=float), vals], ignore_index=True
+            )
+            roll = full.rolling(n, min_periods=1)
+            lo = len(tail)
+            out = {c: pdf[c].to_numpy() for c in carry}
+            for name, op in aggs:
+                if op == "count":
+                    out[name] = roll.count().iloc[lo:].astype("int64").to_numpy()
+                else:
+                    series = getattr(roll, {"avg": "mean"}.get(op, op))()
+                    out[name] = series.iloc[lo:].to_numpy()
+            tail = list(full.iloc[len(full) - (n - 1):]) if n > 1 else []
+            yield pd.DataFrame(out)
+        state.update((tail,))
+
+    return df.groupBy(*group_fields).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_stateful_select(
+    df: DataFrame,
+    selects: list[dict],
+    event_time_col: str | None,
+    group_fields: list[str],
+) -> DataFrame:
+    """Streaming route for the select module's stateful path.
+
+    Emulatable subset (everything else raises with the reason): every
+    stateful function is a count-range count/sum/min/max/avg over ONE
+    shared field with ONE shared range count, stateless entries are
+    pass-through/rename of existing columns.  That is exactly the frame
+    ``streaming_count_range_select`` keeps bounded state for; duration
+    ranges or mixed frames would need per-row event-time buffers whose
+    eviction Spark ties to watermarks — batch mode handles those.
+    """
+    from pipeline_spark.compilers import select_fns
+
+    if not event_time_col:
+        raise ValueError("streaming stateful select requires timestampAttribute")
+    aggs: list[tuple[str, str]] = []
+    passthrough: list[str] = []
+    value_field = None
+    range_n = None
+    for sf in selects:
+        if sf.get("ignore"):
+            continue
+        name = sf["name"]
+        if not select_fns.is_stateful(sf):
+            src = sf.get("field", name)
+            if set(sf) - {"name", "field"} or src not in df.columns:
+                raise NotImplementedError(
+                    f"streaming stateful select: stateless entry '{name}' "
+                    "must be a pass-through/rename of an existing column "
+                    "(computed stateless functions: apply a separate "
+                    "stateless select first)"
+                )
+            passthrough.append(src)
+            continue
+        func = select_fns.infer_func(sf)
+        rng = sf.get("range") or {}
+        if func not in _RANGE_OPS or "count" not in rng or rng.get("offset"):
+            raise NotImplementedError(
+                f"streaming stateful select: '{name}' ({func}) — only "
+                "count-range count/sum/min/max/avg without offset stream; "
+                "duration ranges need watermark-evicted buffers (use batch)"
+            )
+        field = sf.get("field")
+        if value_field is None:
+            value_field, range_n = field, int(rng["count"])
+        elif field != value_field or int(rng["count"]) != range_n:
+            raise NotImplementedError(
+                "streaming stateful select: all range functions must share "
+                "one field and one range count (state is a single bounded "
+                "tail array)"
+            )
+        aggs.append((name, func))
+    if not aggs:
+        raise ValueError("streaming stateful select: no stateful functions")
+    return streaming_count_range_select(
+        df, group_fields, value_field, range_n, event_time_col, passthrough, aggs
+    )
