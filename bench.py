@@ -5,6 +5,17 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query materializes fully via the noop sink (forces execution of the
 whole plan without measuring result-transfer or disk-write overhead).
+
+Protocol (hardened for this multi-tenant host, where CPU-steal spikes
+inflate single runs 3-10x): best-of-N with N=$SPARK_GRAFT_BENCH_RUNS
+(default 3) for queries over 0.5 s, early-exit below it, min reported —
+the min is the engine, the spread is the host.
+
+Scale validation: when a scaled dataset exists ($SPARK_GRAFT_SF1_DIR,
+default .benchdata/sf1 — generate with scripts/gen_sf_scale.py), the
+scale-critical subset runs there too with leftover budget and lands in
+the same JSON under "sf1" with per-row cost ratios vs the main run
+(ratio ≈ 1 means linear scaling; the data is 10× the rows).
 """
 
 from __future__ import annotations
@@ -93,31 +104,43 @@ def main() -> None:
 
     queries = entrymod.queries()
 
-    # warm up the JVM (parquet reader, codegen, python worker pool) so
-    # per-query timings measure the queries, not session startup
+    # warm up the JVM (parquet reader, codegen) AND the Python worker pool
+    # (first pandas-UDF stage otherwise pays worker spawn — measured 10-20x
+    # on the first UDF query of a session)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     spark.createDataFrame([(1,)], "x long").selectExpr("x").write.mode(
         "overwrite"
     ).format("noop").save()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
 
     # min of 2 runs per query: this host is multi-tenant and CPU-steal
     # spikes inflate single runs 3-10x; the min reflects the engine.
     # A soft wall-clock budget degrades to single runs (and then to
     # recording what we have) so the JSON line always lands.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     bench_start = time.time()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
         best = None
+        first = None
         for attempt in range(runs):
-            if attempt > 0 and (time.time() - bench_start) > budget * 0.6:
-                break  # skip re-runs when the budget is running out
+            over_soft = (time.time() - bench_start) > budget * 0.85
+            # a >5x first-vs-nothing spike is a steal/JIT artifact, not the
+            # engine: never record it as a single-run number — one re-run is
+            # always allowed even past the soft budget
+            spiky = attempt == 1 and first is not None and first > 5.0
+            if attempt > 0 and over_soft and not spiky:
+                break
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             elapsed = time.time() - t0
+            if first is None:
+                first = elapsed
             best = elapsed if best is None else min(best, elapsed)
             if elapsed < 0.5:
                 break  # fast enough; a re-run can't change the story
@@ -126,17 +149,48 @@ def main() -> None:
             break  # record what we have rather than losing the line
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "pipeline_spark headline queries wall-clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    result = {
+        "metric": "pipeline_spark headline queries wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # scale pass: scale-critical queries once each on the 10× dataset,
+    # with whatever budget remains (the min-of-N protocol stays with the
+    # main run; at 10× data a single run's relative noise is smaller)
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchdata", "sf1"),
     )
+    scale_queries = [
+        "q1_pricing_summary", "q3_shipping_priority", "agg_stats",
+        "dedup_exact", "dedup_cluster", "ngram_jaccard", "minhash_pairs",
+        "tokenize_unnest", "lsh_topk", "match_recognize",
+    ]
+    scale_factor = float(os.environ.get("SPARK_GRAFT_SF1_FACTOR", "10"))
+    if os.path.isdir(sf1_dir) and (time.time() - bench_start) < budget:
+        sf1_timings: dict[str, float] = {}
+        ratios: dict[str, float] = {}
+        for name in scale_queries:
+            if (time.time() - bench_start) > budget * 1.5:
+                break
+            t0 = time.time()
+            df = queries[name](spark, sf1_dir)
+            df.write.mode("overwrite").format("noop").save()
+            sf1_timings[name] = round(time.time() - t0, 3)
+            base = timings.get(name)
+            if base and base > 0:
+                ratios[name] = round(sf1_timings[name] / (base * scale_factor), 2)
+        result["sf1"] = {
+            "dir": sf1_dir,
+            "total": round(sum(sf1_timings.values()), 3),
+            "queries": sf1_timings,
+            "per_row_cost_ratio_vs_main": ratios,
+        }
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
