@@ -1745,6 +1745,98 @@ SELECT doc_id, {case} AS lang_pred FROM scores
 """
 
 
+def q_match_recognize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """matchRecognize hotKeyMode=chunked: bounded pattern, skip-to-next —
+    chunk-parallel scanning with carry-over must equal the sequential
+    semantics, which the lead()-window oracle expresses exactly."""
+    return _pipeline(spark, sf_dir, ["lineitem"], """
+transforms:
+  - name: mr
+    module: matchRecognize
+    inputs: [lineitem]
+    parameters:
+      partitionBy: [l_suppkey]
+      # full tie-free ordering: the synthetic lineitem has duplicate
+      # (orderkey, linenumber) pairs within a suppkey, and adjacency
+      # queries are ill-defined under ordering ties
+      orderBy: [l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount]
+      pattern: "A B"
+      afterMatch: "skip to next row"
+      define:
+        A: "l_discount < 0.05"
+        B: "l_discount >= 0.05"
+      measures:
+        - {expression: "SUM(A.l_quantity)", name: qa}
+        - {expression: "SUM(B.l_quantity)", name: qb}
+      hotKeyMode: chunked
+      hotKeyChunkSize: 64
+""", "mr").select(
+        "l_suppkey", F.round("qa", 2).alias("qa"), F.round("qb", 2).alias("qb")
+    )
+
+
+Q_MATCHREC_CHUNKED_SQL = """
+WITH seq AS (
+  SELECT l_suppkey, l_quantity, l_discount,
+         lead(l_discount) OVER w AS next_disc,
+         lead(l_quantity) OVER w AS next_qty
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_suppkey
+               ORDER BY l_orderkey, l_linenumber, l_quantity,
+                        l_extendedprice, l_discount)
+)
+SELECT l_suppkey, round(l_quantity, 2) AS qa, round(next_qty, 2) AS qb
+FROM seq WHERE l_discount < 0.05 AND next_disc >= 0.05
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal decode, REAL path: PNG images synthesized in-query with
+    dimensions derived from document fields, decoded by the stdlib codec
+    (functions/imagecodec.py) inside the module; the oracle recomputes
+    the dimensions arithmetically from the table."""
+    import numpy as np
+
+    from pipeline_spark.functions.imagecodec import encode_png
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 17 == 0
+    )
+
+    @F.pandas_udf("binary")
+    def make_png(ids: pd.Series, nchars: pd.Series) -> pd.Series:
+        out = []
+        for doc_id, n in zip(ids, nchars):
+            w = int(n) % 31 + 1
+            h = (int(n) // 31) % 17 + 1
+            rng = np.random.default_rng(int(doc_id))
+            out.append(encode_png(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)))
+        return pd.Series(out)
+
+    imgs = docs.select(
+        F.col("doc_id").alias("mm_id"), make_png("doc_id", "n_chars").alias("payload")
+    )
+    outs = run_pipeline(spark, parse_config("""
+transforms:
+  - name: dec
+    module: multimodal
+    inputs: [imgs]
+    parameters: {op: decode, field: payload, idField: mm_id}
+"""), inputs={"imgs": imgs})
+    return outs["dec"].select(
+        F.col("mm_id").alias("doc_id"), "width", "height"
+    )
+
+
+Q_MULTIMODAL_DECODE_SQL = """
+SELECT doc_id,
+       CAST(n_chars % 31 + 1 AS INTEGER) AS width,
+       CAST((n_chars // 31) % 17 + 1 AS INTEGER) AS height
+FROM documents WHERE doc_id % 17 = 0
+"""
+
+
 def _avro_zz(v: int) -> bytes:
     """Avro varint of zigzag(v) — spec-based, independent of the engine's
     decoder (functions/avrodec.py) so encode/decode bugs can't cancel."""
@@ -1969,6 +2061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "processing_timeseries": q_processing,
         "deserialize_avro": q_deserialize_avro,
         "deserialize_proto": q_deserialize_proto,
+        "match_recognize_chunked": q_match_recognize_chunked,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -2031,4 +2125,6 @@ def oracle_sql() -> dict[str, str]:
         "processing_timeseries": Q_PROCESSING_SQL,
         "deserialize_avro": Q_DESER_AVRO_SQL,
         "deserialize_proto": Q_DESER_PROTO_SQL,
+        "match_recognize_chunked": Q_MATCHREC_CHUNKED_SQL,
+        "multimodal_decode": Q_MULTIMODAL_DECODE_SQL,
     }
