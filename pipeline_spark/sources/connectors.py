@@ -53,7 +53,16 @@ def bigquery_source(ctx: ModuleContext) -> dict[str, DataFrame]:
 @module("iceberg", kind=KIND_SOURCE)
 def iceberg_source(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
-    _require_class(ctx, "iceberg", "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        _require_class(ctx, "iceberg", "org.apache.iceberg.spark.SparkCatalog")
+    except RuntimeError:
+        # no runtime jar: filesystem tables still read natively — JSON
+        # metadata + avro manifests via the stdlib OCF reader resolve the
+        # snapshot's parquet files (sources/iceberg_native.py); catalog
+        # URIs and v2 delete files still need the jar and say so
+        from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+        return {"": read_iceberg_native(ctx.spark, p)}
     return {"": ctx.spark.read.format("iceberg").load(p["table"])}
 
 
