@@ -68,3 +68,167 @@ def read_ocf(data: bytes) -> tuple[dict, Iterator[dict[str, Any]]]:
 def read_ocf_file(path: str) -> tuple[dict, Iterator[dict[str, Any]]]:
     with open(path, "rb") as fh:
         return read_ocf(fh.read())
+
+
+# ------------------------------------------------------------- encoder
+
+def _zz(v: int) -> bytes:
+    u = (v << 1) ^ (v >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        out.append(b | (0x80 if u else 0))
+        if not u:
+            return bytes(out)
+
+
+def encode_datum(value: Any, schema: Any, reg: dict[str, Any]) -> bytes:
+    """Binary-encode one datum per the Avro spec — the write twin of
+    avrodec._decode, covering the same type subset."""
+    import datetime as dt
+    import struct
+
+    if isinstance(schema, str):
+        if schema in reg:
+            return encode_datum(value, reg[schema], reg)
+        t = schema
+    elif isinstance(schema, list):  # union: branch index + value
+        for idx, branch in enumerate(schema):
+            bt = branch if isinstance(branch, str) else branch.get("type")
+            if value is None and bt == "null":
+                return _zz(idx)
+            if value is not None and bt != "null":
+                return _zz(idx) + encode_datum(value, branch, reg)
+        raise ValueError(f"no union branch for {type(value).__name__} in {schema}")
+    else:
+        t = schema["type"]
+        if isinstance(t, (dict, list)):
+            return encode_datum(value, t, reg)
+
+    if t == "null":
+        return b""
+    if t == "boolean":
+        return b"\x01" if value else b"\x00"
+    if t in ("int", "long"):
+        lt = schema.get("logicalType") if isinstance(schema, dict) else None
+        if lt in ("timestamp-millis", "timestamp-micros") and isinstance(
+            value, dt.datetime
+        ):
+            epoch = dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+            micros = round((value - epoch).total_seconds() * 1_000_000)
+            return _zz(micros // 1000 if lt == "timestamp-millis" else micros)
+        if lt == "date" and isinstance(value, dt.date):
+            return _zz((value - dt.date(1970, 1, 1)).days)
+        return _zz(int(value))
+    if t == "float":
+        return struct.pack("<f", float(value))
+    if t == "double":
+        return struct.pack("<d", float(value))
+    if t == "bytes":
+        b = bytes(value)
+        return _zz(len(b)) + b
+    if t == "string":
+        b = str(value).encode("utf-8")
+        return _zz(len(b)) + b
+    if t == "record":
+        return b"".join(
+            encode_datum((value or {}).get(f["name"]), f["type"], reg)
+            for f in schema["fields"]
+        )
+    if t == "enum":
+        return _zz(schema["symbols"].index(value))
+    if t == "fixed":
+        b = bytes(value)
+        if len(b) != schema["size"]:
+            raise ValueError(f"fixed size mismatch: {len(b)} != {schema['size']}")
+        return b
+    if t == "array":
+        # explicit None check: numpy arrays reject bool coercion
+        items = [] if value is None else list(value)
+        if not items:
+            return _zz(0)
+        body = b"".join(encode_datum(x, schema["items"], reg) for x in items)
+        return _zz(len(items)) + body + _zz(0)
+    if t == "map":
+        entries = {} if value is None else dict(value)
+        if not entries:
+            return _zz(0)
+        body = b""
+        for k, v in entries.items():
+            kb = str(k).encode("utf-8")
+            body += _zz(len(kb)) + kb + encode_datum(v, schema["values"], reg)
+        return _zz(len(entries)) + body + _zz(0)
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+def write_ocf_bytes(
+    schema_json: dict, records: list[dict], codec: str = "deflate"
+) -> bytes:
+    """Serialize records into one OCF blob (single block)."""
+    schema, reg = parse_schema(schema_json)
+    payload = b"".join(encode_datum(r, schema, reg) for r in records)
+    if codec == "deflate":
+        comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+        payload = comp.compress(payload) + comp.flush()
+    elif codec != "null":
+        raise NotImplementedError(f"avro OCF codec '{codec}'")
+    sync = bytes(
+        (hash((len(records), len(payload), json.dumps(schema_json))) >> s) & 0xFF
+        for s in range(0, 128, 8)
+    )
+    meta_entries = {
+        "avro.schema": json.dumps(schema_json).encode(),
+        "avro.codec": codec.encode(),
+    }
+    meta = _zz(len(meta_entries))
+    for k, v in meta_entries.items():
+        kb = k.encode()
+        meta += _zz(len(kb)) + kb + _zz(len(v)) + v
+    meta += _zz(0)
+    return (
+        _MAGIC + meta + sync
+        + _zz(len(records)) + _zz(len(payload)) + payload + sync
+    )
+
+
+_SPARK_TO_AVRO = {
+    "boolean": "boolean",
+    "integer": "int", "short": "int", "byte": "int",
+    "long": "long",
+    "float": "float", "double": "double",
+    "string": "string", "binary": "bytes",
+    "date": {"type": "int", "logicalType": "date"},
+    "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+    "timestamp_ntz": {"type": "long", "logicalType": "timestamp-micros"},
+}
+
+
+def spark_schema_to_avro(schema, name: str = "row") -> dict:
+    """Spark StructType → avro record schema (nullable → [null, T])."""
+    from pyspark.sql import types as T
+
+    def conv(dtype, fname):
+        if isinstance(dtype, T.StructType):
+            return spark_schema_to_avro(dtype, fname)
+        if isinstance(dtype, T.ArrayType):
+            return {"type": "array", "items": conv(dtype.elementType, fname + "_item")}
+        if isinstance(dtype, T.MapType):
+            return {"type": "map", "values": conv(dtype.valueType, fname + "_val")}
+        if isinstance(dtype, T.DecimalType):
+            return "double"  # documented narrowing in the native writer
+        mapped = _SPARK_TO_AVRO.get(dtype.typeName())
+        if mapped is None:
+            raise ValueError(f"avro native writer: unsupported type {dtype}")
+        return mapped
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": [
+                "null", conv(f.dataType, f.name)
+            ] if f.nullable else conv(f.dataType, f.name)}
+            for f in schema.fields
+        ],
+    }

@@ -105,13 +105,15 @@ def storage_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
         try:
             writer.format("avro").save(path)
         except Exception as e:
-            if "Failed to find data source: avro" in str(e):
-                raise RuntimeError(
-                    "avro needs the spark-avro jar (external module, not in "
-                    "this container): add org.apache.spark:spark-avro via "
-                    "spark.jars.packages"
-                ) from None
-            raise
+            if "Failed to find data source: avro" not in str(e):
+                raise
+            # no spark-avro jar: each task writes its partition as one OCF
+            # file via the stdlib encoder (shared-filesystem paths)
+            from pipeline_spark.sources.avro_native import write_avro_native
+
+            write_avro_native(
+                df, path, codec=codec, mode=p.get("mode", "overwrite")
+            )
     elif fmt == "csv":
         writer.option("header", str(bool(p.get("header", True))).lower()).csv(path)
     elif fmt in ("json", "jsonl"):

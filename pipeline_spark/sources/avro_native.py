@@ -1,0 +1,112 @@
+"""Native distributed avro read/write for the storage modules — no jar.
+
+Read: ``binaryFile`` gives one row per .avro file (whole-file bytes);
+an Arrow-batched ``mapInPandas`` decodes each file's OCF blocks with the
+stdlib reader (functions/avroocf.py) into typed rows.  Parallelism is
+per-file — the same planning unit spark-avro uses for unsplittable-codec
+files; schema comes from a driver-side probe of the first file.
+
+Write: each task serializes its partition into one OCF file (deflate by
+default) via ``mapInPandas``; materializing the receipts DataFrame IS
+the write action.  Paths must be on a filesystem the executors share
+(local/NFS — object stores need the jar's committers).  Decimals narrow
+to double (documented).
+
+Memory posture: a file is decoded/encoded as one buffer per task — size
+files via ``numShards`` like any avro pipeline; this mirrors the row
+groups a parquet writer buffers.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _expand(paths: list[str]) -> list[str]:
+    out: list[str] = []
+    for p in paths:
+        matches = sorted(glob.glob(p)) or [p]
+        for m in matches:
+            if os.path.isdir(m):
+                out.extend(sorted(glob.glob(os.path.join(m, "*.avro"))))
+            else:
+                out.append(m)
+    return out
+
+
+def read_avro_native(spark: SparkSession, paths: list[str]) -> DataFrame:
+    from pipeline_spark.functions.avrodec import avro_to_spark_type
+    from pipeline_spark.functions.avroocf import read_ocf, read_ocf_file
+
+    files = _expand(paths)
+    if not files:
+        raise FileNotFoundError(f"avro: no files match {paths}")
+    schema_json, _ = read_ocf_file(files[0])
+    spark_type = avro_to_spark_type(schema_json)
+    names = [f.name for f in spark_type.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, recs = read_ocf(bytes(content))
+                rows = list(recs)
+                if rows:
+                    yield pd.DataFrame(rows, columns=names)
+
+    binary = spark.read.format("binaryFile").load(files)
+    return binary.select("content").mapInPandas(decode, schema=spark_type)
+
+
+def write_avro_native(
+    df: DataFrame, path: str, codec: str = "deflate", mode: str = "overwrite"
+) -> None:
+    import shutil
+
+    from pipeline_spark.functions.avroocf import (
+        spark_schema_to_avro,
+        write_ocf_bytes,
+    )
+
+    avro_schema = spark_schema_to_avro(df.schema)
+    if mode == "overwrite" and os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    codec = {"snappy": "deflate", None: "deflate"}.get(codec, codec or "deflate")
+
+    def write_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import uuid
+
+        from pyspark import TaskContext
+
+        def scalar_null(v):
+            # cell-wise (not frame-wise): array/map cells hold numpy arrays
+            # whose truthiness pd.notnull would try to coerce
+            if v is None or v is pd.NaT:
+                return None
+            if isinstance(v, float) and v != v:
+                return None
+            return v
+
+        rows: list[dict] = []
+        for pdf in batches:
+            clean = pdf.apply(lambda col: col.map(scalar_null))
+            rows.extend(clean.to_dict("records"))
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc else 0
+        if rows:
+            blob = write_ocf_bytes(avro_schema, rows, codec)
+            fname = os.path.join(path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.avro")
+            with open(fname, "wb") as fh:
+                fh.write(blob)
+            yield pd.DataFrame({"path": [fname], "rows": [len(rows)]})
+
+    # materializing the receipts performs the distributed write
+    df.mapInPandas(write_parts, schema="path string, rows long").write.mode(
+        "overwrite"
+    ).format("noop").save()

@@ -130,13 +130,13 @@ def storage_source(ctx: ModuleContext) -> dict[str, DataFrame]:
         try:
             df = reader.format("avro").load(paths)
         except Exception as e:
-            if "Failed to find data source: avro" in str(e):
-                raise RuntimeError(
-                    "avro needs the spark-avro jar (external module, not in "
-                    "this container): add org.apache.spark:spark-avro via "
-                    "spark.jars.packages"
-                ) from None
-            raise
+            if "Failed to find data source: avro" not in str(e):
+                raise
+            # no spark-avro jar: distributed native read — binaryFile rows
+            # decoded per-file with the stdlib OCF reader
+            from pipeline_spark.sources.avro_native import read_avro_native
+
+            df = read_avro_native(ctx.spark, paths)
     elif fmt == "csv":
         opts = {
             "header": "false" if p.get("skipHeaderLines") in (None, 0) else "true",

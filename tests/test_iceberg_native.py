@@ -178,3 +178,73 @@ def test_delete_files_gate(tmp_path, spark):
     }))
     with pytest.raises(NotImplementedError, match="delete files"):
         plan_data_files(str(root))
+
+
+class TestAvroNativeStorage:
+    """storage avro without the jar: distributed write (one OCF per task)
+    and read (binaryFile + per-file decode) round-trip typed data."""
+
+    def test_roundtrip_types(self, spark, tmp_path):
+        import datetime as dt
+
+        from pipeline_spark.config import parse_config
+        from pipeline_spark.executor import run_pipeline
+
+        df = spark.createDataFrame(
+            [
+                (1, "a", 1.5, True, dt.datetime(2024, 1, 2, 3, 4, 5),
+                 [1, 2], {"x": 1.0}, bytearray(b"\x00\x01"), None),
+                (2, "b", -2.25, False, dt.datetime(2024, 6, 7), [], {},
+                 bytearray(b""), "opt"),
+            ],
+            "id long, s string, d double, b boolean, ts timestamp, "
+            "arr array<int>, m map<string,double>, bin binary, opt string",
+        )
+        out = str(tmp_path / "avro_out")
+        run_pipeline(spark, parse_config(f"""
+sinks:
+  - name: w
+    module: storage
+    inputs: [src]
+    parameters: {{format: avro, output: {out}}}
+"""), inputs={"src": df})
+        import glob as _glob
+
+        files = _glob.glob(f"{out}/*.avro")
+        assert files, "no avro files written"
+
+        outs = run_pipeline(spark, parse_config(f"""
+sources:
+  - name: r
+    module: storage
+    parameters: {{format: avro, input: {out}}}
+"""))
+        got = {r["id"]: r for r in outs["r"].collect()}
+        assert got[1]["s"] == "a" and got[1]["d"] == 1.5 and got[1]["b"] is True
+        assert got[1]["ts"] == dt.datetime(2024, 1, 2, 3, 4, 5)
+        assert list(got[1]["arr"]) == [1, 2] and dict(got[1]["m"]) == {"x": 1.0}
+        assert bytes(got[1]["bin"]) == b"\x00\x01" and got[1]["opt"] is None
+        assert got[2]["opt"] == "opt" and list(got[2]["arr"]) == []
+
+    def test_read_partitions_per_file(self, spark, tmp_path):
+        from pipeline_spark.config import parse_config
+        from pipeline_spark.executor import run_pipeline
+
+        out = str(tmp_path / "sharded")
+        df = spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(4)
+        run_pipeline(spark, parse_config(f"""
+sinks:
+  - name: w
+    module: storage
+    inputs: [src]
+    parameters: {{format: avro, output: {out}}}
+"""), inputs={"src": df})
+        outs = run_pipeline(spark, parse_config(f"""
+sources:
+  - name: r
+    module: storage
+    parameters: {{format: avro, input: {out}}}
+"""))
+        rdf = outs["r"]
+        assert rdf.count() == 1000
+        assert rdf.agg({"v": "sum"}).collect()[0][0] == 999 * 1000
