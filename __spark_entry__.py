@@ -1908,6 +1908,52 @@ FROM orders WHERE o_orderkey % 97 = 0
 """
 
 
+def q_storage_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """storage avro with the native (jar-free) path: customer rows written
+    as OCF avro by the sink, read back by the source, aggregated; the
+    oracle aggregates the original table directly."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = os.path.join(tempfile.gettempdir(), "pipeline_spark_avro_rt")
+    run_pipeline(spark, parse_config(f"""
+sources:
+  - name: customer
+    module: storage
+    parameters: {{format: parquet, input: {sf_dir}/customer.parquet}}
+sinks:
+  - name: w
+    module: storage
+    inputs: [customer]
+    parameters: {{format: avro, output: {out}}}
+"""))
+    outs = run_pipeline(spark, parse_config(f"""
+sources:
+  - name: back
+    module: storage
+    parameters: {{format: avro, input: {out}}}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [back]
+    parameters:
+      groupFields: [c_mktsegment]
+      aggregations:
+        - {{name: n, op: count}}
+        - {{name: total_bal, op: sum, field: c_acctbal}}
+"""))
+    return outs["agg"].select(
+        "c_mktsegment", "n", F.round("total_bal", 2).alias("total_bal")
+    )
+
+
+Q_STORAGE_AVRO_SQL = """
+SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
 def _proto_varint(v: int) -> bytes:
     if v < 0:
         v &= (1 << 64) - 1
@@ -2063,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deserialize_proto": q_deserialize_proto,
         "match_recognize_chunked": q_match_recognize_chunked,
         "multimodal_decode": q_multimodal_decode,
+        "storage_avro_roundtrip": q_storage_avro_roundtrip,
     }
 
 
@@ -2127,4 +2174,5 @@ def oracle_sql() -> dict[str, str]:
         "deserialize_proto": Q_DESER_PROTO_SQL,
         "match_recognize_chunked": Q_MATCHREC_CHUNKED_SQL,
         "multimodal_decode": Q_MULTIMODAL_DECODE_SQL,
+        "storage_avro_roundtrip": Q_STORAGE_AVRO_SQL,
     }
