@@ -1769,7 +1769,9 @@ transforms:
         - {expression: "SUM(A.l_quantity)", name: qa}
         - {expression: "SUM(B.l_quantity)", name: qb}
       hotKeyMode: chunked
-      hotKeyChunkSize: 64
+      # ~600 rows per suppkey at every SF → 2-3 chunks per key: chunking
+      # genuinely exercised without drowning in tiny applyInPandas groups
+      hotKeyChunkSize: 256
 """, "mr").select(
         "l_suppkey", F.round("qa", 2).alias("qa"), F.round("qb", 2).alias("qb")
     )

@@ -77,6 +77,11 @@ BENCH_QUERIES = [
     "pack_sequences",
     "match_recognize",
     "processing_timeseries",
+    "deserialize_avro",
+    "deserialize_proto",
+    "match_recognize_chunked",
+    "multimodal_decode",
+    "storage_avro_roundtrip",
 ]
 
 
