@@ -138,6 +138,34 @@ def _pool_window(X: np.ndarray, kernel: list[int], strides: list[int],
     return win[:, :, ::sh, ::sw, ::dh, ::dw]
 
 
+def _resolve_pads(attrs: dict[str, Any], in_hw: tuple[int, int],
+                  kernel: list[int], strides: list[int],
+                  dilations: list[int]) -> list[int]:
+    """Explicit pads, or SAME_UPPER/SAME_LOWER/VALID per the ONNX spec:
+    SAME pads so out = ceil(in / stride), extra pixel at the end (UPPER)
+    or start (LOWER)."""
+    auto = attrs.get("auto_pad", b"NOTSET")
+    auto = auto.decode() if isinstance(auto, bytes) else str(auto)
+    if auto in ("NOTSET", ""):
+        return [int(v) for v in attrs.get("pads", [0, 0, 0, 0])]
+    if auto == "VALID":
+        return [0, 0, 0, 0]
+    if auto not in ("SAME_UPPER", "SAME_LOWER"):
+        raise ProtoError(f"onnx: unknown auto_pad '{auto}'")
+    pads = [0, 0, 0, 0]  # top, left, bottom, right
+    for axis, (size, k, s, d) in enumerate(
+        zip(in_hw, kernel, strides, dilations)
+    ):
+        eff_k = (k - 1) * d + 1
+        out = -(-size // s)  # ceil
+        total = max((out - 1) * s + eff_k - size, 0)
+        small, big = total // 2, total - total // 2
+        begin, end = (small, big) if auto == "SAME_UPPER" else (big, small)
+        pads[axis] = begin
+        pads[axis + 2] = end
+    return pads
+
+
 def _conv2d(X: np.ndarray, W: np.ndarray, B: np.ndarray | None,
             attrs: dict[str, Any]) -> np.ndarray:
     """ONNX Conv (2D, NCHW) via strided im2col + einsum — one BLAS-backed
@@ -147,10 +175,8 @@ def _conv2d(X: np.ndarray, W: np.ndarray, B: np.ndarray | None,
     kh, kw = [int(v) for v in attrs.get("kernel_shape", W.shape[2:])]
     strides = [int(v) for v in attrs.get("strides", [1, 1])]
     dilations = [int(v) for v in attrs.get("dilations", [1, 1])]
-    pads = [int(v) for v in attrs.get("pads", [0, 0, 0, 0])]
+    pads = _resolve_pads(attrs, X.shape[2:], [kh, kw], strides, dilations)
     group = int(attrs.get("group", 1))
-    if attrs.get("auto_pad", b"NOTSET") not in (b"NOTSET", "NOTSET"):
-        raise ProtoError("onnx Conv: auto_pad not supported (use explicit pads)")
     win = _pool_window(X, [kh, kw], strides, pads, dilations)
     n, c, oh, ow = win.shape[:4]
     m = W.shape[0]
@@ -244,14 +270,14 @@ class OnnxGraph:
             elif op == "MaxPool":
                 kernel = [int(v) for v in a["kernel_shape"]]
                 strides = [int(v) for v in a.get("strides", [1, 1])]
-                pads = [int(v) for v in a.get("pads", [0, 0, 0, 0])]
+                pads = _resolve_pads(a, x[0].shape[2:], kernel, strides, [1, 1])
                 win = _pool_window(x[0], kernel, strides, pads,
                                    pad_value=-np.inf)
                 r = win.max(axis=(4, 5)).astype(x[0].dtype, copy=False)
             elif op == "AveragePool":
                 kernel = [int(v) for v in a["kernel_shape"]]
                 strides = [int(v) for v in a.get("strides", [1, 1])]
-                pads = [int(v) for v in a.get("pads", [0, 0, 0, 0])]
+                pads = _resolve_pads(a, x[0].shape[2:], kernel, strides, [1, 1])
                 win = _pool_window(x[0], kernel, strides, pads)
                 if a.get("count_include_pad") or not any(pads):
                     r = win.mean(axis=(4, 5))

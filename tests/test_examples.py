@@ -22,6 +22,19 @@ def stage_stream_inputs():
         "/root/testdata/sf0.001/events.parquet",
         "/tmp/pipeline_in/events/events.parquet",
     )
+    # the iceberg example reads a staged fixture table (spec-built)
+    import pathlib
+
+    from test_iceberg_native import build_table
+
+    tbl = pathlib.Path("/tmp/pipeline_in/iceberg_tbl")
+    if tbl.exists():
+        shutil.rmtree(tbl)
+    build_table(tbl, codec="deflate")
+    # early-firing example: fresh checkpoint per test session so the
+    # stream re-processes the staged file
+    shutil.rmtree("/tmp/pipeline_out/early_firing", ignore_errors=True)
+    shutil.rmtree("/tmp/pipeline_out/early_firing_checkpoint", ignore_errors=True)
 
 
 @pytest.mark.parametrize("path", EXAMPLES, ids=[os.path.basename(p) for p in EXAMPLES])

@@ -273,3 +273,39 @@ def test_transpose_concat():
     (y,) = OnnxGraph(model).run({"x": A})
     t = np.transpose(A, (0, 2, 1))
     np.testing.assert_allclose(y, np.concatenate([t, t], axis=2))
+
+
+def str_attr(name: str, value: str) -> bytes:
+    return ld(5, ld(1, name.encode()) + ld(4, value.encode()))
+
+
+def test_conv_auto_pad_same_upper():
+    """SAME_UPPER: out = ceil(in/stride), asymmetric pad goes to the end."""
+    rng = np.random.RandomState(1)
+    X = rng.randn(1, 2, 7, 7).astype(np.float32)
+    W = rng.randn(3, 2, 3, 3).astype(np.float32)
+    attrs = (ints_attr("kernel_shape", [3, 3]) + ints_attr("strides", [2, 2])
+             + str_attr("auto_pad", "SAME_UPPER"))
+    graph = (
+        ld(1, node("Conv", ["x", "W"], ["y"], attrs))
+        + ld(2, b"sp") + ld(5, tensor("W", W.shape, W))
+        + ld(11, value_info("x")) + ld(12, value_info("y"))
+    )
+    (y,) = OnnxGraph(vi(1, 8) + ld(7, graph)).run({"x": X})
+    # in=7 stride=2 k=3 → out=4, total pad = 3*2+3-7 = 2 → (1, 1)
+    assert y.shape == (1, 3, 4, 4)
+    np.testing.assert_allclose(
+        y, naive_conv2d(X, W, None, (2, 2), (1, 1, 1, 1)), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_maxpool_auto_pad_valid():
+    X = np.arange(16, dtype=np.float32).reshape(1, 1, 4, 4)
+    attrs = (ints_attr("kernel_shape", [2, 2]) + ints_attr("strides", [2, 2])
+             + str_attr("auto_pad", "VALID"))
+    graph = (
+        ld(1, node("MaxPool", ["x"], ["y"], attrs)) + ld(2, b"vp")
+        + ld(11, value_info("x")) + ld(12, value_info("y"))
+    )
+    (y,) = OnnxGraph(vi(1, 8) + ld(7, graph)).run({"x": X})
+    assert y[0, 0].tolist() == [[5.0, 7.0], [13.0, 15.0]]
