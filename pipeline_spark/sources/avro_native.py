@@ -63,6 +63,48 @@ def read_avro_native(spark: SparkSession, paths: list[str]) -> DataFrame:
     return binary.select("content").mapInPandas(decode, schema=spark_type)
 
 
+def stream_avro_native(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-stream over a directory of avro OCF files, no jar: Spark's
+    binaryFile streaming source hands each new file's bytes to the same
+    per-file stdlib decode as the batch path.  Schema comes from a
+    one-time probe of an existing file (file streams need a schema before
+    any data arrives — the same contract as the parquet file stream)."""
+    from pipeline_spark.functions.avrodec import avro_to_spark_type
+    from pipeline_spark.functions.avroocf import read_ocf, read_ocf_file
+
+    existing = _expand([path])
+    if not existing:
+        raise ValueError(
+            f"avro streaming: no existing .avro file under {path} to probe "
+            "the schema from (declare config schema or stage one file)"
+        )
+    schema_json, _ = read_ocf_file(existing[0])
+    spark_type = avro_to_spark_type(schema_json)
+    names = [f.name for f in spark_type.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, recs = read_ocf(bytes(content))
+                rows = list(recs)
+                if rows:
+                    yield pd.DataFrame(rows, columns=names)
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.avro")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    binary = reader.load(path)
+    return binary.select("content").mapInPandas(decode, schema=spark_type)
+
+
 def write_avro_native(
     df: DataFrame, path: str, codec: str = "deflate", mode: str = "overwrite"
 ) -> None:

@@ -81,12 +81,14 @@ def storage_source(ctx: ModuleContext) -> dict[str, DataFrame]:
         if nanos_cols:
             ctx.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         reader = ctx.spark.readStream
-        if explicit_schema is None:
+        if explicit_schema is None and fmt != "avro":
+            # avro probes inside stream_avro_native (OCF header schema)
             probe = ctx.spark.read
             explicit_schema = (
                 probe.parquet(*paths) if fmt == "parquet" else probe.format(fmt).load(paths)
             ).schema
-        reader = reader.schema(explicit_schema)
+        if explicit_schema is not None:
+            reader = reader.schema(explicit_schema)
         if p.get("maxFilesPerTrigger"):
             reader = reader.option("maxFilesPerTrigger", int(p["maxFilesPerTrigger"]))
         if fmt == "parquet":
@@ -95,6 +97,13 @@ def storage_source(ctx: ModuleContext) -> dict[str, DataFrame]:
             df = reader.option("header", "true").csv(paths[0])
         elif fmt in ("json", "jsonl"):
             df = reader.json(paths[0])
+        elif fmt == "avro":
+            # jar-free: binaryFile stream + per-file stdlib OCF decode
+            from pipeline_spark.sources.avro_native import stream_avro_native
+
+            df = stream_avro_native(
+                ctx.spark, paths[0], p.get("maxFilesPerTrigger")
+            )
         else:
             raise ValueError(f"storage streaming: unsupported format '{fmt}'")
         for c in nanos_cols:

@@ -248,3 +248,57 @@ sources:
         rdf = outs["r"]
         assert rdf.count() == 1000
         assert rdf.agg({"v": "sum"}).collect()[0][0] == 999 * 1000
+
+
+def test_avro_file_stream_native(spark, tmp_path):
+    """storage avro in streaming mode without the jar: binaryFile stream +
+    per-file OCF decode feeds a watermarked windowed agg end-to-end."""
+    import datetime as dt
+
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    in_dir = str(tmp_path / "avro_stream_in")
+    base = dt.datetime(2024, 1, 1)
+    src = spark.createDataFrame(
+        [("a", 1.0, base.replace(second=5)),
+         ("a", 2.0, base.replace(second=25)),
+         ("b", 3.0, base.replace(minute=2))],
+        "k string, v double, ts timestamp",
+    )
+    run_pipeline(spark, parse_config(f"""
+sinks:
+  - name: w
+    module: storage
+    inputs: [src]
+    parameters: {{format: avro, output: {in_dir}}}
+"""), inputs={"src": src.coalesce(1)})
+
+    out_dir = str(tmp_path / "avro_stream_out")
+    run_pipeline(spark, parse_config(f"""
+sources:
+  - name: events
+    module: storage
+    parameters: {{format: avro, input: {in_dir}, mode: streaming}}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [events]
+    timestampAttribute: ts
+    strategy:
+      window: {{type: fixed, size: 1, unit: minute}}
+      allowedLateness: 5
+    parameters:
+      groupFields: [k]
+      aggregations:
+        - {{name: n, op: count}}
+        - {{name: total, op: sum, field: v}}
+sinks:
+  - name: out
+    module: storage
+    inputs: [agg]
+    parameters: {{format: parquet, output: {out_dir}, availableNow: true}}
+"""))
+    rows = {(r["k"], r["window"]["start"].minute): (r["n"], r["total"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert rows[("a", 0)] == (2, 3.0)
