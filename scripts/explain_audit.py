@@ -133,6 +133,46 @@ def main() -> int:
     if "Window" not in p13:
         failures.append("processing: expected WindowExec for history steps")
 
+    # chunked matchRecognize: sequence numbers from ONE spillable window
+    # sort per branch (core + carry-over reuse it), union, then the
+    # per-chunk groupBy — no extra exchanges beyond window + group
+    p14 = plan_of(entrymod.q_match_recognize_chunked(spark, sf))
+    if "Union" not in p14:
+        failures.append("matchrec chunked: expected carry-over Union in plan")
+    if "FlatMapGroupsInPandas" not in p14:
+        failures.append("matchrec chunked: expected per-chunk applyInPandas")
+    if p14.count("Exchange") > 4:
+        failures.append(
+            f"matchrec chunked: {p14.count('Exchange')} exchanges — "
+            "expected ≤4 (window sort + group per union branch)"
+        )
+
+    # native avro read: binaryFile scan feeding the per-file decode —
+    # and nothing else Python-side in the plan
+    import tempfile, os
+    avro_dir = os.path.join(tempfile.gettempdir(), "audit_avro")
+    entrymod.run_pipeline(spark, entrymod.parse_config(f"""
+sources:
+  - name: r
+    module: storage
+    parameters: {{format: parquet, input: {sf}/region.parquet}}
+sinks:
+  - name: w
+    module: storage
+    inputs: [r]
+    parameters: {{format: avro, output: {avro_dir}}}
+"""))
+    p15 = plan_of(entrymod.run_pipeline(spark, entrymod.parse_config(f"""
+sources:
+  - name: back
+    module: storage
+    parameters: {{format: avro, input: {avro_dir}}}
+"""))["back"])
+    if "binaryFile" not in p15 and "BinaryFile" not in p15:
+        failures.append("avro native: expected binaryFile scan in plan")
+    if "MapInPandas" not in p15:
+        failures.append("avro native: expected per-file MapInPandas decode")
+
     for f in failures:
         print("FAIL", f)
     print("PLAN AUDIT:", "FAILED" if failures else "ALL OK")
