@@ -15,6 +15,13 @@ to double (documented).
 Memory posture: a file is decoded/encoded as one buffer per task — size
 files via ``numShards`` like any avro pipeline; this mirrors the row
 groups a parquet writer buffers.
+
+Write-commit semantics: the native writer has no commit protocol (that
+is what the jar's FileFormatWriter supplies), so a task that fails AFTER
+writing its file and is retried leaves the earlier uuid-named part
+behind — at-least-once file output.  Overwrite mode clears the directory
+first, so re-running the pipeline converges; treat in-flight partial
+output as provisional, as with any direct-write sink.
 """
 
 from __future__ import annotations

@@ -34,6 +34,13 @@ driver-side pane ledger, not a data-plane materialization.
 Non-emulatable trigger families (afterPane element counts, afterEach /
 afterFirst / afterAll composites) raise with the reason: Spark exposes no
 per-key pane accounting to hang them on.
+
+Delivery semantics: the pane ledger lives in the foreachBatch closure,
+so if Spark retries a micro-batch after a sink failure the retried batch
+re-increments pane indexes and re-deltas discarding values — pane
+METADATA is at-least-once, exactly like Beam's pane index under retried
+bundle commits.  The underlying aggregate values remain governed by
+Spark's checkpointed state and stay correct.
 """
 
 from __future__ import annotations
