@@ -270,9 +270,17 @@ class OnnxGraph:
             elif op == "MaxPool":
                 kernel = [int(v) for v in a["kernel_shape"]]
                 strides = [int(v) for v in a.get("strides", [1, 1])]
-                pads = _resolve_pads(a, x[0].shape[2:], kernel, strides, [1, 1])
-                win = _pool_window(x[0], kernel, strides, pads,
-                                   pad_value=-np.inf)
+                dil = [int(v) for v in a.get("dilations", [1, 1])]
+                pads = _resolve_pads(a, x[0].shape[2:], kernel, strides, dil)
+                # pad with the dtype's own minimum: -inf cannot cast into
+                # integer tensors
+                pad_min = (
+                    np.iinfo(x[0].dtype).min
+                    if np.issubdtype(x[0].dtype, np.integer)
+                    else -np.inf
+                )
+                win = _pool_window(x[0], kernel, strides, pads, dilations=dil,
+                                   pad_value=pad_min)
                 r = win.max(axis=(4, 5)).astype(x[0].dtype, copy=False)
             elif op == "AveragePool":
                 kernel = [int(v) for v in a["kernel_shape"]]

@@ -1013,7 +1013,9 @@ def match_recognize(
     buffer (applyInPandas materializes the group's Arrow batch regardless,
     so past this bound the fix is a finer partitionBy, not more memory).
     ``None`` disables either guard explicitly; zero/negative values are
-    rejected so a typo can't silently turn a guard off.
+    rejected at THIS API so a typo can't silently turn a guard off (the
+    YAML surface deliberately maps null/0/negative to "disabled" instead —
+    see ``_guard_limit`` — because YAML has no other idiom for it).
 
     ``hot_key_mode="chunked"`` removes the one-task-per-key buffering
     limit entirely: each key's ordered history is split into
@@ -1064,6 +1066,16 @@ def match_recognize(
     # window) and the Python side only walks the NFA over bitmaps.
     # Translation failures fall back to the per-row Python evaluator.
     order_exprs = [F.col(c.strip("`")) for c in order_by]
+    if hot_key_mode == "chunked":
+        # chunked plans re-evaluate every window subtree in both union
+        # branches, so ANY window here (masks AND sequence) must order
+        # deterministically — append a whole-input-row hash tiebreak.
+        # Identical duplicate rows stay interchangeable: either assignment
+        # yields the same chunk multisets, hence the same matches.
+        order_exprs = [
+            *order_exprs,
+            F.xxhash64(*[F.col(f.name) for f in df.schema.fields]),
+        ]
     jvm_masks: dict[str, str] = {}
     if order_exprs:
         wspec = (
@@ -1226,6 +1238,9 @@ def match_recognize(
         # applyInPandas Arrow batch, this never holds the key in memory),
         # chunk assignment, and a forward carry-over of pattern_max_rows-1
         # rows duplicated into the previous chunk
+        # order_exprs already carries the whole-row hash tiebreak (added
+        # above for chunked mode), so this row_number is deterministic
+        # across the union's re-evaluated branches
         wspec_seq = (
             Window.partitionBy(*partition_by).orderBy(*order_exprs)
             if partition_by

@@ -49,12 +49,21 @@ def storage_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
         strategy = ctx.config.get("strategy") or {}
         if parse_trigger(strategy) is not None:
             # early-firing trigger (Strategy.java:232-343): update-mode
-            # panes via foreachBatch, each batch appended to the path
+            # panes via foreachBatch, each batch appended to the path —
+            # same format dispatch as the batch writer (jsonl is not a
+            # registered source name; csv keeps its header option)
             def write_pane(bdf: DataFrame, _bid: int) -> None:
-                w = bdf.write.mode("append").format(fmt)
+                w = bdf.write.mode("append")
                 if partition_cols:
                     w = w.partitionBy(*partition_cols)
-                w.save(path)
+                if fmt in ("json", "jsonl"):
+                    w.json(path)
+                elif fmt == "csv":
+                    w.option(
+                        "header", str(bool(p.get("header", True))).lower()
+                    ).csv(path)
+                else:
+                    w.format(fmt).save(path)
 
             query = stream_with_early_firing(
                 df,
@@ -108,11 +117,13 @@ def storage_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
             if "Failed to find data source: avro" not in str(e):
                 raise
             # no spark-avro jar: each task writes its partition as one OCF
-            # file via the stdlib encoder (shared-filesystem paths)
+            # file via the stdlib encoder (shared-filesystem paths);
+            # dynamic-destination columns keep their hive-style layout
             from pipeline_spark.sources.avro_native import write_avro_native
 
             write_avro_native(
-                df, path, codec=codec, mode=p.get("mode", "overwrite")
+                df, path, codec=codec, mode=p.get("mode", "overwrite"),
+                partition_cols=partition_cols,
             )
     elif fmt == "csv":
         writer.option("header", str(bool(p.get("header", True))).lower()).csv(path)

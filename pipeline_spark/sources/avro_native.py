@@ -71,24 +71,33 @@ def read_avro_native(spark: SparkSession, paths: list[str]) -> DataFrame:
 
 
 def stream_avro_native(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    explicit_schema=None,
 ) -> DataFrame:
     """File-stream over a directory of avro OCF files, no jar: Spark's
     binaryFile streaming source hands each new file's bytes to the same
-    per-file stdlib decode as the batch path.  Schema comes from a
-    one-time probe of an existing file (file streams need a schema before
-    any data arrives — the same contract as the parquet file stream)."""
+    per-file stdlib decode as the batch path (each file decodes with its
+    own embedded writer schema).  The SPARK schema comes from the config
+    (``explicit_schema``) or a one-time probe of an existing file — file
+    streams need a schema before any data arrives, the same contract as
+    the parquet file stream."""
     from pipeline_spark.functions.avrodec import avro_to_spark_type
     from pipeline_spark.functions.avroocf import read_ocf, read_ocf_file
 
-    existing = _expand([path])
-    if not existing:
-        raise ValueError(
-            f"avro streaming: no existing .avro file under {path} to probe "
-            "the schema from (declare config schema or stage one file)"
-        )
-    schema_json, _ = read_ocf_file(existing[0])
-    spark_type = avro_to_spark_type(schema_json)
+    if explicit_schema is not None:
+        spark_type = explicit_schema
+    else:
+        existing = _expand([path])
+        if not existing:
+            raise ValueError(
+                f"avro streaming: no existing .avro file under {path} to "
+                "probe the schema from — declare a config schema (used "
+                "directly, no probe) or stage one file"
+            )
+        schema_json, _ = read_ocf_file(existing[0])
+        spark_type = avro_to_spark_type(schema_json)
     names = [f.name for f in spark_type.fields]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -113,7 +122,11 @@ def stream_avro_native(
 
 
 def write_avro_native(
-    df: DataFrame, path: str, codec: str = "deflate", mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    codec: str = "deflate",
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
 ) -> None:
     import shutil
 
@@ -122,7 +135,12 @@ def write_avro_native(
         write_ocf_bytes,
     )
 
-    avro_schema = spark_schema_to_avro(df.schema)
+    partition_cols = list(partition_cols or [])
+    data_schema = (
+        df.drop(*partition_cols).schema if partition_cols else df.schema
+    )
+    avro_schema = spark_schema_to_avro(data_schema)
+    data_cols = [f.name for f in data_schema.fields]
     if mode == "overwrite" and os.path.isdir(path):
         shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
@@ -142,18 +160,30 @@ def write_avro_native(
                 return None
             return v
 
-        rows: list[dict] = []
+        # hive layout: one row group per partition-column value combo
+        groups: dict[tuple, list[dict]] = {}
         for pdf in batches:
             clean = pdf.apply(lambda col: col.map(scalar_null))
-            rows.extend(clean.to_dict("records"))
+            for rec in clean.to_dict("records"):
+                pkey = tuple(rec[c] for c in partition_cols)
+                groups.setdefault(pkey, []).append(
+                    {c: rec[c] for c in data_cols}
+                )
         tc = TaskContext.get()
         pid = tc.partitionId() if tc else 0
-        if rows:
+        receipts = []
+        for pkey, rows in groups.items():
+            sub = path
+            for c, v in zip(partition_cols, pkey):
+                sub = os.path.join(sub, f"{c}={v}")
+            os.makedirs(sub, exist_ok=True)
             blob = write_ocf_bytes(avro_schema, rows, codec)
-            fname = os.path.join(path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.avro")
+            fname = os.path.join(sub, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.avro")
             with open(fname, "wb") as fh:
                 fh.write(blob)
-            yield pd.DataFrame({"path": [fname], "rows": [len(rows)]})
+            receipts.append({"path": fname, "rows": len(rows)})
+        if receipts:
+            yield pd.DataFrame(receipts)
 
     # materializing the receipts performs the distributed write
     df.mapInPandas(write_parts, schema="path string, rows long").write.mode(

@@ -98,11 +98,15 @@ def storage_source(ctx: ModuleContext) -> dict[str, DataFrame]:
         elif fmt in ("json", "jsonl"):
             df = reader.json(paths[0])
         elif fmt == "avro":
-            # jar-free: binaryFile stream + per-file stdlib OCF decode
+            # jar-free: binaryFile stream + per-file stdlib OCF decode;
+            # a declared config schema starts the stream with no probe
             from pipeline_spark.sources.avro_native import stream_avro_native
 
             df = stream_avro_native(
-                ctx.spark, paths[0], p.get("maxFilesPerTrigger")
+                ctx.spark,
+                paths[0],
+                p.get("maxFilesPerTrigger"),
+                explicit_schema=explicit_schema,
             )
         else:
             raise ValueError(f"storage streaming: unsupported format '{fmt}'")

@@ -135,7 +135,7 @@ def streaming_count_range_select(
     value_field: str,
     n: int,
     order_field: str,
-    passthrough: list[str],
+    passthrough: list[tuple[str, str]],
     aggs: list[tuple[str, str]],
 ) -> DataFrame:
     """Per-ROW trailing count-range aggregates on a stream — the streaming
@@ -144,7 +144,9 @@ def streaming_count_range_select(
     requested ``aggs`` (list of (output name, op) with op in count/sum/
     min/max/avg) over the last ``n`` rows of its key; state = the
     previous ``n-1`` values, a bounded array — the same frame the batch
-    window holds.  ``passthrough`` columns are carried as-is.
+    window holds.  ``passthrough`` is (output name, source column) pairs
+    carried through (renames honored, matching the batch path's
+    ``withColumn(name, ...)`` binding).
 
     Contract pinned by the batch-parity test: rows must reach the stream
     in per-key ``order_field`` order (micro-batch sequence × an in-batch
@@ -156,9 +158,16 @@ def streaming_count_range_select(
     bad = [op for _, op in aggs if op not in _RANGE_OPS]
     if bad:
         raise ValueError(f"streaming count-range: unsupported ops {bad}")
-    carry = list(dict.fromkeys([*group_fields, order_field, *passthrough]))
+    # passthrough: (output_name, source_column) pairs — renames honored;
+    # ONLY selected columns are emitted (batch parity: apply_stateful_select
+    # projects to the select names — group/order fields appear only when
+    # the select list names them)
+    carry_pairs = list(dict.fromkeys(tuple(p) for p in passthrough))
     out_schema = T.StructType(
-        [df.schema[c] for c in carry]
+        [
+            T.StructField(out, df.schema[src].dataType, df.schema[src].nullable)
+            for out, src in carry_pairs
+        ]
         + [
             T.StructField(
                 name, T.LongType() if op == "count" else T.DoubleType()
@@ -182,7 +191,7 @@ def streaming_count_range_select(
             )
             roll = full.rolling(n, min_periods=1)
             lo = len(tail)
-            out = {c: pdf[c].to_numpy() for c in carry}
+            out = {o: pdf[src].to_numpy() for o, src in carry_pairs}
             for name, op in aggs:
                 if op == "count":
                     out[name] = roll.count().iloc[lo:].astype("int64").to_numpy()
@@ -223,7 +232,7 @@ def streaming_stateful_select(
     if not event_time_col:
         raise ValueError("streaming stateful select requires timestampAttribute")
     aggs: list[tuple[str, str]] = []
-    passthrough: list[str] = []
+    passthrough: list[tuple[str, str]] = []
     value_field = None
     range_n = None
     for sf in selects:
@@ -239,7 +248,7 @@ def streaming_stateful_select(
                     "(computed stateless functions: apply a separate "
                     "stateless select first)"
                 )
-            passthrough.append(src)
+            passthrough.append((name, src))
             continue
         func = select_fns.infer_func(sf)
         rng = sf.get("range") or {}
@@ -249,18 +258,42 @@ def streaming_stateful_select(
                 "count-range count/sum/min/max/avg without offset stream; "
                 "duration ranges need watermark-evicted buffers (use batch)"
             )
+        if sf.get("expression"):
+            raise NotImplementedError(
+                f"streaming stateful select: '{name}' uses an expression "
+                "input — only a plain field streams (compute the expression "
+                "in a stateless select first)"
+            )
         field = sf.get("field")
-        if value_field is None:
-            value_field, range_n = field, int(rng["count"])
-        elif field != value_field or int(rng["count"]) != range_n:
+        if field is None and func != "count":
+            raise NotImplementedError(
+                f"streaming stateful select: '{name}' ({func}) needs a field"
+            )
+        if field is not None:
+            if value_field is None:
+                value_field, range_n = field, int(rng["count"])
+            elif field != value_field or int(rng["count"]) != range_n:
+                raise NotImplementedError(
+                    "streaming stateful select: all range functions must "
+                    "share one field and one range count (state is a single "
+                    "bounded tail array)"
+                )
+        elif range_n is not None and int(rng["count"]) != range_n:
             raise NotImplementedError(
                 "streaming stateful select: all range functions must share "
-                "one field and one range count (state is a single bounded "
-                "tail array)"
+                "one range count"
             )
+        else:
+            range_n = int(rng["count"])
         aggs.append((name, func))
     if not aggs:
         raise ValueError("streaming stateful select: no stateful functions")
+    if value_field is None:
+        raise NotImplementedError(
+            "streaming stateful select: at least one range function must "
+            "name a field (a field-less count alone has no value column to "
+            "frame — give count the same field)"
+        )
     return streaming_count_range_select(
         df, group_fields, value_field, range_n, event_time_col, passthrough, aggs
     )

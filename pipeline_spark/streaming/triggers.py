@@ -73,13 +73,19 @@ def parse_trigger(strategy: dict[str, Any] | None) -> dict[str, Any] | None:
     ttype = str(trigger.get("type", "afterWatermark"))
     unit_sec = {
         "second": 1.0, "seconds": 1.0, "minute": 60.0, "minutes": 60.0,
-        "hour": 3600.0, "hours": 3600.0, "millisecond": 0.001,
+        "hour": 3600.0, "hours": 3600.0,
+        "millisecond": 0.001, "milliseconds": 0.001, "millis": 0.001,
+        "ms": 0.001,
     }
 
     def delay_of(t: dict[str, Any]) -> float:
         delay = t.get("pastFirstElementDelay", t.get("delay", 0)) or 0
         unit = str(t.get("pastFirstElementDelayUnit", t.get("unit", "second")))
-        return float(delay) * unit_sec.get(unit.lower(), 1.0)
+        if unit.lower() not in unit_sec:
+            # an unknown unit silently read as seconds would mis-time
+            # firings by orders of magnitude — fail loudly instead
+            raise ValueError(f"trigger delay unit '{unit}' not recognized")
+        return float(delay) * unit_sec[unit.lower()]
 
     if ttype == "afterWatermark":
         early = trigger.get("earlyFiringTrigger")
@@ -113,15 +119,17 @@ def split_pane_columns(
     ``strategy.paneKeyFields`` when declared; otherwise every non-numeric
     column is treated as identity (numeric group keys then need the
     explicit declaration — documented)."""
-    declared = strategy.get("paneKeyFields")
-    if declared:
-        keys = [c for c in df.columns if c == "window" or c in set(declared)]
-    else:
-        keys = [
-            f.name
-            for f in df.schema.fields
-            if f.name == "window" or not isinstance(f.dataType, _NUMERIC)
-        ]
+    declared = set(strategy.get("paneKeyFields") or ())
+    keys = [
+        f.name
+        for f in df.schema.fields
+        # non-numeric columns are always identity: they cannot be
+        # delta-ed, so an under-declared paneKeyFields must not push a
+        # string/struct column into the value set
+        if f.name == "window"
+        or f.name in declared
+        or not isinstance(f.dataType, _NUMERIC)
+    ]
     vals = [c for c in df.columns if c not in keys]
     return keys, vals
 
@@ -133,10 +141,17 @@ def early_firing_foreach_batch(
     discarding: bool,
     output_pane_info: bool,
     lateness_sec: float = 0.0,
+    max_keys: int = 1_000_000,
 ):
     """foreachBatch function implementing pane semantics over update-mode
-    micro-batches; ``sink_fn(batch_df, batch_id)`` persists pane rows."""
+    micro-batches; ``sink_fn(batch_df, batch_id)`` persists pane rows.
+
+    ``max_keys`` bounds the ledger for NON-windowed (global per-key)
+    streams, where no watermark ever closes a pane: beyond the cap the
+    least-recently-fired key is dropped (its next firing restarts at pane
+    index 0 / full value — degraded metadata, bounded memory)."""
     # driver-side pane ledger: pane key -> (next_index, last_emitted_values)
+    # dict insertion order doubles as the LRU queue (re-insert on update)
     state: dict[tuple, tuple[int, tuple]] = {}
     has_window = "window" in key_cols
     # event-time high-water mark (max window end seen) — the proxy
@@ -174,7 +189,10 @@ def early_firing_foreach_batch(
         for r in rows:
             d = r.asDict(recursive=False)
             key = pane_key(d)
-            idx, prev = state.get(key, (0, ()))
+            if key in state:
+                idx, prev = state.pop(key)  # re-insert → LRU refresh
+            else:
+                idx, prev = 0, ()
             cur_vals = tuple(d[c] for c in value_cols)
             if discarding and prev:
                 for c, pv in zip(value_cols, prev):
@@ -204,6 +222,9 @@ def early_firing_foreach_batch(
             ]
             for k in dead:
                 del state[k]
+        # backstop for global (never-closing) panes: LRU-drop beyond cap
+        while len(state) > max_keys:
+            state.pop(next(iter(state)))
         if out_rows:
             sink_fn(spark.createDataFrame(out_rows, schema=schema), batch_id)
 
@@ -232,7 +253,8 @@ def stream_with_early_firing(
 
     key_cols, value_cols = split_pane_columns(df, strategy)
     fb = early_firing_foreach_batch(
-        sink_fn, key_cols, value_cols, discarding, pane_info, lateness_sec
+        sink_fn, key_cols, value_cols, discarding, pane_info, lateness_sec,
+        max_keys=int(strategy.get("paneStateMaxKeys", 1_000_000)),
     )
     writer = (
         df.writeStream.outputMode("update")

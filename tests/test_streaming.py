@@ -570,7 +570,7 @@ def test_streaming_count_range_matches_batch_window(spark, tmp_path):
         .option("maxFilesPerTrigger", 1).parquet(str(in_dir))
     )
     stream_out = streaming_count_range_select(
-        sdf, ["k"], "v", N, "ts", [],
+        sdf, ["k"], "v", N, "ts", [("k", "k"), ("ts", "ts")],
         [("range_n", "count"), ("range_sum", "sum"), ("range_min", "min"),
          ("range_max", "max"), ("range_avg", "avg")],
     )
@@ -610,3 +610,73 @@ def test_streaming_count_range_matches_batch_window(spark, tmp_path):
         assert s[2] == pytest.approx(r["range_min"])
         assert s[3] == pytest.approx(r["range_max"])
         assert s[4] == pytest.approx(r["range_avg"])
+
+
+def test_streaming_select_rename_and_validation(spark, tmp_path):
+    """Review fixes: stateless renames emit the OUTPUT name (batch parity);
+    expression/field-less stateful entries fail with clear errors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.streaming.state import streaming_stateful_select
+
+    in_dir = tmp_path / "rn_in"
+    in_dir.mkdir()
+    pq.write_table(pa.table({
+        "user_id": pa.array(["a", "a", "b"]),
+        "v": pa.array([1.0, 2.0, 3.0]),
+        "ts": pa.array([dt.datetime(2024, 1, 1, 0, 0, s) for s in (1, 2, 3)],
+                       pa.timestamp("us")),
+    }), str(in_dir / "b0.parquet"))
+    sdf = spark.readStream.schema("user_id string, v double, ts timestamp_ntz").parquet(str(in_dir))
+    out = streaming_stateful_select(
+        sdf,
+        [{"name": "uid", "field": "user_id"}, {"name": "ts"},
+         {"name": "n", "func": "count", "field": "v", "range": {"count": 5}}],
+        "ts", ["user_id"],
+    )
+    assert "uid" in out.columns and "user_id" not in out.columns
+    q = (out.writeStream.format("memory").queryName("rn_t")
+         .option("checkpointLocation", str(tmp_path / "rn_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.table("rn_t").collect()
+    assert sorted(r["uid"] for r in rows) == ["a", "a", "b"]
+
+    with pytest.raises(NotImplementedError, match="expression"):
+        streaming_stateful_select(
+            sdf, [{"name": "s", "func": "sum", "expression": "v * 2",
+                   "range": {"count": 3}}], "ts", ["user_id"])
+    with pytest.raises(NotImplementedError, match="needs a field"):
+        streaming_stateful_select(
+            sdf, [{"name": "s", "func": "sum", "range": {"count": 3}}],
+            "ts", ["user_id"])
+    with pytest.raises(NotImplementedError, match="name a field"):
+        streaming_stateful_select(
+            sdf, [{"name": "n", "func": "count", "range": {"count": 3}}],
+            "ts", ["user_id"])
+
+
+def test_trigger_unit_validation():
+    from pipeline_spark.streaming.triggers import parse_trigger
+
+    cfg = parse_trigger({"trigger": {
+        "type": "afterProcessingTime", "delay": 500, "unit": "milliseconds"}})
+    assert cfg == {"early_delay_sec": 0.5}
+    with pytest.raises(ValueError, match="fortnight"):
+        parse_trigger({"trigger": {
+            "type": "afterProcessingTime", "delay": 1, "unit": "fortnight"}})
+
+
+def test_pane_key_split_protects_nonnumeric_frame(spark):
+    from pipeline_spark.streaming.triggers import split_pane_columns
+
+    df = spark.createDataFrame(
+        [("u", "x", 1, 2.0)], "user string, label string, k int, total double"
+    )
+    # under-declared keys: the string 'label' must stay identity, the
+    # numeric group key 'k' becomes identity only when declared
+    keys, vals = split_pane_columns(df, {"paneKeyFields": ["user", "k"]})
+    assert set(keys) == {"user", "label", "k"} and vals == ["total"]
+    keys2, vals2 = split_pane_columns(df, {})
+    assert set(keys2) == {"user", "label"} and set(vals2) == {"k", "total"}
