@@ -1854,6 +1854,59 @@ def _avro_zz(v: int) -> bytes:
             return bytes(out)
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """textstats gopher op: the published Gopher document-quality rules
+    (word count / mean word length / symbol / bullet / ellipsis / alpha
+    ratios) as pure Columns, per-rule breakdown oracled in SQL."""
+    df = _pipeline(spark, sf_dir, ["documents"], """
+transforms:
+  - name: st
+    module: textstats
+    inputs: [documents]
+    parameters:
+      field: text
+      ops: [gopher]
+      gopherBreakdown: true
+""", "st")
+    return df.select(
+        "doc_id", "rule_word_count", "rule_mean_word_len",
+        "rule_symbol_ratio", "rule_alpha_words", "gopher_pass",
+    )
+
+
+Q_GOPHER_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id, text, words, lines,
+         len(words) AS n_words,
+         list_sum(list_transform(words, x -> length(x))) * 1.0
+           / greatest(len(words), 1) AS mean_wl,
+         length(text) - length(regexp_replace(text, '[#…]|\.\.\.', '', 'g')) AS n_symbols,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+         greatest(len(lines), 1) AS n_lines,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '^[•‣◦\-\*]'))) AS bullet_lines,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS ellipsis_lines
+  FROM w
+)
+SELECT doc_id,
+       n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+       mean_wl >= 3.0 AND mean_wl <= 10.0 AS rule_mean_word_len,
+       n_symbols * 1.0 / greatest(n_words, 1) <= 0.1 AS rule_symbol_ratio,
+       alpha_words * 1.0 / greatest(n_words, 1) >= 0.8 AS rule_alpha_words,
+       (n_words >= 50 AND n_words <= 100000)
+       AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+       AND (n_symbols * 1.0 / greatest(n_words, 1) <= 0.1)
+       AND (bullet_lines * 1.0 / greatest(len(lines), 1) <= 0.9)
+       AND (ellipsis_lines * 1.0 / greatest(len(lines), 1) <= 0.3)
+       AND (alpha_words * 1.0 / greatest(n_words, 1) >= 0.8) AS gopher_pass
+FROM m
+"""
+
+
 def q_deserialize_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """deserialize module, avro format: orders rows are encoded to avro
     binary datums per the public spec in-query, decoded back by the
@@ -2112,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_recognize_chunked": q_match_recognize_chunked,
         "multimodal_decode": q_multimodal_decode,
         "storage_avro_roundtrip": q_storage_avro_roundtrip,
+        "gopher_rules": q_gopher_rules,
     }
 
 
@@ -2177,4 +2231,5 @@ def oracle_sql() -> dict[str, str]:
         "match_recognize_chunked": Q_MATCHREC_CHUNKED_SQL,
         "multimodal_decode": Q_MULTIMODAL_DECODE_SQL,
         "storage_avro_roundtrip": Q_STORAGE_AVRO_SQL,
+        "gopher_rules": Q_GOPHER_SQL,
     }

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "match_recognize_chunked",
     "multimodal_decode",
     "storage_avro_roundtrip",
+    "gopher_rules",
 ]
 
 

@@ -134,6 +134,71 @@ def classifier_score(
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
 
 
+#: Gopher document-quality rule thresholds (Rae et al. 2021, "Scaling
+#: Language Models: Methods, Analysis & Insights from Training Gopher",
+#: §A1.1 — public paper).  A document PASSES when every rule holds.
+GOPHER_DEFAULTS = {
+    "minWords": 50,
+    "maxWords": 100_000,
+    "minMeanWordLen": 3.0,
+    "maxMeanWordLen": 10.0,
+    "maxSymbolRatio": 0.1,      # '#' or '…' per word
+    "maxBulletLineRatio": 0.9,  # lines starting with a bullet
+    "maxEllipsisLineRatio": 0.3,
+    "minAlphaWordRatio": 0.8,   # words containing ≥1 alphabetic char
+}
+
+
+def gopher_rules(col: Column, cfg: dict | None = None) -> tuple[Column, list[tuple[str, Column]]]:
+    """Gopher repetition-free quality rules as pure Columns.
+
+    Returns (pass_column, [(rule_name, rule_bool_column), ...]) so callers
+    can emit the verdict alone or the full per-rule breakdown.  All
+    expressions are whole-stage-codegen Column trees — zero Python, zero
+    shuffle, the 100 TB-safe shape for corpus filtering."""
+    c = dict(GOPHER_DEFAULTS, **(cfg or {}))
+    words = _toks(col)
+    n_words = F.size(words)
+    word_lens = F.transform(words, lambda w: F.length(w))
+    mean_wl = F.aggregate(
+        word_lens, F.lit(0).cast("double"), lambda acc, x: acc + x
+    ) / F.greatest(n_words.cast("double"), F.lit(1.0))
+    n_symbols = (
+        F.length(col) - F.length(F.regexp_replace(col, r"[#…]|\.\.\.", ""))
+    )
+    lines = F.split(col, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[•‣◦\-\*]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    rules = [
+        ("rule_word_count",
+         (n_words >= c["minWords"]) & (n_words <= c["maxWords"])),
+        ("rule_mean_word_len",
+         (mean_wl >= c["minMeanWordLen"]) & (mean_wl <= c["maxMeanWordLen"])),
+        ("rule_symbol_ratio",
+         n_symbols.cast("double") / F.greatest(n_words.cast("double"), F.lit(1.0))
+         <= c["maxSymbolRatio"]),
+        ("rule_bullet_lines",
+         bullet_lines.cast("double") / n_lines.cast("double")
+         <= c["maxBulletLineRatio"]),
+        ("rule_ellipsis_lines",
+         ellipsis_lines.cast("double") / n_lines.cast("double")
+         <= c["maxEllipsisLineRatio"]),
+        ("rule_alpha_words",
+         alpha_words.cast("double") / F.greatest(n_words.cast("double"), F.lit(1.0))
+         >= c["minAlphaWordRatio"]),
+    ]
+    passed = rules[0][1]
+    for _, r in rules[1:]:
+        passed = passed & r
+    return passed, rules
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint (md5 of normalized text)."""
     return F.md5(F.trim(F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " ")))
@@ -157,6 +222,12 @@ def textstats_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             df = df.withColumn(p.get("subwordField", "n_subwords"), subword_estimate(col))
         elif op == "fingerprint":
             df = df.withColumn(p.get("fingerprintField", "fingerprint"), fingerprint(col))
+        elif op == "gopher":
+            passed, rules = gopher_rules(col, p.get("gopher"))
+            if p.get("gopherBreakdown", False):
+                for rname, rcol in rules:
+                    df = df.withColumn(rname, rcol)
+            df = df.withColumn(p.get("gopherField", "gopher_pass"), passed)
         elif op == "classifier":
             df = df.withColumn(
                 p.get("scoreField", "clf_score"),

@@ -585,3 +585,35 @@ def test_classifier_score_matches_reference_math(spark):
         textstats_transform(
             ctx(spark, {"ops": ["classifier"], "weights": [0.1]}, [df])
         )[""]
+
+
+def test_gopher_rules(spark):
+    """Published Gopher quality thresholds as pure Columns: short docs,
+    symbol-heavy docs, and non-alphabetic docs fail their rules; a normal
+    paragraph passes all."""
+    from pipeline_spark.operators.textstats import textstats_transform
+
+    good = " ".join(f"word{i} another thing entirely here" for i in range(20))
+    rows = [
+        Row(doc_id=1, text=good),
+        Row(doc_id=2, text="too short"),
+        Row(doc_id=3, text=" ".join(["####"] * 60)),     # symbols + no alpha
+        Row(doc_id=4, text=" ".join(["1234567"] * 60)),  # numeric words
+    ]
+    df = spark.createDataFrame(rows)
+    out = textstats_transform(
+        ctx(spark, {"field": "text", "ops": ["gopher"],
+                    "gopherBreakdown": True}, [df])
+    )[""]
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["rule_word_count"] is False and got[2]["gopher_pass"] is False
+    assert got[3]["rule_symbol_ratio"] is False and got[3]["rule_alpha_words"] is False
+    assert got[4]["rule_alpha_words"] is False and got[4]["gopher_pass"] is False
+    # thresholds overridable per config
+    relaxed = textstats_transform(
+        ctx(spark, {"field": "text", "ops": ["gopher"],
+                    "gopher": {"minWords": 2}}, [df])
+    )[""]
+    r2 = {r["doc_id"]: r["gopher_pass"] for r in relaxed.collect()}
+    assert r2[2] is True  # "too short" passes with minWords=2
