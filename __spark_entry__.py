@@ -1854,6 +1854,74 @@ def _avro_zz(v: int) -> bytes:
             return bytes(out)
 
 
+def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processing linear_regression learner: per-user trailing-window OLS
+    (features lagged by the horizon) predicting each row.  With a single
+    feature + standardization, the fit is exactly slope/intercept least
+    squares, which DuckDB recomputes with regr_slope/regr_intercept over
+    the same window frame."""
+    df = _pipeline(spark, sf_dir, ["events"], """
+transforms:
+  - name: base
+    module: sql
+    inputs: [events]
+    parameters:
+      sql: |
+        SELECT user_id, ts, avg(value) AS v,
+               unix_micros(CAST(ts AS TIMESTAMP)) / 1000000.0 - 1704067200 AS x
+        FROM events GROUP BY user_id, ts
+  - name: proc
+    module: processing
+    inputs: [base]
+    timestampAttribute: ts
+    parameters:
+      groupFields: [user_id]
+      steps:
+        - name: v_pred
+          op: linear_regression
+          featureFields: [x]
+          targetFields: [v]
+          horizon: 1
+          trainSize: 20
+      remainFields: [v]
+""", "proc")
+    return df.filter(F.col("v_pred").isNotNull()).select(
+        "user_id", "ts", F.round("v_pred", 2).alias("v_pred")
+    )
+
+
+Q_LINREG_SQL = """
+WITH base AS (
+  SELECT user_id, ts, avg(value) AS v, epoch(ts) - 1704067200 AS x
+  FROM events GROUP BY user_id, ts
+), seq AS (
+  SELECT user_id, ts, v, x,
+         lag(x, 1) OVER (PARTITION BY user_id ORDER BY ts) AS x_lag,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM base
+), pairs AS (
+  -- explicit 20-row frame join: a two-pass centered fit avoids the
+  -- incremental-slide float drift of windowed regr_* aggregates
+  SELECT a.user_id, a.rn AS anchor, a.ts, a.x AS x_cur,
+         b.v AS y, b.x_lag AS xp
+  FROM seq a JOIN seq b
+    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
+  WHERE a.rn > 20
+), means AS (
+  SELECT user_id, anchor, ts, any_value(x_cur) AS x_cur,
+         avg(xp) AS mx, avg(y) AS my
+  FROM pairs GROUP BY user_id, anchor, ts
+), fit AS (
+  SELECT p.user_id, p.anchor, m.ts, m.x_cur, m.mx, m.my,
+         sum((p.xp - m.mx) * (p.y - m.my)) / sum((p.xp - m.mx) * (p.xp - m.mx)) AS slope
+  FROM pairs p JOIN means m USING (user_id, anchor)
+  GROUP BY p.user_id, p.anchor, m.ts, m.x_cur, m.mx, m.my
+)
+SELECT user_id, ts, round(slope * x_cur + (my - slope * mx), 2) AS v_pred
+FROM fit
+"""
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """textstats gopher op: the published Gopher document-quality rules
     (word count / mean word length / symbol / bullet / ellipsis / alpha
@@ -2166,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "storage_avro_roundtrip": q_storage_avro_roundtrip,
         "gopher_rules": q_gopher_rules,
+        "linear_regression": q_linear_regression,
     }
 
 
@@ -2232,4 +2301,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": Q_MULTIMODAL_DECODE_SQL,
         "storage_avro_roundtrip": Q_STORAGE_AVRO_SQL,
         "gopher_rules": Q_GOPHER_SQL,
+        "linear_regression": Q_LINREG_SQL,
     }

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "multimodal_decode",
     "storage_avro_roundtrip",
     "gopher_rules",
+    "linear_regression",
 ]
 
 

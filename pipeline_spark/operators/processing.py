@@ -32,6 +32,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pipeline_spark.compilers.filter_dsl import compile_filter
 from pipeline_spark.compilers.stateful import apply_stateful_select
@@ -148,13 +149,157 @@ def _steps_to_selects(steps: list[dict[str, Any]], passthrough: list[str]) -> li
                     if op in ("argmax", "argmin"):
                         sel["comparingField"] = step.get("comparingField") or step.get("comparing")
                     selects.append(sel)
+        elif op == "linear_regression":
+            # learner step: handled by a per-key applyInPandas pass before
+            # the window selects (processing_transform); its prediction
+            # columns then flow through the select as pass-throughs
+            for out in _learner_output_names(step):
+                selects.append({"name": out})
+            selects.append({"_learner": step, "name": name})
         else:
             raise ValueError(
-                f"processing: op '{op}' not supported (linear_regression and "
-                "learner steps are out of scope; use the onnx module for "
-                "model scoring)"
+                f"processing: op '{op}' not supported (only the "
+                "linear_regression learner is implemented; use the onnx "
+                "module for arbitrary model scoring)"
             )
     return selects
+
+
+def _learner_targets(step: dict[str, Any]) -> list[str]:
+    return step.get("targetFields") or (
+        [step["targetField"]] if step.get("targetField") else []
+    )
+
+
+def _learner_horizons(step: dict[str, Any]) -> list[int]:
+    hs = step.get("horizons") or (
+        [step["horizon"]] if step.get("horizon") is not None else [1]
+    )
+    return [int(h) for h in hs]
+
+
+def _learner_output_names(step: dict[str, Any]) -> list[str]:
+    """Learner.createOutputName: single target + single horizon → the step
+    name; otherwise suffix per target and/or _horizon{h}."""
+    name = step["name"]
+    targets = _learner_targets(step)
+    horizons = _learner_horizons(step)
+    single_t, single_h = len(targets) == 1, len(horizons) == 1
+    out = []
+    for t in targets:
+        for h in horizons:
+            if single_t and single_h:
+                out.append(name)
+            elif single_h:
+                out.append(f"{name}_{t}")
+            elif single_t:
+                out.append(f"{name}_horizon{h}")
+            else:
+                out.append(f"{name}_{t}_horizon{h}")
+    return out
+
+
+def _apply_linear_regression(
+    df: DataFrame, step: dict[str, Any], group_fields: list[str], ts_attr: str
+) -> DataFrame:
+    """linear_regression learner (LinearRegression.java + Learner.java):
+    per key in event-time order, every ``trainIntervalSize`` rows fit a
+    linear model on the trailing ``trainSize`` pairs (features lagged by
+    ``horizon`` against the target) and predict the current row with the
+    latest model.  OLS / ridge / lasso / pls per ``regularizationType``
+    (functions/linmodel.py, reference-vector-tested); standardization on
+    by default with de-standardized weights + intercept.
+
+    Scale contract: one key's history is processed by one task (the same
+    applyInPandas contract as matchRecognize); training cost is
+    rows × trainSize × d² per key — size trainIntervalSize accordingly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    features = step.get("featureFields") or step.get("features") or []
+    targets = _learner_targets(step)
+    horizons = _learner_horizons(step)
+    if not features or not targets:
+        raise ValueError(
+            "linear_regression step requires featureFields and targetFields"
+        )
+    train_size = int(step.get("trainSize", 30))
+    train_interval = int(step.get("trainIntervalSize", 1))
+    reg = str(step.get("regularizationType", "none"))
+    alpha = float(step.get("alpha", 0.2))
+    max_iteration = int(step.get("maxIteration", 500))
+    tolerance = float(step.get("tolerance", 0.01))
+    components = int(step.get("components", 2))
+    with_std = bool(step.get("standardize", True))
+    skip_null = bool(step.get("skipNullRows", False))
+    out_names = _learner_output_names(step)
+
+    out_schema = T.StructType(
+        [*df.schema.fields]
+        + [T.StructField(n, T.DoubleType(), True) for n in out_names]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+
+    def run_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pipeline_spark.functions.linmodel import fit, inference
+
+        pdf = pdf.sort_values(ts_attr, kind="mergesort").reset_index(drop=True)
+        feats = pdf[features].to_numpy(dtype=float)
+        targs = pdf[targets].to_numpy(dtype=float)
+        n = len(pdf)
+        preds: dict[str, list] = {o: [None] * n for o in out_names}
+        models: dict[tuple, np.ndarray] = {}
+        interval = 0
+        for i in range(n):
+            interval += 1
+            do_train = interval >= train_interval
+            if do_train:
+                interval = 0
+            for hi, h in enumerate(horizons):
+                if do_train and i - h - train_size + 1 >= 0:
+                    # pair k: target at k back, features at h+k back
+                    Y = targs[i - train_size + 1 : i + 1][::-1]
+                    X = feats[i - h - train_size + 1 : i - h + 1][::-1]
+                    if skip_null:
+                        keep = ~(
+                            np.isnan(X).any(axis=1) | np.isnan(Y).any(axis=1)
+                        )
+                        X, Y = X[keep], Y[keep]
+                    if len(X):
+                        try:
+                            models[(h,)] = fit(
+                                X, Y, reg, alpha, max_iteration,
+                                tolerance, components, with_std,
+                            )
+                        except np.linalg.LinAlgError:
+                            pass  # singular window: keep previous model
+                w = models.get((h,))
+                if w is not None:
+                    yhat = inference(w, feats[i])
+                    for ti, t in enumerate(targets):
+                        single_t, single_h = len(targets) == 1, len(horizons) == 1
+                        if single_t and single_h:
+                            o = step["name"]
+                        elif single_h:
+                            o = f"{step['name']}_{t}"
+                        elif single_t:
+                            o = f"{step['name']}_horizon{h}"
+                        else:
+                            o = f"{step['name']}_{t}_horizon{h}"
+                        v = float(yhat[ti])
+                        preds[o][i] = None if (np.isnan(v) or np.isinf(v)) else v
+        out = pdf[in_cols].copy()
+        for o in out_names:
+            out[o] = preds[o]
+        return out
+
+    if group_fields:
+        return df.groupBy(*group_fields).applyInPandas(run_key, schema=out_schema)
+    return df.groupBy(F.lit(1).alias("__g__")).applyInPandas(
+        lambda pdf: run_key(pdf.drop(columns="__g__", errors="ignore")),
+        schema=out_schema,
+    )
 
 
 @module("processing", kind=KIND_TRANSFORM)
@@ -177,13 +322,18 @@ def processing_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         passthrough = list(dict.fromkeys([*group_fields, ts_attr, *remain]))
         selects = _steps_to_selects(steps, passthrough)
 
-        # pre-bind literal Column steps (binning) so the stateful walker
-        # only sees plain select specs
+        # pre-bind literal Column steps (binning) and run learner passes
+        # (per-key applyInPandas) so the stateful walker only sees plain
+        # select specs; learner outputs flow through as pass-throughs
         plain: list[dict[str, Any]] = []
         for sel in selects:
             if "_column" in sel:
                 df = df.withColumn(sel["name"], sel["_column"])
                 plain.append({"name": sel["name"]})
+            elif "_learner" in sel:
+                df = _apply_linear_regression(
+                    df, sel["_learner"], group_fields, ts_attr
+                )
             else:
                 plain.append(sel)
         df = apply_stateful_select(df, plain, ts_attr, group_fields=group_fields)

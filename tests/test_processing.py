@@ -6,6 +6,8 @@ current_timestamp, remainFields/outputRenameFields, and per-key isolation.
 Reference: module/transform/ProcessingTransform.java:39-1150,
 util/pipeline/processing/processor/*."""
 
+import datetime as dt
+
 import pytest
 
 from pipeline_spark.config import parse_config
@@ -122,3 +124,87 @@ def test_recursive_reference_rejected(spark):
     ))
     with pytest.raises(Exception, match="recursive"):
         run_pipeline(spark, cfg)["processing"].collect()
+
+
+def test_linear_regression_learner(spark):
+    """linear_regression step (LinearRegression.java + Learner.java):
+    per-key trailing-window OLS with horizon-lagged features; on an exact
+    linear series the prediction must recover y = 2x + 3 almost exactly."""
+    import numpy as np
+
+    rows = []
+    for k in ("a", "b"):
+        for i in range(40):
+            x = float(i + (10 if k == "b" else 0))
+            rows.append((k, x, 2.0 * x + 3.0,
+                         dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)))
+    df = spark.createDataFrame(rows, "k string, x double, y double, ts timestamp")
+    outs = run_pipeline(spark, parse_config("""
+transforms:
+  - name: proc
+    module: processing
+    inputs: [ev]
+    timestampAttribute: ts
+    parameters:
+      groupFields: [k]
+      steps:
+        - name: y_pred
+          op: linear_regression
+          featureFields: [x]
+          targetFields: [y]
+          horizon: 1
+          trainSize: 10
+      remainFields: [x, y]
+"""), inputs={"ev": df})
+    got = outs["proc"].collect()
+    assert {r["k"] for r in got} == {"a", "b"}
+    # rows before h + trainSize have no model → null predictions
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r["x"])
+        assert all(r["y_pred"] is None for r in rs[:10])
+        # horizon-1 model is fit on (x(t-1) → y(t)) pairs, so predicting
+        # with the CURRENT features estimates y one step ahead: on the
+        # exact series y = 2x+3, that is 2(x+1)+3
+        for r in rs[11:]:
+            assert r["y_pred"] == pytest.approx(2.0 * (r["x"] + 1) + 3.0, rel=1e-6), (k, r)
+
+
+def test_linear_regression_ridge_and_multi_horizon(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(60):
+        x = float(i)
+        rows.append(("k", x, 3.0 * x - 1.0 + float(rng.normal(0, 0.01)),
+                     dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)))
+    df = spark.createDataFrame(rows, "k string, x double, y double, ts timestamp")
+    outs = run_pipeline(spark, parse_config("""
+transforms:
+  - name: proc
+    module: processing
+    inputs: [ev]
+    timestampAttribute: ts
+    parameters:
+      groupFields: [k]
+      steps:
+        - name: pred
+          op: linear_regression
+          featureFields: [x]
+          targetFields: [y]
+          horizons: [1, 3]
+          trainSize: 15
+          regularizationType: ridge
+          alpha: 0.001
+      remainFields: [x, y]
+"""), inputs={"ev": df})
+    rows_out = sorted(outs["proc"].collect(), key=lambda r: r["x"])
+    assert "pred_horizon1" in rows_out[0].asDict()
+    assert "pred_horizon3" in rows_out[0].asDict()
+    late = rows_out[-1]
+    # horizon-h prediction estimates y(t+h) = 3(x+h) - 1 on this series
+    assert late["pred_horizon1"] == pytest.approx(3.0 * (late["x"] + 1) - 1.0, rel=1e-3)
+    assert late["pred_horizon3"] == pytest.approx(3.0 * (late["x"] + 3) - 1.0, rel=1e-3)
