@@ -1943,22 +1943,22 @@ transforms:
 
 
 Q_GOPHER_SQL = r"""
-WITH w AS (
-  SELECT doc_id, text,
-         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words,
-         string_split(text, chr(10)) AS lines
+WITH m AS (
+  SELECT doc_id,
+         coalesce(text, '') AS t,
+         trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS norm
   FROM documents
-), m AS (
-  SELECT doc_id, text, words, lines,
-         len(words) AS n_words,
-         list_sum(list_transform(words, x -> length(x))) * 1.0
-           / greatest(len(words), 1) AS mean_wl,
-         length(text) - length(regexp_replace(text, '[#…]|\.\.\.', '', 'g')) AS n_symbols,
-         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
-         greatest(len(lines), 1) AS n_lines,
-         len(list_filter(lines, l -> regexp_matches(trim(l), '^[•‣◦\-\*]'))) AS bullet_lines,
-         len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS ellipsis_lines
-  FROM w
+), s AS (
+  SELECT doc_id,
+         len(string_split(norm, ' ')) AS n_words,
+         (length(norm) - (len(string_split(norm, ' ')) - 1)) * 1.0
+           / greatest(len(string_split(norm, ' ')), 1) AS mean_wl,
+         len(regexp_extract_all(t, '#|…|\.\.\.')) AS n_symbols,
+         len(string_split(t, chr(10))) AS n_lines,
+         len(regexp_extract_all(t, '(?m)^[ \t]*[•‣◦\-\*]')) AS bullet_lines,
+         len(regexp_extract_all(t, '(?m)(\.\.\.|…)[ \t]*$')) AS ellipsis_lines,
+         len(regexp_extract_all(' ' || norm, ' [^ ]*?[A-Za-z]')) AS alpha_words
+  FROM m
 )
 SELECT doc_id,
        n_words >= 50 AND n_words <= 100000 AS rule_word_count,
@@ -1968,10 +1968,10 @@ SELECT doc_id,
        (n_words >= 50 AND n_words <= 100000)
        AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
        AND (n_symbols * 1.0 / greatest(n_words, 1) <= 0.1)
-       AND (bullet_lines * 1.0 / greatest(len(lines), 1) <= 0.9)
-       AND (ellipsis_lines * 1.0 / greatest(len(lines), 1) <= 0.3)
+       AND (bullet_lines * 1.0 / greatest(n_lines, 1) <= 0.9)
+       AND (ellipsis_lines * 1.0 / greatest(n_lines, 1) <= 0.3)
        AND (alpha_words * 1.0 / greatest(n_words, 1) >= 0.8) AS gopher_pass
-FROM m
+FROM s
 """
 
 

@@ -64,7 +64,7 @@ def pls2(X: np.ndarray, Y: np.ndarray, components: int) -> np.ndarray:
         _, _, vt = np.linalg.svd(Y.T @ X, full_matrices=True)
         w = vt[0][:, None]
         t = X @ w
-        a = 1.0 / float(t.T @ t)
+        a = 1.0 / float((t.T @ t).item())
         p = X.T @ t * a
         q = Y.T @ t * a
         X = X - t @ p.T

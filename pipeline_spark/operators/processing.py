@@ -224,6 +224,16 @@ def _apply_linear_regression(
         raise ValueError(
             "linear_regression step requires featureFields and targetFields"
         )
+    missing = [c for c in [*features, *targets] if c not in df.columns]
+    if missing:
+        # fail fast at the driver, not with a KeyError inside the UDF:
+        # the learner consumes INPUT columns — series derived by window/
+        # expression steps of the SAME stage aren't materialized yet.
+        raise ValueError(
+            f"linear_regression step '{step['name']}': columns {missing} "
+            f"not in the input (have {sorted(df.columns)}); to regress on "
+            "derived series, compute them in a PRIOR processing stage"
+        )
     train_size = int(step.get("trainSize", 30))
     train_interval = int(step.get("trainIntervalSize", 1))
     reg = str(step.get("regularizationType", "none"))
@@ -234,12 +244,19 @@ def _apply_linear_regression(
     with_std = bool(step.get("standardize", True))
     skip_null = bool(step.get("skipNullRows", False))
     out_names = _learner_output_names(step)
-
+    # overwrite semantics on name collision (matching withColumn-based
+    # window ops): colliding input fields are replaced, never duplicated
+    in_fields = [f for f in df.schema.fields if f.name not in set(out_names)]
     out_schema = T.StructType(
-        [*df.schema.fields]
+        [*in_fields]
         + [T.StructField(n, T.DoubleType(), True) for n in out_names]
     )
-    in_cols = [f.name for f in df.schema.fields]
+    in_cols = [f.name for f in in_fields]
+    # (target, horizon) → output column, computed ONCE (Learner
+    # createOutputName semantics live in _learner_output_names alone)
+    name_of = dict(
+        zip([(t, h) for t in targets for h in horizons], out_names)
+    )
 
     def run_key(pdf: pd.DataFrame) -> pd.DataFrame:
         from pipeline_spark.functions.linmodel import fit, inference
@@ -278,17 +295,10 @@ def _apply_linear_regression(
                 if w is not None:
                     yhat = inference(w, feats[i])
                     for ti, t in enumerate(targets):
-                        single_t, single_h = len(targets) == 1, len(horizons) == 1
-                        if single_t and single_h:
-                            o = step["name"]
-                        elif single_h:
-                            o = f"{step['name']}_{t}"
-                        elif single_t:
-                            o = f"{step['name']}_horizon{h}"
-                        else:
-                            o = f"{step['name']}_{t}_horizon{h}"
                         v = float(yhat[ti])
-                        preds[o][i] = None if (np.isnan(v) or np.isinf(v)) else v
+                        preds[name_of[(t, h)]][i] = (
+                            None if (np.isnan(v) or np.isinf(v)) else v
+                        )
         out = pdf[in_cols].copy()
         for o in out_names:
             out[o] = preds[o]

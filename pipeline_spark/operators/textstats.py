@@ -153,28 +153,33 @@ def gopher_rules(col: Column, cfg: dict | None = None) -> tuple[Column, list[tup
     """Gopher repetition-free quality rules as pure Columns.
 
     Returns (pass_column, [(rule_name, rule_bool_column), ...]) so callers
-    can emit the verdict alone or the full per-rule breakdown.  All
-    expressions are whole-stage-codegen Column trees — zero Python, zero
-    shuffle, the 100 TB-safe shape for corpus filtering."""
+    can emit the verdict alone or the full per-rule breakdown.  Every
+    expression is a genuinely-codegen Column (split/regexp_count
+    arithmetic — no higher-order-function lambdas, which Spark interprets
+    row-at-a-time; see the lang_id docstring for the measurement): zero
+    Python, zero shuffle, the 100 TB-safe shape for corpus filtering.
+    Null text coalesces to empty (fails the word-count rule) so the
+    verdict is always a real boolean, never NULL."""
     c = dict(GOPHER_DEFAULTS, **(cfg or {}))
-    words = _toks(col)
-    n_words = F.size(words)
-    word_lens = F.transform(words, lambda w: F.length(w))
-    mean_wl = F.aggregate(
-        word_lens, F.lit(0).cast("double"), lambda acc, x: acc + x
-    ) / F.greatest(n_words.cast("double"), F.lit(1.0))
-    n_symbols = (
-        F.length(col) - F.length(F.regexp_replace(col, r"[#…]|\.\.\.", ""))
+    col = F.coalesce(col, F.lit(""))
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    n_words = F.size(F.split(norm, " "))
+    # total word chars = normalized length minus the n_words-1 separators
+    mean_wl = (
+        (F.length(norm) - (n_words - F.lit(1))).cast("double")
+        / F.greatest(n_words.cast("double"), F.lit(1.0))
     )
-    lines = F.split(col, r"\n")
-    n_lines = F.greatest(F.size(lines), F.lit(1))
-    bullet_lines = F.size(
-        F.filter(lines, lambda l: F.trim(l).rlike(r"^[•‣◦\-\*]"))
+    # symbols counted as MATCHES ('...' is one ellipsis, not three chars)
+    n_symbols = F.regexp_count(col, F.lit(r"#|…|\.\.\."))
+    n_lines = F.size(F.split(col, r"\n"))
+    # (?m): per-line anchors — counts lines without materializing them
+    bullet_lines = F.regexp_count(col, F.lit(r"(?m)^[ \t]*[•‣◦\-\*]"))
+    ellipsis_lines = F.regexp_count(col, F.lit(r"(?m)(\.\.\.|…)[ \t]*$"))
+    # one match per word containing an alphabetic char: each match starts
+    # at a separator (or start) and consumes up to the word's first letter
+    alpha_words = F.regexp_count(
+        F.concat(F.lit(" "), norm), F.lit(r" [^ ]*?[A-Za-z]")
     )
-    ellipsis_lines = F.size(
-        F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
-    )
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     rules = [
         ("rule_word_count",
          (n_words >= c["minWords"]) & (n_words <= c["maxWords"])),

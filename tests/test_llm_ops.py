@@ -617,3 +617,72 @@ def test_gopher_rules(spark):
     )[""]
     r2 = {r["doc_id"]: r["gopher_pass"] for r in relaxed.collect()}
     assert r2[2] is True  # "too short" passes with minWords=2
+
+
+def test_gopher_symbol_match_counting_and_nulls(spark):
+    """Review fixes: '...' counts as ONE symbol (match-counted, not
+    char-counted) and null text yields a real False verdict, not NULL."""
+    base = " ".join(f"plain word number {i}" for i in range(25))  # 100 words
+    rows = [
+        Row(doc_id=1, text=base + " " + "also..." * 0 + "x... y... z... w..."),
+        Row(doc_id=2, text=None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from pipeline_spark.operators.textstats import textstats_transform
+
+    out = textstats_transform(
+        ctx(spark, {"field": "text", "ops": ["gopher"],
+                    "gopherBreakdown": True}, [df])
+    )[""]
+    got = {r["doc_id"]: r for r in out.collect()}
+    # 4 ellipses / 104 words = 0.038 <= 0.1 → passes under match counting
+    # (char counting would give 12/104 = 0.115 → fail)
+    assert got[1]["rule_symbol_ratio"] is True
+    assert got[2]["gopher_pass"] is False  # null text → False, never NULL
+    assert got[2]["rule_word_count"] is False
+
+
+def test_learner_validation_and_collision(spark):
+    """Review fixes: missing feature columns fail fast at the driver;
+    a step name colliding with an input column overwrites it."""
+    import datetime as dt
+
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    df = spark.createDataFrame(
+        [("k", float(i), 2.0 * i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i))
+         for i in range(30)],
+        "k string, x double, y double, ts timestamp",
+    )
+    with pytest.raises(Exception, match="PRIOR processing stage"):
+        run_pipeline(spark, parse_config("""
+transforms:
+  - name: proc
+    module: processing
+    inputs: [ev]
+    timestampAttribute: ts
+    parameters:
+      groupFields: [k]
+      steps:
+        - {name: p, op: linear_regression, featureFields: [nope],
+           targetFields: [y], horizon: 1, trainSize: 5}
+"""), inputs={"ev": df})
+    # step named like an existing column: replaced, not duplicated
+    outs = run_pipeline(spark, parse_config("""
+transforms:
+  - name: proc
+    module: processing
+    inputs: [ev]
+    timestampAttribute: ts
+    parameters:
+      groupFields: [k]
+      steps:
+        - {name: y, op: linear_regression, featureFields: [x],
+           targetFields: [y], horizon: 1, trainSize: 5}
+      remainFields: [x]
+"""), inputs={"ev": df})
+    cols = outs["proc"].columns
+    assert cols.count("y") == 1
+    rows = [r for r in outs["proc"].collect() if r["y"] is not None]
+    assert rows  # predictions landed in the overwritten column
