@@ -2077,6 +2077,54 @@ FROM customer GROUP BY c_mktsegment
 """
 
 
+def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iceberg sink+source with the native (jar-free) commit path: supplier
+    rows committed to a filesystem Iceberg v2 table (parquet data + OCF
+    manifests + metadata JSON), read back through the independent metadata
+    reader, aggregated; the oracle aggregates the original table."""
+    import os
+    import shutil
+    import tempfile
+
+    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_iceberg_rt")
+    shutil.rmtree(tbl, ignore_errors=True)
+    run_pipeline(spark, parse_config(f"""
+sources:
+  - name: supplier
+    module: storage
+    parameters: {{format: parquet, input: {sf_dir}/supplier.parquet}}
+sinks:
+  - name: w
+    module: iceberg
+    inputs: [supplier]
+    parameters: {{path: {tbl}}}
+"""))
+    outs = run_pipeline(spark, parse_config(f"""
+sources:
+  - name: back
+    module: iceberg
+    parameters: {{path: {tbl}}}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [back]
+    parameters:
+      groupFields: [s_nationkey]
+      aggregations:
+        - {{name: n, op: count}}
+        - {{name: total_bal, op: sum, field: s_acctbal}}
+"""))
+    return outs["agg"].select(
+        "s_nationkey", "n", F.round("total_bal", 2).alias("total_bal")
+    )
+
+
+Q_ICEBERG_SQL = """
+SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS total_bal
+FROM supplier GROUP BY s_nationkey
+"""
+
+
 def _proto_varint(v: int) -> bytes:
     if v < 0:
         v &= (1 << 64) - 1
@@ -2233,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_recognize_chunked": q_match_recognize_chunked,
         "multimodal_decode": q_multimodal_decode,
         "storage_avro_roundtrip": q_storage_avro_roundtrip,
+        "iceberg_roundtrip": q_iceberg_roundtrip,
         "gopher_rules": q_gopher_rules,
         "linear_regression": q_linear_regression,
     }
@@ -2300,6 +2349,7 @@ def oracle_sql() -> dict[str, str]:
         "match_recognize_chunked": Q_MATCHREC_CHUNKED_SQL,
         "multimodal_decode": Q_MULTIMODAL_DECODE_SQL,
         "storage_avro_roundtrip": Q_STORAGE_AVRO_SQL,
+        "iceberg_roundtrip": Q_ICEBERG_SQL,
         "gopher_rules": Q_GOPHER_SQL,
         "linear_regression": Q_LINREG_SQL,
     }

@@ -163,9 +163,15 @@ def encode_datum(value: Any, schema: Any, reg: dict[str, Any]) -> bytes:
 
 
 def write_ocf_bytes(
-    schema_json: dict, records: list[dict], codec: str = "deflate"
+    schema_json: dict,
+    records: list[dict],
+    codec: str = "deflate",
+    extra_meta: dict[str, str] | None = None,
 ) -> bytes:
-    """Serialize records into one OCF blob (single block)."""
+    """Serialize records into one OCF blob (single block).
+
+    ``extra_meta`` adds file-metadata entries beyond avro.schema/avro.codec
+    (Iceberg manifests carry schema/partition-spec/format-version keys)."""
     schema, reg = parse_schema(schema_json)
     payload = b"".join(encode_datum(r, schema, reg) for r in records)
     if codec == "deflate":
@@ -180,6 +186,7 @@ def write_ocf_bytes(
     meta_entries = {
         "avro.schema": json.dumps(schema_json).encode(),
         "avro.codec": codec.encode(),
+        **{k: v.encode() for k, v in (extra_meta or {}).items()},
     }
     meta = _zz(len(meta_entries))
     for k, v in meta_entries.items():

@@ -50,7 +50,18 @@ def bigquery_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
 @module("iceberg", kind=KIND_SINK)
 def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
-    _require_connector(ctx, "iceberg", "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        _require_connector(ctx, "iceberg", "org.apache.iceberg.spark.SparkCatalog")
+    except RuntimeError:
+        # no runtime jar: filesystem tables still commit natively — Spark
+        # writes the parquet data files, then the stdlib OCF encoder writes
+        # the v2 manifests/manifest-list/metadata JSON around them
+        # (sinks/iceberg_native.py); catalog URIs and partition transforms
+        # still need the jar and say so
+        from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+
+        write_iceberg_native(ctx.input, p)
+        return {"": ctx.input}
     table = p["table"]
     mode = str(p.get("mode", "append")).lower()
     if mode == "append":

@@ -1,0 +1,390 @@
+"""Native Iceberg metadata-path writer: commits without the runtime jar.
+
+Reference: module/sink/IcebergSink.java writes through the Spark runtime
+jar (a 🔌 gate in this container).  An Iceberg table on a filesystem is
+fully public format (spec at iceberg.apache.org/spec), so the commit
+path needs no jar either: Spark writes the parquet data files, then this
+module writes the v2 metadata around them —
+
+  data/<commit-uuid>/part-*.parquet              (spark.write.parquet)
+  metadata/<uuid>-m0.avro                        (manifest, OCF avro)
+  metadata/snap-<id>-<uuid>.avro                 (manifest list, OCF avro)
+  metadata/v<N>.metadata.json + version-hint.text (HadoopCatalog layout)
+
+using the stdlib avro OCF encoder (functions/avroocf.py).  The manifest /
+manifest-list avro schemas carry the spec's field-ids, and the table
+metadata embeds a ``schema.name-mapping.default`` property so
+spec-compliant readers can resolve Spark's id-less parquet columns by
+name (the spec's documented fallback for imported files).
+
+Scale posture: the data path is a plain distributed parquet write; only
+KB-sized metadata is built driver-side, mirroring Iceberg's own commit
+path.  Honest gates: unpartitioned specs only (partition transforms need
+the runtime's transform evaluation on write), append / overwrite /
+create modes, single-writer commits (HadoopCatalog's atomic-rename race
+protection is filesystem-dependent even in the real runtime).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+from typing import Any
+
+from pipeline_spark.functions.avroocf import write_ocf_bytes
+from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+_STATUS_ADDED = 1
+
+# -- Iceberg schema (JSON) from a Spark schema, assigning field ids ----------
+
+
+def _iceberg_type(dtype, alloc) -> Any:
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.StructType):
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": alloc(),
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _iceberg_type(f.dataType, alloc),
+                }
+                for f in dtype.fields
+            ],
+        }
+    if isinstance(dtype, T.ArrayType):
+        return {
+            "type": "list",
+            "element-id": alloc(),
+            "element-required": not dtype.containsNull,
+            "element": _iceberg_type(dtype.elementType, alloc),
+        }
+    if isinstance(dtype, T.MapType):
+        return {
+            "type": "map",
+            "key-id": alloc(),
+            "value-id": alloc(),
+            "value-required": not dtype.valueContainsNull,
+            "key": _iceberg_type(dtype.keyType, alloc),
+            "value": _iceberg_type(dtype.valueType, alloc),
+        }
+    if isinstance(dtype, T.DecimalType):
+        return f"decimal({dtype.precision}, {dtype.scale})"
+    name = dtype.typeName()
+    mapped = {
+        "boolean": "boolean", "integer": "int", "short": "int", "byte": "int",
+        "long": "long", "float": "float", "double": "double",
+        "string": "string", "binary": "binary", "date": "date",
+        "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
+    }.get(name)
+    if mapped is None:
+        raise ValueError(f"iceberg native writer: unsupported Spark type {dtype}")
+    return mapped
+
+
+def iceberg_schema(spark_schema) -> dict:
+    counter = {"n": 0}
+
+    def alloc() -> int:
+        counter["n"] += 1
+        return counter["n"]
+
+    top = [
+        {
+            "id": alloc(),
+            "name": f.name,
+            "required": not f.nullable,
+            "type": _iceberg_type(f.dataType, alloc),
+        }
+        for f in spark_schema.fields
+    ]
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": top,
+        "__last_column_id": counter["n"],
+    }
+
+
+def _name_mapping(fields: list[dict]) -> list[dict]:
+    """schema.name-mapping.default entries (spec: Name Mapping Serialization)
+    so readers resolve parquet files written without field ids."""
+    out = []
+    for f in fields:
+        entry: dict[str, Any] = {"field-id": f["id"], "names": [f["name"]]}
+        t = f["type"]
+        if isinstance(t, dict) and t.get("type") == "struct":
+            entry["fields"] = _name_mapping(t["fields"])
+        out.append(entry)
+    return out
+
+
+# -- manifest / manifest-list avro schemas (spec field-ids) -------------------
+
+_DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": {"type": "record", "name": "r102", "fields": []}, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ],
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+def _parquet_stats(path: str) -> tuple[int, int]:
+    """(record_count, file_size) from the parquet footer — KB-sized reads."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows, os.path.getsize(path)
+
+
+def write_iceberg_native(df, p: dict[str, Any]) -> None:
+    """Commit ``df`` to a filesystem Iceberg v2 table at ``p['path'|'table']``."""
+    table_path = str(p.get("path") or p.get("table") or "")
+    if not table_path or "://" in table_path.replace("file://", ""):
+        raise ValueError(
+            "iceberg native writer needs a local/posix table location "
+            "(catalog URIs need the runtime jar)"
+        )
+    table_path = re.sub(r"^file:/{0,2}(/)", r"\1", table_path)
+    mode = str(p.get("mode", "append")).lower()
+    if mode not in ("append", "overwrite", "replace", "create"):
+        raise ValueError(f"iceberg native writer: unsupported mode '{mode}'")
+    if p.get("partitionBy") or p.get("partitionSpec"):
+        raise NotImplementedError(
+            "iceberg native writer commits unpartitioned specs only; "
+            "partition transforms need the iceberg-spark runtime jar"
+        )
+
+    meta_dir = os.path.join(table_path, "metadata")
+    prev_meta: dict | None = None
+    prev_version = 0
+    if os.path.isdir(meta_dir):
+        try:
+            prev_file_found = find_table_metadata(table_path)
+            with open(prev_file_found) as fh:
+                prev_meta = json.load(fh)
+            m = re.search(r"v(\d+)\.metadata\.json$", prev_file_found)
+            prev_version = (
+                int(m.group(1)) if m else prev_meta.get("__version", 0)
+            )
+        except FileNotFoundError:
+            prev_meta = None
+    if prev_meta is None and mode == "append":
+        mode = "create"
+    os.makedirs(meta_dir, exist_ok=True)
+
+    commit_uuid = str(uuid.uuid4())
+    now_ms = int(time.time() * 1000)
+    snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+
+    # 1. data files — a plain distributed parquet write into data/<uuid>/
+    data_dir = os.path.join(table_path, "data", commit_uuid)
+    df.write.mode("errorifexists").parquet(data_dir)
+    data_files = sorted(
+        os.path.join(data_dir, n)
+        for n in os.listdir(data_dir)
+        if n.endswith(".parquet")
+    )
+
+    seq = (prev_meta or {}).get("last-sequence-number", 0) + 1
+
+    # 2. manifest (one per commit; entries = the new files)
+    entries = []
+    added_rows = 0
+    for path in data_files:
+        rows, size = _parquet_stats(path)
+        if rows == 0:
+            # empty shuffle partitions produce empty part files; keep the
+            # manifest (and later scans) to live data only
+            os.remove(path)
+            continue
+        added_rows += rows
+        entries.append(
+            {
+                "status": _STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": rows,
+                    "file_size_in_bytes": size,
+                },
+            }
+        )
+    data_files = [e["data_file"]["file_path"] for e in entries]
+    schema = iceberg_schema(df.schema)
+    last_column_id = schema.pop("__last_column_id")
+    manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
+    manifest_bytes = write_ocf_bytes(
+        _MANIFEST_ENTRY_SCHEMA,
+        entries,
+        extra_meta={
+            "schema": json.dumps(schema),
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    with open(manifest_path, "wb") as fh:
+        fh.write(manifest_bytes)
+
+    # 3. manifest list: prior snapshot's manifests (append) + the new one
+    manifests = []
+    if mode == "append" and prev_meta is not None:
+        prev_snap = next(
+            (
+                s
+                for s in prev_meta.get("snapshots", [])
+                if s.get("snapshot-id") == prev_meta.get("current-snapshot-id")
+            ),
+            None,
+        )
+        if prev_snap is not None:
+            from pipeline_spark.functions.avroocf import read_ocf_file
+
+            prev_list = re.sub(
+                r"^file:/{0,2}(/)", r"\1", prev_snap["manifest-list"]
+            )
+            _, prev_manifests = read_ocf_file(prev_list)
+            manifests.extend(dict(m) for m in prev_manifests)
+    manifests.append(
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": len(manifest_bytes),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(data_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": added_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    )
+    list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
+    list_bytes = write_ocf_bytes(
+        _MANIFEST_FILE_SCHEMA,
+        manifests,
+        extra_meta={"format-version": "2", "snapshot-id": str(snapshot_id)},
+    )
+    with open(list_path, "wb") as fh:
+        fh.write(list_bytes)
+
+    # 4. table metadata vN + version-hint (HadoopCatalog convention)
+    total_rows = sum(m["added_rows_count"] + m["existing_rows_count"] for m in manifests)
+    total_files = sum(m["added_files_count"] + m["existing_files_count"] for m in manifests)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_path,
+        "schema-id": 0,
+        "summary": {
+            "operation": "append" if mode == "append" else "overwrite",
+            "added-data-files": str(len(data_files)),
+            "added-records": str(added_rows),
+            "total-records": str(total_rows),
+            "total-data-files": str(total_files),
+        },
+    }
+    if prev_meta is not None:
+        version = prev_version + 1
+        snapshots = list(prev_meta.get("snapshots", [])) + [snapshot]
+        snapshot_log = list(prev_meta.get("snapshot-log", []))
+        metadata_log = list(prev_meta.get("metadata-log", []))
+        table_uuid = prev_meta.get("table-uuid", commit_uuid)
+        last_column_id = max(last_column_id, prev_meta.get("last-column-id", 0))
+    else:
+        version = 1
+        snapshots = [snapshot]
+        snapshot_log = []
+        metadata_log = []
+        table_uuid = commit_uuid
+    snapshot_log.append({"timestamp-ms": now_ms, "snapshot-id": snapshot_id})
+
+    prev_file = os.path.join(meta_dir, f"v{version - 1}.metadata.json")
+    if version > 1 and os.path.exists(prev_file):
+        metadata_log.append({"timestamp-ms": now_ms, "metadata-file": prev_file})
+
+    meta = {
+        "format-version": 2,
+        "table-uuid": table_uuid,
+        "location": table_path,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_column_id,
+        "current-schema-id": 0,
+        "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            "write.format.default": "parquet",
+            "schema.name-mapping.default": json.dumps(
+                _name_mapping(schema["fields"])
+            ),
+        },
+        "current-snapshot-id": snapshot_id,
+        "snapshots": snapshots,
+        "snapshot-log": snapshot_log[-10:],
+        "metadata-log": metadata_log[-10:],
+        "__version": version,
+    }
+    meta_file = os.path.join(meta_dir, f"v{version}.metadata.json")
+    with open(meta_file, "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))

@@ -302,3 +302,108 @@ sinks:
     rows = {(r["k"], r["window"]["start"].minute): (r["n"], r["total"])
             for r in spark.read.parquet(out_dir).collect()}
     assert rows[("a", 0)] == (2, 3.0)
+
+
+class TestIcebergNativeWriter:
+    """Native commit path: Spark writes parquet, the stdlib OCF encoder
+    writes spec-shaped v2 metadata; validated by reading back through the
+    independent reader AND by asserting the spec structures directly."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, v string")
+
+    def test_create_and_read_back(self, spark, tmp_path):
+        from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+
+        tbl = str(tmp_path / "tbl")
+        write_iceberg_native(self._df(spark, [(1, "a"), (2, "b")]), {"path": tbl})
+        back = read_iceberg_native(spark, {"path": tbl})
+        assert sorted((r["id"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+    def test_append_and_time_travel(self, spark, tmp_path):
+        from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+
+        tbl = str(tmp_path / "tbl")
+        write_iceberg_native(self._df(spark, [(1, "a")]), {"path": tbl})
+        meta1 = json.load(open(str(tmp_path / "tbl" / "metadata" / "v1.metadata.json")))
+        snap1 = meta1["current-snapshot-id"]
+        write_iceberg_native(self._df(spark, [(2, "b")]), {"path": tbl, "mode": "append"})
+        back = read_iceberg_native(spark, {"path": tbl})
+        assert sorted(r["id"] for r in back.collect()) == [1, 2]
+        # time travel to the first snapshot sees only the first commit
+        old = read_iceberg_native(spark, {"path": tbl, "snapshotId": snap1})
+        assert [r["id"] for r in old.collect()] == [1]
+
+    def test_overwrite_resets(self, spark, tmp_path):
+        from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+
+        tbl = str(tmp_path / "tbl")
+        write_iceberg_native(self._df(spark, [(1, "a"), (2, "b")]), {"path": tbl})
+        write_iceberg_native(self._df(spark, [(9, "z")]), {"path": tbl, "mode": "overwrite"})
+        back = read_iceberg_native(spark, {"path": tbl})
+        assert [(r["id"], r["v"]) for r in back.collect()] == [(9, "z")]
+        # both snapshots retained in the log
+        meta = json.load(open(str(tmp_path / "tbl" / "metadata" / "v2.metadata.json")))
+        assert len(meta["snapshots"]) == 2
+
+    def test_spec_shape(self, spark, tmp_path):
+        """Metadata follows the public v2 spec: field-id'd schema, avro
+        manifests with spec field-ids, name-mapping for id-less parquet."""
+        from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+
+        tbl = tmp_path / "tbl"
+        write_iceberg_native(self._df(spark, [(1, "a")]), {"path": str(tbl)})
+        meta = json.load(open(str(tbl / "metadata" / "v1.metadata.json")))
+        assert meta["format-version"] == 2
+        schema = meta["schemas"][0]
+        assert [(f["id"], f["name"]) for f in schema["fields"]] == [(1, "id"), (2, "v")]
+        nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+        assert nm[0] == {"field-id": 1, "names": ["id"]}
+        snap = meta["snapshots"][-1]
+        with open(snap["manifest-list"], "rb") as fh:
+            lschema, manifests = read_ocf(fh.read())
+        by_id = {f.get("field-id"): f["name"] for f in lschema["fields"]}
+        assert by_id[500] == "manifest_path" and by_id[503] == "added_snapshot_id"
+        manifests = list(manifests)
+        assert manifests[0]["added_rows_count"] == 1
+        with open(manifests[0]["manifest_path"], "rb") as fh:
+            mschema, entries = read_ocf(fh.read())
+        entries = list(entries)
+        assert entries[0]["status"] == 1
+        df_rec = entries[0]["data_file"]
+        assert df_rec["file_format"] == "PARQUET" and df_rec["record_count"] == 1
+
+    def test_sink_module_fallback_e2e(self, spark, tmp_path):
+        from pipeline_spark.config import parse_config
+        from pipeline_spark.executor import run_pipeline
+
+        tbl = str(tmp_path / "tbl")
+        src = str(tmp_path / "in.parquet")
+        self._df(spark, [(5, "e"), (6, "f")]).write.parquet(src)
+        run_pipeline(spark, parse_config(f"""
+sources:
+  - name: rows
+    module: storage
+    parameters: {{format: parquet, input: {src}}}
+sinks:
+  - name: ice
+    module: iceberg
+    inputs: [rows]
+    parameters: {{path: {tbl}}}
+"""))
+        outs = run_pipeline(spark, parse_config(f"""
+sources:
+  - name: back
+    module: iceberg
+    parameters: {{path: {tbl}}}
+"""))
+        assert sorted(r["id"] for r in outs["back"].collect()) == [5, 6]
+
+    def test_partition_gate(self, spark, tmp_path):
+        from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+
+        with pytest.raises(NotImplementedError, match="unpartitioned"):
+            write_iceberg_native(
+                self._df(spark, [(1, "a")]),
+                {"path": str(tmp_path / "t"), "partitionBy": ["v"]},
+            )
