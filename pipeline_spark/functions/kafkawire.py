@@ -1,0 +1,487 @@
+"""Kafka wire-protocol client — stdlib sockets, no jar, no SDK.
+
+Reference: module/source/KafkaSource.java:28-330 consumes through the
+Spark kafka010 connector (a 🔌 gate in this container).  The Kafka
+protocol itself is public (kafka.apache.org/protocol + the KIP-98
+record-batch spec), so bounded batch reads need no jar: this module
+speaks Metadata v1 / ListOffsets v1 / Fetch v4 / Produce v3 over a
+plain TCP socket and encodes/decodes the v2 RecordBatch format
+(magic 2, varint records, CRC-32C) from scratch.
+
+Continues the zero-dependency fallback family (avro OCF, protobuf wire,
+Iceberg metadata).  Honest gates: PLAINTEXT listeners only (SASL/TLS
+need real auth plumbing), gzip compression only (snappy/lz4/zstd codecs
+absent from the sandbox), assign-style consumption (consumer-group
+coordination is a broker-side protocol with no bounded-batch analogue).
+
+Scale posture: the driver talks to one bootstrap broker for metadata +
+offsets (KB-sized); each executor task opens its own socket to the
+partition leader and fetches ONE partition's offset range — reads scale
+with partition count and row bytes never pass through the driver.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import socket
+import struct
+from typing import Any, Iterator
+
+# ---------------------------------------------------------------- CRC-32C
+
+_CRC32C_POLY = 0x82F63B78
+_CRC32C_TABLE: list[int] = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ _CRC32C_POLY if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli) — the record-batch checksum (KIP-98)."""
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+# ------------------------------------------------------------- primitives
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def enc_varint(v: int) -> bytes:
+    u = _zigzag(v) & ((1 << 64) - 1)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        out.append(b | (0x80 if u else 0))
+        if not u:
+            return bytes(out)
+
+
+class Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise EOFError("kafka: truncated frame")
+        b = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def i8(self) -> int:
+        return struct.unpack(">b", self.read(1))[0]
+
+    def i16(self) -> int:
+        return struct.unpack(">h", self.read(2))[0]
+
+    def i32(self) -> int:
+        return struct.unpack(">i", self.read(4))[0]
+
+    def u32(self) -> int:
+        return struct.unpack(">I", self.read(4))[0]
+
+    def i64(self) -> int:
+        return struct.unpack(">q", self.read(8))[0]
+
+    def varint(self) -> int:
+        u = shift = 0
+        while True:
+            b = self.read(1)[0]
+            u |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return _unzigzag(u)
+            shift += 7
+
+    def string(self) -> str | None:
+        n = self.i16()
+        return None if n < 0 else self.read(n).decode()
+
+    def bytes_(self) -> bytes | None:
+        n = self.i32()
+        return None if n < 0 else self.read(n)
+
+
+def _i8(v: int) -> bytes:
+    return struct.pack(">b", v)
+
+
+def _i16(v: int) -> bytes:
+    return struct.pack(">h", v)
+
+
+def _i32(v: int) -> bytes:
+    return struct.pack(">i", v)
+
+
+def _u32(v: int) -> bytes:
+    return struct.pack(">I", v)
+
+
+def _i64(v: int) -> bytes:
+    return struct.pack(">q", v)
+
+
+def _str(s: str | None) -> bytes:
+    if s is None:
+        return _i16(-1)
+    b = s.encode()
+    return _i16(len(b)) + b
+
+
+def _arr(items: list[bytes]) -> bytes:
+    return _i32(len(items)) + b"".join(items)
+
+
+# --------------------------------------------------------- record batches
+
+_ATTR_CODEC_MASK = 0x07
+_CODEC_NONE, _CODEC_GZIP = 0, 1
+_CODEC_NAMES = {2: "snappy", 3: "lz4", 4: "zstd"}
+
+
+def encode_record_batch(
+    records: list[dict[str, Any]],
+    base_offset: int = 0,
+    base_timestamp: int = 0,
+    codec: int = _CODEC_NONE,
+) -> bytes:
+    """records: [{key: bytes|None, value: bytes|None, timestamp: ms,
+    headers: [(str, bytes)]}] → one magic-2 RecordBatch."""
+    body = bytearray()
+    max_ts = base_timestamp
+    for i, rec in enumerate(records):
+        ts = int(rec.get("timestamp", base_timestamp))
+        max_ts = max(max_ts, ts)
+        key = rec.get("key")
+        value = rec.get("value")
+        headers = rec.get("headers") or []
+        r = bytearray()
+        r += _i8(0)  # record attributes (unused)
+        r += enc_varint(ts - base_timestamp)
+        r += enc_varint(i)  # offset delta
+        r += enc_varint(-1) if key is None else enc_varint(len(key)) + key
+        r += enc_varint(-1) if value is None else enc_varint(len(value)) + value
+        r += enc_varint(len(headers))
+        for hk, hv in headers:
+            hkb = hk.encode()
+            r += enc_varint(len(hkb)) + hkb
+            r += enc_varint(-1) if hv is None else enc_varint(len(hv)) + hv
+        body += enc_varint(len(r)) + r
+    payload = bytes(body)
+    if codec == _CODEC_GZIP:
+        payload = gzip.compress(payload)
+    elif codec != _CODEC_NONE:
+        raise NotImplementedError(f"kafka: produce codec {codec} unsupported")
+
+    after_crc = (
+        _i16(codec)  # attributes (codec bits; timestamp type CREATE_TIME)
+        + _i32(len(records) - 1)  # last offset delta
+        + _i64(base_timestamp)
+        + _i64(max_ts)
+        + _i64(-1)  # producer id
+        + _i16(-1)  # producer epoch
+        + _i32(-1)  # base sequence
+        + _i32(len(records))
+        + payload
+    )
+    batch_tail = _u32(crc32c(after_crc)) + after_crc
+    # batch_length counts from partition_leader_epoch (4) + magic (1) + tail
+    return (
+        _i64(base_offset)
+        + _i32(4 + 1 + len(batch_tail))
+        + _i32(-1)  # partition leader epoch
+        + _i8(2)  # magic
+        + batch_tail
+    )
+
+
+def decode_record_batches(data: bytes) -> Iterator[dict[str, Any]]:
+    """Parse concatenated magic-2 RecordBatches → per-record dicts with
+    offset / timestamp / key / value / headers.  Tolerates the trailing
+    partial batch brokers may return at the end of a fetch response."""
+    r = Reader(data)
+    while len(data) - r.pos >= 17:
+        base_offset = r.i64()
+        batch_len = r.i32()
+        if len(data) - r.pos < batch_len:
+            return  # partial trailing batch — spec says discard
+        end = r.pos + batch_len
+        r.i32()  # partition leader epoch
+        magic = r.i8()
+        if magic != 2:
+            raise NotImplementedError(
+                f"kafka: message format v{magic} (pre-0.11 log) unsupported; "
+                "native path reads RecordBatch v2"
+            )
+        r.u32()  # crc — validated by the broker; re-check is optional
+        attrs = r.i16()
+        r.i32()  # last offset delta
+        base_ts = r.i64()
+        r.i64()  # max timestamp
+        r.i64()  # producer id
+        r.i16()  # producer epoch
+        r.i32()  # base sequence
+        count = r.i32()
+        payload = r.read(end - r.pos)
+        codec = attrs & _ATTR_CODEC_MASK
+        if codec == _CODEC_GZIP:
+            payload = gzip.decompress(payload)
+        elif codec != _CODEC_NONE:
+            raise NotImplementedError(
+                f"kafka: {_CODEC_NAMES.get(codec, codec)} compression needs "
+                "its codec library (absent from this sandbox)"
+            )
+        pr = Reader(payload)
+        for _ in range(count):
+            rlen = pr.varint()
+            rend = pr.pos + rlen
+            pr.i8()  # record attributes
+            ts_delta = pr.varint()
+            off_delta = pr.varint()
+            klen = pr.varint()
+            key = None if klen < 0 else pr.read(klen)
+            vlen = pr.varint()
+            value = None if vlen < 0 else pr.read(vlen)
+            headers = []
+            for _h in range(pr.varint()):
+                hklen = pr.varint()
+                hk = pr.read(hklen).decode()
+                hvlen = pr.varint()
+                hv = None if hvlen < 0 else pr.read(hvlen)
+                headers.append((hk, hv))
+            pr.pos = rend
+            yield {
+                "offset": base_offset + off_delta,
+                "timestamp": base_ts + ts_delta,
+                "key": key,
+                "value": value,
+                "headers": headers,
+            }
+
+
+# ------------------------------------------------------------- the client
+
+_API_METADATA, _API_PRODUCE, _API_FETCH, _API_LIST_OFFSETS = 3, 0, 1, 2
+
+EARLIEST, LATEST = -2, -1
+
+
+class KafkaError(RuntimeError):
+    pass
+
+
+def _check(code: int, what: str) -> None:
+    if code != 0:
+        raise KafkaError(f"kafka: {what} failed with error_code={code}")
+
+
+class KafkaClient:
+    """Minimal synchronous client over one broker connection."""
+
+    def __init__(self, host: str, port: int, client_id: str = "pipeline-spark", timeout: float = 30.0):
+        self.client_id = client_id
+        self._corr = 0
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    @classmethod
+    def bootstrap(cls, servers: str, **kw) -> "KafkaClient":
+        last: Exception | None = None
+        for hp in str(servers).split(","):
+            host, _, port = hp.strip().rpartition(":")
+            try:
+                return cls(host, int(port), **kw)
+            except OSError as e:
+                last = e
+        raise KafkaError(f"kafka: no bootstrap server reachable in '{servers}': {last}")
+
+    def _call(self, api_key: int, api_version: int, body: bytes) -> Reader:
+        self._corr += 1
+        msg = (
+            _i16(api_key)
+            + _i16(api_version)
+            + _i32(self._corr)
+            + _str(self.client_id)
+            + body
+        )
+        self.sock.sendall(_i32(len(msg)) + msg)
+        buf = b""
+        while len(buf) < 4:
+            chunk = self.sock.recv(4 - len(buf))
+            if not chunk:
+                raise KafkaError("kafka: connection closed mid-response")
+            buf += chunk
+        (n,) = struct.unpack(">i", buf)
+        out = io.BytesIO()
+        got = 0
+        while got < n:
+            chunk = self.sock.recv(min(1 << 20, n - got))
+            if not chunk:
+                raise KafkaError("kafka: connection closed mid-response")
+            out.write(chunk)
+            got += len(chunk)
+        r = Reader(out.getvalue())
+        corr = r.i32()
+        if corr != self._corr:
+            raise KafkaError(f"kafka: correlation id mismatch ({corr} != {self._corr})")
+        return r
+
+    # Metadata v1
+    def metadata(self, topics: list[str] | None = None) -> dict:
+        body = _i32(-1) if topics is None else _arr([_str(t) for t in topics])
+        r = self._call(_API_METADATA, 1, body)
+        brokers = {}
+        for _ in range(r.i32()):
+            node, host, port = r.i32(), r.string(), r.i32()
+            r.string()  # rack
+            brokers[node] = (host, port)
+        r.i32()  # controller id
+        out_topics = {}
+        for _ in range(r.i32()):
+            err, name = r.i16(), r.string()
+            r.i8()  # is_internal
+            parts = {}
+            for _p in range(r.i32()):
+                perr, pidx, leader = r.i16(), r.i32(), r.i32()
+                for _x in range(r.i32()):
+                    r.i32()  # replicas
+                for _x in range(r.i32()):
+                    r.i32()  # isr
+                _check(perr, f"metadata for {name}/{pidx}")
+                parts[pidx] = leader
+            _check(err, f"metadata for topic {name}")
+            out_topics[name] = parts
+        return {"brokers": brokers, "topics": out_topics}
+
+    # ListOffsets v1
+    def list_offset(self, topic: str, partition: int, timestamp: int) -> int:
+        body = _i32(-1) + _arr(
+            [_str(topic) + _arr([_i32(partition) + _i64(timestamp)])]
+        )
+        r = self._call(_API_LIST_OFFSETS, 1, body)
+        for _ in range(r.i32()):
+            r.string()
+            for _p in range(r.i32()):
+                r.i32()  # partition
+                err = r.i16()
+                r.i64()  # timestamp
+                off = r.i64()
+                _check(err, f"list_offsets {topic}/{partition}")
+                return off
+        raise KafkaError("kafka: empty ListOffsets response")
+
+    # Fetch v4
+    def fetch(
+        self,
+        topic: str,
+        partition: int,
+        offset: int,
+        max_bytes: int = 1 << 20,
+        max_wait_ms: int = 500,
+    ) -> tuple[int, list[dict]]:
+        """One fetch round-trip → (high_watermark, records from ``offset``)."""
+        body = (
+            _i32(-1)  # replica id
+            + _i32(max_wait_ms)
+            + _i32(1)  # min bytes
+            + _i32(max_bytes)
+            + _i8(0)  # isolation: read_uncommitted
+            + _arr([_str(topic) + _arr([_i32(partition) + _i64(offset) + _i32(max_bytes)])])
+        )
+        r = self._call(_API_FETCH, 4, body)
+        r.i32()  # throttle
+        for _ in range(r.i32()):
+            r.string()
+            for _p in range(r.i32()):
+                r.i32()  # partition
+                err = r.i16()
+                hw = r.i64()
+                r.i64()  # last stable offset
+                n_aborted = r.i32()
+                for _a in range(max(0, n_aborted)):
+                    r.i64(), r.i64()
+                _check(err, f"fetch {topic}/{partition}@{offset}")
+                blob = r.bytes_() or b""
+                recs = [
+                    rec for rec in decode_record_batches(blob) if rec["offset"] >= offset
+                ]
+                return hw, recs
+        raise KafkaError("kafka: empty Fetch response")
+
+    # Produce v3
+    def produce(
+        self, topic: str, partition: int, records: list[dict], acks: int = -1
+    ) -> int:
+        batch = encode_record_batch(
+            records,
+            base_timestamp=min(
+                (int(rec.get("timestamp", 0)) for rec in records), default=0
+            ),
+        )
+        body = (
+            _str(None)  # transactional id
+            + _i16(acks)
+            + _i32(30000)
+            + _arr([_str(topic) + _arr([_i32(partition) + _i32(len(batch)) + batch])])
+        )
+        r = self._call(_API_PRODUCE, 3, body)
+        for _ in range(r.i32()):
+            r.string()
+            for _p in range(r.i32()):
+                r.i32()  # partition
+                err = r.i16()
+                base = r.i64()
+                r.i64()  # log append time
+                _check(err, f"produce {topic}/{partition}")
+                return base
+        raise KafkaError("kafka: empty Produce response")
+
+
+def read_partition_range(
+    servers: str, topic: str, partition: int, start: int, end: int,
+    max_bytes: int = 1 << 20,
+) -> Iterator[dict]:
+    """Executor-side bounded read of [start, end) — loops Fetch until the
+    range is exhausted, reconnecting to the partition leader."""
+    boot = KafkaClient.bootstrap(servers)
+    try:
+        meta = boot.metadata([topic])
+        leader = meta["topics"][topic][partition]
+        host, port = meta["brokers"][leader]
+    finally:
+        boot.close()
+    with KafkaClient(host, port) as client:
+        offset = start
+        while offset < end:
+            _, recs = client.fetch(topic, partition, offset, max_bytes=max_bytes)
+            if not recs:
+                return  # range truncated (retention) — stop rather than spin
+            for rec in recs:
+                if rec["offset"] >= end:
+                    return
+                offset = rec["offset"] + 1
+                yield rec

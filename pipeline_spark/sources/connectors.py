@@ -66,12 +66,118 @@ def iceberg_source(ctx: ModuleContext) -> dict[str, DataFrame]:
     return {"": ctx.spark.read.format("iceberg").load(p["table"])}
 
 
+def _kafka_native_batch(ctx: ModuleContext, p: dict) -> DataFrame:
+    """Bounded batch read over the public Kafka wire protocol — no jar, no
+    SDK (functions/kafkawire.py).  Offset range plans driver-side
+    (Metadata + ListOffsets, KB-sized); each executor task fetches ONE
+    partition's [start, end) from its leader, so the read scales with
+    partition count.  Output schema mirrors the Spark kafka connector:
+    key/value binary + topic/partition/offset/timestamp/timestampType."""
+    import datetime as dt
+    import json as _json
+
+    from pipeline_spark.functions.kafkawire import (
+        EARLIEST,
+        LATEST,
+        KafkaClient,
+        read_partition_range,
+    )
+
+    servers = p["bootstrapServers"]
+    topic = p.get("topic") or p.get("topics")
+    if not topic or "," in str(topic):
+        raise ValueError("kafka native batch reads one topic per module")
+
+    def _bounds(cfg, default_ts):
+        """startingOffsets/endingOffsets: earliest|latest|{'topic':{'0':N}}"""
+        if isinstance(cfg, str) and cfg.strip().startswith("{"):
+            cfg = _json.loads(cfg)
+        if isinstance(cfg, dict):
+            return {int(k): int(v) for k, v in (cfg.get(topic) or cfg).items()}
+        return {"earliest": EARLIEST, "latest": LATEST}.get(
+            str(cfg or "").lower(), default_ts
+        )
+
+    start_cfg = _bounds(p.get("startingOffsets"), EARLIEST)
+    end_cfg = _bounds(p.get("endingOffsets"), LATEST)
+    boot = KafkaClient.bootstrap(servers)
+    try:
+        partitions = sorted(boot.metadata([topic])["topics"][topic])
+        descs = []
+        for part in partitions:
+            if isinstance(start_cfg, dict):
+                start = start_cfg.get(part, 0)
+            else:
+                start = boot.list_offset(topic, part, start_cfg)
+            if isinstance(end_cfg, dict):
+                end = end_cfg.get(part)
+                if end is None:
+                    end = boot.list_offset(topic, part, LATEST)
+            else:
+                end = boot.list_offset(topic, part, end_cfg)
+            if end > start:
+                descs.append((part, start, end))
+    finally:
+        boot.close()
+
+    schema = (
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int"
+    )
+    sc = ctx.spark.sparkContext
+    if not descs:
+        return ctx.spark.createDataFrame([], schema)
+
+    def read_part(desc):
+        part, start, end = desc
+        for rec in read_partition_range(servers, topic, part, start, end):
+            yield (
+                rec["key"],
+                rec["value"],
+                topic,
+                part,
+                rec["offset"],
+                dt.datetime.fromtimestamp(rec["timestamp"] / 1000.0, dt.timezone.utc),
+                0,
+            )
+
+    rdd = sc.parallelize(descs, len(descs)).flatMap(read_part)
+    return ctx.spark.createDataFrame(rdd, schema)
+
+
 @module("kafka", kind=KIND_SOURCE)
 def kafka_source(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
-    _require_class(
-        ctx, "kafka", "org.apache.spark.sql.kafka010.KafkaSourceProvider"
-    )
+    try:
+        _require_class(
+            ctx, "kafka", "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except RuntimeError:
+        # no connector jar: PLAINTEXT brokers still read natively over the
+        # public wire protocol — bounded batch (startingOffsets →
+        # endingOffsets); continuous streaming still needs the jar and
+        # says so
+        if str(p.get("mode", "batch")).lower() not in ("batch", "microbatch"):
+            raise RuntimeError(
+                "kafka streaming mode requires the spark-sql-kafka jar; "
+                "the native wire client reads bounded batches (mode: batch)"
+            )
+        df = _kafka_native_batch(ctx, p)
+        fmt = str(p.get("format", "raw")).lower()
+        if fmt in ("json", "avro", "protobuf"):
+            from pipeline_spark.operators.deserialize import deserialize_transform
+            from pipeline_spark.registry import ModuleContext as MC
+
+            sub = MC(
+                spark=ctx.spark,
+                name=ctx.name,
+                params={"field": "value", "format": fmt, **p.get("deserialize", {})},
+                inputs=[df],
+                input_names=["kafka"],
+                config=ctx.config,
+            )
+            return deserialize_transform(sub)
+        return {"": df}
     reader = (
         ctx.spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", p["bootstrapServers"])
