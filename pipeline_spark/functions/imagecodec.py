@@ -205,11 +205,19 @@ def _pil_decode(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Magic-byte dispatch: PNG/BMP natively, everything else via Pillow."""
+    """Magic-byte dispatch: PNG/BMP/baseline-JPEG natively, everything
+    else (progressive JPEG, GIF, WebP…) via Pillow."""
     if data.startswith(_PNG_SIG):
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:2] == b"\xff\xd8":
+        from pipeline_spark.functions.jpegcodec import decode_jpeg
+
+        try:
+            return decode_jpeg(data)
+        except NotImplementedError:
+            return _pil_decode(data)  # progressive/arithmetic/CMYK
     return _pil_decode(data)
 
 

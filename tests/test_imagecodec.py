@@ -123,6 +123,11 @@ class TestBmpDecode:
         data = self._bmp24(1, 1, [[(1, 2, 3)]])
         assert decode_image(data)[0, 0].tolist() == [3, 2, 1]
         with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image(b"GIF89a not-actually-decodable")
+        # malformed JPEG fails with a decode error, not a Pillow gate
+        from pipeline_spark.functions.jpegcodec import JpegError
+
+        with pytest.raises((JpegError, Exception)):
             decode_image(b"\xff\xd8\xff not-actually-jpeg")
 
 
@@ -200,3 +205,77 @@ class TestMultimodalRealPath:
             out = decode_png(bytes(r[k]["resized"]))
             assert out.shape[:2] == (5, 8)
             assert r[k]["width"] == 8 and r[k]["height"] == 5
+
+
+class TestJpegCodec:
+    """Baseline JPEG from the T.81 spec: structural golden checks on the
+    encoder's marker stream + round-trips through the independent decoder
+    (DCT quantization loss bounded, not bit-exact)."""
+
+    def _img(self, h=40, w=56):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [xx * 255 // w, yy * 255 // h, (xx + yy) * 255 // (h + w)], axis=2
+        ).astype(np.uint8)
+
+    def test_marker_stream_structure(self):
+        from pipeline_spark.functions.jpegcodec import encode_jpeg
+
+        data = encode_jpeg(self._img(), quality=90)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        # APP0/JFIF, two DQT, SOF0, four DHT, SOS all present
+        assert data[2:4] == b"\xff\xe0" and data[6:11] == b"JFIF\x00"
+        for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+            assert marker in data
+        # SOF0 carries dimensions big-endian
+        i = data.index(b"\xff\xc0")
+        h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+        assert (h, w) == (40, 56)
+
+    def test_roundtrip_rgb_and_gray(self):
+        from pipeline_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+        img = self._img()
+        dec = decode_jpeg(encode_jpeg(img, quality=95))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).mean() < 1.0
+        gray = img[:, :, 0]
+        dg = decode_jpeg(encode_jpeg(gray, quality=95))
+        assert dg.shape == gray.shape
+        assert np.abs(dg.astype(int) - gray.astype(int)).mean() < 1.5
+
+    def test_subsampled_and_odd_dims(self):
+        from pipeline_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+        img = self._img(h=37, w=51)  # forces edge padding + 4:2:0 upsample
+        dec = decode_jpeg(encode_jpeg(img, quality=90, subsample=True))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).mean() < 4.0
+
+    def test_restart_markers_equivalent(self):
+        from pipeline_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+        img = self._img(h=64, w=80)
+        plain = decode_jpeg(encode_jpeg(img, quality=85))
+        for ri in (1, 3):
+            data = encode_jpeg(img, quality=85, restart_interval=ri)
+            assert b"\xff\xdd" in data  # DRI segment
+            assert b"\xff\xd0" in data  # at least one RST0
+            assert np.array_equal(decode_jpeg(data), plain)
+
+    def test_progressive_gated(self):
+        from pipeline_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+        data = bytearray(encode_jpeg(self._img(), quality=90))
+        i = data.index(b"\xff\xc0")
+        data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(bytes(data))
+
+    def test_dispatch_from_decode_image(self):
+        from pipeline_spark.functions.jpegcodec import encode_jpeg
+
+        img = self._img()
+        out = decode_image(encode_jpeg(img, quality=95))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 1.0
