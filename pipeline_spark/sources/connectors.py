@@ -75,6 +75,7 @@ def _kafka_native_batch(ctx: ModuleContext, p: dict) -> DataFrame:
     key/value binary + topic/partition/offset/timestamp/timestampType."""
     import datetime as dt
     import json as _json
+    import os
 
     from pipeline_spark.functions.kafkawire import (
         EARLIEST,
@@ -100,12 +101,23 @@ def _kafka_native_batch(ctx: ModuleContext, p: dict) -> DataFrame:
 
     start_cfg = _bounds(p.get("startingOffsets"), EARLIEST)
     end_cfg = _bounds(p.get("endingOffsets"), LATEST)
+    # microbatch mode: resume from the checkpointed offsets of the last
+    # committed run, consume up to current latest, checkpoint on commit —
+    # the same incremental contract as the microbatch source
+    checkpoint_file = p.get("checkpointFile")
+    committed: dict[int, int] = {}
+    if checkpoint_file and os.path.exists(checkpoint_file):
+        with open(checkpoint_file) as fh:
+            committed = {int(k): int(v) for k, v in _json.load(fh).items()}
     boot = KafkaClient.bootstrap(servers)
     try:
         partitions = sorted(boot.metadata([topic])["topics"][topic])
         descs = []
+        next_offsets: dict[int, int] = {}
         for part in partitions:
-            if isinstance(start_cfg, dict):
+            if part in committed:
+                start = committed[part]
+            elif isinstance(start_cfg, dict):
                 start = start_cfg.get(part, 0)
             else:
                 start = boot.list_offset(topic, part, start_cfg)
@@ -115,10 +127,20 @@ def _kafka_native_batch(ctx: ModuleContext, p: dict) -> DataFrame:
                     end = boot.list_offset(topic, part, LATEST)
             else:
                 end = boot.list_offset(topic, part, end_cfg)
+            next_offsets[part] = max(start, end)
             if end > start:
                 descs.append((part, start, end))
     finally:
         boot.close()
+    if checkpoint_file:
+
+        def _commit_offsets() -> None:
+            tmp = f"{checkpoint_file}.tmp"
+            with open(tmp, "w") as fh:
+                _json.dump({str(k): v for k, v in next_offsets.items()}, fh)
+            os.replace(tmp, checkpoint_file)
+
+        ctx.on_commit(_commit_offsets)
 
     schema = (
         "key binary, value binary, topic string, partition int, "

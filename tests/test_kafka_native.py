@@ -195,3 +195,30 @@ sources:
       topic: raw
       mode: streaming
 """))
+
+
+def test_kafka_incremental_checkpoint(spark, broker, tmp_path):
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    ckpt = str(tmp_path / "offsets.json")
+    cfg = f"""
+sources:
+  - name: k
+    module: kafka
+    parameters:
+      bootstrapServers: 127.0.0.1:{broker.port}
+      topic: inc
+      checkpointFile: {ckpt}
+"""
+    broker.seed("inc", 0, [{"key": None, "value": b"a", "timestamp": 1}])
+    out1 = run_pipeline(spark, parse_config(cfg))["k"].collect()
+    assert [bytes(r["value"]) for r in out1] == [b"a"]
+    # second run with no new data: empty, not a re-read
+    out2 = run_pipeline(spark, parse_config(cfg))["k"].collect()
+    assert out2 == []
+    # new messages arrive: only the delta is consumed
+    broker.seed("inc", 0, [{"key": None, "value": b"b", "timestamp": 2},
+                           {"key": None, "value": b"c", "timestamp": 3}])
+    out3 = run_pipeline(spark, parse_config(cfg))["k"].collect()
+    assert sorted(bytes(r["value"]) for r in out3) == [b"b", b"c"]
