@@ -19,6 +19,9 @@ Ops:
   extract_meta   mime sniff from magic bytes + payload size (pure Column)
   decode         image → features/width/height via mapInPandas
   resize         image resize → re-encoded PNG payload + new dims
+  audio_features WAV → duration/rate/channels + feature vector (REAL
+                 PCM decode, functions/audiocodec.py; MP3/FLAC gated)
+  audio_resample WAV → linear-resampled re-encoded WAV payload
   frame_sample   video → N frame rows per input (exploding mapInPandas;
                  ffmpeg stub with deterministic fake frames)
 """
@@ -209,6 +212,88 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                     yield out
 
         return {"": df.mapInPandas(resize, schema=schema)}
+
+    if op == "audio_features":
+        null_on_error = str(p.get("onError", "fail")).lower() == "null"
+        schema = T.StructType(
+            [
+                *df.schema.fields,
+                T.StructField("duration_s", T.DoubleType()),
+                T.StructField("sample_rate", T.IntegerType()),
+                T.StructField("channels", T.IntegerType()),
+                T.StructField("audio_features", T.ArrayType(T.FloatType())),
+            ]
+        )
+
+        def afeat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pipeline_spark.functions.audiocodec import audio_features, decode_wav
+
+            for pdf in batches:
+                out = pdf.copy()
+                durs, rates, chans, feats = [], [], [], []
+                for b in pdf[payload_field]:
+                    try:
+                        samples, rate = decode_wav(bytes(b or b""))
+                        durs.append(len(samples) / float(rate))
+                        rates.append(rate)
+                        chans.append(samples.shape[1])
+                        feats.append(audio_features(samples, rate, FEATURE_DIM))
+                    except Exception:
+                        if not null_on_error:
+                            raise
+                        durs.append(None)
+                        rates.append(None)
+                        chans.append(None)
+                        feats.append(None)
+                out["duration_s"] = durs
+                out["sample_rate"] = rates
+                out["channels"] = chans
+                out["audio_features"] = feats
+                yield out
+
+        return {"": df.mapInPandas(afeat, schema=schema)}
+
+    if op == "audio_resample":
+        target_rate = int(p.get("sampleRate", 16000))
+        null_on_error = str(p.get("onError", "fail")).lower() == "null"
+        schema = T.StructType(
+            [
+                *df.schema.fields,
+                T.StructField("resampled", T.BinaryType()),
+                T.StructField("sample_rate", T.IntegerType()),
+            ]
+        )
+
+        def aresample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pipeline_spark.functions.audiocodec import (
+                decode_wav,
+                encode_wav,
+                resample_linear,
+            )
+
+            for pdf in batches:
+                out = pdf.copy()
+                blobs, rates = [], []
+                for b in pdf[payload_field]:
+                    try:
+                        samples, rate = decode_wav(bytes(b or b""))
+                        blobs.append(
+                            encode_wav(
+                                resample_linear(samples, rate, target_rate),
+                                target_rate,
+                            )
+                        )
+                        rates.append(target_rate)
+                    except Exception:
+                        if not null_on_error:
+                            raise
+                        blobs.append(None)
+                        rates.append(None)
+                out["resampled"] = blobs
+                out["sample_rate"] = rates
+                yield out
+
+        return {"": df.mapInPandas(aresample, schema=schema)}
 
     if op == "frame_sample":
         # video frame sampling: ONE input row → N output rows
