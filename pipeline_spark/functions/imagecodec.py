@@ -218,6 +218,10 @@ def decode_image(data: bytes) -> np.ndarray:
             return decode_jpeg(data)
         except NotImplementedError:
             return _pil_decode(data)  # progressive/arithmetic/CMYK
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from pipeline_spark.functions.gifcodec import decode_gif
+
+        return decode_gif(data)
     return _pil_decode(data)
 
 

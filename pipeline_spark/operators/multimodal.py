@@ -297,17 +297,14 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
 
     if op == "frame_sample":
         # video frame sampling: ONE input row → N output rows
-        # (mm_id, frame_idx, frame payload, ts_sec).  Real decoder
-        # (ffmpeg/pyav) absent; ``fake: true`` emits deterministic
-        # hash-derived frames through the identical exploding
-        # mapInPandas shape — the part Spark cares about (row
-        # multiplication, schema, batch sizing) is fully real.
+        # (mm_id, frame_idx, frame payload, ts_sec).  REAL for GIF
+        # animations (stdlib LZW decode → PNG frames); mp4/webm need
+        # ffmpeg/pyav (absent) and raise actionably.  ``fake: true``
+        # emits deterministic hash-derived frames through the identical
+        # exploding mapInPandas shape.
         n_frames = int(p.get("frames", 8))
-        if not p.get("fake", False):
-            raise NotImplementedError(
-                "video frame sampling requires ffmpeg (not in container); "
-                "pass fake: true for the deterministic stub"
-            )
+        fake = bool(p.get("fake", False))
+        null_on_error = str(p.get("onError", "fail")).lower() == "null"
         frame_schema = T.StructType(
             [
                 T.StructField("mm_id", T.LongType()),
@@ -321,6 +318,31 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             F.col(payload_field).alias("payload"),
         )
 
+        def _real_frames(b: bytes) -> list[tuple[float, bytes]]:
+            """REAL for GIF animations (stdlib LZW decoder, uniform frame
+            sampling, PNG re-encode); other containers (mp4/webm/avi)
+            need ffmpeg/pyav and raise actionably."""
+            if b[:6] in (b"GIF87a", b"GIF89a"):
+                from pipeline_spark.functions.gifcodec import decode_gif_frames
+                from pipeline_spark.functions.imagecodec import encode_png
+
+                decoded = decode_gif_frames(b)
+                step = max(1, len(decoded) // n_frames)
+                picked = decoded[::step][:n_frames]
+                ts = 0.0
+                out = []
+                starts = []
+                for delay, _ in decoded:
+                    starts.append(ts)
+                    ts += delay / 1000.0
+                for j, (_, frame) in enumerate(picked):
+                    out.append((starts[j * step], encode_png(frame)))
+                return out
+            raise NotImplementedError(
+                "video frame sampling is real for GIF only; mp4/webm need "
+                "ffmpeg (not in container) — pass fake: true for the stub"
+            )
+
         def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import hashlib
 
@@ -328,13 +350,30 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                 ids, idxs, tss, frames = [], [], [], []
                 for mm_id, payload in zip(pdf["mm_id"], pdf["payload"]):
                     b = bytes(payload or b"")
-                    digest = hashlib.md5(b).digest()
-                    for i in range(n_frames):
+                    if fake:
+                        digest = hashlib.md5(b).digest()
+                        for i in range(n_frames):
+                            ids.append(mm_id)
+                            idxs.append(i)
+                            tss.append(float(i))
+                            # real impl: container.decode(video=0) keyframes
+                            frames.append(digest + i.to_bytes(4, "big"))
+                        continue
+                    try:
+                        picked = _real_frames(b)
+                    except Exception:
+                        if not null_on_error:
+                            raise
+                        ids.append(mm_id)
+                        idxs.append(None)
+                        tss.append(None)
+                        frames.append(None)
+                        continue
+                    for i, (ts_sec, blob) in enumerate(picked):
                         ids.append(mm_id)
                         idxs.append(i)
-                        tss.append(float(i))
-                        # real impl: container.decode(video=0) keyframes
-                        frames.append(digest + i.to_bytes(4, "big"))
+                        tss.append(float(ts_sec))
+                        frames.append(blob)
                 yield pd.DataFrame(
                     {"mm_id": ids, "frame_idx": idxs, "ts_sec": tss, "frame": frames}
                 )

@@ -123,7 +123,7 @@ class TestBmpDecode:
         data = self._bmp24(1, 1, [[(1, 2, 3)]])
         assert decode_image(data)[0, 0].tolist() == [3, 2, 1]
         with pytest.raises(NotImplementedError, match="Pillow"):
-            decode_image(b"GIF89a not-actually-decodable")
+            decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 not-decodable")
         # malformed JPEG fails with a decode error, not a Pillow gate
         from pipeline_spark.functions.jpegcodec import JpegError
 
