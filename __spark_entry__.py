@@ -1013,6 +1013,138 @@ FROM documents
 """
 
 
+def q_image_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode e2e: per-doc payloads are ENCODED in-executor with
+    the native codecs (PNG / baseline JPEG / GIF rotating by id) at
+    id-derived dimensions, then decoded back through the multimodal decode
+    op; the oracle recomputes the dimension formulas in SQL — a hash
+    mismatch means a codec round-trip broke."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pipeline_spark.operators.multimodal import multimodal_transform
+    from pipeline_spark.registry import ModuleContext
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipeline_spark.functions.gifcodec import encode_gif
+        from pipeline_spark.functions.imagecodec import encode_png
+        from pipeline_spark.functions.jpegcodec import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 9, 8 + did % 7
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [(xx * 255 // max(w - 1, 1)), (yy * 255 // max(h - 1, 1)),
+                     np.full((h, w), did % 256)], axis=2
+                ).astype(np.uint8)
+                fmt = did % 3
+                if fmt == 0:
+                    payloads.append(encode_png(img))
+                elif fmt == 1:
+                    payloads.append(encode_jpeg(img, quality=90))
+                else:
+                    payloads.append(encode_gif(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    import pyspark.sql.types as T
+
+    payload_df = docs.mapInPandas(
+        gen,
+        schema=T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+    decoded = multimodal_transform(ModuleContext(
+        spark=spark, name="mm", params={"op": "decode", "field": "payload",
+                                        "idField": "doc_id"},
+        inputs=[payload_df], input_names=["in"], config={},
+    ))[""]
+    return decoded.select("doc_id", "width", "height")
+
+
+Q_IMAGE_CODEC_SQL = """
+SELECT doc_id, 8 + doc_id % 9 AS width, 8 + doc_id % 7 AS height
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def q_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode e2e: id-derived sine WAVs encoded in-executor by
+    the native codec, decoded back through the audio_features op; the
+    oracle recomputes duration/rate/channels formulas in SQL."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pipeline_spark.operators.multimodal import multimodal_transform
+    from pipeline_spark.registry import ModuleContext
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipeline_spark.functions.audiocodec import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 800 + (did % 5) * 80
+                ch = 1 + did % 2
+                t = np.linspace(0, n / 8000.0, n, endpoint=False)
+                sig = np.stack(
+                    [0.5 * np.sin(2 * np.pi * (200 + did % 7 * 100) * t)] * ch,
+                    axis=1,
+                )
+                payloads.append(encode_wav(sig, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    import pyspark.sql.types as T
+
+    payload_df = docs.mapInPandas(
+        gen,
+        schema=T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+    feat = multimodal_transform(ModuleContext(
+        spark=spark, name="mm", params={"op": "audio_features", "field": "payload"},
+        inputs=[payload_df], input_names=["in"], config={},
+    ))[""]
+    return feat.select(
+        "doc_id",
+        F.round("duration_s", 6).alias("duration_s"),
+        "sample_rate",
+        "channels",
+    )
+
+
+Q_AUDIO_SQL = """
+SELECT doc_id,
+       round((800 + (doc_id % 5) * 80) / 8000.0, 6) AS duration_s,
+       8000 AS sample_rate,
+       1 + doc_id % 2 AS channels
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aggregation: std, count_distinct, median, weighted avg, regression."""
     df = _pipeline(spark, sf_dir, ["lineitem"], """
@@ -2261,6 +2393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
         "multimodal_meta": q_multimodal_meta,
+        "image_codec_roundtrip": q_image_codec_roundtrip,
+        "audio_roundtrip": q_audio_roundtrip,
         "minhash_pairs": q_minhash_pairs,
         "simhash_neardup": q_simhash_neardup,
         "dedup_cluster": q_dedup_cluster,
@@ -2322,6 +2456,8 @@ def oracle_sql() -> dict[str, str]:
         # full recall on this corpus — held to the same exact-pair oracle
         "embedding_neardup_bucketed": Q_NEARDUP_SQL,
         "multimodal_meta": Q_MULTIMODAL_SQL,
+        "image_codec_roundtrip": Q_IMAGE_CODEC_SQL,
+        "audio_roundtrip": Q_AUDIO_SQL,
         # LSH candidate generators + exact verify: output IS the exact
         # near-dup pair set, so all three share the from-scratch oracle
         "minhash_pairs": Q_JACCARD_SQL,
