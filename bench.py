@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "storage_avro_roundtrip",
     "gopher_rules",
     "linear_regression",
+    "iceberg_roundtrip",
+    "image_codec_roundtrip",
+    "audio_roundtrip",
 ]
 
 

@@ -258,6 +258,54 @@ def _apply_linear_regression(
         zip([(t, h) for t in targets for h in horizons], out_names)
     )
 
+    implementation = str(step.get("implementation", "auto")).lower()
+
+    def fast_simple_ols(a: "np.ndarray", b: "np.ndarray") -> dict | None:
+        """Vectorized rolling simple-OLS for the 1-feature/1-target/
+        no-regularization case — numerically exact vs the loop (for a
+        single feature, standardized OLS de-standardizes to the same
+        line; x is centered per key for conditioning).  Returns
+        {output_name: np.ndarray} or None when it must defer to the
+        loop (NaNs with skipNullRows, a singular window)."""
+        n = len(a)
+        if n == 0 or np.isnan(a).any() or np.isnan(b).any():
+            return None
+        x0 = a[0]
+        ac = a - x0
+        out: dict[str, np.ndarray] = {}
+        idx = np.arange(n)
+        m = float(train_size)
+
+        def roll(v: "np.ndarray") -> "np.ndarray":
+            cs = np.concatenate([[0.0], np.cumsum(v)])
+            r = np.full(n, np.nan)
+            if n >= train_size:
+                j = idx[train_size - 1 :]
+                r[j] = cs[j + 1] - cs[j + 1 - train_size]
+            return r
+
+        for h in horizons:
+            # pair at k: feature a[k-h], target b[k]
+            x = np.concatenate([np.full(h, np.nan), ac[: n - h]]) if h else ac
+            Sx, Sy = roll(x), roll(b)
+            Sxy, Sxx = roll(x * b), roll(x * x)
+            denom = Sxx - Sx * Sx / m
+            trainable = (idx >= h + train_size - 1) & ((idx + 1) % train_interval == 0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                slope = (Sxy - Sx * Sy / m) / denom
+                intercept = Sy / m - slope * Sx / m
+            scale = np.nanmax(np.abs(Sxx)) if n >= train_size else 0.0
+            if np.any(trainable & ~(np.abs(denom) > 1e-9 * max(scale, 1.0))):
+                return None  # singular window: loop semantics keep prior model
+            last_train = np.maximum.accumulate(np.where(trainable, idx, -1))
+            have = last_train >= 0
+            pred = np.full(n, np.nan)
+            j = idx[have]
+            pred[j] = slope[last_train[j]] * ac[j] + intercept[last_train[j]]
+            for t in targets:
+                out[name_of[(t, h)]] = pred
+        return out
+
     def run_key(pdf: pd.DataFrame) -> pd.DataFrame:
         from pipeline_spark.functions.linmodel import fit, inference
 
@@ -265,6 +313,21 @@ def _apply_linear_regression(
         feats = pdf[features].to_numpy(dtype=float)
         targs = pdf[targets].to_numpy(dtype=float)
         n = len(pdf)
+        if (
+            implementation != "loop"
+            and len(features) == 1
+            and len(targets) == 1
+            and reg in ("none", "")
+        ):
+            fast = fast_simple_ols(feats[:, 0], targs[:, 0])
+            if fast is not None:
+                out = pdf[in_cols].copy()
+                for o in out_names:
+                    v = fast[o]
+                    out[o] = [
+                        None if not np.isfinite(x) else float(x) for x in v
+                    ]
+                return out
         preds: dict[str, list] = {o: [None] * n for o in out_names}
         models: dict[tuple, np.ndarray] = {}
         interval = 0

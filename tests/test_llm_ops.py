@@ -427,8 +427,12 @@ def test_multimodal_resize_and_frame_sample_plumbing(spark):
     )[""].collect()
     assert {bytes(f["frame"]) for f in frames} == {bytes(f["frame"]) for f in again}
 
-    with pytest.raises(NotImplementedError):
-        multimodal_transform(ctx(spark, {"op": "frame_sample", "field": "payload"}, [df]))
+    # real path: non-GIF containers still need ffmpeg — the gate now fires
+    # per-payload inside the UDF (GIF animations decode for real)
+    with pytest.raises(Exception, match="ffmpeg"):
+        multimodal_transform(
+            ctx(spark, {"op": "frame_sample", "field": "payload"}, [df])
+        )[""].collect()
 
 
 def test_sample_split_disjoint_exhaustive_deterministic(spark):

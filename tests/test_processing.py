@@ -208,3 +208,59 @@ transforms:
     # horizon-h prediction estimates y(t+h) = 3(x+h) - 1 on this series
     assert late["pred_horizon1"] == pytest.approx(3.0 * (late["x"] + 1) - 1.0, rel=1e-3)
     assert late["pred_horizon3"] == pytest.approx(3.0 * (late["x"] + 3) - 1.0, rel=1e-3)
+
+
+def test_linear_regression_fast_path_parity(spark):
+    """The vectorized rolling-OLS fast path must agree with the reference
+    loop (implementation: loop) on noisy data, multiple horizons, a
+    train cadence > 1, and large-offset x values."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for k in ("a", "b", "c"):
+        base = 1.7e7 if k == "b" else 0.0  # epoch-scale offsets
+        for i in range(60):
+            x = base + i * 37.0 + float(rng.normal(0, 3))
+            y = 0.8 * x + 5.0 + float(rng.normal(0, 2))
+            rows.append((k, x, y, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)))
+    df = spark.createDataFrame(rows, "k string, x double, y double, ts timestamp")
+
+    def run(impl):
+        outs = run_pipeline(spark, parse_config(f"""
+transforms:
+  - name: proc
+    module: processing
+    inputs: [ev]
+    timestampAttribute: ts
+    parameters:
+      groupFields: [k]
+      steps:
+        - name: y_pred
+          op: linear_regression
+          featureFields: [x]
+          targetFields: [y]
+          horizons: [1, 3]
+          trainSize: 12
+          trainIntervalSize: 4
+          implementation: {impl}
+      remainFields: [x, y]
+"""), inputs={"ev": df})
+        return {
+            (r["k"], round(r["x"], 6)): tuple(
+                None if r[c] is None else r[c]
+                for c in ("y_pred_horizon1", "y_pred_horizon3")
+            )
+            for r in outs["proc"].collect()
+        }
+
+    fast, slow = run("auto"), run("loop")
+    assert fast.keys() == slow.keys() and len(fast) == 180
+    n_filled = 0
+    for key in fast:
+        for f, s in zip(fast[key], slow[key]):
+            assert (f is None) == (s is None), (key, fast[key], slow[key])
+            if f is not None:
+                assert f == pytest.approx(s, rel=1e-6, abs=1e-6), key
+                n_filled += 1
+    assert n_filled > 200  # the comparison actually exercised predictions
