@@ -285,8 +285,11 @@ def _apply_linear_regression(
             return r
 
         for h in horizons:
-            # pair at k: feature a[k-h], target b[k]
-            x = np.concatenate([np.full(h, np.nan), ac[: n - h]]) if h else ac
+            # pair at k: feature a[k-h], target b[k].  Zero padding (NOT
+            # NaN — cumsum would poison every later window) is safe: the
+            # padded region [0, h) never overlaps a trainable window
+            # (trainable starts at h + train_size - 1).
+            x = np.concatenate([np.zeros(h), ac[: n - h]]) if h else ac
             Sx, Sy = roll(x), roll(b)
             Sxy, Sxx = roll(x * b), roll(x * x)
             denom = Sxx - Sx * Sx / m
@@ -368,7 +371,49 @@ def _apply_linear_regression(
         return out
 
     if group_fields:
-        return df.groupBy(*group_fields).applyInPandas(run_key, schema=out_schema)
+        # many-keys-per-batch execution: ONE exchange on the group keys,
+        # keys contiguous within partitions, then a mapInPandas whose
+        # in-batch pandas groupby amortizes Spark's per-group apply
+        # overhead across every key in the Arrow batch (1500 toy groups
+        # cost ~1 pandas groupby, not 1500 applyInPandas round-trips).
+        # Arrow may split one key across adjacent batches, so the trailing
+        # key of each batch is carried into the next and flushed at end.
+        from typing import Iterator
+
+        shuffled = df.repartition(*[F.col(g) for g in group_fields]).sortWithinPartitions(
+            *group_fields, ts_attr
+        )
+
+        def process_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            carry: pd.DataFrame | None = None
+            for pdf in batches:
+                if carry is not None and len(carry):
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                    carry = None
+                if not len(pdf):
+                    continue
+                gid = pdf.groupby(group_fields, sort=False, dropna=False).ngroup().to_numpy()
+                tail = gid == gid[-1]
+                carry = pdf[tail]
+                head = pdf[~tail]
+                if len(head):
+                    yield pd.concat(
+                        [
+                            run_key(g.reset_index(drop=True))
+                            for _, g in head.groupby(group_fields, sort=False, dropna=False)
+                        ],
+                        ignore_index=True,
+                    )
+            if carry is not None and len(carry):
+                yield pd.concat(
+                    [
+                        run_key(g.reset_index(drop=True))
+                        for _, g in carry.groupby(group_fields, sort=False, dropna=False)
+                    ],
+                    ignore_index=True,
+                )
+
+        return shuffled.mapInPandas(process_partition, schema=out_schema)
     return df.groupBy(F.lit(1).alias("__g__")).applyInPandas(
         lambda pdf: run_key(pdf.drop(columns="__g__", errors="ignore")),
         schema=out_schema,
