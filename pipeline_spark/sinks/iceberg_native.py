@@ -190,8 +190,42 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         )
     table_path = re.sub(r"^file:/{0,2}(/)", r"\1", table_path)
     mode = str(p.get("mode", "append")).lower()
-    if mode not in ("append", "overwrite", "replace", "create"):
+    if mode not in ("append", "overwrite", "replace", "create", "merge"):
         raise ValueError(f"iceberg native writer: unsupported mode '{mode}'")
+    if mode == "merge":
+        # copy-on-write MERGE (UnifiedMutation semantics, §2.10): the new
+        # snapshot = existing rows whose keys are untouched + incoming
+        # non-DELETE rows.  Row-level delete files (merge-on-read) need
+        # the runtime jar; COW is the jar-free equivalent and exactly how
+        # Iceberg's own write.merge.mode=copy-on-write behaves.
+        keys = p.get("primaryKeys") or p.get("keyFields")
+        if not keys:
+            raise ValueError("iceberg merge needs primaryKeys")
+        op_field = p.get("mutationOpField", "__op__")
+        from pipeline_spark.sources.iceberg_native import plan_data_files
+
+        spark = df.sparkSession
+        if op_field in df.columns:
+            import pyspark.sql.functions as F
+
+            upserts = df.filter(
+                F.upper(F.coalesce(F.col(op_field), F.lit("UPSERT"))) != "DELETE"
+            ).drop(op_field)
+            touched = df.select(*keys).distinct()
+        else:
+            upserts = df
+            touched = df.select(*keys).distinct()
+        try:
+            files = plan_data_files(table_path)
+        except (FileNotFoundError, ValueError):
+            files = []
+        if files:
+            existing = spark.read.parquet(*files)
+            kept = existing.join(touched, on=list(keys), how="left_anti")
+            merged = kept.unionByName(upserts)
+        else:
+            merged = upserts
+        return write_iceberg_native(merged, {**p, "mode": "overwrite"})
     if p.get("partitionBy") or p.get("partitionSpec"):
         raise NotImplementedError(
             "iceberg native writer commits unpartitioned specs only; "

@@ -2,8 +2,15 @@
 
 Reference: module/sink/JdbcSink.java:24-326 — batched prepared statements
 with configurable batch size.  Spark: ``df.write.jdbc`` (batchsize option);
-mutation-typed inputs (op column, SURVEY §2.10) degrade to append/overwrite
-since plain JDBC has no MERGE in the writer — documented.
+on the JVM path mutation-typed inputs degrade to append/overwrite since
+Spark's JDBC writer has no MERGE — documented.
+
+The DB-API path DOES interpret UnifiedMutation ops (SURVEY §2.10): with
+``primaryKeys`` set, each row's ``__op__`` routes to a batched statement —
+INSERT → plain insert, UPSERT/REPLACE → ``INSERT ... ON CONFLICT(keys)
+DO UPDATE`` (sqlite3/postgres syntax), UPDATE → ``UPDATE … WHERE keys``,
+DELETE → ``DELETE WHERE keys`` — preserving within-partition order
+between op kinds by flushing batches at op boundaries.
 
 With ``connectionFactory`` (``pkg.mod:fn`` → PEP 249 connection) the
 write runs through ``foreachPartition``: each executor task opens its own
@@ -42,18 +49,75 @@ def _dbapi_write(df: DataFrame, p: dict) -> None:
         finally:
             conn.close()
 
+    keys = p.get("primaryKeys") or p.get("keyFields") or []
+    op_field = p.get("mutationOpField", "__op__")
+    mutational = bool(keys) and op_field in cols
+    data_cols = [c for c in cols if c != op_field]
+    nonkey = [c for c in data_cols if c not in keys]
+    if mutational:
+        ins_sql = (
+            f"INSERT INTO {table} ({', '.join(data_cols)}) "
+            f"VALUES ({', '.join([ph] * len(data_cols))})"
+        )
+        ups_sql = ins_sql + (
+            f" ON CONFLICT({', '.join(keys)}) DO UPDATE SET "
+            + ", ".join(f"{c} = excluded.{c}" for c in nonkey)
+            if nonkey
+            else f" ON CONFLICT({', '.join(keys)}) DO NOTHING"
+        )
+        upd_sql = (
+            f"UPDATE {table} SET "
+            + ", ".join(f"{c} = {ph}" for c in nonkey)
+            + " WHERE "
+            + " AND ".join(f"{k} = {ph}" for k in keys)
+        )
+        del_sql = f"DELETE FROM {table} WHERE " + " AND ".join(
+            f"{k} = {ph}" for k in keys
+        )
+
     def write_partition(rows):
         conn = resolve_factory(factory_path)(params_snapshot)
         try:
             cur = conn.cursor()
-            buf = []
-            for r in rows:
-                buf.append(tuple(r[c] for c in cols))
-                if len(buf) >= batch:
+            if not mutational:
+                buf = []
+                for r in rows:
+                    buf.append(tuple(r[c] for c in cols))
+                    if len(buf) >= batch:
+                        cur.executemany(sql, buf)
+                        buf.clear()
+                if buf:
                     cur.executemany(sql, buf)
-                    buf.clear()
-            if buf:
-                cur.executemany(sql, buf)
+            else:
+                # flush on op change to preserve within-partition order
+                pending_sql = None
+                buf = []
+
+                def flush():
+                    if buf:
+                        cur.executemany(pending_sql, buf)
+                        buf.clear()
+
+                for r in rows:
+                    op = (r[op_field] or "UPSERT").upper()
+                    if op in ("INSERT",):
+                        stmt, vals = ins_sql, tuple(r[c] for c in data_cols)
+                    elif op in ("UPSERT", "REPLACE"):
+                        stmt, vals = ups_sql, tuple(r[c] for c in data_cols)
+                    elif op == "UPDATE":
+                        stmt = upd_sql
+                        vals = tuple(r[c] for c in nonkey) + tuple(r[k] for k in keys)
+                    elif op == "DELETE":
+                        stmt, vals = del_sql, tuple(r[k] for k in keys)
+                    else:
+                        raise ValueError(f"jdbc sink: unknown mutation op '{op}'")
+                    if stmt is not pending_sql:
+                        flush()
+                        pending_sql = stmt
+                    buf.append(vals)
+                    if len(buf) >= batch:
+                        flush()
+                flush()
             conn.commit()
         finally:
             conn.close()

@@ -407,3 +407,31 @@ sources:
                 self._df(spark, [(1, "a")]),
                 {"path": str(tmp_path / "t"), "partitionBy": ["v"]},
             )
+
+    def test_merge_copy_on_write(self, spark, tmp_path):
+        from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+
+        tbl = str(tmp_path / "tbl")
+        write_iceberg_native(
+            self._df(spark, [(1, "a"), (2, "b"), (3, "c")]), {"path": tbl}
+        )
+        changes = spark.createDataFrame(
+            [(2, "B", "UPSERT"), (3, None, "DELETE"), (4, "d", "UPSERT")],
+            "id long, v string, __op__ string",
+        )
+        write_iceberg_native(changes, {"path": tbl, "mode": "merge",
+                                       "primaryKeys": ["id"]})
+        back = read_iceberg_native(spark, {"path": tbl})
+        assert sorted((r["id"], r["v"]) for r in back.collect()) == [
+            (1, "a"), (2, "B"), (4, "d"),
+        ]
+        # merge without an op column = pure upsert
+        ups = spark.createDataFrame([(1, "A")], "id long, v string")
+        write_iceberg_native(ups, {"path": tbl, "mode": "merge",
+                                   "primaryKeys": ["id"]})
+        back2 = read_iceberg_native(spark, {"path": tbl})
+        assert sorted((r["id"], r["v"]) for r in back2.collect()) == [
+            (1, "A"), (2, "B"), (4, "d"),
+        ]
+        with pytest.raises(ValueError, match="primaryKeys"):
+            write_iceberg_native(ups, {"path": tbl, "mode": "merge"})

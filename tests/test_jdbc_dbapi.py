@@ -111,3 +111,51 @@ def test_sink_append_and_overwrite(spark, db):
     conn = sqlite3.connect(db)
     assert conn.execute("SELECT count(*) FROM items").fetchone()[0] == 10
     conn.close()
+
+
+def test_jdbc_mutation_ops(spark, tmp_path):
+    """UnifiedMutation semantics on the DB-API path (SURVEY §2.10):
+    __op__ routes rows to INSERT / UPSERT / UPDATE / DELETE batches."""
+    path = str(tmp_path / "mut.db")
+    conn = sqlite3.connect(path)
+    conn.execute("CREATE TABLE kv (k INTEGER PRIMARY KEY, v TEXT, n INTEGER)")
+    conn.executemany("INSERT INTO kv VALUES (?, ?, ?)",
+                     [(1, "one", 10), (2, "two", 20), (3, "three", 30)])
+    conn.commit()
+    conn.close()
+
+    df = spark.createDataFrame(
+        [
+            (2, "TWO", 22, "UPSERT"),     # existing key → update
+            (4, "four", 40, "UPSERT"),    # new key → insert
+            (3, None, None, "DELETE"),    # drop key 3
+            (1, "uno", 11, "UPDATE"),     # plain update
+            (5, "five", 50, "INSERT"),    # plain insert
+        ],
+        "k int, v string, n int, __op__ string",
+    ).coalesce(1)
+    jdbc_sink(ctx(spark, {
+        "table": "kv",
+        "connectionFactory": "pipeline_spark.testing:sqlite_connection",
+        "database": path,
+        "primaryKeys": ["k"],
+    }, [df]))
+    got = sqlite3.connect(path).execute("SELECT k, v, n FROM kv ORDER BY k").fetchall()
+    assert got == [(1, "uno", 11), (2, "TWO", 22), (4, "four", 40), (5, "five", 50)]
+
+
+def test_jdbc_without_op_column_still_plain_insert(spark, tmp_path):
+    path = str(tmp_path / "plain.db")
+    conn = sqlite3.connect(path)
+    conn.execute("CREATE TABLE t (a INTEGER, b TEXT)")
+    conn.commit()
+    conn.close()
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string")
+    jdbc_sink(ctx(spark, {
+        "table": "t",
+        "connectionFactory": "pipeline_spark.testing:sqlite_connection",
+        "database": path,
+        "primaryKeys": ["a"],  # keys set but no __op__ column → plain path
+    }, [df]))
+    got = sqlite3.connect(path).execute("SELECT a, b FROM t ORDER BY a").fetchall()
+    assert got == [(1, "x"), (2, "y")]
