@@ -36,15 +36,110 @@ def _require_connector(ctx: ModuleContext, fmt: str, hint: str) -> None:
 
 @module("bigquery", kind=KIND_SINK)
 def bigquery_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
+    """BigQuery write (reference: BigQuerySink.java:36-894 — table
+    addressing ``proj:ds.t``/datasetId+tableId, writeDisposition/
+    createDisposition, method FILE_LOADS | STREAMING_INSERTS |
+    STORAGE_WRITE_API, partitioning/clustering fields).
+
+    Jar present: the spark-bigquery connector.  Jar absent, an injectable
+    client runs the same two write shapes the reference's BigQueryIO
+    resolves to:
+
+      FILE_LOADS (batch default)    Spark writes parquet to the staging
+                                    location IN PARALLEL (the only
+                                    row-volume move), then ONE driver-side
+                                    load job points BigQuery at the staged
+                                    files — load jobs are free and
+                                    server-side, so the driver never
+                                    touches row data.
+      STREAMING_INSERTS / STORAGE_* executor-side batched inserts through
+                                    the mutation-writer contract, one
+                                    client per partition.
+    """
     p = ctx.params
-    _require_connector(
-        ctx, "bigquery", "com.google.cloud.spark.bigquery.BigQueryRelationProvider"
-    )
-    writer = ctx.input.write.format("bigquery").option("table", p["table"])
+    table = _bq_sink_table(p)
+    try:
+        _require_connector(
+            ctx, "bigquery", "com.google.cloud.spark.bigquery.BigQueryRelationProvider"
+        )
+    except RuntimeError:
+        _bigquery_native_write(ctx, p, table)
+        return {"": ctx.input}
+    writer = ctx.input.write.format("bigquery").option("table", table)
     if p.get("temporaryGcsBucket"):
         writer = writer.option("temporaryGcsBucket", p["temporaryGcsBucket"])
     writer.mode(p.get("mode", "append")).save()
     return {"": ctx.input}
+
+
+def _bq_sink_table(p: dict) -> str:
+    """project.dataset.table per BigQuerySink.Parameters.setDefaults:
+    combined ``table`` (``proj:ds.t``/``ds.t``) or split ids."""
+    table = p.get("table")
+    if table:
+        return str(table).replace(":", ".", 1)
+    parts = [p.get("projectId"), p.get("datasetId"), p.get("tableId")]
+    if not (p.get("datasetId") and p.get("tableId")):
+        raise ValueError("bigquery sink requires table or datasetId+tableId")
+    return ".".join(str(x) for x in parts if x)
+
+
+def _bigquery_native_write(ctx: ModuleContext, p: dict, table: str) -> None:
+    method = str(p.get("method") or "FILE_LOADS").upper()
+    factory = p.get(
+        "clientFactory", "pipeline_spark.sinks.connectors:default_bigquery_write_client"
+    )
+    if ctx.input.isStreaming and method == "FILE_LOADS":
+        method = "STORAGE_WRITE_API"  # BigQueryIO's streaming default
+    if method == "FILE_LOADS":
+        import tempfile
+        import uuid
+
+        staging_root = p.get("customGcsTempLocation") or p.get("temporaryGcsBucket")
+        local = staging_root is None
+        if local:
+            staging_root = tempfile.mkdtemp(prefix="bq_load_")
+        stage = f"{str(staging_root).rstrip('/')}/{uuid.uuid4().hex}"
+        from pipeline_spark.operators.ml import resolve_factory
+
+        client = resolve_factory(factory)(dict(p))  # fail before staging I/O
+        ctx.input.write.mode("overwrite").parquet(stage)
+        try:
+            client.load_parquet(
+                f"{stage}/*.parquet",
+                {
+                    "table": table,
+                    "writeDisposition": str(
+                        p.get("writeDisposition", "WRITE_EMPTY")
+                    ).upper(),
+                    "createDisposition": str(
+                        p.get("createDisposition", "CREATE_NEVER")
+                    ).upper(),
+                    "partitioningField": p.get("partitioningField"),
+                    "clusteringFields": p.get("clusteringFields") or [],
+                },
+            )
+        finally:
+            if local:
+                import shutil
+
+                shutil.rmtree(staging_root, ignore_errors=True)
+    elif method in (
+        "STREAMING_INSERTS",
+        "STORAGE_WRITE_API",
+        "STORAGE_API_AT_LEAST_ONCE",
+    ):
+        _write_with_client(
+            ctx.input,
+            factory_path=factory,
+            params={**p, "method": method},
+            target=table,
+            op_field=p.get("mutationOpField", "__op__"),
+            default_op=str(p.get("mutationType", "INSERT")).upper(),
+            batch_size=int(p.get("batchSize", 500)),
+        )
+    else:
+        raise ValueError(f"bigquery sink: unsupported method '{method}'")
 
 
 @module("iceberg", kind=KIND_SINK)
@@ -282,6 +377,76 @@ def default_bigtable_write_client(params: dict):
                         drow.set_cell(family, col.encode(), str(val).encode())
                 rows.append(drow)
             table.mutate_rows(rows)
+
+    return _Client()
+
+
+def default_bigquery_write_client(params: dict):
+    """BigQuery write client over the public SDK (BigQuerySink.java's two
+    BigQueryIO shapes):
+
+      load_parquet(uri_glob, cfg)  one load job per write — gs:// staging
+                                   loads by URI (server-side, zero data
+                                   motion), local staging streams each
+                                   file through load_table_from_file.
+      write(mutations)             insert_rows_json batches (streaming
+                                   inserts).  UPSERT/DELETE mutation ops
+                                   need the Storage Write API CDC protocol
+                                   (not expressible over insertAll) and
+                                   raise an actionable error.
+    """
+    bigquery = _sdk_gate("google.cloud.bigquery", "bigquery")
+    client = bigquery.Client(project=params.get("projectId"))
+
+    _DISP = {
+        "WRITE_EMPTY": "WRITE_EMPTY",
+        "WRITE_APPEND": "WRITE_APPEND",
+        "WRITE_TRUNCATE": "WRITE_TRUNCATE",
+    }
+
+    class _Client:
+        def load_parquet(self, uri_glob: str, cfg: dict):
+            job_config = bigquery.LoadJobConfig(
+                source_format=bigquery.SourceFormat.PARQUET,
+                write_disposition=_DISP.get(cfg["writeDisposition"], "WRITE_EMPTY"),
+                create_disposition=cfg["createDisposition"],
+            )
+            if cfg.get("clusteringFields"):
+                job_config.clustering_fields = list(cfg["clusteringFields"])
+            if cfg.get("partitioningField"):
+                job_config.time_partitioning = bigquery.TimePartitioning(
+                    field=cfg["partitioningField"]
+                )
+            table = cfg["table"]
+            if uri_glob.startswith("gs://"):
+                client.load_table_from_uri(uri_glob, table, job_config=job_config).result()
+                return
+            import glob as _glob
+
+            for path in sorted(_glob.glob(uri_glob)):
+                with open(path, "rb") as fh:
+                    client.load_table_from_file(fh, table, job_config=job_config).result()
+                # subsequent files append regardless of the first
+                # file's disposition
+                job_config.write_disposition = "WRITE_APPEND"
+
+        def write(self, mutations):
+            bad_ops = {m["op"] for m in mutations} - {"INSERT", "UPSERT"}
+            if bad_ops:
+                raise ValueError(
+                    f"bigquery default write client cannot express {sorted(bad_ops)} "
+                    "mutation ops over insertAll; CDC (UPDATE/DELETE) needs the "
+                    "Storage Write API protocol — inject a CDC-capable clientFactory"
+                )
+            table = mutations[0]["table"]
+            errors = client.insert_rows_json(
+                table,
+                [m["row"] for m in mutations],
+                skip_invalid_rows=bool(params.get("skipInvalidRows", False)),
+                ignore_unknown_values=bool(params.get("ignoreUnknownValues", False)),
+            )
+            if errors:
+                raise RuntimeError(f"bigquery insert errors: {errors[:5]}")
 
     return _Client()
 

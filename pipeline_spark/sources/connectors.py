@@ -36,18 +36,59 @@ def _require_class(ctx: ModuleContext, fmt: str, cls: str) -> None:
 
 @module("bigquery", kind=KIND_SOURCE)
 def bigquery_source(ctx: ModuleContext) -> dict[str, DataFrame]:
+    """BigQuery batch read (reference: BigQuerySource.java:40-486 — query
+    or projectId/datasetId/table + fields + rowRestriction).
+
+    Jar present: the spark-bigquery connector (full DataSource pushdown).
+    Jar absent: an injectable Storage-Read-API-style client — the driver
+    plans N read streams (with ``fields`` column pruning and
+    ``rowRestriction`` predicate pushdown applied server-side in the read
+    session, the same pushdown the connector does), each executor task
+    drains ONE stream as Arrow batches, so the read scales with
+    ``maxStreams`` and the driver never holds row data.
+    """
     p = ctx.params
-    _require_class(
-        ctx, "bigquery", "com.google.cloud.spark.bigquery.BigQueryRelationProvider"
-    )
+    if not (p.get("query") or p.get("table") or p.get("datasetId")):
+        raise ValueError("bigquery source requires query or table")
+    try:
+        _require_class(
+            ctx, "bigquery", "com.google.cloud.spark.bigquery.BigQueryRelationProvider"
+        )
+    except RuntimeError:
+        factory = p.get(
+            "clientFactory", f"{_HERE}:default_bigquery_read_client"
+        )
+        return {"": _read_with_client(ctx, factory)}
     reader = ctx.spark.read.format("bigquery")
     if p.get("query"):
         reader = reader.option("query", p["query"]).option("viewsEnabled", "true")
-    elif p.get("table"):
-        reader = reader.option("table", p["table"])
     else:
-        raise ValueError("bigquery source requires query or table")
+        reader = reader.option("table", _bq_table_ref(p))
+        if p.get("fields"):
+            fields = p["fields"]
+            reader = reader.option(
+                "selectedFields",
+                ",".join(fields) if isinstance(fields, list) else str(fields),
+            )
+        if p.get("rowRestriction"):
+            reader = reader.option("filter", p["rowRestriction"])
     return {"": reader.load()}
+
+
+def _bq_table_ref(params: dict) -> str:
+    """``project.dataset.table`` from either the combined ``table`` param
+    (``proj:ds.t`` / ``proj.ds.t`` / ``ds.t``) or the split
+    projectId/datasetId/table(Id) params — BigQuerySource.Parameters
+    setDefaults semantics."""
+    table = params.get("table") or params.get("tableId")
+    if table and ("." in table or ":" in table):
+        return str(table).replace(":", ".", 1)
+    parts = [
+        params.get("projectId"),
+        params.get("datasetId"),
+        table,
+    ]
+    return ".".join(str(x) for x in parts if x)
 
 
 @module("iceberg", kind=KIND_SOURCE)
@@ -451,6 +492,87 @@ def default_pubsub_read_client(params: dict):
                     }
                 )
             self._ack_ids = []
+
+    return _Client()
+
+
+def default_bigquery_read_client(params: dict):
+    """Storage-Read-API partitioned read (reference: BigQuerySource.java
+    uses DIRECT_READ with DataFormat AVRO/ARROW).
+
+    plan_partitions (driver): run the query job if ``query`` is set (its
+    destination temp table becomes the read target), then open a read
+    session with ``fields`` → selected_fields (column pruning) and
+    ``rowRestriction`` → row_restriction (predicate pushdown) applied
+    SERVER-side, max_stream_count = ``maxStreams`` (default 32).  Each
+    descriptor is one stream name + the session's serialized Arrow
+    schema — picklable, tiny.
+
+    read_partition (executor): drain one stream's Arrow record batches
+    via pyarrow.ipc and yield dict rows.  Parallelism = stream count;
+    BigQuery balances rows across streams, so no skew planning needed.
+    """
+    bigquery = _sdk_gate("google.cloud.bigquery", "bigquery")
+    try:
+        from google.cloud import bigquery_storage_v1
+    except ImportError:
+        raise RuntimeError(
+            "bigquery source (native path) requires the "
+            "'google-cloud-bigquery-storage' SDK; pass clientFactory to "
+            "inject another client or add the spark-bigquery connector jar"
+        ) from None
+
+    project = params.get("queryRunProjectId") or params.get("projectId")
+
+    class _Client:
+        def plan_partitions(self):
+            client = bigquery.Client(project=project)
+            if params.get("query"):
+                job = client.query(params["query"])
+                job.result()  # wait; destination is a temp table
+                dest = job.destination
+                table_path = (
+                    f"projects/{dest.project}/datasets/{dest.dataset_id}"
+                    f"/tables/{dest.table_id}"
+                )
+            else:
+                proj, ds, tbl = _bq_table_ref(params).split(".")
+                table_path = f"projects/{proj}/datasets/{ds}/tables/{tbl}"
+            storage = bigquery_storage_v1.BigQueryReadClient()
+            fields = params.get("fields") or []
+            if isinstance(fields, str):
+                fields = [f.strip() for f in fields.split(",") if f.strip()]
+            session = storage.create_read_session(
+                parent=f"projects/{client.project}",
+                read_session=bigquery_storage_v1.types.ReadSession(
+                    table=table_path,
+                    data_format=bigquery_storage_v1.types.DataFormat.ARROW,
+                    read_options=bigquery_storage_v1.types.ReadSession.TableReadOptions(
+                        selected_fields=fields,
+                        row_restriction=params.get("rowRestriction") or "",
+                    ),
+                ),
+                max_stream_count=int(params.get("maxStreams", 32)),
+            )
+            schema_bytes = session.arrow_schema.serialized_schema
+            return [
+                {"stream": s.name, "arrow_schema": bytes(schema_bytes)}
+                for s in session.streams
+            ]
+
+        def read_partition(self, desc):
+            import io
+
+            import pyarrow.ipc as pa_ipc
+
+            storage = bigquery_storage_v1.BigQueryReadClient()
+            schema = pa_ipc.read_schema(io.BytesIO(desc["arrow_schema"]))
+            for resp in storage.read_rows(read_stream=desc["stream"]):
+                batch = pa_ipc.read_record_batch(
+                    io.BytesIO(resp.arrow_record_batch.serialized_record_batch),
+                    schema,
+                )
+                yield from batch.to_pylist()
 
     return _Client()
 

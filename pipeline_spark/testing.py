@@ -147,6 +147,36 @@ def fake_writer_client(params: dict):
     return _Fake()
 
 
+def fake_bq_load_client(params: dict):
+    """BigQuery load-job fake for the sink's FILE_LOADS path: reads the
+    Spark-staged parquet files back with pyarrow (proving the staging
+    write really happened and is loadable) and spools one record per
+    load call — ``{"table", "rows", "cfg"}`` — to ``params["spoolDir"]``."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    spool = params["spoolDir"]
+
+    class _Fake:
+        def load_parquet(self, uri_glob: str, cfg: dict) -> None:
+            import pyarrow.parquet as pq
+
+            paths = sorted(glob.glob(uri_glob))
+            if not paths:
+                raise RuntimeError(f"fake bq load: no staged files at {uri_glob}")
+            rows = []
+            for p in paths:
+                rows.extend(pq.read_table(p).to_pylist())
+            os.makedirs(spool, exist_ok=True)
+            path = os.path.join(spool, f"{uuid.uuid4().hex}.jsonl")
+            with open(path, "w") as f:
+                f.write(json.dumps({"table": cfg["table"], "rows": rows, "cfg": cfg}, default=str) + "\n")
+
+    return _Fake()
+
+
 def read_spool(spool_dir: str) -> list:
     """Collect every mutation spooled by ``fake_writer_client``."""
     import json
