@@ -1061,6 +1061,16 @@ def match_recognize(
     subsets = dict(subset or {})
     in_schema = df.schema  # before mask columns — they are matcher-internal
 
+    if partition_by:
+        # Width-pin the whole Python-heavy pipeline BEFORE the mask
+        # windows: this REPARTITION_BY_NUM then satisfies both the window
+        # distribution and the final mapInPandas grouping, so no
+        # ENSURE_REQUIREMENTS exchange appears downstream for AQE to
+        # byte-coalesce (AQE sizing by bytes strands cores on
+        # Python-expensive stages — measured 3 of 32 busy at sf0.1).
+        n_width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        df = df.repartition(n_width, *[F.col(c.strip("`")) for c in partition_by])
+
     # push row-local defines into whole-stage codegen: the predicate
     # becomes a boolean column (PREV/NEXT → lag/lead over the partition
     # window) and the Python side only walks the NFA over bitmaps.
@@ -1266,7 +1276,13 @@ def match_recognize(
             )
         chunked_df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         group_cols = [*partition_by, "__chunk__"]
-        out = chunked_df.groupBy(*group_cols).applyInPandas(run_group, schema=out_schema)
+        # many-groups-per-batch substrate: explicit-width repartition +
+        # mapInPandas avoids applyInPandas' per-group Arrow round trip and
+        # AQE's byte-based coalescing of this Python-heavy stage
+        # (functions/grouped_apply.py; measured ~4× on 1500 keys)
+        from pipeline_spark.functions.grouped_apply import grouped_apply_in_pandas
+
+        out = grouped_apply_in_pandas(chunked_df, group_cols, run_group, out_schema)
         if all_rows:
             # renumber matches globally per key by start position
             wnum = (
@@ -1280,7 +1296,9 @@ def match_recognize(
         return out.drop("__start_seq__")
 
     if partition_by:
-        return df.groupBy(*partition_by).applyInPandas(run_group, schema=out_schema)
+        from pipeline_spark.functions.grouped_apply import grouped_apply_in_pandas
+
+        return grouped_apply_in_pandas(df, list(partition_by), run_group, out_schema)
     return df.groupBy(F.lit(1).alias("__g__")).applyInPandas(
         lambda pdf: run_group(pdf.drop(columns="__g__", errors="ignore")), schema=out_schema
     )
