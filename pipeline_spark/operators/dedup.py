@@ -547,11 +547,11 @@ def embedding_neardup_pairs_bucketed(
             )
         return pd.concat(outs, ignore_index=True)
 
-    return (
-        base.groupBy("table", "sig")
-        .applyInPandas(bucket_pairs, schema=schema)
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    from pipeline_spark.functions.grouped_apply import grouped_apply_in_pandas
+
+    return grouped_apply_in_pandas(
+        base, ["table", "sig"], bucket_pairs, schema
+    ).dropDuplicates(["doc_a", "doc_b"])
 
 
 def embedding_neardup_pairs(
