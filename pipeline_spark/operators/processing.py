@@ -380,9 +380,13 @@ def _apply_linear_regression(
         # key of each batch is carried into the next and flushed at end.
         from typing import Iterator
 
-        shuffled = df.repartition(*[F.col(g) for g in group_fields]).sortWithinPartitions(
-            *group_fields, ts_attr
-        )
+        # explicit width (REPARTITION_BY_NUM): a bare repartition(cols) is
+        # an AQE-coalescible exchange, and AQE sizes by bytes — which
+        # strands cores on Python-expensive stages like this one
+        n_width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        shuffled = df.repartition(
+            n_width, *[F.col(g) for g in group_fields]
+        ).sortWithinPartitions(*group_fields, ts_attr)
 
         def process_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             carry: pd.DataFrame | None = None
