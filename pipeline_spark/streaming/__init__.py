@@ -10,9 +10,12 @@ Spark mapping (documented divergences included):
     earlyFiringTrigger afterProcessingTime, or bare afterProcessingTime)
     are emulated in triggers.py: update outputMode + ProcessingTime
     trigger + a foreachBatch pane ledger that stamps pane index/timing
-    and produces per-pane deltas for discarding mode.  Beam's
-    pane-COUNT triggers (afterPane, afterEach/afterFirst/afterAll
-    composites) have no Spark equivalent and raise.
+    and produces per-pane deltas for discarding mode.  afterPane
+    COUNT triggers ride the same ledger: a pane is withheld until its
+    count aggregate (paneCountField) grows by >= elementCountAtLeast
+    since the last firing, with a final ON_TIME flush at window close.
+    Composite triggers (afterEach/afterFirst/afterAll) have no Spark
+    equivalent and raise.
   * allowedLateness → watermark delay.  Beam re-fires late panes; Spark
     drops post-watermark rows — a documented divergence
     (Strategy.java:69-71).

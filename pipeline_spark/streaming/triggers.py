@@ -31,9 +31,15 @@ no longer fire.  Pane rows are post-aggregation (windows × keys), orders
 of magnitude smaller than the input stream; the collect here is the
 driver-side pane ledger, not a data-plane materialization.
 
-Non-emulatable trigger families (afterPane element counts, afterEach /
-afterFirst / afterAll composites) raise with the reason: Spark exposes no
-per-key pane accounting to hang them on.
+  * afterPane element-count triggers: the pane ledger withholds a pane's
+    update until its count aggregate (``paneCountField``, default ``n``)
+    has grown by >= elementCountAtLeast since the last firing; withheld
+    panes flush as a final ON_TIME pane when the proxy watermark closes
+    the window, so no data is lost to suppression.
+
+Non-emulatable trigger families (afterEach / afterFirst / afterAll
+composites) raise with the reason: Spark exposes no per-key pane
+accounting to hang them on.
 
 Delivery semantics: the pane ledger lives in the foreachBatch closure,
 so if Spark retries a micro-batch after a sink failure the retried batch
@@ -87,26 +93,39 @@ def parse_trigger(strategy: dict[str, Any] | None) -> dict[str, Any] | None:
             raise ValueError(f"trigger delay unit '{unit}' not recognized")
         return float(delay) * unit_sec[unit.lower()]
 
+    def count_of(t: dict[str, Any]) -> int:
+        n = int(t.get("elementCountAtLeast", t.get("count", 0)) or 0)
+        if n < 1:
+            raise ValueError("afterPane trigger needs elementCountAtLeast >= 1")
+        return n
+
     if ttype == "afterWatermark":
         early = trigger.get("earlyFiringTrigger")
         if not early:
             return None
-        if str(early.get("type")) != "afterProcessingTime":
-            raise NotImplementedError(
-                f"earlyFiringTrigger type '{early.get('type')}' is not "
-                "emulatable on Spark (only afterProcessingTime; Spark has "
-                "no per-key pane accounting for afterPane counts)"
-            )
-        return {"early_delay_sec": delay_of(early)}
+        etype = str(early.get("type"))
+        if etype == "afterProcessingTime":
+            return {"early_delay_sec": delay_of(early)}
+        if etype == "afterPane":
+            # element-count early firing: the pane ledger withholds a
+            # pane until its count aggregate has grown by >= N since the
+            # last firing (strategy.paneCountField names the count column)
+            return {"early_count": count_of(early)}
+        raise NotImplementedError(
+            f"earlyFiringTrigger type '{etype}' is not emulatable on "
+            "Spark (afterProcessingTime and afterPane only)"
+        )
     if ttype == "afterProcessingTime":
         # Beam wraps the repeated form as Repeatedly.forever(...) — the
         # same periodic-emission shape as an early-firing trigger
         return {"early_delay_sec": delay_of(trigger)}
+    if ttype == "afterPane":
+        return {"early_count": count_of(trigger)}
     if ttype == "repeatedly":
         return parse_trigger({"trigger": trigger.get("foreverTrigger") or {}})
     raise NotImplementedError(
         f"trigger type '{ttype}' is not emulatable on Spark "
-        "(afterPane/afterEach/afterFirst/afterAll need Beam pane state)"
+        "(afterEach/afterFirst/afterAll composites need Beam pane state)"
     )
 
 
@@ -142,21 +161,39 @@ def early_firing_foreach_batch(
     output_pane_info: bool,
     lateness_sec: float = 0.0,
     max_keys: int = 1_000_000,
+    early_count: int | None = None,
+    count_field: str | None = None,
 ):
     """foreachBatch function implementing pane semantics over update-mode
     micro-batches; ``sink_fn(batch_df, batch_id)`` persists pane rows.
+
+    With ``early_count`` (afterPane.elementCountAtLeast), a pane update is
+    WITHHELD until its ``count_field`` aggregate has grown by >= N since
+    the pane's last firing; withheld panes are never lost — the ledger
+    keeps each pane's latest values and flushes a final ON_TIME pane once
+    the proxy watermark passes the window end + lateness.
 
     ``max_keys`` bounds the ledger for NON-windowed (global per-key)
     streams, where no watermark ever closes a pane: beyond the cap the
     least-recently-fired key is dropped (its next firing restarts at pane
     index 0 / full value — degraded metadata, bounded memory)."""
-    # driver-side pane ledger: pane key -> (next_index, last_emitted_values)
+    # driver-side pane ledger:
+    #   pane key -> [next_index, fired_values, latest_values, dirty]
+    # fired_values = accumulated values at the last firing (delta base);
+    # latest_values/dirty track withheld updates for the close-time flush.
     # dict insertion order doubles as the LRU queue (re-insert on update)
-    state: dict[tuple, tuple[int, tuple]] = {}
+    state: dict[tuple, list] = {}
     has_window = "window" in key_cols
     # event-time high-water mark (max window end seen) — the proxy
     # watermark visible from foreachBatch; drives pane timing + eviction
     high_water: list[float] = [float("-inf")]
+    if early_count is not None and count_field not in value_cols:
+        raise ValueError(
+            f"afterPane trigger needs paneCountField naming a count "
+            f"aggregate column (got {count_field!r}; value columns: "
+            f"{value_cols})"
+        )
+    count_idx = value_cols.index(count_field) if early_count is not None else -1
 
     def pane_key(d: dict) -> tuple:
         out = []
@@ -170,7 +207,7 @@ def early_firing_foreach_batch(
 
     def run_batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
-        if not discarding and not output_pane_info:
+        if not discarding and not output_pane_info and early_count is None:
             sink_fn(bdf, batch_id)  # plain accumulating panes: pass-through
             return
         rows = bdf.collect()
@@ -186,28 +223,58 @@ def early_firing_foreach_batch(
                 if w is not None:
                     high_water[0] = max(high_water[0], w["end"].timestamp())
         out_rows = []
+
+        def emit(d: dict, idx: int, fired: tuple, timing: str) -> None:
+            if discarding and fired:
+                for c, pv in zip(value_cols, fired):
+                    if d[c] is not None and pv is not None:
+                        d[c] = d[c] - pv
+            if output_pane_info:
+                d["__pane__"] = (float(now), idx, timing, idx == 0)
+            out_rows.append(tuple(d.get(f.name) for f in schema.fields))
+
         for r in rows:
             d = r.asDict(recursive=False)
             key = pane_key(d)
             if key in state:
-                idx, prev = state.pop(key)  # re-insert → LRU refresh
+                ent = state.pop(key)  # re-insert → LRU refresh
             else:
-                idx, prev = 0, ()
+                ent = [0, (), (), False]
+            idx, fired = ent[0], ent[1]
             cur_vals = tuple(d[c] for c in value_cols)
-            if discarding and prev:
-                for c, pv in zip(value_cols, prev):
-                    if d[c] is not None and pv is not None:
-                        d[c] = d[c] - pv
-            state[key] = (idx + 1, cur_vals)
-            if output_pane_info:
-                w_end = d["window"]["end"].timestamp() if has_window and d["window"] else None
-                timing = (
-                    "ON_TIME"
-                    if w_end is not None and high_water[0] >= w_end + lateness_sec
-                    else "EARLY"
-                )
-                d["__pane__"] = (float(now), idx, timing, idx == 0)
-            out_rows.append(tuple(d.get(f.name) for f in schema.fields))
+            w_end = (
+                d["window"]["end"].timestamp()
+                if has_window and d["window"]
+                else None
+            )
+            timing = (
+                "ON_TIME"
+                if w_end is not None and high_water[0] >= w_end + lateness_sec
+                else "EARLY"
+            )
+            if early_count is not None and timing == "EARLY":
+                fired_count = fired[count_idx] if fired else 0
+                grown = (cur_vals[count_idx] or 0) - (fired_count or 0)
+                if grown < early_count:
+                    state[key] = [idx, fired, cur_vals, True]  # withhold
+                    continue
+            emit(d, idx, fired, timing)
+            state[key] = [idx + 1, cur_vals, cur_vals, False]
+        # flush withheld panes whose windows the proxy watermark has now
+        # closed — their final (ON_TIME) pane must not be lost
+        if early_count is not None and has_window:
+            widx = key_cols.index("window")
+            for key in list(state):
+                ent = state[key]
+                if not ent[3] or not isinstance(key[widx], tuple):
+                    continue
+                if key[widx][1].timestamp() + lateness_sec > high_water[0]:
+                    continue
+                d = dict(zip(key_cols, key))
+                d["window"] = {"start": key[widx][0], "end": key[widx][1]}
+                d.update(zip(value_cols, ent[2]))
+                emit(d, ent[0], ent[1], "ON_TIME")
+                state[key] = [ent[0] + 1, ent[2], ent[2], False]
         # evict panes that can no longer fire (the proxy watermark is well
         # past window end + lateness) so the ledger stays bounded by the
         # stream's active windows
@@ -217,6 +284,7 @@ def early_firing_foreach_batch(
                 k
                 for k in state
                 if isinstance(k[widx], tuple)
+                and not state[k][3]
                 and k[widx][1].timestamp() + lateness_sec
                 < high_water[0] - 3600
             ]
@@ -255,6 +323,8 @@ def stream_with_early_firing(
     fb = early_firing_foreach_batch(
         sink_fn, key_cols, value_cols, discarding, pane_info, lateness_sec,
         max_keys=int(strategy.get("paneStateMaxKeys", 1_000_000)),
+        early_count=cfg.get("early_count"),
+        count_field=str(strategy.get("paneCountField", "n")),
     )
     writer = (
         df.writeStream.outputMode("update")
@@ -264,6 +334,8 @@ def stream_with_early_firing(
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
-        delay = max(cfg["early_delay_sec"], 0.1)
+        # count triggers check every micro-batch; 1 s is the check cadence,
+        # not the firing condition
+        delay = max(cfg.get("early_delay_sec", 1.0), 0.1)
         writer = writer.trigger(processingTime=f"{delay} seconds")
     return writer.start()

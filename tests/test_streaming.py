@@ -510,6 +510,52 @@ def test_early_firing_discarding_panes(spark, tmp_path):
     assert sum(p["total"] for p in panes) == 15.0
 
 
+def test_early_firing_count_trigger_panes(spark, tmp_path):
+    """afterPane.elementCountAtLeast(3): pane updates are withheld until
+    the count aggregate grows by >= 3 since the last firing, and the
+    withheld remainder flushes as a final ON_TIME pane when the proxy
+    watermark closes the window (no suppressed data lost).
+    Reference trigger surface: Strategy.java:232-343."""
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    in_dir = _write_stream_files(tmp_path, "efc_in", [
+        # batch 1: 2 elements -> withheld (count 2 < 3)
+        [("a", 1.0, base.replace(second=5)), ("a", 2.0, base.replace(second=10))],
+        # batch 2: +2 -> count 4, grown 4 >= 3 -> EARLY firing
+        [("a", 4.0, base.replace(second=20)), ("a", 8.0, base.replace(second=25))],
+        # batch 3: +1 -> grown 1 < 3 -> withheld; the far-future event
+        # pushes the proxy watermark past a's window -> ON_TIME flush
+        [("a", 16.0, base.replace(second=40)),
+         ("b", 1.0, dt.datetime(2100, 1, 1, 0, 0, 5))],
+    ])
+    out_dir = str(tmp_path / "efc_out")
+    cfg = _early_firing_cfg(in_dir, out_dir, "accumulating").replace(
+        "earlyFiringTrigger: {type: afterProcessingTime, pastFirstElementDelay: 1}",
+        "earlyFiringTrigger: {type: afterPane, elementCountAtLeast: 3}",
+    )
+    run_pipeline(spark, parse_config(cfg))
+    rows = spark.read.parquet(out_dir).collect()
+    a_panes = sorted(
+        (r for r in rows if r["k"] == "a"), key=lambda r: r["__pane__"]["index"]
+    )
+    # exactly two firings: the count-triggered EARLY pane and the flush
+    assert [(p["n"], p["total"]) for p in a_panes] == [(4, 15.0), (5, 31.0)]
+    assert [p["__pane__"]["timing"] for p in a_panes] == ["EARLY", "ON_TIME"]
+    assert [p["__pane__"]["index"] for p in a_panes] == [0, 1]
+    # b never reaches 3 elements and its window never closes -> no pane
+    assert not [r for r in rows if r["k"] == "b"]
+
+
+def test_early_firing_count_trigger_requires_count_field(spark):
+    from pipeline_spark.streaming.triggers import early_firing_foreach_batch
+
+    with pytest.raises(ValueError, match="paneCountField"):
+        early_firing_foreach_batch(
+            lambda df, bid: None, ["window", "k"], ["total"],
+            discarding=False, output_pane_info=False,
+            early_count=2, count_field="n",
+        )
+
+
 def test_trigger_parse_rejects_non_emulatable():
     from pipeline_spark.streaming.triggers import parse_trigger
 
@@ -521,8 +567,13 @@ def test_trigger_parse_rejects_non_emulatable():
                                "pastFirstElementDelay": 30},
     }})
     assert cfg == {"early_delay_sec": 30.0}
-    with pytest.raises(NotImplementedError, match="afterPane|pane"):
-        parse_trigger({"trigger": {"type": "afterPane", "elementCountAtLeast": 2}})
+    assert parse_trigger(
+        {"trigger": {"type": "afterPane", "elementCountAtLeast": 2}}
+    ) == {"early_count": 2}
+    assert parse_trigger({"trigger": {
+        "type": "afterWatermark",
+        "earlyFiringTrigger": {"type": "afterPane", "elementCountAtLeast": 3},
+    }}) == {"early_count": 3}
     with pytest.raises(NotImplementedError, match="afterFirst"):
         parse_trigger({"trigger": {"type": "afterFirst"}})
 
