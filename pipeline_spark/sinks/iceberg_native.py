@@ -137,6 +137,12 @@ _DATA_FILE_SCHEMA = {
         {"name": "partition", "type": {"type": "record", "name": "r102", "fields": []}, "field-id": 102},
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+            "default": None,
+            "field-id": 135,
+        },
     ],
 }
 
@@ -202,7 +208,7 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         if not keys:
             raise ValueError("iceberg merge needs primaryKeys")
         op_field = p.get("mutationOpField", "__op__")
-        from pipeline_spark.sources.iceberg_native import plan_data_files
+        from pipeline_spark.sources.iceberg_native import read_iceberg_native
 
         spark = df.sparkSession
         if op_field in df.columns:
@@ -216,11 +222,12 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
             upserts = df
             touched = df.select(*keys).distinct()
         try:
-            files = plan_data_files(table_path)
+            # delete-aware read: merging over a merge-on-read table must
+            # not resurrect rows its delete files already removed
+            existing = read_iceberg_native(spark, {"path": table_path})
         except (FileNotFoundError, ValueError):
-            files = []
-        if files:
-            existing = spark.read.parquet(*files)
+            existing = None
+        if existing is not None:
             kept = existing.join(touched, on=list(keys), how="left_anti")
             merged = kept.unionByName(upserts)
         else:
@@ -289,6 +296,7 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
                     "partition": {},
                     "record_count": rows,
                     "file_size_in_bytes": size,
+                    "equality_ids": None,
                 },
             }
         )
@@ -419,6 +427,143 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
     }
     meta_file = os.path.join(meta_dir, f"v{version}.metadata.json")
     with open(meta_file, "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+
+
+def append_delete_files(table_path: str, delete_files: list[dict]) -> None:
+    """Commit a merge-on-read snapshot adding v2 row-level DELETE files
+    to an existing table — the write-side counterpart of the reader's
+    delete application (CDC-style ingestion appends equality deletes
+    instead of rewriting data files; spec §Row-level deletes).
+
+    Each entry: ``{"path": <parquet delete file>, "content": 1|2,
+    "equality_ids": [field-ids]}`` — content 1 = position deletes
+    (columns ``file_path``, ``pos``), content 2 = equality deletes
+    (the identifier columns named by ``equality_ids``).
+    """
+    table_path = re.sub(r"^file:/{0,2}(/)", r"\1", str(table_path))
+    meta_dir = os.path.join(table_path, "metadata")
+    prev_file = find_table_metadata(table_path)
+    with open(prev_file) as fh:
+        prev_meta = json.load(fh)
+    m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
+    version = (int(m.group(1)) if m else prev_meta.get("__version", 0)) + 1
+
+    commit_uuid = str(uuid.uuid4())
+    now_ms = int(time.time() * 1000)
+    snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+
+    entries, deleted_rows = [], 0
+    for d in delete_files:
+        content = int(d["content"])
+        if content not in (1, 2):
+            raise ValueError("delete file content must be 1 (position) or 2 (equality)")
+        if content == 2 and not d.get("equality_ids"):
+            raise ValueError("equality delete files need equality_ids")
+        rows, size = _parquet_stats(d["path"])
+        deleted_rows += rows
+        entries.append(
+            {
+                "status": _STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": content,
+                    "file_path": d["path"],
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": rows,
+                    "file_size_in_bytes": size,
+                    "equality_ids": list(d.get("equality_ids") or []) or None,
+                },
+            }
+        )
+
+    manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
+    schema_json = json.dumps(
+        next(
+            s
+            for s in prev_meta["schemas"]
+            if s.get("schema-id", 0) == prev_meta.get("current-schema-id", 0)
+        )
+    )
+    manifest_bytes = write_ocf_bytes(
+        _MANIFEST_ENTRY_SCHEMA,
+        entries,
+        extra_meta={
+            "schema": schema_json,
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    with open(manifest_path, "wb") as fh:
+        fh.write(manifest_bytes)
+
+    prev_snap = next(
+        s
+        for s in prev_meta["snapshots"]
+        if s.get("snapshot-id") == prev_meta.get("current-snapshot-id")
+    )
+    prev_list = re.sub(r"^file:/{0,2}(/)", r"\1", prev_snap["manifest-list"])
+    from pipeline_spark.functions.avroocf import read_ocf_file
+
+    _, prev_manifests = read_ocf_file(prev_list)
+    manifests = [dict(mf) for mf in prev_manifests]
+    manifests.append(
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": len(manifest_bytes),
+            "partition_spec_id": 0,
+            "content": 1,  # delete manifest
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": 0,
+            "deleted_rows_count": deleted_rows,
+        }
+    )
+    list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
+    list_bytes = write_ocf_bytes(
+        _MANIFEST_FILE_SCHEMA,
+        manifests,
+        extra_meta={"format-version": "2", "snapshot-id": str(snapshot_id)},
+    )
+    with open(list_path, "wb") as fh:
+        fh.write(list_bytes)
+
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_path,
+        "schema-id": prev_meta.get("current-schema-id", 0),
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": str(len(entries)),
+            "added-position-delete-records": str(deleted_rows),
+        },
+    }
+    meta = dict(prev_meta)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = list(prev_meta.get("snapshots", [])) + [snapshot]
+    meta["snapshot-log"] = (
+        list(prev_meta.get("snapshot-log", []))
+        + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
+    )[-10:]
+    meta["__version"] = version
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
         json.dump(meta, fh)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(version))

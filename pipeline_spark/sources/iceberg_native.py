@@ -14,10 +14,18 @@ avro manifests + parquet data files.  With the stdlib avro OCF reader
 
 Scale posture: metadata files are KB-MB and read driver-side (same as
 Iceberg's own planning); the DATA path stays a parquet scan with full
-Catalyst pushdown/pruning.  Honest gates: v2 row-level deletes
-(positional/equality delete files) raise — merge-on-read semantics need
-the runtime; snapshot-id time travel is supported, schema evolution
-relies on parquet-by-name resolution of the CURRENT files.
+Catalyst pushdown/pruning.  v2 row-level deletes (merge-on-read) are
+applied natively: position deletes anti-join on
+(_metadata.file_path, _metadata.row_index) — exact row addressing with
+zero extra data motion on the scan side — and equality deletes
+anti-join null-safely on the identifier columns with the spec's
+sequence-number rule (delete applies to data files with data seq
+strictly below the delete's).  Delete sets are usually
+compaction-bounded and broadcast; the anti-joins stay fully
+distributed either way.  Honest gates: avro/orc delete files and
+catalog URIs need the runtime jar; snapshot-id time travel is
+supported, schema evolution relies on parquet-by-name resolution of
+the CURRENT files.
 """
 
 from __future__ import annotations
@@ -66,16 +74,23 @@ def find_table_metadata(table_path: str) -> str:
     return os.path.join(meta_dir, versions[-1][1])
 
 
-def plan_data_files(
+def plan_files(
     table_path: str, snapshot_id: int | None = None
-) -> list[str]:
-    """Resolve the snapshot's live parquet data files via the metadata path."""
+) -> tuple[list[dict], list[dict], dict]:
+    """Resolve the snapshot's live files via the metadata path.
+
+    Returns ``(data, deletes, table_metadata)`` where each data entry is
+    ``{"path", "seq"}`` and each delete entry is ``{"path", "content"
+    (1=position, 2=equality), "seq", "equality_ids"}``.  Sequence numbers
+    inherit from the manifest-list entry when the manifest entry's is
+    null (spec inheritance rule); v1 tables read as seq 0.
+    """
     meta_file = find_table_metadata(table_path)
     with open(meta_file) as fh:
         meta = json.load(fh)
     snapshots = meta.get("snapshots") or []
     if not snapshots:
-        return []
+        return [], [], meta
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
     snap = next((s for s in snapshots if s.get("snapshot-id") == snapshot_id), None)
@@ -86,7 +101,8 @@ def plan_data_files(
         )
     manifest_list = _strip_scheme(snap["manifest-list"])
     _, manifests = read_ocf_file(manifest_list)
-    data_files: list[str] = []
+    data: list[dict] = []
+    deletes: list[dict] = []
     for m in manifests:
         manifest_path = _strip_scheme(m["manifest_path"])
         _, entries = read_ocf_file(manifest_path)
@@ -95,20 +111,127 @@ def plan_data_files(
                 continue
             df = entry.get("data_file") or {}
             content = df.get("content", _CONTENT_DATA) or _CONTENT_DATA
-            if content != _CONTENT_DATA:
-                raise NotImplementedError(
-                    "iceberg: table has row-level delete files (v2 "
-                    "merge-on-read); reading it correctly needs the "
-                    "iceberg-spark runtime jar"
-                )
+            seq = entry.get("sequence_number")
+            if seq is None:
+                seq = m.get("sequence_number", 0) or 0
             fmt = str(df.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise NotImplementedError(
-                    f"iceberg: {fmt} data files need the runtime jar "
+                    f"iceberg: {fmt} files need the runtime jar "
                     "(native path reads parquet)"
                 )
-            data_files.append(_strip_scheme(df["file_path"]))
-    return data_files
+            rec = {"path": _strip_scheme(df["file_path"]), "seq": int(seq)}
+            if content == _CONTENT_DATA:
+                data.append(rec)
+            else:
+                rec["content"] = content
+                rec["equality_ids"] = list(df.get("equality_ids") or [])
+                deletes.append(rec)
+    return data, deletes, meta
+
+
+def plan_data_files(
+    table_path: str, snapshot_id: int | None = None
+) -> list[str]:
+    """The snapshot's live parquet data file paths.  Refuses tables with
+    row-level delete files — a bare file listing cannot express
+    merge-on-read; use ``read_iceberg_native`` (which applies them)."""
+    data, deletes, _ = plan_files(table_path, snapshot_id)
+    if deletes:
+        raise NotImplementedError(
+            "iceberg: table has row-level delete files; a bare file "
+            "listing would resurrect deleted rows — read it through "
+            "read_iceberg_native, which applies them"
+        )
+    return [d["path"] for d in data]
+
+
+def _field_names_by_id(meta: dict) -> dict[int, str]:
+    schema_id = meta.get("current-schema-id", 0)
+    schemas = meta.get("schemas") or ([meta["schema"]] if meta.get("schema") else [])
+    schema = next(
+        (s for s in schemas if s.get("schema-id", 0) == schema_id),
+        schemas[0] if schemas else {},
+    )
+    return {f["id"]: f["name"] for f in schema.get("fields", [])}
+
+
+def _apply_row_deletes(spark, df, data: list[dict], deletes: list[dict], meta: dict):
+    """Merge-on-read: subtract position + equality delete files from the
+    scan (spec §Scan Planning).  Position deletes address exact
+    (file, row ordinal) pairs, matched against Spark's parquet
+    ``_metadata.file_path``/``row_index`` virtual columns; the
+    sequence-number check is unnecessary for them because data files are
+    immutable — a path named by a delete can never gain newer rows.
+    Equality deletes match null-safely on their identifier columns and
+    apply only to data files with data seq STRICTLY below the delete's.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    def norm(col):
+        return F.regexp_replace(col, "^file:/+", "/")
+
+    df = df.select(
+        "*",
+        norm(F.col("_metadata.file_path")).alias("__fp__"),
+        F.col("_metadata.row_index").alias("__pos__"),
+    )
+    pos = [d for d in deletes if d["content"] == 1]
+    if pos:
+        pos_df = (
+            spark.read.parquet(*[d["path"] for d in pos])
+            .select(
+                norm(F.col("file_path")).alias("__dfp__"),
+                F.col("pos").alias("__dpos__"),
+            )
+        )
+        df = df.join(
+            pos_df,
+            (df["__fp__"] == pos_df["__dfp__"]) & (df["__pos__"] == pos_df["__dpos__"]),
+            "left_anti",
+        )
+    eq = [d for d in deletes if d["content"] == 2]
+    if eq:
+        id2name = _field_names_by_id(meta)
+        seq_df = spark.createDataFrame(
+            [(d["path"], d["seq"]) for d in data], "__sfp__ string, __dseq__ long"
+        )
+        df = df.join(
+            F.broadcast(seq_df), df["__fp__"] == seq_df["__sfp__"], "left"
+        ).drop("__sfp__")
+        groups: dict[tuple[int, ...], list[dict]] = {}
+        for d in eq:
+            if not d["equality_ids"]:
+                raise ValueError(
+                    f"iceberg: equality delete file {d['path']} has no "
+                    "equality_ids in its manifest entry"
+                )
+            groups.setdefault(tuple(sorted(d["equality_ids"])), []).append(d)
+        for ids, files in groups.items():
+            try:
+                cols = [id2name[i] for i in ids]
+            except KeyError as exc:
+                raise ValueError(
+                    f"iceberg: equality_ids {list(ids)} not in the current "
+                    f"schema (have ids {sorted(id2name)})"
+                ) from exc
+            dels = None
+            for d in files:
+                one = (
+                    spark.read.parquet(d["path"])
+                    .select(*[F.col(c).alias(f"__eq_{c}__") for c in cols])
+                    .withColumn("__eseq__", F.lit(d["seq"]))
+                )
+                dels = one if dels is None else dels.unionByName(one)
+            cond = reduce(
+                lambda a, b: a & b,
+                [df[c].eqNullSafe(dels[f"__eq_{c}__"]) for c in cols],
+            ) & (df["__dseq__"] < dels["__eseq__"])
+            df = df.join(dels, cond, "left_anti")
+        df = df.drop("__dseq__")
+    return df.drop("__fp__", "__pos__")
 
 
 def read_iceberg_native(spark, p: dict[str, Any]):
@@ -121,13 +244,17 @@ def read_iceberg_native(spark, p: dict[str, Any]):
         )
     table_path = _strip_scheme(str(table_path))
     snapshot_id = p.get("snapshotId")
-    files = plan_data_files(table_path, int(snapshot_id) if snapshot_id else None)
-    if not files:
+    data, deletes, meta = plan_files(
+        table_path, int(snapshot_id) if snapshot_id else None
+    )
+    if not data:
         raise ValueError(f"iceberg: snapshot has no data files at {table_path}")
     reader = spark.read
     if p.get("mergeSchema"):
         reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*files)
+    df = reader.parquet(*[d["path"] for d in data])
+    if deletes:
+        df = _apply_row_deletes(spark, df, data, deletes, meta)
     if p.get("fields"):
         from pyspark.sql import functions as F
 

@@ -435,3 +435,113 @@ sources:
         ]
         with pytest.raises(ValueError, match="primaryKeys"):
             write_iceberg_native(ups, {"path": tbl, "mode": "merge"})
+
+
+class TestRowLevelDeletes:
+    """v2 merge-on-read: position + equality delete files applied
+    natively (spec §Row-level deletes; write side = append_delete_files,
+    read side = _apply_row_deletes via read_iceberg_native)."""
+
+    def _table(self, spark, tmp_path, rows, name="mor"):
+        from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+
+        tbl = str(tmp_path / name)
+        df = spark.createDataFrame(rows, "id long, v string").coalesce(1)
+        write_iceberg_native(df, {"path": tbl})
+        return tbl
+
+    def test_position_deletes(self, spark, tmp_path):
+        from pipeline_spark.sinks.iceberg_native import append_delete_files
+        from pipeline_spark.sources.iceberg_native import plan_files
+
+        tbl = self._table(
+            spark, tmp_path, [(i, f"v{i}") for i in range(6)]
+        )
+        data, deletes, _ = plan_files(tbl)
+        assert len(data) == 1 and not deletes
+        dfile = data[0]["path"]
+        # delete row ordinals 0 and 3 of that file
+        order = [r["id"] for r in pq.read_table(dfile).to_pylist()]
+        del_path = str(tmp_path / "pos-del.parquet")
+        pq.write_table(
+            pa.table({"file_path": [dfile, dfile], "pos": pa.array([0, 3], pa.int64())}),
+            del_path,
+        )
+        append_delete_files(tbl, [{"path": del_path, "content": 1}])
+        back = read_iceberg_native(spark, {"path": tbl})
+        got = sorted(r["id"] for r in back.collect())
+        expect = sorted(set(order) - {order[0], order[3]})
+        assert got == expect
+
+    def test_equality_deletes_and_sequence_rule(self, spark, tmp_path):
+        from pipeline_spark.sinks.iceberg_native import (
+            append_delete_files,
+            write_iceberg_native,
+        )
+        from pipeline_spark.sources.iceberg_native import (
+            _field_names_by_id,
+            find_table_metadata,
+        )
+
+        tbl = self._table(spark, tmp_path, [(i, f"v{i}") for i in range(6)])
+        with open(find_table_metadata(tbl)) as fh:
+            meta = json.load(fh)
+        id_field = next(
+            fid for fid, n in _field_names_by_id(meta).items() if n == "id"
+        )
+        del_path = str(tmp_path / "eq-del.parquet")
+        pq.write_table(pa.table({"id": pa.array([2, 4], pa.int64())}), del_path)
+        append_delete_files(
+            tbl, [{"path": del_path, "content": 2, "equality_ids": [id_field]}]
+        )
+        back = read_iceberg_native(spark, {"path": tbl})
+        assert sorted(r["id"] for r in back.collect()) == [0, 1, 3, 5]
+        # sequence rule: a LATER append re-inserting id=2 must survive —
+        # the equality delete only applies to data with seq < delete seq
+        re_add = spark.createDataFrame([(2, "re-added")], "id long, v string")
+        write_iceberg_native(re_add, {"path": tbl, "mode": "append"})
+        back2 = read_iceberg_native(spark, {"path": tbl})
+        got = sorted((r["id"], r["v"]) for r in back2.collect())
+        assert (2, "re-added") in got
+        assert sorted(i for i, _ in got) == [0, 1, 2, 3, 5]
+
+    def test_time_travel_before_deletes(self, spark, tmp_path):
+        from pipeline_spark.sinks.iceberg_native import append_delete_files
+        from pipeline_spark.sources.iceberg_native import plan_files
+
+        tbl = self._table(spark, tmp_path, [(i, f"v{i}") for i in range(4)])
+        data, _, meta = plan_files(tbl)
+        pre_snapshot = meta["current-snapshot-id"]
+        del_path = str(tmp_path / "pd.parquet")
+        pq.write_table(
+            pa.table({"file_path": [data[0]["path"]], "pos": pa.array([0], pa.int64())}),
+            del_path,
+        )
+        append_delete_files(tbl, [{"path": del_path, "content": 1}])
+        assert read_iceberg_native(spark, {"path": tbl}).count() == 3
+        old = read_iceberg_native(spark, {"path": tbl, "snapshotId": pre_snapshot})
+        assert old.count() == 4
+
+    def test_plan_data_files_refuses_mor(self, spark, tmp_path):
+        from pipeline_spark.sinks.iceberg_native import append_delete_files
+        from pipeline_spark.sources.iceberg_native import plan_files
+
+        tbl = self._table(spark, tmp_path, [(1, "a"), (2, "b")])
+        data, _, _ = plan_files(tbl)
+        del_path = str(tmp_path / "pd2.parquet")
+        pq.write_table(
+            pa.table({"file_path": [data[0]["path"]], "pos": pa.array([0], pa.int64())}),
+            del_path,
+        )
+        append_delete_files(tbl, [{"path": del_path, "content": 1}])
+        with pytest.raises(NotImplementedError, match="delete files"):
+            plan_data_files(tbl)
+
+    def test_equality_delete_validation(self, tmp_path, spark):
+        from pipeline_spark.sinks.iceberg_native import append_delete_files
+
+        tbl = self._table(spark, tmp_path, [(1, "a")])
+        with pytest.raises(ValueError, match="equality_ids"):
+            append_delete_files(tbl, [{"path": "x.parquet", "content": 2}])
+        with pytest.raises(ValueError, match="content"):
+            append_delete_files(tbl, [{"path": "x.parquet", "content": 3}])
