@@ -2257,6 +2257,76 @@ FROM supplier GROUP BY s_nationkey
 """
 
 
+def q_iceberg_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iceberg v2 merge-on-read: nation committed natively (one sorted
+    data file), then a POSITION delete file (row ordinals 0,1 →
+    nationkeys 0,1) and an EQUALITY delete file (n_regionkey = 2) are
+    committed via append_delete_files; the native reader applies both
+    through anti-joins on _metadata row addressing / null-safe identifier
+    columns.  Oracle: the same predicate filter on the source table."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.sinks.iceberg_native import (
+        append_delete_files,
+        write_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import (
+        _field_names_by_id,
+        find_table_metadata,
+        plan_files,
+        read_iceberg_native,
+    )
+
+    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_iceberg_mor")
+    shutil.rmtree(tbl, ignore_errors=True)
+    nation = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1)
+        .sortWithinPartitions("n_nationkey")
+    )
+    write_iceberg_native(nation, {"path": tbl})
+    data, _, _ = plan_files(tbl)
+    pos_path = os.path.join(tbl, "pos-del.parquet")
+    pq.write_table(
+        pa.table(
+            {"file_path": [data[0]["path"]] * 2, "pos": pa.array([0, 1], pa.int64())}
+        ),
+        pos_path,
+    )
+    import json as _json
+
+    with open(find_table_metadata(tbl)) as fh:
+        meta = _json.load(fh)
+    region_id = next(
+        fid for fid, n in _field_names_by_id(meta).items() if n == "n_regionkey"
+    )
+    eq_path = os.path.join(tbl, "eq-del.parquet")
+    pq.write_table(pa.table({"n_regionkey": pa.array([2], pa.int64())}), eq_path)
+    append_delete_files(
+        tbl,
+        [
+            {"path": pos_path, "content": 1},
+            {"path": eq_path, "content": 2, "equality_ids": [region_id]},
+        ],
+    )
+    return read_iceberg_native(spark, {"path": tbl}).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+Q_ICEBERG_MOR_SQL = """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation
+WHERE n_nationkey NOT IN (0, 1) AND n_regionkey <> 2
+"""
+
+
 def _proto_varint(v: int) -> bytes:
     if v < 0:
         v &= (1 << 64) - 1
@@ -2416,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "storage_avro_roundtrip": q_storage_avro_roundtrip,
         "iceberg_roundtrip": q_iceberg_roundtrip,
+        "iceberg_mor_roundtrip": q_iceberg_mor_roundtrip,
         "gopher_rules": q_gopher_rules,
         "linear_regression": q_linear_regression,
     }
@@ -2486,6 +2557,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": Q_MULTIMODAL_DECODE_SQL,
         "storage_avro_roundtrip": Q_STORAGE_AVRO_SQL,
         "iceberg_roundtrip": Q_ICEBERG_SQL,
+        "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,
         "gopher_rules": Q_GOPHER_SQL,
         "linear_regression": Q_LINREG_SQL,
     }

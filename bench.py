@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "gopher_rules",
     "linear_regression",
     "iceberg_roundtrip",
+    "iceberg_mor_roundtrip",
     "image_codec_roundtrip",
     "audio_roundtrip",
 ]
