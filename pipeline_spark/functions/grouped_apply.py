@@ -33,6 +33,14 @@ Semantics preserved: every input group (including null-valued keys, which
 compare equal to themselves here exactly as groupBy treats them) produces
 one fn() call; output columns/types are coerced to ``schema`` by
 mapInPandas just as applyInPandas would.
+
+When to use which: this substrate wins when Python cost per row is high
+relative to row BYTES (state machines, per-row interpretation — AQE's
+byte-based sizing under-parallelizes those stages and per-group overhead
+dominates many small groups).  Plain applyInPandas remains the right
+choice when rows are byte-heavy and per-group work is vectorized
+(embedding matmuls): there shuffle bytes ∝ compute, AQE sizes correctly,
+and the pinned width only adds per-task overhead.
 """
 
 from __future__ import annotations

@@ -547,11 +547,18 @@ def embedding_neardup_pairs_bucketed(
             )
         return pd.concat(outs, ignore_index=True)
 
-    from pipeline_spark.functions.grouped_apply import grouped_apply_in_pandas
-
-    return grouped_apply_in_pandas(
-        base, ["table", "sig"], bucket_pairs, schema
-    ).dropDuplicates(["doc_a", "doc_b"])
+    # groupBy().applyInPandas is the right substrate HERE (unlike
+    # matchRecognize's grouped_apply_in_pandas): embedding rows are
+    # byte-heavy (KB-scale vectors) and the per-bucket work is a blocked
+    # BLAS matmul, so shuffle bytes ∝ compute and AQE's byte-based
+    # partition sizing allocates cores correctly; a width-pinned
+    # mapInPandas pass measured ~1.5× SLOWER at bench scale (fixed
+    # per-task overhead × width dominating the tiny matmuls)
+    return (
+        base.groupBy("table", "sig")
+        .applyInPandas(bucket_pairs, schema=schema)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
 
 
 def embedding_neardup_pairs(
