@@ -39,12 +39,23 @@ def connected_components(
     dst: str = "dst",
     *,
     max_iterations: int = 50,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Label every node with its component's minimum node id.
 
     ``edges`` is undirected (long-castable endpoints); returns a DataFrame
     ``(node, component)`` covering every node appearing in any edge.
     Deterministic: the label is the component min, not an arbitrary root.
+
+    Strategy choice mirrors AQE's broadcast decision: the initial
+    localCheckpoint materializes the (deduped) edge set anyway, so its
+    COUNT is known for free — at or below ``small_graph_threshold`` edges
+    (default 1M ≈ 16 MB of longs) a driver-side union-find resolves the
+    closure in one pass instead of paying O(log n) shuffle rounds; above
+    it, the alternating-star loop runs fully distributed.  Near-dup edge
+    sets are typically a tiny fraction of the corpus, so at 100 TB both
+    paths are live: the threshold guards driver memory, not correctness
+    (both produce identical min-labels).
     """
     e = (
         edges.select(
@@ -59,6 +70,8 @@ def connected_components(
         # when pairs come from a multi-stage curation chain
         .localCheckpoint(eager=True)
     )
+    if e.count() <= small_graph_threshold:
+        return _union_find_driver(e)
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -120,3 +133,30 @@ def connected_components(
     )
     nodes.unpersist()
     return out
+
+
+def _union_find_driver(e: DataFrame) -> DataFrame:
+    """Single-pass union-find with path compression over a collected edge
+    set; labels are component minimums, matching the distributed loop."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = e.collect()
+    for r in rows:
+        ru, rv = find(r["u"]), find(r["v"])
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    nodes = {n for r in rows for n in (r["u"], r["v"])}
+    comp_min: dict[int, int] = {}
+    for n in nodes:
+        root = find(n)
+        comp_min[root] = min(comp_min.get(root, n), n)
+    out = [(n, comp_min[find(n)]) for n in sorted(nodes)]
+    return e.sparkSession.createDataFrame(out, "node long, component long")

@@ -31,10 +31,16 @@ def _union_find_labels(edges):
     return comp
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, **kw):
     df = spark.createDataFrame(edges, "src: long, dst: long")
-    rows = connected_components(df).collect()
+    rows = connected_components(df, **kw).collect()
     return {r["node"]: r["component"] for r in rows}
+
+
+def _cc_distributed(spark, edges):
+    """Force the alternating-star loop (threshold 0 disables the
+    driver union-find fast path)."""
+    return _cc(spark, edges, small_graph_threshold=0)
 
 
 def test_cc_simple_pair(spark):
@@ -48,9 +54,9 @@ def test_cc_transitive_chain(spark):
 
 def test_cc_long_chain_and_separate_components(spark):
     edges = [(i, i + 1) for i in range(1, 20)] + [(100, 101), (101, 102)]
-    labels = _cc(spark, edges)
-    assert all(labels[i] == 1 for i in range(1, 21))
-    assert all(labels[i] == 100 for i in (100, 101, 102))
+    for labels in (_cc(spark, edges), _cc_distributed(spark, edges)):
+        assert all(labels[i] == 1 for i in range(1, 21))
+        assert all(labels[i] == 100 for i in (100, 101, 102))
 
 
 def test_cc_self_loops_and_duplicates_ignored(spark):
@@ -68,8 +74,10 @@ def test_cc_random_graphs_match_union_find(spark):
         ]
         edges = [e for e in edges if e[0] != e[1]]
         expect = _union_find_labels(edges)
-        got = _cc(spark, edges)
-        assert got == expect
+        # both strategies: the driver union-find fast path (default at
+        # this size) and the forced distributed alternating-star loop
+        assert _cc(spark, edges) == expect
+        assert _cc_distributed(spark, edges) == expect
 
 
 def test_dedup_output_clusters_transitive(spark):
