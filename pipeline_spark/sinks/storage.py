@@ -101,6 +101,34 @@ def storage_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
             query.awaitTermination()
         return {"": df}
 
+    if p.get("bucketBy"):
+        # bucketed table write (Spark-idiomatic, beyond the reference's
+        # Beam surface): both sides of a recurring large join bucketed on
+        # the join key read back WITHOUT an exchange — the shuffle is
+        # paid once at write time, not per query (SCALE.md).  Bucketing
+        # metadata lives in the session catalog, so this writes through
+        # saveAsTable; `table` names it and `path` keeps it external.
+        b = p["bucketBy"]
+        fields = b.get("fields") or b.get("columns")
+        n_buckets = int(b.get("numBuckets", 0) or b.get("buckets", 0))
+        table = p.get("table")
+        if not (fields and n_buckets and table):
+            raise ValueError(
+                "storage sink bucketBy needs numBuckets, fields, and a "
+                "'table' name (bucket metadata lives in the catalog)"
+            )
+        writer = (
+            df.write.mode(p.get("mode", "overwrite"))
+            .format(fmt if fmt != "jsonl" else "json")
+            .option("path", path)
+            .bucketBy(n_buckets, *fields)
+        )
+        sort_by = b.get("sortBy")
+        if sort_by:
+            writer = writer.sortBy(*(sort_by if isinstance(sort_by, list) else [sort_by]))
+        writer.saveAsTable(table)
+        return {"": df}
+
     writer = df.write.mode(p.get("mode", "overwrite"))
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)

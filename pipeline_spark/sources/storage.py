@@ -58,11 +58,16 @@ def _nanos_timestamp_cols(paths: list[str]) -> list[str]:
 def storage_source(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
     fmt = str(p.get("format", "parquet")).lower()
+    if p.get("table") and not (p.get("input") or p.get("inputs") or p.get("path")):
+        # catalog table read: required for BUCKETED tables — bucket
+        # metadata lives in the catalog, and reading the files by path
+        # would silently drop the co-location guarantee the write paid for
+        return {"": ctx.spark.table(p["table"])}
     paths = p.get("input") or p.get("inputs") or p.get("path")
     if isinstance(paths, str):
         paths = [paths]
     if not paths:
-        raise ValueError("storage source requires input path(s)")
+        raise ValueError("storage source requires input path(s) or a table name")
 
     mode = str(p.get("mode", "batch")).lower()
     streaming = mode in ("streaming", "microbatch")

@@ -1364,3 +1364,66 @@ transforms:
     )
     rows = outs["tok"].collect()
     assert rows[0]["tokens"][:3] == ["関西", "国際", "空港"], rows[0]["tokens"]
+
+
+def test_storage_bucketed_write_colocated_join(spark, tmp_path):
+    """bucketBy storage writes (Spark-idiomatic scale feature beyond the
+    reference's Beam surface): two tables bucketed on the join key read
+    back from the catalog and join WITHOUT a shuffle exchange — the
+    shuffle is paid once at write time, not per query."""
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_lines")
+    for name, rows, schema in [
+        ("bt_orders", [(i, f"o{i}") for i in range(100)], "k long, v string"),
+        ("bt_lines", [(i % 100, i * 10) for i in range(300)], "k long, amt long"),
+    ]:
+        df = spark.createDataFrame(rows, schema)
+        run_pipeline(
+            spark,
+            parse_config(f"""
+sinks:
+  - name: out
+    module: storage
+    inputs: [src]
+    parameters:
+      format: parquet
+      output: {tmp_path}/{name}
+      table: {name}
+      bucketBy: {{numBuckets: 4, fields: [k], sortBy: [k]}}
+"""),
+            inputs={"src": df},
+        )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force a non-broadcast join so the plan shows the bucketing payoff
+    # (at real scale both sides are too big to broadcast anyway)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        outs = run(
+            spark,
+            """
+sources:
+  - name: o
+    module: storage
+    parameters: {table: bt_orders}
+  - name: l
+    module: storage
+    parameters: {table: bt_lines}
+transforms:
+  - name: joined
+    module: beamsql
+    inputs: [o, l]
+    parameters:
+      sql: "SELECT o.k, o.v, l.amt FROM o JOIN l ON o.k = l.k"
+""",
+        )
+        joined = outs["joined"]
+        assert joined.count() == 300
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, (
+            f"bucketed join must not shuffle:\n{plan}"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lines")
