@@ -35,6 +35,8 @@ def stage_stream_inputs():
     # stream re-processes the staged file
     shutil.rmtree("/tmp/pipeline_out/early_firing", ignore_errors=True)
     shutil.rmtree("/tmp/pipeline_out/early_firing_checkpoint", ignore_errors=True)
+    shutil.rmtree("/tmp/pipeline_out/count_trigger", ignore_errors=True)
+    shutil.rmtree("/tmp/pipeline_out/count_trigger_checkpoint", ignore_errors=True)
 
 
 @pytest.mark.parametrize("path", EXAMPLES, ids=[os.path.basename(p) for p in EXAMPLES])
