@@ -262,7 +262,17 @@ def _compile_one(
                     sub_func = infer_func(sub)
                     src_name = sub.get("field", sub_name)
                     if sub_func in ("pass", "rename", "cast"):
-                        src = elem[src_name] if src_name in elem_fields else _ref(src_name, df, bound)
+                        if src_name in elem_fields:
+                            src = elem[src_name]
+                        elif src_name.startswith(each + "."):
+                            # '<each>.sub.path' addresses the CURRENT
+                            # element (Struct.java eachField refs), not the
+                            # row-level array-of-subfields projection
+                            src = elem
+                            for part in src_name[len(each) + 1 :].split("."):
+                                src = src[part]
+                        else:
+                            src = _ref(src_name, df, bound)
                         if sub_func == "cast" or "type" in sub:
                             src = src.cast(spark_type(sub["type"]))
                         cols.append(src.alias(sub_name))
@@ -625,7 +635,12 @@ def _hbase_decode(src: Column, type_name: str) -> Column:
         # conv() yields the UNSIGNED value; re-apply two's complement via
         # decimal(38,0) (2^64 fits) so negative encodings round-trip
         unsigned = F.conv(F.hex(src), 16, 10).cast(T.DecimalType(38, 0))
-        half, full = F.lit(2 ** (8 * w - 1)), F.lit(2 ** (8 * w))
+        # 2^63 / 2^64 exceed the JVM long F.lit() accepts — go through
+        # string→decimal literals (found by the SelectFunctionTest parity
+        # config: bytes_decode of an int64 raised at plan time)
+        dec = T.DecimalType(38, 0)
+        half = F.lit(str(2 ** (8 * w - 1))).cast(dec)
+        full = F.lit(str(2 ** (8 * w))).cast(dec)
         signed = F.when(unsigned >= half, unsigned - full).otherwise(unsigned)
         return signed.cast(dt)
     if isinstance(dt, T.StringType):

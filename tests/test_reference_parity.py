@@ -908,3 +908,99 @@ def test_datetime_util_to_instant_parity(spark):
     for s, expected_millis in vals:
         ts = got[s].replace(tzinfo=dt.timezone.utc)
         assert ts.timestamp() * 1000 == expected_millis, (s, ts)
+
+
+def test_select_function_combined_config(spark):
+    """The reference's combined SelectFunction config — pass/rename/
+    constant/expression/hash(+fields,size)/current_timestamp/
+    event_timestamp/concat/nested-field cast redefinition/struct
+    (repeated, nested, text template)/each/json/bytes_encode+decode in
+    ONE select, with sequential binding.  Assertions mirror the Java
+    test's.  Reference: util/pipeline/select/SelectFunctionTest.java:15-168."""
+    import json as _json
+
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    outs = run_pipeline(spark, parse_config("""
+sources:
+  - name: create
+    module: create
+    timestampAttribute: eventTs
+    parameters:
+      elements:
+        - { stringField: stringValue, intField: 32, longField: 10,
+            floatField: -5.5, doubleField: 10.10, enumField: b,
+            timestampField: "2024-08-30T00:00:00Z",
+            eventTs: "2024-01-01T00:00:00Z",
+            nestedField: { stringField: "100" },
+            arrayNestedField: [ { stringField: Z } ] }
+      schema:
+        fields:
+          - {name: stringField, type: string}
+          - {name: intField, type: int32}
+          - {name: longField, type: int64}
+          - {name: floatField, type: float32}
+          - {name: doubleField, type: float64}
+          - {name: enumField, type: string}
+          - {name: timestampField, type: timestamp}
+          - {name: eventTs, type: timestamp}
+          - {name: nestedField, type: record, fields: [{name: stringField, type: string}]}
+          - {name: arrayNestedField, type: record, mode: repeated,
+             fields: [{name: stringField, type: string}]}
+transforms:
+  - name: select
+    module: select
+    inputs: [create]
+    timestampAttribute: eventTs
+    parameters:
+      select:
+        - { name: longField }
+        - { name: renameIntField, field: intField }
+        - { name: constantStringField, type: string, value: constantStringValue }
+        - { name: expressionField, expression: "doubleField * intField / longField" }
+        - { name: hashField, func: hash, field: stringField }
+        - { name: hashArrayField, func: hash, fields: [stringField, intField, longField], size: 32 }
+        - { name: currentTimestampField, func: current_timestamp }
+        - { name: eventTimestampField, func: event_timestamp }
+        - { name: concatField, func: concat, delimiter: " ", fields: [stringField, intField, longField] }
+        - { name: intField, field: nestedField.stringField, type: int32 }
+        - { name: structField, func: struct, mode: repeated, fields: [
+            { name: enumField },
+            { name: stringFieldA, field: stringField },
+            { name: nestedStructField, func: struct, fields: [
+              { name: stringFieldA, field: stringField } ] } ] }
+        - { name: structEachField, each: arrayNestedField, fields: [
+            { name: enumField },
+            { name: stringFieldA, field: stringField },
+            { name: nestedStringField, field: arrayNestedField.stringField } ] }
+        - { name: jsonField, func: json, fields: [
+            { name: enumField },
+            { name: stringFieldA, field: stringField },
+            { name: longFieldA, field: longField },
+            { name: nestedStructField, func: struct, fields: [
+              { name: enumField },
+              { name: doubleFieldA, field: doubleField },
+              { name: timestampField } ] } ] }
+        - { name: bytesEncodedLongField, func: bytes_encode, field: longField }
+        - { name: bytesDecodedLongField, func: bytes_decode, field: bytesEncodedLongField, type: int64 }
+"""))
+    r = outs["select"].collect()[0]
+    assert r["longField"] == 10
+    assert r["renameIntField"] == 32
+    assert r["constantStringField"] == "constantStringValue"
+    assert abs(r["expressionField"] - 32.32) < 1e-9
+    assert r["hashField"] is not None and r["hashField"] != ""
+    assert r["hashArrayField"] is not None
+    assert r["currentTimestampField"] is not None
+    assert str(r["eventTimestampField"]).startswith("2024-01-01")
+    assert r["concatField"] == "stringValue 32 10"
+    assert r["intField"] == 100  # redefined from nestedField.stringField
+    assert r["structField"][0]["stringFieldA"] == "stringValue"
+    assert r["structField"][0]["nestedStructField"]["stringFieldA"] == "stringValue"
+    assert r["structEachField"][0]["nestedStringField"] == "Z"
+    j = _json.loads(r["jsonField"])
+    assert j["stringFieldA"] == "stringValue"
+    assert j["nestedStructField"]["enumField"] == "b"
+    assert str(j["nestedStructField"]["timestampField"]).startswith("2024-08-30")
+    assert r["bytesDecodedLongField"] == 10
