@@ -1004,3 +1004,60 @@ transforms:
     assert j["nestedStructField"]["enumField"] == "b"
     assert str(j["nestedStructField"]["timestampField"]).startswith("2024-08-30")
     assert r["bytesDecodedLongField"] == 10
+
+
+def test_unnest_transform_legacy_path_prefix(spark):
+    """Port of UnnestTransformTest.testUnnestRow: path=children +
+    prefix=true explodes the array, keeps sibling fields, expands struct
+    elements as children_-prefixed columns, and preserves nested
+    grandchild structs/arrays untouched.  2 rows x 2 children = 4 out.
+    Reference: module/transform/UnnestTransformTest.java:27-73."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    outs = run_pipeline(spark, parse_config("""
+sources:
+  - name: rowInput
+    module: create
+    parameters:
+      elements:
+        - &row
+          stringField: stringValue
+          children:
+            - &child
+              cstringField: cstringValue
+              grandchild: { gcstringField: gcstringValue }
+              grandchildren:
+                - { gcstringField: gcstringValue }
+                - { gcstringField: gcstringValue }
+            - *child
+        - *row
+      schema:
+        fields:
+          - {name: stringField, type: string}
+          - name: children
+            type: record
+            mode: repeated
+            fields:
+              - {name: cstringField, type: string}
+              - {name: grandchild, type: record,
+                 fields: [{name: gcstringField, type: string}]}
+              - {name: grandchildren, type: record, mode: repeated,
+                 fields: [{name: gcstringField, type: string}]}
+transforms:
+  - name: unnest
+    module: unnest
+    inputs: [rowInput]
+    parameters:
+      path: children
+      prefix: true
+"""))
+    rows = outs["unnest"].collect()
+    assert len(rows) == 4
+    for row in rows:
+        assert row["stringField"] == "stringValue"
+        assert row["children_cstringField"] == "cstringValue"
+        assert row["children_grandchild"]["gcstringField"] == "gcstringValue"
+        assert len(row["children_grandchildren"]) == 2
+        for gc in row["children_grandchildren"]:
+            assert gc["gcstringField"] == "gcstringValue"
