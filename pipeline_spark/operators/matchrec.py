@@ -1061,13 +1061,16 @@ def match_recognize(
     subsets = dict(subset or {})
     in_schema = df.schema  # before mask columns — they are matcher-internal
 
-    if partition_by:
+    if partition_by and hot_key_mode != "chunked":
         # Width-pin the whole Python-heavy pipeline BEFORE the mask
         # windows: this REPARTITION_BY_NUM then satisfies both the window
         # distribution and the final mapInPandas grouping, so no
         # ENSURE_REQUIREMENTS exchange appears downstream for AQE to
         # byte-coalesce (AQE sizing by bytes strands cores on
         # Python-expensive stages — measured 3 of 32 busy at sf0.1).
+        # Chunked mode skips this: its grouping keys gain __chunk__, so
+        # the grouped-apply substrate pins its own exchange and an early
+        # repartition would only add a redundant shuffle per union branch.
         n_width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         df = df.repartition(n_width, *[F.col(c.strip("`")) for c in partition_by])
 

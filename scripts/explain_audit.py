@@ -135,16 +135,22 @@ def main() -> int:
 
     # chunked matchRecognize: sequence numbers from ONE spillable window
     # sort per branch (core + carry-over reuse it), union, then the
-    # per-chunk groupBy — no extra exchanges beyond window + group
+    # per-chunk grouped apply — no extra exchanges beyond the seq window
+    # per union branch + the width-pinned (key, chunk) grouping shuffle
     p14 = plan_of(entrymod.q_match_recognize_chunked(spark, sf))
     if "Union" not in p14:
         failures.append("matchrec chunked: expected carry-over Union in plan")
-    if "FlatMapGroupsInPandas" not in p14:
-        failures.append("matchrec chunked: expected per-chunk applyInPandas")
-    if p14.count("Exchange") > 4:
+    if "MapInPandas" not in p14:
         failures.append(
-            f"matchrec chunked: {p14.count('Exchange')} exchanges — "
-            "expected ≤4 (window sort + group per union branch)"
+            "matchrec chunked: expected the grouped-apply MapInPandas substrate"
+        )
+    n_exchanges = p14.count("Exchange hashpartitioning")
+    # formatted explain lists each node in the tree AND the details
+    # section, so 3 physical exchanges == 6 string occurrences
+    if n_exchanges > 6:
+        failures.append(
+            f"matchrec chunked: {n_exchanges // 2} exchange nodes — "
+            "expected ≤3 (seq window per union branch + chunk grouping)"
         )
 
     # native avro read: binaryFile scan feeding the per-file decode —
