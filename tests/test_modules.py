@@ -1427,3 +1427,22 @@ transforms:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bt_orders")
         spark.sql("DROP TABLE IF EXISTS bt_lines")
+
+
+def test_example_transform_passthrough(spark, capsys):
+    """example module: union inputs, print a bounded head driver-side,
+    pass rows through unchanged.  Reference: ExampleTransform.java:13-40."""
+    outs = run(
+        spark,
+        BASE
+        + """
+transforms:
+  - name: demo
+    module: example
+    inputs: [create1]
+    parameters: {numRows: 2}
+""",
+    )
+    assert outs["demo"].count() == 6
+    captured = capsys.readouterr().out
+    assert "debug [demo]" in captured
