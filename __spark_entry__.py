@@ -2327,6 +2327,59 @@ WHERE n_nationkey NOT IN (0, 1) AND n_regionkey <> 2
 """
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: customer and orders written as
+    catalog tables bucketed on custkey, read back and joined WITHOUT a
+    shuffle exchange (the write pays the shuffle once; recurring joins
+    are exchange-free).  The no-Exchange property is pinned by
+    scripts/explain_audit.py and the bucketed-join pytest; this oracle
+    checks the VALUES against a plain join."""
+    import pyspark.sql.functions as SF
+
+    for tbl in ("bq_customer", "bq_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "pipeline_spark_bucketed")
+    shutil.rmtree(base, ignore_errors=True)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    (
+        cust.write.mode("overwrite").option("path", f"{base}/c")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("bq_customer")
+    )
+    (
+        orders.write.mode("overwrite").option("path", f"{base}/o")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("bq_orders")
+    )
+    joined = (
+        spark.table("bq_customer")
+        .join(
+            spark.table("bq_orders"),
+            SF.col("c_custkey") == SF.col("o_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            SF.count(SF.lit(1)).alias("n_orders"),
+            SF.round(SF.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    return joined
+
+
+Q_BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def _proto_varint(v: int) -> bytes:
     if v < 0:
         v &= (1 << 64) - 1
@@ -2487,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storage_avro_roundtrip": q_storage_avro_roundtrip,
         "iceberg_roundtrip": q_iceberg_roundtrip,
         "iceberg_mor_roundtrip": q_iceberg_mor_roundtrip,
+        "bucketed_join": q_bucketed_join,
         "gopher_rules": q_gopher_rules,
         "linear_regression": q_linear_regression,
     }
@@ -2558,6 +2612,7 @@ def oracle_sql() -> dict[str, str]:
         "storage_avro_roundtrip": Q_STORAGE_AVRO_SQL,
         "iceberg_roundtrip": Q_ICEBERG_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,
+        "bucketed_join": Q_BUCKETED_JOIN_SQL,
         "gopher_rules": Q_GOPHER_SQL,
         "linear_regression": Q_LINREG_SQL,
     }

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "linear_regression",
     "iceberg_roundtrip",
     "iceberg_mor_roundtrip",
+    "bucketed_join",
     "image_codec_roundtrip",
     "audio_roundtrip",
 ]
