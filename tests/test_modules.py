@@ -1446,3 +1446,34 @@ transforms:
     assert outs["demo"].count() == 6
     captured = capsys.readouterr().out
     assert "debug [demo]" in captured
+
+
+def test_text_sink_per_record_templated_files(spark, tmp_path):
+    """text sink: each record renders the FreeMarker template into its
+    own file at a per-record templated destination; _CSVPrinter helper
+    and <#if> directives work.  Reference: TextSink.java:43-270 +
+    docs/config/module/sink/text.md."""
+    out = tmp_path / "docs"
+    run(
+        spark,
+        BASE
+        + f"""
+sinks:
+  - name: txt
+    module: text
+    inputs: [create1]
+    parameters:
+      output: "{out}/${{stringField}}-${{intField}}.txt"
+      template: |
+        id=${{intField}} group=${{stringField}}<#if boolField> FLAGGED</#if>
+        ${{_CSVPrinter.line(stringField, intField)}}
+""",
+    )
+    files = sorted(f.name for f in out.iterdir())
+    assert files == [f"{s}-{i}.txt" for s, i in
+                     [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("c", 6)]]
+    one = (out / "a-1.txt").read_text()
+    assert "id=1 group=a FLAGGED" in one
+    assert "a,1" in one
+    two = (out / "b-4.txt").read_text()
+    assert "FLAGGED" not in two
