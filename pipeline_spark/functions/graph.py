@@ -39,7 +39,7 @@ def connected_components(
     dst: str = "dst",
     *,
     max_iterations: int = 50,
-    small_graph_threshold: int = 1_000_000,
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """Label every node with its component's minimum node id.
 
@@ -50,12 +50,15 @@ def connected_components(
     Strategy choice mirrors AQE's broadcast decision: the initial
     localCheckpoint materializes the (deduped) edge set anyway, so its
     COUNT is known for free — at or below ``small_graph_threshold`` edges
-    (default 1M ≈ 16 MB of longs) a driver-side union-find resolves the
-    closure in one pass instead of paying O(log n) shuffle rounds; above
-    it, the alternating-star loop runs fully distributed.  Near-dup edge
-    sets are typically a tiny fraction of the corpus, so at 100 TB both
-    paths are live: the threshold guards driver memory, not correctness
-    (both produce identical min-labels).
+    a driver-side union-find resolves the closure in one pass instead of
+    paying O(log n) shuffle rounds; above it, the alternating-star loop
+    runs fully distributed.  The default 200k is sized for driver HEAP,
+    not raw longs: collect() materializes pyspark Row objects (~100+
+    bytes each) plus up-to-2×-node-count Python dicts, so 200k edges is
+    tens of MB — safe on a default driver; raise it only with driver
+    memory to match.  Near-dup edge sets are typically a tiny fraction of
+    the corpus, so at 100 TB both paths are live: the threshold guards
+    driver memory, not correctness (both produce identical min-labels).
     """
     e = (
         edges.select(

@@ -98,6 +98,17 @@ def _bigquery_native_write(ctx: ModuleContext, p: dict, table: str) -> None:
         staging_root = p.get("customGcsTempLocation") or p.get("temporaryGcsBucket")
         local = staging_root is None
         if local:
+            master = ctx.spark.conf.get("spark.master", "")
+            if not master.startswith("local"):
+                # executors would stage parquet shards to THEIR OWN /tmp;
+                # the driver-side load job would then silently load a
+                # partial (or empty) subset — refuse instead
+                raise ValueError(
+                    "bigquery FILE_LOADS on a multi-node cluster needs a "
+                    "shared staging location: set temporaryGcsBucket / "
+                    "customGcsTempLocation (driver-local tempdir staging "
+                    "is only valid on local masters)"
+                )
             staging_root = tempfile.mkdtemp(prefix="bq_load_")
         stage = f"{str(staging_root).rstrip('/')}/{uuid.uuid4().hex}"
         from pipeline_spark.operators.ml import resolve_factory
@@ -423,7 +434,13 @@ def default_bigquery_write_client(params: dict):
                 return
             import glob as _glob
 
-            for path in sorted(_glob.glob(uri_glob)):
+            paths = sorted(_glob.glob(uri_glob))
+            if not paths:
+                raise RuntimeError(
+                    f"bigquery load: no staged parquet files at {uri_glob} — "
+                    "nothing would be loaded (staging location not shared?)"
+                )
+            for path in paths:
                 with open(path, "rb") as fh:
                     client.load_table_from_file(fh, table, job_config=job_config).result()
                 # subsequent files append regardless of the first
@@ -431,12 +448,15 @@ def default_bigquery_write_client(params: dict):
                 job_config.write_disposition = "WRITE_APPEND"
 
         def write(self, mutations):
-            bad_ops = {m["op"] for m in mutations} - {"INSERT", "UPSERT"}
+            bad_ops = {m["op"] for m in mutations} - {"INSERT"}
             if bad_ops:
+                # UPSERT included: insertAll would silently append a
+                # duplicate row per upsert, not replace
                 raise ValueError(
                     f"bigquery default write client cannot express {sorted(bad_ops)} "
-                    "mutation ops over insertAll; CDC (UPDATE/DELETE) needs the "
-                    "Storage Write API protocol — inject a CDC-capable clientFactory"
+                    "mutation ops over insertAll (an UPSERT would just append a "
+                    "duplicate row); CDC needs the Storage Write API protocol — "
+                    "inject a CDC-capable clientFactory"
                 )
             table = mutations[0]["table"]
             errors = client.insert_rows_json(

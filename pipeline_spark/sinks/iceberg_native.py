@@ -225,7 +225,15 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
             # delete-aware read: merging over a merge-on-read table must
             # not resurrect rows its delete files already removed
             existing = read_iceberg_native(spark, {"path": table_path})
-        except (FileNotFoundError, ValueError):
+        except FileNotFoundError:
+            existing = None  # no table yet: merge degenerates to create
+        except ValueError as exc:
+            # ONLY the empty-table case may fall through to create —
+            # swallowing MOR validation errors (bad equality_ids, missing
+            # snapshot) here would overwrite a populated table with just
+            # the upserts
+            if "no data files" not in str(exc):
+                raise
             existing = None
         if existing is not None:
             kept = existing.join(touched, on=list(keys), how="left_anti")

@@ -123,6 +123,11 @@ def storage_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
             .option("path", path)
             .bucketBy(n_buckets, *fields)
         )
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        bucket_codec = p.get("compression") or p.get("codec")
+        if bucket_codec:
+            writer = writer.option("compression", str(bucket_codec).lower())
         sort_by = b.get("sortBy")
         if sort_by:
             writer = writer.sortBy(*(sort_by if isinstance(sort_by, list) else [sort_by]))

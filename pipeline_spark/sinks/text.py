@@ -51,7 +51,13 @@ def text_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
     template = p.get("template")
     if not output or not template:
         raise ValueError("text sink requires output (templated path) and template")
-    if "://" in str(output).replace("file://", ""):
+    import re as _re
+
+    # normalize file:// URIs to plain paths BEFORE rendering — the raw
+    # string feeds os.makedirs/open, which would otherwise create a
+    # literal './file:' directory
+    output = _re.sub(r"^file:/{0,2}(/)", r"\1", str(output))
+    if "://" in output:
         raise RuntimeError(
             "text sink writes shared-filesystem paths natively; GCS/S3 "
             "destinations need their storage connector"

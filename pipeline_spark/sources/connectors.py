@@ -536,7 +536,15 @@ def default_bigquery_read_client(params: dict):
                     f"/tables/{dest.table_id}"
                 )
             else:
-                proj, ds, tbl = _bq_table_ref(params).split(".")
+                parts = _bq_table_ref(params).split(".")
+                if len(parts) == 2:  # 'ds.t' — default the client's project
+                    parts = [client.project, *parts]
+                if len(parts) != 3:
+                    raise ValueError(
+                        f"bigquery source: cannot resolve table ref "
+                        f"{'.'.join(parts)!r} to project.dataset.table"
+                    )
+                proj, ds, tbl = parts
                 table_path = f"projects/{proj}/datasets/{ds}/tables/{tbl}"
             storage = bigquery_storage_v1.BigQueryReadClient()
             fields = params.get("fields") or []

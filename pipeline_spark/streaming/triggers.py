@@ -20,9 +20,10 @@ documented divergence in streaming/__init__.py):
   * pane metadata (``outputPaneInfo: true``): a __pane__ struct with
     firing_time (batch wall-clock), index (per window+key firing
     counter), is_first, and timing — classified against an event-time
-    high-water mark (max window end seen so far, the foreachBatch-visible
-    proxy for Spark's watermark): EARLY while the mark hasn't passed this
-    window's end + lateness, ON_TIME after.
+    high-water mark (max window START seen so far — a sound lower bound
+    on max event time, the foreachBatch-visible proxy for Spark's
+    watermark): EARLY while the mark hasn't passed this window's end +
+    lateness, ON_TIME after.
 
 Scale posture: the foreachBatch state is one small tuple per ACTIVE
 (window, key) pane on the driver — the same cardinality Spark's update
@@ -35,7 +36,9 @@ driver-side pane ledger, not a data-plane materialization.
     update until its count aggregate (``paneCountField``, default ``n``)
     has grown by >= elementCountAtLeast since the last firing; withheld
     panes flush as a final ON_TIME pane when the proxy watermark closes
-    the window, so no data is lost to suppression.
+    the window, AND any still-withheld tail flushes when the query drains
+    (awaitTermination on the returned handle), so no data is lost to
+    suppression.
 
 Non-emulatable trigger families (afterEach / afterFirst / afterAll
 composites) raise with the reason: Spark exposes no per-key pane
@@ -184,9 +187,16 @@ def early_firing_foreach_batch(
     # dict insertion order doubles as the LRU queue (re-insert on update)
     state: dict[tuple, list] = {}
     has_window = "window" in key_cols
-    # event-time high-water mark (max window end seen) — the proxy
-    # watermark visible from foreachBatch; drives pane timing + eviction
+    # event-time high-water mark: max window START seen.  A window's rows
+    # have event time >= its start, so this is a SOUND lower bound on the
+    # true max event time (max window END would overshoot by up to a
+    # window length, closing every pane in its own batch and turning the
+    # count trigger into a no-op at allowedLateness 0).  Drives pane
+    # timing + eviction.
     high_water: list[float] = [float("-inf")]
+    # (spark, schema) of the latest batch — lets flush_pending build the
+    # end-of-stream flush frame after the query drains
+    _last: dict[str, Any] = {}
     if early_count is not None and count_field not in value_cols:
         raise ValueError(
             f"afterPane trigger needs paneCountField naming a count "
@@ -217,11 +227,12 @@ def early_firing_foreach_batch(
             schema = T.StructType(
                 [*schema.fields, T.StructField("__pane__", _PANE_STRUCT)]
             )
+        _last["spark"], _last["schema"] = spark, schema
         if has_window:
             for r in rows:
                 w = r["window"]
                 if w is not None:
-                    high_water[0] = max(high_water[0], w["end"].timestamp())
+                    high_water[0] = max(high_water[0], w["start"].timestamp())
         out_rows = []
 
         def emit(d: dict, idx: int, fired: tuple, timing: str) -> None:
@@ -296,6 +307,37 @@ def early_firing_foreach_batch(
         if out_rows:
             sink_fn(spark.createDataFrame(out_rows, schema=schema), batch_id)
 
+    def flush_pending() -> None:
+        """Emit every still-withheld pane as its final pane — called after
+        the query drains (availableNow / stop), where no later event will
+        ever push the proxy watermark past the trailing windows.  Without
+        this, count-trigger suppression would silently LOSE the tail."""
+        if not _last or not any(ent[3] for ent in state.values()):
+            return
+        spark, schema = _last["spark"], _last["schema"]
+        now = time.time()
+        out_rows = []
+        widx = key_cols.index("window") if has_window else -1
+        for key in list(state):
+            ent = state[key]
+            if not ent[3]:
+                continue
+            d = dict(zip(key_cols, key))
+            if has_window and isinstance(key[widx], tuple):
+                d["window"] = {"start": key[widx][0], "end": key[widx][1]}
+            d.update(zip(value_cols, ent[2]))
+            if discarding and ent[1]:
+                for c, pv in zip(value_cols, ent[1]):
+                    if d[c] is not None and pv is not None:
+                        d[c] = d[c] - pv
+            if output_pane_info:
+                d["__pane__"] = (float(now), ent[0], "ON_TIME", ent[0] == 0)
+            out_rows.append(tuple(d.get(f.name) for f in schema.fields))
+            state[key] = [ent[0] + 1, ent[2], ent[2], False]
+        if out_rows:
+            sink_fn(spark.createDataFrame(out_rows, schema=schema), -1)
+
+    run_batch.flush_pending = flush_pending
     return run_batch
 
 
@@ -307,9 +349,13 @@ def stream_with_early_firing(
     available_now: bool = False,
 ):
     """Start an update-mode stream with processing-time early firings;
-    returns the StreamingQuery.  ``available_now: true`` drains the
-    backlog in bounded micro-batches (each one an early firing) — the
-    deterministic test/batch-parity path."""
+    returns a handle wrapping the StreamingQuery whose
+    ``awaitTermination()`` also flushes still-withheld count-trigger
+    panes once the query drains (otherwise the trailing windows'
+    suppressed updates would be lost — no later event ever closes them).
+    ``available_now: true`` drains the backlog in bounded micro-batches
+    (each one an early firing) — the deterministic test/batch-parity
+    path."""
     cfg = parse_trigger(strategy)
     if cfg is None:
         raise ValueError("strategy has no early-firing trigger")
@@ -338,4 +384,21 @@ def stream_with_early_firing(
         # not the firing condition
         delay = max(cfg.get("early_delay_sec", 1.0), 0.1)
         writer = writer.trigger(processingTime=f"{delay} seconds")
-    return writer.start()
+    return _EarlyFiringRun(writer.start(), fb.flush_pending)
+
+
+class _EarlyFiringRun:
+    """StreamingQuery wrapper: awaitTermination() additionally flushes
+    withheld panes after the drain; everything else delegates."""
+
+    def __init__(self, query, flush):
+        self.query = query
+        self.flush_pending = flush
+
+    def awaitTermination(self, *args, **kwargs):
+        result = self.query.awaitTermination(*args, **kwargs)
+        self.flush_pending()
+        return result
+
+    def __getattr__(self, name):
+        return getattr(self.query, name)

@@ -144,14 +144,19 @@ def main() -> int:
         failures.append(
             "matchrec chunked: expected the grouped-apply MapInPandas substrate"
         )
-    n_exchanges = p14.count("Exchange hashpartitioning")
+    import re as _re
+
     # formatted explain lists each node in the tree AND the details
-    # section, so 3 physical exchanges == 6 string occurrences
+    # section, so 3 physical shuffle exchanges == 6 matches; \bExchange\b
+    # does not match Reused/BroadcastExchange
+    n_exchanges = len(_re.findall(r"\bExchange\b", p14))
     if n_exchanges > 6:
         failures.append(
             f"matchrec chunked: {n_exchanges // 2} exchange nodes — "
             "expected ≤3 (seq window per union branch + chunk grouping)"
         )
+    if n_exchanges == 0:
+        failures.append("matchrec chunked: exchange counter matched nothing — audit broken")
 
     # native avro read: binaryFile scan feeding the per-file decode —
     # and nothing else Python-side in the plan

@@ -541,8 +541,35 @@ def test_early_firing_count_trigger_panes(spark, tmp_path):
     assert [(p["n"], p["total"]) for p in a_panes] == [(4, 15.0), (5, 31.0)]
     assert [p["__pane__"]["timing"] for p in a_panes] == ["EARLY", "ON_TIME"]
     assert [p["__pane__"]["index"] for p in a_panes] == [0, 1]
-    # b never reaches 3 elements and its window never closes -> no pane
-    assert not [r for r in rows if r["k"] == "b"]
+    # b never reaches 3 elements and no later event closes its window —
+    # the end-of-stream flush must still emit it (suppression loses no
+    # data on bounded runs)
+    b_panes = [r for r in rows if r["k"] == "b"]
+    assert [(p["n"], p["total"]) for p in b_panes] == [(1, 1.0)]
+    assert b_panes[0]["__pane__"]["timing"] == "ON_TIME"
+
+
+def test_early_firing_count_trigger_zero_lateness(spark, tmp_path):
+    """allowedLateness 0 regression: the proxy watermark is max window
+    START (a sound event-time lower bound), so a window must NOT close in
+    its own batch — the count threshold stays in force instead of every
+    pane degenerating to ON_TIME."""
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    in_dir = _write_stream_files(tmp_path, "efz_in", [
+        [("a", 1.0, base.replace(second=5))],   # count 1 < 2 -> withheld
+        [("a", 2.0, base.replace(second=10))],  # count 2 >= 2 -> EARLY
+    ])
+    out_dir = str(tmp_path / "efz_out")
+    cfg = _early_firing_cfg(in_dir, out_dir, "accumulating").replace(
+        "earlyFiringTrigger: {type: afterProcessingTime, pastFirstElementDelay: 1}",
+        "earlyFiringTrigger: {type: afterPane, elementCountAtLeast: 2}",
+    ).replace("allowedLateness: 5", "allowedLateness: 0")
+    run_pipeline(spark, parse_config(cfg))
+    rows = spark.read.parquet(out_dir).collect()
+    panes = sorted(rows, key=lambda r: r["__pane__"]["index"])
+    # one count-triggered EARLY firing; batch 1's lone row was withheld
+    assert [(p["n"], p["total"]) for p in panes] == [(2, 3.0)]
+    assert panes[0]["__pane__"]["timing"] == "EARLY"
 
 
 def test_early_firing_count_trigger_requires_count_field(spark):
