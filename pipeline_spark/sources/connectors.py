@@ -218,14 +218,17 @@ def kafka_source(ctx: ModuleContext) -> dict[str, DataFrame]:
     except RuntimeError:
         # no connector jar: PLAINTEXT brokers still read natively over the
         # public wire protocol — bounded batch (startingOffsets →
-        # endingOffsets); continuous streaming still needs the jar and
-        # says so
+        # endingOffsets) or TRUE streaming through the Spark 4 Python
+        # DataSource API (sources/kafka_stream.py: Spark's own offset
+        # log/checkpointing drives the wire client)
         if str(p.get("mode", "batch")).lower() not in ("batch", "microbatch"):
-            raise RuntimeError(
-                "kafka streaming mode requires the spark-sql-kafka jar; "
-                "the native wire client reads bounded batches (mode: batch)"
+            from pipeline_spark.sources.kafka_stream import (
+                read_kafka_stream_native,
             )
-        df = _kafka_native_batch(ctx, p)
+
+            df = read_kafka_stream_native(ctx.spark, p)
+        else:
+            df = _kafka_native_batch(ctx, p)
         fmt = str(p.get("format", "raw")).lower()
         if fmt in ("json", "avro", "protobuf"):
             from pipeline_spark.operators.deserialize import deserialize_transform

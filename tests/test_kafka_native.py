@@ -181,20 +181,29 @@ sources:
     }
 
 
-def test_kafka_streaming_still_gated(spark, broker):
+def test_kafka_streaming_module_returns_streaming_df(spark, broker):
+    """mode: streaming without the jar routes through the kafka_native
+    Python DataSource and yields a genuine streaming DataFrame with the
+    connector schema (it used to raise; the gate is gone)."""
     from pipeline_spark.config import parse_config
     from pipeline_spark.executor import run_pipeline
 
-    with pytest.raises(RuntimeError, match="jar"):
-        run_pipeline(spark, parse_config(f"""
+    broker.seed("raw_s", 0, [{"key": None, "value": b"x", "timestamp": 1}])
+    outs = run_pipeline(spark, parse_config(f"""
 sources:
   - name: k
     module: kafka
     parameters:
       bootstrapServers: 127.0.0.1:{broker.port}
-      topic: raw
+      topic: raw_s
       mode: streaming
+      format: raw
 """))
+    df = outs["k"]
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "key", "value", "topic", "partition", "offset", "timestamp", "timestampType",
+    ]
 
 
 def test_kafka_incremental_checkpoint(spark, broker, tmp_path):
@@ -222,3 +231,47 @@ sources:
                            {"key": None, "value": b"c", "timestamp": 3}])
     out3 = run_pipeline(spark, parse_config(cfg))["k"].collect()
     assert sorted(bytes(r["value"]) for r in out3) == [b"b", b"c"]
+
+
+def test_kafka_streaming_python_datasource(spark, broker, tmp_path):
+    """TRUE streaming without the jar: the kafka_native Python DataSource
+    drives the wire client through Structured Streaming's own offset
+    log — availableNow drains the backlog, and a RESTARTED query with the
+    same checkpoint consumes only records produced in between (exactly
+    the incremental contract of the real connector)."""
+    broker.seed("s_events", 0, [
+        {"key": None, "value": f"m{i}".encode(), "timestamp": 1000 + i}
+        for i in range(5)
+    ])
+    from pipeline_spark.sources.kafka_stream import read_kafka_stream_native
+
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "rows")
+
+    def drain():
+        df = read_kafka_stream_native(
+            spark,
+            {"bootstrapServers": f"127.0.0.1:{broker.port}", "topic": "s_events"},
+        )
+        (
+            df.selectExpr("CAST(value AS STRING) AS v", "partition", "offset")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()
+    got1 = sorted(r["v"] for r in spark.read.parquet(out_dir).collect())
+    assert got1 == [f"m{i}" for i in range(5)]
+
+    # produce more, restart with the same checkpoint: only the delta lands
+    broker.seed("s_events", 0, [
+        {"key": None, "value": f"m{i}".encode(), "timestamp": 2000 + i}
+        for i in range(5, 8)
+    ])
+    drain()
+    got2 = sorted(r["v"] for r in spark.read.parquet(out_dir).collect())
+    assert got2 == [f"m{i}" for i in range(8)]  # no duplicates, no gaps
