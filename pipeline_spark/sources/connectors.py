@@ -337,8 +337,22 @@ spanner_source = _sdk_source("spanner", f"{_HERE}:default_spanner_read_client")
 firestore_source = _sdk_source("firestore", f"{_HERE}:default_firestore_read_client")
 datastore_source = _sdk_source("datastore", f"{_HERE}:default_datastore_read_client")
 bigtable_source = _sdk_source("bigtable", f"{_HERE}:default_bigtable_read_client")
-pubsub_source = _sdk_source("pubsub", f"{_HERE}:default_pubsub_read_client")
 drivefile_source = _sdk_source("drivefile", f"{_HERE}:default_drivefile_read_client")
+
+
+@module("pubsub", kind=KIND_SOURCE)
+def pubsub_source(ctx: ModuleContext) -> dict[str, DataFrame]:
+    """batch = bounded catch-up pull (replay-safe, ack-on-commit);
+    mode: streaming = TRUE streaming on the Python DataSource API, where
+    Spark's prefetch-and-cache contract carries the at-least-once pull
+    semantics (sources/pubsub_stream.py)."""
+    p = ctx.params
+    if str(p.get("mode", "batch")).lower() in ("streaming", "microbatch"):
+        from pipeline_spark.sources.pubsub_stream import read_pubsub_stream_native
+
+        return {"": read_pubsub_stream_native(ctx.spark, p)}
+    factory = p.get("clientFactory", f"{_HERE}:default_pubsub_read_client")
+    return {"": _read_with_client(ctx, factory)}
 
 
 def _sdk_gate(sdk_module: str, name: str):

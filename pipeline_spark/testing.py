@@ -147,6 +147,58 @@ def fake_writer_client(params: dict):
     return _Fake()
 
 
+def fake_pubsub_stream_client(params: dict):
+    """Streaming pull/ack fake for the pubsub_native data source: messages
+    are files under ``<spool>/inbox`` (``<id>.msg`` with the payload);
+    pull() is DESTRUCTIVE like the real API — pulled ids land in
+    ``pulled.log`` and are never served again — and ack() appends to
+    ``acks.log``.  The spool dir rides in the subscription string after a
+    '#' (``projects/p/subscriptions/s#/tmp/spool``) so the option
+    round-trips through the data source."""
+    import os
+
+    sub = str(params["subscription"])
+    spool = sub.split("#", 1)[1]
+    inbox = os.path.join(spool, "inbox")
+    pulled_log = os.path.join(spool, "pulled.log")
+    acks_log = os.path.join(spool, "acks.log")
+
+    class _Fake:
+        def pull(self, max_messages: int):
+            os.makedirs(inbox, exist_ok=True)
+            pulled = set()
+            if os.path.exists(pulled_log):
+                with open(pulled_log) as fh:
+                    pulled = {line.strip() for line in fh}
+            out = []
+            for name in sorted(os.listdir(inbox)):
+                if not name.endswith(".msg") or name in pulled:
+                    continue
+                with open(os.path.join(inbox, name), "rb") as fh:
+                    data = fh.read()
+                out.append(
+                    {
+                        "data": data,
+                        "message_id": name[:-4],
+                        "ack_id": f"ack-{name[:-4]}",
+                        "attributes": {},
+                    }
+                )
+                if len(out) >= max_messages:
+                    break
+            with open(pulled_log, "a") as fh:
+                for m in out:
+                    fh.write(m["message_id"] + ".msg\n")
+            return out
+
+        def ack(self, ack_ids):
+            with open(acks_log, "a") as fh:
+                for a in ack_ids:
+                    fh.write(a + "\n")
+
+    return _Fake()
+
+
 def fake_bq_load_client(params: dict):
     """BigQuery load-job fake for the sink's FILE_LOADS path: reads the
     Spark-staged parquet files back with pyarrow (proving the staging

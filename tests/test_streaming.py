@@ -758,3 +758,67 @@ def test_pane_key_split_protects_nonnumeric_frame(spark):
     assert set(keys) == {"user", "label", "k"} and vals == ["total"]
     keys2, vals2 = split_pane_columns(df, {})
     assert set(keys2) == {"user", "label"} and set(vals2) == {"k", "total"}
+
+
+def test_pubsub_streaming_datasource_pull_ack(spark, tmp_path):
+    """TRUE streaming pubsub on the Python DataSource API: the
+    prefetch-and-cache contract carries the destructive pull (pulled
+    exactly once), messages arriving mid-stream land in later
+    micro-batches, and acks fire at source-commit time — after the batch
+    is durably committed, never before.  Reference: PubSubSource.java
+    ack-after-output semantics."""
+    import os
+    import time
+
+    spool = str(tmp_path / "ps_spool")
+    inbox = os.path.join(spool, "inbox")
+    os.makedirs(inbox)
+
+    def put(i):
+        with open(os.path.join(inbox, f"m{i:03d}.msg"), "wb") as fh:
+            fh.write(f"payload-{i}".encode())
+
+    for i in range(4):
+        put(i)
+
+    from pipeline_spark.sources.pubsub_stream import read_pubsub_stream_native
+
+    out_dir = str(tmp_path / "ps_rows")
+    df = read_pubsub_stream_native(
+        spark,
+        {
+            "subscription": f"projects/p/subscriptions/s#{spool}",
+            "clientFactory": "pipeline_spark.testing:fake_pubsub_stream_client",
+            "maxMessages": 100,
+        },
+    )
+    q = (
+        df.selectExpr("CAST(data AS STRING) AS payload", "message_id")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ps_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        acks_path = os.path.join(spool, "acks.log")
+
+        def acks():
+            if not os.path.exists(acks_path):
+                return set()
+            return set(open(acks_path).read().splitlines())
+
+        while time.time() < deadline and len(acks()) < 4:
+            time.sleep(0.5)
+        assert acks() == {f"ack-m{i:03d}" for i in range(4)}
+        put(9)  # mid-stream arrival -> a later micro-batch picks it up
+        while time.time() < deadline and "ack-m009" not in acks():
+            time.sleep(0.5)
+        assert "ack-m009" in acks()
+    finally:
+        q.stop()
+    got = sorted(r["payload"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [f"payload-{i}" for i in (0, 1, 2, 3, 9)]  # exactly once
+    pulled = open(os.path.join(spool, "pulled.log")).read().splitlines()
+    assert len(pulled) == len(set(pulled)) == 5  # destructive pull, once each
