@@ -1,14 +1,15 @@
 """Baseline JPEG codec — pure numpy, written from the public ITU T.81 spec.
 
 Extends the zero-dependency image family (imagecodec.py: PNG/BMP) with
-the dominant interchange format: baseline sequential DCT (SOF0), Huffman
+the dominant interchange formats: baseline sequential DCT (SOF0) AND
+progressive DCT (SOF2, full successive approximation - T.81 G.1/G.2), Huffman
 entropy coding, 8-bit YCbCr/grayscale, chroma subsampling (1x1/2x1/
 1x2/2x2), restart markers.  The encoder writes JFIF baseline with the
 T.81 Annex K quantization + Huffman tables (libjpeg quality scaling),
 optionally 4:2:0 subsampled, so the decoder's subsampling/upsampling
 path is exercised without any external fixture generator.
 
-Honest gates: progressive (SOF2), arithmetic coding, 12-bit precision
+Honest gates: arithmetic coding, 12-bit precision
 and CMYK raise with actionable messages (decode falls back to Pillow
 when installed — imagecodec._pil_decode).
 
@@ -237,7 +238,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 s += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext sequential / progressive
             precision, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if precision != 8:
                 raise JpegError("jpeg: only 8-bit precision supported")
@@ -245,11 +246,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                prog_coef = _prog_coef_init(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "jpeg: progressive/arithmetic/lossless modes unsupported by the "
-                "native baseline decoder (install Pillow for these)"
+                "jpeg: arithmetic/lossless/hierarchical modes unsupported by the "
+                "native decoder (install Pillow for these)"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -260,11 +263,237 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tables >> 4, tables & 0x0F))
-            return _decode_scan(
-                data, pos + seglen, frame, scan, qtables, htables, restart_interval
+            if not frame["progressive"]:
+                return _decode_scan(
+                    data, pos + seglen, frame, scan, qtables, htables, restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _decode_prog_scan(
+                data, pos + seglen, frame, scan, htables, restart_interval,
+                prog_coef, ss, se, ahal >> 4, ahal & 0x0F,
             )
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive"):
+        return _render_coefs(frame, prog_coef, qtables)
     raise JpegError("jpeg: no scan data found")
+
+
+def _prog_coef_init(frame) -> dict[int, "np.ndarray"]:
+    """Full-frame DCT coefficient accumulators, one (blocks_y, blocks_x,
+    64) array per component — progressive scans write into these and the
+    image renders once at EOI (T.81 G.1)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    }
+
+
+def _find_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker after entropy-coded data (skips
+    FF00 stuffing and RSTn)."""
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _decode_prog_scan(
+    data, pos, frame, scan, htables, restart_interval, coef, ss, se, ah, al
+):
+    """One progressive scan (T.81 G.2): DC first/refine over interleaved
+    MCUs; AC first/refine over a single component's blocks in raster
+    order with EOB runs.  Returns the position of the next marker."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    reader = _BitReader(data, pos)
+    p1, m1 = 1 << al, -1 << al
+
+    def handle_restart(unit_no, reset):
+        if restart_interval and unit_no and unit_no % restart_interval == 0:
+            try:
+                while True:
+                    reader.bit()
+            except _RestartMarker:
+                reader.align_restart()
+            reset()
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise JpegError("jpeg: DC progressive scan must have Se=0")
+        pred = {comp["id"]: 0 for comp, _, _ in scan}
+
+        def reset_dc():
+            for k in pred:
+                pred[k] = 0
+
+        def dc_block(comp, tdc, y, x):
+            cblk = coef[comp["id"]]
+            if ah == 0:
+                s = reader.huff(htables[(0, tdc)])
+                pred[comp["id"]] += _extend(reader.bits(s), s)
+                cblk[y, x, 0] = pred[comp["id"]] << al
+            elif reader.bit():
+                cblk[y, x, 0] |= p1
+
+        unit = 0
+        if len(scan) > 1:  # interleaved MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    handle_restart(unit, reset_dc)
+                    unit += 1
+                    for comp, tdc, _ in scan:
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                dc_block(
+                                    comp, tdc,
+                                    my * comp["v"] + by, mx * comp["h"] + bx,
+                                )
+        else:
+            # single-component DC scans use the component's OWN
+            # (non-interleaved) block geometry — its block count differs
+            # from the MCU grid whenever dimensions aren't MCU-aligned
+            comp, tdc, _ = scan[0]
+            cw = -(-(frame["w"] * comp["h"]) // hmax)
+            chh = -(-(frame["h"] * comp["v"]) // vmax)
+            for y in range(-(-chh // 8)):
+                for x in range(-(-cw // 8)):
+                    handle_restart(unit, reset_dc)
+                    unit += 1
+                    dc_block(comp, tdc, y, x)
+        return _find_marker(data, reader.pos)
+
+    # AC scan — exactly one component, non-interleaved raster order
+    if len(scan) != 1:
+        raise JpegError("jpeg: AC progressive scan must be single-component")
+    comp, _, tac = scan[0]
+    cblk = coef[comp["id"]]
+    cw = -(-(frame["w"] * comp["h"]) // hmax)
+    chh = -(-(frame["h"] * comp["v"]) // vmax)
+    nbw, nbh = -(-cw // 8), -(-chh // 8)
+    table = htables[(1, tac)]
+    eobrun = 0
+    state = {"eobrun": 0}
+
+    def reset_ac():
+        state["eobrun"] = 0
+
+    unit = 0
+    for by in range(nbh):
+        for bx in range(nbw):
+            handle_restart(unit, reset_ac)
+            unit += 1
+            block = cblk[by, bx]
+            if ah == 0:  # first pass (G.1.2.2)
+                if state["eobrun"] > 0:
+                    state["eobrun"] -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.huff(table)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        state["eobrun"] = (1 << r) - 1 + reader.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise JpegError("jpeg: AC index overflow in progressive scan")
+                    block[k] = _extend(reader.bits(s), s) << al
+                    k += 1
+            else:  # refinement pass (G.1.2.3, libjpeg decode_mcu_AC_refine shape)
+
+                def refine(v: int) -> int:
+                    if reader.bit() and not (abs(v) & p1):
+                        return v + (p1 if v >= 0 else m1)
+                    return v
+
+                k = ss
+                if state["eobrun"] == 0:
+                    while k <= se:
+                        rs = reader.huff(table)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                state["eobrun"] = (1 << r) + reader.bits(r)
+                                break
+                            # r == 15: skip 16 zero-history coefficients
+                        else:
+                            if s != 1:
+                                raise JpegError("jpeg: bad refinement magnitude")
+                            newval = p1 if reader.bit() else m1
+                        while k <= se:
+                            if block[k] != 0:
+                                block[k] = refine(int(block[k]))
+                            else:
+                                if r == 0:
+                                    if newval:
+                                        block[k] = newval
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if state["eobrun"] > 0:
+                    for kk in range(k, se + 1):
+                        if block[kk] != 0:
+                            block[kk] = refine(int(block[kk]))
+                    state["eobrun"] -= 1
+    return _find_marker(data, reader.pos)
+
+
+def _render_coefs(frame, coef, qtables) -> np.ndarray:
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    color-convert — same output contract as the baseline path."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    Tt = _T.T
+    planes = {}
+    for comp in frame["comps"]:
+        q = qtables[comp["tq"]]
+        blocks = coef[comp["id"]]
+        nbh, nbw = blocks.shape[0], blocks.shape[1]
+        plane = np.zeros((nbh * 8, nbw * 8), dtype=np.float64)
+        deq = blocks.astype(np.float64) * q[None, None, :]
+        zz = np.zeros((nbh, nbw, 64), dtype=np.float64)
+        zz[:, :, _ZIGZAG] = deq
+        for by in range(nbh):
+            for bx in range(nbw):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    Tt @ zz[by, bx].reshape(8, 8) @ _T + 128.0
+                )
+        planes[comp["id"]] = plane
+    comps = frame["comps"]
+    if len(comps) == 1:
+        return np.rint(planes[comps[0]["id"]][:h, :w]).clip(0, 255).astype(np.uint8)
+    if len(comps) != 3:
+        raise NotImplementedError("jpeg: CMYK/4-component images unsupported")
+    out = []
+    for comp in comps:
+        plane = planes[comp["id"]]
+        if comp["h"] < hmax or comp["v"] < vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1
+            )
+        out.append(plane[:h, :w])
+    y, cb, cr = out
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.rint(np.stack([r, g, b], axis=2)).clip(0, 255).astype(np.uint8)
 
 
 def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
