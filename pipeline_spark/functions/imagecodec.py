@@ -212,12 +212,19 @@ def decode_image(data: bytes) -> np.ndarray:
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"\xff\xd8":
-        from pipeline_spark.functions.jpegcodec import decode_jpeg
+        from pipeline_spark.functions.jpegcodec import JpegError, decode_jpeg
 
         try:
             return decode_jpeg(data)
         except NotImplementedError:
-            return _pil_decode(data)  # progressive/arithmetic/CMYK
+            return _pil_decode(data)  # arithmetic/CMYK/12-bit
+        except JpegError as native_err:
+            # malformed-but-Pillow-tolerable streams keep their fallback;
+            # without Pillow re-raise the native error (more specific)
+            try:
+                return _pil_decode(data)
+            except NotImplementedError:
+                raise native_err from None
     if data[:6] in (b"GIF87a", b"GIF89a"):
         from pipeline_spark.functions.gifcodec import decode_gif
 

@@ -322,8 +322,13 @@ def _decode_prog_scan(
     def handle_restart(unit_no, reset):
         if restart_interval and unit_no and unit_no % restart_interval == 0:
             try:
-                while True:
+                # pad bits before an RSTn are < 8; a bounded skip turns a
+                # MISSING restart marker (truncated/corrupt stream, where
+                # _fill pads 0xFF forever without advancing) into an error
+                # instead of an infinite loop
+                for _ in range(64):
                     reader.bit()
+                raise JpegError("jpeg: expected restart marker in scan")
             except _RestartMarker:
                 reader.align_restart()
             reset()
@@ -382,7 +387,6 @@ def _decode_prog_scan(
     chh = -(-(frame["h"] * comp["v"]) // vmax)
     nbw, nbh = -(-cw // 8), -(-chh // 8)
     table = htables[(1, tac)]
-    eobrun = 0
     state = {"eobrun": 0}
 
     def reset_ac():
@@ -456,26 +460,34 @@ def _decode_prog_scan(
 
 def _render_coefs(frame, coef, qtables) -> np.ndarray:
     """Dequantize + IDCT the accumulated progressive coefficients and
-    color-convert — same output contract as the baseline path."""
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in frame["comps"])
-    vmax = max(c["v"] for c in frame["comps"])
-    Tt = _T.T
+    color-convert — same output contract as the baseline path.  The IDCT
+    runs as ONE einsum over all blocks (the coefficients are already a
+    dense (nbh, nbw, 64) array here, unlike the baseline path where
+    blocks materialize one at a time during Huffman decode)."""
     planes = {}
     for comp in frame["comps"]:
         q = qtables[comp["tq"]]
         blocks = coef[comp["id"]]
         nbh, nbw = blocks.shape[0], blocks.shape[1]
-        plane = np.zeros((nbh * 8, nbw * 8), dtype=np.float64)
-        deq = blocks.astype(np.float64) * q[None, None, :]
         zz = np.zeros((nbh, nbw, 64), dtype=np.float64)
-        zz[:, :, _ZIGZAG] = deq
-        for by in range(nbh):
-            for bx in range(nbw):
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    Tt @ zz[by, bx].reshape(8, 8) @ _T + 128.0
-                )
-        planes[comp["id"]] = plane
+        zz[:, :, _ZIGZAG] = blocks.astype(np.float64) * q[None, None, :]
+        px = (
+            np.einsum(
+                "ij,xyjk,kl->xyil", _T.T, zz.reshape(nbh, nbw, 8, 8), _T
+            )
+            + 128.0
+        )
+        # (nbh, nbw, 8, 8) -> (nbh*8, nbw*8)
+        planes[comp["id"]] = px.transpose(0, 2, 1, 3).reshape(nbh * 8, nbw * 8)
+    return _planes_to_image(frame, planes)
+
+
+def _planes_to_image(frame, planes: dict) -> np.ndarray:
+    """Upsample subsampled chroma and color-convert to the output array —
+    shared by the baseline and progressive paths."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     comps = frame["comps"]
     if len(comps) == 1:
         return np.rint(planes[comps[0]["id"]][:h, :w]).clip(0, 255).astype(np.uint8)
@@ -514,10 +526,13 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # byte-align to the RSTn between restart intervals
+                # byte-align to the RSTn between restart intervals; the
+                # bounded skip errors on a MISSING marker instead of
+                # spinning on _fill's end-of-scan 0xFF padding
                 try:
-                    while True:
+                    for _ in range(64):
                         reader.bit()
+                    raise JpegError("jpeg: expected restart marker in scan")
                 except _RestartMarker:
                     reader.align_restart()
                     pred = dict.fromkeys(pred, 0)
@@ -552,24 +567,7 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                         x0 = (mx * comp["h"] + bx) * 8
                         planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
 
-    comps = frame["comps"]
-    if len(comps) == 1:
-        return np.rint(planes[comps[0]["id"]][:h, :w]).clip(0, 255).astype(np.uint8)
-    if len(comps) != 3:
-        raise NotImplementedError("jpeg: CMYK/4-component images unsupported")
-    out = []
-    for comp in comps:
-        plane = planes[comp["id"]]
-        if comp["h"] < hmax or comp["v"] < vmax:
-            plane = np.repeat(
-                np.repeat(plane, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1
-            )
-        out.append(plane[:h, :w])
-    y, cb, cr = out
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.rint(np.stack([r, g, b], axis=2)).clip(0, 255).astype(np.uint8)
+    return _planes_to_image(frame, planes)
 
 
 # ------------------------------------------------------------- encoder

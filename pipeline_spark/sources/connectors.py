@@ -194,13 +194,17 @@ def _kafka_native_batch(ctx: ModuleContext, p: dict) -> DataFrame:
     def read_part(desc):
         part, start, end = desc
         for rec in read_partition_range(servers, topic, part, start, end):
+            ts = rec["timestamp"]
             yield (
                 rec["key"],
                 rec["value"],
                 topic,
                 part,
                 rec["offset"],
-                dt.datetime.fromtimestamp(rec["timestamp"] / 1000.0, dt.timezone.utc),
+                # NO_TIMESTAMP (-1) → null, not a 1969 epoch artifact
+                dt.datetime.fromtimestamp(ts / 1000.0, dt.timezone.utc)
+                if ts is not None and ts >= 0
+                else None,
                 0,
             )
 

@@ -65,7 +65,7 @@ class _KafkaStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "kafka_native needs bootstrapServers and topic options"
             )
-        self.starting = str(options.get("startingoffsets", "earliest")).lower()
+        self.starting = str(options.get("startingoffsets", "earliest"))
 
     def _offsets(self, which) -> dict:
         from pipeline_spark.functions.kafkawire import KafkaClient
@@ -80,9 +80,30 @@ class _KafkaStreamReader(DataSourceStreamReader):
             boot.close()
 
     def initialOffset(self) -> dict:
+        import json as _json
+
         from pipeline_spark.functions.kafkawire import EARLIEST, LATEST
 
-        return self._offsets(EARLIEST if self.starting == "earliest" else LATEST)
+        cfg = self.starting
+        if cfg.strip().startswith("{"):
+            cfg = _json.loads(cfg)
+        if isinstance(cfg, dict):
+            # per-partition form {'topic': {'0': N}} (or flat {'0': N}) —
+            # the same surface the batch path and the jar accept; missing
+            # partitions start at earliest
+            explicit = {
+                str(k): int(v) for k, v in (cfg.get(self.topic) or cfg).items()
+            }
+            base = self._offsets(EARLIEST)
+            base.update({p: o for p, o in explicit.items() if p in base})
+            return base
+        low = cfg.lower()
+        if low not in ("earliest", "latest"):
+            raise ValueError(
+                f"kafka_native: unsupported startingOffsets {cfg!r} "
+                "(earliest, latest, or a per-partition offset map)"
+            )
+        return self._offsets(EARLIEST if low == "earliest" else LATEST)
 
     def latestOffset(self) -> dict:
         from pipeline_spark.functions.kafkawire import LATEST
@@ -111,15 +132,18 @@ class _KafkaStreamReader(DataSourceStreamReader):
             partition.start,
             partition.end,
         ):
+            ts = rec["timestamp"]
             yield (
                 rec["key"],
                 rec["value"],
                 partition.topic,
                 partition.part,
                 rec["offset"],
-                dt.datetime.fromtimestamp(
-                    rec["timestamp"] / 1000.0, dt.timezone.utc
-                ),
+                # Kafka NO_TIMESTAMP (-1) must surface as null, not a
+                # 1969 epoch artifact that poisons downstream watermarks
+                dt.datetime.fromtimestamp(ts / 1000.0, dt.timezone.utc)
+                if ts is not None and ts >= 0
+                else None,
                 0,
             )
 
