@@ -29,6 +29,10 @@ _SQL_FUNCTIONS = [
     "CREATE OR REPLACE TEMPORARY FUNCTION MDT_GENERATE_UUID() RETURNS STRING RETURN uuid()",
     "CREATE OR REPLACE TEMPORARY FUNCTION MDT_CONTAINS_ALL_INT64(a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS BOOLEAN RETURN forall(b, x -> array_contains(a, x))",
     "CREATE OR REPLACE TEMPORARY FUNCTION MDT_CONTAINS_ALL_STRING(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BOOLEAN RETURN forall(b, x -> array_contains(a, x))",
+    # timezone-aware now-functions (reference QueryTest.java:40 uses
+    # CURRENT_DATE_('Asia/Tokyo') through the Calcite Query path)
+    "CREATE OR REPLACE TEMPORARY FUNCTION CURRENT_DATE_(tz STRING) RETURNS DATE RETURN to_date(convert_timezone(tz, current_timestamp()))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION CURRENT_TIMESTAMP_(tz STRING) RETURNS TIMESTAMP RETURN convert_timezone(tz, current_timestamp())",
 ]
 
 # UDAF aliases → textual rewrite (Calcite-style call → Spark builtin)

@@ -15,6 +15,8 @@ unmodified (see functions/mdt_udfs.py).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 from pipeline_spark.functions.mdt_udfs import register_mdt_functions, rewrite_mdt_udafs
@@ -37,8 +39,23 @@ def _resolve_sql(ctx: ModuleContext) -> str:
     raise ValueError("sql transform requires sql, sqlBase64, or sqlFile")
 
 
+_UNNEST_RE = re.compile(
+    r",\s*UNNEST\s*\(\s*([A-Za-z0-9_.]+)\s*\)\s+AS\s+(\w+)", re.I
+)
+
+
+def _rewrite_calcite_unnest(sql: str) -> str:
+    """Calcite's ``FROM t, UNNEST(arr) AS x`` → Spark's LATERAL VIEW
+    explode — same row-per-element semantics, struct elements keep their
+    fields addressable as ``x.field`` (reference QueryTest.java:36-43)."""
+    return _UNNEST_RE.sub(
+        lambda m: f" LATERAL VIEW explode({m.group(1)}) {m.group(2)}_uv AS {m.group(2)}",
+        sql,
+    )
+
+
 def _run_sql(ctx: ModuleContext) -> dict[str, DataFrame]:
-    sql = rewrite_mdt_udafs(_resolve_sql(ctx))
+    sql = _rewrite_calcite_unnest(rewrite_mdt_udafs(_resolve_sql(ctx)))
     register_mdt_functions(ctx.spark)
     for df, name in zip(ctx.inputs, ctx.input_names):
         # inputs may be addressed as `module` or `module.output`

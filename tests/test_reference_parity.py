@@ -1061,3 +1061,83 @@ transforms:
         assert len(row["children_grandchildren"]) == 2
         for gc in row["children_grandchildren"]:
             assert gc["gcstringField"] == "gcstringValue"
+
+
+def test_query_unnest_cte_join_parity(spark):
+    """Port of QueryTest.testSingleQuery: the embedded Calcite Query's
+    SQL shape — a CTE aggregating over UNNEST of a nested repeated field
+    with the tz-aware CURRENT_DATE_ UDF, LEFT JOINed to a second input
+    with a CAST projection — through the sql module (UNNEST rewrites to
+    LATERAL VIEW explode).  Reference: util/pipeline/QueryTest.java:14-111."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    outs = run_pipeline(spark, parse_config("""
+sources:
+  - name: TestTable
+    module: create
+    parameters:
+      elements:
+        - stringField: a
+          longField: 1
+          doubleField: 10.0
+          nestedField:
+            - {sField: a, lField: 1, dField: 10.0}
+            - {sField: a, lField: 2, dField: 10.0}
+            - {sField: a, lField: 3, dField: 10.0}
+      schema:
+        fields:
+          - {name: stringField, type: string}
+          - {name: longField, type: int64}
+          - {name: doubleField, type: float64}
+          - name: nestedField
+            type: record
+            mode: repeated
+            fields:
+              - {name: sField, type: string}
+              - {name: lField, type: int64}
+              - {name: dField, type: float64}
+  - name: SubTestTable
+    module: create
+    parameters:
+      elements:
+        - {stringField: a, llField: 1, ddField: 10.0}
+      schema:
+        fields:
+          - {name: stringField, type: string}
+          - {name: llField, type: int64}
+          - {name: ddField, type: float64}
+transforms:
+  - name: q
+    module: sql
+    inputs: [TestTable, SubTestTable]
+    parameters:
+      sql: |
+        WITH Source AS (
+          SELECT
+            stringField,
+            SUM(nn.lField) AS l,
+            CURRENT_DATE_('Asia/Tokyo') AS cdate
+          FROM
+            TestTable, UNNEST(nestedField) AS nn
+          GROUP BY
+            stringField
+        )
+        SELECT
+          Source.*,
+          CAST(SubTestTable.llField AS STRING) AS ss,
+          SubTestTable.ddField
+        FROM
+          Source
+        LEFT JOIN
+          SubTestTable
+        ON
+          Source.stringField = SubTestTable.stringField
+"""))
+    rows = outs["q"].collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["stringField"] == "a"
+    assert r["l"] == 6  # SUM over the UNNESTed lField values 1+2+3
+    assert r["ss"] == "1" and r["ddField"] == 10.0
+    assert r["cdate"] is not None  # tz-aware date resolved
