@@ -1141,3 +1141,62 @@ transforms:
     assert r["l"] == 6  # SUM over the UNNESTed lField values 1+2+3
     assert r["ss"] == "1" and r["ddField"] == 10.0
     assert r["cdate"] is not None  # tz-aware date resolved
+
+
+def test_select_stateful_ranges_and_rebinding_parity(spark):
+    """Port of SelectTest.testStatefulAggregate's select list: unbounded
+    running aggregates (no range), count ranges with offsets, the `last`
+    select function, and a windowed function OVER a previously computed
+    windowed column (maxAvgLongField — sequential binding inside the
+    stateful compiler).  Reference: util/pipeline/select/SelectTest.java:64-158."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    outs = run_pipeline(spark, parse_config("""
+sources:
+  - name: create
+    module: create
+    timestampAttribute: ts
+    parameters:
+      elements:
+        - {k: a, longField: 10, s: s1, ts: "2025-01-01T00:00:00Z"}
+        - {k: a, longField: 20, s: s2, ts: "2025-01-01T00:00:01Z"}
+        - {k: a, longField: 30, s: s3, ts: "2025-01-01T00:00:02Z"}
+        - {k: a, longField: 40, s: s4, ts: "2025-01-01T00:00:03Z"}
+        - {k: a, longField: 50, s: s5, ts: "2025-01-01T00:00:04Z"}
+        - {k: a, longField: 60, s: s6, ts: "2025-01-01T00:00:05Z"}
+      schema:
+        fields:
+          - {name: k, type: string}
+          - {name: longField, type: int64}
+          - {name: s, type: string}
+          - {name: ts, type: timestamp}
+transforms:
+  - name: sel
+    module: select
+    inputs: [create]
+    timestampAttribute: ts
+    parameters:
+      groupFields: [k]
+      select:
+        - {name: longField}
+        - {name: sumLongField, func: sum, field: longField}
+        - {name: sumLongCount3, func: sum, field: longField, range: {count: 3}}
+        - {name: minLongOff, func: min, field: longField, range: {count: 3, offset: 1}}
+        - {name: avgLongOff, func: avg, field: longField, range: {count: 5, offset: 3}}
+        - {name: lastS, func: last, field: s}
+        - {name: maxAvgLongField, func: max, field: avgLongOff}
+"""))
+    rows = sorted(outs["sel"].collect(), key=lambda r: r["longField"])
+    # unbounded running sum
+    assert [r["sumLongField"] for r in rows] == [10, 30, 60, 100, 150, 210]
+    # trailing count-3 sum
+    assert [r["sumLongCount3"] for r in rows] == [10, 30, 60, 90, 120, 150]
+    # count 3 offset 1: rows [i-3, i-1]
+    assert [r["minLongOff"] for r in rows] == [None, 10, 10, 10, 20, 30]
+    # count 5 offset 3: rows [i-7, i-3]
+    assert [r["avgLongOff"] for r in rows] == [None, None, None, 10.0, 15.0, 20.0]
+    # running last of s = each row's own value
+    assert [r["lastS"] for r in rows] == ["s1", "s2", "s3", "s4", "s5", "s6"]
+    # windowed max OVER the computed windowed avg (sequential binding)
+    assert [r["maxAvgLongField"] for r in rows] == [None, None, None, 10.0, 15.0, 20.0]
