@@ -514,15 +514,18 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
     vmax = max(c["v"] for c in frame["comps"])
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = {}
-    for comp, _, _ in scan:
-        pw, ph = mcux * 8 * comp["h"], mcuy * 8 * comp["v"]
-        planes[comp["id"]] = np.zeros((ph, pw), dtype=np.float64)
+    # raw zigzag coefficients per component; dequant + IDCT run batched
+    # afterwards (one einsum over all blocks — _render_coefs)
+    coef = {
+        comp["id"]: np.zeros(
+            (mcuy * comp["v"], mcux * comp["h"], 64), dtype=np.int32
+        )
+        for comp, _, _ in scan
+    }
 
     reader = _BitReader(data, pos)
     pred = {comp["id"]: 0 for comp, _, _ in scan}
     mcu_count = 0
-    Tt = _T.T
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -538,10 +541,11 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                     pred = dict.fromkeys(pred, 0)
             mcu_count += 1
             for comp, tdc, tac in scan:
-                q = qtables[comp["tq"]]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        coeffs = np.zeros(64, dtype=np.int32)
+                        coeffs = coef[comp["id"]][
+                            my * comp["v"] + by, mx * comp["h"] + bx
+                        ]
                         s = reader.huff(htables[(0, tdc)])
                         diff = _extend(reader.bits(s), s)
                         pred[comp["id"]] += diff
@@ -560,14 +564,8 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                                 raise JpegError("jpeg: AC index overflow")
                             coeffs[k] = _extend(reader.bits(size), size)
                             k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[_ZIGZAG] = coeffs * q
-                        px = Tt @ block.reshape(8, 8) @ _T + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
 
-    return _planes_to_image(frame, planes)
+    return _render_coefs(frame, coef, qtables)
 
 
 # ------------------------------------------------------------- encoder
