@@ -14,10 +14,11 @@ and CMYK raise with actionable messages (decode falls back to Pillow
 when installed — imagecodec._pil_decode).
 
 Scale posture: runs inside Arrow-batched Pandas UDFs (multimodal
-decode), one image per call; the hot loops are numpy matrix IDCT/FDCT
-per 8x8 block with the bit-level Huffman layer in Python — fine for
-metadata/feature extraction at pipeline scale, and the contract point
-(schema, batching, partitioning) is identical if a C codec replaces it.
+decode), one image per call; decode's dequant+IDCT+color path is ONE
+einsum over all blocks (shared by baseline and progressive), leaving
+only the bit-level Huffman layer in Python — fine for metadata/feature
+extraction at pipeline scale, and the contract point (schema,
+batching, partitioning) is identical if a C codec replaces it.
 """
 
 from __future__ import annotations
