@@ -141,7 +141,10 @@ def test_multimodal_meta_and_fake_decode(spark):
                     "onError": "null"}, [df])
     )[""]
     assert all(r["features"] is None for r in dec3.collect())
-    with pytest.raises(Exception, match="NotImplementedError|ValueError"):
+    # whichever undecodable row's task aborts the job first surfaces its
+    # own actionable error: the truncated JPEG raises JpegError, the
+    # truncated PNG ValueError, the plain bytes NotImplementedError
+    with pytest.raises(Exception, match="NotImplementedError|ValueError|JpegError"):
         multimodal_transform(
             ctx(spark, {"op": "decode", "field": "payload", "idField": "mm_id"}, [df])
         )[""].collect()
