@@ -14,11 +14,16 @@ Spark mapping (documented divergences included):
     COUNT triggers ride the same ledger: a pane is withheld until its
     count aggregate (paneCountField) grows by >= elementCountAtLeast
     since the last firing, with a final ON_TIME flush at window close.
-    Composite triggers (afterEach/afterFirst/afterAll) have no Spark
-    equivalent and raise.
+    Composite triggers (afterFirst/afterAll/afterEach over
+    processing-time + count leaves) ride the same ledger: the trigger
+    TREE is evaluated per pane against its current cycle (time since
+    first element after the last firing, count growth since the last
+    firing).  lateFiringTrigger gates LATE panes (post-ON_TIME updates);
+    finalTrigger = orFinally (one last firing, then the pane closes).
   * allowedLateness → watermark delay.  Beam re-fires late panes; Spark
     drops post-watermark rows — a documented divergence
-    (Strategy.java:69-71).
+    (Strategy.java:69-71).  Inside the pane ledger's proxy-watermark
+    window, late updates DO refire as LATE panes.
   * stateful buffers (OrderedListState + timers) →
     ``applyInPandasWithState`` (see state.py).
   * outputPaneInfo → a ``pane`` struct on aggregation output

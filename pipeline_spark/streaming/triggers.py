@@ -40,9 +40,29 @@ driver-side pane ledger, not a data-plane materialization.
     (awaitTermination on the returned handle), so no data is lost to
     suppression.
 
-Non-emulatable trigger families (afterEach / afterFirst / afterAll
-composites) raise with the reason: Spark exposes no per-key pane
-accounting to hang them on.
+  * composite triggers (afterFirst / afterAll / afterEach over
+    afterProcessingTime + afterPane leaves, Strategy.java:319-331): the
+    ledger evaluates the trigger TREE per pane against per-cycle state —
+    wall-clock since the first element after the last firing
+    (pastFirstElementInPane) and count growth since the last firing.
+    afterFirst = any leaf satisfied, afterAll = all leaves satisfied,
+    afterEach = the leaves fire once each, in order (Beam's
+    AfterEach.inOrder over OnceTriggers).  The check cadence is the
+    micro-batch interval (min leaf delay); a time leaf can fire a pane
+    withheld in an earlier batch.
+  * lateFiringTrigger (Strategy.java:277-301): once a pane has fired its
+    ON_TIME pane, further updates are LATE panes; with a
+    lateFiringTrigger they gate on its tree (fresh cycle per late
+    firing), without one every late update fires — Beam's default
+    repeated late firing.
+  * finalTrigger → orFinally (Strategy.java:335-341): when its
+    since-pane-birth condition (total count / pane age) is met the pane
+    emits one final firing and CLOSES — later updates are dropped, like
+    Beam's finished trigger.
+
+afterWatermark's earlyFiringTrigger accepts afterFirst/afterAll
+composites (OnceTriggers in Beam) but not afterEach — the same
+IllegalArgument the reference raises (Strategy.java:283-285).
 
 Delivery semantics: the pane ledger lives in the foreachBatch closure,
 so if Spark retries a micro-batch after a sink failure the retried batch
@@ -72,64 +92,139 @@ _PANE_STRUCT = T.StructType(
 )
 
 
+_UNIT_SEC = {
+    "second": 1.0, "seconds": 1.0, "minute": 60.0, "minutes": 60.0,
+    "hour": 3600.0, "hours": 3600.0,
+    "millisecond": 0.001, "milliseconds": 0.001, "millis": 0.001,
+    "ms": 0.001,
+}
+_COMPOSITES = ("afterFirst", "afterAll", "afterEach")
+
+
+def _delay_of(t: dict[str, Any]) -> float:
+    delay = t.get("pastFirstElementDelay", t.get("delay", 0)) or 0
+    unit = str(t.get("pastFirstElementDelayUnit", t.get("unit", "second")))
+    if unit.lower() not in _UNIT_SEC:
+        # an unknown unit silently read as seconds would mis-time
+        # firings by orders of magnitude — fail loudly instead
+        raise ValueError(f"trigger delay unit '{unit}' not recognized")
+    return float(delay) * _UNIT_SEC[unit.lower()]
+
+
+def _count_of(t: dict[str, Any]) -> int:
+    n = int(t.get("elementCountAtLeast", t.get("count", 0)) or 0)
+    if n < 1:
+        raise ValueError("afterPane trigger needs elementCountAtLeast >= 1")
+    return n
+
+
+def _node_of(t: dict[str, Any], root: bool = False) -> dict[str, Any]:
+    """Parse one TriggerStrategy into a tree node the pane ledger can
+    evaluate: {"kind": "time"|"count"} leaves, {"kind": "first"|"all"|
+    "each", "children": [...]} composites (Strategy.java:319-331)."""
+    ttype = str(t.get("type", "afterWatermark"))
+    if ttype == "afterProcessingTime":
+        return {"kind": "time", "delay": _delay_of(t)}
+    if ttype == "afterPane":
+        return {"kind": "count", "n": _count_of(t)}
+    if ttype == "repeatedly":
+        return _node_of(t.get("foreverTrigger") or {}, root=root)
+    if ttype in _COMPOSITES:
+        children = t.get("childrenTriggers") or []
+        if not children:
+            raise NotImplementedError(
+                f"{ttype} composite needs childrenTriggers (afterProcessingTime/"
+                "afterPane leaves or nested afterFirst/afterAll)"
+            )
+        if ttype == "afterEach" and not root:
+            # Beam's AfterEach is not a OnceTrigger — it cannot nest
+            # inside another composite or an early-firing slot
+            raise NotImplementedError(
+                "afterEach is only supported as the top-level trigger"
+            )
+        kind = {"afterFirst": "first", "afterAll": "all", "afterEach": "each"}
+        return {"kind": kind[ttype], "children": [_node_of(c) for c in children]}
+    raise NotImplementedError(
+        f"trigger type '{ttype}' is not emulatable on Spark "
+        "(afterProcessingTime/afterPane leaves and afterFirst/afterAll/"
+        "afterEach composites only)"
+    )
+
+
+def _min_delay(node: dict[str, Any]) -> float | None:
+    if node["kind"] == "time":
+        return node["delay"]
+    delays = [
+        d for c in node.get("children", ()) if (d := _min_delay(c)) is not None
+    ]
+    return min(delays) if delays else None
+
+
+def tree_has_count(node: dict[str, Any] | None) -> bool:
+    if not node:
+        return False
+    return node["kind"] == "count" or any(
+        tree_has_count(c) for c in node.get("children", ())
+    )
+
+
 def parse_trigger(strategy: dict[str, Any] | None) -> dict[str, Any] | None:
-    """Normalize a strategy's trigger config to
-    ``{"early_delay_sec": float}`` or None for the default
-    afterWatermark-only trigger.  Raises on non-emulatable families."""
+    """Normalize a strategy's trigger config: ``{"early_delay_sec": s}`` /
+    ``{"early_count": n}`` for the simple forms, ``{"tree": node,
+    "check_sec": s}`` for composites, plus optional ``late_tree`` /
+    ``final_tree`` keys; None for the default afterWatermark-only
+    trigger.  Raises on non-emulatable families."""
     trigger = (strategy or {}).get("trigger")
     if not trigger:
         return None
     ttype = str(trigger.get("type", "afterWatermark"))
-    unit_sec = {
-        "second": 1.0, "seconds": 1.0, "minute": 60.0, "minutes": 60.0,
-        "hour": 3600.0, "hours": 3600.0,
-        "millisecond": 0.001, "milliseconds": 0.001, "millis": 0.001,
-        "ms": 0.001,
-    }
-
-    def delay_of(t: dict[str, Any]) -> float:
-        delay = t.get("pastFirstElementDelay", t.get("delay", 0)) or 0
-        unit = str(t.get("pastFirstElementDelayUnit", t.get("unit", "second")))
-        if unit.lower() not in unit_sec:
-            # an unknown unit silently read as seconds would mis-time
-            # firings by orders of magnitude — fail loudly instead
-            raise ValueError(f"trigger delay unit '{unit}' not recognized")
-        return float(delay) * unit_sec[unit.lower()]
-
-    def count_of(t: dict[str, Any]) -> int:
-        n = int(t.get("elementCountAtLeast", t.get("count", 0)) or 0)
-        if n < 1:
-            raise ValueError("afterPane trigger needs elementCountAtLeast >= 1")
-        return n
+    cfg: dict[str, Any] = {}
+    if trigger.get("finalTrigger"):
+        cfg["final_tree"] = _node_of(trigger["finalTrigger"])
 
     if ttype == "afterWatermark":
+        if trigger.get("lateFiringTrigger"):
+            cfg["late_tree"] = _node_of(trigger["lateFiringTrigger"])
         early = trigger.get("earlyFiringTrigger")
-        if not early:
-            return None
-        etype = str(early.get("type"))
-        if etype == "afterProcessingTime":
-            return {"early_delay_sec": delay_of(early)}
-        if etype == "afterPane":
-            # element-count early firing: the pane ledger withholds a
-            # pane until its count aggregate has grown by >= N since the
-            # last firing (strategy.paneCountField names the count column)
-            return {"early_count": count_of(early)}
-        raise NotImplementedError(
-            f"earlyFiringTrigger type '{etype}' is not emulatable on "
-            "Spark (afterProcessingTime and afterPane only)"
-        )
+        if early:
+            etype = str(early.get("type"))
+            if etype == "afterProcessingTime":
+                cfg["early_delay_sec"] = _delay_of(early)
+            elif etype == "afterPane":
+                # element-count early firing: the pane ledger withholds a
+                # pane until its count aggregate has grown by >= N since
+                # the last firing (strategy.paneCountField names the
+                # count column)
+                cfg["early_count"] = _count_of(early)
+            elif etype in ("afterFirst", "afterAll"):
+                tree = _node_of(early, root=True)
+                cfg["tree"] = tree
+                cfg["check_sec"] = _min_delay(tree) or 1.0
+            else:
+                # afterEach is not a OnceTrigger — the same
+                # IllegalArgument the reference raises
+                # (Strategy.java:283-285)
+                raise NotImplementedError(
+                    f"earlyFiringTrigger type '{etype}' is not emulatable "
+                    "on Spark (afterProcessingTime, afterPane, afterFirst, "
+                    "afterAll only)"
+                )
+        return cfg or None
     if ttype == "afterProcessingTime":
         # Beam wraps the repeated form as Repeatedly.forever(...) — the
         # same periodic-emission shape as an early-firing trigger
-        return {"early_delay_sec": delay_of(trigger)}
+        cfg["early_delay_sec"] = _delay_of(trigger)
+        return cfg
     if ttype == "afterPane":
-        return {"early_count": count_of(trigger)}
+        cfg["early_count"] = _count_of(trigger)
+        return cfg
     if ttype == "repeatedly":
-        return parse_trigger({"trigger": trigger.get("foreverTrigger") or {}})
-    raise NotImplementedError(
-        f"trigger type '{ttype}' is not emulatable on Spark "
-        "(afterEach/afterFirst/afterAll composites need Beam pane state)"
-    )
+        inner = parse_trigger({"trigger": trigger.get("foreverTrigger") or {}})
+        return {**(inner or {}), **cfg} or None
+    tree = _node_of(trigger, root=True)
+    cfg["tree"] = tree
+    cfg["check_sec"] = _min_delay(tree) or 1.0
+    return cfg
 
 
 def split_pane_columns(
@@ -156,6 +251,51 @@ def split_pane_columns(
     return keys, vals
 
 
+class _Pane:
+    """Per-(window, key) pane ledger entry."""
+
+    __slots__ = (
+        "idx", "fired", "latest", "dirty", "cycle_start", "each_ptr",
+        "on_time_fired", "closed", "birth",
+    )
+
+    def __init__(self, now: float):
+        self.idx = 0                 # next pane index
+        self.fired: tuple = ()       # accumulated values at last firing
+        self.latest: tuple = ()      # latest (possibly withheld) values
+        self.dirty = False           # has an unfired update
+        self.cycle_start: float | None = None  # first element after last firing
+        self.each_ptr = 0            # afterEach: which child is active
+        self.on_time_fired = False   # the watermark pane has been emitted
+        self.closed = False          # finalTrigger fired — drop updates
+        self.birth = now             # for finalTrigger time leaves
+
+
+def _eval_tree(
+    node: dict[str, Any], now: float, cycle_start: float | None,
+    count_grown: int, each_ptr: int = -1,
+) -> bool:
+    """Evaluate a trigger tree against one pane's current cycle: time
+    leaves measure wall-clock since the cycle's first element
+    (pastFirstElementInPane), count leaves measure count growth since the
+    last firing.  ``each_ptr`` >= 0 selects the active child of a
+    top-level afterEach."""
+    kind = node["kind"]
+    if kind == "time":
+        return cycle_start is not None and now - cycle_start >= node["delay"]
+    if kind == "count":
+        return count_grown >= node["n"]
+    if kind == "each":
+        children = node["children"]
+        if each_ptr >= len(children):
+            return False  # every OnceTrigger in the sequence has fired
+        return _eval_tree(children[each_ptr], now, cycle_start, count_grown)
+    results = (
+        _eval_tree(c, now, cycle_start, count_grown) for c in node["children"]
+    )
+    return any(results) if kind == "first" else all(results)
+
+
 def early_firing_foreach_batch(
     sink_fn: Callable[[DataFrame, int], None],
     key_cols: list[str],
@@ -166,6 +306,9 @@ def early_firing_foreach_batch(
     max_keys: int = 1_000_000,
     early_count: int | None = None,
     count_field: str | None = None,
+    trigger_tree: dict[str, Any] | None = None,
+    late_tree: dict[str, Any] | None = None,
+    final_tree: dict[str, Any] | None = None,
 ):
     """foreachBatch function implementing pane semantics over update-mode
     micro-batches; ``sink_fn(batch_df, batch_id)`` persists pane rows.
@@ -176,16 +319,20 @@ def early_firing_foreach_batch(
     keeps each pane's latest values and flushes a final ON_TIME pane once
     the proxy watermark passes the window end + lateness.
 
+    ``trigger_tree`` generalizes that to composite triggers: each dirty
+    pane fires when its tree is satisfied against the pane's current
+    cycle (afterFirst = any, afterAll = all, afterEach = the children
+    fire once each in order).  ``late_tree`` gates LATE panes (updates
+    after the ON_TIME firing); ``final_tree`` is orFinally — when its
+    since-birth condition is met the pane fires once more and closes.
+
     ``max_keys`` bounds the ledger for NON-windowed (global per-key)
     streams, where no watermark ever closes a pane: beyond the cap the
     least-recently-fired key is dropped (its next firing restarts at pane
     index 0 / full value — degraded metadata, bounded memory)."""
-    # driver-side pane ledger:
-    #   pane key -> [next_index, fired_values, latest_values, dirty]
-    # fired_values = accumulated values at the last firing (delta base);
-    # latest_values/dirty track withheld updates for the close-time flush.
+    # driver-side pane ledger: pane key -> _Pane.
     # dict insertion order doubles as the LRU queue (re-insert on update)
-    state: dict[tuple, list] = {}
+    state: dict[tuple, _Pane] = {}
     has_window = "window" in key_cols
     # event-time high-water mark: max window START seen.  A window's rows
     # have event time >= its start, so this is a SOUND lower bound on the
@@ -197,13 +344,20 @@ def early_firing_foreach_batch(
     # (spark, schema) of the latest batch — lets flush_pending build the
     # end-of-stream flush frame after the query drains
     _last: dict[str, Any] = {}
-    if early_count is not None and count_field not in value_cols:
+    needs_count = early_count is not None or any(
+        tree_has_count(t) for t in (trigger_tree, late_tree, final_tree)
+    )
+    if needs_count and count_field not in value_cols:
         raise ValueError(
             f"afterPane trigger needs paneCountField naming a count "
             f"aggregate column (got {count_field!r}; value columns: "
             f"{value_cols})"
         )
-    count_idx = value_cols.index(count_field) if early_count is not None else -1
+    count_idx = value_cols.index(count_field) if needs_count else -1
+    ledger_gates = (
+        early_count is not None or trigger_tree is not None
+        or late_tree is not None or final_tree is not None
+    )
 
     def pane_key(d: dict) -> tuple:
         out = []
@@ -215,9 +369,31 @@ def early_firing_foreach_batch(
                 out.append(v)
         return tuple(out)
 
+    widx = key_cols.index("window") if has_window else -1
+
+    def grown_count(p: _Pane) -> int:
+        if count_idx < 0:
+            return 0
+        fired_count = (p.fired[count_idx] if p.fired else 0) or 0
+        return ((p.latest[count_idx] or 0) if p.latest else 0) - fired_count
+
+    def pane_dict(key: tuple, p: _Pane) -> dict:
+        d = dict(zip(key_cols, key))
+        if has_window and isinstance(key[widx], tuple):
+            d["window"] = {"start": key[widx][0], "end": key[widx][1]}
+        d.update(zip(value_cols, p.latest))
+        return d
+
+    def window_end(key: tuple) -> float | None:
+        if has_window and isinstance(key[widx], tuple):
+            return key[widx][1].timestamp()
+        return None
+
     def run_batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
-        if not discarding and not output_pane_info and early_count is None:
+        if (
+            not discarding and not output_pane_info and not ledger_gates
+        ):
             sink_fn(bdf, batch_id)  # plain accumulating panes: pass-through
             return
         rows = bdf.collect()
@@ -244,58 +420,93 @@ def early_firing_foreach_batch(
                 d["__pane__"] = (float(now), idx, timing, idx == 0)
             out_rows.append(tuple(d.get(f.name) for f in schema.fields))
 
+        def fire(key: tuple, p: _Pane, d: dict, timing: str) -> None:
+            emit(d, p.idx, p.fired, timing)
+            p.idx += 1
+            p.fired = p.latest
+            p.dirty = False
+            p.cycle_start = None
+            if trigger_tree is not None and trigger_tree["kind"] == "each":
+                p.each_ptr += 1
+
+        # ingest: update each pane's latest values (closed panes drop)
         for r in rows:
             d = r.asDict(recursive=False)
             key = pane_key(d)
             if key in state:
-                ent = state.pop(key)  # re-insert → LRU refresh
+                p = state.pop(key)  # re-insert → LRU refresh
             else:
-                ent = [0, (), (), False]
-            idx, fired = ent[0], ent[1]
-            cur_vals = tuple(d[c] for c in value_cols)
-            w_end = (
-                d["window"]["end"].timestamp()
-                if has_window and d["window"]
-                else None
+                p = _Pane(now)
+            state[key] = p
+            if p.closed:
+                continue
+            p.latest = tuple(d[c] for c in value_cols)
+            p.dirty = True
+            if p.cycle_start is None:
+                p.cycle_start = now
+
+        # decide: one pass over dirty panes — a time leaf can fire a pane
+        # withheld in an earlier batch even when this batch carries no row
+        # for it
+        for key in list(state):
+            p = state[key]
+            if not p.dirty or p.closed:
+                continue
+            w_end = window_end(key)
+            window_closed = (
+                w_end is not None and high_water[0] >= w_end + lateness_sec
             )
-            timing = (
-                "ON_TIME"
-                if w_end is not None and high_water[0] >= w_end + lateness_sec
-                else "EARLY"
-            )
-            if early_count is not None and timing == "EARLY":
-                fired_count = fired[count_idx] if fired else 0
-                grown = (cur_vals[count_idx] or 0) - (fired_count or 0)
-                if grown < early_count:
-                    state[key] = [idx, fired, cur_vals, True]  # withhold
-                    continue
-            emit(d, idx, fired, timing)
-            state[key] = [idx + 1, cur_vals, cur_vals, False]
-        # flush withheld panes whose windows the proxy watermark has now
-        # closed — their final (ON_TIME) pane must not be lost
-        if early_count is not None and has_window:
-            widx = key_cols.index("window")
-            for key in list(state):
-                ent = state[key]
-                if not ent[3] or not isinstance(key[widx], tuple):
-                    continue
-                if key[widx][1].timestamp() + lateness_sec > high_water[0]:
-                    continue
-                d = dict(zip(key_cols, key))
-                d["window"] = {"start": key[widx][0], "end": key[widx][1]}
-                d.update(zip(value_cols, ent[2]))
-                emit(d, ent[0], ent[1], "ON_TIME")
-                state[key] = [ent[0] + 1, ent[2], ent[2], False]
+            d = pane_dict(key, p)
+            # orFinally: final condition measured since pane birth
+            if final_tree is not None and _eval_tree(
+                final_tree, now, p.birth,
+                (p.latest[count_idx] or 0) if count_idx >= 0 and p.latest else 0,
+            ):
+                timing = "EARLY" if not window_closed else (
+                    "ON_TIME" if not p.on_time_fired else "LATE"
+                )
+                fire(key, p, d, timing)
+                p.closed = True
+                continue
+            if not window_closed:
+                if trigger_tree is not None:
+                    should = _eval_tree(
+                        trigger_tree, now, p.cycle_start, grown_count(p),
+                        each_ptr=(
+                            p.each_ptr
+                            if trigger_tree["kind"] == "each"
+                            else -1
+                        ),
+                    )
+                elif early_count is not None:
+                    should = grown_count(p) >= early_count
+                else:
+                    should = True  # processing-time cadence = batch cadence
+                if should:
+                    fire(key, p, d, "EARLY")
+                # else: withheld — the close-time flush below or a later
+                # batch's re-evaluation emits it
+            elif not p.on_time_fired:
+                # the watermark firing is unconditional (AfterWatermark
+                # pastEndOfWindow) — withheld updates flush here too
+                fire(key, p, d, "ON_TIME")
+                p.on_time_fired = True
+            else:
+                # LATE pane: gate on lateFiringTrigger when declared,
+                # else Beam's default repeated late firing
+                if late_tree is None or _eval_tree(
+                    late_tree, now, p.cycle_start, grown_count(p)
+                ):
+                    fire(key, p, d, "LATE")
         # evict panes that can no longer fire (the proxy watermark is well
         # past window end + lateness) so the ledger stays bounded by the
         # stream's active windows
         if has_window:
-            widx = key_cols.index("window")
             dead = [
                 k
                 for k in state
                 if isinstance(k[widx], tuple)
-                and not state[k][3]
+                and not state[k].dirty
                 and k[widx][1].timestamp() + lateness_sec
                 < high_water[0] - 3600
             ]
@@ -312,28 +523,30 @@ def early_firing_foreach_batch(
         the query drains (availableNow / stop), where no later event will
         ever push the proxy watermark past the trailing windows.  Without
         this, count-trigger suppression would silently LOSE the tail."""
-        if not _last or not any(ent[3] for ent in state.values()):
+        if not _last or not any(
+            p.dirty and not p.closed for p in state.values()
+        ):
             return
         spark, schema = _last["spark"], _last["schema"]
         now = time.time()
         out_rows = []
-        widx = key_cols.index("window") if has_window else -1
         for key in list(state):
-            ent = state[key]
-            if not ent[3]:
+            p = state[key]
+            if not p.dirty or p.closed:
                 continue
-            d = dict(zip(key_cols, key))
-            if has_window and isinstance(key[widx], tuple):
-                d["window"] = {"start": key[widx][0], "end": key[widx][1]}
-            d.update(zip(value_cols, ent[2]))
-            if discarding and ent[1]:
-                for c, pv in zip(value_cols, ent[1]):
+            d = pane_dict(key, p)
+            if discarding and p.fired:
+                for c, pv in zip(value_cols, p.fired):
                     if d[c] is not None and pv is not None:
                         d[c] = d[c] - pv
             if output_pane_info:
-                d["__pane__"] = (float(now), ent[0], "ON_TIME", ent[0] == 0)
+                timing = "LATE" if p.on_time_fired else "ON_TIME"
+                d["__pane__"] = (float(now), p.idx, timing, p.idx == 0)
             out_rows.append(tuple(d.get(f.name) for f in schema.fields))
-            state[key] = [ent[0] + 1, ent[2], ent[2], False]
+            p.idx += 1
+            p.fired = p.latest
+            p.dirty = False
+            p.cycle_start = None
         if out_rows:
             sink_fn(spark.createDataFrame(out_rows, schema=schema), -1)
 
@@ -371,6 +584,9 @@ def stream_with_early_firing(
         max_keys=int(strategy.get("paneStateMaxKeys", 1_000_000)),
         early_count=cfg.get("early_count"),
         count_field=str(strategy.get("paneCountField", "n")),
+        trigger_tree=cfg.get("tree"),
+        late_tree=cfg.get("late_tree"),
+        final_tree=cfg.get("final_tree"),
     )
     writer = (
         df.writeStream.outputMode("update")
@@ -380,9 +596,11 @@ def stream_with_early_firing(
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
-        # count triggers check every micro-batch; 1 s is the check cadence,
-        # not the firing condition
-        delay = max(cfg.get("early_delay_sec", 1.0), 0.1)
+        # count/composite triggers check every micro-batch; the interval
+        # is the check cadence, not the firing condition
+        delay = max(
+            cfg.get("early_delay_sec", cfg.get("check_sec", 1.0)), 0.1
+        )
         writer = writer.trigger(processingTime=f"{delay} seconds")
     return _EarlyFiringRun(writer.start(), fb.flush_pending)
 

@@ -2,6 +2,7 @@
 watermark → memory/parquet sink; stateful streaming limit."""
 
 import datetime as dt
+import time
 import shutil
 
 import pytest
@@ -822,3 +823,198 @@ def test_pubsub_streaming_datasource_pull_ack(spark, tmp_path):
     assert got == [f"payload-{i}" for i in (0, 1, 2, 3, 9)]  # exactly once
     pulled = open(os.path.join(spool, "pulled.log")).read().splitlines()
     assert len(pulled) == len(set(pulled)) == 5  # destructive pull, once each
+
+
+# ---------------------------------------------------------------------------
+# composite triggers (Strategy.java:319-331), lateFiringTrigger
+# (Strategy.java:277-301), finalTrigger/orFinally (Strategy.java:335-341):
+# the pane ledger is driven directly with crafted micro-batches — the
+# foreachBatch contract is the same whether Spark or the test calls it.
+
+
+def _ledger(spark, key_cols, value_cols, **kw):
+    from pipeline_spark.streaming.triggers import early_firing_foreach_batch
+
+    out = []
+    fb = early_firing_foreach_batch(
+        lambda bdf, _bid: out.extend(
+            r.asDict(recursive=True) for r in bdf.collect()
+        ),
+        key_cols,
+        value_cols,
+        discarding=False,
+        output_pane_info=True,
+        count_field="n",
+        **kw,
+    )
+    return fb, out
+
+
+def test_composite_after_first_count_or_time(spark):
+    """afterFirst(count>=3, processingTime 50ms): a pane fires when EITHER
+    leaf is satisfied — and a time leaf can fire a pane withheld in an
+    earlier batch even when the current batch carries no row for it."""
+    from pipeline_spark.streaming.triggers import parse_trigger
+
+    cfg = parse_trigger({"trigger": {
+        "type": "afterWatermark",
+        "earlyFiringTrigger": {
+            "type": "afterFirst",
+            "childrenTriggers": [
+                {"type": "afterPane", "elementCountAtLeast": 3},
+                {"type": "afterProcessingTime", "pastFirstElementDelay": 50,
+                 "pastFirstElementDelayUnit": "millisecond"},
+            ],
+        },
+    }})
+    assert cfg["tree"]["kind"] == "first" and cfg["check_sec"] == 0.05
+    fb, out = _ledger(spark, ["k"], ["n"], trigger_tree=cfg["tree"])
+    mk = lambda *rows: spark.createDataFrame(list(rows), "k string, n long")
+    fb(mk(("a", 2)), 0)
+    assert out == []  # count 2 < 3, time 0 < 50ms -> withheld
+    fb(mk(("a", 4)), 1)
+    assert [(r["k"], r["n"], r["__pane__"]["timing"]) for r in out] == [
+        ("a", 4, "EARLY")  # count leaf fired
+    ]
+    out.clear()
+    fb(mk(("b", 1)), 2)
+    assert out == []  # withheld on both leaves
+    time.sleep(0.06)
+    fb(mk(("c", 1)), 3)  # batch has no 'b' row; its time leaf fires anyway
+    assert [(r["k"], r["n"]) for r in out] == [("b", 1)]
+    fb.flush_pending()  # drain: 'c' (and 'a' count 4 already fired) flush
+    assert sorted((r["k"], r["n"]) for r in out) == [("b", 1), ("c", 1)]
+
+
+def test_composite_after_all(spark):
+    """afterAll(count>=2, processingTime 50ms) fires only once BOTH leaves
+    are satisfied within the pane's current cycle."""
+    from pipeline_spark.streaming.triggers import parse_trigger
+
+    cfg = parse_trigger({"trigger": {
+        "type": "afterAll",
+        "childrenTriggers": [
+            {"type": "afterPane", "elementCountAtLeast": 2},
+            {"type": "afterProcessingTime", "pastFirstElementDelay": 50,
+             "pastFirstElementDelayUnit": "ms"},
+        ],
+    }})
+    fb, out = _ledger(spark, ["k"], ["n"], trigger_tree=cfg["tree"])
+    mk = lambda *rows: spark.createDataFrame(list(rows), "k string, n long")
+    fb(mk(("a", 2)), 0)
+    assert out == []  # count satisfied, time not -> withheld
+    time.sleep(0.06)
+    fb(mk(("z", 1)), 1)
+    assert [(r["k"], r["n"], r["__pane__"]["timing"]) for r in out] == [
+        ("a", 2, "EARLY")
+    ]
+
+
+def test_composite_after_each_sequence(spark):
+    """afterEach fires its children once each, in order (Beam
+    AfterEach.inOrder over OnceTriggers); the exhausted sequence stops
+    early firings and the drain flush emits the withheld tail."""
+    from pipeline_spark.streaming.triggers import parse_trigger
+
+    cfg = parse_trigger({"trigger": {
+        "type": "afterEach",
+        "childrenTriggers": [
+            {"type": "afterPane", "elementCountAtLeast": 2},
+            {"type": "afterPane", "elementCountAtLeast": 4},
+        ],
+    }})
+    fb, out = _ledger(spark, ["k"], ["n"], trigger_tree=cfg["tree"])
+    mk = lambda n: spark.createDataFrame([("a", n)], "k string, n long")
+    fb(mk(2), 0)   # child 0: grown 2 >= 2 -> fire, advance
+    fb(mk(4), 1)   # child 1: grown 2 < 4 -> withheld
+    fb(mk(8), 2)   # child 1: grown 6 >= 4 -> fire, sequence exhausted
+    fb(mk(20), 3)  # no active child -> withheld
+    fb.flush_pending()
+    assert [(r["n"], r["__pane__"]["index"], r["__pane__"]["timing"])
+            for r in out] == [
+        (2, 0, "EARLY"), (8, 1, "EARLY"), (20, 2, "ON_TIME")
+    ]
+
+
+def test_final_trigger_closes_pane(spark):
+    """finalTrigger (orFinally): when the since-birth condition is met the
+    pane emits one final firing and CLOSES — later updates are dropped."""
+    from pipeline_spark.streaming.triggers import parse_trigger
+
+    cfg = parse_trigger({"trigger": {
+        "type": "afterProcessingTime", "pastFirstElementDelay": 0,
+        "finalTrigger": {"type": "afterPane", "elementCountAtLeast": 5},
+    }})
+    assert cfg["early_delay_sec"] == 0.0 and cfg["final_tree"]["n"] == 5
+    fb, out = _ledger(spark, ["k"], ["n"], final_tree=cfg["final_tree"])
+    mk = lambda n: spark.createDataFrame([("a", n)], "k string, n long")
+    fb(mk(2), 0)   # processing-time firing
+    fb(mk(5), 1)   # total 5 >= 5 -> final firing + close
+    fb(mk(9), 2)   # closed -> dropped
+    fb.flush_pending()
+    assert [r["n"] for r in out] == [2, 5]
+
+
+def test_late_firing_trigger_gates_late_panes(spark):
+    """After the unconditional ON_TIME watermark firing, further updates
+    are LATE panes gated on lateFiringTrigger's condition."""
+    from pipeline_spark.streaming.triggers import parse_trigger
+
+    cfg = parse_trigger({"trigger": {
+        "type": "afterWatermark",
+        "lateFiringTrigger": {"type": "afterPane", "elementCountAtLeast": 2},
+    }})
+    fb, out = _ledger(
+        spark, ["window", "k"], ["n"], late_tree=cfg["late_tree"]
+    )
+    schema = (
+        "window struct<start:timestamp,end:timestamp>, k string, n long"
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    w1 = (t0, t0 + dt.timedelta(minutes=1))
+    w9 = (t0 + dt.timedelta(hours=1), t0 + dt.timedelta(hours=1, minutes=1))
+    mk = lambda *rows: spark.createDataFrame(list(rows), schema)
+    fb(mk((w1, "a", 1)), 0)                      # EARLY (default firing)
+    fb(mk((w9, "z", 1), (w1, "a", 2)), 1)        # w9 closes w1 -> ON_TIME
+    fb(mk((w1, "a", 3)), 2)                      # LATE, grown 1 < 2 -> held
+    fb(mk((w1, "a", 5)), 3)                      # LATE, grown 3 >= 2 -> fire
+    a = [(r["n"], r["__pane__"]["timing"]) for r in out if r["k"] == "a"]
+    assert a == [(1, "EARLY"), (2, "ON_TIME"), (5, "LATE")]
+
+
+def test_trigger_parse_composites():
+    from pipeline_spark.streaming.triggers import parse_trigger
+
+    # afterEach cannot nest (not a OnceTrigger) — same rule as the
+    # reference's early-firing validation (Strategy.java:283-285)
+    with pytest.raises(NotImplementedError, match="afterEach"):
+        parse_trigger({"trigger": {
+            "type": "afterFirst",
+            "childrenTriggers": [
+                {"type": "afterEach",
+                 "childrenTriggers": [{"type": "afterPane",
+                                       "elementCountAtLeast": 1}]},
+            ],
+        }})
+    with pytest.raises(NotImplementedError, match="afterEach"):
+        parse_trigger({"trigger": {
+            "type": "afterWatermark",
+            "earlyFiringTrigger": {
+                "type": "afterEach",
+                "childrenTriggers": [{"type": "afterPane",
+                                      "elementCountAtLeast": 1}]},
+        }})
+    # nested afterFirst-in-afterAll is fine (OnceTrigger composition)
+    cfg = parse_trigger({"trigger": {
+        "type": "afterAll",
+        "childrenTriggers": [
+            {"type": "afterFirst",
+             "childrenTriggers": [
+                 {"type": "afterPane", "elementCountAtLeast": 2},
+                 {"type": "afterProcessingTime", "pastFirstElementDelay": 1},
+             ]},
+            {"type": "afterPane", "elementCountAtLeast": 1},
+        ],
+    }})
+    assert cfg["tree"]["children"][0]["kind"] == "first"
+    assert cfg["check_sec"] == 1.0
