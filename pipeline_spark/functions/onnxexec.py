@@ -8,19 +8,25 @@ primitives as functions/protodec.py using the PUBLIC onnx.proto field
 numbers (https://github.com/onnx/onnx/blob/main/onnx/onnx.proto), no
 descriptor needed.
 
-Supported ops: MatMul, Gemm, Add, Sub, Mul, Div, Relu, Sigmoid, Tanh,
-Softmax, Identity, Flatten, Constant, Conv (2D, groups/dilations/pads),
-MaxPool, AveragePool, GlobalAveragePool, BatchNormalization (inference),
-Reshape, Transpose, Concat.  That covers linear/MLP scoring heads AND
-small CNN-class models (LeNet/VGG-style feature extractors).  Anything
-else — attention stacks, recurrent cells, quantized ops — raises a clear
-error naming the op; those belong to onnxruntime when it is installed.
+Supported ops: MatMul, Gemm, Add, Sub, Mul, Div, Pow, Sqrt, Exp, Log,
+Neg, Abs, Relu, LeakyRelu, Elu, Clip, Sigmoid, Tanh, Erf, Gelu, Softmax,
+Identity, Flatten, Constant, ConstantOfShape, Conv (2D, groups/
+dilations/pads), MaxPool, AveragePool, GlobalAveragePool,
+BatchNormalization (inference), LayerNormalization, Reshape, Transpose,
+Concat, Shape, Gather, Unsqueeze, Squeeze, Slice, Split, Expand, Cast,
+Where, Equal, Greater, Less, ReduceMean, ReduceSum, LSTM, GRU.  That
+covers linear/MLP scoring heads, small CNN-class models (LeNet/VGG-style
+feature extractors), recurrent encoders, and the building blocks of
+transformer attention (MatMul+Softmax+LayerNorm+Gelu).  Anything else —
+quantized ops, control flow (Loop/If/Scan) — raises a clear error naming
+the op; those belong to onnxruntime when it is installed.
 
 Nodes execute in graph order (ONNX requires topological ordering).
 """
 
 from __future__ import annotations
 
+import math
 import struct
 from typing import Any
 
@@ -196,6 +202,141 @@ def _conv2d(X: np.ndarray, W: np.ndarray, B: np.ndarray | None,
     return out.astype(X.dtype, copy=False)
 
 
+_CAST_DTYPES = {
+    1: "<f4", 2: "u1", 3: "i1", 4: "<u2", 5: "<i2", 6: "<i4", 7: "<i8",
+    9: "?", 10: "<f2", 11: "<f8", 12: "<u4", 13: "<u8",
+}
+
+
+def _erf(x: np.ndarray) -> np.ndarray:
+    # exact vectorized erf via the stdlib (numpy has none without scipy);
+    # models run this on small activations, not the hot data path
+    return np.vectorize(math.erf, otypes=[np.float64])(
+        np.asarray(x, dtype=np.float64)
+    ).astype(np.asarray(x).dtype, copy=False)
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _rnn_prep(x: list[np.ndarray], a: dict, n_gates: int):
+    """Shared LSTM/GRU input unpacking per the ONNX spec: X [seq,batch,in]
+    (layout 0) or [batch,seq,in] (layout 1), W [D,G*H,in], R [D,G*H,H],
+    B [D,2*G*H]; returns per-direction iteration order too."""
+    X, W, R = x[0], x[1], x[2]
+    if int(a.get("layout", 0)) == 1:
+        X = np.transpose(X, (1, 0, 2))
+    seq, batch, _ = X.shape
+    ndir, gh, _ = W.shape
+    hidden = gh // n_gates
+    B = x[3] if len(x) > 3 and x[3] is not None and np.size(x[3]) else None
+    if B is None:
+        B = np.zeros((ndir, 2 * n_gates * hidden), dtype=X.dtype)
+    seq_lens = (
+        np.asarray(x[4], dtype=np.int64)
+        if len(x) > 4 and x[4] is not None and np.size(x[4])
+        else np.full((batch,), seq, dtype=np.int64)
+    )
+    direction = str(a.get("direction", b"forward").decode()
+                    if isinstance(a.get("direction"), bytes)
+                    else a.get("direction", "forward"))
+    dirs = {"forward": [False], "reverse": [True],
+            "bidirectional": [False, True]}[direction]
+    if len(dirs) != ndir:
+        raise ProtoError(
+            f"RNN direction '{direction}' expects {len(dirs)} weight "
+            f"direction(s), got {ndir}"
+        )
+    return X, W, R, B, seq_lens, dirs, seq, batch, hidden
+
+
+def _lstm(x: list[np.ndarray], a: dict) -> tuple:
+    """ONNX LSTM (gate order iofc, optional peepholes, forward/reverse/
+    bidirectional, sequence_lens masking).  Y is zero-padded past each
+    batch row's length, matching onnxruntime."""
+    X, W, R, B, seq_lens, dirs, seq, batch, H = _rnn_prep(x, a, 4)
+    init_h = x[5] if len(x) > 5 and x[5] is not None and np.size(x[5]) else None
+    init_c = x[6] if len(x) > 6 and x[6] is not None and np.size(x[6]) else None
+    P = x[7] if len(x) > 7 and x[7] is not None and np.size(x[7]) else None
+    Y = np.zeros((seq, len(dirs), batch, H), dtype=X.dtype)
+    Yh = np.zeros((len(dirs), batch, H), dtype=X.dtype)
+    Yc = np.zeros((len(dirs), batch, H), dtype=X.dtype)
+    for d, rev in enumerate(dirs):
+        Wi, Wo, Wf, Wc = (W[d][i * H:(i + 1) * H] for i in range(4))
+        Ri, Ro, Rf, Rc = (R[d][i * H:(i + 1) * H] for i in range(4))
+        b = B[d]
+        bi, bo, bf, bc = (b[i * H:(i + 1) * H] + b[(4 + i) * H:(5 + i) * H]
+                          for i in range(4))
+        pi, po, pf = (
+            (P[d][i * H:(i + 1) * H] for i in range(3))
+            if P is not None
+            else (np.zeros(H, X.dtype),) * 3
+        )
+        h = (init_h[d] if init_h is not None
+             else np.zeros((batch, H), dtype=X.dtype)).copy()
+        c = (init_c[d] if init_c is not None
+             else np.zeros((batch, H), dtype=X.dtype)).copy()
+        steps = range(seq - 1, -1, -1) if rev else range(seq)
+        for t in steps:
+            xt = X[t]
+            # reverse direction starts each row at its own length
+            alive = (
+                (seq - 1 - t) < seq_lens if rev else t < seq_lens
+            )[:, None]
+            i_g = _sigmoid(xt @ Wi.T + h @ Ri.T + bi + pi * c)
+            f_g = _sigmoid(xt @ Wf.T + h @ Rf.T + bf + pf * c)
+            c_t = np.tanh(xt @ Wc.T + h @ Rc.T + bc)
+            c_new = f_g * c + i_g * c_t
+            o_g = _sigmoid(xt @ Wo.T + h @ Ro.T + bo + po * c_new)
+            h_new = o_g * np.tanh(c_new)
+            h = np.where(alive, h_new, h)
+            c = np.where(alive, c_new, c)
+            Y[t, d] = np.where(alive, h_new, 0)
+        Yh[d], Yc[d] = h, c
+    if int(a.get("layout", 0)) == 1:
+        return (np.transpose(Y, (2, 0, 1, 3)), np.transpose(Yh, (1, 0, 2)),
+                np.transpose(Yc, (1, 0, 2)))
+    return Y, Yh, Yc
+
+
+def _gru(x: list[np.ndarray], a: dict) -> tuple:
+    """ONNX GRU (gate order zrh, linear_before_reset, directions,
+    sequence_lens masking)."""
+    X, W, R, B, seq_lens, dirs, seq, batch, H = _rnn_prep(x, a, 3)
+    init_h = x[5] if len(x) > 5 and x[5] is not None and np.size(x[5]) else None
+    lbr = int(a.get("linear_before_reset", 0))
+    Y = np.zeros((seq, len(dirs), batch, H), dtype=X.dtype)
+    Yh = np.zeros((len(dirs), batch, H), dtype=X.dtype)
+    for d, rev in enumerate(dirs):
+        Wz, Wr, Wh = (W[d][i * H:(i + 1) * H] for i in range(3))
+        Rz, Rr, Rh = (R[d][i * H:(i + 1) * H] for i in range(3))
+        b = B[d]
+        wbz, wbr, wbh = (b[i * H:(i + 1) * H] for i in range(3))
+        rbz, rbr, rbh = (b[(3 + i) * H:(4 + i) * H] for i in range(3))
+        h = (init_h[d] if init_h is not None
+             else np.zeros((batch, H), dtype=X.dtype)).copy()
+        steps = range(seq - 1, -1, -1) if rev else range(seq)
+        for t in steps:
+            xt = X[t]
+            alive = (
+                (seq - 1 - t) < seq_lens if rev else t < seq_lens
+            )[:, None]
+            z = _sigmoid(xt @ Wz.T + h @ Rz.T + wbz + rbz)
+            r_g = _sigmoid(xt @ Wr.T + h @ Rr.T + wbr + rbr)
+            if lbr:
+                h_t = np.tanh(xt @ Wh.T + r_g * (h @ Rh.T + rbh) + wbh)
+            else:
+                h_t = np.tanh(xt @ Wh.T + (r_g * h) @ Rh.T + rbh + wbh)
+            h_new = (1 - z) * h_t + z * h
+            h = np.where(alive, h_new, h)
+            Y[t, d] = np.where(alive, h_new, 0)
+        Yh[d] = h
+    if int(a.get("layout", 0)) == 1:
+        return np.transpose(Y, (2, 0, 1, 3)), np.transpose(Yh, (1, 0, 2))
+    return Y, Yh
+
+
 class OnnxGraph:
     def __init__(self, model_bytes: bytes):
         model = _fields_map(model_bytes)
@@ -228,7 +369,11 @@ class OnnxGraph:
         vals.update({k: np.asarray(v) for k, v in feeds.items()})
         for node in self.nodes:
             op, a = node["op"], node["attrs"]
-            x = [vals[i] for i in node["inputs"] if i]
+            # "" marks an omitted OPTIONAL input — keep positions so e.g.
+            # LSTM's sequence_lens stays at index 4 when B is omitted
+            x = [vals[i] if i else None for i in node["inputs"]]
+            while x and x[-1] is None:
+                x.pop()
             if op == "MatMul":
                 r = x[0] @ x[1]
             elif op == "Gemm":
@@ -317,6 +462,128 @@ class OnnxGraph:
                 r = np.transpose(x[0], perm)
             elif op == "Concat":
                 r = np.concatenate(x, axis=int(a.get("axis", 0)))
+            elif op == "Pow":
+                r = np.power(x[0], x[1])
+            elif op == "Sqrt":
+                r = np.sqrt(x[0])
+            elif op == "Exp":
+                r = np.exp(x[0])
+            elif op == "Log":
+                r = np.log(x[0])
+            elif op == "Neg":
+                r = -x[0]
+            elif op == "Abs":
+                r = np.abs(x[0])
+            elif op == "Erf":
+                r = _erf(x[0])
+            elif op == "Gelu":
+                approx = a.get("approximate", b"none")
+                approx = approx.decode() if isinstance(approx, bytes) else approx
+                if approx == "tanh":
+                    r = 0.5 * x[0] * (1.0 + np.tanh(
+                        math.sqrt(2.0 / math.pi)
+                        * (x[0] + 0.044715 * x[0] ** 3)
+                    ))
+                else:
+                    r = 0.5 * x[0] * (1.0 + _erf(x[0] / math.sqrt(2.0)))
+            elif op == "LeakyRelu":
+                alpha = a.get("alpha", 0.01)
+                r = np.where(x[0] >= 0, x[0], alpha * x[0])
+            elif op == "Elu":
+                alpha = a.get("alpha", 1.0)
+                r = np.where(x[0] >= 0, x[0], alpha * (np.exp(x[0]) - 1))
+            elif op == "Clip":
+                lo = x[1] if len(x) > 1 else a.get("min")
+                hi = x[2] if len(x) > 2 else a.get("max")
+                r = np.clip(x[0], lo, hi)
+            elif op == "Where":
+                r = np.where(x[0], x[1], x[2])
+            elif op == "Equal":
+                r = x[0] == x[1]
+            elif op == "Greater":
+                r = x[0] > x[1]
+            elif op == "Less":
+                r = x[0] < x[1]
+            elif op == "Cast":
+                to = int(a.get("to", 1))
+                if to not in _CAST_DTYPES:
+                    raise ProtoError(f"Cast to onnx dtype {to} not supported")
+                r = x[0].astype(np.dtype(_CAST_DTYPES[to]))
+            elif op == "Shape":
+                r = np.asarray(x[0].shape, dtype=np.int64)
+            elif op == "Expand":
+                r = x[0] * np.ones([int(v) for v in x[1]], dtype=x[0].dtype)
+            elif op == "ConstantOfShape":
+                fill = a.get("value")
+                fill_v = fill.ravel()[0] if fill is not None else np.float32(0)
+                r = np.full([int(v) for v in x[0]], fill_v)
+            elif op == "Gather":
+                r = np.take(x[0], x[1].astype(np.int64),
+                            axis=int(a.get("axis", 0)))
+            elif op == "Unsqueeze":
+                axes = x[1] if len(x) > 1 else a.get("axes", [])
+                r = x[0]
+                for ax in sorted(int(v) for v in axes):
+                    r = np.expand_dims(r, ax if ax >= 0 else ax + r.ndim + 1)
+            elif op == "Squeeze":
+                axes = x[1] if len(x) > 1 else a.get("axes", [])
+                axes = tuple(int(v) for v in axes)
+                r = np.squeeze(x[0], axis=axes or None)
+            elif op == "Slice":
+                # opset >= 10: starts/ends/axes/steps as inputs; opset 1:
+                # starts/ends/axes attributes
+                if len(x) > 1:
+                    starts = [int(v) for v in x[1]]
+                    ends = [int(v) for v in x[2]]
+                    axes = ([int(v) for v in x[3]] if len(x) > 3
+                            else list(range(len(starts))))
+                    steps = ([int(v) for v in x[4]] if len(x) > 4
+                             else [1] * len(starts))
+                else:
+                    starts = [int(v) for v in a.get("starts", [])]
+                    ends = [int(v) for v in a.get("ends", [])]
+                    axes = ([int(v) for v in a["axes"]] if "axes" in a
+                            else list(range(len(starts))))
+                    steps = [1] * len(starts)
+                idx = [slice(None)] * x[0].ndim
+                for s, e, ax, st in zip(starts, ends, axes, steps):
+                    idx[ax] = slice(s, e, st)
+                r = x[0][tuple(idx)]
+            elif op == "Split":
+                axis = int(a.get("axis", 0))
+                n_out = len(node["outputs"])
+                if len(x) > 1:
+                    sizes = [int(v) for v in x[1]]
+                elif "split" in a:
+                    sizes = [int(v) for v in a["split"]]
+                else:
+                    dim = x[0].shape[axis]
+                    q, rem = divmod(dim, n_out)
+                    sizes = [q + (1 if i < rem else 0) for i in range(n_out)]
+                r = list(np.split(x[0], np.cumsum(sizes)[:-1], axis=axis))
+            elif op in ("ReduceMean", "ReduceSum"):
+                axes = x[1] if len(x) > 1 else a.get("axes", [])
+                axes = tuple(int(v) for v in axes) or None
+                keep = bool(a.get("keepdims", 1))
+                fn = np.mean if op == "ReduceMean" else np.sum
+                r = fn(x[0], axis=axes, keepdims=keep)
+                r = np.asarray(r, dtype=x[0].dtype)
+            elif op == "LayerNormalization":
+                axis = int(a.get("axis", -1))
+                eps = a.get("epsilon", 1e-5)
+                axes = tuple(range(axis if axis >= 0 else x[0].ndim + axis,
+                                   x[0].ndim))
+                mean = np.mean(x[0], axis=axes, keepdims=True)
+                var = np.var(x[0], axis=axes, keepdims=True)
+                inv = 1.0 / np.sqrt(var + eps)
+                y = (x[0] - mean) * inv * x[1]
+                if len(x) > 2:
+                    y = y + x[2]
+                r = (y, mean, inv) if len(node["outputs"]) > 1 else y
+            elif op == "LSTM":
+                r = _lstm(x, a)
+            elif op == "GRU":
+                r = _gru(x, a)
             else:
                 raise ProtoError(
                     f"onnx op '{op}' not supported by the numpy fallback "
@@ -330,7 +597,8 @@ class OnnxGraph:
                 vals[outs[0]] = np.asarray(r)
             else:
                 for nm, rv in zip(outs, r):
-                    vals[nm] = np.asarray(rv)
+                    if nm:  # "" marks an unused optional output
+                        vals[nm] = np.asarray(rv)
         wanted = outputs or self.outputs
         return [vals[n] for n in wanted]
 

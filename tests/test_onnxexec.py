@@ -92,8 +92,8 @@ def test_softmax_flatten_and_elementwise():
 
 
 def test_unsupported_op_names_the_op():
-    model = ld(7, ld(1, node("LSTM", ["x"], ["y"])))
-    with pytest.raises(Exception, match="LSTM"):
+    model = ld(7, ld(1, node("QLinearConv", ["x"], ["y"])))
+    with pytest.raises(Exception, match="QLinearConv"):
         OnnxGraph(model).run({"x": np.zeros((1, 1))})
 
 
@@ -309,3 +309,237 @@ def test_maxpool_auto_pad_valid():
     )
     (y,) = OnnxGraph(vi(1, 8) + ld(7, graph)).run({"x": X})
     assert y[0, 0].tolist() == [[5.0, 7.0], [13.0, 15.0]]
+
+
+# ---------------------------------------------------------------------------
+# recurrent cells + transformer building blocks (LSTM/GRU/LayerNorm/Gelu/
+# attention composition), each checked against a naive direct-loop or
+# closed-form numpy reference independent of the executor.
+
+
+def _sig(v):
+    return 1.0 / (1.0 + np.exp(-v))
+
+
+def naive_lstm(X, W, R, B, seq_lens=None, init_h=None, init_c=None, rev=False):
+    """Direct-loop single-direction LSTM per the ONNX spec (iofc order)."""
+    seq, batch, _ = X.shape
+    H = W.shape[0] // 4
+    h = np.zeros((batch, H)) if init_h is None else init_h.astype(np.float64).copy()
+    c = np.zeros((batch, H)) if init_c is None else init_c.astype(np.float64).copy()
+    if seq_lens is None:
+        seq_lens = np.full(batch, seq)
+    Wi, Wo, Wf, Wc = (W[i * H:(i + 1) * H].astype(np.float64) for i in range(4))
+    Ri, Ro, Rf, Rc = (R[i * H:(i + 1) * H].astype(np.float64) for i in range(4))
+    bi, bo, bf, bc = (
+        (B[i * H:(i + 1) * H] + B[(4 + i) * H:(5 + i) * H]).astype(np.float64)
+        for i in range(4)
+    )
+    Y = np.zeros((seq, batch, H))
+    steps = range(seq - 1, -1, -1) if rev else range(seq)
+    for t in steps:
+        for b in range(batch):
+            pos = seq - 1 - t if rev else t
+            if pos >= seq_lens[b]:
+                continue
+            xt = X[t, b].astype(np.float64)
+            i_g = _sig(Wi @ xt + Ri @ h[b] + bi)
+            f_g = _sig(Wf @ xt + Rf @ h[b] + bf)
+            c_t = np.tanh(Wc @ xt + Rc @ h[b] + bc)
+            c[b] = f_g * c[b] + i_g * c_t
+            o_g = _sig(Wo @ xt + Ro @ h[b] + bo)
+            h[b] = o_g * np.tanh(c[b])
+            Y[t, b] = h[b]
+    return Y, h, c
+
+
+def naive_gru(X, W, R, B, lbr=0):
+    seq, batch, _ = X.shape
+    H = W.shape[0] // 3
+    h = np.zeros((batch, H))
+    Wz, Wr, Wh = (W[i * H:(i + 1) * H].astype(np.float64) for i in range(3))
+    Rz, Rr, Rh = (R[i * H:(i + 1) * H].astype(np.float64) for i in range(3))
+    wbz, wbr, wbh = (B[i * H:(i + 1) * H].astype(np.float64) for i in range(3))
+    rbz, rbr, rbh = (B[(3 + i) * H:(4 + i) * H].astype(np.float64) for i in range(3))
+    Y = np.zeros((seq, batch, H))
+    for t in range(seq):
+        for b in range(batch):
+            xt = X[t, b].astype(np.float64)
+            z = _sig(Wz @ xt + Rz @ h[b] + wbz + rbz)
+            r = _sig(Wr @ xt + Rr @ h[b] + wbr + rbr)
+            if lbr:
+                ht = np.tanh(Wh @ xt + r * (Rh @ h[b] + rbh) + wbh)
+            else:
+                ht = np.tanh(Wh @ xt + Rh @ (r * h[b]) + rbh + wbh)
+            h[b] = (1 - z) * ht + z * h[b]
+            Y[t, b] = h[b]
+    return Y, h
+
+
+def _lstm_model(W, R, B, direction="forward", extra_inputs=()):
+    attrs = int_attr("hidden_size", W.shape[1] // 4) + str_attr(
+        "direction", direction
+    )
+    ins = ["x", "W", "R", "B", *extra_inputs]
+    graph = (
+        ld(1, node("LSTM", ins, ["Y", "Y_h", "Y_c"], attrs))
+        + ld(2, b"lstm")
+        + ld(5, tensor("W", W.shape, W))
+        + ld(5, tensor("R", R.shape, R))
+        + ld(5, tensor("B", B.shape, B))
+        + ld(11, value_info("x"))
+        + ld(12, value_info("Y")) + ld(12, value_info("Y_h"))
+        + ld(12, value_info("Y_c"))
+    )
+    return vi(1, 8) + ld(7, graph)
+
+
+def test_lstm_forward_matches_naive_loop():
+    rng = np.random.RandomState(7)
+    seq, batch, inp, H = 4, 2, 3, 2
+    X = rng.randn(seq, batch, inp).astype(np.float32)
+    W = rng.randn(1, 4 * H, inp).astype(np.float32)
+    R = rng.randn(1, 4 * H, H).astype(np.float32)
+    B = rng.randn(1, 8 * H).astype(np.float32)
+    Y, Yh, Yc = OnnxGraph(_lstm_model(W, R, B)).run({"x": X})
+    nY, nh, nc = naive_lstm(X, W[0], R[0], B[0])
+    assert Y.shape == (seq, 1, batch, H)
+    np.testing.assert_allclose(Y[:, 0], nY, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(Yh[0], nh, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(Yc[0], nc, rtol=1e-4, atol=1e-5)
+
+
+def test_lstm_bidirectional_with_sequence_lens():
+    rng = np.random.RandomState(11)
+    seq, batch, inp, H = 5, 3, 2, 2
+    X = rng.randn(seq, batch, inp).astype(np.float32)
+    W = rng.randn(2, 4 * H, inp).astype(np.float32)
+    R = rng.randn(2, 4 * H, H).astype(np.float32)
+    B = rng.randn(2, 8 * H).astype(np.float32)
+    lens = np.array([5, 3, 4], dtype=np.int32)
+    model = _lstm_model(W, R, B, direction="bidirectional",
+                        extra_inputs=("lens",))
+    Y, Yh, Yc = OnnxGraph(model).run({"x": X, "lens": lens})
+    fY, fh, fc = naive_lstm(X, W[0], R[0], B[0], seq_lens=lens)
+    rY, rh, rc = naive_lstm(X, W[1], R[1], B[1], seq_lens=lens, rev=True)
+    np.testing.assert_allclose(Y[:, 0], fY, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(Y[:, 1], rY, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(Yh[0], fh, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(Yh[1], rh, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(Yc[1], rc, rtol=1e-4, atol=1e-5)
+    # Y zero-padded past each row's length (forward direction)
+    assert np.all(Y[3:, 0, 1] == 0) and np.all(Y[4:, 0, 2] == 0)
+
+
+@pytest.mark.parametrize("lbr", [0, 1])
+def test_gru_matches_naive_loop(lbr):
+    rng = np.random.RandomState(5)
+    seq, batch, inp, H = 4, 2, 3, 2
+    X = rng.randn(seq, batch, inp).astype(np.float32)
+    W = rng.randn(1, 3 * H, inp).astype(np.float32)
+    R = rng.randn(1, 3 * H, H).astype(np.float32)
+    B = rng.randn(1, 6 * H).astype(np.float32)
+    attrs = (int_attr("hidden_size", H)
+             + int_attr("linear_before_reset", lbr))
+    graph = (
+        ld(1, node("GRU", ["x", "W", "R", "B"], ["Y", "Y_h"], attrs))
+        + ld(2, b"gru")
+        + ld(5, tensor("W", W.shape, W)) + ld(5, tensor("R", R.shape, R))
+        + ld(5, tensor("B", B.shape, B))
+        + ld(11, value_info("x"))
+        + ld(12, value_info("Y")) + ld(12, value_info("Y_h"))
+    )
+    Y, Yh = OnnxGraph(vi(1, 8) + ld(7, graph)).run({"x": X})
+    nY, nh = naive_gru(X, W[0], R[0], B[0], lbr=lbr)
+    np.testing.assert_allclose(Y[:, 0], nY, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(Yh[0], nh, rtol=1e-4, atol=1e-5)
+
+
+def test_layernorm_gelu_block():
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 4).astype(np.float32)
+    scale = rng.randn(4).astype(np.float32)
+    bias = rng.randn(4).astype(np.float32)
+    graph = (
+        ld(1, node("LayerNormalization", ["x", "s", "b"], ["h"]))
+        + ld(1, node("Gelu", ["h"], ["y"]))
+        + ld(2, b"ln")
+        + ld(5, tensor("s", scale.shape, scale))
+        + ld(5, tensor("b", bias.shape, bias))
+        + ld(11, value_info("x")) + ld(12, value_info("y"))
+    )
+    (y,) = OnnxGraph(vi(1, 8) + ld(7, graph)).run({"x": x})
+    import math as m
+
+    mean = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    h = (x - mean) / np.sqrt(var + 1e-5) * scale + bias
+    erf = np.vectorize(m.erf)
+    expect = 0.5 * h * (1.0 + erf(h / m.sqrt(2.0)))
+    np.testing.assert_allclose(y, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_self_attention_composition():
+    """Single-head self-attention assembled from MatMul/Transpose/Mul/
+    Softmax — the transformer block the executor now covers."""
+    rng = np.random.RandomState(9)
+    T_, D = 3, 4
+    x = rng.randn(T_, D).astype(np.float32)
+    Wq = rng.randn(D, D).astype(np.float32)
+    Wk = rng.randn(D, D).astype(np.float32)
+    Wv = rng.randn(D, D).astype(np.float32)
+    scale = np.float32(1.0 / np.sqrt(D))
+    graph = (
+        ld(1, node("MatMul", ["x", "Wq"], ["q"]))
+        + ld(1, node("MatMul", ["x", "Wk"], ["k"]))
+        + ld(1, node("MatMul", ["x", "Wv"], ["v"]))
+        + ld(1, node("Transpose", ["k"], ["kT"]))
+        + ld(1, node("MatMul", ["q", "kT"], ["qk"]))
+        + ld(1, node("Mul", ["qk", "scale"], ["scores"]))
+        + ld(1, node("Softmax", ["scores"], ["attn"]))
+        + ld(1, node("MatMul", ["attn", "v"], ["y"]))
+        + ld(2, b"attn")
+        + ld(5, tensor("Wq", Wq.shape, Wq))
+        + ld(5, tensor("Wk", Wk.shape, Wk))
+        + ld(5, tensor("Wv", Wv.shape, Wv))
+        + ld(5, tensor("scale", [], [scale]))
+        + ld(11, value_info("x")) + ld(12, value_info("y"))
+    )
+    (y,) = OnnxGraph(vi(1, 8) + ld(7, graph)).run({"x": x})
+    q, k, v = x @ Wq, x @ Wk, x @ Wv
+    s = (q @ k.T) * scale
+    e = np.exp(s - s.max(axis=-1, keepdims=True))
+    a = e / e.sum(axis=-1, keepdims=True)
+    np.testing.assert_allclose(y, a @ v, rtol=1e-4, atol=1e-5)
+
+
+def test_shape_ops_gather_slice_split_cast_reduce():
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 6).astype(np.float32)
+    graph = (
+        ld(1, node("Shape", ["x"], ["sh"]))
+        + ld(1, node("Gather", ["x", "idx"], ["g"], int_attr("axis", 1)))
+        + ld(1, node("Slice", ["x", "st", "en", "ax"], ["sl"]))
+        + ld(1, node("Split", ["x"], ["s1", "s2"], int_attr("axis", 1)))
+        + ld(1, node("Cast", ["x"], ["ci"], int_attr("to", 7)))
+        + ld(1, node("ReduceMean", ["x"], ["rm"],
+                     ints_attr("axes", [1]) + int_attr("keepdims", 0)))
+        + ld(2, b"shapes")
+        + ld(5, tensor("idx", [2], [0, 3], dtype="i8"))
+        + ld(5, tensor("st", [1], [1], dtype="i8"))
+        + ld(5, tensor("en", [1], [4], dtype="i8"))
+        + ld(5, tensor("ax", [1], [1], dtype="i8"))
+        + ld(11, value_info("x"))
+        + ld(12, value_info("sh")) + ld(12, value_info("g"))
+        + ld(12, value_info("sl")) + ld(12, value_info("s1"))
+        + ld(12, value_info("s2")) + ld(12, value_info("ci"))
+        + ld(12, value_info("rm"))
+    )
+    sh, g, sl, s1, s2, ci, rm = OnnxGraph(vi(1, 8) + ld(7, graph)).run({"x": x})
+    assert sh.tolist() == [2, 6]
+    np.testing.assert_allclose(g, x[:, [0, 3]])
+    np.testing.assert_allclose(sl, x[:, 1:4])
+    np.testing.assert_allclose(s1, x[:, :3])
+    np.testing.assert_allclose(s2, x[:, 3:])
+    assert ci.dtype == np.int64
+    np.testing.assert_allclose(rm, x.mean(axis=1), rtol=1e-6)
