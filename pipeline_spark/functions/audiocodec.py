@@ -34,7 +34,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             )
         if data[:4] == b"fLaC":
             raise NotImplementedError(
-                "audio: FLAC needs a codec library (absent from this sandbox)"
+                "audio: FLAC payload reached the WAV decoder — use "
+                "decode_audio(), which dispatches to the native FLAC codec"
             )
         if data[:4] == b"OggS":
             raise NotImplementedError(
@@ -94,6 +95,16 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise AudioError("audio: zero channels")
     x = x[: len(x) - len(x) % channels]
     return x.reshape(-1, channels), rate
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Format-sniffing audio decode: FLAC → the native flaccodec,
+    RIFF/WAVE → decode_wav; MP3/OGG still gate with actionable errors."""
+    if data[:4] == b"fLaC":
+        from pipeline_spark.functions.flaccodec import decode_flac
+
+        return decode_flac(data)
+    return decode_wav(data)
 
 
 def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:

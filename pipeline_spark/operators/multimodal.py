@@ -226,14 +226,14 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         )
 
         def afeat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from pipeline_spark.functions.audiocodec import audio_features, decode_wav
+            from pipeline_spark.functions.audiocodec import audio_features, decode_audio
 
             for pdf in batches:
                 out = pdf.copy()
                 durs, rates, chans, feats = [], [], [], []
                 for b in pdf[payload_field]:
                     try:
-                        samples, rate = decode_wav(bytes(b or b""))
+                        samples, rate = decode_audio(bytes(b or b""))
                         durs.append(len(samples) / float(rate))
                         rates.append(rate)
                         chans.append(samples.shape[1])
@@ -266,7 +266,7 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
 
         def aresample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from pipeline_spark.functions.audiocodec import (
-                decode_wav,
+                decode_audio,
                 encode_wav,
                 resample_linear,
             )
@@ -276,7 +276,7 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                 blobs, rates = [], []
                 for b in pdf[payload_field]:
                     try:
-                        samples, rate = decode_wav(bytes(b or b""))
+                        samples, rate = decode_audio(bytes(b or b""))
                         blobs.append(
                             encode_wav(
                                 resample_linear(samples, rate, target_rate),
