@@ -205,8 +205,9 @@ def _pil_decode(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Magic-byte dispatch: PNG/BMP/baseline-JPEG natively, everything
-    else (progressive JPEG, GIF, WebP…) via Pillow."""
+    """Magic-byte dispatch: PNG/BMP/JPEG (baseline + progressive)/GIF/
+    lossless-WebP natively; the remainder (lossy VP8, arithmetic-coded
+    JPEG, TIFF…) via Pillow when installed."""
     if data.startswith(_PNG_SIG):
         return decode_png(data)
     if data[:2] == b"BM":
@@ -229,6 +230,13 @@ def decode_image(data: bytes) -> np.ndarray:
         from pipeline_spark.functions.gifcodec import decode_gif
 
         return decode_gif(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from pipeline_spark.functions.vp8lcodec import decode_webp
+
+        try:
+            return decode_webp(data)
+        except NotImplementedError:
+            return _pil_decode(data)  # lossy VP8 / animations
     return _pil_decode(data)
 
 
