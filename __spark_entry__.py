@@ -1015,7 +1015,7 @@ FROM documents
 
 def q_image_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode e2e: per-doc payloads are ENCODED in-executor with
-    the native codecs (PNG / baseline JPEG / GIF rotating by id) at
+    the native codecs (PNG / baseline JPEG / GIF / lossless WebP rotating by id) at
     id-derived dimensions, then decoded back through the multimodal decode
     op; the oracle recomputes the dimension formulas in SQL — a hash
     mismatch means a codec round-trip broke."""
@@ -1037,6 +1037,7 @@ def q_image_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pipeline_spark.functions.gifcodec import encode_gif
         from pipeline_spark.functions.imagecodec import encode_png
         from pipeline_spark.functions.jpegcodec import encode_jpeg
+        from pipeline_spark.functions.vp8lcodec import encode_webp
 
         for pdf in batches:
             payloads = []
@@ -1048,13 +1049,15 @@ def q_image_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [(xx * 255 // max(w - 1, 1)), (yy * 255 // max(h - 1, 1)),
                      np.full((h, w), did % 256)], axis=2
                 ).astype(np.uint8)
-                fmt = did % 3
+                fmt = did % 4
                 if fmt == 0:
                     payloads.append(encode_png(img))
                 elif fmt == 1:
                     payloads.append(encode_jpeg(img, quality=90))
-                else:
+                elif fmt == 2:
                     payloads.append(encode_gif(img))
+                else:
+                    payloads.append(encode_webp(img))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     import pyspark.sql.types as T
@@ -1081,8 +1084,9 @@ FROM documents WHERE doc_id % 10 = 0
 
 
 def q_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode e2e: id-derived sine WAVs encoded in-executor by
-    the native codec, decoded back through the audio_features op; the
+    """REAL audio decode e2e: id-derived sine clips encoded in-executor by
+    the native codecs (WAV, FLAC every other row), decoded back through
+    the format-dispatching audio_features op; the
     oracle recomputes duration/rate/channels formulas in SQL."""
     from typing import Iterator
 
@@ -1100,6 +1104,7 @@ def q_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pipeline_spark.functions.audiocodec import encode_wav
+        from pipeline_spark.functions.flaccodec import encode_flac
 
         for pdf in batches:
             payloads = []
@@ -1112,7 +1117,8 @@ def q_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [0.5 * np.sin(2 * np.pi * (200 + did % 7 * 100) * t)] * ch,
                     axis=1,
                 )
-                payloads.append(encode_wav(sig, 8000))
+                enc = encode_flac if did % 20 == 0 else encode_wav
+                payloads.append(enc(sig, 8000))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     import pyspark.sql.types as T
