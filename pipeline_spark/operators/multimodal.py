@@ -23,7 +23,10 @@ Ops:
                  PCM decode, functions/audiocodec.py; MP3/FLAC gated)
   audio_resample WAV → linear-resampled re-encoded WAV payload
   frame_sample   video → N frame rows per input (exploding mapInPandas;
-                 ffmpeg stub with deterministic fake frames)
+                 REAL pixels for GIF, REAL keyframe access units for MP4
+                 via ``emit: raw``; ffmpeg stub otherwise)
+  video_meta     MP4 → duration/dimensions/codec/sample counts/fps via
+                 the native ISO-BMFF parser (functions/mp4box.py)
 """
 
 from __future__ import annotations
@@ -318,10 +321,14 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             F.col(payload_field).alias("payload"),
         )
 
+        emit_raw = str(p.get("emit", "image")).lower() == "raw"
+
         def _real_frames(b: bytes) -> list[tuple[float, bytes]]:
             """REAL for GIF animations (stdlib LZW decoder, uniform frame
-            sampling, PNG re-encode); other containers (mp4/webm/avi)
-            need ffmpeg/pyav and raise actionably."""
+            sampling, PNG re-encode) and — with ``emit: raw`` — for MP4:
+            the sample table resolves keyframe ACCESS UNITS, emitted as
+            raw payloads with their timestamps (the shard-for-GPU-decode
+            pattern); decoding those to pixels needs ffmpeg/pyav."""
             if b[:6] in (b"GIF87a", b"GIF89a"):
                 from pipeline_spark.functions.gifcodec import decode_gif_frames
                 from pipeline_spark.functions.imagecodec import encode_png
@@ -338,8 +345,34 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                 for j, (_, frame) in enumerate(picked):
                     out.append((starts[j * step], encode_png(frame)))
                 return out
+            if len(b) > 8 and b[4:8] in (b"ftyp", b"moov", b"mdat"):
+                if not emit_raw:
+                    raise NotImplementedError(
+                        "mp4 frame decode needs ffmpeg/pyav; pass "
+                        "emit: raw to extract keyframe access units "
+                        "natively, or fake: true for the stub"
+                    )
+                from pipeline_spark.functions.mp4box import (
+                    parse_mp4,
+                    resolve_samples,
+                )
+
+                meta = parse_mp4(b)
+                vids = [t for t in meta["tracks"] if t["type"] == "vide"]
+                if not vids:
+                    raise ValueError("mp4: no video track")
+                keys = [
+                    s for s in resolve_samples(b, vids[0]) if s["sync"]
+                ]
+                step = max(1, len(keys) // n_frames)
+                picked = keys[::step][:n_frames]
+                return [
+                    (s["ts_s"], b[s["offset"] : s["offset"] + s["size"]])
+                    for s in picked
+                ]
             raise NotImplementedError(
-                "video frame sampling is real for GIF only; mp4/webm need "
+                "video frame sampling is real for GIF (pixels) and MP4 "
+                "(emit: raw keyframe access units); other containers need "
                 "ffmpeg (not in container) — pass fake: true for the stub"
             )
 
@@ -379,5 +412,63 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                 )
 
         return {"": narrowed.mapInPandas(sample, schema=frame_schema)}
+
+    if op == "video_meta":
+        # REAL container-level video metadata: the ISO-BMFF box parser
+        # (functions/mp4box.py) reads mvhd/tkhd/mdhd/hdlr/stsd/stsz/stss
+        # — duration, dimensions, codec fourcc, sample/keyframe counts,
+        # fps — no ffmpeg needed (pixel decode stays gated).
+        null_on_error = str(p.get("onError", "fail")).lower() == "null"
+        schema = T.StructType(
+            [
+                *df.schema.fields,
+                T.StructField("duration_s", T.DoubleType()),
+                T.StructField("video_width", T.IntegerType()),
+                T.StructField("video_height", T.IntegerType()),
+                T.StructField("video_codec", T.StringType()),
+                T.StructField("n_samples", T.IntegerType()),
+                T.StructField("n_keyframes", T.IntegerType()),
+                T.StructField("fps", T.DoubleType()),
+            ]
+        )
+
+        def vmeta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pipeline_spark.functions.mp4box import parse_mp4
+
+            cols = (
+                "duration_s", "video_width", "video_height", "video_codec",
+                "n_samples", "n_keyframes", "fps",
+            )
+            for pdf in batches:
+                out = pdf.copy()
+                vals: dict[str, list] = {c: [] for c in cols}
+                for b in pdf[payload_field]:
+                    try:
+                        meta = parse_mp4(bytes(b or b""))
+                        vids = [
+                            t for t in meta["tracks"] if t["type"] == "vide"
+                        ]
+                        v = vids[0] if vids else {}
+                        vals["duration_s"].append(meta["duration_s"])
+                        vals["video_width"].append(
+                            int(v["width"]) if v.get("width") else None
+                        )
+                        vals["video_height"].append(
+                            int(v["height"]) if v.get("height") else None
+                        )
+                        vals["video_codec"].append(v.get("codec"))
+                        vals["n_samples"].append(v.get("n_samples"))
+                        vals["n_keyframes"].append(v.get("n_keyframes"))
+                        vals["fps"].append(v.get("fps"))
+                    except Exception:
+                        if not null_on_error:
+                            raise
+                        for c in cols:
+                            vals[c].append(None)
+                for c in cols:
+                    out[c] = vals[c]
+                yield out
+
+        return {"": df.mapInPandas(vmeta, schema=schema)}
 
     raise ValueError(f"multimodal: unknown op '{op}'")
