@@ -20,8 +20,13 @@ UDF (see ``japanese_segment``) — a public-heuristic stand-in for the
 Lucene analyzer, documented divergence: no dictionary lemmatization.
 CharFilters (tokenize.md:50-58) cover patternReplace / mapping /
 htmlStrip as pure Column regexes and the ICU NormalizeCharFilter via
-stdlib ``unicodedata`` (pandas ``str.normalize``).  OpenNLP model-based
-analyzers stay gated (model files + SDK not in container).
+stdlib ``unicodedata`` (pandas ``str.normalize``).  The OpenNLP
+model-based analyzers (TokenAnalyzer.java:160-172) are stood in by a
+rule-based sentence detector (``split_sentences``: abbreviations,
+initials, dotted tokens, decimals, quote-aware continuation, CJK
+terminators) — ``tokenizer: sentence`` emits sentence tokens,
+``opennlptokenizer`` sentence-aware word tokens; maxent model-file
+scoring is a documented divergence (binaries unshippable).
 """
 
 from __future__ import annotations
@@ -32,6 +37,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pipeline_spark.functions.partitioning import spread
 from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
@@ -345,6 +351,84 @@ def bpe_tokens_udf(ranks: dict[tuple[str, str], int], end_of_word: str):
     return toks
 
 
+# Rule-based sentence boundary detection — the OpenNLP sentence-model
+# stand-in (TokenAnalyzer.java:160-172 loads maxent model files; those
+# binaries aren't shippable, so this is a public-heuristic replacement,
+# documented divergence like the Japanese segmenter).  Handles common
+# abbreviations, personal initials, decimals, ellipses, closing
+# quotes/brackets, and CJK terminators.
+_SENT_ABBREV = {
+    "dr", "mr", "mrs", "ms", "prof", "rev", "hon", "sr", "jr", "st",
+    "vs", "etc", "approx", "dept", "est", "fig", "no", "inc", "ltd",
+    "co", "corp", "al", "ed", "vol", "pp", "cf", "ca", "jan", "feb",
+    "mar", "apr", "jun", "jul", "aug", "sep", "sept", "oct", "nov",
+    "dec", "mon", "tue", "wed", "thu", "fri", "sat", "sun",
+}
+
+
+def split_sentences(text: str) -> list[str]:
+    """Split text into sentences: terminators [.!?…] (+ closing
+    quotes/brackets) followed by whitespace and an upper/digit/quote
+    opener end a sentence, unless the preceding word is a known
+    abbreviation, a single initial (J.), or part of an i.e./e.g.-style
+    dotted token; CJK 。！？ always terminate."""
+    import re as _re
+
+    if not text:
+        return []
+    out = []
+    start = 0
+    n = len(text)
+    for m in _re.finditer(r"[.!?…]+[\"'”’)\]]*\s+|[。！？]+", text):
+        end = m.end()
+        boundary = m.group()
+        if boundary[0] in ".!?…":
+            # a lowercase continuation means no boundary: `"Why?" she`
+            nxt = text[end : end + 1]
+            if nxt and not (nxt.isupper() or nxt.isdigit()
+                            or nxt in "\"'“‘(["):
+                continue
+        if boundary[0] == ".":
+            prev = text[start : m.start()]
+            word = _re.split(r"[\s(\[\"'“‘]+", prev)[-1] if prev else ""
+            bare = word.rstrip(".").lower()
+            if bare in _SENT_ABBREV:
+                continue
+            if len(word.rstrip(".")) == 1 and word[:1].isupper():
+                continue  # personal initial: "J. Smith"
+            if "." in word.rstrip("."):
+                continue  # dotted token: e.g., i.e., U.S.
+        sent = text[start:end].strip()
+        if sent:
+            out.append(sent)
+        start = end
+    tail = text[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def sentence_tokens_udf(words: bool = False):
+    """Vectorized sentence splitter; ``words=True`` emits sentence-aware
+    word tokens (the Lucene OpenNLPTokenizer's output shape)."""
+    import re as _re
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def toks(s: pd.Series) -> pd.Series:
+        def run(text):
+            sents = split_sentences(text or "")
+            if not words:
+                return sents
+            out = []
+            for sent in sents:
+                out.extend(w for w in _re.split(r"\W+", sent) if w)
+            return out
+
+        return s.map(run)
+
+    return toks
+
+
 def tokenize_column(col: Column, tokenizer: dict[str, Any] | None, filters: list[dict[str, Any]]) -> Column:
     tk = (tokenizer or {}).get("type", "standard").lower()
     if tk in ("japanese", "japanesetokenizer", "kuromoji"):
@@ -374,6 +458,13 @@ def tokenize_column(col: Column, tokenizer: dict[str, Any] | None, filters: list
             bpe_ranks(tokenizer or {}),
             str((tokenizer or {}).get("endOfWord", "")),
         )(col)
+    elif tk in ("sentence", "sentencedetector"):
+        toks = sentence_tokens_udf(words=False)(col)
+    elif tk in ("opennlp", "opennlptokenizer"):
+        # model-file maxent analyzers can't ship; the rule-based
+        # sentence detector + per-sentence word split reproduces the
+        # Lucene OpenNLPTokenizer's output shape (documented divergence)
+        toks = sentence_tokens_udf(words=True)(col)
     else:
         raise NotImplementedError(f"tokenizer '{tk}' requires Lucene/ICU (not in container)")
 

@@ -1477,3 +1477,37 @@ sinks:
     assert "a,1" in one
     two = (out / "b-4.txt").read_text()
     assert "FLAGGED" not in two
+
+
+def test_sentence_tokenizer_and_opennlp_standin(spark):
+    """Rule-based sentence detection (the OpenNLP sentence-model
+    stand-in, TokenAnalyzer.java:160-172): abbreviations, initials,
+    decimals, CJK terminators, quote-aware continuation; the opennlp
+    tokenizer type emits sentence-aware word tokens."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.operators.tokenize import split_sentences, tokenize_column
+
+    assert split_sentences(
+        "Dr. Smith went to Washington. He arrived at 3 p.m. yesterday."
+    ) == ["Dr. Smith went to Washington.", "He arrived at 3 p.m. yesterday."]
+    assert split_sentences("J. R. Tolkien wrote. It sold 3.5 million.") == [
+        "J. R. Tolkien wrote.", "It sold 3.5 million."
+    ]
+    assert split_sentences("これは文です。これも文です！") == [
+        "これは文です。", "これも文です！"
+    ]
+    assert split_sentences('He said "Stop!" Then. "Why?" she asked.') == [
+        'He said "Stop!"', 'Then.', '"Why?" she asked.'
+    ]
+
+    df = spark.createDataFrame([Row(t="A b. C d! E?")])
+    sents = df.select(
+        tokenize_column(F.col("t"), {"type": "sentence"}, []).alias("s")
+    ).collect()[0]["s"]
+    assert sents == ["A b.", "C d!", "E?"]
+    words = df.select(
+        tokenize_column(F.col("t"), {"type": "opennlp"}, []).alias("w")
+    ).collect()[0]["w"]
+    assert words == ["A", "b", "C", "d", "E"]
