@@ -103,10 +103,28 @@ def _leaf(leaf: dict[str, Any], df: DataFrame) -> Column:
         dtype: T.DataType = T.DoubleType()
     else:
         key = leaf["key"]
-        if key not in dtypes:
+        if key in dtypes:
+            col = F.col(key)
+            dtype = dtypes[key]
+        elif "." in key:
+            # dotted struct path (PartitionTest.java:28-31 filters on
+            # nestedField.stringField): navigate field by field
+            head, *rest = key.split(".")
+            if head not in dtypes:
+                raise ValueError(f"filter references unknown field '{key}'")
+            col = F.col(head)
+            dtype = dtypes[head]
+            for part in rest:
+                if not isinstance(dtype, T.StructType) or part not in {
+                    f.name for f in dtype.fields
+                }:
+                    raise ValueError(
+                        f"filter references unknown field '{key}'"
+                    )
+                col = col.getField(part)
+                dtype = dtype[part].dataType
+        else:
             raise ValueError(f"filter references unknown field '{key}'")
-        col = F.col(key)
-        dtype = dtypes[key]
 
     if value is None:
         # x = null → isNull; x != null → isNotNull; others → false

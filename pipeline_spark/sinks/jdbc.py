@@ -26,6 +26,71 @@ from pyspark.sql import DataFrame
 from pipeline_spark.registry import KIND_SINK, ModuleContext, module
 
 
+def create_statement(
+    table: str,
+    columns: list[str],
+    op: str,
+    db: str,
+    key_fields: list[str] | None = None,
+    timestamp_cols: set[str] | frozenset[str] = frozenset(),
+) -> str:
+    """Dialect-specific write statement, reproducing the reference's
+    JdbcUtil.createStatement (JdbcUtilTest.java:229-516 pins the exact
+    strings): MySQL upserts via ON DUPLICATE KEY UPDATE (DO NOTHING =
+    the self-assign-keys trick), PostgreSQL via MERGE with ::timestamp
+    placeholder casts, H2 via MERGE ... KEY, SQLServer insert-only; the
+    unsupported (db, op) combinations raise like the reference."""
+    op = op.upper()
+    db = db.upper()
+    if op not in ("INSERT", "INSERT_OR_UPDATE", "INSERT_OR_DONOTHING"):
+        raise ValueError(f"jdbc: unknown statement op '{op}'")
+    if db not in ("MYSQL", "POSTGRESQL", "SQLSERVER", "H2"):
+        raise ValueError(f"jdbc: unknown db dialect '{db}'")
+    keys = list(key_fields or [])
+    nonkey = [c for c in columns if c not in keys]
+    collist = ",".join(columns)
+
+    def ph(c: str) -> str:
+        if db == "POSTGRESQL" and c in timestamp_cols:
+            return "?::timestamp"
+        return "?"
+
+    values = ",".join(ph(c) for c in columns)
+    insert = f"INSERT INTO {table} ({collist}) VALUES ({values})"
+    if op == "INSERT":
+        return insert
+    if db == "SQLSERVER":
+        raise ValueError(f"SQLServer does not support {op}.")
+    if db == "MYSQL":
+        # DO NOTHING = assign the keys to themselves on conflict
+        update_cols = nonkey if op == "INSERT_OR_UPDATE" else keys
+        sets = ",".join(f"`{c}` = VALUES(`{c}`)" for c in update_cols)
+        return insert + " ON DUPLICATE KEY UPDATE " + sets
+    if db == "H2":
+        if op == "INSERT_OR_DONOTHING":
+            raise ValueError("H2 does not support INSERT_OR_DONOTHING.")
+        return (
+            f"MERGE INTO {table} ({collist}) KEY ({','.join(keys)})"
+            f" VALUES ({values})"
+        )
+    # POSTGRESQL: MERGE form
+    on = " AND ".join(f"item.{k} = {table}.{k}" for k in keys)
+    matched = (
+        " UPDATE SET " + ",".join(f"{c} = item.{c}" for c in nonkey)
+        if op == "INSERT_OR_UPDATE"
+        else " DO NOTHING"
+    )
+    item_vals = ",".join(f"item.{c}" for c in columns)
+    return (
+        f"MERGE INTO {table} "
+        f"USING (VALUES ({values})) AS item ({collist}) ON {on}"
+        f" WHEN MATCHED THEN{matched}"
+        f" WHEN NOT MATCHED THEN"
+        f" INSERT ({collist})"
+        f" VALUES ({item_vals})"
+    )
+
+
 def _dbapi_write(df: DataFrame, p: dict) -> None:
     from pipeline_spark.operators.ml import resolve_factory
 
@@ -54,17 +119,35 @@ def _dbapi_write(df: DataFrame, p: dict) -> None:
     mutational = bool(keys) and op_field in cols
     data_cols = [c for c in cols if c != op_field]
     nonkey = [c for c in data_cols if c not in keys]
+    db_dialect = str(p.get("db", p.get("dialect", ""))).upper()
     if mutational:
-        ins_sql = (
-            f"INSERT INTO {table} ({', '.join(data_cols)}) "
-            f"VALUES ({', '.join([ph] * len(data_cols))})"
-        )
-        ups_sql = ins_sql + (
-            f" ON CONFLICT({', '.join(keys)}) DO UPDATE SET "
-            + ", ".join(f"{c} = excluded.{c}" for c in nonkey)
-            if nonkey
-            else f" ON CONFLICT({', '.join(keys)}) DO NOTHING"
-        )
+        if db_dialect in ("MYSQL", "POSTGRESQL", "SQLSERVER", "H2"):
+            from pyspark.sql import types as _T
+
+            ts_cols = {
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, (_T.TimestampType,
+                                           _T.TimestampNTZType))
+            }
+            ins_sql = create_statement(
+                table, data_cols, "INSERT", db_dialect, keys, ts_cols
+            ).replace("?", ph)
+            ups_sql = create_statement(
+                table, data_cols, "INSERT_OR_UPDATE", db_dialect, keys,
+                ts_cols,
+            ).replace("?", ph)
+        else:
+            ins_sql = (
+                f"INSERT INTO {table} ({', '.join(data_cols)}) "
+                f"VALUES ({', '.join([ph] * len(data_cols))})"
+            )
+            ups_sql = ins_sql + (
+                f" ON CONFLICT({', '.join(keys)}) DO UPDATE SET "
+                + ", ".join(f"{c} = excluded.{c}" for c in nonkey)
+                if nonkey
+                else f" ON CONFLICT({', '.join(keys)}) DO NOTHING"
+            )
         upd_sql = (
             f"UPDATE {table} SET "
             + ", ".join(f"{c} = {ph}" for c in nonkey)

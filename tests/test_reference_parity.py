@@ -1200,3 +1200,137 @@ transforms:
     assert [r["lastS"] for r in rows] == ["s1", "s2", "s3", "s4", "s5", "s6"]
     # windowed max OVER the computed windowed avg (sequential binding)
     assert [r["maxAvgLongField"] for r in rows] == [None, None, None, 10.0, 15.0, 20.0]
+
+
+# --------------------------------------------------------------------------
+# JdbcUtilTest.java:229-516 — dialect write-statement generation: the
+# expected statement strings are copied verbatim from the reference test.
+
+
+class TestJdbcCreateStatement:
+    COLS = ["id", "name", "age", "created_at"]
+    TS = frozenset({"created_at"})
+
+    def _stmt(self, op, db, keys=None):
+        from pipeline_spark.sinks.jdbc import create_statement
+
+        return create_statement("people", self.COLS, op, db, keys, self.TS)
+
+    def test_mysql_insert(self):
+        assert self._stmt("INSERT", "MYSQL") == (
+            "INSERT INTO people (id,name,age,created_at) VALUES (?,?,?,?)"
+        )
+
+    def test_mysql_insert_or_update(self):
+        assert self._stmt("INSERT_OR_UPDATE", "MYSQL", ["id"]) == (
+            "INSERT INTO people (id,name,age,created_at) VALUES (?,?,?,?)"
+            " ON DUPLICATE KEY UPDATE "
+            "`name` = VALUES(`name`),"
+            "`age` = VALUES(`age`),"
+            "`created_at` = VALUES(`created_at`)"
+        )
+
+    def test_mysql_insert_or_donothing(self):
+        assert self._stmt("INSERT_OR_DONOTHING", "MYSQL", ["id"]) == (
+            "INSERT INTO people (id,name,age,created_at) VALUES (?,?,?,?)"
+            " ON DUPLICATE KEY UPDATE "
+            "`id` = VALUES(`id`)"
+        )
+
+    def test_postgresql_insert(self):
+        assert self._stmt("INSERT", "POSTGRESQL") == (
+            "INSERT INTO people (id,name,age,created_at)"
+            " VALUES (?,?,?,?::timestamp)"
+        )
+
+    def test_postgresql_insert_or_update(self):
+        assert self._stmt("INSERT_OR_UPDATE", "POSTGRESQL", ["id"]) == (
+            "MERGE INTO people "
+            "USING (VALUES (?,?,?,?::timestamp)) AS item (id,name,age,"
+            "created_at) ON item.id = people.id"
+            " WHEN MATCHED THEN"
+            " UPDATE SET "
+            "name = item.name,"
+            "age = item.age,"
+            "created_at = item.created_at"
+            " WHEN NOT MATCHED THEN"
+            " INSERT (id,name,age,created_at)"
+            " VALUES (item.id,item.name,item.age,item.created_at)"
+        )
+
+    def test_postgresql_insert_or_donothing(self):
+        assert self._stmt("INSERT_OR_DONOTHING", "POSTGRESQL", ["id"]) == (
+            "MERGE INTO people "
+            "USING (VALUES (?,?,?,?::timestamp)) AS item (id,name,age,"
+            "created_at) ON item.id = people.id"
+            " WHEN MATCHED THEN"
+            " DO NOTHING"
+            " WHEN NOT MATCHED THEN"
+            " INSERT (id,name,age,created_at)"
+            " VALUES (item.id,item.name,item.age,item.created_at)"
+        )
+
+    def test_sqlserver_insert_and_rejections(self):
+        assert self._stmt("INSERT", "SQLSERVER") == (
+            "INSERT INTO people (id,name,age,created_at) VALUES (?,?,?,?)"
+        )
+        with pytest.raises(ValueError, match="SQLServer does not support"):
+            self._stmt("INSERT_OR_UPDATE", "SQLSERVER", ["id"])
+        with pytest.raises(ValueError, match="SQLServer does not support"):
+            self._stmt("INSERT_OR_DONOTHING", "SQLSERVER", ["id"])
+
+    def test_h2_insert_merge_and_rejection(self):
+        assert self._stmt("INSERT", "H2") == (
+            "INSERT INTO people (id,name,age,created_at) VALUES (?,?,?,?)"
+        )
+        assert self._stmt("INSERT_OR_UPDATE", "H2", ["id"]) == (
+            "MERGE INTO people (id,name,age,created_at) KEY (id)"
+            " VALUES (?,?,?,?)"
+        )
+        with pytest.raises(ValueError, match="H2 does not support"):
+            self._stmt("INSERT_OR_DONOTHING", "H2", ["id"])
+
+
+def test_partition_nested_filter_constant_select(spark):
+    """PartitionTest.java:15-63 — a partition whose filter references a
+    NESTED field path and whose select emits a passthrough + a typed
+    constant: the row with nestedField.stringField = "a" (non-empty)
+    routes to partition1 carrying stringField="" and longField=1."""
+    from pyspark.sql import Row
+
+    from pipeline_spark.operators.partition import partition_transform
+    from pipeline_spark.registry import ModuleContext
+
+    df = spark.createDataFrame(
+        [Row(stringField="", nestedField=Row(stringField="a"))]
+    )
+    outs = partition_transform(
+        ModuleContext(
+            spark=spark,
+            name="p",
+            params={
+                "partitions": [
+                    {
+                        "name": "partition1",
+                        "filters": [
+                            {"key": "nestedField.stringField",
+                             "op": "!=", "value": ""}
+                        ],
+                        "select": [
+                            {"name": "stringField"},
+                            {"name": "longField", "value": 1,
+                             "type": "int64"},
+                        ],
+                    }
+                ]
+            },
+            inputs=[df],
+            input_names=["in"],
+            side_inputs={},
+        )
+    )
+    rows = outs["partition1"].collect()
+    assert len(rows) == 1
+    assert rows[0]["stringField"] == ""
+    assert rows[0]["longField"] == 1
+    assert outs["partition1"].schema["longField"].dataType.simpleString() == "bigint"
