@@ -2060,6 +2060,110 @@ FROM fit
 """
 
 
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence tokenizer (the OpenNLP analyzer stand-in,
+    TokenAnalyzer.java:160-172): text synthesized from doc_id carries a
+    leading abbreviation (Dr.) that must NOT split, two real boundaries,
+    and a terminal exclamation — the oracle reconstructs the exact three
+    sentences in SQL."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") % 25 == 0)
+    )
+    text = F.concat(
+        F.lit("Dr. Smith saw "), F.col("doc_id"),
+        F.lit(" cases. It took "), F.col("doc_id") % 7,
+        F.lit(" days. Done!"),
+    )
+    synth = docs.withColumn("text", text)
+    from pipeline_spark.operators.tokenize import tokenize_column
+
+    sents = tokenize_column(F.col("text"), {"type": "sentence"}, [])
+    out = synth.withColumn("sents", sents)
+    return out.select(
+        "doc_id",
+        F.size("sents").alias("n_sentences"),
+        F.element_at("sents", 1).alias("first_sentence"),
+        F.element_at("sents", 3).alias("last_sentence"),
+    )
+
+
+Q_SENTENCE_SQL = """
+SELECT doc_id,
+       3 AS n_sentences,
+       'Dr. Smith saw ' || doc_id || ' cases.' AS first_sentence,
+       'Done!' AS last_sentence
+FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container parsing e2e: id-derived MP4s assembled
+    in-executor by the ISO-BMFF box builder, parsed back through the
+    video_meta op (functions/mp4box.py); the oracle recomputes the
+    duration/dimension/count formulas in SQL."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pipeline_spark.operators.multimodal import multimodal_transform
+    from pipeline_spark.registry import ModuleContext
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") % 25 == 0)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipeline_spark.functions.mp4box import build_mp4
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 5 + did % 9
+                payloads.append(build_mp4(
+                    [bytes([i & 0xFF]) * 12 for i in range(n)],
+                    width=16 * (1 + did % 4), height=16 * (1 + did % 3),
+                    timescale=1000, sample_delta=40,
+                    sync_samples=list(range(1, n + 1, 2)),
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    import pyspark.sql.types as T
+
+    payload_df = docs.mapInPandas(
+        gen,
+        schema=T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+    meta = multimodal_transform(ModuleContext(
+        spark=spark, name="vm",
+        params={"op": "video_meta", "field": "payload", "idField": "doc_id"},
+        inputs=[payload_df], input_names=["in"], config={},
+    ))[""]
+    return meta.select(
+        "doc_id",
+        F.round("duration_s", 6).alias("duration_s"),
+        "video_width", "video_height", "n_samples", "n_keyframes",
+    )
+
+
+Q_VIDEO_META_SQL = """
+SELECT doc_id,
+       round(CAST((5 + doc_id % 9) * 0.04 AS DOUBLE), 6) AS duration_s,
+       16 * (1 + doc_id % 4) AS video_width,
+       16 * (1 + doc_id % 3) AS video_height,
+       5 + doc_id % 9 AS n_samples,
+       (5 + doc_id % 9 + 1) // 2 AS n_keyframes
+FROM documents WHERE doc_id % 25 = 0
+"""
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """textstats gopher op: the published Gopher document-quality rules
     (word count / mean word length / symbol / bullet / ellipsis / alpha
@@ -2548,6 +2652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_mor_roundtrip": q_iceberg_mor_roundtrip,
         "bucketed_join": q_bucketed_join,
         "gopher_rules": q_gopher_rules,
+        "sentence_split": q_sentence_split,
+        "video_meta": q_video_meta,
         "linear_regression": q_linear_regression,
     }
 
@@ -2620,5 +2726,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,
         "bucketed_join": Q_BUCKETED_JOIN_SQL,
         "gopher_rules": Q_GOPHER_SQL,
+        "sentence_split": Q_SENTENCE_SQL,
+        "video_meta": Q_VIDEO_META_SQL,
         "linear_regression": Q_LINREG_SQL,
     }
