@@ -37,6 +37,8 @@ def stage_stream_inputs():
     shutil.rmtree("/tmp/pipeline_out/early_firing_checkpoint", ignore_errors=True)
     shutil.rmtree("/tmp/pipeline_out/count_trigger", ignore_errors=True)
     shutil.rmtree("/tmp/pipeline_out/count_trigger_checkpoint", ignore_errors=True)
+    shutil.rmtree("/tmp/pipeline_out/composite_trigger", ignore_errors=True)
+    shutil.rmtree("/tmp/pipeline_out/composite_trigger_checkpoint", ignore_errors=True)
 
 
 @pytest.mark.parametrize("path", EXAMPLES, ids=[os.path.basename(p) for p in EXAMPLES])
