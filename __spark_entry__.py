@@ -2164,6 +2164,98 @@ FROM documents WHERE doc_id % 25 = 0
 """
 
 
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio container parsing e2e: id-derived MP3 / Ogg-Opus / WebM
+    fixtures assembled in-executor by the spec-shaped builders
+    (functions/mediacontainers.py), parsed back header-only through the
+    audio_meta op; the oracle recomputes the duration/rate/count formulas
+    per container in SQL."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pipeline_spark.operators.multimodal import multimodal_transform
+    from pipeline_spark.registry import ModuleContext
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") % 25 == 0)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipeline_spark.functions.mediacontainers import (
+            build_matroska,
+            build_mp3,
+            build_ogg_opus,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind = did % 3
+                if kind == 0:
+                    payloads.append(build_mp3(n_frames=10 + did % 7))
+                elif kind == 1:
+                    payloads.append(
+                        build_ogg_opus(
+                            duration_s=(1 + did % 5) * 0.25,
+                            channels=1 + did % 2,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        build_matroska(
+                            duration_s=(1 + did % 4) * 0.5,
+                            audio={"codec": "A_OPUS", "sample_rate": 48000,
+                                   "channels": 2},
+                            cluster_blocks=[(2, False)] * (3 + did % 5),
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    import pyspark.sql.types as T
+
+    payload_df = docs.mapInPandas(
+        gen,
+        schema=T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+    meta = multimodal_transform(ModuleContext(
+        spark=spark, name="am",
+        params={"op": "audio_meta", "field": "payload"},
+        inputs=[payload_df], input_names=["in"], config={},
+    ))[""]
+    return meta.select(
+        "doc_id", "container", "audio_codec",
+        F.round("duration_s", 6).alias("duration_s"),
+        "sample_rate", "channels", "n_frames",
+    )
+
+
+Q_AUDIO_META_SQL = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg' ELSE 'webm' END
+         AS container,
+       CASE doc_id % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'opus' ELSE 'A_OPUS' END
+         AS audio_codec,
+       CASE doc_id % 3
+         WHEN 0 THEN round((10 + doc_id % 7) * 1152.0 / 44100, 6)
+         WHEN 1 THEN round((1 + doc_id % 5) * 0.25, 6)
+         ELSE round((1 + doc_id % 4) * 0.5, 6)
+       END AS duration_s,
+       CASE doc_id % 3 WHEN 0 THEN 44100 ELSE 48000 END AS sample_rate,
+       CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN CAST(1 + doc_id % 2 AS INT)
+         ELSE 2 END AS channels,
+       CASE doc_id % 3 WHEN 0 THEN CAST(10 + doc_id % 7 AS INT)
+         WHEN 1 THEN NULL ELSE CAST(3 + doc_id % 5 AS INT) END AS n_frames
+FROM documents WHERE doc_id % 25 = 0
+"""
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """textstats gopher op: the published Gopher document-quality rules
     (word count / mean word length / symbol / bullet / ellipsis / alpha
@@ -2654,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "sentence_split": q_sentence_split,
         "video_meta": q_video_meta,
+        "audio_meta": q_audio_meta,
         "linear_regression": q_linear_regression,
     }
 
@@ -2728,5 +2821,6 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": Q_GOPHER_SQL,
         "sentence_split": Q_SENTENCE_SQL,
         "video_meta": Q_VIDEO_META_SQL,
+        "audio_meta": Q_AUDIO_META_SQL,
         "linear_regression": Q_LINREG_SQL,
     }

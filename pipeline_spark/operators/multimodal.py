@@ -48,6 +48,8 @@ _MAGIC = [
     ("52494646", "audio/wav"),  # RIFF (also webp/avi; refined by later bytes)
     ("494433", "audio/mpeg"),
     ("664c6143", "audio/flac"),
+    ("4f676753", "audio/ogg"),
+    ("1a45dfa3", "video/webm"),  # EBML (webm/mkv; refined by DocType)
     ("000000", "video/mp4"),
 ]
 
@@ -414,10 +416,11 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         return {"": narrowed.mapInPandas(sample, schema=frame_schema)}
 
     if op == "video_meta":
-        # REAL container-level video metadata: the ISO-BMFF box parser
-        # (functions/mp4box.py) reads mvhd/tkhd/mdhd/hdlr/stsd/stsz/stss
-        # — duration, dimensions, codec fourcc, sample/keyframe counts,
-        # fps — no ffmpeg needed (pixel decode stays gated).
+        # REAL container-level video metadata: ISO-BMFF via the box parser
+        # (functions/mp4box.py: mvhd/tkhd/mdhd/hdlr/stsd/stsz/stss) and
+        # Matroska/WebM via the EBML parser (functions/mediacontainers.py)
+        # — duration, dimensions, codec, sample/keyframe counts, fps —
+        # no ffmpeg needed (pixel decode stays gated).
         null_on_error = str(p.get("onError", "fail")).lower() == "null"
         schema = T.StructType(
             [
@@ -433,6 +436,7 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         )
 
         def vmeta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pipeline_spark.functions.mediacontainers import parse_matroska
             from pipeline_spark.functions.mp4box import parse_mp4
 
             cols = (
@@ -444,7 +448,22 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                 vals: dict[str, list] = {c: [] for c in cols}
                 for b in pdf[payload_field]:
                     try:
-                        meta = parse_mp4(bytes(b or b""))
+                        raw = bytes(b or b"")
+                        if raw[:4] == b"\x1a\x45\xdf\xa3":
+                            meta = parse_matroska(raw)
+                            vids = [
+                                t for t in meta["tracks"] if t["type"] == "video"
+                            ]
+                            v = vids[0] if vids else {}
+                            vals["duration_s"].append(meta["duration_s"])
+                            vals["video_width"].append(v.get("width"))
+                            vals["video_height"].append(v.get("height"))
+                            vals["video_codec"].append(v.get("codec"))
+                            vals["n_samples"].append(v.get("n_blocks"))
+                            vals["n_keyframes"].append(v.get("n_keyframes"))
+                            vals["fps"].append(v.get("fps"))
+                            continue
+                        meta = parse_mp4(raw)
                         vids = [
                             t for t in meta["tracks"] if t["type"] == "vide"
                         ]
@@ -470,5 +489,52 @@ def multimodal_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                 yield out
 
         return {"": df.mapInPandas(vmeta, schema=schema)}
+
+    if op == "audio_meta":
+        # header-only audio metadata across containers (WAV/FLAC/MP3/
+        # Ogg-Vorbis/Opus/Matroska/MP4) — no PCM decode, so it works for
+        # codecs whose payload decode is gated (mp3/vorbis/opus/aac)
+        null_on_error = str(p.get("onError", "fail")).lower() == "null"
+        schema = T.StructType(
+            [
+                *df.schema.fields,
+                T.StructField("container", T.StringType()),
+                T.StructField("audio_codec", T.StringType()),
+                T.StructField("duration_s", T.DoubleType()),
+                T.StructField("sample_rate", T.IntegerType()),
+                T.StructField("channels", T.IntegerType()),
+                T.StructField("n_frames", T.IntegerType()),
+            ]
+        )
+
+        def ameta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pipeline_spark.functions.mediacontainers import parse_audio_meta
+
+            cols = (
+                "container", "audio_codec", "duration_s", "sample_rate",
+                "channels", "n_frames",
+            )
+            for pdf in batches:
+                out = pdf.copy()
+                vals: dict[str, list] = {c: [] for c in cols}
+                for b in pdf[payload_field]:
+                    try:
+                        m = parse_audio_meta(bytes(b or b""))
+                        vals["container"].append(m["container"])
+                        vals["audio_codec"].append(m["codec"])
+                        vals["duration_s"].append(m["duration_s"])
+                        vals["sample_rate"].append(m["sample_rate"])
+                        vals["channels"].append(m["channels"])
+                        vals["n_frames"].append(m["n_frames"])
+                    except Exception:
+                        if not null_on_error:
+                            raise
+                        for c in cols:
+                            vals[c].append(None)
+                for c in cols:
+                    out[c] = vals[c]
+                yield out
+
+        return {"": df.mapInPandas(ameta, schema=schema)}
 
     raise ValueError(f"multimodal: unknown op '{op}'")
