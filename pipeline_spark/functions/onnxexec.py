@@ -14,12 +14,14 @@ Identity, Flatten, Constant, ConstantOfShape, Conv (2D, groups/
 dilations/pads), MaxPool, AveragePool, GlobalAveragePool,
 BatchNormalization (inference), LayerNormalization, Reshape, Transpose,
 Concat, Shape, Gather, Unsqueeze, Squeeze, Slice, Split, Expand, Cast,
-Where, Equal, Greater, Less, ReduceMean, ReduceSum, LSTM, GRU.  That
-covers linear/MLP scoring heads, small CNN-class models (LeNet/VGG-style
-feature extractors), recurrent encoders, and the building blocks of
-transformer attention (MatMul+Softmax+LayerNorm+Gelu).  Anything else —
-quantized ops, control flow (Loop/If/Scan) — raises a clear error naming
-the op; those belong to onnxruntime when it is installed.
+Where, Equal, Greater, Less, ReduceMean, ReduceSum, LSTM, GRU, and the
+control-flow trio If / Loop / Scan (subgraph attributes execute with
+ONNX nested-scope name capture).  That covers linear/MLP scoring heads,
+small CNN-class models (LeNet/VGG-style feature extractors), recurrent
+encoders, the building blocks of transformer attention
+(MatMul+Softmax+LayerNorm+Gelu), and iterative/conditional graphs.
+Anything else — quantized ops, training ops — raises a clear error
+naming the op; those belong to onnxruntime when it is installed.
 
 Nodes execute in graph order (ONNX requires topological ordering).
 """
@@ -120,6 +122,8 @@ def _parse_attrs(bufs: list[bytes]) -> dict[str, Any]:
             ]
         elif 8 in f:  # ints
             out[name] = list(f[8])
+        elif 6 in f:  # subgraph g (If branches, Loop/Scan bodies)
+            out[name] = _Graph(f[6][0])
         elif 4 in f:  # bytes s
             out[name] = f[4][0]
     return out
@@ -337,12 +341,13 @@ def _gru(x: list[np.ndarray], a: dict) -> tuple:
     return Y, Yh
 
 
-class OnnxGraph:
-    def __init__(self, model_bytes: bytes):
-        model = _fields_map(model_bytes)
-        if 7 not in model:
-            raise ProtoError("onnx model has no graph")
-        g = _fields_map(model[7][0])
+class _Graph:
+    """A parsed GraphProto: the top-level model graph or a control-flow
+    subgraph (If branch, Loop/Scan body).  Subgraphs see the enclosing
+    scope's values via ``outer`` (ONNX nested-scope name resolution)."""
+
+    def __init__(self, graph_bytes: bytes):
+        g = _fields_map(graph_bytes)
         self.nodes = []
         for nb in g.get(1, []):
             nf = _fields_map(nb)
@@ -364,8 +369,14 @@ class OnnxGraph:
             _s(_fields_map(b)[1][0]) for b in g.get(12, []) if 1 in _fields_map(b)
         ]
 
-    def run(self, feeds: dict[str, np.ndarray], outputs: list[str] | None = None):
-        vals: dict[str, np.ndarray] = dict(self.initializers)
+    def run(
+        self,
+        feeds: dict[str, np.ndarray],
+        outputs: list[str] | None = None,
+        outer: dict[str, np.ndarray] | None = None,
+    ):
+        vals: dict[str, np.ndarray] = dict(outer) if outer else {}
+        vals.update(self.initializers)
         vals.update({k: np.asarray(v) for k, v in feeds.items()})
         for node in self.nodes:
             op, a = node["op"], node["attrs"]
@@ -584,6 +595,20 @@ class OnnxGraph:
                 r = _lstm(x, a)
             elif op == "GRU":
                 r = _gru(x, a)
+            elif op == "If":
+                cond = bool(np.asarray(x[0]).reshape(()).item())
+                branch = a["then_branch"] if cond else a["else_branch"]
+                r = tuple(branch.run({}, outer=vals))
+                if len(r) == 1:
+                    r = r[0]
+            elif op == "Loop":
+                r = _run_loop(x, a, vals)
+                if len(r) == 1:
+                    r = r[0]
+            elif op == "Scan":
+                r = _run_scan(x, a, vals)
+                if len(r) == 1:
+                    r = r[0]
             else:
                 raise ProtoError(
                     f"onnx op '{op}' not supported by the numpy fallback "
@@ -601,6 +626,121 @@ class OnnxGraph:
                         vals[nm] = np.asarray(rv)
         wanted = outputs or self.outputs
         return [vals[n] for n in wanted]
+
+
+def _run_loop(x: list, a: dict, outer: dict) -> tuple:
+    """ONNX Loop: generic while/for loop with carried deps + scan outputs.
+
+    Node inputs: M (optional max trip count), cond (optional), then the
+    initial loop-carried values.  Body graph inputs: (iter_num, cond_in,
+    carried...); body outputs: (cond_out, carried..., scan...).  The
+    node's outputs are the final carried values followed by the scan
+    outputs stacked along a new axis 0."""
+    body = a["body"]
+    max_trips = (
+        None if x[0] is None else int(np.asarray(x[0]).reshape(()).item())
+    )
+    cond = (
+        True
+        if len(x) < 2 or x[1] is None
+        else bool(np.asarray(x[1]).reshape(()).item())
+    )
+    carried = [np.asarray(v) for v in x[2:]]
+    n_carried = len(carried)
+    n_scan = len(body.outputs) - 1 - n_carried
+    if n_scan < 0:
+        raise ProtoError("onnx Loop: body outputs fewer than carried inputs")
+    scans: list[list[np.ndarray]] = [[] for _ in range(n_scan)]
+    trips = 0
+    while cond and (max_trips is None or trips < max_trips):
+        feeds = {
+            body.inputs[0]: np.array(trips, dtype=np.int64),
+            body.inputs[1]: np.array(cond),
+        }
+        for name, v in zip(body.inputs[2:], carried):
+            feeds[name] = v
+        res = body.run(feeds, outer=outer)
+        cond = bool(np.asarray(res[0]).reshape(()).item())
+        carried = [np.asarray(v) for v in res[1 : 1 + n_carried]]
+        for acc, v in zip(scans, res[1 + n_carried :]):
+            acc.append(np.asarray(v))
+        trips += 1
+    stacked = [
+        np.stack(acc) if acc else np.zeros((0,), dtype=np.float32)
+        for acc in scans
+    ]
+    return tuple(carried + stacked)
+
+
+def _run_scan(x: list, a: dict, outer: dict) -> tuple:
+    """ONNX Scan: fold over slices of the scan inputs carrying state.
+
+    Node inputs: initial state values, then num_scan_inputs sequences;
+    body inputs mirror (state..., slice...); body outputs are
+    (state..., scan_slice...), with slices stacked per scan_output_axes/
+    directions."""
+    body = a["body"]
+    n_scan_in = int(a["num_scan_inputs"])
+    n_state = len(x) - n_scan_in
+    if n_state < 0:
+        raise ProtoError("onnx Scan: num_scan_inputs exceeds node inputs")
+    state = [np.asarray(v) for v in x[:n_state]]
+    seqs = [np.asarray(v) for v in x[n_state:]]
+    in_axes = [int(v) for v in a.get("scan_input_axes", [0] * n_scan_in)]
+    in_dirs = [int(v) for v in a.get("scan_input_directions", [0] * n_scan_in)]
+    n_scan_out = len(body.outputs) - n_state
+    out_axes = [int(v) for v in a.get("scan_output_axes", [0] * n_scan_out)]
+    out_dirs = [
+        int(v) for v in a.get("scan_output_directions", [0] * n_scan_out)
+    ]
+    n_iter = seqs[0].shape[in_axes[0]] if seqs else 0
+    collected: list[list[np.ndarray]] = [[] for _ in range(n_scan_out)]
+    for t in range(n_iter):
+        feeds: dict[str, np.ndarray] = {}
+        for name, v in zip(body.inputs[:n_state], state):
+            feeds[name] = v
+        for k, (arr, ax, d) in enumerate(zip(seqs, in_axes, in_dirs)):
+            idx = (n_iter - 1 - t) if d else t
+            feeds[body.inputs[n_state + k]] = np.take(arr, idx, axis=ax)
+        res = body.run(feeds, outer=outer)
+        state = [np.asarray(v) for v in res[:n_state]]
+        for acc, v in zip(collected, res[n_state:]):
+            acc.append(np.asarray(v))
+    outs = list(state)
+    for acc, ax, d in zip(collected, out_axes, out_dirs):
+        if d:
+            acc = acc[::-1]
+        outs.append(
+            np.stack(acc, axis=ax)
+            if acc
+            else np.zeros((0,), dtype=np.float32)
+        )
+    return tuple(outs)
+
+
+class OnnxGraph:
+    """A parsed ModelProto ready to execute (wraps the top-level _Graph)."""
+
+    def __init__(self, model_bytes: bytes):
+        model = _fields_map(model_bytes)
+        if 7 not in model:
+            raise ProtoError("onnx model has no graph")
+        self._g = _Graph(model[7][0])
+
+    @property
+    def inputs(self):
+        return self._g.inputs
+
+    @property
+    def outputs(self):
+        return self._g.outputs
+
+    @property
+    def initializers(self):
+        return self._g.initializers
+
+    def run(self, feeds: dict[str, np.ndarray], outputs: list[str] | None = None):
+        return self._g.run(feeds, outputs)
 
 
 class NumpyInferenceSession:

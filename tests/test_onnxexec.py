@@ -543,3 +543,133 @@ def test_shape_ops_gather_slice_split_cast_reduce():
     np.testing.assert_allclose(s2, x[:, 3:])
     assert ci.dtype == np.int64
     np.testing.assert_allclose(rm, x.mean(axis=1), rtol=1e-6)
+
+
+# ------------------------------------------------------------ control flow
+
+
+def graph_attr(name: str, graph_bytes: bytes) -> bytes:
+    return ld(5, ld(1, name.encode()) + ld(6, graph_bytes))
+
+
+def test_if_branches_capture_outer_scope():
+    # then: y = x * two   else: y = x + ten   (x, two, ten live in the
+    # OUTER graph — the branches have no inputs of their own)
+    then_g = ld(1, node("Mul", ["x", "two"], ["y_t"])) + ld(12, value_info("y_t"))
+    else_g = ld(1, node("Add", ["x", "ten"], ["y_e"])) + ld(12, value_info("y_e"))
+    graph = (
+        ld(1, node("If", ["cond"], ["y"],
+                   graph_attr("then_branch", then_g)
+                   + graph_attr("else_branch", else_g)))
+        + ld(2, b"ifg")
+        + ld(5, tensor("two", [1], [2.0]))
+        + ld(5, tensor("ten", [1], [10.0]))
+        + ld(11, value_info("cond")) + ld(11, value_info("x"))
+        + ld(12, value_info("y"))
+    )
+    model = vi(1, 8) + ld(7, graph)
+    x = np.array([1.5, -3.0], dtype=np.float32)
+    (y,) = OnnxGraph(model).run({"cond": np.array(True), "x": x})
+    np.testing.assert_allclose(y, x * 2)
+    (y,) = OnnxGraph(model).run({"cond": np.array(False), "x": x})
+    np.testing.assert_allclose(y, x + 10)
+
+
+def test_loop_carried_state_and_scan_output():
+    # for i in range(M): acc += i, scanning acc — checks trip counting,
+    # carried deps, and scan-output stacking
+    body = (
+        ld(1, node("Identity", ["cond_in"], ["cond_out"]))
+        + ld(1, node("Add", ["acc", "i"], ["acc_out"]))
+        + ld(1, node("Identity", ["acc_out"], ["scan"]))
+        + ld(2, b"body")
+        + ld(11, value_info("i")) + ld(11, value_info("cond_in"))
+        + ld(11, value_info("acc"))
+        + ld(12, value_info("cond_out")) + ld(12, value_info("acc_out"))
+        + ld(12, value_info("scan"))
+    )
+    graph = (
+        ld(1, node("Loop", ["M", "", "acc0"], ["acc_final", "trace"],
+                   graph_attr("body", body)))
+        + ld(2, b"loopg")
+        + ld(5, tensor("M", [], [5], dtype="i8"))
+        + ld(5, tensor("acc0", [], [0], dtype="i8"))
+        + ld(12, value_info("acc_final")) + ld(12, value_info("trace"))
+    )
+    acc, trace = OnnxGraph(vi(1, 8) + ld(7, graph)).run({})
+    assert int(np.ravel(acc)[0]) == 10  # 0+1+2+3+4
+    assert np.ravel(trace).tolist() == [0, 1, 3, 6, 10]
+
+
+def test_loop_condition_termination():
+    # while acc < 20: acc *= 2 — cond computed in the body, no max-trip M
+    body = (
+        ld(1, node("Mul", ["acc", "two"], ["acc_out"]))
+        + ld(1, node("Less", ["acc_out", "twenty"], ["cond_out"]))
+        + ld(2, b"body")
+        + ld(11, value_info("i")) + ld(11, value_info("cond_in"))
+        + ld(11, value_info("acc"))
+        + ld(12, value_info("cond_out")) + ld(12, value_info("acc_out"))
+    )
+    graph = (
+        ld(1, node("Loop", ["", "c0", "acc0"], ["acc_final"],
+                   graph_attr("body", body)))
+        + ld(2, b"whileg")
+        + ld(5, tensor("two", [], [2.0]))
+        + ld(5, tensor("twenty", [], [20.0]))
+        + ld(5, tensor("acc0", [], [1.0]))
+        + ld(12, value_info("acc_final"))
+    )
+    (acc,) = OnnxGraph(vi(1, 8) + ld(7, graph)).run(
+        {"c0": np.array(True)}
+    )
+    # 1→2→4→8→16→32: the body runs once more after 16 (cond checked after)
+    assert float(acc) == 32.0
+
+
+def test_scan_running_sum():
+    body = (
+        ld(1, node("Add", ["s", "xt"], ["s_out"]))
+        + ld(1, node("Identity", ["s_out"], ["y"]))
+        + ld(2, b"body")
+        + ld(11, value_info("s")) + ld(11, value_info("xt"))
+        + ld(12, value_info("s_out")) + ld(12, value_info("y"))
+    )
+    graph = (
+        ld(1, node("Scan", ["s0", "seq"], ["s_final", "ys"],
+                   graph_attr("body", body) + int_attr("num_scan_inputs", 1)))
+        + ld(2, b"scang")
+        + ld(5, tensor("s0", [1], [0.0]))
+        + ld(11, value_info("seq"))
+        + ld(12, value_info("s_final")) + ld(12, value_info("ys"))
+    )
+    seq = np.array([[1.0], [2.5], [3.5], [-1.0]], dtype=np.float32)
+    s, ys = OnnxGraph(vi(1, 8) + ld(7, graph)).run({"seq": seq})
+    np.testing.assert_allclose(s, [6.0])
+    np.testing.assert_allclose(ys[:, 0], [1.0, 3.5, 7.0, 6.0])
+
+
+def test_scan_reverse_direction():
+    body = (
+        ld(1, node("Add", ["s", "xt"], ["s_out"]))
+        + ld(1, node("Identity", ["s_out"], ["y"]))
+        + ld(2, b"body")
+        + ld(11, value_info("s")) + ld(11, value_info("xt"))
+        + ld(12, value_info("s_out")) + ld(12, value_info("y"))
+    )
+    graph = (
+        ld(1, node("Scan", ["s0", "seq"], ["s_final", "ys"],
+                   graph_attr("body", body)
+                   + int_attr("num_scan_inputs", 1)
+                   + ints_attr("scan_input_directions", [1])
+                   + ints_attr("scan_output_directions", [1])))
+        + ld(2, b"scanrev")
+        + ld(5, tensor("s0", [1], [0.0]))
+        + ld(11, value_info("seq"))
+        + ld(12, value_info("s_final")) + ld(12, value_info("ys"))
+    )
+    seq = np.array([[1.0], [2.0], [4.0]], dtype=np.float32)
+    s, ys = OnnxGraph(vi(1, 8) + ld(7, graph)).run({"seq": seq})
+    np.testing.assert_allclose(s, [7.0])  # consumed back-to-front
+    # outputs re-reversed into input order: suffix sums
+    np.testing.assert_allclose(ys[:, 0], [7.0, 6.0, 4.0])
