@@ -2256,6 +2256,118 @@ FROM documents WHERE doc_id % 25 = 0
 """
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction e2e: each document's text is wrapped in a
+    full HTML page with nav/sidebar/footer chrome (pure-Column concat),
+    the htmlextract op must recover exactly the article text and title
+    and drop every piece of chrome; the oracle rebuilds the expectation
+    from the raw text in SQL."""
+    from pipeline_spark.operators.htmlextract import htmlextract_transform
+    from pipeline_spark.registry import ModuleContext
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title></head><body>"
+              "<nav><a href='/'>Home</a> <a href='/about'>About</a></nav>"
+              "<div id='sidebar'><p>Subscribe to the newsletter for updates "
+              "and promotions today.</p></div>"
+              "<article><p>"),
+        F.col("text"),
+        F.lit("</p></article>"
+              "<footer><p>Site copyright boilerplate text lives down here "
+              "in the footer.</p></footer></body></html>"),
+    )
+    wrapped = docs.select("doc_id", html.alias("html"))
+    out = htmlextract_transform(ModuleContext(
+        spark=spark, name="hx", params={"field": "html"},
+        inputs=[wrapped], input_names=["in"], config={},
+    ))[""]
+    return out.select("doc_id", "title", "main_text", "n_paragraphs")
+
+
+Q_HTML_EXTRACT_SQL = r"""
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text,
+       CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) >= 25
+            THEN 1 ELSE 0 END AS n_paragraphs
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """urls op e2e: deterministic id-derived URLs exercising default-port
+    dropping, tracking-param removal, fragment stripping, userinfo/case
+    normalization, and the registrable-domain heuristic; the oracle
+    constructs every expected component directly in SQL."""
+    from pipeline_spark.operators.urls import urls_transform
+    from pipeline_spark.registry import ModuleContext
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    d = F.col("doc_id").cast("string")
+    kind = F.col("doc_id") % 3
+    url = (
+        F.when(kind == 0, F.concat(
+            F.lit("HTTP://user@Sub"), d, F.lit(".Example.COM:80/a/"), d,
+            F.lit("?id="), d, F.lit("&utm_source=feed#frag"),
+        ))
+        .when(kind == 1, F.concat(
+            F.lit("https://news"), d, F.lit(".site"), d,
+            F.lit(".co.uk/stories?utm_campaign=x&page="), d, F.lit("&fbclid=y"),
+        ))
+        .otherwise(F.concat(
+            F.lit("https://plain"), d, F.lit(".example.org:8443/p/"), d,
+        ))
+    )
+    base = docs.select("doc_id", url.alias("url"))
+    out = urls_transform(ModuleContext(
+        spark=spark, name="u", params={"field": "url"},
+        inputs=[base], input_names=["in"], config={},
+    ))[""]
+    return out.select(
+        "doc_id", "url_scheme", "url_host", "url_domain", "url_path",
+        "url_normalized",
+    )
+
+
+Q_URL_NORMALIZE_SQL = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'http' ELSE 'https' END AS url_scheme,
+       CASE doc_id % 3
+         WHEN 0 THEN 'sub' || doc_id || '.example.com'
+         WHEN 1 THEN 'news' || doc_id || '.site' || doc_id || '.co.uk'
+         ELSE 'plain' || doc_id || '.example.org'
+       END AS url_host,
+       CASE doc_id % 3
+         WHEN 0 THEN 'example.com'
+         WHEN 1 THEN 'site' || doc_id || '.co.uk'
+         ELSE 'example.org'
+       END AS url_domain,
+       CASE doc_id % 3
+         WHEN 0 THEN '/a/' || doc_id
+         WHEN 1 THEN '/stories'
+         ELSE '/p/' || doc_id
+       END AS url_path,
+       CASE doc_id % 3
+         WHEN 0 THEN 'http://sub' || doc_id || '.example.com/a/' || doc_id
+                     || '?id=' || doc_id
+         WHEN 1 THEN 'https://news' || doc_id || '.site' || doc_id
+                     || '.co.uk/stories?page=' || doc_id
+         ELSE 'https://plain' || doc_id || '.example.org:8443/p/' || doc_id
+       END AS url_normalized
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """textstats gopher op: the published Gopher document-quality rules
     (word count / mean word length / symbol / bullet / ellipsis / alpha
@@ -2747,6 +2859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split": q_sentence_split,
         "video_meta": q_video_meta,
         "audio_meta": q_audio_meta,
+        "html_extract": q_html_extract,
+        "url_normalize": q_url_normalize,
         "linear_regression": q_linear_regression,
     }
 
@@ -2822,5 +2936,7 @@ def oracle_sql() -> dict[str, str]:
         "sentence_split": Q_SENTENCE_SQL,
         "video_meta": Q_VIDEO_META_SQL,
         "audio_meta": Q_AUDIO_META_SQL,
+        "html_extract": Q_HTML_EXTRACT_SQL,
+        "url_normalize": Q_URL_NORMALIZE_SQL,
         "linear_regression": Q_LINREG_SQL,
     }
