@@ -1,13 +1,16 @@
 """WAV audio codec + deterministic feature extraction — stdlib + numpy.
 
 Extends the multimodal family (imagecodec/jpegcodec) to audio columns:
-RIFF/WAVE PCM decode (8/16/24/32-bit int + 32/64-bit float, any channel
-count) written against the public RIFF spec, plus a fixed-dimension
-feature vector (duration, rate, channels, RMS, zero-crossing rate,
-spectral centroid/rolloff/flatness) standing in for a learned audio
-embedding with the identical Spark contract.  Compressed formats
-(MP3/FLAC/OGG/AAC) raise with an actionable gate — their codecs are
-absent from this sandbox.
+RIFF/WAVE decode for PCM (8/16/24/32-bit int + 32/64-bit float, any
+channel count) plus the telephony/legacy payloads — G.711 µ-law/A-law
+(format codes 7/6) and IMA/MS ADPCM (0x11/2) via
+``functions/g711adpcm.py`` — written against the public RIFF spec, plus
+a fixed-dimension feature vector (duration, rate, channels, RMS,
+zero-crossing rate, spectral centroid/rolloff/flatness) standing in for
+a learned audio embedding with the identical Spark contract.  FLAC
+decodes natively (flaccodec); MP3/OGG/AAC raise with an actionable gate
+— their codecs are absent from this sandbox (container *metadata* for
+them is handled by ``functions/mediacontainers.py``).
 
 Scale posture: runs inside Arrow-batched mapInPandas, one clip per call;
 decode is a numpy frombuffer + reshape, features one rFFT.
@@ -51,16 +54,36 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             audio_format, channels, rate = struct.unpack("<HHI", body[:8])
+            block_align = struct.unpack("<H", body[12:14])[0]
             bits = struct.unpack("<H", body[14:16])[0]
             if audio_format == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE
                 audio_format = struct.unpack("<H", body[24:26])[0]
-            fmt = (audio_format, channels, rate, bits)
+            fmt = (audio_format, channels, rate, bits, block_align)
         elif cid == b"data":
             payload = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or payload is None:
         raise AudioError("audio: WAV missing fmt/data chunk")
-    audio_format, channels, rate, bits = fmt
+    audio_format, channels, rate, bits, block_align = fmt
+    if channels < 1:
+        raise AudioError("audio: zero channels")
+    if audio_format in (6, 7):  # G.711 A-law / µ-law (telephony)
+        from pipeline_spark.functions.g711adpcm import alaw_decode, ulaw_decode
+
+        dec = ulaw_decode if audio_format == 7 else alaw_decode
+        x = dec(payload).astype(np.float64) / 32768.0
+        x = x[: len(x) - len(x) % channels]
+        return x.reshape(-1, channels), rate
+    if audio_format == 0x11:  # IMA/DVI ADPCM
+        from pipeline_spark.functions.g711adpcm import ima_adpcm_decode
+
+        x = ima_adpcm_decode(payload, channels, block_align)
+        return x.astype(np.float64) / 32768.0, rate
+    if audio_format == 2:  # MS ADPCM
+        from pipeline_spark.functions.g711adpcm import ms_adpcm_decode
+
+        x = ms_adpcm_decode(payload, channels, block_align)
+        return x.astype(np.float64) / 32768.0, rate
     if audio_format == 1:  # PCM
         if bits == 8:
             x = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)

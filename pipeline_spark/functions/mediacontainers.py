@@ -574,12 +574,14 @@ def _wav_meta(data: bytes) -> dict[str, Any]:
         raise MediaError("RIFF but not WAVE")
     i = 12
     rate = channels = bits = None
+    fmt_code = None
     data_bytes = 0
     byte_rate = None
     while i + 8 <= len(data):
         cid = data[i : i + 4]
         size = struct.unpack_from("<I", data, i + 4)[0]
         if cid == b"fmt ":
+            fmt_code = struct.unpack_from("<H", data, i + 8)[0]
             channels = struct.unpack_from("<H", data, i + 10)[0]
             rate = struct.unpack_from("<I", data, i + 12)[0]
             byte_rate = struct.unpack_from("<I", data, i + 16)[0]
@@ -588,8 +590,12 @@ def _wav_meta(data: bytes) -> dict[str, Any]:
             data_bytes = size
         i += 8 + size + (size & 1)
     dur = data_bytes / byte_rate if byte_rate else None
+    codec = {
+        2: "adpcm_ms", 3: f"float{bits}", 6: "pcm_alaw", 7: "pcm_mulaw",
+        0x11: "adpcm_ima",
+    }.get(fmt_code, f"pcm_{bits}" if bits else "pcm")
     return {
-        "container": "wav", "codec": f"pcm_{bits}" if bits else "pcm",
+        "container": "wav", "codec": codec,
         "duration_s": round(dur, 6) if dur is not None else None,
         "sample_rate": rate, "channels": channels, "n_frames": None,
     }
