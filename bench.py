@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "bucketed_join",
     "image_codec_roundtrip",
     "audio_roundtrip",
+    "html_extract",
+    "url_normalize",
+    "audio_meta",
 ]
 
 
@@ -180,7 +183,7 @@ def main() -> None:
         "q1_pricing_summary", "q3_shipping_priority", "agg_stats",
         "dedup_exact", "dedup_cluster", "ngram_jaccard", "minhash_pairs",
         "tokenize_unnest", "lsh_topk", "match_recognize",
-        "match_recognize_chunked", "linear_regression",
+        "match_recognize_chunked", "linear_regression", "html_extract",
     ]
     scale_factor = float(os.environ.get("SPARK_GRAFT_SF1_FACTOR", "10"))
     if os.path.isdir(sf1_dir) and (time.time() - bench_start) < budget:
