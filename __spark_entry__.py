@@ -2291,12 +2291,15 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_HTML_EXTRACT_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id % 10 = 0
+)
 SELECT doc_id,
        'Doc ' || doc_id AS title,
-       trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text,
-       CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) >= 25
-            THEN 1 ELSE 0 END AS n_paragraphs
-FROM documents WHERE doc_id % 10 = 0
+       CASE WHEN length(t) >= 25 THEN t ELSE '' END AS main_text,
+       CASE WHEN length(t) >= 25 THEN 1 ELSE 0 END AS n_paragraphs
+FROM norm
 """
 
 

@@ -235,6 +235,14 @@ def _ms_clamp16(v: int) -> int:
     return max(-32768, min(32767, v))
 
 
+def _ms_pred(s1: int, s2: int, c1: int, c2: int) -> int:
+    """(s1*c1 + s2*c2) / 256 with C truncation toward zero — reference
+    decoders (ACM, ffmpeg) truncate; Python's >> 8 floors, which is one
+    LSB low for negative products and compounds through the state."""
+    acc = s1 * c1 + s2 * c2
+    return acc // 256 if acc >= 0 else -((-acc) // 256)
+
+
 def ms_adpcm_decode(
     payload: bytes, channels: int, block_align: int
 ) -> np.ndarray:
@@ -276,7 +284,7 @@ def ms_adpcm_decode(
         ch = 0
         for nib in nibs:
             c1, c2 = MS_COEFS[pred_idx[ch]]
-            pred = (s1[ch] * c1 + s2[ch] * c2) >> 8
+            pred = _ms_pred(s1[ch], s2[ch], c1, c2)
             signed = nib - 16 if nib >= 8 else nib
             sample = _ms_clamp16(pred + signed * deltas[ch])
             s2[ch], s1[ch] = s1[ch], sample
@@ -327,7 +335,7 @@ def ms_adpcm_encode(
         nibs: list[int] = []
         for t in range(2, block_frames):
             for ch in range(channels):
-                pred = (s1[ch] * 256 + s2[ch] * 0) >> 8
+                pred = _ms_pred(s1[ch], s2[ch], 256, 0)
                 err = int(frame[t, ch]) - pred
                 code = max(-8, min(7, int(round(err / deltas[ch]))))
                 nib = code + 16 if code < 0 else code

@@ -64,33 +64,53 @@ def _prune(node: Node) -> None:
         _prune(c)
 
 
-def _text_len(node: Node) -> int:
-    return len(node.text())
+class _Measure:
+    """Per-document memo of node text / link-text lengths.
 
+    Scoring probes the same nodes from every ancestor candidate; without
+    the memo each probe re-walks and re-joins the subtree strings, which
+    goes super-linear on deep pages — and this runs per row inside a
+    Spark mapInPandas hot path."""
 
-def _link_text_len(node: Node) -> int:
-    total = 0
-    for n in node.iter():
-        if n.tag == "a":
-            total += len(n.text())
-    return total
+    def __init__(self) -> None:
+        self._text: dict[int, str] = {}
+        self._link_len: dict[int, int] = {}
+
+    def text(self, node: Node) -> str:
+        t = self._text.get(id(node))
+        if t is None:
+            t = node.text()
+            self._text[id(node)] = t
+        return t
+
+    def link_text_len(self, node: Node) -> int:
+        v = self._link_len.get(id(node))
+        if v is None:
+            v = sum(len(self.text(n)) for n in node.iter() if n.tag == "a")
+            self._link_len[id(node)] = v
+        return v
+
+    def link_density(self, node: Node) -> float:
+        total = len(self.text(node))
+        return (self.link_text_len(node) / total) if total else 0.0
 
 
 def link_density(node: Node) -> float:
-    total = _text_len(node)
-    return (_link_text_len(node) / total) if total else 0.0
+    return _Measure().link_density(node)
 
 
 def _good_paragraphs(
-    container: Node, min_chars: int, max_link_density: float
+    container: Node, min_chars: int, max_link_density: float,
+    m: _Measure | None = None,
 ) -> list[Node]:
+    m = m or _Measure()
     out = []
     for n in container.iter():
         if n.tag in ("p", "pre", "blockquote") or (
-            n.tag == "li" and len(n.text()) >= 2 * min_chars
+            n.tag == "li" and len(m.text(n)) >= 2 * min_chars
         ):
-            t = n.text()
-            if len(t) >= min_chars and link_density(n) <= max_link_density:
+            t = m.text(n)
+            if len(t) >= min_chars and m.link_density(n) <= max_link_density:
                 out.append(n)
     return out
 
@@ -143,17 +163,22 @@ def extract_main_text(
 
     _prune(root)
 
+    # one DOM traversal collecting candidates; one memo for all probes
+    m = _Measure()
+    by_tag: dict[str, list[Node]] = {t: [] for t in _CANDIDATE_TAGS}
+    for n in root.iter():
+        if n.tag in by_tag:
+            by_tag[n.tag].append(n)
+
     # candidate scoring: sum of good-paragraph chars per container
     best: Node | None = None
     best_score = 0
     for tag in _CANDIDATE_TAGS:
-        for n in root.iter():
-            if n.tag != tag:
-                continue
+        for n in by_tag[tag]:
             score = sum(
-                len(p.text())
+                len(m.text(p))
                 for p in _good_paragraphs(
-                    n, min_paragraph_chars, max_link_density
+                    n, min_paragraph_chars, max_link_density, m
                 )
             )
             if score > best_score:
@@ -164,8 +189,10 @@ def extract_main_text(
     if best is None:
         # fall back to the whole (pruned) document if it has any good text
         score = sum(
-            len(p.text())
-            for p in _good_paragraphs(root, min_paragraph_chars, max_link_density)
+            len(m.text(p))
+            for p in _good_paragraphs(
+                root, min_paragraph_chars, max_link_density, m
+            )
         )
         best = root if score > 0 else None
 
@@ -174,10 +201,10 @@ def extract_main_text(
             "title": title, "text": "", "n_paragraphs": 0,
             "link_density": None,
         }
-    paragraphs = _good_paragraphs(best, min_paragraph_chars, max_link_density)
+    paragraphs = _good_paragraphs(best, min_paragraph_chars, max_link_density, m)
     return {
         "title": title,
         "text": _block_text(best),
         "n_paragraphs": len(paragraphs),
-        "link_density": round(link_density(best), 6),
+        "link_density": round(m.link_density(best), 6),
     }

@@ -53,10 +53,18 @@ _CLUSTER_TS = 0xE7
 _SIMPLE_BLOCK = 0xA3
 _BLOCK_GROUP = 0xA0
 _BLOCK = 0xA1
+_REFERENCE_BLOCK = 0xFB
 
 
-def _read_vint(data: bytes, i: int, keep_marker: bool) -> tuple[int, int]:
-    """EBML variable-size integer at data[i] → (value, next_i)."""
+def _read_vint(
+    data: bytes, i: int, keep_marker: bool
+) -> tuple[int, int, int]:
+    """EBML variable-size integer at data[i] → (value, next_i, enc_len).
+
+    ``enc_len`` (the encoded byte length) is needed by the caller to tell
+    a real value from the reserved all-ones "unknown size" pattern — the
+    same numeric value is legal at a longer encoding (e.g. size 127 is
+    0x40 0x7F; 1-byte 0xFF is reserved)."""
     if i >= len(data):
         raise MediaError("EBML truncated at vint")
     first = data[i]
@@ -72,22 +80,17 @@ def _read_vint(data: bytes, i: int, keep_marker: bool) -> tuple[int, int]:
     val = first if keep_marker else first & (mask - 1)
     for b in data[i + 1 : i + length]:
         val = (val << 8) | b
-    return val, i + length
+    return val, i + length, length
 
 
 def _ebml_elements(data: bytes, i: int, end: int):
     """Yield (element_id, body_start, body_end) within [i, end)."""
     while i < end:
-        eid, i = _read_vint(data, i, keep_marker=True)
-        size, i = _read_vint(data, i, keep_marker=False)
-        # "unknown size" = all value bits set for the chosen length;
+        eid, i, _ = _read_vint(data, i, keep_marker=True)
+        size, i, enc_len = _read_vint(data, i, keep_marker=False)
+        # "unknown size" = all value bits set AT THE ENCODED LENGTH;
         # per RFC 8794 it extends to the parent's end
-        nbytes = 0
-        s = size
-        while s:
-            nbytes += 1
-            s >>= 7
-        unknown = size == (1 << (7 * max(nbytes, 1))) - 1
+        unknown = size == (1 << (7 * enc_len)) - 1
         body_end = end if unknown else min(i + size, end)
         yield eid, i, body_end
         i = body_end
@@ -150,17 +153,27 @@ def parse_matroska(data: bytes) -> dict[str, Any]:
                         if eid3 == _CLUSTER_TS:
                             last_cluster_ts = _uint(data, a3, b3)
                         elif eid3 == _SIMPLE_BLOCK:
-                            tn, j = _read_vint(data, a3, keep_marker=False)
+                            tn, j, _ = _read_vint(data, a3, keep_marker=False)
                             blocks[tn] = blocks.get(tn, 0) + 1
                             if b3 > j + 2 and data[j + 2] & 0x80:
                                 keyframes[tn] = keyframes.get(tn, 0) + 1
                         elif eid3 == _BLOCK_GROUP:
+                            # BlockGroup keyframe-ness = absence of a
+                            # ReferenceBlock element (Matroska registry)
+                            group_tn = None
+                            referenced = False
                             for eid4, a4, _b4 in _ebml_elements(data, a3, b3):
                                 if eid4 == _BLOCK:
-                                    tn, _ = _read_vint(
+                                    group_tn, _, _ = _read_vint(
                                         data, a4, keep_marker=False
                                     )
-                                    blocks[tn] = blocks.get(tn, 0) + 1
+                                    blocks[group_tn] = blocks.get(group_tn, 0) + 1
+                                elif eid4 == _REFERENCE_BLOCK:
+                                    referenced = True
+                            if group_tn is not None and not referenced:
+                                keyframes[group_tn] = (
+                                    keyframes.get(group_tn, 0) + 1
+                                )
 
     if duration_ticks is not None:
         out["duration_s"] = duration_ticks * ts_scale / 1e9
@@ -501,7 +514,7 @@ def parse_mp3(data: bytes) -> dict[str, Any]:
         i = 10 + size
     # resync: scan forward for the first valid frame header
     first = None
-    while i < len(data) - 4:
+    while i <= len(data) - 4:
         first = _mp3_frame(data, i)
         if first:
             break
@@ -525,7 +538,7 @@ def parse_mp3(data: bytes) -> dict[str, Any]:
 
     n_frames = 0
     kbps_sum = 0
-    while i < len(data) - 4:
+    while i <= len(data) - 4:
         fr = _mp3_frame(data, i)
         if not fr:
             i += 1

@@ -608,26 +608,46 @@ def _scan_objects(data: bytes) -> dict[int, _PdfObj]:
     return objs
 
 
+def _trailer_dicts(data: bytes, objs: dict[int, _PdfObj]):
+    """All trailer-level dictionaries: classic ``trailer << … >>`` blocks
+    plus xref-STREAM dicts (/Type /XRef carries the trailer entries in
+    the 1.5+ layout).  Scanning only these — not the whole byte stream —
+    keeps '/Encrypt' bytes inside content streams from being mistaken
+    for an encryption declaration."""
+    out: list[dict] = []
+    for m in re.finditer(rb"trailer\b", data):
+        try:
+            d, _ = _parse_value(data, m.end())
+        except PdfError:
+            continue
+        if isinstance(d, dict):
+            out.append(d)
+    for obj in objs.values():
+        if isinstance(obj.value, dict) and obj.value.get("Type") == "XRef":
+            out.append(obj.value)
+    return out
+
+
 def _find_encryption(data: bytes, objs: dict[int, _PdfObj]):
-    matches = list(re.finditer(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", data))
-    if not matches:
-        if b"/Encrypt" in data:
-            raise PdfError("encrypted PDF with unresolvable /Encrypt entry")
+    enc_ref = None
+    file_id = b""
+    for d in _trailer_dicts(data, objs):
+        enc = d.get("Encrypt")
+        if isinstance(enc, _Ref):
+            enc_ref = enc.num  # later trailers win (incremental updates)
+        ids = d.get("ID")
+        if (
+            isinstance(ids, list)
+            and ids
+            and isinstance(ids[0], bytes)
+        ):
+            file_id = ids[0]
+    if enc_ref is None:
         return None
-    ref = int(matches[-1].group(1))
-    enc_obj = objs.get(ref)
+    enc_obj = objs.get(enc_ref)
     if enc_obj is None or not isinstance(enc_obj.value, dict):
         raise PdfError("encrypted PDF with unresolvable /Encrypt entry")
-    # file ID: first element of the last /ID [ <..> <..> ] in the file
-    file_id = b""
-    for m in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data):
-        hx = re.sub(rb"\s", b"", m.group(1))
-        if len(hx) % 2 == 0:
-            try:
-                file_id = bytes.fromhex(hx.decode("ascii"))
-            except ValueError:
-                pass
-    return _StdDecryptor(enc_obj.value, file_id), ref
+    return _StdDecryptor(enc_obj.value, file_id), enc_ref
 
 
 def _decoded_stream(obj: _PdfObj, decryptor, num: int) -> bytes | None:

@@ -38,7 +38,10 @@ from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*):"
 _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# anchored through non-# chars so a '?' INSIDE the fragment never
+# counts as a query start (fragment content must not leak into the
+# normalized form)
+_QUERY_RE = r"^[^#]*?\?([^#]*)"
 # ccSLD heuristic: example.co.uk → example.co.uk, news.bbc.co.uk → bbc.co.uk
 _CC_SLD_RE = r"([^.]+\.(?:co|com|net|org|ac|gov|edu)\.[a-z]{2})$"
 _SLD_RE = r"([^.]+\.[^.]+)$"

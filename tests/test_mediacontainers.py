@@ -237,3 +237,76 @@ def test_audio_meta_op(spark):
     assert rows[2]["audio_codec"] == "vorbis"
     assert rows[2]["duration_s"] == pytest.approx(3.0)
     assert rows[3]["container"] is None
+
+
+# ----------------------------------------------------- review regressions
+
+
+def test_ebml_127_byte_element_not_unknown_size():
+    """A definite size of 127 encoded as 2 bytes (0x40 0x7F) must NOT be
+    treated as the reserved all-ones unknown-size pattern — that would
+    swallow every following sibling (here: the Tracks element)."""
+    from pipeline_spark.functions.mediacontainers import ebml_elem, ebml_uint
+
+    # Info body padded to exactly 127 bytes
+    info_body = ebml_uint(0x2AD7B1, 1_000_000)
+    info_body += ebml_elem(0xEC, b"\x00" * (127 - len(info_body) - 2))  # Void
+    assert len(info_body) == 127
+    info = b"\x15\x49\xa6\x66" + b"\x40\x7f" + info_body
+    tracks = ebml_elem(
+        0x1654AE6B,
+        ebml_elem(
+            0xAE,
+            ebml_uint(0xD7, 1) + ebml_uint(0x83, 2)
+            + ebml_elem(0x86, b"A_OPUS")
+            + ebml_elem(0xE1, ebml_uint(0x9F, 2)),
+        ),
+    )
+    data = (
+        ebml_elem(0x1A45DFA3, ebml_elem(0x4282, b"webm"))
+        + ebml_elem(0x18538067, info + tracks)
+    )
+    meta = parse_matroska(data)
+    assert len(meta["tracks"]) == 1
+    assert meta["tracks"][0]["codec"] == "A_OPUS"
+
+
+def test_blockgroup_keyframes_via_reference_block():
+    """BlockGroup keyframe-ness = absence of ReferenceBlock."""
+    from pipeline_spark.functions.mediacontainers import ebml_elem, ebml_uint
+
+    def group(tn, referenced):
+        body = ebml_elem(0xA1, bytes([0x80 | tn]) + b"\x00\x00\x00dd")
+        if referenced:
+            body += ebml_elem(0xFB, b"\x01")
+        return ebml_elem(0xA0, body)
+
+    cluster = ebml_elem(
+        0x1F43B675,
+        ebml_uint(0xE7, 0) + group(1, False) + group(1, True) + group(1, True),
+    )
+    tracks = ebml_elem(
+        0x1654AE6B,
+        ebml_elem(
+            0xAE,
+            ebml_uint(0xD7, 1) + ebml_uint(0x83, 1)
+            + ebml_elem(0x86, b"V_VP9")
+            + ebml_elem(0xE0, ebml_uint(0xB0, 64) + ebml_uint(0xBA, 48)),
+        ),
+    )
+    data = (
+        ebml_elem(0x1A45DFA3, ebml_elem(0x4282, b"matroska"))
+        + ebml_elem(0x18538067, tracks + cluster)
+    )
+    (tr,) = parse_matroska(data)["tracks"]
+    assert tr["n_blocks"] == 3 and tr["n_keyframes"] == 1
+
+
+def test_mp3_header_at_exact_tail():
+    """A stream truncated to end exactly at a final frame header must
+    still count that frame."""
+    full = build_mp3(n_frames=3)
+    frame_len = len(full) // 3
+    truncated = full[: 2 * frame_len + 4]  # third frame = header only
+    meta = parse_mp3(truncated)
+    assert meta["n_frames"] == 3

@@ -71,9 +71,17 @@ def test_tj_arrays_hex_strings_multipage():
 def test_rejects_non_pdf_and_encrypted():
     with pytest.raises(PdfError, match="%PDF"):
         extract_pdf_text(b"GIF89a not a pdf")
-    enc = build_pdf([b"BT (x) Tj ET"]) + b"\n/Encrypt 9 0 R\n"
+    enc = build_pdf([b"BT (x) Tj ET"]) + b"\ntrailer\n<< /Encrypt 9 0 R >>\n"
     with pytest.raises(PdfError, match="ncrypt"):
         extract_pdf_text(enc)
+
+
+def test_stray_encrypt_bytes_do_not_dead_letter():
+    """'/Encrypt' inside page CONTENT (e.g. a PDF about PDF internals)
+    must not be mistaken for an encryption declaration."""
+    pdf = build_pdf([b"BT (the /Encrypt 9 0 R entry is documented here) Tj ET"])
+    text, n = extract_pdf_text(pdf)
+    assert n == 1 and "documented here" in text
 
 
 def test_pdfextract_module_fallback(spark):

@@ -161,3 +161,22 @@ def test_urls_plan_is_pure_column(spark):
     )[""]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_urls_fragment_question_mark_not_query(spark):
+    """A '?' inside the fragment must not leak into url_normalized."""
+    from pipeline_spark.operators.urls import urls_transform
+
+    df = spark.createDataFrame(
+        [Row(i=0, url="https://ex.com/page#sec?x=1"),
+         Row(i=1, url="https://ex.com/p?a=2#frag?b=3")]
+    )
+    out = urls_transform(
+        ModuleContext(
+            spark=spark, name="u", params={"field": "url"},
+            inputs=[df], input_names=["in"], side_inputs={},
+        )
+    )[""]
+    rows = sorted(out.collect(), key=lambda r: r["i"])
+    assert rows[0]["url_normalized"] == "https://ex.com/page"
+    assert rows[1]["url_normalized"] == "https://ex.com/p?a=2"
