@@ -2371,6 +2371,44 @@ FROM documents WHERE doc_id % 10 = 0
 """
 
 
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk op e2e: overlapping word windows (size 8, overlap 2) over
+    documents; the oracle rebuilds the identical windows with DuckDB
+    list slicing."""
+    from pipeline_spark.operators.chunk import chunk_transform
+    from pipeline_spark.registry import ModuleContext
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    out = chunk_transform(ModuleContext(
+        spark=spark, name="c",
+        params={"field": "text", "size": 8, "overlap": 2},
+        inputs=[docs], input_names=["in"], config={},
+    ))[""]
+    return out.select("doc_id", "chunk_id", "chunk_text", "n_units")
+
+
+Q_CHUNK_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 10 = 0
+), s AS (
+  SELECT doc_id, ws, unnest(range(0, len(ws), 6)) AS start
+  FROM w WHERE len(ws) > 0
+)
+SELECT doc_id,
+       CAST(start // 6 AS INT) AS chunk_id,
+       array_to_string(ws[start + 1 : start + 8], ' ') AS chunk_text,
+       CAST(least(len(ws) - start, 8) AS INT) AS n_units
+FROM s
+"""
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """textstats gopher op: the published Gopher document-quality rules
     (word count / mean word length / symbol / bullet / ellipsis / alpha
@@ -2864,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": q_audio_meta,
         "html_extract": q_html_extract,
         "url_normalize": q_url_normalize,
+        "chunk_windows": q_chunk_windows,
         "linear_regression": q_linear_regression,
     }
 
@@ -2941,5 +2980,6 @@ def oracle_sql() -> dict[str, str]:
         "audio_meta": Q_AUDIO_META_SQL,
         "html_extract": Q_HTML_EXTRACT_SQL,
         "url_normalize": Q_URL_NORMALIZE_SQL,
+        "chunk_windows": Q_CHUNK_SQL,
         "linear_regression": Q_LINREG_SQL,
     }

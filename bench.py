@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "html_extract",
     "url_normalize",
     "audio_meta",
+    "chunk_windows",
 ]
 
 
