@@ -43,8 +43,13 @@ def _s(b: bytes) -> str:
 
 _DTYPES = {
     1: np.float32,   # FLOAT
+    2: np.uint8,     # UINT8 (quantized activations)
+    3: np.int8,      # INT8 (quantized weights)
+    4: np.uint16,    # UINT16
+    5: np.int16,     # INT16
     6: np.int32,     # INT32
     7: np.int64,     # INT64
+    9: np.bool_,     # BOOL
     11: np.float64,  # DOUBLE
 }
 
@@ -99,6 +104,15 @@ def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
         arr = np.array(vals, dtype=np.int64)
     elif 10 in f and dtype_code == 11:  # packed double_data
         arr = np.concatenate([np.frombuffer(b, dtype="<f8") for b in f[10]])
+    elif 5 in f and dtype_code in (2, 3, 4, 5, 6, 9):
+        # int32_data: the proto's carrier for int8/uint8/int16/uint16/
+        # int32/bool initializers (zero points, quantized weights)
+        vals = _varint_list(f[5])
+        # varints are the two's-complement int32 widened to uint64
+        arr = np.array(
+            [v - (1 << 64) if v >= 1 << 63 else v for v in vals],
+            dtype=np.int64,
+        ).astype(np.int32)
     else:
         arr = np.zeros(0, dtype=np_dtype)
     return name, arr.astype(np_dtype).reshape(dims or [-1])
@@ -339,6 +353,51 @@ def _gru(x: list[np.ndarray], a: dict) -> tuple:
     if int(a.get("layout", 0)) == 1:
         return np.transpose(Y, (2, 0, 1, 3)), np.transpose(Yh, (1, 0, 2))
     return Y, Yh
+
+
+def _saturate(arr: np.ndarray, dtype) -> np.ndarray:
+    info = np.iinfo(dtype)
+    return np.clip(arr, info.min, info.max).astype(dtype)
+
+
+def _axis_shape(scale: np.ndarray, like: np.ndarray, axis: int):
+    """Broadcast a per-axis 1-D scale/zero-point along ``axis`` of x."""
+    s = np.asarray(scale)
+    if s.ndim == 1 and s.size > 1:
+        shape = [1] * like.ndim
+        shape[axis] = s.size
+        return s.reshape(shape)
+    return s
+
+
+def _quantize_linear(x, scale, zp, axis):
+    """y = saturate(round(x / scale) + zero_point), round half to even
+    (np.rint), uint8 default when no zero point is given."""
+    dtype = zp.dtype if zp is not None else np.uint8
+    z = _axis_shape(zp, x, axis).astype(np.int32) if zp is not None else 0
+    q = np.rint(x / _axis_shape(scale, x, axis)) + z
+    return _saturate(q, dtype)
+
+
+def _dequantize_linear(x, scale, zp, axis):
+    z = _axis_shape(zp, x, axis).astype(np.int32) if zp is not None else 0
+    return (
+        (x.astype(np.int32) - z) * _axis_shape(scale, x, axis)
+    ).astype(np.float32)
+
+
+def _dynamic_quantize_linear(x):
+    """Per-tensor uint8 dynamic quantization (ONNX spec formulas)."""
+    xmin = min(float(x.min()), 0.0)
+    xmax = max(float(x.max()), 0.0)
+    scale = (xmax - xmin) / 255.0 or 1.0
+    zp = int(np.clip(np.rint(-xmin / scale), 0, 255))
+    y = _saturate(np.rint(x / scale) + zp, np.uint8)
+    return (
+        y,
+        np.array(scale, dtype=np.float32),
+        np.array(zp, dtype=np.uint8),
+    )
 
 
 class _Graph:
@@ -595,6 +654,60 @@ class _Graph:
                 r = _lstm(x, a)
             elif op == "GRU":
                 r = _gru(x, a)
+            elif op == "QuantizeLinear":
+                r = _quantize_linear(
+                    x[0], x[1],
+                    x[2] if len(x) > 2 and x[2] is not None else None,
+                    int(a.get("axis", 1)),
+                )
+            elif op == "DequantizeLinear":
+                zp = x[2] if len(x) > 2 and x[2] is not None else None
+                r = _dequantize_linear(x[0], x[1], zp, int(a.get("axis", 1)))
+            elif op == "DynamicQuantizeLinear":
+                r = _dynamic_quantize_linear(x[0])
+            elif op == "MatMulInteger":
+                a_zp = x[2] if len(x) > 2 and x[2] is not None else 0
+                b_zp = x[3] if len(x) > 3 and x[3] is not None else 0
+                r = (
+                    (x[0].astype(np.int32) - np.asarray(a_zp, dtype=np.int32))
+                    @ (x[1].astype(np.int32) - np.asarray(b_zp, dtype=np.int32))
+                )
+            elif op == "QLinearMatMul":
+                # a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp
+                acc = (
+                    (x[0].astype(np.int32) - x[2].astype(np.int32))
+                    @ (x[3].astype(np.int32) - x[5].astype(np.int32))
+                )
+                scale = (
+                    x[1].astype(np.float64) * x[4].astype(np.float64)
+                ) / x[6].astype(np.float64)
+                r = _saturate(
+                    np.rint(acc * scale) + x[7].astype(np.int32), x[7].dtype
+                )
+            elif op == "ConvInteger":
+                x_zp = x[2] if len(x) > 2 and x[2] is not None else 0
+                w_zp = x[3] if len(x) > 3 and x[3] is not None else 0
+                r = _conv2d(
+                    x[0].astype(np.int32) - np.asarray(x_zp, dtype=np.int32),
+                    x[1].astype(np.int32) - np.asarray(w_zp, dtype=np.int32),
+                    None, a,
+                )
+            elif op == "QLinearConv":
+                # x, x_scale, x_zp, w, w_scale, w_zp, y_scale, y_zp, [B]
+                acc = _conv2d(
+                    x[0].astype(np.int32) - x[2].astype(np.int32),
+                    x[3].astype(np.int32) - x[5].astype(np.int32),
+                    x[8] if len(x) > 8 and x[8] is not None else None, a,
+                )
+                w_scale = x[4].astype(np.float64)
+                if w_scale.ndim == 1 and w_scale.size > 1:  # per-out-channel
+                    w_scale = w_scale.reshape(1, -1, 1, 1)
+                scale = x[1].astype(np.float64) * w_scale / x[6].astype(
+                    np.float64
+                )
+                r = _saturate(
+                    np.rint(acc * scale) + x[7].astype(np.int32), x[7].dtype
+                )
             elif op == "If":
                 cond = bool(np.asarray(x[0]).reshape(()).item())
                 branch = a["then_branch"] if cond else a["else_branch"]

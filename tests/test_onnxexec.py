@@ -92,8 +92,8 @@ def test_softmax_flatten_and_elementwise():
 
 
 def test_unsupported_op_names_the_op():
-    model = ld(7, ld(1, node("QLinearConv", ["x"], ["y"])))
-    with pytest.raises(Exception, match="QLinearConv"):
+    model = ld(7, ld(1, node("ScatterND", ["x"], ["y"])))
+    with pytest.raises(Exception, match="ScatterND"):
         OnnxGraph(model).run({"x": np.zeros((1, 1))})
 
 
@@ -673,3 +673,133 @@ def test_scan_reverse_direction():
     np.testing.assert_allclose(s, [7.0])  # consumed back-to-front
     # outputs re-reversed into input order: suffix sums
     np.testing.assert_allclose(ys[:, 0], [7.0, 6.0, 4.0])
+
+
+# ---------------------------------------------------------------- quantized
+
+
+def test_quantize_dequantize_linear():
+    x = np.array([0.0, 2.0, 3.0, 1000.0, -254.0, -1000.0], dtype=np.float32)
+    graph = (
+        ld(1, node("QuantizeLinear", ["x", "s", "zp"], ["q"]))
+        + ld(1, node("DequantizeLinear", ["q", "s", "zp"], ["d"]))
+        + ld(2, b"qdq")
+        + ld(5, tensor("s", [], [2.0]))
+        + ld(5, tensor_int8("zp", [], [128], dtype_code=2))
+        + ld(11, value_info("x"))
+        + ld(12, value_info("q")) + ld(12, value_info("d"))
+    )
+    q, d = OnnxGraph(vi(1, 8) + ld(7, graph)).run({"x": x})
+    assert q.dtype == np.uint8
+    assert q.tolist() == [128, 129, 130, 255, 1, 0]  # ONNX spec example
+    np.testing.assert_allclose(d, (q.astype(np.int32) - 128) * 2.0)
+
+
+def tensor_int8(name, dims, values, dtype_code=3):
+    """int8/uint8 TensorProto via the int32_data field (field 5)."""
+    out = b"".join(vi(1, d) for d in dims)
+    out += vi(2, dtype_code)
+    out += ld(8, name.encode())
+    for v in values:
+        out += vi(5, v & 0xFFFFFFFFFFFFFFFF if v < 0 else v)
+    return out
+
+
+def test_qlinear_matmul_matches_float_reference():
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 256, size=(2, 4)).astype(np.uint8)
+    b = rng.randint(0, 256, size=(4, 3)).astype(np.uint8)
+    a_s, a_z = 0.05, 113
+    b_s, b_z = 0.1, 127
+    y_s, y_z = 0.4, 120
+    graph = (
+        ld(1, node("QLinearMatMul",
+                   ["a", "as_", "az", "b", "bs", "bz", "ys", "yz"], ["y"]))
+        + ld(2, b"qmm")
+        + ld(5, tensor("as_", [], [a_s]))
+        + ld(5, tensor_int8("az", [], [a_z], dtype_code=2))
+        + ld(5, tensor("bs", [], [b_s]))
+        + ld(5, tensor_int8("bz", [], [b_z], dtype_code=2))
+        + ld(5, tensor("ys", [], [y_s]))
+        + ld(5, tensor_int8("yz", [], [y_z], dtype_code=2))
+        + ld(11, value_info("a")) + ld(11, value_info("b"))
+        + ld(12, value_info("y"))
+    )
+    (y,) = OnnxGraph(vi(1, 8) + ld(7, graph)).run({"a": a, "b": b})
+    # independent reference: dequantize -> float matmul -> quantize
+    fa = (a.astype(np.int32) - a_z) * a_s
+    fb = (b.astype(np.int32) - b_z) * b_s
+    ref = np.clip(np.rint((fa @ fb) / y_s) + y_z, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(y, ref)
+
+
+def test_matmul_integer():
+    a = np.array([[11, 7, 3], [4, 5, 6]], dtype=np.uint8)
+    b = np.array([[1, 4], [2, 5], [3, 6]], dtype=np.uint8)
+    graph = (
+        ld(1, node("MatMulInteger", ["a", "b", "az", "bz"], ["y"]))
+        + ld(2, b"mmi")
+        + ld(5, tensor_int8("az", [], [12], dtype_code=2))
+        + ld(5, tensor_int8("bz", [], [0], dtype_code=2))
+        + ld(11, value_info("a")) + ld(11, value_info("b"))
+        + ld(12, value_info("y"))
+    )
+    (y,) = OnnxGraph(vi(1, 8) + ld(7, graph)).run({"a": a, "b": b})
+    ref = (a.astype(np.int32) - 12) @ b.astype(np.int32)
+    np.testing.assert_array_equal(y, ref)
+    assert y.dtype == np.int32
+
+
+def test_dynamic_quantize_linear():
+    x = np.array([0.0, 2.0, -3.0, -2.5, 1.34, 0.5], dtype=np.float32)
+    graph = (
+        ld(1, node("DynamicQuantizeLinear", ["x"], ["y", "ys", "yz"]))
+        + ld(2, b"dql")
+        + ld(11, value_info("x"))
+        + ld(12, value_info("y")) + ld(12, value_info("ys"))
+        + ld(12, value_info("yz"))
+    )
+    y, ys, yz = OnnxGraph(vi(1, 8) + ld(7, graph)).run({"x": x})
+    scale = (2.0 - (-3.0)) / 255.0
+    zp = int(np.clip(np.rint(3.0 / scale), 0, 255))
+    ref = np.clip(np.rint(x / scale) + zp, 0, 255).astype(np.uint8)
+    assert float(ys) == np.float32(scale)
+    assert int(yz) == zp
+    np.testing.assert_array_equal(y, ref)
+
+
+def test_qlinear_conv_per_channel():
+    rng = np.random.RandomState(9)
+    X = rng.randint(0, 256, size=(1, 2, 5, 5)).astype(np.uint8)
+    W = rng.randint(-128, 128, size=(3, 2, 3, 3)).astype(np.int8)
+    x_s, x_z = 0.02, 128
+    w_s = np.array([0.01, 0.015, 0.02], dtype=np.float32)  # per out channel
+    y_s, y_z = 0.1, 100
+    graph = (
+        ld(1, node("QLinearConv",
+                   ["x", "xs", "xz", "w", "ws", "wz", "ys", "yz"], ["y"],
+                   ints_attr("kernel_shape", [3, 3])
+                   + ints_attr("pads", [1, 1, 1, 1])))
+        + ld(2, b"qconv")
+        + ld(5, tensor("xs", [], [x_s]))
+        + ld(5, tensor_int8("xz", [], [x_z], dtype_code=2))
+        + ld(5, tensor("ws", [3], list(w_s)))
+        + ld(5, tensor_int8("wz", [3], [0, 0, 0]))
+        + ld(5, tensor_int8("yz", [], [y_z], dtype_code=2))
+        + ld(5, tensor("ys", [], [y_s]))
+        + ld(11, value_info("x")) + ld(11, value_info("w"))
+        + ld(12, value_info("y"))
+    )
+    (y,) = OnnxGraph(vi(1, 8) + ld(7, graph)).run({"x": X, "w": W})
+    # independent reference: direct loops over output pixels
+    acc = np.zeros((1, 3, 5, 5), dtype=np.int64)
+    xp = np.pad(X.astype(np.int32) - x_z, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    for m in range(3):
+        for i in range(5):
+            for j in range(5):
+                acc[0, m, i, j] = np.sum(
+                    xp[0, :, i : i + 3, j : j + 3] * W[m].astype(np.int32)
+                )
+    scale = x_s * w_s.reshape(1, 3, 1, 1).astype(np.float64) / y_s
+    ref = np.clip(np.rint(acc * scale) + y_z, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(y, ref)
