@@ -17,12 +17,21 @@ metadata embeds a ``schema.name-mapping.default`` property so
 spec-compliant readers can resolve Spark's id-less parquet columns by
 name (the spec's documented fallback for imported files).
 
+Partitioned commits are supported natively: the v2 transform set
+(identity / bucket[N] / truncate[W] / year / month / day / hour,
+``functions/icebergpart.py``) is evaluated as Spark columns (bucket =
+the spec's murmur3 inside a vectorized pandas UDF), the data write is
+``partitionBy`` on the transform values (hive-style dirs; transform
+temp columns stay out of the files, identity source columns stay in),
+and manifests carry the typed partition record with spec field-ids so
+readers can prune.
+
 Scale posture: the data path is a plain distributed parquet write; only
 KB-sized metadata is built driver-side, mirroring Iceberg's own commit
-path.  Honest gates: unpartitioned specs only (partition transforms need
-the runtime's transform evaluation on write), append / overwrite /
-create modes, single-writer commits (HadoopCatalog's atomic-rename race
-protection is filesystem-dependent even in the real runtime).
+path.  Honest gates: append / overwrite / create / merge modes,
+single-writer commits (HadoopCatalog's atomic-rename race protection is
+filesystem-dependent even in the real runtime); catalog URIs need the
+runtime jar.
 """
 
 from __future__ import annotations
@@ -127,36 +136,48 @@ def _name_mapping(fields: list[dict]) -> list[dict]:
 
 # -- manifest / manifest-list avro schemas (spec field-ids) -------------------
 
-_DATA_FILE_SCHEMA = {
-    "type": "record",
-    "name": "r2",
-    "fields": [
-        {"name": "content", "type": "int", "field-id": 134},
-        {"name": "file_path", "type": "string", "field-id": 100},
-        {"name": "file_format", "type": "string", "field-id": 101},
-        {"name": "partition", "type": {"type": "record", "name": "r102", "fields": []}, "field-id": 102},
-        {"name": "record_count", "type": "long", "field-id": 103},
-        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-        {
-            "name": "equality_ids",
-            "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
-            "default": None,
-            "field-id": 135,
-        },
-    ],
-}
+def _data_file_schema(partition_fields: list[dict] | None = None) -> dict:
+    part_record = {
+        "type": "record",
+        "name": "r102",
+        "fields": list(partition_fields or []),
+    }
+    return {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": part_record, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+                "default": None,
+                "field-id": 135,
+            },
+        ],
+    }
 
-_MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
-        {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
-        {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
-        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
-    ],
-}
+
+def _manifest_entry_schema(partition_fields: list[dict] | None = None) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+            {"name": "data_file", "type": _data_file_schema(partition_fields), "field-id": 2},
+        ],
+    }
+
+
+_DATA_FILE_SCHEMA = _data_file_schema()
+_MANIFEST_ENTRY_SCHEMA = _manifest_entry_schema()
 
 _MANIFEST_FILE_SCHEMA = {
     "type": "record",
@@ -241,11 +262,28 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         else:
             merged = upserts
         return write_iceberg_native(merged, {**p, "mode": "overwrite"})
-    if p.get("partitionBy") or p.get("partitionSpec"):
-        raise NotImplementedError(
-            "iceberg native writer commits unpartitioned specs only; "
-            "partition transforms need the iceberg-spark runtime jar"
-        )
+    # partition transforms (identity/bucket/truncate/year/month/day/hour)
+    # — spec-shaped native commits; see functions/icebergpart.py
+    from pipeline_spark.functions.icebergpart import (
+        avro_partition_type,
+        parse_dir_value,
+        parse_partition_spec,
+        spec_transform_str,
+        transform_column,
+    )
+
+    pfields = parse_partition_spec(p)
+    part_info: list[tuple[str, dict, str]] = []  # (tmp col, field, kind)
+    df_w = df
+    for i, fld in enumerate(pfields):
+        if fld["source"] not in df.columns:
+            raise ValueError(
+                f"iceberg partition source '{fld['source']}' not in input"
+            )
+        col, kind = transform_column(fld, df.schema[fld["source"]].dataType)
+        tmp = f"_ip_{i}"
+        df_w = df_w.withColumn(tmp, col)
+        part_info.append((tmp, fld, kind))
 
     meta_dir = os.path.join(table_path, "metadata")
     prev_meta: dict | None = None
@@ -270,13 +308,37 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
     snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
 
     # 1. data files — a plain distributed parquet write into data/<uuid>/
+    # (hive-style transform-value dirs when partitioned; the transform
+    # temp columns are consumed by partitionBy and stay out of the files,
+    # while identity SOURCE columns remain inside them)
     data_dir = os.path.join(table_path, "data", commit_uuid)
-    df.write.mode("errorifexists").parquet(data_dir)
+    if part_info:
+        df_w.write.mode("errorifexists").partitionBy(
+            [t for t, _, _ in part_info]
+        ).parquet(data_dir)
+    else:
+        df_w.write.mode("errorifexists").parquet(data_dir)
     data_files = sorted(
-        os.path.join(data_dir, n)
-        for n in os.listdir(data_dir)
+        os.path.join(root, n)
+        for root, _dirs, names in os.walk(data_dir)
+        for n in names
         if n.endswith(".parquet")
     )
+
+    def _partition_values(path: str) -> dict:
+        if not part_info:
+            return {}
+        rel = os.path.relpath(os.path.dirname(path), data_dir)
+        comps = [c for c in rel.split(os.sep) if c not in (".", "")]
+        vals: dict[str, Any] = {}
+        for (tmp, fld, kind), comp in zip(part_info, comps):
+            key, _, raw = comp.partition("=")
+            if key != tmp:
+                raise ValueError(
+                    f"iceberg: unexpected partition dir '{comp}' (wanted {tmp}=…)"
+                )
+            vals[fld["name"]] = parse_dir_value(raw, kind)
+        return vals
 
     seq = (prev_meta or {}).get("last-sequence-number", 0) + 1
 
@@ -301,7 +363,7 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
                     "content": 0,
                     "file_path": path,
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": _partition_values(path),
                     "record_count": rows,
                     "file_size_in_bytes": size,
                     "equality_ids": None,
@@ -311,13 +373,32 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
     data_files = [e["data_file"]["file_path"] for e in entries]
     schema = iceberg_schema(df.schema)
     last_column_id = schema.pop("__last_column_id")
+    source_ids = {f["name"]: f["id"] for f in schema["fields"]}
+    part_avro_fields = [
+        {
+            "name": fld["name"],
+            "type": ["null", avro_partition_type(kind)],
+            "default": None,
+            "field-id": 1000 + i,
+        }
+        for i, (_tmp, fld, kind) in enumerate(part_info)
+    ]
+    spec_fields = [
+        {
+            "name": fld["name"],
+            "transform": spec_transform_str(fld),
+            "source-id": source_ids[fld["source"]],
+            "field-id": 1000 + i,
+        }
+        for i, (_tmp, fld, _kind) in enumerate(part_info)
+    ]
     manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
     manifest_bytes = write_ocf_bytes(
-        _MANIFEST_ENTRY_SCHEMA,
+        _manifest_entry_schema(part_avro_fields),
         entries,
         extra_meta={
             "schema": json.dumps(schema),
-            "partition-spec": "[]",
+            "partition-spec": json.dumps(spec_fields),
             "partition-spec-id": "0",
             "format-version": "2",
             "content": "data",
@@ -417,8 +498,8 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         "current-schema-id": 0,
         "schemas": [schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {

@@ -121,6 +121,9 @@ def plan_files(
                     "(native path reads parquet)"
                 )
             rec = {"path": _strip_scheme(df["file_path"]), "seq": int(seq)}
+            part = df.get("partition")
+            if isinstance(part, dict) and part:
+                rec["partition"] = dict(part)
             if content == _CONTENT_DATA:
                 data.append(rec)
             else:
@@ -249,6 +252,31 @@ def read_iceberg_native(spark, p: dict[str, Any]):
     )
     if not data:
         raise ValueError(f"iceberg: snapshot has no data files at {table_path}")
+    pfilter = p.get("partitionFilter")
+    if pfilter:
+        # MANIFEST-level pruning: drop whole data files whose partition
+        # record can't match — the scan never opens them.  This is the
+        # 100 TB payoff of partitioned commits: a bucket/day filter cuts
+        # the file list before Spark plans a single task.  Filter shape:
+        # {partition_field_name: value | [values]}.
+        def keep(rec: dict) -> bool:
+            part = rec.get("partition") or {}
+            for k, want in pfilter.items():
+                if k not in part:
+                    return True  # unknown field: never prune incorrectly
+                have = part[k]
+                if isinstance(want, (list, tuple)):
+                    if have not in want:
+                        return False
+                elif have != want:
+                    return False
+            return True
+
+        data = [d for d in data if keep(d)]
+        if not data:
+            raise ValueError(
+                f"iceberg: partitionFilter {pfilter} matches no data files"
+            )
     reader = spark.read
     if p.get("mergeSchema"):
         reader = reader.option("mergeSchema", "true")

@@ -399,13 +399,16 @@ sources:
 """))
         assert sorted(r["id"] for r in outs["back"].collect()) == [5, 6]
 
-    def test_partition_gate(self, spark, tmp_path):
+    def test_partitioned_write_no_longer_gated(self, spark, tmp_path):
+        # partition transforms are native now (tests/test_icebergpart.py);
+        # only unknown transforms and catalog URIs still raise
         from pipeline_spark.sinks.iceberg_native import write_iceberg_native
 
-        with pytest.raises(NotImplementedError, match="unpartitioned"):
+        with pytest.raises(ValueError, match="transform"):
             write_iceberg_native(
                 self._df(spark, [(1, "a")]),
-                {"path": str(tmp_path / "t"), "partitionBy": ["v"]},
+                {"path": str(tmp_path / "t"),
+                 "partitionSpec": [{"field": "v", "transform": "void"}]},
             )
 
     def test_merge_copy_on_write(self, spark, tmp_path):
