@@ -2612,6 +2612,64 @@ FROM supplier GROUP BY s_nationkey
 """
 
 
+def q_iceberg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned native iceberg commit (identity + bucket transforms,
+    functions/icebergpart.py) + manifest-level partitionFilter pruning on
+    read: orders committed partitioned by priority and a custkey bucket,
+    read back with a priority filter; the oracle filters the plain table.
+    The bucket column check pins the spec murmur3 math end-to-end."""
+    import os
+    import shutil
+    import tempfile
+
+    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_iceberg_part")
+    shutil.rmtree(tbl, ignore_errors=True)
+    run_pipeline(spark, parse_config(f"""
+sources:
+  - name: orders
+    module: storage
+    parameters: {{format: parquet, input: {sf_dir}/orders.parquet}}
+transforms:
+  - name: slim
+    module: select
+    inputs: [orders]
+    parameters:
+      select:
+        - {{name: o_orderkey}}
+        - {{name: o_custkey}}
+        - {{name: o_orderpriority}}
+sinks:
+  - name: w
+    module: iceberg
+    inputs: [slim]
+    parameters:
+      path: {tbl}
+      partitionBy: ["o_orderpriority", "bucket(4, o_custkey)"]
+"""))
+    outs = run_pipeline(spark, parse_config(f"""
+sources:
+  - name: back
+    module: iceberg
+    parameters:
+      path: {tbl}
+      partitionFilter: {{o_orderpriority: "1-URGENT"}}
+"""))
+    return (
+        outs["back"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_custkey").alias("cust_sum"),
+        )
+    )
+
+
+Q_ICEBERG_PART_SQL = """
+SELECT o_orderpriority, count(*) AS n, sum(o_custkey) AS cust_sum
+FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderpriority
+"""
+
+
 def q_iceberg_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """iceberg v2 merge-on-read: nation committed natively (one sorted
     data file), then a POSITION delete file (row ordinals 0,1 →
@@ -2894,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "storage_avro_roundtrip": q_storage_avro_roundtrip,
         "iceberg_roundtrip": q_iceberg_roundtrip,
+        "iceberg_partitioned": q_iceberg_partitioned,
         "iceberg_mor_roundtrip": q_iceberg_mor_roundtrip,
         "bucketed_join": q_bucketed_join,
         "gopher_rules": q_gopher_rules,
@@ -2972,6 +3031,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": Q_MULTIMODAL_DECODE_SQL,
         "storage_avro_roundtrip": Q_STORAGE_AVRO_SQL,
         "iceberg_roundtrip": Q_ICEBERG_SQL,
+        "iceberg_partitioned": Q_ICEBERG_PART_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,
         "bucketed_join": Q_BUCKETED_JOIN_SQL,
         "gopher_rules": Q_GOPHER_SQL,

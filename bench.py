@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "url_normalize",
     "audio_meta",
     "chunk_windows",
+    "iceberg_partitioned",
 ]
 
 
