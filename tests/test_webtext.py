@@ -180,3 +180,55 @@ def test_urls_fragment_question_mark_not_query(spark):
     rows = sorted(out.collect(), key=lambda r: r["i"])
     assert rows[0]["url_normalized"] == "https://ex.com/page"
     assert rows[1]["url_normalized"] == "https://ex.com/p?a=2"
+
+
+# ------------------------------------------------------------- streaming
+
+
+def test_webtext_ops_run_on_streams(spark, tmp_path):
+    """htmlextract / urls / chunk are stateless maps: they must compose
+    on a streaming DataFrame unchanged (batch/streaming symmetry)."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    in_dir = str(tmp_path / "in")
+    df = spark.createDataFrame(
+        [Row(doc=1,
+             html="<article><p>Streaming body text long enough to pass the "
+                  "paragraph gate easily today.</p></article>",
+             url="HTTPS://Example.COM/a?utm_source=x&id=1")]
+    )
+    df.coalesce(1).write.parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    outs = run_pipeline(spark, parse_config(f"""
+sources:
+  - name: pages
+    module: storage
+    parameters: {{format: parquet, input: {in_dir}, mode: streaming}}
+transforms:
+  - name: hx
+    module: htmlextract
+    inputs: [pages]
+    parameters: {{field: html}}
+  - name: un
+    module: urls
+    inputs: [hx]
+    parameters: {{field: url}}
+  - name: ck
+    module: chunk
+    inputs: [un]
+    parameters: {{field: main_text, size: 4}}
+sinks:
+  - name: out
+    module: storage
+    inputs: [ck]
+    parameters:
+      format: parquet
+      output: {out_dir}
+      availableNow: true
+"""))
+    assert outs["ck"].isStreaming
+    rows = spark.read.parquet(out_dir).collect()
+    assert rows and rows[0]["url_normalized"] == "https://example.com/a?id=1"
+    texts = {r["chunk_id"]: r["chunk_text"] for r in rows}
+    assert texts[0].startswith("Streaming body text")
