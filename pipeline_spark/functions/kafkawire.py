@@ -9,10 +9,15 @@ plain TCP socket and encodes/decodes the v2 RecordBatch format
 (magic 2, varint records, CRC-32C) from scratch.
 
 Continues the zero-dependency fallback family (avro OCF, protobuf wire,
-Iceberg metadata).  Honest gates: PLAINTEXT listeners only (SASL/TLS
-need real auth plumbing), gzip compression only (snappy/lz4/zstd codecs
-absent from the sandbox), assign-style consumption (consumer-group
-coordination is a broker-side protocol with no bounded-batch analogue).
+Iceberg metadata).  Secured listeners work natively: TLS via the stdlib
+``ssl`` module (SSL / SASL_SSL protocols, CA / client-cert options) and
+SASL via the SaslHandshake/SaslAuthenticate exchange with PLAIN or
+SCRAM-SHA-256/512 (RFC 5802 over hashlib/hmac — the mechanisms secured
+Kafka clusters actually run).  Honest gates: gzip compression only
+(snappy/lz4/zstd codecs absent from the sandbox), assign-style
+consumption (consumer-group coordination is a broker-side protocol with
+no bounded-batch analogue), no Kerberos (GSSAPI needs a native
+library).
 
 Scale posture: the driver talks to one bootstrap broker for metadata +
 offsets (KB-sized); each executor task opens its own socket to the
@@ -275,6 +280,7 @@ def decode_record_batches(data: bytes) -> Iterator[dict[str, Any]]:
 # ------------------------------------------------------------- the client
 
 _API_METADATA, _API_PRODUCE, _API_FETCH, _API_LIST_OFFSETS = 3, 0, 1, 2
+_API_SASL_HANDSHAKE, _API_SASL_AUTHENTICATE = 17, 36
 
 EARLIEST, LATEST = -2, -1
 
@@ -288,13 +294,65 @@ def _check(code: int, what: str) -> None:
         raise KafkaError(f"kafka: {what} failed with error_code={code}")
 
 
-class KafkaClient:
-    """Minimal synchronous client over one broker connection."""
+def security_from_params(p: dict) -> dict | None:
+    """Normalize module config to the client ``security`` dict.
 
-    def __init__(self, host: str, port: int, client_id: str = "pipeline-spark", timeout: float = 30.0):
+    Keys: securityProtocol (PLAINTEXT | SSL | SASL_PLAINTEXT | SASL_SSL),
+    saslMechanism (PLAIN | SCRAM-SHA-256 | SCRAM-SHA-512), saslUsername,
+    saslPassword, sslCaFile, sslCertFile, sslKeyFile, sslVerify."""
+    proto = str(p.get("securityProtocol", "PLAINTEXT")).upper()
+    if proto == "PLAINTEXT" and not p.get("saslMechanism"):
+        return None
+    return {
+        "protocol": proto,
+        "mechanism": p.get("saslMechanism"),
+        "username": p.get("saslUsername"),
+        "password": p.get("saslPassword"),
+        "caFile": p.get("sslCaFile"),
+        "certFile": p.get("sslCertFile"),
+        "keyFile": p.get("sslKeyFile"),
+        "verify": p.get("sslVerify", True),
+    }
+
+
+def _saslname(s: str) -> str:
+    """RFC 5802 saslname escaping for usernames in SCRAM messages."""
+    return s.replace("=", "=3D").replace(",", "=2C")
+
+
+class KafkaClient:
+    """Minimal synchronous client over one broker connection.
+
+    ``security`` (optional): TLS wraps the socket via the stdlib ``ssl``
+    module; SASL runs the SaslHandshake(17)/SaslAuthenticate(36) exchange
+    with PLAIN or SCRAM-SHA-256/512 (RFC 5802 via hashlib/hmac) before
+    any other request — the same sequence the Java client performs."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        client_id: str = "pipeline-spark",
+        timeout: float = 30.0,
+        security: dict | None = None,
+    ):
         self.client_id = client_id
         self._corr = 0
         self.sock = socket.create_connection((host, port), timeout=timeout)
+        sec = security or {}
+        proto = str(sec.get("protocol", "PLAINTEXT")).upper()
+        if proto.endswith("SSL"):
+            import ssl as _ssl
+
+            ctx = _ssl.create_default_context(cafile=sec.get("caFile"))
+            if sec.get("certFile"):
+                ctx.load_cert_chain(sec["certFile"], sec.get("keyFile"))
+            if sec.get("verify") is False:
+                ctx.check_hostname = False
+                ctx.verify_mode = _ssl.CERT_NONE
+            self.sock = ctx.wrap_socket(self.sock, server_hostname=host)
+        if proto.startswith("SASL") or sec.get("mechanism"):
+            self._sasl(sec)
 
     def close(self) -> None:
         try:
@@ -307,6 +365,74 @@ class KafkaClient:
 
     def __exit__(self, *exc):
         self.close()
+
+    # -- SASL (SaslHandshake v1 + SaslAuthenticate v0) ----------------------
+
+    def _sasl(self, sec: dict) -> None:
+        mech = str(sec.get("mechanism") or "PLAIN").upper()
+        r = self._call(_API_SASL_HANDSHAKE, 1, _str(mech))
+        err = r.i16()
+        offered = [r.string() for _ in range(r.i32())]
+        if err:
+            raise KafkaError(
+                f"kafka: SASL mechanism {mech} rejected "
+                f"(broker offers {offered})"
+            )
+        user = str(sec.get("username") or "")
+        pwd = str(sec.get("password") or "")
+        if mech == "PLAIN":
+            self._sasl_auth(b"\x00" + user.encode() + b"\x00" + pwd.encode())
+        elif mech in ("SCRAM-SHA-256", "SCRAM-SHA-512"):
+            self._scram(mech, user, pwd)
+        else:
+            raise KafkaError(
+                f"kafka: unsupported SASL mechanism '{mech}' "
+                "(PLAIN, SCRAM-SHA-256, SCRAM-SHA-512)"
+            )
+
+    def _sasl_auth(self, payload: bytes) -> bytes:
+        body = _i32(len(payload)) + payload
+        r = self._call(_API_SASL_AUTHENTICATE, 0, body)
+        err = r.i16()
+        msg = r.string()
+        data = r.bytes_()
+        if err:
+            raise KafkaError(f"kafka: SASL authentication failed: {msg}")
+        return data or b""
+
+    def _scram(self, mech: str, user: str, pwd: str) -> None:
+        import base64
+        import hashlib
+        import hmac
+        import secrets
+
+        algo = hashlib.sha256 if mech.endswith("256") else hashlib.sha512
+        nonce = secrets.token_urlsafe(18)
+        gs2 = "n,,"
+        cfb = f"n={_saslname(user)},r={nonce}"
+        server_first = self._sasl_auth((gs2 + cfb).encode()).decode()
+        attrs = dict(kv.split("=", 1) for kv in server_first.split(","))
+        combined = attrs["r"]
+        if not combined.startswith(nonce):
+            raise KafkaError("kafka: SCRAM server nonce mismatch")
+        salt = base64.b64decode(attrs["s"])
+        iters = int(attrs["i"])
+        salted = hashlib.pbkdf2_hmac(algo().name, pwd.encode(), salt, iters)
+        client_key = hmac.new(salted, b"Client Key", algo).digest()
+        stored_key = algo(client_key).digest()
+        cfwp = f"c={base64.b64encode(gs2.encode()).decode()},r={combined}"
+        auth_msg = f"{cfb},{server_first},{cfwp}".encode()
+        client_sig = hmac.new(stored_key, auth_msg, algo).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+        final = f"{cfwp},p={base64.b64encode(proof).decode()}"
+        server_final = self._sasl_auth(final.encode()).decode()
+        server_key = hmac.new(salted, b"Server Key", algo).digest()
+        expect = base64.b64encode(
+            hmac.new(server_key, auth_msg, algo).digest()
+        ).decode()
+        got = dict(kv.split("=", 1) for kv in server_final.split(","))
+        if got.get("v") != expect:
+            raise KafkaError("kafka: SCRAM server signature mismatch")
 
     @classmethod
     def bootstrap(cls, servers: str, **kw) -> "KafkaClient":
@@ -463,18 +589,18 @@ class KafkaClient:
 
 def read_partition_range(
     servers: str, topic: str, partition: int, start: int, end: int,
-    max_bytes: int = 1 << 20,
+    max_bytes: int = 1 << 20, security: dict | None = None,
 ) -> Iterator[dict]:
     """Executor-side bounded read of [start, end) — loops Fetch until the
     range is exhausted, reconnecting to the partition leader."""
-    boot = KafkaClient.bootstrap(servers)
+    boot = KafkaClient.bootstrap(servers, security=security)
     try:
         meta = boot.metadata([topic])
         leader = meta["topics"][topic][partition]
         host, port = meta["brokers"][leader]
     finally:
         boot.close()
-    with KafkaClient(host, port) as client:
+    with KafkaClient(host, port, security=security) as client:
         offset = start
         while offset < end:
             _, recs = client.fetch(topic, partition, offset, max_bytes=max_bytes)

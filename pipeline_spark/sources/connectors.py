@@ -123,9 +123,11 @@ def _kafka_native_batch(ctx: ModuleContext, p: dict) -> DataFrame:
         LATEST,
         KafkaClient,
         read_partition_range,
+        security_from_params,
     )
 
     servers = p["bootstrapServers"]
+    security = security_from_params(p)
     topic = p.get("topic") or p.get("topics")
     if not topic or "," in str(topic):
         raise ValueError("kafka native batch reads one topic per module")
@@ -150,7 +152,7 @@ def _kafka_native_batch(ctx: ModuleContext, p: dict) -> DataFrame:
     if checkpoint_file and os.path.exists(checkpoint_file):
         with open(checkpoint_file) as fh:
             committed = {int(k): int(v) for k, v in _json.load(fh).items()}
-    boot = KafkaClient.bootstrap(servers)
+    boot = KafkaClient.bootstrap(servers, security=security)
     try:
         partitions = sorted(boot.metadata([topic])["topics"][topic])
         descs = []
@@ -193,7 +195,9 @@ def _kafka_native_batch(ctx: ModuleContext, p: dict) -> DataFrame:
 
     def read_part(desc):
         part, start, end = desc
-        for rec in read_partition_range(servers, topic, part, start, end):
+        for rec in read_partition_range(
+            servers, topic, part, start, end, security=security
+        ):
             ts = rec["timestamp"]
             yield (
                 rec["key"],

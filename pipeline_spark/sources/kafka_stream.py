@@ -49,9 +49,29 @@ class KafkaNativeDataSource(DataSource):
 
 
 class _RangePartition(InputPartition):
-    def __init__(self, servers: str, topic: str, part: int, start: int, end: int):
+    def __init__(
+        self, servers: str, topic: str, part: int, start: int, end: int,
+        security: dict | None = None,
+    ):
         self.servers, self.topic, self.part = servers, topic, part
         self.start, self.end = start, end
+        self.security = security
+
+
+def _security_from_options(options) -> dict | None:
+    proto = str(options.get("securityprotocol", "PLAINTEXT")).upper()
+    if proto == "PLAINTEXT" and not options.get("saslmechanism"):
+        return None
+    return {
+        "protocol": proto,
+        "mechanism": options.get("saslmechanism"),
+        "username": options.get("saslusername"),
+        "password": options.get("saslpassword"),
+        "caFile": options.get("sslcafile"),
+        "certFile": options.get("sslcertfile"),
+        "keyFile": options.get("sslkeyfile"),
+        "verify": str(options.get("sslverify", "true")).lower() != "false",
+    }
 
 
 class _KafkaStreamReader(DataSourceStreamReader):
@@ -66,11 +86,12 @@ class _KafkaStreamReader(DataSourceStreamReader):
                 "kafka_native needs bootstrapServers and topic options"
             )
         self.starting = str(options.get("startingoffsets", "earliest"))
+        self.security = _security_from_options(options)
 
     def _offsets(self, which) -> dict:
         from pipeline_spark.functions.kafkawire import KafkaClient
 
-        boot = KafkaClient.bootstrap(self.servers)
+        boot = KafkaClient.bootstrap(self.servers, security=self.security)
         try:
             parts = sorted(boot.metadata([self.topic])["topics"][self.topic])
             return {
@@ -116,7 +137,10 @@ class _KafkaStreamReader(DataSourceStreamReader):
             s = int(start.get(p, 0))
             if int(e) > s:
                 out.append(
-                    _RangePartition(self.servers, self.topic, int(p), s, int(e))
+                    _RangePartition(
+                        self.servers, self.topic, int(p), s, int(e),
+                        self.security,
+                    )
                 )
         return out
 
@@ -131,6 +155,7 @@ class _KafkaStreamReader(DataSourceStreamReader):
             partition.part,
             partition.start,
             partition.end,
+            security=getattr(partition, "security", None),
         ):
             ts = rec["timestamp"]
             yield (
@@ -162,10 +187,15 @@ def read_kafka_stream_native(spark, p: dict):
     topic = p.get("topic") or p.get("topics")
     if not topic or "," in str(topic):
         raise ValueError("kafka native streaming reads one topic per module")
-    return (
+    reader = (
         spark.readStream.format("kafka_native")
         .option("bootstrapServers", p["bootstrapServers"])
         .option("topic", str(topic))
         .option("startingOffsets", str(p.get("startingOffsets", "earliest")))
-        .load()
     )
+    for key in ("securityProtocol", "saslMechanism", "saslUsername",
+                "saslPassword", "sslCaFile", "sslCertFile", "sslKeyFile",
+                "sslVerify"):
+        if p.get(key) is not None:
+            reader = reader.option(key, str(p[key]))
+    return reader.load()

@@ -47,11 +47,22 @@ def _arr(items):
     return _i32(len(items)) + b"".join(items)
 
 
+def _s_(s):
+    """Nullable string (i16 -1 = null)."""
+    if s is None:
+        return _i16(-1)
+    b = s.encode()
+    return _i16(len(b)) + b
+
+
 class FakeBroker:
-    def __init__(self, split_batches: bool = False, codec: int = 0):
+    def __init__(self, split_batches: bool = False, codec: int = 0,
+                 sasl: tuple | None = None, tls: tuple | None = None):
         self.log: dict[tuple[str, int], list[dict]] = {}
         self.split_batches = split_batches  # return 2 concatenated batches
         self.codec = codec
+        self.sasl = sasl  # ("plain"|"scram-sha-256", user, password)
+        self.tls = tls    # (certfile, keyfile) -> TLS-terminating listener
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.sock.bind(("127.0.0.1", 0))
@@ -87,6 +98,17 @@ class FakeBroker:
             threading.Thread(target=self._handle, args=(conn,), daemon=True).start()
 
     def _handle(self, conn: socket.socket) -> None:
+        state: dict = {"authed": False, "mech": None, "scram": None}
+        if self.tls:
+            import ssl as _ssl
+
+            ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(*self.tls)
+            try:
+                conn = ctx.wrap_socket(conn, server_side=True)
+            except (OSError, _ssl.SSLError):
+                conn.close()
+                return
         try:
             while True:
                 head = b""
@@ -105,13 +127,90 @@ class FakeBroker:
                 r = Reader(body)
                 api_key, api_version, corr = r.i16(), r.i16(), r.i32()
                 r.string()  # client id
-                handler = {0: self._produce, 1: self._fetch, 2: self._offsets, 3: self._metadata}[api_key]
-                resp = _i32(corr) + handler(r, api_version)
+                if api_key == 17:
+                    resp = _i32(corr) + self._sasl_handshake(r, state)
+                elif api_key == 36:
+                    resp = _i32(corr) + self._sasl_authenticate(r, state)
+                elif self.sasl and not state["authed"]:
+                    # secured listener: reject pre-auth API calls
+                    resp = _i32(corr) + _i16(34)  # SASL_AUTHENTICATION_FAILED
+                else:
+                    handler = {0: self._produce, 1: self._fetch, 2: self._offsets, 3: self._metadata}[api_key]
+                    resp = _i32(corr) + handler(r, api_version)
                 conn.sendall(_i32(len(resp)) + resp)
         except OSError:
             pass
         finally:
             conn.close()
+
+    # -- SASL (server side, for client auth tests) -------------------------
+
+    def _sasl_handshake(self, r: Reader, state) -> bytes:
+        mech = r.string()
+        offered = ["PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512"]
+        supported = self.sasl is not None and mech.lower() == self.sasl[0]
+        err = 0 if supported else 33  # UNSUPPORTED_SASL_MECHANISM
+        state["mech"] = mech.lower() if supported else None
+        return _i16(err) + _i32(len(offered)) + b"".join(_s_(m) for m in offered)
+
+    def _sasl_authenticate(self, r: Reader, state) -> bytes:
+        import base64
+        import hashlib
+        import hmac
+        import os as _os
+
+        n = r.i32()
+        payload = r.read(n)
+        _mech, user, pwd = self.sasl
+        ok = False
+        out = b""
+        if state["mech"] == "plain":
+            parts = payload.split(b"\x00")
+            ok = len(parts) == 3 and parts[1].decode() == user and parts[2].decode() == pwd
+        elif state["mech"] and state["mech"].startswith("scram-"):
+            algo = hashlib.sha256 if state["mech"].endswith("256") else hashlib.sha512
+            sc = state["scram"]
+            if sc is None:
+                # client-first: gs2 'n,,' + n=user,r=cnonce
+                msg = payload.decode()
+                bare = msg[3:]
+                attrs = dict(kv.split("=", 1) for kv in bare.split(","))
+                snonce = base64.b64encode(_os.urandom(12)).decode()
+                salt = b"fake-salt-0123"
+                combined = attrs["r"] + snonce
+                server_first = (
+                    f"r={combined},s={base64.b64encode(salt).decode()},i=4096"
+                )
+                state["scram"] = {
+                    "bare": bare, "first": server_first, "combined": combined,
+                    "salt": salt, "algo": algo,
+                    "user_ok": attrs.get("n") == user,
+                }
+                return _i16(0) + _s_(None) + _i32(len(server_first)) + server_first.encode()
+            # client-final: c=...,r=...,p=proof
+            msg = payload.decode()
+            cfwp, _, proof_part = msg.rpartition(",p=")
+            proof = base64.b64decode(proof_part)
+            salted = hashlib.pbkdf2_hmac(
+                sc["algo"]().name, pwd.encode(), sc["salt"], 4096
+            )
+            client_key = hmac.new(salted, b"Client Key", sc["algo"]).digest()
+            stored = sc["algo"](client_key).digest()
+            auth_msg = f"{sc['bare']},{sc['first']},{cfwp}".encode()
+            sig = hmac.new(stored, auth_msg, sc["algo"]).digest()
+            expect_key = bytes(a ^ b for a, b in zip(sig, client_key))
+            ok = sc["user_ok"] and hmac.compare_digest(proof, expect_key)
+            state["scram"] = None
+            if ok:
+                server_key = hmac.new(salted, b"Server Key", sc["algo"]).digest()
+                v = base64.b64encode(
+                    hmac.new(server_key, auth_msg, sc["algo"]).digest()
+                ).decode()
+                out = f"v={v}".encode()
+        state["authed"] = ok
+        if not ok:
+            return _i16(58) + _s_("authentication failed") + _i32(0)
+        return _i16(0) + _s_(None) + _i32(len(out)) + out
 
     def _metadata(self, r: Reader, v: int) -> bytes:
         n = r.i32()

@@ -275,3 +275,170 @@ def test_kafka_streaming_python_datasource(spark, broker, tmp_path):
     drain()
     got2 = sorted(r["v"] for r in spark.read.parquet(out_dir).collect())
     assert got2 == [f"m{i}" for i in range(8)]  # no duplicates, no gaps
+
+
+# ---------------------------------------------------------------- SASL/TLS
+
+
+class TestSasl:
+    def _seeded(self, sasl):
+        from fake_kafka import FakeBroker
+
+        broker = FakeBroker(sasl=sasl)
+        broker.seed("t", 0, [
+            {"key": b"k1", "value": b"v1", "timestamp": 1000},
+            {"key": b"k2", "value": b"v2", "timestamp": 2000},
+        ])
+        return broker
+
+    def test_sasl_plain_roundtrip(self):
+        from pipeline_spark.functions.kafkawire import read_partition_range
+
+        broker = self._seeded(("plain", "alice", "s3cret"))
+        try:
+            sec = {"protocol": "SASL_PLAINTEXT", "mechanism": "PLAIN",
+                   "username": "alice", "password": "s3cret"}
+            recs = list(read_partition_range(
+                f"127.0.0.1:{broker.port}", "t", 0, 0, 2, security=sec,
+            ))
+            assert [r["value"] for r in recs] == [b"v1", b"v2"]
+        finally:
+            broker.close()
+
+    def test_sasl_plain_wrong_password_fails(self):
+        from pipeline_spark.functions.kafkawire import (
+            KafkaClient,
+            KafkaError,
+        )
+
+        broker = self._seeded(("plain", "alice", "s3cret"))
+        try:
+            with pytest.raises(KafkaError, match="authentication failed"):
+                KafkaClient(
+                    "127.0.0.1", broker.port,
+                    security={"protocol": "SASL_PLAINTEXT",
+                              "mechanism": "PLAIN",
+                              "username": "alice", "password": "wrong"},
+                )
+        finally:
+            broker.close()
+
+    def test_unauthenticated_calls_rejected_on_secured_listener(self):
+        from pipeline_spark.functions.kafkawire import KafkaClient, KafkaError
+
+        broker = self._seeded(("plain", "alice", "s3cret"))
+        try:
+            client = KafkaClient("127.0.0.1", broker.port)  # no SASL
+            # the fake answers a bare error frame; a real broker may also
+            # just close — either way the call must fail, not return data
+            with pytest.raises((KafkaError, EOFError)):
+                client.metadata(["t"])
+            client.close()
+        finally:
+            broker.close()
+
+    @pytest.mark.parametrize("mech", ["SCRAM-SHA-256", "SCRAM-SHA-512"])
+    def test_scram_roundtrip(self, mech):
+        from pipeline_spark.functions.kafkawire import read_partition_range
+
+        broker = self._seeded((mech.lower(), "bob", "hunter2"))
+        try:
+            sec = {"protocol": "SASL_PLAINTEXT", "mechanism": mech,
+                   "username": "bob", "password": "hunter2"}
+            recs = list(read_partition_range(
+                f"127.0.0.1:{broker.port}", "t", 0, 0, 2, security=sec,
+            ))
+            assert [r["key"] for r in recs] == [b"k1", b"k2"]
+        finally:
+            broker.close()
+
+    def test_scram_wrong_password_fails(self):
+        from pipeline_spark.functions.kafkawire import KafkaClient, KafkaError
+
+        broker = self._seeded(("scram-sha-256", "bob", "hunter2"))
+        try:
+            with pytest.raises(KafkaError, match="authentication failed"):
+                KafkaClient(
+                    "127.0.0.1", broker.port,
+                    security={"protocol": "SASL_PLAINTEXT",
+                              "mechanism": "SCRAM-SHA-256",
+                              "username": "bob", "password": "nope"},
+                )
+        finally:
+            broker.close()
+
+    def test_security_from_params(self):
+        from pipeline_spark.functions.kafkawire import security_from_params
+
+        assert security_from_params({}) is None
+        sec = security_from_params({
+            "securityProtocol": "sasl_ssl", "saslMechanism": "SCRAM-SHA-256",
+            "saslUsername": "u", "saslPassword": "p", "sslCaFile": "/ca.pem",
+        })
+        assert sec["protocol"] == "SASL_SSL" and sec["caFile"] == "/ca.pem"
+
+
+class TestTls:
+    @pytest.fixture()
+    def cert(self, tmp_path):
+        import subprocess
+
+        key = str(tmp_path / "k.pem")
+        crt = str(tmp_path / "c.pem")
+        subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", key, "-out", crt, "-days", "1",
+             "-subj", "/CN=127.0.0.1",
+             "-addext", "subjectAltName=IP:127.0.0.1"],
+            check=True, capture_output=True,
+        )
+        return crt, key
+
+    def test_ssl_listener_roundtrip(self, cert):
+        from fake_kafka import FakeBroker
+        from pipeline_spark.functions.kafkawire import read_partition_range
+
+        crt, key = cert
+        broker = FakeBroker(tls=(crt, key))
+        broker.seed("t", 0, [{"key": b"k", "value": b"tls!", "timestamp": 1}])
+        try:
+            recs = list(read_partition_range(
+                f"127.0.0.1:{broker.port}", "t", 0, 0, 1,
+                security={"protocol": "SSL", "caFile": crt},
+            ))
+            assert recs[0]["value"] == b"tls!"
+        finally:
+            broker.close()
+
+    def test_ssl_untrusted_cert_rejected(self, cert):
+        from fake_kafka import FakeBroker
+        from pipeline_spark.functions.kafkawire import KafkaClient
+
+        crt, key = cert
+        broker = FakeBroker(tls=(crt, key))
+        try:
+            import ssl
+
+            with pytest.raises(ssl.SSLError):
+                KafkaClient(
+                    "127.0.0.1", broker.port, security={"protocol": "SSL"}
+                )  # default trust store does not contain the test CA
+        finally:
+            broker.close()
+
+    def test_sasl_ssl_combined(self, cert):
+        from fake_kafka import FakeBroker
+        from pipeline_spark.functions.kafkawire import read_partition_range
+
+        crt, key = cert
+        broker = FakeBroker(tls=(crt, key), sasl=("plain", "u", "p"))
+        broker.seed("t", 0, [{"key": None, "value": b"sec", "timestamp": 1}])
+        try:
+            recs = list(read_partition_range(
+                f"127.0.0.1:{broker.port}", "t", 0, 0, 1,
+                security={"protocol": "SASL_SSL", "mechanism": "PLAIN",
+                          "username": "u", "password": "p", "caFile": crt},
+            ))
+            assert recs[0]["value"] == b"sec"
+        finally:
+            broker.close()
