@@ -168,36 +168,73 @@ def _source_kind(dtype) -> str:
     raise ValueError(f"iceberg partition transform on unsupported type {dtype}")
 
 
+def _ntz_micros(src: Column) -> Column:
+    """Exact epoch micros of an NTZ wall clock treated as UTC — rendered
+    with an explicit +00:00 offset so the session timezone never leaks."""
+    return F.unix_micros(
+        F.to_timestamp(
+            F.concat(
+                F.date_format(src, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+                F.lit("+00:00"),
+            ),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+        )
+    )
+
+
+def _utc_date(src: Column, dtype) -> Column:
+    """A tz-free DATE column for calendar transforms.
+
+    The Iceberg spec defines time transforms on UTC micros for
+    timestamp-with-zone; Spark's F.year / cast("date") would decompose
+    in the SESSION timezone, so a non-UTC session would write partition
+    values a spec-compliant engine computes differently.  Derive the
+    UTC calendar day from exact epoch micros instead.  DATE and
+    timestamp-WITHOUT-zone columns are already wall-clock/tz-free, so
+    their calendar fields are used directly."""
+    if isinstance(dtype, T.TimestampType):
+        days = F.floor(F.unix_micros(src) / F.lit(86_400_000_000)).cast("int")
+        return F.date_add(F.to_date(F.lit("1970-01-01")), days)
+    if isinstance(dtype, T.TimestampNTZType):
+        return src.cast("date")
+    return src  # DateType
+
+
 def transform_column(field: dict[str, Any], dtype) -> tuple[Column, str]:
     """(transform Column, result kind) — result kind ∈ int/long/string.
 
-    Time transforms follow the spec's epoch ordinals; bucket hashes with
-    the spec encodings inside a vectorized pandas UDF."""
+    Time transforms follow the spec's epoch ordinals (UTC for
+    timestamp-with-zone); bucket hashes with the spec encodings inside a
+    vectorized pandas UDF."""
     src = F.col(field["source"])
     tr = field["transform"]
     kind = _source_kind(dtype)
     if tr == "identity":
-        if kind in ("date", "timestamp"):
-            # dirs need stable lexical values; keep identity on time
-            # columns as ISO strings in the dir name and parse back
-            return src.cast("string"), "string" if kind == "date" else "string"
-        return src, {"long": "long", "string": "string", "binary": "string"}[
-            kind
-        ] if kind != "binary" else "string"
+        if kind in ("date", "timestamp", "binary"):
+            # dirs need stable lexical values; keep identity on time and
+            # binary columns as strings in the dir name and parse back
+            return src.cast("string"), "string"
+        return src, {"long": "long", "string": "string"}[kind]
     if tr == "year":
-        return (F.year(src) - F.lit(1970)).cast("int"), "int"
+        d = _utc_date(src, dtype)
+        return (F.year(d) - F.lit(1970)).cast("int"), "int"
     if tr == "month":
+        d = _utc_date(src, dtype)
         return (
-            (F.year(src) - F.lit(1970)) * 12 + F.month(src) - F.lit(1)
+            (F.year(d) - F.lit(1970)) * 12 + F.month(d) - F.lit(1)
         ).cast("int"), "int"
     if tr == "day":
-        return F.datediff(src.cast("date"), F.to_date(F.lit("1970-01-01"))).cast(
-            "int"
-        ), "int"
+        d = _utc_date(src, dtype)
+        return F.datediff(d, F.to_date(F.lit("1970-01-01"))).cast("int"), "int"
     if tr == "hour":
         if kind != "timestamp":
             raise ValueError("iceberg: hour() needs a timestamp column")
-        return F.floor(src.cast("double") / 3600).cast("int"), "int"
+        micros = (
+            F.unix_micros(src)
+            if isinstance(dtype, T.TimestampType)
+            else _ntz_micros(src)
+        )
+        return F.floor(micros / F.lit(3_600_000_000)).cast("int"), "int"
     if tr == "truncate":
         w = field["param"]
         if kind == "long":
@@ -223,14 +260,21 @@ def transform_column(field: dict[str, Any], dtype) -> tuple[Column, str]:
         if kind == "timestamp":
             @F.pandas_udf("int")
             def _bt(s: pd.Series) -> pd.Series:
+                # nullable longs arrive as float64 with NaN for nulls
                 return s.map(
                     lambda v: None
-                    if v is None
-                    else iceberg_bucket(v, n, "long")
+                    if v is None or v != v
+                    else iceberg_bucket(int(v), n, "long")
                 ).astype("Int32")
 
-            # spec: timestamps hash as microseconds from epoch
-            micros = (src.cast("double") * 1_000_000).cast("long")
+            # spec: timestamps hash as EXACT microseconds from epoch —
+            # a double round-trip (cast("double") * 1e6) is off by one
+            # micro for ~1% of values and would bucket rows wrongly
+            micros = (
+                F.unix_micros(src)
+                if isinstance(dtype, T.TimestampType)
+                else _ntz_micros(src)
+            )
             return _bt(micros), "int"
         if kind == "string":
             @F.pandas_udf("int")

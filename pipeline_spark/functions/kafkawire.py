@@ -303,6 +303,9 @@ def security_from_params(p: dict) -> dict | None:
     proto = str(p.get("securityProtocol", "PLAINTEXT")).upper()
     if proto == "PLAINTEXT" and not p.get("saslMechanism"):
         return None
+    verify = p.get("sslVerify", True)
+    if not isinstance(verify, bool):  # YAML bool or string form alike
+        verify = str(verify).lower() != "false"
     return {
         "protocol": proto,
         "mechanism": p.get("saslMechanism"),
@@ -311,7 +314,7 @@ def security_from_params(p: dict) -> dict | None:
         "caFile": p.get("sslCaFile"),
         "certFile": p.get("sslCertFile"),
         "keyFile": p.get("sslKeyFile"),
-        "verify": p.get("sslVerify", True),
+        "verify": verify,
     }
 
 
@@ -341,18 +344,25 @@ class KafkaClient:
         self.sock = socket.create_connection((host, port), timeout=timeout)
         sec = security or {}
         proto = str(sec.get("protocol", "PLAINTEXT")).upper()
-        if proto.endswith("SSL"):
-            import ssl as _ssl
+        try:
+            if proto.endswith("SSL"):
+                import ssl as _ssl
 
-            ctx = _ssl.create_default_context(cafile=sec.get("caFile"))
-            if sec.get("certFile"):
-                ctx.load_cert_chain(sec["certFile"], sec.get("keyFile"))
-            if sec.get("verify") is False:
-                ctx.check_hostname = False
-                ctx.verify_mode = _ssl.CERT_NONE
-            self.sock = ctx.wrap_socket(self.sock, server_hostname=host)
-        if proto.startswith("SASL") or sec.get("mechanism"):
-            self._sasl(sec)
+                ctx = _ssl.create_default_context(cafile=sec.get("caFile"))
+                if sec.get("certFile"):
+                    ctx.load_cert_chain(sec["certFile"], sec.get("keyFile"))
+                if sec.get("verify") is False:
+                    ctx.check_hostname = False
+                    ctx.verify_mode = _ssl.CERT_NONE
+                self.sock = ctx.wrap_socket(self.sock, server_hostname=host)
+            if proto.startswith("SASL") or sec.get("mechanism"):
+                self._sasl(sec)
+        except Exception:
+            # a failed TLS wrap / SASL exchange must not leak the TCP
+            # socket: repeated auth failures per micro-batch would
+            # otherwise accumulate open FDs until GC
+            self.close()
+            raise
 
     def close(self) -> None:
         try:

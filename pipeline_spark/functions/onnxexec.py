@@ -360,6 +360,18 @@ def _saturate(arr: np.ndarray, dtype) -> np.ndarray:
     return np.clip(arr, info.min, info.max).astype(dtype)
 
 
+def _zp_rows(zp, like: np.ndarray) -> np.ndarray:
+    """Zero point aligned for subtraction from ``like``.
+
+    Per-channel 1-D zero points align to the FIRST axis (ONNX: matmul A's
+    rows, conv weights' output channels) — raw numpy broadcasting would
+    silently align them to the LAST axis instead."""
+    arr = np.asarray(zp, dtype=np.int32)
+    if arr.ndim == 1 and arr.size > 1:
+        return arr.reshape((-1,) + (1,) * (like.ndim - 1))
+    return arr
+
+
 def _axis_shape(scale: np.ndarray, like: np.ndarray, axis: int):
     """Broadcast a per-axis 1-D scale/zero-point along ``axis`` of x."""
     s = np.asarray(scale)
@@ -669,14 +681,14 @@ class _Graph:
                 a_zp = x[2] if len(x) > 2 and x[2] is not None else 0
                 b_zp = x[3] if len(x) > 3 and x[3] is not None else 0
                 r = (
-                    (x[0].astype(np.int32) - np.asarray(a_zp, dtype=np.int32))
+                    (x[0].astype(np.int32) - _zp_rows(a_zp, x[0]))
                     @ (x[1].astype(np.int32) - np.asarray(b_zp, dtype=np.int32))
                 )
             elif op == "QLinearMatMul":
                 # a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp
                 acc = (
-                    (x[0].astype(np.int32) - x[2].astype(np.int32))
-                    @ (x[3].astype(np.int32) - x[5].astype(np.int32))
+                    (x[0].astype(np.int32) - _zp_rows(x[2], x[0]))
+                    @ (x[3].astype(np.int32) - np.asarray(x[5], dtype=np.int32))
                 )
                 scale = (
                     x[1].astype(np.float64) * x[4].astype(np.float64)
@@ -689,14 +701,14 @@ class _Graph:
                 w_zp = x[3] if len(x) > 3 and x[3] is not None else 0
                 r = _conv2d(
                     x[0].astype(np.int32) - np.asarray(x_zp, dtype=np.int32),
-                    x[1].astype(np.int32) - np.asarray(w_zp, dtype=np.int32),
+                    x[1].astype(np.int32) - _zp_rows(w_zp, x[1]),
                     None, a,
                 )
             elif op == "QLinearConv":
                 # x, x_scale, x_zp, w, w_scale, w_zp, y_scale, y_zp, [B]
                 acc = _conv2d(
-                    x[0].astype(np.int32) - x[2].astype(np.int32),
-                    x[3].astype(np.int32) - x[5].astype(np.int32),
+                    x[0].astype(np.int32) - np.asarray(x[2], dtype=np.int32),
+                    x[3].astype(np.int32) - _zp_rows(x[5], x[3]),
                     x[8] if len(x) > 8 and x[8] is not None else None, a,
                 )
                 w_scale = x[4].astype(np.float64)

@@ -456,9 +456,14 @@ def ngram_jaccard_pairs(
 
     id_dt = df.schema[id_field].dataType.simpleString()
 
+    # flush threshold bounds live memory: an Arrow batch of hot buckets
+    # could otherwise accumulate rows-per-batch × C(maxDocFreq, 2) pairs
+    # before a single yield
+    _FLUSH_PAIRS = 2_000_000
+
     def gen_pairs(batches):
         for pdf in batches:
-            a_out, b_out = [], []
+            a_out, b_out, n_pairs = [], [], 0
             for ds in pdf["ds"]:
                 arr = np.asarray(ds)
                 n = len(arr)
@@ -467,6 +472,13 @@ def ngram_jaccard_pairs(
                 i, j = np.triu_indices(n, k=1)
                 a_out.append(arr[i])
                 b_out.append(arr[j])
+                n_pairs += len(i)
+                if n_pairs >= _FLUSH_PAIRS:
+                    yield pd.DataFrame(
+                        {"doc_a": np.concatenate(a_out),
+                         "doc_b": np.concatenate(b_out)}
+                    )
+                    a_out, b_out, n_pairs = [], [], 0
             if a_out:
                 yield pd.DataFrame(
                     {"doc_a": np.concatenate(a_out),

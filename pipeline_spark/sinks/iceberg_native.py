@@ -301,6 +301,26 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
             prev_meta = None
     if prev_meta is None and mode == "append":
         mode = "create"
+    if mode == "append" and prev_meta is not None:
+        # an append must not silently rewrite the table's partition spec:
+        # old manifests keep referencing spec-id 0, so a mismatched spec
+        # would corrupt the metadata for every reader.  Checked BEFORE the
+        # data write so a rejected append leaves no orphan files.
+        from pipeline_spark.functions.icebergpart import spec_transform_str as _sts
+
+        prev_fields = [
+            (f.get("name"), f.get("transform"))
+            for f in (prev_meta.get("partition-specs") or [{}])[0].get(
+                "fields", []
+            )
+        ]
+        new_fields = [(fld["name"], _sts(fld)) for _t, fld, _k in part_info]
+        if prev_fields != new_fields:
+            raise ValueError(
+                "iceberg: append partition spec "
+                f"{new_fields} does not match the table's existing spec "
+                f"{prev_fields}; use mode: overwrite to change partitioning"
+            )
     os.makedirs(meta_dir, exist_ok=True)
 
     commit_uuid = str(uuid.uuid4())

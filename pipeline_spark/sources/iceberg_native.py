@@ -259,11 +259,23 @@ def read_iceberg_native(spark, p: dict[str, Any]):
         # 100 TB payoff of partitioned commits: a bucket/day filter cuts
         # the file list before Spark plans a single task.  Filter shape:
         # {partition_field_name: value | [values]}.
+        known = {
+            k for d in data for k in (d.get("partition") or {})
+        }
+        unknown = set(pfilter) - known
+        if unknown:
+            # a typo'd field name must error, not silently return the
+            # full table (partitionFilter is semantic, not advisory)
+            raise ValueError(
+                f"iceberg: partitionFilter fields {sorted(unknown)} not in "
+                f"any data file's partition record (have {sorted(known)})"
+            )
+
         def keep(rec: dict) -> bool:
             part = rec.get("partition") or {}
             for k, want in pfilter.items():
                 if k not in part:
-                    return True  # unknown field: never prune incorrectly
+                    continue  # file predates this partition field: keep
                 have = part[k]
                 if isinstance(want, (list, tuple)):
                     if have not in want:

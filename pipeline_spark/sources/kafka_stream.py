@@ -59,19 +59,18 @@ class _RangePartition(InputPartition):
 
 
 def _security_from_options(options) -> dict | None:
-    proto = str(options.get("securityprotocol", "PLAINTEXT")).upper()
-    if proto == "PLAINTEXT" and not options.get("saslmechanism"):
-        return None
-    return {
-        "protocol": proto,
-        "mechanism": options.get("saslmechanism"),
-        "username": options.get("saslusername"),
-        "password": options.get("saslpassword"),
-        "caFile": options.get("sslcafile"),
-        "certFile": options.get("sslcertfile"),
-        "keyFile": options.get("sslkeyfile"),
-        "verify": str(options.get("sslverify", "true")).lower() != "false",
+    """DataSource options (lowercased string keys) → the shared
+    normalizer, so batch and streaming security semantics can't drift."""
+    from pipeline_spark.functions.kafkawire import security_from_params
+
+    params = {
+        name: options[name.lower()]
+        for name in ("securityProtocol", "saslMechanism", "saslUsername",
+                     "saslPassword", "sslCaFile", "sslCertFile",
+                     "sslKeyFile", "sslVerify")
+        if options.get(name.lower()) is not None
     }
+    return security_from_params(params)
 
 
 class _KafkaStreamReader(DataSourceStreamReader):

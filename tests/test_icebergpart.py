@@ -177,3 +177,96 @@ def test_truncate_and_append(spark, tmp_path):
     )
     back = read_iceberg_native(spark, {"path": tbl})
     assert back.count() == 4
+
+
+# ----------------------------------------------------- review regressions
+
+
+def test_partition_filter_typo_errors_not_full_table(spark, tmp_path):
+    from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    tbl = str(tmp_path / "tbl")
+    write_iceberg_native(_df(spark).repartition(1), {"path": tbl, "partitionBy": ["region"]})
+    with pytest.raises(ValueError, match="not in any data file"):
+        read_iceberg_native(
+            spark, {"path": tbl, "partitionFilter": {"regoin": "r1"}}
+        )
+    # multi-key filters apply ALL keys
+    rows = read_iceberg_native(
+        spark, {"path": tbl, "partitionFilter": {"region": ["r0", "r1"]}}
+    ).collect()
+    assert set(r["region"] for r in rows) == {"r0", "r1"}
+
+
+def test_bucket_timestamp_null_and_exact_micros(spark, tmp_path):
+    from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+    from pipeline_spark.sources.iceberg_native import plan_files
+
+    # 2040-02-15T...: epoch micros 2213002852629810 is one of the values
+    # whose double round-trip is off by one micro
+    micros = 2213002852629810
+    df = spark.createDataFrame(
+        [Row(k=1, ts=datetime.datetime.utcfromtimestamp(micros / 1e6)),
+         Row(k=2, ts=None)],
+        "k long, ts timestamp",
+    )
+    tbl = str(tmp_path / "tbl")
+    write_iceberg_native(df, {"path": tbl, "partitionBy": ["bucket(16, ts)"]})
+    data, _, _ = plan_files(tbl)
+    buckets = {r["partition"]["ts_bucket"] for r in data}
+    from pipeline_spark.functions.icebergpart import iceberg_bucket
+
+    assert iceberg_bucket(micros, 16, "long") in buckets  # exact micros
+    assert None in buckets  # null row lands in the null partition
+
+
+def test_time_transforms_are_session_tz_independent(spark, tmp_path):
+    """Iceberg time transforms are defined on UTC; a non-UTC session must
+    write identical partition values."""
+    from pipeline_spark.functions.icebergpart import transform_column
+    from pyspark.sql import functions as F, types as T
+
+    ts = datetime.datetime(2024, 1, 2, 0, 30, 0)  # UTC (session tz is UTC)
+    df = spark.createDataFrame([Row(ts=ts)], "ts timestamp")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    vals = {}
+    try:
+        for tz in ("UTC", "America/Los_Angeles"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            cols = {}
+            for tr in ("year", "month", "day", "hour"):
+                col, _ = transform_column(
+                    {"transform": tr, "source": "ts", "param": None,
+                     "name": "x"},
+                    T.TimestampType(),
+                )
+                cols[tr] = col
+            row = df.select(
+                *[c.alias(t) for t, c in cols.items()]
+            ).collect()[0]
+            vals[tz] = (row["year"], row["month"], row["day"], row["hour"])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert vals["UTC"] == vals["America/Los_Angeles"]
+    # and the UTC values are the spec ordinals for 2024-01-02T00:30Z
+    assert vals["UTC"] == (54, 648, 19724, 19724 * 24)
+
+
+def test_append_spec_mismatch_rejected(spark, tmp_path):
+    from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    tbl = str(tmp_path / "tbl")
+    write_iceberg_native(_df(spark), {"path": tbl, "partitionBy": ["region"]})
+    with pytest.raises(ValueError, match="does not match the table"):
+        write_iceberg_native(
+            _df(spark), {"path": tbl, "mode": "append"}  # unpartitioned
+        )
+    with pytest.raises(ValueError, match="does not match the table"):
+        write_iceberg_native(
+            _df(spark),
+            {"path": tbl, "mode": "append", "partitionBy": ["bucket(4, id)"]},
+        )
+    # the rejected appends left no orphan data files / extra snapshots
+    assert read_iceberg_native(spark, {"path": tbl}).count() == 12

@@ -803,3 +803,54 @@ def test_qlinear_conv_per_channel():
     scale = x_s * w_s.reshape(1, 3, 1, 1).astype(np.float64) / y_s
     ref = np.clip(np.rint(acc * scale) + y_z, 0, 255).astype(np.uint8)
     np.testing.assert_array_equal(y, ref)
+
+
+def test_qlinear_conv_per_channel_zero_points():
+    """1-D w_zero_point aligns to OUTPUT channels, not the kernel axis."""
+    rng = np.random.RandomState(13)
+    X = rng.randint(0, 256, size=(1, 2, 4, 4)).astype(np.uint8)
+    W = rng.randint(-100, 100, size=(3, 2, 3, 3)).astype(np.int8)
+    w_zp = np.array([3, -5, 7], dtype=np.int8)  # per out channel, size==kW!
+    x_s, x_z = 0.02, 120
+    y_s, y_z = 0.15, 100
+    graph = (
+        ld(1, node("QLinearConv",
+                   ["x", "xs", "xz", "w", "ws", "wz", "ys", "yz"], ["y"],
+                   ints_attr("kernel_shape", [3, 3])
+                   + ints_attr("pads", [1, 1, 1, 1])))
+        + ld(2, b"qconvzp")
+        + ld(5, tensor("xs", [], [x_s]))
+        + ld(5, tensor_int8("xz", [], [x_z], dtype_code=2))
+        + ld(5, tensor("ws", [], [0.01]))
+        + ld(5, tensor_int8("wz", [3], [int(v) for v in w_zp]))
+        + ld(5, tensor("ys", [], [y_s]))
+        + ld(5, tensor_int8("yz", [], [y_z], dtype_code=2))
+        + ld(11, value_info("x")) + ld(11, value_info("w"))
+        + ld(12, value_info("y"))
+    )
+    (y,) = OnnxGraph(vi(1, 8) + ld(7, graph)).run({"x": X, "w": W})
+    acc = np.zeros((1, 3, 4, 4), dtype=np.int64)
+    xp = np.pad(X.astype(np.int32) - x_z, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    for m in range(3):
+        wm = W[m].astype(np.int32) - int(w_zp[m])  # zp per OUT channel
+        for i in range(4):
+            for j in range(4):
+                acc[0, m, i, j] = np.sum(xp[0, :, i:i+3, j:j+3] * wm)
+    ref = np.clip(np.rint(acc * (x_s * 0.01 / y_s)) + y_z, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(y, ref)
+
+
+def test_matmul_integer_per_row_zero_point():
+    a = np.array([[10, 20, 30], [1, 2, 3]], dtype=np.uint8)
+    b = np.array([[1, 0], [0, 1], [1, 1]], dtype=np.uint8)
+    a_zp = np.array([5, 1], dtype=np.uint8)  # one zp per ROW of a
+    graph = (
+        ld(1, node("MatMulInteger", ["a", "b", "az"], ["y"]))
+        + ld(2, b"mmirow")
+        + ld(5, tensor_int8("az", [2], [5, 1], dtype_code=2))
+        + ld(11, value_info("a")) + ld(11, value_info("b"))
+        + ld(12, value_info("y"))
+    )
+    (y,) = OnnxGraph(vi(1, 8) + ld(7, graph)).run({"a": a, "b": b})
+    ref = (a.astype(np.int32) - a_zp[:, None]) @ b.astype(np.int32)
+    np.testing.assert_array_equal(y, ref)
