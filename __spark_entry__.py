@@ -2462,6 +2462,109 @@ FROM s
 """
 
 
+# CCNet-style perplexity filtering: a deterministic demo bigram LM trained
+# (absolute discounting, Katz-normalized backoff — functions/arpalm.py) on a
+# seed corpus over the documents vocabulary.  The SAME parsed model feeds
+# both the engine query (broadcast + pandas UDF) and the DuckDB oracle
+# (gram tables as VALUES + the ARPA backoff rule in SQL), so the scores
+# must agree bit-for-bit after rounding.
+_PPL_SEED = [
+    "the table scan is fast and the hash join is slow",
+    "a query plan should push the filter below the join",
+    "the window sort spills when the batch is big",
+    "small table scan fast big table scan slow",
+    "the spark query reads the part table and the customer table",
+    "a hash agg groups the row batch by key",
+    "the column vector batch makes the scan fast",
+    "sort merge join shuffles the data by key",
+    "the line order value is a part of the row",
+    "data flows from scan to filter to agg to sort",
+]
+
+
+def _ppl_model():
+    from pipeline_spark.functions.arpalm import parse_arpa, train_arpa
+
+    arpa = train_arpa(_PPL_SEED, order=2)
+    return arpa, parse_arpa(arpa)
+
+
+_PPL_ARPA, _PPL_LM = _ppl_model()
+
+
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """textstats perplexity op: document perplexity under an ARPA bigram
+    LM with standard backoff scoring (CCNet / Wenzek et al. 2019 corpus
+    curation; map-only broadcast-model scoring)."""
+    import yaml
+
+    body = yaml.safe_dump({
+        "transforms": [{
+            "name": "pp",
+            "module": "textstats",
+            "inputs": ["documents"],
+            "parameters": {
+                "field": "text",
+                "ops": ["perplexity"],
+                "model": _PPL_ARPA,
+            },
+        }]
+    })
+    df = _pipeline(spark, sf_dir, ["documents"], "\n" + body, "pp")
+    return df.select("doc_id", F.round("ppl", 4).alias("ppl"))
+
+
+def _ppl_oracle_sql() -> str:
+    def q(w: str) -> str:
+        return "'" + w.replace("'", "''") + "'"
+
+    uni_rows = ",\n    ".join(
+        f"({q(w)}, {lp!r}, {bo!r})"
+        for (w,), (lp, bo) in sorted(_PPL_LM.grams[1].items())
+    )
+    bi_rows = ",\n    ".join(
+        f"({q(v)}, {q(w)}, {lp!r})"
+        for (v, w), (lp, _) in sorted(_PPL_LM.grams[2].items())
+    )
+    unk = repr(_PPL_LM.unk_logprob)
+    return f"""
+WITH uni AS (
+  SELECT * FROM (VALUES
+    {uni_rows}
+  ) t(w, lp, bo)
+), bi AS (
+  SELECT * FROM (VALUES
+    {bi_rows}
+  ) t(v, w, lp)
+), toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM toks
+), ctx AS (
+  SELECT doc_id, i, w,
+         lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw
+  FROM pos
+), scored AS (
+  SELECT c.doc_id,
+    CASE
+      WHEN b.lp IS NOT NULL THEN b.lp
+      WHEN c.pw IS NOT NULL THEN coalesce(uc.bo, 0.0) + coalesce(u.lp, {unk})
+      ELSE coalesce(u.lp, {unk})
+    END AS lp
+  FROM ctx c
+  LEFT JOIN bi b ON b.v = c.pw AND b.w = c.w
+  LEFT JOIN uni u ON u.w = c.w
+  LEFT JOIN uni uc ON uc.w = c.pw
+)
+SELECT doc_id, round(power(10.0, -avg(lp)), 4) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+
+Q_PERPLEXITY_SQL = _ppl_oracle_sql()
+
+
 def q_deserialize_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """deserialize module, avro format: orders rows are encoded to avro
     binary datums per the public spec in-query, decoded back by the
@@ -2963,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "chunk_windows": q_chunk_windows,
         "linear_regression": q_linear_regression,
+        "perplexity_filter": q_perplexity_filter,
     }
 
 
@@ -3042,4 +3146,5 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": Q_URL_NORMALIZE_SQL,
         "chunk_windows": Q_CHUNK_SQL,
         "linear_regression": Q_LINREG_SQL,
+        "perplexity_filter": Q_PERPLEXITY_SQL,
     }

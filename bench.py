@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "audio_meta",
     "chunk_windows",
     "iceberg_partitioned",
+    "perplexity_filter",
 ]
 
 

@@ -18,6 +18,7 @@ codegen with zero Python.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -209,6 +210,52 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " ")))
 
 
+def _perplexity(ctx, df: DataFrame, col: Column, p: dict) -> DataFrame:
+    """CCNet-style perplexity under an ARPA n-gram LM (Wenzek et al. 2019).
+
+    The model (inline ``model`` text or ``modelFile`` path — KenLM/SRILM
+    ARPA output parses as-is) is parsed driver-side, broadcast once, and
+    scored in a vectorized pandas UDF: map-only, zero shuffle, so the
+    100 TB pass is embarrassingly parallel.  ``maxModelBytes`` (default
+    1 GiB) refuses silently giant broadcasts.  Optional ``maxPpl`` keeps
+    only rows at or below the threshold (the CCNet head/middle cut).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from pipeline_spark.functions.arpalm import normalize_tokens, parse_arpa
+
+    if p.get("model"):
+        model_text = p["model"]
+    elif p.get("modelFile"):
+        with open(p["modelFile"]) as fh:
+            model_text = fh.read()
+    else:
+        raise ValueError(
+            "textstats.perplexity: provide 'model' (inline ARPA text) or "
+            "'modelFile' (path to an ARPA file)"
+        )
+    max_bytes = int(p.get("maxModelBytes", 1 << 30))
+    if len(model_text.encode()) > max_bytes:
+        raise ValueError(
+            f"textstats.perplexity: model is {len(model_text.encode())} bytes, "
+            f"over maxModelBytes={max_bytes} — too large to broadcast; shard "
+            "the corpus by language and use per-language models, or raise "
+            "maxModelBytes explicitly"
+        )
+    lm_bc = ctx.spark.sparkContext.broadcast(parse_arpa(model_text))
+
+    @pandas_udf("double")
+    def ppl_udf(texts: pd.Series) -> pd.Series:
+        lm = lm_bc.value
+        return texts.map(lambda t: lm.perplexity(normalize_tokens(t)))
+
+    out_field = p.get("pplField", "ppl")
+    df = df.withColumn(out_field, ppl_udf(col))
+    if p.get("maxPpl") is not None:
+        df = df.filter(F.col(out_field) <= float(p["maxPpl"]))
+    return df
+
+
 @module("textstats", kind=KIND_TRANSFORM)
 def textstats_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
@@ -233,6 +280,8 @@ def textstats_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                 for rname, rcol in rules:
                     df = df.withColumn(rname, rcol)
             df = df.withColumn(p.get("gopherField", "gopher_pass"), passed)
+        elif op == "perplexity":
+            df = _perplexity(ctx, df, col, p)
         elif op == "classifier":
             df = df.withColumn(
                 p.get("scoreField", "clf_score"),
