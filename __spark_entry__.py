@@ -2462,6 +2462,80 @@ FROM s
 """
 
 
+def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample module, mix method: pretraining data mixing — language
+    shards recombined to target proportions with bounded upsampling
+    (maxEpochs=2), md5-deterministic membership per epoch."""
+    df = _pipeline(spark, sf_dir, ["documents"], """
+transforms:
+  - name: en
+    module: filter
+    inputs: [documents]
+    parameters:
+      filters: [{key: lang, op: "=", value: en}]
+  - name: de
+    module: filter
+    inputs: [documents]
+    parameters:
+      filters: [{key: lang, op: "=", value: de}]
+  - name: fr
+    module: filter
+    inputs: [documents]
+    parameters:
+      filters: [{key: lang, op: "=", value: fr}]
+  - name: mixed
+    module: sample
+    inputs: [en, de, fr]
+    parameters:
+      method: mix
+      keyField: doc_id
+      weights: {en: 0.5, de: 0.25, fr: 0.25}
+      maxEpochs: 2
+      salt: s4
+""", "mixed")
+    return df.select(
+        "doc_id", "lang",
+        F.col("__source__").alias("src"),
+        F.col("__epoch__").alias("epoch"),
+    )
+
+
+def _mix_oracle_sql() -> str:
+    from pipeline_spark.operators.sample import mix_proportions
+
+    p = mix_proportions({"en": 0.5, "de": 0.25, "fr": 0.25}, 1.0)
+    w_rows = ", ".join(f"('{k}', {v!r})" for k, v in p.items())
+    # the count-dependent arithmetic (N = min(maxEpochs*n/p), r = p*N/n,
+    # floor-based hex boundary) replays the engine's float ops 1:1 —
+    # identical IEEE doubles on both sides, no rounding ties (floor).
+    return f"""
+WITH src AS (
+  SELECT doc_id, lang, lang AS s FROM documents WHERE lang IN ('en','de','fr')
+), cnt AS (
+  SELECT s, count(*) AS n FROM src GROUP BY s
+), w AS (
+  SELECT * FROM (VALUES {w_rows}) t(s, p)
+), par AS (
+  SELECT c.s, c.n, w.p FROM cnt c JOIN w USING (s)
+), tot AS (
+  SELECT min(2 * n / p) AS big_n FROM par
+), rate AS (
+  SELECT s, p * big_n / n AS r FROM par, tot
+), ep AS (
+  SELECT unnest(generate_series(0, 2)) AS e
+)
+SELECT d.doc_id, d.lang, d.s AS src, CAST(ep.e AS INT) AS epoch
+FROM src d JOIN rate USING (s) CROSS JOIN ep
+WHERE (rate.r - ep.e >= 1)
+   OR (rate.r - ep.e > 0
+       AND substr(md5('s4|' || d.s || '|' || ep.e || CAST(d.doc_id AS VARCHAR)), 1, 8)
+           < printf('%08x', CAST(floor((rate.r - ep.e) * 4294967296.0) AS BIGINT)))
+"""
+
+
+Q_DATASET_MIX_SQL = _mix_oracle_sql()
+
+
 # CCNet-style perplexity filtering: a deterministic demo bigram LM trained
 # (absolute discounting, Katz-normalized backoff — functions/arpalm.py) on a
 # seed corpus over the documents vocabulary.  The SAME parsed model feeds
@@ -3067,6 +3141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": q_chunk_windows,
         "linear_regression": q_linear_regression,
         "perplexity_filter": q_perplexity_filter,
+        "dataset_mix": q_dataset_mix,
     }
 
 
@@ -3147,4 +3222,5 @@ def oracle_sql() -> dict[str, str]:
         "chunk_windows": Q_CHUNK_SQL,
         "linear_regression": Q_LINREG_SQL,
         "perplexity_filter": Q_PERPLEXITY_SQL,
+        "dataset_mix": Q_DATASET_MIX_SQL,
     }

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "chunk_windows",
     "iceberg_partitioned",
     "perplexity_filter",
+    "dataset_mix",
 ]
 
 

@@ -484,6 +484,89 @@ def test_sample_stratified(spark):
     assert 30 < counts.get("b", 0) < 140  # ~5% of 1500
 
 
+def _mix_ctx(spark, params, inputs, names):
+    return ModuleContext(
+        spark=spark, name="mx", params=params, inputs=inputs, input_names=names,
+    )
+
+
+def test_sample_mix_proportions_and_determinism(spark):
+    from pyspark.sql import functions as SF
+
+    from pipeline_spark.operators.sample import sample_transform
+
+    big = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    small = spark.range(10000, 10500).withColumnRenamed("id", "doc_id")
+    params = {
+        "method": "mix", "keyField": "doc_id",
+        "weights": {"big": 0.5, "small": 0.5},
+    }
+    out = sample_transform(_mix_ctx(spark, params, [big, small], ["big", "small"]))[""]
+    counts = {
+        r["__source__"]: r["n"]
+        for r in out.groupBy("__source__").agg(SF.count("*").alias("n")).collect()
+    }
+    # equal weights, no upsampling: N is capped by the small source at
+    # 2*500 -> ~500 rows each (md5-binomial wiggle on the big side)
+    assert counts["small"] == 500
+    assert 420 < counts["big"] < 580
+    assert "__epoch__" not in out.columns  # maxEpochs=1 -> no epoch tag
+    # deterministic
+    out2 = sample_transform(_mix_ctx(spark, params, [big, small], ["big", "small"]))[""]
+    assert sorted(out.collect()) == sorted(out2.collect())
+
+
+def test_sample_mix_upsampling_epochs(spark):
+    from pyspark.sql import functions as SF
+
+    from pipeline_spark.operators.sample import sample_transform
+
+    big = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    small = spark.range(10000, 10500).withColumnRenamed("id", "doc_id")
+    out = sample_transform(_mix_ctx(
+        spark,
+        {"method": "mix", "keyField": "doc_id",
+         "weights": {"big": 0.5, "small": 0.5}, "maxEpochs": 3},
+        [big, small], ["big", "small"],
+    ))[""]
+    rows = out.groupBy("__source__", "__epoch__").agg(SF.count("*").alias("n")).collect()
+    by = {(r["__source__"], r["__epoch__"]): r["n"] for r in rows}
+    # small source now repeats: 3 epochs of 500 = its maxEpochs cap
+    assert by[("small", 0)] == 500 and by[("small", 1)] == 500 and by[("small", 2)] == 500
+    # big source contributes ~1500 rows in its single partial epoch
+    assert 1350 < by[("big", 0)] < 1650
+    # repeated rows are exact copies modulo the epoch tag
+    small_e0 = {r["doc_id"] for r in out.filter(
+        (SF.col("__source__") == "small") & (SF.col("__epoch__") == 1)).collect()}
+    assert small_e0 == set(range(10000, 10500))
+
+
+def test_sample_mix_temperature_flattens(spark):
+    from pipeline_spark.operators.sample import mix_proportions
+
+    p1 = mix_proportions({"a": 0.9, "b": 0.1}, temperature=1.0)
+    p5 = mix_proportions({"a": 0.9, "b": 0.1}, temperature=5.0)
+    assert p1["b"] < p5["b"] < 0.5  # T>1 upweights the small source
+    assert abs(sum(p1.values()) - 1) < 1e-12 and abs(sum(p5.values()) - 1) < 1e-12
+    with pytest.raises(ValueError, match="temperature"):
+        mix_proportions({"a": 1.0}, temperature=0)
+
+
+def test_sample_mix_validation(spark):
+    from pipeline_spark.operators.sample import sample_transform
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="no weight"):
+        sample_transform(_mix_ctx(
+            spark, {"method": "mix", "keyField": "doc_id", "weights": {"x": 1.0}},
+            [df, df], ["a", "b"],
+        ))
+    with pytest.raises(ValueError, match="weights"):
+        sample_transform(_mix_ctx(
+            spark, {"method": "mix", "keyField": "doc_id"}, [df], ["a"],
+        ))
+
+
 def test_scrub_pii_patterns(spark):
     from pipeline_spark.operators.scrub import scrub_transform
 
