@@ -2462,6 +2462,55 @@ FROM s
 """
 
 
+def q_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delta sink+source with the native (jar-free) path: supplier rows
+    committed to a partitioned filesystem Delta table (parquet data +
+    _delta_log JSON commits), read back through the metadata-path reader
+    (hive basePath partition recovery), aggregated; the oracle aggregates
+    the original table."""
+    import os
+    import shutil
+    import tempfile
+
+    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_delta_rt")
+    shutil.rmtree(tbl, ignore_errors=True)
+    run_pipeline(spark, parse_config(f"""
+sources:
+  - name: supplier
+    module: storage
+    parameters: {{format: parquet, input: {sf_dir}/supplier.parquet}}
+sinks:
+  - name: w
+    module: delta
+    inputs: [supplier]
+    parameters: {{path: {tbl}, partitionBy: [s_nationkey]}}
+"""))
+    outs = run_pipeline(spark, parse_config(f"""
+sources:
+  - name: back
+    module: delta
+    parameters: {{path: {tbl}}}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [back]
+    parameters:
+      groupFields: [s_nationkey]
+      aggregations:
+        - {{name: n, op: count}}
+        - {{name: total_bal, op: sum, field: s_acctbal}}
+"""))
+    return outs["agg"].select(
+        "s_nationkey", "n", F.round("total_bal", 2).alias("total_bal")
+    )
+
+
+Q_DELTA_SQL = """
+SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS total_bal
+FROM supplier GROUP BY s_nationkey
+"""
+
+
 def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sample module, mix method: pretraining data mixing — language
     shards recombined to target proportions with bounded upsampling
@@ -3142,6 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_regression": q_linear_regression,
         "perplexity_filter": q_perplexity_filter,
         "dataset_mix": q_dataset_mix,
+        "delta_roundtrip": q_delta_roundtrip,
     }
 
 
@@ -3223,4 +3273,5 @@ def oracle_sql() -> dict[str, str]:
         "linear_regression": Q_LINREG_SQL,
         "perplexity_filter": Q_PERPLEXITY_SQL,
         "dataset_mix": Q_DATASET_MIX_SQL,
+        "delta_roundtrip": Q_DELTA_SQL,
     }

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "iceberg_partitioned",
     "perplexity_filter",
     "dataset_mix",
+    "delta_roundtrip",
 ]
 
 

@@ -1,0 +1,243 @@
+"""Native Delta Lake sink: commit filesystem tables without the jar.
+
+Counterpart of sources/delta_native.py (public PROTOCOL.md format; the
+reference's warehouse sinks — BigQuerySink.java:35-894 et al. — write
+through vendor runtimes, which is the posture our jar path mirrors for
+Iceberg).  Spark writes the parquet data files in parallel; the driver
+then appends ONE line-delimited JSON commit to ``_delta_log/`` — zero
+row motion through the driver, the same shape as Delta's own commit.
+
+  create     first commit: protocol + metaData + add actions
+  append     new add actions (schema + partitioning checked against the
+             table's metaData before any data is staged)
+  overwrite  remove actions for every live file + new add actions
+
+Data files land under ``<table>/data-<uuid>/`` (paths in the log are
+table-relative, so readers — ours and delta-spark — resolve them; the
+per-commit directory keeps staging atomic and vacuum-friendly).
+Partitioned writes keep Spark's hive layout inside that directory, so
+the native reader's basePath fast path prunes by directory.
+
+Concurrency: single-writer (os.rename commit); concurrent committers
+race on the version file exactly like Delta on filesystems without
+atomic-put semantics — the loser gets an actionable error, not silent
+corruption.  Checkpoints: ``checkpointInterval`` (default 10) writes a
+single-part checkpoint parquet + ``_last_checkpoint`` so log replay
+stays O(live files), not O(commits).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.parse
+import uuid
+from typing import Any
+
+from pipeline_spark.registry import KIND_SINK, ModuleContext, module
+from pipeline_spark.sources.delta_native import latest_version, replay_log
+
+
+def _schema_fingerprint(schema_json: str) -> list[tuple[str, str]]:
+    fields = json.loads(schema_json).get("fields", [])
+    return sorted((f["name"], json.dumps(f["type"], sort_keys=True)) for f in fields)
+
+
+def write_delta_native(spark, df, p: dict[str, Any]) -> None:
+    table = p.get("path") or p.get("table") or p.get("output")
+    if not table:
+        raise ValueError("delta sink: 'path' is required")
+    mode = str(p.get("mode", "append")).lower()
+    if mode not in ("append", "overwrite", "errorifexists", "create"):
+        raise ValueError(f"delta sink: unknown mode '{mode}'")
+    part_cols = list(p.get("partitionBy") or [])
+    log_dir = os.path.join(table, "_delta_log")
+    prev_version = latest_version(log_dir) if os.path.isdir(log_dir) else None
+    exists = prev_version is not None
+
+    prev_adds: list[dict] = []
+    if exists:
+        if mode in ("errorifexists", "create"):
+            raise FileExistsError(f"delta sink: table already exists at {table}")
+        prev_adds, prev_meta, _proto, _v = replay_log(table)
+        # schema/partitioning drift fails BEFORE data is staged
+        if _schema_fingerprint(prev_meta["schemaString"]) != _schema_fingerprint(
+            df.schema.json()
+        ):
+            raise ValueError(
+                "delta sink: schema mismatch with the existing table — "
+                "evolve the table with the delta runtime or write elsewhere"
+            )
+        if list(prev_meta.get("partitionColumns") or []) != part_cols:
+            raise ValueError(
+                f"delta sink: partitionBy {part_cols} != table partitioning "
+                f"{prev_meta.get('partitionColumns')}"
+            )
+
+    commit_id = uuid.uuid4().hex
+    data_dir = f"data-{commit_id}"
+    staging = os.path.join(table, data_dir)
+    writer = df.write.mode("errorifexists")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+
+    adds = []
+    now_ms = int(time.time() * 1000)
+    for root, _dirs, files in os.walk(staging):
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table)
+            pv: dict[str, str] = {}
+            for seg in os.path.relpath(root, staging).split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    pv[k] = (
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else urllib.parse.unquote(v)
+                    )
+            adds.append({
+                "path": rel.replace(os.sep, "/"),
+                "partitionValues": pv,
+                "size": os.path.getsize(full),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            })
+
+    actions: list[dict] = []
+    if not exists:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append({
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        })
+    if mode == "overwrite" and exists:
+        for a in prev_adds:
+            actions.append({
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            })
+    actions.extend({"add": a} for a in adds)
+    actions.append({
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "WRITE",
+            "operationParameters": {"mode": mode, "partitionBy": json.dumps(part_cols)},
+        }
+    })
+
+    os.makedirs(log_dir, exist_ok=True)
+    version = (prev_version + 1) if exists else 0
+    commit_path = os.path.join(log_dir, f"{version:020d}.json")
+    tmp = commit_path + f".{commit_id}.tmp"
+    with open(tmp, "w") as fh:
+        for action in actions:
+            fh.write(json.dumps(action) + "\n")
+    if os.path.exists(commit_path):
+        os.unlink(tmp)
+        raise FileExistsError(
+            f"delta sink: concurrent commit raced on version {version} at "
+            f"{commit_path} — retry the write"
+        )
+    os.rename(tmp, commit_path)
+
+    interval = int(p.get("checkpointInterval", 10))
+    if interval > 0 and version > 0 and version % interval == 0:
+        write_checkpoint(table, version)
+
+
+def write_checkpoint(table: str, version: int) -> None:
+    """Single-part checkpoint parquet + _last_checkpoint hint.
+
+    ``partitionValues``/``configuration`` are map<string,string> — the
+    type delta-spark's checkpoints use (an inferred empty struct would
+    not even serialize)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    adds, meta, proto, _v = replay_log(table, version)
+    str_map = pa.map_(pa.string(), pa.string())
+    schema = pa.schema([
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", str_map),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([
+                ("provider", pa.string()),
+                ("options", str_map),
+            ])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", str_map),
+            ("createdTime", pa.int64()),
+        ])),
+        ("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+        ])),
+    ])
+
+    def as_map(d):
+        return sorted((d or {}).items())
+
+    meta_row = {
+        "id": meta.get("id"),
+        "format": {
+            "provider": (meta.get("format") or {}).get("provider", "parquet"),
+            "options": as_map((meta.get("format") or {}).get("options")),
+        },
+        "schemaString": meta.get("schemaString"),
+        "partitionColumns": list(meta.get("partitionColumns") or []),
+        "configuration": as_map(meta.get("configuration")),
+        "createdTime": meta.get("createdTime"),
+    }
+    proto_row = {
+        "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+        "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+    }
+    rows = [
+        {"add": None, "metaData": meta_row, "protocol": None},
+        {"add": None, "metaData": None, "protocol": proto_row},
+    ]
+    for a in adds:
+        rows.append({
+            "add": {
+                "path": a["path"],
+                "partitionValues": as_map(a.get("partitionValues")),
+                "size": a.get("size"),
+                "modificationTime": a.get("modificationTime"),
+                "dataChange": bool(a.get("dataChange", True)),
+            },
+            "metaData": None,
+            "protocol": None,
+        })
+    log_dir = os.path.join(table, "_delta_log")
+    path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+
+
+@module("delta", kind=KIND_SINK)
+def delta_sink(ctx: ModuleContext) -> dict[str, Any]:
+    """`delta` sink module: filesystem Delta tables, committed natively."""
+    write_delta_native(ctx.spark, ctx.input, ctx.params)
+    return {}

@@ -1,0 +1,265 @@
+"""Native Delta Lake reader/writer (no delta-spark jar).
+
+Round-trips exercise writer→reader symmetry; the hand-built external
+log test pins the reader against the public PROTOCOL.md layout
+independently of our writer; checkpoint/time-travel/gate tests cover
+the log-replay contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pipeline_spark.sinks.delta_native import write_checkpoint, write_delta_native
+from pipeline_spark.sources.delta_native import read_delta_native, replay_log
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.select("id").collect())
+
+
+def test_roundtrip_unpartitioned(spark, tmp_path):
+    tbl = str(tmp_path / "t1")
+    df = spark.range(0, 100).withColumnRenamed("id", "id")
+    write_delta_native(spark, df, {"path": tbl})
+    back = read_delta_native(spark, {"path": tbl})
+    assert _ids(back) == list(range(100))
+    # log shape: one commit with protocol + metaData + adds
+    log = sorted(os.listdir(os.path.join(tbl, "_delta_log")))
+    assert log == ["00000000000000000000.json"]
+
+
+def test_append_and_overwrite(spark, tmp_path):
+    tbl = str(tmp_path / "t2")
+    write_delta_native(spark, spark.range(0, 10), {"path": tbl})
+    write_delta_native(spark, spark.range(10, 20), {"path": tbl, "mode": "append"})
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(20))
+    write_delta_native(spark, spark.range(50, 55), {"path": tbl, "mode": "overwrite"})
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(50, 55))
+    # remove actions recorded for the overwritten files
+    v2 = os.path.join(tbl, "_delta_log", "00000000000000000002.json")
+    actions = [json.loads(x) for x in open(v2)]
+    assert any("remove" in a for a in actions)
+
+
+def test_time_travel(spark, tmp_path):
+    tbl = str(tmp_path / "t3")
+    write_delta_native(spark, spark.range(0, 5), {"path": tbl})
+    write_delta_native(spark, spark.range(5, 9), {"path": tbl, "mode": "append"})
+    assert _ids(read_delta_native(spark, {"path": tbl, "versionAsOf": 0})) == list(range(5))
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(9))
+    with pytest.raises(ValueError, match="versionAsOf"):
+        read_delta_native(spark, {"path": tbl, "versionAsOf": 7})
+
+
+def test_partitioned_roundtrip_hive_fast_path(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "t4")
+    df = spark.range(0, 40).withColumn(
+        "grp", F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+    )
+    write_delta_native(spark, df, {"path": tbl, "partitionBy": ["grp"]})
+    adds, meta, _p, _v = replay_log(tbl)
+    assert meta["partitionColumns"] == ["grp"]
+    assert all("grp=" in a["path"] for a in adds)
+    assert all(a["partitionValues"]["grp"] in ("even", "odd") for a in adds)
+    back = read_delta_native(spark, {"path": tbl})
+    assert sorted(back.columns) == ["grp", "id"]
+    evens = back.filter(F.col("grp") == "even")
+    assert sorted(r["id"] for r in evens.collect()) == list(range(0, 40, 2))
+    # directory pruning: the filtered scan should only touch grp=even files
+    plan = evens._jdf.queryExecution().executedPlan().toString()
+    assert "grp=odd" not in plan
+
+
+def test_append_schema_mismatch_fails_before_staging(spark, tmp_path):
+    tbl = str(tmp_path / "t5")
+    write_delta_native(spark, spark.range(0, 5), {"path": tbl})
+    other = spark.range(0, 5).withColumnRenamed("id", "other")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta_native(spark, other, {"path": tbl, "mode": "append"})
+    # no data directory was staged by the failed write
+    assert len([d for d in os.listdir(tbl) if d.startswith("data-")]) == 1
+
+
+def test_checkpoint_replay(spark, tmp_path):
+    tbl = str(tmp_path / "t6")
+    write_delta_native(spark, spark.range(0, 5), {"path": tbl})
+    write_delta_native(spark, spark.range(5, 10), {"path": tbl, "mode": "append"})
+    write_checkpoint(tbl, 1)
+    log_dir = os.path.join(tbl, "_delta_log")
+    assert os.path.exists(os.path.join(log_dir, "00000000000000000001.checkpoint.parquet"))
+    # commits at or below the checkpoint are no longer needed
+    os.unlink(os.path.join(log_dir, "00000000000000000000.json"))
+    os.unlink(os.path.join(log_dir, "00000000000000000001.json"))
+    write_delta_native(spark, spark.range(10, 12), {"path": tbl, "mode": "append"})
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(12))
+
+
+def test_checkpoint_interval_auto(spark, tmp_path):
+    tbl = str(tmp_path / "t7")
+    write_delta_native(spark, spark.range(0, 2), {"path": tbl, "checkpointInterval": 2})
+    for i in range(2):
+        write_delta_native(
+            spark, spark.range(10 * (i + 1), 10 * (i + 1) + 2),
+            {"path": tbl, "mode": "append", "checkpointInterval": 2},
+        )
+    log_dir = os.path.join(tbl, "_delta_log")
+    assert os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
+    assert json.load(open(os.path.join(log_dir, "_last_checkpoint")))["version"] == 2
+
+
+def test_reader_external_hand_built_log(spark, tmp_path):
+    """A log laid out like delta-spark's own writer (files at partition
+    dirs under the table root, not our data-<uuid> convention)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = tmp_path / "ext"
+    (tbl / "c=red").mkdir(parents=True)
+    (tbl / "c=blue").mkdir()
+    pq.write_table(pa.table({"v": [1, 2]}), tbl / "c=red" / "part-0.parquet")
+    pq.write_table(pa.table({"v": [3]}), tbl / "c=blue" / "part-0.parquet")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "c", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+    log = tbl / "_delta_log"
+    log.mkdir()
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": ["c"],
+            "configuration": {},
+        }},
+        {"add": {"path": "c=red/part-0.parquet", "partitionValues": {"c": "red"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "c=blue/part-0.parquet", "partitionValues": {"c": "blue"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(log / "00000000000000000000.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    back = read_delta_native(spark, {"path": str(tbl)})
+    rows = sorted((r["v"], r["c"]) for r in back.collect())
+    assert rows == [(1, "red"), (2, "red"), (3, "blue")]
+
+
+def test_reader_non_hive_layout_literal_groups(spark, tmp_path):
+    """Delta permits arbitrary relative paths with partitionValues only in
+    the log — the reader must attach them as typed literals."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = tmp_path / "flat"
+    tbl.mkdir()
+    pq.write_table(pa.table({"v": [1, 2]}), tbl / "f1.parquet")
+    pq.write_table(pa.table({"v": [3]}), tbl / "f2.parquet")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "n", "type": "integer", "nullable": True, "metadata": {}},
+        ],
+    }
+    log = tbl / "_delta_log"
+    log.mkdir()
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": ["n"],
+            "configuration": {},
+        }},
+        {"add": {"path": "f1.parquet", "partitionValues": {"n": "7"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "f2.parquet", "partitionValues": {"n": None},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(log / "00000000000000000000.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    back = read_delta_native(spark, {"path": str(tbl)})
+    assert dict(back.dtypes)["n"] == "int"
+    rows = sorted(((r["v"], r["n"]) for r in back.collect()), key=str)
+    assert (1, 7) in rows and (2, 7) in rows and (3, None) in rows
+
+
+def test_gates_deletion_vectors_and_column_mapping(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = tmp_path / "gated"
+    tbl.mkdir()
+    pq.write_table(pa.table({"v": [1]}), tbl / "f.parquet")
+    log = tbl / "_delta_log"
+    log.mkdir()
+    base_meta = {
+        "id": "x", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}}]}),
+        "partitionColumns": [], "configuration": {},
+    }
+
+    def write_log(actions):
+        with open(log / "00000000000000000000.json", "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    write_log([
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        {"metaData": base_meta},
+        {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                                    "offset": 1, "sizeInBytes": 1, "cardinality": 1}}},
+    ])
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        read_delta_native(spark, {"path": str(tbl)})
+
+    cm_meta = dict(base_meta, configuration={"delta.columnMapping.mode": "name"})
+    write_log([
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": cm_meta},
+        {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        read_delta_native(spark, {"path": str(tbl)})
+
+
+def test_config_path_modules(spark, tmp_path):
+    """delta sink + source through the config/executor path."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    tbl = str(tmp_path / "cfg")
+    src = str(tmp_path / "in.parquet")
+    spark.range(0, 7).write.parquet(src)
+    run_pipeline(spark, parse_config(f"""
+sources:
+  - name: rows
+    module: storage
+    parameters: {{format: parquet, input: {src}}}
+sinks:
+  - name: w
+    module: delta
+    inputs: [rows]
+    parameters: {{path: {tbl}}}
+"""))
+    outs = run_pipeline(spark, parse_config(f"""
+sources:
+  - name: back
+    module: delta
+    parameters: {{path: {tbl}}}
+"""))
+    assert sorted(r["id"] for r in outs["back"].collect()) == list(range(7))
