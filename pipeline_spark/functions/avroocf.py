@@ -24,6 +24,16 @@ _MAGIC = b"Obj\x01"
 
 def read_ocf(data: bytes) -> tuple[dict, Iterator[dict[str, Any]]]:
     """Parse OCF bytes → (parsed avro schema json, iterator of records)."""
+    schema_json, _meta, records = read_ocf_with_meta(data)
+    return schema_json, records
+
+
+def read_ocf_with_meta(
+    data: bytes,
+) -> tuple[dict, dict[str, bytes], Iterator[dict[str, Any]]]:
+    """Like read_ocf but also returns the OCF file-metadata map — Iceberg
+    manifests carry the write-time table ``schema`` there (spec:
+    Manifests), which schema-evolution reads need."""
     if data[:4] != _MAGIC:
         raise ValueError("not an avro object container file (bad magic)")
     r = _Reader(data[4:])
@@ -62,12 +72,19 @@ def read_ocf(data: bytes) -> tuple[dict, Iterator[dict[str, Any]]]:
             if block_sync != sync:
                 raise ValueError("avro OCF: sync marker mismatch (corrupt block)")
 
-    return schema_json, records()
+    return schema_json, meta, records()
 
 
 def read_ocf_file(path: str) -> tuple[dict, Iterator[dict[str, Any]]]:
     with open(path, "rb") as fh:
         return read_ocf(fh.read())
+
+
+def read_ocf_file_with_meta(
+    path: str,
+) -> tuple[dict, dict[str, bytes], Iterator[dict[str, Any]]]:
+    with open(path, "rb") as fh:
+        return read_ocf_with_meta(fh.read())
 
 
 # ------------------------------------------------------------- encoder

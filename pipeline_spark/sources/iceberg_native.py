@@ -35,7 +35,7 @@ import os
 import re
 from typing import Any
 
-from pipeline_spark.functions.avroocf import read_ocf_file
+from pipeline_spark.functions.avroocf import read_ocf_file, read_ocf_file_with_meta
 
 #: manifest_entry.status — 2 marks a data file removed in this snapshot
 _STATUS_DELETED = 2
@@ -101,11 +101,43 @@ def plan_files(
         )
     manifest_list = _strip_scheme(snap["manifest-list"])
     _, manifests = read_ocf_file(manifest_list)
+    current_fields = _schema_fields(meta)
+    current_by_id = {f["id"]: f for f in current_fields}
     data: list[dict] = []
     deletes: list[dict] = []
     for m in manifests:
         manifest_path = _strip_scheme(m["manifest_path"])
-        _, entries = read_ocf_file(manifest_path)
+        _, mmeta, entries = read_ocf_file_with_meta(manifest_path)
+        # schema evolution: the manifest's OCF metadata carries the table
+        # schema AT WRITE TIME (spec: Manifests).  Field-ids are the
+        # stable identity, so (write name ≠ current name, same id) is a
+        # rename this manifest's files need applied on read, and current
+        # ids absent from the write schema are added columns its files
+        # must null-pad.  O(manifests) driver-side — no footer reads.
+        renames: tuple = ()
+        absent: tuple = ()
+        dropped: tuple = ()
+        if mmeta.get("schema") and current_by_id:
+            try:
+                wfields = json.loads(mmeta["schema"].decode()).get("fields", [])
+            except (ValueError, UnicodeDecodeError):
+                wfields = []
+            wby_id = {f["id"]: f["name"] for f in wfields if "id" in f}
+            if wby_id:
+                renames = tuple(sorted(
+                    (wname, current_by_id[fid]["name"])
+                    for fid, wname in wby_id.items()
+                    if fid in current_by_id and current_by_id[fid]["name"] != wname
+                ))
+                absent = tuple(sorted(
+                    current_by_id[fid]["name"]
+                    for fid in current_by_id
+                    if fid not in wby_id
+                ))
+                dropped = tuple(sorted(
+                    wname for fid, wname in wby_id.items()
+                    if fid not in current_by_id
+                ))
         for entry in entries:
             if entry.get("status") == _STATUS_DELETED:
                 continue
@@ -121,6 +153,10 @@ def plan_files(
                     "(native path reads parquet)"
                 )
             rec = {"path": _strip_scheme(df["file_path"]), "seq": int(seq)}
+            if renames or absent or dropped:
+                rec["renames"] = renames
+                rec["absent"] = absent
+                rec["dropped"] = dropped
             part = df.get("partition")
             if isinstance(part, dict) and part:
                 rec["partition"] = dict(part)
@@ -149,14 +185,42 @@ def plan_data_files(
     return [d["path"] for d in data]
 
 
-def _field_names_by_id(meta: dict) -> dict[int, str]:
+def _schema_fields(meta: dict) -> list[dict]:
+    """Top-level fields of the table's CURRENT schema."""
     schema_id = meta.get("current-schema-id", 0)
     schemas = meta.get("schemas") or ([meta["schema"]] if meta.get("schema") else [])
     schema = next(
         (s for s in schemas if s.get("schema-id", 0) == schema_id),
         schemas[0] if schemas else {},
     )
-    return {f["id"]: f["name"] for f in schema.get("fields", [])}
+    return schema.get("fields", [])
+
+
+def _field_names_by_id(meta: dict) -> dict[int, str]:
+    return {f["id"]: f["name"] for f in _schema_fields(meta)}
+
+
+def _iceberg_type_to_spark(t) -> str:
+    """Spark cast target for an Iceberg primitive type string (used only
+    to null-pad columns added to the schema after every live file)."""
+    prim = {
+        "boolean": "boolean", "int": "int", "long": "bigint",
+        "float": "float", "double": "double", "date": "date",
+        "string": "string", "uuid": "string", "binary": "binary",
+        "time": "string", "timestamp": "timestamp_ntz",
+        "timestamptz": "timestamp",
+    }
+    if isinstance(t, str):
+        if t.startswith("decimal"):
+            return t
+        if t.startswith("fixed"):
+            return "binary"
+        if t in prim:
+            return prim[t]
+    raise NotImplementedError(
+        f"iceberg: cannot null-pad added column of type {t!r} — read with "
+        "the runtime jar or backfill the column"
+    )
 
 
 def _apply_row_deletes(spark, df, data: list[dict], deletes: list[dict], meta: dict):
@@ -292,9 +356,50 @@ def read_iceberg_native(spark, p: dict[str, Any]):
     reader = spark.read
     if p.get("mergeSchema"):
         reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*[d["path"] for d in data])
-    if deletes:
-        df = _apply_row_deletes(spark, df, data, deletes, meta)
+    evolved = any(
+        d.get("renames") or d.get("absent") or d.get("dropped") for d in data
+    )
+    if not evolved:
+        df = reader.parquet(*[d["path"] for d in data])
+        if deletes:
+            df = _apply_row_deletes(spark, df, data, deletes, meta)
+    else:
+        # schema-evolved files: field-ids from each manifest's write-time
+        # schema say how THIS group's parquet column names map to the
+        # current schema.  One scan per distinct (renames, adds) group
+        # (there are as many groups as schema versions with live files,
+        # not as many as files), renamed then name-unioned with null
+        # padding; columns dropped from the current schema fall away in
+        # the final projection.
+        if deletes:
+            raise NotImplementedError(
+                "iceberg: row-level delete files on a table whose live "
+                "data files span schema renames/adds need the runtime "
+                "jar (or compact the table first)"
+            )
+        from pyspark.sql import functions as F
+
+        groups: dict[tuple, list[str]] = {}
+        for d in data:
+            key = (d.get("renames") or (), d.get("absent") or ())
+            groups.setdefault(key, []).append(d["path"])
+        parts = []
+        for (renames, _absent), paths in groups.items():
+            g = reader.parquet(*paths)
+            for old, new in renames:
+                g = g.withColumnRenamed(old, new)
+            parts.append(g)
+        df = parts[0]
+        for x in parts[1:]:
+            df = df.unionByName(x, allowMissingColumns=True)
+        fields = _schema_fields(meta)
+        have = set(df.columns)
+        for f in fields:
+            if f["name"] not in have:
+                df = df.withColumn(
+                    f["name"], F.lit(None).cast(_iceberg_type_to_spark(f["type"]))
+                )
+        df = df.select(*[f["name"] for f in fields if f["name"] in set(df.columns)])
     if p.get("fields"):
         from pyspark.sql import functions as F
 

@@ -548,3 +548,89 @@ class TestRowLevelDeletes:
             append_delete_files(tbl, [{"path": "x.parquet", "content": 2}])
         with pytest.raises(ValueError, match="content"):
             append_delete_files(tbl, [{"path": "x.parquet", "content": 3}])
+
+
+class TestSchemaEvolution:
+    """Field-id based schema evolution on read: the manifest's write-time
+    schema (OCF metadata) maps old parquet column names to the current
+    schema — renames resolve, added columns null-pad, dropped columns
+    disappear (spec: Schema Evolution + Manifests)."""
+
+    def _write_v1(self, spark, tmp_path):
+        from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+
+        tbl = str(tmp_path / "evo")
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        write_iceberg_native(df, {"path": tbl})
+        return tbl
+
+    def _evolve_metadata(self, tbl, rename=None, add=None, drop=None):
+        """Simulate a catalog schema commit: rewrite the current schema
+        in the latest metadata JSON (same field-ids = renames; new id =
+        added column; removed entry = dropped column)."""
+        from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+        meta_file = find_table_metadata(tbl)
+        meta = json.load(open(meta_file))
+        schemas = meta.get("schemas") or [meta["schema"]]
+        cur = next(
+            s for s in schemas
+            if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+        )
+        if rename:
+            for f in cur["fields"]:
+                if f["name"] in rename:
+                    f["name"] = rename[f["name"]]
+        if drop:
+            cur["fields"] = [f for f in cur["fields"] if f["name"] not in drop]
+        if add:
+            last = max(f["id"] for f in cur["fields"])
+            for i, (name, typ) in enumerate(add.items()):
+                cur["fields"].append(
+                    {"id": last + 1 + i, "name": name, "required": False, "type": typ}
+                )
+        json.dump(meta, open(meta_file, "w"))
+
+    def test_rename_resolves_by_field_id(self, spark, tmp_path):
+        tbl = self._write_v1(spark, tmp_path)
+        self._evolve_metadata(tbl, rename={"v": "label"})
+        back = read_iceberg_native(spark, {"path": tbl})
+        assert back.columns == ["id", "label"]
+        assert sorted((r["id"], r["label"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+    def test_added_column_null_pads(self, spark, tmp_path):
+        tbl = self._write_v1(spark, tmp_path)
+        self._evolve_metadata(tbl, add={"score": "double"})
+        back = read_iceberg_native(spark, {"path": tbl})
+        assert back.columns == ["id", "v", "score"]
+        assert dict(back.dtypes)["score"] == "double"
+        assert all(r["score"] is None for r in back.collect())
+
+    def test_dropped_column_disappears(self, spark, tmp_path):
+        tbl = self._write_v1(spark, tmp_path)
+        self._evolve_metadata(tbl, drop={"v"})
+        back = read_iceberg_native(spark, {"path": tbl})
+        assert back.columns == ["id"]
+        assert sorted(r["id"] for r in back.collect()) == [1, 2]
+
+    def test_mixed_generations_union(self, spark, tmp_path):
+        """Old manifest (pre-rename names) + new manifest (post-rename
+        names) read as ONE consistent current-schema frame."""
+        from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+
+        tbl = self._write_v1(spark, tmp_path)
+        self._evolve_metadata(tbl, rename={"v": "label"}, add={"score": "double"})
+        new = spark.createDataFrame(
+            [(3, "c", 0.5)], "id long, label string, score double"
+        )
+        write_iceberg_native(new, {"path": tbl, "mode": "append"})
+        back = read_iceberg_native(spark, {"path": tbl})
+        assert back.columns == ["id", "label", "score"]
+        rows = sorted((r["id"], r["label"], r["score"]) for r in back.collect())
+        assert rows == [(1, "a", None), (2, "b", None), (3, "c", 0.5)]
+
+    def test_unevolved_table_unchanged(self, spark, tmp_path):
+        """No renames/adds -> the fast path (single multi-path scan)."""
+        tbl = self._write_v1(spark, tmp_path)
+        back = read_iceberg_native(spark, {"path": tbl})
+        assert sorted((r["id"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
