@@ -2462,6 +2462,59 @@ FROM s
 """
 
 
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dsir module: importance-resampling log weights (Xie et al. 2023)
+    for every document against an in-domain target slice (lang='en'),
+    hashed-unigram features in the engine-portable 256-bucket space —
+    the oracle recomputes counts, lambdas, and per-doc sums in SQL."""
+    df = _pipeline(spark, sf_dir, ["documents"], """
+transforms:
+  - name: target
+    module: beamsql
+    inputs: [documents]
+    parameters:
+      sql: "SELECT text FROM documents WHERE lang = 'en'"
+  - name: ds
+    module: dsir
+    inputs: [documents, target]
+    parameters:
+      field: text
+      idField: doc_id
+""", "ds")
+    return df.select("doc_id", F.round("dsir_weight", 6).alias("dsir_weight"))
+
+
+Q_DSIR_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS ntext
+  FROM documents
+), toks AS (
+  SELECT doc_id, lang, unnest(string_split(ntext, ' ')) AS g FROM norm
+), bt AS (
+  SELECT doc_id, lang,
+         (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) AS b
+  FROM toks
+), tcnt AS (
+  SELECT b, count(*) AS t FROM bt WHERE lang = 'en' GROUP BY b
+), ccnt AS (
+  SELECT b, count(*) AS c FROM bt GROUP BY b
+), tot AS (
+  SELECT (SELECT sum(t) FROM tcnt) AS tt, (SELECT sum(c) FROM ccnt) AS ct
+), lam AS (
+  SELECT s.b,
+         ln((coalesce(t, 0) + 1.0) / (tt + 256.0))
+         - ln((coalesce(c, 0) + 1.0) / (ct + 256.0)) AS l
+  FROM (SELECT unnest(generate_series(0, 255)) AS b) s
+  LEFT JOIN tcnt USING (b) LEFT JOIN ccnt USING (b) CROSS JOIN tot
+)
+SELECT bt.doc_id, round(sum(lam.l), 6) AS dsir_weight
+FROM bt JOIN lam USING (b)
+GROUP BY bt.doc_id
+"""
+
+
 def q_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """delta sink+source with the native (jar-free) path: supplier rows
     committed to a partitioned filesystem Delta table (parquet data +
@@ -3192,6 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_filter": q_perplexity_filter,
         "dataset_mix": q_dataset_mix,
         "delta_roundtrip": q_delta_roundtrip,
+        "dsir_scores": q_dsir_scores,
     }
 
 
@@ -3274,4 +3328,5 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_filter": Q_PERPLEXITY_SQL,
         "dataset_mix": Q_DATASET_MIX_SQL,
         "delta_roundtrip": Q_DELTA_SQL,
+        "dsir_scores": Q_DSIR_SQL,
     }

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "perplexity_filter",
     "dataset_mix",
     "delta_roundtrip",
+    "dsir_scores",
 ]
 
 
