@@ -14,14 +14,19 @@ Identity, Flatten, Constant, ConstantOfShape, Conv (2D, groups/
 dilations/pads), MaxPool, AveragePool, GlobalAveragePool,
 BatchNormalization (inference), LayerNormalization, Reshape, Transpose,
 Concat, Shape, Gather, Unsqueeze, Squeeze, Slice, Split, Expand, Cast,
-Where, Equal, Greater, Less, ReduceMean, ReduceSum, LSTM, GRU, and the
-control-flow trio If / Loop / Scan (subgraph attributes execute with
-ONNX nested-scope name capture).  That covers linear/MLP scoring heads,
-small CNN-class models (LeNet/VGG-style feature extractors), recurrent
-encoders, the building blocks of transformer attention
-(MatMul+Softmax+LayerNorm+Gelu), and iterative/conditional graphs.
-Anything else — quantized ops, training ops — raises a clear error
-naming the op; those belong to onnxruntime when it is installed.
+Where, Equal, Greater, Less, ReduceMean, ReduceSum, ReduceMax,
+ReduceMin, ReduceProd, ArgMax, ArgMin, TopK (stable tie-break),
+variadic Min/Max/Sum/Mean, Floor, Ceil, Round (half-to-even),
+Reciprocal, Softplus, HardSigmoid, PRelu, Not/And/Or/Xor, Mod, Tile,
+Range, CumSum (exclusive/reverse), GatherElements, Pad (constant/
+reflect/edge/wrap), LSTM, GRU, and the control-flow trio If / Loop /
+Scan (subgraph attributes execute with ONNX nested-scope name
+capture).  That covers linear/MLP scoring heads, small CNN-class models
+(LeNet/VGG-style feature extractors), recurrent encoders, the building
+blocks of transformer attention (MatMul+Softmax+LayerNorm+Gelu),
+classification heads (ArgMax/TopK), and iterative/conditional graphs.
+Anything else — training ops, ScatterND, string ops — raises a clear
+error naming the op; those belong to onnxruntime when it is installed.
 
 Nodes execute in graph order (ONNX requires topological ordering).
 """
@@ -650,6 +655,134 @@ class _Graph:
                 fn = np.mean if op == "ReduceMean" else np.sum
                 r = fn(x[0], axis=axes, keepdims=keep)
                 r = np.asarray(r, dtype=x[0].dtype)
+            elif op in ("ReduceMax", "ReduceMin", "ReduceProd"):
+                axes = x[1] if len(x) > 1 else a.get("axes", [])
+                axes = tuple(int(v) for v in axes) or None
+                keep = bool(a.get("keepdims", 1))
+                fn = {"ReduceMax": np.max, "ReduceMin": np.min,
+                      "ReduceProd": np.prod}[op]
+                r = np.asarray(fn(x[0], axis=axes, keepdims=keep),
+                               dtype=x[0].dtype)
+            elif op in ("ArgMax", "ArgMin"):
+                axis = int(a.get("axis", 0))
+                keep = bool(a.get("keepdims", 1))
+                fn = np.argmax if op == "ArgMax" else np.argmin
+                if a.get("select_last_index"):
+                    flipped = np.flip(x[0], axis=axis)
+                    idx = fn(flipped, axis=axis)
+                    idx = x[0].shape[axis] - 1 - idx
+                else:
+                    idx = fn(x[0], axis=axis)
+                r = np.asarray(idx, dtype=np.int64)
+                if keep:
+                    r = np.expand_dims(r, axis)
+            elif op == "TopK":
+                k = int(np.asarray(x[1]).reshape(-1)[0])
+                axis = int(a.get("axis", -1))
+                largest = int(a.get("largest", 1))
+                key = -x[0] if largest else x[0]
+                # stable argsort: spec breaks value ties by ascending index
+                idx = np.argsort(key, axis=axis, kind="stable")
+                sl = [slice(None)] * x[0].ndim
+                sl[axis] = slice(0, k)
+                idx = idx[tuple(sl)]
+                r = (np.take_along_axis(x[0], idx, axis=axis),
+                     idx.astype(np.int64))
+            elif op in ("Min", "Max", "Sum", "Mean"):
+                fn = {"Min": np.minimum, "Max": np.maximum}.get(op)
+                if fn is not None:
+                    r = x[0]
+                    for t in x[1:]:
+                        r = fn(r, t)
+                else:
+                    r = x[0].astype(np.float64, copy=True)
+                    for t in x[1:]:
+                        r = r + t
+                    if op == "Mean":
+                        r = r / len(x)
+                    r = r.astype(x[0].dtype, copy=False)
+            elif op in ("Floor", "Ceil", "Round"):
+                # Round = round-half-to-even per spec == np.rint
+                fn = {"Floor": np.floor, "Ceil": np.ceil, "Round": np.rint}[op]
+                r = fn(x[0]).astype(x[0].dtype, copy=False)
+            elif op == "Reciprocal":
+                r = 1.0 / x[0]
+            elif op == "Softplus":
+                r = np.log1p(np.exp(-np.abs(x[0]))) + np.maximum(x[0], 0)
+            elif op == "HardSigmoid":
+                alpha = float(a.get("alpha", 0.2))
+                beta = float(a.get("beta", 0.5))
+                r = np.clip(alpha * x[0] + beta, 0.0, 1.0).astype(
+                    x[0].dtype, copy=False
+                )
+            elif op == "PRelu":
+                r = np.where(x[0] >= 0, x[0], x[0] * x[1])
+            elif op == "Not":
+                r = ~np.asarray(x[0], dtype=bool)
+            elif op in ("And", "Or", "Xor"):
+                lhs = np.asarray(x[0], dtype=bool)
+                rhs = np.asarray(x[1], dtype=bool)
+                r = {"And": np.logical_and, "Or": np.logical_or,
+                     "Xor": np.logical_xor}[op](lhs, rhs)
+            elif op == "Mod":
+                # fmod=1 -> C-style remainder (sign of dividend)
+                r = np.fmod(x[0], x[1]) if a.get("fmod") else np.mod(x[0], x[1])
+            elif op == "Tile":
+                r = np.tile(x[0], [int(v) for v in x[1]])
+            elif op == "Range":
+                start, limit, delta = (np.asarray(v).reshape(-1)[0] for v in x[:3])
+                r = np.arange(start, limit, delta)
+            elif op == "CumSum":
+                axis = int(np.asarray(x[1]).reshape(-1)[0])
+                r = x[0]
+                if a.get("reverse"):
+                    r = np.flip(r, axis=axis)
+                if a.get("exclusive"):
+                    c = np.cumsum(r, axis=axis)
+                    pad_sl = [slice(None)] * r.ndim
+                    pad_sl[axis] = slice(0, -1)
+                    zeros_shape = list(r.shape)
+                    zeros_shape[axis] = 1
+                    c = np.concatenate(
+                        [np.zeros(zeros_shape, dtype=c.dtype), c[tuple(pad_sl)]],
+                        axis=axis,
+                    )
+                else:
+                    c = np.cumsum(r, axis=axis)
+                if a.get("reverse"):
+                    c = np.flip(c, axis=axis)
+                r = c.astype(x[0].dtype, copy=False)
+            elif op == "GatherElements":
+                r = np.take_along_axis(
+                    x[0], x[1].astype(np.int64), axis=int(a.get("axis", 0))
+                )
+            elif op == "Pad":
+                mode = a.get("mode", b"constant")
+                mode = mode.decode() if isinstance(mode, bytes) else str(mode)
+                if len(x) > 1:
+                    pads = [int(v) for v in np.asarray(x[1]).reshape(-1)]
+                    cval = (np.asarray(x[2]).reshape(-1)[0]
+                            if len(x) > 2 and x[2] is not None else 0)
+                    axes = ([int(v) for v in x[3]] if len(x) > 3
+                            else list(range(x[0].ndim)))
+                else:
+                    pads = [int(v) for v in a.get("pads", [])]
+                    cval = a.get("value", 0)
+                    axes = list(range(x[0].ndim))
+                nax = len(axes)
+                width = [(0, 0)] * x[0].ndim
+                for i, ax in enumerate(axes):
+                    ax = ax if ax >= 0 else ax + x[0].ndim
+                    width[ax] = (pads[i], pads[i + nax])
+                np_mode = {"constant": "constant", "reflect": "reflect",
+                           "edge": "edge", "wrap": "wrap"}.get(mode)
+                if np_mode is None:
+                    raise ProtoError(f"onnx Pad: unknown mode '{mode}'")
+                if np_mode == "constant":
+                    r = np.pad(x[0], width, mode="constant",
+                               constant_values=cval)
+                else:
+                    r = np.pad(x[0], width, mode=np_mode)
             elif op == "LayerNormalization":
                 axis = int(a.get("axis", -1))
                 eps = a.get("epsilon", 1e-5)

@@ -854,3 +854,150 @@ def test_matmul_integer_per_row_zero_point():
     (y,) = OnnxGraph(vi(1, 8) + ld(7, graph)).run({"a": a, "b": b})
     ref = (a.astype(np.int32) - a_zp[:, None]) @ b.astype(np.int32)
     np.testing.assert_array_equal(y, ref)
+
+
+# ---------------------------------------------------------------- new op batch
+
+
+def _run1(graph_nodes, feeds, out="y"):
+    outs = [out] if isinstance(out, str) else out
+    graph = b"".join(ld(1, n) for n in graph_nodes) + b"".join(
+        ld(12, value_info(o)) for o in outs
+    )
+    return OnnxGraph(ld(7, graph)).run(feeds)
+
+
+def test_argmax_argmin_keepdims_and_last_index():
+    x = np.array([[1.0, 3.0, 3.0, 0.0], [5.0, 2.0, 5.0, 1.0]], dtype=np.float32)
+    (y,) = _run1([node("ArgMax", ["x"], ["y"], int_attr("axis", 1))], {"x": x})
+    assert y.shape == (2, 1) and y.dtype == np.int64
+    assert y.ravel().tolist() == [1, 0]  # first max wins by default
+    (y,) = _run1(
+        [node("ArgMax", ["x"], ["y"],
+              int_attr("axis", 1) + int_attr("keepdims", 0)
+              + int_attr("select_last_index", 1))],
+        {"x": x},
+    )
+    assert y.tolist() == [2, 2]  # last max index
+    (y,) = _run1(
+        [node("ArgMin", ["x"], ["y"], int_attr("axis", 0) + int_attr("keepdims", 0))],
+        {"x": x},
+    )
+    assert y.tolist() == [0, 1, 0, 0]
+
+
+def test_topk_values_indices_and_ties():
+    x = np.array([[1.0, 5.0, 3.0, 5.0, 2.0]], dtype=np.float32)
+    k = np.array([3], dtype=np.int64)
+    vals, idx = _run1(
+        [node("TopK", ["x", "k"], ["y", "i"], int_attr("axis", 1))],
+        {"x": x, "k": k}, out=["y", "i"],
+    )
+    # ties break by ascending index (spec): both 5s, lower index first
+    assert idx.tolist() == [[1, 3, 2]]
+    assert vals.tolist() == [[5.0, 5.0, 3.0]]
+    vals, idx = _run1(
+        [node("TopK", ["x", "k"], ["y", "i"],
+              int_attr("axis", 1) + int_attr("largest", 0))],
+        {"x": x, "k": k}, out=["y", "i"],
+    )
+    assert idx.tolist() == [[0, 4, 2]]
+
+
+def test_reduce_max_min_prod():
+    x = np.array([[1.0, 2.0], [3.0, 4.0]], dtype=np.float32)
+    (y,) = _run1(
+        [node("ReduceMax", ["x"], ["y"], ints_attr("axes", [0]) + int_attr("keepdims", 0))],
+        {"x": x},
+    )
+    assert y.tolist() == [3.0, 4.0]
+    (y,) = _run1([node("ReduceProd", ["x"], ["y"])], {"x": x})
+    assert float(np.asarray(y).reshape(-1)[0]) == 24.0
+
+
+def test_variadic_min_max_sum_mean():
+    a = np.array([1.0, 5.0], dtype=np.float32)
+    b = np.array([3.0, 2.0], dtype=np.float32)
+    c = np.array([2.0, 2.0], dtype=np.float32)
+    (y,) = _run1([node("Min", ["a", "b", "c"], ["y"])], {"a": a, "b": b, "c": c})
+    assert y.tolist() == [1.0, 2.0]
+    (y,) = _run1([node("Mean", ["a", "b", "c"], ["y"])], {"a": a, "b": b, "c": c})
+    assert y.tolist() == [2.0, 3.0]
+
+
+def test_rounding_and_activations():
+    x = np.array([-1.5, -0.5, 0.5, 1.5, 2.5], dtype=np.float32)
+    (y,) = _run1([node("Round", ["x"], ["y"])], {"x": x})
+    assert y.tolist() == [-2.0, -0.0, 0.0, 2.0, 2.0]  # half-to-even
+    (y,) = _run1([node("Floor", ["x"], ["y"])], {"x": x})
+    assert y.tolist() == [-2.0, -1.0, 0.0, 1.0, 2.0]
+    (y,) = _run1([node("HardSigmoid", ["x"], ["y"])], {"x": x})
+    np.testing.assert_allclose(y, np.clip(0.2 * x + 0.5, 0, 1), rtol=1e-6)
+    (y,) = _run1([node("Softplus", ["x"], ["y"])], {"x": x})
+    np.testing.assert_allclose(y, np.log(1 + np.exp(x.astype(np.float64))), rtol=1e-6)
+    slope = np.array([0.1], dtype=np.float32)
+    (y,) = _run1([node("PRelu", ["x", "s"], ["y"])], {"x": x, "s": slope})
+    np.testing.assert_allclose(y, np.where(x >= 0, x, 0.1 * x), rtol=1e-6)
+
+
+def test_logical_and_mod():
+    t = np.array([True, True, False, False])
+    u = np.array([True, False, True, False])
+    (y,) = _run1([node("Xor", ["t", "u"], ["y"])], {"t": t, "u": u})
+    assert y.tolist() == [False, True, True, False]
+    (y,) = _run1([node("Not", ["t"], ["y"])], {"t": t})
+    assert y.tolist() == [False, False, True, True]
+    a = np.array([-7, 7], dtype=np.int64)
+    b = np.array([3, 3], dtype=np.int64)
+    (y,) = _run1([node("Mod", ["a", "b"], ["y"])], {"a": a, "b": b})
+    assert y.tolist() == [2, 1]  # python-style
+    (y,) = _run1([node("Mod", ["a", "b"], ["y"], int_attr("fmod", 1))], {"a": a, "b": b})
+    assert y.tolist() == [-1, 1]  # C-style
+
+
+def test_tile_range_cumsum():
+    x = np.array([[1, 2]], dtype=np.float32)
+    reps = np.array([2, 3], dtype=np.int64)
+    (y,) = _run1([node("Tile", ["x", "r"], ["y"])], {"x": x, "r": reps})
+    assert y.shape == (2, 6) and y[1].tolist() == [1, 2, 1, 2, 1, 2]
+    (y,) = _run1(
+        [node("Range", ["s", "l", "d"], ["y"])],
+        {"s": np.array(2.0, dtype=np.float32), "l": np.array(9.0, dtype=np.float32),
+         "d": np.array(3.0, dtype=np.float32)},
+    )
+    assert y.tolist() == [2.0, 5.0, 8.0]
+    x = np.array([1.0, 2.0, 3.0, 4.0], dtype=np.float32)
+    ax = np.array(0, dtype=np.int64)
+    (y,) = _run1([node("CumSum", ["x", "a"], ["y"])], {"x": x, "a": ax})
+    assert y.tolist() == [1.0, 3.0, 6.0, 10.0]
+    (y,) = _run1(
+        [node("CumSum", ["x", "a"], ["y"], int_attr("exclusive", 1))],
+        {"x": x, "a": ax},
+    )
+    assert y.tolist() == [0.0, 1.0, 3.0, 6.0]
+    (y,) = _run1(
+        [node("CumSum", ["x", "a"], ["y"], int_attr("reverse", 1))],
+        {"x": x, "a": ax},
+    )
+    assert y.tolist() == [10.0, 9.0, 7.0, 4.0]
+
+
+def test_pad_modes_and_gather_elements():
+    x = np.array([[1.0, 2.0], [3.0, 4.0]], dtype=np.float32)
+    pads = np.array([0, 1, 0, 1], dtype=np.int64)  # begin(rank) then end(rank)
+    (y,) = _run1([node("Pad", ["x", "p"], ["y"])], {"x": x, "p": pads})
+    assert y.tolist() == [[0, 1, 2, 0], [0, 3, 4, 0]]
+    cv = np.array(9.0, dtype=np.float32)
+    (y,) = _run1([node("Pad", ["x", "p", "c"], ["y"])], {"x": x, "p": pads, "c": cv})
+    assert y[0].tolist() == [9, 1, 2, 9]
+    (y,) = _run1(
+        [node("Pad", ["x", "p"], ["y"], str_attr("mode", "edge"))],
+        {"x": x, "p": pads},
+    )
+    assert y[0].tolist() == [1, 1, 2, 2]
+    idx = np.array([[1, 0]], dtype=np.int64)
+    (y,) = _run1(
+        [node("GatherElements", ["x", "i"], ["y"], int_attr("axis", 0))],
+        {"x": x, "i": idx},
+    )
+    assert y.tolist() == [[3.0, 2.0]]
