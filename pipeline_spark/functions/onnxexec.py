@@ -731,7 +731,9 @@ class _Graph:
                 r = np.tile(x[0], [int(v) for v in x[1]])
             elif op == "Range":
                 start, limit, delta = (np.asarray(v).reshape(-1)[0] for v in x[:3])
-                r = np.arange(start, limit, delta)
+                # pin the output dtype to the inputs' — a bare np.arange
+                # promotes float32->float64 and int32->int64
+                r = np.arange(start, limit, delta, dtype=np.asarray(x[0]).dtype)
             elif op == "CumSum":
                 axis = int(np.asarray(x[1]).reshape(-1)[0])
                 r = x[0]
@@ -778,11 +780,17 @@ class _Graph:
                            "edge": "edge", "wrap": "wrap"}.get(mode)
                 if np_mode is None:
                     raise ProtoError(f"onnx Pad: unknown mode '{mode}'")
+                # negative pads crop (spec, opset >= 11): slice first,
+                # then np.pad the non-negative remainder
+                crop = [slice(max(-b, 0), dim - max(-e, 0))
+                        for (b, e), dim in zip(width, x[0].shape)]
+                arr = x[0][tuple(crop)]
+                width = [(max(b, 0), max(e, 0)) for b, e in width]
                 if np_mode == "constant":
-                    r = np.pad(x[0], width, mode="constant",
+                    r = np.pad(arr, width, mode="constant",
                                constant_values=cval)
                 else:
-                    r = np.pad(x[0], width, mode=np_mode)
+                    r = np.pad(arr, width, mode=np_mode)
             elif op == "LayerNormalization":
                 axis = int(a.get("axis", -1))
                 eps = a.get("epsilon", 1e-5)

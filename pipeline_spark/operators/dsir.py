@@ -51,14 +51,19 @@ _BUCKETS = 256
 
 def _grams(col: Column, n: int) -> Column:
     """Array of word n-grams (space-joined) of the normalized text; n=1
-    is the token array itself."""
+    is the token array itself.  Documents shorter than n grams yield an
+    empty array (guarded: sequence(1, 0) would count DOWN in Spark and
+    feed slice() an invalid start)."""
     toks = _toks(F.coalesce(col, F.lit("")))
     if n == 1:
         return toks
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _bucket(g: Column) -> Column:

@@ -187,6 +187,13 @@ def mix_datasets(
             f"sample mix: no weight for input(s) {missing} — weights keys "
             f"must name every input (got {sorted(weights)})"
         )
+    phantom = [k for k in weights if k not in names]
+    if phantom:
+        raise ValueError(
+            f"sample mix: weights name unknown input(s) {phantom} — their "
+            f"probability mass would silently shrink the mixture (inputs: "
+            f"{names})"
+        )
     p = mix_proportions(weights, temperature)
     sized: dict[str, int] = {}
     for name, df in zip(names, dfs):

@@ -101,7 +101,10 @@ def write_delta_native(spark, df, p: dict[str, Any]) -> None:
                         else urllib.parse.unquote(v)
                     )
             adds.append({
-                "path": rel.replace(os.sep, "/"),
+                # PROTOCOL.md: add.path is the URL-encoded relative path —
+                # '%' in an on-disk (hive-escaped) segment must itself
+                # escape so the reader's unquote restores the real name
+                "path": urllib.parse.quote(rel.replace(os.sep, "/"), safe="/="),
                 "partitionValues": pv,
                 "size": os.path.getsize(full),
                 "modificationTime": now_ms,
@@ -146,13 +149,28 @@ def write_delta_native(spark, df, p: dict[str, Any]) -> None:
     with open(tmp, "w") as fh:
         for action in actions:
             fh.write(json.dumps(action) + "\n")
-    if os.path.exists(commit_path):
+    try:
+        # atomic create-exclusive: link(2) fails with EEXIST instead of
+        # replacing like rename(2) would, so a commit race loses loudly
+        os.link(tmp, commit_path)
+    except FileExistsError:
         os.unlink(tmp)
         raise FileExistsError(
             f"delta sink: concurrent commit raced on version {version} at "
             f"{commit_path} — retry the write"
-        )
-    os.rename(tmp, commit_path)
+        ) from None
+    except OSError:
+        # filesystem without hardlinks: O_EXCL create, then copy bytes
+        try:
+            with open(tmp, "rb") as src, open(commit_path, "xb") as dst:
+                dst.write(src.read())
+        except FileExistsError:
+            os.unlink(tmp)
+            raise FileExistsError(
+                f"delta sink: concurrent commit raced on version {version} "
+                f"at {commit_path} — retry the write"
+            ) from None
+    os.unlink(tmp)
 
     interval = int(p.get("checkpointInterval", 10))
     if interval > 0 and version > 0 and version % interval == 0:

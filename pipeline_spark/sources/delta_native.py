@@ -218,17 +218,18 @@ def _check_protocol(proto: dict, meta: dict, adds: dict[str, dict]) -> None:
             f"{dv[0]}) — row-level deletes need the delta-spark runtime"
         )
     if r >= 3:
-        feats = set(proto.get("readerFeatures") or [])
-        bad = feats - _OK_READER_FEATURES
+        feats = proto.get("readerFeatures")
+        if feats is None:
+            raise ValueError(
+                f"delta: minReaderVersion={r} requires readerFeatures in "
+                "the protocol action — corrupt or unsupported table"
+            )
+        bad = set(feats) - _OK_READER_FEATURES
         if bad:
             raise NotImplementedError(
                 f"delta: unsupported readerFeatures {sorted(bad)} — this "
                 "table needs the delta-spark runtime"
             )
-    elif r > 2:
-        raise NotImplementedError(
-            f"delta: minReaderVersion={r} is beyond this reader"
-        )
 
 
 def _schema_from_meta(meta: dict):

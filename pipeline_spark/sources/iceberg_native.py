@@ -386,8 +386,13 @@ def read_iceberg_native(spark, p: dict[str, Any]):
         parts = []
         for (renames, _absent), paths in groups.items():
             g = reader.parquet(*paths)
-            for old, new in renames:
-                g = g.withColumnRenamed(old, new)
+            # apply the FULL old->new mapping in one select — a chain of
+            # withColumnRenamed corrupts swapped (a<->b) or chained
+            # renames by colliding with not-yet-renamed columns
+            mapping = dict(renames)
+            g = g.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in g.columns]
+            )
             parts.append(g)
         df = parts[0]
         for x in parts[1:]:

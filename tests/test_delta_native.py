@@ -263,3 +263,65 @@ sources:
     parameters: {{path: {tbl}}}
 """))
     assert sorted(r["id"] for r in outs["back"].collect()) == list(range(7))
+
+
+def test_partition_values_needing_url_encoding(spark):
+    """'%' and ':' in partition values: hive-escaped on disk, add.path
+    URL-encoded in the log (PROTOCOL.md), round-trips through the reader."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        tbl = os.path.join(d, "enc")
+        df = spark.createDataFrame(
+            [(1, "50%"), (2, "a:b"), (3, "plain")], "id long, grp string"
+        )
+        write_delta_native(spark, df, {"path": tbl, "partitionBy": ["grp"]})
+        adds, _m, _p, _v = replay_log(tbl)
+        assert any("%25" in a["path"] for a in adds)  # '%' double-escaped
+        back = read_delta_native(spark, {"path": tbl})
+        rows = sorted((r["id"], r["grp"]) for r in back.collect())
+        assert rows == [(1, "50%"), (2, "a:b"), (3, "plain")]
+
+
+def test_commit_race_loses_loudly(spark, tmp_path, monkeypatch):
+    """A writer that loses the version race must error, and must NOT
+    replace the winner's commit file."""
+    import pipeline_spark.sinks.delta_native as dn
+
+    tbl = str(tmp_path / "race")
+    write_delta_native(spark, spark.range(0, 3), {"path": tbl})
+    write_delta_native(spark, spark.range(3, 6), {"path": tbl, "mode": "append"})
+    winner = os.path.join(tbl, "_delta_log", "00000000000000000001.json")
+    before = open(winner).read()
+    # this writer planned against version 0 (stale view) -> targets v1
+    monkeypatch.setattr(dn, "latest_version", lambda log_dir: 0)
+    with pytest.raises(FileExistsError, match="raced"):
+        write_delta_native(spark, spark.range(6, 9), {"path": tbl, "mode": "append"})
+    assert open(winner).read() == before  # winner's commit intact
+
+
+def test_protocol_v3_requires_reader_features(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = tmp_path / "p3"
+    tbl.mkdir()
+    pq.write_table(pa.table({"v": [1]}), tbl / "f.parquet")
+    log = tbl / "_delta_log"
+    log.mkdir()
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+        {"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "v", "type": "long", "nullable": True, "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {},
+        }},
+        {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(log / "00000000000000000000.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(ValueError, match="readerFeatures"):
+        read_delta_native(spark, {"path": str(tbl)})

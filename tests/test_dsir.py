@@ -139,3 +139,18 @@ def test_validation(spark):
             spark, {"field": "text", "select": "top", "k": 100, "maxRows": 10},
             [df, tgt],
         ))
+
+
+def test_bigram_short_docs_do_not_crash(spark):
+    """Docs with < n tokens (incl. empty text) must yield zero grams, not
+    a sequence(1,0) slice error."""
+    corpus = [Row(doc_id=1, text="hello"), Row(doc_id=2, text=""),
+              Row(doc_id=3, text="two words here")]
+    out = dsir_transform(ctx(
+        spark,
+        {"field": "text", "ngram": 2},
+        [spark.createDataFrame(corpus), spark.createDataFrame(TARGET)],
+    ))[""]
+    got = {r["doc_id"]: r["dsir_weight"] for r in out.collect()}
+    assert got[1] == 0.0 and got[2] == 0.0  # no bigrams -> empty fold
+    assert got[3] != 0.0

@@ -634,3 +634,33 @@ class TestSchemaEvolution:
         tbl = self._write_v1(spark, tmp_path)
         back = read_iceberg_native(spark, {"path": tbl})
         assert sorted((r["id"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_swapped_renames_resolve_atomically(spark, tmp_path):
+    """a<->b swapped renames must map in ONE projection — a chained
+    withColumnRenamed would collide and duplicate columns."""
+    from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+    from pipeline_spark.sources.iceberg_native import (
+        find_table_metadata,
+        read_iceberg_native,
+    )
+
+    tbl = str(tmp_path / "swap")
+    df = spark.createDataFrame([(1, "x")], "a string, b string")
+    write_iceberg_native(
+        spark.createDataFrame([("1", "one")], "a string, b string"), {"path": tbl}
+    )
+    meta_file = find_table_metadata(tbl)
+    meta = json.load(open(meta_file))
+    schemas = meta.get("schemas") or [meta["schema"]]
+    cur = next(
+        s for s in schemas
+        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+    )
+    for f in cur["fields"]:
+        f["name"] = {"a": "b", "b": "a"}[f["name"]]
+    json.dump(meta, open(meta_file, "w"))
+    back = read_iceberg_native(spark, {"path": tbl})
+    row = back.collect()[0]
+    assert back.columns == ["b", "a"]
+    assert row["b"] == "1" and row["a"] == "one"  # values follow field-ids

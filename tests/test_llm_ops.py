@@ -776,3 +776,16 @@ transforms:
     assert cols.count("y") == 1
     rows = [r for r in outs["proc"].collect() if r["y"] is not None]
     assert rows  # predictions landed in the overwritten column
+
+
+def test_sample_mix_rejects_phantom_weight_keys(spark):
+    from pipeline_spark.operators.sample import sample_transform
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="unknown input"):
+        sample_transform(_mix_ctx(
+            spark,
+            {"method": "mix", "keyField": "doc_id",
+             "weights": {"a": 0.5, "b": 0.25, "web": 0.25}},
+            [df, df], ["a", "b"],
+        ))

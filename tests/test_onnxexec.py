@@ -1001,3 +1001,23 @@ def test_pad_modes_and_gather_elements():
         {"x": x, "i": idx},
     )
     assert y.tolist() == [[3.0, 2.0]]
+
+
+def test_range_preserves_dtype_and_negative_pad_crops():
+    (y,) = _run1(
+        [node("Range", ["s", "l", "d"], ["y"])],
+        {"s": np.array(0, dtype=np.float32), "l": np.array(4, dtype=np.float32),
+         "d": np.array(1, dtype=np.float32)},
+    )
+    assert y.dtype == np.float32
+    (y,) = _run1(
+        [node("Range", ["s", "l", "d"], ["y"])],
+        {"s": np.array(0, dtype=np.int32), "l": np.array(4, dtype=np.int32),
+         "d": np.array(1, dtype=np.int32)},
+    )
+    assert y.dtype == np.int32
+    # negative pads crop (spec, opset >= 11)
+    x = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], dtype=np.float32)
+    pads = np.array([0, -1, 0, 1], dtype=np.int64)  # trim first col, pad last
+    (y,) = _run1([node("Pad", ["x", "p"], ["y"])], {"x": x, "p": pads})
+    assert y.tolist() == [[2.0, 3.0, 0.0], [5.0, 6.0, 0.0]]
