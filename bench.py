@@ -190,6 +190,7 @@ def main() -> None:
         "dedup_exact", "dedup_cluster", "ngram_jaccard", "minhash_pairs",
         "tokenize_unnest", "lsh_topk", "match_recognize",
         "match_recognize_chunked", "linear_regression", "html_extract",
+        "perplexity_filter", "dsir_scores", "dataset_mix",
     ]
     scale_factor = float(os.environ.get("SPARK_GRAFT_SF1_FACTOR", "10"))
     if os.path.isdir(sf1_dir) and (time.time() - bench_start) < budget:

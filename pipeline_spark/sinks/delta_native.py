@@ -36,7 +36,11 @@ import uuid
 from typing import Any
 
 from pipeline_spark.registry import KIND_SINK, ModuleContext, module
-from pipeline_spark.sources.delta_native import latest_version, replay_log
+from pipeline_spark.sources.delta_native import (
+    latest_version,
+    replay_log,
+    replay_state,
+)
 
 
 def _schema_fingerprint(schema_json: str) -> list[tuple[str, str]]:
@@ -44,7 +48,16 @@ def _schema_fingerprint(schema_json: str) -> list[tuple[str, str]]:
     return sorted((f["name"], json.dumps(f["type"], sort_keys=True)) for f in fields)
 
 
-def write_delta_native(spark, df, p: dict[str, Any]) -> None:
+def write_delta_native(
+    spark, df, p: dict[str, Any], txn: tuple[str, int] | None = None
+) -> None:
+    """Commit ``df`` to a filesystem Delta table.
+
+    ``txn=(appId, version)`` makes the commit idempotent (PROTOCOL.md:
+    Transaction Identifiers): if the table already records this appId at
+    or past this version, the write is a no-op — the streaming sink's
+    replayed-micro-batch protection.
+    """
     table = p.get("path") or p.get("table") or p.get("output")
     if not table:
         raise ValueError("delta sink: 'path' is required")
@@ -60,7 +73,9 @@ def write_delta_native(spark, df, p: dict[str, Any]) -> None:
     if exists:
         if mode in ("errorifexists", "create"):
             raise FileExistsError(f"delta sink: table already exists at {table}")
-        prev_adds, prev_meta, _proto, _v = replay_log(table)
+        prev_adds, prev_meta, _proto, _v, prev_txns = replay_state(table)
+        if txn is not None and int(txn[1]) <= prev_txns.get(txn[0], -1):
+            return  # this transaction already committed — replayed batch
         # schema/partitioning drift fails BEFORE data is staged
         if _schema_fingerprint(prev_meta["schemaString"]) != _schema_fingerprint(
             df.schema.json()
@@ -133,6 +148,10 @@ def write_delta_native(spark, df, p: dict[str, Any]) -> None:
                     "dataChange": True,
                 }
             })
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": str(txn[0]), "version": int(txn[1])}}
+        )
     actions.extend({"add": a} for a in adds)
     actions.append({
         "commitInfo": {
@@ -186,7 +205,7 @@ def write_checkpoint(table: str, version: int) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    adds, meta, proto, _v = replay_log(table, version)
+    adds, meta, proto, _v, txns = replay_state(table, version)
     str_map = pa.map_(pa.string(), pa.string())
     schema = pa.schema([
         ("add", pa.struct([
@@ -195,6 +214,10 @@ def write_checkpoint(table: str, version: int) -> None:
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+        ])),
+        ("txn", pa.struct([
+            ("appId", pa.string()),
+            ("version", pa.int64()),
         ])),
         ("metaData", pa.struct([
             ("id", pa.string()),
@@ -232,9 +255,16 @@ def write_checkpoint(table: str, version: int) -> None:
         "minWriterVersion": int(proto.get("minWriterVersion", 2)),
     }
     rows = [
-        {"add": None, "metaData": meta_row, "protocol": None},
-        {"add": None, "metaData": None, "protocol": proto_row},
+        {"add": None, "txn": None, "metaData": meta_row, "protocol": None},
+        {"add": None, "txn": None, "metaData": None, "protocol": proto_row},
     ]
+    for app_id, tv in sorted(txns.items()):
+        rows.append({
+            "add": None,
+            "txn": {"appId": app_id, "version": int(tv)},
+            "metaData": None,
+            "protocol": None,
+        })
     for a in adds:
         rows.append({
             "add": {
@@ -244,6 +274,7 @@ def write_checkpoint(table: str, version: int) -> None:
                 "modificationTime": a.get("modificationTime"),
                 "dataChange": bool(a.get("dataChange", True)),
             },
+            "txn": None,
             "metaData": None,
             "protocol": None,
         })
@@ -256,6 +287,45 @@ def write_checkpoint(table: str, version: int) -> None:
 
 @module("delta", kind=KIND_SINK)
 def delta_sink(ctx: ModuleContext) -> dict[str, Any]:
-    """`delta` sink module: filesystem Delta tables, committed natively."""
-    write_delta_native(ctx.spark, ctx.input, ctx.params)
+    """`delta` sink module: filesystem Delta tables, committed natively.
+
+    Streaming inputs commit one Delta version per micro-batch through
+    foreachBatch (Spark's streaming checkpoint provides exactly-once
+    batch replay; an empty micro-batch commits nothing, so restarts do
+    not create empty versions).  ``mode: overwrite`` applies only to the
+    FIRST batch (complete-refresh semantics), later batches append —
+    the same contract delta-spark's own streaming writer has.
+    """
+    df = ctx.input
+    p = ctx.params
+    if not df.isStreaming:
+        write_delta_native(ctx.spark, df, p)
+        return {}
+
+    table = p.get("path") or p.get("table") or p.get("output")
+    if not table:
+        raise ValueError("delta sink: 'path' is required")
+    first_mode = str(p.get("mode", "append")).lower()
+    checkpoint = p.get("checkpointLocation", str(table).rstrip("/") + "_checkpoint")
+    # txn appId scopes idempotence to this stream: a replayed micro-batch
+    # (restart between table commit and checkpoint commit) is a no-op
+    app_id = str(p.get("txnAppId", f"pipeline_spark::{checkpoint}"))
+
+    def write_batch(bdf, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        mode = first_mode if batch_id == 0 else "append"
+        write_delta_native(
+            ctx.spark, bdf, {**p, "mode": mode}, txn=(app_id, int(batch_id))
+        )
+
+    query = (
+        df.writeStream.outputMode(p.get("outputMode", "append"))
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if p.get("await", True):
+        query.awaitTermination()
     return {}

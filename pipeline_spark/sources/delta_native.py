@@ -112,6 +112,7 @@ def _load_checkpoint(paths: list[str]) -> tuple[dict, dict | None, dict | None]:
     import pyarrow.parquet as pq
 
     adds: dict[str, dict] = {}
+    txns: dict[str, int] = {}
     meta = proto = None
     for path in paths:
         for row in pq.read_table(path).to_pylist():
@@ -124,7 +125,12 @@ def _load_checkpoint(paths: list[str]) -> tuple[dict, dict | None, dict | None]:
             pr = row.get("protocol")
             if pr and pr.get("minReaderVersion") is not None:
                 proto = pr
-    return adds, meta, proto
+            tx = row.get("txn")
+            if tx and tx.get("appId"):
+                txns[tx["appId"]] = max(
+                    txns.get(tx["appId"], -1), int(tx.get("version", -1))
+                )
+    return adds, meta, proto, txns
 
 
 def replay_log(
@@ -135,12 +141,23 @@ def replay_log(
     Returns (adds, metaData, protocol, version): ``adds`` are the live
     file actions after last-wins add/remove reconciliation.
     """
+    adds, meta, proto, version, _txns = replay_state(table_path, version_as_of)
+    return adds, meta, proto, version
+
+
+def replay_state(
+    table_path: str, version_as_of: int | None = None
+) -> tuple[list[dict], dict, dict, int, dict[str, int]]:
+    """replay_log plus the table's transaction markers: the highest
+    ``txn`` version per appId (the streaming writer's idempotence
+    bookkeeping — PROTOCOL.md: Transaction Identifiers)."""
     log_dir = _log_dir(table_path)
     commits = _list_commits(log_dir)
     if not commits and not os.path.exists(os.path.join(log_dir, "_last_checkpoint")):
         raise FileNotFoundError(f"delta: empty _delta_log at {log_dir}")
 
     adds: dict[str, dict] = {}
+    txns: dict[str, int] = {}
     meta: dict | None = None
     proto: dict | None = None
     start = 0
@@ -157,7 +174,7 @@ def replay_log(
                     f"delta: _last_checkpoint points at version {cp_version} "
                     f"but no checkpoint parquet exists in {log_dir}"
                 )
-            adds, meta, proto = _load_checkpoint(cp_paths)
+            adds, meta, proto, txns = _load_checkpoint(cp_paths)
             start = cp_version + 1
 
     last = start - 1
@@ -187,6 +204,13 @@ def replay_log(
                     meta = action["metaData"]
                 elif "protocol" in action:
                     proto = action["protocol"]
+                elif "txn" in action:
+                    tx = action["txn"]
+                    if tx.get("appId"):
+                        txns[tx["appId"]] = max(
+                            txns.get(tx["appId"], -1),
+                            int(tx.get("version", -1)),
+                        )
     if version_as_of is not None and last < version_as_of:
         raise ValueError(
             f"delta: versionAsOf={version_as_of} but the log only reaches "
@@ -198,7 +222,7 @@ def replay_log(
             "corrupt or truncated table"
         )
     _check_protocol(proto, meta, adds)
-    return list(adds.values()), meta, proto, last
+    return list(adds.values()), meta, proto, last, txns
 
 
 def _check_protocol(proto: dict, meta: dict, adds: dict[str, dict]) -> None:

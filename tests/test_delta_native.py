@@ -325,3 +325,71 @@ def test_protocol_v3_requires_reader_features(spark, tmp_path):
             fh.write(json.dumps(a) + "\n")
     with pytest.raises(ValueError, match="readerFeatures"):
         read_delta_native(spark, {"path": str(tbl)})
+
+
+def test_txn_idempotent_commit(spark, tmp_path):
+    tbl = str(tmp_path / "txn")
+    write_delta_native(spark, spark.range(0, 5), {"path": tbl})
+    write_delta_native(spark, spark.range(5, 8), {"path": tbl, "mode": "append"},
+                       txn=("app1", 0))
+    # replay of the same (appId, version): no-op
+    write_delta_native(spark, spark.range(5, 8), {"path": tbl, "mode": "append"},
+                       txn=("app1", 0))
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(8))
+    # next version commits
+    write_delta_native(spark, spark.range(8, 9), {"path": tbl, "mode": "append"},
+                       txn=("app1", 1))
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(9))
+
+
+def test_txn_markers_survive_checkpoint(spark, tmp_path):
+    from pipeline_spark.sources.delta_native import replay_state
+
+    tbl = str(tmp_path / "txncp")
+    write_delta_native(spark, spark.range(0, 3), {"path": tbl})
+    write_delta_native(spark, spark.range(3, 5), {"path": tbl, "mode": "append"},
+                       txn=("s", 7))
+    write_checkpoint(tbl, 1)
+    log_dir = os.path.join(tbl, "_delta_log")
+    os.unlink(os.path.join(log_dir, "00000000000000000000.json"))
+    os.unlink(os.path.join(log_dir, "00000000000000000001.json"))
+    _a, _m, _p, _v, txns = replay_state(tbl)
+    assert txns == {"s": 7}
+    # replayed batch after log cleanup: still a no-op
+    write_delta_native(spark, spark.range(3, 5), {"path": tbl, "mode": "append"},
+                       txn=("s", 7))
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(5))
+
+
+def test_streaming_sink_appends_per_microbatch(spark, tmp_path):
+    """file-stream -> delta sink: availableNow drains the backlog into
+    delta commits; a second run with new files appends only the delta."""
+    from pipeline_spark.registry import ModuleContext
+    from pipeline_spark.sinks.delta_native import delta_sink
+
+    src = tmp_path / "in"
+    src.mkdir()
+    tbl = str(tmp_path / "stream_tbl")
+    spark.range(0, 10).write.parquet(str(src / "batch1"))
+
+    def run():
+        sdf = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        delta_sink(ModuleContext(
+            spark=spark, name="w", params={"path": tbl}, inputs=[sdf],
+            input_names=["in"],
+        ))
+
+    run()
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(10))
+    spark.range(10, 15).write.parquet(str(src / "batch2"))
+    run()
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(15))
+    # each commit carries the stream's txn marker
+    from pipeline_spark.sources.delta_native import replay_state
+
+    _a, _m, _p, _v, txns = replay_state(tbl)
+    assert len(txns) == 1 and list(txns.values())[0] >= 0
