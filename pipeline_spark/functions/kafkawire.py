@@ -294,6 +294,41 @@ def _check(code: int, what: str) -> None:
         raise KafkaError(f"kafka: {what} failed with error_code={code}")
 
 
+def murmur2(data: bytes) -> int:
+    """Kafka's 32-bit murmur2 (seed 0x9747b28c) — the hash behind the
+    Java client's default partitioner (public algorithm, Appendix of the
+    Kafka client source).  Used so our produced keys land on the same
+    partitions the Java client would pick."""
+    length = len(data)
+    m = 0x5BD1E995
+    h = (0x9747B28C ^ length) & 0xFFFFFFFF
+    i = 0
+    while length - i >= 4:
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> 24
+        k = (k * m) & 0xFFFFFFFF
+        h = ((h * m) & 0xFFFFFFFF) ^ k
+        i += 4
+    rem = length - i
+    if rem >= 3:
+        h ^= data[i + 2] << 16
+    if rem >= 2:
+        h ^= data[i + 1] << 8
+    if rem >= 1:
+        h ^= data[i]
+        h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
+
+
+def partition_for_key(key: bytes, num_partitions: int) -> int:
+    """Java client default partitioner: murmur2 masked positive, mod N."""
+    return (murmur2(key) & 0x7FFFFFFF) % num_partitions
+
+
 def security_from_params(p: dict) -> dict | None:
     """Normalize module config to the client ``security`` dict.
 

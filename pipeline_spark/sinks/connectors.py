@@ -20,6 +20,7 @@ and plans build; only the final action needs the connector.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from pipeline_spark.registry import KIND_SINK, ModuleContext, module
 
@@ -490,3 +491,154 @@ def default_pubsub_client(params: dict):
                 f.result()
 
     return _Client()
+
+
+@module("kafka", kind=KIND_SINK)
+def kafka_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
+    """`kafka` sink: produce rows to a topic (beyond the reference's sink
+    list — its Spark mapping routes pubsub through Kafka, so the pair
+    completes the native source).  With the Spark kafka connector jar the
+    JVM writer runs; without it the stdlib wire client produces natively.
+
+    Row mapping (computed as Catalyst columns, so serialization stays in
+    codegen): ``format: json`` (default) serializes the full row with
+    ``to_json``; ``format: raw`` sends ``valueField`` bytes/string as-is.
+    ``keyField`` (optional) keys records; keyed records partition with
+    the Java client's murmur2 partitioner, unkeyed ones spread
+    round-robin per task.
+
+    Scale posture: the driver fetches topic metadata once (KB); each
+    executor task groups its rows by target partition and produces
+    directly to that partition's leader in ``batchSize`` chunks — no
+    driver row motion, parallelism = upstream partitions.  Streaming
+    inputs produce per micro-batch via foreachBatch (at-least-once, the
+    Spark kafka sink's own contract).
+    """
+    p = ctx.params
+    df = ctx.input
+    topic = p.get("topic")
+    if not topic:
+        raise ValueError("kafka sink: 'topic' is required")
+    servers = p["bootstrapServers"]
+
+    fmt = str(p.get("format", "json")).lower()
+    key_field = p.get("keyField")
+    cols = []
+    if fmt == "json":
+        data_cols = [c for c in df.columns if c != key_field]
+        cols.append(
+            F.to_json(F.struct(*[F.col(c) for c in data_cols])).cast("binary").alias("value")
+        )
+    elif fmt == "raw":
+        vf = p.get("valueField", "value")
+        cols.append(F.col(vf).cast("binary").alias("value"))
+    else:
+        raise ValueError(f"kafka sink: unknown format '{fmt}' (json|raw)")
+    if key_field:
+        cols.append(F.col(key_field).cast("string").cast("binary").alias("key"))
+    else:
+        cols.append(F.lit(None).cast("binary").alias("key"))
+    ts_field = p.get("timestampField")
+    if ts_field:
+        cols.append((F.col(ts_field).cast("double") * 1000).cast("long").alias("ts"))
+    else:
+        cols.append(F.lit(None).cast("long").alias("ts"))
+    payload = df.select(*cols)
+
+    try:
+        _require_connector(
+            ctx, "kafka", "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        writer = (
+            payload.selectExpr("key", "value")
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", servers)
+            .option("topic", topic)
+        )
+        writer.save()
+        return {}
+    except RuntimeError:
+        pass  # no jar: native wire producer below
+
+    from pipeline_spark.functions.kafkawire import (
+        KafkaClient,
+        partition_for_key,
+        security_from_params,
+    )
+
+    security = security_from_params(p)
+    boot = KafkaClient.bootstrap(servers, security=security)
+    try:
+        meta = boot.metadata([topic])
+    finally:
+        boot.close()
+    leaders = {
+        pidx: meta["brokers"][leader]
+        for pidx, leader in meta["topics"][topic].items()
+    }
+    n_parts = len(leaders)
+    acks = int(p.get("acks", -1))
+    batch_size = int(p.get("batchSize", 500))
+    explicit_part = p.get("partition")
+    client_id = str(p.get("clientId", "pipeline-spark"))
+
+    def produce_partition(rows) -> None:
+        import time as _time
+
+        clients: dict[int, KafkaClient] = {}
+        buffers: dict[int, list[dict]] = {}
+        rr = 0
+
+        def flush(pidx: int) -> None:
+            buf = buffers.get(pidx)
+            if not buf:
+                return
+            cl = clients.get(pidx)
+            if cl is None:
+                host, port = leaders[pidx]
+                cl = clients[pidx] = KafkaClient(
+                    host, port, client_id=client_id, security=security
+                )
+            cl.produce(topic, pidx, buf, acks=acks)
+            buffers[pidx] = []
+
+        try:
+            for row in rows:
+                if explicit_part is not None:
+                    pidx = int(explicit_part)
+                elif row["key"] is not None:
+                    pidx = partition_for_key(bytes(row["key"]), n_parts)
+                else:
+                    pidx = sorted(leaders)[rr % n_parts]
+                    rr += 1
+                ts = row["ts"] if row["ts"] is not None else int(_time.time() * 1000)
+                buffers.setdefault(pidx, []).append({
+                    "key": bytes(row["key"]) if row["key"] is not None else None,
+                    "value": bytes(row["value"]) if row["value"] is not None else None,
+                    "timestamp": ts,
+                })
+                if len(buffers[pidx]) >= batch_size:
+                    flush(pidx)
+            for pidx in list(buffers):
+                flush(pidx)
+        finally:
+            for cl in clients.values():
+                cl.close()
+
+    if payload.isStreaming:
+        query = (
+            payload.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _bid: bdf.foreachPartition(produce_partition))
+            .option(
+                "checkpointLocation",
+                p.get("checkpointLocation")
+                or f"/tmp/pipeline_spark_kafka_sink_{topic}_checkpoint",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        if p.get("await", True):
+            query.awaitTermination()
+    else:
+        payload.foreachPartition(produce_partition)
+    return {}

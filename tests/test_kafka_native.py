@@ -442,3 +442,110 @@ class TestTls:
             assert recs[0]["value"] == b"sec"
         finally:
             broker.close()
+
+
+# ------------------------------------------------------------- sink e2e
+
+
+def test_murmur2_against_independent_reference():
+    """Straight-line per-spec reimplementation (different code shape than
+    the library's loop) — the house independent-reference pattern."""
+    from pipeline_spark.functions.kafkawire import murmur2, partition_for_key
+
+    def ref_murmur2(data: bytes) -> int:
+        M, R, mask = 0x5BD1E995, 24, 0xFFFFFFFF
+        h = (0x9747B28C ^ len(data)) & mask
+        chunks = [data[i:i + 4] for i in range(0, len(data) - len(data) % 4, 4)]
+        for ch in chunks:
+            k = ch[0] | ch[1] << 8 | ch[2] << 16 | ch[3] << 24
+            k = (k * M) & mask
+            k ^= k >> R
+            k = (k * M) & mask
+            h = (((h * M) & mask) ^ k) & mask
+        tail = data[len(chunks) * 4:]
+        if len(tail) == 3:
+            h ^= tail[2] << 16
+        if len(tail) >= 2:
+            h ^= tail[1] << 8
+        if len(tail) >= 1:
+            h = ((h ^ tail[0]) * M) & mask
+        h ^= h >> 13
+        h = (h * M) & mask
+        return h ^ (h >> 15)
+
+    for key in (b"", b"a", b"ab", b"abc", b"abcd", b"abcde",
+                b"the quick brown fox", bytes(range(256))):
+        assert murmur2(key) == ref_murmur2(key), key
+    assert 0 <= partition_for_key(b"anything", 7) < 7
+
+
+def test_kafka_sink_json_roundtrip(spark, broker):
+    from pipeline_spark.registry import ModuleContext
+    from pipeline_spark.sinks.connectors import kafka_sink
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, name string"
+    ).coalesce(1)
+    kafka_sink(ModuleContext(
+        spark=spark, name="w",
+        params={"bootstrapServers": f"127.0.0.1:{broker.port}",
+                "topic": "out", "partition": 0},
+        inputs=[df], input_names=["in"],
+    ))
+    import json as _json
+
+    with KafkaClient("127.0.0.1", broker.port) as c:
+        _, recs = c.fetch("out", 0, 0)
+    vals = sorted((_json.loads(r["value"]) for r in recs), key=lambda d: d["id"])
+    assert vals == [{"id": 1, "name": "a"}, {"id": 2, "name": "b"},
+                    {"id": 3, "name": "c"}]
+    assert all(r["key"] is None for r in recs)
+
+
+def test_kafka_sink_keyed_partitioning(spark, broker):
+    """Keyed records land on murmur2(key) % n — the Java client layout."""
+    from pipeline_spark.registry import ModuleContext
+    from pipeline_spark.functions.kafkawire import partition_for_key
+    from pipeline_spark.sinks.connectors import kafka_sink
+
+    broker.seed("keyed", 0, [])
+    broker.seed("keyed", 1, [])
+    broker.seed("keyed", 2, [])
+    rows = [(f"k{i}", i) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, v int").coalesce(1)
+    kafka_sink(ModuleContext(
+        spark=spark, name="w",
+        params={"bootstrapServers": f"127.0.0.1:{broker.port}",
+                "topic": "keyed", "keyField": "k", "format": "raw",
+                "valueField": "k"},
+        inputs=[df], input_names=["in"],
+    ))
+    with KafkaClient("127.0.0.1", broker.port) as c:
+        for pidx in (0, 1, 2):
+            _, recs = c.fetch("keyed", pidx, 0)
+            for r in recs:
+                assert partition_for_key(r["key"], 3) == pidx
+
+
+def test_kafka_sink_streaming(spark, broker, tmp_path):
+    from pipeline_spark.registry import ModuleContext
+    from pipeline_spark.sinks.connectors import kafka_sink
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame([(10, "x"), (11, "y")], "id int, name string") \
+        .write.parquet(str(src / "b1"))
+    sdf = spark.readStream.schema("id int, name string").parquet(str(src) + "/*")
+    kafka_sink(ModuleContext(
+        spark=spark, name="w",
+        params={"bootstrapServers": f"127.0.0.1:{broker.port}",
+                "topic": "stream_out", "partition": 0,
+                "checkpointLocation": str(tmp_path / "cp")},
+        inputs=[sdf], input_names=["in"],
+    ))
+    import json as _json
+
+    with KafkaClient("127.0.0.1", broker.port) as c:
+        _, recs = c.fetch("stream_out", 0, 0)
+    ids = sorted(_json.loads(r["value"])["id"] for r in recs)
+    assert ids == [10, 11]
