@@ -279,7 +279,13 @@ from pipeline_spark.registry import KIND_SOURCE, ModuleContext, module
 
 @module("delta", kind=KIND_SOURCE)
 def delta_source(ctx: ModuleContext) -> dict[str, Any]:
-    """`delta` source module: filesystem Delta tables, read natively."""
+    """`delta` source module: filesystem Delta tables, read natively.
+    ``mode: streaming`` follows the commit log as a stream
+    (sources/delta_stream.py)."""
+    if str(ctx.params.get("mode", "")).lower() == "streaming":
+        from pipeline_spark.sources.delta_stream import read_delta_stream_native
+
+        return {"": read_delta_stream_native(ctx.spark, ctx.params)}
     return {"": read_delta_native(ctx.spark, ctx.params)}
 
 

@@ -1,0 +1,211 @@
+"""Streaming Delta source WITHOUT the delta-spark jar: a Spark 4 Python
+DataSource that replays `_delta_log` versions as micro-batch offsets.
+
+Same architecture as sources/kafka_stream.py: Structured Streaming's own
+offset log / checkpoint recovery / availableNow draining drive the
+native log reader (sources/delta_native.py) —
+
+  initialOffset      "earliest" = the table's CURRENT state as an
+                     initial snapshot, then the commit tail (delta's own
+                     streaming contract); "latest" = new commits only;
+                     an integer startingVersion = commits from there
+  latestOffset       driver-side latest_version (one directory listing)
+  partitions(s, e)   driver-side: the add actions of versions (s, e] —
+                     one InputPartition per data FILE
+  read(partition)    EXECUTOR-side: pyarrow reads that one parquet file
+                     and fills hive partition columns from the add's
+                     partitionValues
+
+Parallelism = files per batch; rows never pass through the driver.
+Change commits (removes with dataChange, e.g. overwrite/merge) error
+actionably — `skipChangeCommits: true` skips them, `ignoreDeletes:
+true` tolerates delete-only commits — exactly the delta-spark options.
+Streaming reads need the JSON commits retained for the replay horizon
+(same requirement the jar has).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class DeltaNativeDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "delta_native"
+
+    def schema(self):
+        from pipeline_spark.sources.delta_native import (
+            _schema_from_meta,
+            replay_log,
+        )
+
+        table = self.options.get("path")
+        _adds, meta, _proto, _v = replay_log(table)
+        return _schema_from_meta(meta)
+
+    def streamReader(self, schema):
+        return _DeltaStreamReader(self.options, schema)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, part_values: list, fields: list):
+        self.path = path
+        #: [(column, raw string value or None), ...] for hive columns
+        self.part_values = part_values
+        #: [(name, typeName), ...] in output order
+        self.fields = fields
+
+
+def _convert_part(value: str | None, type_name: str):
+    if value is None:
+        return None
+    t = type_name.lower()
+    if t in ("int", "integer", "long", "bigint", "short", "byte"):
+        return int(value)
+    if t in ("double", "float"):
+        return float(value)
+    if t == "boolean":
+        return value.lower() == "true"
+    if t == "date":
+        return _dt.date.fromisoformat(value)
+    if t.startswith("timestamp"):
+        return _dt.datetime.fromisoformat(value)
+    return value
+
+
+class _DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema):
+        self.table = options.get("path")
+        if not self.table:
+            raise ValueError("delta_native stream needs a 'path' option")
+        self.starting = str(options.get("startingversion", "earliest")).lower()
+        self.skip_change = str(options.get("skipchangecommits", "")).lower() == "true"
+        self.ignore_deletes = str(options.get("ignoredeletes", "")).lower() == "true"
+        self.schema_fields = [(f.name, f.dataType.typeName()) for f in schema.fields]
+        self.part_cols = self._part_cols()
+
+    def _part_cols(self) -> list[str]:
+        from pipeline_spark.sources.delta_native import replay_log
+
+        _adds, meta, _proto, _v = replay_log(self.table)
+        return list(meta.get("partitionColumns") or [])
+
+    def _latest(self) -> int:
+        from pipeline_spark.sources.delta_native import _log_dir, latest_version
+
+        v = latest_version(_log_dir(self.table))
+        if v is None:
+            raise FileNotFoundError(f"delta: empty _delta_log at {self.table}")
+        return v
+
+    def initialOffset(self) -> dict:
+        latest = self._latest()
+        if self.starting == "latest":
+            return {"version": latest}
+        if self.starting == "earliest":
+            # deliver the current table state as the initial snapshot,
+            # then follow the commit tail
+            return {"version": latest, "snapshot_pending": True}
+        return {"version": int(self.starting) - 1}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._latest()}
+
+    def _commit_adds(self, version: int) -> list[dict]:
+        from pipeline_spark.sources.delta_native import _log_dir
+
+        path = os.path.join(_log_dir(self.table), f"{version:020d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"delta: commit {version} missing from {self.table}/_delta_log"
+                " — streaming needs the JSON tail retained (vacuumed log?)"
+            )
+        adds, removes_changed = [], False
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action and action["add"].get("dataChange", True):
+                    adds.append(action["add"])
+                elif "remove" in action and action["remove"].get("dataChange", True):
+                    removes_changed = True
+        if removes_changed:
+            if self.skip_change:
+                return []
+            if self.ignore_deletes and not adds:
+                return []
+            raise ValueError(
+                f"delta: version {version} changes existing data (remove "
+                "actions with dataChange) — a streaming read would be "
+                "incorrect; set skipChangeCommits: true to skip such "
+                "commits, or ignoreDeletes: true for delete-only commits"
+            )
+        return adds
+
+    def partitions(self, start: dict, end: dict):
+        import urllib.parse
+
+        from pipeline_spark.sources.delta_native import replay_log
+
+        adds: list[dict] = []
+        if start.get("snapshot_pending"):
+            snap_adds, _m, _p, _v = replay_log(self.table, int(start["version"]))
+            adds.extend(snap_adds)
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            adds.extend(self._commit_adds(v))
+        out = []
+        for a in adds:
+            pv = a.get("partitionValues") or {}
+            out.append(_FilePartition(
+                os.path.join(self.table, urllib.parse.unquote(a["path"])),
+                [(c, pv.get(c)) for c in self.part_cols],
+                self.schema_fields,
+            ))
+        return out
+
+    def read(self, partition: _FilePartition):
+        import pyarrow.parquet as pq
+
+        part_map = dict(partition.part_values)
+        tbl = pq.read_table(partition.path)
+        cols = set(tbl.schema.names)
+        types = dict(partition.fields)
+        for row in tbl.to_pylist():
+            yield tuple(
+                row.get(name)
+                if name in cols
+                else _convert_part(part_map.get(name), types[name])
+                for name, _t in partition.fields
+            )
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's offset log is the source of truth
+
+
+def read_delta_stream_native(spark, p: dict):
+    """readStream DataFrame over the native log replay; registration is
+    idempotent per session."""
+    try:
+        spark.dataSource.register(DeltaNativeDataSource)
+    except Exception as exc:
+        if "already" not in str(exc).lower():
+            raise
+    table = p.get("path") or p.get("table") or p.get("input")
+    if not table:
+        raise ValueError("delta source: 'path' is required")
+    reader = spark.readStream.format("delta_native").option("path", str(table))
+    for key in ("startingVersion", "skipChangeCommits", "ignoreDeletes"):
+        if p.get(key) is not None:
+            reader = reader.option(key, str(p[key]))
+    return reader.load()

@@ -393,3 +393,86 @@ def test_streaming_sink_appends_per_microbatch(spark, tmp_path):
 
     _a, _m, _p, _v, txns = replay_state(tbl)
     assert len(txns) == 1 and list(txns.values())[0] >= 0
+
+
+# ------------------------------------------------------ streaming source
+
+
+def _drain_stream(spark, tbl, out_dir, cp, **opts):
+    from pipeline_spark.sources.delta_stream import read_delta_stream_native
+
+    sdf = read_delta_stream_native(spark, {"path": tbl, **opts})
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(out_dir)
+    except Exception:
+        return None
+
+
+def test_stream_initial_snapshot_then_tail(spark, tmp_path):
+    tbl = str(tmp_path / "s1")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    write_delta_native(spark, spark.range(0, 5), {"path": tbl})
+    write_delta_native(spark, spark.range(5, 8), {"path": tbl, "mode": "append"})
+    got = _drain_stream(spark, tbl, out, cp)
+    assert _ids(got) == list(range(8))  # initial snapshot covers both commits
+    # append after the first drain: only the delta arrives on resume
+    write_delta_native(spark, spark.range(8, 11), {"path": tbl, "mode": "append"})
+    got = _drain_stream(spark, tbl, out, cp)
+    assert _ids(got) == list(range(11))
+
+
+def test_stream_latest_skips_history(spark, tmp_path):
+    tbl = str(tmp_path / "s2")
+    write_delta_native(spark, spark.range(0, 5), {"path": tbl})
+    got = _drain_stream(
+        spark, tbl, str(tmp_path / "out"), str(tmp_path / "cp"),
+        startingVersion="latest",
+    )
+    assert got is None or got.count() == 0  # history not replayed
+    write_delta_native(spark, spark.range(5, 7), {"path": tbl, "mode": "append"})
+    got = _drain_stream(
+        spark, tbl, str(tmp_path / "out"), str(tmp_path / "cp"),
+        startingVersion="latest",
+    )
+    assert _ids(got) == [5, 6]
+
+
+def test_stream_partitioned_table_fills_partition_columns(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "s3")
+    df = spark.range(0, 6).withColumn(
+        "grp", F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+    )
+    write_delta_native(spark, df, {"path": tbl, "partitionBy": ["grp"]})
+    got = _drain_stream(spark, tbl, str(tmp_path / "out"), str(tmp_path / "cp"))
+    rows = sorted((r["id"], r["grp"]) for r in got.collect())
+    assert rows == [(i, "even" if i % 2 == 0 else "odd") for i in range(6)]
+
+
+def test_stream_change_commit_errors_and_skip_option(spark, tmp_path):
+    tbl = str(tmp_path / "s4")
+    out = str(tmp_path / "out")
+    write_delta_native(spark, spark.range(0, 4), {"path": tbl})
+    got = _drain_stream(spark, tbl, out, str(tmp_path / "cp"))
+    assert _ids(got) == [0, 1, 2, 3]
+    write_delta_native(spark, spark.range(100, 102), {"path": tbl, "mode": "overwrite"})
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        _drain_stream(spark, tbl, out, str(tmp_path / "cp"))
+    # fresh checkpoint AND fresh sink dir (a streaming parquet sink's
+    # _spark_metadata is per-query): snapshot of the post-overwrite state
+    got = _drain_stream(
+        spark, tbl, str(tmp_path / "out_fresh"), str(tmp_path / "cp2_fresh"),
+        skipChangeCommits=True,
+    )
+    assert _ids(got) == [100, 101]
