@@ -300,6 +300,36 @@ def read_delta_native(spark, p: dict[str, Any]):
     )
     schema = _schema_from_meta(meta)
     part_cols = list(meta.get("partitionColumns") or [])
+    pfilter = p.get("partitionFilter")
+    if pfilter:
+        # LOG-level pruning: drop whole data files by their recorded
+        # partitionValues before Spark plans a single task (the same
+        # shape as the iceberg reader's manifest pruning).  Filter form:
+        # {partition_column: value | [values]}, matched on the raw
+        # string values the log stores.
+        unknown = set(pfilter) - set(part_cols)
+        if unknown:
+            raise ValueError(
+                f"delta: partitionFilter fields {sorted(unknown)} are not "
+                f"partition columns (have {part_cols})"
+            )
+
+        def keep(a: dict) -> bool:
+            pv = a.get("partitionValues") or {}
+            for k, want in pfilter.items():
+                have = pv.get(k)
+                if isinstance(want, (list, tuple)):
+                    if have not in [str(w) for w in want]:
+                        return False
+                elif have != str(want):
+                    return False
+            return True
+
+        adds = [a for a in adds if keep(a)]
+        if not adds:
+            raise ValueError(
+                f"delta: partitionFilter {pfilter} matches no data files"
+            )
     if not adds:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(table, urllib.parse.unquote(a["path"])) for a in adds]

@@ -476,3 +476,22 @@ def test_stream_change_commit_errors_and_skip_option(spark, tmp_path):
         skipChangeCommits=True,
     )
     assert _ids(got) == [100, 101]
+
+
+def test_partition_filter_prunes_at_planning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "pf")
+    df = spark.range(0, 20).withColumn(
+        "grp", F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+    )
+    write_delta_native(spark, df, {"path": tbl, "partitionBy": ["grp"]})
+    back = read_delta_native(spark, {"path": tbl, "partitionFilter": {"grp": "even"}})
+    assert sorted(r["id"] for r in back.collect()) == list(range(0, 20, 2))
+    # pruning happened at the file-list level, not just the scan filter
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "grp=odd" not in plan
+    with pytest.raises(ValueError, match="not partition columns"):
+        read_delta_native(spark, {"path": tbl, "partitionFilter": {"nope": 1}})
+    with pytest.raises(ValueError, match="matches no data files"):
+        read_delta_native(spark, {"path": tbl, "partitionFilter": {"grp": "blue"}})
