@@ -624,7 +624,7 @@ def test_loop_condition_termination():
         {"c0": np.array(True)}
     )
     # 1→2→4→8→16→32: the body runs once more after 16 (cond checked after)
-    assert float(acc) == 32.0
+    assert float(np.asarray(acc).ravel()[0]) == 32.0
 
 
 def test_scan_running_sum():
