@@ -1559,6 +1559,59 @@ FROM gd LEFT JOIN dup USING (doc_id)
 """
 
 
+def q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al ExactSubstr REMOVAL: every duplicated token-10-gram
+    occurrence except the globally first (by doc_id, pos) is cut out of
+    the normalized text; overlapping spans merge before cutting.  Oracle
+    recomputes occurrence ranks and the rebuilt text from raw text."""
+    return _pipeline(spark, sf_dir, ["documents"], """
+transforms:
+  - name: cut
+    module: repetition
+    inputs: [documents]
+    parameters:
+      mode: cut
+      idField: doc_id
+      field: text
+      ngram: 10
+""", "cut").select("doc_id", "text", "n_tokens", "n_removed")
+
+
+Q_SUBSTRING_CUT_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+9], ' ') AS g
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(t) - 9, 0))) AS i) s
+), removals AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+    FROM grams) r WHERE rn > 1
+), covered AS (
+  SELECT DISTINCT doc_id, pos + j AS idx
+  FROM removals, LATERAL (SELECT unnest(generate_series(0, 9)) AS j) s
+), toku AS (
+  SELECT doc_id, i - 1 AS idx, t[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, length(t))) AS i) s
+), kept AS (
+  SELECT u.doc_id, u.idx, u.tok
+  FROM toku u ANTI JOIN covered c ON u.doc_id = c.doc_id AND u.idx = c.idx
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text, count(*) AS kept_n
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       coalesce(rebuilt.text, '') AS text,
+       length(t) AS n_tokens,
+       length(t) - coalesce(rebuilt.kept_n, 0) AS n_removed
+FROM toks LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity module, SRP-LSH approximate top-k.
 
@@ -3215,6 +3268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
+        "substring_cut": q_substring_cut,
         "shuffle_order": q_shuffle_order,
         "quality_classifier": q_quality_classifier,
         "lsh_topk": q_lsh_topk,
@@ -3295,6 +3349,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster": Q_CLUSTER_SQL,
         "decontaminate": Q_DECON_SQL,
         "repetition": Q_REPETITION_SQL,
+        "substring_cut": Q_SUBSTRING_CUT_SQL,
         "shuffle_order": Q_SHUFFLE_SQL,
         "quality_classifier": Q_CLASSIFIER_SQL,
         # seeded SRP-LSH at these params reaches recall 1 on this corpus →

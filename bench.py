@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "dedup_cluster",
     "decontaminate",
     "repetition",
+    "substring_cut",
     "shuffle_order",
     "quality_classifier",
     "lsh_topk",

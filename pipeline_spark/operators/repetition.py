@@ -13,6 +13,14 @@ practices folded into one module:
           line; report per-doc duplicate-line fraction, or CLEAN the text
           by dropping lines that occur in more than ``minFreq`` docs
           (keeping document order).
+  cut     the actual Lee et al. ExactSubstr REMOVAL: every corpus-wide
+          duplicated token-k-gram occurrence except one canonical copy
+          (the globally first by (doc id, position)) is cut out of the
+          text; overlapping duplicated spans merge before cutting.  The
+          paper does this over a corpus suffix array on one giant
+          machine; the Spark shape is positional k-gram fingerprints —
+          one (doc, pos, xxhash64) int row per token — a single int-key
+          shuffle to rank occurrences, then a doc-local rebuild.
 
 Scale posture: span/line identity shuffles as an 8-byte xxhash64 — raw
 text never rides a duplicate-detection exchange.  ``spans`` report is two
@@ -26,7 +34,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pipeline_spark.functions.partitioning import spread
@@ -93,6 +101,82 @@ def span_repetition_report(
                 F.coalesce(F.col("total"), F.lit(0)) > 0,
                 1.0 - F.coalesce(F.col("n_spans"), F.lit(0)) / F.col("total"),
             ).otherwise(F.lit(0.0)).alias("internal_repetition"),
+        )
+    )
+
+
+def span_cut(
+    df: DataFrame,
+    *,
+    text_field: str = "text",
+    id_field: str = "doc_id",
+    ngram: int = 50,
+    stride: int = 1,
+) -> DataFrame:
+    """Cut duplicated token spans, keeping one canonical copy corpus-wide.
+
+    Lee et al. "Deduplicating Training Data Makes Language Models Better"
+    (ACL 2022) ExactSubstr semantics at token-k-gram granularity: an
+    occurrence of a k-gram is REMOVED iff some earlier occurrence (by
+    (doc id, position) order) of the same k-gram exists anywhere in the
+    corpus.  Removed spans union per doc before cutting, so overlapping
+    duplicates don't double-cut.  Output rows:
+    (id, text, n_tokens, n_removed) where ``text`` is the doc's canonical
+    normalized view (lowercased, single-spaced — the dedup-family text
+    view) with removed tokens cut.
+
+    ``stride`` > 1 is the paper's efficiency trade: only anchor positions
+    ``pos % stride == 0`` are duplicate candidates, shrinking the
+    fingerprint exchange by ~stride× at the cost of missing duplicates
+    that never align on an anchor.  Exact mode (stride=1) is the default.
+
+    Scale: fingerprints ride the one shuffle as (id, pos, hash) ints —
+    raw text never rides a duplicate-detection exchange; the rebuild
+    shuffle carries each surviving token once and IS the output.  No
+    caching: the source is re-scanned per stage (column-pruned, map-only)
+    because at corpus scale re-reading beats materializing token arrays.
+    """
+    if ngram < 2:
+        raise ValueError(f"span cut: ngram must be >= 2, got {ngram}")
+    if stride < 1:
+        raise ValueError(f"span cut: stride must be >= 1, got {stride}")
+    toks = tokens(F.col(text_field))
+    base = spread(df).select(F.col(id_field).alias("__id__"), toks.alias("__t__"))
+    grams = base.select(
+        "__id__", F.posexplode(word_shingles(F.col("__t__"), ngram)).alias("pos", "g")
+    )
+    if stride > 1:
+        grams = grams.filter(F.col("pos") % stride == 0)
+    grams = grams.select("__id__", "pos", F.xxhash64("g").alias("h"))
+    # one int-key shuffle: rank every occurrence of a fingerprint by
+    # global (doc, pos) order; rank 1 is the canonical kept copy
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("__id__", "pos"))
+    removals = grams.withColumn("rn", rn).filter(F.col("rn") > 1)
+    covered = removals.select(
+        "__id__",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(ngram - 1))).alias("idx"),
+    ).distinct()
+    toku = base.select("__id__", F.posexplode("__t__").alias("idx", "tok"))
+    kept = toku.join(covered, ["__id__", "idx"], "left_anti")
+    rebuilt = kept.groupBy("__id__").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("__text__"),
+        F.count(F.lit(1)).alias("__kept__"),
+    )
+    return (
+        base.select("__id__", F.size("__t__").alias("__total__"))
+        .join(rebuilt, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_field),
+            F.coalesce(F.col("__text__"), F.lit("")).alias(text_field),
+            F.col("__total__").cast("int").alias("n_tokens"),
+            (F.col("__total__") - F.coalesce(F.col("__kept__"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
         )
     )
 
@@ -195,6 +279,16 @@ def repetition_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             F.col("dup_fraction") <= F.lit(float(max_frac))
         ).select(id_field)
         return {"": df.join(keep, id_field, "left_semi")}
+    if mode == "cut":
+        return {
+            "": span_cut(
+                df,
+                text_field=text_field,
+                id_field=id_field,
+                ngram=int(p.get("ngram", 50)),
+                stride=int(p.get("stride", 1)),
+            )
+        }
     if mode == "lines":
         return {
             "": line_dedup(

@@ -108,3 +108,86 @@ def test_internal_repetition(spark):
     rows = {r["doc_id"]: r for r in out.collect()}
     assert abs(rows[1]["internal_repetition"] - 0.75) < 1e-9
     assert rows[2]["internal_repetition"] == 0.0
+
+
+def _cut(spark, docs, **params):
+    out = repetition_transform(
+        ctx(spark, {"mode": "cut", **params}, [docs])
+    )[""]
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_cut_keeps_canonical_first_occurrence(spark):
+    dup = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"intro words {dup} tail one"),
+            Row(doc_id=2, text=f"other opening {dup} closing"),
+        ]
+    )
+    rows = _cut(spark, docs, ngram=4)
+    # doc 1 holds the canonical copy (min doc_id), doc 2 loses the span
+    assert rows[1]["text"] == f"intro words {dup} tail one"
+    assert rows[1]["n_removed"] == 0
+    assert rows[2]["text"] == "other opening closing"
+    assert rows[2]["n_removed"] == 4
+    assert rows[2]["n_tokens"] == 7
+
+
+def test_cut_within_doc_second_occurrence_removed(spark):
+    dup = "one two three four"
+    docs = spark.createDataFrame(
+        [Row(doc_id=7, text=f"{dup} middle bit {dup} end")]
+    )
+    rows = _cut(spark, docs, ngram=4)
+    assert rows[7]["text"] == f"{dup} middle bit end"
+    assert rows[7]["n_removed"] == 4
+
+
+def test_cut_overlapping_spans_merge(spark):
+    # doc 2 repeats a 5-token run; with ngram=4 two overlapping duplicated
+    # grams cover tokens 0..4 — the union cuts 5 tokens, not 8
+    run = "p q r s t"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{run} unique trailer here"),
+            Row(doc_id=2, text=f"{run} different ending words"),
+        ]
+    )
+    rows = _cut(spark, docs, ngram=4)
+    assert rows[2]["text"] == "different ending words"
+    assert rows[2]["n_removed"] == 5
+
+
+def test_cut_short_doc_unchanged_and_normalized_view(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="Tiny  DOC"), Row(doc_id=2, text="")]
+    )
+    rows = _cut(spark, docs, ngram=4)
+    # cut operates on the canonical normalized view (lowercase, collapsed)
+    assert rows[1]["text"] == "tiny doc"
+    assert rows[1]["n_removed"] == 0
+    assert rows[2]["text"] == ""
+
+
+def test_cut_stride_skips_unanchored_duplicates(spark):
+    dup = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{dup} filler"),
+            # duplicate starts at pos 1 in doc 2 — invisible to stride=2
+            Row(doc_id=2, text=f"x {dup}"),
+        ]
+    )
+    exact = _cut(spark, docs, ngram=4, stride=1)
+    assert exact[2]["n_removed"] == 4
+    strided = _cut(spark, docs, ngram=4, stride=2)
+    assert strided[2]["n_removed"] == 0
+
+
+def test_cut_param_validation(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    with pytest.raises(ValueError, match="ngram"):
+        _cut(spark, docs, ngram=1)
+    with pytest.raises(ValueError, match="stride"):
+        _cut(spark, docs, ngram=4, stride=0)
