@@ -1378,6 +1378,40 @@ FROM reach GROUP BY node
 """
 
 
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a history corpus via a Bloom filter.
+
+    History = docs with doc_id < 250; batch = the whole table.  The
+    module builds a membership filter over the history's content hashes
+    (compact broadcast, no join) and keeps only "definitely new" docs.
+    fpp=1e-9 over a few hundred probes makes a false positive
+    effectively impossible AND deterministic on fixed data, so the
+    exact NOT-IN anti-join oracle matches bit-for-bit."""
+    return _pipeline(spark, sf_dir, ["documents"], """
+transforms:
+  - name: history
+    module: beamsql
+    inputs: [documents]
+    parameters:
+      sql: "SELECT doc_id, text FROM documents WHERE doc_id < 250"
+  - name: fresh
+    module: dedup
+    inputs: [documents]
+    sideInputs: [history]
+    parameters:
+      method: bloom
+      field: text
+      fpp: 1.0e-9
+""", "fresh").select("doc_id", "n_chars")
+
+
+Q_BLOOM_DEDUP_SQL = """
+SELECT doc_id, n_chars
+FROM documents
+WHERE text NOT IN (SELECT text FROM documents WHERE doc_id < 250)
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-overlap decontamination report.
 
@@ -3267,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "dedup_cluster": q_dedup_cluster,
         "decontaminate": q_decontaminate,
+        "bloom_dedup": q_bloom_dedup,
         "repetition": q_repetition,
         "substring_cut": q_substring_cut,
         "shuffle_order": q_shuffle_order,
@@ -3348,6 +3383,7 @@ def oracle_sql() -> dict[str, str]:
         # recursive CTE — checks the distributed CC loop label-for-label
         "dedup_cluster": Q_CLUSTER_SQL,
         "decontaminate": Q_DECON_SQL,
+        "bloom_dedup": Q_BLOOM_DEDUP_SQL,
         "repetition": Q_REPETITION_SQL,
         "substring_cut": Q_SUBSTRING_CUT_SQL,
         "shuffle_order": Q_SHUFFLE_SQL,

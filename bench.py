@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "sql_mdt_udfs",
     "tokenize_unnest",
     "dedup_exact",
+    "bloom_dedup",
     "textstats",
     "ngram_jaccard",
     "similarity_bruteforce",
@@ -179,9 +180,10 @@ def main() -> None:
         "sf": sf,
     }
 
-    # scale pass: scale-critical queries once each on the 10× dataset,
-    # with whatever budget remains (the min-of-N protocol stays with the
-    # main run; at 10× data a single run's relative noise is smaller)
+    # scale pass: scale-critical queries on the 10× dataset with whatever
+    # budget remains.  Best-of-2 when budget allows: a single run conflates
+    # cold-start (fresh shuffle files, JIT, page cache) with the engine —
+    # measured 50 s cold vs 6 s warm on the same ngram_jaccard plan.
     sf1_dir = os.environ.get(
         "SPARK_GRAFT_SF1_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchdata", "sf1"),
@@ -200,10 +202,18 @@ def main() -> None:
         for name in scale_queries:
             if (time.time() - bench_start) > budget * 1.5:
                 break
-            t0 = time.time()
-            df = queries[name](spark, sf1_dir)
-            df.write.mode("overwrite").format("noop").save()
-            sf1_timings[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                df = queries[name](spark, sf1_dir)
+                df.write.mode("overwrite").format("noop").save()
+                took = time.time() - t0
+                best = took if best is None else min(best, took)
+                # re-run only while budget holds and the first run was slow
+                # enough for cold-start to matter
+                if took < 2.0 or (time.time() - bench_start) > budget * 1.4:
+                    break
+            sf1_timings[name] = round(best, 3)
             base = timings.get(name)
             if base and base > 0:
                 ratios[name] = round(sf1_timings[name] / (base * scale_factor), 2)

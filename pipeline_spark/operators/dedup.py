@@ -809,4 +809,35 @@ def dedup_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         if p.get("outputClusters", False):
             return {"": cluster_labels(pairs, id_field)}
         return {"": pairs}
+    if method == "bloom":
+        # incremental dedup against a HISTORY side input: build a Bloom
+        # filter over the history's content hashes (a compact broadcast,
+        # not a 100 TB join side), probe the batch with zero exchange.
+        # "maybe seen" rows drop; "definitely new" rows pass — false
+        # positives lose a few docs at the configured fpp, false
+        # negatives (re-ingesting a duplicate) cannot happen.
+        from pipeline_spark.functions import bloom
+
+        if not ctx.side_inputs:
+            raise ValueError(
+                "dedup method=bloom requires a history sideInput to build "
+                "the membership filter from"
+            )
+        history = next(iter(ctx.side_inputs.values()))
+        fields = p.get("fields") or [text_field]
+        expected = p.get("expectedItems")
+        if expected is None:
+            # bounded metadata count on the history (an agg, not a collect)
+            expected = history.count() or 1
+        bitmap, m, k = bloom.build_bloom(
+            history,
+            fields,
+            expected_items=int(expected),
+            fpp=float(p.get("fpp", 1e-6)),
+            max_build_partitions=int(p.get("maxBuildPartitions", 64)),
+        )
+        flagged = bloom.probe_bloom(df, fields, bitmap, m, k)
+        if p.get("outputFlag", False):
+            return {"": flagged.withColumnRenamed("__seen__", "seen")}
+        return {"": flagged.filter(~F.col("__seen__")).drop("__seen__")}
     raise ValueError(f"dedup: unknown method '{method}'")

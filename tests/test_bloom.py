@@ -1,0 +1,118 @@
+"""Bloom membership filter: sizing, hash math, build/probe, dedup module."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pipeline_spark.functions import bloom
+from pipeline_spark.operators.dedup import dedup_transform
+from pipeline_spark.registry import ModuleContext
+
+
+def test_size_for_classic_values():
+    m, k = bloom.size_for(1000, 0.01)
+    # textbook: ~9.585 bits/item at 1% fpp, k ~ 7
+    assert 9000 <= m <= 9700 and m % 64 == 0
+    assert k == 7
+    with pytest.raises(ValueError):
+        bloom.size_for(0, 0.01)
+    with pytest.raises(ValueError):
+        bloom.size_for(10, 1.5)
+
+
+def test_no_false_negatives_numpy():
+    rng = np.random.default_rng(7)
+    m, k = bloom.size_for(5000, 1e-4)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    h = rng.integers(-(2**63), 2**63, size=5000, dtype=np.int64)
+    bloom.set_bits(bits, h, k, m)
+    assert bloom.test_bits(bits, h, k, m).all()
+
+
+def test_false_positive_rate_near_target():
+    rng = np.random.default_rng(11)
+    m, k = bloom.size_for(5000, 0.01)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    member = rng.integers(-(2**63), 2**63, size=5000, dtype=np.int64)
+    bloom.set_bits(bits, member, k, m)
+    probe = rng.integers(-(2**63), 2**63, size=50_000, dtype=np.int64)
+    fp = bloom.test_bits(bits, probe, k, m).mean()
+    assert fp < 0.03  # target 0.01, generous margin for variance
+
+
+def _ctx(spark, params, inputs, side=None):
+    return ModuleContext(
+        spark=spark,
+        name="d",
+        params=params,
+        inputs=inputs,
+        input_names=["in"],
+        side_inputs=side or {},
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    history = spark.createDataFrame(
+        [Row(doc_id=i, text=f"historical document number {i}") for i in range(200)]
+    )
+    batch = spark.createDataFrame(
+        # 50 re-crawled duplicates of history + 100 genuinely new docs
+        [Row(doc_id=1000 + i, text=f"historical document number {i}") for i in range(50)]
+        + [Row(doc_id=2000 + i, text=f"fresh document number {i}") for i in range(100)]
+    )
+    return history, batch
+
+
+def test_bloom_dedup_drops_seen_keeps_new(spark, corpus):
+    history, batch = corpus
+    out = dedup_transform(
+        _ctx(spark, {"method": "bloom", "fpp": 1e-9}, [batch], {"h": history})
+    )[""]
+    ids = {r["doc_id"] for r in out.collect()}
+    # every true duplicate dropped (no false negatives), columns unchanged
+    assert not any(1000 <= i < 1100 for i in ids)
+    assert out.columns == batch.columns
+    # at fpp=1e-9 on 100 probes, false positives are effectively impossible
+    assert ids == {2000 + i for i in range(100)}
+
+
+def test_bloom_dedup_flag_mode(spark, corpus):
+    history, batch = corpus
+    out = dedup_transform(
+        _ctx(
+            spark,
+            {"method": "bloom", "fpp": 1e-9, "outputFlag": True},
+            [batch],
+            {"h": history},
+        )
+    )[""]
+    rows = {r["doc_id"]: r["seen"] for r in out.collect()}
+    assert rows[1000] is True and rows[2000] is False
+    assert len(rows) == 150
+
+
+def test_bloom_dedup_requires_side_input(spark, corpus):
+    _, batch = corpus
+    with pytest.raises(ValueError, match="sideInput"):
+        dedup_transform(_ctx(spark, {"method": "bloom"}, [batch]))
+
+
+def test_bloom_build_partition_cap(spark, corpus):
+    history, batch = corpus
+    bitmap, m, k = bloom.build_bloom(
+        history.repartition(16), ["text"], expected_items=200, max_build_partitions=2
+    )
+    probed = bloom.probe_bloom(batch, ["text"], bitmap, m, k)
+    seen = probed.filter(F.col("__seen__")).count()
+    assert seen == 50  # cap changes the merge shape, never the answer
+
+
+def test_bloom_empty_history(spark, corpus):
+    history, batch = corpus
+    empty = history.filter(F.lit(False))
+    out = dedup_transform(
+        _ctx(spark, {"method": "bloom", "expectedItems": 10}, [batch], {"h": empty})
+    )[""]
+    assert out.count() == batch.count()
