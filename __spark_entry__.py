@@ -1378,6 +1378,40 @@ FROM reach GROUP BY node
 """
 
 
+def q_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: top-20 words corpus-wide via the Misra-Gries
+    candidate/recount sketch (counters=2048).  Final weights are EXACT
+    recounts of sketch survivors; any word above total/2048 support is
+    guaranteed in, so the true top-20 is deterministic and the exact
+    group-count oracle matches.  Ties break on value ascending."""
+    return _pipeline(spark, sf_dir, ["documents"], r"""
+transforms:
+  - name: words
+    module: beamsql
+    inputs: [documents]
+    parameters:
+      sql: "SELECT explode(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')) AS word FROM documents"
+  - name: top
+    module: topk
+    inputs: [words]
+    parameters:
+      field: word
+      k: 20
+      counters: 2048
+""", "top")
+
+
+Q_TOPK_SQL = """
+WITH words AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+)
+SELECT word AS value, CAST(count(*) AS DOUBLE) AS weight
+FROM words GROUP BY word
+ORDER BY weight DESC, value ASC LIMIT 20
+"""
+
+
 def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup against a history corpus via a Bloom filter.
 
@@ -3302,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "decontaminate": q_decontaminate,
         "bloom_dedup": q_bloom_dedup,
+        "topk_words": q_topk_words,
         "repetition": q_repetition,
         "substring_cut": q_substring_cut,
         "shuffle_order": q_shuffle_order,
@@ -3384,6 +3419,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster": Q_CLUSTER_SQL,
         "decontaminate": Q_DECON_SQL,
         "bloom_dedup": Q_BLOOM_DEDUP_SQL,
+        "topk_words": Q_TOPK_SQL,
         "repetition": Q_REPETITION_SQL,
         "substring_cut": Q_SUBSTRING_CUT_SQL,
         "shuffle_order": Q_SHUFFLE_SQL,

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "tokenize_unnest",
     "dedup_exact",
     "bloom_dedup",
+    "topk_words",
     "textstats",
     "ngram_jaccard",
     "similarity_bruteforce",
