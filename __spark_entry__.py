@@ -1378,6 +1378,90 @@ FROM reach GROUP BY node
 """
 
 
+_SEMDEDUP_YAML = """
+transforms:
+  - name: sem
+    module: dedup
+    inputs: [embeddings]
+    parameters:
+      method: semantic
+      idField: vec_id
+      vectorField: embedding
+      clusters: 8
+      threshold: 0.4
+"""
+
+_SEMDEDUP_SQL_BASE = """
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < 8
+), sim AS (
+  SELECT vecs.vec_id, cid,
+         list_dot_product(v, cv)
+           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM vecs CROSS JOIN cents
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM sim) t WHERE rn = 1
+)
+"""
+
+
+def q_semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup stage 1 (Abbas et al. 2023): nearest-centroid assignment
+    by cosine, centroids seeded deterministically from the 8 lowest-id
+    vectors (iterations=0 — the SQL-reproducible path; iterations>0 runs
+    sample-bounded k-means).  Oracle recomputes the argmax per vector."""
+    return _pipeline(spark, sf_dir, ["embeddings"], """
+transforms:
+  - name: sem
+    module: dedup
+    inputs: [embeddings]
+    parameters:
+      method: semantic
+      idField: vec_id
+      vectorField: embedding
+      clusters: 8
+      outputAssignments: true
+""", "sem")
+
+
+Q_SEMDEDUP_ASSIGN_SQL = _SEMDEDUP_SQL_BASE + """
+SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM assign
+"""
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup stage 2: within each cluster drop any vector with a
+    lower-id cluster-mate above the cosine threshold (greedy, id-ordered,
+    no transitive chaining).  The synthetic embeddings have no true
+    near-dups, so the threshold sits at 0.4 to exercise real drops;
+    production runs use ~0.95.  Oracle recomputes the in-cluster pair
+    cosines and the NOT-EXISTS keep rule."""
+    return _pipeline(
+        spark, sf_dir, ["embeddings"], _SEMDEDUP_YAML, "sem"
+    ).select("vec_id", "label")
+
+
+Q_SEMDEDUP_PRUNE_SQL = _SEMDEDUP_SQL_BASE + """
+, dropped AS (
+  SELECT DISTINCT j.vec_id
+  FROM assign i
+  JOIN assign j ON i.cid = j.cid AND i.vec_id < j.vec_id
+  JOIN vecs vi ON vi.vec_id = i.vec_id
+  JOIN vecs vj ON vj.vec_id = j.vec_id
+  WHERE list_dot_product(vi.v, vj.v)
+          / (sqrt(list_dot_product(vi.v, vi.v)) * sqrt(list_dot_product(vj.v, vj.v)))
+        > 0.4
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 def q_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters: top-20 words corpus-wide via the Misra-Gries
     candidate/recount sketch (counters=2048).  Final weights are EXACT
@@ -3337,6 +3421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "bloom_dedup": q_bloom_dedup,
         "topk_words": q_topk_words,
+        "semdedup_assign": q_semdedup_assign,
+        "semdedup_prune": q_semdedup_prune,
         "repetition": q_repetition,
         "substring_cut": q_substring_cut,
         "shuffle_order": q_shuffle_order,
@@ -3420,6 +3506,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": Q_DECON_SQL,
         "bloom_dedup": Q_BLOOM_DEDUP_SQL,
         "topk_words": Q_TOPK_SQL,
+        "semdedup_assign": Q_SEMDEDUP_ASSIGN_SQL,
+        "semdedup_prune": Q_SEMDEDUP_PRUNE_SQL,
         "repetition": Q_REPETITION_SQL,
         "substring_cut": Q_SUBSTRING_CUT_SQL,
         "shuffle_order": Q_SHUFFLE_SQL,

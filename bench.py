@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "similarity_bruteforce",
     "embedding_neardup",
     "embedding_neardup_bucketed",
+    "semdedup_prune",
     "multimodal_meta",
     "minhash_pairs",
     "simhash_neardup",

@@ -650,6 +650,95 @@ def embedding_neardup_pairs(
     return narrowed.mapInPandas(block_pairs, schema=schema)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_field: str,
+    id_field: str,
+    *,
+    clusters: int = 256,
+    threshold: float = 0.95,
+    iterations: int = 0,
+    sample_size: int = 65_536,
+    seed: int = 42,
+    max_cluster_size: int = 50_000,
+    output_assignments: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop semantically redundant vectors.
+
+    Assign every vector to its nearest centroid by cosine, then WITHIN
+    each cluster drop any vector that has a lower-id cluster-mate with
+    cosine above ``threshold`` (the paper's greedy keep-one-per-
+    neighborhood, made deterministic by id order; no transitive
+    chaining — see ``drop_cluster_dupes`` for the closure variant).
+
+    ``iterations=0`` seeds centroids deterministically from the
+    ``clusters`` lowest-id vectors and skips Lloyd refinement — fully
+    reproducible in plain SQL (the oracle path).  ``iterations>0`` runs
+    sample-bounded k-means on the driver (same contract as IVF training).
+
+    Scale: assignment is one Arrow-batched matmul per batch (centroids
+    ship in the closure, cells × dim floats); the within-cluster stage
+    shuffles (id, cluster, vector) once and computes an O(s²) similarity
+    matrix per cluster — the paper's inherent cost, bounded by
+    ``max_cluster_size`` fail-fast (s × dim floats per task must fit;
+    raise ``clusters`` to shrink s).
+    """
+    from pipeline_spark.functions.grouped_apply import grouped_apply_in_pandas
+    from pipeline_spark.operators.similarity import _cell_assign_udf, _train_centroids
+
+    if iterations > 0:
+        centroids = _train_centroids(
+            df, vec_field, n_cells=clusters, sample_size=sample_size,
+            iters=iterations, seed=seed,
+        )
+    else:
+        rows = (
+            df.select(id_field, vec_field)
+            .orderBy(F.col(id_field).asc())
+            .limit(clusters)
+            .toPandas()[vec_field]
+            .tolist()
+        )
+        if not rows:
+            return df.select(
+                F.col(id_field), F.lit(0).alias("cluster")
+            ).limit(0) if output_assignments else df.limit(0)
+        centroids = np.array(rows, dtype=np.float64)
+
+    assign = _cell_assign_udf(centroids, 1)
+    keyed = spread(df).select(
+        F.col(id_field).alias("__id__"), F.col(vec_field).alias("__v__")
+    ).withColumn("cluster", assign(F.col("__v__"))[0])
+    if output_assignments:
+        return keyed.select(F.col("__id__").alias(id_field), "cluster")
+
+    def drop_redundant(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cluster_size:
+            raise ValueError(
+                f"semantic dedup cluster {pdf['cluster'].iloc[0]} holds "
+                f"{len(pdf)} vectors > maxClusterSize={max_cluster_size}; "
+                f"raise 'clusters' to shrink cluster fan-in"
+            )
+        pdf = pdf.sort_values("__id__", kind="mergesort").reset_index(drop=True)
+        mat = np.array(list(pdf["__v__"]), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ mat.T
+        # drop j iff some i < j (id order) has sims[i, j] > threshold
+        upper = np.triu(sims, k=1)
+        drop = (upper > threshold).any(axis=0)
+        return pdf.loc[~drop, ["__id__", "cluster"]]
+
+    kept = grouped_apply_in_pandas(
+        keyed,
+        ["cluster"],
+        drop_redundant,
+        f"__id__ {df.schema[id_field].dataType.simpleString()}, cluster int",
+    )
+    return df.join(
+        kept.select(F.col("__id__").alias(id_field)), id_field, "left_semi"
+    )
+
+
 def cluster_labels(pairs: DataFrame, id_alias: str = "doc_id") -> DataFrame:
     """Near-dup pairs → ``(id, cluster_id)`` via connected components.
 
@@ -809,6 +898,21 @@ def dedup_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         if p.get("outputClusters", False):
             return {"": cluster_labels(pairs, id_field)}
         return {"": pairs}
+    if method in ("semantic", "semdedup"):
+        return {
+            "": semantic_dedup(
+                df,
+                p.get("vectorField", "embedding"),
+                id_field,
+                clusters=int(p.get("clusters", 256)),
+                threshold=float(p.get("threshold", 0.95)),
+                iterations=int(p.get("iterations", 0)),
+                sample_size=int(p.get("sampleSize", 65_536)),
+                seed=int(p.get("seed", 42)),
+                max_cluster_size=int(p.get("maxClusterSize", 50_000)),
+                output_assignments=bool(p.get("outputAssignments", False)),
+            )
+        }
     if method == "bloom":
         # incremental dedup against a HISTORY side input: build a Bloom
         # filter over the history's content hashes (a compact broadcast,

@@ -116,3 +116,89 @@ def test_bloom_empty_history(spark, corpus):
         _ctx(spark, {"method": "bloom", "expectedItems": 10}, [batch], {"h": empty})
     )[""]
     assert out.count() == batch.count()
+
+
+# --- semantic (SemDeDup) dedup ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(4, 8))
+    rows = []
+    # anchors take the 4 LOWEST ids so the seeded-centroid path (first k
+    # vectors by id) initializes one centroid per anchor direction
+    for a, b in enumerate(base):
+        rows.append(Row(vec_id=a, embedding=[float(x) for x in b]))
+    for a, b in enumerate(base):
+        for j, eps in enumerate((1e-3, 2e-3)):
+            v = b + eps * rng.normal(size=8)
+            rows.append(Row(vec_id=10 + 2 * a + j, embedding=[float(x) for x in v]))
+    for i in range(8):
+        rows.append(
+            Row(vec_id=20 + i, embedding=[float(x) for x in rng.normal(size=8)])
+        )
+    return spark.createDataFrame(rows)
+
+
+def test_semantic_dedup_drops_near_copies(spark, vectors):
+    out = dedup_transform(
+        _ctx(
+            spark,
+            {"method": "semantic", "idField": "vec_id", "clusters": 4,
+             "threshold": 0.99},
+            [vectors],
+        )
+    )[""]
+    ids = {r["vec_id"] for r in out.collect()}
+    # each anchor survives; its near-copies (higher ids, cosine ~0.999) drop
+    for a in range(4):
+        assert a in ids
+        assert 10 + 2 * a not in ids and 11 + 2 * a not in ids
+    # unrelated random vectors all survive
+    assert all(20 + i in ids for i in range(8))
+    assert out.columns == vectors.columns
+
+
+def test_semantic_dedup_assignments_mode(spark, vectors):
+    out = dedup_transform(
+        _ctx(
+            spark,
+            {"method": "semantic", "idField": "vec_id", "clusters": 4,
+             "outputAssignments": True},
+            [vectors],
+        )
+    )[""]
+    rows = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert len(rows) == vectors.count()
+    # near-copies land in the same cluster as their anchor
+    for a in range(4):
+        assert rows[a] == rows[10 + 2 * a] == rows[11 + 2 * a]
+
+
+def test_semantic_dedup_cluster_size_guard(spark, vectors):
+    with pytest.raises(Exception, match="maxClusterSize"):
+        dedup_transform(
+            _ctx(
+                spark,
+                {"method": "semantic", "idField": "vec_id", "clusters": 1,
+                 "maxClusterSize": 3},
+                [vectors],
+            )
+        )[""].collect()
+
+
+def test_semantic_dedup_kmeans_path(spark, vectors):
+    out = dedup_transform(
+        _ctx(
+            spark,
+            {"method": "semantic", "idField": "vec_id", "clusters": 4,
+             "iterations": 3, "threshold": 0.99},
+            [vectors],
+        )
+    )[""]
+    ids = {r["vec_id"] for r in out.collect()}
+    for a in range(4):
+        assert a in ids and 10 + 2 * a not in ids
