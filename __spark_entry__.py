@@ -1378,6 +1378,25 @@ FROM reach GROUP BY node
 """
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training (Sennrich et al. 2016): distributed
+    word-frequency count (the only corpus-scale stage), then the merge
+    loop on the capped driver-side table.  The iterative merge loop is
+    not SQL-expressible, so this query has no oracle entry — the driver
+    records the rows-only check; determinism and hand-computed merge
+    parity are pinned in tests/test_llm_ops.py."""
+    return _pipeline(spark, sf_dir, ["documents"], """
+transforms:
+  - name: bpe
+    module: bpe_train
+    inputs: [documents]
+    parameters:
+      field: text
+      numMerges: 30
+      maxWords: 20000
+""", "bpe")
+
+
 _SEMDEDUP_YAML = """
 transforms:
   - name: sem
@@ -3422,6 +3441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "topk_words": q_topk_words,
         "semdedup_assign": q_semdedup_assign,
+        "bpe_train": q_bpe_train,
         "semdedup_prune": q_semdedup_prune,
         "repetition": q_repetition,
         "substring_cut": q_substring_cut,

@@ -535,6 +535,106 @@ _ENGLISH_STOP = [
 ]
 
 
+def bpe_word_freq(
+    df: DataFrame, text_field: str, *, max_words: int = 1_000_000
+) -> DataFrame:
+    """(word, freq) for the ``max_words`` most frequent whitespace words.
+
+    This is the ONLY corpus-scale stage of BPE training: one count
+    shuffle whose map-side partial aggregate collapses each partition to
+    its distinct words.  Sennrich-style BPE needs nothing but this table
+    — the merge loop never touches the corpus again — so training cost
+    at 100 TB is one word-count, not V passes.  The cap keeps the
+    driver-side table bounded (standard practice: rare garbage tokens
+    carry no merge signal); ties at the cap boundary break on word.
+    """
+    words = df.select(
+        F.explode(F.split(F.col(text_field), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(max_words)
+    )
+
+
+def bpe_train_merges(
+    word_freq: list[tuple[str, int]], num_merges: int, end_of_word: str = ""
+) -> list[tuple[str, str]]:
+    """Sennrich et al. 2016 merge learning over a word-frequency table.
+
+    Each word is a symbol sequence (characters, last one suffixed with
+    ``end_of_word``); repeatedly merge the most frequent adjacent pair.
+    Ties break on the lexicographically smallest pair, making training
+    deterministic.  Pure driver-side: the table is vocab-sized.
+    """
+    from collections import Counter
+
+    vocab: list[tuple[list[str], int]] = []
+    for w, c in word_freq:
+        if not w:
+            continue
+        syms = list(w[:-1]) + [w[-1] + end_of_word] if end_of_word else list(w)
+        vocab.append((syms, c))
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab:
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        # deterministic: highest count, then smallest pair
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append(best)
+        joined = best[0] + best[1]
+        next_vocab = []
+        for syms, c in vocab:
+            out = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            next_vocab.append((out, c))
+        vocab = next_vocab
+    return merges
+
+
+@module("bpe_train", kind=KIND_TRANSFORM)
+def bpe_train_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
+    """Train a BPE merge table on the input corpus.
+
+    Output rows: (rank, left, right, merged) — feed the
+    ``concat(left, ' ', right)`` strings to the tokenize module's
+    ``merges`` parameter to apply the learned vocabulary.
+    """
+    p = ctx.params
+    text_field = p.get("field") or p.get("textField", "text")
+    num_merges = int(p.get("numMerges", 1000))
+    if num_merges < 1:
+        raise ValueError(f"bpe_train: numMerges must be >= 1, got {num_merges}")
+    wf_df = bpe_word_freq(
+        ctx.input, text_field, max_words=int(p.get("maxWords", 1_000_000))
+    )
+    wf = [(r["word"], r["freq"]) for r in wf_df.collect()]
+    merges = bpe_train_merges(
+        wf, num_merges, end_of_word=str(p.get("endOfWord", ""))
+    )
+    rows = [
+        (i, left, right, left + right) for i, (left, right) in enumerate(merges)
+    ]
+    out = ctx.spark.createDataFrame(
+        rows, schema="rank int, left string, right string, merged string"
+    )
+    return {"": out}
+
+
 @module("tokenize", kind=KIND_TRANSFORM)
 def tokenize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params

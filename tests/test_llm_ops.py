@@ -789,3 +789,75 @@ def test_sample_mix_rejects_phantom_weight_keys(spark):
              "weights": {"a": 0.5, "b": 0.25, "web": 0.25}},
             [df, df], ["a", "b"],
         ))
+
+
+# --- BPE training ------------------------------------------------------------
+
+
+def test_bpe_train_merges_hand_computed():
+    from pipeline_spark.operators.tokenize import bpe_train_merges
+
+    # classic Sennrich toy: {"low":5, "lower":2, "newest":6, "widest":3}
+    wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = bpe_train_merges(wf, 4)
+    # pair counts round 1: ('e','s')=9, ('s','t')=9, ('w','e')=8(newest)... 
+    # ties at 9 break lexicographically: ('e','s') first, then ('es','t')
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+
+
+def test_bpe_train_end_of_word_marker():
+    from pipeline_spark.operators.tokenize import bpe_train_merges
+
+    merges = bpe_train_merges([("aa", 10)], 2, end_of_word="</w>")
+    assert merges[0] == ("a", "a</w>")
+    assert len(merges) == 1  # single symbol left, nothing more to merge
+
+
+def test_bpe_train_roundtrip_with_apply(spark):
+    from pipeline_spark.operators.tokenize import (
+        bpe_tokens_udf,
+        bpe_train_merges,
+        bpe_word_freq,
+    )
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(text="the cat sat on the mat"), Row(text="the cat ate the rat")] * 3
+    )
+    wf_rows = bpe_word_freq(docs, "text").collect()
+    wf = [(r["word"], r["freq"]) for r in wf_rows]
+    assert ("the", 12) == max(wf, key=lambda t: t[1])
+    merges = bpe_train_merges(wf, 6)
+    ranks = {m: i for i, m in enumerate(merges)}
+    toks = bpe_tokens_udf(ranks, "")
+    out = docs.select(toks(F.col("text")).alias("t")).first()["t"]
+    # 'the' must have merged into a single token after 6 merges
+    assert "the" in out
+
+
+def test_bpe_train_module(spark):
+    from pipeline_spark.operators.tokenize import bpe_train_transform
+    from pipeline_spark.registry import ModuleContext
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(text="ab ab ab cd")])
+    out = bpe_train_transform(
+        ModuleContext(
+            spark=spark, name="b", params={"numMerges": 2}, inputs=[docs],
+            input_names=["in"], side_inputs={},
+        )
+    )[""]
+    rows = out.collect()
+    assert [r["merged"] for r in rows] == ["ab", "cd"]
+    assert rows[0]["rank"] == 0 and rows[0]["left"] == "a"
+
+
+def test_bpe_word_freq_cap_deterministic(spark):
+    from pipeline_spark.operators.tokenize import bpe_word_freq
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(text="z y x w v u t s r q p o")] * 2)
+    top = bpe_word_freq(docs, "text", max_words=5).collect()
+    # all freqs tie at 2 — the cap keeps the lexicographically smallest
+    assert [r["word"] for r in top] == ["o", "p", "q", "r", "s"]
