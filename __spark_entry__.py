@@ -1378,6 +1378,51 @@ FROM reach GROUP BY node
 """
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC sink+source (ISO 28500, stdlib codec): documents written as
+    per-record gzip members, read back via the binaryFile-per-file scan,
+    doc ids recovered from the target URI and payload decoded; the
+    oracle reads the original table directly."""
+    import os
+    import shutil
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), "pipeline_spark_warc_rt")
+    shutil.rmtree(out, ignore_errors=True)
+    run_pipeline(spark, parse_config(f"""
+sources:
+  - name: documents
+    module: storage
+    parameters: {{format: parquet, input: {sf_dir}/documents.parquet}}
+transforms:
+  - name: recs
+    module: beamsql
+    inputs: [documents]
+    parameters:
+      sql: "SELECT concat('doc://', CAST(doc_id AS STRING)) AS uri, text AS payload FROM documents"
+sinks:
+  - name: w
+    module: warc
+    inputs: [recs]
+    parameters: {{output: {out}}}
+"""))
+    outs = run_pipeline(spark, parse_config(f"""
+sources:
+  - name: back
+    module: warc
+    parameters: {{input: {out}/*.warc.gz}}
+"""))
+    return outs["back"].select(
+        F.regexp_extract("target_uri", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+
+
+Q_WARC_RT_SQL = """
+SELECT doc_id, text FROM documents
+"""
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-table training (Sennrich et al. 2016): distributed
     word-frequency count (the only corpus-scale stage), then the merge
@@ -3442,6 +3487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_words": q_topk_words,
         "semdedup_assign": q_semdedup_assign,
         "bpe_train": q_bpe_train,
+        "warc_roundtrip": q_warc_roundtrip,
         "semdedup_prune": q_semdedup_prune,
         "repetition": q_repetition,
         "substring_cut": q_substring_cut,
@@ -3527,6 +3573,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_dedup": Q_BLOOM_DEDUP_SQL,
         "topk_words": Q_TOPK_SQL,
         "semdedup_assign": Q_SEMDEDUP_ASSIGN_SQL,
+        "warc_roundtrip": Q_WARC_RT_SQL,
         "semdedup_prune": Q_SEMDEDUP_PRUNE_SQL,
         "repetition": Q_REPETITION_SQL,
         "substring_cut": Q_SUBSTRING_CUT_SQL,

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "match_recognize_chunked",
     "multimodal_decode",
     "storage_avro_roundtrip",
+    "warc_roundtrip",
     "gopher_rules",
     "linear_regression",
     "iceberg_roundtrip",

@@ -1,0 +1,81 @@
+"""`warc` sink: write rows as WARC.gz crawl archives (ISO 28500).
+
+One ``part-NNNNN.warc.gz`` per partition, written executor-side
+(``foreachPartition`` like the files sink — on a cluster the output dir
+is a DFS mount).  Each row becomes one ``resource`` (or configured type)
+record in its own gzip member, the crawl-archive convention, with
+deterministic bytes (gzip mtime pinned, stable per-row record ids from
+the uri field).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from pipeline_spark.functions import warcrec
+from pipeline_spark.registry import KIND_SINK, ModuleContext, module
+
+
+@module("warc", kind=KIND_SINK)
+def warc_sink(ctx: ModuleContext) -> dict:
+    p: dict[str, Any] = ctx.params
+    df = ctx.input
+    out_dir = p.get("output") or p.get("path")
+    if not out_dir:
+        raise ValueError("warc sink requires output dir")
+    uri_field = p.get("uriField", "uri")
+    payload_field = p.get("payloadField", "payload")
+    warc_type = p.get("warcType", "resource")
+    content_type = p.get("contentType", "text/plain")
+    warc_date = p.get("warcDate", "2026-01-01T00:00:00Z")
+    os.makedirs(out_dir, exist_ok=True)
+
+    cols = df.select(
+        F.col(uri_field).cast("string").alias("uri"),
+        F.col(payload_field).alias("payload"),
+    )
+
+    def write_partition(rows):
+        first = True
+        f = None
+        try:
+            for row in rows:
+                if first:
+                    # partition id from the task context; one file per task
+                    from pyspark import TaskContext
+
+                    pid = TaskContext.get().partitionId()
+                    f = open(
+                        os.path.join(out_dir, f"part-{pid:05d}.warc.gz"), "wb"
+                    )
+                    first = False
+                payload = row["payload"]
+                if isinstance(payload, str):
+                    payload = payload.encode("utf-8")
+                elif payload is None:
+                    payload = b""
+                else:
+                    payload = bytes(payload)
+                rid = uuid.uuid5(uuid.NAMESPACE_URL, row["uri"] or "")
+                f.write(
+                    warcrec.encode_gzip_member(
+                        {
+                            "WARC-Type": warc_type,
+                            "WARC-Record-ID": f"<urn:uuid:{rid}>",
+                            "WARC-Date": warc_date,
+                            "WARC-Target-URI": row["uri"],
+                            "Content-Type": content_type,
+                        },
+                        payload,
+                    )
+                )
+        finally:
+            if f is not None:
+                f.close()
+
+    cols.foreachPartition(write_partition)
+    return {"": df}
