@@ -31,6 +31,39 @@ def stage_stream_inputs():
     if tbl.exists():
         shutil.rmtree(tbl)
     build_table(tbl, codec="deflate")
+    # the commoncrawl example reads a staged WARC archive built from the
+    # documents table wrapped as crawled HTML pages
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.functions import warcrec
+
+    crawl = "/tmp/pipeline_in/crawl"
+    shutil.rmtree(crawl, ignore_errors=True)
+    os.makedirs(crawl, exist_ok=True)
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    with open(os.path.join(crawl, "part-00000.warc.gz"), "wb") as f:
+        for d in docs[:200]:
+            body = (
+                "<html><body><nav>chrome</nav><article><p>"
+                f"{d['text']}</p></article></body></html>"
+            ).encode("utf-8")
+            http = (
+                f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+            f.write(
+                warcrec.encode_gzip_member(
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Date": "2026-01-01T00:00:00Z",
+                        "WARC-Target-URI": f"http://crawl.example/doc/{d['doc_id']}",
+                        "Content-Type": "application/http; msgtype=response",
+                    },
+                    http,
+                )
+            )
     # early-firing example: fresh checkpoint per test session so the
     # stream re-processes the staged file
     shutil.rmtree("/tmp/pipeline_out/early_firing", ignore_errors=True)
