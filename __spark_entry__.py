@@ -1378,6 +1378,49 @@ FROM reach GROUP BY node
 """
 
 
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling of the documents table: null counts,
+    exact distincts, native-type min/max (cast after comparing), numeric
+    means.  The oracle recomputes every statistic per column."""
+    return _pipeline(spark, sf_dir, ["documents"], """
+transforms:
+  - name: prof
+    module: profile
+    inputs: [documents]
+    parameters:
+      columns: [doc_id, lang, source, n_chars]
+""", "prof")
+
+
+Q_PROFILE_SQL = """
+SELECT 'doc_id' AS column, 'bigint' AS dtype, count(*) AS n_rows,
+       sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT doc_id) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_value,
+       CAST(max(doc_id) AS VARCHAR) AS max_value,
+       round(avg(doc_id), 6) AS mean
+FROM documents
+UNION ALL
+SELECT 'lang', 'string', count(*),
+       sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
+       CAST(max(lang) AS VARCHAR), NULL
+FROM documents
+UNION ALL
+SELECT 'source', 'string', count(*),
+       sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT source), CAST(min(source) AS VARCHAR),
+       CAST(max(source) AS VARCHAR), NULL
+FROM documents
+UNION ALL
+SELECT 'n_chars', 'bigint', count(*),
+       sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+       CAST(max(n_chars) AS VARCHAR), round(avg(n_chars), 6)
+FROM documents
+"""
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC sink+source (ISO 28500, stdlib codec): documents written as
     per-record gzip members, read back via the binaryFile-per-file scan,
@@ -3488,6 +3531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_assign": q_semdedup_assign,
         "bpe_train": q_bpe_train,
         "warc_roundtrip": q_warc_roundtrip,
+        "profile_documents": q_profile_documents,
         "semdedup_prune": q_semdedup_prune,
         "repetition": q_repetition,
         "substring_cut": q_substring_cut,
@@ -3574,6 +3618,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_words": Q_TOPK_SQL,
         "semdedup_assign": Q_SEMDEDUP_ASSIGN_SQL,
         "warc_roundtrip": Q_WARC_RT_SQL,
+        "profile_documents": Q_PROFILE_SQL,
         "semdedup_prune": Q_SEMDEDUP_PRUNE_SQL,
         "repetition": Q_REPETITION_SQL,
         "substring_cut": Q_SUBSTRING_CUT_SQL,

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "bloom_dedup",
     "topk_words",
+    "profile_documents",
     "textstats",
     "ngram_jaccard",
     "similarity_bruteforce",

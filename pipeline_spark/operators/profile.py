@@ -1,0 +1,74 @@
+"""`profile` transform: one-pass column profiling (data-quality summary).
+
+Training-data-pipeline extension (no reference analogue): before
+committing 100 TB to a training mix, you profile it — null rates,
+cardinalities, ranges, means — and alert on drift.  The whole profile is
+ONE aggregation pass: every column's statistics compute as parallel
+aggregate expressions over a single scan (Catalyst plans multi-distinct
+via expand), then the one result row explodes into a row per column.
+Nothing but the final 1×C row ever leaves the executors.
+
+``approxDistinct: true`` swaps exact ``count(DISTINCT)`` for HyperLogLog
+``approx_count_distinct`` (2.5 % default rsd) — the scale path when a
+column is URL-like and the exact distinct's expand would multiply scan
+rows by the column count.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
+
+
+def profile(
+    df: DataFrame, columns: list[str] | None = None, *, approx_distinct: bool = False
+) -> DataFrame:
+    """(column, dtype, n_rows, n_nulls, n_distinct, min_value, max_value,
+    mean) — min/max compare on the NATIVE type and cast the result, so
+    numeric ranges are numeric, not lexicographic."""
+    cols = columns or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile: unknown columns {missing}")
+    structs = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        numeric = isinstance(dt, T.NumericType)
+        distinct = (
+            F.approx_count_distinct(c) if approx_distinct else F.countDistinct(c)
+        )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dt.simpleString()).alias("dtype"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+                distinct.alias("n_distinct"),
+                F.min(F.col(c)).cast("string").alias("min_value"),
+                F.max(F.col(c)).cast("string").alias("max_value"),
+                (
+                    F.round(F.avg(F.col(c)), 6)
+                    if numeric
+                    else F.lit(None).cast("double")
+                ).alias("mean"),
+            )
+        )
+    one_row = df.agg(F.array(*structs).alias("p"))
+    return one_row.select(F.explode("p").alias("p")).select("p.*")
+
+
+@module("profile", kind=KIND_TRANSFORM)
+def profile_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
+    p: dict[str, Any] = ctx.params
+    return {
+        "": profile(
+            ctx.input,
+            p.get("columns") or p.get("fields"),
+            approx_distinct=bool(p.get("approxDistinct", False)),
+        )
+    }
