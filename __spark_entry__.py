@@ -1378,6 +1378,54 @@ FROM reach GROUP BY node
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (pandas merge_asof / DuckDB ASOF JOIN semantics): each
+    click event picks up the latest view event of the same user at or
+    before it.  Engine shape is union + keyed window carry (one shuffle,
+    no row multiplication); the oracle is DuckDB's native ASOF JOIN."""
+    return _pipeline(spark, sf_dir, ["events"], """
+transforms:
+  - name: clicks
+    module: beamsql
+    inputs: [events]
+    parameters:
+      sql: "SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'"
+  - name: views
+    module: beamsql
+    inputs: [events]
+    parameters:
+      sql: "SELECT user_id, ts, value FROM events WHERE event_type = 'view'"
+  - name: joined
+    module: asof
+    inputs: [clicks]
+    sideInputs: [views]
+    parameters:
+      keys: [user_id]
+      leftTimestamp: ts
+""", "joined").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("click_ts"),
+        F.col("value").alias("view_value"),
+        F.col("ts_right").cast("string").alias("view_ts"),
+    )
+
+
+Q_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id, c.user_id,
+       CAST(c.ts AS VARCHAR) AS click_ts,
+       v.value AS view_value,
+       CAST(v.ts AS VARCHAR) AS view_ts
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
 def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profiling of the documents table: null counts,
     exact distincts, native-type min/max (cast after comparing), numeric
@@ -3532,6 +3580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "warc_roundtrip": q_warc_roundtrip,
         "profile_documents": q_profile_documents,
+        "asof_join": q_asof_join,
         "semdedup_prune": q_semdedup_prune,
         "repetition": q_repetition,
         "substring_cut": q_substring_cut,
@@ -3619,6 +3668,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_assign": Q_SEMDEDUP_ASSIGN_SQL,
         "warc_roundtrip": Q_WARC_RT_SQL,
         "profile_documents": Q_PROFILE_SQL,
+        "asof_join": Q_ASOF_SQL,
         "semdedup_prune": Q_SEMDEDUP_PRUNE_SQL,
         "repetition": Q_REPETITION_SQL,
         "substring_cut": Q_SUBSTRING_CUT_SQL,

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "bloom_dedup",
     "topk_words",
     "profile_documents",
+    "asof_join",
     "textstats",
     "ngram_jaccard",
     "similarity_bruteforce",
