@@ -1378,6 +1378,41 @@ FROM reach GROUP BY node
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via the binned-equi-join technique: event
+    values land in nation-derived value bands.  Binning restores a hash
+    join where a BETWEEN theta-join would plan broadcast-nested-loop;
+    the oracle is the naive BETWEEN join."""
+    return _pipeline(spark, sf_dir, ["events", "nation"], """
+transforms:
+  - name: bands
+    module: beamsql
+    inputs: [nation]
+    parameters:
+      sql: "SELECT n_nationkey AS band_id, CAST(n_nationkey * 20 AS DOUBLE) AS lo, CAST(n_nationkey * 20 + 19.99 AS DOUBLE) AS hi FROM nation"
+  - name: joined
+    module: rangejoin
+    inputs: [events]
+    sideInputs: [bands]
+    parameters:
+      point: value
+      lo: lo
+      hi: hi
+      binSize: 20.0
+""", "joined").select("event_id", "band_id")
+
+
+Q_RANGE_JOIN_SQL = """
+WITH bands AS (
+  SELECT n_nationkey AS band_id, n_nationkey * 20.0 AS lo,
+         n_nationkey * 20.0 + 19.99 AS hi
+  FROM nation
+)
+SELECT e.event_id, b.band_id
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (pandas merge_asof / DuckDB ASOF JOIN semantics): each
     click event picks up the latest view event of the same user at or
@@ -3581,6 +3616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "profile_documents": q_profile_documents,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "semdedup_prune": q_semdedup_prune,
         "repetition": q_repetition,
         "substring_cut": q_substring_cut,
@@ -3669,6 +3705,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": Q_WARC_RT_SQL,
         "profile_documents": Q_PROFILE_SQL,
         "asof_join": Q_ASOF_SQL,
+        "range_join": Q_RANGE_JOIN_SQL,
         "semdedup_prune": Q_SEMDEDUP_PRUNE_SQL,
         "repetition": Q_REPETITION_SQL,
         "substring_cut": Q_SUBSTRING_CUT_SQL,

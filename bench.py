@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "topk_words",
     "profile_documents",
     "asof_join",
+    "range_join",
     "textstats",
     "ngram_jaccard",
     "similarity_bruteforce",
