@@ -9,6 +9,9 @@ Checks (against sf0.01):
   * exact dedup: partial/final HashAggregate (map-side combine), no window
   * minhash: exactly the planned shuffles, no cartesian/BNL join
   * ngram jaccard: bucket-local pairs — no SortMergeJoin of exploded grams
+  * rangejoin: binned equi-join, never nested-loop/cartesian
+  * asof: union+window shape — one keyed exchange, zero join operators
+  * profile: single pure-JVM aggregation + 1-row explode
 
 Run: python scripts/explain_audit.py
 """
@@ -183,6 +186,30 @@ sources:
         failures.append("avro native: expected binaryFile scan in plan")
     if "MapInPandas" not in p15:
         failures.append("avro native: expected per-file MapInPandas decode")
+
+    # range join: binning must restore a hash/merge equi-join — a BETWEEN
+    # theta-join would plan BroadcastNestedLoopJoin (quadratic work)
+    p16 = plan_of(entrymod.q_range_join(spark, sf))
+    if "NestedLoop" in p16 or "Cartesian" in p16:
+        failures.append("rangejoin: binning failed — nested-loop/cartesian join")
+    if not any(j in p16 for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")):
+        failures.append("rangejoin: expected an equi-join operator")
+
+    # as-of join: one keyed window carry, never a join operator at all
+    p17 = plan_of(entrymod.q_asof_join(spark, sf))
+    if "Join" in p17:
+        failures.append("asof: expected the union+window shape, found a join")
+    if "Window" not in p17:
+        failures.append("asof: expected a Window carry")
+    if "hashpartitioning(user_id" not in p17:
+        failures.append("asof: expected ONE exchange keyed on user_id")
+
+    # profile: the whole profile is a single aggregation over one scan
+    p18 = plan_of(entrymod.q_profile_documents(spark, sf))
+    if "Generate" not in p18 and "explode" not in p18:
+        failures.append("profile: expected the 1-row explode")
+    if "PythonUDF" in p18 or "MapInPandas" in p18:
+        failures.append("profile: expected a pure-JVM aggregate plan")
 
     for f in failures:
         print("FAIL", f)
