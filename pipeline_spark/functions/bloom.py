@@ -124,6 +124,45 @@ def build_bloom(
     return merged.tobytes(), m, k
 
 
+_MAGIC = b"PSBLOOM1"
+
+
+def save_filter(path: str, bitmap: bytes, m: int, k: int) -> None:
+    """Persist a filter: 8-byte magic, m and k as 8-byte big-endian, bitmap.
+
+    The file is what makes the dedup INCREMENTAL across runs: today's
+    build is tomorrow's history."""
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(m.to_bytes(8, "big"))
+        f.write(k.to_bytes(8, "big"))
+        f.write(bitmap)
+
+
+def load_filter(path: str) -> tuple[bytes, int, int]:
+    with open(path, "rb") as f:
+        if f.read(8) != _MAGIC:
+            raise ValueError(f"{path} is not a pipeline_spark bloom filter")
+        m = int.from_bytes(f.read(8), "big")
+        k = int.from_bytes(f.read(8), "big")
+        bitmap = f.read()
+    if len(bitmap) != m // 8:
+        raise ValueError(
+            f"{path}: bitmap is {len(bitmap)} bytes, header says {m // 8}"
+        )
+    return bitmap, m, k
+
+
+def merge_filters(a: bytes, b: bytes) -> bytes:
+    """Union two same-geometry filters (bitwise OR) — e.g. fold a new
+    batch's build into the rolling history filter."""
+    if len(a) != len(b):
+        raise ValueError("bloom merge: filters must share m (byte length)")
+    return (
+        np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)
+    ).tobytes()
+
+
 def probe_bloom(
     df: DataFrame,
     fields: list[str],

@@ -920,26 +920,47 @@ def dedup_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         # "maybe seen" rows drop; "definitely new" rows pass — false
         # positives lose a few docs at the configured fpp, false
         # negatives (re-ingesting a duplicate) cannot happen.
+        import os
+
         from pipeline_spark.functions import bloom
 
-        if not ctx.side_inputs:
-            raise ValueError(
-                "dedup method=bloom requires a history sideInput to build "
-                "the membership filter from"
-            )
-        history = next(iter(ctx.side_inputs.values()))
         fields = p.get("fields") or [text_field]
-        expected = p.get("expectedItems")
-        if expected is None:
-            # bounded metadata count on the history (an agg, not a collect)
-            expected = history.count() or 1
-        bitmap, m, k = bloom.build_bloom(
-            history,
-            fields,
-            expected_items=int(expected),
-            fpp=float(p.get("fpp", 1e-6)),
-            max_build_partitions=int(p.get("maxBuildPartitions", 64)),
-        )
+        filter_path = p.get("filterPath")
+        if ctx.side_inputs:
+            history = next(iter(ctx.side_inputs.values()))
+            expected = p.get("expectedItems")
+            if expected is None:
+                # bounded metadata count on the history (an agg, not a collect)
+                expected = history.count() or 1
+            bitmap, m, k = bloom.build_bloom(
+                history,
+                fields,
+                expected_items=int(expected),
+                fpp=float(p.get("fpp", 1e-6)),
+                max_build_partitions=int(p.get("maxBuildPartitions", 64)),
+            )
+            if filter_path:
+                # roll the history forward: today's build ORs into the
+                # persisted filter so the next run needs no re-scan
+                if os.path.exists(filter_path):
+                    prev, pm, pk = bloom.load_filter(filter_path)
+                    if (pm, pk) != (m, k):
+                        raise ValueError(
+                            f"dedup bloom: persisted filter at {filter_path} "
+                            f"has geometry m={pm},k={pk} but this build has "
+                            f"m={m},k={k}; keep expectedItems/fpp stable "
+                            "across runs or delete the file"
+                        )
+                    bitmap = bloom.merge_filters(prev, bitmap)
+                bloom.save_filter(filter_path, bitmap, m, k)
+        elif filter_path:
+            # probe-only: reuse a previous run's persisted filter
+            bitmap, m, k = bloom.load_filter(filter_path)
+        else:
+            raise ValueError(
+                "dedup method=bloom requires a history sideInput (build) "
+                "or filterPath (probe a persisted filter)"
+            )
         flagged = bloom.probe_bloom(df, fields, bitmap, m, k)
         if p.get("outputFlag", False):
             return {"": flagged.withColumnRenamed("__seen__", "seen")}

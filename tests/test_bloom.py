@@ -202,3 +202,81 @@ def test_semantic_dedup_kmeans_path(spark, vectors):
     ids = {r["vec_id"] for r in out.collect()}
     for a in range(4):
         assert a in ids and 10 + 2 * a not in ids
+
+
+def test_bloom_filter_persistence_and_rolling_merge(spark, corpus, tmp_path):
+    history, batch = corpus
+    path = str(tmp_path / "history.bloom")
+    # run 1: build from history, persist
+    out1 = dedup_transform(
+        _ctx(
+            spark,
+            {"method": "bloom", "fpp": 1e-9, "filterPath": path,
+             "expectedItems": 500},
+            [batch], {"h": history},
+        )
+    )[""]
+    assert out1.count() == 100
+    # run 2: probe-only from the persisted filter, no side input
+    out2 = dedup_transform(
+        _ctx(spark, {"method": "bloom", "filterPath": path}, [batch])
+    )[""]
+    assert {r["doc_id"] for r in out2.collect()} == {2000 + i for i in range(100)}
+    # run 3: roll the fresh docs into the filter; now everything is "seen"
+    fresh = batch.filter(F.col("doc_id") >= 2000)
+    dedup_transform(
+        _ctx(
+            spark,
+            {"method": "bloom", "fpp": 1e-9, "filterPath": path,
+             "expectedItems": 500},
+            [batch], {"h": fresh},
+        )
+    )[""].count()
+    out3 = dedup_transform(
+        _ctx(spark, {"method": "bloom", "filterPath": path}, [batch])
+    )[""]
+    assert out3.count() == 0
+
+
+def test_bloom_persisted_geometry_mismatch(spark, corpus, tmp_path):
+    from pipeline_spark.functions import bloom as bl
+
+    history, batch = corpus
+    path = str(tmp_path / "geo.bloom")
+    bl.save_filter(path, b"\x00" * 8, 64, 3)
+    with pytest.raises(ValueError, match="geometry"):
+        dedup_transform(
+            _ctx(
+                spark,
+                {"method": "bloom", "filterPath": path, "expectedItems": 500,
+                 "fpp": 1e-9},
+                [batch], {"h": history},
+            )
+        )[""]
+    with open(path, "wb") as f:
+        f.write(b"junkjunkjunk" * 4)
+    with pytest.raises(ValueError, match="not a pipeline_spark bloom"):
+        bl.load_filter(path)
+
+
+def test_bloom_streaming_probe(spark, tmp_path, corpus):
+    """The probe is a stateless pandas UDF — it must work unchanged on a
+    streaming DataFrame (the incremental-crawl shape)."""
+    history, batch = corpus
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    batch.coalesce(1).write.parquet(str(src / "b1.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src / "*"))
+    out = dedup_transform(
+        _ctx(spark, {"method": "bloom", "fpp": 1e-9}, [stream], {"h": history})
+    )[""]
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bloom_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    ids = {r["doc_id"] for r in spark.sql("SELECT * FROM bloom_stream").collect()}
+    assert ids == {2000 + i for i in range(100)}
