@@ -102,12 +102,18 @@ def range_join(
     matched = joined.select(*out_cols)
     if how == "inner":
         return matched
-    # left outer: append the never-matched left rows with null right cols
-    unmatched = left.join(
-        matched.select(*[F.col(c) for c in left.columns]).distinct(),
-        on=list(left.columns),
-        how="left_anti",
+    # left outer: append the never-matched left rows with null right cols.
+    # The anti-join must be NULL-SAFE on every column — a left row whose
+    # payload holds nulls (e.g. an upstream outer join) compares unequal
+    # to its own matched copy under plain equality and would duplicate.
+    import functools
+    import operator
+
+    msel = matched.select(*[F.col(c) for c in left.columns]).distinct()
+    cond2 = functools.reduce(
+        operator.and_, [left[c].eqNullSafe(msel[c]) for c in left.columns]
     )
+    unmatched = left.join(msel, cond2, "left_anti")
     for c in right.columns:
         if c not in keys:
             unmatched = unmatched.withColumn(

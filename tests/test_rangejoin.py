@@ -59,6 +59,23 @@ def test_left_outer_keeps_unmatched(spark, sides):
     assert unmatched > 0
 
 
+def test_left_outer_null_payload_not_duplicated(spark):
+    # a left row with a NULL column (e.g. from an upstream outer join)
+    # must not reappear as an unmatched duplicate — the anti-join is
+    # null-safe
+    pts = spark.createDataFrame(
+        [Row(pid=1, p=5.0, extra=None), Row(pid=2, p=999.0, extra=None)],
+        schema="pid int, p double, extra string",
+    )
+    ivs = spark.createDataFrame([Row(lo=0.0, hi=10.0, tag="band")])
+    out = range_join(
+        pts, ivs, point="p", lo="lo", hi="hi", bin_size=10.0, how="left"
+    ).collect()
+    assert len(out) == 2
+    rows = {r["pid"]: r["tag"] for r in out}
+    assert rows == {1: "band", 2: None}
+
+
 def test_inclusive_bounds_and_degenerate_interval(spark):
     pts = spark.createDataFrame([Row(p=5.0), Row(p=4.999)])
     ivs = spark.createDataFrame([Row(lo=5.0, hi=5.0, tag="point")])
