@@ -146,3 +146,42 @@ def test_module_params_and_validation(spark, trades_quotes):
         asof_join(trades, quotes, [], left_ts="t")
     with pytest.raises(ValueError, match="both sides"):
         asof_join(trades, quotes, ["qty"], left_ts="t")
+
+
+def test_matches_pandas_merge_asof_forward_and_nearest(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    lpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, size=250),
+            "t": pd.to_datetime(sorted(rng.integers(0, 5000, size=250)), unit="s"),
+            "lid": range(250),
+        }
+    )
+    rpdf = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 4, size=150),
+                "t": pd.to_datetime(sorted(rng.integers(0, 5000, size=150)), unit="s"),
+                "val": range(150),
+            }
+        )
+        .drop_duplicates(["k", "t"])  # tie order is engine-defined; exclude
+        .reset_index(drop=True)
+    )
+    for direction in ("forward", "nearest"):
+        expected = pd.merge_asof(
+            lpdf.sort_values("t"), rpdf.sort_values("t"), on="t", by="k",
+            direction=direction,
+        ).sort_values("lid")
+        got = {
+            r["lid"]: r["val"]
+            for r in asof_join(
+                spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+                ["k"], left_ts="t", direction=direction,
+            ).collect()
+        }
+        for _, e in expected.iterrows():
+            want = None if pd.isna(e["val"]) else int(e["val"])
+            assert got[e["lid"]] == want, (direction, e["lid"], got[e["lid"]], want)

@@ -134,3 +134,52 @@ def test_sink_source_roundtrip(spark, tmp_path):
     rows = {r["target_uri"]: bytes(r["payload"]).decode() for r in back.collect()}
     assert rows == {f"doc://{i}": f"text body {i}" for i in range(20)}
     assert all(r["warc_type"] == "resource" for r in back.collect())
+
+
+def test_codec_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    header_text = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126, exclude_characters=":"),
+        min_size=1, max_size=20,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(header_text, st.binary(max_size=500)),
+            min_size=1, max_size=5,
+        ),
+        st.booleans(),
+    )
+    def roundtrip(records, use_gzip):
+        blob = b""
+        for uri, payload in records:
+            headers = {"WARC-Type": "resource", "WARC-Target-URI": uri}
+            blob += (
+                warcrec.encode_gzip_member(headers, payload)
+                if use_gzip
+                else warcrec.encode_record(headers, payload)
+            )
+        decoded = list(warcrec.decode_records(blob))
+        assert [(h["warc-target-uri"], p) for h, p in decoded] == records
+
+    roundtrip()
+
+
+def test_decoder_rejects_junk_without_hanging():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=1, max_size=300))
+    def junk(data):
+        if data[:2] == b"\x1f\x8b" or data[:5] == b"WARC/":
+            return  # may parse; only the error contract is under test here
+        try:
+            list(warcrec.decode_records(data))
+        except ValueError:
+            pass
+
+    junk()
