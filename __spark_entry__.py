@@ -1472,6 +1472,7 @@ transforms:
     inputs: [documents]
     parameters:
       columns: [doc_id, lang, source, n_chars]
+      percentiles: [0.5, 0.95]
 """, "prof")
 
 
@@ -1481,25 +1482,29 @@ SELECT 'doc_id' AS column, 'bigint' AS dtype, count(*) AS n_rows,
        count(DISTINCT doc_id) AS n_distinct,
        CAST(min(doc_id) AS VARCHAR) AS min_value,
        CAST(max(doc_id) AS VARCHAR) AS max_value,
-       round(avg(doc_id), 6) AS mean
+       round(avg(doc_id), 6) AS mean,
+       round(quantile_cont(doc_id, 0.5), 6) AS p50,
+       round(quantile_cont(doc_id, 0.95), 6) AS p95
 FROM documents
 UNION ALL
 SELECT 'lang', 'string', count(*),
        sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
        count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
-       CAST(max(lang) AS VARCHAR), NULL
+       CAST(max(lang) AS VARCHAR), NULL, NULL, NULL
 FROM documents
 UNION ALL
 SELECT 'source', 'string', count(*),
        sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
        count(DISTINCT source), CAST(min(source) AS VARCHAR),
-       CAST(max(source) AS VARCHAR), NULL
+       CAST(max(source) AS VARCHAR), NULL, NULL, NULL
 FROM documents
 UNION ALL
 SELECT 'n_chars', 'bigint', count(*),
        sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
        count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
-       CAST(max(n_chars) AS VARCHAR), round(avg(n_chars), 6)
+       CAST(max(n_chars) AS VARCHAR), round(avg(n_chars), 6),
+       round(quantile_cont(n_chars, 0.5), 6),
+       round(quantile_cont(n_chars, 0.95), 6)
 FROM documents
 """
 

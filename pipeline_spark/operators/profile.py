@@ -25,16 +25,31 @@ from pyspark.sql import types as T
 from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
 
 
+def _pname(p: float) -> str:
+    s = f"{p * 100:g}".replace(".", "_")
+    return f"p{s}"
+
+
 def profile(
-    df: DataFrame, columns: list[str] | None = None, *, approx_distinct: bool = False
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    approx_distinct: bool = False,
+    percentiles: list[float] | None = None,
 ) -> DataFrame:
     """(column, dtype, n_rows, n_nulls, n_distinct, min_value, max_value,
-    mean) — min/max compare on the NATIVE type and cast the result, so
-    numeric ranges are numeric, not lexicographic."""
+    mean[, pNN...]) — min/max compare on the NATIVE type and cast the
+    result, so numeric ranges are numeric, not lexicographic.
+    ``percentiles`` adds one exact linear-interpolated quantile column
+    per requested fraction (null for non-numeric columns); at URL scale
+    prefer few fractions — each is a full-sort aggregate per column."""
     cols = columns or df.columns
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"profile: unknown columns {missing}")
+    for p in percentiles or []:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"profile: percentile {p} outside [0, 1]")
     structs = []
     for c in cols:
         dt = df.schema[c].dataType
@@ -42,22 +57,29 @@ def profile(
         distinct = (
             F.approx_count_distinct(c) if approx_distinct else F.countDistinct(c)
         )
-        structs.append(
-            F.struct(
-                F.lit(c).alias("column"),
-                F.lit(dt.simpleString()).alias("dtype"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
-                distinct.alias("n_distinct"),
-                F.min(F.col(c)).cast("string").alias("min_value"),
-                F.max(F.col(c)).cast("string").alias("max_value"),
+        fields = [
+            F.lit(c).alias("column"),
+            F.lit(dt.simpleString()).alias("dtype"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+            distinct.alias("n_distinct"),
+            F.min(F.col(c)).cast("string").alias("min_value"),
+            F.max(F.col(c)).cast("string").alias("max_value"),
+            (
+                F.round(F.avg(F.col(c)), 6)
+                if numeric
+                else F.lit(None).cast("double")
+            ).alias("mean"),
+        ]
+        for p in percentiles or []:
+            fields.append(
                 (
-                    F.round(F.avg(F.col(c)), 6)
+                    F.round(F.percentile(F.col(c), F.lit(p)), 6)
                     if numeric
                     else F.lit(None).cast("double")
-                ).alias("mean"),
+                ).alias(_pname(p))
             )
-        )
+        structs.append(F.struct(*fields))
     one_row = df.agg(F.array(*structs).alias("p"))
     return one_row.select(F.explode("p").alias("p")).select("p.*")
 
@@ -70,5 +92,6 @@ def profile_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             ctx.input,
             p.get("columns") or p.get("fields"),
             approx_distinct=bool(p.get("approxDistinct", False)),
+            percentiles=[float(x) for x in p.get("percentiles", [])] or None,
         )
     }

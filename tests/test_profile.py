@@ -56,3 +56,20 @@ def test_profile_module(spark, table):
         )
     )[""]
     assert [r["column"] for r in out.collect()] == ["id", "name"]
+
+
+def test_profile_percentiles(spark, table):
+    rows = {r["column"]: r for r in profile(
+        table, percentiles=[0.5, 0.95]
+    ).collect()}
+    assert rows["id"]["p50"] == 2.5  # linear interpolation between 2 and 3
+    assert rows["id"]["p95"] == 3.85
+    assert rows["score"]["p50"] == 10.0  # nulls excluded
+    assert rows["name"]["p50"] is None
+    with pytest.raises(ValueError, match="percentile"):
+        profile(table, percentiles=[1.5]).collect()
+
+
+def test_profile_percentile_column_naming(spark, table):
+    out = profile(table, ["id"], percentiles=[0.25, 0.999]).columns
+    assert out[-2:] == ["p25", "p99_9"]
