@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "bloom_dedup",
     "topk_words",
+    "bpe_train",
     "profile_documents",
     "asof_join",
     "range_join",

@@ -43,6 +43,77 @@ from pipeline_spark.sources.delta_native import (
 )
 
 
+def _footer_stats(path: str) -> str | None:
+    """Protocol-shaped stats JSON from a parquet footer (no data read).
+
+    min/max are recorded for numeric/boolean/date/timestamp columns only:
+    parquet writers may TRUNCATE string statistics, and a truncated max
+    silently under-covers the file — skipping on it would be unsound.
+    nullCount and numRecords cover every top-level column.  Nested
+    columns (dotted path) are skipped entirely.
+    """
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    per_col: dict[str, list] = {}
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            col = rg.column(j)
+            if "." in col.path_in_schema:
+                continue
+            per_col.setdefault(col.path_in_schema, []).append(col.statistics)
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    for name, stats in per_col.items():
+        # a statistic is usable only when EVERY row group carries it —
+        # partial coverage would under-state the file
+        if all(st is not None and st.null_count is not None for st in stats):
+            nulls[name] = sum(st.null_count for st in stats)
+        if all(
+            st is not None
+            and st.has_min_max
+            and not isinstance(st.min, (bytes, str))
+            and not isinstance(st.max, (bytes, str))
+            for st in stats
+        ):
+            mins[name] = min(st.min for st in stats)
+            maxs[name] = max(st.max for st in stats)
+
+    def enc(v):
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return v
+
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": {k: enc(v) for k, v in mins.items()},
+            "maxValues": {k: enc(v) for k, v in maxs.items()},
+            "nullCount": nulls,
+        }
+    )
+
+
+def _collect_file_stats(spark, paths: list[str]) -> dict[str, str]:
+    if not paths:
+        return {}
+
+    def per_path(it):
+        for pth in it:
+            try:
+                yield pth, _footer_stats(pth)
+            except Exception:
+                yield pth, None  # stats are an optimization, never a failure
+
+    n = max(1, min(len(paths), 64))
+    pairs = spark.sparkContext.parallelize(paths, n).mapPartitions(per_path).collect()
+    return {pth: st for pth, st in pairs if st}
+
+
 def _schema_fingerprint(schema_json: str) -> list[tuple[str, str]]:
     fields = json.loads(schema_json).get("fields", [])
     return sorted((f["name"], json.dumps(f["type"], sort_keys=True)) for f in fields)
@@ -124,7 +195,20 @@ def write_delta_native(
                 "size": os.path.getsize(full),
                 "modificationTime": now_ms,
                 "dataChange": True,
+                "__full_path__": full,
             })
+
+    # per-file column statistics (protocol `add.stats` JSON) so readers can
+    # skip whole files against pushed predicates — the 100 TB scan-
+    # reduction path.  Footer-only reads, distributed across executors;
+    # the driver collects one small dict per file.
+    stats_map = _collect_file_stats(
+        df.sparkSession, [a["__full_path__"] for a in adds]
+    )
+    for a in adds:
+        st = stats_map.get(a.pop("__full_path__"))
+        if st:
+            a["stats"] = st
 
     actions: list[dict] = []
     if not exists:

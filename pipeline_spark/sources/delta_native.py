@@ -36,6 +36,7 @@ from typing import Any
 _CKPT_SINGLE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CKPT_MULTI = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
 _COMMIT = re.compile(r"^(\d{20})\.json$")
+_ISO_PREFIX = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]")
 
 #: reader features this implementation understands when minReaderVersion=3
 _OK_READER_FEATURES = {
@@ -289,6 +290,131 @@ def delta_source(ctx: ModuleContext) -> dict[str, Any]:
     return {"": read_delta_native(ctx.spark, ctx.params)}
 
 
+def _coerce_stat(v, want):
+    """Parse a stats-JSON value and the filter literal into comparables.
+
+    ISO-8601 date/timestamp strings compare lexicographically, which
+    matches chronological order for the fixed-width format the stats
+    writer emits."""
+    if v is None or want is None:
+        return None, None
+    def norm(s: str) -> str:
+        # normalize the 'T' vs ' ' datetime separator so lexicographic
+        # comparison stays chronological across both spellings
+        if _ISO_PREFIX.match(s):
+            return s.replace(" ", "T")
+        return s
+
+    if isinstance(v, str) and not isinstance(want, str):
+        # ISO-encoded date/timestamp stat vs a non-string filter literal
+        return norm(v), norm(str(want))
+    if isinstance(v, (int, float)) and isinstance(want, (int, float, bool)):
+        return float(v), float(want)
+    if isinstance(v, str) and isinstance(want, str):
+        return norm(v), norm(want)
+    if isinstance(v, bool) or isinstance(want, bool):
+        return bool(v), bool(want)
+    try:
+        return float(v), float(want)
+    except (TypeError, ValueError):
+        return None, None
+
+
+def _stats_may_match(a: dict, dfilter: list[dict], schema) -> bool:
+    """False only when the file's stats PROVE no row satisfies EVERY
+    predicate (the filter list is an AND).  Absent stats → True."""
+    raw = a.get("stats")
+    if not raw:
+        return True
+    try:
+        st = json.loads(raw) if isinstance(raw, str) else raw
+    except (TypeError, ValueError):
+        return True
+    mins = st.get("minValues") or {}
+    maxs = st.get("maxValues") or {}
+    nulls = st.get("nullCount") or {}
+    nrec = st.get("numRecords")
+    for f in dfilter:
+        key, op = f.get("key"), str(f.get("op", "=")).lower()
+        want = f.get("value")
+        if op in ("isnull", "is_null"):
+            if key in nulls and nulls[key] == 0:
+                return False
+            continue
+        if op in ("isnotnull", "is_not_null"):
+            if key in nulls and nrec is not None and nulls[key] == nrec:
+                return False
+            continue
+        if op == "in":
+            vals = want if isinstance(want, (list, tuple)) else [want]
+            ok = False
+            for v in vals:
+                l2, wv = _coerce_stat(mins.get(key), v)
+                h2, _ = _coerce_stat(maxs.get(key), v)
+                if l2 is None or h2 is None or (l2 <= wv <= h2):
+                    ok = True
+                    break
+            if not ok:
+                return False
+            continue
+        lo, w1 = _coerce_stat(mins.get(key), want)
+        hi, w2 = _coerce_stat(maxs.get(key), want)
+        if lo is None or hi is None:
+            continue
+        if op in ("=", "=="):
+            if w1 < lo or w2 > hi:
+                return False
+        elif op == "<":
+            if lo >= w1:
+                return False
+        elif op == "<=":
+            if lo > w1:
+                return False
+        elif op == ">":
+            if hi <= w1:
+                return False
+        elif op == ">=":
+            if hi < w1:
+                return False
+        # != and unknown ops: stats cannot prune soundly — keep the file
+    return True
+
+
+def _apply_data_filter(df, dfilter: list[dict]):
+    """The row-level semantics of dataFilter — file skipping is only an
+    optimization layered under this."""
+    from pyspark.sql import functions as F
+
+    if isinstance(dfilter, dict):
+        dfilter = [dfilter]
+    for f in dfilter:
+        key, op = f.get("key"), str(f.get("op", "=")).lower()
+        want = f.get("value")
+        c = F.col(key)
+        if op in ("=", "=="):
+            cond = c == F.lit(want)
+        elif op == "!=":
+            cond = c != F.lit(want)
+        elif op == "<":
+            cond = c < F.lit(want)
+        elif op == "<=":
+            cond = c <= F.lit(want)
+        elif op == ">":
+            cond = c > F.lit(want)
+        elif op == ">=":
+            cond = c >= F.lit(want)
+        elif op == "in":
+            cond = c.isin(list(want if isinstance(want, (list, tuple)) else [want]))
+        elif op in ("isnull", "is_null"):
+            cond = c.isNull()
+        elif op in ("isnotnull", "is_not_null"):
+            cond = c.isNotNull()
+        else:
+            raise ValueError(f"delta dataFilter: unknown op '{op}'")
+        df = df.where(cond)
+    return df
+
+
 def read_delta_native(spark, p: dict[str, Any]):
     """DataFrame over a filesystem Delta table via the metadata path."""
     table = p.get("path") or p.get("table") or p.get("input")
@@ -330,17 +456,31 @@ def read_delta_native(spark, p: dict[str, Any]):
             raise ValueError(
                 f"delta: partitionFilter {pfilter} matches no data files"
             )
+    dfilter = p.get("dataFilter")
+    if dfilter:
+        # STATS-level file skipping: drop whole data files whose recorded
+        # add.stats PROVE no row can match (min/max disjoint, null counts
+        # decisive).  Files without stats always survive — skipping is an
+        # optimization, the row-level filter below is the semantics.
+        if isinstance(dfilter, dict):
+            dfilter = [dfilter]
+        adds = [a for a in adds if _stats_may_match(a, dfilter, schema)]
+        if not adds:
+            return _apply_data_filter(spark.createDataFrame([], schema), dfilter)
     if not adds:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(table, urllib.parse.unquote(a["path"])) for a in adds]
 
     from pyspark.sql import functions as F
 
+    def done(out):
+        return _apply_data_filter(out, dfilter) if dfilter else out
+
     if not part_cols:
-        return spark.read.schema(schema).parquet(*paths)
+        return done(spark.read.schema(schema).parquet(*paths))
     if _is_hive_layout(adds, part_cols):
         # hive layout: directory-based partition columns, pruned by Spark
-        return (
+        return done(
             spark.read.schema(schema)
             .option("basePath", table)
             .parquet(*paths)
@@ -368,4 +508,4 @@ def read_delta_native(spark, p: dict[str, Any]):
     out = parts[0]
     for x in parts[1:]:
         out = out.unionByName(x)
-    return out.select(*[f.name for f in schema.fields])
+    return done(out.select(*[f.name for f in schema.fields]))

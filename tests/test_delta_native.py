@@ -495,3 +495,102 @@ def test_partition_filter_prunes_at_planning(spark, tmp_path):
         read_delta_native(spark, {"path": tbl, "partitionFilter": {"nope": 1}})
     with pytest.raises(ValueError, match="matches no data files"):
         read_delta_native(spark, {"path": tbl, "partitionFilter": {"grp": "blue"}})
+
+
+# --- add.stats file skipping -------------------------------------------------
+
+
+def test_stats_written_and_skipping_prunes_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "stats_tbl")
+    # three appends = three files with disjoint id ranges
+    write_delta_native(spark, spark.range(0, 100).coalesce(1), {"path": tbl})
+    write_delta_native(
+        spark, spark.range(100, 200).coalesce(1), {"path": tbl, "mode": "append"}
+    )
+    write_delta_native(
+        spark, spark.range(200, 300).coalesce(1), {"path": tbl, "mode": "append"}
+    )
+    adds, _m, _p, _v = replay_log(tbl)
+    assert len(adds) == 3
+    stats = [json.loads(a["stats"]) for a in adds if a.get("stats")]
+    assert len(stats) == 3
+    assert {s["numRecords"] for s in stats} == {100}
+    assert all("id" in s["minValues"] and s["nullCount"]["id"] == 0 for s in stats)
+
+    full = read_delta_native(spark, {"path": tbl})
+    assert len(full.inputFiles()) == 3
+    pruned = read_delta_native(
+        spark, {"path": tbl, "dataFilter": {"key": "id", "op": ">=", "value": 250}}
+    )
+    # stats prove files 1 and 2 cannot match — only one file planned
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.count() == 50
+    # the row-level filter is the semantics, not just the skip
+    two = read_delta_native(
+        spark,
+        {"path": tbl, "dataFilter": [
+            {"key": "id", "op": ">=", "value": 150},
+            {"key": "id", "op": "<", "value": 160},
+        ]},
+    )
+    assert [r["id"] for r in two.orderBy("id").collect()] == list(range(150, 160))
+    assert len(two.inputFiles()) == 1
+
+    none = read_delta_native(
+        spark, {"path": tbl, "dataFilter": {"key": "id", "op": ">", "value": 9999}}
+    )
+    assert none.count() == 0
+
+
+def test_stats_may_match_ops():
+    from pipeline_spark.sources.delta_native import _stats_may_match
+
+    add = {"stats": json.dumps({
+        "numRecords": 10,
+        "minValues": {"x": 5, "ts": "2024-01-01T10:00:00"},
+        "maxValues": {"x": 20, "ts": "2024-01-01T12:00:00"},
+        "nullCount": {"x": 0, "y": 10},
+    })}
+    ok = lambda f: _stats_may_match(add, [f], None)
+    assert not ok({"key": "x", "op": "=", "value": 4})
+    assert ok({"key": "x", "op": "=", "value": 5})
+    assert not ok({"key": "x", "op": "<", "value": 5})
+    assert ok({"key": "x", "op": "<=", "value": 5})
+    assert not ok({"key": "x", "op": ">", "value": 20})
+    assert ok({"key": "x", "op": ">=", "value": 20})
+    assert not ok({"key": "x", "op": "in", "value": [1, 2, 30]})
+    assert ok({"key": "x", "op": "in", "value": [1, 10]})
+    # ' ' vs 'T' separators normalize before comparing
+    assert ok({"key": "ts", "op": ">=", "value": "2024-01-01 11:00:00"})
+    assert not ok({"key": "ts", "op": ">", "value": "2024-01-01 12:00:00"})
+    # null-count pruning
+    assert not ok({"key": "x", "op": "isNull"})
+    assert not ok({"key": "y", "op": "isNotNull"})
+    assert ok({"key": "y", "op": "isNull"})
+    # unknown column / absent stats / unknown op: never prune
+    assert ok({"key": "zzz", "op": "=", "value": 1})
+    assert ok({"key": "x", "op": "!=", "value": 7})
+    assert _stats_may_match({"stats": None}, [{"key": "x", "op": "=", "value": 1}], None)
+    assert _stats_may_match({}, [{"key": "x", "op": "=", "value": 1}], None)
+
+
+def test_stats_skip_string_minmax_but_keep_nullcount(spark, tmp_path):
+    from pyspark.sql import Row
+
+    tbl = str(tmp_path / "str_tbl")
+    df = spark.createDataFrame(
+        [Row(k=1, s="aaa"), Row(k=2, s=None)]
+    ).coalesce(1)
+    write_delta_native(spark, df, {"path": tbl})
+    adds, *_ = replay_log(tbl)
+    st = json.loads(adds[0]["stats"])
+    # string min/max withheld (writer truncation would make them unsound)
+    assert "s" not in st["minValues"]
+    assert st["nullCount"]["s"] == 1
+    # equality filter on the string column still returns exact rows
+    out = read_delta_native(
+        spark, {"path": tbl, "dataFilter": {"key": "s", "op": "=", "value": "aaa"}}
+    )
+    assert [r["k"] for r in out.collect()] == [1]
