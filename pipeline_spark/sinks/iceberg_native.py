@@ -136,6 +136,31 @@ def _name_mapping(fields: list[dict]) -> list[dict]:
 
 # -- manifest / manifest-list avro schemas (spec field-ids) -------------------
 
+def _int_keyed_map(name: str, fid: int, key_id: int, val_id: int, val_type: str) -> dict:
+    """Iceberg's int-keyed column maps: avro maps need string keys, so the
+    spec encodes them as array<record{key,value}> with logicalType map."""
+    return {
+        "name": name,
+        "field-id": fid,
+        "default": None,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": f"k{key_id}_v{val_id}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": key_id},
+                        {"name": "value", "type": val_type, "field-id": val_id},
+                    ],
+                },
+            },
+        ],
+    }
+
+
 def _data_file_schema(partition_fields: list[dict] | None = None) -> dict:
     part_record = {
         "type": "record",
@@ -152,6 +177,11 @@ def _data_file_schema(partition_fields: list[dict] | None = None) -> dict:
             {"name": "partition", "type": part_record, "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            # spec "Data File" column stats (Appendix-C field ids): null
+            # counts + single-value-serialized bounds, keyed by field-id
+            _int_keyed_map("null_value_counts", 110, 121, 122, "long"),
+            _int_keyed_map("lower_bounds", 125, 126, 127, "bytes"),
+            _int_keyed_map("upper_bounds", 128, 129, 130, "bytes"),
             {
                 "name": "equality_ids",
                 "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
@@ -205,6 +235,68 @@ def _parquet_stats(path: str) -> tuple[int, int]:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows, os.path.getsize(path)
+
+
+def encode_bound(v, ice_type: str) -> bytes | None:
+    """Spec Appendix-D single-value serialization for bound maps."""
+    import datetime as dt
+    import struct
+
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    if ice_type == "int":
+        return struct.pack("<i", int(v))
+    if ice_type == "long":
+        return struct.pack("<q", int(v))
+    if ice_type == "float":
+        return struct.pack("<f", float(v))
+    if ice_type == "double":
+        return struct.pack("<d", float(v))
+    if ice_type == "date":
+        days = (v - dt.date(1970, 1, 1)).days if isinstance(v, dt.date) else int(v)
+        return struct.pack("<i", days)
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(v, dt.datetime):
+            epoch = dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            micros = round((v - epoch).total_seconds() * 1_000_000)
+        else:
+            micros = int(v)
+        return struct.pack("<q", micros)
+    return None  # string/binary/decimal bounds intentionally unwritten
+
+
+def _footer_column_stats(path: str, colmap: dict[str, tuple[int, str]]):
+    """(null_value_counts, lower_bounds, upper_bounds) as field-id-keyed
+    [{key, value}] lists from the parquet footer.
+
+    Same soundness rule as the Delta writer: bounds only for types whose
+    parquet statistics cannot be truncated (numeric/boolean/date/
+    timestamp); null counts for every mapped column, and only when every
+    row group carries the statistic.
+    """
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    per_col: dict[str, list] = {}
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            col = rg.column(j)
+            if col.path_in_schema in colmap:
+                per_col.setdefault(col.path_in_schema, []).append(col.statistics)
+    nulls, lows, highs = [], [], []
+    for name, stats in per_col.items():
+        fid, ice_type = colmap[name]
+        if all(st is not None and st.null_count is not None for st in stats):
+            nulls.append({"key": fid, "value": sum(st.null_count for st in stats)})
+        if all(st is not None and st.has_min_max for st in stats):
+            lo = min(st.min for st in stats)
+            hi = max(st.max for st in stats)
+            lo_b, hi_b = encode_bound(lo, ice_type), encode_bound(hi, ice_type)
+            if lo_b is not None and hi_b is not None:
+                lows.append({"key": fid, "value": lo_b})
+                highs.append({"key": fid, "value": hi_b})
+    return nulls or None, lows or None, highs or None
 
 
 def write_iceberg_native(df, p: dict[str, Any]) -> None:
@@ -394,6 +486,22 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
     schema = iceberg_schema(df.schema)
     last_column_id = schema.pop("__last_column_id")
     source_ids = {f["name"]: f["id"] for f in schema["fields"]}
+
+    # per-file column stats (field-id-keyed null counts + Appendix-D
+    # serialized bounds) so readers can skip files at the MANIFEST level
+    colmap = {
+        f["name"]: (f["id"], f["type"])
+        for f in schema["fields"]
+        if isinstance(f["type"], str)
+    }
+    if colmap:
+        for e in entries:
+            nulls, lows, highs = _footer_column_stats(
+                e["data_file"]["file_path"], colmap
+            )
+            e["data_file"]["null_value_counts"] = nulls
+            e["data_file"]["lower_bounds"] = lows
+            e["data_file"]["upper_bounds"] = highs
     part_avro_fields = [
         {
             "name": fld["name"],

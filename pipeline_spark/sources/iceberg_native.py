@@ -160,6 +160,11 @@ def plan_files(
             part = df.get("partition")
             if isinstance(part, dict) and part:
                 rec["partition"] = dict(part)
+            for stat_key in (
+                "record_count", "null_value_counts", "lower_bounds", "upper_bounds",
+            ):
+                if df.get(stat_key) is not None:
+                    rec[stat_key] = df[stat_key]
             if content == _CONTENT_DATA:
                 data.append(rec)
             else:
@@ -301,6 +306,98 @@ def _apply_row_deletes(spark, df, data: list[dict], deletes: list[dict], meta: d
     return df.drop("__fp__", "__pos__")
 
 
+def decode_bound(raw: bytes, ice_type: str):
+    """Spec Appendix-D single-value deserialization (pruning subset).
+
+    Timestamps and dates come back as ISO strings so the shared stats
+    predicate evaluator compares them lexicographically (chronological
+    for this fixed-width format)."""
+    import datetime as dt
+    import struct
+
+    if raw is None:
+        return None
+    b = bytes(raw)
+    try:
+        if ice_type == "boolean":
+            return b != b"\x00"
+        if ice_type == "int":
+            return struct.unpack("<i", b)[0]
+        if ice_type == "long":
+            return struct.unpack("<q", b)[0]
+        if ice_type == "float":
+            return struct.unpack("<f", b)[0]
+        if ice_type == "double":
+            return struct.unpack("<d", b)[0]
+        if ice_type == "date":
+            return (
+                dt.date(1970, 1, 1) + dt.timedelta(days=struct.unpack("<i", b)[0])
+            ).isoformat()
+        if ice_type in ("timestamp", "timestamptz"):
+            micros = struct.unpack("<q", b)[0]
+            return (
+                dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=micros)
+            ).isoformat()
+    except struct.error:
+        return None
+    return None
+
+
+def _kv_list_to_dict(v) -> dict:
+    """Normalize the avro array<record{key,value}> logical map."""
+    if isinstance(v, dict):
+        return v
+    out = {}
+    for item in v or []:
+        if isinstance(item, dict):
+            out[item.get("key")] = item.get("value")
+        elif isinstance(item, (list, tuple)) and len(item) == 2:
+            out[item[0]] = item[1]
+    return out
+
+
+def _bounds_may_match(rec: dict, dfilter: list[dict], id2field: dict) -> bool:
+    """Build name-keyed stats from the manifest entry and defer to the
+    shared (Delta) stats predicate evaluator."""
+    from pipeline_spark.sources.delta_native import _stats_may_match
+
+    lows = _kv_list_to_dict(rec.get("lower_bounds"))
+    highs = _kv_list_to_dict(rec.get("upper_bounds"))
+    nulls = _kv_list_to_dict(rec.get("null_value_counts"))
+    if not (lows or highs or nulls):
+        return True
+    mins, maxs, ncounts = {}, {}, {}
+    for fid, f in id2field.items():
+        ice_type = f["type"] if isinstance(f["type"], str) else None
+        name = f["name"]
+        if fid in nulls and nulls[fid] is not None:
+            ncounts[name] = int(nulls[fid])
+        if ice_type:
+            if fid in lows:
+                v = decode_bound(lows[fid], ice_type)
+                if v is not None:
+                    mins[name] = v
+            if fid in highs:
+                v = decode_bound(highs[fid], ice_type)
+                if v is not None:
+                    maxs[name] = v
+    stats = {
+        "numRecords": rec.get("record_count"),
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": ncounts,
+    }
+    return _stats_may_match({"stats": stats}, dfilter, None)
+
+
+def _spark_schema_of(meta: dict) -> str:
+    """DDL schema string of the table's current top-level fields."""
+    return ", ".join(
+        f"`{f['name']}` {_iceberg_type_to_spark(f['type'])}"
+        for f in _schema_fields(meta)
+    )
+
+
 def read_iceberg_native(spark, p: dict[str, Any]):
     """DataFrame over an Iceberg table's current (or given) snapshot."""
     table_path = p.get("path") or p.get("table")
@@ -353,6 +450,24 @@ def read_iceberg_native(spark, p: dict[str, Any]):
             raise ValueError(
                 f"iceberg: partitionFilter {pfilter} matches no data files"
             )
+    dfilter = p.get("dataFilter")
+    if dfilter:
+        # MANIFEST-level data skipping on the recorded column stats: drop
+        # files whose bounds prove no row matches, then apply the same
+        # predicate row-level (skipping is an optimization, the filter is
+        # the semantics — same contract as the Delta reader).
+        if isinstance(dfilter, dict):
+            dfilter = [dfilter]
+        id2field = {f["id"]: f for f in _schema_fields(meta)}
+        data = [d for d in data if _bounds_may_match(d, dfilter, id2field)]
+        if not data:
+            from pipeline_spark.sources.delta_native import _apply_data_filter
+
+            empty = spark.createDataFrame(
+                [],
+                _spark_schema_of(meta),
+            )
+            return _apply_data_filter(empty, dfilter)
     reader = spark.read
     if p.get("mergeSchema"):
         reader = reader.option("mergeSchema", "true")
@@ -405,6 +520,10 @@ def read_iceberg_native(spark, p: dict[str, Any]):
                     f["name"], F.lit(None).cast(_iceberg_type_to_spark(f["type"]))
                 )
         df = df.select(*[f["name"] for f in fields if f["name"] in set(df.columns)])
+    if dfilter:
+        from pipeline_spark.sources.delta_native import _apply_data_filter
+
+        df = _apply_data_filter(df, dfilter)
     if p.get("fields"):
         from pyspark.sql import functions as F
 

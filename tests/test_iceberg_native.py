@@ -12,6 +12,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from pipeline_spark.functions.avroocf import read_ocf
+from pipeline_spark.sinks.iceberg_native import write_iceberg_native
 from pipeline_spark.sources.iceberg_native import plan_data_files, read_iceberg_native
 
 
@@ -664,3 +665,85 @@ def test_swapped_renames_resolve_atomically(spark, tmp_path):
     row = back.collect()[0]
     assert back.columns == ["b", "a"]
     assert row["b"] == "1" and row["a"] == "one"  # values follow field-ids
+
+
+# --- manifest-level data skipping -------------------------------------------
+
+
+def test_bound_encoding_appendix_d():
+    import datetime as dt
+
+    from pipeline_spark.sinks.iceberg_native import encode_bound
+    from pipeline_spark.sources.iceberg_native import decode_bound
+
+    # Appendix D: little-endian fixed widths
+    assert encode_bound(1, "long") == b"\x01" + b"\x00" * 7
+    assert encode_bound(1, "int") == b"\x01\x00\x00\x00"
+    assert decode_bound(encode_bound(-7, "int"), "int") == -7
+    assert decode_bound(encode_bound(2.5, "double"), "double") == 2.5
+    assert decode_bound(encode_bound(True, "boolean"), "boolean") is True
+    d = dt.date(2024, 3, 1)
+    assert decode_bound(encode_bound(d, "date"), "date") == "2024-03-01"
+    ts = dt.datetime(2024, 3, 1, 12, 30, 0, 250)
+    assert decode_bound(encode_bound(ts, "timestamp"), "timestamp") == (
+        "2024-03-01T12:30:00.000250"
+    )
+    # string bounds are intentionally never written
+    assert encode_bound("abc", "string") is None
+
+
+def test_data_filter_prunes_files_by_bounds(spark, tmp_path):
+    tbl = str(tmp_path / "skiptbl")
+    write_iceberg_native(
+        spark.range(0, 100).coalesce(1), {"path": tbl}
+    )
+    write_iceberg_native(
+        spark.range(100, 200).coalesce(1), {"path": tbl, "mode": "append"}
+    )
+    write_iceberg_native(
+        spark.range(200, 300).coalesce(1), {"path": tbl, "mode": "append"}
+    )
+    full = read_iceberg_native(spark, {"path": tbl})
+    assert len(full.inputFiles()) == 3 and full.count() == 300
+    pruned = read_iceberg_native(
+        spark, {"path": tbl, "dataFilter": {"key": "id", "op": "<", "value": 50}}
+    )
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.count() == 50
+    mid = read_iceberg_native(
+        spark, {"path": tbl, "dataFilter": [
+            {"key": "id", "op": ">=", "value": 120},
+            {"key": "id", "op": "<=", "value": 130},
+        ]},
+    )
+    assert len(mid.inputFiles()) == 1
+    assert [r["id"] for r in mid.orderBy("id").collect()] == list(range(120, 131))
+    none = read_iceberg_native(
+        spark, {"path": tbl, "dataFilter": {"key": "id", "op": ">", "value": 10_000}}
+    )
+    assert none.count() == 0
+
+
+def test_data_filter_string_column_no_bounds_but_exact(spark, tmp_path):
+    from pyspark.sql import Row
+
+    tbl = str(tmp_path / "strtbl")
+    df = spark.createDataFrame([Row(k=1, s="aa"), Row(k=2, s=None)]).coalesce(1)
+    write_iceberg_native(df, {"path": tbl})
+    from pipeline_spark.sources.iceberg_native import plan_files
+
+    data, _d, _m = plan_files(tbl)
+    lows = data[0].get("lower_bounds") or []
+    low_ids = {e["key"] for e in lows} if not isinstance(lows, dict) else set(lows)
+    # k (field id 1) bounded; s (string, id 2) withheld
+    assert 1 in low_ids and 2 not in low_ids
+    out = read_iceberg_native(
+        spark, {"path": tbl, "dataFilter": {"key": "s", "op": "=", "value": "aa"}}
+    )
+    assert [r["k"] for r in out.collect()] == [1]
+    # null-count pruning: a file with zero nulls in s is provably
+    # disjoint from `s isNull`
+    nn = read_iceberg_native(
+        spark, {"path": tbl, "dataFilter": {"key": "s", "op": "isNull"}}
+    )
+    assert nn.count() == 1
