@@ -2915,6 +2915,84 @@ GROUP BY bt.doc_id
 """
 
 
+def q_delta_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta file-level data skipping: orders committed as three appends
+    with disjoint o_orderkey ranges (three files, each carrying footer
+    add.stats), read back with a dataFilter whose bounds prove two of
+    the files irrelevant — the scan plans one file, the row filter keeps
+    the semantics exact.  Oracle = the same predicate on the original."""
+    import os
+    import shutil
+    import tempfile
+
+    from pipeline_spark.sinks.delta_native import write_delta_native
+    from pipeline_spark.sources.delta_native import read_delta_native
+
+    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_delta_skip")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    for i, (lo, hi) in enumerate(((0, 5000), (5000, 10000), (10000, 1 << 40))):
+        part = orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).coalesce(1)
+        write_delta_native(
+            spark, part, {"path": tbl, "mode": "append" if i else "errorifexists"}
+        )
+    df = read_delta_native(spark, {"path": tbl, "dataFilter": [
+        {"key": "o_orderkey", "op": ">=", "value": 2000},
+        {"key": "o_orderkey", "op": "<", "value": 4500},
+    ]})
+    assert len(df.inputFiles()) == 1, "stats skipping failed to prune"
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+Q_DELTA_SKIP_SQL = """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4500
+GROUP BY o_orderstatus
+"""
+
+
+def q_iceberg_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg manifest-level data skipping: same shape as delta_skipping
+    but through the native Iceberg writer's Appendix-C/D manifest stats;
+    the reader prunes files before Spark plans a task."""
+    import os
+    import shutil
+    import tempfile
+
+    from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_ice_skip")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    for i, (lo, hi) in enumerate(((0, 5000), (5000, 10000), (10000, 1 << 40))):
+        part = orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).coalesce(1)
+        write_iceberg_native(part, {"path": tbl, "mode": "append" if i else "create"})
+    df = read_iceberg_native(spark, {"path": tbl, "dataFilter": [
+        {"key": "o_orderkey", "op": ">=", "value": 6000},
+        {"key": "o_orderkey", "op": "<", "value": 9000},
+    ]})
+    assert len(df.inputFiles()) == 1, "manifest skipping failed to prune"
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+Q_ICE_SKIP_SQL = """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+FROM orders WHERE o_orderkey >= 6000 AND o_orderkey < 9000
+GROUP BY o_orderstatus
+"""
+
+
 def q_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """delta sink+source with the native (jar-free) path: supplier rows
     committed to a partitioned filesystem Delta table (parquet data +
@@ -3655,6 +3733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_filter": q_perplexity_filter,
         "dataset_mix": q_dataset_mix,
         "delta_roundtrip": q_delta_roundtrip,
+        "delta_skipping": q_delta_skipping,
+        "iceberg_skipping": q_iceberg_skipping,
         "dsir_scores": q_dsir_scores,
     }
 
@@ -3747,5 +3827,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_filter": Q_PERPLEXITY_SQL,
         "dataset_mix": Q_DATASET_MIX_SQL,
         "delta_roundtrip": Q_DELTA_SQL,
+        "delta_skipping": Q_DELTA_SKIP_SQL,
+        "iceberg_skipping": Q_ICE_SKIP_SQL,
         "dsir_scores": Q_DSIR_SQL,
     }

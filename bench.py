@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "audio_meta",
     "chunk_windows",
     "iceberg_partitioned",
+    "delta_skipping",
+    "iceberg_skipping",
     "perplexity_filter",
     "dataset_mix",
     "delta_roundtrip",
