@@ -37,6 +37,7 @@ from typing import Any
 
 from pipeline_spark.registry import KIND_SINK, ModuleContext, module
 from pipeline_spark.sources.delta_native import (
+    _log_dir,
     latest_version,
     replay_log,
     replay_state,
@@ -280,6 +281,128 @@ def write_delta_native(
         write_checkpoint(table, version)
 
 
+def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
+    """OPTIMIZE-style bin-packing compaction (protocol-native).
+
+    Streaming ingest leaves a long tail of small files; at scale the
+    scheduler cost and open-per-file overhead dominate the scan.  This
+    groups live files under ``targetFileBytes`` by partition value,
+    bin-packs each group to ~target, rewrites every bin as one file
+    (distributed — each bin is a plain parquet read+write), and commits
+    ONE version of paired remove+add actions with ``dataChange: false``,
+    the protocol's marker that the table's CONTENT is unchanged (readers
+    streaming the log as a CDC feed skip it).  Rewritten files carry
+    fresh add.stats, so data skipping keeps working after compaction.
+
+    Returns {"compacted_files": n_removed, "new_files": n_added}.
+    """
+    from pyspark.sql.types import StructType
+
+    table = p.get("path") or p.get("table")
+    if not table:
+        raise ValueError("delta compact: 'path' is required")
+    target = int(p.get("targetFileBytes", 128 * 1024 * 1024))
+    min_group = max(2, int(p.get("minFilesPerGroup", 2)))
+    prev_adds, meta, _proto, _v, _txns = replay_state(table)
+    prev_version = latest_version(_log_dir(table))
+    part_cols = list(meta.get("partitionColumns") or [])
+
+    groups: dict[tuple, list[dict]] = {}
+    for a in prev_adds:
+        if int(a.get("size", 0)) < target:
+            key = tuple(sorted((a.get("partitionValues") or {}).items()))
+            groups.setdefault(key, []).append(a)
+    bins: list[tuple[tuple, list[dict]]] = []
+    for key, files in groups.items():
+        files.sort(key=lambda a: int(a.get("size", 0)))
+        cur: list[dict] = []
+        size = 0
+        for a in files:
+            cur.append(a)
+            size += int(a.get("size", 0))
+            if size >= target:
+                if len(cur) >= min_group:
+                    bins.append((key, cur))
+                cur, size = [], 0
+        if len(cur) >= min_group:
+            bins.append((key, cur))
+    if not bins:
+        return {"compacted_files": 0, "new_files": 0}
+
+    # data files contain only non-partition columns (hive layout strips
+    # them); rewrite with that exact schema so old and new files agree
+    full = StructType.fromJson(json.loads(meta["schemaString"]))
+    fschema = StructType([f for f in full.fields if f.name not in part_cols])
+
+    commit_id = uuid.uuid4().hex
+    data_dir = f"data-compact-{commit_id}"
+    now_ms = int(time.time() * 1000)
+    adds: list[dict] = []
+    removes: list[dict] = []
+    for i, (key, files) in enumerate(bins):
+        paths = [
+            os.path.join(table, urllib.parse.unquote(a["path"])) for a in files
+        ]
+        out_dir = os.path.join(table, data_dir, f"bin-{i:05d}")
+        spark.read.schema(fschema).parquet(*paths).coalesce(1).write.parquet(out_dir)
+        pv = dict(key)
+        for root, _dirs, names in os.walk(out_dir):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                fullp = os.path.join(root, name)
+                rel = os.path.relpath(fullp, table)
+                adds.append({
+                    "path": urllib.parse.quote(rel.replace(os.sep, "/"), safe="/="),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(fullp),
+                    "modificationTime": now_ms,
+                    "dataChange": False,
+                    "__full_path__": fullp,
+                })
+        for a in files:
+            removes.append({
+                "path": a["path"],
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+                "partitionValues": a.get("partitionValues") or {},
+            })
+
+    stats_map = _collect_file_stats(spark, [a["__full_path__"] for a in adds])
+    for a in adds:
+        st = stats_map.get(a.pop("__full_path__"))
+        if st:
+            a["stats"] = st
+
+    actions: list[dict] = (
+        [{"remove": r} for r in removes]
+        + [{"add": a} for a in adds]
+        + [{
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {"targetFileBytes": str(target)},
+            }
+        }]
+    )
+    version = prev_version + 1
+    log_dir = _log_dir(table)
+    commit_path = os.path.join(log_dir, f"{version:020d}.json")
+    tmp = commit_path + f".{commit_id}.tmp"
+    with open(tmp, "w") as fh:
+        for action in actions:
+            fh.write(json.dumps(action) + "\n")
+    try:
+        os.link(tmp, commit_path)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise FileExistsError(
+            f"delta compact: concurrent commit raced on version {version}"
+        ) from None
+    os.unlink(tmp)
+    return {"compacted_files": len(removes), "new_files": len(adds)}
+
+
 def write_checkpoint(table: str, version: int) -> None:
     """Single-part checkpoint parquet + _last_checkpoint hint.
 
@@ -382,6 +505,11 @@ def delta_sink(ctx: ModuleContext) -> dict[str, Any]:
     """
     df = ctx.input
     p = ctx.params
+    if str(p.get("mode", "")).lower() == "compact":
+        # table maintenance: the input only provides the session; the
+        # table itself is the operand
+        compact_delta_native(ctx.spark, p)
+        return {}
     if not df.isStreaming:
         write_delta_native(ctx.spark, df, p)
         return {}

@@ -594,3 +594,64 @@ def test_stats_skip_string_minmax_but_keep_nullcount(spark, tmp_path):
         spark, {"path": tbl, "dataFilter": {"key": "s", "op": "=", "value": "aaa"}}
     )
     assert [r["k"] for r in out.collect()] == [1]
+
+
+# --- OPTIMIZE-style compaction ----------------------------------------------
+
+
+def test_compact_binpacks_small_files(spark, tmp_path):
+    from pipeline_spark.sinks.delta_native import compact_delta_native
+
+    tbl = str(tmp_path / "compact_tbl")
+    for i in range(6):
+        write_delta_native(
+            spark,
+            spark.range(i * 10, (i + 1) * 10).coalesce(1),
+            {"path": tbl, "mode": "append" if i else "errorifexists"},
+        )
+    before = read_delta_native(spark, {"path": tbl})
+    assert len(before.inputFiles()) == 6
+    res = compact_delta_native(spark, {"path": tbl, "targetFileBytes": 1 << 30})
+    assert res["compacted_files"] == 6 and res["new_files"] == 1
+    after = read_delta_native(spark, {"path": tbl})
+    assert len(after.inputFiles()) == 1
+    assert sorted(r["id"] for r in after.collect()) == list(range(60))
+    # time travel still sees the pre-compaction layout
+    old = read_delta_native(spark, {"path": tbl, "versionAsOf": 5})
+    assert len(old.inputFiles()) == 6 and old.count() == 60
+    # rewritten file carries fresh stats — skipping still prunes
+    adds, *_ = replay_log(tbl)
+    assert json.loads(adds[0]["stats"])["numRecords"] == 60
+    pruned = read_delta_native(
+        spark, {"path": tbl, "dataFilter": {"key": "id", "op": ">", "value": 999}}
+    )
+    assert pruned.count() == 0
+
+
+def test_compact_partitioned_and_below_threshold(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sinks.delta_native import compact_delta_native
+
+    tbl = str(tmp_path / "compact_part")
+    for i in range(4):
+        df = (
+            spark.range(i * 10, (i + 1) * 10)
+            .withColumn("grp", (F.col("id") % 2).cast("int"))
+            .repartition(1)
+        )
+        write_delta_native(
+            spark, df,
+            {"path": tbl, "partitionBy": ["grp"],
+             "mode": "append" if i else "errorifexists"},
+        )
+    res = compact_delta_native(spark, {"path": tbl, "targetFileBytes": 1 << 30})
+    # 4 files per grp partition -> 1 per partition
+    assert res["compacted_files"] == 8 and res["new_files"] == 2
+    after = read_delta_native(spark, {"path": tbl})
+    assert after.count() == 40
+    assert after.groupBy("grp").count().count() == 2
+    assert sorted(r["id"] for r in after.collect()) == list(range(40))
+    # nothing left under threshold: second compact is a no-op
+    res2 = compact_delta_native(spark, {"path": tbl, "targetFileBytes": 10})
+    assert res2 == {"compacted_files": 0, "new_files": 0}
