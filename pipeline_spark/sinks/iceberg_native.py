@@ -649,6 +649,250 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         fh.write(str(version))
 
 
+def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
+    """Rewrite-data-files compaction: bin-pack small files per partition
+    into ~``targetFileBytes``, commit one ``replace`` snapshot.
+
+    The new manifest list = one consolidated EXISTING-status manifest for
+    surviving files (each keeping its ORIGINAL sequence number) plus one
+    ADDED manifest for the rewrites — the same shape Iceberg's own
+    rewrite action produces.  Tables carrying row-level delete files are
+    refused: merging files with different sequence numbers into one entry
+    would break delete applicability (seq ordering) and resurrect rows.
+    """
+    from pipeline_spark.functions.avroocf import (
+        read_ocf_file,
+        read_ocf_file_with_meta,
+    )
+    from pipeline_spark.sources.iceberg_native import plan_files
+
+    table_path = re.sub(r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table")))
+    target = int(p.get("targetFileBytes", 128 * 1024 * 1024))
+    min_group = max(2, int(p.get("minFilesPerGroup", 2)))
+    data, deletes, prev_meta = plan_files(table_path)
+    if deletes:
+        raise NotImplementedError(
+            "iceberg compact: table has row-level delete files — compacting "
+            "would collapse sequence numbers and resurrect deleted rows; "
+            "rewrite through the runtime jar or compact before deleting"
+        )
+    if any(d.get("renames") or d.get("absent") or d.get("dropped") for d in data):
+        raise NotImplementedError(
+            "iceberg compact: live files span schema evolution — read and "
+            "rewrite the table instead"
+        )
+
+    sized = []
+    for d in data:
+        size = os.path.getsize(d["path"])
+        sized.append({**d, "size": size})
+    groups: dict[tuple, list[dict]] = {}
+    for d in sized:
+        if d["size"] < target:
+            key = tuple(sorted((d.get("partition") or {}).items()))
+            groups.setdefault(key, []).append(d)
+    bins: list[tuple[tuple, list[dict]]] = []
+    for key, files in groups.items():
+        files.sort(key=lambda d: d["size"])
+        cur, size = [], 0
+        for d in files:
+            cur.append(d)
+            size += d["size"]
+            if size >= target:
+                if len(cur) >= min_group:
+                    bins.append((key, cur))
+                cur, size = [], 0
+        if len(cur) >= min_group:
+            bins.append((key, cur))
+    if not bins:
+        return {"compacted_files": 0, "new_files": 0}
+
+    meta_dir = os.path.join(table_path, "metadata")
+    prev_file = find_table_metadata(table_path)
+    m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
+    version = (int(m.group(1)) if m else prev_meta.get("__version", 0)) + 1
+    commit_uuid = str(uuid.uuid4())
+    now_ms = int(time.time() * 1000)
+    snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+
+    # partition avro fields + write schema come from a prior manifest's
+    # embedded writer schema — the spec-shaped source of truth for how
+    # THIS table encodes its partition record
+    prev_snap = next(
+        s for s in prev_meta["snapshots"]
+        if s.get("snapshot-id") == prev_meta.get("current-snapshot-id")
+    )
+    prev_list = re.sub(r"^file:/{0,2}(/)", r"\1", prev_snap["manifest-list"])
+    _, prev_manifests = read_ocf_file(prev_list)
+    prev_manifests = list(prev_manifests)
+    first_manifest = re.sub(
+        r"^file:/{0,2}(/)", r"\1", prev_manifests[0]["manifest_path"]
+    )
+    wschema, mmeta, _entries = read_ocf_file_with_meta(first_manifest)
+    df_rec = next(f for f in wschema["fields"] if f["name"] == "data_file")
+    part_avro_fields = next(
+        f for f in df_rec["type"]["fields"] if f["name"] == "partition"
+    )["type"]["fields"]
+    schema_json = (mmeta.get("schema") or b"{}").decode()
+    spec_json = (mmeta.get("partition-spec") or b"[]").decode()
+
+    cur_schema = next(
+        s for s in prev_meta["schemas"]
+        if s.get("schema-id", 0) == prev_meta.get("current-schema-id", 0)
+    )
+    colmap = {
+        f["name"]: (f["id"], f["type"])
+        for f in cur_schema["fields"]
+        if isinstance(f["type"], str)
+    }
+    compacted_paths = {d["path"] for _key, files in bins for d in files}
+
+    # 1. rewrite each bin (distributed parquet read+write per bin)
+    new_entries = []
+    added_rows = 0
+    data_dir = os.path.join(table_path, "data", f"compact-{commit_uuid}")
+    for i, (key, files) in enumerate(bins):
+        out_dir = os.path.join(data_dir, f"bin-{i:05d}")
+        spark.read.parquet(*[d["path"] for d in files]).coalesce(1).write.parquet(
+            out_dir
+        )
+        pv = dict(key)
+        for root, _dirs, names in os.walk(out_dir):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                fullp = os.path.join(root, name)
+                rows, fsize = _parquet_stats(fullp)
+                added_rows += rows
+                nulls, lows, highs = (
+                    _footer_column_stats(fullp, colmap) if colmap else (None,) * 3
+                )
+                new_entries.append({
+                    "status": _STATUS_ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": fullp,
+                        "file_format": "PARQUET",
+                        "partition": pv,
+                        "record_count": rows,
+                        "file_size_in_bytes": fsize,
+                        "null_value_counts": nulls,
+                        "lower_bounds": lows,
+                        "upper_bounds": highs,
+                        "equality_ids": None,
+                    },
+                })
+    # 2. consolidated EXISTING manifest for untouched files, original seqs
+    surviving = [d for d in sized if d["path"] not in compacted_paths]
+    existing_entries = []
+    existing_rows = 0
+    for d in surviving:
+        rows = int(d.get("record_count") or _parquet_stats(d["path"])[0])
+        existing_rows += rows
+        existing_entries.append({
+            "status": 0,  # EXISTING
+            "snapshot_id": None,
+            "sequence_number": d["seq"],
+            "file_sequence_number": d["seq"],
+            "data_file": {
+                "content": 0,
+                "file_path": d["path"],
+                "file_format": "PARQUET",
+                "partition": d.get("partition") or {},
+                "record_count": rows,
+                "file_size_in_bytes": d["size"],
+                "null_value_counts": d.get("null_value_counts"),
+                "lower_bounds": d.get("lower_bounds"),
+                "upper_bounds": d.get("upper_bounds"),
+                "equality_ids": None,
+            },
+        })
+
+    extra = {
+        "schema": schema_json,
+        "partition-spec": spec_json,
+        "partition-spec-id": "0",
+        "format-version": "2",
+        "content": "data",
+    }
+    manifests = []
+    mpaths = []
+    for tag, entries, counts in (
+        ("m0", new_entries, ("added", added_rows)),
+        ("m1", existing_entries, ("existing", existing_rows)),
+    ):
+        if not entries:
+            continue
+        mp = os.path.join(meta_dir, f"{commit_uuid}-{tag}.avro")
+        mb = write_ocf_bytes(
+            _manifest_entry_schema(part_avro_fields), entries, extra_meta=extra
+        )
+        with open(mp, "wb") as fh:
+            fh.write(mb)
+        kind, rows = counts
+        seqs = [e["sequence_number"] for e in entries]
+        manifests.append({
+            "manifest_path": mp,
+            "manifest_length": len(mb),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min(seqs),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries) if kind == "added" else 0,
+            "existing_files_count": len(entries) if kind == "existing" else 0,
+            "deleted_files_count": 0,
+            "added_rows_count": rows if kind == "added" else 0,
+            "existing_rows_count": rows if kind == "existing" else 0,
+            "deleted_rows_count": 0,
+        })
+        mpaths.append(mp)
+
+    list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
+    list_bytes = write_ocf_bytes(
+        _MANIFEST_FILE_SCHEMA,
+        manifests,
+        extra_meta={"format-version": "2", "snapshot-id": str(snapshot_id)},
+    )
+    with open(list_path, "wb") as fh:
+        fh.write(list_bytes)
+
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_path,
+        "schema-id": prev_meta.get("current-schema-id", 0),
+        "summary": {
+            "operation": "replace",
+            "added-data-files": str(len(new_entries)),
+            "deleted-data-files": str(len(compacted_paths)),
+            "added-records": str(added_rows),
+            "total-records": str(added_rows + existing_rows),
+            "total-data-files": str(len(new_entries) + len(existing_entries)),
+        },
+    }
+    meta = dict(prev_meta)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = list(prev_meta.get("snapshots", [])) + [snapshot]
+    meta["snapshot-log"] = (
+        list(prev_meta.get("snapshot-log", []))
+        + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
+    )[-10:]
+    meta["__version"] = version
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return {"compacted_files": len(compacted_paths), "new_files": len(new_entries)}
+
+
 def append_delete_files(table_path: str, delete_files: list[dict]) -> None:
     """Commit a merge-on-read snapshot adding v2 row-level DELETE files
     to an existing table — the write-side counterpart of the reader's

@@ -747,3 +747,86 @@ def test_data_filter_string_column_no_bounds_but_exact(spark, tmp_path):
         spark, {"path": tbl, "dataFilter": {"key": "s", "op": "isNull"}}
     )
     assert nn.count() == 1
+
+
+# --- rewrite-data-files compaction ------------------------------------------
+
+
+def test_iceberg_compact_binpacks(spark, tmp_path):
+    from pipeline_spark.sinks.iceberg_native import compact_iceberg_native
+
+    tbl = str(tmp_path / "ice_compact")
+    for i in range(5):
+        write_iceberg_native(
+            spark.range(i * 10, (i + 1) * 10).coalesce(1),
+            {"path": tbl, "mode": "append" if i else "create"},
+        )
+    before = read_iceberg_native(spark, {"path": tbl})
+    assert len(before.inputFiles()) == 5
+    res = compact_iceberg_native(spark, {"path": tbl, "targetFileBytes": 1 << 30})
+    assert res == {"compacted_files": 5, "new_files": 1}
+    after = read_iceberg_native(spark, {"path": tbl})
+    assert len(after.inputFiles()) == 1
+    assert sorted(r["id"] for r in after.collect()) == list(range(50))
+    # bounds survive the rewrite: skipping still prunes to nothing
+    none = read_iceberg_native(
+        spark, {"path": tbl, "dataFilter": {"key": "id", "op": ">", "value": 999}}
+    )
+    assert none.count() == 0
+    # previous snapshot still time-travels to the small-file layout
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    prev_snap = meta["snapshots"][-2]["snapshot-id"]
+    old = read_iceberg_native(spark, {"path": tbl, "snapshotId": prev_snap})
+    assert len(old.inputFiles()) == 5 and old.count() == 50
+    assert meta["snapshots"][-1]["summary"]["operation"] == "replace"
+
+
+def test_iceberg_compact_mixed_sizes_keeps_untouched(spark, tmp_path):
+    from pipeline_spark.sinks.iceberg_native import compact_iceberg_native
+
+    tbl = str(tmp_path / "ice_compact2")
+    # one big file (above threshold) + three small ones
+    write_iceberg_native(
+        spark.range(0, 20000).coalesce(1), {"path": tbl, "mode": "create"}
+    )
+    for i in range(3):
+        write_iceberg_native(
+            spark.range(20000 + i * 5, 20000 + (i + 1) * 5).coalesce(1),
+            {"path": tbl, "mode": "append"},
+        )
+    big_size = max(
+        __import__("os").path.getsize(f.replace("file:", ""))
+        for f in read_iceberg_native(spark, {"path": tbl}).inputFiles()
+    )
+    res = compact_iceberg_native(
+        spark, {"path": tbl, "targetFileBytes": big_size}
+    )
+    assert res["compacted_files"] == 3 and res["new_files"] == 1
+    after = read_iceberg_native(spark, {"path": tbl})
+    assert len(after.inputFiles()) == 2
+    assert after.count() == 20015
+
+
+def test_iceberg_compact_refuses_mor(spark, tmp_path):
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from pipeline_spark.sinks.iceberg_native import (
+        append_delete_files,
+        compact_iceberg_native,
+    )
+
+    tbl = str(tmp_path / "ice_compact_mor")
+    write_iceberg_native(
+        spark.range(0, 10).coalesce(1), {"path": tbl, "mode": "create"}
+    )
+    write_iceberg_native(
+        spark.range(10, 20).coalesce(1), {"path": tbl, "mode": "append"}
+    )
+    eq = str(tmp_path / "eq_del.parquet")
+    pq2.write_table(pa2.table({"id": pa2.array([3], pa2.int64())}), eq)
+    append_delete_files(tbl, [{"path": eq, "content": 2, "equality_ids": [1]}])
+    with pytest.raises(NotImplementedError, match="delete files"):
+        compact_iceberg_native(spark, {"path": tbl, "targetFileBytes": 1 << 30})
