@@ -403,6 +403,65 @@ def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     return {"compacted_files": len(removes), "new_files": len(adds)}
 
 
+def vacuum_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
+    """VACUUM: delete data files no RETAINED version references.
+
+    Compaction (and overwrites) leave tombstoned files on disk — the log
+    says "removed" but the bytes stay, and at crawl scale they dominate
+    storage within days.  This walks the table's data files, keeps every
+    file referenced by the adds of the last ``retainVersions`` versions
+    (default 1 = current only; raise it to keep time travel that deep),
+    and deletes the rest.  ``dryRun: true`` reports without deleting.
+
+    Non-data paths (_delta_log, non-parquet) are never touched.  Time
+    travel to versions older than the retention horizon will fail with
+    missing files afterwards — that is the operation's contract.
+    """
+    table = p.get("path") or p.get("table")
+    if not table:
+        raise ValueError("delta vacuum: 'path' is required")
+    retain = max(1, int(p.get("retainVersions", 1)))
+    dry = bool(p.get("dryRun", False))
+    current = latest_version(_log_dir(table))
+    if current is None:
+        raise FileNotFoundError(f"delta vacuum: no table at {table}")
+
+    referenced: set[str] = set()
+    for v in range(max(0, current - retain + 1), current + 1):
+        adds, _m, _p2, _v, _t = replay_state(table, v)
+        for a in adds:
+            referenced.add(
+                os.path.normpath(
+                    os.path.join(table, urllib.parse.unquote(a["path"]))
+                )
+            )
+
+    removed = 0
+    kept = 0
+    for root, dirs, files in os.walk(table):
+        if "_delta_log" in dirs:
+            dirs.remove("_delta_log")
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.normpath(os.path.join(root, name))
+            if full in referenced:
+                kept += 1
+            else:
+                removed += 1
+                if not dry:
+                    os.remove(full)
+    if not dry:
+        # prune now-empty data directories
+        for root, _dirs, _files in os.walk(table, topdown=False):
+            if root != str(table) and not os.listdir(root):
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+    return {"removed_files": removed, "kept_files": kept}
+
+
 def write_checkpoint(table: str, version: int) -> None:
     """Single-part checkpoint parquet + _last_checkpoint hint.
 
@@ -505,10 +564,14 @@ def delta_sink(ctx: ModuleContext) -> dict[str, Any]:
     """
     df = ctx.input
     p = ctx.params
-    if str(p.get("mode", "")).lower() == "compact":
+    maintenance = str(p.get("mode", "")).lower()
+    if maintenance in ("compact", "vacuum"):
         # table maintenance: the input only provides the session; the
         # table itself is the operand
-        compact_delta_native(ctx.spark, p)
+        if maintenance == "compact":
+            compact_delta_native(ctx.spark, p)
+        else:
+            vacuum_delta_native(ctx.spark, p)
         return {}
     if not df.isStreaming:
         write_delta_native(ctx.spark, df, p)

@@ -655,3 +655,57 @@ def test_compact_partitioned_and_below_threshold(spark, tmp_path):
     # nothing left under threshold: second compact is a no-op
     res2 = compact_delta_native(spark, {"path": tbl, "targetFileBytes": 10})
     assert res2 == {"compacted_files": 0, "new_files": 0}
+
+
+def test_vacuum_removes_unreferenced_keeps_retained(spark, tmp_path):
+    import os
+
+    from pipeline_spark.sinks.delta_native import (
+        compact_delta_native,
+        vacuum_delta_native,
+    )
+
+    tbl = str(tmp_path / "vac_tbl")
+    for i in range(4):
+        write_delta_native(
+            spark, spark.range(i * 10, (i + 1) * 10).coalesce(1),
+            {"path": tbl, "mode": "append" if i else "errorifexists"},
+        )
+    compact_delta_native(spark, {"path": tbl, "targetFileBytes": 1 << 30})
+
+    def count_parquet():
+        n = 0
+        for root, dirs, files in os.walk(tbl):
+            if "_delta_log" in dirs:
+                dirs.remove("_delta_log")
+            n += sum(f.endswith(".parquet") for f in files)
+        return n
+
+    assert count_parquet() == 5  # 4 tombstoned + 1 compacted
+    dry = vacuum_delta_native(spark, {"path": tbl, "dryRun": True})
+    assert dry == {"removed_files": 4, "kept_files": 1}
+    assert count_parquet() == 5  # dry run touched nothing
+    res = vacuum_delta_native(spark, {"path": tbl})
+    assert res == {"removed_files": 4, "kept_files": 1}
+    assert count_parquet() == 1
+    after = read_delta_native(spark, {"path": tbl})
+    assert sorted(r["id"] for r in after.collect()) == list(range(40))
+
+
+def test_vacuum_retain_versions_preserves_time_travel(spark, tmp_path):
+    from pipeline_spark.sinks.delta_native import vacuum_delta_native
+
+    tbl = str(tmp_path / "vac_tt")
+    write_delta_native(spark, spark.range(0, 10).coalesce(1), {"path": tbl})
+    write_delta_native(
+        spark, spark.range(10, 20).coalesce(1),
+        {"path": tbl, "mode": "overwrite"},
+    )
+    # retain both versions: the overwritten file survives
+    res = vacuum_delta_native(spark, {"path": tbl, "retainVersions": 2})
+    assert res["removed_files"] == 0
+    assert read_delta_native(spark, {"path": tbl, "versionAsOf": 0}).count() == 10
+    # retain only current: version 0's file goes
+    res2 = vacuum_delta_native(spark, {"path": tbl})
+    assert res2 == {"removed_files": 1, "kept_files": 1}
+    assert read_delta_native(spark, {"path": tbl}).count() == 10
