@@ -157,11 +157,18 @@ def _bigquery_native_write(ctx: ModuleContext, p: dict, table: str) -> None:
 @module("iceberg", kind=KIND_SINK)
 def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
-    if str(p.get("mode", "")).lower() == "compact":
-        # table maintenance: bin-pack small files into a replace snapshot
-        from pipeline_spark.sinks.iceberg_native import compact_iceberg_native
+    maintenance = str(p.get("mode", "")).lower()
+    if maintenance in ("compact", "expire"):
+        # table maintenance: the table is the operand, not the input
+        from pipeline_spark.sinks.iceberg_native import (
+            compact_iceberg_native,
+            expire_iceberg_native,
+        )
 
-        compact_iceberg_native(ctx.spark, p)
+        if maintenance == "compact":
+            compact_iceberg_native(ctx.spark, p)
+        else:
+            expire_iceberg_native(ctx.spark, p)
         return {"": ctx.input}
     try:
         _require_connector(ctx, "iceberg", "org.apache.iceberg.spark.SparkCatalog")

@@ -893,6 +893,109 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     return {"compacted_files": len(compacted_paths), "new_files": len(new_entries)}
 
 
+def expire_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
+    """expire_snapshots + the file cleanup it enables.
+
+    Drops all but the last ``retainLast`` snapshots from table metadata,
+    then deletes every data/delete parquet and manifest/manifest-list
+    avro that NO retained snapshot references (live-file union via the
+    same metadata walk the reader uses).  ``dryRun: true`` reports only.
+    Storage reclamation is the point: compaction's replace snapshots
+    keep old files alive for time travel until expiry lets them go.
+    """
+    from pipeline_spark.functions.avroocf import read_ocf_file
+    from pipeline_spark.sources.iceberg_native import plan_files
+
+    table_path = re.sub(r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table")))
+    retain_last = max(1, int(p.get("retainLast", 1)))
+    dry = bool(p.get("dryRun", False))
+    meta_dir = os.path.join(table_path, "metadata")
+    prev_file = find_table_metadata(table_path)
+    with open(prev_file) as fh:
+        prev_meta = json.load(fh)
+    snaps = list(prev_meta.get("snapshots", []))
+    if len(snaps) <= retain_last:
+        return {"expired_snapshots": 0, "removed_data_files": 0,
+                "removed_manifests": 0}
+    keep, drop = snaps[-retain_last:], snaps[:-retain_last]
+    if prev_meta.get("current-snapshot-id") not in {
+        s["snapshot-id"] for s in keep
+    }:
+        raise ValueError("iceberg expire: cannot expire the current snapshot")
+
+    kept_parquet: set[str] = set()
+    kept_avro: set[str] = set()
+    for s in keep:
+        lst = re.sub(r"^file:/{0,2}(/)", r"\1", s["manifest-list"])
+        kept_avro.add(os.path.normpath(lst))
+        _, manifests = read_ocf_file(lst)
+        for mf in manifests:
+            kept_avro.add(
+                os.path.normpath(
+                    re.sub(r"^file:/{0,2}(/)", r"\1", mf["manifest_path"])
+                )
+            )
+        data, deletes, _m = plan_files(table_path, s["snapshot-id"])
+        for rec in list(data) + list(deletes):
+            kept_parquet.add(os.path.normpath(rec["path"]))
+
+    removed_data = 0
+    for root, dirs, files in os.walk(table_path):
+        if os.path.normpath(root) == os.path.normpath(meta_dir):
+            dirs[:] = []
+            continue
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.normpath(os.path.join(root, name))
+            if full not in kept_parquet:
+                removed_data += 1
+                if not dry:
+                    os.remove(full)
+    removed_manifests = 0
+    for name in os.listdir(meta_dir):
+        if not name.endswith(".avro"):
+            continue
+        full = os.path.normpath(os.path.join(meta_dir, name))
+        if full not in kept_avro:
+            removed_manifests += 1
+            if not dry:
+                os.remove(full)
+
+    if not dry:
+        m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
+        version = (int(m.group(1)) if m else prev_meta.get("__version", 0)) + 1
+        now_ms = int(time.time() * 1000)
+        kept_ids = {s["snapshot-id"] for s in keep}
+        meta = dict(prev_meta)
+        meta["snapshots"] = keep
+        meta["snapshot-log"] = [
+            e for e in prev_meta.get("snapshot-log", [])
+            if e.get("snapshot-id") in kept_ids
+        ][-10:]
+        meta["last-updated-ms"] = now_ms
+        meta["__version"] = version
+        with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+            json.dump(meta, fh)
+        with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+            fh.write(str(version))
+        for root, _dirs, _files in os.walk(table_path, topdown=False):
+            if (
+                os.path.normpath(root) not in (os.path.normpath(table_path),
+                                               os.path.normpath(meta_dir))
+                and not os.listdir(root)
+            ):
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+    return {
+        "expired_snapshots": len(drop),
+        "removed_data_files": removed_data,
+        "removed_manifests": removed_manifests,
+    }
+
+
 def append_delete_files(table_path: str, delete_files: list[dict]) -> None:
     """Commit a merge-on-read snapshot adding v2 row-level DELETE files
     to an existing table — the write-side counterpart of the reader's

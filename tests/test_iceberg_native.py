@@ -830,3 +830,64 @@ def test_iceberg_compact_refuses_mor(spark, tmp_path):
     append_delete_files(tbl, [{"path": eq, "content": 2, "equality_ids": [1]}])
     with pytest.raises(NotImplementedError, match="delete files"):
         compact_iceberg_native(spark, {"path": tbl, "targetFileBytes": 1 << 30})
+
+
+def test_iceberg_expire_snapshots_reclaims_files(spark, tmp_path):
+    import os
+
+    from pipeline_spark.sinks.iceberg_native import (
+        compact_iceberg_native,
+        expire_iceberg_native,
+    )
+
+    tbl = str(tmp_path / "ice_expire")
+    for i in range(3):
+        write_iceberg_native(
+            spark.range(i * 10, (i + 1) * 10).coalesce(1),
+            {"path": tbl, "mode": "append" if i else "create"},
+        )
+    compact_iceberg_native(spark, {"path": tbl, "targetFileBytes": 1 << 30})
+
+    def count(ext, under=None):
+        n = 0
+        for root, _d, files in os.walk(under or tbl):
+            n += sum(f.endswith(ext) for f in files)
+        return n
+
+    assert count(".parquet") == 4  # 3 originals + 1 compacted
+    dry = expire_iceberg_native(spark, {"path": tbl, "dryRun": True})
+    assert dry["expired_snapshots"] == 3 and dry["removed_data_files"] == 3
+    assert count(".parquet") == 4
+    res = expire_iceberg_native(spark, {"path": tbl})
+    assert res["expired_snapshots"] == 3
+    assert res["removed_data_files"] == 3
+    assert res["removed_manifests"] > 0
+    assert count(".parquet") == 1
+    after = read_iceberg_native(spark, {"path": tbl})
+    assert sorted(r["id"] for r in after.collect()) == list(range(30))
+    # only one snapshot remains
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    assert len(meta["snapshots"]) == 1
+
+
+def test_iceberg_expire_retain_last_keeps_time_travel(spark, tmp_path):
+    from pipeline_spark.sinks.iceberg_native import expire_iceberg_native
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    tbl = str(tmp_path / "ice_expire2")
+    for i in range(3):
+        write_iceberg_native(
+            spark.range(i * 10, (i + 1) * 10).coalesce(1),
+            {"path": tbl, "mode": "append" if i else "create"},
+        )
+    res = expire_iceberg_native(spark, {"path": tbl, "retainLast": 2})
+    assert res["expired_snapshots"] == 1
+    # appends share data files across snapshots: nothing deletable yet
+    assert res["removed_data_files"] == 0
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    assert len(meta["snapshots"]) == 2
+    prev = meta["snapshots"][0]["snapshot-id"]
+    old = read_iceberg_native(spark, {"path": tbl, "snapshotId": prev})
+    assert old.count() == 20
