@@ -31,6 +31,25 @@ def stage_stream_inputs():
     if tbl.exists():
         shutil.rmtree(tbl)
     build_table(tbl, codec="deflate")
+    # the lakehouse-maintenance example compacts+vacuums a staged Delta
+    # table of small-file appends (rebuilt fresh per session — the
+    # example mutates it)
+    import pathlib as _pl
+
+    tbl = _pl.Path("/tmp/pipeline_in/delta_tbl")
+    if tbl.exists():
+        shutil.rmtree(tbl)
+    from pyspark.sql import SparkSession as _S
+
+    from pipeline_spark.sinks.delta_native import write_delta_native
+
+    _spark = _S.builder.getOrCreate()
+    for i in range(4):
+        write_delta_native(
+            _spark,
+            _spark.range(i * 10, (i + 1) * 10).coalesce(1),
+            {"path": str(tbl), "mode": "append" if i else "errorifexists"},
+        )
     # the commoncrawl example reads a staged WARC archive built from the
     # documents table wrapped as crawled HTML pages
     import pyarrow.parquet as pq
