@@ -3321,6 +3321,53 @@ FROM customer GROUP BY c_mktsegment
 """
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """storage ORC (Spark-native columnar alternative): part rows written
+    as zstd ORC by the sink, read back by the source, aggregated; the
+    oracle aggregates the original table."""
+    import os
+    import shutil
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), "pipeline_spark_orc_rt")
+    shutil.rmtree(out, ignore_errors=True)
+    run_pipeline(spark, parse_config(f"""
+sources:
+  - name: part
+    module: storage
+    parameters: {{format: parquet, input: {sf_dir}/part.parquet}}
+sinks:
+  - name: w
+    module: storage
+    inputs: [part]
+    parameters: {{format: orc, output: {out}, compression: zstd}}
+"""))
+    outs = run_pipeline(spark, parse_config(f"""
+sources:
+  - name: back
+    module: storage
+    parameters: {{format: orc, input: {out}}}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [back]
+    parameters:
+      groupFields: [p_brand]
+      aggregations:
+        - {{name: n, op: count}}
+        - {{name: total_retail, op: sum, field: p_retailprice}}
+"""))
+    return outs["agg"].select(
+        "p_brand", "n", F.round("total_retail", 2).alias("total_retail")
+    )
+
+
+Q_ORC_SQL = """
+SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total_retail
+FROM part GROUP BY p_brand
+"""
+
+
 def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """iceberg sink+source with the native (jar-free) commit path: supplier
     rows committed to a filesystem Iceberg v2 table (parquet data + OCF
@@ -3718,6 +3765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_recognize_chunked": q_match_recognize_chunked,
         "multimodal_decode": q_multimodal_decode,
         "storage_avro_roundtrip": q_storage_avro_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
         "iceberg_roundtrip": q_iceberg_roundtrip,
         "iceberg_partitioned": q_iceberg_partitioned,
         "iceberg_mor_roundtrip": q_iceberg_mor_roundtrip,
@@ -3812,6 +3860,7 @@ def oracle_sql() -> dict[str, str]:
         "match_recognize_chunked": Q_MATCHREC_CHUNKED_SQL,
         "multimodal_decode": Q_MULTIMODAL_DECODE_SQL,
         "storage_avro_roundtrip": Q_STORAGE_AVRO_SQL,
+        "orc_roundtrip": Q_ORC_SQL,
         "iceberg_roundtrip": Q_ICEBERG_SQL,
         "iceberg_partitioned": Q_ICEBERG_PART_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,

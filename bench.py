@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "multimodal_decode",
     "storage_avro_roundtrip",
     "warc_roundtrip",
+    "orc_roundtrip",
     "gopher_rules",
     "linear_regression",
     "iceberg_roundtrip",

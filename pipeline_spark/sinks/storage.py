@@ -162,6 +162,10 @@ def storage_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
         writer.option("header", str(bool(p.get("header", True))).lower()).csv(path)
     elif fmt in ("json", "jsonl"):
         writer.json(path)
+    elif fmt == "orc":
+        if codec:
+            writer = writer.option("compression", codec.lower())
+        writer.orc(path)
     else:
         raise ValueError(f"storage sink: unsupported format '{fmt}'")
     return {"": df}

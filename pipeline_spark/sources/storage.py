@@ -98,6 +98,8 @@ def storage_source(ctx: ModuleContext) -> dict[str, DataFrame]:
             reader = reader.option("maxFilesPerTrigger", int(p["maxFilesPerTrigger"]))
         if fmt == "parquet":
             df = reader.parquet(paths[0])
+        elif fmt == "orc":
+            df = reader.orc(paths[0])
         elif fmt == "csv":
             df = reader.option("header", "true").csv(paths[0])
         elif fmt in ("json", "jsonl"):
@@ -165,6 +167,8 @@ def storage_source(ctx: ModuleContext) -> dict[str, DataFrame]:
         df = reader.options(**opts).csv(paths)
     elif fmt in ("json", "jsonl"):
         df = reader.json(paths)
+    elif fmt == "orc":
+        df = reader.orc(*paths)
     else:
         raise ValueError(f"storage source: unsupported format '{fmt}'")
 

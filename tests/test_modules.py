@@ -1511,3 +1511,44 @@ def test_sentence_tokenizer_and_opennlp_standin(spark):
         tokenize_column(F.col("t"), {"type": "opennlp"}, []).alias("w")
     ).collect()[0]["w"]
     assert words == ["A", "b", "C", "d", "E"]
+
+
+def test_storage_orc_roundtrip_and_streaming(spark, tmp_path):
+    """ORC through the storage source/sink: batch write+read with
+    compression, and the file-stream source on the same directory."""
+    from pyspark.sql import Row
+
+    from pipeline_spark.registry import ModuleContext
+    from pipeline_spark.sinks.storage import storage_sink
+    from pipeline_spark.sources.storage import storage_source
+
+    out = str(tmp_path / "orc_out")
+    df = spark.createDataFrame([Row(a=i, b=f"s{i}") for i in range(50)])
+    storage_sink(
+        ModuleContext(
+            spark=spark, name="w",
+            params={"format": "orc", "output": out, "compression": "zstd"},
+            inputs=[df], input_names=["in"], side_inputs={},
+        )
+    )
+    back = storage_source(
+        ModuleContext(
+            spark=spark, name="r", params={"format": "orc", "input": out},
+            inputs=[], input_names=[], side_inputs={},
+        )
+    )[""]
+    assert sorted(r["a"] for r in back.collect()) == list(range(50))
+    stream = storage_source(
+        ModuleContext(
+            spark=spark, name="s",
+            params={"format": "orc", "input": out, "mode": "streaming"},
+            inputs=[], input_names=[], side_inputs={},
+        )
+    )[""]
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory").queryName("orc_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("SELECT count(*) c FROM orc_stream").first()["c"] == 50
