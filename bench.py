@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "image_codec_roundtrip",
     "audio_roundtrip",
     "html_extract",
+    "sentence_split",
+    "video_meta",
     "url_normalize",
     "audio_meta",
     "chunk_windows",
