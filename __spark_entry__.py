@@ -2993,6 +2993,79 @@ GROUP BY o_orderstatus
 """
 
 
+def q_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE WHERE on a native Delta table (copy-on-write,
+    stats-guided so untouched files never move), then aggregate the
+    survivors; the oracle applies the negated predicate directly.
+    Nulls in the predicate column are kept (they did not match)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pipeline_spark.sinks.delta_native import (
+        delete_delta_native,
+        write_delta_native,
+    )
+    from pipeline_spark.sources.delta_native import read_delta_native
+
+    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_delta_del")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_delta_native(spark, orders, {"path": tbl})
+    delete_delta_native(spark, {"path": tbl, "where": [
+        {"key": "o_orderstatus", "op": "=", "value": "F"},
+        {"key": "o_totalprice", "op": ">", "value": 150000.0},
+    ]})
+    df = read_delta_native(spark, {"path": tbl})
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+Q_DELTA_DELETE_SQL = """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0)
+GROUP BY o_orderstatus
+"""
+
+
+def q_iceberg_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE WHERE on a native Iceberg table via merge-on-read
+    position deletes — no data file rewritten; the reader's anti-join
+    applies the delete file.  Oracle = the negated predicate."""
+    import os
+    import shutil
+    import tempfile
+
+    from pipeline_spark.sinks.iceberg_native import (
+        delete_iceberg_native,
+        write_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_ice_del")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_iceberg_native(orders, {"path": tbl, "mode": "create"})
+    delete_iceberg_native(spark, {"path": tbl, "where": [
+        {"key": "o_orderpriority", "op": "=", "value": "1-URGENT"},
+    ]})
+    df = read_iceberg_native(spark, {"path": tbl})
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+Q_ICE_DELETE_SQL = """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+FROM orders WHERE o_orderpriority <> '1-URGENT'
+GROUP BY o_orderstatus
+"""
+
+
 def q_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """delta sink+source with the native (jar-free) path: supplier rows
     committed to a partitioned filesystem Delta table (parquet data +
@@ -3782,6 +3855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_mix": q_dataset_mix,
         "delta_roundtrip": q_delta_roundtrip,
         "delta_skipping": q_delta_skipping,
+        "delta_delete": q_delta_delete,
+        "iceberg_delete": q_iceberg_delete,
         "iceberg_skipping": q_iceberg_skipping,
         "dsir_scores": q_dsir_scores,
     }
@@ -3877,6 +3952,8 @@ def oracle_sql() -> dict[str, str]:
         "dataset_mix": Q_DATASET_MIX_SQL,
         "delta_roundtrip": Q_DELTA_SQL,
         "delta_skipping": Q_DELTA_SKIP_SQL,
+        "delta_delete": Q_DELTA_DELETE_SQL,
+        "iceberg_delete": Q_ICE_DELETE_SQL,
         "iceberg_skipping": Q_ICE_SKIP_SQL,
         "dsir_scores": Q_DSIR_SQL,
     }

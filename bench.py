@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "iceberg_partitioned",
     "delta_skipping",
     "iceberg_skipping",
+    "delta_delete",
+    "iceberg_delete",
     "perplexity_filter",
     "dataset_mix",
     "delta_roundtrip",

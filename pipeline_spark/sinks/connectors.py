@@ -158,17 +158,20 @@ def _bigquery_native_write(ctx: ModuleContext, p: dict, table: str) -> None:
 def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
     maintenance = str(p.get("mode", "")).lower()
-    if maintenance in ("compact", "expire"):
-        # table maintenance: the table is the operand, not the input
+    if maintenance in ("compact", "expire", "delete"):
+        # table maintenance/mutation: the table is the operand, not the input
         from pipeline_spark.sinks.iceberg_native import (
             compact_iceberg_native,
+            delete_iceberg_native,
             expire_iceberg_native,
         )
 
         if maintenance == "compact":
             compact_iceberg_native(ctx.spark, p)
-        else:
+        elif maintenance == "expire":
             expire_iceberg_native(ctx.spark, p)
+        else:
+            delete_iceberg_native(ctx.spark, p)
         return {"": ctx.input}
     try:
         _require_connector(ctx, "iceberg", "org.apache.iceberg.spark.SparkCatalog")

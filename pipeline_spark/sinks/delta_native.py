@@ -403,6 +403,133 @@ def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     return {"compacted_files": len(removes), "new_files": len(adds)}
 
 
+def delete_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
+    """Row-level DELETE WHERE, copy-on-write (the jar-free Delta shape).
+
+    Stats-guided: only files whose ``add.stats`` ADMIT a match are
+    candidates; each candidate partition group is re-read, rows matching
+    the predicate drop (predicate-NULL rows are KEPT — they did not
+    match), and survivors rewrite as new files in one remove+add commit
+    with ``dataChange: true``.  Untouched files never move — at 100 TB a
+    targeted takedown rewrites the handful of files the bounds can't
+    exclude, not the table.  ``where`` = the readers' dataFilter shape.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from pipeline_spark.sources.delta_native import (
+        _stats_may_match,
+        data_filter_condition,
+    )
+
+    table = p.get("path") or p.get("table")
+    if not table:
+        raise ValueError("delta delete: 'path' is required")
+    where = p.get("where")
+    if not where:
+        raise ValueError("delta delete: 'where' predicate list is required")
+    if isinstance(where, dict):
+        where = [where]
+    prev_adds, meta, _proto, _v, _txns = replay_state(table)
+    prev_version = latest_version(_log_dir(table))
+    part_cols = list(meta.get("partitionColumns") or [])
+    full = StructType.fromJson(json.loads(meta["schemaString"]))
+    fschema = StructType([f for f in full.fields if f.name not in part_cols])
+    types = {f.name: f.dataType for f in full.fields}
+
+    candidates = [a for a in prev_adds if _stats_may_match(a, where, None)]
+    if not candidates:
+        return {"deleted_rows": 0, "rewritten_files": 0}
+
+    groups: dict[tuple, list[dict]] = {}
+    for a in candidates:
+        key = tuple(sorted((a.get("partitionValues") or {}).items()))
+        groups.setdefault(key, []).append(a)
+
+    cond = data_filter_condition(where)
+    commit_id = uuid.uuid4().hex
+    data_dir = f"data-delete-{commit_id}"
+    now_ms = int(time.time() * 1000)
+    adds: list[dict] = []
+    removes: list[dict] = []
+    deleted = 0
+    for i, (key, files) in enumerate(groups.items()):
+        paths = [
+            os.path.join(table, urllib.parse.unquote(a["path"])) for a in files
+        ]
+        df = spark.read.schema(fschema).parquet(*paths)
+        pv = dict(key)
+        for c, v in pv.items():
+            df = df.withColumn(
+                c,
+                F.lit(v).cast(types[c]) if v is not None else F.lit(None).cast(types[c]),
+            )
+        n_match = df.where(cond).count()
+        if n_match == 0:
+            continue  # bounds admitted a match the data doesn't contain
+        deleted += n_match
+        keep = df.where(~F.coalesce(cond, F.lit(False))).select(
+            *[f.name for f in fschema.fields]
+        )
+        out_dir = os.path.join(table, data_dir, f"grp-{i:05d}")
+        keep.write.parquet(out_dir)
+        for root, _dirs, names in os.walk(out_dir):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                fullp = os.path.join(root, name)
+                rel = os.path.relpath(fullp, table)
+                adds.append({
+                    "path": urllib.parse.quote(rel.replace(os.sep, "/"), safe="/="),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(fullp),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "__full_path__": fullp,
+                })
+        for a in files:
+            removes.append({
+                "path": a["path"],
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "partitionValues": a.get("partitionValues") or {},
+            })
+    if not removes:
+        return {"deleted_rows": 0, "rewritten_files": 0}
+
+    stats_map = _collect_file_stats(spark, [a["__full_path__"] for a in adds])
+    for a in adds:
+        st = stats_map.get(a.pop("__full_path__"))
+        if st:
+            a["stats"] = st
+    actions = (
+        [{"remove": r} for r in removes]
+        + [{"add": a} for a in adds]
+        + [{
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": json.dumps(where)},
+            }
+        }]
+    )
+    version = prev_version + 1
+    commit_path = os.path.join(_log_dir(table), f"{version:020d}.json")
+    tmp = commit_path + f".{commit_id}.tmp"
+    with open(tmp, "w") as fh:
+        for action in actions:
+            fh.write(json.dumps(action) + "\n")
+    try:
+        os.link(tmp, commit_path)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise FileExistsError(
+            f"delta delete: concurrent commit raced on version {version}"
+        ) from None
+    os.unlink(tmp)
+    return {"deleted_rows": deleted, "rewritten_files": len(removes)}
+
+
 def vacuum_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     """VACUUM: delete data files no RETAINED version references.
 
@@ -565,13 +692,15 @@ def delta_sink(ctx: ModuleContext) -> dict[str, Any]:
     df = ctx.input
     p = ctx.params
     maintenance = str(p.get("mode", "")).lower()
-    if maintenance in ("compact", "vacuum"):
-        # table maintenance: the input only provides the session; the
-        # table itself is the operand
+    if maintenance in ("compact", "vacuum", "delete"):
+        # table maintenance/mutation: the input only provides the session;
+        # the table itself is the operand
         if maintenance == "compact":
             compact_delta_native(ctx.spark, p)
-        else:
+        elif maintenance == "vacuum":
             vacuum_delta_native(ctx.spark, p)
+        else:
+            delete_delta_native(ctx.spark, p)
         return {}
     if not df.isStreaming:
         write_delta_native(ctx.spark, df, p)

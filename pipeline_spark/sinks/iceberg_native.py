@@ -893,6 +893,80 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     return {"compacted_files": len(compacted_paths), "new_files": len(new_entries)}
 
 
+def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
+    """Row-level DELETE WHERE via merge-on-read position deletes.
+
+    The GDPR/takedown shape: removing a few rows from a 100 TB table
+    must not rewrite the table.  This scans the live data files with the
+    ``_metadata.file_path``/``row_index`` virtual columns (exact row
+    addressing, zero extra shuffle), writes one spec-shaped position
+    delete parquet (columns ``file_path``/``pos``, sorted as the spec
+    requires), and commits it with ``append_delete_files`` — the reader
+    applies it via its existing anti-join.  ``where`` takes the same
+    predicate list as the readers' ``dataFilter``.
+    """
+    import pyspark.sql.functions as F
+
+    from pipeline_spark.sources.delta_native import _apply_data_filter
+    from pipeline_spark.sources.iceberg_native import plan_files
+
+    table_path = re.sub(r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table")))
+    where = p.get("where")
+    if not where:
+        raise ValueError("iceberg delete: 'where' predicate list is required")
+    if isinstance(where, dict):
+        where = [where]
+    data, _deletes, _meta = plan_files(table_path)
+    if any(d.get("renames") or d.get("absent") or d.get("dropped") for d in data):
+        raise NotImplementedError(
+            "iceberg delete: live files span schema evolution — use the "
+            "runtime jar"
+        )
+    df = spark.read.parquet(*[d["path"] for d in data]).select(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "").alias(
+            "file_path"
+        ),
+        F.col("_metadata.row_index").alias("pos"),
+        "*",
+    )
+    matches = (
+        _apply_data_filter(df, where)
+        .select("file_path", "pos")
+        .orderBy("file_path", "pos")
+    )
+    # the driver materializes the delete file (one small parquet is the
+    # POINT of position deletes); a predicate matching a large fraction
+    # of the table should rewrite instead — fail fast, don't OOM
+    max_rows = int(p.get("maxDeleteRows", 1_000_000))
+    rows = matches.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"iceberg delete: predicate matches more than maxDeleteRows="
+            f"{max_rows} rows — that is a rewrite (overwrite with the "
+            "negated predicate), not a position delete"
+        )
+    if not rows:
+        return {"deleted_rows": 0}
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(
+        table_path, "data", f"delete-{uuid.uuid4().hex}.parquet"
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([r["file_path"] for r in rows], pa.string()),
+                "pos": pa.array([int(r["pos"]) for r in rows], pa.int64()),
+            }
+        ),
+        out,
+    )
+    append_delete_files(table_path, [{"path": out, "content": 1}])
+    return {"deleted_rows": len(rows)}
+
+
 def expire_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     """expire_snapshots + the file cleanup it enables.
 

@@ -380,13 +380,14 @@ def _stats_may_match(a: dict, dfilter: list[dict], schema) -> bool:
     return True
 
 
-def _apply_data_filter(df, dfilter: list[dict]):
-    """The row-level semantics of dataFilter — file skipping is only an
-    optimization layered under this."""
+def data_filter_condition(dfilter: list[dict]):
+    """The AND of a predicate list as one Column (shared by the readers'
+    dataFilter and the writers' delete-WHERE)."""
     from pyspark.sql import functions as F
 
     if isinstance(dfilter, dict):
         dfilter = [dfilter]
+    conds = []
     for f in dfilter:
         key, op = f.get("key"), str(f.get("op", "=")).lower()
         want = f.get("value")
@@ -411,8 +412,17 @@ def _apply_data_filter(df, dfilter: list[dict]):
             cond = c.isNotNull()
         else:
             raise ValueError(f"delta dataFilter: unknown op '{op}'")
-        df = df.where(cond)
-    return df
+        conds.append(cond)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def _apply_data_filter(df, dfilter: list[dict]):
+    """The row-level semantics of dataFilter — file skipping is only an
+    optimization layered under this."""
+    return df.where(data_filter_condition(dfilter))
 
 
 def read_delta_native(spark, p: dict[str, Any]):

@@ -709,3 +709,76 @@ def test_vacuum_retain_versions_preserves_time_travel(spark, tmp_path):
     res2 = vacuum_delta_native(spark, {"path": tbl})
     assert res2 == {"removed_files": 1, "kept_files": 1}
     assert read_delta_native(spark, {"path": tbl}).count() == 10
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sinks.delta_native import delete_delta_native
+
+    tbl = str(tmp_path / "del_tbl")
+    # three disjoint-range files; the predicate touches only the middle one
+    for i, (lo, hi) in enumerate(((0, 100), (100, 200), (200, 300))):
+        write_delta_native(
+            spark, spark.range(lo, hi).coalesce(1),
+            {"path": tbl, "mode": "append" if i else "errorifexists"},
+        )
+    before_files = set(read_delta_native(spark, {"path": tbl}).inputFiles())
+    res = delete_delta_native(
+        spark, {"path": tbl, "where": [
+            {"key": "id", "op": ">=", "value": 150},
+            {"key": "id", "op": "<", "value": 160},
+        ]},
+    )
+    assert res["deleted_rows"] == 10 and res["rewritten_files"] == 1
+    after = read_delta_native(spark, {"path": tbl})
+    ids = sorted(r["id"] for r in after.collect())
+    assert ids == [i for i in range(300) if not (150 <= i < 160)]
+    # stats-guided: the two untouched files were not rewritten
+    after_files = set(after.inputFiles())
+    assert len(before_files & after_files) == 2
+    # no-match predicate: no commit
+    res2 = delete_delta_native(
+        spark, {"path": tbl, "where": {"key": "id", "op": ">", "value": 9999}}
+    )
+    assert res2 == {"deleted_rows": 0, "rewritten_files": 0}
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from pipeline_spark.sinks.delta_native import delete_delta_native
+
+    tbl = str(tmp_path / "del_nulls")
+    df = spark.createDataFrame(
+        [Row(k=1, s="drop"), Row(k=2, s=None), Row(k=3, s="keep")]
+    ).coalesce(1)
+    write_delta_native(spark, df, {"path": tbl})
+    res = delete_delta_native(
+        spark, {"path": tbl, "where": {"key": "s", "op": "=", "value": "drop"}}
+    )
+    assert res["deleted_rows"] == 1
+    rows = {r["k"]: r["s"] for r in read_delta_native(spark, {"path": tbl}).collect()}
+    # the NULL row did not match the predicate — it must survive
+    assert rows == {2: None, 3: "keep"}
+
+
+def test_delete_where_partitioned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sinks.delta_native import delete_delta_native
+
+    tbl = str(tmp_path / "del_part")
+    df = spark.range(0, 100).withColumn("grp", (F.col("id") % 2).cast("int"))
+    write_delta_native(spark, df, {"path": tbl, "partitionBy": ["grp"]})
+    # predicate on the partition column + a data column
+    res = delete_delta_native(
+        spark, {"path": tbl, "where": [
+            {"key": "grp", "op": "=", "value": 1},
+            {"key": "id", "op": "<", "value": 10},
+        ]},
+    )
+    assert res["deleted_rows"] == 5  # ids 1,3,5,7,9
+    after = read_delta_native(spark, {"path": tbl})
+    ids = sorted(r["id"] for r in after.collect())
+    assert ids == [i for i in range(100) if not (i % 2 == 1 and i < 10)]

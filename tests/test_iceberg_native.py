@@ -891,3 +891,48 @@ def test_iceberg_expire_retain_last_keeps_time_travel(spark, tmp_path):
     prev = meta["snapshots"][0]["snapshot-id"]
     old = read_iceberg_native(spark, {"path": tbl, "snapshotId": prev})
     assert old.count() == 20
+
+
+def test_delete_where_position_deletes(spark, tmp_path):
+    from pipeline_spark.sinks.iceberg_native import delete_iceberg_native
+
+    tbl = str(tmp_path / "ice_del")
+    for i in range(2):
+        write_iceberg_native(
+            spark.range(i * 100, (i + 1) * 100).coalesce(1),
+            {"path": tbl, "mode": "append" if i else "create"},
+        )
+    res = delete_iceberg_native(
+        spark, {"path": tbl, "where": [
+            {"key": "id", "op": ">=", "value": 95},
+            {"key": "id", "op": "<", "value": 105},
+        ]},
+    )
+    assert res == {"deleted_rows": 10}
+    after = read_iceberg_native(spark, {"path": tbl})
+    ids = sorted(r["id"] for r in after.collect())
+    assert ids == [i for i in range(200) if not (95 <= i < 105)]
+    # MOR: the original data files were NOT rewritten (the third input
+    # file is the position-delete parquet the anti-join reads)
+    data_files = [f for f in after.inputFiles() if "/delete-" not in f]
+    assert len(data_files) == 2 and len(after.inputFiles()) == 3
+    # empty predicate: no snapshot committed
+    res2 = delete_iceberg_native(
+        spark, {"path": tbl, "where": {"key": "id", "op": ">", "value": 9999}}
+    )
+    assert res2 == {"deleted_rows": 0}
+
+
+def test_delete_where_row_cap(spark, tmp_path):
+    from pipeline_spark.sinks.iceberg_native import delete_iceberg_native
+
+    tbl = str(tmp_path / "ice_del_cap")
+    write_iceberg_native(
+        spark.range(0, 1000).coalesce(1), {"path": tbl, "mode": "create"}
+    )
+    with pytest.raises(ValueError, match="maxDeleteRows"):
+        delete_iceberg_native(
+            spark,
+            {"path": tbl, "maxDeleteRows": 100,
+             "where": {"key": "id", "op": ">=", "value": 0}},
+        )
