@@ -3031,6 +3031,50 @@ GROUP BY o_orderstatus
 """
 
 
+def q_delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE WHERE SET on a native Delta table (copy-on-write,
+    stats-guided): urgent orders get a 10% surcharge and a status stamp;
+    the oracle recomputes with CASE expressions."""
+    import os
+    import shutil
+    import tempfile
+
+    from pipeline_spark.sinks.delta_native import (
+        update_delta_native,
+        write_delta_native,
+    )
+    from pipeline_spark.sources.delta_native import read_delta_native
+
+    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_delta_upd")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_delta_native(spark, orders, {"path": tbl})
+    update_delta_native(spark, {
+        "path": tbl,
+        "where": [{"key": "o_orderpriority", "op": "=", "value": "1-URGENT"}],
+        "set": {"o_totalprice": "o_totalprice * 1.1",
+                "o_orderstatus": "'U'"},
+    })
+    df = read_delta_native(spark, {"path": tbl})
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+Q_DELTA_UPDATE_SQL = """
+WITH updated AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'U'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+)
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+FROM updated GROUP BY o_orderstatus
+"""
+
+
 def q_iceberg_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE WHERE on a native Iceberg table via merge-on-read
     position deletes — no data file rewritten; the reader's anti-join
@@ -3856,6 +3900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_roundtrip": q_delta_roundtrip,
         "delta_skipping": q_delta_skipping,
         "delta_delete": q_delta_delete,
+        "delta_update": q_delta_update,
         "iceberg_delete": q_iceberg_delete,
         "iceberg_skipping": q_iceberg_skipping,
         "dsir_scores": q_dsir_scores,
@@ -3953,6 +3998,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_roundtrip": Q_DELTA_SQL,
         "delta_skipping": Q_DELTA_SKIP_SQL,
         "delta_delete": Q_DELTA_DELETE_SQL,
+        "delta_update": Q_DELTA_UPDATE_SQL,
         "iceberg_delete": Q_ICE_DELETE_SQL,
         "iceberg_skipping": Q_ICE_SKIP_SQL,
         "dsir_scores": Q_DSIR_SQL,

@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "delta_skipping",
     "iceberg_skipping",
     "delta_delete",
+    "delta_update",
     "iceberg_delete",
     "perplexity_filter",
     "dataset_mix",

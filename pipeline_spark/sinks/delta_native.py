@@ -414,6 +414,23 @@ def delete_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     targeted takedown rewrites the handful of files the bounds can't
     exclude, not the table.  ``where`` = the readers' dataFilter shape.
     """
+    return _cow_rewrite_where(spark, p, set_exprs=None)
+
+
+def update_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
+    """Row-level UPDATE WHERE SET, copy-on-write; same stats-guided
+    candidate selection as DELETE.  ``set`` maps column name → Spark SQL
+    expression (evaluated against the pre-update row); non-matching rows
+    pass through byte-identical semantics."""
+    set_exprs = p.get("set")
+    if not set_exprs:
+        raise ValueError("delta update: 'set' {column: expression} is required")
+    return _cow_rewrite_where(spark, p, set_exprs=dict(set_exprs))
+
+
+def _cow_rewrite_where(
+    spark, p: dict[str, Any], set_exprs: dict[str, str] | None
+) -> dict[str, int]:
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -422,12 +439,13 @@ def delete_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
         data_filter_condition,
     )
 
+    op_name = "update" if set_exprs else "delete"
     table = p.get("path") or p.get("table")
     if not table:
-        raise ValueError("delta delete: 'path' is required")
+        raise ValueError(f"delta {op_name}: 'path' is required")
     where = p.get("where")
     if not where:
-        raise ValueError("delta delete: 'where' predicate list is required")
+        raise ValueError(f"delta {op_name}: 'where' predicate list is required")
     if isinstance(where, dict):
         where = [where]
     prev_adds, meta, _proto, _v, _txns = replay_state(table)
@@ -439,7 +457,7 @@ def delete_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
 
     candidates = [a for a in prev_adds if _stats_may_match(a, where, None)]
     if not candidates:
-        return {"deleted_rows": 0, "rewritten_files": 0}
+        return {f"{op_name}d_rows": 0, "rewritten_files": 0}
 
     groups: dict[tuple, list[dict]] = {}
     for a in candidates:
@@ -448,7 +466,7 @@ def delete_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
 
     cond = data_filter_condition(where)
     commit_id = uuid.uuid4().hex
-    data_dir = f"data-delete-{commit_id}"
+    data_dir = f"data-{op_name}-{commit_id}"
     now_ms = int(time.time() * 1000)
     adds: list[dict] = []
     removes: list[dict] = []
@@ -468,9 +486,22 @@ def delete_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
         if n_match == 0:
             continue  # bounds admitted a match the data doesn't contain
         deleted += n_match
-        keep = df.where(~F.coalesce(cond, F.lit(False))).select(
-            *[f.name for f in fschema.fields]
-        )
+        matched = F.coalesce(cond, F.lit(False))
+        if set_exprs is None:
+            out = df.where(~matched)
+        else:
+            unknown = [c for c in set_exprs if c not in df.columns]
+            if unknown:
+                raise ValueError(f"delta update: set targets unknown columns {unknown}")
+            out = df
+            for c, expr in set_exprs.items():
+                out = out.withColumn(
+                    c,
+                    F.when(matched, F.expr(str(expr)).cast(types[c])).otherwise(
+                        F.col(c)
+                    ),
+                )
+        keep = out.select(*[f.name for f in fschema.fields])
         out_dir = os.path.join(table, data_dir, f"grp-{i:05d}")
         keep.write.parquet(out_dir)
         for root, _dirs, names in os.walk(out_dir):
@@ -495,7 +526,7 @@ def delete_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
                 "partitionValues": a.get("partitionValues") or {},
             })
     if not removes:
-        return {"deleted_rows": 0, "rewritten_files": 0}
+        return {f"{op_name}d_rows": 0, "rewritten_files": 0}
 
     stats_map = _collect_file_stats(spark, [a["__full_path__"] for a in adds])
     for a in adds:
@@ -508,7 +539,7 @@ def delete_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
         + [{
             "commitInfo": {
                 "timestamp": now_ms,
-                "operation": "DELETE",
+                "operation": op_name.upper(),
                 "operationParameters": {"predicate": json.dumps(where)},
             }
         }]
@@ -524,10 +555,10 @@ def delete_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     except FileExistsError:
         os.unlink(tmp)
         raise FileExistsError(
-            f"delta delete: concurrent commit raced on version {version}"
+            f"delta {op_name}: concurrent commit raced on version {version}"
         ) from None
     os.unlink(tmp)
-    return {"deleted_rows": deleted, "rewritten_files": len(removes)}
+    return {f"{op_name}d_rows": deleted, "rewritten_files": len(removes)}
 
 
 def vacuum_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
@@ -692,15 +723,17 @@ def delta_sink(ctx: ModuleContext) -> dict[str, Any]:
     df = ctx.input
     p = ctx.params
     maintenance = str(p.get("mode", "")).lower()
-    if maintenance in ("compact", "vacuum", "delete"):
+    if maintenance in ("compact", "vacuum", "delete", "update"):
         # table maintenance/mutation: the input only provides the session;
         # the table itself is the operand
         if maintenance == "compact":
             compact_delta_native(ctx.spark, p)
         elif maintenance == "vacuum":
             vacuum_delta_native(ctx.spark, p)
-        else:
+        elif maintenance == "delete":
             delete_delta_native(ctx.spark, p)
+        else:
+            update_delta_native(ctx.spark, p)
         return {}
     if not df.isStreaming:
         write_delta_native(ctx.spark, df, p)

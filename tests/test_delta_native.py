@@ -782,3 +782,53 @@ def test_delete_where_partitioned(spark, tmp_path):
     after = read_delta_native(spark, {"path": tbl})
     ids = sorted(r["id"] for r in after.collect())
     assert ids == [i for i in range(100) if not (i % 2 == 1 and i < 10)]
+
+
+def test_update_where_set(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from pipeline_spark.sinks.delta_native import update_delta_native
+
+    tbl = str(tmp_path / "upd_tbl")
+    # two files with disjoint k ranges — stats confine the rewrite
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [Row(k=i, status="old", amount=float(i)) for i in range(10)]
+        ).coalesce(1),
+        {"path": tbl},
+    )
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [Row(k=i, status="old", amount=float(i)) for i in range(10, 20)]
+        ).coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    before = set(read_delta_native(spark, {"path": tbl}).inputFiles())
+    res = update_delta_native(
+        spark,
+        {"path": tbl,
+         "where": {"key": "k", "op": "<", "value": 3},
+         "set": {"status": "'redacted'", "amount": "amount * 2"}},
+    )
+    assert res == {"updated_rows": 3, "rewritten_files": 1}
+    after_df = read_delta_native(spark, {"path": tbl})
+    rows = {r["k"]: (r["status"], r["amount"]) for r in after_df.collect()}
+    assert len(rows) == 20  # UPDATE changes no row counts
+    for k in range(3):
+        assert rows[k] == ("redacted", float(k) * 2)
+    for k in range(3, 20):
+        assert rows[k] == ("old", float(k))
+    # the second file was untouched
+    assert len(before & set(after_df.inputFiles())) == 1
+    with pytest.raises(ValueError, match="set"):
+        update_delta_native(
+            spark, {"path": tbl, "where": {"key": "k", "op": "=", "value": 1}}
+        )
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_delta_native(
+            spark,
+            {"path": tbl, "where": {"key": "k", "op": "=", "value": 1},
+             "set": {"nope": "1"}},
+        )
