@@ -49,6 +49,10 @@ def asof_join(
         raise ValueError(f"asof: unknown direction '{direction}'")
     if not on:
         raise ValueError("asof: requires at least one equality key in 'on'")
+    if tolerance_seconds is not None and tolerance_seconds < 0:
+        raise ValueError(
+            f"asof: toleranceSeconds must be >= 0, got {tolerance_seconds}"
+        )
     rts = right_ts or left_ts
     for k in on:
         if k not in left.columns or k not in right.columns:

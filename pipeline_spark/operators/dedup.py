@@ -686,6 +686,13 @@ def semantic_dedup(
     from pipeline_spark.functions.grouped_apply import grouped_apply_in_pandas
     from pipeline_spark.operators.similarity import _cell_assign_udf, _train_centroids
 
+    if clusters < 1:
+        raise ValueError(f"semantic dedup: clusters must be >= 1, got {clusters}")
+    if not (-1.0 <= threshold <= 1.0):
+        raise ValueError(
+            f"semantic dedup: threshold is a cosine, must be in [-1, 1], "
+            f"got {threshold}"
+        )
     if iterations > 0:
         centroids = _train_centroids(
             df, vec_field, n_cells=clusters, sample_size=sample_size,

@@ -185,3 +185,9 @@ def test_matches_pandas_merge_asof_forward_and_nearest(spark):
         for _, e in expected.iterrows():
             want = None if pd.isna(e["val"]) else int(e["val"])
             assert got[e["lid"]] == want, (direction, e["lid"], got[e["lid"]], want)
+
+
+def test_negative_tolerance_rejected(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    with pytest.raises(ValueError, match="toleranceSeconds"):
+        asof_join(trades, quotes, ["sym"], left_ts="t", tolerance_seconds=-1)

@@ -280,3 +280,16 @@ def test_bloom_streaming_probe(spark, tmp_path, corpus):
     q.awaitTermination(60)
     ids = {r["doc_id"] for r in spark.sql("SELECT * FROM bloom_stream").collect()}
     assert ids == {2000 + i for i in range(100)}
+
+
+def test_semantic_dedup_param_validation(spark, vectors):
+    with pytest.raises(ValueError, match="clusters"):
+        dedup_transform(
+            _ctx(spark, {"method": "semantic", "idField": "vec_id",
+                         "clusters": 0}, [vectors])
+        )
+    with pytest.raises(ValueError, match="cosine"):
+        dedup_transform(
+            _ctx(spark, {"method": "semantic", "idField": "vec_id",
+                         "clusters": 4, "threshold": 2.0}, [vectors])
+        )
