@@ -3438,6 +3438,62 @@ FROM customer GROUP BY c_mktsegment
 """
 
 
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregation groupType=rollup: subtotals per (returnflag, linestatus),
+    per returnflag, and grand total in one pass (Spark grouping sets);
+    the oracle is DuckDB's GROUP BY ROLLUP."""
+    return _pipeline(spark, sf_dir, ["lineitem"], """
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [lineitem]
+    parameters:
+      groupFields: [l_returnflag, l_linestatus]
+      groupType: rollup
+      aggregations:
+        - {name: n, op: count}
+        - {name: qty, op: sum, field: l_quantity}
+""", "agg").select(
+        "l_returnflag", "l_linestatus", "n", F.round("qty", 2).alias("qty")
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregation pivot: linestatus values become columns (explicit value
+    list keeps the schema static); sum so absent combinations are NULL in
+    both engines.  Oracle = conditional aggregation."""
+    return _pipeline(spark, sf_dir, ["lineitem"], """
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [lineitem]
+    parameters:
+      groupFields: [l_returnflag]
+      pivot:
+        field: l_linestatus
+        values: [F, O]
+      aggregations:
+        - {name: qty, op: sum, field: l_quantity}
+""", "agg").select(
+        "l_returnflag", F.round("F", 2).alias("F"), F.round("O", 2).alias("O")
+    )
+
+
+Q_PIVOT_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """storage ORC (Spark-native columnar alternative): part rows written
     as zstd ORC by the sink, read back by the source, aggregated; the
@@ -3841,6 +3897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "create_sequence": q_create_sequence,
         "agg_stats": q_agg_stats,
         "multi_input_agg": q_multi_input_agg,
+        "rollup_agg": q_rollup_agg,
+        "pivot_agg": q_pivot_agg,
         "sql_mdt_udfs": q_sql_mdt_udfs,
         "tokenize_unnest": q_tokenize_unnest,
         "dedup_exact": q_dedup_exact,
@@ -3931,6 +3989,8 @@ def oracle_sql() -> dict[str, str]:
         "create_sequence": Q_CREATE_SEQ_SQL,
         "agg_stats": Q_AGG_STATS_SQL,
         "multi_input_agg": Q_MULTI_AGG_SQL,
+        "rollup_agg": Q_ROLLUP_SQL,
+        "pivot_agg": Q_PIVOT_SQL,
         "sql_mdt_udfs": Q_MDT_SQL,
         "tokenize_unnest": Q_TOKENIZE_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,

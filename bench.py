@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "create_sequence",
     "agg_stats",
     "multi_input_agg",
+    "rollup_agg",
+    "pivot_agg",
     "sql_mdt_udfs",
     "tokenize_unnest",
     "dedup_exact",

@@ -98,7 +98,36 @@ def aggregation_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         if wkey is not None:
             keys = [wkey.alias("window"), *keys]
         exprs = compile_aggs(aggs, df, ts_attr)
-        results.append(df.groupBy(*keys).agg(*exprs))
+        group_type = str(p.get("groupType", "group")).lower()
+        pivot_cfg = p.get("pivot")
+        if group_type not in ("group", "rollup", "cube"):
+            raise ValueError(
+                f"aggregation: groupType must be group/rollup/cube, got "
+                f"'{group_type}'"
+            )
+        if group_type != "group" and df.isStreaming:
+            raise ValueError(
+                "aggregation: rollup/cube need a bounded input (Spark has "
+                "no streaming grouping-sets state)"
+            )
+        if group_type == "rollup":
+            grouped = df.rollup(*keys)
+        elif group_type == "cube":
+            grouped = df.cube(*keys)
+        else:
+            grouped = df.groupBy(*keys)
+        if pivot_cfg:
+            # subtotal rows with a pivoted column are ambiguous — refuse
+            if group_type != "group":
+                raise ValueError("aggregation: pivot requires groupType: group")
+            field = pivot_cfg.get("field") if isinstance(pivot_cfg, dict) else pivot_cfg
+            if not field:
+                raise ValueError("aggregation: pivot needs 'field'")
+            values = pivot_cfg.get("values") if isinstance(pivot_cfg, dict) else None
+            # explicit values keep the output schema static (required for
+            # streaming and for engine-reproducible column order)
+            grouped = grouped.pivot(field, values) if values else grouped.pivot(field)
+        results.append(grouped.agg(*exprs))
 
     if not results:
         raise ValueError("aggregation requires aggregations")

@@ -1552,3 +1552,45 @@ def test_storage_orc_roundtrip_and_streaming(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert spark.sql("SELECT count(*) c FROM orc_stream").first()["c"] == 50
+
+
+def test_aggregation_rollup_cube_pivot_params(spark):
+    from pyspark.sql import Row
+
+    from pipeline_spark.operators.aggregation import aggregation_transform
+    from pipeline_spark.registry import ModuleContext
+
+    df = spark.createDataFrame(
+        [Row(a="x", b="p", v=1), Row(a="x", b="q", v=2), Row(a="y", b="p", v=4)]
+    )
+
+    def run(params):
+        return aggregation_transform(
+            ModuleContext(spark=spark, name="a", params=params,
+                          inputs=[df], input_names=["in"])
+        )[""]
+
+    cube = run({"groupFields": ["a", "b"], "groupType": "cube",
+                "aggregations": [{"name": "s", "op": "sum", "field": "v"}]})
+    rows = {(r["a"], r["b"]): r["s"] for r in cube.collect()}
+    # 3 detail + 2 a-subtotals + 2 b-subtotals + 1 grand total
+    assert len(rows) == 8
+    assert rows[(None, None)] == 7 and rows[("x", None)] == 3
+    assert rows[(None, "p")] == 5
+
+    piv = run({"groupFields": ["a"],
+               "pivot": {"field": "b", "values": ["p", "q"]},
+               "aggregations": [{"name": "s", "op": "sum", "field": "v"}]})
+    got = {r["a"]: (r["p"], r["q"]) for r in piv.collect()}
+    # absent combination (y, q) is NULL, not 0
+    assert got == {"x": (1, 2), "y": (4, None)}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="groupType"):
+        run({"groupFields": ["a"], "groupType": "nope",
+             "aggregations": [{"name": "n", "op": "count"}]})
+    with _pt.raises(ValueError, match="pivot requires"):
+        run({"groupFields": ["a"], "groupType": "cube",
+             "pivot": {"field": "b"},
+             "aggregations": [{"name": "n", "op": "count"}]})
