@@ -1413,6 +1413,41 @@ FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session labeling: per user, a >10-minute silence starts
+    a new session; each event carries its 1-based session ordinal.  One
+    keyed window pass; the oracle recomputes with SQL window functions."""
+    return _pipeline(spark, sf_dir, ["events"], """
+transforms:
+  - name: sess
+    module: sessionize
+    inputs: [events]
+    parameters:
+      keys: [user_id]
+      timestampField: ts
+      gapSeconds: 600
+""", "sess").select("event_id", "user_id", "session_id")
+
+
+Q_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS us FROM events
+), m AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR us - lag(us) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 600000000
+              THEN 1 ELSE 0 END AS ns
+  FROM e
+)
+SELECT event_id, user_id,
+       CAST(sum(ns) OVER (
+         PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS session_id
+FROM m
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (pandas merge_asof / DuckDB ASOF JOIN semantics): each
     click event picks up the latest view event of the same user at or
@@ -3921,6 +3956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "profile_documents": q_profile_documents,
         "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
         "range_join": q_range_join,
         "semdedup_prune": q_semdedup_prune,
         "repetition": q_repetition,
@@ -4018,6 +4054,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": Q_WARC_RT_SQL,
         "profile_documents": Q_PROFILE_SQL,
         "asof_join": Q_ASOF_SQL,
+        "sessionize": Q_SESSIONIZE_SQL,
         "range_join": Q_RANGE_JOIN_SQL,
         "semdedup_prune": Q_SEMDEDUP_PRUNE_SQL,
         "repetition": Q_REPETITION_SQL,

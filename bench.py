@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "bpe_train",
     "profile_documents",
     "asof_join",
+    "sessionize",
     "range_join",
     "textstats",
     "ngram_jaccard",
