@@ -42,7 +42,14 @@ def read_warc(
     *,
     record_types: list[str] | None = None,
     http_payload: bool = True,
+    on_error: str = "fail",
 ) -> DataFrame:
+    """``on_error``: "fail" (default) propagates a corrupt archive as a
+    task failure; "skip" drops the FILE and keeps the job alive — at
+    crawl scale a handful of truncated archives per batch is routine and
+    must not kill a 100 TB ingest."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"warc source: onError must be fail or skip, got {on_error!r}")
     raw = spark.read.format("binaryFile").load(path)
     want = {t.lower() for t in record_types} if record_types else None
 
@@ -53,7 +60,13 @@ def read_warc(
                 "content_type", "http_status", "payload",
             )}
             for fpath, data in zip(pdf["path"], pdf["content"]):
-                for headers, payload in warcrec.decode_records(bytes(data)):
+                try:
+                    records = list(warcrec.decode_records(bytes(data)))
+                except ValueError:
+                    if on_error == "fail":
+                        raise
+                    continue
+                for headers, payload in records:
                     wtype = headers.get("warc-type", "")
                     if want is not None and wtype.lower() not in want:
                         continue
@@ -87,5 +100,6 @@ def warc_source(ctx: ModuleContext) -> dict[str, DataFrame]:
             path,
             record_types=p.get("recordTypes"),
             http_payload=bool(p.get("httpPayload", True)),
+            on_error=str(p.get("onError", "fail")).lower(),
         )
     }

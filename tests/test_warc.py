@@ -183,3 +183,20 @@ def test_decoder_rejects_junk_without_hanging():
             pass
 
     junk()
+
+
+def test_source_on_error_skip_drops_corrupt_file(spark, tmp_path):
+    good = tmp_path / "good.warc"
+    good.write_bytes(
+        warcrec.encode_record(
+            {"WARC-Type": "resource", "WARC-Target-URI": "doc://ok"}, b"fine"
+        )
+    )
+    bad = tmp_path / "bad.warc"
+    bad.write_bytes(b"WARC/1.0\r\nContent-Length: 9999\r\n\r\ntruncated")
+    with pytest.raises(Exception):
+        read_warc(spark, str(tmp_path / "*.warc")).collect()
+    rows = read_warc(spark, str(tmp_path / "*.warc"), on_error="skip").collect()
+    assert [r["target_uri"] for r in rows] == ["doc://ok"]
+    with pytest.raises(ValueError, match="onError"):
+        read_warc(spark, str(good), on_error="nope")
