@@ -493,6 +493,13 @@ def _cow_rewrite_where(
             unknown = [c for c in set_exprs if c not in df.columns]
             if unknown:
                 raise ValueError(f"delta update: set targets unknown columns {unknown}")
+            parts = [c for c in set_exprs if c in part_cols]
+            if parts:
+                raise ValueError(
+                    f"delta update: set cannot target partition columns "
+                    f"{parts} — rows would stay under their old "
+                    "partitionValues; rewrite via overwrite instead"
+                )
             out = df
             for c, expr in set_exprs.items():
                 out = out.withColumn(

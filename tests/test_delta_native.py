@@ -832,3 +832,19 @@ def test_update_where_set(spark, tmp_path):
             {"path": tbl, "where": {"key": "k", "op": "=", "value": 1},
              "set": {"nope": "1"}},
         )
+
+
+def test_update_refuses_partition_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sinks.delta_native import update_delta_native
+
+    tbl = str(tmp_path / "upd_part_guard")
+    df = spark.range(0, 20).withColumn("grp", (F.col("id") % 2).cast("int"))
+    write_delta_native(spark, df, {"path": tbl, "partitionBy": ["grp"]})
+    with pytest.raises(ValueError, match="partition columns"):
+        update_delta_native(
+            spark,
+            {"path": tbl, "where": {"key": "id", "op": "<", "value": 5},
+             "set": {"grp": "0"}},
+        )
