@@ -293,3 +293,34 @@ def test_semantic_dedup_param_validation(spark, vectors):
             _ctx(spark, {"method": "semantic", "idField": "vec_id",
                          "clusters": 4, "threshold": 2.0}, [vectors])
         )
+
+
+def test_bloom_save_load_merge_property(tmp_path):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pipeline_spark.functions import bloom as bl
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=200),
+        st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=200),
+    )
+    def roundtrip(xs, ys):
+        m, k = bl.size_for(500, 1e-4)
+        a = np.zeros(m // 8, dtype=np.uint8)
+        b = np.zeros(m // 8, dtype=np.uint8)
+        bl.set_bits(a, np.array(xs, dtype=np.int64), k, m)
+        bl.set_bits(b, np.array(ys, dtype=np.int64), k, m)
+        path = str(tmp_path / "f.bloom")
+        bl.save_filter(path, a.tobytes(), m, k)
+        bits, m2, k2 = bl.load_filter(path)
+        assert (m2, k2) == (m, k) and bits == a.tobytes()
+        merged = np.frombuffer(
+            bl.merge_filters(a.tobytes(), b.tobytes()), dtype=np.uint8
+        )
+        # merge = union: every member of either side tests positive
+        both = np.array(xs + ys, dtype=np.int64)
+        assert bl.test_bits(merged, both, k, m).all()
+
+    roundtrip()

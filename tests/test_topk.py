@@ -75,3 +75,29 @@ def test_module_params(spark, zipf):
         heavy_hitters(zipf, "word", k=10, counters=5)
     with pytest.raises(ValueError, match="strategy"):
         heavy_hitters(zipf, "word", strategy="nope")
+
+
+def test_sketch_equals_exact_property(spark):
+    """On any data whose top-k clears the support floor, sketch == exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        # zipf-ish: value i appears ~1000/(i+1) times, plus unique noise
+        vals = []
+        for i in range(30):
+            vals += [f"v{i:02d}"] * int(1000 / (i + 1))
+        vals += [f"noise{j}" for j in range(500)]
+        rng.shuffle(vals)
+        df = spark.createDataFrame([(v,) for v in vals], "value string").repartition(
+            int(rng.integers(2, 12))
+        )
+        exact = [
+            (r["value"], r["weight"])
+            for r in heavy_hitters(df, "value", k=10, strategy="exact").collect()
+        ]
+        sketch = [
+            (r["value"], r["weight"])
+            for r in heavy_hitters(df, "value", k=10, counters=256).collect()
+        ]
+        assert sketch == exact, trial
