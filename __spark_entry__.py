@@ -1499,7 +1499,9 @@ FROM clicks c ASOF LEFT JOIN views v
 def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profiling of the documents table: null counts,
     exact distincts, native-type min/max (cast after comparing), numeric
-    means.  The oracle recomputes every statistic per column."""
+    means.  The oracle recomputes every statistic per column.
+    ``decimalStats`` pins the float stats hash-stable: integral means
+    via exact decimal sum + one division, outputs as DECIMAL(38,6)."""
     return _pipeline(spark, sf_dir, ["documents"], """
 transforms:
   - name: prof
@@ -1508,6 +1510,7 @@ transforms:
     parameters:
       columns: [doc_id, lang, source, n_chars]
       percentiles: [0.5, 0.95]
+      decimalStats: true
 """, "prof")
 
 
@@ -1517,29 +1520,34 @@ SELECT 'doc_id' AS column, 'bigint' AS dtype, count(*) AS n_rows,
        count(DISTINCT doc_id) AS n_distinct,
        CAST(min(doc_id) AS VARCHAR) AS min_value,
        CAST(max(doc_id) AS VARCHAR) AS max_value,
-       round(avg(doc_id), 6) AS mean,
-       round(quantile_cont(doc_id, 0.5), 6) AS p50,
-       round(quantile_cont(doc_id, 0.95), 6) AS p95
+       CAST(round(CAST(sum(doc_id) AS DOUBLE) / count(doc_id), 6)
+            AS DECIMAL(38,6)) AS mean,
+       CAST(round(quantile_cont(doc_id, 0.5), 6) AS DECIMAL(38,6)) AS p50,
+       CAST(round(quantile_cont(doc_id, 0.95), 6) AS DECIMAL(38,6)) AS p95
 FROM documents
 UNION ALL
 SELECT 'lang', 'string', count(*),
        sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
        count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
-       CAST(max(lang) AS VARCHAR), NULL, NULL, NULL
+       CAST(max(lang) AS VARCHAR), CAST(NULL AS DECIMAL(38,6)),
+       CAST(NULL AS DECIMAL(38,6)), CAST(NULL AS DECIMAL(38,6))
 FROM documents
 UNION ALL
 SELECT 'source', 'string', count(*),
        sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
        count(DISTINCT source), CAST(min(source) AS VARCHAR),
-       CAST(max(source) AS VARCHAR), NULL, NULL, NULL
+       CAST(max(source) AS VARCHAR), CAST(NULL AS DECIMAL(38,6)),
+       CAST(NULL AS DECIMAL(38,6)), CAST(NULL AS DECIMAL(38,6))
 FROM documents
 UNION ALL
 SELECT 'n_chars', 'bigint', count(*),
        sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
        count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
-       CAST(max(n_chars) AS VARCHAR), round(avg(n_chars), 6),
-       round(quantile_cont(n_chars, 0.5), 6),
-       round(quantile_cont(n_chars, 0.95), 6)
+       CAST(max(n_chars) AS VARCHAR),
+       CAST(round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 6)
+            AS DECIMAL(38,6)),
+       CAST(round(quantile_cont(n_chars, 0.5), 6) AS DECIMAL(38,6)),
+       CAST(round(quantile_cont(n_chars, 0.95), 6) AS DECIMAL(38,6))
 FROM documents
 """
 
@@ -1606,6 +1614,36 @@ transforms:
       numMerges: 30
       maxWords: 20000
 """, "bpe")
+
+
+def q_bpe_wordcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale stage of BPE training in isolation: the
+    distributed (word, freq) count with deterministic cap tie-break —
+    SQL-checkable, unlike the driver-side merge loop (whose parity is
+    pinned in tests/test_llm_ops.py)."""
+    return _pipeline(spark, sf_dir, ["documents"], """
+transforms:
+  - name: bpe
+    module: bpe_train
+    inputs: [documents]
+    parameters:
+      field: text
+      stage: counts
+      maxWords: 5000
+""", "bpe")
+
+
+Q_BPE_WORDCOUNTS_SQL = """
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+  FROM documents
+)
+SELECT word, count(*) AS freq
+FROM words WHERE word <> ''
+GROUP BY word
+ORDER BY freq DESC, word ASC
+LIMIT 5000
+"""
 
 
 _SEMDEDUP_YAML = """
@@ -3909,7 +3947,56 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver's CORRECTNESS gate caps at the first
+    # 50 entries, so entries that have never had a green driver row go
+    # FIRST (the r4-uncovered 38, the two r5 fixes, then r5 additions);
+    # the long-green remainder is regression-guarded by pytest and the
+    # local harness (scripts/check_correctness.py) and sits after the cap.
     return {
+        # --- r4 driver-uncovered (judge-verified locally, never driver-green)
+        "substring_cut": q_substring_cut,
+        "shuffle_order": q_shuffle_order,
+        "quality_classifier": q_quality_classifier,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "lang_id": q_lang_id,
+        "sample_split": q_sample_split,
+        "scrub_pii": q_scrub_pii,
+        "pack_sequences": q_pack_sequences,
+        "match_recognize": q_match_recognize,
+        "processing_timeseries": q_processing,
+        "deserialize_avro": q_deserialize_avro,
+        "deserialize_proto": q_deserialize_proto,
+        "match_recognize_chunked": q_match_recognize_chunked,
+        "multimodal_decode": q_multimodal_decode,
+        "storage_avro_roundtrip": q_storage_avro_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "iceberg_roundtrip": q_iceberg_roundtrip,
+        "iceberg_partitioned": q_iceberg_partitioned,
+        "iceberg_mor_roundtrip": q_iceberg_mor_roundtrip,
+        "bucketed_join": q_bucketed_join,
+        "gopher_rules": q_gopher_rules,
+        "sentence_split": q_sentence_split,
+        "video_meta": q_video_meta,
+        "audio_meta": q_audio_meta,
+        "html_extract": q_html_extract,
+        "url_normalize": q_url_normalize,
+        "chunk_windows": q_chunk_windows,
+        "linear_regression": q_linear_regression,
+        "perplexity_filter": q_perplexity_filter,
+        "dataset_mix": q_dataset_mix,
+        "delta_roundtrip": q_delta_roundtrip,
+        "delta_skipping": q_delta_skipping,
+        "delta_delete": q_delta_delete,
+        "delta_update": q_delta_update,
+        "iceberg_delete": q_iceberg_delete,
+        "iceberg_skipping": q_iceberg_skipping,
+        "dsir_scores": q_dsir_scores,
+        # --- r5 fixes (red / no-oracle in r4)
+        "profile_documents": q_profile_documents,
+        "bpe_wordcounts": q_bpe_wordcounts,
+        # --- r5 additions
+        # --- long-green (r4 driver rows; pytest + local-harness guarded)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "agg_argminmax": q_agg_argminmax,
@@ -3952,52 +4039,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "topk_words": q_topk_words,
         "semdedup_assign": q_semdedup_assign,
-        "bpe_train": q_bpe_train,
         "warc_roundtrip": q_warc_roundtrip,
-        "profile_documents": q_profile_documents,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "range_join": q_range_join,
         "semdedup_prune": q_semdedup_prune,
         "repetition": q_repetition,
-        "substring_cut": q_substring_cut,
-        "shuffle_order": q_shuffle_order,
-        "quality_classifier": q_quality_classifier,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "lang_id": q_lang_id,
-        "sample_split": q_sample_split,
-        "scrub_pii": q_scrub_pii,
-        "pack_sequences": q_pack_sequences,
-        "match_recognize": q_match_recognize,
-        "processing_timeseries": q_processing,
-        "deserialize_avro": q_deserialize_avro,
-        "deserialize_proto": q_deserialize_proto,
-        "match_recognize_chunked": q_match_recognize_chunked,
-        "multimodal_decode": q_multimodal_decode,
-        "storage_avro_roundtrip": q_storage_avro_roundtrip,
-        "orc_roundtrip": q_orc_roundtrip,
-        "iceberg_roundtrip": q_iceberg_roundtrip,
-        "iceberg_partitioned": q_iceberg_partitioned,
-        "iceberg_mor_roundtrip": q_iceberg_mor_roundtrip,
-        "bucketed_join": q_bucketed_join,
-        "gopher_rules": q_gopher_rules,
-        "sentence_split": q_sentence_split,
-        "video_meta": q_video_meta,
-        "audio_meta": q_audio_meta,
-        "html_extract": q_html_extract,
-        "url_normalize": q_url_normalize,
-        "chunk_windows": q_chunk_windows,
-        "linear_regression": q_linear_regression,
-        "perplexity_filter": q_perplexity_filter,
-        "dataset_mix": q_dataset_mix,
-        "delta_roundtrip": q_delta_roundtrip,
-        "delta_skipping": q_delta_skipping,
-        "delta_delete": q_delta_delete,
-        "delta_update": q_delta_update,
-        "iceberg_delete": q_iceberg_delete,
-        "iceberg_skipping": q_iceberg_skipping,
-        "dsir_scores": q_dsir_scores,
+        # merge-loop output is not SQL-expressible (rows-only check);
+        # the corpus-scale stage is oracled above as bpe_wordcounts
+        "bpe_train": q_bpe_train,
     }
 
 
@@ -4051,6 +4101,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_dedup": Q_BLOOM_DEDUP_SQL,
         "topk_words": Q_TOPK_SQL,
         "semdedup_assign": Q_SEMDEDUP_ASSIGN_SQL,
+        "bpe_wordcounts": Q_BPE_WORDCOUNTS_SQL,
         "warc_roundtrip": Q_WARC_RT_SQL,
         "profile_documents": Q_PROFILE_SQL,
         "asof_join": Q_ASOF_SQL,

@@ -36,13 +36,21 @@ def profile(
     *,
     approx_distinct: bool = False,
     percentiles: list[float] | None = None,
+    decimal_stats: bool = False,
 ) -> DataFrame:
     """(column, dtype, n_rows, n_nulls, n_distinct, min_value, max_value,
     mean[, pNN...]) — min/max compare on the NATIVE type and cast the
     result, so numeric ranges are numeric, not lexicographic.
     ``percentiles`` adds one exact linear-interpolated quantile column
     per requested fraction (null for non-numeric columns); at URL scale
-    prefer few fractions — each is a full-sort aggregate per column."""
+    prefer few fractions — each is a full-sort aggregate per column.
+
+    ``decimal_stats=True`` makes the float statistics hash-stable across
+    engines and partitionings: integral means accumulate as an EXACT
+    decimal(38,0) sum (``F.avg`` over integers sums in double, so the
+    6th decimal of the mean can flip with partition order at scale)
+    followed by one double division, and mean/percentiles emit as
+    DECIMAL(38,6) so rendering is fixed-width on every engine."""
     cols = columns or df.columns
     missing = [c for c in cols if c not in df.columns]
     if missing:
@@ -50,13 +58,30 @@ def profile(
     for p in percentiles or []:
         if not (0.0 <= p <= 1.0):
             raise ValueError(f"profile: percentile {p} outside [0, 1]")
+    stat_type = "decimal(38,6)" if decimal_stats else "double"
+
+    def _stat(col_expr):
+        rounded = F.round(col_expr, 6)
+        return rounded.cast(stat_type) if decimal_stats else rounded
+
     structs = []
     for c in cols:
         dt = df.schema[c].dataType
         numeric = isinstance(dt, T.NumericType)
+        integral = isinstance(dt, T.IntegralType)
         distinct = (
             F.approx_count_distinct(c) if approx_distinct else F.countDistinct(c)
         )
+        if not numeric:
+            mean = F.lit(None).cast(stat_type)
+        elif integral and decimal_stats:
+            # exact decimal sum, ONE double division: partition-order-proof
+            mean = _stat(
+                F.sum(F.col(c).cast("decimal(38,0)")).cast("double")
+                / F.count(F.col(c))
+            )
+        else:
+            mean = _stat(F.avg(F.col(c)))
         fields = [
             F.lit(c).alias("column"),
             F.lit(dt.simpleString()).alias("dtype"),
@@ -65,18 +90,14 @@ def profile(
             distinct.alias("n_distinct"),
             F.min(F.col(c)).cast("string").alias("min_value"),
             F.max(F.col(c)).cast("string").alias("max_value"),
-            (
-                F.round(F.avg(F.col(c)), 6)
-                if numeric
-                else F.lit(None).cast("double")
-            ).alias("mean"),
+            mean.alias("mean"),
         ]
         for p in percentiles or []:
             fields.append(
                 (
-                    F.round(F.percentile(F.col(c), F.lit(p)), 6)
+                    _stat(F.percentile(F.col(c), F.lit(p)))
                     if numeric
-                    else F.lit(None).cast("double")
+                    else F.lit(None).cast(stat_type)
                 ).alias(_pname(p))
             )
         structs.append(F.struct(*fields))
@@ -93,5 +114,6 @@ def profile_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             p.get("columns") or p.get("fields"),
             approx_distinct=bool(p.get("approxDistinct", False)),
             percentiles=[float(x) for x in p.get("percentiles", [])] or None,
+            decimal_stats=bool(p.get("decimalStats", False)),
         )
     }

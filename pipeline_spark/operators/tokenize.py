@@ -613,9 +613,21 @@ def bpe_train_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     Output rows: (rank, left, right, merged) — feed the
     ``concat(left, ' ', right)`` strings to the tokenize module's
     ``merges`` parameter to apply the learned vocabulary.
+
+    ``stage: counts`` stops after the distributed word-frequency count
+    and emits (word, freq) instead — the only corpus-scale stage, and
+    the SQL-checkable one; the driver-side merge loop is pinned by
+    hand-computed parity tests.
     """
     p = ctx.params
     text_field = p.get("field") or p.get("textField", "text")
+    if str(p.get("stage", "merges")) == "counts":
+        return {
+            "": bpe_word_freq(
+                ctx.input, text_field,
+                max_words=int(p.get("maxWords", 1_000_000)),
+            )
+        }
     num_merges = int(p.get("numMerges", 1000))
     if num_merges < 1:
         raise ValueError(f"bpe_train: numMerges must be >= 1, got {num_merges}")
