@@ -311,6 +311,25 @@ def avro_partition_type(kind: str) -> Any:
     return {"int": "int", "long": "long", "string": "string"}[kind]
 
 
+def spec_field_avro_type(transform: str, source_type: str) -> str:
+    """Avro value type of a partition field reconstructed from TABLE
+    METADATA alone (spec-JSON transform string + current-schema source
+    type) — for commits that must emit spec-0-shaped manifests without a
+    DataFrame to re-derive the transform from (e.g. delete-file
+    appends).  Mirrors transform_column's result kinds exactly."""
+    if transform.startswith("bucket") or transform in (
+        "year", "month", "day", "hour",
+    ):
+        return "int"
+    if transform.startswith("truncate"):
+        return "string" if source_type == "string" else "long"
+    # identity: ints partition as long, strings as string, time/binary
+    # columns as their lexical dir rendering (string)
+    if source_type in ("int", "long"):
+        return "long"
+    return "string"
+
+
 def spec_transform_str(field: dict[str, Any]) -> str:
     tr = field["transform"]
     if tr == "bucket":

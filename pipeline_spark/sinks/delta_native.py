@@ -85,7 +85,15 @@ def _footer_stats(path: str) -> str | None:
             maxs[name] = max(st.max for st in stats)
 
     def enc(v):
-        if isinstance(v, (datetime.datetime, datetime.date)):
+        if isinstance(v, datetime.datetime):
+            # normalize tz-aware stats (TIMESTAMP_MICROS footers surface
+            # as UTC-aware datetimes) to naive UTC before isoformat: a
+            # trailing '+00:00' would lexicographically sort AFTER every
+            # suffix-free filter literal and silently prune live files
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            return v.isoformat()
+        if isinstance(v, datetime.date):
             return v.isoformat()
         return v
 
@@ -645,6 +653,10 @@ def write_checkpoint(table: str, version: int) -> None:
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            # delta-spark checkpoints carry stats as a JSON string column;
+            # dropping it here would silently disable file skipping and
+            # stats-guided DELETE/UPDATE for every pre-checkpoint file
+            ("stats", pa.string()),
         ])),
         ("txn", pa.struct([
             ("appId", pa.string()),
@@ -704,6 +716,7 @@ def write_checkpoint(table: str, version: int) -> None:
                 "size": a.get("size"),
                 "modificationTime": a.get("modificationTime"),
                 "dataChange": bool(a.get("dataChange", True)),
+                "stats": a.get("stats"),
             },
             "txn": None,
             "metaData": None,

@@ -413,6 +413,52 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
                 f"{new_fields} does not match the table's existing spec "
                 f"{prev_fields}; use mode: overwrite to change partitioning"
             )
+    # an append must not silently rewrite the table's SCHEMA either:
+    # replacing `schemas` / name-mapping with freshly re-assigned
+    # field-ids would re-key every older manifest's bounds/null-counts
+    # under different columns (silent corruption).  On a (name, type)
+    # match the previous schema object — with its field-ids — is reused
+    # verbatim.  Checked BEFORE the data write: a rejected append leaves
+    # no orphan files.
+    reuse_schema: dict | None = None
+    if mode == "append" and prev_meta is not None:
+        prev_schema = next(
+            s for s in prev_meta["schemas"]
+            if s.get("schema-id", 0) == prev_meta.get("current-schema-id", 0)
+        )
+
+        def _strip_ids(t):
+            if isinstance(t, dict):
+                return {
+                    k: (
+                        [_strip_ids(f) for f in v]
+                        if k == "fields"
+                        else _strip_ids(v)
+                    )
+                    for k, v in t.items()
+                    if k not in (
+                        "id", "field-id", "element-id", "key-id", "value-id",
+                        "required", "schema-id", "__last_column_id",
+                    )
+                }
+            return t
+
+        def _sig(schema_dict):
+            return {
+                (f["name"], json.dumps(_strip_ids(f["type"]), sort_keys=True))
+                for f in schema_dict["fields"]
+            }
+
+        new_sig = _sig(iceberg_schema(df.schema))
+        prev_sig = _sig(prev_schema)
+        if new_sig != prev_sig:
+            raise ValueError(
+                "iceberg: append schema does not match the table's current "
+                f"schema (added: {sorted(n for n, _ in new_sig - prev_sig)}, "
+                f"removed: {sorted(n for n, _ in prev_sig - new_sig)} or "
+                "changed types); use mode: overwrite to evolve the schema"
+            )
+        reuse_schema = prev_schema
     os.makedirs(meta_dir, exist_ok=True)
 
     commit_uuid = str(uuid.uuid4())
@@ -483,8 +529,12 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
             }
         )
     data_files = [e["data_file"]["file_path"] for e in entries]
-    schema = iceberg_schema(df.schema)
-    last_column_id = schema.pop("__last_column_id")
+    if reuse_schema is not None:
+        schema = reuse_schema
+        last_column_id = (prev_meta or {}).get("last-column-id", 0)
+    else:
+        schema = iceberg_schema(df.schema)
+        last_column_id = schema.pop("__last_column_id")
     source_ids = {f["name"]: f["id"] for f in schema["fields"]}
 
     # per-file column stats (field-id-keyed null counts + Appendix-D
@@ -1122,20 +1172,48 @@ def append_delete_files(table_path: str, delete_files: list[dict]) -> None:
         )
 
     manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
-    schema_json = json.dumps(
-        next(
-            s
-            for s in prev_meta["schemas"]
-            if s.get("schema-id", 0) == prev_meta.get("current-schema-id", 0)
-        )
+    cur_schema = next(
+        s
+        for s in prev_meta["schemas"]
+        if s.get("schema-id", 0) == prev_meta.get("current-schema-id", 0)
     )
+    schema_json = json.dumps(cur_schema)
+    # the delete manifest declares partition_spec_id 0, so its partition
+    # record must carry spec-0's REAL fields (all-null for global position
+    # deletes) — an empty record would contradict the declared spec for
+    # external spec-compliant readers on a partitioned table
+    from pipeline_spark.functions.icebergpart import spec_field_avro_type
+
+    spec0 = next(
+        (
+            sp
+            for sp in prev_meta.get("partition-specs", [])
+            if sp.get("spec-id", 0) == prev_meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    src_types = {f["id"]: f["type"] for f in cur_schema["fields"]}
+    part_avro_fields = [
+        {
+            "name": sf["name"],
+            "type": [
+                "null",
+                spec_field_avro_type(
+                    sf["transform"], str(src_types.get(sf.get("source-id"), ""))
+                ),
+            ],
+            "default": None,
+            "field-id": sf.get("field-id", 1000 + i),
+        }
+        for i, sf in enumerate(spec0.get("fields", []))
+    ]
     manifest_bytes = write_ocf_bytes(
-        _MANIFEST_ENTRY_SCHEMA,
+        _manifest_entry_schema(part_avro_fields),
         entries,
         extra_meta={
             "schema": schema_json,
-            "partition-spec": "[]",
-            "partition-spec-id": "0",
+            "partition-spec": json.dumps(spec0.get("fields", [])),
+            "partition-spec-id": str(spec0.get("spec-id", 0)),
             "format-version": "2",
             "content": "deletes",
         },

@@ -40,19 +40,27 @@ def warc_sink(ctx: ModuleContext) -> dict:
     )
 
     def write_partition(rows):
-        first = True
+        # write to a task-attempt-unique dotfile and rename into place on
+        # completion: a retried/speculative attempt never interleaves with
+        # a concurrent one, and a failed attempt leaves only a hidden tmp
+        # that globs for *.warc.gz skip
         f = None
+        tmp_path = final_path = None
         try:
             for row in rows:
-                if first:
-                    # partition id from the task context; one file per task
+                if f is None:
                     from pyspark import TaskContext
 
-                    pid = TaskContext.get().partitionId()
-                    f = open(
-                        os.path.join(out_dir, f"part-{pid:05d}.warc.gz"), "wb"
+                    tc = TaskContext.get()
+                    pid = tc.partitionId()
+                    final_path = os.path.join(
+                        out_dir, f"part-{pid:05d}.warc.gz"
                     )
-                    first = False
+                    tmp_path = os.path.join(
+                        out_dir,
+                        f".part-{pid:05d}.warc.gz.{tc.taskAttemptId()}.tmp",
+                    )
+                    f = open(tmp_path, "wb")
                 payload = row["payload"]
                 if isinstance(payload, str):
                     payload = payload.encode("utf-8")
@@ -60,22 +68,30 @@ def warc_sink(ctx: ModuleContext) -> dict:
                     payload = b""
                 else:
                     payload = bytes(payload)
-                rid = uuid.uuid5(uuid.NAMESPACE_URL, row["uri"] or "")
+                uri = row["uri"] or ""
+                rid = uuid.uuid5(uuid.NAMESPACE_URL, uri)
                 f.write(
                     warcrec.encode_gzip_member(
                         {
                             "WARC-Type": warc_type,
                             "WARC-Record-ID": f"<urn:uuid:{rid}>",
                             "WARC-Date": warc_date,
-                            "WARC-Target-URI": row["uri"],
+                            "WARC-Target-URI": uri,
                             "Content-Type": content_type,
                         },
                         payload,
                     )
                 )
-        finally:
+        except BaseException:
             if f is not None:
                 f.close()
+                f = None
+                if tmp_path is not None and os.path.exists(tmp_path):
+                    os.remove(tmp_path)
+            raise
+        if f is not None:
+            f.close()
+            os.rename(tmp_path, final_path)  # atomic on a posix FS
 
     cols.foreachPartition(write_partition)
     return {"": df}

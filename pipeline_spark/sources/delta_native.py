@@ -300,9 +300,16 @@ def _coerce_stat(v, want):
         return None, None
     def norm(s: str) -> str:
         # normalize the 'T' vs ' ' datetime separator so lexicographic
-        # comparison stays chronological across both spellings
+        # comparison stays chronological across both spellings, and strip
+        # a UTC offset suffix (externally-written stats may carry
+        # '+00:00'/'Z', which would sort after every suffix-free literal)
         if _ISO_PREFIX.match(s):
-            return s.replace(" ", "T")
+            s = s.replace(" ", "T")
+            if s.endswith("Z"):
+                s = s[:-1]
+            elif s.endswith("+00:00"):
+                s = s[:-6]
+            return s
         return s
 
     if isinstance(v, str) and not isinstance(want, str):

@@ -848,3 +848,78 @@ def test_update_refuses_partition_column(spark, tmp_path):
             {"path": tbl, "where": {"key": "id", "op": "<", "value": 5},
              "set": {"grp": "0"}},
         )
+
+
+def test_timestamp_stats_normalized_no_tz_suffix(spark, tmp_path):
+    """ADVICE r4: with TIMESTAMP_MICROS output, pyarrow surfaces footer
+    min/max as tz-AWARE datetimes; stats must serialize without the
+    '+00:00' suffix or an '='/'<=' filter literal equal to a file's min
+    would lexicographically prune a live file."""
+    import datetime as dt
+
+    tbl = str(tmp_path / "ts_tbl")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 10, 0, 0)),
+             (2, dt.datetime(2024, 1, 2, 10, 0, 0))],
+            "id long, ts timestamp",
+        )
+        write_delta_native(spark, df.coalesce(1), {"path": tbl})
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    adds, _m, _p, _v = replay_log(tbl)
+    stats = json.loads(adds[0]["stats"])
+    assert "ts" in stats["minValues"], "MICROS footers must yield ts bounds"
+    assert "+" not in stats["minValues"]["ts"]
+    assert not stats["minValues"]["ts"].endswith("Z")
+    # the dormant bug: literal == file min must NOT prune the file
+    hit = read_delta_native(
+        spark,
+        {"path": tbl,
+         "dataFilter": {"key": "ts", "op": "=", "value": "2024-01-01 10:00:00"}},
+    )
+    assert hit.count() == 1
+
+
+def test_stat_norm_strips_external_tz_suffix():
+    """Externally-written stats may carry '+00:00'/'Z'; norm() must strip
+    them so lexicographic comparison stays chronological."""
+    from pipeline_spark.sources.delta_native import _coerce_stat
+
+    v, w = _coerce_stat("2024-01-01T10:00:00+00:00", "2024-01-01 10:00:00")
+    assert v == w == "2024-01-01T10:00:00"
+    v, w = _coerce_stat("2024-01-01T10:00:00Z", "2024-01-01T10:00:00")
+    assert v == w == "2024-01-01T10:00:00"
+
+
+def test_checkpoint_preserves_stats_for_skipping(spark, tmp_path):
+    """ADVICE r4: checkpoints must carry the adds' stats JSON — otherwise
+    every pre-checkpoint file silently loses dataFilter skipping."""
+    tbl = str(tmp_path / "cp_stats")
+    write_delta_native(
+        spark, spark.range(0, 100).coalesce(1),
+        {"path": tbl, "checkpointInterval": 2},
+    )
+    for lo in (100, 200):
+        write_delta_native(
+            spark, spark.range(lo, lo + 100).coalesce(1),
+            {"path": tbl, "mode": "append", "checkpointInterval": 2},
+        )
+    # interval 2 → checkpoint written at version 2; wipe the pre-checkpoint
+    # JSON commits so replay MUST come from the checkpoint
+    log = tmp_path / "cp_stats" / "_delta_log"
+    assert (log / "00000000000000000002.checkpoint.parquet").exists()
+    (log / "00000000000000000000.json").unlink()
+    (log / "00000000000000000001.json").unlink()
+    adds, _m, _p, _v = replay_log(tbl)
+    assert len(adds) == 3
+    assert all(a.get("stats") for a in adds), "checkpoint dropped stats"
+    pruned = read_delta_native(
+        spark, {"path": tbl, "dataFilter": {"key": "id", "op": "<", "value": 50}}
+    )
+    assert len(pruned.inputFiles()) == 1 and pruned.count() == 50

@@ -936,3 +936,97 @@ def test_delete_where_row_cap(spark, tmp_path):
             {"path": tbl, "maxDeleteRows": 100,
              "where": {"key": "id", "op": ">=", "value": 0}},
         )
+
+
+def test_append_schema_mismatch_raises(spark, tmp_path):
+    """ADVICE r4: an append with added/changed columns must fail fast —
+    silently re-assigning field-ids would re-key older manifests' stats
+    under different columns (silent corruption)."""
+    from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+
+    tbl = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a")], "id long, v string")
+    write_iceberg_native(base, {"path": tbl})
+    wider = spark.createDataFrame([(2, "b", 1.5)], "id long, v string, x double")
+    with pytest.raises(ValueError, match="schema"):
+        write_iceberg_native(wider, {"path": tbl, "mode": "append"})
+    # rejected BEFORE the data write: no orphan files landed
+    data_dirs = list((tmp_path / "tbl" / "data").iterdir())
+    assert len(data_dirs) == 1
+    retyped = spark.createDataFrame([(2, 3)], "id long, v long")
+    with pytest.raises(ValueError, match="schema"):
+        write_iceberg_native(retyped, {"path": tbl, "mode": "append"})
+
+
+def test_append_matching_schema_reuses_field_ids(spark, tmp_path):
+    """A (name, type)-matching append keeps the previous schema object —
+    field-ids stay stable even when the DataFrame column order differs."""
+    from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+
+    tbl = str(tmp_path / "tbl")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "a")], "id long, v string"), {"path": tbl}
+    )
+    meta1 = json.load(open(str(tmp_path / "tbl" / "metadata" / "v1.metadata.json")))
+    # reordered columns, same (name, type) set
+    write_iceberg_native(
+        spark.createDataFrame([("b", 2)], "v string, id long"),
+        {"path": tbl, "mode": "append"},
+    )
+    meta2 = json.load(open(str(tmp_path / "tbl" / "metadata" / "v2.metadata.json")))
+    assert meta2["schemas"] == meta1["schemas"]
+    assert meta2["last-column-id"] == meta1["last-column-id"]
+    assert (
+        meta2["properties"]["schema.name-mapping.default"]
+        == meta1["properties"]["schema.name-mapping.default"]
+    )
+    back = read_iceberg_native(spark, {"path": tbl})
+    assert sorted((r["id"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_delete_manifest_carries_spec_partition_record(spark, tmp_path):
+    """ADVICE r4: delete manifests on a partitioned table must encode
+    spec-0's real partition fields (all-null for global position deletes),
+    not an empty record contradicting the declared spec id."""
+    from pipeline_spark.sinks.iceberg_native import delete_iceberg_native
+
+    tbl = str(tmp_path / "ice_part_del")
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(20)],
+        "id long, par string",
+    )
+    write_iceberg_native(
+        df.coalesce(1),
+        {"path": tbl, "partitionSpec": [{"field": "par", "transform": "identity"}]},
+    )
+    res = delete_iceberg_native(
+        spark, {"path": tbl, "where": {"key": "id", "op": "<", "value": 3}}
+    )
+    assert res == {"deleted_rows": 3}
+    meta = json.load(open(sorted((tmp_path / "ice_part_del" / "metadata").glob(
+        "v*.metadata.json"))[-1]))
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, manifests = read_ocf(fh.read())
+    delete_manifest = next(m for m in manifests if m["content"] == 1)
+    with open(delete_manifest["manifest_path"], "rb") as fh:
+        mschema, entries = read_ocf(fh.read())
+    # partition record declares spec-0's field under its spec field-id
+    data_file_schema = next(
+        f["type"] for f in mschema["fields"] if f["name"] == "data_file"
+    )
+    part_record = next(
+        f["type"] for f in data_file_schema["fields"] if f["name"] == "partition"
+    )
+    names = [f["name"] for f in part_record["fields"]]
+    fids = [f.get("field-id") for f in part_record["fields"]]
+    assert names == ["par"] and fids == [1000]
+    # global position deletes: partition values are null
+    entries = list(entries)
+    assert all(e["data_file"]["partition"]["par"] is None for e in entries)
+    # embedded spec metadata is the table's real spec, not []
+    after = read_iceberg_native(spark, {"path": tbl})
+    assert sorted(r["id"] for r in after.collect()) == list(range(3, 20))

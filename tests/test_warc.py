@@ -200,3 +200,32 @@ def test_source_on_error_skip_drops_corrupt_file(spark, tmp_path):
     assert [r["target_uri"] for r in rows] == ["doc://ok"]
     with pytest.raises(ValueError, match="onError"):
         read_warc(spark, str(good), on_error="nope")
+
+
+def test_sink_atomic_rename_and_null_uri(spark, tmp_path):
+    """ADVICE r4: final files appear via task-attempt-unique tmp + rename
+    (no partial/interleaved archives from retries); a null uri renders as
+    an empty WARC-Target-URI, not the literal 'None'."""
+    import os
+
+    out = str(tmp_path / "warc_out")
+    docs = spark.createDataFrame(
+        [Row(uri=None, payload="no uri body"), Row(uri="doc://1", payload="x")]
+    ).coalesce(1)
+    warc_sink(
+        ModuleContext(
+            spark=spark, name="w", params={"output": out},
+            inputs=[docs], input_names=["in"], side_inputs={},
+        )
+    )
+    names = sorted(os.listdir(out))
+    assert names == ["part-00000.warc.gz"], names  # no .tmp leftovers
+    back = warc_source(
+        ModuleContext(
+            spark=spark, name="r", params={"input": out + "/*.warc.gz"},
+            inputs=[], input_names=[], side_inputs={},
+        )
+    )[""]
+    uris = sorted(r["target_uri"] or "" for r in back.collect())
+    assert uris == ["", "doc://1"]
+    assert "None" not in uris
