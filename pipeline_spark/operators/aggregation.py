@@ -93,6 +93,40 @@ def aggregation_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                 lateness = f"{int(lateness)} seconds"
             df = ensure_event_time(df, ts_attr)
             df = df.withWatermark(ts_attr, lateness)
+        if (
+            df.isStreaming
+            and str(strategy.get("paneStateBackend", "driver")) == "executor"
+        ):
+            # scale path: fuse the windowed aggregation and the pane
+            # ledger into ONE applyInPandasWithState operator so trigger
+            # state lives executor-side in the state store instead of the
+            # sink's driver ledger (streaming/panes.py).  Raises (never
+            # silently falls back) when the surface needs the full
+            # compiler — a quiet fallback would double-ledger at the sink.
+            from pipeline_spark.streaming.panes import stream_panes_with_state
+            from pipeline_spark.streaming.triggers import parse_trigger
+
+            if parse_trigger(strategy) is None:
+                raise ValueError(
+                    "paneStateBackend executor needs an early-firing "
+                    "trigger in the strategy (plain watermark aggregation "
+                    "already scales without a ledger)"
+                )
+            if not ts_attr:
+                raise ValueError(
+                    "paneStateBackend executor requires timestampAttribute"
+                )
+            if len(per_input) > 1 or p.get("pivot") or (
+                str(p.get("groupType", "group")).lower() != "group"
+            ):
+                raise NotImplementedError(
+                    "paneStateBackend executor supports a single input with "
+                    "plain grouping (no pivot/rollup/cube)"
+                )
+            results.append(
+                stream_panes_with_state(df, ts_attr, group_fields, aggs, strategy)
+            )
+            continue
         keys = [F.col(g) for g in group_fields]
         wkey = _window_key(strategy, ts_attr) if ts_attr else None
         if wkey is not None:

@@ -65,6 +65,32 @@ def storage_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
                 else:
                     w.format(fmt).save(path)
 
+            if str(strategy.get("paneStateBackend", "driver")) == "executor":
+                # the aggregation module already materialized pane rows
+                # executor-side (streaming/panes.py) — no driver ledger;
+                # each micro-batch of fired panes appends directly
+                writer = (
+                    df.writeStream.outputMode("update")
+                    .option(
+                        "checkpointLocation",
+                        p.get(
+                            "checkpointLocation",
+                            path.rstrip("/") + "_checkpoint",
+                        ),
+                    )
+                    .foreachBatch(write_pane)
+                )
+                if p.get("availableNow", True):
+                    writer = writer.trigger(availableNow=True)
+                else:
+                    writer = writer.trigger(
+                        processingTime=p.get("processingTime", "1 seconds")
+                    )
+                query = writer.start()
+                if p.get("await", True):
+                    query.awaitTermination()
+                return {"": df}
+
             query = stream_with_early_firing(
                 df,
                 strategy,

@@ -20,6 +20,12 @@ Spark mapping (documented divergences included):
     first element after the last firing, count growth since the last
     firing).  lateFiringTrigger gates LATE panes (post-ON_TIME updates);
     finalTrigger = orFinally (one last firing, then the pane closes).
+    TWO BACKENDS: the default driver ledger (foreachBatch, exact
+    drain-time flush) and ``paneStateBackend: executor`` (panes.py) —
+    the 100×-scale path fusing the windowed aggregation and the pane
+    ledger into ONE ``applyInPandasWithState`` operator whose state
+    lives in Spark's checkpointed state store, with window closure via
+    EventTimeTimeout timers on the REAL watermark.
   * allowedLateness → watermark delay.  Beam re-fires late panes; Spark
     drops post-watermark rows — a documented divergence
     (Strategy.java:69-71).  Inside the pane ledger's proxy-watermark

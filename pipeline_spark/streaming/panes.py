@@ -1,0 +1,441 @@
+"""Executor-side pane ledger: trigger emulation in Spark keyed state.
+
+The foreachBatch ledger in streaming/triggers.py is exact but driver-side:
+every changed (window, key) pane funnels through one collect() per
+micro-batch.  Honest and bounded at moderate key cardinality — but the
+100×-scale keyed stream needs the ledger to live WHERE THE KEYS LIVE.
+
+Spark rejects a second stateful operator after an update-mode windowed
+aggregation, so the scale path fuses BOTH stages into one
+``applyInPandasWithState`` over the RAW event stream keyed by the group
+fields: per-key state holds each active window's incremental aggregate
+accumulators AND its pane ledger entry (index, fired values, cycle,
+closure).  One stateful operator, state in Spark's checkpointed state
+store, pane rows emitted executor-side — the sink appends micro-batch
+output with no driver ledger at all.
+
+Engaged with ``strategy.paneStateBackend: executor`` (the driver ledger
+stays the default — it has exact end-of-stream flush semantics that
+keyed state cannot reproduce, see below).  The supported surface is the
+incrementally-computable one; everything else raises with the reason so
+a silent fallback never double-ledgers:
+
+  * aggregations: count / sum / min / max / avg over a plain field
+    (conditions, weights and expressions need the full compiler — use
+    the driver backend);
+  * windows: fixed, sliding, global (session windows merge state —
+    their pane identity is not stable under applyInPandasWithState's
+    fixed grouping; calendar windows are calendar-arithmetic — both
+    stay on the driver backend);
+  * triggers: the same family triggers.py emulates — afterProcessingTime
+    / afterPane leaves, afterFirst / afterAll / afterEach composites,
+    lateFiringTrigger, finalTrigger.
+
+Watermark semantics: the stream is ``withWatermark(ts, allowedLateness)``
+upstream, so ``state.getCurrentWatermarkMs() >= window.end`` IS Beam's
+"watermark passed end-of-window + lateness" — no proxy high-water mark.
+Window closure fires through EventTimeTimeout timers, so a withheld
+count-trigger pane flushes ON_TIME even when its key receives no more
+rows.  Divergences vs the driver ledger, both documented here and in
+SCALE.md: (1) rows arriving after the watermark are dropped by Spark
+before the stateful operator (the aggregation path's documented
+lateness contract), so LATE panes only occur via lateFiringTrigger on
+still-open windows; (2) windows whose end the watermark never passes
+(the stream's trailing edge on bounded runs) emit their final flush only
+if a later event advances the watermark past them — the driver ledger's
+drain-time flush_pending has no keyed-state equivalent.  Streaming-test
+inputs push the watermark past every window with a far-future sentinel
+event, the same pattern Spark's own streaming tests use.
+
+Reference: module/Strategy.java:232-343 (trigger surface); the driver
+twin is streaming/triggers.py.
+"""
+
+from __future__ import annotations
+
+import pickle
+import time
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from pipeline_spark.streaming.triggers import _eval_tree, parse_trigger
+
+_PANE_FIELDS = T.StructType(
+    [
+        T.StructField("firing_time", T.DoubleType()),
+        T.StructField("index", T.IntegerType()),
+        T.StructField("timing", T.StringType()),
+        T.StructField("is_first", T.BooleanType()),
+    ]
+)
+
+_EXEC_OPS = ("count", "sum", "min", "max", "avg")
+
+
+def parse_exec_aggs(
+    agg_specs: list[dict[str, Any]], df: DataFrame
+) -> list[tuple[str, str, str | None]]:
+    """Validate + normalize aggregations for the executor backend:
+    [(name, op, field)] — or raise naming the entry that needs the
+    driver backend."""
+    out: list[tuple[str, str, str | None]] = []
+    for a in agg_specs:
+        if a.get("ignore"):
+            continue
+        op = str(a.get("op", "")).lower()
+        name = a.get("name") or a.get("field") or op
+        if op not in _EXEC_OPS:
+            raise NotImplementedError(
+                f"paneStateBackend executor: aggregation '{name}' op '{op}' "
+                "is not incrementally computable in keyed state "
+                f"(supported: {', '.join(_EXEC_OPS)}); use the driver backend"
+            )
+        if a.get("condition") or a.get("weightField") or a.get("expression"):
+            raise NotImplementedError(
+                f"paneStateBackend executor: aggregation '{name}' uses "
+                "condition/weight/expression — those need the full "
+                "aggregation compiler; use the driver backend"
+            )
+        field = a.get("field")
+        if op != "count" and not field:
+            raise ValueError(f"aggregation '{name}' ({op}) needs a field")
+        if field and field not in df.columns:
+            raise ValueError(f"aggregation '{name}': unknown field '{field}'")
+        out.append((name, op, field))
+    if not out:
+        raise ValueError("paneStateBackend executor: no aggregations")
+    return out
+
+
+def _window_params(strategy: dict[str, Any]) -> tuple[str, float, float]:
+    """(type, size_sec, period_sec) for the executor-supported windows."""
+    w = strategy.get("window") or {}
+    wtype = str(w.get("type", "global")).lower()
+    unit = str(w.get("unit", "second")).lower()
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
+    if wtype in ("fixed", "tumbling"):
+        size = int(w.get("size", 0)) * mult
+        return "fixed", float(size), float(size)
+    if wtype == "sliding":
+        return (
+            "sliding",
+            float(int(w.get("size", 0)) * mult),
+            float(int(w.get("period", 0)) * mult),
+        )
+    if wtype == "global":
+        return "global", 0.0, 0.0
+    raise NotImplementedError(
+        f"paneStateBackend executor: window type '{wtype}' (session windows "
+        "merge state; calendar windows are calendar arithmetic) — use the "
+        "driver backend"
+    )
+
+
+def _agg_out_type(op: str, field: str | None, df: DataFrame):
+    if op == "count":
+        return T.LongType()
+    if op == "avg":
+        return T.DoubleType()
+    src = df.schema[field].dataType
+    if op == "sum":
+        return T.LongType() if isinstance(src, T.IntegralType) else T.DoubleType()
+    return src  # min / max keep the input type
+
+
+class _WinState:
+    """One window's accumulators + pane ledger entry (pickled per key)."""
+
+    __slots__ = (
+        "n", "sums", "mins", "maxs", "counts",
+        "idx", "fired", "fired_n", "dirty", "cycle_start", "each_ptr",
+        "on_time_fired", "closed", "birth",
+    )
+
+    def __init__(self, now: float):
+        self.n = 0                    # total rows (count-trigger source)
+        self.sums: dict[str, float] = {}
+        self.mins: dict[str, Any] = {}
+        self.maxs: dict[str, Any] = {}
+        self.counts: dict[str, int] = {}  # non-null counts per field
+        self.idx = 0
+        self.fired: tuple | None = None  # values at last firing
+        self.fired_n = 0              # row count at last firing
+        self.dirty = False
+        self.cycle_start: float | None = None
+        self.each_ptr = 0
+        self.on_time_fired = False
+        self.closed = False
+        self.birth = now
+
+
+def stream_panes_with_state(
+    df: DataFrame,
+    ts_col: str,
+    group_fields: list[str],
+    agg_specs: list[dict[str, Any]],
+    strategy: dict[str, Any],
+) -> DataFrame:
+    """The fused windowed-aggregation + pane-ledger stateful operator.
+
+    ``df`` must already carry ``withWatermark(ts_col, allowedLateness)``
+    (the aggregation module applies it); returns the pane-row stream.
+    """
+    cfg = parse_trigger(strategy) or {}
+    aggs = parse_exec_aggs(agg_specs, df)
+    wtype, size, period = _window_params(strategy)
+    mode = str(strategy.get("accumulationMode", "accumulating")).lower()
+    discarding = mode in ("discarding", "discarding_fired_panes")
+    pane_info = bool(strategy.get("outputPaneInfo", False))
+
+    early_delay = cfg.get("early_delay_sec")
+    early_count = cfg.get("early_count")
+    trigger_tree = cfg.get("tree")
+    late_tree = cfg.get("late_tree")
+    final_tree = cfg.get("final_tree")
+
+    has_window = wtype != "global"
+    out_fields: list[T.StructField] = []
+    if has_window:
+        out_fields.append(
+            T.StructField(
+                "window",
+                T.StructType(
+                    [
+                        T.StructField("start", T.TimestampType()),
+                        T.StructField("end", T.TimestampType()),
+                    ]
+                ),
+            )
+        )
+    for g in group_fields:
+        out_fields.append(
+            T.StructField(g, df.schema[g].dataType, df.schema[g].nullable)
+        )
+    int_sums = set()
+    for name, op, field in aggs:
+        t = _agg_out_type(op, field, df)
+        if op == "sum" and isinstance(t, T.LongType):
+            int_sums.add(name)
+        out_fields.append(T.StructField(name, t))
+    if pane_info:
+        out_fields.append(T.StructField("__pane__", _PANE_FIELDS))
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType([T.StructField("blob", T.BinaryType())])
+    value_names = [name for name, _op, _f in aggs]
+
+    def assign_windows(ts_epoch: float) -> list[tuple[float, float]]:
+        if wtype == "fixed":
+            start = (ts_epoch // size) * size
+            return [(start, start + size)]
+        # sliding: every period-aligned window containing ts
+        w = (ts_epoch // period) * period
+        out = []
+        while w > ts_epoch - size:
+            out.append((w, w + size))
+            w -= period
+        return out
+
+    def values_of(ws: _WinState) -> tuple:
+        vals = []
+        for name, op, field in aggs:
+            if op == "count":
+                vals.append(ws.counts.get(name, 0) if field else ws.n)
+            elif op == "sum":
+                v = ws.sums.get(name)
+                vals.append(None if v is None else (
+                    int(v) if name in int_sums else v
+                ))
+            elif op == "avg":
+                c = ws.counts.get(name, 0)
+                vals.append(ws.sums.get(name, 0.0) / c if c else None)
+            elif op == "min":
+                vals.append(ws.mins.get(name))
+            else:
+                vals.append(ws.maxs.get(name))
+        return tuple(vals)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        windows: dict[Any, _WinState] = (
+            pickle.loads(state.get[0]) if state.exists else {}
+        )
+        now = time.time()
+        wm_sec = state.getCurrentWatermarkMs() / 1000.0
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts = pdf[ts_col]
+                epochs = (
+                    ts.astype("int64") / 1e9
+                    if str(ts.dtype).startswith("datetime64")
+                    else ts.astype("float64")
+                )
+                for i in range(len(pdf)):
+                    e = float(epochs.iloc[i])
+                    wkeys = (
+                        assign_windows(e) if has_window else [None]
+                    )
+                    for wk in wkeys:
+                        ws = windows.get(wk)
+                        if ws is None:
+                            ws = windows[wk] = _WinState(now)
+                        if ws.closed:
+                            continue
+                        ws.n += 1
+                        ws.dirty = True
+                        if ws.cycle_start is None:
+                            ws.cycle_start = now
+                        for name, op, field in aggs:
+                            if field is None:
+                                continue
+                            v = pdf[field].iloc[i]
+                            if v is None or v != v:
+                                continue
+                            if op == "count":
+                                ws.counts[name] = ws.counts.get(name, 0) + 1
+                            elif op in ("sum", "avg"):
+                                ws.sums[name] = ws.sums.get(name, 0.0) + float(v)
+                                ws.counts[name] = ws.counts.get(name, 0) + 1
+                            elif op == "min":
+                                cur = ws.mins.get(name)
+                                ws.mins[name] = v if cur is None else min(cur, v)
+                            else:
+                                cur = ws.maxs.get(name)
+                                ws.maxs[name] = v if cur is None else max(cur, v)
+
+        out_rows: list[dict] = []
+
+        def emit(wk, ws: _WinState, timing: str) -> None:
+            latest = values_of(ws)
+            d: dict[str, Any] = {}
+            if has_window:
+                d["window"] = {
+                    "start": pd.Timestamp(wk[0], unit="s"),
+                    "end": pd.Timestamp(wk[1], unit="s"),
+                }
+            d.update(zip(group_fields, key))
+            vals = list(latest)
+            if discarding and ws.fired is not None:
+                for j, (name, _op, _f) in enumerate(aggs):
+                    if vals[j] is not None and ws.fired[j] is not None:
+                        vals[j] = vals[j] - ws.fired[j]
+            d.update(zip(value_names, vals))
+            if pane_info:
+                d["__pane__"] = {
+                    "firing_time": float(now),
+                    "index": ws.idx,
+                    "timing": timing,
+                    "is_first": ws.idx == 0,
+                }
+            out_rows.append(d)
+            ws.idx += 1
+            ws.fired = latest
+            ws.fired_n = ws.n
+            ws.dirty = False
+            ws.cycle_start = None
+            if trigger_tree is not None and trigger_tree["kind"] == "each":
+                ws.each_ptr += 1
+
+        for wk in list(windows):
+            ws = windows[wk]
+            window_closed = wk is not None and wm_sec >= wk[1]
+            # retention mirrors the driver ledger: a fired window lingers
+            # one event-time hour past its close so a straggler row (Spark
+            # does not pre-filter late rows for this operator) lands as a
+            # LATE pane instead of resetting the pane index
+            expired = wk is not None and wm_sec - 3600.0 > wk[1]
+            if ws.closed or not ws.dirty:
+                if expired or (ws.closed and window_closed):
+                    del windows[wk]
+                continue
+            # count growth since last firing: the operator OWNS the
+            # aggregation, so the ledger always has an exact row count —
+            # no paneCountField contract needed on this backend
+            grown = ws.n - ws.fired_n
+            if final_tree is not None and _eval_tree(
+                final_tree, now, ws.birth, ws.n
+            ):
+                timing = (
+                    "ON_TIME"
+                    if window_closed and not ws.on_time_fired
+                    else ("LATE" if window_closed else "EARLY")
+                )
+                emit(wk, ws, timing)
+                ws.closed = True
+                continue
+            if not window_closed:
+                if trigger_tree is not None:
+                    should = _eval_tree(
+                        trigger_tree, now, ws.cycle_start, grown,
+                        each_ptr=(
+                            ws.each_ptr
+                            if trigger_tree["kind"] == "each"
+                            else -1
+                        ),
+                    )
+                elif early_count is not None:
+                    should = grown >= early_count
+                elif early_delay is not None:
+                    should = True  # processing-time cadence = batch cadence
+                else:
+                    should = False  # afterWatermark-only: final pane only
+                if should:
+                    emit(wk, ws, "EARLY")
+            elif not ws.on_time_fired:
+                emit(wk, ws, "ON_TIME")
+                ws.on_time_fired = True
+            else:
+                if late_tree is None or _eval_tree(
+                    late_tree, now, ws.cycle_start, grown
+                ):
+                    emit(wk, ws, "LATE")
+
+        if windows:
+            state.update((pickle.dumps(windows),))
+            open_ends = [
+                wk[1] for wk, ws in windows.items()
+                if wk is not None and not ws.closed and not ws.on_time_fired
+            ]
+            if open_ends:
+                # EventTimeTimeout: wake this key when the watermark passes
+                # its earliest open window end, so withheld panes flush
+                # ON_TIME without new rows.  Must be strictly past the
+                # current watermark.
+                target_sec = min(open_ends)
+            else:
+                # only fired/closed windows remain: wake once their
+                # retention lapses so the state entry cannot leak on keys
+                # that never see another row
+                ends = [wk[1] for wk in windows if wk is not None]
+                if not ends:
+                    target_sec = None  # global panes live for the stream
+                else:
+                    target_sec = max(ends) + 3600.0 + 1.0
+            if target_sec is not None:
+                target_ms = int(target_sec * 1000)
+                if target_ms <= state.getCurrentWatermarkMs():
+                    target_ms = state.getCurrentWatermarkMs() + 1
+                state.setTimeoutTimestamp(target_ms)
+        else:
+            state.remove()
+
+        if out_rows:
+            cols: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for d in out_rows:
+                for f in out_schema.fields:
+                    cols[f.name].append(d.get(f.name))
+            yield pd.DataFrame(cols)
+
+    return df.groupBy(*group_fields).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

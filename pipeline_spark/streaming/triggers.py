@@ -30,7 +30,13 @@ Scale posture: the foreachBatch state is one small tuple per ACTIVE
 mode keeps in its state store — and entries evict once their window can
 no longer fire.  Pane rows are post-aggregation (windows × keys), orders
 of magnitude smaller than the input stream; the collect here is the
-driver-side pane ledger, not a data-plane materialization.
+driver-side pane ledger, not a data-plane materialization.  For
+high-cardinality keyed streams, ``strategy.paneStateBackend: executor``
+routes the whole pipeline through streaming/panes.py instead — the
+aggregation and the ledger fuse into one ``applyInPandasWithState``
+operator with state in Spark's state store and no driver collect at
+all; this module remains the default because its drain-time
+flush_pending is exact on bounded runs.
 
   * afterPane element-count triggers: the pane ledger withholds a pane's
     update until its count aggregate (``paneCountField``, default ``n``)

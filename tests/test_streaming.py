@@ -1018,3 +1018,110 @@ def test_trigger_parse_composites():
     }})
     assert cfg["tree"]["children"][0]["kind"] == "first"
     assert cfg["check_sec"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# executor-side pane ledger (streaming/panes.py): the same trigger surface
+# with state in Spark's state store instead of the driver foreachBatch dict
+
+
+def _exec_backend_cfg(in_dir, out_dir, accumulation_mode):
+    return _early_firing_cfg(in_dir, out_dir, accumulation_mode).replace(
+        "accumulationMode:", "paneStateBackend: executor\n      accumulationMode:"
+    )
+
+
+def test_executor_panes_accumulating(spark, tmp_path):
+    """paneStateBackend executor: processing-time early firings fire per
+    micro-batch with pane values identical to the driver ledger; timing
+    uses the REAL watermark (visible one batch later than the driver's
+    same-batch proxy, so the last dirty update labels EARLY and closure
+    is handled by the EventTimeTimeout path)."""
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    in_dir = _write_stream_files(tmp_path, "xef_in", [
+        [("a", 1.0, base.replace(second=5)), ("a", 2.0, base.replace(second=15))],
+        [("a", 4.0, base.replace(second=25))],
+        [("a", 8.0, base.replace(second=35)),
+         ("b", 1.0, dt.datetime(2100, 1, 1, 0, 0, 5))],
+    ])
+    out_dir = str(tmp_path / "xef_out")
+    run_pipeline(spark, parse_config(_exec_backend_cfg(in_dir, out_dir, "accumulating")))
+    rows = spark.read.parquet(out_dir).collect()
+    a_panes = sorted(
+        (r for r in rows if r["k"] == "a"), key=lambda r: r["__pane__"]["index"]
+    )
+    assert [p["__pane__"]["index"] for p in a_panes] == [0, 1, 2]
+    assert a_panes[0]["__pane__"]["is_first"] is True
+    # accumulating: each pane is the full running aggregate — identical
+    # values to the driver-ledger test
+    assert [(p["n"], p["total"]) for p in a_panes] == [(2, 3.0), (3, 7.0), (4, 15.0)]
+    b_panes = [r for r in rows if r["k"] == "b"]
+    assert [(p["n"], p["total"]) for p in b_panes] == [(1, 1.0)]
+
+
+def test_executor_panes_discarding(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    in_dir = _write_stream_files(tmp_path, "xefd_in", [
+        [("a", 1.0, base.replace(second=5)), ("a", 2.0, base.replace(second=15))],
+        [("a", 4.0, base.replace(second=25))],
+        [("a", 8.0, base.replace(second=35))],
+    ])
+    out_dir = str(tmp_path / "xefd_out")
+    run_pipeline(spark, parse_config(_exec_backend_cfg(in_dir, out_dir, "discarding")))
+    rows = spark.read.parquet(out_dir).collect()
+    panes = sorted(rows, key=lambda r: r["__pane__"]["index"])
+    assert [(p["n"], p["total"]) for p in panes] == [(2, 3.0), (1, 4.0), (1, 8.0)]
+    assert sum(p["n"] for p in panes) == 4
+    assert sum(p["total"] for p in panes) == 15.0
+
+
+def test_executor_panes_count_trigger(spark, tmp_path):
+    """afterPane on the executor backend: withheld until count growth >= 3
+    (the operator owns the aggregation, so no paneCountField contract);
+    the withheld remainder flushes ON_TIME through the EventTimeTimeout
+    timer once the real watermark passes the window end."""
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    in_dir = _write_stream_files(tmp_path, "xefc_in", [
+        [("a", 1.0, base.replace(second=5)), ("a", 2.0, base.replace(second=10))],
+        [("a", 4.0, base.replace(second=20)), ("a", 8.0, base.replace(second=25))],
+        [("a", 16.0, base.replace(second=40))],
+        # the far-future event pushes the REAL watermark past a's window;
+        # its own trailing pane is the documented executor-backend
+        # divergence (no drain-time flush in keyed state)
+        [("wm", 0.0, dt.datetime(2100, 1, 1, 0, 0, 5))],
+    ])
+    out_dir = str(tmp_path / "xefc_out")
+    cfg = _exec_backend_cfg(in_dir, out_dir, "accumulating").replace(
+        "earlyFiringTrigger: {type: afterProcessingTime, pastFirstElementDelay: 1}",
+        "earlyFiringTrigger: {type: afterPane, elementCountAtLeast: 3}",
+    )
+    run_pipeline(spark, parse_config(cfg))
+    rows = spark.read.parquet(out_dir).collect()
+    a_panes = sorted(
+        (r for r in rows if r["k"] == "a"), key=lambda r: r["__pane__"]["index"]
+    )
+    # exactly two firings: the count-triggered EARLY pane and the
+    # watermark-timer ON_TIME flush of the withheld remainder
+    assert [(p["n"], p["total"]) for p in a_panes] == [(4, 15.0), (5, 31.0)]
+    assert [p["__pane__"]["timing"] for p in a_panes] == ["EARLY", "ON_TIME"]
+    assert [p["__pane__"]["index"] for p in a_panes] == [0, 1]
+
+
+def test_executor_panes_rejects_unsupported_loudly(spark, tmp_path):
+    """A silent fallback would double-ledger at the sink — unsupported
+    aggregations/windows must raise with the reason."""
+    import pytest as _pytest
+
+    from pipeline_spark.streaming.panes import parse_exec_aggs
+
+    df = spark.createDataFrame([(1.0, "a")], "v double, k string")
+    with _pytest.raises(NotImplementedError, match="driver backend"):
+        parse_exec_aggs([{"name": "m", "op": "median", "field": "v"}], df)
+    with _pytest.raises(NotImplementedError, match="driver backend"):
+        parse_exec_aggs(
+            [{"name": "c", "op": "count", "condition": {"key": "v", "op": ">", "value": 0}}],
+            df,
+        )
+    from pipeline_spark.streaming.panes import _window_params
+    with _pytest.raises(NotImplementedError, match="session"):
+        _window_params({"window": {"type": "session", "gap": 5}})
