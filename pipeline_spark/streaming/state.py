@@ -211,6 +211,125 @@ def streaming_count_range_select(
     )
 
 
+def streaming_duration_range_select(
+    df: DataFrame,
+    group_fields: list[str],
+    value_field: str,
+    dur_secs: int,
+    offset_secs: int,
+    order_field: str,
+    passthrough: list[tuple[str, str]],
+    aggs: list[tuple[str, str]],
+) -> DataFrame:
+    """Per-ROW trailing duration-range aggregates on a stream — the
+    streaming twin of the batch Window compiler's
+    ``rangeBetween(-(D+offset-1), -offset)`` frame over unix seconds
+    (compilers/stateful.py:58-63; reference semantics
+    StatefulFunction.java:112-132: window (ts-D, ts] shifted back by
+    ``offset``).  Every input row is emitted once with the requested
+    ``aggs`` over its key's rows in the frame.
+
+    State = the per-key (ts, value) buffer trimmed to the trailing
+    D+offset seconds behind the key's max event time — the same bounded
+    lookback the batch frame reads, evicted as event time advances (the
+    upstream watermark bounds how far behind a key's clock can run).
+    Contract identical to the count-range path: rows reach the stream in
+    per-key ``order_field`` order (@RequiresTimeSortedInput,
+    SelectTransform.java:391-467); timestamps compare at second
+    resolution, matching the batch path's ``unix_timestamp`` ordering.
+    """
+    import numpy as np
+
+    bad = [op for _, op in aggs if op not in _RANGE_OPS]
+    if bad:
+        raise ValueError(f"streaming duration-range: unsupported ops {bad}")
+    carry_pairs = list(dict.fromkeys(tuple(p) for p in passthrough))
+    out_schema = T.StructType(
+        [
+            T.StructField(out, df.schema[src].dataType, df.schema[src].nullable)
+            for out, src in carry_pairs
+        ]
+        + [
+            T.StructField(
+                name, T.LongType() if op == "count" else T.DoubleType()
+            )
+            for name, op in aggs
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts", T.ArrayType(T.LongType())),
+            T.StructField("vals", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    span = int(dur_secs) + int(offset_secs)
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            buf_ts, buf_v = state.get
+            buf_ts, buf_v = list(buf_ts), list(buf_v)
+        else:
+            buf_ts, buf_v = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_field, kind="mergesort")
+            ts = pdf[order_field]
+            if str(ts.dtype).startswith("datetime64"):
+                # second resolution, like the batch path's unix_timestamp
+                epochs = (ts.astype("int64") // 1_000_000_000).to_numpy()
+            else:
+                epochs = ts.astype("int64").to_numpy()
+            vals = (
+                pd.to_numeric(pdf[value_field], errors="coerce")
+                .astype(float)
+                .to_numpy()
+            )
+            all_ts = np.concatenate([np.asarray(buf_ts, dtype="int64"), epochs])
+            all_v = np.concatenate([np.asarray(buf_v, dtype="float64"), vals])
+            lo_i = np.searchsorted(all_ts, epochs - span + 1, side="left")
+            hi_i = np.searchsorted(all_ts, epochs - offset_secs, side="right")
+            out = {o: pdf[src].to_numpy() for o, src in carry_pairs}
+            n_rows = len(pdf)
+            for name, op in aggs:
+                res = np.empty(n_rows, dtype="float64")
+                for i in range(n_rows):
+                    seg = all_v[lo_i[i]:hi_i[i]]
+                    seg = seg[~np.isnan(seg)]
+                    if op == "count":
+                        res[i] = len(seg)
+                    elif len(seg) == 0:
+                        res[i] = np.nan
+                    elif op == "sum":
+                        res[i] = seg.sum()
+                    elif op == "min":
+                        res[i] = seg.min()
+                    elif op == "max":
+                        res[i] = seg.max()
+                    else:
+                        res[i] = seg.mean()
+                out[name] = (
+                    res.astype("int64") if op == "count" else res
+                )
+            yield pd.DataFrame(out)
+            # trim: only entries within span seconds of the key's max event
+            # time can reach a future row's frame (ordered-input contract)
+            cut = np.searchsorted(all_ts, all_ts[-1] - span + 1, side="left")
+            buf_ts = all_ts[cut:].tolist()
+            buf_v = all_v[cut:].tolist()
+        state.update((buf_ts, buf_v))
+
+    return df.groupBy(*group_fields).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_stateful_select(
     df: DataFrame,
     selects: list[dict],
@@ -220,12 +339,13 @@ def streaming_stateful_select(
     """Streaming route for the select module's stateful path.
 
     Emulatable subset (everything else raises with the reason): every
-    stateful function is a count-range count/sum/min/max/avg over ONE
-    shared field with ONE shared range count, stateless entries are
-    pass-through/rename of existing columns.  That is exactly the frame
-    ``streaming_count_range_select`` keeps bounded state for; duration
-    ranges or mixed frames would need per-row event-time buffers whose
-    eviction Spark ties to watermarks — batch mode handles those.
+    stateful function is a count-range (no offset) OR duration-range
+    (offset honored) count/sum/min/max/avg over ONE shared field with
+    ONE shared frame, stateless entries are pass-through/rename of
+    existing columns.  Count frames ride
+    ``streaming_count_range_select`` (bounded tail array); duration
+    frames ride ``streaming_duration_range_select`` (event-time-trimmed
+    buffer, eviction bounded by the frame span).
     """
     from pipeline_spark.compilers import select_fns
 
@@ -234,7 +354,30 @@ def streaming_stateful_select(
     aggs: list[tuple[str, str]] = []
     passthrough: list[tuple[str, str]] = []
     value_field = None
-    range_n = None
+    frame: tuple | None = None  # ("count", n) | ("duration", secs, offset)
+
+    def frame_of(rng: dict, name: str) -> tuple:
+        if "count" in rng:
+            if rng.get("offset"):
+                raise NotImplementedError(
+                    f"streaming stateful select: '{name}' — count ranges "
+                    "with offset do not stream yet (use batch)"
+                )
+            return ("count", int(rng["count"]))
+        if "duration" in rng:
+            unit = str(rng.get("unit", "second")).lower()
+            mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
+            return (
+                "duration",
+                int(rng["duration"]) * mult,
+                int(rng.get("offset", 0)) * mult,
+            )
+        raise NotImplementedError(
+            f"streaming stateful select: '{name}' needs a count or "
+            "duration range (an unbounded running frame keeps unbounded "
+            "state; use batch)"
+        )
+
     for sf in selects:
         if sf.get("ignore"):
             continue
@@ -252,11 +395,10 @@ def streaming_stateful_select(
             continue
         func = select_fns.infer_func(sf)
         rng = sf.get("range") or {}
-        if func not in _RANGE_OPS or "count" not in rng or rng.get("offset"):
+        if func not in _RANGE_OPS:
             raise NotImplementedError(
                 f"streaming stateful select: '{name}' ({func}) — only "
-                "count-range count/sum/min/max/avg without offset stream; "
-                "duration ranges need watermark-evicted buffers (use batch)"
+                "count/sum/min/max/avg range functions stream"
             )
         if sf.get("expression"):
             raise NotImplementedError(
@@ -264,27 +406,27 @@ def streaming_stateful_select(
                 "input — only a plain field streams (compute the expression "
                 "in a stateless select first)"
             )
+        this_frame = frame_of(rng, name)
         field = sf.get("field")
         if field is None and func != "count":
             raise NotImplementedError(
                 f"streaming stateful select: '{name}' ({func}) needs a field"
             )
-        if field is not None:
-            if value_field is None:
-                value_field, range_n = field, int(rng["count"])
-            elif field != value_field or int(rng["count"]) != range_n:
-                raise NotImplementedError(
-                    "streaming stateful select: all range functions must "
-                    "share one field and one range count (state is a single "
-                    "bounded tail array)"
-                )
-        elif range_n is not None and int(rng["count"]) != range_n:
+        if frame is None:
+            frame = this_frame
+        elif this_frame != frame:
             raise NotImplementedError(
                 "streaming stateful select: all range functions must share "
-                "one range count"
+                "one frame (state is a single bounded buffer)"
             )
-        else:
-            range_n = int(rng["count"])
+        if field is not None:
+            if value_field is None:
+                value_field = field
+            elif field != value_field:
+                raise NotImplementedError(
+                    "streaming stateful select: all range functions must "
+                    "share one field (state is a single bounded buffer)"
+                )
         aggs.append((name, func))
     if not aggs:
         raise ValueError("streaming stateful select: no stateful functions")
@@ -294,6 +436,12 @@ def streaming_stateful_select(
             "name a field (a field-less count alone has no value column to "
             "frame — give count the same field)"
         )
-    return streaming_count_range_select(
-        df, group_fields, value_field, range_n, event_time_col, passthrough, aggs
+    if frame[0] == "count":
+        return streaming_count_range_select(
+            df, group_fields, value_field, frame[1], event_time_col,
+            passthrough, aggs,
+        )
+    return streaming_duration_range_select(
+        df, group_fields, value_field, frame[1], frame[2], event_time_col,
+        passthrough, aggs,
     )

@@ -1125,3 +1125,137 @@ def test_executor_panes_rejects_unsupported_loudly(spark, tmp_path):
     from pipeline_spark.streaming.panes import _window_params
     with _pytest.raises(NotImplementedError, match="session"):
         _window_params({"window": {"type": "session", "gap": 5}})
+
+
+def test_streaming_duration_range_matches_batch_window(spark, tmp_path):
+    """Streaming stateful duration-range (event-time-trimmed buffers in
+    applyInPandasWithState) must produce row-for-row the same aggregates
+    as the batch Window compiler's rangeBetween(-(D+offset-1), -offset)
+    frame on identical in-order data — closing VERDICT r4 gap #7 (the
+    last batch-only stateful-select frame)."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.compilers.stateful import apply_stateful_select
+    from pipeline_spark.streaming.state import streaming_duration_range_select
+
+    rng = __import__("random").Random(29)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    t = 0
+    for _ in range(60):
+        k = rng.choice(["a", "b", "c"])
+        t += rng.randint(1, 7)  # irregular spacing exercises the frame
+        rows.append((k, float(rng.randint(-50, 50)), base + dt.timedelta(seconds=t)))
+    in_dir = tmp_path / "dr_in"
+    in_dir.mkdir()
+    for i in range(3):
+        chunk = rows[i * 20 : (i + 1) * 20]
+        tbl = pa.table({
+            "k": pa.array([r[0] for r in chunk]),
+            "v": pa.array([r[1] for r in chunk]),
+            "ts": pa.array([r[2] for r in chunk], pa.timestamp("us")),
+        })
+        f = in_dir / f"b{i}.parquet"
+        pq.write_table(tbl, str(f))
+        mt = _time.time() - 100 + i * 10
+        os.utime(f, (mt, mt))
+
+    for dur, off in [(15, 0), (10, 5)]:
+        sdf = (
+            spark.readStream.schema("k string, v double, ts timestamp_ntz")
+            .option("maxFilesPerTrigger", 1).parquet(str(in_dir))
+        )
+        stream_out = streaming_duration_range_select(
+            sdf, ["k"], "v", dur, off, "ts", [("k", "k"), ("ts", "ts")],
+            [("range_n", "count"), ("range_sum", "sum"), ("range_min", "min"),
+             ("range_max", "max"), ("range_avg", "avg")],
+        )
+        qname = f"dr_stream_{dur}_{off}"
+        q = (
+            stream_out.writeStream.format("memory").queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"dr_ck_{dur}_{off}"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["k"], r["ts"]): (r["range_n"], r["range_sum"], r["range_min"],
+                                r["range_max"], r["range_avg"])
+            for r in spark.table(qname).collect()
+        }
+
+        rng_spec = {"duration": dur, "unit": "second"}
+        if off:
+            rng_spec["offset"] = off
+        bdf = spark.read.parquet(str(in_dir))
+        batch = apply_stateful_select(
+            bdf,
+            [
+                {"name": "k", "field": "k"},
+                {"name": "ts", "field": "ts"},
+                {"name": "range_n", "func": "count", "field": "v", "range": dict(rng_spec)},
+                {"name": "range_sum", "func": "sum", "field": "v", "range": dict(rng_spec)},
+                {"name": "range_min", "func": "min", "field": "v", "range": dict(rng_spec)},
+                {"name": "range_max", "func": "max", "field": "v", "range": dict(rng_spec)},
+                {"name": "range_avg", "func": "avg", "field": "v", "range": dict(rng_spec)},
+            ],
+            "ts",
+            ["k"],
+        ).collect()
+        assert len(batch) == len(got) == 60
+        for r in batch:
+            s = got[(r["k"], r["ts"])]
+            assert s[0] == r["range_n"], (dur, off, r, s)
+            if r["range_sum"] is None:
+                # empty frame: batch emits null, the pandas path NaN —
+                # both "no value"; count pins the frame emptiness above
+                assert s[1] is None or s[1] != s[1]
+            else:
+                assert s[1] == pytest.approx(r["range_sum"])
+                assert s[2] == pytest.approx(r["range_min"])
+                assert s[3] == pytest.approx(r["range_max"])
+                assert s[4] == pytest.approx(r["range_avg"])
+
+
+def test_streaming_select_duration_route(spark, tmp_path):
+    """The select module's streaming stateful route now accepts duration
+    frames (the r4 gate) and still rejects mixed frames loudly."""
+    from pipeline_spark.streaming.state import streaming_stateful_select
+
+    src = tmp_path / "dr_route_in"
+    src.mkdir()
+    spark.createDataFrame(
+        [("a", 1.0, dt.datetime(2024, 1, 1))], "k string, v double, ts timestamp"
+    ).write.parquet(str(src / "seed.parquet"))
+    sdf = (
+        spark.readStream.schema("k string, v double, ts timestamp")
+        .parquet(str(src / "seed.parquet"))
+    )
+    # mixed count + duration frames: one buffer cannot serve both
+    with pytest.raises(NotImplementedError, match="share one frame"):
+        streaming_stateful_select(
+            sdf,
+            [
+                {"name": "a", "func": "sum", "field": "v", "range": {"count": 3}},
+                {"name": "b", "func": "sum", "field": "v",
+                 "range": {"duration": 10, "unit": "second"}},
+            ],
+            "ts",
+            ["k"],
+        )
+    # pure duration frame: routes to the duration-range operator
+    out = streaming_stateful_select(
+        sdf,
+        [
+            {"name": "k", "field": "k"},
+            {"name": "s", "func": "sum", "field": "v",
+             "range": {"duration": 10, "unit": "second", "offset": 2}},
+        ],
+        "ts",
+        ["k"],
+    )
+    assert out.isStreaming and set(out.columns) == {"k", "s"}
