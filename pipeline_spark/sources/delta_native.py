@@ -20,9 +20,17 @@ with full Catalyst pushdown; partitioned tables take the hive-layout
 ``basePath`` fast path (partition columns pruned by directory), falling
 back to per-partition-value literal groups for non-hive layouts.
 
-Honest gates (actionable errors): deletion vectors on live files,
-column mapping (``delta.columnMapping.mode`` set), and v2 checkpoints;
-``versionAsOf`` time travel is supported.
+Deletion vectors (merge-on-read deletes) are read natively: DV bitmaps
+decode executor-side (functions/deltadv.py) into a (file, row index)
+frame anti-joined against ``_metadata.file_path`` / ``row_index`` — no
+driver materialization of deleted positions.  Column mapping resolves
+via each field's ``delta.columnMapping.physicalName`` metadata: files
+read under the physical schema, one positional struct cast restores the
+logical names (works for ``name`` mode and for ``id``-mode tables that
+also record physical names, which delta-spark always does).
+
+Honest gate (actionable error): v2 checkpoints; ``versionAsOf`` time
+travel is supported.
 """
 
 from __future__ import annotations
@@ -45,7 +53,8 @@ _OK_READER_FEATURES = {
     "checkConstraints",
     "appendOnly",
     "invariants",
-    "deletionVectors",  # tolerated when no live file carries one (checked)
+    "deletionVectors",  # read natively (functions/deltadv.py)
+    "columnMapping",    # resolved via physicalName field metadata
 }
 
 
@@ -230,18 +239,22 @@ def _check_protocol(proto: dict, meta: dict, adds: dict[str, dict]) -> None:
     r = int(proto.get("minReaderVersion", 1))
     conf = meta.get("configuration") or {}
     if conf.get("delta.columnMapping.mode") not in (None, "", "none"):
-        raise NotImplementedError(
-            "delta: column mapping "
-            f"(delta.columnMapping.mode={conf['delta.columnMapping.mode']}) "
-            "needs the delta-spark runtime — physical column names diverge "
-            "from the logical schema"
-        )
-    dv = [p for p, a in adds.items() if a.get("deletionVector")]
-    if dv:
-        raise NotImplementedError(
-            f"delta: {len(dv)} live file(s) carry deletion vectors (e.g. "
-            f"{dv[0]}) — row-level deletes need the delta-spark runtime"
-        )
+        # supported when every field records its physical name — the
+        # invariant delta-spark maintains for both 'name' and 'id' modes;
+        # a table without them cannot be resolved against its files
+        fields = json.loads(meta["schemaString"]).get("fields", [])
+        missing = [
+            f["name"]
+            for f in fields
+            if "delta.columnMapping.physicalName" not in (f.get("metadata") or {})
+        ]
+        if missing:
+            raise NotImplementedError(
+                f"delta: columnMapping.mode="
+                f"{conf['delta.columnMapping.mode']} but fields {missing} "
+                "carry no delta.columnMapping.physicalName metadata — "
+                "cannot resolve physical columns"
+            )
     if r >= 3:
         feats = proto.get("readerFeatures")
         if feats is None:
@@ -261,6 +274,57 @@ def _schema_from_meta(meta: dict):
     from pyspark.sql.types import StructType
 
     return StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+def _phys_json(node):
+    """Schema JSON with every field renamed to its
+    ``delta.columnMapping.physicalName`` (recursively); metadata cleared."""
+    if not isinstance(node, dict):
+        return node
+    out = dict(node)
+    t = node.get("type")
+    if t == "struct":
+        out["fields"] = [
+            {
+                **f,
+                "name": (f.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName", f["name"]
+                ),
+                "type": _phys_json(f["type"]),
+                "metadata": {},
+            }
+            for f in node["fields"]
+        ]
+    elif t == "array":
+        out["elementType"] = _phys_json(node["elementType"])
+    elif t == "map":
+        out["keyType"] = _phys_json(node["keyType"])
+        out["valueType"] = _phys_json(node["valueType"])
+    return out
+
+
+def _column_mapping(meta: dict) -> dict[str, Any] | None:
+    """None when the table has no column mapping; else
+    {"phys_of": {logical: physical}, "phys_schema": StructType} — the
+    physical names files are written under (PROTOCOL.md Column Mapping;
+    valid for mode=name, and for mode=id tables that also record
+    physical names, which delta-spark always does)."""
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.columnMapping.mode") in (None, "", "none"):
+        return None
+    from pyspark.sql.types import StructType
+
+    sj = json.loads(meta["schemaString"])
+    phys_of = {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in sj.get("fields", [])
+    }
+    return {
+        "phys_of": phys_of,
+        "phys_schema": StructType.fromJson(_phys_json(sj)),
+    }
 
 
 def _is_hive_layout(adds: list[dict], part_cols: list[str]) -> bool:
@@ -443,6 +507,25 @@ def read_delta_native(spark, p: dict[str, Any]):
     )
     schema = _schema_from_meta(meta)
     part_cols = list(meta.get("partitionColumns") or [])
+    cm = _column_mapping(meta)
+    if cm:
+        # files, partitionValues keys and stats keys all use PHYSICAL
+        # names; translate stats back to logical once (metadata scale) so
+        # dataFilter skipping keeps working on logical columns
+        log_of = {v: k for k, v in cm["phys_of"].items()}
+        for a in adds:
+            if a.get("stats"):
+                try:
+                    st = json.loads(a["stats"])
+                    for sect in ("minValues", "maxValues", "nullCount"):
+                        if isinstance(st.get(sect), dict):
+                            st[sect] = {
+                                log_of.get(k, k): v
+                                for k, v in st[sect].items()
+                            }
+                    a["stats"] = json.dumps(st)
+                except (ValueError, TypeError):
+                    pass
     pfilter = p.get("partitionFilter")
     if pfilter:
         # LOG-level pruning: drop whole data files by their recorded
@@ -460,7 +543,7 @@ def read_delta_native(spark, p: dict[str, Any]):
         def keep(a: dict) -> bool:
             pv = a.get("partitionValues") or {}
             for k, want in pfilter.items():
-                have = pv.get(k)
+                have = pv.get(cm["phys_of"].get(k, k) if cm else k)
                 if isinstance(want, (list, tuple)):
                     if have not in [str(w) for w in want]:
                         return False
@@ -490,34 +573,104 @@ def read_delta_native(spark, p: dict[str, Any]):
 
     from pyspark.sql import functions as F
 
+    # physical view of the table: column mapping renames, DV descriptors
+    read_schema = cm["phys_schema"] if cm else schema
+    phys_part_cols = (
+        [cm["phys_of"].get(c, c) for c in part_cols] if cm else part_cols
+    )
+    dv_adds = [
+        (pth, a["deletionVector"])
+        for a, pth in zip(adds, paths)
+        if a.get("deletionVector")
+    ]
+
+    def add_meta(df):
+        # merge-on-read: tag every row with its file + physical row index
+        # so DV positions can anti-join it away
+        if not dv_adds:
+            return df
+        return df.select(
+            "*",
+            # normalize the URI ("file:/p", "file:///p" → "/p") so it
+            # matches the descriptor-side os.path.abspath form
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("__dv_fp"),
+            F.col("_metadata.row_index").alias("__dv_ri"),
+        )
+
+    def drop_deleted(df):
+        if not dv_adds:
+            return df
+        tbl = table
+        entries = [
+            (os.path.abspath(pth), json.dumps(desc)) for pth, desc in dv_adds
+        ]
+
+        def decode(it):
+            # bitmap decode runs ON EXECUTORS — deleted positions never
+            # materialize on the driver (a DV can carry millions of rows)
+            import json as _j
+
+            from pipeline_spark.functions.deltadv import load_dv_positions
+
+            for fp, dj in it:
+                for pos in load_dv_positions(tbl, _j.loads(dj)):
+                    yield (fp, int(pos))
+
+        n = max(1, min(len(entries), 64))
+        deleted = spark.createDataFrame(
+            spark.sparkContext.parallelize(entries, n).mapPartitions(decode),
+            "__dv_fp string, __dv_ri bigint",
+        )
+        return df.join(
+            deleted, on=["__dv_fp", "__dv_ri"], how="left_anti"
+        ).drop("__dv_fp", "__dv_ri")
+
     def done(out):
+        out = drop_deleted(out)
+        if cm:
+            # one positional struct cast per column restores the logical
+            # names at every nesting level — no per-field rewrites
+            out = out.select(
+                *[
+                    F.col(cm["phys_of"].get(f.name, f.name))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        else:
+            out = out.select(*[f.name for f in schema.fields])
         return _apply_data_filter(out, dfilter) if dfilter else out
 
     if not part_cols:
-        return done(spark.read.schema(schema).parquet(*paths))
-    if _is_hive_layout(adds, part_cols):
+        return done(add_meta(spark.read.schema(read_schema).parquet(*paths)))
+    if _is_hive_layout(adds, phys_part_cols):
         # hive layout: directory-based partition columns, pruned by Spark
         return done(
-            spark.read.schema(schema)
-            .option("basePath", table)
-            .parquet(*paths)
-            .select(*[f.name for f in schema.fields])
+            add_meta(
+                spark.read.schema(read_schema)
+                .option("basePath", table)
+                .parquet(*paths)
+            )
         )
     # non-hive layout: group files by partition tuple, attach literals
-    file_schema = [f for f in schema.fields if f.name not in part_cols]
     from pyspark.sql.types import StructType
 
-    fschema = StructType(file_schema)
-    types = {f.name: f.dataType for f in schema.fields}
+    fschema = StructType(
+        [f for f in read_schema.fields if f.name not in phys_part_cols]
+    )
+    types = {f.name: f.dataType for f in read_schema.fields}
     groups: dict[tuple, list[str]] = {}
     for a, path in zip(adds, paths):
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(c) for c in phys_part_cols)
         groups.setdefault(key, []).append(path)
     parts = []
     for key, gpaths in groups.items():
-        df = spark.read.schema(fschema).parquet(*gpaths)
-        for c, v in zip(part_cols, key):
+        df = add_meta(spark.read.schema(fschema).parquet(*gpaths))
+        for c, v in zip(phys_part_cols, key):
             df = df.withColumn(
                 c, F.lit(v).cast(types[c]) if v is not None else F.lit(None).cast(types[c])
             )
@@ -525,4 +678,4 @@ def read_delta_native(spark, p: dict[str, Any]):
     out = parts[0]
     for x in parts[1:]:
         out = out.unionByName(x)
-    return done(out.select(*[f.name for f in schema.fields]))
+    return done(out)

@@ -193,7 +193,9 @@ def test_reader_non_hive_layout_literal_groups(spark, tmp_path):
     assert (1, 7) in rows and (2, 7) in rows and (3, None) in rows
 
 
-def test_gates_deletion_vectors_and_column_mapping(spark, tmp_path):
+def test_column_mapping_missing_physical_names_raises(spark, tmp_path):
+    """The remaining honest gate: columnMapping declared but fields carry
+    no physicalName metadata — unresolvable against the files."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -202,39 +204,196 @@ def test_gates_deletion_vectors_and_column_mapping(spark, tmp_path):
     pq.write_table(pa.table({"v": [1]}), tbl / "f.parquet")
     log = tbl / "_delta_log"
     log.mkdir()
-    base_meta = {
+    meta = {
         "id": "x", "format": {"provider": "parquet", "options": {}},
         "schemaString": json.dumps({"type": "struct", "fields": [
             {"name": "v", "type": "long", "nullable": True, "metadata": {}}]}),
-        "partitionColumns": [], "configuration": {},
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "name"},
     }
+    with open(log / "00000000000000000000.json", "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": meta},
+            {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(NotImplementedError, match="physicalName"):
+        read_delta_native(spark, {"path": str(tbl)})
 
-    def write_log(actions):
-        with open(log / "00000000000000000000.json", "w") as fh:
-            for a in actions:
-                fh.write(json.dumps(a) + "\n")
 
-    write_log([
+def _write_dv_table(spark, tbl, deleted_by_file, inline_file=None):
+    """Hand-build a spec-shaped DV table: two data files of ids 0-9 and
+    10-19, deletion vectors per PROTOCOL.md (relative-file framing with
+    CRC, optionally one inline descriptor)."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.functions.deltadv import (
+        make_dv_descriptor_relative,
+        roaring_array_serialize,
+        z85_encode,
+    )
+
+    tbl.mkdir()
+    log = tbl / "_delta_log"
+    log.mkdir()
+    files = {"a.parquet": list(range(10)), "b.parquet": list(range(10, 20))}
+    for name, ids in files.items():
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), tbl / name)
+    actions = [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                       "readerFeatures": ["deletionVectors"]}},
-        {"metaData": base_meta},
-        {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
-                 "modificationTime": 0, "dataChange": True,
-                 "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
-                                    "offset": 1, "sizeInBytes": 1, "cardinality": 1}}},
-    ])
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        read_delta_native(spark, {"path": str(tbl)})
+        {"metaData": {
+            "id": "dvt", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {},
+        }},
+    ]
+    for name in files:
+        add = {"path": name, "partitionValues": {}, "size": 1,
+               "modificationTime": 0, "dataChange": True}
+        positions = deleted_by_file.get(name)
+        if positions:
+            if name == inline_file:
+                bitmap = roaring_array_serialize(positions)
+                add["deletionVector"] = {
+                    "storageType": "i",
+                    "pathOrInlineDv": z85_encode(bitmap, pad=True),
+                    "sizeInBytes": len(bitmap),
+                    "cardinality": len(positions),
+                }
+            else:
+                desc, target, blob = make_dv_descriptor_relative(
+                    str(tbl), positions, prefix="ab")
+                _os.makedirs(_os.path.dirname(target), exist_ok=True)
+                with open(target, "wb") as fh:
+                    fh.write(blob)
+                add["deletionVector"] = desc
+        actions.append({"add": add})
+    with open(log / "00000000000000000000.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
 
-    cm_meta = dict(base_meta, configuration={"delta.columnMapping.mode": "name"})
-    write_log([
+
+def test_deletion_vectors_read_natively(spark, tmp_path):
+    """VERDICT r4 #5: DV tables read without delta-spark — relative-file
+    (z85 uuid path + size/CRC framing) and inline descriptors both
+    resolve, deleted physical row positions vanish, kept rows survive."""
+    tbl = tmp_path / "dv_tbl"
+    # a.parquet: drop rows 0,3,9 (ids 0,3,9); b.parquet: inline DV drops
+    # row 5 (id 15)
+    _write_dv_table(
+        spark, tbl,
+        {"a.parquet": [0, 3, 9], "b.parquet": [5]},
+        inline_file="b.parquet",
+    )
+    out = read_delta_native(spark, {"path": str(tbl)})
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [i for i in range(20) if i not in (0, 3, 9, 15)]
+    # dataFilter composes with DV filtering
+    hit = read_delta_native(
+        spark, {"path": str(tbl),
+                "dataFilter": {"key": "id", "op": "<", "value": 5}})
+    assert sorted(r["id"] for r in hit.collect()) == [1, 2, 4]
+
+
+def test_deletion_vector_crc_corruption_detected(spark, tmp_path):
+    import glob as _glob
+
+    tbl = tmp_path / "dv_bad"
+    _write_dv_table(spark, tbl, {"a.parquet": [1]})
+    (dv_path,) = _glob.glob(str(tbl / "ab" / "deletion_vector_*.bin"))
+    blob = bytearray(open(dv_path, "rb").read())
+    blob[-6] ^= 0xFF  # flip a bitmap byte; CRC now mismatches
+    open(dv_path, "wb").write(bytes(blob))
+    with pytest.raises(Exception, match="CRC|corrupt"):
+        read_delta_native(spark, {"path": str(tbl)}).collect()
+
+
+def test_column_mapping_name_mode_reads(spark, tmp_path):
+    """VERDICT r4 #5: column-mapped tables (physical col-<uuid> names in
+    the files, logical names in the schema) read natively, including a
+    nested struct, partition columns and stats-based skipping on
+    LOGICAL filter keys."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = tmp_path / "cm_tbl"
+    tbl.mkdir()
+    log = tbl / "_delta_log"
+    log.mkdir()
+    # physical names in the files
+    for name, ids, part in [("p0.parquet", [1, 2], "x"), ("p1.parquet", [3, 4], "y")]:
+        pq.write_table(
+            pa.table({
+                "col-aaa": pa.array(ids, pa.int64()),
+                "col-bbb": pa.array(
+                    [{"col-ccc": f"v{i}"} for i in ids],
+                    pa.struct([("col-ccc", pa.string())])),
+            }),
+            tbl / name,
+        )
+    schema_json = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "payload", "type": {"type": "struct", "fields": [
+            {"name": "tag", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-ccc"}}]},
+         "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bbb"}},
+        {"name": "part", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 4,
+                      "delta.columnMapping.physicalName": "col-ddd"}},
+    ]}
+    actions = [
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
-        {"metaData": cm_meta},
-        {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
-                 "modificationTime": 0, "dataChange": True}},
-    ])
-    with pytest.raises(NotImplementedError, match="column mapping"):
-        read_delta_native(spark, {"path": str(tbl)})
+        {"metaData": {
+            "id": "cmt", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema_json),
+            "partitionColumns": ["part"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "4"},
+        }},
+        {"add": {"path": "p0.parquet", "partitionValues": {"col-ddd": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 2,
+                                      "minValues": {"col-aaa": 1},
+                                      "maxValues": {"col-aaa": 2},
+                                      "nullCount": {"col-aaa": 0}})}},
+        {"add": {"path": "p1.parquet", "partitionValues": {"col-ddd": "y"},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 2,
+                                      "minValues": {"col-aaa": 3},
+                                      "maxValues": {"col-aaa": 4},
+                                      "nullCount": {"col-aaa": 0}})}},
+    ]
+    with open(log / "00000000000000000000.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+    out = read_delta_native(spark, {"path": str(tbl)})
+    assert [f.name for f in out.schema.fields] == ["id", "payload", "part"]
+    rows = sorted(
+        (r["id"], r["payload"]["tag"], r["part"]) for r in out.collect()
+    )
+    assert rows == [(1, "v1", "x"), (2, "v2", "x"), (3, "v3", "y"), (4, "v4", "y")]
+    # logical-key filters: partition pruning + stats skipping still work
+    part = read_delta_native(
+        spark, {"path": str(tbl), "partitionFilter": {"part": "y"}})
+    assert sorted(r["id"] for r in part.collect()) == [3, 4]
+    skip = read_delta_native(
+        spark, {"path": str(tbl),
+                "dataFilter": {"key": "id", "op": "<=", "value": 2}})
+    assert sorted(r["id"] for r in skip.collect()) == [1, 2]
+    assert len(skip.inputFiles()) == 1  # p1 pruned via translated stats
 
 
 def test_config_path_modules(spark, tmp_path):
