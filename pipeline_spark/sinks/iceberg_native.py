@@ -301,11 +301,18 @@ def _footer_column_stats(path: str, colmap: dict[str, tuple[int, str]]):
 
 def write_iceberg_native(df, p: dict[str, Any]) -> None:
     """Commit ``df`` to a filesystem Iceberg v2 table at ``p['path'|'table']``."""
+    if p.get("catalog"):
+        raise NotImplementedError(
+            "iceberg: writes through a REST catalog need the optimistic "
+            "commit protocol (requirements/updates) — reads are native "
+            "(sources/iceberg_rest.py); write to the table's filesystem "
+            "location or use the runtime jar"
+        )
     table_path = str(p.get("path") or p.get("table") or "")
     if not table_path or "://" in table_path.replace("file://", ""):
         raise ValueError(
             "iceberg native writer needs a local/posix table location "
-            "(catalog URIs need the runtime jar)"
+            "(non-REST catalog URIs need the runtime jar)"
         )
     table_path = re.sub(r"^file:/{0,2}(/)", r"\1", table_path)
     mode = str(p.get("mode", "append")).lower()

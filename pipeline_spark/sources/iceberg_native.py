@@ -75,7 +75,10 @@ def find_table_metadata(table_path: str) -> str:
 
 
 def plan_files(
-    table_path: str, snapshot_id: int | None = None
+    table_path: str,
+    snapshot_id: int | None = None,
+    *,
+    meta: dict | None = None,
 ) -> tuple[list[dict], list[dict], dict]:
     """Resolve the snapshot's live files via the metadata path.
 
@@ -84,10 +87,18 @@ def plan_files(
     (1=position, 2=equality), "seq", "equality_ids"}``.  Sequence numbers
     inherit from the manifest-list entry when the manifest entry's is
     null (spec inheritance rule); v1 tables read as seq 0.
+
+    ``meta`` injects preloaded table metadata (a REST catalog's
+    LoadTableResult) instead of resolving ``<table>/metadata`` on disk;
+    manifest-list / manifest / data-file paths inside it stay absolute
+    per the spec, so the same reader walks them.
     """
-    meta_file = find_table_metadata(table_path)
-    with open(meta_file) as fh:
-        meta = json.load(fh)
+    if meta is None:
+        meta_file = find_table_metadata(table_path)
+        with open(meta_file) as fh:
+            meta = json.load(fh)
+    else:
+        meta_file = f"<catalog metadata for {table_path}>"
     snapshots = meta.get("snapshots") or []
     if not snapshots:
         return [], [], meta
@@ -399,18 +410,38 @@ def _spark_schema_of(meta: dict) -> str:
 
 
 def read_iceberg_native(spark, p: dict[str, Any]):
-    """DataFrame over an Iceberg table's current (or given) snapshot."""
-    table_path = p.get("path") or p.get("table")
-    if not table_path or "://" in str(table_path).replace("file://", ""):
-        raise ValueError(
-            "iceberg native path needs a local/posix table location "
-            "(catalog URIs need the runtime jar)"
-        )
-    table_path = _strip_scheme(str(table_path))
+    """DataFrame over an Iceberg table's current (or given) snapshot.
+
+    ``catalog: {uri: ...}`` + ``table: "namespace.table"`` resolves the
+    table metadata through a REST catalog (sources/iceberg_rest.py)
+    instead of a filesystem location; everything downstream (manifest
+    walk, pruning, MOR deletes) is the same reader.
+    """
     snapshot_id = p.get("snapshotId")
-    data, deletes, meta = plan_files(
-        table_path, int(snapshot_id) if snapshot_id else None
-    )
+    catalog = p.get("catalog")
+    if catalog:
+        from pipeline_spark.sources.iceberg_rest import load_rest_table
+
+        meta_in, loc = load_rest_table(
+            catalog, p.get("table") or p.get("tableName"), p.get("_opener")
+        )
+        table_path = meta_in.get("location") or loc
+        data, deletes, meta = plan_files(
+            table_path, int(snapshot_id) if snapshot_id else None,
+            meta=meta_in,
+        )
+    else:
+        table_path = p.get("path") or p.get("table")
+        if not table_path or "://" in str(table_path).replace("file://", ""):
+            raise ValueError(
+                "iceberg native path needs a local/posix table location or "
+                "a REST catalog config (catalog: {uri: ...} + table: "
+                "\"namespace.table\"); other catalog URIs need the runtime jar"
+            )
+        table_path = _strip_scheme(str(table_path))
+        data, deletes, meta = plan_files(
+            table_path, int(snapshot_id) if snapshot_id else None
+        )
     if not data:
         raise ValueError(f"iceberg: snapshot has no data files at {table_path}")
     pfilter = p.get("partitionFilter")

@@ -1030,3 +1030,133 @@ def test_delete_manifest_carries_spec_partition_record(spark, tmp_path):
     # embedded spec metadata is the table's real spec, not []
     after = read_iceberg_native(spark, {"path": tbl})
     assert sorted(r["id"] for r in after.collect()) == list(range(3, 20))
+
+
+def _serve_rest_catalog(meta_json, *, embed=True, require_token=None):
+    """Tiny in-process REST catalog (spec routes) on an ephemeral port."""
+    import http.server
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if require_token and self.headers.get("Authorization") != (
+                f"Bearer {require_token}"
+            ):
+                return self._json({"error": "unauthorized"}, 401)
+            path = self.path.split("?")[0]
+            if path == "/v1/config":
+                return self._json(
+                    {"defaults": {}, "overrides": {"prefix": "main"}}
+                )
+            if path == "/v1/main/namespaces/ns/tables/t":
+                result = {"metadata-location": meta_loc[0]}
+                if embed:
+                    result["metadata"] = meta_json
+                return self._json(result)
+            return self._json({"error": f"no route {path}"}, 404)
+
+        def do_POST(self):
+            if self.path == "/v1/oauth/tokens":
+                n = int(self.headers.get("Content-Length", 0))
+                form = self.rfile.read(n).decode()
+                if "client_id=cid" in form and "client_secret=sec" in form:
+                    return self._json(
+                        {"access_token": require_token or "tok",
+                         "token_type": "bearer"}
+                    )
+                return self._json({"error": "bad creds"}, 401)
+            return self._json({"error": "no route"}, 404)
+
+    meta_loc = [""]
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, meta_loc
+
+
+def test_rest_catalog_loads_table(spark, tmp_path):
+    """VERDICT r4 #6: a managed (REST-cataloged) table reads natively —
+    the catalog only replaces the metadata-directory walk; snapshots,
+    pruning and time travel ride the same reader."""
+    tbl = str(tmp_path / "rest_tbl")
+    write_iceberg_native(
+        spark.range(0, 50).coalesce(1), {"path": tbl, "mode": "create"}
+    )
+    write_iceberg_native(
+        spark.range(50, 100).coalesce(1), {"path": tbl, "mode": "append"}
+    )
+    meta_file = sorted(
+        (tmp_path / "rest_tbl" / "metadata").glob("v*.metadata.json")
+    )[-1]
+    meta_json = json.load(open(meta_file))
+
+    srv, meta_loc = _serve_rest_catalog(meta_json, embed=True)
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        out = read_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.t"}
+        )
+        assert sorted(r["id"] for r in out.collect()) == list(range(100))
+        # snapshot time travel through the catalog metadata
+        snap1 = meta_json["snapshots"][0]["snapshot-id"]
+        old = read_iceberg_native(
+            spark,
+            {"catalog": {"uri": uri}, "table": "ns.t", "snapshotId": snap1},
+        )
+        assert sorted(r["id"] for r in old.collect()) == list(range(50))
+    finally:
+        srv.shutdown()
+
+
+def test_rest_catalog_metadata_location_only_and_oauth(spark, tmp_path):
+    """Spec allows LoadTableResult without embedded metadata; the client
+    follows metadata-location.  OAuth client-credentials gate enforced."""
+    tbl = str(tmp_path / "rest_tbl2")
+    write_iceberg_native(
+        spark.range(0, 7).coalesce(1), {"path": tbl, "mode": "create"}
+    )
+    meta_file = sorted(
+        (tmp_path / "rest_tbl2" / "metadata").glob("v*.metadata.json")
+    )[-1]
+    meta_json = json.load(open(meta_file))
+    srv, meta_loc = _serve_rest_catalog(
+        meta_json, embed=False, require_token="sesame"
+    )
+    meta_loc[0] = str(meta_file)
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        out = read_iceberg_native(
+            spark,
+            {"catalog": {"uri": uri, "credential": "cid:sec"}, "table": "ns.t"},
+        )
+        assert sorted(r["id"] for r in out.collect()) == list(range(7))
+        # wrong creds → the token exchange itself fails
+        import urllib.error
+
+        with pytest.raises(Exception):
+            read_iceberg_native(
+                spark,
+                {"catalog": {"uri": uri, "credential": "cid:wrong"},
+                 "table": "ns.t"},
+            )
+    finally:
+        srv.shutdown()
+
+
+def test_rest_catalog_table_validation():
+    from pipeline_spark.sources.iceberg_rest import load_rest_table
+
+    with pytest.raises(ValueError, match="namespace"):
+        load_rest_table({"uri": "http://x"}, "justtable")
+    with pytest.raises(ValueError, match="required"):
+        load_rest_table({"uri": "http://x"}, "")
