@@ -3232,6 +3232,139 @@ FROM supplier GROUP BY s_nationkey
 """
 
 
+def q_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector merge-on-read: documents land in a Delta table,
+    then a spec-shaped DV commit (PROTOCOL.md "Deletion Vector Format",
+    built with functions/deltadv.py — z85 uuid path, portable roaring
+    bitmap, size/CRC framing) marks doc_id % 7 == 0 rows deleted WITHOUT
+    rewriting a single data file; the native reader decodes the bitmaps
+    executor-side and anti-joins them away.  Oracle = the same predicate
+    on the source table."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from pipeline_spark.functions.deltadv import make_dv_descriptor_relative
+    from pipeline_spark.sources.delta_native import read_delta_native, replay_log
+    from pipeline_spark.sinks.delta_native import write_delta_native
+
+    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_delta_dv")
+    shutil.rmtree(tbl, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_delta_native(spark, docs.repartition(2), {"path": tbl})
+    adds, _m, _p, version = replay_log(tbl)
+    # DV commit: re-add each file with a deletion vector for its
+    # doc_id % 7 == 0 positions (remove+add of the same path, per spec)
+    actions = [{
+        "protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                     "readerFeatures": ["deletionVectors"],
+                     "writerFeatures": ["deletionVectors"]},
+    }]
+    for a in adds:
+        fpath = os.path.join(tbl, a["path"])
+        ids = _pq.read_table(fpath, columns=["doc_id"])["doc_id"].to_pylist()
+        positions = [i for i, v in enumerate(ids) if v is not None and v % 7 == 0]
+        new_add = dict(a)
+        if positions:
+            desc, target, blob = make_dv_descriptor_relative(tbl, positions)
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            with open(target, "wb") as fh:
+                fh.write(blob)
+            new_add["deletionVector"] = desc
+        actions.append({"remove": {"path": a["path"], "dataChange": True}})
+        actions.append({"add": new_add})
+    commit = os.path.join(tbl, "_delta_log", f"{version + 1:020d}.json")
+    with open(commit, "w") as fh:
+        for act in actions:
+            fh.write(_json.dumps(act) + "\n")
+    return read_delta_native(spark, {"path": tbl}).orderBy("doc_id")
+
+
+Q_DELTA_DV_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id % 7 <> 0 ORDER BY doc_id
+"""
+
+
+def q_iceberg_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed-catalog Iceberg: supplier rows committed to a native
+    filesystem table, its metadata served by an in-process REST catalog
+    (the public OpenAPI routes: /v1/config prefix merge + LoadTableResult),
+    loaded back via ``catalog: {uri}`` + ``table: ns.t`` with NO
+    filesystem path, then aggregated.  Planning is eager, so the server
+    lives only for the metadata exchange."""
+    import glob as _glob
+    import http.server
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import threading
+
+    from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_ice_rest")
+    shutil.rmtree(tbl, ignore_errors=True)
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    write_iceberg_native(sup.coalesce(1), {"path": tbl, "mode": "create"})
+    meta = _json.load(
+        open(sorted(_glob.glob(f"{tbl}/metadata/v*.metadata.json"))[-1])
+    )
+
+    class _H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _j(self, obj, code=200):
+            body = _json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            if path == "/v1/config":
+                return self._j({"defaults": {}, "overrides": {"prefix": "main"}})
+            if path == "/v1/main/namespaces/ns/tables/suppliers":
+                return self._j({"metadata-location": "inline", "metadata": meta})
+            return self._j({}, 404)
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        back = read_iceberg_native(
+            spark,
+            {"catalog": {"uri": f"http://127.0.0.1:{srv.server_address[1]}"},
+             "table": "ns.suppliers"},
+        )
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+Q_ICEBERG_REST_SQL = """
+SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS total_bal
+FROM supplier GROUP BY s_nationkey
+"""
+
+
 def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sample module, mix method: pretraining data mixing — language
     shards recombined to target proportions with bounded upsampling
@@ -3996,6 +4129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents": q_profile_documents,
         "bpe_wordcounts": q_bpe_wordcounts,
         # --- r5 additions
+        "delta_dv_read": q_delta_dv_read,
+        "iceberg_rest": q_iceberg_rest,
         # --- long-green (r4 driver rows; pytest + local-harness guarded)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -4104,6 +4239,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_wordcounts": Q_BPE_WORDCOUNTS_SQL,
         "warc_roundtrip": Q_WARC_RT_SQL,
         "profile_documents": Q_PROFILE_SQL,
+        "delta_dv_read": Q_DELTA_DV_SQL,
+        "iceberg_rest": Q_ICEBERG_REST_SQL,
         "asof_join": Q_ASOF_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "range_join": Q_RANGE_JOIN_SQL,

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "bloom_dedup",
     "topk_words",
     "bpe_train",
+    "bpe_wordcounts",
     "profile_documents",
     "asof_join",
     "sessionize",
@@ -118,6 +119,8 @@ BENCH_QUERIES = [
     "dataset_mix",
     "delta_roundtrip",
     "dsir_scores",
+    "delta_dv_read",
+    "iceberg_rest",
 ]
 
 
@@ -212,6 +215,9 @@ def main() -> None:
         "tokenize_unnest", "lsh_topk", "match_recognize",
         "match_recognize_chunked", "linear_regression", "html_extract",
         "perplexity_filter", "dsir_scores", "dataset_mix",
+        # r4 operators added per VERDICT r4 #8 — all scale-critical
+        "asof_join", "range_join", "sessionize", "topk_words",
+        "bloom_dedup", "substring_cut", "semdedup_prune",
     ]
     scale_factor = float(os.environ.get("SPARK_GRAFT_SF1_FACTOR", "10"))
     if os.path.isdir(sf1_dir) and (time.time() - bench_start) < budget:
