@@ -29,8 +29,9 @@ read under the physical schema, one positional struct cast restores the
 logical names (works for ``name`` mode and for ``id``-mode tables that
 also record physical names, which delta-spark always does).
 
-Honest gate (actionable error): v2 checkpoints; ``versionAsOf`` time
-travel is supported.
+V2 checkpoints (UUID-named ``<v>.checkpoint.<uuid>.{json,parquet}``,
+add actions delegated to ``_delta_log/_sidecars/`` parquet files) replay
+through the same loader; ``versionAsOf`` time travel is supported.
 """
 
 from __future__ import annotations
@@ -43,6 +44,10 @@ from typing import Any
 
 _CKPT_SINGLE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CKPT_MULTI = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+# v2 checkpoints (PROTOCOL.md "V2 Checkpoint Table Feature"): UUID-named
+# <v>.checkpoint.<uniqueStr>.{json,parquet}, whose rows may delegate the
+# add actions to sidecar parquet files under _delta_log/_sidecars/
+_CKPT_V2 = re.compile(r"^(\d{20})\.checkpoint\.[A-Za-z0-9_-]+\.(json|parquet)$")
 _COMMIT = re.compile(r"^(\d{20})\.json$")
 _ISO_PREFIX = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]")
 
@@ -55,6 +60,7 @@ _OK_READER_FEATURES = {
     "invariants",
     "deletionVectors",  # read natively (functions/deltadv.py)
     "columnMapping",    # resolved via physicalName field metadata
+    "v2Checkpoint",     # UUID-named checkpoints + sidecar files
 }
 
 
@@ -90,8 +96,8 @@ def latest_version(log_dir: str) -> int | None:
 
 
 def _checkpoint_files(log_dir: str, version: int) -> list[str]:
-    """All parquet parts of the checkpoint at ``version`` (single or
-    multi-part), sorted by part number."""
+    """All files of the checkpoint at ``version`` — classic single-file,
+    multi-part (sorted by part number), or a UUID-named v2 checkpoint."""
     parts = []
     for name in os.listdir(log_dir):
         m = _CKPT_SINGLE.match(name)
@@ -100,6 +106,9 @@ def _checkpoint_files(log_dir: str, version: int) -> list[str]:
         m = _CKPT_MULTI.match(name)
         if m and int(m.group(1)) == version:
             parts.append((int(m.group(2)), os.path.join(log_dir, name)))
+        m = _CKPT_V2.match(name)
+        if m and int(m.group(1)) == version:
+            return [os.path.join(log_dir, name)]
     return [p for _, p in sorted(parts)]
 
 
@@ -116,30 +125,70 @@ def _maps_to_dicts(obj):
     return obj
 
 
-def _load_checkpoint(paths: list[str]) -> tuple[dict, dict | None, dict | None]:
-    """Consolidated state from checkpoint parquet: (adds by path,
-    metaData, protocol)."""
-    import pyarrow.parquet as pq
+def _iter_checkpoint_rows(path: str):
+    """Rows of one checkpoint file — parquet or (v2) line-delimited JSON."""
+    if path.endswith(".json"):
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    yield json.loads(line)
+    else:
+        import pyarrow.parquet as pq
 
+        yield from pq.read_table(path).to_pylist()
+
+
+def _load_checkpoint(
+    paths: list[str], log_dir: str | None = None
+) -> tuple[dict, dict | None, dict | None, dict]:
+    """Consolidated state from checkpoint files: (adds by path, metaData,
+    protocol, txns).  v2 checkpoints may carry ``sidecar`` actions whose
+    parquet files (under ``_delta_log/_sidecars/``) hold the adds."""
     adds: dict[str, dict] = {}
     txns: dict[str, int] = {}
     meta = proto = None
+    sidecars: list[str] = []
+
+    def ingest(row: dict) -> None:
+        add = row.get("add")
+        if add and add.get("path"):
+            adds[add["path"]] = _maps_to_dicts(add)
+        md = row.get("metaData")
+        if md and md.get("id"):
+            nonlocal meta
+            meta = _maps_to_dicts(md)
+        pr = row.get("protocol")
+        if pr and pr.get("minReaderVersion") is not None:
+            nonlocal proto
+            proto = pr
+        tx = row.get("txn")
+        if tx and tx.get("appId"):
+            txns[tx["appId"]] = max(
+                txns.get(tx["appId"], -1), int(tx.get("version", -1))
+            )
+        sc = row.get("sidecar")
+        if sc and sc.get("path"):
+            sidecars.append(sc["path"])
+
     for path in paths:
-        for row in pq.read_table(path).to_pylist():
-            add = row.get("add")
-            if add and add.get("path"):
-                adds[add["path"]] = _maps_to_dicts(add)
-            md = row.get("metaData")
-            if md and md.get("id"):
-                meta = _maps_to_dicts(md)
-            pr = row.get("protocol")
-            if pr and pr.get("minReaderVersion") is not None:
-                proto = pr
-            tx = row.get("txn")
-            if tx and tx.get("appId"):
-                txns[tx["appId"]] = max(
-                    txns.get(tx["appId"], -1), int(tx.get("version", -1))
-                )
+        for row in _iter_checkpoint_rows(path):
+            ingest(row)
+    for rel in sidecars:
+        if log_dir is None:
+            raise ValueError(
+                "delta: v2 checkpoint carries sidecar files but no log "
+                "directory was provided to resolve them"
+            )
+        side = rel if os.path.isabs(rel) else os.path.join(
+            log_dir, "_sidecars", rel
+        )
+        if not os.path.exists(side):
+            raise FileNotFoundError(
+                f"delta: v2 checkpoint sidecar {rel} not found at {side}"
+            )
+        for row in _iter_checkpoint_rows(side):
+            ingest(row)
     return adds, meta, proto, txns
 
 
@@ -184,7 +233,7 @@ def replay_state(
                     f"delta: _last_checkpoint points at version {cp_version} "
                     f"but no checkpoint parquet exists in {log_dir}"
                 )
-            adds, meta, proto, txns = _load_checkpoint(cp_paths)
+            adds, meta, proto, txns = _load_checkpoint(cp_paths, log_dir)
             start = cp_version + 1
 
     last = start - 1

@@ -211,6 +211,24 @@ sources:
     if "PythonUDF" in p18 or "MapInPandas" in p18:
         failures.append("profile: expected a pure-JVM aggregate plan")
 
+    # DV merge-on-read: deleted positions arrive as a (file, row-index)
+    # frame and anti-join the scan — an equi-join, never nested-loop;
+    # the bitmap decode itself is an executor-side RDD map
+    p19 = plan_of(entrymod.q_delta_dv_read(spark, sf))
+    if "NestedLoop" in p19 or "Cartesian" in p19:
+        failures.append("delta dv: anti-join planned as nested-loop/cartesian")
+    if "Anti" not in p19:
+        failures.append("delta dv: expected a left-anti join against the DV frame")
+
+    # REST-cataloged iceberg read: once the catalog hands over metadata,
+    # the plan is the same pruned parquet scan + partial/final aggregate
+    # as a filesystem table — no Python anywhere
+    p20 = plan_of(entrymod.q_iceberg_rest(spark, sf))
+    if p20.count("HashAggregate") < 2:
+        failures.append("iceberg rest: expected partial+final HashAggregate")
+    if "EvalPython" in p20 or "MapInPandas" in p20:
+        failures.append("iceberg rest: Python in the plan")
+
     for f in failures:
         print("FAIL", f)
     print("PLAN AUDIT:", "FAILED" if failures else "ALL OK")

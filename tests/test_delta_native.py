@@ -1082,3 +1082,130 @@ def test_checkpoint_preserves_stats_for_skipping(spark, tmp_path):
         spark, {"path": tbl, "dataFilter": {"key": "id", "op": "<", "value": 50}}
     )
     assert len(pruned.inputFiles()) == 1 and pruned.count() == 50
+
+
+def test_v2_checkpoint_with_sidecars(spark, tmp_path):
+    """V2 Checkpoint Table Feature: a UUID-named checkpoint whose add
+    actions live in _sidecars/ parquet files replays like a classic
+    checkpoint — pre-checkpoint JSON commits not needed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = str(tmp_path / "v2cp")
+    write_delta_native(spark, spark.range(0, 100).coalesce(1), {"path": tbl})
+    write_delta_native(
+        spark, spark.range(100, 200).coalesce(1), {"path": tbl, "mode": "append"}
+    )
+    adds, meta, proto, _v = replay_log(tbl)
+    log = tmp_path / "v2cp" / "_delta_log"
+
+    str_map = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct([
+        ("path", pa.string()), ("partitionValues", str_map),
+        ("size", pa.int64()), ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()), ("stats", pa.string()),
+    ])
+    # sidecar parquet carries the adds
+    side_dir = log / "_sidecars"
+    side_dir.mkdir()
+    side_rows = [{
+        "add": {
+            "path": a["path"],
+            "partitionValues": sorted((a.get("partitionValues") or {}).items()),
+            "size": a.get("size"), "modificationTime": a.get("modificationTime"),
+            "dataChange": True, "stats": a.get("stats"),
+        },
+    } for a in adds]
+    pq.write_table(
+        pa.Table.from_pylist(side_rows, pa.schema([("add", add_t)])),
+        str(side_dir / "00000000-aaaa-bbbb-cccc-000000000001.parquet"),
+    )
+    # v2 checkpoint file: protocol + metaData + checkpointMetadata + sidecar
+    cp_rows = [
+        {"metaData": {
+            "id": meta.get("id"),
+            "format": {"provider": "parquet", "options": []},
+            "schemaString": meta["schemaString"],
+            "partitionColumns": [], "configuration": [],
+            "createdTime": meta.get("createdTime"),
+        }},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"],
+                      "writerFeatures": ["v2Checkpoint"]}},
+        {"checkpointMetadata": {"version": 1, "tags": []}},
+        {"sidecar": {"path": "00000000-aaaa-bbbb-cccc-000000000001.parquet",
+                     "sizeInBytes": 1, "modificationTime": 0, "tags": []}},
+    ]
+    cp_schema = pa.schema([
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()), ("options", str_map)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", str_map), ("createdTime", pa.int64()),
+        ])),
+        ("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ])),
+        ("checkpointMetadata", pa.struct([
+            ("version", pa.int64()), ("tags", str_map)])),
+        ("sidecar", pa.struct([
+            ("path", pa.string()), ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()), ("tags", str_map)])),
+    ])
+    full = [{**{k: None for k in cp_schema.names}, **r} for r in cp_rows]
+    pq.write_table(
+        pa.Table.from_pylist(full, cp_schema),
+        str(log / "00000000000000000001.checkpoint.80a083e8-7026"
+                  "-4e79-81be-64bd76c43a11.parquet"),
+    )
+    with open(log / "_last_checkpoint", "w") as fh:
+        json.dump({"version": 1, "size": len(cp_rows)}, fh)
+    # remove every pre-checkpoint commit: replay MUST come from v2 cp
+    (log / "00000000000000000000.json").unlink()
+    (log / "00000000000000000001.json").unlink()
+
+    back = read_delta_native(spark, {"path": tbl})
+    assert _ids(back) == list(range(200))
+    # stats carried through the sidecar keep file skipping alive
+    pruned = read_delta_native(
+        spark, {"path": tbl, "dataFilter": {"key": "id", "op": "<", "value": 50}}
+    )
+    assert len(pruned.inputFiles()) == 1 and pruned.count() == 50
+    # appends on top of the v2 checkpoint still replay
+    write_delta_native(
+        spark, spark.range(200, 210).coalesce(1), {"path": tbl, "mode": "append"}
+    )
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(210))
+
+
+def test_v2_checkpoint_json_variant(spark, tmp_path):
+    """The spec also allows the v2 checkpoint itself as line-delimited
+    JSON with inline adds (no sidecars)."""
+    tbl = str(tmp_path / "v2cpj")
+    write_delta_native(spark, spark.range(0, 30).coalesce(1), {"path": tbl})
+    adds, meta, _p, _v = replay_log(tbl)
+    log = tmp_path / "v2cpj" / "_delta_log"
+    # overwrite in a second commit so the checkpoint is genuinely needed
+    write_delta_native(
+        spark, spark.range(0, 40).coalesce(1), {"path": tbl, "mode": "overwrite"}
+    )
+    adds, meta, _p, _v = replay_log(tbl)
+    cp = log / ("00000000000000000001.checkpoint."
+                "11111111-2222-3333-4444-555555555555.json")
+    with open(cp, "w") as fh:
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 3,
+                                          "minWriterVersion": 7,
+                                          "readerFeatures": ["v2Checkpoint"],
+                                          "writerFeatures": []}}) + "\n")
+        fh.write(json.dumps({"checkpointMetadata": {"version": 1}}) + "\n")
+        for a in adds:
+            fh.write(json.dumps({"add": a}) + "\n")
+    with open(log / "_last_checkpoint", "w") as fh:
+        json.dump({"version": 1}, fh)
+    (log / "00000000000000000000.json").unlink()
+    (log / "00000000000000000001.json").unlink()
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(40))

@@ -1259,3 +1259,66 @@ def test_streaming_select_duration_route(spark, tmp_path):
         ["k"],
     )
     assert out.isStreaming and set(out.columns) == {"k", "s"}
+
+
+def test_executor_panes_composite_after_first(spark, tmp_path):
+    """Composite afterFirst(count>=3, time>=1h) on the executor backend:
+    the count leaf dominates deterministically (the time leaf cannot fire
+    inside the test)."""
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    in_dir = _write_stream_files(tmp_path, "xcf_in", [
+        [("a", 1.0, base.replace(second=5)), ("a", 2.0, base.replace(second=10))],
+        [("a", 4.0, base.replace(second=20)), ("a", 8.0, base.replace(second=25))],
+        [("wm", 0.0, dt.datetime(2100, 1, 1, 0, 0, 5))],
+    ])
+    out_dir = str(tmp_path / "xcf_out")
+    cfg = _exec_backend_cfg(in_dir, out_dir, "accumulating").replace(
+        "earlyFiringTrigger: {type: afterProcessingTime, pastFirstElementDelay: 1}",
+        """earlyFiringTrigger:
+          type: afterFirst
+          childrenTriggers:
+            - {type: afterPane, elementCountAtLeast: 3}
+            - {type: afterProcessingTime, pastFirstElementDelay: 3600}""",
+    )
+    run_pipeline(spark, parse_config(cfg))
+    rows = spark.read.parquet(out_dir).collect()
+    a_panes = sorted(
+        (r for r in rows if r["k"] == "a"), key=lambda r: r["__pane__"]["index"]
+    )
+    # batch 1: 2 < 3 withheld; batch 2: grown 4 >= 3 → EARLY; watermark
+    # closes the window with nothing withheld → no further pane
+    assert [(p["n"], p["total"]) for p in a_panes] == [(4, 15.0)]
+    assert a_panes[0]["__pane__"]["timing"] == "EARLY"
+
+
+def test_executor_panes_final_trigger_closes(spark, tmp_path):
+    """finalTrigger afterPane(4) on the executor backend: one last firing
+    when total count reaches 4, then the pane CLOSES — the fifth element
+    is dropped (Beam's finished-trigger semantics)."""
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    in_dir = _write_stream_files(tmp_path, "xft_in", [
+        [("a", 1.0, base.replace(second=5)), ("a", 2.0, base.replace(second=10))],
+        [("a", 4.0, base.replace(second=20)), ("a", 8.0, base.replace(second=25))],
+        [("a", 16.0, base.replace(second=40))],
+        [("wm", 0.0, dt.datetime(2100, 1, 1, 0, 0, 5))],
+    ])
+    out_dir = str(tmp_path / "xft_out")
+    cfg = _exec_backend_cfg(in_dir, out_dir, "accumulating").replace(
+        """trigger:
+        type: afterWatermark
+        earlyFiringTrigger: {type: afterProcessingTime, pastFirstElementDelay: 1}""",
+        """trigger:
+        type: afterWatermark
+        earlyFiringTrigger: {type: afterProcessingTime, pastFirstElementDelay: 1}
+        finalTrigger: {type: afterPane, elementCountAtLeast: 4}""",
+    )
+    run_pipeline(spark, parse_config(cfg))
+    rows = spark.read.parquet(out_dir).collect()
+    a_panes = sorted(
+        (r for r in rows if r["k"] == "a"), key=lambda r: r["__pane__"]["index"]
+    )
+    # pane 0: processing-time firing after batch 1 (n=2); pane 1: final
+    # firing when n reaches 4 — then closed, so batch 3's element 16.0
+    # never surfaces
+    assert [(p["n"], p["total"]) for p in a_panes] == [(2, 3.0), (4, 15.0)]
+    assert all(p["n"] < 5 for p in a_panes)
