@@ -299,25 +299,72 @@ def _footer_column_stats(path: str, colmap: dict[str, tuple[int, str]]):
     return nulls or None, lows or None, highs or None
 
 
-def write_iceberg_native(df, p: dict[str, Any]) -> None:
-    """Commit ``df`` to a filesystem Iceberg v2 table at ``p['path'|'table']``."""
-    if p.get("catalog"):
-        raise NotImplementedError(
-            "iceberg: writes through a REST catalog need the optimistic "
-            "commit protocol (requirements/updates) — reads are native "
-            "(sources/iceberg_rest.py); write to the table's filesystem "
-            "location or use the runtime jar"
-        )
-    table_path = str(p.get("path") or p.get("table") or "")
-    if not table_path or "://" in table_path.replace("file://", ""):
+def _rest_session(p: dict[str, Any]) -> dict[str, Any]:
+    """Open a REST-catalog write session: load the table (or note its
+    absence) and resolve the posix staging location for data/manifest
+    files.  The catalog server owns the METADATA; the client stages the
+    files and commits via requirements/updates."""
+    import urllib.error
+
+    from pipeline_spark.sources.iceberg_rest import RestCatalog
+
+    table = p.get("table") or p.get("tableName")
+    ns, _, name = str(table or "").rpartition(".")
+    if not ns:
         raise ValueError(
-            "iceberg native writer needs a local/posix table location "
-            "(non-REST catalog URIs need the runtime jar)"
+            "iceberg rest write: 'table' must be \"namespace.table\""
         )
-    table_path = re.sub(r"^file:/{0,2}(/)", r"\1", table_path)
+    cat = RestCatalog(p["catalog"], opener=p.get("_opener"))
+    ns_key = ns.replace(".", "\x1f")
+    prev_meta = None
+    try:
+        prev_meta, _loc = cat.load_table(ns_key, name)
+    except urllib.error.HTTPError as exc:
+        if exc.code != 404:
+            raise
+    location = (prev_meta or {}).get("location") or p.get("location")
+    if not location or "://" in str(location).replace("file://", ""):
+        raise ValueError(
+            "iceberg rest write: a posix 'location' is required to stage "
+            "data/manifest files (object-store locations need the jar)"
+        )
+    return {
+        "catalog": cat,
+        "namespace": ns_key,
+        "name": name,
+        "prev_meta": prev_meta,
+        "location": re.sub(r"^file:/{0,2}(/)", r"\1", str(location)),
+    }
+
+
+def write_iceberg_native(df, p: dict[str, Any]) -> None:
+    """Commit ``df`` to a filesystem Iceberg v2 table at ``p['path'|'table']``,
+    or through a REST catalog (``catalog: {uri}`` + ``table: ns.t`` +
+    ``location`` for first creation): data/manifest/manifest-list files
+    stage identically, but the metadata commit becomes the spec's
+    optimistic CommitTableRequest (assert-ref-snapshot-id requirement +
+    add-snapshot / set-snapshot-ref updates) — a concurrent writer's
+    conflict surfaces as a loud retryable error, never a lost update."""
+    rest = _rest_session(p) if p.get("catalog") else None
+    if rest is not None:
+        table_path = rest["location"]
+    else:
+        table_path = str(p.get("path") or p.get("table") or "")
+        if not table_path or "://" in table_path.replace("file://", ""):
+            raise ValueError(
+                "iceberg native writer needs a local/posix table location "
+                "or a REST catalog config (non-REST catalog URIs need the "
+                "runtime jar)"
+            )
+        table_path = re.sub(r"^file:/{0,2}(/)", r"\1", table_path)
     mode = str(p.get("mode", "append")).lower()
     if mode not in ("append", "overwrite", "replace", "create", "merge"):
         raise ValueError(f"iceberg native writer: unsupported mode '{mode}'")
+    if mode == "merge" and rest is not None:
+        raise NotImplementedError(
+            "iceberg rest write: merge needs a delete-aware catalog read "
+            "of the existing table — append/overwrite/create only"
+        )
     if mode == "merge":
         # copy-on-write MERGE (UnifiedMutation semantics, §2.10): the new
         # snapshot = existing rows whose keys are untouched + incoming
@@ -387,7 +434,9 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
     meta_dir = os.path.join(table_path, "metadata")
     prev_meta: dict | None = None
     prev_version = 0
-    if os.path.isdir(meta_dir):
+    if rest is not None:
+        prev_meta = rest["prev_meta"]  # versioning is server-side
+    elif os.path.isdir(meta_dir):
         try:
             prev_file_found = find_table_metadata(table_path)
             with open(prev_file_found) as fh:
@@ -654,6 +703,43 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
             "total-data-files": str(total_files),
         },
     }
+    if rest is not None:
+        # catalog-owned metadata: the commit is the spec's optimistic
+        # CommitTableRequest — the staged snapshot either lands atomically
+        # on the asserted ref or conflicts loudly
+        cat = rest["catalog"]
+        if prev_meta is None:
+            cat.create_table(rest["namespace"], {
+                "name": rest["name"],
+                "location": table_path,
+                "schema": {**schema, "identifier-field-ids": []},
+                "partition-spec": {"spec-id": 0, "fields": spec_fields},
+                "write-order": None,
+                "stage-create": False,
+                "properties": {
+                    "write.format.default": "parquet",
+                    "schema.name-mapping.default": json.dumps(
+                        _name_mapping(schema["fields"])
+                    ),
+                },
+            })
+            prev_snap_id = None
+        else:
+            prev_snap_id = prev_meta.get("current-snapshot-id")
+        cat.commit_table(
+            rest["namespace"], rest["name"],
+            requirements=[{
+                "type": "assert-ref-snapshot-id",
+                "ref": "main",
+                "snapshot-id": prev_snap_id,
+            }],
+            updates=[
+                {"action": "add-snapshot", "snapshot": snapshot},
+                {"action": "set-snapshot-ref", "ref-name": "main",
+                 "type": "branch", "snapshot-id": snapshot_id},
+            ],
+        )
+        return
     if prev_meta is not None:
         version = prev_version + 1
         snapshots = list(prev_meta.get("snapshots", [])) + [snapshot]

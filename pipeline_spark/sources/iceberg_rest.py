@@ -116,6 +116,54 @@ class RestCatalog:
             base += "/" + urllib.parse.quote(self.prefix, safe="")
         return f"{base}/{tail}"
 
+    def create_table(self, namespace: str, body: dict) -> dict:
+        """POST CreateTableRequest → LoadTableResult metadata."""
+        ns = urllib.parse.quote(namespace, safe="")
+        result = _http_json(
+            self._route(f"namespaces/{ns}/tables"),
+            method="POST",
+            body=body,
+            headers=self.headers,
+            opener=self.opener,
+        )
+        meta = result.get("metadata")
+        if meta is None:
+            raise ValueError(
+                "iceberg rest catalog: create-table response carries no "
+                "metadata"
+            )
+        return meta
+
+    def commit_table(
+        self,
+        namespace: str,
+        name: str,
+        requirements: list[dict],
+        updates: list[dict],
+    ) -> dict:
+        """POST CommitTableRequest (the optimistic-concurrency commit:
+        the server validates ``requirements`` against its current
+        metadata and applies ``updates`` atomically; a failed
+        requirement is a conflict → retry with fresh metadata)."""
+        ns = urllib.parse.quote(namespace, safe="")
+        tbl = urllib.parse.quote(name, safe="")
+        try:
+            result = _http_json(
+                self._route(f"namespaces/{ns}/tables/{tbl}"),
+                method="POST",
+                body={"requirements": requirements, "updates": updates},
+                headers=self.headers,
+                opener=self.opener,
+            )
+        except urllib.error.HTTPError as exc:
+            if exc.code == 409:
+                raise RuntimeError(
+                    "iceberg rest catalog: commit conflict — another "
+                    "writer advanced the table; reload and retry the write"
+                ) from exc
+            raise
+        return result.get("metadata") or {}
+
     def load_table(self, namespace: str, name: str) -> tuple[dict, str]:
         """(table metadata JSON, metadata location) for ``ns.table``."""
         ns = urllib.parse.quote(namespace, safe="")

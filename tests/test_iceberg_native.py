@@ -1160,3 +1160,178 @@ def test_rest_catalog_table_validation():
         load_rest_table({"uri": "http://x"}, "justtable")
     with pytest.raises(ValueError, match="required"):
         load_rest_table({"uri": "http://x"}, "")
+
+
+def _serve_stateful_catalog():
+    """Fake REST catalog that OWNS table metadata: applies create/commit
+    (validating assert-ref-snapshot-id, 409 on mismatch) like a real
+    server, so writer round-trips and conflict detection are e2e."""
+    import http.server
+    import threading
+
+    state: dict[str, dict] = {}  # table name -> metadata
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            if path == "/v1/config":
+                return self._json({"defaults": {}, "overrides": {"prefix": "main"}})
+            if path.startswith("/v1/main/namespaces/ns/tables/"):
+                name = path.rsplit("/", 1)[1]
+                if name not in state:
+                    return self._json({"error": "no such table"}, 404)
+                return self._json(
+                    {"metadata-location": f"mem://{name}", "metadata": state[name]}
+                )
+            return self._json({"error": f"no route {path}"}, 404)
+
+        def do_POST(self):
+            path = self.path.split("?")[0]
+            body = self._body()
+            if path == "/v1/main/namespaces/ns/tables":
+                name = body["name"]
+                state[name] = {
+                    "format-version": 2,
+                    "table-uuid": f"uuid-{name}",
+                    "location": body["location"],
+                    "last-sequence-number": 0,
+                    "last-column-id": max(
+                        (f["id"] for f in body["schema"]["fields"]), default=0
+                    ),
+                    "current-schema-id": 0,
+                    "schemas": [
+                        {k: v for k, v in body["schema"].items()
+                         if k != "identifier-field-ids"}
+                    ],
+                    "default-spec-id": 0,
+                    "partition-specs": [body.get("partition-spec")
+                                        or {"spec-id": 0, "fields": []}],
+                    "properties": body.get("properties") or {},
+                    "current-snapshot-id": None,
+                    "snapshots": [],
+                    "snapshot-log": [],
+                }
+                return self._json(
+                    {"metadata-location": f"mem://{name}", "metadata": state[name]}
+                )
+            if path.startswith("/v1/main/namespaces/ns/tables/"):
+                name = path.rsplit("/", 1)[1]
+                if name not in state:
+                    return self._json({"error": "no such table"}, 404)
+                meta = state[name]
+                for req in body.get("requirements", []):
+                    if req.get("type") == "assert-ref-snapshot-id":
+                        if meta.get("current-snapshot-id") != req.get("snapshot-id"):
+                            return self._json({"error": "requirement failed"}, 409)
+                for upd in body.get("updates", []):
+                    if upd["action"] == "add-snapshot":
+                        snap = upd["snapshot"]
+                        meta["snapshots"] = list(meta["snapshots"]) + [snap]
+                        meta["last-sequence-number"] = max(
+                            meta["last-sequence-number"],
+                            snap.get("sequence-number", 0),
+                        )
+                    elif upd["action"] == "set-snapshot-ref":
+                        meta["current-snapshot-id"] = upd["snapshot-id"]
+                return self._json(
+                    {"metadata-location": f"mem://{name}", "metadata": meta}
+                )
+            return self._json({"error": "no route"}, 404)
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, state
+
+
+def test_rest_catalog_write_create_append_read(spark, tmp_path):
+    """Native REST-catalog WRITES: first write creates the table through
+    CreateTableRequest then commits the staged snapshot; appends commit
+    via assert-ref-snapshot-id + add-snapshot/set-snapshot-ref; the
+    catalog read sees every commit."""
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        loc = str(tmp_path / "rest_write_tbl")
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.wt", "location": loc}
+        write_iceberg_native(
+            spark.range(0, 20).coalesce(1), {**cat_p, "mode": "create"}
+        )
+        assert state["wt"]["current-snapshot-id"] is not None
+        write_iceberg_native(
+            spark.range(20, 40).coalesce(1), {**cat_p, "mode": "append"}
+        )
+        assert len(state["wt"]["snapshots"]) == 2
+        back = read_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.wt"}
+        )
+        assert sorted(r["id"] for r in back.collect()) == list(range(40))
+        # no client-side metadata files: the catalog owns them
+        assert not (tmp_path / "rest_write_tbl" / "metadata").glob(
+            "v*.metadata.json"
+        ) or not list(
+            (tmp_path / "rest_write_tbl" / "metadata").glob("v*.metadata.json")
+        )
+    finally:
+        srv.shutdown()
+
+
+def test_rest_catalog_write_conflict_is_loud(spark, tmp_path, monkeypatch):
+    """A commit whose assert-ref-snapshot-id no longer holds (another
+    writer advanced the ref between our load and our commit) must fail
+    loudly, never lose an update."""
+    from pipeline_spark.sources import iceberg_rest
+
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        loc = str(tmp_path / "rest_conflict_tbl")
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.ct", "location": loc}
+        write_iceberg_native(spark.range(0, 5).coalesce(1), cat_p)
+
+        orig = iceberg_rest.RestCatalog.load_table
+
+        def racing_load(self, ns, name):
+            meta, mloc = orig(self, ns, name)
+            # the interleaved writer advances the ref AFTER our load
+            state["ct"]["current-snapshot-id"] = 999999
+            return meta, mloc
+
+        monkeypatch.setattr(iceberg_rest.RestCatalog, "load_table", racing_load)
+        with pytest.raises(RuntimeError, match="conflict"):
+            write_iceberg_native(
+                spark.range(5, 10).coalesce(1), {**cat_p, "mode": "append"}
+            )
+    finally:
+        srv.shutdown()
+
+
+def test_rest_catalog_write_validation(spark, tmp_path):
+    from pipeline_spark.sinks.iceberg_native import write_iceberg_native as w
+
+    srv, _state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        # creating a new table needs a posix staging location
+        with pytest.raises(ValueError, match="location"):
+            w(spark.range(3), {"catalog": {"uri": uri}, "table": "ns.nl"})
+        with pytest.raises(NotImplementedError, match="merge"):
+            w(spark.range(3), {"catalog": {"uri": uri}, "table": "ns.m",
+                               "location": str(tmp_path / "m"),
+                               "mode": "merge", "primaryKeys": ["id"]})
+    finally:
+        srv.shutdown()
