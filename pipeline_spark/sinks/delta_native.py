@@ -414,15 +414,220 @@ def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
 def delete_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     """Row-level DELETE WHERE, copy-on-write (the jar-free Delta shape).
 
-    Stats-guided: only files whose ``add.stats`` ADMIT a match are
-    candidates; each candidate partition group is re-read, rows matching
-    the predicate drop (predicate-NULL rows are KEPT — they did not
-    match), and survivors rewrite as new files in one remove+add commit
-    with ``dataChange: true``.  Untouched files never move — at 100 TB a
-    targeted takedown rewrites the handful of files the bounds can't
+    ``method: mor`` (or ``deletionVectors: true``) switches to
+    merge-on-read deletion vectors (_dv_delete_where): matched row
+    positions serialize into roaring-bitmap DV files and the commit
+    re-adds the SAME data files with a ``deletionVector`` descriptor —
+    zero data-file rewrite, the right shape when a takedown touches a
+    few rows in many large files.
+
+    Copy-on-write path — stats-guided: only files whose ``add.stats``
+    ADMIT a match are candidates; each candidate partition group is
+    re-read, rows matching the predicate drop (predicate-NULL rows are
+    KEPT — they did not match), and survivors rewrite as new files in
+    one remove+add commit with ``dataChange: true``.  Untouched files
+    never move — at 100 TB a targeted takedown rewrites the handful of
+    files the bounds can't
     exclude, not the table.  ``where`` = the readers' dataFilter shape.
     """
+    if p.get("deletionVectors") or str(p.get("method", "")).lower() in (
+        "mor", "dv", "deletion-vectors",
+    ):
+        return _dv_delete_where(spark, p)
     return _cow_rewrite_where(spark, p, set_exprs=None)
+
+
+def _commit_actions(
+    table: str, version: int, actions: list[dict],
+    checkpoint_interval: int = 0,
+) -> None:
+    """Write one commit JSON atomically (create-exclusive: a racing
+    writer loses loudly, never silently replaces a version)."""
+    commit_path = os.path.join(_log_dir(table), f"{version:020d}.json")
+    tmp = commit_path + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        for action in actions:
+            fh.write(json.dumps(action) + "\n")
+    try:
+        os.link(tmp, commit_path)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise FileExistsError(
+            f"delta: concurrent commit raced on version {version} at "
+            f"{commit_path} — retry the write"
+        ) from None
+    os.unlink(tmp)
+    if checkpoint_interval > 0 and version > 0 and (
+        version % checkpoint_interval == 0
+    ):
+        write_checkpoint(table, version)
+
+
+def _dv_delete_where(spark, p: dict[str, Any]) -> dict[str, int]:
+    """Merge-on-read DELETE WHERE via deletion vectors.
+
+    Matched (file, row-index) pairs come from ONE stats-pruned scan with
+    ``_metadata.row_index``; each touched file's positions serialize to
+    a roaring-bitmap DV file EXECUTOR-SIDE (one applyInPandas group per
+    file — never a driver materialization of positions), unioned with
+    the file's existing DV when re-deleting.  The commit re-adds the
+    same data paths with ``deletionVector`` descriptors and upgrades the
+    protocol to the deletionVectors reader/writer feature.  Data bytes
+    are never rewritten — the 100 TB takedown shape.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from pipeline_spark.sources.delta_native import (
+        _stats_may_match,
+        data_filter_condition,
+    )
+
+    table = p.get("path") or p.get("table")
+    if not table:
+        raise ValueError("delta delete: 'path' is required")
+    where = p.get("where")
+    if not where:
+        raise ValueError("delta delete: 'where' predicate list is required")
+    if isinstance(where, dict):
+        where = [where]
+    prev_adds, meta, proto, _v, _txns = replay_state(table)
+    prev_version = latest_version(_log_dir(table))
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.columnMapping.mode") not in (None, "", "none"):
+        raise NotImplementedError(
+            "delta delete (mor): column-mapped tables not supported by the "
+            "DV writer yet — use the copy-on-write path"
+        )
+    part_cols = list(meta.get("partitionColumns") or [])
+    full = StructType.fromJson(json.loads(meta["schemaString"]))
+    fschema = StructType([f for f in full.fields if f.name not in part_cols])
+    types = {f.name: f.dataType for f in full.fields}
+
+    candidates = [a for a in prev_adds if _stats_may_match(a, where, None)]
+    if not candidates:
+        return {"deleted_rows": 0, "dv_files": 0}
+    by_path = {}
+    for a in candidates:
+        ap = os.path.abspath(
+            os.path.join(table, urllib.parse.unquote(a["path"]))
+        )
+        by_path[ap] = a
+
+    cond = data_filter_condition(where)
+    # one scan over candidate groups (partition literals attached), rows
+    # reduced to (file, physical row index) before any aggregation
+    groups: dict[tuple, list[str]] = {}
+    for ap, a in by_path.items():
+        key = tuple(sorted((a.get("partitionValues") or {}).items()))
+        groups.setdefault(key, []).append(ap)
+    frames = []
+    for key, paths in groups.items():
+        df = spark.read.schema(fschema).parquet(*paths)
+        for c, v in dict(key).items():
+            df = df.withColumn(
+                c,
+                F.lit(v).cast(types[c]) if v is not None
+                else F.lit(None).cast(types[c]),
+            )
+        frames.append(
+            df.where(F.coalesce(cond, F.lit(False)))
+            .select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("fp"),
+                F.col("_metadata.row_index").alias("ri"),
+            )
+        )
+    matches = frames[0]
+    for x in frames[1:]:
+        matches = matches.unionByName(x)
+
+    tbl_abs = os.path.abspath(table)
+    old_dvs = {
+        ap: json.dumps(a["deletionVector"])
+        for ap, a in by_path.items()
+        if a.get("deletionVector")
+    }
+
+    def build_dv(pdf):
+        import json as _j
+        import os as _os
+
+        from pipeline_spark.functions.deltadv import (
+            load_dv_positions,
+            make_dv_descriptor_relative,
+        )
+
+        fp = pdf["fp"].iloc[0]
+        positions = set(int(x) for x in pdf["ri"])
+        prior = old_dvs.get(fp)
+        if prior:
+            positions |= {int(x) for x in load_dv_positions(tbl_abs, _j.loads(prior))}
+        desc, target, blob = make_dv_descriptor_relative(
+            tbl_abs, sorted(positions)
+        )
+        _os.makedirs(_os.path.dirname(target) or tbl_abs, exist_ok=True)
+        tmp = target + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        _os.rename(tmp, target)
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {"fp": [fp], "desc": [_j.dumps(desc)], "n_new": [len(pdf)]}
+        )
+
+    built = matches.groupBy("fp").applyInPandas(
+        build_dv, schema="fp string, desc string, n_new long"
+    ).collect()  # one row PER TOUCHED FILE — metadata scale
+    if not built:
+        return {"deleted_rows": 0, "dv_files": 0}
+
+    now_ms = int(time.time() * 1000)
+    actions = []
+    # protocol upgrade: DV tables need the reader/writer table feature
+    rfeats = set((proto or {}).get("readerFeatures") or [])
+    wfeats = set((proto or {}).get("writerFeatures") or [])
+    if "deletionVectors" not in rfeats:
+        rfeats.add("deletionVectors")
+        actions.append({
+            "protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": sorted(rfeats),
+                "writerFeatures": sorted(wfeats | rfeats),
+            }
+        })
+    deleted = 0
+    for row in built:
+        a = by_path[row["fp"]]
+        deleted += int(row["n_new"])
+        actions.append({"remove": {
+            "path": a["path"], "deletionTimestamp": now_ms,
+            "dataChange": True,
+            "partitionValues": a.get("partitionValues") or {},
+        }})
+        new_add = {
+            k: v for k, v in a.items() if k != "deletionVector"
+        }
+        new_add["deletionVector"] = json.loads(row["desc"])
+        new_add["dataChange"] = True
+        new_add["modificationTime"] = a.get("modificationTime", now_ms)
+        actions.append({"add": new_add})
+    actions.append({
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "DELETE",
+            "operationParameters": {
+                "predicate": json.dumps(where), "method": "merge-on-read",
+            },
+        }
+    })
+    _commit_actions(
+        table, (prev_version or 0) + 1, actions,
+        checkpoint_interval=int(p.get("checkpointInterval", 0) or 0),
+    )
+    return {"deleted_rows": deleted, "dv_files": len(built)}
 
 
 def update_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:

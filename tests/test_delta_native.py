@@ -1209,3 +1209,71 @@ def test_v2_checkpoint_json_variant(spark, tmp_path):
     (log / "00000000000000000000.json").unlink()
     (log / "00000000000000000001.json").unlink()
     assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(40))
+
+
+def test_dv_delete_merge_on_read(spark, tmp_path):
+    """DELETE WHERE method=mor: positions land in roaring-bitmap DV
+    files, data files are NOT rewritten, the protocol upgrades to the
+    deletionVectors feature, and the native reader applies the vectors."""
+    from pipeline_spark.sinks.delta_native import delete_delta_native
+
+    tbl = str(tmp_path / "mor_del")
+    write_delta_native(spark, spark.range(0, 100).repartition(2), {"path": tbl})
+    before_adds, _m, _p, _v = replay_log(tbl)
+    before_paths = sorted(a["path"] for a in before_adds)
+
+    res = delete_delta_native(
+        spark,
+        {"path": tbl, "method": "mor",
+         "where": [{"key": "id", "op": ">=", "value": 90}]},
+    )
+    assert res["deleted_rows"] == 10 and res["dv_files"] >= 1
+    adds, _m, proto, _v = replay_log(tbl)
+    # same data files, now carrying DV descriptors
+    assert sorted(a["path"] for a in adds) == before_paths
+    assert any(a.get("deletionVector") for a in adds)
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+    back = read_delta_native(spark, {"path": tbl})
+    assert _ids(back) == list(range(90))
+
+    # second MOR delete on an already-vectored file UNIONS positions
+    res2 = delete_delta_native(
+        spark,
+        {"path": tbl, "deletionVectors": True,
+         "where": [{"key": "id", "op": "<", "value": 5}]},
+    )
+    assert res2["deleted_rows"] == 5
+    back2 = read_delta_native(spark, {"path": tbl})
+    assert _ids(back2) == list(range(5, 90))
+    # still zero data-file rewrites across both deletes
+    adds2, _m, _p2, _v2 = replay_log(tbl)
+    assert sorted(a["path"] for a in adds2) == before_paths
+
+
+def test_dv_delete_partitioned_and_no_match(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sinks.delta_native import delete_delta_native
+
+    tbl = str(tmp_path / "mor_del_part")
+    df = spark.range(0, 40).withColumn(
+        "grp", F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+    )
+    write_delta_native(spark, df, {"path": tbl, "partitionBy": ["grp"]})
+    res = delete_delta_native(
+        spark,
+        {"path": tbl, "method": "mor",
+         "where": [{"key": "grp", "op": "=", "value": "odd"},
+                   {"key": "id", "op": "<", "value": 10}]},
+    )
+    assert res["deleted_rows"] == 5  # ids 1,3,5,7,9
+    back = read_delta_native(spark, {"path": tbl})
+    assert _ids(back) == [i for i in range(40) if not (i % 2 and i < 10)]
+    # a predicate no stats admit: zero-action no-op, no commit
+    v_before = len(list((tmp_path / "mor_del_part" / "_delta_log").glob("*.json")))
+    res2 = delete_delta_native(
+        spark, {"path": tbl, "method": "mor",
+                "where": [{"key": "id", "op": ">", "value": 10_000}]},
+    )
+    assert res2 == {"deleted_rows": 0, "dv_files": 0}
+    assert len(list((tmp_path / "mor_del_part" / "_delta_log").glob("*.json"))) == v_before
