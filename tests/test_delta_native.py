@@ -1277,3 +1277,47 @@ def test_dv_delete_partitioned_and_no_match(spark, tmp_path):
     )
     assert res2 == {"deleted_rows": 0, "dv_files": 0}
     assert len(list((tmp_path / "mor_del_part" / "_delta_log").glob("*.json"))) == v_before
+
+
+def test_dv_and_column_mapping_compose_on_read(spark, tmp_path):
+    """A table with BOTH reader features: physical column names in the
+    files AND a deletion vector on one of them — the anti-join runs on
+    the physical scan, the struct cast restores logical names after."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.functions.deltadv import make_dv_descriptor_relative
+
+    tbl = tmp_path / "dv_cm"
+    tbl.mkdir()
+    pq.write_table(
+        pa.table({"col-x": pa.array(range(10), pa.int64())}), tbl / "a.parquet"
+    )
+    desc, target, blob = make_dv_descriptor_relative(str(tbl), [2, 4], prefix="p")
+    os.makedirs(os.path.dirname(target), exist_ok=True)
+    with open(target, "wb") as fh:
+        fh.write(blob)
+    schema_json = {"type": "struct", "fields": [
+        {"name": "doc_id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-x"}}]}
+    log = tbl / "_delta_log"
+    log.mkdir()
+    with open(log / "00000000000000000000.json", "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors", "columnMapping"],
+                          "writerFeatures": []}},
+            {"metaData": {
+                "id": "x", "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema_json),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"}}},
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True,
+                     "deletionVector": desc}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+    out = read_delta_native(spark, {"path": str(tbl)})
+    assert out.columns == ["doc_id"]
+    assert _ids(out.withColumnRenamed("doc_id", "id")) == [0, 1, 3, 5, 6, 7, 8, 9]
