@@ -1322,3 +1322,41 @@ def test_executor_panes_final_trigger_closes(spark, tmp_path):
     # never surfaces
     assert [(p["n"], p["total"]) for p in a_panes] == [(2, 3.0), (4, 15.0)]
     assert all(p["n"] < 5 for p in a_panes)
+
+
+def test_executor_panes_after_each_sequence(spark, tmp_path):
+    """Top-level afterEach on the executor backend: the children fire
+    once each in order (count>=2 then count>=3); afterwards updates stay
+    withheld until the watermark flushes them ON_TIME."""
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    in_dir = _write_stream_files(tmp_path, "xae_in", [
+        [("a", 1.0, base.replace(second=2))],                     # 1 < 2
+        [("a", 2.0, base.replace(second=4))],                     # 2 → fire
+        [("a", 4.0, base.replace(second=6)),
+         ("a", 8.0, base.replace(second=8))],                     # +2 < 3
+        [("a", 16.0, base.replace(second=10))],                   # +3 → fire
+        [("a", 32.0, base.replace(second=12))],                   # exhausted
+        [("wm", 0.0, dt.datetime(2100, 1, 1, 0, 0, 5))],          # close
+    ])
+    out_dir = str(tmp_path / "xae_out")
+    cfg = _exec_backend_cfg(in_dir, out_dir, "accumulating").replace(
+        """trigger:
+        type: afterWatermark
+        earlyFiringTrigger: {type: afterProcessingTime, pastFirstElementDelay: 1}""",
+        """trigger:
+        type: afterEach
+        childrenTriggers:
+          - {type: afterPane, elementCountAtLeast: 2}
+          - {type: afterPane, elementCountAtLeast: 3}""",
+    )
+    run_pipeline(spark, parse_config(cfg))
+    rows = spark.read.parquet(out_dir).collect()
+    a_panes = sorted(
+        (r for r in rows if r["k"] == "a"), key=lambda r: r["__pane__"]["index"]
+    )
+    assert [(p["n"], p["total"]) for p in a_panes] == [
+        (2, 3.0), (5, 31.0), (6, 63.0)
+    ]
+    assert [p["__pane__"]["timing"] for p in a_panes] == [
+        "EARLY", "EARLY", "ON_TIME"
+    ]
