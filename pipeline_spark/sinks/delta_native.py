@@ -464,16 +464,25 @@ def _commit_actions(
 
 
 def _dv_delete_where(spark, p: dict[str, Any]) -> dict[str, int]:
-    """Merge-on-read DELETE WHERE via deletion vectors.
+    return _dv_mutate_where(spark, p, set_exprs=None)
+
+
+def _dv_mutate_where(
+    spark, p: dict[str, Any], set_exprs: dict[str, str] | None
+) -> dict[str, int]:
+    """Merge-on-read DELETE / UPDATE via deletion vectors.
 
     Matched (file, row-index) pairs come from ONE stats-pruned scan with
     ``_metadata.row_index``; each touched file's positions serialize to
     a roaring-bitmap DV file EXECUTOR-SIDE (one applyInPandas group per
     file — never a driver materialization of positions), unioned with
-    the file's existing DV when re-deleting.  The commit re-adds the
+    the file's existing DV when re-mutating.  The commit re-adds the
     same data paths with ``deletionVector`` descriptors and upgrades the
-    protocol to the deletionVectors reader/writer feature.  Data bytes
-    are never rewritten — the 100 TB takedown shape.
+    protocol to the deletionVectors reader/writer feature.  DELETE moves
+    ZERO data bytes; UPDATE additionally appends ONLY the rewritten
+    matched rows as new files (delta-spark's own DV-update shape) —
+    updating 100 rows across a 100 TB table moves 100 rows, not the
+    candidate files.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
@@ -483,12 +492,13 @@ def _dv_delete_where(spark, p: dict[str, Any]) -> dict[str, int]:
         data_filter_condition,
     )
 
+    op_name = "update" if set_exprs else "delete"
     table = p.get("path") or p.get("table")
     if not table:
-        raise ValueError("delta delete: 'path' is required")
+        raise ValueError(f"delta {op_name}: 'path' is required")
     where = p.get("where")
     if not where:
-        raise ValueError("delta delete: 'where' predicate list is required")
+        raise ValueError(f"delta {op_name}: 'where' predicate list is required")
     if isinstance(where, dict):
         where = [where]
     prev_adds, meta, proto, _v, _txns = replay_state(table)
@@ -496,17 +506,31 @@ def _dv_delete_where(spark, p: dict[str, Any]) -> dict[str, int]:
     conf = meta.get("configuration") or {}
     if conf.get("delta.columnMapping.mode") not in (None, "", "none"):
         raise NotImplementedError(
-            "delta delete (mor): column-mapped tables not supported by the "
-            "DV writer yet — use the copy-on-write path"
+            f"delta {op_name} (mor): column-mapped tables not supported by "
+            "the DV writer yet — use the copy-on-write path"
         )
     part_cols = list(meta.get("partitionColumns") or [])
     full = StructType.fromJson(json.loads(meta["schemaString"]))
     fschema = StructType([f for f in full.fields if f.name not in part_cols])
     types = {f.name: f.dataType for f in full.fields}
+    if set_exprs:
+        unknown = [c for c in set_exprs if c not in types]
+        if unknown:
+            raise ValueError(
+                f"delta update: set targets unknown columns {unknown}"
+            )
+        bad_parts = [c for c in set_exprs if c in part_cols]
+        if bad_parts:
+            raise ValueError(
+                f"delta update: set cannot target partition columns "
+                f"{bad_parts} — rows would stay under their old "
+                "partitionValues; rewrite via overwrite instead"
+            )
 
+    empty = {f"{op_name}d_rows": 0, "dv_files": 0}
     candidates = [a for a in prev_adds if _stats_may_match(a, where, None)]
     if not candidates:
-        return {"deleted_rows": 0, "dv_files": 0}
+        return empty
     by_path = {}
     for a in candidates:
         ap = os.path.abspath(
@@ -515,14 +539,19 @@ def _dv_delete_where(spark, p: dict[str, Any]) -> dict[str, int]:
         by_path[ap] = a
 
     cond = data_filter_condition(where)
+    commit_id = uuid.uuid4().hex
+    now_ms = int(time.time() * 1000)
     # one scan over candidate groups (partition literals attached), rows
-    # reduced to (file, physical row index) before any aggregation
+    # reduced to (file, physical row index) before any aggregation; for
+    # UPDATE the same matched scan also writes the rewritten rows (only
+    # the matched ones) as new files per partition group
     groups: dict[tuple, list[str]] = {}
     for ap, a in by_path.items():
         key = tuple(sorted((a.get("partitionValues") or {}).items()))
         groups.setdefault(key, []).append(ap)
     frames = []
-    for key, paths in groups.items():
+    new_adds: list[dict] = []
+    for i, (key, paths) in enumerate(groups.items()):
         df = spark.read.schema(fschema).parquet(*paths)
         for c, v in dict(key).items():
             df = df.withColumn(
@@ -530,15 +559,40 @@ def _dv_delete_where(spark, p: dict[str, Any]) -> dict[str, int]:
                 F.lit(v).cast(types[c]) if v is not None
                 else F.lit(None).cast(types[c]),
             )
+        matched_df = df.where(F.coalesce(cond, F.lit(False)))
         frames.append(
-            df.where(F.coalesce(cond, F.lit(False)))
-            .select(
+            matched_df.select(
                 F.regexp_replace(
                     F.col("_metadata.file_path"), "^file:/+", "/"
                 ).alias("fp"),
                 F.col("_metadata.row_index").alias("ri"),
             )
         )
+        if set_exprs:
+            upd = matched_df
+            for c, expr in set_exprs.items():
+                upd = upd.withColumn(c, F.expr(str(expr)).cast(types[c]))
+            out_dir = os.path.join(
+                table, f"data-update-{commit_id}", f"grp-{i:05d}"
+            )
+            upd.select(*[f.name for f in fschema.fields]).write.parquet(out_dir)
+            pv = dict(key)
+            for root, _dirs, names in os.walk(out_dir):
+                for name in sorted(names):
+                    if not name.endswith(".parquet"):
+                        continue
+                    fullp = os.path.join(root, name)
+                    rel = os.path.relpath(fullp, table)
+                    new_adds.append({
+                        "path": urllib.parse.quote(
+                            rel.replace(os.sep, "/"), safe="/="
+                        ),
+                        "partitionValues": pv,
+                        "size": os.path.getsize(fullp),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                        "__full_path__": fullp,
+                    })
     matches = frames[0]
     for x in frames[1:]:
         matches = matches.unionByName(x)
@@ -582,9 +636,23 @@ def _dv_delete_where(spark, p: dict[str, Any]) -> dict[str, int]:
         build_dv, schema="fp string, desc string, n_new long"
     ).collect()  # one row PER TOUCHED FILE — metadata scale
     if not built:
-        return {"deleted_rows": 0, "dv_files": 0}
+        # drop any staged-but-unneeded update files (stats over-admitted)
+        for a in new_adds:
+            try:
+                os.remove(a["__full_path__"])
+            except OSError:
+                pass
+        return empty
 
-    now_ms = int(time.time() * 1000)
+    if new_adds:
+        stats_map = _collect_file_stats(
+            spark, [a["__full_path__"] for a in new_adds]
+        )
+        for a in new_adds:
+            st = stats_map.get(a.pop("__full_path__"))
+            if st:
+                a["stats"] = st
+
     actions = []
     # protocol upgrade: DV tables need the reader/writer table feature
     rfeats = set((proto or {}).get("readerFeatures") or [])
@@ -614,10 +682,12 @@ def _dv_delete_where(spark, p: dict[str, Any]) -> dict[str, int]:
         new_add["dataChange"] = True
         new_add["modificationTime"] = a.get("modificationTime", now_ms)
         actions.append({"add": new_add})
+    for a in new_adds:
+        actions.append({"add": a})
     actions.append({
         "commitInfo": {
             "timestamp": now_ms,
-            "operation": "DELETE",
+            "operation": op_name.upper(),
             "operationParameters": {
                 "predicate": json.dumps(where), "method": "merge-on-read",
             },
@@ -627,7 +697,10 @@ def _dv_delete_where(spark, p: dict[str, Any]) -> dict[str, int]:
         table, (prev_version or 0) + 1, actions,
         checkpoint_interval=int(p.get("checkpointInterval", 0) or 0),
     )
-    return {"deleted_rows": deleted, "dv_files": len(built)}
+    result = {f"{op_name}d_rows": deleted, "dv_files": len(built)}
+    if set_exprs:
+        result["new_files"] = len(new_adds)
+    return result
 
 
 def update_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
@@ -638,6 +711,10 @@ def update_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     set_exprs = p.get("set")
     if not set_exprs:
         raise ValueError("delta update: 'set' {column: expression} is required")
+    if p.get("deletionVectors") or str(p.get("method", "")).lower() in (
+        "mor", "dv", "deletion-vectors",
+    ):
+        return _dv_mutate_where(spark, p, set_exprs=dict(set_exprs))
     return _cow_rewrite_where(spark, p, set_exprs=dict(set_exprs))
 
 

@@ -1321,3 +1321,70 @@ def test_dv_and_column_mapping_compose_on_read(spark, tmp_path):
     out = read_delta_native(spark, {"path": str(tbl)})
     assert out.columns == ["doc_id"]
     assert _ids(out.withColumnRenamed("doc_id", "id")) == [0, 1, 3, 5, 6, 7, 8, 9]
+
+
+def test_dv_update_merge_on_read(spark, tmp_path):
+    """UPDATE WHERE SET method=mor: old positions get deletion vectors,
+    ONLY the rewritten matched rows append as new files — original data
+    files keep their bytes."""
+    from pipeline_spark.sinks.delta_native import update_delta_native
+
+    tbl = str(tmp_path / "mor_upd")
+    write_delta_native(spark, spark.range(0, 100).repartition(2), {"path": tbl})
+    before_paths = sorted(a["path"] for a in replay_log(tbl)[0])
+    before_sizes = {
+        a["path"]: a["size"] for a in replay_log(tbl)[0]
+    }
+    res = update_delta_native(
+        spark,
+        {"path": tbl, "method": "mor",
+         "where": [{"key": "id", "op": ">=", "value": 95}],
+         "set": {"id": "id + 1000"}},
+    )
+    assert res["updated_rows"] == 5 and res["new_files"] >= 1
+    adds, _m, proto, _v = replay_log(tbl)
+    # original files still present (with DVs), plus the new update files
+    paths_now = sorted(a["path"] for a in adds)
+    assert set(before_paths) <= set(paths_now)
+    assert len(paths_now) == len(before_paths) + res["new_files"]
+    for a in adds:
+        if a["path"] in before_sizes:
+            assert a["size"] == before_sizes[a["path"]]  # bytes untouched
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+    back = read_delta_native(spark, {"path": tbl})
+    assert _ids(back) == list(range(95)) + [1095, 1096, 1097, 1098, 1099]
+
+
+def test_dv_update_partitioned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sinks.delta_native import update_delta_native
+
+    tbl = str(tmp_path / "mor_upd_part")
+    df = spark.range(0, 20).withColumn(
+        "grp", F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+    )
+    write_delta_native(spark, df, {"path": tbl, "partitionBy": ["grp"]})
+    res = update_delta_native(
+        spark,
+        {"path": tbl, "deletionVectors": True,
+         "where": [{"key": "grp", "op": "=", "value": "odd"},
+                   {"key": "id", "op": "<", "value": 6}],
+         "set": {"id": "id * 100"}},
+    )
+    assert res["updated_rows"] == 3  # 1, 3, 5
+    back = read_delta_native(spark, {"path": tbl})
+    got = sorted((r["id"], r["grp"]) for r in back.collect())
+    expect = sorted(
+        [(i, "even") for i in range(0, 20, 2)]
+        + [(i, "odd") for i in range(1, 20, 2) if i >= 6]
+        + [(100, "odd"), (300, "odd"), (500, "odd")]
+    )
+    assert got == expect
+    with pytest.raises(ValueError, match="partition columns"):
+        update_delta_native(
+            spark,
+            {"path": tbl, "method": "mor",
+             "where": [{"key": "id", "op": "=", "value": 0}],
+             "set": {"grp": "'odd'"}},
+        )
