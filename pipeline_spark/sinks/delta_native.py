@@ -221,6 +221,10 @@ def write_delta_native(
 
     actions: list[dict] = []
     if not exists:
+        props = {
+            str(k): str(v).lower() if isinstance(v, bool) else str(v)
+            for k, v in (p.get("properties") or {}).items()
+        }
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
         actions.append({
             "metaData": {
@@ -228,7 +232,7 @@ def write_delta_native(
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": df.schema.json(),
                 "partitionColumns": part_cols,
-                "configuration": {},
+                "configuration": props,
                 "createdTime": now_ms,
             }
         })
@@ -513,6 +517,8 @@ def _dv_mutate_where(
     full = StructType.fromJson(json.loads(meta["schemaString"]))
     fschema = StructType([f for f in full.fields if f.name not in part_cols])
     types = {f.name: f.dataType for f in full.fields}
+    cdf = _cdf_enabled(meta)
+    cdc_actions: list[dict] = []
     if set_exprs:
         unknown = [c for c in set_exprs if c not in types]
         if unknown:
@@ -560,6 +566,27 @@ def _dv_mutate_where(
                 else F.lit(None).cast(types[c]),
             )
         matched_df = df.where(F.coalesce(cond, F.lit(False)))
+        if cdf:
+            base_cols = [f.name for f in fschema.fields]
+            pre = matched_df.select(*base_cols)
+            if set_exprs is None:
+                changes = pre.withColumn("_change_type", F.lit("delete"))
+            else:
+                post = matched_df
+                for c, expr in set_exprs.items():
+                    post = post.withColumn(
+                        c, F.expr(str(expr)).cast(types[c])
+                    )
+                changes = pre.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(
+                    post.select(*base_cols).withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+            cdc_actions.extend(
+                _stage_cdc(table, commit_id, i, changes, dict(key), now_ms)
+            )
         frames.append(
             matched_df.select(
                 F.regexp_replace(
@@ -684,6 +711,7 @@ def _dv_mutate_where(
         actions.append({"add": new_add})
     for a in new_adds:
         actions.append({"add": a})
+    actions.extend(cdc_actions)
     actions.append({
         "commitInfo": {
             "timestamp": now_ms,
@@ -718,6 +746,39 @@ def update_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     return _cow_rewrite_where(spark, p, set_exprs=dict(set_exprs))
 
 
+def _cdf_enabled(meta: dict) -> bool:
+    return str(
+        (meta.get("configuration") or {}).get("delta.enableChangeDataFeed", "")
+    ).lower() == "true"
+
+
+def _stage_cdc(
+    table: str, commit_id: str, idx: int, changes_df, pv: dict, now_ms: int
+) -> list[dict]:
+    """Write one partition group's change rows (non-partition columns +
+    ``_change_type``) under ``_change_data/`` and return the commit's
+    ``cdc`` actions (PROTOCOL.md: Add CDC File) — ``dataChange: false``
+    so log consumers don't double-count the rows as table data."""
+    out_dir = os.path.join(
+        table, "_change_data", f"{commit_id}-grp-{idx:05d}"
+    )
+    changes_df.write.parquet(out_dir)
+    actions = []
+    for root, _dirs, names in os.walk(out_dir):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            fullp = os.path.join(root, name)
+            rel = os.path.relpath(fullp, table)
+            actions.append({"cdc": {
+                "path": urllib.parse.quote(rel.replace(os.sep, "/"), safe="/="),
+                "partitionValues": pv,
+                "size": os.path.getsize(fullp),
+                "dataChange": False,
+            }})
+    return actions
+
+
 def _cow_rewrite_where(
     spark, p: dict[str, Any], set_exprs: dict[str, str] | None
 ) -> dict[str, int]:
@@ -744,6 +805,8 @@ def _cow_rewrite_where(
     full = StructType.fromJson(json.loads(meta["schemaString"]))
     fschema = StructType([f for f in full.fields if f.name not in part_cols])
     types = {f.name: f.dataType for f in full.fields}
+    cdf = _cdf_enabled(meta)
+    cdc_actions: list[dict] = []
 
     candidates = [a for a in prev_adds if _stats_may_match(a, where, None)]
     if not candidates:
@@ -777,6 +840,25 @@ def _cow_rewrite_where(
             continue  # bounds admitted a match the data doesn't contain
         deleted += n_match
         matched = F.coalesce(cond, F.lit(False))
+        if cdf:
+            base_cols = [f.name for f in fschema.fields]
+            pre = df.where(matched).select(*base_cols)
+            if set_exprs is None:
+                changes = pre.withColumn("_change_type", F.lit("delete"))
+            else:
+                post = pre
+                for c, expr in set_exprs.items():
+                    post = post.withColumn(c, F.expr(str(expr)).cast(types[c]))
+                changes = pre.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(
+                    post.select(*base_cols).withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+            cdc_actions.extend(
+                _stage_cdc(table, commit_id, i, changes, dict(key), now_ms)
+            )
         if set_exprs is None:
             out = df.where(~matched)
         else:
@@ -833,6 +915,7 @@ def _cow_rewrite_where(
     actions = (
         [{"remove": r} for r in removes]
         + [{"add": a} for a in adds]
+        + cdc_actions
         + [{
             "commitInfo": {
                 "timestamp": now_ms,

@@ -1388,3 +1388,96 @@ def test_dv_update_partitioned(spark, tmp_path):
              "where": [{"key": "id", "op": "=", "value": 0}],
              "set": {"grp": "'odd'"}},
         )
+
+
+def test_change_data_feed_end_to_end(spark, tmp_path):
+    """CDF: inserts derive from data-changing adds, row-level DML records
+    cdc files (delete / update_preimage+postimage), the reader stitches
+    versions with _change_type/_commit_version."""
+    from pipeline_spark.sinks.delta_native import (
+        delete_delta_native,
+        update_delta_native,
+    )
+    from pipeline_spark.sources.delta_native import read_delta_cdf
+
+    tbl = str(tmp_path / "cdf_tbl")
+    write_delta_native(
+        spark, spark.range(0, 10).coalesce(1),
+        {"path": tbl, "properties": {"delta.enableChangeDataFeed": True}},
+    )
+    write_delta_native(
+        spark, spark.range(10, 15).coalesce(1), {"path": tbl, "mode": "append"}
+    )
+    delete_delta_native(
+        spark, {"path": tbl, "where": [{"key": "id", "op": ">=", "value": 12}]}
+    )
+    update_delta_native(
+        spark,
+        {"path": tbl, "method": "mor",
+         "where": [{"key": "id", "op": "=", "value": 0}],
+         "set": {"id": "id + 500"}},
+    )
+
+    feed = read_delta_cdf(spark, {"path": tbl, "startingVersion": 0})
+    rows = [(r["id"], r["_change_type"], r["_commit_version"])
+            for r in feed.collect()]
+    inserts = sorted(i for i, t, v in rows if t == "insert")
+    assert inserts == list(range(15))
+    # COW delete recorded exact matched rows, NOT the whole rewritten file
+    deletes = sorted((i, v) for i, t, v in rows if t == "delete")
+    assert deletes == [(12, 2), (13, 2), (14, 2)]
+    assert sorted(i for i, t, v in rows if t == "update_preimage") == [0]
+    assert sorted(i for i, t, v in rows if t == "update_postimage") == [500]
+    assert all(v == 3 for i, t, v in rows if t.startswith("update"))
+
+    # version-ranged read: only the delete commit
+    feed2 = read_delta_cdf(
+        spark, {"path": tbl, "startingVersion": 2, "endingVersion": 2}
+    )
+    assert sorted(r["id"] for r in feed2.collect()) == [12, 13, 14]
+    assert {r["_change_type"] for r in feed2.collect()} == {"delete"}
+
+    # table state is consistent with the applied changes
+    back = read_delta_native(spark, {"path": tbl})
+    assert _ids(back) == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 500]
+
+
+def test_change_data_feed_partitioned_and_module(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+    from pipeline_spark.sinks.delta_native import delete_delta_native
+
+    tbl = str(tmp_path / "cdf_part")
+    df = spark.range(0, 12).withColumn(
+        "grp", F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+    )
+    write_delta_native(
+        spark, df,
+        {"path": tbl, "partitionBy": ["grp"],
+         "properties": {"delta.enableChangeDataFeed": "true"}},
+    )
+    delete_delta_native(
+        spark,
+        {"path": tbl,
+         "where": [{"key": "grp", "op": "=", "value": "odd"},
+                   {"key": "id", "op": "<", "value": 5}]},
+    )
+    outs = run_pipeline(spark, parse_config(f"""
+sources:
+  - name: feed
+    module: delta
+    parameters: {{path: {tbl}, mode: cdf, startingVersion: 1}}
+"""))
+    rows = [(r["id"], r["grp"], r["_change_type"]) for r in outs["feed"].collect()]
+    assert sorted(rows) == [(1, "odd", "delete"), (3, "odd", "delete")]
+
+
+def test_change_data_feed_requires_property(spark, tmp_path):
+    from pipeline_spark.sources.delta_native import read_delta_cdf
+
+    tbl = str(tmp_path / "no_cdf")
+    write_delta_native(spark, spark.range(0, 3), {"path": tbl})
+    with pytest.raises(ValueError, match="enableChangeDataFeed"):
+        read_delta_cdf(spark, {"path": tbl, "startingVersion": 0})
