@@ -94,6 +94,12 @@ def _bq_table_ref(params: dict) -> str:
 @module("iceberg", kind=KIND_SOURCE)
 def iceberg_source(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
+    if str(p.get("mode", "")).lower() == "streaming":
+        from pipeline_spark.sources.iceberg_stream import (
+            read_iceberg_stream_native,
+        )
+
+        return {"": read_iceberg_stream_native(ctx.spark, p)}
     try:
         _require_class(ctx, "iceberg", "org.apache.iceberg.spark.SparkCatalog")
     except RuntimeError:

@@ -185,6 +185,99 @@ def plan_files(
     return data, deletes, meta
 
 
+def plan_incremental_files(
+    table_path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    *,
+    meta: dict | None = None,
+) -> tuple[list[dict], dict]:
+    """Append-scan: data files ADDED by snapshots in
+    (from_snapshot_id, to_snapshot_id] — Spark's incremental read
+    (start-snapshot-id/end-snapshot-id) re-expressed on the metadata
+    path.  Non-append snapshots in range (delete/overwrite/replace)
+    raise: replaying them as inserts would be incorrect, the same
+    contract Iceberg's own incremental scan enforces.  Returns recs in
+    the ``plan_files`` data shape (path/partition/stats) plus the table
+    metadata, so manifest-level pruning applies unchanged.
+    """
+    if meta is None:
+        meta_file = find_table_metadata(table_path)
+        with open(meta_file) as fh:
+            meta = json.load(fh)
+    snaps = sorted(
+        meta.get("snapshots") or [],
+        key=lambda s: (s.get("sequence-number", 0), s.get("timestamp-ms", 0)),
+    )
+    by_id = {s.get("snapshot-id"): i for i, s in enumerate(snaps)}
+    if from_snapshot_id not in by_id:
+        raise ValueError(
+            f"iceberg incremental: fromSnapshotId {from_snapshot_id} not in "
+            f"the table's snapshot history"
+        )
+    if to_snapshot_id is None:
+        to_snapshot_id = meta.get("current-snapshot-id")
+    if to_snapshot_id not in by_id:
+        raise ValueError(
+            f"iceberg incremental: toSnapshotId {to_snapshot_id} not in "
+            "the table's snapshot history"
+        )
+    lo, hi = by_id[from_snapshot_id], by_id[to_snapshot_id]
+    if hi < lo:
+        raise ValueError(
+            "iceberg incremental: toSnapshotId precedes fromSnapshotId"
+        )
+    data: list[dict] = []
+    for snap in snaps[lo + 1 : hi + 1]:
+        op = str((snap.get("summary") or {}).get("operation", "append"))
+        if op != "append":
+            raise ValueError(
+                f"iceberg incremental: snapshot {snap.get('snapshot-id')} is "
+                f"'{op}' — the append-scan cannot replay data-changing "
+                "snapshots; read the full table at that snapshot instead"
+            )
+        data.extend(added_files_of_snapshot(table_path, snap))
+    return data, meta
+
+
+def added_files_of_snapshot(table_path: str, snap: dict) -> list[dict]:
+    """Data files ADDED by one snapshot: its manifest-list's manifests
+    with this ``added_snapshot_id``, entries with ADDED status."""
+    manifest_list = _strip_scheme(snap["manifest-list"])
+    _, manifests = read_ocf_file(manifest_list)
+    snap_id = snap.get("snapshot-id")
+    out: list[dict] = []
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            continue
+        if m.get("added_snapshot_id") != snap_id:
+            continue
+        _, entries = read_ocf_file(_strip_scheme(m["manifest_path"]))
+        for entry in entries:
+            if entry.get("status") != 1:  # ADDED
+                continue
+            if entry.get("snapshot_id") not in (None, snap_id):
+                continue
+            df = entry.get("data_file") or {}
+            if (df.get("content", 0) or 0) != _CONTENT_DATA:
+                continue
+            rec = {
+                "path": _strip_scheme(df["file_path"]),
+                "seq": int(entry.get("sequence_number") or 0),
+            }
+            part = df.get("partition")
+            if isinstance(part, dict) and part:
+                rec["partition"] = dict(part)
+            for stat_key in (
+                "record_count", "null_value_counts",
+                "lower_bounds", "upper_bounds",
+            ):
+                if df.get(stat_key) is not None:
+                    rec[stat_key] = df[stat_key]
+            out.append(rec)
+    return out
+
+
 def plan_data_files(
     table_path: str, snapshot_id: int | None = None
 ) -> list[str]:
@@ -419,6 +512,7 @@ def read_iceberg_native(spark, p: dict[str, Any]):
     """
     snapshot_id = p.get("snapshotId")
     catalog = p.get("catalog")
+    meta_in = None
     if catalog:
         from pipeline_spark.sources.iceberg_rest import load_rest_table
 
@@ -426,10 +520,6 @@ def read_iceberg_native(spark, p: dict[str, Any]):
             catalog, p.get("table") or p.get("tableName"), p.get("_opener")
         )
         table_path = meta_in.get("location") or loc
-        data, deletes, meta = plan_files(
-            table_path, int(snapshot_id) if snapshot_id else None,
-            meta=meta_in,
-        )
     else:
         table_path = p.get("path") or p.get("table")
         if not table_path or "://" in str(table_path).replace("file://", ""):
@@ -439,8 +529,27 @@ def read_iceberg_native(spark, p: dict[str, Any]):
                 "\"namespace.table\"); other catalog URIs need the runtime jar"
             )
         table_path = _strip_scheme(str(table_path))
+    if p.get("fromSnapshotId") is not None:
+        # incremental append-scan: only the files snapshots in range
+        # added; the validated range carries no deletes by construction
+        if snapshot_id is not None:
+            raise ValueError(
+                "iceberg: snapshotId and fromSnapshotId are mutually "
+                "exclusive (time travel vs incremental scan)"
+            )
+        to_id = p.get("toSnapshotId")
+        data, meta = plan_incremental_files(
+            table_path, int(p["fromSnapshotId"]),
+            int(to_id) if to_id is not None else None,
+            meta=meta_in,
+        )
+        deletes = []
+        if not data:
+            return spark.createDataFrame([], _spark_schema_of(meta))
+    else:
         data, deletes, meta = plan_files(
-            table_path, int(snapshot_id) if snapshot_id else None
+            table_path, int(snapshot_id) if snapshot_id else None,
+            meta=meta_in,
         )
     if not data:
         raise ValueError(f"iceberg: snapshot has no data files at {table_path}")

@@ -1335,3 +1335,120 @@ def test_rest_catalog_write_validation(spark, tmp_path):
                                "mode": "merge", "primaryKeys": ["id"]})
     finally:
         srv.shutdown()
+
+
+def test_incremental_append_scan(spark, tmp_path):
+    """fromSnapshotId/toSnapshotId: only the files snapshots in range
+    ADDED; data-changing snapshots in range refuse."""
+    tbl = str(tmp_path / "inc")
+    write_iceberg_native(spark.range(0, 10).coalesce(1), {"path": tbl})
+    write_iceberg_native(
+        spark.range(10, 20).coalesce(1), {"path": tbl, "mode": "append"}
+    )
+    write_iceberg_native(
+        spark.range(20, 30).coalesce(1), {"path": tbl, "mode": "append"}
+    )
+    meta = json.load(open(sorted(
+        (tmp_path / "inc" / "metadata").glob("v*.metadata.json"))[-1]))
+    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    s1, s2, s3 = [s["snapshot-id"] for s in snaps]
+
+    inc = read_iceberg_native(spark, {"path": tbl, "fromSnapshotId": s1})
+    assert sorted(r["id"] for r in inc.collect()) == list(range(10, 30))
+    mid = read_iceberg_native(
+        spark, {"path": tbl, "fromSnapshotId": s1, "toSnapshotId": s2}
+    )
+    assert sorted(r["id"] for r in mid.collect()) == list(range(10, 20))
+    empty = read_iceberg_native(
+        spark, {"path": tbl, "fromSnapshotId": s3}
+    )
+    assert empty.count() == 0 and "id" in empty.columns
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_iceberg_native(
+            spark, {"path": tbl, "fromSnapshotId": s1, "snapshotId": s2}
+        )
+    # a delete snapshot inside the range refuses the append-scan
+    from pipeline_spark.sinks.iceberg_native import delete_iceberg_native
+
+    delete_iceberg_native(
+        spark, {"path": tbl, "where": {"key": "id", "op": "=", "value": 5}}
+    )
+    with pytest.raises(ValueError, match="delete"):
+        read_iceberg_native(spark, {"path": tbl, "fromSnapshotId": s1})
+
+
+def test_iceberg_streaming_source_tails_appends(spark, tmp_path):
+    """The iceberg_native DataSource: initial snapshot then per-snapshot
+    micro-batches, executor-side file reads."""
+    import glob as _glob
+
+    tbl = str(tmp_path / "stream_tbl")
+    write_iceberg_native(spark.range(0, 10).coalesce(1), {"path": tbl})
+    write_iceberg_native(
+        spark.range(10, 20).coalesce(1), {"path": tbl, "mode": "append"}
+    )
+    from pipeline_spark.sources.iceberg_stream import read_iceberg_stream_native
+
+    out_dir, cp = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain():
+        sdf = read_iceberg_stream_native(spark, {"path": tbl})
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
+
+    assert drain() == list(range(20))
+
+    # new append lands in the next incremental batch (checkpoint resume)
+    write_iceberg_native(
+        spark.range(20, 25).coalesce(1), {"path": tbl, "mode": "append"}
+    )
+    assert drain() == list(range(25))
+
+
+def test_iceberg_streaming_module_and_change_guard(spark, tmp_path):
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+    from pipeline_spark.sources.iceberg_stream import read_iceberg_stream_native
+
+    tbl = str(tmp_path / "stream_guard")
+    write_iceberg_native(spark.range(0, 5).coalesce(1), {"path": tbl})
+    write_iceberg_native(
+        spark.range(99, 100).coalesce(1), {"path": tbl, "mode": "overwrite"}
+    )
+    # tailing from the first snapshot hits the overwrite → loud error
+    meta = json.load(open(sorted(
+        (tmp_path / "stream_guard" / "metadata").glob("v*.metadata.json"))[-1]))
+    first = min(meta["snapshots"], key=lambda s: s["sequence-number"])
+    sdf = read_iceberg_stream_native(
+        spark, {"path": tbl, "startingSnapshotId": first["snapshot-id"]}
+    )
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", str(tmp_path / "gout"))
+        .option("checkpointLocation", str(tmp_path / "gck"))
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception, match="overwrite|skipChangeSnapshots"):
+        q.awaitTermination()
+    # with the skip option the stream drains (overwrite snapshot skipped)
+    sdf2 = read_iceberg_stream_native(
+        spark,
+        {"path": tbl, "startingSnapshotId": first["snapshot-id"],
+         "skipChangeSnapshots": True},
+    )
+    q2 = (
+        sdf2.writeStream.format("parquet")
+        .option("path", str(tmp_path / "gout2"))
+        .option("checkpointLocation", str(tmp_path / "gck2"))
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    import glob as _g
+    files = _g.glob(str(tmp_path / "gout2" / "*.parquet"))
+    assert not files or spark.read.parquet(str(tmp_path / "gout2")).count() == 0
