@@ -3291,6 +3291,97 @@ WHERE doc_id % 7 <> 0 ORDER BY doc_id
 """
 
 
+def q_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed: documents land in a CDF-enabled Delta table in
+    two appends, a DELETE WHERE records row-level cdc files, and the
+    table_changes read stitches inserts + deletes with commit versions.
+    The oracle recomputes the feed from the source table."""
+    import os
+    import shutil
+    import tempfile
+
+    from pipeline_spark.sinks.delta_native import (
+        delete_delta_native,
+        write_delta_native,
+    )
+    from pipeline_spark.sources.delta_native import read_delta_cdf
+
+    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_delta_cdf")
+    shutil.rmtree(tbl, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_delta_native(
+        spark, docs.where(F.col("doc_id") % 2 == 0).coalesce(1),
+        {"path": tbl, "properties": {"delta.enableChangeDataFeed": True}},
+    )
+    write_delta_native(
+        spark, docs.where(F.col("doc_id") % 2 == 1).coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    delete_delta_native(
+        spark, {"path": tbl, "where": [{"key": "doc_id", "op": "<", "value": 50}]}
+    )
+    feed = read_delta_cdf(spark, {"path": tbl, "startingVersion": 0})
+    return feed.select(
+        "doc_id", "lang", "n_chars", "_change_type",
+        F.col("_commit_version").alias("commit_version"),
+    )
+
+
+Q_DELTA_CDF_SQL = """
+SELECT doc_id, lang, n_chars, 'insert' AS _change_type,
+       CAST(doc_id % 2 AS BIGINT) AS commit_version
+FROM documents
+UNION ALL
+SELECT doc_id, lang, n_chars, 'delete', 2
+FROM documents WHERE doc_id < 50
+"""
+
+
+def q_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append-scan: supplier committed in two snapshots,
+    fromSnapshotId resolves ONLY the second commit's files — the
+    incremental-consumer pattern (process what arrived since the last
+    run without re-reading the table)."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_ice_inc")
+    shutil.rmtree(tbl, ignore_errors=True)
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    write_iceberg_native(
+        sup.where(F.col("s_suppkey") % 2 == 0).coalesce(1),
+        {"path": tbl, "mode": "create"},
+    )
+    write_iceberg_native(
+        sup.where(F.col("s_suppkey") % 2 == 1).coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    meta = _json.load(
+        open(sorted(_glob.glob(f"{tbl}/metadata/v*.metadata.json"))[-1])
+    )
+    first = min(meta["snapshots"], key=lambda s: s["sequence-number"])
+    inc = read_iceberg_native(
+        spark, {"path": tbl, "fromSnapshotId": first["snapshot-id"]}
+    )
+    return inc.select("s_suppkey", "s_nationkey", "s_acctbal")
+
+
+Q_ICEBERG_INC_SQL = """
+SELECT s_suppkey, s_nationkey, s_acctbal
+FROM supplier WHERE s_suppkey % 2 = 1
+"""
+
+
 def q_iceberg_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Managed-catalog Iceberg: supplier rows committed to a native
     filesystem table, its metadata served by an in-process REST catalog
@@ -4131,6 +4222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r5 additions
         "delta_dv_read": q_delta_dv_read,
         "iceberg_rest": q_iceberg_rest,
+        "delta_cdf": q_delta_cdf,
+        "iceberg_incremental": q_iceberg_incremental,
         # --- long-green (r4 driver rows; pytest + local-harness guarded)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -4241,6 +4334,8 @@ def oracle_sql() -> dict[str, str]:
         "profile_documents": Q_PROFILE_SQL,
         "delta_dv_read": Q_DELTA_DV_SQL,
         "iceberg_rest": Q_ICEBERG_REST_SQL,
+        "delta_cdf": Q_DELTA_CDF_SQL,
+        "iceberg_incremental": Q_ICEBERG_INC_SQL,
         "asof_join": Q_ASOF_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "range_join": Q_RANGE_JOIN_SQL,

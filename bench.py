@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "dsir_scores",
     "delta_dv_read",
     "iceberg_rest",
+    "delta_cdf",
+    "iceberg_incremental",
 ]
 
 
