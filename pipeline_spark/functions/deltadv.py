@@ -117,9 +117,15 @@ def _read_bitmap32(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
             pos += 2
             runs = np.frombuffer(buf, dtype="<u2", count=2 * n_runs, offset=pos)
             pos += 4 * n_runs
+            # python-int arithmetic: under numpy>=2 (NEP 50) uint16 sums
+            # wrap, so a run ending at 65535 would decode to an EMPTY
+            # range — silently un-deleting those rows
             parts = [
-                np.arange(runs[2 * j], runs[2 * j] + runs[2 * j + 1] + 1,
-                          dtype="uint32")
+                np.arange(
+                    int(runs[2 * j]),
+                    int(runs[2 * j]) + int(runs[2 * j + 1]) + 1,
+                    dtype="uint32",
+                )
                 for j in range(n_runs)
             ]
             lows = np.concatenate(parts) if parts else np.empty(0, "uint32")
@@ -210,6 +216,7 @@ def make_dv_descriptor_relative(
     test fixtures."""
     import os
 
+    positions = list(positions)  # a generator must not be consumed twice
     u = uuid_mod.uuid4()
     bitmap = roaring_array_serialize(positions)
     file_bytes, offset = encode_dv_file(bitmap)
@@ -222,7 +229,7 @@ def make_dv_descriptor_relative(
         "pathOrInlineDv": prefix + z85_encode(u.bytes),
         "offset": offset,
         "sizeInBytes": len(bitmap),
-        "cardinality": len(list(positions)),
+        "cardinality": len(set(int(x) for x in positions)),
     }
     return desc, target, file_bytes
 

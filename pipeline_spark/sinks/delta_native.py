@@ -352,11 +352,13 @@ def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     adds: list[dict] = []
     removes: list[dict] = []
     for i, (key, files) in enumerate(bins):
-        paths = [
-            os.path.join(table, urllib.parse.unquote(a["path"])) for a in files
-        ]
+        # DV-aware rewrite: compacting a deletion-vector file MATERIALIZES
+        # its deletes (delta's own OPTIMIZE contract) — reading the raw
+        # parquet would resurrect the vectored rows
+        from pipeline_spark.sources.delta_native import read_files_with_dv
+
         out_dir = os.path.join(table, data_dir, f"bin-{i:05d}")
-        spark.read.schema(fschema).parquet(*paths).coalesce(1).write.parquet(out_dir)
+        read_files_with_dv(spark, table, fschema, files).coalesce(1).write.parquet(out_dir)
         pv = dict(key)
         for root, _dirs, names in os.walk(out_dir):
             for name in sorted(names):
@@ -505,8 +507,7 @@ def _dv_mutate_where(
         raise ValueError(f"delta {op_name}: 'where' predicate list is required")
     if isinstance(where, dict):
         where = [where]
-    prev_adds, meta, proto, _v, _txns = replay_state(table)
-    prev_version = latest_version(_log_dir(table))
+    prev_adds, meta, proto, prev_version, _txns = replay_state(table)
     conf = meta.get("configuration") or {}
     if conf.get("delta.columnMapping.mode") not in (None, "", "none"):
         raise NotImplementedError(
@@ -551,14 +552,20 @@ def _dv_mutate_where(
     # reduced to (file, physical row index) before any aggregation; for
     # UPDATE the same matched scan also writes the rewritten rows (only
     # the matched ones) as new files per partition group
-    groups: dict[tuple, list[str]] = {}
+    groups: dict[tuple, list[dict]] = {}
     for ap, a in by_path.items():
         key = tuple(sorted((a.get("partitionValues") or {}).items()))
-        groups.setdefault(key, []).append(ap)
+        groups.setdefault(key, []).append(a)
     frames = []
     new_adds: list[dict] = []
-    for i, (key, paths) in enumerate(groups.items()):
-        df = spark.read.schema(fschema).parquet(*paths)
+    for i, (key, gadds) in enumerate(groups.items()):
+        # DV-aware matched scan: rows a file's existing deletion vector
+        # already removed must not re-match (they would over-count,
+        # emit phantom cdc rows, and — on UPDATE — be resurrected as
+        # rewritten copies)
+        from pipeline_spark.sources.delta_native import read_files_with_dv
+
+        df = read_files_with_dv(spark, table, fschema, gadds, with_meta=True)
         for c, v in dict(key).items():
             df = df.withColumn(
                 c,
@@ -589,10 +596,7 @@ def _dv_mutate_where(
             )
         frames.append(
             matched_df.select(
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ).alias("fp"),
-                F.col("_metadata.row_index").alias("ri"),
+                F.col("__dv_fp").alias("fp"), F.col("__dv_ri").alias("ri")
             )
         )
         if set_exprs:
@@ -663,10 +667,20 @@ def _dv_mutate_where(
         build_dv, schema="fp string, desc string, n_new long"
     ).collect()  # one row PER TOUCHED FILE — metadata scale
     if not built:
-        # drop any staged-but-unneeded update files (stats over-admitted)
+        # drop any staged-but-unneeded update and cdc files (stats
+        # over-admitted and nothing actually matched — no commit happens)
         for a in new_adds:
             try:
                 os.remove(a["__full_path__"])
+            except OSError:
+                pass
+        for act in cdc_actions:
+            try:
+                os.remove(
+                    os.path.join(
+                        table, urllib.parse.unquote(act["cdc"]["path"])
+                    )
+                )
             except OSError:
                 pass
         return empty
@@ -825,10 +839,11 @@ def _cow_rewrite_where(
     removes: list[dict] = []
     deleted = 0
     for i, (key, files) in enumerate(groups.items()):
-        paths = [
-            os.path.join(table, urllib.parse.unquote(a["path"])) for a in files
-        ]
-        df = spark.read.schema(fschema).parquet(*paths)
+        # DV-aware re-read: a candidate carrying a deletion vector must
+        # not have its deleted rows matched or resurrected by the rewrite
+        from pipeline_spark.sources.delta_native import read_files_with_dv
+
+        df = read_files_with_dv(spark, table, fschema, files)
         pv = dict(key)
         for c, v in pv.items():
             df = df.withColumn(
@@ -1022,6 +1037,15 @@ def write_checkpoint(table: str, version: int) -> None:
             # dropping it here would silently disable file skipping and
             # stats-guided DELETE/UPDATE for every pre-checkpoint file
             ("stats", pa.string()),
+            # DV descriptors are TABLE STATE: a checkpoint that drops
+            # them would resurrect every mor-deleted row on replay
+            ("deletionVector", pa.struct([
+                ("storageType", pa.string()),
+                ("pathOrInlineDv", pa.string()),
+                ("offset", pa.int32()),
+                ("sizeInBytes", pa.int32()),
+                ("cardinality", pa.int64()),
+            ])),
         ])),
         ("txn", pa.struct([
             ("appId", pa.string()),
@@ -1041,6 +1065,10 @@ def write_checkpoint(table: str, version: int) -> None:
         ("protocol", pa.struct([
             ("minReaderVersion", pa.int32()),
             ("minWriterVersion", pa.int32()),
+            # v3/v7 tables declare table features; a checkpoint without
+            # them makes replay raise on the feature check
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
         ])),
     ])
 
@@ -1061,6 +1089,8 @@ def write_checkpoint(table: str, version: int) -> None:
     proto_row = {
         "minReaderVersion": int(proto.get("minReaderVersion", 1)),
         "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+        "readerFeatures": proto.get("readerFeatures"),
+        "writerFeatures": proto.get("writerFeatures"),
     }
     rows = [
         {"add": None, "txn": None, "metaData": meta_row, "protocol": None},
@@ -1082,6 +1112,17 @@ def write_checkpoint(table: str, version: int) -> None:
                 "modificationTime": a.get("modificationTime"),
                 "dataChange": bool(a.get("dataChange", True)),
                 "stats": a.get("stats"),
+                "deletionVector": (
+                    {
+                        "storageType": dv.get("storageType"),
+                        "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                        "offset": dv.get("offset"),
+                        "sizeInBytes": dv.get("sizeInBytes"),
+                        "cardinality": dv.get("cardinality"),
+                    }
+                    if (dv := a.get("deletionVector"))
+                    else None
+                ),
             },
             "txn": None,
             "metaData": None,

@@ -408,6 +408,75 @@ def delta_source(ctx: ModuleContext) -> dict[str, Any]:
     return {"": read_delta_native(ctx.spark, ctx.params)}
 
 
+def read_files_with_dv(spark, table, fschema, adds, with_meta: bool = False):
+    """DataFrame over these add actions' data files with their deletion
+    vectors APPLIED — the one correct way to re-read table files once
+    DVs are writable state (mutation rewrites, compaction, CDF remove
+    derivation must never treat a DV-carrying file as fully live).
+
+    Files without DVs read in one multi-path scan; DV files anti-join
+    their executor-decoded (file, row-index) frame.  ``with_meta=True``
+    keeps ``__dv_fp``/``__dv_ri`` (normalized file path + physical row
+    index) on the output for callers that need row identity.
+    """
+    from pyspark.sql import functions as F
+
+    def meta_cols():
+        return [
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("__dv_fp"),
+            F.col("_metadata.row_index").alias("__dv_ri"),
+        ]
+
+    paths = [
+        os.path.join(table, urllib.parse.unquote(a["path"])) for a in adds
+    ]
+    plain = [p for p, a in zip(paths, adds) if not a.get("deletionVector")]
+    dv = [
+        (p, a["deletionVector"])
+        for p, a in zip(paths, adds)
+        if a.get("deletionVector")
+    ]
+    parts = []
+    if plain:
+        df = spark.read.schema(fschema).parquet(*plain)
+        if with_meta:
+            df = df.select("*", *meta_cols())
+        parts.append(df)
+    if dv:
+        df = spark.read.schema(fschema).parquet(*[p for p, _ in dv]).select(
+            "*", *meta_cols()
+        )
+        entries = [(os.path.abspath(p), json.dumps(d)) for p, d in dv]
+        tbl = table
+
+        def decode(it):
+            import json as _j
+
+            from pipeline_spark.functions.deltadv import load_dv_positions
+
+            for fp, dj in it:
+                for pos in load_dv_positions(tbl, _j.loads(dj)):
+                    yield (fp, int(pos))
+
+        n = max(1, min(len(entries), 64))
+        deleted = spark.createDataFrame(
+            spark.sparkContext.parallelize(entries, n).mapPartitions(decode),
+            "__dv_fp string, __dv_ri bigint",
+        )
+        out = df.join(deleted, on=["__dv_fp", "__dv_ri"], how="left_anti")
+        if not with_meta:
+            out = out.drop("__dv_fp", "__dv_ri")
+        parts.append(out)
+    if not parts:
+        return spark.createDataFrame([], fschema)
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
 def read_delta_cdf(spark, p: dict[str, Any]):
     """Change Data Feed between two versions (delta's ``table_changes``).
 
@@ -513,31 +582,48 @@ def read_delta_cdf(spark, p: dict[str, Any]):
                     "timestamp"
                 ):
                     ts_ms = int(action["commitInfo"]["timestamp"])
+        def by_partition(actions):
+            grouped: dict[tuple, list[dict]] = {}
+            for act in actions:
+                key = tuple(sorted((act.get("partitionValues") or {}).items()))
+                grouped.setdefault(key, []).append(act)
+            return grouped
+
         if cdc_actions:
-            for c in cdc_actions:
-                path = os.path.join(table, urllib.parse.unquote(c["path"]))
-                df = spark.read.schema(cdc_schema).parquet(path)
-                parts.append(
-                    attach(df, c.get("partitionValues"), None, v, ts_ms)
-                )
+            # one multi-path scan per partition tuple, not per file —
+            # a realistic range would otherwise chain thousands of scans
+            for key, acts in by_partition(cdc_actions).items():
+                cpaths = [
+                    os.path.join(table, urllib.parse.unquote(c["path"]))
+                    for c in acts
+                ]
+                df = spark.read.schema(cdc_schema).parquet(*cpaths)
+                parts.append(attach(df, dict(key), None, v, ts_ms))
             continue
-        for a in add_actions:
-            path = os.path.join(table, urllib.parse.unquote(a["path"]))
-            df = spark.read.schema(fschema).parquet(path)
-            parts.append(
-                attach(df, a.get("partitionValues"), "insert", v, ts_ms)
-            )
-        for r in remove_actions:
-            path = os.path.join(table, urllib.parse.unquote(r["path"]))
-            if not os.path.exists(path):
-                raise FileNotFoundError(
-                    f"delta cdf: removed file {r['path']} (version {v}) was "
-                    "vacuumed — its delete rows cannot be reconstructed"
-                )
-            df = spark.read.schema(fschema).parquet(path)
-            parts.append(
-                attach(df, r.get("partitionValues"), "delete", v, ts_ms)
-            )
+        for key, acts in by_partition(add_actions).items():
+            df = read_files_with_dv(spark, table, fschema, acts)
+            parts.append(attach(df, dict(key), "insert", v, ts_ms))
+        if remove_actions:
+            # delete rows = the removed files' content AS OF the prior
+            # version: the pre-remove add carries the file's deletion
+            # vector, which must not resurrect already-deleted rows
+            prior_adds, _m2, _p2, _v2, _t2 = replay_state(table, v - 1)
+            prior_by_path = {a["path"]: a for a in prior_adds}
+            for key, acts in by_partition(remove_actions).items():
+                resolved = []
+                for r in acts:
+                    path = os.path.join(
+                        table, urllib.parse.unquote(r["path"])
+                    )
+                    if not os.path.exists(path):
+                        raise FileNotFoundError(
+                            f"delta cdf: removed file {r['path']} (version "
+                            f"{v}) was vacuumed — its delete rows cannot "
+                            "be reconstructed"
+                        )
+                    resolved.append(prior_by_path.get(r["path"], r))
+                df = read_files_with_dv(spark, table, fschema, resolved)
+                parts.append(attach(df, dict(key), "delete", v, ts_ms))
     if not parts:
         empty = StructType([*schema.fields]).add("_change_type", "string").add(
             "_commit_version", "long"

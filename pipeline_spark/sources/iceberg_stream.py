@@ -83,12 +83,23 @@ class _IcebergStreamReader(DataSourceStreamReader):
 
     @staticmethod
     def _snaps(meta: dict) -> list[dict]:
-        return sorted(
+        snaps = sorted(
             meta.get("snapshots") or [],
             key=lambda s: (
                 s.get("sequence-number", 0), s.get("timestamp-ms", 0),
             ),
         )
+        # offsets key on sequence-number; format-v1 tables don't record
+        # them (every snapshot reads as 0), which would make the stream
+        # silently NEVER advance — fail actionably instead
+        seqs = [s.get("sequence-number", 0) for s in snaps]
+        if len(snaps) > 1 and len(set(seqs)) != len(seqs):
+            raise ValueError(
+                "iceberg stream: the table's snapshots carry no distinct "
+                "sequence-numbers (format-v1 metadata?) — streaming needs "
+                "a format-v2 table"
+            )
+        return snaps
 
     def initialOffset(self) -> dict:
         meta = self._meta()

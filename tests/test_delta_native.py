@@ -1481,3 +1481,139 @@ def test_change_data_feed_requires_property(spark, tmp_path):
     write_delta_native(spark, spark.range(0, 3), {"path": tbl})
     with pytest.raises(ValueError, match="enableChangeDataFeed"):
         read_delta_cdf(spark, {"path": tbl, "startingVersion": 0})
+
+
+def test_checkpoint_preserves_deletion_vectors_and_features(spark, tmp_path):
+    """Review fix: a checkpoint on a DV table must carry deletionVector
+    descriptors and protocol reader/writerFeatures — otherwise replay
+    resurrects every mor-deleted row (or refuses the v3 protocol)."""
+    from pipeline_spark.sinks.delta_native import (
+        delete_delta_native,
+        write_checkpoint,
+    )
+
+    tbl = str(tmp_path / "cp_dv")
+    write_delta_native(spark, spark.range(0, 50).coalesce(1), {"path": tbl})
+    delete_delta_native(
+        spark, {"path": tbl, "method": "mor",
+                "where": [{"key": "id", "op": "<", "value": 10}]},
+    )
+    write_checkpoint(tbl, 1)
+    log = tmp_path / "cp_dv" / "_delta_log"
+    (log / "00000000000000000000.json").unlink()
+    (log / "00000000000000000001.json").unlink()
+    with open(log / "_last_checkpoint", "w") as fh:
+        json.dump({"version": 1}, fh)
+    adds, _m, proto, _v = replay_log(tbl)
+    assert any(a.get("deletionVector") for a in adds)
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(10, 50))
+
+
+def test_mor_update_does_not_resurrect_mor_deleted_rows(spark, tmp_path):
+    """Review fix: the mutate scan applies existing DVs — a mor UPDATE
+    whose predicate also covers previously-deleted rows must neither
+    resurrect nor over-count them."""
+    from pipeline_spark.sinks.delta_native import (
+        delete_delta_native,
+        update_delta_native,
+    )
+
+    tbl = str(tmp_path / "mor_resurrect")
+    write_delta_native(spark, spark.range(0, 20).coalesce(1), {"path": tbl})
+    delete_delta_native(
+        spark, {"path": tbl, "method": "mor",
+                "where": [{"key": "id", "op": "=", "value": 5}]},
+    )
+    res = update_delta_native(
+        spark,
+        {"path": tbl, "method": "mor",
+         "where": [{"key": "id", "op": "<", "value": 10}],
+         "set": {"id": "id + 100"}},
+    )
+    assert res["updated_rows"] == 9  # 0-9 minus the deleted 5
+    ids = _ids(read_delta_native(spark, {"path": tbl}))
+    assert ids == list(range(10, 20)) + [100 + i for i in range(10) if i != 5]
+
+
+def test_cow_delete_does_not_resurrect_mor_deleted_rows(spark, tmp_path):
+    """Review fix: the COW rewrite re-reads candidates DV-aware, so a
+    plain delete after a mor delete keeps both deletions."""
+    from pipeline_spark.sinks.delta_native import delete_delta_native
+
+    tbl = str(tmp_path / "cow_resurrect")
+    write_delta_native(spark, spark.range(0, 20).coalesce(1), {"path": tbl})
+    delete_delta_native(
+        spark, {"path": tbl, "method": "mor",
+                "where": [{"key": "id", "op": "=", "value": 5}]},
+    )
+    res = delete_delta_native(
+        spark, {"path": tbl, "where": [{"key": "id", "op": "=", "value": 9}]}
+    )
+    assert res["deleted_rows"] == 1
+    assert _ids(read_delta_native(spark, {"path": tbl})) == [
+        i for i in range(20) if i not in (5, 9)
+    ]
+
+
+def test_compact_materializes_deletion_vectors(spark, tmp_path):
+    """Review fix: OPTIMIZE on DV files materializes the deletes (the
+    rewritten file drops vectored rows and carries no DV)."""
+    from pipeline_spark.sinks.delta_native import (
+        compact_delta_native,
+        delete_delta_native,
+    )
+
+    tbl = str(tmp_path / "compact_dv")
+    for lo in (0, 10):
+        write_delta_native(
+            spark, spark.range(lo, lo + 10).coalesce(1),
+            {"path": tbl, "mode": "append" if lo else "create"},
+        )
+    delete_delta_native(
+        spark, {"path": tbl, "method": "mor",
+                "where": [{"key": "id", "op": "<", "value": 3}]},
+    )
+    res = compact_delta_native(spark, {"path": tbl, "minFilesPerGroup": 2})
+    assert res["compacted_files"] == 2 and res["new_files"] == 1
+    adds, _m, _p, _v = replay_log(tbl)
+    assert not any(a.get("deletionVector") for a in adds)
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(3, 20))
+
+
+def test_cdf_remove_branch_honors_deletion_vectors(spark, tmp_path):
+    """Review fix: the CDF remove derivation reads the removed file AS OF
+    the prior version — rows a DV already deleted must not appear as
+    delete rows a second time."""
+    from pipeline_spark.sinks.delta_native import delete_delta_native
+    from pipeline_spark.sources.delta_native import read_delta_cdf
+
+    tbl = str(tmp_path / "cdf_dv")
+    write_delta_native(
+        spark, spark.range(0, 10).coalesce(1),
+        {"path": tbl, "properties": {"delta.enableChangeDataFeed": True}},
+    )
+    delete_delta_native(
+        spark, {"path": tbl, "method": "mor",
+                "where": [{"key": "id", "op": "<", "value": 4}]},
+    )
+    # overwrite removes the DV-carrying file with NO cdc actions
+    write_delta_native(
+        spark, spark.range(100, 103).coalesce(1),
+        {"path": tbl, "mode": "overwrite"},
+    )
+    feed = read_delta_cdf(spark, {"path": tbl, "startingVersion": 1})
+    rows = sorted(
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in feed.collect()
+    )
+    # v1: cdc deletes 0-3; v2: derived deletes of the LIVE remainder 4-9
+    # (not 0-3 again) + inserts 100-102
+    assert [(i, t) for i, t, v in rows if v == 1] == [
+        (i, "delete") for i in range(4)
+    ]
+    v2_deletes = [(i, t) for i, t, v in rows if v == 2 and t == "delete"]
+    assert v2_deletes == [(i, "delete") for i in range(4, 10)]
+    assert [(i, t) for i, t, v in rows if v == 2 and t == "insert"] == [
+        (i, "insert") for i in (100, 101, 102)
+    ]

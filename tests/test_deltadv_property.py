@@ -101,3 +101,29 @@ def test_run_container_reading():
     arr += struct.pack("<I", 0) + bitmap
     got = roaring_array_deserialize(arr)
     assert [int(x) for x in got] == [5, 6, 7, 8, 9, 100, 101, 102]
+
+
+def test_run_container_ending_at_65535_no_overflow():
+    """Review fix: a run touching low-value 65535 must not wrap under
+    numpy>=2's uint16 arithmetic (65000+535+1 → 0 → empty range)."""
+    from pipeline_spark.functions.deltadv import MAGIC
+
+    bitmap = struct.pack("<HH", 12347, 0)            # run cookie, n=1
+    bitmap += bytes([0b1])                            # run flag
+    bitmap += struct.pack("<HH", 0, 536 - 1)          # key 0, card-1
+    bitmap += struct.pack("<H", 1)                    # one run
+    bitmap += struct.pack("<HH", 65000, 535)          # 65000..65535
+    arr = struct.pack("<I", MAGIC) + struct.pack("<q", 1)
+    arr += struct.pack("<I", 0) + bitmap
+    got = roaring_array_deserialize(arr)
+    assert len(got) == 536
+    assert int(got[0]) == 65000 and int(got[-1]) == 65535
+
+
+def test_descriptor_from_generator_has_correct_cardinality(tmp_path):
+    """Review fix: a generator argument must not be double-consumed into
+    cardinality 0."""
+    desc, _t, _b = make_dv_descriptor_relative(
+        str(tmp_path), (i for i in [3, 1, 2])
+    )
+    assert desc["cardinality"] == 3

@@ -1452,3 +1452,17 @@ def test_iceberg_streaming_module_and_change_guard(spark, tmp_path):
     import glob as _g
     files = _g.glob(str(tmp_path / "gout2" / "*.parquet"))
     assert not files or spark.read.parquet(str(tmp_path / "gout2")).count() == 0
+
+
+def test_stream_refuses_v1_tables_without_sequence_numbers(tmp_path):
+    """Review fix: format-v1 snapshots (no sequence-numbers) would make
+    the stream silently never advance — it must refuse instead."""
+    from pipeline_spark.sources.iceberg_stream import _IcebergStreamReader
+
+    with pytest.raises(ValueError, match="sequence-numbers"):
+        _IcebergStreamReader._snaps({
+            "snapshots": [
+                {"snapshot-id": 1, "manifest-list": "x"},
+                {"snapshot-id": 2, "manifest-list": "y"},
+            ]
+        })
