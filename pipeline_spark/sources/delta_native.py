@@ -400,6 +400,12 @@ def delta_source(ctx: ModuleContext) -> dict[str, Any]:
     ``endingVersion``."""
     mode = str(ctx.params.get("mode", "")).lower()
     if mode == "streaming":
+        if ctx.params.get("readChangeFeed"):
+            from pipeline_spark.sources.delta_stream import (
+                read_delta_cdf_stream_native,
+            )
+
+            return {"": read_delta_cdf_stream_native(ctx.spark, ctx.params)}
         from pipeline_spark.sources.delta_stream import read_delta_stream_native
 
         return {"": read_delta_stream_native(ctx.spark, ctx.params)}

@@ -209,3 +209,210 @@ def read_delta_stream_native(spark, p: dict):
         if p.get(key) is not None:
             reader = reader.option(key, str(p[key]))
     return reader.load()
+
+
+class DeltaCdfDataSource(DataSource):
+    """Streaming Change Data Feed: each micro-batch emits the cdc rows of
+    newly-committed versions (insert/delete derivation included) — the
+    production CDF consumption shape (delta's readChangeFeed streaming).
+    Output schema = table columns + _change_type / _commit_version /
+    _commit_timestamp."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_cdf_native"
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        from pipeline_spark.sources.delta_native import (
+            _schema_from_meta,
+            replay_log,
+        )
+
+        table = self.options.get("path")
+        _adds, meta, _proto, _v = replay_log(table)
+        schema = _schema_from_meta(meta)
+        return (
+            StructType([*schema.fields])
+            .add("_change_type", "string")
+            .add("_commit_version", "long")
+            .add("_commit_timestamp", "timestamp")
+        )
+
+    def streamReader(self, schema):
+        return _DeltaCdfStreamReader(self.options, schema)
+
+
+class _CdfFilePartition(InputPartition):
+    def __init__(
+        self, path, kind, version, ts_ms, fields, part_values, dv_json
+    ):
+        self.path = path
+        #: "cdc" (file carries _change_type) | "insert" | "delete"
+        self.kind = kind
+        self.version = version
+        self.ts_ms = ts_ms
+        self.fields = fields          # [(name, typeName)] DATA columns only
+        self.part_values = part_values  # [(col, raw string | None)]
+        self.dv_json = dv_json        # deletionVector descriptor (JSON) | None
+
+
+class _DeltaCdfStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema):
+        self.table = options.get("path")
+        if not self.table:
+            raise ValueError("delta_cdf_native stream needs a 'path' option")
+        self.starting = str(options.get("startingversion", "latest")).lower()
+        # DATA columns = output schema minus the three CDF columns
+        self.data_fields = [
+            (f.name, f.dataType.typeName())
+            for f in schema.fields
+            if f.name not in (
+                "_change_type", "_commit_version", "_commit_timestamp",
+            )
+        ]
+        from pipeline_spark.sources.delta_native import replay_log
+
+        _a, meta, _p, _v = replay_log(self.table)
+        if (meta.get("configuration") or {}).get(
+            "delta.enableChangeDataFeed", ""
+        ).lower() != "true":
+            raise ValueError(
+                "delta cdf stream: table does not set "
+                "delta.enableChangeDataFeed=true"
+            )
+        self.part_cols = list(meta.get("partitionColumns") or [])
+
+    def _latest(self) -> int:
+        from pipeline_spark.sources.delta_native import _log_dir, latest_version
+
+        v = latest_version(_log_dir(self.table))
+        if v is None:
+            raise FileNotFoundError(f"delta: empty _delta_log at {self.table}")
+        return v
+
+    def initialOffset(self) -> dict:
+        if self.starting == "latest":
+            return {"version": self._latest()}
+        if self.starting == "earliest":
+            return {"version": -1}
+        return {"version": int(self.starting) - 1}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._latest()}
+
+    def partitions(self, start: dict, end: dict):
+        import urllib.parse
+
+        from pipeline_spark.sources.delta_native import _log_dir, replay_state
+
+        out = []
+        log_dir = _log_dir(self.table)
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            commit = os.path.join(log_dir, f"{v:020d}.json")
+            if not os.path.exists(commit):
+                raise FileNotFoundError(
+                    f"delta cdf stream: commit {v} missing from the log — "
+                    "the change feed needs the JSON history retained"
+                )
+            ts_ms = int(os.path.getmtime(commit) * 1000)
+            cdc, adds, removes = [], [], []
+            with open(commit) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "cdc" in action:
+                        cdc.append(action["cdc"])
+                    elif "add" in action and action["add"].get(
+                        "dataChange", True
+                    ):
+                        adds.append(action["add"])
+                    elif "remove" in action and action["remove"].get(
+                        "dataChange", True
+                    ):
+                        removes.append(action["remove"])
+                    elif "commitInfo" in action and action["commitInfo"].get(
+                        "timestamp"
+                    ):
+                        ts_ms = int(action["commitInfo"]["timestamp"])
+
+            def mk(act, kind, dv=None):
+                pv = act.get("partitionValues") or {}
+                return _CdfFilePartition(
+                    os.path.join(
+                        self.table, urllib.parse.unquote(act["path"])
+                    ),
+                    kind, v, ts_ms, self.data_fields,
+                    [(c, pv.get(c)) for c in self.part_cols],
+                    json.dumps(dv) if dv else None,
+                )
+
+            if cdc:
+                out.extend(mk(c, "cdc") for c in cdc)
+                continue
+            out.extend(mk(a, "insert", a.get("deletionVector")) for a in adds)
+            if removes:
+                prior, _m, _p, _pv2, _t = replay_state(self.table, v - 1)
+                prior_by_path = {a["path"]: a for a in prior}
+                for r in removes:
+                    a = prior_by_path.get(r["path"], r)
+                    out.append(mk(a, "delete", a.get("deletionVector")))
+        return out
+
+    def read(self, partition: _CdfFilePartition):
+        import datetime as _dt2
+
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        cols = set(tbl.schema.names)
+        types = dict(partition.fields)
+        part_map = dict(partition.part_values)
+        deleted = set()
+        if partition.dv_json:
+            from pipeline_spark.functions.deltadv import load_dv_positions
+
+            deleted = {
+                int(x)
+                for x in load_dv_positions(
+                    self.table, json.loads(partition.dv_json)
+                )
+            }
+        ts = _dt2.datetime.utcfromtimestamp(partition.ts_ms / 1000.0)
+        rows = tbl.to_pylist()
+        has_ct = "_change_type" in cols
+        for idx, row in enumerate(rows):
+            if idx in deleted:
+                continue
+            ctype = row.get("_change_type") if has_ct else partition.kind
+            yield tuple(
+                row.get(name)
+                if name in cols
+                else _convert_part(part_map.get(name), types[name])
+                for name, _t in partition.fields
+            ) + (ctype, partition.version, ts)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def read_delta_cdf_stream_native(spark, p: dict):
+    """readStream DataFrame over the change feed; registration is
+    idempotent per session."""
+    try:
+        spark.dataSource.register(DeltaCdfDataSource)
+    except Exception as exc:
+        if "already" not in str(exc).lower():
+            raise
+    table = p.get("path") or p.get("table") or p.get("input")
+    if not table:
+        raise ValueError("delta cdf source: 'path' is required")
+    reader = spark.readStream.format("delta_cdf_native").option(
+        "path", str(table)
+    )
+    if p.get("startingVersion") is not None:
+        reader = reader.option("startingVersion", str(p["startingVersion"]))
+    return reader.load()

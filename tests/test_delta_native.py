@@ -1617,3 +1617,64 @@ def test_cdf_remove_branch_honors_deletion_vectors(spark, tmp_path):
     assert [(i, t) for i, t, v in rows if v == 2 and t == "insert"] == [
         (i, "insert") for i in (100, 101, 102)
     ]
+
+
+def test_cdf_streaming_source(spark, tmp_path):
+    """Streaming CDF: each micro-batch carries the change rows of newly
+    committed versions (cdc files for DML, insert derivation for appends,
+    DV-aware), resumable from the checkpoint."""
+    from pipeline_spark.sinks.delta_native import delete_delta_native
+    from pipeline_spark.sources.delta_stream import read_delta_cdf_stream_native
+
+    tbl = str(tmp_path / "cdf_stream")
+    write_delta_native(
+        spark, spark.range(0, 10).coalesce(1),
+        {"path": tbl, "properties": {"delta.enableChangeDataFeed": True}},
+    )
+    delete_delta_native(
+        spark, {"path": tbl, "method": "mor",
+                "where": [{"key": "id", "op": "<", "value": 3}]},
+    )
+    out_dir, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    def drain(**opts):
+        sdf = read_delta_cdf_stream_native(spark, {"path": tbl, **opts})
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out_dir).option("checkpointLocation", cp)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["id"], r["_change_type"], r["_commit_version"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    got = drain(startingVersion=0)
+    assert got == sorted(
+        [(i, "insert", 0) for i in range(10)]
+        + [(i, "delete", 1) for i in range(3)]
+    )
+    # new DML after the drain: only the delta arrives on resume
+    delete_delta_native(
+        spark, {"path": tbl, "where": [{"key": "id", "op": "=", "value": 9}]}
+    )
+    got2 = drain(startingVersion=0)
+    assert got2 == sorted(
+        [(i, "insert", 0) for i in range(10)]
+        + [(i, "delete", 1) for i in range(3)]
+        + [(9, "delete", 2)]
+    )
+
+
+def test_cdf_streaming_requires_property(spark, tmp_path):
+    from pipeline_spark.sources.delta_stream import read_delta_cdf_stream_native
+
+    tbl = str(tmp_path / "cdf_stream_no")
+    write_delta_native(spark, spark.range(0, 3), {"path": tbl})
+    with pytest.raises(Exception, match="enableChangeDataFeed"):
+        read_delta_cdf_stream_native(spark, {"path": tbl}).writeStream.format(
+            "parquet"
+        ).option("path", str(tmp_path / "o")).option(
+            "checkpointLocation", str(tmp_path / "c")
+        ).trigger(availableNow=True).start().awaitTermination()
