@@ -83,6 +83,23 @@ def stage_stream_inputs():
                     http,
                 )
             )
+    # the change-data-feed example reads a staged CDF-enabled table with
+    # one merge-on-read delete applied
+    from pipeline_spark.sinks.delta_native import delete_delta_native
+
+    cdf_tbl = _pl.Path("/tmp/pipeline_in/cdf_tbl")
+    if cdf_tbl.exists():
+        shutil.rmtree(cdf_tbl)
+    write_delta_native(
+        _spark, _spark.range(0, 40).coalesce(1),
+        {"path": str(cdf_tbl),
+         "properties": {"delta.enableChangeDataFeed": True}},
+    )
+    delete_delta_native(
+        _spark,
+        {"path": str(cdf_tbl), "method": "mor",
+         "where": [{"key": "id", "op": "<", "value": 8}]},
+    )
     # early-firing example: fresh checkpoint per test session so the
     # stream re-processes the staged file
     shutil.rmtree("/tmp/pipeline_out/early_firing", ignore_errors=True)
