@@ -113,7 +113,10 @@ class RestCatalog:
     def _route(self, tail: str) -> str:
         base = f"{self.uri}/v1"
         if self.prefix:
-            base += "/" + urllib.parse.quote(self.prefix, safe="")
+            # the prefix is a PATH FRAGMENT the server handed back (may be
+            # multi-segment, e.g. "ws/12345") — encode per segment, keep
+            # the slashes, exactly like the reference Java client
+            base += "/" + urllib.parse.quote(self.prefix, safe="/")
         return f"{base}/{tail}"
 
     def create_table(self, namespace: str, body: dict) -> dict:
@@ -182,7 +185,18 @@ class RestCatalog:
                     "metadata nor metadata-location"
                 )
             if loc.startswith(("http://", "https://")):
-                meta = _http_json(loc, headers=self.headers, opener=self.opener)
+                # only forward the catalog's bearer token to the CATALOG'S
+                # own origin — a metadata-location on another host (e.g. a
+                # presigned object-store URL) must not receive credentials
+                same_origin = (
+                    urllib.parse.urlsplit(loc)[:2]
+                    == urllib.parse.urlsplit(self.uri)[:2]
+                )
+                meta = _http_json(
+                    loc,
+                    headers=self.headers if same_origin else {},
+                    opener=self.opener,
+                )
             else:
                 path = loc[len("file://"):] if loc.startswith("file://") else loc
                 with open(path) as fh:

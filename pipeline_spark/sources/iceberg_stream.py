@@ -141,17 +141,23 @@ class _IcebergStreamReader(DataSourceStreamReader):
                 ),
                 None,
             )
-            data, deletes, _m = plan_files(
-                self.table,
-                pending.get("snapshot-id") if pending else None,
-            )
-            if deletes:
-                raise ValueError(
-                    "iceberg stream: the initial snapshot carries row-level "
-                    "delete files — compact the table first (the file-level "
-                    "stream cannot apply merge-on-read deletes)"
+            # pending resolves the SNAPSHOT the offset named; when it no
+            # longer exists (empty table at stream start, or the snapshot
+            # expired) there is nothing to plan — falling back to the
+            # CURRENT snapshot would double-read files the append loop
+            # below also emits
+            if pending is not None:
+                data, deletes, _m = plan_files(
+                    self.table, pending.get("snapshot-id")
                 )
-            recs.extend(data)
+                if deletes:
+                    raise ValueError(
+                        "iceberg stream: the initial snapshot carries "
+                        "row-level delete files — compact the table first "
+                        "(the file-level stream cannot apply merge-on-read "
+                        "deletes)"
+                    )
+                recs.extend(data)
         for snap in self._snaps(meta):
             seq = snap.get("sequence-number", 0)
             if not (int(start["seq"]) < seq <= int(end["seq"])):

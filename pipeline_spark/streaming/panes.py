@@ -27,9 +27,14 @@ a silent fallback never double-ledgers:
     their pane identity is not stable under applyInPandasWithState's
     fixed grouping; calendar windows are calendar-arithmetic — both
     stay on the driver backend);
-  * triggers: the same family triggers.py emulates — afterProcessingTime
-    / afterPane leaves, afterFirst / afterAll / afterEach composites,
-    lateFiringTrigger, finalTrigger.
+  * triggers: afterProcessingTime / afterPane leaves, afterFirst /
+    afterAll / afterEach composites, finalTrigger (lateFiringTrigger is
+    rejected: post-watermark rows never reach this operator, so LATE
+    panes cannot fire — the driver backend re-fires them);
+  * accumulation: accumulating always; discarding only for count/sum
+    (a per-pane delta of min/max/avg is not a numeric difference —
+    rejected loudly, matching what the driver ledger's delta can
+    actually express correctly).
 
 Watermark semantics: the stream is ``withWatermark(ts, allowedLateness)``
 upstream, so ``state.getCurrentWatermarkMs() >= window.end`` IS Beam's
@@ -39,8 +44,8 @@ count-trigger pane flushes ON_TIME even when its key receives no more
 rows.  Divergences vs the driver ledger, both documented here and in
 SCALE.md: (1) rows arriving after the watermark are dropped by Spark
 before the stateful operator (the aggregation path's documented
-lateness contract), so LATE panes only occur via lateFiringTrigger on
-still-open windows; (2) windows whose end the watermark never passes
+lateness contract), so LATE panes cannot occur and lateFiringTrigger is
+rejected; (2) windows whose end the watermark never passes
 (the stream's trailing edge on bounded runs) emit their final flush only
 if a later event advances the watermark past them — the driver ledger's
 drain-time flush_pending has no keyed-state equivalent.  Streaming-test
@@ -120,13 +125,20 @@ def _window_params(strategy: dict[str, Any]) -> tuple[str, float, float]:
     mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
     if wtype in ("fixed", "tumbling"):
         size = int(w.get("size", 0)) * mult
+        if size <= 0:
+            raise ValueError(
+                "paneStateBackend executor: fixed window needs size > 0"
+            )
         return "fixed", float(size), float(size)
     if wtype == "sliding":
-        return (
-            "sliding",
-            float(int(w.get("size", 0)) * mult),
-            float(int(w.get("period", 0)) * mult),
-        )
+        size = int(w.get("size", 0)) * mult
+        period = int(w.get("period", 0)) * mult
+        if size <= 0 or period <= 0:
+            raise ValueError(
+                "paneStateBackend executor: sliding window needs "
+                "size > 0 and period > 0"
+            )
+        return "sliding", float(size), float(period)
     if wtype == "global":
         return "global", 0.0, 0.0
     raise NotImplementedError(
@@ -190,14 +202,36 @@ def stream_panes_with_state(
     wtype, size, period = _window_params(strategy)
     mode = str(strategy.get("accumulationMode", "accumulating")).lower()
     discarding = mode in ("discarding", "discarding_fired_panes")
+    if discarding:
+        bad = [name for name, op, _f in aggs if op in ("min", "max", "avg")]
+        if bad:
+            raise NotImplementedError(
+                f"paneStateBackend executor: discarding panes for {bad} — "
+                "per-pane deltas are only sound for count/sum (min/max/avg "
+                "of only-new elements is not a numeric difference); use "
+                "accumulating mode"
+            )
     pane_info = bool(strategy.get("outputPaneInfo", False))
 
     early_delay = cfg.get("early_delay_sec")
     early_count = cfg.get("early_count")
     trigger_tree = cfg.get("tree")
-    late_tree = cfg.get("late_tree")
+    if cfg.get("late_tree") is not None:
+        raise NotImplementedError(
+            "paneStateBackend executor: lateFiringTrigger — Spark filters "
+            "post-watermark rows before this operator, so LATE panes can "
+            "never fire here; the driver backend's proxy-watermark window "
+            "does re-fire late updates"
+        )
     final_tree = cfg.get("final_tree")
 
+    # pandas receives TimestampType as SESSION-LOCAL naive datetimes and
+    # Spark reinterprets naive output the same way, while the watermark is
+    # true epoch — convert through the session timezone on both sides or
+    # a non-UTC session closes every window offset-by-timezone wrong
+    session_tz = str(
+        df.sparkSession.conf.get("spark.sql.session.timeZone")
+    )
     has_window = wtype != "global"
     out_fields: list[T.StructField] = []
     if has_window:
@@ -271,11 +305,15 @@ def stream_panes_with_state(
         if not state.hasTimedOut:
             for pdf in pdfs:
                 ts = pdf[ts_col]
-                epochs = (
-                    ts.astype("int64") / 1e9
-                    if str(ts.dtype).startswith("datetime64")
-                    else ts.astype("float64")
-                )
+                if str(ts.dtype).startswith("datetime64"):
+                    if session_tz not in ("UTC", "Etc/UTC", "GMT"):
+                        ts = ts.dt.tz_localize(
+                            session_tz, ambiguous="NaT",
+                            nonexistent="shift_forward",
+                        )
+                    epochs = ts.astype("int64") / 1e9
+                else:
+                    epochs = ts.astype("float64")
                 for i in range(len(pdf)):
                     e = float(epochs.iloc[i])
                     wkeys = (
@@ -315,10 +353,13 @@ def stream_panes_with_state(
             latest = values_of(ws)
             d: dict[str, Any] = {}
             if has_window:
-                d["window"] = {
-                    "start": pd.Timestamp(wk[0], unit="s"),
-                    "end": pd.Timestamp(wk[1], unit="s"),
-                }
+                def render(sec: float):
+                    t = pd.Timestamp(sec, unit="s", tz="UTC")
+                    if session_tz not in ("UTC", "Etc/UTC", "GMT"):
+                        t = t.tz_convert(session_tz)
+                    return t.tz_localize(None)
+
+                d["window"] = {"start": render(wk[0]), "end": render(wk[1])}
             d.update(zip(group_fields, key))
             vals = list(latest)
             if discarding and ws.fired is not None:
@@ -345,13 +386,11 @@ def stream_panes_with_state(
         for wk in list(windows):
             ws = windows[wk]
             window_closed = wk is not None and wm_sec >= wk[1]
-            # retention mirrors the driver ledger: a fired window lingers
-            # one event-time hour past its close so a straggler row (Spark
-            # does not pre-filter late rows for this operator) lands as a
-            # LATE pane instead of resetting the pane index
-            expired = wk is not None and wm_sec - 3600.0 > wk[1]
             if ws.closed or not ws.dirty:
-                if expired or (ws.closed and window_closed):
+                # fired/closed windows drop at close — rows behind the
+                # watermark are filtered before this operator (module
+                # docstring divergence #1), so nothing can arrive for them
+                if window_closed and (ws.closed or ws.on_time_fired):
                     del windows[wk]
                 continue
             # count growth since last firing: the operator OWNS the
@@ -390,11 +429,10 @@ def stream_panes_with_state(
             elif not ws.on_time_fired:
                 emit(wk, ws, "ON_TIME")
                 ws.on_time_fired = True
-            else:
-                if late_tree is None or _eval_tree(
-                    late_tree, now, ws.cycle_start, grown
-                ):
-                    emit(wk, ws, "LATE")
+                del windows[wk]
+            # no LATE branch: rows behind the watermark never reach this
+            # operator (docstring divergence #1), so a closed window can
+            # have no further updates
 
         if windows:
             state.update((pickle.dumps(windows),))
@@ -402,23 +440,24 @@ def stream_panes_with_state(
                 wk[1] for wk, ws in windows.items()
                 if wk is not None and not ws.closed and not ws.on_time_fired
             ]
+            has_withheld = any(
+                ws.dirty and not ws.closed for ws in windows.values()
+            )
+            target_ms = None
             if open_ends:
                 # EventTimeTimeout: wake this key when the watermark passes
                 # its earliest open window end, so withheld panes flush
                 # ON_TIME without new rows.  Must be strictly past the
                 # current watermark.
-                target_sec = min(open_ends)
-            else:
-                # only fired/closed windows remain: wake once their
-                # retention lapses so the state entry cannot leak on keys
-                # that never see another row
-                ends = [wk[1] for wk in windows if wk is not None]
-                if not ends:
-                    target_sec = None  # global panes live for the stream
-                else:
-                    target_sec = max(ends) + 3600.0 + 1.0
-            if target_sec is not None:
-                target_ms = int(target_sec * 1000)
+                target_ms = int(min(open_ends) * 1000)
+            if has_withheld:
+                # a withheld pane (count/composite gate unsatisfied) also
+                # wakes on the VERY NEXT watermark advance, so time leaves
+                # re-evaluate without new rows for this key — the driver
+                # ledger's every-batch cadence
+                nxt = state.getCurrentWatermarkMs() + 1
+                target_ms = nxt if target_ms is None else min(target_ms, nxt)
+            if target_ms is not None:
                 if target_ms <= state.getCurrentWatermarkMs():
                     target_ms = state.getCurrentWatermarkMs() + 1
                 state.setTimeoutTimestamp(target_ms)

@@ -64,17 +64,20 @@ def streaming_running_agg(
     value_field: str,
     ops: Iterable[str] = ("count", "sum", "min", "max", "avg"),
 ) -> DataFrame:
-    """Per-key running aggregates emitted once per micro-batch per key."""
+    """Per-key running aggregates emitted once per micro-batch per key.
+    ``ops`` selects the emitted columns (count→``n``, sum/min/max/avg)."""
     ops = list(ops)
+    bad = sorted(set(ops) - {"count", "sum", "min", "max", "avg"})
+    if bad:
+        raise ValueError(f"streaming running agg: unsupported ops {bad}")
+    col_of = {"count": "n", "sum": "sum", "min": "min", "max": "max", "avg": "avg"}
+    out_cols = [col_of[o] for o in ops]
     key_fields = [df.schema[g] for g in group_fields]
     out_schema = T.StructType(
         [*key_fields]
         + [
-            T.StructField("n", T.LongType()),
-            T.StructField("sum", T.DoubleType()),
-            T.StructField("min", T.DoubleType()),
-            T.StructField("max", T.DoubleType()),
-            T.StructField("avg", T.DoubleType()),
+            T.StructField(c, T.LongType() if c == "n" else T.DoubleType())
+            for c in out_cols
         ]
     )
     state_schema = T.StructType(
@@ -106,15 +109,14 @@ def streaming_running_agg(
             mx = bmx if mx is None else max(mx, bmx)
         state.update((n, s, mn, mx))
         row: dict[str, Any] = {g: [k] for g, k in zip(group_fields, key)}
-        row.update(
-            {
-                "n": [n],
-                "sum": [s],
-                "min": [mn],
-                "max": [mx],
-                "avg": [s / n if n else None],
-            }
-        )
+        all_vals = {
+            "n": [n],
+            "sum": [s],
+            "min": [mn],
+            "max": [mx],
+            "avg": [s / n if n else None],
+        }
+        row.update({c: all_vals[c] for c in out_cols})
         yield pd.DataFrame(row)
 
     return df.groupBy(*group_fields).applyInPandasWithState(
@@ -194,7 +196,13 @@ def streaming_count_range_select(
             out = {o: pdf[src].to_numpy() for o, src in carry_pairs}
             for name, op in aggs:
                 if op == "count":
-                    out[name] = roll.count().iloc[lo:].astype("int64").to_numpy()
+                    # batch parity: F.count(F.lit(1)) counts ROWS in the
+                    # frame, not non-null values — roll over a ones series
+                    ones = pd.Series(1.0, index=range(len(full)))
+                    out[name] = (
+                        ones.rolling(n, min_periods=1).sum()
+                        .iloc[lo:].astype("int64").to_numpy()
+                    )
                 else:
                     series = getattr(roll, {"avg": "mean"}.get(op, op))()
                     out[name] = series.iloc[lo:].to_numpy()
@@ -296,11 +304,13 @@ def streaming_duration_range_select(
             for name, op in aggs:
                 res = np.empty(n_rows, dtype="float64")
                 for i in range(n_rows):
+                    if op == "count":
+                        # batch parity: count ROWS in the frame
+                        res[i] = hi_i[i] - lo_i[i]
+                        continue
                     seg = all_v[lo_i[i]:hi_i[i]]
                     seg = seg[~np.isnan(seg)]
-                    if op == "count":
-                        res[i] = len(seg)
-                    elif len(seg) == 0:
+                    if len(seg) == 0:
                         res[i] = np.nan
                     elif op == "sum":
                         res[i] = seg.sum()

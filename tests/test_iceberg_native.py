@@ -1466,3 +1466,81 @@ def test_stream_refuses_v1_tables_without_sequence_numbers(tmp_path):
                 {"snapshot-id": 2, "manifest-list": "y"},
             ]
         })
+
+
+def test_rest_catalog_multi_segment_prefix_and_token_scope():
+    """Review fixes: a multi-segment prefix keeps its slashes in routes;
+    the bearer token only goes to the catalog's own origin."""
+    from pipeline_spark.sources.iceberg_rest import RestCatalog
+
+    cat = RestCatalog.__new__(RestCatalog)
+    cat.uri = "http://cat.example:8181"
+    cat.prefix = "ws/12345"
+    assert cat._route("namespaces/ns/tables/t") == (
+        "http://cat.example:8181/v1/ws/12345/namespaces/ns/tables/t"
+    )
+
+    sent = []
+
+    class _Opener:
+        def open(self, req, timeout=None):
+            sent.append((req.full_url, dict(req.header_items())))
+
+            class R:
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *a):
+                    return False
+
+                def read(self):
+                    return b'{"format-version": 2}'
+
+            return R()
+
+    cat2 = RestCatalog.__new__(RestCatalog)
+    cat2.uri = "http://cat.example:8181"
+    cat2.prefix = ""
+    cat2.opener = _Opener()
+    cat2.headers = {"Authorization": "Bearer sekrit"}
+
+    import json as _json
+
+    # fake load_table result handling: simulate by calling the metadata
+    # fetch branch through load_table with a patched _http_json? Easier:
+    # drive load_table with an opener that returns location-only results
+    class _OpenerLT:
+        def __init__(self):
+            self.calls = []
+
+        def open(self, req, timeout=None):
+            self.calls.append((req.full_url, dict(req.header_items())))
+            url = req.full_url
+
+            class R:
+                def __init__(self, payload):
+                    self._p = payload
+
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *a):
+                    return False
+
+                def read(self):
+                    return self._p
+
+            if "namespaces" in url:
+                return R(_json.dumps(
+                    {"metadata-location": "http://storage.other:9000/m.json"}
+                ).encode())
+            return R(b'{"format-version": 2}')
+
+    op = _OpenerLT()
+    cat2.opener = op
+    meta, loc = cat2.load_table("ns", "t")
+    assert meta == {"format-version": 2}
+    # first call (catalog) carried the token; second (other origin) did not
+    cat_call, storage_call = op.calls
+    assert any(k.lower() == "authorization" for k in cat_call[1])
+    assert not any(k.lower() == "authorization" for k in storage_call[1])

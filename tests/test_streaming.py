@@ -1360,3 +1360,79 @@ def test_executor_panes_after_each_sequence(spark, tmp_path):
     assert [p["__pane__"]["timing"] for p in a_panes] == [
         "EARLY", "EARLY", "ON_TIME"
     ]
+
+
+def test_streaming_count_range_counts_rows_with_nulls(spark, tmp_path):
+    """Review fix: streaming count must count ROWS in the frame (batch
+    F.count(F.lit(1)) parity), not non-null values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.streaming.state import streaming_count_range_select
+
+    in_dir = tmp_path / "cr_null"
+    in_dir.mkdir()
+    base = dt.datetime(2024, 1, 1)
+    tbl = pa.table({
+        "k": pa.array(["a", "a", "a"]),
+        "v": pa.array([1.0, None, 2.0]),
+        "ts": pa.array(
+            [base + dt.timedelta(seconds=i) for i in range(3)],
+            pa.timestamp("us"),
+        ),
+    })
+    pq.write_table(tbl, str(in_dir / "b0.parquet"))
+    sdf = (
+        spark.readStream.schema("k string, v double, ts timestamp_ntz")
+        .parquet(str(in_dir))
+    )
+    out = streaming_count_range_select(
+        sdf, ["k"], "v", 2, "ts", [("ts", "ts")],
+        [("range_n", "count"), ("range_sum", "sum")],
+    )
+    q = (
+        out.writeStream.format("memory").queryName("cr_null")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = sorted(spark.table("cr_null").collect(), key=lambda r: r["ts"])
+    # frames: [1], [1,null], [null,2] — row counts 1,2,2 (batch parity)
+    assert [r["range_n"] for r in rows] == [1, 2, 2]
+    assert rows[1]["range_sum"] == 1.0  # sum still skips nulls
+
+
+def test_executor_panes_rejects_discarding_minmax_and_late_trigger(spark, tmp_path):
+    from pipeline_spark.streaming.panes import stream_panes_with_state
+
+    src = tmp_path / "rej_in"
+    src.mkdir()
+    spark.createDataFrame(
+        [("a", 1.0, dt.datetime(2024, 1, 1))], "k string, v double, ts timestamp"
+    ).write.parquet(str(src / "seed.parquet"))
+    sdf = (
+        spark.readStream.schema("k string, v double, ts timestamp")
+        .parquet(str(src / "seed.parquet"))
+    )
+    with pytest.raises(NotImplementedError, match="accumulating"):
+        stream_panes_with_state(
+            sdf, "ts", ["k"], [{"name": "m", "op": "min", "field": "v"}],
+            {"window": {"type": "fixed", "size": 1, "unit": "minute"},
+             "accumulationMode": "discarding",
+             "trigger": {"type": "afterProcessingTime", "delay": 1}},
+        )
+    with pytest.raises(NotImplementedError, match="lateFiringTrigger"):
+        stream_panes_with_state(
+            sdf, "ts", ["k"], [{"name": "n", "op": "count"}],
+            {"window": {"type": "fixed", "size": 1, "unit": "minute"},
+             "trigger": {"type": "afterWatermark",
+                         "earlyFiringTrigger": {"type": "afterProcessingTime",
+                                                "pastFirstElementDelay": 1},
+                         "lateFiringTrigger": {"type": "afterPane",
+                                               "elementCountAtLeast": 2}}},
+        )
+    from pipeline_spark.streaming.panes import _window_params
+
+    with pytest.raises(ValueError, match="size > 0"):
+        _window_params({"window": {"type": "fixed"}})
