@@ -151,11 +151,14 @@ def write_delta_native(
 
     prev_adds: list[dict] = []
     if exists:
-        if mode in ("errorifexists", "create"):
-            raise FileExistsError(f"delta sink: table already exists at {table}")
         prev_adds, prev_meta, _proto, _v, prev_txns = replay_state(table)
+        # idempotence FIRST: a replayed streaming micro-batch must no-op
+        # even under mode create/errorifexists, not crash-loop the stream
         if txn is not None and int(txn[1]) <= prev_txns.get(txn[0], -1):
             return  # this transaction already committed — replayed batch
+        if mode in ("errorifexists", "create"):
+            raise FileExistsError(f"delta sink: table already exists at {table}")
+        _refuse_column_mapping(prev_meta, "append/overwrite")
         # schema/partitioning drift fails BEFORE data is staged
         if _schema_fingerprint(prev_meta["schemaString"]) != _schema_fingerprint(
             df.schema.json()
@@ -315,8 +318,8 @@ def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
         raise ValueError("delta compact: 'path' is required")
     target = int(p.get("targetFileBytes", 128 * 1024 * 1024))
     min_group = max(2, int(p.get("minFilesPerGroup", 2)))
-    prev_adds, meta, _proto, _v, _txns = replay_state(table)
-    prev_version = latest_version(_log_dir(table))
+    prev_adds, meta, _proto, prev_version, _txns = replay_state(table)
+    _refuse_column_mapping(meta, "compact")
     part_cols = list(meta.get("partitionColumns") or [])
 
     groups: dict[tuple, list[dict]] = {}
@@ -399,21 +402,7 @@ def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
             }
         }]
     )
-    version = prev_version + 1
-    log_dir = _log_dir(table)
-    commit_path = os.path.join(log_dir, f"{version:020d}.json")
-    tmp = commit_path + f".{commit_id}.tmp"
-    with open(tmp, "w") as fh:
-        for action in actions:
-            fh.write(json.dumps(action) + "\n")
-    try:
-        os.link(tmp, commit_path)
-    except FileExistsError:
-        os.unlink(tmp)
-        raise FileExistsError(
-            f"delta compact: concurrent commit raced on version {version}"
-        ) from None
-    os.unlink(tmp)
+    _commit_actions(table, prev_version + 1, actions)
     return {"compacted_files": len(removes), "new_files": len(adds)}
 
 
@@ -443,6 +432,19 @@ def delete_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     return _cow_rewrite_where(spark, p, set_exprs=None)
 
 
+def _refuse_column_mapping(meta: dict, op: str) -> None:
+    """Sink mutation paths build schemas from LOGICAL names; on a
+    column-mapped table (physical col-<uuid> names in the files) that
+    reads all-null and a rewrite would destroy the data — refuse."""
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.columnMapping.mode") not in (None, "", "none"):
+        raise NotImplementedError(
+            f"delta {op}: column-mapped tables are read-native but not "
+            "writable by this sink yet (schemas resolve by physical name) "
+            "— use the delta runtime for writes"
+        )
+
+
 def _commit_actions(
     table: str, version: int, actions: list[dict],
     checkpoint_interval: int = 0,
@@ -462,6 +464,17 @@ def _commit_actions(
             f"delta: concurrent commit raced on version {version} at "
             f"{commit_path} — retry the write"
         ) from None
+    except OSError:
+        # filesystem without hardlinks: O_EXCL create, then copy bytes
+        try:
+            with open(tmp, "rb") as srcf, open(commit_path, "xb") as dst:
+                dst.write(srcf.read())
+        except FileExistsError:
+            os.unlink(tmp)
+            raise FileExistsError(
+                f"delta: concurrent commit raced on version {version} at "
+                f"{commit_path} — retry the write"
+            ) from None
     os.unlink(tmp)
     if checkpoint_interval > 0 and version > 0 and (
         version % checkpoint_interval == 0
@@ -558,6 +571,7 @@ def _dv_mutate_where(
         groups.setdefault(key, []).append(a)
     frames = []
     new_adds: list[dict] = []
+    cached: list = []
     for i, (key, gadds) in enumerate(groups.items()):
         # DV-aware matched scan: rows a file's existing deletion vector
         # already removed must not re-match (they would over-count,
@@ -573,6 +587,12 @@ def _dv_mutate_where(
                 else F.lit(None).cast(types[c]),
             )
         matched_df = df.where(F.coalesce(cond, F.lit(False)))
+        if cdf or set_exprs:
+            # the matched scan feeds up to three consumers (cdc staging,
+            # the update rewrite, the DV position collect) — cache it so
+            # candidate files + DV anti-join run once, not three times
+            matched_df = matched_df.persist()
+            cached.append(matched_df)
         if cdf:
             base_cols = [f.name for f in fschema.fields]
             pre = matched_df.select(*base_cols)
@@ -666,6 +686,8 @@ def _dv_mutate_where(
     built = matches.groupBy("fp").applyInPandas(
         build_dv, schema="fp string, desc string, n_new long"
     ).collect()  # one row PER TOUCHED FILE — metadata scale
+    for c in cached:
+        c.unpersist()
     if not built:
         # drop any staged-but-unneeded update and cdc files (stats
         # over-admitted and nothing actually matched — no commit happens)
@@ -813,8 +835,8 @@ def _cow_rewrite_where(
         raise ValueError(f"delta {op_name}: 'where' predicate list is required")
     if isinstance(where, dict):
         where = [where]
-    prev_adds, meta, _proto, _v, _txns = replay_state(table)
-    prev_version = latest_version(_log_dir(table))
+    prev_adds, meta, _proto, prev_version, _txns = replay_state(table)
+    _refuse_column_mapping(meta, op_name)
     part_cols = list(meta.get("partitionColumns") or [])
     full = StructType.fromJson(json.loads(meta["schemaString"]))
     fschema = StructType([f for f in full.fields if f.name not in part_cols])
@@ -939,20 +961,7 @@ def _cow_rewrite_where(
             }
         }]
     )
-    version = prev_version + 1
-    commit_path = os.path.join(_log_dir(table), f"{version:020d}.json")
-    tmp = commit_path + f".{commit_id}.tmp"
-    with open(tmp, "w") as fh:
-        for action in actions:
-            fh.write(json.dumps(action) + "\n")
-    try:
-        os.link(tmp, commit_path)
-    except FileExistsError:
-        os.unlink(tmp)
-        raise FileExistsError(
-            f"delta {op_name}: concurrent commit raced on version {version}"
-        ) from None
-    os.unlink(tmp)
+    _commit_actions(table, prev_version + 1, actions)
     return {f"{op_name}d_rows": deleted, "rewritten_files": len(removes)}
 
 
@@ -966,14 +975,21 @@ def vacuum_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     (default 1 = current only; raise it to keep time travel that deep),
     and deletes the rest.  ``dryRun: true`` reports without deleting.
 
-    Non-data paths (_delta_log, non-parquet) are never touched.  Time
-    travel to versions older than the retention horizon will fail with
-    missing files afterwards — that is the operation's contract.
+    Non-data paths (_delta_log, _change_data CDC files, deletion-vector
+    .bin sidecars, non-parquet) are never touched.  Unreferenced files
+    younger than ``retainSeconds`` (default 0 when the log shows a
+    single writer pattern is yours; set it — delta's own default is
+    7 days — when concurrent writers may be mid-stage: a writer that
+    has staged parquet but not yet linked its commit must not lose its
+    files).  Time travel to versions older than the retention horizon
+    will fail with missing files afterwards — that is the operation's
+    contract.
     """
     table = p.get("path") or p.get("table")
     if not table:
         raise ValueError("delta vacuum: 'path' is required")
     retain = max(1, int(p.get("retainVersions", 1)))
+    retain_secs = float(p.get("retainSeconds", 0))
     dry = bool(p.get("dryRun", False))
     current = latest_version(_log_dir(table))
     if current is None:
@@ -991,19 +1007,31 @@ def vacuum_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
 
     removed = 0
     kept = 0
+    now = time.time()
     for root, dirs, files in os.walk(table):
         if "_delta_log" in dirs:
             dirs.remove("_delta_log")
+        if "_change_data" in dirs:
+            # CDC files are referenced by cdc actions, not adds — the
+            # change feed over retained versions still needs them
+            dirs.remove("_change_data")
         for name in files:
             if not name.endswith(".parquet"):
                 continue
             full = os.path.normpath(os.path.join(root, name))
             if full in referenced:
                 kept += 1
-            else:
-                removed += 1
-                if not dry:
-                    os.remove(full)
+                continue
+            if retain_secs > 0:
+                try:
+                    if now - os.path.getmtime(full) < retain_secs:
+                        kept += 1  # possibly an in-flight writer's staging
+                        continue
+                except OSError:
+                    continue
+            removed += 1
+            if not dry:
+                os.remove(full)
     if not dry:
         # prune now-empty data directories
         for root, _dirs, _files in os.walk(table, topdown=False):

@@ -57,12 +57,14 @@ class DeltaNativeDataSource(DataSource):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, part_values: list, fields: list):
+    def __init__(self, path: str, part_values: list, fields: list, dv_json=None):
         self.path = path
         #: [(column, raw string value or None), ...] for hive columns
         self.part_values = part_values
         #: [(name, typeName), ...] in output order
         self.fields = fields
+        #: deletionVector descriptor (JSON string) | None
+        self.dv_json = dv_json
 
 
 def _convert_part(value: str | None, type_name: str):
@@ -97,6 +99,14 @@ class _DeltaStreamReader(DataSourceStreamReader):
         from pipeline_spark.sources.delta_native import replay_log
 
         _adds, meta, _proto, _v = replay_log(self.table)
+        if (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        ) not in (None, "", "none"):
+            raise NotImplementedError(
+                "delta stream: column-mapped tables are batch-read-native "
+                "but the streaming reader does not resolve physical names "
+                "yet — reading them would yield all-null columns"
+            )
         return list(meta.get("partitionColumns") or [])
 
     def _latest(self) -> int:
@@ -171,6 +181,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 os.path.join(self.table, urllib.parse.unquote(a["path"])),
                 [(c, pv.get(c)) for c in self.part_cols],
                 self.schema_fields,
+                json.dumps(a["deletionVector"])
+                if a.get("deletionVector") else None,
             ))
         return out
 
@@ -181,7 +193,22 @@ class _DeltaStreamReader(DataSourceStreamReader):
         tbl = pq.read_table(partition.path)
         cols = set(tbl.schema.names)
         types = dict(partition.fields)
-        for row in tbl.to_pylist():
+        deleted = set()
+        if partition.dv_json:
+            # merge-on-read: the initial snapshot's files may carry
+            # deletion vectors — emitting their raw rows would resurrect
+            # deleted data
+            from pipeline_spark.functions.deltadv import load_dv_positions
+
+            deleted = {
+                int(x)
+                for x in load_dv_positions(
+                    self.table, json.loads(partition.dv_json)
+                )
+            }
+        for idx, row in enumerate(tbl.to_pylist()):
+            if idx in deleted:
+                continue
             yield tuple(
                 row.get(name)
                 if name in cols
@@ -282,6 +309,13 @@ class _DeltaCdfStreamReader(DataSourceStreamReader):
                 "delta cdf stream: table does not set "
                 "delta.enableChangeDataFeed=true"
             )
+        if (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        ) not in (None, "", "none"):
+            raise NotImplementedError(
+                "delta cdf stream: column-mapped tables are not supported "
+                "by the streaming reader (physical-name resolution)"
+            )
         self.part_cols = list(meta.get("partitionColumns") or [])
 
     def _latest(self) -> int:
@@ -381,7 +415,13 @@ class _DeltaCdfStreamReader(DataSourceStreamReader):
                     self.table, json.loads(partition.dv_json)
                 )
             }
-        ts = _dt2.datetime.utcfromtimestamp(partition.ts_ms / 1000.0)
+        # tz-AWARE UTC: the DataSource row serializer converts naive
+        # datetimes through the MACHINE-local zone (time.mktime), which
+        # both differs from the batch reader's timestamp_millis instant
+        # and varies by host; an aware datetime is an exact instant
+        ts = _dt2.datetime.fromtimestamp(
+            partition.ts_ms / 1000.0, tz=_dt2.timezone.utc
+        )
         rows = tbl.to_pylist()
         has_ct = "_change_type" in cols
         for idx, row in enumerate(rows):

@@ -1678,3 +1678,171 @@ def test_cdf_streaming_requires_property(spark, tmp_path):
         ).option("path", str(tmp_path / "o")).option(
             "checkpointLocation", str(tmp_path / "c")
         ).trigger(availableNow=True).start().awaitTermination()
+
+
+def test_vacuum_preserves_change_data_and_fresh_staging(spark, tmp_path):
+    """Review fixes: vacuum must not delete committed cdc files (the
+    retained-range change feed still reads them) and retainSeconds
+    protects an in-flight writer's staged-but-uncommitted parquet."""
+    from pipeline_spark.sinks.delta_native import (
+        delete_delta_native,
+        vacuum_delta_native,
+    )
+    from pipeline_spark.sources.delta_native import read_delta_cdf
+
+    tbl = str(tmp_path / "vac_cdf")
+    write_delta_native(
+        spark, spark.range(0, 20).coalesce(1),
+        {"path": tbl, "properties": {"delta.enableChangeDataFeed": True}},
+    )
+    delete_delta_native(
+        spark, {"path": tbl, "where": [{"key": "id", "op": "<", "value": 5}]}
+    )
+    # fake an in-flight writer: staged parquet, commit not yet linked
+    staging = tmp_path / "vac_cdf" / "data-inflight" / "part-0.parquet"
+    staging.parent.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"id": pa.array([999], pa.int64())}), str(staging))
+
+    res = vacuum_delta_native(
+        spark, {"path": tbl, "retainSeconds": 3600}
+    )
+    assert staging.exists(), "fresh staging deleted despite retainSeconds"
+    # cdc files survived: the feed over retained versions still reads
+    feed = read_delta_cdf(spark, {"path": tbl, "startingVersion": 1})
+    assert sorted(r["id"] for r in feed.collect()) == list(range(5))
+    # without the age guard the pre-delete tombstoned file IS removable
+    res2 = vacuum_delta_native(spark, {"path": tbl, "retainSeconds": 0})
+    assert res2["removed_files"] >= 1  # the staged + tombstoned files
+
+
+def test_stream_applies_deletion_vectors_in_snapshot(spark, tmp_path):
+    """Review fix: the plain delta stream's initial snapshot must not
+    resurrect mor-deleted rows."""
+    from pipeline_spark.sinks.delta_native import delete_delta_native
+
+    tbl = str(tmp_path / "stream_dv")
+    write_delta_native(spark, spark.range(0, 15).coalesce(1), {"path": tbl})
+    delete_delta_native(
+        spark, {"path": tbl, "method": "mor",
+                "where": [{"key": "id", "op": "<", "value": 4}]},
+    )
+    got = _drain_stream(spark, tbl, str(tmp_path / "o"), str(tmp_path / "c"),
+                        skipChangeCommits=True)
+    assert _ids(got) == list(range(4, 15))
+
+
+def test_create_mode_replayed_txn_is_noop(spark, tmp_path):
+    """Review fix: a replayed streaming micro-batch with mode create must
+    no-op on the txn marker, not crash-loop on FileExistsError."""
+    tbl = str(tmp_path / "txn_create")
+    write_delta_native(
+        spark, spark.range(0, 5), {"path": tbl, "mode": "create"},
+        txn=("app1", 0),
+    )
+    # replay of the same batch: same appId/version → silently skipped
+    write_delta_native(
+        spark, spark.range(0, 5), {"path": tbl, "mode": "create"},
+        txn=("app1", 0),
+    )
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(5))
+    # a genuinely NEW create on an existing table still refuses
+    with pytest.raises(FileExistsError):
+        write_delta_native(
+            spark, spark.range(9), {"path": tbl, "mode": "create"},
+            txn=("app1", 1),
+        )
+
+
+def test_mutations_refuse_column_mapped_tables(spark, tmp_path):
+    """Review fix: compact/COW-mutate/append on a column-mapped table
+    would read logical names as all-null and destroy it — refuse."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.sinks.delta_native import (
+        compact_delta_native,
+        delete_delta_native,
+    )
+
+    tbl = tmp_path / "cm_guard"
+    tbl.mkdir()
+    pq.write_table(pa.table({"col-x": pa.array([1, 2], pa.int64())}),
+                   tbl / "a.parquet")
+    log = tbl / "_delta_log"
+    log.mkdir()
+    schema_json = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-x"}}]}
+    with open(log / "00000000000000000000.json", "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "x", "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema_json),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"}}},
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        compact_delta_native(spark, {"path": str(tbl)})
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        delete_delta_native(
+            spark, {"path": str(tbl),
+                    "where": [{"key": "id", "op": "=", "value": 1}]},
+        )
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        write_delta_native(
+            spark, spark.range(3).withColumnRenamed("id", "id"),
+            {"path": str(tbl), "mode": "append"},
+        )
+    # batch READ still works (read-native)
+    assert _ids(read_delta_native(spark, {"path": str(tbl)})) == [1, 2]
+
+
+def test_cdf_stream_timestamps_match_batch_under_nonutc_tz(spark, tmp_path):
+    """Review fix: the CDF stream yields tz-aware UTC commit instants —
+    identical to the batch reader's timestamp_millis regardless of the
+    session or machine timezone (naive datetimes would convert through
+    time.mktime's MACHINE zone)."""
+    from pipeline_spark.sources.delta_native import read_delta_cdf
+    from pipeline_spark.sources.delta_stream import read_delta_cdf_stream_native
+
+    tbl = str(tmp_path / "cdf_ts")
+    write_delta_native(
+        spark, spark.range(0, 5).coalesce(1),
+        {"path": tbl, "properties": {"delta.enableChangeDataFeed": True}},
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        batch = {
+            r["id"]: r["_commit_timestamp"]
+            for r in read_delta_cdf(
+                spark, {"path": tbl, "startingVersion": 0}
+            ).collect()
+        }
+        q = (
+            read_delta_cdf_stream_native(spark, {"path": tbl,
+                                                 "startingVersion": 0})
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "o"))
+            .option("checkpointLocation", str(tmp_path / "c"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        stream = {
+            r["id"]: r["_commit_timestamp"]
+            for r in spark.read.parquet(str(tmp_path / "o")).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert set(batch) == set(stream)
+    assert all(
+        abs((batch[k] - stream[k]).total_seconds()) < 1.0 for k in batch
+    )
