@@ -123,6 +123,30 @@ def _collect_file_stats(spark, paths: list[str]) -> dict[str, str]:
     return {pth: st for pth, st in pairs if st}
 
 
+def _merge_schemas(prev_json: str, new_json: str) -> str:
+    """Union of two Spark schema JSONs by top-level field name
+    (delta-spark's mergeSchema contract): existing fields keep their
+    type (a type CHANGE still refuses — that needs a rewrite), new
+    fields append as nullable."""
+    prev = json.loads(prev_json)
+    new = json.loads(new_json)
+    by_name = {f["name"]: f for f in prev.get("fields", [])}
+    out = list(prev.get("fields", []))
+    for f in new.get("fields", []):
+        cur = by_name.get(f["name"])
+        if cur is None:
+            out.append({**f, "nullable": True})
+        elif json.dumps(cur["type"], sort_keys=True) != json.dumps(
+            f["type"], sort_keys=True
+        ):
+            raise ValueError(
+                f"delta sink: mergeSchema cannot change column "
+                f"'{f['name']}' from {cur['type']} to {f['type']} — "
+                "type changes need a rewrite"
+            )
+    return json.dumps({**prev, "fields": out})
+
+
 def _schema_fingerprint(schema_json: str) -> list[tuple[str, str]]:
     fields = json.loads(schema_json).get("fields", [])
     return sorted((f["name"], json.dumps(f["type"], sort_keys=True)) for f in fields)
@@ -150,6 +174,7 @@ def write_delta_native(
     exists = prev_version is not None
 
     prev_adds: list[dict] = []
+    evolved_schema: str | None = None
     if exists:
         prev_adds, prev_meta, _proto, _v, prev_txns = replay_state(table)
         # idempotence FIRST: a replayed streaming micro-batch must no-op
@@ -159,14 +184,24 @@ def write_delta_native(
         if mode in ("errorifexists", "create"):
             raise FileExistsError(f"delta sink: table already exists at {table}")
         _refuse_column_mapping(prev_meta, "append/overwrite")
-        # schema/partitioning drift fails BEFORE data is staged
+        # schema/partitioning drift fails BEFORE data is staged —
+        # unless mergeSchema evolves the table (delta-spark's option):
+        # the union schema commits a new metaData action, and readers
+        # null-pad old files automatically (the parquet scan runs under
+        # the table schema, absent columns read as null)
         if _schema_fingerprint(prev_meta["schemaString"]) != _schema_fingerprint(
             df.schema.json()
         ):
-            raise ValueError(
-                "delta sink: schema mismatch with the existing table — "
-                "evolve the table with the delta runtime or write elsewhere"
-            )
+            if p.get("mergeSchema"):
+                evolved_schema = _merge_schemas(
+                    prev_meta["schemaString"], df.schema.json()
+                )
+            else:
+                raise ValueError(
+                    "delta sink: schema mismatch with the existing table — "
+                    "set mergeSchema: true to evolve it (adds/permits new "
+                    "nullable columns) or write elsewhere"
+                )
         if list(prev_meta.get("partitionColumns") or []) != part_cols:
             raise ValueError(
                 f"delta sink: partitionBy {part_cols} != table partitioning "
@@ -238,6 +273,12 @@ def write_delta_native(
                 "configuration": props,
                 "createdTime": now_ms,
             }
+        })
+    if evolved_schema is not None:
+        # schema evolution: re-commit the metaData action with the union
+        # schema; everything else (id, partitioning, configuration) stays
+        actions.append({
+            "metaData": {**prev_meta, "schemaString": evolved_schema}
         })
     if mode == "overwrite" and exists:
         for a in prev_adds:

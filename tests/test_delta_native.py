@@ -1846,3 +1846,39 @@ def test_cdf_stream_timestamps_match_batch_under_nonutc_tz(spark, tmp_path):
     assert all(
         abs((batch[k] - stream[k]).total_seconds()) < 1.0 for k in batch
     )
+
+
+def test_merge_schema_append_evolves_table(spark, tmp_path):
+    """mergeSchema: an append with a new column commits the union schema;
+    old files null-pad on read; type changes still refuse."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "evolve")
+    write_delta_native(
+        spark, spark.range(0, 5).coalesce(1), {"path": tbl}
+    )
+    wider = spark.range(5, 8).withColumn("tag", F.lit("new")).coalesce(1)
+    # without the option: refuse with the actionable hint
+    with pytest.raises(ValueError, match="mergeSchema"):
+        write_delta_native(spark, wider, {"path": tbl, "mode": "append"})
+    write_delta_native(
+        spark, wider, {"path": tbl, "mode": "append", "mergeSchema": True}
+    )
+    back = read_delta_native(spark, {"path": tbl})
+    rows = sorted((r["id"], r["tag"]) for r in back.collect())
+    assert rows == [(i, None) for i in range(5)] + [
+        (i, "new") for i in range(5, 8)
+    ]
+    # a narrower append (missing the new column) also merges: absent
+    # columns null-pad through the union schema
+    write_delta_native(
+        spark, spark.range(8, 9).coalesce(1),
+        {"path": tbl, "mode": "append", "mergeSchema": True},
+    )
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(9))
+    # type change refuses even with mergeSchema
+    retyped = spark.range(9, 10).withColumn("tag", F.lit(7)).coalesce(1)
+    with pytest.raises(ValueError, match="type changes"):
+        write_delta_native(
+            spark, retyped, {"path": tbl, "mode": "append", "mergeSchema": True}
+        )

@@ -1544,3 +1544,34 @@ def test_rest_catalog_multi_segment_prefix_and_token_scope():
     cat_call, storage_call = op.calls
     assert any(k.lower() == "authorization" for k in cat_call[1])
     assert not any(k.lower() == "authorization" for k in storage_call[1])
+
+
+def test_rest_catalog_write_partitioned(spark, tmp_path):
+    """REST commits carry the real partition spec in CreateTableRequest;
+    appends validate against it; the catalog read prunes partitions."""
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        loc = str(tmp_path / "rest_part_tbl")
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.pt", "location": loc,
+                 "partitionSpec": [{"field": "par", "transform": "identity"}]}
+        df = spark.createDataFrame(
+            [(i, "even" if i % 2 == 0 else "odd") for i in range(20)],
+            "id long, par string",
+        )
+        write_iceberg_native(df.coalesce(1), cat_p)
+        spec = state["pt"]["partition-specs"][0]
+        assert [f["name"] for f in spec["fields"]] == ["par"]
+        back = read_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.pt",
+                    "partitionFilter": {"par": "odd"}}
+        )
+        assert sorted(r["id"] for r in back.collect()) == list(range(1, 20, 2))
+        # append with a DIFFERENT spec refuses before staging
+        with pytest.raises(ValueError, match="partition spec"):
+            write_iceberg_native(
+                df.coalesce(1),
+                {**cat_p, "mode": "append", "partitionSpec": []},
+            )
+    finally:
+        srv.shutdown()
