@@ -23,10 +23,12 @@ a silent fallback never double-ledgers:
   * aggregations: count / sum / min / max / avg over a plain field
     (conditions, weights and expressions need the full compiler — use
     the driver backend);
-  * windows: fixed, sliding, global (session windows merge state —
-    their pane identity is not stable under applyInPandasWithState's
-    fixed grouping; calendar windows are calendar-arithmetic — both
-    stay on the driver backend);
+  * windows: fixed, sliding, global, calendar (day/week/month/year,
+    truncated in the session timezone like the batch path's date_trunc;
+    emitted as the batch shape's plain truncated timestamp).  Session
+    windows merge state — their pane identity is not stable under
+    applyInPandasWithState's fixed grouping — and stay on the driver
+    backend;
   * triggers: afterProcessingTime / afterPane leaves, afterFirst /
     afterAll / afterEach composites, finalTrigger (lateFiringTrigger is
     rejected: post-watermark rows never reach this operator, so LATE
@@ -117,11 +119,20 @@ def parse_exec_aggs(
     return out
 
 
-def _window_params(strategy: dict[str, Any]) -> tuple[str, float, float]:
-    """(type, size_sec, period_sec) for the executor-supported windows."""
+def _window_params(strategy: dict[str, Any]) -> tuple[str, float, float, str]:
+    """(type, size_sec, period_sec, calendar_unit) for the
+    executor-supported windows."""
     w = strategy.get("window") or {}
     wtype = str(w.get("type", "global")).lower()
     unit = str(w.get("unit", "second")).lower()
+    if wtype == "calendar":
+        cal = str(w.get("unit", "day")).lower()
+        if cal not in ("day", "week", "month", "year"):
+            raise ValueError(
+                f"paneStateBackend executor: calendar unit '{cal}' "
+                "(day/week/month/year)"
+            )
+        return "calendar", 0.0, 0.0, cal
     mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
     if wtype in ("fixed", "tumbling"):
         size = int(w.get("size", 0)) * mult
@@ -129,7 +140,7 @@ def _window_params(strategy: dict[str, Any]) -> tuple[str, float, float]:
             raise ValueError(
                 "paneStateBackend executor: fixed window needs size > 0"
             )
-        return "fixed", float(size), float(size)
+        return "fixed", float(size), float(size), ""
     if wtype == "sliding":
         size = int(w.get("size", 0)) * mult
         period = int(w.get("period", 0)) * mult
@@ -138,13 +149,12 @@ def _window_params(strategy: dict[str, Any]) -> tuple[str, float, float]:
                 "paneStateBackend executor: sliding window needs "
                 "size > 0 and period > 0"
             )
-        return "sliding", float(size), float(period)
+        return "sliding", float(size), float(period), ""
     if wtype == "global":
-        return "global", 0.0, 0.0
+        return "global", 0.0, 0.0, ""
     raise NotImplementedError(
-        f"paneStateBackend executor: window type '{wtype}' (session windows "
-        "merge state; calendar windows are calendar arithmetic) — use the "
-        "driver backend"
+        f"paneStateBackend executor: window type '{wtype}' (session "
+        "windows merge state) — use the driver backend"
     )
 
 
@@ -199,7 +209,7 @@ def stream_panes_with_state(
     """
     cfg = parse_trigger(strategy) or {}
     aggs = parse_exec_aggs(agg_specs, df)
-    wtype, size, period = _window_params(strategy)
+    wtype, size, period, cal_unit = _window_params(strategy)
     mode = str(strategy.get("accumulationMode", "accumulating")).lower()
     discarding = mode in ("discarding", "discarding_fired_panes")
     if discarding:
@@ -233,8 +243,11 @@ def stream_panes_with_state(
         df.sparkSession.conf.get("spark.sql.session.timeZone")
     )
     has_window = wtype != "global"
+    is_calendar = wtype == "calendar"
     out_fields: list[T.StructField] = []
-    if has_window:
+    if is_calendar:
+        out_fields.append(T.StructField("window", T.TimestampType()))
+    elif has_window:
         out_fields.append(
             T.StructField(
                 "window",
@@ -263,6 +276,25 @@ def stream_panes_with_state(
     value_names = [name for name, _op, _f in aggs]
 
     def assign_windows(ts_epoch: float) -> list[tuple[float, float]]:
+        if wtype == "calendar":
+            # calendar arithmetic runs in the SESSION timezone, matching
+            # the batch path's date_trunc grouping column
+            t = pd.Timestamp(ts_epoch, unit="s", tz="UTC").tz_convert(
+                session_tz
+            )
+            if cal_unit == "day":
+                start = t.normalize()
+                end = start + pd.Timedelta(days=1)
+            elif cal_unit == "week":
+                start = (t - pd.Timedelta(days=t.weekday())).normalize()
+                end = start + pd.Timedelta(days=7)
+            elif cal_unit == "month":
+                start = t.normalize().replace(day=1)
+                end = start + pd.DateOffset(months=1)
+            else:
+                start = t.normalize().replace(month=1, day=1)
+                end = start + pd.DateOffset(years=1)
+            return [(start.timestamp(), end.timestamp())]
         if wtype == "fixed":
             start = (ts_epoch // size) * size
             return [(start, start + size)]
@@ -359,7 +391,12 @@ def stream_panes_with_state(
                         t = t.tz_convert(session_tz)
                     return t.tz_localize(None)
 
-                d["window"] = {"start": render(wk[0]), "end": render(wk[1])}
+                if is_calendar:
+                    d["window"] = render(wk[0])
+                else:
+                    d["window"] = {
+                        "start": render(wk[0]), "end": render(wk[1]),
+                    }
             d.update(zip(group_fields, key))
             vals = list(latest)
             if discarding and ws.fired is not None:

@@ -370,7 +370,13 @@ def early_firing_foreach_batch(
         for k in key_cols:
             v = d[k]
             if k == "window" and v is not None:
-                out.append((v["start"], v["end"]))
+                try:
+                    out.append((v["start"], v["end"]))
+                except (TypeError, KeyError, IndexError):
+                    # calendar windows are a PLAIN truncated timestamp,
+                    # not a struct — treat as an opaque pane key (no
+                    # window-close semantics; the max_keys cap bounds it)
+                    out.append(v)
             else:
                 out.append(v)
         return tuple(out)
@@ -414,7 +420,12 @@ def early_firing_foreach_batch(
             for r in rows:
                 w = r["window"]
                 if w is not None:
-                    high_water[0] = max(high_water[0], w["start"].timestamp())
+                    try:
+                        high_water[0] = max(
+                            high_water[0], w["start"].timestamp()
+                        )
+                    except (TypeError, KeyError, IndexError):
+                        pass  # calendar window: plain timestamp, no struct
         out_rows = []
 
         def emit(d: dict, idx: int, fired: tuple, timing: str) -> None:

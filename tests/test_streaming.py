@@ -1436,3 +1436,37 @@ def test_executor_panes_rejects_discarding_minmax_and_late_trigger(spark, tmp_pa
 
     with pytest.raises(ValueError, match="size > 0"):
         _window_params({"window": {"type": "fixed"}})
+
+
+def test_executor_panes_calendar_window(spark, tmp_path):
+    """Calendar (day) windows on the executor backend: session-timezone
+    truncation, plain-timestamp window column (the batch calendar shape),
+    watermark closure per day."""
+    in_dir = _write_stream_files(tmp_path, "xcal_in", [
+        [("a", 1.0, dt.datetime(2024, 1, 1, 3, 0)),
+         ("a", 2.0, dt.datetime(2024, 1, 1, 20, 0))],
+        [("a", 4.0, dt.datetime(2024, 1, 2, 5, 0)),
+         ("wm", 0.0, dt.datetime(2100, 1, 1))],
+    ])
+    out_dir = str(tmp_path / "xcal_out")
+    cfg = _exec_backend_cfg(in_dir, out_dir, "accumulating").replace(
+        "window: {type: fixed, size: 1, unit: minute}",
+        "window: {type: calendar, unit: day}",
+    )
+    run_pipeline(spark, parse_config(cfg))
+    rows = spark.read.parquet(out_dir).collect()
+    a = {}
+    for r in rows:
+        if r["k"] != "a":
+            continue
+        key = r["window"]
+        a[key] = max(
+            a.get(key, (-1, 0, 0.0)),
+            (r["__pane__"]["index"], r["n"], r["total"]),
+            key=lambda t: t[0],
+        )
+    days = {str(k): (v[1], v[2]) for k, v in a.items()}
+    assert days == {
+        "2024-01-01 00:00:00": (2, 3.0),
+        "2024-01-02 00:00:00": (1, 4.0),
+    }, days
