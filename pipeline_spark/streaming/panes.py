@@ -134,6 +134,13 @@ def _window_params(strategy: dict[str, Any]) -> tuple[str, float, float, str]:
             )
         return "calendar", 0.0, 0.0, cal
     mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
+    if wtype == "session":
+        gap = int(w.get("gap", 0)) * mult
+        if gap <= 0:
+            raise ValueError(
+                "paneStateBackend executor: session window needs gap > 0"
+            )
+        return "session", float(gap), 0.0, ""
     if wtype in ("fixed", "tumbling"):
         size = int(w.get("size", 0)) * mult
         if size <= 0:
@@ -153,8 +160,8 @@ def _window_params(strategy: dict[str, Any]) -> tuple[str, float, float, str]:
     if wtype == "global":
         return "global", 0.0, 0.0, ""
     raise NotImplementedError(
-        f"paneStateBackend executor: window type '{wtype}' (session "
-        "windows merge state) — use the driver backend"
+        f"paneStateBackend executor: window type '{wtype}' — use the "
+        "driver backend"
     )
 
 
@@ -171,6 +178,36 @@ def _agg_out_type(op: str, field: str | None, df: DataFrame):
 
 class _WinState:
     """One window's accumulators + pane ledger entry (pickled per key)."""
+
+    def merge_from(self, other: "_WinState") -> None:
+        """Session-window merge: combine the other window's accumulators
+        and ledger state into this one (all supported aggregations are
+        mergeable; trigger counts sum like Beam's merging-window trigger
+        state; the merged window's watermark pane is pending again)."""
+        self.n += other.n
+        for k, v in other.sums.items():
+            self.sums[k] = self.sums.get(k, 0.0) + v
+        for k, v in other.counts.items():
+            self.counts[k] = self.counts.get(k, 0) + v
+        for k, v in other.mins.items():
+            cur = self.mins.get(k)
+            self.mins[k] = v if cur is None else min(cur, v)
+        for k, v in other.maxs.items():
+            cur = self.maxs.get(k)
+            self.maxs[k] = v if cur is None else max(cur, v)
+        self.idx = max(self.idx, other.idx)
+        self.fired = None  # merged content has no previous-pane baseline
+        self.fired_n += other.fired_n
+        self.dirty = self.dirty or other.dirty
+        if other.cycle_start is not None:
+            self.cycle_start = (
+                other.cycle_start
+                if self.cycle_start is None
+                else min(self.cycle_start, other.cycle_start)
+            )
+        self.each_ptr = max(self.each_ptr, other.each_ptr)
+        self.on_time_fired = False
+        self.birth = min(self.birth, other.birth)
 
     __slots__ = (
         "n", "sums", "mins", "maxs", "counts",
@@ -212,6 +249,12 @@ def stream_panes_with_state(
     wtype, size, period, cal_unit = _window_params(strategy)
     mode = str(strategy.get("accumulationMode", "accumulating")).lower()
     discarding = mode in ("discarding", "discarding_fired_panes")
+    if discarding and wtype == "session":
+        raise NotImplementedError(
+            "paneStateBackend executor: discarding panes on session "
+            "windows — merged sessions have no well-defined previous-pane "
+            "delta; use accumulating mode"
+        )
     if discarding:
         bad = [name for name, op, _f in aggs if op in ("min", "max", "avg")]
         if bad:
@@ -348,13 +391,42 @@ def stream_panes_with_state(
                     epochs = ts.astype("float64")
                 for i in range(len(pdf)):
                     e = float(epochs.iloc[i])
-                    wkeys = (
-                        assign_windows(e) if has_window else [None]
-                    )
-                    for wk in wkeys:
-                        ws = windows.get(wk)
-                        if ws is None:
-                            ws = windows[wk] = _WinState(now)
+                    if wtype == "session":
+                        # merging-window assignment: a point extends the
+                        # session to [min(start, t), max(end, t+gap));
+                        # every overlapping session merges into one —
+                        # accumulators, trigger counts and ledger state
+                        # combine (all supported aggs are mergeable)
+                        gap = size
+                        hits = [
+                            wk for wk, ws0 in windows.items()
+                            if wk is not None and not ws0.closed
+                            and e < wk[1] and e + gap > wk[0]
+                        ]
+                        if hits:
+                            wk0 = hits[0]
+                            ws = windows.pop(wk0)
+                            start = min(wk0[0], e)
+                            end = max(wk0[1], e + gap)
+                            for other_wk in hits[1:]:
+                                other = windows.pop(other_wk)
+                                ws.merge_from(other)
+                                start = min(start, other_wk[0])
+                                end = max(end, other_wk[1])
+                            windows[(start, end)] = ws
+                        else:
+                            ws = windows[(e, e + gap)] = _WinState(now)
+                        wkeys = [None]  # row already routed to ws
+                    else:
+                        wkeys = (
+                            assign_windows(e) if has_window else [None]
+                        )
+                        ws = None
+                    for wk in (wkeys if wtype != "session" else [0]):
+                        if wtype != "session":
+                            ws = windows.get(wk)
+                            if ws is None:
+                                ws = windows[wk] = _WinState(now)
                         if ws.closed:
                             continue
                         ws.n += 1

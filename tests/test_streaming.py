@@ -1123,8 +1123,12 @@ def test_executor_panes_rejects_unsupported_loudly(spark, tmp_path):
             df,
         )
     from pipeline_spark.streaming.panes import _window_params
-    with _pytest.raises(NotImplementedError, match="session"):
-        _window_params({"window": {"type": "session", "gap": 5}})
+
+    # session windows are SUPPORTED now (merging keyed state); unknown
+    # window types still refuse with the reason
+    assert _window_params({"window": {"type": "session", "gap": 5}})[0] == "session"
+    with _pytest.raises(NotImplementedError, match="driver backend"):
+        _window_params({"window": {"type": "bogus"}})
 
 
 def test_streaming_duration_range_matches_batch_window(spark, tmp_path):
@@ -1470,3 +1474,46 @@ def test_executor_panes_calendar_window(spark, tmp_path):
         "2024-01-01 00:00:00": (2, 3.0),
         "2024-01-02 00:00:00": (1, 4.0),
     }, days
+
+
+def test_executor_panes_session_window(spark, tmp_path):
+    """Session windows on the executor backend: events within the gap
+    merge (accumulators + trigger state combine), a quiet period starts a
+    new session, watermark closes sessions at last-activity + gap —
+    Spark's own session_window merge semantics."""
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    in_dir = _write_stream_files(tmp_path, "xsw_in", [
+        # session 1: 0s,8s (within the 10s gap)
+        [("a", 1.0, base.replace(second=0)), ("a", 2.0, base.replace(second=8))],
+        # 30s: > gap after 8s → NEW session; 35s extends it
+        [("a", 4.0, base.replace(second=30)), ("a", 8.0, base.replace(second=35))],
+        # 15s is within the gap of session 1's last event (8s) → MERGES
+        # into it, extending to [0, 25); it is 15s before 30s (> gap), so
+        # the second session stays separate — Spark's session_window rule
+        [("a", 16.0, base.replace(second=15))],
+        [("wm", 0.0, dt.datetime(2100, 1, 1))],
+    ])
+    out_dir = str(tmp_path / "xsw_out")
+    cfg = _exec_backend_cfg(in_dir, out_dir, "accumulating").replace(
+        "window: {type: fixed, size: 1, unit: minute}",
+        "window: {type: session, gap: 10, unit: second}",
+    )
+    run_pipeline(spark, parse_config(cfg))
+    rows = [r for r in spark.read.parquet(out_dir).collect() if r["k"] == "a"]
+    final = {}
+    for r in rows:
+        key = (r["window"]["start"], r["window"]["end"])
+        cur = final.get(key)
+        if cur is None or r["__pane__"]["index"] > cur[0]:
+            final[key] = (r["__pane__"]["index"], r["n"], r["total"])
+    # final sessions: merged [0, 25) n=3 total=19, separate [30, 45)
+    sessions = {
+        (k[0], k[1]): (v[1], v[2]) for k, v in final.items()
+    }
+    assert sessions[(base, base.replace(second=25))] == (3, 19.0), sessions
+    assert sessions[
+        (base.replace(second=30), base.replace(second=45))
+    ] == (2, 12.0), sessions
+    # the pre-merge EARLY pane of session 1 ([0, 18)) is also present —
+    # the pane of the session as known at firing time
+    assert sessions.get((base, base.replace(second=18))) == (2, 3.0)
