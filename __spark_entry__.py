@@ -13,6 +13,8 @@ floating-point summation-order differences.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 import pandas as pd
@@ -48,6 +50,19 @@ def _pipeline_multi(spark: SparkSession, sf_dir: str, tables: list[str], body: s
         for t in tables
     )
     return run_pipeline(spark, parse_config(src + body))
+
+
+def _tmp_path(name: str, sf_dir: str) -> str:
+    """Collision-proof scratch path for queries that write a table first.
+
+    Keyed by query name, sf-dir basename, AND pid so concurrent driver runs
+    (e.g. bench at sf0.1 overlapping correctness at sf0.01, or a stale table
+    surviving a crashed run) can never read each other's data.
+    """
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(
+        tempfile.gettempdir(), f"pipeline_spark_{name}_{sf}_{os.getpid()}"
+    )
 
 
 # ---------------------------------------------------------------- queries
@@ -1500,8 +1515,10 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profiling of the documents table: null counts,
     exact distincts, native-type min/max (cast after comparing), numeric
     means.  The oracle recomputes every statistic per column.
-    ``decimalStats`` pins the float stats hash-stable: integral means
-    via exact decimal sum + one division, outputs as DECIMAL(38,6)."""
+    ``integerStats`` makes the float stats representation-proof: integral
+    means via exact decimal sum + one double division, then every float
+    statistic emits as scaled BIGINT micro-units (round(x*1e6)) — an
+    integer admits exactly one representation on every engine."""
     return _pipeline(spark, sf_dir, ["documents"], """
 transforms:
   - name: prof
@@ -1510,7 +1527,7 @@ transforms:
     parameters:
       columns: [doc_id, lang, source, n_chars]
       percentiles: [0.5, 0.95]
-      decimalStats: true
+      integerStats: true
 """, "prof")
 
 
@@ -1520,34 +1537,34 @@ SELECT 'doc_id' AS column, 'bigint' AS dtype, count(*) AS n_rows,
        count(DISTINCT doc_id) AS n_distinct,
        CAST(min(doc_id) AS VARCHAR) AS min_value,
        CAST(max(doc_id) AS VARCHAR) AS max_value,
-       CAST(round(CAST(sum(doc_id) AS DOUBLE) / count(doc_id), 6)
-            AS DECIMAL(38,6)) AS mean,
-       CAST(round(quantile_cont(doc_id, 0.5), 6) AS DECIMAL(38,6)) AS p50,
-       CAST(round(quantile_cont(doc_id, 0.95), 6) AS DECIMAL(38,6)) AS p95
+       CAST(round(CAST(sum(doc_id) AS DOUBLE) / count(doc_id) * 1e6)
+            AS BIGINT) AS mean_micros,
+       CAST(round(quantile_cont(doc_id, 0.5) * 1e6) AS BIGINT) AS p50_micros,
+       CAST(round(quantile_cont(doc_id, 0.95) * 1e6) AS BIGINT) AS p95_micros
 FROM documents
 UNION ALL
 SELECT 'lang', 'string', count(*),
        sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
        count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
-       CAST(max(lang) AS VARCHAR), CAST(NULL AS DECIMAL(38,6)),
-       CAST(NULL AS DECIMAL(38,6)), CAST(NULL AS DECIMAL(38,6))
+       CAST(max(lang) AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM documents
 UNION ALL
 SELECT 'source', 'string', count(*),
        sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
        count(DISTINCT source), CAST(min(source) AS VARCHAR),
-       CAST(max(source) AS VARCHAR), CAST(NULL AS DECIMAL(38,6)),
-       CAST(NULL AS DECIMAL(38,6)), CAST(NULL AS DECIMAL(38,6))
+       CAST(max(source) AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM documents
 UNION ALL
 SELECT 'n_chars', 'bigint', count(*),
        sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
        count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
        CAST(max(n_chars) AS VARCHAR),
-       CAST(round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 6)
-            AS DECIMAL(38,6)),
-       CAST(round(quantile_cont(n_chars, 0.5), 6) AS DECIMAL(38,6)),
-       CAST(round(quantile_cont(n_chars, 0.95), 6) AS DECIMAL(38,6))
+       CAST(round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars) * 1e6)
+            AS BIGINT),
+       CAST(round(quantile_cont(n_chars, 0.5) * 1e6) AS BIGINT),
+       CAST(round(quantile_cont(n_chars, 0.95) * 1e6) AS BIGINT)
 FROM documents
 """
 
@@ -1561,7 +1578,7 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    out = os.path.join(tempfile.gettempdir(), "pipeline_spark_warc_rt")
+    out = _tmp_path("warc_rt", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     run_pipeline(spark, parse_config(f"""
 sources:
@@ -3001,7 +3018,7 @@ def q_delta_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_spark.sinks.delta_native import write_delta_native
     from pipeline_spark.sources.delta_native import read_delta_native
 
-    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_delta_skip")
+    tbl = _tmp_path("delta_skip", sf_dir)
     shutil.rmtree(tbl, ignore_errors=True)
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     for i, (lo, hi) in enumerate(((0, 5000), (5000, 10000), (10000, 1 << 40))):
@@ -3040,7 +3057,7 @@ def q_iceberg_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_spark.sinks.iceberg_native import write_iceberg_native
     from pipeline_spark.sources.iceberg_native import read_iceberg_native
 
-    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_ice_skip")
+    tbl = _tmp_path("ice_skip", sf_dir)
     shutil.rmtree(tbl, ignore_errors=True)
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     for i, (lo, hi) in enumerate(((0, 5000), (5000, 10000), (10000, 1 << 40))):
@@ -3081,7 +3098,7 @@ def q_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pipeline_spark.sources.delta_native import read_delta_native
 
-    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_delta_del")
+    tbl = _tmp_path("delta_del", sf_dir)
     shutil.rmtree(tbl, ignore_errors=True)
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     write_delta_native(spark, orders, {"path": tbl})
@@ -3118,7 +3135,7 @@ def q_delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pipeline_spark.sources.delta_native import read_delta_native
 
-    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_delta_upd")
+    tbl = _tmp_path("delta_upd", sf_dir)
     shutil.rmtree(tbl, ignore_errors=True)
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     write_delta_native(spark, orders, {"path": tbl})
@@ -3162,7 +3179,7 @@ def q_iceberg_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pipeline_spark.sources.iceberg_native import read_iceberg_native
 
-    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_ice_del")
+    tbl = _tmp_path("ice_del", sf_dir)
     shutil.rmtree(tbl, ignore_errors=True)
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     write_iceberg_native(orders, {"path": tbl, "mode": "create"})
@@ -3193,7 +3210,7 @@ def q_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_delta_rt")
+    tbl = _tmp_path("delta_rt", sf_dir)
     shutil.rmtree(tbl, ignore_errors=True)
     run_pipeline(spark, parse_config(f"""
 sources:
@@ -3251,7 +3268,7 @@ def q_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_spark.sources.delta_native import read_delta_native, replay_log
     from pipeline_spark.sinks.delta_native import write_delta_native
 
-    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_delta_dv")
+    tbl = _tmp_path("delta_dv", sf_dir)
     shutil.rmtree(tbl, ignore_errors=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "lang", "n_chars"
@@ -3306,7 +3323,7 @@ def q_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pipeline_spark.sources.delta_native import read_delta_cdf
 
-    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_delta_cdf")
+    tbl = _tmp_path("delta_cdf", sf_dir)
     shutil.rmtree(tbl, ignore_errors=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "lang", "n_chars"
@@ -3353,7 +3370,7 @@ def q_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_spark.sinks.iceberg_native import write_iceberg_native
     from pipeline_spark.sources.iceberg_native import read_iceberg_native
 
-    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_ice_inc")
+    tbl = _tmp_path("ice_inc", sf_dir)
     shutil.rmtree(tbl, ignore_errors=True)
     sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
         "s_suppkey", "s_nationkey", "s_acctbal"
@@ -3400,7 +3417,7 @@ def q_iceberg_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_spark.sinks.iceberg_native import write_iceberg_native
     from pipeline_spark.sources.iceberg_native import read_iceberg_native
 
-    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_ice_rest")
+    tbl = _tmp_path("ice_rest", sf_dir)
     shutil.rmtree(tbl, ignore_errors=True)
     sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
         "s_suppkey", "s_nationkey", "s_acctbal"
@@ -3697,7 +3714,7 @@ def q_storage_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    out = os.path.join(tempfile.gettempdir(), "pipeline_spark_avro_rt")
+    out = _tmp_path("avro_rt", sf_dir)
     run_pipeline(spark, parse_config(f"""
 sources:
   - name: customer
@@ -3799,7 +3816,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    out = os.path.join(tempfile.gettempdir(), "pipeline_spark_orc_rt")
+    out = _tmp_path("orc_rt", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     run_pipeline(spark, parse_config(f"""
 sources:
@@ -3847,7 +3864,7 @@ def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_iceberg_rt")
+    tbl = _tmp_path("iceberg_rt", sf_dir)
     shutil.rmtree(tbl, ignore_errors=True)
     run_pipeline(spark, parse_config(f"""
 sources:
@@ -3896,7 +3913,7 @@ def q_iceberg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_iceberg_part")
+    tbl = _tmp_path("iceberg_part", sf_dir)
     shutil.rmtree(tbl, ignore_errors=True)
     run_pipeline(spark, parse_config(f"""
 sources:
@@ -3969,7 +3986,7 @@ def q_iceberg_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_iceberg_native,
     )
 
-    tbl = os.path.join(tempfile.gettempdir(), "pipeline_spark_iceberg_mor")
+    tbl = _tmp_path("iceberg_mor", sf_dir)
     shutil.rmtree(tbl, ignore_errors=True)
     nation = (
         spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -4029,7 +4046,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), "pipeline_spark_bucketed")
+    base = _tmp_path("bucketed", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
@@ -4119,7 +4136,7 @@ def q_deserialize_proto(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    desc_path = os.path.join(tempfile.gettempdir(), "pipeline_spark_order_fds.bin")
+    desc_path = _tmp_path("order_fds.bin", sf_dir)
     with open(desc_path, "wb") as fh:
         fh.write(_order_descriptor_set())
 

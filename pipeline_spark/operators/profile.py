@@ -37,6 +37,7 @@ def profile(
     approx_distinct: bool = False,
     percentiles: list[float] | None = None,
     decimal_stats: bool = False,
+    integer_stats: bool = False,
 ) -> DataFrame:
     """(column, dtype, n_rows, n_nulls, n_distinct, min_value, max_value,
     mean[, pNN...]) — min/max compare on the NATIVE type and cast the
@@ -50,7 +51,16 @@ def profile(
     decimal(38,0) sum (``F.avg`` over integers sums in double, so the
     6th decimal of the mean can flip with partition order at scale)
     followed by one double division, and mean/percentiles emit as
-    DECIMAL(38,6) so rendering is fixed-width on every engine."""
+    DECIMAL(38,6) so rendering is fixed-width on every engine.
+
+    ``integer_stats=True`` goes further: the float statistics emit as
+    scaled BIGINT micro-units (``mean_micros = round(mean * 1e6)``,
+    same for each percentile) — integers admit exactly one
+    representation on every engine, ending any decimal/float rendering
+    divergence entirely.  Uses the same exact-decimal-sum pathway for
+    integral means."""
+    if decimal_stats and integer_stats:
+        raise ValueError("profile: decimalStats and integerStats are exclusive")
     cols = columns or df.columns
     missing = [c for c in cols if c not in df.columns]
     if missing:
@@ -58,9 +68,16 @@ def profile(
     for p in percentiles or []:
         if not (0.0 <= p <= 1.0):
             raise ValueError(f"profile: percentile {p} outside [0, 1]")
-    stat_type = "decimal(38,6)" if decimal_stats else "double"
+    stat_type = (
+        "bigint" if integer_stats
+        else "decimal(38,6)" if decimal_stats
+        else "double"
+    )
+    suffix = "_micros" if integer_stats else ""
 
     def _stat(col_expr):
+        if integer_stats:
+            return F.round(col_expr * F.lit(1e6), 0).cast("long")
         rounded = F.round(col_expr, 6)
         return rounded.cast(stat_type) if decimal_stats else rounded
 
@@ -74,7 +91,7 @@ def profile(
         )
         if not numeric:
             mean = F.lit(None).cast(stat_type)
-        elif integral and decimal_stats:
+        elif integral and (decimal_stats or integer_stats):
             # exact decimal sum, ONE double division: partition-order-proof
             mean = _stat(
                 F.sum(F.col(c).cast("decimal(38,0)")).cast("double")
@@ -90,7 +107,7 @@ def profile(
             distinct.alias("n_distinct"),
             F.min(F.col(c)).cast("string").alias("min_value"),
             F.max(F.col(c)).cast("string").alias("max_value"),
-            mean.alias("mean"),
+            mean.alias(f"mean{suffix}"),
         ]
         for p in percentiles or []:
             fields.append(
@@ -98,7 +115,7 @@ def profile(
                     _stat(F.percentile(F.col(c), F.lit(p)))
                     if numeric
                     else F.lit(None).cast(stat_type)
-                ).alias(_pname(p))
+                ).alias(_pname(p) + suffix)
             )
         structs.append(F.struct(*fields))
     one_row = df.agg(F.array(*structs).alias("p"))
@@ -115,5 +132,6 @@ def profile_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             approx_distinct=bool(p.get("approxDistinct", False)),
             percentiles=[float(x) for x in p.get("percentiles", [])] or None,
             decimal_stats=bool(p.get("decimalStats", False)),
+            integer_stats=bool(p.get("integerStats", False)),
         )
     }

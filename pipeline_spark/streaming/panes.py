@@ -23,12 +23,12 @@ a silent fallback never double-ledgers:
   * aggregations: count / sum / min / max / avg over a plain field
     (conditions, weights and expressions need the full compiler — use
     the driver backend);
-  * windows: fixed, sliding, global, calendar (day/week/month/year,
-    truncated in the session timezone like the batch path's date_trunc;
-    emitted as the batch shape's plain truncated timestamp).  Session
-    windows merge state — their pane identity is not stable under
-    applyInPandasWithState's fixed grouping — and stay on the driver
-    backend;
+  * windows: fixed, sliding, global, session, calendar
+    (day/week/month/year, truncated in the session timezone like the
+    batch path's date_trunc; emitted as the batch shape's plain
+    truncated timestamp).  Session windows merge keyed state in place
+    (``_WinState.merge_from``): overlapping windows combine
+    accumulators and ledger state before trigger evaluation;
   * triggers: afterProcessingTime / afterPane leaves, afterFirst /
     afterAll / afterEach composites, finalTrigger (lateFiringTrigger is
     rejected: post-watermark rows never reach this operator, so LATE
@@ -53,6 +53,11 @@ if a later event advances the watermark past them — the driver ledger's
 drain-time flush_pending has no keyed-state equivalent.  Streaming-test
 inputs push the watermark past every window with a far-future sentinel
 event, the same pattern Spark's own streaming tests use.
+
+State-format note: keyed state blobs are pickled ``_WinState`` objects —
+fine for same-version checkpoint resume, but NOT portable across
+pipeline_spark versions (a field added to ``_WinState`` invalidates old
+checkpoints).  Bump a checkpoint directory when upgrading.
 
 Reference: module/Strategy.java:232-343 (trigger surface); the driver
 twin is streaming/triggers.py.
