@@ -3356,6 +3356,54 @@ FROM documents WHERE doc_id < 50
 """
 
 
+def q_delta_cm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapped Delta write path (r6): table created with
+    ``delta.columnMapping.mode=name`` — data files carry physical
+    col-<uuid> column names and physical partitionValues — then a
+    merge-on-read deletion-vector DELETE on a LOGICAL key, and a native
+    read that restores logical names.  The oracle recomputes the
+    surviving aggregate from the source parquet."""
+    import shutil
+
+    from pipeline_spark.sinks.delta_native import (
+        delete_delta_native,
+        write_delta_native,
+    )
+    from pipeline_spark.sources.delta_native import read_delta_native
+
+    tbl = _tmp_path("delta_cm", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_delta_native(
+        spark, docs.repartition(2),
+        {"path": tbl, "partitionBy": ["lang"],
+         "properties": {"delta.columnMapping.mode": "name"}},
+    )
+    delete_delta_native(
+        spark,
+        {"path": tbl, "method": "mor",
+         "where": [{"key": "doc_id", "op": "<", "value": 100}]},
+    )
+    back = read_delta_native(spark, {"path": tbl})
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_DELTA_CM_SQL = """
+SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+FROM documents WHERE doc_id >= 100
+GROUP BY lang ORDER BY lang
+"""
+
+
 def q_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental append-scan: supplier committed in two snapshots,
     fromSnapshotId resolves ONLY the second commit's files — the
@@ -4240,6 +4288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dv_read": q_delta_dv_read,
         "iceberg_rest": q_iceberg_rest,
         "delta_cdf": q_delta_cdf,
+        "delta_cm_roundtrip": q_delta_cm_roundtrip,
         "iceberg_incremental": q_iceberg_incremental,
         # --- long-green (r4 driver rows; pytest + local-harness guarded)
         "q1_pricing_summary": q1_pricing_summary,
@@ -4352,6 +4401,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_dv_read": Q_DELTA_DV_SQL,
         "iceberg_rest": Q_ICEBERG_REST_SQL,
         "delta_cdf": Q_DELTA_CDF_SQL,
+        "delta_cm_roundtrip": Q_DELTA_CM_SQL,
         "iceberg_incremental": Q_ICEBERG_INC_SQL,
         "asof_join": Q_ASOF_SQL,
         "sessionize": Q_SESSIONIZE_SQL,

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "delta_dv_read",
     "iceberg_rest",
     "delta_cdf",
+    "delta_cm_roundtrip",
     "iceberg_incremental",
 ]
 

@@ -147,9 +147,73 @@ def _merge_schemas(prev_json: str, new_json: str) -> str:
     return json.dumps({**prev, "fields": out})
 
 
+def _type_no_md(node):
+    """A type JSON with all field metadata stripped recursively — column
+    mapping annotates nested fields, which must not fail the
+    name+type-only fingerprint comparison."""
+    if not isinstance(node, dict):
+        return node
+    out = dict(node)
+    t = node.get("type")
+    if t == "struct":
+        out["fields"] = [
+            {
+                "name": f["name"],
+                "type": _type_no_md(f["type"]),
+                "nullable": f.get("nullable", True),
+            }
+            for f in node["fields"]
+        ]
+    elif t == "array":
+        out["elementType"] = _type_no_md(node["elementType"])
+    elif t == "map":
+        out["keyType"] = _type_no_md(node["keyType"])
+        out["valueType"] = _type_no_md(node["valueType"])
+    return out
+
+
 def _schema_fingerprint(schema_json: str) -> list[tuple[str, str]]:
     fields = json.loads(schema_json).get("fields", [])
-    return sorted((f["name"], json.dumps(f["type"], sort_keys=True)) for f in fields)
+    return sorted(
+        (f["name"], json.dumps(_type_no_md(f["type"]), sort_keys=True))
+        for f in fields
+    )
+
+
+def _assign_physical(schema_json: str, start_id: int) -> tuple[str, int]:
+    """Assign ``delta.columnMapping.{id,physicalName}`` metadata to every
+    field that lacks them (recursively — nested struct/array/map fields
+    get their own ids, like delta-spark's mapping assignment).  Returns
+    (annotated schema JSON, highest id used) so the caller can record
+    ``delta.columnMapping.maxColumnId``."""
+    next_id = start_id
+
+    def walk_type(t):
+        if not isinstance(t, dict):
+            return t
+        out = dict(t)
+        k = t.get("type")
+        if k == "struct":
+            out["fields"] = [walk_field(f) for f in t["fields"]]
+        elif k == "array":
+            out["elementType"] = walk_type(t["elementType"])
+        elif k == "map":
+            out["keyType"] = walk_type(t["keyType"])
+            out["valueType"] = walk_type(t["valueType"])
+        return out
+
+    def walk_field(f):
+        nonlocal next_id
+        md = dict(f.get("metadata") or {})
+        if "delta.columnMapping.physicalName" not in md:
+            next_id += 1
+            md["delta.columnMapping.id"] = next_id
+            md["delta.columnMapping.physicalName"] = f"col-{uuid.uuid4()}"
+        return {**f, "metadata": md, "type": walk_type(f["type"])}
+
+    sj = json.loads(schema_json)
+    sj["fields"] = [walk_field(f) for f in sj.get("fields", [])]
+    return json.dumps(sj), next_id
 
 
 def write_delta_native(
@@ -173,8 +237,20 @@ def write_delta_native(
     prev_version = latest_version(log_dir) if os.path.isdir(log_dir) else None
     exists = prev_version is not None
 
+    from pipeline_spark.sources.delta_native import (
+        _column_mapping,
+        to_physical_df,
+    )
+
     prev_adds: list[dict] = []
     evolved_schema: str | None = None
+    evolved_conf: dict | None = None
+    cm: dict | None = None
+    props = {
+        str(k): str(v).lower() if isinstance(v, bool) else str(v)
+        for k, v in (p.get("properties") or {}).items()
+    }
+    create_schema_json = df.schema.json()
     if exists:
         prev_adds, prev_meta, _proto, _v, prev_txns = replay_state(table)
         # idempotence FIRST: a replayed streaming micro-batch must no-op
@@ -183,7 +259,6 @@ def write_delta_native(
             return  # this transaction already committed — replayed batch
         if mode in ("errorifexists", "create"):
             raise FileExistsError(f"delta sink: table already exists at {table}")
-        _refuse_column_mapping(prev_meta, "append/overwrite")
         # schema/partitioning drift fails BEFORE data is staged —
         # unless mergeSchema evolves the table (delta-spark's option):
         # the union schema commits a new metaData action, and readers
@@ -207,13 +282,48 @@ def write_delta_native(
                 f"delta sink: partitionBy {part_cols} != table partitioning "
                 f"{prev_meta.get('partitionColumns')}"
             )
+        prev_conf = prev_meta.get("configuration") or {}
+        if prev_conf.get("delta.columnMapping.mode") not in (None, "", "none"):
+            # column-mapped table: data files write under PHYSICAL names;
+            # new mergeSchema columns get fresh physical names + ids
+            if evolved_schema is not None:
+                evolved_schema, max_id = _assign_physical(
+                    evolved_schema,
+                    int(prev_conf.get("delta.columnMapping.maxColumnId", 0)),
+                )
+                evolved_conf = {
+                    **prev_conf,
+                    "delta.columnMapping.maxColumnId": str(max_id),
+                }
+            cm = _column_mapping({
+                **prev_meta,
+                "schemaString": evolved_schema or prev_meta["schemaString"],
+            })
+    else:
+        cm_mode = props.get("delta.columnMapping.mode")
+        if cm_mode not in (None, "", "none"):
+            if cm_mode not in ("name", "id"):
+                raise ValueError(
+                    f"delta sink: unknown columnMapping.mode '{cm_mode}' "
+                    "(name/id)"
+                )
+            create_schema_json, max_id = _assign_physical(
+                df.schema.json(), 0
+            )
+            props["delta.columnMapping.maxColumnId"] = str(max_id)
+            cm = _column_mapping({
+                "configuration": props, "schemaString": create_schema_json,
+            })
 
+    phys_part_cols = (
+        [cm["phys_of"].get(c, c) for c in part_cols] if cm else part_cols
+    )
     commit_id = uuid.uuid4().hex
     data_dir = f"data-{commit_id}"
     staging = os.path.join(table, data_dir)
-    writer = df.write.mode("errorifexists")
+    writer = to_physical_df(df, cm).write.mode("errorifexists")
     if part_cols:
-        writer = writer.partitionBy(*part_cols)
+        writer = writer.partitionBy(*phys_part_cols)
     writer.parquet(staging)
 
     adds = []
@@ -259,16 +369,19 @@ def write_delta_native(
 
     actions: list[dict] = []
     if not exists:
-        props = {
-            str(k): str(v).lower() if isinstance(v, bool) else str(v)
-            for k, v in (p.get("properties") or {}).items()
-        }
-        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        # column mapping needs reader 2 / writer 5 (PROTOCOL.md)
+        proto_rw = (2, 5) if cm else (1, 2)
+        actions.append({
+            "protocol": {
+                "minReaderVersion": proto_rw[0],
+                "minWriterVersion": proto_rw[1],
+            }
+        })
         actions.append({
             "metaData": {
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": df.schema.json(),
+                "schemaString": create_schema_json,
                 "partitionColumns": part_cols,
                 "configuration": props,
                 "createdTime": now_ms,
@@ -276,10 +389,12 @@ def write_delta_native(
         })
     if evolved_schema is not None:
         # schema evolution: re-commit the metaData action with the union
-        # schema; everything else (id, partitioning, configuration) stays
-        actions.append({
-            "metaData": {**prev_meta, "schemaString": evolved_schema}
-        })
+        # schema; everything else (id, partitioning) stays — except the
+        # bumped maxColumnId on column-mapped tables
+        evolved_md = {**prev_meta, "schemaString": evolved_schema}
+        if evolved_conf is not None:
+            evolved_md["configuration"] = evolved_conf
+        actions.append({"metaData": evolved_md})
     if mode == "overwrite" and exists:
         for a in prev_adds:
             actions.append({
@@ -359,9 +474,15 @@ def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
         raise ValueError("delta compact: 'path' is required")
     target = int(p.get("targetFileBytes", 128 * 1024 * 1024))
     min_group = max(2, int(p.get("minFilesPerGroup", 2)))
+    from pipeline_spark.sources.delta_native import _column_mapping
+
     prev_adds, meta, _proto, prev_version, _txns = replay_state(table)
-    _refuse_column_mapping(meta, "compact")
+    cm = _column_mapping(meta)
     part_cols = list(meta.get("partitionColumns") or [])
+    if cm:
+        # compaction is physical-to-physical: data files read AND rewrite
+        # under physical names, so the logical mapping never enters
+        part_cols = [cm["phys_of"].get(c, c) for c in part_cols]
 
     groups: dict[tuple, list[dict]] = {}
     for a in prev_adds:
@@ -386,8 +507,13 @@ def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
         return {"compacted_files": 0, "new_files": 0}
 
     # data files contain only non-partition columns (hive layout strips
-    # them); rewrite with that exact schema so old and new files agree
-    full = StructType.fromJson(json.loads(meta["schemaString"]))
+    # them); rewrite with that exact (PHYSICAL, on mapped tables) schema
+    # so old and new files agree
+    full = (
+        cm["phys_schema"]
+        if cm
+        else StructType.fromJson(json.loads(meta["schemaString"]))
+    )
     fschema = StructType([f for f in full.fields if f.name not in part_cols])
 
     commit_id = uuid.uuid4().hex
@@ -473,19 +599,6 @@ def delete_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     return _cow_rewrite_where(spark, p, set_exprs=None)
 
 
-def _refuse_column_mapping(meta: dict, op: str) -> None:
-    """Sink mutation paths build schemas from LOGICAL names; on a
-    column-mapped table (physical col-<uuid> names in the files) that
-    reads all-null and a rewrite would destroy the data — refuse."""
-    conf = meta.get("configuration") or {}
-    if conf.get("delta.columnMapping.mode") not in (None, "", "none"):
-        raise NotImplementedError(
-            f"delta {op}: column-mapped tables are read-native but not "
-            "writable by this sink yet (schemas resolve by physical name) "
-            "— use the delta runtime for writes"
-        )
-
-
 def _commit_actions(
     table: str, version: int, actions: list[dict],
     checkpoint_interval: int = 0,
@@ -548,8 +661,12 @@ def _dv_mutate_where(
     from pyspark.sql.types import StructType
 
     from pipeline_spark.sources.delta_native import (
+        _column_mapping,
         _stats_may_match,
         data_filter_condition,
+        stats_to_logical,
+        to_logical_df,
+        to_physical_df,
     )
 
     op_name = "update" if set_exprs else "delete"
@@ -562,15 +679,27 @@ def _dv_mutate_where(
     if isinstance(where, dict):
         where = [where]
     prev_adds, meta, proto, prev_version, _txns = replay_state(table)
-    conf = meta.get("configuration") or {}
-    if conf.get("delta.columnMapping.mode") not in (None, "", "none"):
-        raise NotImplementedError(
-            f"delta {op_name} (mor): column-mapped tables not supported by "
-            "the DV writer yet — use the copy-on-write path"
-        )
+    cm = _column_mapping(meta)
+    # where-predicates, set-expressions and cdc rows live in LOGICAL
+    # names; files, stats and partitionValues in PHYSICAL — translate at
+    # the boundaries.  Stats translate on COPIES: the DV path re-adds the
+    # original actions to the log, which must keep physical stats keys.
+    if cm:
+        check_adds = [dict(a) for a in prev_adds]
+        stats_to_logical(check_adds, cm)
+    else:
+        check_adds = prev_adds
+    log_of = {v: k for k, v in cm["phys_of"].items()} if cm else {}
     part_cols = list(meta.get("partitionColumns") or [])
+    phys_part_cols = (
+        [cm["phys_of"].get(c, c) for c in part_cols] if cm else part_cols
+    )
     full = StructType.fromJson(json.loads(meta["schemaString"]))
-    fschema = StructType([f for f in full.fields if f.name not in part_cols])
+    read_fields = cm["phys_schema"].fields if cm else full.fields
+    fschema = StructType(
+        [f for f in read_fields if f.name not in phys_part_cols]
+    )
+    log_fschema = [f for f in full.fields if f.name not in part_cols]
     types = {f.name: f.dataType for f in full.fields}
     cdf = _cdf_enabled(meta)
     cdc_actions: list[dict] = []
@@ -589,7 +718,11 @@ def _dv_mutate_where(
             )
 
     empty = {f"{op_name}d_rows": 0, "dv_files": 0}
-    candidates = [a for a in prev_adds if _stats_may_match(a, where, None)]
+    candidates = [
+        a
+        for a, ca in zip(prev_adds, check_adds)
+        if _stats_may_match(ca, where, None)
+    ]
     if not candidates:
         return empty
     by_path = {}
@@ -621,11 +754,13 @@ def _dv_mutate_where(
         from pipeline_spark.sources.delta_native import read_files_with_dv
 
         df = read_files_with_dv(spark, table, fschema, gadds, with_meta=True)
+        df = to_logical_df(df, cm, log_fschema, keep=("__dv_fp", "__dv_ri"))
         for c, v in dict(key).items():
+            lc = log_of.get(c, c)
             df = df.withColumn(
-                c,
-                F.lit(v).cast(types[c]) if v is not None
-                else F.lit(None).cast(types[c]),
+                lc,
+                F.lit(v).cast(types[lc]) if v is not None
+                else F.lit(None).cast(types[lc]),
             )
         matched_df = df.where(F.coalesce(cond, F.lit(False)))
         if cdf or set_exprs:
@@ -635,7 +770,7 @@ def _dv_mutate_where(
             matched_df = matched_df.persist()
             cached.append(matched_df)
         if cdf:
-            base_cols = [f.name for f in fschema.fields]
+            base_cols = [f.name for f in log_fschema]
             pre = matched_df.select(*base_cols)
             if set_exprs is None:
                 changes = pre.withColumn("_change_type", F.lit("delete"))
@@ -653,7 +788,10 @@ def _dv_mutate_where(
                     )
                 )
             cdc_actions.extend(
-                _stage_cdc(table, commit_id, i, changes, dict(key), now_ms)
+                _stage_cdc(
+                    table, commit_id, i, to_physical_df(changes, cm),
+                    dict(key), now_ms,
+                )
             )
         frames.append(
             matched_df.select(
@@ -667,7 +805,9 @@ def _dv_mutate_where(
             out_dir = os.path.join(
                 table, f"data-update-{commit_id}", f"grp-{i:05d}"
             )
-            upd.select(*[f.name for f in fschema.fields]).write.parquet(out_dir)
+            to_physical_df(
+                upd.select(*[f.name for f in log_fschema]), cm
+            ).write.parquet(out_dir)
             pv = dict(key)
             for root, _dirs, names in os.walk(out_dir):
                 for name in sorted(names):
@@ -758,11 +898,14 @@ def _dv_mutate_where(
                 a["stats"] = st
 
     actions = []
-    # protocol upgrade: DV tables need the reader/writer table feature
+    # protocol upgrade: DV tables need the reader/writer table feature;
+    # a column-mapped table upgrading to features-protocol must also
+    # LIST columnMapping or feature-aware readers would refuse it
+    need = {"deletionVectors"} | ({"columnMapping"} if cm else set())
     rfeats = set((proto or {}).get("readerFeatures") or [])
     wfeats = set((proto or {}).get("writerFeatures") or [])
-    if "deletionVectors" not in rfeats:
-        rfeats.add("deletionVectors")
+    if not need <= rfeats:
+        rfeats |= need
         actions.append({
             "protocol": {
                 "minReaderVersion": 3, "minWriterVersion": 7,
@@ -863,8 +1006,12 @@ def _cow_rewrite_where(
     from pyspark.sql.types import StructType
 
     from pipeline_spark.sources.delta_native import (
+        _column_mapping,
         _stats_may_match,
         data_filter_condition,
+        stats_to_logical,
+        to_logical_df,
+        to_physical_df,
     )
 
     op_name = "update" if set_exprs else "delete"
@@ -877,15 +1024,34 @@ def _cow_rewrite_where(
     if isinstance(where, dict):
         where = [where]
     prev_adds, meta, _proto, prev_version, _txns = replay_state(table)
-    _refuse_column_mapping(meta, op_name)
+    cm = _column_mapping(meta)
+    log_of = {v: k for k, v in cm["phys_of"].items()} if cm else {}
     part_cols = list(meta.get("partitionColumns") or [])
+    phys_part_cols = (
+        [cm["phys_of"].get(c, c) for c in part_cols] if cm else part_cols
+    )
     full = StructType.fromJson(json.loads(meta["schemaString"]))
-    fschema = StructType([f for f in full.fields if f.name not in part_cols])
+    read_fields = cm["phys_schema"].fields if cm else full.fields
+    fschema = StructType(
+        [f for f in read_fields if f.name not in phys_part_cols]
+    )
+    log_fschema = [f for f in full.fields if f.name not in part_cols]
     types = {f.name: f.dataType for f in full.fields}
     cdf = _cdf_enabled(meta)
     cdc_actions: list[dict] = []
 
-    candidates = [a for a in prev_adds if _stats_may_match(a, where, None)]
+    # stats translate on copies — where-keys are logical, log stats
+    # stay physical
+    if cm:
+        check_adds = [dict(a) for a in prev_adds]
+        stats_to_logical(check_adds, cm)
+    else:
+        check_adds = prev_adds
+    candidates = [
+        a
+        for a, ca in zip(prev_adds, check_adds)
+        if _stats_may_match(ca, where, None)
+    ]
     if not candidates:
         return {f"{op_name}d_rows": 0, "rewritten_files": 0}
 
@@ -907,11 +1073,13 @@ def _cow_rewrite_where(
         from pipeline_spark.sources.delta_native import read_files_with_dv
 
         df = read_files_with_dv(spark, table, fschema, files)
+        df = to_logical_df(df, cm, log_fschema)
         pv = dict(key)
         for c, v in pv.items():
+            lc = log_of.get(c, c)
             df = df.withColumn(
-                c,
-                F.lit(v).cast(types[c]) if v is not None else F.lit(None).cast(types[c]),
+                lc,
+                F.lit(v).cast(types[lc]) if v is not None else F.lit(None).cast(types[lc]),
             )
         n_match = df.where(cond).count()
         if n_match == 0:
@@ -919,7 +1087,7 @@ def _cow_rewrite_where(
         deleted += n_match
         matched = F.coalesce(cond, F.lit(False))
         if cdf:
-            base_cols = [f.name for f in fschema.fields]
+            base_cols = [f.name for f in log_fschema]
             pre = df.where(matched).select(*base_cols)
             if set_exprs is None:
                 changes = pre.withColumn("_change_type", F.lit("delete"))
@@ -935,7 +1103,10 @@ def _cow_rewrite_where(
                     )
                 )
             cdc_actions.extend(
-                _stage_cdc(table, commit_id, i, changes, dict(key), now_ms)
+                _stage_cdc(
+                    table, commit_id, i, to_physical_df(changes, cm),
+                    dict(key), now_ms,
+                )
             )
         if set_exprs is None:
             out = df.where(~matched)
@@ -958,7 +1129,7 @@ def _cow_rewrite_where(
                         F.col(c)
                     ),
                 )
-        keep = out.select(*[f.name for f in fschema.fields])
+        keep = to_physical_df(out.select(*[f.name for f in log_fschema]), cm)
         out_dir = os.path.join(table, data_dir, f"grp-{i:05d}")
         keep.write.parquet(out_dir)
         for root, _dirs, names in os.walk(out_dir):

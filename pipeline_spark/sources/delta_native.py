@@ -376,6 +376,87 @@ def _column_mapping(meta: dict) -> dict[str, Any] | None:
     }
 
 
+def stats_to_logical(adds: list[dict], cm: dict | None) -> None:
+    """Translate each add's stats keys from PHYSICAL to logical names in
+    place (metadata scale, driver-side) so stats-based file skipping
+    keeps working on logical filter keys."""
+    if not cm:
+        return
+    log_of = {v: k for k, v in cm["phys_of"].items()}
+    for a in adds:
+        if a.get("stats"):
+            try:
+                st = json.loads(a["stats"])
+                for sect in ("minValues", "maxValues", "nullCount"):
+                    if isinstance(st.get(sect), dict):
+                        st[sect] = {
+                            log_of.get(k, k): v for k, v in st[sect].items()
+                        }
+                a["stats"] = json.dumps(st)
+            except (ValueError, TypeError):
+                pass
+
+
+def _nullable_type(dt):
+    """A nullability-relaxed copy of a Spark type: struct casts refuse a
+    nullable→non-nullable field, and parquet round-trips erase the
+    original non-null markers anyway (Delta's own write behavior)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _nullable_type(f.dataType), True, f.metadata)
+            for f in dt.fields
+        ])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_nullable_type(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _nullable_type(dt.keyType), _nullable_type(dt.valueType), True
+        )
+    return dt
+
+
+def to_physical_df(df, cm: dict | None):
+    """Rename a logical-schema DataFrame to the physical names data files
+    are written under: one positional struct cast per column renames
+    every nesting level (the exact inverse of the reader's restore).
+    Columns with no mapping (e.g. ``_change_type``) pass through."""
+    if not cm:
+        return df
+    from pyspark.sql import functions as F
+
+    fields = {f.name: f for f in cm["phys_schema"].fields}
+    cols = []
+    for name in df.columns:
+        p = cm["phys_of"].get(name, name)
+        c = F.col(name)
+        if p in fields:
+            c = c.cast(_nullable_type(fields[p].dataType))
+        cols.append(c.alias(p))
+    return df.select(*cols)
+
+
+def to_logical_df(df, cm: dict | None, fields, keep: tuple = ()):
+    """Restore logical names on a physical-schema frame: one positional
+    struct cast per column renames every nesting level.  ``fields`` =
+    the logical StructFields to restore; ``keep`` = passthrough columns
+    (``__dv_fp``, ``_change_type``...) appended verbatim when present."""
+    from pyspark.sql import functions as F
+
+    if not cm:
+        sel = [F.col(f.name) for f in fields]
+    else:
+        sel = [
+            F.col(cm["phys_of"].get(f.name, f.name))
+            .cast(_nullable_type(f.dataType))
+            .alias(f.name)
+            for f in fields
+        ]
+    sel += [F.col(k) for k in keep if k in df.columns]
+    return df.select(*sel)
+
+
 def _is_hive_layout(adds: list[dict], part_cols: list[str]) -> bool:
     """True when every live file path embeds every partition column as a
     ``col=value`` directory segment — Spark's partition discovery can
@@ -538,15 +619,26 @@ def read_delta_cdf(spark, p: dict[str, Any]):
         )
     schema = _schema_from_meta(meta)
     part_cols = list(meta.get("partitionColumns") or [])
-    fschema = StructType([f for f in schema.fields if f.name not in part_cols])
+    cm = _column_mapping(meta)
+    # data/cdc files are written under PHYSICAL names on column-mapped
+    # tables: read under the physical schema, restore logical in attach()
+    phys_part_cols = (
+        [cm["phys_of"].get(c, c) for c in part_cols] if cm else part_cols
+    )
+    read_fields = cm["phys_schema"].fields if cm else schema.fields
+    fschema = StructType(
+        [f for f in read_fields if f.name not in phys_part_cols]
+    )
+    log_fschema = [f for f in schema.fields if f.name not in part_cols]
     types = {f.name: f.dataType for f in schema.fields}
     cdc_schema = StructType(
         [*fschema.fields]
     ).add("_change_type", "string")
 
     def attach(df, pv, ctype, version, ts_ms):
+        df = to_logical_df(df, cm, log_fschema, keep=("_change_type",))
         for c in part_cols:
-            v = (pv or {}).get(c)
+            v = (pv or {}).get(cm["phys_of"].get(c, c) if cm else c)
             df = df.withColumn(
                 c,
                 F.lit(v).cast(types[c]) if v is not None
@@ -795,24 +887,10 @@ def read_delta_native(spark, p: dict[str, Any]):
     schema = _schema_from_meta(meta)
     part_cols = list(meta.get("partitionColumns") or [])
     cm = _column_mapping(meta)
-    if cm:
-        # files, partitionValues keys and stats keys all use PHYSICAL
-        # names; translate stats back to logical once (metadata scale) so
-        # dataFilter skipping keeps working on logical columns
-        log_of = {v: k for k, v in cm["phys_of"].items()}
-        for a in adds:
-            if a.get("stats"):
-                try:
-                    st = json.loads(a["stats"])
-                    for sect in ("minValues", "maxValues", "nullCount"):
-                        if isinstance(st.get(sect), dict):
-                            st[sect] = {
-                                log_of.get(k, k): v
-                                for k, v in st[sect].items()
-                            }
-                    a["stats"] = json.dumps(st)
-                except (ValueError, TypeError):
-                    pass
+    # files, partitionValues keys and stats keys all use PHYSICAL names;
+    # translate stats back to logical once (metadata scale) so dataFilter
+    # skipping keeps working on logical columns
+    stats_to_logical(adds, cm)
     pfilter = p.get("partitionFilter")
     if pfilter:
         # LOG-level pruning: drop whole data files by their recorded
@@ -915,20 +993,9 @@ def read_delta_native(spark, p: dict[str, Any]):
         ).drop("__dv_fp", "__dv_ri")
 
     def done(out):
-        out = drop_deleted(out)
-        if cm:
-            # one positional struct cast per column restores the logical
-            # names at every nesting level — no per-field rewrites
-            out = out.select(
-                *[
-                    F.col(cm["phys_of"].get(f.name, f.name))
-                    .cast(f.dataType)
-                    .alias(f.name)
-                    for f in schema.fields
-                ]
-            )
-        else:
-            out = out.select(*[f.name for f in schema.fields])
+        # one positional struct cast per column restores the logical
+        # names at every nesting level — no per-field rewrites
+        out = to_logical_df(drop_deleted(out), cm, schema.fields)
         return _apply_data_filter(out, dfilter) if dfilter else out
 
     if not part_cols:

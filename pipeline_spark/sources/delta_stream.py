@@ -57,7 +57,10 @@ class DeltaNativeDataSource(DataSource):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, part_values: list, fields: list, dv_json=None):
+    def __init__(
+        self, path: str, part_values: list, fields: list, dv_json=None,
+        phys_map=None,
+    ):
         self.path = path
         #: [(column, raw string value or None), ...] for hive columns
         self.part_values = part_values
@@ -65,6 +68,69 @@ class _FilePartition(InputPartition):
         self.fields = fields
         #: deletionVector descriptor (JSON string) | None
         self.dv_json = dv_json
+        #: {logical: (physical, rename spec)} on column-mapped tables
+        self.phys_map = phys_map or {}
+
+
+def _rename_spec(node):
+    """From a Delta schema-JSON *type* node: a pickleable rename spec for
+    column-mapped values, or None when nothing below needs renaming.
+    Struct specs map PHYSICAL child name → (logical name, child spec)."""
+    if not isinstance(node, dict):
+        return None
+    t = node.get("type")
+    if t == "struct":
+        fields = {}
+        any_rename = False
+        for f in node["fields"]:
+            phys = (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            sub = _rename_spec(f["type"])
+            if phys != f["name"] or sub:
+                any_rename = True
+            fields[phys] = (f["name"], sub)
+        return ("struct", fields) if any_rename else None
+    if t == "array":
+        sub = _rename_spec(node["elementType"])
+        return ("array", sub) if sub else None
+    if t == "map":
+        sub = _rename_spec(node["valueType"])
+        return ("map", sub) if sub else None
+    return None
+
+
+def _apply_rename(value, spec):
+    """Rename a pyarrow-materialized value (dict/list) from physical to
+    logical field names per its _rename_spec."""
+    if value is None or spec is None:
+        return value
+    kind = spec[0]
+    if kind == "struct":
+        return {
+            logical: _apply_rename(value.get(phys), sub)
+            for phys, (logical, sub) in spec[1].items()
+        }
+    if kind == "array":
+        return [_apply_rename(v, spec[1]) for v in value]
+    return {k: _apply_rename(v, spec[1]) for k, v in value.items()}  # map
+
+
+def _field_phys_map(meta: dict) -> dict:
+    """{logical top-level name: (physical name, nested rename spec)} for a
+    column-mapped table's schema; empty when the table is unmapped."""
+    if (meta.get("configuration") or {}).get("delta.columnMapping.mode") in (
+        None, "", "none",
+    ):
+        return {}
+    sj = json.loads(meta["schemaString"])
+    out = {}
+    for f in sj.get("fields", []):
+        phys = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        out[f["name"]] = (phys, _rename_spec(f["type"]))
+    return out
 
 
 def _convert_part(value: str | None, type_name: str):
@@ -93,21 +159,13 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self.skip_change = str(options.get("skipchangecommits", "")).lower() == "true"
         self.ignore_deletes = str(options.get("ignoredeletes", "")).lower() == "true"
         self.schema_fields = [(f.name, f.dataType.typeName()) for f in schema.fields]
-        self.part_cols = self._part_cols()
-
-    def _part_cols(self) -> list[str]:
         from pipeline_spark.sources.delta_native import replay_log
 
         _adds, meta, _proto, _v = replay_log(self.table)
-        if (meta.get("configuration") or {}).get(
-            "delta.columnMapping.mode"
-        ) not in (None, "", "none"):
-            raise NotImplementedError(
-                "delta stream: column-mapped tables are batch-read-native "
-                "but the streaming reader does not resolve physical names "
-                "yet — reading them would yield all-null columns"
-            )
-        return list(meta.get("partitionColumns") or [])
+        # column-mapped tables: files + partitionValues use PHYSICAL
+        # names; the per-row reader renames through this spec
+        self.phys_map = _field_phys_map(meta)
+        self.part_cols = list(meta.get("partitionColumns") or [])
 
     def _latest(self) -> int:
         from pipeline_spark.sources.delta_native import _log_dir, latest_version
@@ -177,12 +235,17 @@ class _DeltaStreamReader(DataSourceStreamReader):
         out = []
         for a in adds:
             pv = a.get("partitionValues") or {}
+
+            def phys(c):
+                return self.phys_map.get(c, (c, None))[0]
+
             out.append(_FilePartition(
                 os.path.join(self.table, urllib.parse.unquote(a["path"])),
-                [(c, pv.get(c)) for c in self.part_cols],
+                [(c, pv.get(phys(c))) for c in self.part_cols],
                 self.schema_fields,
                 json.dumps(a["deletionVector"])
                 if a.get("deletionVector") else None,
+                self.phys_map,
             ))
         return out
 
@@ -206,15 +269,18 @@ class _DeltaStreamReader(DataSourceStreamReader):
                     self.table, json.loads(partition.dv_json)
                 )
             }
+        pm = partition.phys_map
         for idx, row in enumerate(tbl.to_pylist()):
             if idx in deleted:
                 continue
-            yield tuple(
-                row.get(name)
-                if name in cols
-                else _convert_part(part_map.get(name), types[name])
-                for name, _t in partition.fields
-            )
+            out = []
+            for name, _t in partition.fields:
+                phys, spec = pm.get(name, (name, None))
+                if phys in cols:
+                    out.append(_apply_rename(row.get(phys), spec))
+                else:
+                    out.append(_convert_part(part_map.get(name), types[name]))
+            yield tuple(out)
 
     def commit(self, end: dict) -> None:
         pass  # Spark's offset log is the source of truth
@@ -273,7 +339,8 @@ class DeltaCdfDataSource(DataSource):
 
 class _CdfFilePartition(InputPartition):
     def __init__(
-        self, path, kind, version, ts_ms, fields, part_values, dv_json
+        self, path, kind, version, ts_ms, fields, part_values, dv_json,
+        phys_map=None,
     ):
         self.path = path
         #: "cdc" (file carries _change_type) | "insert" | "delete"
@@ -283,6 +350,7 @@ class _CdfFilePartition(InputPartition):
         self.fields = fields          # [(name, typeName)] DATA columns only
         self.part_values = part_values  # [(col, raw string | None)]
         self.dv_json = dv_json        # deletionVector descriptor (JSON) | None
+        self.phys_map = phys_map or {}  # {logical: (physical, rename spec)}
 
 
 class _DeltaCdfStreamReader(DataSourceStreamReader):
@@ -309,13 +377,7 @@ class _DeltaCdfStreamReader(DataSourceStreamReader):
                 "delta cdf stream: table does not set "
                 "delta.enableChangeDataFeed=true"
             )
-        if (meta.get("configuration") or {}).get(
-            "delta.columnMapping.mode"
-        ) not in (None, "", "none"):
-            raise NotImplementedError(
-                "delta cdf stream: column-mapped tables are not supported "
-                "by the streaming reader (physical-name resolution)"
-            )
+        self.phys_map = _field_phys_map(meta)
         self.part_cols = list(meta.get("partitionColumns") or [])
 
     def _latest(self) -> int:
@@ -375,13 +437,18 @@ class _DeltaCdfStreamReader(DataSourceStreamReader):
 
             def mk(act, kind, dv=None):
                 pv = act.get("partitionValues") or {}
+
+                def phys(c):
+                    return self.phys_map.get(c, (c, None))[0]
+
                 return _CdfFilePartition(
                     os.path.join(
                         self.table, urllib.parse.unquote(act["path"])
                     ),
                     kind, v, ts_ms, self.data_fields,
-                    [(c, pv.get(c)) for c in self.part_cols],
+                    [(c, pv.get(phys(c))) for c in self.part_cols],
                     json.dumps(dv) if dv else None,
+                    self.phys_map,
                 )
 
             if cdc:
@@ -424,16 +491,19 @@ class _DeltaCdfStreamReader(DataSourceStreamReader):
         )
         rows = tbl.to_pylist()
         has_ct = "_change_type" in cols
+        pm = partition.phys_map
         for idx, row in enumerate(rows):
             if idx in deleted:
                 continue
             ctype = row.get("_change_type") if has_ct else partition.kind
-            yield tuple(
-                row.get(name)
-                if name in cols
-                else _convert_part(part_map.get(name), types[name])
-                for name, _t in partition.fields
-            ) + (ctype, partition.version, ts)
+            out = []
+            for name, _t in partition.fields:
+                phys, spec = pm.get(name, (name, None))
+                if phys in cols:
+                    out.append(_apply_rename(row.get(phys), spec))
+                else:
+                    out.append(_convert_part(part_map.get(name), types[name]))
+            yield tuple(out) + (ctype, partition.version, ts)
 
     def commit(self, end: dict) -> None:
         pass

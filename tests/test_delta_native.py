@@ -1756,9 +1756,10 @@ def test_create_mode_replayed_txn_is_noop(spark, tmp_path):
         )
 
 
-def test_mutations_refuse_column_mapped_tables(spark, tmp_path):
-    """Review fix: compact/COW-mutate/append on a column-mapped table
-    would read logical names as all-null and destroy it — refuse."""
+def test_mutations_on_column_mapped_tables(spark, tmp_path):
+    """r6 (VERDICT r5 ask #3): append / COW delete / compact on a
+    column-mapped table write PHYSICAL names into the data files and keep
+    the logical read intact — the r4-era refusal gates are gone."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1786,23 +1787,50 @@ def test_mutations_refuse_column_mapped_tables(spark, tmp_path):
                 "partitionColumns": [],
                 "configuration": {"delta.columnMapping.mode": "name"}}},
             {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
-                     "modificationTime": 0, "dataChange": True}},
+                     "modificationTime": 0, "dataChange": True,
+                     "stats": json.dumps({"numRecords": 2,
+                                          "minValues": {"col-x": 1},
+                                          "maxValues": {"col-x": 2},
+                                          "nullCount": {"col-x": 0}})}},
         ]:
             fh.write(json.dumps(a) + "\n")
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        compact_delta_native(spark, {"path": str(tbl)})
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        delete_delta_native(
-            spark, {"path": str(tbl),
-                    "where": [{"key": "id", "op": "=", "value": 1}]},
-        )
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        write_delta_native(
-            spark, spark.range(3).withColumnRenamed("id", "id"),
-            {"path": str(tbl), "mode": "append"},
-        )
-    # batch READ still works (read-native)
-    assert _ids(read_delta_native(spark, {"path": str(tbl)})) == [1, 2]
+
+    # append: new file must carry the PHYSICAL column name
+    write_delta_native(
+        spark, spark.range(3, 5).coalesce(1), {"path": str(tbl), "mode": "append"},
+    )
+    assert _ids(read_delta_native(spark, {"path": str(tbl)})) == [1, 2, 3, 4]
+    new_files = [
+        a["path"] for a in replay_log(str(tbl))[0] if a["path"] != "a.parquet"
+    ]
+    assert new_files
+    import urllib.parse as _up
+    for rel in new_files:
+        names = pq.ParquetFile(
+            os.path.join(str(tbl), _up.unquote(rel))
+        ).schema_arrow.names
+        assert names == ["col-x"], names
+    # stats recorded under PHYSICAL names, translated for logical skipping
+    new_add = [a for a in replay_log(str(tbl))[0] if a["path"] in new_files][0]
+    assert "col-x" in json.loads(new_add["stats"])["minValues"]
+    skip = read_delta_native(
+        spark, {"path": str(tbl),
+                "dataFilter": {"key": "id", "op": ">=", "value": 3}})
+    assert _ids(skip) == [3, 4]
+    assert len(skip.inputFiles()) == 1  # a.parquet pruned on logical key
+
+    # copy-on-write delete on a logical key
+    res = delete_delta_native(
+        spark, {"path": str(tbl),
+                "where": [{"key": "id", "op": "=", "value": 1}]},
+    )
+    assert res["deleted_rows"] == 1
+    assert _ids(read_delta_native(spark, {"path": str(tbl)})) == [2, 3, 4]
+
+    # compaction (physical-to-physical rewrite)
+    res = compact_delta_native(spark, {"path": str(tbl), "minFilesPerGroup": 2})
+    assert res["compacted_files"] >= 2
+    assert _ids(read_delta_native(spark, {"path": str(tbl)})) == [2, 3, 4]
 
 
 def test_cdf_stream_timestamps_match_batch_under_nonutc_tz(spark, tmp_path):
@@ -1882,3 +1910,183 @@ def test_merge_schema_append_evolves_table(spark, tmp_path):
         write_delta_native(
             spark, retyped, {"path": tbl, "mode": "append", "mergeSchema": True}
         )
+
+
+# ----------------------------------------------------- column-mapping writes
+
+
+def _cm_meta(tbl):
+    return replay_log(str(tbl))[1]
+
+
+def test_column_mapping_create_partitioned_nested_roundtrip(spark, tmp_path):
+    """r6 (VERDICT r5 ask #3): creating a table with
+    ``delta.columnMapping.mode=name`` assigns col-<uuid> physical names +
+    field ids (recursively, nested struct included), records
+    maxColumnId, writes reader-2/writer-5 protocol, and round-trips
+    through the native reader — partition pruning on logical keys."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "cm_create")
+    df = spark.range(0, 8).withColumn(
+        "grp", F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+    ).withColumn("payload", F.struct(F.col("id").cast("string").alias("tag")))
+    write_delta_native(
+        spark, df,
+        {"path": tbl, "partitionBy": ["grp"],
+         "properties": {"delta.columnMapping.mode": "name"}},
+    )
+    _adds, meta, proto, _v = replay_log(tbl)
+    assert proto["minReaderVersion"] == 2 and proto["minWriterVersion"] == 5
+    conf = meta["configuration"]
+    assert conf["delta.columnMapping.mode"] == "name"
+    assert int(conf["delta.columnMapping.maxColumnId"]) == 4  # id,grp,payload,tag
+    fields = json.loads(meta["schemaString"])["fields"]
+    phys = {
+        f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+        for f in fields
+    }
+    assert all(v.startswith("col-") for v in phys.values())
+    nested = [f for f in fields if f["name"] == "payload"][0]
+    ntag = nested["type"]["fields"][0]
+    assert ntag["metadata"]["delta.columnMapping.physicalName"].startswith("col-")
+    # partitionValues keys in the log are PHYSICAL
+    for a in _adds:
+        assert set(a["partitionValues"]) == {phys["grp"]}
+    back = read_delta_native(spark, {"path": tbl})
+    rows = sorted((r["id"], r["grp"], r["payload"]["tag"]) for r in back.collect())
+    assert rows == [
+        (i, "even" if i % 2 == 0 else "odd", str(i)) for i in range(8)
+    ]
+    pruned = read_delta_native(
+        spark, {"path": tbl, "partitionFilter": {"grp": "odd"}})
+    assert sorted(r["id"] for r in pruned.collect()) == [1, 3, 5, 7]
+
+
+def test_column_mapping_merge_schema_assigns_new_physical(spark, tmp_path):
+    """mergeSchema on a column-mapped table: the new column gets a fresh
+    physical name + id and maxColumnId bumps; old files null-pad."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "cm_evolve")
+    write_delta_native(
+        spark, spark.range(0, 3),
+        {"path": tbl, "properties": {"delta.columnMapping.mode": "name"}},
+    )
+    old_max = int(_cm_meta(tbl)["configuration"]["delta.columnMapping.maxColumnId"])
+    evolved = spark.range(3, 5).withColumn("tag", F.lit("x"))
+    write_delta_native(
+        spark, evolved, {"path": tbl, "mode": "append", "mergeSchema": True},
+    )
+    meta = _cm_meta(tbl)
+    assert int(meta["configuration"]["delta.columnMapping.maxColumnId"]) == old_max + 1
+    tag = [
+        f for f in json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "tag"
+    ][0]
+    assert tag["metadata"]["delta.columnMapping.physicalName"].startswith("col-")
+    back = read_delta_native(spark, {"path": tbl})
+    rows = sorted((r["id"], r["tag"]) for r in back.collect())
+    assert rows == [(0, None), (1, None), (2, None), (3, "x"), (4, "x")]
+
+
+def test_column_mapping_dv_delete_update_and_cdf(spark, tmp_path):
+    """MOR deletion-vector DELETE and UPDATE on a column-mapped table:
+    data files keep their bytes, cdc files carry PHYSICAL names, and the
+    batch CDF reader restores logical names."""
+    from pipeline_spark.sinks.delta_native import (
+        delete_delta_native,
+        update_delta_native,
+    )
+    from pipeline_spark.sources.delta_native import read_delta_cdf
+
+    tbl = str(tmp_path / "cm_dv")
+    write_delta_native(
+        spark, spark.range(0, 20).coalesce(1),
+        {"path": tbl,
+         "properties": {"delta.columnMapping.mode": "name",
+                        "delta.enableChangeDataFeed": True}},
+    )
+    res = delete_delta_native(
+        spark, {"path": tbl, "method": "mor",
+                "where": [{"key": "id", "op": "<", "value": 3}]},
+    )
+    assert res["deleted_rows"] == 3 and res["dv_files"] == 1
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(3, 20))
+    proto = replay_log(tbl)[2]
+    assert set(proto["readerFeatures"]) >= {"deletionVectors", "columnMapping"}
+    res = update_delta_native(
+        spark, {"path": tbl, "method": "mor",
+                "where": [{"key": "id", "op": ">=", "value": 18}],
+                "set": {"id": "id + 100"}},
+    )
+    assert res["updated_rows"] == 2
+    assert _ids(read_delta_native(spark, {"path": tbl})) == (
+        list(range(3, 18)) + [118, 119]
+    )
+    # cdc files on disk use PHYSICAL names
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    cdc_files = _glob.glob(os.path.join(tbl, "_change_data", "**", "*.parquet"),
+                           recursive=True)
+    assert cdc_files
+    for f in cdc_files:
+        names = _pq.ParquetFile(f).schema_arrow.names
+        assert "_change_type" in names
+        assert all(n.startswith("col-") or n == "_change_type" for n in names), names
+    # batch CDF restores logical names
+    changes = read_delta_cdf(spark, {"path": tbl, "startingVersion": 1})
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in changes.collect()
+    )
+    assert got == [
+        (1, "delete", 0), (1, "delete", 1), (1, "delete", 2),
+        (2, "update_postimage", 118), (2, "update_postimage", 119),
+        (2, "update_preimage", 18), (2, "update_preimage", 19),
+    ]
+
+
+def test_column_mapping_stream_and_cdf_stream(spark, tmp_path):
+    """Streaming + CDF-streaming reads of a column-mapped table resolve
+    physical names (nested struct included) — VERDICT r5 ask #3's last
+    asymmetry."""
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sources.delta_stream import read_delta_cdf_stream_native
+
+    tbl = str(tmp_path / "cm_stream")
+    df = spark.range(0, 4).withColumn(
+        "grp", F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+    ).withColumn("payload", F.struct(F.col("id").cast("string").alias("tag")))
+    write_delta_native(
+        spark, df,
+        {"path": tbl, "partitionBy": ["grp"],
+         "properties": {"delta.columnMapping.mode": "name",
+                        "delta.enableChangeDataFeed": True}},
+    )
+    got = _drain_stream(spark, tbl, str(tmp_path / "out"), str(tmp_path / "cp"))
+    rows = sorted((r["id"], r["grp"], r["payload"]["tag"]) for r in got.collect())
+    assert rows == [
+        (i, "even" if i % 2 == 0 else "odd", str(i)) for i in range(4)
+    ]
+    # CDF stream from the beginning: 4 inserts
+    sdf = read_delta_cdf_stream_native(
+        spark, {"path": tbl, "startingVersion": 0})
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", str(tmp_path / "cdf_out"))
+        .option("checkpointLocation", str(tmp_path / "cdf_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "cdf_out"))
+    rows = sorted(
+        (r["id"], r["grp"], r["payload"]["tag"], r["_change_type"])
+        for r in got.collect()
+    )
+    assert rows == [
+        (i, "even" if i % 2 == 0 else "odd", str(i), "insert") for i in range(4)
+    ]
