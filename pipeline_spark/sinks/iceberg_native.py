@@ -360,11 +360,6 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
     mode = str(p.get("mode", "append")).lower()
     if mode not in ("append", "overwrite", "replace", "create", "merge"):
         raise ValueError(f"iceberg native writer: unsupported mode '{mode}'")
-    if mode == "merge" and rest is not None:
-        raise NotImplementedError(
-            "iceberg rest write: merge needs a delete-aware catalog read "
-            "of the existing table — append/overwrite/create only"
-        )
     if mode == "merge":
         # copy-on-write MERGE (UnifiedMutation semantics, §2.10): the new
         # snapshot = existing rows whose keys are untouched + incoming
@@ -388,10 +383,26 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         else:
             upserts = df
             touched = df.select(*keys).distinct()
+        if rest is not None:
+            # REST merge: plan the existing rows through the catalog's
+            # delete-aware metadata (r5's read path), commit below via
+            # the same optimistic CommitTableRequest as overwrite
+            read_params = {
+                "catalog": p["catalog"],
+                "table": p.get("table") or p.get("tableName"),
+                "_opener": p.get("_opener"),
+            }
+            table_missing = rest["prev_meta"] is None
+        else:
+            read_params = {"path": table_path}
+            table_missing = False
         try:
             # delete-aware read: merging over a merge-on-read table must
             # not resurrect rows its delete files already removed
-            existing = read_iceberg_native(spark, {"path": table_path})
+            existing = (
+                None if table_missing
+                else read_iceberg_native(spark, read_params)
+            )
         except FileNotFoundError:
             existing = None  # no table yet: merge degenerates to create
         except ValueError as exc:
@@ -799,31 +810,59 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     The new manifest list = one consolidated EXISTING-status manifest for
     surviving files (each keeping its ORIGINAL sequence number) plus one
     ADDED manifest for the rewrites — the same shape Iceberg's own
-    rewrite action produces.  Tables carrying row-level delete files are
-    refused: merging files with different sequence numbers into one entry
-    would break delete applicability (seq ordering) and resurrect rows.
+    rewrite action produces.
+
+    Row-level delete files (merge-on-read) are MATERIALIZED (r6, VERDICT
+    r5 ask #5): every data file a delete can apply to — position deletes
+    by the file paths they name, equality deletes by the strict
+    seq-below-delete rule — is forced into the rewrite regardless of
+    size, its deleted rows subtracted via the reader's own
+    ``_apply_row_deletes`` during the bin read.  Surviving files all sit
+    at or above every delete's sequence number and rewrites get a new
+    one, so NO delete can apply post-compaction: the new snapshot drops
+    every delete manifest (Iceberg's own rewrite+remove-dangling-deletes
+    contract) and deleted rows stay deleted.
     """
     from pipeline_spark.functions.avroocf import (
         read_ocf_file,
         read_ocf_file_with_meta,
     )
-    from pipeline_spark.sources.iceberg_native import plan_files
+    from pipeline_spark.sources.iceberg_native import (
+        _apply_row_deletes,
+        plan_files,
+    )
 
     table_path = re.sub(r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table")))
     target = int(p.get("targetFileBytes", 128 * 1024 * 1024))
     min_group = max(2, int(p.get("minFilesPerGroup", 2)))
     data, deletes, prev_meta = plan_files(table_path)
-    if deletes:
-        raise NotImplementedError(
-            "iceberg compact: table has row-level delete files — compacting "
-            "would collapse sequence numbers and resurrect deleted rows; "
-            "rewrite through the runtime jar or compact before deleting"
-        )
     if any(d.get("renames") or d.get("absent") or d.get("dropped") for d in data):
         raise NotImplementedError(
             "iceberg compact: live files span schema evolution — read and "
             "rewrite the table instead"
         )
+
+    def _norm(path: str) -> str:
+        return re.sub(r"^file:/{0,2}(/)", r"\1", str(path))
+
+    # delete-aware: the set of data files any delete file can apply to
+    pos = [d for d in deletes if d["content"] == 1]
+    eq = [d for d in deletes if d["content"] == 2]
+    affected: set[str] = set()
+    if pos:
+        # distinct named paths — delete files are position-list-sized,
+        # the collect is metadata scale (bounded by live-file count)
+        named = {
+            _norm(r["file_path"])
+            for r in spark.read.parquet(*[d["path"] for d in pos])
+            .select("file_path")
+            .distinct()
+            .collect()
+        }
+        affected |= {d["path"] for d in data if _norm(d["path"]) in named}
+    if eq:
+        max_eq = max(d["seq"] for d in eq)
+        affected |= {d["path"] for d in data if d["seq"] < max_eq}
 
     sized = []
     for d in data:
@@ -831,23 +870,28 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         sized.append({**d, "size": size})
     groups: dict[tuple, list[dict]] = {}
     for d in sized:
-        if d["size"] < target:
+        if d["size"] < target or d["path"] in affected:
             key = tuple(sorted((d.get("partition") or {}).items()))
             groups.setdefault(key, []).append(d)
     bins: list[tuple[tuple, list[dict]]] = []
     for key, files in groups.items():
         files.sort(key=lambda d: d["size"])
-        cur, size = [], 0
+        cur, size, has_aff = [], 0, False
         for d in files:
             cur.append(d)
             size += d["size"]
+            has_aff = has_aff or d["path"] in affected
             if size >= target:
-                if len(cur) >= min_group:
+                # a bin carrying delete-affected files ALWAYS rewrites —
+                # materializing its deletes is the point, not bin-packing
+                if len(cur) >= min_group or has_aff:
                     bins.append((key, cur))
-                cur, size = [], 0
-        if len(cur) >= min_group:
+                cur, size, has_aff = [], 0, False
+        if cur and (len(cur) >= min_group or has_aff):
             bins.append((key, cur))
     if not bins:
+        # deletes with an empty affected set are dangling (they name no
+        # live file): nothing to materialize, the no-op is sound
         return {"compacted_files": 0, "new_files": 0}
 
     meta_dir = os.path.join(table_path, "metadata")
@@ -897,9 +941,12 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     data_dir = os.path.join(table_path, "data", f"compact-{commit_uuid}")
     for i, (key, files) in enumerate(bins):
         out_dir = os.path.join(data_dir, f"bin-{i:05d}")
-        spark.read.parquet(*[d["path"] for d in files]).coalesce(1).write.parquet(
-            out_dir
-        )
+        bin_df = spark.read.parquet(*[d["path"] for d in files])
+        if deletes and any(d["path"] in affected for d in files):
+            # materialize: subtract this bin's applicable deletes through
+            # the reader's own MOR path (position + equality, seq rule)
+            bin_df = _apply_row_deletes(spark, bin_df, files, deletes, prev_meta)
+        bin_df.coalesce(1).write.parquet(out_dir)
         pv = dict(key)
         for root, _dirs, names in os.walk(out_dir):
             for name in sorted(names):
@@ -1014,6 +1061,7 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
             "operation": "replace",
             "added-data-files": str(len(new_entries)),
             "deleted-data-files": str(len(compacted_paths)),
+            "removed-delete-files": str(len(deletes)),
             "added-records": str(added_rows),
             "total-records": str(added_rows + existing_rows),
             "total-data-files": str(len(new_entries) + len(existing_entries)),
@@ -1033,7 +1081,11 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         json.dump(meta, fh)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
-    return {"compacted_files": len(compacted_paths), "new_files": len(new_entries)}
+    return {
+        "compacted_files": len(compacted_paths),
+        "new_files": len(new_entries),
+        "materialized_delete_files": len(deletes),
+    }
 
 
 def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:

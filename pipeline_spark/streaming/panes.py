@@ -20,9 +20,13 @@ keyed state cannot reproduce, see below).  The supported surface is the
 incrementally-computable one; everything else raises with the reason so
 a silent fallback never double-ledgers:
 
-  * aggregations: count / sum / min / max / avg over a plain field
-    (conditions, weights and expressions need the full compiler — use
-    the driver backend);
+  * aggregations: count / sum / min / max / avg — over a plain field OR
+    with ``condition`` / ``expression`` / avg ``weightField`` (r6):
+    those compile to JVM-side derived Columns upstream of the stateful
+    operator via the batch compiler's own compile_filter /
+    compile_expression, so state stays plain-field accumulation;
+    genuinely non-incremental ops (median, std, argmin/argmax,
+    first/last, array_agg...) still route to the driver backend;
   * windows: fixed, sliding, global, session, calendar
     (day/week/month/year, truncated in the session timezone like the
     batch path's date_trunc; emitted as the batch shape's plain
@@ -91,11 +95,44 @@ _EXEC_OPS = ("count", "sum", "min", "max", "avg")
 
 def parse_exec_aggs(
     agg_specs: list[dict[str, Any]], df: DataFrame
-) -> list[tuple[str, str, str | None]]:
-    """Validate + normalize aggregations for the executor backend:
-    [(name, op, field)] — or raise naming the entry that needs the
-    driver backend."""
-    out: list[tuple[str, str, str | None]] = []
+) -> tuple[DataFrame, list[tuple[str, str, Any]]]:
+    """Validate + compile aggregations for the executor backend: returns
+    ``(df_with_derived_columns, [(name, op, field)])`` — or raise naming
+    the entry that needs the driver backend.
+
+    Conditions, weights and expressions (r6, VERDICT r5 ask #6) compile
+    to JVM-side derived Columns UPSTREAM of the stateful operator using
+    the SAME ``compile_filter``/``compile_expression`` the batch
+    aggregation compiler uses, so the keyed state stays plain-field
+    accumulation and the per-row Python work never re-evaluates an
+    expression:
+
+      * ``expression`` → one derived column;
+      * ``condition``  → ``when(cond, value)`` (null when false), which
+        count/sum/min/max/avg skip exactly like the batch filtered
+        aggregate; a field-less conditioned count counts
+        ``when(cond, 1)`` (the batch compiler's shape);
+      * ``avg`` + ``weightField`` → op ``wavg`` with TWO derived columns
+        (``v*w`` and ``when(v.isNotNull(), w)``) whose running sums
+        divide at emit — the batch ``sum(v*w)/sum(when(v.isNotNull(),
+        w))`` semantics.
+    """
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.compilers.expression import (
+        compile_expression,
+        schema_resolver,
+    )
+    from pipeline_spark.compilers.filter_dsl import compile_filter
+
+    out: list[tuple[str, str, Any]] = []
+    derived: dict[str, Any] = {}
+
+    def add_col(col) -> str:
+        cname = f"__ea{len(derived)}__"
+        derived[cname] = col
+        return cname
+
     for a in agg_specs:
         if a.get("ignore"):
             continue
@@ -107,21 +144,48 @@ def parse_exec_aggs(
                 "is not incrementally computable in keyed state "
                 f"(supported: {', '.join(_EXEC_OPS)}); use the driver backend"
             )
-        if a.get("condition") or a.get("weightField") or a.get("expression"):
-            raise NotImplementedError(
-                f"paneStateBackend executor: aggregation '{name}' uses "
-                "condition/weight/expression — those need the full "
-                "aggregation compiler; use the driver backend"
-            )
         field = a.get("field")
-        if op != "count" and not field:
-            raise ValueError(f"aggregation '{name}' ({op}) needs a field")
+        expr = a.get("expression")
+        cond = a.get("condition")
         if field and field not in df.columns:
             raise ValueError(f"aggregation '{name}': unknown field '{field}'")
+        if op != "count" and not field and not expr:
+            raise ValueError(
+                f"aggregation '{name}' ({op}) needs a field or expression"
+            )
+        col = None
+        if expr:
+            col = compile_expression(str(expr), schema_resolver(df))
+        elif field:
+            col = F.col(field)
+        if op == "avg" and a.get("weightField"):
+            w = F.col(str(a["weightField"]))
+            v = col
+            if cond is not None:
+                c = compile_filter(cond, df)
+                v = F.when(c, v)
+                w = F.when(c, w)
+            vw = add_col((v * w).cast("double"))
+            wg = add_col(F.when(v.isNotNull(), w).cast("double"))
+            out.append((name, "wavg", (vw, wg)))
+            continue
+        if cond is not None:
+            c = compile_filter(cond, df)
+            if op == "count":
+                # batch shape: a conditioned count counts matching ROWS,
+                # independent of any field's nullity
+                col = F.when(c, F.lit(1))
+            else:
+                col = F.when(c, col)
+        if col is not None and (expr or cond is not None):
+            field = add_col(col)
         out.append((name, op, field))
     if not out:
         raise ValueError("paneStateBackend executor: no aggregations")
-    return out
+    df2 = df
+    for cname, col in derived.items():
+        df2 = df2.withColumn(cname, col)
+    return df2, out
 
 
 def _window_params(strategy: dict[str, Any]) -> tuple[str, float, float, str]:
@@ -170,10 +234,10 @@ def _window_params(strategy: dict[str, Any]) -> tuple[str, float, float, str]:
     )
 
 
-def _agg_out_type(op: str, field: str | None, df: DataFrame):
+def _agg_out_type(op: str, field, df: DataFrame):
     if op == "count":
         return T.LongType()
-    if op == "avg":
+    if op in ("avg", "wavg"):
         return T.DoubleType()
     src = df.schema[field].dataType
     if op == "sum":
@@ -250,7 +314,7 @@ def stream_panes_with_state(
     (the aggregation module applies it); returns the pane-row stream.
     """
     cfg = parse_trigger(strategy) or {}
-    aggs = parse_exec_aggs(agg_specs, df)
+    df, aggs = parse_exec_aggs(agg_specs, df)
     wtype, size, period, cal_unit = _window_params(strategy)
     mode = str(strategy.get("accumulationMode", "accumulating")).lower()
     discarding = mode in ("discarding", "discarding_fired_panes")
@@ -261,7 +325,10 @@ def stream_panes_with_state(
             "delta; use accumulating mode"
         )
     if discarding:
-        bad = [name for name, op, _f in aggs if op in ("min", "max", "avg")]
+        bad = [
+            name for name, op, _f in aggs
+            if op in ("min", "max", "avg", "wavg")
+        ]
         if bad:
             raise NotImplementedError(
                 f"paneStateBackend executor: discarding panes for {bad} — "
@@ -367,6 +434,11 @@ def stream_panes_with_state(
             elif op == "avg":
                 c = ws.counts.get(name, 0)
                 vals.append(ws.sums.get(name, 0.0) / c if c else None)
+            elif op == "wavg":
+                den = ws.sums.get(name + "\x00w")
+                vals.append(
+                    ws.sums.get(name, 0.0) / den if den else None
+                )
             elif op == "min":
                 vals.append(ws.mins.get(name))
             else:
@@ -440,6 +512,22 @@ def stream_panes_with_state(
                             ws.cycle_start = now
                         for name, op, field in aggs:
                             if field is None:
+                                continue
+                            if op == "wavg":
+                                # two running sums (numerator v*w and the
+                                # v-guarded weight), both null-skipping —
+                                # the \x00w key merges like any sum
+                                vw = pdf[field[0]].iloc[i]
+                                if vw is not None and vw == vw:
+                                    ws.sums[name] = (
+                                        ws.sums.get(name, 0.0) + float(vw)
+                                    )
+                                wg = pdf[field[1]].iloc[i]
+                                if wg is not None and wg == wg:
+                                    wkey = name + "\x00w"
+                                    ws.sums[wkey] = (
+                                        ws.sums.get(wkey, 0.0) + float(wg)
+                                    )
                                 continue
                             v = pdf[field].iloc[i]
                             if v is None or v != v:

@@ -4,6 +4,7 @@ byte-by-byte), so the reader is validated against the format, not against
 itself."""
 
 import json
+import os
 import struct
 import zlib
 
@@ -764,7 +765,9 @@ def test_iceberg_compact_binpacks(spark, tmp_path):
     before = read_iceberg_native(spark, {"path": tbl})
     assert len(before.inputFiles()) == 5
     res = compact_iceberg_native(spark, {"path": tbl, "targetFileBytes": 1 << 30})
-    assert res == {"compacted_files": 5, "new_files": 1}
+    assert res == {
+        "compacted_files": 5, "new_files": 1, "materialized_delete_files": 0,
+    }
     after = read_iceberg_native(spark, {"path": tbl})
     assert len(after.inputFiles()) == 1
     assert sorted(r["id"] for r in after.collect()) == list(range(50))
@@ -809,7 +812,11 @@ def test_iceberg_compact_mixed_sizes_keeps_untouched(spark, tmp_path):
     assert after.count() == 20015
 
 
-def test_iceberg_compact_refuses_mor(spark, tmp_path):
+def test_iceberg_compact_materializes_equality_deletes(spark, tmp_path):
+    """r6 (VERDICT r5 ask #5): compaction over an equality-delete MOR
+    table applies the deletes during the rewrite (the r4-era refusal is
+    gone), drops the obsolete delete files, and deleted rows STAY
+    deleted post-compaction."""
     import pyarrow as pa2
     import pyarrow.parquet as pq2
 
@@ -817,6 +824,7 @@ def test_iceberg_compact_refuses_mor(spark, tmp_path):
         append_delete_files,
         compact_iceberg_native,
     )
+    from pipeline_spark.sources.iceberg_native import plan_files
 
     tbl = str(tmp_path / "ice_compact_mor")
     write_iceberg_native(
@@ -828,8 +836,61 @@ def test_iceberg_compact_refuses_mor(spark, tmp_path):
     eq = str(tmp_path / "eq_del.parquet")
     pq2.write_table(pa2.table({"id": pa2.array([3], pa2.int64())}), eq)
     append_delete_files(tbl, [{"path": eq, "content": 2, "equality_ids": [1]}])
-    with pytest.raises(NotImplementedError, match="delete files"):
-        compact_iceberg_native(spark, {"path": tbl, "targetFileBytes": 1 << 30})
+    assert sorted(
+        r["id"] for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    ) == [i for i in range(20) if i != 3]
+    res = compact_iceberg_native(spark, {"path": tbl, "targetFileBytes": 1 << 30})
+    assert res["materialized_delete_files"] == 1
+    # no delete files remain in the new snapshot
+    _data, deletes, _meta = plan_files(tbl)
+    assert deletes == []
+    after = read_iceberg_native(spark, {"path": tbl})
+    assert len(after.inputFiles()) == 1
+    assert sorted(r["id"] for r in after.collect()) == [
+        i for i in range(20) if i != 3
+    ]
+
+
+def test_iceberg_compact_materializes_position_deletes(spark, tmp_path):
+    """Position-delete MOR compaction: only the files the delete file
+    NAMES are forced into the rewrite (a big untouched file above the
+    size threshold survives with its original sequence number), the
+    delete files drop, rows stay deleted."""
+    from pipeline_spark.sinks.iceberg_native import (
+        compact_iceberg_native,
+        delete_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import plan_files
+
+    tbl = str(tmp_path / "ice_compact_pos")
+    # one big file kept untouched + two small ones, delete hits a small one
+    write_iceberg_native(
+        spark.range(0, 20000).coalesce(1), {"path": tbl, "mode": "create"}
+    )
+    write_iceberg_native(
+        spark.range(20000, 20005).coalesce(1), {"path": tbl, "mode": "append"}
+    )
+    write_iceberg_native(
+        spark.range(20005, 20010).coalesce(1), {"path": tbl, "mode": "append"}
+    )
+    res = delete_iceberg_native(
+        spark,
+        {"path": tbl, "where": [{"key": "id", "op": "=", "value": 20007}]},
+    )
+    assert res["deleted_rows"] == 1
+    big_size = max(
+        os.path.getsize(f.replace("file:", ""))
+        for f in read_iceberg_native(spark, {"path": tbl}).inputFiles()
+    )
+    res = compact_iceberg_native(spark, {"path": tbl, "targetFileBytes": big_size})
+    assert res["materialized_delete_files"] == 1
+    assert res["compacted_files"] == 2  # the two smalls; big untouched
+    _data, deletes, _meta = plan_files(tbl)
+    assert deletes == []
+    after = read_iceberg_native(spark, {"path": tbl})
+    assert len(after.inputFiles()) == 2
+    assert after.count() == 20009
+    assert after.where("id = 20007").count() == 0
 
 
 def test_iceberg_expire_snapshots_reclaims_files(spark, tmp_path):
@@ -1329,10 +1390,56 @@ def test_rest_catalog_write_validation(spark, tmp_path):
         # creating a new table needs a posix staging location
         with pytest.raises(ValueError, match="location"):
             w(spark.range(3), {"catalog": {"uri": uri}, "table": "ns.nl"})
-        with pytest.raises(NotImplementedError, match="merge"):
-            w(spark.range(3), {"catalog": {"uri": uri}, "table": "ns.m",
-                               "location": str(tmp_path / "m"),
-                               "mode": "merge", "primaryKeys": ["id"]})
+    finally:
+        srv.shutdown()
+
+
+def test_rest_catalog_merge(spark, tmp_path):
+    """r6 (VERDICT r5 ask #4): MERGE through a REST catalog — the
+    delete-aware catalog READ plans the existing rows, the copy-on-write
+    union commits via the same optimistic CommitTableRequest as
+    overwrite.  Covers update + insert + __op__ DELETE routing, and
+    merge into a not-yet-existing table degenerating to create."""
+    from pyspark.sql import functions as F
+
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        loc = str(tmp_path / "rest_merge_tbl")
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.mt", "location": loc}
+        base = spark.range(0, 10).withColumn("val", F.col("id") * 10)
+        write_iceberg_native(base.coalesce(1), {**cat_p, "mode": "create"})
+
+        changes = spark.createDataFrame(
+            [(1, 111, "UPSERT"), (2, 222, "UPSERT"),
+             (50, 500, "UPSERT"), (9, 0, "DELETE")],
+            "id long, val long, __op__ string",
+        )
+        write_iceberg_native(
+            changes.coalesce(1),
+            {**cat_p, "mode": "merge", "primaryKeys": ["id"]},
+        )
+        back = read_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.mt"}
+        )
+        rows = dict((r["id"], r["val"]) for r in back.collect())
+        expect = {i: i * 10 for i in range(9)}
+        expect.update({1: 111, 2: 222, 50: 500})
+        assert rows == expect  # 9 deleted, 1/2 updated, 50 inserted
+        # the merge committed a NEW snapshot through the catalog
+        assert len(state["mt"]["snapshots"]) >= 2
+
+        # merge into a missing table degenerates to create
+        write_iceberg_native(
+            spark.range(3, 5).coalesce(1),
+            {"catalog": {"uri": uri}, "table": "ns.mt2",
+             "location": str(tmp_path / "rest_merge_new"),
+             "mode": "merge", "primaryKeys": ["id"]},
+        )
+        back2 = read_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.mt2"}
+        )
+        assert sorted(r["id"] for r in back2.collect()) == [3, 4]
     finally:
         srv.shutdown()
 

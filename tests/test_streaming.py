@@ -1117,11 +1117,17 @@ def test_executor_panes_rejects_unsupported_loudly(spark, tmp_path):
     df = spark.createDataFrame([(1.0, "a")], "v double, k string")
     with _pytest.raises(NotImplementedError, match="driver backend"):
         parse_exec_aggs([{"name": "m", "op": "median", "field": "v"}], df)
-    with _pytest.raises(NotImplementedError, match="driver backend"):
-        parse_exec_aggs(
-            [{"name": "c", "op": "count", "condition": {"key": "v", "op": ">", "value": 0}}],
-            df,
-        )
+    # conditions/expressions/weights are SUPPORTED now (r6): they compile
+    # to derived JVM columns upstream of the stateful operator
+    df2, aggs = parse_exec_aggs(
+        [{"name": "c", "op": "count",
+          "condition": {"key": "v", "op": ">", "value": 0}},
+         {"name": "s", "op": "sum", "expression": "v * 2"},
+         {"name": "w", "op": "avg", "field": "v", "weightField": "v"}],
+        df,
+    )
+    assert [op for _n, op, _f in aggs] == ["count", "sum", "wavg"]
+    assert all(c.startswith("__ea") for c in df2.columns if c not in ("v", "k"))
     from pipeline_spark.streaming.panes import _window_params
 
     # session windows are SUPPORTED now (merging keyed state); unknown
@@ -1517,3 +1523,71 @@ def test_executor_panes_session_window(spark, tmp_path):
     # the pre-merge EARLY pane of session 1 ([0, 18)) is also present —
     # the pane of the session as known at firing time
     assert sessions.get((base, base.replace(second=18))) == (2, 3.0)
+
+
+def test_executor_panes_compiled_aggregations(spark, tmp_path):
+    """r6 (VERDICT r5 ask #6): condition / expression / weighted-avg
+    aggregations on the EXECUTOR pane backend — compiled to derived JVM
+    columns upstream of the stateful operator, values matching the batch
+    compiler's filtered-aggregate / sum(v*w)/sum(w) semantics."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    in_dir = _write_stream_files(tmp_path, "xca_in", [
+        [("a", 1.0, base.replace(second=5)), ("a", 2.0, base.replace(second=15))],
+        [("a", 4.0, base.replace(second=25))],
+        [("a", 8.0, base.replace(second=35)),
+         ("wm", 1.0, dt.datetime(2100, 1, 1, 0, 0, 5))],
+    ])
+    out_dir = str(tmp_path / "xca_out")
+    run_pipeline(spark, parse_config(f"""
+sources:
+  - name: events
+    module: storage
+    parameters:
+      format: parquet
+      input: {in_dir}
+      mode: streaming
+      maxFilesPerTrigger: 1
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [events]
+    timestampAttribute: ts
+    strategy:
+      window: {{type: fixed, size: 1, unit: minute}}
+      allowedLateness: 5
+      trigger:
+        type: afterWatermark
+        earlyFiringTrigger: {{type: afterProcessingTime, pastFirstElementDelay: 1}}
+      paneStateBackend: executor
+      accumulationMode: accumulating
+      outputPaneInfo: true
+    parameters:
+      groupFields: [k]
+      aggregations:
+        - {{name: cn, op: count, condition: {{key: v, op: ">", value: 2}}}}
+        - {{name: es, op: sum, expression: "v * 2"}}
+        - {{name: wa, op: avg, field: v, weightField: v}}
+sinks:
+  - name: out
+    module: storage
+    inputs: [agg]
+    parameters:
+      format: parquet
+      output: {out_dir}
+      availableNow: true
+"""))
+    rows = spark.read.parquet(out_dir).collect()
+    a_panes = sorted(
+        (r for r in rows if r["k"] == "a"), key=lambda r: r["__pane__"]["index"]
+    )
+    final = a_panes[-1]
+    # v = 1,2,4,8: condition v>2 counts 2; sum(v*2)=30; wavg=sum(v*v)/sum(v)
+    assert final["cn"] == 2
+    assert final["es"] == 30.0
+    assert abs(final["wa"] - 85.0 / 15.0) < 1e-9
+    # the early panes accumulate consistently (batch 1: v=1,2)
+    first = a_panes[0]
+    assert first["cn"] == 0 and first["es"] == 6.0
+    assert abs(first["wa"] - 5.0 / 3.0) < 1e-9
