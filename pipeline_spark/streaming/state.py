@@ -139,15 +139,19 @@ def streaming_count_range_select(
     order_field: str,
     passthrough: list[tuple[str, str]],
     aggs: list[tuple[str, str]],
+    offset: int = 0,
 ) -> DataFrame:
     """Per-ROW trailing count-range aggregates on a stream — the streaming
-    twin of the batch Window compiler's ``rowsBetween(-(N-1), 0)`` frame
-    (compilers/stateful.py:14).  Every input row is emitted once with the
-    requested ``aggs`` (list of (output name, op) with op in count/sum/
-    min/max/avg) over the last ``n`` rows of its key; state = the
-    previous ``n-1`` values, a bounded array — the same frame the batch
-    window holds.  ``passthrough`` is (output name, source column) pairs
-    carried through (renames honored, matching the batch path's
+    twin of the batch Window compiler's ``rowsBetween(-(offset+N-1),
+    -offset)`` frame (compilers/stateful.py:14).  Every input row is
+    emitted once with the requested ``aggs`` (list of (output name, op)
+    with op in count/sum/min/max/avg) over the ``n`` rows ending
+    ``offset`` rows back of its key; state = the previous ``n+offset-1``
+    values, a bounded array — the same frame the batch window holds.
+    Rows whose frame precedes the key's first row emit count 0 / null
+    aggregates, exactly the batch frame clipped at the partition start.
+    ``passthrough`` is (output name, source column) pairs carried
+    through (renames honored, matching the batch path's
     ``withColumn(name, ...)`` binding).
 
     Contract pinned by the batch-parity test: rows must reach the stream
@@ -179,6 +183,8 @@ def streaming_count_range_select(
     )
     state_schema = T.StructType([T.StructField("tail", T.ArrayType(T.DoubleType()))])
 
+    keep = n + offset - 1  # lookback rows a future row's frame can reach
+
     def fn(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
@@ -197,16 +203,27 @@ def streaming_count_range_select(
             for name, op in aggs:
                 if op == "count":
                     # batch parity: F.count(F.lit(1)) counts ROWS in the
-                    # frame, not non-null values — roll over a ones series
+                    # frame, not non-null values — roll over a ones series;
+                    # the offset shift leaves head rows with an empty
+                    # frame, which batch counts as 0
                     ones = pd.Series(1.0, index=range(len(full)))
+                    series = ones.rolling(n, min_periods=1).sum()
+                    if offset:
+                        series = series.shift(offset).fillna(0.0)
                     out[name] = (
-                        ones.rolling(n, min_periods=1).sum()
-                        .iloc[lo:].astype("int64").to_numpy()
+                        series.iloc[lo:].astype("int64").to_numpy()
                     )
                 else:
                     series = getattr(roll, {"avg": "mean"}.get(op, op))()
-                    out[name] = series.iloc[lo:].to_numpy()
-            tail = list(full.iloc[len(full) - (n - 1):]) if n > 1 else []
+                    if offset:
+                        series = series.shift(offset)
+                    emit = series.iloc[lo:]
+                    # empty/all-null frames are NULL in the batch Window —
+                    # keep NaN out of the emitted doubles
+                    out[name] = emit.astype(object).where(
+                        emit.notna(), None
+                    ).to_numpy()
+            tail = list(full.iloc[len(full) - keep:]) if keep > 0 else []
             yield pd.DataFrame(out)
         state.update((tail,))
 
@@ -368,12 +385,7 @@ def streaming_stateful_select(
 
     def frame_of(rng: dict, name: str) -> tuple:
         if "count" in rng:
-            if rng.get("offset"):
-                raise NotImplementedError(
-                    f"streaming stateful select: '{name}' — count ranges "
-                    "with offset do not stream yet (use batch)"
-                )
-            return ("count", int(rng["count"]))
+            return ("count", int(rng["count"]), int(rng.get("offset", 0)))
         if "duration" in rng:
             unit = str(rng.get("unit", "second")).lower()
             mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
@@ -449,7 +461,7 @@ def streaming_stateful_select(
     if frame[0] == "count":
         return streaming_count_range_select(
             df, group_fields, value_field, frame[1], event_time_col,
-            passthrough, aggs,
+            passthrough, aggs, offset=frame[2],
         )
     return streaming_duration_range_select(
         df, group_fields, value_field, frame[1], frame[2], event_time_col,

@@ -1591,3 +1591,93 @@ sinks:
     first = a_panes[0]
     assert first["cn"] == 0 and first["es"] == 6.0
     assert abs(first["wa"] - 5.0 / 3.0) < 1e-9
+
+
+def test_streaming_count_range_offset_matches_batch_window(spark, tmp_path):
+    """r6 (VERDICT r5 ask #9): streaming count-range WITH offset must
+    match the batch Window compiler's rowsBetween(-(offset+N-1), -offset)
+    frame row-for-row — head rows whose frame precedes the key's first
+    row emit count 0 / null aggregates like the clipped batch frame."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.compilers.stateful import apply_stateful_select
+    from pipeline_spark.streaming.state import streaming_count_range_select
+
+    rng = __import__("random").Random(29)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for seq in range(60):
+        k = rng.choice(["a", "b", "c"])
+        rows.append((k, float(rng.randint(-50, 50)), base + dt.timedelta(seconds=seq)))
+    in_dir = tmp_path / "cro_in"
+    in_dir.mkdir()
+    for i in range(3):
+        chunk = rows[i * 20 : (i + 1) * 20]
+        tbl = pa.table({
+            "k": pa.array([r[0] for r in chunk]),
+            "v": pa.array([r[1] for r in chunk]),
+            "ts": pa.array([r[2] for r in chunk], pa.timestamp("us")),
+        })
+        f = in_dir / f"b{i}.parquet"
+        pq.write_table(tbl, str(f))
+        mt = _time.time() - 100 + i * 10
+        os.utime(f, (mt, mt))
+
+    N, OFF = 4, 2
+    sdf = (
+        spark.readStream.schema("k string, v double, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1).parquet(str(in_dir))
+    )
+    stream_out = streaming_count_range_select(
+        sdf, ["k"], "v", N, "ts", [("k", "k"), ("ts", "ts")],
+        [("range_n", "count"), ("range_sum", "sum"), ("range_min", "min"),
+         ("range_max", "max"), ("range_avg", "avg")],
+        offset=OFF,
+    )
+    q = (
+        stream_out.writeStream.format("memory").queryName("cro_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cro_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["k"], r["ts"]): (r["range_n"], r["range_sum"], r["range_min"],
+                            r["range_max"], r["range_avg"])
+        for r in spark.table("cro_stream").collect()
+    }
+
+    bdf = spark.read.parquet(str(in_dir))
+    spec = {"count": N, "offset": OFF}
+    batch = apply_stateful_select(
+        bdf,
+        [
+            {"name": "k", "field": "k"},
+            {"name": "ts", "field": "ts"},
+            {"name": "range_n", "func": "count", "field": "v", "range": spec},
+            {"name": "range_sum", "func": "sum", "field": "v", "range": spec},
+            {"name": "range_min", "func": "min", "field": "v", "range": spec},
+            {"name": "range_max", "func": "max", "field": "v", "range": spec},
+            {"name": "range_avg", "func": "avg", "field": "v", "range": spec},
+        ],
+        "ts",
+        ["k"],
+    ).collect()
+    assert len(batch) == len(got) == 60
+    null_frames = 0
+    for r in batch:
+        s = got[(r["k"], r["ts"])]
+        assert s[0] == r["range_n"], (r, s)
+        for j, col in enumerate(
+            ("range_sum", "range_min", "range_max", "range_avg"), start=1
+        ):
+            if r[col] is None:
+                null_frames += 1
+                assert s[j] is None, (col, r, s)
+            else:
+                assert s[j] == pytest.approx(r[col]), (col, r, s)
+    assert null_frames > 0  # the head rows genuinely exercised empty frames
