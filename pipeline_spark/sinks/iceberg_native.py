@@ -488,6 +488,7 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
     # verbatim.  Checked BEFORE the data write: a rejected append leaves
     # no orphan files.
     reuse_schema: dict | None = None
+    evolved_last_column_id: int | None = None
     if mode == "append" and prev_meta is not None:
         prev_schema = next(
             s for s in prev_meta["schemas"]
@@ -518,14 +519,82 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
 
         new_sig = _sig(iceberg_schema(df.schema))
         prev_sig = _sig(prev_schema)
-        if new_sig != prev_sig:
-            raise ValueError(
-                "iceberg: append schema does not match the table's current "
-                f"schema (added: {sorted(n for n, _ in new_sig - prev_sig)}, "
-                f"removed: {sorted(n for n, _ in prev_sig - new_sig)} or "
-                "changed types); use mode: overwrite to evolve the schema"
+        if new_sig == prev_sig:
+            reuse_schema = prev_schema
+        else:
+            added = sorted(n for n, _ in new_sig - prev_sig)
+            removed = sorted(n for n, _ in prev_sig - new_sig)
+            prev_names = {f["name"] for f in prev_schema["fields"]}
+            pure_adds = added and not removed and not any(
+                n in prev_names for n in added  # a type CHANGE, not an add
             )
-        reuse_schema = prev_schema
+            if p.get("mergeSchema") and pure_adds:
+                # schema evolution (r6): existing fields keep their ids
+                # VERBATIM (older manifests' bounds/null-counts stay keyed
+                # correctly); new top-level columns append as optional with
+                # fresh ids from last-column-id — the spec's add-column
+                # evolution.  Old data files null-pad on read through the
+                # schema-generation machinery the reader already has.
+                if rest is not None:
+                    raise NotImplementedError(
+                        "iceberg rest write: mergeSchema evolution needs "
+                        "add-schema/set-current-schema commit updates — "
+                        "not wired yet; evolve via the catalog first"
+                    )
+                next_id = {"n": int(prev_meta.get("last-column-id", 0))}
+
+                def _fresh() -> int:
+                    next_id["n"] += 1
+                    return next_id["n"]
+
+                def _renumber(node):
+                    if not isinstance(node, dict):
+                        return node
+                    out = dict(node)
+                    t = node.get("type")
+                    if "id" in out:
+                        out["id"] = _fresh()
+                    if isinstance(t, dict):
+                        out["type"] = _renumber_type(t)
+                    return out
+
+                def _renumber_type(t):
+                    out = dict(t)
+                    k = t.get("type")
+                    if k == "struct":
+                        out["fields"] = [_renumber(f) for f in t["fields"]]
+                    elif k == "list":
+                        out["element-id"] = _fresh()
+                        if isinstance(t["element"], dict):
+                            out["element"] = _renumber_type(t["element"])
+                    elif k == "map":
+                        out["key-id"] = _fresh()
+                        out["value-id"] = _fresh()
+                        if isinstance(t["key"], dict):
+                            out["key"] = _renumber_type(t["key"])
+                        if isinstance(t["value"], dict):
+                            out["value"] = _renumber_type(t["value"])
+                    return out
+
+                evolved_fields = list(prev_schema["fields"])
+                for f in iceberg_schema(df.schema)["fields"]:
+                    if f["name"] in prev_names:
+                        continue
+                    nf = _renumber(f)
+                    nf["required"] = False  # new columns must be optional
+                    evolved_fields.append(nf)
+                reuse_schema = {
+                    **{k: v for k, v in prev_schema.items() if k != "fields"},
+                    "fields": evolved_fields,
+                }
+                evolved_last_column_id = next_id["n"]
+            else:
+                raise ValueError(
+                    "iceberg: append schema does not match the table's "
+                    f"current schema (added: {added}, removed: {removed} "
+                    "or changed types); set mergeSchema: true to add new "
+                    "optional columns, or use mode: overwrite to evolve"
+                )
     os.makedirs(meta_dir, exist_ok=True)
 
     commit_uuid = str(uuid.uuid4())
@@ -598,7 +667,11 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
     data_files = [e["data_file"]["file_path"] for e in entries]
     if reuse_schema is not None:
         schema = reuse_schema
-        last_column_id = (prev_meta or {}).get("last-column-id", 0)
+        last_column_id = (
+            evolved_last_column_id
+            if evolved_last_column_id is not None
+            else (prev_meta or {}).get("last-column-id", 0)
+        )
     else:
         schema = iceberg_schema(df.schema)
         last_column_id = schema.pop("__last_column_id")

@@ -31,7 +31,9 @@ also record physical names, which delta-spark always does).
 
 V2 checkpoints (UUID-named ``<v>.checkpoint.<uuid>.{json,parquet}``,
 add actions delegated to ``_delta_log/_sidecars/`` parquet files) replay
-through the same loader; ``versionAsOf`` time travel is supported.
+through the same loader; ``versionAsOf`` and ``timestampAsOf`` time
+travel are supported (commit time = commit-file mtime, delta's own
+source when in-commit-timestamps are off).
 """
 
 from __future__ import annotations
@@ -93,6 +95,38 @@ def latest_version(log_dir: str) -> int | None:
         with open(hint) as fh:
             versions.append(int(json.load(fh)["version"]))
     return max(versions) if versions else None
+
+
+def _version_at_timestamp(log_dir: str, ts) -> int:
+    """Latest version whose commit time <= ``ts`` — delta's
+    ``timestampAsOf`` contract.  Commit time = the commit file's
+    modification time, the same source delta-spark reads when
+    in-commit-timestamps are off.  ``ts`` accepts an epoch number or an
+    ISO-8601 string (naive strings are interpreted as UTC).  Commits
+    vacuumed below a checkpoint are not resolvable (same limit as the
+    runtime)."""
+    import datetime as _dt
+
+    if isinstance(ts, (int, float)):
+        want = float(ts)
+    else:
+        parsed = _dt.datetime.fromisoformat(str(ts).replace("T", " "))
+        if parsed.tzinfo is None:
+            parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+        want = parsed.timestamp()
+    commits = _list_commits(log_dir)
+    if not commits:
+        raise FileNotFoundError(f"delta: empty _delta_log at {log_dir}")
+    best = None
+    for v, path in commits:
+        if os.path.getmtime(path) <= want:
+            best = v if best is None else max(best, v)
+    if best is None:
+        raise ValueError(
+            f"delta: timestampAsOf {ts!r} is before the earliest available "
+            f"commit (version {commits[0][0]}) — nothing to time-travel to"
+        )
+    return best
 
 
 def _checkpoint_files(log_dir: str, version: int) -> list[str]:
@@ -881,6 +915,12 @@ def read_delta_native(spark, p: dict[str, Any]):
     if not table:
         raise ValueError("delta source: 'path' is required")
     version = p.get("versionAsOf")
+    if p.get("timestampAsOf") is not None:
+        if version is not None:
+            raise ValueError(
+                "delta: versionAsOf and timestampAsOf are mutually exclusive"
+            )
+        version = _version_at_timestamp(_log_dir(table), p["timestampAsOf"])
     adds, meta, _proto, _v = replay_log(
         table, int(version) if version is not None else None
     )

@@ -23,9 +23,11 @@ sequence-number rule (delete applies to data files with data seq
 strictly below the delete's).  Delete sets are usually
 compaction-bounded and broadcast; the anti-joins stay fully
 distributed either way.  Honest gates: avro/orc delete files and
-catalog URIs need the runtime jar; snapshot-id time travel is
-supported, schema evolution relies on parquet-by-name resolution of
-the CURRENT files.
+catalog URIs need the runtime jar; snapshot-id and as-of-timestamp
+time travel are supported (the latter resolves through the snapshots'
+``timestamp-ms``, the same source the runtime's ``as-of-timestamp``
+option reads), schema evolution relies on parquet-by-name resolution
+of the CURRENT files.
 """
 
 from __future__ import annotations
@@ -502,6 +504,36 @@ def _spark_schema_of(meta: dict) -> str:
     )
 
 
+def _snapshot_at_timestamp(table_path: str, ts, meta: dict | None = None) -> int:
+    """Latest snapshot whose ``timestamp-ms`` <= ``ts`` — the runtime's
+    ``as-of-timestamp`` contract.  Numbers are epoch MILLISECONDS
+    (Iceberg's option convention); ISO-8601 strings also accepted (naive
+    = UTC)."""
+    import datetime as _dt
+
+    if isinstance(ts, (int, float)):
+        want_ms = float(ts)
+    else:
+        parsed = _dt.datetime.fromisoformat(str(ts).replace("T", " "))
+        if parsed.tzinfo is None:
+            parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+        want_ms = parsed.timestamp() * 1000.0
+    if meta is None:
+        with open(find_table_metadata(table_path)) as fh:
+            meta = json.load(fh)
+    best: tuple[int, int] | None = None
+    for s in meta.get("snapshots") or []:
+        t = s.get("timestamp-ms")
+        if t is not None and t <= want_ms and (best is None or t > best[0]):
+            best = (t, s["snapshot-id"])
+    if best is None:
+        raise ValueError(
+            f"iceberg: asOfTimestamp {ts!r} is before the earliest snapshot "
+            "— nothing to time-travel to"
+        )
+    return best[1]
+
+
 def read_iceberg_native(spark, p: dict[str, Any]):
     """DataFrame over an Iceberg table's current (or given) snapshot.
 
@@ -529,6 +561,14 @@ def read_iceberg_native(spark, p: dict[str, Any]):
                 "\"namespace.table\"); other catalog URIs need the runtime jar"
             )
         table_path = _strip_scheme(str(table_path))
+    if p.get("asOfTimestamp") is not None:
+        if snapshot_id is not None:
+            raise ValueError(
+                "iceberg: snapshotId and asOfTimestamp are mutually exclusive"
+            )
+        snapshot_id = _snapshot_at_timestamp(
+            table_path, p["asOfTimestamp"], meta_in
+        )
     if p.get("fromSnapshotId") is not None:
         # incremental append-scan: only the files snapshots in range
         # added; the validated range carries no deletes by construction

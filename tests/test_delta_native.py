@@ -2090,3 +2090,36 @@ def test_column_mapping_stream_and_cdf_stream(spark, tmp_path):
     assert rows == [
         (i, "even" if i % 2 == 0 else "odd", str(i), "insert") for i in range(4)
     ]
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """timestampAsOf resolves the latest version whose commit-file mtime
+    <= the requested instant (delta's own source when in-commit
+    timestamps are off); accepts epoch numbers and ISO strings, refuses
+    pre-history instants, and is exclusive with versionAsOf."""
+    import time as _time
+
+    tbl = str(tmp_path / "tt")
+    write_delta_native(spark, spark.range(0, 3), {"path": tbl})
+    v0_commit = os.path.join(tbl, "_delta_log", "00000000000000000000.json")
+    t0 = os.path.getmtime(v0_commit)
+    write_delta_native(spark, spark.range(3, 6), {"path": tbl, "mode": "append"})
+    v1_commit = os.path.join(tbl, "_delta_log", "00000000000000000001.json")
+    # pin distinct mtimes so the boundary is deterministic
+    os.utime(v1_commit, (t0 + 100, t0 + 100))
+
+    at_v0 = read_delta_native(spark, {"path": tbl, "timestampAsOf": t0 + 50})
+    assert _ids(at_v0) == [0, 1, 2]
+    at_v1 = read_delta_native(spark, {"path": tbl, "timestampAsOf": t0 + 200})
+    assert _ids(at_v1) == list(range(6))
+    # ISO-8601 string form
+    import datetime as _dt
+    iso = _dt.datetime.fromtimestamp(
+        t0 + 50, tz=_dt.timezone.utc
+    ).isoformat()
+    assert _ids(read_delta_native(spark, {"path": tbl, "timestampAsOf": iso})) == [0, 1, 2]
+    with pytest.raises(ValueError, match="before the earliest"):
+        read_delta_native(spark, {"path": tbl, "timestampAsOf": t0 - 1000})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_delta_native(
+            spark, {"path": tbl, "timestampAsOf": t0, "versionAsOf": 0})

@@ -1682,3 +1682,84 @@ def test_rest_catalog_write_partitioned(spark, tmp_path):
             )
     finally:
         srv.shutdown()
+
+
+def test_as_of_timestamp_time_travel(spark, tmp_path):
+    """asOfTimestamp resolves the latest snapshot whose timestamp-ms <=
+    the requested instant (the runtime's as-of-timestamp contract,
+    epoch-millis numbers or ISO strings)."""
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    tbl = str(tmp_path / "ice_tt")
+    write_iceberg_native(spark.range(0, 3).coalesce(1), {"path": tbl, "mode": "create"})
+    write_iceberg_native(spark.range(3, 6).coalesce(1), {"path": tbl, "mode": "append"})
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    snaps = sorted(meta["snapshots"], key=lambda s: s["timestamp-ms"])
+    assert len(snaps) == 2
+    # pin distinct snapshot times in the metadata for a deterministic test
+    t0 = snaps[0]["timestamp-ms"]
+    snaps[1]["timestamp-ms"] = t0 + 100_000
+    meta["snapshots"] = snaps
+    with open(find_table_metadata(tbl), "w") as fh:
+        json.dump(meta, fh)
+
+    at_v0 = read_iceberg_native(
+        spark, {"path": tbl, "asOfTimestamp": t0 + 50_000})
+    assert sorted(r["id"] for r in at_v0.collect()) == [0, 1, 2]
+    at_v1 = read_iceberg_native(
+        spark, {"path": tbl, "asOfTimestamp": t0 + 200_000})
+    assert sorted(r["id"] for r in at_v1.collect()) == list(range(6))
+    import datetime as _dt
+    iso = _dt.datetime.fromtimestamp(
+        (t0 + 50_000) / 1000.0, tz=_dt.timezone.utc
+    ).isoformat()
+    assert sorted(
+        r["id"]
+        for r in read_iceberg_native(
+            spark, {"path": tbl, "asOfTimestamp": iso}
+        ).collect()
+    ) == [0, 1, 2]
+    with pytest.raises(ValueError, match="before the earliest"):
+        read_iceberg_native(spark, {"path": tbl, "asOfTimestamp": t0 - 1000})
+
+
+def test_iceberg_append_merge_schema_evolution(spark, tmp_path):
+    """r6: mergeSchema on append — new optional columns get fresh field
+    ids (existing ids stay verbatim so older manifests' stats remain
+    correctly keyed), last-column-id bumps, and old files null-pad on
+    read through the schema-generation machinery."""
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    tbl = str(tmp_path / "ice_evolve")
+    write_iceberg_native(spark.range(0, 3).coalesce(1), {"path": tbl, "mode": "create"})
+    base_meta = json.loads(open(find_table_metadata(tbl)).read())
+    base_last = base_meta["last-column-id"]
+
+    evolved = spark.range(3, 5).withColumn("tag", F.lit("x")).coalesce(1)
+    # without mergeSchema: loud refusal, no orphan files
+    with pytest.raises(ValueError, match="mergeSchema"):
+        write_iceberg_native(evolved, {"path": tbl, "mode": "append"})
+    write_iceberg_native(
+        evolved, {"path": tbl, "mode": "append", "mergeSchema": True}
+    )
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    assert meta["last-column-id"] == base_last + 1
+    cur = next(
+        s for s in meta["schemas"]
+        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+    )
+    by_name = {f["name"]: f for f in cur["fields"]}
+    assert by_name["id"]["id"] == 1          # existing id kept verbatim
+    assert by_name["tag"]["id"] == base_last + 1
+    assert by_name["tag"]["required"] is False
+
+    back = read_iceberg_native(spark, {"path": tbl})
+    rows = sorted((r["id"], r["tag"]) for r in back.collect())
+    assert rows == [(0, None), (1, None), (2, None), (3, "x"), (4, "x")]
+    # stats-keyed skipping on the NEW column only admits the new file
+    skip = read_iceberg_native(
+        spark, {"path": tbl,
+                "dataFilter": {"key": "id", "op": ">=", "value": 3}})
+    assert sorted(r["id"] for r in skip.collect()) == [3, 4]
