@@ -158,9 +158,10 @@ def _bigquery_native_write(ctx: ModuleContext, p: dict, table: str) -> None:
 def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
     maintenance = str(p.get("mode", "")).lower()
-    if maintenance in ("compact", "expire", "delete"):
+    if maintenance in ("compact", "expire", "delete", "alter"):
         # table maintenance/mutation: the table is the operand, not the input
         from pipeline_spark.sinks.iceberg_native import (
+            alter_iceberg_native,
             compact_iceberg_native,
             delete_iceberg_native,
             expire_iceberg_native,
@@ -170,6 +171,8 @@ def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
             compact_iceberg_native(ctx.spark, p)
         elif maintenance == "expire":
             expire_iceberg_native(ctx.spark, p)
+        elif maintenance == "alter":
+            alter_iceberg_native(ctx.spark, p)
         else:
             delete_iceberg_native(ctx.spark, p)
         return {"": ctx.input}

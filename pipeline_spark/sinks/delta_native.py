@@ -318,6 +318,30 @@ def write_delta_native(
     phys_part_cols = (
         [cm["phys_of"].get(c, c) for c in part_cols] if cm else part_cols
     )
+    # CHECK constraints (PROTOCOL.md: delta.constraints.* table
+    # properties, writer-must-enforce): violations counted through an
+    # Observation riding the data write itself — zero extra scan; a
+    # violated write removes its staged files and never commits
+    conf_src = (prev_meta.get("configuration") or {}) if exists else props
+    constraints = {
+        k[len("delta.constraints."):]: v
+        for k, v in conf_src.items()
+        if k.startswith("delta.constraints.") and str(v).strip()
+    }
+    obs = None
+    if constraints:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        df = df.observe(
+            obs,
+            *[
+                # SQL CHECK semantics: only FALSE violates (null passes)
+                F.count(F.when(~F.expr(str(sql)), F.lit(1))).alias(name)
+                for name, sql in constraints.items()
+            ],
+        )
     commit_id = uuid.uuid4().hex
     data_dir = f"data-{commit_id}"
     staging = os.path.join(table, data_dir)
@@ -325,6 +349,20 @@ def write_delta_native(
     if part_cols:
         writer = writer.partitionBy(*phys_part_cols)
     writer.parquet(staging)
+    if obs is not None:
+        violated = {k: v for k, v in obs.get.items() if v}
+        if violated:
+            import shutil as _shutil
+
+            _shutil.rmtree(staging, ignore_errors=True)
+            detail = ", ".join(
+                f"'{k}' ({constraints[k]}): {v} row(s)"
+                for k, v in violated.items()
+            )
+            raise ValueError(
+                f"delta sink: CHECK constraint violation — {detail}; "
+                "nothing was committed"
+            )
 
     adds = []
     now_ms = int(time.time() * 1000)
@@ -966,6 +1004,144 @@ def update_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     return _cow_rewrite_where(spark, p, set_exprs=dict(set_exprs))
 
 
+def alter_delta_native(spark, p: dict[str, Any]) -> dict[str, Any]:
+    """Metadata-only ALTER TABLE: the operations column mapping exists
+    for (PROTOCOL.md Column Mapping — rename/drop become one metaData
+    commit with ZERO data motion, because files are keyed by physical
+    name, not logical).
+
+      enableColumnMapping: true   upgrade an unmapped table to
+                                  mode=name: every existing field's
+                                  physical name is its CURRENT name
+                                  (the files already use it — the
+                                  spec's upgrade invariant), ids
+                                  assigned, protocol raised to
+                                  reader2/writer5 (or the columnMapping
+                                  table feature on feature protocols)
+      renameColumn: {old: new}    logical rename(s), top-level
+      dropColumn: [name, ...]     remove column(s) from the schema
+                                  (bytes stay in the files, invisible
+                                  to readers — delta's own DROP COLUMN)
+
+    On an UNMAPPED table rename/drop would have to rewrite every data
+    file — refused with the upgrade hint (pass enableColumnMapping in
+    the same call to do both in one commit).
+    """
+    table = p.get("path") or p.get("table")
+    if not table:
+        raise ValueError("delta alter: 'path' is required")
+    _adds, meta, proto, prev_version, _txns = replay_state(table)
+    conf = dict(meta.get("configuration") or {})
+    sj = json.loads(meta["schemaString"])
+    actions: list[dict] = []
+    result: dict[str, Any] = {}
+
+    if p.get("enableColumnMapping") and conf.get(
+        "delta.columnMapping.mode"
+    ) in (None, "", "none"):
+        next_id = 0
+
+        def _annotate(node):
+            nonlocal next_id
+            if not isinstance(node, dict):
+                return node
+            out = dict(node)
+            t = node.get("type")
+            if t == "struct":
+                fields = []
+                for f in node["fields"]:
+                    next_id += 1
+                    md = dict(f.get("metadata") or {})
+                    md.setdefault("delta.columnMapping.id", next_id)
+                    # upgrade invariant: physical name = CURRENT name
+                    md.setdefault(
+                        "delta.columnMapping.physicalName", f["name"]
+                    )
+                    fields.append(
+                        {**f, "metadata": md, "type": _annotate(f["type"])}
+                    )
+                out["fields"] = fields
+            elif t == "array":
+                out["elementType"] = _annotate(node["elementType"])
+            elif t == "map":
+                out["keyType"] = _annotate(node["keyType"])
+                out["valueType"] = _annotate(node["valueType"])
+            return out
+
+        sj = _annotate(sj)
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = str(next_id)
+        r = int(proto.get("minReaderVersion", 1))
+        w = int(proto.get("minWriterVersion", 2))
+        if r >= 3 or proto.get("readerFeatures") is not None:
+            rf = sorted(set(proto.get("readerFeatures") or []) | {"columnMapping"})
+            wf = sorted(set(proto.get("writerFeatures") or []) | {"columnMapping"})
+            actions.append({"protocol": {
+                "minReaderVersion": max(r, 3), "minWriterVersion": max(w, 7),
+                "readerFeatures": rf, "writerFeatures": wf,
+            }})
+        elif r < 2 or w < 5:
+            actions.append({"protocol": {
+                "minReaderVersion": 2, "minWriterVersion": 5,
+            }})
+        result["column_mapping_enabled"] = True
+
+    renames = dict(p.get("renameColumn") or {})
+    drops = list(p.get("dropColumn") or [])
+    if (renames or drops) and conf.get("delta.columnMapping.mode") in (
+        None, "", "none",
+    ):
+        raise ValueError(
+            "delta alter: rename/drop are metadata-only ONLY under column "
+            "mapping (files are keyed by physical name); pass "
+            "enableColumnMapping: true (same call works) or rewrite the "
+            "table"
+        )
+    names = {f["name"] for f in sj.get("fields", [])}
+    bad = [c for c in list(renames) + drops if c not in names]
+    if bad:
+        raise ValueError(f"delta alter: unknown columns {bad} (have {sorted(names)})")
+    clash = [new for new in renames.values() if new in names - set(renames)]
+    if clash:
+        raise ValueError(f"delta alter: rename targets {clash} already exist")
+    part_cols = set(meta.get("partitionColumns") or [])
+    locked = [c for c in list(renames) + drops if c in part_cols]
+    if locked:
+        raise ValueError(
+            f"delta alter: {locked} are partition columns — renaming or "
+            "dropping them changes the table layout; rewrite instead"
+        )
+    if renames or drops:
+        sj["fields"] = [
+            {**f, "name": renames.get(f["name"], f["name"])}
+            for f in sj["fields"]
+            if f["name"] not in drops
+        ]
+        if not sj["fields"]:
+            raise ValueError("delta alter: cannot drop every column")
+        result["renamed"] = renames
+        result["dropped"] = drops
+    if not actions and not renames and not drops and not result:
+        raise ValueError(
+            "delta alter: nothing to do (enableColumnMapping / "
+            "renameColumn / dropColumn)"
+        )
+    actions.append({"metaData": {
+        **meta, "schemaString": json.dumps(sj), "configuration": conf,
+    }})
+    actions.append({"commitInfo": {
+        "timestamp": int(time.time() * 1000),
+        "operation": "ALTER TABLE",
+        "operationParameters": {
+            "renameColumn": json.dumps(renames),
+            "dropColumn": json.dumps(drops),
+            "enableColumnMapping": bool(result.get("column_mapping_enabled")),
+        },
+    }})
+    _commit_actions(table, prev_version + 1, actions)
+    return result
+
+
 def _cdf_enabled(meta: dict) -> bool:
     return str(
         (meta.get("configuration") or {}).get("delta.enableChangeDataFeed", "")
@@ -1389,7 +1565,7 @@ def delta_sink(ctx: ModuleContext) -> dict[str, Any]:
     df = ctx.input
     p = ctx.params
     maintenance = str(p.get("mode", "")).lower()
-    if maintenance in ("compact", "vacuum", "delete", "update"):
+    if maintenance in ("compact", "vacuum", "delete", "update", "alter"):
         # table maintenance/mutation: the input only provides the session;
         # the table itself is the operand
         if maintenance == "compact":
@@ -1398,6 +1574,8 @@ def delta_sink(ctx: ModuleContext) -> dict[str, Any]:
             vacuum_delta_native(ctx.spark, p)
         elif maintenance == "delete":
             delete_delta_native(ctx.spark, p)
+        elif maintenance == "alter":
+            alter_delta_native(ctx.spark, p)
         else:
             update_delta_native(ctx.spark, p)
         return {}

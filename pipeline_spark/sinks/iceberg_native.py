@@ -876,6 +876,88 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         fh.write(str(version))
 
 
+def alter_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
+    """Metadata-only ALTER TABLE: renameColumn {old: new} / dropColumn
+    [cols] on a filesystem table.  Iceberg columns are FIELD-ID-keyed,
+    so both are one new table-metadata version with zero data motion —
+    old files resolve through each manifest's embedded write-time schema
+    (the reader's schema-generation machinery maps their parquet column
+    names to the current logical names by id).  The name-mapping
+    property keeps BOTH names per field id so id-less files stay
+    resolvable (spec: Name Mapping).
+    """
+    table_path = re.sub(
+        r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
+    )
+    renames = dict(p.get("renameColumn") or {})
+    drops = list(p.get("dropColumn") or [])
+    if not renames and not drops:
+        raise ValueError(
+            "iceberg alter: nothing to do (renameColumn / dropColumn)"
+        )
+    prev_file = find_table_metadata(table_path)
+    with open(prev_file) as fh:
+        meta = json.load(fh)
+    m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
+    version = (int(m.group(1)) if m else meta.get("__version", 0)) + 1
+    cur_id = meta.get("current-schema-id", 0)
+    schemas = [dict(s) for s in meta["schemas"]]
+    cur = next(s for s in schemas if s.get("schema-id", 0) == cur_id)
+    names = {f["name"] for f in cur["fields"]}
+    bad = [c for c in list(renames) + drops if c not in names]
+    if bad:
+        raise ValueError(
+            f"iceberg alter: unknown columns {bad} (have {sorted(names)})"
+        )
+    clash = [new for new in renames.values() if new in names - set(renames)]
+    if clash:
+        raise ValueError(f"iceberg alter: rename targets {clash} already exist")
+    spec_fields = (meta.get("partition-specs") or [{}])[0].get("fields", [])
+    locked_ids = {f.get("source-id") for f in spec_fields}
+    locked = [
+        f["name"] for f in cur["fields"]
+        if f["id"] in locked_ids and f["name"] in drops
+    ]
+    if locked:
+        raise ValueError(
+            f"iceberg alter: {locked} are partition source columns — "
+            "dropping them breaks the partition spec; rewrite instead"
+        )
+    old_names = {f["id"]: f["name"] for f in cur["fields"]}
+    cur["fields"] = [
+        {**f, "name": renames.get(f["name"], f["name"])}
+        for f in cur["fields"]
+        if f["name"] not in drops
+    ]
+    if not cur["fields"]:
+        raise ValueError("iceberg alter: cannot drop every column")
+    # name mapping: both old and new names resolve to the field id
+    mapping = []
+    for f in cur["fields"]:
+        entry_names = [f["name"]]
+        if old_names.get(f["id"]) and old_names[f["id"]] != f["name"]:
+            entry_names.append(old_names[f["id"]])
+        mapping.append({"field-id": f["id"], "names": entry_names})
+    now_ms = int(time.time() * 1000)
+    meta = dict(meta)
+    meta["schemas"] = schemas
+    meta["last-updated-ms"] = now_ms
+    meta["properties"] = {
+        **(meta.get("properties") or {}),
+        "schema.name-mapping.default": json.dumps(mapping),
+    }
+    meta["metadata-log"] = (list(meta.get("metadata-log") or []) + [
+        {"timestamp-ms": now_ms, "metadata-file": prev_file}
+    ])[-10:]
+    meta["__version"] = version
+    meta_dir = os.path.join(table_path, "metadata")
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return {"renamed": renames, "dropped": drops}
+
+
 def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     """Rewrite-data-files compaction: bin-pack small files per partition
     into ~``targetFileBytes``, commit one ``replace`` snapshot.

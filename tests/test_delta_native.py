@@ -2123,3 +2123,103 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     with pytest.raises(ValueError, match="mutually exclusive"):
         read_delta_native(
             spark, {"path": tbl, "timestampAsOf": t0, "versionAsOf": 0})
+
+
+def test_check_constraints_enforced_on_write(spark, tmp_path):
+    """delta.constraints.* table properties are writer-enforced (the
+    protocol's CHECK constraint contract): a violating append stages
+    nothing and never commits; NULL evaluations pass (SQL CHECK
+    semantics); the violation count rides an Observation on the data
+    write itself."""
+    import glob as _glob
+
+    tbl = str(tmp_path / "chk")
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(1,), (2,), (None,)], "id long"),
+        {"path": tbl,
+         "properties": {"delta.constraints.positive_id": "id > 0"}},
+    )  # nulls pass, 1/2 pass
+    assert read_delta_native(spark, {"path": tbl}).count() == 3
+
+    with pytest.raises(ValueError, match="positive_id"):
+        write_delta_native(
+            spark, spark.createDataFrame([(5,), (-1,)], "id long"),
+            {"path": tbl, "mode": "append"},
+        )
+    # nothing committed, staged files cleaned up
+    assert read_delta_native(spark, {"path": tbl}).count() == 3
+    from pipeline_spark.sources.delta_native import latest_version, _log_dir
+    assert latest_version(_log_dir(tbl)) == 0
+    staged = [
+        p for p in _glob.glob(os.path.join(tbl, "data-*", "**", "*.parquet"),
+                              recursive=True)
+    ]
+    live = {a["path"] for a in replay_log(tbl)[0]}
+    assert all(os.path.relpath(p, tbl).replace(os.sep, "/") in live
+               for p in staged), "violating staging files were left behind"
+
+    # a passing append still commits
+    write_delta_native(
+        spark, spark.createDataFrame([(7,)], "id long"),
+        {"path": tbl, "mode": "append"},
+    )
+    assert read_delta_native(spark, {"path": tbl}).count() == 4
+
+
+def test_alter_enable_mapping_rename_drop(spark, tmp_path):
+    """r6: metadata-only ALTER — upgrading an unmapped table to column
+    mapping keeps every existing field's CURRENT name as its physical
+    name (files already use it), after which rename and drop are one
+    metaData commit with zero data motion; old data reads back under the
+    new logical names."""
+    from pipeline_spark.sinks.delta_native import (
+        alter_delta_native,
+        delete_delta_native,
+    )
+
+    tbl = str(tmp_path / "alter")
+    df = spark.createDataFrame([(1, "x", 10), (2, "y", 20)], "id long, tag string, score long")
+    write_delta_native(spark, df.coalesce(1), {"path": tbl})
+    data_files_before = sorted(a["path"] for a in replay_log(tbl)[0])
+
+    # rename on an unmapped table refuses with the upgrade hint
+    with pytest.raises(ValueError, match="enableColumnMapping"):
+        alter_delta_native(
+            spark, {"path": tbl, "renameColumn": {"tag": "label"}})
+
+    res = alter_delta_native(spark, {
+        "path": tbl, "enableColumnMapping": True,
+        "renameColumn": {"tag": "label"}, "dropColumn": ["score"],
+    })
+    assert res["column_mapping_enabled"] and res["renamed"] == {"tag": "label"}
+    adds, meta, proto, _v = replay_log(tbl)
+    assert proto["minReaderVersion"] == 2 and proto["minWriterVersion"] == 5
+    assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+    # zero data motion: same files
+    assert sorted(a["path"] for a in adds) == data_files_before
+    fields = json.loads(meta["schemaString"])["fields"]
+    by_name = {f["name"]: f for f in fields}
+    assert set(by_name) == {"id", "label"}
+    # upgrade invariant: physical name = pre-rename current name
+    assert by_name["label"]["metadata"]["delta.columnMapping.physicalName"] == "tag"
+
+    back = read_delta_native(spark, {"path": tbl})
+    assert sorted((r["id"], r["label"]) for r in back.collect()) == [(1, "x"), (2, "y")]
+
+    # the renamed table still appends + mutates (physical-name write path)
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(3, "z")], "id long, label string").coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    delete_delta_native(
+        spark, {"path": tbl, "where": [{"key": "label", "op": "=", "value": "x"}]})
+    back = read_delta_native(spark, {"path": tbl})
+    assert sorted((r["id"], r["label"]) for r in back.collect()) == [(2, "y"), (3, "z")]
+
+    # guards: unknown column / partition column / target collision
+    with pytest.raises(ValueError, match="unknown columns"):
+        alter_delta_native(spark, {"path": tbl, "dropColumn": ["ghost"]})
+    with pytest.raises(ValueError, match="already exist"):
+        alter_delta_native(spark, {"path": tbl, "renameColumn": {"label": "id"}})

@@ -1763,3 +1763,72 @@ def test_iceberg_append_merge_schema_evolution(spark, tmp_path):
         spark, {"path": tbl,
                 "dataFilter": {"key": "id", "op": ">=", "value": 3}})
     assert sorted(r["id"] for r in skip.collect()) == [3, 4]
+
+
+def test_iceberg_alter_rename_drop(spark, tmp_path):
+    """r6: metadata-only rename/drop — iceberg columns are field-id-keyed
+    so one new metadata version suffices; files written BEFORE the rename
+    resolve through their manifest's embedded write-time schema, and the
+    name-mapping keeps both names per id."""
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sinks.iceberg_native import alter_iceberg_native
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    tbl = str(tmp_path / "ice_alter")
+    df = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20)], "id long, tag string, score long"
+    )
+    write_iceberg_native(df.coalesce(1), {"path": tbl, "mode": "create"})
+    res = alter_iceberg_native(spark, {
+        "path": tbl, "renameColumn": {"tag": "label"}, "dropColumn": ["score"],
+    })
+    assert res == {"renamed": {"tag": "label"}, "dropped": ["score"]}
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    cur = next(
+        s for s in meta["schemas"]
+        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+    )
+    assert [f["name"] for f in cur["fields"]] == ["id", "label"]
+    mapping = json.loads(meta["properties"]["schema.name-mapping.default"])
+    label_entry = next(e for e in mapping if "label" in e["names"])
+    assert "tag" in label_entry["names"]  # both names resolve the id
+
+    back = read_iceberg_native(spark, {"path": tbl})
+    assert back.columns == ["id", "label"]
+    assert sorted((r["id"], r["label"]) for r in back.collect()) == [
+        (1, "x"), (2, "y"),
+    ]
+    # filters on the RENAMED column still push down / skip correctly
+    skip = read_iceberg_native(
+        spark, {"path": tbl,
+                "dataFilter": {"key": "id", "op": "=", "value": 2}})
+    assert [(r["id"], r["label"]) for r in skip.collect()] == [(2, "y")]
+
+    # guards
+    with pytest.raises(ValueError, match="unknown columns"):
+        alter_iceberg_native(spark, {"path": tbl, "dropColumn": ["ghost"]})
+    with pytest.raises(ValueError, match="already exist"):
+        alter_iceberg_native(spark, {"path": tbl, "renameColumn": {"label": "id"}})
+
+
+def test_iceberg_append_after_rename(spark, tmp_path):
+    """Appending under the NEW logical names after a rename: new files
+    carry the new parquet column names, old files keep the old ones, and
+    one read stitches both through the id-keyed schema generations."""
+    from pipeline_spark.sinks.iceberg_native import alter_iceberg_native
+
+    tbl = str(tmp_path / "ice_alter_append")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "x")], "id long, tag string").coalesce(1),
+        {"path": tbl, "mode": "create"},
+    )
+    alter_iceberg_native(spark, {"path": tbl, "renameColumn": {"tag": "label"}})
+    write_iceberg_native(
+        spark.createDataFrame([(2, "y")], "id long, label string").coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    back = read_iceberg_native(spark, {"path": tbl})
+    assert sorted((r["id"], r["label"]) for r in back.collect()) == [
+        (1, "x"), (2, "y"),
+    ]
