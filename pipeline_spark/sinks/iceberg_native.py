@@ -534,13 +534,9 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
                 # correctly); new top-level columns append as optional with
                 # fresh ids from last-column-id — the spec's add-column
                 # evolution.  Old data files null-pad on read through the
-                # schema-generation machinery the reader already has.
-                if rest is not None:
-                    raise NotImplementedError(
-                        "iceberg rest write: mergeSchema evolution needs "
-                        "add-schema/set-current-schema commit updates — "
-                        "not wired yet; evolve via the catalog first"
-                    )
+                # schema-generation machinery the reader already has.  On a
+                # REST table the evolution rides the same commit as
+                # add-schema + set-current-schema updates.
                 next_id = {"n": int(prev_meta.get("last-column-id", 0))}
 
                 def _fresh() -> int:
@@ -792,6 +788,7 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         # CommitTableRequest — the staged snapshot either lands atomically
         # on the asserted ref or conflicts loudly
         cat = rest["catalog"]
+        updates: list[dict] = []
         if prev_meta is None:
             cat.create_table(rest["namespace"], {
                 "name": rest["name"],
@@ -810,6 +807,29 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
             prev_snap_id = None
         else:
             prev_snap_id = prev_meta.get("current-snapshot-id")
+            if evolved_last_column_id is not None:
+                # mergeSchema on a catalog table: the evolution and the
+                # snapshot land in ONE optimistic commit (spec's
+                # add-schema + set-current-schema; -1 = the just-added)
+                new_sid = max(
+                    (s.get("schema-id", 0)
+                     for s in prev_meta.get("schemas", [])),
+                    default=0,
+                ) + 1
+                snapshot["schema-id"] = new_sid
+                updates.append({
+                    "action": "add-schema",
+                    "schema": {**schema, "schema-id": new_sid},
+                    "last-column-id": evolved_last_column_id,
+                })
+                updates.append(
+                    {"action": "set-current-schema", "schema-id": -1}
+                )
+        updates.append({"action": "add-snapshot", "snapshot": snapshot})
+        updates.append({
+            "action": "set-snapshot-ref", "ref-name": "main",
+            "type": "branch", "snapshot-id": snapshot_id,
+        })
         cat.commit_table(
             rest["namespace"], rest["name"],
             requirements=[{
@@ -817,11 +837,7 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
                 "ref": "main",
                 "snapshot-id": prev_snap_id,
             }],
-            updates=[
-                {"action": "add-snapshot", "snapshot": snapshot},
-                {"action": "set-snapshot-ref", "ref-name": "main",
-                 "type": "branch", "snapshot-id": snapshot_id},
-            ],
+            updates=updates,
         )
         return
     if prev_meta is not None:

@@ -1299,6 +1299,7 @@ def _serve_stateful_catalog():
                     if req.get("type") == "assert-ref-snapshot-id":
                         if meta.get("current-snapshot-id") != req.get("snapshot-id"):
                             return self._json({"error": "requirement failed"}, 409)
+                last_added_schema_id = None
                 for upd in body.get("updates", []):
                     if upd["action"] == "add-snapshot":
                         snap = upd["snapshot"]
@@ -1309,6 +1310,19 @@ def _serve_stateful_catalog():
                         )
                     elif upd["action"] == "set-snapshot-ref":
                         meta["current-snapshot-id"] = upd["snapshot-id"]
+                    elif upd["action"] == "add-schema":
+                        sc = upd["schema"]
+                        meta["schemas"] = list(meta["schemas"]) + [sc]
+                        last_added_schema_id = sc.get("schema-id")
+                        meta["last-column-id"] = max(
+                            meta.get("last-column-id", 0),
+                            int(upd.get("last-column-id", 0)),
+                        )
+                    elif upd["action"] == "set-current-schema":
+                        sid = upd["schema-id"]
+                        meta["current-schema-id"] = (
+                            last_added_schema_id if sid == -1 else sid
+                        )
                 return self._json(
                     {"metadata-location": f"mem://{name}", "metadata": meta}
                 )
@@ -1832,3 +1846,35 @@ def test_iceberg_append_after_rename(spark, tmp_path):
     assert sorted((r["id"], r["label"]) for r in back.collect()) == [
         (1, "x"), (2, "y"),
     ]
+
+
+def test_rest_catalog_merge_schema_evolution(spark, tmp_path):
+    """mergeSchema on a REST table: the evolved schema rides the SAME
+    optimistic commit as the snapshot (add-schema + set-current-schema
+    -1), old files null-pad through the catalog read."""
+    from pyspark.sql import functions as F
+
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.ev",
+                 "location": str(tmp_path / "rest_evolve")}
+        write_iceberg_native(spark.range(0, 3).coalesce(1), {**cat_p, "mode": "create"})
+        evolved = spark.range(3, 5).withColumn("tag", F.lit("x")).coalesce(1)
+        with pytest.raises(ValueError, match="mergeSchema"):
+            write_iceberg_native(evolved, {**cat_p, "mode": "append"})
+        write_iceberg_native(
+            evolved, {**cat_p, "mode": "append", "mergeSchema": True})
+        meta = state["ev"]
+        assert len(meta["schemas"]) == 2
+        cur = next(
+            s for s in meta["schemas"]
+            if s.get("schema-id", 0) == meta["current-schema-id"]
+        )
+        assert [f["name"] for f in cur["fields"]] == ["id", "tag"]
+        assert meta["last-column-id"] == 2
+        back = read_iceberg_native(spark, {"catalog": {"uri": uri}, "table": "ns.ev"})
+        rows = sorted((r["id"], r["tag"]) for r in back.collect())
+        assert rows == [(0, None), (1, None), (2, None), (3, "x"), (4, "x")]
+    finally:
+        srv.shutdown()
