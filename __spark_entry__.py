@@ -3404,6 +3404,56 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_delta_alter_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ALTER (r6): an unmapped Delta table upgrades to
+    column mapping in place (physical name = current name), a column
+    renames with ZERO data motion, and appends under the NEW logical
+    name stitch with pre-rename files.  The oracle recomputes the final
+    aggregate from the source parquet under the renamed column."""
+    import shutil
+
+    from pipeline_spark.sinks.delta_native import (
+        alter_delta_native,
+        write_delta_native,
+    )
+    from pipeline_spark.sources.delta_native import read_delta_native
+
+    tbl = _tmp_path("delta_alter", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_delta_native(
+        spark, docs.where(F.col("doc_id") % 2 == 0).coalesce(1), {"path": tbl}
+    )
+    alter_delta_native(spark, {
+        "path": tbl, "enableColumnMapping": True,
+        "renameColumn": {"n_chars": "chars"},
+    })
+    write_delta_native(
+        spark,
+        docs.where(F.col("doc_id") % 2 == 1)
+        .withColumnRenamed("n_chars", "chars")
+        .coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    back = read_delta_native(spark, {"path": tbl})
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_DELTA_ALTER_SQL = """
+SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental append-scan: supplier committed in two snapshots,
     fromSnapshotId resolves ONLY the second commit's files — the
@@ -4289,6 +4339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_rest": q_iceberg_rest,
         "delta_cdf": q_delta_cdf,
         "delta_cm_roundtrip": q_delta_cm_roundtrip,
+        "delta_alter_roundtrip": q_delta_alter_roundtrip,
         "iceberg_incremental": q_iceberg_incremental,
         # --- long-green (r4 driver rows; pytest + local-harness guarded)
         "q1_pricing_summary": q1_pricing_summary,
@@ -4402,6 +4453,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_rest": Q_ICEBERG_REST_SQL,
         "delta_cdf": Q_DELTA_CDF_SQL,
         "delta_cm_roundtrip": Q_DELTA_CM_SQL,
+        "delta_alter_roundtrip": Q_DELTA_ALTER_SQL,
         "iceberg_incremental": Q_ICEBERG_INC_SQL,
         "asof_join": Q_ASOF_SQL,
         "sessionize": Q_SESSIONIZE_SQL,

@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "iceberg_rest",
     "delta_cdf",
     "delta_cm_roundtrip",
+    "delta_alter_roundtrip",
     "iceberg_incremental",
 ]
 
