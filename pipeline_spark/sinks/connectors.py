@@ -158,13 +158,14 @@ def _bigquery_native_write(ctx: ModuleContext, p: dict, table: str) -> None:
 def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
     maintenance = str(p.get("mode", "")).lower()
-    if maintenance in ("compact", "expire", "delete", "alter"):
+    if maintenance in ("compact", "expire", "delete", "alter", "rollback"):
         # table maintenance/mutation: the table is the operand, not the input
         from pipeline_spark.sinks.iceberg_native import (
             alter_iceberg_native,
             compact_iceberg_native,
             delete_iceberg_native,
             expire_iceberg_native,
+            rollback_iceberg_native,
         )
 
         if maintenance == "compact":
@@ -173,6 +174,8 @@ def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
             expire_iceberg_native(ctx.spark, p)
         elif maintenance == "alter":
             alter_iceberg_native(ctx.spark, p)
+        elif maintenance == "rollback":
+            rollback_iceberg_native(ctx.spark, p)
         else:
             delete_iceberg_native(ctx.spark, p)
         return {"": ctx.input}

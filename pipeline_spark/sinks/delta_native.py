@@ -1004,6 +1004,91 @@ def update_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     return _cow_rewrite_where(spark, p, set_exprs=dict(set_exprs))
 
 
+def restore_delta_native(spark, p: dict[str, Any]) -> dict[str, Any]:
+    """RESTORE TABLE to an earlier version (delta's RESTORE): ONE new
+    commit re-adds the target version's files (deletion vectors
+    included, verbatim) and removes the files added since — data AND
+    schema roll back, history is preserved (the restore itself is just
+    another version, so it can be un-restored).  Files vacuumed since
+    the target version make the restore impossible and error
+    actionably.  ``versionAsOf`` or ``timestampAsOf`` picks the target.
+    """
+    import urllib.parse as _up
+
+    from pipeline_spark.sources.delta_native import _version_at_timestamp
+
+    table = p.get("path") or p.get("table")
+    if not table:
+        raise ValueError("delta restore: 'path' is required")
+    version = p.get("versionAsOf")
+    ts = p.get("timestampAsOf")
+    if (version is None) == (ts is None):
+        raise ValueError(
+            "delta restore: exactly one of versionAsOf / timestampAsOf"
+        )
+    if ts is not None:
+        version = _version_at_timestamp(_log_dir(table), ts)
+    version = int(version)
+    cur_adds, cur_meta, _proto, cur_version, _txns = replay_state(table)
+    if version > cur_version:
+        raise ValueError(
+            f"delta restore: versionAsOf {version} is beyond the current "
+            f"version {cur_version}"
+        )
+    if version == cur_version:
+        return {"restored_version": version, "files_added": 0,
+                "files_removed": 0}
+    tgt_adds, tgt_meta, _tp, _tv = replay_log(table, version)
+    cur_by = {a["path"]: a for a in cur_adds}
+    tgt_by = {a["path"]: a for a in tgt_adds}
+    missing = [
+        rel for rel in tgt_by
+        if not os.path.exists(os.path.join(table, _up.unquote(rel)))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"delta restore: {len(missing)} data file(s) of version "
+            f"{version} were vacuumed (e.g. {missing[0]}) — the table "
+            "cannot be restored past its retention"
+        )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    if (
+        tgt_meta.get("schemaString") != cur_meta.get("schemaString")
+        or tgt_meta.get("partitionColumns") != cur_meta.get("partitionColumns")
+        or tgt_meta.get("configuration") != cur_meta.get("configuration")
+    ):
+        actions.append({"metaData": tgt_meta})
+
+    def _same(a: dict, b: dict) -> bool:
+        return json.dumps(a.get("deletionVector"), sort_keys=True) == (
+            json.dumps(b.get("deletionVector"), sort_keys=True)
+        )
+
+    removes = [rel for rel in cur_by if rel not in tgt_by]
+    re_adds = [
+        a for rel, a in tgt_by.items()
+        if rel not in cur_by or not _same(a, cur_by[rel])
+    ]
+    for rel in removes:
+        actions.append({"remove": {
+            "path": rel, "deletionTimestamp": now_ms, "dataChange": True,
+            "partitionValues": cur_by[rel].get("partitionValues") or {},
+        }})
+    actions.extend({"add": {**a, "dataChange": True}} for a in re_adds)
+    actions.append({"commitInfo": {
+        "timestamp": now_ms,
+        "operation": "RESTORE",
+        "operationParameters": {"version": str(version)},
+    }})
+    _commit_actions(table, cur_version + 1, actions)
+    return {
+        "restored_version": version,
+        "files_added": len(re_adds),
+        "files_removed": len(removes),
+    }
+
+
 def alter_delta_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     """Metadata-only ALTER TABLE: the operations column mapping exists
     for (PROTOCOL.md Column Mapping — rename/drop become one metaData
@@ -1565,7 +1650,9 @@ def delta_sink(ctx: ModuleContext) -> dict[str, Any]:
     df = ctx.input
     p = ctx.params
     maintenance = str(p.get("mode", "")).lower()
-    if maintenance in ("compact", "vacuum", "delete", "update", "alter"):
+    if maintenance in (
+        "compact", "vacuum", "delete", "update", "alter", "restore",
+    ):
         # table maintenance/mutation: the input only provides the session;
         # the table itself is the operand
         if maintenance == "compact":
@@ -1576,6 +1663,8 @@ def delta_sink(ctx: ModuleContext) -> dict[str, Any]:
             delete_delta_native(ctx.spark, p)
         elif maintenance == "alter":
             alter_delta_native(ctx.spark, p)
+        elif maintenance == "restore":
+            restore_delta_native(ctx.spark, p)
         else:
             update_delta_native(ctx.spark, p)
         return {}

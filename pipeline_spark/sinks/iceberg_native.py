@@ -892,6 +892,62 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         fh.write(str(version))
 
 
+def rollback_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
+    """Roll the table back to an earlier snapshot (Iceberg's
+    rollback_to_snapshot): metadata-only — current-snapshot-id flips to
+    the target, the snapshot-log records the rollback as a new entry,
+    and nothing is deleted, so the rollback itself can be rolled back
+    (until expire_snapshots trims history).  ``snapshotId`` or
+    ``asOfTimestamp`` picks the target."""
+    from pipeline_spark.sources.iceberg_native import (
+        _snapshot_at_timestamp,
+        find_table_metadata,
+    )
+
+    table_path = re.sub(
+        r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
+    )
+    snap_id = p.get("snapshotId")
+    ts = p.get("asOfTimestamp")
+    if (snap_id is None) == (ts is None):
+        raise ValueError(
+            "iceberg rollback: exactly one of snapshotId / asOfTimestamp"
+        )
+    prev_file = find_table_metadata(table_path)
+    with open(prev_file) as fh:
+        meta = json.load(fh)
+    if ts is not None:
+        snap_id = _snapshot_at_timestamp(table_path, ts, meta)
+    snap_id = int(snap_id)
+    known = {s["snapshot-id"] for s in meta.get("snapshots") or []}
+    if snap_id not in known:
+        raise ValueError(
+            f"iceberg rollback: snapshot {snap_id} is not in the table's "
+            f"history (have {sorted(known)}) — expired?"
+        )
+    if meta.get("current-snapshot-id") == snap_id:
+        return {"rolled_back_to": snap_id, "changed": False}
+    m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
+    version = (int(m.group(1)) if m else meta.get("__version", 0)) + 1
+    now_ms = int(time.time() * 1000)
+    meta = dict(meta)
+    meta["current-snapshot-id"] = snap_id
+    meta["last-updated-ms"] = now_ms
+    meta["snapshot-log"] = (list(meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ])[-10:]
+    meta["metadata-log"] = (list(meta.get("metadata-log") or []) + [
+        {"timestamp-ms": now_ms, "metadata-file": prev_file}
+    ])[-10:]
+    meta["__version"] = version
+    meta_dir = os.path.join(table_path, "metadata")
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return {"rolled_back_to": snap_id, "changed": True}
+
+
 def alter_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     """Metadata-only ALTER TABLE: renameColumn {old: new} / dropColumn
     [cols] on a filesystem table.  Iceberg columns are FIELD-ID-keyed,

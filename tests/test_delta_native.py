@@ -2223,3 +2223,53 @@ def test_alter_enable_mapping_rename_drop(spark, tmp_path):
         alter_delta_native(spark, {"path": tbl, "dropColumn": ["ghost"]})
     with pytest.raises(ValueError, match="already exist"):
         alter_delta_native(spark, {"path": tbl, "renameColumn": {"label": "id"}})
+
+
+def test_restore_to_earlier_version(spark, tmp_path):
+    """RESTORE: data AND schema roll back in one new commit (re-added
+    files verbatim, since-added files removed), history is preserved so
+    the restore can itself be undone; vacuumed targets error."""
+    from pipeline_spark.sinks.delta_native import (
+        delete_delta_native,
+        restore_delta_native,
+        vacuum_delta_native,
+        write_delta_native,
+    )
+
+    tbl = str(tmp_path / "restore")
+    write_delta_native(spark, spark.range(0, 5).coalesce(1), {"path": tbl})
+    write_delta_native(spark, spark.range(5, 8).coalesce(1), {"path": tbl, "mode": "append"})
+    delete_delta_native(
+        spark, {"path": tbl, "where": [{"key": "id", "op": "<", "value": 2}]})
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(2, 8))
+
+    res = restore_delta_native(spark, {"path": tbl, "versionAsOf": 1})
+    assert res["restored_version"] == 1
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(8))
+    # history preserved: the pre-restore state is still time-travelable
+    assert _ids(read_delta_native(spark, {"path": tbl, "versionAsOf": 2})) == list(range(2, 8))
+    # un-restore (restore to the version the delete created)
+    restore_delta_native(spark, {"path": tbl, "versionAsOf": 2})
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(2, 8))
+
+    # a DV table restores its deletion vectors verbatim
+    tbl2 = str(tmp_path / "restore_dv")
+    write_delta_native(spark, spark.range(0, 10).coalesce(1), {"path": tbl2})
+    delete_delta_native(
+        spark, {"path": tbl2, "method": "mor",
+                "where": [{"key": "id", "op": "=", "value": 3}]})
+    write_delta_native(spark, spark.range(10, 12).coalesce(1),
+                       {"path": tbl2, "mode": "append"})
+    restore_delta_native(spark, {"path": tbl2, "versionAsOf": 1})
+    assert _ids(read_delta_native(spark, {"path": tbl2})) == [
+        i for i in range(10) if i != 3
+    ]
+
+    # vacuum past the target -> restore errors actionably
+    tbl3 = str(tmp_path / "restore_vac")
+    write_delta_native(spark, spark.range(0, 3).coalesce(1), {"path": tbl3})
+    write_delta_native(spark, spark.range(3, 6).coalesce(1),
+                       {"path": tbl3, "mode": "overwrite"})
+    vacuum_delta_native(spark, {"path": tbl3, "retainVersions": 1})
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        restore_delta_native(spark, {"path": tbl3, "versionAsOf": 0})

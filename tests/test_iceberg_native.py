@@ -1878,3 +1878,29 @@ def test_rest_catalog_merge_schema_evolution(spark, tmp_path):
         assert rows == [(0, None), (1, None), (2, None), (3, "x"), (4, "x")]
     finally:
         srv.shutdown()
+
+
+def test_iceberg_rollback_to_snapshot(spark, tmp_path):
+    """rollback_to_snapshot is metadata-only: current-snapshot-id flips,
+    nothing is deleted, so the rollback can be rolled back."""
+    from pipeline_spark.sinks.iceberg_native import rollback_iceberg_native
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    tbl = str(tmp_path / "ice_rb")
+    write_iceberg_native(spark.range(0, 3).coalesce(1), {"path": tbl, "mode": "create"})
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    first = meta["current-snapshot-id"]
+    write_iceberg_native(spark.range(3, 6).coalesce(1), {"path": tbl, "mode": "append"})
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    second = meta["current-snapshot-id"]
+
+    res = rollback_iceberg_native(spark, {"path": tbl, "snapshotId": first})
+    assert res == {"rolled_back_to": first, "changed": True}
+    assert sorted(
+        r["id"] for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    ) == [0, 1, 2]
+    # roll forward again
+    rollback_iceberg_native(spark, {"path": tbl, "snapshotId": second})
+    assert read_iceberg_native(spark, {"path": tbl}).count() == 6
+    with pytest.raises(ValueError, match="not in the table's history"):
+        rollback_iceberg_native(spark, {"path": tbl, "snapshotId": 12345})
