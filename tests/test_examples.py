@@ -50,6 +50,9 @@ def stage_stream_inputs():
             _spark.range(i * 10, (i + 1) * 10).coalesce(1),
             {"path": str(tbl), "mode": "append" if i else "errorifexists"},
         )
+    # the schema-evolution example lands then ALTERs a table — a prior
+    # session's renamed table would fail the fresh overwrite's schema check
+    shutil.rmtree("/tmp/pipeline_out/delta_governed", ignore_errors=True)
     # the commoncrawl example reads a staged WARC archive built from the
     # documents table wrapped as crawled HTML pages
     import pyarrow.parquet as pq
