@@ -522,6 +522,12 @@ def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
         # under physical names, so the logical mapping never enters
         part_cols = [cm["phys_of"].get(c, c) for c in part_cols]
 
+    if p.get("zOrderBy"):
+        return _zorder_compact(
+            spark, table, p, target, prev_adds, meta, cm, part_cols,
+            prev_version,
+        )
+
     groups: dict[tuple, list[dict]] = {}
     for a in prev_adds:
         if int(a.get("size", 0)) < target:
@@ -604,6 +610,174 @@ def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
                 "timestamp": now_ms,
                 "operation": "OPTIMIZE",
                 "operationParameters": {"targetFileBytes": str(target)},
+            }
+        }]
+    )
+    _commit_actions(table, prev_version + 1, actions)
+    return {"compacted_files": len(removes), "new_files": len(adds)}
+
+
+def _zvalue_column(spark, df, cols, bits: int = 8):
+    """Morton (Z-order) value over ``cols`` as one JVM Column.
+
+    Each column quantile-bucketizes into 2^bits ranks (boundaries from
+    ONE driver-side approxQuantile per column — metadata scale; the
+    per-row rank is an ``aggregate`` fold over the broadcast boundary
+    array, whole-stage-codegen'd), then the ranks' bits interleave.
+    Quantile (not uniform) buckets keep the curve balanced under skew —
+    the property that makes min/max bounds tight on EVERY z-ordered
+    column, not just the first sort key."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    buckets = 1 << bits
+    probs = [i / buckets for i in range(1, buckets)]
+    rank_cols = []
+    for i, c in enumerate(cols):
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.DateType,)):
+            src = F.col(c).cast("timestamp").cast("double")
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            src = F.col(c).cast("double")
+        elif isinstance(dt, T.NumericType):
+            src = F.col(c).cast("double")
+        else:
+            raise ValueError(
+                f"delta compact: zOrderBy column '{c}' has type "
+                f"{dt.simpleString()} — z-ordering needs a numeric, date "
+                "or timestamp column"
+            )
+        tmp = f"__zsrc_{i}__"
+        df = df.withColumn(tmp, src)
+        bnds = df.stat.approxQuantile(tmp, probs, 0.01)
+        # dedupe while preserving order: constant columns give one bucket
+        uniq: list[float] = []
+        for b in bnds:
+            if not uniq or b > uniq[-1]:
+                uniq.append(b)
+        arr = F.array(*[F.lit(float(b)) for b in uniq]) if uniq else None
+        if arr is None:
+            rank = F.lit(0)
+        else:
+            rank = F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(tmp) >= b, F.lit(1)).otherwise(F.lit(0)),
+            )
+        rank_cols.append(F.coalesce(rank, F.lit(0)).cast("long"))
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, rank in enumerate(rank_cols):
+            bit = F.shiftright(rank, j).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, j * n + (n - 1 - i))
+    return df, z, [f"__zsrc_{i}__" for i in range(len(cols))]
+
+
+def _zorder_compact(
+    spark, table: str, p: dict[str, Any], target: int,
+    prev_adds: list[dict], meta: dict, cm: dict | None,
+    part_cols: list[str], prev_version: int,
+) -> dict[str, int]:
+    """OPTIMIZE ZORDER BY: rewrite EVERY live file (per partition) with
+    rows clustered along the Morton curve of ``zOrderBy`` columns, so
+    min/max file bounds become tight on ALL of them and multi-column
+    dataFilter skipping prunes like a single-column sort would for one.
+    Output file count per partition = ceil(bytes / targetFileBytes) via
+    repartitionByRange on the z-value + an in-partition sort — fully
+    distributed, the same dataChange-false remove+add commit as
+    bin-packing compaction.  Deletion vectors are materialized by the
+    rewrite (OPTIMIZE's contract)."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from pipeline_spark.sources.delta_native import read_files_with_dv
+
+    zorder = [str(c) for c in (p.get("zOrderBy") or [])]
+    phys_z = [cm["phys_of"].get(c, c) for c in zorder] if cm else zorder
+    full = (
+        cm["phys_schema"]
+        if cm
+        else StructType.fromJson(json.loads(meta["schemaString"]))
+    )
+    fschema = StructType([f for f in full.fields if f.name not in part_cols])
+    fnames = {f.name for f in fschema.fields}
+    missing = [c for c, pc in zip(zorder, phys_z) if pc not in fnames]
+    if missing:
+        raise ValueError(
+            f"delta compact: zOrderBy columns {missing} are not "
+            "non-partition table columns"
+        )
+
+    groups: dict[tuple, list[dict]] = {}
+    for a in prev_adds:
+        key = tuple(sorted((a.get("partitionValues") or {}).items()))
+        groups.setdefault(key, []).append(a)
+    if not groups:
+        return {"compacted_files": 0, "new_files": 0}
+
+    commit_id = uuid.uuid4().hex
+    data_dir = f"data-zorder-{commit_id}"
+    now_ms = int(time.time() * 1000)
+    adds: list[dict] = []
+    removes: list[dict] = []
+    for i, (key, files) in enumerate(sorted(groups.items())):
+        df = read_files_with_dv(spark, table, fschema, files)
+        df, z, tmp_cols = _zvalue_column(spark, df, phys_z)
+        nfiles = max(
+            1,
+            math.ceil(sum(int(a.get("size", 0)) for a in files) / target),
+        )
+        out_dir = os.path.join(table, data_dir, f"grp-{i:05d}")
+        (
+            df.withColumn("__z__", z)
+            .repartitionByRange(nfiles, "__z__")
+            .sortWithinPartitions("__z__")
+            .drop("__z__", *tmp_cols)
+            .write.parquet(out_dir)
+        )
+        pv = dict(key)
+        for root, _dirs, names in os.walk(out_dir):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                fullp = os.path.join(root, name)
+                rel = os.path.relpath(fullp, table)
+                adds.append({
+                    "path": urllib.parse.quote(rel.replace(os.sep, "/"), safe="/="),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(fullp),
+                    "modificationTime": now_ms,
+                    "dataChange": False,
+                    "__full_path__": fullp,
+                })
+        for a in files:
+            removes.append({
+                "path": a["path"],
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+                "partitionValues": a.get("partitionValues") or {},
+            })
+
+    stats_map = _collect_file_stats(spark, [a["__full_path__"] for a in adds])
+    for a in adds:
+        st = stats_map.get(a.pop("__full_path__"))
+        if st:
+            a["stats"] = st
+    actions: list[dict] = (
+        [{"remove": r} for r in removes]
+        + [{"add": a} for a in adds]
+        + [{
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetFileBytes": str(target),
+                    "zOrderBy": json.dumps(zorder),
+                },
             }
         }]
     )

@@ -2273,3 +2273,61 @@ def test_restore_to_earlier_version(spark, tmp_path):
     vacuum_delta_native(spark, {"path": tbl3, "retainVersions": 1})
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         restore_delta_native(spark, {"path": tbl3, "versionAsOf": 0})
+
+
+def test_compact_zorder_clusters_for_multi_column_skipping(spark, tmp_path):
+    """r6: OPTIMIZE ZORDER — after z-ordering on (a, b), dataFilter
+    bounds are tight on BOTH columns, so a selective filter on EITHER
+    prunes most files; content is byte-identical and the commit is
+    dataChange: false."""
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sinks.delta_native import compact_delta_native
+
+    tbl = str(tmp_path / "zorder")
+    n = 4096
+    df = (
+        spark.range(n)
+        .withColumn("a", (F.col("id") * 2654435761 % 10007) % 1000)
+        .withColumn("b", (F.col("id") * 40503 % 9973) % 1000)
+        .drop("id")
+    )
+    # land as 8 randomly-ordered files: bounds are useless before zorder
+    write_delta_native(spark, df.repartition(8), {"path": tbl})
+    before = read_delta_native(
+        spark, {"path": tbl, "dataFilter": {"key": "b", "op": "<=", "value": 60}}
+    )
+    n_before = len(before.inputFiles())
+    assert n_before == 8  # random layout: nothing prunes
+
+    res = compact_delta_native(
+        spark,
+        {"path": tbl, "zOrderBy": ["a", "b"], "targetFileBytes": 4096},
+    )
+    assert res["compacted_files"] == 8 and res["new_files"] >= 4
+    # content identical
+    back = read_delta_native(spark, {"path": tbl})
+    assert back.count() == n
+    assert back.groupBy().sum("a", "b").collect() == (
+        spark.createDataFrame(df.collect(), df.schema).groupBy().sum("a", "b").collect()
+    )
+    # skipping now prunes on BOTH dimensions
+    for col in ("a", "b"):
+        pruned = read_delta_native(
+            spark,
+            {"path": tbl, "dataFilter": {"key": col, "op": "<=", "value": 60}},
+        )
+        assert len(pruned.inputFiles()) < res["new_files"], col
+        assert pruned.count() == df.where(F.col(col) <= 60).count()
+    # the commit is dataChange: false (log-tailing consumers skip it)
+    import os as _os
+    last = sorted(
+        _os.listdir(_os.path.join(tbl, "_delta_log"))
+    )[-1]
+    with open(_os.path.join(tbl, "_delta_log", last)) as fh:
+        for line in fh:
+            act = json.loads(line)
+            if "add" in act:
+                assert act["add"]["dataChange"] is False
+            if "remove" in act:
+                assert act["remove"]["dataChange"] is False
