@@ -3454,6 +3454,47 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER (r6): documents land as randomly-ordered files,
+    the Morton-curve rewrite clusters on (doc_id, n_chars), and a
+    two-sided dataFilter read returns exactly the source predicate's
+    rows — file skipping on BOTH columns is the optimization, the
+    row-level filter the semantics the oracle checks."""
+    import shutil
+
+    from pipeline_spark.sinks.delta_native import (
+        compact_delta_native,
+        write_delta_native,
+    )
+    from pipeline_spark.sources.delta_native import read_delta_native
+
+    tbl = _tmp_path("delta_zorder", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_delta_native(spark, docs.repartition(8), {"path": tbl})
+    compact_delta_native(
+        spark,
+        {"path": tbl, "zOrderBy": ["doc_id", "n_chars"],
+         "targetFileBytes": 64 * 1024},
+    )
+    back = read_delta_native(
+        spark,
+        {"path": tbl, "dataFilter": [
+            {"key": "doc_id", "op": "<=", "value": 200},
+            {"key": "n_chars", "op": "<=", "value": 3000},
+        ]},
+    )
+    return back.orderBy("doc_id")
+
+
+Q_DELTA_ZORDER_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id <= 200 AND n_chars <= 3000 ORDER BY doc_id
+"""
+
+
 def q_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental append-scan: supplier committed in two snapshots,
     fromSnapshotId resolves ONLY the second commit's files — the
@@ -4340,6 +4381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_cdf": q_delta_cdf,
         "delta_cm_roundtrip": q_delta_cm_roundtrip,
         "delta_alter_roundtrip": q_delta_alter_roundtrip,
+        "delta_zorder": q_delta_zorder,
         "iceberg_incremental": q_iceberg_incremental,
         # --- long-green (r4 driver rows; pytest + local-harness guarded)
         "q1_pricing_summary": q1_pricing_summary,
@@ -4454,6 +4496,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_cdf": Q_DELTA_CDF_SQL,
         "delta_cm_roundtrip": Q_DELTA_CM_SQL,
         "delta_alter_roundtrip": Q_DELTA_ALTER_SQL,
+        "delta_zorder": Q_DELTA_ZORDER_SQL,
         "iceberg_incremental": Q_ICEBERG_INC_SQL,
         "asof_join": Q_ASOF_SQL,
         "sessionize": Q_SESSIONIZE_SQL,

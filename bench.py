@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "delta_cdf",
     "delta_cm_roundtrip",
     "delta_alter_roundtrip",
+    "delta_zorder",
     "iceberg_incremental",
 ]
 

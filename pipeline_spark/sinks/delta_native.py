@@ -617,63 +617,6 @@ def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     return {"compacted_files": len(removes), "new_files": len(adds)}
 
 
-def _zvalue_column(spark, df, cols, bits: int = 8):
-    """Morton (Z-order) value over ``cols`` as one JVM Column.
-
-    Each column quantile-bucketizes into 2^bits ranks (boundaries from
-    ONE driver-side approxQuantile per column — metadata scale; the
-    per-row rank is an ``aggregate`` fold over the broadcast boundary
-    array, whole-stage-codegen'd), then the ranks' bits interleave.
-    Quantile (not uniform) buckets keep the curve balanced under skew —
-    the property that makes min/max bounds tight on EVERY z-ordered
-    column, not just the first sort key."""
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    buckets = 1 << bits
-    probs = [i / buckets for i in range(1, buckets)]
-    rank_cols = []
-    for i, c in enumerate(cols):
-        dt = df.schema[c].dataType
-        if isinstance(dt, (T.DateType,)):
-            src = F.col(c).cast("timestamp").cast("double")
-        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-            src = F.col(c).cast("double")
-        elif isinstance(dt, T.NumericType):
-            src = F.col(c).cast("double")
-        else:
-            raise ValueError(
-                f"delta compact: zOrderBy column '{c}' has type "
-                f"{dt.simpleString()} — z-ordering needs a numeric, date "
-                "or timestamp column"
-            )
-        tmp = f"__zsrc_{i}__"
-        df = df.withColumn(tmp, src)
-        bnds = df.stat.approxQuantile(tmp, probs, 0.01)
-        # dedupe while preserving order: constant columns give one bucket
-        uniq: list[float] = []
-        for b in bnds:
-            if not uniq or b > uniq[-1]:
-                uniq.append(b)
-        arr = F.array(*[F.lit(float(b)) for b in uniq]) if uniq else None
-        if arr is None:
-            rank = F.lit(0)
-        else:
-            rank = F.aggregate(
-                arr,
-                F.lit(0),
-                lambda acc, b: acc
-                + F.when(F.col(tmp) >= b, F.lit(1)).otherwise(F.lit(0)),
-            )
-        rank_cols.append(F.coalesce(rank, F.lit(0)).cast("long"))
-    n = len(cols)
-    z = F.lit(0).cast("long")
-    for j in range(bits):
-        for i, rank in enumerate(rank_cols):
-            bit = F.shiftright(rank, j).bitwiseAND(F.lit(1))
-            z = z + F.shiftleft(bit, j * n + (n - 1 - i))
-    return df, z, [f"__zsrc_{i}__" for i in range(len(cols))]
-
 
 def _zorder_compact(
     spark, table: str, p: dict[str, Any], target: int,
@@ -694,6 +637,7 @@ def _zorder_compact(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
+    from pipeline_spark.functions.zorder import zvalue_column
     from pipeline_spark.sources.delta_native import read_files_with_dv
 
     zorder = [str(c) for c in (p.get("zOrderBy") or [])]
@@ -726,7 +670,7 @@ def _zorder_compact(
     removes: list[dict] = []
     for i, (key, files) in enumerate(sorted(groups.items())):
         df = read_files_with_dv(spark, table, fschema, files)
-        df, z, tmp_cols = _zvalue_column(spark, df, phys_z)
+        df, z, tmp_cols = zvalue_column(spark, df, phys_z)
         nfiles = max(
             1,
             math.ceil(sum(int(a.get("size", 0)) for a in files) / target),

@@ -1095,27 +1095,38 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     for d in data:
         size = os.path.getsize(d["path"])
         sized.append({**d, "size": size})
-    groups: dict[tuple, list[dict]] = {}
-    for d in sized:
-        if d["size"] < target or d["path"] in affected:
-            key = tuple(sorted((d.get("partition") or {}).items()))
-            groups.setdefault(key, []).append(d)
+    zorder = [str(c) for c in (p.get("zOrderBy") or [])]
     bins: list[tuple[tuple, list[dict]]] = []
-    for key, files in groups.items():
-        files.sort(key=lambda d: d["size"])
-        cur, size, has_aff = [], 0, False
-        for d in files:
-            cur.append(d)
-            size += d["size"]
-            has_aff = has_aff or d["path"] in affected
-            if size >= target:
-                # a bin carrying delete-affected files ALWAYS rewrites —
-                # materializing its deletes is the point, not bin-packing
-                if len(cur) >= min_group or has_aff:
-                    bins.append((key, cur))
-                cur, size, has_aff = [], 0, False
-        if cur and (len(cur) >= min_group or has_aff):
-            bins.append((key, cur))
+    if zorder:
+        # OPTIMIZE ZORDER: every live file rewrites, one group per
+        # partition, rows clustered on the Morton curve (see
+        # functions/zorder.py) — multi-column bounds become tight
+        groups_all: dict[tuple, list[dict]] = {}
+        for d in sized:
+            key = tuple(sorted((d.get("partition") or {}).items()))
+            groups_all.setdefault(key, []).append(d)
+        bins = sorted(groups_all.items())
+    else:
+        groups: dict[tuple, list[dict]] = {}
+        for d in sized:
+            if d["size"] < target or d["path"] in affected:
+                key = tuple(sorted((d.get("partition") or {}).items()))
+                groups.setdefault(key, []).append(d)
+        for key, files in groups.items():
+            files.sort(key=lambda d: d["size"])
+            cur, size, has_aff = [], 0, False
+            for d in files:
+                cur.append(d)
+                size += d["size"]
+                has_aff = has_aff or d["path"] in affected
+                if size >= target:
+                    # a bin carrying delete-affected files ALWAYS rewrites —
+                    # materializing its deletes is the point, not bin-packing
+                    if len(cur) >= min_group or has_aff:
+                        bins.append((key, cur))
+                    cur, size, has_aff = [], 0, False
+            if cur and (len(cur) >= min_group or has_aff):
+                bins.append((key, cur))
     if not bins:
         # deletes with an empty affected set are dangling (they name no
         # live file): nothing to materialize, the no-op is sound
@@ -1173,7 +1184,30 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
             # materialize: subtract this bin's applicable deletes through
             # the reader's own MOR path (position + equality, seq rule)
             bin_df = _apply_row_deletes(spark, bin_df, files, deletes, prev_meta)
-        bin_df.coalesce(1).write.parquet(out_dir)
+        if zorder:
+            import math
+
+            from pipeline_spark.functions.zorder import zvalue_column
+
+            missing = [c for c in zorder if c not in bin_df.columns]
+            if missing:
+                raise ValueError(
+                    f"iceberg compact: zOrderBy columns {missing} not in "
+                    "the data files"
+                )
+            bin_df, z, tmp_cols = zvalue_column(spark, bin_df, zorder)
+            nfiles = max(
+                1, math.ceil(sum(d["size"] for d in files) / target)
+            )
+            (
+                bin_df.withColumn("__z__", z)
+                .repartitionByRange(nfiles, "__z__")
+                .sortWithinPartitions("__z__")
+                .drop("__z__", *tmp_cols)
+                .write.parquet(out_dir)
+            )
+        else:
+            bin_df.coalesce(1).write.parquet(out_dir)
         pv = dict(key)
         for root, _dirs, names in os.walk(out_dir):
             for name in sorted(names):

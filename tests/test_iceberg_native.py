@@ -1904,3 +1904,40 @@ def test_iceberg_rollback_to_snapshot(spark, tmp_path):
     assert read_iceberg_native(spark, {"path": tbl}).count() == 6
     with pytest.raises(ValueError, match="not in the table's history"):
         rollback_iceberg_native(spark, {"path": tbl, "snapshotId": 12345})
+
+
+def test_iceberg_compact_zorder(spark, tmp_path):
+    """r6: OPTIMIZE ZORDER on iceberg — every live file rewrites with
+    Morton clustering; manifest bounds become tight on both z columns so
+    dataFilter skipping prunes either dimension; content identical."""
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sinks.iceberg_native import compact_iceberg_native
+
+    tbl = str(tmp_path / "ice_zorder")
+    n = 4096
+    df = (
+        spark.range(n)
+        .withColumn("a", (F.col("id") * 2654435761 % 10007) % 1000)
+        .withColumn("b", (F.col("id") * 40503 % 9973) % 1000)
+        .drop("id")
+    )
+    write_iceberg_native(df.repartition(8), {"path": tbl, "mode": "create"})
+    before = read_iceberg_native(
+        spark, {"path": tbl, "dataFilter": {"key": "b", "op": "<=", "value": 60}}
+    )
+    assert len(before.inputFiles()) == 8  # random layout admits all
+
+    res = compact_iceberg_native(
+        spark, {"path": tbl, "zOrderBy": ["a", "b"], "targetFileBytes": 4096}
+    )
+    assert res["compacted_files"] == 8 and res["new_files"] >= 4
+    back = read_iceberg_native(spark, {"path": tbl})
+    assert back.count() == n
+    for col in ("a", "b"):
+        pruned = read_iceberg_native(
+            spark,
+            {"path": tbl, "dataFilter": {"key": col, "op": "<=", "value": 60}},
+        )
+        assert len(pruned.inputFiles()) < res["new_files"], col
+        assert pruned.count() == df.where(F.col(col) <= 60).count()
