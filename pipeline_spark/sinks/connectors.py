@@ -158,7 +158,9 @@ def _bigquery_native_write(ctx: ModuleContext, p: dict, table: str) -> None:
 def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
     maintenance = str(p.get("mode", "")).lower()
-    if maintenance in ("compact", "expire", "delete", "alter", "rollback"):
+    if maintenance in (
+        "compact", "expire", "delete", "alter", "rollback", "tag",
+    ):
         # table maintenance/mutation: the table is the operand, not the input
         from pipeline_spark.sinks.iceberg_native import (
             alter_iceberg_native,
@@ -166,6 +168,7 @@ def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
             delete_iceberg_native,
             expire_iceberg_native,
             rollback_iceberg_native,
+            tag_iceberg_native,
         )
 
         if maintenance == "compact":
@@ -176,6 +179,8 @@ def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
             alter_iceberg_native(ctx.spark, p)
         elif maintenance == "rollback":
             rollback_iceberg_native(ctx.spark, p)
+        elif maintenance == "tag":
+            tag_iceberg_native(ctx.spark, p)
         else:
             delete_iceberg_native(ctx.spark, p)
         return {"": ctx.input}

@@ -360,6 +360,14 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
     mode = str(p.get("mode", "append")).lower()
     if mode not in ("append", "overwrite", "replace", "create", "merge"):
         raise ValueError(f"iceberg native writer: unsupported mode '{mode}'")
+    branch = str(p.get("toBranch") or "") or None
+    if branch == "main":
+        branch = None  # main IS the table's current ref
+    if branch and rest is not None:
+        raise NotImplementedError(
+            "iceberg rest write: toBranch needs per-ref assert/set commit "
+            "updates — filesystem tables only for now"
+        )
     if mode == "merge":
         # copy-on-write MERGE (UnifiedMutation semantics, §2.10): the new
         # snapshot = existing rows whose keys are untouched + incoming
@@ -721,14 +729,21 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
     with open(manifest_path, "wb") as fh:
         fh.write(manifest_bytes)
 
-    # 3. manifest list: prior snapshot's manifests (append) + the new one
+    # 3. manifest list: prior snapshot's manifests (append) + the new one.
+    # A branch append chains from the BRANCH head (forking from main's
+    # current state the first time the branch is written).
     manifests = []
     if mode == "append" and prev_meta is not None:
+        head_id = prev_meta.get("current-snapshot-id")
+        if branch:
+            head_id = (
+                (prev_meta.get("refs") or {}).get(branch) or {}
+            ).get("snapshot-id", head_id)
         prev_snap = next(
             (
                 s
                 for s in prev_meta.get("snapshots", [])
-                if s.get("snapshot-id") == prev_meta.get("current-snapshot-id")
+                if s.get("snapshot-id") == head_id
             ),
             None,
         )
@@ -847,13 +862,25 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         metadata_log = list(prev_meta.get("metadata-log", []))
         table_uuid = prev_meta.get("table-uuid", commit_uuid)
         last_column_id = max(last_column_id, prev_meta.get("last-column-id", 0))
+        refs = dict(prev_meta.get("refs") or {})
     else:
         version = 1
         snapshots = [snapshot]
         snapshot_log = []
         metadata_log = []
         table_uuid = commit_uuid
-    snapshot_log.append({"timestamp-ms": now_ms, "snapshot-id": snapshot_id})
+        refs = {}
+    if branch and prev_meta is not None:
+        # branch write: only the branch ref moves; main (current) and
+        # the main snapshot-log stay where they are
+        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+        current_id = prev_meta.get("current-snapshot-id")
+    else:
+        refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+        current_id = snapshot_id
+        snapshot_log.append(
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        )
 
     prev_file = os.path.join(meta_dir, f"v{version - 1}.metadata.json")
     if version > 1 and os.path.exists(prev_file):
@@ -879,7 +906,8 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
                 _name_mapping(schema["fields"])
             ),
         },
-        "current-snapshot-id": snapshot_id,
+        "current-snapshot-id": current_id,
+        "refs": refs,
         "snapshots": snapshots,
         "snapshot-log": snapshot_log[-10:],
         "metadata-log": metadata_log[-10:],
@@ -932,6 +960,11 @@ def rollback_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     now_ms = int(time.time() * 1000)
     meta = dict(meta)
     meta["current-snapshot-id"] = snap_id
+    # main tracks current (refs stay consistent for ref-reads and expire)
+    meta["refs"] = {
+        **(meta.get("refs") or {}),
+        "main": {"snapshot-id": snap_id, "type": "branch"},
+    }
     meta["last-updated-ms"] = now_ms
     meta["snapshot-log"] = (list(meta.get("snapshot-log") or []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}
@@ -946,6 +979,54 @@ def rollback_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return {"rolled_back_to": snap_id, "changed": True}
+
+
+def tag_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
+    """Create (or move) a named snapshot ref — ``refType: tag`` (default,
+    an immutable bookmark for reproducibility: "the exact table state
+    run X trained on") or ``refType: branch``.  Metadata-only; tagged
+    snapshots survive expire_snapshots (retention protects refs)."""
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    table_path = re.sub(
+        r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
+    )
+    name = p.get("tagName") or p.get("refName")
+    if not name:
+        raise ValueError("iceberg tag: 'tagName' is required")
+    ref_type = str(p.get("refType", "tag")).lower()
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"iceberg tag: refType '{ref_type}' (tag/branch)")
+    prev_file = find_table_metadata(table_path)
+    with open(prev_file) as fh:
+        meta = json.load(fh)
+    snap_id = p.get("snapshotId")
+    if snap_id is None:
+        snap_id = meta.get("current-snapshot-id")
+        if snap_id is None:
+            raise ValueError("iceberg tag: table has no current snapshot")
+    snap_id = int(snap_id)
+    known = {s["snapshot-id"] for s in meta.get("snapshots") or []}
+    if snap_id not in known:
+        raise ValueError(
+            f"iceberg tag: snapshot {snap_id} is not in the table's history"
+        )
+    m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
+    version = (int(m.group(1)) if m else meta.get("__version", 0)) + 1
+    now_ms = int(time.time() * 1000)
+    meta = dict(meta)
+    meta["refs"] = {
+        **(meta.get("refs") or {}),
+        str(name): {"snapshot-id": snap_id, "type": ref_type},
+    }
+    meta["last-updated-ms"] = now_ms
+    meta["__version"] = version
+    meta_dir = os.path.join(table_path, "metadata")
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return {"ref": str(name), "snapshot_id": snap_id, "type": ref_type}
 
 
 def alter_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
@@ -1332,6 +1413,10 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
     meta["current-snapshot-id"] = snapshot_id
+    meta["refs"] = {
+        **(meta.get("refs") or {}),
+        "main": {"snapshot-id": snapshot_id, "type": "branch"},
+    }
     meta["snapshots"] = list(prev_meta.get("snapshots", [])) + [snapshot]
     meta["snapshot-log"] = (
         list(prev_meta.get("snapshot-log", []))
@@ -1448,6 +1533,19 @@ def expire_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         return {"expired_snapshots": 0, "removed_data_files": 0,
                 "removed_manifests": 0}
     keep, drop = snaps[-retain_last:], snaps[:-retain_last]
+    # refs protect their snapshots (Iceberg's retention contract): a
+    # tagged training-data state survives expiry until the tag drops
+    ref_ids = {
+        r.get("snapshot-id")
+        for r in (prev_meta.get("refs") or {}).values()
+    }
+    protected = [s for s in drop if s["snapshot-id"] in ref_ids]
+    if protected:
+        keep = protected + keep
+        drop = [s for s in drop if s["snapshot-id"] not in ref_ids]
+    if not drop:
+        return {"expired_snapshots": 0, "removed_data_files": 0,
+                "removed_manifests": 0}
     if prev_meta.get("current-snapshot-id") not in {
         s["snapshot-id"] for s in keep
     }:
@@ -1679,6 +1777,10 @@ def append_delete_files(table_path: str, delete_files: list[dict]) -> None:
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
     meta["current-snapshot-id"] = snapshot_id
+    meta["refs"] = {
+        **(meta.get("refs") or {}),
+        "main": {"snapshot-id": snapshot_id, "type": "branch"},
+    }
     meta["snapshots"] = list(prev_meta.get("snapshots", [])) + [snapshot]
     meta["snapshot-log"] = (
         list(prev_meta.get("snapshot-log", []))

@@ -569,6 +569,23 @@ def read_iceberg_native(spark, p: dict[str, Any]):
         snapshot_id = _snapshot_at_timestamp(
             table_path, p["asOfTimestamp"], meta_in
         )
+    if p.get("ref"):
+        if snapshot_id is not None:
+            raise ValueError(
+                "iceberg: ref is exclusive with snapshotId/asOfTimestamp"
+            )
+        name = str(p["ref"])
+        meta0 = meta_in
+        if meta0 is None:
+            with open(find_table_metadata(table_path)) as fh:
+                meta0 = json.load(fh)
+        refs = meta0.get("refs") or {}
+        if name in refs:
+            snapshot_id = refs[name]["snapshot-id"]
+        elif name != "main":  # main = the table's current state
+            raise ValueError(
+                f"iceberg: unknown ref '{name}' (have {sorted(refs)})"
+            )
     if p.get("fromSnapshotId") is not None:
         # incremental append-scan: only the files snapshots in range
         # added; the validated range carries no deletes by construction

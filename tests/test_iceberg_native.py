@@ -1941,3 +1941,54 @@ def test_iceberg_compact_zorder(spark, tmp_path):
         )
         assert len(pruned.inputFiles()) < res["new_files"], col
         assert pruned.count() == df.where(F.col(col) <= 60).count()
+
+
+def test_iceberg_branches_tags_and_ref_reads(spark, tmp_path):
+    """r6: snapshot refs — toBranch writes move only the branch ref
+    (main untouched, WAP-style); ref reads resolve branch/tag heads;
+    tags are immutable bookmarks that survive expire_snapshots."""
+    from pipeline_spark.sinks.iceberg_native import (
+        expire_iceberg_native,
+        tag_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    tbl = str(tmp_path / "ice_refs")
+    write_iceberg_native(spark.range(0, 3).coalesce(1), {"path": tbl, "mode": "create"})
+
+    # branch fork: audit writes land on the branch, main stays put
+    write_iceberg_native(
+        spark.range(100, 103).coalesce(1),
+        {"path": tbl, "mode": "append", "toBranch": "audit"},
+    )
+    main = read_iceberg_native(spark, {"path": tbl})
+    assert sorted(r["id"] for r in main.collect()) == [0, 1, 2]
+    audit = read_iceberg_native(spark, {"path": tbl, "ref": "audit"})
+    assert sorted(r["id"] for r in audit.collect()) == [0, 1, 2, 100, 101, 102]
+    # second branch append chains from the BRANCH head
+    write_iceberg_native(
+        spark.range(200, 201).coalesce(1),
+        {"path": tbl, "mode": "append", "toBranch": "audit"},
+    )
+    audit = read_iceberg_native(spark, {"path": tbl, "ref": "audit"})
+    assert audit.count() == 7
+    assert read_iceberg_native(spark, {"path": tbl}).count() == 3
+
+    # a main write after branch writes keeps the branch ref intact
+    write_iceberg_native(
+        spark.range(3, 5).coalesce(1), {"path": tbl, "mode": "append"})
+    assert read_iceberg_native(spark, {"path": tbl}).count() == 5
+    assert read_iceberg_native(spark, {"path": tbl, "ref": "audit"}).count() == 7
+
+    # tag the pre-append main snapshot, then expire: the tag protects it
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    first_snap = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])[0]
+    res = tag_iceberg_native(
+        spark, {"path": tbl, "tagName": "v0",
+                "snapshotId": first_snap["snapshot-id"]})
+    assert res["type"] == "tag"
+    expire_iceberg_native(spark, {"path": tbl, "retainLast": 1})
+    tagged = read_iceberg_native(spark, {"path": tbl, "ref": "v0"})
+    assert sorted(r["id"] for r in tagged.collect()) == [0, 1, 2]
+    with pytest.raises(ValueError, match="unknown ref"):
+        read_iceberg_native(spark, {"path": tbl, "ref": "ghost"})
