@@ -366,10 +366,11 @@ def streaming_stateful_select(
     """Streaming route for the select module's stateful path.
 
     Emulatable subset (everything else raises with the reason): every
-    stateful function is a count-range (no offset) OR duration-range
-    (offset honored) count/sum/min/max/avg over ONE shared field with
-    ONE shared frame, stateless entries are pass-through/rename of
-    existing columns.  Count frames ride
+    stateful function is a count-range OR duration-range (offsets
+    honored on both) count/sum/min/max/avg over ONE shared field — or
+    ONE shared exp4j expression, compiled to a derived JVM column
+    upstream (r6) — with ONE shared frame; stateless entries are
+    pass-through/rename of existing columns.  Count frames ride
     ``streaming_count_range_select`` (bounded tail array); duration
     frames ride ``streaming_duration_range_select`` (event-time-trimmed
     buffer, eviction bounded by the frame span).
@@ -381,7 +382,8 @@ def streaming_stateful_select(
     aggs: list[tuple[str, str]] = []
     passthrough: list[tuple[str, str]] = []
     value_field = None
-    frame: tuple | None = None  # ("count", n) | ("duration", secs, offset)
+    derived_exprs: dict[str, str] = {}
+    frame: tuple | None = None  # ("count", n, offset) | ("duration", secs, offset)
 
     def frame_of(rng: dict, name: str) -> tuple:
         if "count" in rng:
@@ -422,14 +424,29 @@ def streaming_stateful_select(
                 f"streaming stateful select: '{name}' ({func}) — only "
                 "count/sum/min/max/avg range functions stream"
             )
-        if sf.get("expression"):
-            raise NotImplementedError(
-                f"streaming stateful select: '{name}' uses an expression "
-                "input — only a plain field streams (compute the expression "
-                "in a stateless select first)"
-            )
         this_frame = frame_of(rng, name)
-        field = sf.get("field")
+        if sf.get("expression"):
+            # expression inputs compile to ONE derived JVM column upstream
+            # of the stateful operator (r6, same pattern as the executor
+            # pane backend) — identical expression strings share a column
+            # so the single-buffer constraint below applies naturally
+            from pipeline_spark.compilers.expression import (
+                compile_expression,
+                schema_resolver,
+            )
+
+            expr_str = str(sf["expression"])
+            key = f"expr::{expr_str}"
+            if key not in derived_exprs:
+                cname = f"__sexpr_{len(derived_exprs)}__"
+                df = df.withColumn(
+                    cname,
+                    compile_expression(expr_str, schema_resolver(df)),
+                )
+                derived_exprs[key] = cname
+            field = derived_exprs[key]
+        else:
+            field = sf.get("field")
         if field is None and func != "count":
             raise NotImplementedError(
                 f"streaming stateful select: '{name}' ({func}) needs a field"

@@ -722,10 +722,30 @@ def test_streaming_select_rename_and_validation(spark, tmp_path):
     rows = spark.table("rn_t").collect()
     assert sorted(r["uid"] for r in rows) == ["a", "a", "b"]
 
-    with pytest.raises(NotImplementedError, match="expression"):
-        streaming_stateful_select(
-            sdf, [{"name": "s", "func": "sum", "expression": "v * 2",
-                   "range": {"count": 3}}], "ts", ["user_id"])
+    # r6: expression inputs now stream (compiled to one derived JVM
+    # column upstream) — batch parity checked below
+    expr_out = streaming_stateful_select(
+        sdf, [{"name": "uid", "field": "user_id"}, {"name": "ts"},
+              {"name": "s", "func": "sum", "expression": "v * 2",
+               "range": {"count": 3}}], "ts", ["user_id"])
+    q = (expr_out.writeStream.format("memory").queryName("rn_expr")
+         .option("checkpointLocation", str(tmp_path / "rn_expr_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {
+        (r["uid"], r["ts"]): r["s"] for r in spark.table("rn_expr").collect()
+    }
+    from pipeline_spark.compilers.stateful import apply_stateful_select
+    batch = apply_stateful_select(
+        spark.read.parquet(str(in_dir)),
+        [{"name": "uid", "field": "user_id"}, {"name": "ts"},
+         {"name": "s", "func": "sum", "expression": "v * 2",
+          "range": {"count": 3}}],
+        "ts", ["user_id"],
+    ).collect()
+    assert len(batch) == len(got) == 3
+    for r in batch:
+        assert got[(r["uid"], r["ts"])] == pytest.approx(r["s"])
     with pytest.raises(NotImplementedError, match="needs a field"):
         streaming_stateful_select(
             sdf, [{"name": "s", "func": "sum", "range": {"count": 3}}],
