@@ -20,10 +20,17 @@ def zvalue_column(spark, df, cols, bits: int = 8):
     array, whole-stage-codegen'd), then the ranks' bits interleave.
     Quantile (not uniform) buckets keep the curve balanced under skew —
     the property that makes min/max bounds tight on EVERY z-ordered
-    column, not just the first sort key."""
+    column, not just the first sort key.
+
+    The interleaved value must stay clear of a signed long's sign bit
+    (bit 63 would invert the sort order), so the per-column width
+    adapts: bits*len(cols) <= 62."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if not cols:
+        raise ValueError("zvalue_column: at least one column required")
+    bits = max(2, min(bits, 62 // len(cols)))
     buckets = 1 << bits
     probs = [i / buckets for i in range(1, buckets)]
     rank_cols = []

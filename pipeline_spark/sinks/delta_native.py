@@ -1325,6 +1325,9 @@ def alter_delta_native(spark, p: dict[str, Any]) -> dict[str, Any]:
         result["renamed"] = renames
         result["dropped"] = drops
     if not actions and not renames and not drops and not result:
+        if p.get("enableColumnMapping"):
+            # already mapped: idempotent no-op, not an error
+            return {"column_mapping_enabled": False}
         raise ValueError(
             "delta alter: nothing to do (enableColumnMapping / "
             "renameColumn / dropColumn)"
