@@ -94,6 +94,12 @@ def _bq_table_ref(params: dict) -> str:
 @module("iceberg", kind=KIND_SOURCE)
 def iceberg_source(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
+    if p.get("metadataTable"):
+        from pipeline_spark.sources.iceberg_native import (
+            read_iceberg_metadata_table,
+        )
+
+        return {"": read_iceberg_metadata_table(ctx.spark, p)}
     if str(p.get("mode", "")).lower() == "streaming":
         from pipeline_spark.sources.iceberg_stream import (
             read_iceberg_stream_native,

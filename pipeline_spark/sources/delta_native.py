@@ -514,6 +514,8 @@ def delta_source(ctx: ModuleContext) -> dict[str, Any]:
     true``) returns the change feed between ``startingVersion`` and
     ``endingVersion``."""
     mode = str(ctx.params.get("mode", "")).lower()
+    if mode == "history":
+        return {"": read_delta_history(ctx.spark, ctx.params)}
     if mode == "streaming":
         if ctx.params.get("readChangeFeed"):
             from pipeline_spark.sources.delta_stream import (
@@ -1073,3 +1075,49 @@ def read_delta_native(spark, p: dict[str, Any]):
     for x in parts[1:]:
         out = out.unionByName(x)
     return done(out)
+
+
+def read_delta_history(spark, p: dict[str, Any]):
+    """DESCRIBE HISTORY: one row per retained commit — version,
+    timestamp (commitInfo's when recorded, else the commit file's
+    mtime, the same clock time travel uses), operation and its
+    parameters (JSON string).  Newest first, like delta's own."""
+    import datetime as _dt
+
+    table = p.get("path") or p.get("table") or p.get("input")
+    if not table:
+        raise ValueError("delta history: 'path' is required")
+    log_dir = _log_dir(table)
+    commits = _list_commits(log_dir)
+    if not commits:
+        raise FileNotFoundError(f"delta history: empty _delta_log at {table}")
+    rows = []
+    for v, path in commits:
+        op = None
+        params: dict = {}
+        ts_ms = int(os.path.getmtime(path) * 1000)
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if "commitInfo" in act:
+                    ci = act["commitInfo"]
+                    op = ci.get("operation")
+                    params = ci.get("operationParameters") or {}
+                    if ci.get("timestamp"):
+                        ts_ms = int(ci["timestamp"])
+                    break  # commitInfo is one-per-commit
+        rows.append((
+            v,
+            _dt.datetime.fromtimestamp(ts_ms / 1000.0, tz=_dt.timezone.utc),
+            op,
+            json.dumps(params),
+        ))
+    rows.sort(key=lambda r: -r[0])
+    return spark.createDataFrame(
+        rows,
+        "version long, timestamp timestamp, operation string,"
+        " operation_parameters string",
+    )

@@ -726,3 +726,144 @@ def read_iceberg_native(spark, p: dict[str, Any]):
 
         df = df.select(*[F.col(c) for c in p["fields"]])
     return df
+
+
+def read_iceberg_metadata_table(spark, p: dict[str, Any]):
+    """Iceberg metadata tables (the runtime's ``SELECT * FROM t.snapshots``
+    family) built from the same native metadata walk the reader uses —
+    driver work is metadata-scale, output is a plain DataFrame:
+
+      snapshots   committed_at, snapshot_id, sequence_number, operation,
+                  manifest_list, summary (JSON string)
+      history     made_current_at, snapshot_id, is_current (from the
+                  snapshot-log, main-branch lineage)
+      refs        name, type, snapshot_id
+      manifests   path, length, partition_spec_id, added_snapshot_id,
+                  added/existing/deleted data file counts
+      files       content, file_path, record_count, file_size_in_bytes,
+                  partition (JSON string), sequence_number
+    """
+    import datetime as _dt
+
+    table_name = str(p.get("metadataTable", "")).lower()
+    table_path = p.get("path") or p.get("table")
+    catalog = p.get("catalog")
+    if catalog:
+        from pipeline_spark.sources.iceberg_rest import load_rest_table
+
+        meta, _loc = load_rest_table(
+            catalog, p.get("table") or p.get("tableName"), p.get("_opener")
+        )
+        table_path = meta.get("location") or table_path
+    else:
+        table_path = _strip_scheme(str(table_path))
+        with open(find_table_metadata(table_path)) as fh:
+            meta = json.load(fh)
+
+    def ts(ms):
+        return (
+            _dt.datetime.fromtimestamp(ms / 1000.0, tz=_dt.timezone.utc)
+            if ms is not None
+            else None
+        )
+
+    if table_name == "snapshots":
+        rows = [
+            (
+                ts(s.get("timestamp-ms")),
+                int(s["snapshot-id"]),
+                int(s.get("sequence-number", 0)),
+                (s.get("summary") or {}).get("operation"),
+                s.get("manifest-list"),
+                json.dumps(s.get("summary") or {}),
+            )
+            for s in meta.get("snapshots") or []
+        ]
+        return spark.createDataFrame(
+            rows,
+            "committed_at timestamp, snapshot_id long, sequence_number long,"
+            " operation string, manifest_list string, summary string",
+        )
+    if table_name == "history":
+        cur = meta.get("current-snapshot-id")
+        rows = [
+            (ts(e.get("timestamp-ms")), int(e["snapshot-id"]),
+             e["snapshot-id"] == cur)
+            for e in meta.get("snapshot-log") or []
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at timestamp, snapshot_id long, is_current boolean",
+        )
+    if table_name == "refs":
+        rows = [
+            (name, r.get("type"), int(r["snapshot-id"]))
+            for name, r in (meta.get("refs") or {}).items()
+        ]
+        cur = meta.get("current-snapshot-id")
+        if "main" not in (meta.get("refs") or {}) and cur is not None:
+            rows.append(("main", "branch", int(cur)))
+        return spark.createDataFrame(
+            sorted(rows), "name string, type string, snapshot_id long"
+        )
+    if table_name == "manifests":
+        from pipeline_spark.functions.avroocf import read_ocf_file
+
+        snap = next(
+            (
+                s for s in meta.get("snapshots") or []
+                if s.get("snapshot-id") == meta.get("current-snapshot-id")
+            ),
+            None,
+        )
+        rows = []
+        if snap is not None:
+            lst = _strip_scheme(snap["manifest-list"])
+            _, manifests = read_ocf_file(lst)
+            rows = [
+                (
+                    m["manifest_path"], int(m["manifest_length"]),
+                    int(m.get("partition_spec_id", 0)),
+                    int(m.get("added_snapshot_id") or 0),
+                    int(m.get("added_files_count") or 0),
+                    int(m.get("existing_files_count") or 0),
+                    int(m.get("deleted_files_count") or 0),
+                )
+                for m in manifests
+            ]
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int,"
+            " added_snapshot_id long, added_data_files_count int,"
+            " existing_data_files_count int, deleted_data_files_count int",
+        )
+    if table_name == "files":
+        data, deletes, _m = plan_files(
+            table_path,
+            int(p["snapshotId"]) if p.get("snapshotId") else None,
+            meta=meta if catalog else None,
+        )
+        rows = [
+            (
+                0, d["path"], int(d.get("record_count") or 0),
+                int(os.path.getsize(d["path"])),
+                json.dumps(d.get("partition") or {}), int(d.get("seq", 0)),
+            )
+            for d in data
+        ] + [
+            (
+                int(d.get("content", 1)), d["path"], 0,
+                int(os.path.getsize(d["path"])), json.dumps({}),
+                int(d.get("seq", 0)),
+            )
+            for d in deletes
+        ]
+        return spark.createDataFrame(
+            rows,
+            "content int, file_path string, record_count long,"
+            " file_size_in_bytes long, partition string, sequence_number long",
+        )
+    raise ValueError(
+        f"iceberg: unknown metadataTable '{table_name}' "
+        "(snapshots/history/refs/manifests/files)"
+    )

@@ -2331,3 +2331,21 @@ def test_compact_zorder_clusters_for_multi_column_skipping(spark, tmp_path):
                 assert act["add"]["dataChange"] is False
             if "remove" in act:
                 assert act["remove"]["dataChange"] is False
+
+
+def test_delta_history(spark, tmp_path):
+    """DESCRIBE HISTORY: one row per commit, newest first, operations and
+    parameters recorded from commitInfo."""
+    from pipeline_spark.sinks.delta_native import delete_delta_native
+    from pipeline_spark.sources.delta_native import read_delta_history
+
+    tbl = str(tmp_path / "hist")
+    write_delta_native(spark, spark.range(0, 5).coalesce(1), {"path": tbl})
+    write_delta_native(spark, spark.range(5, 8).coalesce(1), {"path": tbl, "mode": "append"})
+    delete_delta_native(
+        spark, {"path": tbl, "where": [{"key": "id", "op": "<", "value": 2}]})
+    hist = read_delta_history(spark, {"path": tbl}).collect()
+    assert [r["version"] for r in hist] == [2, 1, 0]
+    assert [r["operation"] for r in hist] == ["DELETE", "WRITE", "WRITE"]
+    assert "id" in json.loads(hist[0]["operation_parameters"])["predicate"]
+    assert all(r["timestamp"] is not None for r in hist)

@@ -1992,3 +1992,55 @@ def test_iceberg_branches_tags_and_ref_reads(spark, tmp_path):
     assert sorted(r["id"] for r in tagged.collect()) == [0, 1, 2]
     with pytest.raises(ValueError, match="unknown ref"):
         read_iceberg_native(spark, {"path": tbl, "ref": "ghost"})
+
+
+def test_iceberg_metadata_tables(spark, tmp_path):
+    """snapshots/history/refs/manifests/files metadata tables (the
+    runtime's SELECT * FROM t.<meta> family) built from the native
+    metadata walk."""
+    from pipeline_spark.sinks.iceberg_native import (
+        delete_iceberg_native,
+        tag_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import (
+        read_iceberg_metadata_table,
+    )
+
+    tbl = str(tmp_path / "ice_meta_t")
+    write_iceberg_native(spark.range(0, 5).coalesce(1), {"path": tbl, "mode": "create"})
+    write_iceberg_native(spark.range(5, 8).coalesce(1), {"path": tbl, "mode": "append"})
+    delete_iceberg_native(
+        spark, {"path": tbl, "where": [{"key": "id", "op": "=", "value": 3}]})
+    tag_iceberg_native(spark, {"path": tbl, "tagName": "train-v1"})
+
+    snaps = read_iceberg_metadata_table(
+        spark, {"path": tbl, "metadataTable": "snapshots"}).collect()
+    assert len(snaps) == 3
+    # create records as overwrite in the summary (the writer's convention)
+    assert [r["operation"] for r in snaps] == ["overwrite", "append", "delete"]
+    assert all(r["committed_at"] is not None for r in snaps)
+
+    hist = read_iceberg_metadata_table(
+        spark, {"path": tbl, "metadataTable": "history"}).collect()
+    assert len(hist) == 3 and hist[-1]["is_current"]
+
+    refs = read_iceberg_metadata_table(
+        spark, {"path": tbl, "metadataTable": "refs"}).collect()
+    by_name = {r["name"]: r for r in refs}
+    assert by_name["train-v1"]["type"] == "tag"
+    assert by_name["main"]["snapshot_id"] == snaps[-1]["snapshot_id"]
+
+    files = read_iceberg_metadata_table(
+        spark, {"path": tbl, "metadataTable": "files"}).collect()
+    contents = sorted(r["content"] for r in files)
+    assert contents == [0, 0, 1]  # two data files + one position delete
+    assert sum(r["record_count"] for r in files if r["content"] == 0) == 8
+
+    mans = read_iceberg_metadata_table(
+        spark, {"path": tbl, "metadataTable": "manifests"}).collect()
+    assert len(mans) >= 2 and all(r["length"] > 0 for r in mans)
+
+    import pytest as _p
+    with _p.raises(ValueError, match="unknown metadataTable"):
+        read_iceberg_metadata_table(
+            spark, {"path": tbl, "metadataTable": "bogus"})
