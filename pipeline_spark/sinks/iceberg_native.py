@@ -1111,6 +1111,43 @@ def alter_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     return {"renamed": renames, "dropped": drops}
 
 
+def _read_evolved_group(spark, files: list[dict], cur_schema: dict):
+    """One frame over mixed-generation data files, upgraded to the
+    CURRENT schema: per-generation scans apply their field-id renames,
+    name-union with null padding covers added columns, the final
+    projection sheds dropped ones (typed nulls for columns absent from
+    every generation)."""
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sources.iceberg_native import _iceberg_type_to_spark
+
+    groups: dict[tuple, list[str]] = {}
+    for d in files:
+        key = (d.get("renames") or (), d.get("absent") or ())
+        groups.setdefault(key, []).append(d["path"])
+    parts = []
+    for (renames, _absent), paths in groups.items():
+        g = spark.read.parquet(*paths)
+        mapping = dict(renames)
+        parts.append(
+            g.select(*[F.col(c).alias(mapping.get(c, c)) for c in g.columns])
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x, allowMissingColumns=True)
+    cols = []
+    for f in cur_schema["fields"]:
+        if f["name"] in out.columns:
+            cols.append(F.col(f["name"]))
+        else:
+            cols.append(
+                F.lit(None)
+                .cast(_iceberg_type_to_spark(f["type"]))
+                .alias(f["name"])
+            )
+    return out.select(*cols)
+
+
 def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     """Rewrite-data-files compaction: bin-pack small files per partition
     into ~``targetFileBytes``, commit one ``replace`` snapshot.
@@ -1144,10 +1181,22 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     target = int(p.get("targetFileBytes", 128 * 1024 * 1024))
     min_group = max(2, int(p.get("minFilesPerGroup", 2)))
     data, deletes, prev_meta = plan_files(table_path)
-    if any(d.get("renames") or d.get("absent") or d.get("dropped") for d in data):
+    evolved = any(
+        d.get("renames") or d.get("absent") or d.get("dropped") for d in data
+    )
+    migrate = bool(p.get("migrateSchema"))
+    if evolved and not migrate:
         raise NotImplementedError(
-            "iceberg compact: live files span schema evolution — read and "
-            "rewrite the table instead"
+            "iceberg compact: live files span schema evolution — set "
+            "migrateSchema: true to rewrite EVERY file under the current "
+            "schema (renames applied, added columns null-padded, dropped "
+            "columns shed) in one replace snapshot"
+        )
+    if evolved and deletes:
+        raise NotImplementedError(
+            "iceberg compact: row-level deletes on schema-evolved live "
+            "files need the runtime jar (the reader refuses this "
+            "combination too) — compact before deleting"
         )
 
     def _norm(path: str) -> str:
@@ -1177,11 +1226,12 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         size = os.path.getsize(d["path"])
         sized.append({**d, "size": size})
     zorder = [str(c) for c in (p.get("zOrderBy") or [])]
+    full_rewrite = bool(zorder) or (migrate and evolved)
     bins: list[tuple[tuple, list[dict]]] = []
-    if zorder:
-        # OPTIMIZE ZORDER: every live file rewrites, one group per
-        # partition, rows clustered on the Morton curve (see
-        # functions/zorder.py) — multi-column bounds become tight
+    if full_rewrite:
+        # OPTIMIZE ZORDER and schema-migrating compaction both rewrite
+        # every live file, one group per partition (zorder additionally
+        # clusters each rewrite on the Morton curve)
         groups_all: dict[tuple, list[dict]] = {}
         for d in sized:
             key = tuple(sorted((d.get("partition") or {}).items()))
@@ -1252,6 +1302,11 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         for f in cur_schema["fields"]
         if isinstance(f["type"], str)
     }
+    if migrate and evolved:
+        # rewrites land under the CURRENT schema: the new manifest must
+        # embed it, or the reader would re-infer renames against the
+        # fresh files from an older generation's embedded schema
+        schema_json = json.dumps(cur_schema)
     compacted_paths = {d["path"] for _key, files in bins for d in files}
 
     # 1. rewrite each bin (distributed parquet read+write per bin)
@@ -1260,7 +1315,10 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     data_dir = os.path.join(table_path, "data", f"compact-{commit_uuid}")
     for i, (key, files) in enumerate(bins):
         out_dir = os.path.join(data_dir, f"bin-{i:05d}")
-        bin_df = spark.read.parquet(*[d["path"] for d in files])
+        if evolved:
+            bin_df = _read_evolved_group(spark, files, cur_schema)
+        else:
+            bin_df = spark.read.parquet(*[d["path"] for d in files])
         if deletes and any(d["path"] in affected for d in files):
             # materialize: subtract this bin's applicable deletes through
             # the reader's own MOR path (position + equality, seq rule)

@@ -2044,3 +2044,51 @@ def test_iceberg_metadata_tables(spark, tmp_path):
     with _p.raises(ValueError, match="unknown metadataTable"):
         read_iceberg_metadata_table(
             spark, {"path": tbl, "metadataTable": "bogus"})
+
+
+def test_iceberg_compact_migrate_schema(spark, tmp_path):
+    """r6: schema-migrating compaction — a table whose live files span a
+    rename + an added column rewrites EVERY file under the current
+    schema in one replace snapshot; the post-compact table is no longer
+    evolved (plain compaction works again) and reads identically."""
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sinks.iceberg_native import (
+        alter_iceberg_native,
+        compact_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import plan_files
+
+    tbl = str(tmp_path / "ice_migrate")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "x"), (2, "y")], "id long, tag string").coalesce(1),
+        {"path": tbl, "mode": "create"},
+    )
+    alter_iceberg_native(spark, {"path": tbl, "renameColumn": {"tag": "label"}})
+    write_iceberg_native(
+        spark.createDataFrame([(3, "z", 9)], "id long, label string, score long").coalesce(1),
+        {"path": tbl, "mode": "append", "mergeSchema": True},
+    )
+    data, _dels, _m = plan_files(tbl)
+    assert any(d.get("renames") or d.get("absent") for d in data)  # evolved
+
+    with pytest.raises(NotImplementedError, match="migrateSchema"):
+        compact_iceberg_native(spark, {"path": tbl, "targetFileBytes": 1 << 30})
+    res = compact_iceberg_native(
+        spark, {"path": tbl, "targetFileBytes": 1 << 30, "migrateSchema": True}
+    )
+    assert res["compacted_files"] == 2 and res["new_files"] == 1
+
+    back = read_iceberg_native(spark, {"path": tbl})
+    rows = sorted((r["id"], r["label"], r["score"]) for r in back.collect())
+    assert rows == [(1, "x", None), (2, "y", None), (3, "z", 9)]
+    # the upgraded files ARE current-generation now: no renames/absent,
+    # and plain bin-pack compaction no longer refuses
+    data, _dels, _m = plan_files(tbl)
+    assert not any(d.get("renames") or d.get("absent") or d.get("dropped") for d in data)
+    res = compact_iceberg_native(spark, {"path": tbl, "targetFileBytes": 1 << 30})
+    assert res["compacted_files"] == 0  # single file, nothing to pack
+    # stats skipping works on the post-migration files
+    skip = read_iceberg_native(
+        spark, {"path": tbl, "dataFilter": {"key": "score", "op": ">=", "value": 5}})
+    assert [(r["id"], r["score"]) for r in skip.collect()] == [(3, 9)]
