@@ -259,6 +259,8 @@ def write_delta_native(
             return  # this transaction already committed — replayed batch
         if mode in ("errorifexists", "create"):
             raise FileExistsError(f"delta sink: table already exists at {table}")
+        if mode == "overwrite":
+            _refuse_append_only(prev_meta, "overwrite")
         # schema/partitioning drift fails BEFORE data is staged —
         # unless mergeSchema evolves the table (delta-spark's option):
         # the union schema commits a new metaData action, and readers
@@ -755,6 +757,18 @@ def delete_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     return _cow_rewrite_where(spark, p, set_exprs=None)
 
 
+def _refuse_append_only(meta: dict, op: str) -> None:
+    """PROTOCOL.md appendOnly: when ``delta.appendOnly=true`` writers
+    must refuse any commit that removes data (overwrite, DELETE, UPDATE,
+    RESTORE) — compaction is allowed (dataChange: false)."""
+    conf = meta.get("configuration") or {}
+    if str(conf.get("delta.appendOnly", "")).lower() == "true":
+        raise ValueError(
+            f"delta {op}: table sets delta.appendOnly=true — only appends "
+            "are allowed (unset the property to mutate)"
+        )
+
+
 def _commit_actions(
     table: str, version: int, actions: list[dict],
     checkpoint_interval: int = 0,
@@ -835,6 +849,7 @@ def _dv_mutate_where(
     if isinstance(where, dict):
         where = [where]
     prev_adds, meta, proto, prev_version, _txns = replay_state(table)
+    _refuse_append_only(meta, op_name)
     cm = _column_mapping(meta)
     # where-predicates, set-expressions and cdc rows live in LOGICAL
     # names; files, stats and partitionValues in PHYSICAL — translate at
@@ -1148,6 +1163,7 @@ def restore_delta_native(spark, p: dict[str, Any]) -> dict[str, Any]:
         version = _version_at_timestamp(_log_dir(table), ts)
     version = int(version)
     cur_adds, cur_meta, _proto, cur_version, _txns = replay_state(table)
+    _refuse_append_only(cur_meta, "restore")
     if version > cur_version:
         raise ValueError(
             f"delta restore: versionAsOf {version} is beyond the current "
@@ -1406,6 +1422,7 @@ def _cow_rewrite_where(
     if isinstance(where, dict):
         where = [where]
     prev_adds, meta, _proto, prev_version, _txns = replay_state(table)
+    _refuse_append_only(meta, op_name)
     cm = _column_mapping(meta)
     log_of = {v: k for k, v in cm["phys_of"].items()} if cm else {}
     part_cols = list(meta.get("partitionColumns") or [])

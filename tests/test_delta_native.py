@@ -2349,3 +2349,39 @@ def test_delta_history(spark, tmp_path):
     assert [r["operation"] for r in hist] == ["DELETE", "WRITE", "WRITE"]
     assert "id" in json.loads(hist[0]["operation_parameters"])["predicate"]
     assert all(r["timestamp"] is not None for r in hist)
+
+
+def test_append_only_tables_refuse_mutations(spark, tmp_path):
+    """delta.appendOnly=true is writer-enforced: overwrite / DELETE /
+    UPDATE / RESTORE refuse, appends still land."""
+    from pipeline_spark.sinks.delta_native import (
+        delete_delta_native,
+        restore_delta_native,
+        update_delta_native,
+    )
+
+    tbl = str(tmp_path / "ao")
+    write_delta_native(
+        spark, spark.range(0, 4).coalesce(1),
+        {"path": tbl, "properties": {"delta.appendOnly": True}},
+    )
+    write_delta_native(spark, spark.range(4, 6).coalesce(1),
+                       {"path": tbl, "mode": "append"})
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(6))
+    with pytest.raises(ValueError, match="appendOnly"):
+        write_delta_native(spark, spark.range(9).coalesce(1),
+                           {"path": tbl, "mode": "overwrite"})
+    with pytest.raises(ValueError, match="appendOnly"):
+        delete_delta_native(
+            spark, {"path": tbl, "where": [{"key": "id", "op": "=", "value": 1}]})
+    with pytest.raises(ValueError, match="appendOnly"):
+        delete_delta_native(
+            spark, {"path": tbl, "method": "mor",
+                    "where": [{"key": "id", "op": "=", "value": 1}]})
+    with pytest.raises(ValueError, match="appendOnly"):
+        update_delta_native(
+            spark, {"path": tbl, "set": {"id": "id + 1"},
+                    "where": [{"key": "id", "op": "=", "value": 1}]})
+    with pytest.raises(ValueError, match="appendOnly"):
+        restore_delta_native(spark, {"path": tbl, "versionAsOf": 0})
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(6))
