@@ -232,6 +232,11 @@ def write_delta_native(
     mode = str(p.get("mode", "append")).lower()
     if mode not in ("append", "overwrite", "errorifexists", "create"):
         raise ValueError(f"delta sink: unknown mode '{mode}'")
+    replace_where = p.get("replaceWhere")
+    if replace_where and mode != "overwrite":
+        raise ValueError("delta sink: replaceWhere needs mode: overwrite")
+    if isinstance(replace_where, dict):
+        replace_where = [replace_where]
     part_cols = list(p.get("partitionBy") or [])
     log_dir = os.path.join(table, "_delta_log")
     prev_version = latest_version(log_dir) if os.path.isdir(log_dir) else None
@@ -344,6 +349,28 @@ def write_delta_native(
                 for name, sql in constraints.items()
             ],
         )
+    obs_rw = None
+    if replace_where and exists:
+        # delta's replaceWhere contract: every incoming row must satisfy
+        # the predicate (rows with a NULL evaluation do NOT satisfy it);
+        # counted by an Observation riding the same write
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        from pipeline_spark.sources.delta_native import data_filter_condition
+
+        obs_rw = Observation()
+        df = df.observe(
+            obs_rw,
+            F.count(
+                F.when(
+                    ~F.coalesce(
+                        data_filter_condition(replace_where), F.lit(False)
+                    ),
+                    F.lit(1),
+                )
+            ).alias("violations"),
+        )
     commit_id = uuid.uuid4().hex
     data_dir = f"data-{commit_id}"
     staging = os.path.join(table, data_dir)
@@ -364,6 +391,17 @@ def write_delta_native(
             raise ValueError(
                 f"delta sink: CHECK constraint violation — {detail}; "
                 "nothing was committed"
+            )
+    if obs_rw is not None:
+        bad = int(obs_rw.get.get("violations", 0))
+        if bad:
+            import shutil as _shutil
+
+            _shutil.rmtree(staging, ignore_errors=True)
+            raise ValueError(
+                f"delta sink: replaceWhere violation — {bad} incoming "
+                f"row(s) do not satisfy {replace_where}; nothing was "
+                "committed"
             )
 
     adds = []
@@ -436,24 +474,39 @@ def write_delta_native(
             evolved_md["configuration"] = evolved_conf
         actions.append({"metaData": evolved_md})
     if mode == "overwrite" and exists:
-        for a in prev_adds:
-            actions.append({
-                "remove": {
-                    "path": a["path"],
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                }
-            })
+        if replace_where:
+            # predicate-scoped overwrite: only files the predicate can
+            # touch are removed (partial matches rewrite their survivor
+            # rows into fresh files, DV/column-mapping aware); untouched
+            # files never move — all in THIS one commit
+            rw_removes, rw_adds = _replace_where_rewrites(
+                spark, table, prev_meta, prev_adds, cm, replace_where,
+                commit_id, now_ms,
+            )
+            actions.extend({"remove": r} for r in rw_removes)
+            adds = adds + rw_adds
+        else:
+            for a in prev_adds:
+                actions.append({
+                    "remove": {
+                        "path": a["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                })
     if txn is not None:
         actions.append(
             {"txn": {"appId": str(txn[0]), "version": int(txn[1])}}
         )
     actions.extend({"add": a} for a in adds)
+    op_params = {"mode": mode, "partitionBy": json.dumps(part_cols)}
+    if replace_where:
+        op_params["predicate"] = json.dumps(replace_where)
     actions.append({
         "commitInfo": {
             "timestamp": now_ms,
             "operation": "WRITE",
-            "operationParameters": {"mode": mode, "partitionBy": json.dumps(part_cols)},
+            "operationParameters": op_params,
         }
     })
 
@@ -490,6 +543,149 @@ def write_delta_native(
     interval = int(p.get("checkpointInterval", 10))
     if interval > 0 and version > 0 and version % interval == 0:
         write_checkpoint(table, version)
+
+
+def _replace_where_rewrites(
+    spark, table: str, meta: dict, prev_adds: list[dict], cm: dict | None,
+    where: list[dict], commit_id: str, now_ms: int,
+) -> tuple[list[dict], list[dict]]:
+    """The delete-side of a replaceWhere overwrite: (remove actions for
+    every file the predicate's stats bounds admit, add dicts for the
+    survivor-row rewrites of partially-matching files).  Untouched files
+    are never listed — at 100 TB a partition reload removes that
+    partition's files, not the table's."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from pipeline_spark.sources.delta_native import (
+        _stats_may_match,
+        data_filter_condition,
+        read_files_with_dv,
+        stats_to_logical,
+        to_logical_df,
+        to_physical_df,
+    )
+
+    part_cols = list(meta.get("partitionColumns") or [])
+    phys_part_cols = (
+        [cm["phys_of"].get(c, c) for c in part_cols] if cm else part_cols
+    )
+    full = StructType.fromJson(json.loads(meta["schemaString"]))
+    read_fields = cm["phys_schema"].fields if cm else full.fields
+    fschema = StructType(
+        [f for f in read_fields if f.name not in phys_part_cols]
+    )
+    log_fschema = [f for f in full.fields if f.name not in part_cols]
+    types = {f.name: f.dataType for f in full.fields}
+    log_of = {v: k for k, v in cm["phys_of"].items()} if cm else {}
+    if cm:
+        check_adds = [dict(a) for a in prev_adds]
+        stats_to_logical(check_adds, cm)
+    else:
+        check_adds = prev_adds
+    phys_of = cm["phys_of"] if cm else {}
+    part_set = set(part_cols)
+
+    def pv_disproves(add: dict) -> bool:
+        # partition columns never appear in footer stats (hive layout
+        # strips them) — their recorded partitionValues ARE the exact
+        # per-file value, so =/in predicates prune decisively; other ops
+        # conservatively keep the file (rewrite is still correct)
+        pv = add.get("partitionValues") or {}
+        for f in where:
+            k = str(f.get("key"))
+            if k not in part_set:
+                continue
+            raw = pv.get(phys_of.get(k, k))
+            if raw is None:
+                continue
+            op = str(f.get("op", "=")).lower()
+            want = f.get("value")
+            if op == "=" and want is not None and raw != str(want):
+                return True
+            if op == "in":
+                vals = [
+                    str(w)
+                    for w in (
+                        want if isinstance(want, (list, tuple)) else [want]
+                    )
+                ]
+                if raw not in vals:
+                    return True
+        return False
+
+    candidates = [
+        a
+        for a, ca in zip(prev_adds, check_adds)
+        if _stats_may_match(ca, where, None) and not pv_disproves(a)
+    ]
+    cond = data_filter_condition(where)
+    removes: list[dict] = []
+    new_adds: list[dict] = []
+    groups: dict[tuple, list[dict]] = {}
+    for a in candidates:
+        key = tuple(sorted((a.get("partitionValues") or {}).items()))
+        groups.setdefault(key, []).append(a)
+    for i, (key, files) in enumerate(groups.items()):
+        dfc = read_files_with_dv(spark, table, fschema, files)
+        dfc = to_logical_df(dfc, cm, log_fschema)
+        pv = dict(key)
+        for c, v in pv.items():
+            lc = log_of.get(c, c)
+            dfc = dfc.withColumn(
+                lc,
+                F.lit(v).cast(types[lc]) if v is not None
+                else F.lit(None).cast(types[lc]),
+            )
+        survivors = dfc.where(~F.coalesce(cond, F.lit(False)))
+        out_dir = os.path.join(table, f"data-rw-{commit_id}", f"grp-{i:05d}")
+        to_physical_df(
+            survivors.select(*[f.name for f in log_fschema]), cm
+        ).write.parquet(out_dir)
+        for root, _dirs, names in os.walk(out_dir):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                fullp = os.path.join(root, name)
+                new_adds.append({
+                    "path": urllib.parse.quote(
+                        os.path.relpath(fullp, table).replace(os.sep, "/"),
+                        safe="/=",
+                    ),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(fullp),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "__full_path__": fullp,
+                })
+        for a in files:
+            removes.append({
+                "path": a["path"],
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "partitionValues": a.get("partitionValues") or {},
+            })
+    if new_adds:
+        stats_map = _collect_file_stats(
+            spark, [a["__full_path__"] for a in new_adds]
+        )
+        pruned: list[dict] = []
+        for a in new_adds:
+            fullp = a.pop("__full_path__")
+            st = stats_map.get(fullp)
+            # a fully-replaced file leaves a 0-row survivor rewrite —
+            # drop it rather than committing empty data files
+            if st and json.loads(st).get("numRecords") == 0:
+                try:
+                    os.remove(fullp)
+                except OSError:
+                    pass
+                continue
+            if st:
+                a["stats"] = st
+            pruned.append(a)
+        new_adds = pruned
+    return removes, new_adds
 
 
 def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:

@@ -493,14 +493,21 @@ def to_logical_df(df, cm: dict | None, fields, keep: tuple = ()):
 
 def _is_hive_layout(adds: list[dict], part_cols: list[str]) -> bool:
     """True when every live file path embeds every partition column as a
-    ``col=value`` directory segment — Spark's partition discovery can
-    then recover the columns without per-file literals."""
+    ``col=value`` directory segment AND all files share one top-level
+    commit directory — Spark's partition discovery can then recover the
+    columns without per-file literals.  Files spread across SEVERAL
+    commit dirs (the normal state after appends) have a non-partition
+    dir between basePath and the partition segments, which Spark's
+    inference rejects (CONFLICTING_DIRECTORY_STRUCTURES) even with
+    basePath set — those take the per-partition literal-group scan."""
+    roots = set()
     for a in adds:
         segs = a["path"].split("/")[:-1]
         seen = {s.split("=", 1)[0] for s in segs if "=" in s}
         if not set(part_cols) <= seen:
             return False
-    return True
+        roots.add(a["path"].split("/", 1)[0])
+    return len(roots) <= 1
 
 
 from pipeline_spark.registry import KIND_SOURCE, ModuleContext, module
@@ -563,12 +570,24 @@ def read_files_with_dv(spark, table, fschema, adds, with_meta: bool = False):
     ]
     parts = []
     if plain:
-        df = spark.read.schema(fschema).parquet(*plain)
+        # recursiveFileLookup: explicit-file scans must not run
+        # partition-directory inference — staged rewrite dirs
+        # (data-delete-*/grp-*) sit at different depths than plain
+        # data dirs and would raise CONFLICTING_DIRECTORY_STRUCTURES
+        df = (
+            spark.read.schema(fschema)
+            .option("recursiveFileLookup", "true")
+            .parquet(*plain)
+        )
         if with_meta:
             df = df.select("*", *meta_cols())
         parts.append(df)
     if dv:
-        df = spark.read.schema(fschema).parquet(*[p for p, _ in dv]).select(
+        df = (
+            spark.read.schema(fschema)
+            .option("recursiveFileLookup", "true")
+            .parquet(*[p for p, _ in dv])
+        ).select(
             "*", *meta_cols()
         )
         entries = [(os.path.abspath(p), json.dumps(d)) for p, d in dv]
@@ -1041,7 +1060,14 @@ def read_delta_native(spark, p: dict[str, Any]):
         return _apply_data_filter(out, dfilter) if dfilter else out
 
     if not part_cols:
-        return done(add_meta(spark.read.schema(read_schema).parquet(*paths)))
+        # explicit files, no partition columns: skip directory inference
+        return done(
+            add_meta(
+                spark.read.schema(read_schema)
+                .option("recursiveFileLookup", "true")
+                .parquet(*paths)
+            )
+        )
     if _is_hive_layout(adds, phys_part_cols):
         # hive layout: directory-based partition columns, pruned by Spark
         return done(
@@ -1065,7 +1091,11 @@ def read_delta_native(spark, p: dict[str, Any]):
         groups.setdefault(key, []).append(path)
     parts = []
     for key, gpaths in groups.items():
-        df = add_meta(spark.read.schema(fschema).parquet(*gpaths))
+        df = add_meta(
+            spark.read.schema(fschema)
+            .option("recursiveFileLookup", "true")
+            .parquet(*gpaths)
+        )
         for c, v in zip(phys_part_cols, key):
             df = df.withColumn(
                 c, F.lit(v).cast(types[c]) if v is not None else F.lit(None).cast(types[c])

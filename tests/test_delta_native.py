@@ -2385,3 +2385,96 @@ def test_append_only_tables_refuse_mutations(spark, tmp_path):
     with pytest.raises(ValueError, match="appendOnly"):
         restore_delta_native(spark, {"path": tbl, "versionAsOf": 0})
     assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(6))
+
+
+def test_replace_where_partition_reload(spark, tmp_path):
+    """r6: replaceWhere — predicate-scoped atomic overwrite. A partition
+    reload removes only that partition's files (untouched partitions
+    keep their exact files), incoming rows must satisfy the predicate,
+    and a partially-matching file rewrites its survivor rows in the SAME
+    commit."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "rw")
+    df = spark.range(0, 20).withColumn(
+        "grp", F.when(F.col("id") < 10, "a").otherwise("b")
+    )
+    write_delta_native(spark, df, {"path": tbl, "partitionBy": ["grp"]})
+    before = {
+        a["path"] for a in replay_log(tbl)[0]
+        if a["partitionValues"].get("grp") == "b"
+    }
+
+    # reload partition a with new data
+    fresh = spark.range(100, 105).withColumn("grp", F.lit("a"))
+    write_delta_native(
+        spark, fresh,
+        {"path": tbl, "mode": "overwrite", "partitionBy": ["grp"],
+         "replaceWhere": {"key": "grp", "op": "=", "value": "a"}},
+    )
+    back = read_delta_native(spark, {"path": tbl})
+    got = sorted((r["id"], r["grp"]) for r in back.collect())
+    assert got == [(i, "b") for i in range(10, 20)] + [
+        (i, "a") for i in range(100, 105)
+    ]
+    # untouched partition kept its EXACT files
+    after = {
+        a["path"] for a in replay_log(tbl)[0]
+        if a["partitionValues"].get("grp") == "b"
+    }
+    assert after == before
+    # one commit did it all
+    from pipeline_spark.sources.delta_native import _log_dir, latest_version
+    assert latest_version(_log_dir(tbl)) == 1
+
+    # incoming rows violating the predicate refuse, nothing committed
+    with pytest.raises(ValueError, match="replaceWhere violation"):
+        write_delta_native(
+            spark, spark.range(5).withColumn("grp", F.lit("b")),
+            {"path": tbl, "mode": "overwrite", "partitionBy": ["grp"],
+             "replaceWhere": {"key": "grp", "op": "=", "value": "a"}},
+        )
+    assert latest_version(_log_dir(tbl)) == 1
+
+    # non-partition predicate: partial files rewrite survivors
+    tbl2 = str(tmp_path / "rw2")
+    write_delta_native(spark, spark.range(0, 10).coalesce(1), {"path": tbl2})
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(3,), (4,)], "id long").coalesce(1),
+        {"path": tbl2, "mode": "overwrite",
+         "replaceWhere": [{"key": "id", "op": ">=", "value": 3},
+                          {"key": "id", "op": "<", "value": 5}]},
+    )
+    assert _ids(read_delta_native(spark, {"path": tbl2})) == list(range(10))
+    # replaceWhere without overwrite refuses
+    with pytest.raises(ValueError, match="mode: overwrite"):
+        write_delta_native(
+            spark, spark.range(3), {"path": tbl2, "mode": "append",
+                                    "replaceWhere": {"key": "id", "op": "<", "value": 1}},
+        )
+
+
+def test_partitioned_append_across_commits_reads(spark, tmp_path):
+    """Regression (r6): partitioned files spread across SEVERAL commit
+    dirs have a non-partition dir between basePath and the partition
+    segments — Spark's inference rejects that layout, so the reader must
+    take the literal-group path; partition filters still prune."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "multi_commit_part")
+    df1 = spark.range(0, 6).withColumn(
+        "grp", F.when(F.col("id") % 2 == 0, "even").otherwise("odd"))
+    df2 = spark.range(6, 10).withColumn(
+        "grp", F.when(F.col("id") % 2 == 0, "even").otherwise("odd"))
+    write_delta_native(spark, df1, {"path": tbl, "partitionBy": ["grp"]})
+    write_delta_native(spark, df2, {"path": tbl, "mode": "append",
+                                    "partitionBy": ["grp"]})
+    back = read_delta_native(spark, {"path": tbl})
+    rows = sorted((r["id"], r["grp"]) for r in back.collect())
+    assert rows == [
+        (i, "even" if i % 2 == 0 else "odd") for i in range(10)
+    ]
+    pruned = read_delta_native(
+        spark, {"path": tbl, "partitionFilter": {"grp": "odd"}})
+    assert sorted(r["id"] for r in pruned.collect()) == [1, 3, 5, 7, 9]
