@@ -3495,6 +3495,51 @@ WHERE doc_id <= 200 AND n_chars <= 3000 ORDER BY doc_id
 """
 
 
+def q_delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replaceWhere partition reload (r6): documents land partitioned by
+    lang, then the 'en' partition reloads atomically with doubled
+    n_chars — only that partition's files move, incoming rows are
+    validated against the predicate, one commit.  The oracle recomputes
+    the post-reload aggregate from the source parquet."""
+    import shutil
+
+    from pipeline_spark.sinks.delta_native import write_delta_native
+    from pipeline_spark.sources.delta_native import read_delta_native
+
+    tbl = _tmp_path("delta_rw", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_delta_native(
+        spark, docs.repartition(2), {"path": tbl, "partitionBy": ["lang"]}
+    )
+    reload_en = docs.where(F.col("lang") == "en").withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    write_delta_native(
+        spark, reload_en,
+        {"path": tbl, "mode": "overwrite", "partitionBy": ["lang"],
+         "replaceWhere": {"key": "lang", "op": "=", "value": "en"}},
+    )
+    back = read_delta_native(spark, {"path": tbl})
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_DELTA_RW_SQL = """
+SELECT lang, count(*) AS n,
+       sum(CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END) AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental append-scan: supplier committed in two snapshots,
     fromSnapshotId resolves ONLY the second commit's files — the
@@ -4382,6 +4427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_cm_roundtrip": q_delta_cm_roundtrip,
         "delta_alter_roundtrip": q_delta_alter_roundtrip,
         "delta_zorder": q_delta_zorder,
+        "delta_replace_where": q_delta_replace_where,
         "iceberg_incremental": q_iceberg_incremental,
         # --- long-green (r4 driver rows; pytest + local-harness guarded)
         "q1_pricing_summary": q1_pricing_summary,
@@ -4497,6 +4543,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_cm_roundtrip": Q_DELTA_CM_SQL,
         "delta_alter_roundtrip": Q_DELTA_ALTER_SQL,
         "delta_zorder": Q_DELTA_ZORDER_SQL,
+        "delta_replace_where": Q_DELTA_RW_SQL,
         "iceberg_incremental": Q_ICEBERG_INC_SQL,
         "asof_join": Q_ASOF_SQL,
         "sessionize": Q_SESSIONIZE_SQL,

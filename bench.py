@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "delta_cm_roundtrip",
     "delta_alter_roundtrip",
     "delta_zorder",
+    "delta_replace_where",
     "iceberg_incremental",
 ]
 
