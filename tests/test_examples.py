@@ -53,6 +53,9 @@ def stage_stream_inputs():
     # the schema-evolution example lands then ALTERs a table — a prior
     # session's renamed table would fail the fresh overwrite's schema check
     shutil.rmtree("/tmp/pipeline_out/delta_governed", ignore_errors=True)
+    # the replaceWhere example overwrites then reloads a partition —
+    # start from a clean table per session
+    shutil.rmtree("/tmp/pipeline_out/delta_reload", ignore_errors=True)
     # the commoncrawl example reads a staged WARC archive built from the
     # documents table wrapped as crawled HTML pages
     import pyarrow.parquet as pq
