@@ -1,8 +1,9 @@
 """Morton (Z-order) clustering value for OPTIMIZE ZORDER rewrites.
 
 Shared by the Delta and Iceberg compaction paths: quantile-rank each
-column driver-side once (approxQuantile boundaries — metadata scale),
-fold the per-row rank JVM-side over the broadcast boundary array, and
+column once (a distributed approxQuantile scan of the z columns; only
+the boundary array — a few hundred doubles — reaches the driver), fold
+the per-row rank JVM-side over the broadcast boundary array, and
 interleave rank bits into one long.  Quantile buckets keep the curve
 balanced under skew, which is what makes min/max file bounds tight on
 EVERY z-ordered column after the rewrite.
@@ -15,9 +16,10 @@ def zvalue_column(spark, df, cols, bits: int = 8):
     """Morton (Z-order) value over ``cols`` as one JVM Column.
 
     Each column quantile-bucketizes into 2^bits ranks (boundaries from
-    ONE driver-side approxQuantile per column — metadata scale; the
-    per-row rank is an ``aggregate`` fold over the broadcast boundary
-    array, whole-stage-codegen'd), then the ranks' bits interleave.
+    ONE approxQuantile per column — a distributed columnar scan whose
+    driver-side *collect* is just the boundary array; the per-row rank
+    is an ``aggregate`` fold over the broadcast boundary array,
+    whole-stage-codegen'd), then the ranks' bits interleave.
     Quantile (not uniform) buckets keep the curve balanced under skew —
     the property that makes min/max bounds tight on EVERY z-ordered
     column, not just the first sort key.
@@ -30,6 +32,16 @@ def zvalue_column(spark, df, cols, bits: int = 8):
 
     if not cols:
         raise ValueError("zvalue_column: at least one column required")
+    if len(cols) > 31:
+        # 62 // 32 == 1, and the max(2, ...) floor would push the
+        # interleaved value to bit 63 (the sign bit), inverting sort
+        # order for high ranks.  More than ~4 z columns already dilutes
+        # clustering benefit; 32+ is certainly a config error.
+        raise ValueError(
+            f"zvalue_column: {len(cols)} z-order columns exceed the "
+            "31-column limit (bits*cols must stay below a signed long's "
+            "sign bit); pick the few most-filtered columns instead"
+        )
     bits = max(2, min(bits, 62 // len(cols)))
     buckets = 1 << bits
     probs = [i / buckets for i in range(1, buckets)]

@@ -350,10 +350,12 @@ def write_delta_native(
             ],
         )
     obs_rw = None
-    if replace_where and exists:
+    if replace_where:
         # delta's replaceWhere contract: every incoming row must satisfy
         # the predicate (rows with a NULL evaluation do NOT satisfy it);
-        # counted by an Observation riding the same write
+        # counted by an Observation riding the same write.  Enforced on
+        # the FIRST write of a table too — delta-spark always validates
+        # incoming rows, table existence only changes what gets removed.
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 

@@ -118,13 +118,31 @@ def _version_at_timestamp(log_dir: str, ts) -> int:
     if not commits:
         raise FileNotFoundError(f"delta: empty _delta_log at {log_dir}")
     best = None
+    latest_ts = None
     for v, path in commits:
-        if os.path.getmtime(path) <= want:
+        mtime = os.path.getmtime(path)
+        latest_ts = mtime if latest_ts is None else max(latest_ts, mtime)
+        if mtime <= want:
             best = v if best is None else max(best, v)
     if best is None:
         raise ValueError(
             f"delta: timestampAsOf {ts!r} is before the earliest available "
             f"commit (version {commits[0][0]}) — nothing to time-travel to"
+        )
+    if want > latest_ts:
+        # delta-spark contract: a timestamp after the newest commit is an
+        # error, not a silent read of current state — a typo'd future
+        # timestamp must fail loudly instead of masquerading as history.
+        import datetime as _dt
+
+        latest_iso = _dt.datetime.fromtimestamp(
+            latest_ts, _dt.timezone.utc
+        ).isoformat()
+        raise ValueError(
+            f"delta: timestampAsOf {ts!r} is after the latest commit "
+            f"(version {max(v for v, _ in commits)} at {latest_iso}); "
+            "use a timestamp at or before that, or omit timestampAsOf "
+            "to read the current state"
         )
     return best
 

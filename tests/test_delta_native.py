@@ -2096,7 +2096,10 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     """timestampAsOf resolves the latest version whose commit-file mtime
     <= the requested instant (delta's own source when in-commit
     timestamps are off); accepts epoch numbers and ISO strings, refuses
-    pre-history instants, and is exclusive with versionAsOf."""
+    pre-history AND post-latest instants (delta-spark raises on a
+    timestamp after the newest commit — a typo'd future timestamp must
+    not silently read current state), and is exclusive with
+    versionAsOf."""
     import time as _time
 
     tbl = str(tmp_path / "tt")
@@ -2110,7 +2113,8 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
 
     at_v0 = read_delta_native(spark, {"path": tbl, "timestampAsOf": t0 + 50})
     assert _ids(at_v0) == [0, 1, 2]
-    at_v1 = read_delta_native(spark, {"path": tbl, "timestampAsOf": t0 + 200})
+    # exact boundary (== latest commit time) is allowed
+    at_v1 = read_delta_native(spark, {"path": tbl, "timestampAsOf": t0 + 100})
     assert _ids(at_v1) == list(range(6))
     # ISO-8601 string form
     import datetime as _dt
@@ -2120,6 +2124,8 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     assert _ids(read_delta_native(spark, {"path": tbl, "timestampAsOf": iso})) == [0, 1, 2]
     with pytest.raises(ValueError, match="before the earliest"):
         read_delta_native(spark, {"path": tbl, "timestampAsOf": t0 - 1000})
+    with pytest.raises(ValueError, match="after the latest commit"):
+        read_delta_native(spark, {"path": tbl, "timestampAsOf": t0 + 200})
     with pytest.raises(ValueError, match="mutually exclusive"):
         read_delta_native(
             spark, {"path": tbl, "timestampAsOf": t0, "versionAsOf": 0})
@@ -2453,6 +2459,24 @@ def test_replace_where_partition_reload(spark, tmp_path):
             spark, spark.range(3), {"path": tbl2, "mode": "append",
                                     "replaceWhere": {"key": "id", "op": "<", "value": 1}},
         )
+    # r7 (advisor): the FIRST write of a table enforces the predicate on
+    # incoming rows too — delta-spark always validates, existence only
+    # changes what gets removed
+    tbl3 = str(tmp_path / "rw3")
+    with pytest.raises(ValueError, match="replaceWhere violation"):
+        write_delta_native(
+            spark, spark.range(0, 10),
+            {"path": tbl3, "mode": "overwrite",
+             "replaceWhere": {"key": "id", "op": "<", "value": 5}},
+        )
+    assert not os.path.exists(os.path.join(tbl3, "_delta_log"))
+    # conforming first write with replaceWhere succeeds
+    write_delta_native(
+        spark, spark.range(0, 5),
+        {"path": tbl3, "mode": "overwrite",
+         "replaceWhere": {"key": "id", "op": "<", "value": 5}},
+    )
+    assert _ids(read_delta_native(spark, {"path": tbl3})) == list(range(5))
 
 
 def test_partitioned_append_across_commits_reads(spark, tmp_path):
