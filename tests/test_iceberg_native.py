@@ -1297,7 +1297,18 @@ def _serve_stateful_catalog():
                 meta = state[name]
                 for req in body.get("requirements", []):
                     if req.get("type") == "assert-ref-snapshot-id":
-                        if meta.get("current-snapshot-id") != req.get("snapshot-id"):
+                        # spec: the named ref must point at the given
+                        # snapshot-id; null/missing snapshot-id asserts
+                        # the ref does not exist yet
+                        ref = req.get("ref", "main")
+                        refs = meta.get("refs") or {}
+                        if ref in refs:
+                            actual = refs[ref].get("snapshot-id")
+                        elif ref == "main":
+                            actual = meta.get("current-snapshot-id")
+                        else:
+                            actual = None
+                        if actual != req.get("snapshot-id"):
                             return self._json({"error": "requirement failed"}, 409)
                 last_added_schema_id = None
                 for upd in body.get("updates", []):
@@ -1309,7 +1320,13 @@ def _serve_stateful_catalog():
                             snap.get("sequence-number", 0),
                         )
                     elif upd["action"] == "set-snapshot-ref":
-                        meta["current-snapshot-id"] = upd["snapshot-id"]
+                        ref = upd.get("ref-name", "main")
+                        meta.setdefault("refs", {})[ref] = {
+                            "snapshot-id": upd["snapshot-id"],
+                            "type": upd.get("type", "branch"),
+                        }
+                        if ref == "main":
+                            meta["current-snapshot-id"] = upd["snapshot-id"]
                     elif upd["action"] == "add-schema":
                         sc = upd["schema"]
                         meta["schemas"] = list(meta["schemas"]) + [sc]
@@ -1384,6 +1401,9 @@ def test_rest_catalog_write_conflict_is_loud(spark, tmp_path, monkeypatch):
             meta, mloc = orig(self, ns, name)
             # the interleaved writer advances the ref AFTER our load
             state["ct"]["current-snapshot-id"] = 999999
+            state["ct"].setdefault("refs", {})["main"] = {
+                "snapshot-id": 999999, "type": "branch",
+            }
             return meta, mloc
 
         monkeypatch.setattr(iceberg_rest.RestCatalog, "load_table", racing_load)
@@ -1406,6 +1426,68 @@ def test_rest_catalog_write_validation(spark, tmp_path):
             w(spark.range(3), {"catalog": {"uri": uri}, "table": "ns.nl"})
     finally:
         srv.shutdown()
+
+
+def test_rest_catalog_branch_writes(spark, tmp_path):
+    """r7 (VERDICT r6 ask #4): toBranch through a REST catalog — the
+    CommitTableRequest asserts and moves ONLY the branch ref (null
+    snapshot-id assertion = 'ref must not exist'), main stays put, the
+    second branch append chains from the BRANCH head, and a {ref} read
+    through the catalog resolves the branch."""
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        loc = str(tmp_path / "rest_branch_tbl")
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.bt", "location": loc}
+        write_iceberg_native(
+            spark.range(0, 3).coalesce(1), {**cat_p, "mode": "create"}
+        )
+        main_head = state["bt"]["current-snapshot-id"]
+
+        write_iceberg_native(
+            spark.range(100, 103).coalesce(1),
+            {**cat_p, "mode": "append", "toBranch": "audit"},
+        )
+        # main ref untouched, branch ref created server-side
+        assert state["bt"]["current-snapshot-id"] == main_head
+        assert state["bt"]["refs"]["audit"]["snapshot-id"] != main_head
+
+        # second branch append chains from the BRANCH head
+        write_iceberg_native(
+            spark.range(200, 201).coalesce(1),
+            {**cat_p, "mode": "append", "toBranch": "audit"},
+        )
+        read_p = {"catalog": {"uri": uri}, "table": "ns.bt"}
+        assert sorted(
+            r["id"] for r in read_iceberg_native(spark, read_p).collect()
+        ) == [0, 1, 2]
+        audit = read_iceberg_native(spark, {**read_p, "ref": "audit"})
+        assert sorted(r["id"] for r in audit.collect()) == [
+            0, 1, 2, 100, 101, 102, 200,
+        ]
+
+        # branch write to a table the catalog does not know refuses
+        with pytest.raises(ValueError, match="does not exist"):
+            write_iceberg_native(
+                spark.range(3).coalesce(1),
+                {"catalog": {"uri": uri}, "table": "ns.ghost",
+                 "location": str(tmp_path / "ghost"), "toBranch": "b"},
+            )
+    finally:
+        srv.shutdown()
+
+
+def test_branch_write_to_missing_filesystem_table_refuses(spark, tmp_path):
+    """r7 (advisor): toBranch on a nonexistent filesystem table used to
+    silently write main and never create the branch ref; now it errors
+    before any data lands."""
+    tbl = str(tmp_path / "no_such_table")
+    with pytest.raises(ValueError, match="does not exist"):
+        write_iceberg_native(
+            spark.range(3).coalesce(1),
+            {"path": tbl, "mode": "append", "toBranch": "audit"},
+        )
+    assert not os.path.exists(tbl)
 
 
 def test_rest_catalog_merge(spark, tmp_path):
@@ -1825,6 +1907,37 @@ def test_iceberg_alter_rename_drop(spark, tmp_path):
     with pytest.raises(ValueError, match="already exist"):
         alter_iceberg_native(spark, {"path": tbl, "renameColumn": {"label": "id"}})
 
+    # r7 (advisor): ALTER adds a NEW schema-id — the pre-alter schema
+    # object survives verbatim so time travel shows the names of its day
+    assert meta["current-schema-id"] != 0
+    pre = next(s for s in meta["schemas"] if s.get("schema-id", 0) == 0)
+    assert [f["name"] for f in pre["fields"]] == ["id", "tag", "score"]
+
+    # chained rename label->title: the mapping must keep ALL historical
+    # names (tag AND label) resolving the same field id
+    alter_iceberg_native(spark, {"path": tbl, "renameColumn": {"label": "title"}})
+    meta2 = json.loads(open(find_table_metadata(tbl)).read())
+    mapping2 = json.loads(meta2["properties"]["schema.name-mapping.default"])
+    title_entry = next(e for e in mapping2 if "title" in e["names"])
+    assert {"tag", "label", "title"} <= set(title_entry["names"])
+    assert len({s.get("schema-id", 0) for s in meta2["schemas"]}) == 3
+    back = read_iceberg_native(spark, {"path": tbl})
+    assert sorted((r["id"], r["title"]) for r in back.collect()) == [
+        (1, "x"), (2, "y"),
+    ]
+    # an append after the alters PRESERVES schema history + mapping
+    write_iceberg_native(
+        spark.createDataFrame([(3, "z")], "id long, title string").coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    meta3 = json.loads(open(find_table_metadata(tbl)).read())
+    assert len(meta3["schemas"]) == 3
+    mapping3 = json.loads(meta3["properties"]["schema.name-mapping.default"])
+    assert {"tag", "label", "title"} <= set(
+        next(e for e in mapping3 if "title" in e["names"])["names"]
+    )
+    assert read_iceberg_native(spark, {"path": tbl}).count() == 3
+
 
 def test_iceberg_append_after_rename(spark, tmp_path):
     """Appending under the NEW logical names after a rename: new files
@@ -2092,3 +2205,66 @@ def test_iceberg_compact_migrate_schema(spark, tmp_path):
     skip = read_iceberg_native(
         spark, {"path": tbl, "dataFilter": {"key": "score", "op": ">=", "value": 5}})
     assert [(r["id"], r["score"]) for r in skip.collect()] == [(3, 9)]
+
+
+def test_iceberg_evolved_mor_delete_read_compact(spark, tmp_path):
+    """r7 (VERDICT r6 ask #5): row-level deletes on a schema-EVOLVED
+    table — position-delete planning, the MOR read, and delete-
+    materializing compaction all route through the migrating scan.
+    The delete predicate addresses CURRENT column names, matches rows
+    living in OLD-generation files (whose parquet columns still carry
+    the pre-rename names), and survives a migrate-compact round-trip."""
+    from pipeline_spark.sinks.iceberg_native import (
+        alter_iceberg_native,
+        compact_iceberg_native,
+        delete_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import plan_files
+
+    tbl = str(tmp_path / "ice_ev_mor")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "z")], "id long, tag string"
+        ).coalesce(1),
+        {"path": tbl, "mode": "create"},
+    )
+    alter_iceberg_native(spark, {"path": tbl, "renameColumn": {"tag": "label"}})
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(4, "w", 9), (5, "v", 7)], "id long, label string, score long"
+        ).coalesce(1),
+        {"path": tbl, "mode": "append", "mergeSchema": True},
+    )
+    data, _dels, _m = plan_files(tbl)
+    assert any(d.get("renames") or d.get("absent") for d in data)  # evolved
+
+    # delete by the RENAMED name, hitting a row in an OLD-generation file
+    res = delete_iceberg_native(
+        spark, {"path": tbl, "where": {"key": "label", "op": "=", "value": "y"}}
+    )
+    assert res["deleted_rows"] == 1
+    # and by a column ABSENT from the old generation (null there -> no match)
+    res = delete_iceberg_native(
+        spark, {"path": tbl, "where": {"key": "score", "op": "=", "value": 7}}
+    )
+    assert res["deleted_rows"] == 1
+
+    # MOR read over evolved files + delete files
+    back = read_iceberg_native(spark, {"path": tbl})
+    rows = sorted((r["id"], r["label"], r["score"]) for r in back.collect())
+    assert rows == [(1, "x", None), (3, "z", None), (4, "w", 9)]
+
+    # migrate-compact materializes the deletes and sheds the evolution
+    res = compact_iceberg_native(
+        spark, {"path": tbl, "targetFileBytes": 1 << 30, "migrateSchema": True}
+    )
+    assert res["materialized_delete_files"] == 2
+    data, dels, _m = plan_files(tbl)
+    assert not dels
+    assert not any(
+        d.get("renames") or d.get("absent") or d.get("dropped") for d in data
+    )
+    back = read_iceberg_native(spark, {"path": tbl})
+    assert sorted(
+        (r["id"], r["label"], r["score"]) for r in back.collect()
+    ) == rows
