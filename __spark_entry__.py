@@ -4147,6 +4147,121 @@ FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderpriority
 """
 
 
+def q_iceberg_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish via snapshot refs (r7): a base batch lands on
+    main, the audit batch appends to a BRANCH (main's ref does not move —
+    the Iceberg spec's ref semantics), and one frame joins the branch
+    read's aggregate against main's to pin BOTH sides: the branch sees
+    base+audit rows, main still sees only base."""
+    import shutil
+
+    from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    tbl = _tmp_path("iceberg_wap", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_iceberg_native(
+        docs.where(F.col("doc_id") % 3 == 0).coalesce(1),
+        {"path": tbl, "mode": "create"},
+    )
+    write_iceberg_native(
+        docs.where(F.col("doc_id") % 3 == 1).coalesce(1),
+        {"path": tbl, "mode": "append", "toBranch": "audit"},
+    )
+    branch = (
+        read_iceberg_native(spark, {"path": tbl, "ref": "audit"})
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_branch"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    main = (
+        read_iceberg_native(spark, {"path": tbl})
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_main"))
+    )
+    return branch.join(main, "lang").orderBy("lang")
+
+
+Q_ICEBERG_WAP_SQL = """
+SELECT b.lang, b.n_branch, b.sum_chars, m.n_main
+FROM (
+  SELECT lang, count(*) AS n_branch,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM documents WHERE doc_id % 3 IN (0, 1) GROUP BY lang
+) b
+JOIN (
+  SELECT lang, count(*) AS n_main
+  FROM documents WHERE doc_id % 3 = 0 GROUP BY lang
+) m USING (lang)
+ORDER BY lang
+"""
+
+
+def q_iceberg_evolved_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evolved-table merge-on-read (r7): create under (doc_id, lang,
+    n_chars), rename n_chars->chars (metadata-only), mergeSchema-append
+    the other half WITH an extra ``source`` column (old files null-pad),
+    then a position DELETE whose predicate spans both schema generations
+    — the read stitches renames + padding + delete subtraction.  Oracle
+    recomputes from the source parquet with a CASE for the padded
+    column."""
+    import shutil
+
+    from pipeline_spark.sinks.iceberg_native import (
+        alter_iceberg_native,
+        delete_iceberg_native,
+        write_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    tbl = _tmp_path("iceberg_evmor", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    write_iceberg_native(
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "lang", "n_chars")
+        .coalesce(1),
+        {"path": tbl, "mode": "create"},
+    )
+    alter_iceberg_native(
+        spark, {"path": tbl, "renameColumn": {"n_chars": "chars"}}
+    )
+    write_iceberg_native(
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select(
+            "doc_id", "lang", F.col("n_chars").alias("chars"), "source"
+        )
+        .coalesce(1),
+        {"path": tbl, "mode": "append", "mergeSchema": True},
+    )
+    delete_iceberg_native(
+        spark, {"path": tbl, "where": {"key": "lang", "op": "=", "value": "en"}}
+    )
+    back = read_iceberg_native(spark, {"path": tbl})
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("chars").alias("sum_chars"),
+            F.count("source").alias("n_src"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_ICEBERG_EVMOR_SQL = """
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       count(CASE WHEN doc_id % 2 = 1 THEN source END) AS n_src
+FROM documents WHERE lang <> 'en'
+GROUP BY lang ORDER BY lang
+"""
+
+
 def q_iceberg_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """iceberg v2 merge-on-read: nation committed natively (one sorted
     data file), then a POSITION delete file (row ordinals 0,1 →
@@ -4390,6 +4505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_replace_where": q_delta_replace_where,
         "bpe_train": q_bpe_train,  # rows-only by design (merge loop not SQL)
         # --- new this round (r7)
+        "iceberg_branch_wap": q_iceberg_branch_wap,
+        "iceberg_evolved_mor": q_iceberg_evolved_mor,
         # --- relational core rotated back in (r6 ask #3)
         "agg_argminmax": q_agg_argminmax,
         "agg_firstlast": q_agg_firstlast,
@@ -4575,6 +4692,8 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip": Q_ORC_SQL,
         "iceberg_roundtrip": Q_ICEBERG_SQL,
         "iceberg_partitioned": Q_ICEBERG_PART_SQL,
+        "iceberg_branch_wap": Q_ICEBERG_WAP_SQL,
+        "iceberg_evolved_mor": Q_ICEBERG_EVMOR_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,
         "bucketed_join": Q_BUCKETED_JOIN_SQL,
         "gopher_rules": Q_GOPHER_SQL,

@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "delta_zorder",
     "delta_replace_where",
     "iceberg_incremental",
+    "iceberg_branch_wap",
+    "iceberg_evolved_mor",
 ]
 
 

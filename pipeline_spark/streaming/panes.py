@@ -24,9 +24,16 @@ a silent fallback never double-ledgers:
     with ``condition`` / ``expression`` / avg ``weightField`` (r6):
     those compile to JVM-side derived Columns upstream of the stateful
     operator via the batch compiler's own compile_filter /
-    compile_expression, so state stays plain-field accumulation;
-    genuinely non-incremental ops (median, std, argmin/argmax,
-    first/last, array_agg...) still route to the driver backend;
+    compile_expression, so state stays plain-field accumulation — PLUS
+    first / last / argmax / argmin (r7): single-value champion state
+    ((ordering, value) per window, O(1), session-mergeable) matching
+    the batch compiler's min_by/max_by semantics — PLUS std (r7):
+    exact incremental moments (n, Σx, Σx²), the batch compiler's own
+    general-ddof formula.  The remaining driver-ledger-only ops —
+    median / percentile, array_agg, count_distinct — are so BY DESIGN:
+    their exact value needs every element held somewhere, and this
+    backend's contract is exact batch parity, not sketch
+    approximations (see SCALE.md §streaming);
   * windows: fixed, sliding, global, session, calendar
     (day/week/month/year, truncated in the session timezone like the
     batch path's date_trunc; emitted as the batch shape's plain
@@ -90,11 +97,14 @@ _PANE_FIELDS = T.StructType(
     ]
 )
 
-_EXEC_OPS = ("count", "sum", "min", "max", "avg")
+_EXEC_OPS = (
+    "count", "sum", "min", "max", "avg",
+    "first", "last", "argmax", "argmin", "std",
+)
 
 
 def parse_exec_aggs(
-    agg_specs: list[dict[str, Any]], df: DataFrame
+    agg_specs: list[dict[str, Any]], df: DataFrame, ts_col: str | None = None
 ) -> tuple[DataFrame, list[tuple[str, str, Any]]]:
     """Validate + compile aggregations for the executor backend: returns
     ``(df_with_derived_columns, [(name, op, field)])`` — or raise naming
@@ -149,6 +159,58 @@ def parse_exec_aggs(
         cond = a.get("condition")
         if field and field not in df.columns:
             raise ValueError(f"aggregation '{name}': unknown field '{field}'")
+        if op in ("first", "last", "argmax", "argmin"):
+            # single-value keyed state (r7, VERDICT r6 ask #6): track the
+            # (ordering, value) champion per window — O(1) state, fully
+            # mergeable for session windows.  Ordering column = event time
+            # for first/last (the batch compiler's min_by/max_by(v, ts)),
+            # comparingField/Expression for argmin/argmax; a condition
+            # guards the ORDERING column exactly like the batch _guard, so
+            # non-matching rows can never become the champion.
+            fields = a.get("fields")
+            if fields:
+                val_col = F.struct(*[F.col(f) for f in fields])
+            elif expr:
+                val_col = compile_expression(str(expr), schema_resolver(df))
+            elif field:
+                val_col = F.col(field)
+            else:
+                raise ValueError(
+                    f"aggregation '{name}' ({op}) needs fields, a field "
+                    "or an expression"
+                )
+            if op in ("first", "last"):
+                if not ts_col:
+                    raise ValueError(
+                        f"aggregation '{name}' ({op}) needs an event-time "
+                        "column (timestampAttribute)"
+                    )
+                # the ordering IS the row's event time — a derived copy of
+                # the watermark column would register as a SECOND event-
+                # time column and fail the stream, so the stateful fn uses
+                # the per-row epoch it already computes (sentinel \x00ts);
+                # a condition becomes a separate boolean guard column
+                guard = (
+                    add_col(compile_filter(cond, df))
+                    if cond is not None else None
+                )
+                out.append((name, op, (add_col(val_col), "\x00ts", guard)))
+                continue
+            if a.get("comparingExpression"):
+                cmp_col = compile_expression(
+                    str(a["comparingExpression"]), schema_resolver(df)
+                )
+            elif a.get("comparingField"):
+                cmp_col = F.col(str(a["comparingField"]))
+            else:
+                raise ValueError(
+                    f"aggregation '{name}' ({op}) needs comparingField "
+                    "or comparingExpression"
+                )
+            if cond is not None:
+                cmp_col = F.when(compile_filter(cond, df), cmp_col)
+            out.append((name, op, (add_col(val_col), add_col(cmp_col), None)))
+            continue
         if op != "count" and not field and not expr:
             raise ValueError(
                 f"aggregation '{name}' ({op}) needs a field or expression"
@@ -158,6 +220,15 @@ def parse_exec_aggs(
             col = compile_expression(str(expr), schema_resolver(df))
         elif field:
             col = F.col(field)
+        if op == "std":
+            # exact incremental moments (r7): (n, Σx, Σx²) in keyed state,
+            # sqrt(M2/(n-ddof)) at emit — the batch compiler's own general-
+            # ddof formula, mergeable for session windows
+            v = col.cast("double")
+            if cond is not None:
+                v = F.when(compile_filter(cond, df), v)
+            out.append((name, "std", (add_col(v), int(a.get("ddof", 1)))))
+            continue
         if op == "avg" and a.get("weightField"):
             w = F.col(str(a["weightField"]))
             v = col
@@ -239,6 +310,10 @@ def _agg_out_type(op: str, field, df: DataFrame):
         return T.LongType()
     if op in ("avg", "wavg"):
         return T.DoubleType()
+    if op == "std":
+        return T.DoubleType()
+    if op in ("first", "last", "argmax", "argmin"):
+        return df.schema[field[0]].dataType  # the derived value column
     src = df.schema[field].dataType
     if op == "sum":
         return T.LongType() if isinstance(src, T.IntegralType) else T.DoubleType()
@@ -264,6 +339,14 @@ class _WinState:
         for k, v in other.maxs.items():
             cur = self.maxs.get(k)
             self.maxs[k] = v if cur is None else max(cur, v)
+        for k, entry in other.args.items():
+            cur = self.args.get(k)
+            if cur is None:
+                self.args[k] = entry
+            else:
+                c_new, _v, want_max = entry
+                if (c_new > cur[0]) if want_max else (c_new < cur[0]):
+                    self.args[k] = entry
         self.idx = max(self.idx, other.idx)
         self.fired = None  # merged content has no previous-pane baseline
         self.fired_n += other.fired_n
@@ -279,7 +362,7 @@ class _WinState:
         self.birth = min(self.birth, other.birth)
 
     __slots__ = (
-        "n", "sums", "mins", "maxs", "counts",
+        "n", "sums", "mins", "maxs", "counts", "args",
         "idx", "fired", "fired_n", "dirty", "cycle_start", "each_ptr",
         "on_time_fired", "closed", "birth",
     )
@@ -290,6 +373,7 @@ class _WinState:
         self.mins: dict[str, Any] = {}
         self.maxs: dict[str, Any] = {}
         self.counts: dict[str, int] = {}  # non-null counts per field
+        self.args: dict[str, tuple] = {}  # first/last/argmin/argmax champions
         self.idx = 0
         self.fired: tuple | None = None  # values at last firing
         self.fired_n = 0              # row count at last firing
@@ -314,7 +398,7 @@ def stream_panes_with_state(
     (the aggregation module applies it); returns the pane-row stream.
     """
     cfg = parse_trigger(strategy) or {}
-    df, aggs = parse_exec_aggs(agg_specs, df)
+    df, aggs = parse_exec_aggs(agg_specs, df, ts_col=ts_col)
     wtype, size, period, cal_unit = _window_params(strategy)
     mode = str(strategy.get("accumulationMode", "accumulating")).lower()
     discarding = mode in ("discarding", "discarding_fired_panes")
@@ -327,7 +411,8 @@ def stream_panes_with_state(
     if discarding:
         bad = [
             name for name, op, _f in aggs
-            if op in ("min", "max", "avg", "wavg")
+            if op in ("min", "max", "avg", "wavg", "std",
+                      "first", "last", "argmax", "argmin")
         ]
         if bad:
             raise NotImplementedError(
@@ -439,6 +524,24 @@ def stream_panes_with_state(
                 vals.append(
                     ws.sums.get(name, 0.0) / den if den else None
                 )
+            elif op == "std":
+                import math
+
+                c = ws.counts.get(name, 0)
+                ddof = field[1]
+                if c == 0 or c <= ddof:
+                    # batch parity: stddev_samp of one row is NaN; the
+                    # general formula's n==ddof divides by zero -> null
+                    vals.append(
+                        float("nan") if (ddof == 1 and c == 1) else None
+                    )
+                else:
+                    s = ws.sums.get(name, 0.0)
+                    m2 = max(0.0, ws.sums.get(name + "\x00sq", 0.0) - s * s / c)
+                    vals.append(math.sqrt(m2 / (c - ddof)))
+            elif op in ("first", "last", "argmax", "argmin"):
+                e = ws.args.get(name)
+                vals.append(None if e is None else e[1])
             elif op == "min":
                 vals.append(ws.mins.get(name))
             else:
@@ -512,6 +615,34 @@ def stream_panes_with_state(
                             ws.cycle_start = now
                         for name, op, field in aggs:
                             if field is None:
+                                continue
+                            if op in ("first", "last", "argmax", "argmin"):
+                                vf, cf, gf = field
+                                if gf is not None:
+                                    g = pdf[gf].iloc[i]
+                                    if g is None or g != g or not bool(g):
+                                        continue  # condition guard
+                                c = e if cf == "\x00ts" else pdf[cf].iloc[i]
+                                if c is None or c != c:
+                                    continue  # null/NaT ordering: skip
+                                cur = ws.args.get(name)
+                                want_max = op in ("last", "argmax")
+                                if cur is None or (
+                                    (c > cur[0]) if want_max else (c < cur[0])
+                                ):
+                                    ws.args[name] = (
+                                        c, pdf[vf].iloc[i], want_max
+                                    )
+                                continue
+                            if op == "std":
+                                v = pdf[field[0]].iloc[i]
+                                if v is None or v != v:
+                                    continue
+                                v = float(v)
+                                ws.sums[name] = ws.sums.get(name, 0.0) + v
+                                sq = name + "\x00sq"
+                                ws.sums[sq] = ws.sums.get(sq, 0.0) + v * v
+                                ws.counts[name] = ws.counts.get(name, 0) + 1
                                 continue
                             if op == "wavg":
                                 # two running sums (numerator v*w and the

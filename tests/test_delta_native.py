@@ -442,9 +442,11 @@ def test_partition_values_needing_url_encoding(spark):
         assert rows == [(1, "50%"), (2, "a:b"), (3, "plain")]
 
 
-def test_commit_race_loses_loudly(spark, tmp_path, monkeypatch):
-    """A writer that loses the version race must error, and must NOT
-    replace the winner's commit file."""
+def test_commit_race_never_replaces_winner(spark, tmp_path, monkeypatch):
+    """A writer that loses the version race must NOT replace the winner's
+    commit file.  r7: a raced blind APPEND retries at the next version
+    (both writers' rows land); a raced OVERWRITE still errors loudly —
+    its removed-file set was planned under the stale snapshot."""
     import pipeline_spark.sinks.delta_native as dn
 
     tbl = str(tmp_path / "race")
@@ -453,10 +455,23 @@ def test_commit_race_loses_loudly(spark, tmp_path, monkeypatch):
     winner = os.path.join(tbl, "_delta_log", "00000000000000000001.json")
     before = open(winner).read()
     # this writer planned against version 0 (stale view) -> targets v1
+    real_latest = dn.latest_version
+    monkeypatch.setattr(dn, "latest_version", lambda log_dir: 0)
+    write_delta_native(spark, spark.range(6, 9), {"path": tbl, "mode": "append"})
+    monkeypatch.setattr(dn, "latest_version", real_latest)
+    assert open(winner).read() == before  # winner's commit intact
+    # the retried append landed at v2 with ALL rows present
+    assert os.path.exists(
+        os.path.join(tbl, "_delta_log", "00000000000000000002.json")
+    )
+    assert _ids(read_delta_native(spark, {"path": tbl})) == list(range(9))
+    # a stale OVERWRITE still loses loudly and replaces nothing
     monkeypatch.setattr(dn, "latest_version", lambda log_dir: 0)
     with pytest.raises(FileExistsError, match="raced"):
-        write_delta_native(spark, spark.range(6, 9), {"path": tbl, "mode": "append"})
-    assert open(winner).read() == before  # winner's commit intact
+        write_delta_native(
+            spark, spark.range(9, 12), {"path": tbl, "mode": "overwrite"}
+        )
+    assert open(winner).read() == before
 
 
 def test_protocol_v3_requires_reader_features(spark, tmp_path):
@@ -2477,6 +2492,68 @@ def test_replace_where_partition_reload(spark, tmp_path):
          "replaceWhere": {"key": "id", "op": "<", "value": 5}},
     )
     assert _ids(read_delta_native(spark, {"path": tbl3})) == list(range(5))
+
+
+def test_concurrent_append_retries_next_version(spark, tmp_path, monkeypatch):
+    """r7 (VERDICT r6 ask #8): multi-writer appends — when another writer
+    claims our target version between log read and commit, the blind
+    append re-validates against the interleaved commit and retries at
+    the next version; BOTH writers' rows land, nothing is lost."""
+    import os as _os
+
+    tbl = str(tmp_path / "mw")
+    write_delta_native(spark, spark.range(0, 5).coalesce(1), {"path": tbl})
+
+    real_link = _os.link
+    state = {"injected": False}
+
+    def racing_link(src, dst, *a, **kw):
+        if not state["injected"] and dst.endswith("00000000000000000001.json"):
+            state["injected"] = True
+            # the interleaved writer lands version 1 FIRST (this nested
+            # write uses real_link because injected is now True)
+            write_delta_native(
+                spark, spark.range(100, 103).coalesce(1),
+                {"path": tbl, "mode": "append"},
+            )
+        return real_link(src, dst, *a, **kw)
+
+    monkeypatch.setattr(_os, "link", racing_link)
+    write_delta_native(
+        spark, spark.range(10, 13).coalesce(1), {"path": tbl, "mode": "append"}
+    )
+    monkeypatch.setattr(_os, "link", real_link)
+    assert state["injected"]
+    from pipeline_spark.sources.delta_native import _log_dir, latest_version
+    assert latest_version(_log_dir(tbl)) == 2  # lost v1, retried at v2
+    assert _ids(read_delta_native(spark, {"path": tbl})) == (
+        list(range(0, 5)) + list(range(10, 13)) + list(range(100, 103))
+    )
+    # no orphaned tmp files in the log
+    assert not [
+        n for n in os.listdir(os.path.join(tbl, "_delta_log"))
+        if n.endswith(".tmp")
+    ]
+
+    # a raced OVERWRITE must NOT auto-retry: its removed-file set was
+    # planned under the old snapshot — it errors for the caller to re-plan
+    state2 = {"injected": False}
+
+    def racing_link2(src, dst, *a, **kw):
+        if not state2["injected"] and dst.endswith("00000000000000000003.json"):
+            state2["injected"] = True
+            write_delta_native(
+                spark, spark.range(200, 202).coalesce(1),
+                {"path": tbl, "mode": "append"},
+            )
+        return real_link(src, dst, *a, **kw)
+
+    monkeypatch.setattr(_os, "link", racing_link2)
+    with pytest.raises(FileExistsError, match="concurrent commit"):
+        write_delta_native(
+            spark, spark.range(50, 52).coalesce(1),
+            {"path": tbl, "mode": "overwrite"},
+        )
 
 
 def test_partitioned_append_across_commits_reads(spark, tmp_path):

@@ -1468,6 +1468,125 @@ def test_executor_panes_rejects_discarding_minmax_and_late_trigger(spark, tmp_pa
         _window_params({"window": {"type": "fixed"}})
 
 
+def test_executor_panes_first_last_arg_std(spark, tmp_path):
+    """r7 (VERDICT r6 ask #6): first/last/argmax/argmin/std on the
+    executor backend — single-value champion state and exact incremental
+    moments, values matching the batch compiler's min_by/max_by and
+    sqrt(M2/(n-ddof)) semantics."""
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    in_dir = _write_stream_files(tmp_path, "xfla_in", [
+        [("a", 1.0, base.replace(second=5)), ("a", 2.0, base.replace(second=15))],
+        [("a", 4.0, base.replace(second=25)), ("a", 8.0, base.replace(second=35))],
+        [("wm", 0.0, dt.datetime(2100, 1, 1, 0, 0, 5))],
+    ])
+    out_dir = str(tmp_path / "xfla_out")
+    cfg = f"""
+sources:
+  - name: events
+    module: storage
+    parameters:
+      format: parquet
+      input: {in_dir}
+      mode: streaming
+      maxFilesPerTrigger: 1
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [events]
+    timestampAttribute: ts
+    strategy:
+      window: {{type: fixed, size: 1, unit: minute}}
+      allowedLateness: 5
+      trigger:
+        type: afterWatermark
+        earlyFiringTrigger: {{type: afterProcessingTime, pastFirstElementDelay: 1}}
+      paneStateBackend: executor
+      outputPaneInfo: true
+    parameters:
+      groupFields: [k]
+      aggregations:
+        - {{name: fv, op: first, field: v}}
+        - {{name: lv, op: last, field: v}}
+        - {{name: smallest, op: argmax, field: v, comparingExpression: "10.0 - v"}}
+        - {{name: biggest, op: argmin, field: v, comparingExpression: "10.0 - v"}}
+        - {{name: sd, op: std, field: v}}
+sinks:
+  - name: out
+    module: storage
+    inputs: [agg]
+    parameters:
+      format: parquet
+      output: {out_dir}
+      availableNow: true
+"""
+    run_pipeline(spark, parse_config(cfg))
+    rows = [r for r in spark.read.parquet(out_dir).collect() if r["k"] == "a"]
+    assert rows
+    r = max(rows, key=lambda r: r["__pane__"]["index"])  # final pane
+    assert (r["fv"], r["lv"]) == (1.0, 8.0)
+    # argmax of (10 - v) is the SMALLEST v; argmin the biggest
+    assert (r["smallest"], r["biggest"]) == (1.0, 8.0)
+    # stddev_samp([1,2,4,8]) = sqrt((85 - 15^2/4) / 3)
+    import math
+
+    assert r["sd"] == pytest.approx(math.sqrt((85 - 225 / 4) / 3), rel=1e-9)
+
+
+def test_executor_panes_first_last_session_merge(spark, tmp_path):
+    """Session-window merge carries first/last champion state: a bridging
+    event merges two sessions and the merged pane's first/last reflect
+    the UNION of both."""
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    in_dir = _write_stream_files(tmp_path, "xflm_in", [
+        [("a", 1.0, base.replace(second=0)), ("a", 8.0, base.replace(second=30))],
+        [("a", 4.0, base.replace(second=15))],  # bridges [0,20) and [30,50)
+        [("wm", 0.0, dt.datetime(2100, 1, 1))],
+    ])
+    out_dir = str(tmp_path / "xflm_out")
+    cfg = f"""
+sources:
+  - name: events
+    module: storage
+    parameters:
+      format: parquet
+      input: {in_dir}
+      mode: streaming
+      maxFilesPerTrigger: 1
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [events]
+    timestampAttribute: ts
+    strategy:
+      window: {{type: session, gap: 20, unit: second}}
+      allowedLateness: 5
+      trigger:
+        type: afterWatermark
+        earlyFiringTrigger: {{type: afterProcessingTime, pastFirstElementDelay: 1}}
+      paneStateBackend: executor
+      outputPaneInfo: true
+    parameters:
+      groupFields: [k]
+      aggregations:
+        - {{name: n, op: count}}
+        - {{name: fv, op: first, field: v}}
+        - {{name: lv, op: last, field: v}}
+sinks:
+  - name: out
+    module: storage
+    inputs: [agg]
+    parameters:
+      format: parquet
+      output: {out_dir}
+      availableNow: true
+"""
+    run_pipeline(spark, parse_config(cfg))
+    rows = [r for r in spark.read.parquet(out_dir).collect() if r["k"] == "a"]
+    assert rows
+    r = max(rows, key=lambda r: r["__pane__"]["index"])  # merged final pane
+    assert (r["n"], r["fv"], r["lv"]) == (3, 1.0, 8.0)
+
+
 def test_executor_panes_calendar_window(spark, tmp_path):
     """Calendar (day) windows on the executor backend: session-timezone
     truncation, plain-timestamp window column (the batch calendar shape),
