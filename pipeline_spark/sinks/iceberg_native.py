@@ -988,30 +988,55 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         fh.write(str(version))
 
 
+def _rest_meta_session(p: dict[str, Any]):
+    """Metadata-only REST session for tag/rollback/alter: load the table
+    (it must exist — these operate on history) and return
+    ``(catalog, namespace, name, meta)``.  No staging location needed."""
+    from pipeline_spark.sources.iceberg_rest import RestCatalog
+
+    table = p.get("table") or p.get("tableName")
+    ns, _, name = str(table or "").rpartition(".")
+    if not ns:
+        raise ValueError('iceberg rest: \'table\' must be "namespace.table"')
+    cat = RestCatalog(p["catalog"], opener=p.get("_opener"))
+    ns_key = ns.replace(".", "\x1f")
+    meta, _loc = cat.load_table(ns_key, name)  # 404 propagates: must exist
+    return cat, ns_key, name, meta
+
+
 def rollback_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     """Roll the table back to an earlier snapshot (Iceberg's
     rollback_to_snapshot): metadata-only — current-snapshot-id flips to
     the target, the snapshot-log records the rollback as a new entry,
     and nothing is deleted, so the rollback itself can be rolled back
     (until expire_snapshots trims history).  ``snapshotId`` or
-    ``asOfTimestamp`` picks the target."""
+    ``asOfTimestamp`` picks the target.  On a REST catalog (r7) the flip
+    is one optimistic set-snapshot-ref commit asserting main's current
+    position — a concurrent writer conflicts loudly, never a lost
+    rollback."""
     from pipeline_spark.sources.iceberg_native import (
         _snapshot_at_timestamp,
         find_table_metadata,
     )
 
-    table_path = re.sub(
-        r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
-    )
+    rest = _rest_meta_session(p) if p.get("catalog") else None
+    if rest is not None:
+        _cat, _ns, _name, meta = rest
+        table_path = str(meta.get("location") or "")
+        prev_file = None
+    else:
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
+        )
+        prev_file = find_table_metadata(table_path)
+        with open(prev_file) as fh:
+            meta = json.load(fh)
     snap_id = p.get("snapshotId")
     ts = p.get("asOfTimestamp")
     if (snap_id is None) == (ts is None):
         raise ValueError(
             "iceberg rollback: exactly one of snapshotId / asOfTimestamp"
         )
-    prev_file = find_table_metadata(table_path)
-    with open(prev_file) as fh:
-        meta = json.load(fh)
     if ts is not None:
         snap_id = _snapshot_at_timestamp(table_path, ts, meta)
     snap_id = int(snap_id)
@@ -1023,6 +1048,20 @@ def rollback_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
         )
     if meta.get("current-snapshot-id") == snap_id:
         return {"rolled_back_to": snap_id, "changed": False}
+    if rest is not None:
+        cat, ns_key, name, _m = rest
+        cat.commit_table(
+            ns_key, name,
+            requirements=[{
+                "type": "assert-ref-snapshot-id", "ref": "main",
+                "snapshot-id": meta.get("current-snapshot-id"),
+            }],
+            updates=[{
+                "action": "set-snapshot-ref", "ref-name": "main",
+                "type": "branch", "snapshot-id": snap_id,
+            }],
+        )
+        return {"rolled_back_to": snap_id, "changed": True}
     m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
     version = (int(m.group(1)) if m else meta.get("__version", 0)) + 1
     now_ms = int(time.time() * 1000)
@@ -1053,21 +1092,29 @@ def tag_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     """Create (or move) a named snapshot ref — ``refType: tag`` (default,
     an immutable bookmark for reproducibility: "the exact table state
     run X trained on") or ``refType: branch``.  Metadata-only; tagged
-    snapshots survive expire_snapshots (retention protects refs)."""
+    snapshots survive expire_snapshots (retention protects refs).  On a
+    REST catalog (r7) the ref lands through one optimistic
+    set-snapshot-ref commit asserting the ref's prior position (null =
+    must not exist yet)."""
     from pipeline_spark.sources.iceberg_native import find_table_metadata
 
-    table_path = re.sub(
-        r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
-    )
     name = p.get("tagName") or p.get("refName")
     if not name:
         raise ValueError("iceberg tag: 'tagName' is required")
     ref_type = str(p.get("refType", "tag")).lower()
     if ref_type not in ("tag", "branch"):
         raise ValueError(f"iceberg tag: refType '{ref_type}' (tag/branch)")
-    prev_file = find_table_metadata(table_path)
-    with open(prev_file) as fh:
-        meta = json.load(fh)
+    rest = _rest_meta_session(p) if p.get("catalog") else None
+    if rest is not None:
+        _cat, _ns, _tname, meta = rest
+        prev_file = None
+    else:
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
+        )
+        prev_file = find_table_metadata(table_path)
+        with open(prev_file) as fh:
+            meta = json.load(fh)
     snap_id = p.get("snapshotId")
     if snap_id is None:
         snap_id = meta.get("current-snapshot-id")
@@ -1079,6 +1126,23 @@ def tag_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
         raise ValueError(
             f"iceberg tag: snapshot {snap_id} is not in the table's history"
         )
+    if rest is not None:
+        cat, ns_key, tname, _m = rest
+        prior = ((meta.get("refs") or {}).get(str(name)) or {}).get(
+            "snapshot-id"
+        )
+        cat.commit_table(
+            ns_key, tname,
+            requirements=[{
+                "type": "assert-ref-snapshot-id", "ref": str(name),
+                "snapshot-id": prior,
+            }],
+            updates=[{
+                "action": "set-snapshot-ref", "ref-name": str(name),
+                "type": ref_type, "snapshot-id": snap_id,
+            }],
+        )
+        return {"ref": str(name), "snapshot_id": snap_id, "type": ref_type}
     m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
     version = (int(m.group(1)) if m else meta.get("__version", 0)) + 1
     now_ms = int(time.time() * 1000)
@@ -1099,28 +1163,36 @@ def tag_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
 
 def alter_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     """Metadata-only ALTER TABLE: renameColumn {old: new} / dropColumn
-    [cols] on a filesystem table.  Iceberg columns are FIELD-ID-keyed,
-    so both are one new table-metadata version with zero data motion —
-    old files resolve through each manifest's embedded write-time schema
-    (the reader's schema-generation machinery maps their parquet column
-    names to the current logical names by id).  The name-mapping
-    property keeps BOTH names per field id so id-less files stay
-    resolvable (spec: Name Mapping).
+    [cols].  Iceberg columns are FIELD-ID-keyed, so both are one new
+    table-metadata version with zero data motion — old files resolve
+    through each manifest's embedded write-time schema (the reader's
+    schema-generation machinery maps their parquet column names to the
+    current logical names by id).  The name-mapping property keeps EVERY
+    historical name per field id so id-less files stay resolvable
+    (spec: Name Mapping).  On a REST catalog (r7) the alter is one
+    optimistic commit: add-schema (fresh schema-id) + set-current-schema
+    + set-properties, asserting the current schema hasn't moved.
     """
-    table_path = re.sub(
-        r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
-    )
+    rest = _rest_meta_session(p) if p.get("catalog") else None
     renames = dict(p.get("renameColumn") or {})
     drops = list(p.get("dropColumn") or [])
     if not renames and not drops:
         raise ValueError(
             "iceberg alter: nothing to do (renameColumn / dropColumn)"
         )
-    prev_file = find_table_metadata(table_path)
-    with open(prev_file) as fh:
-        meta = json.load(fh)
-    m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
-    version = (int(m.group(1)) if m else meta.get("__version", 0)) + 1
+    if rest is not None:
+        _cat, _ns, _tname, meta = rest
+        prev_file = None
+        version = None
+    else:
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
+        )
+        prev_file = find_table_metadata(table_path)
+        with open(prev_file) as fh:
+            meta = json.load(fh)
+        m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
+        version = (int(m.group(1)) if m else meta.get("__version", 0)) + 1
     cur_id = meta.get("current-schema-id", 0)
     schemas = [dict(s) for s in meta["schemas"]]
     cur = next(s for s in schemas if s.get("schema-id", 0) == cur_id)
@@ -1180,6 +1252,30 @@ def alter_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
             if n and n not in entry_names:
                 entry_names.append(n)
         mapping.append({"field-id": f["id"], "names": entry_names})
+    if rest is not None:
+        cat, ns_key, tname, _m = rest
+        cat.commit_table(
+            ns_key, tname,
+            requirements=[{
+                "type": "assert-current-schema-id", "current-schema-id": cur_id,
+            }],
+            updates=[
+                {
+                    "action": "add-schema",
+                    "schema": {**cur, "schema-id": new_sid,
+                               "fields": new_fields},
+                    "last-column-id": meta.get("last-column-id", 0),
+                },
+                {"action": "set-current-schema", "schema-id": -1},
+                {
+                    "action": "set-properties",
+                    "updates": {
+                        "schema.name-mapping.default": json.dumps(mapping)
+                    },
+                },
+            ],
+        )
+        return {"renamed": renames, "dropped": drops}
     now_ms = int(time.time() * 1000)
     meta = dict(meta)
     meta["schemas"] = schemas

@@ -1310,6 +1310,11 @@ def _serve_stateful_catalog():
                             actual = None
                         if actual != req.get("snapshot-id"):
                             return self._json({"error": "requirement failed"}, 409)
+                    elif req.get("type") == "assert-current-schema-id":
+                        if meta.get("current-schema-id", 0) != req.get(
+                            "current-schema-id"
+                        ):
+                            return self._json({"error": "requirement failed"}, 409)
                 last_added_schema_id = None
                 for upd in body.get("updates", []):
                     if upd["action"] == "add-snapshot":
@@ -1340,6 +1345,11 @@ def _serve_stateful_catalog():
                         meta["current-schema-id"] = (
                             last_added_schema_id if sid == -1 else sid
                         )
+                    elif upd["action"] == "set-properties":
+                        meta["properties"] = {
+                            **(meta.get("properties") or {}),
+                            **(upd.get("updates") or {}),
+                        }
                 return self._json(
                     {"metadata-location": f"mem://{name}", "metadata": meta}
                 )
@@ -1473,6 +1483,104 @@ def test_rest_catalog_branch_writes(spark, tmp_path):
                 {"catalog": {"uri": uri}, "table": "ns.ghost",
                  "location": str(tmp_path / "ghost"), "toBranch": "b"},
             )
+    finally:
+        srv.shutdown()
+
+
+def test_rest_catalog_tag_and_rollback(spark, tmp_path):
+    """r7: tag + rollback_to_snapshot through a REST catalog — each is
+    one optimistic set-snapshot-ref commit (tag asserts the ref's prior
+    position, rollback asserts main's), and {ref}/plain reads through
+    the catalog see the results."""
+    from pipeline_spark.sinks.iceberg_native import (
+        rollback_iceberg_native,
+        tag_iceberg_native,
+    )
+
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        loc = str(tmp_path / "rest_tr_tbl")
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.tr", "location": loc}
+        write_iceberg_native(
+            spark.range(0, 3).coalesce(1), {**cat_p, "mode": "create"}
+        )
+        v0_snap = state["tr"]["current-snapshot-id"]
+        res = tag_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.tr",
+                    "tagName": "train-v1"})
+        assert res == {"ref": "train-v1", "snapshot_id": v0_snap,
+                       "type": "tag"}
+        write_iceberg_native(
+            spark.range(3, 6).coalesce(1), {**cat_p, "mode": "append"}
+        )
+        read_p = {"catalog": {"uri": uri}, "table": "ns.tr"}
+        assert read_iceberg_native(spark, read_p).count() == 6
+        tagged = read_iceberg_native(spark, {**read_p, "ref": "train-v1"})
+        assert sorted(r["id"] for r in tagged.collect()) == [0, 1, 2]
+
+        res = rollback_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.tr",
+                    "snapshotId": v0_snap})
+        assert res == {"rolled_back_to": v0_snap, "changed": True}
+        assert sorted(
+            r["id"] for r in read_iceberg_native(spark, read_p).collect()
+        ) == [0, 1, 2]
+        # idempotent second rollback: no commit, changed False
+        res = rollback_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.tr",
+                    "snapshotId": v0_snap})
+        assert res["changed"] is False
+    finally:
+        srv.shutdown()
+
+
+def test_rest_catalog_alter_rename(spark, tmp_path):
+    """r7: ALTER through a REST catalog — one optimistic commit carrying
+    add-schema (fresh schema-id) + set-current-schema + set-properties
+    (merged name-mapping); the pre-alter schema object survives in the
+    catalog, appends under the new name stitch with pre-rename files."""
+    from pipeline_spark.sinks.iceberg_native import alter_iceberg_native
+
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        loc = str(tmp_path / "rest_alter_tbl")
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.al", "location": loc}
+        write_iceberg_native(
+            spark.createDataFrame([(1, "x")], "id long, tag string")
+            .coalesce(1),
+            {**cat_p, "mode": "create"},
+        )
+        res = alter_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.al",
+                    "renameColumn": {"tag": "label"}})
+        assert res == {"renamed": {"tag": "label"}, "dropped": []}
+        meta = state["al"]
+        assert len(meta["schemas"]) == 2  # pre-alter schema survives
+        cur = next(
+            s for s in meta["schemas"]
+            if s.get("schema-id", 0) == meta["current-schema-id"]
+        )
+        assert [f["name"] for f in cur["fields"]] == ["id", "label"]
+        mapping = json.loads(
+            meta["properties"]["schema.name-mapping.default"]
+        )
+        assert {"tag", "label"} <= set(
+            next(e for e in mapping if "label" in e["names"])["names"]
+        )
+        # append under the NEW name; read stitches both generations
+        write_iceberg_native(
+            spark.createDataFrame([(2, "y")], "id long, label string")
+            .coalesce(1),
+            {**cat_p, "mode": "append"},
+        )
+        back = read_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.al"}
+        )
+        assert sorted((r["id"], r["label"]) for r in back.collect()) == [
+            (1, "x"), (2, "y"),
+        ]
     finally:
         srv.shutdown()
 
