@@ -4262,6 +4262,63 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_iceberg_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete CDC round (r7): documents land in a table, a
+    key-only equality delete (spec content=2 — ZERO data-file scan, the
+    O(keys) delete path) removes every doc_id % 7 == 0, then a
+    re-insert of the % 14 keys with doubled n_chars lands AFTER the
+    delete — the strict below-sequence rule keeps the re-inserted rows
+    alive.  The oracle replays base-minus-deleted plus re-inserts."""
+    import shutil
+
+    from pipeline_spark.sinks.iceberg_native import (
+        equality_delete_iceberg_native,
+        write_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    tbl = _tmp_path("iceberg_cdc", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "lang", "n_chars")
+    )
+    write_iceberg_native(docs.coalesce(1), {"path": tbl, "mode": "create"})
+    equality_delete_iceberg_native(
+        spark, {"path": tbl},
+        keys_df=docs.where(F.col("doc_id") % 7 == 0).select("doc_id"),
+    )
+    write_iceberg_native(
+        docs.where(F.col("doc_id") % 14 == 0)
+        .withColumn("n_chars", F.col("n_chars") * 2)
+        .coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    back = read_iceberg_native(spark, {"path": tbl})
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_ICEBERG_CDC_SQL = """
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT lang, n_chars FROM documents
+  WHERE doc_id < 300 AND doc_id % 7 <> 0
+  UNION ALL
+  SELECT lang, n_chars * 2 FROM documents
+  WHERE doc_id < 300 AND doc_id % 14 = 0
+)
+GROUP BY lang ORDER BY lang
+"""
+
+
 def q_iceberg_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """iceberg v2 merge-on-read: nation committed natively (one sorted
     data file), then a POSITION delete file (row ordinals 0,1 →
@@ -4507,6 +4564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (r7)
         "iceberg_branch_wap": q_iceberg_branch_wap,
         "iceberg_evolved_mor": q_iceberg_evolved_mor,
+        "iceberg_cdc_upsert": q_iceberg_cdc_upsert,
         # --- relational core rotated back in (r6 ask #3)
         "agg_argminmax": q_agg_argminmax,
         "agg_firstlast": q_agg_firstlast,
@@ -4694,6 +4752,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_partitioned": Q_ICEBERG_PART_SQL,
         "iceberg_branch_wap": Q_ICEBERG_WAP_SQL,
         "iceberg_evolved_mor": Q_ICEBERG_EVMOR_SQL,
+        "iceberg_cdc_upsert": Q_ICEBERG_CDC_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,
         "bucketed_join": Q_BUCKETED_JOIN_SQL,
         "gopher_rules": Q_GOPHER_SQL,

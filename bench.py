@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "iceberg_incremental",
     "iceberg_branch_wap",
     "iceberg_evolved_mor",
+    "iceberg_cdc_upsert",
 ]
 
 

@@ -159,13 +159,15 @@ def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
     maintenance = str(p.get("mode", "")).lower()
     if maintenance in (
-        "compact", "expire", "delete", "alter", "rollback", "tag",
+        "compact", "expire", "delete", "equalitydelete", "alter",
+        "rollback", "tag",
     ):
         # table maintenance/mutation: the table is the operand, not the input
         from pipeline_spark.sinks.iceberg_native import (
             alter_iceberg_native,
             compact_iceberg_native,
             delete_iceberg_native,
+            equality_delete_iceberg_native,
             expire_iceberg_native,
             rollback_iceberg_native,
             tag_iceberg_native,
@@ -181,6 +183,13 @@ def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
             rollback_iceberg_native(ctx.spark, p)
         elif maintenance == "tag":
             tag_iceberg_native(ctx.spark, p)
+        elif maintenance == "equalitydelete":
+            # CDC shape: the module INPUT is the keys frame (p['values']
+            # works too for config-literal keys)
+            equality_delete_iceberg_native(
+                ctx.spark, p,
+                keys_df=None if p.get("values") is not None else ctx.input,
+            )
         else:
             delete_iceberg_native(ctx.spark, p)
         return {"": ctx.input}

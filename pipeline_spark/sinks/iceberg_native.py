@@ -1743,6 +1743,105 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     return {"deleted_rows": len(rows)}
 
 
+def equality_delete_iceberg_native(
+    spark, p: dict[str, Any], keys_df=None
+) -> dict[str, int]:
+    """Equality-delete commit (spec content=2): DELETE WHERE key IN (…)
+    without scanning a single data file.
+
+    Position deletes (``delete_iceberg_native``) must first SCAN the
+    table to find each matching row's (file, ordinal); an equality
+    delete records only the identifier VALUES — readers subtract them
+    with a null-safe key anti-join gated by the strict sequence rule
+    (the delete applies only to data files whose sequence is strictly
+    below its own, so rows APPENDED AFTER the delete with the same key
+    survive — the CDC re-insert semantics).  At 100 TB this is the
+    delete path whose cost is O(keys), independent of table size: the
+    canonical streaming-upsert/takedown shape.
+
+    Keys come from ``keys_df`` (a DataFrame — arbitrary scale, written
+    distributed) or ``p['values']`` (a small list of dicts / one dict,
+    the config-driven form).  ``p['equalityColumns']`` names the
+    identifier columns when ``keys_df`` carries extra ones.
+    """
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sources.iceberg_native import (
+        _iceberg_type_to_spark,
+        find_table_metadata,
+    )
+
+    table_path = re.sub(
+        r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
+    )
+    values = p.get("values")
+    if keys_df is None and not values:
+        raise ValueError(
+            "iceberg equality delete: 'values' (list of key dicts) or a "
+            "keys DataFrame is required"
+        )
+    with open(find_table_metadata(table_path)) as fh:
+        meta = json.load(fh)
+    cur_schema = next(
+        s for s in meta["schemas"]
+        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+    )
+    by_name = {f["name"]: f for f in cur_schema["fields"]}
+    if keys_df is None:
+        if isinstance(values, dict):
+            values = [values]
+        cols = list(p.get("equalityColumns") or values[0].keys())
+        rows = [tuple(v.get(c) for c in cols) for v in values]
+        ddl = ", ".join(
+            f"{c} {_iceberg_type_to_spark(by_name[c]['type']) if c in by_name and isinstance(by_name[c]['type'], str) else 'string'}"
+            for c in cols
+        )
+        keys_df = spark.createDataFrame(rows, ddl)
+    else:
+        cols = list(p.get("equalityColumns") or keys_df.columns)
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(
+            f"iceberg equality delete: columns {missing} not in the "
+            f"current schema (have {sorted(by_name)})"
+        )
+    ids = [int(by_name[c]["id"]) for c in cols]
+    nested = [c for c in cols if not isinstance(by_name[c]["type"], str)]
+    if nested:
+        raise ValueError(
+            f"iceberg equality delete: identifier columns {nested} are "
+            "nested — the spec requires primitive identifier fields"
+        )
+    # the delete file must carry CURRENT column names and types (readers
+    # select by name); keys are deduplicated — a delete file is a set
+    proj = keys_df.select(*[
+        F.col(c).cast(_iceberg_type_to_spark(by_name[c]["type"])).alias(c)
+        for c in cols
+    ]).distinct()
+    out_dir = os.path.join(table_path, "data", f"eqdel-{uuid.uuid4().hex}")
+    proj.write.parquet(out_dir)
+    files = []
+    for root, _dirs, names in os.walk(out_dir):
+        for n in sorted(names):
+            if not n.endswith(".parquet"):
+                continue
+            full = os.path.join(root, n)
+            if _parquet_stats(full)[0] == 0:
+                os.remove(full)  # empty shuffle partitions
+            else:
+                files.append(full)
+    if not files:
+        import shutil as _shutil
+
+        _shutil.rmtree(out_dir, ignore_errors=True)
+        return {"delete_files": 0}
+    append_delete_files(
+        table_path,
+        [{"path": f, "content": 2, "equality_ids": ids} for f in files],
+    )
+    return {"delete_files": len(files)}
+
+
 def expire_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     """expire_snapshots + the file cleanup it enables.
 

@@ -2315,6 +2315,73 @@ def test_iceberg_compact_migrate_schema(spark, tmp_path):
     assert [(r["id"], r["score"]) for r in skip.collect()] == [(3, 9)]
 
 
+def test_iceberg_equality_delete_write(spark, tmp_path):
+    """r7: equality-delete WRITE (spec content=2) — delete-by-key with
+    ZERO data-file scan.  Strict sequence rule: rows appended AFTER the
+    delete with the same key survive (CDC re-insert semantics); compact
+    materializes the delete and drops the delete file."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+    from pipeline_spark.sinks.iceberg_native import (
+        compact_iceberg_native,
+        equality_delete_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import plan_files
+
+    tbl = str(tmp_path / "ice_eqdel")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, v string"
+    )
+    write_iceberg_native(df.coalesce(1), {"path": tbl, "mode": "create"})
+
+    res = equality_delete_iceberg_native(
+        spark, {"path": tbl, "values": [{"id": 2}, {"id": 4}, {"id": 99}]}
+    )
+    assert res["delete_files"] == 1
+    back = read_iceberg_native(spark, {"path": tbl})
+    assert sorted(r["id"] for r in back.collect()) == [1, 3]
+
+    # re-insert AFTER the delete: strictly-below sequence rule keeps it
+    write_iceberg_native(
+        spark.createDataFrame([(2, "b2")], "id long, v string").coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    back = read_iceberg_native(spark, {"path": tbl})
+    assert sorted((r["id"], r["v"]) for r in back.collect()) == [
+        (1, "a"), (2, "b2"), (3, "c"),
+    ]
+
+    # DataFrame keys via the module dispatch (the CDC shape)
+    keys = spark.createDataFrame([(3,)], "id long")
+    outs = run_pipeline(spark, parse_config(f"""
+sinks:
+  - name: d
+    module: iceberg
+    inputs: [keys]
+    parameters: {{path: {tbl}, mode: equalityDelete}}
+"""), inputs={"keys": keys})
+    del outs
+    back = read_iceberg_native(spark, {"path": tbl})
+    assert sorted((r["id"], r["v"]) for r in back.collect()) == [
+        (1, "a"), (2, "b2"),
+    ]
+
+    # compaction materializes the equality deletes; no delete files remain
+    res = compact_iceberg_native(spark, {"path": tbl, "targetFileBytes": 1 << 30})
+    data, dels, _m = plan_files(tbl)
+    assert not dels
+    back = read_iceberg_native(spark, {"path": tbl})
+    assert sorted((r["id"], r["v"]) for r in back.collect()) == [
+        (1, "a"), (2, "b2"),
+    ]
+
+    # unknown identifier column refuses
+    with pytest.raises(ValueError, match="not in the"):
+        equality_delete_iceberg_native(
+            spark, {"path": tbl, "values": [{"ghost": 1}]}
+        )
+
+
 def test_iceberg_evolved_mor_delete_read_compact(spark, tmp_path):
     """r7 (VERDICT r6 ask #5): row-level deletes on a schema-EVOLVED
     table — position-delete planning, the MOR read, and delete-
