@@ -448,15 +448,32 @@ def write_delta_native(
             a["stats"] = st
 
     actions: list[dict] = []
+    ict_on_create = (
+        str(props.get("delta.enableInCommitTimestamps", "")).lower() == "true"
+    )
     if not exists:
-        # column mapping needs reader 2 / writer 5 (PROTOCOL.md)
-        proto_rw = (2, 5) if cm else (1, 2)
-        actions.append({
-            "protocol": {
-                "minReaderVersion": proto_rw[0],
-                "minWriterVersion": proto_rw[1],
+        if ict_on_create:
+            # ICT is a writer table feature: features protocol required
+            # (minWriterVersion 7 lists every writer feature in use)
+            proto: dict[str, Any] = {
+                "minReaderVersion": 3 if cm else 1,
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(
+                    {"inCommitTimestamp"} | ({"columnMapping"} if cm else set())
+                ),
             }
-        })
+            if cm:
+                proto["readerFeatures"] = ["columnMapping"]
+            actions.append({"protocol": proto})
+        else:
+            # column mapping needs reader 2 / writer 5 (PROTOCOL.md)
+            proto_rw = (2, 5) if cm else (1, 2)
+            actions.append({
+                "protocol": {
+                    "minReaderVersion": proto_rw[0],
+                    "minWriterVersion": proto_rw[1],
+                }
+            })
         actions.append({
             "metaData": {
                 "id": str(uuid.uuid4()),
@@ -528,6 +545,26 @@ def write_delta_native(
         and evolved_schema is None and not replace_where
     )
     retries = int(p.get("commitRetries", 20))
+    # In-Commit Timestamps (r7, PROTOCOL.md): active when enabled at
+    # create, recorded in the table config, or visible on the previous
+    # commit's first line — commitInfo moves FIRST and carries a
+    # strictly-increasing timestamp that time travel prefers over mtime.
+    ict_val = None
+    if not exists:
+        if ict_on_create:
+            ict_val = now_ms
+    else:
+        prev_ict_v = _prev_ict(log_dir, version)
+        if prev_ict_v is None and str(
+            (prev_meta.get("configuration") or {}).get(
+                "delta.enableInCommitTimestamps", ""
+            )
+        ).lower() == "true":
+            prev_ict_v = -1  # enabled mid-life: start the chain here
+        if prev_ict_v is not None:
+            ict_val = max(now_ms, int(prev_ict_v) + 1)
+    if ict_val is not None:
+        actions = _with_ict(actions, ict_val)
     tmp = os.path.join(log_dir, f"commit.{commit_id}.tmp")
     with open(tmp, "w") as fh:
         for action in actions:
@@ -600,6 +637,18 @@ def write_delta_native(
                 "re-run the write"
             )
         version = new_version + 1
+        if ict_val is not None:
+            # the interleaved commit advanced the ICT chain: re-stamp
+            # strictly past ITS timestamp and rewrite the staged commit
+            chain = _prev_ict(log_dir, version)
+            ict_val = max(
+                int(time.time() * 1000),
+                (int(chain) + 1) if chain is not None else ict_val,
+            )
+            actions = _with_ict(actions, ict_val)
+            with open(tmp, "w") as fh:
+                for action in actions:
+                    fh.write(json.dumps(action) + "\n")
     os.unlink(tmp)
 
     interval = int(p.get("checkpointInterval", 10))
@@ -1027,12 +1076,50 @@ def _refuse_append_only(meta: dict, op: str) -> None:
         )
 
 
+def _prev_ict(log_dir: str, version: int):
+    """``inCommitTimestamp`` of commit ``version - 1``, or None.
+
+    PROTOCOL.md In-Commit Timestamps: when the feature is active the
+    commitInfo is the FIRST action of every commit and carries a
+    monotonically increasing timestamp — so ICT-ness self-propagates by
+    looking at the previous commit's first line (no config replay)."""
+    if version <= 0:
+        return None
+    path = os.path.join(log_dir, f"{version - 1:020d}.json")
+    try:
+        with open(path) as fh:
+            first = json.loads(fh.readline())
+    except (OSError, ValueError):
+        return None
+    ci = first.get("commitInfo")
+    return ci.get("inCommitTimestamp") if isinstance(ci, dict) else None
+
+
+def _with_ict(actions: list[dict], ict_value: int) -> list[dict]:
+    """Reorder/extend ``actions`` per the ICT contract: commitInfo FIRST,
+    carrying ``inCommitTimestamp``."""
+    cis = [a for a in actions if "commitInfo" in a]
+    ci = dict(cis[0]["commitInfo"]) if cis else {
+        "timestamp": ict_value, "operation": "WRITE",
+    }
+    ci["inCommitTimestamp"] = ict_value
+    return [{"commitInfo": ci}] + [a for a in actions if "commitInfo" not in a]
+
+
 def _commit_actions(
     table: str, version: int, actions: list[dict],
     checkpoint_interval: int = 0,
 ) -> None:
     """Write one commit JSON atomically (create-exclusive: a racing
-    writer loses loudly, never silently replaces a version)."""
+    writer loses loudly, never silently replaces a version).  On an
+    ICT-enabled table (previous commit leads with an in-commit
+    timestamp) the commit keeps the chain: commitInfo first,
+    strictly-increasing timestamp."""
+    prev_ict = _prev_ict(_log_dir(table), version)
+    if prev_ict is not None:
+        actions = _with_ict(
+            actions, max(int(time.time() * 1000), int(prev_ict) + 1)
+        )
     commit_path = os.path.join(_log_dir(table), f"{version:020d}.json")
     tmp = commit_path + f".{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as fh:

@@ -97,14 +97,30 @@ def latest_version(log_dir: str) -> int | None:
     return max(versions) if versions else None
 
 
+def _commit_time(path: str) -> float:
+    """A commit's effective time in epoch seconds: the ICT feature's
+    ``inCommitTimestamp`` (first-line commitInfo, r7) when present —
+    robust to file copies/restores — else the commit file's mtime, the
+    same fallback delta-spark uses."""
+    try:
+        with open(path) as fh:
+            first = json.loads(fh.readline())
+        ci = first.get("commitInfo")
+        if isinstance(ci, dict) and ci.get("inCommitTimestamp") is not None:
+            return int(ci["inCommitTimestamp"]) / 1000.0
+    except (OSError, ValueError):
+        pass
+    return os.path.getmtime(path)
+
+
 def _version_at_timestamp(log_dir: str, ts) -> int:
     """Latest version whose commit time <= ``ts`` — delta's
-    ``timestampAsOf`` contract.  Commit time = the commit file's
-    modification time, the same source delta-spark reads when
-    in-commit-timestamps are off.  ``ts`` accepts an epoch number or an
-    ISO-8601 string (naive strings are interpreted as UTC).  Commits
-    vacuumed below a checkpoint are not resolvable (same limit as the
-    runtime)."""
+    ``timestampAsOf`` contract.  Commit time = in-commit timestamp when
+    the table writes them (r7), else the commit file's modification
+    time — the same sources delta-spark reads.  ``ts`` accepts an epoch
+    number or an ISO-8601 string (naive strings are interpreted as
+    UTC).  Commits vacuumed below a checkpoint are not resolvable (same
+    limit as the runtime)."""
     import datetime as _dt
 
     if isinstance(ts, (int, float)):
@@ -120,9 +136,9 @@ def _version_at_timestamp(log_dir: str, ts) -> int:
     best = None
     latest_ts = None
     for v, path in commits:
-        mtime = os.path.getmtime(path)
-        latest_ts = mtime if latest_ts is None else max(latest_ts, mtime)
-        if mtime <= want:
+        ctime = _commit_time(path)
+        latest_ts = ctime if latest_ts is None else max(latest_ts, ctime)
+        if ctime <= want:
             best = v if best is None else max(best, v)
     if best is None:
         raise ValueError(

@@ -2146,6 +2146,57 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
             spark, {"path": tbl, "timestampAsOf": t0, "versionAsOf": 0})
 
 
+def test_in_commit_timestamps(spark, tmp_path):
+    """r7 (PROTOCOL.md In-Commit Timestamps): a table created with
+    delta.enableInCommitTimestamps leads every commit with a commitInfo
+    carrying a strictly-increasing inCommitTimestamp; the protocol is a
+    features protocol listing the writer feature; maintenance commits
+    (_commit_actions path) keep the chain; and timestampAsOf resolves
+    through ICT, robust to commit-file mtime changes (copies/restores)."""
+    from pipeline_spark.sinks.delta_native import delete_delta_native
+
+    tbl = str(tmp_path / "ict")
+    write_delta_native(
+        spark, spark.range(0, 3).coalesce(1),
+        {"path": tbl,
+         "properties": {"delta.enableInCommitTimestamps": True}},
+    )
+    log = os.path.join(tbl, "_delta_log")
+
+    def first_action(v):
+        with open(os.path.join(log, f"{v:020d}.json")) as fh:
+            return json.loads(fh.readline())
+
+    a0 = first_action(0)
+    assert "commitInfo" in a0 and a0["commitInfo"]["inCommitTimestamp"] > 0
+    # features protocol with the writer feature listed
+    with open(os.path.join(log, "00000000000000000000.json")) as fh:
+        acts = [json.loads(l) for l in fh]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+
+    write_delta_native(
+        spark, spark.range(3, 6).coalesce(1), {"path": tbl, "mode": "append"}
+    )
+    delete_delta_native(
+        spark, {"path": tbl,
+                "where": {"key": "id", "op": "=", "value": 4}})
+    icts = [first_action(v)["commitInfo"]["inCommitTimestamp"]
+            for v in (0, 1, 2)]
+    assert icts[0] < icts[1] < icts[2]  # strictly increasing chain
+
+    # time travel resolves by ICT even when file mtimes lie (e.g. the
+    # log was copied): scramble mtimes, ask for just-after commit 1's ICT
+    for v in (0, 1, 2):
+        pth = os.path.join(log, f"{v:020d}.json")
+        os.utime(pth, (1.0, 1.0))  # mtime says 1970 for every commit
+    at = read_delta_native(
+        spark, {"path": tbl, "timestampAsOf": icts[1] / 1000.0}
+    )
+    assert _ids(at) == list(range(6))  # commit 1 state, not 0, not 2
+
+
 def test_check_constraints_enforced_on_write(spark, tmp_path):
     """delta.constraints.* table properties are writer-enforced (the
     protocol's CHECK constraint contract): a violating append stages
