@@ -1849,19 +1849,35 @@ def expire_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     then deletes every data/delete parquet and manifest/manifest-list
     avro that NO retained snapshot references (live-file union via the
     same metadata walk the reader uses).  ``dryRun: true`` reports only.
+    On a REST catalog (r7) the metadata change is one remove-snapshots
+    commit asserting main's position; file cleanup still runs client-
+    side against the posix staging location.
     Storage reclamation is the point: compaction's replace snapshots
     keep old files alive for time travel until expiry lets them go.
     """
     from pipeline_spark.functions.avroocf import read_ocf_file
     from pipeline_spark.sources.iceberg_native import plan_files
 
-    table_path = re.sub(r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table")))
+    rest = _rest_meta_session(p) if p.get("catalog") else None
     retain_last = max(1, int(p.get("retainLast", 1)))
     dry = bool(p.get("dryRun", False))
+    if rest is not None:
+        # REST (r7): the catalog owns the metadata — expiry becomes one
+        # remove-snapshots commit; file cleanup still runs client-side
+        # against the posix staging location the client wrote
+        _cat, _ns, _tname, prev_meta = rest
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1", str(prev_meta.get("location") or "")
+        )
+        prev_file = None
+    else:
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
+        )
+        prev_file = find_table_metadata(table_path)
+        with open(prev_file) as fh:
+            prev_meta = json.load(fh)
     meta_dir = os.path.join(table_path, "metadata")
-    prev_file = find_table_metadata(table_path)
-    with open(prev_file) as fh:
-        prev_meta = json.load(fh)
     snaps = list(prev_meta.get("snapshots", []))
     if len(snaps) <= retain_last:
         return {"expired_snapshots": 0, "removed_data_files": 0,
@@ -1897,7 +1913,9 @@ def expire_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
                     re.sub(r"^file:/{0,2}(/)", r"\1", mf["manifest_path"])
                 )
             )
-        data, deletes, _m = plan_files(table_path, s["snapshot-id"])
+        data, deletes, _m = plan_files(
+            table_path, s["snapshot-id"], meta=prev_meta
+        )
         for rec in list(data) + list(deletes):
             kept_parquet.add(os.path.normpath(rec["path"]))
 
@@ -1915,15 +1933,34 @@ def expire_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
                 if not dry:
                     os.remove(full)
     removed_manifests = 0
-    for name in os.listdir(meta_dir):
-        if not name.endswith(".avro"):
-            continue
-        full = os.path.normpath(os.path.join(meta_dir, name))
-        if full not in kept_avro:
-            removed_manifests += 1
-            if not dry:
-                os.remove(full)
+    if os.path.isdir(meta_dir):
+        for name in os.listdir(meta_dir):
+            if not name.endswith(".avro"):
+                continue
+            full = os.path.normpath(os.path.join(meta_dir, name))
+            if full not in kept_avro:
+                removed_manifests += 1
+                if not dry:
+                    os.remove(full)
 
+    if not dry and rest is not None:
+        cat, ns_key, tname, _m2 = rest
+        cat.commit_table(
+            ns_key, tname,
+            requirements=[{
+                "type": "assert-ref-snapshot-id", "ref": "main",
+                "snapshot-id": prev_meta.get("current-snapshot-id"),
+            }],
+            updates=[{
+                "action": "remove-snapshots",
+                "snapshot-ids": [s["snapshot-id"] for s in drop],
+            }],
+        )
+        return {
+            "expired_snapshots": len(drop),
+            "removed_data_files": removed_data,
+            "removed_manifests": removed_manifests,
+        }
     if not dry:
         m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
         version = (int(m.group(1)) if m else prev_meta.get("__version", 0)) + 1

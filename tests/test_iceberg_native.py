@@ -1350,6 +1350,12 @@ def _serve_stateful_catalog():
                             **(meta.get("properties") or {}),
                             **(upd.get("updates") or {}),
                         }
+                    elif upd["action"] == "remove-snapshots":
+                        gone = set(upd.get("snapshot-ids") or [])
+                        meta["snapshots"] = [
+                            s for s in meta["snapshots"]
+                            if s.get("snapshot-id") not in gone
+                        ]
                 return self._json(
                     {"metadata-location": f"mem://{name}", "metadata": meta}
                 )
@@ -1531,6 +1537,67 @@ def test_rest_catalog_tag_and_rollback(spark, tmp_path):
             spark, {"catalog": {"uri": uri}, "table": "ns.tr",
                     "snapshotId": v0_snap})
         assert res["changed"] is False
+    finally:
+        srv.shutdown()
+
+
+def test_rest_catalog_expire(spark, tmp_path):
+    """r7: expire_snapshots through a REST catalog — one remove-snapshots
+    commit (asserting main), client-side cleanup of the staged files no
+    retained snapshot references; tagged snapshots stay protected."""
+    from pipeline_spark.sinks.iceberg_native import (
+        expire_iceberg_native,
+        tag_iceberg_native,
+    )
+
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        loc = str(tmp_path / "rest_exp_tbl")
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.ex", "location": loc}
+        write_iceberg_native(
+            spark.range(0, 3).coalesce(1), {**cat_p, "mode": "create"}
+        )
+        write_iceberg_native(
+            spark.range(3, 6).coalesce(1), {**cat_p, "mode": "overwrite"}
+        )
+        write_iceberg_native(
+            spark.range(6, 9).coalesce(1), {**cat_p, "mode": "overwrite"}
+        )
+        assert len(state["ex"]["snapshots"]) == 3
+        parquet_before = sum(
+            1 for _r, _d, fs in os.walk(loc) for f in fs
+            if f.endswith(".parquet")
+        )
+        res = expire_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.ex",
+                    "retainLast": 1})
+        assert res["expired_snapshots"] == 2
+        assert res["removed_data_files"] >= 2
+        assert len(state["ex"]["snapshots"]) == 1
+        parquet_after = sum(
+            1 for _r, _d, fs in os.walk(loc) for f in fs
+            if f.endswith(".parquet")
+        )
+        assert parquet_after < parquet_before
+        # the surviving state still reads
+        back = read_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.ex"})
+        assert sorted(r["id"] for r in back.collect()) == [6, 7, 8]
+
+        # tags protect their snapshot from a later expire
+        write_iceberg_native(
+            spark.range(9, 12).coalesce(1), {**cat_p, "mode": "overwrite"}
+        )
+        keep_snap = state["ex"]["snapshots"][0]["snapshot-id"]
+        tag_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.ex",
+                    "tagName": "keep", "snapshotId": keep_snap})
+        res = expire_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.ex",
+                    "retainLast": 1})
+        assert res["expired_snapshots"] == 0  # only the protected one to drop
+        assert {s["snapshot-id"] for s in state["ex"]["snapshots"]} >= {keep_snap}
     finally:
         srv.shutdown()
 
