@@ -1665,20 +1665,32 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     delete parquet (columns ``file_path``/``pos``, sorted as the spec
     requires), and commits it with ``append_delete_files`` — the reader
     applies it via its existing anti-join.  ``where`` takes the same
-    predicate list as the readers' ``dataFilter``.
+    predicate list as the readers' ``dataFilter``.  Works on REST
+    catalog tables too (r7): planning reads the catalog's metadata, the
+    commit is an optimistic add-snapshot.
     """
     import pyspark.sql.functions as F
 
     from pipeline_spark.sources.delta_native import _apply_data_filter
     from pipeline_spark.sources.iceberg_native import plan_files
 
-    table_path = re.sub(r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table")))
+    rest = _rest_meta_session(p) if p.get("catalog") else None
+    if rest is not None:
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1", str(rest[3].get("location") or "")
+        )
+    else:
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
+        )
     where = p.get("where")
     if not where:
         raise ValueError("iceberg delete: 'where' predicate list is required")
     if isinstance(where, dict):
         where = [where]
-    data, _deletes, _meta = plan_files(table_path)
+    data, _deletes, _meta = plan_files(
+        table_path, meta=rest[3] if rest is not None else None
+    )
     if any(d.get("renames") or d.get("absent") or d.get("dropped") for d in data):
         # evolved live files: plan positions through the reader's own
         # migrating scan (renames applied, added columns null-padded) so
@@ -1739,7 +1751,7 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         ),
         out,
     )
-    append_delete_files(table_path, [{"path": out, "content": 1}])
+    append_delete_files(table_path, [{"path": out, "content": 1}], rest=rest)
     return {"deleted_rows": len(rows)}
 
 
@@ -1771,17 +1783,25 @@ def equality_delete_iceberg_native(
         find_table_metadata,
     )
 
-    table_path = re.sub(
-        r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
-    )
+    rest = _rest_meta_session(p) if p.get("catalog") else None
+    if rest is not None:
+        meta = rest[3]
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1", str(meta.get("location") or "")
+        )
+    else:
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
+        )
     values = p.get("values")
     if keys_df is None and not values:
         raise ValueError(
             "iceberg equality delete: 'values' (list of key dicts) or a "
             "keys DataFrame is required"
         )
-    with open(find_table_metadata(table_path)) as fh:
-        meta = json.load(fh)
+    if rest is None:
+        with open(find_table_metadata(table_path)) as fh:
+            meta = json.load(fh)
     cur_schema = next(
         s for s in meta["schemas"]
         if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
@@ -1838,6 +1858,7 @@ def equality_delete_iceberg_native(
     append_delete_files(
         table_path,
         [{"path": f, "content": 2, "equality_ids": ids} for f in files],
+        rest=rest,
     )
     return {"delete_files": len(files)}
 
@@ -1995,7 +2016,9 @@ def expire_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     }
 
 
-def append_delete_files(table_path: str, delete_files: list[dict]) -> None:
+def append_delete_files(
+    table_path: str, delete_files: list[dict], *, rest=None
+) -> None:
     """Commit a merge-on-read snapshot adding v2 row-level DELETE files
     to an existing table — the write-side counterpart of the reader's
     delete application (CDC-style ingestion appends equality deletes
@@ -2005,14 +2028,25 @@ def append_delete_files(table_path: str, delete_files: list[dict]) -> None:
     "equality_ids": [field-ids]}`` — content 1 = position deletes
     (columns ``file_path``, ``pos``), content 2 = equality deletes
     (the identifier columns named by ``equality_ids``).
+
+    ``rest`` (r7) = the ``(catalog, namespace, name, meta)`` tuple from
+    ``_rest_meta_session``: the delete manifests stage in the table's
+    posix location exactly as on filesystem tables, but the snapshot
+    lands through one optimistic add-snapshot + set-snapshot-ref commit.
     """
     table_path = re.sub(r"^file:/{0,2}(/)", r"\1", str(table_path))
     meta_dir = os.path.join(table_path, "metadata")
-    prev_file = find_table_metadata(table_path)
-    with open(prev_file) as fh:
-        prev_meta = json.load(fh)
-    m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
-    version = (int(m.group(1)) if m else prev_meta.get("__version", 0)) + 1
+    os.makedirs(meta_dir, exist_ok=True)
+    if rest is not None:
+        prev_meta = rest[3]
+        prev_file = None
+        version = None
+    else:
+        prev_file = find_table_metadata(table_path)
+        with open(prev_file) as fh:
+            prev_meta = json.load(fh)
+        m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
+        version = (int(m.group(1)) if m else prev_meta.get("__version", 0)) + 1
 
     commit_uuid = str(uuid.uuid4())
     now_ms = int(time.time() * 1000)
@@ -2144,6 +2178,21 @@ def append_delete_files(table_path: str, delete_files: list[dict]) -> None:
             "added-position-delete-records": str(deleted_rows),
         },
     }
+    if rest is not None:
+        cat, ns_key, name, _m2 = rest
+        cat.commit_table(
+            ns_key, name,
+            requirements=[{
+                "type": "assert-ref-snapshot-id", "ref": "main",
+                "snapshot-id": prev_meta.get("current-snapshot-id"),
+            }],
+            updates=[
+                {"action": "add-snapshot", "snapshot": snapshot},
+                {"action": "set-snapshot-ref", "ref-name": "main",
+                 "type": "branch", "snapshot-id": snapshot_id},
+            ],
+        )
+        return
     meta = dict(prev_meta)
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms

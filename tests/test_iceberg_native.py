@@ -1602,6 +1602,40 @@ def test_rest_catalog_expire(spark, tmp_path):
         srv.shutdown()
 
 
+def test_rest_catalog_row_level_deletes(spark, tmp_path):
+    """r7: position AND equality deletes on a REST catalog table — the
+    delete file stages in the posix location, the MOR snapshot lands as
+    one optimistic add-snapshot commit, and the delete-aware catalog
+    read subtracts both."""
+    from pipeline_spark.sinks.iceberg_native import (
+        delete_iceberg_native,
+        equality_delete_iceberg_native,
+    )
+
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        loc = str(tmp_path / "rest_del_tbl")
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.dl", "location": loc}
+        write_iceberg_native(
+            spark.range(0, 8).coalesce(1), {**cat_p, "mode": "create"}
+        )
+        res = delete_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.dl",
+                    "where": {"key": "id", "op": "=", "value": 3}})
+        assert res["deleted_rows"] == 1
+        res = equality_delete_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.dl",
+                    "values": [{"id": 5}, {"id": 6}]})
+        assert res["delete_files"] == 1
+        assert len(state["dl"]["snapshots"]) == 3
+        back = read_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.dl"})
+        assert sorted(r["id"] for r in back.collect()) == [0, 1, 2, 4, 7]
+    finally:
+        srv.shutdown()
+
+
 def test_rest_catalog_alter_rename(spark, tmp_path):
     """r7: ALTER through a REST catalog — one optimistic commit carrying
     add-schema (fresh schema-id) + set-current-schema + set-properties
