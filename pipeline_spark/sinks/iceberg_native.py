@@ -1341,10 +1341,20 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         plan_files,
     )
 
-    table_path = re.sub(r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table")))
+    rest = _rest_meta_session(p) if p.get("catalog") else None
+    if rest is not None:
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1", str(rest[3].get("location") or "")
+        )
+    else:
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
+        )
     target = int(p.get("targetFileBytes", 128 * 1024 * 1024))
     min_group = max(2, int(p.get("minFilesPerGroup", 2)))
-    data, deletes, prev_meta = plan_files(table_path)
+    data, deletes, prev_meta = plan_files(
+        table_path, meta=rest[3] if rest is not None else None
+    )
     evolved = any(
         d.get("renames") or d.get("absent") or d.get("dropped") for d in data
     )
@@ -1422,9 +1432,13 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         return {"compacted_files": 0, "new_files": 0}
 
     meta_dir = os.path.join(table_path, "metadata")
-    prev_file = find_table_metadata(table_path)
-    m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
-    version = (int(m.group(1)) if m else prev_meta.get("__version", 0)) + 1
+    if rest is not None:
+        prev_file = None
+        version = None
+    else:
+        prev_file = find_table_metadata(table_path)
+        m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
+        version = (int(m.group(1)) if m else prev_meta.get("__version", 0)) + 1
     commit_uuid = str(uuid.uuid4())
     now_ms = int(time.time() * 1000)
     snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
@@ -1630,6 +1644,25 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
             "total-data-files": str(len(new_entries) + len(existing_entries)),
         },
     }
+    if rest is not None:
+        cat, ns_key, tname, _m2 = rest
+        cat.commit_table(
+            ns_key, tname,
+            requirements=[{
+                "type": "assert-ref-snapshot-id", "ref": "main",
+                "snapshot-id": prev_meta.get("current-snapshot-id"),
+            }],
+            updates=[
+                {"action": "add-snapshot", "snapshot": snapshot},
+                {"action": "set-snapshot-ref", "ref-name": "main",
+                 "type": "branch", "snapshot-id": snapshot_id},
+            ],
+        )
+        return {
+            "compacted_files": len(compacted_paths),
+            "new_files": len(new_entries),
+            "materialized_delete_files": len(deletes),
+        }
     meta = dict(prev_meta)
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms

@@ -1636,6 +1636,46 @@ def test_rest_catalog_row_level_deletes(spark, tmp_path):
         srv.shutdown()
 
 
+def test_rest_catalog_compact(spark, tmp_path):
+    """r7: compaction on a REST catalog table — bin-packs the small-file
+    tail, materializes row-level deletes, and commits the replace
+    snapshot as one optimistic add-snapshot; the catalog read sees the
+    identical rows from fewer files with no delete files left."""
+    from pipeline_spark.sinks.iceberg_native import (
+        compact_iceberg_native,
+        delete_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import plan_files
+
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        loc = str(tmp_path / "rest_cp_tbl")
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.cp", "location": loc}
+        for lo in (0, 4, 8):
+            write_iceberg_native(
+                spark.range(lo, lo + 4).coalesce(1),
+                {**cat_p, "mode": "append" if lo else "create"},
+            )
+        delete_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.cp",
+                    "where": {"key": "id", "op": "=", "value": 5}})
+        res = compact_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.cp",
+                    "targetFileBytes": 1 << 30})
+        assert res["compacted_files"] == 3
+        assert res["materialized_delete_files"] == 1
+        data, dels, _m = plan_files(loc, meta=state["cp"])
+        assert len(data) == 1 and not dels
+        back = read_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.cp"})
+        assert sorted(r["id"] for r in back.collect()) == [
+            0, 1, 2, 3, 4, 6, 7, 8, 9, 10, 11,
+        ]
+    finally:
+        srv.shutdown()
+
+
 def test_rest_catalog_alter_rename(spark, tmp_path):
     """r7: ALTER through a REST catalog — one optimistic commit carrying
     add-schema (fresh schema-id) + set-current-schema + set-properties
