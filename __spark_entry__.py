@@ -4319,6 +4319,137 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_streaming_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor-pane streaming (r7): events stream through the fused
+    applyInPandasWithState windowed-aggregation + pane-ledger operator
+    (strategy.paneStateBackend: executor — keyed state in Spark's state
+    store, no driver ledger), a withholding count trigger (afterPane
+    with an unreachable count) keeps every window's content pending
+    until the REAL watermark passes its end, and the EventTimeTimeout
+    flush then emits exactly ONE ON_TIME pane per (day, key) carrying
+    the full aggregate — which must equal the batch aggregate the
+    oracle computes.  Covers count/sum plus the r7 champion-state ops
+    (first/last by event time).  Reference: module/Strategy.java:232-343
+    trigger surface."""
+    import shutil
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = _tmp_path("stream_panes", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    os.makedirs(in_dir)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_id") % 8 == 0)
+        .select("ts", "event_type", "value")
+        .orderBy("ts")
+        .toPandas()
+    )
+    f0 = os.path.join(in_dir, "b0.parquet")
+    # every input file must carry the SAME timestamp unit (us): toPandas
+    # yields ns, and a ns-typed first file makes the stream's inferred
+    # schema disagree with the us-typed sentinels — their 2100 event
+    # times then mis-scale to 1970, land behind the watermark, and the
+    # final panes never flush
+    pq.write_table(
+        pa.table({
+            "ts": pa.Array.from_pandas(ev["ts"]).cast(pa.timestamp("us")),
+            "event_type": pa.array(ev["event_type"].tolist()),
+            "value": pa.array(ev["value"].tolist(), pa.float64()),
+        }),
+        f0,
+    )
+    # THREE far-future sentinel files push the watermark past every real
+    # window across successive micro-batches (watermark visibility lags
+    # the data by up to two batches), so the EventTimeTimeout timers
+    # flush each final pane ON_TIME during a DATA batch — no reliance on
+    # the trailing no-data batch (trailing-edge contract documented in
+    # streaming/panes.py)
+    import datetime as _dt
+
+    for i, sent_ts in enumerate(
+        (_dt.datetime(2100, 1, 1), _dt.datetime(2100, 1, 2),
+         _dt.datetime(2100, 1, 3))
+    ):
+        fi = os.path.join(in_dir, f"b{i + 1}.parquet")
+        pq.write_table(
+            pa.table({
+                "ts": pa.array([sent_ts], pa.timestamp("us")),
+                "event_type": pa.array(["__wm__"]),
+                "value": pa.array([0.0], pa.float64()),
+            }),
+            fi,
+        )
+        os.utime(fi, (_time.time() - 50 + i * 10,) * 2)
+    now = _time.time()
+    os.utime(f0, (now - 100, now - 100))
+    run_pipeline(spark, parse_config(f"""
+sources:
+  - name: events
+    module: storage
+    parameters:
+      format: parquet
+      input: {in_dir}
+      mode: streaming
+      maxFilesPerTrigger: 1
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [events]
+    timestampAttribute: ts
+    strategy:
+      window: {{type: calendar, unit: day}}
+      allowedLateness: 5
+      trigger:
+        type: afterWatermark
+        earlyFiringTrigger: {{type: afterPane, elementCountAtLeast: 1000000}}
+      paneStateBackend: executor
+      outputPaneInfo: true
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - {{name: n, op: count}}
+        - {{name: total, op: sum, field: value}}
+        - {{name: fv, op: first, field: value}}
+        - {{name: lv, op: last, field: value}}
+sinks:
+  - name: out
+    module: storage
+    inputs: [agg]
+    parameters:
+      format: parquet
+      output: {out_dir}
+      availableNow: true
+"""))
+    panes = spark.read.parquet(out_dir)
+    return (
+        panes.where(F.col("__pane__.timing") == "ON_TIME")
+        .where(F.col("event_type") != "__wm__")
+        .select(
+            F.col("window").cast("date").alias("day"),
+            "event_type",
+            "n",
+            F.round("total", 3).alias("total"),
+            "fv",
+            "lv",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+Q_STREAM_PANES_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+       round(sum(value), 3) AS total,
+       arg_min(value, ts) AS fv, arg_max(value, ts) AS lv
+FROM events WHERE event_id % 8 = 0
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_iceberg_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """iceberg v2 merge-on-read: nation committed natively (one sorted
     data file), then a POSITION delete file (row ordinals 0,1 →
@@ -4565,6 +4696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_branch_wap": q_iceberg_branch_wap,
         "iceberg_evolved_mor": q_iceberg_evolved_mor,
         "iceberg_cdc_upsert": q_iceberg_cdc_upsert,
+        "streaming_panes": q_streaming_panes,
         # --- relational core rotated back in (r6 ask #3)
         "agg_argminmax": q_agg_argminmax,
         "agg_firstlast": q_agg_firstlast,
@@ -4753,6 +4885,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_branch_wap": Q_ICEBERG_WAP_SQL,
         "iceberg_evolved_mor": Q_ICEBERG_EVMOR_SQL,
         "iceberg_cdc_upsert": Q_ICEBERG_CDC_SQL,
+        "streaming_panes": Q_STREAM_PANES_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,
         "bucketed_join": Q_BUCKETED_JOIN_SQL,
         "gopher_rules": Q_GOPHER_SQL,

@@ -560,13 +560,24 @@ def stream_panes_with_state(
         if not state.hasTimedOut:
             for pdf in pdfs:
                 ts = pdf[ts_col]
-                if str(ts.dtype).startswith("datetime64"):
+                dts = str(ts.dtype)
+                if dts.startswith("datetime64"):
                     if session_tz not in ("UTC", "Etc/UTC", "GMT"):
                         ts = ts.dt.tz_localize(
                             session_tz, ambiguous="NaT",
                             nonexistent="shift_forward",
                         )
-                    epochs = ts.astype("int64") / 1e9
+                    # pandas 2 Arrow conversion can deliver any datetime64
+                    # unit (us from parquet-born frames, ns from Spark's
+                    # own batches) — scale by the ACTUAL unit, or every
+                    # window start is off by the unit ratio
+                    import re as _re
+
+                    m = _re.search(r"\[(\w+)", str(ts.dtype))
+                    div = {"s": 1e0, "ms": 1e3, "us": 1e6, "ns": 1e9}[
+                        m.group(1) if m else "ns"
+                    ]
+                    epochs = ts.astype("int64") / div
                 else:
                     epochs = ts.astype("float64")
                 for i in range(len(pdf)):
