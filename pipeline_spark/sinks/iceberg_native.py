@@ -489,6 +489,9 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         )
     if prev_meta is None and mode == "append":
         mode = "create"
+    evolve_spec = False
+    this_spec_id = 0
+    part_field_ids = [1000 + i for i in range(len(part_info))]
     if mode == "append" and prev_meta is not None:
         # an append must not silently rewrite the table's partition spec:
         # old manifests keep referencing spec-id 0, so a mismatched spec
@@ -496,19 +499,52 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         # data write so a rejected append leaves no orphan files.
         from pipeline_spark.functions.icebergpart import spec_transform_str as _sts
 
+        prev_specs = prev_meta.get("partition-specs") or [{}]
+        default_spec = next(
+            (
+                sp for sp in prev_specs
+                if sp.get("spec-id", 0) == prev_meta.get("default-spec-id", 0)
+            ),
+            prev_specs[0],
+        )
         prev_fields = [
             (f.get("name"), f.get("transform"))
-            for f in (prev_meta.get("partition-specs") or [{}])[0].get(
-                "fields", []
-            )
+            for f in default_spec.get("fields", [])
         ]
         new_fields = [(fld["name"], _sts(fld)) for _t, fld, _k in part_info]
         if prev_fields != new_fields:
-            raise ValueError(
-                "iceberg: append partition spec "
-                f"{new_fields} does not match the table's existing spec "
-                f"{prev_fields}; use mode: overwrite to change partitioning"
-            )
+            if p.get("evolvePartitionSpec"):
+                # partition-spec EVOLUTION (r7, spec §Partition Evolution):
+                # the new spec lands under a fresh spec-id with fresh
+                # partition field-ids (continuing last-partition-id); old
+                # manifests keep their spec-id and are never rewritten —
+                # this is how a 100 TB table repartitions with ZERO data
+                # motion.  Readers prune per-file by partition-record
+                # keys, so files that predate a partition field simply
+                # aren't pruned by it (Iceberg's own rule).
+                evolve_spec = True
+                prev_spec_ids = [
+                    sp.get("spec-id", 0) for sp in prev_specs if sp
+                ]
+                this_spec_id = max(prev_spec_ids, default=0) + 1
+                base = int(prev_meta.get("last-partition-id", 999)) + 1
+                part_field_ids = [base + i for i in range(len(part_info))]
+            else:
+                raise ValueError(
+                    "iceberg: append partition spec "
+                    f"{new_fields} does not match the table's existing spec "
+                    f"{prev_fields}; set evolvePartitionSpec: true to evolve "
+                    "the spec (old files keep their layout), or use mode: "
+                    "overwrite to rewrite"
+                )
+        else:
+            # reuse the table's default spec VERBATIM — field-ids included
+            this_spec_id = prev_meta.get("default-spec-id", 0)
+            dflds = default_spec.get("fields", [])
+            if len(dflds) == len(part_info):
+                part_field_ids = [
+                    f.get("field-id", 1000 + i) for i, f in enumerate(dflds)
+                ]
     # an append must not silently rewrite the table's SCHEMA either:
     # replacing `schemas` / name-mapping with freshly re-assigned
     # field-ids would re-key every older manifest's bounds/null-counts
@@ -722,7 +758,7 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
             "name": fld["name"],
             "type": ["null", avro_partition_type(kind)],
             "default": None,
-            "field-id": 1000 + i,
+            "field-id": part_field_ids[i],
         }
         for i, (_tmp, fld, kind) in enumerate(part_info)
     ]
@@ -731,7 +767,7 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
             "name": fld["name"],
             "transform": spec_transform_str(fld),
             "source-id": source_ids[fld["source"]],
-            "field-id": 1000 + i,
+            "field-id": part_field_ids[i],
         }
         for i, (_tmp, fld, _kind) in enumerate(part_info)
     ]
@@ -742,7 +778,7 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         extra_meta={
             "schema": json.dumps(schema),
             "partition-spec": json.dumps(spec_fields),
-            "partition-spec-id": "0",
+            "partition-spec-id": str(this_spec_id),
             "format-version": "2",
             "content": "data",
         },
@@ -780,7 +816,7 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         {
             "manifest_path": manifest_path,
             "manifest_length": len(manifest_bytes),
-            "partition_spec_id": 0,
+            "partition_spec_id": this_spec_id,
             "content": 0,
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -870,6 +906,14 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
                 updates.append(
                     {"action": "set-current-schema", "schema-id": -1}
                 )
+        if evolve_spec:
+            # spec evolution rides the SAME optimistic commit (spec's
+            # add-spec + set-default-spec; -1 = the just-added spec)
+            updates.append({
+                "action": "add-spec",
+                "spec": {"spec-id": this_spec_id, "fields": spec_fields},
+            })
+            updates.append({"action": "set-default-spec", "spec-id": -1})
         updates.append({"action": "add-snapshot", "snapshot": snapshot})
         updates.append({
             "action": "set-snapshot-ref", "ref-name": ref_name,
@@ -959,6 +1003,23 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         }
     snapshot["schema-id"] = cur_sid
 
+    # partition specs: appends preserve the table's spec history (an
+    # evolution ADDS the new spec and flips the default; a reuse changes
+    # nothing); create/overwrite start fresh at spec-id 0
+    if mode == "append" and prev_meta is not None:
+        specs_list = [
+            dict(sp) for sp in (prev_meta.get("partition-specs") or []) if sp
+        ]
+        if evolve_spec or not specs_list:
+            specs_list.append({"spec-id": this_spec_id, "fields": spec_fields})
+        last_partition_id = max(
+            [int(prev_meta.get("last-partition-id", 999))]
+            + [f["field-id"] for f in spec_fields]
+        )
+    else:
+        specs_list = [{"spec-id": 0, "fields": spec_fields}]
+        last_partition_id = 999 + len(spec_fields)
+
     meta = {
         "format-version": 2,
         "table-uuid": table_uuid,
@@ -968,9 +1029,9 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         "last-column-id": last_column_id,
         "current-schema-id": cur_sid,
         "schemas": schemas_list,
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-        "last-partition-id": 999 + len(spec_fields),
+        "default-spec-id": this_spec_id,
+        "partition-specs": specs_list,
+        "last-partition-id": last_partition_id,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": props,
@@ -1359,6 +1420,13 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         d.get("renames") or d.get("absent") or d.get("dropped") for d in data
     )
     migrate = bool(p.get("migrateSchema"))
+    if len(prev_meta.get("partition-specs") or []) > 1:
+        raise NotImplementedError(
+            "iceberg compact: table has evolved partition specs — "
+            "compaction would need to rewrite every file under the "
+            "default spec (recomputing partition values); use mode: "
+            "overwrite to consolidate the layout first"
+        )
     if evolved and not migrate:
         raise NotImplementedError(
             "iceberg compact: live files span schema evolution — set "

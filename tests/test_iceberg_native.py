@@ -1350,6 +1350,18 @@ def _serve_stateful_catalog():
                             **(meta.get("properties") or {}),
                             **(upd.get("updates") or {}),
                         }
+                    elif upd["action"] == "add-spec":
+                        sp = upd["spec"]
+                        meta["partition-specs"] = list(
+                            meta.get("partition-specs") or []
+                        ) + [sp]
+                        meta["_last_added_spec"] = sp.get("spec-id")
+                    elif upd["action"] == "set-default-spec":
+                        sid = upd["spec-id"]
+                        meta["default-spec-id"] = (
+                            meta.pop("_last_added_spec", sid)
+                            if sid == -1 else sid
+                        )
                     elif upd["action"] == "remove-snapshots":
                         gone = set(upd.get("snapshot-ids") or [])
                         meta["snapshots"] = [
@@ -2454,6 +2466,103 @@ def test_iceberg_compact_migrate_schema(spark, tmp_path):
     skip = read_iceberg_native(
         spark, {"path": tbl, "dataFilter": {"key": "score", "op": ">=", "value": 5}})
     assert [(r["id"], r["score"]) for r in skip.collect()] == [(3, 9)]
+
+
+def test_iceberg_partition_spec_evolution(spark, tmp_path):
+    """r7 (spec §Partition Evolution): an append under a DIFFERENT spec
+    with evolvePartitionSpec adds the new spec under a fresh spec-id and
+    fresh partition field-ids; old files keep their layout (zero data
+    motion), reads stitch both generations, partitionFilter prunes each
+    generation only by the fields its files actually carry, and later
+    appends follow the NEW default spec."""
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sinks.iceberg_native import compact_iceberg_native
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    tbl = str(tmp_path / "ice_spec_ev")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(8)],
+        "id long, grp string",
+    )
+    write_iceberg_native(
+        df.coalesce(1), {"path": tbl, "mode": "create", "partitionBy": ["grp"]}
+    )
+    # mismatched spec without the flag still refuses
+    with pytest.raises(ValueError, match="evolvePartitionSpec"):
+        write_iceberg_native(
+            spark.createDataFrame([(100, "c")], "id long, grp string"),
+            {"path": tbl, "mode": "append", "partitionBy": ["bucket(4, id)"]},
+        )
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(100 + i, "c") for i in range(4)], "id long, grp string"
+        ).coalesce(1),
+        {"path": tbl, "mode": "append", "partitionBy": ["bucket(4, id)"],
+         "evolvePartitionSpec": True},
+    )
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    specs = meta["partition-specs"]
+    assert [sp["spec-id"] for sp in specs] == [0, 1]
+    assert meta["default-spec-id"] == 1
+    # fresh partition field-ids continue past the old spec's
+    assert specs[0]["fields"][0]["field-id"] == 1000
+    assert specs[1]["fields"][0]["field-id"] == 1001
+    assert meta["last-partition-id"] == 1001
+
+    back = read_iceberg_native(spark, {"path": tbl})
+    assert sorted(r["id"] for r in back.collect()) == (
+        list(range(8)) + [100, 101, 102, 103]
+    )
+    # pruning by the OLD field touches only old-generation files; files
+    # that predate the field are kept (Iceberg's rule)
+    by_grp = read_iceberg_native(
+        spark, {"path": tbl, "partitionFilter": {"grp": "a"}})
+    assert sorted(r["id"] for r in by_grp.collect()) == [
+        0, 2, 4, 6, 100, 101, 102, 103,
+    ]
+
+    # a later append follows the NEW default spec without the flag
+    write_iceberg_native(
+        spark.createDataFrame([(200, "d")], "id long, grp string").coalesce(1),
+        {"path": tbl, "mode": "append", "partitionBy": ["bucket(4, id)"]},
+    )
+    assert read_iceberg_native(spark, {"path": tbl}).count() == 13
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    assert [sp["spec-id"] for sp in meta["partition-specs"]] == [0, 1]
+
+    # compaction on a multi-spec table refuses with the workaround
+    with pytest.raises(NotImplementedError, match="evolved partition specs"):
+        compact_iceberg_native(spark, {"path": tbl, "targetFileBytes": 1 << 30})
+
+
+def test_rest_catalog_partition_spec_evolution(spark, tmp_path):
+    """r7: the same evolution through a REST catalog — add-spec +
+    set-default-spec ride the optimistic commit."""
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        loc = str(tmp_path / "rest_spec_ev")
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.se", "location": loc}
+        write_iceberg_native(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "id long, grp string"
+            ).coalesce(1),
+            {**cat_p, "mode": "create", "partitionBy": ["grp"]},
+        )
+        write_iceberg_native(
+            spark.createDataFrame([(10, "c")], "id long, grp string")
+            .coalesce(1),
+            {**cat_p, "mode": "append", "partitionBy": ["bucket(4, id)"],
+             "evolvePartitionSpec": True},
+        )
+        assert [sp["spec-id"] for sp in state["se"]["partition-specs"]] == [0, 1]
+        assert state["se"]["default-spec-id"] == 1
+        back = read_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.se"})
+        assert sorted(r["id"] for r in back.collect()) == [1, 2, 10]
+    finally:
+        srv.shutdown()
 
 
 def test_iceberg_equality_delete_write(spark, tmp_path):
