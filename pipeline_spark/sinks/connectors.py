@@ -160,7 +160,7 @@ def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
     maintenance = str(p.get("mode", "")).lower()
     if maintenance in (
         "compact", "expire", "delete", "equalitydelete", "alter",
-        "rollback", "tag",
+        "rollback", "tag", "rewritemanifests", "removeorphans",
     ):
         # table maintenance/mutation: the table is the operand, not the input
         from pipeline_spark.sinks.iceberg_native import (
@@ -169,12 +169,18 @@ def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
             delete_iceberg_native,
             equality_delete_iceberg_native,
             expire_iceberg_native,
+            remove_orphans_iceberg_native,
+            rewrite_manifests_iceberg_native,
             rollback_iceberg_native,
             tag_iceberg_native,
         )
 
         if maintenance == "compact":
             compact_iceberg_native(ctx.spark, p)
+        elif maintenance == "rewritemanifests":
+            rewrite_manifests_iceberg_native(ctx.spark, p)
+        elif maintenance == "removeorphans":
+            remove_orphans_iceberg_native(ctx.spark, p)
         elif maintenance == "expire":
             expire_iceberg_native(ctx.spark, p)
         elif maintenance == "alter":

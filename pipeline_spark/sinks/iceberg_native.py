@@ -2117,6 +2117,317 @@ def expire_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     }
 
 
+def rewrite_manifests_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
+    """rewrite_manifests: consolidate the current snapshot's many small
+    manifests into one merged manifest per (content, spec-id, embedded
+    schema) generation — METADATA ONLY, zero data motion.
+
+    Why it matters at 100 TB: every append adds one manifest, so a table
+    fed by thousands of micro-batches makes scan PLANNING read thousands
+    of tiny avro files before the first data byte.  Iceberg's own
+    ``rewrite_manifests`` action is the fix; this is its native twin.
+
+    Semantics (spec §Manifests / Iceberg RewriteManifestsSparkAction):
+      * carried-over entries become status=EXISTING keeping their
+        ORIGINAL data sequence numbers and the snapshot-id that added
+        them (null seqs inherit from the source manifest, the v2
+        inheritance rule);
+      * manifests are merged only within the same content type,
+        partition-spec-id AND embedded schema — an evolved table keeps
+        one merged manifest per generation, so per-manifest schema /
+        partition-record semantics are preserved byte-for-byte (the
+        merged manifest reuses its group's writer schema + key/value
+        metadata verbatim);
+      * manifests carrying DELETED tombstone entries pass through
+        untouched (they encode history, not live state);
+      * the commit is one ``replace`` snapshot; superseded manifests
+        stay on disk for time travel until ``expire`` reclaims them.
+        On a REST catalog it rides the optimistic assert-ref commit.
+
+    Driver-side but metadata-scale: the walk touches manifest ENTRIES
+    (one per data file, ~1 per 100 MB+ at production file sizes), never
+    data.  ``minManifestsPerGroup`` (default 2) skips already-compact
+    groups; ``dryRun: true`` reports only.
+    """
+    from pipeline_spark.functions.avroocf import (
+        read_ocf_file,
+        read_ocf_file_with_meta,
+    )
+
+    rest = _rest_meta_session(p) if p.get("catalog") else None
+    if rest is not None:
+        prev_meta = rest[3]
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1", str(prev_meta.get("location") or "")
+        )
+        prev_file, version = None, None
+    else:
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
+        )
+        prev_file = find_table_metadata(table_path)
+        with open(prev_file) as fh:
+            prev_meta = json.load(fh)
+        m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
+        version = (int(m.group(1)) if m else prev_meta.get("__version", 0)) + 1
+    meta_dir = os.path.join(table_path, "metadata")
+    min_group = max(2, int(p.get("minManifestsPerGroup", 2)))
+    dry = bool(p.get("dryRun", False))
+
+    cur_id = prev_meta.get("current-snapshot-id")
+    cur_snap = next(
+        (s for s in prev_meta.get("snapshots", [])
+         if s.get("snapshot-id") == cur_id),
+        None,
+    )
+    if cur_snap is None:
+        raise ValueError("iceberg rewrite_manifests: table has no snapshots")
+    prev_list = re.sub(r"^file:/{0,2}(/)", r"\1", cur_snap["manifest-list"])
+    _, mf_records = read_ocf_file(prev_list)
+
+    passthrough: list[dict] = []
+    groups: dict[tuple, list[tuple[dict, dict, dict, list[dict]]]] = {}
+    for mf in (dict(m) for m in mf_records):
+        mpath = re.sub(r"^file:/{0,2}(/)", r"\1", mf["manifest_path"])
+        schema_json, meta_bytes, recs = read_ocf_file_with_meta(mpath)
+        entries = [dict(e) for e in recs]
+        if any(e.get("status") == 2 for e in entries):  # DELETED tombstones
+            passthrough.append(mf)
+            continue
+        key = (
+            mf.get("content", 0),
+            mf.get("partition_spec_id", 0),
+            meta_bytes.get("schema", b""),
+            meta_bytes.get("partition-spec", b""),
+        )
+        groups.setdefault(key, []).append((mf, schema_json, meta_bytes, entries))
+
+    mergeable = {k: g for k, g in groups.items() if len(g) >= min_group}
+    for k, g in groups.items():
+        if k not in mergeable:
+            passthrough.extend(mf for mf, _s, _m, _e in g)
+    if not mergeable:
+        return {"rewritten_manifests": 0, "created_manifests": 0,
+                "kept_manifests": len(passthrough)}
+    if dry:
+        return {
+            "rewritten_manifests": sum(len(g) for g in mergeable.values()),
+            "created_manifests": len(mergeable),
+            "kept_manifests": len(passthrough),
+        }
+
+    commit_uuid = str(uuid.uuid4())
+    now_ms = int(time.time() * 1000)
+    snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+
+    manifests = list(passthrough)
+    created = 0
+    rewritten = 0
+    for i, ((content, spec_id, _sb, _pb), group) in enumerate(
+        sorted(mergeable.items(), key=lambda kv: (kv[0][0], kv[0][1]))
+    ):
+        merged: list[dict] = []
+        rows = 0
+        for mf, _schema, _meta, entries in group:
+            rewritten += 1
+            for e in entries:
+                e_seq = e.get("sequence_number")
+                if e_seq is None:  # v2 inheritance: null = manifest's seq
+                    e_seq = mf.get("sequence_number", 0)
+                f_seq = e.get("file_sequence_number")
+                if f_seq is None:
+                    f_seq = e_seq
+                snap = e.get("snapshot_id")
+                if snap is None:
+                    snap = mf.get("added_snapshot_id")
+                rows += int(e["data_file"].get("record_count") or 0)
+                merged.append({
+                    "status": 0,  # EXISTING
+                    "snapshot_id": snap,
+                    "sequence_number": e_seq,
+                    "file_sequence_number": f_seq,
+                    "data_file": e["data_file"],
+                })
+        schema_json = group[0][1]
+        extra = {
+            k: v.decode()
+            for k, v in group[0][2].items()
+            if k not in ("avro.schema", "avro.codec")
+        }
+        mp = os.path.join(meta_dir, f"{commit_uuid}-m{i}.avro")
+        mb = write_ocf_bytes(schema_json, merged, extra_meta=extra)
+        with open(mp, "wb") as fh:
+            fh.write(mb)
+        manifests.append({
+            "manifest_path": mp,
+            "manifest_length": len(mb),
+            "partition_spec_id": spec_id,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": min(
+                e["sequence_number"] for e in merged
+            ),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 0,
+            "existing_files_count": len(merged),
+            "deleted_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": rows,
+            "deleted_rows_count": 0,
+        })
+        created += 1
+
+    list_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro"
+    )
+    list_bytes = write_ocf_bytes(
+        _MANIFEST_FILE_SCHEMA,
+        manifests,
+        extra_meta={"format-version": "2", "snapshot-id": str(snapshot_id)},
+    )
+    with open(list_path, "wb") as fh:
+        fh.write(list_bytes)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_path,
+        "schema-id": prev_meta.get("current-schema-id", 0),
+        "summary": {
+            "operation": "replace",
+            "manifests-replaced": str(rewritten),
+            "manifests-created": str(created),
+            "manifests-kept": str(len(passthrough)),
+        },
+    }
+    if rest is not None:
+        cat, ns_key, tname, _m2 = rest
+        cat.commit_table(
+            ns_key, tname,
+            requirements=[{
+                "type": "assert-ref-snapshot-id", "ref": "main",
+                "snapshot-id": cur_id,
+            }],
+            updates=[
+                {"action": "add-snapshot", "snapshot": snapshot},
+                {"action": "set-snapshot-ref", "ref-name": "main",
+                 "type": "branch", "snapshot-id": snapshot_id},
+            ],
+        )
+    else:
+        meta = dict(prev_meta)
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        meta["current-snapshot-id"] = snapshot_id
+        meta["refs"] = {
+            **(meta.get("refs") or {}),
+            "main": {"snapshot-id": snapshot_id, "type": "branch"},
+        }
+        meta["snapshots"] = list(prev_meta.get("snapshots", [])) + [snapshot]
+        meta["snapshot-log"] = (
+            list(prev_meta.get("snapshot-log", []))
+            + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
+        )[-10:]
+        meta["__version"] = version
+        with open(
+            os.path.join(meta_dir, f"v{version}.metadata.json"), "w"
+        ) as fh:
+            json.dump(meta, fh)
+        with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+            fh.write(str(version))
+    return {
+        "rewritten_manifests": rewritten,
+        "created_manifests": created,
+        "kept_manifests": len(passthrough),
+    }
+
+
+def remove_orphans_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
+    """remove_orphan_files: delete files under the table location that NO
+    snapshot references — the leftovers of crashed writers.
+
+    The reachable set is the union over EVERY snapshot (not just
+    retained ones — that's ``expire``'s job): all manifest lists, all
+    manifests, every data/delete file any entry names, plus every
+    ``*.metadata.json`` and ``version-hint.text`` (metadata history is
+    never an orphan).  A file is removed only when it is unreachable
+    AND older than ``olderThanMs`` (default 3 days, Iceberg's own
+    safety margin so an in-flight writer's staged files survive the
+    sweep).  ``dryRun: true`` reports only.  No snapshot is produced —
+    the table's metadata is untouched by construction.
+    """
+    from pipeline_spark.functions.avroocf import read_ocf_file
+
+    rest = _rest_meta_session(p) if p.get("catalog") else None
+    if rest is not None:
+        prev_meta = rest[3]
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1", str(prev_meta.get("location") or "")
+        )
+    else:
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
+        )
+        with open(find_table_metadata(table_path)) as fh:
+            prev_meta = json.load(fh)
+    meta_dir = os.path.join(table_path, "metadata")
+    dry = bool(p.get("dryRun", False))
+    older_ms = int(p.get("olderThanMs", 3 * 24 * 3600 * 1000))
+    cutoff = time.time() - older_ms / 1000.0
+
+    def _norm(path: str) -> str:
+        return os.path.normpath(re.sub(r"^file:/{0,2}(/)", r"\1", str(path)))
+
+    reachable: set[str] = set()
+    for s in prev_meta.get("snapshots", []):
+        lst = _norm(s["manifest-list"])
+        reachable.add(lst)
+        if not os.path.exists(lst):
+            continue
+        _, manifests = read_ocf_file(lst)
+        for mf in manifests:
+            mpath = _norm(mf["manifest_path"])
+            reachable.add(mpath)
+            if not os.path.exists(mpath):
+                continue
+            _, entries = read_ocf_file(mpath)
+            for e in entries:
+                reachable.add(_norm(e["data_file"]["file_path"]))
+
+    removed = 0
+    freed = 0
+    for root, _dirs, names in os.walk(table_path):
+        for name in names:
+            full = os.path.normpath(os.path.join(root, name))
+            if name.endswith(".metadata.json") or name == "version-hint.text":
+                continue
+            if full in reachable:
+                continue
+            try:
+                st = os.stat(full)
+            except OSError:
+                continue
+            if st.st_mtime > cutoff:
+                continue
+            removed += 1
+            freed += st.st_size
+            if not dry:
+                os.remove(full)
+    if not dry:
+        for root, _dirs, _names in os.walk(table_path, topdown=False):
+            if (
+                os.path.normpath(root) not in (os.path.normpath(table_path),
+                                               os.path.normpath(meta_dir))
+                and not os.listdir(root)
+            ):
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+    return {"removed_files": removed, "freed_bytes": freed}
+
+
 def append_delete_files(
     table_path: str, delete_files: list[dict], *, rest=None
 ) -> None:

@@ -6,6 +6,7 @@ itself."""
 import json
 import os
 import struct
+import time
 import zlib
 
 import pyarrow as pa
@@ -2693,3 +2694,262 @@ def test_iceberg_evolved_mor_delete_read_compact(spark, tmp_path):
     assert sorted(
         (r["id"], r["label"], r["score"]) for r in back.collect()
     ) == rows
+
+
+def test_iceberg_rewrite_manifests(spark, tmp_path):
+    """r7 (spec §Manifests; RewriteManifestsSparkAction): N appends leave
+    N manifests; rewrite_manifests merges them into ONE EXISTING-status
+    manifest with original sequence numbers — metadata only, zero data
+    motion (data file paths unchanged), time travel intact, and
+    stats-based file skipping still works off the merged manifest."""
+    from pipeline_spark.functions.avroocf import read_ocf_file
+    from pipeline_spark.sinks.iceberg_native import (
+        rewrite_manifests_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    tbl = str(tmp_path / "ice_rwm")
+    for lo in (0, 10, 20, 30):
+        write_iceberg_native(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(10)],
+                "id long, val string",
+            ).coalesce(1),
+            {"path": tbl, "mode": "create" if lo == 0 else "append"},
+        )
+
+    def _manifest_count():
+        meta = json.loads(open(find_table_metadata(tbl)).read())
+        snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, mfs = read_ocf_file(snap["manifest-list"])
+        return meta, list(mfs)
+
+    meta, mfs = _manifest_count()
+    assert len(mfs) == 4
+    pre_rewrite_snap = meta["current-snapshot-id"]
+    pre_paths = {
+        os.path.normpath(e["data_file"]["file_path"])
+        for mf in mfs
+        for e in read_ocf_file(mf["manifest_path"])[1]
+    }
+
+    # dryRun reports without committing
+    rep = rewrite_manifests_iceberg_native(
+        spark, {"path": tbl, "dryRun": True})
+    assert rep == {"rewritten_manifests": 4, "created_manifests": 1,
+                   "kept_manifests": 0}
+    assert len(_manifest_count()[1]) == 4
+
+    rep = rewrite_manifests_iceberg_native(spark, {"path": tbl})
+    assert rep["rewritten_manifests"] == 4 and rep["created_manifests"] == 1
+    meta, mfs = _manifest_count()
+    assert len(mfs) == 1
+    assert mfs[0]["existing_files_count"] == 4
+    assert mfs[0]["added_files_count"] == 0
+    # original data sequence numbers survive the merge (v2 rule)
+    _, entries = read_ocf_file(mfs[0]["manifest_path"])
+    entries = list(entries)
+    assert sorted(e["sequence_number"] for e in entries) == [1, 2, 3, 4]
+    assert all(e["status"] == 0 for e in entries)
+    # zero data motion
+    post_paths = {
+        os.path.normpath(e["data_file"]["file_path"]) for e in entries
+    }
+    assert post_paths == pre_paths
+
+    back = read_iceberg_native(spark, {"path": tbl})
+    assert sorted(r["id"] for r in back.collect()) == list(range(40))
+    # time travel to the pre-rewrite snapshot still plans its manifests
+    old = read_iceberg_native(
+        spark, {"path": tbl, "snapshotId": pre_rewrite_snap})
+    assert old.count() == 40
+    # bounds-based skipping still prunes off the merged manifest: stats
+    # were carried verbatim, so only the last append's file is planned
+    skipped = read_iceberg_native(spark, {"path": tbl, "dataFilter": [
+        {"key": "id", "op": ">=", "value": 35},
+    ]})
+    assert len(skipped.inputFiles()) == 1
+    assert sorted(r["id"] for r in skipped.collect()) == [35, 36, 37, 38, 39]
+    # idempotent: a second rewrite finds one manifest and no-ops
+    rep2 = rewrite_manifests_iceberg_native(spark, {"path": tbl})
+    assert rep2["created_manifests"] == 0 and rep2["kept_manifests"] == 1
+
+
+def test_iceberg_rewrite_manifests_grouped_generations(spark, tmp_path):
+    """Merging respects generations: appends under an evolved partition
+    spec merge per spec-id, never across — each merged manifest keeps
+    its generation's embedded spec/schema verbatim."""
+    from pipeline_spark.functions.avroocf import read_ocf_file
+    from pipeline_spark.sinks.iceberg_native import (
+        rewrite_manifests_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    tbl = str(tmp_path / "ice_rwm_gen")
+    for lo in (0, 10):
+        write_iceberg_native(
+            spark.createDataFrame(
+                [(lo + i, "a" if i % 2 == 0 else "b") for i in range(4)],
+                "id long, grp string",
+            ).coalesce(1),
+            {"path": tbl, "mode": "create" if lo == 0 else "append",
+             "partitionBy": ["grp"]},
+        )
+    for lo in (20, 30):
+        write_iceberg_native(
+            spark.createDataFrame(
+                [(lo + i, "c") for i in range(4)], "id long, grp string"
+            ).coalesce(1),
+            {"path": tbl, "mode": "append", "partitionBy": ["bucket(4, id)"],
+             "evolvePartitionSpec": lo == 20},
+        )
+    rep = rewrite_manifests_iceberg_native(spark, {"path": tbl})
+    assert rep["rewritten_manifests"] == 4 and rep["created_manifests"] == 2
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, mfs = read_ocf_file(snap["manifest-list"])
+    assert sorted(m["partition_spec_id"] for m in mfs) == [0, 1]
+    back = read_iceberg_native(spark, {"path": tbl})
+    assert sorted(r["id"] for r in back.collect()) == [
+        0, 1, 2, 3, 10, 11, 12, 13, 20, 21, 22, 23, 30, 31, 32, 33,
+    ]
+    # old-spec pruning still works post-merge (new-gen files kept per rule)
+    by_grp = read_iceberg_native(
+        spark, {"path": tbl, "partitionFilter": {"grp": "a"}})
+    assert sorted(r["id"] for r in by_grp.collect()) == [
+        0, 2, 10, 12, 20, 21, 22, 23, 30, 31, 32, 33,
+    ]
+
+
+def test_rest_catalog_rewrite_manifests(spark, tmp_path):
+    """r7: rewrite_manifests through a REST catalog — the replace
+    snapshot rides one optimistic assert-ref commit."""
+    from pipeline_spark.functions.avroocf import read_ocf_file
+    from pipeline_spark.sinks.iceberg_native import (
+        rewrite_manifests_iceberg_native,
+    )
+
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        loc = str(tmp_path / "rest_rwm")
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.rwm", "location": loc}
+        for lo in (0, 10, 20):
+            write_iceberg_native(
+                spark.createDataFrame(
+                    [(lo + i,) for i in range(5)], "id long"
+                ).coalesce(1),
+                {**cat_p, "mode": "create" if lo == 0 else "append"},
+            )
+        rep = rewrite_manifests_iceberg_native(spark, cat_p)
+        assert rep["rewritten_manifests"] == 3 and rep["created_manifests"] == 1
+        meta = state["rwm"]
+        snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        assert snap["summary"]["operation"] == "replace"
+        _, mfs = read_ocf_file(snap["manifest-list"])
+        assert len(list(mfs)) == 1
+        back = read_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.rwm"})
+        assert sorted(r["id"] for r in back.collect()) == (
+            list(range(5)) + list(range(10, 15)) + list(range(20, 25))
+        )
+    finally:
+        srv.shutdown()
+
+
+def test_iceberg_remove_orphans(spark, tmp_path):
+    """r7: remove_orphan_files deletes crashed-writer leftovers that no
+    snapshot references — age-gated so in-flight staged files survive —
+    and never touches reachable data, metadata history, or the hint."""
+    from pipeline_spark.sinks.iceberg_native import (
+        remove_orphans_iceberg_native,
+    )
+
+    tbl = str(tmp_path / "ice_orph")
+    write_iceberg_native(
+        spark.createDataFrame([(i,) for i in range(6)], "id long")
+        .coalesce(1),
+        {"path": tbl, "mode": "create"},
+    )
+    write_iceberg_native(
+        spark.createDataFrame([(10,)], "id long").coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    old_orphan = os.path.join(tbl, "data", "orphan-stale.parquet")
+    with open(old_orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    meta_orphan = os.path.join(tbl, "metadata", "deadbeef-m9.avro")
+    with open(meta_orphan, "wb") as fh:
+        fh.write(b"stale manifest")
+    stale = time.time() - 10 * 24 * 3600
+    os.utime(old_orphan, (stale, stale))
+    os.utime(meta_orphan, (stale, stale))
+    fresh_orphan = os.path.join(tbl, "data", "inflight.parquet")
+    with open(fresh_orphan, "wb") as fh:
+        fh.write(b"staged by a live writer")
+
+    rep = remove_orphans_iceberg_native(
+        spark, {"path": tbl, "dryRun": True})
+    assert rep["removed_files"] == 2
+    assert os.path.exists(old_orphan)
+
+    rep = remove_orphans_iceberg_native(spark, {"path": tbl})
+    assert rep["removed_files"] == 2 and rep["freed_bytes"] > 0
+    assert not os.path.exists(old_orphan)
+    assert not os.path.exists(meta_orphan)
+    assert os.path.exists(fresh_orphan)  # age gate
+    # aggressive sweep takes the fresh one too once olderThanMs: 0
+    # (plus Spark's unreferenced _SUCCESS/.crc write markers)
+    rep = remove_orphans_iceberg_native(
+        spark, {"path": tbl, "olderThanMs": 0})
+    assert rep["removed_files"] >= 1
+    assert not os.path.exists(fresh_orphan)
+    back = read_iceberg_native(spark, {"path": tbl})
+    assert sorted(r["id"] for r in back.collect()) == [0, 1, 2, 3, 4, 5, 10]
+
+
+def test_iceberg_rewrite_manifests_mor(spark, tmp_path):
+    """Rewrite on a merge-on-read table: data manifests merge, the delete
+    manifest passes through, and preserved data sequence numbers keep the
+    position delete applying to exactly the files it predates."""
+    from pipeline_spark.sinks.iceberg_native import (
+        delete_iceberg_native,
+        rewrite_manifests_iceberg_native,
+    )
+
+    tbl = str(tmp_path / "ice_rwm_mor")
+    for lo in (0, 10):
+        write_iceberg_native(
+            spark.createDataFrame(
+                [(lo + i,) for i in range(5)], "id long"
+            ).coalesce(1),
+            {"path": tbl, "mode": "create" if lo == 0 else "append"},
+        )
+    # two deletes -> two delete manifests: those merge too (content=1)
+    delete_iceberg_native(
+        spark, {"path": tbl, "where": [{"key": "id", "op": "=", "value": 1}]})
+    delete_iceberg_native(
+        spark, {"path": tbl, "where": [{"key": "id", "op": "=", "value": 12}]})
+    rep = rewrite_manifests_iceberg_native(spark, {"path": tbl})
+    assert rep["created_manifests"] >= 1
+    back = read_iceberg_native(spark, {"path": tbl})
+    assert sorted(r["id"] for r in back.collect()) == [
+        0, 2, 3, 4, 10, 11, 13, 14,
+    ]
+    # rows appended AFTER the rewrite land above every delete's seq
+    write_iceberg_native(
+        spark.createDataFrame([(1,)], "id long").coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    assert sorted(
+        r["id"] for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    ) == [0, 1, 2, 3, 4, 10, 11, 13, 14]
