@@ -1420,13 +1420,6 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         d.get("renames") or d.get("absent") or d.get("dropped") for d in data
     )
     migrate = bool(p.get("migrateSchema"))
-    if len(prev_meta.get("partition-specs") or []) > 1:
-        raise NotImplementedError(
-            "iceberg compact: table has evolved partition specs — "
-            "compaction would need to rewrite every file under the "
-            "default spec (recomputing partition values); use mode: "
-            "overwrite to consolidate the layout first"
-        )
     if evolved and not migrate:
         raise NotImplementedError(
             "iceberg compact: live files span schema evolution — set "
@@ -1463,6 +1456,10 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         sized.append({**d, "size": size})
     zorder = [str(c) for c in (p.get("zOrderBy") or [])]
     full_rewrite = bool(zorder) or (migrate and evolved)
+    # bins key on (spec-id, partition values): a table with an EVOLVED
+    # partition spec (r7) compacts per generation — each file rewrites
+    # under its OWN spec's layout, never crossing generations, the same
+    # contract Iceberg's bin-pack rewrite keeps on multi-spec tables
     bins: list[tuple[tuple, list[dict]]] = []
     if full_rewrite:
         # OPTIMIZE ZORDER and schema-migrating compaction both rewrite
@@ -1470,14 +1467,16 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         # clusters each rewrite on the Morton curve)
         groups_all: dict[tuple, list[dict]] = {}
         for d in sized:
-            key = tuple(sorted((d.get("partition") or {}).items()))
+            key = (d.get("spec_id", 0),
+                   tuple(sorted((d.get("partition") or {}).items())))
             groups_all.setdefault(key, []).append(d)
         bins = sorted(groups_all.items())
     else:
         groups: dict[tuple, list[dict]] = {}
         for d in sized:
             if d["size"] < target or d["path"] in affected:
-                key = tuple(sorted((d.get("partition") or {}).items()))
+                key = (d.get("spec_id", 0),
+                       tuple(sorted((d.get("partition") or {}).items())))
                 groups.setdefault(key, []).append(d)
         for key, files in groups.items():
             files.sort(key=lambda d: d["size"])
@@ -1522,16 +1521,30 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     prev_list = re.sub(r"^file:/{0,2}(/)", r"\1", prev_snap["manifest-list"])
     _, prev_manifests = read_ocf_file(prev_list)
     prev_manifests = list(prev_manifests)
-    first_manifest = re.sub(
-        r"^file:/{0,2}(/)", r"\1", prev_manifests[0]["manifest_path"]
-    )
-    wschema, mmeta, _entries = read_ocf_file_with_meta(first_manifest)
-    df_rec = next(f for f in wschema["fields"] if f["name"] == "data_file")
-    part_avro_fields = next(
-        f for f in df_rec["type"]["fields"] if f["name"] == "partition"
-    )["type"]["fields"]
-    schema_json = (mmeta.get("schema") or b"{}").decode()
-    spec_json = (mmeta.get("partition-spec") or b"[]").decode()
+    # one writer-schema triple PER SPEC GENERATION: an evolved table's
+    # manifests embed different partition records, and a rewrite must
+    # reproduce its generation's encoding byte-for-byte
+    spec_info: dict[int, dict] = {}
+    for mf in prev_manifests:
+        if mf.get("content", 0) != 0:
+            continue  # delete manifests don't define a data layout
+        sid = int(mf.get("partition_spec_id", 0) or 0)
+        if sid in spec_info:
+            continue
+        wschema, mmeta, _entries = read_ocf_file_with_meta(
+            re.sub(r"^file:/{0,2}(/)", r"\1", mf["manifest_path"])
+        )
+        df_rec = next(
+            f for f in wschema["fields"] if f["name"] == "data_file"
+        )
+        spec_info[sid] = {
+            "part_avro_fields": next(
+                f for f in df_rec["type"]["fields"]
+                if f["name"] == "partition"
+            )["type"]["fields"],
+            "schema_json": (mmeta.get("schema") or b"{}").decode(),
+            "spec_json": (mmeta.get("partition-spec") or b"[]").decode(),
+        }
 
     cur_schema = next(
         s for s in prev_meta["schemas"]
@@ -1546,14 +1559,15 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         # rewrites land under the CURRENT schema: the new manifest must
         # embed it, or the reader would re-infer renames against the
         # fresh files from an older generation's embedded schema
-        schema_json = json.dumps(cur_schema)
+        for info in spec_info.values():
+            info["schema_json"] = json.dumps(cur_schema)
     compacted_paths = {d["path"] for _key, files in bins for d in files}
 
     # 1. rewrite each bin (distributed parquet read+write per bin)
-    new_entries = []
+    new_by_spec: dict[int, list[dict]] = {}
     added_rows = 0
     data_dir = os.path.join(table_path, "data", f"compact-{commit_uuid}")
-    for i, (key, files) in enumerate(bins):
+    for i, ((bin_spec, pkey), files) in enumerate(bins):
         out_dir = os.path.join(data_dir, f"bin-{i:05d}")
         bin_has_deletes = deletes and any(d["path"] in affected for d in files)
         if evolved:
@@ -1592,7 +1606,7 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
             )
         else:
             bin_df.coalesce(1).write.parquet(out_dir)
-        pv = dict(key)
+        pv = dict(pkey)
         for root, _dirs, names in os.walk(out_dir):
             for name in sorted(names):
                 if not name.endswith(".parquet"):
@@ -1603,7 +1617,7 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
                 nulls, lows, highs = (
                     _footer_column_stats(fullp, colmap) if colmap else (None,) * 3
                 )
-                new_entries.append({
+                new_by_spec.setdefault(bin_spec, []).append({
                     "status": _STATUS_ADDED,
                     "snapshot_id": snapshot_id,
                     "sequence_number": seq,
@@ -1621,14 +1635,15 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
                         "equality_ids": None,
                     },
                 })
-    # 2. consolidated EXISTING manifest for untouched files, original seqs
+    # 2. consolidated EXISTING manifests for untouched files, original
+    # seqs, one per spec generation
     surviving = [d for d in sized if d["path"] not in compacted_paths]
-    existing_entries = []
+    existing_by_spec: dict[int, list[dict]] = {}
     existing_rows = 0
     for d in surviving:
         rows = int(d.get("record_count") or _parquet_stats(d["path"])[0])
         existing_rows += rows
-        existing_entries.append({
+        existing_by_spec.setdefault(d.get("spec_id", 0), []).append({
             "status": 0,  # EXISTING
             "snapshot_id": None,
             "sequence_number": d["seq"],
@@ -1647,45 +1662,55 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
             },
         })
 
-    extra = {
-        "schema": schema_json,
-        "partition-spec": spec_json,
-        "partition-spec-id": "0",
-        "format-version": "2",
-        "content": "data",
-    }
     manifests = []
-    mpaths = []
-    for tag, entries, counts in (
-        ("m0", new_entries, ("added", added_rows)),
-        ("m1", existing_entries, ("existing", existing_rows)),
-    ):
-        if not entries:
-            continue
-        mp = os.path.join(meta_dir, f"{commit_uuid}-{tag}.avro")
-        mb = write_ocf_bytes(
-            _manifest_entry_schema(part_avro_fields), entries, extra_meta=extra
-        )
-        with open(mp, "wb") as fh:
-            fh.write(mb)
-        kind, rows = counts
-        seqs = [e["sequence_number"] for e in entries]
-        manifests.append({
-            "manifest_path": mp,
-            "manifest_length": len(mb),
-            "partition_spec_id": 0,
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": min(seqs),
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(entries) if kind == "added" else 0,
-            "existing_files_count": len(entries) if kind == "existing" else 0,
-            "deleted_files_count": 0,
-            "added_rows_count": rows if kind == "added" else 0,
-            "existing_rows_count": rows if kind == "existing" else 0,
-            "deleted_rows_count": 0,
-        })
-        mpaths.append(mp)
+    midx = 0
+    n_new = sum(len(v) for v in new_by_spec.values())
+    n_existing = sum(len(v) for v in existing_by_spec.values())
+    for sid in sorted(set(new_by_spec) | set(existing_by_spec)):
+        info = spec_info[sid]
+        extra = {
+            "schema": info["schema_json"],
+            "partition-spec": info["spec_json"],
+            "partition-spec-id": str(sid),
+            "format-version": "2",
+            "content": "data",
+        }
+        for kind, entries in (
+            ("added", new_by_spec.get(sid) or []),
+            ("existing", existing_by_spec.get(sid) or []),
+        ):
+            if not entries:
+                continue
+            mp = os.path.join(meta_dir, f"{commit_uuid}-m{midx}.avro")
+            midx += 1
+            mb = write_ocf_bytes(
+                _manifest_entry_schema(info["part_avro_fields"]),
+                entries,
+                extra_meta=extra,
+            )
+            with open(mp, "wb") as fh:
+                fh.write(mb)
+            rows = sum(
+                int(e["data_file"].get("record_count") or 0) for e in entries
+            )
+            seqs = [e["sequence_number"] for e in entries]
+            manifests.append({
+                "manifest_path": mp,
+                "manifest_length": len(mb),
+                "partition_spec_id": sid,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(seqs),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(entries) if kind == "added" else 0,
+                "existing_files_count": (
+                    len(entries) if kind == "existing" else 0
+                ),
+                "deleted_files_count": 0,
+                "added_rows_count": rows if kind == "added" else 0,
+                "existing_rows_count": rows if kind == "existing" else 0,
+                "deleted_rows_count": 0,
+            })
 
     list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
     list_bytes = write_ocf_bytes(
@@ -1704,12 +1729,12 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         "schema-id": prev_meta.get("current-schema-id", 0),
         "summary": {
             "operation": "replace",
-            "added-data-files": str(len(new_entries)),
+            "added-data-files": str(n_new),
             "deleted-data-files": str(len(compacted_paths)),
             "removed-delete-files": str(len(deletes)),
             "added-records": str(added_rows),
             "total-records": str(added_rows + existing_rows),
-            "total-data-files": str(len(new_entries) + len(existing_entries)),
+            "total-data-files": str(n_new + n_existing),
         },
     }
     if rest is not None:
@@ -1728,7 +1753,7 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         )
         return {
             "compacted_files": len(compacted_paths),
-            "new_files": len(new_entries),
+            "new_files": n_new,
             "materialized_delete_files": len(deletes),
         }
     meta = dict(prev_meta)
@@ -1751,7 +1776,7 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         fh.write(str(version))
     return {
         "compacted_files": len(compacted_paths),
-        "new_files": len(new_entries),
+        "new_files": n_new,
         "materialized_delete_files": len(deletes),
     }
 

@@ -165,7 +165,11 @@ def plan_files(
                     f"iceberg: {fmt} files need the runtime jar "
                     "(native path reads parquet)"
                 )
-            rec = {"path": _strip_scheme(df["file_path"]), "seq": int(seq)}
+            rec = {
+                "path": _strip_scheme(df["file_path"]),
+                "seq": int(seq),
+                "spec_id": int(m.get("partition_spec_id", 0) or 0),
+            }
             if renames or absent or dropped:
                 rec["renames"] = renames
                 rec["absent"] = absent

@@ -2532,9 +2532,37 @@ def test_iceberg_partition_spec_evolution(spark, tmp_path):
     meta = json.loads(open(find_table_metadata(tbl)).read())
     assert [sp["spec-id"] for sp in meta["partition-specs"]] == [0, 1]
 
-    # compaction on a multi-spec table refuses with the workaround
-    with pytest.raises(NotImplementedError, match="evolved partition specs"):
-        compact_iceberg_native(spark, {"path": tbl, "targetFileBytes": 1 << 30})
+    # compaction on a multi-spec table works PER GENERATION (r7): every
+    # file rewrites under its own spec's layout, generations never
+    # cross.  Duplicate the 100-103 append first — same ids land in the
+    # same buckets, so each touched bucket has 2 files and bins fire.
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(100 + i, "c") for i in range(4)], "id long, grp string"
+        ).coalesce(1),
+        {"path": tbl, "mode": "append", "partitionBy": ["bucket(4, id)"]},
+    )
+    rep = compact_iceberg_native(
+        spark, {"path": tbl, "targetFileBytes": 1 << 30})
+    assert rep["compacted_files"] >= 2 and rep["new_files"] >= 1
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    from pipeline_spark.functions.avroocf import read_ocf_file
+    _, mfs = read_ocf_file(snap["manifest-list"])
+    assert {m["partition_spec_id"] for m in mfs} == {0, 1}
+    dup = sorted([100, 101, 102, 103] * 2)
+    assert sorted(
+        r["id"] for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    ) == list(range(8)) + dup + [200]
+    # per-generation pruning still intact after the per-spec rewrite
+    by_grp = read_iceberg_native(
+        spark, {"path": tbl, "partitionFilter": {"grp": "a"}})
+    assert sorted(r["id"] for r in by_grp.collect()) == (
+        [0, 2, 4, 6] + dup + [200]
+    )
 
 
 def test_rest_catalog_partition_spec_evolution(spark, tmp_path):
