@@ -451,19 +451,31 @@ def write_delta_native(
     ict_on_create = (
         str(props.get("delta.enableInCommitTimestamps", "")).lower() == "true"
     )
+    v2ckpt_on_create = (
+        str(props.get("delta.checkpointPolicy", "")).lower() == "v2"
+    )
     if not exists:
-        if ict_on_create:
-            # ICT is a writer table feature: features protocol required
-            # (minWriterVersion 7 lists every writer feature in use)
-            proto: dict[str, Any] = {
-                "minReaderVersion": 3 if cm else 1,
-                "minWriterVersion": 7,
-                "writerFeatures": sorted(
-                    {"inCommitTimestamp"} | ({"columnMapping"} if cm else set())
-                ),
-            }
+        if ict_on_create or v2ckpt_on_create:
+            # table features: features protocol required (minWriterVersion
+            # 7 lists every writer feature in use; reader features bump
+            # minReaderVersion to 3)
+            wfeats = {"inCommitTimestamp"} if ict_on_create else set()
+            rfeats = set()
             if cm:
-                proto["readerFeatures"] = ["columnMapping"]
+                wfeats.add("columnMapping")
+                rfeats.add("columnMapping")
+            if v2ckpt_on_create:
+                # v2Checkpoint is BOTH a reader and writer feature
+                # (PROTOCOL.md: V2 Checkpoint Table Feature)
+                wfeats.add("v2Checkpoint")
+                rfeats.add("v2Checkpoint")
+            proto: dict[str, Any] = {
+                "minReaderVersion": 3 if rfeats else 1,
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(wfeats),
+            }
+            if rfeats:
+                proto["readerFeatures"] = sorted(rfeats)
             actions.append({"protocol": proto})
         else:
             # column mapping needs reader 2 / writer 5 (PROTOCOL.md)
@@ -2000,7 +2012,18 @@ def vacuum_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
 
 
 def write_checkpoint(table: str, version: int) -> None:
-    """Single-part checkpoint parquet + _last_checkpoint hint.
+    """Checkpoint at ``version`` + _last_checkpoint hint.
+
+    Classic single-part parquet by default; when the table's
+    ``delta.checkpointPolicy`` property is ``v2`` (PROTOCOL.md "V2
+    Checkpoint Table Feature", set at create time so the protocol
+    carries the ``v2Checkpoint`` feature), the checkpoint is a
+    UUID-named top file whose ``sidecar`` actions delegate the add
+    state to parquet files under ``_delta_log/_sidecars/``.  That is
+    the 100 TB log shape: the top file stays KB-sized no matter how
+    many live files the table has, and sidecars shard the add actions
+    (``delta.checkpoint.sidecarActionCount``, default 100k/file) so no
+    single checkpoint artifact scales with table size.
 
     ``partitionValues``/``configuration`` are map<string,string> — the
     type delta-spark's checkpoints use (an inferred empty struct would
@@ -2113,6 +2136,71 @@ def write_checkpoint(table: str, version: int) -> None:
             "protocol": None,
         })
     log_dir = os.path.join(table, "_delta_log")
+    conf = (meta or {}).get("configuration") or {}
+    policy = str(conf.get("delta.checkpointPolicy", "classic")).lower()
+    if policy == "v2":
+        # feature-gated: a v2 checkpoint is unreadable to clients without
+        # the reader feature, so never emit one the protocol doesn't declare
+        feats = set((proto or {}).get("readerFeatures") or [])
+        if "v2Checkpoint" not in feats:
+            raise ValueError(
+                "delta checkpoint: delta.checkpointPolicy=v2 but the "
+                "table's protocol lacks the v2Checkpoint reader feature — "
+                "set the property at CREATE time so the protocol carries it"
+            )
+        top_rows = [r for r in rows if r["add"] is None]
+        add_rows = [r["add"] for r in rows if r["add"] is not None]
+        side_dir = os.path.join(log_dir, "_sidecars")
+        os.makedirs(side_dir, exist_ok=True)
+        chunk = max(
+            1, int(conf.get("delta.checkpoint.sidecarActionCount", 100_000))
+        )
+        add_type = schema.field("add").type
+        side_schema = pa.schema([("add", add_type)])
+        now_ms = int(time.time() * 1000)
+        sidecars = []
+        for lo in range(0, len(add_rows), chunk) if add_rows else []:
+            sname = f"{uuid.uuid4()}.parquet"
+            spath = os.path.join(side_dir, sname)
+            pq.write_table(
+                pa.Table.from_pylist(
+                    [{"add": a} for a in add_rows[lo:lo + chunk]],
+                    schema=side_schema,
+                ),
+                spath,
+            )
+            sidecars.append({
+                "path": sname,
+                "sizeInBytes": os.path.getsize(spath),
+                "modificationTime": now_ms,
+            })
+        top_schema = pa.schema([
+            ("checkpointMetadata", pa.struct([("version", pa.int64())])),
+            ("sidecar", pa.struct([
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64()),
+            ])),
+            ("txn", schema.field("txn").type),
+            ("metaData", schema.field("metaData").type),
+            ("protocol", schema.field("protocol").type),
+        ])
+        blank = {"checkpointMetadata": None, "sidecar": None,
+                 "txn": None, "metaData": None, "protocol": None}
+        top = (
+            [{**blank, "checkpointMetadata": {"version": version}}]
+            + [{**blank, "txn": r["txn"], "metaData": r["metaData"],
+                "protocol": r["protocol"]} for r in top_rows]
+            + [{**blank, "sidecar": sc} for sc in sidecars]
+        )
+        path = os.path.join(
+            log_dir, f"{version:020d}.checkpoint.{uuid.uuid4()}.parquet"
+        )
+        pq.write_table(pa.Table.from_pylist(top, schema=top_schema), path)
+        with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+            json.dump({"version": version, "size": len(rows),
+                       "checkpointPolicy": "v2"}, fh)
+        return
     path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
     pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:

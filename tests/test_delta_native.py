@@ -2630,3 +2630,66 @@ def test_partitioned_append_across_commits_reads(spark, tmp_path):
     pruned = read_delta_native(
         spark, {"path": tbl, "partitionFilter": {"grp": "odd"}})
     assert sorted(r["id"] for r in pruned.collect()) == [1, 3, 5, 7, 9]
+
+
+def test_v2_checkpoint_write(spark, tmp_path):
+    """r7: v2 checkpoint WRITE symmetry — a table created with
+    delta.checkpointPolicy=v2 (protocol carries the v2Checkpoint
+    reader+writer feature) checkpoints as a UUID-named top file whose
+    add state lives in _delta_log/_sidecars/ parquet shards; replay off
+    the checkpoint alone reproduces the table, and the top file stays
+    constant-size (sidecars shard by sidecarActionCount)."""
+    import glob
+
+    tbl = str(tmp_path / "v2cpw")
+    props = {
+        "delta.checkpointPolicy": "v2",
+        # 1-action sidecars: multiple shards even at test scale
+        "delta.checkpoint.sidecarActionCount": "1",
+    }
+    write_delta_native(
+        spark, spark.range(0, 50).coalesce(1),
+        {"path": tbl, "properties": props, "checkpointInterval": 2},
+    )
+    proto = replay_log(tbl)[2]
+    assert "v2Checkpoint" in (proto.get("readerFeatures") or [])
+    assert "v2Checkpoint" in (proto.get("writerFeatures") or [])
+    for lo in (50, 100, 150):
+        write_delta_native(
+            spark, spark.range(lo, lo + 50).coalesce(1),
+            {"path": tbl, "mode": "append", "checkpointInterval": 2},
+        )
+    log = os.path.join(tbl, "_delta_log")
+    assert not glob.glob(os.path.join(log, "*.checkpoint.parquet"))
+    tops = glob.glob(os.path.join(log, "*.checkpoint.*.parquet"))
+    assert tops, "no v2 checkpoint written at the interval"
+    sidecars = glob.glob(os.path.join(log, "_sidecars", "*.parquet"))
+    # version-2 checkpoint has 3 add actions -> 3 one-action sidecars
+    assert len(sidecars) >= 3
+    hint = json.loads(open(os.path.join(log, "_last_checkpoint")).read())
+    assert hint["checkpointPolicy"] == "v2"
+
+    # replay must work from the checkpoint ALONE: drop the JSON commits
+    # at and below it (what a cleaned-up 100 TB log looks like)
+    for v in range(hint["version"] + 1):
+        p = os.path.join(log, f"{v:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    back = read_delta_native(spark, {"path": tbl})
+    assert sorted(r["id"] for r in back.collect()) == list(range(200))
+
+    # the guard: policy=v2 on a table whose protocol lacks the feature
+    tbl2 = str(tmp_path / "v2cpw_bad")
+    write_delta_native(spark, spark.range(3).coalesce(1), {"path": tbl2})
+    meta_path = sorted(
+        glob.glob(os.path.join(tbl2, "_delta_log", "*.json")))[0]
+    lines = [json.loads(ln) for ln in open(meta_path)]
+    for ln in lines:
+        if "metaData" in ln:
+            ln["metaData"]["configuration"] = {
+                "delta.checkpointPolicy": "v2"}
+    with open(meta_path, "w") as fh:
+        for ln in lines:
+            fh.write(json.dumps(ln) + "\n")
+    with pytest.raises(ValueError, match="v2Checkpoint reader feature"):
+        write_checkpoint(tbl2, 0)
