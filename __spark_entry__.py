@@ -4450,6 +4450,160 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution (r7): orders commit partitioned by
+    priority, then the SAME rows append under bucket(4, o_custkey) with
+    evolvePartitionSpec — fresh spec-id, ZERO data motion — and per-spec
+    compaction rewrites each generation under its own layout.  A
+    partitionFilter on the OLD field prunes only old-generation files
+    (files that predate a partition field are kept, Iceberg's rule), so
+    the result is urgent rows from copy 1 plus ALL rows from copy 2.
+    Reference: mercari/pipeline has no spec evolution; Iceberg spec
+    §Partition Evolution."""
+    import shutil
+
+    from pipeline_spark.sinks.iceberg_native import (
+        compact_iceberg_native,
+        write_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    tbl = _tmp_path("ice_specev", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    slim = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    write_iceberg_native(
+        slim, {"path": tbl, "mode": "create",
+               "partitionBy": ["o_orderpriority"]},
+    )
+    write_iceberg_native(
+        slim, {"path": tbl, "mode": "append",
+               "partitionBy": ["bucket(4, o_custkey)"],
+               "evolvePartitionSpec": True},
+    )
+    rep = compact_iceberg_native(
+        spark, {"path": tbl, "targetFileBytes": 1 << 30}
+    )
+    assert rep["new_files"] >= 0  # per-spec compaction must not error
+    back = read_iceberg_native(
+        spark, {"path": tbl,
+                "partitionFilter": {"o_orderpriority": "1-URGENT"}}
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_custkey").alias("cust_sum"),
+    )
+
+
+Q_ICE_SPECEV_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+FROM (
+  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+) GROUP BY o_orderpriority
+"""
+
+
+def q_iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rewrite_manifests (r7): three appends leave three manifests; the
+    rewrite merges them into ONE EXISTING-status manifest (original data
+    sequence numbers preserved) as a metadata-only replace snapshot —
+    the fix for the tiny-manifest planning tax of micro-batch-fed
+    tables.  Data skipping still prunes off the merged manifest's
+    carried stats.  Iceberg spec §Manifests / RewriteManifestsAction."""
+    import shutil
+
+    from pipeline_spark.sinks.iceberg_native import (
+        rewrite_manifests_iceberg_native,
+        write_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    tbl = _tmp_path("ice_rwm", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    slim = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    for i in range(3):
+        write_iceberg_native(
+            slim, {"path": tbl, "mode": "create" if i == 0 else "append"},
+        )
+    rep = rewrite_manifests_iceberg_native(spark, {"path": tbl})
+    assert rep["rewritten_manifests"] == 3 and rep["created_manifests"] == 1
+    back = read_iceberg_native(spark, {"path": tbl})
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+Q_ICE_RWM_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total_price
+FROM (
+  SELECT * FROM orders UNION ALL SELECT * FROM orders
+  UNION ALL SELECT * FROM orders
+) GROUP BY o_orderstatus
+"""
+
+
+def q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta v2 checkpoint write symmetry (r7): a table created with
+    delta.checkpointPolicy=v2 (protocol carries the v2Checkpoint
+    feature) checkpoints as a UUID top file + _sidecars/ shards at the
+    interval; the read replays THROUGH the v2 checkpoint (pre-checkpoint
+    JSON commits deleted to prove it).  PROTOCOL.md §V2 Checkpoint."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    from pipeline_spark.sinks.delta_native import write_delta_native
+    from pipeline_spark.sources.delta_native import read_delta_native
+
+    tbl = _tmp_path("delta_v2cp", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    slim = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_delta_native(
+        spark, slim,
+        {"path": tbl, "checkpointInterval": 1,
+         "properties": {"delta.checkpointPolicy": "v2"}},
+    )
+    write_delta_native(
+        spark, slim,
+        {"path": tbl, "mode": "append", "checkpointInterval": 1},
+    )
+    log = os.path.join(tbl, "_delta_log")
+    hint = _json.loads(open(os.path.join(log, "_last_checkpoint")).read())
+    assert hint.get("checkpointPolicy") == "v2"
+    assert glob.glob(os.path.join(log, "_sidecars", "*.parquet"))
+    # prove replay runs off the v2 checkpoint alone
+    for v in range(hint["version"] + 1):
+        pth = os.path.join(log, f"{v:020d}.json")
+        if os.path.exists(pth):
+            os.remove(pth)
+    back = read_delta_native(spark, {"path": tbl})
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+Q_DELTA_V2CP_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total_price
+FROM (
+  SELECT * FROM orders UNION ALL SELECT * FROM orders
+) GROUP BY o_orderstatus
+"""
+
+
 def q_iceberg_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """iceberg v2 merge-on-read: nation committed natively (one sorted
     data file), then a POSITION delete file (row ordinals 0,1 →
@@ -4697,6 +4851,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_evolved_mor": q_iceberg_evolved_mor,
         "iceberg_cdc_upsert": q_iceberg_cdc_upsert,
         "streaming_panes": q_streaming_panes,
+        "iceberg_spec_evolution": q_iceberg_spec_evolution,
+        "iceberg_rewrite_manifests": q_iceberg_rewrite_manifests,
+        "delta_v2_checkpoint": q_delta_v2_checkpoint,
         # --- relational core rotated back in (r6 ask #3)
         "agg_argminmax": q_agg_argminmax,
         "agg_firstlast": q_agg_firstlast,
@@ -4886,6 +5043,9 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_evolved_mor": Q_ICEBERG_EVMOR_SQL,
         "iceberg_cdc_upsert": Q_ICEBERG_CDC_SQL,
         "streaming_panes": Q_STREAM_PANES_SQL,
+        "iceberg_spec_evolution": Q_ICE_SPECEV_SQL,
+        "iceberg_rewrite_manifests": Q_ICE_RWM_SQL,
+        "delta_v2_checkpoint": Q_DELTA_V2CP_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,
         "bucketed_join": Q_BUCKETED_JOIN_SQL,
         "gopher_rules": Q_GOPHER_SQL,
