@@ -2201,6 +2201,26 @@ def write_checkpoint(table: str, version: int) -> None:
             json.dump({"version": version, "size": len(rows),
                        "checkpointPolicy": "v2"}, fh)
         return
+    part_size = int(conf.get("delta.checkpoint.partSize", 0) or 0)
+    if part_size > 0 and len(rows) > part_size:
+        # multi-part classic checkpoint (<v>.checkpoint.<part>.<parts>
+        # .parquet + a "parts" hint): the pre-v2 way to keep any single
+        # checkpoint artifact bounded when the add state outgrows one
+        # file; readers consolidate all parts (ours included)
+        chunks = [
+            rows[lo:lo + part_size] for lo in range(0, len(rows), part_size)
+        ]
+        for i, chunk in enumerate(chunks, start=1):
+            path = os.path.join(
+                log_dir,
+                f"{version:020d}.checkpoint.{i:010d}.{len(chunks):010d}"
+                ".parquet",
+            )
+            pq.write_table(pa.Table.from_pylist(chunk, schema=schema), path)
+        with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+            json.dump({"version": version, "size": len(rows),
+                       "parts": len(chunks)}, fh)
+        return
     path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
     pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:

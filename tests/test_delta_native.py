@@ -2693,3 +2693,34 @@ def test_v2_checkpoint_write(spark, tmp_path):
             fh.write(json.dumps(ln) + "\n")
     with pytest.raises(ValueError, match="v2Checkpoint reader feature"):
         write_checkpoint(tbl2, 0)
+
+
+def test_multipart_checkpoint_write(spark, tmp_path):
+    """r7: multi-part classic checkpoint write — delta.checkpoint.partSize
+    shards the actions across <v>.checkpoint.<i>.<n>.parquet parts with a
+    'parts' hint; replay consolidates all parts (pre-checkpoint commits
+    deleted to prove it)."""
+    import glob
+
+    tbl = str(tmp_path / "mpcp")
+    props = {"delta.checkpoint.partSize": "3"}
+    write_delta_native(
+        spark, spark.range(0, 40).repartition(4),
+        {"path": tbl, "properties": props, "checkpointInterval": 1},
+    )
+    write_delta_native(
+        spark, spark.range(40, 80).repartition(4),
+        {"path": tbl, "mode": "append", "checkpointInterval": 1},
+    )
+    log = os.path.join(tbl, "_delta_log")
+    parts = glob.glob(os.path.join(log, "*.checkpoint.*.*.parquet"))
+    assert len(parts) >= 2, parts
+    assert not glob.glob(os.path.join(log, "*.checkpoint.parquet"))
+    hint = json.loads(open(os.path.join(log, "_last_checkpoint")).read())
+    assert hint["parts"] == len(parts)
+    for v in range(hint["version"] + 1):
+        p = os.path.join(log, f"{v:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    back = read_delta_native(spark, {"path": tbl})
+    assert sorted(r["id"] for r in back.collect()) == list(range(80))
