@@ -2981,3 +2981,36 @@ def test_iceberg_rewrite_manifests_mor(spark, tmp_path):
     assert sorted(
         r["id"] for r in read_iceberg_native(spark, {"path": tbl}).collect()
     ) == [0, 1, 2, 3, 4, 10, 11, 13, 14]
+
+
+def test_rest_catalog_remove_orphans(spark, tmp_path):
+    """r7: remove_orphan_files on a catalog table — the reachable walk
+    runs off the catalog's metadata; cleanup is client-side against the
+    staging location and commits nothing."""
+    from pipeline_spark.sinks.iceberg_native import (
+        remove_orphans_iceberg_native,
+    )
+
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        loc = str(tmp_path / "rest_orph")
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.orph", "location": loc}
+        write_iceberg_native(
+            spark.createDataFrame([(1,), (2,)], "id long").coalesce(1),
+            {**cat_p, "mode": "create"},
+        )
+        orphan = os.path.join(loc, "data", "crashed-writer.parquet")
+        with open(orphan, "wb") as fh:
+            fh.write(b"never committed")
+        stale = time.time() - 10 * 24 * 3600
+        os.utime(orphan, (stale, stale))
+        rep = remove_orphans_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.orph"})
+        assert rep["removed_files"] >= 1
+        assert not os.path.exists(orphan)
+        back = read_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.orph"})
+        assert sorted(r["id"] for r in back.collect()) == [1, 2]
+    finally:
+        srv.shutdown()
