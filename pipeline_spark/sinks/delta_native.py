@@ -379,6 +379,10 @@ def write_delta_native(
     writer = to_physical_df(df, cm).write.mode("errorifexists")
     if part_cols:
         writer = writer.partitionBy(*phys_part_cols)
+    for bcol in p.get("bloomFilterColumns") or []:
+        # parquet bloom filters: row-group point-lookup skipping for
+        # high-cardinality keys whose min/max bounds can't prune
+        writer = writer.option(f"parquet.bloom.filter.enabled#{bcol}", "true")
     writer.parquet(staging)
     if obs is not None:
         violated = {k: v for k, v in obs.get.items() if v}

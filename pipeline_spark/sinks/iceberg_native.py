@@ -667,12 +667,15 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
     # temp columns are consumed by partitionBy and stay out of the files,
     # while identity SOURCE columns remain inside them)
     data_dir = os.path.join(table_path, "data", commit_uuid)
+    dw = df_w.write.mode("errorifexists")
+    for bcol in p.get("bloomFilterColumns") or []:
+        # parquet bloom filters: row-group point-lookup skipping for
+        # high-cardinality keys whose min/max bounds can't prune
+        dw = dw.option(f"parquet.bloom.filter.enabled#{bcol}", "true")
     if part_info:
-        df_w.write.mode("errorifexists").partitionBy(
-            [t for t, _, _ in part_info]
-        ).parquet(data_dir)
+        dw.partitionBy([t for t, _, _ in part_info]).parquet(data_dir)
     else:
-        df_w.write.mode("errorifexists").parquet(data_dir)
+        dw.parquet(data_dir)
     data_files = sorted(
         os.path.join(root, n)
         for root, _dirs, names in os.walk(data_dir)

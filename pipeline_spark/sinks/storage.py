@@ -168,6 +168,15 @@ def storage_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
     if fmt == "parquet":
         if codec:
             writer = writer.option("compression", codec.lower())
+        # parquet bloom filters (parquet-mr writer properties): at 100 TB
+        # a point lookup on a high-cardinality key (doc_id, url hash)
+        # skips row groups the min/max bounds can't — bounds on near-
+        # uniform keys span everything, blooms answer "definitely not
+        # here" per row group.  Costs ~1% file size on the named columns.
+        for col in p.get("bloomFilterColumns") or []:
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{col}", "true"
+            )
         writer.parquet(path)
     elif fmt == "avro":
         try:

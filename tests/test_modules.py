@@ -1594,3 +1594,61 @@ def test_aggregation_rollup_cube_pivot_params(spark):
         run({"groupFields": ["a"], "groupType": "cube",
              "pivot": {"field": "b"},
              "aggregations": [{"name": "n", "op": "count"}]})
+
+
+def test_parquet_bloom_filter_columns(spark, tmp_path):
+    """r7: bloomFilterColumns plumbs parquet-mr bloom filter writer
+    properties through the storage / iceberg / delta sinks — row-group
+    point-lookup skipping for high-cardinality keys whose min/max bounds
+    can't prune.  pyarrow 16 doesn't expose bloom offsets, so the
+    assertion is the deterministic size delta (parquet-mr appends the
+    bloom bitset, default 1 MiB cap, after the data pages)."""
+    import glob
+    import os
+
+    from pipeline_spark.sinks.delta_native import write_delta_native
+    from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+
+    df = spark.range(100_000).selectExpr(
+        "id", "cast(id as string) AS k"
+    ).coalesce(1)
+
+    def _one_file_size(pattern):
+        fs = glob.glob(pattern, recursive=True)
+        assert len(fs) >= 1, pattern
+        return sum(os.path.getsize(f) for f in fs)
+
+    plain = str(tmp_path / "plain")
+    df.write.parquet(plain)
+    base = _one_file_size(os.path.join(plain, "*.parquet"))
+
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    out = str(tmp_path / "bloomed")
+    run_pipeline(spark, parse_config(f"""
+sources:
+  - name: rows
+    module: storage
+    parameters: {{format: parquet, input: {src}}}
+sinks:
+  - name: w
+    module: storage
+    inputs: [rows]
+    parameters:
+      format: parquet
+      output: {out}
+      bloomFilterColumns: [k]
+"""))
+    assert _one_file_size(os.path.join(out, "**", "*.parquet")) > base + 500_000
+
+    ice = str(tmp_path / "ice_bloom")
+    write_iceberg_native(
+        df, {"path": ice, "mode": "create", "bloomFilterColumns": ["k"]})
+    assert _one_file_size(
+        os.path.join(ice, "data", "**", "*.parquet")) > base + 500_000
+
+    dl = str(tmp_path / "delta_bloom")
+    write_delta_native(
+        spark, df, {"path": dl, "bloomFilterColumns": ["k"]})
+    assert _one_file_size(
+        os.path.join(dl, "data-*", "**", "*.parquet")) > base + 500_000
