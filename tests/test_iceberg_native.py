@@ -3014,3 +3014,54 @@ def test_rest_catalog_remove_orphans(spark, tmp_path):
         assert sorted(r["id"] for r in back.collect()) == [1, 2]
     finally:
         srv.shutdown()
+
+
+def test_iceberg_maintenance_lifecycle(spark, tmp_path):
+    """r7: the full maintenance triad composes — micro-batch appends,
+    rewrite_manifests (planning tax), expire_snapshots (storage reclaim,
+    drops the superseded tiny manifests), remove_orphan_files (crash
+    leftovers) — and the table reads identically after every step."""
+    from pipeline_spark.functions.avroocf import read_ocf_file
+    from pipeline_spark.sinks.iceberg_native import (
+        expire_iceberg_native,
+        remove_orphans_iceberg_native,
+        rewrite_manifests_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    tbl = str(tmp_path / "ice_life")
+    expected = []
+    for lo in (0, 10, 20, 30, 40):
+        write_iceberg_native(
+            spark.createDataFrame(
+                [(lo + i,) for i in range(5)], "id long"
+            ).coalesce(1),
+            {"path": tbl, "mode": "create" if lo == 0 else "append"},
+        )
+        expected += [lo + i for i in range(5)]
+
+    def _read_ids():
+        return sorted(
+            r["id"]
+            for r in read_iceberg_native(spark, {"path": tbl}).collect()
+        )
+
+    rep = rewrite_manifests_iceberg_native(spark, {"path": tbl})
+    assert rep["rewritten_manifests"] == 5
+    assert _read_ids() == expected
+
+    n_avro_before = len(
+        [f for f in os.listdir(os.path.join(tbl, "metadata"))
+         if f.endswith(".avro")])
+    rep = expire_iceberg_native(spark, {"path": tbl, "retainLast": 1})
+    assert rep["expired_snapshots"] == 5  # 5 appends; rewrite snap retained
+    assert rep["removed_manifests"] >= 5  # the superseded tiny manifests
+    n_avro_after = len(
+        [f for f in os.listdir(os.path.join(tbl, "metadata"))
+         if f.endswith(".avro")])
+    assert n_avro_after < n_avro_before
+    assert _read_ids() == expected
+
+    rep = remove_orphans_iceberg_native(
+        spark, {"path": tbl, "olderThanMs": 0})
+    assert _read_ids() == expected  # sweep never touches reachable state
