@@ -667,10 +667,58 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
     # temp columns are consumed by partitionBy and stay out of the files,
     # while identity SOURCE columns remain inside them)
     data_dir = os.path.join(table_path, "data", commit_uuid)
+    # sort order (spec §Sorting): sortBy sorts WITHIN each write task
+    # (no extra shuffle) so every data file is clustered on the sort
+    # columns — tighter Appendix-C bounds, better page skipping.  An
+    # append with no param inherits the table's default sort order.
+    sort_by = [str(c) for c in (p.get("sortBy") or [])]
+    if not sort_by and mode == "append" and prev_meta is not None:
+        dsid = prev_meta.get("default-sort-order-id", 0)
+        order = next(
+            (o for o in (prev_meta.get("sort-orders") or [])
+             if o.get("order-id") == dsid),
+            None,
+        ) if dsid else None
+        if order:
+            cur_s = next(
+                (s for s in prev_meta.get("schemas", [])
+                 if s.get("schema-id", 0)
+                 == prev_meta.get("current-schema-id", 0)),
+                {"fields": []},
+            )
+            by_id = {f["id"]: f["name"] for f in cur_s["fields"]}
+            sort_by = [
+                by_id[f["source-id"]]
+                for f in order.get("fields", [])
+                if f.get("transform") == "identity"
+                and f.get("source-id") in by_id
+            ]
+    if sort_by:
+        missing_s = [c for c in sort_by if c not in df.columns]
+        if missing_s:
+            raise ValueError(
+                f"iceberg: sortBy columns {missing_s} not in input"
+            )
+        df_w = df_w.sortWithinPartitions(*sort_by)
     dw = df_w.write.mode("errorifexists")
-    for bcol in p.get("bloomFilterColumns") or []:
-        # parquet bloom filters: row-group point-lookup skipping for
-        # high-cardinality keys whose min/max bounds can't prune
+    # parquet bloom filters: row-group point-lookup skipping for
+    # high-cardinality keys whose min/max bounds can't prune — from the
+    # write param, the spec's per-column table property (appends honor
+    # the table's own contract), or a create-time `properties` param
+    bloom_cols = set(p.get("bloomFilterColumns") or [])
+    prop_sources = (
+        (prev_meta or {}).get("properties") or {},
+        p.get("properties") or {},
+    )
+    for src_props in prop_sources:
+        for k, v in src_props.items():
+            m = re.match(
+                r"^write\.parquet\.bloom-filter-enabled\.column\.(.+)$",
+                str(k),
+            )
+            if m and str(v).lower() == "true":
+                bloom_cols.add(m.group(1))
+    for bcol in sorted(bloom_cols):
         dw = dw.option(f"parquet.bloom.filter.enabled#{bcol}", "true")
     if part_info:
         dw.partitionBy([t for t, _, _ in part_info]).parquet(data_dir)
@@ -874,7 +922,14 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
                 "location": table_path,
                 "schema": {**schema, "identifier-field-ids": []},
                 "partition-spec": {"spec-id": 0, "fields": spec_fields},
-                "write-order": None,
+                "write-order": (
+                    {"order-id": 1, "fields": [
+                        {"transform": "identity",
+                         "source-id": source_ids[c],
+                         "direction": "asc", "null-order": "nulls-first"}
+                        for c in sort_by
+                    ]} if sort_by else None
+                ),
                 "stage-create": False,
                 "properties": {
                     "write.format.default": "parquet",
@@ -999,6 +1054,10 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         schemas_list = [{**schema, "schema-id": 0}]
         cur_sid = 0
         props = {
+            # user table properties first (e.g. the spec's per-column
+            # write.parquet.bloom-filter-enabled.column.X), reserved
+            # keys below always win
+            **{str(k): str(v) for k, v in (p.get("properties") or {}).items()},
             "write.format.default": "parquet",
             "schema.name-mapping.default": json.dumps(
                 _name_mapping(schema["fields"])
@@ -1023,6 +1082,30 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         specs_list = [{"spec-id": 0, "fields": spec_fields}]
         last_partition_id = 999 + len(spec_fields)
 
+    # sort orders: create-with-sortBy records order-id 1 and makes it
+    # the default; appends preserve the table's order history verbatim
+    if mode == "append" and prev_meta is not None:
+        sort_orders_list = [
+            dict(o) for o in (
+                prev_meta.get("sort-orders")
+                or [{"order-id": 0, "fields": []}]
+            )
+        ]
+        default_sort_id = prev_meta.get("default-sort-order-id", 0)
+    elif sort_by:
+        sort_orders_list = [
+            {"order-id": 0, "fields": []},
+            {"order-id": 1, "fields": [
+                {"transform": "identity", "source-id": source_ids[c],
+                 "direction": "asc", "null-order": "nulls-first"}
+                for c in sort_by
+            ]},
+        ]
+        default_sort_id = 1
+    else:
+        sort_orders_list = [{"order-id": 0, "fields": []}]
+        default_sort_id = 0
+
     meta = {
         "format-version": 2,
         "table-uuid": table_uuid,
@@ -1035,8 +1118,8 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         "default-spec-id": this_spec_id,
         "partition-specs": specs_list,
         "last-partition-id": last_partition_id,
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": default_sort_id,
+        "sort-orders": sort_orders_list,
         "properties": props,
         "current-snapshot-id": current_id,
         "refs": refs,

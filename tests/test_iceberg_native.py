@@ -3065,3 +3065,89 @@ def test_iceberg_maintenance_lifecycle(spark, tmp_path):
     rep = remove_orphans_iceberg_native(
         spark, {"path": tbl, "olderThanMs": 0})
     assert _read_ids() == expected  # sweep never touches reachable state
+
+
+def test_iceberg_bloom_table_property(spark, tmp_path):
+    """r7: the spec's own per-column bloom property
+    (write.parquet.bloom-filter-enabled.column.X, set at create via
+    `properties`) persists in table metadata and every APPEND honors it
+    without re-passing any param — the table owns its write contract."""
+    import glob
+
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    df = spark.range(100_000).selectExpr(
+        "id", "cast(id as string) AS k"
+    ).coalesce(1)
+    plain = str(tmp_path / "plain")
+    df.write.parquet(plain)
+    base = os.path.getsize(glob.glob(os.path.join(plain, "*.parquet"))[0])
+
+    tbl = str(tmp_path / "ice_bloomprop")
+    write_iceberg_native(df, {
+        "path": tbl, "mode": "create",
+        "properties": {
+            "write.parquet.bloom-filter-enabled.column.k": "true"},
+    })
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    assert meta["properties"][
+        "write.parquet.bloom-filter-enabled.column.k"] == "true"
+    # append WITHOUT any bloom param: the table property drives it
+    write_iceberg_native(df, {"path": tbl, "mode": "append"})
+    sizes = sorted(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(tbl, "data", "**", "*.parquet"),
+                           recursive=True)
+    )
+    assert len(sizes) == 2 and all(s > base + 500_000 for s in sizes)
+
+
+def test_iceberg_sort_order(spark, tmp_path):
+    """r7 (spec §Sorting): sortBy clusters every data file on the sort
+    columns via sortWithinPartitions (no extra shuffle), records the
+    sort order under order-id 1 as the table default, and appends
+    WITHOUT the param inherit it — files stay clustered, so Appendix-C
+    bounds stay tight."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    tbl = str(tmp_path / "ice_sorted")
+    df = spark.createDataFrame(
+        [((i * 37) % 100, f"v{i}") for i in range(100)], "k long, v string"
+    ).coalesce(1)
+    write_iceberg_native(df, {"path": tbl, "mode": "create", "sortBy": ["k"]})
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    assert meta["default-sort-order-id"] == 1
+    order = next(
+        o for o in meta["sort-orders"] if o["order-id"] == 1)
+    assert order["fields"][0]["direction"] == "asc"
+    assert order["fields"][0]["transform"] == "identity"
+
+    def _all_files_sorted():
+        for f in glob.glob(
+            os.path.join(tbl, "data", "**", "*.parquet"), recursive=True
+        ):
+            ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+            if ks != sorted(ks):
+                return False
+        return True
+
+    assert _all_files_sorted()
+    # append with no param: the table's default order drives the sort
+    write_iceberg_native(
+        spark.createDataFrame(
+            [((i * 53) % 100, "x") for i in range(100)], "k long, v string"
+        ).coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    assert meta["default-sort-order-id"] == 1  # history preserved
+    assert _all_files_sorted()
+    assert read_iceberg_native(spark, {"path": tbl}).count() == 200
+    with pytest.raises(ValueError, match="sortBy columns"):
+        write_iceberg_native(
+            df, {"path": str(tmp_path / "bad"), "mode": "create",
+                 "sortBy": ["nope"]})
