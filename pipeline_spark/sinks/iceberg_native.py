@@ -1641,6 +1641,23 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         for f in cur_schema["fields"]
         if isinstance(f["type"], str)
     }
+    # the table's default sort order (r7): rewritten bins re-cluster on
+    # its identity columns so compaction preserves the write contract
+    sort_cols: list[str] = []
+    dsid = prev_meta.get("default-sort-order-id", 0)
+    if dsid:
+        order = next(
+            (o for o in (prev_meta.get("sort-orders") or [])
+             if o.get("order-id") == dsid),
+            None,
+        )
+        by_id = {f["id"]: f["name"] for f in cur_schema["fields"]}
+        sort_cols = [
+            by_id[f["source-id"]]
+            for f in (order or {}).get("fields", [])
+            if f.get("transform") == "identity"
+            and f.get("source-id") in by_id
+        ]
     if migrate and evolved:
         # rewrites land under the CURRENT schema: the new manifest must
         # embed it, or the reader would re-infer renames against the
@@ -1691,7 +1708,13 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
                 .write.parquet(out_dir)
             )
         else:
-            bin_df.coalesce(1).write.parquet(out_dir)
+            w = bin_df.coalesce(1)
+            if sort_cols:
+                # re-cluster on the table's default sort order: a rewrite
+                # that dropped the sort would silently un-tighten every
+                # rewritten file's bounds
+                w = w.sortWithinPartitions(*sort_cols)
+            w.write.parquet(out_dir)
         pv = dict(pkey)
         for root, _dirs, names in os.walk(out_dir):
             for name in sorted(names):

@@ -3151,3 +3151,35 @@ def test_iceberg_sort_order(spark, tmp_path):
         write_iceberg_native(
             df, {"path": str(tmp_path / "bad"), "mode": "create",
                  "sortBy": ["nope"]})
+
+
+def test_iceberg_compact_preserves_sort_order(spark, tmp_path):
+    """r7: compaction re-clusters rewritten bins on the table's default
+    sort order — a rewrite must not silently un-tighten the bounds the
+    sorted write contract bought."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.sinks.iceberg_native import compact_iceberg_native
+
+    tbl = str(tmp_path / "ice_sortcomp")
+    for lo in (0, 1):
+        write_iceberg_native(
+            spark.createDataFrame(
+                [((i * 37 + lo) % 100, lo) for i in range(50)],
+                "k long, b long",
+            ).coalesce(1),
+            {"path": tbl, "mode": "create" if lo == 0 else "append",
+             **({"sortBy": ["k"]} if lo == 0 else {})},
+        )
+    rep = compact_iceberg_native(
+        spark, {"path": tbl, "targetFileBytes": 1 << 30})
+    assert rep["compacted_files"] == 2 and rep["new_files"] == 1
+    for f in glob.glob(
+        os.path.join(tbl, "data", "compact-*", "**", "*.parquet"),
+        recursive=True,
+    ):
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks), f
+    assert read_iceberg_native(spark, {"path": tbl}).count() == 100
