@@ -325,6 +325,38 @@ def write_delta_native(
     phys_part_cols = (
         [cm["phys_of"].get(c, c) for c in part_cols] if cm else part_cols
     )
+    # liquid clustering (PROTOCOL.md: Clustered Table + Domain Metadata):
+    # clusterBy at create records the column list in the delta.clustering
+    # domain; every write clusters its files via sortWithinPartitions (no
+    # shuffle) and OPTIMIZE re-clusters on these columns by default
+    cluster_by = [str(c) for c in (p.get("clusterBy") or [])]
+    if exists:
+        from pipeline_spark.sources.delta_native import replay_domains
+
+        dm = replay_domains(table).get("delta.clustering")
+        existing_cluster: list[str] = []
+        if dm:
+            try:
+                existing_cluster = [
+                    c[-1] if isinstance(c, list) else str(c)
+                    for c in json.loads(dm.get("configuration") or "{}")
+                    .get("clusteringColumns") or []
+                ]
+            except (ValueError, TypeError):
+                existing_cluster = []
+        if cluster_by and existing_cluster and cluster_by != existing_cluster:
+            raise ValueError(
+                f"delta sink: clusterBy {cluster_by} differs from the "
+                f"table's clustering columns {existing_cluster}; changing "
+                "them needs a new table (or drop the param to inherit)"
+            )
+        cluster_by = cluster_by or existing_cluster
+    if cluster_by:
+        missing_c = [c for c in cluster_by if c not in df.columns]
+        if missing_c:
+            raise ValueError(
+                f"delta sink: clusterBy columns {missing_c} not in input"
+            )
     # CHECK constraints (PROTOCOL.md: delta.constraints.* table
     # properties, writer-must-enforce): violations counted through an
     # Observation riding the data write itself — zero extra scan; a
@@ -376,7 +408,10 @@ def write_delta_native(
     commit_id = uuid.uuid4().hex
     data_dir = f"data-{commit_id}"
     staging = os.path.join(table, data_dir)
-    writer = to_physical_df(df, cm).write.mode("errorifexists")
+    df_to_stage = (
+        df.sortWithinPartitions(*cluster_by) if cluster_by else df
+    )
+    writer = to_physical_df(df_to_stage, cm).write.mode("errorifexists")
     if part_cols:
         writer = writer.partitionBy(*phys_part_cols)
     for bcol in p.get("bloomFilterColumns") or []:
@@ -459,7 +494,7 @@ def write_delta_native(
         str(props.get("delta.checkpointPolicy", "")).lower() == "v2"
     )
     if not exists:
-        if ict_on_create or v2ckpt_on_create:
+        if ict_on_create or v2ckpt_on_create or cluster_by:
             # table features: features protocol required (minWriterVersion
             # 7 lists every writer feature in use; reader features bump
             # minReaderVersion to 3)
@@ -473,6 +508,10 @@ def write_delta_native(
                 # (PROTOCOL.md: V2 Checkpoint Table Feature)
                 wfeats.add("v2Checkpoint")
                 rfeats.add("v2Checkpoint")
+            if cluster_by:
+                # clustered tables: writer-only features — readers
+                # ignore clustering entirely (PROTOCOL.md)
+                wfeats |= {"clustering", "domainMetadata"}
             proto: dict[str, Any] = {
                 "minReaderVersion": 3 if rfeats else 1,
                 "minWriterVersion": 7,
@@ -500,6 +539,16 @@ def write_delta_native(
                 "createdTime": now_ms,
             }
         })
+        if cluster_by:
+            actions.append({
+                "domainMetadata": {
+                    "domain": "delta.clustering",
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [[c] for c in cluster_by]}
+                    ),
+                    "removed": False,
+                }
+            })
     if evolved_schema is not None:
         # schema evolution: re-commit the metaData action with the union
         # schema; everything else (id, partitioning) stays — except the
@@ -847,6 +896,23 @@ def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
         # under physical names, so the logical mapping never enters
         part_cols = [cm["phys_of"].get(c, c) for c in part_cols]
 
+    if not p.get("zOrderBy"):
+        # clustered table (r7): OPTIMIZE re-clusters on the table's own
+        # delta.clustering columns by default, delta-spark's contract
+        from pipeline_spark.sources.delta_native import replay_domains
+
+        dm = replay_domains(table).get("delta.clustering")
+        if dm:
+            try:
+                cluster_cols = [
+                    c[-1] if isinstance(c, list) else str(c)
+                    for c in json.loads(dm.get("configuration") or "{}")
+                    .get("clusteringColumns") or []
+                ]
+            except (ValueError, TypeError):
+                cluster_cols = []
+            if cluster_cols:
+                p = {**p, "zOrderBy": cluster_cols}
     if p.get("zOrderBy"):
         return _zorder_compact(
             spark, table, p, target, prev_adds, meta, cm, part_cols,
@@ -2081,6 +2147,14 @@ def write_checkpoint(table: str, version: int) -> None:
             ("readerFeatures", pa.list_(pa.string())),
             ("writerFeatures", pa.list_(pa.string())),
         ])),
+        # domain metadata is TABLE STATE (PROTOCOL.md): a checkpoint
+        # that dropped it would lose e.g. the clustered-table column
+        # list once the JSON commits are cleaned up
+        ("domainMetadata", pa.struct([
+            ("domain", pa.string()),
+            ("configuration", pa.string()),
+            ("removed", pa.bool_()),
+        ])),
     ])
 
     def as_map(d):
@@ -2113,6 +2187,18 @@ def write_checkpoint(table: str, version: int) -> None:
             "txn": {"appId": app_id, "version": int(tv)},
             "metaData": None,
             "protocol": None,
+        })
+    from pipeline_spark.sources.delta_native import replay_domains
+
+    for dom in sorted(replay_domains(table, version).values(),
+                      key=lambda d: d["domain"]):
+        rows.append({
+            "add": None, "txn": None, "metaData": None, "protocol": None,
+            "domainMetadata": {
+                "domain": dom["domain"],
+                "configuration": dom.get("configuration"),
+                "removed": False,
+            },
         })
     for a in adds:
         rows.append({
@@ -2188,13 +2274,16 @@ def write_checkpoint(table: str, version: int) -> None:
             ("txn", schema.field("txn").type),
             ("metaData", schema.field("metaData").type),
             ("protocol", schema.field("protocol").type),
+            ("domainMetadata", schema.field("domainMetadata").type),
         ])
-        blank = {"checkpointMetadata": None, "sidecar": None,
-                 "txn": None, "metaData": None, "protocol": None}
+        blank = {"checkpointMetadata": None, "sidecar": None, "txn": None,
+                 "metaData": None, "protocol": None, "domainMetadata": None}
         top = (
             [{**blank, "checkpointMetadata": {"version": version}}]
             + [{**blank, "txn": r["txn"], "metaData": r["metaData"],
-                "protocol": r["protocol"]} for r in top_rows]
+                "protocol": r["protocol"],
+                "domainMetadata": r.get("domainMetadata")}
+               for r in top_rows]
             + [{**blank, "sidecar": sc} for sc in sidecars]
         )
         path = os.path.join(

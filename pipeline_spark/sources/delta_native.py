@@ -352,6 +352,50 @@ def replay_state(
     return list(adds.values()), meta, proto, last, txns
 
 
+def replay_domains(
+    table_path: str, version_as_of: int | None = None
+) -> dict[str, dict]:
+    """The table's live domain metadata (PROTOCOL.md: Domain Metadata):
+    ``{domain: configuration-json-str}`` after last-wins replay, removed
+    domains dropped.  Carried through checkpoints like every other
+    action, so a cleaned-up log still resolves (e.g. ``delta.clustering``
+    — the clustered-table feature's column list lives here)."""
+    log_dir = _log_dir(table_path)
+    domains: dict[str, dict] = {}
+
+    def ingest(action: dict) -> None:
+        dm = action.get("domainMetadata")
+        if not dm or not dm.get("domain"):
+            return
+        if dm.get("removed"):
+            domains.pop(dm["domain"], None)
+        else:
+            domains[dm["domain"]] = dm
+
+    start = 0
+    hint = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            cp = json.load(fh)
+        cp_version = int(cp["version"])
+        if version_as_of is None or cp_version <= version_as_of:
+            for path in _checkpoint_files(log_dir, cp_version):
+                for row in _iter_checkpoint_rows(path):
+                    ingest(row)
+            start = cp_version + 1
+    for version, path in _list_commits(log_dir):
+        if version < start:
+            continue
+        if version_as_of is not None and version > version_as_of:
+            break
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    ingest(json.loads(line))
+    return domains
+
+
 def _check_protocol(proto: dict, meta: dict, adds: dict[str, dict]) -> None:
     r = int(proto.get("minReaderVersion", 1))
     conf = meta.get("configuration") or {}

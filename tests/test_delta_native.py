@@ -2724,3 +2724,76 @@ def test_multipart_checkpoint_write(spark, tmp_path):
             os.remove(p)
     back = read_delta_native(spark, {"path": tbl})
     assert sorted(r["id"] for r in back.collect()) == list(range(80))
+
+
+def test_delta_liquid_clustering(spark, tmp_path):
+    """r7 (PROTOCOL.md: Clustered Table + Domain Metadata): clusterBy at
+    create records the column list under the delta.clustering domain
+    (clustering + domainMetadata writer features), every write clusters
+    its files via sortWithinPartitions, paramless appends inherit, a
+    conflicting clusterBy refuses, the domain survives checkpoints (log
+    cleaned below), and OPTIMIZE re-clusters on the table's own columns
+    with no zOrderBy param."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.sinks.delta_native import compact_delta_native
+    from pipeline_spark.sources.delta_native import replay_domains
+
+    tbl = str(tmp_path / "liquid")
+    df1 = spark.createDataFrame(
+        [((i * 37) % 100, i) for i in range(200)], "k long, v long"
+    ).repartition(2)
+    write_delta_native(
+        spark, df1, {"path": tbl, "clusterBy": ["k"],
+                     "checkpointInterval": 1},
+    )
+    proto = replay_log(tbl)[2]
+    assert {"clustering", "domainMetadata"} <= set(
+        proto.get("writerFeatures") or [])
+    doms = replay_domains(tbl)
+    assert json.loads(doms["delta.clustering"]["configuration"]) == {
+        "clusteringColumns": [["k"]]}
+
+    def _files_sorted(pattern):
+        for f in glob.glob(pattern, recursive=True):
+            ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+            assert ks == sorted(ks), f
+
+    _files_sorted(os.path.join(tbl, "data-*", "**", "*.parquet"))
+
+    # paramless append inherits the clustering columns
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [((i * 53) % 100, i) for i in range(200)], "k long, v long"
+        ).repartition(2),
+        {"path": tbl, "mode": "append", "checkpointInterval": 1},
+    )
+    _files_sorted(os.path.join(tbl, "data-*", "**", "*.parquet"))
+    with pytest.raises(ValueError, match="clusterBy"):
+        write_delta_native(
+            spark, df1, {"path": tbl, "mode": "append",
+                         "clusterBy": ["v"]})
+
+    # the domain survives log cleanup via the checkpoint
+    log = os.path.join(tbl, "_delta_log")
+    hint = json.loads(open(os.path.join(log, "_last_checkpoint")).read())
+    for v in range(hint["version"] + 1):
+        pth = os.path.join(log, f"{v:020d}.json")
+        if os.path.exists(pth):
+            os.remove(pth)
+    doms = replay_domains(tbl)
+    assert "delta.clustering" in doms
+    assert read_delta_native(spark, {"path": tbl}).count() == 400
+
+    # OPTIMIZE with no param re-clusters on the table's columns
+    rep = compact_delta_native(
+        spark, {"path": tbl, "targetFileBytes": 1 << 30})
+    assert rep["new_files"] >= 1
+    adds, _m, _p, _v = replay_log(tbl)
+    live = [a["path"] for a in adds]
+    for rel in live:
+        _files_sorted(os.path.join(tbl, rel))
+    assert read_delta_native(spark, {"path": tbl}).count() == 400
