@@ -4604,6 +4604,60 @@ FROM (
 """
 
 
+def q_delta_liquid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta liquid clustering (r7, PROTOCOL.md Clustered Table + Domain
+    Metadata): clusterBy at create records the delta.clustering domain;
+    the paramless append inherits it (every file sorted on the cluster
+    column — asserted); OPTIMIZE with no zOrderBy re-clusters on the
+    table's own columns.  Values equal a plain 2x union — clustering is
+    layout, never semantics."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.sinks.delta_native import (
+        compact_delta_native,
+        write_delta_native,
+    )
+    from pipeline_spark.sources.delta_native import (
+        read_delta_native,
+        replay_domains,
+    )
+
+    tbl = _tmp_path("delta_liquid", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    slim = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_delta_native(
+        spark, slim, {"path": tbl, "clusterBy": ["o_orderkey"]})
+    write_delta_native(spark, slim, {"path": tbl, "mode": "append"})
+    assert "delta.clustering" in replay_domains(tbl)
+    for f in glob.glob(
+        os.path.join(tbl, "data-*", "**", "*.parquet"), recursive=True
+    ):
+        ks = pq.read_table(
+            f, columns=["o_orderkey"]).column("o_orderkey").to_pylist()
+        assert ks == sorted(ks), f"unclustered file {f}"
+    compact_delta_native(spark, {"path": tbl, "targetFileBytes": 1 << 30})
+    back = read_delta_native(spark, {"path": tbl})
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+Q_DELTA_LIQUID_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total_price
+FROM (
+  SELECT * FROM orders UNION ALL SELECT * FROM orders
+) GROUP BY o_orderstatus
+"""
+
+
 def q_iceberg_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """iceberg v2 merge-on-read: nation committed natively (one sorted
     data file), then a POSITION delete file (row ordinals 0,1 →
@@ -4854,6 +4908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_spec_evolution": q_iceberg_spec_evolution,
         "iceberg_rewrite_manifests": q_iceberg_rewrite_manifests,
         "delta_v2_checkpoint": q_delta_v2_checkpoint,
+        "delta_liquid_cluster": q_delta_liquid_cluster,
         # --- relational core rotated back in (r6 ask #3)
         "agg_argminmax": q_agg_argminmax,
         "agg_firstlast": q_agg_firstlast,
@@ -5046,6 +5101,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_spec_evolution": Q_ICE_SPECEV_SQL,
         "iceberg_rewrite_manifests": Q_ICE_RWM_SQL,
         "delta_v2_checkpoint": Q_DELTA_V2CP_SQL,
+        "delta_liquid_cluster": Q_DELTA_LIQUID_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,
         "bucketed_join": Q_BUCKETED_JOIN_SQL,
         "gopher_rules": Q_GOPHER_SQL,

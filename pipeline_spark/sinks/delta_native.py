@@ -1767,13 +1767,45 @@ def alter_delta_native(spark, p: dict[str, Any]) -> dict[str, Any]:
             raise ValueError("delta alter: cannot drop every column")
         result["renamed"] = renames
         result["dropped"] = drops
+    if p.get("clusterBy") is not None:
+        # ALTER TABLE ... CLUSTER BY (delta-spark): one domainMetadata
+        # commit flips the clustering columns — existing files keep
+        # their layout, future writes and OPTIMIZE follow the new list;
+        # [] removes clustering (the domain's removed tombstone)
+        new_cluster = [str(c) for c in (p.get("clusterBy") or [])]
+        bad = [
+            c for c in new_cluster
+            if c not in [f["name"] for f in sj["fields"]]
+        ]
+        if bad:
+            raise ValueError(
+                f"delta alter: clusterBy columns {bad} not in the schema"
+            )
+        wf = set(proto.get("writerFeatures") or [])
+        if new_cluster and "domainMetadata" not in wf:
+            actions.append({"protocol": {
+                **proto,
+                "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(
+                    wf | {"clustering", "domainMetadata"}
+                ),
+            }})
+        actions.append({"domainMetadata": {
+            "domain": "delta.clustering",
+            "configuration": json.dumps(
+                {"clusteringColumns": [[c] for c in new_cluster]}
+            ) if new_cluster else None,
+            "removed": not new_cluster,
+        }})
+        result["cluster_by"] = new_cluster
     if not actions and not renames and not drops and not result:
         if p.get("enableColumnMapping"):
             # already mapped: idempotent no-op, not an error
             return {"column_mapping_enabled": False}
         raise ValueError(
             "delta alter: nothing to do (enableColumnMapping / "
-            "renameColumn / dropColumn)"
+            "renameColumn / dropColumn / clusterBy)"
         )
     actions.append({"metaData": {
         **meta, "schemaString": json.dumps(sj), "configuration": conf,

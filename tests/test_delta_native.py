@@ -2797,3 +2797,58 @@ def test_delta_liquid_clustering(spark, tmp_path):
     for rel in live:
         _files_sorted(os.path.join(tbl, rel))
     assert read_delta_native(spark, {"path": tbl}).count() == 400
+
+
+def test_delta_alter_cluster_by(spark, tmp_path):
+    """r7: ALTER ... CLUSTER BY flips the clustering columns in one
+    domainMetadata commit (existing files keep their layout); [] removes
+    clustering via the domain tombstone; later appends follow the new
+    list; the upgrade also works on a table created WITHOUT clustering
+    (protocol gains the writer features in the same commit)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.sinks.delta_native import alter_delta_native
+    from pipeline_spark.sources.delta_native import replay_domains
+
+    tbl = str(tmp_path / "alter_cl")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [((i * 37) % 100, (i * 53) % 100) for i in range(100)],
+            "a long, b long",
+        ).coalesce(1),
+        {"path": tbl},
+    )
+    assert "delta.clustering" not in replay_domains(tbl)
+    rep = alter_delta_native(spark, {"path": tbl, "clusterBy": ["b"]})
+    assert rep["cluster_by"] == ["b"]
+    proto = replay_log(tbl)[2]
+    assert {"clustering", "domainMetadata"} <= set(
+        proto.get("writerFeatures") or [])
+    with pytest.raises(ValueError, match="not in the schema"):
+        alter_delta_native(spark, {"path": tbl, "clusterBy": ["zz"]})
+
+    before = set(glob.glob(os.path.join(tbl, "data-*", "**", "*.parquet"),
+                           recursive=True))
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [((i * 37) % 100, (i * 53) % 100) for i in range(100)],
+            "a long, b long",
+        ).coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    new_files = set(glob.glob(
+        os.path.join(tbl, "data-*", "**", "*.parquet"), recursive=True,
+    )) - before
+    for f in new_files:
+        bs = pq.read_table(f, columns=["b"]).column("b").to_pylist()
+        assert bs == sorted(bs), f
+
+    # remove clustering: the domain tombstones, appends stop sorting
+    rep = alter_delta_native(spark, {"path": tbl, "clusterBy": []})
+    assert rep["cluster_by"] == []
+    assert "delta.clustering" not in replay_domains(tbl)
+    assert read_delta_native(spark, {"path": tbl}).count() == 200
