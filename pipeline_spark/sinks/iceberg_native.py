@@ -1323,10 +1323,19 @@ def alter_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     rest = _rest_meta_session(p) if p.get("catalog") else None
     renames = dict(p.get("renameColumn") or {})
     drops = list(p.get("dropColumn") or [])
-    if not renames and not drops:
+    sort_by = p.get("sortBy")
+    if not renames and not drops and sort_by is None:
         raise ValueError(
-            "iceberg alter: nothing to do (renameColumn / dropColumn)"
+            "iceberg alter: nothing to do (renameColumn / dropColumn / "
+            "sortBy)"
         )
+    if sort_by is not None and (renames or drops):
+        raise ValueError(
+            "iceberg alter: set sortBy in its own alter call (a rename "
+            "could invalidate the order's source columns mid-commit)"
+        )
+    if sort_by is not None:
+        return _alter_sort_order(p, rest, [str(c) for c in sort_by])
     if rest is not None:
         _cat, _ns, _tname, meta = rest
         prev_file = None
@@ -1442,6 +1451,76 @@ def alter_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return {"renamed": renames, "dropped": drops}
+
+
+def _alter_sort_order(p: dict[str, Any], rest, sort_by: list[str]) -> dict:
+    """ALTER ... WRITE ORDERED BY (spec §Sorting): one metadata commit
+    adds the order under a fresh order-id and flips the default —
+    existing files keep their layout, future writes and compaction
+    re-cluster on the new columns.  ``sortBy: []`` resets the default to
+    order-id 0 (unsorted).  On REST: add-sort-order +
+    set-default-sort-order (-1 = the just-added) in one commit."""
+    if rest is not None:
+        _cat, _ns, _tname, meta = rest
+        prev_file, version = None, None
+    else:
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
+        )
+        prev_file = find_table_metadata(table_path)
+        with open(prev_file) as fh:
+            meta = json.load(fh)
+        m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
+        version = (int(m.group(1)) if m else meta.get("__version", 0)) + 1
+    cur = next(
+        s for s in meta["schemas"]
+        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+    )
+    by_name = {f["name"]: f["id"] for f in cur["fields"]}
+    bad = [c for c in sort_by if c not in by_name]
+    if bad:
+        raise ValueError(f"iceberg alter: sortBy columns {bad} not in schema")
+    orders = [dict(o) for o in (meta.get("sort-orders")
+                                or [{"order-id": 0, "fields": []}])]
+    if sort_by:
+        new_oid = max(o.get("order-id", 0) for o in orders) + 1
+        new_order = {"order-id": new_oid, "fields": [
+            {"transform": "identity", "source-id": by_name[c],
+             "direction": "asc", "null-order": "nulls-first"}
+            for c in sort_by
+        ]}
+        orders.append(new_order)
+    else:
+        new_oid = 0
+        new_order = None
+    if rest is not None:
+        cat, ns_key, tname, _m = rest
+        updates: list[dict] = []
+        if new_order is not None:
+            updates.append(
+                {"action": "add-sort-order", "sort-order": new_order})
+            updates.append(
+                {"action": "set-default-sort-order", "sort-order-id": -1})
+        else:
+            updates.append(
+                {"action": "set-default-sort-order", "sort-order-id": 0})
+        cat.commit_table(ns_key, tname, requirements=[], updates=updates)
+        return {"sort_by": sort_by}
+    now_ms = int(time.time() * 1000)
+    meta = dict(meta)
+    meta["sort-orders"] = orders
+    meta["default-sort-order-id"] = new_oid
+    meta["last-updated-ms"] = now_ms
+    meta["metadata-log"] = (list(meta.get("metadata-log") or []) + [
+        {"timestamp-ms": now_ms, "metadata-file": prev_file}
+    ])[-10:]
+    meta["__version"] = version
+    meta_dir = os.path.join(table_path, "metadata")
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return {"sort_by": sort_by}
 
 
 def _read_evolved_group(spark, files: list[dict], cur_schema: dict,

@@ -1363,6 +1363,18 @@ def _serve_stateful_catalog():
                             meta.pop("_last_added_spec", sid)
                             if sid == -1 else sid
                         )
+                    elif upd["action"] == "add-sort-order":
+                        so = upd["sort-order"]
+                        meta["sort-orders"] = list(
+                            meta.get("sort-orders") or []
+                        ) + [so]
+                        meta["_last_added_order"] = so.get("order-id")
+                    elif upd["action"] == "set-default-sort-order":
+                        oid = upd["sort-order-id"]
+                        meta["default-sort-order-id"] = (
+                            meta.pop("_last_added_order", oid)
+                            if oid == -1 else oid
+                        )
                     elif upd["action"] == "remove-snapshots":
                         gone = set(upd.get("snapshot-ids") or [])
                         meta["snapshots"] = [
@@ -3183,3 +3195,76 @@ def test_iceberg_compact_preserves_sort_order(spark, tmp_path):
         ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
         assert ks == sorted(ks), f
     assert read_iceberg_native(spark, {"path": tbl}).count() == 100
+
+
+def test_iceberg_alter_sort_order(spark, tmp_path):
+    """r7: ALTER ... sortBy flips the table's write order in one
+    metadata commit — fresh order-id, default flipped, existing files
+    keep their layout; later paramless appends follow the NEW order;
+    sortBy: [] resets to unsorted; works through REST too."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.sinks.iceberg_native import alter_iceberg_native
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    tbl = str(tmp_path / "ice_altsort")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [((i * 37) % 100, (i * 53) % 100) for i in range(100)],
+            "a long, b long",
+        ).coalesce(1),
+        {"path": tbl, "mode": "create", "sortBy": ["a"]},
+    )
+    rep = alter_iceberg_native(spark, {"path": tbl, "sortBy": ["b"]})
+    assert rep["sort_by"] == ["b"]
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    assert meta["default-sort-order-id"] == 2
+    assert [o["order-id"] for o in meta["sort-orders"]] == [0, 1, 2]
+    with pytest.raises(ValueError, match="not in schema"):
+        alter_iceberg_native(spark, {"path": tbl, "sortBy": ["zz"]})
+    with pytest.raises(ValueError, match="own alter call"):
+        alter_iceberg_native(
+            spark, {"path": tbl, "sortBy": ["b"],
+                    "renameColumn": {"a": "c"}})
+
+    before = set(glob.glob(
+        os.path.join(tbl, "data", "**", "*.parquet"), recursive=True))
+    write_iceberg_native(
+        spark.createDataFrame(
+            [((i * 37) % 100, (i * 53) % 100) for i in range(100)],
+            "a long, b long",
+        ).coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    new = set(glob.glob(
+        os.path.join(tbl, "data", "**", "*.parquet"), recursive=True,
+    )) - before
+    for f in new:
+        bs = pq.read_table(f, columns=["b"]).column("b").to_pylist()
+        assert bs == sorted(bs), f
+
+    rep = alter_iceberg_native(spark, {"path": tbl, "sortBy": []})
+    assert rep["sort_by"] == []
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    assert meta["default-sort-order-id"] == 0
+    assert read_iceberg_native(spark, {"path": tbl}).count() == 200
+
+    # REST: add-sort-order + set-default-sort-order ride one commit
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        loc = str(tmp_path / "rest_altsort")
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.aso", "location": loc}
+        write_iceberg_native(
+            spark.createDataFrame([(1, 2)], "a long, b long").coalesce(1),
+            {**cat_p, "mode": "create"},
+        )
+        alter_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.aso",
+                    "sortBy": ["b"]})
+        assert state["aso"]["default-sort-order-id"] == (
+            state["aso"]["sort-orders"][-1]["order-id"])
+    finally:
+        srv.shutdown()
