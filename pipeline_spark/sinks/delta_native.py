@@ -255,7 +255,33 @@ def write_delta_native(
         str(k): str(v).lower() if isinstance(v, bool) else str(v)
         for k, v in (p.get("properties") or {}).items()
     }
-    create_schema_json = df.schema.json()
+    # generated columns (PROTOCOL.md: Generated Columns / delta-spark
+    # GENERATED ALWAYS AS): expressions live in field metadata
+    # (delta.generationExpression).  A write missing the column COMPUTES
+    # it; a write providing it is null-safe-equality-ENFORCED against
+    # the expression through the same Observation that checks CHECK
+    # constraints.  Expressions are fixed at create.
+    generated = {
+        str(k): str(v)
+        for k, v in (p.get("generatedColumns") or {}).items()
+    }
+    provided_cols = set(df.columns)
+    if not exists and generated:
+        from pyspark.sql import functions as F
+
+        for c, e in generated.items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(e))
+        _sj = json.loads(df.schema.json())
+        for f in _sj["fields"]:
+            if f["name"] in generated:
+                f["metadata"] = {
+                    **(f.get("metadata") or {}),
+                    "delta.generationExpression": generated[f["name"]],
+                }
+        create_schema_json = json.dumps(_sj)
+    else:
+        create_schema_json = df.schema.json()
     if exists:
         prev_adds, prev_meta, _proto, _v, prev_txns = replay_state(table)
         # idempotence FIRST: a replayed streaming micro-batch must no-op
@@ -266,6 +292,30 @@ def write_delta_native(
             raise FileExistsError(f"delta sink: table already exists at {table}")
         if mode == "overwrite":
             _refuse_append_only(prev_meta, "overwrite")
+        # inherit generation expressions from the table schema; computing
+        # absent generated columns must happen BEFORE the fingerprint
+        # check (their absence in the input is the normal case)
+        table_gen = {
+            f["name"]: (f.get("metadata") or {})["delta.generationExpression"]
+            for f in json.loads(prev_meta["schemaString"])["fields"]
+            if (f.get("metadata") or {}).get("delta.generationExpression")
+        }
+        new_gen = {
+            c: e for c, e in generated.items() if c not in table_gen
+        }
+        if new_gen:
+            raise ValueError(
+                f"delta sink: generatedColumns {sorted(new_gen)} not "
+                "declared on the table — generation expressions are "
+                "fixed at create"
+            )
+        generated = table_gen
+        if generated:
+            from pyspark.sql import functions as F
+
+            for c, e in generated.items():
+                if c not in df.columns:
+                    df = df.withColumn(c, F.expr(e))
         # schema/partitioning drift fails BEFORE data is staged —
         # unless mergeSchema evolves the table (delta-spark's option):
         # the union schema commits a new metaData action, and readers
@@ -315,7 +365,7 @@ def write_delta_native(
                     "(name/id)"
                 )
             create_schema_json, max_id = _assign_physical(
-                df.schema.json(), 0
+                create_schema_json, 0
             )
             props["delta.columnMapping.maxColumnId"] = str(max_id)
             cm = _column_mapping({
@@ -367,6 +417,11 @@ def write_delta_native(
         for k, v in conf_src.items()
         if k.startswith("delta.constraints.") and str(v).strip()
     }
+    for c, e in generated.items():
+        # user-provided values for a generated column must equal the
+        # expression (null-safe) — delta-spark's writer contract
+        if c in provided_cols:
+            constraints[f"generated column {c}"] = f"`{c}` <=> ({e})"
     obs = None
     if constraints:
         from pyspark.sql import Observation
@@ -512,6 +567,8 @@ def write_delta_native(
                 # clustered tables: writer-only features — readers
                 # ignore clustering entirely (PROTOCOL.md)
                 wfeats |= {"clustering", "domainMetadata"}
+            if generated:
+                wfeats.add("generatedColumns")
             proto: dict[str, Any] = {
                 "minReaderVersion": 3 if rfeats else 1,
                 "minWriterVersion": 7,
@@ -522,7 +579,9 @@ def write_delta_native(
             actions.append({"protocol": proto})
         else:
             # column mapping needs reader 2 / writer 5 (PROTOCOL.md)
-            proto_rw = (2, 5) if cm else (1, 2)
+            # legacy versions: columnMapping needs reader2/writer5;
+            # generated columns writer4 (both cumulative)
+            proto_rw = (2, 5) if cm else ((1, 4) if generated else (1, 2))
             actions.append({
                 "protocol": {
                     "minReaderVersion": proto_rw[0],

@@ -2852,3 +2852,75 @@ def test_delta_alter_cluster_by(spark, tmp_path):
     assert rep["cluster_by"] == []
     assert "delta.clustering" not in replay_domains(tbl)
     assert read_delta_native(spark, {"path": tbl}).count() == 200
+
+
+def test_delta_generated_columns(spark, tmp_path):
+    """r7 (PROTOCOL.md: Generated Columns): expressions live in field
+    metadata (delta.generationExpression, minWriterVersion 4); a write
+    missing the column COMPUTES it, a write providing it is null-safe-
+    equality-enforced (violating rows abort the commit, nothing
+    staged), appends inherit the expressions, and declaring new ones on
+    an existing table refuses."""
+    tbl = str(tmp_path / "gencol")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(i, f"2024-01-{(i % 9) + 1:02d} 10:00:00") for i in range(20)],
+            "id long, ts string",
+        ).coalesce(1),
+        {"path": tbl,
+         "generatedColumns": {"day": "substring(ts, 1, 10)"}},
+    )
+    _adds, meta, proto, _v = replay_log(tbl)
+    assert proto["minWriterVersion"] == 4
+    sj = json.loads(meta["schemaString"])
+    day_f = next(f for f in sj["fields"] if f["name"] == "day")
+    assert day_f["metadata"]["delta.generationExpression"] == (
+        "substring(ts, 1, 10)")
+    back = read_delta_native(spark, {"path": tbl})
+    assert back.filter("day = '2024-01-03'").count() > 0
+    assert "day" in back.columns
+
+    # append WITHOUT the column: computed from the inherited expression
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(100, "2024-02-01 10:00:00")], "id long, ts string",
+        ).coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    assert read_delta_native(spark, {"path": tbl}).filter(
+        "day = '2024-02-01'").count() == 1
+
+    # append WITH the column but a wrong value: enforced, nothing lands
+    with pytest.raises(ValueError, match="generated column day"):
+        write_delta_native(
+            spark,
+            spark.createDataFrame(
+                [(101, "2024-03-01 10:00:00", "1999-12-31")],
+                "id long, ts string, day string",
+            ).coalesce(1),
+            {"path": tbl, "mode": "append"},
+        )
+    assert read_delta_native(spark, {"path": tbl}).count() == 21
+
+    # append with the column and the CORRECT value: fine
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(102, "2024-03-01 10:00:00", "2024-03-01")],
+            "id long, ts string, day string",
+        ).coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    assert read_delta_native(spark, {"path": tbl}).count() == 22
+
+    # new expressions on an existing table refuse
+    with pytest.raises(ValueError, match="fixed at create"):
+        write_delta_native(
+            spark,
+            spark.createDataFrame(
+                [(103, "x")], "id long, ts string").coalesce(1),
+            {"path": tbl, "mode": "append",
+             "generatedColumns": {"other": "id + 1"}},
+        )
