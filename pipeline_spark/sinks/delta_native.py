@@ -1623,6 +1623,269 @@ def update_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     return _cow_rewrite_where(spark, p, set_exprs=dict(set_exprs))
 
 
+def merge_delta_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
+    """Copy-on-write MERGE (UnifiedMutation semantics — the Delta twin of
+    the iceberg sink's ``mode: merge``, but FILE-SCOPED): keyed by
+    ``primaryKeys``, rows with ``__op__ = DELETE`` remove their keys,
+    everything else upserts whole rows.  Unlike the Iceberg COW merge
+    (which rewrites the table), only files whose ``add.stats`` key
+    bounds admit an incoming key — and whose data actually contains a
+    match — rewrite; at 100 TB a million-row CDC batch touches the few
+    files its keys live in, not the table.  One atomic commit: removes
+    for matched files, adds for survivor rewrites, adds for the upsert
+    batch.  DV-carrying files re-read with vectors applied.  CDF
+    tables get change rows — replaced keys surface as delete+insert
+    (whole-row upserts carry no matched/not-matched distinction, so no
+    update_preimage pair; a state-reconstructing consumer sees
+    identical results).  Reference: UnifiedMutation §2.10; the iceberg
+    twin is sinks/iceberg_native.py mode=merge.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from pipeline_spark.sources.delta_native import (
+        _column_mapping,
+        _stats_may_match,
+        read_files_with_dv,
+        stats_to_logical,
+        to_logical_df,
+        to_physical_df,
+    )
+
+    table = p.get("path") or p.get("table")
+    if not table:
+        raise ValueError("delta merge: 'path' is required")
+    keys = list(p.get("primaryKeys") or p.get("keyFields") or [])
+    if not keys:
+        raise ValueError("delta merge needs primaryKeys")
+    op_field = p.get("mutationOpField", "__op__")
+    if op_field in df.columns:
+        upserts = df.filter(
+            F.upper(F.coalesce(F.col(op_field), F.lit("UPSERT"))) != "DELETE"
+        ).drop(op_field)
+    else:
+        upserts = df
+    touched = df.select(*keys).distinct()
+
+    log_dir = os.path.join(table, "_delta_log")
+    if not (os.path.isdir(log_dir) and latest_version(log_dir) is not None):
+        # no table yet: merge degenerates to create (the iceberg rule)
+        write_delta_native(spark, upserts, {**p, "mode": "create"})
+        return {"merged_rows": -1, "rewritten_files": 0}
+
+    prev_adds, meta, _proto, prev_version, _txns = replay_state(table)
+    _refuse_append_only(meta, "merge")
+    if _schema_fingerprint(meta["schemaString"]) != _schema_fingerprint(
+        upserts.schema.json()
+    ):
+        raise ValueError(
+            "delta merge: upsert schema must match the table schema"
+        )
+    cm = _column_mapping(meta)
+    log_of = {v: k for k, v in cm["phys_of"].items()} if cm else {}
+    part_cols = list(meta.get("partitionColumns") or [])
+    phys_part_cols = (
+        [cm["phys_of"].get(c, c) for c in part_cols] if cm else part_cols
+    )
+    full = StructType.fromJson(json.loads(meta["schemaString"]))
+    names = [f.name for f in full.fields]
+    bad = [k for k in keys if k not in names]
+    if bad:
+        raise ValueError(f"delta merge: primaryKeys {bad} not in the schema")
+    read_fields = cm["phys_schema"].fields if cm else full.fields
+    fschema = StructType(
+        [f for f in read_fields if f.name not in phys_part_cols]
+    )
+    log_fschema = [f for f in full.fields if f.name not in part_cols]
+    base_cols = [f.name for f in log_fschema]
+    types = {f.name: f.dataType for f in full.fields}
+    cdf = _cdf_enabled(meta)
+
+    # key-RANGE pruning off add.stats (sound: a file wholly outside the
+    # incoming batch's [min,max] on ANY key column cannot match; one
+    # tiny driver row).  Non-orderable-literal keys skip the prune.
+    brow = touched.agg(
+        *[F.min(k).alias(f"mn{i}") for i, k in enumerate(keys)],
+        *[F.max(k).alias(f"mx{i}") for i, k in enumerate(keys)],
+    ).collect()[0]
+    where = []
+    for i, k in enumerate(keys):
+        mn, mx = brow[f"mn{i}"], brow[f"mx{i}"]
+        if isinstance(mn, (int, float, str)) and not isinstance(mn, bool):
+            where.append({"key": k, "op": ">=", "value": mn})
+            where.append({"key": k, "op": "<=", "value": mx})
+    if cm:
+        check_adds = [dict(a) for a in prev_adds]
+        stats_to_logical(check_adds, cm)
+    else:
+        check_adds = prev_adds
+    candidates = [
+        a for a, ca in zip(prev_adds, check_adds)
+        if not where or _stats_may_match(ca, where, None)
+    ]
+    # exact touched-file probe (delta-spark's findTouchedFiles): one
+    # column-pruned scan of the candidates' key columns, semi-joined to
+    # the incoming keys — only files that actually CONTAIN a match
+    # rewrite.  Keys that are partition columns fall back to the
+    # bounds+group granularity (they're not in the data files).
+    if candidates and all(k not in part_cols for k in keys):
+        probe = read_files_with_dv(
+            spark, table, fschema, candidates, with_meta=True
+        )
+        probe = to_logical_df(probe, cm, log_fschema, keep=("__dv_fp",))
+        hit = {
+            r["__dv_fp"]
+            for r in probe.join(touched, on=list(keys), how="left_semi")
+            .select("__dv_fp").distinct().collect()
+        }
+        candidates = [
+            a for a in candidates
+            if os.path.abspath(
+                os.path.join(table, urllib.parse.unquote(a["path"]))
+            ) in hit
+        ]
+
+    groups: dict[tuple, list[dict]] = {}
+    for a in candidates:
+        key = tuple(sorted((a.get("partitionValues") or {}).items()))
+        groups.setdefault(key, []).append(a)
+
+    commit_id = uuid.uuid4().hex
+    data_dir = f"data-merge-{commit_id}"
+    now_ms = int(time.time() * 1000)
+    adds: list[dict] = []
+    removes: list[dict] = []
+    cdc_actions: list[dict] = []
+    replaced = 0
+    for i, (key, files) in enumerate(sorted(groups.items())):
+        grp = read_files_with_dv(spark, table, fschema, files)
+        grp = to_logical_df(grp, cm, log_fschema)
+        pv = dict(key)
+        for c, v in pv.items():
+            lc = log_of.get(c, c)
+            grp = grp.withColumn(
+                lc,
+                F.lit(v).cast(types[lc]) if v is not None
+                else F.lit(None).cast(types[lc]),
+            )
+        n_match = grp.join(touched, on=list(keys), how="left_semi").count()
+        if n_match == 0:
+            continue  # bounds admitted a match the data doesn't contain
+        replaced += n_match
+        if cdf:
+            pre = (
+                grp.join(touched, on=list(keys), how="left_semi")
+                .select(*base_cols)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            cdc_actions.extend(_stage_cdc(
+                table, commit_id, i, to_physical_df(pre, cm), pv, now_ms,
+            ))
+        out = grp.join(touched, on=list(keys), how="left_anti")
+        keep = to_physical_df(out.select(*base_cols), cm)
+        out_dir = os.path.join(table, data_dir, f"grp-{i:05d}")
+        keep.write.parquet(out_dir)
+        for root, _dirs, fnames in os.walk(out_dir):
+            for name in sorted(fnames):
+                if not name.endswith(".parquet"):
+                    continue
+                fullp = os.path.join(root, name)
+                rel = os.path.relpath(fullp, table)
+                adds.append({
+                    "path": urllib.parse.quote(
+                        rel.replace(os.sep, "/"), safe="/="),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(fullp),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "__full_path__": fullp,
+                })
+        for a in files:
+            removes.append({
+                "path": a["path"],
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "partitionValues": a.get("partitionValues") or {},
+            })
+
+    # the upsert batch lands as normal partitioned data files
+    up_dir = os.path.join(table, data_dir, "upserts")
+    w = to_physical_df(upserts, cm).write
+    if phys_part_cols:
+        w = w.partitionBy(*phys_part_cols)
+    w.parquet(up_dir)
+    n_upserts = 0
+    for root, _dirs, fnames in os.walk(up_dir):
+        for name in sorted(fnames):
+            if not name.endswith(".parquet"):
+                continue
+            fullp = os.path.join(root, name)
+            rel = os.path.relpath(fullp, table)
+            pv = {}
+            for seg in os.path.relpath(root, up_dir).split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    pv[k] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__"
+                        else urllib.parse.unquote(v)
+                    )
+            n_upserts += 1
+            adds.append({
+                "path": urllib.parse.quote(
+                    rel.replace(os.sep, "/"), safe="/="),
+                "partitionValues": pv,
+                "size": os.path.getsize(fullp),
+                "modificationTime": now_ms,
+                "dataChange": True,
+                "__full_path__": fullp,
+            })
+    if cdf:
+        # explicit insert rows: a commit carrying ANY cdc actions is
+        # read from cdc alone, so the upserts must be in it too
+        if part_cols:
+            pvs = [
+                {c: r[c] for c in part_cols}
+                for r in upserts.select(*part_cols).distinct().collect()
+            ]
+        else:
+            pvs = [{}]
+        for j, pv in enumerate(pvs):
+            sel = upserts
+            for c, v in pv.items():
+                sel = sel.filter(
+                    F.col(c).isNull() if v is None else (F.col(c) == v)
+                )
+            changes = sel.select(*base_cols).withColumn(
+                "_change_type", F.lit("insert"))
+            cdc_actions.extend(_stage_cdc(
+                table, commit_id, 10_000 + j, to_physical_df(changes, cm),
+                {cm["phys_of"].get(c, c) if cm else c: (
+                    None if v is None else str(v)) for c, v in pv.items()},
+                now_ms,
+            ))
+
+    stats_map = _collect_file_stats(
+        spark, [a["__full_path__"] for a in adds]
+    )
+    for a in adds:
+        st = stats_map.get(a.pop("__full_path__"))
+        if st:
+            a["stats"] = st
+    actions = (
+        [{"remove": r} for r in removes]
+        + [{"add": a} for a in adds]
+        + cdc_actions
+        + [{"commitInfo": {
+            "timestamp": now_ms,
+            "operation": "MERGE",
+            "operationParameters": {"predicate": json.dumps(keys)},
+        }}]
+    )
+    _commit_actions(table, prev_version + 1, actions)
+    return {"merged_rows": replaced, "rewritten_files": len(removes),
+            "upsert_files": n_upserts}
+
+
 def restore_delta_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     """RESTORE TABLE to an earlier version (delta's RESTORE): ONE new
     commit re-adds the target version's files (deletion vectors
@@ -2442,6 +2705,10 @@ def delta_sink(ctx: ModuleContext) -> dict[str, Any]:
             restore_delta_native(ctx.spark, p)
         else:
             update_delta_native(ctx.spark, p)
+        return {}
+    if maintenance == "merge" and not df.isStreaming:
+        # CDC shape: the module INPUT is the keyed mutation batch
+        merge_delta_native(ctx.spark, df, p)
         return {}
     if not df.isStreaming:
         write_delta_native(ctx.spark, df, p)

@@ -2924,3 +2924,99 @@ def test_delta_generated_columns(spark, tmp_path):
             {"path": tbl, "mode": "append",
              "generatedColumns": {"other": "id + 1"}},
         )
+
+
+def test_delta_merge_cow(spark, tmp_path):
+    """r7: file-scoped COW MERGE — primaryKeys + __op__ upsert/delete in
+    ONE commit; only files whose key bounds admit (and data contains) an
+    incoming key rewrite; untouched files never move; CDF commits carry
+    delete+insert change rows; merge into a missing table creates it."""
+    import glob
+
+    from pipeline_spark.sinks.delta_native import merge_delta_native
+
+    tbl = str(tmp_path / "merge_cow")
+    # two well-separated key ranges -> two files with disjoint bounds
+    for lo in (0, 1000):
+        write_delta_native(
+            spark,
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(50)],
+                "id long, val string",
+            ).coalesce(1),
+            {"path": tbl, "mode": "create" if lo == 0 else "append",
+             "properties": ({"delta.enableChangeDataFeed": "true"}
+                            if lo == 0 else {})},
+        )
+    files_before = {
+        a["path"] for a in replay_log(tbl)[0]
+    }
+    batch = spark.createDataFrame(
+        [(3, "updated-3", "UPSERT"),
+         (7, None, "DELETE"),
+         (2000, "new-2000", "UPSERT")],
+        "id long, val string, __op__ string",
+    )
+    rep = merge_delta_native(
+        spark, batch, {"path": tbl, "primaryKeys": ["id"]})
+    assert rep["merged_rows"] == 2 and rep["rewritten_files"] == 1
+    adds, _m, _p, _v = replay_log(tbl)
+    # the 1000-range file was out of key bounds: untouched
+    assert any(a["path"] in files_before for a in adds)
+    back = {r["id"]: r["val"]
+            for r in read_delta_native(spark, {"path": tbl}).collect()}
+    assert back[3] == "updated-3"
+    assert 7 not in back
+    assert back[2000] == "new-2000"
+    assert back[1003] == "v1003"
+    assert len(back) == 100 - 1 + 1  # 100 originals - delete + insert
+
+    # CDF change rows for the merge commit: delete(3), delete(7),
+    # insert(3'), insert(2000)
+    from pipeline_spark.sources.delta_native import read_delta_cdf
+    cdf = read_delta_cdf(
+        spark, {"path": tbl, "startingVersion": _v, "endingVersion": _v})
+    ch = sorted((r["id"], r["_change_type"]) for r in cdf.collect())
+    assert ch == [(3, "delete"), (3, "insert"), (7, "delete"),
+                  (2000, "insert")]
+
+    # merge into a missing table degenerates to create (upserts only)
+    tbl2 = str(tmp_path / "merge_new")
+    merge_delta_native(spark, batch, {"path": tbl2, "primaryKeys": ["id"]})
+    back2 = sorted(
+        r["id"] for r in read_delta_native(spark, {"path": tbl2}).collect())
+    assert back2 == [3, 2000]
+
+
+def test_delta_merge_partitioned_cm(spark, tmp_path):
+    """Merge on a partitioned, column-mapped table: physical-name files
+    rewrite under logical-key matching, untouched partitions never move,
+    and the upsert batch lands under its hive partition dirs."""
+    from pipeline_spark.sinks.delta_native import merge_delta_native
+
+    tbl = str(tmp_path / "merge_pcm")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b", f"v{i}") for i in range(40)],
+            "id long, grp string, val string",
+        ).coalesce(1),
+        {"path": tbl, "partitionBy": ["grp"],
+         "properties": {"delta.columnMapping.mode": "name"}},
+    )
+    batch = spark.createDataFrame(
+        [(0, "a", "updated-0", "UPSERT"),
+         (1, "b", None, "DELETE"),
+         (100, "c", "new-100", "UPSERT")],
+        "id long, grp string, val string, __op__ string",
+    )
+    rep = merge_delta_native(
+        spark, batch, {"path": tbl, "primaryKeys": ["id"]})
+    assert rep["merged_rows"] == 2
+    back = {r["id"]: (r["grp"], r["val"]) for r in
+            read_delta_native(spark, {"path": tbl}).collect()}
+    assert back[0] == ("a", "updated-0")
+    assert 1 not in back
+    assert back[100] == ("c", "new-100")
+    assert back[2] == ("a", "v2")
+    assert len(back) == 40
