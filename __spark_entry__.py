@@ -4658,6 +4658,65 @@ FROM (
 """
 
 
+def q_delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-scoped COW MERGE (r7): documents land in a delta table, then
+    ONE keyed mutation batch deletes every doc_id % 7 == 0 and re-upserts
+    the % 14 keys with doubled n_chars — the Delta twin of
+    iceberg_cdc_upsert, same end state, but via stats-pruned + exact
+    touched-file copy-on-write instead of equality deletes.  The oracle
+    replays base-minus-deleted plus the upserts."""
+    import shutil
+
+    from pipeline_spark.sinks.delta_native import (
+        merge_delta_native,
+        write_delta_native,
+    )
+    from pipeline_spark.sources.delta_native import read_delta_native
+
+    tbl = _tmp_path("delta_cdc", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "lang", "n_chars")
+    )
+    write_delta_native(spark, docs.coalesce(1), {"path": tbl})
+    batch = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .withColumn(
+            "__op__",
+            F.when(F.col("doc_id") % 14 == 0, F.lit("UPSERT"))
+            .otherwise(F.lit("DELETE")),
+        )
+        .withColumn("n_chars", F.col("n_chars") * 2)
+    )
+    rep = merge_delta_native(
+        spark, batch, {"path": tbl, "primaryKeys": ["doc_id"]})
+    assert rep["rewritten_files"] >= 1
+    back = read_delta_native(spark, {"path": tbl})
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_DELTA_MERGE_SQL = """
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT lang, n_chars FROM documents
+  WHERE doc_id < 300 AND doc_id % 7 <> 0
+  UNION ALL
+  SELECT lang, n_chars * 2 FROM documents
+  WHERE doc_id < 300 AND doc_id % 14 = 0
+)
+GROUP BY lang ORDER BY lang
+"""
+
+
 def q_iceberg_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """iceberg v2 merge-on-read: nation committed natively (one sorted
     data file), then a POSITION delete file (row ordinals 0,1 →
@@ -4909,6 +4968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_rewrite_manifests": q_iceberg_rewrite_manifests,
         "delta_v2_checkpoint": q_delta_v2_checkpoint,
         "delta_liquid_cluster": q_delta_liquid_cluster,
+        "delta_merge_upsert": q_delta_merge_upsert,
         # --- relational core rotated back in (r6 ask #3)
         "agg_argminmax": q_agg_argminmax,
         "agg_firstlast": q_agg_firstlast,
@@ -5102,6 +5162,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_rewrite_manifests": Q_ICE_RWM_SQL,
         "delta_v2_checkpoint": Q_DELTA_V2CP_SQL,
         "delta_liquid_cluster": Q_DELTA_LIQUID_SQL,
+        "delta_merge_upsert": Q_DELTA_MERGE_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,
         "bucketed_join": Q_BUCKETED_JOIN_SQL,
         "gopher_rules": Q_GOPHER_SQL,
