@@ -1623,6 +1623,162 @@ def update_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     return _cow_rewrite_where(spark, p, set_exprs=dict(set_exprs))
 
 
+def _dv_merge(
+    spark, p, table, keys, touched, upserts, candidates, prev_version,
+    meta, proto, cm, phys_part_cols, fschema, log_fschema,
+) -> dict[str, int]:
+    """The merge-on-read half of MERGE: matched keys tombstone into
+    roaring-bitmap deletion vectors (built executor-side, one
+    applyInPandas group per touched file), the re-added paths carry the
+    descriptors, and the upsert batch appends — all in ONE commit.  The
+    delete side moves ZERO data bytes: a million-key CDC batch writes
+    KB-scale bitmaps plus its own rows."""
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sources.delta_native import (
+        read_files_with_dv,
+        to_logical_df,
+        to_physical_df,
+    )
+
+    commit_id = uuid.uuid4().hex
+    now_ms = int(time.time() * 1000)
+    tbl_abs = os.path.abspath(table)
+    by_path = {
+        os.path.abspath(os.path.join(table, urllib.parse.unquote(a["path"]))): a
+        for a in candidates
+    }
+    matches = None
+    if candidates:
+        probe = read_files_with_dv(
+            spark, table, fschema, candidates, with_meta=True
+        )
+        probe = to_logical_df(
+            probe, cm, log_fschema, keep=("__dv_fp", "__dv_ri")
+        )
+        matches = probe.join(touched, on=list(keys), how="left_semi").select(
+            F.col("__dv_fp").alias("fp"), F.col("__dv_ri").alias("ri")
+        )
+
+    old_dvs = {
+        ap: json.dumps(a["deletionVector"])
+        for ap, a in by_path.items()
+        if a.get("deletionVector")
+    }
+
+    def build_dv(pdf):
+        import json as _j
+        import os as _os
+
+        import pandas as _pd
+
+        from pipeline_spark.functions.deltadv import (
+            load_dv_positions,
+            make_dv_descriptor_relative,
+        )
+
+        fp = pdf["fp"].iloc[0]
+        positions = set(int(x) for x in pdf["ri"])
+        prior = old_dvs.get(fp)
+        if prior:
+            positions |= {
+                int(x)
+                for x in load_dv_positions(tbl_abs, _j.loads(prior))
+            }
+        desc, target, blob = make_dv_descriptor_relative(
+            tbl_abs, sorted(positions)
+        )
+        _os.makedirs(_os.path.dirname(target) or tbl_abs, exist_ok=True)
+        tmp = target + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        _os.rename(tmp, target)
+        return _pd.DataFrame(
+            {"fp": [fp], "desc": [_j.dumps(desc)], "n_new": [len(pdf)]}
+        )
+
+    built = (
+        matches.groupBy("fp").applyInPandas(
+            build_dv, schema="fp string, desc string, n_new long"
+        ).collect()  # one row PER TOUCHED FILE — metadata scale
+        if matches is not None else []
+    )
+
+    # upsert batch: normal partitioned data files
+    up_dir = os.path.join(table, f"data-merge-{commit_id}", "upserts")
+    w = to_physical_df(upserts, cm).write
+    if phys_part_cols:
+        w = w.partitionBy(*phys_part_cols)
+    w.parquet(up_dir)
+    adds: list[dict] = []
+    for root, _dirs, fnames in os.walk(up_dir):
+        for name in sorted(fnames):
+            if not name.endswith(".parquet"):
+                continue
+            fullp = os.path.join(root, name)
+            rel = os.path.relpath(fullp, table)
+            pv = {}
+            for seg in os.path.relpath(root, up_dir).split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    pv[k] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__"
+                        else urllib.parse.unquote(v)
+                    )
+            adds.append({
+                "path": urllib.parse.quote(
+                    rel.replace(os.sep, "/"), safe="/="),
+                "partitionValues": pv,
+                "size": os.path.getsize(fullp),
+                "modificationTime": now_ms,
+                "dataChange": True,
+                "__full_path__": fullp,
+            })
+    stats_map = _collect_file_stats(spark, [a["__full_path__"] for a in adds])
+    for a in adds:
+        st = stats_map.get(a.pop("__full_path__"))
+        if st:
+            a["stats"] = st
+
+    actions: list[dict] = []
+    need = {"deletionVectors"} | ({"columnMapping"} if cm else set())
+    rfeats = set((proto or {}).get("readerFeatures") or [])
+    wfeats = set((proto or {}).get("writerFeatures") or [])
+    if built and not need <= rfeats:
+        rfeats |= need
+        actions.append({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": sorted(rfeats),
+            "writerFeatures": sorted(wfeats | rfeats),
+        }})
+    deleted = 0
+    for row in built:
+        a = by_path[row["fp"]]
+        deleted += int(row["n_new"])
+        actions.append({"remove": {
+            "path": a["path"], "deletionTimestamp": now_ms,
+            "dataChange": True,
+            "partitionValues": a.get("partitionValues") or {},
+        }})
+        new_add = {k: v for k, v in a.items() if k != "deletionVector"}
+        new_add["deletionVector"] = json.loads(row["desc"])
+        new_add["dataChange"] = True
+        new_add["modificationTime"] = a.get("modificationTime", now_ms)
+        actions.append({"add": new_add})
+    actions.extend({"add": a} for a in adds)
+    actions.append({"commitInfo": {
+        "timestamp": now_ms,
+        "operation": "MERGE",
+        "operationParameters": {
+            "predicate": json.dumps(list(keys)),
+            "method": "merge-on-read",
+        },
+    }})
+    _commit_actions(table, prev_version + 1, actions)
+    return {"merged_rows": deleted, "dv_files": len(built),
+            "upsert_files": len(adds)}
+
+
 def merge_delta_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
     """Copy-on-write MERGE (UnifiedMutation semantics — the Delta twin of
     the iceberg sink's ``mode: merge``, but FILE-SCOPED): keyed by
@@ -1723,6 +1879,30 @@ def merge_delta_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
         a for a, ca in zip(prev_adds, check_adds)
         if not where or _stats_may_match(ca, where, None)
     ]
+    mor = bool(p.get("deletionVectors")) or str(
+        p.get("method", "")
+    ).lower() in ("mor", "dv", "deletion-vectors")
+    if mor:
+        # merge-on-read merge: matched keys tombstone via deletion
+        # vectors (ZERO data bytes move on the delete side), upserts
+        # append — one commit.  delta-spark's low-shuffle-merge shape.
+        if any(k in part_cols for k in keys):
+            raise NotImplementedError(
+                "delta merge method=mor: partition-column keys need the "
+                "copy-on-write path (drop method: mor)"
+            )
+        if cdf:
+            raise NotImplementedError(
+                "delta merge method=mor on a CDF table: change rows for "
+                "DV tombstones are not implemented — use the default "
+                "copy-on-write merge (it stages delete+insert cdc rows)"
+            )
+        return _dv_merge(
+            spark, p, table, keys, touched, upserts, candidates,
+            prev_version, meta, _proto, cm, phys_part_cols, fschema,
+            log_fschema,
+        )
+
     # exact touched-file probe (delta-spark's findTouchedFiles): one
     # column-pruned scan of the candidates' key columns, semi-joined to
     # the incoming keys — only files that actually CONTAIN a match

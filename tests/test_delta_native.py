@@ -3020,3 +3020,65 @@ def test_delta_merge_partitioned_cm(spark, tmp_path):
     assert back[100] == ("c", "new-100")
     assert back[2] == ("a", "v2")
     assert len(back) == 40
+
+
+def test_delta_merge_mor(spark, tmp_path):
+    """r7: merge-on-read MERGE — matched keys tombstone into deletion
+    vectors (zero data bytes move on the delete side: the original data
+    files stay byte-identical), upserts append, one commit; a second
+    mor merge unions positions into fresh DVs; CDF and partition-key
+    variants refuse with pointers at the COW path."""
+    import glob
+
+    from pipeline_spark.sinks.delta_native import merge_delta_native
+
+    tbl = str(tmp_path / "merge_mor")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], "id long, val string"
+        ).coalesce(1),
+        {"path": tbl},
+    )
+    orig = {
+        f: os.path.getsize(f)
+        for f in glob.glob(os.path.join(tbl, "data-*", "**", "*.parquet"),
+                           recursive=True)
+    }
+    batch = spark.createDataFrame(
+        [(5, "updated-5", "UPSERT"), (6, None, "DELETE")],
+        "id long, val string, __op__ string",
+    )
+    rep = merge_delta_native(
+        spark, batch, {"path": tbl, "primaryKeys": ["id"],
+                       "method": "mor"})
+    assert rep["merged_rows"] == 2 and rep["dv_files"] == 1
+    # the original data file did not move or change
+    for f, sz in orig.items():
+        assert os.path.getsize(f) == sz
+    back = {r["id"]: r["val"]
+            for r in read_delta_native(spark, {"path": tbl}).collect()}
+    assert back[5] == "updated-5" and 6 not in back and len(back) == 99
+
+    # second mor merge: positions UNION into the fresh DV
+    rep = merge_delta_native(
+        spark,
+        spark.createDataFrame([(7, None, "DELETE")],
+                              "id long, val string, __op__ string"),
+        {"path": tbl, "primaryKeys": ["id"], "method": "mor"})
+    assert rep["merged_rows"] == 1
+    back = read_delta_native(spark, {"path": tbl})
+    assert back.count() == 98
+    assert back.filter("id in (5, 6, 7)").count() == 1  # only the upsert
+
+    # gates
+    tbl2 = str(tmp_path / "merge_mor_cdf")
+    write_delta_native(
+        spark, spark.createDataFrame([(1, "a")], "id long, val string"),
+        {"path": tbl2,
+         "properties": {"delta.enableChangeDataFeed": "true"}},
+    )
+    with pytest.raises(NotImplementedError, match="copy-on-write"):
+        merge_delta_native(
+            spark, batch, {"path": tbl2, "primaryKeys": ["id"],
+                           "method": "mor"})
