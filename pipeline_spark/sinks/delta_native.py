@@ -383,7 +383,13 @@ def write_delta_native(
     if exists:
         from pipeline_spark.sources.delta_native import replay_domains
 
-        dm = replay_domains(table).get("delta.clustering")
+        # protocol-gated: only clustered tables list the domainMetadata
+        # writer feature, so plain tables skip the domain replay walk
+        dm = (
+            replay_domains(table).get("delta.clustering")
+            if "domainMetadata" in (_proto.get("writerFeatures") or [])
+            else None
+        )
         existing_cluster: list[str] = []
         if dm:
             try:
@@ -958,9 +964,14 @@ def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     if not p.get("zOrderBy"):
         # clustered table (r7): OPTIMIZE re-clusters on the table's own
         # delta.clustering columns by default, delta-spark's contract
+        # (protocol-gated so plain tables skip the domain replay walk)
         from pipeline_spark.sources.delta_native import replay_domains
 
-        dm = replay_domains(table).get("delta.clustering")
+        dm = (
+            replay_domains(table).get("delta.clustering")
+            if "domainMetadata" in (_proto.get("writerFeatures") or [])
+            else None
+        )
         if dm:
             try:
                 cluster_cols = [
