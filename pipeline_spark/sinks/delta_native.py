@@ -1636,7 +1636,7 @@ def update_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
 
 def _dv_merge(
     spark, p, table, keys, touched, upserts, candidates, prev_version,
-    meta, proto, cm, phys_part_cols, fschema, log_fschema,
+    meta, proto, cm, phys_part_cols, fschema, log_fschema, txn=None,
 ) -> dict[str, int]:
     """The merge-on-read half of MERGE: matched keys tombstone into
     roaring-bitmap deletion vectors (built executor-side, one
@@ -1777,6 +1777,9 @@ def _dv_merge(
         new_add["modificationTime"] = a.get("modificationTime", now_ms)
         actions.append({"add": new_add})
     actions.extend({"add": a} for a in adds)
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": str(txn[0]), "version": int(txn[1])}})
     actions.append({"commitInfo": {
         "timestamp": now_ms,
         "operation": "MERGE",
@@ -1790,7 +1793,9 @@ def _dv_merge(
             "upsert_files": len(adds)}
 
 
-def merge_delta_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
+def merge_delta_native(
+    spark, df, p: dict[str, Any], txn: tuple | None = None
+) -> dict[str, int]:
     """Copy-on-write MERGE (UnifiedMutation semantics — the Delta twin of
     the iceberg sink's ``mode: merge``, but FILE-SCOPED): keyed by
     ``primaryKeys``, rows with ``__op__ = DELETE`` remove their keys,
@@ -1837,10 +1842,13 @@ def merge_delta_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
     log_dir = os.path.join(table, "_delta_log")
     if not (os.path.isdir(log_dir) and latest_version(log_dir) is not None):
         # no table yet: merge degenerates to create (the iceberg rule)
-        write_delta_native(spark, upserts, {**p, "mode": "create"})
+        write_delta_native(spark, upserts, {**p, "mode": "create"}, txn=txn)
         return {"merged_rows": -1, "rewritten_files": 0}
 
     prev_adds, meta, _proto, prev_version, _txns = replay_state(table)
+    if txn is not None and int(txn[1]) <= _txns.get(str(txn[0]), -1):
+        # replayed streaming micro-batch: this merge already committed
+        return {"merged_rows": 0, "rewritten_files": 0, "replayed": True}
     _refuse_append_only(meta, "merge")
     if _schema_fingerprint(meta["schemaString"]) != _schema_fingerprint(
         upserts.schema.json()
@@ -1911,7 +1919,7 @@ def merge_delta_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
         return _dv_merge(
             spark, p, table, keys, touched, upserts, candidates,
             prev_version, meta, _proto, cm, phys_part_cols, fschema,
-            log_fschema,
+            log_fschema, txn=txn,
         )
 
     # exact touched-file probe (delta-spark's findTouchedFiles): one
@@ -2066,6 +2074,8 @@ def merge_delta_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
         [{"remove": r} for r in removes]
         + [{"add": a} for a in adds]
         + cdc_actions
+        + ([{"txn": {"appId": str(txn[0]), "version": int(txn[1])}}]
+           if txn is not None else [])
         + [{"commitInfo": {
             "timestamp": now_ms,
             "operation": "MERGE",
@@ -2916,6 +2926,13 @@ def delta_sink(ctx: ModuleContext) -> dict[str, Any]:
 
     def write_batch(bdf, batch_id: int) -> None:
         if bdf.isEmpty():
+            return
+        if first_mode == "merge":
+            # streaming CDC upsert: each micro-batch merges by key (txn
+            # marker = exactly-once under checkpoint replay)
+            merge_delta_native(
+                ctx.spark, bdf, p, txn=(app_id, int(batch_id))
+            )
             return
         mode = first_mode if batch_id == 0 else "append"
         write_delta_native(

@@ -3082,3 +3082,70 @@ def test_delta_merge_mor(spark, tmp_path):
         merge_delta_native(
             spark, batch, {"path": tbl2, "primaryKeys": ["id"],
                            "method": "mor"})
+
+
+def test_delta_streaming_merge(spark, tmp_path):
+    """r7: streaming CDC upsert — mode: merge on a streaming input
+    merges each micro-batch by key (one Delta version per batch, txn
+    markers make checkpoint replay exactly-once); a restarted stream
+    over the same files is a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    tbl = str(tmp_path / "stream_merge")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "id long, val string"
+        ).coalesce(1),
+        {"path": tbl},
+    )
+    in_dir = tmp_path / "cdc_in"
+    in_dir.mkdir()
+    pq.write_table(pa.table({
+        "id": pa.array([3, 4], pa.int64()),
+        "val": pa.array(["updated-3", None]),
+        "__op__": pa.array(["UPSERT", "DELETE"]),
+    }), str(in_dir / "b0.parquet"))
+    pq.write_table(pa.table({
+        "id": pa.array([4, 100], pa.int64()),
+        "val": pa.array(["resurrected-4", "new-100"]),
+        "__op__": pa.array(["UPSERT", "UPSERT"]),
+    }), str(in_dir / "b1.parquet"))
+    ckpt = str(tmp_path / "ckpt")
+    cfg = f"""
+sources:
+  - name: cdc
+    module: storage
+    parameters:
+      format: parquet
+      input: {in_dir}
+      mode: streaming
+      maxFilesPerTrigger: 1
+sinks:
+  - name: sink
+    module: delta
+    inputs: [cdc]
+    parameters:
+      path: {tbl}
+      mode: merge
+      primaryKeys: [id]
+      checkpointLocation: {ckpt}
+"""
+    run_pipeline(spark, parse_config(cfg))
+    back = {r["id"]: r["val"]
+            for r in read_delta_native(spark, {"path": tbl}).collect()}
+    assert back[3] == "updated-3"
+    assert back[4] == "resurrected-4"  # batch order: delete then upsert
+    assert back[100] == "new-100"
+    assert len(back) == 21
+    from pipeline_spark.sources.delta_native import latest_version
+    v_after = latest_version(os.path.join(tbl, "_delta_log"))
+
+    # restart over the same inputs: checkpoint + txn markers no-op
+    run_pipeline(spark, parse_config(cfg))
+    assert latest_version(os.path.join(tbl, "_delta_log")) == v_after
+    assert read_delta_native(spark, {"path": tbl}).count() == 21
