@@ -199,6 +199,12 @@ def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
         else:
             delete_iceberg_native(ctx.spark, p)
         return {"": ctx.input}
+    if maintenance == "upsert":
+        # one-commit keyed upsert: the module INPUT is the mutation batch
+        from pipeline_spark.sinks.iceberg_native import upsert_iceberg_native
+
+        upsert_iceberg_native(ctx.spark, ctx.input, p)
+        return {"": ctx.input}
     try:
         _require_connector(ctx, "iceberg", "org.apache.iceberg.spark.SparkCatalog")
     except RuntimeError:

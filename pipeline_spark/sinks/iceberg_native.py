@@ -2177,6 +2177,125 @@ def equality_delete_iceberg_native(
     return {"delete_files": len(files)}
 
 
+def upsert_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
+    """ONE-COMMIT keyed upsert (the Flink iceberg-connector commit
+    shape): equality-delete files for every incoming key AND the upsert
+    rows' data files land in the SAME snapshot under the SAME sequence
+    number — the strict below-sequence rule applies the deletes to every
+    earlier file but never to the new data, so delete-old-then-insert-
+    new is atomic.  Cost is O(batch): no table scan, no file rewrite —
+    the streaming CDC shape for a 100 TB keyed table (readers subtract
+    via the MOR anti-join; run ``compact`` to materialize).
+
+    ``primaryKeys`` names the identifier columns; rows with ``__op__ =
+    DELETE`` remove their keys without re-inserting.  Unpartitioned
+    tables only (upsert data files carry no partition values — a
+    partitioned table needs ``mode: merge`` or equality-delete +
+    partitioned append).  A missing table degenerates to create.
+    """
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sources.iceberg_native import (
+        _iceberg_type_to_spark,
+        find_table_metadata,
+    )
+
+    keys = list(p.get("primaryKeys") or p.get("keyFields") or [])
+    if not keys:
+        raise ValueError("iceberg upsert needs primaryKeys")
+    op_field = p.get("mutationOpField", "__op__")
+    if op_field in df.columns:
+        upserts = df.filter(
+            F.upper(F.coalesce(F.col(op_field), F.lit("UPSERT"))) != "DELETE"
+        ).drop(op_field)
+        touched = df.drop(op_field).select(*keys).distinct()
+    else:
+        upserts = df
+        touched = df.select(*keys).distinct()
+
+    rest = _rest_meta_session(p) if p.get("catalog") else None
+    if rest is not None:
+        meta = rest[3]
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1", str((meta or {}).get("location") or "")
+        )
+        missing = meta is None
+    else:
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table"))
+        )
+        try:
+            with open(find_table_metadata(table_path)) as fh:
+                meta = json.load(fh)
+            missing = False
+        except FileNotFoundError:
+            missing = True
+    if missing:
+        write_iceberg_native(upserts, {**p, "mode": "create"})
+        return {"delete_files": 0, "data_files": -1}
+    spec0 = next(
+        (sp for sp in meta.get("partition-specs", [])
+         if sp.get("spec-id", 0) == meta.get("default-spec-id", 0)),
+        {"fields": []},
+    )
+    if spec0.get("fields"):
+        raise NotImplementedError(
+            "iceberg upsert: table is partitioned — upsert data files "
+            "carry no partition values; use mode: merge (copy-on-write) "
+            "or equalityDelete + a partitioned append"
+        )
+    cur_schema = next(
+        s for s in meta["schemas"]
+        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+    )
+    by_name = {f["name"]: f for f in cur_schema["fields"]}
+    if sorted(upserts.columns) != sorted(by_name):
+        raise ValueError(
+            f"iceberg upsert: batch columns {sorted(upserts.columns)} != "
+            f"table schema {sorted(by_name)}"
+        )
+    bad = [k for k in keys if k not in by_name
+           or not isinstance(by_name[k]["type"], str)]
+    if bad:
+        raise ValueError(
+            f"iceberg upsert: primaryKeys {bad} missing or non-primitive"
+        )
+    ids = [int(by_name[k]["id"]) for k in keys]
+
+    stage = uuid.uuid4().hex
+    del_dir = os.path.join(table_path, "data", f"eqdel-{stage}")
+    touched.select(*[
+        F.col(k).cast(_iceberg_type_to_spark(by_name[k]["type"])).alias(k)
+        for k in keys
+    ]).distinct().write.parquet(del_dir)
+    data_dir = os.path.join(table_path, "data", f"upsert-{stage}")
+    upserts.write.parquet(data_dir)
+
+    def _live(d):
+        out = []
+        for root, _dirs, names in os.walk(d):
+            for n in sorted(names):
+                if n.endswith(".parquet"):
+                    full = os.path.join(root, n)
+                    if _parquet_stats(full)[0] == 0:
+                        os.remove(full)
+                    else:
+                        out.append(full)
+        return out
+
+    del_files = _live(del_dir)
+    data_files = _live(data_dir)
+    if not del_files:
+        raise ValueError("iceberg upsert: empty mutation batch")
+    append_delete_files(
+        table_path,
+        [{"path": f, "content": 2, "equality_ids": ids} for f in del_files],
+        rest=rest,
+        data_files=data_files,
+    )
+    return {"delete_files": len(del_files), "data_files": len(data_files)}
+
+
 def expire_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     """expire_snapshots + the file cleanup it enables.
 
@@ -2642,7 +2761,8 @@ def remove_orphans_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
 
 
 def append_delete_files(
-    table_path: str, delete_files: list[dict], *, rest=None
+    table_path: str, delete_files: list[dict], *, rest=None,
+    data_files: list[str] | None = None,
 ) -> None:
     """Commit a merge-on-read snapshot adding v2 row-level DELETE files
     to an existing table — the write-side counterpart of the reader's
@@ -2755,6 +2875,79 @@ def append_delete_files(
     with open(manifest_path, "wb") as fh:
         fh.write(manifest_bytes)
 
+    # upsert shape (r7, the Flink-connector commit): DATA files land in
+    # the SAME snapshot under the SAME sequence number as the equality
+    # deletes — the strict below-sequence rule means the deletes apply
+    # to every EARLIER file but never to these, so delete-old-then-
+    # insert-new is one atomic commit
+    data_entries: list[dict] = []
+    added_rows = 0
+    if data_files:
+        colmap = {
+            f["name"]: (f["id"], f["type"])
+            for f in cur_schema["fields"]
+            if isinstance(f["type"], str)
+        }
+        for path in data_files:
+            rows, size = _parquet_stats(path)
+            if rows == 0:
+                os.remove(path)
+                continue
+            added_rows += rows
+            nulls, lows, highs = (
+                _footer_column_stats(path, colmap)
+                if colmap else (None,) * 3
+            )
+            data_entries.append({
+                "status": _STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": rows,
+                    "file_size_in_bytes": size,
+                    "null_value_counts": nulls,
+                    "lower_bounds": lows,
+                    "upper_bounds": highs,
+                    "equality_ids": None,
+                },
+            })
+    data_manifest = None
+    if data_entries:
+        dm_path = os.path.join(meta_dir, f"{commit_uuid}-m1.avro")
+        dm_bytes = write_ocf_bytes(
+            _manifest_entry_schema(part_avro_fields),
+            data_entries,
+            extra_meta={
+                "schema": schema_json,
+                "partition-spec": json.dumps(spec0.get("fields", [])),
+                "partition-spec-id": str(spec0.get("spec-id", 0)),
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        with open(dm_path, "wb") as fh:
+            fh.write(dm_bytes)
+        data_manifest = {
+            "manifest_path": dm_path,
+            "manifest_length": len(dm_bytes),
+            "partition_spec_id": spec0.get("spec-id", 0),
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(data_entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": added_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
     prev_snap = next(
         s
         for s in prev_meta["snapshots"]
@@ -2782,6 +2975,8 @@ def append_delete_files(
             "deleted_rows_count": deleted_rows,
         }
     )
+    if data_manifest is not None:
+        manifests.append(data_manifest)
     list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
     list_bytes = write_ocf_bytes(
         _MANIFEST_FILE_SCHEMA,
@@ -2798,9 +2993,11 @@ def append_delete_files(
         "manifest-list": list_path,
         "schema-id": prev_meta.get("current-schema-id", 0),
         "summary": {
-            "operation": "delete",
+            "operation": "overwrite" if data_entries else "delete",
             "added-delete-files": str(len(entries)),
             "added-position-delete-records": str(deleted_rows),
+            "added-data-files": str(len(data_entries)),
+            "added-records": str(added_rows),
         },
     }
     if rest is not None:

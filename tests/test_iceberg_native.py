@@ -3268,3 +3268,94 @@ def test_iceberg_alter_sort_order(spark, tmp_path):
             state["aso"]["sort-orders"][-1]["order-id"])
     finally:
         srv.shutdown()
+
+
+def test_iceberg_one_commit_upsert(spark, tmp_path):
+    """r7 (Flink iceberg-connector commit shape): equality-delete files
+    and upsert data files land in ONE snapshot under one sequence number
+    — the strict below-seq rule applies the deletes to all earlier files
+    but never to the batch's own rows.  Deletes drop keys, upserts
+    replace whole rows, a second upsert replaces again (reader-side MOR
+    semantics), and the partitioned gate refuses."""
+    from pipeline_spark.sinks.iceberg_native import upsert_iceberg_native
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    tbl = str(tmp_path / "ice_upsert")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "id long, val string"
+        ).coalesce(1),
+        {"path": tbl, "mode": "create"},
+    )
+    n_snaps = len(json.loads(
+        open(find_table_metadata(tbl)).read())["snapshots"])
+    batch = spark.createDataFrame(
+        [(3, "updated-3", "UPSERT"), (4, None, "DELETE"),
+         (100, "new-100", "UPSERT")],
+        "id long, val string, __op__ string",
+    ).coalesce(1)
+    rep = upsert_iceberg_native(spark, batch, {
+        "path": tbl, "primaryKeys": ["id"]})
+    assert rep["delete_files"] >= 1 and rep["data_files"] >= 1
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    assert len(meta["snapshots"]) == n_snaps + 1  # ONE commit
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"])
+    assert snap["summary"]["operation"] == "overwrite"
+    back = {r["id"]: r["val"]
+            for r in read_iceberg_native(spark, {"path": tbl}).collect()}
+    assert back[3] == "updated-3" and 4 not in back
+    assert back[100] == "new-100" and back[5] == "v5"
+    assert len(back) == 20  # 20 - delete + insert
+
+    # a second upsert of the same key replaces again (seq rule chains)
+    upsert_iceberg_native(
+        spark,
+        spark.createDataFrame([(3, "again-3")], "id long, val string")
+        .coalesce(1),
+        {"path": tbl, "primaryKeys": ["id"]},
+    )
+    back = {r["id"]: r["val"]
+            for r in read_iceberg_native(spark, {"path": tbl}).collect()}
+    assert back[3] == "again-3" and len(back) == 20
+
+    tbl2 = str(tmp_path / "ice_upsert_part")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "a")], "id long, grp string").coalesce(1),
+        {"path": tbl2, "mode": "create", "partitionBy": ["grp"]},
+    )
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        upsert_iceberg_native(
+            spark,
+            spark.createDataFrame([(1, "b")], "id long, grp string"),
+            {"path": tbl2, "primaryKeys": ["id"]},
+        )
+
+
+def test_rest_catalog_one_commit_upsert(spark, tmp_path):
+    """The same one-commit upsert through a REST catalog."""
+    from pipeline_spark.sinks.iceberg_native import upsert_iceberg_native
+
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        loc = str(tmp_path / "rest_upsert")
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.ups", "location": loc}
+        write_iceberg_native(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "id long, val string").coalesce(1),
+            {**cat_p, "mode": "create"},
+        )
+        upsert_iceberg_native(
+            spark,
+            spark.createDataFrame(
+                [(2, "b2", "UPSERT"), (1, None, "DELETE")],
+                "id long, val string, __op__ string").coalesce(1),
+            {**cat_p, "primaryKeys": ["id"]},
+        )
+        back = {r["id"]: r["val"] for r in read_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.ups"}).collect()}
+        assert back == {2: "b2"}
+    finally:
+        srv.shutdown()
