@@ -199,11 +199,60 @@ def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
         else:
             delete_iceberg_native(ctx.spark, p)
         return {"": ctx.input}
-    if maintenance == "upsert":
+    if maintenance == "upsert" and not ctx.input.isStreaming:
         # one-commit keyed upsert: the module INPUT is the mutation batch
         from pipeline_spark.sinks.iceberg_native import upsert_iceberg_native
 
         upsert_iceberg_native(ctx.spark, ctx.input, p)
+        return {"": ctx.input}
+    if ctx.input.isStreaming:
+        # streaming: one native commit per micro-batch (append/overwrite-
+        # first-batch, or mode: upsert = the one-commit keyed CDC shape).
+        # Exactly-once under checkpoint replay: each commit stamps
+        # (appId, batchId) into its snapshot summary and a replayed batch
+        # at or below the recorded high-water no-ops — Flink's own
+        # checkpoint-id-in-summary pattern.
+        from pipeline_spark.sinks.iceberg_native import (
+            last_streaming_batch,
+            upsert_iceberg_native,
+            write_iceberg_native,
+        )
+
+        table_key = p.get("table") or p.get("path")
+        if not table_key:
+            raise ValueError("iceberg sink: 'path' (or 'table') is required")
+        checkpoint = p.get(
+            "checkpointLocation", str(table_key).rstrip("/") + "_checkpoint"
+        )
+        app_id = str(p.get("txnAppId", f"pipeline_spark::{checkpoint}"))
+        first_mode = str(p.get("mode", "append")).lower()
+
+        def write_batch(bdf, batch_id: int) -> None:
+            if bdf.isEmpty():
+                return
+            if int(batch_id) <= last_streaming_batch(p, app_id):
+                return  # replayed micro-batch: already committed
+            sp = {**p, "summaryProperties": {
+                **(p.get("summaryProperties") or {}),
+                "pipeline-spark.app-id": app_id,
+                "pipeline-spark.batch-id": int(batch_id),
+            }}
+            if first_mode == "upsert":
+                upsert_iceberg_native(ctx.spark, bdf, sp)
+                return
+            mode_b = first_mode if batch_id == 0 else "append"
+            write_iceberg_native(bdf, {**sp, "mode": mode_b})
+
+        query = (
+            ctx.input.writeStream
+            .outputMode(p.get("outputMode", "append"))
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if p.get("await", True):
+            query.awaitTermination()
         return {"": ctx.input}
     try:
         _require_connector(ctx, "iceberg", "org.apache.iceberg.spark.SparkCatalog")

@@ -904,6 +904,11 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
             "added-records": str(added_rows),
             "total-records": str(total_rows),
             "total-data-files": str(total_files),
+            # caller bookkeeping (spec: summary is a string map) — the
+            # streaming sink stamps its (appId, batchId) here for
+            # exactly-once replay detection, Flink's own pattern
+            **{str(k): str(v)
+               for k, v in (p.get("summaryProperties") or {}).items()},
         },
     }
     if rest is not None:
@@ -2292,8 +2297,43 @@ def upsert_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
         [{"path": f, "content": 2, "equality_ids": ids} for f in del_files],
         rest=rest,
         data_files=data_files,
+        summary_properties=p.get("summaryProperties"),
     )
     return {"delete_files": len(del_files), "data_files": len(data_files)}
+
+
+def last_streaming_batch(p: dict[str, Any], app_id: str) -> int:
+    """Highest batch id this stream has committed to the table — read
+    from snapshot summaries (the streaming sink stamps
+    ``pipeline-spark.app-id`` / ``pipeline-spark.batch-id``, Flink's
+    checkpoint-id-in-summary pattern).  -1 when the table is missing or
+    the stream never wrote; a replayed micro-batch at or below this id
+    must no-op for exactly-once."""
+    try:
+        if p.get("catalog"):
+            rest = _rest_meta_session(p)
+            meta = rest[3]
+            if meta is None:
+                return -1
+        else:
+            table_path = re.sub(
+                r"^file:/{0,2}(/)",
+                r"\1",
+                str(p.get("path") or p.get("table")),
+            )
+            with open(find_table_metadata(table_path)) as fh:
+                meta = json.load(fh)
+    except (FileNotFoundError, ValueError):
+        return -1
+    best = -1
+    for s in meta.get("snapshots", []):
+        sm = s.get("summary") or {}
+        if sm.get("pipeline-spark.app-id") == app_id:
+            try:
+                best = max(best, int(sm.get("pipeline-spark.batch-id", -1)))
+            except (TypeError, ValueError):
+                pass
+    return best
 
 
 def expire_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
@@ -2763,6 +2803,7 @@ def remove_orphans_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
 def append_delete_files(
     table_path: str, delete_files: list[dict], *, rest=None,
     data_files: list[str] | None = None,
+    summary_properties: dict | None = None,
 ) -> None:
     """Commit a merge-on-read snapshot adding v2 row-level DELETE files
     to an existing table — the write-side counterpart of the reader's
@@ -2998,6 +3039,7 @@ def append_delete_files(
             "added-position-delete-records": str(deleted_rows),
             "added-data-files": str(len(data_entries)),
             "added-records": str(added_rows),
+            **{str(k): str(v) for k, v in (summary_properties or {}).items()},
         },
     }
     if rest is not None:

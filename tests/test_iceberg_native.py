@@ -3359,3 +3359,75 @@ def test_rest_catalog_one_commit_upsert(spark, tmp_path):
         assert back == {2: "b2"}
     finally:
         srv.shutdown()
+
+
+def test_iceberg_streaming_upsert(spark, tmp_path):
+    """r7: streaming CDC into Iceberg — mode: upsert commits one
+    equality-delete + data snapshot per micro-batch, each stamped with
+    (appId, batchId) in its summary; a restarted stream over the same
+    files no-ops (Flink's checkpoint-id-in-summary exactly-once)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    tbl = str(tmp_path / "ice_stream_ups")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, val string"
+        ).coalesce(1),
+        {"path": tbl, "mode": "create"},
+    )
+    in_dir = tmp_path / "ups_in"
+    in_dir.mkdir()
+    pq.write_table(pa.table({
+        "id": pa.array([3], pa.int64()),
+        "val": pa.array(["updated-3"]),
+        "__op__": pa.array(["UPSERT"]),
+    }), str(in_dir / "b0.parquet"))
+    pq.write_table(pa.table({
+        "id": pa.array([4, 100], pa.int64()),
+        "val": pa.array([None, "new-100"]),
+        "__op__": pa.array(["DELETE", "UPSERT"]),
+    }), str(in_dir / "b1.parquet"))
+    ckpt = str(tmp_path / "ups_ckpt")
+    cfg = f"""
+sources:
+  - name: cdc
+    module: storage
+    parameters:
+      format: parquet
+      input: {in_dir}
+      mode: streaming
+      maxFilesPerTrigger: 1
+sinks:
+  - name: sink
+    module: iceberg
+    inputs: [cdc]
+    parameters:
+      path: {tbl}
+      mode: upsert
+      primaryKeys: [id]
+      checkpointLocation: {ckpt}
+"""
+    run_pipeline(spark, parse_config(cfg))
+    back = {r["id"]: r["val"]
+            for r in read_iceberg_native(spark, {"path": tbl}).collect()}
+    assert back[3] == "updated-3" and 4 not in back
+    assert back[100] == "new-100" and len(back) == 10
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    n_snaps = len(meta["snapshots"])
+    stamped = [
+        s["summary"].get("pipeline-spark.batch-id")
+        for s in meta["snapshots"]
+        if s.get("summary", {}).get("pipeline-spark.app-id")
+    ]
+    assert sorted(stamped) == ["0", "1"]
+
+    # restart over the same inputs: summary high-water makes it a no-op
+    run_pipeline(spark, parse_config(cfg))
+    meta = json.loads(open(find_table_metadata(tbl)).read())
+    assert len(meta["snapshots"]) == n_snaps
+    assert read_iceberg_native(spark, {"path": tbl}).count() == 10
