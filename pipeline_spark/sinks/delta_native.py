@@ -1583,7 +1583,12 @@ def _dv_mutate_where(
         })
     deleted = 0
     for row in built:
-        a = by_path[row["fp"]]
+        # __dv_fp derives from _metadata.file_path, which URI-encodes
+        # special chars (a space in a hive partition value) — fall back
+        # to the unquoted form against the raw-path index
+        a = by_path.get(row["fp"]) or by_path[
+            urllib.parse.unquote(row["fp"])
+        ]
         deleted += int(row["n_new"])
         actions.append({"remove": {
             "path": a["path"], "deletionTimestamp": now_ms,
@@ -1764,7 +1769,12 @@ def _dv_merge(
         }})
     deleted = 0
     for row in built:
-        a = by_path[row["fp"]]
+        # __dv_fp derives from _metadata.file_path, which URI-encodes
+        # special chars (a space in a hive partition value) — fall back
+        # to the unquoted form against the raw-path index
+        a = by_path.get(row["fp"]) or by_path[
+            urllib.parse.unquote(row["fp"])
+        ]
         deleted += int(row["n_new"])
         actions.append({"remove": {
             "path": a["path"], "deletionTimestamp": now_ms,

@@ -40,6 +40,7 @@ import json
 import os
 import re
 import time
+import urllib.parse
 import uuid
 from typing import Any
 
@@ -1607,14 +1608,19 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     affected: set[str] = set()
     if pos:
         # distinct named paths — delete files are position-list-sized,
-        # the collect is metadata scale (bounded by live-file count)
-        named = {
-            _norm(r["file_path"])
-            for r in spark.read.parquet(*[d["path"] for d in pos])
-            .select("file_path")
-            .distinct()
-            .collect()
-        }
+        # the collect is metadata scale (bounded by live-file count).
+        # Stored file_path values may be URI-percent-encoded (they were
+        # captured from _metadata.file_path), so compare the unquoted
+        # form too — a partition value with a space must still force its
+        # file into the rewrite or its deleted rows would resurrect when
+        # the replace snapshot drops the delete manifests.
+        named = set()
+        for r in (
+            spark.read.parquet(*[d["path"] for d in pos])
+            .select("file_path").distinct().collect()
+        ):
+            named.add(_norm(r["file_path"]))
+            named.add(urllib.parse.unquote(_norm(r["file_path"])))
         affected |= {d["path"] for d in data if _norm(d["path"]) in named}
     if eq:
         max_eq = max(d["seq"] for d in eq)
@@ -2030,9 +2036,13 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         )
     else:
         df = spark.read.parquet(*[d["path"] for d in data]).select(
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:(//)?", ""
-            ).alias("file_path"),
+            # decoded raw path (spec: a position delete's file_path must
+            # equal the manifest's file_path — which is raw, not a URI)
+            F.url_decode(F.regexp_replace(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ), r"\+", "%2B",
+            )).alias("file_path"),
             F.col("_metadata.row_index").alias("pos"),
             "*",
         )
@@ -2193,10 +2203,11 @@ def upsert_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
     via the MOR anti-join; run ``compact`` to materialize).
 
     ``primaryKeys`` names the identifier columns; rows with ``__op__ =
-    DELETE`` remove their keys without re-inserting.  Unpartitioned
-    tables only (upsert data files carry no partition values — a
-    partitioned table needs ``mode: merge`` or equality-delete +
-    partitioned append).  A missing table degenerates to create.
+    DELETE`` remove their keys without re-inserting.  Partitioned tables
+    work too: the batch's data files land under the default spec's
+    layout (transforms recomputed from the spec's metadata), while the
+    delete files stay global — the spec's partition-independent
+    equality-delete shape.  A missing table degenerates to create.
     """
     from pyspark.sql import functions as F
 
@@ -2243,12 +2254,6 @@ def upsert_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
          if sp.get("spec-id", 0) == meta.get("default-spec-id", 0)),
         {"fields": []},
     )
-    if spec0.get("fields"):
-        raise NotImplementedError(
-            "iceberg upsert: table is partitioned — upsert data files "
-            "carry no partition values; use mode: merge (copy-on-write) "
-            "or equalityDelete + a partitioned append"
-        )
     cur_schema = next(
         s for s in meta["schemas"]
         if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
@@ -2273,8 +2278,37 @@ def upsert_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
         F.col(k).cast(_iceberg_type_to_spark(by_name[k]["type"])).alias(k)
         for k in keys
     ]).distinct().write.parquet(del_dir)
+
+    # partitioned tables (r7): upsert data files land under the DEFAULT
+    # spec's layout — transforms recomputed from the spec's own metadata
+    # fields, hive dirs carry the values, each file's manifest entry
+    # records them (the delete files stay global/all-null, the spec's
+    # own shape for partition-independent equality deletes)
     data_dir = os.path.join(table_path, "data", f"upsert-{stage}")
-    upserts.write.parquet(data_dir)
+    part_info = []
+    if spec0.get("fields"):
+        from pipeline_spark.functions.icebergpart import (
+            parse_dir_value,
+            parse_partition_spec,
+            transform_column,
+        )
+
+        names_by_id = {f["id"]: f["name"] for f in cur_schema["fields"]}
+        pfields = parse_partition_spec({"partitionSpec": [
+            {"field": names_by_id[sf["source-id"]],
+             "transform": sf["transform"], "name": sf["name"]}
+            for sf in spec0["fields"]
+        ]})
+        df_w = upserts
+        for i, fld in enumerate(pfields):
+            col, kind = transform_column(
+                fld, upserts.schema[fld["source"]].dataType)
+            df_w = df_w.withColumn(f"_ip_{i}", col)
+            part_info.append((f"_ip_{i}", fld, kind))
+        df_w.write.partitionBy(
+            [t for t, _f, _k in part_info]).parquet(data_dir)
+    else:
+        upserts.write.parquet(data_dir)
 
     def _live(d):
         out = []
@@ -2288,8 +2322,23 @@ def upsert_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
                         out.append(full)
         return out
 
+    def _pvals(path):
+        if not part_info:
+            return {}
+        from pipeline_spark.functions.icebergpart import parse_dir_value
+
+        rel = os.path.relpath(os.path.dirname(path), data_dir)
+        comps = [c for c in rel.split(os.sep) if c not in (".", "")]
+        vals = {}
+        for (tmp, fld, kind), comp in zip(part_info, comps):
+            _k, _, raw = comp.partition("=")
+            vals[fld["name"]] = parse_dir_value(raw, kind)
+        return vals
+
     del_files = _live(del_dir)
-    data_files = _live(data_dir)
+    data_files = [
+        {"path": f, "partition": _pvals(f)} for f in _live(data_dir)
+    ]
     if not del_files:
         raise ValueError("iceberg upsert: empty mutation batch")
     append_delete_files(
@@ -2929,7 +2978,11 @@ def append_delete_files(
             for f in cur_schema["fields"]
             if isinstance(f["type"], str)
         }
-        for path in data_files:
+        for d in data_files:
+            path, pv = (
+                (d["path"], d.get("partition") or {})
+                if isinstance(d, dict) else (d, {})
+            )
             rows, size = _parquet_stats(path)
             if rows == 0:
                 os.remove(path)
@@ -2948,7 +3001,7 @@ def append_delete_files(
                     "content": 0,
                     "file_path": path,
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": pv,
                     "record_count": rows,
                     "file_size_in_bytes": size,
                     "null_value_counts": nulls,

@@ -616,6 +616,23 @@ def delta_source(ctx: ModuleContext) -> dict[str, Any]:
     return {"": read_delta_native(ctx.spark, ctx.params)}
 
 
+def _uri_to_path(col):
+    """``_metadata.file_path`` (a URI: scheme + percent-encoding) → the
+    raw filesystem path driver-side code uses.  A hive partition value
+    with a space ('grp=4-NOT SPECIFIED/') arrives as %20 — an undecoded
+    comparison silently misses the file and deleted rows resurrect.
+    ``url_decode`` form-decodes '+' as space, so literal '+' is escaped
+    to %2B first; the URI encoder escapes '%' itself, so every remaining
+    %XX is a valid escape."""
+    from pyspark.sql import functions as F
+
+    return F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(col, "^file:/+", "/"), r"\+", "%2B"
+        )
+    )
+
+
 def read_files_with_dv(spark, table, fschema, adds, with_meta: bool = False):
     """DataFrame over these add actions' data files with their deletion
     vectors APPLIED — the one correct way to re-read table files once
@@ -631,9 +648,7 @@ def read_files_with_dv(spark, table, fschema, adds, with_meta: bool = False):
 
     def meta_cols():
         return [
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/+", "/"
-            ).alias("__dv_fp"),
+            _uri_to_path(F.col("_metadata.file_path")).alias("__dv_fp"),
             F.col("_metadata.row_index").alias("__dv_ri"),
         ]
 
@@ -1095,11 +1110,9 @@ def read_delta_native(spark, p: dict[str, Any]):
             return df
         return df.select(
             "*",
-            # normalize the URI ("file:/p", "file:///p" → "/p") so it
+            # normalize the URI ("file:/p" → "/p", %XX decoded) so it
             # matches the descriptor-side os.path.abspath form
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/+", "/"
-            ).alias("__dv_fp"),
+            _uri_to_path(F.col("_metadata.file_path")).alias("__dv_fp"),
             F.col("_metadata.row_index").alias("__dv_ri"),
         )
 

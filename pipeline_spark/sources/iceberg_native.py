@@ -353,7 +353,17 @@ def _apply_row_deletes(spark, df, data: list[dict], deletes: list[dict], meta: d
     from pyspark.sql import functions as F
 
     def norm(col):
-        return F.regexp_replace(col, "^file:/+", "/")
+        # URI → raw path: strip the scheme AND percent-decode — a hive
+        # partition value with a space arrives as %20 in
+        # _metadata.file_path and an undecoded comparison silently skips
+        # the seq test / position match (resurrecting deleted rows).
+        # '+' is pre-escaped so url_decode's form-decoding can't corrupt
+        # literal plus signs.
+        return F.url_decode(
+            F.regexp_replace(
+                F.regexp_replace(col, "^file:/+", "/"), r"\+", "%2B"
+            )
+        )
 
     if "__fp__" not in df.columns:
         df = df.select(

@@ -3149,3 +3149,26 @@ sinks:
     run_pipeline(spark, parse_config(cfg))
     assert latest_version(os.path.join(tbl, "_delta_log")) == v_after
     assert read_delta_native(spark, {"path": tbl}).count() == 21
+
+
+def test_delta_dv_special_char_partitions(spark, tmp_path):
+    """r7 regression: DV deletes must apply to files under partition dirs
+    with URI-special characters — _metadata.file_path percent-encodes
+    them and an undecoded anti-join silently resurrected deleted rows."""
+    from pipeline_spark.sinks.delta_native import delete_delta_native
+
+    tbl = str(tmp_path / "dv_special")
+    grps = ["4-NOT SPECIFIED", "a+b", "100%"]
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(i, grps[i % 3]) for i in range(9)], "id long, grp string"
+        ).coalesce(1),
+        {"path": tbl, "partitionBy": ["grp"]},
+    )
+    res = delete_delta_native(
+        spark, {"path": tbl, "method": "mor",
+                "where": [{"key": "id", "op": "<", "value": 3}]})
+    assert res["deleted_rows"] == 3
+    back = read_delta_native(spark, {"path": tbl})
+    assert sorted(r["id"] for r in back.collect()) == [3, 4, 5, 6, 7, 8]

@@ -3320,17 +3320,31 @@ def test_iceberg_one_commit_upsert(spark, tmp_path):
             for r in read_iceberg_native(spark, {"path": tbl}).collect()}
     assert back[3] == "again-3" and len(back) == 20
 
+    # partitioned table: upsert data lands under the spec's layout and
+    # partitionFilter pruning still works on the upserted rows
     tbl2 = str(tmp_path / "ice_upsert_part")
     write_iceberg_native(
-        spark.createDataFrame([(1, "a")], "id long, grp string").coalesce(1),
+        spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(8)],
+            "id long, grp string",
+        ).coalesce(1),
         {"path": tbl2, "mode": "create", "partitionBy": ["grp"]},
     )
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        upsert_iceberg_native(
-            spark,
-            spark.createDataFrame([(1, "b")], "id long, grp string"),
-            {"path": tbl2, "primaryKeys": ["id"]},
-        )
+    upsert_iceberg_native(
+        spark,
+        spark.createDataFrame(
+            [(0, "b", "UPSERT"), (1, None, "DELETE"), (50, "a", "UPSERT")],
+            "id long, grp string, __op__ string",
+        ).coalesce(1),
+        {"path": tbl2, "primaryKeys": ["id"]},
+    )
+    back2 = {r["id"]: r["grp"] for r in read_iceberg_native(
+        spark, {"path": tbl2}).collect()}
+    assert back2[0] == "b" and 1 not in back2 and back2[50] == "a"
+    assert len(back2) == 8
+    by_grp = read_iceberg_native(
+        spark, {"path": tbl2, "partitionFilter": {"grp": "a"}})
+    assert sorted(r["id"] for r in by_grp.collect()) == [2, 4, 6, 50]
 
 
 def test_rest_catalog_one_commit_upsert(spark, tmp_path):
@@ -3431,3 +3445,42 @@ sinks:
     meta = json.loads(open(find_table_metadata(tbl)).read())
     assert len(meta["snapshots"]) == n_snaps
     assert read_iceberg_native(spark, {"path": tbl}).count() == 10
+
+
+def test_iceberg_deletes_special_char_partitions(spark, tmp_path):
+    """r7 regression: equality + position deletes must apply to files
+    under partition dirs with URI-special characters (spaces, '+', '%')
+    — _metadata.file_path percent-encodes them, and an undecoded
+    comparison silently skipped the seq test / position match,
+    resurrecting deleted rows."""
+    from pipeline_spark.sinks.iceberg_native import (
+        delete_iceberg_native,
+        upsert_iceberg_native,
+    )
+
+    tbl = str(tmp_path / "ice_special")
+    grps = ["4-NOT SPECIFIED", "a+b", "100%"]
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, grps[i % 3]) for i in range(9)], "id long, grp string"
+        ).coalesce(1),
+        {"path": tbl, "mode": "create", "partitionBy": ["grp"]},
+    )
+    # equality-delete via one-commit upsert: every key must tombstone
+    upsert_iceberg_native(
+        spark,
+        spark.createDataFrame(
+            [(0, grps[0], "UPSERT"), (1, None, "DELETE"), (2, None, "DELETE")],
+            "id long, grp string, __op__ string",
+        ).coalesce(1),
+        {"path": tbl, "primaryKeys": ["id"]},
+    )
+    back = {r["id"]: r["grp"] for r in read_iceberg_native(
+        spark, {"path": tbl}).collect()}
+    assert 1 not in back and 2 not in back
+    assert back[0] == grps[0] and len(back) == 7
+    # position delete on a special-char-partition row
+    delete_iceberg_native(
+        spark, {"path": tbl, "where": [{"key": "id", "op": "=", "value": 4}]})
+    back = read_iceberg_native(spark, {"path": tbl})
+    assert sorted(r["id"] for r in back.collect()) == [0, 3, 5, 6, 7, 8]
