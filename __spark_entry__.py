@@ -4717,6 +4717,58 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-commit keyed upsert (r7, the Flink iceberg-connector commit
+    shape): the SAME CDC batch as delta_merge_upsert lands as equality-
+    delete files + data files in ONE snapshot under one sequence number
+    — O(batch) cost, no scan, no rewrite; the table is PARTITIONED by
+    lang, so the upsert data recomputes the spec's layout per file.
+    Same oracle end state as the delta twin."""
+    import shutil
+
+    from pipeline_spark.sinks.iceberg_native import (
+        upsert_iceberg_native,
+        write_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    tbl = _tmp_path("ice_upsert_q", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "lang", "n_chars")
+    )
+    write_iceberg_native(
+        docs.coalesce(1),
+        {"path": tbl, "mode": "create", "partitionBy": ["lang"]},
+    )
+    batch = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .withColumn(
+            "__op__",
+            F.when(F.col("doc_id") % 14 == 0, F.lit("UPSERT"))
+            .otherwise(F.lit("DELETE")),
+        )
+        .withColumn("n_chars", F.col("n_chars") * 2)
+    )
+    rep = upsert_iceberg_native(
+        spark, batch.coalesce(1), {"path": tbl, "primaryKeys": ["doc_id"]})
+    assert rep["delete_files"] >= 1 and rep["data_files"] >= 1
+    back = read_iceberg_native(spark, {"path": tbl})
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_ICE_UPSERT_SQL = Q_DELTA_MERGE_SQL
+
+
 def q_iceberg_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """iceberg v2 merge-on-read: nation committed natively (one sorted
     data file), then a POSITION delete file (row ordinals 0,1 →
@@ -4969,6 +5021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_v2_checkpoint": q_delta_v2_checkpoint,
         "delta_liquid_cluster": q_delta_liquid_cluster,
         "delta_merge_upsert": q_delta_merge_upsert,
+        "iceberg_upsert": q_iceberg_upsert,
         # --- relational core rotated back in (r6 ask #3)
         "agg_argminmax": q_agg_argminmax,
         "agg_firstlast": q_agg_firstlast,
@@ -5163,6 +5216,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_v2_checkpoint": Q_DELTA_V2CP_SQL,
         "delta_liquid_cluster": Q_DELTA_LIQUID_SQL,
         "delta_merge_upsert": Q_DELTA_MERGE_SQL,
+        "iceberg_upsert": Q_ICE_UPSERT_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,
         "bucketed_join": Q_BUCKETED_JOIN_SQL,
         "gopher_rules": Q_GOPHER_SQL,
