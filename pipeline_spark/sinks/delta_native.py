@@ -2097,6 +2097,82 @@ def merge_delta_native(
             "upsert_files": n_upserts}
 
 
+def clone_delta_native(spark, p: dict[str, Any]) -> dict[str, Any]:
+    """SHALLOW CLONE (delta-spark's CREATE TABLE ... SHALLOW CLONE): a
+    new table whose v0 commit re-adds the SOURCE's live files by
+    absolute path — zero data bytes copy, so a 100 TB table clones in
+    metadata time.  The clone gets a fresh table id but the source's
+    schema / partitioning / configuration (DV descriptors ride along —
+    merge-on-read state is table state); ``versionAsOf`` /
+    ``timestampAsOf`` clone a historical version.  Writes to the clone
+    stage under the CLONE's directory, and VACUUM walks only the
+    clone's own files, so the source can never be damaged through the
+    clone (the other edge — the SOURCE vacuuming files the clone still
+    references — is shallow-clone's documented contract in delta-spark
+    too: deep-copy via an overwrite write when the source's lifecycle
+    is not yours).
+    """
+    source = p.get("source") or p.get("from")
+    target = p.get("path") or p.get("table")
+    if not source or not target:
+        raise ValueError("delta clone: 'source' and 'path' are required")
+    version = p.get("versionAsOf")
+    if p.get("timestampAsOf") is not None:
+        from pipeline_spark.sources.delta_native import _version_at_timestamp
+
+        version = _version_at_timestamp(
+            _log_dir(source), p["timestampAsOf"])
+    adds, meta, proto, src_version = replay_log(
+        source, int(version) if version is not None else None)
+    log_dir = os.path.join(target, "_delta_log")
+    if os.path.isdir(log_dir) and latest_version(log_dir) is not None:
+        raise FileExistsError(f"delta clone: table already exists at {target}")
+    os.makedirs(log_dir, exist_ok=True)
+    src_abs = os.path.abspath(source)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {"protocol": dict(proto)},
+        {"metaData": {
+            **meta,
+            "id": str(uuid.uuid4()),
+            "createdTime": now_ms,
+        }},
+    ]
+    from pipeline_spark.functions.deltadv import dv_absolute_path
+
+    for a in adds:
+        c = dict(a)
+        rel = urllib.parse.unquote(a["path"])
+        if not rel.startswith("/"):
+            # absolute-path add (PROTOCOL.md: paths may be absolute) —
+            # the clone references the source's file in place
+            c["path"] = urllib.parse.quote(
+                os.path.join(src_abs, rel), safe="/=")
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            # 'u' descriptors resolve relative to the TABLE root — the
+            # clone's root has no .bin files, so pin them absolute ('p')
+            # at the source's
+            c["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": dv_absolute_path(src_abs, dv),
+                "offset": dv.get("offset", 1),
+            }
+        c["modificationTime"] = a.get("modificationTime", now_ms)
+        c["dataChange"] = True
+        actions.append({"add": c})
+    actions.append({"commitInfo": {
+        "timestamp": now_ms,
+        "operation": "CLONE",
+        "operationParameters": {
+            "source": src_abs, "sourceVersion": src_version,
+        },
+    }})
+    _commit_actions(target, 0, actions)
+    return {"cloned_files": len(adds), "source_version": src_version}
+
+
 def restore_delta_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     """RESTORE TABLE to an earlier version (delta's RESTORE): ONE new
     commit re-adds the target version's files (deletion vectors
@@ -2901,6 +2977,7 @@ def delta_sink(ctx: ModuleContext) -> dict[str, Any]:
     maintenance = str(p.get("mode", "")).lower()
     if maintenance in (
         "compact", "vacuum", "delete", "update", "alter", "restore",
+        "clone",
     ):
         # table maintenance/mutation: the input only provides the session;
         # the table itself is the operand
@@ -2914,6 +2991,8 @@ def delta_sink(ctx: ModuleContext) -> dict[str, Any]:
             alter_delta_native(ctx.spark, p)
         elif maintenance == "restore":
             restore_delta_native(ctx.spark, p)
+        elif maintenance == "clone":
+            clone_delta_native(ctx.spark, p)
         else:
             update_delta_native(ctx.spark, p)
         return {}

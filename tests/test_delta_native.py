@@ -3172,3 +3172,69 @@ def test_delta_dv_special_char_partitions(spark, tmp_path):
     assert res["deleted_rows"] == 3
     back = read_delta_native(spark, {"path": tbl})
     assert sorted(r["id"] for r in back.collect()) == [3, 4, 5, 6, 7, 8]
+
+
+def test_delta_shallow_clone(spark, tmp_path):
+    """r7: SHALLOW CLONE — the clone's v0 re-adds the source's live
+    files by absolute path (zero data copied), DV descriptors pin
+    absolute so merge-on-read state rides along, versionAsOf clones
+    history, writes to the clone never touch the source, and the
+    clone's VACUUM cannot delete source files."""
+    import glob
+
+    from pipeline_spark.sinks.delta_native import (
+        clone_delta_native,
+        delete_delta_native,
+        vacuum_delta_native,
+    )
+
+    src = str(tmp_path / "clone_src")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "id long, val string"
+        ).coalesce(1),
+        {"path": src},
+    )
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(100, "x")], "id long, val string"),
+        {"path": src, "mode": "append"},
+    )
+    # MOR state: a DV on the source must ride into the clone
+    delete_delta_native(
+        spark, {"path": src, "method": "mor",
+                "where": [{"key": "id", "op": "=", "value": 7}]})
+
+    tgt = str(tmp_path / "clone_tgt")
+    rep = clone_delta_native(spark, {"path": tgt, "source": src})
+    assert rep["cloned_files"] >= 2
+    assert not glob.glob(os.path.join(tgt, "data-*"))  # zero data copied
+    back = sorted(
+        r["id"] for r in read_delta_native(spark, {"path": tgt}).collect())
+    assert back == [i for i in range(20) if i != 7] + [100]
+
+    # historical clone
+    tgt0 = str(tmp_path / "clone_v0")
+    clone_delta_native(
+        spark, {"path": tgt0, "source": src, "versionAsOf": 0})
+    assert read_delta_native(spark, {"path": tgt0}).count() == 20
+
+    # divergence: writes to the clone never touch the source
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(999, "clone-only")], "id long, val string"),
+        {"path": tgt, "mode": "append"},
+    )
+    assert read_delta_native(spark, {"path": tgt}).count() == 21
+    assert read_delta_native(spark, {"path": src}).count() == 20
+
+    # the clone's vacuum walks only its own directory
+    n_src_files = len(glob.glob(
+        os.path.join(src, "**", "*.parquet"), recursive=True))
+    vacuum_delta_native(spark, {"path": tgt, "retainVersions": 1})
+    assert len(glob.glob(
+        os.path.join(src, "**", "*.parquet"), recursive=True)) == n_src_files
+    assert read_delta_native(spark, {"path": tgt}).count() == 21
+    with pytest.raises(FileExistsError):
+        clone_delta_native(spark, {"path": tgt, "source": src})
