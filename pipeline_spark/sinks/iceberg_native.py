@@ -2288,7 +2288,6 @@ def upsert_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
     part_info = []
     if spec0.get("fields"):
         from pipeline_spark.functions.icebergpart import (
-            parse_dir_value,
             parse_partition_spec,
             transform_column,
         )
