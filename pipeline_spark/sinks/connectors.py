@@ -160,7 +160,7 @@ def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
     maintenance = str(p.get("mode", "")).lower()
     if maintenance in (
         "compact", "expire", "delete", "equalitydelete", "alter",
-        "rollback", "tag", "rewritemanifests", "removeorphans",
+        "rollback", "tag", "rewritemanifests", "removeorphans", "clone",
     ):
         # table maintenance/mutation: the table is the operand, not the input
         from pipeline_spark.sinks.iceberg_native import (
@@ -181,6 +181,12 @@ def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
             rewrite_manifests_iceberg_native(ctx.spark, p)
         elif maintenance == "removeorphans":
             remove_orphans_iceberg_native(ctx.spark, p)
+        elif maintenance == "clone":
+            from pipeline_spark.sinks.iceberg_native import (
+                clone_iceberg_native,
+            )
+
+            clone_iceberg_native(ctx.spark, p)
         elif maintenance == "expire":
             expire_iceberg_native(ctx.spark, p)
         elif maintenance == "alter":

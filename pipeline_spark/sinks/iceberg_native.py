@@ -2350,6 +2350,75 @@ def upsert_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
     return {"delete_files": len(del_files), "data_files": len(data_files)}
 
 
+def clone_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
+    """Metadata-only table clone (the Delta shallow-clone twin): the
+    target gets a fresh table-uuid and metadata dir whose current
+    snapshot IS the source's — manifests and data files are referenced
+    in place (they're absolute-path'd), so a 100 TB table clones in one
+    metadata write.  ``snapshotId`` clones a historical snapshot.
+    Writes to the clone commit new manifests under the CLONE's location
+    while still referencing the shared files; ``expire`` /
+    ``removeOrphans`` on the clone walk only the clone's own location,
+    so the source can never be damaged through it (the source expiring
+    files the clone references is the documented shallow-clone caveat —
+    deep-copy via an overwrite write when the source's lifecycle is not
+    yours)."""
+    source = p.get("source") or p.get("from")
+    target = re.sub(
+        r"^file:/{0,2}(/)", r"\1", str(p.get("path") or p.get("table") or "")
+    )
+    if not source or not target:
+        raise ValueError("iceberg clone: 'source' and 'path' are required")
+    with open(find_table_metadata(re.sub(
+        r"^file:/{0,2}(/)", r"\1", str(source)
+    ))) as fh:
+        meta = json.load(fh)
+    tgt_meta_dir = os.path.join(target, "metadata")
+    if os.path.isdir(tgt_meta_dir) and any(
+        n.endswith(".metadata.json") for n in os.listdir(tgt_meta_dir)
+    ):
+        raise FileExistsError(f"iceberg clone: table already exists at {target}")
+    snap_id = p.get("snapshotId")
+    snaps = meta.get("snapshots") or []
+    if snap_id is not None:
+        snap = next(
+            (s for s in snaps if s.get("snapshot-id") == int(snap_id)), None)
+        if snap is None:
+            raise ValueError(
+                f"iceberg clone: snapshot {snap_id} not in the source "
+                f"(have {[s.get('snapshot-id') for s in snaps]})"
+            )
+        keep = [snap]
+    else:
+        snap = next(
+            (s for s in snaps
+             if s.get("snapshot-id") == meta.get("current-snapshot-id")),
+            None,
+        )
+        if snap is None:
+            raise ValueError("iceberg clone: source has no current snapshot")
+        keep = [snap]
+    now_ms = int(time.time() * 1000)
+    out = dict(meta)
+    out["table-uuid"] = str(uuid.uuid4())
+    out["location"] = target
+    out["last-updated-ms"] = now_ms
+    out["current-snapshot-id"] = snap["snapshot-id"]
+    out["snapshots"] = keep
+    out["refs"] = {"main": {"snapshot-id": snap["snapshot-id"],
+                            "type": "branch"}}
+    out["snapshot-log"] = [
+        {"timestamp-ms": now_ms, "snapshot-id": snap["snapshot-id"]}]
+    out["metadata-log"] = []
+    out["__version"] = 1
+    os.makedirs(tgt_meta_dir, exist_ok=True)
+    with open(os.path.join(tgt_meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(out, fh)
+    with open(os.path.join(tgt_meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return {"cloned_snapshot": snap["snapshot-id"]}
+
+
 def last_streaming_batch(p: dict[str, Any], app_id: str) -> int:
     """Highest batch id this stream has committed to the table — read
     from snapshot summaries (the streaming sink stamps

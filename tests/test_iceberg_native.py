@@ -3484,3 +3484,54 @@ def test_iceberg_deletes_special_char_partitions(spark, tmp_path):
         spark, {"path": tbl, "where": [{"key": "id", "op": "=", "value": 4}]})
     back = read_iceberg_native(spark, {"path": tbl})
     assert sorted(r["id"] for r in back.collect()) == [0, 3, 5, 6, 7, 8]
+
+
+def test_iceberg_metadata_clone(spark, tmp_path):
+    """r7: metadata-only clone (the Delta shallow-clone twin) — one
+    metadata write references the source's manifests/files in place;
+    snapshotId clones history; writes to the clone diverge without
+    touching the source; expire on the clone never deletes source
+    files."""
+    from pipeline_spark.sinks.iceberg_native import (
+        clone_iceberg_native,
+        expire_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    src = str(tmp_path / "ice_csrc")
+    for lo in (0, 10):
+        write_iceberg_native(
+            spark.createDataFrame(
+                [(lo + i,) for i in range(5)], "id long"
+            ).coalesce(1),
+            {"path": src, "mode": "create" if lo == 0 else "append"},
+        )
+    meta = json.loads(open(find_table_metadata(src)).read())
+    first_snap = meta["snapshots"][0]["snapshot-id"]
+
+    tgt = str(tmp_path / "ice_ctgt")
+    rep = clone_iceberg_native(spark, {"path": tgt, "source": src})
+    assert rep["cloned_snapshot"] == meta["current-snapshot-id"]
+    assert not os.path.isdir(os.path.join(tgt, "data"))  # zero data copied
+    assert sorted(
+        r["id"] for r in read_iceberg_native(spark, {"path": tgt}).collect()
+    ) == list(range(5)) + list(range(10, 15))
+
+    tgt0 = str(tmp_path / "ice_ctgt0")
+    clone_iceberg_native(
+        spark, {"path": tgt0, "source": src, "snapshotId": first_snap})
+    assert read_iceberg_native(spark, {"path": tgt0}).count() == 5
+
+    # divergence + lifecycle isolation
+    write_iceberg_native(
+        spark.createDataFrame([(99,)], "id long").coalesce(1),
+        {"path": tgt, "mode": "append"},
+    )
+    assert read_iceberg_native(spark, {"path": tgt}).count() == 11
+    assert read_iceberg_native(spark, {"path": src}).count() == 10
+    n_src = sum(len(fs) for _r, _d, fs in os.walk(src))
+    expire_iceberg_native(spark, {"path": tgt, "retainLast": 1})
+    assert sum(len(fs) for _r, _d, fs in os.walk(src)) == n_src
+    assert read_iceberg_native(spark, {"path": tgt}).count() == 11
+    with pytest.raises(FileExistsError):
+        clone_iceberg_native(spark, {"path": tgt, "source": src})
