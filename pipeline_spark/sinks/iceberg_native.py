@@ -365,18 +365,40 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
     if branch == "main":
         branch = None  # main IS the table's current ref
     if mode == "merge":
-        # copy-on-write MERGE (UnifiedMutation semantics, §2.10): the new
-        # snapshot = existing rows whose keys are untouched + incoming
-        # non-DELETE rows.  Row-level delete files (merge-on-read) need
-        # the runtime jar; COW is the jar-free equivalent and exactly how
-        # Iceberg's own write.merge.mode=copy-on-write behaves.
         keys = p.get("primaryKeys") or p.get("keyFields")
         if not keys:
             raise ValueError("iceberg merge needs primaryKeys")
+        spark = df.sparkSession
+        method = str(p.get("method", "")).lower()
+        if method in ("mor", "dv", "merge-on-read", "equality"):
+            # merge-on-read MERGE (r8): matched keys tombstone via
+            # equality-delete files, upserts append — ONE snapshot, ZERO
+            # data files read or rewritten, O(batch) at any table size
+            # (the Flink iceberg-connector commit shape; run ``compact``
+            # to materialize).  This is upsert_iceberg_native verbatim:
+            # MERGE and keyed upsert are the same commit in MOR.
+            if branch:
+                raise NotImplementedError(
+                    "iceberg merge method=mor onto a branch: equality-"
+                    "delete commits target main — merge the branch "
+                    "without method, or upsert after a branch write"
+                )
+            upsert_iceberg_native(spark, df, p)
+            return
+        if branch is None:
+            # FILE-SCOPED copy-on-write merge (r8, VERDICT r7 ask #1):
+            # only files whose manifest key bounds admit a match — and
+            # whose data contains one — rewrite; everything else carries
+            # forward in the metadata.  See merge_iceberg_native.
+            merge_iceberg_native(spark, df, p)
+            return
+        # branch merges keep the r4 whole-table COW shape: the merged
+        # state overwrites the BRANCH ref only.  Branch heads are
+        # short-lived WAP staging areas, not 100 TB mainlines, so the
+        # read-rewrite blast radius is bounded by the workflow itself.
         op_field = p.get("mutationOpField", "__op__")
         from pipeline_spark.sources.iceberg_native import read_iceberg_native
 
-        spark = df.sparkSession
         if op_field in df.columns:
             import pyspark.sql.functions as F
 
@@ -2192,6 +2214,65 @@ def equality_delete_iceberg_native(
     return {"delete_files": len(files)}
 
 
+def _stage_default_spec_files(
+    df_out, data_dir: str, spec0: dict, cur_schema: dict
+) -> list[dict]:
+    """Write a batch under the table's DEFAULT spec layout (transforms
+    recomputed from the spec's own metadata fields, hive dirs carry the
+    values) and return ``[{"path", "partition"}]`` with empty shuffle
+    partitions removed — the shared staging step of ``upsert`` and the
+    file-scoped ``merge``.  Identity source columns stay IN the data
+    files (only the temp transform columns are consumed by partitionBy),
+    so rewritten rows keep every schema column."""
+    part_info: list[tuple[str, dict, str]] = []
+    if spec0.get("fields"):
+        from pipeline_spark.functions.icebergpart import (
+            parse_partition_spec,
+            transform_column,
+        )
+
+        names_by_id = {f["id"]: f["name"] for f in cur_schema["fields"]}
+        pfields = parse_partition_spec({"partitionSpec": [
+            {"field": names_by_id[sf["source-id"]],
+             "transform": sf["transform"], "name": sf["name"]}
+            for sf in spec0["fields"]
+        ]})
+        df_w = df_out
+        for i, fld in enumerate(pfields):
+            col, kind = transform_column(
+                fld, df_out.schema[fld["source"]].dataType)
+            df_w = df_w.withColumn(f"_ip_{i}", col)
+            part_info.append((f"_ip_{i}", fld, kind))
+        df_w.write.partitionBy(
+            [t for t, _f, _k in part_info]).parquet(data_dir)
+    else:
+        df_out.write.parquet(data_dir)
+
+    def _pvals(path):
+        if not part_info:
+            return {}
+        from pipeline_spark.functions.icebergpart import parse_dir_value
+
+        rel = os.path.relpath(os.path.dirname(path), data_dir)
+        comps = [c for c in rel.split(os.sep) if c not in (".", "")]
+        vals = {}
+        for (_tmp, fld, kind), comp in zip(part_info, comps):
+            _k, _, raw = comp.partition("=")
+            vals[fld["name"]] = parse_dir_value(raw, kind)
+        return vals
+
+    out = []
+    for root, _dirs, names in os.walk(data_dir):
+        for n in sorted(names):
+            if n.endswith(".parquet"):
+                full = os.path.join(root, n)
+                if _parquet_stats(full)[0] == 0:
+                    os.remove(full)
+                else:
+                    out.append({"path": full, "partition": _pvals(full)})
+    return out
+
+
 def upsert_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
     """ONE-COMMIT keyed upsert (the Flink iceberg-connector commit
     shape): equality-delete files for every incoming key AND the upsert
@@ -2285,59 +2366,19 @@ def upsert_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
     # records them (the delete files stay global/all-null, the spec's
     # own shape for partition-independent equality deletes)
     data_dir = os.path.join(table_path, "data", f"upsert-{stage}")
-    part_info = []
-    if spec0.get("fields"):
-        from pipeline_spark.functions.icebergpart import (
-            parse_partition_spec,
-            transform_column,
-        )
+    data_files = _stage_default_spec_files(
+        upserts, data_dir, spec0, cur_schema
+    )
 
-        names_by_id = {f["id"]: f["name"] for f in cur_schema["fields"]}
-        pfields = parse_partition_spec({"partitionSpec": [
-            {"field": names_by_id[sf["source-id"]],
-             "transform": sf["transform"], "name": sf["name"]}
-            for sf in spec0["fields"]
-        ]})
-        df_w = upserts
-        for i, fld in enumerate(pfields):
-            col, kind = transform_column(
-                fld, upserts.schema[fld["source"]].dataType)
-            df_w = df_w.withColumn(f"_ip_{i}", col)
-            part_info.append((f"_ip_{i}", fld, kind))
-        df_w.write.partitionBy(
-            [t for t, _f, _k in part_info]).parquet(data_dir)
-    else:
-        upserts.write.parquet(data_dir)
-
-    def _live(d):
-        out = []
-        for root, _dirs, names in os.walk(d):
-            for n in sorted(names):
-                if n.endswith(".parquet"):
-                    full = os.path.join(root, n)
-                    if _parquet_stats(full)[0] == 0:
-                        os.remove(full)
-                    else:
-                        out.append(full)
-        return out
-
-    def _pvals(path):
-        if not part_info:
-            return {}
-        from pipeline_spark.functions.icebergpart import parse_dir_value
-
-        rel = os.path.relpath(os.path.dirname(path), data_dir)
-        comps = [c for c in rel.split(os.sep) if c not in (".", "")]
-        vals = {}
-        for (tmp, fld, kind), comp in zip(part_info, comps):
-            _k, _, raw = comp.partition("=")
-            vals[fld["name"]] = parse_dir_value(raw, kind)
-        return vals
-
-    del_files = _live(del_dir)
-    data_files = [
-        {"path": f, "partition": _pvals(f)} for f in _live(data_dir)
-    ]
+    del_files = []
+    for root, _dirs, names in os.walk(del_dir):
+        for n in sorted(names):
+            if n.endswith(".parquet"):
+                full = os.path.join(root, n)
+                if _parquet_stats(full)[0] == 0:
+                    os.remove(full)
+                else:
+                    del_files.append(full)
     if not del_files:
         raise ValueError("iceberg upsert: empty mutation batch")
     append_delete_files(
@@ -2348,6 +2389,495 @@ def upsert_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
         summary_properties=p.get("summaryProperties"),
     )
     return {"delete_files": len(del_files), "data_files": len(data_files)}
+
+
+def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
+    """FILE-SCOPED copy-on-write MERGE — the Iceberg twin of
+    ``merge_delta_native`` (sinks/delta_native.py) and how Iceberg's own
+    ``write.merge.mode=copy-on-write`` behaves.  Keyed by
+    ``primaryKeys``; rows with ``__op__ = DELETE`` remove their keys,
+    everything else upserts whole rows.
+
+    Unlike the r4-r7 whole-table COW (read → anti-join → overwrite the
+    table), only data files whose manifest key-range bounds admit an
+    incoming key — and whose data actually CONTAINS a match (one
+    column-pruned probe semi-join) — are rewritten.  At 100 TB a
+    million-row CDC batch touches the few files its keys live in, not
+    the table.  ONE atomic snapshot (operation=overwrite):
+
+    - data manifests with no touched file carry forward VERBATIM
+      (zero metadata rewritten for the untouched bulk of the table);
+    - manifests that lost files rewrite in place — survivors keep
+      EXISTING status with their ORIGINAL sequence numbers, removed
+      entries are marked DELETED under the new snapshot;
+    - survivor-rewrites + the upsert batch land as ADDED files under
+      the default spec (new sequence number, footer stats recorded);
+    - row-level DELETE manifests carry forward untouched: position
+      deletes naming removed files dangle harmlessly (the path no
+      longer resolves), equality deletes keep applying to old-sequence
+      files but never to the rewrites (strictly-below-sequence rule),
+      and every rewritten file MATERIALIZES its deletes during the
+      rewrite read so no deleted row can resurrect.
+
+    REST-catalog tables stage files identically and commit via one
+    optimistic CommitTableRequest.  A missing table degenerates to
+    create.  Reference: module/sink/IcebergSink.java merge mode /
+    UnifiedMutation §2.10 (semantics only; the mechanics are the
+    Iceberg spec's row-delta COW commit).
+    """
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.functions.avroocf import (
+        read_ocf_file,
+        read_ocf_file_with_meta,
+    )
+    from pipeline_spark.functions.icebergpart import spec_field_avro_type
+    from pipeline_spark.sources.iceberg_native import (
+        _apply_row_deletes,
+        _bounds_may_match,
+        _strip_scheme,
+        plan_files,
+    )
+
+    keys = list(p.get("primaryKeys") or p.get("keyFields") or [])
+    if not keys:
+        raise ValueError("iceberg merge needs primaryKeys")
+    op_field = p.get("mutationOpField", "__op__")
+    if op_field in df.columns:
+        upserts = df.filter(
+            F.upper(F.coalesce(F.col(op_field), F.lit("UPSERT"))) != "DELETE"
+        ).drop(op_field)
+        touched = df.drop(op_field).select(*keys).distinct()
+    else:
+        upserts = df
+        touched = df.select(*keys).distinct()
+
+    rest = _rest_session(p) if p.get("catalog") else None
+    if rest is not None:
+        prev_meta = rest["prev_meta"]
+        table_path = rest["location"]
+    else:
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1",
+            str(p.get("path") or p.get("table") or ""),
+        )
+        try:
+            with open(find_table_metadata(table_path)) as fh:
+                prev_meta = json.load(fh)
+        except FileNotFoundError:
+            prev_meta = None
+    if prev_meta is None:
+        # no table yet: merge degenerates to create (the delta rule)
+        write_iceberg_native(upserts, {**p, "mode": "create"})
+        return {"merged_rows": -1, "rewritten_files": 0, "added_files": -1}
+
+    data, deletes, prev_meta = plan_files(table_path, meta=prev_meta)
+    cur_schema = next(
+        s for s in prev_meta["schemas"]
+        if s.get("schema-id", 0) == prev_meta.get("current-schema-id", 0)
+    )
+    by_name = {f["name"]: f for f in cur_schema["fields"]}
+    if sorted(upserts.columns) != sorted(by_name):
+        raise ValueError(
+            f"iceberg merge: batch columns {sorted(upserts.columns)} != "
+            f"table schema {sorted(by_name)}"
+        )
+    bad = [k for k in keys if k not in by_name]
+    if bad:
+        raise ValueError(f"iceberg merge: primaryKeys {bad} not in schema")
+    keep_cols = [f["name"] for f in cur_schema["fields"]]
+
+    # 1. manifest-stats key-range pruning (sound: a file wholly outside
+    # the batch's [min,max] on ANY key column cannot match; ONE tiny
+    # aggregated driver row).  Non-orderable key types skip the prune.
+    hit: list[dict] = []
+    matched_rows = 0
+    if data:
+        brow = touched.agg(
+            *[F.min(k).alias(f"mn{i}") for i, k in enumerate(keys)],
+            *[F.max(k).alias(f"mx{i}") for i, k in enumerate(keys)],
+        ).collect()[0]
+        where = []
+        for i, k in enumerate(keys):
+            mn, mx = brow[f"mn{i}"], brow[f"mx{i}"]
+            if isinstance(mn, (int, float, str)) and not isinstance(mn, bool):
+                where.append({"key": k, "op": ">=", "value": mn})
+                where.append({"key": k, "op": "<=", "value": mx})
+        id2field = {f["id"]: f for f in cur_schema["fields"]}
+        candidates = [
+            d for d in data
+            if not where or _bounds_may_match(d, where, id2field)
+        ]
+        # 2. exact touched-file probe (delta's findTouchedFiles): one
+        # column-pruned scan of the candidates' key columns, semi-joined
+        # to the incoming keys — only files that actually contain a
+        # match rewrite.  Collect is one row per TOUCHED file.
+        if candidates:
+            evolved = any(
+                d.get("renames") or d.get("absent") or d.get("dropped")
+                for d in candidates
+            )
+            if evolved:
+                probe = _read_evolved_group(
+                    spark, candidates, cur_schema, with_lineage=True
+                ).select(*keys, "__fp__")
+            else:
+                probe = spark.read.parquet(
+                    *[d["path"] for d in candidates]
+                ).select(
+                    *keys,
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/+", "/"
+                    ).alias("__fp__"),
+                )
+            hits = (
+                probe.join(touched, on=list(keys), how="left_semi")
+                .groupBy("__fp__").agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            hitset: set[str] = set()
+            for r in hits:
+                hitset.add(r["__fp__"])
+                hitset.add(urllib.parse.unquote(r["__fp__"]))
+                matched_rows += int(r["n"])
+            hit = [
+                d for d in candidates
+                if d["path"] in hitset
+                or urllib.parse.unquote(d["path"]) in hitset
+            ]
+
+    # 3. build the replacement rows: survivors of touched files (with
+    # row-level deletes MATERIALIZED — a rewrite takes a new sequence
+    # number and path, so carrying its rows without applying its deletes
+    # would resurrect them) + the upsert batch, staged in one
+    # distributed write under the default spec's layout
+    if hit:
+        ev_hit = any(
+            d.get("renames") or d.get("absent") or d.get("dropped")
+            for d in hit
+        )
+        if ev_hit:
+            grp = _read_evolved_group(
+                spark, hit, cur_schema, with_lineage=bool(deletes)
+            )
+        else:
+            grp = spark.read.parquet(*[d["path"] for d in hit])
+        if deletes:
+            grp = _apply_row_deletes(spark, grp, hit, deletes, prev_meta)
+        survivors = grp.join(
+            touched, on=list(keys), how="left_anti"
+        ).select(*keep_cols)
+        new_rows = survivors.unionByName(upserts.select(*keep_cols))
+    else:
+        if upserts.isEmpty():
+            return {"merged_rows": 0, "rewritten_files": 0, "added_files": 0}
+        new_rows = upserts.select(*keep_cols)
+
+    spec0 = next(
+        (sp for sp in prev_meta.get("partition-specs", [])
+         if sp.get("spec-id", 0) == prev_meta.get("default-spec-id", 0)),
+        {"fields": []},
+    )
+    commit_uuid = str(uuid.uuid4())
+    data_dir = os.path.join(table_path, "data", f"merge-{commit_uuid}")
+    staged = _stage_default_spec_files(new_rows, data_dir, spec0, cur_schema)
+
+    # 4. ONE replace snapshot
+    meta_dir = os.path.join(table_path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    now_ms = int(time.time() * 1000)
+    snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+    hit_paths = {d["path"] for d in hit}
+    hit_paths |= {urllib.parse.unquote(x) for x in set(hit_paths)}
+
+    prev_snap = next(
+        (s for s in prev_meta.get("snapshots") or []
+         if s.get("snapshot-id") == prev_meta.get("current-snapshot-id")),
+        None,
+    )
+    prev_manifests: list[dict] = []
+    if prev_snap is not None:
+        _, pm = read_ocf_file(_strip_scheme(prev_snap["manifest-list"]))
+        prev_manifests = list(pm)
+
+    list_keys = [f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"]]
+
+    def _carry(m: dict) -> dict:
+        out = {k: m.get(k) for k in list_keys}
+        for k in list_keys:
+            if k != "manifest_path":
+                out[k] = int(out.get(k) or 0)
+        return out
+
+    out_manifests: list[dict] = []
+    midx = 0
+    removed_files = 0
+    removed_rows = 0
+    total_rows = 0
+    total_files = 0
+    for m in prev_manifests:
+        if m.get("content", 0) != 0:
+            out_manifests.append(_carry(m))  # delete manifests ride along
+            continue
+        mpath = _strip_scheme(m["manifest_path"])
+        wschema, mmeta, entries = read_ocf_file_with_meta(mpath)
+        entries = list(entries)
+        live = [
+            e for e in entries
+            if e.get("status") != 2 and e.get("data_file")
+        ]
+        live_paths = {
+            _strip_scheme(e["data_file"].get("file_path", "")) for e in live
+        }
+        if not (live_paths & hit_paths):
+            # untouched manifest: carry the LIST ENTRY forward verbatim —
+            # the 100 TB bulk of the table costs zero metadata writes
+            out_manifests.append(_carry(m))
+            total_files += len(live)
+            total_rows += sum(
+                int(e["data_file"].get("record_count") or 0) for e in live
+            )
+            continue
+        # rewrite this manifest in place: survivors EXISTING with their
+        # original (inheritance-materialized) sequence numbers, removed
+        # entries DELETED under the new snapshot.  The source manifest's
+        # embedded write-time schema / spec / partition avro layout are
+        # preserved byte-for-byte so schema-evolution inference and
+        # partition pruning stay exactly as the original generation
+        # declared them.
+        df_rec = next(
+            f for f in wschema["fields"] if f["name"] == "data_file"
+        )
+        pfields_avro = next(
+            f for f in df_rec["type"]["fields"] if f["name"] == "partition"
+        )["type"]["fields"]
+        inherit_seq = int(m.get("sequence_number", 0) or 0)
+        new_entries: list[dict] = []
+        man_kept_rows = 0
+        man_removed_rows = 0
+        man_removed = 0
+        min_seqs: list[int] = []
+        for e in live:
+            d = e["data_file"]
+            eseq = e.get("sequence_number")
+            eseq = inherit_seq if eseq is None else int(eseq)
+            fseq = e.get("file_sequence_number")
+            fseq = eseq if fseq is None else int(fseq)
+            ent = {
+                "status": 0,
+                "snapshot_id": e.get("snapshot_id"),
+                "sequence_number": eseq,
+                "file_sequence_number": fseq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": d.get("file_path"),
+                    "file_format": d.get("file_format", "PARQUET"),
+                    "partition": d.get("partition") or {},
+                    "record_count": int(d.get("record_count") or 0),
+                    "file_size_in_bytes": int(d.get("file_size_in_bytes") or 0),
+                    "null_value_counts": d.get("null_value_counts"),
+                    "lower_bounds": d.get("lower_bounds"),
+                    "upper_bounds": d.get("upper_bounds"),
+                    "equality_ids": None,
+                },
+            }
+            rows = int(d.get("record_count") or 0)
+            if _strip_scheme(d.get("file_path", "")) in hit_paths:
+                ent["status"] = 2  # DELETED
+                ent["snapshot_id"] = snapshot_id
+                man_removed += 1
+                man_removed_rows += rows
+            else:
+                man_kept_rows += rows
+                total_files += 1
+            min_seqs.append(eseq)
+            new_entries.append(ent)
+        total_rows += man_kept_rows
+        removed_files += man_removed
+        removed_rows += man_removed_rows
+        extra = {
+            "schema": (mmeta.get("schema") or b"{}").decode(),
+            "partition-spec": (mmeta.get("partition-spec") or b"[]").decode(),
+            "partition-spec-id": str(int(m.get("partition_spec_id", 0) or 0)),
+            "format-version": "2",
+            "content": "data",
+        }
+        mp = os.path.join(meta_dir, f"{commit_uuid}-m{midx}.avro")
+        midx += 1
+        mb = write_ocf_bytes(
+            _manifest_entry_schema(pfields_avro), new_entries,
+            extra_meta=extra,
+        )
+        with open(mp, "wb") as fh:
+            fh.write(mb)
+        out_manifests.append({
+            "manifest_path": mp,
+            "manifest_length": len(mb),
+            "partition_spec_id": int(m.get("partition_spec_id", 0) or 0),
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min(min_seqs) if min_seqs else seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 0,
+            "existing_files_count": len(new_entries) - man_removed,
+            "deleted_files_count": man_removed,
+            "added_rows_count": 0,
+            "existing_rows_count": man_kept_rows,
+            "deleted_rows_count": man_removed_rows,
+        })
+
+    # ADDED manifest for the staged rewrite+upsert files (default spec,
+    # current schema, footer stats for future pruning)
+    added_rows = 0
+    if staged:
+        src_types = {f["id"]: f["type"] for f in cur_schema["fields"]}
+        part_avro_fields = [
+            {
+                "name": sf["name"],
+                "type": [
+                    "null",
+                    spec_field_avro_type(
+                        sf["transform"],
+                        str(src_types.get(sf.get("source-id"), "")),
+                    ),
+                ],
+                "default": None,
+                "field-id": sf.get("field-id", 1000 + i),
+            }
+            for i, sf in enumerate(spec0.get("fields", []))
+        ]
+        colmap = {
+            f["name"]: (f["id"], f["type"])
+            for f in cur_schema["fields"]
+            if isinstance(f["type"], str)
+        }
+        added_entries = []
+        for rec in staged:
+            rows, fsize = _parquet_stats(rec["path"])
+            added_rows += rows
+            nulls, lows, highs = (
+                _footer_column_stats(rec["path"], colmap)
+                if colmap else (None,) * 3
+            )
+            added_entries.append({
+                "status": _STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": rec["path"],
+                    "file_format": "PARQUET",
+                    "partition": rec["partition"],
+                    "record_count": rows,
+                    "file_size_in_bytes": fsize,
+                    "null_value_counts": nulls,
+                    "lower_bounds": lows,
+                    "upper_bounds": highs,
+                    "equality_ids": None,
+                },
+            })
+        mp = os.path.join(meta_dir, f"{commit_uuid}-m{midx}.avro")
+        midx += 1
+        mb = write_ocf_bytes(
+            _manifest_entry_schema(part_avro_fields),
+            added_entries,
+            extra_meta={
+                "schema": json.dumps(cur_schema),
+                "partition-spec": json.dumps(spec0.get("fields", [])),
+                "partition-spec-id": str(spec0.get("spec-id", 0)),
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        with open(mp, "wb") as fh:
+            fh.write(mb)
+        out_manifests.insert(0, {
+            "manifest_path": mp,
+            "manifest_length": len(mb),
+            "partition_spec_id": int(spec0.get("spec-id", 0)),
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(added_entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": added_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        })
+        total_rows += added_rows
+        total_files += len(added_entries)
+
+    list_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro"
+    )
+    list_bytes = write_ocf_bytes(
+        _MANIFEST_FILE_SCHEMA,
+        out_manifests,
+        extra_meta={"format-version": "2", "snapshot-id": str(snapshot_id)},
+    )
+    with open(list_path, "wb") as fh:
+        fh.write(list_bytes)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": list_path,
+        "schema-id": prev_meta.get("current-schema-id", 0),
+        "summary": {
+            "operation": "overwrite",
+            "added-data-files": str(len(staged)),
+            "deleted-data-files": str(removed_files),
+            "added-records": str(added_rows),
+            "deleted-records": str(removed_rows),
+            "total-records": str(total_rows),
+            "total-data-files": str(total_files),
+        },
+    }
+    result = {
+        "merged_rows": matched_rows,
+        "rewritten_files": removed_files,
+        "added_files": len(staged),
+    }
+    if rest is not None:
+        rest["catalog"].commit_table(
+            rest["namespace"], rest["name"],
+            requirements=[{
+                "type": "assert-ref-snapshot-id", "ref": "main",
+                "snapshot-id": prev_meta.get("current-snapshot-id"),
+            }],
+            updates=[
+                {"action": "add-snapshot", "snapshot": snapshot},
+                {"action": "set-snapshot-ref", "ref-name": "main",
+                 "type": "branch", "snapshot-id": snapshot_id},
+            ],
+        )
+        return result
+    prev_file = find_table_metadata(table_path)
+    m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
+    version = (int(m.group(1)) if m else prev_meta.get("__version", 0)) + 1
+    meta = dict(prev_meta)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snapshot_id
+    meta["refs"] = {
+        **(meta.get("refs") or {}),
+        "main": {"snapshot-id": snapshot_id, "type": "branch"},
+    }
+    meta["snapshots"] = list(prev_meta.get("snapshots", [])) + [snapshot]
+    meta["snapshot-log"] = (
+        list(prev_meta.get("snapshot-log", []))
+        + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
+    )[-10:]
+    meta["__version"] = version
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return result
 
 
 def clone_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
