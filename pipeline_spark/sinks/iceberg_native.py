@@ -1613,13 +1613,13 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         d.get("renames") or d.get("absent") or d.get("dropped") for d in data
     )
     migrate = bool(p.get("migrateSchema"))
-    if evolved and not migrate:
-        raise NotImplementedError(
-            "iceberg compact: live files span schema evolution — set "
-            "migrateSchema: true to rewrite EVERY file under the current "
-            "schema (renames applied, added columns null-padded, dropped "
-            "columns shed) in one replace snapshot"
-        )
+    # schema-evolved tables compact WITHOUT migration (r8, VERDICT r7 ask
+    # #4): rewritten bins upgrade to the current schema (the reader's own
+    # migrating scan — Iceberg's own rewrite behavior), while SURVIVING
+    # files stay in their generations, each consolidated EXISTING
+    # manifest re-embedding its generation's write-time schema so rename
+    # inference is preserved byte-for-byte.  ``migrateSchema: true``
+    # remains the opt-in full rewrite of every live file.
 
     def _norm(path: str) -> str:
         return re.sub(r"^file:/{0,2}(/)", r"\1", str(path))
@@ -1770,12 +1770,6 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
             if f.get("transform") == "identity"
             and f.get("source-id") in by_id
         ]
-    if migrate and evolved:
-        # rewrites land under the CURRENT schema: the new manifest must
-        # embed it, or the reader would re-infer renames against the
-        # fresh files from an older generation's embedded schema
-        for info in spec_info.values():
-            info["schema_json"] = json.dumps(cur_schema)
     compacted_paths = {d["path"] for _key, files in bins for d in files}
 
     # 1. rewrite each bin (distributed parquet read+write per bin)
@@ -1857,14 +1851,25 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
                     },
                 })
     # 2. consolidated EXISTING manifests for untouched files, original
-    # seqs, one per spec generation
+    # seqs, one per (spec generation, SCHEMA generation) — files from
+    # different schema generations must never share a manifest, or its
+    # single embedded write-time schema would corrupt rename inference
+    # for the other generation's files (r8)
     surviving = [d for d in sized if d["path"] not in compacted_paths]
-    existing_by_spec: dict[int, list[dict]] = {}
+    existing_by_spec: dict[tuple, list[dict]] = {}
+    gen_manifest: dict[tuple, str] = {}  # representative source manifest
     existing_rows = 0
     for d in surviving:
+        sig = (
+            d.get("renames") or (), d.get("absent") or (),
+            d.get("dropped") or (),
+        )
+        gkey = (d.get("spec_id", 0), sig)
+        if d.get("manifest"):
+            gen_manifest.setdefault(gkey, d["manifest"])
         rows = int(d.get("record_count") or _parquet_stats(d["path"])[0])
         existing_rows += rows
-        existing_by_spec.setdefault(d.get("spec_id", 0), []).append({
+        existing_by_spec.setdefault(gkey, []).append({
             "status": 0,  # EXISTING
             "snapshot_id": None,
             "sequence_number": d["seq"],
@@ -1887,51 +1892,72 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     midx = 0
     n_new = sum(len(v) for v in new_by_spec.values())
     n_existing = sum(len(v) for v in existing_by_spec.values())
-    for sid in sorted(set(new_by_spec) | set(existing_by_spec)):
+    cur_schema_json = json.dumps(cur_schema)
+
+    def _emit(kind: str, sid: int, entries: list[dict], schema_json: str):
+        nonlocal midx
         info = spec_info[sid]
-        extra = {
-            "schema": info["schema_json"],
-            "partition-spec": info["spec_json"],
-            "partition-spec-id": str(sid),
-            "format-version": "2",
-            "content": "data",
-        }
-        for kind, entries in (
-            ("added", new_by_spec.get(sid) or []),
-            ("existing", existing_by_spec.get(sid) or []),
-        ):
-            if not entries:
-                continue
-            mp = os.path.join(meta_dir, f"{commit_uuid}-m{midx}.avro")
-            midx += 1
-            mb = write_ocf_bytes(
-                _manifest_entry_schema(info["part_avro_fields"]),
-                entries,
-                extra_meta=extra,
-            )
-            with open(mp, "wb") as fh:
-                fh.write(mb)
-            rows = sum(
-                int(e["data_file"].get("record_count") or 0) for e in entries
-            )
-            seqs = [e["sequence_number"] for e in entries]
-            manifests.append({
-                "manifest_path": mp,
-                "manifest_length": len(mb),
-                "partition_spec_id": sid,
-                "content": 0,
-                "sequence_number": seq,
-                "min_sequence_number": min(seqs),
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": len(entries) if kind == "added" else 0,
-                "existing_files_count": (
-                    len(entries) if kind == "existing" else 0
-                ),
-                "deleted_files_count": 0,
-                "added_rows_count": rows if kind == "added" else 0,
-                "existing_rows_count": rows if kind == "existing" else 0,
-                "deleted_rows_count": 0,
-            })
+        mp = os.path.join(meta_dir, f"{commit_uuid}-m{midx}.avro")
+        midx += 1
+        mb = write_ocf_bytes(
+            _manifest_entry_schema(info["part_avro_fields"]),
+            entries,
+            extra_meta={
+                "schema": schema_json,
+                "partition-spec": info["spec_json"],
+                "partition-spec-id": str(sid),
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        with open(mp, "wb") as fh:
+            fh.write(mb)
+        rows = sum(
+            int(e["data_file"].get("record_count") or 0) for e in entries
+        )
+        seqs = [e["sequence_number"] for e in entries]
+        manifests.append({
+            "manifest_path": mp,
+            "manifest_length": len(mb),
+            "partition_spec_id": sid,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min(seqs),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries) if kind == "added" else 0,
+            "existing_files_count": (
+                len(entries) if kind == "existing" else 0
+            ),
+            "deleted_files_count": 0,
+            "added_rows_count": rows if kind == "added" else 0,
+            "existing_rows_count": rows if kind == "existing" else 0,
+            "deleted_rows_count": 0,
+        })
+
+    # rewrites land under the CURRENT schema (the evolved read upgraded
+    # them), so their manifests embed it; an unevolved table's write-time
+    # schema is name-identical either way
+    for sid in sorted(new_by_spec):
+        _emit(
+            "added", sid, new_by_spec[sid],
+            cur_schema_json if evolved else spec_info[sid]["schema_json"],
+        )
+    # surviving files: one EXISTING manifest per (spec, schema generation),
+    # re-embedding the generation's own write-time schema
+    _gen_schema_cache: dict[str, str] = {}
+    for gkey in sorted(existing_by_spec):
+        sid, sig = gkey
+        if sig == ((), (), ()):
+            sjson = cur_schema_json
+        else:
+            src = gen_manifest[gkey]
+            if src not in _gen_schema_cache:
+                _w, _mm, _e = read_ocf_file_with_meta(src)
+                _gen_schema_cache[src] = (
+                    _mm.get("schema") or b"{}"
+                ).decode()
+            sjson = _gen_schema_cache[src]
+        _emit("existing", sid, existing_by_spec[gkey], sjson)
 
     list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
     list_bytes = write_ocf_bytes(

@@ -169,6 +169,10 @@ def plan_files(
                 "path": _strip_scheme(df["file_path"]),
                 "seq": int(seq),
                 "spec_id": int(m.get("partition_spec_id", 0) or 0),
+                # source manifest: lets writers (compaction) regroup files
+                # by schema GENERATION and re-embed each generation's
+                # write-time schema byte-for-byte
+                "manifest": manifest_path,
             }
             if renames or absent or dropped:
                 rec["renames"] = renames

@@ -2459,8 +2459,6 @@ def test_iceberg_compact_migrate_schema(spark, tmp_path):
     data, _dels, _m = plan_files(tbl)
     assert any(d.get("renames") or d.get("absent") for d in data)  # evolved
 
-    with pytest.raises(NotImplementedError, match="migrateSchema"):
-        compact_iceberg_native(spark, {"path": tbl, "targetFileBytes": 1 << 30})
     res = compact_iceberg_native(
         spark, {"path": tbl, "targetFileBytes": 1 << 30, "migrateSchema": True}
     )
