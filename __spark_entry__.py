@@ -4902,6 +4902,59 @@ def q_iceberg_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_ICE_MERGE_MOR_SQL = Q_ICE_MERGE_COW_SQL
 
 
+def q_iceberg_dv_puffin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 deletion vectors (r8): DELETE WHERE with ``format:
+    puffin`` commits one puffin file holding a roaring-bitmap blob per
+    touched data file (spec deletion-vector-v1 framing, manifest
+    addressing via referenced_data_file/content_offset, table bumped to
+    format-version 3); the reader subtracts the vectors executor-side.
+    Oracle: the negated predicate on the source table."""
+    import shutil
+
+    from pipeline_spark.sinks.iceberg_native import (
+        delete_iceberg_native,
+        write_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import (
+        find_table_metadata,
+        read_iceberg_native,
+    )
+
+    tbl = _tmp_path("ice_dv_puffin", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+    )
+    write_iceberg_native(
+        docs.repartitionByRange(4, "doc_id"), {"path": tbl, "mode": "create"}
+    )
+    out = delete_iceberg_native(spark, {
+        "path": tbl, "format": "puffin",
+        "where": [{"key": "doc_id", "op": "<", "value": 200}],
+    })
+    assert out["dv_blobs"] >= 1
+    import json as _json
+    with open(find_table_metadata(tbl)) as fh:
+        assert _json.load(fh)["format-version"] == 3
+    back = read_iceberg_native(spark, {"path": tbl})
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_ICE_DV_PUFFIN_SQL = """
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id >= 200
+GROUP BY lang ORDER BY lang
+"""
+
+
 def q_iceberg_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """iceberg v2 merge-on-read: nation committed natively (one sorted
     data file), then a POSITION delete file (row ordinals 0,1 →
@@ -5142,86 +5195,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's CORRECTNESS gate caps at the first
-    # 50 entries, so never-driver-green entries go FIRST — the 5 queries
-    # red r4–r6 on the HUGEINT oracle-type skew (now CAST AS BIGINT,
-    # VERDICT r6 ask #1) plus rows-only bpe_train — then this round's new
-    # queries, then the relational core rotated back in (r6 ask #3),
-    # then fresh rotation of the remaining inventory.  Everything past
-    # the cap is regression-guarded by pytest + scripts/check_correctness.py.
+    # 50 entries, never-green-first.  r8 (VERDICT r7 ask #6): with all 49
+    # oracled rows green in r7, rotation is free — rows-only bpe_train
+    # and this round's new queries lead, then the ENTIRE long-unrotated
+    # tail (past-cap since r6: relational windows, select/agg parity,
+    # dedup/similarity/text family) rotates back in, plus the rerouted
+    # bucketed_join (now exercising the engine's storage-sink bucketBy)
+    # and the two bench-drift watch queries.  Everything pushed past the
+    # cap was green r7 and is pytest + local-harness guarded.
     return {
-        # --- never driver-green: HUGEINT oracle skew fixed this round
-        "profile_documents": q_profile_documents,
-        "iceberg_partitioned": q_iceberg_partitioned,
-        "delta_cm_roundtrip": q_delta_cm_roundtrip,
-        "delta_alter_roundtrip": q_delta_alter_roundtrip,
-        "delta_replace_where": q_delta_replace_where,
         "bpe_train": q_bpe_train,  # rows-only by design (merge loop not SQL)
         # --- new this round (r8)
         "iceberg_merge_cow": q_iceberg_merge_cow,
         "iceberg_merge_mor": q_iceberg_merge_mor,
-        # --- new last round (r7)
-        "iceberg_branch_wap": q_iceberg_branch_wap,
-        "iceberg_evolved_mor": q_iceberg_evolved_mor,
-        "iceberg_cdc_upsert": q_iceberg_cdc_upsert,
-        "streaming_panes": q_streaming_panes,
-        "iceberg_spec_evolution": q_iceberg_spec_evolution,
-        "iceberg_rewrite_manifests": q_iceberg_rewrite_manifests,
-        "delta_v2_checkpoint": q_delta_v2_checkpoint,
-        "delta_liquid_cluster": q_delta_liquid_cluster,
-        "delta_merge_upsert": q_delta_merge_upsert,
-        "iceberg_upsert": q_iceberg_upsert,
-        # --- relational core rotated back in (r6 ask #3)
-        "agg_argminmax": q_agg_argminmax,
-        "agg_firstlast": q_agg_firstlast,
-        "partition_route": q_partition_route,
-        "union_pad": q_union_pad,
-        # --- rotation: headline + operator coverage within the 50-cap
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "substring_cut": q_substring_cut,
-        "shuffle_order": q_shuffle_order,
-        "quality_classifier": q_quality_classifier,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "lang_id": q_lang_id,
-        "sample_split": q_sample_split,
-        "scrub_pii": q_scrub_pii,
-        "pack_sequences": q_pack_sequences,
-        "match_recognize": q_match_recognize,
-        "processing_timeseries": q_processing,
-        "deserialize_avro": q_deserialize_avro,
-        "deserialize_proto": q_deserialize_proto,
-        "match_recognize_chunked": q_match_recognize_chunked,
-        "multimodal_decode": q_multimodal_decode,
-        "storage_avro_roundtrip": q_storage_avro_roundtrip,
-        "orc_roundtrip": q_orc_roundtrip,
-        "iceberg_roundtrip": q_iceberg_roundtrip,
-        "iceberg_mor_roundtrip": q_iceberg_mor_roundtrip,
+        "iceberg_dv_puffin": q_iceberg_dv_puffin,
+        # --- rerouted this round: now drives sinks/storage.py bucketBy
         "bucketed_join": q_bucketed_join,
-        "gopher_rules": q_gopher_rules,
-        "sentence_split": q_sentence_split,
-        "video_meta": q_video_meta,
-        "audio_meta": q_audio_meta,
-        "html_extract": q_html_extract,
-        "url_normalize": q_url_normalize,
-        "chunk_windows": q_chunk_windows,
-        "linear_regression": q_linear_regression,
-        "perplexity_filter": q_perplexity_filter,
-        "dataset_mix": q_dataset_mix,
-        "delta_roundtrip": q_delta_roundtrip,
-        "delta_skipping": q_delta_skipping,
+        # --- drift watch (delta_delete +27% r6→r7)
         "delta_delete": q_delta_delete,
-        "delta_update": q_delta_update,
-        "iceberg_delete": q_iceberg_delete,
-        "iceberg_skipping": q_iceberg_skipping,
-        "dsir_scores": q_dsir_scores,
-        "bpe_wordcounts": q_bpe_wordcounts,
-        "delta_dv_read": q_delta_dv_read,
-        "iceberg_rest": q_iceberg_rest,
-        "delta_cdf": q_delta_cdf,
-        "delta_zorder": q_delta_zorder,
-        "iceberg_incremental": q_iceberg_incremental,
-        # --- past the 50-cap: pytest + local-harness guarded
+        "delta_skipping": q_delta_skipping,
+        # --- rotated back into the cap (past-cap since r6)
         "lookup_enrich": q_lookup_enrich,
         "limit_topk": q_limit_topk,
         "window_running": q_window_running,
@@ -5263,7 +5256,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "range_join": q_range_join,
         "semdedup_prune": q_semdedup_prune,
+        # --- headline pair stays in-cap every round
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        # --- past the 50-cap: all green r7; pytest + harness guarded
         "repetition": q_repetition,
+        "profile_documents": q_profile_documents,
+        "iceberg_partitioned": q_iceberg_partitioned,
+        "delta_cm_roundtrip": q_delta_cm_roundtrip,
+        "delta_alter_roundtrip": q_delta_alter_roundtrip,
+        "delta_replace_where": q_delta_replace_where,
+        "iceberg_branch_wap": q_iceberg_branch_wap,
+        "iceberg_evolved_mor": q_iceberg_evolved_mor,
+        "iceberg_cdc_upsert": q_iceberg_cdc_upsert,
+        "streaming_panes": q_streaming_panes,
+        "iceberg_spec_evolution": q_iceberg_spec_evolution,
+        "iceberg_rewrite_manifests": q_iceberg_rewrite_manifests,
+        "delta_v2_checkpoint": q_delta_v2_checkpoint,
+        "delta_liquid_cluster": q_delta_liquid_cluster,
+        "delta_merge_upsert": q_delta_merge_upsert,
+        "iceberg_upsert": q_iceberg_upsert,
+        "agg_argminmax": q_agg_argminmax,
+        "agg_firstlast": q_agg_firstlast,
+        "partition_route": q_partition_route,
+        "union_pad": q_union_pad,
+        "substring_cut": q_substring_cut,
+        "shuffle_order": q_shuffle_order,
+        "quality_classifier": q_quality_classifier,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "lang_id": q_lang_id,
+        "sample_split": q_sample_split,
+        "scrub_pii": q_scrub_pii,
+        "pack_sequences": q_pack_sequences,
+        "match_recognize": q_match_recognize,
+        "processing_timeseries": q_processing,
+        "deserialize_avro": q_deserialize_avro,
+        "deserialize_proto": q_deserialize_proto,
+        "match_recognize_chunked": q_match_recognize_chunked,
+        "multimodal_decode": q_multimodal_decode,
+        "storage_avro_roundtrip": q_storage_avro_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "iceberg_roundtrip": q_iceberg_roundtrip,
+        "iceberg_mor_roundtrip": q_iceberg_mor_roundtrip,
+        "gopher_rules": q_gopher_rules,
+        "sentence_split": q_sentence_split,
+        "video_meta": q_video_meta,
+        "audio_meta": q_audio_meta,
+        "html_extract": q_html_extract,
+        "url_normalize": q_url_normalize,
+        "chunk_windows": q_chunk_windows,
+        "linear_regression": q_linear_regression,
+        "perplexity_filter": q_perplexity_filter,
+        "dataset_mix": q_dataset_mix,
+        "delta_roundtrip": q_delta_roundtrip,
+        "delta_update": q_delta_update,
+        "iceberg_delete": q_iceberg_delete,
+        "iceberg_skipping": q_iceberg_skipping,
+        "dsir_scores": q_dsir_scores,
+        "bpe_wordcounts": q_bpe_wordcounts,
+        "delta_dv_read": q_delta_dv_read,
+        "iceberg_rest": q_iceberg_rest,
+        "delta_cdf": q_delta_cdf,
+        "delta_zorder": q_delta_zorder,
+        "iceberg_incremental": q_iceberg_incremental,
     }
 
 
@@ -5367,6 +5423,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_upsert": Q_ICE_UPSERT_SQL,
         "iceberg_merge_cow": Q_ICE_MERGE_COW_SQL,
         "iceberg_merge_mor": Q_ICE_MERGE_MOR_SQL,
+        "iceberg_dv_puffin": Q_ICE_DV_PUFFIN_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,
         "bucketed_join": Q_BUCKETED_JOIN_SQL,
         "gopher_rules": Q_GOPHER_SQL,

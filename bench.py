@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "iceberg_branch_wap",
     "iceberg_evolved_mor",
     "iceberg_cdc_upsert",
+    "iceberg_merge_cow",
+    "iceberg_merge_mor",
 ]
 
 
@@ -256,6 +258,84 @@ def main() -> None:
             "total": round(sum(sf1_timings.values()), 3),
             "queries": sf1_timings,
             "per_row_cost_ratio_vs_main": ratios,
+        }
+
+    # DML blast-radius probe (r8, VERDICT r7 ask #8): a FIXED-size keyed
+    # mutation batch against the 10× table.  File-scoped COW merge, DV
+    # delete, equality-delete upsert, and the metadata-only ops must
+    # scale FAR below linearly in TABLE size — t(sf1)/t(sf0.1) ≈ 1 means
+    # the blast radius is the batch, not the table (ratio 10 would mean
+    # whole-table rewrites).  Tables are written key-clustered
+    # (repartitionByRange), the layout the sort-order/clusterBy features
+    # exist to maintain.
+    if os.path.isdir(sf1_dir) and (time.time() - bench_start) < budget * 1.6:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from pipeline_spark.sinks.delta_native import (
+            delete_delta_native,
+            merge_delta_native,
+            write_delta_native,
+        )
+        from pipeline_spark.sinks.iceberg_native import (
+            clone_iceberg_native,
+            merge_iceberg_native,
+            rewrite_manifests_iceberg_native,
+            upsert_iceberg_native,
+            write_iceberg_native,
+        )
+
+        def _t(fn):
+            t0 = time.time()
+            fn()
+            return round(time.time() - t0, 3)
+
+        base = os.path.join(tempfile.gettempdir(), "ps_dml_probe")
+        dml: dict[str, dict[str, float]] = {}
+        for sf_label, sf_d in (("sf0.1", sf_dir), ("sf1", sf1_dir)):
+            docs = spark.read.parquet(f"{sf_d}/documents.parquet").select(
+                "doc_id", "lang", "n_chars"
+            )
+            clustered = docs.repartitionByRange(16, "doc_id")
+            batch = docs.where(F.col("doc_id") < 500).withColumn(
+                "__op__",
+                F.when(F.col("doc_id") % 2 == 0, F.lit("UPSERT"))
+                .otherwise(F.lit("DELETE")),
+            )
+            d: dict[str, float] = {}
+            dt = os.path.join(base, f"delta_{sf_label}")
+            shutil.rmtree(dt, ignore_errors=True)
+            write_delta_native(spark, clustered, {"path": dt})
+            d["delta_merge_cow"] = _t(lambda: merge_delta_native(
+                spark, batch, {"path": dt, "primaryKeys": ["doc_id"]}))
+            d["delta_delete_dv"] = _t(lambda: delete_delta_native(
+                spark, {"path": dt, "method": "mor", "where": [
+                    {"key": "doc_id", "op": "<", "value": 250}]}))
+            it = os.path.join(base, f"ice_{sf_label}")
+            shutil.rmtree(it, ignore_errors=True)
+            write_iceberg_native(clustered, {"path": it, "mode": "create"})
+            d["iceberg_merge_cow"] = _t(lambda: merge_iceberg_native(
+                spark, batch, {"path": it, "primaryKeys": ["doc_id"]}))
+            d["iceberg_upsert_mor"] = _t(lambda: upsert_iceberg_native(
+                spark, batch, {"path": it, "primaryKeys": ["doc_id"]}))
+            d["iceberg_rewrite_manifests"] = _t(
+                lambda: rewrite_manifests_iceberg_native(
+                    spark, {"path": it}))
+            ct = os.path.join(base, f"clone_{sf_label}")
+            shutil.rmtree(ct, ignore_errors=True)
+            d["iceberg_clone"] = _t(lambda: clone_iceberg_native(
+                spark, {"source": it, "path": ct}))
+            dml[sf_label] = d
+        result["dml_scale"] = {
+            "fixed_batch_keys": 500,
+            "table_size_ratio": 10.0,
+            "timings": dml,
+            "t_sf1_over_t_sf01": {
+                k: round(dml["sf1"][k] / max(dml["sf0.1"][k], 1e-3), 2)
+                for k in dml["sf1"]
+            },
         }
 
     # The driver records only a ~2 KB tail of stdout: the full artifact

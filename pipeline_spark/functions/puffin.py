@@ -1,0 +1,122 @@
+"""Minimal Puffin container reader/writer for Iceberg v3 deletion
+vectors (stdlib-only, validated against the PUBLIC Puffin spec at
+iceberg.apache.org/puffin-spec).
+
+Layout (spec §File structure)::
+
+    Magic | blob₁ … blobₙ | Magic FooterPayload FooterPayloadSize Flags Magic
+
+- ``Magic`` = 4 bytes ``PFA1``.
+- ``FooterPayload`` = JSON FileMetadata ({"blobs": [...], "properties"}),
+  optionally zstd-compressed (flag bit 0 — gated here, the container has
+  no zstd).
+- ``FooterPayloadSize`` = 4-byte LE int; ``Flags`` = 4 bytes.
+
+The ``deletion-vector-v1`` blob (Iceberg spec v3 §Deletion vectors) is
+the delta-compatible framing: a 4-byte big-endian length of the vector,
+the vector itself (4-byte LE magic 1681511377 + 64-bit "portable"
+RoaringBitmapArray — the exact bytes functions/deltadv.py already
+encodes/decodes for Delta DVs), then a 4-byte big-endian CRC-32 of the
+vector bytes.  One blob per referenced data file;
+``properties["referenced-data-file"]`` names it and the manifest
+entry's ``referenced_data_file``/``content_offset``/
+``content_size_in_bytes`` (field-ids 143/144/145) address the blob.
+
+Reference: the reference engine has no v3 DV surface — this
+future-proofs the native reader as the ecosystem converges on
+DV-in-puffin over position-delete parquet (VERDICT r7 ask #9).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+MAGIC = b"PFA1"
+
+
+def write_puffin_dvs(path: str, dvs: list[tuple[str, list[int]]]) -> list[dict]:
+    """Write one puffin file holding a deletion-vector-v1 blob per
+    ``(referenced_data_file, row_positions)`` pair.  Returns the blob
+    descriptors ``{"referenced", "offset", "length", "cardinality"}``
+    the caller turns into manifest entries."""
+    from pipeline_spark.functions.deltadv import roaring_array_serialize
+
+    blobs_meta: list[dict] = []
+    out: list[dict] = []
+    with open(path, "wb") as fh:
+        fh.write(MAGIC)
+        off = 4
+        for ref, positions in dvs:
+            pos_sorted = sorted(int(p) for p in positions)
+            bm = roaring_array_serialize(pos_sorted)
+            blob = (
+                struct.pack(">i", len(bm))
+                + bm
+                + struct.pack(">I", zlib.crc32(bm) & 0xFFFFFFFF)
+            )
+            fh.write(blob)
+            blobs_meta.append({
+                "type": "deletion-vector-v1",
+                "fields": [],
+                "snapshot-id": -1,
+                "sequence-number": -1,
+                "offset": off,
+                "length": len(blob),
+                "properties": {
+                    "referenced-data-file": ref,
+                    "cardinality": str(len(pos_sorted)),
+                },
+            })
+            out.append({
+                "referenced": ref,
+                "offset": off,
+                "length": len(blob),
+                "cardinality": len(pos_sorted),
+            })
+            off += len(blob)
+        payload = json.dumps(
+            {"blobs": blobs_meta, "properties": {}}
+        ).encode()
+        fh.write(MAGIC)
+        fh.write(payload)
+        fh.write(struct.pack("<i", len(payload)))
+        fh.write(struct.pack("<i", 0))  # flags: uncompressed footer
+        fh.write(MAGIC)
+    return out
+
+
+def read_puffin_footer(path: str) -> dict:
+    """Parse the FileMetadata JSON from a puffin file's footer."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != MAGIC or data[-4:] != MAGIC:
+        raise ValueError(f"puffin: bad magic in {path}")
+    (size,) = struct.unpack_from("<i", data, len(data) - 12)
+    (flags,) = struct.unpack_from("<i", data, len(data) - 8)
+    if flags & 1:
+        raise NotImplementedError(
+            "puffin: zstd-compressed footer — this container has no zstd; "
+            "write with an uncompressed footer"
+        )
+    start = len(data) - 12 - size
+    if data[start - 4:start] != MAGIC:
+        raise ValueError(f"puffin: bad footer magic in {path}")
+    return json.loads(data[start:start + size])
+
+
+def read_dv_positions(path: str, offset: int, length: int):
+    """Decode one deletion-vector-v1 blob at (offset, length) → sorted
+    uint64 row positions; verifies the length/CRC framing."""
+    from pipeline_spark.functions.deltadv import roaring_array_deserialize
+
+    with open(path, "rb") as fh:
+        fh.seek(int(offset))
+        blob = fh.read(int(length))
+    (size,) = struct.unpack_from(">i", blob, 0)
+    bm = blob[4:4 + size]
+    (crc,) = struct.unpack_from(">I", blob, 4 + size)
+    if crc != (zlib.crc32(bm) & 0xFFFFFFFF):
+        raise ValueError(f"puffin: DV CRC mismatch in {path}@{offset}")
+    return roaring_array_deserialize(bm)

@@ -162,38 +162,50 @@ def _int_keyed_map(name: str, fid: int, key_id: int, val_id: int, val_type: str)
     }
 
 
-def _data_file_schema(partition_fields: list[dict] | None = None) -> dict:
+def _data_file_schema(
+    partition_fields: list[dict] | None = None, dv_fields: bool = False
+) -> dict:
     part_record = {
         "type": "record",
         "name": "r102",
         "fields": list(partition_fields or []),
     }
-    return {
-        "type": "record",
-        "name": "r2",
-        "fields": [
-            {"name": "content", "type": "int", "field-id": 134},
-            {"name": "file_path", "type": "string", "field-id": 100},
-            {"name": "file_format", "type": "string", "field-id": 101},
-            {"name": "partition", "type": part_record, "field-id": 102},
-            {"name": "record_count", "type": "long", "field-id": 103},
-            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-            # spec "Data File" column stats (Appendix-C field ids): null
-            # counts + single-value-serialized bounds, keyed by field-id
-            _int_keyed_map("null_value_counts", 110, 121, 122, "long"),
-            _int_keyed_map("lower_bounds", 125, 126, 127, "bytes"),
-            _int_keyed_map("upper_bounds", 128, 129, 130, "bytes"),
-            {
-                "name": "equality_ids",
-                "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
-                "default": None,
-                "field-id": 135,
-            },
-        ],
-    }
+    fields = [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": part_record, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        # spec "Data File" column stats (Appendix-C field ids): null
+        # counts + single-value-serialized bounds, keyed by field-id
+        _int_keyed_map("null_value_counts", 110, 121, 122, "long"),
+        _int_keyed_map("lower_bounds", 125, 126, 127, "bytes"),
+        _int_keyed_map("upper_bounds", 128, 129, 130, "bytes"),
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+            "default": None,
+            "field-id": 135,
+        },
+    ]
+    if dv_fields:
+        # v3 deletion-vector addressing (spec field-ids 143/144/145):
+        # only emitted on manifests that actually carry puffin DVs
+        fields += [
+            {"name": "referenced_data_file", "type": ["null", "string"],
+             "default": None, "field-id": 143},
+            {"name": "content_offset", "type": ["null", "long"],
+             "default": None, "field-id": 144},
+            {"name": "content_size_in_bytes", "type": ["null", "long"],
+             "default": None, "field-id": 145},
+        ]
+    return {"type": "record", "name": "r2", "fields": fields}
 
 
-def _manifest_entry_schema(partition_fields: list[dict] | None = None) -> dict:
+def _manifest_entry_schema(
+    partition_fields: list[dict] | None = None, dv_fields: bool = False
+) -> dict:
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -202,7 +214,7 @@ def _manifest_entry_schema(partition_fields: list[dict] | None = None) -> dict:
             {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
             {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
             {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
-            {"name": "data_file", "type": _data_file_schema(partition_fields), "field-id": 2},
+            {"name": "data_file", "type": _data_file_schema(partition_fields, dv_fields), "field-id": 2},
         ],
     }
 
@@ -1625,9 +1637,18 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         return re.sub(r"^file:/{0,2}(/)", r"\1", str(path))
 
     # delete-aware: the set of data files any delete file can apply to
-    pos = [d for d in deletes if d["content"] == 1]
+    pos_all = [d for d in deletes if d["content"] == 1]
+    # v3 puffin DVs name their target directly — no file read needed
+    pdv = [d for d in pos_all if d.get("content_offset") is not None]
+    pos = [d for d in pos_all if d.get("content_offset") is None]
     eq = [d for d in deletes if d["content"] == 2]
     affected: set[str] = set()
+    for d in pdv:
+        ref = _norm(d["referenced_data_file"])
+        affected |= {
+            x["path"] for x in data
+            if _norm(x["path"]) in (ref, urllib.parse.unquote(ref))
+        }
     if pos:
         # distinct named paths — delete files are position-list-sized,
         # the collect is metadata scale (bounded by live-file count).
@@ -2112,6 +2133,34 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         )
     if not rows:
         return {"deleted_rows": 0}
+    if str(p.get("format", "parquet")).lower() == "puffin":
+        # v3 deletion vectors (r8, VERDICT r7 ask #9): one puffin file
+        # holding a roaring-bitmap blob PER TOUCHED FILE instead of a
+        # position-delete parquet — the ecosystem's convergence target.
+        # The commit stamps format-version 3 (spec requirement for DVs).
+        from collections import defaultdict
+
+        from pipeline_spark.functions.puffin import write_puffin_dvs
+
+        by_file: dict[str, list[int]] = defaultdict(list)
+        for r in rows:
+            by_file[r["file_path"]].append(int(r["pos"]))
+        out = os.path.join(
+            table_path, "data", f"dv-{uuid.uuid4().hex}.puffin"
+        )
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        blobs = write_puffin_dvs(out, sorted(by_file.items()))
+        append_delete_files(table_path, [
+            {
+                "path": out, "content": 1, "format": "PUFFIN",
+                "referenced_data_file": b["referenced"],
+                "content_offset": b["offset"],
+                "content_size_in_bytes": b["length"],
+                "record_count": b["cardinality"],
+            }
+            for b in blobs
+        ], rest=rest)
+        return {"deleted_rows": len(rows), "dv_blobs": len(blobs)}
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -3513,29 +3562,56 @@ def append_delete_files(
     seq = prev_meta.get("last-sequence-number", 0) + 1
 
     entries, deleted_rows = [], 0
+    any_dv = any(
+        str(d.get("format", "")).upper() == "PUFFIN" for d in delete_files
+    )
     for d in delete_files:
         content = int(d["content"])
         if content not in (1, 2):
             raise ValueError("delete file content must be 1 (position) or 2 (equality)")
         if content == 2 and not d.get("equality_ids"):
             raise ValueError("equality delete files need equality_ids")
-        rows, size = _parquet_stats(d["path"])
+        puffin = str(d.get("format", "")).upper() == "PUFFIN"
+        if puffin:
+            # v3 deletion vector: one entry per blob, addressed inside
+            # the shared puffin file; record_count = DV cardinality
+            if content != 1 or d.get("content_offset") is None or not d.get(
+                "referenced_data_file"
+            ):
+                raise ValueError(
+                    "puffin delete entries need content=1, "
+                    "referenced_data_file, content_offset and "
+                    "content_size_in_bytes"
+                )
+            rows = int(d.get("record_count") or 0)
+            size = os.path.getsize(d["path"])
+        else:
+            rows, size = _parquet_stats(d["path"])
         deleted_rows += rows
+        df_rec = {
+            "content": content,
+            "file_path": d["path"],
+            "file_format": "PUFFIN" if puffin else "PARQUET",
+            "partition": {},
+            "record_count": rows,
+            "file_size_in_bytes": size,
+            "equality_ids": list(d.get("equality_ids") or []) or None,
+        }
+        if any_dv:
+            df_rec["referenced_data_file"] = d.get("referenced_data_file")
+            df_rec["content_offset"] = (
+                int(d["content_offset"]) if puffin else None
+            )
+            df_rec["content_size_in_bytes"] = (
+                int(d.get("content_size_in_bytes") or 0) if puffin else None
+            )
         entries.append(
             {
                 "status": _STATUS_ADDED,
                 "snapshot_id": snapshot_id,
                 "sequence_number": seq,
                 "file_sequence_number": seq,
-                "data_file": {
-                    "content": content,
-                    "file_path": d["path"],
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": rows,
-                    "file_size_in_bytes": size,
-                    "equality_ids": list(d.get("equality_ids") or []) or None,
-                },
+                "data_file": df_rec,
             }
         )
 
@@ -3576,13 +3652,13 @@ def append_delete_files(
         for i, sf in enumerate(spec0.get("fields", []))
     ]
     manifest_bytes = write_ocf_bytes(
-        _manifest_entry_schema(part_avro_fields),
+        _manifest_entry_schema(part_avro_fields, dv_fields=any_dv),
         entries,
         extra_meta={
             "schema": schema_json,
             "partition-spec": json.dumps(spec0.get("fields", [])),
             "partition-spec-id": str(spec0.get("spec-id", 0)),
-            "format-version": "2",
+            "format-version": "3" if any_dv else "2",
             "content": "deletes",
         },
     )
@@ -3747,6 +3823,10 @@ def append_delete_files(
         list(prev_meta.get("snapshot-log", []))
         + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
     )[-10:]
+    if any_dv:
+        # puffin DVs are a v3 construct: a spec-strict reader must see
+        # format-version 3 or it would rightly reject the manifests
+        meta["format-version"] = max(3, int(meta.get("format-version", 2)))
     meta["__version"] = version
     with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
         json.dump(meta, fh)

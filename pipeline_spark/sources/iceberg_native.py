@@ -160,7 +160,16 @@ def plan_files(
             if seq is None:
                 seq = m.get("sequence_number", 0) or 0
             fmt = str(df.get("file_format", "PARQUET")).upper()
-            if fmt != "PARQUET":
+            if fmt == "PUFFIN":
+                # v3 deletion vectors: a content=1 entry whose "file" is a
+                # puffin blob addressed by referenced_data_file /
+                # content_offset / content_size_in_bytes
+                if content == _CONTENT_DATA:
+                    raise ValueError(
+                        f"iceberg: PUFFIN data file {df.get('file_path')} — "
+                        "puffin holds deletion vectors, not data"
+                    )
+            elif fmt != "PARQUET":
                 raise NotImplementedError(
                     f"iceberg: {fmt} files need the runtime jar "
                     "(native path reads parquet)"
@@ -191,6 +200,15 @@ def plan_files(
             else:
                 rec["content"] = content
                 rec["equality_ids"] = list(df.get("equality_ids") or [])
+                if df.get("content_offset") is not None:
+                    # v3 puffin DV addressing (field-ids 143/144/145)
+                    rec["referenced_data_file"] = _strip_scheme(
+                        str(df.get("referenced_data_file") or "")
+                    )
+                    rec["content_offset"] = int(df["content_offset"])
+                    rec["content_size_in_bytes"] = int(
+                        df.get("content_size_in_bytes") or 0
+                    )
                 deletes.append(rec)
     return data, deletes, meta
 
@@ -377,15 +395,53 @@ def _apply_row_deletes(spark, df, data: list[dict], deletes: list[dict], meta: d
         )
     # else: an evolved scan already stamped lineage at the per-file scan
     # (the _metadata virtual columns don't survive a union/projection)
-    pos = [d for d in deletes if d["content"] == 1]
+    pos_all = [d for d in deletes if d["content"] == 1]
+    pdv = [d for d in pos_all if d.get("content_offset") is not None]
+    pos = [d for d in pos_all if d.get("content_offset") is None]
+    pos_frames = []
     if pos:
-        pos_df = (
+        pos_frames.append(
             spark.read.parquet(*[d["path"] for d in pos])
             .select(
                 norm(F.col("file_path")).alias("__dfp__"),
                 F.col("pos").alias("__dpos__"),
             )
         )
+    if pdv:
+        # v3 puffin deletion vectors: decode each blob EXECUTOR-side
+        # (KB-scale roaring bitmaps; positions never pass through the
+        # driver) into the same (file, ordinal) frame position deletes
+        # use — one anti-join serves both shapes
+        entries = [
+            (
+                d["referenced_data_file"], d["path"],
+                int(d["content_offset"]), int(d["content_size_in_bytes"]),
+            )
+            for d in pdv
+        ]
+        n = max(1, min(len(entries), 64))
+
+        def _decode(it):
+            from pipeline_spark.functions.puffin import read_dv_positions
+
+            for ref, path, off, ln in it:
+                for p_ in read_dv_positions(path, off, ln):
+                    yield (ref, int(p_))
+
+        pos_frames.append(
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(entries, n).mapPartitions(
+                    _decode
+                ),
+                "__dfp_raw string, __dpos__ long",
+            ).select(
+                norm(F.col("__dfp_raw")).alias("__dfp__"), "__dpos__"
+            )
+        )
+    if pos_frames:
+        pos_df = pos_frames[0]
+        for x in pos_frames[1:]:
+            pos_df = pos_df.unionByName(x)
         df = df.join(
             pos_df,
             (df["__fp__"] == pos_df["__dfp__"]) & (df["__pos__"] == pos_df["__dpos__"]),
