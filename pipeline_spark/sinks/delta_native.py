@@ -47,9 +47,13 @@ from pipeline_spark.sources.delta_native import (
 def _footer_stats(path: str) -> str | None:
     """Protocol-shaped stats JSON from a parquet footer (no data read).
 
-    min/max are recorded for numeric/boolean/date/timestamp columns only:
-    parquet writers may TRUNCATE string statistics, and a truncated max
-    silently under-covers the file — skipping on it would be unsound.
+    min/max are recorded for numeric/boolean/date/timestamp columns, and
+    (r8) for SHORT strings: the parquet writers in play (parquet-mr via
+    Spark, arrow C++) emit binary statistics exact-or-absent — oversized
+    values drop the statistic rather than truncating it — so a present
+    string min/max under 256 chars is exact and safe to skip on (a
+    truncated max would under-cover the file, which is why long values
+    stay excluded).  Raw ``bytes`` stats stay excluded (no JSON shape).
     nullCount and numRecords cover every top-level column.  Nested
     columns (dotted path) are skipped entirely.
     """
@@ -69,6 +73,14 @@ def _footer_stats(path: str) -> str | None:
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
     nulls: dict[str, int] = {}
+
+    def _ok(v) -> bool:
+        if isinstance(v, bytes):
+            return False
+        if isinstance(v, str):
+            return len(v) < 256
+        return True
+
     for name, stats in per_col.items():
         # a statistic is usable only when EVERY row group carries it —
         # partial coverage would under-state the file
@@ -77,8 +89,8 @@ def _footer_stats(path: str) -> str | None:
         if all(
             st is not None
             and st.has_min_max
-            and not isinstance(st.min, (bytes, str))
-            and not isinstance(st.max, (bytes, str))
+            and _ok(st.min)
+            and _ok(st.max)
             for st in stats
         ):
             mins[name] = min(st.min for st in stats)
@@ -671,9 +683,13 @@ def write_delta_native(
     # (delete/update/merge/optimize) get their own conflict checker in
     # _commit_actions_retry (r8); overwrite/replaceWhere raise for the
     # caller to re-plan — their removed-file set IS the state replaced.
+    # appends retry after re-validation (r7); replaceWhere retries too
+    # (r8) when every interleaved commit is provably OUTSIDE its domain
+    # — delta-spark lets disjoint replaceWhere/append races both commit.
+    # A full overwrite never retries: its removed-file set IS the table.
     can_retry = (
-        mode == "append" and exists
-        and evolved_schema is None and not replace_where
+        exists and evolved_schema is None
+        and (mode == "append" or bool(replace_where))
     )
     retries = int(p.get("commitRetries", 20))
     # In-Commit Timestamps (r7, PROTOCOL.md): active when enabled at
@@ -767,6 +783,49 @@ def write_delta_native(
                 "mid-append — rows were validated against the old ones; "
                 "re-run the write"
             )
+        if replace_where:
+            # domain-disjointness check: an interleaved remove of a file
+            # this replaceWhere also removes, or an interleaved add whose
+            # stats ADMIT the predicate, invalidates the planned rewrite
+            from pipeline_spark.sources.delta_native import (
+                _stats_may_match,
+                stats_to_logical,
+            )
+
+            my_removes = {
+                a["remove"].get("path") for a in actions if "remove" in a
+            }
+            for v2 in range(version, new_version + 1):
+                with open(
+                    os.path.join(log_dir, f"{v2:020d}.json")
+                ) as fh2:
+                    for line in fh2:
+                        if not line.strip():
+                            continue
+                        act = json.loads(line)
+                        if "remove" in act and act["remove"].get(
+                            "path"
+                        ) in my_removes:
+                            os.unlink(tmp)
+                            raise FileExistsError(
+                                f"delta sink: concurrent commit {v2} "
+                                "removed a file this replaceWhere also "
+                                "rewrites — re-plan against the new "
+                                "snapshot"
+                            )
+                        if "add" in act and act["add"].get(
+                            "dataChange", True
+                        ):
+                            chk = dict(act["add"])
+                            stats_to_logical([chk], cm)
+                            if _stats_may_match(chk, replace_where, None):
+                                os.unlink(tmp)
+                                raise FileExistsError(
+                                    f"delta sink: concurrent commit {v2} "
+                                    "added data inside the replaceWhere "
+                                    "domain — re-plan against the new "
+                                    "snapshot"
+                                )
         version = new_version + 1
         if ict_val is not None:
             # the interleaved commit advanced the ICT chain: re-stamp

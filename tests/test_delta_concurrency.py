@@ -208,3 +208,54 @@ def test_no_tmp_files_left_after_retry(spark, tmp_path, monkeypatch):
         n for n in os.listdir(os.path.join(tbl, "_delta_log"))
         if n.endswith(".tmp")
     ]
+
+
+def test_replace_where_vs_disjoint_append_both_commit(
+    spark, tmp_path, monkeypatch
+):
+    """r8: a replaceWhere that loses the race to an append OUTSIDE its
+    domain retries and commits; an append INSIDE the domain conflicts."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "t8")
+    df = spark.range(0, 10).withColumn(
+        "grp", F.when(F.col("id") < 5, "a").otherwise("b"))
+    write_delta_native(spark, df.repartition("grp"), {"path": tbl})
+
+    def interleave():
+        write_delta_native(
+            spark,
+            spark.range(100, 102).withColumn("grp", F.lit("b")).coalesce(1),
+            {"path": tbl, "mode": "append"},
+        )
+
+    state = _race(monkeypatch, 1, interleave)
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(50, "a"), (51, "a")], "id long, grp string"),
+        {"path": tbl, "mode": "overwrite",
+         "replaceWhere": [{"key": "grp", "op": "=", "value": "a"}]},
+    )
+    assert state["injected"]
+    back = {(r["id"], r["grp"]) for r in read_delta_native(
+        spark, {"path": tbl}).collect()}
+    # domain 'a' replaced; the disjoint append to 'b' survived
+    assert {(50, "a"), (51, "a"), (100, "b"), (101, "b")} <= back
+    assert not any(g == "a" and i < 50 for i, g in back)
+
+    # and an interleaved append INSIDE the domain conflicts
+    def interleave2():
+        write_delta_native(
+            spark,
+            spark.createDataFrame([(200, "a")], "id long, grp string"),
+            {"path": tbl, "mode": "append"},
+        )
+
+    _race(monkeypatch, 3, interleave2)
+    with pytest.raises(FileExistsError, match="replaceWhere domain"):
+        write_delta_native(
+            spark,
+            spark.createDataFrame([(60, "a")], "id long, grp string"),
+            {"path": tbl, "mode": "overwrite",
+             "replaceWhere": [{"key": "grp", "op": "=", "value": "a"}]},
+        )

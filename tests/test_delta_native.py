@@ -750,18 +750,22 @@ def test_stats_may_match_ops():
     assert _stats_may_match({}, [{"key": "x", "op": "=", "value": 1}], None)
 
 
-def test_stats_skip_string_minmax_but_keep_nullcount(spark, tmp_path):
+def test_stats_record_short_string_minmax(spark, tmp_path):
+    """r8: exact short-string min/max land in add.stats (Spark's
+    parquet-mr writer emits binary stats exact-or-absent, so a present
+    value under the 256-char bound is safe to skip on); long strings
+    stay excluded, nullCount keeps covering every column."""
     from pyspark.sql import Row
 
     tbl = str(tmp_path / "str_tbl")
     df = spark.createDataFrame(
-        [Row(k=1, s="aaa"), Row(k=2, s=None)]
+        [Row(k=1, s="aaa", long_s="x" * 400), Row(k=2, s=None, long_s=None)]
     ).coalesce(1)
     write_delta_native(spark, df, {"path": tbl})
     adds, *_ = replay_log(tbl)
     st = json.loads(adds[0]["stats"])
-    # string min/max withheld (writer truncation would make them unsound)
-    assert "s" not in st["minValues"]
+    assert st["minValues"]["s"] == "aaa" and st["maxValues"]["s"] == "aaa"
+    assert "long_s" not in st["minValues"]  # over the exactness bound
     assert st["nullCount"]["s"] == 1
     # equality filter on the string column still returns exact rows
     out = read_delta_native(

@@ -151,3 +151,29 @@ def test_mixed_puffin_and_parquet_position_deletes(spark, tmp_path):
     back = sorted(r["id"] for r in read_iceberg_native(
         spark, {"path": tbl}).collect())
     assert back == [i for i in range(20) if i not in (1, 11)]
+
+
+def test_maintenance_keeps_puffin_files(spark, tmp_path):
+    """remove_orphan_files / expire must treat a referenced puffin DV
+    file like any delete file — reachable via its manifest entry."""
+    from pipeline_spark.sinks.iceberg_native import (
+        expire_iceberg_native,
+        remove_orphans_iceberg_native,
+    )
+
+    tbl = _mk(spark, tmp_path)
+    delete_iceberg_native(spark, {
+        "path": tbl, "format": "puffin",
+        "where": [{"key": "id", "op": "=", "value": 6}],
+    })
+    out = remove_orphans_iceberg_native(
+        spark, {"path": tbl, "olderThanMs": 0})
+    expire_iceberg_native(spark, {"path": tbl, "retainLast": 1})
+    puffins = [
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(tbl) for n in ns if n.endswith(".puffin")
+    ]
+    assert len(puffins) == 1  # survived both sweeps
+    back = sorted(r["id"] for r in read_iceberg_native(
+        spark, {"path": tbl}).collect())
+    assert back == [i for i in range(20) if i != 6]
