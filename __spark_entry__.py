@@ -4955,6 +4955,60 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_iceberg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-scoped COW UPDATE WHERE SET on iceberg (r8, the delta_update
+    twin): orders land range-clustered on o_orderkey, urgent orders get
+    a 10% surcharge and a status stamp — manifest bounds + the exact
+    probe confine the rewrite to files containing matches.  Oracle
+    applies the same CASE directly."""
+    import shutil
+
+    from pipeline_spark.sinks.iceberg_native import (
+        update_iceberg_native,
+        write_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    tbl = _tmp_path("ice_update", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    write_iceberg_native(
+        orders.repartitionByRange(4, "o_orderkey"),
+        {"path": tbl, "mode": "create"},
+    )
+    update_iceberg_native(spark, {
+        "path": tbl,
+        "where": [{"key": "o_orderpriority", "op": "=",
+                   "value": "1-URGENT"}],
+        "set": {"o_totalprice": "o_totalprice * 1.1",
+                "o_orderstatus": "'U'"},
+    })
+    back = read_iceberg_native(spark, {"path": tbl})
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_ICE_UPDATE_SQL = """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'U'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_iceberg_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """iceberg v2 merge-on-read: nation committed natively (one sorted
     data file), then a POSITION delete file (row ordinals 0,1 →
@@ -5209,6 +5263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_merge_cow": q_iceberg_merge_cow,
         "iceberg_merge_mor": q_iceberg_merge_mor,
         "iceberg_dv_puffin": q_iceberg_dv_puffin,
+        "iceberg_update": q_iceberg_update,
         # --- rerouted this round: now drives sinks/storage.py bucketBy
         "bucketed_join": q_bucketed_join,
         # --- drift watch (delta_delete +27% r6→r7)
@@ -5255,11 +5310,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "range_join": q_range_join,
-        "semdedup_prune": q_semdedup_prune,
         # --- headline pair stays in-cap every round
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         # --- past the 50-cap: all green r7; pytest + harness guarded
+        "semdedup_prune": q_semdedup_prune,
         "repetition": q_repetition,
         "profile_documents": q_profile_documents,
         "iceberg_partitioned": q_iceberg_partitioned,
@@ -5424,6 +5479,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_merge_cow": Q_ICE_MERGE_COW_SQL,
         "iceberg_merge_mor": Q_ICE_MERGE_MOR_SQL,
         "iceberg_dv_puffin": Q_ICE_DV_PUFFIN_SQL,
+        "iceberg_update": Q_ICE_UPDATE_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,
         "bucketed_join": Q_BUCKETED_JOIN_SQL,
         "gopher_rules": Q_GOPHER_SQL,

@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "iceberg_cdc_upsert",
     "iceberg_merge_cow",
     "iceberg_merge_mor",
+    "iceberg_dv_puffin",
+    "iceberg_update",
 ]
 
 

@@ -159,7 +159,7 @@ def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
     maintenance = str(p.get("mode", "")).lower()
     if maintenance in (
-        "compact", "expire", "delete", "equalitydelete", "alter",
+        "compact", "expire", "delete", "update", "equalitydelete", "alter",
         "rollback", "tag", "rewritemanifests", "removeorphans", "clone",
     ):
         # table maintenance/mutation: the table is the operand, not the input
@@ -173,9 +173,12 @@ def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
             rewrite_manifests_iceberg_native,
             rollback_iceberg_native,
             tag_iceberg_native,
+            update_iceberg_native,
         )
 
-        if maintenance == "compact":
+        if maintenance == "update":
+            update_iceberg_native(ctx.spark, p)
+        elif maintenance == "compact":
             compact_iceberg_native(ctx.spark, p)
         elif maintenance == "rewritemanifests":
             rewrite_manifests_iceberg_native(ctx.spark, p)

@@ -2082,6 +2082,11 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         raise ValueError("iceberg delete: 'where' predicate list is required")
     if isinstance(where, dict):
         where = [where]
+    if str(p.get("method", "")).lower() == "cow":
+        # copy-on-write DELETE (r8): rewrite only the files containing a
+        # match — the right shape when the predicate deletes a large
+        # fraction of its files (position deletes cap at maxDeleteRows)
+        return _cow_mutate_where(spark, {**p, "where": where}, None)
     data, _deletes, _meta = plan_files(
         table_path, meta=rest[3] if rest is not None else None
     )
@@ -2466,198 +2471,167 @@ def upsert_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
     return {"delete_files": len(del_files), "data_files": len(data_files)}
 
 
-def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
-    """FILE-SCOPED copy-on-write MERGE — the Iceberg twin of
-    ``merge_delta_native`` (sinks/delta_native.py) and how Iceberg's own
-    ``write.merge.mode=copy-on-write`` behaves.  Keyed by
-    ``primaryKeys``; rows with ``__op__ = DELETE`` remove their keys,
-    everything else upserts whole rows.
+def update_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
+    """Row-level UPDATE WHERE SET, copy-on-write — the Iceberg twin of
+    ``update_delta_native``: only files whose manifest bounds admit the
+    predicate — and whose data actually contains a match — rewrite, with
+    the ``set`` expressions applied to matched rows (predicate-NULL rows
+    are kept unmodified, the three-valued-logic rule); everything else
+    carries forward in the metadata.  ``set`` maps column → SQL
+    expression.  One replace snapshot via the shared file-scoped commit.
+    The O(batch) merge-on-read alternative for keyed updates is
+    ``upsert_iceberg_native``."""
+    set_exprs = dict(p.get("set") or {})
+    if not set_exprs:
+        raise ValueError("iceberg update: 'set' {column: expression} is required")
+    return _cow_mutate_where(spark, p, set_exprs)
 
-    Unlike the r4-r7 whole-table COW (read → anti-join → overwrite the
-    table), only data files whose manifest key-range bounds admit an
-    incoming key — and whose data actually CONTAINS a match (one
-    column-pruned probe semi-join) — are rewritten.  At 100 TB a
-    million-row CDC batch touches the few files its keys live in, not
-    the table.  ONE atomic snapshot (operation=overwrite):
 
-    - data manifests with no touched file carry forward VERBATIM
-      (zero metadata rewritten for the untouched bulk of the table);
-    - manifests that lost files rewrite in place — survivors keep
-      EXISTING status with their ORIGINAL sequence numbers, removed
-      entries are marked DELETED under the new snapshot;
-    - survivor-rewrites + the upsert batch land as ADDED files under
-      the default spec (new sequence number, footer stats recorded);
-    - row-level DELETE manifests carry forward untouched: position
-      deletes naming removed files dangle harmlessly (the path no
-      longer resolves), equality deletes keep applying to old-sequence
-      files but never to the rewrites (strictly-below-sequence rule),
-      and every rewritten file MATERIALIZES its deletes during the
-      rewrite read so no deleted row can resurrect.
-
-    REST-catalog tables stage files identically and commit via one
-    optimistic CommitTableRequest.  A missing table degenerates to
-    create.  Reference: module/sink/IcebergSink.java merge mode /
-    UnifiedMutation §2.10 (semantics only; the mechanics are the
-    Iceberg spec's row-delta COW commit).
-    """
+def _cow_mutate_where(
+    spark, p: dict[str, Any], set_exprs: dict[str, str] | None
+) -> dict[str, int]:
     from pyspark.sql import functions as F
 
-    from pipeline_spark.functions.avroocf import (
-        read_ocf_file,
-        read_ocf_file_with_meta,
-    )
-    from pipeline_spark.functions.icebergpart import spec_field_avro_type
+    from pipeline_spark.sources.delta_native import data_filter_condition
     from pipeline_spark.sources.iceberg_native import (
         _apply_row_deletes,
         _bounds_may_match,
-        _strip_scheme,
         plan_files,
     )
 
-    keys = list(p.get("primaryKeys") or p.get("keyFields") or [])
-    if not keys:
-        raise ValueError("iceberg merge needs primaryKeys")
-    op_field = p.get("mutationOpField", "__op__")
-    if op_field in df.columns:
-        upserts = df.filter(
-            F.upper(F.coalesce(F.col(op_field), F.lit("UPSERT"))) != "DELETE"
-        ).drop(op_field)
-        touched = df.drop(op_field).select(*keys).distinct()
-    else:
-        upserts = df
-        touched = df.select(*keys).distinct()
-
+    op = "update" if set_exprs else "delete"
+    where = p.get("where")
+    if not where:
+        raise ValueError(f"iceberg {op}: 'where' predicate list is required")
+    if isinstance(where, dict):
+        where = [where]
     rest = _rest_session(p) if p.get("catalog") else None
     if rest is not None:
         prev_meta = rest["prev_meta"]
         table_path = rest["location"]
+        if prev_meta is None:
+            raise FileNotFoundError(f"iceberg {op}: table does not exist")
     else:
         table_path = re.sub(
             r"^file:/{0,2}(/)", r"\1",
             str(p.get("path") or p.get("table") or ""),
         )
-        try:
-            with open(find_table_metadata(table_path)) as fh:
-                prev_meta = json.load(fh)
-        except FileNotFoundError:
-            prev_meta = None
-    if prev_meta is None:
-        # no table yet: merge degenerates to create (the delta rule)
-        write_iceberg_native(upserts, {**p, "mode": "create"})
-        return {"merged_rows": -1, "rewritten_files": 0, "added_files": -1}
-
+        with open(find_table_metadata(table_path)) as fh:
+            prev_meta = json.load(fh)
     data, deletes, prev_meta = plan_files(table_path, meta=prev_meta)
     cur_schema = next(
         s for s in prev_meta["schemas"]
         if s.get("schema-id", 0) == prev_meta.get("current-schema-id", 0)
     )
-    by_name = {f["name"]: f for f in cur_schema["fields"]}
-    if sorted(upserts.columns) != sorted(by_name):
-        raise ValueError(
-            f"iceberg merge: batch columns {sorted(upserts.columns)} != "
-            f"table schema {sorted(by_name)}"
-        )
-    bad = [k for k in keys if k not in by_name]
-    if bad:
-        raise ValueError(f"iceberg merge: primaryKeys {bad} not in schema")
     keep_cols = [f["name"] for f in cur_schema["fields"]]
+    if set_exprs:
+        bad = [c for c in set_exprs if c not in keep_cols]
+        if bad:
+            raise ValueError(f"iceberg update: set columns {bad} not in schema")
 
-    # 1. manifest-stats key-range pruning (sound: a file wholly outside
-    # the batch's [min,max] on ANY key column cannot match; ONE tiny
-    # aggregated driver row).  Non-orderable key types skip the prune.
+    # manifest-bounds pruning directly on the predicate, then the exact
+    # probe — only files that CONTAIN a match rewrite
+    id2field = {f["id"]: f for f in cur_schema["fields"]}
+    candidates = [d for d in data if _bounds_may_match(d, where, id2field)]
     hit: list[dict] = []
-    matched_rows = 0
-    if data:
-        brow = touched.agg(
-            *[F.min(k).alias(f"mn{i}") for i, k in enumerate(keys)],
-            *[F.max(k).alias(f"mx{i}") for i, k in enumerate(keys)],
-        ).collect()[0]
-        where = []
-        for i, k in enumerate(keys):
-            mn, mx = brow[f"mn{i}"], brow[f"mx{i}"]
-            if isinstance(mn, (int, float, str)) and not isinstance(mn, bool):
-                where.append({"key": k, "op": ">=", "value": mn})
-                where.append({"key": k, "op": "<=", "value": mx})
-        id2field = {f["id"]: f for f in cur_schema["fields"]}
-        candidates = [
-            d for d in data
-            if not where or _bounds_may_match(d, where, id2field)
-        ]
-        # 2. exact touched-file probe (delta's findTouchedFiles): one
-        # column-pruned scan of the candidates' key columns, semi-joined
-        # to the incoming keys — only files that actually contain a
-        # match rewrite.  Collect is one row per TOUCHED file.
-        if candidates:
-            evolved = any(
-                d.get("renames") or d.get("absent") or d.get("dropped")
-                for d in candidates
-            )
-            if evolved:
-                probe = _read_evolved_group(
-                    spark, candidates, cur_schema, with_lineage=True
-                ).select(*keys, "__fp__")
-            else:
-                probe = spark.read.parquet(
-                    *[d["path"] for d in candidates]
-                ).select(
-                    *keys,
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:/+", "/"
-                    ).alias("__fp__"),
-                )
-            hits = (
-                probe.join(touched, on=list(keys), how="left_semi")
-                .groupBy("__fp__").agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
-            hitset: set[str] = set()
-            for r in hits:
-                hitset.add(r["__fp__"])
-                hitset.add(urllib.parse.unquote(r["__fp__"]))
-                matched_rows += int(r["n"])
-            hit = [
-                d for d in candidates
-                if d["path"] in hitset
-                or urllib.parse.unquote(d["path"]) in hitset
-            ]
-
-    # 3. build the replacement rows: survivors of touched files (with
-    # row-level deletes MATERIALIZED — a rewrite takes a new sequence
-    # number and path, so carrying its rows without applying its deletes
-    # would resurrect them) + the upsert batch, staged in one
-    # distributed write under the default spec's layout
-    if hit:
-        ev_hit = any(
+    matched = 0
+    if candidates:
+        evolved = any(
             d.get("renames") or d.get("absent") or d.get("dropped")
-            for d in hit
+            for d in candidates
         )
-        if ev_hit:
-            grp = _read_evolved_group(
-                spark, hit, cur_schema, with_lineage=bool(deletes)
+        if evolved:
+            probe = _read_evolved_group(
+                spark, candidates, cur_schema, with_lineage=True
             )
         else:
-            grp = spark.read.parquet(*[d["path"] for d in hit])
-        if deletes:
-            grp = _apply_row_deletes(spark, grp, hit, deletes, prev_meta)
-        survivors = grp.join(
-            touched, on=list(keys), how="left_anti"
-        ).select(*keep_cols)
-        new_rows = survivors.unionByName(upserts.select(*keep_cols))
+            probe = spark.read.parquet(
+                *[d["path"] for d in candidates]
+            ).select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__fp__"),
+            )
+        cond = data_filter_condition(where)
+        hits = (
+            probe.filter(cond).groupBy("__fp__")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        hitset: set[str] = set()
+        for r in hits:
+            hitset.add(r["__fp__"])
+            hitset.add(urllib.parse.unquote(r["__fp__"]))
+            matched += int(r["n"])
+        hit = [
+            d for d in candidates
+            if d["path"] in hitset
+            or urllib.parse.unquote(d["path"]) in hitset
+        ]
+    if not hit:
+        return {f"{op}d_rows": 0, "rewritten_files": 0, "added_files": 0}
+
+    ev_hit = any(
+        d.get("renames") or d.get("absent") or d.get("dropped") for d in hit
+    )
+    if ev_hit:
+        grp = _read_evolved_group(
+            spark, hit, cur_schema, with_lineage=bool(deletes)
+        )
     else:
-        if upserts.isEmpty():
-            return {"merged_rows": 0, "rewritten_files": 0, "added_files": 0}
-        new_rows = upserts.select(*keep_cols)
+        grp = spark.read.parquet(*[d["path"] for d in hit])
+    if deletes:
+        grp = _apply_row_deletes(spark, grp, hit, deletes, prev_meta)
+    cond = data_filter_condition(where)
+    match = F.coalesce(cond, F.lit(False))  # predicate-NULL rows are KEPT
+    if set_exprs:
+        out = grp
+        for c, e in set_exprs.items():
+            out = out.withColumn(
+                c, F.when(match, F.expr(str(e))).otherwise(F.col(c))
+            )
+        new_rows = out.select(*keep_cols)
+    else:
+        new_rows = grp.filter(~match).select(*keep_cols)
 
     spec0 = next(
         (sp for sp in prev_meta.get("partition-specs", [])
          if sp.get("spec-id", 0) == prev_meta.get("default-spec-id", 0)),
         {"fields": []},
     )
-    commit_uuid = str(uuid.uuid4())
-    data_dir = os.path.join(table_path, "data", f"merge-{commit_uuid}")
+    data_dir = os.path.join(table_path, "data", f"{op}-{uuid.uuid4().hex}")
     staged = _stage_default_spec_files(new_rows, data_dir, spec0, cur_schema)
+    removed = _commit_file_replacement(
+        table_path, rest, prev_meta, cur_schema, spec0, hit, staged,
+        operation="overwrite" if set_exprs else "delete",
+    )
+    return {
+        f"{op}d_rows": matched,
+        "rewritten_files": removed,
+        "added_files": len(staged),
+    }
 
-    # 4. ONE replace snapshot
+
+def _commit_file_replacement(
+    table_path: str, rest, prev_meta: dict, cur_schema: dict, spec0: dict,
+    hit: list[dict], staged: list[dict], operation: str = "overwrite",
+) -> int:
+    """ONE replace snapshot for a file-scoped rewrite (shared by MERGE /
+    UPDATE / COW DELETE): untouched data manifests carry forward
+    VERBATIM, manifests that lost files rewrite in place (survivors
+    EXISTING at original sequence numbers, removed entries DELETED),
+    ``staged`` files land as ADDED under the default spec with footer
+    stats, and row-level delete manifests ride along (rewrites must
+    have MATERIALIZED their deletes).  REST tables commit via one
+    optimistic CommitTableRequest.  Returns the removed-file count."""
+    from pipeline_spark.functions.avroocf import (
+        read_ocf_file,
+        read_ocf_file_with_meta,
+    )
+    from pipeline_spark.functions.icebergpart import spec_field_avro_type
+    from pipeline_spark.sources.iceberg_native import _strip_scheme
+
+    commit_uuid = str(uuid.uuid4())
     meta_dir = os.path.join(table_path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     now_ms = int(time.time() * 1000)
@@ -2903,7 +2877,7 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
         "manifest-list": list_path,
         "schema-id": prev_meta.get("current-schema-id", 0),
         "summary": {
-            "operation": "overwrite",
+            "operation": operation,
             "added-data-files": str(len(staged)),
             "deleted-data-files": str(removed_files),
             "added-records": str(added_rows),
@@ -2911,11 +2885,6 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
             "total-records": str(total_rows),
             "total-data-files": str(total_files),
         },
-    }
-    result = {
-        "merged_rows": matched_rows,
-        "rewritten_files": removed_files,
-        "added_files": len(staged),
     }
     if rest is not None:
         rest["catalog"].commit_table(
@@ -2930,7 +2899,7 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
                  "type": "branch", "snapshot-id": snapshot_id},
             ],
         )
-        return result
+        return removed_files
     prev_file = find_table_metadata(table_path)
     m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
     version = (int(m.group(1)) if m else prev_meta.get("__version", 0)) + 1
@@ -2952,8 +2921,207 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
         json.dump(meta, fh)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
-    return result
+    return removed_files
 
+
+def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
+    """FILE-SCOPED copy-on-write MERGE — the Iceberg twin of
+    ``merge_delta_native`` (sinks/delta_native.py) and how Iceberg's own
+    ``write.merge.mode=copy-on-write`` behaves.  Keyed by
+    ``primaryKeys``; rows with ``__op__ = DELETE`` remove their keys,
+    everything else upserts whole rows.
+
+    Unlike the r4-r7 whole-table COW (read → anti-join → overwrite the
+    table), only data files whose manifest key-range bounds admit an
+    incoming key — and whose data actually CONTAINS a match (one
+    column-pruned probe semi-join) — are rewritten.  At 100 TB a
+    million-row CDC batch touches the few files its keys live in, not
+    the table.  ONE atomic snapshot (operation=overwrite):
+
+    - data manifests with no touched file carry forward VERBATIM
+      (zero metadata rewritten for the untouched bulk of the table);
+    - manifests that lost files rewrite in place — survivors keep
+      EXISTING status with their ORIGINAL sequence numbers, removed
+      entries are marked DELETED under the new snapshot;
+    - survivor-rewrites + the upsert batch land as ADDED files under
+      the default spec (new sequence number, footer stats recorded);
+    - row-level DELETE manifests carry forward untouched: position
+      deletes naming removed files dangle harmlessly (the path no
+      longer resolves), equality deletes keep applying to old-sequence
+      files but never to the rewrites (strictly-below-sequence rule),
+      and every rewritten file MATERIALIZES its deletes during the
+      rewrite read so no deleted row can resurrect.
+
+    REST-catalog tables stage files identically and commit via one
+    optimistic CommitTableRequest.  A missing table degenerates to
+    create.  Reference: module/sink/IcebergSink.java merge mode /
+    UnifiedMutation §2.10 (semantics only; the mechanics are the
+    Iceberg spec's row-delta COW commit).
+    """
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.functions.avroocf import (
+        read_ocf_file,
+        read_ocf_file_with_meta,
+    )
+    from pipeline_spark.functions.icebergpart import spec_field_avro_type
+    from pipeline_spark.sources.iceberg_native import (
+        _apply_row_deletes,
+        _bounds_may_match,
+        _strip_scheme,
+        plan_files,
+    )
+
+    keys = list(p.get("primaryKeys") or p.get("keyFields") or [])
+    if not keys:
+        raise ValueError("iceberg merge needs primaryKeys")
+    op_field = p.get("mutationOpField", "__op__")
+    if op_field in df.columns:
+        upserts = df.filter(
+            F.upper(F.coalesce(F.col(op_field), F.lit("UPSERT"))) != "DELETE"
+        ).drop(op_field)
+        touched = df.drop(op_field).select(*keys).distinct()
+    else:
+        upserts = df
+        touched = df.select(*keys).distinct()
+
+    rest = _rest_session(p) if p.get("catalog") else None
+    if rest is not None:
+        prev_meta = rest["prev_meta"]
+        table_path = rest["location"]
+    else:
+        table_path = re.sub(
+            r"^file:/{0,2}(/)", r"\1",
+            str(p.get("path") or p.get("table") or ""),
+        )
+        try:
+            with open(find_table_metadata(table_path)) as fh:
+                prev_meta = json.load(fh)
+        except FileNotFoundError:
+            prev_meta = None
+    if prev_meta is None:
+        # no table yet: merge degenerates to create (the delta rule)
+        write_iceberg_native(upserts, {**p, "mode": "create"})
+        return {"merged_rows": -1, "rewritten_files": 0, "added_files": -1}
+
+    data, deletes, prev_meta = plan_files(table_path, meta=prev_meta)
+    cur_schema = next(
+        s for s in prev_meta["schemas"]
+        if s.get("schema-id", 0) == prev_meta.get("current-schema-id", 0)
+    )
+    by_name = {f["name"]: f for f in cur_schema["fields"]}
+    if sorted(upserts.columns) != sorted(by_name):
+        raise ValueError(
+            f"iceberg merge: batch columns {sorted(upserts.columns)} != "
+            f"table schema {sorted(by_name)}"
+        )
+    bad = [k for k in keys if k not in by_name]
+    if bad:
+        raise ValueError(f"iceberg merge: primaryKeys {bad} not in schema")
+    keep_cols = [f["name"] for f in cur_schema["fields"]]
+
+    # 1. manifest-stats key-range pruning (sound: a file wholly outside
+    # the batch's [min,max] on ANY key column cannot match; ONE tiny
+    # aggregated driver row).  Non-orderable key types skip the prune.
+    hit: list[dict] = []
+    matched_rows = 0
+    if data:
+        brow = touched.agg(
+            *[F.min(k).alias(f"mn{i}") for i, k in enumerate(keys)],
+            *[F.max(k).alias(f"mx{i}") for i, k in enumerate(keys)],
+        ).collect()[0]
+        where = []
+        for i, k in enumerate(keys):
+            mn, mx = brow[f"mn{i}"], brow[f"mx{i}"]
+            if isinstance(mn, (int, float, str)) and not isinstance(mn, bool):
+                where.append({"key": k, "op": ">=", "value": mn})
+                where.append({"key": k, "op": "<=", "value": mx})
+        id2field = {f["id"]: f for f in cur_schema["fields"]}
+        candidates = [
+            d for d in data
+            if not where or _bounds_may_match(d, where, id2field)
+        ]
+        # 2. exact touched-file probe (delta's findTouchedFiles): one
+        # column-pruned scan of the candidates' key columns, semi-joined
+        # to the incoming keys — only files that actually contain a
+        # match rewrite.  Collect is one row per TOUCHED file.
+        if candidates:
+            evolved = any(
+                d.get("renames") or d.get("absent") or d.get("dropped")
+                for d in candidates
+            )
+            if evolved:
+                probe = _read_evolved_group(
+                    spark, candidates, cur_schema, with_lineage=True
+                ).select(*keys, "__fp__")
+            else:
+                probe = spark.read.parquet(
+                    *[d["path"] for d in candidates]
+                ).select(
+                    *keys,
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/+", "/"
+                    ).alias("__fp__"),
+                )
+            hits = (
+                probe.join(touched, on=list(keys), how="left_semi")
+                .groupBy("__fp__").agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            hitset: set[str] = set()
+            for r in hits:
+                hitset.add(r["__fp__"])
+                hitset.add(urllib.parse.unquote(r["__fp__"]))
+                matched_rows += int(r["n"])
+            hit = [
+                d for d in candidates
+                if d["path"] in hitset
+                or urllib.parse.unquote(d["path"]) in hitset
+            ]
+
+    # 3. build the replacement rows: survivors of touched files (with
+    # row-level deletes MATERIALIZED — a rewrite takes a new sequence
+    # number and path, so carrying its rows without applying its deletes
+    # would resurrect them) + the upsert batch, staged in one
+    # distributed write under the default spec's layout
+    if hit:
+        ev_hit = any(
+            d.get("renames") or d.get("absent") or d.get("dropped")
+            for d in hit
+        )
+        if ev_hit:
+            grp = _read_evolved_group(
+                spark, hit, cur_schema, with_lineage=bool(deletes)
+            )
+        else:
+            grp = spark.read.parquet(*[d["path"] for d in hit])
+        if deletes:
+            grp = _apply_row_deletes(spark, grp, hit, deletes, prev_meta)
+        survivors = grp.join(
+            touched, on=list(keys), how="left_anti"
+        ).select(*keep_cols)
+        new_rows = survivors.unionByName(upserts.select(*keep_cols))
+    else:
+        if upserts.isEmpty():
+            return {"merged_rows": 0, "rewritten_files": 0, "added_files": 0}
+        new_rows = upserts.select(*keep_cols)
+
+    spec0 = next(
+        (sp for sp in prev_meta.get("partition-specs", [])
+         if sp.get("spec-id", 0) == prev_meta.get("default-spec-id", 0)),
+        {"fields": []},
+    )
+    commit_uuid = str(uuid.uuid4())
+    data_dir = os.path.join(table_path, "data", f"merge-{commit_uuid}")
+    staged = _stage_default_spec_files(new_rows, data_dir, spec0, cur_schema)
+
+    removed = _commit_file_replacement(
+        table_path, rest, prev_meta, cur_schema, spec0, hit, staged)
+    return {
+        "merged_rows": matched_rows,
+        "rewritten_files": removed,
+        "added_files": len(staged),
+    }
 
 def clone_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     """Metadata-only table clone (the Delta shallow-clone twin): the
