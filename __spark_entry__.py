@@ -5009,6 +5009,62 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg changelog read (r8, the Delta-CDF twin): documents land,
+    then one keyed CDC upsert (%10 keys; %40 keys are DELETEs, the rest
+    re-upsert with doubled n_chars); the changelog over the full history
+    surfaces the base rows + re-upserts as inserts and the matched old
+    rows as deletes — derived purely from per-snapshot metadata diffs.
+    Oracle replays the same change stream in SQL."""
+    import shutil
+
+    from pipeline_spark.sinks.iceberg_native import (
+        upsert_iceberg_native,
+        write_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import read_iceberg_changelog
+
+    tbl = _tmp_path("ice_changelog", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "lang", "n_chars")
+    )
+    write_iceberg_native(docs.coalesce(1), {"path": tbl, "mode": "create"})
+    batch = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .withColumn(
+            "__op__",
+            F.when(F.col("doc_id") % 40 == 0, F.lit("DELETE"))
+            .otherwise(F.lit("UPSERT")),
+        )
+        .withColumn("n_chars", F.col("n_chars") * 2)
+    )
+    upsert_iceberg_native(
+        spark, batch.coalesce(1), {"path": tbl, "primaryKeys": ["doc_id"]})
+    log = read_iceberg_changelog(spark, {"path": tbl})
+    return (
+        log.groupBy("_change_type", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("_change_type", "lang")
+    )
+
+
+Q_ICE_CHANGELOG_SQL = """
+SELECT _change_type, lang, count(*) AS n FROM (
+  SELECT 'insert' AS _change_type, lang FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 'insert', lang FROM documents
+  WHERE doc_id < 200 AND doc_id % 10 = 0 AND doc_id % 40 <> 0
+  UNION ALL
+  SELECT 'delete', lang FROM documents
+  WHERE doc_id < 200 AND doc_id % 10 = 0
+)
+GROUP BY _change_type, lang ORDER BY _change_type, lang
+"""
+
+
 def q_iceberg_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """iceberg v2 merge-on-read: nation committed natively (one sorted
     data file), then a POSITION delete file (row ordinals 0,1 →
@@ -5264,6 +5320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_merge_mor": q_iceberg_merge_mor,
         "iceberg_dv_puffin": q_iceberg_dv_puffin,
         "iceberg_update": q_iceberg_update,
+        "iceberg_changelog": q_iceberg_changelog,
         # --- rerouted this round: now drives sinks/storage.py bucketBy
         "bucketed_join": q_bucketed_join,
         # --- drift watch (delta_delete +27% r6→r7)
@@ -5309,11 +5366,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
-        "range_join": q_range_join,
         # --- headline pair stays in-cap every round
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         # --- past the 50-cap: all green r7; pytest + harness guarded
+        "range_join": q_range_join,
         "semdedup_prune": q_semdedup_prune,
         "repetition": q_repetition,
         "profile_documents": q_profile_documents,
@@ -5480,6 +5537,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_merge_mor": Q_ICE_MERGE_MOR_SQL,
         "iceberg_dv_puffin": Q_ICE_DV_PUFFIN_SQL,
         "iceberg_update": Q_ICE_UPDATE_SQL,
+        "iceberg_changelog": Q_ICE_CHANGELOG_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,
         "bucketed_join": Q_BUCKETED_JOIN_SQL,
         "gopher_rules": Q_GOPHER_SQL,

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "iceberg_merge_mor",
     "iceberg_dv_puffin",
     "iceberg_update",
+    "iceberg_changelog",
 ]
 
 

@@ -100,6 +100,12 @@ def iceberg_source(ctx: ModuleContext) -> dict[str, DataFrame]:
         )
 
         return {"": read_iceberg_metadata_table(ctx.spark, p)}
+    if p.get("changelog"):
+        from pipeline_spark.sources.iceberg_native import (
+            read_iceberg_changelog,
+        )
+
+        return {"": read_iceberg_changelog(ctx.spark, p)}
     if str(p.get("mode", "")).lower() == "streaming":
         from pipeline_spark.sources.iceberg_stream import (
             read_iceberg_stream_native,

@@ -825,6 +825,233 @@ def read_iceberg_native(spark, p: dict[str, Any]):
     return df
 
 
+def _state_with_lineage(spark, data: list[dict], deletes: list[dict],
+                        meta: dict):
+    """The live rows of a (data, deletes) plan with stable row identity
+    kept on the output (``__cfp__`` = normalized file path, ``__cpos__``
+    = ordinal) — row deletes applied.  The changelog's building block."""
+    from pyspark.sql import functions as F
+
+    fields = _schema_fields(meta)
+    evolved = any(
+        d.get("renames") or d.get("absent") or d.get("dropped")
+        for d in data
+    )
+    if evolved:
+        df = evolved_scan(spark, spark.read, data, fields, with_lineage=True)
+    else:
+        df = spark.read.parquet(*[d["path"] for d in data]).select(
+            "*",
+            F.url_decode(F.regexp_replace(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ), r"\+", "%2B",
+            )).alias("__fp__"),
+            F.col("_metadata.row_index").alias("__pos__"),
+        )
+    df = df.withColumn("__cfp__", F.col("__fp__")).withColumn(
+        "__cpos__", F.col("__pos__")
+    )
+    if deletes:
+        df = _apply_row_deletes(spark, df, data, deletes, meta)
+    else:
+        df = df.drop("__fp__", "__pos__")
+    return df
+
+
+def read_iceberg_changelog(spark, p: dict[str, Any]):
+    """Row-level change feed between two snapshots — the Iceberg twin of
+    Delta CDF, with the output shape of Spark-Iceberg's
+    ``create_changelog_view``: table columns + ``_change_type``
+    ('insert' | 'delete'), ``_change_ordinal`` (0-based position of the
+    snapshot in the range), ``_commit_snapshot_id``.
+
+    ``fromSnapshotId`` is EXCLUSIVE (omit to start from table creation,
+    surfacing the first snapshot as inserts); ``toSnapshotId`` is
+    inclusive (defaults to current).  Per snapshot, a uniform rule
+    derives the changes from the metadata diff:
+
+    - data files ADDED by the snapshot → their rows as inserts;
+    - data files REMOVED → the rows that were LIVE at the prior
+      snapshot (delete files applied) as deletes — full-file semantics
+      for COW rewrites, same as Delta CDF without cdc actions: a
+      survivor row surfaces as delete+insert, which a
+      state-reconstructing consumer nets out;
+    - DELETE files added (position / equality / puffin DV) → the EXACT
+      rows they remove, resolved against the prior snapshot's live
+      state (so never-live or already-deleted rows are not re-emitted);
+    - operation=replace snapshots (compaction, rewrite_manifests) emit
+      NOTHING — layout changes are not data changes.
+
+    Planning is O(snapshots × files) driver-side metadata; every row
+    read is distributed and limited to the files that changed.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    table_path = _strip_scheme(str(p.get("path") or p.get("table") or ""))
+    with open(find_table_metadata(table_path)) as fh:
+        meta = json.load(fh)
+    snaps = sorted(
+        meta.get("snapshots") or [],
+        key=lambda s: (s.get("sequence-number", 0), s.get("timestamp-ms", 0)),
+    )
+    if not snaps:
+        raise ValueError("iceberg changelog: table has no snapshots")
+    by_id = {s["snapshot-id"]: i for i, s in enumerate(snaps)}
+    from_id = p.get("fromSnapshotId")
+    to_id = p.get("toSnapshotId", meta.get("current-snapshot-id"))
+    if to_id not in by_id or (from_id is not None and from_id not in by_id):
+        raise ValueError(
+            f"iceberg changelog: snapshot bounds ({from_id}, {to_id}] not "
+            f"in the table's history (have {sorted(by_id)})"
+        )
+    lo = -1 if from_id is None else by_id[from_id]
+    hi = by_id[to_id]
+    if hi <= lo and from_id is not None:
+        raise ValueError("iceberg changelog: toSnapshotId precedes from")
+
+    fields = _schema_fields(meta)
+    names = [f["name"] for f in fields]
+    empty = spark.createDataFrame(
+        [], _spark_schema_of(meta) + ", _change_type string, "
+        "_change_ordinal int, _commit_snapshot_id long"
+    )
+
+    def _stamp(df, ct, ordinal, snap_id):
+        return df.select(*names).select(
+            "*",
+            F.lit(ct).alias("_change_type"),
+            F.lit(ordinal).alias("_change_ordinal"),
+            F.lit(snap_id).alias("_commit_snapshot_id"),
+        )
+
+    prev_idx = lo
+    parts = []
+    ordinal = 0
+    for i in range(lo + 1, hi + 1):
+        snap = snaps[i]
+        sid = snap["snapshot-id"]
+        op = str((snap.get("summary") or {}).get("operation", "append"))
+        if op == "replace":
+            prev_idx = i
+            continue
+        cur_data, cur_dels, _ = plan_files(table_path, sid)
+        if prev_idx < 0:
+            prev_data, prev_dels = [], []
+        else:
+            prev_data, prev_dels, _ = plan_files(
+                table_path, snaps[prev_idx]["snapshot-id"]
+            )
+        prev_paths = {d["path"] for d in prev_data}
+        cur_paths = {d["path"] for d in cur_data}
+        added = [d for d in cur_data if d["path"] not in prev_paths]
+        removed = [d for d in prev_data if d["path"] not in cur_paths]
+        prev_del_keys = {
+            (d["path"], d.get("content_offset")) for d in prev_dels
+        }
+        added_dels = [
+            d for d in cur_dels
+            if (d["path"], d.get("content_offset")) not in prev_del_keys
+        ]
+        if added:
+            ev = any(
+                d.get("renames") or d.get("absent") or d.get("dropped")
+                for d in added
+            )
+            df = (
+                evolved_scan(spark, spark.read, added, fields)
+                if ev else spark.read.parquet(*[d["path"] for d in added])
+            )
+            parts.append(_stamp(df, "insert", ordinal, sid))
+        if removed:
+            # rows live at the PRIOR snapshot: apply the prior delete set
+            live = _state_with_lineage(spark, removed, prev_dels, meta)
+            parts.append(_stamp(live, "delete", ordinal, sid))
+        if added_dels and prev_data:
+            state = _state_with_lineage(spark, prev_data, prev_dels, meta)
+            hits = []
+            pos_pairs = None
+            pos_files = [
+                d for d in added_dels
+                if d["content"] == 1 and d.get("content_offset") is None
+            ]
+            pdv = [
+                d for d in added_dels
+                if d["content"] == 1 and d.get("content_offset") is not None
+            ]
+            if pos_files:
+                pos_pairs = spark.read.parquet(
+                    *[d["path"] for d in pos_files]
+                ).select(
+                    F.url_decode(F.regexp_replace(
+                        F.regexp_replace(
+                            F.col("file_path"), "^file:/+", "/"
+                        ), r"\+", "%2B",
+                    )).alias("__dfp__"),
+                    F.col("pos").alias("__dpos__"),
+                )
+            if pdv:
+                entries = [
+                    (d["referenced_data_file"], d["path"],
+                     int(d["content_offset"]),
+                     int(d["content_size_in_bytes"]))
+                    for d in pdv
+                ]
+
+                def _decode(it):
+                    from pipeline_spark.functions.puffin import (
+                        read_dv_positions,
+                    )
+
+                    for ref, path, off, ln in it:
+                        for p_ in read_dv_positions(path, off, ln):
+                            yield (ref, int(p_))
+
+                dvdf = spark.createDataFrame(
+                    spark.sparkContext.parallelize(
+                        entries, max(1, min(len(entries), 64))
+                    ).mapPartitions(_decode),
+                    "__dfp__ string, __dpos__ long",
+                )
+                pos_pairs = (
+                    dvdf if pos_pairs is None
+                    else pos_pairs.unionByName(dvdf)
+                )
+            if pos_pairs is not None:
+                hits.append(state.join(
+                    pos_pairs,
+                    (state["__cfp__"] == pos_pairs["__dfp__"])
+                    & (state["__cpos__"] == pos_pairs["__dpos__"]),
+                    "left_semi",
+                ))
+            id2name = _field_names_by_id(meta)
+            for d in added_dels:
+                if d["content"] != 2:
+                    continue
+                cols = [id2name[i] for i in d["equality_ids"]]
+                keys = spark.read.parquet(d["path"]).select(*[
+                    F.col(c).alias(f"__eq_{c}__") for c in cols
+                ]).distinct()
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [state[c].eqNullSafe(keys[f"__eq_{c}__"]) for c in cols],
+                )
+                hits.append(state.join(keys, cond, "left_semi"))
+            if hits:
+                dels = hits[0]
+                for x in hits[1:]:
+                    dels = dels.unionByName(x)
+                parts.append(_stamp(dels.distinct(), "delete", ordinal, sid))
+        prev_idx = i
+        ordinal += 1
+    out = empty
+    for x in parts:
+        out = out.unionByName(x)
+    return out
+
+
 def read_iceberg_metadata_table(spark, p: dict[str, Any]):
     """Iceberg metadata tables (the runtime's ``SELECT * FROM t.snapshots``
     family) built from the same native metadata walk the reader uses —

@@ -1,0 +1,157 @@
+"""Iceberg changelog read (r8) — the Delta-CDF twin with Spark-Iceberg's
+create_changelog_view output shape (_change_type / _change_ordinal /
+_commit_snapshot_id), derived uniformly from per-snapshot metadata
+diffs: added files → inserts, removed files → their prior-live rows as
+deletes, added delete files → the exact rows they removed."""
+
+import pytest
+
+from pipeline_spark.sinks.iceberg_native import (
+    compact_iceberg_native,
+    delete_iceberg_native,
+    merge_iceberg_native,
+    upsert_iceberg_native,
+    write_iceberg_native,
+)
+from pipeline_spark.sources.iceberg_native import (
+    find_table_metadata,
+    read_iceberg_changelog,
+    read_iceberg_native,
+)
+
+
+def _changes(df):
+    return sorted(
+        (r["_change_type"], r["id"], r["v"], r["_change_ordinal"])
+        for r in df.collect()
+    )
+
+
+def _mk(spark, tmp_path, rows, name="tbl"):
+    tbl = str(tmp_path / name)
+    write_iceberg_native(
+        spark.createDataFrame(rows, "id long, v string").coalesce(1),
+        {"path": tbl, "mode": "create"},
+    )
+    return tbl
+
+
+def test_appends_surface_as_inserts(spark, tmp_path):
+    tbl = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    write_iceberg_native(
+        spark.createDataFrame([(3, "c")], "id long, v string").coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    out = read_iceberg_changelog(spark, {"path": tbl})
+    assert _changes(out) == [
+        ("insert", 1, "a", 0), ("insert", 2, "b", 0), ("insert", 3, "c", 1),
+    ]
+
+
+def test_from_snapshot_exclusive(spark, tmp_path):
+    import json
+
+    tbl = _mk(spark, tmp_path, [(1, "a")])
+    meta = json.load(open(find_table_metadata(tbl)))
+    first = meta["current-snapshot-id"]
+    write_iceberg_native(
+        spark.createDataFrame([(2, "b")], "id long, v string").coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    out = read_iceberg_changelog(spark, {"path": tbl, "fromSnapshotId": first})
+    assert _changes(out) == [("insert", 2, "b", 0)]
+
+
+def test_upsert_emits_delete_plus_insert(spark, tmp_path):
+    tbl = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+    upsert_iceberg_native(
+        spark,
+        spark.createDataFrame(
+            [(2, "B", "UPSERT"), (3, None, "DELETE")],
+            "id long, v string, __op__ string",
+        ),
+        {"path": tbl, "primaryKeys": ["id"]},
+    )
+    out = read_iceberg_changelog(spark, {"path": tbl})
+    got = _changes(out)
+    assert ("delete", 2, "b", 1) in got      # old row removed by eq delete
+    assert ("delete", 3, "c", 1) in got
+    assert ("insert", 2, "B", 1) in got      # new row in the same snapshot
+    assert ("insert", 3, "c", 0) in got      # original insert from creation
+    assert len([g for g in got if g[3] == 1]) == 3
+
+
+def test_position_delete_emits_exact_rows(spark, tmp_path):
+    tbl = _mk(spark, tmp_path, [(i, f"v{i}") for i in range(6)])
+    delete_iceberg_native(spark, {
+        "path": tbl, "where": [{"key": "id", "op": "in", "value": [1, 4]}],
+    })
+    out = read_iceberg_changelog(spark, {"path": tbl})
+    got = _changes(out)
+    assert ("delete", 1, "v1", 1) in got and ("delete", 4, "v4", 1) in got
+    assert len([g for g in got if g[0] == "delete"]) == 2
+
+
+def test_puffin_dv_delete_emits_exact_rows(spark, tmp_path):
+    tbl = _mk(spark, tmp_path, [(i, f"v{i}") for i in range(6)])
+    delete_iceberg_native(spark, {
+        "path": tbl, "format": "puffin",
+        "where": [{"key": "id", "op": "=", "value": 2}],
+    })
+    out = read_iceberg_changelog(spark, {"path": tbl})
+    assert ("delete", 2, "v2", 1) in _changes(out)
+
+
+def test_compaction_emits_nothing(spark, tmp_path):
+    import json
+
+    tbl = _mk(spark, tmp_path, [(1, "a")])
+    write_iceberg_native(
+        spark.createDataFrame([(2, "b")], "id long, v string").coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    meta = json.load(open(find_table_metadata(tbl)))
+    pre_compact = meta["current-snapshot-id"]
+    compact_iceberg_native(spark, {"path": tbl, "targetFileBytes": 1 << 30})
+    out = read_iceberg_changelog(
+        spark, {"path": tbl, "fromSnapshotId": pre_compact})
+    assert out.count() == 0  # replace snapshots are layout, not data
+
+
+def test_cow_merge_full_file_semantics(spark, tmp_path):
+    """A COW merge rewriting a file surfaces its survivors as
+    delete+insert (full-file semantics) — state reconstruction nets to
+    the final table."""
+    from pyspark.sql import functions as F
+
+    tbl = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    merge_iceberg_native(
+        spark,
+        spark.createDataFrame([(2, "B")], "id long, v string"),
+        {"path": tbl, "primaryKeys": ["id"]},
+    )
+    out = read_iceberg_changelog(spark, {"path": tbl})
+    got = _changes(out)
+    # reconstruct: per id keep the last insert not followed by a delete
+    state = {}
+    for ct, i, v, o in sorted(got, key=lambda g: g[3]):
+        if ct == "insert":
+            state[i] = v
+        elif state.get(i) == v:
+            del state[i]
+    # survivors re-inserted in ordinal 1 override ordinal-0 state
+    final = {}
+    for ct, i, v, o in sorted(got, key=lambda g: (g[3], g[0] == "insert")):
+        if ct == "delete" and final.get(i) == v:
+            final.pop(i, None)
+        elif ct == "insert":
+            final[i] = v
+    expect = {r["id"]: r["v"] for r in read_iceberg_native(
+        spark, {"path": tbl}).collect()}
+    assert final == expect == {1: "a", 2: "B"}
+
+
+def test_bad_bounds_raise(spark, tmp_path):
+    tbl = _mk(spark, tmp_path, [(1, "a")])
+    with pytest.raises(ValueError, match="not"):
+        read_iceberg_changelog(spark, {"path": tbl, "fromSnapshotId": 999})
