@@ -246,7 +246,11 @@ def iceberg_sink(ctx: ModuleContext) -> dict[str, DataFrame]:
                 "pipeline-spark.app-id": app_id,
                 "pipeline-spark.batch-id": int(batch_id),
             }}
-            if first_mode == "upsert":
+            if first_mode in ("upsert", "merge"):
+                # streaming CDC: EVERY micro-batch merges by key — the
+                # one-commit equality-delete shape (O(batch), no scan);
+                # __op__ DELETE rows remove their keys.  `merge` and
+                # `upsert` are the same commit in MOR.
                 upsert_iceberg_native(ctx.spark, bdf, sp)
                 return
             mode_b = first_mode if batch_id == 0 else "append"

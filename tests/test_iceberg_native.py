@@ -3533,3 +3533,59 @@ def test_iceberg_metadata_clone(spark, tmp_path):
     assert read_iceberg_native(spark, {"path": tgt}).count() == 11
     with pytest.raises(FileExistsError):
         clone_iceberg_native(spark, {"path": tgt, "source": src})
+
+
+def test_iceberg_streaming_merge_mode(spark, tmp_path):
+    """r8: mode: merge on a STREAMING iceberg sink merges EVERY
+    micro-batch by key (routes to the one-commit equality-delete upsert)
+    — previously batches after the first degraded to plain appends,
+    which would duplicate re-upserted keys."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    tbl = str(tmp_path / "ice_stream_merge")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(5)], "id long, val string"
+        ).coalesce(1),
+        {"path": tbl, "mode": "create"},
+    )
+    in_dir = tmp_path / "merge_in"
+    in_dir.mkdir()
+    # batch 0 and batch 1 BOTH touch key 2: merge semantics must keep
+    # only the last version, an append regression would duplicate it
+    pq.write_table(pa.table({
+        "id": pa.array([2], pa.int64()),
+        "val": pa.array(["first"]),
+    }), str(in_dir / "b0.parquet"))
+    pq.write_table(pa.table({
+        "id": pa.array([2], pa.int64()),
+        "val": pa.array(["second"]),
+    }), str(in_dir / "b1.parquet"))
+    cfg = f"""
+sources:
+  - name: cdc
+    module: storage
+    parameters:
+      format: parquet
+      input: {in_dir}
+      mode: streaming
+      maxFilesPerTrigger: 1
+sinks:
+  - name: sink
+    module: iceberg
+    inputs: [cdc]
+    parameters:
+      path: {tbl}
+      mode: merge
+      primaryKeys: [id]
+      checkpointLocation: {tmp_path / "merge_ckpt"}
+"""
+    run_pipeline(spark, parse_config(cfg))
+    back = read_iceberg_native(spark, {"path": tbl})
+    rows = {r["id"]: r["val"] for r in back.collect()}
+    assert back.count() == 5          # no duplicate key 2
+    assert rows[2] == "second"
