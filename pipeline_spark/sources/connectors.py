@@ -101,11 +101,33 @@ def iceberg_source(ctx: ModuleContext) -> dict[str, DataFrame]:
 
         return {"": read_iceberg_metadata_table(ctx.spark, p)}
     if p.get("changelog"):
+        # CDC consumption: ``checkpointFile`` turns the changelog into an
+        # incremental feed — each run consumes (checkpointed snapshot,
+        # current] and advances the high-water, the microbatch source's
+        # resume pattern applied to snapshot ids
+        import json as _json
+        import os as _os
+
         from pipeline_spark.sources.iceberg_native import (
+            find_table_metadata,
             read_iceberg_changelog,
         )
 
-        return {"": read_iceberg_changelog(ctx.spark, p)}
+        q = dict(p)
+        cp = p.get("checkpointFile")
+        if cp and "fromSnapshotId" not in p and _os.path.exists(cp):
+            with open(cp) as fh:
+                q["fromSnapshotId"] = _json.load(fh)["snapshot-id"]
+        df = read_iceberg_changelog(ctx.spark, q)
+        if cp:
+            with open(find_table_metadata(str(
+                p.get("path") or p.get("table")
+            ).replace("file://", ""))) as fh:
+                cur = _json.load(fh).get("current-snapshot-id")
+            _os.makedirs(_os.path.dirname(cp) or ".", exist_ok=True)
+            with open(cp, "w") as fh:
+                _json.dump({"snapshot-id": cur}, fh)
+        return {"": df}
     if str(p.get("mode", "")).lower() == "streaming":
         from pipeline_spark.sources.iceberg_stream import (
             read_iceberg_stream_native,

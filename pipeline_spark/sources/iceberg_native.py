@@ -909,8 +909,10 @@ def read_iceberg_changelog(spark, p: dict[str, Any]):
         )
     lo = -1 if from_id is None else by_id[from_id]
     hi = by_id[to_id]
-    if hi <= lo and from_id is not None:
+    if hi < lo:
         raise ValueError("iceberg changelog: toSnapshotId precedes from")
+    # hi == lo: no new snapshots — an empty frame, the caught-up
+    # incremental-consumer case
 
     fields = _schema_fields(meta)
     names = [f["name"] for f in fields]

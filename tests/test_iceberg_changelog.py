@@ -155,3 +155,35 @@ def test_bad_bounds_raise(spark, tmp_path):
     tbl = _mk(spark, tmp_path, [(1, "a")])
     with pytest.raises(ValueError, match="not"):
         read_iceberg_changelog(spark, {"path": tbl, "fromSnapshotId": 999})
+
+
+def test_changelog_module_incremental_checkpoint(spark, tmp_path):
+    """changelog: true + checkpointFile — each run consumes the
+    snapshots since the checkpointed high-water and advances it (the
+    microbatch resume pattern on snapshot ids); a caught-up run yields
+    an empty frame."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    tbl = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    cp = str(tmp_path / "cl_ckpt.json")
+    cfg = f"""
+sources:
+  - name: log
+    module: iceberg
+    parameters: {{path: {tbl}, changelog: true, checkpointFile: {cp}}}
+"""
+
+    def consume():
+        return sorted(
+            (r["_change_type"], r["id"], r["v"])
+            for r in run_pipeline(spark, parse_config(cfg))["log"].collect()
+        )
+
+    assert consume() == [("insert", 1, "a"), ("insert", 2, "b")]
+    write_iceberg_native(
+        spark.createDataFrame([(3, "c")], "id long, v string").coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    assert consume() == [("insert", 3, "c")]  # only the new snapshot
+    assert consume() == []                     # caught up
