@@ -229,6 +229,22 @@ sources:
     if "EvalPython" in p20 or "MapInPandas" in p20:
         failures.append("iceberg rest: Python in the plan")
 
+    # iceberg v3 puffin DVs (r8): decoded positions anti-join the scan as
+    # an equi-join, exactly like the delta DV path — never nested-loop
+    p21 = plan_of(entrymod.q_iceberg_dv_puffin(spark, sf))
+    if "NestedLoop" in p21 or "Cartesian" in p21:
+        failures.append("iceberg puffin dv: anti-join planned as nested-loop")
+    if "Anti" not in p21:
+        failures.append("iceberg puffin dv: expected a left-anti position join")
+
+    # iceberg changelog (r8): change derivation is unions of pruned scans
+    # + semi-joins — no nested-loop anywhere
+    p22 = plan_of(entrymod.q_iceberg_changelog(spark, sf))
+    if "NestedLoop" in p22 or "Cartesian" in p22:
+        failures.append("iceberg changelog: nested-loop/cartesian in plan")
+    if "Union" not in p22:
+        failures.append("iceberg changelog: expected the per-snapshot union")
+
     for f in failures:
         print("FAIL", f)
     print("PLAN AUDIT:", "FAILED" if failures else "ALL OK")

@@ -128,3 +128,33 @@ def test_partitioned_update(spark, tmp_path):
         spark, {"path": tbl}).collect()}
     for i in range(20):
         assert back[i] == (i % 2, -1 if i % 2 == 1 else i * 10)
+
+
+def test_rest_catalog_update(spark, tmp_path):
+    """COW UPDATE through a REST catalog: planning reads the catalog's
+    metadata, the replace snapshot lands via one optimistic
+    CommitTableRequest."""
+    from tests.test_iceberg_native import _serve_stateful_catalog
+
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        loc = str(tmp_path / "rest_upd")
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.u", "location": loc}
+        write_iceberg_native(
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(10)], "id long, amt long"
+            ).coalesce(1),
+            {**cat_p, "mode": "create"},
+        )
+        update_iceberg_native(spark, {
+            "catalog": {"uri": uri}, "table": "ns.u",
+            "where": [{"key": "id", "op": "<", "value": 3}],
+            "set": {"amt": "amt + 1"},
+        })
+        back = {r["id"]: r["amt"] for r in read_iceberg_native(
+            spark, {"catalog": {"uri": uri}, "table": "ns.u"}).collect()}
+        assert back == {i: i * 10 + (1 if i < 3 else 0) for i in range(10)}
+        assert len(state["u"]["snapshots"]) == 2
+    finally:
+        srv.shutdown()
