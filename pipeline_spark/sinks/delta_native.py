@@ -818,7 +818,12 @@ def write_delta_native(
                         ):
                             chk = dict(act["add"])
                             stats_to_logical([chk], cm)
-                            if _stats_may_match(chk, replace_where, None):
+                            if _stats_may_match(
+                                chk, replace_where, None
+                            ) and not _pv_disproves(
+                                act["add"], replace_where, set(part_cols),
+                                (cm or {}).get("phys_of") or {},
+                            ):
                                 os.unlink(tmp)
                                 raise FileExistsError(
                                     f"delta sink: concurrent commit {v2} "
@@ -844,6 +849,37 @@ def write_delta_native(
     interval = int(p.get("checkpointInterval", 10))
     if interval > 0 and version > 0 and version % interval == 0:
         write_checkpoint(table, version)
+
+
+def _pv_disproves(
+    add: dict, where: list[dict], part_set: set[str],
+    phys_of: dict[str, str],
+) -> bool:
+    """True when the add's recorded partitionValues PROVE no row can
+    satisfy the predicate — partition columns never appear in footer
+    stats (hive layout strips them), but their per-file value is exact,
+    so =/in predicates prune decisively; other ops conservatively keep
+    the file."""
+    pv = add.get("partitionValues") or {}
+    for f in where:
+        k = str(f.get("key"))
+        if k not in part_set:
+            continue
+        raw = pv.get(phys_of.get(k, k))
+        if raw is None:
+            continue
+        op = str(f.get("op", "=")).lower()
+        want = f.get("value")
+        if op == "=" and want is not None and raw != str(want):
+            return True
+        if op == "in":
+            vals = [
+                str(w)
+                for w in (want if isinstance(want, (list, tuple)) else [want])
+            ]
+            if raw not in vals:
+                return True
+    return False
 
 
 def _replace_where_rewrites(
@@ -888,32 +924,7 @@ def _replace_where_rewrites(
     part_set = set(part_cols)
 
     def pv_disproves(add: dict) -> bool:
-        # partition columns never appear in footer stats (hive layout
-        # strips them) — their recorded partitionValues ARE the exact
-        # per-file value, so =/in predicates prune decisively; other ops
-        # conservatively keep the file (rewrite is still correct)
-        pv = add.get("partitionValues") or {}
-        for f in where:
-            k = str(f.get("key"))
-            if k not in part_set:
-                continue
-            raw = pv.get(phys_of.get(k, k))
-            if raw is None:
-                continue
-            op = str(f.get("op", "=")).lower()
-            want = f.get("value")
-            if op == "=" and want is not None and raw != str(want):
-                return True
-            if op == "in":
-                vals = [
-                    str(w)
-                    for w in (
-                        want if isinstance(want, (list, tuple)) else [want]
-                    )
-                ]
-                if raw not in vals:
-                    return True
-        return False
+        return _pv_disproves(add, where, part_set, phys_of)
 
     candidates = [
         a
@@ -1370,7 +1381,8 @@ def _commit_actions(
 def _commit_actions_retry(
     table: str, version: int, actions: list[dict], *,
     read_where: list[dict] | None = None, check_adds: bool = True,
-    cm: dict | None = None, txn: tuple | None = None,
+    cm: dict | None = None, part_cols: list[str] | None = None,
+    txn: tuple | None = None,
     retries: int = 20, checkpoint_interval: int = 0,
 ) -> dict:
     """Optimistic concurrency for NON-APPEND writers (r8, VERDICT r7 ask
@@ -1473,6 +1485,10 @@ def _commit_actions_retry(
                             stats_to_logical([chk], cm)
                             conflicted = _stats_may_match(
                                 chk, read_where, None
+                            ) and not _pv_disproves(
+                                act["add"], read_where,
+                                set(part_cols or []),
+                                (cm or {}).get("phys_of") or {},
                             )
                         else:
                             conflicted = True  # no predicate to exclude it
@@ -1798,7 +1814,7 @@ def _dv_mutate_where(
     })
     _commit_actions_retry(
         table, (prev_version or 0) + 1, actions,
-        read_where=where, cm=cm,
+        read_where=where, cm=cm, part_cols=part_cols,
         checkpoint_interval=int(p.get("checkpointInterval", 0) or 0),
     )
     result = {f"{op_name}d_rows": deleted, "dv_files": len(built)}
@@ -1825,7 +1841,7 @@ def update_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
 def _dv_merge(
     spark, p, table, keys, touched, upserts, candidates, prev_version,
     meta, proto, cm, phys_part_cols, fschema, log_fschema, txn=None,
-    read_where=None,
+    read_where=None, log_part_cols=None,
 ) -> dict[str, int]:
     """The merge-on-read half of MERGE: matched keys tombstone into
     roaring-bitmap deletion vectors (built executor-side, one
@@ -1984,7 +2000,7 @@ def _dv_merge(
     }})
     out = _commit_actions_retry(
         table, prev_version + 1, actions,
-        read_where=read_where, cm=cm, txn=txn,
+        read_where=read_where, cm=cm, part_cols=log_part_cols, txn=txn,
     )
     if out.get("replayed"):
         return {"merged_rows": 0, "dv_files": 0, "upsert_files": 0,
@@ -2120,6 +2136,7 @@ def merge_delta_native(
             spark, p, table, keys, touched, upserts, candidates,
             prev_version, meta, _proto, cm, phys_part_cols, fschema,
             log_fschema, txn=txn, read_where=where,
+            log_part_cols=part_cols,
         )
 
     # exact touched-file probe (delta-spark's findTouchedFiles): one
@@ -2284,7 +2301,7 @@ def merge_delta_native(
     )
     out = _commit_actions_retry(
         table, prev_version + 1, actions,
-        read_where=where, cm=cm, txn=txn,
+        read_where=where, cm=cm, part_cols=part_cols, txn=txn,
     )
     if out.get("replayed"):
         return {"merged_rows": 0, "rewritten_files": 0,
@@ -2837,7 +2854,8 @@ def _cow_rewrite_where(
         }]
     )
     _commit_actions_retry(
-        table, prev_version + 1, actions, read_where=where, cm=cm)
+        table, prev_version + 1, actions,
+        read_where=where, cm=cm, part_cols=part_cols)
     return {f"{op_name}d_rows": deleted, "rewritten_files": len(removes)}
 
 

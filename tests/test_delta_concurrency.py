@@ -259,3 +259,40 @@ def test_replace_where_vs_disjoint_append_both_commit(
             {"path": tbl, "mode": "overwrite",
              "replaceWhere": [{"key": "grp", "op": "=", "value": "a"}]},
         )
+
+
+def test_partitioned_delete_vs_other_partition_append(
+    spark, tmp_path, monkeypatch
+):
+    """Partition columns never appear in footer stats, so disjointness
+    on a PARTITIONED table must come from the interleaved add's
+    partitionValues — an append to partition 'b' and a delete in
+    partition 'a' both commit."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "t9")
+    df = spark.range(0, 10).withColumn(
+        "grp", F.when(F.col("id") < 5, "a").otherwise("b"))
+    write_delta_native(
+        spark, df.repartition("grp"),
+        {"path": tbl, "partitionBy": ["grp"]},
+    )
+
+    def interleave():
+        write_delta_native(
+            spark,
+            spark.createDataFrame([(100, "b")], "id long, grp string"),
+            {"path": tbl, "mode": "append", "partitionBy": ["grp"]},
+        )
+
+    state = _race(monkeypatch, 1, interleave)
+    out = delete_delta_native(spark, {
+        "path": tbl, "method": "mor",
+        "where": [{"key": "grp", "op": "=", "value": "a"},
+                  {"key": "id", "op": "<", "value": 2}],
+    })
+    assert state["injected"] and out["deleted_rows"] == 2
+    back = {(r["id"], r["grp"]) for r in read_delta_native(
+        spark, {"path": tbl}).collect()}
+    assert (100, "b") in back and (0, "a") not in back and (1, "a") not in back
+    assert len(back) == 9
