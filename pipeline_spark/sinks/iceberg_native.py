@@ -2540,15 +2540,20 @@ def _cow_mutate_where(
             d.get("renames") or d.get("absent") or d.get("dropped")
             for d in candidates
         )
+        # column-pruned probe: only the predicate columns leave the scan
+        pred_cols = [
+            c for c in keep_cols
+            if c in {str(f.get("key")) for f in where}
+        ]
         if evolved:
             probe = _read_evolved_group(
                 spark, candidates, cur_schema, with_lineage=True
-            )
+            ).select(*pred_cols, "__fp__")
         else:
             probe = spark.read.parquet(
                 *[d["path"] for d in candidates]
             ).select(
-                "*",
+                *pred_cols,
                 F.regexp_replace(
                     F.col("_metadata.file_path"), "^file:/+", "/"
                 ).alias("__fp__"),

@@ -187,3 +187,34 @@ sources:
     )
     assert consume() == [("insert", 3, "c")]  # only the new snapshot
     assert consume() == []                     # caught up
+
+
+def test_identifier_columns_compute_updates(spark, tmp_path):
+    """identifierColumns pairs a key's delete+insert within one snapshot
+    into update_preimage/update_postimage, and drops pairs whose data
+    columns are unchanged — full-file COW survivor noise nets out."""
+    tbl = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+    merge_iceberg_native(
+        spark,
+        spark.createDataFrame(
+            [(2, "B", "UPSERT"), (3, None, "DELETE"), (4, "d", "UPSERT")],
+            "id long, v string, __op__ string",
+        ),
+        {"path": tbl, "primaryKeys": ["id"]},
+    )
+    out = read_iceberg_changelog(
+        spark, {"path": tbl, "identifierColumns": ["id"]})
+    got = sorted(
+        (r["_change_type"], r["id"], r["v"], r["_change_ordinal"])
+        for r in out.collect()
+    )
+    assert got == [
+        ("delete", 3, "c", 1),               # true delete
+        ("insert", 1, "a", 0),               # creation
+        ("insert", 2, "b", 0),
+        ("insert", 3, "c", 0),
+        ("insert", 4, "d", 1),               # true insert
+        ("update_postimage", 2, "B", 1),     # paired update
+        ("update_preimage", 2, "b", 1),
+        # id=1 COW survivor (delete+reinsert of identical row): netted out
+    ]
