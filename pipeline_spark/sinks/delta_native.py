@@ -1841,7 +1841,7 @@ def update_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
 def _dv_merge(
     spark, p, table, keys, touched, upserts, candidates, prev_version,
     meta, proto, cm, phys_part_cols, fschema, log_fschema, txn=None,
-    read_where=None, log_part_cols=None,
+    read_where=None, log_part_cols=None, cdf=False,
 ) -> dict[str, int]:
     """The merge-on-read half of MERGE: matched keys tombstone into
     roaring-bitmap deletion vectors (built executor-side, one
@@ -1865,6 +1865,8 @@ def _dv_merge(
         for a in candidates
     }
     matches = None
+    cdc_actions: list[dict] = []
+    base_cols = [f.name for f in log_fschema]
     if candidates:
         probe = read_files_with_dv(
             spark, table, fschema, candidates, with_meta=True
@@ -1872,8 +1874,32 @@ def _dv_merge(
         probe = to_logical_df(
             probe, cm, log_fschema, keep=("__dv_fp", "__dv_ri")
         )
-        matches = probe.join(touched, on=list(keys), how="left_semi").select(
+        matched = probe.join(touched, on=list(keys), how="left_semi")
+        matches = matched.select(
             F.col("__dv_fp").alias("fp"), F.col("__dv_ri").alias("ri")
+        )
+        if cdf:
+            # unpartitioned CDF table (r8): the tombstoned rows surface
+            # as delete change rows, the upsert batch as inserts — same
+            # delete+insert pairing the COW merge stages
+            pre = matched.select(*base_cols).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            post = upserts.select(*base_cols).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            cdc_actions = _stage_cdc(
+                table, commit_id, 0,
+                to_physical_df(pre.unionByName(post), cm), {}, now_ms,
+            )
+    elif cdf:
+        cdc_actions = _stage_cdc(
+            table, commit_id, 0,
+            to_physical_df(
+                upserts.select(*base_cols).withColumn(
+                    "_change_type", F.lit("insert")
+                ), cm,
+            ), {}, now_ms,
         )
 
     old_dvs = {
@@ -1987,6 +2013,7 @@ def _dv_merge(
         new_add["modificationTime"] = a.get("modificationTime", now_ms)
         actions.append({"add": new_add})
     actions.extend({"add": a} for a in adds)
+    actions.extend(cdc_actions)
     if txn is not None:
         actions.append(
             {"txn": {"appId": str(txn[0]), "version": int(txn[1])}})
@@ -2126,17 +2153,18 @@ def merge_delta_native(
                 "delta merge method=mor: partition-column keys need the "
                 "copy-on-write path (drop method: mor)"
             )
-        if cdf:
+        if cdf and part_cols:
             raise NotImplementedError(
-                "delta merge method=mor on a CDF table: change rows for "
-                "DV tombstones are not implemented — use the default "
-                "copy-on-write merge (it stages delete+insert cdc rows)"
+                "delta merge method=mor on a PARTITIONED CDF table: "
+                "change rows would need per-partition staging — use the "
+                "default copy-on-write merge (it stages delete+insert "
+                "cdc rows per partition group)"
             )
         return _dv_merge(
             spark, p, table, keys, touched, upserts, candidates,
             prev_version, meta, _proto, cm, phys_part_cols, fschema,
             log_fschema, txn=txn, read_where=where,
-            log_part_cols=part_cols,
+            log_part_cols=part_cols, cdf=cdf,
         )
 
     # exact touched-file probe (delta-spark's findTouchedFiles): one

@@ -296,3 +296,39 @@ def test_partitioned_delete_vs_other_partition_append(
         spark, {"path": tbl}).collect()}
     assert (100, "b") in back and (0, "a") not in back and (1, "a") not in back
     assert len(back) == 9
+
+
+def test_dv_merge_on_cdf_table_stages_change_rows(spark, tmp_path):
+    """r8: method=mor MERGE on an unpartitioned CDF table stages
+    delete+insert change rows (the COW merge's pairing) — the gate now
+    covers only partitioned CDF tables."""
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sources.delta_native import read_delta_cdf
+
+    tbl = str(tmp_path / "cdfmor")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"),
+        {"path": tbl,
+         "properties": {"delta.enableChangeDataFeed": True}},
+    )
+    out = merge_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(2, "B", "UPSERT"), (3, None, "DELETE")],
+            "id long, v string, __op__ string",
+        ),
+        {"path": tbl, "primaryKeys": ["id"], "method": "mor"},
+    )
+    assert out["dv_files"] >= 1
+    cdc = read_delta_cdf(spark, {"path": tbl, "startingVersion": 1})
+    got = sorted(
+        (r["_change_type"], r["id"], r["v"]) for r in cdc.collect())
+    assert got == [
+        ("delete", 2, "b"), ("delete", 3, "c"), ("insert", 2, "B"),
+    ]
+    back = {r["id"]: r["v"] for r in read_delta_native(
+        spark, {"path": tbl}).collect()}
+    assert back == {1: "a", 2: "B"}

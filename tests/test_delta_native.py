@@ -3075,17 +3075,22 @@ def test_delta_merge_mor(spark, tmp_path):
     assert back.count() == 98
     assert back.filter("id in (5, 6, 7)").count() == 1  # only the upsert
 
-    # gates
+    # gate (r8: narrowed to PARTITIONED CDF tables — unpartitioned ones
+    # stage delete+insert change rows, tests/test_delta_concurrency.py)
     tbl2 = str(tmp_path / "merge_mor_cdf")
     write_delta_native(
-        spark, spark.createDataFrame([(1, "a")], "id long, val string"),
-        {"path": tbl2,
+        spark,
+        spark.createDataFrame([(1, "a", "p0")],
+                              "id long, val string, grp string"),
+        {"path": tbl2, "partitionBy": ["grp"],
          "properties": {"delta.enableChangeDataFeed": "true"}},
     )
     with pytest.raises(NotImplementedError, match="copy-on-write"):
         merge_delta_native(
-            spark, batch, {"path": tbl2, "primaryKeys": ["id"],
-                           "method": "mor"})
+            spark,
+            spark.createDataFrame([(1, "A", "p0")],
+                                  "id long, val string, grp string"),
+            {"path": tbl2, "primaryKeys": ["id"], "method": "mor"})
 
 
 def test_delta_streaming_merge(spark, tmp_path):
