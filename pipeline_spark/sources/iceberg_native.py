@@ -890,9 +890,20 @@ def read_iceberg_changelog(spark, p: dict[str, Any]):
 
     from pyspark.sql import functions as F
 
-    table_path = _strip_scheme(str(p.get("path") or p.get("table") or ""))
-    with open(find_table_metadata(table_path)) as fh:
-        meta = json.load(fh)
+    if p.get("catalog"):
+        from pipeline_spark.sources.iceberg_rest import RestCatalog
+
+        table = p.get("table") or p.get("tableName")
+        ns, _, name = str(table or "").rpartition(".")
+        cat = RestCatalog(p["catalog"], opener=p.get("_opener"))
+        meta, _loc = cat.load_table(ns.replace(".", "\x1f"), name)
+        table_path = _strip_scheme(str(meta.get("location") or ""))
+    else:
+        table_path = _strip_scheme(
+            str(p.get("path") or p.get("table") or "")
+        )
+        with open(find_table_metadata(table_path)) as fh:
+            meta = json.load(fh)
     snaps = sorted(
         meta.get("snapshots") or [],
         key=lambda s: (s.get("sequence-number", 0), s.get("timestamp-ms", 0)),
@@ -939,12 +950,12 @@ def read_iceberg_changelog(spark, p: dict[str, Any]):
         if op == "replace":
             prev_idx = i
             continue
-        cur_data, cur_dels, _ = plan_files(table_path, sid)
+        cur_data, cur_dels, _ = plan_files(table_path, sid, meta=meta)
         if prev_idx < 0:
             prev_data, prev_dels = [], []
         else:
             prev_data, prev_dels, _ = plan_files(
-                table_path, snaps[prev_idx]["snapshot-id"]
+                table_path, snaps[prev_idx]["snapshot-id"], meta=meta
             )
         prev_paths = {d["path"] for d in prev_data}
         cur_paths = {d["path"] for d in cur_data}

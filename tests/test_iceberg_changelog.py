@@ -218,3 +218,28 @@ def test_identifier_columns_compute_updates(spark, tmp_path):
         ("update_preimage", 2, "b", 1),
         # id=1 COW survivor (delete+reinsert of identical row): netted out
     ]
+
+
+def test_rest_catalog_changelog(spark, tmp_path):
+    from tests.test_iceberg_native import _serve_stateful_catalog
+
+    srv, _state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.cl",
+                 "location": str(tmp_path / "rest_cl")}
+        write_iceberg_native(
+            spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1),
+            {**cat_p, "mode": "create"},
+        )
+        write_iceberg_native(
+            spark.createDataFrame([(2, "b")], "id long, v string").coalesce(1),
+            {**cat_p, "mode": "append"},
+        )
+        out = read_iceberg_changelog(
+            spark, {"catalog": {"uri": uri}, "table": "ns.cl"})
+        assert _changes(out) == [
+            ("insert", 1, "a", 0), ("insert", 2, "b", 1),
+        ]
+    finally:
+        srv.shutdown()
