@@ -294,6 +294,7 @@ def main() -> None:
             clone_iceberg_native,
             merge_iceberg_native,
             rewrite_manifests_iceberg_native,
+            update_iceberg_native,
             upsert_iceberg_native,
             write_iceberg_native,
         )
@@ -331,6 +332,11 @@ def main() -> None:
                 spark, batch, {"path": it, "primaryKeys": ["doc_id"]}))
             d["iceberg_upsert_mor"] = _t(lambda: upsert_iceberg_native(
                 spark, batch, {"path": it, "primaryKeys": ["doc_id"]}))
+            d["iceberg_update_cow"] = _t(lambda: update_iceberg_native(
+                spark, {"path": it,
+                        "where": [{"key": "doc_id", "op": "<",
+                                   "value": 250}],
+                        "set": {"n_chars": "n_chars + 1"}}))
             d["iceberg_rewrite_manifests"] = _t(
                 lambda: rewrite_manifests_iceberg_native(
                     spark, {"path": it}))

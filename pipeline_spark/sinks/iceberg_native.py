@@ -2133,8 +2133,8 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     if len(rows) > max_rows:
         raise ValueError(
             f"iceberg delete: predicate matches more than maxDeleteRows="
-            f"{max_rows} rows — that is a rewrite (overwrite with the "
-            "negated predicate), not a position delete"
+            f"{max_rows} rows — that is a rewrite, not a position delete; "
+            "set method: cow to rewrite only the matching files"
         )
     if not rows:
         return {"deleted_rows": 0}

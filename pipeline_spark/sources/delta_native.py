@@ -878,6 +878,17 @@ def read_delta_cdf(spark, p: dict[str, Any]):
     out = parts[0]
     for x in parts[1:]:
         out = out.unionByName(x)
+    id_cols = [str(c) for c in (p.get("identifierColumns") or [])]
+    if id_cols:
+        # r8: pair per-key delete+insert within one commit into update
+        # pre/post images and net out unchanged full-file-derivation
+        # pairs — writer-staged update_* rows pass through untouched
+        from pipeline_spark.functions.cdc import compute_cdc_updates
+
+        out = compute_cdc_updates(
+            out, [f.name for f in schema.fields], id_cols,
+            ["_commit_version", "_commit_timestamp"],
+        )
     return out
 
 

@@ -1070,57 +1070,12 @@ def read_iceberg_changelog(spark, p: dict[str, Any]):
         # the SAME snapshot pair into update_preimage/update_postimage;
         # pairs whose data columns are unchanged (full-file COW survivor
         # noise) drop entirely — the changelog nets to true changes.
-        bad = [c for c in id_cols if c not in names]
-        if bad:
-            raise ValueError(
-                f"iceberg changelog: identifierColumns {bad} not in schema"
-            )
-        on = id_cols + ["_change_ordinal", "_commit_snapshot_id"]
-        data_cols = [c for c in names if c not in id_cols]
-        dd = out.filter(F.col("_change_type") == "delete").drop(
-            "_change_type"
-        )
-        ii = out.filter(F.col("_change_type") == "insert").drop(
-            "_change_type"
-        )
-        for c in data_cols:
-            dd = dd.withColumnRenamed(c, f"__d_{c}")
-            ii = ii.withColumnRenamed(c, f"__i_{c}")
-        # presence flags survive the outer join via marker columns
-        dd = dd.withColumn("__d__", F.lit(1))
-        ii = ii.withColumn("__i__", F.lit(1))
-        j = dd.join(ii, on=on, how="full_outer")
-        d_side = F.col("__d__").isNotNull()
-        i_side = F.col("__i__").isNotNull()
-        unchanged = F.lit(True)
-        for c in data_cols:
-            unchanged = unchanged & F.col(f"__d_{c}").eqNullSafe(
-                F.col(f"__i_{c}")
-            )
+        from pipeline_spark.functions.cdc import compute_cdc_updates
 
-        def _emit(ct, prefix):
-            sel = [
-                (F.col(f"{prefix}{c}") if c in data_cols else F.col(c))
-                .alias(c)
-                for c in names
-            ]
-            return sel + [
-                F.lit(ct).alias("_change_type"),
-                F.col("_change_ordinal"),
-                F.col("_commit_snapshot_id"),
-            ]
-
-        parts2 = [
-            j.filter(d_side & ~i_side).select(*_emit("delete", "__d_")),
-            j.filter(i_side & ~d_side).select(*_emit("insert", "__i_")),
-            j.filter(d_side & i_side & ~unchanged).select(
-                *_emit("update_preimage", "__d_")),
-            j.filter(d_side & i_side & ~unchanged).select(
-                *_emit("update_postimage", "__i_")),
-        ]
-        out = parts2[0]
-        for x in parts2[1:]:
-            out = out.unionByName(x)
+        out = compute_cdc_updates(
+            out, names, id_cols,
+            ["_change_ordinal", "_commit_snapshot_id"],
+        )
     return out
 
 

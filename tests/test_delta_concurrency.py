@@ -332,3 +332,34 @@ def test_dv_merge_on_cdf_table_stages_change_rows(spark, tmp_path):
     back = {r["id"]: r["v"] for r in read_delta_native(
         spark, {"path": tbl}).collect()}
     assert back == {1: "a", 2: "B"}
+
+
+def test_cdf_identifier_columns_pair_updates(spark, tmp_path):
+    """r8: identifierColumns on read_delta_cdf pairs derivation-rule
+    delete+insert rows into update pre/post images and nets out
+    unchanged pairs (full-file overwrite noise)."""
+    from pyspark.sql import functions as F
+
+    from pipeline_spark.sources.delta_native import read_delta_cdf
+
+    tbl = str(tmp_path / "cdfpair")
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        {"path": tbl,
+         "properties": {"delta.enableChangeDataFeed": True}},
+    )
+    # a plain overwrite has NO cdc actions: CDF derives full-file
+    # delete+insert rows; identifier pairing nets the unchanged row out
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "B")], "id long, v string"),
+        {"path": tbl, "mode": "overwrite"},
+    )
+    out = read_delta_cdf(spark, {
+        "path": tbl, "startingVersion": 1, "identifierColumns": ["id"]})
+    got = sorted((r["_change_type"], r["id"], r["v"]) for r in out.collect())
+    assert got == [
+        ("update_postimage", 2, "B"),
+        ("update_preimage", 2, "b"),
+    ]
