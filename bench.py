@@ -307,6 +307,8 @@ def main() -> None:
         base = os.path.join(tempfile.gettempdir(), "ps_dml_probe")
         dml: dict[str, dict[str, float]] = {}
         for sf_label, sf_d in (("sf0.1", sf_dir), ("sf1", sf1_dir)):
+            if (time.time() - bench_start) > budget * 1.9:
+                break  # record the legs that fit; the line must land
             docs = spark.read.parquet(f"{sf_d}/documents.parquet").select(
                 "doc_id", "lang", "n_chars"
             )
@@ -345,15 +347,16 @@ def main() -> None:
             d["iceberg_clone"] = _t(lambda: clone_iceberg_native(
                 spark, {"source": it, "path": ct}))
             dml[sf_label] = d
-        result["dml_scale"] = {
-            "fixed_batch_keys": 500,
-            "table_size_ratio": 10.0,
-            "timings": dml,
-            "t_sf1_over_t_sf01": {
-                k: round(dml["sf1"][k] / max(dml["sf0.1"][k], 1e-3), 2)
-                for k in dml["sf1"]
-            },
-        }
+        if dml:
+            result["dml_scale"] = {
+                "fixed_batch_keys": 500,
+                "table_size_ratio": 10.0,
+                "timings": dml,
+                "t_sf1_over_t_sf01": {
+                    k: round(dml["sf1"][k] / max(dml["sf0.1"][k], 1e-3), 2)
+                    for k in dml.get("sf1", {})
+                },
+            }
 
     # The driver records only a ~2 KB tail of stdout: the full artifact
     # (every query, sf1 map, ratios) goes to BENCH.local.json; the printed
