@@ -2294,8 +2294,30 @@ def equality_delete_iceberg_native(
     return {"delete_files": len(files)}
 
 
+def _default_sort_cols(prev_meta: dict, cur_schema: dict) -> list[str]:
+    """Identity columns of the table's default sort order — rewrites and
+    upserts re-cluster on them so DML preserves the write contract
+    (compaction already does; a rewrite that dropped the sort would
+    silently un-tighten every new file's bounds)."""
+    dsid = prev_meta.get("default-sort-order-id", 0)
+    if not dsid:
+        return []
+    order = next(
+        (o for o in (prev_meta.get("sort-orders") or [])
+         if o.get("order-id") == dsid),
+        None,
+    )
+    by_id = {f["id"]: f["name"] for f in cur_schema["fields"]}
+    return [
+        by_id[f["source-id"]]
+        for f in (order or {}).get("fields", [])
+        if f.get("transform") == "identity" and f.get("source-id") in by_id
+    ]
+
+
 def _stage_default_spec_files(
-    df_out, data_dir: str, spec0: dict, cur_schema: dict
+    df_out, data_dir: str, spec0: dict, cur_schema: dict,
+    sort_cols: list[str] | None = None,
 ) -> list[dict]:
     """Write a batch under the table's DEFAULT spec layout (transforms
     recomputed from the spec's own metadata fields, hive dirs carry the
@@ -2303,7 +2325,10 @@ def _stage_default_spec_files(
     partitions removed — the shared staging step of ``upsert`` and the
     file-scoped ``merge``.  Identity source columns stay IN the data
     files (only the temp transform columns are consumed by partitionBy),
-    so rewritten rows keep every schema column."""
+    so rewritten rows keep every schema column.  ``sort_cols``
+    re-clusters each task's output on the table's default sort order."""
+    if sort_cols:
+        df_out = df_out.sortWithinPartitions(*sort_cols)
     part_info: list[tuple[str, dict, str]] = []
     if spec0.get("fields"):
         from pipeline_spark.functions.icebergpart import (
@@ -2447,7 +2472,8 @@ def upsert_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
     # own shape for partition-independent equality deletes)
     data_dir = os.path.join(table_path, "data", f"upsert-{stage}")
     data_files = _stage_default_spec_files(
-        upserts, data_dir, spec0, cur_schema
+        upserts, data_dir, spec0, cur_schema,
+        sort_cols=_default_sort_cols(meta, cur_schema),
     )
 
     del_files = []
@@ -2605,7 +2631,10 @@ def _cow_mutate_where(
         {"fields": []},
     )
     data_dir = os.path.join(table_path, "data", f"{op}-{uuid.uuid4().hex}")
-    staged = _stage_default_spec_files(new_rows, data_dir, spec0, cur_schema)
+    staged = _stage_default_spec_files(
+        new_rows, data_dir, spec0, cur_schema,
+        sort_cols=_default_sort_cols(prev_meta, cur_schema),
+    )
     removed = _commit_file_replacement(
         table_path, rest, prev_meta, cur_schema, spec0, hit, staged,
         operation="overwrite" if set_exprs else "delete",
@@ -3118,7 +3147,10 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
     )
     commit_uuid = str(uuid.uuid4())
     data_dir = os.path.join(table_path, "data", f"merge-{commit_uuid}")
-    staged = _stage_default_spec_files(new_rows, data_dir, spec0, cur_schema)
+    staged = _stage_default_spec_files(
+        new_rows, data_dir, spec0, cur_schema,
+        sort_cols=_default_sort_cols(prev_meta, cur_schema),
+    )
 
     removed = _commit_file_replacement(
         table_path, rest, prev_meta, cur_schema, spec0, hit, staged)

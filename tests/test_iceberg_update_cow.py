@@ -158,3 +158,32 @@ def test_rest_catalog_update(spark, tmp_path):
         assert len(state["u"]["snapshots"]) == 2
     finally:
         srv.shutdown()
+
+
+def test_dml_rewrites_preserve_sort_order(spark, tmp_path):
+    """Merge/update rewrites and upsert data files re-cluster on the
+    table's default sort order — the same contract compaction keeps."""
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.sinks.iceberg_native import (
+        alter_iceberg_native,
+        merge_iceberg_native,
+    )
+
+    tbl = str(tmp_path / "sorted")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(20)], "id long, amt long"
+        ).coalesce(1),
+        {"path": tbl, "mode": "create"},
+    )
+    alter_iceberg_native(spark, {"path": tbl, "sortBy": ["id"]})
+    # merge with shuffled upserts: the rewrite must come out id-sorted
+    batch = spark.createDataFrame(
+        [(35, 1), (5, 1), (25, 1), (15, 1)], "id long, amt long"
+    ).coalesce(1)
+    merge_iceberg_native(spark, batch, {"path": tbl, "primaryKeys": ["id"]})
+    data, _, _ = plan_files(tbl)
+    for d in data:
+        ids = pq.read_table(d["path"]).column("id").to_pylist()
+        assert ids == sorted(ids), f"unsorted rewrite {d['path']}"
