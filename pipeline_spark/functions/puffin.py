@@ -49,7 +49,9 @@ def write_puffin_dvs(path: str, dvs: list[tuple[str, list[int]]]) -> list[dict]:
         fh.write(MAGIC)
         off = 4
         for ref, positions in dvs:
-            pos_sorted = sorted(int(p) for p in positions)
+            # a deletion vector is a SET: duplicates must collapse, or
+            # the array containers would encode an invalid bitmap
+            pos_sorted = sorted({int(p) for p in positions})
             bm = roaring_array_serialize(pos_sorted)
             blob = (
                 struct.pack(">i", len(bm))

@@ -1,0 +1,38 @@
+"""Property test: puffin deletion-vector roundtrip over arbitrary
+position sets — the container framing and the 64-bit roaring codec must
+reproduce every input exactly (incl. positions above 2^32, sparse and
+dense runs, duplicates collapsing to a set)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pipeline_spark.functions.puffin import (
+    read_dv_positions,
+    read_puffin_footer,
+    write_puffin_dvs,
+)
+
+positions = st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=2**16),          # dense low
+        st.integers(min_value=2**31, max_value=2**33),      # around 32-bit
+        st.integers(min_value=0, max_value=2**40),          # sparse high
+    ),
+    min_size=1,
+    max_size=400,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(positions, min_size=1, max_size=4))
+def test_puffin_dv_roundtrip(tmp_path_factory, blobs):
+    path = str(tmp_path_factory.mktemp("puffin") / "dv.puffin")
+    dvs = [(f"/data/f{i}.parquet", pos) for i, pos in enumerate(blobs)]
+    metas = write_puffin_dvs(path, dvs)
+    footer = read_puffin_footer(path)
+    assert len(footer["blobs"]) == len(blobs)
+    for (ref, pos), m in zip(dvs, metas):
+        got = list(read_dv_positions(path, m["offset"], m["length"]))
+        assert got == sorted(set(int(x) for x in pos))
+        assert m["referenced"] == ref
+        assert m["cardinality"] == len(set(pos))
