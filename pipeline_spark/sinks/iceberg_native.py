@@ -270,8 +270,13 @@ def encode_bound(v, ice_type: str) -> bytes | None:
         return struct.pack("<i", days)
     if ice_type in ("timestamp", "timestamptz"):
         if isinstance(v, dt.datetime):
-            epoch = dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-            micros = round((v - epoch).total_seconds() * 1_000_000)
+            # exact integer micros: float total_seconds() loses
+            # microsecond precision past ~±2^53 µs from the epoch
+            delta = v - dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            micros = (
+                (delta.days * 86_400 + delta.seconds) * 1_000_000
+                + delta.microseconds
+            )
         else:
             micros = int(v)
         return struct.pack("<q", micros)

@@ -36,3 +36,40 @@ def test_puffin_dv_roundtrip(tmp_path_factory, blobs):
         assert got == sorted(set(int(x) for x in pos))
         assert m["referenced"] == ref
         assert m["cardinality"] == len(set(pos))
+
+
+# --- bound codec property (spec Appendix-D single-value serialization) ----
+
+import datetime as dt
+
+from hypothesis import given as _given
+
+from pipeline_spark.sinks.iceberg_native import encode_bound
+from pipeline_spark.sources.iceberg_native import decode_bound
+
+
+@settings(max_examples=120, deadline=None)
+@_given(
+    st.one_of(
+        st.tuples(st.just("int"), st.integers(-2**31, 2**31 - 1)),
+        st.tuples(st.just("long"), st.integers(-2**63, 2**63 - 1)),
+        st.tuples(st.just("double"), st.floats(
+            allow_nan=False, allow_infinity=False)),
+        st.tuples(st.just("boolean"), st.booleans()),
+        st.tuples(st.just("date"), st.dates(
+            min_value=dt.date(1800, 1, 1), max_value=dt.date(2300, 1, 1))),
+        st.tuples(st.just("timestamp"), st.datetimes(
+            min_value=dt.datetime(1800, 1, 1),
+            max_value=dt.datetime(2300, 1, 1))),
+    )
+)
+def test_bound_codec_roundtrip(tv):
+    t, v = tv
+    got = decode_bound(encode_bound(v, t), t)
+    if t in ("date", "timestamp"):
+        # decode returns ISO strings for lexicographic pruning
+        assert got == v.isoformat()
+    elif t == "double":
+        assert got == v
+    else:
+        assert got == v
