@@ -73,3 +73,31 @@ def test_bound_codec_roundtrip(tv):
         assert got == v
     else:
         assert got == v
+
+
+# --- roaring 64-bit codec property incl. BITMAP containers (>4096/chunk) --
+
+import numpy as np
+
+from pipeline_spark.functions.deltadv import (
+    roaring_array_deserialize,
+    roaring_array_serialize,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@_given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**35),   # run start
+            st.integers(min_value=1, max_value=9000),    # run length
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_roaring_dense_runs_roundtrip(runs):
+    pos = sorted({p for start, n in runs for p in range(start, start + n)})
+    blob = roaring_array_serialize(pos)
+    got = roaring_array_deserialize(blob)
+    assert list(np.asarray(got, dtype="uint64")) == pos
