@@ -289,6 +289,142 @@ def ivf_topk(
     )
 
 
+def _train_pq_codebooks(
+    corpus: DataFrame, vec_field: str, *, m: int, codebook_size: int,
+    sample_size: int, iters: int, seed: int,
+) -> list[np.ndarray]:
+    """Per-subspace k-means codebooks on a bounded driver-side sample —
+    FAISS's own PQ training regime.  Returns ``m`` arrays of shape
+    (≤codebook_size, dim/m)."""
+    rows = (
+        corpus.select(vec_field).limit(sample_size)
+        .toPandas()[vec_field].tolist()
+    )
+    mat = np.array(rows, dtype=np.float64)
+    n, d = mat.shape
+    if d % m:
+        raise ValueError(
+            f"similarity pq: dim {d} not divisible by m={m} subspaces"
+        )
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books: list[np.ndarray] = []
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        kk = min(codebook_size, len(sub))
+        cent = sub[rng.choice(len(sub), size=kk, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(kk):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(0)
+        books.append(cent)
+    return books
+
+
+def _pq_encode_udf(books: list[np.ndarray]):
+    """Vector → array of per-subspace codeword ids; one (batch × k)
+    distance matrix per subspace per Arrow batch.  The codebooks ship in
+    the closure (m × k × dsub floats — KB-scale)."""
+    m = len(books)
+    dsub = books[0].shape[1]
+
+    @F.pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.array(list(vecs), dtype=np.float64)
+        codes = np.zeros((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_field: str = "embedding",
+    id_field: str = "vec_id",
+    query_id_field: str = "query_id",
+    query_vec_field: str = "query_vec",
+    k: int = 10,
+    m: int = 8,
+    codebook_size: int = 256,
+    sample_size: int = 100_000,
+    kmeans_iters: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization top-k (asymmetric distance, FAISS's PQ/ADC):
+    the 100 TB embedding-compression path.
+
+    Each vector compresses to ``m`` one-byte-scale codes (a 64-float
+    embedding at m=8 → 8 codes: 32× smaller than float32), so the whole
+    index fits where raw vectors cannot.  Per query, an (m × k)
+    lookup table of exact subspace distances is built driver-side
+    (KB) and shipped in the scoring UDF's closure; each corpus row's
+    approximate squared-L2 is then ``sum_j LUT[j, code_j]`` — a few
+    table lookups per row, no float recomputation, one map-only pass +
+    the same per-query top-k window every other method uses.  Returns
+    (query_id, neighbor_id, adc_dist, rank); compose with ``ivf`` cells
+    when candidate pruning is also wanted (IVF-PQ).  Training is a
+    bounded driver-side sample, like IVF."""
+    from pipeline_spark.functions.partitioning import spread
+
+    books = _train_pq_codebooks(
+        corpus, vec_field, m=m, codebook_size=codebook_size,
+        sample_size=sample_size, iters=kmeans_iters, seed=seed,
+    )
+    dsub = books[0].shape[1]
+    encode = _pq_encode_udf(books)
+    codes = spread(corpus).select(
+        F.col(id_field).alias("neighbor_id"),
+        encode(F.col(vec_field)).alias("__codes__"),
+    )
+    qrows = queries.select(query_id_field, query_vec_field).collect()
+    if not qrows:
+        raise ValueError("similarity pq: empty query set")
+    qids = [r[query_id_field] for r in qrows]
+    luts = []
+    for r in qrows:
+        qv = np.array(r[query_vec_field], dtype=np.float64)
+        luts.append(np.stack([
+            ((books[j] - qv[j * dsub:(j + 1) * dsub]) ** 2).sum(1)
+            for j in range(len(books))
+        ]))  # (m, k_j) — ragged k handled by per-subspace rows
+
+    @F.pandas_udf("array<double>")
+    def adc(codes_s: pd.Series) -> pd.Series:
+        c = np.array(list(codes_s), dtype=np.int64)  # (n, m)
+        n = len(c)
+        out = np.zeros((n, len(luts)))
+        idx = np.arange(c.shape[1])[None, :]
+        for qi, lut in enumerate(luts):
+            out[:, qi] = lut[idx, c].sum(1)
+        return pd.Series(list(out))
+
+    spark = corpus.sparkSession
+    qmap = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qids)], ["__qidx__", "query_id"]
+    )
+    scored = codes.select(
+        "neighbor_id",
+        F.posexplode(adc(F.col("__codes__"))).alias("__qidx__", "adc_dist"),
+    ).join(F.broadcast(qmap), "__qidx__")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
 @module("similarity", kind=KIND_TRANSFORM)
 def similarity_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
@@ -330,6 +466,19 @@ def similarity_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                 nprobe=int(p.get("nprobe", 8)),
                 sample_size=int(p.get("sampleSize", 100_000)),
                 kmeans_iters=int(p.get("kmeansIters", 5)),
+                seed=int(p.get("seed", 42)),
+                **kwargs,
+            )
+        }
+    if method == "pq":
+        return {
+            "": pq_topk(
+                corpus,
+                queries,
+                m=int(p.get("m", p.get("subspaces", 8))),
+                codebook_size=int(p.get("codebookSize", 256)),
+                sample_size=int(p.get("sampleSize", 100_000)),
+                kmeans_iters=int(p.get("kmeansIters", 8)),
                 seed=int(p.get("seed", 42)),
                 **kwargs,
             )

@@ -861,3 +861,49 @@ def test_bpe_word_freq_cap_deterministic(spark):
     top = bpe_word_freq(docs, "text", max_words=5).collect()
     # all freqs tie at 2 — the cap keeps the lexicographically smallest
     assert [r["word"] for r in top] == ["o", "p", "q", "r", "s"]
+
+
+def test_pq_topk_exact_on_codeword_aligned_data(spark):
+    """PQ/ADC (r8): when every subvector IS one of the trained codewords
+    (k-means over identical points converges to the points), the
+    asymmetric distance equals the true squared L2, so PQ top-k equals
+    exact L2 top-k.  On noisy data, recall@k against the exact ranking
+    must stay high — the compression/recall trade PQ exists for."""
+    import numpy as np
+
+    # 4 distinct patterns per 8-dim subspace, 2 subspaces → 16 possible
+    # vectors; every subvector is exactly representable
+    rng = np.random.default_rng(7)
+    pat = rng.standard_normal((4, 8)) * 5
+    rows = []
+    for i in range(64):
+        v = np.concatenate([pat[i % 4], pat[(i // 4) % 4]])
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    corpus = spark.createDataFrame(rows)
+    queries = corpus.filter("vec_id < 2").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+
+    def run_sim(method, **extra):
+        params = {"method": method, "k": 8, "idField": "vec_id",
+                  "vectorField": "embedding", **extra}
+        return similarity_transform(
+            ctx(spark, params, [corpus], side={"q": queries})
+        )[""]
+
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_dist"])
+        for r in run_sim(
+            "pq", m=2, codebookSize=4, sampleSize=64, kmeansIters=10,
+        ).collect()
+    }
+    # exact squared-L2 ranking computed directly
+    mat = np.array([r.embedding for r in rows])
+    for qid in (0, 1):
+        d2 = ((mat - mat[qid]) ** 2).sum(1)
+        order = np.lexsort((np.arange(len(mat)), d2))
+        for rank in range(1, 9):
+            nid, adc = got[(qid, rank)]
+            # ADC distance must EQUAL the true distance on aligned data
+            assert abs(adc - d2[nid]) < 1e-9
+        assert got[(qid, 1)][0] == qid  # self is nearest
