@@ -311,8 +311,12 @@ def _train_pq_codebooks(
     books: list[np.ndarray] = []
     for j in range(m):
         sub = mat[:, j * dsub:(j + 1) * dsub]
-        kk = min(codebook_size, len(sub))
-        cent = sub[rng.choice(len(sub), size=kk, replace=False)].copy()
+        # init from UNIQUE subvectors: duplicate rows would seed two
+        # centroids on one pattern and starve another (k-means never
+        # recovers an empty cluster)
+        uniq = np.unique(sub, axis=0)
+        kk = min(codebook_size, len(uniq))
+        cent = uniq[rng.choice(len(uniq), size=kk, replace=False)].copy()
         for _ in range(iters):
             d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
             assign = d2.argmin(1)
@@ -425,6 +429,97 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_field: str = "embedding",
+    id_field: str = "vec_id",
+    query_id_field: str = "query_id",
+    query_vec_field: str = "query_vec",
+    k: int = 10,
+    n_cells: int = 64,
+    nprobe: int = 8,
+    m: int = 8,
+    codebook_size: int = 256,
+    sample_size: int = 100_000,
+    kmeans_iters: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: coarse cells prune candidates (scan ≈ nprobe/n_cells of
+    the corpus), PQ codes score them (bytes per vector instead of
+    floats) — the FAISS composition that makes billion-vector ANN fit.
+    One broadcast join on the int cell id; ADC lookup tables per query
+    in the scoring UDF closure; the raw vectors are never re-read after
+    encoding."""
+    from pipeline_spark.functions.partitioning import spread
+
+    centroids = _train_centroids(
+        corpus, vec_field, n_cells=n_cells, sample_size=sample_size,
+        iters=kmeans_iters, seed=seed,
+    )
+    books = _train_pq_codebooks(
+        corpus, vec_field, m=m, codebook_size=codebook_size,
+        sample_size=sample_size, iters=kmeans_iters, seed=seed,
+    )
+    dsub = books[0].shape[1]
+    corpus_cells = _cell_assign_udf(centroids, 1)
+    query_cells = _cell_assign_udf(centroids, min(nprobe, len(centroids)))
+    encode = _pq_encode_udf(books)
+
+    c = spread(corpus).select(
+        F.col(id_field).alias("neighbor_id"),
+        encode(F.col(vec_field)).alias("__codes__"),
+        F.explode(corpus_cells(F.col(vec_field))).alias("cell"),
+    )
+    qrows = queries.select(query_id_field, query_vec_field).collect()
+    if not qrows:
+        raise ValueError("similarity ivfpq: empty query set")
+    luts = {}
+    qcells_rows = []
+    for qi, r in enumerate(qrows):
+        qv = np.array(r[query_vec_field], dtype=np.float64)
+        luts[qi] = np.stack([
+            ((books[j] - qv[j * dsub:(j + 1) * dsub]) ** 2).sum(1)
+            for j in range(len(books))
+        ])
+        qcells_rows.append((qi, r[query_id_field],
+                            [float(x) for x in qv]))
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        qcells_rows, ["__qidx__", "query_id", "__qv__"]
+    ).select(
+        "__qidx__", "query_id",
+        F.explode(query_cells(F.col("__qv__"))).alias("cell"),
+    )
+    cand = c.join(F.broadcast(qdf), "cell").dropDuplicates(
+        ["__qidx__", "neighbor_id"]
+    )
+
+    @F.pandas_udf("double")
+    def adc(qidx_s: pd.Series, codes_s: pd.Series) -> pd.Series:
+        codes = np.array(list(codes_s), dtype=np.int64)
+        out = np.zeros(len(codes))
+        idx = np.arange(codes.shape[1])
+        for qi in set(int(x) for x in qidx_s):
+            mask = (qidx_s == qi).to_numpy()
+            out[mask] = luts[qi][idx[None, :], codes[mask]].sum(1)
+        return pd.Series(out)
+
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        adc(F.col("__qidx__"), F.col("__codes__")).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
 @module("similarity", kind=KIND_TRANSFORM)
 def similarity_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     p = ctx.params
@@ -466,6 +561,21 @@ def similarity_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                 nprobe=int(p.get("nprobe", 8)),
                 sample_size=int(p.get("sampleSize", 100_000)),
                 kmeans_iters=int(p.get("kmeansIters", 5)),
+                seed=int(p.get("seed", 42)),
+                **kwargs,
+            )
+        }
+    if method == "ivfpq":
+        return {
+            "": ivfpq_topk(
+                corpus,
+                queries,
+                n_cells=int(p.get("cells", p.get("nCells", 64))),
+                nprobe=int(p.get("nprobe", 8)),
+                m=int(p.get("m", p.get("subspaces", 8))),
+                codebook_size=int(p.get("codebookSize", 256)),
+                sample_size=int(p.get("sampleSize", 100_000)),
+                kmeans_iters=int(p.get("kmeansIters", 8)),
                 seed=int(p.get("seed", 42)),
                 **kwargs,
             )

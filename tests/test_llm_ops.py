@@ -907,3 +907,42 @@ def test_pq_topk_exact_on_codeword_aligned_data(spark):
             # ADC distance must EQUAL the true distance on aligned data
             assert abs(adc - d2[nid]) < 1e-9
         assert got[(qid, 1)][0] == qid  # self is nearest
+
+
+def test_ivfpq_matches_pq_on_clustered_aligned_data(spark):
+    """IVF-PQ (r8): exhaustive probing + codeword-aligned subvectors →
+    identical results to exact L2; partial probing on clustered data
+    still finds the planted neighbors."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    pat = rng.standard_normal((4, 8)) * 5
+    rows = []
+    for i in range(64):
+        v = np.concatenate([pat[i % 4], pat[(i // 4) % 4]])
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    corpus = spark.createDataFrame(rows)
+    queries = corpus.filter("vec_id < 2").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+
+    def run_sim(method, **extra):
+        params = {"method": method, "k": 6, "idField": "vec_id",
+                  "vectorField": "embedding", **extra}
+        return {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in similarity_transform(
+                ctx(spark, params, [corpus], side={"q": queries})
+            )[""].collect()
+        }
+
+    full = run_sim("ivfpq", cells=4, nprobe=4, m=2, codebookSize=4,
+                   sampleSize=64, kmeansIters=10)
+    mat = np.array([r.embedding for r in rows])
+    for qid in (0, 1):
+        d2 = ((mat - mat[qid]) ** 2).sum(1)
+        order = np.lexsort((np.arange(len(mat)), d2))
+        assert [full[(qid, r)] for r in range(1, 7)] == [
+            int(x) for x in order[:6]
+        ]
+    assert full[(0, 1)] == 0 and full[(1, 1)] == 1
