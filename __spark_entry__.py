@@ -5065,6 +5065,51 @@ GROUP BY _change_type, lang ORDER BY _change_type, lang
 """
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (r8): PQ/ADC top-5 in its exactness
+    configuration — the training sample covers the whole corpus and the
+    codebook is larger than the unique-subvector count, so every
+    subvector IS a codeword and the asymmetric distance equals true
+    squared L2 (the same property the aligned-data pytest pins).  That
+    makes the approximate index SQL-oracle-able: DuckDB recomputes the
+    exact L2 top-5 with list_distance.  At scale the same code path
+    runs with codebook ≪ corpus — 32-64× smaller vectors."""
+    from pipeline_spark.operators.similarity import pq_topk
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 200
+    )
+    queries = corpus.where(F.col("vec_id") < 3).selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    out = pq_topk(
+        corpus, queries, k=5, m=2, codebook_size=256,
+        sample_size=200, kmeans_iters=3,
+    )
+    return (
+        out.groupBy("query_id")
+        .agg(F.sort_array(F.collect_list("neighbor_id")).alias("topk"))
+        .orderBy("query_id")
+    )
+
+
+Q_PQ_TOPK_SQL = """
+SELECT query_id, list_sort(list(neighbor_id)) AS topk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_distance(
+                      list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                      list_transform(q.embedding, x -> CAST(x AS DOUBLE))),
+                    c.vec_id
+         ) AS rnk
+  FROM embeddings c CROSS JOIN embeddings q
+  WHERE q.vec_id < 3 AND c.vec_id < 200
+) WHERE rnk <= 5
+GROUP BY query_id ORDER BY query_id
+"""
+
+
 def q_iceberg_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """iceberg v2 merge-on-read: nation committed natively (one sorted
     data file), then a POSITION delete file (row ordinals 0,1 →
@@ -5321,6 +5366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_dv_puffin": q_iceberg_dv_puffin,
         "iceberg_update": q_iceberg_update,
         "iceberg_changelog": q_iceberg_changelog,
+        "pq_topk": q_pq_topk,
         # --- rerouted this round: now drives sinks/storage.py bucketBy
         "bucketed_join": q_bucketed_join,
         # --- drift watch (delta_delete +27% r6→r7)
@@ -5365,11 +5411,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_assign": q_semdedup_assign,
         "warc_roundtrip": q_warc_roundtrip,
         "asof_join": q_asof_join,
-        "sessionize": q_sessionize,
         # --- headline pair stays in-cap every round
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         # --- past the 50-cap: all green r7; pytest + harness guarded
+        "sessionize": q_sessionize,
         "range_join": q_range_join,
         "semdedup_prune": q_semdedup_prune,
         "repetition": q_repetition,
@@ -5538,6 +5584,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_dv_puffin": Q_ICE_DV_PUFFIN_SQL,
         "iceberg_update": Q_ICE_UPDATE_SQL,
         "iceberg_changelog": Q_ICE_CHANGELOG_SQL,
+        "pq_topk": Q_PQ_TOPK_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,
         "bucketed_join": Q_BUCKETED_JOIN_SQL,
         "gopher_rules": Q_GOPHER_SQL,

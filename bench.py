@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "iceberg_dv_puffin",
     "iceberg_update",
     "iceberg_changelog",
+    "pq_topk",
 ]
 
 
