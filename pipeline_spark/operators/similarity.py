@@ -328,6 +328,21 @@ def _train_pq_codebooks(
     return books
 
 
+def _adc_lut(books: list[np.ndarray], qv: np.ndarray, dsub: int) -> np.ndarray:
+    """Rectangular (m, k_max) ADC lookup table for one query vector.
+
+    Subspace codebooks can be ragged (a low-cardinality dimension trains
+    fewer than ``codebook_size`` centroids), and ``np.stack`` needs equal
+    shapes — so rows shorter than the widest codebook are padded with
+    ``+inf``.  Codes produced by :func:`_pq_encode_udf` never index past
+    their own subspace's codebook, so the padding is never read."""
+    kmax = max(b.shape[0] for b in books)
+    lut = np.full((len(books), kmax), np.inf)
+    for j, b in enumerate(books):
+        lut[j, : b.shape[0]] = ((b - qv[j * dsub:(j + 1) * dsub]) ** 2).sum(1)
+    return lut
+
+
 def _pq_encode_udf(books: list[np.ndarray]):
     """Vector → array of per-subspace codeword ids; one (batch × k)
     distance matrix per subspace per Arrow batch.  The codebooks ship in
@@ -396,10 +411,7 @@ def pq_topk(
     luts = []
     for r in qrows:
         qv = np.array(r[query_vec_field], dtype=np.float64)
-        luts.append(np.stack([
-            ((books[j] - qv[j * dsub:(j + 1) * dsub]) ** 2).sum(1)
-            for j in range(len(books))
-        ]))  # (m, k_j) — ragged k handled by per-subspace rows
+        luts.append(_adc_lut(books, qv, dsub))  # (m, k_max), inf-padded
 
     @F.pandas_udf("array<double>")
     def adc(codes_s: pd.Series) -> pd.Series:
@@ -479,10 +491,7 @@ def ivfpq_topk(
     qcells_rows = []
     for qi, r in enumerate(qrows):
         qv = np.array(r[query_vec_field], dtype=np.float64)
-        luts[qi] = np.stack([
-            ((books[j] - qv[j * dsub:(j + 1) * dsub]) ** 2).sum(1)
-            for j in range(len(books))
-        ])
+        luts[qi] = _adc_lut(books, qv, dsub)
         qcells_rows.append((qi, r[query_id_field],
                             [float(x) for x in qv]))
     spark = corpus.sparkSession

@@ -946,3 +946,49 @@ def test_ivfpq_matches_pq_on_clustered_aligned_data(spark):
             int(x) for x in order[:6]
         ]
     assert full[(0, 1)] == 0 and full[(1, 1)] == 1
+
+
+def test_pq_topk_ragged_codebooks(spark):
+    """PQ/ADC with a low-cardinality subspace (r9, ADVICE): one subspace
+    trains fewer centroids than the other, so the per-subspace LUT rows
+    have unequal length — the inf-padded rectangular LUT must still give
+    exact ADC on aligned data (np.stack over ragged rows used to crash)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    pat = rng.standard_normal((8, 4)) * 5
+    rows = []
+    for i in range(32):
+        # first subspace: 8 distinct patterns; second: only 2 → ragged k
+        v = np.concatenate([pat[i % 8], pat[i % 2]])
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    corpus = spark.createDataFrame(rows)
+    queries = corpus.filter("vec_id < 2").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+
+    def run_sim(method, **extra):
+        params = {"method": method, "k": 6, "idField": "vec_id",
+                  "vectorField": "embedding", **extra}
+        return similarity_transform(
+            ctx(spark, params, [corpus], side={"q": queries})
+        )[""]
+
+    mat = np.array([r.embedding for r in rows])
+    for method, extra in (
+        ("pq", {}),
+        ("ivfpq", {"cells": 2, "nprobe": 2}),
+    ):
+        got = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in run_sim(
+                method, m=2, codebookSize=8, sampleSize=32,
+                kmeansIters=10, **extra,
+            ).collect()
+        }
+        for qid in (0, 1):
+            d2 = ((mat - mat[qid]) ** 2).sum(1)
+            order = np.lexsort((np.arange(len(mat)), d2))
+            assert [got[(qid, r)] for r in range(1, 7)] == [
+                int(x) for x in order[:6]
+            ], method
