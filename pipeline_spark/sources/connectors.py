@@ -109,7 +109,6 @@ def iceberg_source(ctx: ModuleContext) -> dict[str, DataFrame]:
         import os as _os
 
         from pipeline_spark.sources.iceberg_native import (
-            find_table_metadata,
             read_iceberg_changelog,
         )
 
@@ -118,15 +117,23 @@ def iceberg_source(ctx: ModuleContext) -> dict[str, DataFrame]:
         if cp and "fromSnapshotId" not in p and _os.path.exists(cp):
             with open(cp) as fh:
                 q["fromSnapshotId"] = _json.load(fh)["snapshot-id"]
-        df = read_iceberg_changelog(ctx.spark, q)
+        # the changelog reports the INCLUSIVE snapshot bound it actually
+        # read; checkpointing anything else (e.g. re-reading
+        # current-snapshot-id afterwards) races with concurrent commits
+        # and skips them forever.  The write itself is deferred to
+        # post-commit (microbatch's CheckpointSaveDoFn pattern): a
+        # downstream sink failure must not advance the high-water.
+        info: dict = {}
+        df = read_iceberg_changelog(ctx.spark, q, info=info)
         if cp:
-            with open(find_table_metadata(str(
-                p.get("path") or p.get("table")
-            ).replace("file://", ""))) as fh:
-                cur = _json.load(fh).get("current-snapshot-id")
-            _os.makedirs(_os.path.dirname(cp) or ".", exist_ok=True)
-            with open(cp, "w") as fh:
-                _json.dump({"snapshot-id": cur}, fh)
+            consumed = info["toSnapshotId"]
+
+            def _write_checkpoint() -> None:
+                _os.makedirs(_os.path.dirname(cp) or ".", exist_ok=True)
+                with open(cp, "w") as fh:
+                    _json.dump({"snapshot-id": consumed}, fh)
+
+            ctx.on_commit(_write_checkpoint)
         return {"": df}
     if str(p.get("mode", "")).lower() == "streaming":
         from pipeline_spark.sources.iceberg_stream import (

@@ -859,7 +859,9 @@ def _state_with_lineage(spark, data: list[dict], deletes: list[dict],
     return df
 
 
-def read_iceberg_changelog(spark, p: dict[str, Any]):
+def read_iceberg_changelog(
+    spark, p: dict[str, Any], info: dict[str, Any] | None = None
+):
     """Row-level change feed between two snapshots — the Iceberg twin of
     Delta CDF, with the output shape of Spark-Iceberg's
     ``create_changelog_view``: table columns + ``_change_type``
@@ -920,6 +922,12 @@ def read_iceberg_changelog(spark, p: dict[str, Any]):
         )
     lo = -1 if from_id is None else by_id[from_id]
     hi = by_id[to_id]
+    if info is not None:
+        # expose the INCLUSIVE upper bound actually read, so incremental
+        # consumers checkpoint exactly this snapshot — re-reading
+        # current-snapshot-id after the fact races with concurrent
+        # commits and would skip them forever (ADVICE r8)
+        info["toSnapshotId"] = to_id
     if hi < lo:
         raise ValueError("iceberg changelog: toSnapshotId precedes from")
     # hi == lo: no new snapshots — an empty frame, the caught-up

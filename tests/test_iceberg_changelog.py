@@ -243,3 +243,118 @@ def test_rest_catalog_changelog(spark, tmp_path):
         ]
     finally:
         srv.shutdown()
+
+
+def test_checkpoint_pins_the_bound_actually_read(spark, tmp_path):
+    """r9 (ADVICE r8): the checkpoint must record the INCLUSIVE snapshot
+    bound the changelog actually consumed — not current-snapshot-id
+    re-read at checkpoint time.  A commit landing between the read and
+    the checkpoint (simulated with an explicit older toSnapshotId) must
+    surface on the next run instead of being skipped forever."""
+    import json
+
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    tbl = _mk(spark, tmp_path, [(1, "a")])
+    meta = json.load(open(find_table_metadata(tbl)))
+    first = meta["current-snapshot-id"]
+    # the "concurrent" commit: lands before the checkpoint is written
+    write_iceberg_native(
+        spark.createDataFrame([(2, "b")], "id long, v string").coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    cp = str(tmp_path / "pin_ckpt.json")
+    cfg = f"""
+sources:
+  - name: log
+    module: iceberg
+    parameters:
+      path: {tbl}
+      changelog: true
+      checkpointFile: {cp}
+      toSnapshotId: {first}
+"""
+    out = run_pipeline(spark, parse_config(cfg))["log"]
+    assert sorted(r["id"] for r in out.collect()) == [1]
+    # checkpoint = the bound read (first), NOT the table's current head
+    assert json.load(open(cp))["snapshot-id"] == first
+    cfg2 = f"""
+sources:
+  - name: log
+    module: iceberg
+    parameters: {{path: {tbl}, changelog: true, checkpointFile: {cp}}}
+"""
+    nxt = run_pipeline(spark, parse_config(cfg2))["log"]
+    assert sorted(r["id"] for r in nxt.collect()) == [2]  # not skipped
+
+
+def test_checkpoint_not_written_when_sink_fails(spark, tmp_path):
+    """The checkpoint write is deferred to post-commit: a failing sink
+    must NOT advance the high-water (the batch would be lost)."""
+    import pytest as _pytest
+
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    tbl = _mk(spark, tmp_path, [(1, "a")])
+    cp = str(tmp_path / "fail_ckpt.json")
+    cfg = f"""
+sources:
+  - name: log
+    module: iceberg
+    parameters: {{path: {tbl}, changelog: true, checkpointFile: {cp}}}
+sinks:
+  - name: out
+    module: storage
+    inputs: [log]
+    parameters: {{format: nosuchformat, output: /tmp/nowhere}}
+"""
+    with _pytest.raises(Exception):
+        run_pipeline(spark, parse_config(cfg))
+    import os
+
+    assert not os.path.exists(cp)
+
+
+def test_rest_catalog_changelog_checkpoint(spark, tmp_path):
+    """catalog + checkpointFile: the checkpoint path must not assume a
+    filesystem table (it used to call find_table_metadata('ns.tbl') and
+    crash); the bound comes from the changelog read itself."""
+    import json
+
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+    from tests.test_iceberg_native import _serve_stateful_catalog
+
+    srv, _state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.clc",
+                 "location": str(tmp_path / "rest_clc")}
+        write_iceberg_native(
+            spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1),
+            {**cat_p, "mode": "create"},
+        )
+        cp = str(tmp_path / "rest_ckpt.json")
+        cfg = f"""
+sources:
+  - name: log
+    module: iceberg
+    parameters:
+      catalog: {{uri: "{uri}"}}
+      table: ns.clc
+      changelog: true
+      checkpointFile: {cp}
+"""
+        out = run_pipeline(spark, parse_config(cfg))["log"]
+        assert sorted(r["id"] for r in out.collect()) == [1]
+        assert "snapshot-id" in json.load(open(cp))
+        write_iceberg_native(
+            spark.createDataFrame([(2, "b")], "id long, v string").coalesce(1),
+            {**cat_p, "mode": "append"},
+        )
+        nxt = run_pipeline(spark, parse_config(cfg))["log"]
+        assert sorted(r["id"] for r in nxt.collect()) == [2]
+    finally:
+        srv.shutdown()
