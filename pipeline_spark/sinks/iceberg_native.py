@@ -2092,7 +2092,9 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         # match — the right shape when the predicate deletes a large
         # fraction of its files (position deletes cap at maxDeleteRows)
         return _cow_mutate_where(spark, {**p, "where": where}, None)
-    data, _deletes, _meta = plan_files(
+    from pipeline_spark.sources.iceberg_native import _apply_row_deletes
+
+    data, prior_deletes, _meta = plan_files(
         table_path, meta=rest[3] if rest is not None else None
     )
     if any(d.get("renames") or d.get("absent") or d.get("dropped") for d in data):
@@ -2105,26 +2107,35 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
             evolved_scan,
         )
 
-        ev = evolved_scan(
+        live = evolved_scan(
             spark, spark.read, data, _schema_fields(_meta), with_lineage=True
         )
-        df = ev.select(
-            F.col("__fp__").alias("file_path"),
-            F.col("__pos__").alias("pos"),
-            *[c for c in ev.columns if c not in ("__fp__", "__pos__")],
-        )
     else:
-        df = spark.read.parquet(*[d["path"] for d in data]).select(
-            # decoded raw path (spec: a position delete's file_path must
-            # equal the manifest's file_path — which is raw, not a URI)
+        live = spark.read.parquet(*[d["path"] for d in data])
+    if prior_deletes:
+        # probe LIVE rows only (ADVICE r8): a row that's already deleted
+        # must not be re-counted, and a file whose only matches are dead
+        # rows must not gain a redundant delete entry.  __fp__ is the
+        # decoded raw path (spec: a position delete's file_path equals
+        # the manifest's file_path — raw, not a URI).
+        live = _apply_row_deletes(
+            spark, live, data, prior_deletes, _meta, keep_lineage=True
+        )
+    if "__fp__" not in live.columns:
+        live = live.select(
+            "*",
             F.url_decode(F.regexp_replace(
                 F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                    F.col("_metadata.file_path"), "^file:/+", "/"
                 ), r"\+", "%2B",
-            )).alias("file_path"),
-            F.col("_metadata.row_index").alias("pos"),
-            "*",
+            )).alias("__fp__"),
+            F.col("_metadata.row_index").alias("__pos__"),
         )
+    df = live.select(
+        F.col("__fp__").alias("file_path"),
+        F.col("__pos__").alias("pos"),
+        *[c for c in live.columns if c not in ("__fp__", "__pos__")],
+    )
     matches = (
         _apply_data_filter(df, where)
         .select("file_path", "pos")
@@ -2143,23 +2154,97 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         )
     if not rows:
         return {"deleted_rows": 0}
-    if str(p.get("format", "parquet")).lower() == "puffin":
+    fmt = str(
+        p.get("format")
+        # a v3 table must not gain NEW position-delete files (spec
+        # §Position Delete Files: "deprecated in v3") — route unset
+        # format to deletion vectors once the table is v3
+        or ("puffin" if int(_meta.get("format-version", 2)) >= 3
+            else "parquet")
+    ).lower()
+    if fmt == "puffin":
         # v3 deletion vectors (r8, VERDICT r7 ask #9): one puffin file
         # holding a roaring-bitmap blob PER TOUCHED FILE instead of a
         # position-delete parquet — the ecosystem's convergence target.
         # The commit stamps format-version 3 (spec requirement for DVs).
+        #
+        # At-most-one-DV-per-file (r9, ADVICE r8): a file that already
+        # has a DV or position deletes gets those positions MERGED into
+        # the new vector and the old entries superseded — appending a
+        # second DV would violate the spec (readers may apply only one).
+        # Position-delete parquets convert WHOLE: their rows for other
+        # files become those files' DVs too (v3 has no position-delete
+        # files), which transitively pulls in those files' own DVs.
         from collections import defaultdict
 
-        from pipeline_spark.functions.puffin import write_puffin_dvs
+        from pipeline_spark.functions.puffin import (
+            read_dv_positions,
+            write_puffin_dvs,
+        )
 
-        by_file: dict[str, list[int]] = defaultdict(list)
+        def _norm(s: str) -> str:
+            return urllib.parse.unquote(re.sub(r"^file:/+", "/", str(s)))
+
+        by_file: dict[str, set[int]] = defaultdict(set)
         for r in rows:
-            by_file[r["file_path"]].append(int(r["pos"]))
+            by_file[_norm(r["file_path"])].add(int(r["pos"]))
+        prior_dvs = [
+            d for d in prior_deletes
+            if d["content"] == 1 and d.get("content_offset") is not None
+        ]
+        prior_pos = [
+            d for d in prior_deletes
+            if d["content"] == 1 and d.get("content_offset") is None
+        ]
+        # read prior position-delete parquets driver-side (small by
+        # design — the same maxDeleteRows bound applied when written)
+        pq_rows: dict[str, dict[str, list[int]]] = {}
+        if prior_pos:
+            import pyarrow.parquet as _pq
+
+            for d in prior_pos:
+                t = _pq.read_table(d["path"], columns=["file_path", "pos"])
+                refs: dict[str, list[int]] = defaultdict(list)
+                for fp, pos_ in zip(
+                    t.column("file_path").to_pylist(),
+                    t.column("pos").to_pylist(),
+                ):
+                    refs[_norm(fp)].append(int(pos_))
+                pq_rows[d["path"]] = refs
+        touched = set(by_file)
+        converted: set[str] = set()
+        changed = True
+        while changed:  # closure over shared position-delete parquets
+            changed = False
+            for path, refs in pq_rows.items():
+                if path not in converted and touched & set(refs):
+                    converted.add(path)
+                    touched |= set(refs)
+                    changed = True
+        for path in converted:
+            for fp, poss in pq_rows[path].items():
+                by_file[fp].update(poss)
+        supersede: set[tuple[str, int | None]] = {
+            (path, None) for path in converted
+        }
+        merged_dvs = 0
+        for d in prior_dvs:
+            if _norm(d.get("referenced_data_file") or "") in touched:
+                by_file[_norm(d["referenced_data_file"])].update(
+                    read_dv_positions(
+                        d["path"], int(d["content_offset"]),
+                        int(d["content_size_in_bytes"]),
+                    )
+                )
+                supersede.add((d["path"], int(d["content_offset"])))
+                merged_dvs += 1
         out = os.path.join(
             table_path, "data", f"dv-{uuid.uuid4().hex}.puffin"
         )
         os.makedirs(os.path.dirname(out), exist_ok=True)
-        blobs = write_puffin_dvs(out, sorted(by_file.items()))
+        blobs = write_puffin_dvs(
+            out, sorted((fp, sorted(ps)) for fp, ps in by_file.items())
+        )
         append_delete_files(table_path, [
             {
                 "path": out, "content": 1, "format": "PUFFIN",
@@ -2169,8 +2254,12 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
                 "record_count": b["cardinality"],
             }
             for b in blobs
-        ], rest=rest)
-        return {"deleted_rows": len(rows), "dv_blobs": len(blobs)}
+        ], rest=rest, supersede=supersede or None)
+        return {
+            "deleted_rows": len(rows), "dv_blobs": len(blobs),
+            "merged_dvs": merged_dvs,
+            "converted_position_delete_files": len(converted),
+        }
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -2579,16 +2668,27 @@ def _cow_mutate_where(
         if evolved:
             probe = _read_evolved_group(
                 spark, candidates, cur_schema, with_lineage=True
-            ).select(*pred_cols, "__fp__")
+            )
         else:
-            probe = spark.read.parquet(
-                *[d["path"] for d in candidates]
-            ).select(
-                *pred_cols,
+            probe = spark.read.parquet(*[d["path"] for d in candidates])
+        if deletes:
+            # probe LIVE rows only (ADVICE r8): rows already removed by
+            # a DV / position / equality delete must not count as
+            # matches, and a file whose only matches are dead rows must
+            # not rewrite (correct either way — rewrites materialize
+            # deletes — but the rewrite itself is wasted work)
+            probe = _apply_row_deletes(
+                spark, probe, candidates, deletes, prev_meta,
+                keep_lineage=True,
+            )
+        if "__fp__" not in probe.columns:
+            probe = probe.select(
+                "*",
                 F.regexp_replace(
                     F.col("_metadata.file_path"), "^file:/+", "/"
                 ).alias("__fp__"),
             )
+        probe = probe.select(*pred_cols, "__fp__")
         cond = data_filter_condition(where)
         hits = (
             probe.filter(cond).groupBy("__fp__")
@@ -3732,10 +3832,113 @@ def remove_orphans_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     return {"removed_files": removed, "freed_bytes": freed}
 
 
+def _supersede_prior_deletes(
+    prev_manifests: list[dict], superseded: set[tuple[str, int | None]],
+    meta_dir: str, commit_uuid: str, snapshot_id: int,
+) -> tuple[list[dict], int]:
+    """Rewrite delete manifests dropping superseded entries — the v3
+    at-most-one-DV-per-file rule: a writer adding a deletion vector for
+    a data file must MERGE the file's existing DV / position deletes
+    into the new vector and remove the old entries, or spec-strict
+    readers may apply only one of them (Iceberg spec §Deletion Vectors).
+
+    ``superseded`` identifies entries by ``(delete file path,
+    content_offset)`` — offset ``None`` matches a whole position-delete
+    parquet, an int matches one DV blob inside a shared puffin file.
+    Untouched manifests carry forward verbatim (their list entries are
+    returned as-is); touched ones rewrite in place with survivors
+    EXISTING at materialized sequence numbers and superseded entries
+    DELETED under the new snapshot.  Returns the new manifest-list
+    entries and the superseded-entry count."""
+    from pipeline_spark.functions.avroocf import (
+        read_ocf_file_with_meta,
+        write_ocf_bytes,
+    )
+    from pipeline_spark.sources.iceberg_native import _strip_scheme
+
+    def _key(e: dict) -> tuple[str, int | None]:
+        d = e.get("data_file") or {}
+        off = d.get("content_offset")
+        return (
+            _strip_scheme(str(d.get("file_path") or "")),
+            int(off) if off is not None else None,
+        )
+
+    out: list[dict] = []
+    removed_total = 0
+    midx = 100  # distinct namespace from the commit's own -m0/-m1
+    for m in prev_manifests:
+        if int(m.get("content", 0) or 0) != 1:
+            out.append(dict(m))
+            continue
+        mpath = _strip_scheme(m["manifest_path"])
+        wschema, mmeta, entries = read_ocf_file_with_meta(mpath)
+        live = [
+            e for e in entries
+            if e.get("status") != 2 and e.get("data_file")
+        ]
+        if not any(_key(e) in superseded for e in live):
+            out.append(dict(m))
+            continue
+        inherit_seq = int(m.get("sequence_number", 0) or 0)
+        new_entries: list[dict] = []
+        kept = kept_rows = removed = removed_rows = 0
+        min_seqs: list[int] = []
+        for e in live:
+            eseq = e.get("sequence_number")
+            eseq = inherit_seq if eseq is None else int(eseq)
+            fseq = e.get("file_sequence_number")
+            fseq = eseq if fseq is None else int(fseq)
+            ent = dict(e)
+            ent["sequence_number"] = eseq
+            ent["file_sequence_number"] = fseq
+            rows = int((e.get("data_file") or {}).get("record_count") or 0)
+            if _key(e) in superseded:
+                ent["status"] = 2  # DELETED: replaced by the merged DV
+                ent["snapshot_id"] = snapshot_id
+                removed += 1
+                removed_rows += rows
+            else:
+                ent["status"] = 0  # EXISTING
+                kept += 1
+                kept_rows += rows
+                min_seqs.append(eseq)
+            new_entries.append(ent)
+        extra = {
+            k: (mmeta.get(k) or b"").decode()
+            for k in ("schema", "partition-spec", "partition-spec-id",
+                      "format-version", "content")
+            if mmeta.get(k) is not None
+        }
+        mp = os.path.join(meta_dir, f"{commit_uuid}-m{midx}.avro")
+        midx += 1
+        mb = write_ocf_bytes(wschema, new_entries, extra_meta=extra)
+        with open(mp, "wb") as fh:
+            fh.write(mb)
+        out.append({
+            "manifest_path": mp,
+            "manifest_length": len(mb),
+            "partition_spec_id": int(m.get("partition_spec_id", 0) or 0),
+            "content": 1,
+            "sequence_number": int(m.get("sequence_number", 0) or 0),
+            "min_sequence_number": min(min_seqs) if min_seqs else inherit_seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 0,
+            "existing_files_count": kept,
+            "deleted_files_count": removed,
+            "added_rows_count": 0,
+            "existing_rows_count": kept_rows,
+            "deleted_rows_count": removed_rows,
+        })
+        removed_total += removed
+    return out, removed_total
+
+
 def append_delete_files(
     table_path: str, delete_files: list[dict], *, rest=None,
     data_files: list[str] | None = None,
     summary_properties: dict | None = None,
+    supersede: set[tuple[str, int | None]] | None = None,
 ) -> None:
     """Commit a merge-on-read snapshot adding v2 row-level DELETE files
     to an existing table — the write-side counterpart of the reader's
@@ -3961,7 +4164,14 @@ def append_delete_files(
     from pipeline_spark.functions.avroocf import read_ocf_file
 
     _, prev_manifests = read_ocf_file(prev_list)
-    manifests = [dict(mf) for mf in prev_manifests]
+    superseded_count = 0
+    if supersede:
+        manifests, superseded_count = _supersede_prior_deletes(
+            list(prev_manifests), supersede, meta_dir, commit_uuid,
+            snapshot_id,
+        )
+    else:
+        manifests = [dict(mf) for mf in prev_manifests]
     manifests.append(
         {
             "manifest_path": manifest_path,
@@ -3999,25 +4209,43 @@ def append_delete_files(
         "summary": {
             "operation": "overwrite" if data_entries else "delete",
             "added-delete-files": str(len(entries)),
+            "removed-delete-files": str(superseded_count),
             "added-position-delete-records": str(deleted_rows),
             "added-data-files": str(len(data_entries)),
             "added-records": str(added_rows),
             **{str(k): str(v) for k, v in (summary_properties or {}).items()},
         },
     }
+    if any_dv:
+        # v3 row lineage: every snapshot in a v3 table assigns a
+        # first-row-id and advances the table's next-row-id by the rows
+        # in its added data files; data files omit first_row_id and
+        # inherit from the snapshot (spec §Row Lineage inheritance)
+        next_row_id = int(prev_meta.get("next-row-id") or 0)
+        snapshot["first-row-id"] = next_row_id
     if rest is not None:
         cat, ns_key, name, _m2 = rest
+        updates = []
+        if any_dv and int(prev_meta.get("format-version", 2)) < 3:
+            # puffin DVs are a v3 construct — the catalog copy of the
+            # metadata must upgrade too, not just the local manifests
+            # (ADVICE r8): spec-strict readers of a format-version 2
+            # table would reject DV manifest entries
+            updates.append(
+                {"action": "upgrade-format-version", "format-version": 3}
+            )
+        updates += [
+            {"action": "add-snapshot", "snapshot": snapshot},
+            {"action": "set-snapshot-ref", "ref-name": "main",
+             "type": "branch", "snapshot-id": snapshot_id},
+        ]
         cat.commit_table(
             ns_key, name,
             requirements=[{
                 "type": "assert-ref-snapshot-id", "ref": "main",
                 "snapshot-id": prev_meta.get("current-snapshot-id"),
             }],
-            updates=[
-                {"action": "add-snapshot", "snapshot": snapshot},
-                {"action": "set-snapshot-ref", "ref-name": "main",
-                 "type": "branch", "snapshot-id": snapshot_id},
-            ],
+            updates=updates,
         )
         return
     meta = dict(prev_meta)
@@ -4037,6 +4265,10 @@ def append_delete_files(
         # puffin DVs are a v3 construct: a spec-strict reader must see
         # format-version 3 or it would rightly reject the manifests
         meta["format-version"] = max(3, int(meta.get("format-version", 2)))
+        # v3 row lineage (spec-required fields for strict readers): the
+        # snapshot's first-row-id was stamped above; the table high-water
+        # advances by the rows this commit's data files added
+        meta["next-row-id"] = int(snapshot["first-row-id"]) + added_rows
     meta["__version"] = version
     with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
         json.dump(meta, fh)

@@ -360,7 +360,10 @@ def _iceberg_type_to_spark(t) -> str:
     )
 
 
-def _apply_row_deletes(spark, df, data: list[dict], deletes: list[dict], meta: dict):
+def _apply_row_deletes(
+    spark, df, data: list[dict], deletes: list[dict], meta: dict,
+    *, keep_lineage: bool = False,
+):
     """Merge-on-read: subtract position + equality delete files from the
     scan (spec §Scan Planning).  Position deletes address exact
     (file, row ordinal) pairs, matched against Spark's parquet
@@ -486,6 +489,10 @@ def _apply_row_deletes(spark, df, data: list[dict], deletes: list[dict], meta: d
             ) & (df["__dseq__"] < dels["__eseq__"])
             df = df.join(dels, cond, "left_anti")
         df = df.drop("__dseq__")
+    if keep_lineage:
+        # writers (position-delete planning, probe scans) still need the
+        # (file, ordinal) identity of each surviving row
+        return df
     return df.drop("__fp__", "__pos__")
 
 

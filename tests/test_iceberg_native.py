@@ -1375,6 +1375,13 @@ def _serve_stateful_catalog():
                             meta.pop("_last_added_order", oid)
                             if oid == -1 else oid
                         )
+                    elif upd["action"] == "upgrade-format-version":
+                        fv = int(upd["format-version"])
+                        if fv < int(meta.get("format-version", 2)):
+                            return self._json(
+                                {"error": "cannot downgrade"}, 400
+                            )
+                        meta["format-version"] = fv
                     elif upd["action"] == "remove-snapshots":
                         gone = set(upd.get("snapshot-ids") or [])
                         meta["snapshots"] = [

@@ -177,3 +177,153 @@ def test_maintenance_keeps_puffin_files(spark, tmp_path):
     back = sorted(r["id"] for r in read_iceberg_native(
         spark, {"path": tbl}).collect())
     assert back == [i for i in range(20) if i != 6]
+
+
+def _live_deletes(tbl):
+    _, dels, meta = plan_files(tbl)
+    return dels, meta
+
+
+def test_repeated_puffin_deletes_merge_one_dv_per_file(spark, tmp_path):
+    """v3 at-most-one-DV-per-file (r9, ADVICE r8): a second DV delete
+    touching the same data file must MERGE the prior vector's positions
+    and supersede its entry — never accumulate two DVs on one file."""
+    tbl = _mk(spark, tmp_path)
+    delete_iceberg_native(spark, {
+        "path": tbl, "format": "puffin",
+        "where": [{"key": "id", "op": "in", "value": [2, 12]}],
+    })
+    out = delete_iceberg_native(spark, {
+        "path": tbl, "format": "puffin",
+        "where": [{"key": "id", "op": "in", "value": [3, 13]}],
+    })
+    assert out["deleted_rows"] == 2 and out["merged_dvs"] == 2
+    dels, _ = _live_deletes(tbl)
+    by_ref = {}
+    for d in dels:
+        assert d.get("content_offset") is not None  # all DVs
+        assert d["referenced_data_file"] not in by_ref, (
+            "two live DVs reference one data file"
+        )
+        by_ref[d["referenced_data_file"]] = d
+    assert len(by_ref) == 2
+    # each merged DV carries BOTH rounds' positions
+    for d in by_ref.values():
+        assert d["record_count"] == 2
+    back = sorted(r["id"] for r in read_iceberg_native(
+        spark, {"path": tbl}).collect())
+    assert back == [i for i in range(20) if i not in (2, 3, 12, 13)]
+
+
+def test_puffin_delete_converts_prior_position_deletes(spark, tmp_path):
+    """A DV write over a file with prior position-delete parquets must
+    fold those positions in and supersede the parquet entry; rows the
+    parquet held for OTHER files become those files' DVs (v3 has no
+    position-delete files)."""
+    tbl = _mk(spark, tmp_path)
+    # parquet position delete spanning BOTH files
+    delete_iceberg_native(spark, {
+        "path": tbl,
+        "where": [{"key": "id", "op": "in", "value": [1, 11]}],
+    })
+    out = delete_iceberg_native(spark, {
+        "path": tbl, "format": "puffin",
+        "where": [{"key": "id", "op": "=", "value": 2}],
+    })
+    assert out["converted_position_delete_files"] == 1
+    dels, meta = _live_deletes(tbl)
+    assert meta["format-version"] == 3
+    assert all(d.get("content_offset") is not None for d in dels), (
+        "a superseded position-delete parquet is still live"
+    )
+    refs = [d["referenced_data_file"] for d in dels]
+    assert len(refs) == len(set(refs)) == 2
+    back = sorted(r["id"] for r in read_iceberg_native(
+        spark, {"path": tbl}).collect())
+    assert back == [i for i in range(20) if i not in (1, 2, 11)]
+
+
+def test_delete_probe_skips_already_deleted_rows(spark, tmp_path):
+    """deleted_rows counts NEWLY deleted rows only — rows a prior DV
+    already removed must not re-match (ADVICE r8 double-count)."""
+    tbl = _mk(spark, tmp_path)
+    delete_iceberg_native(spark, {
+        "path": tbl, "format": "puffin",
+        "where": [{"key": "id", "op": "=", "value": 5}],
+    })
+    out = delete_iceberg_native(spark, {
+        "path": tbl, "format": "puffin",
+        "where": [{"key": "id", "op": "<=", "value": 5}],
+    })
+    assert out["deleted_rows"] == 5  # 0..4; 5 was already dead
+    back = sorted(r["id"] for r in read_iceberg_native(
+        spark, {"path": tbl}).collect())
+    assert back == list(range(6, 20))
+
+
+def test_v3_table_defaults_new_deletes_to_dvs(spark, tmp_path):
+    """Once a table is format-version 3, an unset-format DELETE must
+    produce a deletion vector, not a new position-delete parquet
+    (deprecated in v3)."""
+    tbl = _mk(spark, tmp_path)
+    delete_iceberg_native(spark, {
+        "path": tbl, "format": "puffin",
+        "where": [{"key": "id", "op": "=", "value": 1}],
+    })
+    delete_iceberg_native(spark, {
+        "path": tbl,  # no format — table is v3 now
+        "where": [{"key": "id", "op": "=", "value": 11}],
+    })
+    dels, _ = _live_deletes(tbl)
+    assert all(d.get("content_offset") is not None for d in dels)
+    back = sorted(r["id"] for r in read_iceberg_native(
+        spark, {"path": tbl}).collect())
+    assert back == [i for i in range(20) if i not in (1, 11)]
+
+
+def test_v3_row_lineage_fields_stamped(spark, tmp_path):
+    """The v3 bump records row-lineage bookkeeping: table next-row-id
+    and the DV snapshot's first-row-id (spec §Row Lineage)."""
+    import json as _json
+
+    tbl = _mk(spark, tmp_path)
+    delete_iceberg_native(spark, {
+        "path": tbl, "format": "puffin",
+        "where": [{"key": "id", "op": "=", "value": 0}],
+    })
+    meta = _json.load(open(find_table_metadata(tbl)))
+    assert meta["format-version"] == 3
+    assert "next-row-id" in meta
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    assert "first-row-id" in snap
+
+
+def test_rest_catalog_puffin_dv_upgrades_format_version(spark, tmp_path):
+    """REST-path DV commit (r9, ADVICE r8): the CommitTableRequest must
+    carry an upgrade-format-version action so the CATALOG copy of the
+    metadata reads format-version 3 — not just the local manifests."""
+    from tests.test_iceberg_native import _serve_stateful_catalog
+
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.dvt",
+                 "location": str(tmp_path / "rest_dvt")}
+        write_iceberg_native(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(10)], "id long, v string"
+            ).coalesce(1),
+            {**cat_p, "mode": "create"},
+        )
+        out = delete_iceberg_native(spark, {
+            **cat_p, "format": "puffin",
+            "where": [{"key": "id", "op": "in", "value": [2, 5]}],
+        })
+        assert out["deleted_rows"] == 2
+        assert int(state["dvt"]["format-version"]) == 3
+        back = sorted(r["id"] for r in read_iceberg_native(
+            spark, cat_p).collect())
+        assert back == [i for i in range(10) if i not in (2, 5)]
+    finally:
+        srv.shutdown()
