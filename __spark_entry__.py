@@ -1591,10 +1591,14 @@ transforms:
     inputs: [documents]
     parameters:
       sql: "SELECT concat('doc://', CAST(doc_id AS STRING)) AS uri, text AS payload FROM documents"
+  - name: sharded
+    module: reshuffle
+    inputs: [recs]
+    parameters: {{numShards: 8}}
 sinks:
   - name: w
     module: warc
-    inputs: [recs]
+    inputs: [sharded]
     parameters: {{output: {out}}}
 """))
     outs = run_pipeline(spark, parse_config(f"""

@@ -216,12 +216,17 @@ def main() -> None:
         "sf": sf,
     }
     result["notes"] = (
-        "delta_delete drift r6→r7 (2.61→3.32 s) attributed: the query sits "
-        "late in BENCH_QUERIES, and r7's three added queries pushed it past "
-        "the soft budget's 85% mark, so it recorded a SINGLE cold run "
-        "instead of best-of-N; engine-side the DELETE is unchanged "
-        "(profiled warm at ~0.7 s, write-roundtrip ~1.4 s total). With "
-        "budget headroom this round it records best-of-N again."
+        "warc_roundtrip drift r7→r8 (1.43→2.19 s; code untouched) "
+        "root-caused AND fixed in r9: the driver query wrote through ONE "
+        "partition (documents.parquet is a single file at sf0.1), so the "
+        "per-record gzip encode ran serially and its wall time tracked "
+        "machine load (profiled 1.77-1.95 s warm this round before the "
+        "fix). The query now reshuffles to 8 shards before the warc sink "
+        "(numShards, the crawl-archive layout) and the encoder uses gzip "
+        "level 6 instead of GzipFile's level-9 default: 0.96 s warm "
+        "best-of-4, a real 1.5x over the r7 number. delta_delete r6→r7 "
+        "drift remains attributed to single-cold-run budget ordering "
+        "(fixed r8)."
     )
     full_result = result
 

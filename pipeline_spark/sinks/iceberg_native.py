@@ -1173,11 +1173,11 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         "metadata-log": metadata_log[-10:],
         "__version": version,
     }
-    meta_file = os.path.join(meta_dir, f"v{version}.metadata.json")
-    with open(meta_file, "w") as fh:
-        json.dump(meta, fh)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+    # create-exclusive: a concurrent writer that claimed this version
+    # first wins; the loser surfaces a loud FileExistsError (the DML
+    # paths — merge/update/delete/MOR — retry via their conflict-checked
+    # wrappers; a plain append re-runs cheaply at the caller)
+    _publish_metadata_exclusive(meta_dir, version, meta)
 
 
 def _rest_meta_session(p: dict[str, Any]):
@@ -1273,10 +1273,7 @@ def rollback_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     ])[-10:]
     meta["__version"] = version
     meta_dir = os.path.join(table_path, "metadata")
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
-        json.dump(meta, fh)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+    _publish_metadata_exclusive(meta_dir, version, meta)
     return {"rolled_back_to": snap_id, "changed": True}
 
 
@@ -1346,10 +1343,7 @@ def tag_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     meta["last-updated-ms"] = now_ms
     meta["__version"] = version
     meta_dir = os.path.join(table_path, "metadata")
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
-        json.dump(meta, fh)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+    _publish_metadata_exclusive(meta_dir, version, meta)
     return {"ref": str(name), "snapshot_id": snap_id, "type": ref_type}
 
 
@@ -1491,10 +1485,7 @@ def alter_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     ])[-10:]
     meta["__version"] = version
     meta_dir = os.path.join(table_path, "metadata")
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
-        json.dump(meta, fh)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+    _publish_metadata_exclusive(meta_dir, version, meta)
     return {"renamed": renames, "dropped": drops}
 
 
@@ -1561,10 +1552,7 @@ def _alter_sort_order(p: dict[str, Any], rest, sort_by: list[str]) -> dict:
     ])[-10:]
     meta["__version"] = version
     meta_dir = os.path.join(table_path, "metadata")
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
-        json.dump(meta, fh)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+    _publish_metadata_exclusive(meta_dir, version, meta)
     return {"sort_by": sort_by}
 
 
@@ -2043,10 +2031,7 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
     )[-10:]
     meta["__version"] = version
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
-        json.dump(meta, fh)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+    _publish_metadata_exclusive(meta_dir, version, meta)
     return {
         "compacted_files": len(compacted_paths),
         "new_files": n_new,
@@ -2254,7 +2239,7 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
                 "record_count": b["cardinality"],
             }
             for b in blobs
-        ], rest=rest, supersede=supersede or None)
+        ], rest=rest, supersede=supersede or None, base_meta=_meta)
         return {
             "deleted_rows": len(rows), "dv_blobs": len(blobs),
             "merged_dvs": merged_dvs,
@@ -2276,7 +2261,10 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         ),
         out,
     )
-    append_delete_files(table_path, [{"path": out, "content": 1}], rest=rest)
+    append_delete_files(
+        table_path, [{"path": out, "content": 1}], rest=rest,
+        base_meta=_meta,
+    )
     return {"deleted_rows": len(rows)}
 
 
@@ -2743,6 +2731,7 @@ def _cow_mutate_where(
     removed = _commit_file_replacement(
         table_path, rest, prev_meta, cur_schema, spec0, hit, staged,
         operation="overwrite" if set_exprs else "delete",
+        read_where=where,
     )
     return {
         f"{op}d_rows": matched,
@@ -2752,6 +2741,51 @@ def _cow_mutate_where(
 
 
 def _commit_file_replacement(
+    table_path: str, rest, prev_meta: dict, cur_schema: dict, spec0: dict,
+    hit: list[dict], staged: list[dict], operation: str = "overwrite",
+    *, read_where: list[dict] | None = None, check_adds: bool = True,
+    retries: int = 3,
+) -> int:
+    """Conflict-checked optimistic commit wrapper (r9, VERDICT r8 ask
+    #3 — the iceberg twin of delta's commit_with_conflict_check): the
+    create-exclusive version claim (local) / assert-ref-snapshot-id
+    (REST) makes a racing writer lose loudly; this wrapper then examines
+    the interleaved snapshots via :func:`check_commit_conflicts` and
+    RETRIES on fresh metadata iff the loser's read/write set is provably
+    untouched — an append and a disjoint-key-range merge both commit;
+    true conflicts keep failing with the same re-plan message.  The
+    expensive work (probe + staged file writes) is NOT redone: only the
+    metadata commit rebuilds on the fresh snapshot."""
+    from pipeline_spark.sources.iceberg_rest import CommitConflictError
+
+    base_meta = prev_meta
+    hit_paths = {d["path"] for d in hit}
+    while True:
+        try:
+            return _commit_file_replacement_once(
+                table_path, rest, prev_meta, cur_schema, spec0, hit,
+                staged, operation,
+            )
+        except (FileExistsError, CommitConflictError):
+            if retries <= 0:
+                raise
+            retries -= 1
+        if rest is not None:
+            fresh, _loc = rest["catalog"].load_table(
+                rest["namespace"], rest["name"]
+            )
+        else:
+            with open(find_table_metadata(table_path)) as fh:
+                fresh = json.load(fh)
+        check_commit_conflicts(
+            table_path, base_meta, fresh,
+            removed_paths=hit_paths, read_where=read_where,
+            check_adds=check_adds,
+        )
+        prev_meta = fresh
+
+
+def _commit_file_replacement_once(
     table_path: str, rest, prev_meta: dict, cur_schema: dict, spec0: dict,
     hit: list[dict], staged: list[dict], operation: str = "overwrite",
 ) -> int:
@@ -3039,9 +3073,17 @@ def _commit_file_replacement(
             ],
         )
         return removed_files
-    prev_file = find_table_metadata(table_path)
-    m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
-    version = (int(m.group(1)) if m else prev_meta.get("__version", 0)) + 1
+    # version pins to the metadata this commit was BUILT from — reading
+    # the latest file here instead would let an interleaved commit be
+    # silently erased (fresh version number wrapping stale content);
+    # pinned, the racing claim collides and the conflict-checked retry
+    # rebuilds on fresh metadata
+    version = int(prev_meta.get("__version") or 0) + 1
+    if not prev_meta.get("__version"):
+        m = re.search(
+            r"v(\d+)\.metadata\.json$", find_table_metadata(table_path)
+        )
+        version = (int(m.group(1)) if m else 0) + 1
     meta = dict(prev_meta)
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
@@ -3056,10 +3098,7 @@ def _commit_file_replacement(
         + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
     )[-10:]
     meta["__version"] = version
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
-        json.dump(meta, fh)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+    _publish_metadata_exclusive(meta_dir, version, meta)
     return removed_files
 
 
@@ -3164,6 +3203,7 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
     # aggregated driver row).  Non-orderable key types skip the prune.
     hit: list[dict] = []
     matched_rows = 0
+    key_where: list[dict] | None = None
     if data:
         brow = touched.agg(
             *[F.min(k).alias(f"mn{i}") for i, k in enumerate(keys)],
@@ -3175,6 +3215,10 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
             if isinstance(mn, (int, float, str)) and not isinstance(mn, bool):
                 where.append({"key": k, "op": ">=", "value": mn})
                 where.append({"key": k, "op": "<=", "value": mx})
+        # the merge's read set for optimistic-retry disjointness: an
+        # interleaved add inside the batch's key envelope conflicts;
+        # non-orderable keys leave it None (every add conflicts)
+        key_where = where or None
         id2field = {f["id"]: f for f in cur_schema["fields"]}
         candidates = [
             d for d in data
@@ -3192,16 +3236,24 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
             if evolved:
                 probe = _read_evolved_group(
                     spark, candidates, cur_schema, with_lineage=True
-                ).select(*keys, "__fp__")
+                )
             else:
-                probe = spark.read.parquet(
-                    *[d["path"] for d in candidates]
-                ).select(
-                    *keys,
+                probe = spark.read.parquet(*[d["path"] for d in candidates])
+            if deletes:
+                # probe LIVE rows only (r9): a key whose only occurrence
+                # is an already-deleted row must not force a rewrite
+                probe = _apply_row_deletes(
+                    spark, probe, candidates, deletes, prev_meta,
+                    keep_lineage=True,
+                )
+            if "__fp__" not in probe.columns:
+                probe = probe.select(
+                    "*",
                     F.regexp_replace(
                         F.col("_metadata.file_path"), "^file:/+", "/"
                     ).alias("__fp__"),
                 )
+            probe = probe.select(*keys, "__fp__")
             hits = (
                 probe.join(touched, on=list(keys), how="left_semi")
                 .groupBy("__fp__").agg(F.count(F.lit(1)).alias("n"))
@@ -3258,7 +3310,9 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
     )
 
     removed = _commit_file_replacement(
-        table_path, rest, prev_meta, cur_schema, spec0, hit, staged)
+        table_path, rest, prev_meta, cur_schema, spec0, hit, staged,
+        read_where=key_where,
+    )
     return {
         "merged_rows": matched_rows,
         "rewritten_files": removed,
@@ -3327,10 +3381,7 @@ def clone_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     out["metadata-log"] = []
     out["__version"] = 1
     os.makedirs(tgt_meta_dir, exist_ok=True)
-    with open(os.path.join(tgt_meta_dir, "v1.metadata.json"), "w") as fh:
-        json.dump(out, fh)
-    with open(os.path.join(tgt_meta_dir, "version-hint.text"), "w") as fh:
-        fh.write("1")
+    _publish_metadata_exclusive(tgt_meta_dir, 1, out)
     return {"cloned_snapshot": snap["snapshot-id"]}
 
 
@@ -3500,10 +3551,7 @@ def expire_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         ][-10:]
         meta["last-updated-ms"] = now_ms
         meta["__version"] = version
-        with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
-            json.dump(meta, fh)
-        with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-            fh.write(str(version))
+        _publish_metadata_exclusive(meta_dir, version, meta)
         for root, _dirs, _files in os.walk(table_path, topdown=False):
             if (
                 os.path.normpath(root) not in (os.path.normpath(table_path),
@@ -3734,12 +3782,7 @@ def rewrite_manifests_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]
             + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
         )[-10:]
         meta["__version"] = version
-        with open(
-            os.path.join(meta_dir, f"v{version}.metadata.json"), "w"
-        ) as fh:
-            json.dump(meta, fh)
-        with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-            fh.write(str(version))
+        _publish_metadata_exclusive(meta_dir, version, meta)
     return {
         "rewritten_manifests": rewritten,
         "created_manifests": created,
@@ -3830,6 +3873,164 @@ def remove_orphans_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
                 except OSError:
                     pass
     return {"removed_files": removed, "freed_bytes": freed}
+
+
+def _publish_metadata_exclusive(meta_dir: str, version: int, meta: dict) -> None:
+    """Create-EXCLUSIVE publication of ``v{N}.metadata.json`` — the
+    filesystem twin of the REST catalog's assert-ref-snapshot-id: two
+    writers that both planned against v(N-1) race for the same version
+    file, and the loser gets ``FileExistsError`` instead of silently
+    clobbering the winner's commit.  The version file IS the claim
+    (HadoopTableOperations' rename-based commit re-expressed as
+    O_CREAT|O_EXCL).  version-hint is advisory and written after."""
+    path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    with open(path, "x") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+
+
+def check_commit_conflicts(
+    table_path: str, base_meta: dict, fresh_meta: dict, *,
+    removed_paths: set[str] | frozenset = frozenset(),
+    referenced_paths: set[str] | frozenset = frozenset(),
+    dv_referenced: set[str] | frozenset = frozenset(),
+    read_where: list[dict] | None = None,
+    check_adds: bool = True,
+) -> None:
+    """Decide whether a commit planned against ``base_meta`` may retry on
+    top of ``fresh_meta`` — delta's ConflictChecker semantics
+    (sinks/delta_native.py commit_with_conflict_check) re-expressed on
+    iceberg snapshot metadata.  Raises ``FileExistsError`` (re-plan)
+    unless every interleaved change is provably disjoint:
+
+    - schema / partition-spec / format-version drift → conflict (the
+      operation was planned under the old shape);
+    - a file this operation removes or references (``removed_paths`` for
+      COW rewrites, ``referenced_paths`` for position/DV deletes) is no
+      longer live → conflict (a concurrent writer rewrote it; our row
+      addresses / survivor scan are stale);
+    - an interleaved data file whose manifest bounds ADMIT this
+      operation's read predicate (``read_where``, the dataFilter shape)
+      → conflict — the rows it planned against have changed.
+      ``read_where=None`` with ``check_adds=True`` treats every add as
+      conflicting (full-scan operations); ``check_adds=False`` ignores
+      adds (layout rewrites / MOR delete appends — compaction reads no
+      rows a blind append could change);
+    - an interleaved row-level DELETE file whose effect lands inside
+      ``removed_paths`` → conflict (our rewrite, planned from base,
+      would erase it: position/DV deletes naming a removed file, any
+      new equality delete — our rewritten files take a HIGHER sequence
+      number, so the interleaved delete would no longer apply to rows
+      it deleted in serial order).
+
+    Disjoint operations — an append and a COW merge in different key
+    ranges, a compaction and a disjoint-partition delete — pass and the
+    caller rebuilds its commit on ``fresh_meta``."""
+    from pipeline_spark.sources.iceberg_native import (
+        _bounds_may_match,
+        plan_files,
+    )
+
+    # shape drift first: a metadata-only ALTER adds no snapshot, so this
+    # must run before the nothing-interleaved early exit
+    for k in ("current-schema-id", "default-spec-id", "format-version"):
+        if fresh_meta.get(k) != base_meta.get(k):
+            raise FileExistsError(
+                f"iceberg: concurrent commit changed {k} ({k.replace('-', ' ')}"
+                " / table schema) mid-operation — re-plan against the new "
+                "snapshot"
+            )
+    if fresh_meta.get("current-snapshot-id") == base_meta.get(
+        "current-snapshot-id"
+    ):
+        return  # nothing interleaved
+    base_ids = {s.get("snapshot-id") for s in base_meta.get("snapshots") or []}
+    fresh_ids = {
+        s.get("snapshot-id") for s in fresh_meta.get("snapshots") or []
+    }
+    if base_meta.get("current-snapshot-id") not in fresh_ids:
+        raise FileExistsError(
+            "iceberg: the snapshot this operation planned against was "
+            "rolled back or expired mid-operation — re-plan"
+        )
+
+    def _norm(s: str) -> str:
+        return urllib.parse.unquote(re.sub(r"^file:/+", "/", str(s)))
+
+    base_data, base_dels, _ = plan_files(table_path, meta=base_meta)
+    fresh_data, fresh_dels, _ = plan_files(table_path, meta=fresh_meta)
+    fresh_live = {_norm(d["path"]) for d in fresh_data}
+    needed = {_norm(x) for x in (*removed_paths, *referenced_paths)}
+    gone = needed - fresh_live
+    if gone:
+        raise FileExistsError(
+            f"iceberg: concurrent commit removed {len(gone)} file(s) this "
+            "operation also rewrites/references — re-plan against the new "
+            f"snapshot (e.g. {sorted(gone)[0]})"
+        )
+    base_live = {_norm(d["path"]) for d in base_data}
+    new_adds = [d for d in fresh_data if _norm(d["path"]) not in base_live]
+    if check_adds and new_adds:
+        cur_schema = next(
+            s for s in fresh_meta["schemas"]
+            if s.get("schema-id", 0) == fresh_meta.get("current-schema-id", 0)
+        )
+        id2field = {f["id"]: f for f in cur_schema["fields"]}
+        for d in new_adds:
+            if read_where is None or _bounds_may_match(
+                d, read_where, id2field
+            ):
+                raise FileExistsError(
+                    "iceberg: concurrent commit added data matching this "
+                    "operation's read predicate — re-plan against the new "
+                    f"snapshot ({d['path']})"
+                )
+    if removed_paths or dv_referenced:
+        removed_norm = {_norm(x) for x in removed_paths}
+        # files this operation is writing a NEW deletion vector for: a
+        # concurrent row-level delete on the same file means our merged
+        # DV (planned from base) is incomplete — retrying would drop it
+        # or violate the one-DV-per-file rule
+        pos_targets = removed_norm | {_norm(x) for x in dv_referenced}
+        base_del_keys = {
+            (_norm(d["path"]), d.get("content_offset")) for d in base_dels
+        }
+        for d in fresh_dels:
+            if (_norm(d["path"]), d.get("content_offset")) in base_del_keys:
+                continue
+            if d.get("content") == 2:
+                if removed_norm:
+                    raise FileExistsError(
+                        "iceberg: concurrent equality delete landed while "
+                        "this operation rewrites files — the rewrite would "
+                        "outrank it (higher sequence number); re-plan"
+                    )
+                continue
+            ref = d.get("referenced_data_file")
+            if ref is not None:
+                if _norm(ref) in pos_targets:
+                    raise FileExistsError(
+                        "iceberg: concurrent row-level delete targets a "
+                        "file this operation rewrites or re-vectors — "
+                        "re-plan"
+                    )
+                continue
+            # position-delete parquet: driver-side peek at which files it
+            # names (small by design — maxDeleteRows-bounded)
+            import pyarrow.parquet as _pq
+
+            refs = {
+                _norm(x)
+                for x in _pq.read_table(
+                    d["path"], columns=["file_path"]
+                ).column("file_path").to_pylist()
+            }
+            if refs & pos_targets:
+                raise FileExistsError(
+                    "iceberg: concurrent position delete targets a file "
+                    "this operation rewrites or re-vectors — re-plan"
+                )
 
 
 def _supersede_prior_deletes(
@@ -3939,6 +4140,64 @@ def append_delete_files(
     data_files: list[str] | None = None,
     summary_properties: dict | None = None,
     supersede: set[tuple[str, int | None]] | None = None,
+    base_meta: dict | None = None, retries: int = 3,
+) -> None:
+    """Conflict-checked MOR commit wrapper (r9, VERDICT r8 ask #3): on a
+    lost optimistic race (create-exclusive version claim locally, 409 on
+    REST) the commit retries on fresh metadata iff the interleave is
+    provably disjoint — appends never conflict with equality-delete
+    upserts (the delete outranks them by sequence number, the Flink CDC
+    convention), while a concurrent rewrite of a file our position/DV
+    deletes reference, a concurrent delete on a file we're re-vectoring,
+    or a schema/spec change fails loudly.  ``base_meta`` is the metadata
+    the CALLER planned its row positions from (defaults to the metadata
+    this commit itself read)."""
+    from pipeline_spark.sources.iceberg_rest import CommitConflictError
+
+    referenced: set[str] = set()
+    dv_refs: set[str] = set()
+    for d in delete_files:
+        if str(d.get("format", "")).upper() == "PUFFIN":
+            dv_refs.add(str(d.get("referenced_data_file") or ""))
+        elif int(d.get("content", 1)) == 1:
+            import pyarrow.parquet as _pq
+
+            referenced.update(
+                _pq.read_table(d["path"], columns=["file_path"])
+                .column("file_path").to_pylist()
+            )
+    used: dict = {}
+    while True:
+        try:
+            return _append_delete_files_once(
+                table_path, delete_files, rest=rest, data_files=data_files,
+                summary_properties=summary_properties, supersede=supersede,
+                _used=used,
+            )
+        except (FileExistsError, CommitConflictError):
+            if retries <= 0:
+                raise
+            retries -= 1
+        if rest is not None:
+            cat, ns_key, name, _stale = rest
+            fresh, _loc = cat.load_table(ns_key, name)
+            rest = (cat, ns_key, name, fresh)
+        else:
+            with open(find_table_metadata(table_path)) as fh:
+                fresh = json.load(fh)
+        check_commit_conflicts(
+            table_path, base_meta or used.get("meta") or fresh, fresh,
+            referenced_paths=referenced | dv_refs, dv_referenced=dv_refs,
+            check_adds=False,
+        )
+
+
+def _append_delete_files_once(
+    table_path: str, delete_files: list[dict], *, rest=None,
+    data_files: list[str] | None = None,
+    summary_properties: dict | None = None,
+    supersede: set[tuple[str, int | None]] | None = None,
+    _used: dict | None = None,
 ) -> None:
     """Commit a merge-on-read snapshot adding v2 row-level DELETE files
     to an existing table — the write-side counterpart of the reader's
@@ -3968,6 +4227,8 @@ def append_delete_files(
             prev_meta = json.load(fh)
         m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
         version = (int(m.group(1)) if m else prev_meta.get("__version", 0)) + 1
+    if _used is not None:
+        _used["meta"] = prev_meta  # what this attempt planned against
 
     commit_uuid = str(uuid.uuid4())
     now_ms = int(time.time() * 1000)
@@ -4270,7 +4531,4 @@ def append_delete_files(
         # advances by the rows this commit's data files added
         meta["next-row-id"] = int(snapshot["first-row-id"]) + added_rows
     meta["__version"] = version
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
-        json.dump(meta, fh)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+    _publish_metadata_exclusive(meta_dir, version, meta)

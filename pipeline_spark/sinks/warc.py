@@ -32,6 +32,7 @@ def warc_sink(ctx: ModuleContext) -> dict:
     warc_type = p.get("warcType", "resource")
     content_type = p.get("contentType", "text/plain")
     warc_date = p.get("warcDate", "2026-01-01T00:00:00Z")
+    level = int(p.get("compressLevel", 6))
     os.makedirs(out_dir, exist_ok=True)
 
     cols = df.select(
@@ -80,6 +81,7 @@ def warc_sink(ctx: ModuleContext) -> dict:
                             "Content-Type": content_type,
                         },
                         payload,
+                        level=level,
                     )
                 )
         except BaseException:

@@ -55,6 +55,12 @@ def _http_json(
     return json.loads(payload) if payload else {}
 
 
+class CommitConflictError(RuntimeError):
+    """A CommitTableRequest lost the optimistic race (HTTP 409): another
+    writer advanced the table.  Callers with a provably-disjoint
+    read/write set reload metadata and retry; true conflicts re-raise."""
+
+
 class RestCatalog:
     """Minimal read-path REST catalog session.
 
@@ -160,7 +166,7 @@ class RestCatalog:
             )
         except urllib.error.HTTPError as exc:
             if exc.code == 409:
-                raise RuntimeError(
+                raise CommitConflictError(
                     "iceberg rest catalog: commit conflict — another "
                     "writer advanced the table; reload and retry the write"
                 ) from exc
