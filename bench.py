@@ -298,11 +298,16 @@ def main() -> None:
         )
         from pipeline_spark.sinks.iceberg_native import (
             clone_iceberg_native,
+            delete_iceberg_native,
             merge_iceberg_native,
             rewrite_manifests_iceberg_native,
             update_iceberg_native,
             upsert_iceberg_native,
             write_iceberg_native,
+        )
+        from pipeline_spark.sources.iceberg_native import (
+            find_table_metadata,
+            read_iceberg_changelog,
         )
 
         def _t(fn):
@@ -345,6 +350,17 @@ def main() -> None:
                         "where": [{"key": "doc_id", "op": "<",
                                    "value": 250}],
                         "set": {"n_chars": "n_chars + 1"}}))
+            # r9 (VERDICT r8 ask #5): puffin-DV delete + a FIXED-RANGE
+            # changelog read (only the DV-delete snapshot) on the 10×
+            # table — both must track the batch, not the table
+            before_dv = json.load(
+                open(find_table_metadata(it)))["current-snapshot-id"]
+            d["iceberg_delete_dv_puffin"] = _t(lambda: delete_iceberg_native(
+                spark, {"path": it, "format": "puffin", "where": [
+                    {"key": "doc_id", "op": ">=", "value": 250},
+                    {"key": "doc_id", "op": "<", "value": 500}]}))
+            d["iceberg_changelog_read"] = _t(lambda: read_iceberg_changelog(
+                spark, {"path": it, "fromSnapshotId": before_dv}).count())
             d["iceberg_rewrite_manifests"] = _t(
                 lambda: rewrite_manifests_iceberg_native(
                     spark, {"path": it}))
