@@ -5462,7 +5462,7 @@ def q_convert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_CONVERT_RT_SQL = """
-SELECT lang, count(*) AS n, sum(n_chars) AS chars
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
 FROM documents WHERE doc_id < 400
 GROUP BY lang ORDER BY lang
 """

@@ -786,398 +786,450 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
             vals[fld["name"]] = parse_dir_value(raw, kind)
         return vals
 
-    seq = (prev_meta or {}).get("last-sequence-number", 0) + 1
+    # 2-4. manifest / manifest list / snapshot / metadata — built from
+    # (prev_meta, prev_version) inside a closure so a lost optimistic
+    # race can rebase the COMMIT on fresh metadata without re-staging
+    # the data files (r9: the append twin of the DML retry wrappers).
+    def _commit(prev_meta, prev_version):
+        seq = (prev_meta or {}).get("last-sequence-number", 0) + 1
 
-    # 2. manifest (one per commit; entries = the new files)
-    entries = []
-    added_rows = 0
-    for path in data_files:
-        rows, size = _parquet_stats(path)
-        if rows == 0:
-            # empty shuffle partitions produce empty part files; keep the
-            # manifest (and later scans) to live data only
-            os.remove(path)
-            continue
-        added_rows += rows
-        entries.append(
+        # 2. manifest (one per commit; entries = the new files)
+        entries = []
+        added_rows = 0
+        for path in data_files:
+            if not os.path.exists(path):
+                continue  # empty part removed by a prior commit attempt
+            rows, size = _parquet_stats(path)
+            if rows == 0:
+                # empty shuffle partitions produce empty part files; keep the
+                # manifest (and later scans) to live data only
+                os.remove(path)
+                continue
+            added_rows += rows
+            entries.append(
+                {
+                    "status": _STATUS_ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": path,
+                        "file_format": "PARQUET",
+                        "partition": _partition_values(path),
+                        "record_count": rows,
+                        "file_size_in_bytes": size,
+                        "equality_ids": None,
+                    },
+                }
+            )
+        live_files = [e["data_file"]["file_path"] for e in entries]
+        if reuse_schema is not None:
+            schema = reuse_schema
+            last_column_id = (
+                evolved_last_column_id
+                if evolved_last_column_id is not None
+                else (prev_meta or {}).get("last-column-id", 0)
+            )
+        else:
+            schema = iceberg_schema(df.schema)
+            last_column_id = schema.pop("__last_column_id")
+        source_ids = {f["name"]: f["id"] for f in schema["fields"]}
+
+        # per-file column stats (field-id-keyed null counts + Appendix-D
+        # serialized bounds) so readers can skip files at the MANIFEST level
+        colmap = {
+            f["name"]: (f["id"], f["type"])
+            for f in schema["fields"]
+            if isinstance(f["type"], str)
+        }
+        if colmap:
+            for e in entries:
+                nulls, lows, highs = _footer_column_stats(
+                    e["data_file"]["file_path"], colmap
+                )
+                e["data_file"]["null_value_counts"] = nulls
+                e["data_file"]["lower_bounds"] = lows
+                e["data_file"]["upper_bounds"] = highs
+        part_avro_fields = [
             {
-                "status": _STATUS_ADDED,
-                "snapshot_id": snapshot_id,
+                "name": fld["name"],
+                "type": ["null", avro_partition_type(kind)],
+                "default": None,
+                "field-id": part_field_ids[i],
+            }
+            for i, (_tmp, fld, kind) in enumerate(part_info)
+        ]
+        spec_fields = [
+            {
+                "name": fld["name"],
+                "transform": spec_transform_str(fld),
+                "source-id": source_ids[fld["source"]],
+                "field-id": part_field_ids[i],
+            }
+            for i, (_tmp, fld, _kind) in enumerate(part_info)
+        ]
+        manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
+        manifest_bytes = write_ocf_bytes(
+            _manifest_entry_schema(part_avro_fields),
+            entries,
+            extra_meta={
+                "schema": json.dumps(schema),
+                "partition-spec": json.dumps(spec_fields),
+                "partition-spec-id": str(this_spec_id),
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        with open(manifest_path, "wb") as fh:
+            fh.write(manifest_bytes)
+
+        # 3. manifest list: prior snapshot's manifests (append) + the new one.
+        # A branch append chains from the BRANCH head (forking from main's
+        # current state the first time the branch is written).
+        manifests = []
+        if mode == "append" and prev_meta is not None:
+            head_id = prev_meta.get("current-snapshot-id")
+            if branch:
+                head_id = (
+                    (prev_meta.get("refs") or {}).get(branch) or {}
+                ).get("snapshot-id", head_id)
+            prev_snap = next(
+                (
+                    s
+                    for s in prev_meta.get("snapshots", [])
+                    if s.get("snapshot-id") == head_id
+                ),
+                None,
+            )
+            if prev_snap is not None:
+                from pipeline_spark.functions.avroocf import read_ocf_file
+
+                prev_list = re.sub(
+                    r"^file:/{0,2}(/)", r"\1", prev_snap["manifest-list"]
+                )
+                _, prev_manifests = read_ocf_file(prev_list)
+                manifests.extend(dict(m) for m in prev_manifests)
+        manifests.append(
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": len(manifest_bytes),
+                "partition_spec_id": this_spec_id,
+                "content": 0,
                 "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": {
-                    "content": 0,
-                    "file_path": path,
-                    "file_format": "PARQUET",
-                    "partition": _partition_values(path),
-                    "record_count": rows,
-                    "file_size_in_bytes": size,
-                    "equality_ids": None,
-                },
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(live_files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": added_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
             }
         )
-    data_files = [e["data_file"]["file_path"] for e in entries]
-    if reuse_schema is not None:
-        schema = reuse_schema
-        last_column_id = (
-            evolved_last_column_id
-            if evolved_last_column_id is not None
-            else (prev_meta or {}).get("last-column-id", 0)
+        list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
+        list_bytes = write_ocf_bytes(
+            _MANIFEST_FILE_SCHEMA,
+            manifests,
+            extra_meta={"format-version": "2", "snapshot-id": str(snapshot_id)},
         )
-    else:
-        schema = iceberg_schema(df.schema)
-        last_column_id = schema.pop("__last_column_id")
-    source_ids = {f["name"]: f["id"] for f in schema["fields"]}
+        with open(list_path, "wb") as fh:
+            fh.write(list_bytes)
 
-    # per-file column stats (field-id-keyed null counts + Appendix-D
-    # serialized bounds) so readers can skip files at the MANIFEST level
-    colmap = {
-        f["name"]: (f["id"], f["type"])
-        for f in schema["fields"]
-        if isinstance(f["type"], str)
-    }
-    if colmap:
-        for e in entries:
-            nulls, lows, highs = _footer_column_stats(
-                e["data_file"]["file_path"], colmap
-            )
-            e["data_file"]["null_value_counts"] = nulls
-            e["data_file"]["lower_bounds"] = lows
-            e["data_file"]["upper_bounds"] = highs
-    part_avro_fields = [
-        {
-            "name": fld["name"],
-            "type": ["null", avro_partition_type(kind)],
-            "default": None,
-            "field-id": part_field_ids[i],
+        # 4. table metadata vN + version-hint (HadoopCatalog convention)
+        total_rows = sum(m["added_rows_count"] + m["existing_rows_count"] for m in manifests)
+        total_files = sum(m["added_files_count"] + m["existing_files_count"] for m in manifests)
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": list_path,
+            "schema-id": 0,
+            "summary": {
+                "operation": "append" if mode == "append" else "overwrite",
+                "added-data-files": str(len(live_files)),
+                "added-records": str(added_rows),
+                "total-records": str(total_rows),
+                "total-data-files": str(total_files),
+                # caller bookkeeping (spec: summary is a string map) — the
+                # streaming sink stamps its (appId, batchId) here for
+                # exactly-once replay detection, Flink's own pattern
+                **{str(k): str(v)
+                   for k, v in (p.get("summaryProperties") or {}).items()},
+            },
         }
-        for i, (_tmp, fld, kind) in enumerate(part_info)
-    ]
-    spec_fields = [
-        {
-            "name": fld["name"],
-            "transform": spec_transform_str(fld),
-            "source-id": source_ids[fld["source"]],
-            "field-id": part_field_ids[i],
-        }
-        for i, (_tmp, fld, _kind) in enumerate(part_info)
-    ]
-    manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
-    manifest_bytes = write_ocf_bytes(
-        _manifest_entry_schema(part_avro_fields),
-        entries,
-        extra_meta={
-            "schema": json.dumps(schema),
-            "partition-spec": json.dumps(spec_fields),
-            "partition-spec-id": str(this_spec_id),
-            "format-version": "2",
-            "content": "data",
-        },
-    )
-    with open(manifest_path, "wb") as fh:
-        fh.write(manifest_bytes)
-
-    # 3. manifest list: prior snapshot's manifests (append) + the new one.
-    # A branch append chains from the BRANCH head (forking from main's
-    # current state the first time the branch is written).
-    manifests = []
-    if mode == "append" and prev_meta is not None:
-        head_id = prev_meta.get("current-snapshot-id")
-        if branch:
-            head_id = (
-                (prev_meta.get("refs") or {}).get(branch) or {}
-            ).get("snapshot-id", head_id)
-        prev_snap = next(
-            (
-                s
-                for s in prev_meta.get("snapshots", [])
-                if s.get("snapshot-id") == head_id
-            ),
-            None,
-        )
-        if prev_snap is not None:
-            from pipeline_spark.functions.avroocf import read_ocf_file
-
-            prev_list = re.sub(
-                r"^file:/{0,2}(/)", r"\1", prev_snap["manifest-list"]
-            )
-            _, prev_manifests = read_ocf_file(prev_list)
-            manifests.extend(dict(m) for m in prev_manifests)
-    manifests.append(
-        {
-            "manifest_path": manifest_path,
-            "manifest_length": len(manifest_bytes),
-            "partition_spec_id": this_spec_id,
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(data_files),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": added_rows,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-        }
-    )
-    list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
-    list_bytes = write_ocf_bytes(
-        _MANIFEST_FILE_SCHEMA,
-        manifests,
-        extra_meta={"format-version": "2", "snapshot-id": str(snapshot_id)},
-    )
-    with open(list_path, "wb") as fh:
-        fh.write(list_bytes)
-
-    # 4. table metadata vN + version-hint (HadoopCatalog convention)
-    total_rows = sum(m["added_rows_count"] + m["existing_rows_count"] for m in manifests)
-    total_files = sum(m["added_files_count"] + m["existing_files_count"] for m in manifests)
-    snapshot = {
-        "snapshot-id": snapshot_id,
-        "sequence-number": seq,
-        "timestamp-ms": now_ms,
-        "manifest-list": list_path,
-        "schema-id": 0,
-        "summary": {
-            "operation": "append" if mode == "append" else "overwrite",
-            "added-data-files": str(len(data_files)),
-            "added-records": str(added_rows),
-            "total-records": str(total_rows),
-            "total-data-files": str(total_files),
-            # caller bookkeeping (spec: summary is a string map) — the
-            # streaming sink stamps its (appId, batchId) here for
-            # exactly-once replay detection, Flink's own pattern
-            **{str(k): str(v)
-               for k, v in (p.get("summaryProperties") or {}).items()},
-        },
-    }
-    if rest is not None:
-        # catalog-owned metadata: the commit is the spec's optimistic
-        # CommitTableRequest — the staged snapshot either lands atomically
-        # on the asserted ref or conflicts loudly.  A branch write asserts
-        # and moves ONLY the branch ref (assert-ref-snapshot-id with a
-        # null snapshot-id = "the ref must not exist yet", per the spec),
-        # so main and a concurrent branch writer never race each other.
-        cat = rest["catalog"]
-        ref_name = branch or "main"
-        updates: list[dict] = []
-        if prev_meta is None:
-            cat.create_table(rest["namespace"], {
-                "name": rest["name"],
-                "location": table_path,
-                "schema": {**schema, "identifier-field-ids": []},
-                "partition-spec": {"spec-id": 0, "fields": spec_fields},
-                "write-order": (
-                    {"order-id": 1, "fields": [
-                        {"transform": "identity",
-                         "source-id": source_ids[c],
-                         "direction": "asc", "null-order": "nulls-first"}
-                        for c in sort_by
-                    ]} if sort_by else None
-                ),
-                "stage-create": False,
-                "properties": {
-                    "write.format.default": "parquet",
-                    "schema.name-mapping.default": json.dumps(
-                        _name_mapping(schema["fields"])
+        if rest is not None:
+            # catalog-owned metadata: the commit is the spec's optimistic
+            # CommitTableRequest — the staged snapshot either lands atomically
+            # on the asserted ref or conflicts loudly.  A branch write asserts
+            # and moves ONLY the branch ref (assert-ref-snapshot-id with a
+            # null snapshot-id = "the ref must not exist yet", per the spec),
+            # so main and a concurrent branch writer never race each other.
+            cat = rest["catalog"]
+            ref_name = branch or "main"
+            updates: list[dict] = []
+            if prev_meta is None:
+                cat.create_table(rest["namespace"], {
+                    "name": rest["name"],
+                    "location": table_path,
+                    "schema": {**schema, "identifier-field-ids": []},
+                    "partition-spec": {"spec-id": 0, "fields": spec_fields},
+                    "write-order": (
+                        {"order-id": 1, "fields": [
+                            {"transform": "identity",
+                             "source-id": source_ids[c],
+                             "direction": "asc", "null-order": "nulls-first"}
+                            for c in sort_by
+                        ]} if sort_by else None
                     ),
-                },
-            })
-            prev_snap_id = None
-        else:
-            if branch:
-                prev_snap_id = (
-                    (prev_meta.get("refs") or {}).get(branch) or {}
-                ).get("snapshot-id")
-            else:
-                prev_snap_id = prev_meta.get("current-snapshot-id")
-            if evolved_last_column_id is not None:
-                # mergeSchema on a catalog table: the evolution and the
-                # snapshot land in ONE optimistic commit (spec's
-                # add-schema + set-current-schema; -1 = the just-added)
-                new_sid = max(
-                    (s.get("schema-id", 0)
-                     for s in prev_meta.get("schemas", [])),
-                    default=0,
-                ) + 1
-                snapshot["schema-id"] = new_sid
-                updates.append({
-                    "action": "add-schema",
-                    "schema": {**schema, "schema-id": new_sid},
-                    "last-column-id": evolved_last_column_id,
+                    "stage-create": False,
+                    "properties": {
+                        "write.format.default": "parquet",
+                        "schema.name-mapping.default": json.dumps(
+                            _name_mapping(schema["fields"])
+                        ),
+                    },
                 })
-                updates.append(
-                    {"action": "set-current-schema", "schema-id": -1}
-                )
-        if evolve_spec:
-            # spec evolution rides the SAME optimistic commit (spec's
-            # add-spec + set-default-spec; -1 = the just-added spec)
+                prev_snap_id = None
+            else:
+                if branch:
+                    prev_snap_id = (
+                        (prev_meta.get("refs") or {}).get(branch) or {}
+                    ).get("snapshot-id")
+                else:
+                    prev_snap_id = prev_meta.get("current-snapshot-id")
+                if evolved_last_column_id is not None:
+                    # mergeSchema on a catalog table: the evolution and the
+                    # snapshot land in ONE optimistic commit (spec's
+                    # add-schema + set-current-schema; -1 = the just-added)
+                    new_sid = max(
+                        (s.get("schema-id", 0)
+                         for s in prev_meta.get("schemas", [])),
+                        default=0,
+                    ) + 1
+                    snapshot["schema-id"] = new_sid
+                    updates.append({
+                        "action": "add-schema",
+                        "schema": {**schema, "schema-id": new_sid},
+                        "last-column-id": evolved_last_column_id,
+                    })
+                    updates.append(
+                        {"action": "set-current-schema", "schema-id": -1}
+                    )
+            if evolve_spec:
+                # spec evolution rides the SAME optimistic commit (spec's
+                # add-spec + set-default-spec; -1 = the just-added spec)
+                updates.append({
+                    "action": "add-spec",
+                    "spec": {"spec-id": this_spec_id, "fields": spec_fields},
+                })
+                updates.append({"action": "set-default-spec", "spec-id": -1})
+            updates.append({"action": "add-snapshot", "snapshot": snapshot})
             updates.append({
-                "action": "add-spec",
-                "spec": {"spec-id": this_spec_id, "fields": spec_fields},
+                "action": "set-snapshot-ref", "ref-name": ref_name,
+                "type": "branch", "snapshot-id": snapshot_id,
             })
-            updates.append({"action": "set-default-spec", "spec-id": -1})
-        updates.append({"action": "add-snapshot", "snapshot": snapshot})
-        updates.append({
-            "action": "set-snapshot-ref", "ref-name": ref_name,
-            "type": "branch", "snapshot-id": snapshot_id,
-        })
-        cat.commit_table(
-            rest["namespace"], rest["name"],
-            requirements=[{
-                "type": "assert-ref-snapshot-id",
-                "ref": ref_name,
-                "snapshot-id": prev_snap_id,
-            }],
-            updates=updates,
-        )
-        return
-    if prev_meta is not None:
-        version = prev_version + 1
-        snapshots = list(prev_meta.get("snapshots", [])) + [snapshot]
-        snapshot_log = list(prev_meta.get("snapshot-log", []))
-        metadata_log = list(prev_meta.get("metadata-log", []))
-        table_uuid = prev_meta.get("table-uuid", commit_uuid)
-        last_column_id = max(last_column_id, prev_meta.get("last-column-id", 0))
-        refs = dict(prev_meta.get("refs") or {})
-    else:
-        version = 1
-        snapshots = [snapshot]
-        snapshot_log = []
-        metadata_log = []
-        table_uuid = commit_uuid
-        refs = {}
-    if branch and prev_meta is not None:
-        # branch write: only the branch ref moves; main (current) and
-        # the main snapshot-log stay where they are
-        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
-        current_id = prev_meta.get("current-snapshot-id")
-    else:
-        refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
-        current_id = snapshot_id
-        snapshot_log.append(
-            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
-        )
-
-    prev_file = os.path.join(meta_dir, f"v{version - 1}.metadata.json")
-    if version > 1 and os.path.exists(prev_file):
-        metadata_log.append({"timestamp-ms": now_ms, "metadata-file": prev_file})
-
-    # schema history (r7): appends PRESERVE the table's schema list and
-    # name-mapping — a reused schema changes nothing; a mergeSchema
-    # evolution ADDS the evolved schema under a fresh schema-id (spec
-    # rule: schemas are immutable once written, history shows the names
-    # of its day) and MERGES new fields into the existing name-mapping
-    # so names recorded by earlier alters keep resolving.
-    if mode == "append" and prev_meta is not None:
-        schemas_list = [dict(s) for s in prev_meta.get("schemas", [])]
-        cur_sid = prev_meta.get("current-schema-id", 0)
-        props = dict(prev_meta.get("properties") or {})
-        if evolved_last_column_id is not None:
-            cur_sid = max(
-                (s.get("schema-id", 0) for s in schemas_list), default=0
-            ) + 1
-            schemas_list.append({**schema, "schema-id": cur_sid})
-            prior: dict[int, list[str]] = {}
-            try:
-                for e in json.loads(
-                    props.get("schema.name-mapping.default", "[]")
-                ):
-                    if e.get("field-id") is not None:
-                        prior[int(e["field-id"])] = list(e.get("names") or [])
-            except (ValueError, TypeError):
-                prior = {}
-            mapping = []
-            for f in schema["fields"]:
-                entry_names = [f["name"]] + [
-                    n for n in prior.get(f["id"], []) if n != f["name"]
-                ]
-                mapping.append({"field-id": f["id"], "names": entry_names})
-            props["schema.name-mapping.default"] = json.dumps(mapping)
-        props.setdefault("write.format.default", "parquet")
-    else:
-        schemas_list = [{**schema, "schema-id": 0}]
-        cur_sid = 0
-        props = {
-            # user table properties first (e.g. the spec's per-column
-            # write.parquet.bloom-filter-enabled.column.X), reserved
-            # keys below always win
-            **{str(k): str(v) for k, v in (p.get("properties") or {}).items()},
-            "write.format.default": "parquet",
-            "schema.name-mapping.default": json.dumps(
-                _name_mapping(schema["fields"])
-            ),
-        }
-    snapshot["schema-id"] = cur_sid
-
-    # partition specs: appends preserve the table's spec history (an
-    # evolution ADDS the new spec and flips the default; a reuse changes
-    # nothing); create/overwrite start fresh at spec-id 0
-    if mode == "append" and prev_meta is not None:
-        specs_list = [
-            dict(sp) for sp in (prev_meta.get("partition-specs") or []) if sp
-        ]
-        if evolve_spec or not specs_list:
-            specs_list.append({"spec-id": this_spec_id, "fields": spec_fields})
-        last_partition_id = max(
-            [int(prev_meta.get("last-partition-id", 999))]
-            + [f["field-id"] for f in spec_fields]
-        )
-    else:
-        specs_list = [{"spec-id": 0, "fields": spec_fields}]
-        last_partition_id = 999 + len(spec_fields)
-
-    # sort orders: create-with-sortBy records order-id 1 and makes it
-    # the default; appends preserve the table's order history verbatim
-    if mode == "append" and prev_meta is not None:
-        sort_orders_list = [
-            dict(o) for o in (
-                prev_meta.get("sort-orders")
-                or [{"order-id": 0, "fields": []}]
+            cat.commit_table(
+                rest["namespace"], rest["name"],
+                requirements=[{
+                    "type": "assert-ref-snapshot-id",
+                    "ref": ref_name,
+                    "snapshot-id": prev_snap_id,
+                }],
+                updates=updates,
             )
-        ]
-        default_sort_id = prev_meta.get("default-sort-order-id", 0)
-    elif sort_by:
-        sort_orders_list = [
-            {"order-id": 0, "fields": []},
-            {"order-id": 1, "fields": [
-                {"transform": "identity", "source-id": source_ids[c],
-                 "direction": "asc", "null-order": "nulls-first"}
-                for c in sort_by
-            ]},
-        ]
-        default_sort_id = 1
-    else:
-        sort_orders_list = [{"order-id": 0, "fields": []}]
-        default_sort_id = 0
+            return
+        if prev_meta is not None:
+            version = prev_version + 1
+            snapshots = list(prev_meta.get("snapshots", [])) + [snapshot]
+            snapshot_log = list(prev_meta.get("snapshot-log", []))
+            metadata_log = list(prev_meta.get("metadata-log", []))
+            table_uuid = prev_meta.get("table-uuid", commit_uuid)
+            last_column_id = max(last_column_id, prev_meta.get("last-column-id", 0))
+            refs = dict(prev_meta.get("refs") or {})
+        else:
+            version = 1
+            snapshots = [snapshot]
+            snapshot_log = []
+            metadata_log = []
+            table_uuid = commit_uuid
+            refs = {}
+        if branch and prev_meta is not None:
+            # branch write: only the branch ref moves; main (current) and
+            # the main snapshot-log stay where they are
+            refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+            current_id = prev_meta.get("current-snapshot-id")
+        else:
+            refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+            current_id = snapshot_id
+            snapshot_log.append(
+                {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+            )
 
-    meta = {
-        "format-version": 2,
-        "table-uuid": table_uuid,
-        "location": table_path,
-        "last-sequence-number": seq,
-        "last-updated-ms": now_ms,
-        "last-column-id": last_column_id,
-        "current-schema-id": cur_sid,
-        "schemas": schemas_list,
-        "default-spec-id": this_spec_id,
-        "partition-specs": specs_list,
-        "last-partition-id": last_partition_id,
-        "default-sort-order-id": default_sort_id,
-        "sort-orders": sort_orders_list,
-        "properties": props,
-        "current-snapshot-id": current_id,
-        "refs": refs,
-        "snapshots": snapshots,
-        "snapshot-log": snapshot_log[-10:],
-        "metadata-log": metadata_log[-10:],
-        "__version": version,
-    }
-    # create-exclusive: a concurrent writer that claimed this version
-    # first wins; the loser surfaces a loud FileExistsError (the DML
-    # paths — merge/update/delete/MOR — retry via their conflict-checked
-    # wrappers; a plain append re-runs cheaply at the caller)
-    _publish_metadata_exclusive(meta_dir, version, meta)
+        prev_file = os.path.join(meta_dir, f"v{version - 1}.metadata.json")
+        if version > 1 and os.path.exists(prev_file):
+            metadata_log.append({"timestamp-ms": now_ms, "metadata-file": prev_file})
+
+        # schema history (r7): appends PRESERVE the table's schema list and
+        # name-mapping — a reused schema changes nothing; a mergeSchema
+        # evolution ADDS the evolved schema under a fresh schema-id (spec
+        # rule: schemas are immutable once written, history shows the names
+        # of its day) and MERGES new fields into the existing name-mapping
+        # so names recorded by earlier alters keep resolving.
+        if mode == "append" and prev_meta is not None:
+            schemas_list = [dict(s) for s in prev_meta.get("schemas", [])]
+            cur_sid = prev_meta.get("current-schema-id", 0)
+            props = dict(prev_meta.get("properties") or {})
+            if evolved_last_column_id is not None:
+                cur_sid = max(
+                    (s.get("schema-id", 0) for s in schemas_list), default=0
+                ) + 1
+                schemas_list.append({**schema, "schema-id": cur_sid})
+                prior: dict[int, list[str]] = {}
+                try:
+                    for e in json.loads(
+                        props.get("schema.name-mapping.default", "[]")
+                    ):
+                        if e.get("field-id") is not None:
+                            prior[int(e["field-id"])] = list(e.get("names") or [])
+                except (ValueError, TypeError):
+                    prior = {}
+                mapping = []
+                for f in schema["fields"]:
+                    entry_names = [f["name"]] + [
+                        n for n in prior.get(f["id"], []) if n != f["name"]
+                    ]
+                    mapping.append({"field-id": f["id"], "names": entry_names})
+                props["schema.name-mapping.default"] = json.dumps(mapping)
+            props.setdefault("write.format.default", "parquet")
+        else:
+            schemas_list = [{**schema, "schema-id": 0}]
+            cur_sid = 0
+            props = {
+                # user table properties first (e.g. the spec's per-column
+                # write.parquet.bloom-filter-enabled.column.X), reserved
+                # keys below always win
+                **{str(k): str(v) for k, v in (p.get("properties") or {}).items()},
+                "write.format.default": "parquet",
+                "schema.name-mapping.default": json.dumps(
+                    _name_mapping(schema["fields"])
+                ),
+            }
+        snapshot["schema-id"] = cur_sid
+
+        # partition specs: appends preserve the table's spec history (an
+        # evolution ADDS the new spec and flips the default; a reuse changes
+        # nothing); create/overwrite start fresh at spec-id 0
+        if mode == "append" and prev_meta is not None:
+            specs_list = [
+                dict(sp) for sp in (prev_meta.get("partition-specs") or []) if sp
+            ]
+            if evolve_spec or not specs_list:
+                specs_list.append({"spec-id": this_spec_id, "fields": spec_fields})
+            last_partition_id = max(
+                [int(prev_meta.get("last-partition-id", 999))]
+                + [f["field-id"] for f in spec_fields]
+            )
+        else:
+            specs_list = [{"spec-id": 0, "fields": spec_fields}]
+            last_partition_id = 999 + len(spec_fields)
+
+        # sort orders: create-with-sortBy records order-id 1 and makes it
+        # the default; appends preserve the table's order history verbatim
+        if mode == "append" and prev_meta is not None:
+            sort_orders_list = [
+                dict(o) for o in (
+                    prev_meta.get("sort-orders")
+                    or [{"order-id": 0, "fields": []}]
+                )
+            ]
+            default_sort_id = prev_meta.get("default-sort-order-id", 0)
+        elif sort_by:
+            sort_orders_list = [
+                {"order-id": 0, "fields": []},
+                {"order-id": 1, "fields": [
+                    {"transform": "identity", "source-id": source_ids[c],
+                     "direction": "asc", "null-order": "nulls-first"}
+                    for c in sort_by
+                ]},
+            ]
+            default_sort_id = 1
+        else:
+            sort_orders_list = [{"order-id": 0, "fields": []}]
+            default_sort_id = 0
+
+        meta = {
+            "format-version": 2,
+            "table-uuid": table_uuid,
+            "location": table_path,
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "last-column-id": last_column_id,
+            "current-schema-id": cur_sid,
+            "schemas": schemas_list,
+            "default-spec-id": this_spec_id,
+            "partition-specs": specs_list,
+            "last-partition-id": last_partition_id,
+            "default-sort-order-id": default_sort_id,
+            "sort-orders": sort_orders_list,
+            "properties": props,
+            "current-snapshot-id": current_id,
+            "refs": refs,
+            "snapshots": snapshots,
+            "snapshot-log": snapshot_log[-10:],
+            "metadata-log": metadata_log[-10:],
+            "__version": version,
+        }
+        # create-exclusive: a concurrent writer that claimed this version
+        # first wins; the loser surfaces a loud FileExistsError (the DML
+        # paths — merge/update/delete/MOR — retry via their conflict-checked
+        # wrappers; a plain append re-runs cheaply at the caller)
+        _publish_metadata_exclusive(meta_dir, version, meta)
+
+    from pipeline_spark.sources.iceberg_rest import CommitConflictError
+
+    base_meta = prev_meta
+    attempts = 3
+    while True:
+        try:
+            return _commit(prev_meta, prev_version)
+        except (FileExistsError, CommitConflictError) as conflict:
+            # a racing writer claimed this version / moved the ref.
+            # Only plain appends rebase: they read nothing a disjoint
+            # commit could change.  create/overwrite/replace and
+            # schema/spec-evolving appends re-plan loudly (a second
+            # creator or a full-table overwrite IS the conflict).
+            if (
+                attempts <= 0 or mode != "append"
+                or evolved_last_column_id is not None or evolve_spec
+                or base_meta is None
+            ):
+                raise
+            attempts -= 1
+            try:
+                if rest is not None:
+                    fresh, _loc = rest["catalog"].load_table(
+                        rest["namespace"], rest["name"]
+                    )
+                    rest["prev_meta"] = fresh
+                else:
+                    with open(find_table_metadata(table_path)) as fh:
+                        fresh = json.load(fh)
+                # disjointness proof: an append conflicts only with shape
+                # drift or a rollback of its base (check_adds=False —
+                # blind appends read no rows an interleave could change)
+                check_commit_conflicts(
+                    table_path, base_meta, fresh, check_adds=False
+                )
+            except FileExistsError:
+                raise  # a PROVEN conflict stays loud as-is
+            except Exception:
+                # the interleave can't even be validated (unreadable or
+                # inconsistent fresh metadata) — that is not a provable
+                # disjointness, so the original conflict stays loud
+                raise conflict from None
+            prev_meta = fresh
+            prev_version = int(fresh.get("__version") or 0)
 
 
 def _rest_meta_session(p: dict[str, Any]):
@@ -1572,6 +1624,27 @@ def _read_evolved_group(spark, files: list[dict], cur_schema: dict,
 
 
 def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
+    """Conflict-tolerant compaction entry point (r9, VERDICT r8 ask #3):
+    a lost optimistic race (create-exclusive version claim locally, 409
+    on REST) RE-PLANS the whole compaction from fresh metadata —
+    compaction is a pure layout rewrite of whatever is live, so a
+    re-plan after ANY interleaved commit (append, disjoint DML, even a
+    conflicting one) is always correct; no disjointness proof needed,
+    just bounded retries.  First-attempt rewrite files orphan until
+    ``removeOrphans``."""
+    from pipeline_spark.sources.iceberg_rest import CommitConflictError
+
+    retries = int(p.get("conflictRetries", 2))
+    while True:
+        try:
+            return _compact_iceberg_once(spark, p)
+        except (FileExistsError, CommitConflictError):
+            if retries <= 0:
+                raise
+            retries -= 1
+
+
+def _compact_iceberg_once(spark, p: dict[str, Any]) -> dict[str, int]:
     """Rewrite-data-files compaction: bin-pack small files per partition
     into ~``targetFileBytes``, commit one ``replace`` snapshot.
 
@@ -1712,12 +1785,18 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
 
     meta_dir = os.path.join(table_path, "metadata")
     if rest is not None:
-        prev_file = None
         version = None
     else:
-        prev_file = find_table_metadata(table_path)
-        m = re.search(r"v(\d+)\.metadata\.json$", prev_file)
-        version = (int(m.group(1)) if m else prev_meta.get("__version", 0)) + 1
+        # version pins to the metadata this compaction PLANNED from — a
+        # fresh read here could wrap stale content in a later version
+        # number and silently erase an interleaved commit; pinned, the
+        # race collides on the exclusive claim and the wrapper re-plans
+        version = int(prev_meta.get("__version") or 0) + 1
+        if not prev_meta.get("__version"):
+            m = re.search(
+                r"v(\d+)\.metadata\.json$", find_table_metadata(table_path)
+            )
+            version = (int(m.group(1)) if m else 0) + 1
     commit_uuid = str(uuid.uuid4())
     now_ms = int(time.time() * 1000)
     snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)

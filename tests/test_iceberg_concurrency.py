@@ -348,3 +348,101 @@ def test_rest_merge_vs_matching_append_fails(spark, tmp_path, monkeypatch):
             )
     finally:
         srv.shutdown()
+
+
+def test_append_vs_append_both_commit(spark, tmp_path, monkeypatch):
+    """Blind appends rebase on a lost version claim (r9, the delta-r7
+    twin): both writers' rows land, both snapshots survive."""
+    tbl = _mk(spark, tmp_path, [(i, f"v{i}") for i in range(5)])
+
+    def interleave():
+        write_iceberg_native(
+            spark.createDataFrame([(700, "a")], "id long, v string")
+            .coalesce(1),
+            {"path": tbl, "mode": "append"},
+        )
+
+    state = _race_local(monkeypatch, interleave)
+    write_iceberg_native(
+        spark.createDataFrame([(800, "b")], "id long, v string").coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    assert state["injected"]
+    assert _ids(spark, {"path": tbl}) == list(range(5)) + [700, 800]
+    meta = json.load(open(find_table_metadata(tbl)))
+    assert len(meta["snapshots"]) == 3  # create + both appends
+
+
+def test_append_vs_schema_change_fails(spark, tmp_path, monkeypatch):
+    from pipeline_spark.sinks.iceberg_native import alter_iceberg_native
+
+    tbl = _mk(spark, tmp_path, [(i, f"v{i}") for i in range(5)])
+
+    def interleave():
+        alter_iceberg_native(spark, {
+            "path": tbl, "renameColumn": {"v": "val"},
+        })
+
+    _race_local(monkeypatch, interleave)
+    with pytest.raises(FileExistsError, match="schema"):
+        write_iceberg_native(
+            spark.createDataFrame([(900, "c")], "id long, v string")
+            .coalesce(1),
+            {"path": tbl, "mode": "append"},
+        )
+
+
+def test_create_vs_create_fails(spark, tmp_path, monkeypatch):
+    """Two creators racing IS the conflict — no silent clobber, no
+    rebase."""
+    tbl = str(tmp_path / "cc_create")
+
+    def interleave():
+        write_iceberg_native(
+            spark.createDataFrame([(1, "winner")], "id long, v string")
+            .coalesce(1),
+            {"path": tbl, "mode": "create"},
+        )
+
+    _race_local(monkeypatch, interleave)
+    with pytest.raises(FileExistsError):
+        write_iceberg_native(
+            spark.createDataFrame([(2, "loser")], "id long, v string")
+            .coalesce(1),
+            {"path": tbl, "mode": "create"},
+        )
+    got = {r["v"] for r in read_iceberg_native(
+        spark, {"path": tbl}).collect()}
+    assert got == {"winner"}
+
+
+def test_compact_vs_append_both_commit(spark, tmp_path, monkeypatch):
+    """Compaction re-plans wholesale on a lost race: the interleaved
+    append's rows survive AND get bin-packed by the re-plan."""
+    from pipeline_spark.sinks.iceberg_native import compact_iceberg_native
+
+    tbl = str(tmp_path / "cmp")
+    for i in range(3):
+        write_iceberg_native(
+            spark.createDataFrame(
+                [(i * 10 + j, f"v{j}") for j in range(10)],
+                "id long, v string",
+            ).coalesce(1),
+            {"path": tbl, "mode": "append" if i else "create"},
+        )
+
+    def interleave():
+        write_iceberg_native(
+            spark.createDataFrame([(999, "late")], "id long, v string")
+            .coalesce(1),
+            {"path": tbl, "mode": "append"},
+        )
+
+    state = _race_local(monkeypatch, interleave)
+    out = compact_iceberg_native(spark, {
+        "path": tbl, "targetFileBytes": 1 << 30,
+    })
+    assert state["injected"] and out["new_files"] >= 1
+    assert _ids(spark, {"path": tbl}) == (
+        sorted([i * 10 + j for i in range(3) for j in range(10)]) + [999]
+    )
