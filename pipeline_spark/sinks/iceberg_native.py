@@ -1180,6 +1180,20 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
             "metadata-log": metadata_log[-10:],
             "__version": version,
         }
+        if (
+            prev_meta is not None
+            and int(prev_meta.get("format-version", 2)) >= 3
+        ):
+            # a v3 table (puffin DVs landed) must STAY v3: the history
+            # this metadata carries still references DV manifests, which
+            # a format-version-2 stamp would make spec-invalid — and the
+            # row-lineage high-water must survive and advance (spec §Row
+            # Lineage: every v3 snapshot assigns first-row-id and bumps
+            # next-row-id by the rows its data files added)
+            meta["format-version"] = int(prev_meta["format-version"])
+            next_row_id = int(prev_meta.get("next-row-id") or 0)
+            snapshot["first-row-id"] = next_row_id
+            meta["next-row-id"] = next_row_id + added_rows
         # create-exclusive: a concurrent writer that claimed this version
         # first wins; the loser surfaces a loud FileExistsError (the DML
         # paths — merge/update/delete/MOR — retry via their conflict-checked
@@ -2109,6 +2123,7 @@ def _compact_iceberg_once(spark, p: dict[str, Any]) -> dict[str, int]:
         list(prev_meta.get("snapshot-log", []))
         + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
     )[-10:]
+    _stamp_row_lineage(prev_meta, snapshot, meta, added_rows)
     meta["__version"] = version
     _publish_metadata_exclusive(meta_dir, version, meta)
     return {
@@ -2245,9 +2260,7 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
             read_dv_positions,
             write_puffin_dvs,
         )
-
-        def _norm(s: str) -> str:
-            return urllib.parse.unquote(re.sub(r"^file:/+", "/", str(s)))
+        from pipeline_spark.sources.iceberg_native import norm_path as _norm
 
         by_file: dict[str, set[int]] = defaultdict(set)
         for r in rows:
@@ -2276,15 +2289,13 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
                     refs[_norm(fp)].append(int(pos_))
                 pq_rows[d["path"]] = refs
         touched = set(by_file)
-        converted: set[str] = set()
-        changed = True
-        while changed:  # closure over shared position-delete parquets
-            changed = False
-            for path, refs in pq_rows.items():
-                if path not in converted and touched & set(refs):
-                    converted.add(path)
-                    touched |= set(refs)
-                    changed = True
+        # v3 forbids position-delete files outright (not merely on the
+        # touched files), so the upgrade converts EVERY live one — their
+        # rows become their referenced files' DVs; each file's prior DV
+        # (if any) merges below via the touched set
+        converted: set[str] = set(pq_rows)
+        for refs in pq_rows.values():
+            touched |= set(refs)
         for path in converted:
             for fp, poss in pq_rows[path].items():
                 by_file[fp].update(poss)
@@ -2703,8 +2714,11 @@ def _cow_mutate_where(
             r"^file:/{0,2}(/)", r"\1",
             str(p.get("path") or p.get("table") or ""),
         )
-        with open(find_table_metadata(table_path)) as fh:
-            prev_meta = json.load(fh)
+        from pipeline_spark.sources.iceberg_native import (
+            load_table_metadata,
+        )
+
+        prev_meta = load_table_metadata(table_path)
     data, deletes, prev_meta = plan_files(table_path, meta=prev_meta)
     cur_schema = next(
         s for s in prev_meta["schemas"]
@@ -3176,6 +3190,7 @@ def _commit_file_replacement_once(
         list(prev_meta.get("snapshot-log", []))
         + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
     )[-10:]
+    _stamp_row_lineage(prev_meta, snapshot, meta, added_rows)
     meta["__version"] = version
     _publish_metadata_exclusive(meta_dir, version, meta)
     return removed_files
@@ -3252,8 +3267,11 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
             str(p.get("path") or p.get("table") or ""),
         )
         try:
-            with open(find_table_metadata(table_path)) as fh:
-                prev_meta = json.load(fh)
+            from pipeline_spark.sources.iceberg_native import (
+                load_table_metadata,
+            )
+
+            prev_meta = load_table_metadata(table_path)
         except FileNotFoundError:
             prev_meta = None
     if prev_meta is None:
@@ -3860,6 +3878,7 @@ def rewrite_manifests_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]
             list(prev_meta.get("snapshot-log", []))
             + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
         )[-10:]
+        _stamp_row_lineage(prev_meta, snapshot, meta, 0)
         meta["__version"] = version
         _publish_metadata_exclusive(meta_dir, version, meta)
     return {
@@ -3963,10 +3982,49 @@ def _publish_metadata_exclusive(meta_dir: str, version: int, meta: dict) -> None
     (HadoopTableOperations' rename-based commit re-expressed as
     O_CREAT|O_EXCL).  version-hint is advisory and written after."""
     path = os.path.join(meta_dir, f"v{version}.metadata.json")
-    with open(path, "x") as fh:
+    tmp = path + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
         json.dump(meta, fh)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+    try:
+        os.link(tmp, path)  # atomic claim: full bytes or EEXIST, never torn
+    except FileExistsError:
+        os.unlink(tmp)
+        raise
+    except OSError:
+        # filesystem without hardlinks: O_EXCL create, then copy bytes
+        try:
+            with open(tmp) as srcf, open(path, "x") as dst:
+                dst.write(srcf.read())
+        except FileExistsError:
+            os.unlink(tmp)
+            raise
+    os.unlink(tmp)
+    # the hint advances MONOTONICALLY: a slow winner must not regress it
+    # below a later commit (readers tolerate a stale hint — the scan
+    # prefers higher versions — but a regressed hint wastes their scan)
+    hint = os.path.join(meta_dir, "version-hint.text")
+    try:
+        with open(hint) as fh:
+            cur = int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        cur = -1
+    if version > cur:
+        with open(hint, "w") as fh:
+            fh.write(str(version))
+
+
+def _stamp_row_lineage(
+    prev_meta: dict, snapshot: dict, meta: dict, added_rows: int
+) -> None:
+    """v3 row lineage on an already-v3 table: every snapshot assigns a
+    first-row-id and advances the table's next-row-id by the rows its
+    added data files carry (spec §Row Lineage — strict readers require
+    both fields once format-version is 3).  No-op below v3."""
+    if int(prev_meta.get("format-version", 2)) < 3:
+        return
+    next_row_id = int(prev_meta.get("next-row-id") or 0)
+    snapshot["first-row-id"] = next_row_id
+    meta["next-row-id"] = next_row_id + int(added_rows)
 
 
 def check_commit_conflicts(
@@ -4008,6 +4066,7 @@ def check_commit_conflicts(
     caller rebuilds its commit on ``fresh_meta``."""
     from pipeline_spark.sources.iceberg_native import (
         _bounds_may_match,
+        norm_path as _norm,
         plan_files,
     )
 
@@ -4024,18 +4083,17 @@ def check_commit_conflicts(
         "current-snapshot-id"
     ):
         return  # nothing interleaved
-    base_ids = {s.get("snapshot-id") for s in base_meta.get("snapshots") or []}
     fresh_ids = {
         s.get("snapshot-id") for s in fresh_meta.get("snapshots") or []
     }
-    if base_meta.get("current-snapshot-id") not in fresh_ids:
+    base_cur = base_meta.get("current-snapshot-id")
+    # base_cur None = the operation planned against an empty table (a
+    # table whose first commit hadn't landed): nothing to roll back
+    if base_cur is not None and base_cur not in fresh_ids:
         raise FileExistsError(
             "iceberg: the snapshot this operation planned against was "
             "rolled back or expired mid-operation — re-plan"
         )
-
-    def _norm(s: str) -> str:
-        return urllib.parse.unquote(re.sub(r"^file:/+", "/", str(s)))
 
     base_data, base_dels, _ = plan_files(table_path, meta=base_meta)
     fresh_data, fresh_dels, _ = plan_files(table_path, meta=fresh_meta)
@@ -4233,18 +4291,24 @@ def append_delete_files(
     this commit itself read)."""
     from pipeline_spark.sources.iceberg_rest import CommitConflictError
 
-    referenced: set[str] = set()
-    dv_refs: set[str] = set()
-    for d in delete_files:
-        if str(d.get("format", "")).upper() == "PUFFIN":
-            dv_refs.add(str(d.get("referenced_data_file") or ""))
-        elif int(d.get("content", 1)) == 1:
-            import pyarrow.parquet as _pq
+    def _conflict_sets() -> tuple[set[str], set[str]]:
+        # computed lazily on FIRST conflict only — reading the delete
+        # parquets back would tax every conflict-free commit for a set
+        # that's consumed exclusively inside the retry branch
+        referenced: set[str] = set()
+        dv_refs: set[str] = set()
+        for d in delete_files:
+            if str(d.get("format", "")).upper() == "PUFFIN":
+                dv_refs.add(str(d.get("referenced_data_file") or ""))
+            elif int(d.get("content", 1)) == 1:
+                import pyarrow.parquet as _pq
 
-            referenced.update(
-                _pq.read_table(d["path"], columns=["file_path"])
-                .column("file_path").to_pylist()
-            )
+                referenced.update(
+                    _pq.read_table(d["path"], columns=["file_path"])
+                    .column("file_path").to_pylist()
+                )
+        return referenced, dv_refs
+
     used: dict = {}
     while True:
         try:
@@ -4264,6 +4328,7 @@ def append_delete_files(
         else:
             with open(find_table_metadata(table_path)) as fh:
                 fresh = json.load(fh)
+        referenced, dv_refs = _conflict_sets()
         check_commit_conflicts(
             table_path, base_meta or used.get("meta") or fresh, fresh,
             referenced_paths=referenced | dv_refs, dv_referenced=dv_refs,
@@ -4556,8 +4621,9 @@ def _append_delete_files_once(
             **{str(k): str(v) for k, v in (summary_properties or {}).items()},
         },
     }
-    if any_dv:
-        # v3 row lineage: every snapshot in a v3 table assigns a
+    if any_dv or int(prev_meta.get("format-version", 2)) >= 3:
+        # v3 row lineage: every snapshot in a v3 table (this commit's DV
+        # upgrade OR an already-v3 table's non-DV commit) assigns a
         # first-row-id and advances the table's next-row-id by the rows
         # in its added data files; data files omit first_row_id and
         # inherit from the snapshot (spec §Row Lineage inheritance)
@@ -4601,10 +4667,13 @@ def _append_delete_files_once(
         list(prev_meta.get("snapshot-log", []))
         + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
     )[-10:]
-    if any_dv:
+    if any_dv or int(prev_meta.get("format-version", 2)) >= 3:
         # puffin DVs are a v3 construct: a spec-strict reader must see
         # format-version 3 or it would rightly reject the manifests
-        meta["format-version"] = max(3, int(meta.get("format-version", 2)))
+        if any_dv:
+            meta["format-version"] = max(
+                3, int(meta.get("format-version", 2))
+            )
         # v3 row lineage (spec-required fields for strict readers): the
         # snapshot's first-row-id was stamped above; the table high-water
         # advances by the rows this commit's data files added

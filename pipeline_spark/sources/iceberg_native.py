@@ -58,22 +58,57 @@ def find_table_metadata(table_path: str) -> str:
             f"iceberg: no metadata directory at {meta_dir} — is "
             f"'{table_path}' an Iceberg table location?"
         )
+    hint_v = -1
     hint = os.path.join(meta_dir, "version-hint.text")
     if os.path.exists(hint):
         with open(hint) as fh:
-            v = fh.read().strip()
-        cand = os.path.join(meta_dir, f"v{v}.metadata.json")
-        if os.path.exists(cand):
-            return cand
+            raw = fh.read().strip()
+        if raw.isdigit() and os.path.exists(
+            os.path.join(meta_dir, f"v{raw}.metadata.json")
+        ):
+            hint_v = int(raw)
     versions = []
     for name in os.listdir(meta_dir):
         m = re.match(r"(?:v(\d+)|\d+-[0-9a-f-]+)\.metadata\.json$", name)
         if m:
             versions.append((int(m.group(1) or 0), name))
-    if not versions:
+    if not versions and hint_v < 0:
         raise FileNotFoundError(f"iceberg: no *.metadata.json in {meta_dir}")
     versions.sort()
-    return os.path.join(meta_dir, versions[-1][1])
+    # the hint is ADVISORY: a racing writer can regress it (claim the
+    # version file, stall, then write an older hint), so a scanned file
+    # with a HIGHER version always wins — readers never pin stale
+    if versions and versions[-1][0] > hint_v:
+        return os.path.join(meta_dir, versions[-1][1])
+    return os.path.join(meta_dir, f"v{hint_v}.metadata.json")
+
+
+def norm_path(s: str) -> str:
+    """Scheme-stripped, percent-decoded path — the ONE normalization for
+    comparing manifest/delete/scan file paths driver-side (the Spark-side
+    twin is ``_apply_row_deletes``'s ``norm`` column expression, whose
+    ``+``-protection matches Python's unquote, which never form-decodes
+    '+')."""
+    import urllib.parse
+
+    return urllib.parse.unquote(re.sub(r"^file:/+", "/", str(s)))
+
+
+def load_table_metadata(table_path: str) -> dict:
+    """Current table metadata with ``__version`` stamped from the
+    filename when absent (tables written by other engines don't carry
+    it): committers pin their published version to the metadata they
+    PLANNED from — deriving it from a fresh directory read at commit
+    time could wrap stale content in a later version number and
+    silently erase an interleaved commit."""
+    meta_file = find_table_metadata(table_path)
+    with open(meta_file) as fh:
+        meta = json.load(fh)
+    if "__version" not in meta:
+        m = re.search(r"v(\d+)\.metadata\.json$", meta_file)
+        if m:
+            meta["__version"] = int(m.group(1))
+    return meta
 
 
 def plan_files(
@@ -96,9 +131,8 @@ def plan_files(
     per the spec, so the same reader walks them.
     """
     if meta is None:
-        meta_file = find_table_metadata(table_path)
-        with open(meta_file) as fh:
-            meta = json.load(fh)
+        meta = load_table_metadata(table_path)
+        meta_file = f"<metadata v{meta.get('__version', '?')} for {table_path}>"
     else:
         meta_file = f"<catalog metadata for {table_path}>"
     snapshots = meta.get("snapshots") or []

@@ -327,3 +327,65 @@ def test_rest_catalog_puffin_dv_upgrades_format_version(spark, tmp_path):
         assert back == [i for i in range(10) if i not in (2, 5)]
     finally:
         srv.shutdown()
+
+
+def test_append_preserves_v3_and_row_lineage(spark, tmp_path):
+    """r9 regression (review finding): a plain append to a table a DV
+    delete upgraded to v3 must NOT stamp format-version 2 back over
+    metadata that still references DV manifests, and must advance the
+    row-lineage high-water."""
+    import json as _json
+
+    tbl = _mk(spark, tmp_path)
+    delete_iceberg_native(spark, {
+        "path": tbl, "format": "puffin",
+        "where": [{"key": "id", "op": "=", "value": 3}],
+    })
+    before = _json.load(open(find_table_metadata(tbl)))
+    write_iceberg_native(
+        spark.createDataFrame([(100, "x"), (101, "y")], "id long, v string")
+        .coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    meta = _json.load(open(find_table_metadata(tbl)))
+    assert meta["format-version"] == 3
+    assert meta["next-row-id"] == int(before["next-row-id"]) + 2
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    assert snap["first-row-id"] == int(before["next-row-id"])
+    # the DV still applies and new rows read back
+    back = sorted(r["id"] for r in read_iceberg_native(
+        spark, {"path": tbl}).collect())
+    assert back == [i for i in range(20) if i != 3] + [100, 101]
+    # a non-DV MOR commit on the v3 table also keeps lineage moving
+    delete_iceberg_native(spark, {
+        "path": tbl,  # v3 default → DV
+        "where": [{"key": "id", "op": "=", "value": 100}],
+    })
+    meta2 = _json.load(open(find_table_metadata(tbl)))
+    assert meta2["format-version"] == 3 and "next-row-id" in meta2
+
+
+def test_v3_upgrade_converts_all_position_deletes(spark, tmp_path):
+    """r9 regression (review finding): the v3 upgrade converts EVERY
+    live position-delete parquet — including ones whose files the new
+    DV never touches — because v3 forbids position-delete files."""
+    tbl = _mk(spark, tmp_path)
+    # position delete naming ONLY file 1 (ids 10..19)
+    delete_iceberg_native(spark, {
+        "path": tbl, "where": [{"key": "id", "op": "=", "value": 11}],
+    })
+    # puffin delete touching ONLY file 0 (ids 0..9)
+    out = delete_iceberg_native(spark, {
+        "path": tbl, "format": "puffin",
+        "where": [{"key": "id", "op": "=", "value": 2}],
+    })
+    assert out["converted_position_delete_files"] == 1
+    _, dels, meta = plan_files(tbl)
+    assert meta["format-version"] == 3
+    assert all(d.get("content_offset") is not None for d in dels), (
+        "a position-delete parquet survived the v3 upgrade"
+    )
+    back = sorted(r["id"] for r in read_iceberg_native(
+        spark, {"path": tbl}).collect())
+    assert back == [i for i in range(20) if i not in (2, 11)]
