@@ -253,3 +253,25 @@ def sqlite_connection(params: dict):
     import sqlite3
 
     return sqlite3.connect(params["database"], timeout=30)
+
+
+def fake_action_client(params: dict):
+    """Action-service fake (action sink contract: ``run(sub_params) ->
+    result dict``): records the call as one spool line and returns a
+    deterministic job descriptor; a query containing 'BOOM' raises."""
+    import json
+    import os
+    import uuid
+
+    spool = params["spoolDir"]
+
+    class _Fake:
+        def run(self, sub: dict) -> dict:
+            if "BOOM" in json.dumps(sub, default=str):
+                raise RuntimeError("fake action service rejected the call")
+            os.makedirs(spool, exist_ok=True)
+            with open(os.path.join(spool, f"{uuid.uuid4().hex}.jsonl"), "w") as f:
+                f.write(json.dumps(sub, default=str) + "\n")
+            return {"job_id": "fake-job-1", "state": "DONE"}
+
+    return _Fake()

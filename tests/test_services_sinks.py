@@ -1,0 +1,288 @@
+"""`localH2` / `auxia` / `tasks` / `action` sinks (r9): the last four
+sink modules of SURVEY §2.7, each e2e through the config path with the
+repo's injectable-client fakes (tasks is registered-but-
+NotImplementedException in the reference — TasksSink.java:73 — so this
+exercises the declared surface the reference never finished)."""
+
+import json
+import os
+import sqlite3
+import zipfile
+
+import pytest
+
+from pipeline_spark.config import parse_config
+from pipeline_spark.executor import run_pipeline
+from pipeline_spark.testing import read_spool
+
+
+def _docs_cfg(extra: str) -> str:
+    return f"""
+sources:
+  - name: rows
+    module: create
+    parameters:
+      elements:
+        - {{user_id: u1, event_name: click, score: 10}}
+        - {{user_id: u2, event_name: view, score: 20}}
+        - {{user_id: u2, event_name: click, score: 30}}
+{extra}
+"""
+
+
+def test_localh2_single_db_zip(spark, tmp_path):
+    out = str(tmp_path / "artifact.zip")
+    cfg = _docs_cfg(f"""
+sinks:
+  - name: db
+    module: localH2
+    inputs: [rows]
+    parameters:
+      output: {out}
+      database: corpus
+      configs:
+        - {{input: rows, table: events, keyFields: [user_id, event_name],
+            op: INSERT_OR_UPDATE}}
+""")
+    run_pipeline(spark, parse_config(cfg))
+    with zipfile.ZipFile(out) as zf:
+        assert zf.namelist() == ["corpus.db"]
+        zf.extract("corpus.db", tmp_path)
+    con = sqlite3.connect(str(tmp_path / "corpus.db"))
+    rows = con.execute(
+        "SELECT user_id, event_name, score FROM events ORDER BY 1, 2"
+    ).fetchall()
+    assert rows == [("u1", "click", 10), ("u2", "click", 30),
+                    ("u2", "view", 20)]
+    # unique key index exists (the upsert contract)
+    idx = con.execute("PRAGMA index_list(events)").fetchall()
+    assert any(r[2] == 1 for r in idx)  # unique
+    con.close()
+
+
+def test_localh2_upsert_and_seed(spark, tmp_path):
+    out1 = str(tmp_path / "v1.zip")
+    cfg1 = _docs_cfg(f"""
+sinks:
+  - name: db
+    module: localH2
+    inputs: [rows]
+    parameters:
+      output: {out1}
+      configs:
+        - {{input: rows, table: events, keyFields: [user_id, event_name],
+            op: INSERT_OR_UPDATE}}
+""")
+    run_pipeline(spark, parse_config(cfg1))
+    # second batch SEEDED from the first artifact: u1/click updates,
+    # u3 inserts
+    out2 = str(tmp_path / "v2.zip")
+    cfg2 = f"""
+sources:
+  - name: rows
+    module: create
+    parameters:
+      elements:
+        - {{user_id: u1, event_name: click, score: 99}}
+        - {{user_id: u3, event_name: view, score: 7}}
+sinks:
+  - name: db
+    module: localH2
+    inputs: [rows]
+    parameters:
+      input: {out1}
+      output: {out2}
+      configs:
+        - {{input: rows, table: events, keyFields: [user_id, event_name],
+            op: INSERT_OR_UPDATE}}
+"""
+    run_pipeline(spark, parse_config(cfg2))
+    with zipfile.ZipFile(out2) as zf:
+        zf.extract("local.db", tmp_path)
+    con = sqlite3.connect(str(tmp_path / "local.db"))
+    rows = con.execute(
+        "SELECT user_id, event_name, score FROM events ORDER BY 1, 2"
+    ).fetchall()
+    con.close()
+    assert rows == [("u1", "click", 99), ("u2", "click", 30),
+                    ("u2", "view", 20), ("u3", "view", 7)]
+
+
+def test_localh2_grouped_builds_one_db_per_group(spark, tmp_path):
+    out = str(tmp_path / "per_user")
+    cfg = _docs_cfg(f"""
+sinks:
+  - name: db
+    module: localH2
+    inputs: [rows]
+    parameters:
+      output: {out}
+      groupFields: [user_id]
+      configs:
+        - {{input: rows, table: events}}
+""")
+    outs = run_pipeline(spark, parse_config(cfg))
+    built = sorted(r["group"] for r in outs["db"].collect())
+    assert built == ["u1", "u2"]
+    for user, want in (("u1", 1), ("u2", 2)):
+        with zipfile.ZipFile(os.path.join(out, f"{user}.db.zip")) as zf:
+            zf.extract("local.db", tmp_path / user)
+        con = sqlite3.connect(str(tmp_path / user / "local.db"))
+        n = con.execute("SELECT count(*) FROM events").fetchone()[0]
+        con.close()
+        assert n == want
+
+
+def test_localh2_max_rows_guard(spark, tmp_path):
+    cfg = _docs_cfg(f"""
+sinks:
+  - name: db
+    module: localH2
+    inputs: [rows]
+    parameters:
+      output: {tmp_path}/never.zip
+      maxRows: 2
+      configs: [{{input: rows, table: events}}]
+""")
+    with pytest.raises(Exception, match="maxRows"):
+        run_pipeline(spark, parse_config(cfg))
+
+
+def test_auxia_element_events_to_pubsub(spark, tmp_path):
+    spool = str(tmp_path / "spool")
+    cfg = _docs_cfg(f"""
+sinks:
+  - name: crm
+    module: auxia
+    inputs: [rows]
+    parameters:
+      projectId: demo-proj
+      excludeFields: [score]
+      pubsub:
+        topic: projects/p/topics/auxia
+      clientFactory: "pipeline_spark.testing:fake_writer_client"
+      spoolDir: {spool}
+""")
+    run_pipeline(spark, parse_config(cfg))
+    msgs = read_spool(spool)
+    assert len(msgs) == 3
+    reqs = [m["row"] for m in msgs]
+    assert all(r["project_id"] == "demo-proj" for r in reqs)
+    by_user = sorted(
+        (r["user_id"], r["events"][0]["event_name"]) for r in reqs
+    )
+    assert by_user == [("u1", "click"), ("u2", "click"), ("u2", "view")]
+    # excluded field never leaks into event_properties
+    assert all(
+        "score" not in (r["events"][0].get("event_properties") or {})
+        for r in reqs
+    )
+
+
+def test_auxia_json_field_and_property_types(spark, tmp_path):
+    spool = str(tmp_path / "spool2")
+    cfg = f"""
+sources:
+  - name: rows
+    module: create
+    parameters:
+      elements:
+        - {{user_id: u9, payload: '{{"event_name": "buy", "insert_id": "i1"}}'}}
+sinks:
+  - name: crm
+    module: auxia
+    inputs: [rows]
+    parameters:
+      type: json
+      field: payload
+      projectId: demo-proj
+      pubsub: {{topic: projects/p/topics/auxia}}
+      clientFactory: "pipeline_spark.testing:fake_writer_client"
+      spoolDir: {spool}
+"""
+    run_pipeline(spark, parse_config(cfg))
+    msgs = read_spool(spool)
+    assert len(msgs) == 1
+    req = msgs[0]["row"]
+    assert req["user_id"] == "u9"
+    assert req["events"][0] == {"event_name": "buy", "insert_id": "i1"}
+
+
+def test_tasks_enqueue_one_task_per_row(spark, tmp_path):
+    import base64
+
+    spool = str(tmp_path / "spool3")
+    cfg = _docs_cfg(f"""
+sinks:
+  - name: q
+    module: tasks
+    inputs: [rows]
+    parameters:
+      queue: projects/p/locations/l/queues/work
+      format: json
+      url: https://example.com/handle
+      attributes: [user_id]
+      clientFactory: "pipeline_spark.testing:fake_writer_client"
+      spoolDir: {spool}
+""")
+    run_pipeline(spark, parse_config(cfg))
+    msgs = read_spool(spool)
+    assert len(msgs) == 3
+    t0 = msgs[0]["row"]["task"]["httpRequest"]
+    assert t0["url"] == "https://example.com/handle"
+    assert t0["httpMethod"] == "POST"
+    body = json.loads(base64.b64decode(t0["body"]))
+    assert body["user_id"] in ("u1", "u2")
+    assert t0["headers"][f"x-attr-user_id"] == body["user_id"]
+    assert msgs[0]["table"] == "projects/p/locations/l/queues/work"
+
+
+def test_action_bigquery_runs_after_inputs(spark, tmp_path):
+    spool = str(tmp_path / "spool4")
+    cfg = _docs_cfg(f"""
+sinks:
+  - name: act
+    module: action
+    inputs: [rows]
+    parameters:
+      service: bigquery
+      bigquery:
+        query: "SELECT 1"
+        destinationTable: p.d.t
+      clientFactory: "pipeline_spark.testing:fake_action_client"
+      spoolDir: {spool}
+""")
+    outs = run_pipeline(spark, parse_config(cfg))
+    res = outs["act"].collect()
+    assert len(res) == 1 and res[0]["service"] == "bigquery"
+    assert json.loads(res[0]["result"])["state"] == "DONE"
+    calls = read_spool(spool)
+    assert calls == [{"query": "SELECT 1", "destinationTable": "p.d.t"}]
+
+
+def test_action_gemini_with_fake(spark, tmp_path):
+    cfg = _docs_cfg("""
+sinks:
+  - name: act
+    module: action
+    inputs: [rows]
+    parameters:
+      service: vertexai_gemini
+      gemini: {prompt: "summarize the run", model: test-model}
+      clientFactory: "pipeline_spark.testing:fake_gemini_client"
+""")
+    outs = run_pipeline(spark, parse_config(cfg))
+    res = json.loads(outs["act"].collect()[0]["result"])
+    assert res["text"].startswith("echo(test-model)")
+
+
+def test_action_unknown_service_fails(spark, tmp_path):
+    cfg = _docs_cfg("""
+sinks:
+  - name: act
+    module: action
+    inputs: [rows]
+    parameters: {service: nosuch}
+""")
+    with pytest.raises(Exception, match="service"):
+        run_pipeline(spark, parse_config(cfg))
