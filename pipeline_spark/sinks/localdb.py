@@ -195,12 +195,17 @@ def localh2_sink(ctx: ModuleContext) -> dict:
         os.makedirs(out_dir, exist_ok=True)
 
         def build(pdf):
+            import re as _re
+
             import pandas as pd
             import sqlite3 as sq
 
-            key = "_".join(
-                str(pdf[g].iloc[0]) for g in group_fields
-            ) or "group"
+            # group values become FILENAMES: strip path separators and
+            # shell-hostile characters so 'en/../..' can't escape out_dir
+            key = _re.sub(
+                r"[^A-Za-z0-9_.=-]", "_",
+                "_".join(str(pdf[g].iloc[0]) for g in group_fields),
+            ).lstrip(".") or "group"
             db = os.path.join(
                 tempfile.mkdtemp(prefix="localh2_"), f"{database}.db"
             )

@@ -286,3 +286,87 @@ sinks:
 """)
     with pytest.raises(Exception, match="service"):
         run_pipeline(spark, parse_config(cfg))
+
+
+def test_localh2_group_key_sanitized(spark, tmp_path):
+    """Group values become filenames — path metacharacters must not
+    escape the output directory."""
+    out = str(tmp_path / "hostile")
+    cfg = f"""
+sources:
+  - name: rows
+    module: create
+    parameters:
+      elements:
+        - {{user_id: "../escape", score: 1}}
+sinks:
+  - name: db
+    module: localH2
+    inputs: [rows]
+    parameters:
+      output: {out}
+      groupFields: [user_id]
+      configs: [{{input: rows, table: t}}]
+"""
+    run_pipeline(spark, parse_config(cfg))
+    names = os.listdir(out)
+    assert len(names) == 1 and ".." not in names[0] and "/" not in names[0]
+    assert not os.path.exists(str(tmp_path / "escape.db.zip"))
+
+
+def test_localh2_delete_op(spark, tmp_path):
+    """op DELETE removes seeded rows by key."""
+    out1 = str(tmp_path / "base.zip")
+    run_pipeline(spark, parse_config(_docs_cfg(f"""
+sinks:
+  - name: db
+    module: localH2
+    inputs: [rows]
+    parameters:
+      output: {out1}
+      configs:
+        - {{input: rows, table: events, keyFields: [user_id, event_name]}}
+""")))
+    out2 = str(tmp_path / "after.zip")
+    cfg = f"""
+sources:
+  - name: gone
+    module: create
+    parameters:
+      elements:
+        - {{user_id: u2, event_name: view}}
+sinks:
+  - name: db
+    module: localH2
+    inputs: [gone]
+    parameters:
+      input: {out1}
+      output: {out2}
+      configs:
+        - {{input: gone, table: events, keyFields: [user_id, event_name],
+            op: DELETE}}
+"""
+    run_pipeline(spark, parse_config(cfg))
+    with zipfile.ZipFile(out2) as zf:
+        zf.extract("local.db", tmp_path / "d")
+    con = sqlite3.connect(str(tmp_path / "d" / "local.db"))
+    rows = con.execute(
+        "SELECT user_id, event_name FROM events ORDER BY 1, 2"
+    ).fetchall()
+    con.close()
+    assert rows == [("u1", "click"), ("u2", "click")]
+
+
+def test_tasks_default_client_gated(spark, tmp_path):
+    """Without google-auth the default tasks client names its workaround
+    instead of failing obscurely."""
+    from pipeline_spark.sinks.services import default_tasks_client
+
+    try:
+        import google.auth  # noqa: F401
+
+        pytest.skip("google-auth present")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="clientFactory"):
+        default_tasks_client({"queue": "q"})
