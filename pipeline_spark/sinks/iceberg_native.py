@@ -959,6 +959,8 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
             },
         }
         if rest is not None:
+            if prev_meta is not None:
+                _stamp_row_lineage(prev_meta, snapshot, None, added_rows)
             # catalog-owned metadata: the commit is the spec's optimistic
             # CommitTableRequest — the staged snapshot either lands atomically
             # on the asserted ref or conflicts loudly.  A branch write asserts
@@ -1187,13 +1189,9 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
             # a v3 table (puffin DVs landed) must STAY v3: the history
             # this metadata carries still references DV manifests, which
             # a format-version-2 stamp would make spec-invalid — and the
-            # row-lineage high-water must survive and advance (spec §Row
-            # Lineage: every v3 snapshot assigns first-row-id and bumps
-            # next-row-id by the rows its data files added)
+            # row-lineage high-water must survive and advance
             meta["format-version"] = int(prev_meta["format-version"])
-            next_row_id = int(prev_meta.get("next-row-id") or 0)
-            snapshot["first-row-id"] = next_row_id
-            meta["next-row-id"] = next_row_id + added_rows
+            _stamp_row_lineage(prev_meta, snapshot, meta, added_rows)
         # create-exclusive: a concurrent writer that claimed this version
         # first wins; the loser surfaces a loud FileExistsError (the DML
         # paths — merge/update/delete/MOR — retry via their conflict-checked
@@ -2092,6 +2090,7 @@ def _compact_iceberg_once(spark, p: dict[str, Any]) -> dict[str, int]:
         },
     }
     if rest is not None:
+        _stamp_row_lineage(prev_meta, snapshot, None, added_rows)
         cat, ns_key, tname, _m2 = rest
         cat.commit_table(
             ns_key, tname,
@@ -3153,6 +3152,7 @@ def _commit_file_replacement_once(
         },
     }
     if rest is not None:
+        _stamp_row_lineage(prev_meta, snapshot, None, added_rows)
         rest["catalog"].commit_table(
             rest["namespace"], rest["name"],
             requirements=[{
@@ -4014,17 +4014,29 @@ def _publish_metadata_exclusive(meta_dir: str, version: int, meta: dict) -> None
 
 
 def _stamp_row_lineage(
-    prev_meta: dict, snapshot: dict, meta: dict, added_rows: int
+    prev_meta: dict, snapshot: dict, meta: dict | None, added_rows: int
 ) -> None:
     """v3 row lineage on an already-v3 table: every snapshot assigns a
     first-row-id and advances the table's next-row-id by the rows its
     added data files carry (spec §Row Lineage — strict readers require
-    both fields once format-version is 3).  No-op below v3."""
+    both fields once format-version is 3).  No-op below v3.
+
+    ``meta=None`` = a REST commit: the snapshot still carries its
+    first-row-id, but the table-level next-row-id advance is the
+    CATALOG's responsibility when it applies add-snapshot (the v3 REST
+    contract — the client never writes catalog metadata directly).
+
+    Known boundary: rewritten files (compaction/COW) do not carry
+    explicit first_row_id, so their rows inherit FRESH ids from the
+    replace snapshot — unique and spec-consistent, but not
+    lineage-PRESERVING across rewrites (that needs per-file id carry or
+    a materialized _row_id column; documented, not implemented)."""
     if int(prev_meta.get("format-version", 2)) < 3:
         return
     next_row_id = int(prev_meta.get("next-row-id") or 0)
     snapshot["first-row-id"] = next_row_id
-    meta["next-row-id"] = next_row_id + int(added_rows)
+    if meta is not None:
+        meta["next-row-id"] = next_row_id + int(added_rows)
 
 
 def check_commit_conflicts(
@@ -4328,7 +4340,10 @@ def append_delete_files(
         else:
             with open(find_table_metadata(table_path)) as fh:
                 fresh = json.load(fh)
-        referenced, dv_refs = _conflict_sets()
+        if "sets" not in used:
+            used["sets"] = _conflict_sets()  # computed once, reused on
+            # later retries — delete_files never changes across attempts
+        referenced, dv_refs = used["sets"]
         check_commit_conflicts(
             table_path, base_meta or used.get("meta") or fresh, fresh,
             referenced_paths=referenced | dv_refs, dv_referenced=dv_refs,

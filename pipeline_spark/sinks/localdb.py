@@ -98,7 +98,12 @@ def _dml_for(table: str, cols: list[str], op: str, keys: list[str]) -> str:
 
 def _cell(v):
     import datetime
+    import decimal
 
+    if isinstance(v, decimal.Decimal):
+        # sqlite has no decimal binding; NUMERIC affinity coerces the
+        # exact string form back to a number on read
+        return str(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, bool):
@@ -182,6 +187,12 @@ def localh2_sink(ctx: ModuleContext) -> dict:
                 "localH2 sink: groupFields supports exactly one input "
                 "(one table per per-group database)"
             )
+        if p.get("input"):
+            raise ValueError(
+                "localH2 sink: seeding from a prior archive ('input') is "
+                "not supported with groupFields — seed per-group archives "
+                "by unioning the prior rows upstream instead"
+            )
         cfg = resolved[0]
         df = cfg["df"]
         schema = df.schema
@@ -201,11 +212,18 @@ def localh2_sink(ctx: ModuleContext) -> dict:
             import sqlite3 as sq
 
             # group values become FILENAMES: strip path separators and
-            # shell-hostile characters so 'en/../..' can't escape out_dir
-            key = _re.sub(
-                r"[^A-Za-z0-9_.=-]", "_",
-                "_".join(str(pdf[g].iloc[0]) for g in group_fields),
-            ).lstrip(".") or "group"
+            # shell-hostile characters so 'en/../..' can't escape
+            # out_dir; a key the sanitizer had to ALTER gets a stable
+            # hash suffix so distinct raw groups ('a b' vs 'a_b') can
+            # never collide onto one artifact path
+            raw = "_".join(str(pdf[g].iloc[0]) for g in group_fields)
+            key = _re.sub(r"[^A-Za-z0-9_.=-]", "_", raw).lstrip(".")
+            if key != raw or not key:
+                import hashlib as _hl
+
+                key = (key or "group") + "-" + _hl.sha256(
+                    raw.encode()
+                ).hexdigest()[:8]
             db = os.path.join(
                 tempfile.mkdtemp(prefix="localh2_"), f"{database}.db"
             )
@@ -216,6 +234,12 @@ def localh2_sink(ctx: ModuleContext) -> dict:
                 keys if op.upper() == "DELETE"
                 else [f.name for f in schema.fields]
             )
+            if len(pdf) > max_rows:
+                raise ValueError(
+                    f"localH2 sink: group '{raw}' exceeds maxRows="
+                    f"{max_rows} — an embedded database artifact is not "
+                    "a table; aggregate upstream or raise maxRows"
+                )
             rows = [
                 tuple(_cell(v) for v in t)
                 for t in pdf[cols].itertuples(index=False, name=None)

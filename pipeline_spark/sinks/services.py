@@ -140,21 +140,27 @@ def auxia_sink(ctx: ModuleContext) -> dict:
                 if isinstance(raw, (bytes, bytearray)):
                     raw = bytes(raw).decode("utf-8")
                 body = json.loads(raw) if isinstance(raw, str) else dict(raw)
-                events = body if isinstance(body, list) else [body]
-                user_id = d.get("user_id") or next(
-                    (e.pop("user_id") for e in events if e.get("user_id")),
-                    None,
-                )
+                evs = body if isinstance(body, list) else [body]
+                row_user = d.get("user_id")
+                # per-EVENT attribution: an event's own user_id wins over
+                # the row's — a multi-user payload must never publish one
+                # user's event under another's id
+                events = [
+                    (e.pop("user_id", None) or row_user, e) for e in evs
+                ]
             else:
-                user_id = d.get("user_id")
+                row_user = d.get("user_id")
                 arr = d.get("events")
-                events = (
-                    [_auxia_event(dict(e), event_name) for e in arr]
-                    if arr else [_auxia_event(d, event_name)]
-                )
-            if user_id is None:
-                raise ValueError("auxia sink: rows need a user_id")
-            for ev in events:
+                events = [
+                    (row_user, _auxia_event(dict(e), event_name))
+                    for e in arr
+                ] if arr else [(row_user, _auxia_event(d, event_name))]
+            for user_id, ev in events:
+                if user_id is None:
+                    raise ValueError(
+                        "auxia sink: every event needs a user_id (row "
+                        "column or per-event field)"
+                    )
                 request = {
                     "project_id": str(project_id),
                     "user_id": str(user_id),
@@ -245,7 +251,18 @@ def tasks_sink(ctx: ModuleContext) -> dict:
         if buf:
             client.write(buf)
 
-    ctx.input.foreachPartition(write_partition)
+    if ctx.input.isStreaming:
+        (
+            ctx.input.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda bdf, _b: bdf.foreachPartition(write_partition)
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    else:
+        ctx.input.foreachPartition(write_partition)
     return {"": ctx.input}
 
 
@@ -293,6 +310,18 @@ def action_sink(ctx: ModuleContext) -> dict:
     p: dict[str, Any] = ctx.params
     service = str(p.get("service", "")).lower()
     from pipeline_spark.operators.ml import resolve_factory
+
+    # Wait.on means the upstream DATA completed, not that its lazy plan
+    # exists: run each batch input to completion before the call (a
+    # streaming input can't be awaited here — gate it loudly)
+    for dep in ctx.inputs:
+        if dep.isStreaming:
+            raise ValueError(
+                "action sink: streaming inputs can't gate a one-shot "
+                "action — land them through a streaming sink and wait on "
+                "that module instead"
+            )
+        dep.count()
 
     if service == "bigquery":
         bq = dict(p.get("bigquery") or {})

@@ -1325,6 +1325,21 @@ def _serve_stateful_catalog():
                             meta["last-sequence-number"],
                             snap.get("sequence-number", 0),
                         )
+                        # v3 row lineage: the CATALOG advances the
+                        # table's next-row-id when it applies a snapshot
+                        # (spec §Row Lineage — clients only stamp the
+                        # snapshot's first-row-id)
+                        if int(meta.get("format-version", 2)) >= 3 and (
+                            snap.get("first-row-id") is not None
+                        ):
+                            added = int(
+                                (snap.get("summary") or {})
+                                .get("added-records") or 0
+                            )
+                            meta["next-row-id"] = max(
+                                int(meta.get("next-row-id") or 0),
+                                int(snap["first-row-id"]) + added,
+                            )
                     elif upd["action"] == "set-snapshot-ref":
                         ref = upd.get("ref-name", "main")
                         meta.setdefault("refs", {})[ref] = {

@@ -389,3 +389,42 @@ def test_v3_upgrade_converts_all_position_deletes(spark, tmp_path):
     back = sorted(r["id"] for r in read_iceberg_native(
         spark, {"path": tbl}).collect())
     assert back == [i for i in range(20) if i not in (2, 11)]
+
+
+def test_rest_v3_append_keeps_row_lineage(spark, tmp_path):
+    """r9 regression (review finding): a plain append to a v3 REST table
+    must stamp the snapshot's first-row-id, and the catalog advances
+    next-row-id when it applies the snapshot."""
+    from tests.test_iceberg_native import _serve_stateful_catalog
+
+    srv, state = _serve_stateful_catalog()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_address[1]}"
+        cat_p = {"catalog": {"uri": uri}, "table": "ns.rl",
+                 "location": str(tmp_path / "rest_rl")}
+        write_iceberg_native(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(10)], "id long, v string"
+            ).coalesce(1),
+            {**cat_p, "mode": "create"},
+        )
+        delete_iceberg_native(spark, {
+            **cat_p, "format": "puffin",
+            "where": [{"key": "id", "op": "=", "value": 3}],
+        })
+        assert int(state["rl"]["format-version"]) == 3
+        write_iceberg_native(
+            spark.createDataFrame([(50, "x"), (51, "y")], "id long, v string")
+            .coalesce(1),
+            {**cat_p, "mode": "append"},
+        )
+        meta = state["rl"]
+        snap = next(s for s in meta["snapshots"]
+                    if s["snapshot-id"] == meta["current-snapshot-id"])
+        assert "first-row-id" in snap
+        assert int(meta["next-row-id"]) >= int(snap["first-row-id"]) + 2
+        back = sorted(r["id"] for r in read_iceberg_native(
+            spark, cat_p).collect())
+        assert back == [i for i in range(10) if i != 3] + [50, 51]
+    finally:
+        srv.shutdown()

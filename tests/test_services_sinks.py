@@ -370,3 +370,102 @@ def test_tasks_default_client_gated(spark, tmp_path):
         pass
     with pytest.raises(NotImplementedError, match="clientFactory"):
         default_tasks_client({"queue": "q"})
+
+
+def test_localh2_group_collision_disambiguated(spark, tmp_path):
+    """Distinct raw groups that sanitize identically must land in
+    distinct artifacts (hash-suffixed), never overwrite each other."""
+    out = str(tmp_path / "collide")
+    cfg = f"""
+sources:
+  - name: rows
+    module: create
+    parameters:
+      elements:
+        - {{user_id: "a b", score: 1}}
+        - {{user_id: "a_b", score: 2}}
+sinks:
+  - name: db
+    module: localH2
+    inputs: [rows]
+    parameters:
+      output: {out}
+      groupFields: [user_id]
+      configs: [{{input: rows, table: t}}]
+"""
+    outs = run_pipeline(spark, parse_config(cfg))
+    paths = {r["path"] for r in outs["db"].collect()}
+    assert len(paths) == 2          # two distinct artifacts
+    assert len(os.listdir(out)) == 2
+
+
+def test_localh2_decimal_column(spark, tmp_path):
+    """DecimalType columns bind as exact strings (sqlite NUMERIC)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "dec.zip")
+    df = spark.range(3).select(
+        F.col("id"), F.col("id").cast("decimal(10,2)").alias("amount")
+    )
+    from pipeline_spark.registry import ModuleContext
+    from pipeline_spark.sinks.localdb import localh2_sink
+
+    localh2_sink(ModuleContext(
+        spark=spark, name="db",
+        params={"output": out, "configs": [{"input": "rows", "table": "t"}]},
+        inputs=[df], input_names=["rows"], side_inputs={}, config={},
+    ))
+    with zipfile.ZipFile(out) as zf:
+        zf.extract("local.db", tmp_path / "x")
+    con = sqlite3.connect(str(tmp_path / "x" / "local.db"))
+    got = con.execute("SELECT id, amount FROM t ORDER BY id").fetchall()
+    con.close()
+    assert [(i, float(a)) for i, a in got] == [(0, 0.0), (1, 1.0), (2, 2.0)]
+
+
+def test_localh2_seed_with_groupfields_refused(spark, tmp_path):
+    cfg = _docs_cfg(f"""
+sinks:
+  - name: db
+    module: localH2
+    inputs: [rows]
+    parameters:
+      output: {tmp_path}/g
+      input: {tmp_path}/seed.zip
+      groupFields: [user_id]
+      configs: [{{input: rows, table: t}}]
+""")
+    with pytest.raises(Exception, match="groupFields"):
+        run_pipeline(spark, parse_config(cfg))
+
+
+def test_auxia_json_multi_user_payload(spark, tmp_path):
+    """A multi-user json payload attributes each event to ITS user."""
+    spool = str(tmp_path / "spool5")
+    payload = ('[{"user_id": "a", "event_name": "x"},'
+               ' {"user_id": "b", "event_name": "y"}]')
+    cfg = f"""
+sources:
+  - name: rows
+    module: create
+    parameters:
+      elements:
+        - {{payload: '{payload}'}}
+sinks:
+  - name: crm
+    module: auxia
+    inputs: [rows]
+    parameters:
+      type: json
+      field: payload
+      projectId: demo
+      pubsub: {{topic: projects/p/topics/t}}
+      clientFactory: "pipeline_spark.testing:fake_writer_client"
+      spoolDir: {spool}
+"""
+    run_pipeline(spark, parse_config(cfg))
+    got = sorted(
+        (m["row"]["user_id"], m["row"]["events"][0]["event_name"])
+        for m in read_spool(spool)
+    )
+    assert got == [("a", "x"), ("b", "y")]
