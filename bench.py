@@ -136,6 +136,11 @@ BENCH_QUERIES = [
     "iceberg_update",
     "iceberg_changelog",
     "pq_topk",
+    # r9 additions
+    "ivfpq_topk",
+    "convert_roundtrip",
+    "localdb_artifact",
+    "auxia_events",
 ]
 
 
