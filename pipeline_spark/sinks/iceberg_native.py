@@ -4084,13 +4084,25 @@ def check_commit_conflicts(
 
     # shape drift first: a metadata-only ALTER adds no snapshot, so this
     # must run before the nothing-interleaved early exit
-    for k in ("current-schema-id", "default-spec-id", "format-version"):
+    for k in ("current-schema-id", "default-spec-id"):
         if fresh_meta.get(k) != base_meta.get(k):
             raise FileExistsError(
                 f"iceberg: concurrent commit changed {k} ({k.replace('-', ' ')}"
                 " / table schema) mid-operation — re-plan against the new "
                 "snapshot"
             )
+    bfv = int(base_meta.get("format-version", 2))
+    ffv = int(fresh_meta.get("format-version", 2))
+    if ffv != bfv and not (bfv == 2 and ffv == 3):
+        # the 2→3 upgrade (a concurrent DV delete) is the ONE benign
+        # transition: every committer here carries format-version forward
+        # and stamps v3 row lineage on rebase, and the DV's row-level
+        # effect is covered by the delete-on-rewritten-files check below.
+        # Anything else (downgrades, unknown versions) re-plans.
+        raise FileExistsError(
+            f"iceberg: concurrent commit changed format-version "
+            f"{bfv}→{ffv} mid-operation — re-plan against the new snapshot"
+        )
     if fresh_meta.get("current-snapshot-id") == base_meta.get(
         "current-snapshot-id"
     ):

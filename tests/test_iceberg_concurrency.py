@@ -446,3 +446,53 @@ def test_compact_vs_append_both_commit(spark, tmp_path, monkeypatch):
     assert _ids(spark, {"path": tbl}) == (
         sorted([i * 10 + j for i in range(3) for j in range(10)]) + [999]
     )
+
+
+def test_three_way_interleave_all_disjoint_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Stress: a COW merge loses its claim TWICE — first to an append,
+    then to a disjoint-partition DV delete — and still commits after two
+    conflict-checked rebases; all three writers' effects land."""
+    tbl = _mk(spark, tmp_path, [(i, f"v{i}") for i in range(10)])
+    # second data file so the DV delete and the merge touch DIFFERENT files
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100, 110)], "id long, v string"
+        ).coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+
+    real = sink._publish_metadata_exclusive
+    state = {"n": 0}
+
+    def racing(meta_dir, version, meta):
+        state["n"] += 1
+        if state["n"] == 1:
+            write_iceberg_native(
+                spark.createDataFrame([(500, "a")], "id long, v string")
+                .coalesce(1),
+                {"path": tbl, "mode": "append"},
+            )
+        elif state["n"] == 3:
+            # n=2 is the interleaved append's own publish; n=3 is the
+            # merge's SECOND attempt — it loses to a DV delete on file 2
+            delete_iceberg_native(spark, {
+                "path": tbl, "format": "puffin",
+                "where": [{"key": "id", "op": "=", "value": 105}],
+            })
+        return real(meta_dir, version, meta)
+
+    monkeypatch.setattr(sink, "_publish_metadata_exclusive", racing)
+    out = merge_iceberg_native(
+        spark,
+        spark.createDataFrame([(3, "THREE")], "id long, v string"),
+        {"path": tbl, "primaryKeys": ["id"]},
+    )
+    assert out["merged_rows"] == 1
+    got = {r["id"]: r["v"] for r in read_iceberg_native(
+        spark, {"path": tbl}).collect()}
+    assert got[3] == "THREE"          # merge landed
+    assert got[500] == "a"            # append survived
+    assert 105 not in got             # DV delete survived
+    assert len(got) == 20             # 10 + 10 - 1 + 1

@@ -469,3 +469,50 @@ sinks:
         for m in read_spool(spool)
     )
     assert got == [("a", "x"), ("b", "y")]
+
+
+def test_localh2_property_roundtrip(spark, tmp_path):
+    """Property: arbitrary (text, int, float, bool, bytes) rows survive
+    the sqlite artifact roundtrip value-exactly (hypothesis over the
+    cell codec — the Spark plumbing is pinned by the e2e tests above)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pipeline_spark.sinks.localdb import _cell, _ddl_for, _dml_for
+
+    class _F:
+        def __init__(self, name, t):
+            self.name = name
+            self.dataType = type("T", (), {
+                "simpleString": staticmethod(lambda t=t: t)
+            })()
+
+    class _S:
+        fields = [
+            _F("s", "string"), _F("i", "bigint"), _F("d", "double"),
+            _F("b", "boolean"), _F("z", "binary"),
+        ]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        s=st.text(max_size=40),
+        i=st.integers(min_value=-(2**62), max_value=2**62),
+        d=st.floats(allow_nan=False, allow_infinity=False, width=32),
+        b=st.booleans(),
+        z=st.binary(max_size=24),
+    )
+    def run(s, i, d, b, z):
+        con = sqlite3.connect(":memory:")
+        for ddl in _ddl_for("t", _S(), ["i"]):
+            con.execute(ddl)
+        dml = _dml_for(
+            "t", ["s", "i", "d", "b", "z"], "INSERT_OR_UPDATE", ["i"]
+        )
+        con.execute(dml, tuple(_cell(v) for v in (s, i, d, b, z)))
+        # upsert the same key again — must replace, not duplicate
+        con.execute(dml, tuple(_cell(v) for v in (s + "!", i, d, b, z)))
+        got = con.execute("SELECT s, i, d, b, z FROM t").fetchall()
+        con.close()
+        assert got == [(s + "!", i, d, int(b), z)]
+
+    run()
