@@ -5596,12 +5596,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's CORRECTNESS gate caps at the first
     # 50 entries, never-green-first.  r9 (VERDICT r8 asks #1/#2/#6 +
     # stretch): pq_topk (errored in the r8 oracle canonicalizer — the
-    # only never-green row) leads with the new ivfpq_topk and
-    # convert_roundtrip; the r7 lakehouse tail (past-cap since r7)
-    # rotates back in; every row whose ENGINE CODE changed this round
-    # stays in-cap (warc reshuffle, DV merge/supersede, probes,
-    # changelog checkpoint).  Pushed past the cap: the window/expression
-    # family — green r7 AND r8, streaming-parity pytest-pinned.
+    # only never-green row) leads with the four NEW rows (ivfpq_topk,
+    # convert_roundtrip, localdb_artifact, auxia_events — the last two
+    # drive the r9 localH2/auxia sinks); the r7 lakehouse tail (past-cap
+    # since r7) rotates back in; every row whose ENGINE CODE changed
+    # this round stays in-cap (warc reshuffle, DV merge/supersede,
+    # probes, changelog checkpoint).  Pushed past the cap: the
+    # window/expression family + select_text_hash/compare_diff — green
+    # r7 AND r8, streaming-parity pytest-pinned.
     return {
         "bpe_train": q_bpe_train,  # rows-only by design (merge loop not SQL)
         # --- never green (r8 driver-shape err, fixed) + new this round
