@@ -8,20 +8,38 @@ r7 clone discipline applied across formats.  The source format's log
 stays behind untouched (the conversion is a snapshot, not a rename), so
 the original table keeps reading until its owner retires it.
 
-Scope guards (each names its workaround):
+Everything the two formats can both express translates (r10 closed the
+r9 guards):
 
-- live row-level deletes (delta DVs, iceberg position/equality/DV
-  files) cannot be translated metadata-only — compact/purge first;
-- delta column mapping renames physical parquet columns — the iceberg
-  side would need a name-mapping seeded from the delta mapping, not yet
-  wired;
-- partitioned DELTA sources are refused: delta files do NOT materialize
-  partition columns in the parquet, so an iceberg reader would see
-  nulls.  Iceberg identity-partitioned sources convert fine (iceberg
-  files DO carry partition columns physically) and land as an
-  unpartitioned delta table;
-- schema-evolved iceberg manifests (renamed/added columns since a
-  file's write) need delta column mapping to express — compact first.
+- **partitioned delta** → an identity partition spec whose per-file
+  partition records come from each add's ``partitionValues``; delta
+  files never materialize partition columns in the parquet, so the
+  iceberg reader fills them from the manifest partition record (spec
+  §Column Projection rule #2 — ``sources/iceberg_native.py``
+  ``identity_fill_plan`` — the same rule ``add_files``-imported Hive
+  data relies on);
+- **column-mapped delta** → iceberg field-ids from each field's
+  ``delta.columnMapping.id``; the manifest's embedded write-schema
+  carries the PHYSICAL names under those ids, so the reader's existing
+  field-id rename machinery (``evolved_scan``) maps physical → logical
+  with zero new code, and ``schema.name-mapping.default`` keeps foreign
+  readers correct;
+- **live delta deletion vectors** → iceberg v3 puffin deletion vectors
+  (both are roaring position bitmaps over immutable files): one puffin
+  container per table, one blob per DV-carrying file, manifest
+  field-ids 143/144/145, format-version 3 with row-lineage fields.
+- **iceberg position deletes / puffin DVs** → delta deletion vectors
+  (the reverse translation, same bitmap identity).
+
+Remaining guards (each names its workaround):
+
+- iceberg EQUALITY deletes delete by key, which delta cannot express
+  without scanning data — compact first;
+- schema-evolved iceberg manifests (renamed columns since a file's
+  write) would need per-generation physical names, but delta column
+  mapping allows ONE physical name per column — compact first unless
+  every live file shares the write name; added/dropped columns are
+  fine (delta readers null-pad / ignore extra parquet columns).
 
 Reference: mercari/pipeline has no converter; parity target is the
 public ConvertToDeltaCommand / SnapshotTableSparkAction semantics.
@@ -78,15 +96,31 @@ def _ice_type_to_delta(t: Any) -> str:
 
 
 def convert_delta_to_iceberg(spark, p: dict[str, Any]) -> dict[str, Any]:
-    """Write iceberg metadata (v1 table) over a delta table's current
-    data files.  O(files) driver-side footer reads for manifest stats —
-    the same bounds the delta log carried keep pruning working on the
-    iceberg side."""
+    """Write iceberg metadata over a delta table's current data files.
+    O(files) driver-side footer reads for manifest stats — the same
+    bounds the delta log carried keep pruning working on the iceberg
+    side.
+
+    r10: the full delta surface translates —
+
+    - column mapping: iceberg field-ids come from each field's
+      ``delta.columnMapping.id``; the manifest's embedded write-schema
+      carries the PHYSICAL names under those ids, so the reader's
+      field-id rename machinery resolves files with no converter-
+      specific code;
+    - partitions: an identity spec whose per-file partition records are
+      each add's ``partitionValues`` (long for int sources, lexical
+      strings otherwise — this repo's identity rendering); readers fill
+      the physically-absent columns per spec Column Projection rule #2;
+    - deletion vectors: each add's DV re-frames as an iceberg v3 puffin
+      deletion-vector-v1 blob (same roaring position bitmap), one
+      shared container, manifest field-ids 143/144/145, format-version
+      3 with row-lineage fields.
+    """
     from pipeline_spark.sinks.iceberg_native import (
         _MANIFEST_FILE_SCHEMA,
         _footer_column_stats,
         _manifest_entry_schema,
-        _name_mapping,
         _parquet_stats,
         _publish_metadata_exclusive,
     )
@@ -110,35 +144,88 @@ def convert_delta_to_iceberg(spark, p: dict[str, Any]) -> dict[str, Any]:
             f"convert: {table} already carries iceberg metadata"
         )
     adds, dmeta, _proto, _version, _txns = replay_state(table)
-    if any(a.get("deletionVector") for a in adds):
-        raise ValueError(
-            "convert: the delta table carries deletion vectors — purge "
-            "them first (delta update/optimize materializes DVs)"
-        )
-    if _column_mapping(dmeta):
-        raise NotImplementedError(
-            "convert: column-mapped delta tables need a seeded iceberg "
-            "name-mapping — disable column mapping or rewrite"
-        )
-    if dmeta.get("partitionColumns"):
-        raise ValueError(
-            "convert: partitioned delta tables don't materialize the "
-            "partition columns in their parquet files — an iceberg "
-            "reader would see nulls; rewrite through a storage sink"
-        )
+    cm = _column_mapping(dmeta)
     dfields = json.loads(dmeta["schemaString"])["fields"]
+    if cm:
+        no_id = [
+            f["name"] for f in dfields
+            if (f.get("metadata") or {}).get("delta.columnMapping.id") is None
+        ]
+        if no_id:
+            raise NotImplementedError(
+                f"convert: column-mapped delta table records no "
+                f"delta.columnMapping.id for {no_id} — cannot assign "
+                "stable iceberg field-ids; rewrite through a storage sink"
+            )
+        fid_of = {
+            f["name"]: int(f["metadata"]["delta.columnMapping.id"])
+            for f in dfields
+        }
+    else:
+        fid_of = {f["name"]: i + 1 for i, f in enumerate(dfields)}
+    phys_of = (cm or {}).get("phys_of") or {}
     ice_fields = [
         {
-            "id": i + 1,
+            "id": fid_of[f["name"]],
             "name": f["name"],
             "required": not f.get("nullable", True),
             "type": _delta_type_to_ice(f["type"]),
         }
-        for i, f in enumerate(dfields)
+        for f in dfields
     ]
     schema = {"type": "struct", "schema-id": 0, "fields": ice_fields}
-    colmap = {f["name"]: (f["id"], f["type"]) for f in ice_fields}
+    # the manifest's embedded write-time schema names columns as the
+    # FILES carry them (physical names under column mapping); same ids
+    # as the table schema, so plan_files derives physical→logical
+    # renames exactly like any other schema-evolved manifest
+    write_fields = [
+        {**fl, "name": phys_of.get(fl["name"], fl["name"])}
+        for fl in ice_fields
+    ]
+    write_schema = {"type": "struct", "schema-id": 0, "fields": write_fields}
+    by_name = {f["name"]: f for f in ice_fields}
 
+    # identity partition spec over delta's partition columns
+    part_cols = list(dmeta.get("partitionColumns") or [])
+    spec_fields: list[dict] = []
+    part_avro_fields: list[dict] = []
+    part_kinds: list[tuple[str, str]] = []
+    for j, c in enumerate(part_cols):
+        if c not in by_name:
+            raise ValueError(f"convert: partition column {c!r} not in schema")
+        src = by_name[c]
+        kind = "long" if src["type"] in ("int", "long") else "string"
+        pfid = 1000 + j
+        spec_fields.append({
+            "name": c, "transform": "identity",
+            "source-id": src["id"], "field-id": pfid,
+        })
+        part_avro_fields.append({
+            "name": c, "type": ["null", kind],
+            "default": None, "field-id": pfid,
+        })
+        part_kinds.append((c, kind))
+
+    def typed_partition(a: dict) -> dict:
+        pv = a.get("partitionValues") or {}
+        out = {}
+        for c, kind in part_kinds:
+            v = pv.get(phys_of.get(c, c), pv.get(c))
+            out[c] = None if v is None else (
+                int(v) if kind == "long" else str(v)
+            )
+        return out
+
+    # footer stats keyed by the names files physically carry; partition
+    # columns never appear in delta parquet, so they stay out of the map
+    colmap = {
+        phys_of.get(f["name"], f["name"]): (f["id"], f["type"])
+        for f in ice_fields
+        if f["name"] not in part_cols and isinstance(f["type"], str)
+    }
+
+    dv_adds = [a for a in adds if a.get("deletionVector")]
+    fmt = 3 if dv_adds else 2
     now_ms = int(time.time() * 1000)
     snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
     commit_uuid = str(uuid.uuid4())
@@ -159,7 +246,7 @@ def convert_delta_to_iceberg(spark, p: dict[str, Any]) -> dict[str, Any]:
                 "content": 0,
                 "file_path": full,
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": typed_partition(a),
                 "record_count": rows,
                 "file_size_in_bytes": size,
                 "null_value_counts": nulls,
@@ -170,38 +257,109 @@ def convert_delta_to_iceberg(spark, p: dict[str, Any]) -> dict[str, Any]:
         })
     manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
     mb = write_ocf_bytes(
-        _manifest_entry_schema([]), entries,
+        _manifest_entry_schema(part_avro_fields), entries,
         extra_meta={
-            "schema": json.dumps(schema),
-            "partition-spec": "[]",
+            "schema": json.dumps(write_schema),
+            "partition-spec": json.dumps(spec_fields),
             "partition-spec-id": "0",
-            "format-version": "2",
+            "format-version": str(fmt),
             "content": "data",
         },
     )
     with open(manifest_path, "wb") as fh:
         fh.write(mb)
+    manifest_files = [{
+        "manifest_path": manifest_path,
+        "manifest_length": len(mb),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": 1,
+        "min_sequence_number": 1,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": total_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }]
+
+    deleted_rows = 0
+    if dv_adds:
+        # delta DV → iceberg v3 DV: both are roaring position bitmaps
+        # over an immutable file; decode each (KB-scale), re-frame as a
+        # puffin deletion-vector-v1 blob in ONE shared container
+        from pipeline_spark.functions.deltadv import load_dv_positions
+        from pipeline_spark.functions.puffin import write_puffin_dvs
+
+        puffin_path = os.path.join(meta_dir, f"{commit_uuid}-dv.puffin")
+        pairs = []
+        for a in dv_adds:
+            full = os.path.join(table, urllib.parse.unquote(a["path"]))
+            pos = [int(x) for x in load_dv_positions(table, a["deletionVector"])]
+            pairs.append((full, pos))
+        descs = write_puffin_dvs(puffin_path, pairs)
+        psize = os.path.getsize(puffin_path)
+        dentries = []
+        for a, d in zip(dv_adds, descs):
+            deleted_rows += d["cardinality"]
+            dentries.append({
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {
+                    "content": 1,
+                    "file_path": puffin_path,
+                    "file_format": "PUFFIN",
+                    "partition": typed_partition(a),
+                    "record_count": d["cardinality"],
+                    "file_size_in_bytes": psize,
+                    "null_value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "equality_ids": None,
+                    "referenced_data_file": d["referenced"],
+                    "content_offset": d["offset"],
+                    "content_size_in_bytes": d["length"],
+                },
+            })
+        dman_path = os.path.join(meta_dir, f"{commit_uuid}-m1.avro")
+        dmb = write_ocf_bytes(
+            _manifest_entry_schema(part_avro_fields, dv_fields=True),
+            dentries,
+            extra_meta={
+                "schema": json.dumps(write_schema),
+                "partition-spec": json.dumps(spec_fields),
+                "partition-spec-id": "0",
+                "format-version": "3",
+                "content": "deletes",
+            },
+        )
+        with open(dman_path, "wb") as fh:
+            fh.write(dmb)
+        manifest_files.append({
+            "manifest_path": dman_path,
+            "manifest_length": len(dmb),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": 1,
+            "min_sequence_number": 1,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(dentries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": 0,
+            "deleted_rows_count": deleted_rows,
+        })
+
     list_path = os.path.join(
         meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro"
     )
     lb = write_ocf_bytes(
-        _MANIFEST_FILE_SCHEMA,
-        [{
-            "manifest_path": manifest_path,
-            "manifest_length": len(mb),
-            "partition_spec_id": 0,
-            "content": 0,
-            "sequence_number": 1,
-            "min_sequence_number": 1,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(entries),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": total_rows,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-        }],
-        extra_meta={"format-version": "2", "snapshot-id": str(snapshot_id)},
+        _MANIFEST_FILE_SCHEMA, manifest_files,
+        extra_meta={"format-version": str(fmt), "snapshot-id": str(snapshot_id)},
     )
     with open(list_path, "wb") as fh:
         fh.write(lb)
@@ -216,27 +374,38 @@ def convert_delta_to_iceberg(spark, p: dict[str, Any]) -> dict[str, Any]:
             "added-data-files": str(len(entries)),
             "added-records": str(total_rows),
             "converted-from": "delta",
+            **({"added-delete-files": str(len(dv_adds)),
+                "added-position-deletes": str(deleted_rows)}
+               if dv_adds else {}),
         },
     }
+    if fmt >= 3:
+        snapshot["first-row-id"] = 0
+    # name-mapping resolves files written without parquet field ids:
+    # list the physical name first (what files carry), the logical name
+    # as an alias when mapped
+    nm = []
+    for fl in ice_fields:
+        phys = phys_of.get(fl["name"], fl["name"])
+        names = [phys] if phys == fl["name"] else [phys, fl["name"]]
+        nm.append({"field-id": fl["id"], "names": names})
     meta = {
-        "format-version": 2,
+        "format-version": fmt,
         "table-uuid": commit_uuid,
         "location": table,
         "last-sequence-number": 1,
         "last-updated-ms": now_ms,
-        "last-column-id": len(ice_fields),
+        "last-column-id": max(f["id"] for f in ice_fields),
         "current-schema-id": 0,
         "schemas": [schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {
             "write.format.default": "parquet",
-            "schema.name-mapping.default": json.dumps(
-                _name_mapping(ice_fields)
-            ),
+            "schema.name-mapping.default": json.dumps(nm),
         },
         "current-snapshot-id": snapshot_id,
         "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},
@@ -247,8 +416,14 @@ def convert_delta_to_iceberg(spark, p: dict[str, Any]) -> dict[str, Any]:
         "metadata-log": [],
         "__version": 1,
     }
+    if fmt >= 3:
+        meta["next-row-id"] = total_rows
     _publish_metadata_exclusive(meta_dir, 1, meta)
-    return {"converted_files": len(entries), "rows": total_rows}
+    return {
+        "converted_files": len(entries),
+        "rows": total_rows,
+        "deletion_vectors": len(dv_adds),
+    }
 
 
 def convert_iceberg_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:

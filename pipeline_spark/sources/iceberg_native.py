@@ -580,6 +580,143 @@ def evolved_scan(spark, reader, data: list[dict], fields: list[dict],
     return df.select(*keep)
 
 
+def identity_fill_plan(
+    data: list[dict], meta: dict
+) -> tuple[dict[str, dict], dict[str, str]]:
+    """Iceberg spec §Column Projection rule #2: when a data file does
+    NOT physically carry the source column of an identity partition
+    transform, readers must produce that column's value from the
+    manifest's partition record.  This is how ``add_files``-imported
+    Hive data and delta-converted partitioned tables (sinks/
+    tableconvert.py) stay readable — their parquet files never
+    materialized the partition columns.
+
+    Returns ``(fills, fill_types)`` where ``fills`` maps a data-file
+    path to ``{column: python_value}`` and ``fill_types`` maps each
+    filled column to its Spark cast type.  Physical presence is probed
+    with ONE footer-only schema read per manifest (files under one
+    manifest share a write schema per the spec), so planning stays
+    O(manifests), not O(files).
+    """
+    specs = meta.get("partition-specs") or []
+    by_id = {f["id"]: f for f in _schema_fields(meta)}
+    ident: dict[int, dict[str, tuple[str, str]]] = {}
+    for s in specs:
+        m = {}
+        for pf in s.get("fields", []):
+            if pf.get("transform") == "identity" and pf.get("source-id") in by_id:
+                src = by_id[pf["source-id"]]
+                if isinstance(src["type"], str):
+                    m[pf["name"]] = (src["name"], src["type"])
+        if m:
+            ident[int(s.get("spec-id", 0))] = m
+    if not ident:
+        return {}, {}
+    import pyarrow.parquet as pq
+
+    probe: dict[str, set | None] = {}
+    fills: dict[str, dict] = {}
+    fill_types: dict[str, str] = {}
+    for rec in data:
+        sid = int(rec.get("spec_id", 0))
+        part = rec.get("partition")
+        if sid not in ident or not part:
+            continue
+        man = rec.get("manifest") or rec["path"]
+        if man not in probe:
+            try:
+                probe[man] = set(pq.read_schema(rec["path"]).names)
+            except Exception:
+                probe[man] = None
+        names = probe[man]
+        if names is None:
+            continue
+        # a column-mapped/evolved file may carry the column under its
+        # WRITE name — check both before declaring it absent
+        wname_of = {cur: w for (w, cur) in (rec.get("renames") or ())}
+        f = {}
+        for pname, (cname, itype) in ident[sid].items():
+            if cname in names or wname_of.get(cname, cname) in names:
+                continue
+            if pname in part and part[pname] is not None:
+                f[cname] = part[pname]
+                fill_types[cname] = _iceberg_type_to_spark(itype)
+        if f:
+            fills[rec["path"]] = f
+    return fills, fill_types
+
+
+def apply_identity_fill(spark, df, fills: dict[str, dict],
+                        fill_types: dict[str, str]):
+    """Join per-file identity-partition values onto the scan via
+    ``_metadata.file_path`` — one broadcast of O(files-needing-fill)
+    rows, no data motion.  ``df`` must still expose the parquet
+    ``_metadata`` virtual column OR a pre-stamped ``__fp__``."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    def topy(v, spark_t):
+        # manifest partition records arrive either spec-typed (foreign
+        # writers: date=int days, timestamp=long micros) or as this
+        # repo's lexical dir rendering / delta partitionValues strings
+        if v is None:
+            return None
+        if spark_t == "date":
+            if isinstance(v, int):
+                return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+            return _dt.date.fromisoformat(str(v))
+        if spark_t.startswith("timestamp"):
+            if isinstance(v, int):
+                return (_dt.datetime(1970, 1, 1)
+                        + _dt.timedelta(microseconds=v))
+            return _dt.datetime.fromisoformat(str(v).replace(" ", "T"))
+        if spark_t in ("int", "bigint") and isinstance(v, str):
+            return int(v)
+        if spark_t in ("float", "double") and isinstance(v, str):
+            return float(v)
+        if spark_t == "boolean" and isinstance(v, str):
+            return v.lower() == "true"
+        return v
+
+    cols = sorted(fill_types)
+    rows = [
+        tuple([norm_path(p)] + [topy((f or {}).get(c), fill_types[c])
+                                for c in cols])
+        for p, f in fills.items()
+    ]
+    sch = ", ".join(["__ifp__ string"] + [
+        f"__fill_{i}__ {fill_types[c]}" for i, c in enumerate(cols)
+    ])
+    fdf = spark.createDataFrame(rows, sch)
+    had_fp = "__fp__" in df.columns
+    pre_cols = set(df.columns)
+    if not had_fp:
+        # EXACTLY _apply_row_deletes's normalization (scheme strip +
+        # percent-decode with '+' protection) so norm_path-keyed plan
+        # paths match and a later delete pass can reuse the column
+        df = df.select(
+            "*",
+            F.url_decode(F.regexp_replace(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ), r"\+", "%2B",
+            )).alias("__fp__"),
+        )
+    df = df.join(F.broadcast(fdf), df["__fp__"] == fdf["__ifp__"], "left")
+    for i, c in enumerate(cols):
+        # a file that physically carries the column keeps its own values
+        src = F.col(f"__fill_{i}__")
+        if c in pre_cols:
+            df = df.withColumn(c, F.coalesce(F.col(c), src))
+        else:
+            df = df.withColumn(c, src)
+    df = df.drop("__ifp__", *[f"__fill_{i}__" for i in range(len(cols))])
+    if not had_fp:
+        df = df.drop("__fp__")
+    return df
+
+
 def decode_bound(raw: bytes, ice_type: str):
     """Spec Appendix-D single-value deserialization (pruning subset).
 
@@ -839,10 +976,39 @@ def read_iceberg_native(spark, p: dict[str, Any]):
     evolved = any(
         d.get("renames") or d.get("absent") or d.get("dropped") for d in data
     )
+    fills, ftypes = identity_fill_plan(data, meta)
     if not evolved:
-        df = reader.parquet(*[d["path"] for d in data])
-        if deletes:
-            df = _apply_row_deletes(spark, df, data, deletes, meta)
+        if fills:
+            # files missing their identity partition columns (spec
+            # Column Projection rule #2): read under the TABLE schema so
+            # the columns exist frame-wide (physically-present files
+            # keep their values, absent ones null out), stamp lineage
+            # once (the fill's join severs the _metadata virtual
+            # column), fill from the manifest partition records, then
+            # let the delete pass reuse the stamp.
+            from pyspark.sql import functions as F
+
+            df = reader.schema(_spark_schema_of(meta)).parquet(
+                *[d["path"] for d in data]
+            )
+            df = df.select(
+                "*",
+                F.url_decode(F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/+", "/"
+                    ), r"\+", "%2B",
+                )).alias("__fp__"),
+                F.col("_metadata.row_index").alias("__pos__"),
+            )
+            df = apply_identity_fill(spark, df, fills, ftypes)
+            if deletes:
+                df = _apply_row_deletes(spark, df, data, deletes, meta)
+            else:
+                df = df.drop("__fp__", "__pos__")
+        else:
+            df = reader.parquet(*[d["path"] for d in data])
+            if deletes:
+                df = _apply_row_deletes(spark, df, data, deletes, meta)
     else:
         # schema-evolved files: the migrating scan (one group per schema
         # generation, renames applied, added columns null-padded, dropped
@@ -851,10 +1017,14 @@ def read_iceberg_native(spark, p: dict[str, Any]):
         # to the unevolved path (r7, VERDICT r6 ask #5).
         df = evolved_scan(
             spark, reader, data, _schema_fields(meta),
-            with_lineage=bool(deletes),
+            with_lineage=bool(deletes) or bool(fills),
         )
+        if fills:
+            df = apply_identity_fill(spark, df, fills, ftypes)
         if deletes:
             df = _apply_row_deletes(spark, df, data, deletes, meta)
+        elif fills:
+            df = df.drop("__fp__", "__pos__")
     if dfilter:
         from pipeline_spark.sources.delta_native import _apply_data_filter
 

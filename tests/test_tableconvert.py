@@ -97,17 +97,6 @@ def test_convert_guards(spark, tmp_path):
     })
     with pytest.raises(ValueError, match="compact"):
         convert_iceberg_to_delta(spark, {"path": tbl})
-    # partitioned delta refuses (partition cols not in parquet)
-    dtbl = str(tmp_path / "g2")
-    write_delta_native(
-        spark,
-        spark.createDataFrame(
-            [(1, "a", "x"), (2, "b", "y")], "id long, v string, part string"
-        ),
-        {"path": dtbl, "partitionBy": ["part"]},
-    )
-    with pytest.raises(ValueError, match="partition"):
-        convert_delta_to_iceberg(spark, {"path": dtbl})
     # double-convert refuses
     tbl2 = str(tmp_path / "g3")
     write_delta_native(
@@ -117,6 +106,119 @@ def test_convert_guards(spark, tmp_path):
     convert_delta_to_iceberg(spark, {"path": tbl2})
     with pytest.raises(FileExistsError, match="already"):
         convert_delta_to_iceberg(spark, {"path": tbl2})
+
+
+def test_partitioned_delta_to_iceberg(spark, tmp_path):
+    """r10: partitioned delta converts — identity spec, per-file
+    partition records from partitionValues, and the reader fills the
+    physically-absent partition columns (spec Column Projection #2)."""
+    tbl = str(tmp_path / "pd2i")
+    rows = [(i, f"v{i}", "even" if i % 2 == 0 else "odd", i % 3)
+            for i in range(12)]
+    write_delta_native(
+        spark,
+        spark.createDataFrame(rows, "id long, v string, par string, b long"),
+        {"path": tbl, "partitionBy": ["par", "b"]},
+    )
+    out = convert_delta_to_iceberg(spark, {"path": tbl})
+    assert out["rows"] == 12
+    got = sorted(
+        (r["id"], r["v"], r["par"], r["b"])
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == sorted(rows)
+    # manifest-level partition pruning works on the converted records
+    pruned = read_iceberg_native(
+        spark, {"path": tbl, "partitionFilter": {"par": "even"}}
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == [0, 2, 4, 6, 8, 10]
+
+
+def test_column_mapped_delta_to_iceberg(spark, tmp_path):
+    """r10: column-mapped delta converts — iceberg field-ids from
+    delta.columnMapping.id, physical names resolved through the
+    manifest's embedded write schema (field-id renames)."""
+    tbl = str(tmp_path / "cm2i")
+    data = [(i, f"v{i}") for i in range(10)]
+    write_delta_native(
+        spark, spark.createDataFrame(data, "id long, v string").coalesce(1),
+        {"path": tbl,
+         "properties": {"delta.columnMapping.mode": "name"}},
+    )
+    out = convert_delta_to_iceberg(spark, {"path": tbl})
+    assert out["converted_files"] == 1
+    df = read_iceberg_native(spark, {"path": tbl})
+    assert sorted(df.columns) == ["id", "v"]  # LOGICAL names
+    assert _rows(df) == sorted(data)
+    # manifest bounds carried under the mapped field-ids: data skipping
+    # prunes on the logical filter key
+    got = read_iceberg_native(
+        spark, {"path": tbl, "dataFilter": {"key": "id", "op": ">=",
+                                            "value": 8}},
+    )
+    assert sorted(r["id"] for r in got.collect()) == [8, 9]
+
+
+def test_dv_delta_to_iceberg(spark, tmp_path):
+    """r10: live delta deletion vectors convert — re-framed as iceberg
+    v3 puffin DV blobs over the same (untouched) data files."""
+    import json as _json
+
+    from pipeline_spark.sinks.delta_native import delete_delta_native
+
+    tbl = str(tmp_path / "dv2i")
+    data = [(i, f"v{i}") for i in range(20)]
+    write_delta_native(
+        spark, spark.createDataFrame(data, "id long, v string").coalesce(1),
+        {"path": tbl,
+         "properties": {"delta.enableDeletionVectors": "true"}},
+    )
+    before = {f for f in os.listdir(tbl) if f.endswith(".parquet")}
+    delete_delta_native(spark, {
+        "path": tbl, "method": "dv",
+        "where": [{"key": "id", "op": "<", "value": 5}],
+    })
+    out = convert_delta_to_iceberg(spark, {"path": tbl})
+    assert out["deletion_vectors"] == 1
+    # zero copy held even across the DV translation
+    after = {f for f in os.listdir(tbl) if f.endswith(".parquet")}
+    assert after == before
+    got = _rows(read_iceberg_native(spark, {"path": tbl}))
+    assert got == [(i, f"v{i}") for i in range(5, 20)]
+    # the converted table is a well-formed v3 table (row-lineage fields)
+    mfile = next(
+        os.path.join(tbl, "metadata", n)
+        for n in os.listdir(os.path.join(tbl, "metadata"))
+        if n.endswith(".metadata.json")
+    )
+    m = _json.load(open(mfile))
+    assert m["format-version"] == 3 and m["next-row-id"] == 20
+
+
+def test_partitioned_cm_dv_delta_to_iceberg(spark, tmp_path):
+    """The three translations compose: partitioned + column-mapped +
+    DV-carrying delta converts and reads back exactly."""
+    from pipeline_spark.sinks.delta_native import delete_delta_native
+
+    tbl = str(tmp_path / "all2i")
+    rows = [(i, f"v{i}", i % 2) for i in range(12)]
+    write_delta_native(
+        spark,
+        spark.createDataFrame(rows, "id long, v string, par long"),
+        {"path": tbl, "partitionBy": ["par"],
+         "properties": {"delta.columnMapping.mode": "name",
+                        "delta.enableDeletionVectors": "true"}},
+    )
+    delete_delta_native(spark, {
+        "path": tbl, "method": "dv",
+        "where": [{"key": "id", "op": "<", "value": 4}],
+    })
+    convert_delta_to_iceberg(spark, {"path": tbl})
+    got = sorted(
+        (r["id"], r["v"], r["par"])
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == [(i, f"v{i}", i % 2) for i in range(4, 12)]
 
 
 def test_tableconvert_module(spark, tmp_path):
