@@ -558,10 +558,17 @@ def evolved_scan(spark, reader, data: list[dict], fields: list[dict],
         mapping = dict(renames)
         cols = [F.col(c).alias(mapping.get(c, c)) for c in g.columns]
         if with_lineage:
+            # the FULL path normalization (scheme strip + percent-decode
+            # with '+' protection) — identical to _apply_row_deletes'
+            # norm, so delete matching and identity-partition fill agree
+            # with driver-side norm_path even when a partition value
+            # percent-encodes into the directory name (e.g. a space)
             cols = [
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ).alias("__fp__"),
+                F.url_decode(F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/+", "/"
+                    ), r"\+", "%2B",
+                )).alias("__fp__"),
                 F.col("_metadata.row_index").alias("__pos__"),
             ] + cols
         parts.append(g.select(*cols))

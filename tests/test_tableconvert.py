@@ -221,6 +221,27 @@ def test_partitioned_cm_dv_delta_to_iceberg(spark, tmp_path):
     assert got == [(i, f"v{i}", i % 2) for i in range(4, 12)]
 
 
+def test_partitioned_cm_percent_encoded_value(spark, tmp_path):
+    """A partition value with a space percent-encodes into the directory
+    name; the evolved scan's lineage stamp must percent-DECODE so the
+    identity fill (and MOR delete matching) still key-match the plan's
+    raw paths.  Regression: caught by the r10 verify drive on
+    o_orderpriority='4-NOT SPECIFIED'."""
+    tbl = str(tmp_path / "sp2i")
+    rows = [(1, "NOT SPECIFIED"), (2, "HIGH"), (3, "NOT SPECIFIED")]
+    write_delta_native(
+        spark, spark.createDataFrame(rows, "id long, par string"),
+        {"path": tbl, "partitionBy": ["par"],
+         "properties": {"delta.columnMapping.mode": "name"}},
+    )
+    convert_delta_to_iceberg(spark, {"path": tbl})
+    got = sorted(
+        (r["id"], r["par"])
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == sorted(rows)
+
+
 def test_tableconvert_module(spark, tmp_path):
     from pipeline_spark.config import parse_config
     from pipeline_spark.executor import run_pipeline
