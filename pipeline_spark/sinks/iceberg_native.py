@@ -1620,6 +1620,18 @@ def _alter_sort_order(p: dict[str, Any], rest, sort_by: list[str]) -> dict:
     return {"sort_by": sort_by}
 
 
+def _fill_schema_read(spark, meta: dict, files: list[dict]):
+    """Multi-file scan under the TABLE schema — for file sets containing
+    identity-fill files (converted / add_files imports): schema
+    inference off a fill file would silently drop the partition columns
+    the OTHER files physically carry."""
+    from pipeline_spark.sources.iceberg_native import _spark_schema_of
+
+    return spark.read.schema(_spark_schema_of(meta)).parquet(
+        *[d["path"] for d in files]
+    )
+
+
 def _read_evolved_group(spark, files: list[dict], cur_schema: dict,
                         with_lineage: bool = False):
     """One frame over mixed-generation data files, upgraded to the
@@ -1699,6 +1711,9 @@ def _compact_iceberg_once(spark, p: dict[str, Any]) -> dict[str, int]:
     data, deletes, prev_meta = plan_files(
         table_path, meta=rest[3] if rest is not None else None
     )
+    from pipeline_spark.sources.iceberg_native import identity_fill_plan
+
+    fills, ftypes = identity_fill_plan(data, prev_meta)
     evolved = any(
         d.get("renames") or d.get("absent") or d.get("dropped") for d in data
     )
@@ -1746,6 +1761,10 @@ def _compact_iceberg_once(spark, p: dict[str, Any]) -> dict[str, int]:
     if eq:
         max_eq = max(d["seq"] for d in eq)
         affected |= {d["path"] for d in data if d["seq"] < max_eq}
+    # identity-fill files always rewrite (same rule as delete-affected):
+    # compaction is the migration that MATERIALIZES the partition
+    # columns a converted/add_files import never wrote
+    affected |= set(fills)
 
     sized = []
     for d in data:
@@ -1891,11 +1910,40 @@ def _compact_iceberg_once(spark, p: dict[str, Any]) -> dict[str, int]:
                 spark, files, cur_schema, with_lineage=bool(bin_has_deletes)
             )
         else:
-            bin_df = spark.read.parquet(*[d["path"] for d in files])
+            bin_fills_pre = any(d["path"] in fills for d in files)
+            if bin_fills_pre:
+                # a mixed bin (fill files + normal files) must read under
+                # the TABLE schema: inference off a fill file would drop
+                # the partition columns other files physically carry
+                from pipeline_spark.sources.iceberg_native import (
+                    _spark_schema_of,
+                )
+
+                bin_df = spark.read.schema(
+                    _spark_schema_of(prev_meta)
+                ).parquet(*[d["path"] for d in files])
+            else:
+                bin_df = spark.read.parquet(*[d["path"] for d in files])
+        bin_fills = {d["path"]: fills[d["path"]]
+                     for d in files if d["path"] in fills}
+        if bin_fills:
+            # identity-fill files (converted / add_files imports): fill
+            # the partition columns from the manifest records so the
+            # REWRITE materializes them — compaction is the migration
+            # path from fill layout to normal layout
+            from pipeline_spark.sources.iceberg_native import (
+                apply_identity_fill,
+                stamp_lineage,
+            )
+
+            bin_df = stamp_lineage(bin_df)
+            bin_df = apply_identity_fill(spark, bin_df, bin_fills, ftypes)
         if bin_has_deletes:
             # materialize: subtract this bin's applicable deletes through
             # the reader's own MOR path (position + equality, seq rule)
             bin_df = _apply_row_deletes(spark, bin_df, files, deletes, prev_meta)
+        elif bin_fills:
+            bin_df = bin_df.drop("__fp__", "__pos__")
         if zorder:
             import math
 
@@ -2175,6 +2223,12 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     data, prior_deletes, _meta = plan_files(
         table_path, meta=rest[3] if rest is not None else None
     )
+    from pipeline_spark.sources.iceberg_native import (
+        apply_identity_fill,
+        identity_fill_plan,
+        stamp_lineage,
+    )
+
     if any(d.get("renames") or d.get("absent") or d.get("dropped") for d in data):
         # evolved live files: plan positions through the reader's own
         # migrating scan (renames applied, added columns null-padded) so
@@ -2188,8 +2242,18 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         live = evolved_scan(
             spark, spark.read, data, _schema_fields(_meta), with_lineage=True
         )
+        _fills, _ftypes = identity_fill_plan(data, _meta)
     else:
-        live = spark.read.parquet(*[d["path"] for d in data])
+        _fills, _ftypes = identity_fill_plan(data, _meta)
+        if _fills:
+            live = _fill_schema_read(spark, _meta, data)
+        else:
+            live = spark.read.parquet(*[d["path"] for d in data])
+    if _fills:
+        # fill identity partition columns from the manifest records so a
+        # WHERE on a partition column matches (positions are unaffected)
+        live = stamp_lineage(live)
+        live = apply_identity_fill(spark, live, _fills, _ftypes)
     if prior_deletes:
         # probe LIVE rows only (ADVICE r8): a row that's already deleted
         # must not be re-counted, and a file whose only matches are dead
@@ -2696,6 +2760,12 @@ def _cow_mutate_where(
         plan_files,
     )
 
+    from pipeline_spark.sources.iceberg_native import (
+        apply_identity_fill,
+        identity_fill_plan,
+        stamp_lineage,
+    )
+
     op = "update" if set_exprs else "delete"
     where = p.get("where")
     if not where:
@@ -2729,6 +2799,14 @@ def _cow_mutate_where(
         if bad:
             raise ValueError(f"iceberg update: set columns {bad} not in schema")
 
+    # identity-fill files (delta-converted / add_files imports whose
+    # parquet never materialized the identity partition columns): the
+    # probe and the rewrite read both fill from the manifest partition
+    # records, so predicates on partition columns match and the
+    # REWRITTEN files materialize the columns (fill tables migrate to
+    # normal layout one rewrite at a time)
+    fills, ftypes = identity_fill_plan(data, prev_meta)
+
     # manifest-bounds pruning directly on the predicate, then the exact
     # probe — only files that CONTAIN a match rewrite
     id2field = {f["id"]: f for f in cur_schema["fields"]}
@@ -2749,8 +2827,15 @@ def _cow_mutate_where(
             probe = _read_evolved_group(
                 spark, candidates, cur_schema, with_lineage=True
             )
+        elif fills:
+            # fill candidates must read under the TABLE schema: inference
+            # off a fill file would drop the partition columns
+            probe = _fill_schema_read(spark, prev_meta, candidates)
         else:
             probe = spark.read.parquet(*[d["path"] for d in candidates])
+        if fills:
+            probe = stamp_lineage(probe)
+            probe = apply_identity_fill(spark, probe, fills, ftypes)
         if deletes:
             # probe LIVE rows only (ADVICE r8): rows already removed by
             # a DV / position / equality delete must not count as
@@ -2792,10 +2877,15 @@ def _cow_mutate_where(
     )
     if ev_hit:
         grp = _read_evolved_group(
-            spark, hit, cur_schema, with_lineage=bool(deletes)
+            spark, hit, cur_schema, with_lineage=bool(deletes) or bool(fills)
         )
+    elif fills:
+        grp = _fill_schema_read(spark, prev_meta, hit)
     else:
         grp = spark.read.parquet(*[d["path"] for d in hit])
+    if fills:
+        grp = stamp_lineage(grp)
+        grp = apply_identity_fill(spark, grp, fills, ftypes)
     if deletes:
         grp = _apply_row_deletes(spark, grp, hit, deletes, prev_meta)
     cond = data_filter_condition(where)
@@ -3280,6 +3370,16 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
         return {"merged_rows": -1, "rewritten_files": 0, "added_files": -1}
 
     data, deletes, prev_meta = plan_files(table_path, meta=prev_meta)
+    from pipeline_spark.sources.iceberg_native import (
+        apply_identity_fill,
+        identity_fill_plan,
+        stamp_lineage,
+    )
+
+    # identity-fill files (converted / add_files imports) fill on the
+    # probe (keys may BE partition columns) and on the rewrite read
+    # (rewritten files then materialize the columns)
+    fills, ftypes = identity_fill_plan(data, prev_meta)
     cur_schema = next(
         s for s in prev_meta["schemas"]
         if s.get("schema-id", 0) == prev_meta.get("current-schema-id", 0)
@@ -3334,8 +3434,13 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
                 probe = _read_evolved_group(
                     spark, candidates, cur_schema, with_lineage=True
                 )
+            elif fills:
+                probe = _fill_schema_read(spark, prev_meta, candidates)
             else:
                 probe = spark.read.parquet(*[d["path"] for d in candidates])
+            if fills:
+                probe = stamp_lineage(probe)
+                probe = apply_identity_fill(spark, probe, fills, ftypes)
             if deletes:
                 # probe LIVE rows only (r9): a key whose only occurrence
                 # is an already-deleted row must not force a rewrite
@@ -3379,10 +3484,16 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
         )
         if ev_hit:
             grp = _read_evolved_group(
-                spark, hit, cur_schema, with_lineage=bool(deletes)
+                spark, hit, cur_schema,
+                with_lineage=bool(deletes) or bool(fills),
             )
+        elif fills:
+            grp = _fill_schema_read(spark, prev_meta, hit)
         else:
             grp = spark.read.parquet(*[d["path"] for d in hit])
+        if fills:
+            grp = stamp_lineage(grp)
+            grp = apply_identity_fill(spark, grp, fills, ftypes)
         if deletes:
             grp = _apply_row_deletes(spark, grp, hit, deletes, prev_meta)
         survivors = grp.join(

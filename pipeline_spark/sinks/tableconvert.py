@@ -427,14 +427,35 @@ def convert_delta_to_iceberg(spark, p: dict[str, Any]) -> dict[str, Any]:
 
 
 def convert_iceberg_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:
-    """Write a delta log (protocol 1/2 + metaData + adds) over an
-    iceberg table's current live data files.  Footer stats land in each
-    ``add.stats`` so delta-side skipping works from commit zero."""
+    """Write a delta log over an iceberg table's current live data
+    files.  Footer stats land in each ``add.stats`` so delta-side
+    skipping works from commit zero.
+
+    r10: the full surface both formats can express translates —
+
+    - position deletes / v3 puffin DVs → delta deletion vectors (one
+      roaring ``.bin`` per referenced file; same position bitmaps);
+      equality deletes still refuse (delta deletes by position only);
+    - identity-fill tables (files that never materialized their
+      identity partition columns — e.g. tables this module converted
+      FROM delta, or ``add_files`` imports) → partitioned delta with
+      per-file ``partitionValues``, delta's native layout for exactly
+      that shape;
+    - renamed columns (schema-evolved manifests) → delta column mapping
+      when every live file shares ONE physical name per column (delta
+      records one physicalName, not per-file names — compact first
+      otherwise); added columns null-pad and dropped parquet columns
+      are ignored by delta's schema-first read, so neither blocks.
+    """
     from pipeline_spark.sinks.delta_native import (
         _commit_actions,
         _footer_stats,
     )
-    from pipeline_spark.sources.iceberg_native import plan_files
+    from pipeline_spark.sources.iceberg_native import (
+        identity_fill_plan,
+        norm_path,
+        plan_files,
+    )
 
     table = re.sub(
         r"^file:/{0,2}(/)", r"\1",
@@ -448,48 +469,126 @@ def convert_iceberg_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:
             f"convert: {table} already carries a delta log"
         )
     data, deletes, imeta = plan_files(table)
-    if deletes:
+    if any(d["content"] == 2 for d in deletes):
         raise ValueError(
-            "convert: the iceberg table carries row-level delete files — "
-            "compact first to materialize them"
-        )
-    if any(d.get("renames") or d.get("absent") or d.get("dropped")
-           for d in data):
-        raise NotImplementedError(
-            "convert: schema-evolved iceberg manifests need delta column "
-            "mapping to express — compact first"
+            "convert: the iceberg table carries EQUALITY delete files — "
+            "delta deletes by position only; compact first to "
+            "materialize them"
         )
     cur_schema = next(
         s for s in imeta["schemas"]
         if s.get("schema-id", 0) == imeta.get("current-schema-id", 0)
     )
-    dfields = [
-        {
+
+    # renamed columns → delta column mapping, valid only when every live
+    # file agrees on ONE physical name per column (files from manifests
+    # without a rename carry the CURRENT name physically)
+    phys_names: dict[str, set] = {}
+    for d in data:
+        ren = dict((cur, w) for (w, cur) in (d.get("renames") or ()))
+        for f in cur_schema["fields"]:
+            phys_names.setdefault(f["name"], set()).add(
+                ren.get(f["name"], f["name"])
+            )
+    mixed = sorted(c for c, s in phys_names.items() if len(s) > 1)
+    if mixed:
+        raise NotImplementedError(
+            f"convert: columns {mixed} were renamed mid-table — live "
+            "files carry more than one physical name, which delta column "
+            "mapping cannot express (one physicalName per column); "
+            "compact first"
+        )
+    phys_of = {c: next(iter(s)) for c, s in phys_names.items()}
+    cm_needed = any(phys_of[c] != c for c in phys_of)
+
+    # identity-fill files (partition columns never materialized in the
+    # parquet) → partitioned delta, delta's NATIVE layout for this shape
+    fills, ftypes = identity_fill_plan(data, imeta)
+    part_cols = sorted(ftypes) if fills else []
+    if fills and len(fills) != len(data):
+        raise NotImplementedError(
+            "convert: some files materialize their identity partition "
+            "columns and some do not — delta partitions all-or-nothing; "
+            "compact first"
+        )
+
+    dfields = []
+    max_id = 0
+    for f in cur_schema["fields"]:
+        md: dict[str, Any] = {}
+        if cm_needed:
+            md = {
+                "delta.columnMapping.id": int(f["id"]),
+                "delta.columnMapping.physicalName": phys_of[f["name"]],
+            }
+            max_id = max(max_id, int(f["id"]))
+        dfields.append({
             "name": f["name"],
             "type": _ice_type_to_delta(f["type"]),
             "nullable": not f.get("required", False),
-            "metadata": {},
-        }
-        for f in cur_schema["fields"]
-    ]
+            "metadata": md,
+        })
     schema_string = json.dumps({"type": "struct", "fields": dfields})
+
+    # position deletes (parquet and puffin-DV shapes) → one delta DV per
+    # referenced data file.  Delete files are compaction-bounded
+    # KB-MB-scale metadata; a one-time driver-side decode matches the
+    # conversion's existing O(files) footer walk.
+    pos_of: dict[str, list[int]] = {}
+    for d in deletes:
+        if d.get("content_offset") is not None:
+            from pipeline_spark.functions.puffin import read_dv_positions
+
+            pos_of.setdefault(norm_path(d["referenced_data_file"]), []).extend(
+                int(x) for x in read_dv_positions(
+                    d["path"], d["content_offset"], d["content_size_in_bytes"]
+                )
+            )
+        else:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(d["path"], columns=["file_path", "pos"])
+            for fp, pos in zip(
+                t.column("file_path").to_pylist(), t.column("pos").to_pylist()
+            ):
+                pos_of.setdefault(norm_path(fp), []).append(int(pos))
+
+    conf: dict[str, str] = {}
+    reader_feats: list[str] = []
+    if cm_needed:
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = str(max_id)
+        reader_feats.append("columnMapping")
+    if pos_of:
+        conf["delta.enableDeletionVectors"] = "true"
+        reader_feats.append("deletionVectors")
+    if reader_feats:
+        protocol: dict[str, Any] = {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": sorted(reader_feats),
+            "writerFeatures": sorted(reader_feats),
+        }
+    else:
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
         {"commitInfo": {
             "timestamp": now_ms, "operation": "CONVERT",
             "operationParameters": {"sourceFormat": "iceberg"},
         }},
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": protocol},
         {"metaData": {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_string,
-            "partitionColumns": [],
-            "configuration": {},
+            "partitionColumns": part_cols,
+            "configuration": conf,
             "createdTime": now_ms,
         }},
     ]
     total_rows = 0
+    n_dvs = 0
     for d in data:
         full = d["path"]
         rel = os.path.relpath(full, table)
@@ -501,17 +600,46 @@ def convert_iceberg_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:
         st = _footer_stats(full)
         if st:
             total_rows += json.loads(st).get("numRecords") or 0
-        actions.append({"add": {
+        add: dict[str, Any] = {
             "path": urllib.parse.quote(rel.replace(os.sep, "/"), safe="/="),
             "partitionValues": {},
             "size": os.path.getsize(full),
             "modificationTime": now_ms,
             "dataChange": True,
             **({"stats": st} if st else {}),
-        }})
+        }
+        if part_cols:
+            fv = fills.get(full) or {}
+            add["partitionValues"] = {
+                c: (None if fv.get(c) is None else str(fv[c]))
+                for c in part_cols
+            }
+        positions = pos_of.pop(norm_path(full), None)
+        if positions:
+            from pipeline_spark.functions.deltadv import (
+                make_dv_descriptor_relative,
+            )
+
+            desc, target, blob = make_dv_descriptor_relative(
+                table, sorted(set(positions))
+            )
+            with open(target, "wb") as fh:
+                fh.write(blob)
+            add["deletionVector"] = desc
+            n_dvs += 1
+        actions.append({"add": add})
+    if pos_of:
+        raise ValueError(
+            "convert: delete files reference data files not in the "
+            f"current snapshot: {sorted(pos_of)[:3]}"
+        )
     os.makedirs(log_dir, exist_ok=True)
     _commit_actions(table, 0, actions)
-    return {"converted_files": len(data), "rows": total_rows}
+    return {
+        "converted_files": len(data),
+        "rows": total_rows,
+        "deletion_vectors": n_dvs,
+    }
 
 
 @module("tableconvert", kind=KIND_SINK)

@@ -724,6 +724,27 @@ def apply_identity_fill(spark, df, fills: dict[str, dict],
     return df
 
 
+def stamp_lineage(df):
+    """``__fp__``/``__pos__`` (normalized file path + row ordinal) off
+    the parquet ``_metadata`` virtual column — idempotent, and the ONE
+    normalization every consumer shares (scheme strip + percent-decode
+    with '+' protection, the column twin of :func:`norm_path`).  Stamp
+    BEFORE any join: ``_metadata`` does not survive one."""
+    from pyspark.sql import functions as F
+
+    if "__fp__" in df.columns:
+        return df
+    return df.select(
+        "*",
+        F.url_decode(F.regexp_replace(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ), r"\+", "%2B",
+        )).alias("__fp__"),
+        F.col("_metadata.row_index").alias("__pos__"),
+    )
+
+
 def decode_bound(raw: bytes, ice_type: str):
     """Spec Appendix-D single-value deserialization (pruning subset).
 

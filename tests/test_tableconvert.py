@@ -84,7 +84,12 @@ def test_roundtrip_through_both_formats(spark, tmp_path):
 
 
 def test_convert_guards(spark, tmp_path):
-    # iceberg with live deletes refuses
+    # iceberg with live EQUALITY deletes refuses (delta deletes by
+    # position only; position deletes/DVs translate since r10)
+    from pipeline_spark.sinks.iceberg_native import (
+        equality_delete_iceberg_native,
+    )
+
     tbl = str(tmp_path / "g1")
     write_iceberg_native(
         spark.createDataFrame(
@@ -92,8 +97,8 @@ def test_convert_guards(spark, tmp_path):
         ).coalesce(1),
         {"path": tbl, "mode": "create"},
     )
-    delete_iceberg_native(spark, {
-        "path": tbl, "where": [{"key": "id", "op": "=", "value": 1}],
+    equality_delete_iceberg_native(spark, {
+        "path": tbl, "values": [{"id": 1}],
     })
     with pytest.raises(ValueError, match="compact"):
         convert_iceberg_to_delta(spark, {"path": tbl})
@@ -237,6 +242,233 @@ def test_partitioned_cm_percent_encoded_value(spark, tmp_path):
     convert_delta_to_iceberg(spark, {"path": tbl})
     got = sorted(
         (r["id"], r["par"])
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == sorted(rows)
+
+
+def test_iceberg_position_deletes_to_delta(spark, tmp_path):
+    """r10: iceberg position deletes translate to delta deletion
+    vectors — same roaring position bitmaps, zero data copied."""
+    tbl = str(tmp_path / "pd2d")
+    data = [(i, f"v{i}") for i in range(20)]
+    write_iceberg_native(
+        spark.createDataFrame(data, "id long, v string").coalesce(1),
+        {"path": tbl, "mode": "create"},
+    )
+    delete_iceberg_native(spark, {
+        "path": tbl, "where": [{"key": "id", "op": "<", "value": 4}],
+    })
+    before = {
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(tbl) for f in fs if f.endswith(".parquet")
+        and "_delta_log" not in r
+    }
+    out = convert_iceberg_to_delta(spark, {"path": tbl})
+    assert out["deletion_vectors"] == 1
+    got = _rows(read_delta_native(spark, {"path": tbl}))
+    assert got == [(i, f"v{i}") for i in range(4, 20)]
+    after = {
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(tbl) for f in fs if f.endswith(".parquet")
+        and "_delta_log" not in r
+    }
+    assert before == after  # zero copy
+
+
+def test_iceberg_puffin_dv_to_delta(spark, tmp_path):
+    """v3 puffin deletion vectors also translate (blob → delta DV)."""
+    tbl = str(tmp_path / "pf2d")
+    data = [(i, f"v{i}") for i in range(15)]
+    write_iceberg_native(
+        spark.createDataFrame(data, "id long, v string").coalesce(1),
+        {"path": tbl, "mode": "create"},
+    )
+    delete_iceberg_native(spark, {
+        "path": tbl, "format": "puffin",
+        "where": [{"key": "id", "op": ">=", "value": 12}],
+    })
+    out = convert_iceberg_to_delta(spark, {"path": tbl})
+    assert out["deletion_vectors"] == 1
+    assert _rows(read_delta_native(spark, {"path": tbl})) == [
+        (i, f"v{i}") for i in range(12)
+    ]
+
+
+def test_renamed_iceberg_to_delta_column_mapping(spark, tmp_path):
+    """r10: a renamed iceberg column converts via delta column mapping
+    (physicalName = the files' write name, id = the iceberg field-id)
+    when every live file agrees on one physical name."""
+    import json as _json
+
+    from pipeline_spark.sinks.iceberg_native import alter_iceberg_native
+
+    tbl = str(tmp_path / "rn2d")
+    data = [(i, f"v{i}") for i in range(10)]
+    write_iceberg_native(
+        spark.createDataFrame(data, "id long, tag string").coalesce(1),
+        {"path": tbl, "mode": "create"},
+    )
+    alter_iceberg_native(spark, {"path": tbl, "renameColumn": {"tag": "v"}})
+    convert_iceberg_to_delta(spark, {"path": tbl})
+    df = read_delta_native(spark, {"path": tbl})
+    assert sorted(df.columns) == ["id", "v"]  # logical names
+    assert _rows(df) == sorted(data)
+    log = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    meta = next(
+        _json.loads(x)["metaData"] for x in open(log) if '"metaData"' in x
+    )
+    assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+    f = next(f for f in _json.loads(meta["schemaString"])["fields"]
+             if f["name"] == "v")
+    assert f["metadata"]["delta.columnMapping.physicalName"] == "tag"
+
+
+def test_mixed_physical_names_refuse(spark, tmp_path):
+    """Files on both sides of a rename carry different physical names —
+    delta column mapping cannot express that; refuse with the compact
+    workaround."""
+    from pipeline_spark.sinks.iceberg_native import alter_iceberg_native
+
+    tbl = str(tmp_path / "mx2d")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "a")], "id long, tag string"),
+        {"path": tbl, "mode": "create"},
+    )
+    alter_iceberg_native(spark, {"path": tbl, "renameColumn": {"tag": "v"}})
+    write_iceberg_native(
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        {"path": tbl, "mode": "append"},
+    )
+    with pytest.raises(NotImplementedError, match="compact"):
+        convert_iceberg_to_delta(spark, {"path": tbl})
+
+
+def test_identity_fill_iceberg_back_to_partitioned_delta(spark, tmp_path):
+    """A delta-converted partitioned iceberg table (identity-fill files)
+    converts BACK to partitioned delta — delta's native layout for
+    exactly that shape.  Full circle, still zero data movement."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    rows = [(i, f"v{i}", i % 3) for i in range(12)]
+    write_delta_native(
+        spark, spark.createDataFrame(rows, "id long, v string, par long"),
+        {"path": src, "partitionBy": ["par"]},
+    )
+    convert_delta_to_iceberg(spark, {"path": src})
+    # clone the ICEBERG side to a fresh location (the original keeps its
+    # delta log, so in-place reverse conversion refuses there)
+    dst = str(tmp_path / "dst")
+    shutil.copytree(src, dst, ignore=shutil.ignore_patterns("_delta_log"))
+    _fix_iceberg_paths(dst, src)
+    out = convert_iceberg_to_delta(spark, {"path": dst})
+    assert out["converted_files"] > 0
+    import json as _json
+
+    log = os.path.join(dst, "_delta_log", f"{0:020d}.json")
+    meta = next(
+        _json.loads(x)["metaData"] for x in open(log) if '"metaData"' in x
+    )
+    assert meta["partitionColumns"] == ["par"]
+    got = sorted(
+        (r["id"], r["v"], r["par"])
+        for r in read_delta_native(spark, {"path": dst}).collect()
+    )
+    assert got == sorted(rows)
+
+
+def _fix_iceberg_paths(dst: str, src: str) -> None:
+    """Rewrite absolute paths inside copied iceberg metadata (metadata
+    json + avro manifests store absolute locations)."""
+    import json as _json
+
+    from pipeline_spark.functions.avroocf import (
+        read_ocf_file_with_meta,
+        write_ocf_bytes,
+    )
+
+    mdir = os.path.join(dst, "metadata")
+    for name in os.listdir(mdir):
+        path = os.path.join(mdir, name)
+        if name.endswith(".metadata.json"):
+            s = open(path).read().replace(src, dst)
+            open(path, "w").write(s)
+        elif name.endswith(".avro"):
+            schema, meta, recs = read_ocf_file_with_meta(path)
+
+            def fix(v):
+                if isinstance(v, str):
+                    return v.replace(src, dst)
+                if isinstance(v, dict):
+                    return {k: fix(x) for k, x in v.items()}
+                if isinstance(v, list):
+                    return [fix(x) for x in v]
+                return v
+
+            recs = [fix(r) for r in recs]
+            extra = {
+                k: v.decode() if isinstance(v, bytes) else v
+                for k, v in meta.items()
+                if k not in ("avro.schema", "avro.codec")
+            }
+            out = write_ocf_bytes(schema, recs, extra_meta=extra)
+            open(path, "wb").write(out)
+
+
+def test_dml_on_converted_partitioned_table(spark, tmp_path):
+    """COW DELETE on an identity-fill table: the predicate can name a
+    partition column, and rewritten files MATERIALIZE the partition
+    columns (the fill migrates out one rewrite at a time)."""
+    tbl = str(tmp_path / "dmlconv")
+    rows = [(i, f"v{i}", i % 2) for i in range(10)]
+    write_delta_native(
+        spark, spark.createDataFrame(rows, "id long, v string, par long"),
+        {"path": tbl, "partitionBy": ["par"]},
+    )
+    convert_delta_to_iceberg(spark, {"path": tbl})
+    out = delete_iceberg_native(spark, {
+        "path": tbl, "method": "cow",
+        "where": [{"key": "par", "op": "=", "value": 1}],
+    })
+    assert out["deleted_rows"] == 5
+    got = sorted(
+        (r["id"], r["par"])
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == [(i, 0) for i in range(0, 10, 2)]
+
+
+def test_compact_materializes_identity_fill(spark, tmp_path):
+    """Compaction rewrites identity-fill files WITH their partition
+    columns — after one compact, the fill plan is empty and the table
+    reads like any natively-written partitioned iceberg table."""
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.sinks.iceberg_native import compact_iceberg_native
+    from pipeline_spark.sources.iceberg_native import (
+        identity_fill_plan,
+        load_table_metadata,
+        plan_files,
+    )
+
+    tbl = str(tmp_path / "cmpconv")
+    rows = [(i, f"v{i}", i % 2) for i in range(10)]
+    write_delta_native(
+        spark, spark.createDataFrame(rows, "id long, v string, par long"),
+        {"path": tbl, "partitionBy": ["par"]},
+    )
+    convert_delta_to_iceberg(spark, {"path": tbl})
+    data, _dels, meta = plan_files(tbl)
+    fills, _t = identity_fill_plan(data, meta)
+    assert fills  # converted: files lack the partition column
+    compact_iceberg_native(spark, {"path": tbl, "minFilesPerGroup": 1})
+    data2, _d2, meta2 = plan_files(tbl)
+    fills2, _t2 = identity_fill_plan(data2, meta2)
+    assert not fills2  # materialized
+    assert all("par" in pq.read_schema(d["path"]).names for d in data2)
+    got = sorted(
+        (r["id"], r["v"], r["par"])
         for r in read_iceberg_native(spark, {"path": tbl}).collect()
     )
     assert got == sorted(rows)
