@@ -5468,6 +5468,66 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_convert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 conversion surface in one oracled row: a PARTITIONED,
+    COLUMN-MAPPED, DV-CARRYING delta table converts to iceberg in place
+    (identity spec + physical-name write schema + v3 puffin DVs —
+    references sinks/tableconvert.py), then iceberg COW DELETE on a
+    PARTITION column proves the identity-fill probe works and the
+    rewrite MATERIALIZES the partition columns.  The final read groups
+    per lang; the oracle recomputes from the source table, so a row
+    lost in the conversion, the DV translation, the fill, or the
+    partition-scoped rewrite hash-mismatches."""
+    import shutil
+
+    from pipeline_spark.sinks.delta_native import (
+        delete_delta_native,
+        write_delta_native,
+    )
+    from pipeline_spark.sinks.iceberg_native import delete_iceberg_native
+    from pipeline_spark.sinks.tableconvert import convert_delta_to_iceberg
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    ).where(F.col("doc_id") < 500)
+    t = _tmp_path("conv_part", sf_dir)
+    shutil.rmtree(t, ignore_errors=True)
+    write_delta_native(
+        spark, docs, {
+            "path": t, "partitionBy": ["lang"],
+            "properties": {"delta.columnMapping.mode": "name",
+                           "delta.enableDeletionVectors": "true"},
+        },
+    )
+    delete_delta_native(spark, {
+        "path": t, "method": "dv",
+        "where": [{"key": "doc_id", "op": "<", "value": 100}],
+    })
+    convert_delta_to_iceberg(spark, {"path": t})
+    delete_iceberg_native(spark, {
+        "path": t, "method": "cow",
+        "where": [{"key": "lang", "op": "=", "value": "de"}],
+    })
+    return (
+        read_iceberg_native(spark, {"path": t})
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_CONVERT_PART_SQL = """
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents
+WHERE doc_id >= 100 AND doc_id < 500 AND lang <> 'de'
+GROUP BY lang ORDER BY lang
+"""
+
+
 def q_localdb_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """localH2 sink (r9): build one embedded sqlite database artifact PER
     LANG from documents (the reference's per-group H2 database shape,
@@ -5610,6 +5670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "convert_roundtrip": q_convert_roundtrip,
+        "convert_partitioned": q_convert_partitioned,
         "localdb_artifact": q_localdb_artifact,
         "auxia_events": q_auxia_events,
         # --- rotated back (past-cap since r7, VERDICT r8 ask #6)
@@ -5837,6 +5898,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": Q_PQ_TOPK_SQL,
         "ivfpq_topk": Q_IVFPQ_TOPK_SQL,
         "convert_roundtrip": Q_CONVERT_RT_SQL,
+        "convert_partitioned": Q_CONVERT_PART_SQL,
         "localdb_artifact": Q_LOCALDB_SQL,
         "auxia_events": Q_AUXIA_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,
