@@ -5468,6 +5468,69 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_iceberg_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 default values (r10, spec §Default values): write
+    events[<2000] WITHOUT a tier column, ALTER addColumn tier with
+    default 'standard' (metadata-only backfill — the v3 way to add a
+    populated column across a 100 TB table with zero data motion), then
+    append events[2000,3000) WITH explicit tiers.  Old files read the
+    initial-default, the append keeps its values, and an omitted-column
+    append takes the write-default.  Grouped by tier; the oracle
+    recomputes the CASE from the source table."""
+    import shutil
+
+    from pipeline_spark.sinks.iceberg_native import (
+        alter_iceberg_native,
+        write_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    t = _tmp_path("ice_dflt", sf_dir)
+    shutil.rmtree(t, ignore_errors=True)
+    write_iceberg_native(
+        ev.where(F.col("event_id") < 2000).coalesce(2),
+        {"path": t, "mode": "create"},
+    )
+    alter_iceberg_native(spark, {
+        "path": t,
+        "addColumn": {"name": "tier", "type": "string",
+                      "default": "standard"},
+    })
+    write_iceberg_native(
+        ev.where((F.col("event_id") >= 2000) & (F.col("event_id") < 3000))
+        .withColumn(
+            "tier",
+            F.when(F.col("value") > 50, F.lit("gold"))
+            .otherwise(F.lit("silver")),
+        ).coalesce(2),
+        {"path": t, "mode": "append"},
+    )
+    return (
+        read_iceberg_native(spark, {"path": t})
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("amt"),
+        )
+        .orderBy("tier")
+    )
+
+
+Q_ICE_DFLT_SQL = """
+SELECT tier, count(*) AS n, round(sum(value), 4) AS amt
+FROM (
+  SELECT value,
+         CASE WHEN event_id < 2000 THEN 'standard'
+              WHEN value > 50 THEN 'gold' ELSE 'silver' END AS tier
+  FROM events WHERE event_id < 3000
+)
+GROUP BY tier ORDER BY tier
+"""
+
+
 def q_convert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r10 conversion surface in one oracled row: a PARTITIONED,
     COLUMN-MAPPED, DV-CARRYING delta table converts to iceberg in place
@@ -5671,6 +5734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "convert_roundtrip": q_convert_roundtrip,
         "convert_partitioned": q_convert_partitioned,
+        "iceberg_defaults": q_iceberg_defaults,
         "localdb_artifact": q_localdb_artifact,
         "auxia_events": q_auxia_events,
         # --- rotated back (past-cap since r7, VERDICT r8 ask #6)
@@ -5899,6 +5963,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk": Q_IVFPQ_TOPK_SQL,
         "convert_roundtrip": Q_CONVERT_RT_SQL,
         "convert_partitioned": Q_CONVERT_PART_SQL,
+        "iceberg_defaults": Q_ICE_DFLT_SQL,
         "localdb_artifact": Q_LOCALDB_SQL,
         "auxia_events": Q_AUXIA_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,

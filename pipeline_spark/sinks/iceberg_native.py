@@ -599,6 +599,28 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
             s for s in prev_meta["schemas"]
             if s.get("schema-id", 0) == prev_meta.get("current-schema-id", 0)
         )
+        # v3 write-default (spec Default values): an append omitting a
+        # defaulted column gets it filled writer-side — the batch's
+        # files always materialize the column
+        wd = [
+            f for f in prev_schema["fields"]
+            if f.get("write-default") is not None
+            and f["name"] not in df.columns
+        ]
+        if wd:
+            from pyspark.sql import functions as F
+
+            from pipeline_spark.sources.iceberg_native import (
+                _iceberg_type_to_spark,
+            )
+
+            for f in wd:
+                fill = (
+                    F.lit(f["write-default"])
+                    .cast(_iceberg_type_to_spark(f["type"]))
+                )
+                df = df.withColumn(f["name"], fill)
+                df_w = df_w.withColumn(f["name"], fill)
 
         def _strip_ids(t):
             if isinstance(t, dict):
@@ -1426,13 +1448,16 @@ def alter_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     rest = _rest_meta_session(p) if p.get("catalog") else None
     renames = dict(p.get("renameColumn") or {})
     drops = list(p.get("dropColumn") or [])
+    adds_in = p.get("addColumn") or []
+    if isinstance(adds_in, dict):
+        adds_in = [adds_in]
     sort_by = p.get("sortBy")
-    if not renames and not drops and sort_by is None:
+    if not renames and not drops and not adds_in and sort_by is None:
         raise ValueError(
             "iceberg alter: nothing to do (renameColumn / dropColumn / "
-            "sortBy)"
+            "addColumn / sortBy)"
         )
-    if sort_by is not None and (renames or drops):
+    if sort_by is not None and (renames or drops or adds_in):
         raise ValueError(
             "iceberg alter: set sortBy in its own alter call (a rename "
             "could invalidate the order's source columns mid-commit)"
@@ -1464,6 +1489,44 @@ def alter_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     clash = [new for new in renames.values() if new in names - set(renames)]
     if clash:
         raise ValueError(f"iceberg alter: rename targets {clash} already exist")
+    # addColumn (spec Schema Evolution): each new field takes a fresh
+    # field-id past last-column-id; a ``default`` sets BOTH the v3
+    # ``initial-default`` (what readers produce for files written before
+    # the column existed) and ``write-default`` (what writers fill when
+    # the append omits the column) — requires format-version 3
+    added_fields: list[dict] = []
+    next_col_id = int(meta.get("last-column-id", 0))
+    any_default = False
+    for a in adds_in:
+        aname = str(a.get("name") or "")
+        atype = str(a.get("type") or "")
+        if not aname or not atype:
+            raise ValueError("iceberg alter: addColumn needs name and type")
+        if aname in names or aname in renames.values() or any(
+            f["name"] == aname for f in added_fields
+        ):
+            raise ValueError(f"iceberg alter: column {aname!r} already exists")
+        try:
+            from pipeline_spark.sources.iceberg_native import (
+                _iceberg_type_to_spark,
+            )
+
+            _iceberg_type_to_spark(atype)
+        except NotImplementedError:
+            raise ValueError(
+                f"iceberg alter: addColumn type {atype!r} is not a "
+                "supported primitive"
+            ) from None
+        next_col_id += 1
+        nf: dict[str, Any] = {
+            "id": next_col_id, "name": aname,
+            "required": False, "type": atype,
+        }
+        if "default" in a and a["default"] is not None:
+            nf["initial-default"] = a["default"]
+            nf["write-default"] = a["default"]
+            any_default = True
+        added_fields.append(nf)
     spec_fields = (meta.get("partition-specs") or [{}])[0].get("fields", [])
     locked_ids = {f.get("source-id") for f in spec_fields}
     locked = [
@@ -1480,7 +1543,7 @@ def alter_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
         {**f, "name": renames.get(f["name"], f["name"])}
         for f in cur["fields"]
         if f["name"] not in drops
-    ]
+    ] + added_fields
     if not new_fields:
         raise ValueError("iceberg alter: cannot drop every column")
     # spec: schema evolution ADDS a schema under a fresh schema-id and
@@ -1519,11 +1582,17 @@ def alter_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
                 "type": "assert-current-schema-id", "current-schema-id": cur_id,
             }],
             updates=[
+                *([{"action": "upgrade-format-version",
+                    "format-version": 3}]
+                  if any_default
+                  and int(meta.get("format-version", 2)) < 3 else []),
                 {
                     "action": "add-schema",
                     "schema": {**cur, "schema-id": new_sid,
                                "fields": new_fields},
-                    "last-column-id": meta.get("last-column-id", 0),
+                    "last-column-id": max(
+                        int(meta.get("last-column-id", 0)), next_col_id
+                    ),
                 },
                 {"action": "set-current-schema", "schema-id": -1},
                 {
@@ -1534,11 +1603,20 @@ def alter_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
                 },
             ],
         )
-        return {"renamed": renames, "dropped": drops}
+        return {"renamed": renames, "dropped": drops,
+                "added": [f["name"] for f in added_fields]}
     now_ms = int(time.time() * 1000)
     meta = dict(meta)
     meta["schemas"] = schemas
     meta["current-schema-id"] = new_sid
+    meta["last-column-id"] = max(
+        int(meta.get("last-column-id", 0)), next_col_id
+    )
+    if any_default and int(meta.get("format-version", 2)) < 3:
+        # initial-default is a v3 construct (spec Default values): a
+        # spec-strict v2 reader would ignore it and resurrect nulls
+        meta["format-version"] = 3
+        meta.setdefault("next-row-id", 0)
     meta["last-updated-ms"] = now_ms
     meta["properties"] = {
         **(meta.get("properties") or {}),
@@ -1550,7 +1628,8 @@ def alter_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     meta["__version"] = version
     meta_dir = os.path.join(table_path, "metadata")
     _publish_metadata_exclusive(meta_dir, version, meta)
-    return {"renamed": renames, "dropped": drops}
+    return {"renamed": renames, "dropped": drops,
+            "added": [f["name"] for f in added_fields]}
 
 
 def _alter_sort_order(p: dict[str, Any], rest, sort_by: list[str]) -> dict:

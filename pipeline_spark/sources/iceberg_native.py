@@ -552,11 +552,26 @@ def evolved_scan(spark, reader, data: list[dict], fields: list[dict],
     for d in data:
         key = (d.get("renames") or (), d.get("absent") or ())
         groups.setdefault(key, []).append(d["path"])
+    by_name = {f["name"]: f for f in fields}
     parts = []
-    for (renames, _absent), paths in groups.items():
+    for (renames, absent), paths in groups.items():
         g = reader.parquet(*paths)
         mapping = dict(renames)
         cols = [F.col(c).alias(mapping.get(c, c)) for c in g.columns]
+        # columns added AFTER this generation's files were written pad
+        # PER GROUP: v3 ``initial-default`` when the field declares one
+        # (spec Default values), else null.  Group-level padding (not
+        # post-union) so a generation that HAS the column never mixes
+        # with one taking the default.
+        for aname in absent:
+            f = by_name.get(aname)
+            if f is None:
+                continue
+            cols.append(
+                F.lit(f.get("initial-default"))
+                .cast(_iceberg_type_to_spark(f["type"]))
+                .alias(aname)
+            )
         if with_lineage:
             # the FULL path normalization (scheme strip + percent-decode
             # with '+' protection) — identical to _apply_row_deletes'
