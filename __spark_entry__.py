@@ -5531,6 +5531,70 @@ GROUP BY tier ORDER BY tier
 """
 
 
+def q_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta type widening (r10, PROTOCOL.md Type Widening): write
+    events[<2000] with value DOWNCAST to float and user_id to int, ALTER
+    widenColumn to double/long (METADATA-ONLY — the files stay
+    byte-identical, readers upcast at scan), then append
+    events[2000,3000) in the widened types.  The mixed-generation
+    aggregate matches an oracle that applies the same float round-trip,
+    so a mis-typed read or a dropped generation hash-mismatches."""
+    import shutil
+
+    from pipeline_spark.sinks.delta_native import (
+        alter_delta_native,
+        write_delta_native,
+    )
+    from pipeline_spark.sources.delta_native import read_delta_native
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    t = _tmp_path("delta_tw", sf_dir)
+    shutil.rmtree(t, ignore_errors=True)
+    write_delta_native(
+        spark,
+        ev.where(F.col("event_id") < 2000).select(
+            "event_id",
+            F.col("user_id").cast("int").alias("user_id"),
+            F.col("value").cast("float").alias("value"),
+        ).coalesce(2),
+        {"path": t},
+    )
+    alter_delta_native(spark, {
+        "path": t, "widenColumn": {"user_id": "long", "value": "double"},
+    })
+    write_delta_native(
+        spark,
+        ev.where((F.col("event_id") >= 2000) & (F.col("event_id") < 3000)),
+        {"path": t, "mode": "append"},
+    )
+    return (
+        read_delta_native(spark, {"path": t})
+        .groupBy((F.col("user_id") % 7).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q_DELTA_TW_SQL = """
+SELECT CAST(user_id % 7 AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(sum(v), 3) AS total
+FROM (
+  SELECT user_id,
+         CASE WHEN event_id < 2000
+              THEN CAST(CAST(value AS FLOAT) AS DOUBLE)
+              ELSE value END AS v
+  FROM events WHERE event_id < 3000
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_convert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r10 conversion surface in one oracled row: a PARTITIONED,
     COLUMN-MAPPED, DV-CARRYING delta table converts to iceberg in place
@@ -5735,6 +5799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_roundtrip": q_convert_roundtrip,
         "convert_partitioned": q_convert_partitioned,
         "iceberg_defaults": q_iceberg_defaults,
+        "delta_type_widening": q_delta_type_widening,
         "localdb_artifact": q_localdb_artifact,
         "auxia_events": q_auxia_events,
         # --- rotated back (past-cap since r7, VERDICT r8 ask #6)
@@ -5964,6 +6029,7 @@ def oracle_sql() -> dict[str, str]:
         "convert_roundtrip": Q_CONVERT_RT_SQL,
         "convert_partitioned": Q_CONVERT_PART_SQL,
         "iceberg_defaults": Q_ICE_DFLT_SQL,
+        "delta_type_widening": Q_DELTA_TW_SQL,
         "localdb_artifact": Q_LOCALDB_SQL,
         "auxia_events": Q_AUXIA_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,

@@ -2617,6 +2617,69 @@ def alter_delta_native(spark, p: dict[str, Any]) -> dict[str, Any]:
             raise ValueError("delta alter: cannot drop every column")
         result["renamed"] = renames
         result["dropped"] = drops
+    widens = dict(p.get("widenColumn") or {})
+    if widens:
+        # type widening (PROTOCOL.md Type Widening): ALTER COLUMN TYPE
+        # along a safe promotion lattice — metadata-only, existing
+        # parquet stays byte-identical; readers upcast at scan time
+        # (Spark's parquet readers promote int32→int64/double and
+        # float→double natively, SPARK-40876).  Each change is recorded
+        # in the field's ``delta.typeChanges`` metadata with the commit
+        # version, the spec's audit trail for which files predate the
+        # widening.  Feature-gated: typeWidening is a READER feature —
+        # a reader that ignored it would mis-type the physical columns.
+        _WIDEN_OK = {
+            "byte": {"short", "integer", "long", "double"},
+            "short": {"integer", "long", "double"},
+            "integer": {"long", "double"},
+            "float": {"double"},
+        }
+        by_name_tw = {f["name"]: f for f in sj.get("fields", [])}
+        for col, to_t in widens.items():
+            f = by_name_tw.get(col)
+            if f is None:
+                raise ValueError(
+                    f"delta alter: widenColumn {col!r} not in schema"
+                )
+            from_t = f["type"]
+            if not isinstance(from_t, str) or str(to_t) not in _WIDEN_OK.get(
+                from_t, set()
+            ):
+                raise ValueError(
+                    f"delta alter: {col}: {from_t} -> {to_t} is not a "
+                    "safe widening (supported: byte/short/integer -> "
+                    "wider integer or double, float -> double)"
+                )
+        new_fields_tw = []
+        for f in sj["fields"]:
+            if f["name"] in widens:
+                md = dict(f.get("metadata") or {})
+                changes = list(md.get("delta.typeChanges") or [])
+                changes.append({
+                    "fromType": f["type"],
+                    "toType": str(widens[f["name"]]),
+                    "tableVersion": prev_version + 1,
+                })
+                md["delta.typeChanges"] = changes
+                new_fields_tw.append(
+                    {**f, "type": str(widens[f["name"]]), "metadata": md}
+                )
+            else:
+                new_fields_tw.append(f)
+        sj["fields"] = new_fields_tw
+        r = int(proto.get("minReaderVersion", 1))
+        w = int(proto.get("minWriterVersion", 2))
+        rf = set(proto.get("readerFeatures") or [])
+        if "typeWidening" not in rf:
+            actions.append({"protocol": {
+                "minReaderVersion": max(r, 3),
+                "minWriterVersion": max(w, 7),
+                "readerFeatures": sorted(rf | {"typeWidening"}),
+                "writerFeatures": sorted(
+                    set(proto.get("writerFeatures") or []) | {"typeWidening"}
+                ),
+            }})
+        result["widened"] = dict(widens)
     if p.get("clusterBy") is not None:
         # ALTER TABLE ... CLUSTER BY (delta-spark): one domainMetadata
         # commit flips the clustering columns — existing files keep
@@ -2655,7 +2718,7 @@ def alter_delta_native(spark, p: dict[str, Any]) -> dict[str, Any]:
             return {"column_mapping_enabled": False}
         raise ValueError(
             "delta alter: nothing to do (enableColumnMapping / "
-            "renameColumn / dropColumn / clusterBy)"
+            "renameColumn / dropColumn / widenColumn / clusterBy)"
         )
     actions.append({"metaData": {
         **meta, "schemaString": json.dumps(sj), "configuration": conf,

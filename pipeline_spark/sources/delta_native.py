@@ -63,6 +63,8 @@ _OK_READER_FEATURES = {
     "deletionVectors",  # read natively (functions/deltadv.py)
     "columnMapping",    # resolved via physicalName field metadata
     "v2Checkpoint",     # UUID-named checkpoints + sidecar files
+    "typeWidening",     # safe promotions; parquet readers upcast natively
+    "typeWidening-preview",
 }
 
 
