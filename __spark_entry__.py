@@ -5595,6 +5595,79 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta row tracking (r10, PROTOCOL.md Row Tracking): two appends of
+    customers assign contiguous row ids (baseRowId + position), OPTIMIZE
+    rewrites the small files while PRESERVING every id via the
+    materialized columns, and a DV delete keeps survivors' ids for free.
+    The query proves identity end-to-end: after all three operations,
+    each row's ``_row_id`` must equal the rank its insert order gave it
+    — reconstructed by the oracle as row_number over the insert batches
+    — and the per-commit-version counts must match the batch sizes.
+    A duplicated, dropped, or reassigned id hash-mismatches."""
+    import shutil
+
+    from pipeline_spark.sinks.delta_native import (
+        compact_delta_native,
+        delete_delta_native,
+        write_delta_native,
+    )
+    from pipeline_spark.sources.delta_native import read_delta_native
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    ).orderBy("c_custkey")
+    t = _tmp_path("delta_rt", sf_dir)
+    shutil.rmtree(t, ignore_errors=True)
+    write_delta_native(
+        spark, cust.where(F.col("c_custkey") <= 400).coalesce(1),
+        {"path": t, "properties": {
+            "delta.enableRowTracking": "true",
+            "delta.enableDeletionVectors": "true",
+        }},
+    )
+    write_delta_native(
+        spark,
+        cust.where((F.col("c_custkey") > 400) & (F.col("c_custkey") <= 800))
+        .coalesce(1),
+        {"path": t, "mode": "append"},
+    )
+    compact_delta_native(spark, {"path": t, "minFilesPerGroup": 2})
+    delete_delta_native(spark, {
+        "path": t, "method": "dv",
+        "where": [{"key": "c_custkey", "op": "<=", "value": 100}],
+    })
+    df = read_delta_native(spark, {"path": t, "withRowIds": True})
+    return (
+        df.groupBy("_row_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_row_id").alias("id_sum"),
+            F.min("_row_id").alias("id_min"),
+            F.max("_row_id").alias("id_max"),
+        )
+        .orderBy("_row_commit_version")
+    )
+
+
+Q_DELTA_RT_SQL = """
+WITH ordered AS (
+  SELECT c_custkey,
+         row_number() OVER (ORDER BY c_custkey) - 1 AS rid,
+         CASE WHEN c_custkey <= 400 THEN 0 ELSE 1 END AS cv
+  FROM customer WHERE c_custkey <= 800
+)
+SELECT CAST(cv AS BIGINT) AS _row_commit_version,
+       count(*) AS n,
+       CAST(sum(rid) AS BIGINT) AS id_sum,
+       CAST(min(rid) AS BIGINT) AS id_min,
+       CAST(max(rid) AS BIGINT) AS id_max
+FROM ordered
+WHERE c_custkey > 100
+GROUP BY cv ORDER BY 1
+"""
+
+
 def q_convert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r10 conversion surface in one oracled row: a PARTITIONED,
     COLUMN-MAPPED, DV-CARRYING delta table converts to iceberg in place
@@ -5800,6 +5873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_partitioned": q_convert_partitioned,
         "iceberg_defaults": q_iceberg_defaults,
         "delta_type_widening": q_delta_type_widening,
+        "delta_row_tracking": q_delta_row_tracking,
         "localdb_artifact": q_localdb_artifact,
         "auxia_events": q_auxia_events,
         # --- rotated back (past-cap since r7, VERDICT r8 ask #6)
@@ -6030,6 +6104,7 @@ def oracle_sql() -> dict[str, str]:
         "convert_partitioned": Q_CONVERT_PART_SQL,
         "iceberg_defaults": Q_ICE_DFLT_SQL,
         "delta_type_widening": Q_DELTA_TW_SQL,
+        "delta_row_tracking": Q_DELTA_RT_SQL,
         "localdb_artifact": Q_LOCALDB_SQL,
         "auxia_events": Q_AUXIA_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,

@@ -566,8 +566,29 @@ def write_delta_native(
     v2ckpt_on_create = (
         str(props.get("delta.checkpointPolicy", "")).lower() == "v2"
     )
+    # row tracking (PROTOCOL.md Row Tracking): stable row identity —
+    # fresh rows take baseRowId + position; rewrites preserve ids via
+    # the MATERIALIZED columns named in the table config
+    rowtrack_on_create = (
+        str(props.get("delta.enableRowTracking", "")).lower() == "true"
+    )
+    if rowtrack_on_create:
+        props.setdefault(
+            "delta.rowTracking.materializedRowIdColumnName",
+            f"_row_id_col_{uuid.uuid4().hex[:12]}",
+        )
+        props.setdefault(
+            "delta.rowTracking.materializedRowCommitVersionColumnName",
+            f"_row_commit_version_col_{uuid.uuid4().hex[:12]}",
+        )
+    rowtrack_active = (
+        rowtrack_on_create
+        if not exists
+        else "rowTracking" in (_proto.get("writerFeatures") or [])
+    )
     if not exists:
-        if ict_on_create or v2ckpt_on_create or cluster_by:
+        if (ict_on_create or v2ckpt_on_create or cluster_by
+                or rowtrack_on_create):
             # table features: features protocol required (minWriterVersion
             # 7 lists every writer feature in use; reader features bump
             # minReaderVersion to 3)
@@ -587,6 +608,9 @@ def write_delta_native(
                 wfeats |= {"clustering", "domainMetadata"}
             if generated:
                 wfeats.add("generatedColumns")
+            if rowtrack_on_create:
+                # writer-only: readers may ignore row ids (PROTOCOL.md)
+                wfeats |= {"rowTracking", "domainMetadata"}
             proto: dict[str, Any] = {
                 "minReaderVersion": 3 if rfeats else 1,
                 "minWriterVersion": 7,
@@ -659,6 +683,13 @@ def write_delta_native(
         actions.append(
             {"txn": {"appId": str(txn[0]), "version": int(txn[1])}}
         )
+    if rowtrack_active and adds:
+        _stamp_row_tracking(
+            table, adds,
+            (prev_version + 1) if exists else 0,
+            exists=exists,
+        )
+        actions.append(_row_tracking_domain_action(adds))
     actions.extend({"add": a} for a in adds)
     op_params = {"mode": mode, "partitionBy": json.dumps(part_cols)}
     if replace_where:
@@ -832,6 +863,20 @@ def write_delta_native(
                                     "snapshot"
                                 )
         version = new_version + 1
+        if rowtrack_active and adds:
+            # a racing commit may have advanced the row-id high
+            # watermark: restamp baseRowId from the FRESH domain and the
+            # default commit version to the new slot, then rewrite the
+            # staged commit (overlapping row ids would break identity)
+            _stamp_row_tracking(table, adds, version, exists=True)
+            dom = _row_tracking_domain_action(adds)
+            for act in actions:
+                if act.get("domainMetadata", {}).get("domain") \
+                        == "delta.rowTracking":
+                    act["domainMetadata"] = dom["domainMetadata"]
+            with open(tmp, "w") as fh:
+                for action in actions:
+                    fh.write(json.dumps(action) + "\n")
         if ict_val is not None:
             # the interleaved commit advanced the ICT chain: re-stamp
             # strictly past ITS timestamp and rewrite the staged commit
@@ -849,6 +894,59 @@ def write_delta_native(
     interval = int(p.get("checkpointInterval", 10))
     if interval > 0 and version > 0 and version % interval == 0:
         write_checkpoint(table, version)
+
+
+def _stamp_row_tracking(
+    table: str, adds: list[dict], version: int, *, exists: bool
+) -> None:
+    """baseRowId + defaultRowCommitVersion on every add (PROTOCOL.md Row
+    Tracking): contiguous id ranges from the ``delta.rowTracking``
+    domain's high watermark, sized by each file's numRecords.  Rewritten
+    files that carry MATERIALIZED row ids still get a (never-read) fresh
+    base, as the protocol requires every add on a row-tracking table to
+    declare one."""
+    hwm = -1
+    if exists:
+        from pipeline_spark.sources.delta_native import replay_domains
+
+        dm = replay_domains(table).get("delta.rowTracking")
+        if dm:
+            try:
+                hwm = int(json.loads(dm.get("configuration") or "{}")
+                          .get("rowIdHighWaterMark", -1))
+            except (ValueError, TypeError):
+                hwm = -1
+    base = hwm + 1
+    for a in adds:
+        n = None
+        if a.get("stats"):
+            try:
+                n = json.loads(a["stats"]).get("numRecords")
+            except (ValueError, TypeError):
+                n = None
+        if n is None:
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(
+                os.path.join(table, urllib.parse.unquote(a["path"]))
+            ).metadata.num_rows
+        a["baseRowId"] = base
+        a["defaultRowCommitVersion"] = int(version)
+        a["__rt_rows__"] = int(n)
+        base += int(n)
+
+
+def _row_tracking_domain_action(adds: list[dict]) -> dict:
+    top = max(
+        a["baseRowId"] + a.pop("__rt_rows__", 1) - 1
+        for a in adds
+        if a.get("baseRowId") is not None
+    )
+    return {"domainMetadata": {
+        "domain": "delta.rowTracking",
+        "configuration": json.dumps({"rowIdHighWaterMark": int(top)}),
+        "removed": False,
+    }}
 
 
 def _pv_disproves(
@@ -1097,6 +1195,28 @@ def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
     now_ms = int(time.time() * 1000)
     adds: list[dict] = []
     removes: list[dict] = []
+    # row tracking (PROTOCOL.md Row Tracking): OPTIMIZE must PRESERVE
+    # row identity across the rewrite — each output row lands with its
+    # id/commit-version MATERIALIZED into the table's configured column
+    # names (the id is the input file's materialized value when a prior
+    # rewrite stamped one, else baseRowId + physical position)
+    conf_rt = meta.get("configuration") or {}
+    rt_mat_id = conf_rt.get("delta.rowTracking.materializedRowIdColumnName")
+    rt_mat_cv = conf_rt.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    rowtrack = (
+        "rowTracking" in (_proto.get("writerFeatures") or []) and rt_mat_id
+    )
+    if rowtrack:
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, StructField
+
+        fschema = StructType(
+            list(fschema.fields)
+            + [StructField(c, LongType(), True)
+               for c in (rt_mat_id, rt_mat_cv) if c]
+        )
     for i, (key, files) in enumerate(bins):
         # DV-aware rewrite: compacting a deletion-vector file MATERIALIZES
         # its deletes (delta's own OPTIMIZE contract) — reading the raw
@@ -1104,7 +1224,40 @@ def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
         from pipeline_spark.sources.delta_native import read_files_with_dv
 
         out_dir = os.path.join(table, data_dir, f"bin-{i:05d}")
-        read_files_with_dv(spark, table, fschema, files).coalesce(1).write.parquet(out_dir)
+        bin_df = read_files_with_dv(
+            spark, table, fschema, files, with_meta=rowtrack
+        )
+        if rowtrack:
+            rid = spark.createDataFrame(
+                [
+                    (
+                        os.path.abspath(os.path.join(
+                            table, urllib.parse.unquote(a["path"])
+                        )),
+                        int(a.get("baseRowId") or 0),
+                        int(a.get("defaultRowCommitVersion") or 0),
+                    )
+                    for a in files
+                ],
+                "__rt_fp string, __rt_base long, __rt_dcv long",
+            )
+            bin_df = bin_df.join(
+                F.broadcast(rid), bin_df["__dv_fp"] == rid["__rt_fp"], "left"
+            ).withColumn(
+                rt_mat_id,
+                F.coalesce(
+                    F.col(rt_mat_id), F.col("__rt_base") + F.col("__dv_ri")
+                ),
+            )
+            if rt_mat_cv:
+                bin_df = bin_df.withColumn(
+                    rt_mat_cv,
+                    F.coalesce(F.col(rt_mat_cv), F.col("__rt_dcv")),
+                )
+            bin_df = bin_df.drop(
+                "__dv_fp", "__dv_ri", "__rt_fp", "__rt_base", "__rt_dcv"
+            )
+        bin_df.coalesce(1).write.parquet(out_dir)
         pv = dict(key)
         for root, _dirs, names in os.walk(out_dir):
             for name in sorted(names):
@@ -1134,9 +1287,16 @@ def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
         if st:
             a["stats"] = st
 
+    rt_actions: list[dict] = []
+    if rowtrack and adds:
+        # every add on a row-tracking table declares a fresh base range
+        # (spec rule) even though readers prefer the materialized ids
+        _stamp_row_tracking(table, adds, prev_version + 1, exists=True)
+        rt_actions.append(_row_tracking_domain_action(adds))
     actions: list[dict] = (
         [{"remove": r} for r in removes]
         + [{"add": a} for a in adds]
+        + rt_actions
         + [{
             "commitInfo": {
                 "timestamp": now_ms,
@@ -3070,6 +3230,10 @@ def write_checkpoint(table: str, version: int) -> None:
                 ("sizeInBytes", pa.int32()),
                 ("cardinality", pa.int64()),
             ])),
+            # row tracking state (PROTOCOL.md Row Tracking): a checkpoint
+            # that dropped these would reassign every row's identity
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
         ])),
         ("txn", pa.struct([
             ("appId", pa.string()),
@@ -3156,6 +3320,8 @@ def write_checkpoint(table: str, version: int) -> None:
                 "modificationTime": a.get("modificationTime"),
                 "dataChange": bool(a.get("dataChange", True)),
                 "stats": a.get("stats"),
+                "baseRowId": a.get("baseRowId"),
+                "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
                 "deletionVector": (
                     {
                         "storageType": dv.get("storageType"),

@@ -1107,6 +1107,32 @@ def read_delta_native(spark, p: dict[str, Any]):
 
     # physical view of the table: column mapping renames, DV descriptors
     read_schema = cm["phys_schema"] if cm else schema
+    # row tracking (PROTOCOL.md Row Tracking): ``withRowIds: true`` adds
+    # ``_row_id`` / ``_row_commit_version`` — a row's id is the
+    # MATERIALIZED column when a rewrite preserved it, else
+    # baseRowId + physical position (fresh rows); the commit version
+    # follows the same rule via defaultRowCommitVersion
+    want_ri = bool(p.get("withRowIds"))
+    conf_ri = meta.get("configuration") or {}
+    mat_id = conf_ri.get("delta.rowTracking.materializedRowIdColumnName")
+    mat_cv = conf_ri.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    if want_ri:
+        missing_ri = [a["path"] for a in adds if a.get("baseRowId") is None]
+        if missing_ri:
+            raise ValueError(
+                "delta: withRowIds needs a row-tracking table — files "
+                f"without baseRowId: {missing_ri[:3]}"
+            )
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        mat_fields = [
+            StructField(c, LongType(), True)
+            for c in (mat_id, mat_cv) if c
+        ]
+        if mat_fields:
+            read_schema = StructType(list(read_schema.fields) + mat_fields)
     phys_part_cols = (
         [cm["phys_of"].get(c, c) for c in part_cols] if cm else part_cols
     )
@@ -1118,8 +1144,9 @@ def read_delta_native(spark, p: dict[str, Any]):
 
     def add_meta(df):
         # merge-on-read: tag every row with its file + physical row index
-        # so DV positions can anti-join it away
-        if not dv_adds:
+        # so DV positions can anti-join it away (row-id derivation needs
+        # the same pair)
+        if not dv_adds and not want_ri:
             return df
         return df.select(
             "*",
@@ -1153,14 +1180,54 @@ def read_delta_native(spark, p: dict[str, Any]):
             spark.sparkContext.parallelize(entries, n).mapPartitions(decode),
             "__dv_fp string, __dv_ri bigint",
         )
-        return df.join(
+        out = df.join(
             deleted, on=["__dv_fp", "__dv_ri"], how="left_anti"
-        ).drop("__dv_fp", "__dv_ri")
+        )
+        # survivors keep their PHYSICAL positions — exactly what the
+        # row-id derivation needs, so the stamp stays when requested
+        return out if want_ri else out.drop("__dv_fp", "__dv_ri")
 
     def done(out):
         # one positional struct cast per column restores the logical
         # names at every nesting level — no per-field rewrites
-        out = to_logical_df(drop_deleted(out), cm, schema.fields)
+        keep = (
+            ("__dv_fp", "__dv_ri") + tuple(c for c in (mat_id, mat_cv) if c)
+            if want_ri else ()
+        )
+        out = to_logical_df(drop_deleted(out), cm, schema.fields, keep=keep)
+        if want_ri:
+            rid = spark.createDataFrame(
+                [
+                    (
+                        os.path.abspath(pth),
+                        int(a["baseRowId"]),
+                        int(a.get("defaultRowCommitVersion") or 0),
+                    )
+                    for a, pth in zip(adds, paths)
+                ],
+                "__rt_fp string, __rt_base long, __rt_dcv long",
+            )
+            out = out.join(
+                F.broadcast(rid), out["__dv_fp"] == rid["__rt_fp"], "left"
+            )
+            mat_id_col = (
+                F.col(mat_id) if mat_id and mat_id in out.columns
+                else F.lit(None).cast("long")
+            )
+            mat_cv_col = (
+                F.col(mat_cv) if mat_cv and mat_cv in out.columns
+                else F.lit(None).cast("long")
+            )
+            out = out.withColumn(
+                "_row_id",
+                F.coalesce(mat_id_col, F.col("__rt_base") + F.col("__dv_ri")),
+            ).withColumn(
+                "_row_commit_version",
+                F.coalesce(mat_cv_col, F.col("__rt_dcv")),
+            ).drop(
+                "__dv_fp", "__dv_ri", "__rt_fp", "__rt_base", "__rt_dcv",
+                *[c for c in (mat_id, mat_cv) if c],
+            )
         return _apply_data_filter(out, dfilter) if dfilter else out
 
     if not part_cols:
