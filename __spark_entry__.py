@@ -5668,6 +5668,73 @@ GROUP BY cv ORDER BY 1
 """
 
 
+def q_iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 row lineage (r10, spec §Row Lineage): a v3 table
+    assigns explicit per-file first_row_id on create and append,
+    compaction MATERIALIZES each surviving row's _row_id through the
+    rewrite, and a COW DELETE preserves the survivors' ids.  The oracle
+    reconstructs the ids as row_number over insert order — any
+    reassigned, duplicated, or dropped id hash-mismatches.  (The delta
+    twin is delta_row_tracking.)"""
+    import shutil
+
+    from pipeline_spark.sinks.iceberg_native import (
+        compact_iceberg_native,
+        delete_iceberg_native,
+        write_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    ).orderBy("c_custkey")
+    t = _tmp_path("ice_lineage", sf_dir)
+    shutil.rmtree(t, ignore_errors=True)
+    write_iceberg_native(
+        cust.where(F.col("c_custkey") <= 400).coalesce(1),
+        {"path": t, "mode": "create",
+         "properties": {"format-version": "3"}},
+    )
+    write_iceberg_native(
+        cust.where((F.col("c_custkey") > 400) & (F.col("c_custkey") <= 800))
+        .coalesce(1),
+        {"path": t, "mode": "append"},
+    )
+    compact_iceberg_native(spark, {"path": t, "minFilesPerGroup": 2})
+    delete_iceberg_native(spark, {
+        "path": t, "method": "cow",
+        "where": [{"key": "c_custkey", "op": "<=", "value": 100}],
+    })
+    df = read_iceberg_native(spark, {"path": t, "withRowIds": True})
+    return (
+        df.groupBy((F.col("_row_id") % 4).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_row_id").alias("id_sum"),
+            F.min("_row_id").alias("id_min"),
+            F.max("_row_id").alias("id_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q_ICE_LINEAGE_SQL = """
+WITH ordered AS (
+  SELECT c_custkey,
+         row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+  FROM customer WHERE c_custkey <= 800
+)
+SELECT CAST(rid % 4 AS BIGINT) AS bucket,
+       count(*) AS n,
+       CAST(sum(rid) AS BIGINT) AS id_sum,
+       CAST(min(rid) AS BIGINT) AS id_min,
+       CAST(max(rid) AS BIGINT) AS id_max
+FROM ordered
+WHERE c_custkey > 100
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_convert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r10 conversion surface in one oracled row: a PARTITIONED,
     COLUMN-MAPPED, DV-CARRYING delta table converts to iceberg in place
@@ -5874,6 +5941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_defaults": q_iceberg_defaults,
         "delta_type_widening": q_delta_type_widening,
         "delta_row_tracking": q_delta_row_tracking,
+        "iceberg_row_lineage": q_iceberg_row_lineage,
         "localdb_artifact": q_localdb_artifact,
         "auxia_events": q_auxia_events,
         # --- rotated back (past-cap since r7, VERDICT r8 ask #6)
@@ -6105,6 +6173,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_defaults": Q_ICE_DFLT_SQL,
         "delta_type_widening": Q_DELTA_TW_SQL,
         "delta_row_tracking": Q_DELTA_RT_SQL,
+        "iceberg_row_lineage": Q_ICE_LINEAGE_SQL,
         "localdb_artifact": Q_LOCALDB_SQL,
         "auxia_events": Q_AUXIA_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,

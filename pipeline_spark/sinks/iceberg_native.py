@@ -163,7 +163,8 @@ def _int_keyed_map(name: str, fid: int, key_id: int, val_id: int, val_type: str)
 
 
 def _data_file_schema(
-    partition_fields: list[dict] | None = None, dv_fields: bool = False
+    partition_fields: list[dict] | None = None, dv_fields: bool = False,
+    lineage_fields: bool = False,
 ) -> dict:
     part_record = {
         "type": "record",
@@ -200,11 +201,20 @@ def _data_file_schema(
             {"name": "content_size_in_bytes", "type": ["null", "long"],
              "default": None, "field-id": 145},
         ]
+    if lineage_fields:
+        # v3 row lineage (spec field-id 142): each data file's explicit
+        # first row id — readers derive _row_id = first_row_id + position
+        # without reconstructing the snapshot-inheritance walk
+        fields += [
+            {"name": "first_row_id", "type": ["null", "long"],
+             "default": None, "field-id": 142},
+        ]
     return {"type": "record", "name": "r2", "fields": fields}
 
 
 def _manifest_entry_schema(
-    partition_fields: list[dict] | None = None, dv_fields: bool = False
+    partition_fields: list[dict] | None = None, dv_fields: bool = False,
+    lineage_fields: bool = False,
 ) -> dict:
     return {
         "type": "record",
@@ -214,7 +224,9 @@ def _manifest_entry_schema(
             {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
             {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
             {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
-            {"name": "data_file", "type": _data_file_schema(partition_fields, dv_fields), "field-id": 2},
+            {"name": "data_file", "type": _data_file_schema(
+                partition_fields, dv_fields, lineage_fields
+            ), "field-id": 2},
         ],
     }
 
@@ -846,6 +858,23 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
                 }
             )
         live_files = [e["data_file"]["file_path"] for e in entries]
+        # v3 row lineage (spec field-id 142): stamp each data file's
+        # EXPLICIT first_row_id off the table's next-row-id so readers
+        # derive _row_id = first_row_id + position without the
+        # snapshot-inheritance walk
+        lineage = (
+            prev_meta is not None
+            and int(prev_meta.get("format-version", 2)) >= 3
+        ) or (
+            prev_meta is None
+            and str((p.get("properties") or {}).get("format-version", ""))
+            == "3"
+        )
+        if lineage:
+            _frid = int((prev_meta or {}).get("next-row-id") or 0)
+            for e in entries:
+                e["data_file"]["first_row_id"] = _frid
+                _frid += int(e["data_file"]["record_count"])
         if reuse_schema is not None:
             schema = reuse_schema
             last_column_id = (
@@ -893,13 +922,13 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
         ]
         manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
         manifest_bytes = write_ocf_bytes(
-            _manifest_entry_schema(part_avro_fields),
+            _manifest_entry_schema(part_avro_fields, lineage_fields=lineage),
             entries,
             extra_meta={
                 "schema": json.dumps(schema),
                 "partition-spec": json.dumps(spec_fields),
                 "partition-spec-id": str(this_spec_id),
-                "format-version": "2",
+                "format-version": "3" if lineage else "2",
                 "content": "data",
             },
         )
@@ -1214,6 +1243,14 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
             # row-lineage high-water must survive and advance
             meta["format-version"] = int(prev_meta["format-version"])
             _stamp_row_lineage(prev_meta, snapshot, meta, added_rows)
+        elif prev_meta is None and str(
+            (p.get("properties") or {}).get("format-version", "")
+        ) == "3":
+            # CREATE TBLPROPERTIES('format-version'='3') — iceberg's own
+            # opt-in; the first snapshot starts the row-id space at 0
+            meta["format-version"] = 3
+            snapshot["first-row-id"] = 0
+            meta["next-row-id"] = added_rows
         # create-exclusive: a concurrent writer that claimed this version
         # first wins; the loser surfaces a loud FileExistsError (the DML
         # paths — merge/update/delete/MOR — retry via their conflict-checked
@@ -1603,8 +1640,10 @@ def alter_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
                 },
             ],
         )
-        return {"renamed": renames, "dropped": drops,
-                "added": [f["name"] for f in added_fields]}
+        out_alter = {"renamed": renames, "dropped": drops}
+        if added_fields:
+            out_alter["added"] = [f["name"] for f in added_fields]
+        return out_alter
     now_ms = int(time.time() * 1000)
     meta = dict(meta)
     meta["schemas"] = schemas
@@ -1628,8 +1667,10 @@ def alter_iceberg_native(spark, p: dict[str, Any]) -> dict[str, Any]:
     meta["__version"] = version
     meta_dir = os.path.join(table_path, "metadata")
     _publish_metadata_exclusive(meta_dir, version, meta)
-    return {"renamed": renames, "dropped": drops,
-            "added": [f["name"] for f in added_fields]}
+    out_alter = {"renamed": renames, "dropped": drops}
+    if added_fields:
+        out_alter["added"] = [f["name"] for f in added_fields]
+    return out_alter
 
 
 def _alter_sort_order(p: dict[str, Any], rest, sort_by: list[str]) -> dict:
@@ -1699,30 +1740,36 @@ def _alter_sort_order(p: dict[str, Any], rest, sort_by: list[str]) -> dict:
     return {"sort_by": sort_by}
 
 
-def _fill_schema_read(spark, meta: dict, files: list[dict]):
+def _fill_schema_read(spark, meta: dict, files: list[dict],
+                      extra_row_id: bool = False):
     """Multi-file scan under the TABLE schema — for file sets containing
-    identity-fill files (converted / add_files imports): schema
-    inference off a fill file would silently drop the partition columns
-    the OTHER files physically carry."""
+    identity-fill files (converted / add_files imports) or v3 lineage
+    reads: schema inference off a file missing a column (partition
+    column / not-yet-materialized ``_row_id``) would silently drop
+    values the OTHER files physically carry."""
     from pipeline_spark.sources.iceberg_native import _spark_schema_of
 
-    return spark.read.schema(_spark_schema_of(meta)).parquet(
-        *[d["path"] for d in files]
-    )
+    sch = _spark_schema_of(meta)
+    if extra_row_id:
+        sch += ", `_row_id` bigint"
+    return spark.read.schema(sch).parquet(*[d["path"] for d in files])
 
 
 def _read_evolved_group(spark, files: list[dict], cur_schema: dict,
-                        with_lineage: bool = False):
+                        with_lineage: bool = False,
+                        keep_extra: list[str] | None = None):
     """One frame over mixed-generation data files, upgraded to the
     CURRENT schema — delegates to the reader's own migrating scan so the
     write side can never drift from read semantics.  ``with_lineage``
     stamps ``__fp__``/``__pos__`` per-file so merge-on-read delete
-    subtraction works on the evolved frame (r7)."""
+    subtraction works on the evolved frame (r7); ``keep_extra`` passes
+    physical-only columns (a rewrite's materialized ``_row_id``)
+    through."""
     from pipeline_spark.sources.iceberg_native import evolved_scan
 
     return evolved_scan(
         spark, spark.read, files, cur_schema["fields"],
-        with_lineage=with_lineage,
+        with_lineage=with_lineage, keep_extra=keep_extra,
     )
 
 
@@ -1793,6 +1840,9 @@ def _compact_iceberg_once(spark, p: dict[str, Any]) -> dict[str, int]:
     from pipeline_spark.sources.iceberg_native import identity_fill_plan
 
     fills, ftypes = identity_fill_plan(data, prev_meta)
+    # v3 row lineage: rewritten rows carry their ids MATERIALIZED as a
+    # physical _row_id column (spec §Row Lineage)
+    lineage = int(prev_meta.get("format-version", 2)) >= 3
     evolved = any(
         d.get("renames") or d.get("absent") or d.get("dropped") for d in data
     )
@@ -1983,45 +2033,45 @@ def _compact_iceberg_once(spark, p: dict[str, Any]) -> dict[str, int]:
         out_dir = os.path.join(data_dir, f"bin-{i:05d}")
         bin_has_deletes = deletes and any(d["path"] in affected for d in files)
         if evolved:
-            # lineage only when this bin subtracts deletes — the columns
-            # are consumed (and dropped) by _apply_row_deletes
             bin_df = _read_evolved_group(
-                spark, files, cur_schema, with_lineage=bool(bin_has_deletes)
+                spark, files, cur_schema,
+                with_lineage=bool(bin_has_deletes) or lineage,
+                keep_extra=(["_row_id"] if lineage else None),
             )
         else:
             bin_fills_pre = any(d["path"] in fills for d in files)
-            if bin_fills_pre:
-                # a mixed bin (fill files + normal files) must read under
-                # the TABLE schema: inference off a fill file would drop
-                # the partition columns other files physically carry
-                from pipeline_spark.sources.iceberg_native import (
-                    _spark_schema_of,
+            if bin_fills_pre or lineage:
+                # a mixed bin must read under the TABLE schema: inference
+                # off a file missing a column (fill file / not-yet-
+                # materialized _row_id) would drop values other files carry
+                bin_df = _fill_schema_read(
+                    spark, prev_meta, files, extra_row_id=lineage
                 )
-
-                bin_df = spark.read.schema(
-                    _spark_schema_of(prev_meta)
-                ).parquet(*[d["path"] for d in files])
             else:
                 bin_df = spark.read.parquet(*[d["path"] for d in files])
         bin_fills = {d["path"]: fills[d["path"]]
                      for d in files if d["path"] in fills}
-        if bin_fills:
-            # identity-fill files (converted / add_files imports): fill
-            # the partition columns from the manifest records so the
-            # REWRITE materializes them — compaction is the migration
-            # path from fill layout to normal layout
+        if bin_fills or lineage:
+            # identity-fill files fill their partition columns from the
+            # manifest records (compaction is the migration path from
+            # fill layout to normal layout); v3 tables materialize each
+            # surviving row's _row_id through the rewrite
             from pipeline_spark.sources.iceberg_native import (
                 apply_identity_fill,
+                derive_row_ids,
                 stamp_lineage,
             )
 
             bin_df = stamp_lineage(bin_df)
-            bin_df = apply_identity_fill(spark, bin_df, bin_fills, ftypes)
+            if bin_fills:
+                bin_df = apply_identity_fill(spark, bin_df, bin_fills, ftypes)
+            if lineage:
+                bin_df = derive_row_ids(spark, bin_df, files)
         if bin_has_deletes:
             # materialize: subtract this bin's applicable deletes through
             # the reader's own MOR path (position + equality, seq rule)
             bin_df = _apply_row_deletes(spark, bin_df, files, deletes, prev_meta)
-        elif bin_fills:
+        elif bin_fills or lineage:
             bin_df = bin_df.drop("__fp__", "__pos__")
         if zorder:
             import math
@@ -2080,6 +2130,9 @@ def _compact_iceberg_once(spark, p: dict[str, Any]) -> dict[str, int]:
                         "lower_bounds": lows,
                         "upper_bounds": highs,
                         "equality_ids": None,
+                        # rewritten files carry MATERIALIZED _row_id;
+                        # no fresh range needed
+                        **({"first_row_id": None} if lineage else {}),
                     },
                 })
     # 2. consolidated EXISTING manifests for untouched files, original
@@ -2117,6 +2170,11 @@ def _compact_iceberg_once(spark, p: dict[str, Any]) -> dict[str, int]:
                 "lower_bounds": d.get("lower_bounds"),
                 "upper_bounds": d.get("upper_bounds"),
                 "equality_ids": None,
+                # v3 row lineage: a surviving file KEEPS its explicit
+                # first_row_id — dropping it here would orphan the ids
+                # of every non-rewritten row
+                **({"first_row_id": d.get("first_row_id")}
+                   if lineage else {}),
             },
         })
 
@@ -2132,13 +2190,15 @@ def _compact_iceberg_once(spark, p: dict[str, Any]) -> dict[str, int]:
         mp = os.path.join(meta_dir, f"{commit_uuid}-m{midx}.avro")
         midx += 1
         mb = write_ocf_bytes(
-            _manifest_entry_schema(info["part_avro_fields"]),
+            _manifest_entry_schema(
+                info["part_avro_fields"], lineage_fields=lineage
+            ),
             entries,
             extra_meta={
                 "schema": schema_json,
                 "partition-spec": info["spec_json"],
                 "partition-spec-id": str(sid),
-                "format-version": "2",
+                "format-version": "3" if lineage else "2",
                 "content": "data",
             },
         )
@@ -2885,6 +2945,10 @@ def _cow_mutate_where(
     # REWRITTEN files materialize the columns (fill tables migrate to
     # normal layout one rewrite at a time)
     fills, ftypes = identity_fill_plan(data, prev_meta)
+    # v3 row lineage: the rewrite must PRESERVE each surviving row's id
+    # by MATERIALIZING _row_id into the staged files (spec §Row Lineage
+    # — this closes the r9 "rewrites take fresh ids" boundary)
+    lineage = int(prev_meta.get("format-version", 2)) >= 3
 
     # manifest-bounds pruning directly on the predicate, then the exact
     # probe — only files that CONTAIN a match rewrite
@@ -2956,28 +3020,38 @@ def _cow_mutate_where(
     )
     if ev_hit:
         grp = _read_evolved_group(
-            spark, hit, cur_schema, with_lineage=bool(deletes) or bool(fills)
+            spark, hit, cur_schema,
+            with_lineage=bool(deletes) or bool(fills) or lineage,
+            keep_extra=(["_row_id"] if lineage else None),
         )
-    elif fills:
-        grp = _fill_schema_read(spark, prev_meta, hit)
+    elif fills or lineage:
+        grp = _fill_schema_read(
+            spark, prev_meta, hit, extra_row_id=lineage
+        )
     else:
         grp = spark.read.parquet(*[d["path"] for d in hit])
-    if fills:
+    if fills or lineage:
+        from pipeline_spark.sources.iceberg_native import derive_row_ids
+
         grp = stamp_lineage(grp)
-        grp = apply_identity_fill(spark, grp, fills, ftypes)
+        if fills:
+            grp = apply_identity_fill(spark, grp, fills, ftypes)
+        if lineage:
+            grp = derive_row_ids(spark, grp, hit)
     if deletes:
         grp = _apply_row_deletes(spark, grp, hit, deletes, prev_meta)
     cond = data_filter_condition(where)
     match = F.coalesce(cond, F.lit(False))  # predicate-NULL rows are KEPT
+    out_cols = keep_cols + (["_row_id"] if lineage else [])
     if set_exprs:
         out = grp
         for c, e in set_exprs.items():
             out = out.withColumn(
                 c, F.when(match, F.expr(str(e))).otherwise(F.col(c))
             )
-        new_rows = out.select(*keep_cols)
+        new_rows = out.select(*out_cols)
     else:
-        new_rows = grp.filter(~match).select(*keep_cols)
+        new_rows = grp.filter(~match).select(*out_cols)
 
     spec0 = next(
         (sp for sp in prev_meta.get("partition-specs", [])
@@ -3147,6 +3221,7 @@ def _commit_file_replacement_once(
             eseq = inherit_seq if eseq is None else int(eseq)
             fseq = e.get("file_sequence_number")
             fseq = eseq if fseq is None else int(fseq)
+            rep_lineage = int(prev_meta.get("format-version", 2)) >= 3
             ent = {
                 "status": 0,
                 "snapshot_id": e.get("snapshot_id"),
@@ -3163,6 +3238,10 @@ def _commit_file_replacement_once(
                     "lower_bounds": d.get("lower_bounds"),
                     "upper_bounds": d.get("upper_bounds"),
                     "equality_ids": None,
+                    # v3 row lineage: survivors keep their explicit
+                    # first_row_id through the in-place manifest rewrite
+                    **({"first_row_id": d.get("first_row_id")}
+                       if rep_lineage else {}),
                 },
             }
             rows = int(d.get("record_count") or 0)
@@ -3189,7 +3268,11 @@ def _commit_file_replacement_once(
         mp = os.path.join(meta_dir, f"{commit_uuid}-m{midx}.avro")
         midx += 1
         mb = write_ocf_bytes(
-            _manifest_entry_schema(pfields_avro), new_entries,
+            _manifest_entry_schema(
+                pfields_avro,
+                lineage_fields=int(prev_meta.get("format-version", 2)) >= 3,
+            ),
+            new_entries,
             extra_meta=extra,
         )
         with open(mp, "wb") as fh:
@@ -3243,6 +3326,7 @@ def _commit_file_replacement_once(
                 _footer_column_stats(rec["path"], colmap)
                 if colmap else (None,) * 3
             )
+            rep_lin = int(prev_meta.get("format-version", 2)) >= 3
             added_entries.append({
                 "status": _STATUS_ADDED,
                 "snapshot_id": snapshot_id,
@@ -3259,12 +3343,16 @@ def _commit_file_replacement_once(
                     "lower_bounds": lows,
                     "upper_bounds": highs,
                     "equality_ids": None,
+                    **({"first_row_id": None} if rep_lin else {}),
                 },
             })
         mp = os.path.join(meta_dir, f"{commit_uuid}-m{midx}.avro")
         midx += 1
         mb = write_ocf_bytes(
-            _manifest_entry_schema(part_avro_fields),
+            _manifest_entry_schema(
+                part_avro_fields,
+                lineage_fields=int(prev_meta.get("format-version", 2)) >= 3,
+            ),
             added_entries,
             extra_meta={
                 "schema": json.dumps(cur_schema),
@@ -3459,6 +3547,7 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
     # probe (keys may BE partition columns) and on the rewrite read
     # (rewritten files then materialize the columns)
     fills, ftypes = identity_fill_plan(data, prev_meta)
+    lineage = int(prev_meta.get("format-version", 2)) >= 3
     cur_schema = next(
         s for s in prev_meta["schemas"]
         if s.get("schema-id", 0) == prev_meta.get("current-schema-id", 0)
@@ -3564,21 +3653,36 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
         if ev_hit:
             grp = _read_evolved_group(
                 spark, hit, cur_schema,
-                with_lineage=bool(deletes) or bool(fills),
+                with_lineage=bool(deletes) or bool(fills) or lineage,
+                keep_extra=(["_row_id"] if lineage else None),
             )
-        elif fills:
-            grp = _fill_schema_read(spark, prev_meta, hit)
+        elif fills or lineage:
+            grp = _fill_schema_read(
+                spark, prev_meta, hit, extra_row_id=lineage
+            )
         else:
             grp = spark.read.parquet(*[d["path"] for d in hit])
-        if fills:
+        if fills or lineage:
+            from pipeline_spark.sources.iceberg_native import derive_row_ids
+
             grp = stamp_lineage(grp)
-            grp = apply_identity_fill(spark, grp, fills, ftypes)
+            if fills:
+                grp = apply_identity_fill(spark, grp, fills, ftypes)
+            if lineage:
+                # survivors keep their row ids MATERIALIZED through the
+                # rewrite; upsert rows get null (fresh rows of this
+                # snapshot — matched-key updates land as new rows per
+                # the merge's delete+insert identity)
+                grp = derive_row_ids(spark, grp, hit)
         if deletes:
             grp = _apply_row_deletes(spark, grp, hit, deletes, prev_meta)
         survivors = grp.join(
             touched, on=list(keys), how="left_anti"
-        ).select(*keep_cols)
-        new_rows = survivors.unionByName(upserts.select(*keep_cols))
+        ).select(*(keep_cols + (["_row_id"] if lineage else [])))
+        up_sel = upserts.select(*keep_cols)
+        if lineage:
+            up_sel = up_sel.withColumn("_row_id", F.lit(None).cast("bigint"))
+        new_rows = survivors.unionByName(up_sel)
     else:
         if upserts.isEmpty():
             return {"merged_rows": 0, "rewritten_files": 0, "added_files": 0}
@@ -4216,11 +4320,12 @@ def _stamp_row_lineage(
     CATALOG's responsibility when it applies add-snapshot (the v3 REST
     contract — the client never writes catalog metadata directly).
 
-    Known boundary: rewritten files (compaction/COW) do not carry
-    explicit first_row_id, so their rows inherit FRESH ids from the
-    replace snapshot — unique and spec-consistent, but not
-    lineage-PRESERVING across rewrites (that needs per-file id carry or
-    a materialized _row_id column; documented, not implemented)."""
+    r10: rewrites (compaction / COW delete / update / merge survivors)
+    are lineage-PRESERVING — each surviving row's id is MATERIALIZED
+    into a physical ``_row_id`` column of the rewritten file, and reads
+    prefer it over first_row_id + position (the r9 fresh-ids boundary
+    is closed).  Appends stamp per-file explicit ``first_row_id``
+    (manifest field-id 142)."""
     if int(prev_meta.get("format-version", 2)) < 3:
         return
     next_row_id = int(prev_meta.get("next-row-id") or 0)
@@ -4747,15 +4852,25 @@ def _append_delete_files_once(
             })
     data_manifest = None
     if data_entries:
+        # v3 row lineage: upsert batch files take explicit first_row_id
+        # off the table's next-row-id (fresh rows of this snapshot)
+        up_lineage = int(prev_meta.get("format-version", 2)) >= 3
+        if up_lineage:
+            _ufrid = int(prev_meta.get("next-row-id") or 0)
+            for e in data_entries:
+                e["data_file"]["first_row_id"] = _ufrid
+                _ufrid += int(e["data_file"]["record_count"])
         dm_path = os.path.join(meta_dir, f"{commit_uuid}-m1.avro")
         dm_bytes = write_ocf_bytes(
-            _manifest_entry_schema(part_avro_fields),
+            _manifest_entry_schema(
+                part_avro_fields, lineage_fields=up_lineage
+            ),
             data_entries,
             extra_meta={
                 "schema": schema_json,
                 "partition-spec": json.dumps(spec0.get("fields", [])),
                 "partition-spec-id": str(spec0.get("spec-id", 0)),
-                "format-version": "2",
+                "format-version": "3" if up_lineage else "2",
                 "content": "data",
             },
         )

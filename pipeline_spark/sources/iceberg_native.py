@@ -226,6 +226,7 @@ def plan_files(
                 rec["partition"] = dict(part)
             for stat_key in (
                 "record_count", "null_value_counts", "lower_bounds", "upper_bounds",
+                "first_row_id",
             ):
                 if df.get(stat_key) is not None:
                     rec[stat_key] = df[stat_key]
@@ -531,7 +532,8 @@ def _apply_row_deletes(
 
 
 def evolved_scan(spark, reader, data: list[dict], fields: list[dict],
-                 with_lineage: bool = False):
+                 with_lineage: bool = False,
+                 keep_extra: list[str] | None = None):
     """One frame over schema-evolved data files, upgraded to the CURRENT
     schema: field-ids from each manifest's write-time schema say how that
     generation's parquet column names map to current names.  One scan per
@@ -558,6 +560,11 @@ def evolved_scan(spark, reader, data: list[dict], fields: list[dict],
         g = reader.parquet(*paths)
         mapping = dict(renames)
         cols = [F.col(c).alias(mapping.get(c, c)) for c in g.columns]
+        # physical-only passthrough columns (e.g. a rewrite's
+        # materialized ``_row_id``): keep when present, null-pad when not
+        for extra in (keep_extra or []):
+            if extra not in g.columns:
+                cols.append(F.lit(None).cast("bigint").alias(extra))
         # columns added AFTER this generation's files were written pad
         # PER GROUP: v3 ``initial-default`` when the field declares one
         # (spec Default values), else null.  Group-level padding (not
@@ -597,6 +604,7 @@ def evolved_scan(spark, reader, data: list[dict], fields: list[dict],
                 f["name"], F.lit(None).cast(_iceberg_type_to_spark(f["type"]))
             )
     keep = [f["name"] for f in fields if f["name"] in set(df.columns)]
+    keep += [c for c in (keep_extra or []) if c in set(df.columns)]
     if with_lineage:
         keep = ["__fp__", "__pos__"] + keep
     return df.select(*keep)
@@ -758,6 +766,34 @@ def stamp_lineage(df):
         )).alias("__fp__"),
         F.col("_metadata.row_index").alias("__pos__"),
     )
+
+
+def derive_row_ids(spark, df, data: list[dict]):
+    """``_row_id`` per row (spec §Row Lineage): the rewrite-materialized
+    ``_row_id`` column wins when non-null; else the file's explicit
+    ``first_row_id`` (manifest field-id 142) + the row's physical
+    position.  Files that predate lineage stamping yield null — they
+    never had ids.  One broadcast of O(files) rows; requires ``__fp__``/
+    ``__pos__`` stamped (``stamp_lineage``)."""
+    from pyspark.sql import functions as F
+
+    rid = spark.createDataFrame(
+        [
+            (norm_path(d["path"]),
+             int(d["first_row_id"]) if d.get("first_row_id") is not None
+             else None)
+            for d in data
+        ],
+        "__ri_fp string, __ri_first long",
+    )
+    df = df.join(F.broadcast(rid), df["__fp__"] == rid["__ri_fp"], "left")
+    mat = (
+        F.col("_row_id") if "_row_id" in df.columns
+        else F.lit(None).cast("bigint")
+    )
+    return df.withColumn(
+        "_row_id", F.coalesce(mat, F.col("__ri_first") + F.col("__pos__"))
+    ).drop("__ri_fp", "__ri_first")
 
 
 def decode_bound(raw: bytes, ice_type: str):
@@ -1020,38 +1056,33 @@ def read_iceberg_native(spark, p: dict[str, Any]):
         d.get("renames") or d.get("absent") or d.get("dropped") for d in data
     )
     fills, ftypes = identity_fill_plan(data, meta)
+    # v3 row lineage (spec §Row Lineage): ``withRowIds: true`` adds a
+    # ``_row_id`` column — a rewrite's MATERIALIZED value when present,
+    # else the file's explicit first_row_id + physical position
+    want_ri = bool(p.get("withRowIds"))
+    if want_ri and int(meta.get("format-version", 2)) < 3:
+        raise ValueError(
+            "iceberg: withRowIds needs a format-version 3 table "
+            "(row lineage)"
+        )
+    need_stamp = bool(deletes) or bool(fills) or want_ri
     if not evolved:
-        if fills:
-            # files missing their identity partition columns (spec
-            # Column Projection rule #2): read under the TABLE schema so
-            # the columns exist frame-wide (physically-present files
-            # keep their values, absent ones null out), stamp lineage
-            # once (the fill's join severs the _metadata virtual
-            # column), fill from the manifest partition records, then
-            # let the delete pass reuse the stamp.
-            from pyspark.sql import functions as F
-
-            df = reader.schema(_spark_schema_of(meta)).parquet(
-                *[d["path"] for d in data]
-            )
-            df = df.select(
-                "*",
-                F.url_decode(F.regexp_replace(
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:/+", "/"
-                    ), r"\+", "%2B",
-                )).alias("__fp__"),
-                F.col("_metadata.row_index").alias("__pos__"),
-            )
-            df = apply_identity_fill(spark, df, fills, ftypes)
-            if deletes:
-                df = _apply_row_deletes(spark, df, data, deletes, meta)
-            else:
-                df = df.drop("__fp__", "__pos__")
+        if fills or want_ri:
+            # schema-pinned multi-file scan: inference off a file missing
+            # a column (identity fill / not-yet-materialized _row_id)
+            # would drop values other files physically carry
+            sch = _spark_schema_of(meta)
+            if want_ri:
+                sch += ", `_row_id` bigint"
+            df = reader.schema(sch).parquet(*[d["path"] for d in data])
         else:
             df = reader.parquet(*[d["path"] for d in data])
-            if deletes:
-                df = _apply_row_deletes(spark, df, data, deletes, meta)
+            if "_row_id" in df.columns:
+                # a rewrite MATERIALIZED row ids into some files; it is
+                # a metadata column — surfaces only under withRowIds
+                df = df.drop("_row_id")
+        if need_stamp:
+            df = stamp_lineage(df)
     else:
         # schema-evolved files: the migrating scan (one group per schema
         # generation, renames applied, added columns null-padded, dropped
@@ -1060,14 +1091,17 @@ def read_iceberg_native(spark, p: dict[str, Any]):
         # to the unevolved path (r7, VERDICT r6 ask #5).
         df = evolved_scan(
             spark, reader, data, _schema_fields(meta),
-            with_lineage=bool(deletes) or bool(fills),
+            with_lineage=need_stamp,
+            keep_extra=(["_row_id"] if want_ri else None),
         )
-        if fills:
-            df = apply_identity_fill(spark, df, fills, ftypes)
-        if deletes:
-            df = _apply_row_deletes(spark, df, data, deletes, meta)
-        elif fills:
-            df = df.drop("__fp__", "__pos__")
+    if fills:
+        df = apply_identity_fill(spark, df, fills, ftypes)
+    if want_ri:
+        df = derive_row_ids(spark, df, data)
+    if deletes:
+        df = _apply_row_deletes(spark, df, data, deletes, meta)
+    elif need_stamp:
+        df = df.drop("__fp__", "__pos__")
     if dfilter:
         from pipeline_spark.sources.delta_native import _apply_data_filter
 
