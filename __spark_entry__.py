@@ -5920,39 +5920,27 @@ GROUP BY event_name ORDER BY event_name
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT: the driver's CORRECTNESS gate caps at the first
-    # 50 entries, never-green-first.  r9 (VERDICT r8 asks #1/#2/#6 +
-    # stretch): pq_topk (errored in the r8 oracle canonicalizer — the
-    # only never-green row) leads with the four NEW rows (ivfpq_topk,
-    # convert_roundtrip, localdb_artifact, auxia_events — the last two
-    # drive the r9 localH2/auxia sinks); the r7 lakehouse tail (past-cap
-    # since r7) rotates back in; every row whose ENGINE CODE changed
-    # this round stays in-cap (warc reshuffle, DV merge/supersede,
-    # probes, changelog checkpoint).  Pushed past the cap: the
-    # window/expression family + select_text_hash/compare_diff — green
-    # r7 AND r8, streaming-parity pytest-pinned.
+    # ORDERING CONTRACT: the driver's CORRECTNESS gate caps at the
+    # first 50 entries, never-green-first.  r10: the five NEW feature
+    # rows (convert_partitioned, iceberg_defaults, delta_type_widening,
+    # delta_row_tracking, iceberg_row_lineage) lead behind bpe_train
+    # (rows-only by design); rows whose ENGINE CODE changed this round
+    # stay in-cap (iceberg read path gained identity-fill + row-lineage
+    # stamps, both formats' compaction/merge/update rewrites changed);
+    # then strict stalest-first rotation — the r4 four, the r6 twelve,
+    # and 18 of the 41 r7-stale rows (the rest queue for r11).  Pushed
+    # past the cap: everything green in r8/r9.
     return {
-        "bpe_train": q_bpe_train,  # rows-only by design (merge loop not SQL)
-        # --- never green (r8 driver-shape err, fixed) + new this round
-        "pq_topk": q_pq_topk,
-        "ivfpq_topk": q_ivfpq_topk,
-        "convert_roundtrip": q_convert_roundtrip,
+        # --- rows-only by design (merge loop not SQL-expressible)
+        "bpe_train": q_bpe_train,
+        # --- NEVER GREEN: the five r10 feature rows
         "convert_partitioned": q_convert_partitioned,
         "iceberg_defaults": q_iceberg_defaults,
         "delta_type_widening": q_delta_type_widening,
         "delta_row_tracking": q_delta_row_tracking,
         "iceberg_row_lineage": q_iceberg_row_lineage,
-        "localdb_artifact": q_localdb_artifact,
-        "auxia_events": q_auxia_events,
-        # --- rotated back (past-cap since r7, VERDICT r8 ask #6)
-        "iceberg_upsert": q_iceberg_upsert,
-        "delta_merge_upsert": q_delta_merge_upsert,
-        "iceberg_branch_wap": q_iceberg_branch_wap,
-        "delta_cdf": q_delta_cdf,
-        "delta_v2_checkpoint": q_delta_v2_checkpoint,
-        "iceberg_spec_evolution": q_iceberg_spec_evolution,
-        # --- engine code behind these changed in r9: prove them again
-        "warc_roundtrip": q_warc_roundtrip,
+        # --- r10 engine-code changed: prove again
+        "convert_roundtrip": q_convert_roundtrip,
         "iceberg_merge_cow": q_iceberg_merge_cow,
         "iceberg_merge_mor": q_iceberg_merge_mor,
         "iceberg_dv_puffin": q_iceberg_dv_puffin,
@@ -5960,8 +5948,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_changelog": q_iceberg_changelog,
         "delta_delete": q_delta_delete,
         "delta_skipping": q_delta_skipping,
+        # --- stalest: last green r4
+        "sessionize": q_sessionize,
+        "range_join": q_range_join,
+        "semdedup_prune": q_semdedup_prune,
+        "repetition": q_repetition,
+        # --- last green r6
+        "perplexity_filter": q_perplexity_filter,
+        "dataset_mix": q_dataset_mix,
+        "delta_roundtrip": q_delta_roundtrip,
+        "delta_update": q_delta_update,
+        "iceberg_delete": q_iceberg_delete,
+        "iceberg_skipping": q_iceberg_skipping,
+        "dsir_scores": q_dsir_scores,
+        "bpe_wordcounts": q_bpe_wordcounts,
+        "delta_dv_read": q_delta_dv_read,
+        "iceberg_rest": q_iceberg_rest,
+        "delta_zorder": q_delta_zorder,
+        "iceberg_incremental": q_iceberg_incremental,
+        # --- last green r7 (18 of 41; rest queue for r11)
+        "iceberg_rewrite_manifests": q_iceberg_rewrite_manifests,
+        "iceberg_partitioned": q_iceberg_partitioned,
+        "delta_cm_roundtrip": q_delta_cm_roundtrip,
+        "delta_alter_roundtrip": q_delta_alter_roundtrip,
+        "delta_replace_where": q_delta_replace_where,
+        "iceberg_evolved_mor": q_iceberg_evolved_mor,
+        "iceberg_cdc_upsert": q_iceberg_cdc_upsert,
+        "streaming_panes": q_streaming_panes,
+        "delta_liquid_cluster": q_delta_liquid_cluster,
+        "agg_argminmax": q_agg_argminmax,
+        "agg_firstlast": q_agg_firstlast,
+        "partition_route": q_partition_route,
+        "union_pad": q_union_pad,
+        "substring_cut": q_substring_cut,
+        "shuffle_order": q_shuffle_order,
+        "quality_classifier": q_quality_classifier,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        # --- headline pair stays in-cap every round
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        # --- past the 50-cap: green r8/r9; pytest + harness guarded
+        "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "localdb_artifact": q_localdb_artifact,
+        "auxia_events": q_auxia_events,
+        "iceberg_upsert": q_iceberg_upsert,
+        "delta_merge_upsert": q_delta_merge_upsert,
+        "iceberg_branch_wap": q_iceberg_branch_wap,
+        "delta_cdf": q_delta_cdf,
+        "delta_v2_checkpoint": q_delta_v2_checkpoint,
+        "iceberg_spec_evolution": q_iceberg_spec_evolution,
+        "warc_roundtrip": q_warc_roundtrip,
         "bucketed_join": q_bucketed_join,
-        # --- in-cap coverage spread (all green r8)
         "lookup_enrich": q_lookup_enrich,
         "agg_collect": q_agg_collect,
         "select_misc": q_select_misc,
@@ -5989,10 +6028,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_words": q_topk_words,
         "semdedup_assign": q_semdedup_assign,
         "asof_join": q_asof_join,
-        # --- headline pair stays in-cap every round
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        # --- past the 50-cap: all green r7+r8; pytest + harness guarded
         "select_text_hash": q_select_text_hash,
         "compare_diff": q_compare_diff,
         "limit_topk": q_limit_topk,
@@ -6003,29 +6038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
         "expression_math": q_expression_math,
-        "sessionize": q_sessionize,
-        "range_join": q_range_join,
-        "semdedup_prune": q_semdedup_prune,
-        "repetition": q_repetition,
         "profile_documents": q_profile_documents,
-        "iceberg_partitioned": q_iceberg_partitioned,
-        "delta_cm_roundtrip": q_delta_cm_roundtrip,
-        "delta_alter_roundtrip": q_delta_alter_roundtrip,
-        "delta_replace_where": q_delta_replace_where,
-        "iceberg_evolved_mor": q_iceberg_evolved_mor,
-        "iceberg_cdc_upsert": q_iceberg_cdc_upsert,
-        "streaming_panes": q_streaming_panes,
-        "iceberg_rewrite_manifests": q_iceberg_rewrite_manifests,
-        "delta_liquid_cluster": q_delta_liquid_cluster,
-        "agg_argminmax": q_agg_argminmax,
-        "agg_firstlast": q_agg_firstlast,
-        "partition_route": q_partition_route,
-        "union_pad": q_union_pad,
-        "substring_cut": q_substring_cut,
-        "shuffle_order": q_shuffle_order,
-        "quality_classifier": q_quality_classifier,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
         "lang_id": q_lang_id,
         "sample_split": q_sample_split,
         "scrub_pii": q_scrub_pii,
@@ -6048,18 +6061,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "chunk_windows": q_chunk_windows,
         "linear_regression": q_linear_regression,
-        "perplexity_filter": q_perplexity_filter,
-        "dataset_mix": q_dataset_mix,
-        "delta_roundtrip": q_delta_roundtrip,
-        "delta_update": q_delta_update,
-        "iceberg_delete": q_iceberg_delete,
-        "iceberg_skipping": q_iceberg_skipping,
-        "dsir_scores": q_dsir_scores,
-        "bpe_wordcounts": q_bpe_wordcounts,
-        "delta_dv_read": q_delta_dv_read,
-        "iceberg_rest": q_iceberg_rest,
-        "delta_zorder": q_delta_zorder,
-        "iceberg_incremental": q_iceberg_incremental,
     }
 
 

@@ -141,6 +141,12 @@ BENCH_QUERIES = [
     "convert_roundtrip",
     "localdb_artifact",
     "auxia_events",
+    # r10 additions
+    "convert_partitioned",
+    "iceberg_defaults",
+    "delta_type_widening",
+    "delta_row_tracking",
+    "iceberg_row_lineage",
 ]
 
 
@@ -328,7 +334,14 @@ def main() -> None:
             docs = spark.read.parquet(f"{sf_d}/documents.parquet").select(
                 "doc_id", "lang", "n_chars"
             )
-            clustered = docs.repartitionByRange(16, "doc_id")
+            # constant FILE SIZE, scaled FILE COUNT (how real tables
+            # grow): a fixed 16-file layout at both scales made sf1
+            # files 10× larger, so the fixed-batch probe/rewrite read
+            # 10× the bytes per touched file and delta_merge_cow
+            # drifted to 1.4× in r9 — the table layout was the
+            # artifact, not the operator's blast radius
+            nparts = 16 if sf_label == "sf0.1" else 160
+            clustered = docs.repartitionByRange(nparts, "doc_id")
             batch = docs.where(F.col("doc_id") < 500).withColumn(
                 "__op__",
                 F.when(F.col("doc_id") % 2 == 0, F.lit("UPSERT"))
