@@ -391,6 +391,11 @@ def main() -> None:
             result["dml_scale"] = {
                 "fixed_batch_keys": 500,
                 "table_size_ratio": 10.0,
+                # metadata-only ops (rewrite_manifests, clone) time in
+                # MILLISECONDS and scale with FILE COUNT (10x here by
+                # layout design) — their ratio reads on metadata volume,
+                # not data blast radius; judge them on the absolute
+                # timings alongside the ratio
                 "timings": dml,
                 "t_sf1_over_t_sf01": {
                     k: round(dml["sf1"][k] / max(dml["sf0.1"][k], 1e-3), 2)
