@@ -5735,6 +5735,86 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_uniform_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm continuous format sync (r10, delta-spark's
+    delta.universalFormat.enabledFormats=iceberg): a delta table created
+    with the property keeps LIVE iceberg metadata over the same files
+    across create → append → DV delete → update.  The query reads the
+    final state through BOTH protocol surfaces and joins them per group
+    — any divergence (a commit the sync missed, a bound mistranslated
+    from add.stats, a DV not re-framed) breaks the equality columns the
+    oracle pins."""
+    import shutil
+
+    from pipeline_spark.sinks.delta_native import (
+        delete_delta_native,
+        update_delta_native,
+        write_delta_native,
+    )
+    from pipeline_spark.sources.delta_native import read_delta_native
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = _tmp_path("uniform", sf_dir)
+    shutil.rmtree(t, ignore_errors=True)
+    write_delta_native(
+        spark, docs.where(F.col("doc_id") < 400).coalesce(2),
+        {"path": t, "properties": {
+            "delta.universalFormat.enabledFormats": "iceberg",
+            "delta.enableDeletionVectors": "true",
+        }},
+    )
+    write_delta_native(
+        spark,
+        docs.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 600)),
+        {"path": t, "mode": "append"},
+    )
+    delete_delta_native(spark, {
+        "path": t, "method": "dv",
+        "where": [{"key": "doc_id", "op": "<", "value": 100}],
+    })
+    update_delta_native(spark, {
+        "path": t,
+        "where": [{"key": "doc_id", "op": "<", "value": 200}],
+        "set": {"n_chars": "n_chars + 1000"},
+    })
+    delta_side = (
+        read_delta_native(spark, {"path": t})
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_delta"),
+             F.sum("n_chars").alias("chars_delta"))
+    )
+    ice_side = (
+        read_iceberg_native(spark, {"path": t})
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_ice"),
+             F.sum("n_chars").alias("chars_ice"))
+    )
+    return (
+        delta_side.join(ice_side, "lang")
+        .select("lang", "n_delta", "n_ice", "chars_delta", "chars_ice")
+        .orderBy("lang")
+    )
+
+
+Q_UNIFORM_SQL = """
+WITH state AS (
+  SELECT lang,
+         CASE WHEN doc_id < 200 THEN n_chars + 1000 ELSE n_chars END AS nc
+  FROM documents
+  WHERE doc_id >= 100 AND doc_id < 600
+)
+SELECT lang,
+       count(*) AS n_delta,
+       count(*) AS n_ice,
+       CAST(sum(nc) AS BIGINT) AS chars_delta,
+       CAST(sum(nc) AS BIGINT) AS chars_ice
+FROM state GROUP BY lang ORDER BY lang
+"""
+
+
 def q_convert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r10 conversion surface in one oracled row: a PARTITIONED,
     COLUMN-MAPPED, DV-CARRYING delta table converts to iceberg in place
@@ -5921,9 +6001,9 @@ GROUP BY event_name ORDER BY event_name
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's CORRECTNESS gate caps at the
-    # first 50 entries, never-green-first.  r10: the five NEW feature
+    # first 50 entries, never-green-first.  r10: the six NEW feature
     # rows (convert_partitioned, iceberg_defaults, delta_type_widening,
-    # delta_row_tracking, iceberg_row_lineage) lead behind bpe_train
+    # delta_row_tracking, iceberg_row_lineage, uniform_sync) lead behind
     # (rows-only by design); rows whose ENGINE CODE changed this round
     # stay in-cap (iceberg read path gained identity-fill + row-lineage
     # stamps, both formats' compaction/merge/update rewrites changed);
@@ -5939,6 +6019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_type_widening": q_delta_type_widening,
         "delta_row_tracking": q_delta_row_tracking,
         "iceberg_row_lineage": q_iceberg_row_lineage,
+        "uniform_sync": q_uniform_sync,
         # --- r10 engine-code changed: prove again
         "convert_roundtrip": q_convert_roundtrip,
         "iceberg_merge_cow": q_iceberg_merge_cow,
@@ -5984,11 +6065,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_order": q_shuffle_order,
         "quality_classifier": q_quality_classifier,
         "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
         # --- headline pair stays in-cap every round
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         # --- past the 50-cap: green r8/r9; pytest + harness guarded
+        # (ivf_topk displaced to make room for uniform_sync — green r7,
+        # queues with the other r7 tail for r11)
+        "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "localdb_artifact": q_localdb_artifact,
@@ -6175,6 +6258,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_type_widening": Q_DELTA_TW_SQL,
         "delta_row_tracking": Q_DELTA_RT_SQL,
         "iceberg_row_lineage": Q_ICE_LINEAGE_SQL,
+        "uniform_sync": Q_UNIFORM_SQL,
         "localdb_artifact": Q_LOCALDB_SQL,
         "auxia_events": Q_AUXIA_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,

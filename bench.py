@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "delta_type_widening",
     "delta_row_tracking",
     "iceberg_row_lineage",
+    "uniform_sync",
 ]
 
 

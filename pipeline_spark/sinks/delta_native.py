@@ -894,6 +894,7 @@ def write_delta_native(
     interval = int(p.get("checkpointInterval", 10))
     if interval > 0 and version > 0 and version % interval == 0:
         write_checkpoint(table, version)
+    _maybe_uniform_sync(table, actions)
 
 
 def _stamp_row_tracking(
@@ -1536,6 +1537,40 @@ def _commit_actions(
         version % checkpoint_interval == 0
     ):
         write_checkpoint(table, version)
+    _maybe_uniform_sync(table, actions)
+
+
+def _maybe_uniform_sync(table: str, actions: list[dict]) -> None:
+    """UniForm (PROTOCOL.md universalFormat /
+    ``delta.universalFormat.enabledFormats=iceberg``): after EVERY
+    successful delta commit on an enabled table, regenerate the iceberg
+    metadata over the same files so iceberg readers stay current on the
+    single data copy.  Gate is cheap: the commit's own metaData action
+    when present, else the iceberg side's ``delta.universalFormat``
+    marker (one small JSON read — no delta log replay)."""
+    md = next((a.get("metaData") for a in actions if "metaData" in a), None)
+    enabled = None
+    if md is not None:
+        enabled = "iceberg" in str(
+            (md.get("configuration") or {}).get(
+                "delta.universalFormat.enabledFormats", ""
+            )
+        ).lower()
+    if enabled is None:
+        try:
+            from pipeline_spark.sources.iceberg_native import (
+                load_table_metadata,
+            )
+
+            enabled = (load_table_metadata(table).get("properties") or {}).get(
+                "delta.universalFormat"
+            ) == "true"
+        except (FileNotFoundError, ValueError):
+            enabled = False
+    if enabled:
+        from pipeline_spark.sinks.tableconvert import sync_uniform_iceberg
+
+        sync_uniform_iceberg(table)
 
 
 def _commit_actions_retry(

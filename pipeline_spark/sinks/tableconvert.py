@@ -96,10 +96,114 @@ def _ice_type_to_delta(t: Any) -> str:
 
 
 def convert_delta_to_iceberg(spark, p: dict[str, Any]) -> dict[str, Any]:
+    table = re.sub(
+        r"^file:/{0,2}(/)", r"\1",
+        str(p.get("path") or p.get("table") or p.get("source") or ""),
+    )
+    if not table:
+        raise ValueError("convert: 'path' of the delta table is required")
+    meta_dir = os.path.join(table, "metadata")
+    if os.path.isdir(meta_dir) and any(
+        n.endswith(".metadata.json") for n in os.listdir(meta_dir)
+    ):
+        raise FileExistsError(
+            f"convert: {table} already carries iceberg metadata"
+        )
+    return _iceberg_metadata_over_delta(table, version=1,
+                                        stats_source="footer")
+
+
+def sync_uniform_iceberg(table: str) -> dict[str, Any]:
+    """UniForm-style continuous sync (delta-spark's
+    ``delta.universalFormat.enabledFormats=iceberg``): regenerate the
+    iceberg metadata over the delta table's CURRENT state at the next
+    metadata version — after every delta commit, iceberg readers see
+    the same single copy of the data.
+
+    Per-commit cost is PURE METADATA: column bounds come from each
+    add's ``stats`` JSON (``stats_source="log"`` — zero parquet footer
+    reads; the delta writer already paid for them), DV re-framing is
+    KB-scale per vectored file, and the commit is one new metadata
+    version.  A racing sync (two delta writers) loses the
+    create-exclusive version claim and retries against the then-current
+    delta state — syncs are idempotent snapshots of delta state, so
+    last-writer-wins is correct.
+
+    Iceberg-side history intentionally stays ONE snapshot deep: the
+    delta log owns time travel; each sync is a fresh snapshot of "now"
+    (delta-spark's UniForm keeps the same contract)."""
+    from pipeline_spark.sources.iceberg_native import load_table_metadata
+
+    for attempt in range(3):
+        try:
+            prev_v = 0
+            try:
+                prev_v = int(load_table_metadata(table).get("__version") or 0)
+            except FileNotFoundError:
+                pass
+            return _iceberg_metadata_over_delta(
+                table, version=prev_v + 1, stats_source="log"
+            )
+        except FileExistsError:
+            if attempt == 2:
+                raise
+
+
+def _bounds_from_delta_stats(
+    st: str | None, colmap: dict[str, tuple[int, str]]
+):
+    """(record_count, nulls, lows, highs) from an add's ``stats`` JSON —
+    the log-sourced twin of ``_footer_column_stats`` (spec Appendix-D
+    serialized bounds, field-id keyed).  Same soundness rule: bounds
+    only for types whose statistics cannot be truncated."""
+    import datetime as _dt
+
+    from pipeline_spark.sinks.iceberg_native import encode_bound
+
+    if not st:
+        return None, None, None, None
+    try:
+        j = json.loads(st)
+    except (ValueError, TypeError):
+        return None, None, None, None
+
+    def topy(v, ice_type):
+        if v is None:
+            return None
+        if ice_type == "date" and isinstance(v, str):
+            return _dt.date.fromisoformat(v[:10])
+        if ice_type in ("timestamp", "timestamptz") and isinstance(v, str):
+            return _dt.datetime.fromisoformat(
+                v.replace("Z", "+00:00").replace(" ", "T")
+            ).replace(tzinfo=None)
+        return v
+
+    nulls, lows, highs = [], [], []
+    mins = j.get("minValues") or {}
+    maxs = j.get("maxValues") or {}
+    ncs = j.get("nullCount") or {}
+    for name, (fid, ice_type) in colmap.items():
+        if name in ncs and isinstance(ncs[name], (int, float)):
+            nulls.append({"key": fid, "value": int(ncs[name])})
+        lo, hi = topy(mins.get(name), ice_type), topy(maxs.get(name), ice_type)
+        if lo is not None and hi is not None:
+            try:
+                lo_b, hi_b = encode_bound(lo, ice_type), encode_bound(hi, ice_type)
+            except (ValueError, TypeError):
+                lo_b = hi_b = None
+            if lo_b is not None and hi_b is not None:
+                lows.append({"key": fid, "value": lo_b})
+                highs.append({"key": fid, "value": hi_b})
+    return j.get("numRecords"), nulls or None, lows or None, highs or None
+
+
+def _iceberg_metadata_over_delta(
+    table: str, *, version: int, stats_source: str
+) -> dict[str, Any]:
     """Write iceberg metadata over a delta table's current data files.
-    O(files) driver-side footer reads for manifest stats — the same
-    bounds the delta log carried keep pruning working on the iceberg
-    side.
+    ``stats_source="footer"`` reads parquet footers for exact bounds
+    (one-shot CONVERT); ``"log"`` translates each add's stats JSON —
+    zero file reads, the UniForm per-commit sync path.
 
     r10: the full delta surface translates —
 
@@ -130,19 +234,7 @@ def convert_delta_to_iceberg(spark, p: dict[str, Any]) -> dict[str, Any]:
         replay_state,
     )
 
-    table = re.sub(
-        r"^file:/{0,2}(/)", r"\1",
-        str(p.get("path") or p.get("table") or p.get("source") or ""),
-    )
-    if not table:
-        raise ValueError("convert: 'path' of the delta table is required")
     meta_dir = os.path.join(table, "metadata")
-    if os.path.isdir(meta_dir) and any(
-        n.endswith(".metadata.json") for n in os.listdir(meta_dir)
-    ):
-        raise FileExistsError(
-            f"convert: {table} already carries iceberg metadata"
-        )
     adds, dmeta, _proto, _version, _txns = replay_state(table)
     cm = _column_mapping(dmeta)
     dfields = json.loads(dmeta["schemaString"])["fields"]
@@ -234,9 +326,18 @@ def convert_delta_to_iceberg(spark, p: dict[str, Any]) -> dict[str, Any]:
     total_rows = 0
     for a in adds:
         full = os.path.join(table, urllib.parse.unquote(a["path"]))
-        rows, size = _parquet_stats(full)
+        if stats_source == "log":
+            # UniForm sync path: bounds from the add's stats JSON (the
+            # delta writer already computed them) — zero footer reads
+            rc, nulls, lows, highs = _bounds_from_delta_stats(
+                a.get("stats"), colmap
+            )
+            rows = int(rc) if rc is not None else _parquet_stats(full)[0]
+            size = int(a.get("size") or os.path.getsize(full))
+        else:
+            rows, size = _parquet_stats(full)
+            nulls, lows, highs = _footer_column_stats(full, colmap)
         total_rows += rows
-        nulls, lows, highs = _footer_column_stats(full, colmap)
         entries.append({
             "status": 1,  # ADDED
             "snapshot_id": snapshot_id,
@@ -414,15 +515,20 @@ def convert_delta_to_iceberg(spark, p: dict[str, Any]) -> dict[str, Any]:
             {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
         ],
         "metadata-log": [],
-        "__version": 1,
+        "__version": version,
     }
     if fmt >= 3:
         meta["next-row-id"] = total_rows
-    _publish_metadata_exclusive(meta_dir, 1, meta)
+    if stats_source == "log":
+        # UniForm sync: mark the metadata as delta-owned so the commit
+        # hook can gate cheaply without replaying the delta log
+        meta["properties"]["delta.universalFormat"] = "true"
+    _publish_metadata_exclusive(meta_dir, version, meta)
     return {
         "converted_files": len(entries),
         "rows": total_rows,
         "deletion_vectors": len(dv_adds),
+        "version": version,
     }
 
 

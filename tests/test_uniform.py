@@ -1,0 +1,146 @@
+"""UniForm-style continuous format sync (r10, delta-spark's
+``delta.universalFormat.enabledFormats=iceberg``): every delta commit
+on an enabled table regenerates the iceberg metadata over the SAME
+data files, so iceberg readers always see the current table — one data
+copy, two protocol surfaces.  Per-commit cost is pure metadata (bounds
+from add.stats, no footer reads)."""
+
+import os
+
+from pipeline_spark.sinks.delta_native import (
+    compact_delta_native,
+    delete_delta_native,
+    update_delta_native,
+    write_delta_native,
+)
+from pipeline_spark.sources.delta_native import read_delta_native
+from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+UF = {"delta.universalFormat.enabledFormats": "iceberg"}
+
+
+def _both(spark, tbl):
+    d = sorted(
+        (r["id"], r["v"])
+        for r in read_delta_native(spark, {"path": tbl}).collect()
+    )
+    i = sorted(
+        (r["id"], r["v"])
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    return d, i
+
+
+def test_create_and_append_sync(spark, tmp_path):
+    tbl = str(tmp_path / "uf1")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id long, v string"
+        ).coalesce(1),
+        {"path": tbl, "properties": dict(UF)},
+    )
+    # iceberg metadata exists from commit ZERO
+    d, i = _both(spark, tbl)
+    assert d == i and len(d) == 6
+    write_delta_native(
+        spark, spark.createDataFrame([(6, "x")], "id long, v string"),
+        {"path": tbl, "mode": "append"},
+    )
+    d, i = _both(spark, tbl)
+    assert d == i and len(d) == 7
+
+
+def test_dml_syncs(spark, tmp_path):
+    tbl = str(tmp_path / "uf2")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        ).coalesce(1),
+        {"path": tbl,
+         "properties": {**UF, "delta.enableDeletionVectors": "true"}},
+    )
+    delete_delta_native(spark, {
+        "path": tbl, "method": "dv",
+        "where": [{"key": "id", "op": "<", "value": 3}],
+    })
+    d, i = _both(spark, tbl)
+    assert d == i == [(x, f"v{x}") for x in range(3, 10)]
+    update_delta_native(spark, {
+        "path": tbl,
+        "where": [{"key": "id", "op": "=", "value": 5}],
+        "set": {"v": "'FIVE'"},
+    })
+    d, i = _both(spark, tbl)
+    assert d == i and dict(d)[5] == "FIVE"
+    compact_delta_native(spark, {"path": tbl, "minFilesPerGroup": 1})
+    d, i = _both(spark, tbl)
+    assert d == i and len(d) == 7
+
+
+def test_partitioned_cm_table_syncs(spark, tmp_path):
+    tbl = str(tmp_path / "uf3")
+    rows = [(i, f"v{i}", i % 2) for i in range(8)]
+    write_delta_native(
+        spark,
+        spark.createDataFrame(rows, "id long, v string, par long"),
+        {"path": tbl, "partitionBy": ["par"],
+         "properties": {**UF, "delta.columnMapping.mode": "name"}},
+    )
+    got = sorted(
+        (r["id"], r["v"], r["par"])
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == sorted(rows)
+    # iceberg-side partition pruning works off the synced records
+    pruned = read_iceberg_native(
+        spark, {"path": tbl, "partitionFilter": {"par": 1}}
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == [1, 3, 5, 7]
+
+
+def test_log_sourced_bounds_prune(spark, tmp_path):
+    """The sync's bounds come from add.stats (no footer reads) and must
+    still drive iceberg manifest-level data skipping."""
+    from pipeline_spark.sources.iceberg_native import plan_files
+
+    tbl = str(tmp_path / "uf4")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], "id long, v string"
+        ).repartitionByRange(4, "id"),
+        {"path": tbl, "properties": dict(UF)},
+    )
+    data, _d, meta = plan_files(tbl)
+    assert len(data) == 4
+    assert all(d.get("lower_bounds") for d in data)
+    got = read_iceberg_native(spark, {
+        "path": tbl, "dataFilter": {"key": "id", "op": ">=", "value": 90},
+    })
+    assert sorted(r["id"] for r in got.collect()) == list(range(90, 100))
+
+
+def test_not_enabled_no_sync(spark, tmp_path):
+    tbl = str(tmp_path / "uf5")
+    write_delta_native(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"),
+        {"path": tbl},
+    )
+    assert not os.path.isdir(os.path.join(tbl, "metadata"))
+
+
+def test_alter_rename_syncs_logical_names(spark, tmp_path):
+    from pipeline_spark.sinks.delta_native import alter_delta_native
+
+    tbl = str(tmp_path / "uf6")
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, tag string"),
+        {"path": tbl,
+         "properties": {**UF, "delta.columnMapping.mode": "name"}},
+    )
+    alter_delta_native(spark, {"path": tbl, "renameColumn": {"tag": "v"}})
+    df = read_iceberg_native(spark, {"path": tbl})
+    assert sorted(df.columns) == ["id", "v"]
