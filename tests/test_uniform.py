@@ -144,3 +144,61 @@ def test_alter_rename_syncs_logical_names(spark, tmp_path):
     alter_delta_native(spark, {"path": tbl, "renameColumn": {"tag": "v"}})
     df = read_iceberg_native(spark, {"path": tbl})
     assert sorted(df.columns) == ["id", "v"]
+
+
+def test_log_bounds_match_footer_bounds(spark, tmp_path):
+    """Differential: the sync's log-sourced Appendix-D bounds must equal
+    the footer-sourced ones for every boundable type (the one-shot
+    convert and the per-commit sync may never disagree on pruning)."""
+    import datetime
+
+    from pipeline_spark.sinks.iceberg_native import _footer_column_stats
+    from pipeline_spark.sinks.tableconvert import _bounds_from_delta_stats
+    from pipeline_spark.sources.delta_native import replay_state
+
+    tbl = str(tmp_path / "ufdiff")
+    rows = [
+        (i, float(i) * 1.5, datetime.date(2024, 1, 1 + i % 28),
+         datetime.datetime(2024, 1, 1, i % 24), i % 2 == 0,
+         None if i % 5 == 0 else f"s{i}")
+        for i in range(50)
+    ]
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            rows,
+            "a long, b double, c date, d timestamp, e boolean, f string",
+        ).coalesce(1),
+        {"path": tbl},
+    )
+    adds, _m, _p, _v, _t = replay_state(tbl)
+    colmap = {
+        "a": (1, "long"), "b": (2, "double"), "c": (3, "date"),
+        "d": (4, "timestamp"), "e": (5, "boolean"), "f": (6, "string"),
+    }
+    full = os.path.join(tbl, adds[0]["path"])
+    f_nulls, f_lows, f_highs = _footer_column_stats(full, colmap)
+    rc, l_nulls, l_lows, l_highs = _bounds_from_delta_stats(
+        adds[0].get("stats"), colmap
+    )
+    assert rc == 50
+
+    def by_key(entries):
+        return {e["key"]: e["value"] for e in (entries or [])}
+
+    # bounds agree wherever BOTH sides emit them (footer may emit more —
+    # e.g. boolean — but must never CONTRADICT the log)
+    fl, ll = by_key(f_lows), by_key(l_lows)
+    fh, lh = by_key(f_highs), by_key(l_highs)
+    for k in set(fl) & set(ll):
+        assert fl[k] == ll[k], (k, fl[k], ll[k])
+    for k in set(fh) & set(lh):
+        assert fh[k] == lh[k], (k, fh[k], lh[k])
+    # the log side must carry every bound the footer side does (they
+    # share the same source statistics — Spark writes INT96 timestamps
+    # without logical min/max, so neither side emits field 4)
+    assert set(fl) <= set(ll) and {1, 2, 3} <= set(ll)
+    # null counts agree exactly for every column both emit
+    fn, ln = by_key(f_nulls), by_key(l_nulls)
+    for k in set(fn) & set(ln):
+        assert fn[k] == ln[k]
