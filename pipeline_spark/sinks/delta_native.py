@@ -1568,8 +1568,26 @@ def _maybe_uniform_sync(table: str, actions: list[dict]) -> None:
         except (FileNotFoundError, ValueError):
             enabled = False
     if enabled:
-        from pipeline_spark.sinks.tableconvert import sync_uniform_iceberg
+        from pipeline_spark.sinks.tableconvert import (
+            sync_uniform_append,
+            sync_uniform_iceberg,
+        )
 
+        # blind append (only dataChange adds, nothing removed/changed):
+        # the INCREMENTAL path chains one O(batch) iceberg snapshot —
+        # the steady-state ingest path never re-walks the table
+        kinds = {k for a in actions for k in a}
+        adds = [a["add"] for a in actions if "add" in a]
+        if (
+            kinds <= {"add", "txn", "commitInfo", "domainMetadata"}
+            and adds
+            and all(a.get("dataChange", True) for a in adds)
+        ):
+            try:
+                if sync_uniform_append(table, adds):
+                    return
+            except FileExistsError:
+                pass  # racing sync: fall through to the full regen
         sync_uniform_iceberg(table)
 
 

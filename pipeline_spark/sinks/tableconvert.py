@@ -149,6 +149,204 @@ def sync_uniform_iceberg(table: str) -> dict[str, Any]:
                 raise
 
 
+def sync_uniform_append(table: str, add_actions: list[dict]) -> bool:
+    """Incremental UniForm fast path: a BLIND APPEND chains one iceberg
+    append snapshot carrying only the new files — O(batch) metadata, not
+    O(live files).  This is what keeps per-commit sync viable on a
+    100 TB table: the steady-state ingest path never re-walks the table.
+    Returns False when the shape doesn't fit (caller full-regens):
+    no iceberg metadata yet, a v3/DV table (full regen keeps the DV
+    manifests and row-id space coherent), or a schema drift."""
+    from pipeline_spark.functions.avroocf import read_ocf_file, write_ocf_bytes
+    from pipeline_spark.sinks.iceberg_native import (
+        _MANIFEST_FILE_SCHEMA,
+        _manifest_entry_schema,
+        _publish_metadata_exclusive,
+    )
+    from pipeline_spark.sources.iceberg_native import load_table_metadata
+
+    try:
+        meta = load_table_metadata(table)
+    except (FileNotFoundError, ValueError):
+        return False
+    props = meta.get("properties") or {}
+    if props.get("delta.universalFormat") != "true":
+        return False
+    if int(meta.get("format-version", 2)) >= 3:
+        return False
+    cur_schema = next(
+        (s for s in meta.get("schemas", [])
+         if s.get("schema-id", 0) == meta.get("current-schema-id", 0)),
+        None,
+    )
+    snap_id_prev = meta.get("current-snapshot-id")
+    prev_snap = next(
+        (s for s in meta.get("snapshots", [])
+         if s.get("snapshot-id") == snap_id_prev),
+        None,
+    )
+    if cur_schema is None or prev_snap is None:
+        return False
+    # physical (file-side) name per field id via the name-mapping the
+    # converter wrote (names[0] = physical)
+    phys_by_id: dict[int, str] = {}
+    try:
+        for e in json.loads(props.get("schema.name-mapping.default", "[]")):
+            if e.get("field-id") is not None and e.get("names"):
+                phys_by_id[int(e["field-id"])] = e["names"][0]
+    except (ValueError, TypeError):
+        pass
+    spec = next(
+        (sp for sp in meta.get("partition-specs", [])
+         if sp.get("spec-id", 0) == meta.get("default-spec-id", 0)),
+        {"fields": []},
+    )
+    by_id = {f["id"]: f for f in cur_schema["fields"]}
+    if any(sf.get("transform") != "identity" for sf in spec.get("fields", [])):
+        return False
+    part_kinds = []
+    part_avro_fields = []
+    for sf in spec.get("fields", []):
+        src_f = by_id.get(sf.get("source-id"))
+        if src_f is None:
+            return False
+        kind = "long" if src_f["type"] in ("int", "long") else "string"
+        part_kinds.append(
+            (sf["name"], phys_by_id.get(src_f["id"], src_f["name"]), kind)
+        )
+        part_avro_fields.append({
+            "name": sf["name"], "type": ["null", kind],
+            "default": None, "field-id": sf.get("field-id", 1000),
+        })
+    colmap = {
+        phys_by_id.get(f["id"], f["name"]): (f["id"], f["type"])
+        for f in cur_schema["fields"]
+        if isinstance(f["type"], str)
+        and f["name"] not in {n for n, _p, _k in part_kinds}
+    }
+    write_fields = [
+        {**f, "name": phys_by_id.get(f["id"], f["name"])}
+        for f in cur_schema["fields"]
+    ]
+    now_ms = int(time.time() * 1000)
+    snapshot_id = now_ms * 1000 + (uuid.uuid4().int % 1000)
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    commit_uuid = str(uuid.uuid4())
+    meta_dir = os.path.join(table, "metadata")
+    entries = []
+    total_rows = 0
+    for a in add_actions:
+        full = os.path.join(table, urllib.parse.unquote(a["path"]))
+        rc, nulls, lows, highs = _bounds_from_delta_stats(
+            a.get("stats"), colmap
+        )
+        if rc is None:
+            return False  # no numRecords: let the full regen footer-read
+        pv_raw = a.get("partitionValues") or {}
+        part = {}
+        for pname, phys, kind in part_kinds:
+            v = pv_raw.get(phys)
+            part[pname] = None if v is None else (
+                int(v) if kind == "long" else str(v)
+            )
+        total_rows += int(rc)
+        entries.append({
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": full,
+                "file_format": "PARQUET",
+                "partition": part,
+                "record_count": int(rc),
+                "file_size_in_bytes": int(a.get("size") or 0),
+                "null_value_counts": nulls,
+                "lower_bounds": lows,
+                "upper_bounds": highs,
+                "equality_ids": None,
+            },
+        })
+    if not entries:
+        return False
+    mp = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
+    mb = write_ocf_bytes(
+        _manifest_entry_schema(part_avro_fields), entries,
+        extra_meta={
+            "schema": json.dumps(
+                {**cur_schema, "fields": write_fields}
+            ),
+            "partition-spec": json.dumps(spec.get("fields", [])),
+            "partition-spec-id": str(spec.get("spec-id", 0)),
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    with open(mp, "wb") as fh:
+        fh.write(mb)
+    _, prev_manifests = read_ocf_file(_strip_uri(prev_snap["manifest-list"]))
+    manifests = [dict(m) for m in prev_manifests] + [{
+        "manifest_path": mp,
+        "manifest_length": len(mb),
+        "partition_spec_id": int(spec.get("spec-id", 0)),
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": total_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }]
+    lp = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
+    lb = write_ocf_bytes(
+        _MANIFEST_FILE_SCHEMA, manifests,
+        extra_meta={"format-version": "2",
+                    "snapshot-id": str(snapshot_id)},
+    )
+    with open(lp, "wb") as fh:
+        fh.write(lb)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": lp,
+        "schema-id": cur_schema.get("schema-id", 0),
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(entries)),
+            "added-records": str(total_rows),
+            "converted-from": "delta-uniform-append",
+        },
+    }
+    version = int(meta.get("__version") or 0) + 1
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["refs"] = {
+        **(meta.get("refs") or {}),
+        "main": {"snapshot-id": snapshot_id, "type": "branch"},
+    }
+    new_meta["snapshots"] = (
+        list(meta.get("snapshots") or []) + [snapshot]
+    )[-10:]
+    new_meta["snapshot-log"] = (
+        list(meta.get("snapshot-log") or [])
+        + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
+    )[-10:]
+    new_meta["__version"] = version
+    _publish_metadata_exclusive(meta_dir, version, new_meta)
+    return True
+
+
+def _strip_uri(path: str) -> str:
+    return re.sub(r"^file:/{0,2}(/)", r"\1", str(path))
+
+
 def _bounds_from_delta_stats(
     st: str | None, colmap: dict[str, tuple[int, str]]
 ):

@@ -202,3 +202,73 @@ def test_log_bounds_match_footer_bounds(spark, tmp_path):
     fn, ln = by_key(f_nulls), by_key(l_nulls)
     for k in set(fn) & set(ln):
         assert fn[k] == ln[k]
+
+
+def test_append_sync_is_incremental(spark, tmp_path):
+    """A blind append chains ONE iceberg append snapshot (O(batch)
+    metadata) instead of regenerating the table — the prior snapshot's
+    manifests carry forward by reference."""
+    import json as _json
+
+    from pipeline_spark.sources.iceberg_native import (
+        load_table_metadata,
+        plan_files,
+    )
+
+    tbl = str(tmp_path / "uf7")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id long, v string"
+        ).coalesce(1),
+        {"path": tbl, "properties": dict(UF)},
+    )
+    m1 = load_table_metadata(tbl)
+    man1 = m1["snapshots"][-1]["manifest-list"]
+    write_delta_native(
+        spark, spark.createDataFrame([(6, "x")], "id long, v string")
+        .coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    m2 = load_table_metadata(tbl)
+    snap2 = m2["snapshots"][-1]
+    assert snap2["summary"]["converted-from"] == "delta-uniform-append"
+    # the previous snapshot is still in the history (chained, not regen)
+    assert any(
+        s["manifest-list"] == man1 for s in m2["snapshots"]
+    ) or len(m2["snapshots"]) >= 2
+    d, i = _both(spark, tbl)
+    assert d == i and len(d) == 7
+    # bounds present on the appended file (log-sourced)
+    data, _dl, _m = plan_files(tbl)
+    assert all(x.get("lower_bounds") for x in data)
+
+
+def test_append_sync_partitioned_cm(spark, tmp_path):
+    """The incremental path types partition values and physical names
+    exactly like the full regen."""
+    tbl = str(tmp_path / "uf8")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}", i % 2) for i in range(6)],
+            "id long, v string, par long",
+        ),
+        {"path": tbl, "partitionBy": ["par"],
+         "properties": {**UF, "delta.columnMapping.mode": "name"}},
+    )
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(10, "x", 0), (11, "y", 1)],
+                              "id long, v string, par long"),
+        {"path": tbl, "mode": "append", "partitionBy": ["par"]},
+    )
+    got = sorted(
+        (r["id"], r["par"])
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == [(i, i % 2) for i in range(6)] + [(10, 0), (11, 1)]
+    pruned = read_iceberg_native(
+        spark, {"path": tbl, "partitionFilter": {"par": 1}}
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == [1, 3, 5, 11]
