@@ -383,6 +383,17 @@ def main() -> None:
             d["iceberg_rewrite_manifests"] = _t(
                 lambda: rewrite_manifests_iceberg_native(
                     spark, {"path": it}))
+            # r10: UniForm per-commit sync cost — a FIXED batch append
+            # on a synced table must cost O(batch) (the incremental
+            # chained-snapshot path), not O(live files)
+            ut = os.path.join(base, f"uniform_{sf_label}")
+            shutil.rmtree(ut, ignore_errors=True)
+            write_delta_native(spark, clustered, {
+                "path": ut, "properties": {
+                    "delta.universalFormat.enabledFormats": "iceberg"}})
+            ubatch = docs.where(F.col("doc_id") < 500).coalesce(2)
+            d["uniform_append_sync"] = _t(lambda: write_delta_native(
+                spark, ubatch, {"path": ut, "mode": "append"}))
             ct = os.path.join(base, f"clone_{sf_label}")
             shutil.rmtree(ct, ignore_errors=True)
             d["iceberg_clone"] = _t(lambda: clone_iceberg_native(
