@@ -231,6 +231,9 @@ def _manifest_entry_schema(
     }
 
 
+#: spec §Row Lineage materialized metadata columns (rewrites carry them)
+LINEAGE_COLS = ["_row_id", "_last_updated_sequence_number"]
+
 _DATA_FILE_SCHEMA = _data_file_schema()
 _MANIFEST_ENTRY_SCHEMA = _manifest_entry_schema()
 
@@ -1751,7 +1754,8 @@ def _fill_schema_read(spark, meta: dict, files: list[dict],
 
     sch = _spark_schema_of(meta)
     if extra_row_id:
-        sch += ", `_row_id` bigint"
+        sch += (", `_row_id` bigint"
+                ", `_last_updated_sequence_number` bigint")
     return spark.read.schema(sch).parquet(*[d["path"] for d in files])
 
 
@@ -2036,7 +2040,7 @@ def _compact_iceberg_once(spark, p: dict[str, Any]) -> dict[str, int]:
             bin_df = _read_evolved_group(
                 spark, files, cur_schema,
                 with_lineage=bool(bin_has_deletes) or lineage,
-                keep_extra=(["_row_id"] if lineage else None),
+                keep_extra=(LINEAGE_COLS if lineage else None),
             )
         else:
             bin_fills_pre = any(d["path"] in fills for d in files)
@@ -2066,7 +2070,7 @@ def _compact_iceberg_once(spark, p: dict[str, Any]) -> dict[str, int]:
             if bin_fills:
                 bin_df = apply_identity_fill(spark, bin_df, bin_fills, ftypes)
             if lineage:
-                bin_df = derive_row_ids(spark, bin_df, files)
+                bin_df = derive_row_ids(spark, bin_df, files, with_seq=True)
         if bin_has_deletes:
             # materialize: subtract this bin's applicable deletes through
             # the reader's own MOR path (position + equality, seq rule)
@@ -3022,7 +3026,7 @@ def _cow_mutate_where(
         grp = _read_evolved_group(
             spark, hit, cur_schema,
             with_lineage=bool(deletes) or bool(fills) or lineage,
-            keep_extra=(["_row_id"] if lineage else None),
+            keep_extra=(LINEAGE_COLS if lineage else None),
         )
     elif fills or lineage:
         grp = _fill_schema_read(
@@ -3037,17 +3041,27 @@ def _cow_mutate_where(
         if fills:
             grp = apply_identity_fill(spark, grp, fills, ftypes)
         if lineage:
-            grp = derive_row_ids(spark, grp, hit)
+            grp = derive_row_ids(spark, grp, hit, with_seq=True)
     if deletes:
         grp = _apply_row_deletes(spark, grp, hit, deletes, prev_meta)
     cond = data_filter_condition(where)
     match = F.coalesce(cond, F.lit(False))  # predicate-NULL rows are KEPT
-    out_cols = keep_cols + (["_row_id"] if lineage else [])
+    out_cols = keep_cols + (LINEAGE_COLS if lineage else [])
     if set_exprs:
         out = grp
         for c, e in set_exprs.items():
             out = out.withColumn(
                 c, F.when(match, F.expr(str(e))).otherwise(F.col(c))
+            )
+        if lineage:
+            # spec §Row Lineage: an UPDATED row keeps its _row_id but
+            # its last-updated sequence moves to THIS commit's
+            out = out.withColumn(
+                "_last_updated_sequence_number",
+                F.when(
+                    match,
+                    F.lit(int(prev_meta.get("last-sequence-number", 0)) + 1),
+                ).otherwise(F.col("_last_updated_sequence_number")),
             )
         new_rows = out.select(*out_cols)
     else:
@@ -3654,7 +3668,7 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
             grp = _read_evolved_group(
                 spark, hit, cur_schema,
                 with_lineage=bool(deletes) or bool(fills) or lineage,
-                keep_extra=(["_row_id"] if lineage else None),
+                keep_extra=(LINEAGE_COLS if lineage else None),
             )
         elif fills or lineage:
             grp = _fill_schema_read(
@@ -3673,15 +3687,16 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
                 # rewrite; upsert rows get null (fresh rows of this
                 # snapshot — matched-key updates land as new rows per
                 # the merge's delete+insert identity)
-                grp = derive_row_ids(spark, grp, hit)
+                grp = derive_row_ids(spark, grp, hit, with_seq=True)
         if deletes:
             grp = _apply_row_deletes(spark, grp, hit, deletes, prev_meta)
         survivors = grp.join(
             touched, on=list(keys), how="left_anti"
-        ).select(*(keep_cols + (["_row_id"] if lineage else [])))
+        ).select(*(keep_cols + (LINEAGE_COLS if lineage else [])))
         up_sel = upserts.select(*keep_cols)
         if lineage:
-            up_sel = up_sel.withColumn("_row_id", F.lit(None).cast("bigint"))
+            for _lc in LINEAGE_COLS:
+                up_sel = up_sel.withColumn(_lc, F.lit(None).cast("bigint"))
         new_rows = survivors.unionByName(up_sel)
     else:
         if upserts.isEmpty():

@@ -768,32 +768,48 @@ def stamp_lineage(df):
     )
 
 
-def derive_row_ids(spark, df, data: list[dict]):
+def derive_row_ids(spark, df, data: list[dict], *, with_seq: bool = False):
     """``_row_id`` per row (spec §Row Lineage): the rewrite-materialized
     ``_row_id`` column wins when non-null; else the file's explicit
     ``first_row_id`` (manifest field-id 142) + the row's physical
     position.  Files that predate lineage stamping yield null — they
-    never had ids.  One broadcast of O(files) rows; requires ``__fp__``/
-    ``__pos__`` stamped (``stamp_lineage``)."""
+    never had ids.  ``with_seq=True`` also derives
+    ``_last_updated_sequence_number`` (the pair's second half):
+    materialized value when an UPDATE stamped one, else the file's data
+    sequence number (a row not touched since its file was written was
+    last updated by that file's snapshot).  One broadcast of O(files)
+    rows; requires ``__fp__``/``__pos__`` stamped (``stamp_lineage``)."""
     from pyspark.sql import functions as F
 
     rid = spark.createDataFrame(
         [
             (norm_path(d["path"]),
              int(d["first_row_id"]) if d.get("first_row_id") is not None
-             else None)
+             else None,
+             int(d.get("seq") or 0))
             for d in data
         ],
-        "__ri_fp string, __ri_first long",
+        "__ri_fp string, __ri_first long, __ri_seq long",
     )
     df = df.join(F.broadcast(rid), df["__fp__"] == rid["__ri_fp"], "left")
     mat = (
         F.col("_row_id") if "_row_id" in df.columns
         else F.lit(None).cast("bigint")
     )
-    return df.withColumn(
+    df = df.withColumn(
         "_row_id", F.coalesce(mat, F.col("__ri_first") + F.col("__pos__"))
-    ).drop("__ri_fp", "__ri_first")
+    )
+    if with_seq:
+        mat_seq = (
+            F.col("_last_updated_sequence_number")
+            if "_last_updated_sequence_number" in df.columns
+            else F.lit(None).cast("bigint")
+        )
+        df = df.withColumn(
+            "_last_updated_sequence_number",
+            F.coalesce(mat_seq, F.col("__ri_seq")),
+        )
+    return df.drop("__ri_fp", "__ri_first", "__ri_seq")
 
 
 def decode_bound(raw: bytes, ice_type: str):
@@ -1073,14 +1089,16 @@ def read_iceberg_native(spark, p: dict[str, Any]):
             # would drop values other files physically carry
             sch = _spark_schema_of(meta)
             if want_ri:
-                sch += ", `_row_id` bigint"
+                sch += (", `_row_id` bigint"
+                        ", `_last_updated_sequence_number` bigint")
             df = reader.schema(sch).parquet(*[d["path"] for d in data])
         else:
             df = reader.parquet(*[d["path"] for d in data])
-            if "_row_id" in df.columns:
-                # a rewrite MATERIALIZED row ids into some files; it is
-                # a metadata column — surfaces only under withRowIds
-                df = df.drop("_row_id")
+            for _mc in ("_row_id", "_last_updated_sequence_number"):
+                if _mc in df.columns:
+                    # rewrite-materialized metadata columns — surface
+                    # only under withRowIds
+                    df = df.drop(_mc)
         if need_stamp:
             df = stamp_lineage(df)
     else:
@@ -1092,12 +1110,15 @@ def read_iceberg_native(spark, p: dict[str, Any]):
         df = evolved_scan(
             spark, reader, data, _schema_fields(meta),
             with_lineage=need_stamp,
-            keep_extra=(["_row_id"] if want_ri else None),
+            keep_extra=(
+                ["_row_id", "_last_updated_sequence_number"]
+                if want_ri else None
+            ),
         )
     if fills:
         df = apply_identity_fill(spark, df, fills, ftypes)
     if want_ri:
-        df = derive_row_ids(spark, df, data)
+        df = derive_row_ids(spark, df, data, with_seq=True)
     if deletes:
         df = _apply_row_deletes(spark, df, data, deletes, meta)
     elif need_stamp:

@@ -18,13 +18,8 @@ from pipeline_spark.sources.iceberg_native import read_iceberg_native
 
 
 def _mk_v3(spark, tmp_path, name, rows, parts=1):
-    """v3 table: create, then a puffin DV delete of nothing upgrades —
-    simpler: create with a puffin delete after, or use properties.
-    The cheapest v3 entry: write then format: puffin delete a row we
-    re-check.  Instead: create v2 then upgrade via a no-match puffin
-    delete is awkward — use the properties path if the writer has one,
-    else delete+re-create.  Here: write, puffin-delete id=-1 (no match
-    is an error), so delete id=rows-1 and account for it."""
+    """A v3 table via iceberg's own opt-in:
+    CREATE TBLPROPERTIES('format-version'='3')."""
     tbl = str(tmp_path / name)
     write_iceberg_native(
         spark.createDataFrame(rows, "id long, v string").coalesce(parts),
@@ -146,3 +141,40 @@ def test_puffin_dv_delete_keeps_ids(spark, tmp_path):
         "where": [{"key": "id", "op": "in", "value": [1, 5]}],
     })
     assert _ids(spark, tbl) == [(i, i) for i in range(8) if i not in (1, 5)]
+
+
+def test_last_updated_sequence_number(spark, tmp_path):
+    """The lineage pair's second half: _last_updated_sequence_number =
+    the file's data sequence for untouched rows, the UPDATE commit's
+    sequence for updated rows — preserved (not bumped) through
+    compaction."""
+    from pipeline_spark.sinks.iceberg_native import compact_iceberg_native
+
+    tbl = _mk_v3(spark, tmp_path, "il8", [(i, f"v{i}") for i in range(4)])
+    # append at seq 2
+    write_iceberg_native(
+        spark.createDataFrame([(4, "e"), (5, "f")], "id long, v string")
+        .coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    # update id=1 at seq 3
+    update_iceberg_native(spark, {
+        "path": tbl,
+        "where": [{"key": "id", "op": "=", "value": 1}],
+        "set": {"v": "'ONE'"},
+    })
+    def seqs():
+        return sorted(
+            (r["id"], r["_last_updated_sequence_number"])
+            for r in read_iceberg_native(
+                spark, {"path": tbl, "withRowIds": True}
+            ).collect()
+        )
+    got = seqs()
+    # rows 0,2,3 written at seq 1 but REWRITTEN (their file was touched
+    # by the update) — unchanged rows keep 1 via materialization;
+    # row 1 updated at seq 3; rows 4,5 appended at seq 2
+    assert got == [(0, 1), (1, 3), (2, 1), (3, 1), (4, 2), (5, 2)]
+    # a layout-only compaction must NOT bump anyone's last-updated
+    compact_iceberg_native(spark, {"path": tbl, "minFilesPerGroup": 2})
+    assert seqs() == got
