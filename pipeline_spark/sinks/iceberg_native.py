@@ -2363,24 +2363,33 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         return _cow_mutate_where(spark, {**p, "where": where}, None)
     from pipeline_spark.sources.iceberg_native import _apply_row_deletes
 
-    data, prior_deletes, _meta = plan_files(
+    all_data, prior_deletes, _meta = plan_files(
         table_path, meta=rest[3] if rest is not None else None
     )
     from pipeline_spark.sources.iceberg_native import (
+        _bounds_may_match,
+        _schema_fields,
         apply_identity_fill,
         identity_fill_plan,
         stamp_lineage,
     )
 
+    # manifest-bounds pruning (r10): a keyed MOR delete must scan only
+    # the files whose recorded bounds ADMIT the predicate — positions
+    # can only come from matching rows, so files the bounds disprove
+    # contribute nothing.  At 100 TB this is the difference between a
+    # whole-table scan and touching the batch's few files (the same
+    # prune the COW path already had).
+    _id2f = {f["id"]: f for f in _schema_fields(_meta)}
+    data = [d for d in all_data if _bounds_may_match(d, where, _id2f)]
+    if not data:
+        return {"deleted_rows": 0}
     if any(d.get("renames") or d.get("absent") or d.get("dropped") for d in data):
         # evolved live files: plan positions through the reader's own
         # migrating scan (renames applied, added columns null-padded) so
         # the ``where`` predicate sees CURRENT column names; lineage is
         # stamped per-file inside the scan (r7, VERDICT r6 ask #5)
-        from pipeline_spark.sources.iceberg_native import (
-            _schema_fields,
-            evolved_scan,
-        )
+        from pipeline_spark.sources.iceberg_native import evolved_scan
 
         live = evolved_scan(
             spark, spark.read, data, _schema_fields(_meta), with_lineage=True
