@@ -293,6 +293,52 @@ sources:
         )
     _shutil.rmtree(cl_tbl, ignore_errors=True)
 
+    # identity-partition fill (r10): the per-file value map must ride a
+    # BROADCAST join (O(files) tiny rows) — a shuffled join here would
+    # move the whole scan for metadata
+    import tempfile as _tf
+
+    from pipeline_spark.sinks.delta_native import write_delta_native
+    from pipeline_spark.sinks.tableconvert import convert_delta_to_iceberg
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    fill_tbl = _os.path.join(_tf.gettempdir(), "audit_fill_tbl")
+    _shutil.rmtree(fill_tbl, ignore_errors=True)
+    write_delta_native(
+        spark,
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+        .where(F.col("doc_id") < 300),
+        {"path": fill_tbl, "partitionBy": ["lang"]},
+    )
+    convert_delta_to_iceberg(spark, {"path": fill_tbl})
+    p24 = plan_of(read_iceberg_native(spark, {"path": fill_tbl}))
+    if "BroadcastHashJoin" not in p24:
+        failures.append("identity fill: expected a BROADCAST value join")
+    if "SortMergeJoin" in p24:
+        failures.append("identity fill: SortMergeJoin — the fill map shuffled")
+    _shutil.rmtree(fill_tbl, ignore_errors=True)
+
+    # v3 row lineage (r10): withRowIds derives ids off a BROADCAST of
+    # per-file bases, never a shuffle
+    from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+
+    lin_tbl = _os.path.join(_tf.gettempdir(), "audit_lineage_tbl")
+    _shutil.rmtree(lin_tbl, ignore_errors=True)
+    write_iceberg_native(
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "lang").where(F.col("doc_id") < 300),
+        {"path": lin_tbl, "mode": "create",
+         "properties": {"format-version": "3"}},
+    )
+    p25 = plan_of(read_iceberg_native(
+        spark, {"path": lin_tbl, "withRowIds": True}))
+    if "BroadcastHashJoin" not in p25:
+        failures.append("row lineage: expected a BROADCAST base join")
+    if "SortMergeJoin" in p25:
+        failures.append("row lineage: SortMergeJoin — the base map shuffled")
+    _shutil.rmtree(lin_tbl, ignore_errors=True)
+
     for f in failures:
         print("FAIL", f)
     print("PLAN AUDIT:", "FAILED" if failures else "ALL OK")
