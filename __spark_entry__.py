@@ -5815,6 +5815,53 @@ FROM state GROUP BY lang ORDER BY lang
 """
 
 
+def q_iceberg_addfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg add_files import (r10, the public AddFilesProcedure
+    shape): documents[<600] written as plain HIVE-layout parquet
+    (partitioned by lang — the columns live only in the directory
+    names) registers into an iceberg table IN PLACE, then a second
+    directory appends.  Reads fill the partition column from manifest
+    records (spec Column Projection #2) and prune on it; the oracle
+    recomputes from the source table, so a lost file, a mistyped
+    partition value, or a broken fill hash-mismatches."""
+    import shutil
+
+    from pipeline_spark.sinks.iceberg_addfiles import (
+        add_files_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    h1 = _tmp_path("addf_h1", sf_dir)
+    h2 = _tmp_path("addf_h2", sf_dir)
+    t = _tmp_path("addf_ice", sf_dir)
+    for d in (h1, h2, t):
+        shutil.rmtree(d, ignore_errors=True)
+    docs.where(F.col("doc_id") < 300).write.partitionBy("lang").parquet(h1)
+    docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 600)) \
+        .write.partitionBy("lang").parquet(h2)
+    add_files_iceberg_native(spark, {"path": t, "sourceDir": h1})
+    add_files_iceberg_native(spark, {"path": t, "sourceDir": h2})
+    return (
+        read_iceberg_native(spark, {"path": t})
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_ADDFILES_SQL = """
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents WHERE doc_id < 600
+GROUP BY lang ORDER BY lang
+"""
+
+
 def q_convert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r10 conversion surface in one oracled row: a PARTITIONED,
     COLUMN-MAPPED, DV-CARRYING delta table converts to iceberg in place
@@ -6001,7 +6048,7 @@ GROUP BY event_name ORDER BY event_name
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's CORRECTNESS gate caps at the
-    # first 50 entries, never-green-first.  r10: the six NEW feature
+    # first 50 entries, never-green-first.  r10: the seven NEW feature
     # rows (convert_partitioned, iceberg_defaults, delta_type_widening,
     # delta_row_tracking, iceberg_row_lineage, uniform_sync) lead behind
     # (rows-only by design); rows whose ENGINE CODE changed this round
@@ -6020,6 +6067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_row_tracking": q_delta_row_tracking,
         "iceberg_row_lineage": q_iceberg_row_lineage,
         "uniform_sync": q_uniform_sync,
+        "iceberg_addfiles": q_iceberg_addfiles,
         # --- r10 engine-code changed: prove again
         "convert_roundtrip": q_convert_roundtrip,
         "iceberg_merge_cow": q_iceberg_merge_cow,
@@ -6064,14 +6112,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_cut": q_substring_cut,
         "shuffle_order": q_shuffle_order,
         "quality_classifier": q_quality_classifier,
-        "lsh_topk": q_lsh_topk,
         # --- headline pair stays in-cap every round
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         # --- past the 50-cap: green r8/r9; pytest + harness guarded
-        # (ivf_topk displaced to make room for uniform_sync — green r7,
-        # queues with the other r7 tail for r11)
+        # (ivf_topk / lsh_topk displaced to make room for uniform_sync
+        # and iceberg_addfiles — green r7, queue with the r7 tail for r11)
         "ivf_topk": q_ivf_topk,
+        "lsh_topk": q_lsh_topk,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "localdb_artifact": q_localdb_artifact,
@@ -6259,6 +6307,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_row_tracking": Q_DELTA_RT_SQL,
         "iceberg_row_lineage": Q_ICE_LINEAGE_SQL,
         "uniform_sync": Q_UNIFORM_SQL,
+        "iceberg_addfiles": Q_ADDFILES_SQL,
         "localdb_artifact": Q_LOCALDB_SQL,
         "auxia_events": Q_AUXIA_SQL,
         "iceberg_mor_roundtrip": Q_ICEBERG_MOR_SQL,

@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "delta_row_tracking",
     "iceberg_row_lineage",
     "uniform_sync",
+    "iceberg_addfiles",
 ]
 
 

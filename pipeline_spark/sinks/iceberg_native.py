@@ -391,6 +391,15 @@ def write_iceberg_native(df, p: dict[str, Any]) -> None:
             )
         table_path = re.sub(r"^file:/{0,2}(/)", r"\1", table_path)
     mode = str(p.get("mode", "append")).lower()
+    if mode == "addfiles":
+        # add_files import (iceberg's own procedure): register existing
+        # hive-layout parquet IN PLACE — zero data movement
+        from pipeline_spark.sinks.iceberg_addfiles import (
+            add_files_iceberg_native,
+        )
+
+        add_files_iceberg_native(df.sparkSession, p)
+        return
     if mode not in ("append", "overwrite", "replace", "create", "merge"):
         raise ValueError(f"iceberg native writer: unsupported mode '{mode}'")
     branch = str(p.get("toBranch") or "") or None

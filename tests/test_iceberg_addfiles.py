@@ -1,0 +1,115 @@
+"""Iceberg ``add_files`` import (r10, iceberg's own procedure):
+existing hive-layout parquet registers into an iceberg table with zero
+data movement — partition records from the ``col=value`` dirs, reads
+fill the physically-absent partition columns from manifest metadata
+(spec Column Projection rule #2), compaction materializes them."""
+
+import os
+
+import pytest
+
+from pipeline_spark.sinks.iceberg_addfiles import add_files_iceberg_native
+from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+
+def _mk_hive(spark, path, rows, parts):
+    spark.createDataFrame(rows, "id long, v string, par long").write \
+        .partitionBy(*parts).parquet(path)
+
+
+def test_add_files_create(spark, tmp_path):
+    src = str(tmp_path / "hive")
+    rows = [(i, f"v{i}", i % 3) for i in range(12)]
+    _mk_hive(spark, src, rows, ["par"])
+    tbl = str(tmp_path / "ice")
+    out = add_files_iceberg_native(spark, {
+        "path": tbl, "sourceDir": src,
+    })
+    assert out["rows"] == 12
+    got = sorted(
+        (r["id"], r["v"], r["par"])
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == sorted(rows)
+    # files stayed in place (zero copy)
+    assert not any(
+        n.endswith(".parquet")
+        for _r, _d, ns in os.walk(os.path.join(tbl, "data"))
+        for n in ns
+    ) if os.path.isdir(os.path.join(tbl, "data")) else True
+    # manifest partition records drive pruning
+    pruned = read_iceberg_native(
+        spark, {"path": tbl, "partitionFilter": {"par": 1}}
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == [1, 4, 7, 10]
+
+
+def test_add_files_append_to_existing(spark, tmp_path):
+    src1 = str(tmp_path / "h1")
+    src2 = str(tmp_path / "h2")
+    _mk_hive(spark, src1, [(i, f"v{i}", 0) for i in range(4)], ["par"])
+    _mk_hive(spark, src2, [(i, f"v{i}", 1) for i in range(4, 8)], ["par"])
+    tbl = str(tmp_path / "ice2")
+    add_files_iceberg_native(spark, {"path": tbl, "sourceDir": src1})
+    add_files_iceberg_native(spark, {"path": tbl, "sourceDir": src2})
+    got = sorted(
+        (r["id"], r["par"])
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == [(i, 0 if i < 4 else 1) for i in range(8)]
+
+
+def test_add_files_schema_mismatch_refuses(spark, tmp_path):
+    src1 = str(tmp_path / "h3")
+    _mk_hive(spark, src1, [(1, "a", 0)], ["par"])
+    tbl = str(tmp_path / "ice3")
+    add_files_iceberg_native(spark, {"path": tbl, "sourceDir": src1})
+    src2 = str(tmp_path / "h4")
+    spark.createDataFrame(
+        [(1, 0)], "id long, par long"
+    ).write.partitionBy("par").parquet(src2)
+    with pytest.raises(ValueError, match="schema"):
+        add_files_iceberg_native(spark, {"path": tbl, "sourceDir": src2})
+
+
+def test_add_files_then_compact_materializes(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pipeline_spark.sinks.iceberg_native import compact_iceberg_native
+    from pipeline_spark.sources.iceberg_native import (
+        identity_fill_plan,
+        plan_files,
+    )
+
+    src = str(tmp_path / "h5")
+    rows = [(i, f"v{i}", i % 2) for i in range(10)]
+    _mk_hive(spark, src, rows, ["par"])
+    tbl = str(tmp_path / "ice5")
+    add_files_iceberg_native(spark, {"path": tbl, "sourceDir": src})
+    data, _d, meta = plan_files(tbl)
+    fills, _t = identity_fill_plan(data, meta)
+    assert fills  # hive files lack the partition column physically
+    compact_iceberg_native(spark, {"path": tbl, "minFilesPerGroup": 1})
+    data2, _d2, meta2 = plan_files(tbl)
+    assert not identity_fill_plan(data2, meta2)[0]
+    assert all("par" in pq.read_schema(d["path"]).names for d in data2)
+    got = sorted(
+        (r["id"], r["v"], r["par"])
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == sorted(rows)
+
+
+def test_add_files_via_sink_mode(spark, tmp_path):
+    from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+
+    src = str(tmp_path / "h6")
+    _mk_hive(spark, src, [(1, "a", 0), (2, "b", 1)], ["par"])
+    tbl = str(tmp_path / "ice6")
+    write_iceberg_native(
+        spark.createDataFrame([(0,)], "x long"),  # operand table unused
+        {"path": tbl, "mode": "addFiles", "sourceDir": src},
+    )
+    assert sorted(
+        r["id"] for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    ) == [1, 2]
