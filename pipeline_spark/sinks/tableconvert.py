@@ -149,6 +149,95 @@ def sync_uniform_iceberg(table: str) -> dict[str, Any]:
                 raise
 
 
+def convert_parquet_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:
+    """CONVERT TO DELTA for a plain (optionally hive-partitioned)
+    parquet directory — delta-spark's ConvertToDeltaCommand, the classic
+    migration entry point: one delta log over the files IN PLACE,
+    partition columns from the ``col=value`` directory names, footer
+    stats in every ``add.stats`` so skipping works from commit zero."""
+    from pipeline_spark.sinks.delta_native import (
+        _commit_actions,
+        _footer_stats,
+    )
+    from pipeline_spark.sinks.iceberg_addfiles import _walk_hive_files
+
+    table = re.sub(
+        r"^file:/{0,2}(/)", r"\1",
+        str(p.get("path") or p.get("table") or p.get("source") or ""),
+    )
+    if not table:
+        raise ValueError("convert: 'path' of the parquet directory is required")
+    log_dir = os.path.join(table, "_delta_log")
+    if os.path.isdir(log_dir) and os.listdir(log_dir):
+        raise FileExistsError(f"convert: {table} already carries a delta log")
+    files = _walk_hive_files(table)
+    if not files:
+        raise ValueError(f"convert: no parquet files under {table}")
+    part_cols = sorted({k for _fp, pv in files for k in pv})
+    ragged = [fp for fp, pv in files if sorted(pv) != part_cols]
+    if ragged:
+        raise ValueError(
+            f"convert: inconsistent partition depth at {ragged[:2]} — "
+            f"every file must sit under the same col=value layout "
+            f"(have {part_cols})"
+        )
+    # Spark's partition-discovery inference types the partition columns
+    # exactly as a hive reader would (small integers infer as INT);
+    # ``partitionSchema: {col: sparkType}`` overrides per column when
+    # the caller knows better — delta-spark's CONVERT has the same knob
+    disc = spark.read.option("basePath", table).parquet(table)
+    dfields = json.loads(disc.schema.json())["fields"]
+    overrides = {
+        str(k): str(v) for k, v in (p.get("partitionSchema") or {}).items()
+    }
+    bad_ovr = sorted(set(overrides) - set(part_cols))
+    if bad_ovr:
+        raise ValueError(
+            f"convert: partitionSchema names non-partition columns "
+            f"{bad_ovr} (partitions: {part_cols})"
+        )
+    dfields = [
+        {**f, "type": overrides.get(f["name"], f["type"])} for f in dfields
+    ]
+    schema_string = json.dumps({"type": "struct", "fields": [
+        {**f, "metadata": {}} for f in dfields
+    ]})
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {"commitInfo": {
+            "timestamp": now_ms, "operation": "CONVERT",
+            "operationParameters": {"sourceFormat": "parquet"},
+        }},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": part_cols,
+            "configuration": {},
+            "createdTime": now_ms,
+        }},
+    ]
+    total_rows = 0
+    for fp, pv in files:
+        rel = os.path.relpath(fp, table)
+        st = _footer_stats(fp)
+        if st:
+            total_rows += json.loads(st).get("numRecords") or 0
+        actions.append({"add": {
+            "path": urllib.parse.quote(rel.replace(os.sep, "/"), safe="/="),
+            "partitionValues": {c: pv.get(c) for c in part_cols},
+            "size": os.path.getsize(fp),
+            "modificationTime": now_ms,
+            "dataChange": True,
+            **({"stats": st} if st else {}),
+        }})
+    os.makedirs(log_dir, exist_ok=True)
+    _commit_actions(table, 0, actions)
+    return {"converted_files": len(files), "rows": total_rows,
+            "partition_columns": part_cols}
+
+
 def sync_uniform_append(table: str, add_actions: list[dict]) -> bool:
     """Incremental UniForm fast path: a BLIND APPEND chains one iceberg
     append snapshot carrying only the new files — O(batch) metadata, not
@@ -949,14 +1038,31 @@ def convert_iceberg_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:
 @module("tableconvert", kind=KIND_SINK)
 def tableconvert_sink(ctx: ModuleContext) -> dict:
     """``to: iceberg`` converts a delta table in place; ``to: delta``
-    converts an iceberg table.  The module input passes through (the
-    table is the operand, like the other maintenance sinks)."""
+    converts an iceberg table — or, with ``from: parquet``, a plain
+    hive-layout parquet directory (delta-spark's CONVERT TO DELTA; the
+    iceberg direction of that is ``mode: addFiles`` on the iceberg
+    sink).  The module input passes through (the table is the operand,
+    like the other maintenance sinks)."""
     p = ctx.params
     to = str(p.get("to", "")).lower()
+    frm = str(p.get("from", "")).lower()
     if to == "iceberg":
-        convert_delta_to_iceberg(ctx.spark, p)
+        if frm == "parquet":
+            from pipeline_spark.sinks.iceberg_addfiles import (
+                add_files_iceberg_native,
+            )
+
+            add_files_iceberg_native(ctx.spark, {
+                **p, "sourceDir": p.get("sourceDir") or p.get("path"),
+                "path": p.get("target") or p.get("path"),
+            })
+        else:
+            convert_delta_to_iceberg(ctx.spark, p)
     elif to == "delta":
-        convert_iceberg_to_delta(ctx.spark, p)
+        if frm == "parquet":
+            convert_parquet_to_delta(ctx.spark, p)
+        else:
+            convert_iceberg_to_delta(ctx.spark, p)
     else:
         raise ValueError("tableconvert: 'to' must be 'iceberg' or 'delta'")
     return {"": ctx.input}

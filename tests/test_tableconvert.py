@@ -499,3 +499,56 @@ sinks:
 """
     run_pipeline(spark, parse_config(cfg))
     assert len(_rows(read_iceberg_native(spark, {"path": tbl}))) == 5
+
+
+def test_parquet_to_delta_convert(spark, tmp_path):
+    """CONVERT TO DELTA over a plain hive-partitioned parquet directory
+    (r10): one delta log in place, partition columns from the dirs,
+    stats-driven skipping from commit zero, and the table stays fully
+    writable afterwards."""
+    import json as _json
+
+    tbl = str(tmp_path / "pq2d")
+    rows = [(i, f"v{i}", i % 3) for i in range(12)]
+    spark.createDataFrame(rows, "id long, v string, par long").write \
+        .partitionBy("par").parquet(tbl)
+    from pipeline_spark.sinks.tableconvert import convert_parquet_to_delta
+
+    out = convert_parquet_to_delta(
+        spark, {"path": tbl, "partitionSchema": {"par": "long"}}
+    )
+    assert out["rows"] == 12 and out["partition_columns"] == ["par"]
+    got = sorted(
+        (r["id"], r["v"], r["par"])
+        for r in read_delta_native(spark, {"path": tbl}).collect()
+    )
+    assert got == sorted(rows)
+    # partition pruning off the recorded partitionValues
+    pruned = read_delta_native(
+        spark, {"path": tbl, "partitionFilter": {"par": 1}}
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == [1, 4, 7, 10]
+    # stats landed
+    log = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    adds = [_json.loads(x)["add"] for x in open(log) if '"add"' in x]
+    assert all("stats" in a for a in adds)
+    # the converted table accepts normal delta writes
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(99, "x", 0)], "id long, v string, par long"),
+        {"path": tbl, "mode": "append", "partitionBy": ["par"]},
+    )
+    assert len(read_delta_native(spark, {"path": tbl}).collect()) == 13
+
+
+def test_parquet_convert_unpartitioned_and_guards(spark, tmp_path):
+    tbl = str(tmp_path / "pq2d2")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "id long, v string"
+    ).coalesce(1).write.parquet(tbl)
+    from pipeline_spark.sinks.tableconvert import convert_parquet_to_delta
+
+    convert_parquet_to_delta(spark, {"path": tbl})
+    assert len(read_delta_native(spark, {"path": tbl}).collect()) == 5
+    with pytest.raises(FileExistsError, match="already"):
+        convert_parquet_to_delta(spark, {"path": tbl})
