@@ -272,3 +272,42 @@ def test_append_sync_partitioned_cm(spark, tmp_path):
         spark, {"path": tbl, "partitionFilter": {"par": 1}}
     )
     assert sorted(r["id"] for r in pruned.collect()) == [1, 3, 5, 11]
+
+
+def test_streaming_appends_sync_incrementally(spark, tmp_path):
+    """Streaming micro-batches on a UniForm table: every committed
+    batch syncs, and the blind-append batches ride the INCREMENTAL
+    chained-snapshot path (txn markers make them adds+txn commits)."""
+    from pipeline_spark.registry import ModuleContext
+    from pipeline_spark.sinks.delta_native import delta_sink
+    from pipeline_spark.sources.iceberg_native import load_table_metadata
+
+    src = tmp_path / "in"
+    src.mkdir()
+    tbl = str(tmp_path / "uf_stream")
+    write_delta_native(
+        spark, spark.range(0, 0).selectExpr("id"),
+        {"path": tbl, "properties": dict(UF)},
+    )
+    spark.range(0, 6).write.parquet(str(src / "b1"))
+    spark.range(6, 10).write.parquet(str(src / "b2"))
+    sdf = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    delta_sink(ModuleContext(
+        spark=spark, name="w", params={"path": tbl}, inputs=[sdf],
+        input_names=["in"],
+    ))
+    got = sorted(
+        r["id"]
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == list(range(10))
+    m = load_table_metadata(tbl)
+    # at least one micro-batch rode the incremental append path
+    assert any(
+        s.get("summary", {}).get("converted-from") == "delta-uniform-append"
+        for s in m.get("snapshots", [])
+    )
