@@ -894,7 +894,7 @@ def write_delta_native(
     interval = int(p.get("checkpointInterval", 10))
     if interval > 0 and version > 0 and version % interval == 0:
         write_checkpoint(table, version)
-    _maybe_uniform_sync(table, actions)
+    _maybe_uniform_sync(table, actions, version)
 
 
 def _stamp_row_tracking(
@@ -1537,10 +1537,12 @@ def _commit_actions(
         version % checkpoint_interval == 0
     ):
         write_checkpoint(table, version)
-    _maybe_uniform_sync(table, actions)
+    _maybe_uniform_sync(table, actions, version)
 
 
-def _maybe_uniform_sync(table: str, actions: list[dict]) -> None:
+def _maybe_uniform_sync(
+    table: str, actions: list[dict], version: int | None = None
+) -> None:
     """UniForm (PROTOCOL.md universalFormat /
     ``delta.universalFormat.enabledFormats=iceberg``): after EVERY
     successful delta commit on an enabled table, regenerate the iceberg
@@ -1548,6 +1550,28 @@ def _maybe_uniform_sync(table: str, actions: list[dict]) -> None:
     single data copy.  Gate is cheap: the commit's own metaData action
     when present, else the iceberg side's ``delta.universalFormat``
     marker (one small JSON read — no delta log replay)."""
+    # BEST-EFFORT by design: the delta commit has ALREADY landed when
+    # the sync runs — an exception here would make a successful commit
+    # look failed (and send the DML retry wrapper chasing a phantom
+    # race).  A missed sync self-heals: every later sync regenerates
+    # the mirror from CURRENT delta state (delta-spark's UniForm is
+    # likewise async best-effort).
+    try:
+        _uniform_sync_inner(table, actions, version)
+    except Exception as exc:  # noqa: BLE001 — never poison the commit
+        import sys
+
+        print(
+            f"pipeline_spark: uniform iceberg sync failed on {table} "
+            f"({type(exc).__name__}: {exc}) — the mirror is stale until "
+            "the next commit's sync regenerates it",
+            file=sys.stderr,
+        )
+
+
+def _uniform_sync_inner(
+    table: str, actions: list[dict], version: int | None = None
+) -> None:
     md = next((a.get("metaData") for a in actions if "metaData" in a), None)
     enabled = None
     if md is not None:
@@ -1584,7 +1608,7 @@ def _maybe_uniform_sync(table: str, actions: list[dict]) -> None:
             and all(a.get("dataChange", True) for a in adds)
         ):
             try:
-                if sync_uniform_append(table, adds):
+                if sync_uniform_append(table, adds, version):
                     return
             except FileExistsError:
                 pass  # racing sync: fall through to the full regen

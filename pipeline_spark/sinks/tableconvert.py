@@ -238,7 +238,9 @@ def convert_parquet_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:
             "partition_columns": part_cols}
 
 
-def sync_uniform_append(table: str, add_actions: list[dict]) -> bool:
+def sync_uniform_append(
+    table: str, add_actions: list[dict], delta_version: int | None = None
+) -> bool:
     """Incremental UniForm fast path: a BLIND APPEND chains one iceberg
     append snapshot carrying only the new files — O(batch) metadata, not
     O(live files).  This is what keeps per-commit sync viable on a
@@ -263,6 +265,12 @@ def sync_uniform_append(table: str, add_actions: list[dict]) -> bool:
         return False
     if int(meta.get("format-version", 2)) >= 3:
         return False
+    if delta_version is not None:
+        # the mirror must reflect the IMMEDIATELY-PRIOR delta version —
+        # chaining a batch onto a stale mirror (an earlier sync failed)
+        # would silently drop the missed commits; full regen self-heals
+        if props.get("delta.uniform.deltaVersion") != str(delta_version - 1):
+            return False
     cur_schema = next(
         (s for s in meta.get("schemas", [])
          if s.get("schema-id", 0) == meta.get("current-schema-id", 0)),
@@ -413,6 +421,11 @@ def sync_uniform_append(table: str, add_actions: list[dict]) -> bool:
     }
     version = int(meta.get("__version") or 0) + 1
     new_meta = dict(meta)
+    if delta_version is not None:
+        new_meta["properties"] = {
+            **(meta.get("properties") or {}),
+            "delta.uniform.deltaVersion": str(delta_version),
+        }
     new_meta["last-sequence-number"] = seq
     new_meta["last-updated-ms"] = now_ms
     new_meta["current-snapshot-id"] = snapshot_id
@@ -808,8 +821,11 @@ def _iceberg_metadata_over_delta(
         meta["next-row-id"] = total_rows
     if stats_source == "log":
         # UniForm sync: mark the metadata as delta-owned so the commit
-        # hook can gate cheaply without replaying the delta log
+        # hook can gate cheaply without replaying the delta log, and
+        # stamp WHICH delta version this mirror reflects — the
+        # incremental append path refuses to chain onto a stale mirror
         meta["properties"]["delta.universalFormat"] = "true"
+        meta["properties"]["delta.uniform.deltaVersion"] = str(_version)
     _publish_metadata_exclusive(meta_dir, version, meta)
     return {
         "converted_files": len(entries),

@@ -311,3 +311,45 @@ def test_streaming_appends_sync_incrementally(spark, tmp_path):
         s.get("summary", {}).get("converted-from") == "delta-uniform-append"
         for s in m.get("snapshots", [])
     )
+
+
+def test_sync_failure_never_poisons_the_commit(spark, tmp_path, monkeypatch):
+    """The delta commit has already landed when the sync runs — a sync
+    failure must not surface as a commit failure (the DML retry wrapper
+    would chase a phantom race).  The mirror self-heals: the next
+    commit's sync regenerates it from current state."""
+    import pipeline_spark.sinks.tableconvert as tc
+
+    tbl = str(tmp_path / "uf_fail")
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(0, "a")], "id long, v string"),
+        {"path": tbl, "properties": dict(UF)},
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("injected sync failure")
+
+    monkeypatch.setattr(tc, "sync_uniform_iceberg", boom)
+    monkeypatch.setattr(tc, "sync_uniform_append", boom)
+    # the commit itself must SUCCEED despite the broken sync
+    write_delta_native(
+        spark, spark.createDataFrame([(1, "b")], "id long, v string"),
+        {"path": tbl, "mode": "append"},
+    )
+    assert sorted(
+        r["id"] for r in read_delta_native(spark, {"path": tbl}).collect()
+    ) == [0, 1]
+    # iceberg mirror is STALE (only the create synced)
+    assert sorted(
+        r["id"]
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    ) == [0]
+    monkeypatch.undo()
+    # the next healthy commit repairs the mirror completely
+    write_delta_native(
+        spark, spark.createDataFrame([(2, "c")], "id long, v string"),
+        {"path": tbl, "mode": "append"},
+    )
+    d, i = _both(spark, tbl)
+    assert d == i and [x[0] for x in d] == [0, 1, 2]
