@@ -126,7 +126,11 @@ def add_files_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
             {"fields": []},
         )
         spec_names = [sf["name"] for sf in spec.get("fields", [])]
-        if spec_names != part_cols or any(
+        # SET comparison: the spec preserves creation order (e.g. a
+        # delta-converted table's partitionBy order) while part_cols is
+        # sorted — partition records are name-keyed, so order is layout-
+        # irrelevant
+        if sorted(spec_names) != part_cols or any(
             sf.get("transform") != "identity" for sf in spec.get("fields", [])
         ):
             raise ValueError(

@@ -3351,6 +3351,13 @@ def _commit_file_replacement_once(
             if isinstance(f["type"], str)
         }
         added_entries = []
+        rep_lin = int(prev_meta.get("format-version", 2)) >= 3
+        # v3 row lineage: each staged file gets an explicit first_row_id
+        # range off the table's next-row-id (the same base the snapshot
+        # advance uses) — survivors' MATERIALIZED ids win per row, and
+        # fresh (upserted) rows derive first_row_id + position, so merge
+        # inserts get real ids instead of permanent nulls
+        _rep_frid = int(prev_meta.get("next-row-id") or 0) if rep_lin else 0
         for rec in staged:
             rows, fsize = _parquet_stats(rec["path"])
             added_rows += rows
@@ -3358,7 +3365,6 @@ def _commit_file_replacement_once(
                 _footer_column_stats(rec["path"], colmap)
                 if colmap else (None,) * 3
             )
-            rep_lin = int(prev_meta.get("format-version", 2)) >= 3
             added_entries.append({
                 "status": _STATUS_ADDED,
                 "snapshot_id": snapshot_id,
@@ -3375,9 +3381,11 @@ def _commit_file_replacement_once(
                     "lower_bounds": lows,
                     "upper_bounds": highs,
                     "equality_ids": None,
-                    **({"first_row_id": None} if rep_lin else {}),
+                    **({"first_row_id": _rep_frid} if rep_lin else {}),
                 },
             })
+            if rep_lin:
+                _rep_frid += rows
         mp = os.path.join(meta_dir, f"{commit_uuid}-m{midx}.avro")
         midx += 1
         mb = write_ocf_bytes(

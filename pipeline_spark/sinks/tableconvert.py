@@ -382,7 +382,11 @@ def sync_uniform_append(
     )
     with open(mp, "wb") as fh:
         fh.write(mb)
-    _, prev_manifests = read_ocf_file(_strip_uri(prev_snap["manifest-list"]))
+    from pipeline_spark.sources.iceberg_native import _strip_scheme
+
+    _, prev_manifests = read_ocf_file(
+        _strip_scheme(prev_snap["manifest-list"])
+    )
     manifests = [dict(m) for m in prev_manifests] + [{
         "manifest_path": mp,
         "manifest_length": len(mb),
@@ -445,10 +449,6 @@ def sync_uniform_append(
     return True
 
 
-def _strip_uri(path: str) -> str:
-    return re.sub(r"^file:/{0,2}(/)", r"\1", str(path))
-
-
 def _bounds_from_delta_stats(
     st: str | None, colmap: dict[str, tuple[int, str]]
 ):
@@ -473,9 +473,14 @@ def _bounds_from_delta_stats(
         if ice_type == "date" and isinstance(v, str):
             return _dt.date.fromisoformat(v[:10])
         if ice_type in ("timestamp", "timestamptz") and isinstance(v, str):
-            return _dt.datetime.fromisoformat(
+            ts = _dt.datetime.fromisoformat(
                 v.replace("Z", "+00:00").replace(" ", "T")
-            ).replace(tzinfo=None)
+            )
+            if ts.tzinfo is not None:
+                # normalize to UTC FIRST — dropping a non-UTC offset
+                # verbatim would shift the bound and mis-prune
+                ts = ts.astimezone(_dt.timezone.utc)
+            return ts.replace(tzinfo=None)
         return v
 
     nulls, lows, highs = [], [], []
@@ -656,9 +661,18 @@ def _iceberg_metadata_over_delta(
                 "equality_ids": None,
             },
         })
+    if fmt >= 3:
+        # v3 row lineage: converted files take explicit first_row_id so
+        # withRowIds works from the first read (next-row-id advances by
+        # the same running total below)
+        _frid = 0
+        for e in entries:
+            e["data_file"]["first_row_id"] = _frid
+            _frid += int(e["data_file"]["record_count"])
     manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
     mb = write_ocf_bytes(
-        _manifest_entry_schema(part_avro_fields), entries,
+        _manifest_entry_schema(part_avro_fields, lineage_fields=fmt >= 3),
+        entries,
         extra_meta={
             "schema": json.dumps(write_schema),
             "partition-spec": json.dumps(spec_fields),
@@ -888,6 +902,26 @@ def convert_iceberg_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:
         s for s in imeta["schemas"]
         if s.get("schema-id", 0) == imeta.get("current-schema-id", 0)
     )
+    # v3 initial-defaults have no delta equivalent: a file written
+    # BEFORE a defaulted column existed reads the default on the
+    # iceberg side but NULL through delta's schema-first null-pad —
+    # silent value drift across the conversion; compact first (the
+    # rewrite materializes the default into the files)
+    defaulted = {
+        f["name"] for f in cur_schema["fields"]
+        if f.get("initial-default") is not None
+    }
+    if defaulted:
+        hit_default = sorted({
+            a for d in data for a in (d.get("absent") or ())
+            if a in defaulted
+        })
+        if hit_default:
+            raise NotImplementedError(
+                f"convert: columns {hit_default} carry v3 initial-defaults "
+                "that files written before them would lose as NULLs on "
+                "the delta side — compact first to materialize them"
+            )
 
     # renamed columns → delta column mapping, valid only when every live
     # file agrees on ONE physical name per column (files from manifests

@@ -668,7 +668,10 @@ def identity_fill_plan(
         for pname, (cname, itype) in ident[sid].items():
             if cname in names or wname_of.get(cname, cname) in names:
                 continue
-            if pname in part and part[pname] is not None:
+            if pname in part:
+                # null partition values (__HIVE_DEFAULT_PARTITION__)
+                # stay IN the plan: the fill coalesces to null, and the
+                # conversion's all-or-nothing check must see the file
                 f[cname] = part[pname]
                 fill_types[cname] = _iceberg_type_to_spark(itype)
         if f:

@@ -113,3 +113,31 @@ def test_add_files_via_sink_mode(spark, tmp_path):
     assert sorted(
         r["id"] for r in read_iceberg_native(spark, {"path": tbl}).collect()
     ) == [1, 2]
+
+
+def test_add_files_spec_order_insensitive(spark, tmp_path):
+    """r10 review fix: a table whose identity spec preserves a
+    non-alphabetical creation order still accepts matching imports."""
+    from pipeline_spark.sinks.delta_native import write_delta_native
+    from pipeline_spark.sinks.tableconvert import convert_delta_to_iceberg
+
+    tbl = str(tmp_path / "ord")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", "y2", "m1")], "id long, v string, year string, month string"
+        ),
+        # creation order year, month — alphabetical would be month, year
+        {"path": tbl, "partitionBy": ["year", "month"]},
+    )
+    convert_delta_to_iceberg(spark, {"path": tbl})
+    src = str(tmp_path / "ordsrc")
+    spark.createDataFrame(
+        [(2, "b", "y2", "m2")], "id long, v string, year string, month string"
+    ).write.partitionBy("year", "month").parquet(src)
+    add_files_iceberg_native(spark, {"path": tbl, "sourceDir": src})
+    got = sorted(
+        (r["id"], r["year"], r["month"])
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == [(1, "y2", "m1"), (2, "y2", "m2")]

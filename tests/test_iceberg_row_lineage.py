@@ -178,3 +178,27 @@ def test_last_updated_sequence_number(spark, tmp_path):
     # a layout-only compaction must NOT bump anyone's last-updated
     compact_iceberg_native(spark, {"path": tbl, "minFilesPerGroup": 2})
     assert seqs() == got
+
+
+def test_merge_upserts_get_fresh_ids(spark, tmp_path):
+    """r10 review fix: COW-merge upserts take explicit first_row_id
+    ranges (not permanent nulls) — survivors keep theirs, fresh rows
+    get unique new ids past the old high water."""
+    tbl = _mk_v3(spark, tmp_path, "il9", [(i, f"v{i}") for i in range(6)])
+    merge_iceberg_native(
+        spark,
+        spark.createDataFrame([(2, "TWO"), (99, "NEW")], "id long, v string"),
+        {"path": tbl, "primaryKeys": ["id"], "method": "cow"},
+    )
+    got = {
+        r["id"]: r["_row_id"]
+        for r in read_iceberg_native(
+            spark, {"path": tbl, "withRowIds": True}
+        ).collect()
+    }
+    # survivors keep 0..5 minus the merged key; upserts have REAL ids
+    for i in (0, 1, 3, 4, 5):
+        assert got[i] == i
+    assert got[2] is not None and got[99] is not None
+    assert got[2] >= 6 and got[99] >= 6 and got[2] != got[99]
+    assert len(set(got.values())) == len(got)  # all unique

@@ -552,3 +552,52 @@ def test_parquet_convert_unpartitioned_and_guards(spark, tmp_path):
     assert len(read_delta_native(spark, {"path": tbl}).collect()) == 5
     with pytest.raises(FileExistsError, match="already"):
         convert_parquet_to_delta(spark, {"path": tbl})
+
+
+def test_convert_refuses_unmaterialized_defaults(spark, tmp_path):
+    """r10 review fix: a v3 initial-default that older files rely on
+    would silently read NULL through delta — refuse with the compact
+    workaround."""
+    from pipeline_spark.sinks.iceberg_native import alter_iceberg_native
+
+    tbl = str(tmp_path / "dflt2d")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        {"path": tbl, "mode": "create"},
+    )
+    alter_iceberg_native(spark, {
+        "path": tbl,
+        "addColumn": {"name": "tier", "type": "string", "default": "std"},
+    })
+    with pytest.raises(NotImplementedError, match="initial-default"):
+        convert_iceberg_to_delta(spark, {"path": tbl})
+
+
+def test_null_partition_value_roundtrip(spark, tmp_path):
+    """r10 review fix: a null partition value
+    (__HIVE_DEFAULT_PARTITION__) stays in the fill plan, reads as null,
+    and converts back to partitioned delta instead of refusing."""
+    import shutil
+
+    src = str(tmp_path / "np_src")
+    rows = [(1, "a", "x"), (2, "b", None), (3, "c", "x")]
+    write_delta_native(
+        spark,
+        spark.createDataFrame(rows, "id long, v string, par string"),
+        {"path": src, "partitionBy": ["par"]},
+    )
+    convert_delta_to_iceberg(spark, {"path": src})
+    got = sorted(
+        (r["id"], r["par"])
+        for r in read_iceberg_native(spark, {"path": src}).collect()
+    )
+    assert got == [(1, "x"), (2, None), (3, "x")]
+    dst = str(tmp_path / "np_dst")
+    shutil.copytree(src, dst, ignore=shutil.ignore_patterns("_delta_log"))
+    _fix_iceberg_paths(dst, src)
+    convert_iceberg_to_delta(spark, {"path": dst})
+    back = sorted(
+        (r["id"], r["par"])
+        for r in read_delta_native(spark, {"path": dst}).collect()
+    )
+    assert back == got
