@@ -1503,6 +1503,34 @@ def _commit_actions(
     ICT-enabled table (previous commit leads with an in-commit
     timestamp) the commit keeps the chain: commitInfo first,
     strictly-increasing timestamp."""
+    # row tracking backstop (PROTOCOL.md: every add on a row-tracking
+    # table must declare baseRowId/defaultRowCommitVersion): any writer
+    # committing unstamped adds — DML rewrites, replaceWhere, zorder —
+    # stamps fresh ranges here and advances the domain.  Appends and
+    # compaction stamp at their call sites, so this replay only runs on
+    # the DML paths (which already replayed the log to plan).
+    if any(
+        "add" in a and a["add"].get("baseRowId") is None for a in actions
+    ):
+        try:
+            _rt_proto = replay_state(table)[2]
+        except (FileNotFoundError, ValueError):
+            _rt_proto = {}
+        if "rowTracking" in (_rt_proto.get("writerFeatures") or []):
+            # stamp COPIES: a retried commit (version moved, domain may
+            # have advanced) must restamp freshly — mutating the
+            # caller's dicts would skip that and reuse id ranges
+            new_actions: list[dict] = []
+            stamped: list[dict] = []
+            for a in actions:
+                if "add" in a and a["add"].get("baseRowId") is None:
+                    c = dict(a["add"])
+                    new_actions.append({"add": c})
+                    stamped.append(c)
+                else:
+                    new_actions.append(a)
+            _stamp_row_tracking(table, stamped, version, exists=True)
+            actions = new_actions + [_row_tracking_domain_action(stamped)]
     prev_ict = _prev_ict(_log_dir(table), version)
     if prev_ict is not None:
         actions = _with_ict(
@@ -2351,6 +2379,26 @@ def merge_delta_native(
     fschema = StructType(
         [f for f in read_fields if f.name not in phys_part_cols]
     )
+    # row tracking: survivors of touched files keep their identity
+    # MATERIALIZED through the rewrite (the upsert batch takes fresh
+    # ids from the commit backstop — merge = delete+insert identity)
+    conf_rt = meta.get("configuration") or {}
+    rt_mat_id = conf_rt.get("delta.rowTracking.materializedRowIdColumnName")
+    rt_mat_cv = conf_rt.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    rowtrack = (
+        "rowTracking" in (_proto.get("writerFeatures") or [])
+        and rt_mat_id and rt_mat_cv
+    )
+    if rowtrack:
+        from pyspark.sql.types import LongType, StructField
+
+        fschema = StructType(
+            list(fschema.fields)
+            + [StructField(c, LongType(), True)
+               for c in (rt_mat_id, rt_mat_cv)]
+        )
     log_fschema = [f for f in full.fields if f.name not in part_cols]
     base_cols = [f.name for f in log_fschema]
     types = {f.name: f.dataType for f in full.fields}
@@ -2439,8 +2487,38 @@ def merge_delta_native(
     cdc_actions: list[dict] = []
     replaced = 0
     for i, (key, files) in enumerate(sorted(groups.items())):
-        grp = read_files_with_dv(spark, table, fschema, files)
-        grp = to_logical_df(grp, cm, log_fschema)
+        grp = read_files_with_dv(
+            spark, table, fschema, files, with_meta=bool(rowtrack)
+        )
+        rt_keep = (
+            (rt_mat_id, rt_mat_cv, "__dv_fp", "__dv_ri") if rowtrack else ()
+        )
+        grp = to_logical_df(grp, cm, log_fschema, keep=rt_keep)
+        if rowtrack:
+            rid = spark.createDataFrame(
+                [
+                    (
+                        os.path.abspath(os.path.join(
+                            table, urllib.parse.unquote(a["path"])
+                        )),
+                        int(a.get("baseRowId") or 0),
+                        int(a.get("defaultRowCommitVersion") or 0),
+                    )
+                    for a in files
+                ],
+                "__rt_fp string, __rt_base long, __rt_dcv long",
+            )
+            grp = grp.join(
+                F.broadcast(rid), grp["__dv_fp"] == rid["__rt_fp"], "left"
+            ).withColumn(
+                rt_mat_id,
+                F.coalesce(
+                    F.col(rt_mat_id), F.col("__rt_base") + F.col("__dv_ri")
+                ),
+            ).withColumn(
+                rt_mat_cv,
+                F.coalesce(F.col(rt_mat_cv), F.col("__rt_dcv")),
+            ).drop("__dv_fp", "__dv_ri", "__rt_fp", "__rt_base", "__rt_dcv")
         pv = dict(key)
         for c, v in pv.items():
             lc = log_of.get(c, c)
@@ -2463,7 +2541,10 @@ def merge_delta_native(
                 table, commit_id, i, to_physical_df(pre, cm), pv, now_ms,
             ))
         out = grp.join(touched, on=list(keys), how="left_anti")
-        keep = to_physical_df(out.select(*base_cols), cm)
+        out_cols = base_cols + (
+            [rt_mat_id, rt_mat_cv] if rowtrack else []
+        )
+        keep = to_physical_df(out.select(*out_cols), cm)
         out_dir = os.path.join(table, data_dir, f"grp-{i:05d}")
         keep.write.parquet(out_dir)
         for root, _dirs, fnames in os.walk(out_dir):
@@ -3043,6 +3124,26 @@ def _cow_rewrite_where(
     fschema = StructType(
         [f for f in read_fields if f.name not in phys_part_cols]
     )
+    # row tracking (PROTOCOL.md): the rewrite PRESERVES each surviving
+    # row's identity by materializing it into the table's configured
+    # columns — updated rows keep their id and bump the commit version
+    conf_rt = meta.get("configuration") or {}
+    rt_mat_id = conf_rt.get("delta.rowTracking.materializedRowIdColumnName")
+    rt_mat_cv = conf_rt.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    rowtrack = (
+        "rowTracking" in (_proto.get("writerFeatures") or [])
+        and rt_mat_id and rt_mat_cv
+    )
+    if rowtrack:
+        from pyspark.sql.types import LongType, StructField
+
+        fschema = StructType(
+            list(fschema.fields)
+            + [StructField(c, LongType(), True)
+               for c in (rt_mat_id, rt_mat_cv)]
+        )
     log_fschema = [f for f in full.fields if f.name not in part_cols]
     types = {f.name: f.dataType for f in full.fields}
     cdf = _cdf_enabled(meta)
@@ -3080,8 +3181,38 @@ def _cow_rewrite_where(
         # not have its deleted rows matched or resurrected by the rewrite
         from pipeline_spark.sources.delta_native import read_files_with_dv
 
-        df = read_files_with_dv(spark, table, fschema, files)
-        df = to_logical_df(df, cm, log_fschema)
+        df = read_files_with_dv(
+            spark, table, fschema, files, with_meta=bool(rowtrack)
+        )
+        rt_keep = (
+            (rt_mat_id, rt_mat_cv, "__dv_fp", "__dv_ri") if rowtrack else ()
+        )
+        df = to_logical_df(df, cm, log_fschema, keep=rt_keep)
+        if rowtrack:
+            rid = spark.createDataFrame(
+                [
+                    (
+                        os.path.abspath(os.path.join(
+                            table, urllib.parse.unquote(a["path"])
+                        )),
+                        int(a.get("baseRowId") or 0),
+                        int(a.get("defaultRowCommitVersion") or 0),
+                    )
+                    for a in files
+                ],
+                "__rt_fp string, __rt_base long, __rt_dcv long",
+            )
+            df = df.join(
+                F.broadcast(rid), df["__dv_fp"] == rid["__rt_fp"], "left"
+            ).withColumn(
+                rt_mat_id,
+                F.coalesce(
+                    F.col(rt_mat_id), F.col("__rt_base") + F.col("__dv_ri")
+                ),
+            ).withColumn(
+                rt_mat_cv,
+                F.coalesce(F.col(rt_mat_cv), F.col("__rt_dcv")),
+            ).drop("__dv_fp", "__dv_ri", "__rt_fp", "__rt_base", "__rt_dcv")
         pv = dict(key)
         for c, v in pv.items():
             lc = log_of.get(c, c)
@@ -3137,7 +3268,19 @@ def _cow_rewrite_where(
                         F.col(c)
                     ),
                 )
-        keep = to_physical_df(out.select(*[f.name for f in log_fschema]), cm)
+        out_cols = [f.name for f in log_fschema]
+        if rowtrack:
+            if set_exprs is not None:
+                # updated rows KEEP their id; the commit version moves
+                # to this commit's slot (PROTOCOL.md Row Tracking)
+                out = out.withColumn(
+                    rt_mat_cv,
+                    F.when(
+                        matched, F.lit(int(prev_version) + 1)
+                    ).otherwise(F.col(rt_mat_cv)),
+                )
+            out_cols = out_cols + [rt_mat_id, rt_mat_cv]
+        keep = to_physical_df(out.select(*out_cols), cm)
         out_dir = os.path.join(table, data_dir, f"grp-{i:05d}")
         keep.write.parquet(out_dir)
         for root, _dirs, names in os.walk(out_dir):

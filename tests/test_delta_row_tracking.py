@@ -198,3 +198,106 @@ def test_without_row_tracking_refuses(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="row-tracking"):
         read_delta_native(spark, {"path": tbl, "withRowIds": True})
+
+
+def test_dml_rewrites_keep_reads_working(spark, tmp_path):
+    """r10 review fix: COW DELETE/UPDATE and MERGE rewrites on a
+    row-tracking table stamp fresh base ranges (the central commit
+    backstop) — withRowIds reads keep working after every DML, ids stay
+    unique, and the domain watermark advances."""
+    import json as _json
+
+    from pipeline_spark.sinks.delta_native import (
+        merge_delta_native,
+        update_delta_native,
+    )
+    from pipeline_spark.sources.delta_native import replay_domains
+
+    tbl = str(tmp_path / "rtdml")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, v string"
+        ).coalesce(1),
+        {"path": tbl, "properties": dict(RT)},
+    )
+    delete_delta_native(spark, {
+        "path": tbl, "where": [{"key": "id", "op": "<", "value": 2}],
+    })
+    got = _ids(spark, tbl)
+    ids = [g[1] for g in got]
+    assert len(got) == 6 and len(set(ids)) == 6  # unique, read works
+    update_delta_native(spark, {
+        "path": tbl,
+        "where": [{"key": "id", "op": "=", "value": 5}],
+        "set": {"v": "'FIVE'"},
+    })
+    got = _ids(spark, tbl)
+    assert len(got) == 6 and len({g[1] for g in got}) == 6
+    merge_delta_native(
+        spark,
+        spark.createDataFrame([(5, "5!"), (99, "NEW")], "id long, v string"),
+        {"path": tbl, "primaryKeys": ["id"]},
+    )
+    got = _ids(spark, tbl)
+    assert len(got) == 7 and len({g[1] for g in got}) == 7
+    # the domain watermark covers every id in use
+    dm = replay_domains(tbl)["delta.rowTracking"]
+    hwm = _json.loads(dm["configuration"])["rowIdHighWaterMark"]
+    assert hwm >= max(g[1] for g in got)
+
+
+def test_cow_dml_preserves_row_identity(spark, tmp_path):
+    """r10 review fix (preservation): COW DELETE keeps survivors' ids,
+    COW UPDATE keeps the updated row's id and bumps only its commit
+    version — materialized through the rewrite like OPTIMIZE."""
+    from pipeline_spark.sinks.delta_native import update_delta_native
+
+    tbl = str(tmp_path / "rtcow")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, v string"
+        ).coalesce(1),
+        {"path": tbl, "properties": dict(RT)},
+    )
+    delete_delta_native(spark, {
+        "path": tbl, "where": [{"key": "id", "op": "<", "value": 2}],
+    })
+    got = _ids(spark, tbl)
+    assert got == [(i, i, 0) for i in range(2, 8)]  # ids preserved
+    update_delta_native(spark, {
+        "path": tbl,
+        "where": [{"key": "id", "op": "=", "value": 5}],
+        "set": {"v": "'FIVE'"},
+    })
+    got = _ids(spark, tbl)
+    # id 5 keeps _row_id 5 with a bumped commit version; others keep 0
+    assert [(g[0], g[1]) for g in got] == [(i, i) for i in range(2, 8)]
+    by_id = {g[0]: g[2] for g in got}
+    assert by_id[5] == 2 and all(by_id[i] == 0 for i in (2, 3, 4, 6, 7))
+
+
+def test_merge_preserves_survivor_ids(spark, tmp_path):
+    """r10 review fix (preservation): non-matched rows of merged files
+    keep their ids through the rewrite; the merged key and new keys are
+    fresh rows (delete+insert identity) with unique new ids."""
+    from pipeline_spark.sinks.delta_native import merge_delta_native
+
+    tbl = str(tmp_path / "rtmerge")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id long, v string"
+        ).coalesce(1),
+        {"path": tbl, "properties": dict(RT)},
+    )
+    merge_delta_native(
+        spark,
+        spark.createDataFrame([(2, "TWO"), (99, "NEW")], "id long, v string"),
+        {"path": tbl, "primaryKeys": ["id"]},
+    )
+    got = {g[0]: g[1] for g in _ids(spark, tbl)}
+    for i in (0, 1, 3, 4, 5):
+        assert got[i] == i  # survivors preserved
+    assert got[2] >= 6 and got[99] >= 6 and got[2] != got[99]
