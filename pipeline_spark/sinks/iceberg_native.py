@@ -4069,6 +4069,26 @@ def rewrite_manifests_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]
     prev_list = re.sub(r"^file:/{0,2}(/)", r"\1", cur_snap["manifest-list"])
     _, mf_records = read_ocf_file(prev_list)
 
+    # identity-fill homogeneity: the READER probes ONE file per manifest
+    # to decide whether identity partition columns need filling from the
+    # partition record (spec Column Projection #2) — consolidation must
+    # never merge fill manifests (add_files / delta-convert imports)
+    # with materialized ones, or the probe becomes unsound
+    _cur_s = next(
+        (s for s in prev_meta.get("schemas", [])
+         if s.get("schema-id", 0) == prev_meta.get("current-schema-id", 0)),
+        {"fields": []},
+    )
+    _by_id_name = {f["id"]: f["name"] for f in _cur_s.get("fields", [])}
+    ident_by_id = {}
+    for _sp in prev_meta.get("partition-specs", []):
+        for _pf in _sp.get("fields", []):
+            if (
+                _pf.get("transform") == "identity"
+                and _pf.get("source-id") in _by_id_name
+            ):
+                ident_by_id[_pf["source-id"]] = _by_id_name[_pf["source-id"]]
+
     passthrough: list[dict] = []
     groups: dict[tuple, list[tuple[dict, dict, dict, list[dict]]]] = {}
     for mf in (dict(m) for m in mf_records):
@@ -4078,11 +4098,32 @@ def rewrite_manifests_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]
         if any(e.get("status") == 2 for e in entries):  # DELETED tombstones
             passthrough.append(mf)
             continue
+        fill_sig = None
+        if mf.get("content", 0) == 0 and ident_by_id and entries:
+            try:
+                import pyarrow.parquet as pq
+
+                _wfields = json.loads(
+                    (meta_bytes.get("schema") or b"{}").decode()
+                ).get("fields", [])
+                _wname = {f["id"]: f["name"] for f in _wfields if "id" in f}
+                _names = set(pq.read_schema(re.sub(
+                    r"^file:/{0,2}(/)", r"\1",
+                    entries[0]["data_file"]["file_path"],
+                )).names)
+                fill_sig = frozenset(
+                    cname for fid, cname in ident_by_id.items()
+                    if cname not in _names
+                    and _wname.get(fid, cname) not in _names
+                )
+            except Exception:
+                fill_sig = None
         key = (
             mf.get("content", 0),
             mf.get("partition_spec_id", 0),
             meta_bytes.get("schema", b""),
             meta_bytes.get("partition-spec", b""),
+            fill_sig,
         )
         groups.setdefault(key, []).append((mf, schema_json, meta_bytes, entries))
 
@@ -4108,8 +4149,11 @@ def rewrite_manifests_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]
     manifests = list(passthrough)
     created = 0
     rewritten = 0
-    for i, ((content, spec_id, _sb, _pb), group) in enumerate(
-        sorted(mergeable.items(), key=lambda kv: (kv[0][0], kv[0][1]))
+    for i, ((content, spec_id, _sb, _pb, _fill), group) in enumerate(
+        sorted(
+            mergeable.items(),
+            key=lambda kv: (kv[0][0], kv[0][1], sorted(kv[0][4] or ())),
+        )
     ):
         merged: list[dict] = []
         rows = 0

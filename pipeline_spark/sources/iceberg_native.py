@@ -557,7 +557,26 @@ def evolved_scan(spark, reader, data: list[dict], fields: list[dict],
     by_name = {f["name"]: f for f in fields}
     parts = []
     for (renames, absent), paths in groups.items():
-        g = reader.parquet(*paths)
+        if keep_extra:
+            # PIN the group schema: a group can mix rewrite-materialized
+            # files (physical ``_row_id``) with plain appends — schema
+            # inference sampling a plain footer would silently drop the
+            # materialized columns for the whole group.  The pin lists
+            # every non-absent current field under its WRITE name plus
+            # the passthrough columns; files missing one null-fill.
+            inv = {cur: w for (w, cur) in renames}
+            absent_set = set(absent)
+            ddl = ", ".join(
+                [
+                    f"`{inv.get(f['name'], f['name'])}` "
+                    f"{_iceberg_type_to_spark(f['type'])}"
+                    for f in fields if f["name"] not in absent_set
+                ]
+                + [f"`{x}` bigint" for x in keep_extra]
+            )
+            g = reader.schema(ddl).parquet(*paths)
+        else:
+            g = reader.parquet(*paths)
         mapping = dict(renames)
         cols = [F.col(c).alias(mapping.get(c, c)) for c in g.columns]
         # physical-only passthrough columns (e.g. a rewrite's

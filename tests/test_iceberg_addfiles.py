@@ -141,3 +141,44 @@ def test_add_files_spec_order_insensitive(spark, tmp_path):
         for r in read_iceberg_native(spark, {"path": tbl}).collect()
     )
     assert got == [(1, "y2", "m1"), (2, "y2", "m2")]
+
+
+def test_rewrite_manifests_keeps_fill_manifests_separate(spark, tmp_path):
+    """r10 review fix: manifest consolidation groups by identity-fill
+    signature — an imported (fill) manifest never merges with a
+    materialized one, so the reader's one-probe-per-manifest rule stays
+    sound and imported rows keep their partition values."""
+    from pipeline_spark.sinks.iceberg_native import (
+        rewrite_manifests_iceberg_native,
+        write_iceberg_native,
+    )
+
+    # two imported manifests (fill) + two native appends (materialized)
+    tbl = str(tmp_path / "mixm")
+    for j in range(2):
+        src = str(tmp_path / f"mh{j}")
+        _mk_hive(spark, src, [(j * 10 + k, f"v{k}", k % 2)
+                              for k in range(4)], ["par"])
+        add_files_iceberg_native(spark, {"path": tbl, "sourceDir": src})
+    for j in range(2):
+        write_iceberg_native(
+            spark.createDataFrame(
+                [(100 + j * 10 + k, f"n{k}", k % 2) for k in range(4)],
+                # par int: partition-dir inference typed the imported
+                # column as int
+                "id long, v string, par int",
+            ),
+            {"path": tbl, "mode": "append",
+             "partitionSpec": [{"field": "par", "transform": "identity"}]},
+        )
+    rewrite_manifests_iceberg_native(spark, {"path": tbl})
+    got = sorted(
+        (r["id"], r["par"])
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    want = sorted(
+        [(j * 10 + k, k % 2) for j in range(2) for k in range(4)]
+        + [(100 + j * 10 + k, k % 2) for j in range(2) for k in range(4)]
+    )
+    assert got == want  # no null partition values anywhere
+    assert all(p is not None for _i, p in got)
