@@ -5735,6 +5735,90 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_iceberg_row_lineage_inherited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 row-lineage INHERITANCE on read (r11, spec §Row
+    Lineage): a FOREIGN v3 writer may omit per-file first_row_id
+    entirely; readers must derive each file's base from the adding
+    snapshot's first-row-id plus the running record_count of preceding
+    ADDED files in manifest order.  The query builds a three-snapshot
+    v3 table, STRIPS every explicit per-file id from the manifests
+    (simulating such a writer), and reads ids back — the oracle
+    reconstructs them as row_number over insert order, so a derivation
+    that loses a file's base, double-counts, or misorders manifests
+    hash-mismatches.  Seam: sources/iceberg_native.py plan_files
+    inheritance walk."""
+    import shutil
+
+    from pipeline_spark.functions.avroocf import (
+        read_ocf_file,
+        read_ocf_file_with_meta,
+        write_ocf_bytes,
+    )
+    from pipeline_spark.sinks.iceberg_native import write_iceberg_native
+    from pipeline_spark.sources.iceberg_native import (
+        _strip_scheme,
+        load_table_metadata,
+        read_iceberg_native,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    ).orderBy("c_custkey")
+    t = _tmp_path("ice_lineage_inh", sf_dir)
+    shutil.rmtree(t, ignore_errors=True)
+    bands = [(-1, 300), (300, 600), (600, 900)]  # custkeys start at 0
+    for i, (lo, hi) in enumerate(bands):
+        write_iceberg_native(
+            cust.where((F.col("c_custkey") > lo) & (F.col("c_custkey") <= hi))
+            .coalesce(1).sortWithinPartitions("c_custkey"),
+            {"path": t, "mode": "create" if i == 0 else "append",
+             **({"properties": {"format-version": "3"}} if i == 0 else {})},
+        )
+    # strip the explicit ids: every manifest of every snapshot
+    meta = load_table_metadata(t)
+    manifest_paths = set()
+    for snap in meta.get("snapshots") or []:
+        _, mans = read_ocf_file(_strip_scheme(snap["manifest-list"]))
+        manifest_paths.update(_strip_scheme(m["manifest_path"]) for m in mans)
+    for mp in manifest_paths:
+        schema_json, ometa, recs = read_ocf_file_with_meta(mp)
+        rows = list(recs)
+        for r in rows:
+            if (r.get("data_file") or {}).get("first_row_id") is not None:
+                r["data_file"]["first_row_id"] = None
+        extra = {k: v.decode() for k, v in ometa.items()
+                 if k not in ("avro.schema", "avro.codec")}
+        with open(mp, "wb") as fh:
+            fh.write(write_ocf_bytes(schema_json, rows, extra_meta=extra))
+    df = read_iceberg_native(spark, {"path": t, "withRowIds": True})
+    return (
+        df.groupBy((F.col("_row_id") % 5).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_row_id").alias("id_sum"),
+            F.sum("c_custkey").alias("key_sum"),
+            F.max("_row_id").alias("id_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q_ICE_LINEAGE_INH_SQL = """
+WITH ordered AS (
+  SELECT c_custkey,
+         row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+  FROM customer WHERE c_custkey <= 900
+)
+SELECT CAST(rid % 5 AS BIGINT) AS bucket,
+       count(*) AS n,
+       CAST(sum(rid) AS BIGINT) AS id_sum,
+       CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+       CAST(max(rid) AS BIGINT) AS id_max
+FROM ordered
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_uniform_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniForm continuous format sync (r10, delta-spark's
     delta.universalFormat.enabledFormats=iceberg): a delta table created
@@ -6066,6 +6150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_type_widening": q_delta_type_widening,
         "delta_row_tracking": q_delta_row_tracking,
         "iceberg_row_lineage": q_iceberg_row_lineage,
+        "iceberg_row_lineage_inherited": q_iceberg_row_lineage_inherited,
         "uniform_sync": q_uniform_sync,
         "iceberg_addfiles": q_iceberg_addfiles,
         # --- r10 engine-code changed: prove again
@@ -6306,6 +6391,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_type_widening": Q_DELTA_TW_SQL,
         "delta_row_tracking": Q_DELTA_RT_SQL,
         "iceberg_row_lineage": Q_ICE_LINEAGE_SQL,
+        "iceberg_row_lineage_inherited": Q_ICE_LINEAGE_INH_SQL,
         "uniform_sync": Q_UNIFORM_SQL,
         "iceberg_addfiles": Q_ADDFILES_SQL,
         "localdb_artifact": Q_LOCALDB_SQL,

@@ -150,6 +150,22 @@ def plan_files(
     _, manifests = read_ocf_file(manifest_list)
     current_fields = _schema_fields(meta)
     current_by_id = {f["id"]: f for f in current_fields}
+    # v3 row-lineage INHERITANCE (spec §Row Lineage): a writer may omit
+    # per-file first_row_id (manifest field-id 142); readers then derive
+    # it as <manifest base> + running record_count of the preceding
+    # ADDED data files in that manifest.  The manifest base is the
+    # manifest-list entry's first_row_id (field-id 520) when stamped,
+    # else the ADDING snapshot's first-row-id — each snapshot's
+    # inherited manifests consume ids from its own first-row-id in
+    # manifest-list order, so older manifests carried forward in the
+    # current list still resolve against the snapshot that added them.
+    # Our own writer stamps field 142 explicitly (sinks/
+    # iceberg_native.py:874); this path exists for FOREIGN v3 writers.
+    lineage_v3 = int(meta.get("format-version", 2) or 2) >= 3
+    snap_first_by_id: dict = {
+        s.get("snapshot-id"): s.get("first-row-id") for s in snapshots
+    }
+    inherit_base: dict = {}
     data: list[dict] = []
     deletes: list[dict] = []
     for m in manifests:
@@ -185,6 +201,17 @@ def plan_files(
                     wname for fid, wname in wby_id.items()
                     if fid not in current_by_id
                 ))
+        m_first = m.get("first_row_id")
+        m_owner = m.get("added_snapshot_id")
+        if (
+            m_first is None and lineage_v3
+            and (m.get("content", 0) or 0) == 0
+        ):
+            m_first = inherit_base.get(m_owner)
+            if m_first is None:
+                m_first = snap_first_by_id.get(m_owner)
+        consumed = 0  # ids this manifest's ADDED files take from the base
+        derivable = m_first is not None
         for entry in entries:
             if entry.get("status") == _STATUS_DELETED:
                 continue
@@ -231,6 +258,35 @@ def plan_files(
                 if df.get(stat_key) is not None:
                     rec[stat_key] = df[stat_key]
             if content == _CONTENT_DATA:
+                # derive an omitted first_row_id for ADDED files (status
+                # 1) only — EXISTING entries were assigned in an earlier
+                # snapshot and must carry their value explicitly, so a
+                # null there stays null (pre-lineage file).
+                if (
+                    lineage_v3 and derivable
+                    and rec.get("first_row_id") is None
+                    and entry.get("status") == 1
+                ):
+                    rc = df.get("record_count")
+                    if rc is None:
+                        # can't advance the counter — assigning past this
+                        # point would hand out overlapping ids
+                        derivable = False
+                    else:
+                        rec["first_row_id"] = int(m_first) + consumed
+                        consumed += int(rc)
+                elif (
+                    lineage_v3 and entry.get("status") == 1
+                    and rec.get("first_row_id") is None
+                ):
+                    pass  # no base: pre-lineage snapshot, ids stay null
+                elif lineage_v3 and entry.get("status") == 1:
+                    # explicit files consume from the same manifest range
+                    rc = df.get("record_count")
+                    if rc is None:
+                        derivable = False
+                    else:
+                        consumed += int(rc)
                 data.append(rec)
             else:
                 rec["content"] = content
@@ -245,6 +301,13 @@ def plan_files(
                         df.get("content_size_in_bytes") or 0
                     )
                 deletes.append(rec)
+        if (
+            lineage_v3 and m_first is not None
+            and (m.get("content", 0) or 0) == 0
+        ):
+            # the next inherited manifest of this snapshot starts after
+            # the rows this one consumed (manifest-list order)
+            inherit_base[m_owner] = int(m_first) + consumed
     return data, deletes, meta
 
 

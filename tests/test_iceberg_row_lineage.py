@@ -202,3 +202,116 @@ def test_merge_upserts_get_fresh_ids(spark, tmp_path):
     assert got[2] is not None and got[99] is not None
     assert got[2] >= 6 and got[99] >= 6 and got[2] != got[99]
     assert len(set(got.values())) == len(got)  # all unique
+
+
+# ---------------------------------------------------------------- r11:
+# INHERITANCE on read (spec §Row Lineage): a foreign v3 writer may OMIT
+# per-file first_row_id (field-id 142) entirely; readers must derive it
+# from the adding snapshot's first-row-id + the running record_count of
+# preceding ADDED data files in manifest(-list) order.
+
+
+def _strip_explicit_ids(tbl, keep=()):
+    """Simulate a foreign v3 writer: null out data_file.first_row_id in
+    every manifest (except paths in ``keep``), forcing the reader down
+    the snapshot-inheritance path."""
+    import json as _json
+    import os
+
+    from pipeline_spark.functions.avroocf import (
+        read_ocf_file_with_meta,
+        write_ocf_bytes,
+    )
+    from pipeline_spark.sources.iceberg_native import (
+        _strip_scheme,
+        load_table_metadata,
+    )
+
+    meta = load_table_metadata(tbl)
+    manifest_paths = set()
+    for snap in meta.get("snapshots") or []:
+        _, mans = __import__(
+            "pipeline_spark.functions.avroocf", fromlist=["read_ocf_file"]
+        ).read_ocf_file(_strip_scheme(snap["manifest-list"]))
+        for m in mans:
+            manifest_paths.add(_strip_scheme(m["manifest_path"]))
+    for mp in manifest_paths:
+        schema_json, ometa, recs = read_ocf_file_with_meta(mp)
+        rows = list(recs)
+        for r in rows:
+            df = r.get("data_file") or {}
+            if df.get("first_row_id") is not None and df["file_path"] not in keep:
+                df["first_row_id"] = None
+        extra = {
+            k: v.decode()
+            for k, v in ometa.items()
+            if k not in ("avro.schema", "avro.codec")
+        }
+        blob = write_ocf_bytes(schema_json, rows, extra_meta=extra)
+        with open(mp, "wb") as fh:
+            fh.write(blob)
+    return meta
+
+
+def test_inherited_ids_match_explicit(spark, tmp_path):
+    """Stripping every explicit per-file id must not change a single
+    derived _row_id — inheritance reconstructs the same assignment."""
+    tbl = _mk_v3(spark, tmp_path, "il10", [(i, f"v{i}") for i in range(6)],
+                 parts=2)
+    write_iceberg_native(
+        spark.createDataFrame([(6, "x"), (7, "y"), (8, "z")],
+                              "id long, v string").coalesce(2),
+        {"path": tbl, "mode": "append"},
+    )
+    before = _ids(spark, tbl)
+    assert all(rid is not None for _, rid in before)
+    _strip_explicit_ids(tbl)
+    assert _ids(spark, tbl) == before
+
+
+def test_inherited_multi_file_single_manifest(spark, tmp_path):
+    """Several ADDED files in ONE manifest: each file's base is the
+    manifest base + sum of record_count of the files before it."""
+    tbl = _mk_v3(spark, tmp_path, "il11",
+                 [(i, f"v{i}") for i in range(9)], parts=3)
+    _strip_explicit_ids(tbl)
+    got = _ids(spark, tbl)
+    assert sorted(rid for _, rid in got) == list(range(9))
+
+
+def test_mixed_explicit_and_omitted(spark, tmp_path):
+    """A manifest mixing explicit and omitted files: explicit files
+    consume from the same range, so the omitted file's derived base
+    skips past them."""
+    tbl = _mk_v3(spark, tmp_path, "il12",
+                 [(i, f"v{i}") for i in range(9)], parts=3)
+    before = _ids(spark, tbl)
+    # keep the explicit id on ONE file, strip the others
+    from pipeline_spark.sources.iceberg_native import plan_files
+    data, _, _ = plan_files(tbl)
+    keep = {sorted(d["path"] for d in data)[0]}
+    _strip_explicit_ids(tbl, keep=keep)
+    assert _ids(spark, tbl) == before
+
+
+def test_no_snapshot_base_stays_null(spark, tmp_path):
+    """Foreign v3 table whose snapshot ALSO lacks first-row-id (a
+    pre-lineage v3 writer): no base to derive from — ids stay null
+    rather than guessing."""
+    import json as _json
+    import os
+
+    tbl = _mk_v3(spark, tmp_path, "il13", [(i, f"v{i}") for i in range(4)])
+    meta = _strip_explicit_ids(tbl)
+    mdir = os.path.join(tbl, "metadata")
+    mfile = sorted(
+        f for f in os.listdir(mdir) if f.endswith(".metadata.json")
+    )[-1]
+    with open(os.path.join(mdir, mfile)) as fh:
+        m = _json.load(fh)
+    for s in m.get("snapshots") or []:
+        s.pop("first-row-id", None)
+    with open(os.path.join(mdir, mfile), "w") as fh:
+        _json.dump(m, fh)
+    got = _ids(spark, tbl)
+    assert [rid for _, rid in got] == [None] * 4
