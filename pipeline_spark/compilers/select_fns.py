@@ -18,6 +18,7 @@ aggregates, lag) compile to Window functions — see stateful.py.
 from __future__ import annotations
 
 import json
+import re
 from typing import Any
 
 import pandas as pd
@@ -42,6 +43,11 @@ TYPE_MAP: dict[str, T.DataType] = {
     "float32": T.FloatType(), "float": T.FloatType(),
     "float64": T.DoubleType(), "double": T.DoubleType(),
     "decimal": T.DecimalType(38, 9), "numeric": T.DecimalType(38, 9),
+    # "BIGDECIMAL" decimal(76,38) (Schema.java:496-497,724-731) exceeds
+    # Spark's decimal cap (38): STRING-BACKED — values travel as
+    # canonical plain-notation decimal strings (SURVEY §1.2 / §7.3 #4);
+    # _cast_bigdecimal below supplies the cast semantics
+    "bigdecimal": T.StringType(),
     "date": T.DateType(),
     "time": T.LongType(),  # micros-of-day convention (Schema.java:1171)
     "datetime": T.TimestampType(), "timestamp": T.TimestampType(),
@@ -53,9 +59,45 @@ def spark_type(name: str) -> T.DataType:
     key = name.strip().lower()
     if key.startswith("array<") and key.endswith(">"):
         return T.ArrayType(spark_type(key[6:-1]))
+    m = re.match(r"(?:decimal|numeric)\((\d+)\s*,\s*(\d+)\)$", key)
+    if m:
+        p, s = int(m.group(1)), int(m.group(2))
+        if p > 38:
+            # beyond Spark's DecimalType cap — string-backed, like
+            # the BIGDECIMAL alias
+            return T.StringType()
+        return T.DecimalType(p, s)
     if key not in TYPE_MAP:
         raise ValueError(f"unknown type '{name}'")
     return TYPE_MAP[key]
+
+
+def _is_bigdecimal(name: str) -> bool:
+    key = str(name).strip().lower()
+    if key == "bigdecimal":
+        return True
+    m = re.match(r"(?:decimal|numeric)\((\d+)\s*,\s*(\d+)\)$", key)
+    return bool(m) and int(m.group(1)) > 38
+
+
+def _cast_bigdecimal(src: Column, df, field: str | None) -> Column:
+    """Cast semantics for string-backed big decimals (decimal(76,38) /
+    "BIGDECIMAL"): string sources pass through TRIMMED so a full
+    76-digit literal survives intact (no Spark numeric type could hold
+    it); numeric sources render through decimal(38,18) — the widest
+    intermediate Spark can compute on that still leaves 20 integer
+    digits — whose string form is plain notation, never scientific.
+    Casting back OUT of a bigdecimal column is just a string cast
+    ("1.5".cast(double)), which Spark already does natively."""
+    dt = None
+    if field is not None and df is not None:
+        try:
+            dt = df.schema[field].dataType
+        except Exception:
+            dt = None
+    if isinstance(dt, T.StringType):
+        return F.trim(src)
+    return src.cast(T.DecimalType(38, 18)).cast("string")
 
 
 def infer_func(sf: dict[str, Any]) -> str:
@@ -198,13 +240,17 @@ def _compile_one(
         return _ref(sf["field"], df, bound)
     if func == "cast":
         src = _ref(sf.get("field", name), df, bound)
+        if _is_bigdecimal(sf["type"]):
+            return _cast_bigdecimal(src, df, sf.get("field", name))
         dt = spark_type(sf["type"])
         if isinstance(dt, T.TimestampType):
             return parse_timestamp(src, df, sf.get("field", name))
         return src.cast(dt)
     if func == "constant":
-        dt = spark_type(sf["type"])
         v = sf["value"]
+        if _is_bigdecimal(sf["type"]):
+            return F.trim(F.lit(str(v)))
+        dt = spark_type(sf["type"])
         if isinstance(dt, T.TimestampType):
             return parse_timestamp(F.lit(str(v)))
         if isinstance(dt, T.DateType):

@@ -858,7 +858,10 @@ def convert_iceberg_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:
 
     - position deletes / v3 puffin DVs → delta deletion vectors (one
       roaring ``.bin`` per referenced file; same position bitmaps);
-      equality deletes still refuse (delta deletes by position only);
+    - equality deletes (r11) → MATERIALIZED into the same per-file DVs:
+      a distributed semi-join finds the (file, ordinal) pairs each
+      equality delete matches under the spec's null-safe-equality +
+      strict-sequence rule, zero data rewrite;
     - identity-fill tables (files that never materialized their
       identity partition columns — e.g. tables this module converted
       FROM delta, or ``add_files`` imports) → partitioned delta with
@@ -892,12 +895,6 @@ def convert_iceberg_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:
             f"convert: {table} already carries a delta log"
         )
     data, deletes, imeta = plan_files(table)
-    if any(d["content"] == 2 for d in deletes):
-        raise ValueError(
-            "convert: the iceberg table carries EQUALITY delete files — "
-            "delta deletes by position only; compact first to "
-            "materialize them"
-        )
     cur_schema = next(
         s for s in imeta["schemas"]
         if s.get("schema-id", 0) == imeta.get("current-schema-id", 0)
@@ -979,6 +976,8 @@ def convert_iceberg_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:
     # conversion's existing O(files) footer walk.
     pos_of: dict[str, list[int]] = {}
     for d in deletes:
+        if d["content"] != 1:
+            continue  # equality deletes translate below (semi-join)
         if d.get("content_offset") is not None:
             from pipeline_spark.functions.puffin import read_dv_positions
 
@@ -995,6 +994,85 @@ def convert_iceberg_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:
                 t.column("file_path").to_pylist(), t.column("pos").to_pylist()
             ):
                 pos_of.setdefault(norm_path(fp), []).append(int(pos))
+
+    # equality deletes → positions (r11, VERDICT r10 ask #4): delta
+    # deletes by position only, so materialize each equality delete as
+    # the (file, ordinal) set it matches — the SAME null-safe
+    # equality + strict-sequence condition the MOR reader anti-joins
+    # with (sources/iceberg_native.py _apply_row_deletes), flipped to a
+    # semi-join and executed DISTRIBUTED over only the data files whose
+    # seq a delete can reach.  Only the matched positions (the rows a
+    # compaction would drop — delete-scale, not table-scale) pass
+    # through the driver, landing in the same per-file roaring DVs the
+    # position-delete path writes.  Zero data rewrite.
+    eq_dels = [d for d in deletes if d["content"] == 2]
+    if eq_dels:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from pipeline_spark.sources.iceberg_native import (
+            _field_names_by_id,
+            apply_identity_fill,
+            evolved_scan,
+        )
+
+        id2name = _field_names_by_id(imeta)
+        max_eseq = max(d["seq"] for d in eq_dels)
+        affected = [d for d in data if d["seq"] < max_eseq]
+        hits = None
+        if affected:
+            scan = evolved_scan(
+                spark, spark.read, affected, cur_schema["fields"],
+                with_lineage=True,
+            )
+            if fills:
+                scan = apply_identity_fill(spark, scan, fills, ftypes)
+            seq_df = spark.createDataFrame(
+                [(norm_path(d["path"]), int(d["seq"])) for d in affected],
+                "__sfp__ string, __dseq__ long",
+            )
+            scan = scan.join(
+                F.broadcast(seq_df), scan["__fp__"] == seq_df["__sfp__"],
+                "left",
+            )
+            eq_groups: dict[tuple, list[dict]] = {}
+            for d in eq_dels:
+                if not d.get("equality_ids"):
+                    raise ValueError(
+                        f"convert: equality delete file {d['path']} has "
+                        "no equality_ids in its manifest entry"
+                    )
+                eq_groups.setdefault(
+                    tuple(sorted(d["equality_ids"])), []
+                ).append(d)
+            for ids, files in eq_groups.items():
+                try:
+                    cols = [id2name[i] for i in ids]
+                except KeyError as exc:
+                    raise ValueError(
+                        f"convert: equality_ids {list(ids)} not in the "
+                        f"current schema (have ids {sorted(id2name)})"
+                    ) from exc
+                dels = None
+                for d in files:
+                    one = (
+                        spark.read.parquet(d["path"])
+                        .select(*[F.col(c).alias(f"__eq_{c}__") for c in cols])
+                        .withColumn("__eseq__", F.lit(int(d["seq"])))
+                    )
+                    dels = one if dels is None else dels.unionByName(one)
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [scan[c].eqNullSafe(dels[f"__eq_{c}__"]) for c in cols],
+                ) & (scan["__dseq__"] < dels["__eseq__"])
+                g = scan.join(dels, cond, "left_semi").select(
+                    "__fp__", "__pos__"
+                )
+                hits = g if hits is None else hits.unionByName(g)
+        if hits is not None:
+            for r in hits.distinct().collect():
+                pos_of.setdefault(r["__fp__"], []).append(int(r["__pos__"]))
 
     conf: dict[str, str] = {}
     reader_feats: list[str] = []

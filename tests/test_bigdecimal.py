@@ -1,0 +1,77 @@
+"""BIGDECIMAL decimal(76,38) config type (Schema.java:496-497,724-731;
+VERDICT r10 ask #7): beyond Spark's DecimalType precision cap (38), so
+string-backed per SURVEY §1.2/§7.3 — string sources keep every digit,
+numeric sources render through decimal(38,18) in plain notation."""
+
+from decimal import Decimal
+
+from pyspark.sql import types as T
+
+from pipeline_spark.compilers.select_fns import (
+    _is_bigdecimal,
+    apply_select,
+    spark_type,
+)
+
+
+def test_type_parse():
+    assert isinstance(spark_type("bigdecimal"), T.StringType)
+    assert isinstance(spark_type("BIGDECIMAL"), T.StringType)
+    assert isinstance(spark_type("decimal(76,38)"), T.StringType)
+    assert spark_type("decimal(10,2)") == T.DecimalType(10, 2)
+    assert spark_type("numeric(20, 4)") == T.DecimalType(20, 4)
+    assert spark_type("decimal") == T.DecimalType(38, 9)
+    assert isinstance(spark_type("array<bigdecimal>").elementType, T.StringType)
+    assert _is_bigdecimal("bigdecimal") and _is_bigdecimal("decimal(39,0)")
+    assert not _is_bigdecimal("decimal(38,9)")
+
+
+def test_string_literal_survives_all_76_digits(spark):
+    big = "1234567890" * 3 + "12345678" + "." + "9876543210" * 3 + "98765432"
+    assert len(big.replace(".", "")) == 76
+    df = spark.createDataFrame([(f"  {big} ",)], "raw string")
+    out = apply_select(df, [
+        {"name": "bd", "field": "raw", "type": "bigdecimal"},
+    ])
+    assert out.collect()[0]["bd"] == big
+    assert out.schema["bd"].dataType == T.StringType()
+
+
+def test_numeric_sources_render_plain_notation(spark):
+    df = spark.createDataFrame(
+        [(1, 0.000000000000000001, Decimal("12.50"))],
+        "i long, d double, dec decimal(10,2)",
+    )
+    out = apply_select(df, [
+        {"name": "bi", "field": "i", "type": "bigdecimal"},
+        {"name": "bd", "field": "d", "type": "BIGDECIMAL"},
+        {"name": "bdec", "field": "dec", "type": "decimal(76,38)"},
+    ]).collect()[0]
+    assert out["bi"] == "1.000000000000000000"
+    assert out["bd"] == "0.000000000000000001"  # no scientific notation
+    assert out["bdec"] == "12.500000000000000000"
+
+
+def test_cast_back_out_and_constant(spark):
+    df = spark.createDataFrame([("3.5",)], "bd string")
+    out = apply_select(df, [
+        {"name": "dbl", "field": "bd", "type": "float64"},
+        {"name": "k", "func": "constant", "value": "9" * 40,
+         "type": "bigdecimal"},
+    ]).collect()[0]
+    assert out["dbl"] == 3.5
+    assert out["k"] == "9" * 40
+
+
+def test_create_source_bigdecimal_field(spark):
+    from pipeline_spark.registry import ModuleContext, get_module
+
+    fn = get_module("create", "source").fn
+    out = fn(ModuleContext(
+        spark=spark, name="c",
+        params={"elements": [{"x": "1.25"}]},
+        config={"schema": {"fields": [
+            {"name": "x", "type": "bigdecimal"}]}},
+    ))[""]
+    assert out.schema["x"].dataType == T.StringType()
+    assert out.collect()[0]["x"] == "1.25"

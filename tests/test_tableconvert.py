@@ -84,24 +84,6 @@ def test_roundtrip_through_both_formats(spark, tmp_path):
 
 
 def test_convert_guards(spark, tmp_path):
-    # iceberg with live EQUALITY deletes refuses (delta deletes by
-    # position only; position deletes/DVs translate since r10)
-    from pipeline_spark.sinks.iceberg_native import (
-        equality_delete_iceberg_native,
-    )
-
-    tbl = str(tmp_path / "g1")
-    write_iceberg_native(
-        spark.createDataFrame(
-            [(i, f"v{i}") for i in range(10)], "id long, v string"
-        ).coalesce(1),
-        {"path": tbl, "mode": "create"},
-    )
-    equality_delete_iceberg_native(spark, {
-        "path": tbl, "values": [{"id": 1}],
-    })
-    with pytest.raises(ValueError, match="compact"):
-        convert_iceberg_to_delta(spark, {"path": tbl})
     # double-convert refuses
     tbl2 = str(tmp_path / "g3")
     write_delta_native(
@@ -601,3 +583,91 @@ def test_null_partition_value_roundtrip(spark, tmp_path):
         for r in read_delta_native(spark, {"path": dst}).collect()
     )
     assert back == got
+
+
+# ---------------------------------------------------------------- r11:
+# iceberg EQUALITY deletes → delta (VERDICT r10 ask #4): materialized
+# into per-file roaring DVs at conversion time via a distributed
+# semi-join — zero data rewrite, and the strict-sequence rule holds
+# (rows re-inserted AFTER the delete survive).
+
+
+def test_iceberg_equality_deletes_to_delta(spark, tmp_path):
+    from pipeline_spark.sinks.iceberg_native import (
+        equality_delete_iceberg_native,
+    )
+
+    tbl = str(tmp_path / "eq2d")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        ).coalesce(2),
+        {"path": tbl, "mode": "create"},
+    )
+    equality_delete_iceberg_native(spark, {
+        "path": tbl, "values": [{"id": 1}, {"id": 4}, {"id": 7}],
+    })
+    # re-insert id=4 AFTER the delete: newer seq, must survive
+    write_iceberg_native(
+        spark.createDataFrame([(4, "REBORN")], "id long, v string"),
+        {"path": tbl, "mode": "append"},
+    )
+    expect = _rows(read_iceberg_native(spark, {"path": tbl}))
+    assert (4, "REBORN") in expect and (1, "v1") not in expect
+    out = convert_iceberg_to_delta(spark, {"path": tbl})
+    assert out["deletion_vectors"] >= 1
+    assert _rows(read_delta_native(spark, {"path": tbl})) == expect
+
+
+def test_eq_and_position_deletes_combine_in_one_dv(spark, tmp_path):
+    """A file hit by BOTH a position delete and an equality delete gets
+    ONE DV carrying the union of positions."""
+    from pipeline_spark.sinks.iceberg_native import (
+        delete_iceberg_native as _del,
+        equality_delete_iceberg_native,
+    )
+
+    tbl = str(tmp_path / "eqpos")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, v string"
+        ).coalesce(1),
+        {"path": tbl, "mode": "create"},
+    )
+    _del(spark, {
+        "path": tbl, "method": "mor",
+        "where": [{"key": "id", "op": "=", "value": 2}],
+    })
+    equality_delete_iceberg_native(spark, {
+        "path": tbl, "values": [{"id": 5}],
+    })
+    expect = _rows(read_iceberg_native(spark, {"path": tbl}))
+    convert_iceberg_to_delta(spark, {"path": tbl})
+    assert _rows(read_delta_native(spark, {"path": tbl})) == expect
+    assert expect == [(i, f"v{i}") for i in (0, 1, 3, 4, 6, 7)]
+
+
+def test_mor_upsert_eq_deletes_to_delta(spark, tmp_path):
+    """merge method=mor writes equality-delete + upsert files in one
+    snapshot — the exact CDC shape; conversion must keep only the new
+    versions."""
+    from pipeline_spark.sinks.iceberg_native import merge_iceberg_native
+
+    tbl = str(tmp_path / "eqmor")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id long, v string"
+        ).coalesce(2),
+        {"path": tbl, "mode": "create"},
+    )
+    merge_iceberg_native(
+        spark,
+        spark.createDataFrame(
+            [(2, "TWO"), (99, "NEW")], "id long, v string"
+        ),
+        {"path": tbl, "primaryKeys": ["id"], "method": "mor"},
+    )
+    expect = _rows(read_iceberg_native(spark, {"path": tbl}))
+    assert (2, "TWO") in expect and (2, "v2") not in expect
+    convert_iceberg_to_delta(spark, {"path": tbl})
+    assert _rows(read_delta_native(spark, {"path": tbl})) == expect
