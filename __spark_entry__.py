@@ -5735,6 +5735,88 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_uniform_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm under STREAMING (r11, VERDICT r10 stretch): a structured
+    streaming delta sink on a UniForm table syncs the iceberg mirror
+    per micro-batch, so an iceberg reader sees consistent state
+    MID-STREAM — after the first stream drains but before the second
+    resumes from its checkpoint — and again after resume.  The query
+    reads the ICEBERG surface at both points; the oracle recomputes
+    each phase from the source table, so a missed batch sync, a stale
+    mirror marker, or a double-applied replayed batch all mismatch."""
+    import shutil
+
+    from pipeline_spark.registry import ModuleContext
+    from pipeline_spark.sinks.delta_native import (
+        delta_sink,
+        write_delta_native,
+    )
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    t = _tmp_path("uniform_stream", sf_dir)
+    stage = _tmp_path("uniform_stream_src", sf_dir)
+    ckpt = t + "_checkpoint"
+    for d in (t, stage, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    write_delta_native(
+        spark, ev.where(F.lit(False)),
+        {"path": t, "properties": {
+            "delta.universalFormat.enabledFormats": "iceberg"}},
+    )
+
+    def _run_stream():
+        sdf = (
+            spark.readStream.schema("event_id long, user_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage + "/*")
+        )
+        delta_sink(ModuleContext(
+            spark=spark, name="w", params={"path": t}, inputs=[sdf],
+            input_names=["in"],
+        ))
+
+    # phase 1: two micro-batch files, stream drains, iceberg read
+    ev.where(F.col("event_id") < 500).coalesce(1).write.parquet(f"{stage}/b1")
+    ev.where((F.col("event_id") >= 500) & (F.col("event_id") < 1000)) \
+        .coalesce(1).write.parquet(f"{stage}/b2")
+    _run_stream()
+    mid = (
+        read_iceberg_native(spark, {"path": t})
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("amt"))
+        .withColumn("phase", F.lit("mid"))
+    )
+    mid_rows = mid.collect()  # materialize BEFORE the stream resumes
+    # phase 2: one more file lands; the stream RESUMES from checkpoint
+    ev.where((F.col("event_id") >= 1000) & (F.col("event_id") < 1500)) \
+        .coalesce(1).write.parquet(f"{stage}/b3")
+    _run_stream()
+    final = (
+        read_iceberg_native(spark, {"path": t})
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("amt"))
+        .withColumn("phase", F.lit("final"))
+    )
+    mid_df = spark.createDataFrame(mid_rows, mid.schema)
+    return mid_df.unionByName(final).select("phase", "n", "amt") \
+        .orderBy("phase")
+
+
+Q_UNIFORM_STREAM_SQL = """
+SELECT 'final' AS phase, count(*) AS n,
+       round(sum(value), 4) AS amt
+FROM events WHERE event_id < 1500
+UNION ALL
+SELECT 'mid' AS phase, count(*) AS n,
+       round(sum(value), 4) AS amt
+FROM events WHERE event_id < 1000
+ORDER BY phase
+"""
+
+
 def q_iceberg_row_lineage_inherited(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v3 row-lineage INHERITANCE on read (r11, spec §Row
     Lineage): a FOREIGN v3 writer may omit per-file first_row_id
@@ -6152,6 +6234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_row_lineage": q_iceberg_row_lineage,
         "iceberg_row_lineage_inherited": q_iceberg_row_lineage_inherited,
         "uniform_sync": q_uniform_sync,
+        "uniform_stream": q_uniform_stream,
         "iceberg_addfiles": q_iceberg_addfiles,
         # --- r10 engine-code changed: prove again
         "convert_roundtrip": q_convert_roundtrip,
@@ -6392,6 +6475,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_row_tracking": Q_DELTA_RT_SQL,
         "iceberg_row_lineage": Q_ICE_LINEAGE_SQL,
         "iceberg_row_lineage_inherited": Q_ICE_LINEAGE_INH_SQL,
+        "uniform_stream": Q_UNIFORM_STREAM_SQL,
         "uniform_sync": Q_UNIFORM_SQL,
         "iceberg_addfiles": Q_ADDFILES_SQL,
         "localdb_artifact": Q_LOCALDB_SQL,

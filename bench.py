@@ -333,6 +333,7 @@ def main() -> None:
             write_delta_native,
         )
         from pipeline_spark.sinks.iceberg_native import (
+            alter_iceberg_native,
             clone_iceberg_native,
             delete_iceberg_native,
             merge_iceberg_native,
@@ -341,9 +342,11 @@ def main() -> None:
             upsert_iceberg_native,
             write_iceberg_native,
         )
+        from pipeline_spark.sinks.tableconvert import convert_delta_to_iceberg
         from pipeline_spark.sources.iceberg_native import (
             find_table_metadata,
             read_iceberg_changelog,
+            read_iceberg_native,
         )
 
         def _t(fn):
@@ -422,6 +425,44 @@ def main() -> None:
             shutil.rmtree(ct, ignore_errors=True)
             d["iceberg_clone"] = _t(lambda: clone_iceberg_native(
                 spark, {"source": it, "path": ct}))
+            # r11 (VERDICT r10 ask #5): READ-path probes for the r10
+            # surfaces against the 10x-FILE table, each pruned to a
+            # FIXED doc_id slice so the timing reads on planning plus
+            # the O(files) broadcast fill/derive — NOT on table bytes.
+            # ratio ≈ 1 means the metadata walks scale with the batch.
+            # (a) identity-fill scan: partitioned delta -> iceberg
+            # conversion leaves files that never materialized their
+            # partition column; the reader fills per spec Column
+            # Projection #2
+            ft = os.path.join(base, f"fill_{sf_label}")
+            shutil.rmtree(ft, ignore_errors=True)
+            write_delta_native(spark, clustered, {
+                "path": ft, "partitionBy": ["lang"]})
+            convert_delta_to_iceberg(spark, {"path": ft})
+            d["identity_fill_read"] = _t(lambda: read_iceberg_native(
+                spark, {"path": ft, "dataFilter": {
+                    "key": "doc_id", "op": "<", "value": 500}},
+            ).groupBy("lang").count().collect())
+            # (b) withRowIds derivation: one broadcast of O(files)
+            # (path, first_row_id) rows onto the pruned scan
+            vt = os.path.join(base, f"v3_{sf_label}")
+            shutil.rmtree(vt, ignore_errors=True)
+            write_iceberg_native(clustered, {
+                "path": vt, "mode": "create",
+                "properties": {"format-version": "3"}})
+            d["rowids_read"] = _t(lambda: read_iceberg_native(
+                spark, {"path": vt, "withRowIds": True, "dataFilter": {
+                    "key": "doc_id", "op": "<", "value": 500}},
+            ).agg(F.sum("_row_id")).collect())
+            # (c) evolved default-padded scan: every pre-ALTER file
+            # null-pads to the v3 initial-default at read
+            alter_iceberg_native(spark, {"path": vt, "addColumn": {
+                "name": "tier", "type": "string",
+                "default": "standard"}})
+            d["default_padded_read"] = _t(lambda: read_iceberg_native(
+                spark, {"path": vt, "dataFilter": {
+                    "key": "doc_id", "op": "<", "value": 500}},
+            ).groupBy("tier").count().collect())
             dml[sf_label] = d
         if dml:
             result["dml_scale"] = {

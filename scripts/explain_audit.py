@@ -339,6 +339,94 @@ sources:
         failures.append("row lineage: SortMergeJoin — the base map shuffled")
     _shutil.rmtree(lin_tbl, ignore_errors=True)
 
+    # UniForm O(batch) incremental append (r11, VERDICT r10 ask #6): a
+    # blind append on a synced table must (a) take the INCREMENTAL path
+    # (sync_uniform_append returns True), (b) add exactly ONE new
+    # manifest with every pre-existing manifest left in place, and
+    # (c) read ZERO parquet footers — bounds come from add.stats, the
+    # stats_source="log" contract (sinks/tableconvert.py
+    # sync_uniform_iceberg docstring; delta_native._maybe_uniform_sync).
+    import pipeline_spark.sinks.tableconvert as _tc
+
+    ut = _os.path.join(_tf.gettempdir(), "audit_uniform_tbl")
+    _shutil.rmtree(ut, ignore_errors=True)
+    docs_small = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+    )
+    write_delta_native(spark, docs_small.where(F.col("doc_id") < 300), {
+        "path": ut,
+        "properties": {"delta.universalFormat.enabledFormats": "iceberg"},
+    })
+
+    def _manifests():
+        mdir = _os.path.join(ut, "metadata")
+        return {
+            n: _os.path.getsize(_os.path.join(mdir, n))
+            for n in _os.listdir(mdir)
+            if n.endswith(".avro") and not n.startswith("snap-")
+        }
+
+    before_m = _manifests()
+    probe = {"incremental": None, "footer_reads": 0}
+    orig_append = _tc.sync_uniform_append
+
+    def probe_append(table, adds, version=None):
+        import pyarrow.parquet as _pq
+
+        orig_pf, orig_rm, orig_rt = (
+            _pq.ParquetFile, _pq.read_metadata, _pq.read_table,
+        )
+
+        def _count(fn):
+            def wrapped(*a, **k):
+                probe["footer_reads"] += 1
+                return fn(*a, **k)
+            return wrapped
+
+        _pq.ParquetFile = _count(orig_pf)
+        _pq.read_metadata = _count(orig_rm)
+        _pq.read_table = _count(orig_rt)
+        try:
+            ok = orig_append(table, adds, version)
+        finally:
+            _pq.ParquetFile, _pq.read_metadata, _pq.read_table = (
+                orig_pf, orig_rm, orig_rt,
+            )
+        probe["incremental"] = ok
+        return ok
+
+    _tc.sync_uniform_append = probe_append
+    try:
+        write_delta_native(
+            spark,
+            docs_small.where(
+                (F.col("doc_id") >= 300) & (F.col("doc_id") < 400)
+            ).coalesce(1),
+            {"path": ut, "mode": "append"},
+        )
+    finally:
+        _tc.sync_uniform_append = orig_append
+    after_m = _manifests()
+    if probe["incremental"] is not True:
+        failures.append(
+            "uniform append: incremental sync path not taken "
+            f"(returned {probe['incremental']})"
+        )
+    if probe["footer_reads"] != 0:
+        failures.append(
+            f"uniform append: {probe['footer_reads']} parquet footer "
+            "reads during sync — stats must come from add.stats (log)"
+        )
+    new_m = set(after_m) - set(before_m)
+    kept = all(after_m.get(n) == s for n, s in before_m.items())
+    if len(new_m) != 1 or not kept:
+        failures.append(
+            f"uniform append: expected exactly 1 new manifest with old "
+            f"ones untouched (new={len(new_m)}, kept={kept})"
+        )
+    _shutil.rmtree(ut, ignore_errors=True)
+
     for f in failures:
         print("FAIL", f)
     print("PLAN AUDIT:", "FAILED" if failures else "ALL OK")

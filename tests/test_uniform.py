@@ -353,3 +353,52 @@ def test_sync_failure_never_poisons_the_commit(spark, tmp_path, monkeypatch):
     )
     d, i = _both(spark, tbl)
     assert d == i and [x[0] for x in d] == [0, 1, 2]
+
+
+def test_concurrent_append_loser_retry_resyncs(spark, tmp_path, monkeypatch):
+    """r11 (VERDICT r10 stretch): two blind appends race — the loser's
+    commit retry must ALSO re-sync, so the iceberg mirror ends at the
+    final delta version carrying BOTH batches (a retry that skipped the
+    sync would leave the mirror one commit behind)."""
+    import os as _os
+
+    from pipeline_spark.sources.iceberg_native import load_table_metadata
+
+    tbl = str(tmp_path / "uconc")
+    write_delta_native(
+        spark,
+        spark.createDataFrame(
+            [(i, "base") for i in range(5)], "id long, v string"
+        ).coalesce(1),
+        {"path": tbl, "properties": dict(UF)},
+    )
+
+    real_link = _os.link
+    state = {"injected": False}
+
+    def racing_link(src, dst, *a, **kw):
+        if not state["injected"] and dst.endswith(f"{1:020d}.json"):
+            state["injected"] = True
+            write_delta_native(
+                spark,
+                spark.createDataFrame([(100, "winner")], "id long, v string")
+                .coalesce(1),
+                {"path": tbl, "mode": "append"},
+            )
+        return real_link(src, dst, *a, **kw)
+
+    monkeypatch.setattr(_os, "link", racing_link)
+    write_delta_native(
+        spark,
+        spark.createDataFrame([(200, "loser")], "id long, v string")
+        .coalesce(1),
+        {"path": tbl, "mode": "append"},
+    )
+    monkeypatch.undo()
+    assert state["injected"]
+    d, i = _both(spark, tbl)
+    assert d == i  # both surfaces agree
+    assert (100, "winner") in i and (200, "loser") in i
+    # the mirror marker tracks the FINAL commit (loser retried at v2)
+    props = load_table_metadata(tbl).get("properties") or {}
+    assert props.get("delta.uniform.deltaVersion") == "2"
