@@ -6088,6 +6088,68 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_convert_eqdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg EQUALITY deletes → delta conversion (r11, VERDICT r10
+    ask #4): an iceberg table with an equality-delete file (CDC upsert
+    shape: delete-by-key + re-insert in the SAME merge snapshot) plus a
+    later position delete converts in place — the equality deletes
+    MATERIALIZE into per-file roaring DVs via a distributed semi-join
+    under the spec's null-safe-equality + strict-sequence rule, zero
+    data rewrite.  The final read goes through the DELTA surface; the
+    oracle recomputes survivors from the source table, so a delete
+    applied to the wrong sequence range (killing the upserted row) or a
+    missed position hash-mismatches."""
+    import shutil
+
+    from pipeline_spark.sinks.iceberg_native import (
+        delete_iceberg_native,
+        merge_iceberg_native,
+        write_iceberg_native,
+    )
+    from pipeline_spark.sinks.tableconvert import convert_iceberg_to_delta
+    from pipeline_spark.sources.delta_native import read_delta_native
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    ).where(F.col("doc_id") < 500)
+    t = _tmp_path("conv_eq", sf_dir)
+    shutil.rmtree(t, ignore_errors=True)
+    write_iceberg_native(docs.coalesce(2), {"path": t, "mode": "create"})
+    # MOR merge: equality-delete the keys then re-append them mutated —
+    # the classic CDC upsert (one snapshot, eq-delete + data file)
+    merge_iceberg_native(
+        spark,
+        docs.where(F.col("doc_id") < 150)
+        .withColumn("n_chars", F.col("n_chars") + 10000),
+        {"path": t, "primaryKeys": ["doc_id"], "method": "mor"},
+    )
+    # a position delete on top (mixed delete shapes must combine)
+    delete_iceberg_native(spark, {
+        "path": t, "method": "mor",
+        "where": [{"key": "doc_id", "op": ">=", "value": 450}],
+    })
+    convert_iceberg_to_delta(spark, {"path": t})
+    return (
+        read_delta_native(spark, {"path": t})
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_CONVERT_EQ_SQL = """
+SELECT lang, count(*) AS n,
+       CAST(sum(CASE WHEN doc_id < 150 THEN n_chars + 10000
+                     ELSE n_chars END) AS BIGINT) AS chars
+FROM documents
+WHERE doc_id < 450
+GROUP BY lang ORDER BY lang
+"""
+
+
 def q_localdb_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """localH2 sink (r9): build one embedded sqlite database artifact PER
     LANG from documents (the reference's per-group H2 database shape,
@@ -6214,63 +6276,97 @@ GROUP BY event_name ORDER BY event_name
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's CORRECTNESS gate caps at the
-    # first 50 entries, never-green-first.  r10: the seven NEW feature
-    # rows (convert_partitioned, iceberg_defaults, delta_type_widening,
-    # delta_row_tracking, iceberg_row_lineage, uniform_sync) lead behind
-    # (rows-only by design); rows whose ENGINE CODE changed this round
-    # stay in-cap (iceberg read path gained identity-fill + row-lineage
-    # stamps, both formats' compaction/merge/update rewrites changed);
-    # then strict stalest-first rotation — the r4 four, the r6 twelve,
-    # and 18 of the 41 r7-stale rows (the rest queue for r11).  Pushed
-    # past the cap: everything green in r8/r9.
+    # first 50 entries, never-green-first.  r11 composition: bpe_train
+    # (rows-only) + the three new feature rows + the 25 r7-stale rows
+    # the judge queued for re-proof + 19 rows whose ENGINE CODE changed
+    # this round (iceberg plan_files inheritance walk touches every
+    # iceberg read; tableconvert eq-delete path; select cast/constant)
+    # + the headline pair.  Everything else is green r8-r10 and queues
+    # by staleness next round.
     return {
         # --- rows-only by design (merge loop not SQL-expressible)
         "bpe_train": q_bpe_train,
-        # --- NEVER GREEN: the five r10 feature rows
-        "convert_partitioned": q_convert_partitioned,
-        "iceberg_defaults": q_iceberg_defaults,
-        "delta_type_widening": q_delta_type_widening,
-        "delta_row_tracking": q_delta_row_tracking,
-        "iceberg_row_lineage": q_iceberg_row_lineage,
+        # --- NEVER GREEN: the three r11 feature rows
         "iceberg_row_lineage_inherited": q_iceberg_row_lineage_inherited,
-        "uniform_sync": q_uniform_sync,
         "uniform_stream": q_uniform_stream,
-        "iceberg_addfiles": q_iceberg_addfiles,
-        # --- r10 engine-code changed: prove again
+        "convert_eqdelete": q_convert_eqdelete,
+        # --- the 25 r7-stale rows (VERDICT r10 ask #1): re-prove on the
+        # r10/r11-churned read paths
+        "ivf_topk": q_ivf_topk,
+        "lsh_topk": q_lsh_topk,
+        "match_recognize": q_match_recognize,
+        "match_recognize_chunked": q_match_recognize_chunked,
+        "processing_timeseries": q_processing,
+        "linear_regression": q_linear_regression,
+        "deserialize_avro": q_deserialize_avro,
+        "deserialize_proto": q_deserialize_proto,
+        "storage_avro_roundtrip": q_storage_avro_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "iceberg_roundtrip": q_iceberg_roundtrip,
+        "iceberg_mor_roundtrip": q_iceberg_mor_roundtrip,
+        "multimodal_decode": q_multimodal_decode,
+        "video_meta": q_video_meta,
+        "audio_meta": q_audio_meta,
+        "html_extract": q_html_extract,
+        "url_normalize": q_url_normalize,
+        "chunk_windows": q_chunk_windows,
+        "gopher_rules": q_gopher_rules,
+        "sentence_split": q_sentence_split,
+        "lang_id": q_lang_id,
+        "sample_split": q_sample_split,
+        "scrub_pii": q_scrub_pii,
+        "pack_sequences": q_pack_sequences,
+        "profile_documents": q_profile_documents,
+        # --- r11 engine-code changed: plan_files gained the row-lineage
+        # inheritance walk (EVERY iceberg read), tableconvert gained the
+        # eq-delete semi-join, select cast/constant changed (bigdecimal)
+        # — re-prove the touched surfaces
+        "iceberg_row_lineage": q_iceberg_row_lineage,
+        "uniform_sync": q_uniform_sync,
         "convert_roundtrip": q_convert_roundtrip,
-        "iceberg_merge_cow": q_iceberg_merge_cow,
+        "convert_partitioned": q_convert_partitioned,
+        "iceberg_addfiles": q_iceberg_addfiles,
+        "iceberg_defaults": q_iceberg_defaults,
+        "iceberg_changelog": q_iceberg_changelog,
+        "iceberg_incremental": q_iceberg_incremental,
+        "iceberg_partitioned": q_iceberg_partitioned,
+        "iceberg_skipping": q_iceberg_skipping,
+        "iceberg_evolved_mor": q_iceberg_evolved_mor,
+        "iceberg_rest": q_iceberg_rest,
         "iceberg_merge_mor": q_iceberg_merge_mor,
         "iceberg_dv_puffin": q_iceberg_dv_puffin,
+        "iceberg_cdc_upsert": q_iceberg_cdc_upsert,
+        "iceberg_upsert": q_iceberg_upsert,
+        "select_misc": q_select_misc,
+        "warc_roundtrip": q_warc_roundtrip,
+        "delta_row_tracking": q_delta_row_tracking,
+        # --- headline pair stays in-cap every round
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        # --- past the 50-cap: ever-green in a named round; pytest +
+        #     harness guarded
+        "delta_type_widening": q_delta_type_widening,
+        "iceberg_merge_cow": q_iceberg_merge_cow,
         "iceberg_update": q_iceberg_update,
-        "iceberg_changelog": q_iceberg_changelog,
         "delta_delete": q_delta_delete,
         "delta_skipping": q_delta_skipping,
-        # --- stalest: last green r4
         "sessionize": q_sessionize,
         "range_join": q_range_join,
         "semdedup_prune": q_semdedup_prune,
         "repetition": q_repetition,
-        # --- last green r6
         "perplexity_filter": q_perplexity_filter,
         "dataset_mix": q_dataset_mix,
         "delta_roundtrip": q_delta_roundtrip,
         "delta_update": q_delta_update,
         "iceberg_delete": q_iceberg_delete,
-        "iceberg_skipping": q_iceberg_skipping,
         "dsir_scores": q_dsir_scores,
         "bpe_wordcounts": q_bpe_wordcounts,
         "delta_dv_read": q_delta_dv_read,
-        "iceberg_rest": q_iceberg_rest,
         "delta_zorder": q_delta_zorder,
-        "iceberg_incremental": q_iceberg_incremental,
-        # --- last green r7 (18 of 41; rest queue for r11)
         "iceberg_rewrite_manifests": q_iceberg_rewrite_manifests,
-        "iceberg_partitioned": q_iceberg_partitioned,
         "delta_cm_roundtrip": q_delta_cm_roundtrip,
         "delta_alter_roundtrip": q_delta_alter_roundtrip,
         "delta_replace_where": q_delta_replace_where,
-        "iceberg_evolved_mor": q_iceberg_evolved_mor,
-        "iceberg_cdc_upsert": q_iceberg_cdc_upsert,
         "streaming_panes": q_streaming_panes,
         "delta_liquid_cluster": q_delta_liquid_cluster,
         "agg_argminmax": q_agg_argminmax,
@@ -6280,29 +6376,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_cut": q_substring_cut,
         "shuffle_order": q_shuffle_order,
         "quality_classifier": q_quality_classifier,
-        # --- headline pair stays in-cap every round
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        # --- past the 50-cap: green r8/r9; pytest + harness guarded
-        # (ivf_topk / lsh_topk displaced to make room for uniform_sync
-        # and iceberg_addfiles — green r7, queue with the r7 tail for r11)
-        "ivf_topk": q_ivf_topk,
-        "lsh_topk": q_lsh_topk,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "localdb_artifact": q_localdb_artifact,
         "auxia_events": q_auxia_events,
-        "iceberg_upsert": q_iceberg_upsert,
         "delta_merge_upsert": q_delta_merge_upsert,
         "iceberg_branch_wap": q_iceberg_branch_wap,
         "delta_cdf": q_delta_cdf,
         "delta_v2_checkpoint": q_delta_v2_checkpoint,
         "iceberg_spec_evolution": q_iceberg_spec_evolution,
-        "warc_roundtrip": q_warc_roundtrip,
         "bucketed_join": q_bucketed_join,
         "lookup_enrich": q_lookup_enrich,
         "agg_collect": q_agg_collect,
-        "select_misc": q_select_misc,
         "create_sequence": q_create_sequence,
         "agg_stats": q_agg_stats,
         "multi_input_agg": q_multi_input_agg,
@@ -6337,29 +6422,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
         "expression_math": q_expression_math,
-        "profile_documents": q_profile_documents,
-        "lang_id": q_lang_id,
-        "sample_split": q_sample_split,
-        "scrub_pii": q_scrub_pii,
-        "pack_sequences": q_pack_sequences,
-        "match_recognize": q_match_recognize,
-        "processing_timeseries": q_processing,
-        "deserialize_avro": q_deserialize_avro,
-        "deserialize_proto": q_deserialize_proto,
-        "match_recognize_chunked": q_match_recognize_chunked,
-        "multimodal_decode": q_multimodal_decode,
-        "storage_avro_roundtrip": q_storage_avro_roundtrip,
-        "orc_roundtrip": q_orc_roundtrip,
-        "iceberg_roundtrip": q_iceberg_roundtrip,
-        "iceberg_mor_roundtrip": q_iceberg_mor_roundtrip,
-        "gopher_rules": q_gopher_rules,
-        "sentence_split": q_sentence_split,
-        "video_meta": q_video_meta,
-        "audio_meta": q_audio_meta,
-        "html_extract": q_html_extract,
-        "url_normalize": q_url_normalize,
-        "chunk_windows": q_chunk_windows,
-        "linear_regression": q_linear_regression,
     }
 
 
@@ -6470,6 +6532,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk": Q_IVFPQ_TOPK_SQL,
         "convert_roundtrip": Q_CONVERT_RT_SQL,
         "convert_partitioned": Q_CONVERT_PART_SQL,
+        "convert_eqdelete": Q_CONVERT_EQ_SQL,
         "iceberg_defaults": Q_ICE_DFLT_SQL,
         "delta_type_widening": Q_DELTA_TW_SQL,
         "delta_row_tracking": Q_DELTA_RT_SQL,
