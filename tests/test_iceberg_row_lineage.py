@@ -315,3 +315,19 @@ def test_no_snapshot_base_stays_null(spark, tmp_path):
         _json.dump(m, fh)
     got = _ids(spark, tbl)
     assert [rid for _, rid in got] == [None] * 4
+
+
+def test_inherited_ids_with_dv_delete(spark, tmp_path):
+    """Inheritance composes with MOR subtraction: a puffin DV delete on
+    a stripped (foreign-writer) table — survivors keep their DERIVED
+    ids, deleted positions vanish."""
+    tbl = _mk_v3(spark, tmp_path, "il14",
+                 [(i, f"v{i}") for i in range(8)], parts=2)
+    delete_iceberg_native(spark, {
+        "path": tbl, "format": "puffin",
+        "where": [{"key": "id", "op": "<", "value": 3}],
+    })
+    before = _ids(spark, tbl)
+    _strip_explicit_ids(tbl)
+    assert _ids(spark, tbl) == before
+    assert [i for i, _ in before] == [3, 4, 5, 6, 7]
