@@ -149,6 +149,10 @@ BENCH_QUERIES = [
     "iceberg_row_lineage",
     "uniform_sync",
     "iceberg_addfiles",
+    # r11 additions
+    "iceberg_row_lineage_inherited",
+    "uniform_stream",
+    "convert_eqdelete",
 ]
 
 
