@@ -80,24 +80,44 @@ def _is_bigdecimal(name: str) -> bool:
     return bool(m) and int(m.group(1)) > 38
 
 
-def _cast_bigdecimal(src: Column, df, field: str | None) -> Column:
+def _cast_bigdecimal(src: Column, df) -> Column:
     """Cast semantics for string-backed big decimals (decimal(76,38) /
-    "BIGDECIMAL"): string sources pass through TRIMMED so a full
-    76-digit literal survives intact (no Spark numeric type could hold
-    it); numeric sources render through decimal(38,18) — the widest
-    intermediate Spark can compute on that still leaves 20 integer
-    digits — whose string form is plain notation, never scientific.
-    Casting back OUT of a bigdecimal column is just a string cast
-    ("1.5".cast(double)), which Spark already does natively."""
+    "BIGDECIMAL"):
+
+    - string sources pass through TRIMMED — a full 76-digit literal
+      survives intact (no Spark numeric type could hold it);
+    - integral / decimal / date / boolean sources cast straight to
+      string (Spark renders all of them plain, never scientific);
+    - float/double render through decimal(38,18) while |x| < 1e20 and
+      decimal(38,0) up to 1e38; decimal(76,38) itself holds only 38
+      integer digits, so anything >= 1e38 is outside the TYPE's domain
+      and yields null instead of an ANSI runtime error (a double
+      carries ~17 significant digits — the tiers lose nothing real).
+
+    Source typing resolves through ``df.select(src)`` so columns bound
+    EARLIER IN THE SAME SELECT LIST (renames, computed fields) classify
+    correctly, not just physical df columns.  Casting back OUT of a
+    bigdecimal is a plain string cast ("1.5".cast(double)), native."""
     dt = None
-    if field is not None and df is not None:
+    if df is not None:
         try:
-            dt = df.schema[field].dataType
+            dt = df.select(src).schema[0].dataType
         except Exception:
             dt = None
     if isinstance(dt, T.StringType):
         return F.trim(src)
-    return src.cast(T.DecimalType(38, 18)).cast("string")
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                       T.DecimalType, T.BooleanType, T.DateType)):
+        return src.cast("string")
+    mag = F.abs(src.cast("double"))
+    return (
+        F.when(src.isNull(), F.lit(None).cast("string"))
+        .when(mag < F.lit(1e20),
+              src.cast(T.DecimalType(38, 18)).cast("string"))
+        .when(mag < F.lit(1e38),
+              src.cast(T.DecimalType(38, 0)).cast("string"))
+        .otherwise(F.lit(None).cast("string"))
+    )
 
 
 def infer_func(sf: dict[str, Any]) -> str:
@@ -241,7 +261,7 @@ def _compile_one(
     if func == "cast":
         src = _ref(sf.get("field", name), df, bound)
         if _is_bigdecimal(sf["type"]):
-            return _cast_bigdecimal(src, df, sf.get("field", name))
+            return _cast_bigdecimal(src, df)
         dt = spark_type(sf["type"])
         if isinstance(dt, T.TimestampType):
             return parse_timestamp(src, df, sf.get("field", name))
@@ -249,7 +269,13 @@ def _compile_one(
     if func == "constant":
         v = sf["value"]
         if _is_bigdecimal(sf["type"]):
-            return F.trim(F.lit(str(v)))
+            # canonical plain notation: str(1e-07) is scientific, so
+            # numerics format through Decimal
+            from decimal import Decimal
+
+            s = v.strip() if isinstance(v, str) else format(
+                Decimal(str(v)), "f")
+            return F.lit(s)
         dt = spark_type(sf["type"])
         if isinstance(dt, T.TimestampType):
             return parse_timestamp(F.lit(str(v)))

@@ -2659,10 +2659,14 @@ def equality_delete_iceberg_native(
             f"iceberg equality delete: identifier columns {nested} are "
             "nested — the spec requires primitive identifier fields"
         )
-    # the delete file must carry CURRENT column names and types (readers
-    # select by name); keys are deduplicated — a delete file is a set
+    # the delete file carries the write-time column names PLUS parquet
+    # field-id metadata (spark.sql.parquet.fieldId.write, on by default)
+    # so readers resolve the match columns by FIELD ID — a rename after
+    # this delete lands must not unresolve them (spec: delete files use
+    # field ids like data files); keys are deduplicated — a set
     proj = keys_df.select(*[
-        F.col(c).cast(_iceberg_type_to_spark(by_name[c]["type"])).alias(c)
+        F.col(c).cast(_iceberg_type_to_spark(by_name[c]["type"]))
+        .alias(c, metadata={"parquet.field.id": int(by_name[c]["id"])})
         for c in cols
     ]).distinct()
     out_dir = os.path.join(table_path, "data", f"eqdel-{uuid.uuid4().hex}")

@@ -1012,12 +1012,11 @@ def convert_iceberg_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:
         from pyspark.sql import functions as F
 
         from pipeline_spark.sources.iceberg_native import (
-            _field_names_by_id,
             apply_identity_fill,
             evolved_scan,
+            plan_equality_deletes,
         )
 
-        id2name = _field_names_by_id(imeta)
         max_eseq = max(d["seq"] for d in eq_dels)
         affected = [d for d in data if d["seq"] < max_eseq]
         hits = None
@@ -1028,44 +1027,24 @@ def convert_iceberg_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:
             )
             if fills:
                 scan = apply_identity_fill(spark, scan, fills, ftypes)
+            seq_rows, eq_groups = plan_equality_deletes(
+                spark, eq_dels, affected, imeta,
+            )
             seq_df = spark.createDataFrame(
-                [(norm_path(d["path"]), int(d["seq"])) for d in affected],
-                "__sfp__ string, __dseq__ long",
+                seq_rows, "__sfp__ string, __dseq__ long, __dpart__ string",
             )
             scan = scan.join(
                 F.broadcast(seq_df), scan["__fp__"] == seq_df["__sfp__"],
                 "left",
             )
-            eq_groups: dict[tuple, list[dict]] = {}
-            for d in eq_dels:
-                if not d.get("equality_ids"):
-                    raise ValueError(
-                        f"convert: equality delete file {d['path']} has "
-                        "no equality_ids in its manifest entry"
-                    )
-                eq_groups.setdefault(
-                    tuple(sorted(d["equality_ids"])), []
-                ).append(d)
-            for ids, files in eq_groups.items():
-                try:
-                    cols = [id2name[i] for i in ids]
-                except KeyError as exc:
-                    raise ValueError(
-                        f"convert: equality_ids {list(ids)} not in the "
-                        f"current schema (have ids {sorted(id2name)})"
-                    ) from exc
-                dels = None
-                for d in files:
-                    one = (
-                        spark.read.parquet(d["path"])
-                        .select(*[F.col(c).alias(f"__eq_{c}__") for c in cols])
-                        .withColumn("__eseq__", F.lit(int(d["seq"])))
-                    )
-                    dels = one if dels is None else dels.unionByName(one)
+            for cols, dels, pkey in eq_groups:
                 cond = reduce(
                     lambda a, b: a & b,
                     [scan[c].eqNullSafe(dels[f"__eq_{c}__"]) for c in cols],
                 ) & (scan["__dseq__"] < dels["__eseq__"])
+                if pkey is not None:
+                    # partition-scoped delete: same-partition files only
+                    cond = cond & (scan["__dpart__"] == F.lit(pkey))
                 g = scan.join(dels, cond, "left_semi").select(
                     "__fp__", "__pos__"
                 )

@@ -84,14 +84,17 @@ def find_table_metadata(table_path: str) -> str:
 
 
 def norm_path(s: str) -> str:
-    """Scheme-stripped, percent-decoded path — the ONE normalization for
-    comparing manifest/delete/scan file paths driver-side (the Spark-side
-    twin is ``_apply_row_deletes``'s ``norm`` column expression, whose
-    ``+``-protection matches Python's unquote, which never form-decodes
-    '+')."""
-    import urllib.parse
-
-    return urllib.parse.unquote(re.sub(r"^file:/+", "/", str(s)))
+    """Scheme-stripped path — the ONE normalization for comparing
+    STORED file paths (manifest records, delete-file contents, DV
+    references) driver-side.  Stored paths are LITERAL on-disk names
+    per the spec — do NOT percent-decode them: a Hive-escaped partition
+    dir like ``g=100%25`` (literal chars, value '100%') would decode to
+    the wrong name (r11 fix; decoding here resurrected eq-deleted rows
+    under '%' partitions).  The column-side twin for ``_metadata.
+    file_path`` DOES url_decode, because Spark URI-encodes the literal
+    name there (space→%20, %→%25) — both sides then meet at the literal
+    on-disk string."""
+    return re.sub(r"^file:/+", "/", str(s))
 
 
 def load_table_metadata(table_path: str) -> dict:
@@ -458,6 +461,100 @@ def _iceberg_type_to_spark(t) -> str:
     )
 
 
+def _delete_file_columns(path: str, ids, cols):
+    """Physical column name per equality id inside a delete parquet:
+    field-id metadata (``PARQUET:field_id``) wins — the delete file
+    carries WRITE-TIME names, which a later column rename must not
+    unresolve (or, for a swap rename, silently match against the wrong
+    column) — else the current name (delete files without field ids,
+    e.g. plain Spark writers, carry current names by this repo's own
+    write contract)."""
+    by_id: dict[int, str] = {}
+    try:
+        import pyarrow.parquet as pq
+
+        for f_ in pq.read_schema(path):
+            md = f_.metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            if fid is not None:
+                by_id[int(fid)] = f_.name
+    except Exception:  # noqa: BLE001 — unreadable schema: fall back to names
+        by_id = {}
+    return [by_id.get(i, c) for i, c in zip(ids, cols)]
+
+
+def plan_equality_deletes(spark, eq: list[dict], data: list[dict], meta: dict):
+    """Shared equality-delete planner (spec §Scan Planning) for the MOR
+    reader's anti-join and the delta converter's semi-join (r11):
+
+    - groups delete files by (equality_ids, partition record) — a
+      delete written with a PARTITION record applies only to data files
+      in the SAME partition (spec: partitioned equality deletes are
+      limited to their partition); an empty record means global scope;
+    - resolves each delete file's match columns by FIELD ID against its
+      parquet schema metadata (:func:`_delete_file_columns`);
+    - returns ``(seq_rows, groups)``: seq_rows =
+      ``(norm_path, seq, part_key)`` per data file for the broadcast
+      seq/scope join (paths NORMALIZED so percent-encoded partition
+      dirs still match ``__fp__``), groups =
+      ``(cols, dels_df, part_key|None)`` with delete rows exposed as
+      ``__eq_<col>__`` + ``__eseq__``.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    def part_key(rec) -> str:
+        # an ALL-NULL record means GLOBAL, not the null partition: this
+        # repo's delete manifests declare the table's spec with null
+        # values for global deletes (sinks/iceberg_native.py
+        # _append_delete_files_once), and spec-compliant global deletes
+        # come under an unpartitioned spec (no record at all)
+        p = rec.get("partition") or {}
+        if not p or all(v is None for v in p.values()):
+            return ""
+        return _json.dumps(p, sort_keys=True, default=str)
+
+    id2name = _field_names_by_id(meta)
+    seq_rows = [
+        (norm_path(d["path"]), int(d.get("seq") or 0), part_key(d))
+        for d in data
+    ]
+    grouped: dict[tuple, list[dict]] = {}
+    for d in eq:
+        if not d.get("equality_ids"):
+            raise ValueError(
+                f"iceberg: equality delete file {d['path']} has no "
+                "equality_ids in its manifest entry"
+            )
+        grouped.setdefault(
+            (tuple(sorted(d["equality_ids"])), part_key(d)), []
+        ).append(d)
+    groups = []
+    for (ids, pkey), files in grouped.items():
+        try:
+            cols = [id2name[i] for i in ids]
+        except KeyError as exc:
+            raise ValueError(
+                f"iceberg: equality_ids {list(ids)} not in the current "
+                f"schema (have ids {sorted(id2name)})"
+            ) from exc
+        dels = None
+        for d in files:
+            phys = _delete_file_columns(d["path"], ids, cols)
+            one = (
+                spark.read.parquet(d["path"])
+                .select(*[
+                    F.col(p).alias(f"__eq_{c}__")
+                    for p, c in zip(phys, cols)
+                ])
+                .withColumn("__eseq__", F.lit(int(d["seq"])))
+            )
+            dels = one if dels is None else dels.unionByName(one)
+        groups.append((cols, dels, pkey or None))
+    return seq_rows, groups
+
+
 def _apply_row_deletes(
     spark, df, data: list[dict], deletes: list[dict], meta: dict,
     *, keep_lineage: bool = False,
@@ -500,11 +597,17 @@ def _apply_row_deletes(
     pdv = [d for d in pos_all if d.get("content_offset") is not None]
     pos = [d for d in pos_all if d.get("content_offset") is None]
     pos_frames = []
+    # stored paths (delete-file contents, DV references) are LITERAL —
+    # scheme-strip only; decoding belongs to the _metadata side (r11,
+    # see norm_path)
+    def strip(col):
+        return F.regexp_replace(col, "^file:/+", "/")
+
     if pos:
         pos_frames.append(
             spark.read.parquet(*[d["path"] for d in pos])
             .select(
-                norm(F.col("file_path")).alias("__dfp__"),
+                strip(F.col("file_path")).alias("__dfp__"),
                 F.col("pos").alias("__dpos__"),
             )
         )
@@ -536,7 +639,7 @@ def _apply_row_deletes(
                 ),
                 "__dfp_raw string, __dpos__ long",
             ).select(
-                norm(F.col("__dfp_raw")).alias("__dfp__"), "__dpos__"
+                strip(F.col("__dfp_raw")).alias("__dfp__"), "__dpos__"
             )
         )
     if pos_frames:
@@ -550,43 +653,23 @@ def _apply_row_deletes(
         )
     eq = [d for d in deletes if d["content"] == 2]
     if eq:
-        id2name = _field_names_by_id(meta)
+        seq_rows, groups = plan_equality_deletes(spark, eq, data, meta)
         seq_df = spark.createDataFrame(
-            [(d["path"], d["seq"]) for d in data], "__sfp__ string, __dseq__ long"
+            seq_rows, "__sfp__ string, __dseq__ long, __dpart__ string"
         )
         df = df.join(
             F.broadcast(seq_df), df["__fp__"] == seq_df["__sfp__"], "left"
         ).drop("__sfp__")
-        groups: dict[tuple[int, ...], list[dict]] = {}
-        for d in eq:
-            if not d["equality_ids"]:
-                raise ValueError(
-                    f"iceberg: equality delete file {d['path']} has no "
-                    "equality_ids in its manifest entry"
-                )
-            groups.setdefault(tuple(sorted(d["equality_ids"])), []).append(d)
-        for ids, files in groups.items():
-            try:
-                cols = [id2name[i] for i in ids]
-            except KeyError as exc:
-                raise ValueError(
-                    f"iceberg: equality_ids {list(ids)} not in the current "
-                    f"schema (have ids {sorted(id2name)})"
-                ) from exc
-            dels = None
-            for d in files:
-                one = (
-                    spark.read.parquet(d["path"])
-                    .select(*[F.col(c).alias(f"__eq_{c}__") for c in cols])
-                    .withColumn("__eseq__", F.lit(d["seq"]))
-                )
-                dels = one if dels is None else dels.unionByName(one)
+        for cols, dels, pkey in groups:
             cond = reduce(
                 lambda a, b: a & b,
                 [df[c].eqNullSafe(dels[f"__eq_{c}__"]) for c in cols],
             ) & (df["__dseq__"] < dels["__eseq__"])
+            if pkey is not None:
+                # partition-scoped delete: same-partition files only
+                cond = cond & (df["__dpart__"] == F.lit(pkey))
             df = df.join(dels, cond, "left_anti")
-        df = df.drop("__dseq__")
+        df = df.drop("__dseq__", "__dpart__")
     if keep_lineage:
         # writers (position-delete planning, probe scans) still need the
         # (file, ordinal) identity of each surviving row
@@ -1397,14 +1480,14 @@ def read_iceberg_changelog(
                 if d["content"] == 1 and d.get("content_offset") is not None
             ]
             if pos_files:
+                # stored delete-file contents are LITERAL paths (r11):
+                # scheme-strip only, no decode
                 pos_pairs = spark.read.parquet(
                     *[d["path"] for d in pos_files]
                 ).select(
-                    F.url_decode(F.regexp_replace(
-                        F.regexp_replace(
-                            F.col("file_path"), "^file:/+", "/"
-                        ), r"\+", "%2B",
-                    )).alias("__dfp__"),
+                    F.regexp_replace(
+                        F.col("file_path"), "^file:/+", "/"
+                    ).alias("__dfp__"),
                     F.col("pos").alias("__dpos__"),
                 )
             if pdv:

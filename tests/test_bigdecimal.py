@@ -47,9 +47,9 @@ def test_numeric_sources_render_plain_notation(spark):
         {"name": "bd", "field": "d", "type": "BIGDECIMAL"},
         {"name": "bdec", "field": "dec", "type": "decimal(76,38)"},
     ]).collect()[0]
-    assert out["bi"] == "1.000000000000000000"
+    assert out["bi"] == "1"  # integral: straight plain render
     assert out["bd"] == "0.000000000000000001"  # no scientific notation
-    assert out["bdec"] == "12.500000000000000000"
+    assert out["bdec"] == "12.50"  # decimal: native plain render
 
 
 def test_cast_back_out_and_constant(spark):
@@ -75,3 +75,57 @@ def test_create_source_bigdecimal_field(spark):
     ))[""]
     assert out.schema["x"].dataType == T.StringType()
     assert out.collect()[0]["x"] == "1.25"
+
+
+# --------------------------------------------------------------- r11
+# review fixes: bound-field classification, overflow tiers, constants.
+
+
+def test_chained_bound_string_field(spark):
+    """A string field bound EARLIER in the same select list must
+    classify as a string source (pass-through), not numeric."""
+    big = "9" * 40
+    df = spark.createDataFrame([(big,)], "raw string")
+    out = apply_select(df, [
+        {"name": "s", "field": "raw"},
+        {"name": "b", "field": "s", "type": "bigdecimal"},
+    ]).collect()[0]
+    assert out["b"] == big
+
+
+def test_large_double_renders_integral_tier(spark):
+    df = spark.createDataFrame(
+        [(1e25, 1e39, None)], "big double, huge double, miss double"
+    )
+    out = apply_select(df, [
+        {"name": "b", "field": "big", "type": "bigdecimal"},
+        {"name": "h", "field": "huge", "type": "bigdecimal"},
+        {"name": "m", "field": "miss", "type": "bigdecimal"},
+    ]).collect()[0]
+    assert out["b"] == "1" + "0" * 25  # no crash, plain notation
+    assert out["h"] is None  # beyond decimal(76,38)'s 38 integer digits
+    assert out["m"] is None
+
+
+def test_wide_decimal_source_keeps_digits(spark):
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(Decimal("9" * 29),)], "d decimal(38,0)"
+    )
+    out = apply_select(df, [
+        {"name": "b", "field": "d", "type": "bigdecimal"},
+    ]).collect()[0]
+    assert out["b"] == "9" * 29
+
+
+def test_constant_float_plain_notation(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    out = apply_select(df, [
+        {"name": "tiny", "func": "constant", "value": 1e-07,
+         "type": "bigdecimal"},
+        {"name": "big", "func": "constant", "value": 1e21,
+         "type": "bigdecimal"},
+    ]).collect()[0]
+    assert out["tiny"] == "0.0000001"
+    assert out["big"] == "1" + "0" * 21

@@ -1,0 +1,187 @@
+"""Equality-delete spec fidelity (r11 review fixes): partition-scoped
+deletes apply only to their partition, match columns resolve by parquet
+FIELD ID (renames after the delete must not unresolve or swap them),
+and the data-file seq join normalizes paths (percent-encoded partition
+dirs).  Shared planner: sources/iceberg_native.py
+plan_equality_deletes, used by both the MOR reader (anti-join) and the
+delta converter (semi-join)."""
+
+import pytest
+
+from pipeline_spark.sinks.iceberg_native import (
+    alter_iceberg_native,
+    equality_delete_iceberg_native,
+    write_iceberg_native,
+)
+from pipeline_spark.sources.iceberg_native import (
+    _strip_scheme,
+    load_table_metadata,
+    plan_files,
+    read_iceberg_native,
+)
+
+
+def _rows(spark, tbl, cols=("id", "par")):
+    return sorted(
+        tuple(r[c] for c in cols)
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+
+
+def _scope_delete_manifests(tbl, partition):
+    """Simulate a FOREIGN writer's partition-scoped equality delete:
+    stamp ``partition`` into every equality-delete manifest entry."""
+    from pipeline_spark.functions.avroocf import (
+        read_ocf_file,
+        read_ocf_file_with_meta,
+        write_ocf_bytes,
+    )
+
+    meta = load_table_metadata(tbl)
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, mans = read_ocf_file(_strip_scheme(snap["manifest-list"]))
+    for m in mans:
+        mp = _strip_scheme(m["manifest_path"])
+        schema_json, ometa, recs = read_ocf_file_with_meta(mp)
+        rows = list(recs)
+        touched = False
+        for r in rows:
+            df = r.get("data_file") or {}
+            if df.get("content") == 2:
+                df["partition"] = dict(partition)
+                touched = True
+        if touched:
+            extra = {k: v.decode() for k, v in ometa.items()
+                     if k not in ("avro.schema", "avro.codec")}
+            with open(mp, "wb") as fh:
+                fh.write(write_ocf_bytes(schema_json, rows, extra_meta=extra))
+
+
+def _mk_partitioned(spark, tmp_path, name="pt", pars=("x", "y")):
+    tbl = str(tmp_path / name)
+    rows = [(i, p) for i in range(4) for p in pars]
+    write_iceberg_native(
+        spark.createDataFrame(rows, "id long, par string"),
+        {"path": tbl, "mode": "create", "partitionBy": ["par"]},
+    )
+    return tbl, rows
+
+
+def test_global_eq_delete_hits_all_partitions(spark, tmp_path):
+    """Our own writer's deletes carry all-null partition records —
+    GLOBAL scope (both partitions lose id=1)."""
+    tbl, rows = _mk_partitioned(spark, tmp_path, "g")
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 1}]})
+    assert _rows(spark, tbl) == sorted(
+        (i, p) for i, p in rows if i != 1
+    )
+
+
+def test_partition_scoped_eq_delete(spark, tmp_path):
+    """A foreign partition-scoped delete applies ONLY to its partition:
+    id=1 scoped to par='x' leaves (1,'y') alive."""
+    tbl, rows = _mk_partitioned(spark, tmp_path, "s")
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 1}]})
+    _scope_delete_manifests(tbl, {"par": "x"})
+    got = _rows(spark, tbl)
+    assert (1, "y") in got and (1, "x") not in got
+    assert got == sorted((i, p) for i, p in rows if (i, p) != (1, "x"))
+
+
+def test_eq_delete_survives_rename(spark, tmp_path):
+    """Field-id resolution: rename the match column AFTER the delete
+    lands — the delete file carries the old name + field-id metadata
+    and must still apply."""
+    tbl = str(tmp_path / "ren")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id long, v string"
+        ).coalesce(1),
+        {"path": tbl, "mode": "create"},
+    )
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 2}]})
+    alter_iceberg_native(spark, {
+        "path": tbl, "renameColumn": {"id": "key"},
+    })
+    got = sorted(
+        r["key"] for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == [0, 1, 3, 4, 5]
+
+
+def test_eq_delete_on_percent_encoded_partition(spark, tmp_path):
+    """The seq join normalizes data paths: a partition value with a
+    space percent-encodes into the directory name, and before r11 the
+    raw-path seq join missed, nulling __dseq__ and resurrecting the
+    deleted rows."""
+    tbl = str(tmp_path / "enc")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, "a b") for i in range(4)], "id long, par string"
+        ),
+        {"path": tbl, "mode": "create", "partitionBy": ["par"]},
+    )
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 1}]})
+    got = sorted(
+        r["id"] for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == [0, 2, 3]
+
+
+def test_converter_honors_partition_scope(spark, tmp_path):
+    """The delta conversion's semi-join shares the planner: a scoped
+    delete materializes DV positions only in its partition."""
+    from pipeline_spark.sinks.tableconvert import convert_iceberg_to_delta
+    from pipeline_spark.sources.delta_native import read_delta_native
+
+    tbl, rows = _mk_partitioned(spark, tmp_path, "c")
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 1}]})
+    _scope_delete_manifests(tbl, {"par": "x"})
+    expect = _rows(spark, tbl)  # iceberg truth
+    convert_iceberg_to_delta(spark, {"path": tbl})
+    got = sorted(
+        (r["id"], r["par"])
+        for r in read_delta_native(spark, {"path": tbl}).collect()
+    )
+    assert got == expect and (1, "y") in got
+
+
+def test_percent_literal_partition_all_delete_shapes(spark, tmp_path):
+    """r11 regression: a partition VALUE containing '%' Hive-escapes
+    into the dir name as literal '%25'; stored paths must compare as
+    LITERALS (norm_path must not percent-decode) or every path join —
+    seq, position, DV, identity fill — silently misses these files."""
+    from pipeline_spark.sinks.iceberg_native import delete_iceberg_native
+
+    tbl = str(tmp_path / "pct")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, "100%") for i in range(6)], "id long, par string"
+        ),
+        {"path": tbl, "mode": "create", "partitionBy": ["par"]},
+    )
+    # identity fill works (par not physically in the files)
+    got = sorted(
+        (r["id"], r["par"])
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == [(i, "100%") for i in range(6)]
+    # equality delete
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 1}]})
+    # position delete (parquet shape)
+    delete_iceberg_native(spark, {
+        "path": tbl, "method": "mor",
+        "where": [{"key": "id", "op": "=", "value": 2}],
+    })
+    # puffin DV delete
+    delete_iceberg_native(spark, {
+        "path": tbl, "format": "puffin",
+        "where": [{"key": "id", "op": "=", "value": 3}],
+    })
+    got = sorted(
+        r["id"] for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == [0, 4, 5]
