@@ -185,3 +185,35 @@ def test_percent_literal_partition_all_delete_shapes(spark, tmp_path):
         r["id"] for r in read_iceberg_native(spark, {"path": tbl}).collect()
     )
     assert got == [0, 4, 5]
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("val", [
+    "with space", "a+b", "100%", "x%20y", "semi;colon", "eq=sign",
+    "hash#tag", "quo\"te", "unié中", "tab\tchar",
+])
+def test_nasty_partition_values_roundtrip(spark, tmp_path, val):
+    """Write → identity-fill read → equality delete → read, for every
+    URI/Hive-special shape we could think of: the literal-path contract
+    (stored paths literal, _metadata decoded once) must hold for all of
+    them.  'x%20y' is the adversarial one — a LITERAL percent-two-zero
+    in the VALUE, which any double-decode would corrupt into a space."""
+    tbl = str(tmp_path / "nasty")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, val) for i in range(4)], "id long, par string"
+        ),
+        {"path": tbl, "mode": "create", "partitionBy": ["par"]},
+    )
+    got = sorted(
+        (r["id"], r["par"])
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == [(i, val) for i in range(4)]
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 2}]})
+    got = sorted(
+        r["id"] for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == [0, 1, 3]
