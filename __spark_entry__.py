@@ -4454,6 +4454,148 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_streaming_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor-pane BUFFERED aggregations (r11, VERDICT r10 missing
+    #3): exact median / percentile / array_agg / count_distinct on the
+    executor backend via strategy.paneAllowUnboundedState — keyed state
+    buffers each window's elements, the EventTimeTimeout flush emits
+    one ON_TIME pane per (day, type), and every buffered value must
+    equal the batch aggregate the oracle computes (array_agg pinned by
+    size + sum so float-array formatting never enters the hash)."""
+    import datetime as _dt
+    import shutil
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = _tmp_path("stream_buf", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    os.makedirs(in_dir)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_id") % 8 == 0)
+        .select("ts", "event_type", "value")
+        .orderBy("ts")
+        .toPandas()
+    )
+    f0 = os.path.join(in_dir, "b0.parquet")
+    pq.write_table(
+        pa.table({
+            "ts": pa.Array.from_pandas(ev["ts"]).cast(pa.timestamp("us")),
+            "event_type": pa.array(ev["event_type"].tolist()),
+            "value": pa.array(ev["value"].tolist(), pa.float64()),
+        }),
+        f0,
+    )
+    for i, sent_ts in enumerate(
+        (_dt.datetime(2100, 1, 1), _dt.datetime(2100, 1, 2),
+         _dt.datetime(2100, 1, 3))
+    ):
+        fi = os.path.join(in_dir, f"b{i + 1}.parquet")
+        pq.write_table(
+            pa.table({
+                "ts": pa.array([sent_ts], pa.timestamp("us")),
+                "event_type": pa.array(["__wm__"]),
+                "value": pa.array([0.0], pa.float64()),
+            }),
+            fi,
+        )
+        os.utime(fi, (_time.time() - 50 + i * 10,) * 2)
+    now = _time.time()
+    os.utime(f0, (now - 100, now - 100))
+    run_pipeline(spark, parse_config(f"""
+sources:
+  - name: events
+    module: storage
+    parameters:
+      format: parquet
+      input: {in_dir}
+      mode: streaming
+      maxFilesPerTrigger: 1
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [events]
+    timestampAttribute: ts
+    strategy:
+      window: {{type: calendar, unit: day}}
+      allowedLateness: 5
+      trigger:
+        type: afterWatermark
+        earlyFiringTrigger: {{type: afterPane, elementCountAtLeast: 1000000}}
+      paneStateBackend: executor
+      paneAllowUnboundedState: true
+      outputPaneInfo: true
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - {{name: med, op: median, field: value}}
+        - {{name: p25, op: percentile, field: value, percentile: 0.25}}
+        - {{name: vals, op: array_agg, field: value}}
+        - {{name: nd, op: count_distinct, field: value}}
+sinks:
+  - name: out
+    module: storage
+    inputs: [agg]
+    parameters:
+      format: parquet
+      output: {out_dir}
+      availableNow: true
+"""))
+    panes = spark.read.parquet(out_dir)
+    return (
+        panes.where(F.col("__pane__.timing") == "ON_TIME")
+        .where(F.col("event_type") != "__wm__")
+        .select(
+            F.col("window").cast("date").alias("day"),
+            "event_type",
+            F.round("med", 3).alias("med"),
+            F.round("p25", 3).alias("p25"),
+            F.size("vals").alias("arr_n"),
+            F.expr(
+                "round(aggregate(vals, 0d, (a, x) -> a + x), 3)"
+            ).alias("arr_sum"),
+            "nd",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+# the percentile interpolation is REPRODUCED term-for-term (lower +
+# (higher - lower) * frac, Spark's percentile.scala order) instead of
+# duckdb's quantile_cont — the two differ by 1 ULP on some groups,
+# which crosses round(,3) boundaries and hash-mismatches
+Q_STREAM_BUF_SQL = """
+WITH g AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         list(value ORDER BY value) AS l,
+         count(value) AS n,
+         round(sum(value), 3) AS arr_sum,
+         count(DISTINCT value) AS nd
+  FROM events WHERE event_id % 8 = 0
+  GROUP BY 1, 2
+)
+SELECT day, event_type,
+  round(l[CAST(floor((n-1)*0.5) AS INT)+1]
+        + CASE WHEN (n-1)*0.5 > floor((n-1)*0.5)
+          THEN (l[CAST(floor((n-1)*0.5) AS INT)+2]
+                - l[CAST(floor((n-1)*0.5) AS INT)+1])
+               * ((n-1)*0.5 - floor((n-1)*0.5))
+          ELSE 0 END, 3) AS med,
+  round(l[CAST(floor((n-1)*0.25) AS INT)+1]
+        + CASE WHEN (n-1)*0.25 > floor((n-1)*0.25)
+          THEN (l[CAST(floor((n-1)*0.25) AS INT)+2]
+                - l[CAST(floor((n-1)*0.25) AS INT)+1])
+               * ((n-1)*0.25 - floor((n-1)*0.25))
+          ELSE 0 END, 3) AS p25,
+  n AS arr_n, arr_sum, nd
+FROM g ORDER BY day, event_type
+"""
+
+
 def q_iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-spec evolution (r7): orders commit partitioned by
     priority, then the SAME rows append under bucket(4, o_custkey) with
@@ -6290,6 +6432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_row_lineage_inherited": q_iceberg_row_lineage_inherited,
         "uniform_stream": q_uniform_stream,
         "convert_eqdelete": q_convert_eqdelete,
+        "streaming_buffered": q_streaming_buffered,
         # --- the 25 r7-stale rows (VERDICT r10 ask #1): re-prove on the
         # r10/r11-churned read paths
         "ivf_topk": q_ivf_topk,
@@ -6339,12 +6482,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_upsert": q_iceberg_upsert,
         "select_misc": q_select_misc,
         "warc_roundtrip": q_warc_roundtrip,
-        "delta_row_tracking": q_delta_row_tracking,
         # --- headline pair stays in-cap every round
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         # --- past the 50-cap: ever-green in a named round; pytest +
         #     harness guarded
+        "delta_row_tracking": q_delta_row_tracking,
         "delta_type_widening": q_delta_type_widening,
         "iceberg_merge_cow": q_iceberg_merge_cow,
         "iceberg_update": q_iceberg_update,
@@ -6539,6 +6682,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_row_lineage": Q_ICE_LINEAGE_SQL,
         "iceberg_row_lineage_inherited": Q_ICE_LINEAGE_INH_SQL,
         "uniform_stream": Q_UNIFORM_STREAM_SQL,
+        "streaming_buffered": Q_STREAM_BUF_SQL,
         "uniform_sync": Q_UNIFORM_SQL,
         "iceberg_addfiles": Q_ADDFILES_SQL,
         "localdb_artifact": Q_LOCALDB_SQL,
