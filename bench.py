@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "iceberg_row_lineage_inherited",
     "uniform_stream",
     "convert_eqdelete",
+    "streaming_buffered",
 ]
 
 

@@ -109,11 +109,10 @@ def _cast_bigdecimal(src: Column, df) -> Column:
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                        T.DecimalType, T.BooleanType, T.DateType)):
         return src.cast("string")
-    mag = F.abs(src.cast("double"))
+    mag = F.abs(src.cast("double"))  # null mag falls through to the null
     return (
-        F.when(src.isNull(), F.lit(None).cast("string"))
-        .when(mag < F.lit(1e20),
-              src.cast(T.DecimalType(38, 18)).cast("string"))
+        F.when(mag < F.lit(1e20),
+               src.cast(T.DecimalType(38, 18)).cast("string"))
         .when(mag < F.lit(1e38),
               src.cast(T.DecimalType(38, 0)).cast("string"))
         .otherwise(F.lit(None).cast("string"))

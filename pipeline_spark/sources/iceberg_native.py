@@ -211,8 +211,11 @@ def plan_files(
             and (m.get("content", 0) or 0) == 0
         ):
             m_first = inherit_base.get(m_owner)
-            if m_first is None:
+            if m_first is None and m_owner not in inherit_base:
                 m_first = snap_first_by_id.get(m_owner)
+            # a poisoned chain (inherit_base[owner] = None) never falls
+            # back to the snapshot base — that would re-hand ids the
+            # earlier manifest already consumed
         consumed = 0  # ids this manifest's ADDED files take from the base
         derivable = m_first is not None
         for entry in entries:
@@ -264,31 +267,17 @@ def plan_files(
                 # derive an omitted first_row_id for ADDED files (status
                 # 1) only — EXISTING entries were assigned in an earlier
                 # snapshot and must carry their value explicitly, so a
-                # null there stays null (pre-lineage file).
-                if (
-                    lineage_v3 and derivable
-                    and rec.get("first_row_id") is None
-                    and entry.get("status") == 1
-                ):
-                    rc = df.get("record_count")
-                    if rc is None:
-                        # can't advance the counter — assigning past this
-                        # point would hand out overlapping ids
-                        derivable = False
-                    else:
-                        rec["first_row_id"] = int(m_first) + consumed
-                        consumed += int(rc)
-                elif (
-                    lineage_v3 and entry.get("status") == 1
-                    and rec.get("first_row_id") is None
-                ):
-                    pass  # no base: pre-lineage snapshot, ids stay null
-                elif lineage_v3 and entry.get("status") == 1:
-                    # explicit files consume from the same manifest range
+                # null there stays null (pre-lineage file).  Explicit
+                # ADDED files consume from the same manifest range; a
+                # missing record_count stops derivation (assigning past
+                # it would hand out overlapping ids).
+                if lineage_v3 and entry.get("status") == 1:
                     rc = df.get("record_count")
                     if rc is None:
                         derivable = False
                     else:
+                        if derivable and rec.get("first_row_id") is None:
+                            rec["first_row_id"] = int(m_first) + consumed
                         consumed += int(rc)
                 data.append(rec)
             else:
@@ -304,13 +293,15 @@ def plan_files(
                         df.get("content_size_in_bytes") or 0
                     )
                 deletes.append(rec)
-        if (
-            lineage_v3 and m_first is not None
-            and (m.get("content", 0) or 0) == 0
-        ):
-            # the next inherited manifest of this snapshot starts after
-            # the rows this one consumed (manifest-list order)
-            inherit_base[m_owner] = int(m_first) + consumed
+        if lineage_v3 and (m.get("content", 0) or 0) == 0:
+            if m_first is not None and derivable:
+                # the next inherited manifest of this snapshot starts
+                # after the rows this one consumed (manifest-list order)
+                inherit_base[m_owner] = int(m_first) + consumed
+            elif not derivable:
+                # unknown record_count mid-manifest: poison the owner's
+                # chain — later manifests must not derive a wrong base
+                inherit_base[m_owner] = None
     return data, deletes, meta
 
 
@@ -461,6 +452,16 @@ def _iceberg_type_to_spark(t) -> str:
     )
 
 
+def strip_scheme_col(col):
+    """Column-side twin of :func:`norm_path`: scheme-strip a STORED
+    path column (delete-file contents, DV references) — literal names,
+    never percent-decoded (that belongs to ``_metadata``-derived
+    stamps, which Spark URI-encodes)."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, "^file:/+", "/")
+
+
 def _delete_file_columns(path: str, ids, cols):
     """Physical column name per equality id inside a delete parquet:
     field-id metadata (``PARQUET:field_id``) wins — the delete file
@@ -597,17 +598,11 @@ def _apply_row_deletes(
     pdv = [d for d in pos_all if d.get("content_offset") is not None]
     pos = [d for d in pos_all if d.get("content_offset") is None]
     pos_frames = []
-    # stored paths (delete-file contents, DV references) are LITERAL —
-    # scheme-strip only; decoding belongs to the _metadata side (r11,
-    # see norm_path)
-    def strip(col):
-        return F.regexp_replace(col, "^file:/+", "/")
-
     if pos:
         pos_frames.append(
             spark.read.parquet(*[d["path"] for d in pos])
             .select(
-                strip(F.col("file_path")).alias("__dfp__"),
+                strip_scheme_col(F.col("file_path")).alias("__dfp__"),
                 F.col("pos").alias("__dpos__"),
             )
         )
@@ -639,7 +634,8 @@ def _apply_row_deletes(
                 ),
                 "__dfp_raw string, __dpos__ long",
             ).select(
-                strip(F.col("__dfp_raw")).alias("__dfp__"), "__dpos__"
+                strip_scheme_col(F.col("__dfp_raw")).alias("__dfp__"),
+                "__dpos__",
             )
         )
     if pos_frames:
@@ -1480,14 +1476,10 @@ def read_iceberg_changelog(
                 if d["content"] == 1 and d.get("content_offset") is not None
             ]
             if pos_files:
-                # stored delete-file contents are LITERAL paths (r11):
-                # scheme-strip only, no decode
                 pos_pairs = spark.read.parquet(
                     *[d["path"] for d in pos_files]
                 ).select(
-                    F.regexp_replace(
-                        F.col("file_path"), "^file:/+", "/"
-                    ).alias("__dfp__"),
+                    strip_scheme_col(F.col("file_path")).alias("__dfp__"),
                     F.col("pos").alias("__dpos__"),
                 )
             if pdv:
