@@ -4851,10 +4851,6 @@ def _append_delete_files_once(
         if s.get("schema-id", 0) == prev_meta.get("current-schema-id", 0)
     )
     schema_json = json.dumps(cur_schema)
-    # the delete manifest declares partition_spec_id 0, so its partition
-    # record must carry spec-0's REAL fields (all-null for global position
-    # deletes) — an empty record would contradict the declared spec for
-    # external spec-compliant readers on a partitioned table
     from pipeline_spark.functions.icebergpart import spec_field_avro_type
 
     spec0 = next(
@@ -4880,13 +4876,39 @@ def _append_delete_files_once(
         }
         for i, sf in enumerate(spec0.get("fields", []))
     ]
+    # this writer's deletes are GLOBAL (path-addressed positions /
+    # table-wide equality keys), and the spec scopes a delete manifest
+    # by its declared partition: on a PARTITIONED table an all-null
+    # record under spec-0 reads as the NULL partition to strict readers
+    # (iceberg-java's DeleteFileIndex), silently missing every real
+    # partition.  Declare delete manifests under an UNPARTITIONED spec
+    # instead — registered in the table metadata if not already there
+    # (r11; spec: global equality deletes use the unpartitioned spec).
+    del_spec = spec0
+    added_spec = None
+    if spec0.get("fields"):
+        del_spec = next(
+            (sp for sp in prev_meta.get("partition-specs", [])
+             if not sp.get("fields")),
+            None,
+        )
+        if del_spec is None:
+            del_spec = {
+                "spec-id": max(
+                    (int(sp.get("spec-id", 0))
+                     for sp in prev_meta.get("partition-specs", [])),
+                    default=0,
+                ) + 1,
+                "fields": [],
+            }
+            added_spec = del_spec
     manifest_bytes = write_ocf_bytes(
-        _manifest_entry_schema(part_avro_fields, dv_fields=any_dv),
+        _manifest_entry_schema([], dv_fields=any_dv),
         entries,
         extra_meta={
             "schema": schema_json,
-            "partition-spec": json.dumps(spec0.get("fields", [])),
-            "partition-spec-id": str(spec0.get("spec-id", 0)),
+            "partition-spec": json.dumps(del_spec.get("fields", [])),
+            "partition-spec-id": str(del_spec.get("spec-id", 0)),
             "format-version": "3" if any_dv else "2",
             "content": "deletes",
         },
@@ -5002,7 +5024,7 @@ def _append_delete_files_once(
         {
             "manifest_path": manifest_path,
             "manifest_length": len(manifest_bytes),
-            "partition_spec_id": 0,
+            "partition_spec_id": int(del_spec.get("spec-id", 0)),
             "content": 1,  # delete manifest
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -5061,6 +5083,10 @@ def _append_delete_files_once(
             updates.append(
                 {"action": "upgrade-format-version", "format-version": 3}
             )
+        if added_spec is not None:
+            # the delete manifest declares the unpartitioned spec —
+            # the catalog metadata must know it (default stays spec0)
+            updates.append({"action": "add-spec", "spec": added_spec})
         updates += [
             {"action": "add-snapshot", "snapshot": snapshot},
             {"action": "set-snapshot-ref", "ref-name": "main",
@@ -5076,6 +5102,13 @@ def _append_delete_files_once(
         )
         return
     meta = dict(prev_meta)
+    if added_spec is not None:
+        # register the unpartitioned spec the delete manifest declares
+        # (default-spec-id unchanged; no partition fields, so
+        # last-partition-id is untouched)
+        meta["partition-specs"] = (
+            list(prev_meta.get("partition-specs", [])) + [added_spec]
+        )
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
     meta["current-snapshot-id"] = snapshot_id

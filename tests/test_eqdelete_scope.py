@@ -54,6 +54,29 @@ def _scope_delete_manifests(tbl, partition):
                 df["partition"] = dict(partition)
                 touched = True
         if touched:
+            # a foreign partition-scoped delete carries the partition
+            # record under the table's PARTITIONED spec — widen the
+            # (possibly empty) partition record type to hold the values
+            def _rec(t):
+                return t if isinstance(t, dict) else None
+            for f in schema_json["fields"]:
+                if f["name"] != "data_file":
+                    continue
+                dtype = _rec(f["type"]) or next(
+                    x for x in f["type"] if isinstance(x, dict))
+                for df_f in dtype["fields"]:
+                    if df_f["name"] == "partition":
+                        prec = _rec(df_f["type"]) or next(
+                            x for x in df_f["type"] if isinstance(x, dict))
+                        have = {pf["name"] for pf in prec["fields"]}
+                        for i, k in enumerate(sorted(partition)):
+                            if k not in have:
+                                prec["fields"].append({
+                                    "name": k,
+                                    "type": ["null", "string"],
+                                    "default": None,
+                                    "field-id": 1000 + i,
+                                })
             extra = {k: v.decode() for k, v in ometa.items()
                      if k not in ("avro.schema", "avro.codec")}
             with open(mp, "wb") as fh:
@@ -217,3 +240,45 @@ def test_nasty_partition_values_roundtrip(spark, tmp_path, val):
         r["id"] for r in read_iceberg_native(spark, {"path": tbl}).collect()
     )
     assert got == [0, 1, 3]
+
+
+def test_global_delete_manifest_declares_unpartitioned_spec(spark, tmp_path):
+    """r11 interop: this writer's deletes are GLOBAL, and the spec
+    scopes a delete manifest by its declared partition — on a
+    partitioned table the manifest must declare an UNPARTITIONED spec
+    (registered in table metadata), or strict readers (iceberg-java's
+    DeleteFileIndex) scope it to the null partition and miss every
+    real row."""
+    from pipeline_spark.functions.avroocf import (
+        read_ocf_file,
+        read_ocf_file_with_meta,
+    )
+
+    tbl, rows = _mk_partitioned(spark, tmp_path, "uspec")
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 1}]})
+    meta = load_table_metadata(tbl)
+    specs = {sp["spec-id"]: sp for sp in meta["partition-specs"]}
+    unpart = [sid for sid, sp in specs.items() if not sp.get("fields")]
+    assert unpart, "unpartitioned spec not registered"
+    assert specs[meta["default-spec-id"]]["fields"]  # default unchanged
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    _, mans = read_ocf_file(_strip_scheme(snap["manifest-list"]))
+    dels = [m for m in mans if m.get("content") == 1]
+    assert dels and all(
+        m["partition_spec_id"] == unpart[0] for m in dels
+    )
+    # the manifest's embedded spec metadata agrees
+    for m in dels:
+        _, mmeta, _ = read_ocf_file_with_meta(
+            _strip_scheme(m["manifest_path"]))
+        assert mmeta["partition-spec"].decode() == "[]"
+        assert int(mmeta["partition-spec-id"].decode()) == unpart[0]
+    # and the read still applies the delete globally
+    got = _rows(spark, tbl)
+    assert got == sorted((i, p) for i, p in rows if i != 1)
+    # a SECOND delete reuses the registered spec (no duplicate)
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 2}]})
+    meta2 = load_table_metadata(tbl)
+    assert len([sp for sp in meta2["partition-specs"]
+                if not sp.get("fields")]) == 1

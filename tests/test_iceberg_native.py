@@ -1047,9 +1047,12 @@ def test_append_matching_schema_reuses_field_ids(spark, tmp_path):
 
 
 def test_delete_manifest_carries_spec_partition_record(spark, tmp_path):
-    """ADVICE r4: delete manifests on a partitioned table must encode
-    spec-0's real partition fields (all-null for global position deletes),
-    not an empty record contradicting the declared spec id."""
+    """ADVICE r4, superseded r11: a GLOBAL delete's manifest on a
+    partitioned table declares a registered UNPARTITIONED spec with an
+    empty partition record — the spec scopes delete application by the
+    manifest's partition, so an all-null record under spec-0 would read
+    as the NULL partition to strict readers (iceberg-java's
+    DeleteFileIndex) and miss every real partition."""
     from pipeline_spark.sinks.iceberg_native import delete_iceberg_native
 
     tbl = str(tmp_path / "ice_part_del")
@@ -1083,13 +1086,13 @@ def test_delete_manifest_carries_spec_partition_record(spark, tmp_path):
     part_record = next(
         f["type"] for f in data_file_schema["fields"] if f["name"] == "partition"
     )
-    names = [f["name"] for f in part_record["fields"]]
-    fids = [f.get("field-id") for f in part_record["fields"]]
-    assert names == ["par"] and fids == [1000]
-    # global position deletes: partition values are null
+    assert part_record["fields"] == []  # unpartitioned record
+    # the declared spec id is a REGISTERED unpartitioned spec
+    specs = {sp["spec-id"]: sp for sp in meta["partition-specs"]}
+    assert not specs[delete_manifest["partition_spec_id"]].get("fields")
+    assert specs[meta["default-spec-id"]]["fields"]  # default unchanged
     entries = list(entries)
-    assert all(e["data_file"]["partition"]["par"] is None for e in entries)
-    # embedded spec metadata is the table's real spec, not []
+    assert all(e["data_file"]["partition"] == {} for e in entries)
     after = read_iceberg_native(spark, {"path": tbl})
     assert sorted(r["id"] for r in after.collect()) == list(range(3, 20))
 
