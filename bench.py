@@ -60,7 +60,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "bloom_dedup",
     "topk_words",
-    "bpe_train",
+    "bpe_train_encode",
     "bpe_wordcounts",
     "profile_documents",
     "asof_join",

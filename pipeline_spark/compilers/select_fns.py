@@ -84,8 +84,11 @@ def _cast_bigdecimal(src: Column, df) -> Column:
     """Cast semantics for string-backed big decimals (decimal(76,38) /
     "BIGDECIMAL"):
 
-    - string sources pass through TRIMMED — a full 76-digit literal
-      survives intact (no Spark numeric type could hold it);
+    - string sources pass through TRIMMED when they parse as a decimal
+      literal (optional sign / fraction / exponent — a full 76-digit
+      literal survives intact, no Spark numeric type could hold it);
+      non-numeric strings yield NULL like every other Spark numeric
+      cast (and BigDecimal's parse, which rejects garbage);
     - integral / decimal / date / boolean sources cast straight to
       string (Spark renders all of them plain, never scientific);
     - float/double render through decimal(38,18) while |x| < 1e20 and
@@ -105,7 +108,10 @@ def _cast_bigdecimal(src: Column, df) -> Column:
         except Exception:
             dt = None
     if isinstance(dt, T.StringType):
-        return F.trim(src)
+        t = F.trim(src)
+        return F.when(
+            t.rlike(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"), t
+        ).otherwise(F.lit(None).cast("string"))
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                        T.DecimalType, T.BooleanType, T.DateType)):
         return src.cast("string")

@@ -618,6 +618,13 @@ def bpe_train_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     and emits (word, freq) instead — the only corpus-scale stage, and
     the SQL-checkable one; the driver-side merge loop is pinned by
     hand-computed parity tests.
+
+    ``encodeText: <str>`` (r12) trains as usual, then encodes the given
+    held-out string with the learned merge table through the same
+    distributed BPE UDF the tokenize module uses, emitting
+    (pos, token) — a deterministic function of the corpus, which makes
+    the full train+apply path oracle-checkable against a precomputed
+    token table.
     """
     p = ctx.params
     text_field = p.get("field") or p.get("textField", "text")
@@ -638,6 +645,15 @@ def bpe_train_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     merges = bpe_train_merges(
         wf, num_merges, end_of_word=str(p.get("endOfWord", ""))
     )
+    encode_text = p.get("encodeText")
+    if encode_text is not None:
+        ranks = {m: i for i, m in enumerate(merges)}
+        one = ctx.spark.createDataFrame([(str(encode_text),)], "text string")
+        toks = bpe_tokens_udf(ranks, str(p.get("endOfWord", "")))
+        enc = one.select(
+            F.posexplode(toks(F.col("text"))).alias("pos", "token")
+        )
+        return {"": enc}
     rows = [
         (i, left, right, left + right) for i, (left, right) in enumerate(merges)
     ]

@@ -4851,8 +4851,6 @@ def _append_delete_files_once(
         if s.get("schema-id", 0) == prev_meta.get("current-schema-id", 0)
     )
     schema_json = json.dumps(cur_schema)
-    from pipeline_spark.functions.icebergpart import spec_field_avro_type
-
     spec0 = next(
         (
             sp
@@ -4861,21 +4859,6 @@ def _append_delete_files_once(
         ),
         {"fields": []},
     )
-    src_types = {f["id"]: f["type"] for f in cur_schema["fields"]}
-    part_avro_fields = [
-        {
-            "name": sf["name"],
-            "type": [
-                "null",
-                spec_field_avro_type(
-                    sf["transform"], str(src_types.get(sf.get("source-id"), ""))
-                ),
-            ],
-            "default": None,
-            "field-id": sf.get("field-id", 1000 + i),
-        }
-        for i, sf in enumerate(spec0.get("fields", []))
-    ]
     # this writer's deletes are GLOBAL (path-addressed positions /
     # table-wide equality keys), and the spec scopes a delete manifest
     # by its declared partition: on a PARTITIONED table an all-null
@@ -4971,6 +4954,27 @@ def _append_delete_files_once(
             for e in data_entries:
                 e["data_file"]["first_row_id"] = _ufrid
                 _ufrid += int(e["data_file"]["record_count"])
+        # the DATA manifest (unlike the delete manifest, which declares
+        # an unpartitioned spec) carries the table's default spec — its
+        # avro partition-record fields come from the spec transforms
+        from pipeline_spark.functions.icebergpart import spec_field_avro_type
+
+        src_types = {f["id"]: f["type"] for f in cur_schema["fields"]}
+        part_avro_fields = [
+            {
+                "name": sf["name"],
+                "type": [
+                    "null",
+                    spec_field_avro_type(
+                        sf["transform"],
+                        str(src_types.get(sf.get("source-id"), "")),
+                    ),
+                ],
+                "default": None,
+                "field-id": sf.get("field-id", 1000 + i),
+            }
+            for i, sf in enumerate(spec0.get("fields", []))
+        ]
         dm_path = os.path.join(meta_dir, f"{commit_uuid}-m1.avro")
         dm_bytes = write_ocf_bytes(
             _manifest_entry_schema(

@@ -505,16 +505,36 @@ def plan_equality_deletes(spark, eq: list[dict], data: list[dict], meta: dict):
 
     from pyspark.sql import functions as F
 
+    # Scope identity is (partition_spec_id, partition record) — Iceberg's
+    # DeleteFileIndex keys partition-scoped deletes by spec id, so a
+    # spec-N delete never applies to a spec-M data file even when the
+    # record dicts coincide, and a PARTITIONED spec's all-null record is
+    # the legitimate null-partition scope, not global.  Global scope is
+    # what an UNPARTITIONED spec declares (this repo's sink writes
+    # global-delete manifests under one since r11).  Unknown spec ids
+    # (no declaration in metadata) keep the pre-r12 inference: all-null
+    # or absent record => global.
+    spec_fields: dict[int, list] = {}
+    for s in meta.get("partition-specs") or []:
+        spec_fields[int(s.get("spec-id", 0) or 0)] = s.get("fields") or []
+    if not spec_fields and meta.get("partition-spec") is not None:
+        spec_fields[int(meta.get("default-spec-id", 0) or 0)] = (
+            meta.get("partition-spec") or []
+        )
+
     def part_key(rec) -> str:
-        # an ALL-NULL record means GLOBAL, not the null partition: this
-        # repo's delete manifests declare the table's spec with null
-        # values for global deletes (sinks/iceberg_native.py
-        # _append_delete_files_once), and spec-compliant global deletes
-        # come under an unpartitioned spec (no record at all)
+        sid = int(rec.get("spec_id", 0) or 0)
+        fields = spec_fields.get(sid)
+        if fields is not None and not fields:
+            return ""  # unpartitioned spec: global scope
         p = rec.get("partition") or {}
-        if not p or all(v is None for v in p.values()):
+        if not p:
             return ""
-        return _json.dumps(p, sort_keys=True, default=str)
+        if fields is None and all(v is None for v in p.values()):
+            return ""  # undeclared spec: legacy all-null => global
+        return _json.dumps(
+            {"__spec__": sid, **p}, sort_keys=True, default=str
+        )
 
     id2name = _field_names_by_id(meta)
     seq_rows = [

@@ -751,9 +751,16 @@ def stream_panes_with_state(
                                     else field
                                 )
                                 v = pdf[fcol].iloc[i]
+                                # NaN here is pandas' null coercion for
+                                # float/nullable-int columns; batch
+                                # collect_list / count_distinct skip nulls,
+                                # and NaN hashes by identity (py3.10+) so
+                                # buffering it would count every null row
+                                # as a new distinct value. Scalar-guarded:
+                                # array-valued cells (array_agg over an
+                                # array column) can't be NaN-compared.
                                 if v is None or (
-                                    op in ("median", "percentile")
-                                    and v != v
+                                    pd.api.types.is_scalar(v) and v != v
                                 ):
                                     continue
                                 if op == "count_distinct" or (

@@ -129,3 +129,27 @@ def test_constant_float_plain_notation(spark):
     ]).collect()[0]
     assert out["tiny"] == "0.0000001"
     assert out["big"] == "1" + "0" * 21
+
+
+def test_invalid_string_casts_to_null(spark):
+    """r12 (ADVICE): a non-numeric string must yield NULL like every
+    other Spark numeric cast (and BigDecimal's parse, which rejects
+    garbage) — not pass through as a bogus bigdecimal value.  Valid
+    decimal literals (sign / fraction / exponent) still pass intact."""
+    vals = [
+        ("abc", None), ("", None), ("1.2.3", None), ("12a", None),
+        ("NaN", None), ("Infinity", None), ("1,5", None), (".", None),
+        ("e5", None), ("+", None),
+        ("42", "42"), ("-7.25", "-7.25"), ("+.5", "+.5"), ("3.", "3."),
+        ("1.5E10", "1.5E10"), ("2e-3", "2e-3"),
+        ("  99  ", "99"),  # trimmed
+        (None, None),
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in vals], "raw string")
+    out = apply_select(df, [
+        {"name": "raw", "field": "raw"},
+        {"name": "bd", "field": "raw", "type": "bigdecimal"},
+    ]).collect()
+    got = {r["raw"]: r["bd"] for r in out}
+    for v, want in vals:
+        assert got[v] == want, (v, got[v], want)

@@ -38,11 +38,18 @@ def _scope_delete_manifests(tbl, partition):
     )
 
     meta = load_table_metadata(tbl)
+    # a real foreign writer declares the PARTITIONED spec on a scoped
+    # delete manifest (r12: scope identity is (spec_id, record), so an
+    # all-null/unpartitioned-spec manifest reads as global)
+    spec_id = int(meta.get("default-spec-id", 0) or 0)
     snap = next(
         s for s in meta["snapshots"]
         if s["snapshot-id"] == meta["current-snapshot-id"]
     )
-    _, mans = read_ocf_file(_strip_scheme(snap["manifest-list"]))
+    ml_path = _strip_scheme(snap["manifest-list"])
+    ml_schema, ml_meta, ml_recs = read_ocf_file_with_meta(ml_path)
+    mans = list(ml_recs)
+    retouched = []
     for m in mans:
         mp = _strip_scheme(m["manifest_path"])
         schema_json, ometa, recs = read_ocf_file_with_meta(mp)
@@ -54,6 +61,8 @@ def _scope_delete_manifests(tbl, partition):
                 df["partition"] = dict(partition)
                 touched = True
         if touched:
+            m["partition_spec_id"] = spec_id
+            retouched.append(m)
             # a foreign partition-scoped delete carries the partition
             # record under the table's PARTITIONED spec — widen the
             # (possibly empty) partition record type to hold the values
@@ -79,8 +88,21 @@ def _scope_delete_manifests(tbl, partition):
                                 })
             extra = {k: v.decode() for k, v in ometa.items()
                      if k not in ("avro.schema", "avro.codec")}
+            import json as _json
+            spec = next(
+                (sp for sp in meta.get("partition-specs", [])
+                 if int(sp.get("spec-id", 0)) == spec_id),
+                {"fields": []},
+            )
+            extra["partition-spec-id"] = str(spec_id)
+            extra["partition-spec"] = _json.dumps(spec.get("fields", []))
             with open(mp, "wb") as fh:
                 fh.write(write_ocf_bytes(schema_json, rows, extra_meta=extra))
+    if retouched:
+        extra = {k: v.decode() for k, v in ml_meta.items()
+                 if k not in ("avro.schema", "avro.codec")}
+        with open(ml_path, "wb") as fh:
+            fh.write(write_ocf_bytes(ml_schema, mans, extra_meta=extra))
 
 
 def _mk_partitioned(spark, tmp_path, name="pt", pars=("x", "y")):
@@ -282,3 +304,77 @@ def test_global_delete_manifest_declares_unpartitioned_spec(spark, tmp_path):
     meta2 = load_table_metadata(tbl)
     assert len([sp for sp in meta2["partition-specs"]
                 if not sp.get("fields")]) == 1
+
+
+def test_scope_key_includes_spec_identity(spark):
+    """r12: scope identity is (partition_spec_id, record) — under
+    partition-spec EVOLUTION a spec-1 scoped delete must not apply to a
+    spec-0 data file whose partition record is coincidentally equal
+    (iceberg-java DeleteFileIndex keys by spec id); an unpartitioned
+    spec reads as GLOBAL; a PARTITIONED spec's all-null record is the
+    legitimate null-partition scope, not global."""
+    from pipeline_spark.sources.iceberg_native import plan_equality_deletes
+
+    meta = {
+        "schemas": [{"schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "type": "long"},
+            {"id": 2, "name": "par", "type": "string"},
+        ]}],
+        "partition-specs": [
+            {"spec-id": 0, "fields": [
+                {"name": "par", "transform": "identity",
+                 "source-id": 2, "field-id": 1000}]},
+            {"spec-id": 1, "fields": [
+                {"name": "par", "transform": "truncate[1]",
+                 "source-id": 2, "field-id": 1001}]},
+            {"spec-id": 2, "fields": []},
+        ],
+        "default-spec-id": 0,
+    }
+    data = [
+        {"path": "/t/a.parquet", "seq": 1, "spec_id": 0,
+         "partition": {"par": "x"}},
+        {"path": "/t/b.parquet", "seq": 1, "spec_id": 1,
+         "partition": {"par": "x"}},
+        {"path": "/t/c.parquet", "seq": 1, "spec_id": 2},
+        {"path": "/t/d.parquet", "seq": 1, "spec_id": 0,
+         "partition": {"par": None}},
+        {"path": "/t/e.parquet", "seq": 1, "spec_id": 1,
+         "partition": {"par": None}},
+    ]
+    seq_rows, groups = plan_equality_deletes(spark, [], data, meta)
+    keys = {p: k for p, _, k in seq_rows}
+    # same record dict, different spec => DIFFERENT scope
+    assert keys["/t/a.parquet"] != keys["/t/b.parquet"]
+    # unpartitioned spec => global
+    assert keys["/t/c.parquet"] == ""
+    # all-null record under a PARTITIONED spec: a real (null-partition)
+    # scope, distinct per spec, never global
+    assert keys["/t/d.parquet"] not in ("", keys["/t/a.parquet"])
+    assert keys["/t/e.parquet"] not in ("", keys["/t/d.parquet"])
+    # undeclared spec id keeps the legacy inference: all-null => global
+    legacy = {"path": "/t/f.parquet", "seq": 1, "spec_id": 9,
+              "partition": {"par": None}}
+    seq_rows2, _ = plan_equality_deletes(spark, [], [legacy], meta)
+    assert seq_rows2[0][2] == ""
+
+
+def test_null_partition_scoped_eq_delete(spark, tmp_path):
+    """A foreign delete scoped to the NULL partition (partitioned spec,
+    all-null record) deletes only null-partition rows — before r12 the
+    all-null record was inferred as GLOBAL and over-applied table-wide."""
+    tbl = str(tmp_path / "nullpart")
+    rows = [(0, "x"), (1, "x"), (0, None), (1, None), (1, "y")]
+    write_iceberg_native(
+        spark.createDataFrame(rows, "id long, par string"),
+        {"path": tbl, "mode": "create", "partitionBy": ["par"]},
+    )
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 1}]})
+    _scope_delete_manifests(tbl, {"par": None})
+    got = {
+        (r["id"], r["par"])
+        for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    }
+    assert got == {
+        (i, p) for i, p in rows if not (i == 1 and p is None)
+    }, got

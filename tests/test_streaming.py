@@ -415,7 +415,9 @@ def _write_stream_files(tmp_path, name, batches):
     for i, rows in enumerate(batches):
         tbl = pa.table({
             "k": pa.array([r[0] for r in rows]),
-            "v": pa.array([float(r[1]) for r in rows]),
+            "v": pa.array([
+                None if r[1] is None else float(r[1]) for r in rows
+            ], pa.float64()),
             "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
         })
         f = in_dir / f"b{i}.parquet"
@@ -1886,6 +1888,65 @@ sinks:
     assert sorted(r["vals"]) == [1.0, 2.0, 4.0, 8.0, 8.0]
     assert sorted(r["uniq"]) == [1.0, 2.0, 4.0, 8.0]
     assert r["nd"] == 4
+
+
+def test_executor_panes_buffered_ops_skip_nulls(spark, tmp_path):
+    """r12 (ADVICE): nulls in a float column reach the buffered insert
+    loop as pandas NaN; batch collect_list / count_distinct skip nulls,
+    and NaN hashes by identity (py3.10+) so buffering it would count
+    EVERY null row as a new distinct value.  array_agg / count_distinct
+    must skip them like median/percentile already did."""
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    in_dir = _write_stream_files(tmp_path, "xnull_in", [
+        [("a", 1.0, base.replace(second=5)), ("a", None, base.replace(second=10))],
+        [("a", None, base.replace(second=20)), ("a", 2.0, base.replace(second=25))],
+        [("wm", 0.0, dt.datetime(2100, 1, 1, 0, 0, 5))],
+    ])
+    out_dir = str(tmp_path / "xnull_out")
+    cfg = f"""
+sources:
+  - name: events
+    module: storage
+    parameters:
+      format: parquet
+      input: {in_dir}
+      mode: streaming
+      maxFilesPerTrigger: 1
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [events]
+    timestampAttribute: ts
+    strategy:
+      window: {{type: fixed, size: 1, unit: minute}}
+      allowedLateness: 5
+      trigger:
+        type: afterWatermark
+        earlyFiringTrigger: {{type: afterProcessingTime, pastFirstElementDelay: 1}}
+      accumulationMode: accumulating
+      paneStateBackend: executor
+      paneAllowUnboundedState: true
+    parameters:
+      groupFields: [k]
+      aggregations:
+        - {{name: vals, op: array_agg, field: v}}
+        - {{name: nd, op: count_distinct, field: v}}
+        - {{name: med, op: median, field: v}}
+sinks:
+  - name: out
+    module: storage
+    inputs: [agg]
+    parameters:
+      format: parquet
+      output: {out_dir}
+      availableNow: true
+"""
+    run_pipeline(spark, parse_config(cfg))
+    rows = [r for r in spark.read.parquet(out_dir).collect() if r["k"] == "a"]
+    r = max(rows, key=lambda r: len(r["vals"]))  # final (accumulated) pane
+    assert sorted(r["vals"]) == [1.0, 2.0]
+    assert r["nd"] == 2
+    assert r["med"] == 1.5
 
 
 def test_executor_panes_buffered_refuses_without_opt_in(spark):
