@@ -4356,139 +4356,9 @@ def q_streaming_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes.  Covers count/sum plus the r7 champion-state ops
     (first/last by event time).  Reference: module/Strategy.java:232-343
     trigger surface."""
-    import shutil
-    import time as _time
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    base = _tmp_path("stream_panes", sf_dir)
-    shutil.rmtree(base, ignore_errors=True)
-    in_dir = os.path.join(base, "in")
-    out_dir = os.path.join(base, "out")
-    os.makedirs(in_dir)
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .where(F.col("event_id") % 8 == 0)
-        .select("ts", "event_type", "value")
-        .orderBy("ts")
-        .toPandas()
-    )
-    f0 = os.path.join(in_dir, "b0.parquet")
-    # every input file must carry the SAME timestamp unit (us): toPandas
-    # yields ns, and a ns-typed first file makes the stream's inferred
-    # schema disagree with the us-typed sentinels — their 2100 event
-    # times then mis-scale to 1970, land behind the watermark, and the
-    # final panes never flush
-    pq.write_table(
-        pa.table({
-            "ts": pa.Array.from_pandas(ev["ts"]).cast(pa.timestamp("us")),
-            "event_type": pa.array(ev["event_type"].tolist()),
-            "value": pa.array(ev["value"].tolist(), pa.float64()),
-        }),
-        f0,
-    )
-    # THREE far-future sentinel files push the watermark past every real
-    # window across successive micro-batches (watermark visibility lags
-    # the data by up to two batches), so the EventTimeTimeout timers
-    # flush each final pane ON_TIME during a DATA batch — no reliance on
-    # the trailing no-data batch (trailing-edge contract documented in
-    # streaming/panes.py)
-    import datetime as _dt
-
-    for i, sent_ts in enumerate(
-        (_dt.datetime(2100, 1, 1), _dt.datetime(2100, 1, 2),
-         _dt.datetime(2100, 1, 3))
-    ):
-        fi = os.path.join(in_dir, f"b{i + 1}.parquet")
-        pq.write_table(
-            pa.table({
-                "ts": pa.array([sent_ts], pa.timestamp("us")),
-                "event_type": pa.array(["__wm__"]),
-                "value": pa.array([0.0], pa.float64()),
-            }),
-            fi,
-        )
-        os.utime(fi, (_time.time() - 50 + i * 10,) * 2)
-    now = _time.time()
-    os.utime(f0, (now - 100, now - 100))
-    run_pipeline(spark, parse_config(f"""
-sources:
-  - name: events
-    module: storage
-    parameters:
-      format: parquet
-      input: {in_dir}
-      mode: streaming
-      maxFilesPerTrigger: 1
-transforms:
-  - name: agg
-    module: aggregation
-    inputs: [events]
-    timestampAttribute: ts
-    strategy:
-      window: {{type: calendar, unit: day}}
-      allowedLateness: 5
-      trigger:
-        type: afterWatermark
-        earlyFiringTrigger: {{type: afterPane, elementCountAtLeast: 1000000}}
-      paneStateBackend: executor
-      outputPaneInfo: true
-    parameters:
-      groupFields: [event_type]
-      aggregations:
-        - {{name: n, op: count}}
-        - {{name: total, op: sum, field: value}}
-        - {{name: fv, op: first, field: value}}
-        - {{name: lv, op: last, field: value}}
-sinks:
-  - name: out
-    module: storage
-    inputs: [agg]
-    parameters:
-      format: parquet
-      output: {out_dir}
-      availableNow: true
-"""))
-    return spark.read.parquet(out_dir)
-
-
-_BUFFERED_AGGS_YAML = """\
-        - {name: med, op: median, field: value}
-        - {name: p25, op: percentile, field: value, percentile: 0.25}
-        - {name: vals, op: array_agg, field: value}
-        - {name: nd, op: count_distinct, field: value}"""
-
-_SCALAR_AGGS_YAML = """\
-        - {name: s, op: sum, field: value}
-        - {name: av, op: avg, field: value}
-        - {name: mn, op: min, field: value}
-        - {name: mx, op: max, field: value}"""
-
-
-def stream_pane_bench_run(spark, sf_dir: str, buffered: bool) -> int:
-    """bench.py hook: run the buffered or scalar twin, return pane
-    count (materialization proof)."""
-    df = _stream_pane_variant(
-        spark, sf_dir,
-        aggs_yaml=_BUFFERED_AGGS_YAML if buffered else _SCALAR_AGGS_YAML,
-        allow_unbounded=buffered,
-        tag=f"panebench_{'buf' if buffered else 'scalar'}",
-    )
-    return df.count()
-
-
-def q_streaming_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Executor-pane BUFFERED aggregations (r11, VERDICT r10 missing
-    #3): exact median / percentile / array_agg / count_distinct on the
-    executor backend via strategy.paneAllowUnboundedState — keyed state
-    buffers each window's elements, the EventTimeTimeout flush emits
-    one ON_TIME pane per (day, type), and every buffered value must
-    equal the batch aggregate the oracle computes (array_agg pinned by
-    size + sum so float-array formatting never enters the hash)."""
     panes = _stream_pane_variant(
-        spark, sf_dir, aggs_yaml=_BUFFERED_AGGS_YAML,
-        allow_unbounded=True, tag="stream_buf",
+        spark, sf_dir, aggs_yaml=_PANES_AGGS_YAML,
+        allow_unbounded=False, tag="stream_panes",
     )
     return (
         panes.where(F.col("__pane__.timing") == "ON_TIME")
@@ -4503,6 +4373,13 @@ def q_streaming_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+_PANES_AGGS_YAML = """\
+        - {name: n, op: count}
+        - {name: total, op: sum, field: value}
+        - {name: fv, op: first, field: value}
+        - {name: lv, op: last, field: value}"""
 
 
 Q_STREAM_PANES_SQL = """

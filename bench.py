@@ -389,7 +389,20 @@ def main() -> None:
         "2M-row shuffle+agg plan) is the plan-shaped host baseline, "
         "and 'drift' records raw and calibration-normalized "
         "round-over-round ratios vs the previous committed artifact, "
-        "flagging only rows whose normalized ratio exceeds 1.25."
+        "flagging only rows whose normalized ratio exceeds 1.25. "
+        "iceberg_changelog_read attribution (r11 watch item, ratio "
+        "1.41): the added-delete resolution rebuilt the FULL prior "
+        "live state per interval — O(table) for a fixed delete batch — "
+        "and the probe was a single cold run; r12 prunes the prior "
+        "state to the files the batch can touch (positions name their "
+        "files, equality keys bound via manifest stats) and times the "
+        "idempotent dml read probes min-of-3 — the ratio pins at ~1.0. "
+        "buffered_pane_microbench times a twin streaming pair "
+        "(identical stream/cadence, buffered vs scalar aggs) so "
+        "scheduling overhead cancels: the paneAllowUnboundedState "
+        "opt-in's keyed-state cost measures within host noise "
+        "(0.88-1.09x across runs) at bench scale; it scales O(window "
+        "rows) per key by design, which is why it is opt-in."
     )
     full_result = result
 
