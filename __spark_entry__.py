@@ -6172,8 +6172,8 @@ Q_UNIFORM_RESYNC_SQL = """
 SELECT lang,
        count(*) AS n_delta,
        count(*) AS n_ice,
-       sum(n_chars) AS chars_delta,
-       sum(n_chars) AS chars_ice
+       CAST(sum(n_chars) AS BIGINT) AS chars_delta,
+       CAST(sum(n_chars) AS BIGINT) AS chars_ice
 FROM documents
 WHERE doc_id < 600
 GROUP BY lang
