@@ -108,9 +108,13 @@ def _cast_bigdecimal(src: Column, df) -> Column:
         except Exception:
             dt = None
     if isinstance(dt, T.StringType):
-        t = F.trim(src)
+        # trim ALL whitespace (Spark's numeric cast trimAll semantics —
+        # F.trim strips spaces only, so '42\n' must still parse) and
+        # anchor with \A/\z: Java's $ matches BEFORE a final newline,
+        # which would validate a string that still embeds one
+        t = F.regexp_replace(src, r"^\s+|\s+$", "")
         return F.when(
-            t.rlike(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"), t
+            t.rlike(r"\A[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?\z"), t
         ).otherwise(F.lit(None).cast("string"))
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                        T.DecimalType, T.BooleanType, T.DateType)):

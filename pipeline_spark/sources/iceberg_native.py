@@ -513,7 +513,12 @@ def plan_equality_deletes(spark, eq: list[dict], data: list[dict], meta: dict):
     # what an UNPARTITIONED spec declares (this repo's sink writes
     # global-delete manifests under one since r11).  Unknown spec ids
     # (no declaration in metadata) keep the pre-r12 inference: all-null
-    # or absent record => global.
+    # or absent record => global.  KNOWN one-way door: tables this
+    # engine wrote BEFORE r11 put global deletes under the partitioned
+    # spec with all-null values — those now read null-partition-scoped,
+    # exactly as iceberg-java reads them; re-commit the deletes (or
+    # compact) to migrate such a table.  Spec-strict beats self-compat
+    # here because every other reader already applies the strict rule.
     spec_fields: dict[int, list] = {}
     for s in meta.get("partition-specs") or []:
         spec_fields[int(s.get("spec-id", 0) or 0)] = s.get("fields") or []
@@ -1561,13 +1566,31 @@ def read_iceberg_changelog(
                     ))
             id2name = _field_names_by_id(meta)
             id2field = {f["id"]: f for f in _schema_fields(meta)}
+            # group the new equality-delete files by their equality_ids
+            # (like plan_equality_deletes): one key union, one bounds
+            # prune, one prior-state build, one semi-join PER GROUP —
+            # not per file.  Match columns resolve by FIELD ID against
+            # each delete parquet (_delete_file_columns), so a column
+            # renamed after the delete landed still resolves (the
+            # delete file carries the old physical name).
+            eq_groups: dict[tuple, list[dict]] = {}
             for d in added_dels:
                 if d["content"] != 2:
                     continue
-                cols = [id2name[i] for i in d["equality_ids"]]
-                keys = spark.read.parquet(d["path"]).select(*[
-                    F.col(c).alias(f"__eq_{c}__") for c in cols
-                ]).distinct()
+                eq_groups.setdefault(
+                    tuple(sorted(d["equality_ids"])), []
+                ).append(d)
+            for ids, files in eq_groups.items():
+                cols = [id2name[i] for i in ids]
+                keys = None
+                for d in files:
+                    phys = _delete_file_columns(d["path"], ids, cols)
+                    one = spark.read.parquet(d["path"]).select(*[
+                        F.col(pc).alias(f"__eq_{c}__")
+                        for pc, c in zip(phys, cols)
+                    ])
+                    keys = one if keys is None else keys.unionByName(one)
+                keys = keys.distinct()
                 # key bounds over the (batch-sized) delete file: range-
                 # prune the prior state by manifest stats.  Columns with
                 # null keys or non-primitive bounds don't prune.

@@ -756,9 +756,16 @@ def stream_panes_with_state(
                                 # collect_list / count_distinct skip nulls,
                                 # and NaN hashes by identity (py3.10+) so
                                 # buffering it would count every null row
-                                # as a new distinct value. Scalar-guarded:
-                                # array-valued cells (array_agg over an
-                                # array column) can't be NaN-compared.
+                                # as a new distinct value. DOCUMENTED
+                                # DIVERGENCE: a GENUINE float NaN datum is
+                                # indistinguishable from a null after the
+                                # Arrow->pandas hand-off, so it is skipped
+                                # too (batch collect_list would keep it);
+                                # null-skipping is the common case and
+                                # wrong NaN-counting the worse failure.
+                                # Scalar-guarded: array-valued cells
+                                # (array_agg over an array column) can't
+                                # be NaN-compared.
                                 if v is None or (
                                     pd.api.types.is_scalar(v) and v != v
                                 ):

@@ -143,6 +143,11 @@ def test_invalid_string_casts_to_null(spark):
         ("42", "42"), ("-7.25", "-7.25"), ("+.5", "+.5"), ("3.", "3."),
         ("1.5E10", "1.5E10"), ("2e-3", "2e-3"),
         ("  99  ", "99"),  # trimmed
+        # Spark's numeric cast trimAll semantics: ALL whitespace trims
+        # (F.trim alone strips only spaces), and Java's $ would match
+        # before an embedded trailing newline — both covered (r12)
+        ("42\n", "42"), (" 7\t", "7"), ("\n8 ", "8"),
+        ("4\n2", None), ("9\nx", None),
         (None, None),
     ]
     df = spark.createDataFrame([(v,) for v, _ in vals], "raw string")

@@ -358,3 +358,56 @@ sources:
         assert sorted(r["id"] for r in nxt.collect()) == [2]
     finally:
         srv.shutdown()
+
+
+def test_eq_delete_changelog_survives_rename(spark, tmp_path):
+    """r12 (review find): the changelog's equality-delete resolution
+    used CURRENT schema names against the delete parquet — a column
+    renamed after the delete landed unresolved (the delete file still
+    carries the old physical name).  Field-id resolution fixes it, like
+    plan_equality_deletes already did for the MOR read."""
+    from pipeline_spark.sinks.iceberg_native import (
+        alter_iceberg_native,
+        equality_delete_iceberg_native,
+    )
+
+    tbl = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")], "ren")
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 2}]})
+    alter_iceberg_native(spark, {"path": tbl, "renameColumn": {"id": "key"}})
+    out = read_iceberg_changelog(spark, {"path": tbl})
+    got = sorted(
+        (r["_change_type"], r["key"], r["v"], r["_change_ordinal"])
+        for r in out.collect()
+    )
+    assert got == [
+        ("delete", 2, "b", 1),
+        ("insert", 1, "a", 0), ("insert", 2, "b", 0), ("insert", 3, "c", 0),
+    ]
+
+
+def test_multiple_eq_delete_files_one_group(spark, tmp_path):
+    """Several equality-delete files over the same key set in one
+    snapshot resolve through ONE key union + ONE prior-state build (the
+    r12 pruning refactor) — and the emitted deletes are exact."""
+    import os
+
+    from pipeline_spark.functions.avroocf import (
+        read_ocf_file_with_meta,
+        write_ocf_bytes,
+    )
+    from pipeline_spark.sinks.iceberg_native import (
+        equality_delete_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import (
+        _strip_scheme,
+        load_table_metadata,
+        plan_files,
+    )
+
+    tbl = _mk(spark, tmp_path, [(i, f"v{i}") for i in range(8)], "multi")
+    equality_delete_iceberg_native(
+        spark, {"path": tbl, "values": [{"id": 1}, {"id": 5}]}
+    )
+    out = read_iceberg_changelog(spark, {"path": tbl})
+    dels = [c for c in _changes(out) if c[0] == "delete"]
+    assert dels == [("delete", 1, "v1", 1), ("delete", 5, "v5", 1)]
