@@ -51,6 +51,12 @@ def _scope_delete_manifests(tbl, partition):
     mans = list(ml_recs)
     retouched = []
     for m in mans:
+        # only the CURRENT snapshot's delete manifests: a foreign
+        # writer scopes the delete it is committing, not every delete
+        # the table ever saw (stamping carried-forward manifests would
+        # retroactively re-scope earlier global deletes)
+        if m.get("added_snapshot_id") != snap["snapshot-id"]:
+            continue
         mp = _strip_scheme(m["manifest_path"])
         schema_json, ometa, recs = read_ocf_file_with_meta(mp)
         rows = list(recs)
@@ -378,3 +384,55 @@ def test_null_partition_scoped_eq_delete(spark, tmp_path):
     assert got == {
         (i, p) for i, p in rows if not (i == 1 and p is None)
     }, got
+
+
+def test_evolved_spec_partition_scoped_delete_e2e(spark, tmp_path):
+    """End-to-end spec evolution + scoped deletes: spec-0 partitions by
+    par, the spec evolves to par2, and a foreign delete scoped to a
+    spec-1 partition must hit only spec-1 files in that partition —
+    spec-0 files (whose records live in a different spec) stay intact,
+    and a GLOBAL delete still spans both generations."""
+    from pipeline_spark.sources.iceberg_native import plan_files
+
+    tbl = str(tmp_path / "evo")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, "x", "x") for i in range(4)],
+            "id long, par string, par2 string",
+        ),
+        {"path": tbl, "mode": "create", "partitionBy": ["par"]},
+    )
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, "x", "x") for i in range(4, 8)],
+            "id long, par string, par2 string",
+        ),
+        {"path": tbl, "mode": "append", "partitionBy": ["par2"],
+         "evolvePartitionSpec": True},
+    )
+    data, _, meta = plan_files(tbl)
+    assert {d["spec_id"] for d in data} == {0, 1}
+    # global delete (unpartitioned-spec manifest): spans BOTH specs
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 0}]})
+    got = sorted(
+        r["id"] for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert got == [1, 2, 3, 4, 5, 6, 7]
+    # foreign delete scoped to spec-1's par2='x' partition: id=1 lives
+    # only in a spec-0 file, so the scoped delete must NOT remove it —
+    # even though spec-0's record {par: 'x'} and spec-1's {par2: 'x'}
+    # both say 'x' for their own field
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 1}]})
+    _scope_delete_manifests(tbl, {"par2": "x"})
+    got = sorted(
+        r["id"] for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert 1 in got, "spec-1-scoped delete leaked onto a spec-0 file"
+    # and a spec-1 file's key scoped the same way DOES delete
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 5}]})
+    _scope_delete_manifests(tbl, {"par2": "x"})
+    got = sorted(
+        r["id"] for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+    assert 5 not in got and 1 in got
+    assert got == [1, 2, 3, 4, 6, 7]
