@@ -90,14 +90,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from pipeline_spark.streaming.triggers import _eval_tree, parse_trigger
 
-_PANE_FIELDS = T.StructType(
-    [
-        T.StructField("firing_time", T.DoubleType()),
-        T.StructField("index", T.IntegerType()),
-        T.StructField("timing", T.StringType()),
-        T.StructField("is_first", T.BooleanType()),
-    ]
-)
+from pipeline_spark.streaming.triggers import _PANE_STRUCT as _PANE_FIELDS
 
 _EXEC_OPS = (
     "count", "sum", "min", "max", "avg",
@@ -637,8 +630,12 @@ def stream_panes_with_state(
                 dts = str(ts.dtype)
                 if dts.startswith("datetime64"):
                     if session_tz not in ("UTC", "Etc/UTC", "GMT"):
+                        # ambiguous=True = first (DST) occurrence, never
+                        # NaT: a NaT epoch would become a NaN-keyed
+                        # window that never closes (NaN != NaN) and
+                        # leaks state per affected row
                         ts = ts.dt.tz_localize(
-                            session_tz, ambiguous="NaT",
+                            session_tz, ambiguous=True,
                             nonexistent="shift_forward",
                         )
                     # pandas 2 Arrow conversion can deliver any datetime64
@@ -654,8 +651,23 @@ def stream_panes_with_state(
                     epochs = ts.astype("int64") / div
                 else:
                     epochs = ts.astype("float64")
+                # hot path: per-row Series.iloc costs microseconds of
+                # pandas indexing per access — O(rows x aggs) of it
+                # dominated the fused operator.  Extract each referenced
+                # column ONCE per batch as a plain numpy array (lazy: a
+                # condition-guarded agg may reference columns absent
+                # from cheap batches) and index that.
+                epochs_np = epochs.to_numpy()
+                cols_np: dict[str, Any] = {}
+
+                def colv(c, _pdf=pdf, _cache=cols_np):
+                    a = _cache.get(c)
+                    if a is None:
+                        a = _cache[c] = _pdf[c].to_numpy()
+                    return a
+
                 for i in range(len(pdf)):
-                    e = float(epochs.iloc[i])
+                    e = float(epochs_np[i])
                     if wtype == "session":
                         # merging-window assignment: a point extends the
                         # session to [min(start, t), max(end, t+gap));
@@ -704,10 +716,10 @@ def stream_panes_with_state(
                             if op in ("first", "last", "argmax", "argmin"):
                                 vf, cf, gf = field
                                 if gf is not None:
-                                    g = pdf[gf].iloc[i]
+                                    g = colv(gf)[i]
                                     if g is None or g != g or not bool(g):
                                         continue  # condition guard
-                                c = e if cf == "\x00ts" else pdf[cf].iloc[i]
+                                c = e if cf == "\x00ts" else colv(cf)[i]
                                 if c is None or c != c:
                                     continue  # null/NaT ordering: skip
                                 cur = ws.args.get(name)
@@ -716,11 +728,11 @@ def stream_panes_with_state(
                                     (c > cur[0]) if want_max else (c < cur[0])
                                 ):
                                     ws.args[name] = (
-                                        c, pdf[vf].iloc[i], want_max
+                                        c, colv(vf)[i], want_max
                                     )
                                 continue
                             if op == "std":
-                                v = pdf[field[0]].iloc[i]
+                                v = colv(field[0])[i]
                                 if v is None or v != v:
                                     continue
                                 v = float(v)
@@ -733,12 +745,12 @@ def stream_panes_with_state(
                                 # two running sums (numerator v*w and the
                                 # v-guarded weight), both null-skipping —
                                 # the \x00w key merges like any sum
-                                vw = pdf[field[0]].iloc[i]
+                                vw = colv(field[0])[i]
                                 if vw is not None and vw == vw:
                                     ws.sums[name] = (
                                         ws.sums.get(name, 0.0) + float(vw)
                                     )
-                                wg = pdf[field[1]].iloc[i]
+                                wg = colv(field[1])[i]
                                 if wg is not None and wg == wg:
                                     wkey = name + "\x00w"
                                     ws.sums[wkey] = (
@@ -750,7 +762,7 @@ def stream_panes_with_state(
                                     field[0] if isinstance(field, tuple)
                                     else field
                                 )
-                                v = pdf[fcol].iloc[i]
+                                v = colv(fcol)[i]
                                 # NaN here is pandas' null coercion for
                                 # float/nullable-int columns; batch
                                 # collect_list / count_distinct skip nulls,
@@ -777,7 +789,7 @@ def stream_panes_with_state(
                                 else:
                                     ws.bufs.setdefault(name, []).append(v)
                                 continue
-                            v = pdf[field].iloc[i]
+                            v = colv(field)[i]
                             if v is None or v != v:
                                 continue
                             if op == "count":
@@ -839,8 +851,18 @@ def stream_panes_with_state(
             if ws.closed or not ws.dirty:
                 # fired/closed windows drop at close — rows behind the
                 # watermark are filtered before this operator (module
-                # docstring divergence #1), so nothing can arrive for them
-                if window_closed and (ws.closed or ws.on_time_fired):
+                # docstring divergence #1), so nothing can arrive for
+                # them.  Unconditional: a window whose LAST firing was a
+                # clean EARLY pane also evicts here (like the driver
+                # ledger, the final accumulation already left in that
+                # pane; no empty ON_TIME duplicate fires) — before r12 it
+                # lingered forever and re-armed the key's timer on every
+                # watermark advance.  finalTrigger-closed TIMED windows
+                # keep their tombstone until close (deleting early would
+                # let a pre-watermark straggler restart the pane index);
+                # a closed GLOBAL window's tombstone persists by design,
+                # bounded by key count.
+                if window_closed:
                     del windows[wk]
                 continue
             # count growth since last firing: the operator OWNS the
@@ -887,9 +909,10 @@ def stream_panes_with_state(
         if windows:
             state.update((pickle.dumps(windows),))
             open_ends = [
-                wk[1] for wk, ws in windows.items()
-                if wk is not None and not ws.closed and not ws.on_time_fired
-            ]
+                wk[1] for wk in windows
+                if wk is not None
+            ]  # every undeleted timed window (incl. closed tombstones)
+            #    needs a wake at its end to evict
             has_withheld = any(
                 ws.dirty and not ws.closed for ws in windows.values()
             )

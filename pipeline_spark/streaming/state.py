@@ -302,9 +302,20 @@ def streaming_duration_range_select(
         for pdf in pdfs:
             pdf = pdf.sort_values(order_field, kind="mergesort")
             ts = pdf[order_field]
-            if str(ts.dtype).startswith("datetime64"):
-                # second resolution, like the batch path's unix_timestamp
-                epochs = (ts.astype("int64") // 1_000_000_000).to_numpy()
+            dts = str(ts.dtype)
+            if dts.startswith("datetime64"):
+                # second resolution, like the batch path's unix_timestamp.
+                # pandas 2 Arrow conversion can deliver ANY datetime64
+                # unit (us from parquet-born frames, ns from Spark's own
+                # batches) — divide by the ACTUAL unit or every epoch is
+                # off by the unit ratio and the duration frames collapse
+                import re as _re
+
+                m = _re.search(r"\[(\w+)", dts)
+                div = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[
+                    m.group(1) if m else "ns"
+                ]
+                epochs = (ts.astype("int64") // div).to_numpy()
             else:
                 epochs = ts.astype("int64").to_numpy()
             vals = (
@@ -337,9 +348,18 @@ def streaming_duration_range_select(
                         res[i] = seg.max()
                     else:
                         res[i] = seg.mean()
-                out[name] = (
-                    res.astype("int64") if op == "count" else res
-                )
+                if op == "count":
+                    out[name] = res.astype("int64")
+                else:
+                    # empty/all-null frames are NULL in the batch Window
+                    # (the count-range twin converts the same way) — NaN
+                    # here would survive the Arrow hand-off as a double
+                    # NaN; object dtype is required or .where coerces
+                    # the None straight back to NaN
+                    emit = pd.Series(res)
+                    out[name] = emit.astype(object).where(
+                        emit.notna(), None
+                    ).to_numpy()
             yield pd.DataFrame(out)
             # trim: only entries within span seconds of the key's max event
             # time can reach a future row's frame (ordered-input contract)
@@ -459,6 +479,13 @@ def streaming_stateful_select(
                 "one frame (state is a single bounded buffer)"
             )
         if field is not None:
+            if field not in df.columns:
+                # loud at plan time, like the executor pane backend's
+                # parse_exec_aggs — not a KeyError deep in an executor
+                raise ValueError(
+                    f"streaming stateful select: '{name}' names unknown "
+                    f"field '{field}' (columns: {df.columns})"
+                )
             if value_field is None:
                 value_field = field
             elif field != value_field:

@@ -315,6 +315,7 @@ def early_firing_foreach_batch(
     trigger_tree: dict[str, Any] | None = None,
     late_tree: dict[str, Any] | None = None,
     final_tree: dict[str, Any] | None = None,
+    early_delay: float | None = None,
 ):
     """foreachBatch function implementing pane semantics over update-mode
     micro-batches; ``sink_fn(batch_df, batch_id)`` persists pane rows.
@@ -497,8 +498,14 @@ def early_firing_foreach_batch(
                     )
                 elif early_count is not None:
                     should = grown_count(p) >= early_count
-                else:
+                elif early_delay is not None:
                     should = True  # processing-time cadence = batch cadence
+                else:
+                    # late/final-only trigger: Beam fires NOTHING before
+                    # the unconditional watermark pane (the executor twin
+                    # has the same branch) — before r12 this fired a
+                    # spurious EARLY pane every micro-batch
+                    should = False
                 if should:
                     fire(key, p, d, "EARLY")
                 # else: withheld — the close-time flush below or a later
@@ -604,6 +611,7 @@ def stream_with_early_firing(
         trigger_tree=cfg.get("tree"),
         late_tree=cfg.get("late_tree"),
         final_tree=cfg.get("final_tree"),
+        early_delay=cfg.get("early_delay_sec"),
     )
     writer = (
         df.writeStream.outputMode("update")
@@ -632,7 +640,11 @@ class _EarlyFiringRun:
 
     def awaitTermination(self, *args, **kwargs):
         result = self.query.awaitTermination(*args, **kwargs)
-        self.flush_pending()
+        # a timeout poll returns False with the query still running —
+        # flushing then would emit the withheld tail mid-stream and
+        # re-fire it at the real drain
+        if result is not False:
+            self.flush_pending()
         return result
 
     def __getattr__(self, name):

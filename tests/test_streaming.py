@@ -968,7 +968,8 @@ def test_final_trigger_closes_pane(spark):
         "finalTrigger": {"type": "afterPane", "elementCountAtLeast": 5},
     }})
     assert cfg["early_delay_sec"] == 0.0 and cfg["final_tree"]["n"] == 5
-    fb, out = _ledger(spark, ["k"], ["n"], final_tree=cfg["final_tree"])
+    fb, out = _ledger(spark, ["k"], ["n"], final_tree=cfg["final_tree"],
+              early_delay=cfg["early_delay_sec"])
     mk = lambda n: spark.createDataFrame([("a", n)], "k string, n long")
     fb(mk(2), 0)   # processing-time firing
     fb(mk(5), 1)   # total 5 >= 5 -> final firing + close
@@ -996,12 +997,15 @@ def test_late_firing_trigger_gates_late_panes(spark):
     w1 = (t0, t0 + dt.timedelta(minutes=1))
     w9 = (t0 + dt.timedelta(hours=1), t0 + dt.timedelta(hours=1, minutes=1))
     mk = lambda *rows: spark.createDataFrame(list(rows), schema)
-    fb(mk((w1, "a", 1)), 0)                      # EARLY (default firing)
+    fb(mk((w1, "a", 1)), 0)                      # withheld: no early trigger
     fb(mk((w9, "z", 1), (w1, "a", 2)), 1)        # w9 closes w1 -> ON_TIME
     fb(mk((w1, "a", 3)), 2)                      # LATE, grown 1 < 2 -> held
     fb(mk((w1, "a", 5)), 3)                      # LATE, grown 3 >= 2 -> fire
     a = [(r["n"], r["__pane__"]["timing"]) for r in out if r["k"] == "a"]
-    assert a == [(1, "EARLY"), (2, "ON_TIME"), (5, "LATE")]
+    # r12: Beam's AfterWatermark.withLateFirings declares NO early
+    # firings — nothing may fire before the unconditional ON_TIME pane
+    # (the pre-r12 ledger emitted a spurious EARLY pane every batch)
+    assert a == [(2, "ON_TIME"), (5, "LATE")]
 
 
 def test_trigger_parse_composites():
@@ -1243,9 +1247,10 @@ def test_streaming_duration_range_matches_batch_window(spark, tmp_path):
             s = got[(r["k"], r["ts"])]
             assert s[0] == r["range_n"], (dur, off, r, s)
             if r["range_sum"] is None:
-                # empty frame: batch emits null, the pandas path NaN —
-                # both "no value"; count pins the frame emptiness above
-                assert s[1] is None or s[1] != s[1]
+                # r12: empty frames are NULL on BOTH paths now (the
+                # pandas path used to let NaN through the Arrow
+                # hand-off, diverging from the batch Window)
+                assert s[1] is None, (dur, off, r, s)
             else:
                 assert s[1] == pytest.approx(r["range_sum"])
                 assert s[2] == pytest.approx(r["range_min"])
@@ -1978,3 +1983,43 @@ def test_winstate_merge_buffered():
     a.merge_from(b)
     assert a.bufs["m"] == [1.0, 2.0, 3.0]
     assert list(a.sets["d"]) == [1, 2, 5]
+
+
+def test_await_termination_timeout_does_not_flush():
+    """r12 (review find): awaitTermination(timeout) returning False means
+    the query is STILL RUNNING — flushing the withheld panes then would
+    emit the tail mid-stream and re-fire it at the real drain."""
+    from pipeline_spark.streaming.triggers import _EarlyFiringRun
+
+    calls = []
+
+    class _FakeQuery:
+        def __init__(self):
+            self.results = [False, False, True]
+
+        def awaitTermination(self, *a, **kw):
+            return self.results.pop(0)
+
+    run = _EarlyFiringRun(_FakeQuery(), lambda: calls.append(1))
+    assert run.awaitTermination(5) is False
+    assert run.awaitTermination(5) is False
+    assert not calls, "flushed while the query was still running"
+    assert run.awaitTermination() is True
+    assert calls == [1]
+
+
+def test_stateful_select_unknown_field_is_loud(spark):
+    """r12 (review find): a typo'd range-function field fails at PLAN
+    time with the column list, not as a KeyError inside an executor."""
+    import pytest as _pytest
+
+    from pipeline_spark.streaming.state import streaming_stateful_select
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with _pytest.raises(ValueError, match="unknown field 'amont'"):
+        streaming_stateful_select(
+            df,
+            [{"name": "s", "func": "sum", "field": "amont",
+              "range": {"count": 3}}],
+            "v", ["k"],
+        )
