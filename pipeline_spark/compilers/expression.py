@@ -311,7 +311,16 @@ def schema_resolver(df: DataFrame, extra: dict[str, Column] | None = None) -> Re
         if k != 0:
             raise ValueError(f"lag syntax {name}[{k}] only valid in stateful lag context")
         if extra and name in extra:
-            return extra[name].cast("double")
+            # bound outputs need the SAME type-aware coercion as
+            # physical columns: a plain double cast turns a bound
+            # timestamp into epoch SECONDS while a physical one
+            # coerces to MICROS (silent 1e6 skew), and a bound date
+            # crashes the cast outright
+            try:
+                bdt = df.select(extra[name]).schema[0].dataType
+            except Exception:  # noqa: BLE001 — unresolvable: plain cast
+                return extra[name].cast("double")
+            return to_double(extra[name], bdt)
         if name not in dtypes:
             raise ValueError(f"unknown field '{name}' in expression")
         return to_double(F.col(name), dtypes[name])

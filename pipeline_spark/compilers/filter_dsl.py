@@ -29,7 +29,6 @@ module directly after a parquet source lands in the scan's PushedFilters.
 from __future__ import annotations
 
 import json
-import math
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -174,7 +173,10 @@ def _stringified(col: Column, dtype: T.DataType) -> Column:
         # Java Double.toString(1.0) == "1.0"; Spark cast yields "1.0" too
         return col.cast("string")
     if isinstance(dtype, T.BooleanType):
-        return F.when(col, "true").otherwise("false")
+        # NULL must stay NULL (a .otherwise would map it to 'false' and
+        # let `in: [false]` wrongly match NULL rows — Filter.java: a
+        # NULL row value fails every op except an explicit null check)
+        return F.when(col, "true").when(~col, "false")
     return col.cast("string")
 
 

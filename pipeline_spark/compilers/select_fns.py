@@ -17,7 +17,6 @@ aggregates, lag) compile to Window functions — see stateful.py.
 
 from __future__ import annotations
 
-import json
 import re
 from typing import Any
 
@@ -80,6 +79,23 @@ def _is_bigdecimal(name: str) -> bool:
     return bool(m) and int(m.group(1)) > 38
 
 
+def _bd_canon(c: Column) -> Column:
+    """Canonical plain-notation shape (r12): '+' sign dropped, '.5' ->
+    '0.5', redundant leading zeros stripped (one kept before the dot),
+    trailing fractional zeros and a bare trailing dot removed — so equal
+    values from DIFFERENT source types (string '1.50', double 1.5,
+    decimal(10,2) 1.50) render as the SAME string and joins/group-bys on
+    bigdecimal columns match.  Pure string surgery: precision-preserving
+    at any digit count."""
+    c = F.regexp_replace(c, r"^\+", "")
+    c = F.regexp_replace(c, r"^(-?)\.", "$10.")
+    c = F.regexp_replace(c, r"^(-?)0+(?=\d)", "$1")
+    c = F.regexp_replace(c, r"^(-?\d+\.\d*?)0+$", "$1")
+    c = F.regexp_replace(c, r"\.$", "")
+    # -0 family collapses to 0
+    return F.regexp_replace(c, r"^-(0(\.0*)?)$", "$1")
+
+
 def _cast_bigdecimal(src: Column, df) -> Column:
     """Cast semantics for string-backed big decimals (decimal(76,38) /
     "BIGDECIMAL"):
@@ -111,16 +127,34 @@ def _cast_bigdecimal(src: Column, df) -> Column:
         # trim ALL whitespace (Spark's numeric cast trimAll semantics —
         # F.trim strips spaces only, so '42\n' must still parse) and
         # anchor with \A/\z: Java's $ matches BEFORE a final newline,
-        # which would validate a string that still embeds one
+        # which would validate a string that still embeds one.  Plain
+        # literals canonicalize by string surgery (full 76-digit
+        # precision kept); EXPONENT literals expand through the
+        # decimal(38,18)/(38,0) tiers — plain notation at up to 38
+        # significant digits, the same envelope the numeric tiers get.
         t = F.regexp_replace(src, r"^\s+|\s+$", "")
-        return F.when(
-            t.rlike(r"\A[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?\z"), t
-        ).otherwise(F.lit(None).cast("string"))
+        plain = t.rlike(r"\A[+-]?(\d+(\.\d*)?|\.\d+)\z")
+        expo = t.rlike(r"\A[+-]?(\d+(\.\d*)?|\.\d+)[eE][+-]?\d+\z")
+        emag = F.abs(t.cast("double"))
+        etier = (
+            F.when(emag < F.lit(1e20),
+                   t.cast(T.DecimalType(38, 18)).cast("string"))
+            .when(emag < F.lit(1e38),
+                  t.cast(T.DecimalType(38, 0)).cast("string"))
+        )
+        return (
+            F.when(plain, _bd_canon(t))
+            .when(expo, _bd_canon(etier))
+            .otherwise(F.lit(None).cast("string"))
+        )
+    if isinstance(dt, T.DecimalType):
+        # decimal renders its declared scale ('12.50') — canonicalize
+        return _bd_canon(src.cast("string"))
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                       T.DecimalType, T.BooleanType, T.DateType)):
+                       T.BooleanType, T.DateType)):
         return src.cast("string")
     mag = F.abs(src.cast("double"))  # null mag falls through to the null
-    return (
+    return _bd_canon(
         F.when(mag < F.lit(1e20),
                src.cast(T.DecimalType(38, 18)).cast("string"))
         .when(mag < F.lit(1e38),
@@ -170,13 +204,17 @@ def compile_selects(
     selects: list[dict[str, Any]],
     df: DataFrame,
     event_time_col: str | None = None,
+    bound: dict[str, Column] | None = None,
 ) -> list[tuple[str, Column]]:
     """Compile stateless select functions to ``(name, Column)`` pairs.
 
     Sequential binding: each compiled output is added to the visible
-    namespace for subsequent functions.
+    namespace for subsequent functions.  ``bound`` seeds the namespace —
+    nested field lists (struct/json/map) pass the OUTER bindings so a
+    sub-field can reference an earlier top-level output (r12 review
+    find: it previously captured the stale physical column).
     """
-    bound: dict[str, Column] = {}
+    bound = dict(bound or {})
     out: list[tuple[str, Column]] = []
     for sf in selects:
         if sf.get("ignore"):
@@ -209,6 +247,30 @@ def apply_select(
         from pipeline_spark.compilers.stateful import apply_stateful_select
 
         return apply_stateful_select(df, selects, event_time_col, group_fields)
+    live = [sf for sf in selects if not sf.get("ignore")]
+    if any(
+        infer_func(sf) == "uuid" and i < len(live) - 1
+        for i, sf in enumerate(live)
+    ):
+        # a later select may reference the uuid output by name, and a
+        # single projection would INLINE the nondeterministic expression
+        # into both slots (Spark re-evaluates nondeterministic exprs per
+        # slot — id != id2).  Materialize each uuid behind its own
+        # projection boundary: CollapseProject never merges through a
+        # nondeterministic projection, so the value binds once.
+        work = df
+        bound: dict[str, Column] = {}
+        pairs: list[tuple[str, Column]] = []
+        for sf in live:
+            name = sf["name"]
+            col = _compile_one(sf, work, bound, event_time_col)
+            if infer_func(sf) == "uuid":
+                holder = f"__b_{name}__"
+                work = work.select("*", col.alias(holder))
+                col = F.col(holder)
+            bound[name] = col
+            pairs.append((name, col))
+        return work.select(*[c.alias(n) for n, c in pairs])
     pairs = compile_selects(selects, df, event_time_col)
     return df.select(*[c.alias(n) for n, c in pairs])
 
@@ -232,12 +294,24 @@ def parse_timestamp(src: Column, df: DataFrame | None = None, field: str | None 
     but the basic and slash date forms — coalesce picks the first parse.
     Non-string inputs keep the plain cast (no-op for timestamps,
     epoch-seconds for numerics)."""
-    if df is not None and field is not None:
-        try:
-            if not isinstance(df.schema[field].dataType, T.StringType):
-                return src.cast(T.TimestampType())
-        except Exception:
-            pass
+    if df is not None:
+        dt = None
+        if field is not None:
+            try:
+                dt = df.schema[field].dataType
+            except Exception:
+                dt = None
+        if dt is None:
+            # bound (computed/renamed) or dotted sources aren't in
+            # df.schema by name — resolve the expression's own type,
+            # like _cast_bigdecimal, or a numeric bound column falls
+            # into the string-parse branch and yields NULL
+            try:
+                dt = df.select(src).schema[0].dataType
+            except Exception:
+                dt = None
+        if dt is not None and not isinstance(dt, T.StringType):
+            return src.cast(T.TimestampType())
     s = src.cast("string")
     return F.coalesce(
         F.try_to_timestamp(s),
@@ -302,6 +376,9 @@ def _compile_one(
     if func == "nullif":
         from pipeline_spark.compilers.filter_dsl import compile_filter
 
+        # KNOWN LIMIT: the condition resolves against physical df
+        # columns only (filter DSL leaves are schema-typed); an earlier
+        # bound output is not visible here — materialize it first
         cond = compile_filter(sf.get("condition"), df)
         src = _ref(sf.get("field", name), df, bound)
         return F.when(cond, F.lit(None)).otherwise(src)
@@ -372,13 +449,13 @@ def _compile_one(
                 return F.struct(*cols)
 
             return F.transform(arr, per_elem)
-        inner = compile_selects(sf["fields"], df)
+        inner = compile_selects(sf["fields"], df, bound=bound)
         out = F.struct(*[c.alias(n) for n, c in inner])
         if str(sf.get("mode", "")).lower() == "repeated":
             return F.array(out)
         return out
     if func in ("json", "jsons"):
-        inner = compile_selects(sf["fields"], df)
+        inner = compile_selects(sf["fields"], df, bound=bound)
         return F.to_json(F.struct(*[c.alias(n) for n, c in inner]))
     if func in ("json_path", "jsonpath"):
         path = sf["path"]
@@ -386,7 +463,7 @@ def _compile_one(
             path = "$." + path
         return F.get_json_object(_ref(sf["field"], df, bound).cast("string"), path)
     if func in ("map", "maps"):
-        inner = compile_selects(sf["fields"], df)
+        inner = compile_selects(sf["fields"], df, bound=bound)
         kvs: list[Column] = []
         for n, c in inner:
             kvs.extend([F.lit(n), c])
@@ -477,7 +554,10 @@ def _compile_scrape(sf: dict[str, Any], df: DataFrame, bound: dict[str, Column])
     raise ValueError("scrape requires a `pattern` (regex) or `selector` (css)")
 
 
-_SIMPLE_FIELD_RE = r"\$\{([A-Za-z_][A-Za-z0-9_.]*)\}"
+# whitespace allowed: the only_simple qualifier strips it, so the
+# substituter must match the same shape or `${ field }` would emit as
+# literal text (the group is .strip()'d at use)
+_SIMPLE_FIELD_RE = r"\$\{\s*([A-Za-z_][A-Za-z0-9_.]*)\s*\}"
 
 
 def _compile_text(template: str, df: DataFrame, bound: dict[str, Column]) -> Column:
@@ -499,7 +579,6 @@ def _compile_text(template: str, df: DataFrame, bound: dict[str, Column]) -> Col
          (``{{ }}``/``{% %}``) also works when escaped with
          ``{% raw %}`` at the config level.
     """
-    import re
 
     exprs = re.findall(r"\$\{([^}]+)\}", template)
     only_simple = all(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", e.strip()) for e in exprs)
@@ -542,7 +621,13 @@ def _fm_string_filter(value, fmt=None):
     import datetime as dt
 
     if fmt is not None and hasattr(value, "strftime"):
-        return value.strftime(_java_datefmt_to_strftime(str(fmt)))
+        jf = str(fmt)
+        if "SSS" in jf:
+            # SSS is MILLIS (3 digits); strftime only has %f (micros,
+            # 6 digits) — substitute the rendered 3-digit value as a
+            # literal before translating the rest of the pattern
+            jf = jf.replace("SSS", value.strftime("%f")[:3])
+        return value.strftime(_java_datefmt_to_strftime(jf))
     if isinstance(value, bool):
         return "true" if value else "false"
     if fmt is not None and isinstance(value, (int, float)):
@@ -564,7 +649,6 @@ _FM_FILTERS = {
 
 def _fm_cond_to_jinja(cond: str) -> str:
     """FreeMarker comparison/logic keywords → Jinja/Python operators."""
-    import re
 
     s = cond
     s = re.sub(r"\bgte\b", ">=", s)
@@ -578,7 +662,6 @@ def _fm_cond_to_jinja(cond: str) -> str:
 
 def _fm_expr_to_jinja(expr: str) -> str:
     """``a?builtin(args)`` chains → ``a | fm_builtin(args)`` filters."""
-    import re
 
     def repl(m):
         builtin, args = m.group(1), m.group(3)
@@ -591,7 +674,6 @@ def freemarker_to_jinja(template: str) -> str:
     """Translate the supported FreeMarker subset to Jinja2 source:
     ``<#if/<#elseif/<#else/</#if>``, ``<#list x as y>``, ``${expr}``
     interpolations with ``?builtin`` chains."""
-    import re
 
     s = template
     s = re.sub(r"<#if\s+(.+?)>", lambda m: "{% if " + _fm_cond_to_jinja(m.group(1)) + " %}", s)
@@ -696,7 +778,15 @@ def _hbase_encode(src: Column, df: DataFrame, sf: dict[str, Any]) -> Column:
     (reference: select/Bytes.java)."""
     dtypes = dict(df.dtypes)
     fname = sf["field"]
-    dt = dtypes.get(fname, "string")
+    dt = dtypes.get(fname)
+    if dt is None:
+        # bound (computed/renamed) sources aren't in df.dtypes by name —
+        # resolve the expression's own type or an int bound column
+        # silently encodes as UTF-8 text bytes instead of big-endian
+        try:
+            dt = df.select(src).schema[0].dataType.simpleString()
+        except Exception:
+            dt = "string"
     if dt in ("int", "bigint", "smallint", "tinyint"):
         width = {"tinyint": 1, "smallint": 2, "int": 4, "bigint": 8}[dt]
         hexw = width * 2

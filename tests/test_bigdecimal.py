@@ -49,7 +49,7 @@ def test_numeric_sources_render_plain_notation(spark):
     ]).collect()[0]
     assert out["bi"] == "1"  # integral: straight plain render
     assert out["bd"] == "0.000000000000000001"  # no scientific notation
-    assert out["bdec"] == "12.50"  # decimal: native plain render
+    assert out["bdec"] == "12.5"  # decimal: canonical render (r12)
 
 
 def test_cast_back_out_and_constant(spark):
@@ -140,8 +140,12 @@ def test_invalid_string_casts_to_null(spark):
         ("abc", None), ("", None), ("1.2.3", None), ("12a", None),
         ("NaN", None), ("Infinity", None), ("1,5", None), (".", None),
         ("e5", None), ("+", None),
-        ("42", "42"), ("-7.25", "-7.25"), ("+.5", "+.5"), ("3.", "3."),
-        ("1.5E10", "1.5E10"), ("2e-3", "2e-3"),
+        ("42", "42"), ("-7.25", "-7.25"),
+        # r12 canonicalization: one plain-notation shape per VALUE, so
+        # equal values from different source types compare equal
+        ("+.5", "0.5"), ("3.", "3"), ("007", "7"), ("-00.50", "-0.5"),
+        ("1.50", "1.5"), ("-0.000", "0"), ("-0", "0"),
+        ("1.5E10", "15000000000"), ("2e-3", "0.002"),
         ("  99  ", "99"),  # trimmed
         # Spark's numeric cast trimAll semantics: ALL whitespace trims
         # (F.trim alone strips only spaces), and Java's $ would match

@@ -1334,3 +1334,57 @@ def test_partition_nested_filter_constant_select(spark):
     assert rows[0]["stringField"] == ""
     assert rows[0]["longField"] == 1
     assert outs["partition1"].schema["longField"].dataType.simpleString() == "bigint"
+
+
+def test_uuid_sequential_binding_single_evaluation(spark):
+    """r12 (review find): a later select referencing a uuid output by
+    name must see THE SAME value — a single projection would inline the
+    nondeterministic expression into both slots and evaluate it twice
+    (SelectFunction.java sequential binding binds the VALUE once)."""
+    from pipeline_spark.compilers.select_fns import apply_select
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "a long")
+    out = apply_select(df, [
+        {"name": "id", "func": "uuid"},
+        {"name": "id2", "field": "id"},
+        {"name": "a", "field": "a"},
+    ]).collect()
+    assert all(r["id"] == r["id2"] for r in out)
+    assert len({r["id"] for r in out}) == 50  # still per-row random
+
+
+def test_struct_fields_see_bound_outputs(spark):
+    """r12 (review find): nested struct/json/map field lists compile
+    with the OUTER sequential bindings — a sub-field referencing an
+    earlier computed output gets the computed value, not a stale
+    physical column of the same name."""
+    from pipeline_spark.compilers.select_fns import apply_select
+
+    df = spark.createDataFrame([(3, 1.0)], "a long, x double")
+    out = apply_select(df, [
+        {"name": "x", "func": "expression", "expression": "a * 2"},
+        {"name": "s", "func": "struct", "fields": [{"name": "x"}]},
+        {"name": "j", "func": "json", "fields": [{"name": "x"}]},
+    ]).collect()[0]
+    assert out["x"] == 6.0
+    assert out["s"]["x"] == 6.0, "struct captured the stale physical x"
+    assert '"x":6' in out["j"].replace(" ", "")
+
+
+def test_expression_bound_timestamp_coercion(spark):
+    """r12 (review find): a BOUND timestamp column in an expression must
+    coerce to epoch MICROS like a physical one (a plain double cast
+    yields SECONDS — silent 1e6 skew in any mixed arithmetic)."""
+    import datetime as dt
+
+    from pipeline_spark.compilers.select_fns import apply_select
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))],
+        "t1 timestamp, t2 timestamp",
+    )
+    out = apply_select(df, [
+        {"name": "t1b", "field": "t1"},
+        {"name": "diff", "func": "expression", "expression": "t2 - t1b"},
+    ]).collect()[0]
+    assert out["diff"] == 86400 * 1_000_000  # micros, not seconds
