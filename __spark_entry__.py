@@ -681,6 +681,42 @@ FROM part
 """
 
 
+def q_nullif_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nullif/switch conditions over a PRIOR computed output — sequential
+    binding parity (Nullif.java:56-64 resolves condition variables against
+    the cumulative inputFields SelectFunction.java:64-87 threads through
+    the chain).  r13: closes VERDICT r12 "What's missing" #2."""
+    return _pipeline(spark, sf_dir, ["part"], """
+transforms:
+  - name: sel
+    module: select
+    inputs: [part]
+    parameters:
+      select:
+        - {name: p_partkey}
+        - {name: bulk, func: expression, expression: "p_size * p_retailprice"}
+        - {name: retail_nz, func: nullif, field: p_retailprice, condition: {key: bulk, op: ">", value: 30000}}
+        - name: tier
+          func: switch
+          cases:
+            - {when: {key: bulk, op: ">=", value: 40000}, then: high}
+            - {when: {key: bulk, op: ">=", value: 20000}, then: mid}
+          default: low
+""", "sel")
+
+
+Q_NULLIF_BOUND_SQL = """
+SELECT p_partkey,
+       p_size * p_retailprice AS bulk,
+       CASE WHEN p_size * p_retailprice > 30000 THEN NULL
+            ELSE p_retailprice END AS retail_nz,
+       CASE WHEN p_size * p_retailprice >= 40000 THEN 'high'
+            WHEN p_size * p_retailprice >= 20000 THEN 'mid'
+            ELSE 'low' END AS tier
+FROM part
+"""
+
+
 def q_create_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """create source: typed sequence generation + select post-processing."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -6492,22 +6528,77 @@ GROUP BY event_name ORDER BY event_name
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's CORRECTNESS gate caps at the
-    # first 50 entries, never-green-first.  r12 composition (VERDICT
-    # r11 ask #1): the two never-green rows (bpe_train_encode, the
-    # oracled successor of the retired rows-only bpe_train, and the
-    # new uniform_resync stretch row) + ALL 10 r8-stale rows (window
-    # family first — streaming/panes.py churned again this round) +
-    # 33 of the 36 r9-stale rows (localdb_artifact / auxia_events /
-    # create_sequence queue next: fake-client e2e + trivial source,
-    # code untouched since r9) + the three surfaces whose engine
-    # code changed this round (eq-delete spec-scoped keying, pane
-    # buffered null-skip, bigdecimal string-cast validation) + the
-    # headline pair.
+    # first 50 entries, never-green-first.  r13 composition (VERDICT
+    # r12 ask #1): the new never-green rows (nullif_bound — sequential
+    # binding parity fix; iceberg_legacy_migrate — legacy global-delete
+    # detection, added below) + ALL 35 stale rows (3 r9 + 32 r10, the
+    # delta family first since it carries r12's unattributed raw bench
+    # regressions) + 11 r11 rows biased to the iceberg read family
+    # (the legacy-delete detector touches scan planning) and
+    # uniform_stream (slowest bench row, per-stage breakdown this
+    # round) + the headline pair.  Staleness floor moves r9 -> r11.
     return {
-        # --- never green: new r12 rows
+        # --- never green: new r13 rows (nullif sequential binding;
+        #     slot 2 reserved for iceberg_legacy_migrate)
+        "nullif_bound": q_nullif_bound,
+        # --- the 3 r9-stale rows (VERDICT r12 ask #1)
+        "localdb_artifact": q_localdb_artifact,
+        "auxia_events": q_auxia_events,
+        "create_sequence": q_create_sequence,
+        # --- all 32 r10-stale rows (delta family carries the
+        #     unattributed r12 raw bench regressions)
+        "delta_row_tracking": q_delta_row_tracking,
+        "delta_type_widening": q_delta_type_widening,
+        "iceberg_merge_cow": q_iceberg_merge_cow,
+        "iceberg_update": q_iceberg_update,
+        "delta_delete": q_delta_delete,
+        "delta_skipping": q_delta_skipping,
+        "sessionize": q_sessionize,
+        "range_join": q_range_join,
+        "semdedup_prune": q_semdedup_prune,
+        "repetition": q_repetition,
+        "perplexity_filter": q_perplexity_filter,
+        "dataset_mix": q_dataset_mix,
+        "delta_roundtrip": q_delta_roundtrip,
+        "delta_update": q_delta_update,
+        "iceberg_delete": q_iceberg_delete,
+        "dsir_scores": q_dsir_scores,
+        "bpe_wordcounts": q_bpe_wordcounts,
+        "delta_dv_read": q_delta_dv_read,
+        "delta_zorder": q_delta_zorder,
+        "iceberg_rewrite_manifests": q_iceberg_rewrite_manifests,
+        "delta_cm_roundtrip": q_delta_cm_roundtrip,
+        "delta_alter_roundtrip": q_delta_alter_roundtrip,
+        "delta_replace_where": q_delta_replace_where,
+        "streaming_panes": q_streaming_panes,
+        "delta_liquid_cluster": q_delta_liquid_cluster,
+        "agg_argminmax": q_agg_argminmax,
+        "agg_firstlast": q_agg_firstlast,
+        "partition_route": q_partition_route,
+        "union_pad": q_union_pad,
+        "substring_cut": q_substring_cut,
+        "shuffle_order": q_shuffle_order,
+        "quality_classifier": q_quality_classifier,
+        # --- r11 fills: iceberg read family (legacy-delete detection
+        #     touches the scan planner this round) + slowest bench row
+        "uniform_stream": q_uniform_stream,
+        "iceberg_roundtrip": q_iceberg_roundtrip,
+        "iceberg_mor_roundtrip": q_iceberg_mor_roundtrip,
+        "iceberg_evolved_mor": q_iceberg_evolved_mor,
+        "iceberg_partitioned": q_iceberg_partitioned,
+        "iceberg_row_lineage_inherited": q_iceberg_row_lineage_inherited,
+        "ivf_topk": q_ivf_topk,
+        "lsh_topk": q_lsh_topk,
+        "match_recognize": q_match_recognize,
+        "match_recognize_chunked": q_match_recognize_chunked,
+        "processing_timeseries": q_processing,
+        # --- headline pair stays in-cap every round
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        # --- past the 50-cap: ever-green in a named round (r11/r12);
+        #     pytest + harness guarded
         "bpe_train_encode": q_bpe_train_encode,
         "uniform_resync": q_uniform_resync,
-        # --- the 10 r8-stale rows (VERDICT r11 ask #1)
         "select_text_hash": q_select_text_hash,
         "compare_diff": q_compare_diff,
         "limit_topk": q_limit_topk,
@@ -6518,7 +6609,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
         "expression_math": q_expression_math,
-        # --- 33 r9-stale rows
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "delta_merge_upsert": q_delta_merge_upsert,
@@ -6552,29 +6642,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_words": q_topk_words,
         "semdedup_assign": q_semdedup_assign,
         "asof_join": q_asof_join,
-        # --- r12 engine-code-changed surfaces
         "convert_eqdelete": q_convert_eqdelete,
         "streaming_buffered": q_streaming_buffered,
         "select_misc": q_select_misc,
-        # --- headline pair stays in-cap every round
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        # --- past the 50-cap: ever-green in a named round; pytest +
-        #     harness guarded
-        "iceberg_row_lineage_inherited": q_iceberg_row_lineage_inherited,
-        "uniform_stream": q_uniform_stream,
-        "ivf_topk": q_ivf_topk,
-        "lsh_topk": q_lsh_topk,
-        "match_recognize": q_match_recognize,
-        "match_recognize_chunked": q_match_recognize_chunked,
-        "processing_timeseries": q_processing,
         "linear_regression": q_linear_regression,
         "deserialize_avro": q_deserialize_avro,
         "deserialize_proto": q_deserialize_proto,
         "storage_avro_roundtrip": q_storage_avro_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
-        "iceberg_roundtrip": q_iceberg_roundtrip,
-        "iceberg_mor_roundtrip": q_iceberg_mor_roundtrip,
         "multimodal_decode": q_multimodal_decode,
         "video_meta": q_video_meta,
         "audio_meta": q_audio_meta,
@@ -6596,50 +6671,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_defaults": q_iceberg_defaults,
         "iceberg_changelog": q_iceberg_changelog,
         "iceberg_incremental": q_iceberg_incremental,
-        "iceberg_partitioned": q_iceberg_partitioned,
         "iceberg_skipping": q_iceberg_skipping,
-        "iceberg_evolved_mor": q_iceberg_evolved_mor,
         "iceberg_rest": q_iceberg_rest,
         "iceberg_merge_mor": q_iceberg_merge_mor,
         "iceberg_dv_puffin": q_iceberg_dv_puffin,
         "iceberg_cdc_upsert": q_iceberg_cdc_upsert,
         "iceberg_upsert": q_iceberg_upsert,
         "warc_roundtrip": q_warc_roundtrip,
-        "delta_row_tracking": q_delta_row_tracking,
-        "delta_type_widening": q_delta_type_widening,
-        "iceberg_merge_cow": q_iceberg_merge_cow,
-        "iceberg_update": q_iceberg_update,
-        "delta_delete": q_delta_delete,
-        "delta_skipping": q_delta_skipping,
-        "sessionize": q_sessionize,
-        "range_join": q_range_join,
-        "semdedup_prune": q_semdedup_prune,
-        "repetition": q_repetition,
-        "perplexity_filter": q_perplexity_filter,
-        "dataset_mix": q_dataset_mix,
-        "delta_roundtrip": q_delta_roundtrip,
-        "delta_update": q_delta_update,
-        "iceberg_delete": q_iceberg_delete,
-        "dsir_scores": q_dsir_scores,
-        "bpe_wordcounts": q_bpe_wordcounts,
-        "delta_dv_read": q_delta_dv_read,
-        "delta_zorder": q_delta_zorder,
-        "iceberg_rewrite_manifests": q_iceberg_rewrite_manifests,
-        "delta_cm_roundtrip": q_delta_cm_roundtrip,
-        "delta_alter_roundtrip": q_delta_alter_roundtrip,
-        "delta_replace_where": q_delta_replace_where,
-        "streaming_panes": q_streaming_panes,
-        "delta_liquid_cluster": q_delta_liquid_cluster,
-        "agg_argminmax": q_agg_argminmax,
-        "agg_firstlast": q_agg_firstlast,
-        "partition_route": q_partition_route,
-        "union_pad": q_union_pad,
-        "substring_cut": q_substring_cut,
-        "shuffle_order": q_shuffle_order,
-        "quality_classifier": q_quality_classifier,
-        "localdb_artifact": q_localdb_artifact,
-        "auxia_events": q_auxia_events,
-        "create_sequence": q_create_sequence,
     }
 
 
@@ -6664,6 +6702,7 @@ def oracle_sql() -> dict[str, str]:
         "compare_diff": Q_COMPARE_SQL,
         "agg_collect": Q_AGG_COLLECT_SQL,
         "select_misc": Q_SELECT_MISC_SQL,
+        "nullif_bound": Q_NULLIF_BOUND_SQL,
         "create_sequence": Q_CREATE_SEQ_SQL,
         "agg_stats": Q_AGG_STATS_SQL,
         "multi_input_agg": Q_MULTI_AGG_SQL,

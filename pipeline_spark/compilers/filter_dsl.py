@@ -40,41 +40,51 @@ from pipeline_spark.compilers.expression import compile_expression, schema_resol
 _OPS = {"=", "!=", ">", ">=", "<", "<=", "in", "not in", "match", "true", "false"}
 
 
-def compile_filter(condition: Any, df: DataFrame) -> Column:
+def compile_filter(
+    condition: Any,
+    df: DataFrame,
+    bound: dict[str, Column] | None = None,
+) -> Column:
     """Compile a condition JSON (string or parsed) to a boolean Column.
 
     The result is three-valued (may be NULL); ``df.filter`` treats NULL as
     false, matching the reference.  When *negating* (partition "excluded"
     output), use :func:`as_false_on_null`.
+
+    ``bound`` maps earlier select outputs (name → Column) into the leaf
+    namespace, shadowing physical columns — the reference feeds prior
+    outputs into every later function's input (SelectFunction.java:64-87),
+    and Nullif resolves its condition variables against them
+    (Nullif.java:56-64).
     """
     if condition is None:
         return F.lit(True)
     if isinstance(condition, str):
         condition = json.loads(condition)
-    return _node(condition, df)
+    return _node(condition, df, bound or {})
 
 
 def as_false_on_null(cond: Column) -> Column:
     return F.coalesce(cond, F.lit(False))
 
 
-def _node(node: Any, df: DataFrame) -> Column:
+def _node(node: Any, df: DataFrame, bound: dict[str, Column]) -> Column:
     if isinstance(node, list):
-        cols = [_node(child, df) for child in node]
+        cols = [_node(child, df, bound) for child in node]
         return _fold_and(cols)
     if not isinstance(node, dict):
         raise ValueError(f"illegal condition json: {node!r}")
     if "and" in node and "or" in node:
         raise ValueError("condition must contain only one of `and` or `or`")
     if "and" in node:
-        return _fold_and([_node(c, df) for c in node["and"]])
+        return _fold_and([_node(c, df, bound) for c in node["and"]])
     if "or" in node:
-        cols = [as_false_on_null(_node(c, df)) for c in node["or"]]
+        cols = [as_false_on_null(_node(c, df, bound)) for c in node["or"]]
         out = cols[0]
         for c in cols[1:]:
             out = out | c
         return out
-    return _leaf(node, df)
+    return _leaf(node, df, bound)
 
 
 def _fold_and(cols: list[Column]) -> Column:
@@ -84,7 +94,7 @@ def _fold_and(cols: list[Column]) -> Column:
     return out
 
 
-def _leaf(leaf: dict[str, Any], df: DataFrame) -> Column:
+def _leaf(leaf: dict[str, Any], df: DataFrame, bound: dict[str, Column]) -> Column:
     op = str(leaf.get("op", "=")).strip().lower()
     if op not in _OPS:
         raise ValueError(f"Filter.Op: {op} not found")
@@ -98,21 +108,32 @@ def _leaf(leaf: dict[str, Any], df: DataFrame) -> Column:
 
     if leaf.get("expression"):
         # expression leaves are double-valued (Filter.java:419-466)
-        col = compile_expression(str(leaf["expression"]), schema_resolver(df))
+        col = compile_expression(
+            str(leaf["expression"]), schema_resolver(df, extra=bound)
+        )
         dtype: T.DataType = T.DoubleType()
     else:
         key = leaf["key"]
-        if key in dtypes:
+        if key in bound:
+            # earlier select output shadows the physical column; its
+            # type is resolved through analysis (driver-side, no job)
+            col = bound[key]
+            dtype = df.select(col).schema[0].dataType
+        elif key in dtypes:
             col = F.col(key)
             dtype = dtypes[key]
         elif "." in key:
             # dotted struct path (PartitionTest.java:28-31 filters on
             # nestedField.stringField): navigate field by field
             head, *rest = key.split(".")
-            if head not in dtypes:
+            if head in bound:
+                col = bound[head]
+                dtype = df.select(col).schema[0].dataType
+            elif head in dtypes:
+                col = F.col(head)
+                dtype = dtypes[head]
+            else:
                 raise ValueError(f"filter references unknown field '{key}'")
-            col = F.col(head)
-            dtype = dtypes[head]
             for part in rest:
                 if not isinstance(dtype, T.StructType) or part not in {
                     f.name for f in dtype.fields

@@ -376,10 +376,9 @@ def _compile_one(
     if func == "nullif":
         from pipeline_spark.compilers.filter_dsl import compile_filter
 
-        # KNOWN LIMIT: the condition resolves against physical df
-        # columns only (filter DSL leaves are schema-typed); an earlier
-        # bound output is not visible here — materialize it first
-        cond = compile_filter(sf.get("condition"), df)
+        # condition leaves resolve against prior select outputs first
+        # (sequential binding, Nullif.java:56-64), then physical columns
+        cond = compile_filter(sf.get("condition"), df, bound)
         src = _ref(sf.get("field", name), df, bound)
         return F.when(cond, F.lit(None)).otherwise(src)
     if func == "uuid":
@@ -484,7 +483,7 @@ def _compile_one(
     if func == "panic":
         from pipeline_spark.compilers.filter_dsl import compile_filter
 
-        cond = compile_filter(sf.get("condition"), df)
+        cond = compile_filter(sf.get("condition"), df, bound)
         msg = sf.get("message", f"panic: {name}")
         return F.when(F.coalesce(cond, F.lit(False)), F.raise_error(F.lit(msg))).otherwise(
             F.lit(None).cast("string")
@@ -764,7 +763,7 @@ def _compile_switch(sf: dict[str, Any], df: DataFrame, bound: dict[str, Column])
     cases = sf.get("cases", [])
     col = None
     for case in cases:
-        cond = compile_filter(case.get("when") or case.get("condition"), df)
+        cond = compile_filter(case.get("when") or case.get("condition"), df, bound)
         val = F.lit(case.get("then") if "then" in case else case.get("value"))
         col = F.when(cond, val) if col is None else col.when(cond, val)
     default = sf.get("default")

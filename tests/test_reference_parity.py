@@ -1388,3 +1388,83 @@ def test_expression_bound_timestamp_coercion(spark):
         {"name": "diff", "func": "expression", "expression": "t2 - t1b"},
     ]).collect()[0]
     assert out["diff"] == 86400 * 1_000_000  # micros, not seconds
+
+
+def test_nullif_condition_sees_bound_outputs(spark):
+    """r13 (VERDICT r12 ask #5): nullif's condition variables resolve
+    against prior select outputs (Nullif.java:56-64 looks them up in the
+    cumulative inputFields list that SelectFunction.java:64-87 threads
+    through the select chain), not just physical df columns."""
+    from pipeline_spark.compilers.select_fns import apply_select
+
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "a long, v double")
+    out = apply_select(df, [
+        {"name": "flag", "func": "expression", "expression": "a * 2"},
+        {"name": "v", "func": "nullif",
+         "condition": {"key": "flag", "op": ">=", "value": 4}},
+        {"name": "a", "field": "a"},
+    ]).collect()
+    by_a = {r["a"]: r["v"] for r in out}
+    assert by_a == {1: 10.0, 2: None, 3: None}
+
+
+def test_nullif_bound_output_shadows_physical_column(spark):
+    """A prior output that REUSES a physical column name shadows it in
+    the nullif condition — sequential binding, the later function sees
+    the computed value (SelectFunction.java:64-87)."""
+    from pipeline_spark.compilers.select_fns import apply_select
+
+    df = spark.createDataFrame([(1, "x"), (5, "y")], "a long, s string")
+    out = apply_select(df, [
+        # recompute `a` so the physical a=1 row now carries a=100
+        {"name": "a", "func": "expression", "expression": "a * 100"},
+        {"name": "s", "func": "nullif",
+         "condition": {"key": "a", "op": ">", "value": 300}},
+    ]).collect()
+    by_a = {r["a"]: r["s"] for r in out}
+    assert by_a == {100.0: "x", 500.0: None}
+
+
+def test_nullif_condition_expression_leaf_on_bound(spark):
+    """Expression-leaf conditions also see bound outputs (the resolver
+    already takes extras; Filter.java:419-466 evaluates as double)."""
+    from pipeline_spark.compilers.select_fns import apply_select
+
+    df = spark.createDataFrame([(2.0,), (4.0,)], "x double")
+    out = apply_select(df, [
+        {"name": "y", "func": "expression", "expression": "x + 1"},
+        {"name": "x", "func": "nullif", "field": "x",
+         "condition": {"expression": "y * 2", "op": ">", "value": 7}},
+    ]).collect()
+    vals = sorted((r["y"], r["x"]) for r in out)
+    assert vals == [(3.0, 2.0), (5.0, None)]
+
+
+def test_switch_condition_sees_bound_outputs(spark):
+    """switch cases share the same Filter machinery — their conditions
+    resolve against prior outputs too."""
+    from pipeline_spark.compilers.select_fns import apply_select
+
+    df = spark.createDataFrame([(1,), (2,)], "a long")
+    out = apply_select(df, [
+        {"name": "b", "func": "expression", "expression": "a * 10"},
+        {"name": "label", "func": "switch", "cases": [
+            {"when": {"key": "b", "op": ">=", "value": 20}, "then": "big"},
+        ], "default": "small"},
+    ]).collect()
+    assert {r["b"]: r["label"] for r in out} == {10.0: "small", 20.0: "big"}
+
+
+def test_nullif_unknown_condition_variable_raises(spark):
+    """Nullif.of throws on a condition variable missing from inputFields
+    (Nullif.java:58-61); our compiler must fail loudly, not bind NULL."""
+    import pytest
+
+    from pipeline_spark.compilers.select_fns import apply_select
+
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(Exception, match="unknown field"):
+        apply_select(df, [
+            {"name": "a", "func": "nullif",
+             "condition": {"key": "nope", "op": "=", "value": 1}},
+        ]).collect()
