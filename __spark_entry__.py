@@ -4607,6 +4607,68 @@ FROM g ORDER BY day, event_type
 """
 
 
+_LEGACY_DEL_KEYS = [32 * i for i in range(1, 26)]
+
+
+def q_iceberg_legacy_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy global-delete detection + migration (r13, VERDICT r12 ask
+    #2): a pre-r11-shaped table (global equality deletes re-stamped
+    under the PARTITIONED spec with all-null records) must REFUSE a
+    default read — the only path where strict spec scoping could
+    silently resurrect deleted rows — and compaction with
+    ``legacyGlobalDeletes: apply`` migrates it: deletes materialize as
+    global, delete files drop, and the default (refusing) read works.
+    Reference: iceberg-java DeleteFileIndex spec-identity scoping;
+    sources/iceberg_native.py plan_equality_deletes."""
+    import shutil
+
+    from pipeline_spark.sinks.iceberg_native import (
+        compact_iceberg_native,
+        equality_delete_iceberg_native,
+        write_iceberg_native,
+    )
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+    from pipeline_spark.testing import scope_delete_manifests
+
+    tbl = _tmp_path("ice_legacy", sf_dir)
+    shutil.rmtree(tbl, ignore_errors=True)
+    slim = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    write_iceberg_native(
+        slim, {"path": tbl, "mode": "create",
+               "partitionBy": ["o_orderpriority"]},
+    )
+    equality_delete_iceberg_native(
+        spark,
+        {"path": tbl,
+         "values": [{"o_orderkey": k} for k in _LEGACY_DEL_KEYS]},
+    )
+    scope_delete_manifests(tbl, {"o_orderpriority": None})  # pre-r11 shape
+    try:  # the detector must fire on the default read
+        read_iceberg_native(spark, {"path": tbl}).collect()
+        raise AssertionError("legacy global deletes read without refusal")
+    except ValueError as exc:
+        assert "legacy GLOBAL" in str(exc)
+    compact_iceberg_native(
+        spark, {"path": tbl, "legacyGlobalDeletes": "apply"}
+    )
+    back = read_iceberg_native(spark, {"path": tbl})  # default mode again
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+Q_ICE_LEGACY_SQL = f"""
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+WHERE o_orderkey NOT IN ({", ".join(str(k) for k in _LEGACY_DEL_KEYS)})
+GROUP BY o_orderpriority
+"""
+
+
 def q_iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-spec evolution (r7): orders commit partitioned by
     priority, then the SAME rows append under bucket(4, o_custkey) with
@@ -6541,6 +6603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never green: new r13 rows (nullif sequential binding;
         #     slot 2 reserved for iceberg_legacy_migrate)
         "nullif_bound": q_nullif_bound,
+        "iceberg_legacy_migrate": q_iceberg_legacy_migrate,
         # --- the 3 r9-stale rows (VERDICT r12 ask #1)
         "localdb_artifact": q_localdb_artifact,
         "auxia_events": q_auxia_events,
@@ -6703,6 +6766,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_collect": Q_AGG_COLLECT_SQL,
         "select_misc": Q_SELECT_MISC_SQL,
         "nullif_bound": Q_NULLIF_BOUND_SQL,
+        "iceberg_legacy_migrate": Q_ICE_LEGACY_SQL,
         "create_sequence": Q_CREATE_SEQ_SQL,
         "agg_stats": Q_AGG_STATS_SQL,
         "multi_input_agg": Q_MULTI_AGG_SQL,

@@ -2083,7 +2083,15 @@ def _compact_iceberg_once(spark, p: dict[str, Any]) -> dict[str, int]:
         if bin_has_deletes:
             # materialize: subtract this bin's applicable deletes through
             # the reader's own MOR path (position + equality, seq rule)
-            bin_df = _apply_row_deletes(spark, bin_df, files, deletes, prev_meta)
+            bin_df = _apply_row_deletes(
+                spark, bin_df, files, deletes, prev_meta,
+                # legacyGlobalDeletes: apply  is the migration path for
+                # pre-r11 tables whose global deletes sit under the
+                # partitioned spec — compact applies them as global,
+                # drops the delete files, and the table reads clean
+                legacy_global_deletes=p.get("legacyGlobalDeletes")
+                or "refuse",
+            )
         elif bin_fills or lineage:
             bin_df = bin_df.drop("__fp__", "__pos__")
         if zorder:

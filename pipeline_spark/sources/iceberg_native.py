@@ -484,7 +484,10 @@ def _delete_file_columns(path: str, ids, cols):
     return [by_id.get(i, c) for i, c in zip(ids, cols)]
 
 
-def plan_equality_deletes(spark, eq: list[dict], data: list[dict], meta: dict):
+def plan_equality_deletes(
+    spark, eq: list[dict], data: list[dict], meta: dict,
+    *, legacy_global_deletes: str = "refuse",
+):
     """Shared equality-delete planner (spec §Scan Planning) for the MOR
     reader's anti-join and the delta converter's semi-join (r11):
 
@@ -513,12 +516,20 @@ def plan_equality_deletes(spark, eq: list[dict], data: list[dict], meta: dict):
     # what an UNPARTITIONED spec declares (this repo's sink writes
     # global-delete manifests under one since r11).  Unknown spec ids
     # (no declaration in metadata) keep the pre-r12 inference: all-null
-    # or absent record => global.  KNOWN one-way door: tables this
-    # engine wrote BEFORE r11 put global deletes under the partitioned
-    # spec with all-null values — those now read null-partition-scoped,
-    # exactly as iceberg-java reads them; re-commit the deletes (or
-    # compact) to migrate such a table.  Spec-strict beats self-compat
-    # here because every other reader already applies the strict rule.
+    # or absent record => global.  One-way door, now GUARDED (r13,
+    # VERDICT r12 ask #2): tables this engine wrote BEFORE r11 put
+    # global deletes under the partitioned spec with all-null values —
+    # spec-strict reading scopes those to the null partition, exactly as
+    # iceberg-java does, which silently resurrects the deleted rows.
+    # When a partitioned-spec delete carries an all-null record and NO
+    # data file lives in the null partition (the delete would match
+    # nothing — almost certainly a legacy global delete), the planner
+    # REFUSES by default; ``legacyGlobalDeletes: allow`` reads on with
+    # strict scoping (delete inert), ``legacyGlobalDeletes: apply``
+    # restores the pre-r11 global reading for self-written legacy
+    # tables.  Compacting the table (rewrite data, drop delete files)
+    # migrates it permanently.  Spec-strict beats self-compat as the
+    # default because every other reader already applies the strict rule.
     spec_fields: dict[int, list] = {}
     for s in meta.get("partition-specs") or []:
         spec_fields[int(s.get("spec-id", 0) or 0)] = s.get("fields") or []
@@ -546,6 +557,51 @@ def plan_equality_deletes(spark, eq: list[dict], data: list[dict], meta: dict):
         (norm_path(d["path"]), int(d.get("seq") or 0), part_key(d))
         for d in data
     ]
+
+    data_pkeys = {pk for _, _, pk in seq_rows}
+    force_global: set[int] = set()
+    suspicious = []
+    for d in eq:
+        sid = int(d.get("spec_id", 0) or 0)
+        rec = d.get("partition") or {}
+        if (
+            spec_fields.get(sid)  # declared AND partitioned spec
+            and rec
+            and all(v is None for v in rec.values())
+            and part_key(d) not in data_pkeys
+        ):
+            suspicious.append(d)
+    if suspicious:
+        mode = str(legacy_global_deletes or "refuse").strip().lower()
+        paths = sorted({d["path"] for d in suspicious})
+        msg = (
+            "iceberg: equality delete file(s) under a PARTITIONED spec "
+            "carry an all-null partition record, and no data file lives "
+            "in the null partition — almost certainly legacy GLOBAL "
+            "deletes written by this engine before r11.  Spec-strict "
+            "reading (what iceberg-java does) scopes them to the null "
+            "partition, i.e. they match NOTHING and previously-deleted "
+            f"rows would silently resurrect.  Files: {paths}.  "
+            "Fix permanently by compacting the table (rewrite data "
+            "files, drop delete files), or set legacyGlobalDeletes: "
+            "'apply' to read them as global (pre-r11 self-compat), or "
+            "'allow' to read on spec-strict (deletes inert)."
+        )
+        if mode not in ("refuse", "strict", "error", "allow", "apply"):
+            raise ValueError(
+                f"iceberg: unknown legacyGlobalDeletes mode {mode!r} "
+                "(expected refuse | allow | apply)"
+            )
+        if mode in ("refuse", "strict", "error"):
+            raise ValueError(msg)
+        import logging
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
+        logging.getLogger("pipeline_spark.iceberg").warning(msg)
+        if mode == "apply":
+            force_global = {id(d) for d in suspicious}
+
     grouped: dict[tuple, list[dict]] = {}
     for d in eq:
         if not d.get("equality_ids"):
@@ -553,8 +609,9 @@ def plan_equality_deletes(spark, eq: list[dict], data: list[dict], meta: dict):
                 f"iceberg: equality delete file {d['path']} has no "
                 "equality_ids in its manifest entry"
             )
+        pk = "" if id(d) in force_global else part_key(d)
         grouped.setdefault(
-            (tuple(sorted(d["equality_ids"])), part_key(d)), []
+            (tuple(sorted(d["equality_ids"])), pk), []
         ).append(d)
     groups = []
     for (ids, pkey), files in grouped.items():
@@ -583,7 +640,7 @@ def plan_equality_deletes(spark, eq: list[dict], data: list[dict], meta: dict):
 
 def _apply_row_deletes(
     spark, df, data: list[dict], deletes: list[dict], meta: dict,
-    *, keep_lineage: bool = False,
+    *, keep_lineage: bool = False, legacy_global_deletes: str = "refuse",
 ):
     """Merge-on-read: subtract position + equality delete files from the
     scan (spec §Scan Planning).  Position deletes address exact
@@ -674,7 +731,10 @@ def _apply_row_deletes(
         )
     eq = [d for d in deletes if d["content"] == 2]
     if eq:
-        seq_rows, groups = plan_equality_deletes(spark, eq, data, meta)
+        seq_rows, groups = plan_equality_deletes(
+            spark, eq, data, meta,
+            legacy_global_deletes=legacy_global_deletes,
+        )
         seq_df = spark.createDataFrame(
             seq_rows, "__sfp__ string, __dseq__ long, __dpart__ string"
         )
@@ -1309,7 +1369,10 @@ def read_iceberg_native(spark, p: dict[str, Any]):
     if want_ri:
         df = derive_row_ids(spark, df, data, with_seq=True)
     if deletes:
-        df = _apply_row_deletes(spark, df, data, deletes, meta)
+        df = _apply_row_deletes(
+            spark, df, data, deletes, meta,
+            legacy_global_deletes=p.get("legacyGlobalDeletes") or "refuse",
+        )
     elif need_stamp:
         df = df.drop("__fp__", "__pos__")
     if dfilter:
@@ -1324,7 +1387,7 @@ def read_iceberg_native(spark, p: dict[str, Any]):
 
 
 def _state_with_lineage(spark, data: list[dict], deletes: list[dict],
-                        meta: dict):
+                        meta: dict, *, legacy_global_deletes: str = "refuse"):
     """The live rows of a (data, deletes) plan with stable row identity
     kept on the output (``__cfp__`` = normalized file path, ``__cpos__``
     = ordinal) — row deletes applied.  The changelog's building block."""
@@ -1351,7 +1414,10 @@ def _state_with_lineage(spark, data: list[dict], deletes: list[dict],
         "__cpos__", F.col("__pos__")
     )
     if deletes:
-        df = _apply_row_deletes(spark, df, data, deletes, meta)
+        df = _apply_row_deletes(
+            spark, df, data, deletes, meta,
+            legacy_global_deletes=legacy_global_deletes,
+        )
     else:
         df = df.drop("__fp__", "__pos__")
     return df
@@ -1390,6 +1456,7 @@ def read_iceberg_changelog(
 
     from pyspark.sql import functions as F
 
+    _lgd = p.get("legacyGlobalDeletes") or "refuse"
     if p.get("catalog"):
         from pipeline_spark.sources.iceberg_rest import RestCatalog
 
@@ -1486,7 +1553,10 @@ def read_iceberg_changelog(
             parts.append(_stamp(df, "insert", ordinal, sid))
         if removed:
             # rows live at the PRIOR snapshot: apply the prior delete set
-            live = _state_with_lineage(spark, removed, prev_dels, meta)
+            live = _state_with_lineage(
+                spark, removed, prev_dels, meta,
+                legacy_global_deletes=_lgd,
+            )
             parts.append(_stamp(live, "delete", ordinal, sid))
         if added_dels and prev_data:
             # r12 (VERDICT r11 ask #3): resolving which prior-state rows
@@ -1556,7 +1626,8 @@ def read_iceberg_changelog(
                 ]
                 if pos_data:
                     state = _state_with_lineage(
-                        spark, pos_data, prev_dels, meta
+                        spark, pos_data, prev_dels, meta,
+                        legacy_global_deletes=_lgd,
                     )
                     hits.append(state.join(
                         pos_pairs,
@@ -1619,7 +1690,10 @@ def read_iceberg_changelog(
                 ]
                 if not eq_data:
                     continue
-                state = _state_with_lineage(spark, eq_data, prev_dels, meta)
+                state = _state_with_lineage(
+                    spark, eq_data, prev_dels, meta,
+                    legacy_global_deletes=_lgd,
+                )
                 cond = reduce(
                     lambda a, b: a & b,
                     [state[c].eqNullSafe(keys[f"__eq_{c}__"]) for c in cols],

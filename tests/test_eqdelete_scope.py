@@ -28,87 +28,10 @@ def _rows(spark, tbl, cols=("id", "par")):
     )
 
 
-def _scope_delete_manifests(tbl, partition):
-    """Simulate a FOREIGN writer's partition-scoped equality delete:
-    stamp ``partition`` into every equality-delete manifest entry."""
-    from pipeline_spark.functions.avroocf import (
-        read_ocf_file,
-        read_ocf_file_with_meta,
-        write_ocf_bytes,
-    )
+from pipeline_spark.testing import (  # noqa: E402 — shared foreign-writer shape
+    scope_delete_manifests as _scope_delete_manifests,
+)
 
-    meta = load_table_metadata(tbl)
-    # a real foreign writer declares the PARTITIONED spec on a scoped
-    # delete manifest (r12: scope identity is (spec_id, record), so an
-    # all-null/unpartitioned-spec manifest reads as global)
-    spec_id = int(meta.get("default-spec-id", 0) or 0)
-    snap = next(
-        s for s in meta["snapshots"]
-        if s["snapshot-id"] == meta["current-snapshot-id"]
-    )
-    ml_path = _strip_scheme(snap["manifest-list"])
-    ml_schema, ml_meta, ml_recs = read_ocf_file_with_meta(ml_path)
-    mans = list(ml_recs)
-    retouched = []
-    for m in mans:
-        # only the CURRENT snapshot's delete manifests: a foreign
-        # writer scopes the delete it is committing, not every delete
-        # the table ever saw (stamping carried-forward manifests would
-        # retroactively re-scope earlier global deletes)
-        if m.get("added_snapshot_id") != snap["snapshot-id"]:
-            continue
-        mp = _strip_scheme(m["manifest_path"])
-        schema_json, ometa, recs = read_ocf_file_with_meta(mp)
-        rows = list(recs)
-        touched = False
-        for r in rows:
-            df = r.get("data_file") or {}
-            if df.get("content") == 2:
-                df["partition"] = dict(partition)
-                touched = True
-        if touched:
-            m["partition_spec_id"] = spec_id
-            retouched.append(m)
-            # a foreign partition-scoped delete carries the partition
-            # record under the table's PARTITIONED spec — widen the
-            # (possibly empty) partition record type to hold the values
-            def _rec(t):
-                return t if isinstance(t, dict) else None
-            for f in schema_json["fields"]:
-                if f["name"] != "data_file":
-                    continue
-                dtype = _rec(f["type"]) or next(
-                    x for x in f["type"] if isinstance(x, dict))
-                for df_f in dtype["fields"]:
-                    if df_f["name"] == "partition":
-                        prec = _rec(df_f["type"]) or next(
-                            x for x in df_f["type"] if isinstance(x, dict))
-                        have = {pf["name"] for pf in prec["fields"]}
-                        for i, k in enumerate(sorted(partition)):
-                            if k not in have:
-                                prec["fields"].append({
-                                    "name": k,
-                                    "type": ["null", "string"],
-                                    "default": None,
-                                    "field-id": 1000 + i,
-                                })
-            extra = {k: v.decode() for k, v in ometa.items()
-                     if k not in ("avro.schema", "avro.codec")}
-            import json as _json
-            spec = next(
-                (sp for sp in meta.get("partition-specs", [])
-                 if int(sp.get("spec-id", 0)) == spec_id),
-                {"fields": []},
-            )
-            extra["partition-spec-id"] = str(spec_id)
-            extra["partition-spec"] = _json.dumps(spec.get("fields", []))
-            with open(mp, "wb") as fh:
-                fh.write(write_ocf_bytes(schema_json, rows, extra_meta=extra))
-    if retouched:
-        extra = {k: v.decode() for k, v in ml_meta.items()
-                 if k not in ("avro.schema", "avro.codec")}
-        with open(ml_path, "wb") as fh:
-            fh.write(write_ocf_bytes(ml_schema, mans, extra_meta=extra))
 
 
 def _mk_partitioned(spark, tmp_path, name="pt", pars=("x", "y")):

@@ -1,0 +1,136 @@
+"""Legacy global-delete detection (r13, VERDICT r12 ask #2).
+
+Tables this engine wrote BEFORE r11 put GLOBAL equality deletes under
+the table's PARTITIONED spec with all-null partition records.  Since
+the r12 spec-identity fix, strict reading (iceberg-java
+DeleteFileIndex semantics) scopes those to the null partition — on a
+table with no null-partition data the deletes match nothing and
+previously-deleted rows silently resurrect.  The scan planner now
+DETECTS that shape (partitioned-spec delete, all-null record, no
+null-partition data file) and refuses by default;
+``legacyGlobalDeletes: allow`` reads on spec-strict (deletes inert),
+``apply`` restores the pre-r11 global reading, and COMPACTION with
+``apply`` migrates the table permanently.
+"""
+
+import warnings
+
+import pytest
+
+from pipeline_spark.sinks.iceberg_native import (
+    compact_iceberg_native,
+    equality_delete_iceberg_native,
+    write_iceberg_native,
+)
+from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+from tests.test_eqdelete_scope import _scope_delete_manifests
+
+
+def _mk_legacy_table(spark, tmp_path, name="legacy"):
+    """A pre-r11-shaped table: partitioned, with a GLOBAL equality
+    delete re-stamped under the partitioned spec with an all-null
+    record (what this engine's own sink wrote before r11)."""
+    tbl = str(tmp_path / name)
+    rows = [(i, p) for i in range(4) for p in ("x", "y")]
+    write_iceberg_native(
+        spark.createDataFrame(rows, "id long, par string"),
+        {"path": tbl, "mode": "create", "partitionBy": ["par"]},
+    )
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 1}]})
+    _scope_delete_manifests(tbl, {"par": None})
+    return tbl, rows
+
+
+def _got(spark, tbl, **extra):
+    return {
+        (r["id"], r["par"])
+        for r in read_iceberg_native(spark, {"path": tbl, **extra}).collect()
+    }
+
+
+def test_legacy_global_delete_refused_by_default(spark, tmp_path):
+    tbl, _ = _mk_legacy_table(spark, tmp_path, "refuse")
+    with pytest.raises(ValueError, match="legacy GLOBAL"):
+        _got(spark, tbl)
+
+
+def test_legacy_allow_reads_strict_with_warning(spark, tmp_path):
+    """allow: spec-strict scoping — the delete is inert (rows
+    resurrect), but LOUDLY, never silently."""
+    tbl, rows = _mk_legacy_table(spark, tmp_path, "allow")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = _got(spark, tbl, legacyGlobalDeletes="allow")
+    assert got == set(rows)  # delete matches nothing under strict
+    assert any("legacy GLOBAL" in str(x.message) for x in w)
+
+
+def test_legacy_apply_restores_global_reading(spark, tmp_path):
+    """apply: pre-r11 self-compat — the delete reads as global, the
+    deleted id is gone from every partition."""
+    tbl, rows = _mk_legacy_table(spark, tmp_path, "apply")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = _got(spark, tbl, legacyGlobalDeletes="apply")
+    assert got == {(i, p) for i, p in rows if i != 1}
+    assert any("legacy GLOBAL" in str(x.message) for x in w)
+
+
+def test_legacy_unknown_mode_rejected(spark, tmp_path):
+    tbl, _ = _mk_legacy_table(spark, tmp_path, "badmode")
+    with pytest.raises(ValueError, match="unknown legacyGlobalDeletes"):
+        _got(spark, tbl, legacyGlobalDeletes="yolo")
+
+
+def test_compact_with_apply_migrates_the_table(spark, tmp_path):
+    """The permanent fix: compaction with apply materializes the legacy
+    deletes as global and drops the delete files — afterwards the
+    DEFAULT (refusing) read succeeds and rows stay deleted."""
+    tbl, rows = _mk_legacy_table(spark, tmp_path, "migrate")
+    compact_iceberg_native(
+        spark, {"path": tbl, "legacyGlobalDeletes": "apply"}
+    )
+    got = _got(spark, tbl)  # default mode: no refusal post-migration
+    assert got == {(i, p) for i, p in rows if i != 1}
+
+
+def test_compact_default_also_refuses_legacy(spark, tmp_path):
+    """Compaction must not silently bake in EITHER interpretation — the
+    default refuses, same as the reader."""
+    tbl, _ = _mk_legacy_table(spark, tmp_path, "cref")
+    with pytest.raises(ValueError, match="legacy GLOBAL"):
+        compact_iceberg_native(spark, {"path": tbl})
+
+
+def test_null_partition_scope_with_null_data_not_flagged(spark, tmp_path):
+    """A LEGITIMATE null-partition-scoped delete (null-partition data
+    exists) is not a legacy shape — no refusal, no warning, delete
+    applies only to the null partition."""
+    tbl = str(tmp_path / "nullok")
+    rows = [(0, "x"), (1, "x"), (0, None), (1, None)]
+    write_iceberg_native(
+        spark.createDataFrame(rows, "id long, par string"),
+        {"path": tbl, "mode": "create", "partitionBy": ["par"]},
+    )
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 1}]})
+    _scope_delete_manifests(tbl, {"par": None})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = _got(spark, tbl)
+    assert got == {(0, None), (0, "x"), (1, "x")}
+    assert not any("legacy GLOBAL" in str(x.message) for x in w)
+
+
+def test_own_global_deletes_not_flagged(spark, tmp_path):
+    """This engine's own (r11+) global deletes sit under an
+    UNPARTITIONED spec — never flagged."""
+    tbl = str(tmp_path / "own")
+    rows = [(i, p) for i in range(3) for p in ("x", "y")]
+    write_iceberg_native(
+        spark.createDataFrame(rows, "id long, par string"),
+        {"path": tbl, "mode": "create", "partitionBy": ["par"]},
+    )
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 2}]})
+    got = _got(spark, tbl)
+    assert got == {(i, p) for i, p in rows if i != 2}
