@@ -6032,6 +6032,93 @@ ORDER BY phase
 """
 
 
+def uniform_stream_stage_breakdown(spark: SparkSession, sf_dir: str) -> dict:
+    """Per-stage wall-clock of the uniform_stream pipeline (r13, VERDICT
+    r12 ask #7: slowest bench row, never broken down).  Times each stage
+    separately AND runs a TWIN stream on a plain delta table (same
+    files, same 1-file-per-trigger cadence, no UniForm property) so the
+    per-micro-batch iceberg mirror sync cost is the DIFFERENCE of the
+    drain times — trigger scheduling overhead cancels in the subtraction,
+    the same protocol as the buffered-pane microbench."""
+    import shutil
+    import time as _time
+
+    from pipeline_spark.registry import ModuleContext
+    from pipeline_spark.sinks.delta_native import delta_sink, write_delta_native
+    from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    out: dict[str, float] = {}
+
+    def _t(fn):
+        t0 = _time.time()
+        fn()
+        return round(_time.time() - t0, 3)
+
+    def _drain(stage, t, ckpt):
+        sdf = (
+            spark.readStream.schema(
+                "event_id long, user_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage + "/*")
+        )
+        delta_sink(ModuleContext(
+            spark=spark, name="w",
+            params={"path": t, "checkpointLocation": ckpt},
+            inputs=[sdf], input_names=["in"],
+        ))
+
+    # two rounds of the twin pair, min per stage: the FIRST streaming
+    # query of a session pays foreachBatch/stream-engine warmup that
+    # otherwise lands entirely on whichever twin runs first and flips
+    # the subtraction's sign (measured -1.07 s on a cold session)
+    for rnd in range(2):
+        for label, props in (
+            ("plain", {}),
+            ("uniform", {"delta.universalFormat.enabledFormats": "iceberg"}),
+        ):
+            stage = _tmp_path(f"ustream_bd_src_{label}{rnd}", sf_dir)
+            t = _tmp_path(f"ustream_bd_{label}{rnd}", sf_dir)
+            ckpt = t + "_checkpoint"
+            for d in (stage, t, ckpt):
+                shutil.rmtree(d, ignore_errors=True)
+            ev.where(F.col("event_id") < 500).coalesce(1) \
+                .write.parquet(f"{stage}/b1")
+            ev.where(
+                (F.col("event_id") >= 500) & (F.col("event_id") < 1000)
+            ).coalesce(1).write.parquet(f"{stage}/b2")
+
+            def rec(key, sec):
+                out[key] = min(out.get(key, 9e9), sec)
+
+            rec(f"{label}_setup_sec", _t(lambda: write_delta_native(
+                spark, ev.where(F.lit(False)),
+                {"path": t, "properties": props},
+            )))
+            rec(f"{label}_drain2_batches_sec", _t(
+                lambda: _drain(stage, t, ckpt)))
+            if label == "uniform":
+                rec("mid_iceberg_read_sec", _t(lambda: read_iceberg_native(
+                    spark, {"path": t}).agg(F.sum("value")).collect()))
+            ev.where(
+                (F.col("event_id") >= 1000) & (F.col("event_id") < 1500)
+            ).coalesce(1).write.parquet(f"{stage}/b3")
+            rec(f"{label}_resume1_batch_sec", _t(
+                lambda: _drain(stage, t, ckpt)))
+            if label == "uniform":
+                rec("final_iceberg_read_sec", _t(lambda: read_iceberg_native(
+                    spark, {"path": t}).agg(F.sum("value")).collect()))
+    out["sync_cost_2_batches_sec"] = round(
+        out["uniform_drain2_batches_sec"] - out["plain_drain2_batches_sec"], 3
+    )
+    out["sync_cost_resume_sec"] = round(
+        out["uniform_resume1_batch_sec"] - out["plain_resume1_batch_sec"], 3
+    )
+    return out
+
+
 def q_iceberg_row_lineage_inherited(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v3 row-lineage INHERITANCE on read (r11, spec §Row
     Lineage): a FOREIGN v3 writer may omit per-file first_row_id

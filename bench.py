@@ -210,6 +210,16 @@ def main() -> None:
     # JSON so cross-round swings can be normalized against how fast
     # THIS run's host compresses at all.
     CODEC_BOUND = {"warc_roundtrip"}
+    # r13 (VERDICT r12 ask #4): rows that swung round-over-round with
+    # their code untouched (delta_skipping 1.76 -> 1.43 -> 2.50 across
+    # r10-r12) sit late in the list, where the soft budget degrades
+    # them to single runs — exactly the rows most exposed to steal.
+    # Pin them min-of-3: exempt from the soft-budget break AND the
+    # fast-row early exit.  Bounded: ~5 rows x <2.5 s x 2 extra runs.
+    PINNED_MIN3 = {
+        "delta_skipping", "dedup_cluster", "simhash_neardup",
+        "chunk_windows",
+    }
     codec_runs = int(os.environ.get("SPARK_GRAFT_CODEC_RUNS", "6"))
     import zlib as _zlib
 
@@ -278,7 +288,10 @@ def main() -> None:
             # engine: never record it as a single-run number — one re-run is
             # always allowed even past the soft budget
             spiky = attempt == 1 and first is not None and first > 5.0
-            if attempt > 0 and over_soft and not spiky and name not in CODEC_BOUND:
+            if (
+                attempt > 0 and over_soft and not spiky
+                and name not in CODEC_BOUND and name not in PINNED_MIN3
+            ):
                 break
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -287,7 +300,10 @@ def main() -> None:
             if first is None:
                 first = elapsed
             best = elapsed if best is None else min(best, elapsed)
-            if elapsed < 0.5 and name not in CODEC_BOUND:
+            if (
+                elapsed < 0.5
+                and name not in CODEC_BOUND and name not in PINNED_MIN3
+            ):
                 break  # fast enough; a re-run can't change the story
         timings[name] = round(best, 3)
         if name in CODEC_BOUND:
@@ -330,9 +346,15 @@ def main() -> None:
     # drift-normalized round-over-round comparison (VERDICT r11 ask
     # #2): raw ratio vs the previous committed artifact, and the same
     # ratio divided by the calibration drift (spark_calibration for
-    # plan rows, codec_calibration for codec rows).  Only rows whose
-    # NORMALIZED ratio exceeds 1.25 are flagged — a swing that
-    # disappears after normalization is host load, not the engine.
+    # plan rows, codec_calibration for codec rows).  r13 (VERDICT r12
+    # item #2): a row is flagged only when RAW AND NORMALIZED both
+    # exceed 1.25 — the 2M-row calibration measures throughput, but
+    # sub-second rows are dominated by fixed scheduling/planning
+    # overhead that does not scale with host speed, so dividing by a
+    # fast-host factor over-corrects (r12: ~60 of 119 rows "flagged"
+    # while raw ratios clustered at 0.9-1.2).  Agreement of both views
+    # is the signal that survives either failure mode: raw-only swings
+    # are host load, normalized-only swings are calibration mix.
     if prev_art and isinstance(prev_art.get("queries"), dict):
         prev_q = prev_art["queries"]
         prev_spark_calib = prev_art.get("spark_calibration_sec")
@@ -360,7 +382,8 @@ def main() -> None:
         flagged = {
             k: {"raw": raw_r.get(k), "normalized": r,
                 "sec": timings[k], "prev_sec": prev_q.get(k)}
-            for k, r in norm_r.items() if r > 1.25
+            for k, r in norm_r.items()
+            if r > 1.25 and (raw_r.get(k) or 0) > 1.25
         }
         result["drift"] = {
             "prev_spark_calibration_sec": prev_spark_calib,
@@ -371,7 +394,7 @@ def main() -> None:
             ),
             "raw_ratio_vs_prev": raw_r,
             "normalized_ratio_vs_prev": norm_r,
-            "flagged_over_1_25x_normalized": flagged,
+            "flagged_raw_and_normalized_over_1_25x": flagged,
         }
     result["notes"] = (
         "warc_roundtrip is codec-bound (per-record gzip in Python "
@@ -534,7 +557,11 @@ def main() -> None:
             write_iceberg_native(clustered, {"path": it, "mode": "create"})
             d["iceberg_merge_cow"] = _t(lambda: merge_iceberg_native(
                 spark, batch, {"path": it, "primaryKeys": ["doc_id"]}))
-            d["iceberg_upsert_mor"] = _t(lambda: upsert_iceberg_native(
+            # min-of-3 (VERDICT r12 item #3: 1.87 ratio on untouched
+            # code): each upsert appends one eq-delete + one data file
+            # without scanning prior state, so repeat runs do
+            # same-shaped work and the min strips host steal
+            d["iceberg_upsert_mor"] = _tmin(lambda: upsert_iceberg_native(
                 spark, batch, {"path": it, "primaryKeys": ["doc_id"]}))
             d["iceberg_update_cow"] = _t(lambda: update_iceberg_native(
                 spark, {"path": it,
@@ -653,6 +680,22 @@ def main() -> None:
         )
         result["buffered_pane_microbench"] = pane_bench
 
+    # r13 (VERDICT r12 ask #7): uniform_stream is the slowest bench row
+    # (4.93 s in r12) — break it down per stage.  A twin stream on a
+    # PLAIN delta table (same files, same 1-file-per-trigger cadence)
+    # isolates the per-micro-batch iceberg mirror sync by subtraction;
+    # the iceberg reads are timed separately.  Same last-section
+    # budget ceiling as the pane microbench.
+    if (time.time() - bench_start) < budget * 1.9 and hasattr(
+        entrymod, "uniform_stream_stage_breakdown"
+    ):
+        try:
+            result["uniform_stream_breakdown"] = (
+                entrymod.uniform_stream_stage_breakdown(spark, sf_dir)
+            )
+        except Exception as exc:  # noqa: BLE001 — diagnostics must not
+            result["uniform_stream_breakdown"] = {"error": str(exc)[:200]}
+
     # The driver records only a ~2 KB tail of stdout: the full artifact
     # (every query, sf1 map, ratios) goes to BENCH.local.json; the printed
     # line is a compact summary guaranteed to fit the capture so the
@@ -688,13 +731,19 @@ def main() -> None:
         dr = result["drift"]
         compact["drift"] = {
             "host_factor_spark": dr["host_factor_spark"],
-            "n_flagged_over_1_25x_normalized": len(
-                dr["flagged_over_1_25x_normalized"]
+            "n_flagged_raw_and_normalized_over_1_25x": len(
+                dr["flagged_raw_and_normalized_over_1_25x"]
             ),
-            "flagged": {
-                k: v["normalized"]
-                for k, v in dr["flagged_over_1_25x_normalized"].items()
-            },
+            # cap at the 8 worst: r12's over-broad flag list alone blew
+            # the driver's ~2 KB stdout tail capture
+            "flagged": dict(sorted(
+                (
+                    (k, v["normalized"])
+                    for k, v in
+                    dr["flagged_raw_and_normalized_over_1_25x"].items()
+                ),
+                key=lambda kv: -kv[1],
+            )[:8]),
         }
     if "buffered_pane_microbench" in result:
         compact["buffered_pane_microbench"] = result[
@@ -714,6 +763,26 @@ def main() -> None:
             "t_sf1_over_t_sf01"
         ]
     print(json.dumps(compact))
+    # r13 (VERDICT r12 item #4): the driver keeps only a ~2 KB stdout
+    # TAIL, and r12's compact line alone outgrew it (60 flagged rows) —
+    # BENCH_r12.json recorded parsed: null.  The LAST line is therefore
+    # a minimal headline guaranteed to fit any tail window; the compact
+    # summary above and BENCH.local.json carry the detail.
+    headline = {
+        "metric": full_result["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "spark_calibration_sec": full_result.get("spark_calibration_sec"),
+        "codec_calibration_sec": full_result.get("codec_calibration_sec"),
+        "n_flagged": len(
+            result.get("drift", {}).get(
+                "flagged_raw_and_normalized_over_1_25x", {})
+        ) if "drift" in result else None,
+        "detail": "BENCH.local.json",
+    }
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,411 @@
+"""Generative config fuzz vs DuckDB (r13, VERDICT r12 stretch #8).
+
+Random filter → select → aggregation pipeline configs are compiled by
+the engine (the real config path: parse_config + run_pipeline) and
+cross-checked against an INDEPENDENTLY generated ANSI-SQL translation
+run by DuckDB on the same parquet.  The SQL generator walks the same
+config dict but maps each construct to SQL on its own — a systematic
+compiler bug can't hide in shared code (the expression property suite's
+protocol, extended from one function to whole configs).
+
+Scope is the oracle-able core: every filter op (= != > >= < <= in
+"not in" match, null literals, and/or trees, expression leaves) and the
+deterministic select functions (pass/rename/cast/constant/expression/
+concat/nullif/switch — including sequential binding: later functions
+referencing earlier outputs, shadowing physical columns), then
+optionally aggregation (count/sum/min/max/avg, conditional aggs,
+group-by on a select output).  240 seeded configs (8 chunks x 30).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import random
+
+import duckdb
+import pytest
+
+PART = "/root/testdata/sf0.001/part.parquet"
+
+# (name, kind) — the physical schema the generator draws from
+PHYS = [
+    ("p_partkey", "long"),
+    ("p_name", "string"),
+    ("p_brand", "string"),
+    ("p_type", "string"),
+    ("p_size", "long"),
+    ("p_retailprice", "double"),
+]
+STR_COLS = [c for c, k in PHYS if k == "string"]
+NUM_COLS = [c for c, k in PHYS if k in ("long", "double")]
+LONG_COLS = [c for c, k in PHYS if k == "long"]
+
+_con = duckdb.connect()
+_DOMAIN = {
+    c: [r[0] for r in _con.execute(
+        f"SELECT DISTINCT {c} FROM '{PART}' ORDER BY 1 LIMIT 40"
+    ).fetchall()]
+    for c, _ in PHYS
+}
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+# ---------------------------------------------------------------- filter
+
+def _gen_value(rng: random.Random, col: str, kind: str):
+    dom = _DOMAIN[col]
+    if rng.random() < 0.7 and dom:
+        return rng.choice(dom)
+    if kind == "long":
+        return rng.randint(-3, 250)
+    if kind == "double":
+        return round(rng.uniform(800.0, 2200.0), 2)
+    return rng.choice(["NOPE", "Brand#99", "zzz", ""])
+
+
+def _gen_leaf(rng: random.Random):
+    """Returns (leaf_config, sql_fn) where sql_fn(resolve) renders the
+    leaf against a name->sql-expression resolver."""
+    col, kind = rng.choice(PHYS)
+    r = rng.random()
+    if r < 0.08:  # expression leaf (double-compared, Filter.java:419)
+        a, b = rng.sample(NUM_COLS, 2)
+        op = rng.choice([">", ">=", "<", "<="])
+        v = round(rng.uniform(-100, 5000), 2)
+        cfg = {"expression": f"{a} + {b}", "op": op, "value": v}
+
+        def sql(res):
+            return (f"(CAST(({res(a)} + {res(b)}) AS DOUBLE) {op} "
+                    f"{_sql_lit(float(v))})")
+
+        return cfg, sql
+    if r < 0.16:  # null literal: = -> IS NULL, != -> IS NOT NULL
+        op = rng.choice(["=", "!="])
+        cfg = {"key": col, "op": op, "value": None}
+
+        def sql(res, col=col, op=op):
+            return (f"({res(col)} IS NULL)" if op == "="
+                    else f"({res(col)} IS NOT NULL)")
+
+        return cfg, sql
+    if r < 0.30 and kind in ("long", "string"):
+        # in / not in: reference compares toString()s; doubles excluded
+        # (Java Double.toString vs SQL varchar render diverge)
+        op = rng.choice(["in", "not in"])
+        vals = [_gen_value(rng, col, kind) for _ in range(rng.randint(1, 4))]
+        cfg = {"key": col, "op": op, "value": vals}
+        strs = [str(v) for v in vals]
+
+        def sql(res, col=col, op=op, strs=strs):
+            lst = ", ".join(_sql_lit(s) for s in strs)
+            base = f"CAST({res(col)} AS VARCHAR) IN ({lst})"
+            if op == "not in":
+                return f"(({res(col)} IS NOT NULL) AND NOT ({base}))"
+            return f"({base})"
+
+        return cfg, sql
+    if r < 0.38 and kind == "string":
+        # match: unanchored regex find (rlike / regexp_matches)
+        v = rng.choice(_DOMAIN[col]) or "x"
+        i = rng.randrange(len(v))
+        pat = v[i:i + rng.randint(2, 6)] or v[:2]
+        pat = "".join(ch for ch in pat if ch.isalnum() or ch in "# ") or "a"
+        cfg = {"key": col, "op": "match", "value": pat}
+
+        def sql(res, col=col, pat=pat):
+            return f"regexp_matches(CAST({res(col)} AS VARCHAR), {_sql_lit(pat)})"
+
+        return cfg, sql
+    op = rng.choice(["=", "!=", ">", ">=", "<", "<="])
+    v = _gen_value(rng, col, kind)
+    cfg = {"key": col, "op": op, "value": v}
+    sqlop = {"=": "=", "!=": "<>", ">": ">", ">=": ">=",
+             "<": "<", "<=": "<="}[op]
+
+    def sql(res, col=col, sqlop=sqlop, v=v):
+        return f"({res(col)} {sqlop} {_sql_lit(v)})"
+
+    return cfg, sql
+
+
+def _gen_condition(rng: random.Random, depth: int = 0):
+    """Random and/or tree; returns (config_node, sql_fn)."""
+    if depth >= 2 or rng.random() < 0.5:
+        return _gen_leaf(rng)
+    kids = [_gen_condition(rng, depth + 1) for _ in range(rng.randint(2, 3))]
+    kind = rng.choice(["and", "or"])
+    cfg = {kind: [c for c, _ in kids]}
+    glue = " AND " if kind == "and" else " OR "
+
+    def sql(res, kids=kids, glue=glue):
+        # engine's `or` coalesces children to FALSE before OR-ing; for
+        # row filtering 3-valued SQL OR is equivalent (NULL drops)
+        return "(" + glue.join(
+            f"COALESCE({s(res)}, FALSE)" for _, s in kids) + ")"
+
+    return cfg, sql
+
+
+# ---------------------------------------------------------------- select
+
+def _gen_selects(rng: random.Random):
+    """Random select list with sequential binding.  Returns
+    (select_configs, out_specs) where out_specs = [(name, sql_expr,
+    kind)]; sql exprs are fully inlined (bound references substituted),
+    which IS the reference's sequential-binding semantics."""
+    env: dict[str, tuple[str, str]] = {
+        c: (c, k) for c, k in PHYS
+    }  # name -> (sql_expr, kind)
+
+    def res(name: str) -> str:
+        return env[name][0]
+
+    cfgs: list[dict] = []
+    outs: list[tuple[str, str, str]] = []
+
+    def add(name, cfg, sql_expr, kind):
+        cfgs.append(cfg)
+        env[name] = (sql_expr, kind)
+        outs.append((name, sql_expr, kind))
+
+    # always keep a stable key column for deterministic comparison
+    add("p_partkey", {"name": "p_partkey"}, "p_partkey", "long")
+
+    n_funcs = rng.randint(2, 5)
+    for i in range(n_funcs):
+        name = f"c{i}"
+        kindpick = rng.random()
+        bound_nums = [n for n, (_, k) in env.items() if k in ("long", "double")]
+        bound_strs = [n for n, (_, k) in env.items() if k == "string"]
+        if kindpick < 0.14:  # rename (maybe of a bound output)
+            src = rng.choice(list(env))
+            e, k = env[src]
+            add(name, {"name": name, "field": src, "func": "rename"}, e, k)
+        elif kindpick < 0.26:  # cast long->double / long->string
+            src = rng.choice([n for n in bound_nums
+                              if env[n][1] == "long"] or ["p_size"])
+            e, _ = env[src]
+            if rng.random() < 0.5:
+                add(name, {"name": name, "field": src, "type": "float64"},
+                    f"CAST({e} AS DOUBLE)", "double")
+            else:
+                add(name, {"name": name, "field": src, "type": "string"},
+                    f"CAST({e} AS VARCHAR)", "string")
+        elif kindpick < 0.36:  # constant
+            c = rng.choice([
+                (rng.randint(-5, 99), "int64", "long"),
+                (round(rng.uniform(0, 9), 3), "float64", "double"),
+                (rng.choice(["alpha", "beta", ""]), "string", "string"),
+            ])
+            v, t, k = c
+            lit = (f"CAST({_sql_lit(float(v))} AS DOUBLE)" if k == "double"
+                   else f"CAST({_sql_lit(v)} AS BIGINT)" if k == "long"
+                   else _sql_lit(v))
+            add(name, {"name": name, "value": v, "type": t}, lit, k)
+        elif kindpick < 0.58:  # expression over bound numerics (double)
+            a, b = rng.choice(bound_nums), rng.choice(bound_nums)
+            op = rng.choice(["+", "-", "*"])
+            expr = f"{a} {op} {b}"
+            sql = (f"CAST(({env[a][0]} {op} {env[b][0]}) AS DOUBLE)")
+            add(name, {"name": name, "func": "expression",
+                       "expression": expr}, sql, "double")
+        elif kindpick < 0.70:  # concat over strings + longs
+            pool = bound_strs + [n for n in bound_nums
+                                 if env[n][1] == "long"]
+            fields = rng.sample(pool, min(len(pool), rng.randint(2, 3)))
+            delim = rng.choice(["", "|", "-"])
+            sql = "concat_ws({}, {})".format(
+                _sql_lit(delim),
+                ", ".join(f"CAST({env[f][0]} AS VARCHAR)" for f in fields),
+            )
+            add(name, {"name": name, "func": "concat", "fields": fields,
+                       "delimiter": delim}, sql, "string")
+        elif kindpick < 0.86:  # nullif — condition may see bound outputs
+            src = rng.choice(list(env))
+            e, k = env[src]
+            cond_cfg, cond_sql = _gen_leaf(rng)
+            # leaf keys must resolve in env (they always do: leaves draw
+            # from PHYS and physical names stay bound unless shadowed —
+            # shadowing substitutes the bound expr, which is the point)
+            add(name, {"name": name, "func": "nullif", "field": src,
+                       "condition": cond_cfg},
+                f"(CASE WHEN COALESCE({cond_sql(res)}, FALSE) "
+                f"THEN NULL ELSE {e} END)", k)
+        else:  # switch
+            cases = []
+            sql_cases = []
+            for _ in range(rng.randint(1, 2)):
+                cond_cfg, cond_sql = _gen_leaf(rng)
+                then = rng.choice(["hit", "low", "hi"])
+                cases.append({"when": cond_cfg, "then": then})
+                sql_cases.append(
+                    f"WHEN COALESCE({cond_sql(res)}, FALSE) "
+                    f"THEN {_sql_lit(then)}")
+            default = rng.choice(["other", None])
+            add(name, {"name": name, "func": "switch", "cases": cases,
+                       "default": default},
+                "(CASE " + " ".join(sql_cases)
+                + f" ELSE {_sql_lit(default)} END)", "string")
+    return cfgs, outs
+
+
+# ----------------------------------------------------------- aggregation
+
+_AGG_OPS = ["count", "sum", "min", "max", "avg"]
+
+
+def _gen_agg(rng: random.Random, outs):
+    """Random aggregation over the select stage's outputs.  Returns
+    (agg_params, sql_select_list, group_names)."""
+    str_outs = [o for o in outs if o[2] == "string"]
+    num_outs = [o for o in outs if o[2] in ("long", "double")]
+    group = rng.sample(str_outs, min(len(str_outs), rng.randint(1, 2)))
+    if not group or not num_outs:
+        return None
+    aggs = []
+    sql_items = [f"{n}" for n, _, _ in group]
+    for i in range(rng.randint(1, 3)):
+        op = rng.choice(_AGG_OPS)
+        name = f"a{i}"
+        tgt = rng.choice(num_outs)
+        cfg = {"name": name, "op": op}
+        cond_sql = None
+        if op != "count" or rng.random() < 0.5:
+            cfg["field"] = tgt[0]
+        if rng.random() < 0.3:
+            # conditions resolve against the aggregation INPUT (the
+            # select output schema), so leaves draw from outs only
+            cn, ce, ck = rng.choice(num_outs + str_outs)
+            cop = rng.choice(["=", "!=", ">", ">=", "<", "<="]
+                             if ck != "string" else ["=", "!="])
+            v = (rng.choice(["alpha", "hit", "other", "Brand#21", ""])
+                 if ck == "string"
+                 else rng.randint(-3, 250) if ck == "long"
+                 else round(rng.uniform(0, 4000), 2))
+            cfg["condition"] = {"key": cn, "op": cop, "value": v}
+            sqlop = "<>" if cop == "!=" else cop
+            cond_sql = f"({cn} {sqlop} {_sql_lit(v)})"
+        col = tgt[0]
+        if op == "count":
+            # engine: condition -> rows matching; field -> non-null
+            # count; bare -> count(*)  (compilers/aggregation.py:73-80)
+            if cond_sql:
+                body = (f"COUNT(CASE WHEN COALESCE({cond_sql}, FALSE) "
+                        f"THEN 1 END)")
+            elif "field" in cfg:
+                body = f"COUNT({col})"
+            else:
+                body = "COUNT(*)"
+        else:
+            src = (f"CASE WHEN COALESCE({cond_sql}, FALSE) THEN {col} END"
+                   if cond_sql else col)
+            fn = {"sum": "SUM", "min": "MIN", "max": "MAX",
+                  "avg": "AVG"}[op]
+            body = f"{fn}({src})"
+            if op in ("sum",) and tgt[2] == "long":
+                body = f"CAST({body} AS BIGINT)"
+            if op in ("sum", "avg") and (tgt[2] == "double" or op == "avg"):
+                body = f"CAST({body} AS DOUBLE)"
+        sql_items.append(f"{body} AS {name}")
+        aggs.append(cfg)
+    params = {"groupFields": [n for n, _, _ in group],
+              "aggregations": aggs}
+    return params, sql_items, [n for n, _, _ in group]
+
+
+# ------------------------------------------------------------- the check
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if v is None:
+        return "<null>"
+    return str(v)
+
+
+def _run_one(spark, seed: int):
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    rng = random.Random(seed)
+    transforms = []
+    where_sql = None
+    if rng.random() < 0.8:
+        cond_cfg, cond_sql = _gen_condition(rng)
+        transforms.append({
+            "name": "flt", "module": "filter", "inputs": ["part"],
+            "parameters": {"filters": cond_cfg},
+        })
+        where_sql = cond_sql(lambda nm: nm)
+    sel_cfgs, outs = _gen_selects(rng)
+    transforms.append({
+        "name": "sel", "module": "select",
+        "inputs": [transforms[-1]["name"] if transforms else "part"],
+        "parameters": {"select": sel_cfgs},
+    })
+    inner = "SELECT {} FROM part{}".format(
+        ", ".join(f"{e} AS {n}" for n, e, _ in outs),
+        f" WHERE {where_sql}" if where_sql else "",
+    )
+    out_name = "sel"
+    agg = _gen_agg(rng, outs) if rng.random() < 0.5 else None
+    if agg:
+        params, sql_items, group = agg
+        transforms.append({
+            "name": "agg", "module": "aggregation", "inputs": ["sel"],
+            "parameters": params,
+        })
+        out_name = "agg"
+        sql = "SELECT {} FROM ({}) GROUP BY {}".format(
+            ", ".join(sql_items), inner, ", ".join(group))
+    else:
+        sql = inner
+
+    cfg = {
+        "sources": [{
+            "name": "part", "module": "storage",
+            "parameters": {"format": "parquet", "input": PART},
+        }],
+        "transforms": transforms,
+    }
+    got_df = run_pipeline(spark, parse_config(json.dumps(cfg)))[out_name]
+    got_cols = got_df.columns
+    got = [tuple(r[c] for c in got_cols) for r in got_df.collect()]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{PART}'")
+    cur = con.execute(sql)
+    want_cols = [d[0] for d in cur.description]
+    want = cur.fetchall()
+
+    assert sorted(got_cols) == sorted(want_cols), (
+        f"seed {seed}: columns {got_cols} vs {want_cols}\nSQL: {sql}")
+    order = {c: i for i, c in enumerate(got_cols)}
+    w_idx = [want_cols.index(c) for c in got_cols]
+    g_norm = sorted(tuple(_norm_cell(x) for x in row) for row in got)
+    w_norm = sorted(
+        tuple(_norm_cell(row[i]) for i in w_idx) for row in want)
+    assert g_norm == w_norm, (
+        f"seed {seed}: {len(g_norm)} vs {len(w_norm)} rows\nSQL: {sql}\n"
+        f"engine[:3]={g_norm[:3]}\noracle[:3]={w_norm[:3]}\n"
+        f"only_engine={[r for r in g_norm if r not in w_norm][:3]}\n"
+        f"only_oracle={[r for r in w_norm if r not in g_norm][:3]}")
+
+
+CHUNK = 30
+
+
+@pytest.mark.parametrize("chunk", range(8))
+def test_config_fuzz_vs_duckdb(spark, chunk):
+    for seed in range(chunk * CHUNK, (chunk + 1) * CHUNK):
+        _run_one(spark, seed)
