@@ -2430,7 +2430,8 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         # decoded raw path (spec: a position delete's file_path equals
         # the manifest's file_path — raw, not a URI).
         live = _apply_row_deletes(
-            spark, live, data, prior_deletes, _meta, keep_lineage=True
+            spark, live, data, prior_deletes, _meta, keep_lineage=True,
+            legacy_global_deletes=p.get("legacyGlobalDeletes") or "refuse",
         )
     if "__fp__" not in live.columns:
         live = live.select(
@@ -3022,6 +3023,8 @@ def _cow_mutate_where(
             probe = _apply_row_deletes(
                 spark, probe, candidates, deletes, prev_meta,
                 keep_lineage=True,
+                legacy_global_deletes=p.get("legacyGlobalDeletes")
+                or "refuse",
             )
         if "__fp__" not in probe.columns:
             probe = probe.select(
@@ -3667,6 +3670,8 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
                 probe = _apply_row_deletes(
                     spark, probe, candidates, deletes, prev_meta,
                     keep_lineage=True,
+                    legacy_global_deletes=p.get("legacyGlobalDeletes")
+                    or "refuse",
                 )
             if "__fp__" not in probe.columns:
                 probe = probe.select(
@@ -3727,7 +3732,11 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
                 # the merge's delete+insert identity)
                 grp = derive_row_ids(spark, grp, hit, with_seq=True)
         if deletes:
-            grp = _apply_row_deletes(spark, grp, hit, deletes, prev_meta)
+            grp = _apply_row_deletes(
+                spark, grp, hit, deletes, prev_meta,
+                legacy_global_deletes=p.get("legacyGlobalDeletes")
+                or "refuse",
+            )
         survivors = grp.join(
             touched, on=list(keys), how="left_anti"
         ).select(*(keep_cols + (LINEAGE_COLS if lineage else [])))

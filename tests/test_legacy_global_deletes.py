@@ -134,3 +134,26 @@ def test_own_global_deletes_not_flagged(spark, tmp_path):
     equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 2}]})
     got = _got(spark, tbl)
     assert got == {(i, p) for i, p in rows if i != 2}
+
+
+def test_dml_on_legacy_table_threads_option(spark, tmp_path):
+    """merge/update/delete read prior live state — on a legacy table the
+    default refuses (same guard), and legacyGlobalDeletes: apply lets
+    the DML proceed with the pre-r11 global reading."""
+    from pipeline_spark.sinks.iceberg_native import merge_iceberg_native
+
+    tbl, rows = _mk_legacy_table(spark, tmp_path, "dml")
+    batch = spark.createDataFrame([(0, "x")], "id long, par string")
+    with pytest.raises(ValueError, match="legacy GLOBAL"):
+        merge_iceberg_native(
+            spark, batch, {"path": tbl, "primaryKeys": ["id"]})
+    merge_iceberg_native(
+        spark, batch,
+        {"path": tbl, "primaryKeys": ["id"],
+         "legacyGlobalDeletes": "apply"},
+    )
+    got = _got(spark, tbl, legacyGlobalDeletes="apply")
+    # id=1 stays deleted (global reading), id=0 merged: x updated in
+    # place, the y-partition copy removed by the key merge
+    assert (1, "x") not in got and (1, "y") not in got
+    assert (0, "x") in got
