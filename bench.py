@@ -257,6 +257,22 @@ def main() -> None:
 
     spark_calib = _spark_calib()
 
+    # r13 second calibration point: a near-empty job measures the FIXED
+    # scheduling/planning overhead that dominates sub-second rows and
+    # does NOT scale with host throughput — the reason r12's
+    # throughput-only normalization over-corrected (VERDICT r12 item
+    # #2).  Recorded for attribution; the flag itself now requires
+    # raw+normalized agreement.
+    def _overhead_calib():
+        best = None
+        for _ in range(3):
+            _t = time.time()
+            spark.range(1).write.mode("overwrite").format("noop").save()
+            best = min(best or 9e9, time.time() - _t)
+        return round(best, 4)
+
+    overhead_calib = _overhead_calib()
+
     # previous round's full artifact (committed every round) — the
     # baseline for drift-normalized comparison
     prev_art = None
@@ -319,6 +335,7 @@ def main() -> None:
     # the least-stolen moment is the matching baseline
     calib_end = _codec_calib()
     spark_calib_end = _spark_calib()
+    overhead_calib = min(overhead_calib, _overhead_calib())
     calib_spread = {
         "codec_start": calib, "codec_end": calib_end,
         "spark_start": spark_calib, "spark_end": spark_calib_end,
@@ -342,6 +359,7 @@ def main() -> None:
     }
     result["codec_calibration_sec"] = calib
     result["spark_calibration_sec"] = spark_calib
+    result["overhead_calibration_sec"] = overhead_calib
     result["calibration_spread"] = calib_spread
     # drift-normalized round-over-round comparison (VERDICT r11 ask
     # #2): raw ratio vs the previous committed artifact, and the same
@@ -741,6 +759,8 @@ def main() -> None:
         # host load from engine regressions across rounds
         "codec_calibration_sec": full_result.get("codec_calibration_sec"),
         "spark_calibration_sec": full_result.get("spark_calibration_sec"),
+        "overhead_calibration_sec": full_result.get(
+            "overhead_calibration_sec"),
         "warc_roundtrip_sec": timings.get("warc_roundtrip"),
     }
     if "drift" in result:

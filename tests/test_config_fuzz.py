@@ -409,3 +409,114 @@ CHUNK = 30
 def test_config_fuzz_vs_duckdb(spark, chunk):
     for seed in range(chunk * CHUNK, (chunk + 1) * CHUNK):
         _run_one(spark, seed)
+
+
+def _run_partition_fuzz(spark, seed: int):
+    """Random partition module config: first-match (exclusive) or
+    multi-match routing over random condition trees, plus the excluded
+    output — each output cross-checked against its own SQL predicate."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    rng = random.Random(10_000 + seed)
+    n_parts = rng.randint(1, 3)
+    exclusive = rng.random() < 0.6
+    parts_cfg = []
+    conds_sql = []
+    res = lambda nm: nm  # noqa: E731 — physical columns only
+    for i in range(n_parts):
+        cond_cfg, cond_sql = _gen_condition(rng)
+        parts_cfg.append({"name": f"p{i}", "filters": cond_cfg})
+        conds_sql.append(f"COALESCE({cond_sql(res)}, FALSE)")
+    cfg = {
+        "sources": [{
+            "name": "part", "module": "storage",
+            "parameters": {"format": "parquet", "input": PART},
+        }],
+        "transforms": [{
+            "name": "pt", "module": "partition", "inputs": ["part"],
+            "parameters": {"exclusive": exclusive,
+                           "partitions": parts_cfg},
+        }],
+    }
+    outs = run_pipeline(spark, parse_config(json.dumps(cfg)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{PART}'")
+
+    def check(df, where):
+        got = sorted(
+            tuple(_norm_cell(r[c]) for c in df.columns)
+            for r in df.collect())
+        cols = ", ".join(df.columns)
+        want = sorted(
+            tuple(_norm_cell(x) for x in row)
+            for row in con.execute(
+                f"SELECT {cols} FROM part WHERE {where}").fetchall())
+        assert got == want, (
+            f"seed {seed} exclusive={exclusive} WHERE {where}: "
+            f"{len(got)} vs {len(want)} rows")
+
+    for i in range(n_parts):
+        if exclusive and i > 0:
+            earlier = " OR ".join(conds_sql[:i])
+            check(outs[f"pt.p{i}"], f"{conds_sql[i]} AND NOT ({earlier})")
+        else:
+            check(outs[f"pt.p{i}"], conds_sql[i])
+    check(outs["pt.excluded"],
+          "NOT (" + " OR ".join(conds_sql) + ")")
+
+
+def _run_union_fuzz(spark, seed: int):
+    """Random union module config: two select stages project different
+    (overlapping) column subsets of part, union name-unions with null
+    padding; oracle = UNION ALL with explicit NULL slots."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    rng = random.Random(20_000 + seed)
+    all_cols = [c for c, _ in PHYS]
+    a_cols = sorted(rng.sample(all_cols, rng.randint(2, 4)))
+    b_cols = sorted(rng.sample(all_cols, rng.randint(2, 4)))
+    cfg = {
+        "sources": [{
+            "name": "part", "module": "storage",
+            "parameters": {"format": "parquet", "input": PART},
+        }],
+        "transforms": [
+            {"name": "a", "module": "select", "inputs": ["part"],
+             "parameters": {"select": [{"name": c} for c in a_cols]}},
+            {"name": "b", "module": "select", "inputs": ["part"],
+             "parameters": {"select": [{"name": c} for c in b_cols]}},
+            {"name": "u", "module": "union", "inputs": ["a", "b"]},
+        ],
+    }
+    got_df = run_pipeline(spark, parse_config(json.dumps(cfg)))["u"]
+    # unionByName: first input's columns, then the second's new ones
+    expect_cols = a_cols + [c for c in b_cols if c not in a_cols]
+    assert got_df.columns == expect_cols, (seed, got_df.columns, expect_cols)
+    got = sorted(
+        tuple(_norm_cell(r[c]) for c in expect_cols)
+        for r in got_df.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{PART}'")
+    sel_a = ", ".join(
+        c if c in a_cols else f"NULL AS {c}" for c in expect_cols)
+    sel_b = ", ".join(
+        c if c in b_cols else f"NULL AS {c}" for c in expect_cols)
+    want = sorted(
+        tuple(_norm_cell(x) for x in row)
+        for row in con.execute(
+            f"SELECT {sel_a} FROM part UNION ALL "
+            f"SELECT {sel_b} FROM part").fetchall())
+    assert got == want, f"seed {seed}: {len(got)} vs {len(want)}"
+
+
+@pytest.mark.parametrize("chunk", range(2))
+def test_partition_fuzz_vs_duckdb(spark, chunk):
+    for seed in range(chunk * 20, (chunk + 1) * 20):
+        _run_partition_fuzz(spark, seed)
+
+
+def test_union_fuzz_vs_duckdb(spark):
+    for seed in range(20):
+        _run_union_fuzz(spark, seed)
