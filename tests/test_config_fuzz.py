@@ -520,3 +520,144 @@ def test_partition_fuzz_vs_duckdb(spark, chunk):
 def test_union_fuzz_vs_duckdb(spark):
     for seed in range(20):
         _run_union_fuzz(spark, seed)
+
+
+def _run_multi_agg_fuzz(spark, seed: int):
+    """Multi-input aggregation: per-input aggregator lists full-outer
+    merged on the group key (partial key overlap via disjoint filters
+    exercises the null-padded side)."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    rng = random.Random(30_000 + seed)
+    g = rng.choice(["p_brand", "p_type"])
+    # per-input numeric + independent row filters for partial overlap
+    fa = rng.randint(0, 120)
+    fb = rng.randint(80, 210)
+    ops = ["count", "sum", "min", "max"]
+
+    def aggs_for(prefix, col, kind):
+        out_cfg, out_sql = [], []
+        for i in range(rng.randint(1, 2)):
+            op = rng.choice(ops)
+            nm = f"{prefix}{i}"
+            if op == "count":
+                out_cfg.append({"name": nm, "op": "count"})
+                out_sql.append(f"COUNT(*) AS {nm}")
+            else:
+                out_cfg.append({"name": nm, "op": op, "field": col})
+                body = f"{op}({col})"
+                if op == "sum" and kind == "long":
+                    body = f"CAST({body} AS BIGINT)"
+                out_sql.append(f"{body} AS {nm}")
+        return out_cfg, out_sql
+
+    a_cfg, a_sql = aggs_for("xa", "p_size", "long")
+    b_cfg, b_sql = aggs_for("xb", "p_retailprice", "double")
+    cfg = {
+        "sources": [{
+            "name": "part", "module": "storage",
+            "parameters": {"format": "parquet", "input": PART},
+        }],
+        "transforms": [
+            {"name": "ia", "module": "select", "inputs": ["part"],
+             "parameters": {
+                 "filter": {"key": "p_partkey", "op": "<", "value": fa},
+                 "select": [{"name": "g", "field": g, "func": "rename"},
+                            {"name": "p_size"}]}},
+            {"name": "ib", "module": "select", "inputs": ["part"],
+             "parameters": {
+                 "filter": {"key": "p_partkey", "op": ">=", "value": fb},
+                 "select": [{"name": "g", "field": g, "func": "rename"},
+                            {"name": "p_retailprice"}]}},
+            {"name": "agg", "module": "aggregation",
+             "inputs": ["ia", "ib"],
+             "parameters": {"groupFields": ["g"], "aggregations": [
+                 {"input": "ia", "fields": a_cfg},
+                 {"input": "ib", "fields": b_cfg},
+             ]}},
+        ],
+    }
+    got_df = run_pipeline(spark, parse_config(json.dumps(cfg)))["agg"]
+    cols = got_df.columns
+    got = sorted(
+        tuple(_norm_cell(r[c]) for c in cols) for r in got_df.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{PART}'")
+    sql = (
+        "SELECT coalesce(a.g, b.g) AS g, {acols}, {bcols} FROM "
+        "(SELECT {g} AS g, {asql} FROM part WHERE p_partkey < {fa} "
+        " GROUP BY 1) a FULL OUTER JOIN "
+        "(SELECT {g} AS g, {bsql} FROM part WHERE p_partkey >= {fb} "
+        " GROUP BY 1) b ON a.g = b.g"
+    ).format(
+        g=g, fa=fa, fb=fb,
+        asql=", ".join(a_sql), bsql=", ".join(b_sql),
+        acols=", ".join(f"a.{c['name']}" for c in a_cfg),
+        bcols=", ".join(f"b.{c['name']}" for c in b_cfg),
+    )
+    cur = con.execute(sql)
+    want_cols = [d[0] for d in cur.description]
+    assert sorted(cols) == sorted(want_cols), (seed, cols, want_cols)
+    idx = [want_cols.index(c) for c in cols]
+    want = sorted(
+        tuple(_norm_cell(row[i]) for i in idx) for row in cur.fetchall())
+    assert got == want, (
+        f"seed {seed}\nSQL: {sql}\n"
+        f"only_engine={[r for r in got if r not in want][:3]}\n"
+        f"only_oracle={[r for r in want if r not in got][:3]}")
+
+
+def _run_limit_fuzz(spark, seed: int):
+    """limit module: per-key cap (QUALIFY row_number oracle) and the
+    keyless global top-k (TakeOrdered path, ORDER BY .. LIMIT oracle)."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    rng = random.Random(40_000 + seed)
+    n = rng.randint(1, 5)
+    keyed = rng.random() < 0.7
+    desc = rng.random() < 0.3
+    params = {"count": n, "orderFields": ["p_partkey"]}
+    if keyed:
+        params["groupFields"] = [rng.choice(["p_brand", "p_type"])]
+    if desc:
+        params["descending"] = True
+    cfg = {
+        "sources": [{
+            "name": "part", "module": "storage",
+            "parameters": {"format": "parquet", "input": PART},
+        }],
+        "transforms": [{
+            "name": "lim", "module": "limit", "inputs": ["part"],
+            "parameters": params,
+        }],
+    }
+    got_df = run_pipeline(spark, parse_config(json.dumps(cfg)))["lim"]
+    got = sorted(
+        tuple(_norm_cell(r[c]) for c in ("p_partkey", "p_brand"))
+        for r in got_df.select("p_partkey", "p_brand").collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{PART}'")
+    order = "p_partkey DESC" if desc else "p_partkey"
+    if keyed:
+        k = params["groupFields"][0]
+        sql = (f"SELECT p_partkey, p_brand FROM part QUALIFY "
+               f"row_number() OVER (PARTITION BY {k} ORDER BY {order})"
+               f" <= {n}")
+    else:
+        sql = f"SELECT p_partkey, p_brand FROM part ORDER BY {order} LIMIT {n}"
+    want = sorted(
+        tuple(_norm_cell(x) for x in row)
+        for row in con.execute(sql).fetchall())
+    assert got == want, f"seed {seed}: {len(got)} vs {len(want)}\n{sql}"
+
+
+def test_multi_input_agg_fuzz_vs_duckdb(spark):
+    for seed in range(20):
+        _run_multi_agg_fuzz(spark, seed)
+
+
+def test_limit_fuzz_vs_duckdb(spark):
+    for seed in range(20):
+        _run_limit_fuzz(spark, seed)

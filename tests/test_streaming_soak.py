@@ -201,3 +201,37 @@ def test_soak_calendar_dst_crossing_state_bounded(spark, tmp_path):
         assert state_rows is not None and state_rows <= 4, state_rows
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_soak_sliding_windows_state_bounded(spark, tmp_path):
+    """Sliding windows multiply state (each row joins size/period
+    windows — here 4); eviction must still track only the windows open
+    at the final watermark, not the ~4x touched set."""
+    base = dt.datetime(2024, 2, 1, 0, 0, 0)
+    batches = []
+    for i in range(120):
+        ts = base + dt.timedelta(seconds=15 * i)
+        batches.append([("w1", 1.0, ts), ("w2", 2.0, ts)])
+    in_dir = _write_batches(tmp_path, "soak_slide", batches)
+    strategy = {
+        "window": {"type": "sliding", "size": 120, "period": 30,
+                   "unit": "second"},
+        "allowedLateness": 5,
+        "accumulationMode": "accumulating",
+        "outputPaneInfo": True,
+    }
+    out, state_rows, _ = _drain(spark, tmp_path, in_dir, strategy, "soak_sl")
+    rows = out.collect()
+    assert all(r["window"] is not None for r in rows)
+    on_time = [r for r in rows if r["__pane__"]["timing"] == "ON_TIME"]
+    # ~60 sliding windows closed per key
+    per_key = {}
+    for r in on_time:
+        per_key.setdefault(r["k"], set()).add(str(r["window"]["start"]))
+    assert all(len(v) >= 50 for v in per_key.values()), {
+        k: len(v) for k, v in per_key.items()}
+    # full interior windows hold size/period * rows-per-period = 8 rows
+    full = [r for r in on_time if r["n"] == 8]
+    assert len(full) >= 80
+    # open at final watermark: ≤ size/period + 1 per key (+slack)
+    assert state_rows is not None and state_rows <= 2 * 8, state_rows
