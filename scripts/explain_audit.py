@@ -63,6 +63,16 @@ def main() -> int:
     if "EqualTo(c_mktsegment,BUILDING)" not in p3:
         failures.append("q3: segment filter not pushed through the join")
 
+    # r13: bound-output select chain (nullif/switch over a computed
+    # expression) must stay pure Column AND prune the scan to the
+    # referenced columns — sequential binding compiles to expressions,
+    # never a materialization barrier that widens the read
+    p_nb = plan_of(entrymod.q_nullif_bound(spark, sf))
+    if "EvalPython" in p_nb or "MapInPandas" in p_nb:
+        failures.append("nullif_bound: Python in the plan")
+    if "p_name" in p_nb or "p_type" in p_nb:
+        failures.append("nullif_bound: unreferenced columns not pruned")
+
     p4 = plan_of(entrymod.q_textstats(spark, sf))
     if "EvalPython" in p4 or "MapInPandas" in p4:
         # (codegen span markers are hidden under AdaptiveSparkPlan until
