@@ -2088,9 +2088,13 @@ def _compact_iceberg_once(spark, p: dict[str, Any]) -> dict[str, int]:
                 # legacyGlobalDeletes: apply  is the migration path for
                 # pre-r11 tables whose global deletes sit under the
                 # partitioned spec — compact applies them as global,
-                # drops the delete files, and the table reads clean
+                # drops the delete files, and the table reads clean.
+                # all_data: detection judges null-partition placement
+                # against the WHOLE table, not this bin (a per-partition
+                # bin never contains the null partition's files)
                 legacy_global_deletes=p.get("legacyGlobalDeletes")
                 or "refuse",
+                all_data=data,
             )
         elif bin_fills or lineage:
             bin_df = bin_df.drop("__fp__", "__pos__")
@@ -2432,6 +2436,7 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         live = _apply_row_deletes(
             spark, live, data, prior_deletes, _meta, keep_lineage=True,
             legacy_global_deletes=p.get("legacyGlobalDeletes") or "refuse",
+            all_data=all_data,
         )
     if "__fp__" not in live.columns:
         live = live.select(
@@ -3025,6 +3030,7 @@ def _cow_mutate_where(
                 keep_lineage=True,
                 legacy_global_deletes=p.get("legacyGlobalDeletes")
                 or "refuse",
+                all_data=data,
             )
         if "__fp__" not in probe.columns:
             probe = probe.select(
@@ -3076,7 +3082,11 @@ def _cow_mutate_where(
         if lineage:
             grp = derive_row_ids(spark, grp, hit, with_seq=True)
     if deletes:
-        grp = _apply_row_deletes(spark, grp, hit, deletes, prev_meta)
+        grp = _apply_row_deletes(
+            spark, grp, hit, deletes, prev_meta,
+            legacy_global_deletes=p.get("legacyGlobalDeletes") or "refuse",
+            all_data=data,
+        )
     cond = data_filter_condition(where)
     match = F.coalesce(cond, F.lit(False))  # predicate-NULL rows are KEPT
     out_cols = keep_cols + (LINEAGE_COLS if lineage else [])
@@ -3672,6 +3682,7 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
                     keep_lineage=True,
                     legacy_global_deletes=p.get("legacyGlobalDeletes")
                     or "refuse",
+                    all_data=data,
                 )
             if "__fp__" not in probe.columns:
                 probe = probe.select(
@@ -3736,6 +3747,7 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
                 spark, grp, hit, deletes, prev_meta,
                 legacy_global_deletes=p.get("legacyGlobalDeletes")
                 or "refuse",
+                all_data=data,
             )
         survivors = grp.join(
             touched, on=list(keys), how="left_anti"

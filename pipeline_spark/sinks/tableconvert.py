@@ -1029,6 +1029,9 @@ def convert_iceberg_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:
                 scan = apply_identity_fill(spark, scan, fills, ftypes)
             seq_rows, eq_groups = plan_equality_deletes(
                 spark, eq_dels, affected, imeta,
+                legacy_global_deletes=p.get("legacyGlobalDeletes")
+                or "refuse",
+                all_data=data,
             )
             seq_df = spark.createDataFrame(
                 seq_rows, "__sfp__ string, __dseq__ long, __dpart__ string",

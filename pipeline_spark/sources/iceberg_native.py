@@ -487,6 +487,7 @@ def _delete_file_columns(path: str, ids, cols):
 def plan_equality_deletes(
     spark, eq: list[dict], data: list[dict], meta: dict,
     *, legacy_global_deletes: str = "refuse",
+    all_data: list[dict] | None = None,
 ):
     """Shared equality-delete planner (spec §Scan Planning) for the MOR
     reader's anti-join and the delta converter's semi-join (r11):
@@ -558,7 +559,25 @@ def plan_equality_deletes(
         for d in data
     ]
 
-    data_pkeys = {pk for _, _, pk in seq_rows}
+    mode = str(legacy_global_deletes or "refuse").strip().lower()
+    if mode not in ("refuse", "strict", "error", "allow", "apply"):
+        # validate unconditionally: a typo'd mode must fail on healthy
+        # tables too, not first surface the day the legacy shape appears
+        raise ValueError(
+            f"iceberg: unknown legacyGlobalDeletes mode {mode!r} "
+            "(expected refuse | allow | apply)"
+        )
+    # detection must see the WHOLE table's partition placement: callers
+    # routinely pass a PRUNED data subset (partition/data filter scans,
+    # per-partition compaction bins, DML candidate probes), and judging
+    # "no null-partition data exists" against a subset would both
+    # false-refuse valid tables and -- under 'apply' in a per-bin
+    # compaction -- wrongly globalize a legitimate null-partition-scoped
+    # delete.  ``all_data`` is the full live file list; the scan subset
+    # is only the fallback when a caller has nothing wider.
+    detect_pkeys = {
+        part_key(d) for d in (all_data if all_data is not None else data)
+    }
     force_global: set[int] = set()
     suspicious = []
     for d in eq:
@@ -568,11 +587,10 @@ def plan_equality_deletes(
             spec_fields.get(sid)  # declared AND partitioned spec
             and rec
             and all(v is None for v in rec.values())
-            and part_key(d) not in data_pkeys
+            and part_key(d) not in detect_pkeys
         ):
             suspicious.append(d)
     if suspicious:
-        mode = str(legacy_global_deletes or "refuse").strip().lower()
         paths = sorted({d["path"] for d in suspicious})
         msg = (
             "iceberg: equality delete file(s) under a PARTITIONED spec "
@@ -587,11 +605,6 @@ def plan_equality_deletes(
             "'apply' to read them as global (pre-r11 self-compat), or "
             "'allow' to read on spec-strict (deletes inert)."
         )
-        if mode not in ("refuse", "strict", "error", "allow", "apply"):
-            raise ValueError(
-                f"iceberg: unknown legacyGlobalDeletes mode {mode!r} "
-                "(expected refuse | allow | apply)"
-            )
         if mode in ("refuse", "strict", "error"):
             raise ValueError(msg)
         import logging
@@ -641,6 +654,7 @@ def plan_equality_deletes(
 def _apply_row_deletes(
     spark, df, data: list[dict], deletes: list[dict], meta: dict,
     *, keep_lineage: bool = False, legacy_global_deletes: str = "refuse",
+    all_data: list[dict] | None = None,
 ):
     """Merge-on-read: subtract position + equality delete files from the
     scan (spec §Scan Planning).  Position deletes address exact
@@ -734,6 +748,7 @@ def _apply_row_deletes(
         seq_rows, groups = plan_equality_deletes(
             spark, eq, data, meta,
             legacy_global_deletes=legacy_global_deletes,
+            all_data=all_data,
         )
         seq_df = spark.createDataFrame(
             seq_rows, "__sfp__ string, __dseq__ long, __dpart__ string"
@@ -1259,6 +1274,7 @@ def read_iceberg_native(spark, p: dict[str, Any]):
         )
     if not data:
         raise ValueError(f"iceberg: snapshot has no data files at {table_path}")
+    all_data = data  # full live list BEFORE partition/data-filter pruning
     pfilter = p.get("partitionFilter")
     if pfilter:
         # MANIFEST-level pruning: drop whole data files whose partition
@@ -1372,6 +1388,7 @@ def read_iceberg_native(spark, p: dict[str, Any]):
         df = _apply_row_deletes(
             spark, df, data, deletes, meta,
             legacy_global_deletes=p.get("legacyGlobalDeletes") or "refuse",
+            all_data=all_data,
         )
     elif need_stamp:
         df = df.drop("__fp__", "__pos__")
@@ -1387,7 +1404,8 @@ def read_iceberg_native(spark, p: dict[str, Any]):
 
 
 def _state_with_lineage(spark, data: list[dict], deletes: list[dict],
-                        meta: dict, *, legacy_global_deletes: str = "refuse"):
+                        meta: dict, *, legacy_global_deletes: str = "refuse",
+                        all_data: list[dict] | None = None):
     """The live rows of a (data, deletes) plan with stable row identity
     kept on the output (``__cfp__`` = normalized file path, ``__cpos__``
     = ordinal) — row deletes applied.  The changelog's building block."""
@@ -1417,6 +1435,7 @@ def _state_with_lineage(spark, data: list[dict], deletes: list[dict],
         df = _apply_row_deletes(
             spark, df, data, deletes, meta,
             legacy_global_deletes=legacy_global_deletes,
+            all_data=all_data,
         )
     else:
         df = df.drop("__fp__", "__pos__")
@@ -1555,7 +1574,7 @@ def read_iceberg_changelog(
             # rows live at the PRIOR snapshot: apply the prior delete set
             live = _state_with_lineage(
                 spark, removed, prev_dels, meta,
-                legacy_global_deletes=_lgd,
+                legacy_global_deletes=_lgd, all_data=prev_data,
             )
             parts.append(_stamp(live, "delete", ordinal, sid))
         if added_dels and prev_data:
@@ -1627,7 +1646,7 @@ def read_iceberg_changelog(
                 if pos_data:
                     state = _state_with_lineage(
                         spark, pos_data, prev_dels, meta,
-                        legacy_global_deletes=_lgd,
+                        legacy_global_deletes=_lgd, all_data=prev_data,
                     )
                     hits.append(state.join(
                         pos_pairs,
@@ -1692,7 +1711,7 @@ def read_iceberg_changelog(
                     continue
                 state = _state_with_lineage(
                     spark, eq_data, prev_dels, meta,
-                    legacy_global_deletes=_lgd,
+                    legacy_global_deletes=_lgd, all_data=prev_data,
                 )
                 cond = reduce(
                     lambda a, b: a & b,

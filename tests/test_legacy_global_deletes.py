@@ -157,3 +157,96 @@ def test_dml_on_legacy_table_threads_option(spark, tmp_path):
     # place, the y-partition copy removed by the key merge
     assert (1, "x") not in got and (1, "y") not in got
     assert (0, "x") in got
+
+
+def test_legit_null_delete_not_misdetected_in_pruned_scans(spark, tmp_path):
+    """r13 review find: detection judged 'no null-partition data' against
+    the CALLER'S data subset.  A per-partition compaction bin (or a
+    partition-filtered read) never contains the null partition's files,
+    so a LEGITIMATE null-partition-scoped delete false-refused — and
+    under 'apply' could have been wrongly globalized.  Detection now
+    checks the whole table's placement (all_data)."""
+    from pipeline_spark.sinks.iceberg_native import compact_iceberg_native
+
+    tbl = str(tmp_path / "nullbin")
+    rows = [(0, "x"), (1, "x"), (0, None), (1, None), (1, "y")]
+    write_iceberg_native(
+        spark.createDataFrame(rows, "id long, par string"),
+        {"path": tbl, "mode": "create", "partitionBy": ["par"]},
+    )
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 1}]})
+    from pipeline_spark.testing import scope_delete_manifests
+    scope_delete_manifests(tbl, {"par": None})
+    # partition-filtered read prunes the null-partition files: must NOT
+    # refuse, and the delete (scoped elsewhere) leaves these rows alone
+    got = {
+        (r["id"], r["par"])
+        for r in read_iceberg_native(
+            spark, {"path": tbl, "partitionFilter": {"par": "x"}}
+        ).collect()
+    }
+    assert got == {(0, "x"), (1, "x")}
+    # default-mode compaction (per-partition bins) must not refuse either,
+    # and must PRESERVE the null-partition scoping: only (1, None) dies
+    compact_iceberg_native(spark, {"path": tbl})
+    got = _got(spark, tbl)
+    assert got == {(0, "x"), (1, "x"), (0, None), (1, "y")}
+
+
+def test_cow_update_on_legacy_table_with_apply(spark, tmp_path):
+    """r13 review find: _cow_mutate_where's rewrite-phase delete
+    application missed the option — COW update/delete on a legacy table
+    must honor legacyGlobalDeletes: apply end to end."""
+    from pipeline_spark.sinks.iceberg_native import update_iceberg_native
+
+    tbl, rows = _mk_legacy_table(spark, tmp_path, "cowup")
+    with pytest.raises(ValueError, match="legacy GLOBAL"):
+        update_iceberg_native(spark, {
+            "path": tbl,
+            "where": [{"key": "id", "op": "=", "value": 2}],
+            "set": {"id": "id + 100"},
+        })
+    update_iceberg_native(spark, {
+        "path": tbl,
+        "where": [{"key": "id", "op": "=", "value": 2}],
+        "set": {"id": "id + 100"},
+        "legacyGlobalDeletes": "apply",
+    })
+    got = _got(spark, tbl, legacyGlobalDeletes="apply")
+    assert (102, "x") in got and (102, "y") in got
+    assert not any(i == 1 for i, _ in got)  # global reading held
+
+
+def test_convert_legacy_table_honors_apply(spark, tmp_path):
+    """r13 review find: the iceberg->delta converter's planner call
+    ignored the flag, so the refusal's own remediation advice was a
+    no-op on the convert path."""
+    from pipeline_spark.sinks.tableconvert import convert_iceberg_to_delta
+    from pipeline_spark.sources.delta_native import read_delta_native
+
+    tbl, rows = _mk_legacy_table(spark, tmp_path, "conv")
+    with pytest.raises(ValueError, match="legacy GLOBAL"):
+        convert_iceberg_to_delta(spark, {"path": tbl})
+    convert_iceberg_to_delta(
+        spark, {"path": tbl, "legacyGlobalDeletes": "apply"})
+    got = {
+        (r["id"], r["par"])
+        for r in read_delta_native(spark, {"path": tbl}).collect()
+    }
+    assert got == {(i, p) for i, p in rows if i != 1}
+
+
+def test_unknown_mode_rejected_on_healthy_table(spark, tmp_path):
+    """r13 review find: mode validation was gated behind detection — a
+    typo'd mode must fail on HEALTHY tables too, not first surface the
+    day the legacy shape appears."""
+    tbl = str(tmp_path / "healthy")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "x")], "id long, par string"),
+        {"path": tbl, "mode": "create", "partitionBy": ["par"]},
+    )
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 1}]})
+    with pytest.raises(ValueError, match="unknown legacyGlobalDeletes"):
+        read_iceberg_native(
+            spark, {"path": tbl, "legacyGlobalDeletes": "aplly"}
+        ).collect()
