@@ -159,3 +159,43 @@ def test_legacy_detector_property(spark, chunk):
         except Exception:
             got_flag = False  # file-IO error past the guard
         assert got_flag == want_flag, (seed, meta, eq, data)
+
+
+@pytest.mark.parametrize("chunk", range(2))
+def test_legacy_detector_uses_whole_table_placement(spark, chunk):
+    """r13 review find regression, property form: when ``all_data``
+    (the whole table) contains a file in the delete's null-partition
+    scope, the detector must stay quiet no matter how the caller's scan
+    subset is pruned; with no such file anywhere it must fire even if
+    the subset is empty."""
+    for seed in range(chunk * 25, (chunk + 1) * 25):
+        rng = random.Random(200_000 + seed)
+        meta = _rand_meta(rng)
+        # pick a declared PARTITIONED spec if any, else skip
+        part_specs = [s for s in meta["partition-specs"]
+                      if s.get("fields")]
+        if not part_specs:
+            continue
+        sid = int(part_specs[0]["spec-id"])
+        cols = [f["name"] for f in part_specs[0]["fields"]]
+        null_rec = {c: None for c in cols}
+        eq = [{"path": "/t/e.parquet", "seq": 3, "spec_id": sid,
+               "partition": dict(null_rec), "equality_ids": [1]}]
+        null_file = {"path": "/t/null.parquet", "seq": 1, "spec_id": sid,
+                     "partition": dict(null_rec)}
+        other = [{"path": f"/t/d{i}.parquet", "seq": 1, "spec_id": sid,
+                  "partition": {c: "x" for c in cols}}
+                 for i in range(rng.randint(0, 3))]
+        has_null = rng.random() < 0.5
+        all_data = other + ([null_file] if has_null else [])
+        subset = rng.sample(other, rng.randint(0, len(other)))  # pruned
+        try:
+            plan_equality_deletes(
+                spark, eq, subset, meta, all_data=all_data)
+            fired = False
+        except ValueError as exc:
+            assert "legacy GLOBAL" in str(exc)
+            fired = True
+        except Exception:
+            fired = False  # file IO past the guard
+        assert fired == (not has_null), (seed, has_null, subset, all_data)
