@@ -446,7 +446,12 @@ def main() -> None:
         "construction, fixed-cost and steal-exposed, while the "
         "stats-skipping read it nominally measures is 50 ms and flat. "
         "The swings were single cold runs of the write phase; the row "
-        "is min-of-3 since r13 (PINNED_MIN3). "
+        "is min-of-3 since r13 (PINNED_MIN3). The same class covers "
+        "delta_row_tracking (phases warm: write 0.9 + append 1.0 + "
+        "optimize 1.3 + dv-delete 0.3 + withRowIds read 1.0 s) and "
+        "iceberg_row_lineage — write->DML->derive roundtrips whose "
+        "wall-clock is fixture construction and per-commit job "
+        "overhead, not the derivation they nominally measure. "
         "uniform_stream attribution (r13, ask #7): see "
         "uniform_stream_breakdown in this artifact — a plain-delta twin "
         "stream (same files/cadence) isolates the per-batch iceberg "
