@@ -661,3 +661,89 @@ def test_multi_input_agg_fuzz_vs_duckdb(spark):
 def test_limit_fuzz_vs_duckdb(spark):
     for seed in range(20):
         _run_limit_fuzz(spark, seed)
+
+
+def _run_compare_fuzz(spark, seed: int):
+    """compare module: two derived views of part (overlapping key ranges,
+    one column perturbed on a subset) diffed by primary key; oracle
+    recomputes per-key status and the differing-field list in SQL."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    rng = random.Random(50_000 + seed)
+    fa = rng.randint(120, 210)   # a: keys < fa
+    fb = rng.randint(0, 90)      # b: keys >= fb  (overlap [fb, fa))
+    mut_lo = rng.randint(0, 200)
+    mut_hi = mut_lo + rng.randint(5, 60)
+    cfg = {
+        "sources": [{
+            "name": "part", "module": "storage",
+            "parameters": {"format": "parquet", "input": PART},
+        }],
+        "transforms": [
+            {"name": "a", "module": "select", "inputs": ["part"],
+             "parameters": {
+                 "filter": {"key": "p_partkey", "op": "<", "value": fa},
+                 "select": [{"name": "p_partkey"}, {"name": "p_size"},
+                            {"name": "p_brand"}]}},
+            {"name": "b", "module": "select", "inputs": ["part"],
+             "parameters": {
+                 "filter": {"key": "p_partkey", "op": ">=", "value": fb},
+                 "select": [
+                     {"name": "p_partkey"},
+                     # perturb p_size on [mut_lo, mut_hi): mismatch rows
+                     {"name": "p_size", "func": "expression",
+                      "expression": (
+                          f"if(p_partkey >= {mut_lo} & "
+                          f"p_partkey < {mut_hi}, p_size + 1, p_size)")},
+                     {"name": "p_brand"}]}},
+            {"name": "cmp", "module": "compare", "inputs": ["a", "b"],
+             "parameters": {"primaryKeyFields": ["p_partkey"]}},
+        ],
+    }
+    got_df = run_pipeline(spark, parse_config(json.dumps(cfg)))["cmp"]
+    got = sorted(
+        (r["p_partkey"], r["status"],
+         tuple(sorted(d["field"] for d in r["differences"])))
+        for r in got_df.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{PART}'")
+    # engine expressions are double-typed, so the perturbed p_size is a
+    # DOUBLE compared against a's BIGINT p_size via eqNullSafe — equal
+    # values of different TYPES are still equal under Spark's null-safe
+    # equality on the coerced comparison, so only the +1 rows differ
+    sql = f"""
+    WITH a AS (SELECT p_partkey, p_size, p_brand FROM part
+               WHERE p_partkey < {fa}),
+         b AS (SELECT p_partkey,
+                      CASE WHEN p_partkey >= {mut_lo}
+                            AND p_partkey < {mut_hi}
+                           THEN p_size + 1 ELSE p_size END AS p_size,
+                      p_brand FROM part WHERE p_partkey >= {fb})
+    SELECT coalesce(a.p_partkey, b.p_partkey) AS k,
+           CASE WHEN b.p_partkey IS NULL THEN 'only_a'
+                WHEN a.p_partkey IS NULL THEN 'only_b'
+                WHEN a.p_size <> b.p_size THEN 'mismatch'
+                ELSE 'match' END AS status,
+           CASE WHEN a.p_partkey IS NOT NULL AND b.p_partkey IS NOT NULL
+                 AND a.p_size <> b.p_size
+                THEN 'p_size' ELSE NULL END AS difffield
+    FROM a FULL OUTER JOIN b ON a.p_partkey = b.p_partkey
+    """
+    # engine lists EVERY common field as differing on one-sided rows
+    # (the absent side reads NULL, ~eqNullSafe is true for them all)
+    want = sorted(
+        (k, status,
+         ("p_brand", "p_size") if status.startswith("only_")
+         else (("p_size",) if diff else ()))
+        for k, status, diff in con.execute(sql).fetchall()
+        if status != "match")
+    assert got == want, (
+        f"seed {seed}: {len(got)} vs {len(want)}\n"
+        f"only_engine={[r for r in got if r not in want][:3]}\n"
+        f"only_oracle={[r for r in want if r not in got][:3]}")
+
+
+def test_compare_fuzz_vs_duckdb(spark):
+    for seed in range(15):
+        _run_compare_fuzz(spark, seed)
