@@ -747,3 +747,67 @@ def _run_compare_fuzz(spark, seed: int):
 def test_compare_fuzz_vs_duckdb(spark):
     for seed in range(15):
         _run_compare_fuzz(spark, seed)
+
+
+def _run_lookup_fuzz(spark, seed: int):
+    """lookup module: broadcast left-join enrichment with a randomly
+    pruned dimension (unmatched keys null-pad) vs a LEFT JOIN oracle."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    rng = random.Random(60_000 + seed)
+    dim_cut = rng.randint(20, 180)  # dimension covers only keys < cut
+    fact_filter = rng.randint(50, 210)
+    dim_cols = sorted(rng.sample(["p_brand", "p_type", "p_retailprice"],
+                                 rng.randint(1, 2)))
+    cfg = {
+        "sources": [{
+            "name": "part", "module": "storage",
+            "parameters": {"format": "parquet", "input": PART},
+        }],
+        "transforms": [
+            {"name": "fact", "module": "select", "inputs": ["part"],
+             "parameters": {
+                 "filter": {"key": "p_partkey", "op": "<",
+                            "value": fact_filter},
+                 "select": [{"name": "k", "field": "p_partkey",
+                             "func": "rename"},
+                            {"name": "p_size"}]}},
+            {"name": "dim", "module": "select", "inputs": ["part"],
+             "parameters": {
+                 "filter": {"key": "p_partkey", "op": "<",
+                            "value": dim_cut},
+                 "select": [{"name": "p_partkey"}]
+                 + [{"name": c} for c in dim_cols]}},
+            {"name": "enriched", "module": "lookup", "inputs": ["fact"],
+             "sideInputs": ["dim"],
+             "parameters": {"keyFields": ["k"],
+                            "sideKeyFields": ["p_partkey"]}},
+        ],
+    }
+    got_df = run_pipeline(spark, parse_config(json.dumps(cfg)))["enriched"]
+    cols = ["k", "p_size"] + dim_cols
+    got = sorted(
+        tuple(_norm_cell(r[c]) for c in cols) for r in got_df.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{PART}'")
+    sql = (
+        "SELECT f.k, f.p_size, {dc} FROM "
+        "(SELECT p_partkey AS k, p_size FROM part "
+        " WHERE p_partkey < {ff}) f LEFT JOIN "
+        "(SELECT p_partkey, {dcols} FROM part WHERE p_partkey < {dcut}) d "
+        "ON f.k = d.p_partkey"
+    ).format(ff=fact_filter, dcut=dim_cut,
+             dcols=", ".join(dim_cols),
+             dc=", ".join(f"d.{c}" for c in dim_cols))
+    want = sorted(
+        tuple(_norm_cell(x) for x in row)
+        for row in con.execute(sql).fetchall())
+    assert got == want, (
+        f"seed {seed}: {len(got)} vs {len(want)}\n{sql}\n"
+        f"only_engine={[r for r in got if r not in want][:3]}")
+
+
+def test_lookup_fuzz_vs_duckdb(spark):
+    for seed in range(15):
+        _run_lookup_fuzz(spark, seed)
