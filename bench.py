@@ -219,6 +219,10 @@ def main() -> None:
     PINNED_MIN3 = {
         "delta_skipping", "dedup_cluster", "simhash_neardup",
         "chunk_windows",
+        # r13 validation run: pq_topk (late-list, ~1.7 s warm min-of-3)
+        # drew a 4.5 s single steal-inflated run under the soft budget —
+        # the same failure mode as the rows above
+        "pq_topk",
     }
     codec_runs = int(os.environ.get("SPARK_GRAFT_CODEC_RUNS", "6"))
     import zlib as _zlib
