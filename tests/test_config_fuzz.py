@@ -811,3 +811,99 @@ def _run_lookup_fuzz(spark, seed: int):
 def test_lookup_fuzz_vs_duckdb(spark):
     for seed in range(15):
         _run_lookup_fuzz(spark, seed)
+
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _run_tokenize_fuzz(spark, seed: int):
+    """tokenize (whitespace) -> random token-filter chain -> unnest ->
+    word-frequency aggregation, vs a DuckDB regexp_split + list oracle
+    that applies the same filter chain stepwise."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+
+    rng = random.Random(70_000 + seed)
+    filters = []
+    expr = "tok"          # SQL expression for the token
+    conds = ["len(tok) > 0"]
+    for _ in range(rng.randint(1, 3)):
+        pick = rng.random()
+        if pick < 0.3:
+            filters.append({"type": "lowercase"})
+            expr = f"lower({expr})"
+        elif pick < 0.45:
+            filters.append({"type": "uppercase"})
+            expr = f"upper({expr})"
+        elif pick < 0.75:
+            mn = rng.randint(1, 5)
+            mx = rng.randint(mn, 12)
+            filters.append({"type": "length", "min": mn, "max": mx})
+            conds.append(f"len({expr}) BETWEEN {mn} AND {mx}")
+        elif pick < 0.9:
+            words = rng.sample(
+                ["the", "and", "data", "of", "to", "a", "in"], 3)
+            filters.append({"type": "stopwords", "words": words})
+            lst = ", ".join(_sql_lit(w.lower()) for w in words)
+            conds.append(f"lower({expr}) NOT IN ({lst})")
+        else:
+            n = rng.randint(2, 5)
+            filters.append({"type": "edge_ngram", "maxGram": n})
+            expr = f"substr({expr}, 1, {n})"
+    cfg = {
+        "sources": [{
+            "name": "documents", "module": "storage",
+            "parameters": {"format": "parquet", "input": DOCS},
+        }],
+        "transforms": [
+            {"name": "tok", "module": "tokenize", "inputs": ["documents"],
+             "parameters": {"fields": [{
+                 "field": "text", "name": "tokens",
+                 "tokenizer": {"type": "whitespace"},
+                 "filters": filters}]}},
+            {"name": "sel", "module": "select", "inputs": ["tok"],
+             "parameters": {"select": [{"name": "doc_id"},
+                                       {"name": "tokens"}]}},
+            {"name": "flat", "module": "unnest", "inputs": ["sel"],
+             "parameters": {"flattenField": "tokens"}},
+            {"name": "freq", "module": "aggregation", "inputs": ["flat"],
+             "parameters": {"groupFields": ["tokens"], "aggregations": [
+                 {"name": "freq", "op": "count",
+                  "condition": {"key": "tokens", "op": "!=",
+                                "value": None}},
+                 {"name": "n_docs", "op": "count_distinct",
+                  "field": "doc_id"},
+             ]}},
+        ],
+    }
+    got_df = run_pipeline(spark, parse_config(json.dumps(cfg)))["freq"]
+    # unnest is explode_outer (reference flattenField keeps rows whose
+    # array is empty, as a NULL element) — when a filter chain empties
+    # every token the engine emits one NULL-token group; the oracle
+    # models tokens only, so compare non-null groups
+    got = sorted(
+        (r["tokens"], r["freq"], r["n_docs"])
+        for r in got_df.collect() if r["tokens"] is not None)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    sql = f"""
+    WITH raw AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text, '\\s+')) AS tok
+      FROM documents
+    )
+    SELECT {expr} AS tokens, count(*) AS freq,
+           count(DISTINCT doc_id) AS n_docs
+    FROM raw WHERE {' AND '.join(conds)}
+    GROUP BY 1
+    """
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want, (
+        f"seed {seed} filters={filters}\n{sql}\n"
+        f"only_engine={[r for r in got if r not in want][:3]}\n"
+        f"only_oracle={[r for r in want if r not in got][:3]}")
+
+
+def test_tokenize_fuzz_vs_duckdb(spark):
+    for seed in range(15):
+        _run_tokenize_fuzz(spark, seed)
