@@ -6675,92 +6675,182 @@ GROUP BY event_name ORDER BY event_name
 """
 
 
+def q_timestamp_combiner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strategy.window.timestampCombiner (Strategy.java:72-74,129): the
+    two-stage windowing knob.  Stage 1 aggregates 15-minute windows and
+    carries the combined event time downstream (end_of_window = Beam's
+    maxTimestamp = window.end - 1ms; earliest/latest = min/max input
+    time); stage 2 re-windows hourly on that derived timestamp.  All
+    three combiner values run and union, tagged."""
+    parts = []
+    for combiner in ("end_of_window", "earliest", "latest"):
+        df = _pipeline(spark, sf_dir, ["events"], f"""
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [events]
+    timestampAttribute: ts
+    strategy:
+      window: {{type: fixed, size: 900, unit: second, timestampCombiner: {combiner}}}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - {{name: v, op: sum, field: value}}
+  - name: agg2
+    module: aggregation
+    inputs: [agg]
+    timestampAttribute: ts
+    strategy:
+      window: {{type: fixed, size: 1, unit: hour}}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - {{name: n_windows, op: count}}
+        - {{name: total, op: sum, field: v}}
+""", "agg2")
+        parts.append(
+            df.select(
+                F.lit(combiner).alias("combiner"),
+                F.col("window.start").alias("hour"),
+                "event_type",
+                "n_windows",
+                F.round("total", 4).alias("total"),
+            )
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out
+
+
+Q_TS_COMBINER_SQL = """
+WITH s1 AS (
+  SELECT event_type,
+         to_timestamp(floor(epoch(ts) / 900) * 900) AS wstart,
+         sum(value) AS v,
+         min(ts) AS early,
+         max(ts) AS late
+  FROM events
+  GROUP BY 1, 2
+),
+staged AS (
+  SELECT 'end_of_window' AS combiner, event_type,
+         wstart + INTERVAL 900 SECOND - INTERVAL 1 MILLISECOND AS cts, v
+  FROM s1
+  UNION ALL
+  SELECT 'earliest', event_type, early, v FROM s1
+  UNION ALL
+  SELECT 'latest', event_type, late, v FROM s1
+)
+SELECT combiner,
+       CAST(to_timestamp(floor(epoch(cts) / 3600) * 3600) AS TIMESTAMP) AS hour,
+       event_type,
+       count(*) AS n_windows,
+       round(sum(v), 4) AS total
+FROM staged
+GROUP BY 1, 2, 3
+"""
+
+
+def q_reshuffle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reshuffle module (ReshuffleTransform.java:8-29): an explicit
+    repartition is content-identity; the realized partition count is
+    surfaced as a literal column so the oracle hash-checks that the
+    requested shard count actually took effect (AQE must not coalesce a
+    user-specified repartition number)."""
+    df = _pipeline(spark, sf_dir, ["lineitem"], """
+transforms:
+  - name: shuffled
+    module: reshuffle
+    inputs: [lineitem]
+    parameters: {numShards: 7}
+""", "shuffled")
+    n_parts = df.rdd.getNumPartitions()
+    return df.select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        F.lit(n_parts).cast("int").alias("n_parts"),
+    )
+
+
+Q_RESHUFFLE_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, CAST(7 AS INT) AS n_parts
+FROM lineitem
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's CORRECTNESS gate caps at the
-    # first 50 entries, never-green-first.  r13 composition (VERDICT
-    # r12 ask #1): the new never-green rows (nullif_bound — sequential
-    # binding parity fix; iceberg_legacy_migrate — legacy global-delete
-    # detection, added below) + ALL 35 stale rows (3 r9 + 32 r10, the
-    # delta family first since it carries r12's unattributed raw bench
-    # regressions) + 11 r11 rows biased to the iceberg read family
-    # (the legacy-delete detector touches scan planning) and
-    # uniform_stream (slowest bench row, per-stage breakdown this
-    # round) + the headline pair.  Staleness floor moves r9 -> r11.
+    # first 50 entries, never-green-first.  r14 composition (VERDICT
+    # r13 ask #1): the new never-green rows (timestamp_combiner — the
+    # last unplumbed SURVEY §2.8 knob, proven with a two-stage
+    # windowing oracle; reshuffle_roundtrip — the last registry-less
+    # plumbing module) + ALL 33 r11-stale rows + 13 r12 fills biased
+    # to the window/stateful family (the combiner knob touches
+    # windowed aggregation) and the ANN rows gaining sf1 scale rows
+    # this round + the headline pair.  Staleness floor moves
+    # r11 -> r12.
     return {
-        # --- never green: new r13 rows (nullif sequential binding;
-        #     slot 2 reserved for iceberg_legacy_migrate)
-        "nullif_bound": q_nullif_bound,
-        "iceberg_legacy_migrate": q_iceberg_legacy_migrate,
-        # --- the 3 r9-stale rows (VERDICT r12 ask #1)
-        "localdb_artifact": q_localdb_artifact,
-        "auxia_events": q_auxia_events,
-        "create_sequence": q_create_sequence,
-        # --- all 32 r10-stale rows (delta family carries the
-        #     unattributed r12 raw bench regressions)
-        "delta_row_tracking": q_delta_row_tracking,
-        "delta_type_widening": q_delta_type_widening,
-        "iceberg_merge_cow": q_iceberg_merge_cow,
-        "iceberg_update": q_iceberg_update,
-        "delta_delete": q_delta_delete,
-        "delta_skipping": q_delta_skipping,
-        "sessionize": q_sessionize,
-        "range_join": q_range_join,
-        "semdedup_prune": q_semdedup_prune,
-        "repetition": q_repetition,
-        "perplexity_filter": q_perplexity_filter,
-        "dataset_mix": q_dataset_mix,
-        "delta_roundtrip": q_delta_roundtrip,
-        "delta_update": q_delta_update,
-        "iceberg_delete": q_iceberg_delete,
-        "dsir_scores": q_dsir_scores,
-        "bpe_wordcounts": q_bpe_wordcounts,
-        "delta_dv_read": q_delta_dv_read,
-        "delta_zorder": q_delta_zorder,
-        "iceberg_rewrite_manifests": q_iceberg_rewrite_manifests,
-        "delta_cm_roundtrip": q_delta_cm_roundtrip,
-        "delta_alter_roundtrip": q_delta_alter_roundtrip,
-        "delta_replace_where": q_delta_replace_where,
-        "streaming_panes": q_streaming_panes,
-        "delta_liquid_cluster": q_delta_liquid_cluster,
-        "agg_argminmax": q_agg_argminmax,
-        "agg_firstlast": q_agg_firstlast,
-        "partition_route": q_partition_route,
-        "union_pad": q_union_pad,
-        "substring_cut": q_substring_cut,
-        "shuffle_order": q_shuffle_order,
-        "quality_classifier": q_quality_classifier,
-        # --- r11 fills: iceberg read family (legacy-delete detection
-        #     touches the scan planner this round) + slowest bench row
-        "uniform_stream": q_uniform_stream,
-        "iceberg_roundtrip": q_iceberg_roundtrip,
-        "iceberg_mor_roundtrip": q_iceberg_mor_roundtrip,
-        "iceberg_evolved_mor": q_iceberg_evolved_mor,
-        "iceberg_partitioned": q_iceberg_partitioned,
-        "iceberg_row_lineage_inherited": q_iceberg_row_lineage_inherited,
-        "ivf_topk": q_ivf_topk,
-        "lsh_topk": q_lsh_topk,
-        "match_recognize": q_match_recognize,
-        "match_recognize_chunked": q_match_recognize_chunked,
-        "processing_timeseries": q_processing,
-        # --- headline pair stays in-cap every round
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        # --- past the 50-cap: ever-green in a named round (r11/r12);
-        #     pytest + harness guarded
-        "bpe_train_encode": q_bpe_train_encode,
-        "uniform_resync": q_uniform_resync,
-        "select_text_hash": q_select_text_hash,
-        "compare_diff": q_compare_diff,
-        "limit_topk": q_limit_topk,
+        # --- never green: new r14 rows (timestampCombiner two-stage
+        #     windowing; reshuffle content-identity + shard count)
+        "timestamp_combiner": q_timestamp_combiner,
+        "reshuffle_roundtrip": q_reshuffle_roundtrip,
+        # --- all 33 r11-stale rows (VERDICT r13 ask #1: staleness
+        #     floor moves r11 -> r12)
+        "linear_regression": q_linear_regression,
+        "deserialize_avro": q_deserialize_avro,
+        "deserialize_proto": q_deserialize_proto,
+        "storage_avro_roundtrip": q_storage_avro_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "multimodal_decode": q_multimodal_decode,
+        "video_meta": q_video_meta,
+        "audio_meta": q_audio_meta,
+        "html_extract": q_html_extract,
+        "url_normalize": q_url_normalize,
+        "chunk_windows": q_chunk_windows,
+        "gopher_rules": q_gopher_rules,
+        "sentence_split": q_sentence_split,
+        "lang_id": q_lang_id,
+        "sample_split": q_sample_split,
+        "scrub_pii": q_scrub_pii,
+        "pack_sequences": q_pack_sequences,
+        "profile_documents": q_profile_documents,
+        "iceberg_row_lineage": q_iceberg_row_lineage,
+        "uniform_sync": q_uniform_sync,
+        "convert_roundtrip": q_convert_roundtrip,
+        "convert_partitioned": q_convert_partitioned,
+        "iceberg_addfiles": q_iceberg_addfiles,
+        "iceberg_defaults": q_iceberg_defaults,
+        "iceberg_changelog": q_iceberg_changelog,
+        "iceberg_incremental": q_iceberg_incremental,
+        "iceberg_skipping": q_iceberg_skipping,
+        "iceberg_rest": q_iceberg_rest,
+        "iceberg_merge_mor": q_iceberg_merge_mor,
+        "iceberg_dv_puffin": q_iceberg_dv_puffin,
+        "iceberg_cdc_upsert": q_iceberg_cdc_upsert,
+        "iceberg_upsert": q_iceberg_upsert,
+        "warc_roundtrip": q_warc_roundtrip,
+        # --- r12 fills: the window/stateful family first (the new
+        #     combiner knob touches windowed aggregation) + ANN rows
+        #     that also gain sf1 scale-suite coverage this round
         "window_running": q_window_running,
         "window_time_range": q_window_time_range,
         "calendar_window": q_calendar_window,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
+        "bpe_train_encode": q_bpe_train_encode,
+        "select_text_hash": q_select_text_hash,
+        "compare_diff": q_compare_diff,
+        "limit_topk": q_limit_topk,
         "expression_math": q_expression_math,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        # --- headline pair stays in-cap every round
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        # --- past the 50-cap: ever-green r12/r13; pytest + harness
+        #     guarded
+        "uniform_resync": q_uniform_resync,
         "delta_merge_upsert": q_delta_merge_upsert,
         "iceberg_branch_wap": q_iceberg_branch_wap,
         "delta_cdf": q_delta_cdf,
@@ -6795,44 +6885,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_eqdelete": q_convert_eqdelete,
         "streaming_buffered": q_streaming_buffered,
         "select_misc": q_select_misc,
-        "linear_regression": q_linear_regression,
-        "deserialize_avro": q_deserialize_avro,
-        "deserialize_proto": q_deserialize_proto,
-        "storage_avro_roundtrip": q_storage_avro_roundtrip,
-        "orc_roundtrip": q_orc_roundtrip,
-        "multimodal_decode": q_multimodal_decode,
-        "video_meta": q_video_meta,
-        "audio_meta": q_audio_meta,
-        "html_extract": q_html_extract,
-        "url_normalize": q_url_normalize,
-        "chunk_windows": q_chunk_windows,
-        "gopher_rules": q_gopher_rules,
-        "sentence_split": q_sentence_split,
-        "lang_id": q_lang_id,
-        "sample_split": q_sample_split,
-        "scrub_pii": q_scrub_pii,
-        "pack_sequences": q_pack_sequences,
-        "profile_documents": q_profile_documents,
-        "iceberg_row_lineage": q_iceberg_row_lineage,
-        "uniform_sync": q_uniform_sync,
-        "convert_roundtrip": q_convert_roundtrip,
-        "convert_partitioned": q_convert_partitioned,
-        "iceberg_addfiles": q_iceberg_addfiles,
-        "iceberg_defaults": q_iceberg_defaults,
-        "iceberg_changelog": q_iceberg_changelog,
-        "iceberg_incremental": q_iceberg_incremental,
-        "iceberg_skipping": q_iceberg_skipping,
-        "iceberg_rest": q_iceberg_rest,
-        "iceberg_merge_mor": q_iceberg_merge_mor,
-        "iceberg_dv_puffin": q_iceberg_dv_puffin,
-        "iceberg_cdc_upsert": q_iceberg_cdc_upsert,
-        "iceberg_upsert": q_iceberg_upsert,
-        "warc_roundtrip": q_warc_roundtrip,
+        "nullif_bound": q_nullif_bound,
+        "iceberg_legacy_migrate": q_iceberg_legacy_migrate,
+        "localdb_artifact": q_localdb_artifact,
+        "auxia_events": q_auxia_events,
+        "create_sequence": q_create_sequence,
+        "delta_row_tracking": q_delta_row_tracking,
+        "delta_type_widening": q_delta_type_widening,
+        "iceberg_merge_cow": q_iceberg_merge_cow,
+        "iceberg_update": q_iceberg_update,
+        "delta_delete": q_delta_delete,
+        "delta_skipping": q_delta_skipping,
+        "sessionize": q_sessionize,
+        "range_join": q_range_join,
+        "semdedup_prune": q_semdedup_prune,
+        "repetition": q_repetition,
+        "perplexity_filter": q_perplexity_filter,
+        "dataset_mix": q_dataset_mix,
+        "delta_roundtrip": q_delta_roundtrip,
+        "delta_update": q_delta_update,
+        "iceberg_delete": q_iceberg_delete,
+        "dsir_scores": q_dsir_scores,
+        "bpe_wordcounts": q_bpe_wordcounts,
+        "delta_dv_read": q_delta_dv_read,
+        "delta_zorder": q_delta_zorder,
+        "iceberg_rewrite_manifests": q_iceberg_rewrite_manifests,
+        "delta_cm_roundtrip": q_delta_cm_roundtrip,
+        "delta_alter_roundtrip": q_delta_alter_roundtrip,
+        "delta_replace_where": q_delta_replace_where,
+        "streaming_panes": q_streaming_panes,
+        "delta_liquid_cluster": q_delta_liquid_cluster,
+        "agg_argminmax": q_agg_argminmax,
+        "agg_firstlast": q_agg_firstlast,
+        "partition_route": q_partition_route,
+        "union_pad": q_union_pad,
+        "substring_cut": q_substring_cut,
+        "shuffle_order": q_shuffle_order,
+        "quality_classifier": q_quality_classifier,
+        "uniform_stream": q_uniform_stream,
+        "iceberg_roundtrip": q_iceberg_roundtrip,
+        "iceberg_mor_roundtrip": q_iceberg_mor_roundtrip,
+        "iceberg_evolved_mor": q_iceberg_evolved_mor,
+        "iceberg_partitioned": q_iceberg_partitioned,
+        "iceberg_row_lineage_inherited": q_iceberg_row_lineage_inherited,
+        "ivf_topk": q_ivf_topk,
+        "lsh_topk": q_lsh_topk,
+        "match_recognize": q_match_recognize,
+        "match_recognize_chunked": q_match_recognize_chunked,
+        "processing_timeseries": q_processing,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "timestamp_combiner": Q_TS_COMBINER_SQL,
+        "reshuffle_roundtrip": Q_RESHUFFLE_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "agg_argminmax": Q_ARG_SQL,

@@ -32,6 +32,62 @@ from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
 from pipeline_spark.streaming import ensure_event_time
 
 
+_TS_COMBINERS = ("end_of_window", "earliest", "latest")
+
+
+def _parse_ts_combiner(strategy: dict[str, Any]) -> str | None:
+    """strategy.window.timestampCombiner (Strategy.java:72-74,129).
+
+    Decides which event time the aggregated row carries downstream —
+    the two-stage-windowing knob (window → aggregate → re-window):
+
+      * ``end_of_window`` (Beam's default) → ``window.end - 1ms``
+        (Beam's ``maxTimestamp``; the -1ms keeps the row inside its OWN
+        window when re-windowed at the same size);
+      * ``earliest`` → min input event time; ``latest`` → max.
+
+    When the knob is absent the output keeps only the window struct
+    (downstream selects window.start/window.end explicitly) — existing
+    query schemas are unchanged; set the knob to get the reference's
+    derived event-time column.
+    """
+    w = (strategy or {}).get("window") or {}
+    c = w.get("timestampCombiner")
+    if c is None:
+        return None
+    cs = str(c).strip().lower()
+    if cs not in _TS_COMBINERS:
+        raise ValueError(
+            "strategy.window.timestampCombiner must be one of "
+            f"{'/'.join(_TS_COMBINERS)}, got '{c}'"
+        )
+    wtype = str(w.get("type", "global")).lower()
+    if wtype == "global":
+        raise ValueError(
+            "strategy.window.timestampCombiner needs a non-global window "
+            "(fixed/sliding/session/calendar) — a global window has no "
+            "per-window output timestamp to combine"
+        )
+    return cs
+
+
+def _end_of_window_col(out: DataFrame, strategy: dict[str, Any]):
+    """window.end - 1ms; calendar windows add their unit to the start."""
+    from pyspark.sql import types as T
+
+    one_ms = F.expr("INTERVAL 1 MILLISECOND")
+    if isinstance(out.schema["window"].dataType, T.StructType):
+        return F.col("window.end") - one_ms
+    cal_unit = str((strategy.get("window") or {}).get("unit", "day")).lower()
+    iv = {
+        "day": "INTERVAL 1 DAY",
+        "week": "INTERVAL 7 DAY",
+        "month": "INTERVAL 1 MONTH",
+        "year": "INTERVAL 1 YEAR",
+    }[cal_unit]
+    return F.col("window") + F.expr(iv) - one_ms
+
+
 def _window_key(strategy: dict[str, Any] | None, ts_col: str):
     """strategy.window → extra grouping column (reference: Strategy.java:185-215)."""
     if not strategy or not strategy.get("window"):
@@ -80,8 +136,16 @@ def aggregation_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         per_input = [agg_specs]
 
     strategy = ctx.config.get("strategy") or {}
+    # validated unconditionally at plan time so a typo'd combiner fails
+    # on every config, not only once a window fires
+    ts_combiner = _parse_ts_combiner(strategy)
+    if ts_combiner and not ts_attr:
+        raise ValueError(
+            "strategy.window.timestampCombiner requires timestampAttribute"
+        )
+    hidden_ts_cols: list[str] = []
     results: list[DataFrame] = []
-    for df, aggs in zip(ctx.inputs, per_input):
+    for i, (df, aggs) in enumerate(zip(ctx.inputs, per_input)):
         if not aggs:
             continue
         if df.isStreaming and ts_attr:
@@ -123,14 +187,53 @@ def aggregation_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                     "paneStateBackend executor supports a single input with "
                     "plain grouping (no pivot/rollup/cube)"
                 )
+            pane_aggs = aggs
+            if ts_combiner in ("earliest", "latest"):
+                if str(strategy.get("accumulationMode", "accumulating")).lower() in (
+                    "discarding", "discarding_fired_panes"
+                ):
+                    raise ValueError(
+                        "timestampCombiner earliest/latest tracks a min/max "
+                        "over event time, which discarding panes cannot "
+                        "delta — use accumulating mode or end_of_window"
+                    )
+                hidden = f"__tsc{i}__"
+                hidden_ts_cols.append(hidden)
+                pane_aggs = [
+                    *aggs,
+                    {
+                        "name": hidden,
+                        "op": "min" if ts_combiner == "earliest" else "max",
+                        "field": ts_attr,
+                    },
+                ]
             results.append(
-                stream_panes_with_state(df, ts_attr, group_fields, aggs, strategy)
+                stream_panes_with_state(
+                    df, ts_attr, group_fields, pane_aggs, strategy
+                )
             )
             continue
         keys = [F.col(g) for g in group_fields]
         wkey = _window_key(strategy, ts_attr) if ts_attr else None
         if wkey is not None:
             keys = [wkey.alias("window"), *keys]
+        if wkey is not None and ts_combiner in ("earliest", "latest"):
+            if p.get("pivot"):
+                raise ValueError(
+                    "timestampCombiner earliest/latest cannot combine with "
+                    "pivot (the hidden event-time aggregate would expand "
+                    "per pivot value); use end_of_window"
+                )
+            hidden = f"__tsc{i}__"
+            hidden_ts_cols.append(hidden)
+            aggs = [
+                *aggs,
+                {
+                    "name": hidden,
+                    "op": "min" if ts_combiner == "earliest" else "max",
+                    "field": ts_attr,
+                },
+            ]
         exprs = compile_aggs(aggs, df, ts_attr)
         group_type = str(p.get("groupType", "group")).lower()
         pivot_cfg = p.get("pivot")
@@ -169,6 +272,23 @@ def aggregation_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     join_keys = group_fields if not (ctx.config.get("strategy") or {}).get("window") else ["window", *group_fields]
     for other in results[1:]:
         out = out.join(other, on=[k for k in join_keys if k in out.columns and k in other.columns], how="full_outer")
+
+    if ts_combiner and "window" in out.columns:
+        if ts_combiner == "end_of_window":
+            tcol = _end_of_window_col(out, strategy)
+        else:
+            # per-input hidden min/max; least/greatest skip the nulls a
+            # full-outer multi-input join introduces
+            cols = [F.col(c) for c in hidden_ts_cols if c in out.columns]
+            if len(cols) == 1:
+                tcol = cols[0]
+            else:
+                pick = F.least if ts_combiner == "earliest" else F.greatest
+                tcol = pick(*cols)
+        out = out.withColumn(ts_attr, tcol)
+        drop = [c for c in hidden_ts_cols if c in out.columns]
+        if drop:
+            out = out.drop(*drop)
 
     if p.get("outputPaneInfo"):
         # Beam pane accounting (reference: AggregationTransform.java:36 —
