@@ -45,7 +45,10 @@ import uuid
 from typing import Any
 
 from pipeline_spark.functions.avroocf import write_ocf_bytes
-from pipeline_spark.sources.iceberg_native import find_table_metadata
+from pipeline_spark.sources.iceberg_native import (
+    find_table_metadata,
+    parse_legacy_global_deletes,
+)
 
 _STATUS_ADDED = 1
 
@@ -1795,6 +1798,7 @@ def compact_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     conflicting one) is always correct; no disjointness proof needed,
     just bounded retries.  First-attempt rewrite files orphan until
     ``removeOrphans``."""
+    parse_legacy_global_deletes(p)  # fail typos at parameter-parse time
     from pipeline_spark.sources.iceberg_rest import CommitConflictError
 
     retries = int(p.get("conflictRetries", 2))
@@ -2092,8 +2096,7 @@ def _compact_iceberg_once(spark, p: dict[str, Any]) -> dict[str, int]:
                 # all_data: detection judges null-partition placement
                 # against the WHOLE table, not this bin (a per-partition
                 # bin never contains the null partition's files)
-                legacy_global_deletes=p.get("legacyGlobalDeletes")
-                or "refuse",
+                legacy_global_deletes=parse_legacy_global_deletes(p),
                 all_data=data,
             )
         elif bin_fills or lineage:
@@ -2358,6 +2361,7 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     catalog tables too (r7): planning reads the catalog's metadata, the
     commit is an optimistic add-snapshot.
     """
+    parse_legacy_global_deletes(p)  # fail typos at parameter-parse time
     import pyspark.sql.functions as F
 
     from pipeline_spark.sources.delta_native import _apply_data_filter
@@ -2435,7 +2439,7 @@ def delete_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
         # the manifest's file_path — raw, not a URI).
         live = _apply_row_deletes(
             spark, live, data, prior_deletes, _meta, keep_lineage=True,
-            legacy_global_deletes=p.get("legacyGlobalDeletes") or "refuse",
+            legacy_global_deletes=parse_legacy_global_deletes(p),
             all_data=all_data,
         )
     if "__fp__" not in live.columns:
@@ -2617,6 +2621,7 @@ def equality_delete_iceberg_native(
     the config-driven form).  ``p['equalityColumns']`` names the
     identifier columns when ``keys_df`` carries extra ones.
     """
+    parse_legacy_global_deletes(p)  # fail typos at parameter-parse time
     from pyspark.sql import functions as F
 
     from pipeline_spark.sources.iceberg_native import (
@@ -2809,6 +2814,7 @@ def upsert_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
     delete files stay global — the spec's partition-independent
     equality-delete shape.  A missing table degenerates to create.
     """
+    parse_legacy_global_deletes(p)  # fail typos at parameter-parse time
     from pyspark.sql import functions as F
 
     from pipeline_spark.sources.iceberg_native import (
@@ -2921,6 +2927,7 @@ def update_iceberg_native(spark, p: dict[str, Any]) -> dict[str, int]:
     expression.  One replace snapshot via the shared file-scoped commit.
     The O(batch) merge-on-read alternative for keyed updates is
     ``upsert_iceberg_native``."""
+    parse_legacy_global_deletes(p)  # fail typos at parameter-parse time
     set_exprs = dict(p.get("set") or {})
     if not set_exprs:
         raise ValueError("iceberg update: 'set' {column: expression} is required")
@@ -3028,8 +3035,7 @@ def _cow_mutate_where(
             probe = _apply_row_deletes(
                 spark, probe, candidates, deletes, prev_meta,
                 keep_lineage=True,
-                legacy_global_deletes=p.get("legacyGlobalDeletes")
-                or "refuse",
+                legacy_global_deletes=parse_legacy_global_deletes(p),
                 all_data=data,
             )
         if "__fp__" not in probe.columns:
@@ -3084,7 +3090,7 @@ def _cow_mutate_where(
     if deletes:
         grp = _apply_row_deletes(
             spark, grp, hit, deletes, prev_meta,
-            legacy_global_deletes=p.get("legacyGlobalDeletes") or "refuse",
+            legacy_global_deletes=parse_legacy_global_deletes(p),
             all_data=data,
         )
     cond = data_filter_condition(where)
@@ -3552,6 +3558,7 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
     UnifiedMutation §2.10 (semantics only; the mechanics are the
     Iceberg spec's row-delta COW commit).
     """
+    parse_legacy_global_deletes(p)  # fail typos at parameter-parse time
     from pyspark.sql import functions as F
 
     from pipeline_spark.functions.avroocf import (
@@ -3680,8 +3687,7 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
                 probe = _apply_row_deletes(
                     spark, probe, candidates, deletes, prev_meta,
                     keep_lineage=True,
-                    legacy_global_deletes=p.get("legacyGlobalDeletes")
-                    or "refuse",
+                    legacy_global_deletes=parse_legacy_global_deletes(p),
                     all_data=data,
                 )
             if "__fp__" not in probe.columns:
@@ -3745,8 +3751,7 @@ def merge_iceberg_native(spark, df, p: dict[str, Any]) -> dict[str, int]:
         if deletes:
             grp = _apply_row_deletes(
                 spark, grp, hit, deletes, prev_meta,
-                legacy_global_deletes=p.get("legacyGlobalDeletes")
-                or "refuse",
+                legacy_global_deletes=parse_legacy_global_deletes(p),
                 all_data=data,
             )
         survivors = grp.join(

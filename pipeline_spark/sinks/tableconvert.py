@@ -873,6 +873,11 @@ def convert_iceberg_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:
       otherwise); added columns null-pad and dropped parquet columns
       are ignored by delta's schema-first read, so neither blocks.
     """
+    from pipeline_spark.sources.iceberg_native import (
+        parse_legacy_global_deletes as _plgd,
+    )
+
+    _plgd(p)  # fail typos at parameter-parse time
     from pipeline_spark.sinks.delta_native import (
         _commit_actions,
         _footer_stats,
@@ -1014,6 +1019,7 @@ def convert_iceberg_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:
         from pipeline_spark.sources.iceberg_native import (
             apply_identity_fill,
             evolved_scan,
+            parse_legacy_global_deletes,
             plan_equality_deletes,
         )
 
@@ -1029,8 +1035,7 @@ def convert_iceberg_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:
                 scan = apply_identity_fill(spark, scan, fills, ftypes)
             seq_rows, eq_groups = plan_equality_deletes(
                 spark, eq_dels, affected, imeta,
-                legacy_global_deletes=p.get("legacyGlobalDeletes")
-                or "refuse",
+                legacy_global_deletes=parse_legacy_global_deletes(p),
                 all_data=data,
             )
             seq_df = spark.createDataFrame(

@@ -484,6 +484,22 @@ def _delete_file_columns(path: str, ids, cols):
     return [by_id.get(i, c) for i, c in zip(ids, cols)]
 
 
+def parse_legacy_global_deletes(p: dict) -> str:
+    """Resolve + validate ``params.legacyGlobalDeletes`` at
+    parameter-parse time (ADVICE r13): every iceberg entry point that
+    accepts the knob (read/changelog/compact/DML/tableconvert) calls
+    this BEFORE any planning, so a typo'd mode fails immediately on
+    every table — not only the day the legacy delete shape appears."""
+    mode = str(p.get("legacyGlobalDeletes") or "refuse").strip().lower()
+    if mode not in ("refuse", "strict", "error", "allow", "apply"):
+        raise ValueError(
+            "iceberg: unknown legacyGlobalDeletes mode "
+            f"{p.get('legacyGlobalDeletes')!r} (expected refuse | allow "
+            "| apply)"
+        )
+    return mode
+
+
 def plan_equality_deletes(
     spark, eq: list[dict], data: list[dict], meta: dict,
     *, legacy_global_deletes: str = "refuse",
@@ -559,10 +575,13 @@ def plan_equality_deletes(
         for d in data
     ]
 
+    # Re-validated here as defense-in-depth; the entry points
+    # (read/changelog/compact/DML/convert) call
+    # :func:`parse_legacy_global_deletes` at parameter-parse time, so a
+    # typo'd mode fails on healthy tables too — including ones with no
+    # equality deletes, which never reach this planner (ADVICE r13).
     mode = str(legacy_global_deletes or "refuse").strip().lower()
     if mode not in ("refuse", "strict", "error", "allow", "apply"):
-        # validate unconditionally: a typo'd mode must fail on healthy
-        # tables too, not first surface the day the legacy shape appears
         raise ValueError(
             f"iceberg: unknown legacyGlobalDeletes mode {mode!r} "
             "(expected refuse | allow | apply)"
@@ -580,6 +599,7 @@ def plan_equality_deletes(
     }
     force_global: set[int] = set()
     suspicious = []
+    ambiguous = []
     for d in eq:
         sid = int(d.get("spec_id", 0) or 0)
         rec = d.get("partition") or {}
@@ -587,9 +607,32 @@ def plan_equality_deletes(
             spec_fields.get(sid)  # declared AND partitioned spec
             and rec
             and all(v is None for v in rec.values())
-            and part_key(d) not in detect_pkeys
         ):
-            suspicious.append(d)
+            if part_key(d) not in detect_pkeys:
+                suspicious.append(d)
+            else:
+                ambiguous.append(d)
+    if ambiguous:
+        # residual false-negative of the detector (ADVICE r13): when the
+        # table DOES hold null-partition data, a legitimate
+        # null-partition-scoped delete and a pre-r11 legacy GLOBAL
+        # delete are byte-identical — undecidable from metadata.  We
+        # read spec-strict (what every other reader does) and say so,
+        # because silently resurrecting rows in OTHER partitions is the
+        # failure this would otherwise hide.
+        import logging
+
+        logging.getLogger("pipeline_spark.iceberg").warning(
+            "iceberg: %d equality delete file(s) under a PARTITIONED "
+            "spec carry an all-null partition record AND the table "
+            "holds null-partition data — scoping them to the null "
+            "partition (spec-strict).  If this table was written by "
+            "this engine before r11 these may be legacy GLOBAL deletes "
+            "whose rows in other partitions will resurrect; compact "
+            "the table to migrate, or set legacyGlobalDeletes: 'apply' "
+            "to read them as global.",
+            len(ambiguous),
+        )
     if suspicious:
         paths = sorted({d["path"] for d in suspicious})
         msg = (
@@ -1206,6 +1249,7 @@ def read_iceberg_native(spark, p: dict[str, Any]):
     instead of a filesystem location; everything downstream (manifest
     walk, pruning, MOR deletes) is the same reader.
     """
+    parse_legacy_global_deletes(p)  # fail typos before any planning
     snapshot_id = p.get("snapshotId")
     catalog = p.get("catalog")
     meta_in = None
@@ -1387,7 +1431,7 @@ def read_iceberg_native(spark, p: dict[str, Any]):
     if deletes:
         df = _apply_row_deletes(
             spark, df, data, deletes, meta,
-            legacy_global_deletes=p.get("legacyGlobalDeletes") or "refuse",
+            legacy_global_deletes=parse_legacy_global_deletes(p),
             all_data=all_data,
         )
     elif need_stamp:
@@ -1475,7 +1519,7 @@ def read_iceberg_changelog(
 
     from pyspark.sql import functions as F
 
-    _lgd = p.get("legacyGlobalDeletes") or "refuse"
+    _lgd = parse_legacy_global_deletes(p)
     if p.get("catalog"):
         from pipeline_spark.sources.iceberg_rest import RestCatalog
 

@@ -250,3 +250,65 @@ def test_unknown_mode_rejected_on_healthy_table(spark, tmp_path):
         read_iceberg_native(
             spark, {"path": tbl, "legacyGlobalDeletes": "aplly"}
         ).collect()
+
+
+def test_unknown_mode_rejected_with_no_equality_deletes(spark, tmp_path):
+    """ADVICE r13: the previous 'healthy table' gate still had equality
+    deletes, so plan_equality_deletes ran.  A typo'd mode must fail at
+    PARAMETER-PARSE time on a table with NO equality deletes at all —
+    read, DML, compact, and convert entry points all validate up front."""
+    from pipeline_spark.sinks.iceberg_native import (
+        delete_iceberg_native,
+        merge_iceberg_native,
+        update_iceberg_native,
+    )
+    from pipeline_spark.sinks.tableconvert import convert_iceberg_to_delta
+
+    tbl = str(tmp_path / "noeq")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "x"), (2, "y")], "id long, par string"),
+        {"path": tbl, "mode": "create", "partitionBy": ["par"]},
+    )
+    bad = {"path": tbl, "legacyGlobalDeletes": "aplly"}
+    with pytest.raises(ValueError, match="unknown legacyGlobalDeletes"):
+        read_iceberg_native(spark, dict(bad))
+    with pytest.raises(ValueError, match="unknown legacyGlobalDeletes"):
+        compact_iceberg_native(spark, dict(bad))
+    with pytest.raises(ValueError, match="unknown legacyGlobalDeletes"):
+        delete_iceberg_native(
+            spark, {**bad, "where": [{"key": "id", "op": "=", "value": 1}]})
+    with pytest.raises(ValueError, match="unknown legacyGlobalDeletes"):
+        update_iceberg_native(
+            spark, {**bad, "where": [{"key": "id", "op": "=", "value": 1}],
+                    "set": {"id": "id + 1"}})
+    with pytest.raises(ValueError, match="unknown legacyGlobalDeletes"):
+        merge_iceberg_native(
+            spark, spark.createDataFrame([(1, "x")], "id long, par string"),
+            {**bad, "primaryKeys": ["id"]})
+    with pytest.raises(ValueError, match="unknown legacyGlobalDeletes"):
+        convert_iceberg_to_delta(spark, dict(bad))
+
+
+def test_ambiguous_null_partition_delete_logs_residual_note(spark, tmp_path, caplog):
+    """ADVICE r13 residual false-negative, now documented in-band: when a
+    partitioned-spec all-null delete coexists WITH null-partition data,
+    a legitimate null-scoped delete and a pre-r11 legacy global delete
+    are byte-identical — undecidable.  The planner reads spec-strict
+    (correct for the legitimate case, what every other reader does) and
+    emits a log note naming the migration path.  No refusal, no
+    warnings-module noise (the legitimate case is the common one)."""
+    import logging
+
+    tbl = str(tmp_path / "ambig")
+    rows = [(0, "x"), (1, "x"), (0, None), (1, None)]
+    write_iceberg_native(
+        spark.createDataFrame(rows, "id long, par string"),
+        {"path": tbl, "mode": "create", "partitionBy": ["par"]},
+    )
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 1}]})
+    _scope_delete_manifests(tbl, {"par": None})
+    with caplog.at_level(logging.WARNING, logger="pipeline_spark.iceberg"):
+        got = _got(spark, tbl)
+    # spec-strict: only the null-partition copy of id=1 dies
+    assert got == {(0, None), (0, "x"), (1, "x")}
+    assert any("null-partition data" in r.message for r in caplog.records)
