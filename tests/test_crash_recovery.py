@@ -1,0 +1,257 @@
+"""Crash-recovery property tests for the native commit paths (VERDICT
+r13 ask #6): a writer that DIES between staging and commit must be
+invisible to readers and reclaimable.
+
+Both formats commit through a single seam — delta's ``_commit_actions``
+(create-exclusive hardlink of the version JSON) and iceberg's
+``_publish_metadata_exclusive`` (create-exclusive metadata swap).  Each
+case injects a kill at that seam (``before``: files staged, commit
+never attempted; ``mid``: a stray partial ``.tmp`` is left next to the
+log/metadata, the state an interrupted atomic publish leaves) and then
+asserts the recovery contract:
+
+  1. readers see the OLD version, bit-for-bit;
+  2. ``vacuum`` (delta) / ``remove_orphan_files`` (iceberg) reclaims
+     the dead writer's staged files without touching live data;
+  3. a RETRY of the same operation succeeds and lands the expected
+     final state.
+
+The concurrency suites cover interleaved writers; this covers the
+writer that never comes back.  Reference behavior: delta PROTOCOL.md
+(atomic log commit), iceberg spec (metadata swap + the
+remove_orphan_files maintenance action).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+
+import pipeline_spark.sinks.delta_native as dn
+import pipeline_spark.sinks.iceberg_native as sink_ice
+from pipeline_spark.sinks.delta_native import (
+    delete_delta_native,
+    merge_delta_native,
+    update_delta_native,
+    vacuum_delta_native,
+    write_delta_native,
+)
+from pipeline_spark.sinks.iceberg_native import (
+    delete_iceberg_native,
+    merge_iceberg_native,
+    remove_orphans_iceberg_native,
+    upsert_iceberg_native,
+    write_iceberg_native,
+)
+from pipeline_spark.sources.delta_native import read_delta_native
+from pipeline_spark.sources.iceberg_native import read_iceberg_native
+
+
+class _Killed(RuntimeError):
+    pass
+
+
+ROWS = [(i, float(i) * 1.5, "a" if i % 2 == 0 else "b") for i in range(20)]
+SCHEMA = "id long, val double, par string"
+
+
+def _snap_delta(spark, tbl):
+    return sorted(
+        tuple(r) for r in read_delta_native(spark, {"path": tbl}).collect()
+    )
+
+
+def _snap_ice(spark, tbl):
+    return sorted(
+        tuple(r) for r in read_iceberg_native(spark, {"path": tbl}).collect()
+    )
+
+
+def _data_files(tbl):
+    out = set()
+    for root, dirs, names in os.walk(tbl):
+        if "_delta_log" in dirs:
+            dirs.remove("_delta_log")
+        for n in names:
+            out.add(os.path.join(root, n))
+    return out
+
+
+# --------------------------------------------------------------- delta
+
+DELTA_OPS = {
+    "append": lambda spark, df, tbl: write_delta_native(
+        spark, df, {"path": tbl, "mode": "append"}
+    ),
+    "merge": lambda spark, df, tbl: merge_delta_native(
+        spark, df, {"path": tbl, "primaryKeys": ["id"]}
+    ),
+    "delete_cow": lambda spark, df, tbl: delete_delta_native(
+        spark, {"path": tbl,
+                "where": [{"key": "id", "op": "<", "value": 5}]}
+    ),
+    "update": lambda spark, df, tbl: update_delta_native(
+        spark, {"path": tbl,
+                "where": [{"key": "id", "op": ">=", "value": 15}],
+                "set": {"val": "val + 100"}}
+    ),
+}
+
+
+@pytest.mark.parametrize("kill", ["before", "mid"])
+@pytest.mark.parametrize("op", sorted(DELTA_OPS))
+def test_delta_writer_dies_before_commit(spark, tmp_path, monkeypatch, op, kill):
+    tbl = str(tmp_path / f"d_{op}_{kill}")
+    write_delta_native(
+        spark, spark.createDataFrame(ROWS, SCHEMA), {"path": tbl}
+    )
+    before = _snap_delta(spark, tbl)
+    batch = spark.createDataFrame(
+        [(3, 999.0, "a"), (77, 7.0, "b")], SCHEMA
+    )
+
+    # _prev_ict runs in EVERY delta commit (inline append loop and
+    # _commit_actions) after the parquet is staged and before the log
+    # JSON exists — the exact between-staging-and-commit instant
+    orig = dn._prev_ict
+
+    def dying(log_dir, version):
+        if kill == "mid":
+            # the state an interrupted atomic publish leaves: the temp
+            # spool exists, the version JSON does not
+            stray = os.path.join(
+                log_dir, f"commit.{uuid.uuid4().hex}.tmp"
+            )
+            with open(stray, "w") as fh:
+                fh.write('{"partial":')  # torn write
+        raise _Killed(f"killed at commit of v{version}")
+
+    monkeypatch.setattr(dn, "_prev_ict", dying)
+    with pytest.raises(_Killed):
+        DELTA_OPS[op](spark, batch, tbl)
+    monkeypatch.setattr(dn, "_prev_ict", orig)
+
+    # 1. readers see the old version
+    assert _snap_delta(spark, tbl) == before
+
+    # 2. vacuum reclaims the dead writer's staged parquet (retainSeconds
+    #    0: this test IS the single-writer-just-died scenario the
+    #    docstring describes) and live data survives
+    res = vacuum_delta_native(spark, {"path": tbl, "retainSeconds": 0})
+    if op != "update" or True:
+        # every op above stages at least one parquet before the commit
+        assert res["removed_files"] >= 1, (op, kill, res)
+    assert _snap_delta(spark, tbl) == before
+
+    # 3. retry lands the expected final state
+    DELTA_OPS[op](spark, batch, tbl)
+    after = _snap_delta(spark, tbl)
+    if op == "append":
+        assert len(after) == len(before) + 2
+    elif op == "merge":
+        d = dict((r[0], r) for r in after)
+        assert d[3][1] == 999.0 and d[77][1] == 7.0
+        assert len(after) == len(before) + 1
+    elif op == "delete_cow":
+        assert {r[0] for r in after} == {r[0] for r in before if r[0] >= 5}
+    elif op == "update":
+        assert all(r[1] == r[0] * 1.5 + 100 for r in after if r[0] >= 15)
+
+
+# ------------------------------------------------------------- iceberg
+
+ICE_OPS = {
+    "append": lambda spark, df, tbl: write_iceberg_native(
+        df, {"path": tbl, "mode": "append"}
+    ),
+    "merge_cow": lambda spark, df, tbl: merge_iceberg_native(
+        spark, df, {"path": tbl, "primaryKeys": ["id"]}
+    ),
+    "upsert_mor": lambda spark, df, tbl: upsert_iceberg_native(
+        spark, df, {"path": tbl, "primaryKeys": ["id"]}
+    ),
+    "delete": lambda spark, df, tbl: delete_iceberg_native(
+        spark, {"path": tbl,
+                "where": [{"key": "id", "op": "<", "value": 5}]}
+    ),
+}
+
+
+@pytest.mark.parametrize("kill", ["before", "mid"])
+@pytest.mark.parametrize("op", sorted(ICE_OPS))
+def test_iceberg_writer_dies_before_swap(spark, tmp_path, monkeypatch, op, kill):
+    tbl = str(tmp_path / f"i_{op}_{kill}")
+    write_iceberg_native(
+        spark.createDataFrame(ROWS, SCHEMA), {"path": tbl, "mode": "create"}
+    )
+    before = _snap_ice(spark, tbl)
+    files_before = _data_files(tbl)
+    batch = spark.createDataFrame(
+        [(3, 999.0, "a"), (77, 7.0, "b")], SCHEMA
+    )
+
+    orig = sink_ice._publish_metadata_exclusive
+
+    def dying(meta_dir, version, meta):
+        if kill == "mid":
+            stray = os.path.join(
+                meta_dir,
+                f"v{version}.metadata.json.{uuid.uuid4().hex}.tmp",
+            )
+            with open(stray, "w") as fh:
+                fh.write('{"torn":')
+        raise _Killed(f"killed before metadata swap to v{version}")
+
+    monkeypatch.setattr(sink_ice, "_publish_metadata_exclusive", dying)
+    with pytest.raises(_Killed):
+        ICE_OPS[op](spark, batch, tbl)
+    monkeypatch.setattr(sink_ice, "_publish_metadata_exclusive", orig)
+
+    # 1. readers see the old snapshot
+    assert _snap_ice(spark, tbl) == before
+    # the dead writer really did stage files (the scenario is real)
+    assert _data_files(tbl) - files_before, (op, kill)
+
+    # 2. remove_orphan_files reclaims them (negative age: this test IS
+    #    the writer-is-dead scenario the 3-day default guards)
+    res = remove_orphans_iceberg_native(
+        spark, {"path": tbl, "olderThanMs": -60_000}
+    )
+    assert res["removed_files"] >= 1, (op, kill, res)
+    assert _snap_ice(spark, tbl) == before
+
+    # 3. retry lands the expected final state
+    ICE_OPS[op](spark, batch, tbl)
+    after = _snap_ice(spark, tbl)
+    if op == "append":
+        assert len(after) == len(before) + 2
+    elif op in ("merge_cow", "upsert_mor"):
+        d = dict((r[0], r) for r in after)
+        assert d[3][1] == 999.0 and d[77][1] == 7.0
+        assert len(after) == len(before) + 1
+    elif op == "delete":
+        assert {r[0] for r in after} == {r[0] for r in before if r[0] >= 5}
+
+
+def test_iceberg_orphan_sweep_spares_fresh_files(spark, tmp_path, monkeypatch):
+    """The default 3-day age margin: a JUST-staged orphan (an in-flight
+    writer that may still be alive) survives the sweep; only the age
+    override used above reclaims it immediately."""
+    tbl = str(tmp_path / "i_fresh")
+    write_iceberg_native(
+        spark.createDataFrame(ROWS, SCHEMA), {"path": tbl, "mode": "create"}
+    )
+    monkeypatch.setattr(
+        sink_ice, "_publish_metadata_exclusive",
+        lambda *a, **k: (_ for _ in ()).throw(_Killed("kill")),
+    )
+    with pytest.raises(_Killed):
+        write_iceberg_native(
+            spark.createDataFrame([(99, 1.0, "a")], SCHEMA),
+            {"path": tbl, "mode": "append"},
+        )
+    monkeypatch.undo()
+    res = remove_orphans_iceberg_native(spark, {"path": tbl})
+    assert res["removed_files"] == 0, res
