@@ -114,6 +114,77 @@ def stage_stream_inputs():
     shutil.rmtree("/tmp/pipeline_out/count_trigger_checkpoint", ignore_errors=True)
     shutil.rmtree("/tmp/pipeline_out/composite_trigger", ignore_errors=True)
     shutil.rmtree("/tmp/pipeline_out/composite_trigger_checkpoint", ignore_errors=True)
+    # --- r14 example fixtures (VERDICT r13 ask #7) ---------------------
+    # onnx-score-embeddings: a 64->16->1 MLP built with the same
+    # wire-format primitives the onnx executor tests use
+    import numpy as _np
+
+    from tests.test_onnxexec import f32, ld, node, tensor, value_info, vi
+
+    rng = _np.random.RandomState(7)
+    W = rng.randn(64, 16).astype(_np.float32)
+    b = rng.randn(16).astype(_np.float32)
+    W2 = rng.randn(16, 1).astype(_np.float32)
+    gemm_attrs = (
+        ld(5, ld(1, b"alpha") + f32(2, 1.0))
+        + ld(5, ld(1, b"beta") + f32(2, 1.0))
+    )
+    graph = (
+        ld(1, node("Gemm", ["x", "W", "b"], ["h"], gemm_attrs))
+        + ld(1, node("Relu", ["h"], ["hr"]))
+        + ld(1, node("MatMul", ["hr", "W2"], ["z"]))
+        + ld(1, node("Sigmoid", ["z"], ["score"]))
+        + ld(2, b"scorer")
+        + ld(5, tensor("W", W.shape, W))
+        + ld(5, tensor("b", b.shape, b))
+        + ld(5, tensor("W2", W2.shape, W2))
+        + ld(11, value_info("x"))
+        + ld(12, value_info("score"))
+    )
+    with open("/tmp/pipeline_in/mlp64.onnx", "wb") as fh:
+        fh.write(vi(1, 8) + ld(7, graph))
+    # jdbc-sqlite-ingest: the items DB the partitioned DB-API read scans
+    import sqlite3
+
+    if os.path.exists("/tmp/pipeline_in/items.db"):
+        os.remove("/tmp/pipeline_in/items.db")
+    con = sqlite3.connect("/tmp/pipeline_in/items.db")
+    con.execute("CREATE TABLE items (id INTEGER, name TEXT, qty INTEGER)")
+    con.executemany(
+        "INSERT INTO items VALUES (?, ?, ?)",
+        [(i, f"item{i}", i * 3) for i in range(100)],
+    )
+    con.commit()
+    con.close()
+    # csv-ingest-cast: nation as header CSV
+    import csv as _csv
+
+    nrows = pq.read_table(
+        "/root/testdata/sf0.001/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pylist()
+    os.makedirs("/tmp/pipeline_in/nation_csv", exist_ok=True)
+    with open("/tmp/pipeline_in/nation_csv/part-0.csv", "w", newline="") as fh:
+        w = _csv.DictWriter(fh, ["n_nationkey", "n_name", "n_regionkey"])
+        w.writeheader()
+        w.writerows(nrows)
+    # avro-filter-roundtrip: stage the input OCF with the same native
+    # writer the export example exercises
+    from pipeline_spark.config import parse_config as _pc
+    from pipeline_spark.executor import run_pipeline as _rp
+
+    shutil.rmtree("/tmp/pipeline_in/orders_avro", ignore_errors=True)
+    _rp(_spark, _pc("""
+sources:
+  - name: orders
+    module: storage
+    parameters: {format: parquet, input: /root/testdata/sf0.001/orders.parquet}
+sinks:
+  - name: out
+    module: storage
+    inputs: [orders]
+    parameters: {format: avro, output: /tmp/pipeline_in/orders_avro}
+"""))
 
 
 @pytest.mark.parametrize("path", EXAMPLES, ids=[os.path.basename(p) for p in EXAMPLES])
