@@ -294,3 +294,112 @@ SEEDS = list(range(160))
 def test_trigger_semantics_fuzz(seed):
     fired = _run_case(seed)
     assert fired >= 1
+
+
+# ---------------------------------------------------------------------------
+# e2e sample: a handful of the same random configs through the REAL
+# executor pane backend (streaming/panes.py, applyInPandasWithState) —
+# the stub-driven fuzz above covers the shared tree semantics at volume;
+# this proves the keyed-state twin honors them under actual micro-batches.
+
+EXEC_SEEDS = [0, 1, 2, 3, 4, 5]
+
+
+def _gen_exec_trigger(rng: random.Random) -> dict:
+    while True:
+        trig = _gen_trigger(rng)
+        if "lateFiringTrigger" in trig:
+            continue  # executor backend refuses late trees (documented)
+        cfg = parse_trigger({"trigger": trig}) or {}
+        if not cfg or set(cfg) == {"final_tree"}:
+            continue  # needs an early-firing trigger to engage the backend
+        return trig
+
+
+@pytest.mark.parametrize("seed", EXEC_SEEDS)
+def test_executor_backend_trigger_sample(spark, tmp_path, seed):
+    import yaml
+
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+    from tests.test_streaming import _write_stream_files
+
+    rng = random.Random(10_000 + seed)
+    trig = _gen_exec_trigger(rng)
+    cfg = parse_trigger({"trigger": trig}) or {}
+    discarding = rng.random() < 0.4 and cfg.get("late_tree") is None
+    lateness = rng.choice([0, 5])
+
+    # strictly time-ordered stream + a far-future sentinel that closes
+    # every real window (the sentinel's own window has no drain flush in
+    # keyed state — documented divergence, excluded from the oracle)
+    keys = ["a", "b"]
+    t, events = 5.0, []
+    for _ in range(rng.randint(8, 16)):
+        t += rng.uniform(2, 20)
+        events.append((rng.choice(keys), round(rng.uniform(0, 5), 2),
+                       dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t)))
+    n_b = rng.randint(2, 4)
+    per = max(1, len(events) // n_b)
+    batches = [events[i * per:(i + 1) * per] for i in range(n_b - 1)]
+    batches.append(events[(n_b - 1) * per:])
+    batches.append([("zz", 1.0, dt.datetime(2100, 1, 1))])
+
+    in_dir = _write_stream_files(tmp_path, f"tf_exec_{seed}", batches)
+    out_dir = str(tmp_path / f"tf_exec_out_{seed}")
+    pipeline = {
+        "sources": [{"name": "events", "module": "storage", "parameters": {
+            "format": "parquet", "input": in_dir, "mode": "streaming",
+            "maxFilesPerTrigger": 1}}],
+        "transforms": [{"name": "agg", "module": "aggregation",
+                        "inputs": ["events"], "timestampAttribute": "ts",
+                        "strategy": {
+                            "window": {"type": "fixed", "size": 1,
+                                       "unit": "minute"},
+                            "allowedLateness": lateness,
+                            "trigger": trig,
+                            "paneStateBackend": "executor",
+                            "accumulationMode": (
+                                "discarding" if discarding else "accumulating"
+                            ),
+                            "outputPaneInfo": True,
+                        },
+                        "parameters": {
+                            "groupFields": ["k"],
+                            "aggregations": [
+                                {"name": "n", "op": "count"},
+                                {"name": "total", "op": "sum", "field": "v"},
+                            ],
+                        }}],
+        "sinks": [{"name": "out", "module": "storage", "inputs": ["agg"],
+                   "parameters": {"format": "parquet", "output": out_dir,
+                                  "availableNow": True}}],
+    }
+    run_pipeline(spark, parse_config(yaml.safe_dump(pipeline)))
+
+    # batch oracle over the real (non-sentinel) events
+    expect: dict[tuple, tuple[int, float]] = {}
+    for k, v, ts in events:
+        wstart = ts.replace(second=0, microsecond=0)
+        n0, s0 = expect.get((wstart, k), (0, 0.0))
+        expect[(wstart, k)] = (n0 + 1, round(s0 + v, 6))
+
+    rows = [r for r in spark.read.parquet(out_dir).collect() if r["k"] != "zz"]
+    by_pane: dict[tuple, list] = {}
+    for r in rows:
+        by_pane.setdefault((r["window"]["start"], r["k"]), []).append(r)
+    has_final = cfg.get("final_tree") is not None
+    for pane, expected in expect.items():
+        assert pane in by_pane, (seed, trig, pane, "window never fired")
+        prs = sorted(by_pane[pane], key=lambda r: r["__pane__"]["index"])
+        assert [r["__pane__"]["index"] for r in prs] == list(range(len(prs)))
+        if discarding:
+            got = (sum(r["n"] for r in prs),
+                   round(sum(r["total"] for r in prs), 4))
+        else:
+            got = (prs[-1]["n"], round(prs[-1]["total"], 4))
+        if not has_final:
+            assert got == (expected[0], round(expected[1], 4)), (
+                seed, trig, pane, got, expected)
+        else:
+            assert got[0] <= expected[0], (seed, trig, pane, got, expected)
