@@ -247,6 +247,28 @@ sources:
     if "Anti" not in p21:
         failures.append("iceberg puffin dv: expected a left-anti position join")
 
+    # timestampCombiner (r14): the hidden earliest/latest min/max rides
+    # the SAME partial/final hash aggregate as the user aggregates — no
+    # extra exchange, no Python; each of the three unioned stages is
+    # two windowed aggregations = 4 HashAggregate pairs max per branch
+    p23 = plan_of(entrymod.q_timestamp_combiner(spark, sf))
+    if "HashAggregate" not in p23:
+        failures.append("timestamp_combiner: expected HashAggregate")
+    if "BatchEvalPython" in p23 or "ArrowEvalPython" in p23:
+        failures.append("timestamp_combiner: Python in the plan")
+    import re as _re
+
+    n_exch = len(_re.findall(r"\(\d+\) Exchange", p23))
+    # 3 union branches x 2 aggregation stages x 1 keyed exchange each =
+    # 6 exchange NODES (formatted explain prints each node twice: tree +
+    # details, hence the numbered-node count); more would mean the
+    # hidden combiner aggregate added its own shuffle
+    if n_exch > 6:
+        failures.append(
+            f"timestamp_combiner: {n_exch} exchange nodes — hidden "
+            "combiner aggregate must not add a shuffle (expected 6)"
+        )
+
     # iceberg changelog (r8): change derivation is unions of pruned scans
     # + semi-joins — no nested-loop anywhere
     p22 = plan_of(entrymod.q_iceberg_changelog(spark, sf))
