@@ -6778,6 +6778,31 @@ FROM lineitem
 """
 
 
+def q_example_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """example module (ExampleTransform.java:13-40): union inputs +
+    bounded driver-side sample print, rows passed through UNCHANGED —
+    the passthrough contract is what the oracle hash-checks."""
+    df = _pipeline(spark, sf_dir, ["region", "nation"], """
+transforms:
+  - name: demo
+    module: example
+    inputs: [nation, region]
+    parameters: {numRows: 3}
+""", "demo")
+    return df.select("n_nationkey", "n_name", "n_regionkey", "r_regionkey", "r_name")
+
+
+Q_EXAMPLE_SQL = """
+SELECT n_nationkey, n_name, n_regionkey,
+       CAST(NULL AS BIGINT) AS r_regionkey, CAST(NULL AS VARCHAR) AS r_name
+FROM nation
+UNION ALL
+SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       r_regionkey, r_name
+FROM region
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's CORRECTNESS gate caps at the
     # first 50 entries, never-green-first.  r14 composition (VERDICT
@@ -6794,6 +6819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     windowing; reshuffle content-identity + shard count)
         "timestamp_combiner": q_timestamp_combiner,
         "reshuffle_roundtrip": q_reshuffle_roundtrip,
+        "example_passthrough": q_example_passthrough,
         # --- all 33 r11-stale rows (VERDICT r13 ask #1: staleness
         #     floor moves r11 -> r12)
         "linear_regression": q_linear_regression,
@@ -6844,12 +6870,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "limit_topk": q_limit_topk,
         "expression_math": q_expression_math,
         "pq_topk": q_pq_topk,
-        "ivfpq_topk": q_ivfpq_topk,
         # --- headline pair stays in-cap every round
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         # --- past the 50-cap: ever-green r12/r13; pytest + harness
-        #     guarded
+        #     guarded (ivfpq_topk displaced by the third new r14 row;
+        #     its sf1 scale row still runs per-round in bench)
+        "ivfpq_topk": q_ivfpq_topk,
         "uniform_resync": q_uniform_resync,
         "delta_merge_upsert": q_delta_merge_upsert,
         "iceberg_branch_wap": q_iceberg_branch_wap,
@@ -6940,6 +6967,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "timestamp_combiner": Q_TS_COMBINER_SQL,
         "reshuffle_roundtrip": Q_RESHUFFLE_SQL,
+        "example_passthrough": Q_EXAMPLE_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "agg_argminmax": Q_ARG_SQL,
