@@ -282,6 +282,30 @@ def main() -> None:
 
     overhead_calib = _overhead_calib()
 
+    # r14 third calibration point: py4j ROUND-TRIP latency.  Plan-BUILD-
+    # bound rows (textstats' dozens of regexp Columns, minhash's column
+    # fan-out, DML metadata chains) spend their wall-clock in driver-side
+    # Python->JVM calls, which none of the other calibrations see: the
+    # shuffle calib measures task throughput, the overhead calib ONE
+    # job submit, the codec calib pure Python.  A host where the
+    # localhost socket round-trip is ~900us (vs a typical ~100us)
+    # slows that whole class ~1.4x with every other calibration flat —
+    # exactly the r14 drift-flag pattern (7 sub-2s build-heavy rows
+    # raw 1.3-1.5x, suite median 1.02, exec phases flat).
+    def _py4j_calib():
+        jvm = spark.sparkContext._jvm
+        for _ in range(50):
+            jvm.java.lang.System.currentTimeMillis()
+        best = None
+        for _ in range(3):
+            _t = time.time()
+            for _ in range(200):
+                jvm.java.lang.System.currentTimeMillis()
+            best = min(best or 9e9, time.time() - _t)
+        return round(best, 4)
+
+    py4j_calib = _py4j_calib()
+
     # previous round's full artifact (committed every round) — the
     # baseline for drift-normalized comparison
     prev_art = None
@@ -369,6 +393,7 @@ def main() -> None:
     result["codec_calibration_sec"] = calib
     result["spark_calibration_sec"] = spark_calib
     result["overhead_calibration_sec"] = overhead_calib
+    result["py4j_calibration_sec"] = py4j_calib
     result["calibration_spread"] = calib_spread
     # drift-normalized round-over-round comparison (VERDICT r11 ask
     # #2): raw ratio vs the previous committed artifact, and the same
@@ -486,7 +511,23 @@ def main() -> None:
         "skipped manifests it was asked to rewrite. Since r14 "
         "agg_collect/dsir_scores/dataset_mix/delta_update are "
         "PINNED_MIN3 (r13 raw swings 1.25-1.40x on untouched code, all "
-        "normalized <=0.90 — the delta_skipping steal class)."
+        "normalized <=0.90 — the delta_skipping steal class). "
+        "Plan-BUILD-bound attribution (r14): seven sub-2s rows "
+        "(gopher_rules, calendar_window, rollup_agg, minhash_pairs, "
+        "delta_dv_read, delta_alter_roundtrip, convert_eqdelete) "
+        "flagged 1.3-1.5x raw vs the r13 artifact with code untouched "
+        "and the suite median at 1.02; phase profiling shows their "
+        "wall-clock sits in driver-side plan CONSTRUCTION (e.g. "
+        "gopher_rules steady-state: build 0.26s + exec 0.21s, vs the "
+        "whole r13 row at 0.27s) — hundreds of Python->JVM py4j calls "
+        "building Columns/metadata, a cost none of the prior "
+        "calibrations see (shuffle calib = task throughput, overhead "
+        "calib = ONE job submit, codec calib = pure Python). This "
+        "host's py4j round-trip measures ~0.9 ms vs a typical ~0.1 ms; "
+        "py4j_calibration_sec (min-of-3 of 200 warm JVM calls) is "
+        "recorded in every artifact since r14 so this class normalizes "
+        "like the others: divide a build-bound row by the round's py4j "
+        "calibration before calling it a regression."
     )
     full_result = result
 
@@ -810,6 +851,7 @@ def main() -> None:
         "spark_calibration_sec": full_result.get("spark_calibration_sec"),
         "overhead_calibration_sec": full_result.get(
             "overhead_calibration_sec"),
+        "py4j_calibration_sec": full_result.get("py4j_calibration_sec"),
         "warc_roundtrip_sec": timings.get("warc_roundtrip"),
     }
     if "drift" in result:
