@@ -6809,7 +6809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r13 ask #1): the new never-green rows (timestamp_combiner — the
     # last unplumbed SURVEY §2.8 knob, proven with a two-stage
     # windowing oracle; reshuffle_roundtrip — the last registry-less
-    # plumbing module) + ALL 33 r11-stale rows + 13 r12 fills biased
+    # plumbing module; example_passthrough — union-passthrough
+    # contract) + ALL 33 r11-stale rows + 12 r12 fills biased
     # to the window/stateful family (the combiner knob touches
     # windowed aggregation) and the ANN rows gaining sf1 scale rows
     # this round + the headline pair.  Staleness floor moves

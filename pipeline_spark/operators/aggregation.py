@@ -213,6 +213,35 @@ def aggregation_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                 )
             )
             continue
+        if df.isStreaming and ts_combiner in ("earliest", "latest"):
+            # r14 review find: the sink's driver pane ledger keys pane
+            # identity on every non-numeric column (split_pane_columns)
+            # — a derived event-time that MOVES with min/max would split
+            # the pane per firing (index resets, duplicate discarding
+            # deltas).  Refuse whenever that ledger would engage;
+            # plain accumulating early firings pass through untouched.
+            from pipeline_spark.streaming.triggers import parse_trigger
+
+            cfg = parse_trigger(strategy)
+            ledger_engaged = cfg is not None and (
+                str(strategy.get("accumulationMode", "accumulating")).lower()
+                in ("discarding", "discarding_fired_panes")
+                or bool(strategy.get("outputPaneInfo"))
+                or cfg.get("early_count") is not None
+                or cfg.get("tree") is not None
+                or cfg.get("late_tree") is not None
+                or cfg.get("final_tree") is not None
+            )
+            if ledger_engaged:
+                raise ValueError(
+                    "timestampCombiner earliest/latest with the driver "
+                    "pane ledger: the derived event-time column varies "
+                    "per firing and would split pane identity (pane "
+                    "indexes reset, discarding deltas double-count).  "
+                    "Use strategy.paneStateBackend: executor (fully "
+                    "supported) or timestampCombiner: end_of_window "
+                    "(window-constant)."
+                )
         keys = [F.col(g) for g in group_fields]
         wkey = _window_key(strategy, ts_attr) if ts_attr else None
         if wkey is not None:

@@ -494,8 +494,8 @@ def parse_legacy_global_deletes(p: dict) -> str:
     if mode not in ("refuse", "strict", "error", "allow", "apply"):
         raise ValueError(
             "iceberg: unknown legacyGlobalDeletes mode "
-            f"{p.get('legacyGlobalDeletes')!r} (expected refuse | allow "
-            "| apply)"
+            f"{p.get('legacyGlobalDeletes')!r} (expected refuse "
+            "[aliases: strict, error] | allow | apply)"
         )
     return mode
 
@@ -584,7 +584,7 @@ def plan_equality_deletes(
     if mode not in ("refuse", "strict", "error", "allow", "apply"):
         raise ValueError(
             f"iceberg: unknown legacyGlobalDeletes mode {mode!r} "
-            "(expected refuse | allow | apply)"
+            "(expected refuse [aliases: strict, error] | allow | apply)"
         )
     # detection must see the WHOLE table's partition placement: callers
     # routinely pass a PRUNED data subset (partition/data filter scans,
@@ -616,23 +616,44 @@ def plan_equality_deletes(
         # residual false-negative of the detector (ADVICE r13): when the
         # table DOES hold null-partition data, a legitimate
         # null-partition-scoped delete and a pre-r11 legacy GLOBAL
-        # delete are byte-identical — undecidable from metadata.  We
-        # read spec-strict (what every other reader does) and say so,
-        # because silently resurrecting rows in OTHER partitions is the
-        # failure this would otherwise hide.
+        # delete are byte-identical — undecidable from metadata.  By
+        # default we read spec-strict (what every other reader does)
+        # and say so, because silently resurrecting rows in OTHER
+        # partitions is the failure this would otherwise hide.
+        # 'apply' is the user's explicit assertion that all-null
+        # records on this table mean the pre-r11 GLOBAL reading, so it
+        # globalizes the ambiguous files too (r14 review find: the log
+        # previously ADVISED 'apply' while force_global skipped
+        # ambiguous files — the advice was a no-op, and compacting
+        # under the default would have baked the strict reading in).
         import logging
 
-        logging.getLogger("pipeline_spark.iceberg").warning(
-            "iceberg: %d equality delete file(s) under a PARTITIONED "
-            "spec carry an all-null partition record AND the table "
-            "holds null-partition data — scoping them to the null "
-            "partition (spec-strict).  If this table was written by "
-            "this engine before r11 these may be legacy GLOBAL deletes "
-            "whose rows in other partitions will resurrect; compact "
-            "the table to migrate, or set legacyGlobalDeletes: 'apply' "
-            "to read them as global.",
-            len(ambiguous),
-        )
+        if mode == "apply":
+            force_global.update(id(d) for d in ambiguous)
+            logging.getLogger("pipeline_spark.iceberg").warning(
+                "iceberg: %d equality delete file(s) under a "
+                "PARTITIONED spec carry an all-null partition record "
+                "on a table that also holds null-partition data — "
+                "reading them as GLOBAL (legacyGlobalDeletes: apply).  "
+                "If these were genuinely null-partition-scoped "
+                "deletes, rows in other partitions will now be "
+                "deleted; remove the option to read spec-strict.",
+                len(ambiguous),
+            )
+        else:
+            logging.getLogger("pipeline_spark.iceberg").warning(
+                "iceberg: %d equality delete file(s) under a "
+                "PARTITIONED spec carry an all-null partition record "
+                "AND the table holds null-partition data — scoping "
+                "them to the null partition (spec-strict).  If this "
+                "table was written by this engine before r11 these may "
+                "be legacy GLOBAL deletes whose rows in other "
+                "partitions will resurrect; set legacyGlobalDeletes: "
+                "'apply' to read them as global, and compact WITH "
+                "'apply' to migrate permanently (compacting under the "
+                "default bakes in the spec-strict reading).",
+                len(ambiguous),
+            )
     if suspicious:
         paths = sorted({d["path"] for d in suspicious})
         msg = (
@@ -656,7 +677,7 @@ def plan_equality_deletes(
         warnings.warn(msg, stacklevel=2)
         logging.getLogger("pipeline_spark.iceberg").warning(msg)
         if mode == "apply":
-            force_global = {id(d) for d in suspicious}
+            force_global.update(id(d) for d in suspicious)
 
     grouped: dict[tuple, list[dict]] = {}
     for d in eq:

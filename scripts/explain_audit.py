@@ -260,9 +260,12 @@ sources:
 
     n_exch = len(_re.findall(r"\(\d+\) Exchange", p23))
     # 3 union branches x 2 aggregation stages x 1 keyed exchange each =
-    # 6 exchange NODES (formatted explain prints each node twice: tree +
-    # details, hence the numbered-node count); more would mean the
-    # hidden combiner aggregate added its own shuffle
+    # 6 exchange NODES.  The regex matches the details-section header
+    # "(N) Exchange" (once per node); the tree section prints
+    # "Exchange (N)" with the number AFTER, which the regex does not
+    # match — so this counts physical nodes, not print occurrences.
+    # More than 6 would mean the hidden combiner aggregate added its
+    # own shuffle
     if n_exch > 6:
         failures.append(
             f"timestamp_combiner: {n_exch} exchange nodes — hidden "

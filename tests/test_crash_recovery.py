@@ -140,9 +140,8 @@ def test_delta_writer_dies_before_commit(spark, tmp_path, monkeypatch, op, kill)
     #    0: this test IS the single-writer-just-died scenario the
     #    docstring describes) and live data survives
     res = vacuum_delta_native(spark, {"path": tbl, "retainSeconds": 0})
-    if op != "update" or True:
-        # every op above stages at least one parquet before the commit
-        assert res["removed_files"] >= 1, (op, kill, res)
+    # every op above stages at least one parquet before the commit
+    assert res["removed_files"] >= 1, (op, kill, res)
     assert _snap_delta(spark, tbl) == before
 
     # 3. retry lands the expected final state

@@ -312,3 +312,28 @@ def test_ambiguous_null_partition_delete_logs_residual_note(spark, tmp_path, cap
     # spec-strict: only the null-partition copy of id=1 dies
     assert got == {(0, None), (0, "x"), (1, "x")}
     assert any("null-partition data" in r.message for r in caplog.records)
+
+
+def test_ambiguous_apply_globalizes(spark, tmp_path, caplog):
+    """r14 review find: the ambiguous-case log ADVISED 'apply' while
+    force_global skipped ambiguous files — the advice was a no-op and
+    rows in other partitions kept resurrecting.  'apply' is the user's
+    explicit assertion that all-null records mean the pre-r11 GLOBAL
+    reading, so it now globalizes the ambiguous files too (and the log
+    says which interpretation is in force)."""
+    import logging
+
+    tbl = str(tmp_path / "ambig_apply")
+    rows = [(0, "x"), (1, "x"), (0, None), (1, None), (1, "y")]
+    write_iceberg_native(
+        spark.createDataFrame(rows, "id long, par string"),
+        {"path": tbl, "mode": "create", "partitionBy": ["par"]},
+    )
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 1}]})
+    _scope_delete_manifests(tbl, {"par": None})
+    with caplog.at_level(logging.WARNING, logger="pipeline_spark.iceberg"):
+        got = _got(spark, tbl, legacyGlobalDeletes="apply")
+    # global reading: id=1 gone from EVERY partition
+    assert got == {(0, "x"), (0, None)}
+    assert any("GLOBAL (legacyGlobalDeletes: apply)" in r.message
+               for r in caplog.records)

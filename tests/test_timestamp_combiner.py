@@ -285,3 +285,50 @@ sinks:
 """
     with pytest.raises(ValueError, match="discarding"):
         run_pipeline(spark, parse_config(cfg))
+
+
+def test_driver_ledger_earliest_refused(spark, tmp_path):
+    """r14 review find: on the DEFAULT driver pane-ledger path the
+    derived earliest/latest event-time column varies per firing and
+    would split pane identity (split_pane_columns keys every
+    non-numeric column) — refused loudly; end_of_window (window-
+    constant) and the executor backend remain the supported routes."""
+    from tests.test_streaming import _write_stream_files
+
+    in_dir = _write_stream_files(tmp_path, "tsc_drv_in", [
+        [("a", 1.0, BASE.replace(second=5))],
+    ])
+    cfg = f"""
+sources:
+  - name: events
+    module: storage
+    parameters:
+      format: parquet
+      input: {in_dir}
+      mode: streaming
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [events]
+    timestampAttribute: ts
+    strategy:
+      window: {{type: fixed, size: 1, unit: minute, timestampCombiner: latest}}
+      trigger:
+        type: afterWatermark
+        earlyFiringTrigger: {{type: afterPane, elementCountAtLeast: 2}}
+      accumulationMode: accumulating
+    parameters:
+      groupFields: [k]
+      aggregations:
+        - {{name: n, op: count}}
+sinks:
+  - name: out
+    module: storage
+    inputs: [agg]
+    parameters:
+      format: parquet
+      output: {tmp_path}/tsc_drv_out
+      availableNow: true
+"""
+    with pytest.raises(ValueError, match="pane identity"):
+        run_pipeline(spark, parse_config(cfg))
