@@ -512,22 +512,26 @@ def main() -> None:
         "agg_collect/dsir_scores/dataset_mix/delta_update are "
         "PINNED_MIN3 (r13 raw swings 1.25-1.40x on untouched code, all "
         "normalized <=0.90 — the delta_skipping steal class). "
-        "Plan-BUILD-bound attribution (r14): seven sub-2s rows "
-        "(gopher_rules, calendar_window, rollup_agg, minhash_pairs, "
-        "delta_dv_read, delta_alter_roundtrip, convert_eqdelete) "
-        "flagged 1.3-1.5x raw vs the r13 artifact with code untouched "
-        "and the suite median at 1.02; phase profiling shows their "
-        "wall-clock sits in driver-side plan CONSTRUCTION (e.g. "
-        "gopher_rules steady-state: build 0.26s + exec 0.21s, vs the "
-        "whole r13 row at 0.27s) — hundreds of Python->JVM py4j calls "
-        "building Columns/metadata, a cost none of the prior "
+        "Plan-BUILD-bound attribution (r14): each r14 run flagged a "
+        "DIFFERENT handful of sub-2s rows at 1.3-1.8x raw vs the r13 "
+        "artifact (run A: gopher_rules/calendar_window/rollup_agg/"
+        "minhash_pairs/...; run B: select_text_hash/html_extract/"
+        "video_meta/audio_meta/...) with code untouched and the suite "
+        "median pinned at ~1.02 — flag membership ROTATES within one "
+        "class while the class itself is stable. Phase profiling shows "
+        "that class's wall-clock sits in driver-side plan CONSTRUCTION "
+        "(e.g. gopher_rules steady-state: build 0.26s + exec 0.21s, vs "
+        "the whole r13 row at 0.27s) — hundreds of Python->JVM py4j "
+        "calls building Columns/metadata, a cost none of the prior "
         "calibrations see (shuffle calib = task throughput, overhead "
         "calib = ONE job submit, codec calib = pure Python). This "
-        "host's py4j round-trip measures ~0.9 ms vs a typical ~0.1 ms; "
-        "py4j_calibration_sec (min-of-3 of 200 warm JVM calls) is "
-        "recorded in every artifact since r14 so this class normalizes "
-        "like the others: divide a build-bound row by the round's py4j "
-        "calibration before calling it a regression."
+        "host's py4j round-trip measures ~0.9 ms warm (vs a typical "
+        "~0.1 ms) and jitters with load; py4j_calibration_sec "
+        "(min-of-3 of 200 warm JVM calls) is recorded in every "
+        "artifact since r14. Attribution rule: a sub-2s flag whose row "
+        "is build-heavy and whose membership was not flagged in the "
+        "round's OTHER runs is this class — check py4j_calibration_sec "
+        "before calling it a regression."
     )
     full_result = result
 
