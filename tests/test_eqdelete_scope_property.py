@@ -199,3 +199,61 @@ def test_legacy_detector_uses_whole_table_placement(spark, chunk):
         except Exception:
             fired = False  # file IO past the guard
         assert fired == (not has_null), (seed, has_null, subset, all_data)
+
+
+def _model_ambiguous(meta: dict, eq: list[dict], data: list[dict]) -> bool:
+    """Independent model of the r14 ambiguous class: a delete under a
+    DECLARED PARTITIONED spec with a non-empty all-null record whose
+    null-partition scope DOES hold data (undecidable legacy-vs-legit)."""
+    data_scopes = {_model_scope(meta, d) for d in data}
+    declared = {int(s["spec-id"]): s.get("fields") or []
+                for s in meta["partition-specs"]}
+    for d in eq:
+        sid = int(d.get("spec_id", 0) or 0)
+        rec = d.get("partition") or {}
+        if (
+            sid in declared and declared[sid]
+            and rec and all(v is None for v in rec.values())
+            and _model_scope(meta, d) in data_scopes
+        ):
+            return True
+    return False
+
+
+@pytest.mark.parametrize("chunk", range(2))
+def test_apply_mode_property(spark, chunk, caplog):
+    """r14 review-fix contract, property form: mode='apply' NEVER
+    refuses, and it logs the globalized-ambiguous warning exactly when
+    the model finds an ambiguous delete (all-null partitioned record
+    with null-partition data present) — the class 'apply' now
+    globalizes instead of silently scoping strict."""
+    import logging
+
+    for seed in range(chunk * 50, (chunk + 1) * 50):
+        rng = random.Random(300_000 + seed)
+        meta = _rand_meta(rng)
+        n = len(meta["partition-specs"])
+        data = [_rand_entry(rng, n, f"/t/d{i}.parquet")
+                for i in range(rng.randint(0, 6))]
+        eq = [
+            {**_rand_entry(rng, n, f"/t/e{i}.parquet"),
+             "equality_ids": [1]}
+            for i in range(rng.randint(1, 4))
+        ]
+        caplog.clear()
+        with caplog.at_level(logging.WARNING,
+                             logger="pipeline_spark.iceberg"):
+            try:
+                plan_equality_deletes(
+                    spark, eq, data, meta, legacy_global_deletes="apply")
+            except ValueError as exc:
+                raise AssertionError(
+                    f"seed {seed}: apply mode refused: {exc}") from exc
+            except Exception:
+                pass  # file IO past the guard — detection already ran
+        want_ambig = _model_ambiguous(meta, eq, data)
+        got_ambig = any(
+            "GLOBAL (legacyGlobalDeletes: apply)" in r.message
+            for r in caplog.records
+        )
+        assert got_ambig == want_ambig, (seed, meta, eq, data)
