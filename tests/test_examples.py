@@ -168,6 +168,8 @@ def stage_stream_inputs():
         w = _csv.DictWriter(fh, ["n_nationkey", "n_name", "n_regionkey"])
         w.writeheader()
         w.writerows(nrows)
+    # pubsub-pull-fake: the pull/ack spool directory
+    os.makedirs("/tmp/pipeline_in/pubsub_spool", exist_ok=True)
     # avro-filter-roundtrip: stage the input OCF with the same native
     # writer the export example exercises
     from pipeline_spark.config import parse_config as _pc
