@@ -170,6 +170,26 @@ def stage_stream_inputs():
         w.writerows(nrows)
     # pubsub-pull-fake: the pull/ack spool directory
     os.makedirs("/tmp/pipeline_in/pubsub_spool", exist_ok=True)
+    # pdf-text-extraction: two fixture PDFs (one compressed-good, one junk)
+    from tests.test_pdftext import build_pdf
+
+    pdf_dir = "/tmp/pipeline_in/pdfs"
+    shutil.rmtree(pdf_dir, ignore_errors=True)
+    os.makedirs(pdf_dir, exist_ok=True)
+    with open(os.path.join(pdf_dir, "good.pdf"), "wb") as fh:
+        fh.write(build_pdf([b"BT (Hello from the example corpus) Tj ET"],
+                           compress=True))
+    with open(os.path.join(pdf_dir, "junk.pdf"), "wb") as fh:
+        fh.write(b"not a pdf at all")
+    # copyfile-fanout: source files + a clean destination dir
+    os.makedirs("/tmp/pipeline_in/copysrc", exist_ok=True)
+    for n in ("a", "b"):
+        with open(f"/tmp/pipeline_in/copysrc/{n}.txt", "w") as fh:
+            fh.write(f"payload {n}\n")
+    shutil.rmtree("/tmp/pipeline_out/copydst", ignore_errors=True)
+    os.makedirs("/tmp/pipeline_out/copydst", exist_ok=True)
+    # streaming-executor-panes: fresh output + checkpoint per session
+    shutil.rmtree("/tmp/pipeline_out/executor_panes", ignore_errors=True)
     # avro-filter-roundtrip: stage the input OCF with the same native
     # writer the export example exercises
     from pipeline_spark.config import parse_config as _pc
