@@ -556,6 +556,9 @@ def main() -> None:
         # the coarse-quantizer (ivf) and LUT (pq/ivfpq) paths get the
         # same sub-linear proof lsh_topk already has
         "ivf_topk", "pq_topk", "ivfpq_topk",
+        # r14: the two-stage combiner query (3 branches x 2 windowed
+        # aggs) — windowed-agg scaling proof for the new knob
+        "timestamp_combiner",
     ]
     scale_factor = float(os.environ.get("SPARK_GRAFT_SF1_FACTOR", "10"))
     if os.path.isdir(sf1_dir) and (time.time() - bench_start) < budget:
