@@ -205,3 +205,108 @@ def _run_one(spark, seed: int):
 def test_window_fuzz_vs_duckdb(spark, chunk):
     for seed in range(chunk * 20, (chunk + 1) * 20):
         _run_one(spark, seed)
+
+
+def _run_session_one(spark, seed: int):
+    """Session windows x combiner: Spark's session_window(start=min ts,
+    end=max ts + gap) cross-checked against DuckDB's lag-gap-cumsum
+    session assignment — an independent derivation of the same merge
+    semantics."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+    from pyspark.sql import functions as F
+
+    rng = random.Random(88_000 + seed)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    gap = rng.choice([120, 300, 900])
+    combiner = rng.choice([None, "end_of_window", "earliest", "latest"])
+    window_cfg = {"type": "session", "gap": gap, "unit": "second"}
+    if combiner:
+        window_cfg["timestampCombiner"] = combiner
+
+    n_aggs = rng.randint(1, 2)
+    aggs_cfg, aggs_sql = [], []
+    for i, (op, field) in enumerate(rng.sample(AGG_OPS, n_aggs)):
+        name = f"a{i}"
+        spec = {"name": name, "op": op}
+        if field:
+            spec["field"] = field
+        aggs_cfg.append(spec)
+        aggs_sql.append(
+            f"count(*) AS {name}" if op == "count"
+            else f"round({op}({field}), 4) AS {name}"
+        )
+
+    select_shape = [
+        {"name": "wstart", "field": "window.start"},
+        {"name": "wend", "field": "window.end"},
+        {"name": "event_type"},
+    ]
+    if combiner:
+        select_shape.append({"name": "cts", "field": "ts"})
+    select_shape += [{"name": s["name"]} for s in aggs_cfg]
+
+    cfg = {
+        "sources": [{
+            "name": "events", "module": "storage",
+            "parameters": {"format": "parquet", "input": EVENTS},
+        }],
+        "transforms": [
+            {"name": "agg", "module": "aggregation", "inputs": ["events"],
+             "timestampAttribute": "ts",
+             "strategy": {"window": window_cfg},
+             "parameters": {"groupFields": ["event_type"],
+                            "aggregations": aggs_cfg}},
+            {"name": "shaped", "module": "select", "inputs": ["agg"],
+             "parameters": {"select": select_shape}},
+        ],
+    }
+    out = run_pipeline(spark, parse_config(json.dumps(cfg)))["shaped"]
+    for s in aggs_cfg:
+        out = out.withColumn(s["name"], F.round(F.col(s["name"]), 4))
+    got = sorted(
+        tuple(_norm(r[c]) for c in out.columns) for r in out.collect()
+    )
+
+    if combiner == "earliest":
+        cts = "min(ts) AS cts, "
+    elif combiner == "latest":
+        cts = "max(ts) AS cts, "
+    elif combiner == "end_of_window":
+        cts = (f"max(ts) + INTERVAL {gap} SECOND "
+               "- INTERVAL 1 MILLISECOND AS cts, ")
+    else:
+        cts = ""
+    sql = f"""
+WITH t AS (
+  SELECT event_type, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL {gap} SECOND
+              THEN 1 ELSE 0 END AS brk
+  FROM '{EVENTS}'
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM t
+)
+SELECT min(ts) AS wstart,
+       max(ts) + INTERVAL {gap} SECOND AS wend,
+       event_type, {cts}{", ".join(aggs_sql)}
+FROM s GROUP BY event_type, sess
+"""
+    con = duckdb.connect()
+    rows = con.execute(sql).fetchall()
+    names = [d[0] for d in con.execute(sql).description]
+    order = [names.index(c) for c in out.columns]
+    want = sorted(tuple(_norm(row[i]) for i in order) for row in rows)
+    assert _rows_close(got, want), (
+        f"seed {seed} gap={gap} combiner={combiner}: "
+        f"{len(got)} vs {len(want)} rows\n"
+        f"first got:  {got[:2]}\nfirst want: {want[:2]}"
+    )
+
+
+def test_session_window_fuzz_vs_duckdb(spark):
+    for seed in range(15):
+        _run_session_one(spark, seed)
