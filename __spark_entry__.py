@@ -6778,6 +6778,120 @@ FROM lineitem
 """
 
 
+def _build_mlp64_onnx() -> bytes:
+    """Deterministic 64->16->1 MLP as raw ONNX wire bytes (the same
+    protobuf-varint builders the onnx executor's test suite uses; the
+    executor itself parses onnx.proto natively, functions/onnxexec.py)."""
+    import struct
+
+    import numpy as np
+
+    def vi(field, value):
+        out = bytes([field << 3])
+        v = value
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            out += bytes([b7 | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    def ld(field, payload: bytes) -> bytes:
+        return bytes([(field << 3) | 2]) + vi(0, len(payload))[1:] + payload
+
+    def f32(field, value: float) -> bytes:
+        return bytes([(field << 3) | 5]) + struct.pack("<f", value)
+
+    def tensor(name, dims, values) -> bytes:
+        out = b"".join(vi(1, d) for d in dims)
+        out += vi(2, 1)  # float32
+        out += ld(8, name.encode())
+        out += ld(9, np.asarray(values, dtype="<f4").tobytes())
+        return out
+
+    def node(op, inputs, outputs, attrs=b"") -> bytes:
+        out = b"".join(ld(1, i.encode()) for i in inputs)
+        out += b"".join(ld(2, o.encode()) for o in outputs)
+        out += ld(4, op.encode())
+        return out + attrs
+
+    rng = np.random.RandomState(7)
+    W = rng.randn(64, 16).astype(np.float32)
+    b = rng.randn(16).astype(np.float32)
+    W2 = rng.randn(16, 1).astype(np.float32)
+    gemm_attrs = (
+        ld(5, ld(1, b"alpha") + f32(2, 1.0))
+        + ld(5, ld(1, b"beta") + f32(2, 1.0))
+    )
+    graph = (
+        ld(1, node("Gemm", ["x", "W", "b"], ["h"], gemm_attrs))
+        + ld(1, node("Relu", ["h"], ["hr"]))
+        + ld(1, node("MatMul", ["hr", "W2"], ["z"]))
+        + ld(1, node("Sigmoid", ["z"], ["score"]))
+        + ld(2, b"scorer")
+        + ld(5, tensor("W", W.shape, W))
+        + ld(5, tensor("b", b.shape, b))
+        + ld(5, tensor("W2", W2.shape, W2))
+        + ld(11, ld(1, b"x"))
+        + ld(12, ld(1, b"score"))
+    )
+    return vi(1, 8) + ld(7, graph)
+
+
+def q_onnx_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """onnx transform (ONNXTransform.java; numpy executor,
+    functions/onnxexec.py): a seeded 64->16->1 MLP scores the
+    embeddings table; output = per-vector predicted label.  The oracle
+    re-implements the forward pass in DuckDB list arithmetic with the
+    SAME seeded weights — label margins are 5 orders of magnitude above
+    the float32-vs-float64 deviation (verified: min |z| 0.50 vs max
+    drift 2e-6), so the row is deterministic."""
+    import os
+
+    model_path = _tmp_path("onnx_score_model", sf_dir) + ".onnx"
+    with open(model_path, "wb") as fh:
+        fh.write(_build_mlp64_onnx())
+    df = _pipeline(spark, sf_dir, ["embeddings"], f"""
+transforms:
+  - name: scored
+    module: onnx
+    inputs: [embeddings]
+    parameters:
+      model: {model_path}
+      inputs: {{x: embedding}}
+      outputs:
+        - {{name: score, type: float32}}
+""", "scored")
+    try:
+        os.remove(model_path)
+    except OSError:
+        pass
+    return df.select(
+        "vec_id",
+        (F.col("score") > F.lit(0.5)).cast("int").alias("label"),
+    )
+
+
+def _onnx_score_oracle_sql() -> str:
+    """DuckDB forward pass with the same seeded weights: sigmoid(z) > .5
+    iff z > 0, so the label needs no exp at all."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    W = rng.randn(64, 16).astype(np.float32)
+    b = rng.randn(16).astype(np.float32)
+    W2 = rng.randn(16, 1).astype(np.float32)
+    hidden_terms = []
+    for j in range(16):
+        w_list = ", ".join(repr(float(x)) for x in W[:, j])
+        hidden_terms.append(
+            f"greatest(0.0, list_dot_product(embedding, [{w_list}]) "
+            f"+ {float(b[j])!r}) * {float(W2[j, 0])!r}"
+        )
+    z = " + ".join(hidden_terms)
+    return f"SELECT vec_id, CAST(({z}) > 0 AS INT) AS label FROM embeddings"
+
+
 def q_example_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """example module (ExampleTransform.java:13-40): union inputs +
     bounded driver-side sample print, rows passed through UNCHANGED —
@@ -6810,7 +6924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # last unplumbed SURVEY §2.8 knob, proven with a two-stage
     # windowing oracle; reshuffle_roundtrip — the last registry-less
     # plumbing module; example_passthrough — union-passthrough
-    # contract) + ALL 33 r11-stale rows + 12 r12 fills biased
+    # contract; onnx_score — MLP forward pass vs a DuckDB list-
+    # arithmetic oracle) + ALL 33 r11-stale rows + 11 r12 fills biased
     # to the window/stateful family (the combiner knob touches
     # windowed aggregation) and the ANN rows gaining sf1 scale rows
     # this round + the headline pair.  Staleness floor moves
@@ -6821,6 +6936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timestamp_combiner": q_timestamp_combiner,
         "reshuffle_roundtrip": q_reshuffle_roundtrip,
         "example_passthrough": q_example_passthrough,
+        "onnx_score": q_onnx_score,
         # --- all 33 r11-stale rows (VERDICT r13 ask #1: staleness
         #     floor moves r11 -> r12)
         "linear_regression": q_linear_regression,
@@ -6870,13 +6986,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_diff": q_compare_diff,
         "limit_topk": q_limit_topk,
         "expression_math": q_expression_math,
-        "pq_topk": q_pq_topk,
         # --- headline pair stays in-cap every round
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         # --- past the 50-cap: ever-green r12/r13; pytest + harness
-        #     guarded (ivfpq_topk displaced by the third new r14 row;
-        #     its sf1 scale row still runs per-round in bench)
+        #     guarded (pq/ivfpq_topk displaced by the 3rd/4th new r14
+        #     rows; their sf1 scale rows still run per-round in bench)
+        "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "uniform_resync": q_uniform_resync,
         "delta_merge_upsert": q_delta_merge_upsert,
@@ -6969,6 +7085,7 @@ def oracle_sql() -> dict[str, str]:
         "timestamp_combiner": Q_TS_COMBINER_SQL,
         "reshuffle_roundtrip": Q_RESHUFFLE_SQL,
         "example_passthrough": Q_EXAMPLE_SQL,
+        "onnx_score": _onnx_score_oracle_sql(),
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "agg_argminmax": Q_ARG_SQL,
