@@ -254,3 +254,66 @@ def test_iceberg_orphan_sweep_spares_fresh_files(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     res = remove_orphans_iceberg_native(spark, {"path": tbl})
     assert res["removed_files"] == 0, res
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_kill_retry_equivalence(spark, tmp_path, monkeypatch, fmt):
+    """Property: a random sequence of DML ops where EVERY op's first
+    attempt is killed at the commit seam and then retried must land the
+    exact state of the same sequence run cleanly — crashes plus retries
+    are invisible in the final table (the idempotence contract on which
+    any driver-level retry loop rests)."""
+    import random
+
+    rng = random.Random(42 + (0 if fmt == "delta" else 1))
+    ops = DELTA_OPS if fmt == "delta" else ICE_OPS
+    seq = [rng.choice(sorted(ops)) for _ in range(4)]
+    batches = [
+        [(rng.randint(0, 25), round(rng.uniform(0, 50), 2),
+          rng.choice(["a", "b"])) for _ in range(3)]
+        for _ in seq
+    ]
+
+    def _write(tbl):
+        if fmt == "delta":
+            write_delta_native(
+                spark, spark.createDataFrame(ROWS, SCHEMA), {"path": tbl})
+        else:
+            write_iceberg_native(
+                spark.createDataFrame(ROWS, SCHEMA),
+                {"path": tbl, "mode": "create"})
+
+    snap = _snap_delta if fmt == "delta" else _snap_ice
+
+    # clean run
+    clean = str(tmp_path / f"{fmt}_clean")
+    _write(clean)
+    for op, rows in zip(seq, batches):
+        ops[op](spark, spark.createDataFrame(rows, SCHEMA), clean)
+    want = snap(spark, clean)
+
+    # killed-then-retried run
+    crashed = str(tmp_path / f"{fmt}_crash")
+    _write(crashed)
+    for op, rows in zip(seq, batches):
+        batch = spark.createDataFrame(rows, SCHEMA)
+        if fmt == "delta":
+            orig = dn._prev_ict
+            monkeypatch.setattr(
+                dn, "_prev_ict",
+                lambda *a, **k: (_ for _ in ()).throw(_Killed("boom")))
+        else:
+            orig = sink_ice._publish_metadata_exclusive
+            monkeypatch.setattr(
+                sink_ice, "_publish_metadata_exclusive",
+                lambda *a, **k: (_ for _ in ()).throw(_Killed("boom")))
+        with pytest.raises(_Killed):
+            ops[op](spark, batch, crashed)
+        if fmt == "delta":
+            monkeypatch.setattr(dn, "_prev_ict", orig)
+        else:
+            monkeypatch.setattr(
+                sink_ice, "_publish_metadata_exclusive", orig)
+        ops[op](spark, batch, crashed)  # the retry
+
+    assert snap(spark, crashed) == want, (fmt, seq)
