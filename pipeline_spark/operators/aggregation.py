@@ -88,6 +88,21 @@ def _end_of_window_col(out: DataFrame, strategy: dict[str, Any]):
     return F.col("window") + F.expr(iv) - one_ms
 
 
+def _is_discarding(strategy: dict[str, Any]) -> bool:
+    return str(strategy.get("accumulationMode", "accumulating")).lower() in (
+        "discarding", "discarding_fired_panes"
+    )
+
+
+def _hidden_ts_spec(i: int, ts_combiner: str, ts_attr: str) -> dict[str, str]:
+    """The hidden min/max aggregate that materializes earliest/latest."""
+    return {
+        "name": f"__tsc{i}__",
+        "op": "min" if ts_combiner == "earliest" else "max",
+        "field": ts_attr,
+    }
+
+
 def _window_key(strategy: dict[str, Any] | None, ts_col: str):
     """strategy.window → extra grouping column (reference: Strategy.java:185-215)."""
     if not strategy or not strategy.get("window"):
@@ -189,24 +204,15 @@ def aggregation_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                 )
             pane_aggs = aggs
             if ts_combiner in ("earliest", "latest"):
-                if str(strategy.get("accumulationMode", "accumulating")).lower() in (
-                    "discarding", "discarding_fired_panes"
-                ):
+                if _is_discarding(strategy):
                     raise ValueError(
                         "timestampCombiner earliest/latest tracks a min/max "
                         "over event time, which discarding panes cannot "
                         "delta — use accumulating mode or end_of_window"
                     )
-                hidden = f"__tsc{i}__"
-                hidden_ts_cols.append(hidden)
-                pane_aggs = [
-                    *aggs,
-                    {
-                        "name": hidden,
-                        "op": "min" if ts_combiner == "earliest" else "max",
-                        "field": ts_attr,
-                    },
-                ]
+                spec = _hidden_ts_spec(i, ts_combiner, ts_attr)
+                hidden_ts_cols.append(spec["name"])
+                pane_aggs = [*aggs, spec]
             results.append(
                 stream_panes_with_state(
                     df, ts_attr, group_fields, pane_aggs, strategy
@@ -224,8 +230,7 @@ def aggregation_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
 
             cfg = parse_trigger(strategy)
             ledger_engaged = cfg is not None and (
-                str(strategy.get("accumulationMode", "accumulating")).lower()
-                in ("discarding", "discarding_fired_panes")
+                _is_discarding(strategy)
                 or bool(strategy.get("outputPaneInfo"))
                 or cfg.get("early_count") is not None
                 or cfg.get("tree") is not None
@@ -253,16 +258,9 @@ def aggregation_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
                     "pivot (the hidden event-time aggregate would expand "
                     "per pivot value); use end_of_window"
                 )
-            hidden = f"__tsc{i}__"
-            hidden_ts_cols.append(hidden)
-            aggs = [
-                *aggs,
-                {
-                    "name": hidden,
-                    "op": "min" if ts_combiner == "earliest" else "max",
-                    "field": ts_attr,
-                },
-            ]
+            spec = _hidden_ts_spec(i, ts_combiner, ts_attr)
+            hidden_ts_cols.append(spec["name"])
+            aggs = [*aggs, spec]
         exprs = compile_aggs(aggs, df, ts_attr)
         group_type = str(p.get("groupType", "group")).lower()
         pivot_cfg = p.get("pivot")
@@ -314,10 +312,8 @@ def aggregation_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             else:
                 pick = F.least if ts_combiner == "earliest" else F.greatest
                 tcol = pick(*cols)
-        out = out.withColumn(ts_attr, tcol)
-        drop = [c for c in hidden_ts_cols if c in out.columns]
-        if drop:
-            out = out.drop(*drop)
+        # Spark's drop is lenient about absent names
+        out = out.withColumn(ts_attr, tcol).drop(*hidden_ts_cols)
 
     if p.get("outputPaneInfo"):
         # Beam pane accounting (reference: AggregationTransform.java:36 —
