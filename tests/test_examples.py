@@ -170,6 +170,34 @@ def stage_stream_inputs():
         w.writerows(nrows)
     # pubsub-pull-fake: the pull/ack spool directory
     os.makedirs("/tmp/pipeline_in/pubsub_spool", exist_ok=True)
+    # deserialize-protobuf: descriptor set + wire-encoded payload parquet
+    # (the entry module's descriptor/wire builders keep one source of truth)
+    import struct as _struct
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __spark_entry__ as _entry
+
+    with open("/tmp/pipeline_in/order_fds.bin", "wb") as fh:
+        fh.write(_entry._order_descriptor_set())
+    import pandas as _pd_
+    from pyspark.sql import functions as _F
+
+    @_F.pandas_udf("binary")
+    def _enc(ids, sts, prs, prios):
+        out = []
+        for i, s, p, pr in zip(ids, sts, prs, prios):
+            b = _entry._proto_vi(1, int(i)) + _entry._proto_ld(2, s.encode())
+            b += _entry._proto_varint((3 << 3) | 1) + _struct.pack("<d", float(p))
+            b += _entry._proto_ld(4, pr.encode())
+            out.append(b)
+        return _pd_.Series(out)
+
+    (_spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(200)
+     .select(_enc("o_orderkey", "o_orderstatus", "o_totalprice",
+                  "o_orderpriority").alias("payload"))
+     .coalesce(1).write.mode("overwrite")
+     .parquet("/tmp/pipeline_in/proto_orders"))
     # pdf-text-extraction: two fixture PDFs (one compressed-good, one junk)
     from tests.test_pdftext import build_pdf
 
