@@ -42,7 +42,8 @@ def _write_batches(tmp_path, name, batches):
     return str(in_dir)
 
 
-def _drain(spark, tmp_path, in_dir, strategy, qname, lateness_sec=5):
+def _drain(spark, tmp_path, in_dir, strategy, qname, lateness_sec=5,
+           aggs=None):
     sdf = (
         spark.readStream.schema("k string, v double, ts timestamp")
         .option("maxFilesPerTrigger", 1)
@@ -50,8 +51,8 @@ def _drain(spark, tmp_path, in_dir, strategy, qname, lateness_sec=5):
     ).withWatermark("ts", f"{lateness_sec} seconds")
     out = stream_panes_with_state(
         sdf, "ts", ["k"],
-        [{"name": "n", "op": "count"},
-         {"name": "total", "op": "sum", "field": "v"}],
+        aggs or [{"name": "n", "op": "count"},
+                 {"name": "total", "op": "sum", "field": "v"}],
         strategy,
     )
     # hundreds of micro-batches x per-partition state tasks dominate the
@@ -235,3 +236,46 @@ def test_soak_sliding_windows_state_bounded(spark, tmp_path):
     assert len(full) >= 80
     # open at final watermark: ≤ size/period + 1 per key (+slack)
     assert state_rows is not None and state_rows <= 2 * 8, state_rows
+
+
+def test_soak_tumbling_combiner_state_bounded(spark, tmp_path):
+    """r14: the timestampCombiner's hidden event-time max aggregate adds
+    one keyed-state field per window (the aggregation module injects it
+    as a max agg over ts) — soak it exactly like the plain tumbling run
+    and hold the same state bound, plus the emitted combined timestamp
+    must sit inside its own window."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    keys = ["a", "b", "c", "d"]
+    batches = []
+    for i in range(150):
+        ts = base + dt.timedelta(seconds=20 * i)
+        batches.append([
+            (keys[i % 4], 1.0, ts),
+            (keys[(i + 1) % 4], 2.0, ts + dt.timedelta(seconds=3)),
+        ])
+    in_dir = _write_batches(tmp_path, "soak_tsc", batches)
+    strategy = {
+        "window": {"type": "fixed", "size": 1, "unit": "minute"},
+        "allowedLateness": 5,
+        "trigger": {
+            "type": "afterWatermark",
+            "earlyFiringTrigger": {
+                "type": "afterProcessingTime", "pastFirstElementDelay": 1,
+            },
+        },
+        "accumulationMode": "accumulating",
+    }
+    out, state_rows, n_batches = _drain(
+        spark, tmp_path, in_dir, strategy, "soak_tsc_q",
+        aggs=[{"name": "n", "op": "count"},
+              {"name": "total", "op": "sum", "field": "v"},
+              {"name": "__tsc0__", "op": "max", "field": "ts"}],
+    )
+    assert n_batches >= 150
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        # the combined (latest) timestamp lives inside its own window
+        assert r["window"]["start"] <= r["__tsc0__"] < r["window"]["end"], r
+    assert state_rows is not None
+    assert state_rows <= 4 * 6, f"state store leaked: {state_rows} rows"
