@@ -170,6 +170,30 @@ def stage_stream_inputs():
         w.writerows(nrows)
     # pubsub-pull-fake: the pull/ack spool directory
     os.makedirs("/tmp/pipeline_in/pubsub_spool", exist_ok=True)
+    # http-enrich-local: a local JSON echo endpoint for the session
+    import json as _json
+    import threading as _th
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class _EchoHandler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(self.path).query)
+            body = _json.dumps({"id": int(q.get("id", ["0"])[0])}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    try:
+        _srv = HTTPServer(("127.0.0.1", 18647), _EchoHandler)
+        _th.Thread(target=_srv.serve_forever, daemon=True).start()
+    except OSError:
+        pass  # port already bound by a previous session's daemon thread
     # deserialize-protobuf: descriptor set + wire-encoded payload parquet
     # (the entry module's descriptor/wire builders keep one source of truth)
     import struct as _struct
