@@ -310,3 +310,92 @@ FROM s GROUP BY event_type, sess
 def test_session_window_fuzz_vs_duckdb(spark):
     for seed in range(15):
         _run_session_one(spark, seed)
+
+
+def _run_two_stage_one(spark, seed: int):
+    """The two-stage pattern generatively: stage 1 = fixed windows with a
+    random combiner, stage 2 re-windows the combined timestamp at a
+    coarser random size.  DuckDB translates both stages independently:
+    bucket ts -> derive cts per combiner -> bucket cts."""
+    from pipeline_spark.config import parse_config
+    from pipeline_spark.executor import run_pipeline
+    from pyspark.sql import functions as F
+
+    rng = random.Random(99_000 + seed)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s1 = rng.choice([300, 900, 1800])
+    s2 = s1 * rng.choice([2, 4])
+    combiner = rng.choice(["end_of_window", "earliest", "latest"])
+
+    cfg = {
+        "sources": [{
+            "name": "events", "module": "storage",
+            "parameters": {"format": "parquet", "input": EVENTS},
+        }],
+        "transforms": [
+            {"name": "agg1", "module": "aggregation", "inputs": ["events"],
+             "timestampAttribute": "ts",
+             "strategy": {"window": {
+                 "type": "fixed", "size": s1, "unit": "second",
+                 "timestampCombiner": combiner}},
+             "parameters": {
+                 "groupFields": ["event_type"],
+                 "aggregations": [
+                     {"name": "v", "op": "sum", "field": "value"}],
+             }},
+            {"name": "agg2", "module": "aggregation", "inputs": ["agg1"],
+             "timestampAttribute": "ts",
+             "strategy": {"window": {
+                 "type": "fixed", "size": s2, "unit": "second"}},
+             "parameters": {
+                 "groupFields": ["event_type"],
+                 "aggregations": [
+                     {"name": "n_windows", "op": "count"},
+                     {"name": "total", "op": "sum", "field": "v"}],
+             }},
+            {"name": "shaped", "module": "select", "inputs": ["agg2"],
+             "parameters": {"select": [
+                 {"name": "wstart", "field": "window.start"},
+                 {"name": "event_type"},
+                 {"name": "n_windows"},
+                 {"name": "total"},
+             ]}},
+        ],
+    }
+    out = run_pipeline(spark, parse_config(json.dumps(cfg)))["shaped"]
+    out = out.withColumn("total", F.round("total", 4))
+    got = sorted(
+        tuple(_norm(r[c]) for c in out.columns) for r in out.collect()
+    )
+
+    w1 = f"floor(epoch(ts) / {s1}) * {s1}"
+    if combiner == "earliest":
+        cts = "epoch(min(ts))"
+    elif combiner == "latest":
+        cts = "epoch(max(ts))"
+    else:
+        cts = f"{w1} + {s1} - 0.001"
+    sql = f"""
+WITH s1 AS (
+  SELECT event_type, {w1} AS w1, sum(value) AS v, {cts} AS cts
+  FROM '{EVENTS}' GROUP BY event_type, {w1}
+)
+SELECT CAST(to_timestamp(floor(cts / {s2}) * {s2}) AS TIMESTAMP) AS wstart,
+       event_type, count(*) AS n_windows, round(sum(v), 4) AS total
+FROM s1 GROUP BY 1, 2
+"""
+    con = duckdb.connect()
+    rows = con.execute(sql).fetchall()
+    names = [d[0] for d in con.execute(sql).description]
+    order = [names.index(c) for c in out.columns]
+    want = sorted(tuple(_norm(row[i]) for i in order) for row in rows)
+    assert _rows_close(got, want), (
+        f"seed {seed} s1={s1} s2={s2} combiner={combiner}: "
+        f"{len(got)} vs {len(want)} rows\n"
+        f"first got:  {got[:2]}\nfirst want: {want[:2]}"
+    )
+
+
+def test_two_stage_rewindow_fuzz_vs_duckdb(spark):
+    for seed in range(15):
+        _run_two_stage_one(spark, seed)
