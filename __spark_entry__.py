@@ -6752,6 +6752,122 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_timestamp_combiner_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-input timestampCombiner (VERDICT r14 ask #3): the
+    least/greatest merge of the per-input hidden min/max aggregates
+    across the multi-input full-outer join
+    (operators/aggregation.py), exercised where window occupancy is
+    DISJOINT — input a holds minutes [0,45), input b [30,60), so
+    :00/:15 windows have a null b-branch, :45 windows a null a-branch,
+    and :30 windows merge two non-null event times.  earliest AND
+    latest both run, two-stage re-windowed hourly on the derived
+    timestamp, vs a DuckDB two-table full-outer oracle."""
+    parts = []
+    for combiner in ("earliest", "latest"):
+        df = _pipeline(spark, sf_dir, ["events"], f"""
+transforms:
+  - name: a
+    module: beamsql
+    inputs: [events]
+    parameters:
+      sql: "SELECT event_type, ts, value FROM events WHERE minute(ts) < 45"
+  - name: b
+    module: beamsql
+    inputs: [events]
+    parameters:
+      sql: "SELECT event_type, ts FROM events WHERE minute(ts) >= 30"
+  - name: agg
+    module: aggregation
+    inputs: [a, b]
+    timestampAttribute: ts
+    strategy:
+      window: {{type: fixed, size: 900, unit: second, timestampCombiner: {combiner}}}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - input: a
+          fields:
+            - {{name: na, op: count}}
+            - {{name: va, op: sum, field: value}}
+        - input: b
+          fields:
+            - {{name: nb, op: count}}
+  - name: agg2
+    module: aggregation
+    inputs: [agg]
+    timestampAttribute: ts
+    strategy:
+      window: {{type: fixed, size: 1, unit: hour}}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - {{name: n_windows, op: count}}
+        - {{name: a_rows, op: sum, field: na}}
+        - {{name: b_rows, op: sum, field: nb}}
+        - {{name: a_total, op: sum, field: va}}
+""", "agg2")
+        parts.append(
+            df.select(
+                F.lit(combiner).alias("combiner"),
+                F.col("window.start").alias("hour"),
+                "event_type",
+                "n_windows",
+                "a_rows",
+                "b_rows",
+                F.round("a_total", 4).alias("a_total"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+Q_TS_COMBINER_MULTI_SQL = """
+WITH a AS (
+  SELECT event_type, ts, value FROM events WHERE minute(ts) < 45
+),
+b AS (
+  SELECT event_type, ts FROM events WHERE minute(ts) >= 30
+),
+sa AS (
+  SELECT event_type,
+         to_timestamp(floor(epoch(ts) / 900) * 900) AS w,
+         count(*) AS na, sum(value) AS va,
+         min(ts) AS amin, max(ts) AS amax
+  FROM a GROUP BY 1, 2
+),
+sb AS (
+  SELECT event_type,
+         to_timestamp(floor(epoch(ts) / 900) * 900) AS w,
+         count(*) AS nb,
+         min(ts) AS bmin, max(ts) AS bmax
+  FROM b GROUP BY 1, 2
+),
+j AS (
+  SELECT coalesce(sa.event_type, sb.event_type) AS event_type,
+         na, va, nb,
+         least(amin, bmin) AS early,
+         greatest(amax, bmax) AS late
+  FROM sa FULL OUTER JOIN sb
+    ON sa.event_type = sb.event_type AND sa.w = sb.w
+),
+staged AS (
+  SELECT 'earliest' AS combiner, event_type, early AS cts, na, va, nb
+  FROM j
+  UNION ALL
+  SELECT 'latest', event_type, late, na, va, nb FROM j
+)
+SELECT combiner,
+       CAST(to_timestamp(floor(epoch(cts) / 3600) * 3600) AS TIMESTAMP)
+         AS hour,
+       event_type,
+       count(*) AS n_windows,
+       CAST(sum(na) AS BIGINT) AS a_rows,
+       CAST(sum(nb) AS BIGINT) AS b_rows,
+       round(sum(va), 4) AS a_total
+FROM staged
+GROUP BY 1, 2, 3
+"""
+
+
 def q_reshuffle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """reshuffle module (ReshuffleTransform.java:8-29): an explicit
     repartition is content-identity; the realized partition count is
@@ -6919,79 +7035,20 @@ FROM region
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's CORRECTNESS gate caps at the
-    # first 50 entries, never-green-first.  r14 composition (VERDICT
-    # r13 ask #1): the new never-green rows (timestamp_combiner — the
-    # last unplumbed SURVEY §2.8 knob, proven with a two-stage
-    # windowing oracle; reshuffle_roundtrip — the last registry-less
-    # plumbing module; example_passthrough — union-passthrough
-    # contract; onnx_score — MLP forward pass vs a DuckDB list-
-    # arithmetic oracle) + ALL 33 r11-stale rows + 11 r12 fills biased
-    # to the window/stateful family (the combiner knob touches
-    # windowed aggregation) and the ANN rows gaining sf1 scale rows
-    # this round + the headline pair.  Staleness floor moves
-    # r11 -> r12.
+    # first 50 entries, never-green-first.  r15 composition (VERDICT
+    # r14 ask #2): the new never-green row (timestamp_combiner_multi —
+    # the least/greatest merge of per-input hidden min/max across the
+    # multi-input full-outer join, disjoint window occupancy) + ALL 37
+    # r12-stale rows + 10 r13 fills biased to the paths this round's
+    # diff touched (iceberg eq-delete/legacy machinery, pane streaming,
+    # windowed aggregation) + the headline pair.  Staleness floor moves
+    # r12 -> r13.
     return {
-        # --- never green: new r14 rows (timestampCombiner two-stage
-        #     windowing; reshuffle content-identity + shard count)
-        "timestamp_combiner": q_timestamp_combiner,
-        "reshuffle_roundtrip": q_reshuffle_roundtrip,
-        "example_passthrough": q_example_passthrough,
-        "onnx_score": q_onnx_score,
-        # --- all 33 r11-stale rows (VERDICT r13 ask #1: staleness
-        #     floor moves r11 -> r12)
-        "linear_regression": q_linear_regression,
-        "deserialize_avro": q_deserialize_avro,
-        "deserialize_proto": q_deserialize_proto,
-        "storage_avro_roundtrip": q_storage_avro_roundtrip,
-        "orc_roundtrip": q_orc_roundtrip,
-        "multimodal_decode": q_multimodal_decode,
-        "video_meta": q_video_meta,
-        "audio_meta": q_audio_meta,
-        "html_extract": q_html_extract,
-        "url_normalize": q_url_normalize,
-        "chunk_windows": q_chunk_windows,
-        "gopher_rules": q_gopher_rules,
-        "sentence_split": q_sentence_split,
-        "lang_id": q_lang_id,
-        "sample_split": q_sample_split,
-        "scrub_pii": q_scrub_pii,
-        "pack_sequences": q_pack_sequences,
-        "profile_documents": q_profile_documents,
-        "iceberg_row_lineage": q_iceberg_row_lineage,
-        "uniform_sync": q_uniform_sync,
-        "convert_roundtrip": q_convert_roundtrip,
-        "convert_partitioned": q_convert_partitioned,
-        "iceberg_addfiles": q_iceberg_addfiles,
-        "iceberg_defaults": q_iceberg_defaults,
-        "iceberg_changelog": q_iceberg_changelog,
-        "iceberg_incremental": q_iceberg_incremental,
-        "iceberg_skipping": q_iceberg_skipping,
-        "iceberg_rest": q_iceberg_rest,
-        "iceberg_merge_mor": q_iceberg_merge_mor,
-        "iceberg_dv_puffin": q_iceberg_dv_puffin,
-        "iceberg_cdc_upsert": q_iceberg_cdc_upsert,
-        "iceberg_upsert": q_iceberg_upsert,
-        "warc_roundtrip": q_warc_roundtrip,
-        # --- r12 fills: the window/stateful family first (the new
-        #     combiner knob touches windowed aggregation) + ANN rows
-        #     that also gain sf1 scale-suite coverage this round
-        "window_running": q_window_running,
-        "window_time_range": q_window_time_range,
-        "calendar_window": q_calendar_window,
-        "tumbling_window": q_tumbling_window,
-        "sliding_window": q_sliding_window,
-        "session_window": q_session_window,
-        "bpe_train_encode": q_bpe_train_encode,
-        "select_text_hash": q_select_text_hash,
-        "compare_diff": q_compare_diff,
-        "limit_topk": q_limit_topk,
-        "expression_math": q_expression_math,
-        # --- headline pair stays in-cap every round
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        # --- past the 50-cap: ever-green r12/r13; pytest + harness
-        #     guarded (pq/ivfpq_topk displaced by the 3rd/4th new r14
-        #     rows; their sf1 scale rows still run per-round in bench)
+        # --- never green: the new r15 row (multi-input combiner with
+        #     disjoint window occupancy — VERDICT r14 ask #3)
+        "timestamp_combiner_multi": q_timestamp_combiner_multi,
+        # --- all 37 r12-stale rows (VERDICT r14 ask #2: staleness
+        #     floor moves r12 -> r13)
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "uniform_resync": q_uniform_resync,
@@ -7029,15 +7086,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_eqdelete": q_convert_eqdelete,
         "streaming_buffered": q_streaming_buffered,
         "select_misc": q_select_misc,
-        "nullif_bound": q_nullif_bound,
+        # --- r13 fills biased to this round's touched paths (iceberg
+        #     eq-delete/DML + pane streaming + windowed agg)
         "iceberg_legacy_migrate": q_iceberg_legacy_migrate,
-        "localdb_artifact": q_localdb_artifact,
-        "auxia_events": q_auxia_events,
-        "create_sequence": q_create_sequence,
-        "delta_row_tracking": q_delta_row_tracking,
-        "delta_type_widening": q_delta_type_widening,
         "iceberg_merge_cow": q_iceberg_merge_cow,
         "iceberg_update": q_iceberg_update,
+        "iceberg_delete": q_iceberg_delete,
+        "streaming_panes": q_streaming_panes,
+        "nullif_bound": q_nullif_bound,
+        "create_sequence": q_create_sequence,
+        "delta_row_tracking": q_delta_row_tracking,
+        "processing_timeseries": q_processing,
+        "agg_argminmax": q_agg_argminmax,
+        # --- headline pair stays in-cap every round
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        # --- past the 50-cap: ever-green r13/r14; pytest + harness
+        #     guarded (the r14-fresh rows rotate out, freshest-last)
+        "timestamp_combiner": q_timestamp_combiner,
+        "reshuffle_roundtrip": q_reshuffle_roundtrip,
+        "example_passthrough": q_example_passthrough,
+        "onnx_score": q_onnx_score,
+        "linear_regression": q_linear_regression,
+        "deserialize_avro": q_deserialize_avro,
+        "deserialize_proto": q_deserialize_proto,
+        "storage_avro_roundtrip": q_storage_avro_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "multimodal_decode": q_multimodal_decode,
+        "video_meta": q_video_meta,
+        "audio_meta": q_audio_meta,
+        "html_extract": q_html_extract,
+        "url_normalize": q_url_normalize,
+        "chunk_windows": q_chunk_windows,
+        "gopher_rules": q_gopher_rules,
+        "sentence_split": q_sentence_split,
+        "lang_id": q_lang_id,
+        "sample_split": q_sample_split,
+        "scrub_pii": q_scrub_pii,
+        "pack_sequences": q_pack_sequences,
+        "profile_documents": q_profile_documents,
+        "iceberg_row_lineage": q_iceberg_row_lineage,
+        "uniform_sync": q_uniform_sync,
+        "convert_roundtrip": q_convert_roundtrip,
+        "convert_partitioned": q_convert_partitioned,
+        "iceberg_addfiles": q_iceberg_addfiles,
+        "iceberg_defaults": q_iceberg_defaults,
+        "iceberg_changelog": q_iceberg_changelog,
+        "iceberg_incremental": q_iceberg_incremental,
+        "iceberg_skipping": q_iceberg_skipping,
+        "iceberg_rest": q_iceberg_rest,
+        "iceberg_merge_mor": q_iceberg_merge_mor,
+        "iceberg_dv_puffin": q_iceberg_dv_puffin,
+        "iceberg_cdc_upsert": q_iceberg_cdc_upsert,
+        "iceberg_upsert": q_iceberg_upsert,
+        "warc_roundtrip": q_warc_roundtrip,
+        "window_running": q_window_running,
+        "window_time_range": q_window_time_range,
+        "calendar_window": q_calendar_window,
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "session_window": q_session_window,
+        "bpe_train_encode": q_bpe_train_encode,
+        "select_text_hash": q_select_text_hash,
+        "compare_diff": q_compare_diff,
+        "limit_topk": q_limit_topk,
+        "expression_math": q_expression_math,
+        "localdb_artifact": q_localdb_artifact,
+        "auxia_events": q_auxia_events,
+        "delta_type_widening": q_delta_type_widening,
         "delta_delete": q_delta_delete,
         "delta_skipping": q_delta_skipping,
         "sessionize": q_sessionize,
@@ -7048,7 +7164,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_mix": q_dataset_mix,
         "delta_roundtrip": q_delta_roundtrip,
         "delta_update": q_delta_update,
-        "iceberg_delete": q_iceberg_delete,
         "dsir_scores": q_dsir_scores,
         "bpe_wordcounts": q_bpe_wordcounts,
         "delta_dv_read": q_delta_dv_read,
@@ -7057,9 +7172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_cm_roundtrip": q_delta_cm_roundtrip,
         "delta_alter_roundtrip": q_delta_alter_roundtrip,
         "delta_replace_where": q_delta_replace_where,
-        "streaming_panes": q_streaming_panes,
         "delta_liquid_cluster": q_delta_liquid_cluster,
-        "agg_argminmax": q_agg_argminmax,
         "agg_firstlast": q_agg_firstlast,
         "partition_route": q_partition_route,
         "union_pad": q_union_pad,
@@ -7076,13 +7189,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "match_recognize": q_match_recognize,
         "match_recognize_chunked": q_match_recognize_chunked,
-        "processing_timeseries": q_processing,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     return {
         "timestamp_combiner": Q_TS_COMBINER_SQL,
+        "timestamp_combiner_multi": Q_TS_COMBINER_MULTI_SQL,
         "reshuffle_roundtrip": Q_RESHUFFLE_SQL,
         "example_passthrough": Q_EXAMPLE_SQL,
         "onnx_score": _onnx_score_oracle_sql(),

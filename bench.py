@@ -251,18 +251,18 @@ def main() -> None:
     # shuffle+agg plan, min-of-3 warm — captures JVM/scheduler/steal
     # drift for plan-shaped rows; every artifact records it, and the
     # round-over-round comparison below divides it out.
+    def _spark_calib_once():
+        _t = time.time()
+        (
+            spark.range(2_000_000)
+            .groupBy((F.col("id") % 97).alias("k"))
+            .count()
+            .write.mode("overwrite").format("noop").save()
+        )
+        return round(time.time() - _t, 4)
+
     def _spark_calib():
-        best = None
-        for _ in range(3):
-            _t = time.time()
-            (
-                spark.range(2_000_000)
-                .groupBy((F.col("id") % 97).alias("k"))
-                .count()
-                .write.mode("overwrite").format("noop").save()
-            )
-            best = min(best or 9e9, time.time() - _t)
-        return round(best, 4)
+        return round(min(_spark_calib_once() for _ in range(3)), 4)
 
     spark_calib = _spark_calib()
 
@@ -319,18 +319,37 @@ def main() -> None:
 
     bench_start = time.time()
     timings: dict[str, float] = {}
+    n_runs: dict[str, int] = {}       # r15 (VERDICT r14 ask #1a): runs
+    # actually completed per row — a "1" is a single possibly-cold
+    # number the reader must weigh accordingly
+    plan_build: dict[str, float] = {}  # r15 (stretch #8): driver-side
+    # plan CONSTRUCTION time (fn return, before the noop write) of the
+    # row's best run — splits build from execute for the py4j-bound
+    # sub-second class whose drift flags rotate run-to-run
+    row_moment: dict[str, float] = {}  # offset into the run of the
+    # row's best attempt — pairs each row with the calibration sample
+    # nearest ITS host moment, not the run's ends
     calib_at_codec = None  # codec calib measured ADJACENT to codec rows
-    for name in BENCH_QUERIES:
-        fn = queries[name]
+    # r15 (VERDICT r14 ask #1c): a rolling single-shot spark
+    # calibration every ~25 s gives the at-the-moment host baseline the
+    # codec rows already have (calib_at_codec) to the WHOLE suite —
+    # min-of-ends made r14's normalized ratios WORSE than raw when the
+    # host ran 1.6x slower at start than end
+    calib_timeline: list[tuple[float, float]] = [(0.0, spark_calib)]
+    _tl_last = [time.time()]
+
+    def _timeline_tick():
+        if time.time() - _tl_last[0] >= 25.0:
+            calib_timeline.append(
+                (round(time.time() - bench_start, 1), _spark_calib_once())
+            )
+            _tl_last[0] = time.time()
+
+    def _bench_row(name, fn, force_runs=None):
         best = None
         first = None
-        q_runs = codec_runs if name in CODEC_BOUND else runs
-        if name in CODEC_BOUND:
-            # normalizing a codec row needs the host's compress speed
-            # AT THE MOMENT the row ran, not at run start/end — steal
-            # swings 2x within one run (calibration_spread)
-            c = _codec_calib()
-            calib_at_codec = min(calib_at_codec or 9e9, c)
+        q_runs = force_runs or (codec_runs if name in CODEC_BOUND else runs)
+        done = 0
         for attempt in range(q_runs):
             over_soft = (time.time() - bench_start) > budget * 0.85
             # a >5x first-vs-nothing spike is a steal/JIT artifact, not the
@@ -338,23 +357,39 @@ def main() -> None:
             # always allowed even past the soft budget
             spiky = attempt == 1 and first is not None and first > 5.0
             if (
-                attempt > 0 and over_soft and not spiky
+                attempt > 0 and over_soft and not spiky and not force_runs
                 and name not in CODEC_BOUND and name not in PINNED_MIN3
             ):
                 break
             t0 = time.time()
             df = fn(spark, sf_dir)
+            t_build = time.time() - t0
             df.write.mode("overwrite").format("noop").save()
             elapsed = time.time() - t0
+            done += 1
             if first is None:
                 first = elapsed
-            best = elapsed if best is None else min(best, elapsed)
+            if best is None or elapsed < best:
+                best = elapsed
+                plan_build[name] = round(t_build, 3)
+                row_moment[name] = round(t0 - bench_start, 1)
             if (
-                elapsed < 0.5
+                elapsed < 0.5 and not force_runs
                 and name not in CODEC_BOUND and name not in PINNED_MIN3
             ):
                 break  # fast enough; a re-run can't change the story
         timings[name] = round(best, 3)
+        n_runs[name] = n_runs.get(name, 0) + done
+
+    for name in BENCH_QUERIES:
+        _timeline_tick()
+        if name in CODEC_BOUND:
+            # normalizing a codec row needs the host's compress speed
+            # AT THE MOMENT the row ran, not at run start/end — steal
+            # swings 2x within one run (calibration_spread)
+            c = _codec_calib()
+            calib_at_codec = min(calib_at_codec or 9e9, c)
+        _bench_row(name, queries[name])
         if name in CODEC_BOUND:
             c = _codec_calib()
             calib_at_codec = min(calib_at_codec, c)
@@ -375,6 +410,9 @@ def main() -> None:
     }
     calib = min(calib, calib_end)
     spark_calib = min(spark_calib, spark_calib_end)
+    calib_timeline.append(
+        (round(time.time() - bench_start, 1), spark_calib_end)
+    )
     if calib_at_codec is not None:
         # the codec normalizer IS the at-row measurement (a min taken
         # elsewhere in the run would mismatch the host moment the codec
@@ -395,6 +433,16 @@ def main() -> None:
     result["overhead_calibration_sec"] = overhead_calib
     result["py4j_calibration_sec"] = py4j_calib
     result["calibration_spread"] = calib_spread
+    # r15 (VERDICT r14 ask #1): per-row observability — runs completed
+    # (a 1 is a single possibly-cold number), driver-side plan-build
+    # seconds of the best run (the py4j-bound class shows up here, not
+    # in execute), and the within-run calibration timeline the at-row
+    # normalization draws from
+    result["n_runs"] = n_runs
+    result["plan_build_sec"] = plan_build
+    result["spark_calib_timeline"] = [
+        [t, c] for t, c in calib_timeline
+    ]
     # drift-normalized round-over-round comparison (VERDICT r11 ask
     # #2): raw ratio vs the previous committed artifact, and the same
     # ratio divided by the calibration drift (spark_calibration for
@@ -407,36 +455,116 @@ def main() -> None:
     # while raw ratios clustered at 0.9-1.2).  Agreement of both views
     # is the signal that survives either failure mode: raw-only swings
     # are host load, normalized-only swings are calibration mix.
+    def _calib_near(moment):
+        """Least-stolen spark calibration sample within ±60 s of the
+        row's best run — the host baseline matching the moment the
+        row's min was actually measured.  r14 post-mortem: the host ran
+        1.6x slower at run START than end, so min-of-ends normalization
+        made contended early rows' normalized ratios WORSE than raw
+        instead of correcting them (VERDICT r14 ask #1c)."""
+        if moment is None or not calib_timeline:
+            return None
+        near = [c for t, c in calib_timeline if abs(t - moment) <= 60]
+        if not near:
+            near = [
+                min(calib_timeline, key=lambda p: abs(p[0] - moment))[1]
+            ]
+        return min(near)
+
     if prev_art and isinstance(prev_art.get("queries"), dict):
         prev_q = prev_art["queries"]
         prev_spark_calib = prev_art.get("spark_calibration_sec")
         prev_codec_calib = prev_art.get("codec_calibration_sec")
-        raw_r: dict[str, float] = {}
-        norm_r: dict[str, float] = {}
-        for k, v in timings.items():
-            pv = prev_q.get(k)
-            if not pv or pv <= 0 or v <= 0:
-                continue
-            raw = v / pv
-            raw_r[k] = round(raw, 2)
-            if k in CODEC_BOUND and prev_codec_calib and calib:
-                host = calib / prev_codec_calib
-            elif prev_spark_calib and spark_calib:
-                host = spark_calib / prev_spark_calib
-            else:
-                # pre-r12 artifacts carry only the codec calibration,
-                # and pure-CPU zlib speed is NOT a proxy for plan-shaped
-                # drift (measured moving OPPOSITE directions on this
-                # host): report raw only rather than normalize wrong
-                host = None
-            if host:
-                norm_r[k] = round(raw / host, 2)
-        flagged = {
-            k: {"raw": raw_r.get(k), "normalized": r,
-                "sec": timings[k], "prev_sec": prev_q.get(k)}
-            for k, r in norm_r.items()
-            if r > 1.25 and (raw_r.get(k) or 0) > 1.25
+
+        def _compute_drift():
+            raw_r: dict[str, float] = {}
+            norm_r: dict[str, float] = {}
+            for k, v in timings.items():
+                pv = prev_q.get(k)
+                if not pv or pv <= 0 or v <= 0:
+                    continue
+                raw = v / pv
+                raw_r[k] = round(raw, 2)
+                if k in CODEC_BOUND and prev_codec_calib and calib:
+                    host = calib / prev_codec_calib
+                elif prev_spark_calib and spark_calib:
+                    host = (
+                        _calib_near(row_moment.get(k)) or spark_calib
+                    ) / prev_spark_calib
+                else:
+                    # pre-r12 artifacts carry only the codec calibration,
+                    # and pure-CPU zlib speed is NOT a proxy for plan-shaped
+                    # drift (measured moving OPPOSITE directions on this
+                    # host): report raw only rather than normalize wrong
+                    host = None
+                if host:
+                    norm_r[k] = round(raw / host, 2)
+            flagged = {
+                k: {"raw": raw_r.get(k), "normalized": r,
+                    "sec": timings[k], "prev_sec": prev_q.get(k),
+                    "n_runs": n_runs.get(k)}
+                for k, r in norm_r.items()
+                if r > 1.25 and (raw_r.get(k) or 0) > 1.25
+            }
+            return raw_r, norm_r, flagged
+
+        raw_r, norm_r, flagged = _compute_drift()
+        # r15 contention guard (VERDICT r14 ask #1b): a contended run
+        # must not become the committed artifact unchallenged.  When
+        # the run itself shows contention (spark calibration swung
+        # >1.3x within the run) OR the flag set is implausibly wide
+        # (>=6 rows — the r14 artifact had 44 with an untouched
+        # engine), re-run the flagged rows min-of-2 with the soft
+        # budget lifted and keep each row's overall min, then
+        # recompute the flags.  Bounded by SPARK_GRAFT_GUARD_BUDGET.
+        spread_pts = [c for _, c in calib_timeline if c]
+        spread_ratio = (
+            round(max(spread_pts) / min(spread_pts), 3)
+            if spread_pts else 1.0
+        )
+        guard_info: dict = {
+            "spark_calib_spread_within_run": spread_ratio,
+            "triggered": False,
         }
+        if flagged and (spread_ratio > 1.3 or len(flagged) >= 6) and (
+            os.environ.get("SPARK_GRAFT_BENCH_GUARD", "1") != "0"
+        ):
+            guard_budget = float(
+                os.environ.get("SPARK_GRAFT_GUARD_BUDGET", "150")
+            )
+            guard_start = time.time()
+            reruns: dict[str, dict] = {}
+            # worst flagged first, so the guard budget goes to the rows
+            # that most distort the round-over-round story
+            for k in sorted(
+                flagged, key=lambda x: -(flagged[x].get("raw") or 0)
+            ):
+                if time.time() - guard_start > guard_budget:
+                    guard_info["note"] = (
+                        "guard budget exhausted; remaining flagged rows "
+                        "keep their pre-guard numbers"
+                    )
+                    break
+                before = timings[k]
+                _timeline_tick()
+                _bench_row(k, queries[k], force_runs=2)
+                timings[k] = round(min(before, timings[k]), 3)
+                reruns[k] = {
+                    "pre_guard_sec": before, "post_guard_sec": timings[k]
+                }
+            guard_info.update(
+                triggered=True,
+                reason=(
+                    f"calib spread {spread_ratio}x within run"
+                    if spread_ratio > 1.3
+                    else f"{len(flagged)} rows flagged"
+                ),
+                reruns=reruns,
+                rerun_sec=round(time.time() - guard_start, 1),
+            )
+            raw_r, norm_r, flagged = _compute_drift()
+            total = round(sum(timings.values()), 3)
+            result["value"] = total
         result["drift"] = {
             "prev_spark_calibration_sec": prev_spark_calib,
             "prev_codec_calibration_sec": prev_codec_calib,
@@ -447,6 +575,7 @@ def main() -> None:
             "raw_ratio_vs_prev": raw_r,
             "normalized_ratio_vs_prev": norm_r,
             "flagged_raw_and_normalized_over_1_25x": flagged,
+            "contention_guard": guard_info,
         }
     result["notes"] = (
         "warc_roundtrip is codec-bound (per-record gzip in Python "
@@ -531,7 +660,21 @@ def main() -> None:
         "artifact since r14. Attribution rule: a sub-2s flag whose row "
         "is build-heavy and whose membership was not flagged in the "
         "round's OTHER runs is this class — check py4j_calibration_sec "
-        "before calling it a regression."
+        "before calling it a regression. "
+        "r15 protocol (VERDICT r14 ask #1, after the contended r14 "
+        "artifact): (a) n_runs records runs completed per row — a 1 is "
+        "a single possibly-cold number; (b) plan-shaped normalization "
+        "uses the spark calibration sample NEAREST each row's best-run "
+        "moment (spark_calib_timeline, one single-shot sample every "
+        "~25 s) instead of min-of-ends, which made contended early "
+        "rows' normalized ratios WORSE than raw in r14; (c) a "
+        "contention guard re-runs the flagged rows min-of-2 with the "
+        "soft budget lifted whenever the within-run calibration spread "
+        "exceeds 1.3x or >=6 rows flag, keeping each row's overall min "
+        "and recomputing the flags — drift.contention_guard records "
+        "what it did; (d) plan_build_sec splits driver-side plan "
+        "construction from execution for the py4j-bound sub-second "
+        "class."
     )
     full_result = result
 
@@ -878,6 +1021,11 @@ def main() -> None:
                 ),
                 key=lambda kv: -kv[1],
             )[:8]),
+            "contention_guard": {
+                k: dr.get("contention_guard", {}).get(k)
+                for k in ("triggered", "reason",
+                          "spark_calib_spread_within_run")
+            },
         }
     if "buffered_pane_microbench" in result:
         compact["buffered_pane_microbench"] = result[

@@ -226,18 +226,9 @@ def aggregation_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             # the pane per firing (index resets, duplicate discarding
             # deltas).  Refuse whenever that ledger would engage;
             # plain accumulating early firings pass through untouched.
-            from pipeline_spark.streaming.triggers import parse_trigger
+            from pipeline_spark.streaming.triggers import ledger_engages
 
-            cfg = parse_trigger(strategy)
-            ledger_engaged = cfg is not None and (
-                _is_discarding(strategy)
-                or bool(strategy.get("outputPaneInfo"))
-                or cfg.get("early_count") is not None
-                or cfg.get("tree") is not None
-                or cfg.get("late_tree") is not None
-                or cfg.get("final_tree") is not None
-            )
-            if ledger_engaged:
+            if ledger_engages(strategy):
                 raise ValueError(
                     "timestampCombiner earliest/latest with the driver "
                     "pane ledger: the derived event-time column varies "
@@ -268,6 +259,16 @@ def aggregation_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             raise ValueError(
                 f"aggregation: groupType must be group/rollup/cube, got "
                 f"'{group_type}'"
+            )
+        if group_type != "group" and ts_combiner:
+            # grouping-set subtotal rows carry a NULL window key, so
+            # end_of_window would derive a NULL event time and
+            # earliest/latest a cross-window min/max on subtotal rows —
+            # rows that then vanish or mis-window in a second stage
+            raise ValueError(
+                "aggregation: timestampCombiner cannot combine with "
+                "groupType rollup/cube (subtotal rows have no window to "
+                "derive an event time from); use groupType: group"
             )
         if group_type != "group" and df.isStreaming:
             raise ValueError(

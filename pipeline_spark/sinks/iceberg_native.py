@@ -2098,6 +2098,12 @@ def _compact_iceberg_once(spark, p: dict[str, Any]) -> dict[str, int]:
                 # bin never contains the null partition's files)
                 legacy_global_deletes=parse_legacy_global_deletes(p),
                 all_data=data,
+                # ADVICE r14: compaction bakes the chosen reading in
+                # permanently — when the scope of an all-null-record
+                # delete is metadata-undecidable, demand an EXPLICIT
+                # legacyGlobalDeletes choice instead of a log warning
+                irreversible=True,
+                legacy_explicit="legacyGlobalDeletes" in p,
             )
         elif bin_fills or lineage:
             bin_df = bin_df.drop("__fp__", "__pos__")
@@ -5125,6 +5131,21 @@ def _append_delete_files_once(
             # the delete manifest declares the unpartitioned spec —
             # the catalog metadata must know it (default stays spec0)
             updates.append({"action": "add-spec", "spec": added_spec})
+        if any(
+            int(d.get("content", 1)) == 2 for d in delete_files
+        ) and "pipeline-spark.eq-scope-strict-since-seq" not in (
+            prev_meta.get("properties") or {}
+        ):
+            # r15: self-identifying equality deletes — stamp the first
+            # eq-delete commit's sequence number; files at/after it are
+            # spec-strict by construction (never pre-r11 legacy), so
+            # the reader's legacy-ambiguity detector skips them
+            updates.append({
+                "action": "set-properties",
+                "updates": {
+                    "pipeline-spark.eq-scope-strict-since-seq": str(seq)
+                },
+            })
         updates += [
             {"action": "add-snapshot", "snapshot": snapshot},
             {"action": "set-snapshot-ref", "ref-name": "main",
@@ -5170,5 +5191,19 @@ def _append_delete_files_once(
         # snapshot's first-row-id was stamped above; the table high-water
         # advances by the rows this commit's data files added
         meta["next-row-id"] = int(snapshot["first-row-id"]) + added_rows
+    if any(
+        int(d.get("content", 1)) == 2 for d in delete_files
+    ) and "pipeline-spark.eq-scope-strict-since-seq" not in (
+        meta.get("properties") or {}
+    ):
+        # r15: self-identifying equality deletes — the first eq-delete
+        # commit stamps its sequence number as the spec-strict-era
+        # cutoff; the reader's legacy-ambiguity detector treats every
+        # delete file at/after it as unambiguous (see
+        # sources/iceberg_native.py plan_equality_deletes)
+        meta["properties"] = {
+            **(meta.get("properties") or {}),
+            "pipeline-spark.eq-scope-strict-since-seq": str(seq),
+        }
     meta["__version"] = version
     _publish_metadata_exclusive(meta_dir, version, meta)

@@ -504,6 +504,8 @@ def plan_equality_deletes(
     spark, eq: list[dict], data: list[dict], meta: dict,
     *, legacy_global_deletes: str = "refuse",
     all_data: list[dict] | None = None,
+    irreversible: bool = False,
+    legacy_explicit: bool | None = None,
 ):
     """Shared equality-delete planner (spec §Scan Planning) for the MOR
     reader's anti-join and the delta converter's semi-join (r11):
@@ -597,6 +599,17 @@ def plan_equality_deletes(
     detect_pkeys = {
         part_key(d) for d in (all_data if all_data is not None else data)
     }
+    # r15 (VERDICT r14 ask #4): the first equality-delete commit this
+    # engine makes on a table stamps
+    # ``pipeline-spark.eq-scope-strict-since-seq`` — a sequence-number
+    # cutoff asserting that every delete file at/after it was written
+    # in the post-r11 spec-strict era.  A stamped-era file CANNOT be a
+    # pre-r11 legacy global delete (those predate the stamp by
+    # construction), so its all-null record is read spec-strict with no
+    # warning — the undecidable set stops growing with new writes.
+    strict_since = (meta.get("properties") or {}).get(
+        "pipeline-spark.eq-scope-strict-since-seq"
+    )
     force_global: set[int] = set()
     suspicious = []
     ambiguous = []
@@ -608,6 +621,10 @@ def plan_equality_deletes(
             and rec
             and all(v is None for v in rec.values())
         ):
+            if strict_since is not None and int(
+                d.get("seq") or 0
+            ) >= int(strict_since):
+                continue  # self-identifying spec-strict-era file
             if part_key(d) not in detect_pkeys:
                 suspicious.append(d)
             else:
@@ -628,6 +645,26 @@ def plan_equality_deletes(
         # under the default would have baked the strict reading in).
         import logging
 
+        if irreversible and not legacy_explicit:
+            # ADVICE r14: on a path that REWRITES data past the deletes
+            # (compaction), proceeding permanently bakes in whichever
+            # reading we pick, and a log warning in an automated job is
+            # easy to miss.  Demand an explicit choice instead of
+            # defaulting; plain reads stay warn-only (reversible).
+            paths = sorted({d["path"] for d in ambiguous})
+            raise ValueError(
+                "iceberg: compaction would permanently bake in a "
+                "reading of equality delete file(s) whose scope is "
+                "ambiguous (all-null partition record under a "
+                "PARTITIONED spec, on a table that also holds "
+                "null-partition data — a pre-r11 legacy GLOBAL delete "
+                "and a legitimate null-partition-scoped delete are "
+                f"byte-identical here).  Files: {paths}.  Set "
+                "legacyGlobalDeletes explicitly: 'apply' to compact "
+                "with the pre-r11 GLOBAL reading, or 'refuse'/'allow' "
+                "to compact spec-strict (null-partition scope).  This "
+                "choice is irreversible after compaction."
+            )
         if mode == "apply":
             force_global.update(id(d) for d in ambiguous)
             logging.getLogger("pipeline_spark.iceberg").warning(
@@ -719,6 +756,8 @@ def _apply_row_deletes(
     spark, df, data: list[dict], deletes: list[dict], meta: dict,
     *, keep_lineage: bool = False, legacy_global_deletes: str = "refuse",
     all_data: list[dict] | None = None,
+    irreversible: bool = False,
+    legacy_explicit: bool | None = None,
 ):
     """Merge-on-read: subtract position + equality delete files from the
     scan (spec §Scan Planning).  Position deletes address exact
@@ -813,6 +852,8 @@ def _apply_row_deletes(
             spark, eq, data, meta,
             legacy_global_deletes=legacy_global_deletes,
             all_data=all_data,
+            irreversible=irreversible,
+            legacy_explicit=legacy_explicit,
         )
         seq_df = spark.createDataFrame(
             seq_rows, "__sfp__ string, __dseq__ long, __dpart__ string"

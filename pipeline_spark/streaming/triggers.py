@@ -233,6 +233,51 @@ def parse_trigger(strategy: dict[str, Any] | None) -> dict[str, Any] | None:
     return cfg
 
 
+def trigger_gates(cfg: dict[str, Any] | None) -> bool:
+    """Whether a ``parse_trigger`` config carries any gate that forces the
+    driver pane ledger to materialize micro-batches (count / composite /
+    late / final triggers) instead of passing them through."""
+    return cfg is not None and (
+        cfg.get("early_count") is not None
+        or cfg.get("tree") is not None
+        or cfg.get("late_tree") is not None
+        or cfg.get("final_tree") is not None
+    )
+
+
+_UNPARSED = object()
+
+
+def ledger_engages(
+    strategy: dict[str, Any] | None, cfg: Any = _UNPARSED
+) -> bool:
+    """Single source of truth for whether the driver pane ledger ENGAGES
+    for this strategy — i.e. ``early_firing_foreach_batch.run_batch``
+    materializes batches instead of passing them straight to the sink.
+
+    Used both by the sink path (via ``trigger_gates``) and by the
+    aggregation-side timestampCombiner earliest/latest guard, so the two
+    cannot drift: if the pass-through rule changes, change it HERE.
+
+    Pass ``cfg`` when ``parse_trigger(strategy)`` has already run (it
+    raises on non-emulatable trigger families, so callers that want the
+    parse error first should parse first)."""
+    if cfg is _UNPARSED:
+        cfg = parse_trigger(strategy)
+    if cfg is None:
+        # no early-firing trigger -> the pane-ledger sink path never runs
+        return False
+    s = strategy or {}
+    discarding = str(s.get("accumulationMode", "accumulating")).lower() in (
+        "discarding", "discarding_fired_panes"
+    )
+    return (
+        discarding
+        or bool(s.get("outputPaneInfo", False))
+        or trigger_gates(cfg)
+    )
+
+
 def split_pane_columns(
     df: DataFrame, strategy: dict[str, Any]
 ) -> tuple[list[str], list[str]]:
@@ -361,10 +406,12 @@ def early_firing_foreach_batch(
             f"{value_cols})"
         )
     count_idx = value_cols.index(count_field) if needs_count else -1
-    ledger_gates = (
-        early_count is not None or trigger_tree is not None
-        or late_tree is not None or final_tree is not None
-    )
+    # same gate rule as ledger_engages — keep via trigger_gates so the
+    # aggregation-side guard cannot drift from the sink's actual behavior
+    ledger_gates = trigger_gates({
+        "early_count": early_count, "tree": trigger_tree,
+        "late_tree": late_tree, "final_tree": final_tree,
+    })
 
     def pane_key(d: dict) -> tuple:
         out = []

@@ -277,11 +277,14 @@ def fake_action_client(params: dict):
     return _Fake()
 
 
-def scope_delete_manifests(tbl, partition):
+def scope_delete_manifests(tbl, partition, keep_stamp: bool = False):
     """Simulate a FOREIGN writer's partition-scoped equality delete:
     stamp ``partition`` into every equality-delete manifest entry.
     With an all-null ``partition`` this reproduces the PRE-r11 legacy
-    global-delete shape the reader's legacyGlobalDeletes guard detects."""
+    global-delete shape the reader's legacyGlobalDeletes guard detects.
+    By default also strips the engine's spec-strict-era property stamp
+    (a pre-stamp writer would not carry it); ``keep_stamp=True``
+    simulates a post-stamp foreign writer instead."""
     from pipeline_spark.functions.avroocf import (
         read_ocf_file_with_meta,
         write_ocf_bytes,
@@ -363,3 +366,23 @@ def scope_delete_manifests(tbl, partition):
                  if k not in ("avro.schema", "avro.codec")}
         with open(ml_path, "wb") as fh:
             fh.write(write_ocf_bytes(ml_schema, mans, extra_meta=extra))
+    if not keep_stamp:
+        # r15: the engine stamps its first eq-delete commit with the
+        # spec-strict-era cutoff property; a writer from BEFORE that
+        # era (what this helper simulates) would not have it — strip,
+        # or the legacy-ambiguity detector would (correctly) classify
+        # the simulated file as post-stamp and skip detection entirely
+        import json as _json
+
+        from pipeline_spark.sources.iceberg_native import (
+            find_table_metadata,
+        )
+
+        mpath = find_table_metadata(tbl)
+        with open(mpath) as fh:
+            m2 = _json.load(fh)
+        props = dict(m2.get("properties") or {})
+        if props.pop("pipeline-spark.eq-scope-strict-since-seq", None) is not None:
+            m2["properties"] = props
+            with open(mpath, "w") as fh:
+                _json.dump(m2, fh)

@@ -186,9 +186,13 @@ def test_legit_null_delete_not_misdetected_in_pruned_scans(spark, tmp_path):
         ).collect()
     }
     assert got == {(0, "x"), (1, "x")}
-    # default-mode compaction (per-partition bins) must not refuse either,
-    # and must PRESERVE the null-partition scoping: only (1, None) dies
-    compact_iceberg_native(spark, {"path": tbl})
+    # compaction on the ambiguous shape demands an EXPLICIT choice
+    # (ADVICE r14 — baking in a reading silently is worse than asking);
+    # an explicit spec-strict choice compacts per-partition bins
+    # without mis-globalizing: only (1, None) dies
+    compact_iceberg_native(
+        spark, {"path": tbl, "legacyGlobalDeletes": "refuse"}
+    )
     got = _got(spark, tbl)
     assert got == {(0, "x"), (1, "x"), (0, None), (1, "y")}
 
@@ -337,3 +341,136 @@ def test_ambiguous_apply_globalizes(spark, tmp_path, caplog):
     assert got == {(0, "x"), (0, None)}
     assert any("GLOBAL (legacyGlobalDeletes: apply)" in r.message
                for r in caplog.records)
+
+
+def _mk_ambiguous_table(spark, tmp_path, name):
+    tbl = str(tmp_path / name)
+    rows = [(0, "x"), (1, "x"), (0, None), (1, None), (1, "y")]
+    write_iceberg_native(
+        spark.createDataFrame(rows, "id long, par string"),
+        {"path": tbl, "mode": "create", "partitionBy": ["par"]},
+    )
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 1}]})
+    _scope_delete_manifests(tbl, {"par": None})
+    return tbl
+
+
+def test_compact_ambiguous_requires_explicit_choice(spark, tmp_path):
+    """ADVICE r14: compaction permanently bakes in whichever reading of
+    an AMBIGUOUS all-null-record delete it applies, and a log warning in
+    an automated compaction job is easy to miss.  The compact path now
+    RAISES when ambiguity is detected and no explicit
+    legacyGlobalDeletes choice was made; plain reads stay warn-only
+    (the decision there is reversible)."""
+    tbl = _mk_ambiguous_table(spark, tmp_path, "ambig_compact")
+    with pytest.raises(ValueError, match="irreversible after compaction"):
+        compact_iceberg_native(spark, {"path": tbl})
+    # the refusal left the table untouched: spec-strict read still works
+    got = _got(spark, tbl)
+    assert got == {(0, None), (0, "x"), (1, "x"), (1, "y")}
+
+
+def test_compact_ambiguous_explicit_strict_proceeds(spark, tmp_path):
+    """An EXPLICIT 'refuse' (spec-strict) is a choice — compaction
+    proceeds and bakes in the null-partition scoping."""
+    tbl = _mk_ambiguous_table(spark, tmp_path, "ambig_strict")
+    compact_iceberg_native(spark, {"path": tbl, "legacyGlobalDeletes": "refuse"})
+    # post-compaction: delete files gone, spec-strict result materialized
+    got = _got(spark, tbl)
+    assert got == {(0, None), (0, "x"), (1, "x"), (1, "y")}
+
+
+def test_compact_ambiguous_explicit_apply_migrates(spark, tmp_path):
+    """An explicit 'apply' compacts with the pre-r11 GLOBAL reading."""
+    tbl = _mk_ambiguous_table(spark, tmp_path, "ambig_migr")
+    compact_iceberg_native(spark, {"path": tbl, "legacyGlobalDeletes": "apply"})
+    got = _got(spark, tbl)
+    assert got == {(0, "x"), (0, None)}
+
+
+# --- r15 (VERDICT r14 ask #4): self-identifying equality deletes -----
+#
+# The first eq-delete commit this engine makes on a table stamps
+# ``pipeline-spark.eq-scope-strict-since-seq`` (the commit's sequence
+# number).  Any delete file at/after that cutoff was written in the
+# post-r11 spec-strict era and CANNOT be a pre-r11 legacy global
+# delete, so the reader's ambiguity detector skips it — the
+# undecidable set stops growing with new writes.
+
+
+def test_engine_eq_delete_stamps_strict_era_property(spark, tmp_path):
+    import json as _json
+
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    tbl = str(tmp_path / "stamp")
+    write_iceberg_native(
+        spark.createDataFrame([(0, "x"), (1, None)], "id long, par string"),
+        {"path": tbl, "mode": "create", "partitionBy": ["par"]},
+    )
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 1}]})
+    with open(find_table_metadata(tbl)) as fh:
+        meta = _json.load(fh)
+    stamp = (meta.get("properties") or {}).get(
+        "pipeline-spark.eq-scope-strict-since-seq"
+    )
+    assert stamp is not None
+    # the stamp is the eq-delete commit's OWN sequence number
+    assert int(stamp) == int(meta["last-sequence-number"])
+    # a second eq-delete commit keeps the EARLIEST stamp
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 0}]})
+    with open(find_table_metadata(tbl)) as fh:
+        meta2 = _json.load(fh)
+    assert (meta2["properties"][
+        "pipeline-spark.eq-scope-strict-since-seq"] == stamp)
+
+
+@pytest.mark.parametrize("nrows", [2, 5])
+def test_post_stamp_deletes_never_trigger_ambiguity(
+    spark, tmp_path, caplog, nrows
+):
+    """Deletes written AFTER the stamp never trigger the ambiguity
+    warning, even with an all-null partition record on a table that
+    holds null-partition data (the byte-identical-to-legacy shape)."""
+    import logging
+
+    from pipeline_spark.testing import scope_delete_manifests
+
+    tbl = str(tmp_path / f"poststamp{nrows}")
+    rows = [(i, p) for i in range(nrows) for p in ("x", None)]
+    write_iceberg_native(
+        spark.createDataFrame(rows, "id long, par string"),
+        {"path": tbl, "mode": "create", "partitionBy": ["par"]},
+    )
+    # engine-written delete stamps the table
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 0}]})
+    # a post-stamp writer scopes a delete to the null partition —
+    # keep_stamp simulates it writing AFTER this engine touched the
+    # table (its file seq is >= the cutoff, so it self-identifies)
+    equality_delete_iceberg_native(spark, {"path": tbl, "values": [{"id": 1}]})
+    scope_delete_manifests(tbl, {"par": None}, keep_stamp=True)
+    with caplog.at_level(logging.WARNING, logger="pipeline_spark.iceberg"):
+        got = _got(spark, tbl)
+    # spec-strict, silently: id=0 gone everywhere (global), id=1 only
+    # from the null partition
+    expect = {
+        (i, p) for i, p in rows
+        if i != 0 and not (i == 1 and p is None)
+    }
+    assert got == expect
+    assert not any(
+        "null-partition data" in r.message or "legacy GLOBAL" in r.message
+        for r in caplog.records
+    )
+    # and compaction needs no explicit legacyGlobalDeletes choice
+    compact_iceberg_native(spark, {"path": tbl})
+    assert _got(spark, tbl) == expect
+
+
+def test_pre_stamp_files_keep_legacy_detection(spark, tmp_path):
+    """Old-file behavior unchanged: files that PREDATE the stamp (or
+    tables with no stamp at all) still go through detection — the
+    default simulator path strips the stamp, and the refusal fires."""
+    tbl, _ = _mk_legacy_table(spark, tmp_path, "prestamp")
+    with pytest.raises(ValueError, match="legacy GLOBAL"):
+        _got(spark, tbl)

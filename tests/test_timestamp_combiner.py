@@ -180,6 +180,86 @@ def test_validation_gates(spark, batch_input):
     )
     with pytest.raises(ValueError, match="pivot"):
         run_pipeline(spark, parse_config(cfg))
+    # rollup/cube subtotal rows carry a NULL window — no event time to
+    # derive (ADVICE r14); refused for EVERY combiner, not just
+    # earliest/latest (end_of_window would be NULL on subtotals too)
+    for combiner in ("end_of_window", "earliest"):
+        for gtype in ("rollup", "cube"):
+            cfg = _agg_cfg(batch_input, combiner).replace(
+                "groupFields: [k]",
+                f"groupFields: [k]\n      groupType: {gtype}",
+            )
+            with pytest.raises(ValueError, match="rollup/cube"):
+                run_pipeline(spark, parse_config(cfg))
+
+
+def test_ledger_engages_matches_run_batch_passthrough():
+    """ADVICE r14: the aggregation-side earliest/latest guard and the
+    sink's pass-through rule share ONE predicate (ledger_engages /
+    trigger_gates) — assert it over the strategy grid so a future rule
+    change that forgets one side fails here."""
+    from pipeline_spark.streaming.triggers import (
+        ledger_engages,
+        parse_trigger,
+        trigger_gates,
+    )
+
+    strategies = [
+        # no trigger at all: the ledger sink path never runs
+        ({}, False),
+        ({"accumulationMode": "discarding"}, False),
+        # plain accumulating processing-time early firing: pass-through
+        ({"trigger": {"type": "afterWatermark", "earlyFiringTrigger": {
+            "type": "afterProcessingTime", "delay": 1}}}, False),
+        # discarding engages the ledger
+        ({"accumulationMode": "discarding",
+          "trigger": {"type": "afterWatermark", "earlyFiringTrigger": {
+              "type": "afterProcessingTime", "delay": 1}}}, True),
+        # outputPaneInfo engages
+        ({"outputPaneInfo": True,
+          "trigger": {"type": "afterWatermark", "earlyFiringTrigger": {
+              "type": "afterProcessingTime", "delay": 1}}}, True),
+        # count trigger engages
+        ({"trigger": {"type": "afterWatermark", "earlyFiringTrigger": {
+            "type": "afterPane", "elementCountAtLeast": 2}}}, True),
+        # composite tree engages
+        ({"trigger": {"type": "afterWatermark", "earlyFiringTrigger": {
+            "type": "afterFirst", "childrenTriggers": [
+                {"type": "afterProcessingTime", "delay": 1},
+                {"type": "afterPane", "elementCountAtLeast": 3}]}}}, True),
+        # late-firing tree engages
+        ({"trigger": {"type": "afterWatermark",
+                      "earlyFiringTrigger": {
+                          "type": "afterProcessingTime", "delay": 1},
+                      "lateFiringTrigger": {
+                          "type": "afterPane", "elementCountAtLeast": 1}}},
+         True),
+        # final trigger engages
+        ({"trigger": {"type": "afterProcessingTime", "delay": 1,
+                      "finalTrigger": {"type": "afterPane",
+                                       "elementCountAtLeast": 5}}}, True),
+    ]
+    for strategy, want in strategies:
+        assert ledger_engages(strategy) is want, strategy
+        # the sink derives ledger_gates via trigger_gates on the same
+        # parsed cfg — mirror the derivation at sink-arg granularity
+        cfg = parse_trigger(strategy)
+        if cfg is not None:
+            sink_gates = trigger_gates({
+                "early_count": cfg.get("early_count"),
+                "tree": cfg.get("tree"),
+                "late_tree": cfg.get("late_tree"),
+                "final_tree": cfg.get("final_tree"),
+            })
+            mode = str(
+                strategy.get("accumulationMode", "accumulating")
+            ).lower()
+            passthrough = not (
+                mode in ("discarding", "discarding_fired_panes")
+                or bool(strategy.get("outputPaneInfo", False))
+                or sink_gates
+            )
+            assert passthrough is (not want), strategy
 
 
 def test_executor_pane_backend_combiner(spark, tmp_path):
