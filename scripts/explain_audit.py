@@ -272,6 +272,50 @@ sources:
             "combiner aggregate must not add a shuffle (expected 6)"
         )
 
+    # executor pane backend (r15, VERDICT r14 stretch #7): the fused
+    # windowed-aggregation + pane-ledger operator's STREAMING physical
+    # plan — exactly ONE FlatMapGroupsInPandasWithState (aggregation
+    # and trigger ledger fused, state executor-side) and no exchange
+    # beyond the single keyed one the stateful operator requires.  A
+    # second exchange would mean the fusion regressed to aggregate +
+    # re-shuffle; a second stateful operator would mean double-ledger.
+    from pipeline_spark.streaming.panes import stream_panes_with_state
+
+    _pane_src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1")
+        .load()
+        .selectExpr(
+            "timestamp as ts", "CAST(value % 3 AS STRING) as k",
+            "CAST(value AS DOUBLE) as v",
+        )
+        .withWatermark("ts", "10 seconds")
+    )
+    p_pane = plan_of(stream_panes_with_state(
+        _pane_src, "ts", ["k"],
+        [{"name": "n", "op": "count"},
+         {"name": "s", "op": "sum", "field": "v"}],
+        {"window": {"type": "fixed", "size": 60, "unit": "second"},
+         "trigger": {"type": "afterWatermark",
+                     "earlyFiringTrigger": {
+                         "type": "afterProcessingTime", "delay": 1}}},
+    ))
+    import re as _re2
+
+    n_state = len(_re2.findall(
+        r"\(\d+\) FlatMapGroupsInPandasWithState", p_pane
+    ))
+    if n_state != 1:
+        failures.append(
+            f"executor panes: {n_state} FlatMapGroupsInPandasWithState "
+            "nodes — aggregation and pane ledger must fuse into ONE"
+        )
+    n_pane_exch = len(_re2.findall(r"\(\d+\) Exchange", p_pane))
+    if n_pane_exch > 1:
+        failures.append(
+            f"executor panes: {n_pane_exch} exchange nodes — only the "
+            "stateful operator's keyed exchange is allowed"
+        )
+
     # iceberg changelog (r8): change derivation is unions of pruned scans
     # + semi-joins — no nested-loop anywhere
     p22 = plan_of(entrymod.q_iceberg_changelog(spark, sf))

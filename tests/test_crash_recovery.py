@@ -317,3 +317,150 @@ def test_kill_retry_equivalence(spark, tmp_path, monkeypatch, fmt):
         ops[op](spark, batch, crashed)  # the retry
 
     assert snap(spark, crashed) == want, (fmt, seq)
+
+
+# ------------------------------------------------ streaming commit seam
+#
+# r15 (VERDICT r14 ask #6): the batch cases above kill writers between
+# STAGING and COMMIT.  The streaming sinks have a second seam — between
+# the sink's TABLE COMMIT and the CHECKPOINT ADVANCE (foreachBatch
+# returns, Spark then marks the batch complete).  A crash there makes
+# Spark REPLAY the batch on restart; exactly-once rests on the sink's
+# idempotence marker (delta: txn (appId, version) per PROTOCOL.md
+# Transaction Identifiers; iceberg: (app-id, batch-id) snapshot-summary
+# stamps, Flink's pattern).  Each case commits for real, dies BEFORE
+# returning from foreachBatch, restarts the stream on the same
+# checkpoint, and asserts the replay was a no-op: exactly one copy of
+# every row AND exactly one table commit per micro-batch.
+
+
+def _stream_src(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir(exist_ok=True)
+    spark.range(0, 10).coalesce(1).write.parquet(str(src / "b1"))
+    spark.range(10, 15).coalesce(1).write.parquet(str(src / "b2"))
+    return src
+
+
+def _run_delta_stream(spark, src, tbl, mode):
+    from pipeline_spark.registry import ModuleContext
+    from pipeline_spark.sinks.delta_native import delta_sink
+
+    sdf = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", "1").parquet(str(src) + "/*")
+    )
+    params = {"path": tbl}
+    if mode == "merge":
+        params = {"path": tbl, "mode": "merge", "primaryKeys": ["id"]}
+    delta_sink(ModuleContext(
+        spark=spark, name="w", params=params, inputs=[sdf],
+        input_names=["in"],
+    ))
+
+
+def _kill_after(monkeypatch, module, attr, kill_batch, spark_first=True):
+    """Wrap module.attr so the Nth successful call commits for real and
+    THEN raises — the crash between sink commit and checkpoint advance."""
+    orig = getattr(module, attr)
+    state = {"n": 0}
+
+    def killer(*a, **k):
+        orig(*a, **k)
+        n = state["n"]
+        state["n"] += 1
+        if n == kill_batch:
+            raise _Killed("died after table commit before checkpoint advance")
+
+    monkeypatch.setattr(module, attr, killer)
+    return orig
+
+
+@pytest.mark.parametrize("mode", ["append", "merge"])
+@pytest.mark.parametrize("kill_batch", [0, 1])
+def test_delta_streaming_kill_retry_exactly_once(
+    spark, tmp_path, monkeypatch, mode, kill_batch
+):
+    src = _stream_src(spark, tmp_path)
+    tbl = str(tmp_path / f"dstream_{mode}_{kill_batch}")
+    attr = "merge_delta_native" if mode == "merge" else "write_delta_native"
+    orig = _kill_after(monkeypatch, dn, attr, kill_batch)
+
+    with pytest.raises(Exception) as ei:
+        _run_delta_stream(spark, src, tbl, mode)
+    assert "died after table commit" in str(ei.value)
+    # the kill happened AFTER a real commit: the killed batch is visible
+    ids_after_kill = [r[0] for r in _snap_delta(spark, tbl)]
+    assert len(ids_after_kill) in (10, 15) and len(set(ids_after_kill)) == len(ids_after_kill)
+
+    monkeypatch.setattr(dn, attr, orig)
+    _run_delta_stream(spark, src, tbl, mode)  # restart, same checkpoint
+    assert [r[0] for r in _snap_delta(spark, tbl)] == list(range(15))
+
+    # exactly one delta version per micro-batch — the replayed batch
+    # no-opped on its txn marker instead of double-committing
+    from pipeline_spark.sources.delta_native import (
+        latest_version,
+        replay_state,
+    )
+
+    assert latest_version(os.path.join(tbl, "_delta_log")) == 1
+    _a, _m, _p, _v, txns = replay_state(tbl)
+    assert list(txns.values()) == [1]  # high-water = last batch id
+
+
+@pytest.mark.parametrize("mode", ["append", "upsert"])
+@pytest.mark.parametrize("kill_batch", [0, 1])
+def test_iceberg_streaming_kill_retry_exactly_once(
+    spark, tmp_path, monkeypatch, mode, kill_batch
+):
+    from pipeline_spark.registry import ModuleContext
+    from pipeline_spark.sinks.connectors import iceberg_sink
+    from pipeline_spark.sinks.iceberg_native import last_streaming_batch
+
+    src = _stream_src(spark, tmp_path)
+    tbl = str(tmp_path / f"istream_{mode}_{kill_batch}")
+    attr = (
+        "upsert_iceberg_native" if mode == "upsert"
+        else "write_iceberg_native"
+    )
+    orig = _kill_after(monkeypatch, sink_ice, attr, kill_batch)
+
+    def run():
+        sdf = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", "1").parquet(str(src) + "/*")
+        )
+        params = {"path": tbl, "mode": mode}
+        if mode == "upsert":
+            params["primaryKeys"] = ["id"]
+        iceberg_sink(ModuleContext(
+            spark=spark, name="w", params=params, inputs=[sdf],
+            input_names=["in"],
+        ))
+
+    with pytest.raises(Exception) as ei:
+        run()
+    assert "died after table commit" in str(ei.value)
+    ids_after_kill = [r[0] for r in _snap_ice(spark, tbl)]
+    assert len(ids_after_kill) in (10, 15) and len(set(ids_after_kill)) == len(ids_after_kill)
+
+    monkeypatch.setattr(sink_ice, attr, orig)
+    run()  # restart on the same checkpoint replays the killed batch
+    assert [r[0] for r in _snap_ice(spark, tbl)] == list(range(15))
+
+    # exactly one stamped snapshot per micro-batch; high-water = batch 1
+    import json as _json
+
+    from pipeline_spark.sources.iceberg_native import find_table_metadata
+
+    checkpoint = tbl.rstrip("/") + "_checkpoint"
+    app_id = f"pipeline_spark::{checkpoint}"
+    with open(find_table_metadata(tbl)) as fh:
+        meta = _json.load(fh)
+    stamped = [
+        s for s in meta.get("snapshots", [])
+        if (s.get("summary") or {}).get("pipeline-spark.app-id") == app_id
+    ]
+    assert len(stamped) == 2, [s.get("summary") for s in stamped]
+    assert last_streaming_batch({"path": tbl}, app_id) == 1
