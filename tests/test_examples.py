@@ -259,9 +259,81 @@ sinks:
     inputs: [orders]
     parameters: {format: avro, output: /tmp/pipeline_in/orders_avro}
 """))
+    # r15 service-sink examples: fresh mutation spools per session so
+    # the per-example content assertions below see only this run
+    for d in glob.glob("/tmp/pipeline_out/spool_*"):
+        shutil.rmtree(d, ignore_errors=True)
+    for f in ("drive_a.txt", "drive_b.txt"):
+        try:
+            os.remove(f"/tmp/pipeline_out/copydst/{f}")
+        except OSError:
+            pass
+
+
+def _spool(d):
+    from pipeline_spark.testing import read_spool
+
+    return read_spool(f"/tmp/pipeline_out/spool_{d}")
+
+
+# Per-example content assertions beyond "it ran" — keyed by file name.
+# (Most examples' operator semantics are oracle-checked elsewhere; these
+# pin the service-sink examples whose effect lives in the fake spools.)
+EXTRA_CHECKS = {
+    "beamsql-join-two-services.yaml": lambda outs: (
+        sorted(m["row"]["id"] for m in _spool("beamsql_join"))
+        == [1, 2, 3, 4]  # join drops nothing above score>=10 except id 0
+        and all(m["table"] == "user_levels" and m["op"] == "UPSERT"
+                for m in _spool("beamsql_join"))
+        and {m["row"]["level"] for m in _spool("beamsql_join")}
+        == {"silver", "gold", "bronze"}
+    ),
+    "spanner-to-spanner.yaml": lambda outs: (
+        sorted(m["row"]["id"] for m in _spool("spanner_copy"))
+        == list(range(10))
+        and all(set(m["row"]) == {"id", "name", "tier"}
+                for m in _spool("spanner_copy"))
+    ),
+    "csv-to-spanner.yaml": lambda outs: (
+        len(_spool("csv_spanner")) == 25
+        and all(m["table"] == "nation" for m in _spool("csv_spanner"))
+    ),
+    "datastore-delete-mutations.yaml": lambda outs: (
+        sorted((m["row"]["id"], m["op"])
+               for m in _spool("datastore_delete"))
+        == [(11, "DELETE"), (12, "DELETE"), (13, "DELETE")]
+        and all("__op__" not in m["row"]
+                for m in _spool("datastore_delete"))
+    ),
+    "drivefile-to-copyfile.yaml": lambda outs: (
+        open("/tmp/pipeline_out/copydst/drive_a.txt").read()
+        == "payload a\n"
+        and open("/tmp/pipeline_out/copydst/drive_b.txt").read()
+        == "payload b\n"
+    ),
+    "firestore-to-bigquery.yaml": lambda outs: (
+        len(_spool("fs_bq")) == 1
+        and sorted(
+            (r["user"], r["n"], r["total"])
+            for r in _spool("fs_bq")[0]["rows"]
+        ) == [("ann", 2, 42), ("bob", 1, 7), ("cat", 1, 99)]
+    ),
+    "setoperation-replace-spanner.yaml": lambda outs: (
+        sorted((m["row"]["id"], m["op"])
+               for m in _spool("setop_spanner"))
+        == [(2, "REPLACE"), (3, "REPLACE")]
+    ),
+    "jdbc-to-spanner.yaml": lambda outs: (
+        sorted(m["row"]["id"] for m in _spool("jdbc_spanner"))
+        == list(range(100))
+    ),
+}
 
 
 @pytest.mark.parametrize("path", EXAMPLES, ids=[os.path.basename(p) for p in EXAMPLES])
 def test_example_runs(spark, path):
     outputs = run_pipeline(spark, load_config(path))
     assert outputs
+    check = EXTRA_CHECKS.get(os.path.basename(path))
+    if check is not None:
+        assert check(outputs), os.path.basename(path)
