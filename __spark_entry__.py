@@ -6895,63 +6895,13 @@ FROM lineitem
 
 
 def _build_mlp64_onnx() -> bytes:
-    """Deterministic 64->16->1 MLP as raw ONNX wire bytes (the same
-    protobuf-varint builders the onnx executor's test suite uses; the
-    executor itself parses onnx.proto natively, functions/onnxexec.py)."""
-    import struct
+    """Deterministic 64->16->1 MLP as raw ONNX wire bytes — delegates
+    to the single shared builder (functions/onnxwire.py; ADVICE r14:
+    the entry, the examples fixture, and the executor tests each
+    carried a drift-prone copy)."""
+    from pipeline_spark.functions.onnxwire import build_mlp64
 
-    import numpy as np
-
-    def vi(field, value):
-        out = bytes([field << 3])
-        v = value
-        while True:
-            b7 = v & 0x7F
-            v >>= 7
-            out += bytes([b7 | (0x80 if v else 0)])
-            if not v:
-                return out
-
-    def ld(field, payload: bytes) -> bytes:
-        return bytes([(field << 3) | 2]) + vi(0, len(payload))[1:] + payload
-
-    def f32(field, value: float) -> bytes:
-        return bytes([(field << 3) | 5]) + struct.pack("<f", value)
-
-    def tensor(name, dims, values) -> bytes:
-        out = b"".join(vi(1, d) for d in dims)
-        out += vi(2, 1)  # float32
-        out += ld(8, name.encode())
-        out += ld(9, np.asarray(values, dtype="<f4").tobytes())
-        return out
-
-    def node(op, inputs, outputs, attrs=b"") -> bytes:
-        out = b"".join(ld(1, i.encode()) for i in inputs)
-        out += b"".join(ld(2, o.encode()) for o in outputs)
-        out += ld(4, op.encode())
-        return out + attrs
-
-    rng = np.random.RandomState(7)
-    W = rng.randn(64, 16).astype(np.float32)
-    b = rng.randn(16).astype(np.float32)
-    W2 = rng.randn(16, 1).astype(np.float32)
-    gemm_attrs = (
-        ld(5, ld(1, b"alpha") + f32(2, 1.0))
-        + ld(5, ld(1, b"beta") + f32(2, 1.0))
-    )
-    graph = (
-        ld(1, node("Gemm", ["x", "W", "b"], ["h"], gemm_attrs))
-        + ld(1, node("Relu", ["h"], ["hr"]))
-        + ld(1, node("MatMul", ["hr", "W2"], ["z"]))
-        + ld(1, node("Sigmoid", ["z"], ["score"]))
-        + ld(2, b"scorer")
-        + ld(5, tensor("W", W.shape, W))
-        + ld(5, tensor("b", b.shape, b))
-        + ld(5, tensor("W2", W2.shape, W2))
-        + ld(11, ld(1, b"x"))
-        + ld(12, ld(1, b"score"))
-    )
-    return vi(1, 8) + ld(7, graph)
+    return build_mlp64()
 
 
 def q_onnx_score(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -115,34 +115,12 @@ def stage_stream_inputs():
     shutil.rmtree("/tmp/pipeline_out/composite_trigger", ignore_errors=True)
     shutil.rmtree("/tmp/pipeline_out/composite_trigger_checkpoint", ignore_errors=True)
     # --- r14 example fixtures (VERDICT r13 ask #7) ---------------------
-    # onnx-score-embeddings: a 64->16->1 MLP built with the same
-    # wire-format primitives the onnx executor tests use
-    import numpy as _np
+    # onnx-score-embeddings: the shared seeded 64->16->1 MLP
+    # (functions/onnxwire.py — one definition for entry/examples/tests)
+    from pipeline_spark.functions.onnxwire import build_mlp64
 
-    from tests.test_onnxexec import f32, ld, node, tensor, value_info, vi
-
-    rng = _np.random.RandomState(7)
-    W = rng.randn(64, 16).astype(_np.float32)
-    b = rng.randn(16).astype(_np.float32)
-    W2 = rng.randn(16, 1).astype(_np.float32)
-    gemm_attrs = (
-        ld(5, ld(1, b"alpha") + f32(2, 1.0))
-        + ld(5, ld(1, b"beta") + f32(2, 1.0))
-    )
-    graph = (
-        ld(1, node("Gemm", ["x", "W", "b"], ["h"], gemm_attrs))
-        + ld(1, node("Relu", ["h"], ["hr"]))
-        + ld(1, node("MatMul", ["hr", "W2"], ["z"]))
-        + ld(1, node("Sigmoid", ["z"], ["score"]))
-        + ld(2, b"scorer")
-        + ld(5, tensor("W", W.shape, W))
-        + ld(5, tensor("b", b.shape, b))
-        + ld(5, tensor("W2", W2.shape, W2))
-        + ld(11, value_info("x"))
-        + ld(12, value_info("score"))
-    )
     with open("/tmp/pipeline_in/mlp64.onnx", "wb") as fh:
-        fh.write(vi(1, 8) + ld(7, graph))
+        fh.write(build_mlp64())
     # jdbc-sqlite-ingest: the items DB the partitioned DB-API read scans
     import sqlite3
 

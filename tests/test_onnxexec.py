@@ -1,8 +1,9 @@
 """Numpy ONNX executor: a hand-encoded MLP checked against plain numpy.
 
-The model bytes are assembled with the same wire encoder the protobuf
-decoder tests use, from the public onnx.proto field numbers — so the
-executor is validated against the spec, not against itself.
+The model bytes are assembled with the shared hand-rolled wire encoder
+(functions/onnxwire.py), built from the public onnx.proto field numbers
+independently of the executor's parser — so the executor is validated
+against the spec, not against itself.
 """
 
 import struct
@@ -12,31 +13,15 @@ import pytest
 from pyspark.sql import Row
 
 from pipeline_spark.functions.onnxexec import NumpyInferenceSession, OnnxGraph
-from test_protodec import ld, tag, vi
-
-
-def f32(fno: int, value: float) -> bytes:
-    return tag(fno, 5) + struct.pack("<f", value)
-
-
-def tensor(name: str, dims, values, dtype="f4") -> bytes:
-    out = b"".join(vi(1, d) for d in dims)
-    out += vi(2, 1 if dtype == "f4" else 7)
-    out += ld(8, name.encode())
-    out += ld(9, np.asarray(values, dtype=f"<{dtype}").tobytes())
-    return out
-
-
-def node(op: str, inputs, outputs, attrs=b"") -> bytes:
-    out = b"".join(ld(1, i.encode()) for i in inputs)
-    out += b"".join(ld(2, o.encode()) for o in outputs)
-    out += ld(4, op.encode())
-    out += attrs
-    return out
-
-
-def value_info(name: str) -> bytes:
-    return ld(1, name.encode())
+from pipeline_spark.functions.onnxwire import (  # noqa: F401
+    f32,
+    ld,
+    node,
+    tag,
+    tensor,
+    value_info,
+    vi,
+)
 
 
 def build_mlp() -> tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
