@@ -134,6 +134,14 @@ def stage_stream_inputs():
     )
     con.commit()
     con.close()
+    # bigquery-to-jdbc: the destination DB with an empty users table
+    # (the DB-API sink INSERTs; DDL stays with the database owner)
+    if os.path.exists("/tmp/pipeline_out/bq_users.db"):
+        os.remove("/tmp/pipeline_out/bq_users.db")
+    con = sqlite3.connect("/tmp/pipeline_out/bq_users.db")
+    con.execute("CREATE TABLE users (id INTEGER, name TEXT, score INTEGER)")
+    con.commit()
+    con.close()
     # csv-ingest-cast: nation as header CSV
     import csv as _csv
 
@@ -304,6 +312,39 @@ EXTRA_CHECKS = {
     "jdbc-to-spanner.yaml": lambda outs: (
         sorted(m["row"]["id"] for m in _spool("jdbc_spanner"))
         == list(range(100))
+    ),
+    "avro-to-partition-to-spanner.yaml": lambda outs: (
+        {m["table"] for m in _spool("part_open")} == {"open_orders"}
+        and {m["table"] for m in _spool("part_done")}
+        == {"finished_orders"}
+        and all(m["row"]["o_orderstatus"] == "O"
+                for m in _spool("part_open"))
+        and all(m["row"]["o_orderstatus"] == "F"
+                for m in _spool("part_done"))
+    ),
+    "bigquery-to-aggregation-to-bigquery.yaml": lambda outs: (
+        sorted((r["name"], r["n"], r["best"])
+               for r in _spool("bq_agg_bq")[0]["rows"])
+        == [("ann", 2, 14), ("bob", 2, 30), ("cat", 1, 2)]
+    ),
+    "bigquery-to-jdbc.yaml": lambda outs: (
+        __import__("sqlite3").connect("/tmp/pipeline_out/bq_users.db")
+        .execute("SELECT count(*), min(id), max(id) FROM users")
+        .fetchone() == (10, 0, 9)
+    ),
+    "pubsub-to-aggregation-to-pubsub.yaml": lambda outs: (
+        [(m["row"]["n"], m["row"]["max_id"])
+         for m in _spool("ps_agg_ps")] == [(5, 4)]
+    ),
+    "spanner-to-spanner-delete.yaml": lambda outs: (
+        sorted((m["row"]["id"], m["op"])
+               for m in _spool("spanner_delete"))
+        == [(0, "DELETE"), (1, "DELETE"), (2, "DELETE")]
+    ),
+    "microbatch-to-spanner.yaml": lambda outs: (
+        len(_spool("mb_spanner")) > 0
+        and {m["table"] for m in _spool("mb_spanner")}
+        == {"recent_events"}
     ),
 }
 
