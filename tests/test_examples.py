@@ -136,6 +136,7 @@ def stage_stream_inputs():
     con.close()
     # bigquery-to-jdbc: the destination DB with an empty users table
     # (the DB-API sink INSERTs; DDL stays with the database owner)
+    os.makedirs("/tmp/pipeline_out", exist_ok=True)
     if os.path.exists("/tmp/pipeline_out/bq_users.db"):
         os.remove("/tmp/pipeline_out/bq_users.db")
     con = sqlite3.connect("/tmp/pipeline_out/bq_users.db")
