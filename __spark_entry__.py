@@ -52,6 +52,15 @@ def _pipeline_multi(spark: SparkSession, sf_dir: str, tables: list[str], body: s
     return run_pipeline(spark, parse_config(src + body))
 
 
+def _spread_ids(df: DataFrame) -> DataFrame:
+    """Scale-adaptive fan-out for payload-generating fixtures (see
+    functions/partitioning.spread — no-op when the scan already has
+    cluster-parallelism partitions)."""
+    from pipeline_spark.functions.partitioning import spread
+
+    return spread(df)
+
+
 def _tmp_path(name: str, sf_dir: str) -> str:
     """Collision-proof scratch path for queries that write a table first.
 
@@ -1113,7 +1122,10 @@ def q_image_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    payload_df = docs.mapInPandas(
+    # spread the id list BEFORE payloads exist: the single-row-group
+    # fixture scan would otherwise run the whole codec pass in ONE Python
+    # worker; only ids shuffle, payload bytes never move (no-op at scale)
+    payload_df = _spread_ids(docs).mapInPandas(
         gen,
         schema=T.StructType([
             T.StructField("doc_id", T.LongType()),
@@ -1174,7 +1186,10 @@ def q_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    payload_df = docs.mapInPandas(
+    # spread the id list BEFORE payloads exist: the single-row-group
+    # fixture scan would otherwise run the whole codec pass in ONE Python
+    # worker; only ids shuffle, payload bytes never move (no-op at scale)
+    payload_df = _spread_ids(docs).mapInPandas(
         gen,
         schema=T.StructType([
             T.StructField("doc_id", T.LongType()),
@@ -2685,7 +2700,10 @@ def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    payload_df = docs.mapInPandas(
+    # spread the id list BEFORE payloads exist: the single-row-group
+    # fixture scan would otherwise run the whole codec pass in ONE Python
+    # worker; only ids shuffle, payload bytes never move (no-op at scale)
+    payload_df = _spread_ids(docs).mapInPandas(
         gen,
         schema=T.StructType([
             T.StructField("doc_id", T.LongType()),
@@ -2768,7 +2786,10 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    payload_df = docs.mapInPandas(
+    # spread the id list BEFORE payloads exist: the single-row-group
+    # fixture scan would otherwise run the whole codec pass in ONE Python
+    # worker; only ids shuffle, payload bytes never move (no-op at scale)
+    payload_df = _spread_ids(docs).mapInPandas(
         gen,
         schema=T.StructType([
             T.StructField("doc_id", T.LongType()),

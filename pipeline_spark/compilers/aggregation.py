@@ -60,6 +60,11 @@ def _guard(col: Column, agg: dict[str, Any], df: DataFrame) -> Column:
     return F.when(compile_filter(cond, df), col)
 
 
+def agg_name(agg: dict[str, Any]) -> str:
+    """Output column name of one aggregation spec (compile_agg's rule)."""
+    return agg.get("name") or agg.get("field") or str(agg.get("op", "")).lower()
+
+
 def compile_agg(
     agg: dict[str, Any],
     df: DataFrame,
@@ -67,7 +72,7 @@ def compile_agg(
 ) -> Column:
     """Compile one aggregation config to a named aggregate Column."""
     op = str(agg.get("op", "")).lower()
-    name = agg.get("name") or agg.get("field") or op
+    name = agg_name(agg)
     ts = F.col(event_time_col) if event_time_col and event_time_col in df.columns else None
 
     if op == "count":

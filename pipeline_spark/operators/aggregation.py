@@ -25,7 +25,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pipeline_spark.compilers.aggregation import compile_aggs
+from pipeline_spark.compilers.aggregation import agg_name, compile_aggs
 from pipeline_spark.compilers.filter_dsl import compile_filter
 from pipeline_spark.compilers.select_fns import apply_select
 from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
@@ -33,6 +33,60 @@ from pipeline_spark.streaming import ensure_event_time
 
 
 _TS_COMBINERS = ("end_of_window", "earliest", "latest")
+
+# r15 perf: exact-distinct ops that trigger Catalyst's distinct rewrite,
+# and object-buffer ops whose partial state is a per-group container
+# (value-count map / quantile summary / collected array) rather than a
+# few scalars
+_EXACT_DISTINCT_OPS = frozenset({"count_distinct"})
+_OBJECT_BUFFER_OPS = frozenset({"median", "percentile", "array_agg"})
+
+
+def _agg_with_distinct_split(df, keys, key_names, aggs, ts_attr):
+    """Split a mixed exact-distinct + object-buffer aggregate (r15 perf,
+    guide §2.3 "shuffle fewer bytes").
+
+    Catalyst rewrites ``count(DISTINCT x)`` by pre-aggregating on
+    ``(group keys, x)`` and drags EVERY other aggregate's partial buffer
+    through that per-distinct-value grouping — for object-buffer
+    aggregates (exact percentile/median value maps, collected arrays)
+    that shuffles one container per (group, x) pair through TWO
+    exchanges (measured 2.7 s vs ~0.4 s on the agg_stats bench row,
+    plan: 4 ObjectHashAggregate + 2 Exchange of 30 buffer columns).
+
+    Split: distinct aggs run in their own lightweight plan (only tiny
+    declarative buffers pass through the rewrite), everything else
+    aggregates once at true group granularity, and a null-safe
+    equi-join on the group keys recombines.  Same rows, same values,
+    same column order — both sides group the same input by the same
+    keys, so the key sets are identical and an inner join loses
+    nothing; eqNullSafe keeps null-key groups.  Returns None when the
+    split does not apply.
+    """
+    live = [a for a in aggs if not a.get("ignore")]
+
+    def _op(a):
+        return str(a.get("op", "")).lower()
+
+    dist = [a for a in live if _op(a) in _EXACT_DISTINCT_OPS]
+    heavy = [a for a in live if _op(a) in _OBJECT_BUFFER_OPS]
+    if not dist or not heavy:
+        return None
+    rest = [a for a in live if _op(a) not in _EXACT_DISTINCT_OPS]
+    left = df.groupBy(*keys).agg(*compile_aggs(rest, df, ts_attr))
+    right = df.groupBy(*keys).agg(*compile_aggs(dist, df, ts_attr))
+    ren_keys = [f"__dk{j}__" for j in range(len(key_names))]
+    right = right.toDF(*ren_keys, *[agg_name(a) for a in dist])
+    if key_names:
+        cond = None
+        for kn, rn in zip(key_names, ren_keys):
+            c = left[kn].eqNullSafe(right[rn])
+            cond = c if cond is None else cond & c
+        joined = left.join(right, cond, "inner").drop(*ren_keys)
+    else:
+        # global aggregation: both sides are exactly one row
+        joined = left.crossJoin(right)
+    return joined.select(*key_names, *[agg_name(a) for a in live])
 
 
 def _parse_ts_combiner(strategy: dict[str, Any]) -> str | None:
@@ -292,7 +346,13 @@ def aggregation_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
             # explicit values keep the output schema static (required for
             # streaming and for engine-reproducible column order)
             grouped = grouped.pivot(field, values) if values else grouped.pivot(field)
-        results.append(grouped.agg(*exprs))
+        split = None
+        if group_type == "group" and not pivot_cfg and not df.isStreaming:
+            key_names = (
+                ["window"] if wkey is not None else []
+            ) + list(group_fields)
+            split = _agg_with_distinct_split(df, keys, key_names, aggs, ts_attr)
+        results.append(split if split is not None else grouped.agg(*exprs))
 
     if not results:
         raise ValueError("aggregation requires aggregations")

@@ -423,15 +423,21 @@ def ngram_jaccard_pairs(
     )
     # group on the 8-byte gram hash, not the gram string — the shuffle
     # carries ints (collision odds ~n²/2⁶⁴, immaterial for dedup).
-    # Persisted because BOTH the bucket pass and the per-doc size agg
+    # Persisted because BOTH the bucket pass and the per-doc size read
     # consume it — without the cache the tokenize pipeline runs twice
-    # (two shuffles on different keys can't reuse one exchange).  16 B/gram
-    # of ints, MEMORY_AND_DISK by default.
-    exploded = base.select(
-        "doc", F.explode(F.transform("grams", lambda g: F.xxhash64(g))).alias("g")
+    # (two shuffles on different keys can't reuse one exchange).  The
+    # cache holds (doc, hashed-gram array, n): int arrays, ~16 B/gram.
+    # r15: |distinct grams| per doc is exactly F.size(grams) — explode
+    # emits one row per array element — so the former
+    # exploded.groupBy(doc).count() pass (a second scan of the cache
+    # plus a full shuffle+aggregate) is computed for free pre-explode.
+    hashed = base.select(
+        "doc",
+        F.transform("grams", lambda g: F.xxhash64(g)).alias("gs"),
+        F.size("grams").alias("n"),
     ).persist()
-    # |distinct grams| per doc, from the cached ints — not a re-tokenize
-    sizes = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    exploded = hashed.select("doc", F.explode("gs").alias("g"))
+    sizes = hashed.select("doc", "n")
     # ONE shuffle: bucket docs per gram, then enumerate co-occurrence
     # pairs bucket-locally (same shape as minhash banding — measured
     # faster than a self-join on g, which shuffles the exploded grams

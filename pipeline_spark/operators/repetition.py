@@ -58,23 +58,27 @@ def span_repetition_report(
     ``internal_repetition`` = 1 - distinct/total grams within the doc.
     """
     all_grams = word_shingles(tokens(F.col(text_field)), ngram)
-    # ONE tokenize pass: carry the doc's total gram count onto every
-    # exploded distinct-gram row (one duplicated int) so per-doc stats
-    # recover from the cached int rows instead of a second tokenize.
-    # Persisted because THREE consumers read it (per-doc stats, the df
-    # counts, the dup-count join) — 24 B/row of ints, MEMORY_AND_DISK.
-    exploded = (
+    # ONE tokenize pass, cached as (id, total, hashed distinct-gram
+    # array) — int arrays, ~16 B/gram.  THREE consumers read it (per-doc
+    # stats, the df counts, the dup-count join).  r15: per-doc stats are
+    # array-local (n_spans = size of the distinct array, total carried
+    # through) — the former exploded.groupBy(id).agg(count, first)
+    # pass (a second scan of the cache plus a full shuffle+aggregate)
+    # is free pre-explode.
+    hashed = (
         spread(df)
         .select(
             F.col(id_field).alias("__id__"),
             F.size(all_grams).alias("total"),
-            F.explode(F.array_distinct(all_grams)).alias("gram"),
+            F.transform(
+                F.array_distinct(all_grams), lambda g: F.xxhash64(g)
+            ).alias("hs"),
         )
-        .select("__id__", "total", F.xxhash64("gram").alias("h"))
         .persist()
     )
-    stats = exploded.groupBy("__id__").agg(
-        F.count(F.lit(1)).alias("n_spans"), F.first("total").alias("total")
+    exploded = hashed.select("__id__", F.explode("hs").alias("h"))
+    stats = hashed.select(
+        "__id__", F.size("hs").alias("n_spans"), "total"
     )
     # document frequency per gram: rows are (doc, gram) distinct already
     dfreq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))

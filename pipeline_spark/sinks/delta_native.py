@@ -122,6 +122,29 @@ def _footer_stats(path: str) -> str | None:
 def _collect_file_stats(spark, paths: list[str]) -> dict[str, str]:
     if not paths:
         return {}
+    # r15 optimization: footer stats are metadata-scale work (KB-sized
+    # reads per file).  For small commits the fixed cost of an RDD job
+    # (submit + Python worker round-trip, ~0.1-0.3 s) dwarfs the footer
+    # reads themselves, so read them on the driver in a small thread
+    # pool (pyarrow releases the GIL during I/O) — the same shape the
+    # iceberg sink has always used.  Large commits (many files, e.g. a
+    # 100 TB write) keep the distributed path.
+    driver_max = int(os.environ.get("SPARK_GRAFT_STATS_DRIVER_MAX", "64"))
+    if len(paths) <= driver_max:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(pth):
+            try:
+                return pth, _footer_stats(pth)
+            except Exception:
+                return pth, None  # stats are an optimization, never a failure
+
+        if len(paths) == 1:
+            pairs = [one(paths[0])]
+        else:
+            with ThreadPoolExecutor(max_workers=min(8, len(paths))) as ex:
+                pairs = list(ex.map(one, paths))
+        return {pth: st for pth, st in pairs if st}
 
     def per_path(it):
         for pth in it:
