@@ -345,56 +345,87 @@ def main() -> None:
             )
             _tl_last[0] = time.time()
 
-    def _bench_row(name, fn, force_runs=None):
-        best = None
-        first = None
-        q_runs = force_runs or (codec_runs if name in CODEC_BOUND else runs)
-        done = 0
-        for attempt in range(q_runs):
-            over_soft = (time.time() - bench_start) > budget * 0.85
-            # a >5x first-vs-nothing spike is a steal/JIT artifact, not the
-            # engine: never record it as a single-run number — one re-run is
-            # always allowed even past the soft budget
-            spiky = attempt == 1 and first is not None and first > 5.0
-            if (
-                attempt > 0 and over_soft and not spiky and not force_runs
-                and name not in CODEC_BOUND and name not in PINNED_MIN3
-            ):
-                break
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            t_build = time.time() - t0
-            df.write.mode("overwrite").format("noop").save()
-            elapsed = time.time() - t0
-            done += 1
-            if first is None:
-                first = elapsed
-            if best is None or elapsed < best:
-                best = elapsed
-                plan_build[name] = round(t_build, 3)
-                row_moment[name] = round(t0 - bench_start, 1)
-            if (
-                elapsed < 0.5 and not force_runs
-                and name not in CODEC_BOUND and name not in PINNED_MIN3
-            ):
-                break  # fast enough; a re-run can't change the story
-        timings[name] = round(best, 3)
-        n_runs[name] = n_runs.get(name, 0) + done
+    def _bench_once(name, fn):
+        """One noop-timed run; keeps the row's min and its metadata."""
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        t_build = time.time() - t0
+        df.write.mode("overwrite").format("noop").save()
+        elapsed = time.time() - t0
+        if name not in timings or elapsed < timings[name]:
+            timings[name] = round(elapsed, 3)
+            plan_build[name] = round(t_build, 3)
+            row_moment[name] = round(t0 - bench_start, 1)
+        n_runs[name] = n_runs.get(name, 0) + 1
+        return elapsed
 
+    def _wrap_codec(name, fn):
+        # normalizing a codec row needs the host's compress speed AT THE
+        # MOMENT the row ran, not at run start/end — steal swings 2x
+        # within one run (calibration_spread)
+        nonlocal calib_at_codec
+        c = _codec_calib()
+        calib_at_codec = min(calib_at_codec or 9e9, c)
+        el = _bench_once(name, fn)
+        c = _codec_calib()
+        calib_at_codec = min(calib_at_codec, c)
+        return el
+
+    def _bench_row(name, fn, force_runs=None):
+        """Guard-path re-run helper: up to force_runs more attempts."""
+        for _ in range(force_runs or 1):
+            _bench_once(name, fn)
+
+    def _max_runs(name):
+        if name in CODEC_BOUND:
+            return codec_runs
+        if name in PINNED_MIN3:
+            return max(runs, 3)
+        return runs
+
+    # r15 protocol fix (the r14 failure mode, VERDICT r14 What's-wrong
+    # #2b, reproduced this session: 28 late-list rows got ONE COLD run
+    # once the soft budget was burned by earlier rows): two-phase order.
+    # Pass 1 runs EVERY row once, so no row's number is hostage to its
+    # list position; the remaining budget then funds round-robin warm
+    # re-runs across the whole list until each row has its min-of-N.
+    # Per-row semantics are unchanged (min over noop-timed runs of the
+    # same queries); only the ORDER in which runs happen moved.
     for name in BENCH_QUERIES:
         _timeline_tick()
         if name in CODEC_BOUND:
-            # normalizing a codec row needs the host's compress speed
-            # AT THE MOMENT the row ran, not at run start/end — steal
-            # swings 2x within one run (calibration_spread)
-            c = _codec_calib()
-            calib_at_codec = min(calib_at_codec or 9e9, c)
-        _bench_row(name, queries[name])
-        if name in CODEC_BOUND:
-            c = _codec_calib()
-            calib_at_codec = min(calib_at_codec, c)
+            el = _wrap_codec(name, queries[name])
+        else:
+            el = _bench_once(name, queries[name])
+        if el > 5.0 and (time.time() - bench_start) < budget:
+            # a >5s first run is usually a steal/JIT artifact: one
+            # immediate retry so a spike never stands as a single-run
+            # number (bounded: few rows exceed 5s legitimately)
+            _bench_once(name, queries[name])
         if (time.time() - bench_start) > budget:
             break  # record what we have rather than losing the line
+
+    # pass 2+: round-robin re-runs, min kept per row.  Fast rows
+    # (min < 0.5s) early-exit as before; codec/pinned rows ignore it.
+    while (time.time() - bench_start) < budget * 0.85:
+        pending = [
+            n for n in BENCH_QUERIES
+            if n in timings and n_runs.get(n, 0) < _max_runs(n)
+            and not (
+                timings[n] < 0.5
+                and n not in CODEC_BOUND and n not in PINNED_MIN3
+            )
+        ]
+        if not pending:
+            break
+        for name in pending:
+            if (time.time() - bench_start) > budget * 0.85:
+                break
+            _timeline_tick()
+            if name in CODEC_BOUND:
+                _wrap_codec(name, queries[name])
+            else:
+                _bench_once(name, queries[name])
 
     # host steal swings tens of percent WITHIN one ~15-min run
     # (measured 0.030 -> 0.044 codec calib across 20 min): re-measure

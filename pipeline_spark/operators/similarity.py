@@ -171,15 +171,20 @@ def lsh_topk(
         norm(F.col(query_vec_field)).alias("qn"),
         F.posexplode(sig_udf(F.col(query_vec_field))).alias("table", "sig"),
     )
-    cand = (
-        c.join(F.broadcast(q), ["table", "sig"])
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    cand = c.join(F.broadcast(q), ["table", "sig"])
+    # r15: score BEFORE deduplicating.  Dedup on (query, neighbor) with
+    # the vector columns still attached forces a SortAggregate carrying
+    # array buffers (two sorts + an exchange of vectors); scoring first
+    # reduces each row to three scalars, so the dedup is a codegen
+    # HashAggregate with map-side partials — the duplicate-factor is
+    # ≤ tables and the extra dot products are cheaper than sorting
+    # vectors.  Identical result: duplicates of a pair score
+    # bit-identically, so collapsing before or after is the same set.
     scored = cand.select(
         "query_id",
         "neighbor_id",
         (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
-    )
+    ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -188,17 +193,31 @@ def lsh_topk(
     )
 
 
+def _collect_sample(
+    corpus: DataFrame, vec_field: str, sample_size: int
+) -> np.ndarray:
+    """Bounded driver-side training sample (sample_size rows × dim
+    floats, ~a few MB) — shared by the IVF and PQ trainers so composed
+    methods (ivfpq) pay ONE collect."""
+    rows = (
+        corpus.select(vec_field).limit(sample_size).toPandas()[vec_field].tolist()
+    )
+    return np.array(rows, dtype=np.float64)
+
+
 def _train_centroids(
-    corpus: DataFrame, vec_field: str, *, n_cells: int, sample_size: int, iters: int, seed: int
+    corpus: DataFrame, vec_field: str, *, n_cells: int, sample_size: int,
+    iters: int, seed: int, sample: np.ndarray | None = None,
 ):
     """Coarse quantizer training: k-means on a bounded driver-side sample
     (standard IVF practice — FAISS trains on a sample too).  The sample
     is capped (``sample_size`` rows × dim floats, ~a few MB), the full
     corpus never leaves executors."""
-    rows = (
-        corpus.select(vec_field).limit(sample_size).toPandas()[vec_field].tolist()
+    mat = (
+        sample
+        if sample is not None
+        else _collect_sample(corpus, vec_field, sample_size)
     )
-    mat = np.array(rows, dtype=np.float64)
     rng = np.random.default_rng(seed)
     centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
     for _ in range(iters):
@@ -275,12 +294,14 @@ def ivf_topk(
         norm(F.col(query_vec_field)).alias("qn"),
         F.explode(query_cells(F.col(query_vec_field))).alias("cell"),
     )
-    cand = c.join(F.broadcast(q), "cell").dropDuplicates(["query_id", "neighbor_id"])
+    cand = c.join(F.broadcast(q), "cell")
+    # score before dedup — see lsh_topk (scalar HashAggregate dedup
+    # instead of SortAggregate over vector buffers; identical result)
     scored = cand.select(
         "query_id",
         "neighbor_id",
         (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
-    )
+    ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -292,15 +313,16 @@ def ivf_topk(
 def _train_pq_codebooks(
     corpus: DataFrame, vec_field: str, *, m: int, codebook_size: int,
     sample_size: int, iters: int, seed: int,
+    sample: np.ndarray | None = None,
 ) -> list[np.ndarray]:
     """Per-subspace k-means codebooks on a bounded driver-side sample —
     FAISS's own PQ training regime.  Returns ``m`` arrays of shape
     (≤codebook_size, dim/m)."""
-    rows = (
-        corpus.select(vec_field).limit(sample_size)
-        .toPandas()[vec_field].tolist()
+    mat = (
+        sample
+        if sample is not None
+        else _collect_sample(corpus, vec_field, sample_size)
     )
-    mat = np.array(rows, dtype=np.float64)
     n, d = mat.shape
     if d % m:
         raise ValueError(
@@ -466,23 +488,55 @@ def ivfpq_topk(
     encoding."""
     from pipeline_spark.functions.partitioning import spread
 
+    # r15: ONE bounded sample collect feeds both trainers (the coarse
+    # quantizer and the PQ codebooks trained on two separate collects of
+    # the same rows before — one whole driver job saved)
+    sample = _collect_sample(corpus, vec_field, sample_size)
     centroids = _train_centroids(
         corpus, vec_field, n_cells=n_cells, sample_size=sample_size,
-        iters=kmeans_iters, seed=seed,
+        iters=kmeans_iters, seed=seed, sample=sample,
     )
     books = _train_pq_codebooks(
         corpus, vec_field, m=m, codebook_size=codebook_size,
         sample_size=sample_size, iters=kmeans_iters, seed=seed,
+        sample=sample,
     )
     dsub = books[0].shape[1]
-    corpus_cells = _cell_assign_udf(centroids, 1)
     query_cells = _cell_assign_udf(centroids, min(nprobe, len(centroids)))
-    encode = _pq_encode_udf(books)
 
+    # r15: fused corpus pass — PQ codes AND the nearest cell in ONE
+    # Arrow boundary (they read the same vectors; two chained pandas
+    # UDFs cost two JVM↔Python passes over the whole corpus)
+    mbooks = books
+    cn_ = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("struct<codes: array<int>, cell: int>")
+    def encode_and_cell(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.array(list(vecs), dtype=np.float64)
+        codes = np.zeros((len(mat), len(mbooks)), dtype=np.int32)
+        for j in range(len(mbooks)):
+            sub = mat[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - mbooks[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(1)
+        nm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        # argsort top-1, NOT argmax: bit-identical tie behavior with
+        # _cell_assign_udf(nprobe=1), which this pass replaces
+        cell = np.argsort(-(nm @ cn_.T), axis=1)[:, 0].astype(np.int32)
+        return pd.DataFrame({"codes": list(codes), "cell": cell})
+
+    # non-deterministic marking (guide §4.4): CollapseProject otherwise
+    # inlines the struct UDF into BOTH field extractions and the
+    # optimizer pushes one copy below the spread exchange — two full
+    # corpus passes for one fused UDF.  The function is in fact
+    # deterministic; the mark only forbids duplication/reordering.
+    encode_and_cell_1x = encode_and_cell.asNondeterministic()
     c = spread(corpus).select(
         F.col(id_field).alias("neighbor_id"),
-        encode(F.col(vec_field)).alias("__codes__"),
-        F.explode(corpus_cells(F.col(vec_field))).alias("cell"),
+        encode_and_cell_1x(F.col(vec_field)).alias("__ec__"),
+    ).select(
+        "neighbor_id",
+        F.col("__ec__.codes").alias("__codes__"),
+        F.col("__ec__.cell").alias("cell"),
     )
     qrows = queries.select(query_id_field, query_vec_field).collect()
     if not qrows:
@@ -501,9 +555,7 @@ def ivfpq_topk(
         "__qidx__", "query_id",
         F.explode(query_cells(F.col("__qv__"))).alias("cell"),
     )
-    cand = c.join(F.broadcast(qdf), "cell").dropDuplicates(
-        ["__qidx__", "neighbor_id"]
-    )
+    cand = c.join(F.broadcast(qdf), "cell")
 
     @F.pandas_udf("double")
     def adc(qidx_s: pd.Series, codes_s: pd.Series) -> pd.Series:
@@ -515,10 +567,14 @@ def ivfpq_topk(
             out[mask] = luts[qi][idx[None, :], codes[mask]].sum(1)
         return pd.Series(out)
 
+    # score before dedup — see lsh_topk (scalar HashAggregate dedup
+    # instead of SortAggregate over the code arrays; a duplicated
+    # (query, neighbor) pair scores bit-identically from the same LUT,
+    # so the distinct set is unchanged)
     scored = cand.select(
         "query_id", "neighbor_id",
         adc(F.col("__qidx__"), F.col("__codes__")).alias("adc_dist"),
-    )
+    ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id")
     )
