@@ -1246,6 +1246,33 @@ def match_recognize(
         out = pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
         return out
 
+    # r15 (guide §4.1 — pass only the columns the function needs): with
+    # ONE ROW PER MATCH the Python side only reads the columns the
+    # measures and the still-Python defines reference, plus the keys,
+    # the ordering, and the matcher-internal columns.  Shipping the full
+    # row pays Arrow transfer AND per-row dict materialization for
+    # columns nobody reads (the chunked bench row carried 11 lineitem
+    # columns where 4 are read).  Conservative token scan over the raw
+    # expression texts — an over-match only keeps an extra column.
+    # ALL ROWS PER MATCH emits the input row and prunes nothing.
+    prune_keep: set[str] | None = None
+    if not all_rows:
+        _ident = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+        ref_texts = [expr for expr, _n in measures]
+        ref_texts += [t for v, t in define.items() if v not in jvm_masks]
+        referenced: set[str] = set()
+        for t in ref_texts:
+            referenced.update(_ident.findall(t))
+        prune_keep = (
+            set(partition_by)
+            | (referenced & set(in_schema.fieldNames()))
+            | set(jvm_masks.values())
+        )
+        if not chunked:
+            # the Python side re-sorts by the order columns; chunked
+            # mode sorts by __seq__ (added below) instead
+            prune_keep |= set(order_cols)
+
     if chunked:
         # ordered sequence per key (spillable JVM window sort — unlike the
         # applyInPandas Arrow batch, this never holds the key in memory),
@@ -1266,18 +1293,29 @@ def match_recognize(
                 f"pattern's max length {max_pat_rows}"
             )
         seqed = df.withColumn("__seq__", F.row_number().over(wspec_seq))
-        core = seqed.withColumn(
-            "__chunk__", F.expr(f"(__seq__ - 1) div {hot_key_chunk_size}")
-        )
-        parts = [core]
+        # r15: carry-over via a single explode instead of a union of two
+        # branches — the union form re-evaluated the whole window
+        # subtree (the spillable sort of the full input, including the
+        # whole-row-hash tiebreak) TWICE.  Each row lists the 1–2 chunks
+        # that must see it (its own, plus the previous one for the first
+        # ``overlap`` rows of a chunk); one evaluation, same multiset of
+        # (row, chunk) pairs, bit-identical matches.  The hash tiebreak
+        # stays: row_number must also be deterministic under task retry.
+        chunk_expr = F.expr(f"(__seq__ - 1) div {hot_key_chunk_size}")
         if overlap > 0:
-            parts.append(
-                core.filter(
-                    (F.col("__chunk__") > 0)
-                    & (((F.col("__seq__") - 1) % hot_key_chunk_size) < overlap)
-                ).withColumn("__chunk__", F.col("__chunk__") - F.lit(1))
+            chunk_ids = F.when(
+                (chunk_expr > 0)
+                & (((F.col("__seq__") - 1) % hot_key_chunk_size) < overlap),
+                F.array(chunk_expr, chunk_expr - 1),
+            ).otherwise(F.array(chunk_expr))
+            chunked_df = seqed.withColumn("__chunk__", F.explode(chunk_ids))
+        else:
+            chunked_df = seqed.withColumn("__chunk__", chunk_expr)
+        if prune_keep is not None:
+            keep = prune_keep | {"__seq__", "__chunk__"}
+            chunked_df = chunked_df.select(
+                *[c for c in chunked_df.columns if c in keep]
             )
-        chunked_df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         group_cols = [*partition_by, "__chunk__"]
         # many-groups-per-batch substrate: explicit-width repartition +
         # mapInPandas avoids applyInPandas' per-group Arrow round trip and
@@ -1298,6 +1336,8 @@ def match_recognize(
             )
         return out.drop("__start_seq__")
 
+    if prune_keep is not None:
+        df = df.select(*[c for c in df.columns if c in prune_keep])
     if partition_by:
         from pipeline_spark.functions.grouped_apply import grouped_apply_in_pandas
 
