@@ -73,15 +73,35 @@ def _bucket(g: Column) -> Column:
     ).cast("int")
 
 
-def _bucket_counts(df: DataFrame, field: str, n: int) -> dict[int, int]:
-    rows = (
+def _bucketed(df: DataFrame, field: str, n: int, tag: int) -> DataFrame:
+    return (
         df.select(F.explode(_grams(F.col(field).cast("string"), n)).alias("g"))
         .select(_bucket(F.col("g")).alias("b"))
         .groupBy("b")
         .count()
+        .withColumn("t", F.lit(tag))
+    )
+
+
+def _bucket_counts(df: DataFrame, field: str, n: int) -> dict[int, int]:
+    rows = _bucketed(df, field, n, 0).collect()
+    return {r["b"]: r["count"] for r in rows}
+
+
+def _bucket_counts_pair(
+    corpus: DataFrame, cfield: str, target: DataFrame, tfield: str, n: int
+) -> tuple[dict[int, int], dict[int, int]]:
+    """Both bucket-count maps from ONE job (r15): the tagged union lets
+    the two ≤256-row aggregations share a single collect — and at scale
+    the two scans run concurrently instead of back to back."""
+    rows = (
+        _bucketed(corpus, cfield, n, 0)
+        .unionByName(_bucketed(target, tfield, n, 1))
         .collect()
     )
-    return {r["b"]: r["count"] for r in rows}
+    corpus_counts = {r["b"]: r["count"] for r in rows if r["t"] == 0}
+    target_counts = {r["b"]: r["count"] for r in rows if r["t"] == 1}
+    return corpus_counts, target_counts
 
 
 def dsir_lambda(
@@ -143,11 +163,10 @@ def dsir_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     alpha = float(p.get("smoothing", 1.0))
     if alpha <= 0:
         raise ValueError(f"dsir: smoothing must be > 0, got {alpha}")
-    lam = dsir_lambda(
-        _bucket_counts(target, target_field, n),
-        _bucket_counts(corpus, field, n),
-        alpha,
+    corpus_counts, target_counts = _bucket_counts_pair(
+        corpus, field, target, target_field, n
     )
+    lam = dsir_lambda(target_counts, corpus_counts, alpha)
     weight_field = p.get("weightField", "dsir_weight")
     score = dsir_weight_col(F.col(field).cast("string"), lam, n)
     out = corpus.withColumn(weight_field, score)

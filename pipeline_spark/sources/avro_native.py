@@ -185,7 +185,13 @@ def write_avro_native(
         if receipts:
             yield pd.DataFrame(receipts)
 
+    # r15: fan the encode out first — a single-row-group source would
+    # otherwise serialize the per-record OCF encode in ONE Python worker
+    # (spread is a no-op once the plan already has cluster-parallelism
+    # partitions, so at scale no extra shuffle appears)
+    from pipeline_spark.functions.partitioning import spread
+
     # materializing the receipts performs the distributed write
-    df.mapInPandas(write_parts, schema="path string, rows long").write.mode(
-        "overwrite"
-    ).format("noop").save()
+    spread(df).mapInPandas(
+        write_parts, schema="path string, rows long"
+    ).write.mode("overwrite").format("noop").save()
