@@ -77,16 +77,21 @@ def contamination_report(
         )
 
     grams = F.array_distinct(word_shingles(tokens(F.col(text_field)), ngram))
-    # ONE corpus tokenize pass: exploded distinct-gram hashes are cached
-    # as (doc, hash) ints and reused by both the per-doc size aggregate
-    # and the broadcast match join.
-    exploded = (
+    # ONE corpus tokenize pass, cached as (doc, hashed distinct-gram
+    # array) int arrays and reused by both consumers.  r15: the per-doc
+    # gram count is the ARRAY SIZE, read pre-explode — the former
+    # exploded.groupBy(id).count() pass (a second scan of the cache plus
+    # a full shuffle+aggregate) is free here.
+    hashed = (
         spread(corpus)
-        .select(F.col(id_field).alias("__id__"), F.explode(grams).alias("gram"))
-        .select("__id__", F.xxhash64("gram").alias("g"))
+        .select(
+            F.col(id_field).alias("__id__"),
+            F.transform(grams, lambda g: F.xxhash64(g)).alias("hs"),
+        )
         .persist()
     )
-    sizes = exploded.groupBy("__id__").agg(F.count(F.lit(1)).alias("n_grams"))
+    exploded = hashed.select("__id__", F.explode("hs").alias("g"))
+    sizes = hashed.select("__id__", F.size("hs").alias("n_grams"))
     matched = (
         exploded.join(F.broadcast(bench), "g")
         .groupBy("__id__")

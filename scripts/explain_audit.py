@@ -146,13 +146,22 @@ def main() -> int:
     if "Window" not in p13:
         failures.append("processing: expected WindowExec for history steps")
 
-    # chunked matchRecognize: sequence numbers from ONE spillable window
-    # sort per branch (core + carry-over reuse it), union, then the
-    # per-chunk grouped apply — no extra exchanges beyond the seq window
-    # per union branch + the width-pinned (key, chunk) grouping shuffle
+    # chunked matchRecognize (r15 shape): ONE spillable window sort
+    # computes the sequence numbers, a single when/array/explode assigns
+    # each row its 1-2 owning chunks (the pre-r15 carry-over Union
+    # re-evaluated the whole window subtree twice), then the per-chunk
+    # grouped apply — exactly 2 exchanges: the seq window + the
+    # width-pinned (key, chunk) grouping shuffle.
     p14 = plan_of(entrymod.q_match_recognize_chunked(spark, sf))
-    if "Union" not in p14:
-        failures.append("matchrec chunked: expected carry-over Union in plan")
+    if "Union" in p14:
+        failures.append(
+            "matchrec chunked: carry-over Union is back — the window "
+            "subtree would evaluate once per branch (r15 regression)"
+        )
+    if "Generate" not in p14:
+        failures.append(
+            "matchrec chunked: expected the explode chunk fan-out (Generate)"
+        )
     if "MapInPandas" not in p14:
         failures.append(
             "matchrec chunked: expected the grouped-apply MapInPandas substrate"
@@ -160,16 +169,26 @@ def main() -> int:
     import re as _re
 
     # formatted explain lists each node in the tree AND the details
-    # section, so 3 physical shuffle exchanges == 6 matches; \bExchange\b
+    # section, so 2 physical shuffle exchanges == 4 matches; \bExchange\b
     # does not match Reused/BroadcastExchange
     n_exchanges = len(_re.findall(r"\bExchange\b", p14))
-    if n_exchanges > 6:
+    if n_exchanges > 4:
         failures.append(
             f"matchrec chunked: {n_exchanges // 2} exchange nodes — "
-            "expected ≤3 (seq window per union branch + chunk grouping)"
+            "expected ≤2 (seq window + chunk grouping)"
         )
     if n_exchanges == 0:
         failures.append("matchrec chunked: exchange counter matched nothing — audit broken")
+    # r15 column pruning: the Python stage must not carry unread input
+    # columns (the query reads l_quantity; l_extendedprice is order-only
+    # and must be pruned before the MapInPandas boundary)
+    mip = p14[p14.find("MapInPandas"):]
+    arg_line = mip.split("Arguments:", 1)[-1].split("\n", 1)[0] if "Arguments:" in mip else ""
+    if "l_extendedprice" in arg_line:
+        failures.append(
+            "matchrec chunked: unread column l_extendedprice crosses the "
+            "Python boundary — §4.1 pruning regressed"
+        )
 
     # native avro read: binaryFile scan feeding the per-file decode —
     # and nothing else Python-side in the plan
@@ -505,6 +524,38 @@ sources:
             f"ones untouched (new={len(new_m)}, kept={kept})"
         )
     _shutil.rmtree(ut, ignore_errors=True)
+
+    # r15: mixed exact-distinct + object-buffer aggregation must split —
+    # the unsplit plan drags the percentile value map through a
+    # per-distinct-value (returnflag, partkey) pre-aggregation and two
+    # exchanges of object buffers (2.7 s vs 0.4 s on the bench row).
+    # Signature of the regression: a node whose detail block lists a
+    # percentile function grouped by BOTH the group key and the distinct
+    # column.
+    p15 = plan_of(entrymod.q_agg_stats(spark, sf))
+    for block in p15.split("\n\n"):
+        if ("percentile" in block and "Keys [2]" in block
+                and "l_partkey" in block):
+            failures.append(
+                "agg_stats: percentile buffers grouped by the distinct "
+                "column — the r15 distinct-split regressed"
+            )
+            break
+    if "BroadcastHashJoin" not in p15 and "SortMergeJoin" not in p15:
+        failures.append(
+            "agg_stats: no recombine join — the distinct-split did not fire"
+        )
+
+    # r15: ANN candidate dedup runs AFTER scoring, on scalars — a
+    # SortAggregate in these plans means array buffers are riding the
+    # dedup again
+    for qname in ("q_lsh_topk", "q_ivfpq_topk"):
+        pq = plan_of(getattr(entrymod, qname)(spark, sf))
+        if "SortAggregate" in pq:
+            failures.append(
+                f"{qname}: SortAggregate in plan — candidate dedup is "
+                "carrying array buffers again (r15 regression)"
+            )
 
     for f in failures:
         print("FAIL", f)
