@@ -1990,7 +1990,10 @@ def _dv_mutate_where(
         if a.get("deletionVector")
     }
 
-    def build_dv(pdf):
+    def _merge_write_dv(fp, new_positions):
+        # runs identically on the driver or inside an applyInPandas
+        # group: merge with the file's prior DV, write the blob, return
+        # the descriptor json
         import json as _j
         import os as _os
 
@@ -1999,8 +2002,8 @@ def _dv_mutate_where(
             make_dv_descriptor_relative,
         )
 
-        fp = pdf["fp"].iloc[0]
-        positions = set(int(x) for x in pdf["ri"])
+        positions = set(int(x) for x in new_positions)
+        n_new = len(positions)
         prior = old_dvs.get(fp)
         if prior:
             positions |= {int(x) for x in load_dv_positions(tbl_abs, _j.loads(prior))}
@@ -2012,15 +2015,41 @@ def _dv_mutate_where(
         with open(tmp, "wb") as fh:
             fh.write(blob)
         _os.rename(tmp, target)
+        return _j.dumps(desc), n_new
+
+    def build_dv(pdf):
         import pandas as _pd
 
-        return _pd.DataFrame(
-            {"fp": [fp], "desc": [_j.dumps(desc)], "n_new": [len(pdf)]}
-        )
+        fp = pdf["fp"].iloc[0]
+        desc, n_new = _merge_write_dv(fp, pdf["ri"])
+        return _pd.DataFrame({"fp": [fp], "desc": [desc], "n_new": [n_new]})
 
-    built = matches.groupBy("fp").applyInPandas(
-        build_dv, schema="fp string, desc string, n_new long"
-    ).collect()  # one row PER TOUCHED FILE — metadata scale
+    # strategy gate (r15, guide §3/§5): the stats already bound the
+    # matched-row count (sum of candidate numRecords).  Small mutations
+    # collect (file, position) pairs and build DVs on the driver — no
+    # groupBy shuffle, no Python-worker stage; large or unknown keep the
+    # distributed build (positions never materialize on the driver).
+    from pipeline_spark.functions.dvframe import _driver_max
+
+    bound: int | None = 0
+    for a in candidates:
+        try:
+            bound += int(json.loads(a.get("stats") or "null")["numRecords"])
+        except (TypeError, KeyError, ValueError):
+            bound = None
+            break
+    if bound is not None and bound <= _driver_max():
+        by_fp: dict[str, list[int]] = {}
+        for r in matches.collect():
+            by_fp.setdefault(r["fp"], []).append(int(r["ri"]))
+        built = []
+        for fp, ris in by_fp.items():
+            desc, n_new = _merge_write_dv(fp, ris)
+            built.append({"fp": fp, "desc": desc, "n_new": n_new})
+    else:
+        built = matches.groupBy("fp").applyInPandas(
+            build_dv, schema="fp string, desc string, n_new long"
+        ).collect()  # one row PER TOUCHED FILE — metadata scale
     for c in cached:
         c.unpersist()
     if not built:

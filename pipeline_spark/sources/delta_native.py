@@ -697,11 +697,17 @@ def read_files_with_dv(spark, table, fschema, adds, with_meta: bool = False):
                 for pos in load_dv_positions(tbl, _j.loads(dj)):
                     yield (fp, int(pos))
 
-        n = max(1, min(len(entries), 64))
-        deleted = spark.createDataFrame(
-            spark.sparkContext.parallelize(entries, n).mapPartitions(decode),
-            "__dv_fp string, __dv_ri bigint",
+        from pipeline_spark.functions.dvframe import (
+            positions_frame,
+            total_rows_of,
         )
+
+        deleted, small = positions_frame(
+            spark, entries, decode, "__dv_fp string, __dv_ri bigint",
+            total_rows_of(d.get("cardinality") for _p, d in dv),
+        )
+        if small:
+            deleted = F.broadcast(deleted)
         out = df.join(deleted, on=["__dv_fp", "__dv_ri"], how="left_anti")
         if not with_meta:
             out = out.drop("__dv_fp", "__dv_ri")
@@ -1175,11 +1181,17 @@ def read_delta_native(spark, p: dict[str, Any]):
                 for pos in load_dv_positions(tbl, _j.loads(dj)):
                     yield (fp, int(pos))
 
-        n = max(1, min(len(entries), 64))
-        deleted = spark.createDataFrame(
-            spark.sparkContext.parallelize(entries, n).mapPartitions(decode),
-            "__dv_fp string, __dv_ri bigint",
+        from pipeline_spark.functions.dvframe import (
+            positions_frame,
+            total_rows_of,
         )
+
+        deleted, small = positions_frame(
+            spark, entries, decode, "__dv_fp string, __dv_ri bigint",
+            total_rows_of(desc.get("cardinality") for _p, desc in dv_adds),
+        )
+        if small:
+            deleted = F.broadcast(deleted)
         out = df.join(
             deleted, on=["__dv_fp", "__dv_ri"], how="left_anti"
         )

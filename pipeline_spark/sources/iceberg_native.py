@@ -806,10 +806,15 @@ def _apply_row_deletes(
             )
         )
     if pdv:
-        # v3 puffin deletion vectors: decode each blob EXECUTOR-side
-        # (KB-scale roaring bitmaps; positions never pass through the
-        # driver) into the same (file, ordinal) frame position deletes
-        # use — one anti-join serves both shapes
+        # v3 puffin deletion vectors, decoded into the same
+        # (file, ordinal) frame position deletes use.  The strategy —
+        # driver decode + broadcast vs executor decode — comes from the
+        # manifests' record_count (= DV cardinality), see dvframe.py.
+        from pipeline_spark.functions.dvframe import (
+            positions_frame,
+            total_rows_of,
+        )
+
         entries = [
             (
                 d["referenced_data_file"], d["path"],
@@ -817,7 +822,6 @@ def _apply_row_deletes(
             )
             for d in pdv
         ]
-        n = max(1, min(len(entries), 64))
 
         def _decode(it):
             from pipeline_spark.functions.puffin import read_dv_positions
@@ -826,21 +830,20 @@ def _apply_row_deletes(
                 for p_ in read_dv_positions(path, off, ln):
                     yield (ref, int(p_))
 
-        pos_frames.append(
-            spark.createDataFrame(
-                spark.sparkContext.parallelize(entries, n).mapPartitions(
-                    _decode
-                ),
-                "__dfp_raw string, __dpos__ long",
-            ).select(
-                strip_scheme_col(F.col("__dfp_raw")).alias("__dfp__"),
-                "__dpos__",
-            )
+        dv_df, dv_small = positions_frame(
+            spark, entries, _decode, "__dfp_raw string, __dpos__ long",
+            total_rows_of(d.get("record_count") for d in pdv),
         )
-    if pos_frames:
-        pos_df = pos_frames[0]
-        for x in pos_frames[1:]:
-            pos_df = pos_df.unionByName(x)
+        dv_df = dv_df.select(
+            strip_scheme_col(F.col("__dfp_raw")).alias("__dfp__"),
+            "__dpos__",
+        )
+        pos_frames.append(F.broadcast(dv_df) if dv_small else dv_df)
+    # each frame anti-joins separately so each keeps its own join
+    # strategy (a union of a broadcastable DV frame with a parquet
+    # position-delete scan would lose the broadcast); anti-of-union ==
+    # chained antis
+    for pos_df in pos_frames:
         df = df.join(
             pos_df,
             (df["__fp__"] == pos_df["__dfp__"]) & (df["__pos__"] == pos_df["__dpos__"]),
@@ -904,26 +907,30 @@ def evolved_scan(spark, reader, data: list[dict], fields: list[dict],
     by_name = {f["name"]: f for f in fields}
     parts = []
     for (renames, absent), paths in groups.items():
-        if keep_extra:
-            # PIN the group schema: a group can mix rewrite-materialized
-            # files (physical ``_row_id``) with plain appends — schema
-            # inference sampling a plain footer would silently drop the
-            # materialized columns for the whole group.  The pin lists
-            # every non-absent current field under its WRITE name plus
-            # the passthrough columns; files missing one null-fill.
-            inv = {cur: w for (w, cur) in renames}
-            absent_set = set(absent)
-            ddl = ", ".join(
-                [
-                    f"`{inv.get(f['name'], f['name'])}` "
-                    f"{_iceberg_type_to_spark(f['type'])}"
-                    for f in fields if f["name"] not in absent_set
-                ]
-                + [f"`{x}` bigint" for x in keep_extra]
-            )
-            g = reader.schema(ddl).parquet(*paths)
-        else:
-            g = reader.parquet(*paths)
+        # PIN the group schema — two reasons.  Correctness under
+        # ``keep_extra``: a group can mix rewrite-materialized files
+        # (physical ``_row_id``) with plain appends, and schema
+        # inference sampling a plain footer would silently drop the
+        # materialized columns for the whole group.  Cost (r15, guide
+        # §1.2/§5): the write-time schema is already known from the
+        # manifest, so inference would only re-derive it with an extra
+        # footer-sniff job per group — and it loads dropped physical
+        # columns the final projection sheds anyway.  The pin lists
+        # every non-absent current field under its WRITE name (current
+        # types: the vectorized reader widens e.g. int32 file columns to
+        # a widened long column, same as the fill-schema read) plus the
+        # passthrough columns; files missing one null-fill.
+        inv = {cur: w for (w, cur) in renames}
+        absent_set = set(absent)
+        ddl = ", ".join(
+            [
+                f"`{inv.get(f['name'], f['name'])}` "
+                f"{_iceberg_type_to_spark(f['type'])}"
+                for f in fields if f["name"] not in absent_set
+            ]
+            + [f"`{x}` bigint" for x in (keep_extra or [])]
+        )
+        g = reader.schema(ddl).parquet(*paths)
         mapping = dict(renames)
         cols = [F.col(c).alias(mapping.get(c, c)) for c in g.columns]
         # physical-only passthrough columns (e.g. a rewrite's
@@ -1718,6 +1725,11 @@ def read_iceberg_changelog(
                     for r in pos_pairs.select("__dfp__").distinct().collect()
                 )
             if pdv:
+                from pipeline_spark.functions.dvframe import (
+                    positions_frame,
+                    total_rows_of,
+                )
+
                 entries = [
                     (d["referenced_data_file"], d["path"],
                      int(d["content_offset"]),
@@ -1734,12 +1746,15 @@ def read_iceberg_changelog(
                         for p_ in read_dv_positions(path, off, ln):
                             yield (ref, int(p_))
 
-                dvdf = spark.createDataFrame(
-                    spark.sparkContext.parallelize(
-                        entries, max(1, min(len(entries), 64))
-                    ).mapPartitions(_decode),
-                    "__dfp__ string, __dpos__ long",
+                dvdf, _dv_small = positions_frame(
+                    spark, entries, _decode, "__dfp__ string, __dpos__ long",
+                    total_rows_of(d.get("record_count") for d in pdv),
                 )
+                if _dv_small and pos_pairs is None:
+                    # a driver-built frame has no Catalyst stats; hint
+                    # the semi-join build side when cardinality is known
+                    # small (parquet pos frames auto-broadcast by size)
+                    dvdf = F.broadcast(dvdf)
                 pos_pairs = (
                     dvdf if pos_pairs is None
                     else pos_pairs.unionByName(dvdf)
