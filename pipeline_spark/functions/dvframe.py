@@ -52,8 +52,9 @@ def positions_frame(spark, entries: list, decode, schema: str,
     projection).
     """
     if total_rows is not None and int(total_rows) <= _driver_max():
-        rows = list(decode(iter(entries)))
-        return spark.createDataFrame(rows, schema), True
+        from pipeline_spark.functions.localframe import local_frame
+
+        return local_frame(spark, decode(iter(entries)), schema), True
     n = max(1, min(len(entries), 64))
     return (
         spark.createDataFrame(

@@ -1252,7 +1252,10 @@ def compact_delta_native(spark, p: dict[str, Any]) -> dict[str, int]:
             spark, table, fschema, files, with_meta=rowtrack
         )
         if rowtrack:
-            rid = spark.createDataFrame(
+            from pipeline_spark.functions.localframe import local_frame
+
+            rid = local_frame(
+                spark,
                 [
                     (
                         os.path.abspath(os.path.join(
@@ -2547,7 +2550,10 @@ def merge_delta_native(
         )
         grp = to_logical_df(grp, cm, log_fschema, keep=rt_keep)
         if rowtrack:
-            rid = spark.createDataFrame(
+            from pipeline_spark.functions.localframe import local_frame
+
+            rid = local_frame(
+                spark,
                 [
                     (
                         os.path.abspath(os.path.join(
@@ -3241,7 +3247,10 @@ def _cow_rewrite_where(
         )
         df = to_logical_df(df, cm, log_fschema, keep=rt_keep)
         if rowtrack:
-            rid = spark.createDataFrame(
+            from pipeline_spark.functions.localframe import local_frame
+
+            rid = local_frame(
+                spark,
                 [
                     (
                         os.path.abspath(os.path.join(

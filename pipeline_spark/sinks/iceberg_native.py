@@ -2668,7 +2668,9 @@ def equality_delete_iceberg_native(
             f"{c} {_iceberg_type_to_spark(by_name[c]['type']) if c in by_name and isinstance(by_name[c]['type'], str) else 'string'}"
             for c in cols
         )
-        keys_df = spark.createDataFrame(rows, ddl)
+        from pipeline_spark.functions.localframe import local_frame
+
+        keys_df = local_frame(spark, rows, ddl)
     else:
         cols = list(p.get("equalityColumns") or keys_df.columns)
     missing = [c for c in cols if c not in by_name]

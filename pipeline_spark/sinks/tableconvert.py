@@ -1038,8 +1038,11 @@ def convert_iceberg_to_delta(spark, p: dict[str, Any]) -> dict[str, Any]:
                 legacy_global_deletes=parse_legacy_global_deletes(p),
                 all_data=data,
             )
-            seq_df = spark.createDataFrame(
-                seq_rows, "__sfp__ string, __dseq__ long, __dpart__ string",
+            from pipeline_spark.functions.localframe import local_frame
+
+            seq_df = local_frame(
+                spark, seq_rows,
+                "__sfp__ string, __dseq__ long, __dpart__ string",
             )
             scan = scan.join(
                 F.broadcast(seq_df), scan["__fp__"] == seq_df["__sfp__"],

@@ -1208,7 +1208,10 @@ def read_delta_native(spark, p: dict[str, Any]):
         )
         out = to_logical_df(drop_deleted(out), cm, schema.fields, keep=keep)
         if want_ri:
-            rid = spark.createDataFrame(
+            from pipeline_spark.functions.localframe import local_frame
+
+            rid = local_frame(
+                spark,
                 [
                     (
                         os.path.abspath(pth),

@@ -858,8 +858,10 @@ def _apply_row_deletes(
             irreversible=irreversible,
             legacy_explicit=legacy_explicit,
         )
-        seq_df = spark.createDataFrame(
-            seq_rows, "__sfp__ string, __dseq__ long, __dpart__ string"
+        from pipeline_spark.functions.localframe import local_frame
+
+        seq_df = local_frame(
+            spark, seq_rows, "__sfp__ string, __dseq__ long, __dpart__ string"
         )
         df = df.join(
             F.broadcast(seq_df), df["__fp__"] == seq_df["__sfp__"], "left"
@@ -1094,7 +1096,9 @@ def apply_identity_fill(spark, df, fills: dict[str, dict],
     sch = ", ".join(["__ifp__ string"] + [
         f"__fill_{i}__ {fill_types[c]}" for i, c in enumerate(cols)
     ])
-    fdf = spark.createDataFrame(rows, sch)
+    from pipeline_spark.functions.localframe import local_frame
+
+    fdf = local_frame(spark, rows, sch)
     had_fp = "__fp__" in df.columns
     pre_cols = set(df.columns)
     if not had_fp:
@@ -1157,7 +1161,10 @@ def derive_row_ids(spark, df, data: list[dict], *, with_seq: bool = False):
     rows; requires ``__fp__``/``__pos__`` stamped (``stamp_lineage``)."""
     from pyspark.sql import functions as F
 
-    rid = spark.createDataFrame(
+    from pipeline_spark.functions.localframe import local_frame
+
+    rid = local_frame(
+        spark,
         [
             (norm_path(d["path"]),
              int(d["first_row_id"]) if d.get("first_row_id") is not None
