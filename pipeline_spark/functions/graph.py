@@ -162,4 +162,6 @@ def _union_find_driver(e: DataFrame) -> DataFrame:
         root = find(n)
         comp_min[root] = min(comp_min.get(root, n), n)
     out = [(n, comp_min[find(n)]) for n in sorted(nodes)]
-    return e.sparkSession.createDataFrame(out, "node long, component long")
+    from pipeline_spark.functions.localframe import local_frame
+
+    return local_frame(e.sparkSession, out, "node long, component long")

@@ -156,32 +156,69 @@ def span_cut(
     # global (doc, pos) order; rank 1 is the canonical kept copy
     rn = F.row_number().over(Window.partitionBy("h").orderBy("__id__", "pos"))
     removals = grams.withColumn("rn", rn).filter(F.col("rn") > 1)
-    covered = removals.select(
-        "__id__",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(ngram - 1))).alias("idx"),
-    ).distinct()
-    toku = base.select("__id__", F.posexplode("__t__").alias("idx", "tok"))
-    kept = toku.join(covered, ["__id__", "idx"], "left_anti")
-    rebuilt = kept.groupBy("__id__").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "tok"))), lambda s: s["tok"]
-            ),
-            " ",
-        ).alias("__text__"),
-        F.count(F.lit(1)).alias("__kept__"),
+    # r15 rebuild (guide §2.4): cut via per-doc merged intervals instead
+    # of exploding every corpus token into a (doc, idx) anti-join + a
+    # collect_list re-assembly — those two shuffles carried EVERY token
+    # of EVERY doc; removal starts are duplicate-scale, and a doc with
+    # no duplicates now never shuffles at all (the gap join's build side
+    # is only the docs with removals).
+    starts = removals.groupBy("__id__").agg(
+        F.array_sort(F.collect_set("pos")).alias("__ss__")
     )
-    return (
-        base.select("__id__", F.size("__t__").alias("__total__"))
-        .join(rebuilt, "__id__", "left")
-        .select(
-            F.col("__id__").alias(id_field),
-            F.coalesce(F.col("__text__"), F.lit("")).alias(text_field),
-            F.col("__total__").cast("int").alias("n_tokens"),
-            (F.col("__total__") - F.coalesce(F.col("__kept__"), F.lit(0)))
-            .cast("int")
-            .alias("n_removed"),
+
+    def _iv(s_col, e_col):
+        return F.struct(
+            s_col.cast("int").alias("s"), e_col.cast("int").alias("e")
         )
+
+    # sorted removal starts -> disjoint covered intervals [s, s+n-1],
+    # overlapping/adjacent runs merged (starts ascend, so the merged
+    # interval's end only ever extends)
+    merged = F.aggregate(
+        F.col("__ss__"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (s <= F.get(acc, F.size(acc) - 1)["e"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(_iv(F.get(acc, F.size(acc) - 1)["s"],
+                            s + F.lit(ngram - 1))),
+            ),
+        ).otherwise(F.concat(acc, F.array(_iv(s, s + F.lit(ngram - 1))))),
+    )
+    joined = (
+        base.join(starts, "__id__", "left")
+        .select("__id__", "__t__", F.coalesce(
+            merged, F.array().cast("array<struct<s:int,e:int>>")
+        ).alias("__iv__"))
+    )
+    # kept tokens = the gaps between covered intervals, sliced out of the
+    # token array in order (gap i spans [prev.e+1, next.s-1]; first gap
+    # starts at 0, last ends at the doc's final token)
+    t_col, iv = F.col("__t__"), F.col("__iv__")
+    k = F.size(iv)
+    gaps = F.transform(
+        F.sequence(F.lit(0), k),
+        lambda i: F.struct(
+            F.when(i == 0, F.lit(0))
+            .otherwise(F.get(iv, i - 1)["e"] + 1).alias("gs"),
+            F.when(i == k, F.size(t_col) - 1)
+            .otherwise(F.get(iv, i)["s"] - 1).alias("ge"),
+        ),
+    )
+    kept = F.flatten(F.transform(
+        gaps,
+        lambda g: F.slice(
+            t_col, g["gs"] + 1,
+            F.greatest(g["ge"] - g["gs"] + 1, F.lit(0)),
+        ),
+    ))
+    return joined.select(
+        F.col("__id__").alias(id_field),
+        F.array_join(kept, " ").alias(text_field),
+        F.size("__t__").cast("int").alias("n_tokens"),
+        (F.size("__t__") - F.size(kept)).cast("int").alias("n_removed"),
     )
 
 
