@@ -40,28 +40,52 @@ def _toks(col: Column) -> Column:
     return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
 
 
-def lang_id(col: Column) -> Column:
-    """Argmax stopword-overlap language; 'und' when nothing matches.
+_LANG_SCORES = "__lang_scores__"
+
+
+def _lang_score_array(col: Column) -> Column:
+    """Per-language stopword-overlap scores as one array Column.
 
     Token membership is counted with ``regexp_count`` + lookahead over the
     space-normalized text instead of a higher-order ``filter`` lambda:
     Catalyst interprets HOF lambdas row-at-a-time while regexp_count stays
     in whole-stage codegen — measured 1.7× faster warm at sf0.1 and the
     gap grows with corpus size.  The lookahead keeps the boundary space
-    unconsumed so adjacent stopwords ("the and") both count; scores are
-    bit-identical to the token-membership formulation (asserted when this
-    replaced the HOF version)."""
+    unconsumed so adjacent stopwords ("the and") both count.  All six
+    scores sit unconditionally in one array, so codegen subexpression
+    elimination evaluates the normalization and token count once per row.
+    """
     norm = F.concat(F.lit(" "), F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
     n = F.greatest(F.size(_toks(col)), F.lit(1)).cast("double")
-    best_lang = F.lit("und")
-    best_score = F.lit(0.0)
-    for lang, words in LANG_STOPWORDS.items():
+    scores = []
+    for words in LANG_STOPWORDS.values():
         pat = " (?=(?:" + "|".join(words) + ")( |$))"
-        score = F.regexp_count(norm, F.lit(pat)).cast("double") / n
-        better = score > best_score
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(better, score).otherwise(best_score)
-    return best_lang
+        scores.append(F.regexp_count(norm, F.lit(pat)).cast("double") / n)
+    return F.array(*scores)
+
+
+def apply_lang_id(df: DataFrame, col: Column, out_name: str) -> DataFrame:
+    """Argmax stopword-overlap language; 'und' when nothing matches.
+
+    Two separate projections on purpose: the former single-Column
+    formulation folded each score into a nested when-chain, so every
+    comparison re-embedded every earlier score subtree — the expression
+    grew exponentially in language count (a 36 KB plan node for 6
+    languages) and CASE WHEN branches are excluded from codegen
+    subexpression elimination, so the regexes re-evaluated per branch.
+    Staging the score array behind its own projection keeps each regex in
+    the plan exactly once (CollapseProject refuses to inline a non-cheap
+    alias referenced more than once).  ``array_position`` of the max
+    reproduces the strict first-max-wins tie rule; ``when(mx > 0)``
+    reproduces both the all-zero and the NULL-text 'und' cases."""
+    langs = F.array(*[F.lit(l) for l in LANG_STOPWORDS])
+    scored = df.withColumn(_LANG_SCORES, _lang_score_array(col))
+    s = F.col(_LANG_SCORES)
+    mx = F.array_max(s)
+    pick = F.element_at(langs, F.array_position(s, mx).cast("int"))
+    return scored.withColumn(
+        out_name, F.when(mx > F.lit(0.0), pick).otherwise(F.lit("und"))
+    ).drop(_LANG_SCORES)
 
 
 def quality_score(col: Column) -> Column:
@@ -265,7 +289,7 @@ def textstats_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
     ops = p.get("ops") or ["lang_id", "quality", "token_count", "fingerprint"]
     for op in ops:
         if op == "lang_id":
-            df = df.withColumn(p.get("langField", "lang_pred"), lang_id(col))
+            df = apply_lang_id(df, col, p.get("langField", "lang_pred"))
         elif op == "quality":
             df = df.withColumn(p.get("qualityField", "quality"), quality_score(col))
         elif op == "token_count":
