@@ -31,16 +31,27 @@ from pyspark.sql import functions as F
 
 from pipeline_spark.functions.partitioning import spread
 from pipeline_spark.operators.dedup import normalize_text, tokens
-from pipeline_spark.operators.tokenize import word_shingles
+from pipeline_spark.operators.tokenize import hashed_word_shingles
 from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
 
 
 def _gram_hashes(df: DataFrame, text_field: str, n: int) -> DataFrame:
-    """Distinct benchmark n-gram hashes (one 8-byte int per gram)."""
-    grams = F.array_distinct(word_shingles(tokens(F.col(text_field)), n))
+    """Distinct benchmark n-gram hashes (one 8-byte int per gram).
+
+    Both the benchmark side and the corpus side MUST build fingerprints
+    the same way (hashed_word_shingles over pre-hashed tokens) — matches
+    are hash equality, so the two sides have to agree on the scheme.
+    Two selects on purpose: the token-hash array must be an attribute
+    reference inside the shingle lambda, or it would re-evaluate per
+    position."""
+    th = F.transform(tokens(F.col(text_field)), lambda t: F.xxhash64(t))
     return (
-        df.select(F.explode(grams).alias("gram"))
-        .select(F.xxhash64("gram").alias("g"))
+        df.select(th.alias("__th__"))
+        .select(
+            F.explode(
+                F.array_distinct(hashed_word_shingles(F.col("__th__"), n))
+            ).alias("g")
+        )
         .distinct()
     )
 
@@ -76,17 +87,22 @@ def contamination_report(
             "raise maxBenchmarkGrams deliberately"
         )
 
-    grams = F.array_distinct(word_shingles(tokens(F.col(text_field)), ngram))
     # ONE corpus tokenize pass, cached as (doc, hashed distinct-gram
     # array) int arrays and reused by both consumers.  r15: the per-doc
     # gram count is the ARRAY SIZE, read pre-explode — the former
     # exploded.groupBy(id).count() pass (a second scan of the cache plus
-    # a full shuffle+aggregate) is free here.
+    # a full shuffle+aggregate) is free here.  Fingerprints are
+    # hashed_word_shingles (same scheme as the benchmark side above —
+    # matches are hash equality); no gram strings are ever built.
+    th = F.transform(tokens(F.col(text_field)), lambda t: F.xxhash64(t))
     hashed = (
         spread(corpus)
+        .select(F.col(id_field).alias("__id__"), th.alias("__th__"))
         .select(
-            F.col(id_field).alias("__id__"),
-            F.transform(grams, lambda g: F.xxhash64(g)).alias("hs"),
+            "__id__",
+            F.array_distinct(
+                hashed_word_shingles(F.col("__th__"), ngram)
+            ).alias("hs"),
         )
         .persist()
     )

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pipeline_spark.functions.graph import connected_components
 from pipeline_spark.functions.partitioning import spread
 from pipeline_spark.functions.vector import cosine
-from pipeline_spark.operators.tokenize import word_shingles
+from pipeline_spark.operators.tokenize import hashed_word_shingles, word_shingles
 from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
 
 
@@ -417,25 +417,33 @@ def ngram_jaccard_pairs(
     anyway.  Overlap counts stay exact for surviving grams; set ``None``
     to disable (true exactness on validation samples).
     """
-    grams = F.array_distinct(word_shingles(tokens(F.col(text_field)), ngram))
-    base = spread(df).select(F.col(id_field).alias("doc"), grams.alias("grams")).filter(
-        F.size("grams") > 0
-    )
-    # group on the 8-byte gram hash, not the gram string — the shuffle
-    # carries ints (collision odds ~n²/2⁶⁴, immaterial for dedup).
+    # Grams live as xxhash64 fingerprints end to end (hashed_word_shingles
+    # — hash of the pre-hashed token slice, never the joined string): the
+    # shuffle carries 8-byte ints and array_distinct dedups longs instead
+    # of strings (collision odds ~n²/2⁶⁴, immaterial for dedup).
     # Persisted because BOTH the bucket pass and the per-doc size read
     # consume it — without the cache the tokenize pipeline runs twice
     # (two shuffles on different keys can't reuse one exchange).  The
-    # cache holds (doc, hashed-gram array, n): int arrays, ~16 B/gram.
-    # r15: |distinct grams| per doc is exactly F.size(grams) — explode
+    # cache holds (doc, hashed-gram array, n): int arrays, ~8 B/gram.
+    # r15: |distinct grams| per doc is exactly F.size(gs) — explode
     # emits one row per array element — so the former
     # exploded.groupBy(doc).count() pass (a second scan of the cache
     # plus a full shuffle+aggregate) is computed for free pre-explode.
-    hashed = base.select(
-        "doc",
-        F.transform("grams", lambda g: F.xxhash64(g)).alias("gs"),
-        F.size("grams").alias("n"),
-    ).persist()
+    # NO pre-cache filter(size > 0): Catalyst pushed it below the spread
+    # exchange, evaluating the whole shingle expression a second time per
+    # doc in a non-codegen Filter (measured 10× slower cache build);
+    # explode drops empty arrays and the size joins are inner, so
+    # zero-gram docs never surface either way.
+    th = F.transform(tokens(F.col(text_field)), lambda t: F.xxhash64(t))
+    staged = spread(df).select(F.col(id_field).alias("doc"), th.alias("__th__"))
+    hashed = (
+        staged.select(
+            "doc",
+            F.array_distinct(hashed_word_shingles(F.col("__th__"), ngram)).alias("gs"),
+        )
+        .select("doc", "gs", F.size("gs").alias("n"))
+        .persist()
+    )
     exploded = hashed.select("doc", F.explode("gs").alias("g"))
     sizes = hashed.select("doc", "n")
     # ONE shuffle: bucket docs per gram, then enumerate co-occurrence

@@ -527,6 +527,34 @@ def word_shingles(toks: Column, n: int, sep: str = " ") -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def hashed_word_shingles(th: Column, n: int) -> Column:
+    """xxhash64 fingerprints of word n-gram shingles, from PRE-HASHED
+    tokens — for consumers that only ever compare grams for EQUALITY.
+
+    ``th`` must be an attribute reference to ``transform(toks,
+    xxhash64)`` staged in its OWN projection: a raw expression here would
+    be re-evaluated per position inside the lambda (HOF lambdas get no
+    subexpression elimination), turning O(n·k) into O(n²·k).
+
+    Equality structure matches the string formulation exactly: tokens
+    come from a split on single spaces, so no token contains the
+    separator and ``concat_ws(" ", gram)`` is injective on token
+    sequences — two windows produce equal fingerprints iff their token
+    sequences are equal, modulo xxhash64 collisions, the same collision
+    class the string-hash consumers already accept (~n²/2⁻⁶⁴).  Skipping
+    the per-position string build + hashing longs instead of chars
+    measured 1.6–2.7× faster on the sf0.1 documents corpus (bigger k →
+    bigger win; array_distinct over longs instead of strings is most of
+    it)."""
+    return F.when(
+        F.size(th) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(th) - F.lit(n - 1)),
+            lambda i: F.xxhash64(F.slice(th, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 _ENGLISH_STOP = [
     "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
     "in", "into", "is", "it", "no", "not", "of", "on", "or", "such", "that",
