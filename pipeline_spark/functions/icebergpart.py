@@ -23,6 +23,7 @@ import re
 import struct
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column
@@ -73,6 +74,40 @@ def bucket_hash_long(v: int) -> int:
 
 def bucket_hash_str(v: str) -> int:
     return murmur3_32(v.encode("utf-8"))
+
+
+def bucket_np(s: "pd.Series", n: int) -> "pd.Series":
+    """Vectorized Iceberg long bucket for a whole Arrow batch:
+    ``(murmur3_x86_32(little_endian_8_bytes(v)) & Int.MaxValue) % n``
+    in numpy uint32 arithmetic (wrap-around multiplication is native),
+    no per-row Python.  Agrees bit-for-bit with ``iceberg_bucket(v, n,
+    "long")`` — pinned in tests/test_icebergpart.py — including the
+    float64 arrival shape pandas uses for nullable long batches (the
+    float->int64 cast truncates exactly like the scalar ``int(v)``)."""
+    mask = s.isna()
+    v = s.fillna(0).to_numpy(dtype=np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        k1 = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        k2 = (v >> np.uint64(32)).astype(np.uint32)
+        h = np.zeros(len(v), np.uint32)
+        for k in (k1, k2):
+            k = k * np.uint32(0xCC9E2D51)
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * np.uint32(0x1B873593)
+            h = h ^ k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h = h ^ np.uint32(8)  # len(data) == 8, empty tail
+        h = h ^ (h >> np.uint32(16))
+        h = h * np.uint32(0x85EBCA6B)
+        h = h ^ (h >> np.uint32(13))
+        h = h * np.uint32(0xC2B2AE35)
+        h = h ^ (h >> np.uint32(16))
+        b = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype("int32")
+    out = pd.Series(b).astype("Int32")
+    if mask.any():
+        out[mask.to_numpy()] = None
+    return out
 
 
 def iceberg_bucket(v, n: int, kind: str):
@@ -244,38 +279,28 @@ def transform_column(field: dict[str, Any], dtype) -> tuple[Column, str]:
         raise ValueError("iceberg: truncate() supports int/long/string")
     if tr == "bucket":
         n = field["param"]
-        if kind in ("long", "date"):
+        if kind in ("long", "date", "timestamp"):
             @F.pandas_udf("int")
             def _b(s: pd.Series) -> pd.Series:
-                return s.map(
-                    lambda v: None
-                    if v is None or v != v
-                    else iceberg_bucket(int(v), n, "long")
-                ).astype("Int32")
+                return bucket_np(s, n)
 
-            col = src.cast("long") if kind == "long" else F.datediff(
-                src, F.to_date(F.lit("1970-01-01"))
-            ).cast("long")
+            if kind == "long":
+                col = src.cast("long")
+            elif kind == "date":
+                col = F.datediff(
+                    src, F.to_date(F.lit("1970-01-01"))
+                ).cast("long")
+            else:
+                # spec: timestamps hash as EXACT microseconds from
+                # epoch — a double round-trip (cast("double") * 1e6) is
+                # off by one micro for ~1% of values and would bucket
+                # rows wrongly
+                col = (
+                    F.unix_micros(src)
+                    if isinstance(dtype, T.TimestampType)
+                    else _ntz_micros(src)
+                )
             return _b(col), "int"
-        if kind == "timestamp":
-            @F.pandas_udf("int")
-            def _bt(s: pd.Series) -> pd.Series:
-                # nullable longs arrive as float64 with NaN for nulls
-                return s.map(
-                    lambda v: None
-                    if v is None or v != v
-                    else iceberg_bucket(int(v), n, "long")
-                ).astype("Int32")
-
-            # spec: timestamps hash as EXACT microseconds from epoch —
-            # a double round-trip (cast("double") * 1e6) is off by one
-            # micro for ~1% of values and would bucket rows wrongly
-            micros = (
-                F.unix_micros(src)
-                if isinstance(dtype, T.TimestampType)
-                else _ntz_micros(src)
-            )
-            return _bt(micros), "int"
         if kind == "string":
             @F.pandas_udf("int")
             def _bs(s: pd.Series) -> pd.Series:

@@ -270,3 +270,34 @@ def test_append_spec_mismatch_rejected(spark, tmp_path):
         )
     # the rejected appends left no orphan data files / extra snapshots
     assert read_iceberg_native(spark, {"path": tbl}).count() == 12
+
+
+def test_bucket_np_matches_scalar():
+    """The numpy-vectorized batch bucket must agree with the scalar spec
+    implementation on every long-kind value class: negatives, extremes,
+    NULL (in the float64 arrival shape pandas uses for nullable long
+    batches), and the spec Appendix B vector."""
+    import random
+
+    import pandas as pd
+
+    from pipeline_spark.functions.icebergpart import bucket_np
+
+    rng = random.Random(0xB0C)
+    vals = [
+        34,  # spec appendix vector
+        0, 1, -1, 2**31 - 1, -(2**31), 2**63 - 1, -(2**63),
+    ] + [rng.randint(-(2**63), 2**63 - 1) for _ in range(1000)]
+    s = pd.Series(vals, dtype="int64")
+    for n in (4, 16, 1000):
+        got = bucket_np(s, n)
+        for i, v in enumerate(vals):
+            assert got[i] == iceberg_bucket(v, n, "long"), (v, n)
+    # nullable batches arrive as float64 with NaN; the scalar path did
+    # int(float_v) — same truncation as the vectorized cast
+    sf = pd.Series([7.0, None, -3.0, 123456.0], dtype="float64")
+    got = bucket_np(sf, 16)
+    assert got[1] is None or pd.isna(got[1])
+    assert got[0] == iceberg_bucket(7, 16, "long")
+    assert got[2] == iceberg_bucket(-3, 16, "long")
+    assert got[3] == iceberg_bucket(123456, 16, "long")
