@@ -540,15 +540,29 @@ def to_physical_df(df, cm: dict | None):
         return df
     from pyspark.sql import functions as F
 
+    from pipeline_spark.functions.sqltext import atomic_ddl, qi
+
+    # r16: SQL text per column (one selectExpr round-trip) instead of
+    # col+cast+alias Column calls each; nested types keep the Column
+    # cast (their simpleString would not quote physical field names)
     fields = {f.name: f for f in cm["phys_schema"].fields}
-    cols = []
+    exprs: list = []
     for name in df.columns:
         p = cm["phys_of"].get(name, name)
-        c = F.col(name)
         if p in fields:
-            c = c.cast(_nullable_type(fields[p].dataType))
-        cols.append(c.alias(p))
-    return df.select(*cols)
+            t = _nullable_type(fields[p].dataType)
+            ddl = atomic_ddl(t)
+            if ddl is None:
+                exprs.append(F.col(name).cast(t).alias(p))
+            else:
+                exprs.append(f"CAST({qi(name)} AS {ddl}) AS {qi(p)}")
+        else:
+            exprs.append(f"{qi(name)} AS {qi(p)}")
+    if all(isinstance(e, str) for e in exprs):
+        return df.selectExpr(*exprs)
+    return df.select(
+        *[F.expr(e) if isinstance(e, str) else e for e in exprs]
+    )
 
 
 def to_logical_df(df, cm: dict | None, fields, keep: tuple = ()):
@@ -558,17 +572,24 @@ def to_logical_df(df, cm: dict | None, fields, keep: tuple = ()):
     (``__dv_fp``, ``_change_type``...) appended verbatim when present."""
     from pyspark.sql import functions as F
 
+    from pipeline_spark.functions.sqltext import atomic_ddl, qi
+
     if not cm:
-        sel = [F.col(f.name) for f in fields]
+        sel: list = [qi(f.name) for f in fields]
     else:
-        sel = [
-            F.col(cm["phys_of"].get(f.name, f.name))
-            .cast(_nullable_type(f.dataType))
-            .alias(f.name)
-            for f in fields
-        ]
-    sel += [F.col(k) for k in keep if k in df.columns]
-    return df.select(*sel)
+        sel = []
+        for f in fields:
+            t = _nullable_type(f.dataType)
+            ddl = atomic_ddl(t)
+            phys = cm["phys_of"].get(f.name, f.name)
+            if ddl is None:
+                sel.append(F.col(phys).cast(t).alias(f.name))
+            else:
+                sel.append(f"CAST({qi(phys)} AS {ddl}) AS {qi(f.name)}")
+    sel += [qi(k) for k in keep if k in df.columns]
+    if all(isinstance(e, str) for e in sel):
+        return df.selectExpr(*sel)
+    return df.select(*[F.expr(e) if isinstance(e, str) else e for e in sel])
 
 
 def _is_hive_layout(adds: list[dict], part_cols: list[str]) -> bool:
@@ -648,11 +669,14 @@ def read_files_with_dv(spark, table, fschema, adds, with_meta: bool = False):
     """
     from pyspark.sql import functions as F
 
-    def meta_cols():
-        return [
-            _uri_to_path(F.col("_metadata.file_path")).alias("__dv_fp"),
-            F.col("_metadata.row_index").alias("__dv_ri"),
-        ]
+    from pipeline_spark.functions.sqltext import fp_norm_sql
+
+    # r16: SQL text — one selectExpr round-trip instead of ~10 Column
+    # calls per scan (this helper runs on every DV-aware delta read)
+    meta_texts = [
+        fp_norm_sql("_metadata.file_path") + " AS __dv_fp",
+        "_metadata.row_index AS __dv_ri",
+    ]
 
     paths = [
         os.path.join(table, urllib.parse.unquote(a["path"])) for a in adds
@@ -675,15 +699,15 @@ def read_files_with_dv(spark, table, fschema, adds, with_meta: bool = False):
             .parquet(*plain)
         )
         if with_meta:
-            df = df.select("*", *meta_cols())
+            df = df.selectExpr("*", *meta_texts)
         parts.append(df)
     if dv:
         df = (
             spark.read.schema(fschema)
             .option("recursiveFileLookup", "true")
             .parquet(*[p for p, _ in dv])
-        ).select(
-            "*", *meta_cols()
+        ).selectExpr(
+            "*", *meta_texts
         )
         entries = [(os.path.abspath(p), json.dumps(d)) for p, d in dv]
         tbl = table
@@ -1154,12 +1178,14 @@ def read_delta_native(spark, p: dict[str, Any]):
         # the same pair)
         if not dv_adds and not want_ri:
             return df
-        return df.select(
+        from pipeline_spark.functions.sqltext import fp_norm_sql
+
+        return df.selectExpr(
             "*",
             # normalize the URI ("file:/p" → "/p", %XX decoded) so it
             # matches the descriptor-side os.path.abspath form
-            _uri_to_path(F.col("_metadata.file_path")).alias("__dv_fp"),
-            F.col("_metadata.row_index").alias("__dv_ri"),
+            fp_norm_sql("_metadata.file_path") + " AS __dv_fp",
+            "_metadata.row_index AS __dv_ri",
         )
 
     def drop_deleted(df):

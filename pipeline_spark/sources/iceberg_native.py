@@ -772,24 +772,22 @@ def _apply_row_deletes(
 
     from pyspark.sql import functions as F
 
-    def norm(col):
+    from pipeline_spark.functions.sqltext import (
+        fp_norm_sql,
+        scheme_strip_sql,
+    )
+
+    if "__fp__" not in df.columns:
         # URI → raw path: strip the scheme AND percent-decode — a hive
         # partition value with a space arrives as %20 in
         # _metadata.file_path and an undecoded comparison silently skips
         # the seq test / position match (resurrecting deleted rows).
         # '+' is pre-escaped so url_decode's form-decoding can't corrupt
-        # literal plus signs.
-        return F.url_decode(
-            F.regexp_replace(
-                F.regexp_replace(col, "^file:/+", "/"), r"\+", "%2B"
-            )
-        )
-
-    if "__fp__" not in df.columns:
-        df = df.select(
+        # literal plus signs.  SQL text: one round-trip (r16).
+        df = df.selectExpr(
             "*",
-            norm(F.col("_metadata.file_path")).alias("__fp__"),
-            F.col("_metadata.row_index").alias("__pos__"),
+            fp_norm_sql("_metadata.file_path") + " AS __fp__",
+            "_metadata.row_index AS __pos__",
         )
     # else: an evolved scan already stamped lineage at the per-file scan
     # (the _metadata virtual columns don't survive a union/projection)
@@ -800,9 +798,9 @@ def _apply_row_deletes(
     if pos:
         pos_frames.append(
             spark.read.parquet(*[d["path"] for d in pos])
-            .select(
-                strip_scheme_col(F.col("file_path")).alias("__dfp__"),
-                F.col("pos").alias("__dpos__"),
+            .selectExpr(
+                scheme_strip_sql("file_path") + " AS __dfp__",
+                "pos AS __dpos__",
             )
         )
     if pdv:
@@ -834,8 +832,8 @@ def _apply_row_deletes(
             spark, entries, _decode, "__dfp_raw string, __dpos__ long",
             total_rows_of(d.get("record_count") for d in pdv),
         )
-        dv_df = dv_df.select(
-            strip_scheme_col(F.col("__dfp_raw")).alias("__dfp__"),
+        dv_df = dv_df.selectExpr(
+            scheme_strip_sql("__dfp_raw") + " AS __dfp__",
             "__dpos__",
         )
         pos_frames.append(F.broadcast(dv_df) if dv_small else dv_df)
@@ -934,12 +932,30 @@ def evolved_scan(spark, reader, data: list[dict], fields: list[dict],
         )
         g = reader.schema(ddl).parquet(*paths)
         mapping = dict(renames)
-        cols = [F.col(c).alias(mapping.get(c, c)) for c in g.columns]
+        # r16: the whole per-group projection as SQL texts — one
+        # selectExpr round-trip instead of 3-5 Column calls per column
+        # per group on every evolved read.  Falls back to the Column
+        # API only for initial-default literal types SQL text cannot
+        # spell exactly (sql_lit raises).
+        from pipeline_spark.functions.sqltext import (
+            fp_norm_sql,
+            qi,
+            sql_lit,
+        )
+
+        texts: list[str] | None = [
+            f"{qi(c)} AS {qi(mapping.get(c, c))}" for c in g.columns
+        ]
+        cols = [F.col(c).alias(mapping.get(c, c)) for c in g.columns] \
+            if texts is None else None
         # physical-only passthrough columns (e.g. a rewrite's
         # materialized ``_row_id``): keep when present, null-pad when not
         for extra in (keep_extra or []):
             if extra not in g.columns:
-                cols.append(F.lit(None).cast("bigint").alias(extra))
+                if texts is not None:
+                    texts.append(f"CAST(NULL AS BIGINT) AS {qi(extra)}")
+                else:
+                    cols.append(F.lit(None).cast("bigint").alias(extra))
         # columns added AFTER this generation's files were written pad
         # PER GROUP: v3 ``initial-default`` when the field declares one
         # (spec Default values), else null.  Group-level padding (not
@@ -949,26 +965,41 @@ def evolved_scan(spark, reader, data: list[dict], fields: list[dict],
             f = by_name.get(aname)
             if f is None:
                 continue
-            cols.append(
-                F.lit(f.get("initial-default"))
-                .cast(_iceberg_type_to_spark(f["type"]))
-                .alias(aname)
-            )
+            if texts is not None:
+                try:
+                    texts.append(
+                        f"CAST({sql_lit(f.get('initial-default'))} AS "
+                        f"{_iceberg_type_to_spark(f['type'])}) "
+                        f"AS {qi(aname)}"
+                    )
+                except ValueError:
+                    # un-spellable literal (bytes/decimal default):
+                    # rebuild everything so far through the Column API
+                    cols = [F.expr(t) for t in texts]
+                    texts = None
+            if texts is None:
+                cols.append(
+                    F.lit(f.get("initial-default"))
+                    .cast(_iceberg_type_to_spark(f["type"]))
+                    .alias(aname)
+                )
         if with_lineage:
             # the FULL path normalization (scheme strip + percent-decode
             # with '+' protection) — identical to _apply_row_deletes'
             # norm, so delete matching and identity-partition fill agree
             # with driver-side norm_path even when a partition value
             # percent-encodes into the directory name (e.g. a space)
-            cols = [
-                F.url_decode(F.regexp_replace(
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:/+", "/"
-                    ), r"\+", "%2B",
-                )).alias("__fp__"),
-                F.col("_metadata.row_index").alias("__pos__"),
-            ] + cols
-        parts.append(g.select(*cols))
+            lineage_texts = [
+                fp_norm_sql("_metadata.file_path") + " AS __fp__",
+                "_metadata.row_index AS __pos__",
+            ]
+            if texts is not None:
+                texts = lineage_texts + texts
+            else:
+                cols = [F.expr(t) for t in lineage_texts] + cols
+        parts.append(
+            g.selectExpr(*texts) if texts is not None else g.select(*cols)
+        )
     df = parts[0]
     for x in parts[1:]:
         df = df.unionByName(x, allowMissingColumns=True)
@@ -1105,13 +1136,10 @@ def apply_identity_fill(spark, df, fills: dict[str, dict],
         # EXACTLY _apply_row_deletes's normalization (scheme strip +
         # percent-decode with '+' protection) so norm_path-keyed plan
         # paths match and a later delete pass can reuse the column
-        df = df.select(
-            "*",
-            F.url_decode(F.regexp_replace(
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ), r"\+", "%2B",
-            )).alias("__fp__"),
+        from pipeline_spark.functions.sqltext import fp_norm_sql
+
+        df = df.selectExpr(
+            "*", fp_norm_sql("_metadata.file_path") + " AS __fp__"
         )
     df = df.join(F.broadcast(fdf), df["__fp__"] == fdf["__ifp__"], "left")
     for i, c in enumerate(cols):
@@ -1132,19 +1160,17 @@ def stamp_lineage(df):
     the parquet ``_metadata`` virtual column — idempotent, and the ONE
     normalization every consumer shares (scheme strip + percent-decode
     with '+' protection, the column twin of :func:`norm_path`).  Stamp
-    BEFORE any join: ``_metadata`` does not survive one."""
-    from pyspark.sql import functions as F
+    BEFORE any join: ``_metadata`` does not survive one.  Built as SQL
+    text (r16): one selectExpr round-trip instead of ~10 Column calls
+    on every read of every lineage-bearing table."""
+    from pipeline_spark.functions.sqltext import fp_norm_sql
 
     if "__fp__" in df.columns:
         return df
-    return df.select(
+    return df.selectExpr(
         "*",
-        F.url_decode(F.regexp_replace(
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/+", "/"
-            ), r"\+", "%2B",
-        )).alias("__fp__"),
-        F.col("_metadata.row_index").alias("__pos__"),
+        fp_norm_sql("_metadata.file_path") + " AS __fp__",
+        "_metadata.row_index AS __pos__",
     )
 
 
@@ -1719,11 +1745,15 @@ def read_iceberg_changelog(
             ]
             ref_paths = {norm_path(d["referenced_data_file"]) for d in pdv}
             if pos_files:
+                from pipeline_spark.functions.sqltext import (
+                    scheme_strip_sql,
+                )
+
                 pos_pairs = spark.read.parquet(
                     *[d["path"] for d in pos_files]
-                ).select(
-                    strip_scheme_col(F.col("file_path")).alias("__dfp__"),
-                    F.col("pos").alias("__dpos__"),
+                ).selectExpr(
+                    scheme_strip_sql("file_path") + " AS __dfp__",
+                    "pos AS __dpos__",
                 )
                 # delete files are batch-sized; their referenced-file
                 # set is smaller still (metadata-scale collect)
