@@ -1903,6 +1903,11 @@ def _dv_mutate_where(
     frames = []
     new_adds: list[dict] = []
     cached: list = []
+    # hoisted out of the group loop (r16): the Column tree is reusable
+    # across frames, rebuilding it per group was pure py4j chatter
+    cond_safe = F.coalesce(cond, F.lit(False))
+    from pipeline_spark.functions.sqltext import atomic_ddl, qi, sql_lit
+
     for i, (key, gadds) in enumerate(groups.items()):
         # DV-aware matched scan: rows a file's existing deletion vector
         # already removed must not re-match (they would over-count,
@@ -1912,14 +1917,34 @@ def _dv_mutate_where(
 
         df = read_files_with_dv(spark, table, fschema, gadds, with_meta=True)
         df = to_logical_df(df, cm, log_fschema, keep=("__dv_fp", "__dv_ri"))
+        # partition literals attach as ONE projection (SQL text) when
+        # spellable; the Column fallback keeps exact semantics otherwise
+        lit_texts: list[str] | None = []
         for c, v in dict(key).items():
             lc = log_of.get(c, c)
-            df = df.withColumn(
-                lc,
-                F.lit(v).cast(types[lc]) if v is not None
-                else F.lit(None).cast(types[lc]),
-            )
-        matched_df = df.where(F.coalesce(cond, F.lit(False)))
+            ddl = atomic_ddl(types[lc])
+            if lit_texts is not None and ddl is not None:
+                try:
+                    lit_texts.append(
+                        f"CAST({sql_lit(v)} AS {ddl}) AS {qi(lc)}"
+                    )
+                    continue
+                except ValueError:
+                    pass
+            lit_texts = None
+            break
+        if lit_texts is not None:
+            if lit_texts:
+                df = df.selectExpr("*", *lit_texts)
+        else:
+            for c, v in dict(key).items():
+                lc = log_of.get(c, c)
+                df = df.withColumn(
+                    lc,
+                    F.lit(v).cast(types[lc]) if v is not None
+                    else F.lit(None).cast(types[lc]),
+                )
+        matched_df = df.where(cond_safe)
         if cdf or set_exprs:
             # the matched scan feeds up to three consumers (cdc staging,
             # the update rewrite, the DV position collect) — cache it so
@@ -1951,9 +1976,7 @@ def _dv_mutate_where(
                 )
             )
         frames.append(
-            matched_df.select(
-                F.col("__dv_fp").alias("fp"), F.col("__dv_ri").alias("ri")
-            )
+            matched_df.selectExpr("__dv_fp AS fp", "__dv_ri AS ri")
         )
         if set_exprs:
             upd = matched_df
@@ -3263,24 +3286,54 @@ def _cow_rewrite_where(
                 ],
                 "__rt_fp string, __rt_base long, __rt_dcv long",
             )
+            # one projection (r16): same optimized plan as the
+            # withColumn/withColumn/drop chain after CollapseProject
+            from pipeline_spark.functions.sqltext import qi as _qi
+
+            helpers = {
+                "__dv_fp", "__dv_ri", "__rt_fp", "__rt_base", "__rt_dcv"
+            }
             df = df.join(
                 F.broadcast(rid), df["__dv_fp"] == rid["__rt_fp"], "left"
-            ).withColumn(
-                rt_mat_id,
-                F.coalesce(
-                    F.col(rt_mat_id), F.col("__rt_base") + F.col("__dv_ri")
-                ),
-            ).withColumn(
-                rt_mat_cv,
-                F.coalesce(F.col(rt_mat_cv), F.col("__rt_dcv")),
-            ).drop("__dv_fp", "__dv_ri", "__rt_fp", "__rt_base", "__rt_dcv")
+            ).selectExpr(*[
+                f"coalesce({_qi(c)}, (__rt_base + __dv_ri)) AS {_qi(c)}"
+                if c == rt_mat_id
+                else f"coalesce({_qi(c)}, __rt_dcv) AS {_qi(c)}"
+                if c == rt_mat_cv
+                else _qi(c)
+                for c in (
+                    [f.name for f in log_fschema] + list(rt_keep)
+                )
+                if c not in helpers
+            ])
         pv = dict(key)
+        from pipeline_spark.functions.sqltext import atomic_ddl, qi, sql_lit
+
+        lit_texts: list[str] | None = []
         for c, v in pv.items():
             lc = log_of.get(c, c)
-            df = df.withColumn(
-                lc,
-                F.lit(v).cast(types[lc]) if v is not None else F.lit(None).cast(types[lc]),
-            )
+            ddl = atomic_ddl(types[lc])
+            if lit_texts is not None and ddl is not None:
+                try:
+                    lit_texts.append(
+                        f"CAST({sql_lit(v)} AS {ddl}) AS {qi(lc)}"
+                    )
+                    continue
+                except ValueError:
+                    pass
+            lit_texts = None
+            break
+        if lit_texts is not None:
+            if lit_texts:
+                df = df.selectExpr("*", *lit_texts)
+        else:
+            for c, v in pv.items():
+                lc = log_of.get(c, c)
+                df = df.withColumn(
+                    lc,
+                    F.lit(v).cast(types[lc]) if v is not None
+                    else F.lit(None).cast(types[lc]),
+                )
         n_match = df.where(cond).count()
         if n_match == 0:
             continue  # bounds admitted a match the data doesn't contain

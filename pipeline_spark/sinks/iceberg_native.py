@@ -3047,11 +3047,11 @@ def _cow_mutate_where(
                 all_data=data,
             )
         if "__fp__" not in probe.columns:
-            probe = probe.select(
+            from pipeline_spark.functions.sqltext import scheme_strip_sql
+
+            probe = probe.selectExpr(
                 "*",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ).alias("__fp__"),
+                scheme_strip_sql("_metadata.file_path") + " AS __fp__",
             )
         probe = probe.select(*pred_cols, "__fp__")
         cond = data_filter_condition(where)

@@ -1142,17 +1142,28 @@ def apply_identity_fill(spark, df, fills: dict[str, dict],
             "*", fp_norm_sql("_metadata.file_path") + " AS __fp__"
         )
     df = df.join(F.broadcast(fdf), df["__fp__"] == fdf["__ifp__"], "left")
-    for i, c in enumerate(cols):
-        # a file that physically carries the column keeps its own values
-        src = F.col(f"__fill_{i}__")
-        if c in pre_cols:
-            df = df.withColumn(c, F.coalesce(F.col(c), src))
-        else:
-            df = df.withColumn(c, src)
-    df = df.drop("__ifp__", *[f"__fill_{i}__" for i in range(len(cols))])
+    # r16: one projection (SQL text) replaces the per-column
+    # withColumn(coalesce) loop + drops — same optimized plan after
+    # CollapseProject, a fraction of the py4j round-trips
+    from pipeline_spark.functions.sqltext import qi
+
+    fill_of = {c: f"__fill_{i}__" for i, c in enumerate(cols)}
+    helpers = {"__ifp__", *fill_of.values()}
     if not had_fp:
-        df = df.drop("__fp__")
-    return df
+        helpers.add("__fp__")
+    exprs = []
+    for c in df.columns:
+        if c in helpers:
+            continue
+        if c in fill_of and c in pre_cols:
+            # a file that physically carries the column keeps its values
+            exprs.append(f"coalesce({qi(c)}, {fill_of[c]}) AS {qi(c)}")
+        else:
+            exprs.append(qi(c))
+    for c in cols:
+        if c not in pre_cols:
+            exprs.append(f"{fill_of[c]} AS {qi(c)}")
+    return df.selectExpr(*exprs)
 
 
 def stamp_lineage(df):
@@ -1201,24 +1212,41 @@ def derive_row_ids(spark, df, data: list[dict], *, with_seq: bool = False):
         "__ri_fp string, __ri_first long, __ri_seq long",
     )
     df = df.join(F.broadcast(rid), df["__fp__"] == rid["__ri_fp"], "left")
-    mat = (
-        F.col("_row_id") if "_row_id" in df.columns
-        else F.lit(None).cast("bigint")
-    )
-    df = df.withColumn(
-        "_row_id", F.coalesce(mat, F.col("__ri_first") + F.col("__pos__"))
-    )
-    if with_seq:
-        mat_seq = (
-            F.col("_last_updated_sequence_number")
-            if "_last_updated_sequence_number" in df.columns
-            else F.lit(None).cast("bigint")
+    # r16: the coalesce/derive/drop chain as ONE projection (SQL text,
+    # one schema fetch) — CollapseProject yields the same optimized
+    # plan the withColumn/withColumn/drop chain did, without its ~40
+    # py4j round-trips per read
+    from pipeline_spark.functions.sqltext import qi
+
+    joined = df.columns
+    helpers = {"__ri_fp", "__ri_first", "__ri_seq"}
+    rid_sql = (
+        "coalesce({m}, (__ri_first + __pos__)) AS _row_id".format(
+            m="_row_id" if "_row_id" in joined else "CAST(NULL AS BIGINT)"
         )
-        df = df.withColumn(
-            "_last_updated_sequence_number",
-            F.coalesce(mat_seq, F.col("__ri_seq")),
+    )
+    seq_sql = (
+        "coalesce({m}, __ri_seq) AS _last_updated_sequence_number".format(
+            m="_last_updated_sequence_number"
+            if "_last_updated_sequence_number" in joined
+            else "CAST(NULL AS BIGINT)"
         )
-    return df.drop("__ri_fp", "__ri_first", "__ri_seq")
+    )
+    exprs = []
+    for c in joined:
+        if c in helpers:
+            continue
+        if c == "_row_id":
+            exprs.append(rid_sql)
+        elif with_seq and c == "_last_updated_sequence_number":
+            exprs.append(seq_sql)
+        else:
+            exprs.append(qi(c))
+    if "_row_id" not in joined:
+        exprs.append(rid_sql)
+    if with_seq and "_last_updated_sequence_number" not in joined:
+        exprs.append(seq_sql)
+    return df.selectExpr(*exprs)
 
 
 def decode_bound(raw: bytes, ice_type: str):
