@@ -229,3 +229,35 @@ def test_sink_atomic_rename_and_null_uri(spark, tmp_path):
     uris = sorted(r["target_uri"] or "" for r in back.collect())
     assert uris == ["", "doc://1"]
     assert "None" not in uris
+
+
+def test_gzip_member_byte_identical_to_gzipfile_reference():
+    """r16 pin: the zlib.compressobj encoder (hot loop) must produce the
+    exact bytes the GzipFile-based encoder wrote in every earlier round
+    (OS header byte patched to 0xff)."""
+    import gzip
+    import io
+
+    from pipeline_spark.functions import warcrec
+
+    def reference(headers, payload, level=6):
+        buf = io.BytesIO()
+        with gzip.GzipFile(
+            fileobj=buf, mode="wb", mtime=0, compresslevel=level
+        ) as gz:
+            gz.write(warcrec.encode_record(headers, payload))
+        return buf.getvalue()
+
+    hdrs = {
+        "WARC-Type": "resource",
+        "WARC-Record-ID": "<urn:uuid:x>",
+        "WARC-Date": "2026-01-01T00:00:00Z",
+        "WARC-Target-URI": "doc://42",
+        "Content-Type": "text/plain",
+    }
+    for level in (1, 6, 9):
+        for payload in (b"", b"x", "日本語テキスト".encode() * 64,
+                        b"the quick brown fox " * 200):
+            assert warcrec.encode_gzip_member(
+                hdrs, payload, level=level
+            ) == reference(hdrs, payload, level=level)
