@@ -5496,12 +5496,13 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     base = _tmp_path("bucketed", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
-    for name, src, key, cols in (
-        ("bq_customer", "customer", "c_custkey",
-         "[c_custkey, c_mktsegment]"),
-        ("bq_orders", "orders", "o_custkey",
-         "[o_custkey, o_totalprice]"),
-    ):
+    # the two bucketed CTAS writes are independent tables — run them as
+    # concurrent jobs (guide §2.6); each write's bucket shuffle is the
+    # row's dominant cost and they back-fill each other's task tails
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build(args):
+        name, src, key, cols = args
         _pipeline_multi(spark, sf_dir, [src], f"""
 transforms:
   - name: proj
@@ -5519,6 +5520,18 @@ sinks:
       table: {name}
       bucketBy: {{numBuckets: 8, fields: [{key}], sortBy: [{key}]}}
 """)
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        for _f in [
+            _pool.submit(_build, a)
+            for a in (
+                ("bq_customer", "customer", "c_custkey",
+                 "[c_custkey, c_mktsegment]"),
+                ("bq_orders", "orders", "o_custkey",
+                 "[o_custkey, o_totalprice]"),
+            )
+        ]:
+            _f.result()
     return _pipeline_multi(spark, sf_dir, [], """  - name: c
     module: storage
     parameters: {table: bq_customer}
@@ -6427,9 +6440,27 @@ def q_iceberg_addfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tmp_path("addf_ice", sf_dir)
     for d in (h1, h2, t):
         shutil.rmtree(d, ignore_errors=True)
-    docs.where(F.col("doc_id") < 300).write.partitionBy("lang").parquet(h1)
-    docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 600)) \
-        .write.partitionBy("lang").parquet(h2)
+    # the two hive directories are independent fixtures: write them as
+    # concurrent jobs (guide §2.6 — the second job's tasks back-fill the
+    # first's tail) instead of serially; the add_files imports stay
+    # ordered (both mutate the same table)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        futs = [
+            _pool.submit(
+                lambda d, p: d.write.partitionBy("lang").parquet(p),
+                docs.where(F.col("doc_id") < 300), h1,
+            ),
+            _pool.submit(
+                lambda d, p: d.write.partitionBy("lang").parquet(p),
+                docs.where(
+                    (F.col("doc_id") >= 300) & (F.col("doc_id") < 600)
+                ), h2,
+            ),
+        ]
+        for f in futs:
+            f.result()
     add_files_iceberg_native(spark, {"path": t, "sourceDir": h1})
     add_files_iceberg_native(spark, {"path": t, "sourceDir": h2})
     return (
