@@ -100,3 +100,107 @@ def test_delta_dv_build_distributed_matches_driver(
             map(tuple, read_delta_native(spark, {"path": t}).collect()))
 
     assert run(None) == run("0")
+
+
+def test_positions_frame_path_engagement(spark):
+    """r16 (VERDICT r15 ask #6): pin WHICH path each side of the gate
+    takes, not just that values agree — the small side must be a local
+    (no-job) frame, the large/unknown side an executor-decoded RDD."""
+    entries = [("f1", "[0]")]
+
+    def decode(it):
+        import json as _j
+
+        for fp, pj in it:
+            for pos in _j.loads(pj):
+                yield (fp, int(pos))
+
+    small, is_small = positions_frame(
+        spark, entries, decode, "fp string, pos long", total_rows=1)
+    big, is_big = positions_frame(
+        spark, entries, decode, "fp string, pos long",
+        total_rows=10**9)
+    unk, is_unk = positions_frame(
+        spark, entries, decode, "fp string, pos long", total_rows=None)
+    assert is_small and not is_big and not is_unk
+    assert "LogicalRDD" not in (
+        small._jdf.queryExecution().optimizedPlan().toString()
+    )
+    for frame in (big, unk):
+        assert "LogicalRDD" in (
+            frame._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_dv_read_join_strategy_across_threshold(
+    spark, tmp_path, monkeypatch, fmt
+):
+    """Above the gate the anti-join must run the executor path (no
+    broadcast of a driver-decoded frame); below it, a broadcast
+    anti-join with the positions frame local."""
+    t = str(tmp_path / f"tj_{fmt}")
+    df = spark.range(500).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    if fmt == "delta":
+        write_delta_native(spark, df, {
+            "path": t,
+            "properties": {"delta.enableDeletionVectors": "true"}})
+        delete_delta_native(spark, {
+            "path": t, "method": "dv",
+            "where": [{"key": "id", "op": "<", "value": 100}]})
+        read = lambda: read_delta_native(spark, {"path": t})  # noqa: E731
+    else:
+        write_iceberg_native(df, {"path": t, "formatVersion": 3})
+        delete_iceberg_native(spark, {
+            "path": t, "method": "mor", "format": "puffin",
+            "where": [{"key": "id", "op": "<", "value": 100}]})
+        read = lambda: read_iceberg_native(spark, {"path": t})  # noqa: E731
+
+    monkeypatch.delenv("SPARK_GRAFT_DV_DRIVER_MAX", raising=False)
+    plan_small = read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small and "LeftAnti" in plan_small
+
+    monkeypatch.setenv("SPARK_GRAFT_DV_DRIVER_MAX", "0")
+    plan_big = read()._jdf.queryExecution().optimizedPlan().toString()
+    # executor decode above the gate: the positions frame must be
+    # RDD-backed, never a driver-built LocalRelation
+    assert "LogicalRDD" in plan_big and "LocalRelation" not in plan_big
+    assert sorted(map(tuple, read().collect())) == sorted(
+        map(tuple, df.where("id >= 100").collect())
+    )
+
+
+def test_footer_stats_distributed_path_engages(spark, tmp_path, monkeypatch):
+    """Commits above SPARK_GRAFT_STATS_DRIVER_MAX must collect footer
+    stats through the distributed path — and produce the same stats the
+    driver pool does."""
+    from pipeline_spark.sinks.delta_native import _collect_file_stats
+
+    src = spark.range(90).select(
+        F.col("id"), (F.col("id") % 9).alias("part"))
+    d = str(tmp_path / "files")
+    src.repartition(9, "part").write.parquet(d)
+    import glob
+
+    paths = sorted(glob.glob(d + "/*.parquet"))
+    assert len(paths) >= 3
+
+    calls = {"parallelize": 0}
+    orig = spark.sparkContext.parallelize
+
+    def spy(*a, **k):
+        calls["parallelize"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(spark.sparkContext, "parallelize", spy)
+
+    monkeypatch.setenv("SPARK_GRAFT_STATS_DRIVER_MAX", "2")
+    dist = _collect_file_stats(spark, paths)
+    assert calls["parallelize"] == 1  # the RDD job ran
+
+    monkeypatch.setenv("SPARK_GRAFT_STATS_DRIVER_MAX", str(len(paths)))
+    calls["parallelize"] = 0
+    drv = _collect_file_stats(spark, paths)
+    assert calls["parallelize"] == 0  # driver pool, no job
+
+    assert dist == drv and len(dist) == len(paths)
