@@ -1023,11 +1023,19 @@ def _stats_may_match(a: dict, dfilter: list[dict], schema) -> bool:
 
 def data_filter_condition(dfilter: list[dict]):
     """The AND of a predicate list as one Column (shared by the readers'
-    dataFilter and the writers' delete-WHERE)."""
+    dataFilter and the writers' delete-WHERE).
+
+    r16: spelled as one SQL text when every key/value is spellable —
+    one F.expr round-trip instead of ~6 Column calls per predicate on
+    every DML/read path; the Column construction below stays as the
+    exact fallback (unspellable literals, exotic key names)."""
     from pyspark.sql import functions as F
 
     if isinstance(dfilter, dict):
         dfilter = [dfilter]
+    sql = _data_filter_sql(dfilter)
+    if sql is not None:
+        return F.expr(sql)
     conds = []
     for f in dfilter:
         key, op = f.get("key"), str(f.get("op", "=")).lower()
@@ -1058,6 +1066,50 @@ def data_filter_condition(dfilter: list[dict]):
     for c in conds[1:]:
         out = out & c
     return out
+
+
+_SIMPLE_KEY = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+
+
+def _data_filter_sql(dfilter: list[dict]) -> str | None:
+    """SQL text of the predicate list, or None when any piece cannot be
+    spelled with the exact semantics of the Column construction
+    (F.col parses dotted keys as nested access, so only plain/dotted
+    identifier keys qualify)."""
+    from pipeline_spark.functions.sqltext import sql_lit
+
+    parts = []
+    try:
+        for f in dfilter:
+            key, op = f.get("key"), str(f.get("op", "=")).lower()
+            if not isinstance(key, str) or not _SIMPLE_KEY.match(key):
+                return None
+            want = f.get("value")
+            if op in ("=", "=="):
+                parts.append(f"({key} = {sql_lit(want)})")
+            elif op in ("!=", "<", "<=", ">", ">="):
+                sop = "!=" if op == "!=" else op
+                parts.append(f"({key} {sop} {sql_lit(want)})")
+            elif op == "in":
+                vals = list(
+                    want if isinstance(want, (list, tuple)) else [want]
+                )
+                if not vals:
+                    return None  # Column isin([]) has its own semantics
+                parts.append(
+                    f"({key} IN ("
+                    + ", ".join(sql_lit(v) for v in vals)
+                    + "))"
+                )
+            elif op in ("isnull", "is_null"):
+                parts.append(f"({key} IS NULL)")
+            elif op in ("isnotnull", "is_not_null"):
+                parts.append(f"({key} IS NOT NULL)")
+            else:
+                return None  # unknown op: the Column path raises
+    except ValueError:
+        return None
+    return " AND ".join(parts) if parts else None
 
 
 def _apply_data_filter(df, dfilter: list[dict]):
