@@ -842,9 +842,12 @@ def _apply_row_deletes(
     # position-delete scan would lose the broadcast); anti-of-union ==
     # chained antis
     for pos_df in pos_frames:
+        # the helper names are unique per side, so the unresolved-name
+        # condition binds identically to the df[..]==pos_df[..] form
+        # (one expr round-trip, r16)
         df = df.join(
             pos_df,
-            (df["__fp__"] == pos_df["__dfp__"]) & (df["__pos__"] == pos_df["__dpos__"]),
+            F.expr("(__fp__ = __dfp__) AND (__pos__ = __dpos__)"),
             "left_anti",
         )
     eq = [d for d in deletes if d["content"] == 2]
@@ -1009,10 +1012,17 @@ def evolved_scan(spark, reader, data: list[dict], fields: list[dict],
             df = df.withColumn(
                 f["name"], F.lit(None).cast(_iceberg_type_to_spark(f["type"]))
             )
-    keep = [f["name"] for f in fields if f["name"] in set(df.columns)]
-    keep += [c for c in (keep_extra or []) if c in set(df.columns)]
+    have = set(df.columns)
+    keep = [f["name"] for f in fields if f["name"] in have]
+    keep += [c for c in (keep_extra or []) if c in have]
     if with_lineage:
         keep = ["__fp__", "__pos__"] + keep
+    if all("." not in c and "`" not in c for c in keep):
+        # selectExpr with quoted names = select(str) for dot-free names,
+        # one round-trip instead of an F.col per column (r16)
+        from pipeline_spark.functions.sqltext import qi
+
+        return df.selectExpr(*[qi(c) for c in keep])
     return df.select(*keep)
 
 
