@@ -26,6 +26,8 @@ import random
 import duckdb
 import pytest
 
+pytestmark = pytest.mark.slow  # r16: fast-tier default deselects (see pyproject)
+
 PART = "/root/testdata/sf0.001/part.parquet"
 
 # (name, kind) — the physical schema the generator draws from

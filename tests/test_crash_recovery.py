@@ -29,6 +29,8 @@ import uuid
 
 import pytest
 
+pytestmark = pytest.mark.slow  # r16: fast-tier default deselects (see pyproject)
+
 import pipeline_spark.sinks.delta_native as dn
 import pipeline_spark.sinks.iceberg_native as sink_ice
 from pipeline_spark.sinks.delta_native import (

@@ -6,6 +6,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # r16: fast-tier default deselects (see pyproject)
+
 from pipeline_spark.config import load_config
 from pipeline_spark.executor import run_pipeline
 

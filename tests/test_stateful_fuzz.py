@@ -24,6 +24,8 @@ import random
 import duckdb
 import pytest
 
+pytestmark = pytest.mark.slow  # r16: fast-tier default deselects (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def fixture_parquet(tmp_path_factory):

@@ -23,6 +23,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+pytestmark = pytest.mark.slow  # r16: fast-tier default deselects (see pyproject)
+
 from pipeline_spark.streaming.panes import stream_panes_with_state
 
 

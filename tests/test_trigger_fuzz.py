@@ -37,6 +37,8 @@ import datetime as dt
 import random
 
 import pytest
+
+pytestmark = pytest.mark.slow  # r16: fast-tier default deselects (see pyproject)
 from pyspark.sql import types as T
 
 from pipeline_spark.streaming.triggers import (

@@ -22,6 +22,8 @@ import random
 import duckdb
 import pytest
 
+pytestmark = pytest.mark.slow  # r16: fast-tier default deselects (see pyproject)
+
 EVENTS = "/root/testdata/sf0.001/events.parquet"
 
 AGG_OPS = [
