@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pipeline_spark.functions.jvmclass import jvm_class_present
 from pipeline_spark.registry import KIND_TRANSFORM, ModuleContext, module
 from pipeline_spark.sources.create import build_schema
 
@@ -73,9 +74,10 @@ def deserialize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         # (functions/avrodec.py) runs in a vectorized pandas UDF — the
         # common Kafka-payload path needs no extra jar
         try:
-            ctx.spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
-                "org.apache.spark.sql.avro.AvroDataToCatalyst"
-            )
+            if not jvm_class_present(
+                ctx.spark, "org.apache.spark.sql.avro.AvroDataToCatalyst"
+            ):
+                raise RuntimeError("spark-avro jar absent")
             from pyspark.sql.avro.functions import from_avro
 
             parsed = from_avro(F.col(field).cast("binary"), avro_schema)
@@ -124,9 +126,10 @@ def deserialize_transform(ctx: ModuleContext) -> dict[str, DataFrame]:
         # common "Kafka protobuf payload + descriptor file" path needs no
         # extra jar, mirroring the avro fallback above
         try:
-            ctx.spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
-                "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"
-            )
+            if not jvm_class_present(
+                ctx.spark, "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"
+            ):
+                raise RuntimeError("spark-protobuf jar absent")
             from pyspark.sql.protobuf.functions import from_protobuf
 
             parsed = from_protobuf(

@@ -22,17 +22,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pipeline_spark.functions.jvmclass import jvm_class_present
 from pipeline_spark.registry import KIND_SINK, ModuleContext, module
 
 
 def _require_connector(ctx: ModuleContext, fmt: str, hint: str) -> None:
-    try:
-        ctx.spark._jvm.java.lang.Class.forName(hint)  # type: ignore[union-attr]
-    except Exception:
+    # cached per (gateway, class): the probe costs ~5 py4j round-trips and
+    # its answer is fixed for the JVM's lifetime
+    if not jvm_class_present(ctx.spark, hint):
         raise RuntimeError(
             f"{fmt} sink requires its Spark connector on the classpath "
             f"(missing {hint}); add the connector jar via spark.jars.packages"
-        ) from None
+        )
 
 
 @module("bigquery", kind=KIND_SINK)

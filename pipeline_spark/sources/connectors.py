@@ -21,17 +21,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from pipeline_spark.functions.jvmclass import jvm_class_present
 from pipeline_spark.registry import KIND_SOURCE, ModuleContext, module
 
 
 def _require_class(ctx: ModuleContext, fmt: str, cls: str) -> None:
-    try:
-        ctx.spark._jvm.java.lang.Class.forName(cls)  # type: ignore[union-attr]
-    except Exception:
+    # cached per (gateway, class): the probe costs ~5 py4j round-trips and
+    # its answer is fixed for the JVM's lifetime
+    if not jvm_class_present(ctx.spark, cls):
         raise RuntimeError(
             f"{fmt} source requires its Spark connector on the classpath "
             f"(missing {cls}); add it via spark.jars.packages"
-        ) from None
+        )
 
 
 @module("bigquery", kind=KIND_SOURCE)
