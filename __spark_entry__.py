@@ -6027,10 +6027,27 @@ def q_uniform_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             input_names=["in"],
         ))
 
-    # phase 1: two micro-batch files, stream drains, iceberg read
-    ev.where(F.col("event_id") < 500).coalesce(1).write.parquet(f"{stage}/b1")
-    ev.where((F.col("event_id") >= 500) & (F.col("event_id") < 1000)) \
-        .coalesce(1).write.parquet(f"{stage}/b2")
+    # phase 1: two micro-batch files, stream drains, iceberg read.
+    # The two staged files are independent fixture writes — land them as
+    # concurrent jobs (guide §2.6, the bucketed_join/iceberg_addfiles
+    # shape) instead of serially; the stream still starts only after
+    # BOTH are on disk, so batch content and order are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        for _f in [
+            _pool.submit(
+                lambda d, p: d.coalesce(1).write.parquet(p),
+                ev.where(F.col("event_id") < 500), f"{stage}/b1",
+            ),
+            _pool.submit(
+                lambda d, p: d.coalesce(1).write.parquet(p),
+                ev.where(
+                    (F.col("event_id") >= 500) & (F.col("event_id") < 1000)
+                ), f"{stage}/b2",
+            ),
+        ]:
+            _f.result()
     _run_stream()
     mid = (
         read_iceberg_native(spark, {"path": t})

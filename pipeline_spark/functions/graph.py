@@ -73,8 +73,15 @@ def connected_components(
         # when pairs come from a multi-stage curation chain
         .localCheckpoint(eager=True)
     )
-    if e.count() <= small_graph_threshold:
-        return _union_find_driver(e)
+    # r16 (guide §5 fixed-cost-vs-work): the gate used to COUNT (one
+    # job) and then _union_find_driver re-scanned with collect() (a
+    # second job).  take(threshold+1) answers the gate AND delivers the
+    # rows in ONE job — and when the graph is big it stops scanning as
+    # soon as threshold+1 rows are found instead of counting them all.
+    # Driver memory is the same bound as before (≤ threshold+1 rows).
+    head = e.take(small_graph_threshold + 1)
+    if len(head) <= small_graph_threshold:
+        return _union_find_driver(head, e.sparkSession)
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -138,7 +145,7 @@ def connected_components(
     return out
 
 
-def _union_find_driver(e: DataFrame) -> DataFrame:
+def _union_find_driver(rows, spark) -> DataFrame:
     """Single-pass union-find with path compression over a collected edge
     set; labels are component minimums, matching the distributed loop."""
     parent: dict[int, int] = {}
@@ -151,7 +158,6 @@ def _union_find_driver(e: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    rows = e.collect()
     for r in rows:
         ru, rv = find(r["u"]), find(r["v"])
         if ru != rv:
@@ -164,4 +170,4 @@ def _union_find_driver(e: DataFrame) -> DataFrame:
     out = [(n, comp_min[find(n)]) for n in sorted(nodes)]
     from pipeline_spark.functions.localframe import local_frame
 
-    return local_frame(e.sparkSession, out, "node long, component long")
+    return local_frame(spark, out, "node long, component long")
