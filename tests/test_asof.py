@@ -55,6 +55,7 @@ def test_forward(spark, trades_quotes):
     assert rows[("B", 30)]["px"] == 9.0
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_nearest_prefers_backward_on_tie(spark, trades_quotes):
     trades, quotes = trades_quotes
     out = asof_join(trades, quotes, ["sym"], left_ts="t", direction="nearest")
@@ -64,6 +65,7 @@ def test_nearest_prefers_backward_on_tie(spark, trades_quotes):
     assert rows[("C", 40)]["px"] is None
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_tolerance(spark, trades_quotes):
     trades, quotes = trades_quotes
     out = asof_join(trades, quotes, ["sym"], left_ts="t", tolerance_seconds=1)
@@ -75,6 +77,7 @@ def test_tolerance(spark, trades_quotes):
     assert rows2[("A", 20)]["px"] is None
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_tie_breaker_on_duplicate_right_ts(spark):
     left = spark.createDataFrame([Row(k="x", t=_ts("2024-01-01 00:00:10"))])
     right = spark.createDataFrame(
@@ -87,6 +90,7 @@ def test_tie_breaker_on_duplicate_right_ts(spark):
     assert out[0]["v"] == "high"  # highest tieBreaker wins for backward
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_matches_pandas_merge_asof(spark):
     import numpy as np
 
@@ -148,6 +152,7 @@ def test_module_params_and_validation(spark, trades_quotes):
         asof_join(trades, quotes, ["qty"], left_ts="t")
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_matches_pandas_merge_asof_forward_and_nearest(spark):
     import numpy as np
 

@@ -259,6 +259,7 @@ def test_bloom_persisted_geometry_mismatch(spark, corpus, tmp_path):
         bl.load_filter(path)
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_bloom_streaming_probe(spark, tmp_path, corpus):
     """The probe is a stateless pandas UDF — it must work unchanged on a
     streaming DataFrame (the incremental-crawl shape)."""

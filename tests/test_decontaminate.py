@@ -38,6 +38,7 @@ def bench(spark):
     )
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_report_counts_and_overlap(spark, corpus, bench):
     out = decontaminate_transform(
         ctx(spark, {"ngram": 5}, [corpus], {"bench": bench})

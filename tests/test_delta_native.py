@@ -591,6 +591,7 @@ def _drain_stream(spark, tbl, out_dir, cp, **opts):
         return None
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_stream_initial_snapshot_then_tail(spark, tmp_path):
     tbl = str(tmp_path / "s1")
     out = str(tmp_path / "out")
@@ -605,6 +606,7 @@ def test_stream_initial_snapshot_then_tail(spark, tmp_path):
     assert _ids(got) == list(range(11))
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_stream_latest_skips_history(spark, tmp_path):
     tbl = str(tmp_path / "s2")
     write_delta_native(spark, spark.range(0, 5), {"path": tbl})
@@ -634,6 +636,7 @@ def test_stream_partitioned_table_fills_partition_columns(spark, tmp_path):
     assert rows == [(i, "even" if i % 2 == 0 else "odd") for i in range(6)]
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_stream_change_commit_errors_and_skip_option(spark, tmp_path):
     tbl = str(tmp_path / "s4")
     out = str(tmp_path / "out")
@@ -1638,6 +1641,7 @@ def test_cdf_remove_branch_honors_deletion_vectors(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_cdf_streaming_source(spark, tmp_path):
     """Streaming CDF: each micro-batch carries the change rows of newly
     committed versions (cdc files for DML, insert derivation for appends,
@@ -2009,6 +2013,7 @@ def test_column_mapping_merge_schema_assigns_new_physical(spark, tmp_path):
     assert rows == [(0, None), (1, None), (2, None), (3, "x"), (4, "x")]
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_column_mapping_dv_delete_update_and_cdf(spark, tmp_path):
     """MOR deletion-vector DELETE and UPDATE on a column-mapped table:
     data files keep their bytes, cdc files carry PHYSICAL names, and the
@@ -2067,6 +2072,7 @@ def test_column_mapping_dv_delete_update_and_cdf(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_column_mapping_stream_and_cdf_stream(spark, tmp_path):
     """Streaming + CDF-streaming reads of a column-mapped table resolve
     physical names (nested struct included) — VERDICT r5 ask #3's last

@@ -20,6 +20,8 @@ import shutil
 
 import pytest
 
+pytestmark = pytest.mark.slow  # property fuzz suite: fast-tier deselects (r16)
+
 from pipeline_spark.functions.avroocf import (
     read_ocf_file,
     read_ocf_file_with_meta,

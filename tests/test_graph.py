@@ -52,6 +52,7 @@ def test_cc_transitive_chain(spark):
     assert _cc(spark, [(1, 3), (2, 3)]) == {1: 1, 2: 1, 3: 1}
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_cc_long_chain_and_separate_components(spark):
     edges = [(i, i + 1) for i in range(1, 20)] + [(100, 101), (101, 102)]
     for labels in (_cc(spark, edges), _cc_distributed(spark, edges)):
@@ -64,6 +65,7 @@ def test_cc_self_loops_and_duplicates_ignored(spark):
     assert labels == {1: 1, 2: 1}
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_cc_random_graphs_match_union_find(spark):
     rng = random.Random(7)
     for trial in range(3):

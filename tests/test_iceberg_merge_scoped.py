@@ -41,6 +41,7 @@ def _mk(spark, tmp_path, name="tbl", n_files=4, per=10):
     return tbl
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_untouched_files_survive_by_path(spark, tmp_path):
     tbl = _mk(spark, tmp_path)
     import pyarrow.parquet as pq
@@ -77,6 +78,7 @@ def test_untouched_files_survive_by_path(spark, tmp_path):
     assert back == expect
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_untouched_manifests_carry_forward_verbatim(spark, tmp_path):
     from pipeline_spark.functions.avroocf import read_ocf_file
 

@@ -1879,6 +1879,7 @@ def test_incremental_append_scan(spark, tmp_path):
         read_iceberg_native(spark, {"path": tbl, "fromSnapshotId": s1})
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_iceberg_streaming_source_tails_appends(spark, tmp_path):
     """The iceberg_native DataSource: initial snapshot then per-snapshot
     micro-batches, executor-side file reads."""

@@ -47,6 +47,7 @@ def test_split_predicates_cover_and_do_not_overlap():
     ) == [None]
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_source_partitioned_read(spark, db):
     out = jdbc_source(
         ctx(
@@ -73,6 +74,7 @@ def test_source_partitioned_read(spark, db):
     assert rows[7] == (7, "item7", 21)
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_source_query_single_split_inferred_schema(spark, db):
     out = jdbc_source(
         ctx(

@@ -233,6 +233,7 @@ sources:
     assert sorted(bytes(r["value"]) for r in out3) == [b"b", b"c"]
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_kafka_streaming_python_datasource(spark, broker, tmp_path):
     """TRUE streaming without the jar: the kafka_native Python DataSource
     drives the wire client through Structured Streaming's own offset

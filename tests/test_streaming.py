@@ -783,6 +783,7 @@ def test_pane_key_split_protects_nonnumeric_frame(spark):
     assert set(keys2) == {"user", "label"} and set(vals2) == {"k", "total"}
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_pubsub_streaming_datasource_pull_ack(spark, tmp_path):
     """TRUE streaming pubsub on the Python DataSource API: the
     prefetch-and-cache contract carries the destructive pull (pulled
@@ -1085,6 +1086,7 @@ def test_executor_panes_accumulating(spark, tmp_path):
     assert [(p["n"], p["total"]) for p in b_panes] == [(1, 1.0)]
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_executor_panes_discarding(spark, tmp_path):
     base = dt.datetime(2024, 1, 1, 0, 0)
     in_dir = _write_stream_files(tmp_path, "xefd_in", [
@@ -1101,6 +1103,7 @@ def test_executor_panes_discarding(spark, tmp_path):
     assert sum(p["total"] for p in panes) == 15.0
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_executor_panes_count_trigger(spark, tmp_path):
     """afterPane on the executor backend: withheld until count growth >= 3
     (the operator owns the aggregation, so no paneCountField contract);
@@ -1163,6 +1166,7 @@ def test_executor_panes_rejects_unsupported_loudly(spark, tmp_path):
         _window_params({"window": {"type": "bogus"}})
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_streaming_duration_range_matches_batch_window(spark, tmp_path):
     """Streaming stateful duration-range (event-time-trimmed buffers in
     applyInPandasWithState) must produce row-for-row the same aggregates
@@ -1298,6 +1302,7 @@ def test_streaming_select_duration_route(spark, tmp_path):
     assert out.isStreaming and set(out.columns) == {"k", "s"}
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_executor_panes_composite_after_first(spark, tmp_path):
     """Composite afterFirst(count>=3, time>=1h) on the executor backend:
     the count leaf dominates deterministically (the time leaf cannot fire
@@ -1361,6 +1366,7 @@ def test_executor_panes_final_trigger_closes(spark, tmp_path):
     assert all(p["n"] < 5 for p in a_panes)
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_executor_panes_after_each_sequence(spark, tmp_path):
     """Top-level afterEach on the executor backend: the children fire
     once each in order (count>=2 then count>=3); afterwards updates stay
@@ -1475,6 +1481,7 @@ def test_executor_panes_rejects_discarding_minmax_and_late_trigger(spark, tmp_pa
         _window_params({"window": {"type": "fixed"}})
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_executor_panes_first_last_arg_std(spark, tmp_path):
     """r7 (VERDICT r6 ask #6): first/last/argmax/argmin/std on the
     executor backend — single-value champion state and exact incremental
@@ -1539,6 +1546,7 @@ sinks:
     assert r["sd"] == pytest.approx(math.sqrt((85 - 225 / 4) / 3), rel=1e-9)
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_executor_panes_first_last_session_merge(spark, tmp_path):
     """Session-window merge carries first/last champion state: a bridging
     event merges two sessions and the merged pane's first/last reflect
@@ -1671,6 +1679,7 @@ def test_executor_panes_session_window(spark, tmp_path):
     assert sessions.get((base, base.replace(second=18))) == (2, 3.0)
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_executor_panes_compiled_aggregations(spark, tmp_path):
     """r6 (VERDICT r5 ask #6): condition / expression / weighted-avg
     aggregations on the EXECUTOR pane backend — compiled to derived JVM
@@ -1829,6 +1838,7 @@ def test_streaming_count_range_offset_matches_batch_window(spark, tmp_path):
     assert null_frames > 0  # the head rows genuinely exercised empty frames
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_executor_panes_buffered_ops_opt_in(spark, tmp_path):
     """r11 (VERDICT r10 missing #3): exact median / percentile /
     array_agg / count_distinct on the EXECUTOR pane backend, opt-in via
@@ -1895,6 +1905,7 @@ sinks:
     assert r["nd"] == 4
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_executor_panes_buffered_ops_skip_nulls(spark, tmp_path):
     """r12 (ADVICE): nulls in a float column reach the buffered insert
     loop as pandas NaN; batch collect_list / count_distinct skip nulls,

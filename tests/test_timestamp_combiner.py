@@ -262,6 +262,7 @@ def test_ledger_engages_matches_run_batch_passthrough():
             assert passthrough is (not want), strategy
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_executor_pane_backend_combiner(spark, tmp_path):
     """The executor pane backend threads the combiner through its keyed
     state: latest = hidden max over event time; end_of_window derives

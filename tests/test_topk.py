@@ -77,6 +77,7 @@ def test_module_params(spark, zipf):
         heavy_hitters(zipf, "word", strategy="nope")
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_sketch_equals_exact_property(spark):
     """On any data whose top-k clears the support floor, sketch == exact."""
     import numpy as np

@@ -15,6 +15,7 @@ from pipeline_spark.sinks.delta_native import (
 )
 from pipeline_spark.sources.delta_native import read_delta_native
 from pipeline_spark.sources.iceberg_native import read_iceberg_native
+import pytest
 
 UF = {"delta.universalFormat.enabledFormats": "iceberg"}
 
@@ -274,6 +275,7 @@ def test_append_sync_partitioned_cm(spark, tmp_path):
     assert sorted(r["id"] for r in pruned.collect()) == [1, 3, 5, 11]
 
 
+@pytest.mark.slow  # fast-tier deselects (r16: driver verify window)
 def test_streaming_appends_sync_incrementally(spark, tmp_path):
     """Streaming micro-batches on a UniForm table: every committed
     batch syncs, and the blind-append batches ride the INCREMENTAL
