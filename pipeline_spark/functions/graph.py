@@ -73,15 +73,15 @@ def connected_components(
         # when pairs come from a multi-stage curation chain
         .localCheckpoint(eager=True)
     )
-    # r16 (guide §5 fixed-cost-vs-work): the gate used to COUNT (one
-    # job) and then _union_find_driver re-scanned with collect() (a
-    # second job).  take(threshold+1) answers the gate AND delivers the
-    # rows in ONE job — and when the graph is big it stops scanning as
-    # soon as threshold+1 rows are found instead of counting them all.
-    # Driver memory is the same bound as before (≤ threshold+1 rows).
-    head = e.take(small_graph_threshold + 1)
-    if len(head) <= small_graph_threshold:
-        return _union_find_driver(head, e.sparkSession)
+    # NOTE (r16, measured dead end): merging the gate's count() with
+    # _union_find_driver's collect() via take(threshold+1) looked like
+    # a one-job win but A/B'd 2-3x SLOWER — executeTake's incremental
+    # scale-up (1 -> 4 -> 16 -> ... partitions) runs up to four jobs
+    # when the limit exceeds the row count, which it always does on the
+    # small-graph path.  count()+collect() over the already-checkpointed
+    # edges is two cheap full scans; keep it.
+    if e.count() <= small_graph_threshold:
+        return _union_find_driver(e.collect(), e.sparkSession)
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
